@@ -1,0 +1,116 @@
+"""Generic relational operators, schema-parameterized.
+
+These are the reusable shapes behind the 15-query surface
+(SURVEY §2.11): per-group argmax with ties, ranked views, top-k,
+grouped correlation matrices. Each is a thin, declarative composition
+of DataFrame ops so Catalyst keeps full pushdown/pruning freedom.
+
+Scale notes (100 TB):
+- ``argmax_per_group`` uses a window (one shuffle on the group key),
+  which beats the self-join decorrelation (two shuffles + join) the
+  naive SQL rewrite would produce.
+- ``top_k`` relies on Spark planning ``TakeOrderedAndProject`` —
+  per-partition heaps, no global sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def argmax_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    keep_ties: bool = True,
+) -> DataFrame:
+    """Rows holding the per-group maximum of ``value_col``.
+
+    Ties are KEPT (all max rows returned), matching the reference's
+    correlated ``WHERE score IN (SELECT MAX(score) ...)`` semantics
+    (analysis.sql:27-31). One shuffle on the group key.
+    """
+    w = Window.partitionBy(*group_cols)
+    if keep_ties:
+        flagged = df.withColumn("__mx", F.max(value_col).over(w))
+        return flagged.filter(F.col(value_col) == F.col("__mx")).drop("__mx")
+    w_ordered = w.orderBy(F.desc(value_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w_ordered))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def rank_in_group(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_col: str,
+    rank_col: str = "rank",
+    descending: bool = True,
+) -> DataFrame:
+    """RANK() OVER (PARTITION BY ... ORDER BY ...) — gaps on ties
+    (reference analysis.sql:182)."""
+    order = F.desc(order_col) if descending else F.asc(order_col)
+    w = Window.partitionBy(*partition_cols).orderBy(order)
+    return df.withColumn(rank_col, F.rank().over(w))
+
+
+def top_k(df: DataFrame, order_col: str, k: int, descending: bool = True) -> DataFrame:
+    """Global top-k. Plans as TakeOrderedAndProject (no full sort) —
+    the reference's ``nlargest(10, 'score')`` (script.py:312)."""
+    order = F.desc(order_col) if descending else F.asc(order_col)
+    return df.orderBy(order).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+) -> DataFrame:
+    """Per-group head — vectorized form of the reference's per-post
+    ``.list()[:limit]`` comment cap (script.py:167)."""
+    order = F.desc(order_col) if descending else F.asc(order_col)
+    w = Window.partitionBy(*group_cols).orderBy(order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def grouped_corr(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    pairs: Sequence[tuple[str, str, str]],
+    where: Column | None = None,
+) -> DataFrame:
+    """Per-group Pearson correlations for (x, y, alias) pairs —
+    generalizes reference analysis.sql:140-148 (q12)."""
+    if where is not None:
+        df = df.filter(where)
+    aggs = [F.corr(x, y).alias(alias) for x, y, alias in pairs]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def tier_col(
+    value: Column | str,
+    cutoffs: Sequence[tuple[float, str]],
+    default: str,
+) -> Column:
+    """Left-closed descending CASE ladder: first cutoff with
+    value >= threshold wins — the view's performance_tier
+    (analysis.sql:176-181). Distinct from the transform's right-closed
+    score_category bins; the two MUST NOT be unified (SURVEY §2.8).
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    expr = None
+    for threshold, label in cutoffs:
+        cond = v >= threshold
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return expr.otherwise(default) if expr is not None else F.lit(default)

@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference pins no execution config (single-threaded pandas + SQLite).
+Here we centralize the session so every entry point — tests, bench,
+driver harness — gets the same tuned session:
+
+- UTC session timezone (the reference's ``datetime.fromtimestamp`` is
+  local-time dependent; we pin UTC and document the divergence —
+  see reference script.py:139).
+- AQE on (runtime coalescing, skew-join splitting) — this is what makes
+  the same plans survive a 100x scale-up without re-tuning.
+- Arrow on for the few pandas-UDF extension operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "reddit_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    On a real cluster ``master`` comes from spark-submit; locally we
+    default to ``local[N]`` with N from $SPARK_GRAFT_CPUS.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Files: pack small test files, but keep the default 128m split so
+        # a 100 TB scan parallelizes across the whole cluster.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # ANSI off: `/ 0` yields NULL (the documented engine semantic for
+        # engagement_rate; reference pandas produced inf — SURVEY P6).
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
