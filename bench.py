@@ -1,0 +1,65 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs every registry query flagged ``headline`` (the representative mix:
+scans, joins, window, correlation, dedup, similarity, text profile,
+windowed events) on local[$SPARK_GRAFT_CPUS], forcing full execution
+with a count-collect, and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q01_overview": sec, ...}, "sf": 0.1}
+
+A warmup pass on the smallest table absorbs JVM/session startup so the
+per-query numbers measure the plans, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from reddit_etl_spark.harness import registry  # noqa: E402
+from reddit_etl_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: touch the session + parquet reader once
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, hq in registry().items():
+        if not hq.headline:
+            continue
+        t0 = time.perf_counter()
+        df = hq.builder(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -514,3 +514,321 @@ def q15_ranked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_in_group(
         tiered, ["o_orderpriority"], "o_totalprice", rank_col="rank_in_priority"
     ).withColumn("rank_in_priority", F.col("rank_in_priority").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data-pipeline extensions (BASELINE.json north star): dedup,
+# similarity search, text analysis, multimodal plumbing, streaming-shaped
+# event rollups. Approximate operators (MinHash/SimHash/sign-LSH) have no
+# SQL-expressible oracle -> rows-only check + pytest recall harnesses.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM documents
+    GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+    """,
+    doc="exact dedup: hash-groupBy on normalized content, min-id survivor; "
+    "shuffle carries 24-byte digests, never the document payload",
+    headline=True,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", ["text"])
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    """
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      FROM documents),
+    toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(t[i:i+2], ' ')))) AS s FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(common * 1.0 / (sa.sz + sb.sz - common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5
+    """,
+    doc="EXACT word-3-gram Jaccard near-dup pairs via shingle inverted "
+    "index + candidate verify (threshold 0.5)",
+    headline=True,
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+@_q(
+    "dedup_minhash_lsh",
+    None,  # banded MinHash is not SQL-expressible; pytest verifies recall
+    doc="MinHash(128)+LSH(32x4) near-dup candidates verified by exact "
+    "Jaccard>=0.5 — the near-linear scale path; tests/test_dedup.py proves "
+    "recall vs the exact ngram_jaccard result",
+    headline=True,
+)
+def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+
+
+@_q(
+    "dedup_simhash",
+    None,  # pandas-UDF signature; pytest cross-checks vs known dups
+    doc="64-bit SimHash (Arrow pandas UDF) + 16-bit chunk banding, "
+    "hamming<=3 verify",
+)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@_q(
+    "similarity_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, e.v) AS cosine_sim
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, neighbor_id, ROUND(cosine_sim, 6) AS cosine_sim
+    FROM ranked WHERE rn <= 5
+    """,
+    doc="exact brute-force cosine top-5 per query (queries = vec_id<10): "
+    "broadcast join + sequential-fold dot product + rank window",
+    headline=True,
+)
+def similarity_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        "vec_id",
+        "embedding",
+        "vec_id",
+        k=5,
+    )
+
+
+@_q(
+    "similarity_topk_lsh",
+    None,  # approximate; pytest measures recall vs similarity_topk
+    doc="sign-LSH bucketed ANN top-5 (8 bits x 4 tables) — the 100 TB "
+    "path; bucket-equality join replaces the broadcast product",
+)
+def similarity_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        "vec_id",
+        "embedding",
+        "vec_id",
+        k=5,
+    )
+
+
+@_q(
+    "embedding_neardup",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_cosine_similarity(a.v, b.v) AS cosine_sim
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, ROUND(cosine_sim, 6) AS cosine_sim
+    FROM p WHERE cosine_sim >= 0.4
+    """,
+    doc="exact embedding-cosine near-dup pairs (threshold 0.4), "
+    "brute-force baseline; embedding_neardup_lsh is the scale path",
+)
+def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_col
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", cosine_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine_sim") >= 0.4)
+        .select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+    )
+
+
+@_q(
+    "embedding_neardup_lsh",
+    None,  # approximate recall; pytest compares against embedding_neardup
+    doc="sign-LSH bucketed embedding near-dup (8 bits x 8 tables, exact "
+    "re-score at threshold 0.4)",
+)
+def embedding_neardup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_neardup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+@_q(
+    "text_profile",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS tc,
+             length(regexp_replace(text, '\\s', '', 'g')) AS nws,
+             len(regexp_extract_all(lower(text), '\\b(the|and|of|is|a)\\b')) AS n_en,
+             len(regexp_extract_all(lower(text), '\\b(el|la|los|que|y)\\b')) AS n_es,
+             len(regexp_extract_all(lower(text), '\\b(le|la|les|et|des)\\b')) AS n_fr,
+             len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')) AS n_de,
+             length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS pc
+      FROM documents)
+    SELECT doc_id,
+           CAST(tc AS BIGINT) AS token_count,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS BIGINT) AS bpe_token_count,
+           CAST(pc AS BIGINT) AS punct_count,
+           nws * 1.0 / tc AS avg_token_len,
+           n_en * 1.0 / tc AS en_stopword_ratio,
+           CAST(CASE WHEN tc >= 20 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN nws * 1.0 / tc >= 3.0 AND nws * 1.0 / tc <= 8.0
+                   THEN 0.25 ELSE 0.0 END
+            + CASE WHEN n_en * 1.0 / tc >= 0.05 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN pc * 1.0 / length(text) <= 0.1 THEN 0.25 ELSE 0.0 END
+           AS DOUBLE) AS quality_score,
+           CASE WHEN greatest(n_en, n_es, n_fr, n_de) = 0 THEN 'und'
+                WHEN n_en = greatest(n_en, n_es, n_fr, n_de) THEN 'en'
+                WHEN n_es = greatest(n_es, n_fr, n_de) THEN 'es'
+                WHEN n_fr = greatest(n_fr, n_de) THEN 'fr'
+                ELSE 'de' END AS lang_guess,
+           md5(nt) AS fingerprint
+    FROM base
+    """,
+    doc="one-pass text profile: token counts (whitespace + BPE-ish), "
+    "punctuation, quality gates, heuristic lang-ID, md5 fingerprint — all "
+    "JVM-side column expressions, zero UDFs",
+    headline=True,
+)
+def text_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import text_profile
+
+    docs = load(spark, sf_dir, "documents")
+    return text_profile(docs, "doc_id", "text")
+
+
+@_q(
+    "multimodal_features",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_count,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+    doc="multimodal binary-column plumbing: UTF-8 payloads through the "
+    "mapInPandas feature extractor (decode stubbed; Arrow batch shape, "
+    "schema, and hashing real) — feature vector checked in pytest",
+)
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_media_features, media_from_text
+
+    docs = load(spark, sf_dir, "documents")
+    media = media_from_text(docs, "doc_id", "text")
+    return extract_media_features(media).select("asset_id", "byte_count", "sha256")
+
+
+@_q(
+    "events_windowed",
+    """
+    SELECT CAST(date_trunc('hour', ts::TIMESTAMP) AS TIMESTAMP) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS event_count,
+           ROUND(SUM(value), 6) AS total_value,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="1-hour tumbling-window rollup over the event stream table — the "
+    "batch twin of streaming/stats_stream.py (same semantics, proven "
+    "equivalent in tests)",
+    headline=True,
+)
+def events_windowed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = (
+        load_events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("event_count"),
+            F.sum("value").alias("total_value"),
+            F.avg("value").alias("avg_value"),
+        )
+    )
+    return round6(df, "total_value", "avg_value")
+
+
+@_q(
+    "events_json",
+    """
+    SELECT event_type,
+           AVG(CAST(json_extract(props, '$.k') AS BIGINT)) AS avg_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="semi-structured props extraction (get_json_object) + rollup",
+)
+def events_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_events(spark, sf_dir)
+        .withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.avg("k").alias("avg_k"), F.max("k").alias("max_k"))
+    )
+
+
+@_q(
+    "topk_global",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
+    """,
+    doc="global top-k with total tiebreak — plans as TakeOrderedAndProject "
+    "(per-partition heaps, no full sort; reference nlargest script.py:312)",
+)
+def topk_global_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+    )

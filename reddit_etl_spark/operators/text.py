@@ -1,0 +1,133 @@
+"""Text-analysis operators for large-scale corpus curation.
+
+All core metrics are pure Spark column expressions (JVM-side,
+whole-stage codegen — no Python in the hot path), generalizing the
+reference's q11 title analytics (analysis.sql:131-138) to the
+document-curation features an LLM-data pipeline needs: token counts,
+quality signals, language-ID heuristics, and content fingerprints.
+
+At 100 TB these run as a single narrow projection over the scan —
+no shuffle, no UDF serialization boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny high-frequency marker sets per language for the heuristic
+#: language ID. Deliberately small so the same expression is cheaply
+#: portable to any SQL oracle.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "a"],
+    "es": ["el", "la", "los", "que", "y"],
+    "fr": ["le", "la", "les", "et", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def token_count_col(text: Column | str) -> Column:
+    """Whitespace token count (BPE-agnostic baseline)."""
+    return F.size(F.split(F.trim(_col(text)), r"\s+")).cast("long")
+
+
+def bpe_ish_token_count_col(text: Column | str) -> Column:
+    """Sub-word-ish token estimate: splits on whitespace AND
+    punctuation/case boundaries — a cheap, deterministic proxy for a
+    BPE tokenizer's token count (useful for budget accounting when the
+    real tokenizer is too slow for a 100 TB sweep)."""
+    t = _col(text)
+    # word chars runs, digit runs, and single non-space symbols all count
+    return F.size(
+        F.regexp_extract_all(t, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), F.lit(0))
+    ).cast("long")
+
+
+def punct_count_col(text: Column | str) -> Column:
+    return F.length(F.regexp_replace(_col(text), r"[\w\s]", "")).cast("long")
+
+
+def marker_count_col(text: Column | str, words: list[str]) -> Column:
+    """Occurrences of any marker word (word-boundary matched)."""
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(_col(text)), F.lit(pat)).cast("long")
+
+
+def lang_id_col(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language marker counts,
+    'und' when no markers hit. Ties broken by fixed language order
+    (earlier in LANG_MARKERS wins) — deterministic. Implemented as an
+    array_max over (count, priority, lang) structs, which Spark
+    compares lexicographically."""
+    langs = list(LANG_MARKERS)
+    entries = [
+        F.struct(
+            marker_count_col(text, LANG_MARKERS[lang]).alias("n"),
+            F.lit(len(langs) - i).alias("prio"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best.getField("n") > 0, best.getField("lang")).otherwise("und")
+
+
+def quality_score_col(
+    text: Column | str,
+    min_tokens: int = 20,
+    min_avg_token_len: float = 3.0,
+    max_avg_token_len: float = 8.0,
+    min_stopword_ratio: float = 0.05,
+    max_punct_ratio: float = 0.1,
+) -> Column:
+    """Composite [0,1] quality score from 4 equally-weighted gates
+    (length, token shape, stopword density, punctuation density) —
+    the Gopher-rules-style heuristic filter family."""
+    t = _col(text)
+    tokens = token_count_col(t)
+    chars_no_ws = F.length(F.regexp_replace(t, r"\s", ""))
+    avg_tok = chars_no_ws / tokens
+    stop_ratio = marker_count_col(t, LANG_MARKERS["en"]) / tokens
+    punct_ratio = punct_count_col(t) / F.length(t)
+    gate = lambda c: F.when(c, 0.25).otherwise(0.0)  # noqa: E731
+    return (
+        gate(tokens >= min_tokens)
+        + gate((avg_tok >= min_avg_token_len) & (avg_tok <= max_avg_token_len))
+        + gate(stop_ratio >= min_stopword_ratio)
+        + gate(punct_ratio <= max_punct_ratio)
+    ).cast("double")
+
+
+def normalize_text_col(text: Column | str) -> Column:
+    """Canonical form used for fingerprints and exact dedup: lowercase,
+    collapse whitespace runs to single spaces, trim."""
+    return F.trim(F.regexp_replace(F.lower(_col(text)), r"\s+", " "))
+
+
+def fingerprint_col(text: Column | str) -> Column:
+    """Deterministic 128-bit content fingerprint (md5 of normalized
+    text) — portable across engines, stable across runs; the dedup
+    join key for exact near-normalization duplicates."""
+    return F.md5(normalize_text_col(text))
+
+
+def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-pass text profile: id, token/punct counts, avg token length,
+    stopword ratio, quality score, language guess, fingerprint."""
+    t = F.col(text_col)
+    tokens = token_count_col(t)
+    return df.select(
+        F.col(id_col),
+        tokens.alias("token_count"),
+        bpe_ish_token_count_col(t).alias("bpe_token_count"),
+        punct_count_col(t).alias("punct_count"),
+        (F.length(F.regexp_replace(t, r"\s", "")) / tokens).alias("avg_token_len"),
+        (marker_count_col(t, LANG_MARKERS["en"]) / tokens).alias("en_stopword_ratio"),
+        quality_score_col(t).alias("quality_score"),
+        lang_id_col(t).alias("lang_guess"),
+        fingerprint_col(t).alias("fingerprint"),
+    )
