@@ -658,6 +658,26 @@ def similarity_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "similarity_topk_ivf",
+    None,  # approximate; pytest measures recall vs similarity_topk
+    doc="IVF ANN top-5: hash-sampled centroids, pandas-UDF matmul cell "
+    "assignment, n_probe=8 of 32 cells — the clustered-embedding scale path",
+)
+def similarity_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        "vec_id",
+        "embedding",
+        "vec_id",
+        k=5,
+    )
+
+
+@_q(
     "embedding_neardup",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -689,14 +709,16 @@ def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "embedding_neardup_lsh",
     None,  # approximate recall; pytest compares against embedding_neardup
-    doc="sign-LSH bucketed embedding near-dup (8 bits x 8 tables, exact "
-    "re-score at threshold 0.4)",
+    doc="sign-LSH bucketed embedding near-dup (5 bits x 16 tables — low "
+    "threshold 0.4 needs shallow buckets for recall; exact re-score)",
 )
 def embedding_neardup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cosine_neardup_pairs
 
     emb = load(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return cosine_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, bits=5, tables=16
+    )
 
 
 @_q(

@@ -21,6 +21,7 @@ corpus size.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -88,21 +89,28 @@ def _hyperplanes(dim: int, bits: int, tables: int, seed: int) -> np.ndarray:
     return rng.normal(size=(tables, bits, dim))
 
 
-def sign_bucket_cols(
-    vec: Column, planes: np.ndarray
-) -> list[Column]:
-    """One bucket id per LSH table: the sign pattern of the vector
-    against ``bits`` fixed hyperplanes, packed into a long."""
-    tables, bits, _dim = planes.shape
-    out = []
-    for t in range(tables):
-        acc = F.lit(0).cast("long")
-        for b in range(bits):
-            plane = F.array(*[F.lit(float(x)) for x in planes[t, b]])
-            bit = F.when(dot_col(vec, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
-            acc = acc * 2 + bit
-        out.append(acc)
-    return out
+def sign_buckets_udf(planes: np.ndarray):
+    """Arrow-batched bucket assignment: one array<long> of per-table
+    bucket ids per vector. The sign pattern of (batch x dim) @
+    (dim x tables*bits) computed as a single NumPy matmul — collapsing
+    what would otherwise be tables*bits expression-tree dot products
+    per row (plan blow-up + no vectorization) into one kernel. Only
+    the packed bucket ids cross back over Arrow."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    tables, bits, dim = planes.shape
+    flat = planes.reshape(tables * bits, dim).T.copy()  # (dim, T*B)
+    weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def assign(vs: pd.Series) -> pd.Series:
+        m = np.array(vs.tolist(), dtype=np.float64)
+        signs = (m @ flat >= 0).astype(np.int64).reshape(len(m), tables, bits)
+        ids = (signs * weights).sum(axis=2)  # (n, tables)
+        return pd.Series([row.tolist() for row in ids])
+
+    return assign
 
 
 def lsh_topk(
@@ -112,35 +120,50 @@ def lsh_topk(
     vec_col: str,
     query_id_col: str,
     k: int = 5,
-    bits: int = 8,
-    tables: int = 4,
+    bits: int = 6,
+    tables: int = 8,
+    multiprobe: int = 1,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane bucket join, exact cosine
     re-score on candidates only. At 1000-executor scale the bucket
     join replaces the O(|corpus| x |queries|) broadcast product with
-    ~|corpus| x tables bucket rows."""
+    ~|corpus| x tables bucket rows.
+
+    ``multiprobe=1`` additionally probes, per table, every bucket at
+    Hamming distance 1 from the query's bucket (flip one sign bit) —
+    QUERY-side only, so the corpus index stays tables x |corpus| rows
+    while recall rises steeply for moderate-cosine neighbors. Defaults
+    (6 bits x 8 tables x 1-probe) target ~0.85+ recall at cosine ~0.3;
+    raise ``bits`` at larger corpus sizes to keep buckets small."""
     dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(dim, bits, tables, seed)
+    assign = sign_buckets_udf(planes)
 
-    def bucketize(df: DataFrame, idc: str, alias: str) -> DataFrame:
-        v = _as_double(vec_col)
-        buckets = sign_bucket_cols(v, planes)
-        return df.select(
-            F.col(idc).alias(alias),
-            v.alias(f"__{alias}_v"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(t).alias("t"), buckets[t].alias("bk"))
-                        for t in range(tables)
-                    ]
+    def bucketize(df: DataFrame, idc: str, alias: str, probe: int) -> DataFrame:
+        probes = []
+        for t in range(tables):
+            bk = F.element_at("__bks", t + 1)
+            probes.append(F.struct(F.lit(t).alias("t"), bk.alias("bk")))
+            if probe >= 1:
+                probes.extend(
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        bk.bitwiseXOR(F.lit(1 << b)).alias("bk"),
+                    )
+                    for b in range(bits)
                 )
-            ).alias("__b"),
-        ).select(alias, f"__{alias}_v", "__b.t", "__b.bk")
+        return (
+            df.select(
+                F.col(idc).alias(alias), _as_double(vec_col).alias(f"__{alias}_v")
+            )
+            .withColumn("__bks", assign(F.col(f"__{alias}_v")))
+            .select(alias, f"__{alias}_v", F.explode(F.array(*probes)).alias("__b"))
+            .select(alias, f"__{alias}_v", "__b.t", "__b.bk")
+        )
 
-    c = bucketize(corpus, id_col, "neighbor_id")
-    q = bucketize(queries, query_id_col, "query_id")
+    c = bucketize(corpus, id_col, "neighbor_id", probe=0)
+    q = bucketize(queries, query_id_col, "query_id", probe=multiprobe)
     candidates = (
         c.join(q, ["t", "bk"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -149,6 +172,106 @@ def lsh_topk(
     )
     scored = candidates.withColumn(
         "cosine_sim", cosine_col(F.col("__query_id_v"), F.col("__neighbor_id_v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim")
+        )
+    )
+
+
+def _spherical_kmeans(
+    sample: np.ndarray, k: int, seed: int, iters: int = 10
+) -> np.ndarray:
+    """Deterministic spherical k-means on unit-normalized rows.
+    Empty clusters are re-seeded from the points worst-served by their
+    current centroid, so all k cells stay populated."""
+    n = len(sample)
+    k = min(k, n)
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(iters):
+        sims = sample @ cents.T  # (n, k) cosine (rows unit-norm)
+        assign = np.argmax(sims, axis=1)
+        best = sims[np.arange(n), assign]
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 1e-12:
+                    cents[c] = m / norm
+            else:
+                cents[c] = sample[int(np.argmin(best))]
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int = 5,
+    n_centroids: int = 32,
+    n_probe: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN top-k: coarse-quantize the corpus into
+    ``n_centroids`` cells, probe the ``n_probe`` nearest cells per
+    query, exact-re-score only within probed cells.
+
+    Centroids are trained with spherical k-means on a deterministic
+    hash-ordered driver-side sample (standard IVF practice: train on a
+    sample, assign the full corpus distributed — the sample stays
+    bounded no matter the corpus size). Cell assignment runs in an
+    Arrow-batched pandas UDF: a (batch x dim) @ (dim x C) matmul, the
+    one place NumPy beats per-element SQL expressions. The corpus
+    shuffles once on cell id; query fan-out is n_probe rows per query.
+    For clustered embeddings this dominates sign-LSH on the
+    recall/cost curve; at 100 TB scale n_centroids grows ~sqrt(N) and
+    the per-cell lists stay executor-sized.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    sample_rows = (
+        corpus.select(F.col(id_col).alias("__cid"), _as_double(vec_col).alias("__cv"))
+        .orderBy(F.xxhash64(F.col("__cid").cast("string"), F.lit(seed)))
+        .limit(max(10_000, n_centroids))
+        .collect()
+    )
+    sample = np.array([r["__cv"] for r in sample_rows], dtype=np.float64)
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cents = _spherical_kmeans(sample, n_centroids, seed)
+
+    def _cells(n_best: int):
+        @pandas_udf(ArrayType(IntegerType()))
+        def assign(vs: pd.Series) -> pd.Series:
+            m = np.array(vs.tolist(), dtype=np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ cents.T
+            idx = np.argsort(-sims, axis=1)[:, :n_best]
+            return pd.Series([row.tolist() for row in idx])
+
+        return assign
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
+    ).withColumn("cell", F.element_at(_cells(1)(F.col("__cv")), 1))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
+    ).withColumn("cell", F.explode(_cells(n_probe)(F.col("__qv"))))
+
+    scored = (
+        c.join(q, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", cosine_col(F.col("__qv"), F.col("__cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -177,20 +300,27 @@ def cosine_neardup_pairs(
     with id_a < id_b."""
     dim = len(df.select(vec_col).first()[0])
     planes = _hyperplanes(dim, bits, tables, seed)
-    v = _as_double(vec_col)
-    buckets = sign_bucket_cols(v, planes)
-    banded = df.select(
-        F.col(id_col),
-        v.alias("__v"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("t"), buckets[t].alias("bk"))
-                    for t in range(tables)
-                ]
-            )
-        ).alias("__b"),
-    ).select(id_col, "__v", "__b.t", "__b.bk")
+    assign = sign_buckets_udf(planes)
+    banded = (
+        df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+        .withColumn("__bks", assign(F.col("__v")))
+        .select(
+            id_col,
+            "__v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            F.element_at("__bks", t + 1).alias("bk"),
+                        )
+                        for t in range(tables)
+                    ]
+                )
+            ).alias("__b"),
+        )
+        .select(id_col, "__v", "__b.t", "__b.bk")
+    )
     left = banded.select(
         "t", "bk", F.col(id_col).alias("id_a"), F.col("__v").alias("__va")
     )

@@ -1,0 +1,292 @@
+"""Tests for the schema-generic relational operators and the
+dedup / similarity / text / multimodal extension operators.
+
+Approximate operators (MinHash-LSH, sign-LSH, SimHash) are checked by
+RECALL against their exact counterparts on the driver's sf0.001
+documents/embeddings tables — the test strategy SURVEY §5.2 prescribes
+for non-SQL-expressible ops."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from reddit_etl_spark.operators.relational import (
+    argmax_per_group,
+    rank_in_group,
+    top_k,
+    top_k_per_group,
+)
+from reddit_etl_spark.operators.similarity import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    lsh_topk,
+)
+from reddit_etl_spark.operators.text import text_profile
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df.persist()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df.persist()
+    df.count()
+    return df
+
+
+# --- relational ------------------------------------------------------------
+
+
+def test_argmax_keeps_ties(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("a", 3), ("b", 2)], "g string, v long"
+    )
+    rows = argmax_per_group(df, ["g"], "v").collect()
+    assert sorted((r.g, r.v) for r in rows) == [("a", 3), ("a", 3), ("b", 2)]
+
+
+def test_argmax_single_row_mode(spark):
+    df = spark.createDataFrame([("a", 3), ("a", 3)], "g string, v long")
+    assert argmax_per_group(df, ["g"], "v", keep_ties=False).count() == 1
+
+
+def test_rank_gaps_on_ties(spark):
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("a", 3)], "g string, v long"
+    )
+    ranks = sorted(
+        r.rank for r in rank_in_group(df, ["g"], "v").collect()
+    )
+    assert ranks == [1, 1, 3]  # RANK leaves a gap, like the reference view
+
+
+def test_top_k_plans_take_ordered(spark, posts):
+    df = top_k(posts, "score", 10)
+    assert df.count() == 10
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # no global sort
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(10)] + [("b", i) for i in range(3)],
+        "g string, v long",
+    )
+    out = top_k_per_group(df, ["g"], "v", 2)
+    got = sorted((r.g, r.v) for r in out.collect())
+    assert got == [("a", 8), ("a", 9), ("b", 1), ("b", 2)]
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+def test_exact_dedup_survivor_and_count(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello  World"),
+            (2, "hello world"),  # same after normalization
+            (3, "different"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.dup_count for r in exact_dedup(df, "doc_id", ["text"]).collect()}
+    assert rows == {1: 2, 3: 1}  # min-id survivor, group size right
+
+
+def test_ngram_jaccard_known_pair(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely unrelated text about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.3).collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
+    # 9 tokens -> 7 trigrams; 6 shared; J = 6/8
+    assert abs(rows[0].jaccard - 0.75) < 1e-6
+
+
+def test_minhash_recall_vs_exact(docs):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain planted near-dups"
+    # precision is exact by construction (verify step applies true Jaccard)
+    assert approx <= exact
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall:.2f}"
+
+
+def test_simhash_finds_exact_copies(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark engines process big data " * 10),
+            (2, "spark engines process big data " * 10),
+            (3, "an entirely different document body here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in rows] == [(1, 2, 0)]
+
+
+# --- similarity ------------------------------------------------------------
+
+
+def test_cosine_topk_exact_small(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 0.05]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = cosine_topk(
+        df, df.filter("vec_id = 0"), "vec_id", "embedding", "vec_id", k=2
+    ).collect()
+    assert [r.neighbor_id for r in out] == [3, 1]  # by cosine to (1,0)
+
+
+def test_lsh_topk_recall(emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, "vec_id", "embedding", "vec_id", k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(emb, queries, "vec_id", "embedding", "vec_id", k=5).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.6, f"lsh top-k recall {recall:.2f}"
+
+
+def test_ivf_topk_recall(emb):
+    from reddit_etl_spark.operators.similarity import ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, "vec_id", "embedding", "vec_id", k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, "vec_id", "embedding", "vec_id", k=5).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.65, f"ivf top-k recall {recall:.2f}"
+
+
+def test_embedding_neardup_lsh_recall(emb):
+    from reddit_etl_spark.operators.similarity import cosine_col
+
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("c", cosine_col(F.col("va"), F.col("vb")))
+        .filter("c >= 0.4")
+        .collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in cosine_neardup_pairs(
+            emb, "vec_id", "embedding", threshold=0.4, bits=5, tables=16
+        ).collect()
+    }
+    assert exact, "testdata has pairs at cosine >= 0.4"
+    assert approx <= exact  # precision exact: true cosine re-score
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.6, f"neardup recall {recall:.2f}"
+
+
+# --- text ------------------------------------------------------------------
+
+
+def test_text_profile_values(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog, of course!")], "doc_id long, text string"
+    )
+    r = text_profile(df, "doc_id", "text").first()
+    assert r.token_count == 7
+    assert r.punct_count == 2  # comma + bang
+    assert r.lang_guess == "en"
+    assert r.bpe_token_count == 9  # 7 words + ',' + '!'
+    assert 0.0 <= r.quality_score <= 1.0
+
+
+def test_text_profile_lang_und(spark):
+    df = spark.createDataFrame([(1, "zzz qqq xxx")], "doc_id long, text string")
+    assert text_profile(df, "doc_id", "text").first().lang_guess == "und"
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world "), (3, "other")],
+        "doc_id long, text string",
+    )
+    rows = text_profile(df, "doc_id", "text").select("doc_id", "fingerprint").collect()
+    fp = {r.doc_id: r.fingerprint for r in rows}
+    assert fp[1] == fp[2] != fp[3]
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+def test_multimodal_feature_extraction(spark):
+    from reddit_etl_spark.operators.multimodal import (
+        extract_media_features,
+        media_from_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "payload one"), (2, "payload two")], "doc_id long, text string"
+    )
+    media = media_from_text(docs, "doc_id", "text")
+    rows = {r.asset_id: r for r in extract_media_features(media).collect()}
+    assert rows["1"].byte_count == len(b"payload one")
+    assert rows["1"].sha256 == hashlib.sha256(b"payload one").hexdigest()
+    assert len(rows["1"].feature) == 8
+    # deterministic across runs
+    again = {r.asset_id: r for r in extract_media_features(media).collect()}
+    assert again["1"].feature == rows["1"].feature
+
+
+def test_multimodal_real_decode_raises(spark):
+    from reddit_etl_spark.operators.multimodal import (
+        extract_media_features,
+        media_from_text,
+    )
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    media = media_from_text(docs, "doc_id", "text")
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        extract_media_features(media, decode="real").collect()
