@@ -1,0 +1,3 @@
+"""Sinks: append writers and the keyed-upsert stats sink (SURVEY §2.2)."""
+
+from .writers import append_parquet, export_csv, upsert_partitioned  # noqa: F401

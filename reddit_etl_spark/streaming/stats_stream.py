@@ -1,0 +1,97 @@
+"""Streaming stats — the reference's daily ``subreddit_stats`` upsert
+(script.py:259-286) recast as Structured Streaming, per SURVEY §2.9:
+watermarked tumbling-window aggregation feeding a foreachBatch keyed
+upsert. Batch and stream share the same aggregate expressions, so the
+two paths are provably equivalent (tests/test_pipeline.py proves it on
+identical input).
+
+Scale notes: the state store holds one row per (key, open window) —
+watermark bounds it; the foreachBatch upsert reuses the batch sink's
+dynamic partition overwrite, so each micro-batch touches only the
+partitions it contains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..sinks.writers import upsert_partitioned
+
+
+def windowed_event_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window event rollup — the streaming twin of the batch
+    ``events_windowed`` harness query (identical aggregate exprs).
+    Works on both static and streaming DataFrames; on a stream the
+    watermark bounds state and admits late data up to ``watermark``."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.window(ts_col, window).getField("start").alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("event_count"),
+            F.sum("value").alias("total_value"),
+            F.avg("value").alias("avg_value"),
+        )
+    )
+
+
+def daily_stats_agg(posts: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """1-day tumbling window per subreddit — streaming form of
+    stats.daily_subreddit_stats (same aggregates, window start ==
+    DATE(created_utc) for UTC-aligned days)."""
+    df = posts
+    if df.isStreaming:
+        df = df.withWatermark("created_utc", watermark)
+    return (
+        df.groupBy(
+            F.col("subreddit"),
+            F.window("created_utc", "1 day").getField("start").cast("date").alias("date"),
+        )
+        .agg(
+            F.count("*").alias("total_posts"),
+            F.avg("score").alias("avg_score"),
+            F.avg("num_comments").alias("avg_comments"),
+            F.max("score").alias("top_post_score"),
+        )
+    )
+
+
+def stream_daily_subreddit_stats(
+    posts_stream: DataFrame,
+    stats_path: str,
+    checkpoint_path: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Continuously maintain the stats table from a posts stream.
+
+    Update-mode windowed agg -> foreachBatch keyed upsert on
+    (subreddit, date): each micro-batch re-emits the windows it
+    touched and the partition overwrite replaces exactly those —
+    INSERT OR REPLACE, continuously. ``available_now=True`` drains
+    the currently-available input then stops (the batch-parity mode
+    used in tests and backfills)."""
+    agg = daily_stats_agg(posts_stream)
+
+    def upsert_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            upsert_partitioned(batch_df, stats_path, ("subreddit", "date"))
+
+    writer = (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(upsert_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

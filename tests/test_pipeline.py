@@ -1,0 +1,219 @@
+"""End-to-end pipeline, sink-upsert, and streaming-equivalence tests
+(SURVEY §5.2: smoke + upsert idempotence + stream/batch parity)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_etl_spark.pipeline import run_pipeline
+from reddit_etl_spark.sinks.writers import append_parquet, upsert_partitioned
+from reddit_etl_spark.sources.reddit import (
+    MockRedditSource,
+    RateLimiter,
+    posts_df,
+)
+from reddit_etl_spark.stats import daily_subreddit_stats, write_subreddit_stats
+from reddit_etl_spark.streaming.stats_stream import (
+    daily_stats_agg,
+    stream_daily_subreddit_stats,
+    windowed_event_rollup,
+)
+
+AS_OF = dt.date(2025, 9, 1)
+
+
+def _mock_posts() -> list[dict]:
+    rows = []
+    for sub in ("python", "datascience"):
+        for i in range(12):
+            rows.append(
+                dict(
+                    id=f"{sub[:2]}{i:03d}",
+                    title=f"Post {i} in {sub}?",
+                    author="[deleted]" if i % 5 == 0 else f"u{i % 3}",
+                    subreddit=sub,
+                    score=i * 10 - 5,
+                    upvote_ratio=0.5 + (i % 5) / 10,
+                    num_comments=i,
+                    created_utc=dt.datetime(2025, 9, 1, 8 + i % 12, 0),
+                    selftext=None if i % 3 == 0 else f"text {i}",
+                    url=f"http://x/{i}",
+                    is_video=i % 2 == 0,
+                    is_original_content=i % 3 == 0,
+                    over_18=False,
+                    stickied=False,
+                    locked=False,
+                )
+            )
+    return rows
+
+
+def _mock_comments(posts: list[dict]) -> list[dict]:
+    out = []
+    for p in posts:
+        for j in range(3):
+            out.append(
+                dict(
+                    id=f"c_{p['id']}_{j}",
+                    post_id=p["id"],
+                    author=f"commenter{j}",
+                    body="body",
+                    score=j,
+                    created_utc=p["created_utc"] + dt.timedelta(minutes=j),
+                    parent_id=f"t3_{p['id']}",
+                    is_submitter=j == 0,
+                    extracted_at=dt.datetime(2025, 9, 1, 12, 0),
+                )
+            )
+    return out
+
+
+def test_rate_limiter_paces_calls():
+    t = {"now": 0.0}
+    sleeps = []
+    rl = RateLimiter(
+        per_second=10,
+        clock=lambda: t["now"],
+        sleep=lambda s: (sleeps.append(s), t.__setitem__("now", t["now"] + s)),
+    )
+    for _ in range(3):
+        rl.acquire()
+    assert len(sleeps) == 2 and all(abs(s - 0.1) < 1e-9 for s in sleeps)
+
+
+def test_mock_source_sort_dispatch():
+    src = MockRedditSource(_mock_posts())
+    top = src.fetch_posts("python", limit=3, sort_type="top")
+    assert [p["score"] for p in top] == sorted(
+        [p["score"] for p in _mock_posts() if p["subreddit"] == "python"],
+        reverse=True,
+    )[:3]
+    with pytest.raises(ValueError):
+        src.fetch_posts("python", sort_type="rising")
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    posts = _mock_posts()
+    src = MockRedditSource(posts, _mock_comments(posts))
+    results = run_pipeline(
+        spark,
+        src,
+        ["python", "datascience", "emptysub"],
+        posts_path=str(tmp_path / "posts"),
+        comments_path=str(tmp_path / "comments"),
+        stats_path=str(tmp_path / "stats"),
+        posts_limit=50,
+        top_n_for_comments=4,
+        comments_limit=2,
+        as_of=F.lit(AS_OF),
+    )
+    by_sub = {r.subreddit: r for r in results}
+    assert by_sub["python"].posts_loaded == 12
+    assert by_sub["python"].comments_loaded == 4 * 2  # top-4 posts x 2 cap
+    assert by_sub["emptysub"].posts_loaded == 0  # empty guard, no error
+    assert not by_sub["emptysub"].errors
+
+    stored = spark.read.parquet(str(tmp_path / "posts"))
+    assert stored.count() == 24
+    assert "score_category" in stored.columns  # transformed before load
+    # partition pruning axis exists
+    assert (
+        stored.filter(F.col("subreddit") == "python").count() == 12
+    )
+    stats = spark.read.parquet(str(tmp_path / "stats"))
+    assert stats.count() == 2  # one row per (subreddit, as_of date)
+
+
+def test_upsert_idempotent_and_replacing(spark, tmp_path, posts):
+    path = str(tmp_path / "stats")
+    stats = daily_subreddit_stats(posts)
+    write_subreddit_stats(stats, path)
+    n1 = spark.read.parquet(path).count()
+    # idempotence: same batch twice -> unchanged
+    write_subreddit_stats(stats, path)
+    assert spark.read.parquet(path).count() == n1
+
+    # replacement: a new batch for ONE (subreddit, date) replaces just
+    # that partition, leaving every other row untouched (K3 semantics)
+    one = stats.limit(1).withColumn("total_posts", F.lit(999).cast("long"))
+    key = one.first()
+    write_subreddit_stats(one, path)
+    after = spark.read.parquet(path)
+    assert after.count() == n1
+    got = after.filter(
+        (F.col("subreddit") == key.subreddit) & (F.col("date") == key.date)
+    ).first()
+    assert got.total_posts == 999
+
+
+def test_upsert_requires_no_delta(spark, tmp_path):
+    # plain-parquet path: partitionOverwriteMode=dynamic per-write
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    upsert_partitioned(df, str(tmp_path / "t"), ["k"])
+    upsert_partitioned(
+        spark.createDataFrame([("a", 99)], "k string, v long"),
+        str(tmp_path / "t"),
+        ["k"],
+    )
+    rows = {r.k: r.v for r in spark.read.parquet(str(tmp_path / "t")).collect()}
+    assert rows == {"a": 99, "b": 2}
+
+
+def test_append_parquet_appends(spark, tmp_path):
+    df = spark.createDataFrame([(1,)], "x long")
+    append_parquet(df, str(tmp_path / "t"))
+    append_parquet(df, str(tmp_path / "t"))
+    assert spark.read.parquet(str(tmp_path / "t")).count() == 2
+
+
+# --- streaming ------------------------------------------------------------
+
+
+def test_stream_stats_matches_batch(spark, posts, tmp_path):
+    """Stream/batch parity: the streaming daily rollup over the fixture
+    (replayed as a file stream) produces exactly the batch aggregate."""
+    src_dir = str(tmp_path / "in")
+    posts.write.parquet(src_dir)
+    stream = spark.readStream.schema(posts.schema).parquet(src_dir)
+    q = stream_daily_subreddit_stats(
+        stream,
+        stats_path=str(tmp_path / "stats"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "stats"))
+    want = daily_subreddit_stats(posts)  # batch twin
+    gs = sorted(map(tuple, got.select(*want.columns).collect()))
+    ws = sorted(map(tuple, want.collect()))
+    assert gs == ws
+
+
+def test_windowed_rollup_batch_twin(spark, tmp_path):
+    events = spark.createDataFrame(
+        [
+            ("click", dt.datetime(2025, 9, 1, 10, 5), 1.0),
+            ("click", dt.datetime(2025, 9, 1, 10, 55), 2.0),
+            ("view", dt.datetime(2025, 9, 1, 11, 5), 3.0),
+        ],
+        "event_type string, ts timestamp, value double",
+    )
+    rows = {
+        (r.window_start, r.event_type): (r.event_count, r.total_value)
+        for r in windowed_event_rollup(events).collect()
+    }
+    assert rows[(dt.datetime(2025, 9, 1, 10, 0), "click")] == (2, 3.0)
+    assert rows[(dt.datetime(2025, 9, 1, 11, 0), "view")] == (1, 3.0)
+
+
+def test_daily_stats_agg_streaming_plan(spark, posts, tmp_path):
+    # the streaming form is a valid unbounded plan (watermark attached)
+    src_dir = str(tmp_path / "in2")
+    posts.write.parquet(src_dir)
+    stream = spark.readStream.schema(posts.schema).parquet(src_dir)
+    agg = daily_stats_agg(stream)
+    assert agg.isStreaming
