@@ -34,6 +34,21 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from .text import normalize_text_col
 
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Ensure CPU-heavy per-row stages use the full executor pool.
+
+    A single-row-group parquet file scans as ONE task no matter how
+    many cores exist; shingling/minhashing would then run serially.
+    On a real multi-split 100 TB input this repartition collapses to
+    a no-op (partitions already >= parallelism); locally it is one
+    tiny shuffle of the raw rows that unlocks every core."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 # Primes for 2-universal hashing (Carter–Wegman). Base hashes and
 # coefficients are kept below 2^31 so a*x + b stays < 2^63 — exact in
 # Spark's LongType (no silent overflow wrap, which would void the
@@ -94,26 +109,94 @@ def exact_dedup(
     )
 
 
-def _candidate_verify_jaccard(
-    shingled: DataFrame,
-    candidates: DataFrame,
+def _posting(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Inverted-index rows (id, shingle-hash). Shingles are folded to
+    64-bit xxhash immediately so downstream shuffles carry 16-byte
+    rows, never strings (at 100 TB the posting shuffle is the dominant
+    byte volume; collisions at 2^-64 per pair are accepted)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(shingles_col(text_col, n), lambda s: F.xxhash64(s))
+            )
+        ).alias("__sh"),
+    )
+
+
+def _verify_pairs_by_counts(
+    posting: DataFrame,
     id_col: str,
     threshold: float,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Join candidate (id_a, id_b) pairs back to shingle sets and
-    compute exact Jaccard via array_intersect/array_union sizes."""
-    a = shingled.select(
-        F.col(id_col).alias("id_a"), F.col("__shingles").alias("__sh_a")
-    )
-    b = shingled.select(
-        F.col(id_col).alias("id_b"), F.col("__shingles").alias("__sh_b")
-    )
+    """Exact Jaccard from posting-list co-occurrence counts:
+    |A∩B| = co-occurring shingle count per pair, |A∪B| = |A|+|B|−|A∩B|.
+    Nothing wider than (hash, id) ever shuffles — no shingle arrays,
+    no document payloads. ``candidates`` (id_a, id_b) restricts the
+    count to pre-filtered pairs (the LSH path); None means all pairs
+    sharing >=1 shingle (the exact path)."""
+    posting = fan_out(posting)
+    sizes = posting.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    left = posting.select(F.col("__sh"), F.col(id_col).alias("id_a"))
+    right = posting.select(F.col("__sh"), F.col(id_col).alias("id_b"))
+    if candidates is not None:
+        # prune the posting lists to candidate ids BEFORE the
+        # self-join — the whole point of LSH is that this join then
+        # touches only candidate postings, not the full corpus
+        left = left.join(
+            candidates.select("id_a").distinct(), "id_a", "left_semi"
+        )
+        right = right.join(
+            candidates.select("id_b").distinct(), "id_b", "left_semi"
+        )
+    co = left.join(right, "__sh").filter(F.col("id_a") < F.col("id_b"))
+    if candidates is not None:
+        co = co.join(candidates, ["id_a", "id_b"], "left_semi")
+    common = co.groupBy("id_a", "id_b").agg(F.count("*").alias("__common"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sa"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__sb"))
     return (
-        candidates.join(a, "id_a").join(b, "id_b")
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("__sh_a", "__sh_b"))
-            / F.size(F.array_union("__sh_a", "__sh_b")),
+            F.col("__common") / (F.col("__sa") + F.col("__sb") - F.col("__common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _verify_candidates_by_arrays(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    candidates: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verify for a SMALL candidate pair set: join each
+    pair to its two hashed-shingle arrays and intersect. Right when
+    |candidates| << |all co-occurring pairs| (the LSH path) — the
+    posting self-join would re-touch the whole corpus; this touches
+    only candidate rows."""
+    arrays = fan_out(df).select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(shingles_col(text_col, n), lambda s: F.xxhash64(s))
+        ).alias("__arr"),
+    )
+    a = arrays.select(F.col(id_col).alias("id_a"), F.col("__arr").alias("__aa"))
+    b = arrays.select(F.col(id_col).alias("id_b"), F.col("__arr").alias("__ab"))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__common", F.size(F.array_intersect("__aa", "__ab")))
+        .withColumn(
+            "jaccard",
+            F.col("__common")
+            / (F.size("__aa") + F.size("__ab") - F.col("__common")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -130,20 +213,17 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """EXACT near-duplicate pairs by word-n-gram Jaccard similarity.
 
-    Inverted index (shingle -> ids) generates candidates only for
-    pairs sharing >=1 shingle; exact Jaccard then verifies. ``max_df``
+    Inverted index (shingle-hash -> ids) + per-pair co-occurrence
+    counting: Jaccard falls straight out of |A∩B| and the doc sizes,
+    so no shingle set is ever materialized past the explode. ``max_df``
     drops shingles occurring in more than that many documents
     (stop-shingles): at web scale a single hot shingle otherwise
     yields a quadratic candidate explosion on one key — the canonical
-    skew failure. Candidates with every shingle capped can be missed;
-    that is the documented trade (set max_df=None for exactness).
+    skew failure. Pairs whose every shared shingle is capped lose
+    intersection mass; that is the documented trade (max_df=None for
+    exactness).
     """
-    shingled = df.select(
-        F.col(id_col), shingles_col(text_col, n).alias("__shingles")
-    )
-    posting = shingled.select(
-        F.col(id_col), F.explode("__shingles").alias("__sh")
-    )
+    posting = _posting(df, id_col, text_col, n)
     if max_df is not None:
         hot = (
             posting.groupBy("__sh").agg(F.count("*").alias("__df"))
@@ -151,15 +231,7 @@ def ngram_jaccard_pairs(
             .select("__sh")
         )
         posting = posting.join(F.broadcast(hot), "__sh", "left_anti")
-    left = posting.select(F.col("__sh"), F.col(id_col).alias("id_a"))
-    right = posting.select(F.col("__sh"), F.col(id_col).alias("id_b"))
-    candidates = (
-        left.join(right, "__sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    return _candidate_verify_jaccard(shingled, candidates, id_col, threshold)
+    return _verify_pairs_by_counts(posting, id_col, threshold)
 
 
 def minhash_lsh_pairs(
@@ -192,60 +264,78 @@ def minhash_lsh_pairs(
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE31, size=num_hashes, dtype=np.int64)
     b = rng.randint(0, _MERSENNE31, size=num_hashes, dtype=np.int64)
+    # band fingerprint = polynomial hash of the band's r signature
+    # values — computed in the same NumPy pass
+    band_mult = np.int64(1_000_003)
 
-    shingled = df.select(
-        F.col(id_col), shingles_col(text_col, n).alias("__shingles")
+    hashed = fan_out(df).select(
+        F.col(id_col).alias("__mid"),
+        F.transform(
+            shingles_col(text_col, n),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)),
+        ).alias("__th"),
     )
-    # base 64-bit hash per shingle, folded into [0, 2^31)
-    base = F.transform(
-        "__shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31))
+
+    band_schema = StructType(
+        [
+            StructField("__mid", hashed.schema["__mid"].dataType),
+            StructField("band", LongType()),
+            StructField("bh", LongType()),
+        ]
     )
 
-    def _minhash(ai: int, bi: int):
-        # single-arg lambda factory: a 2-arg lambda would make Spark
-        # pass (element, index) and shadow the captured coefficient
-        return F.array_min(
-            F.transform(
-                base,
-                lambda h: F.pmod(
-                    F.lit(ai) * h + F.lit(bi), F.lit(_MERSENNE61)
-                ),
+    def _sign_and_band(batches):
+        # One kernel per Arrow batch: concatenate every doc's shingle
+        # hashes, compute the full (total_shingles x num_hashes)
+        # Carter-Wegman matrix once, segment-min back to per-doc
+        # signatures with reduceat, then fold bands. Only (id, band,
+        # bh) rows go back over Arrow: the shuffle payload is
+        # independent of document size.
+        for pdf in batches:
+            arrs = [np.asarray(hs, dtype=np.int64) for hs in pdf["__th"]]
+            lens = np.array([len(x) for x in arrs])
+            keep = lens > 0
+            arrs = [x for x, k in zip(arrs, keep) if k]
+            if not arrs:
+                continue
+            ids = np.asarray(pdf["__mid"])[keep]
+            lens = lens[keep]
+            h = np.concatenate(arrs)
+            m = (h[:, None] * a[None, :] + b[None, :]) % _MERSENNE61
+            offsets = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            sig = np.minimum.reduceat(m, offsets, axis=0)  # (docs, H)
+            folded = sig.reshape(len(lens), bands, r)
+            bh = np.zeros((len(lens), bands), dtype=np.int64)
+            for j in range(r):
+                bh = bh * band_mult + folded[:, :, j]  # wrapping ok
+            yield pd.DataFrame(
+                {
+                    "__mid": np.repeat(ids, bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int64), len(lens)),
+                    "bh": bh.ravel(),
+                }
             )
-        )
 
-    sig_parts = [_minhash(int(a[i]), int(b[i])) for i in range(num_hashes)]
-    with_sig = shingled.withColumn("__sig", F.array(*sig_parts))
-    banded = with_sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                F.transform(
-                                    F.slice("__sig", bi * r + 1, r),
-                                    lambda x: x.cast("string"),
-                                ),
-                            )
-                        ).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("__b"),
-    ).select(id_col, "__b.band", "__b.bh")
-    left = banded.select("band", "bh", F.col(id_col).alias("id_a"))
-    right = banded.select("band", "bh", F.col(id_col).alias("id_b"))
+    # (id, band, bh) is 3 longs x bands per doc — tiny. The band
+    # self-join references it twice; persisting avoids running the
+    # signature pass (shingle + 128-hash kernel) twice.
+    banded = hashed.mapInPandas(_sign_and_band, schema=band_schema).persist()
+    left = banded.select(
+        "band", "bh", F.col("__mid").alias("id_a")
+    )
+    right = banded.select(
+        "band", "bh", F.col("__mid").alias("id_b")
+    )
     candidates = (
         left.join(right, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    return _candidate_verify_jaccard(shingled, candidates, id_col, threshold)
+    return _verify_candidates_by_arrays(
+        df, id_col, text_col, n, candidates, threshold
+    )
 
 
 _SIMHASH_SCHEMA = StructType(
@@ -264,7 +354,7 @@ def simhash_signatures(
     tokens are hashed JVM-side first (cheap, codegen), only the hash
     arrays cross the Arrow boundary — never the text itself.
     """
-    hashed = df.select(
+    hashed = fan_out(df).select(
         F.col(id_col).alias("__sid"),
         F.transform(
             F.split(normalize_text_col(text_col), " "), lambda t: F.xxhash64(t)
