@@ -1,0 +1,89 @@
+"""Plan-shape tests — the 100 TB contract, asserted (SURVEY §4.2).
+
+Each test pins a physical-plan property that must survive scale-up:
+pushdown, pruning, broadcast choice, top-k strategy, shuffle counts.
+A regression here is a performance bug even if results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_etl_spark.plans.inspect import (
+    count_exchanges,
+    has_broadcast_join,
+    pushed_filters,
+    scan_columns,
+    uses_take_ordered,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF_DIR}/orders.parquet")
+
+
+@pytest.fixture(scope="module")
+def customer(spark):
+    return spark.read.parquet(f"{SF_DIR}/customer.parquet")
+
+
+def test_filter_pushed_to_scan(orders):
+    df = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    pf = pushed_filters(df)
+    assert any("o_orderstatus" in f for f in pf), pf
+
+
+def test_column_pruning_reaches_scan(orders):
+    df = orders.select("o_orderkey", "o_totalprice")
+    cols = scan_columns(df)
+    assert cols and set(cols[0]) == {"o_orderkey", "o_totalprice"}
+
+
+def test_projection_only_filter_prunes(orders):
+    # filter column must be read, but nothing else beyond the projection
+    df = orders.filter(F.col("o_totalprice") > 100.0).select("o_orderkey")
+    cols = scan_columns(df)
+    assert cols and set(cols[0]) == {"o_orderkey", "o_totalprice"}
+
+
+def test_small_dim_join_broadcasts(spark, customer, orders):
+    # AQE should pick broadcast-hash for the small customer side
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    joined.collect()
+    assert has_broadcast_join(joined)
+
+
+def test_global_topk_avoids_full_sort(orders):
+    df = orders.orderBy(F.desc("o_totalprice")).limit(10)
+    assert uses_take_ordered(df)
+
+
+def test_single_agg_is_one_shuffle(orders):
+    df = orders.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+    assert count_exchanges(df) == 1
+
+
+def test_window_rewrite_single_shuffle(orders):
+    # q02's argmax-per-group: the window rewrite must not add a second
+    # exchange beyond the partitionBy shuffle
+    from reddit_etl_spark.operators.relational import argmax_per_group
+
+    df = argmax_per_group(orders, ["o_orderpriority"], "o_totalprice")
+    assert count_exchanges(df) == 1
+
+
+def test_transform_chain_adds_no_shuffle(spark, posts_raw):
+    from reddit_etl_spark.transform import transform_posts
+
+    assert count_exchanges(transform_posts(posts_raw)) == 0
+
+
+def test_text_profile_is_narrow(spark):
+    from reddit_etl_spark.operators.text import text_profile
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert count_exchanges(text_profile(docs, "doc_id", "text")) == 0
