@@ -53,9 +53,13 @@ def engagement_rate_col(num_comments: Column | str, score: Column | str) -> Colu
 
 
 def clean_title_col(title: Column | str) -> Column:
-    """Strip non-[\\w\\s] then trim (reference script.py:216)."""
+    """Strip non-[\\w\\s] then trim (reference script.py:216).
+
+    The reference's Python ``\\w`` is Unicode-aware (keeps ``é``,
+    ``日``); Java's is ASCII-only, so the faithful translation is the
+    explicit Unicode classes ``\\p{L}\\p{N}_``."""
     t = F.col(title) if isinstance(title, str) else title
-    return F.trim(F.regexp_replace(t, r"[^\w\s]", ""))
+    return F.trim(F.regexp_replace(t, r"[^\p{L}\p{N}_\s]", ""))
 
 
 def transform_posts(df: DataFrame, extracted_at: Column | None = None) -> DataFrame:
