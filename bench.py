@@ -34,8 +34,20 @@ def main() -> int:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: touch the session + parquet reader once
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # warmup: exercise scan + shuffle + codegen + the Python worker
+    # pool once so the first measured query doesn't absorb session,
+    # JIT, or worker-daemon spin-up
+    warm = spark.read.parquet(f"{sf_dir}/region.parquet")
+    warm.groupBy("r_name").count().count()
+    import pandas as _pd  # noqa: PLC0415
+
+    def _noop(batches):
+        for pdf in batches:
+            yield _pd.DataFrame({"r_regionkey": pdf["r_regionkey"]})
+
+    warm.repartition(64).select("r_regionkey").mapInPandas(
+        _noop, schema="r_regionkey long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name, hq in registry().items():

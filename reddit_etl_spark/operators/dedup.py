@@ -318,9 +318,14 @@ def minhash_lsh_pairs(
             )
 
     # (id, band, bh) is 3 longs x bands per doc — tiny. The band
-    # self-join references it twice; persisting avoids running the
-    # signature pass (shingle + 128-hash kernel) twice.
-    banded = hashed.mapInPandas(_sign_and_band, schema=band_schema).persist()
+    # self-join references it twice; materializing once avoids running
+    # the signature pass (shingle + 128-hash kernel) twice.
+    # localCheckpoint (not persist): lineage-truncated blocks are
+    # released by the ContextCleaner when the plan is GC'd, so repeated
+    # operator calls in one session don't accumulate storage.
+    banded = hashed.mapInPandas(_sign_and_band, schema=band_schema).localCheckpoint(
+        eager=True
+    )
     left = banded.select(
         "band", "bh", F.col("__mid").alias("id_a")
     )
