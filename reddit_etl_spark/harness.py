@@ -839,6 +839,74 @@ def events_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+    doc="per-group head (row_number <= k) — vectorized form of the "
+    "reference's per-post comment cap (script.py:167, SURVEY O5)",
+)
+def topk_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import top_k_per_group
+
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "__ord", F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("nk"))
+    )
+    return top_k_per_group(
+        orders, ["o_orderpriority"], "__ord", 3
+    ).select("o_orderpriority", "o_orderkey", "o_totalprice")
+
+
+@_q(
+    "curation_pipeline",
+    """
+    WITH prof AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS tc,
+             length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0
+                 / length(text) AS pr,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      FROM documents),
+    kept AS (SELECT doc_id, tc, nt FROM prof WHERE tc >= 20 AND pr <= 0.1),
+    dedup AS (SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count,
+                     MIN(tc) AS tc
+              FROM kept GROUP BY nt)
+    SELECT CAST(COUNT(*) AS BIGINT)  AS docs_kept,
+           CAST(SUM(tc) AS BIGINT)   AS token_budget,
+           CAST(SUM(dup_count) - COUNT(*) AS BIGINT) AS dups_removed
+    FROM dedup
+    """,
+    doc="composed curation pipeline: quality gate (length + punctuation "
+    "ratio) -> exact content dedup -> corpus token budget, one Spark plan "
+    "— the end-to-end training-data sweep shape",
+    headline=True,
+)
+def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+    from .operators.text import punct_count_col, token_count_col
+
+    docs = load(spark, sf_dir, "documents")
+    kept = (
+        docs.withColumn("tc", token_count_col("text"))
+        .withColumn("pr", punct_count_col("text") / F.length("text"))
+        .filter((F.col("tc") >= 20) & (F.col("pr") <= 0.1))
+    )
+    survivors = exact_dedup(kept, "doc_id", ["text"]).join(
+        kept.select("doc_id", "tc"), "doc_id"
+    )
+    return survivors.agg(
+        F.count("*").alias("docs_kept"),
+        F.sum("tc").alias("token_budget"),
+        (F.sum("dup_count") - F.count("*")).cast("long").alias("dups_removed"),
+    )
+
+
+@_q(
     "topk_global",
     """
     SELECT o_orderkey, o_totalprice, o_orderpriority
