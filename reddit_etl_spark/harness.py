@@ -820,6 +820,40 @@ def events_windowed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sessionization",
+    """
+    WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),
+    lagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM lagged)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS event_count,
+           ROUND(SUM(value), 6) AS total_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="gap-based sessionization (30-min gap): lag -> flag -> running-sum "
+    "session ids, one shuffle shared by both windows and the rollup; "
+    "streaming twin in operators/sessions.py (applyInPandasWithState)",
+    headline=True,
+)
+def sessionization_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sessions import session_stats
+
+    ev = load_events(spark, sf_dir)
+    df = session_stats(ev, ["user_id"], "ts", gap="30 minutes", value_col="value")
+    return round6(df, "total_value")
+
+
+@_q(
     "events_json",
     """
     SELECT event_type,
