@@ -113,8 +113,12 @@ def _posting(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """Inverted-index rows (id, shingle-hash). Shingles are folded to
     64-bit xxhash immediately so downstream shuffles carry 16-byte
     rows, never strings (at 100 TB the posting shuffle is the dominant
-    byte volume; collisions at 2^-64 per pair are accepted)."""
-    return df.select(
+    byte volume; collisions at 2^-64 per pair are accepted).
+
+    fan_out runs BEFORE shingling — repartitioning the posting after
+    the explode would leave the expensive regex/split work serialized
+    in the scan task."""
+    return fan_out(df).select(
         F.col(id_col),
         F.explode(
             F.array_distinct(
@@ -136,7 +140,6 @@ def _verify_pairs_by_counts(
     no document payloads. ``candidates`` (id_a, id_b) restricts the
     count to pre-filtered pairs (the LSH path); None means all pairs
     sharing >=1 shingle (the exact path)."""
-    posting = fan_out(posting)
     sizes = posting.groupBy(id_col).agg(F.count("*").alias("__sz"))
     left = posting.select(F.col("__sh"), F.col(id_col).alias("id_a"))
     right = posting.select(F.col("__sh"), F.col(id_col).alias("id_b"))
