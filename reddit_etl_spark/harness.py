@@ -854,6 +854,23 @@ def sessionization_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "distinct_users_hll",
+    None,  # sketch estimate; tolerance vs exact proven in pytest
+    doc="mergeable HLL distinct-user rollup (DataSketches, 4KB/group): "
+    "per (event_type, day) sketches merged up to event_type without "
+    "rescanning — tests/test_tree_sketch.py bounds error at <5%",
+)
+def distinct_users_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketch import hll_merge_rollup, hll_rollup
+
+    ev = load_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    fine = hll_rollup(ev, ["event_type", "day"], "user_id")
+    return hll_merge_rollup(fine, ["event_type"]).select(
+        "event_type", F.col("distinct_estimate").cast("long").alias("distinct_users")
+    )
+
+
+@_q(
     "events_json",
     """
     SELECT event_type,

@@ -1,0 +1,116 @@
+"""Tree-depth (vs a DuckDB recursive CTE) and sketch-operator tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_etl_spark.operators.sketch import (
+    approx_distinct,
+    approx_quantiles,
+    hll_merge_rollup,
+    hll_rollup,
+)
+from reddit_etl_spark.operators.tree import subtree_sizes, with_depth
+
+
+def test_with_depth_matches_recursive_cte(spark, comments):
+    got = {
+        r.id: r.depth
+        for r in with_depth(comments, "id", "parent_id").collect()
+    }
+    con = duckdb.connect()
+    con.register("comments", comments.select("id", "parent_id").toPandas())
+    want = dict(
+        con.execute(
+            """
+            WITH RECURSIVE d AS (
+              SELECT id, 0 AS depth FROM comments
+              WHERE parent_id LIKE 't3_%'
+              UNION ALL
+              SELECT c.id, d.depth + 1 FROM comments c
+              JOIN d ON c.parent_id = 't1_' || d.id
+            )
+            SELECT id, depth FROM d
+            """
+        ).fetchall()
+    )
+    assert len(got) == comments.count()
+    for cid, depth in want.items():
+        assert got[cid] == depth, cid
+
+
+def test_with_depth_deep_chain(spark):
+    # a 40-deep chain closes within 6 doubling rounds (2^6 = 64)
+    rows = [("c0", "t3_post")] + [
+        (f"c{i}", f"t1_c{i - 1}") for i in range(1, 40)
+    ]
+    df = spark.createDataFrame(rows, "id string, parent_id string")
+    got = {r.id: r.depth for r in with_depth(df).collect()}
+    assert got == {f"c{i}": i for i in range(40)}
+
+
+def test_subtree_sizes(spark):
+    df = spark.createDataFrame(
+        [("a", "t3_p"), ("b", "t1_a"), ("c", "t1_a"), ("d", "t1_b")],
+        "id string, parent_id string",
+    )
+    got = {r.id: r.direct_replies for r in subtree_sizes(df).collect()}
+    assert got == {"a": 2, "b": 1, "c": 0, "d": 0}
+
+
+# --- sketches --------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    df = spark.range(0, 50_000).select(
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") % 7).alias("sub"),
+        (F.col("id") % 997).alias("x"),
+        F.col("id").cast("double").alias("v"),
+    )
+    df.persist()
+    df.count()
+    return df
+
+
+def test_hll_rollup_estimate_within_tolerance(keyed):
+    got = {r.g: r.distinct_estimate for r in hll_rollup(keyed, ["g"], "x").collect()}
+    want = {
+        r.g: r.dc
+        for r in keyed.groupBy("g").agg(F.countDistinct("x").alias("dc")).collect()
+    }
+    for g, est in got.items():
+        assert abs(est - want[g]) / want[g] < 0.05
+
+
+def test_hll_merge_matches_direct_rollup(keyed):
+    # fine sketches (g, sub) merged up to g ~= direct sketch at g
+    fine = hll_rollup(keyed, ["g", "sub"], "x")
+    merged = {
+        r.g: r.distinct_estimate
+        for r in hll_merge_rollup(fine, ["g"]).collect()
+    }
+    direct = {
+        r.g: r.distinct_estimate for r in hll_rollup(keyed, ["g"], "x").collect()
+    }
+    # sketch union is deterministic: merged estimate == direct estimate
+    assert merged == direct
+
+
+def test_approx_distinct_tolerance(keyed):
+    got = {r.g: r.approx_distinct for r in approx_distinct(keyed, ["g"], "x").collect()}
+    want = {
+        r.g: r.dc
+        for r in keyed.groupBy("g").agg(F.countDistinct("x").alias("dc")).collect()
+    }
+    for g in want:
+        assert abs(got[g] - want[g]) / want[g] < 0.1
+
+
+def test_approx_quantiles_ordering(keyed):
+    rows = approx_quantiles(keyed, ["g"], "v").collect()
+    for r in rows:
+        assert r.p50 <= r.p90 <= r.p99
