@@ -210,6 +210,37 @@ def test_windowed_rollup_batch_twin(spark, tmp_path):
     assert rows[(dt.datetime(2025, 9, 1, 11, 0), "view")] == (1, 3.0)
 
 
+def test_windowed_rollup_stream_matches_batch(spark, tmp_path):
+    """The SAME rollup function, fed a replayed file stream, produces
+    the batch result (one definition, two execution modes)."""
+    events = spark.createDataFrame(
+        [
+            ("click", dt.datetime(2025, 9, 1, 10, 5), 1.0),
+            ("click", dt.datetime(2025, 9, 1, 10, 55), 2.0),
+            ("click", dt.datetime(2025, 9, 1, 11, 10), 4.0),
+            ("view", dt.datetime(2025, 9, 1, 11, 5), 3.0),
+        ],
+        "event_type string, ts timestamp, value double",
+    )
+    src = str(tmp_path / "ev_in")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        windowed_event_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("rollup_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM rollup_out").collect())
+    )
+    want = sorted(map(tuple, windowed_event_rollup(events).collect()))
+    assert got == want
+
+
 def test_daily_stats_agg_streaming_plan(spark, posts, tmp_path):
     # the streaming form is a valid unbounded plan (watermark attached)
     src_dir = str(tmp_path / "in2")
