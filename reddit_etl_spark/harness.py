@@ -958,6 +958,26 @@ def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "distinct_parts_skewfree",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="exact COUNT(DISTINCT) via the two-phase skew-free pattern "
+    "(distinct on (group, value) spreads hot groups across the cluster "
+    "before the per-group count) — operators/skew.py",
+)
+def distinct_parts_skewfree_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_count_distinct
+
+    li = load(spark, sf_dir, "lineitem")
+    return salted_count_distinct(
+        li, ["l_returnflag"], "l_partkey", alias="distinct_parts"
+    )
+
+
+@_q(
     "topk_global",
     """
     SELECT o_orderkey, o_totalprice, o_orderpriority

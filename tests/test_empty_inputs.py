@@ -1,0 +1,83 @@
+"""Empty-input robustness: every operator must return an empty result
+with the right schema, not throw (the reference's P10 guard discipline
+applied across the engine)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def empty_vecs(spark):
+    return spark.createDataFrame([], "vec_id long, embedding array<double>")
+
+
+def test_exact_dedup_empty(empty_docs):
+    from reddit_etl_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(empty_docs, "doc_id", ["text"])
+    assert out.columns == ["doc_id", "dup_count"]
+    assert out.count() == 0
+
+
+def test_ngram_jaccard_empty(empty_docs):
+    from reddit_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    assert ngram_jaccard_pairs(empty_docs, "doc_id", "text").count() == 0
+
+
+def test_minhash_empty(empty_docs):
+    from reddit_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    assert minhash_lsh_pairs(empty_docs, "doc_id", "text").count() == 0
+
+
+def test_simhash_empty(empty_docs):
+    from reddit_etl_spark.operators.dedup import simhash_pairs
+
+    assert simhash_pairs(empty_docs, "doc_id", "text").count() == 0
+
+
+def test_text_profile_empty(empty_docs):
+    from reddit_etl_spark.operators.text import text_profile
+
+    out = text_profile(empty_docs, "doc_id", "text")
+    assert out.count() == 0
+    assert "quality_score" in out.columns
+
+
+def test_sessionize_empty(spark):
+    from reddit_etl_spark.operators.sessions import session_stats
+
+    empty = spark.createDataFrame([], "user string, ts timestamp, value double")
+    assert session_stats(empty, ["user"], "ts", value_col="value").count() == 0
+
+
+def test_cosine_topk_empty_queries(spark, empty_vecs):
+    from reddit_etl_spark.operators.similarity import cosine_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = cosine_topk(corpus, empty_vecs, "vec_id", "embedding", "vec_id")
+    assert out.count() == 0
+
+
+def test_docs_with_empty_text(spark):
+    # degenerate rows (empty / whitespace text) flow through dedup
+    from reddit_etl_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real text here"), (4, None)],
+        "doc_id long, text string",
+    )
+    groups = exact_dedup(df, "doc_id", ["text"]).count()
+    assert groups >= 2  # ''/'   ' normalize together; NULL group separate
+    minhash_lsh_pairs(df, "doc_id", "text").count()  # must not throw
