@@ -769,6 +769,22 @@ def text_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "partial_copy_pairs",
+    None,  # rolling-hash winnowing; DuckDB lacks xxhash64 — pytest
+    # cross-checks fingerprints against a pure-Python reference
+    doc="winnowing (MOSS) partial-copy detection: char-25-gram rolling "
+    "hash, window-26 min selection (any 50+ char shared span guaranteed "
+    "caught), pairs sharing >= 2 fingerprints — catches excerpts "
+    "whole-document digests and Jaccard thresholds miss",
+)
+def partial_copy_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import partial_copy_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return partial_copy_pairs(docs, "doc_id", "text", min_shared=2)
+
+
+@_q(
     "multimodal_features",
     """
     SELECT CAST(doc_id AS VARCHAR) AS asset_id,

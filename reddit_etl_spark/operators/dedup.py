@@ -33,21 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 from .text import normalize_text_col
-
-
-def fan_out(df: DataFrame) -> DataFrame:
-    """Ensure CPU-heavy per-row stages use the full executor pool.
-
-    A single-row-group parquet file scans as ONE task no matter how
-    many cores exist; shingling/minhashing would then run serially.
-    On a real multi-split 100 TB input this repartition collapses to
-    a no-op (partitions already >= parallelism); locally it is one
-    tiny shuffle of the raw rows that unlocks every core."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from .util import fan_out  # noqa: F401 — re-exported for callers
 
 # Primes for 2-universal hashing (Carter–Wegman). Base hashes and
 # coefficients are kept below 2^31 so a*x + b stays < 2^63 — exact in

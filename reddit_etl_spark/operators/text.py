@@ -115,6 +115,106 @@ def fingerprint_col(text: Column | str) -> Column:
     return F.md5(normalize_text_col(text))
 
 
+def winnowing_fingerprints_col(
+    text: Column | str, k: int = 25, window: int = 26
+) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., the MOSS
+    algorithm): hash every character k-gram (the rolling hash), then
+    keep the minimum hash of each sliding window of ``window``
+    consecutive k-gram hashes. Matching fingerprints between two
+    documents witness shared substrings of length >= k — unlike a
+    whole-document digest, this detects PARTIAL copies.
+
+    Pure array expressions over the normalized text: substring k-grams
+    -> xxhash64 -> per-window array_min -> array_distinct. Guaranteed
+    to fingerprint any match of length >= window + k - 1 (= 50 chars
+    at the defaults). ``k`` must be large enough that k-grams are
+    rare across unrelated documents — short grams (e.g. 8 chars of
+    common English) turn every fingerprint into a hot join key.
+
+    NOTE: single-expression form, quadratic in document length (the
+    gram subexpression re-evaluates inside the window lambda) — fine
+    for short strings/tests; corpus-scale callers use the pipeline
+    form ``winnowing_fingerprints`` which materializes grams once.
+    """
+    t = normalize_text_col(text)
+    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.xxhash64(F.substring(t, i, k))
+    )
+    return _window_mins(grams, window)
+
+
+def _window_mins(grams: Column, window: int) -> Column:
+    n_windows = F.greatest(F.size(grams) - (window - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(grams, i, window)),
+        )
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 25,
+    window: int = 26,
+) -> DataFrame:
+    """(id, fingerprint) posting rows — the pipeline form.
+
+    Two selects, NOT one nested expression: the gram array must
+    materialize as a real column first, because a lambda that closes
+    over a subexpression re-evaluates it per element (no CSE across
+    lambda boundaries) — inlined, window-min goes quadratic in
+    document length."""
+    from .util import fan_out  # noqa: PLC0415
+
+    t = normalize_text_col(text_col)
+    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    grams = fan_out(df).select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.xxhash64(F.substring(t, i, k)),
+        ).alias("__grams"),
+    )
+    return grams.select(
+        F.col(id_col),
+        F.explode(_window_mins(F.col("__grams"), window)).alias("fingerprint"),
+    )
+
+
+def partial_copy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 25,
+    window: int = 26,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints
+    — partial-copy / excerpt detection, which whole-document hashing
+    and even shingle-Jaccard thresholds miss when the shared span is a
+    small fraction of either document.
+
+    Same inverted-index shape as the dedup family: the shuffle carries
+    (fingerprint, id) pairs only."""
+    posting = winnowing_fingerprints(df, id_col, text_col, k, window).select(
+        F.col(id_col), F.col("fingerprint").alias("__fp")
+    )
+    left = posting.select("__fp", F.col(id_col).alias("id_a"))
+    right = posting.select("__fp", F.col(id_col).alias("id_b"))
+    return (
+        left.join(right, "__fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )
+
+
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass text profile: id, token/punct counts, avg token length,
     stopword ratio, quality score, language guess, fingerprint."""
