@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -199,17 +199,28 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """EXACT near-duplicate pairs by word-n-gram Jaccard similarity.
 
-    Inverted index (shingle-hash -> ids) + per-pair co-occurrence
-    counting: Jaccard falls straight out of |A∩B| and the doc sizes,
-    so no shingle set is ever materialized past the explode. ``max_df``
-    drops shingles occurring in more than that many documents
-    (stop-shingles): at web scale a single hot shingle otherwise
-    yields a quadratic candidate explosion on one key — the canonical
-    skew failure. Pairs whose every shared shingle is capped lose
-    intersection mass; that is the documented trade (max_df=None for
+    Default plan: inverted index (shingle-hash -> ids) + per-pair
+    co-occurrence counting — Jaccard falls out of |A∩B| and the doc
+    sizes, nothing wider than (hash, id) shuffles. Fewest shuffles;
+    right when shingle frequencies are tame (this corpus: max df 25).
+
+    ``prefix_filter=True`` switches to PPJoin-style prefix filtering
+    (also lossless): order each doc's shingles by global document
+    frequency (rarest first) and index only the first
+    ``|d| - ceil(t*|d|) + 1``; any pair with J >= t must share a
+    prefix shingle, and a size-compatibility filter (t*|A| <= |B| <=
+    |A|/t) prunes before the exact verify. Costs two extra shuffles
+    (freq + per-doc window) but drops hot common shingles out of the
+    index — the right trade on zipfian web-scale corpora where the
+    co-occurrence join explodes. Path equality is tested.
+
+    ``max_df`` additionally drops shingles occurring in more than that
+    many documents (hard stop-shingle cap; pairs whose every shared
+    shingle is capped can be missed — documented trade, None for
     exactness).
     """
     posting = _posting(df, id_col, text_col, n)
@@ -220,7 +231,39 @@ def ngram_jaccard_pairs(
             .select("__sh")
         )
         posting = posting.join(F.broadcast(hot), "__sh", "left_anti")
-    return _verify_pairs_by_counts(posting, id_col, threshold)
+    if not prefix_filter:
+        return _verify_pairs_by_counts(posting, id_col, threshold)
+
+    freq = posting.groupBy("__sh").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy(id_col).orderBy("__df", "__sh")
+    ranked = (
+        posting.join(freq, "__sh")
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__sz", F.count("*").over(Window.partitionBy(id_col)))
+    )
+    prefix = ranked.filter(
+        F.col("__rn") <= F.col("__sz") - F.ceil(threshold * F.col("__sz")) + 1
+    )
+    left = prefix.select(
+        "__sh", F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza")
+    )
+    right = prefix.select(
+        "__sh", F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb")
+    )
+    candidates = (
+        left.join(right, "__sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # J >= t forces t*|A| <= |B| <= |A|/t
+        .filter(
+            (F.col("__szb") >= threshold * F.col("__sza"))
+            & (F.col("__sza") >= threshold * F.col("__szb"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verify_candidates_by_arrays(
+        df, id_col, text_col, n, candidates, threshold
+    )
 
 
 def minhash_lsh_pairs(

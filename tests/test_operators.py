@@ -125,6 +125,21 @@ def test_ngram_jaccard_known_pair(spark):
     assert abs(rows[0].jaccard - 0.75) < 1e-6
 
 
+def test_prefix_filter_path_equality(docs):
+    # PPJoin prefix filtering is lossless: both plans, same pairs
+    base = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    pf = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, prefix_filter=True
+        ).collect()
+    }
+    assert base == pf and base
+
+
 def test_minhash_recall_vs_exact(docs):
     exact = {
         (r.id_a, r.id_b)
