@@ -56,6 +56,47 @@ def upsert_partitioned(
     )
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: Sequence[str] = (),
+) -> int:
+    """Rewrite a parquet directory into ~target-sized files.
+
+    Streaming/append ingestion accretes small files (one per
+    micro-batch x partition); at scale the scan's task count — and the
+    namenode — pay for every one. Sizing from the actual on-disk bytes
+    (not a row guess) keeps rewritten files near the scan's split size
+    so one file ≈ one task. Returns the file count written."""
+    df = spark.read.parquet(path)
+    total_bytes = _dir_bytes(path)
+    n_files = max(1, -(-total_bytes // target_file_bytes))
+    tmp = f"{path}__compacting"
+    w = df.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    import shutil  # noqa: PLC0415
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_files
+
+
+def _dir_bytes(path: str) -> int:
+    import os  # noqa: PLC0415
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+    return total
+
+
 def export_csv(df: DataFrame, path: str) -> None:
     """Single-file CSV export with header (K5 — the example.csv path).
     coalesce(1) is a driver-side convenience for small results only."""

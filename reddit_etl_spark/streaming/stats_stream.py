@@ -67,6 +67,25 @@ def daily_stats_agg(posts: DataFrame, watermark: str = "1 day") -> DataFrame:
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    within: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key
+    arriving within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps state only until the
+    watermark passes each key's first-seen time + ``within`` — bounded
+    state, unlike plain dropDuplicates on a stream (which grows
+    forever). The batch twin is ``operators.dedup.exact_dedup`` /
+    ``dropDuplicates``; parity on replayed input is tested."""
+    return stream.withWatermark(ts_col, within).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def stream_daily_subreddit_stats(
     posts_stream: DataFrame,
     stats_path: str,

@@ -1,0 +1,55 @@
+"""Streaming dedup and compaction maintenance tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+
+from pyspark.sql import functions as F
+
+from reddit_etl_spark.sinks.writers import append_parquet, compact_parquet
+from reddit_etl_spark.streaming.stats_stream import streaming_dedup
+
+
+def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
+    base = dt.datetime(2025, 9, 1, 10, 0)
+    rows = [
+        ("a", base, 1.0),
+        ("a", base + dt.timedelta(minutes=1), 2.0),  # re-delivery of key a
+        ("b", base + dt.timedelta(minutes=2), 3.0),
+        ("b", base + dt.timedelta(minutes=3), 4.0),  # re-delivery of key b
+        ("c", base + dt.timedelta(minutes=4), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "id string, ts timestamp, value double")
+    src = str(tmp_path / "in")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        streaming_dedup(stream, ["id"], "ts", within="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT id FROM dedup_out").collect()
+    assert sorted(r.id for r in got) == ["a", "b", "c"]
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    # simulate micro-batch accretion: many small appends
+    for _ in range(6):
+        append_parquet(df.repartition(8), path)
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 40
+    total_before = spark.read.parquet(path).count()
+
+    n = compact_parquet(spark, path, target_file_bytes=10 * 1024 * 1024)
+    after = glob.glob(f"{path}/*.parquet")
+    assert len(after) == n < before
+    assert spark.read.parquet(path).count() == total_before
