@@ -30,7 +30,12 @@ import datetime as dt
 import json
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from ..schemas import POSTS_RAW_SCHEMA
 
@@ -53,6 +58,9 @@ class RedditDataSource(DataSource):
 
     def reader(self, schema) -> "RedditDataSourceReader":
         return RedditDataSourceReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "RedditStreamReader":
+        return RedditStreamReader(self.options)
 
 
 class RedditDataSourceReader(DataSourceReader):
@@ -106,3 +114,49 @@ class RedditDataSourceReader(DataSourceReader):
             partition.subreddit, limit=self._limit, sort_type=self._sort
         ):
             yield tuple(rec.get(name) for name in fields)
+
+
+class RedditStreamReader(SimpleDataSourceStreamReader):
+    """Incremental polling stream: ``spark.readStream.format("reddit")``.
+
+    Offset = {subreddit: last_seen_created_utc_iso}. Each micro-batch
+    fetches the newest listing per subreddit and emits only posts
+    strictly newer than the stored high-water mark — the at-least-once
+    incremental pattern for a cursorless listing API. Exactly-once
+    then comes from the downstream keyed sink (posts upsert on id) or
+    ``streaming_dedup``; offsets are checkpointed by the engine and
+    ``readBetweenOffsets`` replays uncommitted batches after restart.
+    """
+
+    def __init__(self, options: dict):
+        self._batch = RedditDataSourceReader(options)
+        self._fields = [f.name for f in POSTS_RAW_SCHEMA.fields]
+
+    def initialOffset(self) -> dict:
+        return {s: "1970-01-01T00:00:00" for s in self._batch._subreddits}
+
+    def _fetch_newer(self, start: dict) -> tuple[list[tuple], dict]:
+        source = self._batch._connector()
+        rows, end = [], dict(start)
+        for sub in self._batch._subreddits:
+            mark = dt.datetime.fromisoformat(start.get(sub, "1970-01-01T00:00:00"))
+            newest = mark
+            for rec in source.fetch_posts(
+                sub, limit=self._batch._limit, sort_type="new"
+            ):
+                ts = rec["created_utc"]
+                if ts > mark:
+                    rows.append(tuple(rec.get(n) for n in self._fields))
+                    newest = max(newest, ts)
+            end[sub] = newest.isoformat()
+        return rows, end
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        rows, end = self._fetch_newer(start)
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # replay path after restart: re-fetch and re-filter to the
+        # committed window (at-least-once; listing APIs can't seek)
+        rows, _ = self._fetch_newer(start)
+        return iter(rows)

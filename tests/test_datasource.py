@@ -93,3 +93,33 @@ def test_datasource_feeds_transform(registered, mock_path):
 def test_datasource_requires_subreddits(registered):
     with pytest.raises(Exception, match="subreddits"):
         registered.read.format("reddit").load().count()
+
+
+def test_stream_reader_incremental(registered, mock_path, tmp_path):
+    """readStream.format('reddit'): first batch emits everything newer
+    than the initial offset; a second batch with an unchanged mock
+    listing emits nothing (high-water-mark filtering)."""
+    stream = (
+        registered.readStream.format("reddit")
+        .option("subreddits", "python,datascience")
+        .option("mode", "mock")
+        .option("mock_path", mock_path)
+        .load()
+    )
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return registered.read.parquet(out).count()
+
+    assert drain() == 10
+    # second drain resumes from checkpointed offsets: nothing new
+    # behind the per-subreddit high-water marks
+    assert drain() == 10
