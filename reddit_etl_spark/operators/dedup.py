@@ -119,14 +119,18 @@ def _verify_pairs_by_counts(
     id_col: str,
     threshold: float,
     candidates: DataFrame | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard from posting-list co-occurrence counts:
     |A∩B| = co-occurring shingle count per pair, |A∪B| = |A|+|B|−|A∩B|.
     Nothing wider than (hash, id) ever shuffles — no shingle arrays,
     no document payloads. ``candidates`` (id_a, id_b) restricts the
     count to pre-filtered pairs (the LSH path); None means all pairs
-    sharing >=1 shingle (the exact path)."""
-    sizes = posting.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    sharing >=1 shingle (the exact path). ``sizes`` (id, __sz) can be
+    supplied shuffle-free from the shingle arrays; None falls back to
+    aggregating the posting."""
+    if sizes is None:
+        sizes = posting.groupBy(id_col).agg(F.count("*").alias("__sz"))
     left = posting.select(F.col("__sh"), F.col(id_col).alias("id_a"))
     right = posting.select(F.col("__sh"), F.col(id_col).alias("id_b"))
     if candidates is not None:
@@ -232,7 +236,22 @@ def ngram_jaccard_pairs(
         )
         posting = posting.join(F.broadcast(hot), "__sh", "left_anti")
     if not prefix_filter:
-        return _verify_pairs_by_counts(posting, id_col, threshold)
+        # doc sizes come straight off the shingle arrays — a narrow
+        # projection, no aggregation shuffle. Only valid WITHOUT
+        # max_df (capping changes effective posting sizes).
+        sizes = None
+        if max_df is None:
+            sizes = fan_out(df).select(
+                F.col(id_col),
+                F.size(
+                    F.array_distinct(
+                        F.transform(
+                            shingles_col(text_col, n), lambda s: F.xxhash64(s)
+                        )
+                    )
+                ).alias("__sz"),
+            )
+        return _verify_pairs_by_counts(posting, id_col, threshold, sizes=sizes)
 
     freq = posting.groupBy("__sh").agg(F.count("*").alias("__df"))
     w = Window.partitionBy(id_col).orderBy("__df", "__sh")
