@@ -21,3 +21,5 @@ shuffle-minimal, broadcast-aware, AQE-enabled) even though tests run on
 """
 
 __version__ = "0.1.0"
+
+from .engine import Engine  # noqa: E402,F401 — the primary user-facing API
