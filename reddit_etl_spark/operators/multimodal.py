@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -86,6 +87,125 @@ def extract_media_features(
 
     cols = media.select(F.col(id_col), F.col(payload_col))
     return cols.mapInPandas(_extract, schema=MEDIA_FEATURE_SCHEMA)
+
+
+IMAGE_RESIZE_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    target_width: int = 224,
+    target_height: int = 224,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    decode: str = "fake",
+) -> DataFrame:
+    """Image resize over mapInPandas — the Spark-side plumbing (schema,
+    Arrow batch shape, partition-parallel execution) is real; the codec
+    is stubbed. ``decode='fake'`` emits a deterministic payload-derived
+    pseudo-bitmap of exactly target_width*target_height bytes, so
+    downstream size/packing logic is testable; ``decode='real'`` is
+    the PIL/opencv integration point (NotImplemented here)."""
+    if decode not in ("fake", "real"):
+        raise ValueError("decode must be 'fake' or 'real'")
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "real":
+                raise NotImplementedError(
+                    "real image decode requires PIL/opencv, not shipped here"
+                )
+            out_payloads = []
+            for p in pdf[payload_col]:
+                seed = int.from_bytes(
+                    hashlib.sha256(bytes(p or b"")).digest()[:4], "big"
+                )
+                rng = np.random.RandomState(seed)
+                out_payloads.append(
+                    rng.randint(
+                        0, 256, size=target_width * target_height, dtype=np.uint8
+                    ).tobytes()
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype(str),
+                    "width": target_width,
+                    "height": target_height,
+                    "payload": out_payloads,
+                }
+            )
+
+    return media.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _resize, schema=IMAGE_RESIZE_SCHEMA
+    )
+
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("frame_index", LongType()),
+        StructField("frame_ts_ms", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1_000,
+    max_frames: int = 8,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    duration_col: str = "duration_ms",
+    decode: str = "fake",
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame (a
+    1:N mapInPandas — the batch-shape contract real ffmpeg plumbing
+    needs). Frame count derives from the asset's duration metadata;
+    the frame payload is a deterministic stub keyed on (payload,
+    frame index)."""
+    if decode not in ("fake", "real"):
+        raise ValueError("decode must be 'fake' or 'real'")
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "real":
+                raise NotImplementedError(
+                    "real frame sampling requires ffmpeg, not shipped here"
+                )
+            ids, idxs, tss, payloads = [], [], [], []
+            for aid, p, dur in zip(
+                pdf[id_col], pdf[payload_col], pdf[duration_col]
+            ):
+                dur = int(dur) if dur is not None and not pd.isna(dur) else 0
+                n = min(max(dur // every_ms, 1), max_frames)
+                digest = hashlib.sha256(bytes(p or b"")).digest()
+                for i in range(n):
+                    ids.append(str(aid))
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    payloads.append(
+                        hashlib.sha256(digest + i.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "frame_index": idxs,
+                    "frame_ts_ms": tss,
+                    "payload": payloads,
+                }
+            )
+
+    return media.select(
+        F.col(id_col), F.col(payload_col), F.col(duration_col)
+    ).mapInPandas(_sample, schema=FRAME_SAMPLE_SCHEMA)
 
 
 def media_from_text(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
