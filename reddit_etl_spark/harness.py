@@ -887,6 +887,45 @@ def distinct_users_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "asof_attribution",
+    """
+    WITH clicks AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value
+                    FROM events WHERE event_type = 'click'),
+    views AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events
+              WHERE event_type = 'view')
+    SELECT c.event_id, c.user_id, c.ts,
+           v.ts AS view_ts,
+           ROUND(v.value, 6) AS view_value
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+    doc="as-of join (attribution: each click matched to the user's most "
+    "recent prior view) via the linear union + carry-forward-window "
+    "trick — ONE shuffle over |L|+|R|, no quadratic theta-join; oracle "
+    "is DuckDB's native ASOF JOIN",
+    headline=True,
+)
+def asof_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("value").alias("view_value")
+    )
+    out = asof_join(
+        clicks, views, on=["user_id"], left_ts="ts", right_ts="view_ts",
+        value_cols=["view_ts", "view_value"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "view_ts",
+        F.round("view_value", 6).alias("view_value"),
+    )
+
+
+@_q(
     "events_json",
     """
     SELECT event_type,
