@@ -887,6 +887,56 @@ def distinct_users_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "interval_session_join",
+    """
+    WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type
+               FROM events),
+    clicks AS (SELECT user_id, ts FROM e WHERE event_type = 'click'),
+    lagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM clicks WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM lagged),
+    bounds AS (
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM sess GROUP BY user_id, session_id)
+    SELECT e.event_id, e.user_id, e.event_type, e.ts,
+           b.session_id, b.session_start
+    FROM e JOIN bounds b
+      ON e.user_id = b.user_id
+     AND e.ts BETWEEN b.session_start AND b.session_end
+    """,
+    doc="composition: click-only sessionization -> interval join assigning "
+    "EVERY event type into its user's click-session window; the range "
+    "join runs as bucket-equality hash join + exact BETWEEN post-filter "
+    "(no nested-loop product)",
+)
+def interval_session_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.rangejoin import interval_join
+    from .operators.sessions import session_stats
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    bounds = session_stats(clicks, ["user_id"], "ts", gap="30 minutes").select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    points = ev.select("event_id", "user_id", "event_type", "ts")
+    return interval_join(
+        points, bounds, on=["user_id"], point_ts="ts",
+        start_ts="session_start", end_ts="session_end", bucket="1 hour",
+    ).select(
+        "event_id", "user_id", "event_type", "ts", "session_id", "session_start"
+    )
+
+
+@_q(
     "asof_attribution",
     """
     WITH clicks AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value

@@ -1,0 +1,77 @@
+"""Range (interval) join — match points into [start, end] intervals.
+
+Spark plans ``l.ts BETWEEN r.start AND r.end`` as a broadcast
+nested-loop (small side) or a cartesian product — both die at scale.
+The scalable decomposition is BUCKETING: chop time into fixed-width
+buckets, explode each interval to the buckets it spans, map each
+point to its single bucket, hash-join on (keys, bucket), then apply
+the exact BETWEEN as a post-filter. A point falls in exactly one
+bucket and an interval covers each of its buckets once, so no
+dedup is needed. Cost: |points| + sum(interval_span/bucket) rows
+through one equi-join — pick ``bucket`` near the typical interval
+length so the explode factor stays O(1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval row (same keys) with
+    ``start <= point <= end``. ``how='left'`` keeps unmatched points
+    with NULL interval columns."""
+    import pandas as pd  # noqa: PLC0415
+
+    keys = list(on)
+    width_s = int(pd.Timedelta(bucket).total_seconds())
+    if width_s <= 0:
+        raise ValueError(f"bucket must be a positive duration, got {bucket!r}")
+    p = points.withColumn(
+        "__bk", F.floor(F.unix_timestamp(F.col(point_ts)) / width_s)
+    )
+    i = intervals.withColumn(
+        "__bk",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_ts)) / width_s),
+                F.floor(F.unix_timestamp(F.col(end_ts)) / width_s),
+            )
+        ),
+    )
+    cond = [p[k] == i[k] for k in keys] + [p["__bk"] == i["__bk"]]
+    joined = p.join(i, cond, "inner").where(
+        (p[point_ts] >= i[start_ts]) & (p[point_ts] <= i[end_ts])
+    )
+    picked = joined.select(
+        *[p[c] for c in points.columns],
+        *[i[c] for c in intervals.columns if c not in (*keys, "__bk")],
+    )
+    if how == "inner":
+        return picked
+    if how == "left":
+        matched = picked
+        missing = points.join(
+            picked.select(*[F.col(c) for c in points.columns]).distinct(),
+            points.columns,
+            "left_anti",
+        )
+        for c in intervals.columns:
+            if c not in (*keys, "__bk") and c not in points.columns:
+                missing = missing.withColumn(
+                    c, F.lit(None).cast(intervals.schema[c].dataType)
+                )
+        return matched.unionByName(missing)
+    raise ValueError("how must be 'inner' or 'left'")

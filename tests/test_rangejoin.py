@@ -1,0 +1,96 @@
+"""Interval-join semantics: boundary inclusion, multi-bucket spans,
+overlapping intervals (1:N), left-outer, and no-product plan."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_etl_spark.operators.rangejoin import interval_join
+
+T0 = dt.datetime(2025, 9, 1, 0, 0, 0)
+
+
+def _t(minutes: int) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def intervals(spark):
+    return spark.createDataFrame(
+        [
+            ("u", 1, _t(0), _t(90)),     # spans 2 hour-buckets
+            ("u", 2, _t(60), _t(120)),   # overlaps interval 1
+            ("v", 3, _t(10), _t(20)),
+        ],
+        "k string, iid long, s timestamp, e timestamp",
+    )
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    return spark.createDataFrame(
+        [
+            ("u", 100, _t(0)),    # on start boundary of 1
+            ("u", 101, _t(75)),   # inside 1 AND 2 (overlap -> 2 rows)
+            ("u", 102, _t(90)),   # end boundary of 1, inside 2
+            ("u", 103, _t(200)),  # outside everything
+            ("v", 104, _t(15)),
+            ("w", 105, _t(15)),   # key with no intervals
+        ],
+        "k string, pid long, ts timestamp",
+    )
+
+
+def test_inner_semantics(points, intervals):
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(
+            points, intervals, ["k"], "ts", "s", "e", bucket="1 hour"
+        ).collect()
+    )
+    assert got == [(100, 1), (101, 1), (101, 2), (102, 1), (102, 2), (104, 3)]
+
+
+def test_left_semantics(points, intervals):
+    rows = interval_join(
+        points, intervals, ["k"], "ts", "s", "e", bucket="1 hour", how="left"
+    ).collect()
+    by_pid: dict[int, list] = {}
+    for r in rows:
+        by_pid.setdefault(r.pid, []).append(r.iid)
+    assert by_pid[103] == [None]
+    assert by_pid[105] == [None]
+    assert sorted(by_pid[101]) == [1, 2]
+    assert len(rows) == 8
+
+
+def test_bucket_width_invariance(points, intervals):
+    # result is independent of the bucket width chosen
+    a = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(
+            points, intervals, ["k"], "ts", "s", "e", bucket="7 minutes"
+        ).collect()
+    )
+    b = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(
+            points, intervals, ["k"], "ts", "s", "e", bucket="1 day"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_no_nested_loop_product(points, intervals):
+    df = interval_join(points, intervals, ["k"], "ts", "s", "e")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bad_bucket_rejected(points, intervals):
+    with pytest.raises(ValueError):
+        interval_join(points, intervals, ["k"], "ts", "s", "e", bucket="0 seconds")
