@@ -1083,6 +1083,60 @@ def distinct_parts_skewfree_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "rollup_hierarchy",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+           COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS item_count,
+           ROUND(SUM(l_extendedprice), 6) AS total_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy totals (flag -> flag+status -> grand total) in "
+    "one pass — the partial-aggregation tree Spark shares across "
+    "grouping sets (beyond the reference's flat GROUP BYs)",
+)
+def rollup_hierarchy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    df = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("item_count"),
+            F.sum("l_extendedprice").alias("total_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "item_count",
+            "total_price",
+        )
+    )
+    return round6(df, "total_price")
+
+
+@_q(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="pivot (status columns per priority) with explicit pivot values — "
+    "no extra pass to discover categories",
+)
+def pivot_status_by_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .fillna(0)
+    )
+
+
+@_q(
     "topk_global",
     """
     SELECT o_orderkey, o_totalprice, o_orderpriority

@@ -118,34 +118,22 @@ def _verify_pairs_by_counts(
     posting: DataFrame,
     id_col: str,
     threshold: float,
-    candidates: DataFrame | None = None,
     sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard from posting-list co-occurrence counts:
-    |A∩B| = co-occurring shingle count per pair, |A∪B| = |A|+|B|−|A∩B|.
-    Nothing wider than (hash, id) ever shuffles — no shingle arrays,
-    no document payloads. ``candidates`` (id_a, id_b) restricts the
-    count to pre-filtered pairs (the LSH path); None means all pairs
-    sharing >=1 shingle (the exact path). ``sizes`` (id, __sz) can be
-    supplied shuffle-free from the shingle arrays; None falls back to
-    aggregating the posting."""
+    |A∩B| = co-occurring shingle count per pair, |A∪B| = |A|+|B|−|A∩B|,
+    over every pair sharing >=1 shingle. Nothing wider than (hash, id)
+    ever shuffles — no shingle arrays, no document payloads. ``sizes``
+    (id, __sz) can be supplied shuffle-free from the shingle arrays;
+    None falls back to aggregating the posting. (Pre-filtered
+    candidate sets — the LSH path — verify via
+    ``_verify_candidates_by_arrays`` instead: joining arrays for a
+    small pair set beats re-touching the whole corpus.)"""
     if sizes is None:
         sizes = posting.groupBy(id_col).agg(F.count("*").alias("__sz"))
     left = posting.select(F.col("__sh"), F.col(id_col).alias("id_a"))
     right = posting.select(F.col("__sh"), F.col(id_col).alias("id_b"))
-    if candidates is not None:
-        # prune the posting lists to candidate ids BEFORE the
-        # self-join — the whole point of LSH is that this join then
-        # touches only candidate postings, not the full corpus
-        left = left.join(
-            candidates.select("id_a").distinct(), "id_a", "left_semi"
-        )
-        right = right.join(
-            candidates.select("id_b").distinct(), "id_b", "left_semi"
-        )
     co = left.join(right, "__sh").filter(F.col("id_a") < F.col("id_b"))
-    if candidates is not None:
-        co = co.join(candidates, ["id_a", "id_b"], "left_semi")
     common = co.groupBy("id_a", "id_b").agg(F.count("*").alias("__common"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sa"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__sb"))
