@@ -17,6 +17,7 @@ Tables load lazily from the lakehouse paths and register as the views
 
 from __future__ import annotations
 
+import datetime as _dt
 import functools
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -65,13 +66,21 @@ class Engine:
         return self.spark.sql(statement)
 
     def analysis(self, name: str, as_of=None) -> DataFrame:
-        """Run one of the ported analysis.sql queries (q01..q15)."""
+        """Run one of the ported analysis.sql queries (q01..q15).
+        ``as_of`` is validated as a calendar date before it is spliced
+        into the DATE literal — arbitrary strings never reach the SQL
+        text."""
         self._ensure_views()
         stmt = ANALYSIS_QUERIES[name]
         if "{as_of}" in stmt:
             if as_of is None:
                 raise ValueError(f"{name} needs an explicit as_of date")
-            stmt = stmt.format(as_of=as_of)
+            as_of_date = (
+                as_of
+                if isinstance(as_of, _dt.date)
+                else _dt.date.fromisoformat(str(as_of))
+            )
+            stmt = stmt.format(as_of=as_of_date.isoformat())
         return self.spark.sql(stmt)
 
     # --- the stats path (SURVEY §3.2) ---------------------------------

@@ -79,29 +79,28 @@ def asof_join(
         .orderBy(F.col("__ts"), F.col("__is_left"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.withColumn(
-        "__match_ts",
-        F.last(F.when(F.col("__is_left") == 0, F.col("__ts")), ignorenulls=True).over(w),
+    # Carry ONE struct holding the whole right row, not per-column
+    # last() calls: independently-carried columns would mix values
+    # from different right rows whenever the latest right row has a
+    # NULL in one column (the emitted combination never existed).
+    right_struct = F.struct(
+        F.col("__ts").alias("__mts"),
+        *[F.col(f"__v_{c}").alias(c) for c in value_cols],
     )
-    for c in value_cols:
-        carried = carried.withColumn(
-            f"__v_{c}",
-            F.last(
-                F.when(F.col("__is_left") == 0, F.col(f"__v_{c}")),
-                ignorenulls=True,
-            ).over(w),
-        )
+    carried = unioned.withColumn(
+        "__m",
+        F.last(
+            F.when(F.col("__is_left") == 0, right_struct), ignorenulls=True
+        ).over(w),
+    )
 
     result = carried.filter(F.col("__is_left") == 1)
     if tolerance is not None:
-        fresh = F.col("__match_ts") >= F.col("__ts") - F.expr(
+        fresh = F.col("__m.__mts") >= F.col("__ts") - F.expr(
             f"INTERVAL {tolerance}"
         )
-        for c in value_cols:
-            result = result.withColumn(
-                f"__v_{c}", F.when(fresh, F.col(f"__v_{c}"))
-            )
+        result = result.withColumn("__m", F.when(fresh, F.col("__m")))
     return result.select(
         *left.columns,
-        *[F.col(f"__v_{c}").alias(out_cols[c]) for c in value_cols],
+        *[F.col(f"__m.{c}").alias(out_cols[c]) for c in value_cols],
     )

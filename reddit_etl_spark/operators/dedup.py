@@ -95,22 +95,28 @@ def exact_dedup(
     )
 
 
+def hashed_shingles_col(text_col: Column | str, n: int) -> Column:
+    """Distinct 64-bit hashes of the word-n-gram shingles — THE
+    canonical shingle representation shared by the posting index, the
+    shuffle-free size projection, and the candidate verify. Keeping a
+    single definition guarantees those three paths count the same
+    sets (collisions at 2^-64 per pair accepted)."""
+    return F.array_distinct(
+        F.transform(shingles_col(text_col, n), lambda s: F.xxhash64(s))
+    )
+
+
 def _posting(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """Inverted-index rows (id, shingle-hash). Shingles are folded to
-    64-bit xxhash immediately so downstream shuffles carry 16-byte
-    rows, never strings (at 100 TB the posting shuffle is the dominant
-    byte volume; collisions at 2^-64 per pair are accepted).
+    """Inverted-index rows (id, shingle-hash): 16-byte rows, never
+    strings — at 100 TB the posting shuffle is the dominant byte
+    volume.
 
     fan_out runs BEFORE shingling — repartitioning the posting after
     the explode would leave the expensive regex/split work serialized
     in the scan task."""
     return fan_out(df).select(
         F.col(id_col),
-        F.explode(
-            F.array_distinct(
-                F.transform(shingles_col(text_col, n), lambda s: F.xxhash64(s))
-            )
-        ).alias("__sh"),
+        F.explode(hashed_shingles_col(text_col, n)).alias("__sh"),
     )
 
 
@@ -163,10 +169,7 @@ def _verify_candidates_by_arrays(
     posting self-join would re-touch the whole corpus; this touches
     only candidate rows."""
     arrays = fan_out(df).select(
-        F.col(id_col),
-        F.array_distinct(
-            F.transform(shingles_col(text_col, n), lambda s: F.xxhash64(s))
-        ).alias("__arr"),
+        F.col(id_col), hashed_shingles_col(text_col, n).alias("__arr")
     )
     a = arrays.select(F.col(id_col).alias("id_a"), F.col("__arr").alias("__aa"))
     b = arrays.select(F.col(id_col).alias("id_b"), F.col("__arr").alias("__ab"))
@@ -231,13 +234,7 @@ def ngram_jaccard_pairs(
         if max_df is None:
             sizes = fan_out(df).select(
                 F.col(id_col),
-                F.size(
-                    F.array_distinct(
-                        F.transform(
-                            shingles_col(text_col, n), lambda s: F.xxhash64(s)
-                        )
-                    )
-                ).alias("__sz"),
+                F.size(hashed_shingles_col(text_col, n)).alias("__sz"),
             )
         return _verify_pairs_by_counts(posting, id_col, threshold, sizes=sizes)
 
@@ -407,7 +404,7 @@ def simhash_signatures(
 
     def _simhash(batches):
         for pdf in batches:
-            out = np.zeros(len(pdf), dtype=np.int64)
+            out = np.zeros(len(pdf), dtype=np.uint64)
             for row_i, hs in enumerate(pdf["__th"]):
                 h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
                 if h.size == 0:
@@ -416,12 +413,17 @@ def simhash_signatures(
                     (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
                 ).astype(np.int32)
                 votes = (2 * bits - 1).sum(axis=0)
-                out[row_i] = np.int64(
-                    np.uint64(
-                        sum(np.uint64(1) << np.uint64(j) for j in range(64) if votes[j] > 0)
-                    )
-                )
-            yield pd.DataFrame({"__sid": pdf["__sid"], "simhash": out})
+                # accumulate in uint64 throughout: a Python-int sum
+                # would promote to float64 and destroy the low bits
+                sig = np.uint64(0)
+                one = np.uint64(1)
+                for j in np.nonzero(votes > 0)[0]:
+                    sig |= one << np.uint64(j)
+                out[row_i] = sig
+            # reinterpret the u64 bit pattern as i64 (LongType)
+            yield pd.DataFrame(
+                {"__sid": pdf["__sid"], "simhash": out.view(np.int64)}
+            )
 
     return hashed.mapInPandas(_simhash, schema=_SIMHASH_SCHEMA).withColumnRenamed(
         "__sid", id_col

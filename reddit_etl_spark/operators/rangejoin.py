@@ -39,6 +39,13 @@ def interval_join(
     width_s = int(pd.Timedelta(bucket).total_seconds())
     if width_s <= 0:
         raise ValueError(f"bucket must be a positive duration, got {bucket!r}")
+    # synthetic row id: the left-outer anti-join must identify matched
+    # point ROWS, and equality over the natural columns both misfires
+    # on NULLs (NULL = NULL is not true) and conflates duplicate rows.
+    # monotonically_increasing_id derives from (partition, position) —
+    # stable across the two subtree recomputations because the source
+    # scan's partitioning and row order are plan-determined.
+    points = points.withColumn("__pid", F.monotonically_increasing_id())
     p = points.withColumn(
         "__bk", F.floor(F.unix_timestamp(F.col(point_ts)) / width_s)
     )
@@ -60,18 +67,16 @@ def interval_join(
         *[i[c] for c in intervals.columns if c not in (*keys, "__bk")],
     )
     if how == "inner":
-        return picked
+        return picked.drop("__pid")
     if how == "left":
         matched = picked
         missing = points.join(
-            picked.select(*[F.col(c) for c in points.columns]).distinct(),
-            points.columns,
-            "left_anti",
+            picked.select("__pid").distinct(), "__pid", "left_anti"
         )
         for c in intervals.columns:
             if c not in (*keys, "__bk") and c not in points.columns:
                 missing = missing.withColumn(
                     c, F.lit(None).cast(intervals.schema[c].dataType)
                 )
-        return matched.unionByName(missing)
+        return matched.unionByName(missing).drop("__pid")
     raise ValueError("how must be 'inner' or 'left'")

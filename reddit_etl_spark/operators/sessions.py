@@ -142,17 +142,27 @@ def streaming_session_stats(
             )
             return
 
-        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        chunks = list(pdfs)
+        rows = (
+            pd.concat(chunks).sort_values(ts_col)
+            if chunks
+            else pd.DataFrame(columns=[ts_col, value_col])
+        )
         ts_ms = (rows[ts_col].astype("int64") // 1_000_000).to_numpy()
         vals = rows[value_col].to_numpy()
+        if len(ts_ms) == 0:
+            # empty non-timeout delivery: keep state + timeout as-is
+            if state.exists:
+                start_ms, end_ms, n, total = state.get
+                state.update((start_ms, end_ms, n, total))
+                state.setTimeoutTimestamp(end_ms + gap_ms)
+            return
 
         if state.exists:
             start_ms, end_ms, n, total = state.get
         else:
             start_ms = end_ms = int(ts_ms[0])
             n, total = 0, 0.0
-            if len(ts_ms):
-                start_ms = end_ms = int(ts_ms[0])
 
         closed = []
         for t, v in zip(ts_ms, vals):

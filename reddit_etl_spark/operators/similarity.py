@@ -89,6 +89,26 @@ def _hyperplanes(dim: int, bits: int, tables: int, seed: int) -> np.ndarray:
     return rng.normal(size=(tables, bits, dim))
 
 
+def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Vector dimensionality from the first non-null vector; None when
+    the frame is empty (callers return an empty result instead of
+    crashing — the engine's P10 empty-input discipline)."""
+    row = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    return None if row is None else len(row[0])
+
+
+def _empty_pairs(df: DataFrame, id_col: str, a: str, b: str, sim: str) -> DataFrame:
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    t = df.schema[id_col].dataType
+    return df.sparkSession.createDataFrame(
+        [],
+        StructType(
+            [StructField(a, t), StructField(b, t), StructField(sim, DoubleType())]
+        ),
+    )
+
+
 def sign_buckets_udf(planes: np.ndarray):
     """Arrow-batched bucket assignment: one array<long> of per-table
     bucket ids per vector. The sign pattern of (batch x dim) @
@@ -136,7 +156,11 @@ def lsh_topk(
     while recall rises steeply for moderate-cosine neighbors. Defaults
     (6 bits x 8 tables x 1-probe) target ~0.85+ recall at cosine ~0.3;
     raise ``bits`` at larger corpus sizes to keep buckets small."""
-    dim = len(corpus.select(vec_col).first()[0])
+    dim = _probe_dim(corpus, vec_col)
+    if dim is None:
+        return _empty_pairs(
+            corpus, id_col, "query_id", "neighbor_id", "cosine_sim"
+        )
     planes = _hyperplanes(dim, bits, tables, seed)
     assign = sign_buckets_udf(planes)
 
@@ -242,10 +266,13 @@ def ivf_topk(
 
     sample_rows = (
         corpus.select(F.col(id_col).alias("__cid"), _as_double(vec_col).alias("__cv"))
+        .filter(F.col("__cv").isNotNull())
         .orderBy(F.xxhash64(F.col("__cid").cast("string"), F.lit(seed)))
         .limit(max(10_000, n_centroids))
         .collect()
     )
+    if not sample_rows:
+        return _empty_pairs(corpus, id_col, "query_id", "neighbor_id", "cosine_sim")
     sample = np.array([r["__cv"] for r in sample_rows], dtype=np.float64)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     cents = _spherical_kmeans(sample, n_centroids, seed)
@@ -298,7 +325,9 @@ def cosine_neardup_pairs(
     exact re-score. Recall rises with ``tables``; precision is exact
     (threshold applied to true cosine). Emits (id_a, id_b, cosine_sim)
     with id_a < id_b."""
-    dim = len(df.select(vec_col).first()[0])
+    dim = _probe_dim(df, vec_col)
+    if dim is None:
+        return _empty_pairs(df, id_col, "id_a", "id_b", "cosine_sim")
     planes = _hyperplanes(dim, bits, tables, seed)
     assign = sign_buckets_udf(planes)
     banded = (

@@ -37,7 +37,14 @@ def salted_join(
     Replication multiplies ``other``'s shuffle volume by ``salt`` —
     the right trade when ``other`` is the smaller side but too big to
     broadcast and the skewed side has straggler keys. Result equals
-    the plain join exactly (salt columns are internal)."""
+    the plain join exactly (salt columns are internal).
+
+    Only ``inner``/``left``(-outer) are supported: a right/full outer
+    would emit each unmatched ``other`` row once per salt replica."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got how={how!r}"
+        )
     keys = list(on)
     salted = skewed.withColumn(
         "__salt", (F.rand(seed=0) * salt).cast("int")

@@ -52,8 +52,13 @@ def punct_count_col(text: Column | str) -> Column:
 
 
 def marker_count_col(text: Column | str, words: list[str]) -> Column:
-    """Occurrences of any marker word (word-boundary matched)."""
-    pat = r"\b(" + "|".join(words) + r")\b"
+    """Occurrences of any marker word, not embedded in a longer word.
+    Words are quoted with \\Q...\\E so regex metacharacters in a
+    caller's word list match literally; the boundaries are word-char
+    lookarounds rather than \\b, which fails for tokens ending in
+    non-word characters (e.g. 'c++' followed by a space)."""
+    quoted = [f"\\Q{w}\\E" for w in words]
+    pat = r"(?<!\w)(" + "|".join(quoted) + r")(?!\w)"
     return F.regexp_count(F.lower(_col(text)), F.lit(pat)).cast("long")
 
 

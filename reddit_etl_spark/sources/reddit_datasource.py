@@ -135,16 +135,26 @@ class RedditStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {s: "1970-01-01T00:00:00" for s in self._batch._subreddits}
 
+    @staticmethod
+    def _as_utc(ts: dt.datetime) -> dt.datetime:
+        # connectors may yield naive (mock JSON) or aware (PRAW, which
+        # pins UTC) timestamps; comparisons need one convention
+        if ts.tzinfo is None:
+            return ts.replace(tzinfo=dt.timezone.utc)
+        return ts.astimezone(dt.timezone.utc)
+
     def _fetch_newer(self, start: dict) -> tuple[list[tuple], dict]:
         source = self._batch._connector()
         rows, end = [], dict(start)
         for sub in self._batch._subreddits:
-            mark = dt.datetime.fromisoformat(start.get(sub, "1970-01-01T00:00:00"))
+            mark = self._as_utc(
+                dt.datetime.fromisoformat(start.get(sub, "1970-01-01T00:00:00"))
+            )
             newest = mark
             for rec in source.fetch_posts(
                 sub, limit=self._batch._limit, sort_type="new"
             ):
-                ts = rec["created_utc"]
+                ts = self._as_utc(rec["created_utc"])
                 if ts > mark:
                     rows.append(tuple(rec.get(n) for n in self._fields))
                     newest = max(newest, ts)
