@@ -147,21 +147,25 @@ def q02_top_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(hour(ts) AS BIGINT) AS event_hour,
            CAST(COUNT(*) AS BIGINT) AS event_count,
-           ROUND(AVG(value), 6)     AS avg_value
+           ROUND(ROUND(SUM(value), 6) / COUNT(*), 6) AS avg_value
     FROM events GROUP BY 1
     """,
     doc="q03 shape: groupBy derived hour (analysis.sql:34-42)",
 )
 def q03_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = (
+    # avg via the rounded sum — see events_windowed_q for why
+    return (
         load_events(spark, sf_dir)
         .groupBy(F.hour("ts").cast("long").alias("event_hour"))
         .agg(
             F.count("*").alias("event_count"),
-            F.avg("value").alias("avg_value"),
+            F.sum("value").alias("__tv"),
         )
+        .withColumn(
+            "avg_value", F.round(F.round("__tv", 6) / F.col("event_count"), 6)
+        )
+        .drop("__tv")
     )
-    return round6(df, "avg_value")
 
 
 @_q(
@@ -811,7 +815,7 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            CAST(COUNT(*) AS BIGINT) AS event_count,
            ROUND(SUM(value), 6) AS total_value,
-           ROUND(AVG(value), 6) AS avg_value
+           ROUND(ROUND(SUM(value), 6) / COUNT(*), 6) AS avg_value
     FROM events GROUP BY 1, 2
     """,
     doc="1-hour tumbling-window rollup over the event stream table — the "
@@ -829,10 +833,18 @@ def events_windowed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("event_count"),
             F.sum("value").alias("total_value"),
-            F.avg("value").alias("avg_value"),
+        )
+        # avg derived from the ROUNDED sum: summation order differs
+        # between engines by ulps, and a raw AVG can land exactly on a
+        # 6-decimal rounding boundary (observed at sf0.1: .4728125);
+        # rounding the sum first (inputs have 2 decimals — ulp noise
+        # is 13 orders below the boundary) makes the division
+        # bit-identical on both sides
+        .withColumn(
+            "avg_value", F.round(F.round("total_value", 6) / F.col("event_count"), 6)
         )
     )
-    return round6(df, "total_value", "avg_value")
+    return round6(df, "total_value")
 
 
 @_q(
