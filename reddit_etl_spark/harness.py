@@ -55,6 +55,20 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stable_avg(c) -> "F.Column":
+    """Order-independent average for 2-decimal-valued columns:
+    round(round(sum, 6) / count, 6). Raw AVG is summation-order
+    dependent by ulps, and sums of 2-decimal values divided by
+    power-of-two counts land EXACTLY on 6-decimal rounding boundaries
+    (sum/32 ends in ...5 at the 7th digit whenever the cent total is
+    odd) — so Spark and an oracle can legitimately round opposite
+    ways. Rounding the sum first snaps both engines to the same
+    double before the division. Integer-summed averages don't need
+    this (integer sums are exact in double below 2^53)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.round(F.round(F.sum(col), 6) / F.count(col), 6)
+
+
 def round6(df: DataFrame, *cols: str) -> DataFrame:
     """Canonical 6-decimal quantization of order-dependent float
     aggregates (avg/sum of doubles, stddev, corr). Spark's partial
@@ -101,7 +115,7 @@ def registry() -> dict[str, HarnessQuery]:
     """
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS total_orders,
-           ROUND(AVG(o_totalprice), 6) AS avg_price,
+           ROUND(ROUND(SUM(o_totalprice), 6) / COUNT(o_totalprice), 6) AS avg_price,
            AVG(o_custkey)           AS avg_custkey,
            MAX(o_totalprice)        AS max_price,
            MIN(o_totalprice)        AS min_price
@@ -113,12 +127,12 @@ def registry() -> dict[str, HarnessQuery]:
 def q01_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
         F.count("*").alias("total_orders"),
-        F.avg("o_totalprice").alias("avg_price"),
+        stable_avg("o_totalprice").alias("avg_price"),
         F.avg("o_custkey").alias("avg_custkey"),
         F.max("o_totalprice").alias("max_price"),
         F.min("o_totalprice").alias("min_price"),
     )
-    return round6(df, "avg_price")
+    return df
 
 
 @_q(
@@ -178,7 +192,7 @@ def q03_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN 4 THEN 'Friday' WHEN 5 THEN 'Saturday'
                 WHEN 6 THEN 'Sunday' END AS day_name,
            CAST(COUNT(*) AS BIGINT) AS order_count,
-           ROUND(AVG(o_totalprice), 6) AS avg_price
+           ROUND(ROUND(SUM(o_totalprice), 6) / COUNT(o_totalprice), 6) AS avg_price
     FROM orders GROUP BY 1, 2
     """,
     doc="q04 shape: weekday groupBy + CASE name decode, Monday=0 "
@@ -192,12 +206,12 @@ def q04_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.weekday("o_orderdate").cast("long").alias("day_of_week"))
         .agg(
             F.count("*").alias("order_count"),
-            F.avg("o_totalprice").alias("avg_price"),
+            stable_avg("o_totalprice").alias("avg_price"),
         )
         .withColumn("day_name", day_name_col("day_of_week"))
         .select("day_of_week", "day_name", "order_count", "avg_price")
     )
-    return round6(df, "avg_price")
+    return df
 
 
 @_q(
@@ -205,7 +219,7 @@ def q04_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_name,
            CAST(COUNT(*) AS BIGINT) AS order_count,
-           ROUND(AVG(o_totalprice), 6) AS avg_price,
+           ROUND(ROUND(SUM(o_totalprice), 6) / COUNT(o_totalprice), 6) AS avg_price,
            ROUND(SUM(o_totalprice), 6) AS total_spent
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY c_name
@@ -226,14 +240,14 @@ def q05_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_name")
         .agg(
             F.count("*").alias("order_count"),
-            F.avg("o_totalprice").alias("avg_price"),
-            F.sum("o_totalprice").alias("total_spent"),
+            stable_avg("o_totalprice").alias("avg_price"),
+            F.round(F.sum("o_totalprice"), 6).alias("total_spent"),
         )
         .filter(F.col("order_count") > 1)
         .orderBy(F.desc("order_count"), F.desc("total_spent"), F.asc("c_name"))
         .limit(20)
     )
-    return round6(df, "avg_price", "total_spent")
+    return df
 
 
 @_q(
@@ -270,8 +284,8 @@ def q06_flag_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            CAST(COUNT(*) AS BIGINT) AS item_count,
-           ROUND(AVG(l_discount), 6) AS avg_discount,
-           ROUND(AVG(l_tax), 6)      AS avg_tax
+           ROUND(ROUND(SUM(l_discount), 6) / COUNT(l_discount), 6) AS avg_discount,
+           ROUND(ROUND(SUM(l_tax), 6) / COUNT(l_tax), 6) AS avg_tax
     FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
     doc="q07 shape: 2-key groupBy + avgs (analysis.sql:86-95)",
@@ -281,10 +295,10 @@ def q07_two_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "l_linestatus"
     ).agg(
         F.count("*").alias("item_count"),
-        F.avg("l_discount").alias("avg_discount"),
-        F.avg("l_tax").alias("avg_tax"),
+        stable_avg("l_discount").alias("avg_discount"),
+        stable_avg("l_tax").alias("avg_tax"),
     )
-    return round6(df, "avg_discount", "avg_tax")
+    return df
 
 
 @_q(
@@ -292,7 +306,7 @@ def q07_two_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment,
            CAST(COUNT(o_orderkey) AS BIGINT)           AS total_orders,
-           ROUND(AVG(o_totalprice), 6)                 AS avg_order_value,
+           ROUND(ROUND(SUM(o_totalprice), 6) / COUNT(o_totalprice), 6) AS avg_order_value,
            CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS unique_priorities
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_mktsegment
@@ -309,11 +323,11 @@ def q08_left_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("o_orderkey").alias("total_orders"),
-            F.avg("o_totalprice").alias("avg_order_value"),
+            stable_avg("o_totalprice").alias("avg_order_value"),
             F.countDistinct("o_orderpriority").alias("unique_priorities"),
         )
     )
-    return round6(df, "avg_order_value")
+    return df
 
 
 @_q(
@@ -321,7 +335,7 @@ def q08_left_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment, c_name,
            CAST(COUNT(o_orderkey) AS BIGINT) AS order_count,
-           ROUND(AVG(o_totalprice), 6)       AS avg_spend
+           ROUND(ROUND(SUM(o_totalprice), 6) / COUNT(o_totalprice), 6) AS avg_spend
     FROM customer JOIN orders ON c_custkey = o_custkey
     WHERE o_orderstatus <> 'O'
     GROUP BY c_mktsegment, c_name
@@ -340,11 +354,11 @@ def q09_join_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "c_name")
         .agg(
             F.count("o_orderkey").alias("order_count"),
-            F.avg("o_totalprice").alias("avg_spend"),
+            stable_avg("o_totalprice").alias("avg_spend"),
         )
         .filter(F.col("order_count") >= 3)
     )
-    return round6(df, "avg_spend")
+    return df
 
 
 @_q(
@@ -353,7 +367,7 @@ def q09_join_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(o_orderdate AS DATE) AS order_date,
            o_orderpriority,
            CAST(COUNT(*) AS BIGINT)  AS daily_orders,
-           ROUND(AVG(o_totalprice), 6) AS avg_daily_value,
+           ROUND(ROUND(SUM(o_totalprice), 6) / COUNT(o_totalprice), 6) AS avg_daily_value,
            MAX(o_totalprice)         AS max_daily_value
     FROM orders GROUP BY 1, 2
     """,
@@ -367,11 +381,11 @@ def q10_daily_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("daily_orders"),
-            F.avg("o_totalprice").alias("avg_daily_value"),
+            stable_avg("o_totalprice").alias("avg_daily_value"),
             F.max("o_totalprice").alias("max_daily_value"),
         )
     )
-    return round6(df, "avg_daily_value")
+    return df
 
 
 @_q(
@@ -431,7 +445,7 @@ def q12_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT)               AS orders_this_week,
-           ROUND(AVG(o_totalprice), 6)            AS avg_price,
+           ROUND(ROUND(SUM(o_totalprice), 6) / COUNT(o_totalprice), 6) AS avg_price,
            ROUND(stddev_samp(o_totalprice), 6)    AS price_std_dev,
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS unique_customers
     FROM orders
@@ -452,20 +466,20 @@ def q13_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("orders_this_week"),
-            F.avg("o_totalprice").alias("avg_price"),
+            stable_avg("o_totalprice").alias("avg_price"),
             F.stddev("o_totalprice").alias("price_std_dev"),
             F.countDistinct("o_custkey").alias("unique_customers"),
         )
     )
-    return round6(df, "avg_price", "price_std_dev")
+    return round6(df, "price_std_dev")
 
 
 @_q(
     "q14_conditional_quality",
     """
     SELECT l_linestatus,
-           ROUND(AVG(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE NULL END), 6) AS avg_returned_price,
-           ROUND(AVG(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice ELSE NULL END), 6) AS avg_kept_price,
+           ROUND(ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END), 6) / COUNT(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END), 6) AS avg_returned_price,
+           ROUND(ROUND(SUM(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice END), 6) / COUNT(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice END), 6) AS avg_kept_price,
            SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 100.0 / COUNT(*) AS returned_pct
     FROM lineitem GROUP BY l_linestatus
     """,
@@ -476,15 +490,15 @@ def q14_conditional_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     returned = F.col("l_returnflag") == "R"
     df = li.groupBy("l_linestatus").agg(
-        F.avg(F.when(returned, F.col("l_extendedprice"))).alias(
+        stable_avg(F.when(returned, F.col("l_extendedprice"))).alias(
             "avg_returned_price"
         ),
-        F.avg(F.when(~returned, F.col("l_extendedprice"))).alias("avg_kept_price"),
+        stable_avg(F.when(~returned, F.col("l_extendedprice"))).alias("avg_kept_price"),
         (
             F.sum(F.when(returned, 1).otherwise(0)) * 100.0 / F.count("*")
         ).alias("returned_pct"),
     )
-    return round6(df, "avg_returned_price", "avg_kept_price")
+    return df
 
 
 @_q(
