@@ -787,6 +787,70 @@ def text_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "vocab_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents)
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS tf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM toks WHERE term <> ''
+    GROUP BY term
+    ORDER BY tf DESC, term
+    LIMIT 50
+    """,
+    doc="corpus vocabulary top-50 by total term frequency (word-count-at-"
+    "scale): explode -> partial-agg groupBy -> TakeOrderedAndProject; "
+    "deterministic tiebreak on term",
+)
+def vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import vocab_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return vocab_topk(docs, "doc_id", "text", k=50)
+
+
+@_q(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents),
+    doc_tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    term_df AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks WHERE term <> '' GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf,
+             ROUND(t.tf * ln(n.n_docs * 1.0 / d.df), 6) AS tfidf
+      FROM doc_tf t JOIN term_df d USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tf, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+      FROM scored)
+    SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+    doc="per-document top-3 TF-IDF terms: (doc,term,tf) aggregate + "
+    "broadcast (term,df) re-join + windowed top-k; scores quantized "
+    "before ranking so the order is engine-reproducible",
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import tfidf_top_terms
+
+    docs = load(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+@_q(
     "partial_copy_pairs",
     None,  # rolling-hash winnowing; DuckDB lacks xxhash64 — pytest
     # cross-checks fingerprints against a pure-Python reference

@@ -12,7 +12,7 @@ no shuffle, no UDF serialization boundary.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tiny high-frequency marker sets per language for the heuristic
@@ -235,4 +235,81 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         quality_score_col(t).alias("quality_score"),
         lang_id_col(t).alias("lang_guess"),
         fingerprint_col(t).alias("fingerprint"),
+    )
+
+
+def term_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus vocabulary statistics: one row per distinct term with its
+    total frequency (``tf``) and document frequency (``df``) — the
+    canonical word-count-at-scale plan.
+
+    Shape: normalize -> split -> explode -> two-level aggregate. The
+    explode multiplies rows ~tokens-per-doc x, but Spark's partial
+    (map-side) aggregation collapses each partition's term counts
+    BEFORE the shuffle, so the exchange carries at most
+    |vocabulary x partitions| rows, not |tokens|. df is counted
+    distinct-per-doc without a second shuffle by pre-deduplicating
+    (doc, term) inside the same aggregate: COUNT(DISTINCT id) rewrites
+    to a two-phase expand under AQE which is fine here because the
+    grouping key (term) is already the shuffle key."""
+    toks = F.explode(F.split(normalize_text_col(text_col), " ")).alias("term")
+    pairs = df.select(F.col(id_col).alias("__id"), toks).filter(
+        F.length("term") > 0
+    )
+    return pairs.groupBy("term").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.countDistinct("__id").cast("long").alias("df"),
+    )
+
+
+def vocab_topk(df: DataFrame, id_col: str, text_col: str, k: int = 50) -> DataFrame:
+    """Top-k vocabulary terms by total frequency (ties broken by term,
+    so the result is deterministic and oracle-comparable). Plans as
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    return term_stats(df, id_col, text_col).orderBy(
+        F.desc("tf"), F.asc("term")
+    ).limit(k)
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (idf = ln(N / df)).
+
+    Distributed shape: (doc, term, tf) aggregate -> broadcast the
+    (term, df) side back onto it -> per-doc window top-k. The (term,
+    df) table is |vocabulary|-sized — tiny relative to the corpus at
+    any scale — so the re-join is a broadcast, never a shuffle of the
+    corpus. Scores are quantized to 6 decimals BEFORE ranking: two
+    mathematically-equal scores computed via different ln() call trees
+    (e.g. 2*ln(2) vs ln(4)) can differ by ulps and order differently
+    across engines; ranking the rounded score with a term tiebreak
+    makes the top-k reproducible everywhere."""
+    toks = F.explode(F.split(normalize_text_col(text_col), " ")).alias("term")
+    pairs = df.select(F.col(id_col).alias("doc_id"), toks).filter(
+        F.length("term") > 0
+    )
+    doc_tf = pairs.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("__n"))
+    term_df = (
+        pairs.groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term", "df",
+            F.log(F.col("__n") / F.col("df")).alias("__idf"),
+        )
+    )
+    scored = doc_tf.join(F.broadcast(term_df), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(F.col("tf") * F.col("__idf"), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
     )
