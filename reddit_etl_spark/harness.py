@@ -851,6 +851,89 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stratified_sample",
+    """
+    SELECT doc_id, source,
+           CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4) < '6000'
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    WHERE substr(md5(doc_id::VARCHAR), 1, 4) < '8000'
+    """,
+    doc="deterministic 50% sample + 75/25 train/test split from the same "
+    "16 md5 bits — a pure pushed-down filter (no rand(), no shuffle, "
+    "retry- and engine-stable); thresholds are exact k/65536 fractions",
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import deterministic_sample, split_col
+
+    docs = load(spark, sf_dir, "documents")
+    # 0.375/0.5 of the full hash space = 75% train within the 50% sample
+    return deterministic_sample(docs, "doc_id", 0.5).select(
+        "doc_id", "source", split_col("doc_id", 0.375).alias("split")
+    )
+
+
+@_q(
+    "pii_redaction",
+    """
+    WITH synth AS (
+      SELECT doc_id,
+             'contact u' || doc_id::VARCHAR || '@mail-' || source ||
+             '.com call +1-555-867-' ||
+             lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+             CASE WHEN doc_id % 7 = 0 THEN ' ssn 987-65-4321' ELSE '' END ||
+             ' ' || text AS t
+      FROM documents),
+    red AS (
+      SELECT doc_id, t,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'),
+               '\\+?\\d{1,2}[-. ]?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}', '[PHONE]', 'g'),
+               '\\b(?:\\d{1,3}\\.)(?:\\d{1,3}\\.)(?:\\d{1,3}\\.)\\d{1,3}\\b', '[IP]', 'g')
+               AS rt
+      FROM synth)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t,
+             '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(t,
+             '\\+?\\d{1,2}[-. ]?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t,
+             '\\b(?:\\d{1,3}\\.)(?:\\d{1,3}\\.)(?:\\d{1,3}\\.)\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+           substr(sha256(rt), 1, 16) AS redacted_sha
+    FROM red
+    """,
+    doc="PII redaction over synthesized emails/phones/SSNs (documents "
+    "carry no natural PII): sequential RE2-and-Java-safe regexp_replace "
+    "in whole-stage codegen, per-pattern counts on the original text; "
+    "redacted payload pinned by sha256 prefix on both engines",
+)
+def pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import redact_pii
+
+    docs = load(spark, sf_dir, "documents")
+    synth = docs.withColumn(
+        "t",
+        F.concat(
+            F.lit("contact u"), F.col("doc_id").cast("string"),
+            F.lit("@mail-"), F.col("source"), F.lit(".com call +1-555-867-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" ssn 987-65-4321"))
+            .otherwise(F.lit("")),
+            F.lit(" "), F.col("text"),
+        ),
+    )
+    return redact_pii(synth, "t").select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4",
+        F.substring(F.sha2(F.col("redacted_text"), 256), 1, 16).alias(
+            "redacted_sha"
+        ),
+    )
+
+
+@_q(
     "partial_copy_pairs",
     None,  # rolling-hash winnowing; DuckDB lacks xxhash64 — pytest
     # cross-checks fingerprints against a pure-Python reference

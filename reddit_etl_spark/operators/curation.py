@@ -1,0 +1,104 @@
+"""Dataset-curation operators: deterministic sampling, train/test
+splits, and PII redaction — the plumbing a training-data pipeline runs
+between dedup and tokenization.
+
+Design rules for 100 TB:
+
+- Sampling is a *pure filter* on a content-derived hash (md5 of the id),
+  never ``rand()``: the sample is reproducible across runs, engines,
+  partitionings, and retries (a task retry with ``rand()`` silently
+  changes the sample), and it pushes down to the scan — no shuffle, no
+  driver coordination, no state.
+- The hash threshold is expressed on the first 4 hex chars (16 bits), so
+  any fraction k/65536 is exact and the same row set is selected by any
+  engine that computes md5 (portable to the DuckDB oracle verbatim).
+- Redaction is sequential ``regexp_replace`` with RE2-and-Java-compatible
+  patterns (no backreferences, no lookaround) — pure column expressions
+  inside whole-stage codegen; counts are taken on the original text so
+  they are independent of replacement order.
+
+Reference scope note: the reference pipeline (script.py) has no
+sampling/PII stage; this module is part of the training-data extension
+surface (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: pattern name -> (regex, replacement token). Order is the redaction
+#: order; counts are computed per-pattern on the ORIGINAL text.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    "phone": (r"\+?\d{1,2}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}", "[PHONE]"),
+    "ipv4": (r"\b(?:\d{1,3}\.)(?:\d{1,3}\.)(?:\d{1,3}\.)\d{1,3}\b", "[IP]"),
+}
+
+
+def _hash16_col(id_col: Column | str) -> Column:
+    """First 16 bits of md5(id) as a 4-char lowercase hex string.
+    Lexicographic comparison on fixed-width lowercase hex == numeric
+    comparison, so thresholds are plain string literals."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(F.md5(c.cast("string")), 1, 4)
+
+
+def hash_threshold(fraction: float) -> str:
+    """Hex threshold selecting ~``fraction`` of uniformly-hashed ids
+    (exact when fraction*65536 is integral)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return format(min(int(round(fraction * 65536)), 65536), "04x")
+
+
+def deterministic_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    strata_col: str | None = None,
+    fractions: dict[str, float] | None = None,
+) -> DataFrame:
+    """Reproducible sample: keep rows whose md5(id) prefix falls below
+    the fraction threshold. With ``strata_col``/``fractions``, each
+    stratum gets its own rate (default ``fraction``) — stratified
+    sampling as a single CASE-gated filter, still shuffle-free."""
+    h = _hash16_col(id_col)
+    if strata_col is None or not fractions:
+        return df.filter(h < hash_threshold(fraction))
+    expr = F.lit(hash_threshold(fraction))
+    for stratum, frac in sorted(fractions.items()):
+        expr = F.when(
+            F.col(strata_col) == stratum, F.lit(hash_threshold(frac))
+        ).otherwise(expr)
+    return df.filter(h < expr)
+
+
+def split_col(id_col: Column | str, train_fraction: float = 0.9) -> Column:
+    """Deterministic train/test tag from the same id hash. Disjoint
+    with any ``deterministic_sample`` threshold arithmetic because both
+    read the same 16 hash bits."""
+    return F.when(
+        _hash16_col(id_col) < hash_threshold(train_fraction), "train"
+    ).otherwise(F.lit("test"))
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    patterns: dict[str, tuple[str, str]] | None = None,
+    out_col: str = "redacted_text",
+) -> DataFrame:
+    """Add ``out_col`` with all PII patterns replaced and one
+    ``n_<name>`` count column per pattern (counted on the original
+    text). Sequential regexp_replace stays inside whole-stage codegen —
+    no UDF, no shuffle; at scale this is a pure map over the scan."""
+    pats = patterns or PII_PATTERNS
+    t = F.col(text_col)
+    red = t
+    counts = {}
+    for name, (rx, token) in pats.items():
+        counts[f"n_{name}"] = F.regexp_count(t, F.lit(rx)).cast("long")
+        red = F.regexp_replace(red, rx, token)
+    return df.withColumns(counts).withColumn(out_col, red)
