@@ -934,6 +934,35 @@ def pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "decontaminate",
+    """
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      FROM documents),
+    toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(t) - 4, 1) + 1),
+             i -> array_to_string(t[i:i+4], ' ')))) AS s FROM toks),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 23 = 0)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_contaminated_grams
+    FROM sh WHERE s IN (SELECT s FROM bench)
+    GROUP BY doc_id
+    """,
+    doc="benchmark decontamination: docs sharing any word-5-gram with the "
+    "benchmark subset (doc_id%23=0 stands in for an eval suite); distinct "
+    "benchmark grams broadcast, corpus probed map-side — zero corpus "
+    "shuffle",
+)
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    return decontaminate(docs, bench, "doc_id", "text", n=5)
+
+
+@_q(
     "partial_copy_pairs",
     None,  # rolling-hash winnowing; DuckDB lacks xxhash64 — pytest
     # cross-checks fingerprints against a pure-Python reference
@@ -1325,3 +1354,109 @@ def topk_global_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(50)
     )
+
+
+@_q(
+    "group_percentiles",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="EXACT per-group percentiles (linear interpolation, matching "
+    "DuckDB quantile_cont) — the exact complement to the GK approx-"
+    "quantile sketch in operators/sketch.py; at 100 TB prefer the "
+    "sketch, audit with this",
+)
+def group_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "lineitem")
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.percentile("l_extendedprice", 0.25), 6).alias("p25"),
+            F.round(F.percentile("l_extendedprice", 0.50), 6).alias("p50"),
+            F.round(F.percentile("l_extendedprice", 0.75), 6).alias("p75"),
+        )
+    )
+
+
+@_q(
+    "ntile_quartiles",
+    """
+    WITH tiled AS (
+      SELECT o_orderpriority, o_totalprice,
+             ntile(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders)
+    SELECT o_orderpriority, CAST(quartile AS BIGINT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM tiled GROUP BY o_orderpriority, quartile
+    """,
+    doc="ntile(4) cohort bucketing per priority (deterministic via total "
+    "tiebreak on o_orderkey) + per-bucket stats — the W-family operator "
+    "the 15-query surface lacks (RANK/argmax are covered by q15/q02)",
+)
+def ntile_quartiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        df.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@_q(
+    "neardup_components",
+    """
+    WITH RECURSIVE norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      FROM documents),
+    toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(t[i:i+2], ' ')))) AS s FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5),
+    reach(n, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT reach.n, e.b FROM reach JOIN edges e ON reach.r = e.a)
+    SELECT n AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+    FROM reach GROUP BY n
+    """,
+    doc="near-dup CLUSTERS from exact Jaccard>=0.5 pairs via iterative "
+    "min-label propagation (diameter-bounded rounds, (node,label)-only "
+    "shuffles, localCheckpoint lineage truncation); oracle = transitive "
+    "closure by recursive CTE",
+)
+def neardup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    comps = connected_components(pairs, "id_a", "id_b")
+    return comps.select(F.col("node").alias("doc_id"), "component")

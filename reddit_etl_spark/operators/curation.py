@@ -102,3 +102,37 @@ def redact_pii(
         counts[f"n_{name}"] = F.regexp_count(t, F.lit(rx)).cast("long")
         red = F.regexp_replace(red, rx, token)
     return df.withColumns(counts).withColumn(out_col, red)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: for each document, count its distinct
+    word ``n``-grams that also appear anywhere in the ``benchmark``
+    corpus (eval/test sets that must not leak into training data).
+    Returns (id, n_contaminated_grams) for contaminated docs only;
+    anti-join the result against the corpus to drop them.
+
+    Scale shape: the benchmark side collapses to DISTINCT n-grams —
+    eval suites are tiny relative to a 100 TB corpus — and is
+    broadcast, so the corpus side is a single scan + explode with a
+    map-side hash-join probe: no shuffle of corpus data at all. If the
+    benchmark outgrows broadcast size, drop the hint and the same plan
+    becomes a shuffle join on the gram key."""
+    from .dedup import shingles_col
+
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(shingles_col(text_col, n)).alias("__gram")
+    )
+    bench_grams = benchmark.select(
+        F.explode(shingles_col(text_col, n)).alias("__gram")
+    ).distinct()
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "__gram")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_contaminated_grams"))
+    )
