@@ -1460,3 +1460,130 @@ def neardup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     comps = connected_components(pairs, "id_a", "id_b")
     return comps.select(F.col("node").alias("doc_id"), "component")
+
+
+@_q(
+    "funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+        AND e.ts <= v.t1 + INTERVAL 24 HOURS
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        AND e.ts <= c.t2 + INTERVAL 24 HOURS
+      GROUP BY e.user_id),
+    lags AS (
+      SELECT c.user_id,
+             epoch_us(c.t2) - epoch_us(v.t1) AS lag2,
+             epoch_us(p.t3) - epoch_us(c.t2) AS lag3
+      FROM v JOIN c ON v.user_id = c.user_id
+      LEFT JOIN p ON c.user_id = p.user_id)
+    SELECT * FROM (
+      SELECT 1 AS step, 'view' AS event, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(NULL AS DOUBLE) AS avg_lag_us FROM v
+      UNION ALL
+      SELECT 2, 'click', CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(lag2) * 1.0 / COUNT(lag2), 6) FROM lags
+      UNION ALL
+      SELECT 3, 'purchase', CAST(COUNT(t3) AS BIGINT),
+             ROUND(SUM(lag3) * 1.0 / COUNT(lag3), 6) FROM lags LEFT JOIN p
+             ON lags.user_id = p.user_id WHERE t3 IS NOT NULL)
+    """,
+    doc="3-step ordered funnel (view -> click -> purchase, each within "
+    "24h of the prior step): per-step min-timestamp aggregates chained "
+    "by user-key joins; lags in exact integer microseconds so the "
+    "averages are summation-order-independent",
+)
+def funnel_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.join(v, "user_id")
+        .filter(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    lags = (
+        v.join(c, "user_id")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            (F.unix_micros("t2") - F.unix_micros("t1")).alias("lag2"),
+            (F.unix_micros("t3") - F.unix_micros("t2")).alias("lag3"),
+        )
+    )
+    s1 = v.agg(
+        F.lit(1).alias("step"), F.lit("view").alias("event"),
+        F.count("*").alias("n_users"),
+        F.lit(None).cast("double").alias("avg_lag_us"),
+    )
+    s2 = lags.agg(
+        F.lit(2).alias("step"), F.lit("click").alias("event"),
+        F.count("*").alias("n_users"),
+        F.round(F.sum("lag2") / F.count("lag2"), 6).alias("avg_lag_us"),
+    )
+    s3 = lags.filter(F.col("lag3").isNotNull()).agg(
+        F.lit(3).alias("step"), F.lit("purchase").alias("event"),
+        F.count("*").alias("n_users"),
+        F.round(F.sum("lag3") / F.count("lag3"), 6).alias("avg_lag_us"),
+    )
+    return s1.unionByName(s2).unionByName(s3)
+
+
+@_q(
+    "retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+      FROM events GROUP BY user_id),
+    active AS (
+      SELECT DISTINCT e.user_id, f.cohort_date,
+             date_diff('day', f.cohort_date, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT cohort_date, CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM active WHERE day_offset <= 7
+    GROUP BY cohort_date, day_offset
+    """,
+    doc="cohort retention matrix: first-seen date per user, distinct "
+    "active (user, day-offset) pairs, counts per (cohort, offset<=7); "
+    "one user-key shuffle reused by both aggregates",
+)
+def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    active = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id", "cohort_date",
+            F.datediff("d", "cohort_date").alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= 7)
+        .distinct()
+    )
+    return active.groupBy("cohort_date", F.col("day_offset").cast("long").alias("day_offset")).agg(
+        F.count("*").alias("n_users")
+    )

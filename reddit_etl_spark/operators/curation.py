@@ -124,8 +124,11 @@ def decontaminate(
     benchmark outgrows broadcast size, drop the hint and the same plan
     becomes a shuffle join on the gram key."""
     from .dedup import shingles_col
+    from .util import fan_out
 
-    doc_grams = docs.select(
+    # fan_out BEFORE shingling: a single-row-group input would otherwise
+    # run the CPU-heavy gram expansion on one core (see dedup.py)
+    doc_grams = fan_out(docs).select(
         F.col(id_col), F.explode(shingles_col(text_col, n)).alias("__gram")
     )
     bench_grams = benchmark.select(
