@@ -1587,3 +1587,40 @@ def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active.groupBy("cohort_date", F.col("day_offset").cast("long").alias("day_offset")).agg(
         F.count("*").alias("n_users")
     )
+
+
+@_q(
+    "pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS tokens
+      FROM documents),
+    b AS (
+      SELECT source, tokens,
+             CAST(floor(COALESCE(SUM(tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 500) AS BIGINT) AS bin
+      FROM t)
+    SELECT source, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS total_tokens
+    FROM b GROUP BY source, bin
+    """,
+    doc="next-fit sequence packing into 500-token training bins, "
+    "parallel per source shard (window cumsum, no sequential loop); "
+    "output is the per-bin fill profile",
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import pack_sequences
+    from .operators.text import token_count_col
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "tokens", token_count_col("text")
+    )
+    packed = pack_sequences(docs, "doc_id", "tokens", 500, "source")
+    return packed.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tokens").cast("long").alias("total_tokens"),
+    )

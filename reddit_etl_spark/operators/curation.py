@@ -139,3 +139,43 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count("*").cast("long").alias("n_contaminated_grams"))
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    group_col: str,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Next-fit sequence packing: assign documents to fixed-token-budget
+    bins (training shards / context windows) in a deterministic order.
+
+    Bin id = floor(exclusive-running-token-sum / budget) within each
+    ``group_col`` partition — i.e. a document opens a new bin when the
+    bin it would join has already reached the budget (the straddling
+    document CLOSES its bin, so bins can overshoot by at most one
+    document; that next-fit-with-overflow rule is what makes packing a
+    pure window expression instead of a sequential loop).
+
+    Scale shape: one hash-partition + in-partition sort per group — the
+    same cost as any windowed aggregate. Packing is parallel across
+    groups (shard corpora by domain/source; a single global pack order
+    would serialize on one partition, which is exactly what training
+    pipelines avoid by sharding first)."""
+    from pyspark.sql import Window
+
+    order = order_col or id_col
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(token_col),
+        F.floor(prior / budget).cast("long").alias("bin"),
+    )

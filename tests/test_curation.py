@@ -95,3 +95,55 @@ def test_patterns_are_re2_safe():
     # no backreferences / lookaround (so the DuckDB RE2 oracle accepts them)
     for rx, _ in PII_PATTERNS.values():
         assert "(?=" not in rx and "(?<" not in rx and "\\1" not in rx
+
+
+def _py_next_fit(rows, budget):
+    """Pure-python reference for the next-fit-with-overflow rule."""
+    out = {}
+    by_group = {}
+    for rid, grp, tok in sorted(rows, key=lambda r: (r[1], r[0])):
+        prior = by_group.get(grp, 0)
+        out[rid] = prior // budget
+        by_group[grp] = prior + tok
+    return out
+
+
+def test_pack_sequences_hand_example(spark):
+    rows = [(1, "g", 200), (2, "g", 200), (3, "g", 200), (4, "g", 990),
+            (5, "g", 10)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, tokens long")
+    from reddit_etl_spark.operators.curation import pack_sequences
+
+    got = {r["doc_id"]: r["bin"] for r in
+           pack_sequences(df, "doc_id", "tokens", 500, "grp").collect()}
+    # priors: 0,200,400,600,1590 -> bins 0,0,0,1,3 (bin 2 skipped by the
+    # 990-token doc straddling two boundaries)
+    assert got == {1: 0, 2: 0, 3: 0, 4: 1, 5: 3}
+    assert got == _py_next_fit(rows, 500)
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, f"g{rng.randrange(4)}", rng.randrange(1, 700))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, tokens long")
+    from reddit_etl_spark.operators.curation import pack_sequences
+
+    got = {r["doc_id"]: r["bin"] for r in
+           pack_sequences(df, "doc_id", "tokens", 1000, "grp").collect()}
+    assert got == _py_next_fit(rows, 1000)
+
+
+def test_pack_sequences_single_shuffle(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.lit(100).alias("tokens"),
+    )
+    from reddit_etl_spark.operators.curation import pack_sequences
+
+    plan = pack_sequences(df, "doc_id", "tokens", 500, "grp") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
