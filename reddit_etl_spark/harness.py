@@ -1624,3 +1624,120 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("tokens").cast("long").alias("total_tokens"),
     )
+
+
+@_q(
+    "repetition_profile",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS l
+      FROM documents),
+    grams AS (
+      SELECT doc_id, l,
+             list_transform(range(1, greatest(len(l) - 1, 1) + 1),
+               i -> array_to_string(l[i:i+1], ' ')) AS bg,
+             list_transform(range(1, greatest(len(l) - 2, 1) + 1),
+               i -> array_to_string(l[i:i+2], ' ')) AS tg
+      FROM base),
+    stats AS (
+      SELECT doc_id,
+             CAST(len(l) AS BIGINT) AS n_tokens,
+             ROUND(1.0 - len(list_distinct(l)) * 1.0 / len(l), 6)
+               AS dup_unigram_frac,
+             ROUND(list_max(list_transform(list_distinct(bg),
+                     d -> len(list_filter(bg, x -> x = d)))) * 1.0 / len(bg), 6)
+               AS top_bigram_frac,
+             ROUND(1.0 - len(list_distinct(tg)) * 1.0 / len(tg), 6)
+               AS dup_trigram_frac
+      FROM grams)
+    SELECT doc_id, n_tokens, dup_unigram_frac, top_bigram_frac,
+           dup_trigram_frac,
+           (dup_unigram_frac <= 0.6 AND top_bigram_frac <= 0.18
+            AND dup_trigram_frac <= 0.4) AS passes_repetition
+    FROM stats
+    """,
+    doc="Gopher-style within-document repetition filters (dup unigram/"
+    "trigram fraction, top-bigram share): per-row higher-order array "
+    "functions, zero explode, zero shuffle — embarrassingly parallel "
+    "over the scan",
+)
+def repetition_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import repetition_profile
+
+    docs = load(spark, sf_dir, "documents")
+    return repetition_profile(docs, "doc_id", "text")
+
+
+@_q(
+    "boilerplate_fraction",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS l
+      FROM base_docs),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(l) - 2, 1) + 1),
+               i -> array_to_string(l[i:i+2], ' '))) AS grams
+      FROM base),
+    g AS (
+      SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM sh),
+    bp AS (
+      SELECT gram, 1 AS is_bp
+      FROM (SELECT gram, COUNT(*) AS doc_freq FROM g GROUP BY gram)
+      WHERE doc_freq >= 3)
+    SELECT g.doc_id,
+           CAST(MAX(g.n_grams) AS BIGINT) AS n_grams,
+           CAST(COALESCE(SUM(bp.is_bp), 0) AS BIGINT) AS n_boilerplate,
+           ROUND(COALESCE(SUM(bp.is_bp), 0) * 1.0 / MAX(g.n_grams), 6)
+             AS boilerplate_frac
+    FROM g LEFT JOIN bp ON g.gram = bp.gram
+    GROUP BY g.doc_id
+    """.replace("base_docs", "documents"),
+    doc="per-document boilerplate contamination: corpus 3-grams present "
+    "in >=3 docs (distinct-per-doc explode -> partial-agg count) "
+    "broadcast back against each document's gram set; two scans, no "
+    "corpus shuffle in the probe pass",
+)
+def boilerplate_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import boilerplate_fraction
+
+    docs = load(spark, sf_dir, "documents")
+    return boilerplate_fraction(docs, "doc_id", "text", n=3, min_docs=3)
+
+
+@_q(
+    "mixture_weights",
+    """
+    WITH t AS (
+      SELECT source,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                  AS BIGINT) AS tokens
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT source, tokens,
+             ROUND(pow(tokens, 0.7)
+                   / SUM(pow(tokens, 0.7)) OVER (), 6) AS weight
+      FROM t)
+    SELECT source, tokens, weight,
+           ROUND(1000000 * weight / tokens, 6) AS epochs
+    FROM w
+    """,
+    doc="temperature-scaled training-mixture weights per source "
+    "(w = tokens^0.7 / sum tokens^0.7) + implied epochs for a 1M-token "
+    "budget: corpus collapses to |sources| rows before the tiny "
+    "single-partition normalizer window",
+)
+def mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import mixture_weights
+    from .operators.text import token_count_col
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "tokens", token_count_col("text")
+    )
+    return mixture_weights(
+        docs, "source", "tokens", temperature=0.7, target_tokens=1_000_000
+    )

@@ -141,6 +141,112 @@ def decontaminate(
     )
 
 
+def boilerplate_grams(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Corpus-level boilerplate n-grams: distinct word n-grams that
+    occur in at least ``min_docs`` distinct documents (navigation
+    chrome, license headers, template text). Because ``shingles_col``
+    is already distinct-per-document, ``COUNT(*)`` after the explode IS
+    the document frequency — no countDistinct expansion needed.
+
+    Scale shape: explode -> partial-agg groupBy(gram); the shuffle
+    carries at most |distinct grams per partition| rows. The result is
+    tiny relative to the corpus (boilerplate is by definition shared),
+    so downstream consumers broadcast it."""
+    from .dedup import shingles_col
+    from .util import fan_out
+
+    grams = fan_out(docs).select(
+        F.explode(shingles_col(text_col, n)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").cast("long").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_docs)
+    )
+
+
+def boilerplate_fraction(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Per-document boilerplate contamination: the fraction of each
+    document's distinct word n-grams that are corpus boilerplate
+    (per ``boilerplate_grams``). High-fraction documents are template
+    spam a curation pipeline drops or down-weights.
+
+    Two passes over the corpus (build the gram set, then probe it) —
+    at 100 TB the first pass's output is persisted once and the probe
+    is a broadcast hash join against the scan, so no corpus data is
+    ever shuffled in the probe pass."""
+    from .dedup import shingles_col
+    from .util import fan_out
+
+    bp = boilerplate_grams(docs, id_col, text_col, n, min_docs).select(
+        "gram", F.lit(1).alias("__bp")
+    )
+    doc_grams = fan_out(docs).select(
+        F.col(id_col),
+        F.size(shingles_col(text_col, n)).cast("long").alias("__n_grams"),
+        F.explode(shingles_col(text_col, n)).alias("gram"),
+    )
+    return (
+        doc_grams.join(F.broadcast(bp), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.first("__n_grams").alias("n_grams"),
+            F.coalesce(F.sum("__bp"), F.lit(0)).cast("long").alias("n_boilerplate"),
+        )
+        .withColumn(
+            "boilerplate_frac",
+            F.round(F.col("n_boilerplate") / F.col("n_grams"), 6),
+        )
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    temperature: float = 0.7,
+    target_tokens: int | None = None,
+) -> DataFrame:
+    """Training-mixture weights per source/domain: temperature-scaled
+    sampling probabilities ``w_s = tokens_s^T / sum_t tokens_t^T``
+    (T=1 is proportional sampling, T->0 uniform — the multilingual/
+    multi-domain rebalancing rule from GPT-3 / XLM-R data recipes).
+    With ``target_tokens`` also emits ``epochs`` = how many passes over
+    each source the target budget implies (epochs > 1 flags sources
+    the schedule would repeat).
+
+    Scale shape: one partial-agg groupBy over the corpus down to
+    |sources| rows, then a single-partition window over that tiny
+    aggregate for the normalizer — the expensive scan happens exactly
+    once and nothing larger than the source list is ever exchanged."""
+    from pyspark.sql import Window
+
+    per_source = df.groupBy(source_col).agg(
+        F.sum(token_col).cast("long").alias("tokens")
+    )
+    raw = F.pow(F.col("tokens"), F.lit(temperature))
+    total = F.sum(raw).over(Window.partitionBy())
+    out = per_source.withColumn("weight", F.round(raw / total, 6))
+    if target_tokens is not None:
+        out = out.withColumn(
+            "epochs",
+            F.round(F.lit(target_tokens) * F.col("weight") / F.col("tokens"), 6),
+        )
+    return out
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

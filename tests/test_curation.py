@@ -147,3 +147,52 @@ def test_pack_sequences_single_shuffle(spark):
     plan = pack_sequences(df, "doc_id", "tokens", 500, "grp") \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_boilerplate_fraction_flags_template_docs(spark):
+    from reddit_etl_spark.operators.curation import boilerplate_fraction
+
+    header = "this site uses cookies"
+    docs = [(i, f"{header} unique words {i} here now") for i in range(4)]
+    docs.append((99, "completely different content with no shared grams"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           boilerplate_fraction(df, "doc_id", "text", n=3, min_docs=3).collect()}
+    # the 4 template docs share the header's two 3-grams
+    for i in range(4):
+        assert got[i]["n_boilerplate"] >= 2
+        assert got[i]["boilerplate_frac"] > 0
+    assert got[99]["n_boilerplate"] == 0
+    assert got[99]["boilerplate_frac"] == 0.0
+
+
+def test_boilerplate_probe_join_is_broadcast(spark):
+    from reddit_etl_spark.operators.curation import boilerplate_fraction
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(8)],
+        "doc_id long, text string",
+    )
+    plan = boilerplate_fraction(df, "doc_id", "text") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mixture_weights_sum_to_one_and_epochs(spark):
+    from reddit_etl_spark.operators.curation import mixture_weights
+
+    df = spark.createDataFrame(
+        [("a", 1000), ("a", 1000), ("b", 100), ("c", 10)],
+        "source string, tokens long",
+    )
+    rows = {r["source"]: r for r in
+            mixture_weights(df, "source", "tokens", temperature=0.7,
+                            target_tokens=10_000).collect()}
+    assert sum(r["weight"] for r in rows.values()) == pytest.approx(1.0, abs=1e-5)
+    # temperature < 1 upweights small sources relative to proportional
+    assert rows["c"]["weight"] > 10 / 2110
+    assert rows["a"]["weight"] < 2000 / 2110
+    # epochs = target * weight / tokens
+    for r in rows.values():
+        assert r["epochs"] == pytest.approx(
+            round(10_000 * r["weight"] / r["tokens"], 6), abs=1e-6)

@@ -58,3 +58,45 @@ def test_tfidf_join_is_broadcast(corpus):
 def test_vocab_topk_plans_take_ordered(corpus):
     plan = vocab_topk(corpus, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_repetition_profile_hand_computed(spark):
+    from reddit_etl_spark.operators.text import repetition_profile
+
+    df = spark.createDataFrame(
+        [
+            # 6 tokens: 'a b a b a b' -> distinct {a,b}; bigrams
+            # [ab,ba,ab,ba,ab] -> top 'a b' 3/5; trigrams
+            # [aba,bab,aba,bab] -> distinct 2/4
+            (1, "a b a b a b"),
+            # all-distinct doc: zero repetition; long enough that the
+            # 1/n_bigrams floor of top_bigram_frac clears the 0.18 gate
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            repetition_profile(df, "doc_id", "text").collect()}
+    r1, r2 = rows[1], rows[2]
+    assert r1["n_tokens"] == 6
+    assert r1["dup_unigram_frac"] == pytest.approx(1 - 2 / 6, abs=1e-6)
+    assert r1["top_bigram_frac"] == pytest.approx(3 / 5, abs=1e-6)
+    assert r1["dup_trigram_frac"] == pytest.approx(1 - 2 / 4, abs=1e-6)
+    assert not r1["passes_repetition"]
+    assert r2["dup_unigram_frac"] == 0.0
+    assert r2["dup_trigram_frac"] == 0.0
+    assert r2["passes_repetition"]
+
+
+def test_repetition_profile_shuffle_free_after_fanout(spark):
+    from reddit_etl_spark.operators.text import repetition_profile
+
+    df = spark.range(64).select(
+        F.col("id").alias("doc_id"), F.lit("w x y z").alias("text")
+    )
+    plan = repetition_profile(df, "doc_id", "text") \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the only exchange allowed is fan_out's round-robin repartition;
+    # the statistics themselves never shuffle
+    assert plan.count("Exchange") <= 1
+    assert "SortAggregate" not in plan and "HashAggregate" not in plan
