@@ -47,10 +47,17 @@ def _hash16_col(id_col: Column | str) -> Column:
 
 def hash_threshold(fraction: float) -> str:
     """Hex threshold selecting ~``fraction`` of uniformly-hashed ids
-    (exact when fraction*65536 is integral)."""
+    (exact when fraction*65536 is integral). At fraction=1.0 the
+    threshold 65536 doesn't fit in 4 hex chars ('10000' is 5 chars and
+    lexicographically SMALLER than most 4-char hashes), so the upper
+    bound is pinned to the sentinel 'g' — above every lowercase hex
+    string — which keeps all rows."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
-    return format(min(int(round(fraction * 65536)), 65536), "04x")
+    t = min(int(round(fraction * 65536)), 65536)
+    if t >= 65536:
+        return "g"  # > 'ffff': strictly above every 4-char hex prefix
+    return format(t, "04x")
 
 
 def deterministic_sample(

@@ -406,6 +406,10 @@ def simhash_signatures(
         for pdf in batches:
             out = np.zeros(len(pdf), dtype=np.uint64)
             for row_i, hs in enumerate(pdf["__th"]):
+                if hs is None:
+                    # NULL text -> NULL token array; signature stays 0,
+                    # matching the exact/minhash paths' NULL tolerance
+                    continue
                 h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
                 if h.size == 0:
                     continue

@@ -92,9 +92,14 @@ def dedup_survivors(
     id_col: str,
 ) -> DataFrame:
     """Keep exactly one document per duplicate cluster (the min-id one,
-    i.e. the component label itself) plus every unclustered singleton:
-    a broadcast-able anti-join of the (tiny) non-survivor set."""
+    i.e. the component label itself) plus every unclustered singleton,
+    via an anti-join against the non-survivor set.
+
+    No broadcast hint: on a web-scale corpus 30-50% of documents are
+    duplicates, so the loser set is O(corpus) — forcing a broadcast
+    would OOM the driver. The anti-join shuffles only ids; AQE picks a
+    broadcast automatically when the loser set IS small."""
     losers = components.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
-    return docs.join(F.broadcast(losers), id_col, "left_anti")
+    return docs.join(losers, id_col, "left_anti")

@@ -42,10 +42,16 @@ def interval_join(
     # synthetic row id: the left-outer anti-join must identify matched
     # point ROWS, and equality over the natural columns both misfires
     # on NULLs (NULL = NULL is not true) and conflates duplicate rows.
-    # monotonically_increasing_id derives from (partition, position) —
-    # stable across the two subtree recomputations because the source
-    # scan's partitioning and row order are plan-determined.
     points = points.withColumn("__pid", F.monotonically_increasing_id())
+    if how == "left":
+        # the left path evaluates the points subtree TWICE (matched side
+        # and anti-join side); monotonically_increasing_id is only
+        # consistent across those evaluations if the ids are pinned
+        # first — an upstream shuffle or AQE re-plan can otherwise
+        # reorder rows between evaluations and drop/duplicate unmatched
+        # points. localCheckpoint materializes the id assignment once;
+        # the inner path never re-reads the ids and skips the cost.
+        points = points.localCheckpoint(eager=True)
     p = points.withColumn(
         "__bk", F.floor(F.unix_timestamp(F.col(point_ts)) / width_s)
     )

@@ -165,6 +165,10 @@ def lsh_topk(
     assign = sign_buckets_udf(planes)
 
     def bucketize(df: DataFrame, idc: str, alias: str, probe: int) -> DataFrame:
+        # ids only past this point: the explode would otherwise replicate
+        # each vector x tables (x bits+1 with multiprobe), and the
+        # candidate distinct would shuffle full arrays — vectors are
+        # re-joined exactly once after the id-pair dedup.
         probes = []
         for t in range(tables):
             bk = F.element_at("__bks", t + 1)
@@ -178,12 +182,11 @@ def lsh_topk(
                     for b in range(bits)
                 )
         return (
-            df.select(
-                F.col(idc).alias(alias), _as_double(vec_col).alias(f"__{alias}_v")
-            )
-            .withColumn("__bks", assign(F.col(f"__{alias}_v")))
-            .select(alias, f"__{alias}_v", F.explode(F.array(*probes)).alias("__b"))
-            .select(alias, f"__{alias}_v", "__b.t", "__b.bk")
+            df.select(F.col(idc).alias(alias), _as_double(vec_col).alias("__v"))
+            .withColumn("__bks", assign(F.col("__v")))
+            .drop("__v")
+            .select(alias, F.explode(F.array(*probes)).alias("__b"))
+            .select(alias, "__b.t", "__b.bk")
         )
 
     c = bucketize(corpus, id_col, "neighbor_id", probe=0)
@@ -191,11 +194,19 @@ def lsh_topk(
     candidates = (
         c.join(q, ["t", "bk"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "__query_id_v", "neighbor_id", "__neighbor_id_v")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = candidates.withColumn(
-        "cosine_sim", cosine_col(F.col("__query_id_v"), F.col("__neighbor_id_v"))
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
+    )
+    scored = (
+        candidates.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine_sim", cosine_col(F.col("__qv"), F.col("__cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -330,12 +341,16 @@ def cosine_neardup_pairs(
         return _empty_pairs(df, id_col, "id_a", "id_b", "cosine_sim")
     planes = _hyperplanes(dim, bits, tables, seed)
     assign = sign_buckets_udf(planes)
+    # ids only through the banded self-join and distinct (see lsh_topk):
+    # the explode would replicate vectors x tables and the candidate
+    # distinct would shuffle arrays; instead dedup (id_a, id_b) longs
+    # and re-join the vectors once for the exact re-score.
     banded = (
         df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
         .withColumn("__bks", assign(F.col("__v")))
+        .drop("__v")
         .select(
             id_col,
-            "__v",
             F.explode(
                 F.array(
                     *[
@@ -348,19 +363,21 @@ def cosine_neardup_pairs(
                 )
             ).alias("__b"),
         )
-        .select(id_col, "__v", "__b.t", "__b.bk")
+        .select(id_col, "__b.t", "__b.bk")
     )
-    left = banded.select(
-        "t", "bk", F.col(id_col).alias("id_a"), F.col("__v").alias("__va")
-    )
-    right = banded.select(
-        "t", "bk", F.col(id_col).alias("id_b"), F.col("__v").alias("__vb")
-    )
-    return (
+    left = banded.select("t", "bk", F.col(id_col).alias("id_a"))
+    right = banded.select("t", "bk", F.col(id_col).alias("id_b"))
+    pair_ids = (
         left.join(right, ["t", "bk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__va", "__vb")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("__vb"))
+    return (
+        pair_ids.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine_sim", cosine_col(F.col("__va"), F.col("__vb")))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))

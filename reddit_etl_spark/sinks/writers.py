@@ -68,19 +68,34 @@ def compact_parquet(
     micro-batch x partition); at scale the scan's task count — and the
     namenode — pay for every one. Sizing from the actual on-disk bytes
     (not a row guess) keeps rewritten files near the scan's split size
-    so one file ≈ one task. Returns the file count written."""
+    so one file ≈ one task. Returns the file count written.
+
+    LOCAL-FILESYSTEM, OFFLINE-MAINTENANCE ONLY: the swap uses OS
+    renames, so ``path`` must be a local directory (not HDFS/S3) and no
+    reader should be mid-scan during the swap. The swap is two renames
+    (old aside, tmp in) so the window where ``path`` is absent is a
+    single rename, not a full recursive delete; a crash between them
+    leaves the old data recoverable at ``<path>__old``. On an object
+    store / production table format, use a transactional table layer
+    (e.g. Delta/Iceberg OPTIMIZE) instead — rename is not atomic there."""
     df = spark.read.parquet(path)
     total_bytes = _dir_bytes(path)
     n_files = max(1, -(-total_bytes // target_file_bytes))
     tmp = f"{path}__compacting"
+    old = f"{path}__old"
     w = df.repartition(n_files).write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(tmp)
     import shutil  # noqa: PLC0415
 
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    import os  # noqa: PLC0415
+
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)  # old data intact until the new dir is in place
+    os.rename(tmp, path)
+    shutil.rmtree(old)
     return n_files
 
 

@@ -180,3 +180,75 @@ def test_stream_reader_handles_aware_timestamps(tmp_path):
     # and a second poll from the new offset yields nothing
     out2, _ = reader.read(end)
     assert list(out2) == []
+
+
+def test_sample_fraction_one_keeps_everything(spark):
+    """hash_threshold(1.0) must select ALL rows: the old 5-char '10000'
+    threshold lexicographically excluded ~94% of 4-char hex prefixes."""
+    from reddit_etl_spark.operators.curation import (
+        deterministic_sample,
+        hash_threshold,
+        split_col,
+    )
+
+    ids = spark.range(0, 500)
+    assert deterministic_sample(ids, "id", 1.0).count() == 500
+    tagged = ids.select(split_col("id", 1.0).alias("split"))
+    assert tagged.filter(F.col("split") == "train").count() == 500
+    # threshold string itself sorts above every 4-char lowercase hex
+    assert hash_threshold(1.0) > "ffff"
+
+
+def test_simhash_tolerates_null_text(spark):
+    """NULL text must yield a zero signature, not a kernel TypeError
+    (parity with the exact/minhash NULL tolerance)."""
+    from reddit_etl_spark.operators.dedup import simhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "some real text here"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.simhash for r in simhash_signatures(df, "doc_id", "text").collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2] == 0  # NULL text -> zero signature, no TypeError
+
+
+def test_dedup_survivors_majority_duplicate_corpus(spark):
+    """Survivor selection with a loser set that is most of the corpus
+    (the broadcast hint removed: the anti-join must not rely on the
+    loser side being tiny)."""
+    from reddit_etl_spark.operators.graph import connected_components, dedup_survivors
+
+    # 900 of 1000 docs are duplicates of doc 0 (one giant cluster)
+    docs = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    edges = spark.range(1, 901).select(
+        F.lit(0).alias("a"), F.col("id").alias("b")
+    )
+    comp = connected_components(edges, "a", "b")
+    kept = dedup_survivors(docs, comp, "doc_id")
+    got = sorted(r.doc_id for r in kept.collect())
+    assert got == [0] + list(range(901, 1000))
+
+
+def test_interval_join_left_stable_after_shuffle(spark):
+    """Left path must keep unmatched points exactly once even when the
+    points subtree contains an upstream shuffle (nondeterministic row
+    order across the two subtree evaluations)."""
+    import datetime as dt
+
+    from reddit_etl_spark.operators.rangejoin import interval_join
+
+    t0 = dt.datetime(2025, 9, 1)
+    pts = spark.createDataFrame(
+        [("u", i, t0 + dt.timedelta(minutes=i)) for i in range(200)],
+        "k string, pid long, ts timestamp",
+    ).repartition(8, "pid")  # upstream shuffle before id assignment
+    ivs = spark.createDataFrame(
+        [("u", 1, t0, t0 + dt.timedelta(minutes=49))],
+        "k string, iid long, s timestamp, e timestamp",
+    )
+    out = interval_join(pts, ivs, ["k"], "ts", "s", "e", bucket="30 minutes", how="left")
+    assert out.count() == 200
+    matched = out.filter(F.col("iid").isNotNull()).count()
+    assert matched == 50
+    assert out.select("pid").distinct().count() == 200
