@@ -35,12 +35,22 @@ from pyspark.sql.types import LongType, StructField, StructType
 from .text import normalize_text_col
 from .util import fan_out  # noqa: F401 — re-exported for callers
 
-# Primes for 2-universal hashing (Carter–Wegman). Base hashes and
-# coefficients are kept below 2^31 so a*x + b stays < 2^63 — exact in
-# Spark's LongType (no silent overflow wrap, which would void the
-# universality guarantee).
-_MERSENNE61 = (1 << 61) - 1
-_MERSENNE31 = (1 << 31) - 1
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer — full-avalanche 64-bit mixer (public
+    domain, Steele et al. / xoroshiro reference). Used as the per-seed
+    MinHash permutation family: h_i(x) = mix(x ^ seed_i).
+
+    Why not Carter–Wegman (a*x+b) mod p: with coefficients capped so
+    the product fits int64 (a < 2^31 over a 31-bit domain), the map
+    wraps the modulus at most twice — it is piecewise ORDER-PRESERVING,
+    so every "independent" hash function attains its minimum at nearly
+    the same element and the signature-agreement estimator collapses
+    (observed: 15/128 agreement for a Jaccard-0.93 pair of nested
+    13/14-shingle docs). A seeded full-avalanche mixer has no such
+    structure; wrapping uint64 multiplies are exact in NumPy."""
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
 
 
 def shingles_col(text: Column | str, n: int = 3) -> Column:
@@ -283,12 +293,13 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via MinHash signatures + LSH banding,
     verified with exact Jaccard — the scale path for text near-dup.
 
-    One xxhash64 per shingle, then ``num_hashes`` 2-universal
-    transforms h_i(x) = (a_i*x + b_i) mod (2^61-1) (Carter–Wegman);
-    this avoids hashing each shingle 128 times. Signatures band into
-    ``bands`` groups of r = num_hashes/bands; same (band, r-slice
-    hash) -> candidate. With r=4, b=32 the S-curve crosses ~0.42 —
-    right for a 0.5 Jaccard threshold.
+    One xxhash64 per shingle JVM-side, then ``num_hashes`` seeded
+    SplitMix64 permutations h_i(x) = mix(x ^ seed_i) in one NumPy pass
+    (see ``_splitmix64`` for why a capped-coefficient linear hash is
+    NOT min-wise usable). Signatures band into ``bands`` groups of
+    r = num_hashes/bands; same (band, r-slice hash) -> candidate.
+    With r=4, b=32 the S-curve crosses ~0.42 — right for a 0.5
+    Jaccard threshold.
 
     Cost model at 100 TB: shuffle is (band_hash, id) — 32 rows x 16
     bytes per doc, independent of document size; the verify join pulls
@@ -298,17 +309,17 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE31, size=num_hashes, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE31, size=num_hashes, dtype=np.int64)
+    seeds = rng.randint(0, 1 << 63, size=num_hashes, dtype=np.int64).astype(
+        np.uint64
+    )
     # band fingerprint = polynomial hash of the band's r signature
-    # values — computed in the same NumPy pass
-    band_mult = np.int64(1_000_003)
+    # values — computed in the same NumPy pass (wrapping ok)
+    band_mult = np.uint64(0x100000001B3)  # FNV prime
 
     hashed = fan_out(df).select(
         F.col(id_col).alias("__mid"),
         F.transform(
-            shingles_col(text_col, n),
-            lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)),
+            shingles_col(text_col, n), lambda s: F.xxhash64(s)
         ).alias("__th"),
     )
 
@@ -336,20 +347,20 @@ def minhash_lsh_pairs(
                 continue
             ids = np.asarray(pdf["__mid"])[keep]
             lens = lens[keep]
-            h = np.concatenate(arrs)
-            m = (h[:, None] * a[None, :] + b[None, :]) % _MERSENNE61
+            h = np.concatenate(arrs).view(np.uint64)
+            m = _splitmix64(h[:, None] ^ seeds[None, :])
             offsets = np.zeros(len(lens), dtype=np.int64)
             np.cumsum(lens[:-1], out=offsets[1:])
             sig = np.minimum.reduceat(m, offsets, axis=0)  # (docs, H)
             folded = sig.reshape(len(lens), bands, r)
-            bh = np.zeros((len(lens), bands), dtype=np.int64)
+            bh = np.zeros((len(lens), bands), dtype=np.uint64)
             for j in range(r):
                 bh = bh * band_mult + folded[:, :, j]  # wrapping ok
             yield pd.DataFrame(
                 {
                     "__mid": np.repeat(ids, bands),
                     "band": np.tile(np.arange(bands, dtype=np.int64), len(lens)),
-                    "bh": bh.ravel(),
+                    "bh": bh.ravel().view(np.int64),
                 }
             )
 
@@ -384,8 +395,22 @@ _SIMHASH_SCHEMA = StructType(
 )
 
 
+def token_hash_col(tok: Column, how: str = "xxhash64") -> Column:
+    """64-bit token hash. ``xxhash64`` (default) is the fast JVM path;
+    ``md5_60`` takes the top 60 bits of md5 as a long — slower, but
+    REPLICABLE in any engine with md5 (DuckDB:
+    ``('0x' || substring(md5(t), 1, 15))::BIGINT``), which makes
+    hash-derived operators (SimHash, winnowing) oracle-checkable
+    end-to-end instead of rows-only."""
+    if how == "xxhash64":
+        return F.xxhash64(tok)
+    if how == "md5_60":
+        return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown token hash {how!r}")
+
+
 def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str
+    df: DataFrame, id_col: str, text_col: str, token_hash: str = "xxhash64"
 ) -> DataFrame:
     """64-bit SimHash per document via an Arrow-batched pandas UDF.
 
@@ -394,11 +419,14 @@ def simhash_signatures(
     expressions, so this is a mapInPandas-style vectorized path:
     tokens are hashed JVM-side first (cheap, codegen), only the hash
     arrays cross the Arrow boundary — never the text itself.
+    ``token_hash='md5_60'`` makes the signature engine-portable (60
+    effective bits; the top 4 vote 0 on both sides).
     """
     hashed = fan_out(df).select(
         F.col(id_col).alias("__sid"),
         F.transform(
-            F.split(normalize_text_col(text_col), " "), lambda t: F.xxhash64(t)
+            F.split(normalize_text_col(text_col), " "),
+            lambda t: token_hash_col(t, token_hash),
         ).alias("__th"),
     )
 
@@ -439,15 +467,19 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs with simhash hamming distance <= k, k<=3.
 
     Pigeonhole banding: split the 64-bit signature into 4 16-bit
     chunks; any pair within hamming distance 3 agrees on >=1 chunk, so
-    a join on (chunk_idx, chunk_value) finds all of them. Verify with
-    bit_count(xor). Same shuffle shape as MinHash banding: tiny keys.
+    a join on (chunk_idx, chunk_value) finds all of them — EXACT
+    (pigeonhole, not probabilistic), so the output equals the all-pairs
+    hamming filter and is fully oracle-checkable given a portable
+    ``token_hash``. Verify with bit_count(xor). Same shuffle shape as
+    MinHash banding: tiny keys.
     """
-    sigs = simhash_signatures(df, id_col, text_col)
+    sigs = simhash_signatures(df, id_col, text_col, token_hash=token_hash)
     chunks = sigs.select(
         F.col(id_col),
         F.col("simhash"),

@@ -166,6 +166,7 @@ def winnowing_fingerprints(
     text_col: str,
     k: int = 25,
     window: int = 26,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, fingerprint) posting rows — the pipeline form.
 
@@ -173,7 +174,13 @@ def winnowing_fingerprints(
     materialize as a real column first, because a lambda that closes
     over a subexpression re-evaluates it per element (no CSE across
     lambda boundaries) — inlined, window-min goes quadratic in
-    document length."""
+    document length.
+
+    ``hash_fn='md5_60'`` uses an engine-portable gram hash (see
+    ``dedup.token_hash_col``) so the full winnowing pipeline — grams,
+    window minima, shared-fingerprint pairs — can be replicated in a
+    SQL oracle; xxhash64 stays the fast default."""
+    from .dedup import token_hash_col  # noqa: PLC0415
     from .util import fan_out  # noqa: PLC0415
 
     t = normalize_text_col(text_col)
@@ -182,7 +189,7 @@ def winnowing_fingerprints(
         F.col(id_col),
         F.transform(
             F.sequence(F.lit(1), n_grams),
-            lambda i: F.xxhash64(F.substring(t, i, k)),
+            lambda i: token_hash_col(F.substring(t, i, k), hash_fn),
         ).alias("__grams"),
     )
     return grams.select(
@@ -198,6 +205,7 @@ def partial_copy_pairs(
     k: int = 25,
     window: int = 26,
     min_shared: int = 2,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowing fingerprints
     — partial-copy / excerpt detection, which whole-document hashing
@@ -206,9 +214,9 @@ def partial_copy_pairs(
 
     Same inverted-index shape as the dedup family: the shuffle carries
     (fingerprint, id) pairs only."""
-    posting = winnowing_fingerprints(df, id_col, text_col, k, window).select(
-        F.col(id_col), F.col("fingerprint").alias("__fp")
-    )
+    posting = winnowing_fingerprints(
+        df, id_col, text_col, k, window, hash_fn=hash_fn
+    ).select(F.col(id_col), F.col("fingerprint").alias("__fp"))
     left = posting.select("__fp", F.col(id_col).alias("id_a"))
     right = posting.select("__fp", F.col(id_col).alias("id_b"))
     return (
