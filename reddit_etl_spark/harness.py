@@ -758,6 +758,7 @@ def _topk_recall_audit(
     "multiprobe) recall audit vs the exact baseline — the 100 TB path's "
     "bucket-equality join replaces the broadcast product; recall_ok "
     "pins per-query recall >= 0.5 (observed min 0.6 at every SF)",
+    headline=True,
 )
 def similarity_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cosine_topk, lsh_topk
@@ -777,6 +778,7 @@ def similarity_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "2/3 probe fraction (this corpus's neighbors sit at cosine ~0.3 — "
     "near-uniform geometry needs wide probes; clustered real corpora "
     "probe far fewer); recall_ok pins per-query recall >= 0.5",
+    headline=True,
 )
 def similarity_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cosine_topk, ivf_topk

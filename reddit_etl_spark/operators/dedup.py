@@ -116,17 +116,36 @@ def hashed_shingles_col(text_col: Column | str, n: int) -> Column:
     )
 
 
-def _posting(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def shingle_arrays(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    materialize: bool = True,
+) -> DataFrame:
+    """ONE corpus-wide shingling pass (id, __arr) shared by every
+    consumer — posting index, size projection, candidate verify.
+
+    The regex normalize + split + shingle work dominates dedup CPU, so
+    computing it once and ``localCheckpoint``-ing beats recomputing it
+    per consumer (the round-1 plan ran it 2x). Cost of materializing:
+    O(total shingle hashes x 8 B) disk-backed executor blocks —
+    roughly the corpus token count, the same order as one shuffle of
+    the posting index, and the ContextCleaner frees the blocks when
+    the plan is GC'd. fan_out runs BEFORE shingling so the expensive
+    work parallelizes past the scan's partitioning."""
+    arrays = fan_out(df).select(
+        F.col(id_col), hashed_shingles_col(text_col, n).alias("__arr")
+    )
+    return arrays.localCheckpoint(eager=True) if materialize else arrays
+
+
+def _posting_from_arrays(arrays: DataFrame, id_col: str) -> DataFrame:
     """Inverted-index rows (id, shingle-hash): 16-byte rows, never
     strings — at 100 TB the posting shuffle is the dominant byte
-    volume.
-
-    fan_out runs BEFORE shingling — repartitioning the posting after
-    the explode would leave the expensive regex/split work serialized
-    in the scan task."""
-    return fan_out(df).select(
-        F.col(id_col),
-        F.explode(hashed_shingles_col(text_col, n)).alias("__sh"),
+    volume."""
+    return arrays.select(
+        F.col(id_col), F.explode("__arr").alias("__sh")
     )
 
 
@@ -166,21 +185,16 @@ def _verify_pairs_by_counts(
 
 
 def _verify_candidates_by_arrays(
-    df: DataFrame,
+    arrays: DataFrame,
     id_col: str,
-    text_col: str,
-    n: int,
     candidates: DataFrame,
     threshold: float,
 ) -> DataFrame:
     """Exact-Jaccard verify for a SMALL candidate pair set: join each
-    pair to its two hashed-shingle arrays and intersect. Right when
-    |candidates| << |all co-occurring pairs| (the LSH path) — the
-    posting self-join would re-touch the whole corpus; this touches
-    only candidate rows."""
-    arrays = fan_out(df).select(
-        F.col(id_col), hashed_shingles_col(text_col, n).alias("__arr")
-    )
+    pair to its two hashed-shingle arrays (a shared ``shingle_arrays``
+    projection) and intersect. Right when |candidates| << |all
+    co-occurring pairs| (the LSH path) — the posting self-join would
+    re-touch the whole corpus; this touches only candidate rows."""
     a = arrays.select(F.col(id_col).alias("id_a"), F.col("__arr").alias("__aa"))
     b = arrays.select(F.col(id_col).alias("id_b"), F.col("__arr").alias("__ab"))
     return (
@@ -228,7 +242,8 @@ def ngram_jaccard_pairs(
     shingle is capped can be missed — documented trade, None for
     exactness).
     """
-    posting = _posting(df, id_col, text_col, n)
+    arrays = shingle_arrays(df, id_col, text_col, n)
+    posting = _posting_from_arrays(arrays, id_col)
     if max_df is not None:
         hot = (
             posting.groupBy("__sh").agg(F.count("*").alias("__df"))
@@ -237,16 +252,42 @@ def ngram_jaccard_pairs(
         )
         posting = posting.join(F.broadcast(hot), "__sh", "left_anti")
     if not prefix_filter:
-        # doc sizes come straight off the shingle arrays — a narrow
-        # projection, no aggregation shuffle. Only valid WITHOUT
-        # max_df (capping changes effective posting sizes).
-        sizes = None
         if max_df is None:
-            sizes = fan_out(df).select(
+            # Carry |doc| through the posting (one extra long per
+            # 16-byte row) so Jaccard falls out of the pair groupBy
+            # directly — no post-hoc size joins. 3 shuffles total:
+            # the co-occurrence join's two exchanges + the pair agg.
+            sized = arrays.select(
                 F.col(id_col),
-                F.size(hashed_shingles_col(text_col, n)).alias("__sz"),
+                F.size("__arr").alias("__sz"),
+                F.explode("__arr").alias("__sh"),
             )
-        return _verify_pairs_by_counts(posting, id_col, threshold, sizes=sizes)
+            left = sized.select(
+                "__sh", F.col(id_col).alias("id_a"), F.col("__sz").alias("__sa")
+            )
+            right = sized.select(
+                "__sh", F.col(id_col).alias("id_b"), F.col("__sz").alias("__sb")
+            )
+            return (
+                left.join(right, "__sh")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .groupBy("id_a", "id_b")
+                .agg(
+                    F.count("*").alias("__common"),
+                    F.first("__sa").alias("__sa"),
+                    F.first("__sb").alias("__sb"),
+                )
+                .withColumn(
+                    "jaccard",
+                    F.col("__common")
+                    / (F.col("__sa") + F.col("__sb") - F.col("__common")),
+                )
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+            )
+        # max_df caps the effective posting sizes, so |doc| must be
+        # re-aggregated from the filtered posting — the slower shape.
+        return _verify_pairs_by_counts(posting, id_col, threshold, sizes=None)
 
     freq = posting.groupBy("__sh").agg(F.count("*").alias("__df"))
     w = Window.partitionBy(id_col).orderBy("__df", "__sh")
@@ -275,9 +316,7 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _verify_candidates_by_arrays(
-        df, id_col, text_col, n, candidates, threshold
-    )
+    return _verify_candidates_by_arrays(arrays, id_col, candidates, threshold)
 
 
 def minhash_lsh_pairs(
@@ -316,11 +355,13 @@ def minhash_lsh_pairs(
     # values — computed in the same NumPy pass (wrapping ok)
     band_mult = np.uint64(0x100000001B3)  # FNV prime
 
-    hashed = fan_out(df).select(
-        F.col(id_col).alias("__mid"),
-        F.transform(
-            shingles_col(text_col, n), lambda s: F.xxhash64(s)
-        ).alias("__th"),
+    # one shared shingling pass feeds BOTH the signature kernel and
+    # the exact-Jaccard verify (round-1 ran the normalize+shingle work
+    # twice); min over the distinct hash set equals min over the
+    # multiset, so signatures are unchanged by array_distinct
+    arrays = shingle_arrays(df, id_col, text_col, n)
+    hashed = arrays.select(
+        F.col(id_col).alias("__mid"), F.col("__arr").alias("__th")
     )
 
     band_schema = StructType(
@@ -385,9 +426,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _verify_candidates_by_arrays(
-        df, id_col, text_col, n, candidates, threshold
-    )
+    return _verify_candidates_by_arrays(arrays, id_col, candidates, threshold)
 
 
 _SIMHASH_SCHEMA = StructType(

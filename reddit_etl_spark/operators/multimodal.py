@@ -3,16 +3,19 @@
 The engine treats media as ``binary`` payload columns + typed metadata
 (schemas.MEDIA_SCHEMA). Everything Spark-side is real and tested —
 schema, Arrow batch shape, mapInPandas partitioning, deterministic
-hashing/feature plumbing. The actual codec work (JPEG decode, audio
-resample, video frame-sample) is STUBBED: the container ships no
-image/audio libraries, so ``decode=`real'`` raises NotImplementedError
-while ``decode='fake'`` produces a deterministic payload-derived
-feature vector with the exact shapes a real decoder would emit.
+hashing/feature plumbing. ``decode='real'`` runs actual codecs via
+``operators.codecs``: PIL when importable, else pure-stdlib decoders
+(PNG/BMP/PPM/PGM images, WAV audio, concatenated-PNG frame streams).
+``decode='fake'`` remains the deterministic payload-derived stand-in
+for formats no available codec covers (e.g. JPEG without PIL).
 
 Scale notes: payloads never shuffle — features are extracted in a
 narrow mapInPandas pass straight off the scan, and only the (small)
 feature columns flow downstream. ``spark.sql.files.maxPartitionBytes``
-bounds per-task Arrow batch memory for fat binary rows.
+bounds per-task Arrow batch memory for fat binary rows. Undecodable
+assets in a 100 TB corpus are the norm, not the exception, so the
+real path supports ``on_error='null'`` dead-lettering: bad payloads
+yield NULL features instead of failing the stage.
 """
 
 from __future__ import annotations
@@ -34,6 +37,9 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from reddit_etl_spark.operators import codecs
+from reddit_etl_spark.operators.codecs import UnsupportedMediaError
+
 MEDIA_FEATURE_SCHEMA = StructType(
     [
         StructField("asset_id", StringType()),
@@ -51,37 +57,58 @@ def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
     return np.random.RandomState(seed).normal(size=dim)
 
 
+def _real_feature(payload: bytes, dim: int) -> np.ndarray:
+    """Decode the payload with a real codec and featurize: images →
+    normalized grayscale intensity histogram; WAV audio → normalized
+    amplitude histogram. Raises UnsupportedMediaError otherwise."""
+    if codecs.sniff(payload) == "wav":
+        samples, _rate = codecs.decode_wav(payload)
+        hist, _ = np.histogram(samples, bins=dim, range=(-1.0, 1.0))
+        total = hist.sum()
+        return hist / total if total else hist.astype(np.float64)
+    return codecs.image_histogram(codecs.decode_image(payload), dim)
+
+
 def extract_media_features(
     media: DataFrame,
     id_col: str = "asset_id",
     payload_col: str = "payload",
     decode: str = "fake",
     feature_dim: int = 8,
+    on_error: str = "raise",
 ) -> DataFrame:
     """byte_count + sha256 + feature vector per asset via mapInPandas.
 
-    ``decode='real'`` is the integration point for actual codecs
-    (PIL/torchaudio/ffmpeg) — deliberately NotImplemented here.
+    ``decode='real'`` decodes with actual codecs (PIL if importable,
+    else stdlib PNG/BMP/PPM/WAV — see operators.codecs). With
+    ``on_error='null'`` undecodable payloads yield a NULL feature
+    (dead-letter pattern) instead of failing the stage.
     """
     if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")
+    if on_error not in ("raise", "null"):
+        raise ValueError("on_error must be 'raise' or 'null'")
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError(
-                    "real media decode requires image/audio codecs not "
-                    "shipped in this environment; use decode='fake'"
-                )
             payloads = [bytes(p) if p is not None else b"" for p in pdf[payload_col]]
+            feats: list[list[float] | None] = []
+            for p in payloads:
+                if decode == "fake":
+                    feats.append(_fake_feature(p, feature_dim).tolist())
+                    continue
+                try:
+                    feats.append(_real_feature(p, feature_dim).tolist())
+                except UnsupportedMediaError:
+                    if on_error == "raise":
+                        raise
+                    feats.append(None)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf[id_col].astype(str),
                     "byte_count": [len(p) for p in payloads],
                     "sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
-                    "feature": [
-                        _fake_feature(p, feature_dim).tolist() for p in payloads
-                    ],
+                    "feature": feats,
                 }
             )
 
@@ -107,23 +134,28 @@ def resize_images(
     payload_col: str = "payload",
     decode: str = "fake",
 ) -> DataFrame:
-    """Image resize over mapInPandas — the Spark-side plumbing (schema,
-    Arrow batch shape, partition-parallel execution) is real; the codec
-    is stubbed. ``decode='fake'`` emits a deterministic payload-derived
-    pseudo-bitmap of exactly target_width*target_height bytes, so
-    downstream size/packing logic is testable; ``decode='real'`` is
-    the PIL/opencv integration point (NotImplemented here)."""
+    """Image resize over mapInPandas. ``decode='real'`` decodes with a
+    real codec (PIL if importable, else stdlib PNG/BMP/PPM), converts
+    to grayscale, and nearest-neighbour-resizes to the target; the
+    output payload is the raw W*H grayscale bitmap. ``decode='fake'``
+    emits a deterministic payload-derived pseudo-bitmap of the same
+    shape for formats no codec covers, keeping downstream size/packing
+    logic testable."""
     if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError(
-                    "real image decode requires PIL/opencv, not shipped here"
-                )
             out_payloads = []
             for p in pdf[payload_col]:
+                if decode == "real":
+                    gray = codecs.to_grayscale(codecs.decode_image(bytes(p or b"")))
+                    out_payloads.append(
+                        codecs.resize_nearest(
+                            gray, target_width, target_height
+                        ).tobytes()
+                    )
+                    continue
                 seed = int.from_bytes(
                     hashlib.sha256(bytes(p or b"")).digest()[:4], "big"
                 )
@@ -168,24 +200,37 @@ def sample_frames(
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame (a
     1:N mapInPandas — the batch-shape contract real ffmpeg plumbing
-    needs). Frame count derives from the asset's duration metadata;
-    the frame payload is a deterministic stub keyed on (payload,
+    needs). Frame count derives from the asset's duration metadata.
+    ``decode='real'`` reads the engine's raw-frames container (a
+    concatenated-PNG stream, what an upstream ffmpeg dump emits) and
+    emits the source frame nearest each sampled timestamp; compressed
+    containers (mp4/webm) remain the ffmpeg integration point.
+    ``decode='fake'`` emits a deterministic stub keyed on (payload,
     frame index)."""
     if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError(
-                    "real frame sampling requires ffmpeg, not shipped here"
-                )
             ids, idxs, tss, payloads = [], [], [], []
             for aid, p, dur in zip(
                 pdf[id_col], pdf[payload_col], pdf[duration_col]
             ):
                 dur = int(dur) if dur is not None and not pd.isna(dur) else 0
                 n = min(max(dur // every_ms, 1), max_frames)
+                if decode == "real":
+                    frames = codecs.split_png_frames(bytes(p or b""))
+                    for i in range(n):
+                        t = i * every_ms
+                        src = min(
+                            int(t * len(frames) / dur) if dur else 0,
+                            len(frames) - 1,
+                        )
+                        ids.append(str(aid))
+                        idxs.append(i)
+                        tss.append(t)
+                        payloads.append(frames[src])
+                    continue
                 digest = hashlib.sha256(bytes(p or b"")).digest()
                 for i in range(n):
                     ids.append(str(aid))
@@ -206,6 +251,61 @@ def sample_frames(
     return media.select(
         F.col(id_col), F.col(payload_col), F.col(duration_col)
     ).mapInPandas(_sample, schema=FRAME_SAMPLE_SCHEMA)
+
+
+AUDIO_RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("sample_rate", LongType()),
+        StructField("num_samples", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resample_audio(
+    media: DataFrame,
+    target_rate: int = 16_000,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    on_error: str = "raise",
+) -> DataFrame:
+    """Resample WAV audio payloads to ``target_rate`` (stdlib ``wave``
+    decode → numpy linear-interpolation resample → 16-bit WAV
+    re-encode) in a narrow mapInPandas pass — payloads never shuffle.
+    ``on_error='null'`` dead-letters undecodable payloads as NULL."""
+    if on_error not in ("raise", "null"):
+        raise ValueError("on_error must be 'raise' or 'null'")
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, counts, payloads = [], [], [], []
+            for aid, p in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(str(aid))
+                try:
+                    samples, rate = codecs.decode_wav(bytes(p or b""))
+                    out = codecs.resample_linear(samples, rate, target_rate)
+                    rates.append(target_rate)
+                    counts.append(out.shape[0])
+                    payloads.append(codecs.encode_wav(out, target_rate))
+                except UnsupportedMediaError:
+                    if on_error == "raise":
+                        raise
+                    rates.append(None)
+                    counts.append(None)
+                    payloads.append(None)
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "sample_rate": pd.array(rates, dtype="Int64"),
+                    "num_samples": pd.array(counts, dtype="Int64"),
+                    "payload": payloads,
+                }
+            )
+
+    return media.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _resample, schema=AUDIO_RESAMPLE_SCHEMA
+    )
 
 
 def media_from_text(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -35,8 +35,9 @@ def test_resize_shapes_and_determinism(media):
     assert again == {k: bytes(v.payload) for k, v in rows.items()}
 
 
-def test_resize_real_decode_raises(media):
-    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+def test_resize_real_decode_rejects_unknown_format(media):
+    # text bytes are no image; the real path raises a typed codec error
+    with pytest.raises(Exception, match="UnsupportedMediaError|no codec"):
         resize_images(media, decode="real").collect()
 
 

@@ -295,7 +295,7 @@ def test_multimodal_feature_extraction(spark):
     assert again["1"].feature == rows["1"].feature
 
 
-def test_multimodal_real_decode_raises(spark):
+def test_multimodal_real_decode_rejects_nonmedia(spark):
     from reddit_etl_spark.operators.multimodal import (
         extract_media_features,
         media_from_text,
@@ -303,5 +303,5 @@ def test_multimodal_real_decode_raises(spark):
 
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     media = media_from_text(docs, "doc_id", "text")
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+    with pytest.raises(Exception, match="UnsupportedMediaError|no codec"):
         extract_media_features(media, decode="real").collect()
