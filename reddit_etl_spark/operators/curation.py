@@ -235,17 +235,21 @@ def mixture_weights(
     the schedule would repeat).
 
     Scale shape: one partial-agg groupBy over the corpus down to
-    |sources| rows, then a single-partition window over that tiny
-    aggregate for the normalizer — the expensive scan happens exactly
-    once and nothing larger than the source list is ever exchanged."""
-    from pyspark.sql import Window
-
+    |sources| rows; the normalizer is a 1-row aggregate broadcast back
+    over that tiny frame (not a global window — a single-partition
+    WindowExec would funnel the rows through one task and warn) — the
+    expensive scan happens exactly once and nothing larger than the
+    source list is ever exchanged."""
     per_source = df.groupBy(source_col).agg(
         F.sum(token_col).cast("long").alias("tokens")
     )
     raw = F.pow(F.col("tokens"), F.lit(temperature))
-    total = F.sum(raw).over(Window.partitionBy())
-    out = per_source.withColumn("weight", F.round(raw / total, 6))
+    total = per_source.agg(F.sum(raw).alias("__total"))
+    out = (
+        per_source.crossJoin(F.broadcast(total))
+        .withColumn("weight", F.round(raw / F.col("__total"), 6))
+        .drop("__total")
+    )
     if target_tokens is not None:
         out = out.withColumn(
             "epochs",

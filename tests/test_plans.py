@@ -87,3 +87,44 @@ def test_text_profile_is_narrow(spark):
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     assert count_exchanges(text_profile(docs, "doc_id", "text")) == 0
+
+
+def test_shingle_arrays_prechkpt_shape(spark):
+    """The shared shingling pass (PLANS.md footnote): scan pruned to
+    (doc_id, text), exactly one exchange (fan_out's round-robin — the
+    expensive shingle work must parallelize past the scan), and no
+    join/agg before materialization."""
+    from reddit_etl_spark.operators.dedup import shingle_arrays
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    arrays = shingle_arrays(docs, "doc_id", "text", 3, materialize=False)
+    assert count_exchanges(arrays) == 1
+    assert scan_columns(arrays) == [["doc_id", "text"]]
+
+
+def test_ngram_jaccard_lazy_plan_is_three_shuffles(spark):
+    """The no-max_df ngram path on an UNmaterialized arrays projection:
+    co-occurrence join (2 exchanges) + pair agg reuses one of them —
+    sizes ride the posting, so no post-hoc size joins appear. The
+    fan_out exchanges of the two posting branches are the only others."""
+    from unittest.mock import patch
+
+    from reddit_etl_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # bypass the checkpoint so the WHOLE plan is inspectable
+    with patch.object(
+        D,
+        "shingle_arrays",
+        lambda df, idc, tc, n, materialize=True: D.fan_out(df).select(
+            F.col(idc), D.hashed_shingles_col(tc, n).alias("__arr")
+        ),
+    ):
+        pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    # no size joins: the only joins are the single shingle-equality
+    # self-join; everything else is aggregation
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    # exchanges: 2 fan_out round-robins + 2 join-side hash exchanges +
+    # 1 pair-agg exchange at most (AQE may reuse/elide some)
+    assert count_exchanges(pairs) <= 5
