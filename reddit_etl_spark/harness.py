@@ -1094,6 +1094,46 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "decontaminate_bloom",
+    """
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      FROM documents),
+    toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(t) - 4, 1) + 1),
+             i -> array_to_string(t[i:i+4], ' ')))) AS s FROM toks),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 23 = 0)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_contaminated_grams,
+           TRUE AS bloom_ok
+    FROM sh WHERE s IN (SELECT s FROM bench)
+    GROUP BY doc_id
+    """,
+    doc="Bloom-filter decontamination audit: the bit-array path (a "
+    "~1.8 B/gram broadcast vs tens of bytes per gram string) must flag "
+    "a SUPERSET of the exact path per doc — bloom_ok pins the "
+    "no-false-negative guarantee doc-by-doc, and the exact columns "
+    "are value-checked against DuckDB",
+)
+def decontaminate_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import decontaminate, decontaminate_bloom
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    exact = decontaminate(docs, bench, "doc_id", "text", n=5)
+    bloom = decontaminate_bloom(docs, bench, "doc_id", "text", n=5)
+    return exact.join(bloom, "doc_id", "left").select(
+        "doc_id",
+        "n_contaminated_grams",
+        (
+            F.col("n_flagged_grams").isNotNull()
+            & (F.col("n_flagged_grams") >= F.col("n_contaminated_grams"))
+        ).alias("bloom_ok"),
+    )
+
+
+@_q(
     "partial_copy_pairs",
     """
     WITH norm AS (

@@ -148,6 +148,132 @@ def decontaminate(
     )
 
 
+def _bloom_build(hashes: "np.ndarray", fpp: float) -> tuple["np.ndarray", int, int]:
+    """Standard Bloom sizing: m = -n ln p / (ln 2)^2 bits, k = (m/n) ln 2
+    probes. Returns (uint64 bit words, m_bits, k). Probing uses
+    Kirsch–Mitzenmacher double hashing from the 64-bit gram hash:
+    idx_i = (h1 + i*h2) mod m with h2 forced odd."""
+    import math
+
+    import numpy as np
+
+    n = max(int(hashes.size), 1)
+    # floor m at 2048 bits and cap k: at tiny m the (h1 + i*h2) mod m
+    # probe family correlates and the realized FP rate blows past
+    # theory — 256 bytes is a negligible floor, and k > 16 buys
+    # nothing once fpp <= 1e-4
+    m = max(2048, int(-n * math.log(max(fpp, 1e-12)) / (math.log(2) ** 2)))
+    k = min(16, max(1, round(m / n * math.log(2))))
+    words = np.zeros((m + 63) // 64, dtype=np.uint64)
+    if hashes.size:
+        h = hashes.view(np.uint64)
+        h1 = h % np.uint64(m)
+        h2 = (h >> np.uint64(33)) | np.uint64(1)
+        for i in range(k):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            np.bitwise_or.at(
+                words, (idx >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (idx & np.uint64(63)),
+            )
+    return words, m, k
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    fpp: float = 1e-3,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the scale lever for
+    when the benchmark's distinct-gram set outgrows a broadcast hash
+    set: ``decontaminate`` ships every gram string; this ships
+    ~1.44 log2(1/fpp) BITS per gram (at fpp=1e-3 that is ~1.8 bytes vs
+    tens of bytes per gram string — a 20-50x broadcast reduction).
+
+    Returns (id, n_flagged_grams) for flagged docs only. GUARANTEED
+    superset of the exact ``decontaminate`` output (Bloom filters have
+    no false negatives); each doc's flagged-gram count can exceed its
+    exact contaminated-gram count by the false-positive rate. Use as a
+    cheap first-pass filter; exact-verify the (tiny) flagged set if
+    fpp matters.
+
+    Scale shape: benchmark grams collapse to distinct 64-bit hashes
+    (one small aggregation on the SMALL side), the bit array is built
+    driver-side (bounded: |bench grams| longs) and broadcast once; the
+    corpus side is a single scan — grams are hashed JVM-side, only
+    long arrays cross Arrow, and the probe is a vectorized NumPy
+    segment-count. NO corpus shuffle, NO gram strings on the wire.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    from .dedup import shingles_col
+    from .util import fan_out
+
+    bench_hashes = np.array(
+        [
+            r[0]
+            for r in benchmark.select(
+                F.explode(shingles_col(text_col, n)).alias("__g")
+            )
+            .select(F.xxhash64("__g").alias("__h"))
+            .distinct()
+            .collect()
+        ],
+        dtype=np.int64,
+    )
+    words, m, k = _bloom_build(bench_hashes, fpp)
+    bc = docs.sparkSession.sparkContext.broadcast((words, m, k))
+
+    # no type hints: PEP 563 stringized annotations (future-import at
+    # module top) break pandas_udf's signature inspection
+    @pandas_udf(LongType())
+    def bloom_hits(gram_arrays):
+        w, m_, k_ = bc.value
+        mu = np.uint64(m_)
+        out = np.zeros(len(gram_arrays), dtype=np.int64)
+        arrs = [
+            np.asarray(a, dtype=np.int64) for a in gram_arrays
+        ]
+        lens = np.array([a.size for a in arrs], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.Series(out)
+        h = np.concatenate([a for a in arrs if a.size]).view(np.uint64)
+        h1 = h % mu
+        h2 = (h >> np.uint64(33)) | np.uint64(1)
+        hit = np.ones(h.size, dtype=bool)
+        for i in range(k_):
+            idx = (h1 + np.uint64(i) * h2) % mu
+            bits = (
+                w[(idx >> np.uint64(6)).astype(np.int64)]
+                >> (idx & np.uint64(63))
+            ) & np.uint64(1)
+            hit &= bits.astype(bool)
+        offsets = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        nonempty = lens > 0
+        sums = np.add.reduceat(hit.astype(np.int64), offsets[nonempty])
+        out[nonempty] = sums
+        return pd.Series(out)
+
+    hashed = fan_out(docs).select(
+        F.col(id_col),
+        F.transform(shingles_col(text_col, n), lambda g: F.xxhash64(g)).alias(
+            "__gh"
+        ),
+    )
+    return (
+        hashed.select(
+            F.col(id_col), bloom_hits(F.col("__gh")).alias("n_flagged_grams")
+        )
+        .filter(F.col("n_flagged_grams") > 0)
+    )
+
+
 def boilerplate_grams(
     docs: DataFrame,
     id_col: str,

@@ -196,3 +196,81 @@ def test_mixture_weights_sum_to_one_and_epochs(spark):
     for r in rows.values():
         assert r["epochs"] == pytest.approx(
             round(10_000 * r["weight"] / r["tokens"], 6), abs=1e-6)
+
+
+def test_bloom_decontaminate_superset_of_exact(spark):
+    from reddit_etl_spark.operators.curation import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated text with no overlap at all here"),
+            (3, "the quick brown fox jumps over something else entirely"),
+            (4, "another clean document nothing shared with benchmarks"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    exact = {
+        r.doc_id: r.n_contaminated_grams
+        for r in decontaminate(docs, bench, "doc_id", "text", n=5).collect()
+    }
+    bloom = {
+        r.doc_id: r.n_flagged_grams
+        for r in decontaminate_bloom(docs, bench, "doc_id", "text", n=5).collect()
+    }
+    assert set(exact) == {1, 3}
+    # no false negatives: every exactly-contaminated doc is flagged,
+    # with at least as many grams
+    for doc_id, n in exact.items():
+        assert bloom.get(doc_id, 0) >= n
+    # determinism
+    again = {
+        r.doc_id: r.n_flagged_grams
+        for r in decontaminate_bloom(docs, bench, "doc_id", "text", n=5).collect()
+    }
+    assert again == bloom
+
+
+def test_bloom_decontaminate_fp_rate_bounded(spark):
+    # 300 clean docs vs a disjoint benchmark: at fpp=1e-3 the expected
+    # flagged-doc count is << 1; allow a generous margin
+    from reddit_etl_spark.operators.curation import decontaminate_bloom
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("clean doc words "),
+            F.col("id").cast("string"),
+            F.lit(" alpha "),
+            F.col("id").cast("string"),
+            F.lit(" beta "),
+            F.col("id").cast("string"),
+            F.lit(" gamma delta epsilon zeta"),
+        ).alias("text"),
+    )
+    bench = spark.createDataFrame(
+        [(0, "totally different benchmark sentence about oceans and tides")],
+        "doc_id long, text string",
+    )
+    flagged = decontaminate_bloom(
+        docs, bench, "doc_id", "text", n=5, fpp=1e-3
+    ).count()
+    assert flagged <= 2
+
+
+def test_bloom_decontaminate_empty_benchmark(spark):
+    from reddit_etl_spark.operators.curation import decontaminate_bloom
+
+    docs = spark.createDataFrame(
+        [(1, "some document text here with several words")],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.lit(False))
+    assert decontaminate_bloom(docs, bench, "doc_id", "text", n=5).count() == 0
