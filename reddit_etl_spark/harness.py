@@ -1094,6 +1094,42 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "weighted_sample_sources",
+    """
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             ln((('0x' || substring(
+                     md5(doc_id::VARCHAR || chr(31) || '42'), 1, 15))::BIGINT
+                 + 1.0) / (1152921504606846976.0 + 1.0)) / n_chars AS k
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+    ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY k DESC, doc_id) AS rn
+      FROM keyed)
+    SELECT source, doc_id, n_chars FROM ranked WHERE rn <= 5
+    """,
+    doc="Efraimidis-Spirakis weighted sampling without replacement: "
+    "top-5 docs per source with inclusion probability proportional to "
+    "n_chars; u is md5-derived so the SAMPLE ITSELF is deterministic "
+    "and engine-portable — DuckDB rebuilds identical exponential keys "
+    "and the hash match pins the exact sampled row set",
+)
+def weighted_sample_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import weighted_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs.select("source", "doc_id", "n_chars"),
+        "doc_id",
+        "n_chars",
+        k=5,
+        group_col="source",
+        seed=42,
+    )
+
+
+@_q(
     "decontaminate_bloom",
     """
     WITH norm AS (

@@ -148,6 +148,63 @@ def decontaminate(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    group_col: str | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis–Spirakis
+    exponential keys: draw u ~ U(0,1] per row, rank by ln(u)/w
+    descending, keep the top ``k`` (per ``group_col`` if given) — each
+    row's inclusion probability is proportional to its weight. The
+    training-data use case: sample documents ∝ token count (or ∝
+    mixture weight) per source without materializing epochs.
+
+    ``u`` is DETERMINISTIC — derived from md5(id, seed) exactly like
+    ``deterministic_sample`` — so the sample is stable across runs,
+    retries, and engines (DuckDB can rebuild the identical u and key:
+    see the harness oracle), and adding/removing OTHER rows never
+    flips a surviving row's key (consistent-sampling property).
+
+    Scale shape: one narrow projection computes the key, then a
+    per-group window top-k (single hash-partition shuffle) or a global
+    TakeOrderedAndProject. Rows with weight <= 0 or NULL are excluded
+    (they have zero inclusion probability).
+    """
+    from pyspark.sql import Window
+
+    # md5 top-60-bits -> u in (0, 1]; +1 keeps u > 0 so ln(u) is finite
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", F.col(id_col).cast("string"), F.lit(str(seed)))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1).cast("double")) / F.lit(float(1 << 60) + 1.0)
+    w = F.col(weight_col).cast("double")
+    keyed = df.filter(w.isNotNull() & (w > 0)).withColumn(
+        "__es_key", F.log(u) / w
+    )
+    if group_col is None:
+        out = keyed.orderBy(F.desc("__es_key"), F.asc(id_col)).limit(k)
+    else:
+        win = Window.partitionBy(group_col).orderBy(
+            F.desc("__es_key"), F.asc(id_col)
+        )
+        out = (
+            keyed.withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    return out.drop("__es_key")
+
+
 def _bloom_build(hashes: "np.ndarray", fpp: float) -> tuple["np.ndarray", int, int]:
     """Standard Bloom sizing: m = -n ln p / (ln 2)^2 bits, k = (m/n) ln 2
     probes. Returns (uint64 bit words, m_bits, k). Probing uses

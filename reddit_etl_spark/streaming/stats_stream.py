@@ -86,6 +86,56 @@ def streaming_dedup(
     )
 
 
+def stream_click_attribution(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    attribution_window: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: attribute each click to
+    the impression(s) it followed within ``attribution_window`` — the
+    streaming twin of the batch as-of/interval join family
+    (operators/asof.py, operators/rangejoin.py).
+
+    State-bound by construction: BOTH sides carry a watermark and the
+    join condition bounds click.ts to [imp.ts, imp.ts + window], so
+    Spark evicts impression state once the click watermark passes
+    imp.ts + window and click state once it can no longer match — the
+    state store holds O(events within the horizon), not the stream
+    history. Works identically on static frames (the batch-parity
+    test replays the same input both ways).
+
+    Columns: (user, imp_ts, click_ts, imp_value, click_value).
+    """
+    imp = impressions.select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).alias("imp_ts"),
+        F.col("value").alias("imp_value"),
+    )
+    clk = clicks.select(
+        F.col(user_col).alias("click_user"),
+        F.col(ts_col).alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    if imp.isStreaming:
+        imp = imp.withWatermark("imp_ts", watermark)
+    if clk.isStreaming:
+        clk = clk.withWatermark("click_ts", watermark)
+    cond = (
+        (imp["user"] == clk["click_user"])
+        & (clk["click_ts"] >= imp["imp_ts"])
+        & (
+            clk["click_ts"]
+            <= imp["imp_ts"] + F.expr(f"INTERVAL {attribution_window}")
+        )
+    )
+    return imp.join(clk, cond).select(
+        "user", "imp_ts", "click_ts", "imp_value", "click_value"
+    )
+
+
 def stream_daily_subreddit_stats(
     posts_stream: DataFrame,
     stats_path: str,

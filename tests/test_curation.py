@@ -274,3 +274,72 @@ def test_bloom_decontaminate_empty_benchmark(spark):
     )
     bench = docs.filter(F.lit(False))
     assert decontaminate_bloom(docs, bench, "doc_id", "text", n=5).count() == 0
+
+
+def test_weighted_sample_deterministic_and_proportional(spark):
+    from reddit_etl_spark.operators.curation import weighted_sample
+
+    # 2 heavy rows (w=1000) + 98 light rows (w=1): across many seeds the
+    # heavies should be sampled far more often than any light row
+    df = spark.createDataFrame(
+        [(i, 1000 if i < 2 else 1) for i in range(100)], "id long, w long"
+    )
+    heavy_hits = light_hits = 0
+    for seed in range(30):
+        ids = {r.id for r in weighted_sample(df, "id", "w", k=5, seed=seed).collect()}
+        assert len(ids) == 5
+        heavy_hits += len(ids & {0, 1})
+        light_hits += len(ids - {0, 1})
+    # inclusion probability for a heavy row is ~1; lights share the rest
+    assert heavy_hits >= 55  # of 60 possible
+    # determinism: same seed -> identical sample
+    a = {r.id for r in weighted_sample(df, "id", "w", k=5, seed=7).collect()}
+    b = {r.id for r in weighted_sample(df, "id", "w", k=5, seed=7).collect()}
+    assert a == b
+
+
+def test_weighted_sample_consistency_under_deletion(spark):
+    """Consistent-sampling property: removing non-sampled rows never
+    changes which of the remaining rows survive (keys are per-row,
+    independent of the rest of the frame)."""
+    from reddit_etl_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, (i % 7) + 1) for i in range(200)], "id long, w long"
+    )
+    full = {r.id for r in weighted_sample(df, "id", "w", k=10, seed=3).collect()}
+    # drop half the non-sampled rows
+    reduced = df.filter(
+        F.col("id").isin([*full]) | (F.col("id") % 2 == 0)
+    )
+    again = {
+        r.id for r in weighted_sample(reduced, "id", "w", k=10, seed=3).collect()
+    }
+    # every originally-sampled row still present must still win or be
+    # displaced only by rows that were already ahead of it — with the
+    # same key function, the top-10 of a superset restricted to the
+    # subset can only IMPROVE a surviving row's rank
+    assert full <= set(r.id for r in reduced.select("id").collect())
+    assert full == again
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from reddit_etl_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -1), (4, None)], "id long, w long"
+    )
+    ids = {r.id for r in weighted_sample(df, "id", "w", k=10).collect()}
+    assert ids == {1}
+
+
+def test_weighted_sample_per_group_k(spark):
+    from reddit_etl_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), i + 1) for i in range(60)],
+        "id long, g string, w long",
+    )
+    out = weighted_sample(df, "id", "w", k=4, group_col="g")
+    counts = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"g0": 4, "g1": 4, "g2": 4}

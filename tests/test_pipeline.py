@@ -248,3 +248,62 @@ def test_daily_stats_agg_streaming_plan(spark, posts, tmp_path):
     stream = spark.readStream.schema(posts.schema).parquet(src_dir)
     agg = daily_stats_agg(stream)
     assert agg.isStreaming
+
+
+def test_stream_click_attribution_matches_batch(spark, tmp_path):
+    """Stream-stream interval join parity: the SAME attribution
+    function over replayed file streams equals its batch execution,
+    and the streaming plan is state-bounded (watermarks on both
+    sides + a two-sided time-range condition)."""
+    from reddit_etl_spark.streaming.stats_stream import stream_click_attribution
+
+    base = dt.datetime(2025, 9, 1, 10, 0)
+    imps = spark.createDataFrame(
+        [
+            ("u1", base, 1.0),
+            ("u1", base + dt.timedelta(minutes=40), 2.0),
+            ("u2", base + dt.timedelta(minutes=5), 3.0),
+            ("u3", base + dt.timedelta(minutes=10), 4.0),
+        ],
+        "user_id string, ts timestamp, value double",
+    )
+    clicks = spark.createDataFrame(
+        [
+            # 10 min after u1's first impression -> attributed to it only
+            ("u1", base + dt.timedelta(minutes=10), 10.0),
+            # 45 min in: within 30 min of u1's SECOND impression only
+            ("u1", base + dt.timedelta(minutes=45), 20.0),
+            # u2 click outside the 30-min window -> unattributed
+            ("u2", base + dt.timedelta(minutes=50), 30.0),
+            # u4 has no impression at all
+            ("u4", base + dt.timedelta(minutes=12), 40.0),
+        ],
+        "user_id string, ts timestamp, value double",
+    )
+    want = sorted(
+        map(tuple, stream_click_attribution(imps, clicks).collect())
+    )
+    assert [(u, iv, cv) for (u, _, _, iv, cv) in want] == [
+        ("u1", 1.0, 10.0),
+        ("u1", 2.0, 20.0),
+    ]
+
+    imp_src, clk_src = str(tmp_path / "imp_in"), str(tmp_path / "clk_in")
+    imps.write.parquet(imp_src)
+    clicks.write.parquet(clk_src)
+    imp_stream = spark.readStream.schema(imps.schema).parquet(imp_src)
+    clk_stream = spark.readStream.schema(clicks.schema).parquet(clk_src)
+    joined = stream_click_attribution(imp_stream, clk_stream)
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM attrib_out").collect())
+    )
+    assert got == want
