@@ -771,6 +771,24 @@ def similarity_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "similarity_topk_int8",
+    _TOPK_AUDIT_SQL,
+    doc="int8-quantized brute top-5 recall audit: symmetric per-vector "
+    "quantization (4-8x smaller scan/broadcast), scales cancel under "
+    "cosine so scoring runs on integer codes; recall_ok pins per-query "
+    "recall >= 0.5 vs the float-exact baseline",
+)
+def similarity_topk_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_topk, cosine_topk_quantized
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, q, "vec_id", "embedding", "vec_id", k=5)
+    approx = cosine_topk_quantized(emb, q, "vec_id", "embedding", "vec_id", k=5)
+    return _topk_recall_audit(exact, approx, min_recall=0.5)
+
+
+@_q(
     "similarity_topk_ivf",
     _TOPK_AUDIT_SQL,
     doc="IVF ANN top-5 recall audit: hash-sampled spherical-k-means "

@@ -382,3 +382,80 @@ def cosine_neardup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    qvec_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|v|/127,
+    q_i = round(v_i/scale) in [-127, 127] — 4x less memory/bandwidth
+    than float32 (8x vs float64), the standard first lever when an
+    embedding table outgrows the cluster's storage or a broadcast
+    budget. Pure array expressions; no Python in the path.
+
+    Zero vectors get scale 0 and an all-zero code (dequantizes to the
+    zero vector). Dequantize: v_i ~ q_i * scale."""
+    v = _as_double(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = (amax / F.lit(127.0)).alias(scale_col)
+    q = F.when(
+        amax > 0,
+        F.transform(v, lambda x: F.round(x / (amax / 127.0)).cast("tinyint")),
+    ).otherwise(
+        F.transform(v, lambda x: F.lit(0).cast("tinyint"))
+    )
+    return df.withColumn(scale_col, scale).withColumn(qvec_col, q)
+
+
+def cosine_topk_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact-shape brute top-k over int8-quantized vectors. Cosine is
+    scale-invariant, so the per-vector scales cancel and scoring runs
+    directly on the integer codes; quantization perturbs scores only
+    by rounding error (~1e-2 at 64 dims) — rank quality is audited
+    against the float path by the harness query.
+
+    Same plan as ``cosine_topk`` (broadcast product + rank window);
+    the win at 100 TB is the 4-8x smaller corpus scan and broadcast."""
+    cq = quantize_embeddings(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        vec_col,
+    ).select(
+        "neighbor_id",
+        F.col("qvec").alias("__cq"),
+        F.col("qscale").alias("__cs"),
+    )
+    qq = quantize_embeddings(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col)),
+        vec_col,
+    ).select(
+        "query_id", F.col("qvec").alias("__qq"), F.col("qscale").alias("__qs")
+    )
+    cast = lambda c: F.col(c).cast("array<double>")  # noqa: E731
+    scored = (
+        cq.join(F.broadcast(qq), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_sim",
+            cosine_col(cast("__qq"), cast("__cq")),
+        )
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim")
+        )
+    )

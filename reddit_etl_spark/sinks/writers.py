@@ -116,3 +116,36 @@ def export_csv(df: DataFrame, path: str) -> None:
     """Single-file CSV export with header (K5 — the example.csv path).
     coalesce(1) is a driver-side convenience for small results only."""
     df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_range_layout(
+    df: DataFrame,
+    path: str,
+    layout_cols: Sequence[str],
+    num_files: int | None = None,
+) -> None:
+    """Range-clustered parquet layout for data-skipping scans.
+
+    ``repartitionByRange`` on the layout columns gives each output
+    file a DISJOINT value range, and ``sortWithinPartitions`` makes
+    every parquet row group's min/max stats tight — so a later
+    predicate on the layout columns prunes whole files (footer min/max)
+    and whole row groups before reading a byte. At 100 TB this is the
+    difference between scanning a table and scanning a slice: a
+    selective filter on the cluster key reads O(matching files), not
+    O(table).
+
+    Plain parquet — no table-format dependency; the same clustering
+    that Delta's OPTIMIZE ZORDER approximates for one-column keys.
+    For multi-column keys, range layout clusters by the leading column
+    first (lexicographic), which is the right shape when one column
+    dominates selectivity; true multi-dimensional skipping needs a
+    space-filling curve, out of scope here.
+    """
+    cols = [df[c] for c in layout_cols]
+    part = (
+        df.repartitionByRange(num_files, *cols)
+        if num_files
+        else df.repartitionByRange(*cols)
+    )
+    part.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)

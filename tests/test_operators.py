@@ -305,3 +305,49 @@ def test_multimodal_real_decode_rejects_nonmedia(spark):
     media = media_from_text(docs, "doc_id", "text")
     with pytest.raises(Exception, match="UnsupportedMediaError|no codec"):
         extract_media_features(media, decode="real").collect()
+
+
+def test_quantize_embeddings_roundtrip_and_zero(spark):
+    from reddit_etl_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0])],
+        "id long, embedding array<double>",
+    )
+    rows = {r.id: r for r in quantize_embeddings(df, "embedding").collect()}
+    q1, s1 = rows[1].qvec, rows[1].qscale
+    assert s1 == pytest.approx(2.0 / 127.0)
+    assert q1 == [64, -127, 32]  # round(v / scale)
+    # dequantized error bounded by scale/2 per component
+    for orig, code in zip([1.0, -2.0, 0.5], q1):
+        assert abs(code * s1 - orig) <= s1 / 2 + 1e-12
+    assert rows[2].qscale == 0.0 and rows[2].qvec == [0, 0, 0]
+
+
+def test_quantized_topk_matches_float_ranks_closely(spark):
+    import numpy as np
+
+    from reddit_etl_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_quantized,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.normal(size=(80, 32))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(df, q, "vec_id", "embedding", "vec_id", k=5).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_quantized(
+            df, q, "vec_id", "embedding", "vec_id", k=5
+        ).collect()
+    }
+    # int8 rounding at 32 dims: expect near-total rank agreement
+    assert len(exact & quant) / len(exact) >= 0.8
