@@ -1112,6 +1112,33 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "incremental_dedup",
+    """
+    WITH n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      FROM documents),
+    d1 AS (SELECT * FROM n WHERE doc_id % 2 = 0),
+    d2 AS (SELECT * FROM n WHERE doc_id % 2 = 1),
+    w AS (SELECT nt, MIN(doc_id) AS doc_id FROM d2 GROUP BY nt)
+    SELECT doc_id FROM w WHERE nt NOT IN (SELECT nt FROM d1)
+    """,
+    doc="incremental exact dedup: batch 2 (odd ids) deduped within "
+    "itself then anti-joined against batch 1's persisted content-key "
+    "index — the production daily-increment shape: O(batch + index "
+    "probe), never a corpus recompute",
+)
+def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import incremental_exact_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    day1 = docs.filter(F.col("doc_id") % 2 == 0)
+    day2 = docs.filter(F.col("doc_id") % 2 == 1)
+    _, keys1 = incremental_exact_dedup(day1, None, "doc_id", ["text"])
+    survivors, _ = incremental_exact_dedup(day2, keys1, "doc_id", ["text"])
+    return survivors
+
+
+@_q(
     "weighted_sample_sources",
     """
     WITH keyed AS (

@@ -565,3 +565,66 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def content_key_col(content_cols: list[str], normalize: bool = True) -> Column:
+    """The (xxhash64, md5) content key used by ``exact_dedup``, exposed
+    as one struct column so an INDEX of seen content can be persisted
+    and joined against later batches."""
+    content = [
+        normalize_text_col(c) if normalize else F.col(c) for c in content_cols
+    ]
+    return F.struct(
+        F.xxhash64(*content).alias("h64"),
+        F.md5(F.concat_ws("\x1f", *content)).alias("h128"),
+    )
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    seen_keys: DataFrame | None,
+    id_col: str,
+    content_cols: list[str],
+    normalize: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Production-shaped incremental dedup: dedup a NEW batch within
+    itself, then drop anything whose content key already exists in the
+    persisted ``seen_keys`` index (columns h64, h128) from earlier
+    batches. Returns (survivors, updated_keys):
+
+    - ``survivors``: batch rows that are globally novel (one per new
+      distinct content, min-id winner).
+    - ``updated_keys``: ``seen_keys`` plus the survivors' keys — write
+      it back (append-only parquet) for the next increment.
+
+    Scale shape: the within-batch dedup shuffles 24-byte keys; the
+    against-index check is a key-equality anti join (hash-partition
+    both sides on h64 — AQE picks shuffle vs broadcast by index size).
+    Daily increments therefore cost O(batch + index-probe), never a
+    recompute over the full corpus — the reason production pipelines
+    keep a key index instead of re-running corpus dedup per day.
+    """
+    key = content_key_col(content_cols, normalize)
+    keyed = batch.withColumn("__ck", key)
+    within = (
+        keyed.groupBy("__ck.h64", "__ck.h128")
+        .agg(F.min(id_col).alias(id_col))
+        .join(keyed.select(id_col, "__ck"), id_col)
+    )
+    if seen_keys is not None:
+        novel = within.join(
+            seen_keys,
+            (F.col("__ck.h64") == seen_keys["h64"])
+            & (F.col("__ck.h128") == seen_keys["h128"]),
+            "left_anti",
+        )
+    else:
+        novel = within
+    survivors = novel.select(id_col)
+    new_keys = novel.select(
+        F.col("__ck.h64").alias("h64"), F.col("__ck.h128").alias("h128")
+    )
+    updated = (
+        new_keys if seen_keys is None else seen_keys.unionByName(new_keys)
+    )
+    return survivors, updated

@@ -351,3 +351,44 @@ def test_quantized_topk_matches_float_ranks_closely(spark):
     }
     # int8 rounding at 32 dims: expect near-total rank agreement
     assert len(exact & quant) / len(exact) >= 0.8
+
+
+def test_incremental_exact_dedup_across_batches(spark):
+    from reddit_etl_spark.operators.dedup import incremental_exact_dedup
+
+    day1 = spark.createDataFrame(
+        [
+            (1, "Hello  World"),
+            (2, "hello world"),  # dup of 1 after normalization
+            (3, "first unique doc"),
+        ],
+        "doc_id long, text string",
+    )
+    s1, keys1 = incremental_exact_dedup(day1, None, "doc_id", ["text"])
+    assert {r.doc_id for r in s1.collect()} == {1, 3}
+    assert keys1.count() == 2
+
+    day2 = spark.createDataFrame(
+        [
+            (10, "HELLO WORLD"),  # already seen on day 1 -> dropped
+            (11, "second unique doc"),
+            (12, "second unique doc"),  # within-batch dup of 11
+        ],
+        "doc_id long, text string",
+    )
+    s2, keys2 = incremental_exact_dedup(day2, keys1, "doc_id", ["text"])
+    assert {r.doc_id for r in s2.collect()} == {11}
+    assert keys2.count() == 3
+
+    # replay idempotence: re-running day2 against the updated index
+    # yields nothing new
+    s3, keys3 = incremental_exact_dedup(day2, keys2, "doc_id", ["text"])
+    assert s3.count() == 0 and keys3.count() == 3
+
+    # parity: incremental over both days == one-shot exact_dedup on the
+    # union (same survivor CONTENT set; ids may differ by arrival order)
+    from reddit_etl_spark.operators.dedup import exact_dedup
+
+    union = day1.unionByName(day2)
+    oneshot = exact_dedup(union, "doc_id", ["text"])
+    assert oneshot.count() == s1.count() + s2.count()
