@@ -164,3 +164,58 @@ def stream_daily_subreddit_stats(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_incremental_dedup(
+    batch_stream: DataFrame,
+    id_col: str,
+    content_cols: list,
+    keys_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming corpus ingestion with exact dedup against ALL history:
+    each micro-batch runs ``incremental_exact_dedup`` against the
+    persisted content-key index, appends the novel rows to ``out_path``
+    and the novel keys to ``keys_path``.
+
+    This is the unbounded-state dedup ``dropDuplicatesWithinWatermark``
+    cannot do: the state lives in an append-only parquet key index
+    (24 bytes/doc) instead of the state store, so "have we EVER seen
+    this content" stays answerable at 100 TB — the index for a
+    billion-doc corpus is ~24 GB, a cheap hash-join probe side.
+    foreachBatch gives exactly-once appends per micro-batch via the
+    checkpoint's batch-id tracking."""
+    from ..operators.dedup import content_key_col, incremental_exact_dedup
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        seen = (
+            spark.read.parquet(keys_path)
+            if os.path.isdir(keys_path) and os.listdir(keys_path)
+            else None
+        )
+        survivors, _ = incremental_exact_dedup(
+            batch_df, seen, id_col, content_cols
+        )
+        novel = batch_df.join(survivors, id_col, "left_semi").localCheckpoint()
+        novel.write.mode("append").parquet(out_path)
+        (
+            novel.select(content_key_col(content_cols).alias("__ck"))
+            .select(
+                F.col("__ck.h64").alias("h64"), F.col("__ck.h128").alias("h128")
+            )
+            .write.mode("append")
+            .parquet(keys_path)
+        )
+
+    writer = (
+        batch_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -307,3 +307,53 @@ def test_stream_click_attribution_matches_batch(spark, tmp_path):
         map(tuple, spark.sql("SELECT * FROM attrib_out").collect())
     )
     assert got == want
+
+
+def test_stream_incremental_dedup_maintains_key_index(spark, tmp_path):
+    """foreachBatch incremental dedup: replayed micro-batches drop
+    within-batch dups AND cross-batch re-deliveries via the persisted
+    content-key index; replaying the same input again adds nothing."""
+    from reddit_etl_spark.streaming.stats_stream import stream_incremental_dedup
+
+    keys_path = str(tmp_path / "keys")
+    out_path = str(tmp_path / "novel")
+
+    b1 = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "first unique")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, "HELLO WORLD"), (11, "second unique"), (12, "second unique")],
+        "doc_id long, text string",
+    )
+    src1, src2 = str(tmp_path / "in1"), str(tmp_path / "in2")
+    b1.write.parquet(src1)
+    b2.write.parquet(src2)
+
+    for i, src in enumerate([src1, src2]):
+        stream = spark.readStream.schema(b1.schema).parquet(src)
+        q = stream_incremental_dedup(
+            stream,
+            "doc_id",
+            ["text"],
+            keys_path,
+            out_path,
+            str(tmp_path / f"ckpt{i}"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    got = {r.doc_id for r in spark.read.parquet(out_path).collect()}
+    assert got == {1, 3, 11}
+    assert spark.read.parquet(keys_path).count() == 3
+
+    # replay batch 2 with a fresh checkpoint: index already has its
+    # content -> nothing new appended
+    stream = spark.readStream.schema(b1.schema).parquet(src2)
+    q = stream_incremental_dedup(
+        stream, "doc_id", ["text"], keys_path, out_path,
+        str(tmp_path / "ckpt_replay"), available_now=True,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out_path).count() == 3
+    assert spark.read.parquet(keys_path).count() == 3
