@@ -1112,6 +1112,38 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "unigram_quality_score",
+    """
+    WITH n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      FROM documents),
+    tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM n),
+    tok2 AS (SELECT * FROM tok WHERE length(term) > 0),
+    stats AS (SELECT term, COUNT(*) AS tf FROM tok2 GROUP BY term),
+    tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total FROM stats),
+    vocab AS (SELECT term, ln(tf / (SELECT total FROM tot)) AS lp
+              FROM stats ORDER BY tf DESC, term LIMIT 100)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(ROUND(SUM(COALESCE(v.lp,
+                 ln(0.5 / (SELECT total FROM tot)))), 6) / COUNT(*), 6)
+             AS avg_logprob
+    FROM tok2 LEFT JOIN vocab v USING (term)
+    GROUP BY doc_id
+    """,
+    doc="LM-free quality gate: mean unigram log-probability per doc "
+    "(CCNet-style perplexity proxy) with a top-100 corpus vocab and an "
+    "OOV floor of ln(0.5/total); rounded-sum averaging for engine "
+    "float parity",
+)
+def unigram_quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import unigram_logprob_score
+
+    docs = load(spark, sf_dir, "documents")
+    out = unigram_logprob_score(docs, "doc_id", "text", vocab_size=100)
+    return out
+
+
+@_q(
     "incremental_dedup",
     """
     WITH n AS (

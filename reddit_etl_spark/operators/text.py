@@ -405,3 +405,66 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 50_000,
+    oov_logprob: float | None = None,
+) -> DataFrame:
+    """LM-free quality proxy: mean unigram log-probability per doc.
+
+    A cheap stand-in for perplexity-based quality filtering (the
+    CCNet/Gopher recipe's first gate): fluent common text scores high,
+    gibberish / OCR noise / rare-token soup scores low. p(term) comes
+    from the corpus itself — term_stats top-``vocab_size`` by
+    frequency (deterministic term tiebreak), broadcast back; tokens
+    outside the vocab get ``oov_logprob`` (default: ln of one half
+    count over the corpus total — a floor below every real vocab
+    entry).
+
+    Scale shape: one partial-agg vocab pass (the term_stats shuffle),
+    the top-V cut via TakeOrdered on the driver-sized vocab, then a
+    broadcast re-join against the exploded tokens and one per-doc
+    aggregate. The corpus shuffles only (doc_id, token) pairs once.
+
+    Returns (id, n_tokens, avg_logprob) with avg_logprob rounded to 6.
+    """
+    stats = term_stats(df, id_col, text_col)
+    total = stats.agg(F.sum("tf").alias("__total"))
+    vocab = (
+        stats.orderBy(F.desc("tf"), F.asc("term"))
+        .limit(vocab_size)
+        .crossJoin(F.broadcast(total))
+        .select("term", (F.log(F.col("tf") / F.col("__total"))).alias("__lp"))
+    )
+    toks = F.explode(F.split(normalize_text_col(text_col), " ")).alias("term")
+    pairs = df.select(F.col(id_col), toks).filter(F.length("term") > 0)
+    total_row = total.first()
+    corpus_total = total_row["__total"] if total_row else None
+    if oov_logprob is None:
+        import math
+
+        oov_logprob = (
+            math.log(0.5 / corpus_total) if corpus_total else -30.0
+        )
+    return (
+        pairs.join(F.broadcast(vocab), "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            # rounded-sum averaging (see stable_avg in harness.py): sum
+            # then round BEFORE dividing, so summation-order ulp drift
+            # between engines cannot flip the 6-decimal average
+            F.round(
+                F.round(
+                    F.sum(F.coalesce(F.col("__lp"), F.lit(float(oov_logprob)))),
+                    6,
+                )
+                / F.count("*"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )

@@ -100,3 +100,40 @@ def test_repetition_profile_shuffle_free_after_fanout(spark):
     # the statistics themselves never shuffle
     assert plan.count("Exchange") <= 1
     assert "SortAggregate" not in plan and "HashAggregate" not in plan
+
+
+def test_unigram_logprob_ranks_fluent_above_gibberish(spark):
+    from reddit_etl_spark.operators.text import unigram_logprob_score
+
+    common = "the quick brown fox and the lazy dog"
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(20)]
+        + [(100, "the quick brown fox"), (101, "zxqv jkwp mmtr qqzz")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in unigram_logprob_score(docs, "doc_id", "text", vocab_size=10).collect()
+    }
+    # doc built of corpus-frequent tokens outranks rare-token soup
+    assert rows[100].avg_logprob > rows[101].avg_logprob
+    assert rows[100].n_tokens == 4
+    # OOV floor: gibberish tokens fall outside the top-10 vocab and get
+    # the sub-vocab floor, so the score is very low
+    assert rows[101].avg_logprob < rows[0].avg_logprob
+
+
+def test_unigram_logprob_empty_and_oov_floor(spark):
+    import math
+
+    from reddit_etl_spark.operators.text import unigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "   "), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in unigram_logprob_score(docs, "doc_id", "text").collect()}
+    # all-whitespace / NULL docs produce no token rows at all
+    assert set(rows) == {1}
+    # both tokens in vocab (corpus of 2 tokens): p=0.5 each
+    assert rows[1].avg_logprob == pytest.approx(round(math.log(0.5), 6), abs=1e-6)
