@@ -333,7 +333,7 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     arr = np.asarray(samples, dtype=np.float64)
     if arr.ndim == 1:
         arr = arr[:, None]
-    pcm = np.clip(arr * 32767.0, -32768, 32767).astype("<i2")
+    pcm = np.clip(np.round(arr * 32767.0), -32768, 32767).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wf:
         wf.setnchannels(arr.shape[1])

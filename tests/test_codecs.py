@@ -282,3 +282,64 @@ def test_resample_audio_through_spark(spark):
     out, r = codecs.decode_wav(bytes(good.payload))
     expect = 0.5 * np.sin(2 * np.pi * 220 * np.arange(4_000) / 4_000)
     np.testing.assert_allclose(out[:, 0], expect, atol=5e-2)
+
+
+# ---------------------------------------------------------------------------
+# property-based round-trips (hypothesis)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        c=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_png_roundtrip_property(h, w, c, seed):
+        img = np.random.RandomState(seed).randint(
+            0, 256, (h, w, c), dtype=np.uint8
+        )
+        np.testing.assert_array_equal(
+            codecs.decode_png(codecs.encode_png(img)), img
+        )
+
+    @given(
+        n=st.integers(1, 500),
+        ch=st.sampled_from([1, 2]),
+        rate=st.sampled_from([8_000, 16_000, 44_100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_wav_roundtrip_property(n, ch, rate, seed):
+        x = np.random.RandomState(seed).uniform(-0.99, 0.99, size=(n, ch))
+        out, r = codecs.decode_wav(codecs.encode_wav(x, rate))
+        assert r == rate and out.shape == (n, ch)
+        # 0.5 LSB rounding + the 32767-encode/32768-decode asymmetry
+        np.testing.assert_allclose(out, x, atol=1e-4)
+
+    @given(
+        h=st.integers(1, 10),
+        w=st.integers(1, 10),
+        tw=st.integers(1, 10),
+        th=st.integers(1, 10),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_resize_property_shape_and_value_domain(h, w, tw, th):
+        img = np.random.RandomState(h * 100 + w).randint(
+            0, 256, (h, w, 3), dtype=np.uint8
+        )
+        out = codecs.resize_nearest(img, tw, th)
+        assert out.shape == (th, tw, 3)
+        # nearest-neighbour never invents values
+        flat = {tuple(px) for row in img for px in row}
+        assert all(tuple(px) in flat for row in out for px in row)
