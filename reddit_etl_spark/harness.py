@@ -1918,6 +1918,79 @@ def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "table_profile",
+    """
+    SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(MIN(o_orderstatus) AS VARCHAR),
+           CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(MIN(o_orderpriority) AS VARCHAR),
+           CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    """,
+    doc="one-pass data profiling: per-column row/null/exact-distinct "
+    "counts + min/max in a single scan (one aggregate, inline unpivot "
+    "of the 1-row result) — the first query against any new data drop",
+)
+def table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import column_profile
+
+    orders = load(spark, sf_dir, "orders")
+    return column_profile(
+        orders, ["o_orderkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+@_q(
+    "packed_shards",
+    """
+    WITH t AS (
+      SELECT doc_id, source, text,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS tokens
+      FROM documents),
+    b AS (
+      SELECT doc_id, source, text, tokens,
+             CAST(floor(COALESCE(SUM(tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 2000) AS BIGINT) AS bin
+      FROM t)
+    SELECT source, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+           string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS text
+    FROM b GROUP BY source, bin
+    """,
+    doc="materialized training shards: pack_sequences bins joined back "
+    "to text and concatenated in pack order (array_sort of (order, "
+    "text) structs — no second window); the payload a trainer consumes",
+)
+def packed_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import materialize_packed_text
+    from .operators.text import token_count_col
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "tokens", token_count_col("text")
+    )
+    return materialize_packed_text(
+        docs, "doc_id", "text", "tokens", budget=2000, group_col="source"
+    )
+
+
+@_q(
     "pack_sequences",
     """
     WITH t AS (

@@ -479,3 +479,52 @@ def pack_sequences(
         F.col(token_col),
         F.floor(prior / budget).cast("long").alias("bin"),
     )
+
+
+def materialize_packed_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    token_col: str,
+    budget: int,
+    group_col: str,
+    separator: str = "\n\n",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Materialize the training shards ``pack_sequences`` plans: one
+    row per (group, bin) with the member documents' text concatenated
+    in pack order — the actual context-window payloads a trainer
+    consumes.
+
+    Order inside a shard is made deterministic without a second window:
+    collect (order_key, text) structs per bin, ``array_sort`` (struct
+    ordering = field order, so order_key leads), then join. One
+    aggregation shuffle on (group, bin); text moves exactly once.
+
+    Returns (group, bin, n_docs, total_tokens, text).
+    """
+    order = order_col or id_col
+    packed = pack_sequences(
+        df.select(id_col, group_col, token_col), id_col, token_col,
+        budget, group_col, order_col=order_col,
+    )
+    joined = packed.join(
+        df.select(id_col, F.col(order).alias("__ord"), F.col(text_col)),
+        id_col,
+    )
+    return (
+        joined.groupBy(group_col, "bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(token_col).cast("long").alias("total_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__ord"), F.col(text_col)))
+                    ),
+                    lambda s: s[text_col],
+                ),
+                separator,
+            ).alias("text"),
+        )
+    )

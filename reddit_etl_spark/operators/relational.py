@@ -114,3 +114,39 @@ def tier_col(
         cond = v >= threshold
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
     return expr.otherwise(default) if expr is not None else F.lit(default)
+
+
+def column_profile(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """One-pass data-profiling summary: one output row per column with
+    row count, null count, exact distinct count, and min/max (stringed
+    for a uniform schema) — the first query run against any new 100 TB
+    drop.
+
+    Plan shape: a single global aggregate computes every column's
+    stats in one scan (count-distincts rewrite to one expand +
+    two-phase agg); the per-column unpivot happens on the 1-row result
+    via inline(array(struct...)) — no second scan, no per-column jobs.
+    """
+    cols = list(columns) if columns is not None else df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__n_{c}").cast("long").alias("n_rows"),
+            F.col(f"__null_{c}").cast("long").alias("n_null"),
+            F.col(f"__dist_{c}").cast("long").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_value"),
+            F.col(f"__max_{c}").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return row.select(F.inline(F.array(*structs)))

@@ -343,3 +343,31 @@ def test_weighted_sample_per_group_k(spark):
     out = weighted_sample(df, "id", "w", k=4, group_col="g")
     counts = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
     assert counts == {"g0": 4, "g1": 4, "g2": 4}
+
+
+def test_materialize_packed_text_order_and_budget(spark):
+    from reddit_etl_spark.operators.curation import materialize_packed_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "s", "one two three", 3),
+            (2, "s", "four five", 2),
+            (3, "s", "six seven eight nine", 4),
+            (4, "s", "ten", 1),
+        ],
+        "doc_id long, source string, text string, tokens long",
+    )
+    rows = sorted(
+        materialize_packed_text(
+            df, "doc_id", "text", "tokens", budget=5, group_col="source"
+        ).collect(),
+        key=lambda r: r.bin,
+    )
+    # next-fit: doc1+doc2 fill bin0 (5 tokens); doc3 starts bin1 and
+    # overshoots; doc4 lands in bin1 (prior sum 9 -> floor(9/5)=1)
+    assert [(r.bin, r.n_docs, r.total_tokens) for r in rows] == [
+        (0, 2, 5),
+        (1, 2, 5),
+    ]
+    assert rows[0].text == "one two three\n\nfour five"
+    assert rows[1].text == "six seven eight nine\n\nten"

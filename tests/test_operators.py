@@ -392,3 +392,19 @@ def test_incremental_exact_dedup_across_batches(spark):
     union = day1.unionByName(day2)
     oneshot = exact_dedup(union, "doc_id", ["text"])
     assert oneshot.count() == s1.count() + s2.count()
+
+
+def test_column_profile_one_row_per_column(spark):
+    from reddit_etl_spark.operators.relational import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], "k long, s string"
+    )
+    rows = {r.column: r for r in column_profile(df).collect()}
+    assert set(rows) == {"k", "s"}
+    assert (rows["k"].n_rows, rows["k"].n_null, rows["k"].n_distinct) == (3, 0, 2)
+    assert (rows["k"].min_value, rows["k"].max_value) == ("1", "2")
+    assert (rows["s"].n_rows, rows["s"].n_null, rows["s"].n_distinct) == (3, 1, 2)
+    # single scan: exactly one aggregate over the input, no join/union
+    plan = column_profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan and "Join" not in plan
