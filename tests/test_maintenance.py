@@ -93,3 +93,56 @@ def test_range_layout_files_are_disjoint_and_skippable(spark, tmp_path):
     assert spark.read.parquet(path).count() == 100_000
     got = spark.read.parquet(path).filter(F.col("k") == 5).count()
     assert got == df.filter(F.col("k") == 5).count()
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
+    """Z-order vs single-column range layout: the Morton layout keeps
+    per-file bounding boxes small in BOTH dimensions, so a predicate
+    on the SECOND column can prune files too."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from reddit_etl_spark.sinks.writers import (
+        write_range_layout,
+        write_zorder_layout,
+    )
+
+    n = 1 << 16
+    side = 1 << 8
+    df = spark.range(n).select(
+        (F.col("id") % side).alias("x"),
+        ((F.col("id") * 2654435761) % side).alias("y"),  # decorrelated
+        F.col("id").alias("v"),
+    )
+    zpath, rpath = str(tmp_path / "z"), str(tmp_path / "r")
+    write_zorder_layout(df, zpath, "x", "y", num_files=16)
+    write_range_layout(df, rpath, ["x"], num_files=16)
+
+    def bboxes(path):
+        out = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            r = (
+                spark.read.parquet(os.path.join(path, f))
+                .agg(
+                    F.min("x"), F.max("x"), F.min("y"), F.max("y"),
+                )
+                .first()
+            )
+            out.append((r[1] - r[0] + 1, r[3] - r[2] + 1))
+        return out
+
+    zb = bboxes(zpath)
+    rb = bboxes(rpath)
+    avg_y_extent_z = sum(b[1] for b in zb) / len(zb)
+    avg_y_extent_r = sum(b[1] for b in rb) / len(rb)
+    # the x-only range layout leaves y unconstrained per file (~full
+    # side); z-order bounds it
+    assert avg_y_extent_r > side * 0.9
+    assert avg_y_extent_z < side * 0.6
+    # and x stays bounded too (both layouts constrain x)
+    assert sum(b[0] for b in zb) / len(zb) < side * 0.6
+    # nothing lost
+    assert spark.read.parquet(zpath).count() == n
