@@ -1467,6 +1467,52 @@ def interval_session_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "asof_next_purchase",
+    """
+    WITH clicks AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value
+                    FROM events WHERE event_type = 'click'),
+    purchases AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events
+                  WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS purchase_ts,
+           ROUND(p.value, 6) AS purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts >= c.ts
+    """,
+    doc="FORWARD as-of join: each click matched to the user's NEXT "
+    "purchase at-or-after it (conversion attribution) — same single "
+    "union+carry window plan as the backward form with only the sort "
+    "direction flipped; oracle is DuckDB's native forward ASOF JOIN",
+)
+def asof_next_purchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["ts", "value"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_right").alias("purchase_ts"),
+        F.round("value_right", 6).alias("purchase_value"),
+    )
+
+
+@_q(
     "asof_attribution",
     """
     WITH clicks AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value
@@ -1788,6 +1834,51 @@ def neardup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     comps = connected_components(pairs, "id_a", "id_b")
     return comps.select(F.col("node").alias("doc_id"), "component")
+
+
+@_q(
+    "neardup_survivors",
+    """
+    WITH RECURSIVE norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      FROM documents),
+    toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(t[i:i+2], ' ')))) AS s FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5),
+    reach(n, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT reach.n, e.b FROM reach JOIN edges e ON reach.r = e.a),
+    comp AS (SELECT n, MIN(r) AS component FROM reach GROUP BY n)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT n FROM comp WHERE component <> n)
+    """,
+    doc="end-to-end near-dup removal: cluster by exact Jaccard>=0.5, "
+    "keep the min-id representative per cluster + all singletons "
+    "(anti-join on ids, no broadcast hint — loser set is O(corpus) at "
+    "web duplicate rates, AQE picks the strategy)",
+)
+def neardup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import connected_components, dedup_survivors
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    comps = connected_components(pairs, "id_a", "id_b")
+    return dedup_survivors(docs, comps, "doc_id").select("doc_id")
 
 
 @_q(

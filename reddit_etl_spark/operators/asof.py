@@ -33,15 +33,23 @@ def asof_join(
     value_cols: Sequence[str] | None = None,
     tolerance: str | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row: columns of the latest right row with
-    ``right.ts <= left.ts`` (NULLs when none, i.e. LEFT OUTER as-of).
+    ``right.ts <= left.ts`` (``direction='backward'``, the default) or
+    the EARLIEST right row with ``right.ts >= left.ts``
+    (``direction='forward'`` — next-event attribution). NULLs when no
+    match (LEFT OUTER as-of), identical single-window plan either way
+    (only the sort direction flips).
 
     ``value_cols`` selects which right columns to carry (default: all
     non-key, non-ts). ``tolerance`` (e.g. ``"15 minutes"``) NULLs out
-    matches older than ``left_ts - tolerance``, matching the pandas
-    ``merge_asof(tolerance=...)`` contract.
+    matches farther than ``tolerance`` from ``left_ts`` in the match
+    direction, matching the pandas ``merge_asof(tolerance=...)``
+    contract.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
     keys = list(on)
     if value_cols is None:
         value_cols = [
@@ -73,10 +81,13 @@ def asof_join(
     )
 
     # right rows sort BEFORE left rows at equal ts, so ties match
-    # (<=, the ASOF convention)
+    # (inclusive bound, the ASOF convention). forward flips the ts
+    # sort: the running carry then holds the SMALLEST right ts that is
+    # still >= the left ts.
+    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts"), F.col("__is_left"))
+        .orderBy(ts_order, F.col("__is_left"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # Carry ONE struct holding the whole right row, not per-column
@@ -96,9 +107,14 @@ def asof_join(
 
     result = carried.filter(F.col("__is_left") == 1)
     if tolerance is not None:
-        fresh = F.col("__m.__mts") >= F.col("__ts") - F.expr(
-            f"INTERVAL {tolerance}"
-        )
+        if direction == "backward":
+            fresh = F.col("__m.__mts") >= F.col("__ts") - F.expr(
+                f"INTERVAL {tolerance}"
+            )
+        else:
+            fresh = F.col("__m.__mts") <= F.col("__ts") + F.expr(
+                f"INTERVAL {tolerance}"
+            )
         result = result.withColumn("__m", F.when(fresh, F.col("__m")))
     return result.select(
         *left.columns,

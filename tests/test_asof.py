@@ -105,3 +105,58 @@ def test_asof_single_shuffle(quotes, trades):
     out = asof_join(trades, quotes, on=["sym"], left_ts="tts", right_ts="qts")
     # union + one window partition = exactly one exchange
     assert count_exchanges(out) == 1
+
+
+def test_asof_forward_with_tolerance(spark):
+    import datetime as dt
+
+    from reddit_etl_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2025, 9, 1, 12, 0)
+    left = spark.createDataFrame(
+        [
+            (1, "u", t0),
+            (2, "u", t0 + dt.timedelta(minutes=45)),
+            (3, "v", t0),
+        ],
+        "id long, user string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", t0 + dt.timedelta(minutes=10), 1.0),   # next after left#1
+            ("u", t0 + dt.timedelta(minutes=50), 2.0),   # next after left#2
+        ],
+        "user string, ts timestamp, value double",
+    )
+    rows = {
+        r.id: r
+        for r in asof_join(
+            left, right, on=["user"], left_ts="ts", right_ts="ts",
+            value_cols=["value"], direction="forward",
+        ).collect()
+    }
+    assert rows[1].value == 1.0   # earliest right >= left ts
+    assert rows[2].value == 2.0
+    assert rows[3].value is None  # no right rows for v
+
+    # tolerance: left#1's next event is 10 min away -> NULLed at 5 min
+    rows = {
+        r.id: r
+        for r in asof_join(
+            left, right, on=["user"], left_ts="ts", right_ts="ts",
+            value_cols=["value"], direction="forward", tolerance="5 minutes",
+        ).collect()
+    }
+    assert rows[1].value is None
+    # equal-ts inclusive: a right row AT left ts matches forward
+    right2 = spark.createDataFrame(
+        [("u", t0, 9.0)], "user string, ts timestamp, value double"
+    )
+    rows = {
+        r.id: r
+        for r in asof_join(
+            left, right2, on=["user"], left_ts="ts", right_ts="ts",
+            value_cols=["value"], direction="forward",
+        ).collect()
+    }
+    assert rows[1].value == 9.0
