@@ -49,15 +49,22 @@ def main() -> int:
         _noop, schema="r_regionkey long"
     ).count()
 
+    # best-of-2 per query: the first pass can absorb page-cache misses
+    # and fresh-codegen cost that say nothing about the plan; the min
+    # is the reproducible number (observed spread on cold FS cache:
+    # 3x on otherwise identical runs)
     timings: dict[str, float] = {}
     for name, hq in registry().items():
         if not hq.headline:
             continue
-        t0 = time.perf_counter()
-        df = hq.builder(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        best, rows = float("inf"), 0
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            df = hq.builder(spark, sf_dir)
+            rows = df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        print(f"# {name}: {timings[name]:.3f}s rows={rows}", file=sys.stderr)
 
     print(
         json.dumps(
