@@ -81,3 +81,55 @@ def test_docs_with_empty_text(spark):
     groups = exact_dedup(df, "doc_id", ["text"]).count()
     assert groups >= 2  # ''/'   ' normalize together; NULL group separate
     minhash_lsh_pairs(df, "doc_id", "text").count()  # must not throw
+
+
+def test_new_operators_empty_inputs(spark):
+    """P10 discipline for the round-2 operators: empty frames flow
+    through with correct (empty) results, never errors."""
+    from reddit_etl_spark.operators.curation import (
+        decontaminate_bloom,
+        materialize_packed_text,
+        weighted_sample,
+    )
+    from reddit_etl_spark.operators.dedup import incremental_exact_dedup
+    from reddit_etl_spark.operators.relational import column_profile
+    from reddit_etl_spark.operators.similarity import (
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+    from reddit_etl_spark.operators.text import unigram_logprob_score
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, source string, text string, tokens long"
+    )
+    docs = spark.createDataFrame(
+        [(1, "s", "some text", 2)],
+        "doc_id long, source string, text string, tokens long",
+    )
+
+    assert weighted_sample(empty_docs, "doc_id", "tokens", k=3).count() == 0
+    assert (
+        decontaminate_bloom(docs, empty_docs, "doc_id", "text", n=2).count() == 0
+    )
+    assert decontaminate_bloom(empty_docs, docs, "doc_id", "text", n=2).count() == 0
+    assert unigram_logprob_score(empty_docs, "doc_id", "text").count() == 0
+    assert (
+        materialize_packed_text(
+            empty_docs, "doc_id", "text", "tokens", 10, "source"
+        ).count()
+        == 0
+    )
+    s, k = incremental_exact_dedup(empty_docs, None, "doc_id", ["text"])
+    assert s.count() == 0 and k.count() == 0
+
+    prof = column_profile(empty_docs, ["doc_id"]).collect()
+    assert len(prof) == 1 and prof[0].n_rows == 0
+
+    empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert quantize_embeddings(empty_vecs, "embedding").count() == 0
+    assert (
+        cosine_topk_quantized(
+            empty_vecs, empty_vecs, "vec_id", "embedding", "vec_id"
+        ).count()
+        == 0
+    )
