@@ -1595,6 +1595,112 @@ def topk_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "curation_pipeline_full",
+    """
+    WITH RECURSIVE prof AS (
+      SELECT doc_id, source, text,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS tc,
+             length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0
+                 / length(text) AS pr,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      FROM documents),
+    kept AS (SELECT doc_id, source, tc, nt FROM prof
+             WHERE tc >= 20 AND pr <= 0.1),
+    ex AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY nt),
+    k2 AS (SELECT k.* FROM kept k JOIN ex USING (doc_id)),
+    toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM k2),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(t[i:i+2], ' ')))) AS s FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5),
+    reach(n, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT reach.n, e.b FROM reach JOIN edges e ON reach.r = e.a),
+    comp AS (SELECT n, MIN(r) AS component FROM reach GROUP BY n),
+    surv AS (SELECT * FROM k2 WHERE doc_id NOT IN
+             (SELECT n FROM comp WHERE component <> n)),
+    g5 AS (SELECT s.doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(t.t) - 4, 1) + 1),
+             i -> array_to_string(t.t[i:i+4], ' ')))) AS g
+           FROM surv s JOIN toks t USING (doc_id)),
+    bt AS (SELECT doc_id, string_split(nt, ' ') AS t FROM prof
+           WHERE doc_id % 23 = 0),
+    bench5 AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+                 range(1, greatest(len(t) - 4, 1) + 1),
+                 i -> array_to_string(t[i:i+4], ' ')))) AS g FROM bt),
+    cont AS (SELECT DISTINCT doc_id FROM g5
+             WHERE g IN (SELECT g FROM bench5)),
+    clean AS (SELECT * FROM surv WHERE doc_id NOT IN
+              (SELECT doc_id FROM cont)),
+    binned AS (
+      SELECT source, tc,
+             CAST(floor(COALESCE(SUM(tc) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 2000) AS BIGINT) AS bin
+      FROM clean)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_kept,
+           CAST(SUM(tc) AS BIGINT) AS token_budget,
+           CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_bins
+    FROM binned GROUP BY source
+    """,
+    doc="the FULL training-data sweep as one Spark plan: quality gate "
+    "(length + punctuation ratio) -> exact dedup -> near-dup cluster "
+    "removal (Jaccard>=0.5, min-id survivor) -> benchmark "
+    "decontamination (5-gram, doc_id%23 bench) -> per-source token "
+    "budget + packed 2000-token bin count; every stage is an operator "
+    "oracle-verified standalone, composed here end-to-end",
+)
+def curation_pipeline_full_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import decontaminate, pack_sequences
+    from .operators.dedup import exact_dedup, ngram_jaccard_pairs
+    from .operators.graph import connected_components, dedup_survivors
+    from .operators.text import punct_count_col, token_count_col
+
+    docs = load(spark, sf_dir, "documents")
+    kept = (
+        docs.withColumn("tc", token_count_col("text"))
+        .withColumn("pr", punct_count_col("text") / F.length("text"))
+        .filter((F.col("tc") >= 20) & (F.col("pr") <= 0.1))
+        .select("doc_id", "source", "text", "tc")
+    )
+    k2 = kept.join(
+        exact_dedup(kept, "doc_id", ["text"]).select("doc_id"), "doc_id",
+        "left_semi",
+    )
+    pairs = ngram_jaccard_pairs(k2, "doc_id", "text", n=3, threshold=0.5)
+    comps = connected_components(pairs, "id_a", "id_b")
+    surv = dedup_survivors(k2, comps, "doc_id")
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    contaminated = decontaminate(surv, bench, "doc_id", "text", n=5)
+    clean = surv.join(contaminated.select("doc_id"), "doc_id", "left_anti")
+    packed = pack_sequences(
+        clean.select("doc_id", "source", "tc"), "doc_id", "tc", 2000, "source"
+    )
+    return (
+        clean.join(packed.select("doc_id", "bin"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs_kept"),
+            F.sum("tc").cast("long").alias("token_budget"),
+            F.countDistinct("bin").alias("n_bins"),
+        )
+    )
+
+
+@_q(
     "curation_pipeline",
     """
     WITH prof AS (
