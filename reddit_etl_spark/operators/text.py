@@ -442,16 +442,17 @@ def unigram_logprob_score(
     )
     toks = F.explode(F.split(normalize_text_col(text_col), " ")).alias("term")
     pairs = df.select(F.col(id_col), toks).filter(F.length("term") > 0)
-    total_row = total.first()
-    corpus_total = total_row["__total"] if total_row else None
-    if oov_logprob is None:
-        import math
-
-        oov_logprob = (
-            math.log(0.5 / corpus_total) if corpus_total else -30.0
-        )
+    # the OOV floor stays a plan expression (ln(0.5/total) via the
+    # broadcast 1-row total) — a driver-side .first() here would run
+    # the whole term_stats aggregation an extra time before the query
+    floor_col = (
+        F.lit(float(oov_logprob))
+        if oov_logprob is not None
+        else F.log(F.lit(0.5) / F.col("__total"))
+    )
     return (
         pairs.join(F.broadcast(vocab), "term", "left")
+        .crossJoin(F.broadcast(total))
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
@@ -459,10 +460,7 @@ def unigram_logprob_score(
             # then round BEFORE dividing, so summation-order ulp drift
             # between engines cannot flip the 6-decimal average
             F.round(
-                F.round(
-                    F.sum(F.coalesce(F.col("__lp"), F.lit(float(oov_logprob)))),
-                    6,
-                )
+                F.round(F.sum(F.coalesce(F.col("__lp"), floor_col)), 6)
                 / F.count("*"),
                 6,
             ).alias("avg_logprob"),

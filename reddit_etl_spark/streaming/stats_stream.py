@@ -186,7 +186,12 @@ def stream_incremental_dedup(
     this content" stays answerable at 100 TB — the index for a
     billion-doc corpus is ~24 GB, a cheap hash-join probe side.
     foreachBatch gives exactly-once appends per micro-batch via the
-    checkpoint's batch-id tracking."""
+    checkpoint's batch-id tracking.
+
+    The empty-index probe uses ``os.listdir`` — like
+    ``compact_parquet``, this helper assumes a local/NFS ``keys_path``;
+    on HDFS/S3 replace the existence check with the filesystem API
+    (everything else is path-scheme-agnostic)."""
     from ..operators.dedup import content_key_col, incremental_exact_dedup
 
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
