@@ -1,0 +1,174 @@
+"""Corpus facade — the switch-over API for the training-data surface.
+
+``Engine`` (engine.py) packages the reference's analytical surface;
+``Corpus`` packages the LLM-data extension operators behind one fluent,
+lazily-composed object, so the full sweep reads the way a pipeline
+author thinks::
+
+    c = (Corpus.from_parquet(spark, "/lake/documents")
+         .quality_filter(min_tokens=20, max_punct_ratio=0.1)
+         .dedup_exact()
+         .dedup_near(threshold=0.5)
+         .decontaminate(bench_df)
+         .sample(0.5))
+    c.df                      # the surviving documents, one Spark plan
+    c.token_budget()          # (docs, tokens) summary row
+    c.pack(budget=2048)       # training-shard bin assignment
+    c.write("/lake/clean")    # materialize
+
+Every step returns a NEW Corpus over a narrower DataFrame — nothing
+executes until an action; Catalyst sees the whole chain and optimizes
+across steps (e.g. the quality filter pushes below every dedup). The
+underlying operators are individually oracle-verified in the harness;
+``curation_pipeline_full`` pins this exact composition end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class Corpus:
+    def __init__(
+        self,
+        df: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self._df = df
+        self.id_col = id_col
+        self.text_col = text_col
+
+    # -- construction -------------------------------------------------
+
+    @classmethod
+    def from_parquet(
+        cls,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> "Corpus":
+        return cls(spark.read.parquet(path), id_col, text_col)
+
+    def _with(self, df: DataFrame) -> "Corpus":
+        return Corpus(df, self.id_col, self.text_col)
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    # -- filtering steps ----------------------------------------------
+
+    def quality_filter(
+        self,
+        min_tokens: int = 20,
+        max_punct_ratio: float = 0.1,
+    ) -> "Corpus":
+        """Gopher-style cheap gates: token count + punctuation density."""
+        from .operators.text import punct_count_col, token_count_col
+
+        t = F.col(self.text_col)
+        return self._with(
+            self._df.filter(
+                (token_count_col(t) >= min_tokens)
+                & (punct_count_col(t) / F.length(t) <= max_punct_ratio)
+            )
+        )
+
+    def dedup_exact(self) -> "Corpus":
+        """Keep one min-id survivor per distinct normalized content."""
+        from .operators.dedup import exact_dedup
+
+        survivors = exact_dedup(self._df, self.id_col, [self.text_col])
+        return self._with(
+            self._df.join(
+                survivors.select(self.id_col), self.id_col, "left_semi"
+            )
+        )
+
+    def dedup_near(self, threshold: float = 0.5, n: int = 3) -> "Corpus":
+        """Drop near-duplicate clusters (word-n-gram Jaccard >=
+        threshold), keeping the min-id representative + singletons."""
+        from .operators.dedup import ngram_jaccard_pairs
+        from .operators.graph import connected_components, dedup_survivors
+
+        pairs = ngram_jaccard_pairs(
+            self._df, self.id_col, self.text_col, n=n, threshold=threshold
+        )
+        comps = connected_components(pairs, "id_a", "id_b")
+        return self._with(dedup_survivors(self._df, comps, self.id_col))
+
+    def decontaminate(
+        self,
+        benchmark: DataFrame,
+        n: int = 5,
+        method: str = "set",
+    ) -> "Corpus":
+        """Drop documents sharing any word-n-gram with the benchmark.
+        ``method='bloom'`` uses the bit-array probe (superset of the
+        exact flag set — see decontaminate_bloom) when the benchmark
+        outgrows a broadcast hash set."""
+        from .operators.curation import decontaminate, decontaminate_bloom
+
+        if method not in ("set", "bloom"):
+            raise ValueError("method must be 'set' or 'bloom'")
+        fn = decontaminate if method == "set" else decontaminate_bloom
+        flagged = fn(self._df, benchmark, self.id_col, self.text_col, n=n)
+        return self._with(
+            self._df.join(
+                flagged.select(self.id_col), self.id_col, "left_anti"
+            )
+        )
+
+    def sample(self, fraction: float) -> "Corpus":
+        """Deterministic hash sample (retry/engine-stable)."""
+        from .operators.curation import deterministic_sample
+
+        return self._with(
+            deterministic_sample(self._df, self.id_col, fraction)
+        )
+
+    def weighted_sample(
+        self, k: int, weight_col: str, group_col: str | None = None,
+        seed: int = 42,
+    ) -> "Corpus":
+        """Efraimidis-Spirakis top-k without replacement."""
+        from .operators.curation import weighted_sample
+
+        return self._with(
+            weighted_sample(
+                self._df, self.id_col, weight_col, k,
+                group_col=group_col, seed=seed,
+            )
+        )
+
+    # -- terminal actions ---------------------------------------------
+
+    def token_budget(self) -> DataFrame:
+        """(docs, tokens) summary of the surviving corpus."""
+        from .operators.text import token_count_col
+
+        return self._df.agg(
+            F.count("*").alias("docs"),
+            F.sum(token_count_col(F.col(self.text_col)))
+            .cast("long")
+            .alias("tokens"),
+        )
+
+    def pack(self, budget: int, group_col: str) -> DataFrame:
+        """Training-shard bin assignment (next-fit packing)."""
+        from .operators.curation import pack_sequences
+        from .operators.text import token_count_col
+
+        with_tokens = self._df.withColumn(
+            "__tokens", token_count_col(F.col(self.text_col))
+        )
+        return pack_sequences(
+            with_tokens.select(self.id_col, group_col, "__tokens"),
+            self.id_col, "__tokens", budget, group_col,
+        )
+
+    def write(self, path: str) -> None:
+        self._df.write.mode("overwrite").parquet(path)
