@@ -128,3 +128,47 @@ def test_ngram_jaccard_lazy_plan_is_three_shuffles(spark):
     # exchanges: 2 fan_out round-robins + 2 join-side hash exchanges +
     # 1 pair-agg exchange at most (AQE may reuse/elide some)
     assert count_exchanges(pairs) <= 5
+
+
+def test_asof_join_single_exchange(spark):
+    """The union+carry as-of plan: ONE hash exchange on the key for
+    both directions (the claim in SCALING.md's per-operator table)."""
+    import datetime as dt
+
+    from reddit_etl_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2025, 9, 1)
+    left = spark.createDataFrame(
+        [(1, "u", t0)], "id long, user string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", t0, 1.0)], "user string, ts timestamp, value double"
+    )
+    for direction in ("backward", "forward"):
+        out = asof_join(
+            left, right, on=["user"], left_ts="ts", right_ts="ts",
+            value_cols=["value"], direction=direction,
+        )
+        assert count_exchanges(out) == 1, direction
+
+
+def test_sessionize_single_exchange(spark):
+    import datetime as dt
+
+    from reddit_etl_spark.operators.sessions import sessionize
+
+    df = spark.createDataFrame(
+        [("u", dt.datetime(2025, 9, 1, 10, i)) for i in range(5)],
+        "user string, ts timestamp",
+    )
+    assert count_exchanges(sessionize(df, ["user"], "ts")) == 1
+
+
+def test_weighted_sample_global_is_take_ordered(spark):
+    from reddit_etl_spark.operators.curation import weighted_sample
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7 + 1).alias("w")
+    )
+    out = weighted_sample(df, "id", "w", k=5)
+    assert uses_take_ordered(out)  # no global sort for the top-k
