@@ -1112,6 +1112,25 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "nfc_fingerprints",
+    """
+    SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5 FROM documents
+    """,
+    doc="Unicode NFC normalization (Arrow unicodedata kernel — the "
+    "pre-hash step multilingual exact dedup needs) fingerprinted per "
+    "doc; DuckDB's native nfc_normalize is the oracle, so the hash "
+    "match pins byte-exact normalization parity",
+)
+def nfc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import normalize_unicode
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return normalize_unicode(docs, "text").select(
+        "doc_id", F.md5("text").alias("nfc_md5")
+    )
+
+
+@_q(
     "unigram_quality_score",
     """
     WITH n AS (

@@ -466,3 +466,68 @@ def unigram_logprob_score(
             ).alias("avg_logprob"),
         )
     )
+
+
+NFC_SCHEMA = None  # sentinel: see normalize_unicode
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str,
+    form: str = "NFC",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) of a text column via
+    an Arrow-batched kernel — the step multilingual dedup needs BEFORE
+    hashing: composed vs decomposed accents ('é' as U+00E9 vs
+    e+U+0301) are different bytes but the same text, so exact dedup
+    without NFC misses them. Spark has no built-in normalizer; the
+    stdlib ``unicodedata`` over Arrow batches is the vectorized path
+    (DuckDB's nfc_normalize replicates NFC for the oracle).
+    """
+    import unicodedata
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    out = out_col or text_col
+    cols = df.columns
+    schema = df.schema if out in cols else df.withColumn(
+        out, F.col(text_col)
+    ).schema
+
+    def _norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = [
+                unicodedata.normalize(form, t) if t is not None else None
+                for t in pdf[text_col]
+            ]
+            if out in pdf.columns:
+                pdf = pdf.assign(**{out: vals})
+            else:
+                pdf[out] = vals
+            yield pdf
+
+    src = df if out in cols else df.withColumn(out, F.col(text_col))
+    return src.mapInPandas(_norm, schema=schema)
+
+
+def split_sentences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Explode documents into (id, sentence_idx, sentence) rows on
+    terminal punctuation — the granularity decontamination and quality
+    scoring often need below whole-document level. Pure expressions:
+    regexp split on [.!?]+ followed by whitespace, posexplode, empty
+    fragments dropped."""
+    parts = F.split(F.col(text_col), r"[.!?]+\s+")
+    return (
+        df.select(F.col(id_col), F.posexplode(parts).alias("sentence_idx", "sentence"))
+        .withColumn("sentence", F.trim(F.regexp_replace("sentence", r"[.!?]+$", "")))
+        .filter(F.length("sentence") > 0)
+        .select(id_col, F.col("sentence_idx").cast("long"), "sentence")
+    )

@@ -137,3 +137,52 @@ def test_unigram_logprob_empty_and_oov_floor(spark):
     assert set(rows) == {1}
     # both tokens in vocab (corpus of 2 tokens): p=0.5 each
     assert rows[1].avg_logprob == pytest.approx(round(math.log(0.5), 6), abs=1e-6)
+
+
+def test_normalize_unicode_nfc_merges_decomposed(spark):
+    from reddit_etl_spark.operators.dedup import exact_dedup
+    from reddit_etl_spark.operators.text import normalize_unicode
+
+    composed = "café society"          # é as U+00E9
+    decomposed = "café society"       # e + combining acute
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in normalize_unicode(df, "text").collect()}
+    assert out[1] == out[2] == composed
+    assert out[3] is None
+    # the multilingual-dedup motivation: without NFC these are distinct
+    raw_groups = exact_dedup(df, "doc_id", ["text"]).count()
+    nfc_groups = exact_dedup(
+        normalize_unicode(df, "text"), "doc_id", ["text"]
+    ).count()
+    assert raw_groups == 3 and nfc_groups == 2
+
+
+def test_normalize_unicode_out_col_and_forms(spark):
+    from reddit_etl_spark.operators.text import normalize_unicode
+
+    df = spark.createDataFrame([(1, "ﬁle")], "doc_id long, text string")
+    # NFKC folds the fi ligature; NFC does not
+    nfkc = normalize_unicode(df, "text", form="NFKC", out_col="norm").first()
+    assert nfkc.text == "ﬁle" and nfkc.norm == "file"
+
+
+def test_split_sentences(spark):
+    from reddit_etl_spark.operators.text import split_sentences
+
+    df = spark.createDataFrame(
+        [(1, "First one. Second one! Third?  "), (2, "no terminal punct")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.sentence_idx, r.sentence)
+        for r in split_sentences(df, "doc_id", "text").collect()
+    )
+    assert rows == [
+        (1, 0, "First one"),
+        (1, 1, "Second one"),
+        (1, 2, "Third"),
+        (2, 0, "no terminal punct"),
+    ]
