@@ -1112,6 +1112,99 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cross_source_dups",
+    """
+    WITH n AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      FROM documents)
+    SELECT nt AS content_key,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT) AS example_doc
+    FROM n GROUP BY nt HAVING COUNT(DISTINCT source) > 1
+    """,
+    doc="cross-source leakage QA: identical normalized content "
+    "appearing under MORE THAN ONE source (licensing/provenance "
+    "hazard in mixed corpora) — content-hash groupBy, distinct-source "
+    "having; the key shuffles as the normalized text here for oracle "
+    "portability (production uses the 24-byte digest form)",
+)
+def cross_source_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import normalize_text_col
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            normalize_text_col("text").alias("content_key"),
+            "source",
+            "doc_id",
+        )
+        .groupBy("content_key")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .filter(F.col("n_sources") > 1)
+    )
+
+
+@_q(
+    "sentence_decontaminate",
+    """
+    WITH n AS (
+      SELECT doc_id, text FROM documents),
+    sents AS (
+      SELECT doc_id, t.i - 1 AS sentence_idx,
+             trim(regexp_replace(s[t.i], '[.!?]+$', '')) AS sentence
+      FROM (SELECT doc_id, regexp_split_to_array(text, '[.!?]+\\s+') AS s
+            FROM n), UNNEST(range(1, len(s) + 1)) AS t(i)
+      ),
+    good AS (SELECT * FROM sents WHERE length(sentence) > 0),
+    norm AS (SELECT doc_id, sentence_idx,
+                    trim(regexp_replace(lower(sentence), '\\s+', ' ', 'g')) AS ns
+             FROM good),
+    toks AS (SELECT doc_id, sentence_idx, string_split(ns, ' ') AS t FROM norm),
+    sh AS (SELECT doc_id, sentence_idx, unnest(list_distinct(list_transform(
+             range(1, greatest(len(t) - 4, 1) + 1),
+             i -> array_to_string(t[i:i+4], ' ')))) AS g FROM toks),
+    bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 23 = 0)
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT sentence_idx) AS BIGINT)
+             AS n_contaminated_sentences
+    FROM sh WHERE g IN (SELECT g FROM bench) AND doc_id % 23 <> 0
+    GROUP BY doc_id
+    """,
+    doc="sub-document decontamination: sentence-split the corpus, flag "
+    "sentences sharing any 5-gram with the benchmark slice — the "
+    "surgical alternative to dropping whole documents (span-level "
+    "redaction is what production pipelines actually ship)",
+)
+def sentence_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import shingles_col
+    from .operators.text import split_sentences
+    from .operators.util import fan_out
+
+    docs = load(spark, sf_dir, "documents")
+    sents = split_sentences(docs, "doc_id", "text")
+    grams = fan_out(sents).select(
+        "doc_id",
+        "sentence_idx",
+        F.explode(shingles_col("sentence", 5)).alias("g"),
+    )
+    bench = grams.filter(F.col("doc_id") % 23 == 0).select("g").distinct()
+    return (
+        grams.filter(F.col("doc_id") % 23 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sentence_idx").alias("n_contaminated_sentences")
+        )
+    )
+
+
+@_q(
     "nfc_fingerprints",
     """
     SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5 FROM documents
