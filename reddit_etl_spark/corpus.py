@@ -11,16 +11,19 @@ author thinks::
          .dedup_near(threshold=0.5)
          .decontaminate(bench_df)
          .sample(0.5))
-    c.df                      # the surviving documents, one Spark plan
-    c.token_budget()          # (docs, tokens) summary row
-    c.pack(budget=2048)       # training-shard bin assignment
-    c.write("/lake/clean")    # materialize
+    c.df                              # the surviving documents
+    c.token_budget()                  # (docs, tokens) summary row
+    c.pack(budget=2048, group_col="source")  # training-shard bins
+    c.write("/lake/clean")            # materialize
 
 Every step returns a NEW Corpus over a narrower DataFrame — nothing
-executes until an action; Catalyst sees the whole chain and optimizes
-across steps (e.g. the quality filter pushes below every dedup). The
-underlying operators are individually oracle-verified in the harness;
-``curation_pipeline_full`` pins this exact composition end-to-end.
+executes until an action (dedup_near's shared shingle projection uses
+a LAZY checkpoint, so even that composes job-free). Catalyst optimizes
+within each segment; the near-dup checkpoint intentionally truncates
+lineage there so the shingle pass materializes once instead of once
+per downstream consumer. The underlying operators are individually
+oracle-verified in the harness; ``curation_pipeline_full`` pins this
+exact composition end-to-end.
 """
 
 from __future__ import annotations

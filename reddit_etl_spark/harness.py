@@ -875,16 +875,30 @@ def embedding_neardup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = cosine_neardup_pairs(
         emb, "vec_id", "embedding", threshold=0.4, bits=5, tables=16
     ).select("id_a", "id_b")
-    ex = exact.select("id_a", "id_b", "cosine_sim").localCheckpoint(eager=True)
-    n_hits = ex.join(approx, ["id_a", "id_b"]).count()
-    n_extra = approx.join(
-        ex.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
-    ).count()
-    return ex.groupBy().agg(
+    # lazy checkpoint: ex is referenced three times below, so lineage
+    # is truncated and the brute pair join runs ONCE — but only when
+    # the query executes (building the DataFrame must not run jobs;
+    # dump_plans/bench enumerate the registry without executing)
+    ex = exact.select("id_a", "id_b", "cosine_sim").localCheckpoint(eager=False)
+    stats = ex.agg(
         F.count("*").alias("n_exact_pairs"),
         F.round(F.sum("cosine_sim"), 6).alias("exact_sim_sum"),
-        F.lit(n_extra == 0).alias("precision_ok"),
-        (F.lit(n_hits) / F.count("*") >= 0.75).alias("recall_ok"),
+    )
+    hits = ex.join(approx, ["id_a", "id_b"]).agg(F.count("*").alias("__hits"))
+    extra = approx.join(
+        ex.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    ).agg(F.count("*").alias("__extra"))
+    return (
+        stats.crossJoin(hits)
+        .crossJoin(extra)
+        .select(
+            "n_exact_pairs",
+            "exact_sim_sum",
+            (F.col("__extra") == 0).alias("precision_ok"),
+            F.when(F.col("n_exact_pairs") == 0, F.lit(True))
+            .otherwise(F.col("__hits") / F.col("n_exact_pairs") >= 0.75)
+            .alias("recall_ok"),
+        )
     )
 
 

@@ -260,12 +260,21 @@ def decode_image(data: bytes) -> np.ndarray:
         except Exception as exc:
             raise UnsupportedMediaError(f"PIL decode failed: {exc}") from exc
     kind = sniff(data)
-    if kind == "png":
-        return decode_png(data)
-    if kind == "bmp":
-        return decode_bmp(data)
-    if kind in ("ppm", "pgm"):
-        return decode_ppm(data)
+    try:
+        if kind == "png":
+            return decode_png(data)
+        if kind == "bmp":
+            return decode_bmp(data)
+        if kind in ("ppm", "pgm"):
+            return decode_ppm(data)
+    except UnsupportedMediaError:
+        raise
+    except (zlib.error, struct.error, ValueError, IndexError) as exc:
+        # corrupt payload of a KNOWN format (truncated IDAT, short BMP
+        # header, garbage PPM fields): same dead-letter class as an
+        # unknown format — callers' on_error handling must see ONE
+        # exception type or a single bad asset fails the stage
+        raise UnsupportedMediaError(f"corrupt {kind} payload: {exc}") from exc
     raise UnsupportedMediaError(
         f"no codec for format '{kind}' (stdlib path supports png/bmp/ppm/pgm; "
         "install PIL for jpeg/gif/...)"

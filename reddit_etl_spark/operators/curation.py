@@ -176,16 +176,16 @@ def weighted_sample(
     """
     from pyspark.sql import Window
 
-    # md5 top-60-bits -> u in (0, 1]; +1 keeps u > 0 so ln(u) is finite
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("\x1f", F.col(id_col).cast("string"), F.lit(str(seed)))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    from .dedup import token_hash_col
+
+    # md5 top-60-bits -> u in (0, 1]; +1 keeps u > 0 so ln(u) is
+    # finite. token_hash_col('md5_60') is THE canonical
+    # engine-portable hash — one definition shared with SimHash/
+    # winnowing so oracle parity cannot drift
+    h = token_hash_col(
+        F.concat_ws("\x1f", F.col(id_col).cast("string"), F.lit(str(seed))),
+        "md5_60",
+    )
     u = (h + F.lit(1).cast("double")) / F.lit(float(1 << 60) + 1.0)
     w = F.col(weight_col).cast("double")
     keyed = df.filter(w.isNotNull() & (w > 0)).withColumn(

@@ -147,11 +147,15 @@ def shingle_arrays(
     roughly the corpus token count, the same order as one shuffle of
     the posting index, and the ContextCleaner frees the blocks when
     the plan is GC'd. fan_out runs BEFORE shingling so the expensive
-    work parallelizes past the scan's partitioning."""
+    work parallelizes past the scan's partitioning.
+
+    The checkpoint is LAZY (eager=False): building an operator or a
+    Corpus chain must not run Spark jobs; the arrays materialize on
+    the first action and are reused by every later reference."""
     arrays = fan_out(df).select(
         F.col(id_col), hashed_shingles_col(text_col, n).alias("__arr")
     )
-    return arrays.localCheckpoint(eager=True) if materialize else arrays
+    return arrays.localCheckpoint(eager=False) if materialize else arrays
 
 
 def _posting_from_arrays(arrays: DataFrame, id_col: str) -> DataFrame:
@@ -532,7 +536,12 @@ def simhash_pairs(
     ``token_hash``. Verify with bit_count(xor). Same shuffle shape as
     MinHash banding: tiny keys.
     """
-    sigs = simhash_signatures(df, id_col, text_col, token_hash=token_hash)
+    # NULL-text docs are EXCLUDED from pairing: their token array is
+    # NULL, the portable oracle emits no signature for them, and an
+    # all-zero signature would otherwise pair every NULL doc with
+    # every other at hamming 0
+    nonnull = df.filter(F.col(text_col).isNotNull())
+    sigs = simhash_signatures(nonnull, id_col, text_col, token_hash=token_hash)
     chunks = sigs.select(
         F.col(id_col),
         F.col("simhash"),

@@ -133,6 +133,7 @@ def resize_images(
     id_col: str = "asset_id",
     payload_col: str = "payload",
     decode: str = "fake",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Image resize over mapInPandas. ``decode='real'`` decodes with a
     real codec (PIL if importable, else stdlib PNG/BMP/PPM), converts
@@ -143,18 +144,27 @@ def resize_images(
     logic testable."""
     if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")
+    if on_error not in ("raise", "null"):
+        raise ValueError("on_error must be 'raise' or 'null'")
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_payloads = []
             for p in pdf[payload_col]:
                 if decode == "real":
-                    gray = codecs.to_grayscale(codecs.decode_image(bytes(p or b"")))
-                    out_payloads.append(
-                        codecs.resize_nearest(
-                            gray, target_width, target_height
-                        ).tobytes()
-                    )
+                    try:
+                        gray = codecs.to_grayscale(
+                            codecs.decode_image(bytes(p or b""))
+                        )
+                        out_payloads.append(
+                            codecs.resize_nearest(
+                                gray, target_width, target_height
+                            ).tobytes()
+                        )
+                    except UnsupportedMediaError:
+                        if on_error == "raise":
+                            raise
+                        out_payloads.append(None)  # dead-lettered asset
                     continue
                 seed = int.from_bytes(
                     hashlib.sha256(bytes(p or b"")).digest()[:4], "big"
@@ -197,6 +207,7 @@ def sample_frames(
     payload_col: str = "payload",
     duration_col: str = "duration_ms",
     decode: str = "fake",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame (a
     1:N mapInPandas — the batch-shape contract real ffmpeg plumbing
@@ -209,6 +220,8 @@ def sample_frames(
     frame index)."""
     if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -219,7 +232,12 @@ def sample_frames(
                 dur = int(dur) if dur is not None and not pd.isna(dur) else 0
                 n = min(max(dur // every_ms, 1), max_frames)
                 if decode == "real":
-                    frames = codecs.split_png_frames(bytes(p or b""))
+                    try:
+                        frames = codecs.split_png_frames(bytes(p or b""))
+                    except UnsupportedMediaError:
+                        if on_error == "raise":
+                            raise
+                        continue  # dead-letter: emit no frames (1:N op)
                     for i in range(n):
                         t = i * every_ms
                         src = min(

@@ -468,9 +468,6 @@ def unigram_logprob_score(
     )
 
 
-NFC_SCHEMA = None  # sentinel: see normalize_unicode
-
-
 def normalize_unicode(
     df: DataFrame,
     text_col: str,
@@ -493,25 +490,20 @@ def normalize_unicode(
     if form not in ("NFC", "NFKC", "NFD", "NFKD"):
         raise ValueError(f"unknown normalization form {form!r}")
     out = out_col or text_col
-    cols = df.columns
-    schema = df.schema if out in cols else df.withColumn(
-        out, F.col(text_col)
-    ).schema
+    src = df if out in df.columns else df.withColumn(out, F.col(text_col))
 
     def _norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            vals = [
-                unicodedata.normalize(form, t) if t is not None else None
-                for t in pdf[text_col]
-            ]
-            if out in pdf.columns:
-                pdf = pdf.assign(**{out: vals})
-            else:
-                pdf[out] = vals
-            yield pdf
+            yield pdf.assign(
+                **{
+                    out: [
+                        unicodedata.normalize(form, t) if t is not None else None
+                        for t in pdf[text_col]
+                    ]
+                }
+            )
 
-    src = df if out in cols else df.withColumn(out, F.col(text_col))
-    return src.mapInPandas(_norm, schema=schema)
+    return src.mapInPandas(_norm, schema=src.schema)
 
 
 def split_sentences(

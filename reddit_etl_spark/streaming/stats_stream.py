@@ -185,8 +185,12 @@ def stream_incremental_dedup(
     (24 bytes/doc) instead of the state store, so "have we EVER seen
     this content" stays answerable at 100 TB — the index for a
     billion-doc corpus is ~24 GB, a cheap hash-join probe side.
-    foreachBatch gives exactly-once appends per micro-batch via the
-    checkpoint's batch-id tracking.
+    foreachBatch is at-least-once, so the writes are made IDEMPOTENT
+    under micro-batch replay: each batch overwrites its own
+    ``batch=<id>`` subdirectory (plain-parquet partition dirs) instead
+    of appending to a shared one — a retried batch rewrites the same
+    files rather than duplicating rows. Readers of ``out_path`` /
+    ``keys_path`` see an extra ``batch`` partition column.
 
     The empty-index probe uses ``os.listdir`` — like
     ``compact_parquet``, this helper assumes a local/NFS ``keys_path``;
@@ -194,27 +198,40 @@ def stream_incremental_dedup(
     (everything else is path-scheme-agnostic)."""
     from ..operators.dedup import content_key_col, incremental_exact_dedup
 
-    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+    import hashlib
+
+    # batch ids restart at 0 for every new checkpoint (query
+    # incarnation), so the subdir key carries a checkpoint-derived
+    # prefix: a RETRY of the same (checkpoint, batch) overwrites its
+    # own directory, while a new query incarnation writes new ones
+    qid = hashlib.md5(checkpoint_path.encode()).hexdigest()[:8]
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
         import os
 
+        bkey = f"{qid}-{batch_id}"
         spark = batch_df.sparkSession
         seen = (
             spark.read.parquet(keys_path)
             if os.path.isdir(keys_path) and os.listdir(keys_path)
             else None
         )
+        if seen is not None:
+            # a replayed batch's own keys must not mask it as 'seen';
+            # drop the partition column before the index union/probe
+            seen = seen.filter(F.col("batch") != bkey).select("h64", "h128")
         survivors, _ = incremental_exact_dedup(
             batch_df, seen, id_col, content_cols
         )
         novel = batch_df.join(survivors, id_col, "left_semi").localCheckpoint()
-        novel.write.mode("append").parquet(out_path)
+        novel.write.mode("overwrite").parquet(f"{out_path}/batch={bkey}")
         (
             novel.select(content_key_col(content_cols).alias("__ck"))
             .select(
                 F.col("__ck.h64").alias("h64"), F.col("__ck.h128").alias("h128")
             )
-            .write.mode("append")
-            .parquet(keys_path)
+            .write.mode("overwrite")
+            .parquet(f"{keys_path}/batch={bkey}")
         )
 
     writer = (

@@ -343,3 +343,51 @@ if HAVE_HYPOTHESIS:
         # nearest-neighbour never invents values
         flat = {tuple(px) for row in img for px in row}
         assert all(tuple(px) in flat for row in out for px in row)
+
+
+def test_corrupt_payloads_dead_letter_not_crash(spark):
+    """Review finding: corrupt payloads of a KNOWN format (truncated
+    PNG, short BMP, garbage PPM) must dead-letter like unknown formats
+    — the stdlib decoders' zlib/struct/ValueError surface as
+    UnsupportedMediaError."""
+    good = codecs.encode_png(_img(4, 4, 3, seed=1))
+    corrupt = [
+        good[: len(good) // 2],          # truncated PNG (zlib error)
+        b"BM" + b"\x00" * 14,            # short BMP header
+        b"P6 garbage",                   # unparseable PPM fields
+    ]
+    for payload in corrupt:
+        with pytest.raises(UnsupportedMediaError):
+            codecs.decode_image(payload)
+
+    df = spark.createDataFrame(
+        [("ok", bytearray(good))]
+        + [(f"bad{i}", bytearray(p)) for i, p in enumerate(corrupt)],
+        "asset_id string, payload binary",
+    )
+    rows = {
+        r.asset_id: r.feature
+        for r in extract_media_features(
+            df, decode="real", feature_dim=4, on_error="null"
+        ).collect()
+    }
+    assert rows["ok"] is not None
+    assert all(rows[f"bad{i}"] is None for i in range(3))
+
+    resized = {
+        r.asset_id: r.payload
+        for r in resize_images(
+            df, target_width=2, target_height=2, decode="real", on_error="null"
+        ).collect()
+    }
+    assert resized["ok"] is not None and resized["bad0"] is None
+
+    frames = sample_frames(
+        df.withColumn("duration_ms", F.lit(2000)),
+        decode="real",
+        on_error="skip",
+    ).collect()
+    # the splitter slices on PNG signatures without decoding, so the
+    # truncated-PNG asset still yields (truncated) frames; only
+    # non-PNG-stream assets are skipped
+    assert {r.asset_id for r in frames} == {"ok", "bad0"}
