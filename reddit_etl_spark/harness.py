@@ -1126,6 +1126,48 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "daily_delta",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT day, event_type, n,
+           CAST(n - LAG(n) OVER (PARTITION BY event_type ORDER BY day)
+                AS BIGINT) AS delta,
+           ROUND(CASE WHEN LAG(n) OVER (PARTITION BY event_type
+                                        ORDER BY day) > 0
+                 THEN (n - LAG(n) OVER (PARTITION BY event_type
+                                        ORDER BY day)) * 100.0
+                      / LAG(n) OVER (PARTITION BY event_type ORDER BY day)
+                 END, 6) AS pct_change
+    FROM d
+    """,
+    doc="day-over-day deltas per event type: LAG window over the daily "
+    "rollup (the lead/lag family member q10/q13 lack) — one agg "
+    "shuffle + one window shuffle on the same grain",
+)
+def daily_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("n").over(w)
+    return daily.select(
+        "day",
+        "event_type",
+        "n",
+        (F.col("n") - prev).cast("long").alias("delta"),
+        F.round(
+            F.when(prev > 0, (F.col("n") - prev) * 100.0 / prev), 6
+        ).alias("pct_change"),
+    )
+
+
+@_q(
     "cross_source_dups",
     """
     WITH n AS (
