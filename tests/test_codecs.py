@@ -391,3 +391,67 @@ def test_corrupt_payloads_dead_letter_not_crash(spark):
     # truncated-PNG asset still yields (truncated) frames; only
     # non-PNG-stream assets are skipped
     assert {r.asset_id for r in frames} == {"ok", "bad0"}
+
+
+def test_bmp_top_down_and_32bit():
+    # negative height = top-down row order; 32-bit adds alpha
+    px = _img(2, 2, 4, seed=8)
+    row_bytes = b""
+    for y in range(2):  # top-down: row 0 first
+        for x in range(2):
+            r, g, b, a = px[y, x]
+            row_bytes += bytes([b, g, r, a])
+    header = b"BM" + struct.pack("<IHHI", 54 + len(row_bytes), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, 2, -2, 1, 32, 0, len(row_bytes), 0, 0, 0, 0
+    )
+    out = codecs.decode_bmp(header + dib + row_bytes)
+    np.testing.assert_array_equal(out, px)
+
+
+def test_unsupported_variants_rejected():
+    # 16-bit PPM
+    with pytest.raises(UnsupportedMediaError, match="16-bit"):
+        codecs.decode_ppm(b"P6 1 1 65535\n" + b"\x00" * 6)
+    # interlaced PNG
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(UnsupportedMediaError, match="interlaced"):
+        codecs.decode_png(data)
+    # 16-bit-depth PNG
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(UnsupportedMediaError, match="bit depth"):
+        codecs.decode_png(data)
+
+
+def test_stereo_wav_resample_preserves_channels():
+    rate = 8_000
+    t = np.arange(rate) / rate
+    stereo = np.stack(
+        [0.5 * np.sin(2 * np.pi * 220 * t), 0.25 * np.sin(2 * np.pi * 440 * t)],
+        axis=1,
+    )
+    out, r = codecs.decode_wav(codecs.encode_wav(stereo, rate))
+    assert out.shape == (rate, 2)
+    down = codecs.resample_linear(out, rate, 4_000)
+    assert down.shape == (4_000, 2)
+    # channels stay independent: each keeps its own amplitude
+    assert 0.4 < np.abs(down[:, 0]).max() < 0.6
+    assert 0.2 < np.abs(down[:, 1]).max() < 0.3
