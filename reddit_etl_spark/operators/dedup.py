@@ -424,13 +424,16 @@ def minhash_lsh_pairs(
             )
 
     # (id, band, bh) is 3 longs x bands per doc — tiny. The band
-    # self-join references it twice; materializing once avoids running
+    # self-join references it twice; checkpointing once avoids running
     # the signature pass (shingle + 128-hash kernel) twice.
     # localCheckpoint (not persist): lineage-truncated blocks are
     # released by the ContextCleaner when the plan is GC'd, so repeated
-    # operator calls in one session don't accumulate storage.
+    # operator calls in one session don't accumulate storage. LAZY,
+    # like shingle_arrays: building the query must not run jobs, and
+    # letting the kernel pipeline into the first action's job graph
+    # measured ~3x faster than the eager two-barrier shape.
     banded = hashed.mapInPandas(_sign_and_band, schema=band_schema).localCheckpoint(
-        eager=True
+        eager=False
     )
     left = banded.select(
         "band", "bh", F.col("__mid").alias("id_a")
