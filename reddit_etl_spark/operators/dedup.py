@@ -362,6 +362,40 @@ def minhash_lsh_pairs(
     bytes per doc, independent of document size; the verify join pulls
     shingle arrays only for candidate ids.
     """
+    # one shared shingling pass feeds BOTH the signature kernel and
+    # the exact-Jaccard verify (round-1 ran the normalize+shingle work
+    # twice); min over the distinct hash set equals min over the
+    # multiset, so signatures are unchanged by array_distinct
+    arrays = shingle_arrays(df, id_col, text_col, n)
+    banded = _banded_signatures(
+        df, id_col, text_col, n, num_hashes, bands, seed, arrays=arrays
+    ).localCheckpoint(eager=False)
+    left = banded.select("band", "bh", F.col("__mid").alias("id_a"))
+    right = banded.select("band", "bh", F.col("__mid").alias("id_b"))
+    candidates = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verify_candidates_by_arrays(arrays, id_col, candidates, threshold)
+
+
+def _banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+    arrays: DataFrame | None = None,
+) -> DataFrame:
+    """(__mid, band, bh) LSH banding rows — the signature kernel shared
+    by ``minhash_lsh_pairs`` (one-shot pairing) and the incremental
+    band-index operators. Seed-pinned: the same (seed, num_hashes,
+    bands, n) always produces identical band keys, which is what makes
+    indexes built across batches/runs joinable."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
@@ -373,11 +407,8 @@ def minhash_lsh_pairs(
     # values — computed in the same NumPy pass (wrapping ok)
     band_mult = np.uint64(0x100000001B3)  # FNV prime
 
-    # one shared shingling pass feeds BOTH the signature kernel and
-    # the exact-Jaccard verify (round-1 ran the normalize+shingle work
-    # twice); min over the distinct hash set equals min over the
-    # multiset, so signatures are unchanged by array_distinct
-    arrays = shingle_arrays(df, id_col, text_col, n)
+    if arrays is None:
+        arrays = shingle_arrays(df, id_col, text_col, n)
     hashed = arrays.select(
         F.col(id_col).alias("__mid"), F.col("__arr").alias("__th")
     )
@@ -423,31 +454,7 @@ def minhash_lsh_pairs(
                 }
             )
 
-    # (id, band, bh) is 3 longs x bands per doc — tiny. The band
-    # self-join references it twice; checkpointing once avoids running
-    # the signature pass (shingle + 128-hash kernel) twice.
-    # localCheckpoint (not persist): lineage-truncated blocks are
-    # released by the ContextCleaner when the plan is GC'd, so repeated
-    # operator calls in one session don't accumulate storage. LAZY,
-    # like shingle_arrays: building the query must not run jobs, and
-    # letting the kernel pipeline into the first action's job graph
-    # measured ~3x faster than the eager two-barrier shape.
-    banded = hashed.mapInPandas(_sign_and_band, schema=band_schema).localCheckpoint(
-        eager=False
-    )
-    left = banded.select(
-        "band", "bh", F.col("__mid").alias("id_a")
-    )
-    right = banded.select(
-        "band", "bh", F.col("__mid").alias("id_b")
-    )
-    candidates = (
-        left.join(right, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    return _verify_candidates_by_arrays(arrays, id_col, candidates, threshold)
+    return hashed.mapInPandas(_sign_and_band, schema=band_schema)
 
 
 _SIMHASH_SCHEMA = StructType(
@@ -640,3 +647,89 @@ def incremental_exact_dedup(
         new_keys if seen_keys is None else seen_keys.unionByName(new_keys)
     )
     return survivors, updated
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """(band, bh) LSH index rows for a document set — the persistable
+    state for ``incremental_minhash_dedup``. Same signature pipeline
+    as ``minhash_lsh_pairs`` (seed-pinned, so indexes built in
+    different runs/batches are compatible)."""
+    banded = _banded_signatures(
+        df, id_col, text_col, n, num_hashes, bands, seed
+    )
+    return banded.select("band", "bh").distinct()
+
+
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    seen_bands: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental NEAR-dup filtering: drop batch documents that are
+    near-duplicates of anything already ingested, using only the
+    persisted (band, bh) index — no access to historical text needed.
+
+    Returns (survivors, updated_bands): survivors are batch docs that
+    (a) survive exact-verified near-dup dedup WITHIN the batch
+    (min-id per cluster) and (b) share NO LSH band with the index.
+
+    Precision trade, documented: against HISTORY there is no exact
+    verify (the old shingle arrays are gone — only 16-byte band keys
+    persist), so a band collision drops the doc as a PROBABLE dup.
+    With r=4 rows/band a random pair collides on a given band at
+    ~p^4 (p = Jaccard); at p=0.2 that is ~0.0016 per band x 32 bands
+    — a ~5% false-drop ceiling for moderately-similar non-dups, the
+    standard crawl-time trade (storing verifiable state costs
+    O(corpus text); the band index costs 768 B/doc). Within-batch
+    pairs ARE exact-verified.
+
+    Scale shape per increment: one signature pass over the batch +
+    one hash join of (band, bh) longs against the index.
+    """
+    within_pairs = minhash_lsh_pairs(
+        batch, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, seed=seed,
+    )
+    from .graph import connected_components, dedup_survivors
+
+    comps = connected_components(within_pairs, "id_a", "id_b")
+    within = dedup_survivors(batch, comps, id_col)
+
+    banded = _banded_signatures(
+        within, id_col, text_col, n, num_hashes, bands, seed
+    ).localCheckpoint(eager=False)
+    if seen_bands is not None:
+        hit_ids = (
+            banded.join(seen_bands, ["band", "bh"], "left_semi")
+            .select("__mid")
+            .distinct()
+        )
+        survivors = within.join(
+            hit_ids.withColumnRenamed("__mid", id_col), id_col, "left_anti"
+        )
+        new_bands = (
+            banded.join(
+                hit_ids, banded["__mid"] == hit_ids["__mid"], "left_anti"
+            )
+            .select("band", "bh")
+            .distinct()
+        )
+        updated = seen_bands.unionByName(new_bands).distinct()
+    else:
+        survivors = within
+        updated = banded.select("band", "bh").distinct()
+    return survivors.select(batch.columns), updated

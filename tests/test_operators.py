@@ -408,3 +408,37 @@ def test_column_profile_one_row_per_column(spark):
     # single scan: exactly one aggregate over the input, no join/union
     plan = column_profile(df)._jdf.queryExecution().executedPlan().toString()
     assert "Union" not in plan and "Join" not in plan
+
+
+def test_incremental_minhash_dedup_across_batches(spark):
+    from reddit_etl_spark.operators.dedup import incremental_minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    day1 = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("dog", "cat")),  # near-dup of 1 -> within dedup
+            (3, "completely different first document about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    s1, idx1 = incremental_minhash_dedup(day1, None, "doc_id", "text")
+    ids1 = {r.doc_id for r in s1.collect()}
+    assert ids1 == {1, 3}
+    n_idx1 = idx1.count()
+    assert n_idx1 > 0
+
+    day2 = spark.createDataFrame(
+        [
+            (10, base.replace("tonight", "today")),  # near-dup of HISTORY
+            (11, "a brand new unrelated second day document entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    s2, idx2 = incremental_minhash_dedup(day2, idx1, "doc_id", "text")
+    assert {r.doc_id for r in s2.collect()} == {11}
+    assert idx2.count() > n_idx1  # doc 11's bands were added
+
+    # replay: everything in day2 is now indexed -> nothing survives
+    s3, idx3 = incremental_minhash_dedup(day2, idx2, "doc_id", "text")
+    assert s3.count() == 0 and idx3.count() == idx2.count()
