@@ -49,22 +49,34 @@ def main() -> int:
         _noop, schema="r_regionkey long"
     ).count()
 
-    # best-of-2 per query: the first pass can absorb page-cache misses
-    # and fresh-codegen cost that say nothing about the plan; the min
-    # is the reproducible number (observed spread on cold FS cache:
-    # 3x on otherwise identical runs)
+    # Fixed n=3 per query, MEDIAN reported (best kept alongside):
+    # the first pass can absorb page-cache misses and fresh-codegen
+    # cost that say nothing about the plan, while best-of-N overstates
+    # warm-cache advantage. The median of a fixed n is stable AND
+    # comparable round-over-round (methodology pinned since round 3;
+    # r1 was n=1, r2 was best-of-2 — see VERDICT r2 finding #4).
+    n_reps = 3
     timings: dict[str, float] = {}
+    bests: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name, hq in registry().items():
         if not hq.headline:
             continue
-        best, rows = float("inf"), 0
-        for _rep in range(2):
+        runs, rows = [], 0
+        for _rep in range(n_reps):
             t0 = time.perf_counter()
             df = hq.builder(spark, sf_dir)
             rows = df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s rows={rows}", file=sys.stderr)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[n_reps // 2], 3)
+        bests[name] = round(runs[0], 3)
+        spreads[name] = [round(t, 3) for t in runs]
+        print(
+            f"# {name}: median={timings[name]:.3f}s "
+            f"best={bests[name]:.3f}s rows={rows}",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -73,6 +85,10 @@ def main() -> int:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "best": bests,
+                "runs": spreads,
+                "n": n_reps,
+                "stat": "median",
                 "sf": sf,
             }
         )

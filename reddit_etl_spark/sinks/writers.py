@@ -152,10 +152,19 @@ def write_range_layout(
 
 
 def zorder_value_col(x, y):
-    """Morton (Z-order) interleave of two non-negative 32-bit int
-    columns into one long — pure bit-twiddling expressions (the
-    classic mask-spread sequence), no UDF. Scale the inputs to ranks
-    or fixed-point first if they aren't already bounded ints."""
+    """Order-preserving Morton (Z-order) interleave of two non-negative
+    32-bit int columns into one long — pure bit-twiddling expressions
+    (the classic mask-spread sequence), no UDF. Scale the inputs to
+    ranks or fixed-point first if they aren't already bounded ints.
+
+    The raw 64-bit interleave puts y's bit 31 at bit 63, so for
+    y >= 2^31 the code would go negative and SIGNED comparisons
+    (range-partition, sort, parquet min/max pruning) would order it
+    before small codes. XOR-ing the sign bit maps the unsigned Morton
+    order onto the signed long order (the standard unsigned->signed
+    order embedding), so the full 32-bit input range sorts correctly.
+    The returned value is therefore an ORDER of the Morton code, not
+    the raw code itself."""
     from pyspark.sql import functions as F
 
     def spread(c):
@@ -172,7 +181,8 @@ def zorder_value_col(x, y):
 
     x = x if not isinstance(x, str) else F.col(x)
     y = y if not isinstance(y, str) else F.col(y)
-    return spread(x).bitwiseOR(F.shiftleft(spread(y), 1))
+    z = spread(x).bitwiseOR(F.shiftleft(spread(y), 1))
+    return z.bitwiseXOR(F.lit(-(1 << 63)))
 
 
 def write_zorder_layout(

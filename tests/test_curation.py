@@ -265,6 +265,33 @@ def test_bloom_decontaminate_fp_rate_bounded(spark):
     assert flagged <= 2
 
 
+def test_bloom_decontaminate_null_text_docs(spark):
+    """NULL-text docs must flow through (unflagged), not kill the
+    stage: a NULL shingle array arrives in the Arrow kernel as None
+    (ADVICE r2 finding — np.asarray(None) raised TypeError)."""
+    from reddit_etl_spark.operators.curation import decontaminate_bloom
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, None),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    flagged = {
+        r.doc_id: r.n_flagged_grams
+        for r in decontaminate_bloom(docs, bench, "doc_id", "text", n=5).collect()
+    }
+    assert 1 in flagged and flagged[1] > 0
+    assert 2 not in flagged  # NULL text: no grams, not contaminated
+    assert 3 not in flagged
+
+
 def test_bloom_decontaminate_empty_benchmark(spark):
     from reddit_etl_spark.operators.curation import decontaminate_bloom
 

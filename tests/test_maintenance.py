@@ -95,6 +95,37 @@ def test_range_layout_files_are_disjoint_and_skippable(spark, tmp_path):
     assert got == df.filter(F.col("k") == 5).count()
 
 
+def test_zorder_order_matches_unsigned_morton_full_32bit(spark):
+    """zorder_value_col must sort by the UNSIGNED Morton code across
+    the full 32-bit input range — inputs with bit 31 set previously
+    overflowed into the long's sign bit and sorted FIRST (ADVICE r2
+    finding)."""
+    from pyspark.sql import functions as F
+
+    from reddit_etl_spark.sinks.writers import zorder_value_col
+
+    def morton(x, y):  # unsigned reference interleave
+        z = 0
+        for i in range(32):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pts = [
+        (0, 0), (1, 1), (123, 456),
+        (2**31 - 1, 2**31 - 1),        # largest codes with bit63 clear
+        (0, 2**31), (2**31, 0),        # y/x bit 31 set — overflow zone
+        (2**31, 2**31),
+        (2**32 - 1, 2**32 - 1),        # all bits set
+        (7, 2**32 - 1), (2**32 - 1, 7),
+    ]
+    df = spark.createDataFrame(pts, "x long, y long").withColumn(
+        "z", zorder_value_col("x", "y")
+    )
+    got = [(r.x, r.y) for r in df.orderBy("z").collect()]
+    want = sorted(pts, key=lambda p: morton(p[0], p[1]))
+    assert got == want
+
+
 def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
     """Z-order vs single-column range layout: the Morton layout keeps
     per-file bounding boxes small in BOTH dimensions, so a predicate

@@ -94,3 +94,47 @@ def test_no_nested_loop_product(points, intervals):
 def test_bad_bucket_rejected(points, intervals):
     with pytest.raises(ValueError):
         interval_join(points, intervals, ["k"], "ts", "s", "e", bucket="0 seconds")
+
+
+def test_auto_bucket_bounds_explode_on_pathological_interval(spark):
+    """Default (data-derived) bucket width keeps the per-interval
+    explode factor O(1) even with a 1000x-median outlier interval —
+    the fixed-width foot-gun flagged in VERDICT r2 nit #5."""
+    from reddit_etl_spark.operators.rangejoin import _derived_bucket_seconds
+
+    ivs = spark.createDataFrame(
+        [("u", i, _t(i * 10), _t(i * 10 + 1)) for i in range(50)]
+        + [("u", 999, _t(0), _t(1000))],  # 1000 min vs 1 min median
+        "k string, iid long, s timestamp, e timestamp",
+    )
+    pts = spark.createDataFrame(
+        [("u", 100, _t(5)), ("u", 101, _t(105)), ("u", 102, _t(2000))],
+        "k string, pid long, ts timestamp",
+    )
+
+    width = _derived_bucket_seconds(ivs, "s", "e")
+    assert width == 1000 * 60  # max interval length
+
+    # every interval spans at most 2 derived buckets
+    exploded = ivs.select(
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("s") / width),
+                F.floor(F.unix_timestamp("e") / width),
+            )
+        )
+    ).count()
+    assert exploded <= 2 * ivs.count()
+
+    # and the derived-bucket result matches an explicit fine bucket
+    auto = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(pts, ivs, ["k"], "ts", "s", "e").collect()
+    )
+    fine = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(
+            pts, ivs, ["k"], "ts", "s", "e", bucket="1 minute"
+        ).collect()
+    )
+    assert auto == fine and (101, 999) in auto
