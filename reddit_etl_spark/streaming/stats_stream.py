@@ -192,11 +192,12 @@ def stream_incremental_dedup(
     files rather than duplicating rows. Readers of ``out_path`` /
     ``keys_path`` see an extra ``batch`` partition column.
 
-    The empty-index probe uses ``os.listdir`` — like
-    ``compact_parquet``, this helper assumes a local/NFS ``keys_path``;
-    on HDFS/S3 replace the existence check with the filesystem API
-    (everything else is path-scheme-agnostic)."""
+    Path-scheme-agnostic: the empty-index probe goes through the
+    Hadoop FileSystem API (``sinks.writers.path_has_data``), so
+    ``keys_path``/``out_path`` may be any URI Spark can read — file:/,
+    hdfs:/, s3a:/ — not just local paths."""
     from ..operators.dedup import content_key_col, incremental_exact_dedup
+    from ..sinks.writers import path_has_data
 
     import hashlib
 
@@ -207,13 +208,11 @@ def stream_incremental_dedup(
     qid = hashlib.md5(checkpoint_path.encode()).hexdigest()[:8]
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         bkey = f"{qid}-{batch_id}"
         spark = batch_df.sparkSession
         seen = (
             spark.read.parquet(keys_path)
-            if os.path.isdir(keys_path) and os.listdir(keys_path)
+            if path_has_data(spark, keys_path)
             else None
         )
         if seen is not None:

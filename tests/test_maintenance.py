@@ -95,6 +95,16 @@ def test_range_layout_files_are_disjoint_and_skippable(spark, tmp_path):
     assert got == df.filter(F.col("k") == 5).count()
 
 
+def test_compact_rejects_remote_schemes(spark):
+    import pytest
+
+    from reddit_etl_spark.sinks.writers import compact_parquet
+
+    for bad in ("s3a://bucket/table", "hdfs://nn/table"):
+        with pytest.raises(ValueError, match="local paths only"):
+            compact_parquet(spark, bad)
+
+
 def test_zorder_order_matches_unsigned_morton_full_32bit(spark):
     """zorder_value_col must sort by the UNSIGNED Morton code across
     the full 32-bit input range — inputs with bit 31 set previously
