@@ -5,11 +5,14 @@ training-data extension surface; see SURVEY.md §2.11) need a real
 ``decode='real'`` path. This container ships no image/audio libraries,
 so the strategy is:
 
-1. **PIL, if importable** — full format coverage (JPEG et al.).
+1. **PIL, if importable** — full format coverage (progressive JPEG,
+   GIF et al.).
 2. **Pure-stdlib decoders otherwise** — PNG (zlib inflate + scanline
    unfilter in numpy), BMP (uncompressed 24/32-bit), PPM/PGM binary,
-   and WAV via the stdlib ``wave`` module. These are *real* decoders
-   producing pixel/sample arrays, not stubs.
+   baseline JPEG (full T.81 sequential-DCT huffman decode: 4:4:4 /
+   4:2:2 / 4:2:0, restart markers, grayscale; plus a matching
+   encoder), and WAV via the stdlib ``wave`` module. These are *real*
+   decoders producing pixel/sample arrays, not stubs.
 3. **UnsupportedMediaError** for anything else, so callers can
    dead-letter bad assets instead of failing the whole job.
 
@@ -245,6 +248,585 @@ def decode_ppm(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# JPEG — pure stdlib+numpy BASELINE codec (ITU-T T.81 sequential DCT,
+# huffman entropy coding). Decoder: SOF0, 8-bit, h/v sampling factors
+# in {1,2} (4:4:4 / 4:2:2 / 4:2:0), restart markers, grayscale or
+# YCbCr. Encoder: 4:4:4 or 4:2:0, quality-scaled Annex K quant tables,
+# standard Annex K huffman tables. Progressive (SOF2), arithmetic and
+# 12-bit variants dead-letter as UnsupportedMediaError. Entropy coding
+# is a per-block Python loop (fallback-grade throughput — PIL takes
+# over when installed); DCT/dequant/upsample/color are batched numpy.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K huffman specs: (bits per code length 1..16, symbol values)
+_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    u, x = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    a = np.cos((2 * x + 1) * u * np.pi / 16.0)
+    a[0] *= np.sqrt(1.0 / 8.0)
+    a[1:] *= 0.5
+    return a
+
+
+_DCT_A = _dct_matrix()
+
+
+def _huff_decode_table(bits, vals) -> dict:
+    """(length, code) -> symbol for canonical JPEG huffman codes."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_table(bits, vals) -> dict:
+    """symbol -> (code, length)."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded JPEG data. Handles byte
+    stuffing (FF 00 -> literal FF) and surfaces restart markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        while self.n <= 24:
+            if self.pos >= len(self.data):
+                self.acc = (self.acc << 8) | 0xFF  # pad past EOI
+                self.n += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = (
+                    self.data[self.pos + 1]
+                    if self.pos + 1 < len(self.data)
+                    else 0xD9
+                )
+                if nxt == 0x00:  # stuffed FF
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                    # restart/EOI marker: stop filling, pad with 1s
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.n += 8
+                    continue
+                else:
+                    raise UnsupportedMediaError(
+                        f"unexpected marker FF{nxt:02X} in scan"
+                    )
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        if self.n < k:
+            self._fill()
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise UnsupportedMediaError("invalid huffman code in scan")
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker."""
+        self.acc = 0
+        self.n = 0
+        while self.pos + 1 < len(self.data):
+            if (
+                self.data[self.pos] == 0xFF
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+            ):
+                self.pos += 2
+                return
+            self.pos += 1
+        raise UnsupportedMediaError("missing restart marker")
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG EXTEND: map t low bits to the signed coefficient value."""
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline (SOF0) JPEG to (H, W, 3) RGB or (H, W, 1)
+    grayscale uint8 — pure stdlib+numpy, no PIL. Corrupt/truncated
+    payloads raise UnsupportedMediaError (the dead-letter class), never
+    a raw parse error."""
+    try:
+        return _decode_jpeg(bytes(data))
+    except UnsupportedMediaError:
+        raise
+    except (ValueError, struct.error, IndexError, KeyError) as exc:
+        raise UnsupportedMediaError(f"corrupt jpeg payload: {exc}") from exc
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
+    if not data.startswith(b"\xff\xd8"):
+        raise UnsupportedMediaError("not a JPEG")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id)
+    comps = None  # list of dicts: id, h, v, tq
+    width = height = None
+    restart_interval = 0
+    scan_comps = None
+    scan_start = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise UnsupportedMediaError("bad marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte padding before a marker
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0xF
+                b += 1
+                if pq == 0:
+                    q = np.frombuffer(body, np.uint8, 64, b).astype(np.int64)
+                    b += 64
+                else:
+                    q = np.frombuffer(body, ">u2", 64, b).astype(np.int64)
+                    b += 128
+                qtables[tq] = q
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1 : b + 17])
+                nv = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nv])
+                htables[(tc, th)] = _huff_decode_table(bits, vals)
+                b += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec = body[0]
+            if prec != 8:
+                raise UnsupportedMediaError(f"JPEG precision {prec}")
+            height, width = struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                h, v = hv >> 4, hv & 0xF
+                if h not in (1, 2) or v not in (1, 2):
+                    raise UnsupportedMediaError(
+                        f"JPEG sampling {h}x{v} unsupported"
+                    )
+                comps.append({"id": cid, "h": h, "v": v, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise UnsupportedMediaError(
+                f"non-baseline JPEG (SOF{marker - 0xC0})"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tdta = body[1 + 2 * i : 3 + 2 * i]
+                scan_comps.append((cs, tdta >> 4, tdta & 0xF))
+            scan_start = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if comps is None or scan_comps is None or width is None:
+        raise UnsupportedMediaError("JPEG missing SOF/SOS")
+    if len(scan_comps) != len(comps):
+        raise UnsupportedMediaError("JPEG multi-scan unsupported")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    order = []  # (comp index, dc table, ac table) per block in MCU
+    for ci, (cs, td, ta) in enumerate(scan_comps):
+        c = comps[ci]
+        if c["id"] != cs:
+            raise UnsupportedMediaError("JPEG scan/frame component mismatch")
+        c["dc"] = htables.get((0, td))
+        c["ac"] = htables.get((1, ta))
+        if c["dc"] is None or c["ac"] is None:
+            raise UnsupportedMediaError("JPEG missing huffman table")
+        c["blocks_w"] = mcux * c["h"]
+        c["blocks_h"] = mcuy * c["v"]
+        c["coef"] = np.zeros(
+            (c["blocks_h"] * c["blocks_w"], 64), dtype=np.int64
+        )
+
+    reader = _BitReader(data, scan_start)
+    preds = [0] * len(comps)
+    for m in range(mcuy * mcux):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.restart()
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        for ci, c in enumerate(comps):
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    blk = np.zeros(64, dtype=np.int64)
+                    t = reader.huff(c["dc"])
+                    diff = _extend(reader.bits(t), t) if t else 0
+                    preds[ci] += diff
+                    blk[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = reader.huff(c["ac"])
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise UnsupportedMediaError("JPEG AC overflow")
+                        blk[k] = _extend(reader.bits(s), s)
+                        k += 1
+                    row = my * c["v"] + by
+                    col = mx * c["h"] + bx
+                    c["coef"][row * c["blocks_w"] + col] = blk
+
+    planes = []
+    for c in comps:
+        q = qtables.get(c["tq"])
+        if q is None:
+            raise UnsupportedMediaError("JPEG missing quant table")
+        deq = np.zeros((c["coef"].shape[0], 64), dtype=np.float64)
+        deq[:, _ZIGZAG] = c["coef"] * q  # de-zigzag + dequantize
+        blocks = deq.reshape(-1, 8, 8)
+        pix = np.einsum("ux,nuv,vy->nxy", _DCT_A, blocks, _DCT_A) + 128.0
+        bh, bw = c["blocks_h"], c["blocks_w"]
+        plane = (
+            pix.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        planes.append(plane[:height, :width])
+    if len(planes) == 1:
+        gray = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return gray[:, :, None]
+    if len(planes) != 3:
+        raise UnsupportedMediaError(f"JPEG {len(planes)}-component unsupported")
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+
+
+def _quality_scale(q64: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((q64 * scale + 50) // 100, 1, 255)
+
+
+def _encode_block(
+    bw: _BitWriter, zz: np.ndarray, pred: int, dct: dict, act: dict
+) -> int:
+    """Huffman-encode one zigzagged quantized block; returns new DC."""
+    dc = int(zz[0])
+    diff = dc - pred
+    t = int(diff).bit_length() if diff else 0
+    if diff < 0:
+        diff += (1 << t) - 1
+    code, ln = dct[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(diff, t)
+    run = 0
+    last = 63
+    while last > 0 and zz[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = act[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        vv = v if v > 0 else v + (1 << s) - 1
+        code, ln = act[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(vv, s)
+        run = 0
+    if last < 63:
+        code, ln = act[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (H, W[, C]) uint8 to baseline JFIF JPEG. ``subsampling``:
+    '444' (full chroma) or '420' (2x2 box-averaged chroma). Grayscale
+    input emits a single-component scan. ``restart_interval`` > 0
+    emits a DRI segment and RSTn markers every that many MCUs (the
+    error-resilience feature real-world encoders use; also exercises
+    the decoder's restart path)."""
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nch = arr.shape
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+    gray = nch == 1
+    if gray:
+        planes = [arr[:, :, 0].astype(np.float64)]
+        samps = [(1, 1)]
+    else:
+        rgb = arr[:, :, :3].astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsampling == "420":
+            # pad to even dims then 2x2 box average
+            ph, pw = (h + 1) & ~1, (w + 1) & ~1
+            def pad_even(p):
+                return np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = pad_even(cb).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = pad_even(cr).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samps = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+
+    # zigzag order throughout: DQT payloads are zigzag-ordered by spec,
+    # and blocks are quantized after the raster->zigzag gather below
+    qluma = _quality_scale(_QUANT_LUMA, quality)[_ZIGZAG]
+    qchroma = _quality_scale(_QUANT_CHROMA, quality)[_ZIGZAG]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # per-plane: pad to its MCU-grid size, FDCT+quantize all blocks
+    zz_blocks = []
+    for pi, (plane, (sh, sv)) in enumerate(zip(planes, samps)):
+        q = qluma if pi == 0 else qchroma
+        tw, th = mcux * sh * 8, mcuy * sv * 8
+        p = np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        ) - 128.0
+        blocks = (
+            p.reshape(th // 8, 8, tw // 8, 8).transpose(0, 2, 1, 3)
+        )
+        coef = np.einsum("ux,nmxy,vy->nmuv", _DCT_A, blocks, _DCT_A)
+        qz = np.round(coef.reshape(-1, 64)[:, _ZIGZAG] / q[None, :]).astype(
+            np.int64
+        )
+        zz_blocks.append(qz.reshape(th // 8, tw // 8, 64))
+
+    dct_l = _huff_encode_table(*_HUFF_DC_LUMA)
+    act_l = _huff_encode_table(*_HUFF_AC_LUMA)
+    dct_c = _huff_encode_table(*_HUFF_DC_CHROMA)
+    act_c = _huff_encode_table(*_HUFF_AC_CHROMA)
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    for m in range(mcuy * mcux):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()  # byte-align (1-padding)
+            bw.out += bytes(
+                [0xFF, 0xD0 + ((m // restart_interval - 1) % 8)]
+            )
+            preds = [0] * len(planes)
+        my, mx = divmod(m, mcux)
+        for pi, (sh, sv) in enumerate(samps):
+            dct = dct_l if pi == 0 else dct_c
+            act = act_l if pi == 0 else act_c
+            for by in range(sv):
+                for bx in range(sh):
+                    zz = zz_blocks[pi][my * sv + by, mx * sh + bx]
+                    preds[pi] = _encode_block(bw, zz, preds[pi], dct, act)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def dht(tc: int, th: int, spec) -> bytes:
+        bits, vals = spec
+        return seg(
+            0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+        )
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(qluma.astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, b"\x01" + bytes(qchroma.astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i, (sh, sv) in enumerate(samps):
+        sof += bytes([i + 1, sh << 4 | sv, 0 if i == 0 else 1])
+    out += seg(0xC0, sof)
+    out += dht(0, 0, _HUFF_DC_LUMA)
+    out += dht(1, 0, _HUFF_AC_LUMA)
+    if not gray:
+        out += dht(0, 1, _HUFF_DC_CHROMA)
+        out += dht(1, 1, _HUFF_AC_CHROMA)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # image entry points used by the multimodal operators
 # ---------------------------------------------------------------------------
 
@@ -267,6 +849,8 @@ def decode_image(data: bytes) -> np.ndarray:
             return decode_bmp(data)
         if kind in ("ppm", "pgm"):
             return decode_ppm(data)
+        if kind == "jpeg":
+            return decode_jpeg(data)
     except UnsupportedMediaError:
         raise
     except (zlib.error, struct.error, ValueError, IndexError) as exc:
@@ -276,8 +860,8 @@ def decode_image(data: bytes) -> np.ndarray:
         # exception type or a single bad asset fails the stage
         raise UnsupportedMediaError(f"corrupt {kind} payload: {exc}") from exc
     raise UnsupportedMediaError(
-        f"no codec for format '{kind}' (stdlib path supports png/bmp/ppm/pgm; "
-        "install PIL for jpeg/gif/...)"
+        f"no codec for format '{kind}' (stdlib path supports "
+        "png/bmp/ppm/pgm/jpeg-baseline; install PIL for gif/progressive-jpeg/...)"
     )
 
 

@@ -441,6 +441,96 @@ def test_unsupported_variants_rejected():
         codecs.decode_png(data)
 
 
+# ---------------------------------------------------------------------------
+# JPEG baseline codec (stdlib path)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_uniform_color_roundtrip_exact():
+    # a flat block has only a DC coefficient -> survives quantization
+    img = np.full((16, 24, 3), [120, 64, 200], dtype=np.uint8)
+    enc = codecs.encode_jpeg(img, quality=90)
+    assert codecs.sniff(enc) == "jpeg"
+    dec = codecs.decode_jpeg(enc)
+    assert dec.shape == img.shape
+    np.testing.assert_array_equal(dec, img)
+
+
+def test_jpeg_gradient_roundtrip_within_tolerance():
+    x = np.linspace(0, 255, 64)
+    y = np.linspace(0, 255, 48)
+    xx, yy = np.meshgrid(x, y)
+    img = np.stack([xx, yy, (xx + yy) / 2], axis=-1).astype(np.uint8)
+    for ss, tol in (("444", 8), ("420", 14)):
+        dec = codecs.decode_jpeg(
+            codecs.encode_jpeg(img, quality=90, subsampling=ss)
+        )
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.max() <= tol, (ss, err.max())
+
+
+def test_jpeg_grayscale_single_component():
+    g = np.outer(np.linspace(0, 255, 40), np.ones(56)).astype(np.uint8)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(g, quality=85))
+    assert dec.shape == (40, 56, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max() <= 4
+
+
+def test_jpeg_noise_psnr_and_odd_dims():
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(noise, quality=95))
+    mse = ((dec.astype(float) - noise.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255**2 / mse) > 30  # q95 keeps PSNR high
+    odd = rng.integers(0, 256, (17, 13, 3), dtype=np.uint8)
+    for ss in ("444", "420"):
+        assert codecs.decode_jpeg(
+            codecs.encode_jpeg(odd, quality=95, subsampling=ss)
+        ).shape == (17, 13, 3)
+
+
+def test_jpeg_restart_markers_do_not_change_pixels():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (40, 64, 3), dtype=np.uint8)
+    base = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=92))
+    for ri in (1, 3):
+        withr = codecs.decode_jpeg(
+            codecs.encode_jpeg(img, quality=92, restart_interval=ri)
+        )
+        np.testing.assert_array_equal(withr, base)
+
+
+def test_jpeg_through_decode_image_dispatch():
+    img = np.full((8, 8, 3), [10, 200, 30], dtype=np.uint8)
+    if codecs.HAVE_PIL:
+        pytest.skip("stdlib jpeg path shadowed by PIL")
+    dec = codecs.decode_image(codecs.encode_jpeg(img, quality=95))
+    np.testing.assert_array_equal(dec, img)
+
+
+def test_jpeg_progressive_and_corrupt_rejected():
+    # progressive (SOF2) must dead-letter, not crash
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    enc = bytearray(codecs.encode_jpeg(img))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    with pytest.raises(UnsupportedMediaError, match="non-baseline"):
+        codecs.decode_jpeg(bytes(enc))
+    # truncated scan data decodes-or-dead-letters, never crashes
+    enc2 = codecs.encode_jpeg(img)
+    try:
+        codecs.decode_jpeg(enc2[: len(enc2) - 10])
+    except UnsupportedMediaError:
+        pass
+
+
+def test_jpeg_quality_monotonic_size():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    sizes = [len(codecs.encode_jpeg(img, quality=q)) for q in (30, 60, 95)]
+    assert sizes[0] < sizes[1] < sizes[2]
+
+
 def test_stereo_wav_resample_preserves_channels():
     rate = 8_000
     t = np.arange(rate) / rate
