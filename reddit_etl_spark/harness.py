@@ -1387,6 +1387,66 @@ def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "incremental_minhash",
+    """
+    WITH RECURSIVE norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      FROM documents),
+    toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(t[i:i+2], ' ')))) AS s FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b FROM pairs0
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5),
+    e2 AS (SELECT id_a AS a, id_b AS b FROM pairs
+           WHERE id_a % 2 = 1 AND id_b % 2 = 1
+           UNION ALL
+           SELECT id_b, id_a FROM pairs
+           WHERE id_a % 2 = 1 AND id_b % 2 = 1),
+    reach(node, label) AS (
+      SELECT a, a FROM e2
+      UNION
+      SELECT e2.b, reach.label FROM reach JOIN e2 ON e2.a = reach.node),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+    within AS (
+      SELECT doc_id FROM norm WHERE doc_id % 2 = 1
+        AND doc_id NOT IN (SELECT node FROM comp WHERE node <> component)),
+    cross_dup AS (
+      SELECT DISTINCT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS doc_id
+      FROM pairs WHERE (id_a % 2) <> (id_b % 2))
+    SELECT doc_id FROM within
+    WHERE doc_id NOT IN (SELECT doc_id FROM cross_dup)
+    """,
+    doc="incremental NEAR-dup dedup: batch 2 (odd ids) deduped within "
+    "itself via MinHash-candidate + exact-verify clusters, then filtered "
+    "against batch 1's persisted (band, bh) index — per-increment cost "
+    "is one signature pass + one band hash-join, with the index updated "
+    "append-only. Oracle = exact-Jaccard semantics (within-batch "
+    "min-id survivors minus cross-day near-dups): the hash match pins "
+    "BOTH banding recall (every true cross-day dup collides) and "
+    "precision (no false band collision drops a clean doc) on this "
+    "corpus, not just row counts",
+)
+def incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import incremental_minhash_dedup, minhash_band_index
+
+    docs = load(spark, sf_dir, "documents")
+    day1 = docs.filter(F.col("doc_id") % 2 == 0)
+    day2 = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = minhash_band_index(day1, "doc_id", "text")
+    survivors, _ = incremental_minhash_dedup(
+        day2, idx, "doc_id", "text", threshold=0.5
+    )
+    return survivors.select("doc_id")
+
+
+@_q(
     "weighted_sample_sources",
     """
     WITH keyed AS (
