@@ -11,8 +11,10 @@ so the strategy is:
    unfilter in numpy), BMP (uncompressed 24/32-bit), PPM/PGM binary,
    baseline JPEG (full T.81 sequential-DCT huffman decode: 4:4:4 /
    4:2:2 / 4:2:0, restart markers, grayscale; plus a matching
-   encoder), and WAV via the stdlib ``wave`` module. These are *real*
-   decoders producing pixel/sample arrays, not stubs.
+   encoder), GIF 87a/89a (LZW, interlace, local/global palettes,
+   first frame of animations; plus a single-frame encoder), and WAV
+   via the stdlib ``wave`` module. These are *real* decoders
+   producing pixel/sample arrays, not stubs.
 3. **UnsupportedMediaError** for anything else, so callers can
    dead-letter bad assets instead of failing the whole job.
 
@@ -827,6 +829,224 @@ def encode_jpeg(
 
 
 # ---------------------------------------------------------------------------
+# GIF — pure stdlib+numpy decode (87a/89a, LZW, interlace, local/global
+# palettes, first frame of animations) and a single-frame encoder
+# (palettized input, <=256 unique colors) for round-trip testing.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(mcs: int, data: bytes, npix: int) -> np.ndarray:
+    """GIF-variant LZW: LSB-first variable-width codes, CLEAR/END,
+    dictionary capped at 4096."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    base = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    table = list(base)
+    width = mcs + 1
+    acc = n = 0
+    out = bytearray()
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << n
+        n += 8
+        while n >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            n -= width
+            if code == clear:
+                table = list(base)
+                width = mcs + 1
+                prev = None
+                continue
+            if code == end:
+                return np.frombuffer(bytes(out[:npix]), dtype=np.uint8)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise UnsupportedMediaError("GIF LZW code out of range")
+            out += entry
+            prev = entry
+            if (
+                len(table) == (1 << width)
+                and width < 12
+            ):
+                width += 1
+            if len(out) >= npix:
+                return np.frombuffer(bytes(out[:npix]), dtype=np.uint8)
+    raise UnsupportedMediaError("GIF LZW stream truncated")
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/89a to (H, W, 3) uint8 RGB
+    (composited onto the background for a frame smaller than the
+    logical screen). Corrupt payloads dead-letter as
+    UnsupportedMediaError."""
+    try:
+        return _decode_gif(bytes(data))
+    except UnsupportedMediaError:
+        raise
+    except (ValueError, struct.error, IndexError) as exc:
+        raise UnsupportedMediaError(f"corrupt gif payload: {exc}") from exc
+
+
+def _decode_gif(data: bytes) -> np.ndarray:
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise UnsupportedMediaError("not a GIF")
+    sw, sh, flags, bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        ncol = 2 << (flags & 0x07)
+        gct = np.frombuffer(data, np.uint8, 3 * ncol, pos).reshape(-1, 3)
+        pos += 3 * ncol
+    transparent = None
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and data[pos] >= 4:  # graphic control
+                gflags = data[pos + 1]
+                if gflags & 1:
+                    transparent = data[pos + 4]
+            while data[pos]:  # skip sub-blocks
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise UnsupportedMediaError(f"GIF unknown block 0x{b0:02x}")
+        left, top, w, h, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+        pos += 10
+        pal = gct
+        if iflags & 0x80:  # local color table
+            ncol = 2 << (iflags & 0x07)
+            pal = np.frombuffer(data, np.uint8, 3 * ncol, pos).reshape(-1, 3)
+            pos += 3 * ncol
+        if pal is None:
+            raise UnsupportedMediaError("GIF image without color table")
+        mcs = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(mcs, bytes(lzw), w * h)
+        if idx.size < w * h:
+            raise UnsupportedMediaError("GIF pixel data short")
+        frame = idx.reshape(h, w)
+        if iflags & 0x40:  # interlaced: reorder rows
+            deinter = np.empty_like(frame)
+            src = 0
+            for start, step in _GIF_INTERLACE:
+                rows = range(start, h, step)
+                for r in rows:
+                    deinter[r] = frame[src]
+                    src += 1
+            frame = deinter
+        if idx.max() >= len(pal):
+            raise UnsupportedMediaError("GIF palette index out of range")
+        # composite the (possibly smaller) frame onto the screen
+        bg_idx = bg if gct is not None and bg < len(pal) else 0
+        screen = np.full((sh, sw), bg_idx, dtype=np.uint8)
+        screen[top : top + h, left : left + w] = frame
+        rgb = pal[screen]
+        if transparent is not None and transparent < len(pal):
+            # first frame over an empty canvas: transparent pixels show
+            # the background color — already the composited value; no
+            # alpha channel in the (H, W, 3) contract
+            pass
+        return rgb
+    raise UnsupportedMediaError("GIF missing image descriptor")
+
+
+def _gif_lzw_encode(mcs: int, indices: np.ndarray) -> bytes:
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    table = {bytes([i]): i for i in range(1 << mcs)}
+    next_code = end + 1
+    width = mcs + 1
+    acc = n = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, n
+        acc |= code << n
+        n += width
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+
+    emit(clear)
+    cur = b""
+    for k in indices.tobytes():
+        nxt = cur + bytes([k])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        if next_code < 4096:
+            table[nxt] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(1 << mcs)}
+            next_code = end + 1
+            width = mcs + 1
+        cur = bytes([k])
+    if cur:
+        emit(table[cur])
+    emit(end)
+    if n:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """Encode (H, W[, 3]) uint8 with <=256 unique colors to a
+    single-frame GIF89a (exact palettized round-trip)."""
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    h, w, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    pal, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError(f"GIF needs <=256 unique colors, got {len(pal)}")
+    ncol_bits = max(1, int(len(pal) - 1).bit_length())
+    ncol = 1 << ncol_bits
+    palette = np.zeros((ncol, 3), dtype=np.uint8)
+    palette[: len(pal)] = pal
+    mcs = max(2, ncol_bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (ncol_bits - 1), 0, 0)
+    out += palette.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(mcs)
+    lzw = _gif_lzw_encode(mcs, inv.astype(np.uint8))
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # image entry points used by the multimodal operators
 # ---------------------------------------------------------------------------
 
@@ -851,6 +1071,8 @@ def decode_image(data: bytes) -> np.ndarray:
             return decode_ppm(data)
         if kind == "jpeg":
             return decode_jpeg(data)
+        if kind == "gif":
+            return decode_gif(data)
     except UnsupportedMediaError:
         raise
     except (zlib.error, struct.error, ValueError, IndexError) as exc:
@@ -861,7 +1083,8 @@ def decode_image(data: bytes) -> np.ndarray:
         raise UnsupportedMediaError(f"corrupt {kind} payload: {exc}") from exc
     raise UnsupportedMediaError(
         f"no codec for format '{kind}' (stdlib path supports "
-        "png/bmp/ppm/pgm/jpeg-baseline; install PIL for gif/progressive-jpeg/...)"
+        "png/bmp/ppm/pgm/jpeg-baseline/gif; install PIL for "
+        "progressive-jpeg/webp/...)"
     )
 
 

@@ -531,6 +531,107 @@ def test_jpeg_quality_monotonic_size():
     assert sizes[0] < sizes[1] < sizes[2]
 
 
+# ---------------------------------------------------------------------------
+# GIF codec (stdlib path)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_roundtrip_exact_palettized():
+    img = np.zeros((20, 30, 3), dtype=np.uint8)
+    img[5:15, 10:20] = [255, 0, 0]
+    img[0:5, :] = [0, 128, 255]
+    enc = codecs.encode_gif(img)
+    assert codecs.sniff(enc) == "gif"
+    np.testing.assert_array_equal(codecs.decode_gif(enc), img)
+    if not codecs.HAVE_PIL:
+        np.testing.assert_array_equal(codecs.decode_image(enc), img)
+
+
+def test_gif_roundtrip_max_palette_and_gray():
+    rng = np.random.default_rng(9)
+    idx = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+    img = np.stack([idx, 255 - idx, (idx * 7) % 256], axis=-1).astype(np.uint8)
+    np.testing.assert_array_equal(codecs.decode_gif(codecs.encode_gif(img)), img)
+    g = (np.arange(16 * 16).reshape(16, 16) % 200).astype(np.uint8)
+    np.testing.assert_array_equal(
+        codecs.decode_gif(codecs.encode_gif(g)),
+        np.repeat(g[:, :, None], 3, axis=2),
+    )
+
+
+def test_gif_too_many_colors_rejected():
+    grad = np.arange(80 * 80, dtype=np.uint32)
+    big = (
+        np.stack([(grad >> 16) & 255, (grad >> 8) & 255, grad & 255], axis=-1)
+        .reshape(80, 80, 3)
+        .astype(np.uint8)
+    )
+    with pytest.raises(ValueError, match="256 unique colors"):
+        codecs.encode_gif(big)
+
+
+def _craft_gif(screen_wh, frames, interlace=False, gce=False):
+    """Hand-assemble a GIF from (left, top, indices(h,w)) frames over a
+    shared 4-color palette — exercises decoder paths the single-frame
+    encoder never emits (interlace, animation, extensions)."""
+    sw, sh = screen_wh
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | 1, 0, 0)  # 4-entry GCT
+    out += pal.tobytes()
+    for left, top, idx in frames:
+        if gce:
+            out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control
+        h, w = idx.shape
+        if interlace:
+            order = [r for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))
+                     for r in range(s, h, st)]
+            idx = idx[order]
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", left, top, w, h, 0x40 if interlace else 0
+        )
+        mcs = 2
+        out.append(mcs)
+        lzw = codecs._gif_lzw_encode(mcs, idx.astype(np.uint8))
+        for i in range(0, len(lzw), 255):
+            block = lzw[i : i + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out), pal
+
+
+def test_gif_interlaced_decode():
+    rng = np.random.default_rng(2)
+    idx = rng.integers(0, 4, (16, 12)).astype(np.uint8)
+    enc, pal = _craft_gif((12, 16), [(0, 0, idx)], interlace=True)
+    np.testing.assert_array_equal(codecs.decode_gif(enc), pal[idx])
+
+
+def test_gif_animation_first_frame_and_offset_composite():
+    rng = np.random.default_rng(4)
+    f1 = rng.integers(0, 4, (4, 6)).astype(np.uint8)
+    f2 = rng.integers(0, 4, (8, 10)).astype(np.uint8)
+    # first frame is 6x4 at offset (2, 3) on a 10x8 screen; decoder
+    # must composite onto the background color and ignore frame 2
+    enc, pal = _craft_gif((10, 8), [(2, 3, f1), (0, 0, f2)], gce=True)
+    want_idx = np.zeros((8, 10), dtype=np.uint8)
+    want_idx[3:7, 2:8] = f1
+    np.testing.assert_array_equal(codecs.decode_gif(enc), pal[want_idx])
+
+
+def test_gif_corrupt_dead_letters():
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    enc = codecs.encode_gif(img)
+    with pytest.raises(UnsupportedMediaError):
+        codecs.decode_gif(enc[:20])  # truncated mid-header/data
+    with pytest.raises(UnsupportedMediaError, match="not a GIF"):
+        codecs.decode_gif(b"NOTAGIF" + enc)
+
+
 def test_stereo_wav_resample_preserves_channels():
     rate = 8_000
     t = np.arange(rate) / rate
