@@ -400,6 +400,9 @@ class _BitReader:
                 )
                 if nxt == 0x00:  # stuffed FF
                     self.pos += 2
+                elif nxt == 0xFF:  # T.81 B.1.1.2: fill byte before marker
+                    self.pos += 1
+                    continue
                 elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
                     # restart/EOI marker: stop filling, pad with 1s
                     self.acc = (self.acc << 8) | 0xFF
@@ -544,6 +547,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         raise UnsupportedMediaError("JPEG missing SOF/SOS")
     if len(scan_comps) != len(comps):
         raise UnsupportedMediaError("JPEG multi-scan unsupported")
+    if len(comps) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — one
+        # 8x8 block per MCU in raster order; the frame's declared
+        # sampling factors don't affect the data layout
+        comps[0]["h"] = comps[0]["v"] = 1
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -958,17 +966,26 @@ def _decode_gif(data: bytes) -> np.ndarray:
             frame = deinter
         if idx.max() >= len(pal):
             raise UnsupportedMediaError("GIF palette index out of range")
-        # composite the (possibly smaller) frame onto the screen
-        bg_idx = bg if gct is not None and bg < len(pal) else 0
-        screen = np.full((sh, sw), bg_idx, dtype=np.uint8)
-        screen[top : top + h, left : left + w] = frame
-        rgb = pal[screen]
-        if transparent is not None and transparent < len(pal):
-            # first frame over an empty canvas: transparent pixels show
-            # the background color — already the composited value; no
-            # alpha channel in the (H, W, 3) contract
-            pass
-        return rgb
+        # composite in RGB space: frame indices reference ``pal`` (the
+        # local table when present), while the background color index
+        # references the GLOBAL table by spec — two different index
+        # spaces, so index-space compositing would mix palettes.
+        bg_rgb = (
+            gct[bg] if gct is not None and bg < len(gct)
+            else np.zeros(3, dtype=np.uint8)
+        )
+        screen = np.empty((sh, sw, 3), dtype=np.uint8)
+        screen[:, :] = bg_rgb
+        frame_rgb = pal[frame]
+        region = screen[top : top + h, left : left + w]
+        if transparent is not None:
+            # transparent pixels keep the background (first frame over
+            # an empty canvas); no alpha channel in the (H,W,3) contract
+            mask = frame != transparent
+            region[mask] = frame_rgb[mask]
+        else:
+            region[:, :] = frame_rgb
+        return screen
     raise UnsupportedMediaError("GIF missing image descriptor")
 
 

@@ -152,6 +152,7 @@ def _cc_two_phase(
         F.sum(F.xxhash64("a", "b")).alias("h"),
     ).first()
     rounds = 0
+    converged = False
     for i in range(max_iter):
         rounds = i + 1
         # -- large-star ------------------------------------------------
@@ -200,8 +201,19 @@ def _cc_two_phase(
         E.unpersist()
         E = new_E
         if (new_sig["n"], new_sig["h"]) == (sig["n"], sig["h"]):
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # a non-fixpoint edge set is NOT a star forest — extracting
+        # labels from it would hand a node several components; refuse
+        # loudly (min-propagation degrades to one-label-per-node, this
+        # algorithm does not)
+        E.unpersist()
+        raise ValueError(
+            f"two-phase CC did not converge in {max_iter} rounds; "
+            "raise max_iter (O(log^2 n) rounds suffice for any graph)"
+        )
     labels = (
         E.select(F.col("a").alias("node"), F.col("b").alias("component"))
         .union(

@@ -117,7 +117,10 @@ def compact_parquet(
     table format, use a transactional table layer (e.g. Delta/Iceberg
     OPTIMIZE) instead — rename is not atomic there."""
     local = _require_local_path(path, "compact_parquet")
-    df = spark.read.parquet(path)
+    # explicit file: URIs for ALL Spark I/O so a cluster whose
+    # fs.defaultFS is remote (hdfs://...) can't resolve the bare tmp
+    # path against the wrong filesystem mid-swap
+    df = spark.read.parquet(f"file://{local}")
     total_bytes = _dir_bytes(local)
     n_files = max(1, -(-total_bytes // target_file_bytes))
     tmp = f"{local}__compacting"
@@ -125,7 +128,7 @@ def compact_parquet(
     w = df.repartition(n_files).write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(tmp)
+    w.parquet(f"file://{tmp}")
     import shutil  # noqa: PLC0415
 
     import os  # noqa: PLC0415

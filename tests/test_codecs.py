@@ -570,28 +570,38 @@ def test_gif_too_many_colors_rejected():
         codecs.encode_gif(big)
 
 
-def _craft_gif(screen_wh, frames, interlace=False, gce=False):
+def _craft_gif(
+    screen_wh, frames, interlace=False, gce=False, transparent=None,
+    bg=0, local_pal=None,
+):
     """Hand-assemble a GIF from (left, top, indices(h,w)) frames over a
     shared 4-color palette — exercises decoder paths the single-frame
-    encoder never emits (interlace, animation, extensions)."""
+    encoder never emits (interlace, animation, extensions,
+    transparency, local color tables)."""
     sw, sh = screen_wh
     pal = np.array(
         [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
     )
     out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", sw, sh, 0x80 | 1, 0, 0)  # 4-entry GCT
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | 1, bg, 0)  # 4-entry GCT
     out += pal.tobytes()
     for left, top, idx in frames:
-        if gce:
-            out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control
+        if gce or transparent is not None:
+            tflag = 1 if transparent is not None else 0
+            out += bytes(
+                [0x21, 0xF9, 0x04, tflag, 0, 0, transparent or 0, 0]
+            )
         h, w = idx.shape
         if interlace:
             order = [r for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))
                      for r in range(s, h, st)]
             idx = idx[order]
-        out += b"\x2c" + struct.pack(
-            "<HHHHB", left, top, w, h, 0x40 if interlace else 0
-        )
+        iflags = 0x40 if interlace else 0
+        if local_pal is not None:
+            iflags |= 0x80 | 1  # 4-entry local color table
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, iflags)
+        if local_pal is not None:
+            out += np.asarray(local_pal, dtype=np.uint8).tobytes()
         mcs = 2
         out.append(mcs)
         lzw = codecs._gif_lzw_encode(mcs, idx.astype(np.uint8))
@@ -621,6 +631,63 @@ def test_gif_animation_first_frame_and_offset_composite():
     want_idx = np.zeros((8, 10), dtype=np.uint8)
     want_idx[3:7, 2:8] = f1
     np.testing.assert_array_equal(codecs.decode_gif(enc), pal[want_idx])
+
+
+def test_gif_transparency_shows_background():
+    """Transparent pixels must composite to the BACKGROUND color, not
+    render their palette entry (code-review r3 finding)."""
+    idx = np.array([[1, 2], [2, 1]], dtype=np.uint8)
+    enc, pal = _craft_gif((2, 2), [(0, 0, idx)], transparent=2, bg=3)
+    got = codecs.decode_gif(enc)
+    want = np.empty((2, 2, 3), dtype=np.uint8)
+    want[0, 0] = pal[1]
+    want[1, 1] = pal[1]
+    want[0, 1] = pal[3]  # transparent -> background (index 3 = blue)
+    want[1, 0] = pal[3]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_gif_background_uses_global_table_not_local():
+    """bg is a GLOBAL-table index by spec; a frame-local color table
+    must not be used to resolve it (code-review r3 finding)."""
+    idx = np.zeros((1, 1), dtype=np.uint8)  # 1x1 frame at (0,0) of 3x1
+    local = [[9, 9, 9], [8, 8, 8], [7, 7, 7], [6, 6, 6]]
+    enc, pal = _craft_gif(
+        (3, 1), [(0, 0, idx)], bg=2, local_pal=local
+    )
+    got = codecs.decode_gif(enc)
+    np.testing.assert_array_equal(got[0, 0], [9, 9, 9])   # frame: local[0]
+    np.testing.assert_array_equal(got[0, 1], pal[2])      # bg: GLOBAL[2]
+    np.testing.assert_array_equal(got[0, 2], pal[2])
+
+
+def test_jpeg_single_component_ignores_declared_sampling():
+    """T.81: a one-component scan is non-interleaved (one block per
+    MCU, raster order) — declared 2x2 frame sampling factors must not
+    change the layout (code-review r3 finding)."""
+    g = np.outer(np.linspace(0, 255, 32), np.ones(16)).astype(np.uint8)
+    enc = bytearray(codecs.encode_jpeg(g, quality=90))
+    i = enc.find(b"\xff\xc0")
+    # SOF0: FF C0 len(2) prec(1) h(2) w(2) ncomp(1) [id hv tq]
+    assert enc[i + 11] == 0x11
+    enc[i + 11] = 0x22  # declare h=v=2 on the single component
+    np.testing.assert_array_equal(
+        codecs.decode_jpeg(bytes(enc)), codecs.decode_jpeg(codecs.encode_jpeg(g, quality=90))
+    )
+
+
+def test_jpeg_fill_bytes_before_restart_marker():
+    """T.81 B.1.1.2 allows 0xFF fill bytes before any marker — the
+    reader must skip them, not dead-letter (code-review r3 finding)."""
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    enc = codecs.encode_jpeg(img, quality=92, restart_interval=1)
+    base = codecs.decode_jpeg(enc)
+    padded = enc.replace(b"\xff\xd0", b"\xff\xff\xd0").replace(
+        b"\xff\xd1", b"\xff\xff\xff\xd1"
+    )
+    assert len(padded) > len(enc)
+    np.testing.assert_array_equal(codecs.decode_jpeg(padded), base)
 
 
 def test_gif_corrupt_dead_letters():

@@ -133,3 +133,41 @@ def test_new_operators_empty_inputs(spark):
         ).count()
         == 0
     )
+
+
+def test_round3_operators_empty_inputs(spark, empty_docs):
+    from reddit_etl_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_index,
+    )
+    from reddit_etl_spark.operators.graph import connected_components
+    from reddit_etl_spark.operators.rangejoin import interval_join
+
+    # star CC on an empty edge list
+    empty_edges = spark.createDataFrame([], "a long, b long")
+    for algo in ("min", "star"):
+        assert connected_components(empty_edges, "a", "b", algorithm=algo).count() == 0
+
+    # incremental minhash with empty batch / empty index
+    s, idx = incremental_minhash_dedup(empty_docs, None, "doc_id", "text")
+    assert s.count() == 0 and idx.count() == 0
+    assert minhash_band_index(empty_docs, "doc_id", "text").count() == 0
+    some = spark.createDataFrame(
+        [(1, "one real document with plenty of words inside it")],
+        "doc_id long, text string",
+    )
+    idx1 = minhash_band_index(some, "doc_id", "text")
+    s2, _ = incremental_minhash_dedup(empty_docs, idx1, "doc_id", "text")
+    assert s2.count() == 0
+
+    # interval_join derived bucket over an EMPTY interval side
+    pts = spark.createDataFrame(
+        [("u", 1, "2025-09-01 00:05:00")],
+        "k string, pid long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    empty_ivs = spark.createDataFrame(
+        [], "k string, iid long, s timestamp, e timestamp"
+    )
+    assert interval_join(pts, empty_ivs, ["k"], "ts", "s", "e").count() == 0
+    left = interval_join(pts, empty_ivs, ["k"], "ts", "s", "e", how="left")
+    assert left.count() == 1  # unmatched point kept with NULL interval cols

@@ -129,6 +129,16 @@ def test_star_algorithm_rejects_unknown(spark):
         connected_components(df, "a", "b", algorithm="bogus")
 
 
+def test_star_algorithm_raises_on_non_convergence(spark):
+    """An exhausted max_iter must raise, not return a multi-label
+    table (code-review r3 finding)."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "a long, b long"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(chain, "a", "b", algorithm="star", max_iter=1)
+
+
 def test_dedup_survivors_keeps_one_per_cluster(spark):
     docs = spark.range(0, 10).withColumnRenamed("id", "doc_id")
     comps = connected_components(
