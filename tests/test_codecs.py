@@ -328,6 +328,54 @@ if HAVE_HYPOTHESIS:
         np.testing.assert_allclose(out, x, atol=1e-4)
 
     @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        gray=st.booleans(),
+        ss=st.sampled_from(["444", "420"]),
+        ri=st.sampled_from([0, 2]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_jpeg_roundtrip_property(h, w, gray, ss, ri, seed):
+        rng = np.random.RandomState(seed)
+        # smooth-ish content (random low-res upsampled) so a fixed
+        # tolerance is meaningful; q=95 keeps quantization tight
+        small = rng.randint(0, 256, (max(1, h // 4), max(1, w // 4), 1 if gray else 3))
+        img = small.repeat(4, axis=0).repeat(4, axis=1)[:h, :w].astype(np.uint8)
+        if gray:
+            img = img[:, :, 0]
+        dec = codecs.decode_jpeg(
+            codecs.encode_jpeg(img, quality=95, subsampling=ss, restart_interval=ri)
+        )
+        want = img[:, :, None] if gray else img
+        assert dec.shape == want.shape
+        err = np.abs(dec.astype(int) - want.astype(int))
+        # blocky content + q95: small error everywhere except chroma
+        # edges under 4:2:0 (subsampled block boundaries)
+        assert err.max() <= (40 if ss == "420" and not gray else 16)
+
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        ncol=st.integers(1, 8),
+        gray=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_gif_roundtrip_property(h, w, ncol, gray, seed):
+        rng = np.random.RandomState(seed)
+        if gray:
+            img = rng.randint(0, 256, (h, w), dtype=np.uint8)
+            want = np.repeat(img[:, :, None], 3, axis=2)
+        else:
+            pal = rng.randint(0, 256, (ncol, 3), dtype=np.uint8)
+            img = pal[rng.randint(0, ncol, (h, w))]
+            want = img
+        np.testing.assert_array_equal(
+            codecs.decode_gif(codecs.encode_gif(img)), want
+        )
+
+    @given(
         h=st.integers(1, 10),
         w=st.integers(1, 10),
         tw=st.integers(1, 10),
