@@ -135,6 +135,9 @@ _DEFERRED = [
     "decontaminate_bloom",
     "asof_attribution",
     "events_json",
+    # round-3 addition: rides the tail so no previously-recorded query
+    # loses its driver row; rotate into the head when a slot frees up
+    "incremental_minhash",
 ]
 
 
