@@ -715,17 +715,20 @@ def encode_jpeg(
     restart_interval: int = 0,
 ) -> bytes:
     """Encode (H, W[, C]) uint8 to baseline JFIF JPEG. ``subsampling``:
-    '444' (full chroma) or '420' (2x2 box-averaged chroma). Grayscale
-    input emits a single-component scan. ``restart_interval`` > 0
-    emits a DRI segment and RSTn markers every that many MCUs (the
+    '444' (full chroma), '422' (horizontally halved chroma) or '420'
+    (2x2 box-averaged chroma). Grayscale input emits a
+    single-component scan. ``restart_interval`` > 0 emits a DRI
+    segment and RSTn markers every that many MCUs (the
     error-resilience feature real-world encoders use; also exercises
     the decoder's restart path)."""
     arr = np.asarray(img, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nch = arr.shape
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError(
+            f"subsampling must be '444', '422' or '420', got {subsampling!r}"
+        )
     gray = nch == 1
     if gray:
         planes = [arr[:, :, 0].astype(np.float64)]
@@ -744,6 +747,14 @@ def encode_jpeg(
             cb = pad_even(cb).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
             cr = pad_even(cr).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
             samps = [(2, 2), (1, 1), (1, 1)]
+        elif subsampling == "422":
+            # pad width to even then 1x2 box average (horizontal only)
+            pw = (w + 1) & ~1
+            def pad_w(p):
+                return np.pad(p, ((0, 0), (0, pw - w)), mode="edge")
+            cb = pad_w(cb).reshape(h, pw // 2, 2).mean(axis=2)
+            cr = pad_w(cr).reshape(h, pw // 2, 2).mean(axis=2)
+            samps = [(2, 1), (1, 1), (1, 1)]
         else:
             samps = [(1, 1), (1, 1), (1, 1)]
         planes = [y, cb, cr]
