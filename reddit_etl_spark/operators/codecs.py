@@ -917,7 +917,11 @@ def decode_gif(data: bytes) -> np.ndarray:
         raise UnsupportedMediaError(f"corrupt gif payload: {exc}") from exc
 
 
-def _decode_gif(data: bytes) -> np.ndarray:
+def _gif_iter_frames(data: bytes):
+    """Parse a GIF stream. Yields one tuple per image descriptor:
+    (left, top, index_array(h, w), palette, transparent, disposal);
+    returns via StopIteration after the trailer. The caller owns
+    compositing."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise UnsupportedMediaError("not a GIF")
     sw, sh, flags, bg, _ar = struct.unpack_from("<HHBBB", data, 6)
@@ -927,18 +931,24 @@ def _decode_gif(data: bytes) -> np.ndarray:
         ncol = 2 << (flags & 0x07)
         gct = np.frombuffer(data, np.uint8, 3 * ncol, pos).reshape(-1, 3)
         pos += 3 * ncol
+    bg_rgb = (
+        gct[bg] if gct is not None and bg < len(gct)
+        else np.zeros(3, dtype=np.uint8)
+    )
+    yield (sw, sh, bg_rgb)  # header tuple first
     transparent = None
+    disposal = 0
     while pos < len(data):
         b0 = data[pos]
         if b0 == 0x3B:  # trailer
-            break
+            return
         if b0 == 0x21:  # extension
             label = data[pos + 1]
             pos += 2
             if label == 0xF9 and data[pos] >= 4:  # graphic control
                 gflags = data[pos + 1]
-                if gflags & 1:
-                    transparent = data[pos + 4]
+                disposal = (gflags >> 2) & 0x7
+                transparent = data[pos + 4] if gflags & 1 else None
             while data[pos]:  # skip sub-blocks
                 pos += 1 + data[pos]
             pos += 1
@@ -970,34 +980,65 @@ def _decode_gif(data: bytes) -> np.ndarray:
             deinter = np.empty_like(frame)
             src = 0
             for start, step in _GIF_INTERLACE:
-                rows = range(start, h, step)
-                for r in rows:
+                for r in range(start, h, step):
                     deinter[r] = frame[src]
                     src += 1
             frame = deinter
         if idx.max() >= len(pal):
             raise UnsupportedMediaError("GIF palette index out of range")
-        # composite in RGB space: frame indices reference ``pal`` (the
-        # local table when present), while the background color index
-        # references the GLOBAL table by spec — two different index
-        # spaces, so index-space compositing would mix palettes.
-        bg_rgb = (
-            gct[bg] if gct is not None and bg < len(gct)
-            else np.zeros(3, dtype=np.uint8)
-        )
-        screen = np.empty((sh, sw, 3), dtype=np.uint8)
-        screen[:, :] = bg_rgb
-        frame_rgb = pal[frame]
+        yield (left, top, frame, pal, transparent, disposal)
+        transparent = None
+        disposal = 0
+
+
+def _gif_composite(data: bytes, max_frames: int | None) -> list[np.ndarray]:
+    """Composite GIF frames onto the logical screen honoring disposal
+    methods 0/1 (leave), 2 (restore background), 3 (restore previous).
+    Compositing is in RGB space: frame indices reference the frame's
+    palette (local when present), while the background color index
+    references the GLOBAL table by spec — two index spaces that must
+    not mix."""
+    it = _gif_iter_frames(data)
+    sw, sh, bg_rgb = next(it)
+    screen = np.empty((sh, sw, 3), dtype=np.uint8)
+    screen[:, :] = bg_rgb
+    frames: list[np.ndarray] = []
+    for left, top, frame, pal, transparent, disposal in it:
+        h, w = frame.shape
         region = screen[top : top + h, left : left + w]
+        saved = region.copy() if disposal == 3 else None
+        frame_rgb = pal[frame]
         if transparent is not None:
-            # transparent pixels keep the background (first frame over
-            # an empty canvas); no alpha channel in the (H,W,3) contract
             mask = frame != transparent
             region[mask] = frame_rgb[mask]
         else:
             region[:, :] = frame_rgb
-        return screen
-    raise UnsupportedMediaError("GIF missing image descriptor")
+        frames.append(screen.copy())
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
+        if disposal == 2:
+            region[:, :] = bg_rgb
+        elif disposal == 3:
+            region[:, :] = saved
+    if not frames:
+        raise UnsupportedMediaError("GIF missing image descriptor")
+    return frames
+
+
+def _decode_gif(data: bytes) -> np.ndarray:
+    return _gif_composite(data, max_frames=1)[0]
+
+
+def decode_gif_frames(data: bytes) -> list[np.ndarray]:
+    """Decode ALL frames of a (possibly animated) GIF to a list of
+    fully-composited (H, W, 3) uint8 RGB screens — the video-ish input
+    for frame sampling. Corrupt payloads dead-letter."""
+    try:
+        return _gif_composite(bytes(data), max_frames=None)
+    except UnsupportedMediaError:
+        raise
+    except (ValueError, struct.error, IndexError) as exc:
+        raise UnsupportedMediaError(f"corrupt gif payload: {exc}") from exc
 
 
 def _gif_lzw_encode(mcs: int, indices: np.ndarray) -> bytes:

@@ -213,11 +213,12 @@ def sample_frames(
     1:N mapInPandas — the batch-shape contract real ffmpeg plumbing
     needs). Frame count derives from the asset's duration metadata.
     ``decode='real'`` reads the engine's raw-frames container (a
-    concatenated-PNG stream, what an upstream ffmpeg dump emits) and
-    emits the source frame nearest each sampled timestamp; compressed
-    containers (mp4/webm) remain the ffmpeg integration point.
-    ``decode='fake'`` emits a deterministic stub keyed on (payload,
-    frame index)."""
+    concatenated-PNG stream, what an upstream ffmpeg dump emits) or an
+    animated GIF (frames composited with disposal handling, re-encoded
+    as PNG payloads) and emits the source frame nearest each sampled
+    timestamp; compressed containers (mp4/webm) remain the ffmpeg
+    integration point. ``decode='fake'`` emits a deterministic stub
+    keyed on (payload, frame index)."""
     if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")
     if on_error not in ("raise", "skip"):
@@ -233,7 +234,14 @@ def sample_frames(
                 n = min(max(dur // every_ms, 1), max_frames)
                 if decode == "real":
                     try:
-                        frames = codecs.split_png_frames(bytes(p or b""))
+                        raw = bytes(p or b"")
+                        if codecs.sniff(raw) == "gif":
+                            frames = [
+                                codecs.encode_png(f)
+                                for f in codecs.decode_gif_frames(raw)
+                            ]
+                        else:
+                            frames = codecs.split_png_frames(raw)
                     except UnsupportedMediaError:
                         if on_error == "raise":
                             raise

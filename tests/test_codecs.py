@@ -620,7 +620,7 @@ def test_gif_too_many_colors_rejected():
 
 def _craft_gif(
     screen_wh, frames, interlace=False, gce=False, transparent=None,
-    bg=0, local_pal=None,
+    bg=0, local_pal=None, disposals=None,
 ):
     """Hand-assemble a GIF from (left, top, indices(h,w)) frames over a
     shared 4-color palette — exercises decoder paths the single-frame
@@ -633,9 +633,10 @@ def _craft_gif(
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", sw, sh, 0x80 | 1, bg, 0)  # 4-entry GCT
     out += pal.tobytes()
-    for left, top, idx in frames:
-        if gce or transparent is not None:
-            tflag = 1 if transparent is not None else 0
+    for fi, (left, top, idx) in enumerate(frames):
+        disposal = disposals[fi] if disposals else 0
+        if gce or transparent is not None or disposal:
+            tflag = (1 if transparent is not None else 0) | (disposal << 2)
             out += bytes(
                 [0x21, 0xF9, 0x04, tflag, 0, 0, transparent or 0, 0]
             )
@@ -736,6 +737,55 @@ def test_jpeg_fill_bytes_before_restart_marker():
     )
     assert len(padded) > len(enc)
     np.testing.assert_array_equal(codecs.decode_jpeg(padded), base)
+
+
+def test_gif_decode_all_frames_with_disposal():
+    """decode_gif_frames composites progressively: disposal 1 leaves
+    the previous frame visible, disposal 2 restores the background
+    between frames."""
+    f1 = np.full((2, 2), 1, dtype=np.uint8)   # red patch at (0,0)
+    f2 = np.full((2, 2), 2, dtype=np.uint8)   # green patch at (2,2)
+    for disposal, f1_persists in ((1, True), (2, False)):
+        enc, pal = _craft_gif(
+            (4, 4), [(0, 0, f1), (2, 2, f2)], disposals=[disposal, 0]
+        )
+        frames = codecs.decode_gif_frames(enc)
+        assert len(frames) == 2
+        np.testing.assert_array_equal(frames[0][0, 0], pal[1])
+        np.testing.assert_array_equal(frames[1][2, 2], pal[2])
+        got_f1_in_2 = np.array_equal(frames[1][0, 0], pal[1])
+        assert got_f1_in_2 == f1_persists, disposal
+    # disposal 3: restore-to-previous — frame 1's patch must be undone
+    enc, pal = _craft_gif(
+        (4, 4), [(0, 0, f1), (0, 0, f2), (2, 2, f1)],
+        disposals=[0, 3, 0],
+    )
+    frames = codecs.decode_gif_frames(enc)
+    np.testing.assert_array_equal(frames[1][0, 0], pal[2])  # f2 visible
+    np.testing.assert_array_equal(frames[2][0, 0], pal[1])  # f2 undone
+
+
+def test_gif_animated_frame_sampling_through_spark(spark):
+    from reddit_etl_spark.operators.multimodal import sample_frames
+
+    f1 = np.full((3, 3), 1, dtype=np.uint8)
+    f2 = np.full((3, 3), 2, dtype=np.uint8)
+    f3 = np.full((3, 3), 3, dtype=np.uint8)
+    enc, pal = _craft_gif(
+        (3, 3), [(0, 0, f1), (0, 0, f2), (0, 0, f3)], gce=True
+    )
+    media = spark.createDataFrame(
+        [("g1", bytearray(enc), 3000)],
+        "asset_id string, payload binary, duration_ms long",
+    )
+    out = sample_frames(
+        media, every_ms=1000, max_frames=3, decode="real"
+    ).collect()
+    assert len(out) == 3
+    # each sampled payload is a decodable PNG of the composited frame
+    for row, want_idx in zip(sorted(out, key=lambda r: r.frame_index), (1, 2, 3)):
+        img = codecs.decode_png(bytes(row.payload))
+        np.testing.assert_array_equal(img[0, 0], pal[want_idx])
 
 
 def test_gif_corrupt_dead_letters():
