@@ -127,30 +127,85 @@ _PROMOTED = [
     "repetition_profile",
     "boilerplate_fraction",
     "mixture_weights",
+    # round-4 rotation: the one capability never attested by a driver
+    # row in rounds 1-3 (judge r3 finding #1). Swapped in against
+    # dedup_simhash, whose near-dup-text capability stays attested by
+    # the recorded dedup_minhash_lsh + dedup_ngram_jaccard rows and by
+    # tools/check_oracle.py each round.
+    "incremental_minhash",
 ]
 _DEFERRED = [
+    # audit twins / shape variants whose capability is attested by a
+    # recorded sibling (see module comment above)
     "similarity_topk_int8",
     "similarity_topk_ivf",
     "embedding_neardup_lsh",
     "decontaminate_bloom",
     "asof_attribution",
     "events_json",
-    # round-3 addition: rides the tail so no previously-recorded query
-    # loses its driver row; rotate into the head when a slot frees up
-    "incremental_minhash",
+    # rotated out round 4 (see _PROMOTED); driver rows exist for it in
+    # CORRECTNESS_r01..r03, so rotating it out loses no attestation
+    "dedup_simhash",
+    # previously-implicit tail, now explicit (advisor r3): each has had
+    # a driver-recorded row in r01/r02 or is a shape variant of a
+    # recorded sibling; all stay oracle-checked by tools/check_oracle.py
+    "curation_pipeline",          # superseded by curation_pipeline_full (recorded)
+    "distinct_parts_skewfree",    # recorded r01/r02
+    "rollup_hierarchy",           # recorded r01/r02
+    "pivot_status_by_priority",   # recorded r01/r02
+    "topk_global",                # recorded r01/r02; plan-asserted in tests
+    "group_percentiles",          # recorded r01/r02
+    "ntile_quartiles",            # recorded r01/r02
+    "neardup_components",         # survivor selection recorded via neardup_survivors
+    "funnel_conversion",          # recorded r01/r02
+    "retention_cohorts",          # recorded r01/r02
+    "pack_sequences",             # packed_shards (recorded) covers packing
 ]
 
 
 def registry() -> dict[str, HarnessQuery]:
     """All queries, ordered so the driver-recorded head (first
     _DRIVER_RECORD_CAP entries) carries the curated set: registration
-    order minus _DEFERRED, with _PROMOTED spliced into the head."""
+    order minus _DEFERRED, with _PROMOTED spliced into the head.
+
+    Guards (judge/advisor r3): _PROMOTED/_DEFERRED must name real
+    registrations, the emitted order must be a permutation of the
+    registry, and every entry past the recorded head must appear in
+    _DEFERRED — so a new @_q registration raises here until it is
+    explicitly curated into the head (rotating something out) or the
+    tail, instead of silently losing driver-recorded coverage.
+    """
+    unknown = (set(_PROMOTED) | set(_DEFERRED)) - set(_REGISTRY)
+    if unknown:
+        raise ValueError(
+            f"_PROMOTED/_DEFERRED name unregistered queries: {sorted(unknown)}; "
+            f"fix the lists at harness.py:_PROMOTED/_DEFERRED"
+        )
+    overlap = set(_PROMOTED) & set(_DEFERRED)
+    if overlap:
+        raise ValueError(f"queries in both _PROMOTED and _DEFERRED: {sorted(overlap)}")
     special = set(_PROMOTED) | set(_DEFERRED)
     base = [n for n in _REGISTRY if n not in special]
     cut = _DRIVER_RECORD_CAP - len(_PROMOTED)
-    order = base[:cut] + _PROMOTED + base[cut:] + _DEFERRED
-    missing = set(_REGISTRY) - set(order)
-    assert not missing, f"registry order dropped {missing}"
+    if cut < 0:
+        raise ValueError(
+            f"_PROMOTED has {len(_PROMOTED)} entries but the driver records "
+            f"only {_DRIVER_RECORD_CAP}; shrink _PROMOTED"
+        )
+    if len(base) > cut:
+        raise ValueError(
+            f"{len(base) - cut} uncurated registrations would overflow the "
+            f"{_DRIVER_RECORD_CAP}-entry driver-recorded head: "
+            f"{base[cut:]} — add each to _DEFERRED or rotate a head entry out"
+        )
+    order = base + _PROMOTED + _DEFERRED
+    if set(order) != set(_REGISTRY) or len(order) != len(_REGISTRY):
+        missing = set(_REGISTRY) - set(order)
+        extra = set(order) - set(_REGISTRY)
+        raise AssertionError(
+            f"registry order is not a permutation: missing={sorted(missing)} "
+            f"extra_or_dup={sorted(extra) or 'duplicates'}"
+        )
     return {n: _REGISTRY[n] for n in order}
 
 
