@@ -11,8 +11,9 @@ then needs an argmax. This implementation is the linear union trick:
 
 Cost: ONE shuffle on the key (the window partition) over |L|+|R|
 rows — the same shape as a sort-merge join, with no candidate
-blowup. Skew on hot keys is AQE-invisible (windows don't split), so
-pathological keys should be range-bucketed first; for time-bounded
+blowup. Skew on hot keys is AQE-invisible (windows don't split);
+``split='auto'`` closes that gap by time-range-bucketing every key's
+window partition (details on :func:`asof_join`). For time-bounded
 matching use ``tolerance`` to refuse stale matches.
 """
 
@@ -34,6 +35,8 @@ def asof_join(
     tolerance: str | None = None,
     suffix: str = "_right",
     direction: str = "backward",
+    split: str = "none",
+    split_buckets: int = 64,
 ) -> DataFrame:
     """For each left row: columns of the latest right row with
     ``right.ts <= left.ts`` (``direction='backward'``, the default) or
@@ -47,9 +50,32 @@ def asof_join(
     matches farther than ``tolerance`` from ``left_ts`` in the match
     direction, matching the pandas ``merge_asof(tolerance=...)``
     contract.
+
+    ``split='auto'`` is the hot-key-skew escape hatch: windows don't
+    AQE-split, so with ``split='none'`` one pathological key (a bot
+    user, a default tenant) serializes its whole |L|+|R| slice into a
+    single task. ``'auto'`` range-buckets every key's timeline into
+    ``split_buckets`` equal time slices and runs the carry window per
+    (key, bucket) — a hot key becomes up to ``split_buckets`` parallel
+    tasks. Matches that cross a bucket boundary are preserved by
+    injecting one synthetic carry-in row per (key, bucket): the latest
+    (earliest, for forward) right row from all preceding (following)
+    buckets, computed by a map-side-combined per-bucket aggregate plus
+    a per-key window over the tiny bucket-summary frame (≤
+    ``split_buckets`` rows per key). Results are identical to
+    ``split='none'`` up to ties between right rows sharing an exact
+    timestamp (both paths then pick an arbitrary winner).
+
+    NOTE: ``split='auto'`` runs ONE eager min/max aggregate over both
+    sides' timestamps at call time (a column-pruned scan) to derive the
+    bucket width — the only eager action in this module.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    if split not in ("none", "auto"):
+        raise ValueError(f"split must be none/auto, got {split!r}")
+    if split_buckets < 2:
+        raise ValueError(f"split_buckets must be >= 2, got {split_buckets}")
     keys = list(on)
     if value_cols is None:
         value_cols = [
@@ -84,12 +110,8 @@ def asof_join(
     # (inclusive bound, the ASOF convention). forward flips the ts
     # sort: the running carry then holds the SMALLEST right ts that is
     # still >= the left ts.
-    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(ts_order, F.col("__is_left"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    backward = direction == "backward"
+    ts_order = F.col("__ts") if backward else F.col("__ts").desc()
     # Carry ONE struct holding the whole right row, not per-column
     # last() calls: independently-carried columns would mix values
     # from different right rows whenever the latest right row has a
@@ -98,12 +120,30 @@ def asof_join(
         F.col("__ts").alias("__mts"),
         *[F.col(f"__v_{c}").alias(c) for c in value_cols],
     )
-    carried = unioned.withColumn(
-        "__m",
-        F.last(
-            F.when(F.col("__is_left") == 0, right_struct), ignorenulls=True
-        ).over(w),
-    )
+
+    if split == "none":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(ts_order, F.col("__is_left"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = unioned.withColumn(
+            "__m",
+            F.last(
+                F.when(F.col("__is_left") == 0, right_struct), ignorenulls=True
+            ).over(w),
+        )
+    else:
+        carried = _split_carry(
+            unioned, keys, value_cols, right_struct, ts_order, backward,
+            split_buckets,
+        )
+        if carried is None:  # degenerate time range: bucketing can't split
+            return asof_join(
+                left, right, on, left_ts, right_ts,
+                value_cols=value_cols, tolerance=tolerance, suffix=suffix,
+                direction=direction, split="none",
+            )
 
     result = carried.filter(F.col("__is_left") == 1)
     if tolerance is not None:
@@ -119,4 +159,99 @@ def asof_join(
     return result.select(
         *left.columns,
         *[F.col(f"__m.{c}").alias(out_cols[c]) for c in value_cols],
+    )
+
+
+def _split_carry(
+    unioned: DataFrame,
+    keys: Sequence[str],
+    value_cols: Sequence[str],
+    right_struct,
+    ts_order,
+    backward: bool,
+    split_buckets: int,
+):
+    """Skew-split carry: window per (key, time-bucket) with synthetic
+    carry-in rows so cross-bucket matches survive. Returns the carried
+    frame (same contract as the plain-window path: ``__m`` holds the
+    match struct on every row), or None when the time range is
+    degenerate (empty input / single instant) and bucketing cannot
+    split anything.
+
+    Plan shape (the 100 TB story): one map-side-combined aggregate of
+    |L|+|R| rows down to ≤ keys×buckets summary structs, a window over
+    that tiny frame (≤ ``split_buckets`` rows per key), a cheap union
+    of the synthetic rows, and ONE full-width shuffle for the
+    (key, bucket) window — same big-data shuffle count as the plain
+    path, but a hot key now spans up to ``split_buckets`` tasks
+    instead of one.
+    """
+    # EAGER (documented in asof_join): bucket width needs the global
+    # time range. Column-pruned: only __ts survives to the aggregate.
+    lo, hi = unioned.agg(
+        F.min(F.col("__ts").cast("double")),
+        F.max(F.col("__ts").cast("double")),
+    ).first()
+    if lo is None or hi is None or hi <= lo:
+        return None
+    width = (hi - lo) / split_buckets
+    bucket = F.least(
+        F.lit(split_buckets - 1),
+        F.floor((F.col("__ts").cast("double") - F.lit(lo)) / F.lit(width)),
+    ).cast("int")
+    # NULL struct of the right type for real rows' carry-in slot
+    null_match = F.when(F.lit(False), right_struct)
+    tagged = unioned.withColumn("__b", bucket).withColumn("__sm", null_match)
+
+    # Per-(key, bucket) summary: the right row a later (earlier, for
+    # forward) bucket would carry in. max/min over structs compares by
+    # leading field __mts, so this is argmax/argmin by match ts with a
+    # deterministic value tie-break — the same tie class the plain
+    # window leaves arbitrary.
+    agg_fn = F.max if backward else F.min
+    summaries = (
+        tagged.withColumn("__r", F.when(F.col("__is_left") == 0, right_struct))
+        .groupBy(*keys, "__b")
+        .agg(agg_fn("__r").alias("__r"))
+    )
+    # Running carry across buckets per key: strictly-previous buckets
+    # only (rowsBetween ..., -1). The frame is ≤ split_buckets rows per
+    # key, so this window's single-task-per-key cost is trivial.
+    bucket_order = F.col("__b") if backward else F.col("__b").desc()
+    w_sum = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry_in = (
+        summaries.withColumn("__sm", F.last("__r", ignorenulls=True).over(w_sum))
+        .filter(F.col("__sm").isNotNull())
+    )
+
+    # Synthetic rows sort FIRST inside their bucket by construction:
+    # their __ts is the true match ts, which lies strictly outside the
+    # bucket's time slice on the preceding (following) side, and the
+    # tolerance check reads __m.__mts so the true distance is kept.
+    syn = carry_in.select(
+        *keys,
+        "__b",
+        F.col("__sm.__mts").alias("__ts"),
+        F.lit(-1).alias("__is_left"),
+        "__sm",
+    )
+    for c in tagged.columns:
+        if c not in syn.columns:
+            syn = syn.withColumn(c, F.lit(None).cast(tagged.schema[c].dataType))
+
+    all_rows = tagged.unionByName(syn.select(*tagged.columns))
+    w_in = (
+        Window.partitionBy(*keys, "__b")
+        .orderBy(ts_order, F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    match_expr = F.when(F.col("__is_left") == 0, right_struct).when(
+        F.col("__is_left") == -1, F.col("__sm")
+    )
+    return all_rows.withColumn(
+        "__m", F.last(match_expr, ignorenulls=True).over(w_in)
     )
