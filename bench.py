@@ -49,13 +49,16 @@ def main() -> int:
         _noop, schema="r_regionkey long"
     ).count()
 
-    # Fixed n=3 per query, MEDIAN reported (best kept alongside):
+    # Fixed n=5 per query, MEDIAN reported (best kept alongside):
     # the first pass can absorb page-cache misses and fresh-codegen
     # cost that say nothing about the plan, while best-of-N overstates
     # warm-cache advantage. The median of a fixed n is stable AND
     # comparable round-over-round (methodology pinned since round 3;
-    # r1 was n=1, r2 was best-of-2 — see VERDICT r2 finding #4).
-    n_reps = 3
+    # r1 was n=1, r2 was best-of-2, r3 was n=3 — raised to 5 per
+    # VERDICT r3 finding #1: one cold rep out of 3 moved a headline
+    # median ~2× [minhash runs 2.18/2.74/5.96]; with n=5 a single
+    # outlier can no longer touch the median).
+    n_reps = 5
     timings: dict[str, float] = {}
     bests: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}

@@ -20,23 +20,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# ceiling on how many bucket rows ONE outlier interval may explode to:
+# keeps a pathological interval (10^6 x the typical length) from
+# generating an unbounded F.sequence() while still letting the bucket
+# width track the TYPICAL interval, not the outlier
+_MAX_OUTLIER_SPLIT = 256
+
+
 def _derived_bucket_seconds(
     intervals: DataFrame, start_ts: str, end_ts: str
 ) -> int:
-    """Max interval length in whole seconds (>=1): the width that
-    bounds the per-interval explode factor at 2 bucket rows. One
-    driver-side aggregate over the interval side — which is the small
-    side of the join by construction; intervals at 100 TB scale are
-    session/campaign tables, orders of magnitude below the point
-    stream being joined into them."""
+    """Bucket width in whole seconds (>=1), derived from the interval-
+    length distribution: ``max(p95 + 1, ceil(max / _MAX_OUTLIER_SPLIT))``.
+
+    - p95 (not max, the r3 foot-gun): one giant outlier no longer
+      widens every bucket — typical intervals stay at <=2 bucket rows
+      and each (key, bucket) cell holds O(points-in-width) candidates.
+    - ``+1``: ``unix_timestamp`` truncates to whole seconds, so a
+      fractional-second tail could otherwise push an interval of
+      exactly-p95 true length across 3 buckets (advisor r3); adding one
+      second restores the <=2-bucket invariant for the p95 mass.
+    - the ``max/_MAX_OUTLIER_SPLIT`` floor: outlier intervals explode
+      to ``length/width`` bucket rows each, so the width never drops
+      below the value that caps that at ~_MAX_OUTLIER_SPLIT rows.
+
+    EAGER (documented on :func:`interval_join`): this runs one
+    aggregate job over the interval side at CALL time, and re-runs it
+    on every call — pass an explicit ``bucket`` to stay fully lazy.
+    The interval side is the small side of the join by construction
+    (session/campaign tables, orders of magnitude below the point
+    stream), so the scan is cheap."""
+    length = F.unix_timestamp(F.col(end_ts)) - F.unix_timestamp(F.col(start_ts))
     row = intervals.select(
-        F.max(
-            F.unix_timestamp(F.col(end_ts)) - F.unix_timestamp(F.col(start_ts))
-        ).alias("w")
+        F.max(length).alias("mx"),
+        F.percentile_approx(length, F.lit(0.95)).alias("p95"),
     ).first()
-    if row is None or row["w"] is None:
+    if row is None or row["mx"] is None:
         return 1  # empty interval side: width is irrelevant
-    return max(1, int(row["w"]))
+    mx, p95 = int(row["mx"]), int(row["p95"])
+    return max(1, p95 + 1, -(-mx // _MAX_OUTLIER_SPLIT))
 
 
 def interval_join(
@@ -53,17 +75,18 @@ def interval_join(
     ``start <= point <= end``. ``how='left'`` keeps unmatched points
     with NULL interval columns.
 
-    ``bucket=None`` (default) derives the width from the data: the MAX
-    interval length (one cheap aggregate over the small side), so EVERY
-    interval — including a pathological 1000x-median one — explodes to
-    at most 2 bucket rows: O(1) blowup per interval by construction.
-    The trade is bucket selectivity: with one giant outlier interval,
-    buckets get wide and each (key, bucket) cell holds more candidate
-    pairs for the exact post-filter. When the length distribution is
-    that skewed AND candidate volume matters more than explode factor,
-    pass an explicit ``bucket`` near the typical interval length — rare
-    long intervals then cost span/bucket rows each, which is fine while
-    they are rare."""
+    ``bucket=None`` (default) derives the width from the data: the p95
+    interval length, floored so no single interval explodes past
+    ~``_MAX_OUTLIER_SPLIT`` bucket rows (see
+    :func:`_derived_bucket_seconds`). Typical intervals cost <=2 bucket
+    rows AND buckets stay near the typical length, so each
+    (key, bucket) cell holds a bounded candidate set even when one
+    1000x-median outlier interval exists — that outlier alone pays
+    ``length/width`` (capped) bucket rows. Pass an explicit ``bucket``
+    to override the heuristic or to avoid the derivation's eager
+    aggregate: ``bucket=None`` runs ONE aggregate job over the interval
+    side at call time (re-run on every call) — the only eager action in
+    this module."""
     import pandas as pd  # noqa: PLC0415
 
     keys = list(on)

@@ -97,10 +97,15 @@ def test_bad_bucket_rejected(points, intervals):
 
 
 def test_auto_bucket_bounds_explode_on_pathological_interval(spark):
-    """Default (data-derived) bucket width keeps the per-interval
-    explode factor O(1) even with a 1000x-median outlier interval —
-    the fixed-width foot-gun flagged in VERDICT r2 nit #5."""
-    from reddit_etl_spark.operators.rangejoin import _derived_bucket_seconds
+    """Default (data-derived) bucket width keeps BOTH sides of the r3
+    trade bounded with a 1000x-median outlier interval: typical
+    intervals explode to <=2 bucket rows, the outlier to at most
+    ~_MAX_OUTLIER_SPLIT rows, and the width tracks the TYPICAL length
+    so per-cell candidate sets stay small (VERDICT r3 next-round #4)."""
+    from reddit_etl_spark.operators.rangejoin import (
+        _MAX_OUTLIER_SPLIT,
+        _derived_bucket_seconds,
+    )
 
     ivs = spark.createDataFrame(
         [("u", i, _t(i * 10), _t(i * 10 + 1)) for i in range(50)]
@@ -113,18 +118,25 @@ def test_auto_bucket_bounds_explode_on_pathological_interval(spark):
     )
 
     width = _derived_bucket_seconds(ivs, "s", "e")
-    assert width == 1000 * 60  # max interval length
+    # p95 of lengths is 60 s; the outlier-split floor (60000/256 -> 235)
+    # wins here. Either way: far below the 60000 s max that used to
+    # widen every bucket.
+    assert width < 1000
+    assert width >= 60000 // _MAX_OUTLIER_SPLIT
 
-    # every interval spans at most 2 derived buckets
-    exploded = ivs.select(
-        F.explode(
-            F.sequence(
-                F.floor(F.unix_timestamp("s") / width),
-                F.floor(F.unix_timestamp("e") / width),
-            )
-        )
-    ).count()
-    assert exploded <= 2 * ivs.count()
+    span_rows = ivs.select(
+        (
+            F.floor(F.unix_timestamp("e") / width)
+            - F.floor(F.unix_timestamp("s") / width)
+            + 1
+        ).alias("n"),
+        "iid",
+    ).collect()
+    for r in span_rows:
+        if r.iid == 999:
+            assert r.n <= _MAX_OUTLIER_SPLIT + 1  # outlier: capped split
+        else:
+            assert r.n <= 2  # typical intervals: the p95+1 invariant
 
     # and the derived-bucket result matches an explicit fine bucket
     auto = sorted(
@@ -138,3 +150,44 @@ def test_auto_bucket_bounds_explode_on_pathological_interval(spark):
         ).collect()
     )
     assert auto == fine and (101, 999) in auto
+
+
+def test_auto_bucket_candidate_volume_near_matches(spark):
+    """The exact post-filter must chew O(points-in-span) candidates,
+    not O(points x intervals): with the p95-derived width the bucket
+    join's pre-filter row count stays within a small factor of the
+    true match count (it was ~points x intervals-per-key under the r3
+    max-derived width, where the outlier made every bucket giant)."""
+    from reddit_etl_spark.operators.rangejoin import _derived_bucket_seconds
+
+    # 200 adjacent 1-minute sessions + one 1000x outlier on one key;
+    # 400 points spread uniformly across the whole range
+    ivs = spark.createDataFrame(
+        [("u", i, _t(i * 10), _t(i * 10 + 1)) for i in range(200)]
+        + [("u", 999, _t(0), _t(1000))],
+        "k string, iid long, s timestamp, e timestamp",
+    )
+    pts = spark.createDataFrame(
+        [("u", i, _t(i * 5)) for i in range(400)],
+        "k string, pid long, ts timestamp",
+    )
+    width = _derived_bucket_seconds(ivs, "s", "e")
+    # replicate the operator's candidate generation WITHOUT the exact
+    # BETWEEN post-filter
+    p = pts.withColumn("__bk", F.floor(F.unix_timestamp("ts") / width))
+    i = ivs.withColumn(
+        "__bk",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("s") / width),
+                F.floor(F.unix_timestamp("e") / width),
+            )
+        ),
+    )
+    candidates = p.join(i, ["k", "__bk"], "inner").count()
+    matches = interval_join(pts, ivs, ["k"], "ts", "s", "e").count()
+    # every point matches the outlier (+ possibly one session), so
+    # matches ~ 600; candidates must stay within a small constant of
+    # that, not blow up toward points x intervals (~80k)
+    assert matches > 0
+    assert candidates <= 4 * matches + pts.count() + ivs.count()
