@@ -95,6 +95,21 @@ def test_range_layout_files_are_disjoint_and_skippable(spark, tmp_path):
     assert got == df.filter(F.col("k") == 5).count()
 
 
+def test_compact_accepts_relative_path(spark, tmp_path, monkeypatch):
+    """A relative path must compact the intended directory: building
+    'file://relative' would parse the first segment as a URI authority
+    and read/write somewhere else entirely (advisor r3)."""
+    monkeypatch.chdir(tmp_path)
+    df = spark.range(0, 1_000).select(F.col("id"), (F.col("id") % 3).alias("k"))
+    for _ in range(3):
+        append_parquet(df.repartition(4), str(tmp_path / "rel"))
+    before = spark.read.parquet(str(tmp_path / "rel")).count()
+    n = compact_parquet(spark, "rel", target_file_bytes=64 * 1024 * 1024)
+    assert n >= 1
+    assert len(glob.glob(str(tmp_path / "rel") + "/*.parquet")) == n
+    assert spark.read.parquet(str(tmp_path / "rel")).count() == before
+
+
 def test_compact_rejects_remote_schemes(spark):
     import pytest
 
