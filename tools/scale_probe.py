@@ -1,10 +1,24 @@
-"""Scale-growth probe: run representative operators at 1x / 2x / 4x
-the sf0.1 data volume (id-shifted unions, so duplicate structure is
-preserved rather than multiplied) and print wall times + growth
-ratios. Near-linear growth (ratio ~ volume ratio, not quadratic) is
-the local evidence that the candidate-generation plans stay bounded.
+"""Shuffle-payload audit at synthetic 10x sf0.1: do the shuffles the
+SCALING.md table PREDICTS match the shuffles Spark actually WRITES?
 
-Usage: python tools/scale_probe.py [sf_dir]
+For each probe (the skew/scale stress surfaces named in VERDICT r3
+next-round #7: salted join, PPJoin prefix filter, star-CC on a hub
+graph, plus the MinHash band pipeline) this script:
+
+1. collects the base stats the SCALING.md formula needs (doc/shingle
+   counts etc.) BEFORE the measurement window,
+2. snapshots Spark's AppStatusStore stage metrics, runs the operator,
+   and diffs: total shuffle-write records and the largest single-stage
+   shuffle (the DOMINANT exchange — what the SCALING.md row predicts),
+3. emits SCALE_PROBE.json mapping measured vs predicted, flagging any
+   probe whose dominant exchange is off by more than 2x.
+
+A hidden quadratic blowup (all-pairs candidates, un-capped explode)
+would push the dominant stage or the total far past the prediction —
+this is the empirical backstop behind the "bucketed, not all-pairs"
+claims.
+
+Usage: python tools/scale_probe.py [sf_dir] [times]   (default 10x)
 """
 
 from __future__ import annotations
@@ -37,63 +51,222 @@ def replicate(df: DataFrame, id_col: str, times: int, stride: int) -> DataFrame:
     return out
 
 
+class ShuffleMeter:
+    """Reads per-stage shuffle-write records from Spark's
+    AppStatusStore (the store behind the UI — real executor metrics,
+    not plan estimates)."""
+
+    def __init__(self, spark):
+        self._store = spark.sparkContext._jsc.sc().statusStore()
+        self._empty = spark.sparkContext._jvm.java.util.ArrayList()
+        # Scala default-arg accessors: stageList(statuses, details, ...)
+        self._defaults = [
+            getattr(self._store, f"stageList$default${i}")() for i in (2, 3, 4, 5)
+        ]
+
+    def stages(self) -> dict[int, int]:
+        seq = self._store.stageList(self._empty, *self._defaults)
+        out = {}
+        for i in range(seq.size()):
+            s = seq.apply(i)
+            out[s.stageId()] = s.shuffleWriteRecords()
+        return out
+
+    def measure(self, action):
+        """Run ``action`` and return (result, total_new_shuffle_rows,
+        max_single_stage_rows) over the stages it created."""
+        before = self.stages()
+        result = action()
+        after = self.stages()
+        new = {
+            sid: rows
+            for sid, rows in after.items()
+            if rows > 0 and sid not in before
+        }
+        return result, sum(new.values()), max(new.values(), default=0)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    times = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
+    # Audit the AT-SCALE exchange plan: locally Spark would broadcast
+    # the small sides (dim table, band index) and skip exactly the
+    # exchanges the SCALING.md formulas predict — at 100 TB those
+    # sides exceed any broadcast threshold, so force the shuffle plan.
+    # Explicit F.broadcast() hints inside operators are still honored.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    meter = ShuffleMeter(spark)
 
     from reddit_etl_spark.operators.dedup import (
-        exact_dedup,
+        _banded_signatures,
+        _posting_from_arrays,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
+        shingle_arrays,
     )
-    from reddit_etl_spark.operators.sessions import sessionize
+    from reddit_etl_spark.operators.graph import connected_components
+    from reddit_etl_spark.operators.skew import salted_join
 
-    docs = load(spark, sf_dir, "documents").localCheckpoint(eager=True)
-    events = load_events(spark, sf_dir).localCheckpoint(eager=True)
+    docs = replicate(
+        load(spark, sf_dir, "documents"), "doc_id", times, 10_000_000
+    ).localCheckpoint(eager=True)
+    n_docs = docs.count()
 
-    results: dict[str, dict[int, float]] = {}
+    probes: dict[str, dict] = {}
 
-    def probe(name, fn):
-        results[name] = {}
-        for times in (1, 2, 4):
-            t0 = time.perf_counter()
-            n = fn(times)
-            dt = round(time.perf_counter() - t0, 2)
-            results[name][times] = dt
-            print(f"# {name} x{times}: {dt}s rows={n}", file=sys.stderr)
+    def record(name, predicted, fn, note):
+        t0 = time.perf_counter()
+        (rows_out, total, max_stage) = meter.measure(fn)
+        wall = round(time.perf_counter() - t0, 2)
+        ratio = round(max_stage / predicted, 3) if predicted else None
+        probes[name] = {
+            "wall_s": wall,
+            "rows_out": rows_out,
+            "shuffle_rows_total": total,
+            "shuffle_rows_dominant_stage": max_stage,
+            "predicted_dominant": predicted,
+            "ratio_dominant_vs_predicted": ratio,
+            "within_2x": bool(ratio is not None and 0.5 <= ratio <= 2.0),
+            "note": note,
+        }
+        print(f"# {name}: wall={wall}s dominant={max_stage} "
+              f"predicted={predicted} ratio={ratio}", file=sys.stderr)
 
-    probe(
-        "dedup_exact",
-        lambda t: exact_dedup(
-            replicate(docs, "doc_id", t, 10_000_000), "doc_id", ["text"]
+    # -- salted join (SCALING.md "skew paths" #1) --------------------------
+    # Planted 90%-hot key over the 10x events stream joined to a 1k dim.
+    # Dominant exchange = the skewed side itself: every row shuffles
+    # exactly once on (key, salt). The dim pays dim_rows x salt.
+    events = replicate(
+        load_events(spark, sf_dir), "event_id", times, 1_000_000_000
+    ).withColumn(
+        "k", F.when(F.rand(seed=7) < 0.9, F.lit(0)).otherwise(
+            (F.rand(seed=8) * 1000).cast("long"))
+    ).localCheckpoint(eager=True)
+    n_events = events.count()
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    ).localCheckpoint(eager=True)
+    SALT = 16
+    record(
+        "salted_join_hot90",
+        predicted=n_events,
+        fn=lambda: salted_join(events, dim, ["k"], salt=SALT).count(),
+        note=f"dominant = skewed side rows ({n_events}); dim pays "
+        f"1000 x salt({SALT}) = 16k on a smaller stage",
+    )
+
+    # -- PPJoin prefix filter (SCALING.md "n-gram Jaccard" row) ------------
+    # Two modeled stages, computed exactly from the corpus BEFORE the
+    # measurement window: (a) the document-frequency ordering pass =
+    # every (shingle, doc) instance once; (b) the candidate
+    # co-occurrence join = sum over prefix shingles of C(df, 2) — the
+    # SCALING.md "hot spot". On this 10x-replicated corpus (b)
+    # dominates BY DESIGN: every doc has times-1 identical copies, so
+    # prefix dfs are times x base and candidates grow ~times^2 — the
+    # worst case the table's formula must still model.
+    t = 0.5
+    arrays = shingle_arrays(docs, "doc_id", "text", 3)
+    stats = arrays.select(
+        F.size("__arr").alias("s"),
+        (F.size("__arr") - F.ceil(F.size("__arr") * t) + 1).alias("p"),
+    ).agg(F.sum("s"), F.sum("p")).first()
+    total_shingles, prefix_rows = int(stats[0]), int(stats[1])
+    # prefix posting df: same ordering rule as dedup.py:310-319
+    from pyspark.sql import Window as W
+
+    posting = _posting_from_arrays(arrays, "doc_id")
+    freq = posting.groupBy("__sh").agg(F.count("*").alias("__df"))
+    ranked = (
+        posting.join(freq, "__sh")
+        .withColumn(
+            "__rn",
+            F.row_number().over(W.partitionBy("doc_id").orderBy("__df", "__sh")),
+        )
+        .withColumn("__sz", F.count("*").over(W.partitionBy("doc_id")))
+    )
+    pred_candidates = int(
+        ranked.filter(
+            F.col("__rn") <= F.col("__sz") - F.ceil(t * F.col("__sz")) + 1
+        )
+        .groupBy("__sh")
+        .agg(F.count("*").alias("d"))
+        .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2))
+        .first()[0]
+    )
+    record(
+        "ngram_prefix_filter",
+        predicted=max(total_shingles, pred_candidates),
+        fn=lambda: ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=t, prefix_filter=True
         ).count(),
-    )
-    probe(
-        "dedup_minhash_lsh",
-        lambda t: minhash_lsh_pairs(
-            replicate(docs, "doc_id", t, 10_000_000), "doc_id", "text",
-            threshold=0.5,
-        ).count(),
-    )
-    probe(
-        "dedup_ngram_jaccard_maxdf",
-        # max_df caps the cross-copy shingle blowup — the documented
-        # web-scale configuration for replicated/boilerplate corpora
-        lambda t: ngram_jaccard_pairs(
-            replicate(docs, "doc_id", t, 10_000_000), "doc_id", "text",
-            threshold=0.5, max_df=64,
-        ).count(),
-    )
-    probe(
-        "sessionization",
-        lambda t: sessionize(
-            replicate(events, "event_id", t, 1_000_000_000),
-            ["user_id"], "ts",
-        ).count(),
+        note=f"modeled stages: df-ordering pass = {total_shingles} "
+        f"instances, prefix posting = {prefix_rows}, candidate join = "
+        f"sum C(df_prefix, 2) = {pred_candidates} (dominant on this "
+        "copy-replicated worst case); size filter prunes before write",
     )
 
-    print(json.dumps({"sf_dir": sf_dir, "times": results}))
+    # -- MinHash LSH bands (SCALING.md "MinHash LSH" row) ------------------
+    # Modeled stages: band rows = 32 x n_docs (document-size
+    # independent), and the bucket-collision candidate stage =
+    # sum over (band, bh) buckets of C(size, 2) — again deliberately
+    # inflated times^2 here by the identical copies.
+    pred_bucket_pairs = int(
+        _banded_signatures(docs, "doc_id", "text", 3, 128, 32, 42)
+        .groupBy("band", "bh")
+        .agg(F.count("*").alias("m"))
+        .agg(F.sum(F.col("m") * (F.col("m") - 1) / 2))
+        .first()[0]
+    )
+    record(
+        "minhash_lsh_bands",
+        predicted=max(32 * n_docs, pred_bucket_pairs),
+        fn=lambda: minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).count(),
+        note=f"modeled stages: band rows 32 x {n_docs}, bucket-collision "
+        f"candidates sum C(bucket, 2) = {pred_bucket_pairs} (dominant "
+        "under copy replication); verify joins touch candidate ids only",
+    )
+
+    # -- star-CC on a hub graph (SCALING.md "connected components" row) ----
+    # 100k-spoke hub + 10k chain at the 10x scale. Dominant per-round
+    # exchange = the large-star groupBy over both edge directions:
+    # 2 x |E| (node, neighbor) longs.
+    hub_edges = spark.range(1, 100_000).select(
+        F.lit(0).alias("a"), F.col("id").alias("b")
+    ).unionByName(
+        spark.range(200_000, 210_000).select(
+            F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+        )
+    ).localCheckpoint(eager=True)
+    n_edges = hub_edges.count()
+    record(
+        "star_cc_hub",
+        predicted=2 * n_edges,
+        fn=lambda: connected_components(
+            hub_edges, "a", "b", algorithm="star"
+        ).count(),
+        note=f"dominant = one large-star round: 2 x |E| ({n_edges} "
+        "edges, both directions); total spans all rounds to fixpoint",
+    )
+
+    out = {
+        "sf_dir": sf_dir,
+        "times": times,
+        "n_docs": n_docs,
+        "n_events": n_events,
+        "probes": probes,
+        "all_within_2x": all(p["within_2x"] for p in probes.values()),
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_PROBE.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
     return 0
 
 
