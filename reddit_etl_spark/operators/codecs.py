@@ -9,12 +9,14 @@ so the strategy is:
    GIF et al.).
 2. **Pure-stdlib decoders otherwise** — PNG (zlib inflate + scanline
    unfilter in numpy), BMP (uncompressed 24/32-bit), PPM/PGM binary,
-   baseline JPEG (full T.81 sequential-DCT huffman decode: 4:4:4 /
-   4:2:2 / 4:2:0, restart markers, grayscale; plus a matching
-   encoder), GIF 87a/89a (LZW, interlace, local/global palettes,
-   first frame of animations; plus a single-frame encoder), and WAV
-   via the stdlib ``wave`` module. These are *real* decoders
-   producing pixel/sample arrays, not stubs.
+   JPEG (full T.81 huffman decode: sequential baseline AND
+   progressive SOF2 with spectral selection + successive
+   approximation; 4:4:4 / 4:2:2 / 4:2:0, restart markers, grayscale;
+   plus a matching encoder for both modes), GIF 87a/89a (LZW,
+   interlace, local/global palettes, first frame of animations; plus
+   a single-frame encoder), and WAV via the stdlib ``wave`` module.
+   These are *real* decoders producing pixel/sample arrays, not
+   stubs.
 3. **UnsupportedMediaError** for anything else, so callers can
    dead-letter bad assets instead of failing the whole job.
 
@@ -254,8 +256,11 @@ def decode_ppm(data: bytes) -> np.ndarray:
 # huffman entropy coding). Decoder: SOF0, 8-bit, h/v sampling factors
 # in {1,2} (4:4:4 / 4:2:2 / 4:2:0), restart markers, grayscale or
 # YCbCr. Encoder: 4:4:4 or 4:2:0, quality-scaled Annex K quant tables,
-# standard Annex K huffman tables. Progressive (SOF2), arithmetic and
-# 12-bit variants dead-letter as UnsupportedMediaError. Entropy coding
+# standard Annex K huffman tables. Progressive (SOF2: spectral
+# selection + successive approximation, EOB runs, AC refinement,
+# multi-scan) is fully supported in BOTH directions since round 4;
+# arithmetic, lossless, hierarchical and 12-bit variants dead-letter
+# as UnsupportedMediaError. Entropy coding
 # is a per-block Python loop (fallback-grade throughput — PIL takes
 # over when installed); DCT/dequant/upsample/color are batched numpy.
 # ---------------------------------------------------------------------------
@@ -403,15 +408,14 @@ class _BitReader:
                 elif nxt == 0xFF:  # T.81 B.1.1.2: fill byte before marker
                     self.pos += 1
                     continue
-                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
-                    # restart/EOI marker: stop filling, pad with 1s
+                else:
+                    # any real marker (RSTn, EOI, or the next scan's
+                    # DHT/SOS in a multi-scan/progressive file) ends
+                    # the entropy segment: stop filling, pad with 1s,
+                    # leave pos AT the marker for the scan-end search
                     self.acc = (self.acc << 8) | 0xFF
                     self.n += 8
                     continue
-                else:
-                    raise UnsupportedMediaError(
-                        f"unexpected marker FF{nxt:02X} in scan"
-                    )
             else:
                 self.pos += 1
             self.acc = (self.acc << 8) | b
@@ -469,6 +473,169 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise UnsupportedMediaError(f"corrupt jpeg payload: {exc}") from exc
 
 
+def _scan_block(reader, blk, c, Ss, Se, Ah, Al, preds, eobrun):
+    """Decode one block's contribution from the current scan into
+    ``blk`` (64 zigzag-ordered int64 coefficients, accumulated across
+    scans). Handles every T.81 huffman scan kind with one code path:
+    sequential baseline (Ss=0, Se=63, Ah=Al=0), progressive DC first
+    (Se=0, Ah=0), DC refinement (Ah>0: one appended bit), AC first
+    (Ss>0, Ah=0: band run-length coding with EOBn runs), and AC
+    refinement (Ss>0, Ah>0). Returns the updated EOB-run counter."""
+    if Ss == 0:
+        if Ah == 0:
+            t = reader.huff(c["dc"])
+            diff = _extend(reader.bits(t), t) if t else 0
+            preds[c["id"]] += diff
+            blk[0] = preds[c["id"]] << Al
+        elif reader.bits(1):
+            # successive-approximation DC bit: |= is two's-complement
+            # correct for negative coefficients (Python ints behave
+            # like infinite-width two's complement)
+            blk[0] = int(blk[0]) | (1 << Al)
+        if Se == 0:
+            return eobrun
+        k = 1
+    else:
+        k = Ss
+    if Ah != 0:
+        return _ac_refine_block(reader, blk, c["ac"], k, Se, Al, eobrun)
+    if Ss > 0 and eobrun > 0:
+        return eobrun - 1
+    while k <= Se:
+        rs = reader.huff(c["ac"])
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            if r:  # EOBn: this block ends; r more bits give the run
+                eobrun = (1 << r) - 1 + reader.bits(r)
+            break  # EOB
+        k += r
+        if k > Se:
+            raise UnsupportedMediaError("JPEG AC overflow")
+        blk[k] = _extend(reader.bits(s), s) << Al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, blk, act, k, Se, Al, eobrun):
+    """AC successive-approximation refinement (T.81 G.1.2.3, the
+    libjpeg decode_mcu_AC_refine structure): newly-significant
+    coefficients arrive with magnitude 1<<Al; coefficients already
+    nonzero receive one correction bit each whenever the position is
+    crossed — including inside EOB runs."""
+    p1 = 1 << Al
+    if eobrun == 0:
+        while k <= Se:
+            rs = reader.huff(act)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s:
+                if s != 1:
+                    raise UnsupportedMediaError("bad AC refinement size")
+                val = p1 if reader.bits(1) else -p1
+            elif r != 15:
+                eobrun = (1 << r) + (reader.bits(r) if r else 0)
+                break
+            # advance over r zero-history coefficients, refining any
+            # nonzero ones passed on the way (they don't count as zeros)
+            while k <= Se:
+                v = int(blk[k])
+                if v != 0:
+                    if reader.bits(1) and (v & p1) == 0:
+                        blk[k] = v + (p1 if v >= 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= Se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        # end-of-band: the rest of the band still carries correction
+        # bits for already-nonzero coefficients
+        while k <= Se:
+            v = int(blk[k])
+            if v != 0 and reader.bits(1) and (v & p1) == 0:
+                blk[k] = v + (p1 if v >= 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the first real marker at/after ``pos``: skips
+    entropy bytes, stuffed FF00, fill FFs, and RSTn."""
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+        elif data[pos + 1] == 0x00:
+            pos += 2
+        elif data[pos + 1] == 0xFF:
+            pos += 1
+        elif 0xD0 <= data[pos + 1] <= 0xD7:
+            pos += 2
+        else:
+            return pos
+    return len(data)
+
+
+def _decode_scan(
+    data, start, scan_defs, Ss, Se, Ah, Al, restart_interval,
+    comps, htables, mcux, mcuy,
+):
+    """Decode one SOS entropy segment into the components' coefficient
+    arrays; returns the offset of the next marker after the scan."""
+    members = []
+    for cs, td, ta in scan_defs:
+        c = next((c for c in comps if c["id"] == cs), None)
+        if c is None:
+            raise UnsupportedMediaError("JPEG scan/frame component mismatch")
+        c["dc"] = htables.get((0, td))
+        c["ac"] = htables.get((1, ta))
+        if Ss == 0 and Ah == 0 and c["dc"] is None:
+            raise UnsupportedMediaError("JPEG missing DC huffman table")
+        if Se > 0 and c["ac"] is None:
+            raise UnsupportedMediaError("JPEG missing AC huffman table")
+        members.append(c)
+    interleaved = len(members) > 1
+    if Ss > 0 and interleaved:
+        raise UnsupportedMediaError("JPEG interleaved AC progressive scan")
+    reader = _BitReader(data, start)
+    preds = {c["id"]: 0 for c in members}
+    eobrun = 0
+    if interleaved:
+        units = mcuy * mcux
+    else:
+        c0 = members[0]
+        units = c0["nbh"] * c0["nbw"]
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
+            reader.restart()
+            preds = {c["id"]: 0 for c in members}
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(u, mcux)
+            for c in members:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        blk = c["coef"][row * c["blocks_w"] + col]
+                        eobrun = _scan_block(
+                            reader, blk, c, Ss, Se, Ah, Al, preds, eobrun
+                        )
+        else:
+            row, col = divmod(u, c0["nbw"])
+            blk = c0["coef"][row * c0["blocks_w"] + col]
+            eobrun = _scan_block(
+                reader, blk, c0, Ss, Se, Ah, Al, preds, eobrun
+            )
+    return _next_marker(data, reader.pos)
+
+
 def _decode_jpeg(data: bytes) -> np.ndarray:
     if not data.startswith(b"\xff\xd8"):
         raise UnsupportedMediaError("not a JPEG")
@@ -478,8 +645,9 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     comps = None  # list of dicts: id, h, v, tq
     width = height = None
     restart_interval = 0
-    scan_comps = None
-    scan_start = None
+    progressive = False
+    hmax = vmax = mcux = mcuy = None
+    saw_scan = False
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise UnsupportedMediaError("bad marker alignment")
@@ -512,7 +680,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[b + 17 : b + 17 + nv])
                 htables[(tc, th)] = _huff_decode_table(bits, vals)
                 b += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             prec = body[0]
             if prec != 8:
                 raise UnsupportedMediaError(f"JPEG precision {prec}")
@@ -527,7 +696,29 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                         f"JPEG sampling {h}x{v} unsupported"
                     )
                 comps.append({"id": cid, "h": h, "v": v, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if ncomp == 1:
+                # T.81 A.2.2: a single-component scan is NON-interleaved
+                # — one 8x8 block per MCU in raster order; the frame's
+                # declared sampling factors don't affect the data layout
+                comps[0]["h"] = comps[0]["v"] = 1
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-width // (8 * hmax))
+            mcuy = -(-height // (8 * vmax))
+            for c in comps:
+                c["blocks_w"] = mcux * c["h"]
+                c["blocks_h"] = mcuy * c["v"]
+                # non-interleaved (single-component-scan) block grid:
+                # ceil(comp_size/8) of the DOWNSAMPLED component dims —
+                # smaller than the padded MCU grid when sampling mixes
+                cw = -(-(width * c["h"]) // hmax)
+                ch = -(-(height * c["v"]) // vmax)
+                c["nbw"] = -(-cw // 8)
+                c["nbh"] = -(-ch // 8)
+                c["coef"] = np.zeros(
+                    (c["blocks_h"] * c["blocks_w"], 64), dtype=np.int64
+                )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise UnsupportedMediaError(
                 f"non-baseline JPEG (SOF{marker - 0xC0})"
@@ -535,75 +726,28 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
+            if comps is None:
+                raise UnsupportedMediaError("JPEG SOS before SOF")
             ns = body[0]
-            scan_comps = []
+            scan_defs = []
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i : 3 + 2 * i]
-                scan_comps.append((cs, tdta >> 4, tdta & 0xF))
-            scan_start = pos + 2 + seglen
-            break
+                scan_defs.append((cs, tdta >> 4, tdta & 0xF))
+            Ss, Se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            Ah, Al = ahal >> 4, ahal & 0xF
+            if not progressive and (Ss, Se, Ah, Al) != (0, 63, 0, 0):
+                raise UnsupportedMediaError("bad sequential scan header")
+            if progressive and (Se > 63 or Ss > Se or Al > 13):
+                raise UnsupportedMediaError("bad progressive scan header")
+            saw_scan = True
+            pos = _decode_scan(
+                data, pos + 2 + seglen, scan_defs, Ss, Se, Ah, Al,
+                restart_interval, comps, htables, mcux, mcuy,
+            )
+            continue
         pos += 2 + seglen
-    if comps is None or scan_comps is None or width is None:
+    if comps is None or not saw_scan or width is None:
         raise UnsupportedMediaError("JPEG missing SOF/SOS")
-    if len(scan_comps) != len(comps):
-        raise UnsupportedMediaError("JPEG multi-scan unsupported")
-    if len(comps) == 1:
-        # T.81 A.2.2: a single-component scan is NON-interleaved — one
-        # 8x8 block per MCU in raster order; the frame's declared
-        # sampling factors don't affect the data layout
-        comps[0]["h"] = comps[0]["v"] = 1
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-width // (8 * hmax))
-    mcuy = -(-height // (8 * vmax))
-    order = []  # (comp index, dc table, ac table) per block in MCU
-    for ci, (cs, td, ta) in enumerate(scan_comps):
-        c = comps[ci]
-        if c["id"] != cs:
-            raise UnsupportedMediaError("JPEG scan/frame component mismatch")
-        c["dc"] = htables.get((0, td))
-        c["ac"] = htables.get((1, ta))
-        if c["dc"] is None or c["ac"] is None:
-            raise UnsupportedMediaError("JPEG missing huffman table")
-        c["blocks_w"] = mcux * c["h"]
-        c["blocks_h"] = mcuy * c["v"]
-        c["coef"] = np.zeros(
-            (c["blocks_h"] * c["blocks_w"], 64), dtype=np.int64
-        )
-
-    reader = _BitReader(data, scan_start)
-    preds = [0] * len(comps)
-    for m in range(mcuy * mcux):
-        if restart_interval and m and m % restart_interval == 0:
-            reader.restart()
-            preds = [0] * len(comps)
-        my, mx = divmod(m, mcux)
-        for ci, c in enumerate(comps):
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    blk = np.zeros(64, dtype=np.int64)
-                    t = reader.huff(c["dc"])
-                    diff = _extend(reader.bits(t), t) if t else 0
-                    preds[ci] += diff
-                    blk[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = reader.huff(c["ac"])
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise UnsupportedMediaError("JPEG AC overflow")
-                        blk[k] = _extend(reader.bits(s), s)
-                        k += 1
-                    row = my * c["v"] + by
-                    col = mx * c["h"] + bx
-                    c["coef"][row * c["blocks_w"] + col] = blk
 
     planes = []
     for c in comps:
@@ -708,11 +852,222 @@ def _encode_block(
     return dc
 
 
+# universal AC huffman spec for the progressive scans: every symbol
+# the scan encoders can emit (EOBn, ZRL, any run/size) gets a code —
+# 255 symbols at 8 bits + 1 at 9 keeps the all-ones codes unassigned
+# as T.81 requires. Compression is mediocre vs per-scan optimal
+# tables; correctness and simplicity win for a fallback codec.
+_HUFF_AC_UNIVERSAL = ([0] * 7 + [255, 1] + [0] * 7, list(range(256)))
+
+
+class _ProgressiveWriter:
+    """Shared entropy state for one progressive scan: EOB-run
+    aggregation and the two correction-bit buffers of T.81 G.1.2.2-3
+    (libjpeg's BE/BR structure): ``be`` holds bits from earlier
+    EOB-run blocks, emitted right after the EOBn symbol; per-block
+    ``br`` bits are emitted right after the symbol that terminates
+    their run segment (the decoder reads them as it crosses the
+    corresponding positions)."""
+
+    def __init__(self, bw: _BitWriter, act: dict):
+        self.bw = bw
+        self.act = act
+        self.eobrun = 0
+        self.be: list[int] = []
+
+    def sym(self, rs: int) -> None:
+        code, ln = self.act[rs]
+        self.bw.write(code, ln)
+
+    def flush_eob(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            self.sym(r << 4)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.be:
+            self.bw.write(b, 1)
+        self.be = []
+
+    def emit_bits(self, bits: list[int]) -> None:
+        for b in bits:
+            self.bw.write(b, 1)
+
+    def end_block(self, br: list[int] | None = None) -> None:
+        self.eobrun += 1
+        if br:
+            self.be.extend(br)
+        if self.eobrun == 0x7FFF:
+            self.flush_eob()
+
+    def restart(self, rst: int) -> None:
+        self.flush_eob()
+        self.bw.flush()
+        self.bw.out += bytes([0xFF, 0xD0 + (rst % 8)])
+
+
+def _enc_ac_first(pw: _ProgressiveWriter, zz: np.ndarray, Al: int) -> None:
+    """One block of a progressive AC-first scan (band 1..63): run/size
+    coding of the point-transformed magnitudes with EOB-run folding."""
+    tvals = [0] * 64
+    last = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        t = (abs(v) >> Al) * (1 if v >= 0 else -1)
+        tvals[k] = t
+        if t:
+            last = k
+    if last == 0:
+        pw.end_block()
+        return
+    pw.flush_eob()
+    run = 0
+    for k in range(1, last + 1):
+        v = tvals[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            pw.sym(0xF0)  # ZRL
+            run -= 16
+        s = abs(v).bit_length()
+        vv = v if v > 0 else v + (1 << s) - 1
+        pw.sym((run << 4) | s)
+        pw.bw.write(vv, s)
+        run = 0
+    if last < 63:
+        pw.end_block()
+
+
+def _enc_ac_refine(pw: _ProgressiveWriter, zz: np.ndarray, Al: int) -> None:
+    """One block of an AC refinement scan: newly-significant
+    coefficients (shifted magnitude exactly 1) emit run+sign symbols;
+    already-nonzero coefficients crossed by a run segment buffer one
+    correction bit each (``br``), emitted right after the symbol that
+    closes the segment — or carried into the EOB-run buffer when the
+    block ends early."""
+    mags = [0] * 64
+    eobpos = 0
+    for k in range(1, 64):
+        m = abs(int(zz[k])) >> Al
+        mags[k] = m
+        if m == 1:
+            eobpos = k
+    r = 0
+    br: list[int] = []
+    for k in range(1, 64):
+        m = mags[k]
+        if m == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eobpos:
+            pw.flush_eob()
+            pw.sym(0xF0)
+            pw.emit_bits(br)
+            br = []
+            r -= 16
+        if m > 1:
+            br.append(m & 1)
+            continue
+        pw.flush_eob()
+        pw.sym((r << 4) | 1)
+        pw.bw.write(1 if int(zz[k]) > 0 else 0, 1)
+        pw.emit_bits(br)
+        br = []
+        r = 0
+    if r > 0 or br:
+        pw.end_block(br)
+
+
+def _encode_progressive_scans(
+    zz_blocks, samps, mcux, mcuy, restart_interval, seg, nb_dims
+):
+    """Emit the SOS segments for the full progressive scan script:
+    DC first (interleaved, Al=1), per-component AC first (Al=1),
+    DC refine (Al=0), per-component AC refine (Al=0)."""
+    ncomp = len(samps)
+    act = _huff_encode_table(*_HUFF_AC_UNIVERSAL)
+    dct_l = _huff_encode_table(*_HUFF_DC_LUMA)
+    dct_c = _huff_encode_table(*_HUFF_DC_CHROMA)
+    out = bytearray()
+
+    def sos_header(comp_specs, Ss, Se, Ah, Al):
+        body = bytes([len(comp_specs)])
+        for cid, tdta in comp_specs:
+            body += bytes([cid, tdta])
+        return seg(0xDA, body + bytes([Ss, Se, (Ah << 4) | Al]))
+
+    # ---- DC scans (interleaved over all components) ----
+    for Ah, Al in ((0, 1), (1, 0)):
+        out += sos_header(
+            [(i + 1, 0x00 if i == 0 else 0x10) for i in range(ncomp)],
+            0, 0, Ah, Al,
+        )
+        bw = _BitWriter()
+        preds = [0] * ncomp
+        rst = 0
+        for m in range(mcuy * mcux):
+            if restart_interval and m and m % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                preds = [0] * ncomp
+            my, mx = divmod(m, mcux)
+            for pi, (sh, sv) in enumerate(samps):
+                dct = dct_l if pi == 0 else dct_c
+                for by in range(sv):
+                    for bx in range(sh):
+                        dc = int(zz_blocks[pi][my * sv + by, mx * sh + bx, 0])
+                        if Ah == 0:
+                            val = dc >> Al
+                            diff = val - preds[pi]
+                            preds[pi] = val
+                            t = abs(diff).bit_length()
+                            code, ln = dct[t]
+                            bw.write(code, ln)
+                            if t:
+                                vv = (
+                                    diff
+                                    if diff > 0
+                                    else diff + (1 << t) - 1
+                                )
+                                bw.write(vv, t)
+                        else:
+                            bw.write((dc >> Al) & 1, 1)
+        bw.flush()
+        out += bw.out
+
+    # ---- AC scans (non-interleaved, one component each) ----
+    for Ah, Al in ((0, 1), (1, 0)):
+        for pi in range(ncomp):
+            out += sos_header([(pi + 1, 0x00)], 1, 63, Ah, Al)
+            bw = _BitWriter()
+            pw = _ProgressiveWriter(bw, act)
+            nbh, nbw = nb_dims[pi]
+            rst = 0
+            for u in range(nbh * nbw):
+                if restart_interval and u and u % restart_interval == 0:
+                    pw.restart(rst)
+                    rst += 1
+                row, col = divmod(u, nbw)
+                zz = zz_blocks[pi][row, col]
+                if Ah == 0:
+                    _enc_ac_first(pw, zz, Al)
+                else:
+                    _enc_ac_refine(pw, zz, Al)
+            pw.flush_eob()
+            bw.flush()
+            out += bw.out
+    return out
+
+
 def encode_jpeg(
     img: np.ndarray,
     quality: int = 85,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode (H, W[, C]) uint8 to baseline JFIF JPEG. ``subsampling``:
     '444' (full chroma), '422' (horizontally halved chroma) or '420'
@@ -720,7 +1075,15 @@ def encode_jpeg(
     single-component scan. ``restart_interval`` > 0 emits a DRI
     segment and RSTn markers every that many MCUs (the
     error-resilience feature real-world encoders use; also exercises
-    the decoder's restart path)."""
+    the decoder's restart path).
+
+    ``progressive=True`` emits a SOF2 progressive stream (T.81 G):
+    interleaved DC-first at Al=1, per-component AC-first 1..63 at
+    Al=1 (with EOBn run aggregation), then DC and AC refinement
+    scans down to Al=0. The successive approximation is complete, so
+    the decoded coefficients — and therefore the pixels — are
+    IDENTICAL to the baseline encoding at the same settings (the
+    round-trip equivalence the tests pin)."""
     arr = np.asarray(img, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -787,29 +1150,30 @@ def encode_jpeg(
         )
         zz_blocks.append(qz.reshape(th // 8, tw // 8, 64))
 
-    dct_l = _huff_encode_table(*_HUFF_DC_LUMA)
-    act_l = _huff_encode_table(*_HUFF_AC_LUMA)
-    dct_c = _huff_encode_table(*_HUFF_DC_CHROMA)
-    act_c = _huff_encode_table(*_HUFF_AC_CHROMA)
+    if not progressive:
+        dct_l = _huff_encode_table(*_HUFF_DC_LUMA)
+        act_l = _huff_encode_table(*_HUFF_AC_LUMA)
+        dct_c = _huff_encode_table(*_HUFF_DC_CHROMA)
+        act_c = _huff_encode_table(*_HUFF_AC_CHROMA)
 
-    bw = _BitWriter()
-    preds = [0] * len(planes)
-    for m in range(mcuy * mcux):
-        if restart_interval and m and m % restart_interval == 0:
-            bw.flush()  # byte-align (1-padding)
-            bw.out += bytes(
-                [0xFF, 0xD0 + ((m // restart_interval - 1) % 8)]
-            )
-            preds = [0] * len(planes)
-        my, mx = divmod(m, mcux)
-        for pi, (sh, sv) in enumerate(samps):
-            dct = dct_l if pi == 0 else dct_c
-            act = act_l if pi == 0 else act_c
-            for by in range(sv):
-                for bx in range(sh):
-                    zz = zz_blocks[pi][my * sv + by, mx * sh + bx]
-                    preds[pi] = _encode_block(bw, zz, preds[pi], dct, act)
-    bw.flush()
+        bw = _BitWriter()
+        preds = [0] * len(planes)
+        for m in range(mcuy * mcux):
+            if restart_interval and m and m % restart_interval == 0:
+                bw.flush()  # byte-align (1-padding)
+                bw.out += bytes(
+                    [0xFF, 0xD0 + ((m // restart_interval - 1) % 8)]
+                )
+                preds = [0] * len(planes)
+            my, mx = divmod(m, mcux)
+            for pi, (sh, sv) in enumerate(samps):
+                dct = dct_l if pi == 0 else dct_c
+                act = act_l if pi == 0 else act_c
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = zz_blocks[pi][my * sv + by, mx * sh + bx]
+                        preds[pi] = _encode_block(bw, zz, preds[pi], dct, act)
+        bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
@@ -829,7 +1193,24 @@ def encode_jpeg(
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for i, (sh, sv) in enumerate(samps):
         sof += bytes([i + 1, sh << 4 | sv, 0 if i == 0 else 1])
-    out += seg(0xC0, sof)
+    out += seg(0xC2 if progressive else 0xC0, sof)
+    if progressive:
+        out += dht(0, 0, _HUFF_DC_LUMA)
+        if not gray:
+            out += dht(0, 1, _HUFF_DC_CHROMA)
+        out += dht(1, 0, _HUFF_AC_UNIVERSAL)
+        if restart_interval:
+            out += seg(0xDD, struct.pack(">H", restart_interval))
+        nb_dims = []
+        for sh, sv in samps:
+            cw = -(-(w * sh) // hmax)
+            ch = -(-(h * sv) // vmax)
+            nb_dims.append((-(-ch // 8), -(-cw // 8)))
+        out += _encode_progressive_scans(
+            zz_blocks, samps, mcux, mcuy, restart_interval, seg, nb_dims
+        )
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
     out += dht(0, 0, _HUFF_DC_LUMA)
     out += dht(1, 0, _HUFF_AC_LUMA)
     if not gray:
@@ -1152,8 +1533,8 @@ def decode_image(data: bytes) -> np.ndarray:
         raise UnsupportedMediaError(f"corrupt {kind} payload: {exc}") from exc
     raise UnsupportedMediaError(
         f"no codec for format '{kind}' (stdlib path supports "
-        "png/bmp/ppm/pgm/jpeg-baseline/gif; install PIL for "
-        "progressive-jpeg/webp/...)"
+        "png/bmp/ppm/pgm/jpeg-baseline/jpeg-progressive/gif; install "
+        "PIL for webp/tiff/...)"
     )
 
 

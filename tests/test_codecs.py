@@ -355,6 +355,40 @@ if HAVE_HYPOTHESIS:
         assert err.max() <= (40 if ss != "444" and not gray else 16)
 
     @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        gray=st.booleans(),
+        ss=st.sampled_from(["444", "422", "420"]),
+        ri=st.sampled_from([0, 2]),
+        q=st.sampled_from([30, 85, 95]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_jpeg_progressive_equals_baseline_property(
+        h, w, gray, ss, ri, q, seed
+    ):
+        """The progressive scan script completes its successive
+        approximation, so decoded coefficients — hence PIXELS — must
+        equal the baseline encoding bit-for-bit at any size, sampling,
+        quality, or restart interval."""
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, (h, w, 1 if gray else 3)).astype(np.uint8)
+        if gray:
+            img = img[:, :, 0]
+        base = codecs.decode_jpeg(
+            codecs.encode_jpeg(
+                img, quality=q, subsampling=ss, restart_interval=ri
+            )
+        )
+        prog = codecs.decode_jpeg(
+            codecs.encode_jpeg(
+                img, quality=q, subsampling=ss, restart_interval=ri,
+                progressive=True,
+            )
+        )
+        np.testing.assert_array_equal(base, prog)
+
+    @given(
         h=st.integers(1, 20),
         w=st.integers(1, 20),
         ncol=st.integers(1, 8),
@@ -556,12 +590,13 @@ def test_jpeg_through_decode_image_dispatch():
     np.testing.assert_array_equal(dec, img)
 
 
-def test_jpeg_progressive_and_corrupt_rejected():
-    # progressive (SOF2) must dead-letter, not crash
+def test_jpeg_unsupported_sof_and_corrupt_rejected():
+    # lossless (SOF3) must dead-letter, not crash (progressive SOF2 is
+    # SUPPORTED as of round 4 — see test_jpeg_progressive_*)
     img = np.zeros((8, 8, 3), dtype=np.uint8)
     enc = bytearray(codecs.encode_jpeg(img))
     i = enc.find(b"\xff\xc0")
-    enc[i + 1] = 0xC2
+    enc[i + 1] = 0xC3
     with pytest.raises(UnsupportedMediaError, match="non-baseline"):
         codecs.decode_jpeg(bytes(enc))
     # truncated scan data decodes-or-dead-letters, never crashes
@@ -570,6 +605,48 @@ def test_jpeg_progressive_and_corrupt_rejected():
         codecs.decode_jpeg(enc2[: len(enc2) - 10])
     except UnsupportedMediaError:
         pass
+
+
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
+@pytest.mark.parametrize("ri", [0, 3])
+def test_jpeg_progressive_equals_baseline(sub, ri):
+    """Progressive (SOF2) decode: spectral selection + successive
+    approximation reconstruct the exact quantized coefficients, so the
+    decoded image is IDENTICAL to the baseline encoding — across
+    subsamplings (exercises non-interleaved AC scan geometry) and
+    restart intervals (per-scan RSTn with EOB-run/pred resets)."""
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+    base = codecs.encode_jpeg(img, quality=85, subsampling=sub, restart_interval=ri)
+    prog = codecs.encode_jpeg(
+        img, quality=85, subsampling=sub, restart_interval=ri, progressive=True
+    )
+    # sanity: it IS a progressive stream (SOF2 present, multiple SOS)
+    assert b"\xff\xc2" in prog and prog.count(b"\xff\xda") >= 6
+    np.testing.assert_array_equal(codecs.decode_jpeg(base), codecs.decode_jpeg(prog))
+
+
+def test_jpeg_progressive_grayscale_and_flat():
+    """Grayscale progressive (single-component scans) and an all-flat
+    image (maximal EOB-run aggregation across blocks)."""
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 256, (21, 18), dtype=np.uint8)
+    for img in (g, np.zeros((40, 56), np.uint8), np.full((16, 16), 201, np.uint8)):
+        base = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90))
+        prog = codecs.decode_jpeg(
+            codecs.encode_jpeg(img, quality=90, progressive=True)
+        )
+        np.testing.assert_array_equal(base, prog)
+
+
+def test_jpeg_progressive_through_decode_image_dispatch():
+    """decode_image must route progressive JPEG bytes through the
+    stdlib path (the r3 dead-letter gap this round closes)."""
+    img = np.full((10, 12, 3), 77, np.uint8)
+    data = codecs.encode_jpeg(img, progressive=True)
+    out = codecs.decode_image(data)
+    assert out.shape == (10, 12, 3)
+    assert int(np.abs(out.astype(int) - 77).max()) <= 2
 
 
 def test_jpeg_quality_monotonic_size():
