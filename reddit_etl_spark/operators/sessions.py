@@ -39,13 +39,40 @@ def sessionize(
     key_cols: Sequence[str],
     ts_col: str,
     gap: str = "30 minutes",
+    split: str = "none",
+    split_buckets: int = 64,
 ) -> DataFrame:
     """Assign a ``session_id`` (0-based per key) to every event.
 
     One shuffle: both windows partition on ``key_cols`` and order by
     ``ts_col``, so Catalyst plans a single exchange + sort reused by
     the lag and the running sum.
-    """
+
+    ``split='auto'`` is the whale-key escape hatch (the same shape as
+    ``asof_join(split='auto')``): windows don't AQE-split, so one bot
+    user holding half the events serializes into a single task.
+    ``'auto'`` range-buckets each key's timeline into ``split_buckets``
+    slices, sessionizes per (key, bucket) in parallel, then stitches
+    boundary-crossing sessions back together on the per-(key, bucket)
+    SUMMARY frame (≤ ``split_buckets`` rows per key: first/last event
+    time + local session count). A session chain spanning any number
+    of buckets merges correctly — bucket b merges into b-1 exactly
+    when its first event is within ``gap`` of b-1's last event, and
+    the running renumbering offset telescopes through merge chains.
+    Results are identical to ``split='none'`` up to ties between
+    events sharing one exact timestamp. Costs one extra (small)
+    shuffle: the summary join-back reuses the events' (key, bucket)
+    partitioning; only the summaries move.
+
+    NOTE: ``split='auto'`` runs ONE eager min/max aggregate over the
+    timestamps at call time to derive the bucket width."""
+    if split not in ("none", "auto"):
+        raise ValueError(f"split must be none/auto, got {split!r}")
+    if split == "auto":
+        out = _sessionize_split(df, key_cols, ts_col, gap, split_buckets)
+        if out is not None:
+            return out
+        # degenerate time range (empty / single instant): fall through
     w = Window.partitionBy(*key_cols).orderBy(ts_col)
     gap_expr = F.expr(f"INTERVAL {gap}")
     prev = F.lag(ts_col).over(w)
@@ -60,15 +87,89 @@ def sessionize(
     )
 
 
+def _sessionize_split(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    gap: str,
+    split_buckets: int,
+) -> DataFrame | None:
+    """Bucketed sessionization (see :func:`sessionize`). Returns None
+    when the time range is degenerate and bucketing cannot split."""
+    if split_buckets < 2:
+        raise ValueError(f"split_buckets must be >= 2, got {split_buckets}")
+    keys = list(key_cols)
+    lo, hi = df.agg(
+        F.min(F.col(ts_col).cast("double")),
+        F.max(F.col(ts_col).cast("double")),
+    ).first()
+    if lo is None or hi is None or hi <= lo:
+        return None
+    width = (hi - lo) / split_buckets
+    bucket = F.least(
+        F.lit(split_buckets - 1),
+        F.floor((F.col(ts_col).cast("double") - F.lit(lo)) / F.lit(width)),
+    ).cast("int")
+    gap_expr = F.expr(f"INTERVAL {gap}")
+
+    ev = df.withColumn("__b", bucket)
+    w = Window.partitionBy(*keys, "__b").orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col(ts_col) > prev + gap_expr), 1
+    ).otherwise(0)
+    ev = ev.withColumn(
+        "__ls",
+        (F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ) - 1).cast("long"),
+    )
+
+    # per-(key, bucket) summary: map-side-combined aggregate, then a
+    # per-key window over <= split_buckets rows — the stitch is cheap
+    summ = ev.groupBy(*keys, "__b").agg(
+        F.min(ts_col).alias("__first"),
+        F.max(ts_col).alias("__last"),
+        (F.max("__ls") + 1).alias("__n"),
+    )
+    wk = Window.partitionBy(*keys).orderBy("__b")
+    prev_last = F.lag("__last").over(wk)
+    merged = F.when(
+        prev_last.isNotNull() & (F.col("__first") <= prev_last + gap_expr), 1
+    ).otherwise(0)
+    summ = summ.withColumn("__m", merged)
+    # sessions numbered before this bucket, net of merges; a bucket
+    # that merges starts at the PREVIOUS bucket's last session id
+    prior = F.coalesce(
+        F.sum(F.col("__n") - F.col("__m")).over(
+            wk.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    offsets = summ.select(
+        *keys, "__b", (prior - F.col("__m")).alias("__off")
+    )
+    return (
+        ev.join(offsets, [*keys, "__b"])
+        .withColumn("session_id", (F.col("__off") + F.col("__ls")).cast("long"))
+        .select(*df.columns, "session_id")
+    )
+
+
 def session_stats(
     df: DataFrame,
     key_cols: Sequence[str],
     ts_col: str,
     gap: str = "30 minutes",
     value_col: str | None = None,
+    split: str = "none",
+    split_buckets: int = 64,
 ) -> DataFrame:
     """Collapse events into one row per session: bounds, event count,
-    optional value sum. groupBy reuses the sessionize partitioning."""
+    optional value sum. groupBy reuses the sessionize partitioning
+    (plain path); ``split='auto'`` forwards to the skew-split
+    sessionizer — the groupBy on (key, session_id) then spreads a
+    whale key's sessions across the cluster too."""
     aggs = [
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
@@ -77,7 +178,7 @@ def session_stats(
     if value_col is not None:
         aggs.append(F.sum(value_col).alias("total_value"))
     return (
-        sessionize(df, key_cols, ts_col, gap)
+        sessionize(df, key_cols, ts_col, gap, split, split_buckets)
         .groupBy(*key_cols, "session_id")
         .agg(*aggs)
     )

@@ -62,6 +62,121 @@ def test_sessionize_single_shuffle(events):
     assert count_exchanges(df) == 1
 
 
+# ---------------------------------------------------------------------------
+# split='auto' — the whale-key escape hatch (closes the last
+# "windows don't AQE-split" gap documented in SCALING.md)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skewed_events(spark):
+    """One whale key holds ~50% of events. Timeline alternates dense
+    runs (sessions spanning many buckets when split_buckets=8) and
+    long gaps, so bucket-boundary merges AND non-merges both occur;
+    all timestamps unique per key so both paths are deterministic."""
+    base = dt.datetime(2025, 9, 1, 0, 0)
+    rows = []
+    t = 0
+    for i in range(400):
+        # every 40 events, jump by 2 hours (> gap) -> new session
+        t += 7200 if i % 40 == 0 else 60  # 1-min spacing inside runs
+        rows.append(("whale", base + dt.timedelta(seconds=t), float(i)))
+    for k in range(20):
+        for i in range(10):
+            rows.append(
+                (f"k{k:02d}",
+                 base + dt.timedelta(seconds=4000 * i + 17 * k + 3),
+                 float(i)),
+            )
+    return spark.createDataFrame(rows, "user string, ts timestamp, value double")
+
+
+def test_sessionize_split_path_equality(skewed_events):
+    """split='auto' session ids must be byte-identical to the plain
+    single-window path — including sessions that span multiple time
+    buckets and merge chains through consecutive buckets."""
+    plain = sessionize(skewed_events, ["user"], "ts", gap="30 minutes").collect()
+    split = sessionize(
+        skewed_events, ["user"], "ts", gap="30 minutes",
+        split="auto", split_buckets=8,
+    ).collect()
+    key = lambda r: (r.user, r.ts)
+    assert sorted(split, key=key) == sorted(plain, key=key)
+    # sanity: the whale key really has multi-bucket sessions (a 40-min
+    # run at 8 buckets over ~13 days is within one bucket; the run
+    # STRUCTURE still must survive) and >1 session
+    ids = {r.session_id for r in plain if r.user == "whale"}
+    assert len(ids) == 10  # 400 events / 40 per session
+
+
+def test_sessionize_split_merges_across_buckets(spark):
+    """A key whose events tick steadily across the WHOLE timeline is
+    one single session — every bucket boundary must merge, however
+    many buckets the chain crosses."""
+    base = dt.datetime(2025, 9, 1, 0, 0)
+    rows = [
+        ("u", base + dt.timedelta(minutes=10 * i), float(i)) for i in range(100)
+    ]
+    # second key adds range spread so 'u' spans many buckets
+    rows += [("v", base + dt.timedelta(minutes=7 * i + 3), 0.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "user string, ts timestamp, value double")
+    out = sessionize(
+        df, ["user"], "ts", gap="30 minutes", split="auto", split_buckets=16
+    )
+    ids = {r.session_id for r in out.collect() if r.user == "u"}
+    assert ids == {0}
+
+
+def test_sessionize_split_stats_and_degenerate(spark, skewed_events):
+    """session_stats forwards split; degenerate single-instant input
+    falls back to the plain path."""
+    a = {
+        (r.user, r.session_id): (r.event_count, r.total_value)
+        for r in session_stats(
+            skewed_events, ["user"], "ts", value_col="value"
+        ).collect()
+    }
+    b = {
+        (r.user, r.session_id): (r.event_count, r.total_value)
+        for r in session_stats(
+            skewed_events, ["user"], "ts", value_col="value",
+            split="auto", split_buckets=8,
+        ).collect()
+    }
+    assert a == b
+    one = spark.createDataFrame(
+        [("x", dt.datetime(2025, 9, 1), 1.0)],
+        "user string, ts timestamp, value double",
+    )
+    r = sessionize(one, ["user"], "ts", split="auto").first()
+    assert r.session_id == 0
+    with pytest.raises(ValueError, match="split"):
+        sessionize(one, ["user"], "ts", split="bogus")
+
+
+def test_sessionize_split_spreads_whale_key(skewed_events, spark):
+    """The whale key's rows must land in >= 2 partitions after the
+    (key, bucket) window — the plain path pins them to one task."""
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        def spread(df):
+            per_part = df.rdd.glom().map(
+                lambda rows: sum(1 for r in rows if r.user == "whale")
+            ).collect()
+            return sum(1 for n in per_part if n > 0)
+
+        split = sessionize(
+            skewed_events, ["user"], "ts", split="auto", split_buckets=8
+        )
+        assert spread(split) >= 2, "whale key serialized into one task"
+        plain = sessionize(skewed_events, ["user"], "ts")
+        assert spread(plain) == 1
+    finally:
+        spark.conf.set(coalesce_key, prev)
+
+
 def test_streaming_sessions_match_batch(spark, tmp_path):
     """Replay a fixed event log through the stateful streaming
     sessionizer; closed sessions must equal the batch rollup."""
