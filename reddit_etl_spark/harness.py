@@ -160,6 +160,11 @@ _DEFERRED = [
     "funnel_conversion",          # recorded r01/r02
     "retention_cohorts",          # recorded r01/r02
     "pack_sequences",             # packed_shards (recorded) covers packing
+    # round-4 skew-split twins: same DuckDB oracles as their recorded
+    # plain-path siblings (sessionization / asof_next_purchase), so
+    # the whale-key paths are value-checked cross-engine every round
+    "sessionization_split",
+    "asof_split",
 ]
 
 
@@ -1731,6 +1736,43 @@ def sessionization_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sessionization_split",
+    """
+    WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),
+    lagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM lagged)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS event_count,
+           ROUND(SUM(value), 6) AS total_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="skew-split sessionization (split='auto': per-(key, time-bucket) "
+    "windows + boundary-session stitch) vs the SAME plain-window DuckDB "
+    "oracle as `sessionization` — the cross-engine proof that the "
+    "whale-key path is value-identical, not just path-equality-tested",
+)
+def sessionization_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sessions import session_stats
+
+    ev = load_events(spark, sf_dir)
+    df = session_stats(
+        ev, ["user_id"], "ts", gap="30 minutes", value_col="value",
+        split="auto", split_buckets=16,
+    )
+    return round6(df, "total_value")
+
+
+@_q(
     "distinct_users_hll",
     """
     SELECT event_type,
@@ -1854,6 +1896,54 @@ def asof_next_purchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         value_cols=["ts", "value"],
         direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_right").alias("purchase_ts"),
+        F.round("value_right", 6).alias("purchase_value"),
+    )
+
+
+@_q(
+    "asof_split",
+    """
+    WITH clicks AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value
+                    FROM events WHERE event_type = 'click'),
+    purchases AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events
+                  WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS purchase_ts,
+           ROUND(p.value, 6) AS purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts >= c.ts
+    """,
+    doc="skew-split as-of join (split='auto': per-(key, time-bucket) "
+    "carry windows + synthetic carry-in rows) vs DuckDB's native ASOF "
+    "JOIN — same oracle as `asof_next_purchase`, proving the hot-key "
+    "path value-identical cross-engine",
+)
+def asof_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["ts", "value"],
+        direction="forward",
+        split="auto",
+        split_buckets=16,
     )
     return out.select(
         "event_id",
