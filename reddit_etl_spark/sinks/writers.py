@@ -163,6 +163,153 @@ def export_csv(df: DataFrame, path: str) -> None:
     df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
 
 
+def merge_parquet(
+    spark,
+    path: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+) -> dict:
+    """Row-level MERGE INTO on a plain-parquet table with FILE-LEVEL
+    copy-on-write — the Delta/Iceberg ``MERGE`` shape without the
+    transaction log (the D7 gap: keyed upsert when the merge keys are
+    NOT the partition keys; for key==partition use
+    :func:`upsert_partitioned`, which stays fully transactional via
+    dynamic partition overwrite).
+
+    Exactly the files containing a matched key are rewritten; every
+    other file is left byte-identical in place — at 100 TB a merge
+    touching 0.1% of keys rewrites ~0.1% of files, not the table.
+    Plan shape: one join of the target's (key, file) projection
+    against the source keys finds the affected files (shuffle carries
+    keys + file names, never payloads), then one job rewrites only
+    those files' rows unioned with the source's additions.
+
+    ``when_matched``: 'update' (whole-row replace, last-writer-wins),
+    'delete', or 'ignore'. ``when_not_matched``: 'insert' or
+    'ignore'. Duplicate keys in ``source`` raise (the same ambiguity
+    Delta rejects with "multiple source rows matched").
+
+    LOCAL-FILESYSTEM, OFFLINE-MAINTENANCE ONLY, like
+    :func:`compact_parquet` (enforced): the swap is plain file
+    renames — old affected files move aside, new files move in — so
+    no reader should be mid-scan, and a crash between renames leaves
+    the aside files recoverable at ``<path>__merge_old``. Hive-style
+    partitioned tables are refused (partition values live in
+    directory names, not files; use :func:`upsert_partitioned`).
+    Returns a stats dict (files total/rewritten, row deltas).
+    """
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    if when_matched not in ("update", "delete", "ignore"):
+        raise ValueError(f"when_matched must be update/delete/ignore, got {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(f"when_not_matched must be insert/ignore, got {when_not_matched!r}")
+    keys = list(keys)
+    local = _require_local_path(path, "merge_parquet")
+    for root, _dirs, _files in os.walk(local):
+        rel = os.path.relpath(root, local)
+        if "=" in rel:
+            raise ValueError(
+                "merge_parquet does not support hive-partitioned tables "
+                f"(found partition dir {rel!r}); use upsert_partitioned"
+            )
+
+    dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise ValueError(
+            "source has duplicate merge keys — a target row would match "
+            "multiple source rows (same ambiguity Delta's MERGE rejects)"
+        )
+    src = source.localCheckpoint(eager=True)
+
+    target = spark.read.parquet(f"file://{local}")
+    keyed = target.withColumn("__file", F.input_file_name())
+    if when_matched == "ignore":
+        # matched rows stay as-is: nothing to rewrite, inserts append
+        affected_files = []
+    else:
+        affected_files = [
+            r["__file"]
+            for r in keyed.select(*keys, "__file")
+            .join(src.select(*keys), keys, "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        ]
+    n_total_files = sum(
+        1
+        for root, _d, files in os.walk(local)
+        for f in files
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    matched_src = src.join(keyed.select(*keys), keys, "left_semi")
+    new_src = src.join(keyed.select(*keys), keys, "left_anti")
+    additions = []
+    if when_matched == "update":
+        additions.append(matched_src)
+    if when_not_matched == "insert":
+        additions.append(new_src)
+
+    if not affected_files and not (
+        when_not_matched == "insert" and new_src.limit(1).count()
+    ):
+        return {
+            "files_total": n_total_files,
+            "files_rewritten": 0,
+            "rows_updated": 0,
+            "rows_inserted": 0,
+            "rows_deleted": 0,
+        }
+
+    affected_rows = keyed.filter(F.col("__file").isin(affected_files))
+    # unmatched rows that share a file with a matched key ride along
+    # into the rewritten files ('ignore' has no affected files at all)
+    kept = affected_rows.join(src.select(*keys), keys, "left_anti").drop(
+        "__file"
+    )
+    out = kept
+    for a in additions:
+        out = out.unionByName(a.select(*target.columns))
+    n_matched = matched_src.count()
+    n_new = new_src.count() if when_not_matched == "insert" else 0
+
+    tmp = f"{local}__merging"
+    old = f"{local}__merge_old"
+    out.write.mode("overwrite").parquet(f"file://{tmp}")
+    for d in (old,):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    os.makedirs(old)
+    for f in affected_files:
+        p = f[len("file://"):] if f.startswith("file://") else f
+        os.rename(p, os.path.join(old, os.path.basename(p)))
+    n_rewritten = 0
+    stamp = uuid.uuid4().hex[:8]
+    for f in os.listdir(tmp):
+        if f.endswith(".parquet") and not f.startswith(("_", ".")):
+            os.rename(
+                os.path.join(tmp, f),
+                os.path.join(local, f"merge-{stamp}-{f}"),
+            )
+            n_rewritten += 1
+    shutil.rmtree(tmp)
+    shutil.rmtree(old)
+    return {
+        "files_total": n_total_files,
+        "files_rewritten": len(affected_files),
+        "files_written": n_rewritten,
+        "rows_updated": n_matched if when_matched == "update" else 0,
+        "rows_inserted": n_new,
+        "rows_deleted": n_matched if when_matched == "delete" else 0,
+    }
+
+
 def write_range_layout(
     df: DataFrame,
     path: str,

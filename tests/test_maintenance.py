@@ -202,3 +202,132 @@ def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
     assert sum(b[0] for b in zb) / len(zb) < side * 0.6
     # nothing lost
     assert spark.read.parquet(zpath).count() == n
+
+
+# ---------------------------------------------------------------------------
+# merge_parquet — file-level copy-on-write MERGE (the D7 follow-up)
+# ---------------------------------------------------------------------------
+
+
+def _make_table(spark, path, n_files=8, rows=800):
+    df = spark.range(rows).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 50).alias("grp"),
+        F.lit("orig").alias("val"),
+    )
+    df.repartitionByRange(n_files, "k").write.parquet(path)
+    import glob as g
+
+    return sorted(g.glob(f"{path}/*.parquet"))
+
+
+def test_merge_parquet_rewrites_only_affected_files(spark, tmp_path):
+    from reddit_etl_spark.sinks.writers import merge_parquet
+
+    path = str(tmp_path / "t")
+    before_files = _make_table(spark, path)
+    assert len(before_files) >= 6
+    # touch keys living in (at most) two range files + insert new keys
+    src = spark.createDataFrame(
+        [(0, 0, "upd"), (1, 1, "upd"), (5000, 0, "new"), (5001, 1, "new")],
+        "k long, grp long, val string",
+    )
+    stats = merge_parquet(spark, path, src, ["k"])
+    assert stats["files_rewritten"] <= 2  # keys 0,1 are range-clustered
+    import glob as g
+
+    after_files = sorted(g.glob(f"{path}/*.parquet"))
+    untouched = [f for f in before_files if f in after_files]
+    # every non-affected original file is still there, byte-identical name
+    assert len(untouched) == len(before_files) - stats["files_rewritten"]
+
+    got = {r.k: r.val for r in spark.read.parquet(path).collect()}
+    assert len(got) == 802  # 800 original + 2 inserts
+    assert got[0] == "upd" and got[1] == "upd"
+    assert got[5000] == "new" and got[5001] == "new"
+    assert got[2] == "orig"  # rode along in a rewritten file, unchanged
+
+
+def test_merge_parquet_delete_and_idempotence(spark, tmp_path):
+    from reddit_etl_spark.sinks.writers import merge_parquet
+
+    path = str(tmp_path / "t")
+    _make_table(spark, path, n_files=4, rows=200)
+    src = spark.createDataFrame(
+        [(7, 0, "x"), (9, 0, "x")], "k long, grp long, val string"
+    )
+    stats = merge_parquet(
+        spark, path, src, ["k"], when_matched="delete", when_not_matched="ignore"
+    )
+    assert stats["rows_deleted"] == 2 and stats["rows_inserted"] == 0
+    remaining = {r.k for r in spark.read.parquet(path).collect()}
+    assert 7 not in remaining and 9 not in remaining
+    assert len(remaining) == 198
+
+    # idempotent: merging the same update twice converges
+    upd = spark.createDataFrame([(10, 0, "u")], "k long, grp long, val string")
+    merge_parquet(spark, path, upd, ["k"])
+    merge_parquet(spark, path, upd, ["k"])
+    rows = [r for r in spark.read.parquet(path).collect() if r.k == 10]
+    assert len(rows) == 1 and rows[0].val == "u"
+
+
+def test_merge_parquet_matched_ignore_appends_only(spark, tmp_path):
+    from reddit_etl_spark.sinks.writers import merge_parquet
+
+    path = str(tmp_path / "t")
+    before = _make_table(spark, path, n_files=4, rows=100)
+    src = spark.createDataFrame(
+        [(3, 0, "SHOULD_NOT_APPLY"), (900, 0, "new")],
+        "k long, grp long, val string",
+    )
+    stats = merge_parquet(spark, path, src, ["k"], when_matched="ignore")
+    assert stats["files_rewritten"] == 0
+    import glob as g
+
+    assert all(f in g.glob(f"{path}/*.parquet") for f in before)
+    got = {r.k: r.val for r in spark.read.parquet(path).collect()}
+    assert got[3] == "orig" and got[900] == "new"
+
+
+def test_merge_parquet_guards(spark, tmp_path):
+    import pytest
+
+    from reddit_etl_spark.sinks.writers import merge_parquet, upsert_partitioned
+
+    path = str(tmp_path / "t")
+    _make_table(spark, path, n_files=2, rows=50)
+    dup = spark.createDataFrame(
+        [(1, 0, "a"), (1, 0, "b")], "k long, grp long, val string"
+    )
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        merge_parquet(spark, path, dup, ["k"])
+    with pytest.raises(ValueError, match="local paths only"):
+        merge_parquet(
+            spark, "s3a://bucket/t",
+            spark.createDataFrame([(1, 0, "a")], "k long, grp long, val string"),
+            ["k"],
+        )
+    # hive-partitioned tables are refused
+    ppath = str(tmp_path / "p")
+    df = spark.createDataFrame([(1, "a", 1.0)], "d long, k string, v double")
+    upsert_partitioned(df, ppath, ["d"])
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        merge_parquet(
+            spark, ppath,
+            spark.createDataFrame([(1, "a", 2.0)], "d long, k string, v double"),
+            ["k"],
+        )
+
+
+def test_merge_parquet_noop_touches_nothing(spark, tmp_path):
+    from reddit_etl_spark.sinks.writers import merge_parquet
+
+    path = str(tmp_path / "t")
+    before = _make_table(spark, path, n_files=3, rows=60)
+    src = spark.createDataFrame([], "k long, grp long, val string")
+    stats = merge_parquet(spark, path, src, ["k"])
+    assert stats["files_rewritten"] == 0
+    import glob as g
+
+    assert sorted(g.glob(f"{path}/*.parquet")) == before
