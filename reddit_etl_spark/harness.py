@@ -165,6 +165,11 @@ _DEFERRED = [
     # the whale-key paths are value-checked cross-engine every round
     "sessionization_split",
     "asof_split",
+    # round-4 sketch extensions: distinct_users_hll (recorded) attests
+    # the sketch-rollup capability; these add the mergeable-quantile
+    # and set-algebra variants, oracle-checked with audit booleans
+    "quantile_rollup_kll",
+    "segment_overlap_theta",
 ]
 
 
@@ -1807,6 +1812,102 @@ def distinct_users_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("distinct_users_exact")
             <= 0.05
         ).alias("hll_within_5pct"),
+    )
+
+
+@_q(
+    "quantile_rollup_kll",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90_exact,
+           TRUE AS kll_rank_ok
+    FROM events GROUP BY event_type
+    """,
+    doc="mergeable KLL quantile rollup: per-(event_type, day) sketches "
+    "merged to event_type WITHOUT rescanning raw data; kll_rank_ok pins "
+    "the merged estimate's EXACT rank within p±0.05 (k=200 → ~1.65% "
+    "rank error), so a sketch/merge regression flips the value hash",
+)
+def quantile_rollup_kll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketch import kll_merge_rollup, kll_rollup
+
+    ev = load_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    fine = kll_rollup(ev, ["event_type", "day"], "value")
+    merged = kll_merge_rollup(fine, ["event_type"], probabilities=(0.5, 0.9))
+    ests = merged.select("event_type", "p50_est", "p90_est")
+    ranked = (
+        ev.join(F.broadcast(ests), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", 0.5), 6).alias("p50_exact"),
+            F.round(F.percentile("value", 0.9), 6).alias("p90_exact"),
+            F.avg((F.col("value") <= F.col("p50_est")).cast("double")).alias(
+                "__r50"
+            ),
+            F.avg((F.col("value") <= F.col("p90_est")).cast("double")).alias(
+                "__r90"
+            ),
+        )
+    )
+    return ranked.select(
+        "event_type",
+        "p50_exact",
+        "p90_exact",
+        (
+            (F.abs(F.col("__r50") - 0.5) <= 0.05)
+            & (F.abs(F.col("__r90") - 0.9) <= 0.05)
+        ).alias("kll_rank_ok"),
+    )
+
+
+@_q(
+    "segment_overlap_theta",
+    """
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS clickers_exact,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS purchasers_exact,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM c JOIN p USING (user_id)) AS overlap_exact,
+           TRUE AS theta_within_5pct
+    """,
+    doc="Theta-sketch segment overlap (clickers ∩ purchasers): set "
+    "algebra HLL can't do — intersection/difference estimated from two "
+    "KB-sized sketches without co-locating the raw distinct sets; "
+    "theta_within_5pct pins |A|, |B| and |A∩B| estimates against the "
+    "exact join (5% rel. tolerance, exact-mode sketches below lg_k)",
+)
+def segment_overlap_theta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketch import theta_overlap
+
+    ev = load_events(spark, sf_dir)
+    est = theta_overlap(ev, "event_type", "user_id", "click", "purchase")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    purchasers = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    exact = (
+        clickers.agg(F.count("*").alias("clickers_exact"))
+        .crossJoin(purchasers.agg(F.count("*").alias("purchasers_exact")))
+        .crossJoin(
+            clickers.join(purchasers, "user_id").agg(
+                F.count("*").alias("overlap_exact")
+            )
+        )
+    )
+    rel_ok = (
+        lambda est_c, ex_c: F.abs(est_c - ex_c) <= 0.05 * F.greatest(ex_c, F.lit(1))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "clickers_exact",
+        "purchasers_exact",
+        "overlap_exact",
+        (
+            rel_ok(F.col("a_est"), F.col("clickers_exact"))
+            & rel_ok(F.col("b_est"), F.col("purchasers_exact"))
+            & rel_ok(F.col("intersection_est"), F.col("overlap_exact"))
+        ).alias("theta_within_5pct"),
     )
 
 

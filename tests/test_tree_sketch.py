@@ -114,3 +114,47 @@ def test_approx_quantiles_ordering(keyed):
     rows = approx_quantiles(keyed, ["g"], "v").collect()
     for r in rows:
         assert r.p50 <= r.p90 <= r.p99
+
+
+def test_kll_rollup_merge_matches_exact_ranks(spark):
+    """Merged-from-daily KLL quantiles must sit at the right EXACT
+    rank (±5%; k=200 gives ~1.65% rank error) — and merging must not
+    need the raw data again."""
+    from pyspark.sql import functions as F
+
+    from reddit_etl_spark.operators.sketch import kll_merge_rollup, kll_rollup
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") % 7).alias("day"),
+        (F.pow(F.col("id") % 1000, 1.3)).alias("v"),
+    )
+    fine = kll_rollup(df, ["g", "day"], "v")
+    assert fine.count() == 28  # 4 x 7 (coprime) fine groups
+    merged = kll_merge_rollup(fine, ["g"], probabilities=(0.5, 0.9))
+    est = {r.g: (r.p50_est, r.p90_est) for r in merged.collect()}
+    for g in range(4):
+        vals = sorted(
+            r.v for r in df.filter(F.col("g") == g).select("v").collect()
+        )
+        for p, e in zip((0.5, 0.9), est[g]):
+            rank = sum(1 for v in vals if v <= e) / len(vals)
+            assert abs(rank - p) <= 0.05, (g, p, e, rank)
+
+
+def test_theta_overlap_set_algebra(spark):
+    """Theta intersection/union/difference estimates vs planted exact
+    overlap (sketches are exact below lg_k capacity here)."""
+    from pyspark.sql import functions as F
+
+    from reddit_etl_spark.operators.sketch import theta_overlap
+
+    # A = 0..599, B = 400..899 -> |A|=600 |B|=500 |A∩B|=200 |A∪B|=900
+    rows = [("a", i) for i in range(600)] + [("b", i) for i in range(400, 900)]
+    df = spark.createDataFrame(rows, "seg string, uid long")
+    r = theta_overlap(df, "seg", "uid", "a", "b").first()
+    assert abs(r.a_est - 600) <= 600 * 0.05
+    assert abs(r.b_est - 500) <= 500 * 0.05
+    assert abs(r.intersection_est - 200) <= 200 * 0.1
+    assert abs(r.union_est - 900) <= 900 * 0.05
+    assert abs(r.a_minus_b_est - 400) <= 400 * 0.1
