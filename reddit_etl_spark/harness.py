@@ -170,6 +170,9 @@ _DEFERRED = [
     # and set-algebra variants, oracle-checked with audit booleans
     "quantile_rollup_kll",
     "segment_overlap_theta",
+    # round-4 entity resolution: exact edit-distance pairs, oracle is
+    # the brute-force levenshtein cross join (completeness check)
+    "fuzzy_name_pairs",
 ]
 
 
@@ -1812,6 +1815,31 @@ def distinct_users_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("distinct_users_exact")
             <= 0.05
         ).alias("hll_within_5pct"),
+    )
+
+
+@_q(
+    "fuzzy_name_pairs",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_distance
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    doc="entity resolution: EXACT Levenshtein<=1 pairs over customer "
+    "names via SymSpell deletion-neighborhood candidates (|s|+1 posting "
+    "rows per string, bucket-equality join, exact verify) — the oracle "
+    "is DuckDB's brute-force O(n^2) levenshtein cross join, so the "
+    "candidate generation's completeness is value-checked, not assumed",
+)
+def fuzzy_name_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import edit_distance_pairs
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_name")
+    )
+    return edit_distance_pairs(cust, "c_custkey", "c_name").select(
+        F.col("id_a"), F.col("id_b"), F.col("edit_distance")
     )
 
 

@@ -755,3 +755,74 @@ def incremental_minhash_dedup(
         survivors = within
         updated = banded.select("band", "bh").distinct()
     return survivors.select(batch.columns), updated
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_edit: int = 1,
+) -> DataFrame:
+    """EXACT pairs within Levenshtein distance ``max_edit`` — the
+    entity-resolution primitive (near-identical names/titles/ids that
+    shingle-level Jaccard treats as unrelated because one character
+    flipped).
+
+    Candidate generation is the SymSpell deletion-neighborhood trick:
+    two strings with ed(a, b) <= 1 MUST share a member of each
+    other's {self} ∪ {one-character deletions} set, so a bucket-
+    equality join on xxhash64(deletion variant) finds every candidate
+    with |s|+1 posting rows per string — never an all-pairs product.
+    The exact ``levenshtein`` post-filter (JVM built-in) removes the
+    false positives the shared-variant join admits (e.g. two strings
+    sharing only a deletion, ed = 2). Everything is pure column
+    expressions: the variant set is a ``transform`` over a
+    ``sequence`` of split points — no Python in the plan.
+
+    ``max_edit`` > 1 is intentionally unsupported: the deletion-
+    neighborhood blows up |s|^k and the verify S-curve flattens; for
+    looser matching use ``ngram_jaccard_pairs``/``minhash_lsh_pairs``
+    (documented trade, raised loudly).
+    """
+    if max_edit != 1:
+        raise NotImplementedError(
+            "edit_distance_pairs supports max_edit=1 (deletion-"
+            "neighborhood candidates); for coarser similarity use "
+            "ngram_jaccard_pairs or minhash_lsh_pairs"
+        )
+    s = F.col(text_col)
+    variants = F.array_union(
+        F.array(s),
+        F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.concat(
+                F.substring(s, F.lit(1), i - 1),
+                s.substr(i + 1, F.length(s)),
+            ),
+        ),
+    )
+    posting = df.select(
+        F.col(id_col), s.alias("__s"), F.explode(variants).alias("__v")
+    ).select(F.xxhash64("__v").alias("__vh"), id_col, "__s")
+    left = posting.select(
+        F.col("__vh"),
+        F.col(id_col).alias("id_a"),
+        F.col("__s").alias("__sa"),
+    )
+    right = posting.select(
+        F.col("__vh"),
+        F.col(id_col).alias("id_b"),
+        F.col("__s").alias("__sb"),
+    )
+    return (
+        left.join(right, "__vh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sa", "__sb")
+        .distinct()
+        .withColumn(
+            "edit_distance",
+            F.levenshtein(F.col("__sa"), F.col("__sb")).cast("long"),
+        )
+        .filter(F.col("edit_distance") <= max_edit)
+        .select("id_a", "id_b", "edit_distance")
+    )

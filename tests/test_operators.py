@@ -534,3 +534,57 @@ def test_incremental_dedup_delta_mode_is_o_batch(spark):
         batch, keys, "doc_id", ["text"], return_delta=True
     )
     assert kdelta.count() == 2  # one key per novel doc, not 202
+
+
+def test_edit_distance_pairs_complete_vs_brute(spark):
+    """Deletion-neighborhood candidates must find EVERY ed<=1 pair —
+    completeness is the property the SymSpell trick must earn, checked
+    against a brute-force python Levenshtein on adversarial strings
+    (shared deletions at ed=2, duplicates, empty-ish, unicode)."""
+    from reddit_etl_spark.operators.dedup import edit_distance_pairs
+
+    strings = [
+        "abc", "abd", "ab", "abcd", "bc", "xbc", "a", "b", "",
+        "abc",          # exact duplicate -> ed 0
+        "café", "cafe", "cafés",
+        "hello world", "hello-world", "helloworld",
+        "aaaa", "aaab", "abab",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "id long, s string"
+    )
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i] + [0] * len(b)
+            for j, cb in enumerate(b, 1):
+                cur[j] = min(
+                    prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)
+                )
+            prev = cur
+        return prev[-1]
+
+    want = sorted(
+        (i, j, lev(a, b))
+        for (i, a) in enumerate(strings)
+        for (j, b) in enumerate(strings)
+        if i < j and lev(a, b) <= 1
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.edit_distance)
+        for r in edit_distance_pairs(df, "id", "s").collect()
+    )
+    assert got == want
+    # plan shape: bucket join, no cartesian/broadcast-nested-loop
+    plan = (
+        edit_distance_pairs(df, "id", "s")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="max_edit=1"):
+        edit_distance_pairs(df, "id", "s", max_edit=2)
