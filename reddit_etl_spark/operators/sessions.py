@@ -149,8 +149,15 @@ def _sessionize_split(
     offsets = summ.select(
         *keys, "__b", (prior - F.col("__m")).alias("__off")
     )
+    # merge-join hint: the events side is ALREADY hash-partitioned on
+    # (keys, __b) by the window, so a sort-merge join reuses that
+    # exchange and only the small offsets frame shuffles — and the
+    # output keeps the skew-split (key, bucket) partitioning. Left to
+    # its own stats AQE can pick broadcast-EVENTS at toy scale (both
+    # sides tiny), which re-partitions the output by OFFSETS' per-key
+    # layout and silently re-serializes the whale key.
     return (
-        ev.join(offsets, [*keys, "__b"])
+        ev.join(offsets.hint("merge"), [*keys, "__b"])
         .withColumn("session_id", (F.col("__off") + F.col("__ls")).cast("long"))
         .select(*df.columns, "session_id")
     )
