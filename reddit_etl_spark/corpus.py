@@ -147,17 +147,40 @@ class Corpus:
             )
         )
 
+    def tokenize_bpe(
+        self, merges: list[tuple[str, str]] | None = None,
+        num_merges: int = 200,
+    ) -> "Corpus":
+        """Attach real-BPE token arrays + counts (``bpe_tokens`` /
+        ``bpe_token_count`` columns). ``merges=None`` trains on THIS
+        corpus first (one distributed word-frequency aggregate + a
+        bounded driver merge loop — an eager action); pass a
+        pre-trained merge list to stay fully lazy and to tokenize
+        consistently across corpora."""
+        from .operators.bpe import bpe_token_counts, train_bpe
+
+        if merges is None:
+            merges = train_bpe(self._df, self.text_col, num_merges=num_merges)
+        return self._with(
+            bpe_token_counts(self._df, self.text_col, merges)
+        )
+
     # -- terminal actions ---------------------------------------------
 
     def token_budget(self) -> DataFrame:
-        """(docs, tokens) summary of the surviving corpus."""
+        """(docs, tokens) summary of the surviving corpus. Uses the
+        real-BPE count column when :meth:`tokenize_bpe` ran earlier in
+        the chain, else the zero-Python regex approximation."""
         from .operators.text import token_count_col
 
+        tokens = (
+            F.col("bpe_token_count")
+            if "bpe_token_count" in self._df.columns
+            else token_count_col(F.col(self.text_col))
+        )
         return self._df.agg(
             F.count("*").alias("docs"),
-            F.sum(token_count_col(F.col(self.text_col)))
-            .cast("long")
-            .alias("tokens"),
+            F.sum(tokens).cast("long").alias("tokens"),
         )
 
     def pack(self, budget: int, group_col: str) -> DataFrame:

@@ -91,3 +91,31 @@ def test_bloom_method_superset(spark, docs):
     }
     # bloom flags a superset -> keeps a subset
     assert bloom_kept <= exact_kept
+
+
+def test_corpus_tokenize_bpe_chain(spark):
+    """tokenize_bpe slots into the fluent chain; token_budget then
+    sums the REAL BPE counts instead of the regex approximation."""
+    from reddit_etl_spark.corpus import Corpus
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "newer newest"), (3, "the fox")],
+        "doc_id long, text string",
+    )
+    c = Corpus(df, id_col="doc_id", text_col="text").tokenize_bpe(num_merges=10)
+    out = c.df
+    assert "bpe_tokens" in out.columns and "bpe_token_count" in out.columns
+    budget = c.token_budget().first()
+    assert budget.docs == 3
+    assert budget.tokens == out.agg(
+        F.sum("bpe_token_count")
+    ).first()[0]
+    # pre-trained merges keep the chain lazy and reproducible
+    from reddit_etl_spark.operators.bpe import train_bpe
+
+    merges = train_bpe(df, "text", num_merges=10)
+    c2 = Corpus(df, id_col="doc_id", text_col="text").tokenize_bpe(merges)
+    assert (
+        c2.df.select("doc_id", "bpe_tokens").collect()
+        == c.df.select("doc_id", "bpe_tokens").collect()
+    )
