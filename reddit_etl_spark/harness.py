@@ -173,6 +173,9 @@ _DEFERRED = [
     # round-4 entity resolution: exact edit-distance pairs, oracle is
     # the brute-force levenshtein cross join (completeness check)
     "fuzzy_name_pairs",
+    # round-4 training-data windowing: sliding-window chunking, oracle
+    # rebuilds the windows with DuckDB list slicing
+    "document_chunks",
 ]
 
 
@@ -1816,6 +1819,36 @@ def distinct_users_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("hll_within_5pct"),
     )
+
+
+@_q(
+    "document_chunks",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, toks,
+             GREATEST(1, CAST(CEIL((len(toks) - 8) / 24.0) AS BIGINT)) AS k
+      FROM t),
+    e AS (SELECT doc_id, toks, len(toks) AS n,
+                 UNNEST(range(k)) AS chunk_id FROM c)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           array_to_string(toks[(chunk_id*24+1):(chunk_id*24+32)], ' ')
+             AS chunk_text,
+           CAST(LEAST(32, n - chunk_id*24) AS BIGINT) AS chunk_token_count
+    FROM e
+    """,
+    doc="sliding-window document chunking (32-token windows, 8-token "
+    "overlap): sequence/transform/slice + ONE posexplode — no UDF, no "
+    "shuffle, chunks stream narrow off the scan; oracle rebuilds the "
+    "same windows with DuckDB list slicing",
+)
+def document_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
 
 
 @_q(

@@ -523,3 +523,53 @@ def split_sentences(
         .filter(F.length("sentence") > 0)
         .select(id_col, F.col("sentence_idx").cast("long"), "sentence")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Sliding-window document chunking — split long documents into
+    training-sized pieces of ``chunk_tokens`` whitespace tokens with
+    ``overlap`` tokens of context carried between consecutive chunks
+    (the standard pretraining/RAG windowing).
+
+    Pure column expressions end to end: tokenize once, build the
+    chunk index with ``sequence``/``transform``/``slice``, then ONE
+    ``posexplode`` — no UDFs, no shuffle (narrow on the scan), output
+    rows stream straight to the sink. A document shorter than
+    ``chunk_tokens`` yields exactly one chunk; every token appears in
+    at least one chunk; consecutive chunks share exactly ``overlap``
+    tokens (except possibly the last, which is the tail window).
+
+    Returns (id, chunk_id, chunk_text, chunk_token_count).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # number of stride-steps needed so the last window reaches the end
+    n_chunks = F.greatest(
+        F.lit(1),
+        (n - F.lit(overlap) + F.lit(stride) - 1).cast("long") / F.lit(stride),
+    ).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * stride + 1, chunk_tokens), " "
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+        .withColumn(
+            "chunk_token_count",
+            F.size(F.split(F.col("chunk_text"), r"\s+")).cast("long"),
+        )
+        .select(id_col, "chunk_id", "chunk_text", "chunk_token_count")
+    )

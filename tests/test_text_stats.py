@@ -186,3 +186,43 @@ def test_split_sentences(spark):
         (1, 2, "Third"),
         (2, 0, "no terminal punct"),
     ]
+
+
+def test_chunk_documents_window_invariants(spark):
+    """Every token lands in >=1 chunk; consecutive chunks overlap by
+    exactly `overlap` tokens; short docs yield one chunk; no UDF or
+    exchange in the plan."""
+    from reddit_etl_spark.operators.text import chunk_documents
+
+    texts = {
+        1: " ".join(f"t{i}" for i in range(23)),
+        2: "a b c",                                   # shorter than chunk
+        3: " ".join(f"x{i}" for i in range(10)),      # exactly one chunk
+        4: " ".join(f"y{i}" for i in range(17)),      # exact two-stride fit
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=10, overlap=3)
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_id))
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "a b c"
+    assert len(by_doc[3]) == 1
+    for doc_id, chunks in by_doc.items():
+        toks = texts[doc_id].split()
+        # coverage: concatenating de-overlapped chunks rebuilds the doc
+        rebuilt = chunks[0].chunk_text.split()
+        for prev, cur in zip(chunks, chunks[1:]):
+            p, c = prev.chunk_text.split(), cur.chunk_text.split()
+            stride = 10 - 3
+            assert p[stride:] == c[: len(p) - stride]  # shared context
+            rebuilt.extend(c[len(p) - stride:])
+        assert rebuilt == toks
+        for r in chunks:
+            assert r.chunk_token_count == len(r.chunk_text.split())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow off the scan
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=8, overlap=8)
