@@ -176,6 +176,9 @@ _DEFERRED = [
     # round-4 training-data windowing: sliding-window chunking, oracle
     # rebuilds the windows with DuckDB list slicing
     "document_chunks",
+    # round-4 lexical retrieval: BM25 scorer (hybrid-search partner to
+    # the ANN operators), oracle recomputes the full formula
+    "bm25_rank",
 ]
 
 
@@ -1819,6 +1822,43 @@ def distinct_users_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("hll_within_5pct"),
     )
+
+
+@_q(
+    "bm25_rank",
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks,
+             len(string_split_regex(trim(text), '\\s+')) AS dl
+      FROM documents),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM docs),
+    tf AS (
+      SELECT doc_id, dl, t, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, dl, UNNEST(toks) AS t FROM docs)
+      WHERE t IN ('data', 'model', 'training')
+      GROUP BY doc_id, dl, t),
+    dfreq AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY t)
+    SELECT tf.doc_id,
+           ROUND(SUM(
+             ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN dfreq USING (t) CROSS JOIN stats s
+    GROUP BY tf.doc_id
+    """,
+    doc="Okapi BM25 lexical ranking for a fixed 3-term query over the "
+    "documents corpus: postings filtered to query terms BEFORE any "
+    "shuffle, df/N/avgdl broadcast back, one groupBy for the score; "
+    "no top-k cut so the result set is boundary-deterministic for the "
+    "cross-engine hash",
+)
+def bm25_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import bm25_scores
+
+    docs = load(spark, sf_dir, "documents")
+    return bm25_scores(docs, "doc_id", "text", ["data", "model", "training"])
 
 
 @_q(

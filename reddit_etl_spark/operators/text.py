@@ -573,3 +573,65 @@ def chunk_documents(
         )
         .select(id_col, "chunk_id", "chunk_text", "chunk_token_count")
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every matching document for a bag of
+    query terms — the lexical-retrieval scorer that pairs with the
+    embedding ANN operators for hybrid search over a training corpus.
+
+    Whole plan is aggregations + broadcast joins of TINY frames:
+    the term-postings scan filters to the query terms BEFORE any
+    shuffle (per-(doc, term) tf rows exist only for query terms), the
+    per-term document frequencies and the corpus constants (N, avgdl)
+    are a handful of rows broadcast back, and the final score is one
+    groupBy over the filtered postings. Robertson-Sparck-Jones idf
+    with 0.5 smoothing, ln(1 + (N - df + 0.5) / (df + 0.5)).
+
+    Returns (id, bm25) for documents matching >= 1 term (no top-k cut:
+    callers rank/limit — keeps the result set boundary-deterministic
+    for cross-engine comparison).
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = df.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__dl"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__t"),
+    ).filter(F.col("__t").isin(terms))
+
+    stats = df.agg(
+        F.count("*").alias("__n"),
+        F.avg(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("__avgdl"),
+    )
+    tf = toks.groupBy(id_col, "__t", "__dl").agg(F.count("*").alias("__tf"))
+    dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "__t")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "__s",
+            F.col("__idf")
+            * (F.col("__tf") * (k1 + 1))
+            / (
+                F.col("__tf")
+                + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.sum("__s"), 6).alias("bm25")
+    )

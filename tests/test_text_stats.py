@@ -226,3 +226,42 @@ def test_chunk_documents_window_invariants(spark):
 
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, "doc_id", "text", chunk_tokens=8, overlap=8)
+
+
+def test_bm25_matches_reference_implementation(spark):
+    """Spark BM25 vs a direct python computation of the
+    Robertson-Sparck-Jones formula on a hand-sized corpus."""
+    import math
+
+    from reddit_etl_spark.operators.text import bm25_scores
+
+    corpus = {
+        1: "data model training data data",
+        2: "model serving pipeline",
+        3: "weather report sunny",
+        4: "training data for the model",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    q = ["data", "model", "training"]
+    got = {r.doc_id: r.bm25 for r in bm25_scores(df, "doc_id", "text", q).collect()}
+
+    n = len(corpus)
+    dls = {d: len(t.split()) for d, t in corpus.items()}
+    avgdl = sum(dls.values()) / n
+    dfreq = {t: sum(1 for txt in corpus.values() if t in txt.split()) for t in q}
+    want = {}
+    for d, txt in corpus.items():
+        s = 0.0
+        for t in q:
+            tf = txt.split().count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dls[d] / avgdl))
+        if s > 0:
+            want[d] = round(s, 6)
+    assert set(got) == set(want)  # doc 3 matches nothing -> absent
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-6, (d, got[d], want[d])
+    # heaviest term stuffing + repetition ranks doc 1 first
+    assert max(got, key=got.get) == 1
