@@ -179,6 +179,9 @@ _DEFERRED = [
     # round-4 lexical retrieval: BM25 scorer (hybrid-search partner to
     # the ANN operators), oracle recomputes the full formula
     "bm25_rank",
+    # round-4 composition: BM25 + cosine ANN fused by reciprocal rank
+    # fusion, both legs and the fusion recomputed in the oracle
+    "hybrid_search_rrf",
 ]
 
 
@@ -1859,6 +1862,112 @@ def bm25_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return bm25_scores(docs, "doc_id", "text", ["data", "model", "training"])
+
+
+@_q(
+    "hybrid_search_rrf",
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks,
+             len(string_split_regex(trim(text), '\\s+')) AS dl
+      FROM documents),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM docs),
+    tf AS (
+      SELECT doc_id, dl, t, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, dl, UNNEST(toks) AS t FROM docs)
+      WHERE t IN ('data', 'model', 'training')
+      GROUP BY doc_id, dl, t),
+    dfreq AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+    bm AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(
+               ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+             ), 6) AS bm25
+      FROM tf JOIN dfreq USING (t) CROSS JOIN stats s
+      GROUP BY tf.doc_id),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+      FROM bm QUALIFY lex_rank <= 20),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    cos AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(q.qv, e.v), 6) AS sim
+      FROM e CROSS JOIN q WHERE e.vec_id <> 0),
+    ann AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY sim DESC, doc_id) AS ann_rank
+      FROM cos QUALIFY ann_rank <= 20)
+    SELECT COALESCE(lex.doc_id, ann.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / (60 + lex_rank), 0)
+                 + COALESCE(1.0 / (60 + ann_rank), 0), 6) AS rrf,
+           CAST(COALESCE(lex_rank, -1) AS BIGINT) AS lex_rank,
+           CAST(COALESCE(ann_rank, -1) AS BIGINT) AS ann_rank
+    FROM lex FULL OUTER JOIN ann USING (doc_id)
+    """,
+    doc="hybrid retrieval: BM25 lexical top-20 fused with brute-cosine "
+    "ANN top-20 (query doc 0) via reciprocal rank fusion (k=60) — the "
+    "families composed end-to-end; ranks computed over ROUNDED scores "
+    "with id tie-breaks so the rank integers are engine-deterministic",
+)
+def hybrid_search_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.similarity import cosine_topk
+    from .operators.text import bm25_scores
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+
+    # top-20 via orderBy+limit FIRST (TakeOrderedAndProject — fully
+    # distributed), then the rank window runs over just those 20 rows
+    # instead of every matching document
+    lex = (
+        bm25_scores(docs, "doc_id", "text", ["data", "model", "training"])
+        .orderBy(F.desc("bm25"), F.col("doc_id"))
+        .limit(20)
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25"), F.col("doc_id"))
+            ),
+        )
+        .select("doc_id", "lex_rank")
+    )
+    ann = (
+        cosine_topk(
+            emb,
+            emb.filter(F.col("vec_id") == 0),
+            "vec_id",
+            "embedding",
+            "vec_id",
+            k=20,
+        )
+        .withColumn(
+            "ann_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cosine_sim"), F.col("neighbor_id"))
+            ),
+        )
+        .select(F.col("neighbor_id").alias("doc_id"), "ann_rank")
+    )
+    return (
+        lex.join(ann, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("ann_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+            F.coalesce(F.col("lex_rank"), F.lit(-1)).cast("long").alias("lex_rank"),
+            F.coalesce(F.col("ann_rank"), F.lit(-1)).cast("long").alias("ann_rank"),
+        )
+    )
 
 
 @_q(
