@@ -3,13 +3,26 @@
 Runs every registry query flagged ``headline`` (the representative mix:
 scans, joins, window, correlation, dedup, similarity, text profile,
 windowed events) on local[$SPARK_GRAFT_CPUS], forcing full execution
-with a count-collect, and prints ONE JSON line:
+with a count-collect, and prints ONE COMPACT JSON line:
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {"q01_overview": sec, ...}, "sf": 0.1}
+     "queries": {"q01_overview": sec, ...}, "n": 5, "stat": "median",
+     "sf": 0.1}
+
+The full per-rep detail (sorted ``runs`` arrays + ``best`` per query)
+is written to ``BENCH_DETAIL.json`` next to this file (override with
+$SPARK_GRAFT_BENCH_DETAIL), NOT printed: the driver captures a bounded
+tail of stdout, and round 4's detail-laden single line outgrew that
+window — the driver recorded ``parsed: null`` (VERDICT r4 finding #1).
+The stdout line carries only what the round record needs; the committed
+detail file carries the rest.
 
 A warmup pass on the smallest table absorbs JVM/session startup so the
-per-query numbers measure the plans, not the JIT.
+per-query numbers measure the plans, not the JIT. The FIRST measured
+query additionally gets one untimed throwaway rep: r3/r4 showed the
+first query position absorbing residual costs the generic warmup
+misses (q01 medians swung 0.35->0.52 s with identical plans,
+VERDICT r4 finding #2), so position is neutralized explicitly.
 """
 
 from __future__ import annotations
@@ -62,9 +75,12 @@ def main() -> int:
     timings: dict[str, float] = {}
     bests: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
-    for name, hq in registry().items():
-        if not hq.headline:
-            continue
+    headline = [(n, hq) for n, hq in registry().items() if hq.headline]
+    if headline:
+        # untimed throwaway rep of the first measured query: neutralize
+        # the first-query position effect (see module docstring)
+        headline[0][1].builder(spark, sf_dir).count()
+    for name, hq in headline:
         runs, rows = [], 0
         for _rep in range(n_reps):
             t0 = time.perf_counter()
@@ -81,8 +97,12 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    print(
-        json.dumps(
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "headline_queries_total",
                 "value": round(sum(timings.values()), 3),
@@ -90,6 +110,25 @@ def main() -> int:
                 "queries": timings,
                 "best": bests,
                 "runs": spreads,
+                "n": n_reps,
+                "stat": "median",
+                "sf": sf,
+            },
+            fh,
+            indent=1,
+        )
+        fh.write("\n")
+    print(f"# full runs/best detail -> {detail_path}", file=sys.stderr)
+
+    # the ONE driver-parsed stdout line: compact by design (no runs/
+    # best arrays — r4's line outgrew the driver's capture window)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
                 "n": n_reps,
                 "stat": "median",
                 "sf": sf,
