@@ -170,6 +170,7 @@ def merge_parquet(
     keys: Sequence[str],
     when_matched: str = "update",
     when_not_matched: str = "insert",
+    max_affected_files: int = 100_000,
 ) -> dict:
     """Row-level MERGE INTO on a plain-parquet table with FILE-LEVEL
     copy-on-write — the Delta/Iceberg ``MERGE`` shape without the
@@ -199,10 +200,18 @@ def merge_parquet(
     partitioned tables are refused (partition values live in
     directory names, not files; use :func:`upsert_partitioned`).
     Returns a stats dict (files total/rewritten, row deltas).
+
+    The affected-file list is collected to the driver (bounded by FILE
+    count, not row count); ``max_affected_files`` caps it — a merge
+    touching more files than that raises BEFORE any write or rename,
+    because at that point the merge is a table rewrite and
+    :func:`upsert_partitioned` (partition-key upsert) or a plain
+    overwrite is the right tool, not a million-entry driver array.
     """
     import os  # noqa: PLC0415
     import shutil  # noqa: PLC0415
     import uuid  # noqa: PLC0415
+    from urllib.parse import unquote, urlparse  # noqa: PLC0415
 
     from pyspark.sql import functions as F  # noqa: PLC0415
 
@@ -230,18 +239,30 @@ def merge_parquet(
 
     target = spark.read.parquet(f"file://{local}")
     keyed = target.withColumn("__file", F.input_file_name())
+    if max_affected_files < 1:
+        raise ValueError(f"max_affected_files must be >= 1, got {max_affected_files}")
     if when_matched == "ignore":
         # matched rows stay as-is: nothing to rewrite, inserts append
         affected_files = []
     else:
+        # limit(cap+1): the guard needs only "more than cap?" — never
+        # ship an unbounded file list to the driver just to count it
         affected_files = [
             r["__file"]
             for r in keyed.select(*keys, "__file")
             .join(src.select(*keys), keys, "left_semi")
             .select("__file")
             .distinct()
+            .limit(max_affected_files + 1)
             .collect()
         ]
+        if len(affected_files) > max_affected_files:
+            raise ValueError(
+                f"merge would rewrite more than {max_affected_files} files — "
+                "at that scale the merge is a table rewrite; use "
+                "upsert_partitioned (partition-key upsert) or a plain "
+                "overwrite, or raise max_affected_files explicitly"
+            )
     n_total_files = sum(
         1
         for root, _d, files in os.walk(local)
@@ -287,7 +308,12 @@ def merge_parquet(
             shutil.rmtree(d)
     os.makedirs(old)
     for f in affected_files:
-        p = f[len("file://"):] if f.startswith("file://") else f
+        # input_file_name() yields a URI: percent-encoded characters
+        # (spaces etc. in the table path) must be decoded before the
+        # OS-level rename, or the rename crashes mid-swap on perfectly
+        # valid local paths (advisor r4 #3)
+        u = urlparse(f)
+        p = unquote(u.path) if u.scheme else unquote(f)
         os.rename(p, os.path.join(old, os.path.basename(p)))
     n_rewritten = 0
     stamp = uuid.uuid4().hex[:8]

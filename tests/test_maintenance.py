@@ -320,6 +320,47 @@ def test_merge_parquet_guards(spark, tmp_path):
         )
 
 
+def test_merge_parquet_affected_file_cap(spark, tmp_path):
+    import glob as g
+
+    import pytest
+
+    from reddit_etl_spark.sinks.writers import merge_parquet
+
+    path = str(tmp_path / "t")
+    before = sorted(g.glob(f"{path}/*.parquet")) or _make_table(
+        spark, path, n_files=6, rows=120
+    )
+    # touch a key in every range file -> affected files > cap of 2
+    src = spark.createDataFrame(
+        [(k, 0, "u") for k in range(0, 120, 20)], "k long, grp long, val string"
+    )
+    with pytest.raises(ValueError, match="more than 2 files"):
+        merge_parquet(spark, path, src, ["k"], max_affected_files=2)
+    # the guard fired BEFORE any write or rename: table untouched
+    assert sorted(g.glob(f"{path}/*.parquet")) == before
+    assert {r.val for r in spark.read.parquet(path).collect()} == {"orig"}
+    with pytest.raises(ValueError, match="max_affected_files must be >= 1"):
+        merge_parquet(spark, path, src, ["k"], max_affected_files=0)
+    # a generous cap lets the same merge through
+    stats = merge_parquet(spark, path, src, ["k"], max_affected_files=100)
+    assert stats["rows_updated"] == 6
+
+
+def test_merge_parquet_percent_encoded_path(spark, tmp_path):
+    """input_file_name() URIs percent-encode spaces; the rename must
+    decode them or the swap crashes mid-merge (advisor r4 #3)."""
+    from reddit_etl_spark.sinks.writers import merge_parquet
+
+    path = str(tmp_path / "with space" / "t")
+    _make_table(spark, path, n_files=2, rows=40)
+    src = spark.createDataFrame([(3, 0, "upd")], "k long, grp long, val string")
+    stats = merge_parquet(spark, path, src, ["k"])
+    assert stats["rows_updated"] == 1
+    got = {r.k: r.val for r in spark.read.parquet(path).collect()}
+    assert got[3] == "upd" and len(got) == 40
+
+
 def test_merge_parquet_noop_touches_nothing(spark, tmp_path):
     from reddit_etl_spark.sinks.writers import merge_parquet
 
