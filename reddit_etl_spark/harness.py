@@ -191,6 +191,11 @@ _DEFERRED = [
     "dedup_exact",
     "daily_delta",
     "distinct_users_hll",
+    # round-5 additions: audit twin of hybrid_search_rrf (recorded) with
+    # the bucketed LSH ANN leg; postings-index BM25, path-equality twin
+    # of bm25_rank (recorded)
+    "hybrid_search_rrf_lsh",
+    "bm25_rank_indexed",
 ]
 
 
@@ -818,13 +823,16 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
       SELECT query_id, neighbor_id, cosine_sim,
              row_number() OVER (PARTITION BY query_id
-                                ORDER BY cosine_sim DESC, neighbor_id) AS rn
+                                ORDER BY ROUND(cosine_sim, 6) DESC,
+                                         neighbor_id) AS rn
       FROM scored)
     SELECT query_id, neighbor_id, ROUND(cosine_sim, 6) AS cosine_sim
     FROM ranked WHERE rn <= 5
     """,
     doc="exact brute-force cosine top-5 per query (queries = vec_id<10): "
-    "broadcast join + sequential-fold dot product + rank window",
+    "broadcast join + sequential-fold dot product + rank window; both "
+    "engines rank on ROUND(sim,6)+id so the top-k cut is boundary-"
+    "deterministic (advisor r4 #1)",
     headline=True,
 )
 def similarity_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -846,6 +854,17 @@ def _exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _EXACT_TOPK_CACHE.get(key)
     if df is None:
+        # evict entries from OTHER applications (advisor r4 #4): a
+        # module-level cache outlives SparkSessions, so stopped apps'
+        # entries would otherwise accumulate for the process lifetime.
+        # unpersist on a stopped session can throw — the blocks died
+        # with the app, so the drop is still correct.
+        for stale in [k for k in _EXACT_TOPK_CACHE if k[0] != key[0]]:
+            old = _EXACT_TOPK_CACHE.pop(stale)
+            try:
+                old.unpersist()
+            except Exception:  # noqa: BLE001 - session already stopped
+                pass
         emb = load(spark, sf_dir, "embeddings")
         df = cosine_topk(
             emb,
@@ -877,7 +896,8 @@ _TOPK_AUDIT_SQL = """
     ranked AS (
       SELECT query_id, ROUND(cosine_sim, 6) AS cs,
              row_number() OVER (PARTITION BY query_id
-                                ORDER BY cosine_sim DESC, neighbor_id) AS rn
+                                ORDER BY ROUND(cosine_sim, 6) DESC,
+                                         neighbor_id) AS rn
       FROM scored)
     SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
            ROUND(SUM(cs), 6) AS exact_sim_sum, TRUE AS recall_ok
@@ -1847,9 +1867,10 @@ def distinct_users_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "bm25_rank",
-    """
+#: the BM25 oracle recomputes the full Okapi formula from raw text;
+#: shared by bm25_rank (direct scorer) and bm25_rank_indexed (scores
+#: from a prebuilt postings/stats index — same truth by construction)
+_BM25_SQL = """
     WITH docs AS (
       SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks,
              len(string_split_regex(trim(text), '\\s+')) AS dl
@@ -1870,7 +1891,12 @@ def distinct_users_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            ), 6) AS bm25
     FROM tf JOIN dfreq USING (t) CROSS JOIN stats s
     GROUP BY tf.doc_id
-    """,
+    """
+
+
+@_q(
+    "bm25_rank",
+    _BM25_SQL,
     doc="Okapi BM25 lexical ranking for a fixed 3-term query over the "
     "documents corpus: postings filtered to query terms BEFORE any "
     "shuffle, df/N/avgdl broadcast back, one groupBy for the score; "
@@ -1885,8 +1911,30 @@ def bm25_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "hybrid_search_rrf",
-    """
+    "bm25_rank_indexed",
+    _BM25_SQL,
+    doc="BM25 from a prebuilt postings/stats index (build_bm25_index + "
+    "bm25_from_index) — the repeated-retrieval shape at 100 TB: a "
+    "persisted term-partitioned postings table turns each query into a "
+    "|terms|-partition scan instead of a corpus scan. Same oracle as "
+    "bm25_rank: the index path must reproduce the direct scorer "
+    "bit-for-bit at 6 decimals",
+)
+def bm25_rank_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import bm25_from_index, build_bm25_index
+
+    docs = load(spark, sf_dir, "documents")
+    postings, stats = build_bm25_index(docs, "doc_id", "text")
+    return bm25_from_index(
+        postings, stats, "doc_id", ["data", "model", "training"]
+    )
+
+
+#: the hybrid-RRF oracle recomputes BOTH legs exactly (BM25 formula +
+#: brute cosine) and the fusion; shared by the exact query and the
+#: bucketed-ANN audit twin (which compares the same exact fusion and
+#: folds the bucketed leg's recall into an audited boolean)
+_HYBRID_RRF_SQL = """
     WITH docs AS (
       SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks,
              len(string_split_regex(trim(text), '\\s+')) AS dl
@@ -1928,66 +1976,68 @@ def bm25_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COALESCE(lex_rank, -1) AS BIGINT) AS lex_rank,
            CAST(COALESCE(ann_rank, -1) AS BIGINT) AS ann_rank
     FROM lex FULL OUTER JOIN ann USING (doc_id)
-    """,
+    """
+
+
+def _hybrid_exact_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-cosine top-20 for query doc 0 — the hybrid ANN leg's
+    correctness baseline, shared by the exact and bucketed variants."""
+    from .operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        emb,
+        emb.filter(F.col("vec_id") == 0),
+        "vec_id",
+        "embedding",
+        "vec_id",
+        k=20,
+    )
+
+
+@_q(
+    "hybrid_search_rrf",
+    _HYBRID_RRF_SQL,
     doc="hybrid retrieval: BM25 lexical top-20 fused with brute-cosine "
     "ANN top-20 (query doc 0) via reciprocal rank fusion (k=60) — the "
     "families composed end-to-end; ranks computed over ROUNDED scores "
     "with id tie-breaks so the rank integers are engine-deterministic",
 )
 def hybrid_search_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from .operators.retrieval import rrf_fuse
+    from .operators.text import bm25_scores
 
-    from .operators.similarity import cosine_topk
+    docs = load(spark, sf_dir, "documents")
+    lex = bm25_scores(docs, "doc_id", "text", ["data", "model", "training"])
+    return rrf_fuse(lex, _hybrid_exact_ann(spark, sf_dir), k=20)
+
+
+@_q(
+    "hybrid_search_rrf_lsh",
+    f"SELECT base.*, TRUE AS ann_recall_ok FROM ({_HYBRID_RRF_SQL}) base",
+    doc="hybrid retrieval with the BUCKETED ANN leg (sign-LSH, the "
+    "100 TB path — production call: retrieval.hybrid_search(ann='lsh')): "
+    "the compared frame is the exact fusion the oracle can recompute, "
+    "with the LSH leg's top-20 recall vs the brute leg folded into "
+    "ann_recall_ok (>=10/20 pinned TRUE oracle-side) — the "
+    "similarity_topk_lsh audit pattern applied to the composition",
+)
+def hybrid_search_rrf_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.retrieval import rrf_fuse, topk_id_recall
+    from .operators.similarity import lsh_topk
     from .operators.text import bm25_scores
 
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
-
-    # top-20 via orderBy+limit FIRST (TakeOrderedAndProject — fully
-    # distributed), then the rank window runs over just those 20 rows
-    # instead of every matching document
-    lex = (
-        bm25_scores(docs, "doc_id", "text", ["data", "model", "training"])
-        .orderBy(F.desc("bm25"), F.col("doc_id"))
-        .limit(20)
-        .withColumn(
-            "lex_rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("bm25"), F.col("doc_id"))
-            ),
-        )
-        .select("doc_id", "lex_rank")
+    exact = _hybrid_exact_ann(spark, sf_dir)
+    approx = lsh_topk(
+        emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", "vec_id", k=20
     )
-    ann = (
-        cosine_topk(
-            emb,
-            emb.filter(F.col("vec_id") == 0),
-            "vec_id",
-            "embedding",
-            "vec_id",
-            k=20,
-        )
-        .withColumn(
-            "ann_rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("cosine_sim"), F.col("neighbor_id"))
-            ),
-        )
-        .select(F.col("neighbor_id").alias("doc_id"), "ann_rank")
+    flag = topk_id_recall(exact, approx, min_hits=10).withColumnRenamed(
+        "recall_ok", "ann_recall_ok"
     )
-    return (
-        lex.join(ann, "doc_id", "full_outer")
-        .select(
-            "doc_id",
-            F.round(
-                F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
-                + F.coalesce(1.0 / (60 + F.col("ann_rank")), F.lit(0.0)),
-                6,
-            ).alias("rrf"),
-            F.coalesce(F.col("lex_rank"), F.lit(-1)).cast("long").alias("lex_rank"),
-            F.coalesce(F.col("ann_rank"), F.lit(-1)).cast("long").alias("ann_rank"),
-        )
-    )
+    lex = bm25_scores(docs, "doc_id", "text", ["data", "model", "training"])
+    return rrf_fuse(lex, exact, k=20).crossJoin(F.broadcast(flag))
 
 
 @_q(

@@ -60,6 +60,14 @@ def cosine_topk(
     construction) -> narrow cosine projection -> per-query rank window.
     The only shuffle is the window partition on query_id; corpus is
     scanned once. Self-matches (same id) are excluded.
+
+    The rank window (here and in every top-k sibling) orders on
+    ROUND(cosine_sim, 6) with an id tie-break, NOT the raw double: a
+    near-tie at the rank-k boundary whose two sims differ only past
+    the 6th decimal would otherwise be cut differently by engines
+    whose float summation order differs (advisor r4 #1) — rounding
+    first makes the cut decision identical wherever the engines agree
+    to 6 decimals, which is the repo-wide float-compare contract.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
@@ -73,7 +81,7 @@ def cosine_topk(
         .select("query_id", "neighbor_id", "cosine_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
+        F.desc(F.round("cosine_sim", 6)), F.asc("neighbor_id")
     )
     return (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -209,7 +217,7 @@ def lsh_topk(
         .withColumn("cosine_sim", cosine_col(F.col("__qv"), F.col("__cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
+        F.desc(F.round("cosine_sim", 6)), F.asc("neighbor_id")
     )
     return (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -312,7 +320,7 @@ def ivf_topk(
         .withColumn("cosine_sim", cosine_col(F.col("__qv"), F.col("__cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
+        F.desc(F.round("cosine_sim", 6)), F.asc("neighbor_id")
     )
     return (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -450,7 +458,7 @@ def cosine_topk_quantized(
         .select("query_id", "neighbor_id", "cosine_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
+        F.desc(F.round("cosine_sim", 6)), F.asc("neighbor_id")
     )
     return (
         scored.withColumn("__rn", F.row_number().over(w))

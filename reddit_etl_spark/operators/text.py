@@ -635,3 +635,80 @@ def bm25_scores(
     return scored.groupBy(id_col).agg(
         F.round(F.sum("__s"), 6).alias("bm25")
     )
+
+
+def build_bm25_index(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistable BM25 index for a fixed corpus: the
+    repeated-retrieval shape at 100 TB. :func:`bm25_scores` recomputes
+    tf/df from raw text on every call — fine for one-off scoring,
+    wrong for a search deployment where thousands of queries hit the
+    same corpus. Scoring from the index scans the postings of the 3
+    query terms (partition-pruned when the postings are written
+    ``partitionBy('term')``, or min/max-pruned under a term-sorted
+    range layout), never the corpus.
+
+    Returns ``(postings, stats)``:
+    - ``postings``: one row per (term, doc) — (term, <id_col>, tf, dl).
+    - ``stats``: one row per term — (term, df_t, n_docs, avgdl); the
+      corpus constants ride along denormalized so a query needs no
+      third table (a handful of bytes per term).
+
+    Both are plain DataFrames: persist with any writer (the natural
+    layout is ``postings.write.partitionBy('term')`` for pruning, and
+    stats as-is — it is |vocab| rows).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("dl"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    postings = toks.groupBy("term", id_col, "dl").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    corpus = df.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("avgdl"),
+    )
+    stats = (
+        postings.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df_t"))
+        .crossJoin(F.broadcast(corpus))
+    )
+    return postings.select("term", id_col, "tf", "dl"), stats
+
+
+def bm25_from_index(
+    postings: DataFrame,
+    stats: DataFrame,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 from a prebuilt :func:`build_bm25_index` index —
+    path-equal to :func:`bm25_scores` on the same corpus (same idf
+    smoothing, same k1/b folding, same 6-decimal rounding), but the
+    only scan is ``|terms|`` postings partitions plus a broadcast of
+    ``|terms|`` stats rows. Returns (id, bm25)."""
+    terms = [t.lower() for t in query_terms]
+    tf = postings.filter(F.col("term").isin(terms))
+    st = stats.filter(F.col("term").isin(terms))
+    scored = (
+        tf.join(F.broadcast(st), "term")
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+            ),
+        )
+        .withColumn(
+            "__s",
+            F.col("__idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return scored.groupBy(id_col).agg(F.round(F.sum("__s"), 6).alias("bm25"))

@@ -265,3 +265,92 @@ def test_bm25_matches_reference_implementation(spark):
         assert abs(got[d] - want[d]) < 1e-6, (d, got[d], want[d])
     # heaviest term stuffing + repetition ranks doc 1 first
     assert max(got, key=got.get) == 1
+
+
+def test_bm25_index_path_equals_direct_scorer(spark, tmp_path):
+    """bm25_from_index over a PERSISTED build_bm25_index output must
+    reproduce bm25_scores exactly — the repeated-retrieval contract
+    (score from the index, never rescan the corpus)."""
+    from reddit_etl_spark.operators.text import (
+        bm25_from_index,
+        bm25_scores,
+        build_bm25_index,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "data model training data data"),
+            (2, "model serving pipeline"),
+            (3, "weather report sunny"),
+            (4, "training data for the model"),
+            (5, "   "),  # whitespace-only doc: counted in N/avgdl only
+        ],
+        "doc_id long, text string",
+    )
+    q = ["data", "model", "training"]
+    postings, stats = build_bm25_index(df, "doc_id", "text")
+    # round-trip through parquet, term-partitioned (the deployment
+    # layout: a 3-term query scans 3 partitions, not the corpus)
+    postings.write.partitionBy("term").parquet(str(tmp_path / "postings"))
+    stats.write.parquet(str(tmp_path / "stats"))
+    p2 = spark.read.parquet(str(tmp_path / "postings"))
+    s2 = spark.read.parquet(str(tmp_path / "stats"))
+
+    direct = {r.doc_id: r.bm25 for r in bm25_scores(df, "doc_id", "text", q).collect()}
+    indexed = {
+        r.doc_id: r.bm25
+        for r in bm25_from_index(p2, s2, "doc_id", q).collect()
+    }
+    assert indexed == direct and len(direct) > 0
+    # term partition pruning reaches the scan: only query-term dirs read
+    plan = bm25_from_index(
+        p2, s2, "doc_id", q
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "term IN (data,model,training)" in plan or "PartitionFilters" in plan
+
+
+def test_hybrid_search_ann_dispatch(spark):
+    """retrieval.hybrid_search fuses BM25 + ANN; the bucketed legs
+    ('lsh'/'ivf') must return the same schema as the exact leg and
+    rank fused docs plausibly (exact-leg parity checked where the
+    candidate sets align)."""
+    import numpy as np
+    import pytest
+
+    from reddit_etl_spark.operators.retrieval import hybrid_search
+
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(30, 8)).tolist()
+    docs = spark.createDataFrame(
+        [(i, "data model training" if i % 3 == 0 else "weather sunny")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = hybrid_search(
+        docs, emb, "doc_id", "text", ["data", "model"], "vec_id",
+        "embedding", 0, k=5, ann="exact",
+    )
+    cols = ["doc_id", "rrf", "lex_rank", "ann_rank"]
+    assert exact.columns == cols
+    er = exact.collect()
+    assert 0 < len(er) <= 10  # two k=5 legs, overlap possible
+    for alg in ("lsh", "ivf"):
+        out = hybrid_search(
+            docs, emb, "doc_id", "text", ["data", "model"], "vec_id",
+            "embedding", 0, k=5, ann=alg,
+        )
+        assert out.columns == cols
+        rows = out.collect()
+        # the lex leg is deterministic: its ranked docs appear identically
+        lex_exact = {r.doc_id: r.lex_rank for r in er if r.lex_rank > 0}
+        lex_alg = {r.doc_id: r.lex_rank for r in rows if r.lex_rank > 0}
+        assert lex_alg == lex_exact
+    with pytest.raises(ValueError, match="ann must be one of"):
+        hybrid_search(
+            docs, emb, "doc_id", "text", ["data"], "vec_id",
+            "embedding", 0, ann="hnsw",
+        )
