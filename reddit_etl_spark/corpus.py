@@ -147,6 +147,25 @@ class Corpus:
             )
         )
 
+    def chunk(self, chunk_tokens: int = 512, overlap: int = 64) -> "Corpus":
+        """Re-window the corpus into sliding chunks (zero-UDF,
+        zero-shuffle — see ``chunk_documents``). The resulting Corpus
+        is keyed by a composite ``chunk_uid`` (``<id>#<chunk_id>``)
+        with ``chunk_text`` as its text column, so every downstream
+        step (dedup, decontaminate, bm25, ...) composes over chunks
+        exactly as it does over documents; the original ``<id>`` and
+        ``chunk_id`` columns ride along for provenance."""
+        from .operators.text import chunk_documents
+
+        chunks = chunk_documents(
+            self._df, self.id_col, self.text_col,
+            chunk_tokens=chunk_tokens, overlap=overlap,
+        ).withColumn(
+            "chunk_uid",
+            F.concat_ws("#", F.col(self.id_col).cast("string"), F.col("chunk_id")),
+        )
+        return Corpus(chunks, id_col="chunk_uid", text_col="chunk_text")
+
     def tokenize_bpe(
         self, merges: list[tuple[str, str]] | None = None,
         num_merges: int = 200,
@@ -163,6 +182,57 @@ class Corpus:
             merges = train_bpe(self._df, self.text_col, num_merges=num_merges)
         return self._with(
             bpe_token_counts(self._df, self.text_col, merges)
+        )
+
+    # -- retrieval actions --------------------------------------------
+
+    def bm25(
+        self, terms: list[str], k1: float = 1.2, b: float = 0.75
+    ) -> DataFrame:
+        """Okapi BM25 scores of the surviving corpus for one term bag:
+        (id, bm25), no top-k cut. For repeated retrieval over a FROZEN
+        corpus, persist :meth:`bm25_index` once instead."""
+        from .operators.text import bm25_scores
+
+        return bm25_scores(
+            self._df, self.id_col, self.text_col, terms, k1=k1, b=b
+        )
+
+    def bm25_index(self) -> tuple[DataFrame, DataFrame]:
+        """(postings, stats) index frames for this corpus — persist
+        with ``postings.write.partitionBy('term')`` and score via
+        ``bm25_from_index`` without rescanning text."""
+        from .operators.text import build_bm25_index
+
+        return build_bm25_index(self._df, self.id_col, self.text_col)
+
+    def hybrid_search(
+        self,
+        emb: DataFrame,
+        terms: list[str],
+        query_vec_id,
+        vec_id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        k: int = 20,
+        ann: str = "exact",
+        **ann_kwargs,
+    ) -> DataFrame:
+        """BM25 + vector-ANN retrieval fused by RRF over the surviving
+        corpus (``ann='lsh'``/``'ivf'`` for the bucketed legs).
+        ``emb`` must share its id space with this corpus's id column;
+        embeddings of documents filtered out earlier in the chain are
+        dropped from the vector leg so both legs search the same
+        survivors."""
+        from .operators.retrieval import hybrid_search
+
+        surviving = emb.join(
+            self._df.select(F.col(self.id_col).alias(vec_id_col)),
+            vec_id_col,
+            "left_semi",
+        )
+        return hybrid_search(
+            self._df, surviving, self.id_col, self.text_col, terms,
+            vec_id_col, vec_col, query_vec_id, k=k, ann=ann, **ann_kwargs,
         )
 
     # -- terminal actions ---------------------------------------------

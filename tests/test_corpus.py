@@ -119,3 +119,81 @@ def test_corpus_tokenize_bpe_chain(spark):
         c2.df.select("doc_id", "bpe_tokens").collect()
         == c.df.select("doc_id", "bpe_tokens").collect()
     )
+
+
+def test_corpus_chunk_dedup_search_chain(spark):
+    """The round-5 retrieval chain: chunk -> dedup -> bm25/hybrid
+    search, every step the same facade verbs as the document-level
+    chain (chunk() re-keys on chunk_uid/chunk_text)."""
+    import numpy as np
+
+    from reddit_etl_spark.operators.text import bm25_scores, chunk_documents
+
+    long_a = " ".join(["data model training"] * 20)  # 60 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, long_a),
+            (1, long_a),  # exact dup of doc 0 -> identical chunks
+            (2, "weather report sunny and short"),
+        ],
+        "doc_id long, text string",
+    )
+    c = Corpus(docs).chunk(chunk_tokens=16, overlap=4).dedup_exact()
+    out = c.df
+    assert c.id_col == "chunk_uid" and c.text_col == "chunk_text"
+    # provenance columns survive the chain
+    assert {"doc_id", "chunk_id", "chunk_uid", "chunk_text"} <= set(out.columns)
+    # dedup collapsed doc 1's chunks into doc 0's (identical windows) —
+    # and the periodic text also collapses doc 0's internal repeats, so
+    # the survivors are exactly doc 0's DISTINCT window texts
+    n_distinct_windows = (
+        chunk_documents(docs.filter("doc_id = 0"), "doc_id", "text", 16, 4)
+        .select("chunk_text")
+        .distinct()
+        .count()
+    )
+    surviving_docs = {r.doc_id for r in out.select("doc_id").distinct().collect()}
+    assert surviving_docs == {0, 2}
+    assert out.filter("doc_id = 0").count() == n_distinct_windows
+
+    # bm25 over the chunk corpus matches the direct scorer on c.df
+    scores = {r.chunk_uid: r.bm25 for r in c.bm25(["data", "model"]).collect()}
+    direct = {
+        r.chunk_uid: r.bm25
+        for r in bm25_scores(out, "chunk_uid", "chunk_text", ["data", "model"]).collect()
+    }
+    assert scores == direct and len(scores) > 0
+    # index form agrees too
+    from reddit_etl_spark.operators.text import bm25_from_index
+
+    postings, stats = c.bm25_index()
+    via_index = {
+        r.chunk_uid: r.bm25
+        for r in bm25_from_index(postings, stats, "chunk_uid", ["data", "model"]).collect()
+    }
+    assert via_index == direct
+
+
+def test_corpus_hybrid_search_drops_filtered_embeddings(spark):
+    """Corpus.hybrid_search restricts the vector leg to chain
+    survivors, so a doc dropped upstream cannot reappear via ANN."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(12, 6))
+    docs = spark.createDataFrame(
+        [(i, "data model training useful text here") for i in range(10)]
+        + [(10, "x" * 400), (11, "data model training useful text here")],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    c = Corpus(docs).quality_filter(min_tokens=5, max_punct_ratio=0.1)
+    kept = {r.doc_id for r in c.df.select("doc_id").collect()}
+    assert 10 not in kept  # the punctuation-free x-wall fails the gate
+    fused = c.hybrid_search(emb, ["data", "model"], query_vec_id=0, k=8)
+    fused_docs = {r.doc_id for r in fused.collect()}
+    assert 10 not in fused_docs and len(fused_docs) > 0
+    assert fused.columns == ["doc_id", "rrf", "lex_rank", "ann_rank"]
