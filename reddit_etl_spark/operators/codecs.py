@@ -389,12 +389,20 @@ class _BitReader:
         self.pos = pos
         self.acc = 0
         self.n = 0
+        # pad bits appended since the last restart: real bits are
+        # served out of acc strictly before pads (FIFO), so the pads
+        # actually CONSUMED by the decoder are max(0, pad_in - n) —
+        # lets the scan loop distinguish legal trailing 1-padding
+        # (<= 7 bits) from decoding whole blocks out of pad garbage
+        # after a premature marker/EOF (advisor r4 #5)
+        self.pad_in = 0
 
     def _fill(self) -> None:
         while self.n <= 24:
             if self.pos >= len(self.data):
                 self.acc = (self.acc << 8) | 0xFF  # pad past EOI
                 self.n += 8
+                self.pad_in += 8
                 continue
             b = self.data[self.pos]
             if b == 0xFF:
@@ -415,11 +423,18 @@ class _BitReader:
                     # leave pos AT the marker for the scan-end search
                     self.acc = (self.acc << 8) | 0xFF
                     self.n += 8
+                    self.pad_in += 8
                     continue
             else:
                 self.pos += 1
             self.acc = (self.acc << 8) | b
             self.n += 8
+
+    @property
+    def pad_bits_consumed(self) -> int:
+        """1-padding bits the decoder has actually read (not merely
+        pre-filled into acc) since the last restart."""
+        return max(0, self.pad_in - self.n)
 
     def bits(self, k: int) -> int:
         if k == 0:
@@ -444,6 +459,10 @@ class _BitReader:
         """Byte-align and consume an RSTn marker."""
         self.acc = 0
         self.n = 0
+        # the discarded acc may hold pre-filled pads from the RSTn
+        # marker itself; alignment padding before a restart is legal,
+        # so pad accounting starts fresh per restart interval
+        self.pad_in = 0
         while self.pos + 1 < len(self.data):
             if (
                 self.data[self.pos] == 0xFF
@@ -633,6 +652,18 @@ def _decode_scan(
             eobrun = _scan_block(
                 reader, blk, c0, Ss, Se, Ah, Al, preds, eobrun
             )
+    if Ss == 0 and Se == 63 and reader.pad_bits_consumed > 7:
+        # SEQUENTIAL scan only (progressive bands may legally decode
+        # trailing units from zero bits via EOB runs): every baseline
+        # block reads at least a DC code, so consuming more than one
+        # byte-alignment's worth (7 bits) of 1-padding means the
+        # entropy data ended before the last MCU — a truncated or
+        # corrupt stream that was silently decoding garbage from pad
+        # bits (advisor r4 #5), not a valid scan
+        raise UnsupportedMediaError(
+            "JPEG entropy segment ended before the last MCU "
+            "(truncated or corrupt scan)"
+        )
     return _next_marker(data, reader.pos)
 
 

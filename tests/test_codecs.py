@@ -607,6 +607,69 @@ def test_jpeg_unsupported_sof_and_corrupt_rejected():
         pass
 
 
+def test_jpeg_baseline_truncated_mid_scan_dead_letters():
+    """A baseline stream whose entropy segment ends (EOI appears)
+    before the last MCU must dead-letter, not silently decode the
+    remaining blocks from 1-padding (advisor r4 #5). Progressive
+    multi-scan streams keep their marker-terminated scans working."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    enc = codecs.encode_jpeg(img, quality=95)
+    sos = enc.find(b"\xff\xda")
+    entropy_start = sos + 2 + int.from_bytes(enc[sos + 2 : sos + 4], "big")
+    entropy_end = len(enc) - 2  # strip EOI
+    assert entropy_end - entropy_start > 200
+    # keep only the first quarter of the entropy data, then EOI.
+    # With the standard tables the 1-padding usually trips "invalid
+    # huffman code"; the MCU-count guard is the net for tables/offsets
+    # where pads decode as VALID symbols — either way: dead-letter.
+    cut = entropy_start + (entropy_end - entropy_start) // 4
+    mangled = enc[:cut] + b"\xff\xd9"
+    with pytest.raises(
+        UnsupportedMediaError,
+        match="before the last MCU|invalid huffman|AC overflow",
+    ):
+        codecs.decode_jpeg(mangled)
+    # the untouched stream still decodes, as does a progressive one
+    codecs.decode_jpeg(enc)
+    codecs.decode_jpeg(codecs.encode_jpeg(img, quality=95, progressive=True))
+
+
+def test_bitreader_pad_accounting():
+    """pad_bits_consumed distinguishes pre-filled pads (lookahead in
+    acc) from pads the decoder actually READ, and restart() resets the
+    per-interval accounting — the bookkeeping behind the truncated-
+    baseline guard."""
+    from reddit_etl_spark.operators.codecs import _BitReader
+
+    # 2 real bytes then EOF: reading 16 bits consumes no pads even
+    # though _fill pre-loaded pad bytes into acc
+    r = _BitReader(b"\xab\xcd", 0)
+    assert r.bits(16) == 0xABCD
+    assert r.pad_bits_consumed == 0
+    # 7 more bits: legal trailing-padding territory
+    assert r.bits(7) == 0b1111111
+    assert r.pad_bits_consumed == 7
+    # an eighth pad bit crosses into garbage-decode territory
+    r.bits(1)
+    assert r.pad_bits_consumed == 8
+
+    # a marker mid-stream pads exactly like EOF
+    r2 = _BitReader(b"\xab\xff\xd9\x00", 1 - 1)
+    assert r2.bits(8) == 0xAB
+    r2.bits(8)
+    assert r2.pad_bits_consumed == 8
+
+    # restart() resets the interval accounting
+    r3 = _BitReader(b"\xab\xff\xd0\xcd", 0)
+    r3.bits(8)
+    r3.bits(4)  # 4 pad bits consumed at the interval tail
+    assert r3.pad_bits_consumed == 4
+    r3.restart()
+    assert r3.pad_bits_consumed == 0
+    assert r3.bits(8) == 0xCD
+
+
 @pytest.mark.parametrize("sub", ["444", "422", "420"])
 @pytest.mark.parametrize("ri", [0, 3])
 def test_jpeg_progressive_equals_baseline(sub, ri):
