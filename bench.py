@@ -122,19 +122,25 @@ def main() -> int:
 
     # the ONE driver-parsed stdout line: compact by design (no runs/
     # best arrays — r4's line outgrew the driver's capture window)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "n": n_reps,
-                "stat": "median",
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "n": n_reps,
+            "stat": "median",
+            "sf": sf,
+        }
     )
+    # hard guard on the driver contract: a line past the capture
+    # window silently loses the round's perf record (r4 parsed=null).
+    # ~18 queries ≈ 600 chars today; 4096 leaves ~6x headroom.
+    assert len(line) < 4096, (
+        f"bench stdout line {len(line)} chars — would overflow the "
+        "driver capture window; move detail to BENCH_DETAIL.json"
+    )
+    print(line)
     return 0
 
 

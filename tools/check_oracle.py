@@ -5,7 +5,13 @@ Runs every ``__spark_entry__.queries()`` entry through Spark and its
 compares row count, column names/types, and an order-insensitive
 value hash (floats canonicalized to 9 decimals, per FIXTURES.md).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json=FILE] [sf_dir] [query ...]
+
+``--json=FILE`` additionally writes a driver-record-shaped JSON map
+(name -> rows/schema/hash match booleans + row counts) — used to
+commit full-surface oracle runs at larger SFs as round artifacts
+(judge r4 next-round #3: sf0.01 truth is trivial for a few queries;
+an sf0.1 record pins them on non-trivial outputs).
 """
 
 from __future__ import annotations
@@ -49,8 +55,15 @@ def table_hash(rows, colnames) -> tuple[int, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_path = None
+    for a in list(args):
+        if a.startswith("--json="):
+            json_path = a.split("=", 1)[1]
+            args.remove(a)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    record: dict[str, dict] = {}
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -72,10 +85,12 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            record[name] = {"err": f"spark: {e}"[:300]}
             continue
         if name not in oracles:
             print(f"ok?  {name}: rows-only (no oracle) rows={len(srows)} "
                   f"[{time.time()-t0:.1f}s]")
+            record[name] = {"rows_only": True, "spark_rows": len(srows), "err": None}
             continue
         try:
             rel = con.execute(oracles[name])
@@ -84,10 +99,19 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
+            record[name] = {"err": f"duckdb: {e}"[:300]}
             continue
         sn, sh = table_hash(srows, scols)
         on, oh = table_hash(orows, ocols)
         ok = sn == on and sh == oh and sorted(scols) == sorted(ocols)
+        record[name] = {
+            "rows_match": sn == on,
+            "schema_match": sorted(scols) == sorted(ocols),
+            "hash_match": sh == oh,
+            "spark_rows": sn,
+            "oracle_rows": on,
+            "err": None,
+        }
         status = "PASS" if ok else "FAIL"
         print(
             f"{status} {name}: spark={sn}/{sh} oracle={on}/{oh} "
@@ -104,6 +128,13 @@ def main() -> int:
                     print(f"     spark-only:  {r}")
                 for r in list(oset - sset)[:3]:
                     print(f"     oracle-only: {r}")
+    if json_path:
+        import json  # noqa: PLC0415
+
+        with open(json_path, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "results": record}, fh, indent=1)
+            fh.write("\n")
+        print(f"# wrote {json_path}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
