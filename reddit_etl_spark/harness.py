@@ -196,6 +196,9 @@ _DEFERRED = [
     # of bm25_rank (recorded)
     "hybrid_search_rrf_lsh",
     "bm25_rank_indexed",
+    # round-5 new capabilities (deferred until the end-of-round
+    # rotation decision; all oracle-checked by tools/check_oracle.py)
+    "bigram_perplexity",
 ]
 
 
@@ -1494,6 +1497,57 @@ def unigram_quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     out = unigram_logprob_score(docs, "doc_id", "text", vocab_size=100)
     return out
+
+
+@_q(
+    "bigram_perplexity",
+    r"""
+    WITH n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+      FROM documents),
+    arrs AS (SELECT doc_id, string_split(nt, ' ') AS a FROM n),
+    tok AS (SELECT doc_id, unnest(a) AS term FROM arrs),
+    tok2 AS (SELECT * FROM tok WHERE length(term) > 0),
+    uni AS (SELECT term, COUNT(*) AS tf FROM tok2 GROUP BY term),
+    vocab AS (SELECT term FROM uni ORDER BY tf DESC, term LIMIT 100),
+    vd AS (SELECT CAST(COUNT(DISTINCT CASE WHEN v.term IS NULL
+                   THEN '<unk>' ELSE t.term END) AS DOUBLE) AS vd
+           FROM tok2 t LEFT JOIN vocab v USING (term)),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(a) - 1, 0) + 1),
+                         i -> {'w1': a[i], 'w2': a[i + 1]})) AS p
+           FROM arrs),
+    bg2 AS (SELECT doc_id, p.w1 AS w1r, p.w2 AS w2r FROM bg),
+    bgm AS (SELECT doc_id,
+                   CASE WHEN v1.term IS NULL THEN '<unk>' ELSE w1r END AS w1,
+                   CASE WHEN v2.term IS NULL THEN '<unk>' ELSE w2r END AS w2
+            FROM bg2 LEFT JOIN vocab v1 ON v1.term = bg2.w1r
+                     LEFT JOIN vocab v2 ON v2.term = bg2.w2r),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c12
+            FROM bgm GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c1 FROM bgm GROUP BY w1),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             ROUND(ROUND(SUM(ln((c12.c12 + 0.5)
+                   / (c1.c1 + 0.5 * (SELECT vd FROM vd)))), 6)
+                   / COUNT(*), 6) AS avg_logprob
+      FROM bgm JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+      GROUP BY doc_id)
+    SELECT doc_id, n_bigrams, avg_logprob,
+           ROUND(exp(-avg_logprob), 2) AS perplexity
+    FROM agg
+    """,
+    doc="bigram-LM quality gate (CCNet recipe, one rung above the "
+    "unigram proxy): add-0.5-smoothed conditional bigram model over a "
+    "top-100 closed vocab + <unk>, per-doc mean log p(w2|w1) and "
+    "perplexity; bigrams come straight off each token array (no window, "
+    "no position shuffle), model tables broadcast back",
+)
+def bigram_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import bigram_logprob_score
+
+    docs = load(spark, sf_dir, "documents")
+    return bigram_logprob_score(docs, "doc_id", "text", vocab_size=100)
 
 
 @_q(

@@ -468,6 +468,127 @@ def unigram_logprob_score(
     )
 
 
+def bigram_logprob_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 50_000,
+    k_smooth: float = 0.5,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document bigram language-model score — the CCNet-recipe
+    quality gate one rung above :func:`unigram_logprob_score`: an
+    add-k-smoothed conditional bigram LM trained on the corpus itself,
+    scoring each document's mean log p(w_i | w_{i-1}) and perplexity.
+    Fluent text reuses common word TRANSITIONS and scores low-ppl;
+    shuffled-word soup with a plausible unigram profile (which the
+    unigram gate cannot see) scores high-ppl.
+
+    Model: tokens outside the top-``vocab_size`` corpus vocabulary map
+    to ``<unk>``; p(w2|w1) = (c(w1,w2)+k) / (c(w1,·)+k·V) with V = the
+    number of distinct mapped token types (closed vocabulary + unk).
+
+    Distributed shape (no window, no positions): bigrams come straight
+    off each document's token array via ``transform``+``element_at``
+    (a narrow projection — the token stream is never shuffled by
+    position). The corpus shuffles exactly three small things: the
+    unigram vocab count, the (w1,w2) bigram-count partial aggregate,
+    and the final per-doc aggregate. Both model tables are at most
+    (V+1)^2 rows after aggregation; with the default broadcast they
+    re-join the bigram stream map-side. For very large ``vocab_size``
+    pass ``broadcast_model=False`` and the re-join becomes an ordinary
+    shuffle join on the bigram key (still |bigram types|-bounded).
+
+    Float parity: per-doc averaging uses the rounded-sum contract
+    (round the sum to 6 BEFORE dividing); perplexity is
+    exp(-avg_logprob) of the already-rounded average, rounded to 2 —
+    coarse enough that a last-ulp libm difference between engines
+    cannot flip it.
+
+    Returns (id, n_bigrams, avg_logprob, perplexity); documents with
+    fewer than two tokens have no bigrams and are absent.
+    """
+    arr = F.split(normalize_text_col(text_col), " ")
+    toks = df.select(F.explode(arr).alias("term")).filter(F.length("term") > 0)
+    uni = toks.groupBy("term").agg(F.count("*").alias("__tf"))
+    vocab = (
+        uni.orderBy(F.desc("__tf"), F.asc("term"))
+        .limit(vocab_size)
+        .select("term")
+    )
+    vocab_b = F.broadcast(vocab.withColumn("__in", F.lit(1)))
+    # V = |{mapped token types}| — the smoothing denominator's vocab
+    # size, computed over the MAPPED stream so both engines count the
+    # same closed set (actual vocab hits + one <unk> bucket if any)
+    vd = (
+        toks.join(vocab_b, "term", "left")
+        .select(
+            F.when(F.col("__in").isNotNull(), F.col("term"))
+            .otherwise(F.lit("<unk>"))
+            .alias("__mt")
+        )
+        .agg(F.countDistinct("__mt").cast("double").alias("__vd"))
+    )
+    # consecutive-pair structs straight off the token array: the i-th
+    # slice element paired with element_at(arr, i+2) (1-based)
+    n_pairs = F.greatest(F.size(arr) - 1, F.lit(0))
+    bg_arr = F.transform(
+        F.slice(arr, 1, n_pairs),
+        lambda x, i: F.struct(
+            x.alias("w1"), F.element_at(arr, i + F.lit(2)).alias("w2")
+        ),
+    )
+    bg_raw = df.select(
+        F.col(id_col).alias("__doc"), F.explode(bg_arr).alias("p")
+    ).select("__doc", F.col("p.w1").alias("w1r"), F.col("p.w2").alias("w2r"))
+    bgm = (
+        bg_raw.join(
+            vocab_b.select(
+                F.col("term").alias("w1r"), F.col("__in").alias("__in1")
+            ),
+            "w1r",
+            "left",
+        )
+        .join(
+            vocab_b.select(
+                F.col("term").alias("w2r"), F.col("__in").alias("__in2")
+            ),
+            "w2r",
+            "left",
+        )
+        .select(
+            "__doc",
+            F.when(F.col("__in1").isNotNull(), F.col("w1r"))
+            .otherwise(F.lit("<unk>"))
+            .alias("w1"),
+            F.when(F.col("__in2").isNotNull(), F.col("w2r"))
+            .otherwise(F.lit("<unk>"))
+            .alias("w2"),
+        )
+    )
+    # one tokenize pass feeds the two model counts AND the scoring
+    # join below; pin it so the lineage is not re-derived three times
+    bgm = bgm.localCheckpoint(eager=False)
+    c12 = bgm.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("__c12"))
+    c1 = bgm.groupBy("w1").agg(F.count("*").cast("double").alias("__c1"))
+    if broadcast_model:
+        c12, c1 = F.broadcast(c12), F.broadcast(c1)
+    k = F.lit(float(k_smooth))
+    lp = F.log((F.col("__c12") + k) / (F.col("__c1") + k * F.col("__vd")))
+    avg = F.round(F.round(F.sum(lp), 6) / F.count("*"), 6)
+    return (
+        bgm.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vd))
+        .groupBy(F.col("__doc").alias(id_col))
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            avg.alias("avg_logprob"),
+            F.round(F.exp(-avg), 2).alias("perplexity"),
+        )
+    )
+
+
 def normalize_unicode(
     df: DataFrame,
     text_col: str,

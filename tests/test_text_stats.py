@@ -354,3 +354,54 @@ def test_hybrid_search_ann_dispatch(spark):
             docs, emb, "doc_id", "text", ["data"], "vec_id",
             "embedding", 0, ann="hnsw",
         )
+
+
+class TestBigramLogprobScore:
+    """Hand-computable bigram-LM checks on a 3-doc micro-corpus."""
+
+    @pytest.fixture(scope="class")
+    def scored(self, spark):
+        from reddit_etl_spark.operators.text import bigram_logprob_score
+
+        rows = [
+            (1, "a b a b"),
+            (2, "a b c"),
+            (3, "solo"),
+            (4, None),
+            (5, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = bigram_logprob_score(df, "doc_id", "text", vocab_size=100)
+        return {r["doc_id"]: r for r in out.collect()}
+
+    def test_hand_computed_model(self, scored):
+        # corpus bigrams: d1 -> (a,b)(b,a)(a,b); d2 -> (a,b)(b,c)
+        # c(a,b)=3 c(b,a)=1 c(b,c)=1 ; c(a,.)=3 c(b,.)=2 ; V=4 (a b c solo)
+        k, V = 0.5, 4.0
+        lp_ab = math.log((3 + k) / (3 + k * V))
+        lp_ba = math.log((1 + k) / (2 + k * V))
+        lp_bc = math.log((1 + k) / (2 + k * V))
+        d1 = round(round(2 * lp_ab + lp_ba, 6) / 3, 6)
+        d2 = round(round(lp_ab + lp_bc, 6) / 2, 6)
+        assert scored[1]["n_bigrams"] == 3
+        assert scored[1]["avg_logprob"] == pytest.approx(d1, abs=1e-9)
+        assert scored[2]["avg_logprob"] == pytest.approx(d2, abs=1e-9)
+        assert scored[1]["perplexity"] == pytest.approx(
+            round(math.exp(-d1), 2), abs=1e-9
+        )
+
+    def test_short_null_empty_docs_absent(self, scored):
+        # <2 tokens => no bigrams => no row
+        assert set(scored) == {1, 2}
+
+    def test_fluent_beats_shuffled(self, spark):
+        # repeated common transitions score higher than a one-off
+        # permutation with the SAME unigram profile
+        from reddit_etl_spark.operators.text import bigram_logprob_score
+
+        fluent = "the cat sat on the mat"
+        rows = [(i, fluent) for i in range(10)] + [(99, "mat the on sat cat the")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["avg_logprob"]
+               for r in bigram_logprob_score(df, "doc_id", "text").collect()}
+        assert out[0] > out[99]
