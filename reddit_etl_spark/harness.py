@@ -199,6 +199,7 @@ _DEFERRED = [
     # round-5 new capabilities (deferred until the end-of-round
     # rotation decision; all oracle-checked by tools/check_oracle.py)
     "bigram_perplexity",
+    "semantic_dedup",
 ]
 
 
@@ -1005,6 +1006,42 @@ def similarity_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=max(2, (2 * nc) // 3),
     )
     return _topk_recall_audit(exact, approx, min_recall=0.5)
+
+
+@_q(
+    "semantic_dedup",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    s AS (SELECT e.vec_id, c.cid,
+                 ROUND(list_cosine_similarity(e.v, c.cv), 6) AS s
+          FROM e CROSS JOIN c),
+    a AS (SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cid) AS rn
+            FROM s) WHERE rn = 1),
+    dropped AS (
+      SELECT DISTINCT y.vec_id
+      FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      JOIN e ex ON ex.vec_id = x.vec_id
+      JOIN e ey ON ey.vec_id = y.vec_id
+      WHERE ROUND(list_cosine_similarity(ex.v, ey.v), 6) >= 0.35)
+    SELECT vec_id, cluster FROM a
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+    doc="SemDeDup-style embedding dedup: nearest-centroid cosine "
+    "assignment (8 deterministic probe centroids = lowest-id vectors; "
+    "production passes k-means centroids) partitions the corpus, then a "
+    "within-cluster self-join drops every vector with a smaller-id "
+    "neighbor at cosine>=0.35 — sum C(|cluster|,2) candidates, never "
+    "C(N,2); keep/drop boundary on ROUND(sim,6) for engine determinism",
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, "vec_id", "embedding", threshold=0.35)
 
 
 @_q(

@@ -467,3 +467,100 @@ def cosine_topk_quantized(
             "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim")
         )
     )
+
+
+def assign_clusters(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame | None = None,
+    n_clusters: int = 8,
+) -> DataFrame:
+    """Nearest-centroid assignment by cosine (the SemDeDup partition
+    step). ``centroids`` is a (cid, vec) DataFrame — pass the output of
+    a real k-means (e.g. the IVF trainer's centroids) in production;
+    when omitted, the ``n_clusters`` lowest-id vectors serve as
+    deterministic probe centroids (reproducible across engines and
+    runs, which is what the cross-engine oracle needs).
+
+    Shape: centroids are k rows — broadcast cross join, then a
+    partial-aggregable per-vector argmax (max over (sim, -cid) structs,
+    so ties go to the smallest centroid id). No window, no shuffle of
+    the vector payload: the only exchange is the final groupBy on the
+    vector id, which carries (id, sim, cid) — the vectors themselves
+    stay in the map-side scan.
+    """
+    vecs = df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    if centroids is None:
+        cent = (
+            df.orderBy(F.asc(id_col))
+            .limit(n_clusters)
+            .select(
+                F.col(id_col).alias("__cid"), _as_double(vec_col).alias("__cv")
+            )
+        )
+    else:
+        cid, cvec = centroids.columns[:2]
+        cent = centroids.select(
+            F.col(cid).alias("__cid"), _as_double(cvec).alias("__cv")
+        )
+    scored = vecs.crossJoin(F.broadcast(cent)).select(
+        id_col,
+        F.struct(
+            F.round(cosine_col(F.col("__v"), F.col("__cv")), 6).alias("s"),
+            (-F.col("__cid")).alias("negcid"),
+        ).alias("__sc"),
+    )
+    return scored.groupBy(id_col).agg(
+        (-F.max("__sc").getField("negcid")).cast("long").alias("cluster")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.35,
+    centroids: DataFrame | None = None,
+    n_clusters: int = 8,
+) -> DataFrame:
+    """SemDeDup-style embedding deduplication: partition the corpus by
+    nearest-centroid cosine assignment, then drop every vector that has
+    a smaller-id neighbor in the SAME cluster with cosine >= threshold
+    (rounded to 6, so the keep/drop boundary is engine-deterministic).
+    Returns the survivors as (id, cluster).
+
+    This is the cluster-bounded alternative to the all-pairs
+    ``cosine_neardup_pairs`` / LSH path: the candidate stage costs
+    sum-over-clusters C(|cluster|, 2) instead of C(N, 2) — with k grown
+    ~sqrt(N) (SemDeDup uses tens of thousands of clusters at
+    100M+ scale) each cluster stays small enough that the within-
+    cluster self-join is a bucketed hash join, never a cross join.
+    Skewed clusters are the known failure mode; AQE skew-join splits
+    oversized cluster partitions at runtime, and a caller can always
+    pass finer ``centroids``.
+
+    The greedy keep-smallest-id rule is evaluated non-transitively
+    (drop x iff exists y < x, same cluster, sim >= t) — the same
+    contract as the reference curation recipes, and expressible as one
+    anti-join.
+    """
+    assigned = assign_clusters(
+        df, id_col, vec_col, centroids=centroids, n_clusters=n_clusters
+    )
+    vecs = df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    withv = assigned.join(vecs, id_col)
+    a = withv.select(
+        F.col("cluster"), F.col(id_col).alias("__ida"), F.col("__v").alias("__va")
+    )
+    b = withv.select(
+        F.col("cluster"), F.col(id_col).alias("__idb"), F.col("__v").alias("__vb")
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(F.round(cosine_col(F.col("__va"), F.col("__vb")), 6) >= threshold)
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti").select(id_col, "cluster")

@@ -588,3 +588,62 @@ def test_edit_distance_pairs_complete_vs_brute(spark):
 
     with pytest.raises(NotImplementedError, match="max_edit=1"):
         edit_distance_pairs(df, "id", "s", max_edit=2)
+
+
+def test_assign_clusters_nearest_centroid(spark):
+    from reddit_etl_spark.operators.similarity import assign_clusters
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),   # centroid for cluster 0
+            (1, [0.0, 1.0]),   # centroid for cluster 1
+            (2, [0.9, 0.1]),   # near x-axis -> cluster 0
+            (3, [0.1, 0.9]),   # near y-axis -> cluster 1
+            (4, [1.0, 1.0]),   # equidistant -> tie broken to cluster 0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.cluster
+        for r in assign_clusters(df, "vec_id", "embedding", n_clusters=2).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 0, 3: 1, 4: 0}
+
+
+def test_semantic_dedup_drops_within_cluster_neighbors(spark):
+    from reddit_etl_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.99, 0.01]),   # ~cos 1.0 to vec 0 -> dropped
+            (3, [0.98, 0.02]),   # ~cos 1.0 to vec 0 AND 2 -> dropped
+            (4, [0.02, 0.98]),   # ~cos 1.0 to vec 1 -> dropped
+            (5, [0.7, 0.7]),     # cluster 0 but cos ~0.71 to centroid axis peers
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.95, n_clusters=2
+    ).collect()
+    got = {r.vec_id: r.cluster for r in out}
+    assert got == {0: 0, 1: 1, 5: 0}
+
+
+def test_semantic_dedup_respects_custom_centroids(spark):
+    from reddit_etl_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.95, 0.05]), (12, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (9, [0.0, 1.0])], "cid long, vec array<double>"
+    )
+    out = semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.99, centroids=cents
+    ).collect()
+    got = {r.vec_id: r.cluster for r in out}
+    # 11 is cos~0.9986 to 10 -> dropped; clusters are the custom cids
+    assert got == {10: 7, 12: 9}
