@@ -200,6 +200,7 @@ _DEFERRED = [
     # rotation decision; all oracle-checked by tools/check_oracle.py)
     "bigram_perplexity",
     "semantic_dedup",
+    "duplicate_spans",
 ]
 
 
@@ -1585,6 +1586,39 @@ def bigram_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return bigram_logprob_score(docs, "doc_id", "text", vocab_size=100)
+
+
+@_q(
+    "duplicate_spans",
+    r"""
+    WITH n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+      FROM documents),
+    toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM n),
+    sh AS (SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+                         i -> array_to_string(t[i:i+7], ' '))) AS span
+           FROM toks)
+    SELECT span,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM sh
+    GROUP BY span
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, span
+    LIMIT 50
+    """,
+    doc="exact repeated 8-token spans across documents (the bounded "
+    "groupBy core of suffix-array substring dedup, Lee et al.): span "
+    "explode -> map-side-combined count/countDistinct -> "
+    "TakeOrderedAndProject top-50; localizes boilerplate that document-"
+    "level MinHash/SimHash can only flag wholesale",
+)
+def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import duplicate_spans
+
+    docs = load(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "doc_id", "text", n=8, min_docs=2, k=50)
 
 
 @_q(

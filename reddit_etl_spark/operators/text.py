@@ -833,3 +833,53 @@ def bm25_from_index(
         )
     )
     return scored.groupBy(id_col).agg(F.round(F.sum("__s"), 6).alias("bm25"))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Exact repeated n-token spans across documents — the bounded,
+    groupBy-expressible core of suffix-array substring dedup (Lee et
+    al.'s "Deduplicating Training Data Makes Language Models Better"):
+    boilerplate headers, license blocks, and templated sentences show
+    up as long token spans shared verbatim by many documents, which
+    near-dup DOCUMENT hashing (MinHash/SimHash) cannot localize.
+
+    Emits the top-``k`` spans of exactly ``n`` normalized tokens that
+    occur in at least ``min_docs`` distinct documents, with document
+    frequency and total occurrence count (multiplicity included), in
+    (n_docs desc, n_occurrences desc, span asc) order — deterministic.
+
+    Scale shape: the span explode multiplies the token stream by ~n,
+    but partial (map-side) aggregation collapses each partition's span
+    counts before the exchange, so the shuffle carries |distinct spans
+    x partitions| rows; the final cut is a TakeOrderedAndProject
+    (per-partition heaps, no global sort). Documents shorter than n
+    tokens contribute nothing. For a full dedup sweep (rather than
+    this diagnostic top-k), drop the limit and join the surviving
+    spans back to documents by position.
+    """
+    arr = F.split(normalize_text_col(text_col), " ")
+    n_spans = F.greatest(F.size(arr) - (n - 1), F.lit(0))
+    spans = F.transform(
+        F.slice(arr, 1, n_spans),
+        lambda x, i: F.array_join(F.slice(arr, i + F.lit(1), n), " "),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("__doc"), F.explode(spans).alias("span")
+    )
+    return (
+        exploded.groupBy("span")
+        .agg(
+            F.countDistinct("__doc").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span"))
+        .limit(k)
+    )

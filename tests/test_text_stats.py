@@ -405,3 +405,44 @@ class TestBigramLogprobScore:
         out = {r["doc_id"]: r["avg_logprob"]
                for r in bigram_logprob_score(df, "doc_id", "text").collect()}
         assert out[0] > out[99]
+
+
+class TestDuplicateSpans:
+    def test_shared_span_detected_with_counts(self, spark):
+        from reddit_etl_spark.operators.text import duplicate_spans
+
+        shared = "one two three four"
+        rows = [
+            (1, f"{shared} alpha beta"),
+            (2, f"gamma {shared} delta"),
+            (3, f"{shared} epsilon {shared}"),   # twice in one doc
+            (4, "totally unrelated words here now"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = duplicate_spans(df, "doc_id", "text", n=4, min_docs=2, k=10).collect()
+        got = {r.span: (r.n_docs, r.n_occurrences) for r in out}
+        assert got[shared] == (3, 4)
+        # spans crossing into doc-specific suffixes never reach min_docs
+        assert all(r.n_docs >= 2 for r in out)
+
+    def test_docs_shorter_than_n_contribute_nothing(self, spark):
+        from reddit_etl_spark.operators.text import duplicate_spans
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c"), (3, None), (4, "")],
+            "doc_id long, text string",
+        )
+        assert duplicate_spans(df, "doc_id", "text", n=4).count() == 0
+        # at n=3 the whole doc is the span, shared by docs 1 and 2
+        rows = duplicate_spans(df, "doc_id", "text", n=3).collect()
+        assert [(r.span, r.n_docs) for r in rows] == [("a b c", 2)]
+
+    def test_plans_take_ordered(self, spark):
+        from reddit_etl_spark.operators.text import duplicate_spans
+
+        df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+        plan = (
+            duplicate_spans(df, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
