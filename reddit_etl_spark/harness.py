@@ -201,6 +201,7 @@ _DEFERRED = [
     "bigram_perplexity",
     "semantic_dedup",
     "duplicate_spans",
+    "nb_language_selftrain",
 ]
 
 
@@ -1586,6 +1587,67 @@ def bigram_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return bigram_logprob_score(docs, "doc_id", "text", vocab_size=100)
+
+
+@_q(
+    "nb_language_selftrain",
+    r"""
+    WITH lab AS (
+      SELECT doc_id, text,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|is|a)\b')) AS n_en,
+             len(regexp_extract_all(lower(text), '\b(el|la|los|que|y)\b')) AS n_es,
+             len(regexp_extract_all(lower(text), '\b(le|la|les|et|des)\b')) AS n_fr,
+             len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS n_de
+      FROM documents),
+    lab2 AS (SELECT doc_id, text,
+             CASE WHEN greatest(n_en, n_es, n_fr, n_de) = 0 THEN 'und'
+                  WHEN n_en = greatest(n_en, n_es, n_fr, n_de) THEN 'en'
+                  WHEN n_es = greatest(n_es, n_fr, n_de) THEN 'es'
+                  WHEN n_fr = greatest(n_fr, n_de) THEN 'fr'
+                  ELSE 'de' END AS label
+             FROM lab),
+    tok AS (SELECT doc_id, label,
+                   unnest(string_split(trim(regexp_replace(lower(text),
+                          '\s+', ' ', 'g')), ' ')) AS term
+            FROM lab2),
+    tok2 AS (SELECT * FROM tok WHERE length(term) > 0),
+    tc AS (SELECT label, term, CAST(COUNT(*) AS DOUBLE) AS n
+           FROM tok2 GROUP BY label, term),
+    cs AS (SELECT label, CAST(COUNT(*) AS DOUBLE) AS n_docs
+           FROM lab2 GROUP BY label),
+    tt AS (SELECT label, SUM(n) AS n_tokens FROM tc GROUP BY label),
+    vn AS (SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS vn FROM tc),
+    nd AS (SELECT SUM(n_docs) AS nd FROM cs),
+    dtf AS (SELECT doc_id, label, term, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM tok2 GROUP BY doc_id, label, term),
+    cls AS (SELECT cs.label AS cls, ln(cs.n_docs / (SELECT nd FROM nd)) AS prior,
+                   COALESCE(tt.n_tokens, 0) AS n_tokens
+            FROM cs LEFT JOIN tt USING (label)),
+    sc AS (SELECT d.doc_id, d.label, c.cls,
+                  ROUND(c.prior + ROUND(SUM(d.tf * ln(
+                        (COALESCE(m.n, 0) + 1.0)
+                        / (c.n_tokens + 1.0 * (SELECT vn FROM vn)))), 6), 6)
+                    AS score
+           FROM dtf d CROSS JOIN cls c
+           LEFT JOIN tc m ON m.label = c.cls AND m.term = d.term
+           GROUP BY d.doc_id, d.label, c.cls, c.prior)
+    SELECT doc_id, label, cls AS predicted, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, cls) AS rn
+      FROM sc) WHERE rn = 1
+    """,
+    doc="distributed multinomial Naive Bayes, self-trained: heuristic "
+    "marker lang-ID labels the corpus, two groupBy passes train the "
+    "count model (class stats + sparse (label,term) counts), one "
+    "broadcast model join + per-doc aggregate scores every document, "
+    "argmax on the rounded log-posterior with class tiebreak — the "
+    "fastText-style filter-training shape as pure aggregates",
+)
+def nb_language_selftrain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.classify import nb_self_train_language
+
+    docs = load(spark, sf_dir, "documents")
+    return nb_self_train_language(docs, "doc_id", "text")
 
 
 @_q(

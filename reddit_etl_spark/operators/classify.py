@@ -1,0 +1,181 @@
+"""Distributed multinomial Naive Bayes text classification.
+
+The count-based classifier family (fastText-style quality/language
+filters) expressed as pure aggregates: training is two groupBy passes
+over the exploded token stream (per-class token counts + class
+document/token totals), scoring is one broadcast model join and one
+per-document aggregate. No gradient loop, no Python in the hot path —
+the whole thing is partial-aggregable and AQE-friendly, which is what
+lets it run as a single sweep over a 100 TB corpus.
+
+Model: p(c | d) ∝ p(c) · Π_t p(t | c)^tf(d,t) with add-alpha
+(Lidstone) smoothing, p(t | c) = (c(t,c) + α) / (T(c) + α·|V|), |V| =
+the training vocabulary size. Tokens unseen in training score the
+per-class floor (c(t,c) = 0) against the same |V| — deterministic and
+engine-portable.
+
+Float parity contract (repo-wide): per-doc log-likelihood sums use
+rounded-sum averaging (round the sum to 6 BEFORE adding the prior,
+round the total to 6), and the argmax ranks on the rounded score with
+a class-name tiebreak — so the predicted label is identical in any
+engine that agrees to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import normalize_text_col
+
+
+def _token_pairs(df: DataFrame, text_col: str, *carry: str) -> DataFrame:
+    toks = F.explode(F.split(normalize_text_col(text_col), " ")).alias("term")
+    return df.select(*carry, toks).filter(F.length("term") > 0)
+
+
+def nb_train(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Train a multinomial NB model; returns ``(class_stats,
+    term_counts)`` — both persistable DataFrames, so a 100 TB training
+    sweep runs once and the model tables (|C| and |C|x|V| rows) are
+    reused across scoring runs.
+
+    class_stats: (label, n_docs, n_tokens); term_counts: (label, term,
+    n). Two shuffles total, both collapsed map-side: the (label, term)
+    partial aggregate and the tiny per-label rollup.
+    """
+    pairs = _token_pairs(df, text_col, label_col)
+    term_counts = pairs.groupBy(label_col, "term").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    # per-class token totals roll up from the (label, term) aggregate —
+    # |C|x|V| rows, not the corpus — and doc counts come off the base
+    # frame with a broadcast-friendly |C|-row result
+    tok_totals = term_counts.groupBy(label_col).agg(
+        F.sum("n").alias("n_tokens")
+    )
+    doc_counts = df.groupBy(label_col).agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    class_stats = doc_counts.join(tok_totals, label_col, "left").fillna(
+        0.0, subset=["n_tokens"]
+    )
+    return class_stats, term_counts
+
+
+def nb_predict(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    class_stats: DataFrame,
+    term_counts: DataFrame,
+    label_col: str = "label",
+    alpha: float = 1.0,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Score every document against every class and return the argmax:
+    (id, *keep_cols, predicted, score) with score = the winning class's
+    rounded log-posterior.
+
+    Shape: the corpus aggregates to (doc, term, tf) once; a broadcast
+    cross join against the |C|-row class table fans each doc-term out
+    by |C| (documented, bounded by the class count); the sparse
+    (label, term) model joins back broadcast (|C|x|V| rows — model
+    tables are vocabulary-sized, never corpus-sized). One shuffle
+    carries (doc, label, partial-sum) and the final argmax window
+    touches |C| rows per doc.
+
+    Documents with zero tokens have no likelihood terms and are absent
+    from the result (same contract as the other token-stream
+    operators).
+    """
+    keep = keep_cols or []
+    pairs = _token_pairs(df, text_col, id_col, *keep)
+    doc_tf = pairs.groupBy(id_col, *keep, "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    vocab_n = term_counts.select(
+        F.countDistinct("term").cast("double").alias("__vn")
+    )
+    total_docs = class_stats.agg(F.sum("n_docs").alias("__nd"))
+    classes = (
+        class_stats.crossJoin(F.broadcast(total_docs))
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            F.col(label_col).alias("__cls"),
+            F.log(F.col("n_docs") / F.col("__nd")).alias("__prior"),
+            F.col("n_tokens"),
+            F.col("__vn"),
+        )
+    )
+    model = term_counts.select(
+        F.col(label_col).alias("__cls"), "term", F.col("n").alias("__tc")
+    )
+    a = F.lit(float(alpha))
+    scored = (
+        doc_tf.crossJoin(F.broadcast(classes))
+        .join(F.broadcast(model), ["__cls", "term"], "left")
+        .withColumn(
+            "__lp",
+            F.col("tf")
+            * F.log(
+                (F.coalesce(F.col("__tc"), F.lit(0.0)) + a)
+                / (F.col("n_tokens") + a * F.col("__vn"))
+            ),
+        )
+        .groupBy(id_col, *keep, "__cls")
+        .agg(
+            F.round(
+                F.first("__prior") + F.round(F.sum("__lp"), 6), 6
+            ).alias("__score")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__score"), F.asc("__cls"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            *keep,
+            F.col("__cls").alias("predicted"),
+            F.col("__score").alias("score"),
+        )
+    )
+
+
+def nb_self_train_language(
+    df: DataFrame, id_col: str, text_col: str, alpha: float = 1.0
+) -> DataFrame:
+    """Self-training demo pipeline: label every document with the
+    heuristic marker-based language ID, train NB on those labels, and
+    re-score the corpus — the distillation shape (noisy heuristic
+    teacher -> trained count model) used to bootstrap quality and
+    language filters when no human labels exist. Returns (id, label,
+    predicted, score); `label` is the heuristic teacher's call,
+    `predicted` the model's.
+
+    The NB model generalizes beyond the teacher: documents whose
+    marker words are absent (teacher says 'und') still get a real
+    class posterior from the rest of their vocabulary.
+    """
+    from .text import lang_id_col
+
+    labeled = df.select(
+        F.col(id_col), F.col(text_col), lang_id_col(text_col).alias("label")
+    )
+    class_stats, term_counts = nb_train(labeled, id_col, text_col, "label")
+    return nb_predict(
+        labeled,
+        id_col,
+        text_col,
+        class_stats,
+        term_counts,
+        label_col="label",
+        alpha=alpha,
+        keep_cols=["label"],
+    )
