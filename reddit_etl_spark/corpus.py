@@ -237,6 +237,63 @@ class Corpus:
 
     # -- terminal actions ---------------------------------------------
 
+    def perplexity_filter(
+        self,
+        max_perplexity: float,
+        vocab_size: int = 50_000,
+    ) -> "Corpus":
+        """Drop documents whose self-trained bigram-LM perplexity
+        exceeds ``max_perplexity`` (the CCNet gate: gibberish and
+        shuffled-word soup score high even when their unigram profile
+        looks fluent). Documents with <2 tokens have no bigram score
+        and are dropped too."""
+        from .operators.text import bigram_logprob_score
+
+        scored = bigram_logprob_score(
+            self._df, self.id_col, self.text_col, vocab_size=vocab_size
+        )
+        keep = scored.filter(F.col("perplexity") <= max_perplexity)
+        return self._with(
+            self._df.join(keep.select(self.id_col), self.id_col, "left_semi")
+        )
+
+    def classify(
+        self,
+        label_col: str | None = None,
+        alpha: float = 1.0,
+    ) -> DataFrame:
+        """Self-trained Naive Bayes classification of the corpus. With
+        ``label_col`` given, trains on that column; otherwise uses the
+        heuristic language ID as the teacher (see
+        :func:`operators.classify.nb_self_train_language`)."""
+        from .operators.classify import (
+            nb_predict,
+            nb_self_train_language,
+            nb_train,
+        )
+
+        if label_col is None:
+            return nb_self_train_language(
+                self._df, self.id_col, self.text_col, alpha=alpha
+            )
+        stats, counts = nb_train(
+            self._df, self.id_col, self.text_col, label_col
+        )
+        return nb_predict(
+            self._df, self.id_col, self.text_col, stats, counts,
+            label_col=label_col, alpha=alpha, keep_cols=[label_col],
+        )
+
+    def duplicate_spans(self, n: int = 8, k: int = 50) -> DataFrame:
+        """Top-k exact n-token spans repeated across documents —
+        boilerplate localization (see
+        :func:`operators.text.duplicate_spans`)."""
+        from .operators.text import duplicate_spans
+
+        return duplicate_spans(
+            self._df, self.id_col, self.text_col, n=n, k=k
+        )
+
     def token_budget(self) -> DataFrame:
         """(docs, tokens) summary of the surviving corpus. Uses the
         real-BPE count column when :meth:`tokenize_bpe` ran earlier in

@@ -197,3 +197,57 @@ def test_corpus_hybrid_search_drops_filtered_embeddings(spark):
     fused_docs = {r.doc_id for r in fused.collect()}
     assert 10 not in fused_docs and len(fused_docs) > 0
     assert fused.columns == ["doc_id", "rrf", "lex_rank", "ann_rank"]
+
+
+def test_perplexity_filter_drops_gibberish(spark):
+    from reddit_etl_spark.corpus import Corpus
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    # NOTE: no rare-token gibberish doc here on purpose — a SELF-trained
+    # bigram LM assigns a self-consistent rare doc high probability (its
+    # own bigrams are the only evidence for its contexts); the gate
+    # separates REORDERINGS of common words, which is what it is for
+    rows = [(i, fluent) for i in range(8)] + [
+        (90, "rug the mat on dog sat the cat and on the the sat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = Corpus(df)
+    scored = {
+        r["doc_id"]: r["perplexity"]
+        for r in __import__(
+            "reddit_etl_spark.operators.text", fromlist=["bigram_logprob_score"]
+        ).bigram_logprob_score(df, "doc_id", "text").collect()
+    }
+    cut = (max(scored[i] for i in range(8)) + scored[90]) / 2
+    kept = {r["doc_id"] for r in base.perplexity_filter(cut).df.collect()}
+    assert kept == set(range(8))
+
+
+def test_corpus_classify_uses_explicit_labels(spark):
+    from reddit_etl_spark.corpus import Corpus
+
+    rows = [
+        (1, "spam spam offer", "spam"),
+        (2, "offer spam spam", "spam"),
+        (3, "meeting notes agenda", "ham"),
+        (4, "notes agenda notes", "ham"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label string")
+    out = Corpus(df).classify(label_col="label").collect()
+    assert {r["doc_id"]: r["predicted"] for r in out} == {
+        1: "spam", 2: "spam", 3: "ham", 4: "ham",
+    }
+
+
+def test_corpus_duplicate_spans_surfaces_boilerplate(spark):
+    from reddit_etl_spark.corpus import Corpus
+
+    boiler = "this content is provided as is without warranty of any kind"
+    # one distinct single-token suffix per doc, so every 8-token span
+    # crossing the boundary is unique to its doc and only spans fully
+    # inside the boilerplate repeat across documents
+    rows = [(i, f"{boiler} unique{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = Corpus(df).duplicate_spans(n=8, k=5).collect()
+    assert spans and spans[0]["n_docs"] == 4
+    assert spans[0]["span"] in boiler
