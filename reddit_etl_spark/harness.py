@@ -147,6 +147,16 @@ _PROMOTED = [
     "segment_overlap_theta",
     "asof_split",
     "sessionization_split",
+    # round-5 second batch: the four NEW capabilities built this round
+    # (bigram LM, SemDeDup, exact span dedup, Naive Bayes) go straight
+    # into the recorded head so no capability waits a round for its
+    # first driver row (the r3/r4 pattern). Swapped in against four
+    # long-attested entries with recorded capability twins (see the
+    # round-5 second-batch block in _DEFERRED).
+    "bigram_perplexity",
+    "semantic_dedup",
+    "duplicate_spans",
+    "nb_language_selftrain",
 ]
 _DEFERRED = [
     # audit twins / shape variants whose capability is attested by a
@@ -196,12 +206,19 @@ _DEFERRED = [
     # of bm25_rank (recorded)
     "hybrid_search_rrf_lsh",
     "bm25_rank_indexed",
-    # round-5 new capabilities (deferred until the end-of-round
-    # rotation decision; all oracle-checked by tools/check_oracle.py)
-    "bigram_perplexity",
-    "semantic_dedup",
-    "duplicate_spans",
-    "nb_language_selftrain",
+    # round-5 second-batch rotation OUT: long-attested head entries
+    # making room for the four new round-5 capabilities. Green driver
+    # rows in CORRECTNESS_r01..r04 and a recorded capability twin each:
+    # q05 (LIMIT/ordered-sort shape) via q09 + the plan-asserted
+    # topk_global; q07 (2-key agg) via q01/q06; vocab_topk (term-stats
+    # shuffle shape) via tfidf_top_terms + bm25_rank; stratified_sample
+    # (deterministic hash sampling) via weighted_sample_sources +
+    # curation_pipeline_full, which both keep recorded rows. All stay
+    # oracle-checked every round via tools/check_oracle.py.
+    "q05_top_customers",
+    "q07_two_key_agg",
+    "vocab_topk",
+    "stratified_sample",
 ]
 
 
