@@ -157,6 +157,12 @@ _PROMOTED = [
     "semantic_dedup",
     "duplicate_spans",
     "nb_language_selftrain",
+    # round-5 third batch: capabilities built later in the round go
+    # straight into the recorded head (same rationale as above). Each
+    # displaces a long-attested entry with a recorded capability twin
+    # (see the round-5 third-batch block in _DEFERRED).
+    "similarity_topk_pq",
+    "heavy_hitters_mg",
 ]
 _DEFERRED = [
     # audit twins / shape variants whose capability is attested by a
@@ -219,6 +225,18 @@ _DEFERRED = [
     "q07_two_key_agg",
     "vocab_topk",
     "stratified_sample",
+    # round-5 third-batch rotation OUT: long-attested entries making
+    # room for the third-batch promotions. Green driver rows in
+    # CORRECTNESS_r01..r04 and a recorded capability twin each:
+    # similarity_topk_lsh's bucketed-ANN-audit shape stays recorded via
+    # similarity_topk (exact baseline, recorded) + the new
+    # similarity_topk_pq audit row built on the identical recall-audit
+    # frame (ivf/int8 siblings stay oracle-checked in this tail).
+    "similarity_topk_lsh",
+    # embedding_neardup's exact brute-pair capability stays recorded via
+    # semantic_dedup + neardup_survivors (both consume embedding-cosine
+    # pair semantics); its LSH scale twin stays oracle-checked above.
+    "embedding_neardup",
 ]
 
 
@@ -1023,6 +1041,32 @@ def similarity_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_centroids=nc,
         n_probe=max(2, (2 * nc) // 3),
+    )
+    return _topk_recall_audit(exact, approx, min_recall=0.5)
+
+
+@_q(
+    "similarity_topk_pq",
+    _TOPK_AUDIT_SQL,
+    doc="product-quantization ANN top-5 recall audit: m=16 sub-"
+    "quantizers x 16 codewords trained on the hash-ordered sample "
+    "(16-byte codes, 32x smaller than the float64 vectors the scan "
+    "would otherwise read), asymmetric-distance candidate scoring in "
+    "one NumPy gather+matmul per Arrow batch, exact cosine re-rank on "
+    "the top-160 ADC candidates per query (Jegou et al. recipe; this "
+    "corpus's near-uniform geometry needs fine subspaces + a deep "
+    "re-rank buffer — clustered real corpora get away with coarser "
+    "codes; observed per-query recall 0.6-1.0 across SFs); recall_ok "
+    "pins per-query recall >= 0.5 vs the exact baseline",
+)
+def similarity_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = _exact_topk(spark, sf_dir)
+    approx = pq_topk(
+        emb, q, "vec_id", "embedding", "vec_id", k=5, m=16, ksub=16, rerank=32
     )
     return _topk_recall_audit(exact, approx, min_recall=0.5)
 
@@ -2392,6 +2436,54 @@ def segment_overlap_theta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             & rel_ok(F.col("b_est"), F.col("purchasers_exact"))
             & rel_ok(F.col("intersection_est"), F.col("overlap_exact"))
         ).alias("theta_within_5pct"),
+    )
+
+
+@_q(
+    "heavy_hitters_mg",
+    """
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS exact_count
+               FROM documents GROUP BY lang),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT lang, exact_count, TRUE AS present_ok, TRUE AS bound_ok
+    FROM c, n WHERE exact_count > n / 4.0
+    """,
+    doc="Misra-Gries heavy hitters (capacity 3 over documents.lang): "
+    "mergeable per-partition summaries (mapInPandas, <=capacity "
+    "counters each) merged by counter-sum + trim — P x capacity "
+    "summary rows replace the exact GROUP BY's full distinct-key "
+    "shuffle at 100 TB. The audit emits every value whose TRUE "
+    "frequency exceeds N/(capacity+1) (the MG presence guarantee) "
+    "with its exact count; present_ok pins the sketch surfacing it, "
+    "bound_ok pins est <= true <= est + N/(capacity+1) "
+    "(Agarwal et al., Mergeable Summaries, PODS 2012)",
+)
+def heavy_hitters_mg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketch import freq_items_mg
+
+    docs = load(spark, sf_dir, "documents")
+    capacity = 3
+    mg = freq_items_mg(docs, "lang", capacity)
+    exact = docs.groupBy("lang").agg(F.count("*").alias("exact_count"))
+    n = docs.agg(F.count("*").alias("__n"))
+    guaranteed = exact.crossJoin(F.broadcast(n)).filter(
+        F.col("exact_count") > F.col("__n") / (capacity + 1.0)
+    )
+    return (
+        guaranteed.join(mg.withColumnRenamed("est_count", "__est"), "lang", "left")
+        .select(
+            "lang",
+            "exact_count",
+            F.col("__est").isNotNull().alias("present_ok"),
+            (
+                F.col("__est").isNotNull()
+                & (F.col("__est") <= F.col("exact_count"))
+                & (
+                    F.col("exact_count") - F.col("__est")
+                    <= F.col("__n") / (capacity + 1.0)
+                )
+            ).alias("bound_ok"),
+        )
     )
 
 

@@ -139,6 +139,90 @@ def kll_merge_rollup(
     return merged
 
 
+def mg_partition_summaries(
+    df: DataFrame,
+    value_col: str,
+    capacity: int,
+    est_col: str = "est_count",
+) -> DataFrame:
+    """Per-partition Misra-Gries frequency summaries (<= ``capacity``
+    counters each) via one mapInPandas pass — the bounded-memory
+    heavy-hitters primitive. Each partition's summary guarantees
+    est <= true_partition_count <= est + N_p/(capacity+1); summaries
+    are MERGEABLE (Agarwal et al., "Mergeable Summaries", PODS 2012):
+    sum shared counters, trim back to capacity by subtracting the
+    (capacity+1)-th largest, and the global N/(capacity+1) error bound
+    survives. At 100 TB this replaces the full distinct-key shuffle of
+    an exact GROUP BY with P x capacity summary rows.
+
+    Batch update inside a partition: add the batch's value_counts to
+    the running counters, and whenever more than ``capacity`` counters
+    are live, subtract the (capacity+1)-th largest count from all and
+    drop the non-positive — the batched equivalent of MG's decrement
+    step (total decrement per overflow <= one per surviving counter,
+    which is what the error bound needs)."""
+    import pandas as pd
+
+    field = df.schema[value_col]
+    out_schema = f"`{value_col}` {field.dataType.simpleString()}, `{est_col}` long"
+
+    def summarize(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf[value_col].dropna().value_counts()
+            for v, c in vc.items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > capacity:
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                counters = {
+                    v: c - cut for v, c in counters.items() if c - cut > 0
+                }
+        if counters:
+            yield pd.DataFrame(
+                {
+                    value_col: list(counters.keys()),
+                    est_col: list(counters.values()),
+                }
+            )
+
+    return df.select(value_col).mapInPandas(summarize, schema=out_schema)
+
+
+def freq_items_mg(
+    df: DataFrame,
+    value_col: str,
+    capacity: int,
+    est_col: str = "est_count",
+) -> DataFrame:
+    """Global Misra-Gries heavy hitters: per-partition summaries merged
+    by summing shared counters and trimming to ``capacity`` (subtract
+    the (capacity+1)-th largest merged count, keep positive). Returns
+    at most ``capacity`` rows (value, est) with the two-sided
+    guarantee: est <= true count, and true - est <= N/(capacity+1) —
+    so every value with true frequency above N/(capacity+1) is
+    PRESENT in the output (the heavy-hitter guarantee the harness
+    audit pins cross-engine).
+
+    The merge's rank window is global but runs over the bounded
+    summary table (<= partitions x capacity rows), never the data."""
+    from pyspark.sql import Window
+
+    summaries = mg_partition_summaries(df, value_col, capacity, est_col)
+    merged = summaries.groupBy(value_col).agg(F.sum(est_col).alias(est_col))
+    w = Window.orderBy(F.desc(est_col), F.asc(value_col))
+    ranked = merged.withColumn("__rn", F.row_number().over(w))
+    cut = ranked.filter(F.col("__rn") == capacity + 1).select(
+        F.col(est_col).alias("__cut")
+    )
+    return (
+        ranked.filter(F.col("__rn") <= capacity)
+        .crossJoin(F.broadcast(cut.select(F.coalesce(F.max("__cut"), F.lit(0)).alias("__cut"))))
+        .withColumn(est_col, F.col(est_col) - F.col("__cut"))
+        .filter(F.col(est_col) > 0)
+        .select(value_col, est_col)
+    )
+
+
 def theta_rollup(
     df: DataFrame,
     group_cols: Sequence[str],

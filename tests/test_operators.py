@@ -218,6 +218,43 @@ def test_ivf_topk_recall(emb):
     assert recall >= 0.65, f"ivf top-k recall {recall:.2f}"
 
 
+def test_pq_topk_recall_and_determinism(emb):
+    from reddit_etl_spark.operators.similarity import pq_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, "vec_id", "embedding", "vec_id", k=5).collect()
+    }
+    out1 = pq_topk(emb, queries, "vec_id", "embedding", "vec_id", k=5).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in out1}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.6, f"pq top-k recall {recall:.2f}"
+    # re-ranked sims are exact cosines: every (q, n) pair shared with
+    # the baseline carries the identical rounded similarity
+    exact_sims = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in cosine_topk(emb, queries, "vec_id", "embedding", "vec_id", k=5).collect()
+    }
+    for r in out1:
+        if (r.query_id, r.neighbor_id) in exact_sims:
+            assert r.cosine_sim == exact_sims[(r.query_id, r.neighbor_id)]
+    # deterministic across runs (fixed seed -> same codebooks/codes)
+    out2 = pq_topk(emb, queries, "vec_id", "embedding", "vec_id", k=5).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+
+def test_pq_topk_rejects_indivisible_dim(spark):
+    from reddit_etl_spark.operators.similarity import pq_topk
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.5]), (1, [0.5, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_topk(df, df, "vec_id", "embedding", "vec_id", m=2)
+
+
 def test_embedding_neardup_lsh_recall(emb):
     from reddit_etl_spark.operators.similarity import cosine_col
 

@@ -158,3 +158,44 @@ def test_theta_overlap_set_algebra(spark):
     assert abs(r.intersection_est - 200) <= 200 * 0.1
     assert abs(r.union_est - 900) <= 900 * 0.05
     assert abs(r.a_minus_b_est - 400) <= 400 * 0.1
+
+
+def test_mg_heavy_hitters_guarantee(spark):
+    """Every value with true frequency > N/(capacity+1) must appear in
+    the merged MG output with est <= true <= est + N/(capacity+1) —
+    the mergeable-summaries contract, on a skewed planted stream."""
+    from pyspark.sql import functions as F
+
+    from reddit_etl_spark.operators.sketch import freq_items_mg
+
+    # 10k rows: 'a' 40%, 'b' 25%, 'c' 10%, 200 rare values share 25%
+    rows = (
+        [("a",)] * 4000
+        + [("b",)] * 2500
+        + [("c",)] * 1000
+        + [(f"r{i % 200}",) for i in range(2500)]
+    )
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    n = len(rows)
+    cap = 5
+    out = {r.v: r.est_count for r in freq_items_mg(df, "v", cap).collect()}
+    assert len(out) <= cap
+    true = {"a": 4000, "b": 2500, "c": 1000}
+    bound = n / (cap + 1)
+    for v, t in true.items():
+        if t > bound:  # a and b are guaranteed; c (10%) is not
+            assert v in out, (v, out)
+        if v in out:
+            assert out[v] <= t
+            assert t - out[v] <= bound, (v, t, out[v], bound)
+
+
+def test_mg_exact_when_under_capacity(spark):
+    """Fewer distinct values than capacity -> MG degenerates to exact
+    counts (no decrements ever fire)."""
+    from reddit_etl_spark.operators.sketch import freq_items_mg
+
+    rows = [("x",)] * 30 + [("y",)] * 20 + [("z",)] * 10
+    df = spark.createDataFrame(rows, "v string").repartition(4)
+    out = {r.v: r.est_count for r in freq_items_mg(df, "v", 8).collect()}
+    assert out == {"x": 30, "y": 20, "z": 10}
