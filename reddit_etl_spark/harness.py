@@ -163,6 +163,7 @@ _PROMOTED = [
     # (see the round-5 third-batch block in _DEFERRED).
     "similarity_topk_pq",
     "heavy_hitters_mg",
+    "scd2_order_status_dim",
 ]
 _DEFERRED = [
     # audit twins / shape variants whose capability is attested by a
@@ -237,6 +238,10 @@ _DEFERRED = [
     # semantic_dedup + neardup_survivors (both consume embedding-cosine
     # pair semantics); its LSH scale twin stays oracle-checked above.
     "embedding_neardup",
+    # sentence_decontaminate's span-level decontamination stays recorded
+    # via decontaminate (gram-probe, recorded) + duplicate_spans
+    # (exact repeated-span detection, recorded).
+    "sentence_decontaminate",
 ]
 
 
@@ -2437,6 +2442,56 @@ def segment_overlap_theta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             & rel_ok(F.col("intersection_est"), F.col("overlap_exact"))
         ).alias("theta_within_5pct"),
     )
+
+
+@_q(
+    "scd2_order_status_dim",
+    """
+    WITH u0 AS (
+      SELECT o_custkey AS k, o_orderdate AS ts, MIN(o_orderstatus) AS status
+      FROM orders GROUP BY 1, 2),
+    chain AS (
+      SELECT c_custkey AS k, TIMESTAMP '1970-01-01' AS ts,
+             'NEW' AS status, 0 AS prio
+      FROM customer
+      UNION ALL SELECT k, ts, status, 1 FROM u0),
+    collapsed AS (
+      SELECT k, ts, status, prio FROM (
+        SELECT k, ts, status, prio,
+               lag(status) OVER (PARTITION BY k ORDER BY ts, prio) AS prev
+        FROM chain)
+      WHERE prev IS NULL OR prev <> status)
+    SELECT k AS c_custkey, status, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY k ORDER BY ts, prio) AS valid_to,
+           lead(ts) OVER (PARTITION BY k ORDER BY ts, prio) IS NULL
+             AS is_current
+    FROM collapsed
+    """,
+    doc="SCD type-2 dimension maintenance: the reference's INSERT OR "
+    "REPLACE upsert (script.py:265) destroys history — scd2_apply "
+    "keeps it, closing the open version at each attribute change and "
+    "opening a new one (valid_from/valid_to/is_current), with "
+    "deterministic same-instant tie-break, consecutive-duplicate "
+    "collapse, and late-update drop. Seeded from customer (open 'NEW' "
+    "rows at epoch) + every order's (custkey, orderdate, status) as "
+    "the update stream; full versioned snapshot compared cross-engine",
+)
+def scd2_order_status_dim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.scd import scd2_apply
+
+    current = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey"),
+        F.lit("NEW").alias("status"),
+        F.to_timestamp(F.lit("1970-01-01")).alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("effective_ts"),
+    )
+    return scd2_apply(current, updates, ["c_custkey"], ["status"])
 
 
 @_q(

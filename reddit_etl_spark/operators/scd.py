@@ -1,0 +1,116 @@
+"""Slowly-changing-dimension maintenance (SCD type 2).
+
+The reference engine's upsert surface is INSERT OR REPLACE
+(``script.py:265`` — last write wins, history destroyed). A
+warehouse-grade dimension keeps the history instead: every attribute
+change CLOSES the open version row (``valid_to`` stamped) and OPENS a
+new one — the type-2 contract every downstream as-of join
+(:mod:`.asof`) needs to answer "what was this customer's segment when
+the order shipped?".
+
+Spark-first shape: the whole apply is window functions + one union —
+no collect, no iterative driver logic. The update batch shuffles once
+on the dimension key; CLOSED history rows pass through untouched
+(append-only at 100 TB: pair with ``merge_parquet``/partition
+overwrite so only partitions holding open rows rewrite).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    tracked_cols: Sequence[str],
+    ts_col: str = "effective_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Apply an update batch to a type-2 dimension; returns the new
+    full snapshot (closed history + recomputed open chains).
+
+    ``current`` carries one OPEN row per key (``current_flag`` true,
+    ``valid_to`` null) plus any closed history; ``updates`` carries
+    (key, tracked attrs, ``ts_col``) — multiple updates per key in one
+    batch chain correctly in timestamp order.
+
+    Semantics (the standard merge contract):
+
+    - several update rows on the same (key, ts) collapse to ONE
+      deterministically (min attr struct) — cross-engine reproducible;
+    - an update whose attrs equal the previous version's attrs creates
+      NO new version (consecutive-duplicate collapse, evaluated
+      against the open row for the first update of each key);
+    - surviving updates become versions: ``valid_from`` = ts,
+      ``valid_to`` = next version's ts, last one open;
+    - the previously-open row closes at the key's first surviving
+      update ts; keys with no surviving updates pass through
+      unchanged;
+    - LATE updates (ts <= the open row's ``valid_from``) are dropped —
+      rewriting closed history would break the append-only layout;
+      route them to a dead-letter channel upstream if they matter.
+
+    Every window partitions on the dimension key, so the one exchange
+    is the key shuffle of the (small) update batch plus open rows;
+    closed history is a pass-through scan.
+    """
+    keys = list(key_cols)
+    tracked = list(tracked_cols)
+    out_cols = [*keys, *tracked, valid_from, valid_to, current_flag]
+
+    open_rows = current.filter(F.col(current_flag)).select(
+        *keys, *tracked, F.col(valid_from)
+    )
+    closed_rows = current.filter(~F.col(current_flag)).select(*out_cols)
+
+    # one update per (key, ts): min struct over the tracked attrs
+    u = (
+        updates.groupBy(*keys, F.col(ts_col).alias("__ts"))
+        .agg(F.min(F.struct(*tracked)).alias("__a"))
+        .select(*keys, "__ts", *[F.col(f"__a.{c}").alias(c) for c in tracked])
+    )
+    # drop late updates: ts must be strictly after the key's open
+    # valid_from (keys absent from `current` keep all their updates)
+    u = u.join(
+        open_rows.select(*keys, F.col(valid_from).alias("__open_from")),
+        keys,
+        "left",
+    ).filter(
+        F.col("__open_from").isNull() | (F.col("__ts") > F.col("__open_from"))
+    )
+
+    # seed each key's chain with its open row (priority 0 sorts before
+    # any update at the same instant), then collapse consecutive
+    # duplicate attr tuples per key in time order
+    seed = open_rows.select(
+        *keys,
+        F.col(valid_from).alias("__ts"),
+        *tracked,
+        F.lit(0).alias("__prio"),
+    )
+    chain = seed.unionByName(u.drop("__open_from").withColumn("__prio", F.lit(1)))
+    w = Window.partitionBy(*keys).orderBy("__ts", "__prio")
+    attr = F.struct(*tracked)
+    # null-safe compare: a tracked attr that IS NULL must equal itself,
+    # or nullable attributes would spuriously drop versions
+    chain = chain.withColumn("__prev", F.lag(attr).over(w)).filter(
+        F.col("__prev").isNull() | ~F.col("__prev").eqNullSafe(attr)
+    )
+    versions = chain.select(
+        *keys,
+        *tracked,
+        F.col("__ts").alias(valid_from),
+        F.lead("__ts").over(w).alias(valid_to),
+        F.lead("__ts").over(w).isNull().alias(current_flag),
+    )
+    # keys with no update rows never entered `chain` only if they also
+    # had no open row; open rows always seed, so untouched keys come
+    # back as (valid_to null, is_current true) == their input state
+    return closed_rows.unionByName(versions.select(*out_cols))

@@ -1,0 +1,110 @@
+"""SCD type-2 apply: version chaining, duplicate collapse, late-update
+drop, closed-history pass-through."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from reddit_etl_spark.operators.scd import scd2_apply
+
+T0 = dt.datetime(2025, 1, 1)
+
+
+def _ts(day: int) -> dt.datetime:
+    return dt.datetime(2025, 1, day)
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "k long, seg string, valid_from timestamp, valid_to timestamp, "
+        "is_current boolean",
+    )
+
+
+def _upd(spark, rows):
+    return spark.createDataFrame(rows, "k long, seg string, effective_ts timestamp")
+
+
+def test_scd2_chains_versions_in_ts_order(spark):
+    cur = _dim(spark, [(1, "A", T0, None, True)])
+    upd = _upd(spark, [(1, "C", _ts(5)), (1, "B", _ts(3))])
+    out = {
+        (r.k, r.seg): (r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_apply(cur, upd, ["k"], ["seg"]).collect()
+    }
+    assert out == {
+        (1, "A"): (T0, _ts(3), False),
+        (1, "B"): (_ts(3), _ts(5), False),
+        (1, "C"): (_ts(5), None, True),
+    }
+
+
+def test_scd2_no_change_update_creates_no_version(spark):
+    cur = _dim(spark, [(1, "A", T0, None, True)])
+    upd = _upd(spark, [(1, "A", _ts(3)), (1, "B", _ts(5)), (1, "B", _ts(7))])
+    rows = scd2_apply(cur, upd, ["k"], ["seg"]).collect()
+    assert len(rows) == 2  # A stays open until B; duplicate B collapsed
+    by_seg = {r.seg: r for r in rows}
+    assert by_seg["A"].valid_to == _ts(5) and not by_seg["A"].is_current
+    assert by_seg["B"].valid_from == _ts(5) and by_seg["B"].is_current
+
+
+def test_scd2_flip_back_keeps_both_versions(spark):
+    cur = _dim(spark, [(1, "A", T0, None, True)])
+    upd = _upd(spark, [(1, "B", _ts(2)), (1, "A", _ts(4))])
+    rows = scd2_apply(cur, upd, ["k"], ["seg"]).collect()
+    assert len(rows) == 3  # A -> B -> A is three versions, not collapsed
+
+
+def test_scd2_new_key_and_untouched_key(spark):
+    cur = _dim(spark, [(1, "A", T0, None, True)])
+    upd = _upd(spark, [(2, "X", _ts(3))])
+    rows = {r.k: r for r in scd2_apply(cur, upd, ["k"], ["seg"]).collect()}
+    assert rows[1].seg == "A" and rows[1].is_current and rows[1].valid_to is None
+    assert rows[2].seg == "X" and rows[2].is_current
+    assert rows[2].valid_from == _ts(3)
+
+
+def test_scd2_late_update_dropped_and_history_passthrough(spark):
+    cur = _dim(
+        spark,
+        [
+            (1, "OLD", dt.datetime(2024, 1, 1), T0, False),  # closed history
+            (1, "A", T0, None, True),
+        ],
+    )
+    upd = _upd(spark, [(1, "Z", dt.datetime(2024, 6, 1))])  # before open row
+    rows = scd2_apply(cur, upd, ["k"], ["seg"]).collect()
+    assert {(r.seg, r.is_current) for r in rows} == {("OLD", False), ("A", True)}
+
+
+def test_scd2_same_instant_ties_resolve_to_min_struct(spark):
+    cur = _dim(spark, [(1, "A", T0, None, True)])
+    upd = _upd(spark, [(1, "Q", _ts(3)), (1, "B", _ts(3))])
+    rows = {r.seg for r in scd2_apply(cur, upd, ["k"], ["seg"]).collect()}
+    assert rows == {"A", "B"}  # min('B','Q') wins the (k, ts) tie
+
+
+def test_scd2_null_attr_is_stable(spark):
+    cur = _dim(spark, [(1, None, T0, None, True)])
+    upd = _upd(spark, [(1, None, _ts(3)), (1, "B", _ts(5))])
+    rows = scd2_apply(cur, upd, ["k"], ["seg"]).collect()
+    # NULL -> NULL collapses (no new version); NULL -> B is a change
+    assert len(rows) == 2
+    segs = {r.seg for r in rows}
+    assert segs == {None, "B"}
+
+
+def test_scd2_idempotent_reapply(spark):
+    """Re-applying the same batch to the produced snapshot is a no-op —
+    the property that makes retries safe."""
+    cur = _dim(spark, [(1, "A", T0, None, True)])
+    upd = _upd(spark, [(1, "B", _ts(3))])
+    once = scd2_apply(cur, upd, ["k"], ["seg"])
+    twice = scd2_apply(once, upd, ["k"], ["seg"])
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
