@@ -164,6 +164,8 @@ _PROMOTED = [
     "similarity_topk_pq",
     "heavy_hitters_mg",
     "scd2_order_status_dim",
+    "dsir_importance_weights",
+    "anomaly_zscore_daily",
 ]
 _DEFERRED = [
     # audit twins / shape variants whose capability is attested by a
@@ -242,6 +244,16 @@ _DEFERRED = [
     # via decontaminate (gram-probe, recorded) + duplicate_spans
     # (exact repeated-span detection, recorded).
     "sentence_decontaminate",
+    # partial_copy_pairs' (winnowing) partial-overlap detection stays
+    # recorded via duplicate_spans (exact repeated-span core, recorded)
+    # + the dedup_ngram_jaccard/minhash rows; winnowing kernel stays
+    # pinned by tests/test_winnowing.py and this oracle tail.
+    "partial_copy_pairs",
+    # nfc_fingerprints' normalization capability stays recorded via
+    # text_profile + unigram_quality_score (same zero-UDF text-kernel
+    # family); the unicodedata Arrow kernel stays pinned by its
+    # DuckDB nfc_normalize oracle here and the pytest suite.
+    "nfc_fingerprints",
 ]
 
 
@@ -1461,6 +1473,47 @@ def daily_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "anomaly_zscore_daily",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ROUND(SUM(value), 6) AS daily_value
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, day, daily_value,
+             ROUND(AVG(daily_value) OVER w, 6) AS m,
+             ROUND(STDDEV_SAMP(daily_value) OVER w, 6) AS sd,
+             COUNT(daily_value) OVER w AS n
+      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, day, daily_value,
+           zscore, COALESCE(ABS(zscore) > 2.0, FALSE) AS is_anomaly
+    FROM (SELECT event_type, day, daily_value,
+                 CASE WHEN n >= 2 AND sd IS NOT NULL AND sd > 0
+                      THEN ROUND((daily_value - m) / sd, 6) END AS zscore
+          FROM s)
+    """,
+    doc="rolling z-score anomaly detection on the daily event-value "
+    "rollup: each (event_type, day) scored against its TRAILING 7-day "
+    "mean/stddev (current day excluded so a spike can't mask itself), "
+    "|z| > 2 flagged; short or zero-variance baselines yield NULL z "
+    "and no flag. One ROWS-window over the rollup's own partitioning — "
+    "no self-join, no re-scan; mean/std/z all rounded to 6 before "
+    "comparison so both engines cut identically",
+)
+def anomaly_zscore_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import rolling_zscore
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("daily_value"))
+    return rolling_zscore(
+        daily, ["event_type"], "day", "daily_value", window=7, threshold=2.0
+    )
+
+
+@_q(
     "cross_source_dups",
     """
     WITH n AS (
@@ -2441,6 +2494,52 @@ def segment_overlap_theta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             & rel_ok(F.col("b_est"), F.col("purchasers_exact"))
             & rel_ok(F.col("intersection_est"), F.col("overlap_exact"))
         ).alias("theta_within_5pct"),
+    )
+
+
+@_q(
+    "dsir_importance_weights",
+    r"""
+    WITH n AS (SELECT doc_id, lang,
+                      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+               FROM documents),
+    arrs AS (SELECT doc_id, lang, string_split(nt, ' ') AS a FROM n),
+    uni AS (SELECT doc_id, lang, unnest(a) AS g FROM arrs),
+    bi AS (SELECT doc_id, lang,
+                  unnest(list_transform(range(1, greatest(len(a) - 1, 0) + 1),
+                         i -> a[i] || ' ' || a[i + 1])) AS g
+           FROM arrs),
+    grams AS (SELECT * FROM uni WHERE length(g) > 0
+              UNION ALL SELECT * FROM bi WHERE length(g) > 0),
+    b AS (SELECT doc_id, (lang = 'en') AS tgt,
+                 ('0x' || substring(md5(g), 1, 15))::BIGINT % 256 AS bk
+          FROM grams),
+    counts AS (SELECT bk, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc,
+                      COUNT(*) AS rc
+               FROM b GROUP BY bk),
+    tot AS (SELECT SUM(tc) AS t, SUM(rc) AS r FROM counts),
+    ratio AS (SELECT bk, ROUND(ln((tc + 1.0) / (t + 256))
+                             - ln((rc + 1.0) / (r + 256)), 6) AS lr
+              FROM counts, tot)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           ROUND(SUM(lr), 6) AS dsir_logratio
+    FROM b JOIN ratio USING (bk) GROUP BY doc_id
+    """,
+    doc="DSIR importance weights (Xie et al., NeurIPS 2023): hashed "
+    "unigram+bigram features (portable md5_60 % 256 buckets), add-1 "
+    "smoothed bucket probabilities, per-doc sum of target-vs-raw "
+    "log-ratios with lang='en' as the target slice — the importance-"
+    "resampling scorer that upweights documents n-gram-similar to the "
+    "target domain. One gram explode feeds both the KB-sized bucket "
+    "table (broadcast back) and the per-doc sum; full formula "
+    "recomputed cross-engine including the hash",
+)
+def dsir_importance_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import dsir_logratio
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_logratio(
+        docs, "doc_id", "text", target=F.col("lang") == "en", buckets=256
     )
 
 

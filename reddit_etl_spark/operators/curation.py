@@ -533,3 +533,89 @@ def materialize_packed_text(
             ).alias("text"),
         )
     )
+
+
+def dsir_logratio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    buckets: int = 256,
+    weight_col: str = "dsir_logratio",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score
+    every document by how much more likely its hashed n-gram profile is
+    under the TARGET distribution (rows where ``target`` is true — the
+    high-quality slice you want more of) than under the RAW corpus
+    distribution.
+
+    Features are unigrams + bigrams of the normalized token stream,
+    hashed into ``buckets`` buckets with the engine-portable md5_60
+    hash (``dedup.token_hash_col``) — so the whole computation,
+    including the hash, replays verbatim in the DuckDB oracle. Bucket
+    probabilities are add-1 smoothed; the per-document weight is
+
+        sum over gram occurrences of
+            ln((tgt[b]+1)/(T+B)) - ln((raw[b]+1)/(R+B))
+
+    with per-bucket log-ratios rounded to 6 before the sum and the sum
+    rounded to 6 after (the repo's cross-engine float contract). Select
+    with ``weighted_sample``/top-k downstream to actually resample.
+
+    Distributed shape: ONE gram explode feeds both the bucket-count
+    aggregate (B-bounded, two conditional sums in one pass) and the
+    per-doc re-join; the bucket table (B rows) broadcasts back, so the
+    only data-sized exchanges are the gram->bucket partial aggregate
+    and the final per-doc sum — both on (id, long) pairs, never text.
+    At 100 TB the bucket table stays KB-sized no matter the corpus.
+    """
+    from .dedup import token_hash_col
+    from .text import normalize_text_col
+
+    arr = F.split(normalize_text_col(text_col), " ")
+    n_pairs = F.greatest(F.size(arr) - 1, F.lit(0))
+    bigrams = F.transform(
+        F.slice(arr, 1, n_pairs),
+        lambda x, i: F.concat(x, F.lit(" "), F.element_at(arr, i + F.lit(2))),
+    )
+    grams = F.filter(
+        F.concat(arr, bigrams), lambda g: F.length(g) > 0
+    )
+    base = df.select(
+        F.col(id_col),
+        target.alias("__tgt"),
+        F.explode(grams).alias("__g"),
+    ).select(
+        id_col,
+        "__tgt",
+        F.pmod(token_hash_col(F.col("__g"), "md5_60"), F.lit(buckets)).alias(
+            "__b"
+        ),
+    )
+    counts = base.groupBy("__b").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__tc"),
+        F.count("*").alias("__rc"),
+    )
+    totals = counts.agg(
+        F.sum("__tc").alias("__T"), F.sum("__rc").alias("__R")
+    )
+    ratio = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "__b",
+            F.round(
+                F.log((F.col("__tc") + 1) / (F.col("__T") + buckets))
+                - F.log((F.col("__rc") + 1) / (F.col("__R") + buckets)),
+                6,
+            ).alias("__lr"),
+        )
+    )
+    return (
+        base.join(F.broadcast(ratio), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.round(F.sum("__lr"), 6).alias(weight_col),
+        )
+    )

@@ -150,3 +150,48 @@ def column_profile(df: DataFrame, columns: Sequence[str] | None = None) -> DataF
         for c in cols
     ]
     return row.select(F.inline(F.array(*structs)))
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    window: int = 7,
+    threshold: float = 3.0,
+    z_col: str = "zscore",
+    flag_col: str = "is_anomaly",
+) -> DataFrame:
+    """Per-key rolling z-score anomaly detection: each row's value is
+    scored against the mean/stddev of its TRAILING ``window`` rows
+    (current row excluded, so a spike can't mask itself), flagged when
+    |z| exceeds ``threshold``. Rows whose trailing window has fewer
+    than 2 points (or zero variance) get NULL z and a false flag —
+    undefined baselines must not page anyone.
+
+    One shuffle on the key; the trailing frame is a ROWS BETWEEN
+    window over the sorted partition — no self-join, no point-in-time
+    re-scan. At 100 TB the key partitioning is the same exchange the
+    daily rollup producing the input already needed, so this composes
+    for free downstream of an aggregation.
+
+    Float parity (cross-engine oracle): mean and stddev_samp are
+    rounded to 6 BEFORE z = (v - mean)/std, and z is rounded to 6
+    before the threshold compare, so both engines cut identically.
+    """
+    keys = list(key_cols)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-window, -1)
+    )
+    mean = F.round(F.avg(value_col).over(w), 6)
+    std = F.round(F.stddev_samp(value_col).over(w), 6)
+    n = F.count(value_col).over(w)
+    z = F.when(
+        (n >= 2) & std.isNotNull() & (std > 0),
+        F.round((F.col(value_col) - mean) / std, 6),
+    )
+    return df.withColumn(z_col, z).withColumn(
+        flag_col, F.coalesce(F.abs(F.col(z_col)) > threshold, F.lit(False))
+    )

@@ -398,3 +398,48 @@ def test_materialize_packed_text_order_and_budget(spark):
     ]
     assert rows[0].text == "one two three\n\nfour five"
     assert rows[1].text == "six seven eight nine\n\nten"
+
+
+def test_dsir_upweights_target_like_documents(spark):
+    """A document sharing the target slice's n-gram profile must score
+    a higher importance log-ratio than one sharing the raw-only
+    profile — the DSIR selection property."""
+    from pyspark.sql import functions as F
+
+    from reddit_etl_spark.operators.curation import dsir_logratio
+
+    target_text = "solar panels convert sunlight into clean energy"
+    offtop_text = "the stock market closed lower on tuesday again"
+    rows = (
+        [(i, target_text, True) for i in range(10)]
+        + [(100 + i, offtop_text, False) for i in range(10)]
+        + [(200, "solar panels convert sunlight", False)]  # target-like
+        + [(201, "the stock market closed lower", False)]  # raw-like
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_tgt boolean")
+    out = {
+        r.doc_id: r.dsir_logratio
+        for r in dsir_logratio(
+            df, "doc_id", "text", target=F.col("is_tgt"), buckets=64
+        ).collect()
+    }
+    assert out[200] > out[201], (out[200], out[201])
+    # target members themselves score above raw-only members
+    assert out[0] > out[100]
+
+
+def test_dsir_emits_all_nonempty_docs(spark):
+    from pyspark.sql import functions as F
+
+    from reddit_etl_spark.operators.curation import dsir_logratio
+
+    df = spark.createDataFrame(
+        [(1, "a b c", True), (2, "", False), (3, None, False), (4, "d", False)],
+        "doc_id long, text string, t boolean",
+    )
+    out = dsir_logratio(df, "doc_id", "text", target=F.col("t")).collect()
+    ids = {r.doc_id for r in out}
+    assert ids == {1, 4}  # empty/null text has no grams -> absent
+    ng = {r.doc_id: r.n_grams for r in out}
+    assert ng[1] == 5  # 3 unigrams + 2 bigrams
+    assert ng[4] == 1

@@ -684,3 +684,29 @@ def test_semantic_dedup_respects_custom_centroids(spark):
     got = {r.vec_id: r.cluster for r in out}
     # 11 is cos~0.9986 to 10 -> dropped; clusters are the custom cids
     assert got == {10: 7, 12: 9}
+
+
+# --- rolling z-score -------------------------------------------------------
+
+
+def test_rolling_zscore_flags_planted_spike(spark):
+    from reddit_etl_spark.operators.relational import rolling_zscore
+
+    rows = [("a", d, 10.0 + (d % 2)) for d in range(1, 11)] + [("a", 11, 100.0)]
+    df = spark.createDataFrame(rows, "k string, day int, v double")
+    out = {r.day: r for r in rolling_zscore(df, ["k"], "day", "v", window=7).collect()}
+    assert out[11].is_anomaly and out[11].zscore > 3
+    assert not out[5].is_anomaly  # in-regime day
+    assert out[1].zscore is None and not out[1].is_anomaly  # empty window
+    assert out[2].zscore is None  # 1-point window: stddev_samp undefined
+
+
+def test_rolling_zscore_zero_variance_window_is_null(spark):
+    from reddit_etl_spark.operators.relational import rolling_zscore
+
+    rows = [("a", d, 5.0) for d in range(1, 8)] + [("a", 8, 9.0)]
+    df = spark.createDataFrame(rows, "k string, day int, v double")
+    out = {r.day: r for r in rolling_zscore(df, ["k"], "day", "v", window=7).collect()}
+    # day 8's trailing window is all-constant -> sd == 0 -> no score,
+    # even though the value jumped (undefined baseline, not an alert)
+    assert out[8].zscore is None and not out[8].is_anomaly
