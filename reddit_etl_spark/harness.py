@@ -166,6 +166,11 @@ _PROMOTED = [
     "scd2_order_status_dim",
     "dsir_importance_weights",
     "anomaly_zscore_daily",
+    # round-5 fourth batch: distributed-prefix-sum sweep (new
+    # capability; displaces topk_per_group, whose per-group-head shape
+    # stays recorded via q02_top_per_group and plan-asserted via the
+    # topk_global oracle tail)
+    "concurrency_peaks",
 ]
 _DEFERRED = [
     # audit twins / shape variants whose capability is attested by a
@@ -254,6 +259,11 @@ _DEFERRED = [
     # family); the unicodedata Arrow kernel stays pinned by its
     # DuckDB nfc_normalize oracle here and the pytest suite.
     "nfc_fingerprints",
+    # round-5 fourth-batch rotation OUT: per-group-head shape stays
+    # recorded via q02_top_per_group (argmax window, recorded) and the
+    # plan-asserted topk_global in this tail; green driver rows in
+    # CORRECTNESS_r01..r04.
+    "topk_per_group",
 ]
 
 
@@ -1511,6 +1521,61 @@ def anomaly_zscore_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_zscore(
         daily, ["event_type"], "day", "daily_value", window=7, threshold=2.0
     )
+
+
+@_q(
+    "concurrency_peaks",
+    """
+    WITH iv AS (
+      SELECT CAST(FLOOR(epoch(ts::TIMESTAMP)) AS BIGINT) AS s,
+             CAST(FLOOR(epoch(ts::TIMESTAMP)) AS BIGINT)
+               + GREATEST(CAST(FLOOR(value * 60) AS BIGINT), 1) AS e
+      FROM events),
+    deltas AS (
+      SELECT s * 2 + 1 AS ord, 1 AS d FROM iv
+      UNION ALL
+      SELECT e * 2, -1 FROM iv),
+    run AS (
+      SELECT ord,
+             SUM(d) OVER (ORDER BY ord
+                          RANGE BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS open
+      FROM deltas),
+    pb AS (
+      SELECT (ord // 2 // 3600) * 3600 AS bstart,
+             MAX(open) AS pk,
+             max_by(open, ord) AS last_open,
+             MIN(ord) AS min_ord
+      FROM run GROUP BY 1)
+    SELECT CAST(to_timestamp(bstart) AS TIMESTAMP) AS bucket_start,
+           CAST(GREATEST(pk,
+                CASE WHEN min_ord // 2 > bstart
+                     THEN COALESCE(LAG(last_open) OVER (ORDER BY bstart), 0)
+                     ELSE 0 END) AS BIGINT) AS peak_concurrency
+    FROM pb
+    """,
+    doc="hourly peak-concurrency sweep over event intervals (each event "
+    "open for floor(value*60)>=1 seconds): +1/-1 boundary deltas -> "
+    "DISTRIBUTED prefix sum (range-bucket partials + broadcast "
+    "offsets, operators/series.py — the naive global running-sum "
+    "window is a single-partition scale-killer) -> per-hour peak with "
+    "carry-in via LAG over the bounded bucket frame (applied only when "
+    "the bucket's first boundary is strictly inside it). Integer "
+    "deltas and a composite BIGINT sort key (ends before starts at "
+    "equal t, half-open) make the sweep bit-identical across engines",
+)
+def concurrency_peaks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import concurrency_peaks
+
+    ev = load_events(spark, sf_dir)
+    iv = ev.select(
+        F.unix_timestamp("ts").alias("s"),
+        (
+            F.unix_timestamp("ts")
+            + F.greatest(F.floor(F.col("value") * 60).cast("long"), F.lit(1))
+        ).alias("e"),
+    )
+    return concurrency_peaks(iv, "s", "e", bucket_seconds=3600)
 
 
 @_q(

@@ -1,0 +1,216 @@
+"""Ordered-series operators: distributed prefix sums and interval
+concurrency sweeps.
+
+The naive Spark spelling of a GLOBAL running total —
+``SUM(x) OVER (ORDER BY t)`` with no PARTITION BY — plans a
+single-partition WindowExec: every row funnels through one task, the
+one shape guaranteed to fall over at 100 TB. ``running_total``
+replaces it with the classic two-phase distributed prefix sum:
+
+1. range-bucket rows on the order column (pure column arithmetic off
+   a broadcast min/max — no sampler job, no collect);
+2. per-bucket partial sums (one tiny B-row frame, B = ``buckets``);
+3. exclusive prefix over the B bucket sums (a window over B rows —
+   single-partition but bounded-by-construction, like the top-20
+   rank windows elsewhere in this repo);
+4. broadcast the offsets back and finish with a per-bucket RANGE
+   window, so each task scans only its bucket.
+
+Total cost: one extra tiny aggregate + broadcast on top of the one
+range shuffle ANY global ordering needs. Every bucket is processed in
+parallel; the widest serial structure is B rows.
+
+``concurrency_peaks`` builds the classic sweep-line on top: intervals
+become +1/-1 boundary deltas, the running delta sum IS the number of
+concurrent intervals, and a groupBy rolls peaks up per time bucket.
+This is how "max concurrent sessions per hour over a year of logs"
+stays a two-shuffle job instead of an O(n^2) self-join on
+overlapping-range predicates.
+
+Determinism across engines (DuckDB oracle parity): the running sum
+uses a RANGE frame on a single composite BIGINT sort key, so all
+peers (equal keys) share one running value — no dependence on
+physical row order within ties, no float summation (deltas are
+integers).
+
+Reference parity: the reference has no series operators (its
+analysis.sql:5-183 is pure group-by SQL); this is part of the
+LLM-scale extension surface (SURVEY §2.9/§6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def running_total(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_total",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Global running total of ``value_col`` ordered by ``order_col``
+    (BIGINT-ordered; ties share one running value via a RANGE frame),
+    with no single-partition window — see module docstring for the
+    four-phase plan.
+
+    ``order_col`` must be integral (cast timestamps to epoch seconds
+    first): bucket boundaries are computed with integer arithmetic so
+    equal keys always land in the same bucket and both engines of a
+    cross-engine comparison bucket identically.
+
+    ``buckets`` bounds the serial structure: the offsets frame has at
+    most ``buckets`` rows. 1024 buckets x a few GiB per bucket covers
+    a ~TB ordered stream; raise it for more. Assumes the order column
+    is roughly range-uniform (event time almost always is); a heavily
+    clustered key degrades to fewer effective buckets, never to
+    incorrectness.
+    """
+    span = df.agg(
+        F.min(order_col).cast("long").alias("__mn"),
+        F.max(order_col).cast("long").alias("__mx"),
+    )
+    # integer bucket width, >= 1: floor((v - mn) / w) in [0, buckets)
+    bucketed = df.crossJoin(F.broadcast(span)).withColumn(
+        "__bucket",
+        F.least(
+            F.floor(
+                (F.col(order_col).cast("long") - F.col("__mn"))
+                / F.greatest(
+                    F.floor(
+                        (F.col("__mx") - F.col("__mn") + F.lit(buckets))
+                        / F.lit(buckets)
+                    ),
+                    F.lit(1),
+                )
+            ),
+            F.lit(buckets - 1),
+        ).cast("int"),
+    )
+    partials = bucketed.groupBy("__bucket").agg(
+        F.sum(value_col).alias("__bsum")
+    )
+    # exclusive prefix over <= `buckets` rows: bounded-by-construction
+    w_buckets = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = partials.select(
+        "__bucket",
+        F.coalesce(F.sum("__bsum").over(w_buckets), F.lit(0)).alias("__off"),
+    )
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.col(order_col).cast("long"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "__bucket")
+        .withColumn(out_col, F.col("__off") + F.sum(value_col).over(w_in))
+        .drop("__bucket", "__mn", "__mx", "__off")
+    )
+
+
+def interval_deltas(
+    df: DataFrame,
+    start_col: str | Column,
+    end_col: str | Column,
+) -> DataFrame:
+    """Explode [start, end) intervals (epoch-second BIGINTs) into
+    sweep-line boundary events: one +1 at start, one -1 at end, as
+    a single composite sort key ``__ord`` = t * 2 + (delta > 0).
+
+    The composite key makes -1 sort before +1 at the same instant, so
+    an interval ending exactly when another starts never double-counts
+    (half-open semantics) — and keeps the downstream running sum on
+    ONE order column, which both Spark and SQL engines accept for a
+    deterministic RANGE frame. Zero-length intervals cancel to a net
+    0 at their instant, never contributing a spurious peak.
+
+    One narrow projection + explode: no shuffle of its own.
+    """
+    s = F.col(start_col) if isinstance(start_col, str) else start_col
+    e = F.col(end_col) if isinstance(end_col, str) else end_col
+    return df.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (s.cast("long") * 2 + 1).alias("__ord"),
+                    F.lit(1).alias("__delta"),
+                ),
+                F.struct(
+                    (e.cast("long") * 2).alias("__ord"),
+                    F.lit(-1).alias("__delta"),
+                ),
+            )
+        ).alias("__b")
+    ).select(F.col("__b.__ord").alias("__ord"), F.col("__b.__delta").alias("__delta"))
+
+
+def concurrency_peaks(
+    df: DataFrame,
+    start_col: str | Column,
+    end_col: str | Column,
+    bucket_seconds: int = 3600,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Peak number of concurrently-open [start, end) intervals per
+    time bucket (default hourly): sweep-line deltas -> distributed
+    running sum -> per-bucket rollup with carry-in.
+
+    Output: (bucket_start TIMESTAMP, peak_concurrency BIGINT), one row
+    per bucket that contains at least one boundary event. A bucket's
+    peak is max(carry-in, max sweep value at its boundaries): the
+    carry-in (the sweep value entering the bucket, i.e. at the latest
+    boundary of the previous emitted bucket) covers the case where a
+    bucket only CLOSES intervals — its true peak is the level it
+    started at, which no inner boundary reaches. Carry-in applies only
+    when the bucket's FIRST boundary is strictly after the bucket
+    start: a level that drops exactly at the bucket edge (half-open
+    [start, end) — end == bucket_start) holds at no instant inside the
+    bucket and must not inflate its peak. Buckets an interval
+    merely spans (no boundary inside) are not emitted — callers
+    wanting a dense timeline forward-fill, which keeps output
+    proportional to boundary count, not span length (an interval
+    spanning a year must not emit 8,760 rows).
+
+    Plan: explode (narrow) -> running_total (one range shuffle + tiny
+    bucket-offset broadcast) -> groupBy bucket (partial-agg combine)
+    -> LAG over the bucket frame (one row per active bucket — bounded
+    by the time range, not the data volume). Two data-sized shuffles
+    total, both on longs.
+    """
+    deltas = interval_deltas(df, start_col, end_col)
+    running = running_total(
+        deltas, "__ord", "__delta", out_col="__open", buckets=buckets
+    )
+    per_bucket = running.groupBy(
+        (
+            F.floor(F.floor(F.col("__ord") / 2) / bucket_seconds)
+            * bucket_seconds
+        ).alias("__bstart")
+    ).agg(
+        F.max("__open").alias("__peak_at_bounds"),
+        # sweep value after the bucket's last boundary = carry-in for
+        # the NEXT emitted bucket; ties at the max __ord share one
+        # __open (RANGE-frame peers), so max_by is deterministic
+        F.max_by("__open", "__ord").alias("__last_open"),
+        F.min("__ord").alias("__min_ord"),
+    )
+    w = Window.orderBy("__bstart")
+    return per_bucket.select(
+        F.timestamp_seconds("__bstart").alias("bucket_start"),
+        F.greatest(
+            F.col("__peak_at_bounds"),
+            # carry-in manifests inside the bucket only over
+            # [bucket_start, first_boundary) — empty when the first
+            # boundary sits exactly on the bucket edge
+            F.when(
+                F.floor(F.col("__min_ord") / 2) > F.col("__bstart"),
+                F.coalesce(F.lag("__last_open").over(w), F.lit(0)),
+            ).otherwise(F.lit(0)),
+        )
+        .cast("long")
+        .alias("peak_concurrency"),
+    )

@@ -1,0 +1,167 @@
+"""Distributed prefix-sum and concurrency-sweep tests (operators/series.py).
+
+Oracle strategy: pandas/pure-Python reimplementations on small frames
+(cumsum over the sorted deltas is trivially correct single-threaded),
+plus structural edge cases the harness's DuckDB oracle can't isolate:
+tie groups sharing one running value (RANGE-frame peers), bucket-count
+independence (the distributed result must not depend on B), carry-in
+buckets whose peak is the entry level, and zero-length intervals.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from reddit_etl_spark.operators.series import (
+    concurrency_peaks,
+    interval_deltas,
+    running_total,
+)
+
+
+def _running_df(spark, rows):
+    return spark.createDataFrame(rows, "ord long, v long")
+
+
+def _expected_running(rows):
+    """Single-threaded truth: cumulative sum ordered by ord, peers
+    (equal ord) all carrying the post-group total (RANGE semantics)."""
+    total = 0.0
+    out = {}
+    for ord_, group in __import__("itertools").groupby(
+        sorted(rows), key=lambda r: r[0]
+    ):
+        total += sum(v for _, v in group)
+        out[ord_] = total
+    return out
+
+
+def test_running_total_matches_serial_cumsum(spark):
+    rows = [(i * 7 % 101, (i % 13) - 6) for i in range(500)]
+    got = running_total(
+        _running_df(spark, rows), "ord", "v", buckets=8
+    ).collect()
+    want = _expected_running(rows)
+    assert len(got) == len(rows)
+    for r in got:
+        assert r["running_total"] == want[r["ord"]], r
+
+
+@pytest.mark.parametrize("buckets", [1, 3, 1024])
+def test_running_total_bucket_count_invariant(spark, buckets):
+    rows = [(i % 10, 1) for i in range(100)]  # heavy ties
+    got = running_total(
+        _running_df(spark, rows), "ord", "v", buckets=buckets
+    ).collect()
+    want = _expected_running(rows)
+    assert all(r["running_total"] == want[r["ord"]] for r in got)
+
+
+def test_running_total_peers_share_value(spark):
+    # all rows at one instant: every peer sees the full-group total
+    rows = [(5, 1)] * 20
+    got = running_total(_running_df(spark, rows), "ord", "v").collect()
+    assert [r["running_total"] for r in got] == [20] * 20
+
+
+def test_interval_deltas_orders_ends_before_starts(spark):
+    df = spark.createDataFrame([(10, 20), (20, 30)], "s long, e long")
+    rows = sorted(
+        interval_deltas(df, "s", "e").collect(), key=lambda r: r["__ord"]
+    )
+    # end of [10,20) sorts before start of [20,30): half-open, never 2
+    assert [(r["__ord"], r["__delta"]) for r in rows] == [
+        (21, 1),
+        (40, -1),
+        (41, 1),
+        (60, -1),
+    ]
+
+
+def _peaks(spark, intervals, bucket_seconds=10):
+    df = spark.createDataFrame(intervals, "s long, e long")
+    return {
+        r["bucket_start"].timestamp(): r["peak_concurrency"]
+        for r in concurrency_peaks(
+            df, "s", "e", bucket_seconds=bucket_seconds
+        ).collect()
+    }
+
+
+def test_concurrency_basic_overlap(spark):
+    # [0,5) [3,8): overlap 2 during [3,5)
+    assert _peaks(spark, [(0, 5), (3, 8)]) == {0.0: 2}
+
+
+def test_concurrency_carry_in_bucket(spark):
+    # 3 intervals open from bucket 0, only CLOSING events in bucket 1:
+    # bucket 1's peak is the carry-in level 3, which no inner boundary
+    # reaches (values at its -1 boundaries are 2,1,0)
+    got = _peaks(spark, [(1, 12), (2, 13), (3, 14)])
+    assert got == {0.0: 3, 10.0: 3}
+
+
+def test_concurrency_adjacent_intervals_never_double_count(spark):
+    # [0,10) then [10,20): half-open — never concurrent. Bucket 20
+    # holds only the final close at its exact edge: peak 0, and the
+    # carry-in from bucket 10 must NOT apply (level 1 dropped exactly
+    # at t=20, holding at no instant inside bucket 20)
+    got = _peaks(spark, [(0, 10), (10, 20)])
+    assert got == {0.0: 1, 10.0: 1, 20.0: 0}
+
+
+def test_concurrency_zero_length_interval_cancels(spark):
+    # [5,5) contributes +1/-1 at the same instant with the -1 first:
+    # never raises the sweep above the other interval's level. Bucket
+    # 10 sees [0,10)'s close exactly at its edge -> peak 0, no carry.
+    got = _peaks(spark, [(0, 10), (5, 5)])
+    assert got == {0.0: 1, 10.0: 0}
+
+
+def test_concurrency_brute_force_parity(spark):
+    import random
+
+    rng = random.Random(7)
+    iv = [(s := rng.randrange(0, 200), s + rng.randrange(1, 40)) for _ in range(60)]
+    got = _peaks(spark, iv, bucket_seconds=10)
+
+    def level(t):
+        return sum(1 for s, e in iv if s <= t < e)
+
+    # brute force: an emitted bucket's peak is the max level over the
+    # instants inside it — its boundary times plus the bucket start
+    # (the level is piecewise-constant between boundaries, so these
+    # sample points cover every attained value)
+    for b, p in got.items():
+        instants = {int(b)} | {
+            t for s, e in iv for t in (s, e) if b <= t < b + 10
+        }
+        assert max(level(t) for t in instants) == p, (b, p)
+
+
+def test_concurrency_no_single_partition_window_on_data(spark):
+    """The data-sized running sum must be partitioned by bucket; the
+    only unpartitioned windows may be the bounded bucket/offset frames.
+    Asserted structurally: with buckets=4, the per-row window spec in
+    the optimized plan partitions on __bucket."""
+    import re
+
+    df = spark.createDataFrame([(i, i + 5) for i in range(100)], "s long, e long")
+    deltas = interval_deltas(df, "s", "e")
+    out = running_total(deltas, "__ord", "__delta", buckets=4)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert len(specs) == 2, specs
+    # the RANGE-frame window (per-row running sum over the data) must
+    # be PARTITIONED by __bucket: partition spec "__bucket#N," comes
+    # before the ASC ordering clause
+    range_specs = [s for s in specs if "RangeFrame" in s]
+    assert range_specs and all(
+        re.match(r"__bucket#\d+, ", s) for s in range_specs
+    ), specs
+    # the only unpartitioned window is the bounded bucket-offset
+    # prefix (RowFrame over <= `buckets` rows)
+    row_specs = [s for s in specs if "RowFrame" in s]
+    assert all(re.match(r"__bucket#\d+ ASC", s) for s in row_specs), specs
