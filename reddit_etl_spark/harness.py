@@ -171,6 +171,11 @@ _PROMOTED = [
     # stays recorded via q02_top_per_group and plan-asserted via the
     # topk_global oracle tail)
     "concurrency_peaks",
+    # integer-exact iterative PageRank (new capability; displaces
+    # tfidf_top_terms, whose corpus-term-statistics shape stays
+    # recorded via bm25_rank and oracle-checked via vocab_topk /
+    # bm25_rank_indexed in the tail)
+    "pagerank_cust_supp",
 ]
 _DEFERRED = [
     # audit twins / shape variants whose capability is attested by a
@@ -264,6 +269,9 @@ _DEFERRED = [
     # plan-asserted topk_global in this tail; green driver rows in
     # CORRECTNESS_r01..r04.
     "topk_per_group",
+    # corpus term statistics (tf/df shuffle shape) stay recorded via
+    # bm25_rank; green driver rows in CORRECTNESS_r01..r04.
+    "tfidf_top_terms",
 ]
 
 
@@ -1576,6 +1584,88 @@ def concurrency_peaks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e"),
     )
     return concurrency_peaks(iv, "s", "e", bucket_seconds=3600)
+
+
+_PAGERANK_SCALE = 10**12
+
+# unrolled-iteration oracle: DuckDB has no iterative dataflow, so each
+# PageRank round is its own CTE block (dangling-mass scalar + inflow
+# join + update). Integer arithmetic end-to-end (// is BIGINT floor
+# division) makes every round bit-identical to the Spark side — no
+# float summation order to diverge, no rounding knife-edges.
+_PAGERANK_ITER = """
+    d{k} AS (
+      SELECT COALESCE(SUM(r.r), 0) AS d
+      FROM r{p} r LEFT JOIN outdeg o ON r.node = o.node
+      WHERE o.node IS NULL),
+    i{k} AS (
+      SELECT p.dst AS node, SUM(r.r // o.od) AS fl
+      FROM pairs p
+      JOIN r{p} r ON p.src = r.node
+      JOIN outdeg o ON p.src = o.node
+      GROUP BY 1),
+    r{k} AS (
+      SELECT n.node,
+             (15 * {scale}) // (100 * (SELECT n FROM nn))
+             + (85 * (COALESCE(i.fl, 0)
+                      + (SELECT d FROM d{k}) // (SELECT n FROM nn))) // 100
+               AS r
+      FROM nodes n LEFT JOIN i{k} i ON n.node = i.node)"""
+
+_PAGERANK_ORACLE = (
+    """
+    WITH pairs AS (
+      SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+                      's:' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    nodes AS (SELECT src AS node FROM pairs UNION SELECT dst FROM pairs),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outdeg AS (SELECT src AS node, COUNT(*) AS od FROM pairs GROUP BY 1),
+    r0 AS (SELECT node, (SELECT {scale} // n FROM nn) AS r FROM nodes),"""
+    + ",".join(
+        _PAGERANK_ITER.format(k=k, p=k - 1, scale="{scale}")
+        for k in range(1, 6)
+    )
+    + """
+    SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r5
+    """
+).format(scale=_PAGERANK_SCALE)
+
+
+@_q(
+    "pagerank_cust_supp",
+    _PAGERANK_ORACLE,
+    doc="5-iteration PageRank over the customer->supplier purchase "
+    "graph (distinct orders x lineitem pairs; suppliers are dangling "
+    "and redistribute uniformly) in EXACT integer arithmetic "
+    "(operators/graph.py:pagerank): BIGINT ranks in 1e-12 units, "
+    "integer division everywhere, so both engines and any partitioning "
+    "produce identical bits — no float drift across iterations. Two "
+    "shuffles per round on (node, long) pairs; dangling/N scalars "
+    "broadcast, never collected",
+)
+def pagerank_cust_supp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import pagerank
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    return pagerank(
+        edges, "src", "dst", iterations=5, scale=_PAGERANK_SCALE
+    )
 
 
 @_q(

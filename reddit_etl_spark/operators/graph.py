@@ -242,3 +242,97 @@ def dedup_survivors(
         F.col("node").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """PageRank in EXACT integer arithmetic: ranks are BIGINT
+    micro-probabilities in units of 1/``scale``, every update uses
+    integer division, and sums are exact BIGINT sums — so the result
+    is bit-identical on any engine and any partitioning/summation
+    order. Floating-point PageRank is order-dependent in the last
+    ulps per iteration and drifts cross-engine as iterations compound;
+    integer units remove the problem instead of rounding it away.
+
+    Update rule (all ``//`` integer division):
+
+        r'(v) = (100 - damping_pct) * scale // (100 * N)
+              + damping_pct * (inflow(v) + dangling // N) // 100
+        inflow(v) = sum over in-edges (u,v) of r(u) // outdeg(u)
+
+    Dangling nodes (no out-edges) redistribute their mass uniformly.
+    The remainders dropped by integer division (< N * iterations units
+    of 1/scale total) are far below any ranking-relevant difference at
+    scale=1e12.
+
+    Scale notes (100 TB graphs):
+    - Each iteration: one join of edges with the rank frame on src +
+      one groupBy dst — the canonical 2-shuffle PageRank round; the
+      shuffled payload is (node, long) pairs, never adjacency data.
+    - The dangling mass and N are tiny aggregates broadcast back via
+      crossJoin(broadcast(...)) — no driver collect in the loop.
+    - Lineage is truncated with localCheckpoint every
+      ``checkpoint_every`` iterations (the iterative-lineage OOM
+      killer, same guard as connected_components).
+    - Skewed in-degree hubs are plain aggregation skew: partial
+      aggregation (map-side combine) absorbs it, unlike join skew.
+
+    Returns (node, rank_scaled BIGINT) for all nodes; rank_scaled /
+    scale sums to ~1. No reference counterpart; extension surface.
+    """
+    E = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        E.select(F.col("src").alias("node"))
+        .union(E.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.agg(F.count("*").alias("__n"))
+    outdeg = E.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("__outdeg")
+    )
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", F.expr(f"{scale} div __n").alias("rank_scaled")
+    )
+    base_pct = 100 - damping_pct
+    for it in range(iterations):
+        with_deg = ranks.join(outdeg, "node", "left")
+        dangling = with_deg.filter(F.col("__outdeg").isNull()).agg(
+            F.coalesce(F.sum("rank_scaled"), F.lit(0)).alias("__dangling")
+        )
+        inflow = (
+            E.join(
+                with_deg.filter(F.col("__outdeg").isNotNull()),
+                E["src"] == with_deg["node"],
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_scaled div __outdeg").alias("__share"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__share").alias("__inflow"))
+        )
+        ranks = (
+            nodes.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.expr(
+                    f"({base_pct} * cast({scale} as bigint)) div (100 * __n)"
+                    f" + ({damping_pct} * (coalesce(__inflow, 0)"
+                    f" + (__dangling div __n))) div 100"
+                ).alias("rank_scaled"),
+            )
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

@@ -150,3 +150,77 @@ def test_dedup_survivors_keeps_one_per_cluster(spark):
     )
     # 2,3 (dups of 1) and 8 (dup of 7) dropped; singletons kept
     assert kept == [0, 1, 4, 5, 6, 7, 9]
+
+
+# ---------------------------------------------------------------------------
+# pagerank — integer-exact iterative ranking
+# ---------------------------------------------------------------------------
+
+
+def _ref_pagerank(edges, iterations=5, scale=10**12):
+    """Single-threaded truth with the identical integer update rule."""
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    ded = sorted(set(edges))
+    out: dict = {}
+    for s, _ in ded:
+        out[s] = out.get(s, 0) + 1
+    r = {v: scale // n for v in nodes}
+    for _ in range(iterations):
+        dang = sum(r[v] for v in nodes if v not in out)
+        inflow = {v: 0 for v in nodes}
+        for s, d in ded:
+            inflow[d] += r[s] // out[s]
+        r = {
+            v: (15 * scale) // (100 * n)
+            + (85 * (inflow[v] + dang // n)) // 100
+            for v in nodes
+        }
+    return r
+
+
+def _pr(spark, edges, **kw):
+    from reddit_etl_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r["node"]: r["rank_scaled"] for r in pagerank(df, **kw).collect()}
+
+
+def test_pagerank_matches_serial_reference_with_dangling(spark):
+    import random
+
+    rng = random.Random(3)
+    edges = list(
+        {(f"n{rng.randrange(30)}", f"n{rng.randrange(30)}") for _ in range(80)}
+    )
+    # n0..n3 become dangling (in-links only)
+    edges = [(s, d) for s, d in edges if s != d and s not in ("n0", "n1", "n2", "n3")]
+    assert _pr(spark, edges) == _ref_pagerank(edges)
+
+
+def test_pagerank_mass_conserved_and_hub_ranks_highest(spark):
+    # star: everyone links to hub; hub links to one spoke
+    edges = [(f"s{i}", "hub") for i in range(10)] + [("hub", "s0")]
+    got = _pr(spark, edges)
+    assert max(got, key=got.get) == "hub"
+    # integer division leaks < iterations * N units of 1/scale
+    assert abs(sum(got.values()) - 10**12) < 5 * len(got) * 10
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    edges = [("a", "b"), ("a", "b"), ("b", "a")]
+    assert _pr(spark, edges) == _pr(spark, [("a", "b"), ("b", "a")])
+
+
+def test_pagerank_partitioning_invariant(spark):
+    # bit-identical under different shuffle widths: the point of the
+    # integer formulation
+    edges = [(f"n{i}", f"n{(i * 3 + 1) % 17}") for i in range(17)]
+    a = _pr(spark, edges)
+    cur = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        b = _pr(spark, edges)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", cur)
+    assert a == b
