@@ -272,6 +272,11 @@ _DEFERRED = [
     # corpus term statistics (tf/df shuffle shape) stay recorded via
     # bm25_rank; green driver rows in CORRECTNESS_r01..r04.
     "tfidf_top_terms",
+    # rows-only by nature (DCT perceptual hashing has no SQL oracle):
+    # lives in the tail so the driver-recorded head stays 100%
+    # value-hash-checked; capability pinned by tests/test_phash.py
+    # (kernel invariances + pigeonhole completeness vs brute force)
+    "image_phash_neardup",
 ]
 
 
@@ -1666,6 +1671,27 @@ def pagerank_cust_supp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(
         edges, "src", "dst", iterations=5, scale=_PAGERANK_SCALE
     )
+
+
+@_q(
+    "image_phash_neardup",
+    None,  # DCT-based perceptual hashing is not SQL-expressible:
+    # rows-only driver check; the kernel's invariances (brightness/
+    # contrast/resize), the 4x16-band pigeonhole completeness vs brute
+    # force, and the end-to-end duplicate-text pairing are pinned by
+    # tests/test_phash.py
+    doc="perceptual-hash image near-dup pairs: deterministic PNG "
+    "rasters from document text (images_from_text) -> 64-bit DCT "
+    "pHash via one narrow mapInPandas pass (payloads never shuffle) "
+    "-> banded self-join on 4x16-bit hash bands (pigeonhole-complete "
+    "for Hamming <= 3) -> exact bit_count(a XOR b) filter in codegen",
+)
+def image_phash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import images_from_text, phash_pairs, phash_table
+
+    docs = load(spark, sf_dir, "documents")
+    imgs = images_from_text(docs, "doc_id", "text")
+    return phash_pairs(phash_table(imgs), max_hamming=3)
 
 
 @_q(

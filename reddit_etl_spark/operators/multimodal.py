@@ -343,3 +343,211 @@ def media_from_text(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (pHash) + Hamming-banded near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+_DCT32: np.ndarray | None = None
+
+
+def _dct32() -> np.ndarray:
+    """Orthonormal 32x32 DCT-II matrix (same construction as the JPEG
+    codec's 8x8 one, codecs._dct_matrix)."""
+    global _DCT32
+    if _DCT32 is None:
+        n = 32
+        k = np.arange(n)
+        m = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+        m[0] *= np.sqrt(1 / n)
+        m[1:] *= np.sqrt(2 / n)
+        _DCT32 = m
+    return _DCT32
+
+
+def phash64(payload: bytes) -> int:
+    """64-bit perceptual hash of an encoded image: decode -> Rec.601
+    grayscale -> 32x32 nearest resize -> 2D DCT-II -> sign of each
+    top-left 8x8 coefficient vs the median of the 63 ACs (DC bit
+    always 0 — DC is overall brightness, which pHash must ignore).
+
+    Invariances (tested): exact under uniform brightness shift (a
+    constant offset moves only the DC coefficient) and under positive
+    contrast scaling (all coefficients AND their median scale
+    together, so every sign comparison is unchanged). Re-encoding,
+    mild noise, and small resizes move only a few bits — near-dups
+    land within a small Hamming radius.
+
+    Raises UnsupportedMediaError for undecodable payloads (same
+    dead-letter class as every codec entry point). Returned as a
+    SIGNED 64-bit int (bit 63 in the sign position) so it stores in a
+    Spark/parquet BIGINT without widening.
+    """
+    gray = codecs.to_grayscale(codecs.decode_image(payload)).astype(np.float64)
+    small = codecs.resize_nearest(gray, 32, 32)
+    c = _dct32()
+    coeffs = (c @ small @ c.T)[:8, :8].ravel()
+    med = float(np.median(coeffs[1:]))
+    bits = coeffs > med
+    bits[0] = False
+    h = 0
+    for i in range(64):
+        if bits[i]:
+            h |= 1 << i
+    return int(np.int64(np.uint64(h)))
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def phash_table(
+    media: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    on_error: str = "raise",
+) -> DataFrame:
+    """(asset_id, phash BIGINT) via one narrow mapInPandas pass off the
+    scan — payloads never shuffle, only the 8-byte hash flows
+    downstream. ``on_error='null'`` dead-letters undecodable assets as
+    NULL hashes instead of failing the stage."""
+    if on_error not in ("raise", "null"):
+        raise ValueError("on_error must be 'raise' or 'null'")
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[int | None] = []
+            for p in pdf[payload_col]:
+                try:
+                    out.append(phash64(bytes(p) if p is not None else b""))
+                except UnsupportedMediaError:
+                    if on_error == "raise":
+                        raise
+                    out.append(None)
+            yield pd.DataFrame(
+                {"asset_id": pdf[id_col].astype(str), "phash": out}
+            )
+
+    return media.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _hash, schema=PHASH_SCHEMA
+    )
+
+
+def phash_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "asset_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Near-duplicate image pairs: all (id_a < id_b) with
+    Hamming(phash_a, phash_b) <= ``max_hamming``.
+
+    Bucketed, not all-pairs: the 64-bit hash splits into 4 x 16-bit
+    bands; by pigeonhole, any pair within Hamming distance 3 agrees
+    EXACTLY on at least one band (3 differing bits cannot touch all 4
+    bands), so a self-join on (band_index, band_value) finds every
+    qualifying pair — completeness is structural, and tested against
+    brute force. ``max_hamming`` > 3 would need wider bands (the
+    pigeonhole argument requires max_hamming < bands) and raises.
+
+    Plan: explode to 4 band rows per asset (longs only), self-join on
+    the 24-byte band key, dedupe candidates, re-join the two 8-byte
+    hashes once, exact distance via bit_count(a XOR b) in codegen.
+    Shuffles carry (id, long) pairs, never pixels. Band buckets over
+    real imagery are near-uniform (DCT sign bits are balanced), so no
+    salt is needed; a pathological single-color corpus degrades to the
+    exact-dup case, where candidates equal true dups anyway.
+    """
+    if max_hamming >= 4:
+        raise ValueError(
+            "phash_pairs guarantees completeness only for max_hamming <= 3 "
+            "(4 x 16-bit band pigeonhole); use more bands / a wider hash "
+            "for larger radii"
+        )
+    h = hashes.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h")
+    ).filter(F.col("h").isNotNull())
+    bands = h.select(
+        "id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"),
+                        F.expr(f"shiftrightunsigned(h, {16 * i}) & 65535").alias(
+                            "bv"
+                        ),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "h", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
+    a = bands.select(
+        F.col("id").alias("id_a"), F.col("h").alias("h_a"), "bi", "bv"
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"), F.col("h").alias("h_b"), "bi", "bv"
+    )
+    cand = (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.expr("h_a ^ h_b")).cast("long")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def images_from_text(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    side: int = 64,
+) -> DataFrame:
+    """Deterministic synthetic image table from a text corpus: each
+    document's UTF-8 bytes tile a ``side`` x ``side`` grayscale raster,
+    PNG-encoded with the stdlib codec. Identical texts yield identical
+    payloads; near-duplicate texts (shared prefixes/spans) yield
+    rasters that agree on most pixels — so the pHash pipeline has
+    realistic near-dup structure to find. Testdata plumbing for the
+    image path (the container has no image corpus), same role as
+    media_from_text for the feature path."""
+    n = side * side
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                raw = (t or "").encode("utf-8") or b"\x00"
+                reps = -(-n // len(raw))  # ceil
+                px = np.frombuffer(raw * reps, dtype=np.uint8)[:n]
+                payloads.append(
+                    codecs.encode_png(px.reshape(side, side).copy())
+                )
+            yield pd.DataFrame(
+                {"asset_id": pdf[id_col].astype(str), "payload": payloads}
+            )
+
+    return docs.select(
+        F.col(id_col), F.col(text_col)
+    ).mapInPandas(
+        _render,
+        schema=StructType(
+            [
+                StructField("asset_id", StringType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
