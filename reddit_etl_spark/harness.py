@@ -176,6 +176,12 @@ _PROMOTED = [
     # recorded via bm25_rank and oracle-checked via vocab_topk /
     # bm25_rank_indexed in the tail)
     "pagerank_cust_supp",
+    # Jaro-Winkler blocked record linkage (new capability; displaces
+    # decontaminate, whose broadcast-gram decontam shape stays recorded
+    # inside curation_pipeline_full (5-gram benchmark probe) and
+    # oracle-checked via decontaminate_bloom + sentence_decontaminate
+    # in the tail)
+    "part_name_linkage",
 ]
 _DEFERRED = [
     # audit twins / shape variants whose capability is attested by a
@@ -277,6 +283,12 @@ _DEFERRED = [
     # value-hash-checked; capability pinned by tests/test_phash.py
     # (kernel invariances + pigeonhole completeness vs brute force)
     "image_phash_neardup",
+    # round-5 fifth-batch rotation OUT: broadcast-gram decontamination
+    # stays recorded via curation_pipeline_full's 5-gram benchmark
+    # probe; green driver rows in CORRECTNESS_r01..r04; scale twin
+    # decontaminate_bloom and span variant sentence_decontaminate stay
+    # oracle-checked in this tail.
+    "decontaminate",
 ]
 
 
@@ -1671,6 +1683,38 @@ def pagerank_cust_supp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(
         edges, "src", "dst", iterations=5, scale=_PAGERANK_SCALE
     )
+
+
+@_q(
+    "part_name_linkage",
+    """
+    WITH p AS (
+      SELECT DISTINCT p_name, split_part(p_name, ' ', 1) AS blk
+      FROM part)
+    SELECT a.p_name AS id_a, b.p_name AS id_b,
+           ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+    FROM p a JOIN p b ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.88
+    """,
+    doc="record linkage by Jaro-Winkler similarity with first-token "
+    "blocking over the distinct part-name catalog "
+    "(dedup.jw_blocked_pairs): candidates from a block-key equi-join "
+    "(never the cross product), Arrow-batched JW kernel matching "
+    "DuckDB's jaro_winkler_similarity bit-for-bit (empty-string zero, "
+    "0.7 boost threshold, 4-char prefix cap — randomized cross-checks "
+    "in tests), similarity rounded to 6 before the threshold cut so "
+    "both engines keep identical pairs at the boundary",
+)
+def part_name_linkage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import jw_blocked_pairs
+
+    names = (
+        load(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .select(F.col("p_name").alias("name_id"), "p_name")
+    )
+    return jw_blocked_pairs(names, "name_id", "p_name", threshold=0.88)
 
 
 @_q(

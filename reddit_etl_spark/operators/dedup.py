@@ -826,3 +826,118 @@ def edit_distance_pairs(
         .filter(F.col("edit_distance") <= max_edit)
         .select("id_a", "id_b", "edit_distance")
     )
+
+
+def _jaro_winkler(s1: str, s2: str) -> float:
+    """Jaro-Winkler similarity, matching DuckDB's
+    ``jaro_winkler_similarity`` bit-for-bit (validated on randomized
+    cross-checks in tests): standard Jaro with match window
+    max(l1,l2)//2 - 1, half-transposition count, Winkler prefix boost
+    (p=0.1, up to 4 chars) applied only when jaro > 0.7, and 0.0 when
+    EITHER string is empty (DuckDB returns 0 even for ''=='')."""
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    md = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    m = 0
+    for i, c in enumerate(s1):
+        for j in range(max(0, i - md), min(l2, i + md + 1)):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    jaro = (m / l1 + m / l2 + (m - t) / m) / 3
+    if jaro > 0.7:
+        pl = 0
+        for a, b in zip(s1, s2):
+            if a == b and pl < 4:
+                pl += 1
+            else:
+                break
+        jaro += pl * 0.1 * (1 - jaro)
+    return jaro
+
+
+def jw_blocked_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    threshold: float = 0.88,
+    block_col: Column | None = None,
+) -> DataFrame:
+    """Record-linkage pairs by Jaro-Winkler similarity with blocking:
+    all (id_a < id_b) sharing a blocking key whose ROUND(jw, 6) >=
+    ``threshold``. Complements ``edit_distance_pairs`` (exact radius-1)
+    with the scored-similarity side of entity resolution.
+
+    Blocking contract: ONLY pairs sharing a block key are compared —
+    the standard ER recall trade (Fellegi-Sunter style pipelines);
+    completeness is with respect to the blocking, which the caller
+    picks per domain. Default block: the name's first whitespace
+    token, a good fit for JW because high-JW pairs share prefixes
+    (the Winkler boost is prefix-weighted). Pass ``block_col`` for
+    composite keys (e.g. phonetic code + length band) when the first
+    token is degenerate for your data.
+
+    Scale notes (100 TB): one shuffle on the block key; per-block work
+    is C(block_size, 2) — the blocking key's job is to keep blocks
+    bounded, and a hot block is a data-model smell (salt or refine the
+    key), not an engine problem. The JW kernel runs as an
+    Arrow-batched pandas UDF over candidate pairs only (never the
+    cross product), and the similarity is rounded to 6 BEFORE the
+    threshold cut so engines cut identically at the boundary.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _jaro_winkler(x, y) if x is not None and y is not None else 0.0
+                for x, y in zip(a, b)
+            ],
+            dtype="float64",
+        )
+
+    blk = (
+        block_col
+        if block_col is not None
+        else F.split_part(F.col(name_col), F.lit(" "), F.lit(1))
+    )
+    base = df.select(
+        F.col(id_col), F.col(name_col), blk.alias("__blk")
+    )
+    a = base.select(
+        F.col("__blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(name_col).alias("__na"),
+    )
+    b = base.select(
+        F.col("__blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(name_col).alias("__nb"),
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jw", F.round(_jw(F.col("__na"), F.col("__nb")), 6))
+        .filter(F.col("jw") >= threshold)
+        .select("id_a", "id_b", "jw")
+    )
