@@ -182,6 +182,11 @@ _PROMOTED = [
     # oracle-checked via decontaminate_bloom + sentence_decontaminate
     # in the tail)
     "part_name_linkage",
+    # degree-oriented triangle counting / clustering coefficients (new
+    # capability; displaces unigram_quality_score, whose zero-UDF
+    # text-kernel family stays recorded via text_profile and
+    # oracle-checked in the tail alongside nfc_fingerprints)
+    "user_clustering",
 ]
 _DEFERRED = [
     # audit twins / shape variants whose capability is attested by a
@@ -289,6 +294,10 @@ _DEFERRED = [
     # decontaminate_bloom and span variant sentence_decontaminate stay
     # oracle-checked in this tail.
     "decontaminate",
+    # one-pass text-quality kernel family stays recorded via
+    # text_profile (same zero-UDF column-expression family); green
+    # driver rows in CORRECTNESS_r02..r04.
+    "unigram_quality_score",
 ]
 
 
@@ -1683,6 +1692,78 @@ def pagerank_cust_supp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(
         edges, "src", "dst", iterations=5, scale=_PAGERANK_SCALE
     )
+
+
+@_q(
+    "user_clustering",
+    """
+    WITH b AS (
+      SELECT DISTINCT user_id, event_type,
+             date_trunc('hour', ts::TIMESTAMP) AS h
+      FROM events),
+    e AS (
+      SELECT DISTINCT a.user_id AS u, c.user_id AS v
+      FROM b a JOIN b c USING (event_type, h)
+      WHERE a.user_id < c.user_id),
+    deg AS (
+      SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+      GROUP BY 1),
+    o AS (
+      SELECT CASE WHEN (da.degree, e.u) < (db.degree, e.v)
+                  THEN e.u ELSE e.v END AS s,
+             CASE WHEN (da.degree, e.u) < (db.degree, e.v)
+                  THEN e.v ELSE e.u END AS t
+      FROM e JOIN deg da ON e.u = da.node JOIN deg db ON e.v = db.node),
+    tri AS (
+      SELECT e1.s AS wa, e1.t AS wm, e2.t AS wc
+      FROM o e1 JOIN o e2 ON e1.t = e2.s
+      JOIN o e3 ON e3.s = e1.s AND e3.t = e2.t),
+    pn AS (
+      SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS triangles
+      FROM (SELECT wa AS n FROM tri UNION ALL SELECT wm FROM tri
+            UNION ALL SELECT wc FROM tri)
+      GROUP BY 1)
+    SELECT d.node, d.degree,
+           CAST(COALESCE(pn.triangles, 0) AS BIGINT) AS triangles,
+           CASE WHEN d.degree >= 2
+                THEN ROUND(2.0 * COALESCE(pn.triangles, 0)
+                           / (d.degree * (d.degree - 1)), 6) END
+             AS clustering
+    FROM deg d LEFT JOIN pn ON d.node = pn.node
+    """,
+    doc="per-user triangle counts + local clustering coefficient over "
+    "the (event_type, hour) co-occurrence graph, via degree-ordered "
+    "orientation (operators/graph.py:triangle_counts): every edge "
+    "points from its (degree,id)-smaller endpoint, bounding oriented "
+    "out-degree by O(sqrt(m)) for ANY degree distribution, so the "
+    "wedge self-join is O(m^1.5) worst-case instead of sum(deg^2) — "
+    "the celebrity-node killer. All shuffles carry node-id tuples. "
+    "Co-occurrence bucketing is C(bucket,2)-bounded; at 100 TB cap or "
+    "sample oversized buckets upstream",
+)
+def user_clustering_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import triangle_counts
+
+    ev = load_events(spark, sf_dir)
+    buckets = ev.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+    ).distinct()
+    a = buckets.select(
+        "event_type", "h", F.col("user_id").alias("ua")
+    )
+    c = buckets.select(
+        "event_type", "h", F.col("user_id").alias("uc")
+    )
+    edges = (
+        a.join(c, ["event_type", "h"])
+        .filter(F.col("ua") < F.col("uc"))
+        .select(F.col("ua").alias("u"), F.col("uc").alias("v"))
+        .distinct()
+    )
+    return triangle_counts(edges, "u", "v")
 
 
 @_q(

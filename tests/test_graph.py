@@ -224,3 +224,77 @@ def test_pagerank_partitioning_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", cur)
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts — degree-oriented triangle enumeration
+# ---------------------------------------------------------------------------
+
+
+def _tri(spark, edges):
+    from reddit_etl_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    return {
+        r["node"]: (r["degree"], r["triangles"], r["clustering"])
+        for r in triangle_counts(df, "a", "b").collect()
+    }
+
+
+def test_triangle_counts_triangle_and_square(spark):
+    got = _tri(spark, [(1, 2), (2, 3), (3, 1)])
+    assert got == {1: (2, 1, 1.0), 2: (2, 1, 1.0), 3: (2, 1, 1.0)}
+    got = _tri(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])  # C4: no triangles
+    assert all(t == 0 and c == 0.0 for _, t, c in got.values())
+
+
+def test_triangle_counts_k4(spark):
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = _tri(spark, edges)
+    # K4: every node is in C(3,2)=3 triangles, clustering 1.0
+    assert all(v == (3, 3, 1.0) for v in got.values())
+
+
+def test_triangle_counts_star_has_none(spark):
+    got = _tri(spark, [(0, i) for i in range(1, 20)])
+    assert got[0] == (19, 0, 0.0)
+    assert all(got[i] == (1, 0, None) for i in range(1, 20))
+
+
+def test_triangle_counts_input_canonicalization(spark):
+    # duplicates, reversed edges, and self-loops must not change counts
+    clean = _tri(spark, [(1, 2), (2, 3), (3, 1)])
+    dirty = _tri(
+        spark, [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2), (1, 2)]
+    )
+    assert clean == dirty
+
+
+def test_triangle_counts_matches_brute_force(spark):
+    import itertools
+    import random
+
+    rng = random.Random(5)
+    edges = list(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(15), rng.randrange(15)) for _ in range(60)
+            )
+            if a != b
+        }
+    )
+    got = _tri(spark, edges)
+    es = set(edges)
+    nodes = {n for e in edges for n in e}
+    want_tri = {n: 0 for n in nodes}
+    for x, y, z in itertools.combinations(sorted(nodes), 3):
+        if (x, y) in es and (y, z) in es and (x, z) in es:
+            for n in (x, y, z):
+                want_tri[n] += 1
+    deg = {n: sum(1 for e in edges if n in e) for n in nodes}
+    for n in nodes:
+        d, t, c = got[n]
+        assert (d, t) == (deg[n], want_tri[n]), n
+        if d >= 2:
+            assert c == round(2 * want_tri[n] / (d * (d - 1)), 6)
