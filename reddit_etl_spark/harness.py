@@ -187,6 +187,15 @@ _PROMOTED = [
     # text-kernel family stays recorded via text_profile and
     # oracle-checked in the tail alongside nfc_fingerprints)
     "user_clustering",
+    # time-weighted average (new capability; displaces
+    # q13_trailing_window, whose trailing-ROWS-window stddev shape
+    # stays recorded via anomaly_zscore_daily)
+    "twa_user_value",
+    # gap-fill + LOCF (new capability; displaces events_windowed,
+    # whose tumbling-rollup shape stays recorded via
+    # anomaly_zscore_daily's daily rollup and pinned by the
+    # batch-stream equivalence tests; it remains a bench headline)
+    "gap_fill_hourly",
 ]
 _DEFERRED = [
     # audit twins / shape variants whose capability is attested by a
@@ -298,6 +307,13 @@ _DEFERRED = [
     # text_profile (same zero-UDF column-expression family); green
     # driver rows in CORRECTNESS_r02..r04.
     "unigram_quality_score",
+    # trailing-window stddev/mean shape stays recorded via
+    # anomaly_zscore_daily; green driver rows in CORRECTNESS_r01..r04.
+    "q13_trailing_window",
+    # tumbling-window rollup shape stays recorded via
+    # anomaly_zscore_daily's daily rollup + the streaming equivalence
+    # tests; still a bench headline. Green rows in r01..r04.
+    "events_windowed",
 ]
 
 
@@ -1691,6 +1707,83 @@ def pagerank_cust_supp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pagerank(
         edges, "src", "dst", iterations=5, scale=_PAGERANK_SCALE
+    )
+
+
+@_q(
+    "twa_user_value",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts::TIMESTAMP)) AS BIGINT) AS t,
+             value
+      FROM events),
+    s AS (
+      SELECT user_id, t, value,
+             LEAD(t) OVER (PARTITION BY user_id ORDER BY t, value) AS tn
+      FROM e)
+    SELECT user_id,
+           CAST(MAX(t) - MIN(t) AS BIGINT) AS span_seconds,
+           CASE WHEN MAX(t) > MIN(t)
+                THEN ROUND(ROUND(SUM(value * (tn - t)), 6)
+                           / (MAX(t) - MIN(t)), 6) END AS twa
+    FROM s GROUP BY user_id
+    """,
+    doc="per-user time-weighted average of event value with "
+    "left-constant interpolation (operators/series.py:"
+    "time_weighted_avg — the TimescaleDB time_weight('LOCF') shape): "
+    "each reading weighted by how long it was current, so bursty "
+    "reporting doesn't dominate the mean the way plain AVG does. One "
+    "key shuffle; LEAD rides the same partitioning; weighted sum "
+    "rounded to 6 before the division (stable_avg rationale)",
+)
+def twa_user_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import time_weighted_avg
+
+    ev = load_events(spark, sf_dir)
+    return time_weighted_avg(ev, ["user_id"], "ts", "value")
+
+
+@_q(
+    "gap_fill_hourly",
+    """
+    WITH e AS (
+      SELECT event_type,
+             (CAST(FLOOR(epoch(ts::TIMESTAMP)) AS BIGINT) // 3600) * 3600
+               AS bucket,
+             CAST(FLOOR(epoch(ts::TIMESTAMP)) AS BIGINT) AS t, value
+      FROM events),
+    obs AS (
+      SELECT event_type, bucket, MAX({'t': t, 'v': value}).v AS v
+      FROM e GROUP BY 1, 2),
+    bounds AS (
+      SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx
+      FROM e GROUP BY 1),
+    grid AS (
+      SELECT event_type, unnest(generate_series(mn, mx, 3600)) AS bucket
+      FROM bounds)
+    SELECT g.event_type,
+           CAST(to_timestamp(g.bucket) AS TIMESTAMP) AS bucket_start,
+           last_value(o.v IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS value_filled
+    FROM grid g LEFT JOIN obs o
+      ON g.event_type = o.event_type AND g.bucket = o.bucket
+    """,
+    doc="hourly gap-fill with last-observation-carried-forward per "
+    "event type (operators/series.py:gap_fill — the TimescaleDB "
+    "time_bucket_gapfill+locf shape): dense grid via sequence+explode "
+    "(no driver loop), per-bucket carried observation picked by "
+    "lexicographic max of (ts, value) so timestamp ties resolve "
+    "identically on every engine, LOCF as last(ignorenulls) over the "
+    "key partition — no single-partition stage",
+)
+def gap_fill_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import gap_fill
+
+    ev = load_events(spark, sf_dir)
+    return gap_fill(
+        ev, ["event_type"], "ts", "value", step_seconds=3600
     )
 
 

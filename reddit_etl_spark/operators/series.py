@@ -214,3 +214,122 @@ def concurrency_peaks(
         .cast("long")
         .alias("peak_concurrency"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: "list[str]",
+    ts_col: str,
+    value_col: str,
+    out_col: str = "twa",
+) -> DataFrame:
+    """Per-key time-weighted average with left-constant (step)
+    interpolation — the TimescaleDB ``time_weight('LOCF')`` shape: a
+    reading holds until the next one, so each value is weighted by how
+    long it was current, sum(v_i * (t_{i+1} - t_i)) / (t_n - t_0).
+    Plain AVG over irregular samples over-weights bursts (a sensor
+    that reports 100x/s during an anomaly dominates the mean); TWA is
+    the integral the dashboard actually wants.
+
+    Keys with a single reading (or zero time span) yield NULL — an
+    undefined integral, not a zero.
+
+    One shuffle on the key; the per-key LEAD is a window over that
+    same partitioning. Weighted sum rounded to 6 before the division
+    (same cross-engine rationale as harness.stable_avg).
+
+    Output: key_cols + (span_seconds BIGINT, twa DOUBLE).
+    """
+    keys = list(key_cols)
+    t = F.unix_timestamp(ts_col)
+    w = Window.partitionBy(*keys).orderBy(t.asc(), F.col(value_col).asc())
+    dt = F.lead(t).over(w) - t
+    weighted = df.select(
+        *keys,
+        t.alias("__t"),
+        (F.col(value_col) * dt).alias("__wv"),
+    )
+    return (
+        weighted.groupBy(*keys)
+        .agg(
+            (F.max("__t") - F.min("__t")).cast("long").alias("span_seconds"),
+            F.round(F.sum("__wv"), 6).alias("__sw"),
+        )
+        .select(
+            *keys,
+            "span_seconds",
+            F.when(
+                F.col("span_seconds") > 0,
+                F.round(F.col("__sw") / F.col("span_seconds"), 6),
+            ).alias(out_col),
+        )
+    )
+
+
+def gap_fill(
+    df: DataFrame,
+    key_cols: "list[str]",
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+    out_col: str = "value_filled",
+) -> DataFrame:
+    """Regularize an irregular per-key series onto a dense
+    ``step_seconds`` grid with last-observation-carried-forward
+    (TimescaleDB ``time_bucket_gapfill`` + ``locf``): every key gets
+    one row per grid bucket from its first to its last observation;
+    buckets with no reading repeat the latest prior one.
+
+    Per (key, bucket) the carried observation is the lexicographic max
+    of (ts, value) — a total order, so ties at the same timestamp
+    resolve identically on every engine and partitioning.
+
+    Plan: per-key bounds (1 shuffle) -> sequence+explode builds the
+    grid WITHOUT a driver loop (output is proportional to span/step —
+    the operator's contract, priced by the caller's step choice) ->
+    left join observations (same key shuffle) -> LOCF as
+    last(ignorenulls) over the key partition. No single-partition
+    stage anywhere.
+
+    Output: key_cols + (bucket_start TIMESTAMP, value_filled).
+    """
+    keys = list(key_cols)
+    bucket = (F.floor(F.unix_timestamp(ts_col) / step_seconds) * step_seconds).cast(
+        "long"
+    )
+    obs = (
+        df.select(
+            *keys,
+            bucket.alias("__bucket"),
+            F.struct(
+                F.unix_timestamp(ts_col).alias("t"),
+                F.col(value_col).alias("v"),
+            ).alias("__tv"),
+        )
+        .groupBy(*keys, "__bucket")
+        .agg(F.max("__tv").alias("__last"))
+        .select(*keys, "__bucket", F.col("__last.v").alias("__v"))
+    )
+    bounds = df.groupBy(*keys).agg(
+        F.min(bucket).alias("__mn"), F.max(bucket).alias("__mx")
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence("__mn", "__mx", F.lit(int(step_seconds)))
+        ).alias("__bucket"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, [*keys, "__bucket"], "left")
+        .withColumn(out_col, F.last("__v", ignorenulls=True).over(w))
+        .select(
+            *keys,
+            F.timestamp_seconds("__bucket").alias("bucket_start"),
+            out_col,
+        )
+    )

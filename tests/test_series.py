@@ -165,3 +165,84 @@ def test_concurrency_no_single_partition_window_on_data(spark):
     # prefix (RowFrame over <= `buckets` rows)
     row_specs = [s for s in specs if "RowFrame" in s]
     assert all(re.match(r"__bucket#\d+ ASC", s) for s in row_specs), specs
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_avg / gap_fill — temporal aggregates
+# ---------------------------------------------------------------------------
+
+
+def test_twa_step_interpolation(spark):
+    import datetime as dt
+
+    from reddit_etl_spark.operators.series import time_weighted_avg
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # value 10 holds 30s, value 20 holds 10s -> (300+200)/40 = 12.5
+        ("a", base, 10.0),
+        ("a", base + dt.timedelta(seconds=30), 20.0),
+        ("a", base + dt.timedelta(seconds=40), 99.0),  # last: zero weight
+        ("b", base, 7.0),  # single reading: undefined integral
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {
+        r["k"]: (r["span_seconds"], r["twa"])
+        for r in time_weighted_avg(df, ["k"], "ts", "v").collect()
+    }
+    assert got["a"] == (40, 12.5)
+    assert got["b"] == (0, None)
+
+
+def test_twa_burst_does_not_dominate(spark):
+    import datetime as dt
+
+    from reddit_etl_spark.operators.series import time_weighted_avg
+
+    base = dt.datetime(2024, 1, 1)
+    # value 1 for 100s, then a 10-reading burst of value 100 within 1s
+    rows = [("a", base, 1.0)] + [
+        ("a", base + dt.timedelta(seconds=100, milliseconds=100 * i), 100.0)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    twa = time_weighted_avg(df, ["k"], "ts", "v").collect()[0]["twa"]
+    naive = (1.0 + 100.0 * 10) / 11
+    assert twa < 5 < naive  # burst dominated the naive mean, not the TWA
+
+
+def test_gap_fill_locf_fills_missing_buckets(spark):
+    import datetime as dt
+
+    from reddit_etl_spark.operators.series import gap_fill
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", base, 1.0),
+        ("a", base + dt.timedelta(hours=3), 4.0),  # hours 1,2 missing
+        ("b", base + dt.timedelta(hours=1), 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = sorted(
+        (r["k"], r["bucket_start"].hour, r["value_filled"])
+        for r in gap_fill(df, ["k"], "ts", "v", step_seconds=3600).collect()
+    )
+    assert got == [
+        ("a", 0, 1.0),
+        ("a", 1, 1.0),
+        ("a", 2, 1.0),
+        ("a", 3, 4.0),
+        ("b", 1, 9.0),
+    ]
+
+
+def test_gap_fill_tie_resolution_is_lexicographic_max(spark):
+    import datetime as dt
+
+    from reddit_etl_spark.operators.series import gap_fill
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("a", base, 3.0), ("a", base, 8.0)]  # same instant
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = gap_fill(df, ["k"], "ts", "v").collect()
+    assert [r["value_filled"] for r in got] == [8.0]
