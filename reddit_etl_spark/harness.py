@@ -196,6 +196,11 @@ _PROMOTED = [
     # anomaly_zscore_daily's daily rollup and pinned by the
     # batch-stream equivalence tests; it remains a bench headline)
     "gap_fill_hourly",
+    # market-basket affinity (new capability; displaces
+    # incremental_dedup, whose persisted-index increment shape stays
+    # recorded via incremental_minhash and oracle-checked in the tail
+    # via the extension_sql equivalence tests)
+    "item_affinity",
 ]
 _DEFERRED = [
     # audit twins / shape variants whose capability is attested by a
@@ -314,6 +319,10 @@ _DEFERRED = [
     # anomaly_zscore_daily's daily rollup + the streaming equivalence
     # tests; still a bench headline. Green rows in r01..r04.
     "events_windowed",
+    # persisted-index increment shape stays recorded via
+    # incremental_minhash (the near-dup variant of the same contract);
+    # green rows in CORRECTNESS_r01..r04 + extension_sql equivalence.
+    "incremental_dedup",
 ]
 
 
@@ -1708,6 +1717,42 @@ def pagerank_cust_supp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(
         edges, "src", "dst", iterations=5, scale=_PAGERANK_SCALE
     )
+
+
+@_q(
+    "item_affinity",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT o) AS n FROM b),
+    joint AS (
+      SELECT a.i AS item_a, c.i AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM b a JOIN b c ON a.o = c.o AND a.i < c.i
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+    marg AS (SELECT i, COUNT(*) AS supp FROM b GROUP BY 1)
+    SELECT j.item_a, j.item_b, j.support,
+           ROUND(j.support * 1.0 / ma.supp, 6) AS conf_a_to_b,
+           ROUND(j.support * 1.0 / mb.supp, 6) AS conf_b_to_a,
+           ROUND((SELECT n FROM n) * j.support * 1.0
+                 / (ma.supp * mb.supp), 6) AS lift
+    FROM joint j
+    JOIN marg ma ON j.item_a = ma.i
+    JOIN marg mb ON j.item_b = mb.i
+    """,
+    doc="market-basket affinity over order line items "
+    "(operators/relational.py:item_affinity): joint support via a "
+    "per-basket self-join — work is sum C(|basket|,2), bounded by "
+    "basket size not item popularity (whale baskets droppable via "
+    "max_basket_size, the Apriori hygiene filter) — then marginal "
+    "supports joined back and confidence/lift rounded to 6 for "
+    "cross-engine determinism",
+)
+def item_affinity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import item_affinity
+
+    li = load(spark, sf_dir, "lineitem")
+    return item_affinity(li, "l_orderkey", "l_partkey", min_support=3)
 
 
 @_q(

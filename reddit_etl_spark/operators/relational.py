@@ -195,3 +195,79 @@ def rolling_zscore(
     return df.withColumn(z_col, z).withColumn(
         flag_col, F.coalesce(F.abs(F.col(z_col)) > threshold, F.lit(False))
     )
+
+
+def item_affinity(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Market-basket co-occurrence mining: for every item pair that
+    appears together in >= ``min_support`` baskets, the joint support,
+    each item's marginal support, directional confidence and lift
+    (N * supp_ab / (supp_a * supp_b), > 1 = appear together more than
+    independence predicts).
+
+    Pair generation is a per-basket self-join, so the work is
+    sum over baskets of C(|basket|, 2) — bounded by BASKET size, not
+    item popularity: a hot item in a million small baskets costs a
+    million rows, not a million-squared join. The genuinely dangerous
+    input is a whale basket (a crawler cart with 10^5 items =
+    5 * 10^9 pairs); ``max_basket_size`` drops those baskets outright
+    (the standard Apriori hygiene filter) — set it whenever basket
+    size is unbounded upstream.
+
+    Plan: distinct (basket, item) -> self-join on the basket key (one
+    shuffle of id pairs) -> pair count (map-side combine) -> marginal
+    supports joined back (item-keyed frames, broadcast when small) ->
+    scalar N via broadcast. Ratios rounded to 6 for cross-engine
+    determinism.
+    """
+    b = (
+        df.select(F.col(basket_col).alias("__o"), F.col(item_col).alias("__i"))
+        .distinct()
+    )
+    if max_basket_size is not None:
+        sizes = b.groupBy("__o").agg(F.count("*").alias("__sz"))
+        b = (
+            b.join(sizes, "__o")
+            .filter(F.col("__sz") <= max_basket_size)
+            .drop("__sz")
+        )
+    n_baskets = b.select("__o").distinct().agg(
+        F.count("*").alias("__n")
+    )
+    left = b.select(F.col("__o"), F.col("__i").alias("item_a"))
+    right = b.select(F.col("__o"), F.col("__i").alias("item_b"))
+    joint = (
+        left.join(right, "__o")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    marg = b.groupBy("__i").agg(F.count("*").alias("__supp"))
+    ma = marg.select(
+        F.col("__i").alias("item_a"), F.col("__supp").alias("__sa")
+    )
+    mb = marg.select(
+        F.col("__i").alias("item_b"), F.col("__supp").alias("__sb")
+    )
+    return (
+        joint.join(ma, "item_a")
+        .join(mb, "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("support").cast("long").alias("support"),
+            F.round(F.col("support") / F.col("__sa"), 6).alias("conf_a_to_b"),
+            F.round(F.col("support") / F.col("__sb"), 6).alias("conf_b_to_a"),
+            F.round(
+                F.col("__n") * F.col("support") / (F.col("__sa") * F.col("__sb")),
+                6,
+            ).alias("lift"),
+        )
+    )

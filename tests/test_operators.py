@@ -710,3 +710,57 @@ def test_rolling_zscore_zero_variance_window_is_null(spark):
     # day 8's trailing window is all-constant -> sd == 0 -> no score,
     # even though the value jumped (undefined baseline, not an alert)
     assert out[8].zscore is None and not out[8].is_anomaly
+
+
+# ---------------------------------------------------------------------------
+# item_affinity — market-basket co-occurrence
+# ---------------------------------------------------------------------------
+
+
+def test_item_affinity_support_confidence_lift(spark):
+    from reddit_etl_spark.operators.relational import item_affinity
+
+    # 4 baskets: {a,b} together in 2 of them; a in 3, b in 2
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, "o long, i string")
+    got = {
+        (r["item_a"], r["item_b"]): r
+        for r in item_affinity(df, "o", "i", min_support=2).collect()
+    }
+    r = got[("a", "b")]
+    assert r["support"] == 2
+    assert r["conf_a_to_b"] == round(2 / 3, 6)
+    assert r["conf_b_to_a"] == 1.0
+    assert r["lift"] == round(4 * 2 / (3 * 2), 6)
+    assert ("a", "c") not in got  # support 1 < min_support
+
+
+def test_item_affinity_duplicate_lines_count_once(spark):
+    from reddit_etl_spark.operators.relational import item_affinity
+
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, "o long, i string")
+    got = item_affinity(df, "o", "i", min_support=2).collect()
+    assert len(got) == 1 and got[0]["support"] == 2
+
+
+def test_item_affinity_whale_basket_filter(spark):
+    from reddit_etl_spark.operators.relational import item_affinity
+
+    rows = [(1, f"i{k}") for k in range(50)] + [
+        (2, "i0"), (2, "i1"),
+        (3, "i0"), (3, "i1"),
+    ]
+    df = spark.createDataFrame(rows, "o long, i string")
+    # whale basket contributes C(50,2) pairs unless capped
+    uncapped = item_affinity(df, "o", "i", min_support=1).count()
+    capped = item_affinity(
+        df, "o", "i", min_support=1, max_basket_size=10
+    ).collect()
+    assert uncapped == 50 * 49 // 2
+    assert len(capped) == 1 and capped[0]["support"] == 2
