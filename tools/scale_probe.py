@@ -252,6 +252,74 @@ def main() -> int:
         "edges, both directions); total spans all rounds to fixpoint",
     )
 
+    # -- prefix-sum concurrency sweep (SCALING.md "concurrency sweep") ----
+    # 10x events as [ts, ts+dur) intervals. Dominant exchange = the
+    # range shuffle feeding the per-bucket RANGE window: every interval
+    # contributes exactly 2 boundary-delta longs, independent of span.
+    from reddit_etl_spark.operators.series import concurrency_peaks
+
+    iv = events.select(
+        F.unix_timestamp("ts").alias("s"),
+        (
+            F.unix_timestamp("ts")
+            + F.greatest(F.floor(F.col("value") * 60).cast("long"), F.lit(1))
+        ).alias("e"),
+    )
+    record(
+        "concurrency_sweep",
+        predicted=2 * n_events,
+        # consume the peak VALUES: a bare count() lets Catalyst prune
+        # the running-sum window entirely (row count only needs the
+        # distinct hour buckets) and the probe would measure a plan no
+        # real caller runs
+        fn=lambda: concurrency_peaks(iv, "s", "e")
+        .agg(F.sum("peak_concurrency"))
+        .collect(),
+        note=f"dominant = 2 boundary deltas per interval (2 x "
+        f"{n_events}); bucket offsets/carry-in frames are "
+        "time-range-bounded, orders of magnitude below",
+    )
+
+    # -- triangle counting on a hub graph (SCALING.md "triangle" row) -----
+    # 100k-spoke hub + 2k disjoint triangles: naive neighbor-join wedge
+    # volume would be sum(deg^2) ~ 1e10 via the hub; degree-ordered
+    # orientation points every spoke AT the hub (out-degree 1), so the
+    # wedge join emits only the ~1-per-triangle closed wedges and the
+    # dominant exchange stays the O(|E|) degree/orientation pass.
+    from reddit_etl_spark.operators.graph import triangle_counts
+
+    hub = spark.range(1, 100_001).select(
+        F.lit(0).alias("a"), F.col("id").alias("b")
+    )
+    tri_base = spark.range(0, 2000)
+    tris = tri_base.selectExpr(
+        "1000000 + id * 3 as a", "1000000 + id * 3 + 1 as b"
+    ).unionByName(
+        tri_base.selectExpr(
+            "1000000 + id * 3 as a", "1000000 + id * 3 + 2 as b"
+        )
+    ).unionByName(
+        tri_base.selectExpr(
+            "1000000 + id * 3 + 1 as a", "1000000 + id * 3 + 2 as b"
+        )
+    )
+    tri_edges = hub.unionByName(tris).localCheckpoint(eager=True)
+    n_tri_edges = tri_edges.count()
+    record(
+        "triangle_hub_guard",
+        predicted=2 * n_tri_edges,
+        # consume the triangle VALUES (a bare count() would let the
+        # optimizer drop the wedge join — output cardinality is the
+        # node count)
+        fn=lambda: triangle_counts(tri_edges, "a", "b")
+        .agg(F.sum("triangles"))
+        .collect(),
+        note=f"dominant stage is O(|E|): edge canonicalize/orient "
+        f"joins shuffle ~{n_tri_edges} id pairs; orientation caps the "
+        "hub's wedge fan-out at C(outdeg,2)=0 where the naive "
+        "neighbor join would emit C(100k,2) ~ 5e9",
+    )
+
     out = {
         "sf_dir": sf_dir,
         "times": times,
