@@ -72,4 +72,101 @@ EXTENSION_SQL: dict[str, str] = {
         SELECT doc_id FROM w
         WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.nt = w.nt)
     """,
+    "item_affinity": """
+        WITH b AS (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+        n AS (SELECT COUNT(DISTINCT o) AS n FROM b),
+        joint AS (
+          SELECT a.i AS item_a, c.i AS item_b,
+                 CAST(COUNT(*) AS BIGINT) AS support
+          FROM b a JOIN b c ON a.o = c.o AND a.i < c.i
+          GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        marg AS (SELECT i, COUNT(*) AS supp FROM b GROUP BY 1)
+        SELECT j.item_a, j.item_b, j.support,
+               ROUND(j.support / ma.supp, 6) AS conf_a_to_b,
+               ROUND(j.support / mb.supp, 6) AS conf_b_to_a,
+               ROUND((SELECT n FROM n) * j.support / (ma.supp * mb.supp),
+                     6) AS lift
+        FROM joint j
+        JOIN marg ma ON j.item_a = ma.i
+        JOIN marg mb ON j.item_b = mb.i
+    """,
+    "twa_user_value": """
+        WITH e AS (
+          SELECT user_id, unix_timestamp(ts) AS t, value FROM events),
+        s AS (
+          SELECT user_id, t, value,
+                 LEAD(t) OVER (PARTITION BY user_id
+                               ORDER BY t, value) AS tn
+          FROM e)
+        SELECT user_id,
+               CAST(MAX(t) - MIN(t) AS BIGINT) AS span_seconds,
+               CASE WHEN MAX(t) > MIN(t)
+                    THEN ROUND(ROUND(SUM(value * (tn - t)), 6)
+                               / (MAX(t) - MIN(t)), 6) END AS twa
+        FROM s GROUP BY user_id
+    """,
+    "gap_fill_hourly": """
+        WITH e AS (
+          SELECT event_type,
+                 CAST(FLOOR(unix_timestamp(ts) / 3600) * 3600 AS BIGINT)
+                   AS bucket,
+                 unix_timestamp(ts) AS t, value
+          FROM events),
+        obs AS (
+          SELECT event_type, bucket,
+                 MAX(struct(t, value)).value AS v
+          FROM e GROUP BY 1, 2),
+        bounds AS (
+          SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx
+          FROM e GROUP BY 1),
+        grid AS (
+          SELECT event_type,
+                 explode(sequence(mn, mx, CAST(3600 AS BIGINT))) AS bucket
+          FROM bounds)
+        SELECT g.event_type,
+               timestamp_seconds(g.bucket) AS bucket_start,
+               last(o.v, true) OVER (
+                 PARTITION BY g.event_type ORDER BY g.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS value_filled
+        FROM grid g LEFT JOIN obs o
+          ON g.event_type = o.event_type AND g.bucket = o.bucket
+    """,
+    "user_clustering": """
+        WITH b AS (
+          SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h
+          FROM events),
+        e AS (
+          SELECT DISTINCT a.user_id AS u, c.user_id AS v
+          FROM b a JOIN b c ON a.event_type = c.event_type AND a.h = c.h
+          WHERE a.user_id < c.user_id),
+        deg AS (
+          SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS degree
+          FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+          GROUP BY 1),
+        o AS (
+          SELECT CASE WHEN struct(da.degree, e.u) < struct(db.degree, e.v)
+                      THEN e.u ELSE e.v END AS s,
+                 CASE WHEN struct(da.degree, e.u) < struct(db.degree, e.v)
+                      THEN e.v ELSE e.u END AS t
+          FROM e JOIN deg da ON e.u = da.node
+                 JOIN deg db ON e.v = db.node),
+        tri AS (
+          SELECT e1.s AS wa, e1.t AS wm, e2.t AS wc
+          FROM o e1 JOIN o e2 ON e1.t = e2.s
+          JOIN o e3 ON e3.s = e1.s AND e3.t = e2.t),
+        pn AS (
+          SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS triangles
+          FROM (SELECT wa AS n FROM tri UNION ALL SELECT wm FROM tri
+                UNION ALL SELECT wc FROM tri)
+          GROUP BY 1)
+        SELECT d.node, d.degree,
+               CAST(COALESCE(pn.triangles, 0) AS BIGINT) AS triangles,
+               CASE WHEN d.degree >= 2
+                    THEN ROUND(2.0D * COALESCE(pn.triangles, 0)
+                               / (d.degree * (d.degree - 1)), 6) END
+                 AS clustering
+        FROM deg d LEFT JOIN pn ON d.node = pn.node
+    """,
 }

@@ -15,6 +15,7 @@ SF_DIR = "/root/testdata/sf0.001"
 def views(spark):
     load(spark, SF_DIR, "documents").createOrReplaceTempView("documents")
     load_events(spark, SF_DIR).createOrReplaceTempView("events")
+    load(spark, SF_DIR, "lineitem").createOrReplaceTempView("lineitem")
     return spark
 
 
