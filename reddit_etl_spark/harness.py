@@ -201,6 +201,12 @@ _PROMOTED = [
     # recorded via incremental_minhash and oracle-checked in the tail
     # via the extension_sql equivalence tests)
     "item_affinity",
+    # PMI collocation mining (composition of the vocab top-k and
+    # item_affinity shapes; displaces cross_source_dups, whose
+    # multi-source duplicate QA stays oracle-checked in the tail and
+    # value-pinned at sf0.1 by ORACLE_sf0.1.json — its sf0.01 truth is
+    # 0 rows, the weakest row in the head)
+    "term_collocations",
 ]
 _DEFERRED = [
     # audit twins / shape variants whose capability is attested by a
@@ -323,6 +329,10 @@ _DEFERRED = [
     # incremental_minhash (the near-dup variant of the same contract);
     # green rows in CORRECTNESS_r01..r04 + extension_sql equivalence.
     "incremental_dedup",
+    # cross-source duplicate QA: sf0.01 truth is 0 rows (weakest
+    # possible recorded row); the non-trivial 8-row truth is pinned by
+    # the committed ORACLE_sf0.1.json artifact + this oracle tail.
+    "cross_source_dups",
 ]
 
 
@@ -1753,6 +1763,79 @@ def item_affinity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     return item_affinity(li, "l_orderkey", "l_partkey", min_support=3)
+
+
+@_q(
+    "term_collocations",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')))
+               AS term
+      FROM documents),
+    toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    top AS (
+      SELECT term, COUNT(*) AS df FROM toks2 GROUP BY 1
+      ORDER BY df DESC, term LIMIT 100),
+    b AS (SELECT t.doc_id AS o, t.term AS i FROM toks2 t JOIN top USING (term)),
+    n AS (SELECT COUNT(DISTINCT o) AS n FROM b),
+    joint AS (
+      SELECT a.i AS term_a, c.i AS term_b,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM b a JOIN b c ON a.o = c.o AND a.i < c.i
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+    marg AS (SELECT i, COUNT(*) AS supp FROM b GROUP BY 1),
+    lifted AS (
+      SELECT j.term_a, j.term_b, j.support,
+             ROUND((SELECT n FROM n) * j.support * 1.0
+                   / (ma.supp * mb.supp), 6) AS lift
+      FROM joint j
+      JOIN marg ma ON j.term_a = ma.i
+      JOIN marg mb ON j.term_b = mb.i)
+    SELECT term_a, term_b, support, lift,
+           ROUND(LN(lift), 6) AS pmi
+    FROM lifted
+    """,
+    doc="term collocation mining (PMI) as a composition: per-doc "
+    "distinct tokens -> top-100 vocabulary via TakeOrderedAndProject "
+    "with (df desc, term) tie-break -> broadcast vocab filter -> "
+    "item_affinity over (doc, term) baskets -> PMI = ln(lift), "
+    "computed from the ROUNDED lift on both engines. Pair space "
+    "bounded by C(vocab-terms-per-doc, 2), never corpus vocab^2",
+)
+def term_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import item_affinity
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(F.lower("text"), r"\s+", " ")
+                    ),
+                    " ",
+                )
+            )
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    top = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(100)
+        .select("term")
+    )
+    baskets = toks.join(F.broadcast(top), "term")
+    aff = item_affinity(baskets, "doc_id", "term", min_support=5)
+    return aff.select(
+        F.col("item_a").alias("term_a"),
+        F.col("item_b").alias("term_b"),
+        "support",
+        "lift",
+        F.round(F.log("lift"), 6).alias("pmi"),
+    )
 
 
 @_q(
