@@ -207,6 +207,10 @@ _PROMOTED = [
     # value-pinned at sf0.1 by ORACLE_sf0.1.json — its sf0.01 truth is
     # 0 rows, the weakest row in the head)
     "term_collocations",
+    # per-group OLS trend (new capability; displaces multimodal_features,
+    # whose binary-column plumbing stays pinned by the pytest suite,
+    # the oracle tail, and the phash/codec family)
+    "daily_trend_slope",
 ]
 _DEFERRED = [
     # audit twins / shape variants whose capability is attested by a
@@ -333,6 +337,9 @@ _DEFERRED = [
     # possible recorded row); the non-trivial 8-row truth is pinned by
     # the committed ORACLE_sf0.1.json artifact + this oracle tail.
     "cross_source_dups",
+    # binary-column plumbing stays pinned by tests (Arrow batch shape,
+    # codecs, dead-letter) + the phash family; green rows r01..r04.
+    "multimodal_features",
 ]
 
 
@@ -1763,6 +1770,57 @@ def item_affinity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     return item_affinity(li, "l_orderkey", "l_partkey", min_support=3)
+
+
+@_q(
+    "daily_trend_slope",
+    """
+    WITH d AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+             SUM(value) AS y
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(x), 6) AS sx, ROUND(SUM(y), 6) AS sy,
+             ROUND(SUM(x * y), 6) AS sxy, ROUND(SUM(x * x), 6) AS sxx,
+             ROUND(SUM(y * y), 6) AS syy
+      FROM d GROUP BY 1)
+    SELECT event_type, n,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                THEN ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                END AS slope,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                THEN ROUND((sy - ROUND((n * sxy - sx * sy)
+                                       / (n * sxx - sx * sx), 6) * sx)
+                           / n, 6) END AS intercept,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                     AND n * syy - sy * sy > 0
+                THEN ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                           6) END AS r2
+    FROM s
+    """,
+    doc="per-event-type OLS trend of daily value totals "
+    "(operators/relational.py:linear_trend): slope/intercept/R^2 from "
+    "the five closed-form sufficient statistics in ONE map-side-"
+    "combinable groupBy — not F.regr_slope, whose internal "
+    "accumulation order differs cross-engine by ulps; every statistic "
+    "is rounded to 6 first and the closed form evaluated identically "
+    "on both sides (stable_avg discipline applied to regression)",
+)
+def daily_trend_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import linear_trend
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01")).alias(
+            "x"
+        ),
+    ).agg(F.sum("value").alias("y"))
+    return linear_trend(daily, ["event_type"], "x", "y")
 
 
 @_q(

@@ -271,3 +271,61 @@ def item_affinity(
             ).alias("lift"),
         )
     )
+
+
+def linear_trend(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend line: slope, intercept,
+    and R^2 of y over x from the five closed-form sufficient statistics
+    (n, Sx, Sy, Sxy, Sxx, Syy) — one groupBy, map-side combinable, no
+    second pass and no ML library.
+
+    Not ``F.regr_slope``: the built-in's internal accumulation order
+    differs between engines by ulps, which a cross-engine comparison
+    cannot tolerate at rounding boundaries. Here every sufficient
+    statistic is rounded to 6 decimals FIRST, then the closed form is
+    evaluated identically on both sides (the stable_avg discipline
+    applied to regression).
+
+    Groups with fewer than 2 points or zero x-variance yield NULLs
+    (no line to fit, not a zero slope). R^2 is NULL when y has zero
+    variance (fit is exact but undefined as a ratio).
+
+    Output: group_cols + (n BIGINT, slope, intercept, r2 — all
+    rounded to 6).
+    """
+    keys = list(group_cols)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    agg = df.groupBy(*keys).agg(
+        F.count(F.when(x.isNotNull() & y.isNotNull(), 1)).alias("n"),
+        F.round(F.sum(x), 6).alias("__sx"),
+        F.round(F.sum(y), 6).alias("__sy"),
+        F.round(F.sum(x * y), 6).alias("__sxy"),
+        F.round(F.sum(x * x), 6).alias("__sxx"),
+        F.round(F.sum(y * y), 6).alias("__syy"),
+    )
+    n = F.col("n")
+    den_x = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    den_y = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    num = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    slope = F.when((n >= 2) & (den_x > 0), F.round(num / den_x, 6))
+    intercept = F.when(
+        (n >= 2) & (den_x > 0),
+        F.round((F.col("__sy") - slope * F.col("__sx")) / n, 6),
+    )
+    r2 = F.when(
+        (n >= 2) & (den_x > 0) & (den_y > 0),
+        F.round((num * num) / (den_x * den_y), 6),
+    )
+    return agg.select(
+        *keys,
+        n.cast("long").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

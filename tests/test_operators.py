@@ -764,3 +764,44 @@ def test_item_affinity_whale_basket_filter(spark):
     ).collect()
     assert uncapped == 50 * 49 // 2
     assert len(capped) == 1 and capped[0]["support"] == 2
+
+
+def test_linear_trend_exact_line_and_degenerate_groups(spark):
+    from reddit_etl_spark.operators.relational import linear_trend
+
+    rows = (
+        [("line", float(x), 3.0 * x + 2.0) for x in range(10)]
+        + [("single", 1.0, 5.0)]
+        + [("novar", 1.0, 3.0), ("novar", 1.0, 4.0)]  # zero x-variance
+        + [("flat", float(x), 7.0) for x in range(5)]  # zero y-variance
+    )
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {
+        r["k"]: (r["n"], r["slope"], r["intercept"], r["r2"])
+        for r in linear_trend(df, ["k"], "x", "y").collect()
+    }
+    assert got["line"] == (10, 3.0, 2.0, 1.0)
+    assert got["single"] == (1, None, None, None)
+    assert got["novar"] == (2, None, None, None)
+    # exact flat fit: slope 0, intercept 7, R^2 undefined (0/0)
+    assert got["flat"] == (5, 0.0, 7.0, None)
+
+
+def test_linear_trend_matches_numpy_polyfit(spark):
+    import numpy as np
+
+    from reddit_etl_spark.operators.relational import linear_trend
+
+    rng = np.random.RandomState(0)
+    xs = np.arange(50, dtype=float)
+    ys = 1.7 * xs - 4.2 + rng.normal(scale=3.0, size=50)
+    ys = np.round(ys, 2)
+    df = spark.createDataFrame(
+        [("g", float(x), float(y)) for x, y in zip(xs, ys)],
+        "k string, x double, y double",
+    )
+    r = linear_trend(df, ["k"], "x", "y").collect()[0]
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert r["slope"] == pytest.approx(slope, abs=1e-5)
+    assert r["intercept"] == pytest.approx(intercept, abs=1e-5)
+    assert 0.9 < r["r2"] <= 1.0
