@@ -171,3 +171,55 @@ def test_round3_operators_empty_inputs(spark, empty_docs):
     assert interval_join(pts, empty_ivs, ["k"], "ts", "s", "e").count() == 0
     left = interval_join(pts, empty_ivs, ["k"], "ts", "s", "e", how="left")
     assert left.count() == 1  # unmatched point kept with NULL interval cols
+
+
+def test_round5_session_operators_empty_inputs(spark):
+    from reddit_etl_spark.operators.dedup import jw_blocked_pairs
+    from reddit_etl_spark.operators.graph import pagerank, triangle_counts
+    from reddit_etl_spark.operators.multimodal import phash_pairs, phash_table
+    from reddit_etl_spark.operators.relational import (
+        item_affinity,
+        linear_trend,
+    )
+    from reddit_etl_spark.operators.series import (
+        concurrency_peaks,
+        gap_fill,
+        running_total,
+        time_weighted_avg,
+    )
+
+    iv = spark.createDataFrame([], "s long, e long")
+    assert concurrency_peaks(iv, "s", "e").count() == 0
+    ords = spark.createDataFrame([], "ord long, v long")
+    out = running_total(ords, "ord", "v")
+    assert out.count() == 0 and "running_total" in out.columns
+
+    ts = spark.createDataFrame([], "k string, ts timestamp, v double")
+    assert time_weighted_avg(ts, ["k"], "ts", "v").count() == 0
+    assert gap_fill(ts, ["k"], "ts", "v").count() == 0
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(edges).count() == 0
+    e2 = spark.createDataFrame([], "a long, b long")
+    tri = triangle_counts(e2, "a", "b")
+    assert tri.count() == 0
+    assert tri.columns == ["node", "degree", "triangles", "clustering"]
+
+    names = spark.createDataFrame([], "id string, name string")
+    assert jw_blocked_pairs(names, "id", "name").count() == 0
+
+    media = spark.createDataFrame([], "asset_id string, payload binary")
+    hashes = phash_table(media)
+    assert hashes.count() == 0
+    assert phash_pairs(hashes).count() == 0
+
+    baskets = spark.createDataFrame([], "o long, i string")
+    aff = item_affinity(baskets, "o", "i")
+    assert aff.count() == 0
+    assert aff.columns == [
+        "item_a", "item_b", "support", "conf_a_to_b", "conf_b_to_a", "lift",
+    ]
+
+    xy = spark.createDataFrame([], "k string, x double, y double")
+    t = linear_trend(xy, ["k"], "x", "y")
+    assert t.count() == 0 and t.columns == ["k", "n", "slope", "intercept", "r2"]
