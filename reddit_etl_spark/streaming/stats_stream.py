@@ -240,3 +240,119 @@ def stream_incremental_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_zscore_anomalies(
+    rollup: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window: int = 7,
+    threshold: float = 3.0,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stateful streaming twin of ``relational.rolling_zscore``: each
+    arriving (key, period, value) row is scored against the TRAILING
+    ``window`` periods held in per-key state (current row excluded),
+    then pushed into the state ring. Same rounding discipline as the
+    batch operator (mean and stddev_samp rounded to 6 BEFORE z, z
+    rounded before the threshold), so a key fed in period order
+    produces bit-identical scores to the batch window — proven in
+    tests on the same input.
+
+    State is O(keys x window) — two short arrays per key, no timeout
+    (an anomaly baseline should survive quiet periods, unlike a
+    session). Rows arriving out of period order WITHIN a micro-batch
+    are sorted before folding; order is only guaranteed across batches
+    up to the watermark, the same contract every trailing-window
+    stream has.
+    """
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("period", TimestampType()),
+            StructField("value", DoubleType()),
+            StructField("zscore", DoubleType()),
+            StructField("is_anomaly", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("periods", ArrayType(LongType())),
+            StructField("values", ArrayType(DoubleType())),
+        ]
+    )
+
+    def fold(
+        key: tuple,
+        pdfs: _Iter[pd.DataFrame],
+        state: GroupState,
+    ) -> _Iter[pd.DataFrame]:
+        (k,) = key
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            return
+        rows = pd.concat(chunks).sort_values(ts_col)
+        if state.exists:
+            periods, values = state.get
+            periods, values = list(periods), list(values)
+        else:
+            periods, values = [], []
+        out_p, out_v, out_z, out_f = [], [], [], []
+        for t, v in zip(
+            (rows[ts_col].astype("int64") // 1_000_000).tolist(),
+            rows[value_col].astype("float64").tolist(),
+        ):
+            z = None
+            n = len(values)
+            if n >= 2:
+                s = pd.Series(values)
+                m = round(float(s.mean()), 6)
+                sd = round(float(s.std(ddof=1)), 6)
+                if sd > 0:
+                    z = round((v - m) / sd, 6)
+            out_p.append(pd.Timestamp(t, unit="ms"))
+            out_v.append(v)
+            out_z.append(z)
+            out_f.append(bool(z is not None and abs(z) > threshold))
+            periods.append(int(t))
+            values.append(float(v))
+            if len(values) > window:
+                periods, values = periods[-window:], values[-window:]
+        state.update((periods, values))
+        yield pd.DataFrame(
+            {
+                "key": [k] * len(out_p),
+                "period": out_p,
+                "value": out_v,
+                "zscore": out_z,
+                "is_anomaly": out_f,
+            }
+        )
+
+    return (
+        rollup.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -405,3 +405,66 @@ def test_path_has_data_probe(spark, tmp_path):
     (p / "part-0.parquet").touch()
     assert path_has_data(spark, str(p))              # real data
     assert path_has_data(spark, f"file://{p}")       # URI form too
+
+
+def test_streaming_zscore_matches_batch(spark, tmp_path):
+    """Replay a daily rollup through the stateful streaming scorer
+    across MULTIPLE micro-batches; every (key, period) row must carry
+    the identical zscore/flag the batch trailing window computes."""
+    import datetime as dt
+
+    from reddit_etl_spark.operators.relational import rolling_zscore
+    from reddit_etl_spark.streaming.stats_stream import (
+        streaming_zscore_anomalies,
+    )
+
+    base = dt.datetime(2025, 1, 1)
+    rows = []
+    for k in ("click", "view"):
+        for d in range(20):
+            v = 100.0 + (d % 5) * 3.0
+            if d == 12:
+                v = 500.0  # planted spike
+            rows.append((k, base + dt.timedelta(days=d), v))
+    daily = spark.createDataFrame(
+        rows, "key string, day timestamp, value double"
+    )
+    src = str(tmp_path / "daily_in")
+    # two files in day order -> at least two micro-batches, so state
+    # genuinely carries across batch boundaries
+    daily.filter(F.col("day") < base + dt.timedelta(days=10)).coalesce(
+        1
+    ).write.parquet(src)
+    daily.filter(F.col("day") >= base + dt.timedelta(days=10)).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(daily.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming_zscore_anomalies(
+        stream, "key", "day", "value", window=7, threshold=2.0
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("zs_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.key, r.period): (r.zscore, r.is_anomaly)
+        for r in spark.sql("SELECT * FROM zs_out").collect()
+    }
+
+    want = {
+        (r.key, r.day): (r.zscore, r.is_anomaly)
+        for r in rolling_zscore(
+            daily, ["key"], "day", "value", window=7, threshold=2.0
+        ).collect()
+    }
+    assert len(got) == len(want) == 40
+    assert got == want
+    # the planted spike is flagged
+    assert got[("click", base + dt.timedelta(days=12))][1] is True
