@@ -211,6 +211,10 @@ _PROMOTED = [
     # whose binary-column plumbing stays pinned by the pytest suite,
     # the oracle tail, and the phash/codec family)
     "daily_trend_slope",
+    # regex CEP pattern matching (new capability; displaces
+    # weighted_sample_sources, whose E-S sampling stays recorded via
+    # curation_pipeline_full + the extension_sql equivalence tests)
+    "event_pattern_counts",
 ]
 _DEFERRED = [
     # audit twins / shape variants whose capability is attested by a
@@ -340,6 +344,10 @@ _DEFERRED = [
     # binary-column plumbing stays pinned by tests (Arrow batch shape,
     # codecs, dead-letter) + the phash family; green rows r01..r04.
     "multimodal_features",
+    # Efraimidis-Spirakis weighted sampling stays recorded via
+    # curation_pipeline_full (packed-bin budget consumes the same
+    # sampling keys) + extension_sql equivalence; green rows r01..r04.
+    "weighted_sample_sources",
 ]
 
 
@@ -1770,6 +1778,46 @@ def item_affinity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     return item_affinity(li, "l_orderkey", "l_partkey", min_support=3)
+
+
+@_q(
+    "event_pattern_counts",
+    """
+    WITH m AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                  WHEN 'purchase' THEN 'p' ELSE 'o' END AS ch
+      FROM events),
+    s AS (
+      SELECT user_id, string_agg(ch, '' ORDER BY ts, event_id, ch) AS seq
+      FROM m GROUP BY 1)
+    SELECT user_id,
+           CAST(len(seq) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(seq, 'v[^p]*?c[^p]*?p'))
+                AS BIGINT) AS n_matches
+    FROM s
+    """,
+    doc="MATCH_RECOGNIZE-lite CEP (operators/sessions.py:"
+    "event_pattern_counts): per-user event stream collapses to a char "
+    "sequence ((ts, event_id, char)-sorted for engine-identical tie "
+    "order) and 'view then click then purchase, no intervening "
+    "purchase' is the regex v[^p]*?c[^p]*?p counted non-overlapping — "
+    "lazy quantifiers make the match set unique so Java regex and RE2 "
+    "agree. One key shuffle; per-key memory = key's event count",
+)
+def event_pattern_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sessions import event_pattern_counts
+
+    ev = load_events(spark, sf_dir)
+    return event_pattern_counts(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        {"view": "v", "click": "c", "purchase": "p"},
+        "v[^p]*?c[^p]*?p",
+        tiebreak_col="event_id",
+    )
 
 
 @_q(

@@ -310,3 +310,70 @@ def streaming_session_stats(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def event_pattern_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    alphabet: "dict[str, str]",
+    pattern: str,
+    tiebreak_col: str | None = None,
+    other_char: str = "o",
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite complex-event processing: per key, the
+    event stream collapses to a character sequence (one char per event
+    via ``alphabet``, ``other_char`` for unmapped types) and ``pattern``
+    — a regex over that alphabet — is counted non-overlapping,
+    left-to-right. "view, then a click, then a purchase, with anything
+    between but no intervening purchase" is just ``v[^p]*?c[^p]*?p``;
+    new behavioral patterns are a regex change, not an operator
+    rewrite (the funnel operator stays the right tool for fixed-step
+    conversion rates with time bounds).
+
+    Determinism: events sort by (ts, tiebreak, char) — pass a unique
+    ``tiebreak_col`` (an event id) so simultaneous events order
+    identically on every engine/partitioning. Lazy quantifiers make
+    the non-overlapping match set unique, so counts are engine-
+    portable (Java regex and RE2 agree on this fragment — verified
+    cross-engine in the harness oracle).
+
+    Scale: ONE shuffle on the key; per-key memory is the key's event
+    count (the same bound every per-entity sequence analysis has —
+    cap or window whale keys upstream, e.g. sessionize first and
+    match within sessions).
+
+    Output: key + (n_events BIGINT, n_matches BIGINT).
+    """
+    ch = None
+    for t, c in alphabet.items():
+        if len(c) != 1:
+            raise ValueError(f"alphabet chars must be length 1, got {c!r}")
+        ch = (
+            F.when(F.col(type_col) == t, c)
+            if ch is None
+            else ch.when(F.col(type_col) == t, c)
+        )
+    ch = F.lit(other_char) if ch is None else ch.otherwise(other_char)
+    parts = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        parts.append(F.col(tiebreak_col))
+    parts.append(ch.alias("__ch"))
+    seqs = (
+        df.select(F.col(key_col), F.struct(*parts).alias("__s"))
+        .groupBy(key_col)
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("__s")), lambda x: x["__ch"]
+                ),
+            ).alias("__seq")
+        )
+    )
+    return seqs.select(
+        key_col,
+        F.length("__seq").cast("long").alias("n_events"),
+        F.regexp_count("__seq", F.lit(pattern)).cast("long").alias("n_matches"),
+    )

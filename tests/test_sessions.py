@@ -230,3 +230,76 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
     assert want  # 9 real sessions
     for k, v in want.items():
         assert got.get(k) == v, f"session {k}: {got.get(k)} != {v}"
+
+
+# ---------------------------------------------------------------------------
+# event_pattern_counts — regex CEP
+# ---------------------------------------------------------------------------
+
+
+def _pattern(spark, rows, pattern, **kw):
+    from reddit_etl_spark.operators.sessions import event_pattern_counts
+
+    df = spark.createDataFrame(rows, "k string, ts timestamp, et string, i long")
+    return {
+        r["k"]: (r["n_events"], r["n_matches"])
+        for r in event_pattern_counts(
+            df, "k", "ts", "et",
+            {"view": "v", "click": "c", "purchase": "p"},
+            pattern, tiebreak_col="i", **kw
+        ).collect()
+    }
+
+
+def test_pattern_counts_basic_and_non_overlapping(spark):
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1)
+    seq = ["view", "click", "purchase", "view", "click", "purchase"]
+    rows = [
+        ("u", base + dt.timedelta(minutes=i), et, i) for i, et in enumerate(seq)
+    ]
+    got = _pattern(spark, rows, "v[^p]*?c[^p]*?p")
+    assert got["u"] == (6, 2)  # two non-overlapping funnels
+
+
+def test_pattern_counts_intervening_purchase_blocks(spark):
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1)
+    # view, PURCHASE, click, purchase: the [^p]* guard rejects the
+    # view->click leg that crosses a purchase
+    seq = ["view", "purchase", "click", "purchase"]
+    rows = [
+        ("u", base + dt.timedelta(minutes=i), et, i) for i, et in enumerate(seq)
+    ]
+    assert _pattern(spark, rows, "v[^p]*?c[^p]*?p")["u"] == (4, 0)
+    # without the guard the subsequence matches
+    assert _pattern(spark, rows, "v.*?c.*?p")["u"] == (4, 1)
+
+
+def test_pattern_counts_simultaneous_events_use_tiebreak(spark):
+    import datetime as dt
+
+    t = dt.datetime(2025, 1, 1)
+    # same timestamp: order is (ts, i) -> view(i=1) before click(i=2)
+    rows = [("u", t, "click", 2), ("u", t, "view", 1), ("u", t, "purchase", 3)]
+    assert _pattern(spark, rows, "vcp")["u"] == (3, 1)
+
+
+def test_pattern_counts_unmapped_types_become_other(spark):
+    import datetime as dt
+
+    t = dt.datetime(2025, 1, 1)
+    rows = [("u", t, "error", 1), ("u", t, "view", 2)]
+    assert _pattern(spark, rows, "ov")["u"] == (2, 1)
+
+
+def test_pattern_counts_rejects_bad_alphabet(spark):
+    from reddit_etl_spark.operators.sessions import event_pattern_counts
+
+    df = spark.createDataFrame([], "k string, ts timestamp, et string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="length 1"):
+        event_pattern_counts(df, "k", "ts", "et", {"view": "vv"}, "v")
