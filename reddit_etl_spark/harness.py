@@ -215,6 +215,11 @@ _PROMOTED = [
     # weighted_sample_sources, whose E-S sampling stays recorded via
     # curation_pipeline_full + the extension_sql equivalence tests)
     "event_pattern_counts",
+    # data-quality expectations (new capability; displaces
+    # pii_redaction, whose regex-scrub kernel stays pinned by
+    # tests/test_curation.py and this oracle tail — redaction output
+    # is also consumed inside curation_pipeline_full's recorded row)
+    "dq_report_orders",
 ]
 _DEFERRED = [
     # audit twins / shape variants whose capability is attested by a
@@ -348,6 +353,9 @@ _DEFERRED = [
     # curation_pipeline_full (packed-bin budget consumes the same
     # sampling keys) + extension_sql equivalence; green rows r01..r04.
     "weighted_sample_sources",
+    # PII regex scrubbing stays pinned by tests/test_curation.py and
+    # this oracle tail; green rows in CORRECTNESS_r01..r04.
+    "pii_redaction",
 ]
 
 
@@ -1778,6 +1786,68 @@ def item_affinity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     return item_affinity(li, "l_orderkey", "l_partkey", min_support=3)
+
+
+@_q(
+    "dq_report_orders",
+    """
+    SELECT 'not_null(o_custkey)' AS check,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS violations,
+           CAST(COUNT(*) AS BIGINT) AS total
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_range(o_totalprice, 0, 1000000)',
+           CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                          AND o_totalprice NOT BETWEEN 0 AND 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values(o_orderstatus)',
+           CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O', 'F', 'P')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT),
+           CAST(COALESCE(SUM(n), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'referential(l_orderkey -> o_orderkey)',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+            WHERE l_orderkey IS NOT NULL
+              AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+    """,
+    doc="declarative data-quality expectations (operators/dq.py): all "
+    "row-level checks (not_null/range/accepted_values) FUSE into one "
+    "aggregate pass — N checks never cost N scans of a 100 TB table — "
+    "plus one map-side-combined groupBy for uniqueness and one "
+    "anti-join (broadcastable dim) for FK orphans. Exact BIGINT "
+    "counts, no rounding",
+)
+def dq_report_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dq
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    report_orders = dq.dq_report(
+        orders,
+        [
+            dq.not_null("o_custkey"),
+            dq.accepted_range("o_totalprice", 0, 1_000_000),
+            dq.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            dq.unique(["o_orderkey"]),
+        ],
+    )
+    report_li = dq.dq_report(
+        lineitem,
+        [dq.referential("l_orderkey", orders, "o_orderkey")],
+    )
+    return report_orders.unionByName(report_li)
 
 
 @_q(

@@ -1,0 +1,146 @@
+"""Data-quality expectations (dbt-test / Great-Expectations shape):
+declare checks, get one violations report frame back.
+
+Check kinds:
+
+- ``not_null(col)``            rows where col IS NULL
+- ``accepted_range(col, lo, hi)``  rows outside [lo, hi] (NULLs are a
+  not_null concern, not a range violation)
+- ``accepted_values(col, values)`` rows whose col is not in the set
+- ``unique(cols)``             rows beyond the first per duplicate key
+- ``referential(col, dim, dim_col)`` rows whose col has no match in
+  the dimension (FK orphans; NULL FKs are not orphans)
+
+Scale design: all ROW-LEVEL checks (not_null / range / values) over
+one table fuse into a SINGLE aggregate pass — one scan, one 1-row
+result, no matter how many checks you declare (N checks must not mean
+N scans of a 100 TB table). ``unique`` adds one groupBy on its key
+(map-side combined); ``referential`` adds one anti-join whose
+dimension side broadcasts when small. The report is a union of
+1-row frames — trivially small.
+
+Violation counts are exact BIGINTs, so the report is engine-
+deterministic with no rounding concerns.
+
+No reference counterpart (the reference trusts its API payloads);
+extension surface — what any production pipeline bolts on first.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def not_null(col: str) -> dict:
+    return {"kind": "not_null", "col": col}
+
+
+def accepted_range(col: str, lo, hi) -> dict:
+    return {"kind": "accepted_range", "col": col, "lo": lo, "hi": hi}
+
+
+def accepted_values(col: str, values: Sequence) -> dict:
+    return {"kind": "accepted_values", "col": col, "values": list(values)}
+
+
+def unique(cols: Sequence[str]) -> dict:
+    return {"kind": "unique", "cols": list(cols)}
+
+
+def referential(col: str, dim: DataFrame, dim_col: str) -> dict:
+    return {"kind": "referential", "col": col, "dim": dim, "dim_col": dim_col}
+
+
+def _row_violation_expr(check: dict) -> tuple[str, Column]:
+    kind, col = check["kind"], check["col"]
+    c = F.col(col)
+    if kind == "not_null":
+        return f"not_null({col})", c.isNull()
+    if kind == "accepted_range":
+        lo, hi = check["lo"], check["hi"]
+        return (
+            f"accepted_range({col}, {lo}, {hi})",
+            c.isNotNull() & ~c.between(lo, hi),
+        )
+    if kind == "accepted_values":
+        vals = check["values"]
+        return (
+            f"accepted_values({col})",
+            c.isNotNull() & ~c.isin(vals),
+        )
+    raise AssertionError(kind)
+
+
+def dq_report(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
+    """Run every check against ``df``; returns one row per check:
+    (check STRING, violations BIGINT, total BIGINT). A passing table
+    is all-zero violations — assert on it in CI, alert on it in prod.
+    """
+    if not checks:
+        raise ValueError("dq_report needs at least one check")
+    row_level = [
+        c for c in checks if c["kind"] in ("not_null", "accepted_range", "accepted_values")
+    ]
+    frames: list[DataFrame] = []
+    if row_level:
+        named = [_row_violation_expr(c) for c in row_level]
+        aggs = [F.count(F.lit(1)).alias("__total")] + [
+            F.sum(cond.cast("long")).alias(f"__v{i}")
+            for i, (_, cond) in enumerate(named)
+        ]
+        one = df.agg(*aggs)
+        structs = [
+            F.struct(
+                F.lit(name).alias("check"),
+                F.coalesce(F.col(f"__v{i}"), F.lit(0))
+                .cast("long")
+                .alias("violations"),
+                F.col("__total").cast("long").alias("total"),
+            )
+            for i, (name, _) in enumerate(named)
+        ]
+        frames.append(one.select(F.inline(F.array(*structs))))
+    for c in checks:
+        if c["kind"] == "unique":
+            cols = c["cols"]
+            name = f"unique({', '.join(cols)})"
+            dups = (
+                df.groupBy(*cols)
+                .agg(F.count("*").alias("__n"))
+                .agg(
+                    F.coalesce(
+                        F.sum(F.col("__n") - 1), F.lit(0)
+                    ).alias("violations"),
+                    F.coalesce(F.sum("__n"), F.lit(0)).alias("total"),
+                )
+                .select(
+                    F.lit(name).alias("check"),
+                    F.col("violations").cast("long"),
+                    F.col("total").cast("long"),
+                )
+            )
+            frames.append(dups)
+        elif c["kind"] == "referential":
+            col, dim, dim_col = c["col"], c["dim"], c["dim_col"]
+            name = f"referential({col} -> {dim_col})"
+            keys = dim.select(F.col(dim_col).alias(col)).distinct()
+            orphans = (
+                df.filter(F.col(col).isNotNull())
+                .join(keys, col, "left_anti")
+                .agg(F.count(F.lit(1)).alias("violations"))
+            )
+            total = df.agg(F.count(F.lit(1)).alias("total"))
+            frames.append(
+                orphans.crossJoin(total).select(
+                    F.lit(name).alias("check"),
+                    F.col("violations").cast("long"),
+                    F.col("total").cast("long"),
+                )
+            )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

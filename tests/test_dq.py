@@ -1,0 +1,94 @@
+"""Data-quality expectations (operators/dq.py): per-kind violation
+semantics, single-scan fusion of row-level checks, and empty inputs."""
+
+from __future__ import annotations
+
+import pytest
+
+from reddit_etl_spark.operators import dq
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    rows = [
+        (1, "O", 10.0, 100),
+        (2, "F", -5.0, 100),     # range violation
+        (3, None, 20.0, 200),    # null status
+        (3, "X", 30.0, None),    # dup key + bad value + null fk
+        (4, "O", 40.0, 999),     # fk orphan
+    ]
+    return spark.createDataFrame(rows, "k long, status string, price double, fk long")
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    return spark.createDataFrame([(100,), (200,)], "id long")
+
+
+def _report(df, checks):
+    return {r["check"]: (r["violations"], r["total"]) for r in dq.dq_report(df, checks).collect()}
+
+
+def test_row_level_checks(table):
+    got = _report(
+        table,
+        [
+            dq.not_null("status"),
+            dq.accepted_range("price", 0, 100),
+            dq.accepted_values("status", ["O", "F"]),
+        ],
+    )
+    assert got["not_null(status)"] == (1, 5)
+    assert got["accepted_range(price, 0, 100)"] == (1, 5)
+    # NULL status is a not_null concern, not an accepted_values one
+    assert got["accepted_values(status)"] == (1, 5)
+
+
+def test_unique_counts_rows_beyond_first(table):
+    got = _report(table, [dq.unique(["k"])])
+    assert got["unique(k)"] == (1, 5)
+
+
+def test_referential_ignores_null_fks(table, dim):
+    got = _report(table, [dq.referential("fk", dim, "id")])
+    # 999 is the only orphan; the NULL fk is not
+    assert got["referential(fk -> id)"] == (1, 5)
+
+
+def test_row_level_checks_fuse_into_one_aggregate(table):
+    out = dq.dq_report(
+        table,
+        [
+            dq.not_null("status"),
+            dq.accepted_range("price", 0, 100),
+            dq.accepted_values("status", ["O", "F"]),
+        ],
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # one Aggregate over the table, not one per check
+    assert plan.count("Aggregate") == 1
+
+
+def test_clean_table_is_all_zero(spark, dim):
+    clean = spark.createDataFrame([(1, "O", 5.0, 100)], "k long, status string, price double, fk long")
+    got = _report(
+        clean,
+        [
+            dq.not_null("status"),
+            dq.accepted_range("price", 0, 100),
+            dq.unique(["k"]),
+            dq.referential("fk", dim, "id"),
+        ],
+    )
+    assert all(v == 0 for v, _ in got.values())
+
+
+def test_empty_table_and_no_checks(spark, dim):
+    empty = spark.createDataFrame([], "k long, status string, price double, fk long")
+    got = _report(
+        empty,
+        [dq.not_null("status"), dq.unique(["k"]), dq.referential("fk", dim, "id")],
+    )
+    assert all(v == (0, 0) for v in got.values())
+    with pytest.raises(ValueError, match="at least one"):
+        dq.dq_report(empty, [])
