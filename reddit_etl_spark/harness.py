@@ -220,6 +220,11 @@ _PROMOTED = [
     # tests/test_curation.py and this oracle tail — redaction output
     # is also consumed inside curation_pipeline_full's recorded row)
     "dq_report_orders",
+    # incremental rollup maintenance (new capability; displaces
+    # interval_session_join, whose bucket-equality range-join shape
+    # stays recorded via asof_next_purchase + the asof_split row and
+    # oracle-checked in this tail)
+    "incremental_rollup_refresh",
 ]
 _DEFERRED = [
     # audit twins / shape variants whose capability is attested by a
@@ -356,6 +361,10 @@ _DEFERRED = [
     # PII regex scrubbing stays pinned by tests/test_curation.py and
     # this oracle tail; green rows in CORRECTNESS_r01..r04.
     "pii_redaction",
+    # bucket-equality interval join stays recorded via the asof rows
+    # (same windowed-join family) and tests/test_rangejoin.py; green
+    # rows in CORRECTNESS_r01..r04.
+    "interval_session_join",
 ]
 
 
@@ -1786,6 +1795,55 @@ def item_affinity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     return item_affinity(li, "l_orderkey", "l_partkey", min_support=3)
+
+
+@_q(
+    "incremental_rollup_refresh",
+    """
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS total_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="incremental aggregate maintenance "
+    "(operators/relational.py:merge_rollup): the base rollup (history "
+    "before the cutoff) merges with the new batch's partial rollup by "
+    "re-aggregating ROLLUP ROWS — O(|rollup| + |delta|), never a "
+    "rescan of raw history — and must equal the full recompute, which "
+    "is exactly what the oracle computes. Sums/counts merge by +, "
+    "max by max; the 6-decimal round happens once at the end (partial "
+    "sums stay raw so merge order can't drift the total)",
+)
+def incremental_rollup_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import merge_rollup
+
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "value",
+    )
+    cutoff = "2024-01-20"
+    aggs = [
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("total_value"),
+        F.max("value").alias("max_value"),
+    ]
+    base = ev.filter(F.col("day") < cutoff).groupBy("event_type", "day").agg(*aggs)
+    delta = ev.filter(F.col("day") >= cutoff).groupBy("event_type", "day").agg(*aggs)
+    merged = merge_rollup(
+        base,
+        delta,
+        ["event_type", "day"],
+        {"n_events": "sum", "total_value": "sum", "max_value": "max"},
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("total_value", 6).alias("total_value"),
+        "max_value",
+    )
 
 
 @_q(

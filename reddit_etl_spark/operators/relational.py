@@ -329,3 +329,52 @@ def linear_trend(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def merge_rollup(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    merges: "dict[str, str]",
+    return_delta: bool = False,
+) -> DataFrame:
+    """Incremental aggregate maintenance: merge a new batch's partial
+    rollup into an existing rollup WITHOUT rescanning the raw data the
+    base was built from — the cost is O(|base rollup| + |delta|), not
+    O(raw history). This works for any decomposable aggregate: sums
+    and counts merge by +, min/max by min/max (averages are stored as
+    sum+count and derived at read time; non-decomposable aggregates —
+    medians, distincts — belong to the sketch operators, which exist
+    for exactly this reason: KLL/HLL/Theta in operators/sketch.py).
+
+    ``merges`` maps each value column to its merge function:
+    'sum' | 'count' (alias of sum) | 'min' | 'max'.
+
+    ``return_delta=True`` returns ONLY the keys present in the delta
+    (with their merged values) — the upsert set for
+    ``upsert_partitioned``/``merge_parquet``, so a daily refresh of a
+    100 TB-history rollup writes just the touched partitions (the same
+    contract as incremental_exact_dedup's return_delta).
+
+    Scale: one union + one groupBy on the rollup key. Store the base
+    rollup bucketed on ``keys`` (sinks/bucketed.py) and the shuffle on
+    the base side disappears — only the delta moves.
+    """
+    ks = list(keys)
+    fns = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    for col, fn in merges.items():
+        if fn not in fns:
+            raise ValueError(
+                f"unsupported merge '{fn}' for {col}: use sum/count/min/max "
+                "(sketch operators cover distincts/quantiles)"
+            )
+    unioned = base.select(*ks, *merges).unionByName(
+        delta.select(*ks, *merges)
+    )
+    merged = unioned.groupBy(*ks).agg(
+        *[fns[fn](c).alias(c) for c, fn in merges.items()]
+    )
+    if not return_delta:
+        return merged
+    touched = delta.select(*ks).distinct()
+    return merged.join(touched, ks, "left_semi")

@@ -805,3 +805,39 @@ def test_linear_trend_matches_numpy_polyfit(spark):
     assert r["slope"] == pytest.approx(slope, abs=1e-5)
     assert r["intercept"] == pytest.approx(intercept, abs=1e-5)
     assert 0.9 < r["r2"] <= 1.0
+
+
+def test_merge_rollup_equals_full_recompute_and_delta_mode(spark):
+    from reddit_etl_spark.operators.relational import merge_rollup
+
+    rows = [(k, d, float(v)) for k in ("a", "b") for d in (1, 2, 3) for v in (1, 2)]
+    df = spark.createDataFrame(rows, "k string, d long, v double")
+    aggs = lambda f: f.groupBy("k", "d").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx")
+    )
+    base = aggs(df.filter(F.col("d") < 3))
+    delta = aggs(df.filter(F.col("d") >= 2))  # day 2 overlaps the base
+    merged = merge_rollup(
+        base, delta, ["k", "d"], {"n": "sum", "s": "sum", "mx": "max"}
+    )
+    # day 2 appears in both inputs -> counts/sums add, max merges
+    got = {(r["k"], r["d"]): (r["n"], r["s"], r["mx"]) for r in merged.collect()}
+    assert got[("a", 1)] == (2, 3.0, 2.0)
+    assert got[("a", 2)] == (4, 6.0, 2.0)  # base day-2 + delta day-2
+    assert got[("a", 3)] == (2, 3.0, 2.0)
+
+    only_touched = merge_rollup(
+        base, delta, ["k", "d"], {"n": "sum", "s": "sum", "mx": "max"},
+        return_delta=True,
+    )
+    assert sorted(
+        (r["k"], r["d"]) for r in only_touched.collect()
+    ) == [("a", 2), ("a", 3), ("b", 2), ("b", 3)]
+
+
+def test_merge_rollup_rejects_non_decomposable(spark):
+    from reddit_etl_spark.operators.relational import merge_rollup
+
+    df = spark.createDataFrame([], "k string, n long")
+    with pytest.raises(ValueError, match="sketch operators"):
+        merge_rollup(df, df, ["k"], {"n": "median"})
