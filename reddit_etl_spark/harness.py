@@ -225,6 +225,11 @@ _PROMOTED = [
     # stays recorded via asof_next_purchase + the asof_split row and
     # oracle-checked in this tail)
     "incremental_rollup_refresh",
+    # join pre-flight diagnostics (new capability; displaces
+    # q06_flag_breakdown, whose conditional-aggregate shape stays
+    # recorded via q01_overview and oracle-checked via q11/q14 in the
+    # tail)
+    "join_profile_orders_lineitem",
 ]
 _DEFERRED = [
     # audit twins / shape variants whose capability is attested by a
@@ -365,6 +370,10 @@ _DEFERRED = [
     # (same windowed-join family) and tests/test_rangejoin.py; green
     # rows in CORRECTNESS_r01..r04.
     "interval_session_join",
+    # conditional-aggregate (flag breakdown) shape stays recorded via
+    # q01_overview and oracle-checked via q11/q14 here; green driver
+    # rows in CORRECTNESS_r01..r04.
+    "q06_flag_breakdown",
 ]
 
 
@@ -1795,6 +1804,56 @@ def item_affinity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     return item_affinity(li, "l_orderkey", "l_partkey", min_support=3)
+
+
+@_q(
+    "join_profile_orders_lineitem",
+    """
+    WITH lc AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS k, COUNT(*) AS cl
+      FROM orders GROUP BY 1),
+    rc AS (
+      SELECT CAST(l_orderkey AS VARCHAR) AS k, COUNT(*) AS cr
+      FROM lineitem GROUP BY 1),
+    j AS (SELECT lc.k, cl * cr AS outr FROM lc JOIN rc ON lc.k = rc.k)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_left,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_right,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lc) AS distinct_left,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rc) AS distinct_right,
+           CAST(COUNT(*) AS BIGINT) AS common_keys,
+           CAST(COALESCE(SUM(outr), 0) AS BIGINT) AS output_rows,
+           CAST(COALESCE(MAX(outr), 0) AS BIGINT) AS max_key_output,
+           MAX({'rows': outr, 'key': k}).key AS top_key
+    FROM j
+    """,
+    doc="join pre-flight diagnostics "
+    "(operators/skew.py:join_key_profile): EXACT inner-join output "
+    "cardinality (sum cnt_l*cnt_r) and hot-key profile from per-key "
+    "COUNT frames — O(distinct keys) work, never the join itself; the "
+    "check to run before pointing a 100 TB join at a cluster. Top key "
+    "picked by lexicographic (rows, key) max so ties are "
+    "engine-deterministic",
+)
+def join_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import join_key_profile
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    prof = join_key_profile(orders, lineitem, ["k"], top_k=5)
+    return prof.select(
+        "n_left",
+        "n_right",
+        "distinct_left",
+        "distinct_right",
+        "common_keys",
+        "output_rows",
+        "max_key_output",
+        F.element_at("top_keys", 1)["key"].alias("top_key"),
+    )
 
 
 @_q(

@@ -72,3 +72,81 @@ def salted_count_distinct(
         .groupBy(*group_cols)
         .agg(F.count(distinct_col).alias(alias))
     )
+
+
+def join_key_profile(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    top_k: int = 5,
+) -> DataFrame:
+    """Pre-flight diagnostics for an equi-join: EXACT join output
+    cardinality and skew profile computed from per-key count frames,
+    O(distinct keys) work instead of running (and possibly exploding)
+    the join itself. This is the check to run BEFORE pointing a 100 TB
+    join at a cluster: ``output_rows`` is the exact SUM(cnt_l * cnt_r)
+    the inner join would emit, and ``max_key_output`` says whether one
+    hot key produces most of it (the straggler salting/AQE must
+    absorb).
+
+    Output (single row): n_left, n_right, distinct_left,
+    distinct_right, common_keys, output_rows, max_key_output (exact
+    BIGINTs), and top_keys: the ``top_k`` (rows, key) structs by
+    output contribution, sorted descending with the key string as the
+    tie-break so the array is engine-deterministic.
+
+    Plan: two map-side-combined groupBys + one join of the COUNT
+    frames (distinct-key-sized, never data-sized) + one aggregate;
+    the two total counts attach as broadcast scalars.
+    """
+    keys = list(on)
+    kc = F.concat_ws("", *[F.col(k).cast("string") for k in keys])
+    lc = (
+        left.select(kc.alias("__k"))
+        .groupBy("__k")
+        .agg(F.count("*").alias("__cl"))
+    )
+    rc = (
+        right.select(kc.alias("__k"))
+        .groupBy("__k")
+        .agg(F.count("*").alias("__cr"))
+    )
+    joined = lc.join(rc, "__k").select(
+        "__k", (F.col("__cl") * F.col("__cr")).alias("__out")
+    )
+    totals_l = left.agg(F.count(F.lit(1)).alias("n_left")).crossJoin(
+        lc.agg(F.count(F.lit(1)).alias("distinct_left"))
+    )
+    totals_r = right.agg(F.count(F.lit(1)).alias("n_right")).crossJoin(
+        rc.agg(F.count(F.lit(1)).alias("distinct_right"))
+    )
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("common_keys"),
+        F.coalesce(F.sum("__out"), F.lit(0)).alias("output_rows"),
+        F.coalesce(F.max("__out"), F.lit(0)).alias("max_key_output"),
+        F.reverse(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("__out").alias("rows"), F.col("__k").alias("key"))
+                    )
+                ),
+                -top_k,
+                top_k,
+            )
+        ).alias("top_keys"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(totals_l))
+        .crossJoin(F.broadcast(totals_r))
+        .select(
+            F.col("n_left").cast("long").alias("n_left"),
+            F.col("n_right").cast("long").alias("n_right"),
+            F.col("distinct_left").cast("long").alias("distinct_left"),
+            F.col("distinct_right").cast("long").alias("distinct_right"),
+            F.col("common_keys").cast("long").alias("common_keys"),
+            F.col("output_rows").cast("long").alias("output_rows"),
+            F.col("max_key_output").cast("long").alias("max_key_output"),
+            "top_keys",
+        )
+    )

@@ -188,3 +188,34 @@ def test_aqe_skew_join_split_engages(spark):
         plan = j._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "skew=true" in plan
+
+
+def test_join_key_profile_exact_and_detects_hot_key(spark):
+    from reddit_etl_spark.operators.skew import join_key_profile
+
+    left = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 3]], "k long"
+    )
+    right = spark.createDataFrame(
+        [(k,) for k in [1, 1, 2, 4]], "k long"
+    )
+    r = join_key_profile(left, right, ["k"], top_k=2).collect()[0]
+    assert (r["n_left"], r["n_right"]) == (5, 4)
+    assert (r["distinct_left"], r["distinct_right"]) == (3, 3)
+    assert r["common_keys"] == 2          # keys 1 and 2
+    assert r["output_rows"] == 3 * 2 + 1  # exact inner-join size
+    assert r["max_key_output"] == 6
+    tops = [(t["rows"], t["key"]) for t in r["top_keys"]]
+    assert tops == [(6, "1"), (1, "2")]
+    # the profile is exact: run the join and compare
+    assert left.join(right, "k").count() == r["output_rows"]
+
+
+def test_join_key_profile_disjoint_keys(spark):
+    from reddit_etl_spark.operators.skew import join_key_profile
+
+    left = spark.createDataFrame([(1,)], "k long")
+    right = spark.createDataFrame([(2,)], "k long")
+    r = join_key_profile(left, right, ["k"]).collect()[0]
+    assert r["common_keys"] == 0 and r["output_rows"] == 0
+    assert r["max_key_output"] == 0 and r["top_keys"] == []
