@@ -276,9 +276,11 @@ _DEFERRED = [
     "distinct_users_hll",
     # round-5 additions: audit twin of hybrid_search_rrf (recorded) with
     # the bucketed LSH ANN leg; postings-index BM25, path-equality twin
-    # of bm25_rank (recorded)
+    # of bm25_rank (recorded); persisted-IVF-index serving twin of
+    # similarity_topk_ivf (path-equality tested; same recall audit)
     "hybrid_search_rrf_lsh",
     "bm25_rank_indexed",
+    "similarity_topk_ivf_indexed",
     # round-5 second-batch rotation OUT: long-attested head entries
     # making room for the four new round-5 capabilities. Green driver
     # rows in CORRECTNESS_r01..r04 and a recorded capability twin each:
@@ -1177,6 +1179,40 @@ def similarity_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         k=5,
         n_centroids=nc,
+        n_probe=max(2, (2 * nc) // 3),
+    )
+    return _topk_recall_audit(exact, approx, min_recall=0.5)
+
+
+@_q(
+    "similarity_topk_ivf_indexed",
+    _TOPK_AUDIT_SQL,
+    doc="persisted-IVF-index serving path "
+    "(similarity.build_ivf_index + ivf_topk_from_index — the "
+    "repeated-retrieval deployment shape, mirroring "
+    "bm25_rank_indexed): same centroids/cells as the one-shot IVF "
+    "(path-equality tested), centroid table collected bounded-by-C "
+    "for the probe UDF, cell-partitioned assignments give "
+    "partition-pruned probes; recall_ok pins per-query recall >= 0.5",
+)
+def similarity_topk_ivf_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import build_ivf_index, ivf_topk_from_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    n = emb.count()
+    nc = max(4, int(n**0.5))
+    cents, assigns = build_ivf_index(
+        emb, "vec_id", "embedding", n_centroids=nc
+    )
+    exact = _exact_topk(spark, sf_dir)
+    approx = ivf_topk_from_index(
+        cents,
+        assigns,
+        q,
+        "vec_id",
+        "embedding",
+        k=5,
         n_probe=max(2, (2 * nc) // 3),
     )
     return _topk_recall_audit(exact, approx, min_recall=0.5)

@@ -254,6 +254,140 @@ def _spherical_kmeans(
     return cents
 
 
+def _train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    seed: int,
+) -> "np.ndarray | None":
+    """Deterministic IVF centroid training: spherical k-means on a
+    hash-ordered driver-side sample (bounded regardless of corpus
+    size). Returns None for an empty corpus."""
+    sample_rows = (
+        corpus.select(F.col(id_col).alias("__cid"), _as_double(vec_col).alias("__cv"))
+        .filter(F.col("__cv").isNotNull())
+        .orderBy(F.xxhash64(F.col("__cid").cast("string"), F.lit(seed)))
+        .limit(max(10_000, n_centroids))
+        .collect()
+    )
+    if not sample_rows:
+        return None
+    sample = np.array([r["__cv"] for r in sample_rows], dtype=np.float64)
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    return _spherical_kmeans(sample, n_centroids, seed)
+
+
+def _cell_assigner(cents: np.ndarray, n_best: int):
+    """Arrow-batched nearest-centroid assignment: (batch x dim) @
+    (dim x C) matmul, top n_best cells per vector."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def assign(vs: pd.Series) -> pd.Series:
+        m = np.array(vs.tolist(), dtype=np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cents.T
+        idx = np.argsort(-sims, axis=1)[:, :n_best]
+        return pd.Series([row.tolist() for row in idx])
+
+    return assign
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 32,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """The persisted-index form of IVF — the shape a repeated-
+    retrieval deployment actually uses (same reasoning as
+    ``text.build_bm25_index``): pay centroid training + corpus
+    assignment ONCE, store both tables, and serve every query from
+    them without touching raw vectors again.
+
+    Returns ``(centroids, assignments)``:
+
+    - centroids: (cell INT, centroid ARRAY<DOUBLE>) — C rows, tiny.
+    - assignments: (neighbor_id, cell INT, vector ARRAY<DOUBLE>) —
+      one row per corpus vector. Persist with
+      ``.write.partitionBy('cell')`` and every query's probe becomes a
+      PARTITION-PRUNED scan of its n_probe cells — the 100 TB serving
+      path reads ~n_probe/C of the index, not the corpus.
+
+    Path-equality with the one-shot ``ivf_topk`` (same seed =>
+    identical centroids => identical results) is pinned in tests.
+    """
+    cents = _train_ivf_centroids(corpus, id_col, vec_col, n_centroids, seed)
+    spark = corpus.sparkSession
+    if cents is None:
+        centroids = spark.createDataFrame([], "cell int, centroid array<double>")
+        assignments = spark.createDataFrame(
+            [], f"neighbor_id {dict(corpus.dtypes)[id_col]}, cell int, vector array<double>"
+        )
+        return centroids, assignments
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+    assignments = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("vector")
+        )
+        .withColumn(
+            "cell", F.element_at(_cell_assigner(cents, 1)(F.col("vector")), 1)
+        )
+        .select("neighbor_id", "cell", "vector")
+    )
+    return centroids, assignments
+
+
+def ivf_topk_from_index(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    queries: DataFrame,
+    query_id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_probe: int = 8,
+) -> DataFrame:
+    """Serve ANN top-k from a persisted IVF index (``build_ivf_index``)
+    without re-training or re-assigning anything. The centroid table
+    (C rows) collects to the driver for the Arrow probe UDF — bounded
+    by C, never by the corpus; the probe is a join of n_probe
+    (query, cell) rows against the cell-keyed assignments, which a
+    cell-partitioned layout turns into a pruned scan.
+    """
+    cent_rows = sorted(
+        centroids.collect(), key=lambda r: r["cell"]
+    )
+    if not cent_rows:
+        return _empty_pairs(
+            queries, query_id_col, "query_id", "neighbor_id", "cosine_sim"
+        )
+    cents = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
+    ).withColumn("cell", F.explode(_cell_assigner(cents, n_probe)(F.col("__qv"))))
+    scored = (
+        assignments.join(q, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", cosine_col(F.col("__qv"), F.col("vector")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine_sim", 6)), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim")
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -280,39 +414,16 @@ def ivf_topk(
     recall/cost curve; at 100 TB scale n_centroids grows ~sqrt(N) and
     the per-cell lists stay executor-sized.
     """
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, IntegerType
-
-    sample_rows = (
-        corpus.select(F.col(id_col).alias("__cid"), _as_double(vec_col).alias("__cv"))
-        .filter(F.col("__cv").isNotNull())
-        .orderBy(F.xxhash64(F.col("__cid").cast("string"), F.lit(seed)))
-        .limit(max(10_000, n_centroids))
-        .collect()
-    )
-    if not sample_rows:
+    cents = _train_ivf_centroids(corpus, id_col, vec_col, n_centroids, seed)
+    if cents is None:
         return _empty_pairs(corpus, id_col, "query_id", "neighbor_id", "cosine_sim")
-    sample = np.array([r["__cv"] for r in sample_rows], dtype=np.float64)
-    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
-    cents = _spherical_kmeans(sample, n_centroids, seed)
-
-    def _cells(n_best: int):
-        @pandas_udf(ArrayType(IntegerType()))
-        def assign(vs: pd.Series) -> pd.Series:
-            m = np.array(vs.tolist(), dtype=np.float64)
-            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            sims = m @ cents.T
-            idx = np.argsort(-sims, axis=1)[:, :n_best]
-            return pd.Series([row.tolist() for row in idx])
-
-        return assign
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
-    ).withColumn("cell", F.element_at(_cells(1)(F.col("__cv")), 1))
+    ).withColumn("cell", F.element_at(_cell_assigner(cents, 1)(F.col("__cv")), 1))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
-    ).withColumn("cell", F.explode(_cells(n_probe)(F.col("__qv"))))
+    ).withColumn("cell", F.explode(_cell_assigner(cents, n_probe)(F.col("__qv"))))
 
     scored = (
         c.join(q, "cell")

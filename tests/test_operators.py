@@ -841,3 +841,64 @@ def test_merge_rollup_rejects_non_decomposable(spark):
     df = spark.createDataFrame([], "k string, n long")
     with pytest.raises(ValueError, match="sketch operators"):
         merge_rollup(df, df, ["k"], {"n": "median"})
+
+
+def test_ivf_index_build_serve_path_equality(spark, tmp_path):
+    from reddit_etl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_from_index,
+    )
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = vecs.filter(F.col("vec_id") < 5)
+    direct = ivf_topk(
+        vecs, queries, "vec_id", "embedding", "vec_id",
+        k=5, n_centroids=8, n_probe=4,
+    )
+    cents, assigns = build_ivf_index(
+        vecs, "vec_id", "embedding", n_centroids=8
+    )
+    # persist the index partitioned by cell and serve from disk — the
+    # repeated-retrieval deployment shape
+    cpath, apath = str(tmp_path / "cent"), str(tmp_path / "assign")
+    cents.write.parquet(cpath)
+    assigns.write.partitionBy("cell").parquet(apath)
+    served = ivf_topk_from_index(
+        spark.read.parquet(cpath),
+        spark.read.parquet(apath),
+        queries, "vec_id", "embedding", k=5, n_probe=4,
+    )
+    a = sorted(map(tuple, direct.collect()))
+    b = sorted(map(tuple, served.collect()))
+    assert a == b and len(a) == 25
+
+
+def test_ivf_index_cell_scan_is_partition_pruned(spark, tmp_path):
+    from reddit_etl_spark.operators.similarity import build_ivf_index
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    _, assigns = build_ivf_index(vecs, "vec_id", "embedding", n_centroids=8)
+    apath = str(tmp_path / "assign")
+    assigns.write.partitionBy("cell").parquet(apath)
+    plan = (
+        spark.read.parquet(apath)
+        .filter(F.col("cell").isin([1, 2]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_ivf_index_empty_corpus(spark):
+    from reddit_etl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_from_index,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    cents, assigns = build_ivf_index(empty, "vec_id", "embedding")
+    assert cents.count() == 0 and assigns.count() == 0
+    out = ivf_topk_from_index(cents, assigns, empty, "vec_id", "embedding")
+    assert out.count() == 0
