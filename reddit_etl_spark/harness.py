@@ -1969,6 +1969,12 @@ def incremental_rollup_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COALESCE(SUM(n), 0) AS BIGINT)
     FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
     UNION ALL
+    SELECT 'k_anonymity(o_orderdate, o_orderpriority, k=3)',
+           CAST(COALESCE(SUM(CASE WHEN n < 3 THEN n END), 0) AS BIGINT),
+           CAST(COALESCE(SUM(n), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS n FROM orders
+          GROUP BY o_orderdate, o_orderpriority)
+    UNION ALL
     SELECT 'referential(l_orderkey -> o_orderkey)',
            (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
             WHERE l_orderkey IS NOT NULL
@@ -1994,6 +2000,7 @@ def dq_report_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             dq.accepted_range("o_totalprice", 0, 1_000_000),
             dq.accepted_values("o_orderstatus", ["O", "F", "P"]),
             dq.unique(["o_orderkey"]),
+            dq.k_anonymity(["o_orderdate", "o_orderpriority"], k=3),
         ],
     )
     report_li = dq.dq_report(

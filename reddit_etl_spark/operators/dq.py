@@ -54,6 +54,17 @@ def referential(col: str, dim: DataFrame, dim_col: str) -> dict:
     return {"kind": "referential", "col": col, "dim": dim, "dim_col": dim_col}
 
 
+def k_anonymity(cols: Sequence[str], k: int) -> dict:
+    """Data-release QA: rows whose quasi-identifier combination
+    (``cols``) appears in fewer than ``k`` rows are re-identifiable —
+    every such row counts as a violation. One map-side-combined
+    groupBy on the quasi-identifier, same cost shape as ``unique``
+    (which is exactly k-anonymity's k=|group| complement)."""
+    if k < 2:
+        raise ValueError("k_anonymity needs k >= 2")
+    return {"kind": "k_anonymity", "cols": list(cols), "k": k}
+
+
 def _row_violation_expr(check: dict) -> tuple[str, Column]:
     kind, col = check["kind"], check["col"]
     c = F.col(col)
@@ -123,6 +134,26 @@ def dq_report(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
                 )
             )
             frames.append(dups)
+        elif c["kind"] == "k_anonymity":
+            cols, k = c["cols"], c["k"]
+            name = f"k_anonymity({', '.join(cols)}, k={k})"
+            small = (
+                df.groupBy(*cols)
+                .agg(F.count("*").alias("__n"))
+                .agg(
+                    F.coalesce(
+                        F.sum(F.when(F.col("__n") < k, F.col("__n"))),
+                        F.lit(0),
+                    ).alias("violations"),
+                    F.coalesce(F.sum("__n"), F.lit(0)).alias("total"),
+                )
+                .select(
+                    F.lit(name).alias("check"),
+                    F.col("violations").cast("long"),
+                    F.col("total").cast("long"),
+                )
+            )
+            frames.append(small)
         elif c["kind"] == "referential":
             col, dim, dim_col = c["col"], c["dim"], c["dim_col"]
             name = f"referential({col} -> {dim_col})"

@@ -92,3 +92,13 @@ def test_empty_table_and_no_checks(spark, dim):
     assert all(v == (0, 0) for v in got.values())
     with pytest.raises(ValueError, match="at least one"):
         dq.dq_report(empty, [])
+
+
+def test_k_anonymity_counts_rows_in_small_classes(spark):
+    rows = [("a", 1)] * 3 + [("b", 1)] * 2 + [("c", 2)]
+    df = spark.createDataFrame(rows, "qi string, x long")
+    got = _report(df, [dq.k_anonymity(["qi"], k=3)])
+    # class b (2 rows) and class c (1 row) are below k=3
+    assert got["k_anonymity(qi, k=3)"] == (3, 6)
+    with pytest.raises(ValueError, match="k >= 2"):
+        dq.k_anonymity(["qi"], k=1)
