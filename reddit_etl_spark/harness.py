@@ -230,6 +230,11 @@ _PROMOTED = [
     # recorded via q01_overview and oracle-checked via q11/q14 in the
     # tail)
     "join_profile_orders_lineitem",
+    # personalized weighted PageRank (new capability; displaces
+    # asof_next_purchase, whose as-of join family keeps TWO recorded
+    # rows via asof_split — same operator, skew mode — while the base
+    # path stays oracle-checked via asof_attribution in the tail)
+    "ppr_supplier_recs",
 ]
 _DEFERRED = [
     # audit twins / shape variants whose capability is attested by a
@@ -376,6 +381,10 @@ _DEFERRED = [
     # q01_overview and oracle-checked via q11/q14 here; green driver
     # rows in CORRECTNESS_r01..r04.
     "q06_flag_breakdown",
+    # forward as-of join stays recorded via asof_split (same operator,
+    # skew mode, promoted this round) and oracle-checked here; green
+    # rows in CORRECTNESS_r01..r04.
+    "asof_next_purchase",
 ]
 
 
@@ -2374,6 +2383,114 @@ def image_phash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     imgs = images_from_text(docs, "doc_id", "text")
     return phash_pairs(phash_table(imgs), max_hamming=3)
+
+
+_PPR_ITER = """
+    d{k} AS (
+      SELECT COALESCE(SUM(r.r), 0) AS d
+      FROM r{p} r LEFT JOIN outw o ON r.node = o.node
+      WHERE o.node IS NULL AND r.r > 0),
+    i{k} AS (
+      SELECT e.dst AS node, SUM((r.r * e.w) // o.ow) AS fl
+      FROM edges e
+      JOIN r{p} r ON e.src = r.node
+      JOIN outw o ON e.src = o.node
+      GROUP BY 1),
+    r{k} AS (
+      SELECT sn.node,
+             sn.iss * ((15 * {scale}) // (100 * (SELECT s FROM ns)))
+             + (85 * (COALESCE(i.fl, 0)
+                      + sn.iss * ((SELECT d FROM d{k})
+                                  // (SELECT s FROM ns)))) // 100 AS r
+      FROM sn LEFT JOIN i{k} i ON sn.node = i.node)"""
+
+_PPR_ORACLE = (
+    """
+    WITH pairs AS (
+      SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS cnode,
+             's:' || CAST(l_suppkey AS VARCHAR) AS snode,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT cnode AS src, snode AS dst, w FROM pairs
+      UNION ALL SELECT snode, cnode, w FROM pairs),
+    seeds AS (
+      SELECT DISTINCT 'c:' || CAST(c_custkey AS VARCHAR) AS node
+      FROM customer WHERE c_nationkey = 0),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+      UNION SELECT node FROM seeds),
+    ns AS (SELECT COUNT(*) AS s FROM seeds),
+    outw AS (SELECT src AS node, SUM(w) AS ow FROM edges GROUP BY 1),
+    sn AS (
+      SELECT n.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS iss
+      FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+    r0 AS (SELECT node, iss * (SELECT {scale} // s FROM ns) AS r FROM sn),"""
+    + ",".join(
+        _PPR_ITER.format(k=k, p=k - 1, scale="{scale}") for k in range(1, 6)
+    )
+    + """
+    SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r5
+    WHERE node LIKE 's:%' ORDER BY r DESC, node LIMIT 20
+    """
+).format(scale=_PAGERANK_SCALE)
+
+
+@_q(
+    "ppr_supplier_recs",
+    _PPR_ORACLE,
+    doc="supplier recommendations for the nation-0 customer cohort via "
+    "personalized PageRank (operators/graph.py:personalized_pagerank): "
+    "random-walk-with-restart over the bidirectional customer-supplier "
+    "graph WEIGHTED by line-item counts, teleport restricted to the "
+    "seed cohort, exact integer arithmetic end-to-end — so the top-20 "
+    "cut (rank desc, node tie-break) is bit-deterministic on both "
+    "engines with no rounding boundary to straddle. Unreachable nodes "
+    "floor to rank 0: no path, no recommendation",
+)
+def ppr_supplier_recs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import personalized_pagerank
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    customer = load(spark, sf_dir, "customer")
+    pairs = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
+                "cnode"
+            ),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+                "snode"
+            ),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    edges = pairs.select(
+        F.col("cnode").alias("src"), F.col("snode").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(
+            F.col("snode").alias("src"), F.col("cnode").alias("dst"), "w"
+        )
+    )
+    seeds = (
+        customer.filter(F.col("c_nationkey") == 0)
+        .select(
+            F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias(
+                "node"
+            )
+        )
+        .distinct()
+    )
+    ranks = personalized_pagerank(
+        edges, seeds, weight_col="w", iterations=5, scale=_PAGERANK_SCALE
+    )
+    return (
+        ranks.filter(F.col("node").startswith("s:"))
+        .orderBy(F.desc("rank_scaled"), F.asc("node"))
+        .limit(20)
+    )
 
 
 @_q(

@@ -298,3 +298,69 @@ def test_triangle_counts_matches_brute_force(spark):
         assert (d, t) == (deg[n], want_tri[n]), n
         if d >= 2:
             assert c == round(2 * want_tri[n] / (d * (d - 1)), 6)
+
+
+# ---------------------------------------------------------------------------
+# personalized_pagerank — seed-restarted, weighted
+# ---------------------------------------------------------------------------
+
+
+def _ref_ppr(edges, seeds, iterations=5, scale=10**12):
+    nodes = sorted({n for e in edges for n in (e[0], e[1])} | set(seeds))
+    s = len(seeds)
+    outw: dict = {}
+    for a, _, w in edges:
+        outw[a] = outw.get(a, 0) + w
+    r = {n: (scale // s if n in seeds else 0) for n in nodes}
+    for _ in range(iterations):
+        dang = sum(r[n] for n in nodes if n not in outw and r[n] > 0)
+        infl = {n: 0 for n in nodes}
+        for a, b, w in edges:
+            infl[b] += (r[a] * w) // outw[a]
+        r = {
+            n: (1 if n in seeds else 0) * ((15 * scale) // (100 * s))
+            + (85 * (infl[n] + (1 if n in seeds else 0) * (dang // s))) // 100
+            for n in nodes
+        }
+    return r
+
+
+def test_ppr_matches_serial_reference_weighted(spark):
+    import random
+
+    from reddit_etl_spark.operators.graph import personalized_pagerank
+
+    rng = random.Random(9)
+    edges = list(
+        {(f"n{rng.randrange(25)}", f"n{rng.randrange(25)}") for _ in range(70)}
+    )
+    edges = [
+        (a, b, rng.randrange(1, 5))
+        for a, b in edges
+        if a != b and a not in ("n1", "n2")  # dangling nodes
+    ]
+    seeds = ["n0", "n3", "n99"]  # n99: isolated seed node
+    E = spark.createDataFrame(edges, "src string, dst string, w long")
+    S = spark.createDataFrame([(s,) for s in seeds], "node string")
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in personalized_pagerank(E, S, weight_col="w").collect()
+    }
+    assert got == _ref_ppr(edges, set(seeds))
+
+
+def test_ppr_unreachable_nodes_rank_zero_and_seeds_hold_mass(spark):
+    from reddit_etl_spark.operators.graph import personalized_pagerank
+
+    # two disconnected components; seeds only in the first
+    edges = [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")]
+    E = spark.createDataFrame(edges, "src string, dst string")
+    S = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in personalized_pagerank(E, S).collect()
+    }
+    assert got["x"] == 0 and got["y"] == 0
+    assert got["a"] > 0 and got["b"] > 0
+    # all mass stays in the seed component (minus integer-floor dust)
+    assert abs(got["a"] + got["b"] - 10**12) < 100
