@@ -235,6 +235,11 @@ _PROMOTED = [
     # rows via asof_split — same operator, skew mode — while the base
     # path stays oracle-checked via asof_attribution in the tail)
     "ppr_supplier_recs",
+    # robust MAD outlier scoring (new capability; displaces
+    # sessionization, whose gap-sessionize shape keeps a recorded row
+    # via sessionization_split — same operator, skew mode, promoted
+    # this round — and stays a bench headline + oracle-checked here)
+    "mad_outliers_daily",
 ]
 _DEFERRED = [
     # audit twins / shape variants whose capability is attested by a
@@ -385,6 +390,10 @@ _DEFERRED = [
     # skew mode, promoted this round) and oracle-checked here; green
     # rows in CORRECTNESS_r01..r04.
     "asof_next_purchase",
+    # gap sessionization stays recorded via sessionization_split (same
+    # operator, skew mode, promoted this round); still a bench
+    # headline. Green rows in CORRECTNESS_r01..r04.
+    "sessionization",
 ]
 
 
@@ -1948,6 +1957,50 @@ def incremental_rollup_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_value", 6).alias("total_value"),
         "max_value",
     )
+
+
+@_q(
+    "mad_outliers_daily",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ROUND(SUM(value), 6) AS daily_value
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type,
+             ROUND(quantile_cont(daily_value, 0.5), 6) AS med
+      FROM d GROUP BY 1),
+    a AS (
+      SELECT d.*, m.med FROM d JOIN m USING (event_type)),
+    md AS (
+      SELECT event_type,
+             ROUND(quantile_cont(ABS(daily_value - med), 0.5), 6) AS mad
+      FROM a GROUP BY 1)
+    SELECT a.event_type, a.day, a.daily_value, a.med, md.mad,
+           CASE WHEN md.mad > 0
+                THEN ROUND(0.6745 * (a.daily_value - a.med) / md.mad, 6)
+                END AS mad_z,
+           COALESCE(ABS(CASE WHEN md.mad > 0
+                THEN ROUND(0.6745 * (a.daily_value - a.med) / md.mad, 6)
+                END) > 3.5, FALSE) AS is_outlier
+    FROM a JOIN md USING (event_type)
+    """,
+    doc="robust outlier detection on the daily rollup via modified "
+    "z-score (operators/relational.py:mad_outliers — Iglewicz-Hoaglin "
+    "0.6745*(x-med)/MAD, |z|>3.5): median/MAD resist the masking that "
+    "breaks mean/stddev scoring when outliers inflate sigma. Two "
+    "grouped exact-percentile aggregates + key joins (AQE chooses "
+    "broadcast), no window; med/mad/z rounded to 6 before every "
+    "compare so the engines cut identically",
+)
+def mad_outliers_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import mad_outliers
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("daily_value"))
+    return mad_outliers(daily, ["event_type"], "daily_value", threshold=3.5)
 
 
 @_q(

@@ -902,3 +902,41 @@ def test_ivf_index_empty_corpus(spark):
     assert cents.count() == 0 and assigns.count() == 0
     out = ivf_topk_from_index(cents, assigns, empty, "vec_id", "embedding")
     assert out.count() == 0
+
+
+def test_mad_outliers_resist_masking(spark):
+    from reddit_etl_spark.operators.relational import mad_outliers
+
+    # 12 stable points + 3 huge ones: the burst inflates stddev until
+    # classic z misses it; MAD still flags all three
+    vals = [10.0, 11.0, 10.5, 9.8, 10.2, 10.7, 9.9, 10.1, 10.4, 10.0,
+            10.3, 9.7, 500.0, 480.0, 520.0]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)], "k string, i long, v double"
+    )
+    got = {r["i"]: r for r in mad_outliers(df, ["k"], "v").collect()}
+    assert all(got[i]["is_outlier"] for i in (12, 13, 14))
+    assert not any(got[i]["is_outlier"] for i in range(12))
+    # classic z-score comparison: sigma ~ 180 => max |z| ~ 1.9, all missed
+    import statistics
+
+    sd = statistics.stdev(vals)
+    assert max(abs(v - statistics.mean(vals)) / sd for v in vals) < 3.5
+
+
+def test_mad_outliers_degenerate_groups(spark):
+    from reddit_etl_spark.operators.relational import mad_outliers
+
+    rows = [("zero_mad", i, 5.0) for i in range(4)] + [
+        ("zero_mad", 4, 99.0),  # minority outlier, but MAD = 0
+        ("single", 0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    got = {(r["k"], r["i"]): r for r in mad_outliers(df, ["k"], "v").collect()}
+    # >=50% identical values -> MAD 0 -> undefined z, no flags
+    assert all(
+        got[("zero_mad", i)]["mad_z"] is None
+        and not got[("zero_mad", i)]["is_outlier"]
+        for i in range(5)
+    )
+    assert got[("single", 0)]["mad_z"] is None
