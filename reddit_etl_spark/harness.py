@@ -240,6 +240,11 @@ _PROMOTED = [
     # via sessionization_split — same operator, skew mode, promoted
     # this round — and stays a bench headline + oracle-checked here)
     "mad_outliers_daily",
+    # integer-exact HITS (new capability; displaces
+    # q08_left_join_rollup, whose join surface stays recorded via
+    # q09_join_having and whose LEFT-JOIN rollup stays oracle-checked
+    # in the tail + pinned by test_queries.py)
+    "hits_cust_supp",
 ]
 _DEFERRED = [
     # audit twins / shape variants whose capability is attested by a
@@ -394,6 +399,10 @@ _DEFERRED = [
     # operator, skew mode, promoted this round); still a bench
     # headline. Green rows in CORRECTNESS_r01..r04.
     "sessionization",
+    # LEFT-JOIN 1:N rollup stays oracle-checked here and pinned by
+    # test_queries.py; join surface recorded via q09_join_having.
+    # Green rows in CORRECTNESS_r01..r04.
+    "q08_left_join_rollup",
 ]
 
 
@@ -2436,6 +2445,90 @@ def image_phash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     imgs = images_from_text(docs, "doc_id", "text")
     return phash_pairs(phash_table(imgs), max_hamming=3)
+
+
+_HITS_ITER = """
+    ar{k} AS MATERIALIZED (
+      SELECT n.node, COALESCE(SUM(h.h), 0) AS raw
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN h{p} h ON e.src = h.node
+      GROUP BY 1),
+    at{k} AS MATERIALIZED (SELECT SUM(raw) AS t FROM ar{k}),
+    a{k} AS MATERIALIZED (
+      SELECT node,
+             CASE WHEN (SELECT t FROM at{k}) > 0
+                  THEN CAST((raw::HUGEINT * {scale})
+                            // (SELECT t FROM at{k}) AS BIGINT)
+                  ELSE 0 END AS a
+      FROM ar{k}),
+    hr{k} AS MATERIALIZED (
+      SELECT n.node, COALESCE(SUM(a.a), 0) AS raw
+      FROM nodes n
+      LEFT JOIN edges e ON e.src = n.node
+      LEFT JOIN a{k} a ON e.dst = a.node
+      GROUP BY 1),
+    ht{k} AS MATERIALIZED (SELECT SUM(raw) AS t FROM hr{k}),
+    h{k} AS MATERIALIZED (
+      SELECT node,
+             CASE WHEN (SELECT t FROM ht{k}) > 0
+                  THEN CAST((raw::HUGEINT * {scale})
+                            // (SELECT t FROM ht{k}) AS BIGINT)
+                  ELSE 0 END AS h
+      FROM hr{k})"""
+
+_HITS_ORACLE = (
+    """
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+                      's:' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    nodes AS MATERIALIZED (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+    h0 AS MATERIALIZED (
+      SELECT node, (SELECT {scale} // n FROM nn) AS h FROM nodes),"""
+    + ",".join(
+        _HITS_ITER.format(k=k, p=k - 1, scale="{scale}") for k in range(1, 6)
+    )
+    + """
+    SELECT h5.node, CAST(h5.h AS BIGINT) AS hub_scaled,
+           CAST(a5.a AS BIGINT) AS auth_scaled
+    FROM h5 JOIN a5 ON h5.node = a5.node
+    """
+).format(scale=_PAGERANK_SCALE)
+
+
+@_q(
+    "hits_cust_supp",
+    _HITS_ORACLE,
+    doc="HITS hubs-and-authorities over the directed customer->supplier "
+    "purchase graph (operators/graph.py:hits — customers are hubs, "
+    "suppliers authorities) in exact integer arithmetic: the L1 "
+    "normalization, HITS' one float hazard, becomes "
+    "floor(x*scale/total) — DECIMAL(38,0) product + corrected floor "
+    "division on the Spark side, HUGEINT // in the oracle — so five "
+    "rounds are bit-identical cross-engine. Lineage truncated every "
+    "round (4 references/round would grow the plan 4^k)",
+)
+def hits_cust_supp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import hits
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    return hits(edges, iterations=5, scale=_PAGERANK_SCALE)
 
 
 _PPR_ITER = """

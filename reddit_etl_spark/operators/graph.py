@@ -533,3 +533,111 @@ def personalized_pagerank(
         if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    scale: int = 10**12,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """HITS (Kleinberg hubs-and-authorities) in exact integer
+    arithmetic: each round computes raw authority a(v) = sum of h(u)
+    over in-edges and raw hub h(u) = sum of a(v) over out-edges, then
+    L1-NORMALIZES both to ``scale`` units with integer division
+    (x * scale // total) — the one floating-point hazard in HITS is
+    the normalization, and scaling by an exact BIGINT total removes
+    it, so results are bit-identical across engines and partitionings
+    (same discipline as ``pagerank``/``personalized_pagerank``).
+
+    Two shuffles per round (one per direction) on (node, long) pairs;
+    normalization totals are broadcast scalars. Hubs start uniform
+    over all nodes. Unlike PageRank, every round references the prior
+    frame FOUR times (two joins + two normalization totals), so
+    lineage grows 4^rounds — ``checkpoint_every`` therefore defaults
+    to 1 (lazy localCheckpoint per round), which keeps the optimizer's
+    input linear in rounds; PageRank's 3-reference rounds tolerate 8. Nodes with no out-edges have hub 0 after round 1;
+    no in-edges, authority 0 — the bipartite-ish structure HITS was
+    built for.
+
+    Returns (node, hub_scaled BIGINT, auth_scaled BIGINT); each column
+    sums to ~scale (minus integer-floor dust).
+    """
+    E = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        E.select(F.col("src").alias("node"))
+        .union(E.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.agg(F.count("*").alias("__n"))
+    hubs = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", F.expr(f"{scale} div __n").alias("hub_scaled")
+    )
+
+    def _normalize(df: DataFrame, col: str) -> DataFrame:
+        # exact floor((x * scale) / total) WITHOUT int64 overflow: the
+        # product reaches ~1e24 (x can be a multi-edge sum of 1e12-unit
+        # values), so it lives in DECIMAL(38,0); Spark decimal division
+        # is NOT exact floor division (it rounds at a derived scale),
+        # so take the approximate quotient and correct it by exact
+        # decimal comparison — the approximation error is < 1, one
+        # step each way suffices. The DuckDB oracle's HUGEINT // is
+        # exact floor division natively; this makes Spark match it
+        # bit-for-bit.
+        total = df.agg(
+            F.coalesce(F.sum(col), F.lit(0)).alias("__t")
+        )
+        p = f"(CAST({col} AS DECIMAL(38,0)) * CAST({scale} AS DECIMAL(38,0)))"
+        t = "CAST(__t AS DECIMAL(38,0))"
+        q0 = f"CAST(FLOOR({p} / {t}) AS DECIMAL(38,0))"
+        q = (
+            f"CASE WHEN {q0} * {t} > {p} THEN {q0} - 1 "
+            f"WHEN ({q0} + 1) * {t} <= {p} THEN {q0} + 1 "
+            f"ELSE {q0} END"
+        )
+        return df.crossJoin(F.broadcast(total)).select(
+            "node",
+            F.when(F.col("__t") > 0, F.expr(f"CAST(({q}) AS BIGINT)"))
+            .otherwise(F.lit(0))
+            .alias(col),
+        )
+
+    auths = None
+    for it in range(iterations):
+        raw_auth = (
+            E.join(hubs, E["src"] == hubs["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub_scaled").alias("auth_scaled"))
+        )
+        auths = _normalize(
+            nodes.join(raw_auth, "node", "left").select(
+                "node",
+                F.coalesce("auth_scaled", F.lit(0)).alias("auth_scaled"),
+            ),
+            "auth_scaled",
+        )
+        raw_hub = (
+            E.join(auths, E["dst"] == auths["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth_scaled").alias("hub_scaled"))
+        )
+        hubs = _normalize(
+            nodes.join(raw_hub, "node", "left").select(
+                "node",
+                F.coalesce("hub_scaled", F.lit(0)).alias("hub_scaled"),
+            ),
+            "hub_scaled",
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            hubs = hubs.localCheckpoint(eager=False)
+            auths = auths.localCheckpoint(eager=False)
+    assert auths is not None
+    return hubs.join(auths, "node", "outer").select(
+        "node",
+        F.coalesce("hub_scaled", F.lit(0)).alias("hub_scaled"),
+        F.coalesce("auth_scaled", F.lit(0)).alias("auth_scaled"),
+    )

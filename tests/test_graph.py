@@ -364,3 +364,63 @@ def test_ppr_unreachable_nodes_rank_zero_and_seeds_hold_mass(spark):
     assert got["a"] > 0 and got["b"] > 0
     # all mass stays in the seed component (minus integer-floor dust)
     assert abs(got["a"] + got["b"] - 10**12) < 100
+
+
+def test_hits_matches_serial_reference(spark):
+    import random
+
+    from reddit_etl_spark.operators.graph import hits
+
+    def ref(edges, iters=5, scale=10**12):
+        es = sorted(set(edges))
+        nodes = sorted({n for e in es for n in e})
+        h = {v: scale // len(nodes) for v in nodes}
+        a = {}
+        for _ in range(iters):
+            ra = {v: 0 for v in nodes}
+            for s, d in es:
+                ra[d] += h[s]
+            t = sum(ra.values())
+            a = {v: (ra[v] * scale // t if t else 0) for v in nodes}
+            rh = {v: 0 for v in nodes}
+            for s, d in es:
+                rh[s] += a[d]
+            t = sum(rh.values())
+            h = {v: (rh[v] * scale // t if t else 0) for v in nodes}
+        return {v: (h[v], a[v]) for v in nodes}
+
+    rng = random.Random(4)
+    edges = [
+        (a, b)
+        for a, b in {
+            (f"n{rng.randrange(20)}", f"n{rng.randrange(20)}")
+            for _ in range(60)
+        }
+        if a != b
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: (r["hub_scaled"], r["auth_scaled"])
+        for r in hits(df).collect()
+    }
+    assert got == ref(edges)
+
+
+def test_hits_bipartite_roles(spark):
+    from reddit_etl_spark.operators.graph import hits
+
+    # pure bipartite: left nodes point right; left are hubs ONLY
+    edges = [("l1", "r1"), ("l1", "r2"), ("l2", "r1")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: (r["hub_scaled"], r["auth_scaled"])
+        for r in hits(df).collect()
+    }
+    assert got["l1"][1] == 0 and got["l2"][1] == 0  # no in-edges
+    assert got["r1"][0] == 0 and got["r2"][0] == 0  # no out-edges
+    # r1 has two in-links from hubs -> higher authority than r2
+    assert got["r1"][1] > got["r2"][1]
+    assert got["l1"][0] > got["l2"][0]  # l1 links to both authorities
+    # L1 mass conservation modulo integer-floor dust
+    assert abs(sum(v[0] for v in got.values()) - 10**12) < 10
+    assert abs(sum(v[1] for v in got.values()) - 10**12) < 10
