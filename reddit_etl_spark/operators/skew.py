@@ -100,14 +100,23 @@ def join_key_profile(
     the two total counts attach as broadcast scalars.
     """
     keys = list(on)
+    # a NULL in any key column can never match in an equi-join; drop
+    # those rows BEFORE counting (concat_ws skips NULL components, so
+    # they would otherwise collapse into matchable strings and
+    # overcount)
+    notnull = F.lit(True)
+    for k in keys:
+        notnull = notnull & F.col(k).isNotNull()
     kc = F.concat_ws("", *[F.col(k).cast("string") for k in keys])
     lc = (
-        left.select(kc.alias("__k"))
+        left.filter(notnull)
+        .select(kc.alias("__k"))
         .groupBy("__k")
         .agg(F.count("*").alias("__cl"))
     )
     rc = (
-        right.select(kc.alias("__k"))
+        right.filter(notnull)
+        .select(kc.alias("__k"))
         .groupBy("__k")
         .agg(F.count("*").alias("__cr"))
     )
@@ -124,16 +133,19 @@ def join_key_profile(
         F.count(F.lit(1)).alias("common_keys"),
         F.coalesce(F.sum("__out"), F.lit(0)).alias("output_rows"),
         F.coalesce(F.max("__out"), F.lit(0)).alias("max_key_output"),
-        F.reverse(
-            F.slice(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(F.col("__out").alias("rows"), F.col("__k").alias("key"))
-                    )
-                ),
-                -top_k,
-                top_k,
-            )
+        # take the LAST min(top_k, n) of the ascending sort = the top
+        # contributors; a fixed -top_k start would return [] whenever
+        # fewer than top_k keys exist (negative index past the array
+        # head), so the start is clamped to the array size
+        F.expr(
+            "reverse(slice("
+            "  sort_array(collect_list(struct(__out AS rows, __k AS key))),"
+            # 1-based slice: start 0 is invalid, so the empty-group
+            # case uses (start 1, length 0) for a typed empty array
+            f"  CASE WHEN size(collect_list(__k)) = 0 THEN 1"
+            f"       ELSE -least({top_k}, size(collect_list(__k))) END,"
+            f"  least({top_k}, size(collect_list(__k)))"
+            "))"
         ).alias("top_keys"),
     )
     return (

@@ -219,3 +219,16 @@ def test_join_key_profile_disjoint_keys(spark):
     r = join_key_profile(left, right, ["k"]).collect()[0]
     assert r["common_keys"] == 0 and r["output_rows"] == 0
     assert r["max_key_output"] == 0 and r["top_keys"] == []
+
+
+def test_join_key_profile_null_keys_and_short_topk(spark):
+    from reddit_etl_spark.operators.skew import join_key_profile
+
+    # NULL keys never match in an equi-join and must not be counted
+    left = spark.createDataFrame([(1,), (None,), (None,)], "k long")
+    right = spark.createDataFrame([(1,), (None,)], "k long")
+    r = join_key_profile(left, right, ["k"], top_k=5).collect()[0]
+    assert r["output_rows"] == left.join(right, "k").count() == 1
+    assert r["distinct_left"] == 1  # NULL is not a key
+    # fewer keys than top_k must still return them (not [])
+    assert [(t["rows"], t["key"]) for t in r["top_keys"]] == [(1, "1")]
