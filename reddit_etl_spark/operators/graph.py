@@ -565,6 +565,8 @@ def hits(
     Returns (node, hub_scaled BIGINT, auth_scaled BIGINT); each column
     sums to ~scale (minus integer-floor dust).
     """
+    if iterations < 1:
+        raise ValueError("hits needs iterations >= 1")
     E = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
