@@ -2028,7 +2028,7 @@ def mad_outliers_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT)
     FROM orders
     UNION ALL
-    SELECT 'accepted_values(o_orderstatus)',
+    SELECT 'accepted_values(o_orderstatus, [O, F, P])',
            CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
                           AND o_orderstatus NOT IN ('O', 'F', 'P')
                      THEN 1 ELSE 0 END) AS BIGINT),

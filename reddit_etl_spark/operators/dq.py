@@ -78,8 +78,14 @@ def _row_violation_expr(check: dict) -> tuple[str, Column]:
         )
     if kind == "accepted_values":
         vals = check["values"]
+        # the value set is part of the check's identity: two
+        # accepted_values checks on one column must produce
+        # distinguishable report rows
+        shown = ", ".join(str(v) for v in vals[:5]) + (
+            ", ..." if len(vals) > 5 else ""
+        )
         return (
-            f"accepted_values({col})",
+            f"accepted_values({col}, [{shown}])",
             c.isNotNull() & ~c.isin(vals),
         )
     raise AssertionError(kind)
@@ -92,6 +98,22 @@ def dq_report(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
     """
     if not checks:
         raise ValueError("dq_report needs at least one check")
+    known = {
+        "not_null",
+        "accepted_range",
+        "accepted_values",
+        "unique",
+        "referential",
+        "k_anonymity",
+    }
+    bad = [c.get("kind") for c in checks if c.get("kind") not in known]
+    if bad:
+        # a silently-skipped check makes an all-zero report vacuous —
+        # reject loudly instead
+        raise ValueError(
+            f"unknown check kind(s) {bad}; use the dq.* constructors "
+            f"({', '.join(sorted(known))})"
+        )
     row_level = [
         c for c in checks if c["kind"] in ("not_null", "accepted_range", "accepted_values")
     ]

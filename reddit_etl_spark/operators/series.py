@@ -59,7 +59,10 @@ def running_total(
     ``order_col`` must be integral (cast timestamps to epoch seconds
     first): bucket boundaries are computed with integer arithmetic so
     equal keys always land in the same bucket and both engines of a
-    cross-engine comparison bucket identically.
+    cross-engine comparison bucket identically. Rows with a NULL order
+    key are EXCLUDED — a running total at an undefined position has no
+    meaning (note this differs from SQL's ORDER BY, which sorts NULLs
+    first; callers wanting that assign an explicit sentinel position).
 
     ``buckets`` bounds the serial structure: the offsets frame has at
     most ``buckets`` rows. 1024 buckets x a few GiB per bucket covers
@@ -68,6 +71,7 @@ def running_total(
     clustered key degrades to fewer effective buckets, never to
     incorrectness.
     """
+    df = df.filter(F.col(order_col).isNotNull())
     span = df.agg(
         F.min(order_col).cast("long").alias("__mn"),
         F.max(order_col).cast("long").alias("__mx"),
@@ -232,7 +236,11 @@ def time_weighted_avg(
     the integral the dashboard actually wants.
 
     Keys with a single reading (or zero time span) yield NULL — an
-    undefined integral, not a zero.
+    undefined integral, not a zero. NULL-valued readings are dropped
+    BEFORE the LEAD, so the prior reading's value spans the gap (the
+    LOCF-consistent treatment: a NULL reading is no reading; keeping
+    it would silently deflate the average by deleting its interval
+    from the numerator while the denominator kept it).
 
     One shuffle on the key; the per-key LEAD is a window over that
     same partitioning. Weighted sum rounded to 6 before the division
@@ -241,6 +249,9 @@ def time_weighted_avg(
     Output: key_cols + (span_seconds BIGINT, twa DOUBLE).
     """
     keys = list(key_cols)
+    df = df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
     t = F.unix_timestamp(ts_col)
     w = Window.partitionBy(*keys).orderBy(t.asc(), F.col(value_col).asc())
     dt = F.lead(t).over(w) - t

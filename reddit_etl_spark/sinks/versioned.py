@@ -150,30 +150,60 @@ def rollback(path: str, version: int) -> int:
     return new_version
 
 
-def vacuum(path: str, keep_last: int = 1) -> list[str]:
+def vacuum(
+    path: str, keep_last: int = 1, include_orphans: bool = False
+) -> list[str]:
     """Delete data directories referenced by NO retained manifest,
     keeping the last ``keep_last`` versions readable (older manifests
     are removed too). Returns the removed directories.
 
-    Safe order: manifests first, then orphaned directories — a crash
-    mid-vacuum leaves only unreferenced garbage, never a readable
-    version with missing data."""
+    ``include_orphans=True`` additionally reclaims commit debris that
+    no manifest EVER referenced — data directories from commits that
+    crashed between the parquet write and the manifest rename, and
+    stale ``.json.tmp-*`` manifest files. Off by default because it is
+    only safe with no concurrent writer: an in-flight commit's data
+    directory looks identical to a crashed one until its manifest
+    lands. Run it from the same (single-writer) maintenance schedule
+    that owns commits.
+
+    Safe order: manifests first, then directories — a crash mid-vacuum
+    leaves only unreferenced garbage, never a readable version with
+    missing data."""
     import shutil
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     vs = versions(path)
-    if len(vs) <= keep_last:
-        return []
-    keep, drop = vs[-keep_last:], vs[:-keep_last]
-    live: set[str] = set()
-    for v in keep:
-        live.update(_read_manifest(path, v)["dirs"])
-    dead: set[str] = set()
-    for v in drop:
-        dead.update(d for d in _read_manifest(path, v)["dirs"] if d not in live)
-    for v in drop:
-        os.remove(_manifest_path(path, v))
-    for d in sorted(dead):
-        shutil.rmtree(d, ignore_errors=True)
-    return sorted(dead)
+    removed: list[str] = []
+    if len(vs) > keep_last:
+        keep, drop = vs[-keep_last:], vs[:-keep_last]
+        live: set[str] = set()
+        for v in keep:
+            live.update(_read_manifest(path, v)["dirs"])
+        dead: set[str] = set()
+        for v in drop:
+            dead.update(
+                d for d in _read_manifest(path, v)["dirs"] if d not in live
+            )
+        for v in drop:
+            os.remove(_manifest_path(path, v))
+        for d in sorted(dead):
+            shutil.rmtree(d, ignore_errors=True)
+        removed.extend(sorted(dead))
+    if include_orphans:
+        referenced: set[str] = set()
+        for v in versions(path):
+            referenced.update(_read_manifest(path, v)["dirs"])
+        data_root = os.path.join(path, _DATA)
+        if os.path.isdir(data_root):
+            for name in sorted(os.listdir(data_root)):
+                d = os.path.join(data_root, name)
+                if d not in referenced:
+                    shutil.rmtree(d, ignore_errors=True)
+                    removed.append(d)
+        mdir = _manifest_dir(path)
+        if os.path.isdir(mdir):
+            for name in os.listdir(mdir):
+                if ".json.tmp-" in name:
+                    os.remove(os.path.join(mdir, name))
+    return removed

@@ -41,7 +41,7 @@ def test_row_level_checks(table):
     assert got["not_null(status)"] == (1, 5)
     assert got["accepted_range(price, 0, 100)"] == (1, 5)
     # NULL status is a not_null concern, not an accepted_values one
-    assert got["accepted_values(status)"] == (1, 5)
+    assert got["accepted_values(status, [O, F])"] == (1, 5)
 
 
 def test_unique_counts_rows_beyond_first(table):
@@ -102,3 +102,22 @@ def test_k_anonymity_counts_rows_in_small_classes(spark):
     assert got["k_anonymity(qi, k=3)"] == (3, 6)
     with pytest.raises(ValueError, match="k >= 2"):
         dq.k_anonymity(["qi"], k=1)
+
+
+def test_unknown_check_kind_rejected(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="unknown check kind"):
+        dq.dq_report(df, [{"kind": "notnull", "col": "k"}])
+
+
+def test_accepted_values_name_includes_value_set(spark):
+    df = spark.createDataFrame([("A",), ("C",)], "status string")
+    got = _report(
+        df,
+        [
+            dq.accepted_values("status", ["A"]),
+            dq.accepted_values("status", ["A", "B", "C", "D", "E", "F", "G"]),
+        ],
+    )
+    assert got["accepted_values(status, [A])"] == (1, 2)
+    assert got["accepted_values(status, [A, B, C, D, E, ...])"] == (0, 2)

@@ -246,3 +246,32 @@ def test_gap_fill_tie_resolution_is_lexicographic_max(spark):
     df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
     got = gap_fill(df, ["k"], "ts", "v").collect()
     assert [r["value_filled"] for r in got] == [8.0]
+
+
+def test_running_total_excludes_null_order_rows(spark):
+    rows = [(1, 10), (None, 100), (2, 20)]
+    got = {
+        r["ord"]: r["running_total"]
+        for r in running_total(
+            spark.createDataFrame(rows, "ord long, v long"), "ord", "v"
+        ).collect()
+    }
+    # the NULL-position row neither appears nor inflates anyone
+    assert got == {1: 10, 2: 30}
+
+
+def test_twa_null_readings_are_locf_skipped(spark):
+    import datetime as dt
+
+    from reddit_etl_spark.operators.series import time_weighted_avg
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", base, 10.0),
+        ("a", base + dt.timedelta(seconds=50), None),  # no reading
+        ("a", base + dt.timedelta(seconds=100), 10.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = time_weighted_avg(df, ["k"], "ts", "v").collect()[0]
+    # the prior value spans the gap: twa stays 10, span stays 100
+    assert (got["span_seconds"], got["twa"]) == (100, 10.0)

@@ -232,3 +232,15 @@ def test_join_key_profile_null_keys_and_short_topk(spark):
     assert r["distinct_left"] == 1  # NULL is not a key
     # fewer keys than top_k must still return them (not [])
     assert [(t["rows"], t["key"]) for t in r["top_keys"]] == [(1, "1")]
+
+
+def test_join_key_profile_composite_keys_do_not_collide(spark):
+    from reddit_etl_spark.operators.skew import join_key_profile
+
+    # ("ab","c") vs ("a","bc"): naive "" concatenation would merge them
+    left = spark.createDataFrame([("ab", "c"), ("a", "bc")], "x string, y string")
+    right = spark.createDataFrame([("ab", "c")], "x string, y string")
+    r = join_key_profile(left, right, ["x", "y"]).collect()[0]
+    assert r["distinct_left"] == 2
+    assert r["common_keys"] == 1
+    assert r["output_rows"] == left.join(right, ["x", "y"]).count() == 1

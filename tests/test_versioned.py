@@ -86,3 +86,25 @@ def test_vacuum_never_removes_dirs_shared_with_live_versions(spark, tmp_path):
     # v0's manifest goes, but its data dir is still referenced by v1
     assert removed == [] and versions(t) == [1]
     assert _keys(read_versioned(spark, t)) == [0, 1, 2, 3, 4]
+
+
+def test_vacuum_include_orphans_reclaims_crashed_commits(spark, tmp_path):
+    import json
+    import os
+
+    t = str(tmp_path / "t")
+    write_versioned(_rows(spark, 0, 3), t)
+    # simulate a crashed commit: data dir written, manifest never landed
+    orphan = os.path.join(t, "data", "99999999-deadbeef")
+    _rows(spark, 50, 52).write.parquet(orphan)
+    stale_tmp = os.path.join(t, "_manifests", "v00000009.json.tmp-ab12cd34")
+    with open(stale_tmp, "w") as f:
+        json.dump({}, f)
+
+    assert vacuum(t, keep_last=1) == []  # default never touches orphans
+    assert os.path.isdir(orphan)
+    removed = vacuum(t, keep_last=1, include_orphans=True)
+    assert removed == [orphan]
+    assert not os.path.exists(orphan) and not os.path.exists(stale_tmp)
+    # the committed version is untouched
+    assert _keys(read_versioned(spark, t)) == [0, 1, 2]
