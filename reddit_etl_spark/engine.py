@@ -136,3 +136,32 @@ class Engine:
 
     def q15(self):
         return q.q15_post_performance(self.posts)
+
+    # --- data quality (operators/dq.py over the reddit tables) --------
+    def data_quality(self) -> DataFrame:
+        """The standing expectations a production run of this pipeline
+        asserts before publishing: key integrity on both tables, the
+        transform's own invariants (upvote_ratio is a ratio, sentinel
+        authors notwithstanding non-null), and the posts<-comments FK.
+        Row-level checks fuse into one scan per table (dq.dq_report);
+        returns the combined (check, violations, total) report."""
+        from .operators import dq
+
+        posts_report = dq.dq_report(
+            self.posts,
+            [
+                dq.not_null("id"),
+                dq.not_null("subreddit"),
+                dq.unique(["id"]),
+                dq.accepted_range("upvote_ratio", 0.0, 1.0),
+            ],
+        )
+        comments_report = dq.dq_report(
+            self.comments,
+            [
+                dq.not_null("id"),
+                dq.unique(["id"]),
+                dq.referential("post_id", self.posts, "id"),
+            ],
+        )
+        return posts_report.unionByName(comments_report)

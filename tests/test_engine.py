@@ -70,3 +70,11 @@ def test_partition_pruning_on_written_layout(engine):
     assert "PartitionFilters" in plan
     assert "subreddit" in plan.split("PartitionFilters")[1][:200]
     assert df.count() > 0
+
+
+def test_engine_data_quality_clean_fixture(engine):
+    report = {r["check"]: (r["violations"], r["total"]) for r in engine.data_quality().collect()}
+    # the fixture tables satisfy every standing expectation
+    assert all(v == 0 for v, _ in report.values()), report
+    assert any(c.startswith("referential(post_id") for c in report)
+    assert any(c.startswith("unique(id)") for c in report)
