@@ -11,8 +11,11 @@ these operators cover the cases AQE cannot:
 - ``salted_count_distinct``: COUNT(DISTINCT x) BY key with a hot key —
   two-phase: distinct on (key, salt-free x) first (spreads by x),
   then count per key. Exact, no single-reducer bottleneck.
+- ``join_key_profile``: the pre-flight diagnostic that tells you a
+  join NEEDS the levers above before you run it — exact output
+  cardinality and hot-key contribution from per-key count frames.
 
-Both are pure DataFrame compositions — no partitioner APIs — so they
+All are pure DataFrame compositions — no partitioner APIs — so they
 survive AQE re-planning and work identically on any cluster size.
 """
 
