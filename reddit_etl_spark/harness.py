@@ -245,6 +245,11 @@ _PROMOTED = [
     # q09_join_having and whose LEFT-JOIN rollup stays oracle-checked
     # in the tail + pinned by test_queries.py)
     "hits_cust_supp",
+    # Welch A/B readout (new capability; displaces q02_top_per_group,
+    # whose argmax-window shape stays recorded via q15_ranked_view —
+    # same window family — and oracle-checked in the tail + pinned by
+    # the SQL/DataFrame equivalence tests)
+    "ab_experiment_readout",
 ]
 _DEFERRED = [
     # audit twins / shape variants whose capability is attested by a
@@ -403,6 +408,10 @@ _DEFERRED = [
     # test_queries.py; join surface recorded via q09_join_having.
     # Green rows in CORRECTNESS_r01..r04.
     "q08_left_join_rollup",
+    # per-group argmax window stays recorded via q15_ranked_view (same
+    # rank-window family) and the analysis_sql equivalence tests;
+    # green rows in CORRECTNESS_r01..r04.
+    "q02_top_per_group",
 ]
 
 
@@ -1965,6 +1974,65 @@ def incremental_rollup_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.round("total_value", 6).alias("total_value"),
         "max_value",
+    )
+
+
+@_q(
+    "ab_experiment_readout",
+    """
+    WITH u AS (
+      SELECT event_type, user_id,
+             ROUND(ROUND(SUM(value), 6) / COUNT(*), 6) AS unit_value,
+             CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7')
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM events GROUP BY event_type, user_id),
+    pa AS (
+      SELECT event_type, arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(AVG(unit_value), 6) AS m,
+             ROUND(VAR_SAMP(unit_value), 6) AS v
+      FROM u GROUP BY 1, 2),
+    a AS (SELECT event_type, n AS n_a, m AS mean_a, v AS va
+          FROM pa WHERE arm = 'A'),
+    b AS (SELECT event_type, n AS n_b, m AS mean_b, v AS vb
+          FROM pa WHERE arm = 'B')
+    SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+           CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+           CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+           mean_a, mean_b,
+           CASE WHEN COALESCE(n_a, 0) >= 2 AND COALESCE(n_b, 0) >= 2
+                     AND va / n_a + vb / n_b > 0
+                THEN ROUND((mean_b - mean_a)
+                           / sqrt(va / n_a + vb / n_b), 6) END AS welch_z
+    FROM a FULL OUTER JOIN b ON a.event_type = b.event_type
+    """,
+    doc="A/B experiment readout (operators/relational.py:"
+    "two_sample_report): users deterministically split by an md5 "
+    "parity both engines compute identically, per-(event_type, user) "
+    "unit metrics via the stable_avg discipline, then Welch z from "
+    "UNPOOLED variances — arms with unequal sizes/variances are the "
+    "norm and pooling understates the error exactly when treatment "
+    "moves the variance. One (group, arm) aggregate + a two-row "
+    "pivot per metric; means/variances rounded before the formula",
+)
+def ab_experiment_readout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import two_sample_report
+
+    ev = load_events(spark, sf_dir)
+    units = ev.groupBy("event_type", "user_id").agg(
+        stable_avg("value").alias("unit_value")
+    ).withColumn(
+        "arm",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+                list("01234567")
+            ),
+            "A",
+        ).otherwise("B"),
+    )
+    return two_sample_report(
+        units, ["event_type"], "arm", "unit_value"
     )
 
 

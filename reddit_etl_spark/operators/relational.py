@@ -434,3 +434,70 @@ def mad_outliers(
             F.coalesce(F.abs(F.col("mad_z")) > threshold, F.lit(False)),
         )
     )
+
+
+def two_sample_report(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    arm_col: str,
+    value_col: str,
+    control: str = "A",
+    treatment: str = "B",
+) -> DataFrame:
+    """Per-group A/B experiment readout: sample sizes, means, and the
+    Welch z statistic (mean_B - mean_A over the unpooled standard
+    error) for every metric group — the analysis pass run over an
+    experiment's per-unit metric table. Rows in other arms (holdouts,
+    malformed assignments) are ignored.
+
+    One groupBy on (group, arm) with map-side-combined count/avg/var,
+    then a pivot of the two arm rows per group — no per-unit data ever
+    moves twice. Welch (unpooled) rather than pooled variance: arms
+    routinely have unequal sizes and variances, and pooling understates
+    the error exactly when the treatment changes the variance too.
+
+    Determinism: means and sample variances round to 6 before the z
+    formula, z rounds to 6 after (stable_avg discipline); z is NULL
+    when either arm has < 2 units or both variances are 0.
+
+    Output: group_cols + (n_a, n_b BIGINT, mean_a, mean_b, welch_z).
+    """
+    keys = list(group_cols)
+    per_arm = (
+        df.filter(F.col(arm_col).isin([control, treatment]))
+        .groupBy(*keys, arm_col)
+        .agg(
+            F.count(value_col).alias("__n"),
+            F.round(F.avg(value_col), 6).alias("__m"),
+            F.round(F.var_samp(value_col), 6).alias("__v"),
+        )
+    )
+    a = per_arm.filter(F.col(arm_col) == control).select(
+        *keys,
+        F.col("__n").alias("n_a"),
+        F.col("__m").alias("mean_a"),
+        F.col("__v").alias("__va"),
+    )
+    b = per_arm.filter(F.col(arm_col) == treatment).select(
+        *keys,
+        F.col("__n").alias("n_b"),
+        F.col("__m").alias("mean_b"),
+        F.col("__v").alias("__vb"),
+    )
+    joined = a.join(b, keys, "outer").select(
+        *keys,
+        F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+        "mean_a",
+        "mean_b",
+        "__va",
+        "__vb",
+    )
+    se2 = F.col("__va") / F.col("n_a") + F.col("__vb") / F.col("n_b")
+    z = F.when(
+        (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0),
+        F.round((F.col("mean_b") - F.col("mean_a")) / F.sqrt(se2), 6),
+    )
+    return joined.select(
+        *keys, "n_a", "n_b", "mean_a", "mean_b", z.alias("welch_z")
+    )

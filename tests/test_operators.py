@@ -940,3 +940,40 @@ def test_mad_outliers_degenerate_groups(spark):
         for i in range(5)
     )
     assert got[("single", 0)]["mad_z"] is None
+
+
+def test_two_sample_report_matches_scipy_style_welch(spark):
+    import statistics
+
+    from reddit_etl_spark.operators.relational import two_sample_report
+
+    a_vals = [10.0, 11.0, 9.5, 10.5, 10.2]
+    b_vals = [12.0, 12.5, 11.8, 12.2]
+    rows = [("m", "A", v) for v in a_vals] + [("m", "B", v) for v in b_vals]
+    df = spark.createDataFrame(rows, "g string, arm string, v double")
+    r = two_sample_report(df, ["g"], "arm", "v").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (5, 4)
+    ma, mb = round(statistics.mean(a_vals), 6), round(statistics.mean(b_vals), 6)
+    va = round(statistics.variance(a_vals), 6)
+    vb = round(statistics.variance(b_vals), 6)
+    want_z = round((mb - ma) / (va / 5 + vb / 4) ** 0.5, 6)
+    assert (r["mean_a"], r["mean_b"], r["welch_z"]) == (ma, mb, want_z)
+    assert r["welch_z"] > 5  # clearly separated arms
+
+
+def test_two_sample_report_degenerate_arms(spark):
+    from reddit_etl_spark.operators.relational import two_sample_report
+
+    rows = [
+        ("one_b", "A", 1.0), ("one_b", "A", 2.0), ("one_b", "B", 5.0),
+        ("no_b", "A", 1.0), ("no_b", "A", 2.0),
+        ("zero_var", "A", 3.0), ("zero_var", "A", 3.0),
+        ("zero_var", "B", 3.0), ("zero_var", "B", 3.0),
+        ("holdout", "C", 9.0),  # unknown arm ignored
+    ]
+    df = spark.createDataFrame(rows, "g string, arm string, v double")
+    got = {r["g"]: r for r in two_sample_report(df, ["g"], "arm", "v").collect()}
+    assert got["one_b"]["welch_z"] is None  # n_b < 2
+    assert got["no_b"]["n_b"] == 0 and got["no_b"]["welch_z"] is None
+    assert got["zero_var"]["welch_z"] is None  # se == 0
+    assert "holdout" not in got
