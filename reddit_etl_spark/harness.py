@@ -124,7 +124,9 @@ _PROMOTED = [
     "neardup_survivors",
     "table_profile",
     "packed_shards",
-    "repetition_profile",
+    # repetition_profile moved to the tail in round 5 (recorded rows
+    # r02..r04; family stays recorded via text_profile) to make room
+    # for rake_keyphrases_docs
     "boilerplate_fraction",
     "mixture_weights",
     # round-4 rotation: the one capability never attested by a driver
@@ -250,6 +252,11 @@ _PROMOTED = [
     # same window family — and oracle-checked in the tail + pinned by
     # the SQL/DataFrame equivalence tests)
     "ab_experiment_readout",
+    # RAKE keyphrases (new capability; displaces repetition_profile,
+    # whose shuffle-free HOF repetition kernels stay recorded via
+    # text_profile's family and oracle-checked in the tail alongside
+    # boilerplate_fraction)
+    "rake_keyphrases_docs",
 ]
 _DEFERRED = [
     # audit twins / shape variants whose capability is attested by a
@@ -412,6 +419,10 @@ _DEFERRED = [
     # rank-window family) and the analysis_sql equivalence tests;
     # green rows in CORRECTNESS_r01..r04.
     "q02_top_per_group",
+    # Gopher-style repetition kernels stay in text_profile's recorded
+    # zero-UDF family; oracle-checked here with boilerplate_fraction.
+    # Green rows in CORRECTNESS_r02..r04.
+    "repetition_profile",
 ]
 
 
@@ -1975,6 +1986,69 @@ def incremental_rollup_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_value", 6).alias("total_value"),
         "max_value",
     )
+
+
+_RAKE_STOP_SQL = (
+    r"\b(?:the|and|of|is|a|an|to|in|on|for|with|at|by|from|as|that|"
+    r"this|it|are|was|be|or|not|but|we|you|they|he|she|his|her|its|"
+    r"their|our|have|has|had)\b"
+)
+
+
+@_q(
+    "rake_keyphrases_docs",
+    f"""
+    WITH raw AS (
+      SELECT doc_id AS doc,
+             unnest(string_split(
+               regexp_replace(
+                 regexp_replace(lower(text), '[^a-z0-9\\s]+', '|', 'g'),
+                 '{_RAKE_STOP_SQL}', '|', 'g'),
+               '|')) AS r
+      FROM documents),
+    ph AS (
+      SELECT doc,
+             list_filter(string_split_regex(trim(r), '\\s+'),
+                         w -> len(w) > 0) AS words
+      FROM raw),
+    ph2 AS (
+      SELECT doc, array_to_string(words, ' ') AS phrase,
+             len(words) AS plen, words
+      FROM ph WHERE len(words) BETWEEN 1 AND 4),
+    ws AS (SELECT doc, unnest(words) AS word, plen FROM ph2),
+    stats AS (
+      SELECT doc, word, COUNT(*) AS freq, SUM(plen) AS deg
+      FROM ws GROUP BY 1, 2),
+    uniq AS (SELECT DISTINCT doc, phrase FROM ph2),
+    pw AS (
+      SELECT doc, phrase, unnest(string_split(phrase, ' ')) AS word
+      FROM uniq),
+    scores AS (
+      SELECT pw.doc, pw.phrase,
+             ROUND(SUM(deg * 1.0 / freq), 6) AS score
+      FROM pw JOIN stats USING (doc, word) GROUP BY 1, 2)
+    SELECT doc AS doc_id, phrase, score, rank FROM (
+      SELECT doc, phrase, score,
+             CAST(row_number() OVER (
+               PARTITION BY doc ORDER BY score DESC, phrase)
+               AS BIGINT) AS rank
+      FROM scores)
+    WHERE rank <= 5
+    """,
+    doc="RAKE keyphrase extraction (operators/text.py:rake_keyphrases "
+    "— Rose et al.): candidate phrases between stopwords/punctuation, "
+    "word score = degree/frequency over the DOCUMENT's candidates, "
+    "phrase score = sum of word scores, top-5 per doc. Candidate "
+    "generation is pure column expressions; the stat/score joins key "
+    "on (doc, word)/(doc, phrase) so everything co-partitions on the "
+    "document axis with no corpus-wide state. Repeated candidates "
+    "score once (dropDuplicates) while stats keep every occurrence",
+)
+def rake_keyphrases_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import rake_keyphrases
+
+    docs = load(spark, sf_dir, "documents")
+    return rake_keyphrases(docs, "doc_id", "text", top_k=5)
 
 
 @_q(

@@ -883,3 +883,112 @@ def duplicate_spans(
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span"))
         .limit(k)
     )
+
+
+RAKE_STOPWORDS: tuple[str, ...] = (
+    "the", "and", "of", "is", "a", "an", "to", "in", "on", "for",
+    "with", "at", "by", "from", "as", "that", "this", "it", "are",
+    "was", "be", "or", "not", "but", "we", "you", "they", "he",
+    "she", "his", "her", "its", "their", "our", "have", "has", "had",
+)
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stopwords: "tuple[str, ...]" = RAKE_STOPWORDS,
+    top_k: int = 5,
+    max_phrase_words: int = 4,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al., "Automatic Keyword
+    Extraction from Individual Documents"): candidate phrases are the
+    maximal runs between stopwords/punctuation, each word scores
+    degree/frequency over ITS document's candidates (degree = summed
+    length of phrases containing the word — co-occurrence weight),
+    and a phrase scores the sum of its word scores. Multi-word domain
+    terms outrank frequent single words because degree rewards words
+    that travel in long phrases — the property TF-IDF lacks.
+
+    All candidate generation is pure column expressions (lower ->
+    punctuation/stopword replacement -> split); the word-stat and
+    phrase-score joins are keyed on (doc, word)/(doc, phrase), so at
+    100 TB everything co-partitions on the document axis and no
+    corpus-wide state exists at all (RAKE is per-document by design).
+
+    Determinism: word scores are exact-integer ratios (identical
+    doubles on any engine); the phrase score rounds to 6 before the
+    (score desc, phrase asc) top-``top_k`` window.
+
+    Output: (id, phrase, score, rank).
+    """
+    stop_pat = r"\b(?:" + "|".join(stopwords) + r")\b"
+    phrases = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.split(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            F.lower(F.col(text_col)), r"[^a-z0-9\s]+", "|"
+                        ),
+                        stop_pat,
+                        "|",
+                    ),
+                    r"\|",
+                )
+            ).alias("__raw"),
+        )
+        .select(
+            "doc",
+            F.filter(
+                F.split(F.trim(F.col("__raw")), r"\s+"),
+                lambda w: F.length(w) > 0,
+            ).alias("__words"),
+        )
+        .filter(
+            (F.size("__words") >= 1) & (F.size("__words") <= max_phrase_words)
+        )
+        .select(
+            "doc",
+            F.array_join("__words", " ").alias("phrase"),
+            F.col("__words").alias("words"),
+            F.size("__words").alias("__plen"),
+        )
+    )
+    word_stats = (
+        phrases.select(
+            "doc", "__plen", F.explode("words").alias("word")
+        )
+        .groupBy("doc", "word")
+        .agg(
+            F.count("*").alias("__freq"),
+            F.sum("__plen").alias("__deg"),
+        )
+        .select(
+            "doc",
+            "word",
+            (F.col("__deg") / F.col("__freq")).alias("__wscore"),
+        )
+    )
+    # score each CANDIDATE once (dropDuplicates), while word stats
+    # above keep every occurrence — a phrase repeated five times must
+    # not sum its word scores five times
+    phrase_scores = (
+        phrases.dropDuplicates(["doc", "phrase"])
+        .select("doc", "phrase", F.explode("words").alias("word"))
+        .join(word_stats, ["doc", "word"])
+        .groupBy("doc", "phrase")
+        .agg(F.round(F.sum("__wscore"), 6).alias("score"))
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.desc("score"), F.asc("phrase")
+    )
+    return (
+        phrase_scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("doc").alias(id_col), "phrase", "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -446,3 +446,58 @@ class TestDuplicateSpans:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# rake_keyphrases — RAKE keyword extraction
+# ---------------------------------------------------------------------------
+
+
+def test_rake_multiword_phrases_outrank_frequent_words(spark):
+    from reddit_etl_spark.operators.text import rake_keyphrases
+
+    text = (
+        "machine learning systems and data. the machine learning "
+        "systems in production. quality matters and quality helps."
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = rake_keyphrases(df, "doc_id", "text", top_k=3).collect()
+    ranked = [r["phrase"] for r in sorted(got, key=lambda r: r["rank"])]
+    # the 3-word phrase dominates: each word has freq 2, degree 6 ->
+    # word score 3, phrase score 9; "quality matters"/"quality helps"
+    # score 4
+    assert ranked[0] == "machine learning systems"
+    assert all(r["score"] > 0 for r in got)
+
+
+def test_rake_repeated_candidate_scores_once(spark):
+    from reddit_etl_spark.operators.text import rake_keyphrases
+
+    # "green widget" appears 3x; its phrase score must equal the
+    # hand-computed word-score sum, not 3x it
+    text = "green widget. green widget. green widget."
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {r["phrase"]: r["score"] for r in rake_keyphrases(df, "doc_id", "text").collect()}
+    # each word: freq 3, degree 3*2=6 -> score 2.0; phrase = 4.0
+    assert got == {"green widget": 4.0}
+
+
+def test_rake_stopwords_split_phrases(spark):
+    from reddit_etl_spark.operators.text import rake_keyphrases
+
+    df = spark.createDataFrame(
+        [(1, "deep learning and neural networks")], "doc_id long, text string"
+    )
+    got = {r["phrase"] for r in rake_keyphrases(df, "doc_id", "text").collect()}
+    # "and" splits the candidates; no phrase crosses it
+    assert got == {"deep learning", "neural networks"}
+
+
+def test_rake_phrase_length_cap(spark):
+    from reddit_etl_spark.operators.text import rake_keyphrases
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five six")], "doc_id long, text string"
+    )
+    got = rake_keyphrases(df, "doc_id", "text", max_phrase_words=4).collect()
+    assert got == []  # the 6-word run exceeds the cap and is dropped
