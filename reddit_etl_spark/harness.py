@@ -122,10 +122,11 @@ def _q(name: str, oracle: str | None, doc: str = "", headline: bool = False):
 _DRIVER_RECORD_CAP = 50
 _PROMOTED = [
     "neardup_survivors",
-    "table_profile",
-    "packed_shards",
-    # repetition_profile moved to the tail in round 5 (recorded rows
-    # r02..r04; family stays recorded via text_profile) to make room
+    # table_profile and packed_shards moved to the tail in round 5
+    # (recorded rows r02..r04; profiling stays oracle-checked in the
+    # tail, packing stays recorded inside curation_pipeline_full) to
+    # make room for psi_value_drift / customer_sample_per_nation;
+    # repetition_profile likewise (family recorded via text_profile)
     # for rake_keyphrases_docs
     "boilerplate_fraction",
     "mixture_weights",
@@ -257,6 +258,15 @@ _PROMOTED = [
     # text_profile's family and oracle-checked in the tail alongside
     # boilerplate_fraction)
     "rake_keyphrases_docs",
+    # PSI drift monitoring (new capability; displaces table_profile,
+    # whose one-pass column-profiling shape stays oracle-checked in
+    # the tail; recorded rows r02..r04)
+    "psi_value_drift",
+    # exact-k group sampling (new capability; displaces packed_shards,
+    # whose packing surface stays recorded via curation_pipeline_full's
+    # packed-bin budget stage; recorded rows r02..r04 + pack_sequences
+    # in the tail)
+    "customer_sample_per_nation",
 ]
 _DEFERRED = [
     # audit twins / shape variants whose capability is attested by a
@@ -423,6 +433,12 @@ _DEFERRED = [
     # zero-UDF family; oracle-checked here with boilerplate_fraction.
     # Green rows in CORRECTNESS_r02..r04.
     "repetition_profile",
+    # one-pass column profiling stays oracle-checked here; green rows
+    # in CORRECTNESS_r02..r04.
+    "table_profile",
+    # shard packing stays recorded via curation_pipeline_full's
+    # packed-bin budget + pack_sequences here; green rows r02..r04.
+    "packed_shards",
 ]
 
 
@@ -1986,6 +2002,112 @@ def incremental_rollup_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_value", 6).alias("total_value"),
         "max_value",
     )
+
+
+_PSI_EDGES = ",\n             ".join(
+    f"ROUND(quantile_cont(value, {i / 10}), 6) AS e{i - 1}"
+    for i in range(1, 10)
+)
+_PSI_BIN = " + ".join(
+    f"(CASE WHEN value >= e{i} THEN 1 ELSE 0 END)" for i in range(9)
+)
+
+_PSI_ORACLE = f"""
+    WITH ref AS MATERIALIZED (
+      SELECT event_type, value FROM events
+      WHERE CAST(ts AS DATE) < DATE '2024-01-20' AND value IS NOT NULL),
+    cur AS MATERIALIZED (
+      SELECT event_type, value FROM events
+      WHERE CAST(ts AS DATE) >= DATE '2024-01-20' AND value IS NOT NULL),
+    edges AS MATERIALIZED (
+      SELECT event_type,
+             {_PSI_EDGES}
+      FROM ref GROUP BY 1),
+    rb AS (
+      SELECT r.event_type, {_PSI_BIN} AS bin
+      FROM ref r JOIN edges USING (event_type)),
+    cb AS (
+      SELECT c.event_type, {_PSI_BIN} AS bin
+      FROM cur c JOIN edges USING (event_type)),
+    rc AS (SELECT event_type, bin, COUNT(*) AS c FROM rb GROUP BY 1, 2),
+    cc AS (SELECT event_type, bin, COUNT(*) AS c FROM cb GROUP BY 1, 2),
+    rn AS (SELECT event_type, COUNT(*) AS n FROM rb GROUP BY 1),
+    cn AS (SELECT event_type, COUNT(*) AS n FROM cb GROUP BY 1),
+    j AS (
+      SELECT COALESCE(rc.event_type, cc.event_type) AS event_type,
+             COALESCE(rc.bin, cc.bin) AS bin,
+             COALESCE(rc.c, 0) AS c_ref, COALESCE(cc.c, 0) AS c_cur
+      FROM rc FULL OUTER JOIN cc
+        ON rc.event_type = cc.event_type AND rc.bin = cc.bin),
+    t AS (
+      SELECT j.event_type,
+             ROUND((GREATEST(ROUND(c_cur * 1.0 / cn.n, 6), 0.0001)
+                    - GREATEST(ROUND(c_ref * 1.0 / rn.n, 6), 0.0001))
+                   * LN(GREATEST(ROUND(c_cur * 1.0 / cn.n, 6), 0.0001)
+                        / GREATEST(ROUND(c_ref * 1.0 / rn.n, 6), 0.0001)),
+                   6) AS term,
+             rn.n AS n_ref, cn.n AS n_cur
+      FROM j JOIN rn ON j.event_type = rn.event_type
+             JOIN cn ON j.event_type = cn.event_type)
+    SELECT event_type, ROUND(SUM(term), 6) AS psi,
+           CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+           CAST(MAX(n_cur) AS BIGINT) AS n_cur
+    FROM t GROUP BY 1
+    """
+
+
+@_q(
+    "psi_value_drift",
+    _PSI_ORACLE,
+    doc="Population Stability Index per event type between the first "
+    "~3 weeks (reference) and the rest (current) of the event stream "
+    "(operators/curation.py:psi_drift): equal-mass bin edges from the "
+    "REFERENCE quantiles (one exact-percentile agg, broadcast), both "
+    "windows histogrammed on those fixed edges with map-side combine, "
+    "PSI = sum (p_cur - p_ref) ln(p_cur / p_ref) with the standard "
+    "epsilon floor on empty bins. Edges/shares/terms all rounded to 6 "
+    "so both engines bin and sum identically",
+)
+def psi_value_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import psi_drift
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    ref = ev.filter(F.col("ts").cast("date") < "2024-01-20").select(
+        "event_type", "value"
+    )
+    cur = ev.filter(F.col("ts").cast("date") >= "2024-01-20").select(
+        "event_type", "value"
+    )
+    return psi_drift(ref, cur, "value", group_cols=["event_type"], bins=10)
+
+
+@_q(
+    "customer_sample_per_nation",
+    """
+    WITH ranked AS (
+      SELECT c_nationkey, c_custkey, c_name,
+             row_number() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey)
+               AS rn
+      FROM customer)
+    SELECT c_nationkey, c_custkey, c_name
+    FROM ranked WHERE rn <= 3
+    """,
+    doc="exact-k deterministic sampling: 3 customers per nation chosen "
+    "by md5(id) order (operators/curation.py:sample_per_group) — "
+    "reproducible across runs/engines, stable under backfills (a "
+    "group's sample changes only when its membership does); one group "
+    "shuffle + rank window, completing the sampling family "
+    "(fraction / weighted-without-replacement / exact-k)",
+)
+def customer_sample_per_nation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import sample_per_group
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_name"
+    )
+    return sample_per_group(cust, "c_nationkey", "c_custkey", k=3)
 
 
 _RAKE_STOP_SQL = (

@@ -24,7 +24,7 @@ surface (BASELINE.json north star).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: pattern name -> (regex, replacement token). Order is the redaction
@@ -617,5 +617,140 @@ def dsir_logratio(
         .agg(
             F.count("*").cast("long").alias("n_grams"),
             F.round(F.sum("__lr"), 6).alias(weight_col),
+        )
+    )
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, chosen by the same
+    md5(id) ordering the fraction samplers use — deterministic,
+    engine-portable, and stable under reruns/backfills (a group's
+    sample only changes when its membership does). Completes the
+    sampling family: fraction (deterministic_sample), weighted-without-
+    replacement (weighted_sample_keys), and now exact-k per group.
+
+    One shuffle on the group key; the rank window rides it. Hot
+    groups are one partition's rows — for whale groups where even
+    ranking one group's rows on one task is too much, pre-filter with
+    deterministic_sample(fraction ~ 10k/|group|) first and take k of
+    the survivors (documented two-phase shape, same determinism).
+
+    Ties: md5 collisions on the 32-hex prefix are ~2^-128; the id
+    itself is the final tiebreak so the cut is total regardless.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def psi_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    group_cols: "Sequence[str] | None" = None,
+    bins: int = 10,
+    epsilon: float = 1e-4,
+) -> DataFrame:
+    """Population Stability Index between a reference window and the
+    current one — the standard model-monitoring drift score: bin
+    edges come from the REFERENCE distribution's quantiles (equal-mass
+    bins), both windows are histogrammed on those fixed edges, and
+    PSI = sum (p_cur - p_ref) * ln(p_cur / p_ref). Rule-of-thumb
+    reading (documented, not enforced): < 0.1 stable, 0.1-0.25 drift
+    worth watching, > 0.25 action.
+
+    Zero-count bins take an ``epsilon`` floor before the ratio (the
+    standard PSI regularization — ln(0) otherwise). Edges, bin shares,
+    and the PSI term all round to 6 so both engines of a cross-engine
+    comparison bin and sum identically; bin assignment is right-open
+    on interior edges with the last bin closed (a max-value row stays
+    in bin ``bins``).
+
+    Plan: one exact-percentile aggregate over the reference (the
+    edges, <= bins values, broadcast), then one groupBy per window on
+    (group, bin) with map-side combine — the windows are scanned once
+    each, nothing data-sized shuffles.
+
+    Output: group_cols + (psi DOUBLE, n_ref, n_cur BIGINT), one row
+    per group (or a single global row when ``group_cols`` is None).
+    """
+    keys = list(group_cols or [])
+    probs = [i / bins for i in range(1, bins)]
+    edge_agg = [
+        F.round(F.percentile(value_col, p), 6).alias(f"__e{i}")
+        for i, p in enumerate(probs)
+    ]
+    edges = (
+        reference.groupBy(*keys).agg(*edge_agg)
+        if keys
+        else reference.agg(*edge_agg)
+    )
+
+    def _bin(col: Column) -> Column:
+        # right-open interior bins: bin b = # edges <= value, so the
+        # minimum lands in bin 0 and the maximum in bin bins-1
+        b = F.lit(0)
+        for i in range(len(probs)):
+            b = b + (col >= F.col(f"__e{i}")).cast("int")
+        return b
+
+    def _shares(df: DataFrame, side: str) -> DataFrame:
+        with_edges = (
+            df.join(edges, keys) if keys else df.crossJoin(F.broadcast(edges))
+        )
+        binned = with_edges.select(
+            *keys, _bin(F.col(value_col)).alias("__bin")
+        )
+        counts = binned.groupBy(*keys, "__bin").agg(
+            F.count("*").alias(f"__c_{side}")
+        )
+        totals = binned.groupBy(*keys).agg(
+            F.count("*").alias(f"__n_{side}")
+        )
+        return counts.join(totals, keys) if keys else counts.crossJoin(
+            F.broadcast(totals)
+        )
+
+    ref = _shares(reference.filter(F.col(value_col).isNotNull()), "ref")
+    cur = _shares(current.filter(F.col(value_col).isNotNull()), "cur")
+    joined = ref.join(cur, [*keys, "__bin"], "outer").select(
+        *keys,
+        "__bin",
+        F.coalesce("__c_ref", F.lit(0)).alias("__c_ref"),
+        F.coalesce("__c_cur", F.lit(0)).alias("__c_cur"),
+        F.first("__n_ref", ignorenulls=True)
+        .over(Window.partitionBy(*keys) if keys else Window.partitionBy())
+        .alias("__n_ref"),
+        F.first("__n_cur", ignorenulls=True)
+        .over(Window.partitionBy(*keys) if keys else Window.partitionBy())
+        .alias("__n_cur"),
+    )
+    p_ref = F.greatest(
+        F.round(F.col("__c_ref") / F.col("__n_ref"), 6), F.lit(epsilon)
+    )
+    p_cur = F.greatest(
+        F.round(F.col("__c_cur") / F.col("__n_cur"), 6), F.lit(epsilon)
+    )
+    term = F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6)
+    return (
+        joined.withColumn("__term", term)
+        .groupBy(*keys)
+        .agg(
+            F.round(F.sum("__term"), 6).alias("psi"),
+            F.max("__n_ref").cast("long").alias("n_ref"),
+            F.max("__n_cur").cast("long").alias("n_cur"),
         )
     )

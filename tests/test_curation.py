@@ -443,3 +443,69 @@ def test_dsir_emits_all_nonempty_docs(spark):
     ng = {r.doc_id: r.n_grams for r in out}
     assert ng[1] == 5  # 3 unigrams + 2 bigrams
     assert ng[4] == 1
+
+
+# ---------------------------------------------------------------------------
+# sample_per_group / psi_drift — round-5 additions
+# ---------------------------------------------------------------------------
+
+
+def test_sample_per_group_exact_k_and_stability(spark):
+    from reddit_etl_spark.operators.curation import sample_per_group
+
+    rows = [(g, i) for g in ("a", "b") for i in range(20)] + [("tiny", 0)]
+    df = spark.createDataFrame(rows, "g string, id long")
+    got = sample_per_group(df, "g", "id", k=5).collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["g"], set()).add(r["id"])
+    assert len(by_g["a"]) == len(by_g["b"]) == 5
+    assert by_g["tiny"] == {0}  # min(k, |group|)
+    # stability: adding rows to ANOTHER group never changes a's sample
+    df2 = df.unionByName(
+        spark.createDataFrame([("b", i) for i in range(20, 40)], "g string, id long")
+    )
+    got2 = {
+        r["id"]
+        for r in sample_per_group(df2, "g", "id", k=5).collect()
+        if r["g"] == "a"
+    }
+    assert got2 == by_g["a"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        sample_per_group(df, "g", "id", k=0)
+
+
+def test_psi_drift_detects_shift_not_noise(spark):
+    from reddit_etl_spark.operators.curation import psi_drift
+
+    ref = spark.createDataFrame([(float(i % 100),) for i in range(500)], "v double")
+    same = spark.createDataFrame([(float(i % 100),) for i in range(300)], "v double")
+    shifted = spark.createDataFrame(
+        [(float(i % 100) + 60,) for i in range(300)], "v double"
+    )
+    psi_same = psi_drift(ref, same, "v").collect()[0]["psi"]
+    psi_shift = psi_drift(ref, shifted, "v").collect()[0]["psi"]
+    assert psi_same < 0.01
+    assert psi_shift > 0.25  # the "take action" threshold
+
+
+def test_psi_drift_grouped_and_counts(spark):
+    from reddit_etl_spark.operators.curation import psi_drift
+
+    ref = spark.createDataFrame(
+        [("a", float(i)) for i in range(100)]
+        + [("b", float(i)) for i in range(100)],
+        "g string, v double",
+    )
+    cur = spark.createDataFrame(
+        # "a": 50 samples evenly covering the same 0..99 support;
+        # "b": shifted wholesale
+        [("a", float((i * 2) % 100)) for i in range(50)]
+        + [("b", float(i) + 80.0) for i in range(50)],
+        "g string, v double",
+    )
+    got = {r["g"]: r for r in psi_drift(ref, cur, "v", group_cols=["g"]).collect()}
+    assert got["a"]["psi"] < 0.1 < got["b"]["psi"]
+    assert got["a"]["n_ref"] == 100 and got["a"]["n_cur"] == 50
