@@ -388,10 +388,19 @@ def boilerplate_fraction(
     bp = boilerplate_grams(docs, id_col, text_col, n, min_docs).select(
         "gram", F.lit(1).alias("__bp")
     )
-    doc_grams = fan_out(docs).select(
-        F.col(id_col),
-        F.size(shingles_col(text_col, n)).cast("long").alias("__n_grams"),
-        F.explode(shingles_col(text_col, n)).alias("gram"),
+    # project the gram array ONCE: Catalyst does not CSE the heavy
+    # normalize+shingle expression across size() and explode(), and
+    # evaluating it twice per document doubles the probe pass's CPU
+    doc_grams = (
+        fan_out(docs)
+        .select(
+            F.col(id_col), shingles_col(text_col, n).alias("__grams")
+        )
+        .select(
+            F.col(id_col),
+            F.size("__grams").cast("long").alias("__n_grams"),
+            F.explode("__grams").alias("gram"),
+        )
     )
     return (
         doc_grams.join(F.broadcast(bp), "gram", "left")
@@ -509,8 +518,13 @@ def materialize_packed_text(
     Returns (group, bin, n_docs, total_tokens, text).
     """
     order = order_col or id_col
+    # keep order_col in the projection when it is a distinct column —
+    # pack_sequences orders its window by it
+    pack_cols = [id_col, group_col, token_col]
+    if order_col is not None and order_col not in pack_cols:
+        pack_cols.append(order_col)
     packed = pack_sequences(
-        df.select(id_col, group_col, token_col), id_col, token_col,
+        df.select(*pack_cols), id_col, token_col,
         budget, group_col, order_col=order_col,
     )
     joined = packed.join(

@@ -301,8 +301,12 @@ def linear_trend(
     keys = list(group_cols)
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
+    # regression is over COMPLETE pairs only: a one-sided NULL must not
+    # leak its x (or y) into the sufficient statistics while n counts
+    # only complete rows — that silently skews the fitted line
+    df = df.filter(x.isNotNull() & y.isNotNull())
     agg = df.groupBy(*keys).agg(
-        F.count(F.when(x.isNotNull() & y.isNotNull(), 1)).alias("n"),
+        F.count(F.lit(1)).alias("n"),
         F.round(F.sum(x), 6).alias("__sx"),
         F.round(F.sum(y), 6).alias("__sy"),
         F.round(F.sum(x * y), 6).alias("__sxy"),

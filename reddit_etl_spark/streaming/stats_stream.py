@@ -314,10 +314,27 @@ def streaming_zscore_anomalies(
         else:
             periods, values = [], []
         out_p, out_v, out_z, out_f = [], [], [], []
+        import math
+
         for t, v in zip(
             (rows[ts_col].astype("int64") // 1_000_000).tolist(),
             rows[value_col].astype("float64").tolist(),
         ):
+            # a NULL reading (NaN after the float cast) is no reading:
+            # it gets an unscored output row and is NOT pushed into
+            # state — one NaN would otherwise poison the trailing
+            # window's mean/std for the next `window` periods,
+            # suppressing real anomalies. (Batch parity nuance: the
+            # batch ROWS frame counts a null row as a window SLOT
+            # while skipping it in avg/stddev; the stream instead
+            # keeps the last `window` VALID readings — identical on
+            # null-free input, slightly longer lookback around nulls.)
+            if math.isnan(v):
+                out_p.append(pd.Timestamp(t, unit="ms"))
+                out_v.append(None)
+                out_z.append(None)
+                out_f.append(False)
+                continue
             z = None
             n = len(values)
             if n >= 2:

@@ -509,3 +509,22 @@ def test_psi_drift_grouped_and_counts(spark):
     got = {r["g"]: r for r in psi_drift(ref, cur, "v", group_cols=["g"]).collect()}
     assert got["a"]["psi"] < 0.1 < got["b"]["psi"]
     assert got["a"]["n_ref"] == 100 and got["a"]["n_cur"] == 50
+
+
+def test_materialize_packed_text_with_distinct_order_col(spark):
+    from reddit_etl_spark.operators.curation import materialize_packed_text
+
+    rows = [
+        (1, "s", 10, "b-text", 2),
+        (2, "s", 10, "a-text", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, source string, tokens long, text string, created long"
+    )
+    got = materialize_packed_text(
+        df, "id", "text", "tokens", budget=100,
+        group_col="source", order_col="created",
+    ).collect()
+    assert len(got) == 1
+    # packing order follows created (2 before 1), so does the text
+    assert got[0]["text"].startswith("a-text")

@@ -977,3 +977,14 @@ def test_two_sample_report_degenerate_arms(spark):
     assert got["no_b"]["n_b"] == 0 and got["no_b"]["welch_z"] is None
     assert got["zero_var"]["welch_z"] is None  # se == 0
     assert "holdout" not in got
+
+
+def test_linear_trend_one_sided_nulls_excluded(spark):
+    from reddit_etl_spark.operators.relational import linear_trend
+
+    rows = [("g", 1.0, None), ("g", 2.0, 3.0), ("g", 4.0, 5.0),
+            ("g", None, 9.0)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    r = linear_trend(df, ["k"], "x", "y").collect()[0]
+    # only the two complete pairs fit: exact line y = x + 1
+    assert (r["n"], r["slope"], r["intercept"]) == (2, 1.0, 1.0)

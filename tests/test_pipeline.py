@@ -468,3 +468,35 @@ def test_streaming_zscore_matches_batch(spark, tmp_path):
     assert got == want
     # the planted spike is flagged
     assert got[("click", base + dt.timedelta(days=12))][1] is True
+
+
+def test_streaming_zscore_null_reading_does_not_poison_state(spark, tmp_path):
+    import datetime as dt
+
+    from reddit_etl_spark.streaming.stats_stream import (
+        streaming_zscore_anomalies,
+    )
+
+    base = dt.datetime(2025, 2, 1)
+    rows = [("k", base + dt.timedelta(days=d), 100.0 + d) for d in range(8)]
+    rows.append(("k", base + dt.timedelta(days=8), None))  # gap day
+    rows.append(("k", base + dt.timedelta(days=9), 900.0))  # huge spike
+    daily = spark.createDataFrame(rows, "key string, day timestamp, value double")
+    src = str(tmp_path / "zs_null_in")
+    daily.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(daily.schema).parquet(src)
+    q = (
+        streaming_zscore_anomalies(stream, "key", "day", "value", window=7, threshold=2.0)
+        .writeStream.format("memory").queryName("zs_null_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.period: (r.zscore, r.is_anomaly)
+        for r in spark.sql("SELECT * FROM zs_null_out").collect()
+    }
+    # the NULL day is emitted unscored...
+    assert got[base + dt.timedelta(days=8)] == (None, False)
+    # ...and the spike right after it is still flagged (no NaN poisoning)
+    z, flag = got[base + dt.timedelta(days=9)]
+    assert flag is True and z is not None and z > 2
