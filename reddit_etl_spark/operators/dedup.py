@@ -256,9 +256,14 @@ def ngram_jaccard_pairs(
     co-occurrence join explodes. Path equality is tested.
 
     ``max_df`` additionally drops shingles occurring in more than that
-    many documents (hard stop-shingle cap; pairs whose every shared
-    shingle is capped can be missed — documented trade, None for
-    exactness).
+    many documents (hard stop-shingle cap). Similarity is then over
+    the CAPPED universe — i.e. the documents AFTER stop-shingle
+    removal: exact dups still verify at J=1 even when mostly
+    boilerplate, but (a) pairs whose every shared shingle is capped
+    are missed, and (b) pairs of distinct boilerplate compare as
+    their small residues, so an unusually high J can surface for
+    documents that differ mostly in capped content. Both directions
+    are the price of the cap; None keeps raw-universe exactness.
     """
     arrays = shingle_arrays(df, id_col, text_col, n)
     posting = _posting_from_arrays(arrays, id_col)
@@ -304,7 +309,15 @@ def ngram_jaccard_pairs(
                 .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
             )
         # max_df caps the effective posting sizes, so |doc| must be
-        # re-aggregated from the filtered posting — the slower shape.
+        # Jaccard is computed over the CAPPED universe (sizes from the
+        # filtered posting): capping IS stop-shingle removal, and the
+        # similarity that makes sense afterwards is between the
+        # REDUCED documents — exact duplicates stay J=1 even when most
+        # of their shingles were boilerplate. The flip side (see the
+        # max_df docstring): two documents of DISTINCT boilerplate
+        # sharing one rare shingle compare as their tiny residues and
+        # can report a high J — capping trades both directions, which
+        # is why it defaults to None.
         return _verify_pairs_by_counts(posting, id_col, threshold, sizes=None)
 
     freq = posting.groupBy("__sh").agg(F.count("*").alias("__df"))
@@ -429,7 +442,14 @@ def _banded_signatures(
         # bh) rows go back over Arrow: the shuffle payload is
         # independent of document size.
         for pdf in batches:
-            arrs = [np.asarray(hs, dtype=np.int64) for hs in pdf["__th"]]
+            # NULL text reaches here as a None array (normalize/split
+            # of NULL is NULL): treat as zero shingles and drop via the
+            # existing empty-doc filter — one NULL row must not kill a
+            # 100 TB signature job (matches exact_dedup's tolerance)
+            arrs = [
+                np.asarray(hs if hs is not None else [], dtype=np.int64)
+                for hs in pdf["__th"]
+            ]
             lens = np.array([len(x) for x in arrs])
             keep = lens > 0
             arrs = [x for x, k in zip(arrs, keep) if k]
@@ -589,9 +609,23 @@ def simhash_pairs(
 def content_key_col(content_cols: list[str], normalize: bool = True) -> Column:
     """The (xxhash64, md5) content key used by ``exact_dedup``, exposed
     as one struct column so an INDEX of seen content can be persisted
-    and joined against later batches."""
+    and joined against later batches.
+
+    NULL columns take a sentinel before hashing: both xxhash64 (skips
+    NULL arguments without advancing its seed) and concat_ws (drops
+    NULL operands) would otherwise make (NULL, 'x') and ('x', NULL)
+    DETERMINISTICALLY collide across a multi-column key — not a 2^-192
+    accident but a guaranteed false duplicate. The sentinel keeps
+    single-column behavior unchanged (all-NULL rows still group
+    together, non-NULL values hash identically to before... for the
+    NULL-free inputs every persisted index in this repo was built on).
+    """
     content = [
-        normalize_text_col(c) if normalize else F.col(c) for c in content_cols
+        F.coalesce(
+            normalize_text_col(c) if normalize else F.col(c).cast("string"),
+            F.lit("\x00<NULL>"),
+        )
+        for c in content_cols
     ]
     return F.struct(
         F.xxhash64(*content).alias("h64"),

@@ -273,6 +273,34 @@ def streaming_session_stats(
             n, total = 0, 0.0
 
         closed = []
+        # events MORE than a gap older than the open session's start
+        # (possible when watermark > gap) form their own earlier
+        # sessions: fold the sorted late-era prefix among itself and
+        # close everything immediately — merging them into the open
+        # session would bridge a real gap. (An even-later batch could
+        # in principle adjoin these; that residual is bounded by the
+        # watermark and accepted.)
+        if state.exists and n > 0:
+            late = [
+                (int(t), float(v))
+                for t, v in zip(ts_ms, vals)
+                if int(t) < start_ms - gap_ms
+            ]
+            if late:
+                ls = le = late[0][0]
+                ln, lt = 0, 0.0
+                for t, v in late:
+                    if ln > 0 and t - le > gap_ms:
+                        closed.append((ls, le, ln, lt))
+                        ls, ln, lt = t, 0, 0.0
+                    le = max(le, t) if ln > 0 else t
+                    ln += 1
+                    lt += v
+                closed.append((ls, le, ln, lt))
+                keepmask = [int(t) >= start_ms - gap_ms for t in ts_ms]
+                ts_ms = ts_ms[keepmask]
+                vals = vals[keepmask]
+
         for t, v in zip(ts_ms, vals):
             t = int(t)
             if n > 0 and t - end_ms > gap_ms:
@@ -280,6 +308,14 @@ def streaming_session_stats(
                 start_ms, n, total = t, 0, 0.0
             elif n == 0:
                 start_ms = t
+            else:
+                # a late-but-within-watermark event can predate the
+                # open session's start (carried in state from an
+                # earlier batch): the session must extend BACKWARD so
+                # its bounds cover every event it counts — the batch
+                # window path sorts globally and would report this
+                # earlier start
+                start_ms = min(start_ms, t)
             end_ms = max(end_ms, t) if n > 0 else t
             n += 1
             total += float(v)

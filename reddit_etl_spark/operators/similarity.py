@@ -133,10 +133,21 @@ def sign_buckets_udf(planes: np.ndarray):
 
     @pandas_udf(ArrayType(LongType()))
     def assign(vs: pd.Series) -> pd.Series:
-        m = np.array(vs.tolist(), dtype=np.float64)
+        # NULL vectors yield NULL bucket arrays (explode/element_at of
+        # NULL emits nothing downstream) instead of crashing the batch
+        # — one NULL embedding must not kill the job
+        rows = vs.tolist()
+        mask = [r is not None for r in rows]
+        if not any(mask):
+            return pd.Series([None] * len(rows))
+        m = np.array([r for r in rows if r is not None], dtype=np.float64)
         signs = (m @ flat >= 0).astype(np.int64).reshape(len(m), tables, bits)
-        ids = (signs * weights).sum(axis=2)  # (n, tables)
-        return pd.Series([row.tolist() for row in ids])
+        ids = (signs * weights).sum(axis=2)  # (n_valid, tables)
+        out: list = []
+        it = iter(ids)
+        for ok in mask:
+            out.append(next(it).tolist() if ok else None)
+        return pd.Series(out)
 
     return assign
 
@@ -286,11 +297,21 @@ def _cell_assigner(cents: np.ndarray, n_best: int):
 
     @pandas_udf(ArrayType(IntegerType()))
     def assign(vs: pd.Series) -> pd.Series:
-        m = np.array(vs.tolist(), dtype=np.float64)
+        # NULL vectors get NULL cell arrays (dropped by the downstream
+        # explode/element_at + cell join) instead of crashing the batch
+        rows = vs.tolist()
+        mask = [r is not None for r in rows]
+        if not any(mask):
+            return pd.Series([None] * len(rows))
+        m = np.array([r for r in rows if r is not None], dtype=np.float64)
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sims = m @ cents.T
         idx = np.argsort(-sims, axis=1)[:, :n_best]
-        return pd.Series([row.tolist() for row in idx])
+        out: list = []
+        it = iter(idx)
+        for ok in mask:
+            out.append(next(it).tolist() if ok else None)
+        return pd.Series(out)
 
     return assign
 
@@ -492,7 +513,12 @@ def pq_encode_udf(codebooks: np.ndarray):
 
     @pandas_udf(ArrayType(ByteType()))
     def encode(vs: pd.Series) -> pd.Series:
-        x = np.array(vs.tolist(), dtype=np.float64)
+        # NULL vectors encode to NULL code arrays (filtered downstream)
+        rows = vs.tolist()
+        mask = [r is not None for r in rows]
+        if not any(mask):
+            return pd.Series([None] * len(rows))
+        x = np.array([r for r in rows if r is not None], dtype=np.float64)
         x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         codes = np.empty((len(x), m), dtype=np.int8)
         for j in range(m):
@@ -503,7 +529,11 @@ def pq_encode_udf(codebooks: np.ndarray):
                 + (codebooks[j] ** 2).sum(axis=1)[None, :]
             )
             codes[:, j] = np.argmin(d2, axis=1)
-        return pd.Series([row.tolist() for row in codes])
+        out: list = []
+        it = iter(codes)
+        for ok in mask:
+            out.append(next(it).tolist() if ok else None)
+        return pd.Series(out)
 
     return encode
 
@@ -580,10 +610,10 @@ def pq_topk(
 
     codes = corpus.select(
         F.col(id_col).alias("neighbor_id"), encode(_as_double(vec_col)).alias("__code")
-    )
+    ).filter(F.col("__code").isNotNull())
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
-    )
+    ).filter(F.col("__qv").isNotNull())
     adc = (
         codes.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn("__adc", adc_score(F.col("__qv"), F.col("__code")))
@@ -790,15 +820,23 @@ def assign_clusters(
         cent = centroids.select(
             F.col(cid).alias("__cid"), _as_double(cvec).alias("__cv")
         )
+    # tie-break via a DENSE NUMERIC surrogate index over the (tiny,
+    # ordered) centroid frame, not numeric negation of the id itself:
+    # -cid on a string centroid id casts to NULL and every cluster
+    # silently comes back NULL. The surrogate keeps the argmax
+    # partial-aggregable and the original id type flows through.
+    wc = Window.orderBy("__cid")
+    cent = cent.withColumn("__ci", F.row_number().over(wc))
     scored = vecs.crossJoin(F.broadcast(cent)).select(
         id_col,
         F.struct(
             F.round(cosine_col(F.col("__v"), F.col("__cv")), 6).alias("s"),
-            (-F.col("__cid")).alias("negcid"),
+            (-F.col("__ci")).alias("negci"),
+            F.col("__cid").alias("cid"),
         ).alias("__sc"),
     )
     return scored.groupBy(id_col).agg(
-        (-F.max("__sc").getField("negcid")).cast("long").alias("cluster")
+        F.max("__sc").getField("cid").alias("cluster")
     )
 
 

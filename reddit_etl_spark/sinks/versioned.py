@@ -191,14 +191,20 @@ def vacuum(
             shutil.rmtree(d, ignore_errors=True)
         removed.extend(sorted(dead))
     if include_orphans:
+        # compare REAL paths: manifests store dirs as spelled at write
+        # time, and a vacuum invoked via a different spelling (relative
+        # vs absolute, symlinked root) must never mistake every live
+        # commit for an orphan and delete the table
         referenced: set[str] = set()
         for v in versions(path):
-            referenced.update(_read_manifest(path, v)["dirs"])
+            referenced.update(
+                os.path.realpath(d) for d in _read_manifest(path, v)["dirs"]
+            )
         data_root = os.path.join(path, _DATA)
         if os.path.isdir(data_root):
             for name in sorted(os.listdir(data_root)):
                 d = os.path.join(data_root, name)
-                if d not in referenced:
+                if os.path.realpath(d) not in referenced:
                     shutil.rmtree(d, ignore_errors=True)
                     removed.append(d)
         mdir = _manifest_dir(path)

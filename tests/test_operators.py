@@ -988,3 +988,77 @@ def test_linear_trend_one_sided_nulls_excluded(spark):
     r = linear_trend(df, ["k"], "x", "y").collect()[0]
     # only the two complete pairs fit: exact line y = x + 1
     assert (r["n"], r["slope"], r["intercept"]) == (2, 1.0, 1.0)
+
+
+def test_assign_clusters_string_centroid_ids(spark):
+    from reddit_etl_spark.operators.similarity import assign_clusters
+
+    vecs = spark.createDataFrame(
+        [("d1", [1.0, 0.0]), ("d2", [0.9, 0.1]), ("d3", [0.0, 1.0])],
+        "id string, v array<double>",
+    )
+    cents = spark.createDataFrame(
+        [("ca", [1.0, 0.0]), ("cb", [0.0, 1.0])],
+        "cid string, cv array<double>",
+    )
+    got = {
+        r["id"]: r["cluster"]
+        for r in assign_clusters(vecs, "id", "v", centroids=cents).collect()
+    }
+    # string ids must produce real clusters, never NULL
+    assert got == {"d1": "ca", "d2": "ca", "d3": "cb"}
+
+
+def test_similarity_kernels_tolerate_null_vectors(spark):
+    from reddit_etl_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        ivf_topk,
+        lsh_topk,
+        pq_topk,
+    )
+
+    rows = [(i, [float(i), 1.0]) for i in range(12)] + [(99, None)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = vecs.filter(F.col("vec_id") < 2)
+    # none of the bucketed paths may crash on the NULL vector, and the
+    # NULL row must never appear as a neighbor
+    for out in (
+        lsh_topk(vecs, q, "vec_id", "embedding", "vec_id", k=3),
+        ivf_topk(vecs, q, "vec_id", "embedding", "vec_id", k=3, n_centroids=4),
+        pq_topk(vecs, q, "vec_id", "embedding", "vec_id", k=3, m=2, ksub=4),
+        cosine_neardup_pairs(vecs, "vec_id", "embedding", threshold=0.99),
+    ):
+        rows_out = out.collect()
+        assert all(
+            99 not in (r[0], r[1]) for r in rows_out
+        ), rows_out
+
+
+def test_minhash_tolerates_null_text(spark):
+    from reddit_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, None)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_content_key_distinguishes_null_column_positions(spark):
+    from reddit_etl_spark.operators.dedup import content_key_col
+
+    df = spark.createDataFrame(
+        [(1, None, "x"), (2, "x", None), (3, None, "x")],
+        "id long, a string, b string",
+    )
+    keys = {
+        r["id"]: (r["k"]["h64"], r["k"]["h128"])
+        for r in df.select(
+            "id", content_key_col(["a", "b"]).alias("k")
+        ).collect()
+    }
+    assert keys[1] != keys[2]  # (NULL,'x') is not ('x',NULL)
+    assert keys[1] == keys[3]  # same content still groups

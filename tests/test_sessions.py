@@ -303,3 +303,50 @@ def test_pattern_counts_rejects_bad_alphabet(spark):
 
     with _pytest.raises(ValueError, match="length 1"):
         event_pattern_counts(df, "k", "ts", "et", {"view": "vv"}, "v")
+
+
+def test_streaming_sessions_absorb_late_events_correctly(spark, tmp_path):
+    """Late-but-valid events (watermark > gap) must extend the open
+    session BACKWARD when within a gap of its start, and form their
+    own closed session when older than that."""
+    base = dt.datetime(2025, 3, 1, 12, 0)
+    batch1 = [("u", base + dt.timedelta(minutes=m), 1.0) for m in (0, 5)]
+    batch2 = [
+        # 10 minutes before the open session's start: within gap=30m,
+        # must extend it backward
+        ("u", base - dt.timedelta(minutes=10), 1.0),
+        # 2 hours earlier: its own (immediately closed) session
+        ("u", base - dt.timedelta(minutes=120), 7.0),
+        # flush sentinel far in the future
+        ("u", base + dt.timedelta(days=30), 0.0),
+    ]
+    schema = "key string, ts timestamp, value double"
+    src = str(tmp_path / "late_in")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming_session_stats(
+        stream, "key", "ts", "value",
+        gap_ms=30 * 60 * 1000, watermark="0 seconds",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("late_sess")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.session_start: (r.session_end, r.event_count, r.total_value)
+        for r in spark.sql("SELECT * FROM late_sess").collect()
+    }
+    # the 2h-early loner closed alone
+    loner = base - dt.timedelta(minutes=120)
+    assert got[loner] == (loner, 1, 7.0)
+    # the main session starts at the BACKWARD-extended -10min mark
+    main_start = base - dt.timedelta(minutes=10)
+    assert main_start in got
+    end, cnt, tot = got[main_start]
+    assert (cnt, tot) == (3, 3.0) and end == base + dt.timedelta(minutes=5)
