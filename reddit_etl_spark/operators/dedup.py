@@ -97,17 +97,18 @@ def exact_dedup(
     so the shuffle carries 24 bytes per row instead of the document —
     at 100 TB that is the difference between a feasible and an
     impossible shuffle. Collisions would need simultaneous 64-bit and
-    128-bit collisions on the same pair (~2^-192): accepted.
+    128-bit collisions on the same pair (~2^-192): accepted. The key
+    is ``content_key_col`` (one canonical format, NULL-injective —
+    see ``CONTENT_KEY_VERSION``), so batch and incremental dedup
+    agree on what counts as the same content.
 
     Returns (id_col, dup_count) — survivors with their group size.
     """
-    content = [
-        normalize_text_col(c) if normalize else F.col(c) for c in content_cols
-    ]
+    key = content_key_col(content_cols, normalize)
     keyed = df.select(
         F.col(id_col),
-        F.xxhash64(*content).alias("__h64"),
-        F.md5(F.concat_ws("\x1f", *content)).alias("__h128"),
+        key.getField("h64").alias("__h64"),
+        key.getField("h128").alias("__h128"),
     )
     return (
         keyed.groupBy("__h64", "__h128")
@@ -606,30 +607,55 @@ def simhash_pairs(
     )
 
 
-def content_key_col(content_cols: list[str], normalize: bool = True) -> Column:
-    """The (xxhash64, md5) content key used by ``exact_dedup``, exposed
-    as one struct column so an INDEX of seen content can be persisted
-    and joined against later batches.
+CONTENT_KEY_VERSION = 2
+"""Version of the content-key format produced by ``content_key_col``.
 
-    NULL columns take a sentinel before hashing: both xxhash64 (skips
-    NULL arguments without advancing its seed) and concat_ws (drops
-    NULL operands) would otherwise make (NULL, 'x') and ('x', NULL)
-    DETERMINISTICALLY collide across a multi-column key — not a 2^-192
-    accident but a guaranteed false duplicate. The sentinel keeps
-    single-column behavior unchanged (all-NULL rows still group
-    together, non-NULL values hash identically to before... for the
-    NULL-free inputs every persisted index in this repo was built on).
+Persist this next to any seen-keys index: a format mismatch does not
+error, it silently stops matching known content and re-admits
+duplicates, so readers must check the stored version and rebuild on
+mismatch.
+
+- v1 hashed the raw columns with no NULL discrimination — (NULL,'x')
+  and ('x',NULL) collided DETERMINISTICALLY (xxhash64 skips NULL
+  arguments without advancing its seed; concat_ws drops NULL
+  operands), and an interim variant's string sentinel both changed
+  non-string columns' hashes (via cast) and collided with a genuine
+  value equal to the sentinel.
+- v2 (current) is injective across NULLs, sentinel-like strings, and
+  column types: the xxhash64 leg interleaves every value with an
+  is-NULL flag (values stay UNCAST, so non-string columns hash their
+  native binary value, not a string rendering), and the md5 leg tags
+  each component with a \\x00V (value) / \\x00N (NULL) prefix before
+  joining on \\x1f — no string can impersonate a NULL under either
+  leg.
+"""
+
+
+def content_key_col(content_cols: list[str], normalize: bool = True) -> Column:
+    """The (xxhash64, md5) content key shared by ``exact_dedup`` and
+    ``incremental_exact_dedup``, exposed as one struct column so an
+    INDEX of seen content can be persisted and joined against later
+    batches (store ``CONTENT_KEY_VERSION`` alongside it — see its doc
+    for the format-break history and why mismatches must rebuild).
     """
-    content = [
-        F.coalesce(
-            normalize_text_col(c) if normalize else F.col(c).cast("string"),
-            F.lit("\x00<NULL>"),
-        )
+    vals = [
+        normalize_text_col(c) if normalize else F.col(c)
         for c in content_cols
     ]
+    h64_args: list[Column] = []
+    for v in vals:
+        # the flag argument is never NULL, so it pins each column's
+        # position in the hash stream even when the value is skipped
+        h64_args += [v, v.isNull()]
+    parts = [
+        F.when(v.isNull(), F.lit("\x00N")).otherwise(
+            F.concat(F.lit("\x00V"), v.cast("string"))
+        )
+        for v in vals
+    ]
     return F.struct(
-        F.xxhash64(*content).alias("h64"),
-        F.md5(F.concat_ws("\x1f", *content)).alias("h128"),
+        F.xxhash64(*h64_args).alias("h64"),
+        F.md5(F.concat_ws("\x1f", *parts)).alias("h128"),
     )
 
 

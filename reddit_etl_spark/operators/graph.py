@@ -459,9 +459,11 @@ def personalized_pagerank(
     with W(u) = u's total out-weight (unweighted: w=1, W=outdeg).
     Weights must be positive integers (counts, not floats — float
     weights would reintroduce the cross-engine drift the integer
-    formulation exists to kill); rank * weight stays below 2^63 for
-    weights up to ~9e6 at the default scale, guarded at runtime by
-    ANSI-off Spark semantics matching DuckDB's BIGINT ops.
+    formulation exists to kill). Weighted share arithmetic runs in
+    DECIMAL(38,0) with a comparison-corrected floor quotient, so
+    rank * weight cannot overflow int64 no matter how large the
+    weights get; the unweighted path (product bounded by ``scale``)
+    keeps plain BIGINT div.
 
     Same plan shape as ``pagerank``: 2 shuffles per round on
     (node, long) pairs, seed/dangling scalars broadcast, lineage cut
@@ -488,8 +490,30 @@ def personalized_pagerank(
         .distinct()
     )
     n_seeds = S.agg(F.count("*").alias("__s"))
+    # weighted graphs do the share arithmetic in DECIMAL(38,0): the
+    # rank*w product exceeds int64 for weights above ~9e6 at the
+    # default scale, and non-ANSI Spark would WRAP it silently to
+    # wrong (even negative) ranks. Decimal division is NOT exact
+    # floor (it rounds at a derived scale), so the quotient is
+    # floor-corrected by one step — bit-identical to the oracle's
+    # overflow-free integer // wherever that doesn't overflow, and
+    # still exact where it would. The unweighted path (w = 1, product
+    # bounded by scale) keeps the cheaper BIGINT div.
+    if weight_col is not None:
+        outw_sum = F.sum(F.col("w").cast("decimal(38,0)"))
+        _p = "(CAST(rank_scaled AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0)))"
+        _t = "CAST(__outw AS DECIMAL(38,0))"
+        _q0 = f"CAST(FLOOR({_p} / {_t}) AS DECIMAL(38,0))"
+        share_expr = (
+            f"CAST(CASE WHEN {_q0} * {_t} > {_p} THEN {_q0} - 1 "
+            f"WHEN ({_q0} + 1) * {_t} <= {_p} THEN {_q0} + 1 "
+            f"ELSE {_q0} END AS BIGINT)"
+        )
+    else:
+        outw_sum = F.sum("w")
+        share_expr = "(rank_scaled * w) div __outw"
     outw = E.groupBy(F.col("src").alias("node")).agg(
-        F.sum("w").alias("__outw")
+        outw_sum.alias("__outw")
     )
     base_pct = 100 - damping_pct
     seeded = nodes.join(
@@ -511,7 +535,7 @@ def personalized_pagerank(
             )
             .select(
                 F.col("dst").alias("node"),
-                F.expr("(rank_scaled * w) div __outw").alias("__share"),
+                F.expr(share_expr).alias("__share"),
             )
             .groupBy("node")
             .agg(F.sum("__share").alias("__inflow"))
@@ -590,8 +614,15 @@ def hits(
         # step each way suffices. The DuckDB oracle's HUGEINT // is
         # exact floor division natively; this makes Spark match it
         # bit-for-bit.
+        # the total sum_u value(u)*outdeg(u) can exceed int64 (scale *
+        # max_outdeg reaches 2^63 past ~9e6 out-degree at scale=1e12),
+        # and non-ANSI Spark would WRAP it silently to wrong ranks —
+        # sum in DECIMAL(38,0), matching DuckDB's HUGEINT SUM(BIGINT)
         total = df.agg(
-            F.coalesce(F.sum(col), F.lit(0)).alias("__t")
+            F.coalesce(
+                F.sum(F.col(col).cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("__t")
         )
         p = f"(CAST({col} AS DECIMAL(38,0)) * CAST({scale} AS DECIMAL(38,0)))"
         t = "CAST(__t AS DECIMAL(38,0))"

@@ -273,18 +273,31 @@ def streaming_session_stats(
             n, total = 0, 0.0
 
         closed = []
-        # events MORE than a gap older than the open session's start
-        # (possible when watermark > gap) form their own earlier
-        # sessions: fold the sorted late-era prefix among itself and
-        # close everything immediately — merging them into the open
-        # session would bridge a real gap. (An even-later batch could
-        # in principle adjoin these; that residual is bounded by the
+        # Late events older than the open session's start (possible
+        # when watermark > gap) may still belong to it: a sorted run
+        # 85, 92 against an open start of 100 with gap 10 chains
+        # (85->92 is 7, 92->100 is 8), so batch-sort semantics merge
+        # all three. Walk the pre-start prefix BACKWARD and keep the
+        # maximal suffix that chains into the open session (each
+        # successive pair within gap_ms, the last within gap_ms of
+        # start_ms); only the genuinely disconnected head closes as
+        # its own earlier session(s). (An even-later batch could in
+        # principle adjoin those; that residual is bounded by the
         # watermark and accepted.)
         if state.exists and n > 0:
+            pre = 0
+            while pre < len(ts_ms) and int(ts_ms[pre]) < start_ms:
+                pre += 1
+            cut = pre
+            nxt = start_ms
+            for j in range(pre - 1, -1, -1):
+                if nxt - int(ts_ms[j]) <= gap_ms:
+                    cut = j
+                    nxt = int(ts_ms[j])
+                else:
+                    break
             late = [
-                (int(t), float(v))
-                for t, v in zip(ts_ms, vals)
-                if int(t) < start_ms - gap_ms
+                (int(ts_ms[i]), float(vals[i])) for i in range(cut)
             ]
             if late:
                 ls = le = late[0][0]
@@ -297,9 +310,8 @@ def streaming_session_stats(
                     ln += 1
                     lt += v
                 closed.append((ls, le, ln, lt))
-                keepmask = [int(t) >= start_ms - gap_ms for t in ts_ms]
-                ts_ms = ts_ms[keepmask]
-                vals = vals[keepmask]
+                ts_ms = ts_ms[cut:]
+                vals = vals[cut:]
 
         for t, v in zip(ts_ms, vals):
             t = int(t)

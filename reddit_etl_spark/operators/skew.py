@@ -110,7 +110,12 @@ def join_key_profile(
     notnull = F.lit(True)
     for k in keys:
         notnull = notnull & F.col(k).isNotNull()
-    kc = F.concat_ws("", *[F.col(k).cast("string") for k in keys])
+    # group/join on a STRUCT of the key columns — no string encoding,
+    # so composite keys can never collide regardless of their content
+    # (('ab','c') vs ('a','bc'), or values containing any separator)
+    kc = F.struct(
+        *[F.col(k).cast("string").alias(f"_{i}") for i, k in enumerate(keys)]
+    )
     lc = (
         left.filter(notnull)
         .select(kc.alias("__k"))
@@ -123,8 +128,15 @@ def join_key_profile(
         .groupBy("__k")
         .agg(F.count("*").alias("__cr"))
     )
+    # the struct becomes a display label only AFTER the exact per-key
+    # counts join; "\x1f" (a VISIBLE escape, unlike a raw control
+    # byte) keeps the label unambiguous for ordinary keys, and a
+    # collision here can only blur the label text, never the counts
     joined = lc.join(rc, "__k").select(
-        "__k", (F.col("__cl") * F.col("__cr")).alias("__out")
+        F.concat_ws(
+            "\x1f", *[F.col("__k")[f"_{i}"] for i in range(len(keys))]
+        ).alias("__k"),
+        (F.col("__cl") * F.col("__cr")).alias("__out"),
     )
     totals_l = left.agg(F.count(F.lit(1)).alias("n_left")).crossJoin(
         lc.agg(F.count(F.lit(1)).alias("distinct_left"))

@@ -424,3 +424,45 @@ def test_hits_bipartite_roles(spark):
     # L1 mass conservation modulo integer-floor dust
     assert abs(sum(v[0] for v in got.values()) - 10**12) < 10
     assert abs(sum(v[1] for v in got.values()) - 10**12) < 10
+
+
+def test_hits_normalization_total_survives_int64_overflow(spark):
+    """sum_u hub(u)*outdeg(u) can pass 2^63: star hub H->a1..a10 with
+    scale=5.1e18 makes round-2's raw-authority total 10*scale ~ 5.1e19.
+    A BIGINT total would wrap silently to garbage ranks; the
+    DECIMAL(38,0) total must keep every rank nonnegative and the L1
+    norm at ~scale."""
+    from reddit_etl_spark.operators.graph import hits
+
+    scale = 51 * 10**17
+    edges = spark.createDataFrame(
+        [("H", f"a{i}") for i in range(10)], "src string, dst string"
+    )
+    out = hits(edges, iterations=2, scale=scale).collect()
+    by = {r.node: r for r in out}
+    assert all(r.hub_scaled >= 0 and r.auth_scaled >= 0 for r in out)
+    # H is the only hub; the ten authorities split the auth mass evenly
+    assert by["H"].hub_scaled == scale
+    for i in range(10):
+        assert by[f"a{i}"].auth_scaled == scale // 10
+
+
+def test_ppr_weighted_share_survives_int64_overflow(spark):
+    """rank*w passes 2^63 for w=1e7 at scale=1e12 (seed rank = scale,
+    product 1e19): BIGINT would wrap negative; the DECIMAL(38,0)
+    corrected-floor share must give the exact serial answer."""
+    from reddit_etl_spark.operators.graph import personalized_pagerank
+
+    scale = 10**12
+    w = 10**7
+    edges = spark.createDataFrame([("S", "T", w)], "src string, dst string, w long")
+    seeds = spark.createDataFrame([("S",)], "node string")
+    ranks = {
+        r.node: r.rank_scaled
+        for r in personalized_pagerank(
+            edges, seeds, weight_col="w", iterations=1, scale=scale
+        ).collect()
+    }
+    # r1(T) = 85 * (scale*w // w) // 100 ; r1(S) = 15*scale // 100
+    assert ranks["T"] == 85 * scale // 100
+    assert ranks["S"] == 15 * scale // 100

@@ -1062,3 +1062,51 @@ def test_content_key_distinguishes_null_column_positions(spark):
     }
     assert keys[1] != keys[2]  # (NULL,'x') is not ('x',NULL)
     assert keys[1] == keys[3]  # same content still groups
+
+
+def test_content_key_null_cannot_be_impersonated_by_strings(spark):
+    """No string value may collide with NULL under either hash leg —
+    the v1-era sentinel '\\x00<NULL>' and the v2 tag bytes are the
+    adversarial candidates."""
+    from reddit_etl_spark.operators.dedup import content_key_col
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "\x00<NULL>"), (3, "\x00N"), (4, "\x00V"), (5, "")],
+        "id long, a string",
+    )
+    keys = {
+        r["id"]: (r["k"]["h64"], r["k"]["h128"])
+        for r in df.select(
+            "id", content_key_col(["a"], normalize=False).alias("k")
+        ).collect()
+    }
+    assert len(set(keys.values())) == 5
+
+
+def test_content_key_non_string_columns_group_and_match_exact_dedup(spark):
+    """normalize=False hashes non-string columns by their native value
+    (no cast), and exact_dedup shares the same canonical key as
+    incremental_exact_dedup, so a batch deduped one way stays deduped
+    the other way."""
+    from reddit_etl_spark.operators.dedup import (
+        exact_dedup,
+        incremental_exact_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, 2.5), (2, 10, 2.5), (3, 10, None), (4, None, 2.5)],
+        "id long, a long, b double",
+    )
+    survivors = exact_dedup(df, "id", ["a", "b"], normalize=False)
+    assert sorted(r["id"] for r in survivors.collect()) == [1, 3, 4]
+    # the incremental path, seeded with nothing, must pick the same
+    # survivors — one shared key format
+    inc, keys = incremental_exact_dedup(
+        df, None, "id", ["a", "b"], normalize=False
+    )
+    assert sorted(r["id"] for r in inc.collect()) == [1, 3, 4]
+    # and a second batch with already-seen content is fully dropped
+    again, _ = incremental_exact_dedup(
+        df, keys, "id", ["a", "b"], normalize=False
+    )
+    assert again.count() == 0

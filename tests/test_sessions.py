@@ -350,3 +350,50 @@ def test_streaming_sessions_absorb_late_events_correctly(spark, tmp_path):
     assert main_start in got
     end, cnt, tot = got[main_start]
     assert (cnt, tot) == (3, 3.0) and end == base + dt.timedelta(minutes=5)
+
+
+def test_streaming_sessions_late_chain_merges_transitively(spark, tmp_path):
+    """A sorted run of late events can chain INTO the open session even
+    when its oldest member is more than one gap before the session's
+    start: with gap=10m and open start at T, late events at T-15m and
+    T-8m chain (7m, 8m steps) and batch-sort semantics merge all of
+    them into one session starting at T-15m. A fixed start-gap cut
+    would wrongly close (T-15m) alone. Only a genuinely disconnected
+    head (here T-40m, T-32m: 17m break to T-15m) closes early."""
+    base = dt.datetime(2025, 3, 1, 12, 0)
+    batch1 = [("u", base + dt.timedelta(minutes=m), 1.0) for m in (0, 3)]
+    batch2 = [
+        ("u", base - dt.timedelta(minutes=40), 1.0),
+        ("u", base - dt.timedelta(minutes=32), 1.0),
+        ("u", base - dt.timedelta(minutes=15), 1.0),
+        ("u", base - dt.timedelta(minutes=8), 1.0),
+        ("u", base + dt.timedelta(days=30), 0.0),
+    ]
+    schema = "key string, ts timestamp, value double"
+    src = str(tmp_path / "chain_in")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming_session_stats(
+        stream, "key", "ts", "value",
+        gap_ms=10 * 60 * 1000, watermark="0 seconds",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("chain_sess")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.session_start: (r.session_end, r.event_count, r.total_value)
+        for r in spark.sql("SELECT * FROM chain_sess").collect()
+    }
+    early = base - dt.timedelta(minutes=40)
+    assert got[early] == (base - dt.timedelta(minutes=32), 2, 2.0)
+    main_start = base - dt.timedelta(minutes=15)
+    assert main_start in got
+    end, cnt, tot = got[main_start]
+    assert (cnt, tot) == (4, 4.0) and end == base + dt.timedelta(minutes=3)

@@ -244,3 +244,18 @@ def test_join_key_profile_composite_keys_do_not_collide(spark):
     assert r["distinct_left"] == 2
     assert r["common_keys"] == 1
     assert r["output_rows"] == left.join(right, ["x", "y"]).count() == 1
+
+
+def test_join_key_profile_separator_bytes_in_values_do_not_collide(spark):
+    from reddit_etl_spark.operators.skew import join_key_profile
+
+    # ("a\x1fb","c") vs ("a","b\x1fc"): any separator-encoded composite
+    # key collides here; the struct group-by must keep them distinct
+    left = spark.createDataFrame(
+        [("a\x1fb", "c"), ("a", "b\x1fc")], "x string, y string"
+    )
+    right = spark.createDataFrame([("a\x1fb", "c")], "x string, y string")
+    r = join_key_profile(left, right, ["x", "y"]).collect()[0]
+    assert r["distinct_left"] == 2
+    assert r["common_keys"] == 1
+    assert r["output_rows"] == left.join(right, ["x", "y"]).count() == 1
