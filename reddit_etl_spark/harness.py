@@ -128,8 +128,14 @@ _PROMOTED = [
     # make room for psi_value_drift / customer_sample_per_nation;
     # repetition_profile likewise (family recorded via text_profile)
     # for rake_keyphrases_docs
-    "boilerplate_fraction",
     "mixture_weights",
+    # round-6 rotation: CCNet-style segment dedup with document
+    # reassembly (new capability; displaces boilerplate_fraction, its
+    # natural predecessor — duplicated-segment MEASUREMENT stays
+    # recorded via text_profile's family rows r01..r05 and
+    # oracle-checked in the tail, while this row pins the stronger
+    # REMOVAL+reassembly form)
+    "segment_dedup_docs",
     # round-4 rotation: the one capability never attested by a driver
     # row in rounds 1-3 (judge r3 finding #1). Swapped in against
     # dedup_simhash, whose near-dup-text capability stays attested by
@@ -439,6 +445,11 @@ _DEFERRED = [
     # shard packing stays recorded via curation_pipeline_full's
     # packed-bin budget + pack_sequences here; green rows r02..r04.
     "packed_shards",
+    # round-6 rotation OUT: duplicated-segment measurement superseded
+    # in the head by segment_dedup_docs (removal + reassembly, the
+    # strictly stronger form); stays oracle-checked here each round.
+    # Green rows in CORRECTNESS_r01..r05.
+    "boilerplate_fraction",
 ]
 
 
@@ -5001,4 +5012,59 @@ def mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return mixture_weights(
         docs, "source", "tokens", temperature=0.7, target_tokens=1_000_000
+    )
+
+
+@_q(
+    "segment_dedup_docs",
+    """
+    WITH ws AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents WHERE text IS NOT NULL),
+    segs AS (
+      SELECT doc_id, g - 1 AS pos,
+             array_to_string(w[(g-1)*10+1 : (g-1)*10+10], ' ') AS seg
+      FROM ws, LATERAL (
+        SELECT UNNEST(generate_series(
+          1, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS g) t),
+    marked AS (
+      SELECT doc_id, pos, seg,
+             COUNT(*) OVER (PARTITION BY k) AS occ,
+             ROW_NUMBER() OVER (PARTITION BY k
+                                ORDER BY doc_id, pos) AS rn
+      FROM (SELECT doc_id, pos, seg,
+                   lower(trim(regexp_replace(seg, '\\s+', ' ', 'g'))) AS k
+            FROM segs)),
+    rebuilt AS (
+      SELECT doc_id,
+             COALESCE(string_agg(seg, ' ' ORDER BY pos)
+                      FILTER (WHERE occ = 1 OR rn = 1), '')
+               AS text_deduped,
+             CAST(COUNT(*) AS BIGINT) AS n_segments,
+             CAST(COUNT(*) FILTER (WHERE occ > 1 AND rn > 1) AS BIGINT)
+               AS n_removed
+      FROM marked GROUP BY doc_id)
+    SELECT d.doc_id, r.text_deduped,
+           CAST(COALESCE(r.n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    doc="CCNet-style corpus-wide segment dedup with document "
+    "reassembly (operators/dedup.py:segment_dedup): every 10-word "
+    "window hashed across the WHOLE corpus, duplicated segments keep "
+    "only the globally first (doc_id, pos) occurrence, and each "
+    "document is stitched back together from its surviving segments "
+    "in order. Document text never shuffles: pass 1 moves only "
+    "(id, pos, xxhash64) tuples, the kill list regroups into one "
+    "small removed-positions array per affected doc, and a final "
+    "id-equi-join + map-side higher-order filter rebuilds the text "
+    "at the scan site — two hash-sized shuffles + one id join at any "
+    "corpus size",
+)
+def segment_dedup_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import segment_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return segment_dedup(
+        docs, "doc_id", "text", words_per_segment=10, keep="first"
     )

@@ -1001,3 +1001,147 @@ def jw_blocked_pairs(
         .filter(F.col("jw") >= threshold)
         .select("id_a", "id_b", "jw")
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    words_per_segment: int | None = None,
+    keep: str = "first",
+    min_docs: int = 2,
+    normalize: bool = True,
+) -> DataFrame:
+    """Corpus-wide SEGMENT-level dedup with document reassembly — the
+    CCNet/RefinedWeb preprocessing step relational engines lack: hash
+    every line/paragraph (or fixed word window) across the WHOLE
+    corpus, drop repeated segments, and stitch each document back
+    together from its surviving segments in order.
+
+    Segmentation: split on ``sep`` (a literal line/paragraph
+    separator), or — for corpora without line structure — fixed
+    non-overlapping windows of ``words_per_segment`` whitespace
+    tokens. Matching normalizes each segment (lowercase, collapsed
+    whitespace) unless ``normalize=False``.
+
+    ``keep`` policies:
+
+    - ``'first'`` (CCNet semantics): every duplicated segment keeps
+      exactly ONE occurrence — the globally first by (doc id,
+      position) — and loses the rest; ``min_docs`` is ignored.
+    - ``'none'`` (boilerplate removal): segments appearing in at
+      least ``min_docs`` DISTINCT documents are removed everywhere
+      (headers, license blocks, templated chrome).
+
+    Returns (id_col, text_deduped, n_segments, n_removed) — one row
+    per input document, NULL text passing through as NULL.
+
+    100 TB plan: document text NEVER shuffles. Pass 1 explodes only
+    (id, pos, xxhash64) tuples (~20 B/segment) and aggregates per
+    hash; the kill list joins back to those tuples and regroups into
+    one small removed-positions array per affected document; the
+    final equi-join on ``id_col`` attaches arrays to the original
+    scan, and a map-side higher-order filter + array_join rebuilds
+    the text in place. Two hash-sized shuffles + one id join total;
+    collisions need xxhash64 agreement on normalized text (2^-64 per
+    pair, the repo-wide accepted bound).
+    """
+    if keep not in ("first", "none"):
+        raise ValueError("keep must be 'first' or 'none'")
+    text = F.col(text_col)
+    if words_per_segment is not None:
+        k = int(words_per_segment)
+        if k < 1:
+            raise ValueError("words_per_segment must be >= 1")
+        words = F.split(F.trim(text), r"\s+")
+        nseg = F.ceil(F.size(words) / F.lit(k)).cast("int")
+        segs = F.when(
+            text.isNull(), F.lit(None).cast("array<string>")
+        ).otherwise(
+            F.when(nseg <= 0, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), nseg - 1),
+                    lambda i: F.array_join(
+                        F.slice(words, i * k + 1, k), " "
+                    ),
+                )
+            )
+        )
+        join_sep = " "
+    else:
+        # literal separator split; empty segments (separator runs)
+        # are dropped from matching AND reassembly, which normalizes
+        # blank-line runs — documented, and what boilerplate removal
+        # wants
+        segs = F.filter(
+            F.split(text, F.lit(sep), -1), lambda s: s != F.lit("")
+        )
+        join_sep = sep
+    base = df.select(F.col(id_col).alias("__id"), segs.alias("__segs"))
+
+    from .text import normalize_text_col as _norm
+
+    keyed = base.select(
+        "__id",
+        F.posexplode("__segs").alias("__pos", "__seg"),
+    ).select(
+        "__id",
+        "__pos",
+        F.xxhash64(
+            _norm("__seg") if normalize else F.col("__seg")
+        ).alias("__key"),
+    )
+    # keyed feeds both the per-hash stats and the kill-list join; a
+    # lazy checkpoint makes the split+segment+hash pass run ONCE
+    # (20 B/segment blocks) instead of re-scanning and re-segmenting
+    # the corpus per consumer — same discipline as shingle_arrays
+    keyed = keyed.localCheckpoint(eager=False)
+    if keep == "first":
+        stats = keyed.groupBy("__key").agg(
+            F.count("*").alias("__occ"),
+            F.min(F.struct("__id", "__pos")).alias("__win"),
+        )
+        removed = (
+            keyed.join(stats.filter(F.col("__occ") > 1), "__key")
+            .filter(F.struct("__id", "__pos") != F.col("__win"))
+            .select("__id", "__pos")
+        )
+    else:
+        hot = (
+            keyed.groupBy("__key")
+            .agg(F.count_distinct("__id").alias("__df"))
+            .filter(F.col("__df") >= int(min_docs))
+            .select("__key")
+        )
+        removed = keyed.join(hot, "__key").select("__id", "__pos")
+    rm_per_doc = removed.groupBy("__id").agg(
+        F.sort_array(F.collect_list("__pos")).alias("__rm")
+    )
+    segs_f = F.col("__segs")
+    rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(segs_f, lambda s, i: F.struct(s.alias("s"), i.alias("i"))),
+        lambda p: ~F.array_contains(rm, p["i"]),
+    )
+    return (
+        base.join(rm_per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.when(segs_f.isNull(), F.lit(None).cast("string"))
+            .otherwise(
+                F.array_join(F.transform(kept, lambda p: p["s"]), join_sep)
+            )
+            .alias("text_deduped"),
+            # size(NULL) is -1 with ANSI off, so branch on NULL
+            # explicitly rather than coalescing the size
+            F.when(segs_f.isNull(), F.lit(0))
+            .otherwise(F.size(segs_f))
+            .cast("long")
+            .alias("n_segments"),
+            F.when(F.col("__rm").isNull(), F.lit(0))
+            .otherwise(F.size("__rm"))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -1110,3 +1110,68 @@ def test_content_key_non_string_columns_group_and_match_exact_dedup(spark):
         df, keys, "id", ["a", "b"], normalize=False
     )
     assert again.count() == 0
+
+
+def test_segment_dedup_keep_first_and_none(spark):
+    from reddit_etl_spark.operators.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\nCOMMON LINE\ngamma"),
+            (2, "common line\ndelta"),
+            (3, "COMMON LINE"),
+            (4, None),
+            (5, "solo\n\nsolo"),
+        ],
+        "doc_id long, text string",
+    )
+    first = {
+        r["doc_id"]: (r["text_deduped"], r["n_segments"], r["n_removed"])
+        for r in segment_dedup(
+            docs, "doc_id", "text", sep="\n", keep="first"
+        ).collect()
+    }
+    # doc 1 holds the globally first occurrence (normalized match is
+    # case-insensitive), docs 2/3 lose their copies; the within-doc
+    # repeat in doc 5 also dedups; NULL text passes through
+    assert first[1] == ("alpha beta\nCOMMON LINE\ngamma", 3, 0)
+    assert first[2] == ("delta", 2, 1)
+    assert first[3] == ("", 1, 1)
+    assert first[4] == (None, 0, 0)
+    assert first[5] == ("solo", 2, 1)
+
+    none = {
+        r["doc_id"]: (r["text_deduped"], r["n_removed"])
+        for r in segment_dedup(
+            docs, "doc_id", "text", sep="\n", keep="none", min_docs=2
+        ).collect()
+    }
+    # boilerplate mode removes ALL copies of segments in >=2 distinct
+    # docs; doc 5's within-doc repeat is 1 distinct doc, so it stays
+    assert none[1] == ("alpha beta\ngamma", 1)
+    assert none[3] == ("", 1)
+    assert none[5] == ("solo\nsolo", 0)
+
+
+def test_segment_dedup_word_windows_and_validation(spark):
+    import pytest as _pytest
+
+    from reddit_etl_spark.operators.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "A B C x y z")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text_deduped"], r["n_segments"], r["n_removed"])
+        for r in segment_dedup(
+            docs, "doc_id", "text", words_per_segment=3, keep="first"
+        ).collect()
+    }
+    # doc 1's window "a b c" wins over doc 2's "A B C"
+    assert got[1] == ("a b c d e f", 2, 0)
+    assert got[2] == ("x y z", 2, 1)
+    with _pytest.raises(ValueError, match="keep"):
+        segment_dedup(docs, "doc_id", "text", keep="bogus")
+    with _pytest.raises(ValueError, match="words_per_segment"):
+        segment_dedup(docs, "doc_id", "text", words_per_segment=0)
