@@ -136,6 +136,11 @@ _PROMOTED = [
     # oracle-checked in the tail, while this row pins the stronger
     # REMOVAL+reassembly form)
     "segment_dedup_docs",
+    # round-6: k-core peeling (new capability; displaces
+    # mad_outliers_daily, whose robust-outlier readout stays
+    # oracle-checked in the tail and whose daily-rollup shape keeps a
+    # recorded row via anomaly_zscore_daily; green rows r05)
+    "kcore_cust_supp",
     # round-4 rotation: the one capability never attested by a driver
     # row in rounds 1-3 (judge r3 finding #1). Swapped in against
     # dedup_simhash, whose near-dup-text capability stays attested by
@@ -244,11 +249,8 @@ _PROMOTED = [
     # rows via asof_split — same operator, skew mode — while the base
     # path stays oracle-checked via asof_attribution in the tail)
     "ppr_supplier_recs",
-    # robust MAD outlier scoring (new capability; displaces
-    # sessionization, whose gap-sessionize shape keeps a recorded row
-    # via sessionization_split — same operator, skew mode, promoted
-    # this round — and stays a bench headline + oracle-checked here)
-    "mad_outliers_daily",
+    # (mad_outliers_daily held this slot in round 5; rotated to the
+    # tail in round 6 for kcore_cust_supp — see the round-6 blocks)
     # integer-exact HITS (new capability; displaces
     # q08_left_join_rollup, whose join surface stays recorded via
     # q09_join_having and whose LEFT-JOIN rollup stays oracle-checked
@@ -450,6 +452,11 @@ _DEFERRED = [
     # strictly stronger form); stays oracle-checked here each round.
     # Green rows in CORRECTNESS_r01..r05.
     "boilerplate_fraction",
+    # round-6 rotation OUT: robust MAD outlier readout making room for
+    # kcore_cust_supp; its daily-rollup + robust-scoring family keeps
+    # a recorded row via anomaly_zscore_daily, and it stays
+    # oracle-checked here each round. Green row in CORRECTNESS_r05.
+    "mad_outliers_daily",
 ]
 
 
@@ -5068,3 +5075,85 @@ def segment_dedup_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_dedup(
         docs, "doc_id", "text", words_per_segment=10, keep="first"
     )
+
+
+_KCORE_ITER = """
+    k{i} AS MATERIALIZED (
+      SELECT a FROM e{p} GROUP BY a
+      HAVING COUNT(*) >= (SELECT k FROM kk)),
+    e{i} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{p} e
+      JOIN k{i} x ON e.a = x.a
+      JOIN k{i} y ON e.b = y.a)"""
+
+_KCORE_ORACLE = (
+    """
+    WITH ed AS MATERIALIZED (
+      SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+                      's:' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    e0 AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT src AS a, dst AS b FROM ed
+        UNION
+        SELECT dst AS a, src AS b FROM ed)
+      WHERE a <> b),
+    kk AS MATERIALIZED (
+      SELECT (COUNT(*) // COUNT(DISTINCT a)) * 9 // 16 AS k FROM e0),"""
+    + ",".join(
+        _KCORE_ITER.format(i=i, p=i - 1) for i in range(1, 5)
+    )
+    + """
+    SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM e4 GROUP BY a
+    """
+)
+
+
+@_q(
+    "kcore_cust_supp",
+    _KCORE_ORACLE,
+    doc="k-core of the undirected customer-supplier co-purchase graph "
+    "(operators/graph.py:kcore) at a DATA-DERIVED threshold "
+    "k = (2E div N) * 9 div 16 —9/16 of the integer mean degree, "
+    "which peels a meaningful fraction of nodes at every SF instead "
+    "of pinning a magic constant that goes trivial as density grows. "
+    "4 fixed peel rounds, each dropping every node with fewer than k "
+    "surviving neighbors plus its edges; peeling is idempotent at its "
+    "fixpoint, so a fixed round count is bit-deterministic and "
+    "oracle-replayable (the fixed-iteration PageRank/HITS "
+    "discipline). Per round: one map-side-combined degree agg + two "
+    "semi-joins, all shuffles on (node, node) pairs; the edge frame "
+    "shrinks monotonically and lineage is cut every round",
+)
+def kcore_cust_supp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import kcore
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    # data-derived threshold: 9/16 of the integer mean degree of the
+    # undirected simple graph, in the same integer arithmetic the
+    # oracle uses ((2E div N) * 9 div 16) — one tiny scalar action
+    # before the peel loop
+    und = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).union(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    ).filter(F.col("a") != F.col("b")).distinct()
+    row = und.agg(
+        F.count("*").alias("e2"), F.count_distinct("a").alias("n")
+    ).first()
+    k = (row["e2"] // row["n"]) * 9 // 16
+    return kcore(edges, k=k, rounds=4)

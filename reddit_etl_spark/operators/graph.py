@@ -674,3 +674,64 @@ def hits(
         F.coalesce("hub_scaled", F.lit(0)).alias("hub_scaled"),
         F.coalesce("auth_scaled", F.lit(0)).alias("auth_scaled"),
     )
+
+
+def kcore(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k: int = 2,
+    rounds: int = 10,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """k-core peeling on the undirected simple graph: repeatedly drop
+    every node with fewer than ``k`` distinct neighbors (and the edges
+    touching it) — the standard dense-subgraph / influence-backbone
+    primitive. Runs EXACTLY ``rounds`` peel iterations: peeling is
+    idempotent at its fixpoint, so any ``rounds`` at or past
+    convergence returns the true k-core, and a fixed count keeps the
+    computation bit-deterministic and oracle-replayable (same
+    discipline as the fixed-iteration PageRank/HITS — no data-
+    dependent driver actions inside the loop).
+
+    Returns (node, degree): the nodes still alive after the last peel
+    with their degree in the surviving subgraph (all >= k once
+    converged; isolated nodes never appear).
+
+    Plan: per round one map-side-combined degree aggregation plus two
+    semi-joins of the edge list against the >= k survivor set — every
+    shuffle carries (node, node) or (node, long) pairs, never
+    payloads; the edge frame shrinks monotonically, so later rounds
+    ride on a fraction of the data. Lineage is cut each round (the
+    edge frame is referenced three times per round, which would grow
+    the optimizer input 3^rounds otherwise).
+    """
+    if k < 1:
+        raise ValueError("kcore needs k >= 1")
+    if rounds < 1:
+        raise ValueError("kcore needs rounds >= 1")
+    E = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    )
+    und = (
+        E.union(E.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    alive = und
+    for r in range(rounds):
+        keep = (
+            alive.groupBy("a")
+            .agg(F.count("*").alias("__d"))
+            .filter(F.col("__d") >= k)
+            .select("a")
+        )
+        alive = alive.join(keep, "a", "semi").join(
+            keep.select(F.col("a").alias("b")), "b", "semi"
+        ).select("a", "b")
+        if checkpoint_every and (r + 1) % checkpoint_every == 0 and r + 1 < rounds:
+            alive = alive.localCheckpoint(eager=False)
+    return (
+        alive.groupBy(F.col("a").alias("node"))
+        .agg(F.count("*").cast("long").alias("degree"))
+    )

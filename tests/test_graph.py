@@ -466,3 +466,33 @@ def test_ppr_weighted_share_survives_int64_overflow(spark):
     # r1(T) = 85 * (scale*w // w) // 100 ; r1(S) = 15*scale // 100
     assert ranks["T"] == 85 * scale // 100
     assert ranks["S"] == 15 * scale // 100
+
+
+def test_kcore_peels_cascade_and_validates(spark):
+    from reddit_etl_spark.operators.graph import kcore
+
+    # triangle a-b-c, pendant d on a, pendant e on d: the 2-core must
+    # cascade (e dies -> d degree 1 -> d dies) down to the triangle
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    got = sorted(
+        (r["node"], r["degree"]) for r in kcore(edges, k=2, rounds=5).collect()
+    )
+    assert got == [("a", 2), ("b", 2), ("c", 2)]
+    # the 2-core of a pure path is empty (full cascade)
+    path = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("3", "4")], "src string, dst string"
+    )
+    assert kcore(path, k=2, rounds=5).count() == 0
+    # rounds past the fixpoint change nothing (idempotence)
+    a = {(r["node"], r["degree"]) for r in kcore(edges, k=2, rounds=3).collect()}
+    b = {(r["node"], r["degree"]) for r in kcore(edges, k=2, rounds=8).collect()}
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k >= 1"):
+        kcore(edges, k=0)
+    with _pytest.raises(ValueError, match="rounds >= 1"):
+        kcore(edges, k=2, rounds=0)
