@@ -141,6 +141,12 @@ _PROMOTED = [
     # oracle-checked in the tail and whose daily-rollup shape keeps a
     # recorded row via anomaly_zscore_daily; green rows r05)
     "kcore_cust_supp",
+    # round-6: half-life decay + closed-form EWMA (new capability;
+    # displaces psi_value_drift, whose binned-distribution drift
+    # readout stays oracle-checked in the tail — its histogram-compare
+    # family shares anomaly_zscore_daily's recorded daily-rollup
+    # surface; green row r05)
+    "decayed_engagement",
     # round-4 rotation: the one capability never attested by a driver
     # row in rounds 1-3 (judge r3 finding #1). Swapped in against
     # dedup_simhash, whose near-dup-text capability stays attested by
@@ -266,10 +272,8 @@ _PROMOTED = [
     # text_profile's family and oracle-checked in the tail alongside
     # boilerplate_fraction)
     "rake_keyphrases_docs",
-    # PSI drift monitoring (new capability; displaces table_profile,
-    # whose one-pass column-profiling shape stays oracle-checked in
-    # the tail; recorded rows r02..r04)
-    "psi_value_drift",
+    # (psi_value_drift held this slot in round 5; rotated to the tail
+    # in round 6 for decayed_engagement — see the round-6 blocks)
     # exact-k group sampling (new capability; displaces packed_shards,
     # whose packing surface stays recorded via curation_pipeline_full's
     # packed-bin budget stage; recorded rows r02..r04 + pack_sequences
@@ -457,6 +461,11 @@ _DEFERRED = [
     # a recorded row via anomaly_zscore_daily, and it stays
     # oracle-checked here each round. Green row in CORRECTNESS_r05.
     "mad_outliers_daily",
+    # round-6 rotation OUT: PSI drift readout making room for
+    # decayed_engagement; stays oracle-checked here each round and its
+    # daily-rollup family keeps a recorded row via
+    # anomaly_zscore_daily. Green row in CORRECTNESS_r05.
+    "psi_value_drift",
 ]
 
 
@@ -5157,3 +5166,54 @@ def kcore_cust_supp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     k = (row["e2"] // row["n"]) * 9 // 16
     return kcore(edges, k=k, rounds=4)
+
+
+@_q(
+    "decayed_engagement",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+             value, event_id
+      FROM events),
+    mx AS (SELECT MAX(ts_s) AS now FROM ev),
+    dec AS (
+      SELECT user_id,
+             ROUND(SUM(value * POWER(
+               0.5, ((SELECT now FROM mx) - ts_s) / 604800.0)), 6)
+               AS decayed_value,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM ev GROUP BY user_id),
+    r AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts_s, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM ev),
+    ew AS (
+      SELECT user_id,
+             ROUND(SUM(CASE WHEN rn = 1 THEN POWER(0.7, n - 1) * value
+                            ELSE 0.3 * POWER(0.7, n - rn) * value END),
+                   6) AS ewma
+      FROM r GROUP BY user_id)
+    SELECT d.user_id, d.decayed_value, d.n_events, e.ewma
+    FROM dec d JOIN ew e USING (user_id)
+    """,
+    doc="recency-weighted engagement per user "
+    "(operators/series.py:decayed_sum + ewma_last): half-life decay "
+    "(one-week, 0.5^(age/hl) on integer-second ages) gives the "
+    "trending score, and the closed-form EWMA (alpha=0.3, seeded at "
+    "the first observation, every exponent nonnegative so weights "
+    "only shrink — no rescaled-window blowup on long series) gives "
+    "the smoothed current level. Each is one map-side-combined "
+    "groupBy / one key-partitioned window over a single shuffle; the "
+    "as-of instant is MAX(ts), injectable (D3)",
+)
+def decayed_engagement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import decayed_sum, ewma_last
+
+    ev = load_events(spark, sf_dir)
+    dec = decayed_sum(
+        ev, "user_id", "ts", "value", half_life_s=7 * 86400
+    )
+    ew = ewma_last(ev, "user_id", ["ts", "event_id"], "value", alpha=0.3)
+    return dec.join(ew.select("user_id", "ewma"), "user_id")

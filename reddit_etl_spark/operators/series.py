@@ -40,6 +40,8 @@ LLM-scale extension surface (SURVEY §2.9/§6).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -342,5 +344,108 @@ def gap_fill(
             *keys,
             F.timestamp_seconds("__bucket").alias("bucket_start"),
             out_col,
+        )
+    )
+
+
+def decayed_sum(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    ts_col: str,
+    value_col: str,
+    half_life_s: int = 86400,
+    as_of: str | None = None,
+) -> DataFrame:
+    """Recency-weighted value per key: each observation contributes
+    ``value * 0.5^(age_s / half_life_s)`` — the canonical decayed
+    score / trending-rank primitive (a week-old purchase counts half
+    as much as today's under a one-week half-life).
+
+    ``as_of``: the reference instant as an ISO timestamp string; None
+    uses MAX(ts) over the input — deterministic, and injectable for
+    reproducible runs (the reference's now()-dependence divergence,
+    pinned as D3, applies here identically).
+
+    Ages are INTEGER seconds (floor-of-epoch on both engines, the
+    cross-engine rule for timestamps), so the only float is the final
+    pow/sum — rounded to 6 like every float aggregate in this repo.
+
+    One map-side-combined groupBy on the keys; the as_of scalar
+    attaches as a broadcast (or a literal when injected). Nothing
+    wider than (key, double) shuffles.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    ev = df.select(
+        *keys,
+        F.floor(F.unix_timestamp(F.col(ts_col))).alias("__ts_s"),
+        F.col(value_col).alias("__v"),
+    )
+    if as_of is not None:
+        ev = ev.withColumn(
+            "__now", F.floor(F.unix_timestamp(F.lit(as_of).cast("timestamp")))
+        )
+    else:
+        now = ev.agg(F.max("__ts_s").alias("__now"))
+        ev = ev.crossJoin(F.broadcast(now))
+    w = F.pow(
+        F.lit(0.5),
+        (F.col("__now") - F.col("__ts_s"))
+        / F.lit(float(half_life_s)),
+    )
+    return (
+        ev.groupBy(*keys)
+        .agg(
+            F.round(F.sum(F.col("__v") * w), 6).alias("decayed_value"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+
+
+def ewma_last(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Final exponentially-weighted moving average per key — the
+    smoothed "current level" that anomaly baselines and forecast
+    seeds use. Defined by the standard recursion seeded at the first
+    observation (s_1 = x_1; s_t = alpha*x_t + (1-alpha)*s_{t-1}) and
+    computed by its CLOSED FORM instead:
+
+        s_n = (1-a)^(n-1) x_1 + sum_{i=2..n} a (1-a)^(n-i) x_i
+
+    Every exponent is nonnegative, so weights only shrink — none of
+    the 1/(1-a)^i blowup a rescaled running-window spelling suffers
+    on long series — and the whole thing is one row_number window and
+    one aggregate over a single shuffle on the key. ``order_cols``
+    must make the order total (include a unique tie-break column);
+    the weighted sum is rounded to 6 (repo float-aggregate rule).
+    """
+    if not 0 < alpha < 1:
+        raise ValueError("alpha must be in (0, 1)")
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_cols])
+    base = df.select(
+        *keys,
+        F.col(value_col).alias("__v"),
+        *[F.col(c) for c in order_cols if c not in keys],
+    ).withColumn("__rn", F.row_number().over(w))
+    cnt = Window.partitionBy(*keys)
+    base = base.withColumn("__n", F.count("*").over(cnt))
+    term = F.when(
+        F.col("__rn") == 1,
+        F.pow(F.lit(1.0 - alpha), F.col("__n") - 1) * F.col("__v"),
+    ).otherwise(
+        F.lit(alpha)
+        * F.pow(F.lit(1.0 - alpha), F.col("__n") - F.col("__rn"))
+        * F.col("__v")
+    )
+    return (
+        base.groupBy(*keys)
+        .agg(
+            F.round(F.sum(term), 6).alias("ewma"),
+            F.max("__n").cast("long").alias("n_obs"),
         )
     )

@@ -275,3 +275,63 @@ def test_twa_null_readings_are_locf_skipped(spark):
     got = time_weighted_avg(df, ["k"], "ts", "v").collect()[0]
     # the prior value spans the gap: twa stays 10, span stays 100
     assert (got["span_seconds"], got["twa"]) == (100, 10.0)
+
+
+def test_decayed_sum_halves_per_half_life(spark):
+    import datetime as dt
+
+    from reddit_etl_spark.operators.series import decayed_sum
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            ("u", base, 10.0),
+            ("u", base + dt.timedelta(days=1), 20.0),
+            ("u", base + dt.timedelta(days=2), 30.0),
+            ("w", base, 4.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    got = {
+        r["k"]: (r["decayed_value"], r["n_events"])
+        for r in decayed_sum(df, "k", "ts", "v", half_life_s=86400).collect()
+    }
+    # as_of = global max ts: 30 + 20*0.5 + 10*0.25 ; w's loner aged 2d
+    assert got["u"] == (42.5, 3)
+    assert got["w"] == (1.0, 1)
+    # injected as_of one day later halves everything
+    inj = {
+        r["k"]: r["decayed_value"]
+        for r in decayed_sum(
+            df, "k", "ts", "v", half_life_s=86400, as_of="2024-01-04 00:00:00"
+        ).collect()
+    }
+    assert inj["u"] == 21.25
+
+
+def test_ewma_last_matches_serial_recursion(spark):
+    import datetime as dt
+
+    from reddit_etl_spark.operators.series import ewma_last
+
+    base = dt.datetime(2024, 1, 1)
+    rows, want = [], {}
+    for key, vals, alpha in [("a", [10.0, 20.0, 30.0], 0.5), ("b", [7.0], 0.5)]:
+        s = vals[0]
+        for v in vals[1:]:
+            s = alpha * v + (1 - alpha) * s
+        want[key] = round(s, 6)
+        rows += [
+            (key, base + dt.timedelta(minutes=i), v, i)
+            for i, v in enumerate(vals)
+        ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double, i long")
+    got = {
+        r["k"]: r["ewma"]
+        for r in ewma_last(df, "k", ["ts", "i"], "v", alpha=0.5).collect()
+    }
+    assert got == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        ewma_last(df, "k", ["ts"], "v", alpha=1.5)
