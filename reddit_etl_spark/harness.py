@@ -147,6 +147,13 @@ _PROMOTED = [
     # family shares anomaly_zscore_daily's recorded daily-rollup
     # surface; green row r05)
     "decayed_engagement",
+    # round-6: hopping-window rollup with exact distincts (new
+    # capability; displaces customer_sample_per_nation, whose exact-k
+    # deterministic group sampling stays oracle-checked in the tail
+    # and whose hash-order sampling family keeps recorded rows via
+    # stratified_sample r01..r04 + curation_pipeline_full; green row
+    # r05)
+    "events_sliding_distinct",
     # round-4 rotation: the one capability never attested by a driver
     # row in rounds 1-3 (judge r3 finding #1). Swapped in against
     # dedup_simhash, whose near-dup-text capability stays attested by
@@ -274,11 +281,9 @@ _PROMOTED = [
     "rake_keyphrases_docs",
     # (psi_value_drift held this slot in round 5; rotated to the tail
     # in round 6 for decayed_engagement — see the round-6 blocks)
-    # exact-k group sampling (new capability; displaces packed_shards,
-    # whose packing surface stays recorded via curation_pipeline_full's
-    # packed-bin budget stage; recorded rows r02..r04 + pack_sequences
-    # in the tail)
-    "customer_sample_per_nation",
+    # (customer_sample_per_nation held this slot in round 5; rotated
+    # to the tail in round 6 for events_sliding_distinct — see the
+    # round-6 blocks)
 ]
 _DEFERRED = [
     # audit twins / shape variants whose capability is attested by a
@@ -466,6 +471,11 @@ _DEFERRED = [
     # daily-rollup family keeps a recorded row via
     # anomaly_zscore_daily. Green row in CORRECTNESS_r05.
     "psi_value_drift",
+    # round-6 rotation OUT: exact-k group sampling making room for
+    # events_sliding_distinct; stays oracle-checked here each round,
+    # hash-order sampling family recorded via stratified_sample
+    # r01..r04 + curation_pipeline_full. Green row in CORRECTNESS_r05.
+    "customer_sample_per_nation",
 ]
 
 
@@ -5217,3 +5227,46 @@ def decayed_engagement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ew = ewma_last(ev, "user_id", ["ts", "event_id"], "value", alpha=0.3)
     return dec.join(ew.select("user_id", "ewma"), "user_id")
+
+
+@_q(
+    "events_sliding_distinct",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+      FROM events),
+    wins AS (
+      SELECT user_id, ((t // 1800) - i) * 1800 AS ws
+      FROM ev CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS i) g
+      WHERE ((t // 1800) - i) * 1800 > t - 7200)
+    SELECT make_timestamp(ws * 1000000) AS window_start,
+           make_timestamp((ws + 7200) * 1000000) AS window_end,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM wins GROUP BY ws
+    """,
+    doc="2-hour windows hopping every 30 minutes over the event stream "
+    "(operators/series.py:sliding_window_rollup): every event lands "
+    "in exactly 4 windows (F.window replicates rows into covering "
+    "windows BEFORE the shuffle), each window counts exact distinct "
+    "users + events — one map-side-combined groupBy at a bounded 4x "
+    "replication; at higher duration/slide ratios the agg switches "
+    "to the mergeable HLL sketch so copies stay bytes, not id sets. "
+    "Window assignment on integer-second boundaries matches the "
+    "floor-of-epoch oracle exactly (window starts are multiples of "
+    "the slide)",
+)
+def events_sliding_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import sliding_window_rollup
+
+    ev = load_events(spark, sf_dir)
+    return sliding_window_rollup(
+        ev,
+        "ts",
+        "2 hours",
+        "30 minutes",
+        [
+            F.count_distinct("user_id").cast("long").alias("distinct_users"),
+            F.count("*").cast("long").alias("n_events"),
+        ],
+    )

@@ -449,3 +449,35 @@ def ewma_last(
             F.max("__n").cast("long").alias("n_obs"),
         )
     )
+
+
+def sliding_window_rollup(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Overlapping (hopping) time-window aggregation: every event lands
+    in ``duration/slide`` windows and each window aggregates
+    independently — the "2-hour trailing stats every 30 minutes" shape
+    that tumbling rollups can't express and self-join spellings turn
+    into O(n * windows) range predicates.
+
+    Spark's ``F.window`` replicates each row into its covering
+    windows BEFORE the shuffle, so the cost is a single
+    map-side-combined groupBy carrying duration/slide copies of the
+    (window, agg-input) columns — keep that ratio small (2-8x) for
+    exact distincts; at higher ratios switch the agg to a mergeable
+    sketch (``sketch.hll_rollup``) so copies stay bytes, not id sets.
+
+    Returns (window_start, window_end, *aggs).
+    """
+    w = F.window(F.col(ts_col), duration, slide)
+    out = df.groupBy(w.alias("__w")).agg(*aggs)
+    agg_cols = [c for c in out.columns if c != "__w"]
+    return out.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        *agg_cols,
+    )

@@ -335,3 +335,29 @@ def test_ewma_last_matches_serial_recursion(spark):
 
     with _pytest.raises(ValueError, match="alpha"):
         ewma_last(df, "k", ["ts"], "v", alpha=1.5)
+
+
+def test_sliding_window_rollup_replicates_into_covering_windows(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from reddit_etl_spark.operators.series import sliding_window_rollup
+
+    # one event at 01:15 with 1h windows hopping 30m lands in the
+    # 00:30 and 01:00 windows
+    df = spark.createDataFrame(
+        [("u", dt.datetime(2024, 1, 1, 1, 15), 1.0)],
+        "user string, ts timestamp, v double",
+    )
+    got = {
+        (r["window_start"], r["window_end"]): r["n"]
+        for r in sliding_window_rollup(
+            df, "ts", "1 hour", "30 minutes", [F.count("*").alias("n")]
+        ).collect()
+    }
+    d = dt.datetime
+    assert got == {
+        (d(2024, 1, 1, 0, 30), d(2024, 1, 1, 1, 30)): 1,
+        (d(2024, 1, 1, 1, 0), d(2024, 1, 1, 2, 0)): 1,
+    }
