@@ -147,6 +147,12 @@ _PROMOTED = [
     # family shares anomaly_zscore_daily's recorded daily-rollup
     # surface; green row r05)
     "decayed_engagement",
+    # round-6: entity resolution to golden records (new capability;
+    # displaces part_name_linkage, whose JW blocked-pair generation is
+    # the FIRST STAGE of this very query — the pair surface stays
+    # recorded inside entity_golden_parts and oracle-checked in the
+    # tail; green row r05)
+    "entity_golden_parts",
     # round-6: hopping-window rollup with exact distincts (new
     # capability; displaces customer_sample_per_nation, whose exact-k
     # deterministic group sampling stays oracle-checked in the tail
@@ -203,12 +209,9 @@ _PROMOTED = [
     # recorded via bm25_rank and oracle-checked via vocab_topk /
     # bm25_rank_indexed in the tail)
     "pagerank_cust_supp",
-    # Jaro-Winkler blocked record linkage (new capability; displaces
-    # decontaminate, whose broadcast-gram decontam shape stays recorded
-    # inside curation_pipeline_full (5-gram benchmark probe) and
-    # oracle-checked via decontaminate_bloom + sentence_decontaminate
-    # in the tail)
-    "part_name_linkage",
+    # (part_name_linkage held this slot in round 5; rotated to the
+    # tail in round 6 for entity_golden_parts, which contains it as
+    # its first stage — see the round-6 blocks)
     # degree-oriented triangle counting / clustering coefficients (new
     # capability; displaces unigram_quality_score, whose zero-UDF
     # text-kernel family stays recorded via text_profile and
@@ -476,6 +479,11 @@ _DEFERRED = [
     # hash-order sampling family recorded via stratified_sample
     # r01..r04 + curation_pipeline_full. Green row in CORRECTNESS_r05.
     "customer_sample_per_nation",
+    # round-6 rotation OUT: JW blocked pairs making room for
+    # entity_golden_parts, which runs the same pair generator as its
+    # first stage; stays oracle-checked here each round. Green row in
+    # CORRECTNESS_r05.
+    "part_name_linkage",
 ]
 
 
@@ -5268,5 +5276,72 @@ def events_sliding_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             F.count_distinct("user_id").cast("long").alias("distinct_users"),
             F.count("*").cast("long").alias("n_events"),
+        ],
+    )
+
+
+@_q(
+    "entity_golden_parts",
+    """
+    WITH RECURSIVE names AS (
+      SELECT DISTINCT p_name FROM part),
+    pairs AS (
+      SELECT a.p_name AS id_a, b.p_name AS id_b
+      FROM names a
+      JOIN names b
+        ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+       AND a.p_name < b.p_name
+      WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+            >= 0.88),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(n, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT reach.n, e.b FROM reach JOIN edges e ON reach.r = e.a),
+    comp AS (SELECT n, MIN(r) AS root FROM reach GROUP BY n),
+    labeled AS (
+      SELECT pt.p_name, pt.p_retailprice, pt.p_size,
+             COALESCE(c.root, pt.p_name) AS cluster
+      FROM part pt LEFT JOIN comp c ON pt.p_name = c.n)
+    SELECT cluster,
+           CAST(COUNT(DISTINCT p_name) AS BIGINT) AS n_variants,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(ROUND(SUM(p_retailprice), 6) / COUNT(*), 6)
+             AS avg_price,
+           CAST(MAX(p_size) AS BIGINT) AS max_size
+    FROM labeled GROUP BY cluster
+    """,
+    doc="entity resolution to GOLDEN RECORDS over the part catalog "
+    "(operators/graph.py:resolve_entities): Jaro-Winkler blocked "
+    "pairs (>= 0.88, first-token blocking — never the cross product) "
+    "become clusters by min-label connected components, singletons "
+    "keep their own id, and each cluster collapses to one canonical "
+    "row (variant count, member count, stable-avg price, max size). "
+    "Survivorship is caller-supplied aggregates, not baked-in "
+    "policy; CC shuffles (node,label) pairs only and records join "
+    "the label table once",
+)
+def entity_golden_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import jw_blocked_pairs
+    from .operators.graph import resolve_entities
+
+    part = load(spark, sf_dir, "part")
+    names = (
+        part.select("p_name")
+        .distinct()
+        .select(F.col("p_name").alias("name_id"), "p_name")
+    )
+    pairs = jw_blocked_pairs(names, "name_id", "p_name", threshold=0.88)
+    return resolve_entities(
+        part,
+        "p_name",
+        pairs.select("id_a", "id_b"),
+        [
+            F.count_distinct("p_name").cast("long").alias("n_variants"),
+            F.count("*").cast("long").alias("n_parts"),
+            stable_avg("p_retailprice").alias("avg_price"),
+            F.max("p_size").cast("long").alias("max_size"),
         ],
     )

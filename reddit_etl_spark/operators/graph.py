@@ -735,3 +735,43 @@ def kcore(
         alive.groupBy(F.col("a").alias("node"))
         .agg(F.count("*").cast("long").alias("degree"))
     )
+
+
+def resolve_entities(
+    records: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    aggs: list,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    cluster_col: str = "cluster",
+    cc_algorithm: str = "min",
+) -> DataFrame:
+    """Entity resolution: turn pairwise MATCH evidence (from
+    ``dedup.jw_blocked_pairs``, MinHash, or any blocker) into GOLDEN
+    RECORDS — one aggregated row per real-world entity. Pairs become
+    clusters by connected components (min-label id, so the cluster
+    key is the smallest member id — deterministic on any
+    partitioning); every record joins its cluster (singletons keep
+    their own id as the cluster) and ``aggs`` collapse each cluster
+    into the canonical row.
+
+    Survivorship is whatever the caller aggregates: F.min for
+    "first/lowest wins", F.max_by(col, quality) for "best source
+    wins", F.collect_set for multi-valued provenance. No policy is
+    baked in.
+
+    Scale: the CC rounds shuffle (node, label) pairs only; records
+    join the label table once on the id (1:1); the final groupBy is
+    map-side combined. The heavy text/blocking work already happened
+    in the pair generator.
+    """
+    comps = connected_components(pairs, id_a, id_b, algorithm=cc_algorithm)
+    labeled = (
+        records.join(
+            comps, records[id_col] == comps["node"], "left"
+        )
+        .withColumn(cluster_col, F.coalesce("component", F.col(id_col)))
+        .drop("node", "component")
+    )
+    return labeled.groupBy(cluster_col).agg(*aggs)

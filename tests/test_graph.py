@@ -496,3 +496,38 @@ def test_kcore_peels_cascade_and_validates(spark):
         kcore(edges, k=0)
     with _pytest.raises(ValueError, match="rounds >= 1"):
         kcore(edges, k=2, rounds=0)
+
+
+def test_resolve_entities_golden_records(spark):
+    from pyspark.sql import functions as F
+
+    from reddit_etl_spark.operators.graph import resolve_entities
+
+    records = spark.createDataFrame(
+        [
+            ("acme corp", 10.0),
+            ("acme corp.", 20.0),
+            ("acme inc", 30.0),
+            ("zeta ltd", 5.0),
+        ],
+        "name string, revenue double",
+    )
+    # match evidence chains acme corp ~ acme corp. ~ acme inc
+    pairs = spark.createDataFrame(
+        [("acme corp", "acme corp."), ("acme corp.", "acme inc")],
+        "id_a string, id_b string",
+    )
+    got = {
+        r["cluster"]: (r["n"], r["total"])
+        for r in resolve_entities(
+            records,
+            "name",
+            pairs,
+            [
+                F.count("*").cast("long").alias("n"),
+                F.round(F.sum("revenue"), 6).alias("total"),
+            ],
+        ).collect()
+    }
+    # cluster key = min member id; singleton keeps its own id
+    assert got == {"acme corp": (3, 60.0), "zeta ltd": (1, 5.0)}
