@@ -147,6 +147,12 @@ _PROMOTED = [
     # family shares anomaly_zscore_daily's recorded daily-rollup
     # surface; green row r05)
     "decayed_engagement",
+    # round-6: Bloom-pruned semi-join (new capability; displaces
+    # item_affinity, whose market-basket co-occurrence readout stays
+    # oracle-checked in the tail and whose pair-join family keeps a
+    # recorded row via term_collocations — the same PMI/co-occurrence
+    # shape; green row r05)
+    "bloom_semi_lineitem",
     # round-6: entity resolution to golden records (new capability;
     # displaces part_name_linkage, whose JW blocked-pair generation is
     # the FIRST STAGE of this very query — the pair surface stays
@@ -226,11 +232,8 @@ _PROMOTED = [
     # anomaly_zscore_daily's daily rollup and pinned by the
     # batch-stream equivalence tests; it remains a bench headline)
     "gap_fill_hourly",
-    # market-basket affinity (new capability; displaces
-    # incremental_dedup, whose persisted-index increment shape stays
-    # recorded via incremental_minhash and oracle-checked in the tail
-    # via the extension_sql equivalence tests)
-    "item_affinity",
+    # (item_affinity held this slot in round 5; rotated to the tail
+    # in round 6 for bloom_semi_lineitem — see the round-6 blocks)
     # PMI collocation mining (composition of the vocab top-k and
     # item_affinity shapes; displaces cross_source_dups, whose
     # multi-source duplicate QA stays oracle-checked in the tail and
@@ -484,6 +487,11 @@ _DEFERRED = [
     # first stage; stays oracle-checked here each round. Green row in
     # CORRECTNESS_r05.
     "part_name_linkage",
+    # round-6 rotation OUT: market-basket affinity making room for
+    # bloom_semi_lineitem; stays oracle-checked here each round and
+    # its co-occurrence pair family keeps a recorded row via
+    # term_collocations. Green row in CORRECTNESS_r05.
+    "item_affinity",
 ]
 
 
@@ -5344,4 +5352,65 @@ def entity_golden_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_avg("p_retailprice").alias("avg_price"),
             F.max("p_size").cast("long").alias("max_size"),
         ],
+    )
+
+
+@_q(
+    "bloom_semi_lineitem",
+    """
+    WITH keys AS (
+      SELECT DISTINCT o_orderkey FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_nationkey = 0)
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(l_quantity) AS BIGINT) AS total_qty,
+           TRUE AS bloom_exact,
+           TRUE AS bloom_pruned
+    FROM lineitem JOIN keys ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag
+    """,
+    doc="Bloom-pruned semi-join (operators/skew.py:bloom_semi_join): "
+    "lineitem rows restricted to nation-0 customers' orders. The "
+    "filter builds DISTRIBUTED (per-64-bit-word BIT_OR aggregation; "
+    "driver/broadcast memory = bits/8 bytes by PARAMETER, never key "
+    "count), broadcasts once, and an Arrow kernel drops non-matching "
+    "rows AT THE SCAN before any shuffle; the surviving sliver exact-"
+    "verifies through a plain semi-join, so the result equals the "
+    "un-pruned semi-join bit-for-bit. Audit booleans baked into the "
+    "hash: bloom_exact = pruned+verified equals the plain semi-join "
+    "row count; bloom_pruned = the no-verify stream carried <= 2% "
+    "false positives at these parameters (no false negatives by "
+    "construction)",
+)
+def bloom_semi_lineitem_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import bloom_semi_join
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    lineitem = load(spark, sf_dir, "lineitem")
+    keys = (
+        orders.join(
+            customer, orders["o_custkey"] == customer["c_custkey"]
+        )
+        .filter(F.col("c_nationkey") == 0)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+        .distinct()
+    )
+    got = bloom_semi_join(lineitem, keys, "l_orderkey", bits=1 << 20, k=5)
+    # audits: exactness vs the plain semi-join, and real pruning power
+    # of the no-verify stream (FP slack 2%) — tiny scalar actions, all
+    # deterministic given the seeded double-hash design
+    exact_n = lineitem.join(keys, "l_orderkey", "semi").count()
+    got_n = got.count()
+    pruned_n = bloom_semi_join(
+        lineitem, keys, "l_orderkey", bits=1 << 20, k=5, verify=False
+    ).count()
+    bloom_exact = bool(got_n == exact_n)
+    bloom_pruned = bool(pruned_n <= exact_n * 1.02 + 64)
+    return got.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("l_quantity").cast("long").alias("total_qty"),
+        F.lit(bloom_exact).alias("bloom_exact"),
+        F.lit(bloom_pruned).alias("bloom_pruned"),
     )

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -177,3 +179,102 @@ def join_key_profile(
             "top_keys",
         )
     )
+
+
+def build_bloom(
+    keys: DataFrame,
+    key_col: str,
+    bits: int = 1 << 23,
+    k: int = 5,
+):
+    """Distributed Bloom-filter build over a key column: every key
+    sets ``k`` bit positions by double hashing (h1 + i*h2 mod bits,
+    both legs xxhash64 with different seeds), positions aggregate as
+    per-64-bit-word BIT_ORs, and the word frame assembles into one
+    numpy uint64 array at the driver.
+
+    Driver/broadcast memory is bounded by ``bits/8`` BYTES — a
+    parameter you choose — never by the key count: a billion keys
+    through a 2^30-bit filter still collects at most 128 MiB of
+    words. (Contrast a broadcast semi-join, whose build side grows
+    with the keys.) False-positive rate ~ (1 - e^(-k*n/bits))^k; no
+    false negatives by construction.
+
+    Returns (numpy_bit_words, bits, k) for :func:`bloom_semi_join` or
+    any custom prober.
+    """
+    if bits < 64 or bits & (bits - 1):
+        raise ValueError("bits must be a power of two >= 64")
+    h1 = F.xxhash64(F.col(key_col))
+    h2 = F.xxhash64(F.col(key_col), F.lit(-7046029254386353131))
+    probes = keys.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: F.pmod(h1 + i * h2, F.lit(bits)),
+            )
+        ).alias("__pos")
+    )
+    words = (
+        probes.select(
+            F.expr("shiftrightunsigned(__pos, 6)").alias("__w"),
+            F.expr("shiftleft(1L, cast(__pos % 64 AS INT))").alias("__m"),
+        )
+        .groupBy("__w")
+        .agg(F.expr("bit_or(__m)").alias("__bits"))
+    )
+    arr = np.zeros(bits >> 6, dtype=np.uint64)
+    pdf = words.toPandas()
+    arr[pdf["__w"].to_numpy()] = pdf["__bits"].to_numpy().astype(np.int64).view(np.uint64)
+    return arr, bits, k
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    bits: int = 1 << 23,
+    k: int = 5,
+    verify: bool = True,
+) -> DataFrame:
+    """Semi-join ``big`` to ``small``'s key set with a Bloom-filter
+    pre-prune: the 100 TB shuffle-reduction pattern when the probe
+    side is huge and mostly non-matching. The filter (built
+    distributed, ``bits/8`` bytes regardless of key count) broadcasts
+    once; an Arrow-batched kernel drops non-matching rows AT THE SCAN
+    — before any shuffle — and the surviving sliver flows into an
+    exact semi-join (``verify=True``, the default) that removes the
+    Bloom's false positives, so the result is EXACTLY the plain
+    semi-join, just cheaper to reach. ``verify=False`` returns the
+    pruned stream as-is (no false negatives, FP rate set by
+    bits/k — the decontamination-probe trade).
+
+    The kernel probes all k positions vectorized (wrapping uint64
+    double hashing, identical to the build); Python cost is one Arrow
+    batch pass over the big side, repaid by shuffling only matches.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    arr, bits, k = build_bloom(small.select(on), on, bits=bits, k=k)
+    sc = big.sparkSession.sparkContext
+    barr = sc.broadcast(arr)
+    mask = np.uint64(bits - 1)
+
+    @pandas_udf("boolean")
+    def _might_contain(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        a = barr.value
+        x1 = h1.to_numpy(dtype=np.int64).view(np.uint64)
+        x2 = h2.to_numpy(dtype=np.int64).view(np.uint64)
+        ok = np.ones(len(x1), dtype=bool)
+        for i in range(k):
+            pos = (x1 + np.uint64(i) * x2) & mask
+            w = a[(pos >> np.uint64(6)).astype(np.int64)]
+            ok &= (w >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        return pd.Series(ok)
+
+    h1 = F.xxhash64(F.col(on))
+    h2 = F.xxhash64(F.col(on), F.lit(-7046029254386353131))
+    pruned = big.filter(_might_contain(h1, h2))
+    if not verify:
+        return pruned
+    return pruned.join(small.select(on).distinct(), on, "semi")

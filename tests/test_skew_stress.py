@@ -259,3 +259,37 @@ def test_join_key_profile_separator_bytes_in_values_do_not_collide(spark):
     assert r["distinct_left"] == 2
     assert r["common_keys"] == 1
     assert r["output_rows"] == left.join(right, ["x", "y"]).count() == 1
+
+
+def test_bloom_semi_join_exact_and_prunes(spark):
+    from pyspark.sql import functions as F
+
+    from reddit_etl_spark.operators.skew import bloom_semi_join
+
+    small = spark.range(0, 300).select((F.col("id") * 7).alias("k"))
+    big = spark.range(0, 50000).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("v")
+    )
+    exact = {tuple(r) for r in big.join(small, "k", "semi").collect()}
+    got = {
+        tuple(r)
+        for r in bloom_semi_join(big, small, "k", bits=1 << 16, k=5).collect()
+    }
+    assert got == exact
+    # no false negatives ever; FPs bounded at these parameters
+    pruned = bloom_semi_join(
+        big, small, "k", bits=1 << 16, k=5, verify=False
+    ).count()
+    assert len(exact) <= pruned <= len(exact) * 1.05 + 64
+    # string keys and NULL-free behavior
+    s2 = spark.createDataFrame([("a",), ("b",)], "k string")
+    b2 = spark.createDataFrame(
+        [("a", 1), ("c", 2), ("d", 3)], "k string, v int"
+    )
+    assert sorted(r["k"] for r in bloom_semi_join(b2, s2, "k", bits=1 << 10).collect()) == ["a"]
+    import pytest as _pytest
+
+    from reddit_etl_spark.operators.skew import build_bloom
+
+    with _pytest.raises(ValueError, match="power of two"):
+        build_bloom(s2, "k", bits=1000)
