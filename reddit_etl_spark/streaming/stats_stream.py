@@ -373,3 +373,69 @@ def streaming_zscore_anomalies(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_hll_distinct_rollup(
+    events_stream: DataFrame,
+    group_cols: list,
+    value_col: str,
+    state_path: str,
+    checkpoint_path: str,
+    lg_k: int = 12,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Continuously maintain a per-group DISTINCT-COUNT rollup from a
+    stream, as mergeable HLL sketches — the 100 TB pattern where the
+    raw stream is never re-scannable: each micro-batch folds into a
+    KB-sized sketch per group, and any later coarsening
+    (day -> week -> all-time) re-aggregates sketches, not events.
+
+    Each micro-batch computes per-group batch sketches
+    (``hll_sketch_agg``), unions them with the persisted state via
+    ``hll_union_agg`` (register-wise max — ASSOCIATIVE and
+    COMMUTATIVE, so the final state is independent of how the stream
+    was chopped into batches; the batch/stream equivalence test pins
+    this), and atomically replaces the state table with estimates
+    alongside the binary sketches.
+
+    State size: O(groups) x ~2^lg_k bytes, independent of stream
+    volume. The swap is last-writer-wins per micro-batch (foreachBatch
+    runs exactly-once per epoch under checkpointing).
+    """
+    from ..operators.sketch import hll_merge_rollup, hll_rollup
+
+    def fold_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_sk = hll_rollup(batch_df, group_cols, value_col, lg_k=lg_k)
+        try:
+            prior = spark.read.parquet(state_path).select(
+                *group_cols, "hll_sketch"
+            )
+            both = batch_sk.select(*group_cols, "hll_sketch").unionByName(
+                prior
+            )
+        except Exception:
+            both = batch_sk.select(*group_cols, "hll_sketch")
+        merged = hll_merge_rollup(both, group_cols)
+        # stage-then-swap keeps readers from seeing a half-written
+        # state; the tmp dir lives next to the target for same-FS moves
+        tmp = state_path + ".staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        # the write above is an action: the merged state (including
+        # everything read from the old files) is fully on disk in tmp
+        # before the old directory is touched
+        import shutil
+
+        shutil.rmtree(state_path, ignore_errors=True)
+        shutil.move(tmp, state_path)
+
+    writer = (
+        events_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(fold_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -397,3 +397,49 @@ def test_streaming_sessions_late_chain_merges_transitively(spark, tmp_path):
     assert main_start in got
     end, cnt, tot = got[main_start]
     assert (cnt, tot) == (4, 4.0) and end == base + dt.timedelta(minutes=3)
+
+
+def test_streaming_hll_rollup_matches_batch(spark, tmp_path):
+    """Chopping the stream into micro-batches must not change the
+    final sketch state: HLL union is register-wise max (associative,
+    commutative), so stream-folded estimates equal the one-shot batch
+    rollup exactly."""
+    from reddit_etl_spark.operators.sketch import hll_rollup
+    from reddit_etl_spark.streaming.stats_stream import (
+        stream_hll_distinct_rollup,
+    )
+
+    rows = [
+        ("t%d" % (i % 3), "u%d" % (i % 37)) for i in range(200)
+    ]
+    schema = "etype string, user string"
+    src = str(tmp_path / "hll_in")
+    # three separate files -> three micro-batches
+    for j in range(3):
+        spark.createDataFrame(rows[j::3], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    state = str(tmp_path / "hll_state")
+    q = stream_hll_distinct_rollup(
+        stream,
+        ["etype"],
+        "user",
+        state,
+        str(tmp_path / "hll_ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    got = {
+        r["etype"]: r["distinct_estimate"]
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        r["etype"]: r["distinct_estimate"]
+        for r in hll_rollup(
+            spark.createDataFrame(rows, schema), ["etype"], "user"
+        ).collect()
+    }
+    assert got == want and len(want) == 3
