@@ -103,6 +103,39 @@ class Corpus:
         comps = connected_components(pairs, "id_a", "id_b")
         return self._with(dedup_survivors(self._df, comps, self.id_col))
 
+    def dedup_segments(
+        self,
+        sep: str = "\n",
+        words_per_segment: int | None = None,
+        keep: str = "first",
+        min_docs: int = 2,
+    ) -> "Corpus":
+        """Rewrite every document with its corpus-wide duplicated
+        segments removed (CCNet line dedup / boilerplate stripping) —
+        unlike the document-level dedups, this EDITS texts in place
+        and keeps every row. See ``operators.dedup.segment_dedup``
+        for the keep='first'/'none' policies."""
+        from .operators.dedup import segment_dedup
+
+        rebuilt = segment_dedup(
+            self._df,
+            self.id_col,
+            self.text_col,
+            sep=sep,
+            words_per_segment=words_per_segment,
+            keep=keep,
+            min_docs=min_docs,
+        )
+        return self._with(
+            self._df.drop(self.text_col).join(
+                rebuilt.select(
+                    self.id_col,
+                    F.col("text_deduped").alias(self.text_col),
+                ),
+                self.id_col,
+            )
+        )
+
     def decontaminate(
         self,
         benchmark: DataFrame,

@@ -251,3 +251,32 @@ def test_corpus_duplicate_spans_surfaces_boilerplate(spark):
     spans = Corpus(df).duplicate_spans(n=8, k=5).collect()
     assert spans and spans[0]["n_docs"] == 4
     assert spans[0]["span"] in boiler
+
+
+def test_corpus_dedup_segments_strips_boilerplate_in_chain(spark):
+    from reddit_etl_spark.corpus import Corpus
+
+    rows = [
+        (1, "all rights reserved\nalpha beta gamma"),
+        (2, "all rights reserved\ndelta epsilon zeta"),
+        (3, "all rights reserved\neta theta iota"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in Corpus(df)
+        .dedup_segments(sep="\n", keep="none", min_docs=3)
+        .df.collect()
+    }
+    assert out == {
+        1: "alpha beta gamma",
+        2: "delta epsilon zeta",
+        3: "eta theta iota",
+    }
+    # keep='first' retains exactly one copy of the shared line
+    first = {
+        r["doc_id"]: r["text"]
+        for r in Corpus(df).dedup_segments(sep="\n", keep="first").df.collect()
+    }
+    assert first[1] == rows[0][1]
+    assert first[2] == "delta epsilon zeta"
