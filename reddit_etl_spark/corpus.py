@@ -217,6 +217,31 @@ class Corpus:
             bpe_token_counts(self._df, self.text_col, merges)
         )
 
+    def tokenize_unigram(
+        self,
+        model: dict[str, float] | None = None,
+        vocab_size: int = 512,
+        max_piece_len: int = 6,
+    ) -> "Corpus":
+        """Attach unigram-LM piece arrays (``unigram_pieces`` column,
+        Viterbi segmentation). ``model=None`` trains on THIS corpus
+        first (distributed EM over the word-frequency table — an
+        eager action); pass a trained piece->log-prob dict to stay
+        lazy and tokenize consistently across corpora."""
+        from .operators.unigram import train_unigram, unigram_encode
+
+        if model is None:
+            model = train_unigram(
+                self._df, self.text_col,
+                vocab_size=vocab_size, max_piece_len=max_piece_len,
+            )
+        return self._with(
+            unigram_encode(
+                self._df, self.text_col, model,
+                out_col="unigram_pieces", max_piece_len=max_piece_len,
+            )
+        )
+
     # -- retrieval actions --------------------------------------------
 
     def bm25(

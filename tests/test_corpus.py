@@ -280,3 +280,12 @@ def test_corpus_dedup_segments_strips_boilerplate_in_chain(spark):
     }
     assert first[1] == rows[0][1]
     assert first[2] == "delta epsilon zeta"
+
+
+def test_corpus_tokenize_unigram_chain(spark):
+    from reddit_etl_spark.corpus import Corpus
+
+    rows = [(i, "unigram pieces segment unigram text") for i in range(15)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = Corpus(df).tokenize_unigram(vocab_size=40).df.first()
+    assert "".join(out["unigram_pieces"]) == "unigrampiecessegmentunigramtext"
