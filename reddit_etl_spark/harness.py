@@ -147,6 +147,11 @@ _PROMOTED = [
     # family shares anomaly_zscore_daily's recorded daily-rollup
     # surface; green row r05)
     "decayed_engagement",
+    # round-6: wide-to-long melt/unpivot (new capability; displaces
+    # event_pattern_counts, whose regex-CEP surface stays
+    # oracle-checked in the tail and pinned by tests/test_sessions.py;
+    # green row r05)
+    "events_daily_melt",
     # round-6: Bloom-pruned semi-join (new capability; displaces
     # item_affinity, whose market-basket co-occurrence readout stays
     # oracle-checked in the tail and whose pair-join family keeps a
@@ -244,10 +249,8 @@ _PROMOTED = [
     # whose binary-column plumbing stays pinned by the pytest suite,
     # the oracle tail, and the phash/codec family)
     "daily_trend_slope",
-    # regex CEP pattern matching (new capability; displaces
-    # weighted_sample_sources, whose E-S sampling stays recorded via
-    # curation_pipeline_full + the extension_sql equivalence tests)
-    "event_pattern_counts",
+    # (event_pattern_counts held this slot in round 5; rotated to the
+    # tail in round 6 for events_daily_melt — see the round-6 blocks)
     # data-quality expectations (new capability; displaces
     # pii_redaction, whose regex-scrub kernel stays pinned by
     # tests/test_curation.py and this oracle tail — redaction output
@@ -492,6 +495,10 @@ _DEFERRED = [
     # its co-occurrence pair family keeps a recorded row via
     # term_collocations. Green row in CORRECTNESS_r05.
     "item_affinity",
+    # round-6 rotation OUT: regex CEP pattern counts making room for
+    # events_daily_melt; stays oracle-checked here each round and
+    # pinned by tests/test_sessions.py. Green row in CORRECTNESS_r05.
+    "event_pattern_counts",
 ]
 
 
@@ -5413,4 +5420,38 @@ def bloom_semi_lineitem_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_quantity").cast("long").alias("total_qty"),
         F.lit(bloom_exact).alias("bloom_exact"),
         F.lit(bloom_pruned).alias("bloom_pruned"),
+    )
+
+
+@_q(
+    "events_daily_melt",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'error')
+                  AS BIGINT) AS n_errors
+      FROM events GROUP BY 1)
+    SELECT day, metric, value
+    FROM daily UNPIVOT (value FOR metric IN (n_events, n_users, n_errors))
+    """,
+    doc="wide-to-long reshape (melt / UNPIVOT) of the daily event "
+    "rollup via Spark's native unpivot: the tidy-data long form "
+    "metric stores and plotting layers consume. Zero extra shuffle — "
+    "unpivot is a narrow row-expansion (x3 here) on top of the "
+    "rollup's one aggregate exchange; ids stay columns, measure "
+    "names become data",
+)
+def events_daily_melt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.count(F.when(F.col("event_type") == "error", 1))
+        .cast("long")
+        .alias("n_errors"),
+    )
+    return daily.unpivot(
+        ["day"], ["n_events", "n_users", "n_errors"], "metric", "value"
     )
