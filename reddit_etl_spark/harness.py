@@ -5141,7 +5141,8 @@ _KCORE_ORACLE = (
         SELECT dst AS a, src AS b FROM ed)
       WHERE a <> b),
     kk AS MATERIALIZED (
-      SELECT (COUNT(*) // COUNT(DISTINCT a)) * 9 // 16 AS k FROM e0),"""
+      SELECT GREATEST((COUNT(*) // COUNT(DISTINCT a)) * 9 // 16, 1)
+        AS k FROM e0),"""
     + ",".join(
         _KCORE_ITER.format(i=i, p=i - 1) for i in range(1, 5)
     )
@@ -5197,7 +5198,9 @@ def kcore_cust_supp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = und.agg(
         F.count("*").alias("e2"), F.count_distinct("a").alias("n")
     ).first()
-    k = (row["e2"] // row["n"]) * 9 // 16
+    # clamp to 1: a graph with integer mean degree 1 would derive
+    # k=0, which kcore rejects while the oracle would keep all nodes
+    k = max((row["e2"] // row["n"]) * 9 // 16, 1)
     return kcore(edges, k=k, rounds=4)
 
 
@@ -5248,7 +5251,17 @@ def decayed_engagement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = decayed_sum(
         ev, "user_id", "ts", "value", half_life_s=7 * 86400
     )
-    ew = ewma_last(ev, "user_id", ["ts", "event_id"], "value", alpha=0.3)
+    # order the EWMA on FLOORED seconds + event_id, exactly like the
+    # oracle: ordering by the sub-second ts would rank same-second
+    # events by microseconds where the oracle ranks them by event_id
+    # — a latent cross-engine divergence (floor-of-epoch rule)
+    ew = ewma_last(
+        ev.withColumn("ts_s", F.floor(F.unix_timestamp("ts"))),
+        "user_id",
+        ["ts_s", "event_id"],
+        "value",
+        alpha=0.3,
+    )
     return dec.join(ew.select("user_id", "ewma"), "user_id")
 
 
@@ -5386,12 +5399,17 @@ def entity_golden_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "verifies through a plain semi-join, so the result equals the "
     "un-pruned semi-join bit-for-bit. Audit booleans baked into the "
     "hash: bloom_exact = pruned+verified equals the plain semi-join "
-    "row count; bloom_pruned = the no-verify stream carried <= 2% "
-    "false positives at these parameters (no false negatives by "
-    "construction)",
+    "row count; bloom_pruned = the no-verify stream's false positives "
+    "stay within 5x the analytic (1-e^(-kn/bits))^k rate applied to "
+    "the PROBE side — a bound that holds at any SF because the "
+    "filter is sized to the key count (16 bits/key, >= 2^20) and the "
+    "allowance scales with the rows actually probed (no false "
+    "negatives by construction)",
 )
 def bloom_semi_lineitem_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.skew import bloom_semi_join
+    import math as _math
+
+    from .operators.skew import bloom_semi_join, build_bloom
 
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
@@ -5403,18 +5421,31 @@ def bloom_semi_lineitem_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_nationkey") == 0)
         .select(F.col("o_orderkey").alias("l_orderkey"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    got = bloom_semi_join(lineitem, keys, "l_orderkey", bits=1 << 20, k=5)
-    # audits: exactness vs the plain semi-join, and real pruning power
-    # of the no-verify stream (FP slack 2%) — tiny scalar actions, all
-    # deterministic given the seeded double-hash design
+    # size the filter to the key count (16 bits/key, >= 2^20) so the
+    # FP rate stays ~constant as SF grows, and build it ONCE — the
+    # same (arr, bits, k) serves the probe and both audits
+    n_keys = keys.count()
+    bits = 1 << max(20, _math.ceil(_math.log2(max(16 * n_keys, 2))))
+    filt = build_bloom(keys, "l_orderkey", bits=bits, k=5)
+    pruned = bloom_semi_join(
+        lineitem, keys, "l_orderkey", verify=False, prebuilt=filt
+    ).localCheckpoint(eager=False)
+    got = pruned.join(keys, "l_orderkey", "semi")
+    # audits: exactness vs the plain semi-join, and pruning power —
+    # the FP allowance scales with the PROBE side (expected FPs =
+    # fp_rate x non-matching rows), not the match count, so the bound
+    # holds at any SF; 5x headroom over the analytic rate
     exact_n = lineitem.join(keys, "l_orderkey", "semi").count()
+    big_n = lineitem.count()
     got_n = got.count()
-    pruned_n = bloom_semi_join(
-        lineitem, keys, "l_orderkey", bits=1 << 20, k=5, verify=False
-    ).count()
+    pruned_n = pruned.count()
+    fp_rate = (1.0 - _math.exp(-5.0 * n_keys / bits)) ** 5
     bloom_exact = bool(got_n == exact_n)
-    bloom_pruned = bool(pruned_n <= exact_n * 1.02 + 64)
+    bloom_pruned = bool(
+        pruned_n <= exact_n + 5.0 * fp_rate * big_n + 64
+    )
     return got.groupBy("l_returnflag").agg(
         F.count("*").cast("long").alias("n_items"),
         F.sum("l_quantity").cast("long").alias("total_qty"),

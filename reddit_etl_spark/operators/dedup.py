@@ -1073,9 +1073,15 @@ def segment_dedup(
         # literal separator split; empty segments (separator runs)
         # are dropped from matching AND reassembly, which normalizes
         # blank-line runs — documented, and what boilerplate removal
-        # wants
+        # wants. F.split treats its pattern as a Java regex, so the
+        # LITERAL separator is escaped first — otherwise sep="." would
+        # split on every character and sep="|" on every boundary,
+        # while reassembly joined with the raw literal.
+        import re as _re
+
         segs = F.filter(
-            F.split(text, F.lit(sep), -1), lambda s: s != F.lit("")
+            F.split(text, F.lit(_re.escape(sep)), -1),
+            lambda s: s != F.lit(""),
         )
         join_sep = sep
     base = df.select(F.col(id_col).alias("__id"), segs.alias("__segs"))

@@ -236,6 +236,7 @@ def bloom_semi_join(
     bits: int = 1 << 23,
     k: int = 5,
     verify: bool = True,
+    prebuilt: tuple | None = None,
 ) -> DataFrame:
     """Semi-join ``big`` to ``small``'s key set with a Bloom-filter
     pre-prune: the 100 TB shuffle-reduction pattern when the probe
@@ -252,10 +253,17 @@ def bloom_semi_join(
     The kernel probes all k positions vectorized (wrapping uint64
     double hashing, identical to the build); Python cost is one Arrow
     batch pass over the big side, repaid by shuffling only matches.
+    ``prebuilt`` takes a ``build_bloom`` result so one filter build
+    serves many probes (audits, retries, multiple fact tables) —
+    without it every call pays a fresh distributed build + broadcast.
     """
     from pyspark.sql.functions import pandas_udf
 
-    arr, bits, k = build_bloom(small.select(on), on, bits=bits, k=k)
+    arr, bits, k = (
+        prebuilt
+        if prebuilt is not None
+        else build_bloom(small.select(on), on, bits=bits, k=k)
+    )
     sc = big.sparkSession.sparkContext
     barr = sc.broadcast(arr)
     mask = np.uint64(bits - 1)

@@ -196,7 +196,11 @@ def stream_incremental_dedup(
     Hadoop FileSystem API (``sinks.writers.path_has_data``), so
     ``keys_path``/``out_path`` may be any URI Spark can read — file:/,
     hdfs:/, s3a:/ — not just local paths."""
-    from ..operators.dedup import content_key_col, incremental_exact_dedup
+    from ..operators.dedup import (
+        CONTENT_KEY_VERSION,
+        content_key_col,
+        incremental_exact_dedup,
+    )
     from ..sinks.writers import path_has_data
 
     import hashlib
@@ -216,6 +220,33 @@ def stream_incremental_dedup(
             else None
         )
         if seen is not None:
+            # the version stamp is the docstring-mandated guard made
+            # REAL: a key index hashed under a different format would
+            # not error — it would silently stop matching known
+            # content and re-admit every historical duplicate — so a
+            # missing stamp (pre-versioning index) or a mismatched one
+            # refuses loudly with the rebuild instruction
+            if "key_version" not in seen.columns:
+                raise ValueError(
+                    f"content-key index at {keys_path} has no "
+                    "key_version column (written before format "
+                    f"v{CONTENT_KEY_VERSION} stamping): its keys are "
+                    "not comparable to the current format and would "
+                    "silently re-admit known duplicates. Rebuild the "
+                    "index from the corpus (or migrate it) before "
+                    "resuming."
+                )
+            mm = seen.agg(
+                F.min("key_version").alias("lo"),
+                F.max("key_version").alias("hi"),
+            ).first()
+            if mm["lo"] != CONTENT_KEY_VERSION or mm["hi"] != CONTENT_KEY_VERSION:
+                raise ValueError(
+                    f"content-key index at {keys_path} holds format "
+                    f"version(s) {mm['lo']}..{mm['hi']} but this build "
+                    f"writes v{CONTENT_KEY_VERSION}: rebuild the index "
+                    "— mixed formats silently re-admit duplicates."
+                )
             # a replayed batch's own keys must not mask it as 'seen';
             # drop the partition column before the index union/probe
             seen = seen.filter(F.col("batch") != bkey).select("h64", "h128")
@@ -227,7 +258,9 @@ def stream_incremental_dedup(
         (
             novel.select(content_key_col(content_cols).alias("__ck"))
             .select(
-                F.col("__ck.h64").alias("h64"), F.col("__ck.h128").alias("h128")
+                F.col("__ck.h64").alias("h64"),
+                F.col("__ck.h128").alias("h128"),
+                F.lit(CONTENT_KEY_VERSION).alias("key_version"),
             )
             .write.mode("overwrite")
             .parquet(f"{keys_path}/batch={bkey}")
@@ -395,41 +428,38 @@ def stream_hll_distinct_rollup(
     ``hll_union_agg`` (register-wise max — ASSOCIATIVE and
     COMMUTATIVE, so the final state is independent of how the stream
     was chopped into batches; the batch/stream equivalence test pins
-    this), and atomically replaces the state table with estimates
-    alongside the binary sketches.
+    this), and commits the merged state as a new VERSION of a
+    snapshot-versioned table (``sinks/versioned.py``): the publish is
+    an atomic manifest rename with no delete-then-move crash window,
+    a crash mid-commit leaves the prior version fully readable, and
+    history stays auditable until ``vacuum``. First-batch detection
+    is EXPLICIT (no versions committed yet) — a genuine read failure
+    raises instead of being mistaken for "no state" and silently
+    resetting the accumulated counts to one batch's worth.
 
-    State size: O(groups) x ~2^lg_k bytes, independent of stream
-    volume. The swap is last-writer-wins per micro-batch (foreachBatch
-    runs exactly-once per epoch under checkpointing).
+    State size per version: O(groups) x ~2^lg_k bytes, independent of
+    stream volume. Read the rollup with
+    ``sinks.versioned.read_versioned(spark, state_path)``.
     """
     from ..operators.sketch import hll_merge_rollup, hll_rollup
+    from ..sinks.versioned import read_versioned, versions, write_versioned
 
     def fold_batch(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         batch_sk = hll_rollup(batch_df, group_cols, value_col, lg_k=lg_k)
-        try:
-            prior = spark.read.parquet(state_path).select(
+        if versions(state_path):
+            prior = read_versioned(spark, state_path).select(
                 *group_cols, "hll_sketch"
             )
             both = batch_sk.select(*group_cols, "hll_sketch").unionByName(
                 prior
             )
-        except Exception:
+        else:
             both = batch_sk.select(*group_cols, "hll_sketch")
         merged = hll_merge_rollup(both, group_cols)
-        # stage-then-swap keeps readers from seeing a half-written
-        # state; the tmp dir lives next to the target for same-FS moves
-        tmp = state_path + ".staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        # the write above is an action: the merged state (including
-        # everything read from the old files) is fully on disk in tmp
-        # before the old directory is touched
-        import shutil
-
-        shutil.rmtree(state_path, ignore_errors=True)
-        shutil.move(tmp, state_path)
+        write_versioned(merged, state_path, mode="overwrite")
 
     writer = (
         events_stream.writeStream.outputMode("append")

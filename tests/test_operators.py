@@ -1175,3 +1175,21 @@ def test_segment_dedup_word_windows_and_validation(spark):
         segment_dedup(docs, "doc_id", "text", keep="bogus")
     with _pytest.raises(ValueError, match="words_per_segment"):
         segment_dedup(docs, "doc_id", "text", words_per_segment=0)
+
+
+def test_segment_dedup_separator_is_literal_not_regex(spark):
+    from reddit_etl_spark.operators.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta.gamma delta"), (2, "alpha beta.gamma delta")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text_deduped"], r["n_segments"])
+        for r in segment_dedup(
+            docs, "doc_id", "text", sep=".", keep="first"
+        ).collect()
+    }
+    # "." must split into exactly two segments, not per-character
+    assert got[1] == ("alpha beta.gamma delta", 2)
+    assert got[2] == ("", 2)

@@ -500,3 +500,52 @@ def test_streaming_zscore_null_reading_does_not_poison_state(spark, tmp_path):
     # ...and the spike right after it is still flagged (no NaN poisoning)
     z, flag = got[base + dt.timedelta(days=9)]
     assert flag is True and z is not None and z > 2
+
+
+def test_stream_incremental_dedup_rejects_mismatched_index_version(
+    spark, tmp_path
+):
+    """A persisted key index written under a different content-key
+    format must REFUSE loudly: a silent mismatch would re-admit every
+    historical duplicate (the CONTENT_KEY_VERSION contract, enforced
+    in the reader, not just documented)."""
+    from pyspark.sql import functions as F
+
+    from reddit_etl_spark.streaming.stats_stream import (
+        stream_incremental_dedup,
+    )
+
+    keys_path = str(tmp_path / "keys")
+    out_path = str(tmp_path / "novel")
+    # legacy index: correct columns, NO key_version stamp
+    spark.createDataFrame(
+        [(1, "aa")], "h64 long, h128 string"
+    ).write.parquet(f"{keys_path}/batch=legacy-0")
+
+    b = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    src = str(tmp_path / "in")
+    b.write.parquet(src)
+    stream = spark.readStream.schema(b.schema).parquet(src)
+    q = stream_incremental_dedup(
+        stream, "doc_id", ["text"], keys_path, out_path,
+        str(tmp_path / "ckpt"), available_now=True,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="key_version"):
+        q.awaitTermination(120)
+
+    # and a WRONG version number is refused the same way
+    import shutil
+
+    shutil.rmtree(keys_path)
+    spark.createDataFrame(
+        [(1, "aa", 1)], "h64 long, h128 string, key_version int"
+    ).write.parquet(f"{keys_path}/batch=legacy-1")
+    stream = spark.readStream.schema(b.schema).parquet(src)
+    q = stream_incremental_dedup(
+        stream, "doc_id", ["text"], keys_path, out_path,
+        str(tmp_path / "ckpt2"), available_now=True,
+    )
+    with _pytest.raises(Exception, match="format"):
+        q.awaitTermination(120)

@@ -432,9 +432,13 @@ def test_streaming_hll_rollup_matches_batch(spark, tmp_path):
         available_now=True,
     )
     q.awaitTermination(120)
+    from reddit_etl_spark.sinks.versioned import read_versioned, versions
+
+    # three micro-batches -> three committed versions (auditable)
+    assert len(versions(state)) == 3
     got = {
         r["etype"]: r["distinct_estimate"]
-        for r in spark.read.parquet(state).collect()
+        for r in read_versioned(spark, state).collect()
     }
     want = {
         r["etype"]: r["distinct_estimate"]

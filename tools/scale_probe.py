@@ -320,6 +320,41 @@ def main() -> int:
         "neighbor join would emit C(100k,2) ~ 5e9",
     )
 
+    # -- segment dedup (SCALING.md "segment dedup (CCNet)" row) ------------
+    # Document text must never shuffle: the dominant exchange is the
+    # per-hash stats groupBy over (id, pos, hash) tuples = exactly one
+    # row per SEGMENT. Predicted from the corpus before the window:
+    # sum over docs of ceil(tokens/10). The kill-list join re-shuffles
+    # the same keyed rows (same order); reassembly joins tiny
+    # removed-position arrays back on id. On the 10x-replicated corpus
+    # every segment has times-1 identical twins — worst case for the
+    # kill list, which stays bounded by the segment count.
+    from reddit_etl_spark.operators.dedup import segment_dedup
+
+    pred_segments = int(
+        docs.select(
+            F.ceil(
+                F.size(F.split(F.trim("text"), r"\s+")) / F.lit(10)
+            ).alias("s")
+        )
+        .agg(F.sum("s"))
+        .first()[0]
+    )
+    record(
+        "segment_dedup_10w",
+        predicted=pred_segments,
+        # consume the rebuilt text values so Catalyst can't prune the
+        # reassembly (count() alone would)
+        fn=lambda: segment_dedup(
+            docs, "doc_id", "text", words_per_segment=10, keep="first"
+        )
+        .agg(F.sum(F.length("text_deduped")), F.sum("n_removed"))
+        .collect(),
+        note=f"dominant = per-hash stats groupBy: one (id,pos,hash) "
+        f"row per segment ({pred_segments}); text itself never "
+        "shuffles (reassembly = map-side HOF at the scan)",
+    )
+
     out = {
         "sf_dir": sf_dir,
         "times": times,
