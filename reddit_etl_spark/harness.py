@@ -128,7 +128,17 @@ _PROMOTED = [
     # make room for psi_value_drift / customer_sample_per_nation;
     # repetition_profile likewise (family recorded via text_profile)
     # for rake_keyphrases_docs
-    "mixture_weights",
+    # round-6: TPC-H Q1/Q3/Q5 classics (new relational breadth;
+    # displace mixture_weights, document_chunks, fuzzy_name_pairs —
+    # each long-attested with recorded family twins: curation's
+    # recorded surface stays via curation_pipeline_full, chunking
+    # stays pinned by the Corpus chunk-chain tests + bm25 rows, and
+    # name similarity keeps entity_golden_parts' recorded row, which
+    # runs the same JW pair generator; all three stay oracle-checked
+    # in the tail)
+    "tpch_q1_pricing",
+    "tpch_q3_priority",
+    "tpch_q5_region",
     # round-6 rotation: CCNet-style segment dedup with document
     # reassembly (new capability; displaces boilerplate_fraction, its
     # natural predecessor — duplicated-segment MEASUREMENT stays
@@ -185,8 +195,6 @@ _PROMOTED = [
     # round-5 block in _DEFERRED).
     "bm25_rank",
     "hybrid_search_rrf",
-    "document_chunks",
-    "fuzzy_name_pairs",
     "quantile_rollup_kll",
     "segment_overlap_theta",
     "asof_split",
@@ -499,6 +507,15 @@ _DEFERRED = [
     # events_daily_melt; stays oracle-checked here each round and
     # pinned by tests/test_sessions.py. Green row in CORRECTNESS_r05.
     "event_pattern_counts",
+    # round-6 rotation OUT (for the TPC-H trio): each stays
+    # oracle-checked here each round with a recorded family twin —
+    # mixture_weights (curation_pipeline_full), document_chunks
+    # (Corpus chunk-chain tests + bm25 rows), fuzzy_name_pairs
+    # (entity_golden_parts runs the same similarity family). Green
+    # rows r01..r05 / r05 / r05.
+    "mixture_weights",
+    "document_chunks",
+    "fuzzy_name_pairs",
 ]
 
 
@@ -5485,4 +5502,159 @@ def events_daily_melt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return daily.unpivot(
         ["day"], ["n_events", "n_users", "n_errors"], "metric", "value"
+    )
+
+
+@_q(
+    "tpch_q1_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)
+             AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)),
+                 6) AS sum_charge,
+           ROUND(ROUND(SUM(l_quantity), 6) / COUNT(*), 6) AS avg_qty,
+           ROUND(ROUND(SUM(l_extendedprice), 6) / COUNT(*), 6)
+             AS avg_price,
+           ROUND(ROUND(SUM(l_discount), 6) / COUNT(*), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary over lineitem: the canonical "
+    "wide-aggregate scan — one map-side-combined groupBy on two "
+    "low-cardinality keys, the ship-date filter pushed to the scan. "
+    "Money sums are exact in double (2-dp x 2-dp products stay "
+    "integer-scaled below 2^53), averages follow the stable_avg "
+    "round-sum-then-divide rule",
+)
+def tpch_q1_pricing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") <= F.lit("2001-09-01").cast("date")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+        F.round(F.sum(disc), 6).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+        F.round(
+            F.round(F.sum("l_quantity"), 6) / F.count("*"), 6
+        ).alias("avg_qty"),
+        F.round(
+            F.round(F.sum("l_extendedprice"), 6) / F.count("*"), 6
+        ).alias("avg_price"),
+        F.round(
+            F.round(F.sum("l_discount"), 6) / F.count("*"), 6
+        ).alias("avg_disc"),
+        F.count("*").cast("long").alias("count_order"),
+    )
+
+
+@_q(
+    "tpch_q3_priority",
+    """
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6)
+             AS revenue,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '2000-03-15'
+      AND CAST(l.l_shipdate AS DATE) > DATE '2000-03-15'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shipping priority: segment-filtered 3-way join "
+    "(customer filter pushed to the scan; customer/orders sides "
+    "shrink before the lineitem join, AQE free to broadcast the "
+    "filtered build side), revenue rollup per open order, global "
+    "top-10 via TakeOrderedAndProject with a full deterministic "
+    "tie-break (revenue desc, date, orderkey)",
+)
+def tpch_q3_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("2000-03-15").cast("date")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit("2000-03-15").cast("date")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            "l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                6,
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@_q(
+    "tpch_q5_region",
+    """
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6)
+             AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 local-supplier volume: the 6-way star join — "
+    "region/nation/supplier collapse to broadcastable dims, the "
+    "local-supplier condition (customer and supplier share a nation) "
+    "rides the lineitem join, date range pushed to the orders scan; "
+    "one final map-side-combined rollup per nation",
+)
+def tpch_q5_region_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            s,
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                6,
+            ).alias("revenue")
+        )
     )
