@@ -24,6 +24,11 @@ first query position absorbing residual costs the generic warmup
 misses (q01 medians swung 0.35->0.52 s with identical plans,
 VERDICT r4 finding #2), so position is neutralized explicitly.
 
+Round-6 set change: ``segment_dedup_docs`` (the round's flagship
+corpus-rewrite operator) joins the headline mix — totals are NOT
+comparable to r5's 18-query total without subtracting its median;
+per-query medians remain directly comparable.
+
 Round-5 additions: (a) a JVM GC nudge between reps — leaked
 localCheckpoint blocks from the dedup operators otherwise accumulate
 in the shared local-mode heap and the medians start measuring

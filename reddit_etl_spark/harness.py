@@ -5126,6 +5126,7 @@ def mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "id-equi-join + map-side higher-order filter rebuilds the text "
     "at the scan site — two hash-sized shuffles + one id join at any "
     "corpus size",
+    headline=True,
 )
 def segment_dedup_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import segment_dedup
