@@ -151,6 +151,12 @@ _PROMOTED = [
     # oracle-checked in the tail and whose daily-rollup shape keeps a
     # recorded row via anomaly_zscore_daily; green rows r05)
     "kcore_cust_supp",
+    # round-6: OHLC time-bar resampling (new capability; displaces
+    # anomaly_zscore_daily, whose daily-rollup + trailing-window
+    # z-score stays oracle-checked in the tail and whose streaming
+    # twin stays pinned by batch-stream bit-equivalence tests; green
+    # rows r05)
+    "event_value_bars",
     # round-6: half-life decay + closed-form EWMA (new capability;
     # displaces psi_value_drift, whose binned-distribution drift
     # readout stays oracle-checked in the tail — its histogram-compare
@@ -217,7 +223,8 @@ _PROMOTED = [
     "heavy_hitters_mg",
     "scd2_order_status_dim",
     "dsir_importance_weights",
-    "anomaly_zscore_daily",
+    # (anomaly_zscore_daily held this slot in round 5; rotated to the
+    # tail in round 6 for event_value_bars — see the round-6 blocks)
     # round-5 fourth batch: distributed-prefix-sum sweep (new
     # capability; displaces topk_per_group, whose per-group-head shape
     # stays recorded via q02_top_per_group and plan-asserted via the
@@ -507,6 +514,10 @@ _DEFERRED = [
     # events_daily_melt; stays oracle-checked here each round and
     # pinned by tests/test_sessions.py. Green row in CORRECTNESS_r05.
     "event_pattern_counts",
+    # round-6 rotation OUT: daily z-score anomalies making room for
+    # event_value_bars; stays oracle-checked here each round, its
+    # streaming twin stays bit-equivalence tested. Green rows r05.
+    "anomaly_zscore_daily",
     # round-6 rotation OUT (for the TPC-H trio): each stays
     # oracle-checked here each round with a recorded family twin —
     # mixture_weights (curation_pipeline_full), document_chunks
@@ -5658,4 +5669,48 @@ def tpch_q5_region_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("revenue")
         )
+    )
+
+
+@_q(
+    "event_value_bars",
+    """
+    WITH ev AS (
+      SELECT event_type, event_id, value,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+      FROM events),
+    r AS (
+      SELECT event_type, value,
+             t - (t % 21600) AS b,
+             ROW_NUMBER() OVER (PARTITION BY event_type, t - (t % 21600)
+                                ORDER BY t, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, t - (t % 21600)
+                                ORDER BY t DESC, event_id DESC) AS rn_d
+      FROM ev)
+    SELECT event_type,
+           make_timestamp(b * 1000000) AS bar_start,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume,
+           ROUND(SUM(value), 6) AS total
+    FROM r GROUP BY event_type, b
+    """,
+    doc="6-hour OHLC bars per event type "
+    "(operators/series.py:resample_bars): open/high/low/close/volume "
+    "via pure min_by/max_by aggregates over a (floored-second, "
+    "event_id) total order — ONE map-side-combined groupBy, no window "
+    "pass at all (the oracle spells the same semantics with "
+    "row-number windows since DuckDB's arg_min lacks composite "
+    "ordering). The downsampling shape metric stores and market-data "
+    "rollups use",
+)
+def event_value_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import resample_bars
+
+    ev = load_events(spark, sf_dir)
+    return resample_bars(
+        ev, "event_type", "ts", "value", bucket_seconds=21600,
+        tie_col="event_id",
     )

@@ -481,3 +481,62 @@ def sliding_window_rollup(
         F.col("__w.end").alias("window_end"),
         *agg_cols,
     )
+
+
+def resample_bars(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 300,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Resample an event stream into fixed time bars with
+    open/high/low/close/volume per (key, bucket) — the OHLC shape
+    market data, sensor rollups, and metric downsampling all use.
+
+    Open/close are the values at the bucket's first/last instant by
+    ``min_by``/``max_by`` over (epoch-second, tie) — pure aggregate
+    functions, NO window pass, so the whole operator is ONE
+    map-side-combined groupBy. Ties at the same second are broken by
+    ``tie_col`` (pass a unique id for full determinism; required for
+    engine-reproducible open/close when timestamps can collide).
+
+    Returns (keys..., bar_start timestamp, open, high, low, close
+    rounded 6, volume BIGINT, total rounded 6).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    ts_s = F.floor(F.unix_timestamp(F.col(ts_col)))
+    bucket = (ts_s - F.pmod(ts_s, F.lit(bucket_seconds))).alias("__b")
+    order = (
+        F.struct(ts_s.alias("t"), F.col(tie_col).alias("tb"))
+        if tie_col
+        else F.struct(ts_s.alias("t"))
+    )
+    ev = df.select(
+        *keys,
+        bucket,
+        order.alias("__o"),
+        F.col(value_col).alias("__v"),
+    )
+    return (
+        ev.groupBy(*keys, "__b")
+        .agg(
+            F.round(F.min_by("__v", "__o"), 6).alias("open"),
+            F.round(F.max("__v"), 6).alias("high"),
+            F.round(F.min("__v"), 6).alias("low"),
+            F.round(F.max_by("__v", "__o"), 6).alias("close"),
+            F.count("*").cast("long").alias("volume"),
+            F.round(F.sum("__v"), 6).alias("total"),
+        )
+        .select(
+            *keys,
+            F.timestamp_seconds("__b").alias("bar_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "total",
+        )
+    )

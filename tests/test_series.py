@@ -361,3 +361,28 @@ def test_sliding_window_rollup_replicates_into_covering_windows(spark):
         (d(2024, 1, 1, 0, 30), d(2024, 1, 1, 1, 30)): 1,
         (d(2024, 1, 1, 1, 0), d(2024, 1, 1, 2, 0)): 1,
     }
+
+
+def test_resample_bars_ohlc_semantics(spark):
+    import datetime as dt
+
+    from reddit_etl_spark.operators.series import resample_bars
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        ("a", base + dt.timedelta(seconds=s), float(v), i)
+        for i, (s, v) in enumerate([(0, 5), (10, 9), (250, 2), (301, 7), (500, 1)])
+    ]
+    # same-second tie: eid decides open/close deterministically
+    rows += [("b", base, 3.0, 100), ("b", base, 8.0, 99)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double, eid long")
+    got = {
+        (r["k"], r["bar_start"]): (
+            r["open"], r["high"], r["low"], r["close"], r["volume"], r["total"]
+        )
+        for r in resample_bars(df, "k", "ts", "v", 300, tie_col="eid").collect()
+    }
+    assert got[("a", base)] == (5.0, 9.0, 2.0, 2.0, 3, 16.0)
+    assert got[("a", base + dt.timedelta(seconds=300))] == (7.0, 7.0, 1.0, 1.0, 2, 8.0)
+    # tie at the same second: min eid (99 -> 8.0) opens, max eid closes
+    assert got[("b", base)] == (8.0, 8.0, 3.0, 3.0, 2, 11.0)
