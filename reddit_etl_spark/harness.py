@@ -151,6 +151,11 @@ _PROMOTED = [
     # oracle-checked in the tail and whose daily-rollup shape keeps a
     # recorded row via anomaly_zscore_daily; green rows r05)
     "kcore_cust_supp",
+    # round-6: nearest-direction as-of alignment (new capability;
+    # displaces concurrency_peaks, whose distributed-prefix-sum sweep
+    # stays oracle-checked in the tail and plan-asserted in
+    # tests/test_series.py; green rows r05)
+    "asof_nearest_alignment",
     # round-6: OHLC time-bar resampling (new capability; displaces
     # anomaly_zscore_daily, whose daily-rollup + trailing-window
     # z-score stays oracle-checked in the tail and whose streaming
@@ -225,11 +230,9 @@ _PROMOTED = [
     "dsir_importance_weights",
     # (anomaly_zscore_daily held this slot in round 5; rotated to the
     # tail in round 6 for event_value_bars — see the round-6 blocks)
-    # round-5 fourth batch: distributed-prefix-sum sweep (new
-    # capability; displaces topk_per_group, whose per-group-head shape
-    # stays recorded via q02_top_per_group and plan-asserted via the
-    # topk_global oracle tail)
-    "concurrency_peaks",
+    # (concurrency_peaks held this slot in round 5; rotated to the
+    # tail in round 6 for asof_nearest_alignment — see the round-6
+    # blocks)
     # integer-exact iterative PageRank (new capability; displaces
     # tfidf_top_terms, whose corpus-term-statistics shape stays
     # recorded via bm25_rank and oracle-checked via vocab_topk /
@@ -514,6 +517,11 @@ _DEFERRED = [
     # events_daily_melt; stays oracle-checked here each round and
     # pinned by tests/test_sessions.py. Green row in CORRECTNESS_r05.
     "event_pattern_counts",
+    # round-6 rotation OUT: sweep-line concurrency peaks making room
+    # for asof_nearest_alignment; stays oracle-checked here each round
+    # and plan-asserted (no single-partition window) in
+    # tests/test_series.py. Green rows r05.
+    "concurrency_peaks",
     # round-6 rotation OUT: daily z-score anomalies making room for
     # event_value_bars; stays oracle-checked here each round, its
     # streaming twin stays bit-equivalence tested. Green rows r05.
@@ -5713,4 +5721,72 @@ def event_value_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_bars(
         ev, "event_type", "ts", "value", bucket_seconds=21600,
         tie_col="event_id",
+    )
+
+
+@_q(
+    "asof_nearest_alignment",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+             1 AS is_left, event_id, CAST(NULL AS DOUBLE) AS rv
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT), 0, NULL, value
+      FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT *,
+             last_value(CASE WHEN is_left = 0
+                             THEN {'t': t, 'rv': rv} END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t, is_left
+                     ROWS UNBOUNDED PRECEDING) AS mb,
+             last_value(CASE WHEN is_left = 0
+                             THEN {'t': t, 'rv': rv} END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t DESC, is_left
+                     ROWS UNBOUNDED PRECEDING) AS mf
+      FROM u),
+    pick AS (
+      SELECT user_id, event_id, t,
+             CASE WHEN mb IS NULL THEN mf
+                  WHEN mf IS NULL THEN mb
+                  WHEN (mf.t - t) < (t - mb.t) THEN mf
+                  ELSE mb END AS m
+      FROM c WHERE is_left = 1)
+    SELECT user_id, event_id AS click_id, m.rv AS purchase_value,
+           CAST(ABS(m.t - t) AS BIGINT) AS gap_s
+    FROM pick
+    """,
+    doc="nearest-neighbor as-of alignment "
+    "(operators/asof.py:asof_join(direction='nearest')): every click "
+    "matched to the CLOSEST purchase of the same user on either side "
+    "of the timeline (exact-distance ties go backward, the pandas "
+    "merge_asof convention). Both carries run over ONE key "
+    "partitioning — two window sorts, one shuffle, |L|+|R| rows, no "
+    "candidate blowup; timestamps floored to seconds on both engines "
+    "(floor-of-epoch rule)",
+)
+def asof_nearest_alignment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir)
+    sec = F.timestamp_seconds(F.floor(F.unix_timestamp("ts")))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", sec.alias("cts"), F.col("event_id").alias("click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", sec.alias("pts"), F.col("value").alias("purchase_value")
+    )
+    out = asof_join(
+        clicks, purchases, ["user_id"], "cts", "pts", direction="nearest",
+        value_cols=["purchase_value", "pts"],
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        "purchase_value",
+        F.abs(
+            F.unix_timestamp("pts") - F.unix_timestamp("cts")
+        ).cast("long").alias("gap_s"),
     )

@@ -39,11 +39,15 @@ def asof_join(
     split_buckets: int = 64,
 ) -> DataFrame:
     """For each left row: columns of the latest right row with
-    ``right.ts <= left.ts`` (``direction='backward'``, the default) or
+    ``right.ts <= left.ts`` (``direction='backward'``, the default),
     the EARLIEST right row with ``right.ts >= left.ts``
-    (``direction='forward'`` — next-event attribution). NULLs when no
-    match (LEFT OUTER as-of), identical single-window plan either way
-    (only the sort direction flips).
+    (``direction='forward'`` — next-event attribution), or the CLOSEST
+    right row on either side (``direction='nearest'`` — sensor
+    alignment; exact-distance ties go backward, the pandas
+    merge_asof convention). NULLs when no match (LEFT OUTER as-of);
+    backward/forward are one window over one shuffle, nearest runs
+    both carries over the SAME partitioning (two sorts, still one
+    shuffle).
 
     ``value_cols`` selects which right columns to carry (default: all
     non-key, non-ts). ``tolerance`` (e.g. ``"15 minutes"``) NULLs out
@@ -70,8 +74,16 @@ def asof_join(
     sides' timestamps at call time (a column-pruned scan) to derive the
     bucket width — the only eager action in this module.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
+    if direction == "nearest" and split != "none":
+        # nearest needs both carries over one timeline; the bucketed
+        # split would need carry-ins from BOTH sides of every boundary
+        # — not implemented. Hot keys: pre-filter or use the two
+        # single-direction split joins and combine.
+        raise ValueError("direction='nearest' supports split='none' only")
     if split not in ("none", "auto"):
         raise ValueError(f"split must be none/auto, got {split!r}")
     if split_buckets < 2:
@@ -121,7 +133,39 @@ def asof_join(
         *[F.col(f"__v_{c}").alias(c) for c in value_cols],
     )
 
-    if split == "none":
+    if direction == "nearest":
+        # BOTH carries over the SAME key partitioning: two window
+        # sorts, one shuffle (the second window reuses the exchange).
+        # Per left row the nearer match wins; exact-distance ties go
+        # backward (the pandas merge_asof convention).
+        wb = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts"), F.col("__is_left"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts").desc(), F.col("__is_left"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        rmatch = F.when(F.col("__is_left") == 0, right_struct)
+        carried = unioned.withColumn(
+            "__mb", F.last(rmatch, ignorenulls=True).over(wb)
+        ).withColumn("__mf", F.last(rmatch, ignorenulls=True).over(wf))
+        db = F.unix_micros(F.col("__ts")) - F.unix_micros(
+            F.col("__mb.__mts")
+        )
+        df_ = F.unix_micros(F.col("__mf.__mts")) - F.unix_micros(
+            F.col("__ts")
+        )
+        carried = carried.withColumn(
+            "__m",
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            .when(df_ < db, F.col("__mf"))
+            .otherwise(F.col("__mb")),
+        ).drop("__mb", "__mf")
+    elif split == "none":
         w = (
             Window.partitionBy(*keys)
             .orderBy(ts_order, F.col("__is_left"))
@@ -147,15 +191,26 @@ def asof_join(
 
     result = carried.filter(F.col("__is_left") == 1)
     if tolerance is not None:
-        if direction == "backward":
+        if direction == "nearest":
+            gap = F.abs(
+                F.unix_micros(F.col("__m.__mts"))
+                - F.unix_micros(F.col("__ts"))
+            )
+            fresh = gap <= F.unix_micros(
+                F.lit("1970-01-01 00:00:00").cast("timestamp")
+                + F.expr(f"INTERVAL {tolerance}")
+            )
+            result = result.withColumn("__m", F.when(fresh, F.col("__m")))
+        elif direction == "backward":
             fresh = F.col("__m.__mts") >= F.col("__ts") - F.expr(
                 f"INTERVAL {tolerance}"
             )
+            result = result.withColumn("__m", F.when(fresh, F.col("__m")))
         else:
             fresh = F.col("__m.__mts") <= F.col("__ts") + F.expr(
                 f"INTERVAL {tolerance}"
             )
-        result = result.withColumn("__m", F.when(fresh, F.col("__m")))
+            result = result.withColumn("__m", F.when(fresh, F.col("__m")))
     return result.select(
         *left.columns,
         *[F.col(f"__m.{c}").alias(out_cols[c]) for c in value_cols],

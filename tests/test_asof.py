@@ -279,3 +279,50 @@ def test_asof_forward_with_tolerance(spark):
         ).collect()
     }
     assert rows[1].value == 9.0
+
+
+def test_asof_nearest_picks_closest_and_ties_go_backward(spark):
+    import datetime as dt
+
+    from reddit_etl_spark.operators.asof import asof_join
+
+    b = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [("u", b, 1), ("u", b + dt.timedelta(seconds=100), 2),
+         ("t", b, 4), ("v", b, 3)],
+        "k string, lts timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", b - dt.timedelta(seconds=30), 10.0),
+            ("u", b + dt.timedelta(seconds=40), 20.0),
+            ("u", b + dt.timedelta(seconds=130), 30.0),
+            # exact tie for key t: 50s both sides -> backward wins
+            ("t", b - dt.timedelta(seconds=50), 77.0),
+            ("t", b + dt.timedelta(seconds=50), 88.0),
+        ],
+        "k string, rts timestamp, rv double",
+    )
+    got = {
+        r["lid"]: r["rv"]
+        for r in asof_join(
+            left, right, ["k"], "lts", "rts", direction="nearest"
+        ).collect()
+    }
+    assert got == {1: 10.0, 2: 30.0, 4: 77.0, 3: None}
+    # tolerance nulls out matches beyond the absolute gap
+    tol = {
+        r["lid"]: r["rv"]
+        for r in asof_join(
+            left, right, ["k"], "lts", "rts",
+            direction="nearest", tolerance="29 seconds",
+        ).collect()
+    }
+    assert tol == {1: None, 2: None, 4: None, 3: None}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="nearest"):
+        asof_join(
+            left, right, ["k"], "lts", "rts",
+            direction="nearest", split="auto",
+        )
