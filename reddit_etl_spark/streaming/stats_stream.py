@@ -93,6 +93,7 @@ def stream_click_attribution(
     ts_col: str = "ts",
     attribution_window: str = "30 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: attribute each click to
     the impression(s) it followed within ``attribution_window`` — the
@@ -108,7 +109,18 @@ def stream_click_attribution(
     test replays the same input both ways).
 
     Columns: (user, imp_ts, click_ts, imp_value, click_value).
+
+    ``how='left_outer'`` additionally emits every UNMATCHED impression
+    (click columns NULL) once the click watermark passes its match
+    horizon — the "impressions that never converted" stream, which an
+    inner join can only produce with a separate batch reconciliation.
+    Spark requires the time bound + both watermarks for exactly this
+    reason: the NULL row can only be emitted when no future click can
+    match, so output lags the watermark by the attribution window
+    (correctness over latency, the streaming outer-join contract).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner/left_outer, got {how!r}")
     imp = impressions.select(
         F.col(user_col).alias("user"),
         F.col(ts_col).alias("imp_ts"),
@@ -131,7 +143,7 @@ def stream_click_attribution(
             <= imp["imp_ts"] + F.expr(f"INTERVAL {attribution_window}")
         )
     )
-    return imp.join(clk, cond).select(
+    return imp.join(clk, cond, how).select(
         "user", "imp_ts", "click_ts", "imp_value", "click_value"
     )
 

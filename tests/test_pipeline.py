@@ -549,3 +549,90 @@ def test_stream_incremental_dedup_rejects_mismatched_index_version(
     )
     with _pytest.raises(Exception, match="format"):
         q.awaitTermination(120)
+
+
+def test_stream_click_attribution_left_outer_emits_unconverted(
+    spark, tmp_path
+):
+    """left_outer emits every unmatched impression with NULL click
+    columns once the watermark proves no future click can match —
+    and the matched rows equal the inner join exactly."""
+    from reddit_etl_spark.streaming.stats_stream import (
+        stream_click_attribution,
+    )
+
+    base = dt.datetime(2025, 9, 1, 10, 0)
+    imps = spark.createDataFrame(
+        [
+            ("u1", base, 1.0),
+            ("u2", base + dt.timedelta(minutes=5), 3.0),  # never clicked
+        ],
+        "user_id string, ts timestamp, value double",
+    )
+    # the GLOBAL watermark is the MIN over both inputs, so BOTH sides
+    # need a far-future sentinel or the impression-side watermark pins
+    # the join at the original timeline and no NULL row can ever flush
+    clicks = spark.createDataFrame(
+        [
+            ("u1", base + dt.timedelta(minutes=10), 10.0),
+            ("u9", base + dt.timedelta(days=2), 0.0),
+        ],
+        "user_id string, ts timestamp, value double",
+    )
+    imps = imps.unionByName(
+        spark.createDataFrame(
+            [("u8", base + dt.timedelta(days=2), 0.0)], imps.schema
+        )
+    )
+    imp_src, clk_src = str(tmp_path / "li_imp"), str(tmp_path / "li_clk")
+    ckpt = str(tmp_path / "li_ckpt")
+    imps.write.parquet(imp_src)
+    clicks.write.parquet(clk_src)
+
+    out_dir = str(tmp_path / "li_out")
+
+    def run_once():
+        # file sink (memory sink cannot recover from a checkpoint,
+        # and the NULL flush needs a SECOND checkpointed run)
+        joined = stream_click_attribution(
+            spark.readStream.schema(imps.schema).parquet(imp_src),
+            spark.readStream.schema(clicks.schema).parquet(clk_src),
+            how="left_outer",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # Spark emits outer-join NULL rows only in a micro-batch AFTER the
+    # watermark has advanced past the match horizon: feed one more
+    # event per side and run again so the pending unmatched
+    # impression flushes under the restored watermark
+    spark.createDataFrame(
+        [("u9", base + dt.timedelta(days=3), 0.0)],
+        "user_id string, ts timestamp, value double",
+    ).coalesce(1).write.mode("append").parquet(clk_src)
+    spark.createDataFrame(
+        [("u8", base + dt.timedelta(days=3), 0.0)],
+        "user_id string, ts timestamp, value double",
+    ).coalesce(1).write.mode("append").parquet(imp_src)
+    run_once()
+    rows = spark.read.parquet(out_dir).select(
+        "user", "imp_value", "click_value"
+    ).collect()
+    got = sorted(
+        (r["user"], r["imp_value"], r["click_value"])
+        for r in rows
+        if r["user"] not in ("u8", "u9")  # watermark sentinels
+    )
+    assert got == [("u1", 1.0, 10.0), ("u2", 3.0, None)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="how"):
+        stream_click_attribution(imps, clicks, how="full")
