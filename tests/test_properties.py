@@ -138,3 +138,87 @@ def test_exact_dedup_partition_property(spark, texts):
         classes.setdefault(norm, []).append(i)
     want = {min(ids): len(ids) for ids in classes.values()}
     assert {r.doc_id: r.dup_count for r in rows} == want
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "DUP LINE"]),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_segment_dedup_sep_mode_invariants(spark, docs):
+    """Randomized line corpora: (a) conservation — surviving segment
+    count equals n_segments - n_removed; (b) idempotence — re-running
+    keep='first' on its own output removes nothing (line boundaries
+    are stable under removal, unlike word windows)."""
+    from reddit_etl_spark.operators.dedup import segment_dedup
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = segment_dedup(df, "doc_id", "text", sep="\n", keep="first")
+    collected = out.collect()
+    for r in collected:
+        survivors = [s for s in r["text_deduped"].split("\n") if s]
+        assert len(survivors) == r["n_segments"] - r["n_removed"]
+    again = segment_dedup(
+        out.select("doc_id", F.col("text_deduped").alias("text")),
+        "doc_id",
+        "text",
+        sep="\n",
+        keep="first",
+    )
+    assert again.agg(F.sum("n_removed")).first()[0] == 0
+    # global uniqueness: each distinct normalized line survives once
+    from collections import Counter
+
+    c = Counter()
+    for r in collected:
+        for s in r["text_deduped"].split("\n"):
+            if s:
+                c[s.lower()] += 1
+    assert all(v == 1 for v in c.values())
+
+
+@settings(**SETTINGS)
+@given(
+    words=st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll",), max_codepoint=0x24F
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_unigram_encode_always_roundtrips(spark, words):
+    """Any corpus — including unicode outside the trained charset —
+    must encode losslessly: single-char coverage plus the UNK
+    fallback guarantee concatenating the pieces rebuilds each word."""
+    from reddit_etl_spark.operators.unigram import (
+        train_unigram,
+        unigram_encode,
+    )
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    model = train_unigram(df, "text", vocab_size=30, em_iters=1)
+    out = unigram_encode(
+        spark.createDataFrame(
+            [(1, text), (2, text + " zzéxtra")],
+            "doc_id long, text string",
+        ),
+        "text",
+        model,
+    ).collect()
+    got = {r["doc_id"]: "".join(r["pieces"]) for r in out}
+    assert got[1] == text.lower().replace(" ", "")
+    assert got[2] == (text + " zzéxtra").lower().replace(" ", "")
