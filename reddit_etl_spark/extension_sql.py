@@ -133,6 +133,101 @@ EXTENSION_SQL: dict[str, str] = {
         FROM grid g LEFT JOIN obs o
           ON g.event_type = o.event_type AND g.bucket = o.bucket
     """,
+    "segment_dedup_docs": """
+        WITH ws AS (
+          SELECT doc_id, split(trim(text), '\\\\s+') AS w
+          FROM documents WHERE text IS NOT NULL),
+        segs AS (
+          SELECT doc_id, g AS pos,
+                 array_join(slice(w, g * 10 + 1, 10), ' ') AS seg
+          FROM ws
+          LATERAL VIEW explode(
+            sequence(0, int(ceil(size(w) / 10.0)) - 1)) t AS g),
+        marked AS (
+          SELECT doc_id, pos, seg,
+                 COUNT(*) OVER (PARTITION BY k) AS occ,
+                 ROW_NUMBER() OVER (PARTITION BY k
+                                    ORDER BY doc_id, pos) AS rn
+          FROM (SELECT doc_id, pos, seg,
+                       lower(trim(regexp_replace(seg, '\\\\s+', ' '))) AS k
+                FROM segs)),
+        rebuilt AS (
+          SELECT doc_id,
+                 array_join(transform(
+                   array_sort(collect_list(
+                     CASE WHEN occ = 1 OR rn = 1
+                          THEN struct(pos, seg) END)),
+                   x -> x.seg), ' ') AS text_deduped,
+                 CAST(COUNT(*) AS BIGINT) AS n_segments,
+                 CAST(SUM(CASE WHEN occ > 1 AND rn > 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_removed
+          FROM marked GROUP BY doc_id)
+        SELECT d.doc_id, r.text_deduped,
+               COALESCE(r.n_segments, 0L) AS n_segments,
+               COALESCE(r.n_removed, 0L) AS n_removed
+        FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    "decayed_engagement": """
+        WITH ev AS (
+          SELECT user_id, unix_timestamp(ts) AS t, value, event_id
+          FROM events),
+        mx AS (SELECT MAX(t) AS now FROM ev),
+        dec AS (
+          SELECT user_id,
+                 ROUND(SUM(value * POWER(
+                   0.5D, ((SELECT now FROM mx) - t) / 604800.0D)), 6)
+                   AS decayed_value,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM ev GROUP BY user_id),
+        r AS (
+          SELECT user_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY t, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n
+          FROM ev),
+        ew AS (
+          SELECT user_id,
+                 ROUND(SUM(CASE WHEN rn = 1
+                                THEN POWER(0.7D, n - 1) * value
+                                ELSE 0.3D * POWER(0.7D, n - rn) * value
+                           END), 6) AS ewma
+          FROM r GROUP BY user_id)
+        SELECT d.user_id, d.decayed_value, d.n_events, e.ewma
+        FROM dec d JOIN ew e USING (user_id)
+    """,
+    "event_value_bars": """
+        WITH ev AS (
+          SELECT event_type, event_id, value,
+                 unix_timestamp(ts) AS t
+          FROM events),
+        r AS (
+          SELECT event_type, value,
+                 t - (t % 21600) AS b,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY event_type, t - (t % 21600)
+                   ORDER BY t, event_id) AS rn_a,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY event_type, t - (t % 21600)
+                   ORDER BY t DESC, event_id DESC) AS rn_d
+          FROM ev)
+        SELECT event_type,
+               timestamp_seconds(b) AS bar_start,
+               ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+               ROUND(MAX(value), 6) AS high,
+               ROUND(MIN(value), 6) AS low,
+               ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+               CAST(COUNT(*) AS BIGINT) AS volume,
+               ROUND(SUM(value), 6) AS total
+        FROM r GROUP BY event_type, b
+    """,
+    "events_sliding_distinct": """
+        SELECT window.start AS window_start,
+               window.end AS window_end,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY window(ts, '2 hours', '30 minutes')
+    """,
     "user_clustering": """
         WITH b AS (
           SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h
