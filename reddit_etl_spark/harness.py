@@ -5739,12 +5739,12 @@ def event_value_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              last_value(CASE WHEN is_left = 0
                              THEN {'t': t, 'rv': rv} END
                         IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY t, is_left
+               OVER (PARTITION BY user_id ORDER BY t, is_left, rv
                      ROWS UNBOUNDED PRECEDING) AS mb,
              last_value(CASE WHEN is_left = 0
                              THEN {'t': t, 'rv': rv} END
                         IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY t DESC, is_left
+               OVER (PARTITION BY user_id ORDER BY t DESC, is_left, rv
                      ROWS UNBOUNDED PRECEDING) AS mf
       FROM u),
     pick AS (
@@ -5778,9 +5778,11 @@ def asof_nearest_alignment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", sec.alias("pts"), F.col("value").alias("purchase_value")
     )
+    # tie_cols: two purchases in the same floored second pick the
+    # GREATEST value deterministically on both engines
     out = asof_join(
         clicks, purchases, ["user_id"], "cts", "pts", direction="nearest",
-        value_cols=["purchase_value", "pts"],
+        value_cols=["purchase_value", "pts"], tie_cols=["purchase_value"],
     )
     return out.select(
         "user_id",

@@ -37,6 +37,7 @@ def asof_join(
     direction: str = "backward",
     split: str = "none",
     split_buckets: int = 64,
+    tie_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """For each left row: columns of the latest right row with
     ``right.ts <= left.ts`` (``direction='backward'``, the default),
@@ -50,7 +51,13 @@ def asof_join(
     shuffle).
 
     ``value_cols`` selects which right columns to carry (default: all
-    non-key, non-ts). ``tolerance`` (e.g. ``"15 minutes"``) NULLs out
+    non-key, non-ts). ``tie_cols`` (a subset of ``value_cols``, must
+    be orderable) appends a deterministic tie-break to the carry
+    order: when two right rows share a key and timestamp, the row
+    with the GREATEST tie tuple wins on every engine and
+    partitioning; without it the winner is arbitrary (the split-path
+    caveat, now opt-out everywhere). Right rows with NULL timestamps
+    never match; left rows with NULL timestamps get NULL matches. ``tolerance`` (e.g. ``"15 minutes"``) NULLs out
     matches farther than ``tolerance`` from ``left_ts`` in the match
     direction, matching the pandas ``merge_asof(tolerance=...)``
     contract.
@@ -100,7 +107,10 @@ def asof_join(
     )
     for c in value_cols:
         lhs = lhs.withColumn(f"__v_{c}", F.lit(None).cast(right.schema[c].dataType))
-    rhs = right.select(
+    # a right row with a NULL timestamp can never be a valid match,
+    # but left in the union it SORTS (NULLS FIRST under ASC) ahead of
+    # every real row and gets carried as a bogus match — drop them
+    rhs = right.filter(F.col(right_ts).isNotNull()).select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
@@ -138,20 +148,22 @@ def asof_join(
         # sorts, one shuffle (the second window reuses the exchange).
         # Per left row the nearer match wins; exact-distance ties go
         # backward (the pandas merge_asof convention).
+        ties = [F.col(f"__v_{c}") for c in (tie_cols or [])]
         wb = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("__ts"), F.col("__is_left"))
+            .orderBy(F.col("__ts"), F.col("__is_left"), *ties)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         wf = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("__ts").desc(), F.col("__is_left"))
+            .orderBy(F.col("__ts").desc(), F.col("__is_left"), *ties)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         rmatch = F.when(F.col("__is_left") == 0, right_struct)
         carried = unioned.withColumn(
             "__mb", F.last(rmatch, ignorenulls=True).over(wb)
         ).withColumn("__mf", F.last(rmatch, ignorenulls=True).over(wf))
+        # a left row with no timestamp has no defined distance: no match
         db = F.unix_micros(F.col("__ts")) - F.unix_micros(
             F.col("__mb.__mts")
         )
@@ -160,15 +172,17 @@ def asof_join(
         )
         carried = carried.withColumn(
             "__m",
-            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            F.when(F.col("__ts").isNull(), F.lit(None))
+            .when(F.col("__mb").isNull(), F.col("__mf"))
             .when(F.col("__mf").isNull(), F.col("__mb"))
             .when(df_ < db, F.col("__mf"))
             .otherwise(F.col("__mb")),
         ).drop("__mb", "__mf")
     elif split == "none":
+        ties = [F.col(f"__v_{c}") for c in (tie_cols or [])]
         w = (
             Window.partitionBy(*keys)
-            .orderBy(ts_order, F.col("__is_left"))
+            .orderBy(ts_order, F.col("__is_left"), *ties)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         carried = unioned.withColumn(
@@ -189,28 +203,26 @@ def asof_join(
                 direction=direction, split="none",
             )
 
-    result = carried.filter(F.col("__is_left") == 1)
+    result = carried.filter(F.col("__is_left") == 1).withColumn(
+        # a left row with no timestamp has no defined as-of position
+        # (under DESC sorts its NULL lands where a real carry exists)
+        "__m",
+        F.when(F.col("__ts").isNotNull(), F.col("__m")),
+    )
     if tolerance is not None:
+        # all bounds in timestamp arithmetic on the actual rows —
+        # never via an epoch-anchored literal, whose parse is
+        # session-timezone dependent
+        tol = F.expr(f"INTERVAL {tolerance}")
         if direction == "nearest":
-            gap = F.abs(
-                F.unix_micros(F.col("__m.__mts"))
-                - F.unix_micros(F.col("__ts"))
+            fresh = (F.col("__m.__mts") >= F.col("__ts") - tol) & (
+                F.col("__m.__mts") <= F.col("__ts") + tol
             )
-            fresh = gap <= F.unix_micros(
-                F.lit("1970-01-01 00:00:00").cast("timestamp")
-                + F.expr(f"INTERVAL {tolerance}")
-            )
-            result = result.withColumn("__m", F.when(fresh, F.col("__m")))
         elif direction == "backward":
-            fresh = F.col("__m.__mts") >= F.col("__ts") - F.expr(
-                f"INTERVAL {tolerance}"
-            )
-            result = result.withColumn("__m", F.when(fresh, F.col("__m")))
+            fresh = F.col("__m.__mts") >= F.col("__ts") - tol
         else:
-            fresh = F.col("__m.__mts") <= F.col("__ts") + F.expr(
-                f"INTERVAL {tolerance}"
-            )
-            result = result.withColumn("__m", F.when(fresh, F.col("__m")))
+            fresh = F.col("__m.__mts") <= F.col("__ts") + tol
+        result = result.withColumn("__m", F.when(fresh, F.col("__m")))
     return result.select(
         *left.columns,
         *[F.col(f"__m.{c}").alias(out_cols[c]) for c in value_cols],

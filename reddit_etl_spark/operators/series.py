@@ -513,7 +513,9 @@ def resample_bars(
         if tie_col
         else F.struct(ts_s.alias("t"))
     )
-    ev = df.select(
+    # a NULL timestamp has no bucket: excluded, not silently pooled
+    # into a spurious bar_start=NULL row
+    ev = df.filter(F.col(ts_col).isNotNull()).select(
         *keys,
         bucket,
         order.alias("__o"),

@@ -326,3 +326,92 @@ def test_asof_nearest_picks_closest_and_ties_go_backward(spark):
             left, right, ["k"], "lts", "rts",
             direction="nearest", split="auto",
         )
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """NULL-ts right rows are not matches (they'd otherwise sort
+    NULLS FIRST and get carried); NULL-ts left rows get NULL matches
+    in every direction."""
+    import datetime as dt
+
+    from reddit_etl_spark.operators.asof import asof_join
+
+    b = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [("u", b, 1), ("u", None, 2)], "k string, lts timestamp, lid int"
+    )
+    right = spark.createDataFrame(
+        [("u", None, 99.0), ("u", b + dt.timedelta(seconds=10), 2.0)],
+        "k string, rts timestamp, rv double",
+    )
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r["lid"]: r["rv"]
+            for r in asof_join(
+                left, right, ["k"], "lts", "rts", direction=direction
+            ).collect()
+        }
+        assert got[2] is None, direction
+        assert got[1] != 99.0, direction
+    # nearest specifically must take the real 10s-away match
+    got = {
+        r["lid"]: r["rv"]
+        for r in asof_join(
+            left, right, ["k"], "lts", "rts", direction="nearest"
+        ).collect()
+    }
+    assert got[1] == 2.0
+
+
+def test_asof_tie_cols_pick_greatest_deterministically(spark):
+    import datetime as dt
+
+    from reddit_etl_spark.operators.asof import asof_join
+
+    b = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [("u", b, 1)], "k string, lts timestamp, lid int"
+    )
+    # two right rows at the SAME instant: greatest tie value must win
+    right = spark.createDataFrame(
+        [("u", b, 3.0), ("u", b, 7.0)],
+        "k string, rts timestamp, rv double",
+    )
+    for direction in ("backward", "forward", "nearest"):
+        got = asof_join(
+            left, right, ["k"], "lts", "rts",
+            direction=direction, tie_cols=["rv"],
+        ).first()["rv"]
+        assert got == 7.0, direction
+
+
+def test_asof_nearest_tolerance_is_timezone_safe(spark):
+    """The nearest tolerance must bound the ABSOLUTE gap via timestamp
+    arithmetic on the rows, not an epoch-anchored literal whose parse
+    depends on the session timezone."""
+    import datetime as dt
+
+    from reddit_etl_spark.operators.asof import asof_join
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        b = dt.datetime(2024, 1, 1, 12, 0, 0)
+        left = spark.createDataFrame(
+            [("u", b, 1)], "k string, lts timestamp, lid int"
+        )
+        right = spark.createDataFrame(
+            [("u", b + dt.timedelta(seconds=30), 5.0)],
+            "k string, rts timestamp, rv double",
+        )
+        keep = asof_join(
+            left, right, ["k"], "lts", "rts",
+            direction="nearest", tolerance="50 seconds",
+        ).first()["rv"]
+        drop = asof_join(
+            left, right, ["k"], "lts", "rts",
+            direction="nearest", tolerance="20 seconds",
+        ).first()["rv"]
+        assert keep == 5.0 and drop is None
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
