@@ -151,6 +151,12 @@ _PROMOTED = [
     # oracle-checked in the tail and whose daily-rollup shape keeps a
     # recorded row via anomaly_zscore_daily; green rows r05)
     "kcore_cust_supp",
+    # round-6: point-in-time SCD2 lookup (new capability; displaces
+    # scd2_order_status_dim, whose full versioned snapshot is the
+    # FIRST STAGE of this very query — the SCD2 surface stays recorded
+    # inside pit_order_status and oracle-checked in the tail; green
+    # row r05)
+    "pit_order_status",
     # round-6: nearest-direction as-of alignment (new capability;
     # displaces concurrency_peaks, whose distributed-prefix-sum sweep
     # stays oracle-checked in the tail and plan-asserted in
@@ -226,7 +232,9 @@ _PROMOTED = [
     # (see the round-5 third-batch block in _DEFERRED).
     "similarity_topk_pq",
     "heavy_hitters_mg",
-    "scd2_order_status_dim",
+    # (scd2_order_status_dim held a slot here in round 5; rotated to
+    # the tail in round 6 for pit_order_status, which contains it as
+    # its first stage — see the round-6 blocks)
     "dsir_importance_weights",
     # (anomaly_zscore_daily held this slot in round 5; rotated to the
     # tail in round 6 for event_value_bars — see the round-6 blocks)
@@ -517,6 +525,10 @@ _DEFERRED = [
     # events_daily_melt; stays oracle-checked here each round and
     # pinned by tests/test_sessions.py. Green row in CORRECTNESS_r05.
     "event_pattern_counts",
+    # round-6 rotation OUT: SCD2 snapshot making room for
+    # pit_order_status, which builds the same dimension as its first
+    # stage; stays oracle-checked here each round. Green row r05.
+    "scd2_order_status_dim",
     # round-6 rotation OUT: sweep-line concurrency peaks making room
     # for asof_nearest_alignment; stays oracle-checked here each round
     # and plan-asserted (no single-partition window) in
@@ -5791,4 +5803,74 @@ def asof_nearest_alignment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(
             F.unix_timestamp("pts") - F.unix_timestamp("cts")
         ).cast("long").alias("gap_s"),
+    )
+
+
+@_q(
+    "pit_order_status",
+    """
+    WITH u0 AS (
+      SELECT o_custkey AS k, o_orderdate AS ts, MIN(o_orderstatus) AS status
+      FROM orders GROUP BY 1, 2),
+    chain AS (
+      SELECT c_custkey AS k, TIMESTAMP '1970-01-01' AS ts,
+             'NEW' AS status, 0 AS prio
+      FROM customer
+      UNION ALL SELECT k, ts, status, 1 FROM u0),
+    collapsed AS (
+      SELECT k, ts, status, prio FROM (
+        SELECT k, ts, status, prio,
+               lag(status) OVER (PARTITION BY k ORDER BY ts, prio) AS prev
+        FROM chain)
+      WHERE prev IS NULL OR prev <> status),
+    dim AS (
+      SELECT k AS c_custkey, status, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY k ORDER BY ts, prio) AS valid_to
+      FROM collapsed)
+    SELECT d.status AS status_at_order,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 6) AS total_price
+    FROM orders o JOIN dim d
+      ON o.o_custkey = d.c_custkey
+     AND o.o_orderdate >= d.valid_from
+     AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    GROUP BY d.status
+    """,
+    doc="point-in-time-correct SCD2 lookup "
+    "(operators/scd.py:point_in_time_join): every order joins the "
+    "customer-status VERSION valid at its order date — the "
+    "feature-store primitive that prevents time travel (rows see the "
+    "values that existed at event time, never later corrections). "
+    "Implemented as the as-of backward carry on valid_from (one key "
+    "shuffle, versions per key are non-overlapping so the latest "
+    "start <= ts is the only candidate) + a map-side half-open "
+    "validity check; the oracle runs the explicit interval join",
+)
+def pit_order_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.scd import point_in_time_join, scd2_apply
+
+    current = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey"),
+        F.lit("NEW").alias("status"),
+        F.to_timestamp(F.lit("1970-01-01")).alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("effective_ts"),
+    )
+    dim = scd2_apply(current, updates, ["c_custkey"], ["status"])
+    facts = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderdate",
+        "o_totalprice",
+    )
+    pit = point_in_time_join(
+        facts, dim, ["c_custkey"], "o_orderdate", value_cols=["status"]
+    )
+    return pit.groupBy(F.col("status").alias("status_at_order")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 6).alias("total_price"),
     )

@@ -114,3 +114,59 @@ def scd2_apply(
     # had no open row; open rows always seed, so untouched keys come
     # back as (valid_to null, is_current true) == their input state
     return closed_rows.unionByName(versions.select(*out_cols))
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    value_cols: Sequence[str] | None = None,
+    suffix: str = "_dim",
+) -> DataFrame:
+    """Point-in-time-correct lookup against an SCD2 history: each fact
+    row joins the dimension VERSION whose half-open validity interval
+    [valid_from, valid_to) contains the fact timestamp — the
+    feature-store primitive that prevents time travel (training rows
+    must see the feature values that EXISTED at event time, never
+    later corrections).
+
+    Plan: the as-of backward carry on ``valid_from`` (ONE shuffle on
+    the key over |facts|+|versions| rows — versions per key are
+    non-overlapping, so the latest valid_from <= ts IS the only
+    candidate) plus a map-side validity check against the carried
+    ``valid_to`` (NULL = still open). No interval explode, no
+    range-bucket join, no candidate blowup. Facts with NULL
+    timestamps or no covering version get NULL features (LEFT
+    semantics, like the as-of family).
+    """
+    vcols = list(
+        value_cols
+        if value_cols is not None
+        else [
+            c
+            for c in dim.columns
+            if c not in (*on, valid_from, valid_to, "is_current")
+        ]
+    )
+    from .asof import asof_join
+
+    carried = asof_join(
+        facts,
+        dim,
+        on,
+        fact_ts,
+        valid_from,
+        value_cols=[*vcols, valid_to],
+        suffix=suffix,
+        direction="backward",
+    )
+    vt = valid_to if valid_to not in facts.columns else f"{valid_to}{suffix}"
+    ok = F.col(vt).isNull() | (F.col(fact_ts) < F.col(vt))
+    out = carried
+    for c in vcols:
+        name = c if c not in facts.columns else f"{c}{suffix}"
+        out = out.withColumn(name, F.when(ok, F.col(name)))
+    return out.drop(vt)

@@ -108,3 +108,41 @@ def test_scd2_idempotent_reapply(spark):
     a = sorted(map(tuple, once.collect()))
     b = sorted(map(tuple, twice.collect()))
     assert a == b
+
+
+def test_point_in_time_join_sees_version_at_event_time(spark):
+    import datetime as dt
+
+    from reddit_etl_spark.operators.scd import point_in_time_join
+
+    d = dt.datetime
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", d(2024, 1, 1), d(2024, 3, 1), False),
+            (1, "gold", d(2024, 3, 1), None, True),
+            (2, "silver", d(2024, 2, 1), None, True),
+        ],
+        "cust long, tier string, valid_from timestamp, "
+        "valid_to timestamp, is_current boolean",
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, d(2024, 2, 15), 100.0),  # bronze era
+            (1, d(2024, 3, 1), 200.0),   # boundary: new version inclusive
+            (2, d(2024, 1, 15), 50.0),   # before any version -> NULL
+            (2, d(2024, 6, 1), 75.0),    # open current version
+            (3, d(2024, 6, 1), 1.0),     # unknown key -> NULL
+        ],
+        "cust long, ts timestamp, amount double",
+    )
+    got = {
+        (r["cust"], r["ts"]): r["tier"]
+        for r in point_in_time_join(
+            facts, dim, ["cust"], "ts", value_cols=["tier"]
+        ).collect()
+    }
+    assert got[(1, d(2024, 2, 15))] == "bronze"
+    assert got[(1, d(2024, 3, 1))] == "gold"
+    assert got[(2, d(2024, 1, 15))] is None
+    assert got[(2, d(2024, 6, 1))] == "silver"
+    assert got[(3, d(2024, 6, 1))] is None
