@@ -481,3 +481,81 @@ def stream_hll_distinct_rollup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_heavy_hitters(
+    events_stream: DataFrame,
+    value_col: str,
+    state_path: str,
+    checkpoint_path: str,
+    capacity: int = 50,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Continuously maintain a Misra-Gries heavy-hitters summary over
+    an unbounded stream: state is AT MOST ``capacity`` counters no
+    matter how many distinct values flow by — the "top talkers /
+    trending terms forever" shape where exact streaming GROUP BY state
+    grows without bound.
+
+    Each micro-batch reduces distributively to its own MG summary
+    (``sketch.mg_partition_summaries`` + counter-sum, <= partitions x
+    capacity rows, never the raw stream), then merges with the
+    persisted summary by the mergeable-summaries rule (sum shared
+    counters, subtract the (capacity+1)-th largest, keep positive —
+    Agarwal et al., PODS 2012). The total error keeps the standard MG
+    bound over the WHOLE stream (est <= true <= est + N/(capacity+1),
+    N = events so far), so every value with frequency above
+    N/(capacity+1) is guaranteed present — pinned by the test against
+    exact whole-stream counts. State publishes as a snapshot-versioned
+    table (atomic manifest commit; read with
+    ``sinks.versioned.read_versioned``).
+    """
+    from ..operators.sketch import mg_partition_summaries
+    from ..sinks.versioned import read_versioned, versions, write_versioned
+
+    def fold_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_sum = (
+            mg_partition_summaries(batch_df, value_col, capacity)
+            .groupBy(value_col)
+            .agg(F.sum("est_count").alias("est_count"))
+        )
+        if versions(state_path):
+            prior = read_versioned(spark, state_path).select(
+                value_col, "est_count"
+            )
+            both = batch_sum.unionByName(prior)
+        else:
+            both = batch_sum
+        merged = both.groupBy(value_col).agg(
+            F.sum("est_count").alias("est_count")
+        )
+        # trim back to capacity: the merged table is tiny (<= 2x
+        # capacity + batch partials), so the rank window is bounded
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("est_count"), F.asc(value_col))
+        ranked = merged.withColumn("__rn", F.row_number().over(w))
+        cut = (
+            ranked.filter(F.col("__rn") == capacity + 1)
+            .agg(F.coalesce(F.max("est_count"), F.lit(0)).alias("__cut"))
+            .first()["__cut"]
+        )
+        final = (
+            ranked.filter(F.col("__rn") <= capacity)
+            .withColumn("est_count", F.col("est_count") - F.lit(cut))
+            .filter(F.col("est_count") > 0)
+            .select(value_col, "est_count")
+        )
+        write_versioned(final, state_path, mode="overwrite")
+
+    writer = (
+        events_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(fold_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

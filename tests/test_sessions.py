@@ -447,3 +447,44 @@ def test_streaming_hll_rollup_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) == 3
+
+
+def test_streaming_heavy_hitters_keeps_mg_guarantee(spark, tmp_path):
+    """The streamed MG summary must satisfy the whole-stream bound:
+    every value with true frequency > N/(capacity+1) is present, and
+    est <= true <= est + N/(capacity+1) for all reported values."""
+    from collections import Counter
+
+    from reddit_etl_spark.sinks.versioned import read_versioned
+    from reddit_etl_spark.streaming.stats_stream import stream_heavy_hitters
+
+    # zipf-ish stream: v0 dominates, long tail of singletons
+    vals = (["v0"] * 120 + ["v1"] * 60 + ["v2"] * 30
+            + [f"t{i}" for i in range(90)])
+    schema = "v string"
+    src = str(tmp_path / "hh_in")
+    for j in range(3):  # three micro-batches
+        spark.createDataFrame(
+            [(x,) for x in vals[j::3]], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream_heavy_hitters(
+        stream, "v", str(tmp_path / "hh_state"),
+        str(tmp_path / "hh_ckpt"), capacity=8, available_now=True,
+    )
+    q.awaitTermination(120)
+    got = {
+        r["v"]: r["est_count"]
+        for r in read_versioned(spark, str(tmp_path / "hh_state")).collect()
+    }
+    true = Counter(vals)
+    n = len(vals)
+    bound = n / 9.0  # capacity + 1
+    assert len(got) <= 8
+    for v, c in true.items():
+        if c > bound:
+            assert v in got, v
+    for v, est in got.items():
+        assert est <= true[v] <= est + bound, (v, est, true[v])
