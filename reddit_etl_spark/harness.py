@@ -151,6 +151,11 @@ _PROMOTED = [
     # oracle-checked in the tail and whose daily-rollup shape keeps a
     # recorded row via anomaly_zscore_daily; green rows r05)
     "kcore_cust_supp",
+    # round-6: CDC apply (new capability; displaces duplicate_spans,
+    # whose repeated-span detection stays oracle-checked in the tail
+    # and whose span family keeps partial_copy_pairs + the winnowing
+    # tests; green rows r05)
+    "cdc_supplier_apply",
     # round-6: point-in-time SCD2 lookup (new capability; displaces
     # scd2_order_status_dim, whose full versioned snapshot is the
     # FIRST STAGE of this very query — the SCD2 surface stays recorded
@@ -224,7 +229,8 @@ _PROMOTED = [
     # round-5 second-batch block in _DEFERRED).
     "bigram_perplexity",
     "semantic_dedup",
-    "duplicate_spans",
+    # (duplicate_spans held a slot here in round 5; rotated to the
+    # tail in round 6 for cdc_supplier_apply — see the round-6 blocks)
     "nb_language_selftrain",
     # round-5 third batch: capabilities built later in the round go
     # straight into the recorded head (same rationale as above). Each
@@ -525,6 +531,11 @@ _DEFERRED = [
     # events_daily_melt; stays oracle-checked here each round and
     # pinned by tests/test_sessions.py. Green row in CORRECTNESS_r05.
     "event_pattern_counts",
+    # round-6 rotation OUT: repeated-span detection making room for
+    # cdc_supplier_apply; stays oracle-checked here each round, span
+    # family also pinned by partial_copy_pairs + winnowing tests.
+    # Green row r05.
+    "duplicate_spans",
     # round-6 rotation OUT: SCD2 snapshot making room for
     # pit_order_status, which builds the same dimension as its first
     # stage; stays oracle-checked here each round. Green row r05.
@@ -5874,3 +5885,63 @@ def pit_order_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 6).alias("total_price"),
     )
+
+
+@_q(
+    "cdc_supplier_apply",
+    """
+    WITH ch AS (
+      SELECT l_suppkey AS s_suppkey,
+             l_orderkey * 10 + l_linenumber AS seq,
+             CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'U' END AS op,
+             ROUND(l_extendedprice, 6) AS new_bal
+      FROM lineitem),
+    latest AS (
+      SELECT * FROM (
+        SELECT ch.*, ROW_NUMBER() OVER (PARTITION BY s_suppkey
+                                        ORDER BY seq DESC) AS rn
+        FROM ch) WHERE rn = 1),
+    kept AS (
+      SELECT s.s_suppkey, s.s_name, s.s_nationkey,
+             ROUND(s.s_acctbal, 6) AS s_acctbal
+      FROM supplier s
+      WHERE NOT EXISTS (SELECT 1 FROM ch
+                        WHERE ch.s_suppkey = s.s_suppkey)),
+    upserts AS (
+      SELECT s.s_suppkey, s.s_name, s.s_nationkey, l.new_bal AS s_acctbal
+      FROM latest l JOIN supplier s ON s.s_suppkey = l.s_suppkey
+      WHERE l.op <> 'D')
+    SELECT * FROM kept UNION ALL SELECT * FROM upserts
+    """,
+    doc="change-data-capture apply (operators/scd.py:apply_cdc): a "
+    "Debezium-style change batch (full row images + op + sequence) "
+    "applied to the supplier snapshot — highest sequence per key "
+    "wins, deletes drop the row, untouched keys pass through, and "
+    "replaying the batch is idempotent. One window over the CHANGE "
+    "batch (never the base), one anti join, one union; the demo "
+    "derives changes from lineitem (latest line per supplier updates "
+    "the balance; a returned last line deletes the supplier)",
+)
+def cdc_supplier_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.scd import apply_cdc
+
+    supplier = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey",
+        F.round("s_acctbal", 6).alias("s_acctbal"),
+    )
+    li = load(spark, sf_dir, "lineitem")
+    changes = li.select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("seq"),
+        F.when(F.col("l_returnflag") == "R", "D").otherwise("U").alias("op"),
+    ).join(
+        supplier.select("s_suppkey", "s_name", "s_nationkey"), "s_suppkey"
+    ).join(
+        li.select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("seq"),
+            F.round("l_extendedprice", 6).alias("s_acctbal"),
+        ),
+        ["s_suppkey", "seq"],
+    ).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal", "op", "seq")
+    return apply_cdc(supplier, changes, ["s_suppkey"], "seq")

@@ -170,3 +170,42 @@ def point_in_time_join(
         name = c if c not in facts.columns else f"{c}{suffix}"
         out = out.withColumn(name, F.when(ok, F.col(name)))
     return out.drop(vt)
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a change-data-capture batch (Debezium-style row images)
+    to a snapshot: for each key the HIGHEST-``seq_col`` change wins —
+    insert/update ('I'/'U') replaces the row with the change's image,
+    delete ('D') removes it; keys without changes pass through
+    untouched. The idempotent replay contract: applying the same
+    batch twice yields the same table.
+
+    ``(keys, seq_col)`` must be unique (CDC logs are; enforced by a
+    deterministic rank, ties would be a source bug). ``changes``
+    must carry the base's non-key columns as the full new row image
+    plus ``op_col`` and ``seq_col``.
+
+    Plan: one window over the CHANGE batch (partitioned by key —
+    O(|changes|), never the base), one anti join to drop superseded
+    base rows (change keys broadcastable when the batch is small),
+    one union. The base table never shuffles beyond the anti-join
+    probe; at 100 TB pair with ``merge_parquet`` so only files
+    containing changed keys rewrite.
+    """
+    ks = list(keys)
+    w = Window.partitionBy(*ks).orderBy(F.desc(seq_col))
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    upserts = latest.filter(F.col(op_col) != "D").select(*base.columns)
+    touched = changes.select(*ks).distinct()
+    kept = base.join(touched, ks, "left_anti")
+    return kept.unionByName(upserts)

@@ -146,3 +146,32 @@ def test_point_in_time_join_sees_version_at_event_time(spark):
     assert got[(2, d(2024, 1, 15))] is None
     assert got[(2, d(2024, 6, 1))] == "silver"
     assert got[(3, d(2024, 6, 1))] is None
+
+
+def test_apply_cdc_semantics_and_idempotence(spark):
+    from reddit_etl_spark.operators.scd import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+    changes = spark.createDataFrame(
+        [
+            # key 1: update then delete (delete has higher seq -> wins)
+            (1, "a", 11.0, "U", 5),
+            (1, "a", 12.0, "D", 9),
+            # key 2: two updates, highest seq wins
+            (2, "b", 21.0, "U", 3),
+            (2, "b", 22.0, "U", 7),
+            # key 4: insert of a new key
+            (4, "d", 40.0, "I", 1),
+        ],
+        "k long, name string, bal double, op string, seq long",
+    )
+    out = apply_cdc(base, changes, ["k"], "seq")
+    got = {r["k"]: (r["name"], r["bal"]) for r in out.collect()}
+    assert got == {2: ("b", 22.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+    # idempotent replay: applying the same batch to the result is a
+    # no-op (the state already reflects every change)
+    again = apply_cdc(out, changes, ["k"], "seq")
+    assert {r["k"]: (r["name"], r["bal"]) for r in again.collect()} == got
