@@ -151,6 +151,11 @@ _PROMOTED = [
     # oracle-checked in the tail and whose daily-rollup shape keeps a
     # recorded row via anomaly_zscore_daily; green rows r05)
     "kcore_cust_supp",
+    # round-6: session journey mining (new capability; displaces
+    # bigram_perplexity, whose LM-gate family keeps the recorded
+    # nb_language_selftrain row and stays oracle-checked in the tail;
+    # green row r05)
+    "session_journeys",
     # round-6: CDC apply (new capability; displaces duplicate_spans,
     # whose repeated-span detection stays oracle-checked in the tail
     # and whose span family keeps partial_copy_pairs + the winnowing
@@ -227,7 +232,8 @@ _PROMOTED = [
     # first driver row (the r3/r4 pattern). Swapped in against four
     # long-attested entries with recorded capability twins (see the
     # round-5 second-batch block in _DEFERRED).
-    "bigram_perplexity",
+    # (bigram_perplexity held a slot here in round 5; rotated to the
+    # tail in round 6 for session_journeys — see the round-6 blocks)
     "semantic_dedup",
     # (duplicate_spans held a slot here in round 5; rotated to the
     # tail in round 6 for cdc_supplier_apply — see the round-6 blocks)
@@ -531,6 +537,10 @@ _DEFERRED = [
     # events_daily_melt; stays oracle-checked here each round and
     # pinned by tests/test_sessions.py. Green row in CORRECTNESS_r05.
     "event_pattern_counts",
+    # round-6 rotation OUT: bigram-LM perplexity making room for
+    # session_journeys; stays oracle-checked here each round, LM
+    # family keeps nb_language_selftrain recorded. Green row r05.
+    "bigram_perplexity",
     # round-6 rotation OUT: repeated-span detection making room for
     # cdc_supplier_apply; stays oracle-checked here each round, span
     # family also pinned by partial_copy_pairs + winnowing tests.
@@ -5945,3 +5955,51 @@ def cdc_supplier_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["s_suppkey", "seq"],
     ).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal", "op", "seq")
     return apply_cdc(supplier, changes, ["s_suppkey"], "seq")
+
+
+@_q(
+    "session_journeys",
+    """
+    WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id,
+                      event_type FROM events),
+    lagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) - 1
+               AS session_id
+      FROM lagged),
+    j AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id)
+               AS journey
+      FROM sess GROUP BY user_id, session_id)
+    SELECT journey,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM j GROUP BY journey
+    ORDER BY n_sessions DESC, journey LIMIT 20
+    """,
+    doc="journey mining (operators/sessions.py:session_journeys): the "
+    "top within-session event-type SEQUENCES — path DISCOVERY where "
+    "CEP counting answers only known patterns. Sessionize (one key "
+    "shuffle shared by both windows), fold each session's ordered "
+    "types into a '>'-joined path via sort_array(collect_list) — "
+    "per-session memory, no corpus-wide state — then one "
+    "map-side-combined journey count and a deterministic "
+    "TakeOrderedAndProject top-20 (count desc, journey asc); "
+    "same-timestamp steps tie-break on event_id in both engines",
+)
+def session_journeys_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sessions import session_journeys
+
+    ev = load_events(spark, sf_dir)
+    return session_journeys(
+        ev, ["user_id"], "ts", "event_type",
+        gap="30 minutes", top_k=20, tie_col="event_id",
+    )

@@ -425,3 +425,56 @@ def event_pattern_counts(
         F.length("__seq").cast("long").alias("n_events"),
         F.regexp_count("__seq", F.lit(pattern)).cast("long").alias("n_matches"),
     )
+
+
+def session_journeys(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    type_col: str,
+    gap: str = "30 minutes",
+    top_k: int = 20,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Journey mining: the most common within-session event-type
+    SEQUENCES ("view>click>purchase") — the product-analytics readout
+    CEP counting (:func:`event_pattern_counts`) answers for KNOWN
+    patterns and this answers for DISCOVERY (what paths actually
+    happen, ranked).
+
+    Sessionizes on ``gap`` (sharing the one key shuffle), folds each
+    session's ordered types into a '>'-joined path via
+    sort_array(collect_list(struct)) — per-session memory, no
+    corpus-wide state — then one map-side-combined count per distinct
+    journey and a TakeOrderedAndProject top-``top_k`` (count desc,
+    journey asc: fully deterministic). ``tie_col`` (e.g. a unique
+    event id) breaks same-timestamp ordering inside a session; pass
+    it whenever timestamps can collide.
+
+    Returns (journey, n_sessions, n_users).
+    """
+    keys = list(key_cols)
+    sess = sessionize(df, keys, ts_col, gap=gap)
+    order_fields = [F.col(ts_col).alias("__t")]
+    if tie_col is not None:
+        order_fields.append(F.col(tie_col).alias("__tb"))
+    step = F.struct(*order_fields, F.col(type_col).alias("__et"))
+    per = sess.groupBy(*keys, "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(step)), lambda x: x["__et"]
+            ),
+            ">",
+        ).alias("journey")
+    )
+    return (
+        per.groupBy("journey")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.count_distinct(*[F.col(k) for k in keys])
+            .cast("long")
+            .alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), "journey")
+        .limit(top_k)
+    )

@@ -488,3 +488,32 @@ def test_streaming_heavy_hitters_keeps_mg_guarantee(spark, tmp_path):
             assert v in got, v
     for v, est in got.items():
         assert est <= true[v] <= est + bound, (v, est, true[v])
+
+
+def test_session_journeys_orders_and_ranks(spark):
+    base = dt.datetime(2025, 9, 1, 10, 0)
+    rows = []
+    # two users walk view>click>purchase; one user view>view
+    for u, path in [("a", ["view", "click", "purchase"]),
+                    ("b", ["view", "click", "purchase"]),
+                    ("c", ["view", "view"])]:
+        for i, et in enumerate(path):
+            rows.append((u, base + dt.timedelta(minutes=i), i, et))
+    # user a: a SECOND session (past the gap) with a single event
+    rows.append(("a", base + dt.timedelta(hours=5), 99, "view"))
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, event_type string"
+    )
+    from reddit_etl_spark.operators.sessions import session_journeys
+
+    got = [
+        (r["journey"], r["n_sessions"], r["n_users"])
+        for r in session_journeys(
+            df, ["user_id"], "ts", "event_type", tie_col="event_id"
+        ).collect()
+    ]
+    assert got == [
+        ("view>click>purchase", 2, 2),
+        ("view", 1, 1),
+        ("view>view", 1, 1),
+    ]
