@@ -5766,18 +5766,20 @@ def event_value_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type = 'click'
       UNION ALL
       SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT), 0, NULL, value
-      FROM events WHERE event_type = 'purchase'),
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL),
     c AS (
       SELECT *,
              last_value(CASE WHEN is_left = 0
                              THEN {'t': t, 'rv': rv} END
                         IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY t, is_left, rv
+               OVER (PARTITION BY user_id
+                     ORDER BY t, is_left, rv NULLS FIRST
                      ROWS UNBOUNDED PRECEDING) AS mb,
              last_value(CASE WHEN is_left = 0
                              THEN {'t': t, 'rv': rv} END
                         IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY t DESC, is_left, rv
+               OVER (PARTITION BY user_id
+                     ORDER BY t DESC, is_left, rv NULLS FIRST
                      ROWS UNBOUNDED PRECEDING) AS mf
       FROM u),
     pick AS (
@@ -5940,19 +5942,15 @@ def cdc_supplier_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("s_acctbal", 6).alias("s_acctbal"),
     )
     li = load(spark, sf_dir, "lineitem")
+    # one lineitem projection carries the full row image — no
+    # self-join back for a column the same row already holds
     changes = li.select(
         F.col("l_suppkey").alias("s_suppkey"),
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("seq"),
         F.when(F.col("l_returnflag") == "R", "D").otherwise("U").alias("op"),
+        F.round("l_extendedprice", 6).alias("s_acctbal"),
     ).join(
         supplier.select("s_suppkey", "s_name", "s_nationkey"), "s_suppkey"
-    ).join(
-        li.select(
-            F.col("l_suppkey").alias("s_suppkey"),
-            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("seq"),
-            F.round("l_extendedprice", 6).alias("s_acctbal"),
-        ),
-        ["s_suppkey", "seq"],
     ).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal", "op", "seq")
     return apply_cdc(supplier, changes, ["s_suppkey"], "seq")
 

@@ -54,9 +54,10 @@ def asof_join(
     non-key, non-ts). ``tie_cols`` (a subset of ``value_cols``, must
     be orderable) appends a deterministic tie-break to the carry
     order: when two right rows share a key and timestamp, the row
-    with the GREATEST tie tuple wins on every engine and
-    partitioning; without it the winner is arbitrary (the split-path
-    caveat, now opt-out everywhere). Right rows with NULL timestamps
+    with the GREATEST tie tuple wins on every engine, partitioning,
+    and split mode (tie columns lead the carried struct, so the
+    split path's bucket carry-in agrees with its in-bucket window);
+    without it the winner is arbitrary. Right rows with NULL timestamps
     never match; left rows with NULL timestamps get NULL matches. ``tolerance`` (e.g. ``"15 minutes"``) NULLs out
     matches farther than ``tolerance`` from ``left_ts`` in the match
     direction, matching the pandas ``merge_asof(tolerance=...)``
@@ -138,9 +139,13 @@ def asof_join(
     # last() calls: independently-carried columns would mix values
     # from different right rows whenever the latest right row has a
     # NULL in one column (the emitted combination never existed).
+    # tie_cols lead the struct's value fields so the split path's
+    # struct-max carry-in agrees with the windows' tie ordering
+    _tc = [c for c in (tie_cols or []) if c in value_cols]
+    _ordered_vals = [*_tc, *[c for c in value_cols if c not in _tc]]
     right_struct = F.struct(
         F.col("__ts").alias("__mts"),
-        *[F.col(f"__v_{c}").alias(c) for c in value_cols],
+        *[F.col(f"__v_{c}").alias(c) for c in _ordered_vals],
     )
 
     if direction == "nearest":
@@ -195,12 +200,13 @@ def asof_join(
         carried = _split_carry(
             unioned, keys, value_cols, right_struct, ts_order, backward,
             split_buckets,
+            ties=[F.col(f"__v_{c}") for c in (tie_cols or [])],
         )
         if carried is None:  # degenerate time range: bucketing can't split
             return asof_join(
                 left, right, on, left_ts, right_ts,
                 value_cols=value_cols, tolerance=tolerance, suffix=suffix,
-                direction=direction, split="none",
+                direction=direction, split="none", tie_cols=tie_cols,
             )
 
     result = carried.filter(F.col("__is_left") == 1).withColumn(
@@ -237,6 +243,7 @@ def _split_carry(
     ts_order,
     backward: bool,
     split_buckets: int,
+    ties: list | None = None,
 ):
     """Skew-split carry: window per (key, time-bucket) with synthetic
     carry-in rows so cross-bucket matches survive. Returns the carried
@@ -313,7 +320,7 @@ def _split_carry(
     all_rows = tagged.unionByName(syn.select(*tagged.columns))
     w_in = (
         Window.partitionBy(*keys, "__b")
-        .orderBy(ts_order, F.col("__is_left"))
+        .orderBy(ts_order, F.col("__is_left"), *(ties or []))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     match_expr = F.when(F.col("__is_left") == 0, right_struct).when(

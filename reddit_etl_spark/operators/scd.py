@@ -200,8 +200,23 @@ def apply_cdc(
     """
     ks = list(keys)
     w = Window.partitionBy(*ks).orderBy(F.desc(seq_col))
+    # an unknown or NULL op must FAIL LOUDLY: under three-valued
+    # logic a NULL op would slip past `op != 'D'` while its key still
+    # anti-joins the base row away — a silent delete. raise_error
+    # fires lazily, per offending row, on any executor.
+    checked_op = F.when(
+        F.col(op_col).isin("I", "U", "D"), F.col(op_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("apply_cdc: op must be I/U/D, got "),
+                F.coalesce(F.col(op_col), F.lit("NULL")),
+            )
+        )
+    )
     latest = (
-        changes.withColumn("__rn", F.row_number().over(w))
+        changes.withColumn(op_col, checked_op)
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )

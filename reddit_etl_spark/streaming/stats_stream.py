@@ -483,6 +483,67 @@ def stream_hll_distinct_rollup(
     return writer.start()
 
 
+def _mg_fold_batch(
+    spark,
+    batch_df: DataFrame,
+    value_col: str,
+    capacity: int,
+    state_path: str,
+    bkey: str,
+) -> None:
+    """One heavy-hitters state fold (module-level so replay semantics
+    are unit-testable): merge the batch's distributed MG summary into
+    the persisted counters and commit a new state version stamped
+    with ``bkey``.
+
+    Replay-idempotent under at-least-once foreachBatch: if the LATEST
+    committed version already carries this ``bkey`` (state written,
+    then the driver died before the streaming checkpoint recorded the
+    batch), the fold rebases on the PREDECESSOR version instead of
+    double-counting — counter sums, unlike the HLL rollup's
+    register-max, are not naturally idempotent. The recommit yields
+    the same counters the lost commit held.
+    """
+    from ..operators.sketch import mg_partition_summaries
+    from ..sinks.versioned import read_versioned, versions, write_versioned
+
+    vs = versions(state_path)
+    prior_rows: list = []
+    if vs:
+        latest = read_versioned(spark, state_path)
+        latest_rows = latest.collect()  # <= capacity rows + stamp col
+        if latest_rows and latest_rows[0]["last_batch"] == bkey:
+            # replay: rebase on the version BEFORE the duplicate commit
+            if len(vs) > 1:
+                prior_rows = read_versioned(
+                    spark, state_path, version=vs[-2]
+                ).collect()
+        else:
+            prior_rows = latest_rows
+    batch_rows = (
+        mg_partition_summaries(batch_df, value_col, capacity)
+        .groupBy(value_col)
+        .agg(F.sum("est_count").alias("est_count"))
+        .collect()
+    )
+    # merge + trim in plain Python: both inputs are bounded (state <=
+    # capacity, batch summary <= partitions x capacity), so ONE
+    # evaluation replaces the previous re-executed-per-action plan
+    counters: dict = {}
+    for r in prior_rows:
+        counters[r[value_col]] = counters.get(r[value_col], 0) + r["est_count"]
+    for r in batch_rows:
+        counters[r[value_col]] = counters.get(r[value_col], 0) + r["est_count"]
+    if len(counters) > capacity:
+        cut = sorted(counters.values(), reverse=True)[capacity]
+        counters = {v: c - cut for v, c in counters.items() if c - cut > 0}
+    out = spark.createDataFrame(
+        [(v, int(c), bkey) for v, c in sorted(counters.items())],
+        f"`{value_col}` string, est_count long, last_batch string",
+    )
+    write_versioned(out, state_path, mode="overwrite")
+
+
 def stream_heavy_hitters(
     events_stream: DataFrame,
     value_col: str,
@@ -507,49 +568,21 @@ def stream_heavy_hitters(
     N = events so far), so every value with frequency above
     N/(capacity+1) is guaranteed present — pinned by the test against
     exact whole-stream counts. State publishes as a snapshot-versioned
-    table (atomic manifest commit; read with
-    ``sinks.versioned.read_versioned``).
+    table stamped with a checkpoint-derived batch key, making replays
+    of the same micro-batch IDEMPOTENT (see :func:`_mg_fold_batch`);
+    read with ``sinks.versioned.read_versioned``.
     """
-    from ..operators.sketch import mg_partition_summaries
-    from ..sinks.versioned import read_versioned, versions, write_versioned
+    import hashlib
 
-    def fold_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    qid = hashlib.md5(checkpoint_path.encode()).hexdigest()[:8]
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        spark = batch_df.sparkSession
-        batch_sum = (
-            mg_partition_summaries(batch_df, value_col, capacity)
-            .groupBy(value_col)
-            .agg(F.sum("est_count").alias("est_count"))
+        _mg_fold_batch(
+            batch_df.sparkSession, batch_df, value_col, capacity,
+            state_path, f"{qid}-{batch_id}",
         )
-        if versions(state_path):
-            prior = read_versioned(spark, state_path).select(
-                value_col, "est_count"
-            )
-            both = batch_sum.unionByName(prior)
-        else:
-            both = batch_sum
-        merged = both.groupBy(value_col).agg(
-            F.sum("est_count").alias("est_count")
-        )
-        # trim back to capacity: the merged table is tiny (<= 2x
-        # capacity + batch partials), so the rank window is bounded
-        from pyspark.sql import Window
-
-        w = Window.orderBy(F.desc("est_count"), F.asc(value_col))
-        ranked = merged.withColumn("__rn", F.row_number().over(w))
-        cut = (
-            ranked.filter(F.col("__rn") == capacity + 1)
-            .agg(F.coalesce(F.max("est_count"), F.lit(0)).alias("__cut"))
-            .first()["__cut"]
-        )
-        final = (
-            ranked.filter(F.col("__rn") <= capacity)
-            .withColumn("est_count", F.col("est_count") - F.lit(cut))
-            .filter(F.col("est_count") > 0)
-            .select(value_col, "est_count")
-        )
-        write_versioned(final, state_path, mode="overwrite")
 
     writer = (
         events_stream.writeStream.outputMode("append")

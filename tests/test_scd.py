@@ -175,3 +175,21 @@ def test_apply_cdc_semantics_and_idempotence(spark):
     # no-op (the state already reflects every change)
     again = apply_cdc(out, changes, ["k"], "seq")
     assert {r["k"]: (r["name"], r["bal"]) for r in again.collect()} == got
+
+
+def test_apply_cdc_rejects_null_or_unknown_op(spark):
+    import pytest as _pytest
+
+    from reddit_etl_spark.operators.scd import apply_cdc
+
+    base = spark.createDataFrame([(1, 10.0)], "k long, bal double")
+    bad = spark.createDataFrame(
+        [(1, 11.0, None, 5)], "k long, bal double, op string, seq long"
+    )
+    with _pytest.raises(Exception, match="apply_cdc"):
+        apply_cdc(base, bad, ["k"], "seq").collect()
+    worse = spark.createDataFrame(
+        [(1, 11.0, "X", 5)], "k long, bal double, op string, seq long"
+    )
+    with _pytest.raises(Exception, match="apply_cdc"):
+        apply_cdc(base, worse, ["k"], "seq").collect()

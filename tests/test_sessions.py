@@ -517,3 +517,38 @@ def test_session_journeys_orders_and_ranks(spark):
         ("view", 1, 1),
         ("view>view", 1, 1),
     ]
+
+
+def test_streaming_heavy_hitters_replay_is_idempotent(spark, tmp_path):
+    """Re-folding the SAME batch key (the at-least-once foreachBatch
+    replay after a crash between state commit and checkpoint) must
+    not double-count: the fold rebases on the predecessor version."""
+    from reddit_etl_spark.sinks.versioned import read_versioned
+    from reddit_etl_spark.streaming.stats_stream import _mg_fold_batch
+
+    state = str(tmp_path / "replay_state")
+    b1 = spark.createDataFrame([("a",)] * 5 + [("b",)] * 2, "v string")
+    b2 = spark.createDataFrame([("a",)] * 3 + [("c",)] * 4, "v string")
+    _mg_fold_batch(spark, b1, "v", 8, state, "q-0")
+    _mg_fold_batch(spark, b2, "v", 8, state, "q-1")
+    want = {
+        r["v"]: r["est_count"]
+        for r in read_versioned(spark, state).collect()
+    }
+    assert want == {"a": 8, "b": 2, "c": 4}
+    # replay batch 1: state must come out identical
+    _mg_fold_batch(spark, b2, "v", 8, state, "q-1")
+    got = {
+        r["v"]: r["est_count"]
+        for r in read_versioned(spark, state).collect()
+    }
+    assert got == want
+    # and a replay of the FIRST batch against a 1-version history
+    state2 = str(tmp_path / "replay_state2")
+    _mg_fold_batch(spark, b1, "v", 8, state2, "q-0")
+    _mg_fold_batch(spark, b1, "v", 8, state2, "q-0")
+    got2 = {
+        r["v"]: r["est_count"]
+        for r in read_versioned(spark, state2).collect()
+    }
+    assert got2 == {"a": 5, "b": 2}
