@@ -355,6 +355,86 @@ def main() -> int:
         "shuffles (reassembly = map-side HOF at the scan)",
     )
 
+    # -- Bloom semi-join (SCALING.md "Bloom semi-join" row) ---------------
+    # Probe side = the 10x events stream keyed by event_id; build side
+    # = 1/100 of the keys. The Bloom probe drops non-matches AT THE
+    # SCAN, so the dominant exchange is the exact-verify semi join
+    # over the SURVIVING sliver (~matches + FPs), NOT the probe side;
+    # the filter build's word aggregation is <= bits/64 rows.
+    from reddit_etl_spark.operators.skew import bloom_semi_join
+
+    bloom_small = (
+        events.filter(F.col("event_id") < 10_000)
+        .select(F.col("event_id").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bloom_big = events.select(
+        F.col("event_id").alias("k"), F.col("value")
+    ).localCheckpoint(eager=True)
+    n_keys = bloom_small.count()
+    n_match = bloom_big.join(bloom_small, "k", "semi").count()
+    n_big = bloom_big.count()
+    # every stage the operator shuffles is KEY-sized, never
+    # probe-sized: the filter build's position rows (k hashes per
+    # key, partially combined into <= bits/64 words per partition),
+    # the verify join's key side, and the ~matches+FPs sliver. The
+    # dominant exchange is whichever of those is largest — and the
+    # scale claim under audit is that it stays orders below n_big.
+    pred = max(5 * n_keys, n_keys, 2 * n_match)
+    record(
+        "bloom_semi_prune",
+        predicted=pred,
+        fn=lambda: bloom_semi_join(
+            bloom_big, bloom_small, "k", bits=1 << 22, k=5
+        )
+        .agg(F.sum("value"))
+        .collect(),
+        note=f"dominant = key-sized stages only (build positions "
+        f"5 x {n_keys}, verify key side {n_keys}, sliver ~{2 * n_match}) "
+        f"— never the {n_big}-row probe side, which the Arrow kernel "
+        "filters at the scan",
+    )
+
+    # -- k-core peel (SCALING.md "k-core peel" row) -----------------------
+    # Synthetic two-tier graph: a dense core that survives and a
+    # sparse fringe that peels. Dominant exchange = the first degree
+    # aggregation + semi joins over the full undirected edge list
+    # (2|E| directed rows); later rounds ride the shrinking frame.
+    from reddit_etl_spark.operators.graph import kcore
+
+    core_n = 2000
+    core_edges = spark.range(core_n).selectExpr(
+        "cast(id as string) as src",
+        f"cast((id + 1) % {core_n} as string) as dst"
+    )
+    for off in (2, 3, 4):
+        core_edges = core_edges.unionByName(
+            spark.range(core_n).selectExpr(
+                "cast(id as string) as src",
+                f"cast((id + {off}) % {core_n} as string) as dst",
+            )
+        )
+    fringe = spark.range(20_000).selectExpr(
+        f"cast(id % {core_n} as string) as src",
+        "concat('f', cast(id as string)) as dst",
+    )
+    kc_edges = core_edges.unionByName(fringe).localCheckpoint(eager=True)
+    und_rows = (
+        kc_edges.count() * 2
+    )  # both directions, duplicates negligible by construction
+    record(
+        "kcore_peel",
+        predicted=und_rows,
+        fn=lambda: kcore(kc_edges, k=5, rounds=3)
+        .agg(F.sum("degree"))
+        .collect(),
+        note=f"dominant = round-1 degree agg / semi joins over the "
+        f"full undirected edge list (~{und_rows} rows); the fringe "
+        "(degree-1 leaves) peels immediately and later rounds "
+        "aggregate only the surviving core",
+    )
+
     out = {
         "sf_dir": sf_dir,
         "times": times,
