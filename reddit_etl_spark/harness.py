@@ -266,10 +266,15 @@ _PROMOTED = [
     # text-kernel family stays recorded via text_profile and
     # oracle-checked in the tail alongside nfc_fingerprints)
     "user_clustering",
-    # time-weighted average (new capability; displaces
-    # q13_trailing_window, whose trailing-ROWS-window stddev shape
-    # stays recorded via anomaly_zscore_daily)
-    "twa_user_value",
+    # (twa_user_value held this slot through round 6's first half —
+    # recorded rows r05; rotated to the tail mid-round-6 for
+    # geo_nearest_supplier — see the round-6 second-wave blocks)
+    # round-6 second wave: grid-pruned spatial KNN join (new FAMILY —
+    # the engine had no spatial surface; displaces twa_user_value,
+    # whose time-weighted-average readout stays oracle-checked in the
+    # tail and whose ordered-series family keeps recorded rows via
+    # event_value_bars + decayed_engagement + asof_nearest_alignment)
+    "geo_nearest_supplier",
     # gap-fill + LOCF (new capability; displaces events_windowed,
     # whose tumbling-rollup shape stays recorded via
     # anomaly_zscore_daily's daily rollup and pinned by the
@@ -568,6 +573,11 @@ _DEFERRED = [
     "mixture_weights",
     "document_chunks",
     "fuzzy_name_pairs",
+    # round-6 second-wave rotation OUT: time-weighted average making
+    # room for geo_nearest_supplier; stays oracle-checked here each
+    # round, step-interpolation semantics pinned by
+    # tests/test_series.py. Green row r05.
+    "twa_user_value",
 ]
 
 
@@ -6000,4 +6010,96 @@ def session_journeys_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_journeys(
         ev, ["user_id"], "ts", "event_type",
         gap="30 minutes", top_k=20, tie_col="event_id",
+    )
+
+
+# Engine-portable synthetic coordinates: uniform-ish lat in [-60, 60)
+# and lon in [-180, 180) from md5 top-60 bits of the entity key — the
+# same md5_60 idiom every hash-derived oracle query uses, so DuckDB
+# reproduces the exact doubles (modulo and division are the same IEEE
+# ops on both engines).
+def _synth_coord(key: str, salt: str, span_micro: int, offset: float):
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key).cast("string"), F.lit(salt))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(span_micro)) / F.lit(1_000_000.0) - F.lit(offset)
+
+
+_GEO_COORD_SQL = (
+    "((('0x' || substring(md5(CAST({key} AS VARCHAR) || '{salt}'), 1, 15))"
+    "::BIGINT % {span}) / 1000000.0 - {off})"
+)
+
+
+@_q(
+    "geo_nearest_supplier",
+    """
+    WITH c AS (
+      SELECT c_custkey,
+             {clat} AS lat, {clon} AS lon
+      FROM customer),
+    s AS (
+      SELECT s_suppkey,
+             {slat} AS lat, {slon} AS lon
+      FROM supplier),
+    p AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             ROUND(2 * 6371.0088 * ASIN(SQRT(LEAST(1.0,
+               SIN(RADIANS(s.lat - c.lat) / 2) ^ 2
+               + COS(RADIANS(c.lat)) * COS(RADIANS(s.lat))
+                 * SIN(RADIANS(s.lon - c.lon) / 2) ^ 2))), 6)
+               AS distance_km
+      FROM c CROSS JOIN s),
+    r AS (
+      SELECT c_custkey, s_suppkey, distance_km,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY distance_km, s_suppkey) AS rn
+      FROM p WHERE distance_km <= 1500.0)
+    SELECT c_custkey, s_suppkey, distance_km, CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 2
+    """.format(
+        clat=_GEO_COORD_SQL.format(
+            key="c_custkey", salt=":lat", span=120_000_000, off=60
+        ),
+        clon=_GEO_COORD_SQL.format(
+            key="c_custkey", salt=":lon", span=360_000_000, off=180
+        ),
+        slat=_GEO_COORD_SQL.format(
+            key="s_suppkey", salt=":lat", span=120_000_000, off=60
+        ),
+        slon=_GEO_COORD_SQL.format(
+            key="s_suppkey", salt=":lon", span=360_000_000, off=180
+        ),
+    ),
+    doc="grid-pruned spatial KNN join (operators/geo.py:grid_knn_join): "
+    "each customer's 2 nearest suppliers within 1500 km by exact "
+    "haversine on md5-synthesized coordinates. Spark generates "
+    "candidates from a 3x3 degree-grid cell equi-join (9|L| + |R| "
+    "cell-keyed rows shuffled, never the |L|x|R| product; lon cells "
+    "wrap mod n so the +-180 seam is a plain neighbor) and ranks by "
+    "(rounded-6 distance, s_suppkey); the DuckDB oracle is the "
+    "EXHAUSTIVE cross join, so every row is also a completeness "
+    "proof of the geometric prune bounds (d >= R|dphi|; "
+    "d >= (2/pi) R cos(phimax) |dlambda|)",
+)
+def geo_nearest_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.geo import grid_knn_join
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _synth_coord("c_custkey", ":lat", 120_000_000, 60.0).alias("lat"),
+        _synth_coord("c_custkey", ":lon", 360_000_000, 180.0).alias("lon"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        _synth_coord("s_suppkey", ":lat", 120_000_000, 60.0).alias("lat"),
+        _synth_coord("s_suppkey", ":lon", 360_000_000, 180.0).alias("lon"),
+    )
+    return grid_knn_join(
+        cust, supp, "c_custkey", "s_suppkey",
+        radius_km=1500.0, k=2, max_abs_lat=60.0,
     )

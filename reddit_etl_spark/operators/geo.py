@@ -1,0 +1,197 @@
+"""Geospatial operators: haversine distance and a grid-pruned
+radius/KNN join.
+
+The reference engine (abshek7/REDDIT-ETL, script.py) has no spatial
+surface; this extends the engine with the one spatial operator a
+training-data/analytics pipeline actually needs at scale — "for each
+left point, the nearest right points within a radius" — WITHOUT the
+O(|L|·|R|) cross join. The plan is the bucketed-candidates shape the
+repo uses everywhere (LSH bands, interval buckets): points key into
+fixed-degree grid cells, a left point probes only its 3x3 cell
+neighborhood, and the exact haversine distance + per-left top-k run on
+candidates only.
+
+Scale notes (100 TB):
+- Shuffled rows are (id, lat, lon, cell) tuples: 9·|L| probe rows +
+  |R| candidate rows on the cell join, then the surviving candidate
+  pairs on the per-left rank window. Payload columns never travel —
+  callers re-join on the ids.
+- Candidate count per left point is bounded by the right-point density
+  of its 3x3 neighborhood (cells are O(radius)-sized), never by |R|.
+- A pathologically hot cell (every right point in one city block)
+  skews the cell join like any hot key — AQE skew-join splitting
+  applies because the join is a plain equi-join; the per-left window
+  is keyed by left id and cannot hot-spot.
+- Completeness is geometric, not probabilistic: cell sizes are chosen
+  so ANY pair within ``radius_km`` differs by at most one cell index
+  on each axis (see the bounds in ``grid_knn_join``), so the 3x3
+  probe cannot miss a qualifying pair — the brute-force oracle checks
+  exactly this in tests and in the harness query.
+"""
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0088
+# km per degree of latitude on the sphere: pi * R / 180
+_KM_PER_DEG = math.pi * EARTH_RADIUS_KM / 180.0  # ~111.195
+
+
+def haversine_km(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in km on the R=6371.0088 sphere.
+
+    Pure built-in trig (radians/sin/cos/asin/sqrt) so it stays inside
+    whole-stage codegen; replicable verbatim in any SQL engine with
+    the same functions. The ``least(1.0, a)`` clamp guards the asin
+    domain against float round-up for antipodal-ish pairs. Callers
+    comparing cross-engine should round the result to 6 decimals
+    (sub-mm) — trig libraries differ in last ulps.
+    """
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(F.radians(lat1))
+        * F.cos(F.radians(lat2))
+        * F.sin(dlon / 2)
+        * F.sin(dlon / 2)
+    )
+    return (
+        F.lit(2.0 * EARTH_RADIUS_KM)
+        * F.asin(F.sqrt(F.least(F.lit(1.0), a)))
+    )
+
+
+def grid_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    radius_km: float,
+    k: int | None = None,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat: float | None = None,
+) -> DataFrame:
+    """For each left point, the ``k`` nearest right points within
+    ``radius_km`` (all of them when ``k`` is None), by exact haversine
+    distance — candidates generated from a degree-grid cell join,
+    never a cross join.
+
+    Returns (left_id, right_id, distance_km, rank): ``distance_km``
+    rounded to 6 decimals (the engine-portable compare convention),
+    ``rank`` 1..k per left point ordered by (rounded distance,
+    right_id) so the cut is deterministic cross-engine. Rows with a
+    NULL coordinate on either side are excluded (a NULL coordinate
+    has no cell).
+
+    Completeness bounds (sphere, exact — no approximation in the
+    PRUNE, only in the final rounded compare):
+
+    - latitude: d >= R·|Δφ|  (asin(sin x) = x for |x| <= π/2), so a
+      qualifying pair differs by < radius/111.19 degrees of latitude;
+      the lat cell is radius/111.0 degrees — strictly wider.
+    - longitude: d >= (2/π)·R·cos(φmax)·|Δλ| (sin x >= 2x/π on
+      [0, π/2]), so Δλ < radius·π / (2·111.19·cos φmax) degrees; the
+      lon cell is radius/(70.0·cos φmax) degrees — wider, since
+      111.19·2/π ≈ 70.79.
+
+    ``max_abs_lat`` pins cos φmax; when None it is measured with two
+    scalar aggregates (bounded driver collect: one value each).
+    Latitudes beyond ~89° (cos → 0) are rejected — polar-cap queries
+    need a different tiling; filter them out or handle separately.
+    Longitude cells wrap modulo the cell count, so the ±180 seam is a
+    first-class neighbor, not an edge case.
+    """
+    if radius_km <= 0:
+        raise ValueError("radius_km must be positive")
+    lsel = left.select(
+        F.col(left_id), F.col(lat_col).alias("__lat"),
+        F.col(lon_col).alias("__lon"),
+    ).filter(F.col("__lat").isNotNull() & F.col("__lon").isNotNull())
+    rsel = right.select(
+        F.col(right_id), F.col(lat_col).alias("__rlat"),
+        F.col(lon_col).alias("__rlon"),
+    ).filter(F.col("__rlat").isNotNull() & F.col("__rlon").isNotNull())
+
+    if max_abs_lat is None:
+        mx = [
+            df.agg(F.max(F.abs(F.col(c))).alias("m")).collect()[0]["m"]
+            for df, c in ((lsel, "__lat"), (rsel, "__rlat"))
+        ]
+        max_abs_lat = max([m for m in mx if m is not None], default=0.0)
+    cos_max = math.cos(math.radians(min(abs(max_abs_lat), 90.0)))
+    if cos_max <= 0.0175:  # |lat| beyond ~89 degrees
+        raise ValueError(
+            "grid_knn_join does not tile polar caps (|lat| > ~89°): "
+            "filter them out or pass a smaller max_abs_lat"
+        )
+    cell_lat_deg = radius_km / 111.0
+    # exact tiling of 360°: n_cells cells of >= the required width
+    # (floor can only make cells WIDER than the completeness bound
+    # needs). Tiny radii cap n_cells at the bound's cell count; huge
+    # radii degrade to 1..2 cells and the probe offsets deduplicate.
+    min_lon_deg = radius_km / (70.0 * cos_max)
+    n_lon_cells = max(1, int(360.0 // min_lon_deg)) if min_lon_deg < 360 else 1
+    lon_offs = sorted({d % n_lon_cells for d in (-1, 0, 1)})
+
+    def lat_cell(c: Column) -> Column:
+        return F.floor(c / F.lit(cell_lat_deg)).cast("long")
+
+    def lon_cell(c: Column) -> Column:
+        # wrap into [0, n_cells): floor over the exact 360/n tile width
+        return F.pmod(
+            F.floor(c / F.lit(360.0 / n_lon_cells)).cast("long"),
+            F.lit(n_lon_cells),
+        )
+
+    probes = lsel.select(
+        left_id, "__lat", "__lon",
+        F.explode(
+            F.array(*[F.lit(d) for d in (-1, 0, 1)])
+        ).alias("__dlat"),
+    ).select(
+        left_id, "__lat", "__lon",
+        (lat_cell(F.col("__lat")) + F.col("__dlat")).alias("__cl"),
+        F.explode(
+            F.array(*[
+                F.pmod(
+                    lon_cell(F.col("__lon")) + F.lit(d), F.lit(n_lon_cells)
+                )
+                for d in lon_offs
+            ])
+        ).alias("__cn"),
+    )
+    cands = rsel.select(
+        right_id, "__rlat", "__rlon",
+        lat_cell(F.col("__rlat")).alias("__cl"),
+        lon_cell(F.col("__rlon")).alias("__cn"),
+    )
+    d = F.round(
+        haversine_km(
+            F.col("__lat"), F.col("__lon"),
+            F.col("__rlat"), F.col("__rlon"),
+        ),
+        6,
+    )
+    pairs = (
+        probes.join(cands, ["__cl", "__cn"])
+        .select(left_id, right_id, d.alias("distance_km"))
+        .filter(F.col("distance_km") <= F.lit(float(radius_km)))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(left_id).orderBy(
+        F.col("distance_km").asc(), F.col(right_id).asc()
+    )
+    ranked = pairs.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    )
+    if k is not None:
+        ranked = ranked.filter(F.col("rank") <= k)
+    return ranked
