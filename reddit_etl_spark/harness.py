@@ -275,11 +275,17 @@ _PROMOTED = [
     # tail and whose ordered-series family keeps recorded rows via
     # event_value_bars + decayed_engagement + asof_nearest_alignment)
     "geo_nearest_supplier",
-    # gap-fill + LOCF (new capability; displaces events_windowed,
-    # whose tumbling-rollup shape stays recorded via
-    # anomaly_zscore_daily's daily rollup and pinned by the
-    # batch-stream equivalence tests; it remains a bench headline)
-    "gap_fill_hourly",
+    # round-6 second wave: multi-touch attribution (new capability —
+    # generalizes the as-of family's last-touch special case to
+    # linear/time-decay/position credit models over the bucketed
+    # interval join; displaces gap_fill_hourly, whose dense-grid LOCF
+    # readout stays oracle-checked in the tail and whose ordered-series
+    # family keeps recorded rows via event_value_bars +
+    # decayed_engagement)
+    "multitouch_channels",
+    # (gap_fill_hourly held this slot through round 6's first half —
+    # recorded rows r05; rotated to the tail mid-round-6 for
+    # multitouch_channels — see the round-6 second-wave blocks)
     # (item_affinity held this slot in round 5; rotated to the tail
     # in round 6 for bloom_semi_lineitem — see the round-6 blocks)
     # PMI collocation mining (composition of the vocab top-k and
@@ -578,6 +584,11 @@ _DEFERRED = [
     # round, step-interpolation semantics pinned by
     # tests/test_series.py. Green row r05.
     "twa_user_value",
+    # round-6 second-wave rotation OUT: dense-grid gap-fill + LOCF
+    # making room for multitouch_channels; stays oracle-checked here
+    # each round, tie-break semantics pinned by tests/test_series.py.
+    # Green row r05.
+    "gap_fill_hourly",
 ]
 
 
@@ -6102,4 +6113,81 @@ def geo_nearest_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_knn_join(
         cust, supp, "c_custkey", "s_suppkey",
         radius_km=1500.0, k=2, max_abs_lat=60.0,
+    )
+
+
+@_q(
+    "multitouch_channels",
+    """
+    WITH t AS (
+      SELECT user_id, ts::TIMESTAMP AS touch_ts, event_id AS touch_id,
+             event_type AS channel
+      FROM events WHERE event_type IN ('click', 'view')),
+    c AS (
+      SELECT user_id, ts::TIMESTAMP AS conv_ts, event_id AS conv_id,
+             value AS conv_value
+      FROM events WHERE event_type = 'purchase'),
+    p AS (
+      SELECT c.conv_id, c.conv_value, t.channel, t.touch_id,
+             CAST(FLOOR(epoch(c.conv_ts)) AS BIGINT)
+               - CAST(FLOOR(epoch(t.touch_ts)) AS BIGINT) AS age_s
+      FROM c JOIN t ON t.user_id = c.user_id
+        AND t.touch_ts >= c.conv_ts - INTERVAL 3 DAY
+        AND t.touch_ts <= c.conv_ts),
+    w AS (SELECT *, POWER(0.5, age_s / 86400.0) AS wt FROM p),
+    cr AS (
+      SELECT conv_id, conv_value, channel,
+             ROUND(wt / SUM(wt) OVER (PARTITION BY conv_id), 6) AS credit
+      FROM w)
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+           ROUND(SUM(credit), 6) AS total_credit,
+           ROUND(SUM(credit * conv_value), 6) AS credited_value
+    FROM cr GROUP BY channel ORDER BY channel
+    """,
+    doc="multi-touch attribution (operators/attribution.py): every "
+    "click/view in the 3-day lookback before each purchase earns "
+    "time-decayed credit (half-life 1 day), normalized per "
+    "conversion, rolled up by channel. Pairing is the bucketed "
+    "interval join (conversion windows explode to <= 2 lookback-wide "
+    "buckets; equi-join on (user, bucket) — no per-user cross join); "
+    "normalization is a window keyed by conversion id, state bounded "
+    "by in-window touch count. Ages are exact integer seconds; "
+    "credits rounded 6 per the cross-engine convention. The as-of "
+    "family's asof_attribution answers the LAST-touch special case; "
+    "this is the general model",
+)
+def multitouch_channels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.attribution import multitouch_attribution
+
+    ev = load_events(spark, sf_dir)
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+    )
+    convs = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+        F.col("event_id").alias("conv_id"),
+        F.col("value").alias("conv_value"),
+    )
+    credited = multitouch_attribution(
+        touches, convs, ["user_id"], "touch_ts", "conv_ts",
+        "conv_id", "touch_id",
+        lookback="3 days", model="time_decay", half_life="1 day",
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.countDistinct("conv_id").cast("long").alias("n_conversions"),
+            F.round(F.sum("credit"), 6).alias("total_credit"),
+            F.round(F.sum(F.col("credit") * F.col("conv_value")), 6).alias(
+                "credited_value"
+            ),
+        )
+        .orderBy("channel")
     )
