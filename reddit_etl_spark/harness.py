@@ -286,14 +286,17 @@ _PROMOTED = [
     # (gap_fill_hourly held this slot through round 6's first half —
     # recorded rows r05; rotated to the tail mid-round-6 for
     # multitouch_channels — see the round-6 second-wave blocks)
+    # round-6 second wave: Markov session transition matrix with
+    # virtual START/END states (new capability — factorizes the paths
+    # journey mining ranks; displaces term_collocations, whose
+    # recorded r05 row stands and whose PMI/co-occurrence family
+    # stays oracle-checked in the tail via item_affinity)
+    "session_transition_matrix",
     # (item_affinity held this slot in round 5; rotated to the tail
     # in round 6 for bloom_semi_lineitem — see the round-6 blocks)
-    # PMI collocation mining (composition of the vocab top-k and
-    # item_affinity shapes; displaces cross_source_dups, whose
-    # multi-source duplicate QA stays oracle-checked in the tail and
-    # value-pinned at sf0.1 by ORACLE_sf0.1.json — its sf0.01 truth is
-    # 0 rows, the weakest row in the head)
-    "term_collocations",
+    # (term_collocations held this slot through round 6's first half —
+    # recorded rows r05; rotated to the tail mid-round-6 for
+    # session_transition_matrix — see the round-6 second-wave blocks)
     # per-group OLS trend (new capability; displaces multimodal_features,
     # whose binary-column plumbing stays pinned by the pytest suite,
     # the oracle tail, and the phash/codec family)
@@ -589,6 +592,10 @@ _DEFERRED = [
     # each round, tie-break semantics pinned by tests/test_series.py.
     # Green row r05.
     "gap_fill_hourly",
+    # round-6 second-wave rotation OUT: PMI collocations making room
+    # for session_transition_matrix; stays oracle-checked here each
+    # round next to its item_affinity sibling. Green row r05.
+    "term_collocations",
 ]
 
 
@@ -6190,4 +6197,61 @@ def multitouch_channels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("channel")
+    )
+
+
+@_q(
+    "session_transition_matrix",
+    """
+    WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id,
+                      event_type FROM events),
+    lagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) - 1
+               AS session_id
+      FROM lagged),
+    steps AS (
+      SELECT event_type,
+             LEAD(event_type) OVER w2 AS nxt,
+             ROW_NUMBER() OVER w2 AS rn
+      FROM sess
+      WINDOW w2 AS (PARTITION BY user_id, session_id
+                    ORDER BY ts, event_id)),
+    trans AS (
+      SELECT event_type AS from_type, COALESCE(nxt, '__END__') AS to_type
+      FROM steps
+      UNION ALL
+      SELECT '__START__', event_type FROM steps WHERE rn = 1),
+    cnt AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM trans GROUP BY 1, 2)
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
+           ROUND(n / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM cnt ORDER BY from_type, to_type
+    """,
+    doc="first-order Markov transition matrix over within-session "
+    "event types with virtual __START__/__END__ states "
+    "(operators/sessions.py:session_transitions) — entry points, "
+    "drop-off rates, and step probabilities factorized from the same "
+    "sessionization journey mining ranks whole paths over. One key "
+    "shuffle (sessionize), per-session array fold + zero-shuffle "
+    "adjacent-pair transform, one map-side count; the probability "
+    "window runs over the (|types|+1)^2 matrix, broadcast-scale "
+    "regardless of corpus size. p is exact long/long division "
+    "rounded 6",
+)
+def session_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sessions import session_transitions
+
+    ev = load_events(spark, sf_dir)
+    return session_transitions(
+        ev, ["user_id"], "ts", "event_type",
+        gap="30 minutes", tie_col="event_id",
     )

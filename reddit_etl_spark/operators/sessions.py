@@ -478,3 +478,75 @@ def session_journeys(
         .orderBy(F.desc("n_sessions"), "journey")
         .limit(top_k)
     )
+
+
+def session_transitions(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    type_col: str,
+    gap: str = "30 minutes",
+    tie_col: str | None = None,
+    start_state: str = "__START__",
+    end_state: str = "__END__",
+) -> DataFrame:
+    """First-order Markov transition matrix over within-session event
+    types, with virtual entry/exit states: every session contributes
+    ``start_state -> first``, each adjacent pair, and
+    ``last -> end_state`` — so entry points, drop-off rates, and
+    step-to-step probabilities all fall out of one readout
+    (:func:`session_journeys` ranks whole paths; this factorizes
+    them).
+
+    Returns (from_type, to_type, n_transitions BIGINT, p DOUBLE):
+    ``p`` = n / total outgoing transitions of ``from_type``, rounded
+    to 6 (exact long/long division — engine-portable). Rows ordered
+    (from_type, to_type).
+
+    Plan: sessionize's one key shuffle, a per-session
+    sort_array(collect_list) fold (per-session memory only), then
+    adjacent pairs via a zero-shuffle higher-order transform over the
+    padded type array, one map-side-combined count, and a window over
+    the TYPE-pair matrix — at most (|types|+1)^2 rows, broadcast-
+    scale regardless of corpus size. ``tie_col`` breaks
+    same-timestamp ordering; pass a unique id whenever timestamps can
+    collide (the oracle does).
+    """
+    keys = list(key_cols)
+    sess = sessionize(df, keys, ts_col, gap=gap)
+    order_fields = [F.col(ts_col).alias("__t")]
+    if tie_col is not None:
+        order_fields.append(F.col(tie_col).alias("__tb"))
+    step = F.struct(*order_fields, F.col(type_col).alias("__et"))
+    types = F.transform(
+        F.array_sort(F.collect_list(step)), lambda x: x["__et"]
+    )
+    per = sess.groupBy(*keys, "session_id").agg(types.alias("__types"))
+    padded = F.concat(
+        F.array(F.lit(start_state)), F.col("__types"), F.array(F.lit(end_state))
+    )
+    pairs = per.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(padded) - 2),
+                lambda i: F.struct(
+                    F.element_at(padded, i + 1).alias("from_type"),
+                    F.element_at(padded, i + 2).alias("to_type"),
+                ),
+            )
+        ).alias("__tr")
+    ).select("__tr.from_type", "__tr.to_type")
+    cnt = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n_transitions")
+    )
+    out_tot = Window.partitionBy("from_type")
+    return (
+        cnt.withColumn(
+            "p",
+            F.round(
+                F.col("n_transitions") / F.sum("n_transitions").over(out_tot),
+                6,
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )

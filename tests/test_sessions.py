@@ -552,3 +552,87 @@ def test_streaming_heavy_hitters_replay_is_idempotent(spark, tmp_path):
         for r in read_versioned(spark, state2).collect()
     }
     assert got2 == {"a": 5, "b": 2}
+
+
+class TestSessionTransitions:
+    def _run(self, spark, rows, gap="30 minutes"):
+        from reddit_etl_spark.operators.sessions import session_transitions
+
+        df = spark.createDataFrame(
+            rows, ["user_id", "ts", "event_id", "event_type"]
+        )
+        out = session_transitions(
+            df, ["user_id"], "ts", "event_type", gap=gap,
+            tie_col="event_id",
+        )
+        return {
+            (r["from_type"], r["to_type"]): (r["n_transitions"], r["p"])
+            for r in out.collect()
+        }
+
+    def test_hand_computed_matrix(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 5, 1, 10, 0, 0)
+
+        def at(m):
+            return t0 + dt.timedelta(minutes=m)
+
+        # user 1: one session view>click>buy; then a NEW session (gap
+        # 40 min) view alone. user 2: click>click.
+        rows = [
+            (1, at(0), 1, "view"),
+            (1, at(5), 2, "click"),
+            (1, at(9), 3, "buy"),
+            (1, at(50), 4, "view"),
+            (2, at(0), 5, "click"),
+            (2, at(1), 6, "click"),
+        ]
+        got = self._run(spark, rows)
+        assert got[("__START__", "view")] == (2, 0.666667)
+        assert got[("__START__", "click")] == (1, 0.333333)
+        assert got[("view", "click")] == (1, 0.5)
+        assert got[("view", "__END__")] == (1, 0.5)
+        assert got[("click", "buy")] == (1, 0.333333)
+        assert got[("click", "click")] == (1, 0.333333)
+        assert got[("click", "__END__")] == (1, 0.333333)
+        assert got[("buy", "__END__")] == (1, 1.0)
+        # START outdegree == session count; END indegree == session count
+        n_sessions = sum(
+            n for (f, t), (n, _) in got.items() if f == "__START__"
+        )
+        n_ends = sum(n for (f, t), (n, _) in got.items() if t == "__END__")
+        assert n_sessions == n_ends == 3
+
+    def test_probabilities_sum_to_one_per_from_state(self, spark):
+        import datetime as dt
+        import random
+
+        rng = random.Random(7)
+        t0 = dt.datetime(2024, 5, 1)
+        rows = [
+            (
+                u,
+                t0 + dt.timedelta(minutes=rng.randrange(0, 5000)),
+                i,
+                rng.choice(["a", "b", "c"]),
+            )
+            for i, u in enumerate(rng.choices(range(10), k=200))
+        ]
+        got = self._run(spark, rows)
+        from collections import defaultdict
+
+        by_from = defaultdict(float)
+        for (f, _), (_, p) in got.items():
+            by_from[f] += p
+        for f, tot in by_from.items():
+            assert abs(tot - 1.0) < 1e-4, (f, tot)
+
+    def test_same_timestamp_tie_breaks_on_id(self, spark):
+        import datetime as dt
+
+        t = dt.datetime(2024, 5, 1, 10, 0, 0)
+        rows = [(1, t, 2, "b"), (1, t, 1, "a"), (1, t, 3, "c")]
+        got = self._run(spark, rows)
+        assert ("a", "b") in got and ("b", "c") in got
+        assert ("a", "c") not in got
