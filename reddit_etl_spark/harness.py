@@ -266,6 +266,12 @@ _PROMOTED = [
     # text-kernel family stays recorded via text_profile and
     # oracle-checked in the tail alongside nfc_fingerprints)
     "user_clustering",
+    # round-6 second wave: multi-source BFS reachability rings (new
+    # capability — min-hop distance joins the iterative-graph family's
+    # rank/centrality/core primitives; displaces daily_trend_slope,
+    # whose OLS readout stays oracle-checked in the tail and whose
+    # numpy.polyfit parity tests stand; green row r05)
+    "bfs_purchase_rings",
     # (twa_user_value held this slot through round 6's first half —
     # recorded rows r05; rotated to the tail mid-round-6 for
     # geo_nearest_supplier — see the round-6 second-wave blocks)
@@ -297,10 +303,9 @@ _PROMOTED = [
     # (term_collocations held this slot through round 6's first half —
     # recorded rows r05; rotated to the tail mid-round-6 for
     # session_transition_matrix — see the round-6 second-wave blocks)
-    # per-group OLS trend (new capability; displaces multimodal_features,
-    # whose binary-column plumbing stays pinned by the pytest suite,
-    # the oracle tail, and the phash/codec family)
-    "daily_trend_slope",
+    # (daily_trend_slope held this slot through round 6's first half —
+    # recorded rows r05; rotated to the tail mid-round-6 for
+    # bfs_purchase_rings — see the round-6 second-wave blocks)
     # (event_pattern_counts held this slot in round 5; rotated to the
     # tail in round 6 for events_daily_melt — see the round-6 blocks)
     # data-quality expectations (new capability; displaces
@@ -596,6 +601,10 @@ _DEFERRED = [
     # for session_transition_matrix; stays oracle-checked here each
     # round next to its item_affinity sibling. Green row r05.
     "term_collocations",
+    # round-6 second-wave rotation OUT: per-group OLS trend making
+    # room for bfs_purchase_rings; stays oracle-checked here each
+    # round with numpy.polyfit parity tests. Green row r05.
+    "daily_trend_slope",
 ]
 
 
@@ -6254,4 +6263,82 @@ def session_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_transitions(
         ev, ["user_id"], "ts", "event_type",
         gap="30 minutes", tie_col="event_id",
+    )
+
+
+_BFS_ITER = """
+    f{k} AS MATERIALIZED (
+      SELECT DISTINCT u.b AS node
+      FROM und u JOIN v{p} s ON u.a = s.node AND s.d = {p_hop}
+      EXCEPT
+      SELECT node FROM v{p}),
+    v{k} AS MATERIALIZED (
+      SELECT node, d FROM v{p}
+      UNION ALL
+      SELECT node, {k_hop} AS d FROM f{k})"""
+
+_BFS_ORACLE = (
+    """
+    WITH pairs AS (
+      SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+                      's:' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    und AS (
+      SELECT src AS a, dst AS b FROM pairs
+      UNION
+      SELECT dst AS a, src AS b FROM pairs),
+    v0 AS (
+      SELECT DISTINCT 's:' || CAST(s_suppkey AS VARCHAR) AS node, 0 AS d
+      FROM supplier WHERE s_suppkey <= 5),"""
+    + ",".join(
+        _BFS_ITER.format(k=k, p=k - 1, p_hop=k - 1, k_hop=k)
+        for k in range(1, 5)
+    )
+    + """
+    SELECT node, CAST(d AS BIGINT) AS dist FROM v4
+    """
+)
+
+
+@_q(
+    "bfs_purchase_rings",
+    _BFS_ORACLE,
+    doc="multi-source BFS (operators/graph.py:bfs_distances): minimum "
+    "hop distance from the nation-0 supplier cohort over the "
+    "undirected customer<->supplier purchase graph, out to 4 hops — "
+    "reachability rings / blast radius as one primitive. Per hop one "
+    "frontier x edge equi-join (shuffle = the frontier's incident "
+    "edges, shrinking as rings saturate), one distinct, one key-sized "
+    "anti join; visited frame lazily checkpointed per round against "
+    "2^hops plan growth. Integer distances — bit-deterministic, "
+    "oracle-replayable (fixed round count like kcore/pagerank)",
+)
+def bfs_purchase_rings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import bfs_distances
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    seeds = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 5)
+        .select(
+            F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias(
+                "node"
+            )
+        )
+    )
+    return bfs_distances(
+        edges, seeds, "node", max_hops=4, directed=False
     )

@@ -531,3 +531,46 @@ def test_resolve_entities_golden_records(spark):
     }
     # cluster key = min member id; singleton keeps its own id
     assert got == {"acme corp": (3, 60.0), "zeta ltd": (1, 5.0)}
+
+
+class TestBfsDistances:
+    def _run(self, spark, edges, seeds, **kw):
+        from reddit_etl_spark.operators.graph import bfs_distances
+
+        E = spark.createDataFrame(edges, ["src", "dst"])
+        S = spark.createDataFrame([(s,) for s in seeds], ["node"])
+        out = bfs_distances(E, S, "node", **kw)
+        return {r["node"]: r["dist"] for r in out.collect()}
+
+    def test_chain_distances(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+        got = self._run(spark, edges, ["a"], max_hops=3)
+        assert got == {"a": 0, "b": 1, "c": 2, "d": 3}  # e beyond max_hops
+
+    def test_multi_source_takes_min(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("e", "d")]
+        got = self._run(spark, edges, ["a", "e"], max_hops=4)
+        assert got["d"] == 1  # via e, not the 3-hop path via a
+        assert got["c"] == 2  # min(2 via a/b, 2 via e/d)
+
+    def test_directed_respects_direction(self, spark):
+        edges = [("a", "b"), ("c", "b")]
+        got = self._run(spark, edges, ["a"], max_hops=3, directed=True)
+        assert got == {"a": 0, "b": 1}  # c unreachable downstream
+        und = self._run(spark, edges, ["a"], max_hops=3, directed=False)
+        assert und == {"a": 0, "b": 1, "c": 2}
+
+    def test_disconnected_absent_and_isolated_seed(self, spark):
+        edges = [("a", "b"), ("x", "y")]
+        got = self._run(spark, edges, ["a", "lonely"], max_hops=2)
+        assert got == {"a": 0, "lonely": 0, "b": 1}
+        assert "x" not in got and "y" not in got
+
+    def test_zero_hops_returns_seeds(self, spark):
+        got = self._run(spark, [("a", "b")], ["a", "a", "b"], max_hops=0)
+        assert got == {"a": 0, "b": 0}
+
+    def test_cycle_no_infinite_revisit(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "a")]
+        got = self._run(spark, edges, ["a"], max_hops=5)
+        assert got == {"a": 0, "b": 1, "c": 1}
