@@ -340,11 +340,16 @@ _PROMOTED = [
     # same window family — and oracle-checked in the tail + pinned by
     # the SQL/DataFrame equivalence tests)
     "ab_experiment_readout",
-    # RAKE keyphrases (new capability; displaces repetition_profile,
-    # whose shuffle-free HOF repetition kernels stay recorded via
-    # text_profile's family and oracle-checked in the tail alongside
-    # boilerplate_fraction)
-    "rake_keyphrases_docs",
+    # round-6 second wave: WOE/IV supervised feature binning (new
+    # capability — the scorecard feature-selection readout one rung
+    # above psi_value_drift's unsupervised drift; displaces
+    # rake_keyphrases_docs, whose keyphrase extraction stays
+    # oracle-checked in the tail and whose text family keeps
+    # text_profile + bm25_rank recorded rows; green row r05)
+    "woe_price_vs_urgent",
+    # (rake_keyphrases_docs held this slot through round 6's first
+    # half — recorded row r05; rotated to the tail mid-round-6 for
+    # woe_price_vs_urgent — see the round-6 second-wave blocks)
     # (psi_value_drift held this slot in round 5; rotated to the tail
     # in round 6 for decayed_engagement — see the round-6 blocks)
     # (customer_sample_per_nation held this slot in round 5; rotated
@@ -605,6 +610,10 @@ _DEFERRED = [
     # room for bfs_purchase_rings; stays oracle-checked here each
     # round with numpy.polyfit parity tests. Green row r05.
     "daily_trend_slope",
+    # round-6 second-wave rotation OUT: RAKE keyphrases making room
+    # for woe_price_vs_urgent; stays oracle-checked here each round
+    # vs its full DuckDB pipeline replica. Green row r05.
+    "rake_keyphrases_docs",
 ]
 
 
@@ -6341,4 +6350,69 @@ def bfs_purchase_rings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return bfs_distances(
         edges, seeds, "node", max_hops=4, directed=False
+    )
+
+
+_WOE_EDGES = ",\n             ".join(
+    f"ROUND(quantile_cont(v, {i / 10}), 6) AS e{i - 1}"
+    for i in range(1, 10)
+)
+_WOE_BIN = " + ".join(
+    f"(CASE WHEN v >= e{i} THEN 1 ELSE 0 END)" for i in range(9)
+)
+
+_WOE_ORACLE = f"""
+    WITH base AS MATERIALIZED (
+      SELECT o_totalprice AS v,
+             (o_orderpriority = '1-URGENT') AS y
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    edges AS MATERIALIZED (
+      SELECT {_WOE_EDGES}
+      FROM base),
+    binned AS (
+      SELECT {_WOE_BIN} AS bin, y FROM base CROSS JOIN edges),
+    cnt AS (
+      SELECT bin, COUNT(*) AS n,
+             SUM(CASE WHEN y THEN 1 ELSE 0 END) AS ne
+      FROM binned GROUP BY 1),
+    t AS (
+      SELECT bin, n, ne,
+             GREATEST(ROUND(ne * 1.0 / SUM(ne) OVER (), 6), 0.0001) AS de,
+             GREATEST(ROUND((n - ne) * 1.0 / SUM(n - ne) OVER (), 6),
+                      0.0001) AS dn
+      FROM cnt)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(n AS BIGINT) AS n,
+           CAST(ne AS BIGINT) AS n_event,
+           ROUND(ROUND(ne * 1.0, 6) / n, 6) AS event_rate,
+           de AS dist_event, dn AS dist_nonevent,
+           ROUND(LN(de / dn), 6) AS woe,
+           ROUND((de - dn) * LN(de / dn), 6) AS iv_term,
+           ROUND(SUM(ROUND((de - dn) * LN(de / dn), 6)) OVER (), 6)
+             AS iv_total
+    FROM t ORDER BY bin
+    """
+
+
+@_q(
+    "woe_price_vs_urgent",
+    _WOE_ORACLE,
+    doc="supervised feature binning (operators/curation.py:"
+    "woe_iv_bins): order price in 10 equal-mass bins scored by Weight "
+    "of Evidence against the is-urgent label, with the Information "
+    "Value decomposition — the scorecard/feature-selection readout "
+    "one rung above PSI's unsupervised drift. One exact-percentile "
+    "aggregate (edges broadcast), one map-side-combined (bin, label) "
+    "count, then arithmetic over <= 10 rows (the unpartitioned "
+    "windows run on the bin matrix, bounded by construction). "
+    "Distributions round to 6 BEFORE ln so both engines feed "
+    "identical doubles into the log",
+)
+def woe_price_vs_urgent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import woe_iv_bins
+
+    orders = load(spark, sf_dir, "orders")
+    return woe_iv_bins(
+        orders, "o_totalprice",
+        F.col("o_orderpriority") == "1-URGENT", bins=10,
     )

@@ -528,3 +528,68 @@ def test_materialize_packed_text_with_distinct_order_col(spark):
     assert len(got) == 1
     # packing order follows created (2 before 1), so does the text
     assert got[0]["text"].startswith("a-text")
+
+
+class TestWoeIvBins:
+    def test_hand_computed_two_bins(self, spark):
+        import math
+
+        from reddit_etl_spark.operators.curation import woe_iv_bins
+
+        # 8 rows, 2 equal-mass bins (edge = median): low values mostly
+        # non-events, high values mostly events
+        rows = [
+            (1.0, False), (2.0, False), (3.0, False), (4.0, True),
+            (11.0, True), (12.0, True), (13.0, True), (14.0, False),
+        ]
+        df = spark.createDataFrame(rows, ["v", "y"])
+        out = {
+            r["bin"]: r
+            for r in woe_iv_bins(df, "v", "y", bins=2).collect()
+        }
+        assert set(out) == {0, 1}
+        lo, hi = out[0], out[1]
+        assert lo["n"] == hi["n"] == 4
+        assert lo["n_event"] == 1 and hi["n_event"] == 3
+        # dist_event: 1/4 vs 3/4; dist_nonevent: 3/4 vs 1/4
+        assert lo["dist_event"] == 0.25 and hi["dist_event"] == 0.75
+        assert lo["woe"] == round(math.log(0.25 / 0.75), 6)
+        assert hi["woe"] == round(math.log(0.75 / 0.25), 6)
+        want_term = round((0.75 - 0.25) * math.log(3.0), 6)
+        assert hi["iv_term"] == want_term
+        assert lo["iv_total"] == hi["iv_total"] == round(2 * want_term, 6)
+
+    def test_uninformative_feature_has_near_zero_iv(self, spark):
+        import random
+
+        from reddit_etl_spark.operators.curation import woe_iv_bins
+
+        rng = random.Random(3)
+        rows = [(rng.random(), rng.random() < 0.3) for _ in range(2000)]
+        df = spark.createDataFrame(rows, ["v", "y"])
+        out = woe_iv_bins(df, "v", "y", bins=5).collect()
+        assert out[0]["iv_total"] < 0.02  # "useless" band
+        # equal-mass bins: each holds ~1/5 of the rows
+        for r in out:
+            assert abs(r["n"] - 400) < 120
+
+    def test_empty_event_bin_takes_epsilon_floor(self, spark):
+        from reddit_etl_spark.operators.curation import woe_iv_bins
+
+        rows = [(float(i), i >= 10) for i in range(20)]
+        df = spark.createDataFrame(rows, ["v", "y"])
+        out = {
+            r["bin"]: r for r in woe_iv_bins(df, "v", "y", bins=2).collect()
+        }
+        # bin 0 has zero events -> dist_event floored at 1e-4, WOE finite
+        assert out[0]["dist_event"] == 1e-4
+        assert out[0]["woe"] is not None and out[0]["woe"] < -5
+
+    def test_bad_bins_rejected(self, spark):
+        import pytest as _pytest
+
+        from reddit_etl_spark.operators.curation import woe_iv_bins
+
+        df = spark.createDataFrame([(1.0, True)], ["v", "y"])
+        with _pytest.raises(ValueError, match="bins"):
+            woe_iv_bins(df, "v", "y", bins=1)
