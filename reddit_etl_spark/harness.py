@@ -243,7 +243,15 @@ _PROMOTED = [
     # displaces a long-attested entry with a recorded capability twin
     # (see the round-5 third-batch block in _DEFERRED).
     "similarity_topk_pq",
-    "heavy_hitters_mg",
+    # (heavy_hitters_mg held this slot through round 6's first half —
+    # recorded row r05; rotated to the tail mid-round-6 for
+    # acf_daily_values — see the round-6 second-wave blocks)
+    # round-6 second wave: autocorrelation function (new capability —
+    # the seasonality diagnostic next to the backtest; displaces
+    # heavy_hitters_mg, whose Misra-Gries surface keeps its
+    # streaming-twin tests and stays oracle-checked in the tail; the
+    # sketch family keeps KLL + Theta recorded rows)
+    "acf_daily_values",
     # (scd2_order_status_dim held a slot here in round 5; rotated to
     # the tail in round 6 for pit_order_status, which contains it as
     # its first stage — see the round-6 blocks)
@@ -335,11 +343,14 @@ _PROMOTED = [
     # q09_join_having and whose LEFT-JOIN rollup stays oracle-checked
     # in the tail + pinned by test_queries.py)
     "hits_cust_supp",
-    # Welch A/B readout (new capability; displaces q02_top_per_group,
-    # whose argmax-window shape stays recorded via q15_ranked_view —
-    # same window family — and oracle-checked in the tail + pinned by
-    # the SQL/DataFrame equivalence tests)
-    "ab_experiment_readout",
+    # (ab_experiment_readout held this slot through round 6's first
+    # half — recorded row r05; rotated to the tail mid-round-6 for
+    # seasonal_backtest_events — see the round-6 second-wave blocks)
+    # round-6 second wave: seasonal-naive forecast backtest (new
+    # capability — the forecasting-baseline monitor; displaces
+    # ab_experiment_readout, whose Welch statistics stay
+    # oracle-checked in the tail and hand-computed-parity tested)
+    "seasonal_backtest_events",
     # round-6 second wave: WOE/IV supervised feature binning (new
     # capability — the scorecard feature-selection readout one rung
     # above psi_value_drift's unsupervised drift; displaces
@@ -614,6 +625,14 @@ _DEFERRED = [
     # for woe_price_vs_urgent; stays oracle-checked here each round
     # vs its full DuckDB pipeline replica. Green row r05.
     "rake_keyphrases_docs",
+    # round-6 second-wave rotation OUT: Welch A/B readout making room
+    # for seasonal_backtest_events; stays oracle-checked here each
+    # round with hand-computed Welch parity tests. Green row r05.
+    "ab_experiment_readout",
+    # round-6 second-wave rotation OUT: Misra-Gries heavy hitters
+    # making room for acf_daily_values; stays oracle-checked here
+    # each round, error bound audited in tests. Green row r05.
+    "heavy_hitters_mg",
 ]
 
 
@@ -6416,3 +6435,86 @@ def woe_price_vs_urgent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, "o_totalprice",
         F.col("o_orderpriority") == "1-URGENT", bins=10,
     )
+
+
+_DAILY_ROLLUP_SQL = """
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ROUND(SUM(value), 6) AS v
+      FROM events GROUP BY 1, 2"""
+
+
+@_q(
+    "seasonal_backtest_events",
+    f"""
+    WITH r AS MATERIALIZED ({_DAILY_ROLLUP_SQL}),
+    s AS (
+      SELECT a.event_type, a.v AS av, f.v AS fv
+      FROM r a JOIN r f
+        ON f.event_type = a.event_type AND a.day = f.day + 7)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           ROUND(ROUND(SUM(ABS(av - fv)), 6) / COUNT(*), 6) AS mae,
+           ROUND(SQRT(ROUND(SUM((av - fv) * (av - fv)), 6) / COUNT(*)),
+                 6) AS rmse,
+           ROUND(ROUND(SUM(CASE WHEN av > 0 THEN ABS(av - fv) / av END),
+                       6)
+                 / COUNT(CASE WHEN av > 0 THEN 1 END), 6) AS mape
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+    doc="seasonal-naive forecast backtest (operators/series.py:"
+    "seasonal_naive_backtest): predict each day's per-type value "
+    "total with the actual from 7 days earlier, score MAE/RMSE/MAPE "
+    "per type — the baseline every forecasting model must beat, as a "
+    "continuous monitor. One self-join of the DAILY ROLLUP on "
+    "(key, day-7) — rollup-sized, never event-sized — plus one "
+    "map-side-combined aggregate; error means follow the stable_avg "
+    "round-sum-then-divide rule",
+)
+def seasonal_backtest_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import seasonal_naive_backtest
+
+    ev = load_events(spark, sf_dir)
+    rollup = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    return seasonal_naive_backtest(
+        rollup, ["event_type"], "day", "v", period_days=7
+    )
+
+
+_ACF_ORACLE = (
+    f"WITH r AS MATERIALIZED ({_DAILY_ROLLUP_SQL})\n    "
+    + "\n    UNION ALL\n    ".join(
+        f"""SELECT a.event_type, CAST({lag} AS BIGINT) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CORR(a.v, f.v), 6) AS acf
+    FROM r a JOIN r f
+      ON f.event_type = a.event_type AND a.day = f.day + {lag}
+    GROUP BY a.event_type"""
+        for lag in range(1, 8)
+    )
+    + "\n    ORDER BY event_type, lag"
+)
+
+
+@_q(
+    "acf_daily_values",
+    _ACF_ORACLE,
+    doc="autocorrelation function per event type "
+    "(operators/series.py:acf_by_key): Pearson correlation of the "
+    "daily value series against itself at lags 1..7 — the "
+    "seasonality/persistence diagnostic that picks the "
+    "seasonal-naive period worth backtesting. Per lag one "
+    "rollup-sized self-join on (key, day-lag) with pairwise-complete "
+    "semantics on gappy series; correlations round 6 (the q12 "
+    "convention). Each lag is an independent branch over the REDUCED "
+    "rollup, never raw events",
+)
+def acf_daily_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import acf_by_key
+
+    ev = load_events(spark, sf_dir)
+    rollup = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    return acf_by_key(rollup, ["event_type"], "day", "v", max_lag=7)

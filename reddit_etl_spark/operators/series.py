@@ -542,3 +542,115 @@ def resample_bars(
             "total",
         )
     )
+
+
+def seasonal_naive_backtest(
+    rollup: DataFrame,
+    key_cols: Sequence[str],
+    day_col: str,
+    value_col: str,
+    period_days: int = 7,
+) -> DataFrame:
+    """Backtest the seasonal-naive forecast (predict day d with the
+    actual from d - ``period_days``) over a per-key daily series —
+    the baseline every real forecasting model must beat, and the
+    cheapest continuous "is this series still predictable" monitor.
+    ``period_days=1`` is the plain naive (persistence) forecast.
+
+    Input is an (already aggregated) rollup: one row per key x day.
+    Days whose lagged day is absent from the input are not scored
+    (inner-join semantics — explicitly NOT zero-filled; compose with
+    ``gap_fill`` first if absent means zero in your domain).
+
+    Returns per key: n_scored (BIGINT), mae, rmse, mape (mean
+    |a-f|/a over a > 0 days — NULL when none), ordered by key.
+    Error means follow the stable_avg discipline (round the sum to 6,
+    divide, round) so both engines of a cross-engine compare agree.
+
+    Plan: one self-join of the rollup on (key, day - period) — the
+    rollup is groupBy-output-sized, not event-sized — plus one
+    map-side-combined aggregate per key. Nothing event-scale
+    shuffles; at 100 TB the rollup input is the already-reduced
+    frame.
+    """
+    if period_days < 1:
+        raise ValueError("seasonal_naive_backtest needs period_days >= 1")
+    keys = list(key_cols)
+    a = rollup.select(
+        *keys, F.col(day_col).alias("__d"), F.col(value_col).alias("__a")
+    )
+    f = rollup.select(
+        *keys,
+        F.date_add(F.col(day_col), period_days).alias("__d"),
+        F.col(value_col).alias("__f"),
+    )
+    scored = a.join(f, [*keys, "__d"])
+    err = F.abs(F.col("__a") - F.col("__f"))
+    sq = (F.col("__a") - F.col("__f")) * (F.col("__a") - F.col("__f"))
+    ape = F.when(F.col("__a") > 0, err / F.col("__a"))
+    return (
+        scored.groupBy(*keys)
+        .agg(
+            F.count("*").cast("long").alias("n_scored"),
+            F.round(F.round(F.sum(err), 6) / F.count("*"), 6).alias("mae"),
+            F.round(
+                F.sqrt(F.round(F.sum(sq), 6) / F.count("*")), 6
+            ).alias("rmse"),
+            F.round(
+                F.round(F.sum(ape), 6) / F.count(ape), 6
+            ).alias("mape"),
+        )
+        .orderBy(*keys)
+    )
+
+
+def acf_by_key(
+    rollup: DataFrame,
+    key_cols: Sequence[str],
+    day_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation function per key over a daily series: Pearson
+    correlation between (value at d, value at d - lag) for lag =
+    1..``max_lag`` — the seasonality/persistence diagnostic that says
+    WHICH seasonal-naive period to backtest (a weekly-seasonal series
+    spikes at lag 7).
+
+    Pairs come from per-lag self-joins on (key, day - lag) — only
+    days present on both sides correlate, matching the textbook
+    pairwise-complete ACF on a gappy series. Correlations round to 6
+    (the q12 convention — Spark and DuckDB accumulate in different
+    orders); pairs with zero variance on either side yield NULL.
+
+    Returns (key..., lag BIGINT, n_pairs BIGINT, acf), ordered by
+    (key, lag). Plan: the rollup self-joins once per lag on key+date
+    equality (rollup-sized, map-side combinable aggregates); lags
+    union into one frame. max_lag is bounded (a readout, not a
+    corpus op) — each lag is an independent branch over the reduced
+    rollup, never the raw events.
+    """
+    if max_lag < 1:
+        raise ValueError("acf_by_key needs max_lag >= 1")
+    keys = list(key_cols)
+    out = None
+    for lag in range(1, max_lag + 1):
+        a = rollup.select(
+            *keys, F.col(day_col).alias("__d"), F.col(value_col).alias("__a")
+        )
+        b = rollup.select(
+            *keys,
+            F.date_add(F.col(day_col), lag).alias("__d"),
+            F.col(value_col).alias("__b"),
+        )
+        one = (
+            a.join(b, [*keys, "__d"])
+            .groupBy(*keys)
+            .agg(
+                F.lit(lag).cast("long").alias("lag"),
+                F.count("*").cast("long").alias("n_pairs"),
+                F.round(F.corr("__a", "__b"), 6).alias("acf"),
+            )
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy(*keys, "lag")

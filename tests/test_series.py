@@ -386,3 +386,111 @@ def test_resample_bars_ohlc_semantics(spark):
     assert got[("a", base + dt.timedelta(seconds=300))] == (7.0, 7.0, 1.0, 1.0, 2, 8.0)
     # tie at the same second: min eid (99 -> 8.0) opens, max eid closes
     assert got[("b", base)] == (8.0, 8.0, 3.0, 3.0, 2, 11.0)
+
+
+class TestSeasonalNaiveBacktest:
+    def _rollup(self, spark, rows):
+        import datetime as dt
+
+        d0 = dt.date(2024, 6, 1)
+        return spark.createDataFrame(
+            [(k, d0 + dt.timedelta(days=d), float(v)) for k, d, v in rows],
+            ["key", "day", "v"],
+        )
+
+    def test_perfectly_seasonal_series_scores_zero(self, spark):
+        from reddit_etl_spark.operators.series import seasonal_naive_backtest
+
+        rows = [("a", d, 10 + (d % 7)) for d in range(21)]
+        out = seasonal_naive_backtest(
+            self._rollup(spark, rows), ["key"], "day", "v", period_days=7
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n_scored"] == 14  # days 7..20
+        assert r["mae"] == 0.0 and r["rmse"] == 0.0 and r["mape"] == 0.0
+
+    def test_hand_computed_errors(self, spark):
+        from reddit_etl_spark.operators.series import seasonal_naive_backtest
+
+        # period 1: forecasts = previous day
+        rows = [("a", 0, 10), ("a", 1, 12), ("a", 2, 9)]
+        r = seasonal_naive_backtest(
+            self._rollup(spark, rows), ["key"], "day", "v", period_days=1
+        ).collect()[0]
+        # errors: |12-10|=2, |9-12|=3
+        assert r["n_scored"] == 2
+        assert r["mae"] == 2.5
+        assert r["rmse"] == round((13 / 2) ** 0.5, 6)  # 2^2 + 3^2 = 13
+        assert r["mape"] == round((2 / 12 + 3 / 9) / 2, 6)
+
+    def test_gap_days_not_scored_and_zero_actual_excluded_from_mape(
+        self, spark
+    ):
+        from reddit_etl_spark.operators.series import seasonal_naive_backtest
+
+        # day 1 missing: day 2 has no lag-1 forecast; day 4 actual 0
+        # excluded from MAPE but still in MAE
+        rows = [("a", 0, 10), ("a", 2, 8), ("a", 3, 4), ("a", 4, 0)]
+        r = seasonal_naive_backtest(
+            self._rollup(spark, rows), ["key"], "day", "v", period_days=1
+        ).collect()[0]
+        assert r["n_scored"] == 2  # days 3 and 4
+        assert r["mae"] == 4.0  # (|4-8| + |0-4|) / 2
+        assert r["mape"] == 1.0  # only day 3: 4/4
+
+
+class TestAcfByKey:
+    def test_weekly_signal_spikes_at_lag_seven(self, spark):
+        import datetime as dt
+
+        from reddit_etl_spark.operators.series import acf_by_key
+
+        d0 = dt.date(2024, 6, 1)
+        rows = [
+            ("a", d0 + dt.timedelta(days=d),
+             float(100 if d % 7 == 0 else 10 + (d % 3)))
+            for d in range(56)
+        ]
+        df = spark.createDataFrame(rows, ["key", "day", "v"])
+        out = {r["lag"]: r["acf"] for r in
+               acf_by_key(df, ["key"], "day", "v", max_lag=7).collect()}
+        assert set(out) == set(range(1, 8))
+        assert out[7] > 0.99
+        assert out[1] < 0.5
+
+    def test_matches_numpy_pearson(self, spark):
+        import datetime as dt
+        import random
+
+        import numpy as np
+
+        from reddit_etl_spark.operators.series import acf_by_key
+
+        rng = random.Random(11)
+        d0 = dt.date(2024, 6, 1)
+        vals = [round(rng.uniform(0, 100), 2) for _ in range(40)]
+        rows = [
+            ("a", d0 + dt.timedelta(days=d), vals[d]) for d in range(40)
+        ]
+        df = spark.createDataFrame(rows, ["key", "day", "v"])
+        out = {r["lag"]: (r["n_pairs"], r["acf"]) for r in
+               acf_by_key(df, ["key"], "day", "v", max_lag=3).collect()}
+        for lag in (1, 2, 3):
+            a = np.array(vals[lag:])
+            b = np.array(vals[:-lag])
+            want = float(np.corrcoef(a, b)[0, 1])
+            n, acf = out[lag]
+            assert n == 40 - lag
+            assert acf == pytest.approx(want, abs=2e-6)
+
+    def test_constant_series_yields_null(self, spark):
+        import datetime as dt
+
+        from reddit_etl_spark.operators.series import acf_by_key
+
+        d0 = dt.date(2024, 6, 1)
+        rows = [("a", d0 + dt.timedelta(days=d), 5.0) for d in range(10)]
+        df = spark.createDataFrame(rows, ["key", "day", "v"])
+        out = acf_by_key(df, ["key"], "day", "v", max_lag=2).collect()
+        assert all(r["acf"] is None for r in out)
