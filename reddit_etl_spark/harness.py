@@ -269,11 +269,16 @@ _PROMOTED = [
     # (part_name_linkage held this slot in round 5; rotated to the
     # tail in round 6 for entity_golden_parts, which contains it as
     # its first stage — see the round-6 blocks)
-    # degree-oriented triangle counting / clustering coefficients (new
-    # capability; displaces unigram_quality_score, whose zero-UDF
-    # text-kernel family stays recorded via text_profile and
-    # oracle-checked in the tail alongside nfc_fingerprints)
-    "user_clustering",
+    # (user_clustering held this slot through round 6's first half —
+    # recorded rows r05; rotated to the tail mid-round-6 for
+    # itemitem_part_recs — see the round-6 second-wave blocks)
+    # round-6 second wave: item-item neighborhood CF (new capability —
+    # the rating-cosine 'bought X also bought' model table next to
+    # affinity's lift and ppr's random-walk recs; displaces
+    # user_clustering, whose triangle/clustering-coefficient readout
+    # stays oracle-checked in the tail while the graph family keeps
+    # pagerank + kcore + hits + bfs recorded rows)
+    "itemitem_part_recs",
     # round-6 second wave: multi-source BFS reachability rings (new
     # capability — min-hop distance joins the iterative-graph family's
     # rank/centrality/core primitives; displaces daily_trend_slope,
@@ -633,6 +638,11 @@ _DEFERRED = [
     # making room for acf_daily_values; stays oracle-checked here
     # each round, error bound audited in tests. Green row r05.
     "heavy_hitters_mg",
+    # round-6 second-wave rotation OUT: triangle counting /
+    # clustering coefficients making room for itemitem_part_recs;
+    # stays oracle-checked here each round, wedge-bound asserted in
+    # tests/test_graph.py. Green rows r05.
+    "user_clustering",
 ]
 
 
@@ -6518,3 +6528,63 @@ def acf_daily_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.round(F.sum("value"), 6).alias("v"))
     return acf_by_key(rollup, ["event_type"], "day", "v", max_lag=7)
+
+
+@_q(
+    "itemitem_part_recs",
+    """
+    WITH r AS MATERIALIZED (
+      SELECT o_custkey AS u, l_partkey AS i,
+             ROUND(SUM(l_quantity), 6) AS rt
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    norms AS MATERIALIZED (
+      SELECT i, ROUND(SUM(rt * rt), 6) AS ss FROM r GROUP BY 1),
+    pairs AS (
+      SELECT a.i AS ia, b.i AS ib, COUNT(*) AS nc,
+             ROUND(SUM(a.rt * b.rt), 6) AS dot
+      FROM r a JOIN r b ON a.u = b.u AND a.i < b.i
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    sym AS (
+      SELECT ia AS item, ib AS neighbor, nc, dot FROM pairs
+      UNION ALL
+      SELECT ib AS item, ia AS neighbor, nc, dot FROM pairs),
+    sc AS (
+      SELECT item, neighbor, nc,
+             ROUND(dot / (SQRT(na.ss) * SQRT(nb.ss)), 6) AS cosine
+      FROM sym
+      JOIN norms na ON na.i = item
+      JOIN norms nb ON nb.i = neighbor),
+    rk AS (
+      SELECT item, neighbor, nc, cosine,
+             ROW_NUMBER() OVER (PARTITION BY item
+                                ORDER BY cosine DESC, neighbor) AS rank
+      FROM sc)
+    SELECT item, neighbor, CAST(nc AS BIGINT) AS n_common, cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM rk WHERE rank <= 5
+    """,
+    doc="item-item neighborhood CF (operators/relational.py:"
+    "itemitem_topk): each part's 5 most cosine-similar parts by "
+    "quantity-weighted co-purchase across customers, min 2 co-buyers "
+    "— the 'bought X also bought' model table; affinity answers "
+    "lift-vs-chance and ppr random-walk closeness, this ranks by "
+    "rating cosine. Pair work = sum_u C(#items_u, 2) (whale-user cap "
+    "available), item-keyed norm joins, per-item rank window on "
+    "candidates only — never an item x item product. Quantity sums "
+    "are integer-valued so every aggregate is exact in double; "
+    "cosine rounds 6 before the deterministic (cosine desc, "
+    "neighbor) cut",
+)
+def itemitem_part_recs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import itemitem_topk
+
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    ratings = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select("o_custkey", "l_partkey", "l_quantity")
+    return itemitem_topk(
+        ratings, "o_custkey", "l_partkey", "l_quantity",
+        k=5, min_common=2,
+    )

@@ -505,3 +505,113 @@ def two_sample_report(
     return joined.select(
         *keys, "n_a", "n_b", "mean_a", "mean_b", z.alias("welch_z")
     )
+
+
+def itemitem_topk(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str | None = None,
+    k: int = 5,
+    min_common: int = 2,
+    max_user_items: int | None = None,
+) -> DataFrame:
+    """Item-item neighborhood collaborative filtering: each item's
+    ``k`` most cosine-similar items by co-rating — the classic
+    "customers who bought X also bought" model table, one family over
+    from :func:`item_affinity` (support/lift answers "co-occur more
+    than chance?"; this ranks by rating-weighted similarity) and from
+    the graph family's ppr_supplier_recs (random-walk closeness).
+
+    ``rating_col=None`` means implicit feedback (all ratings 1.0 —
+    cosine over co-occurrence sets). Pairs with fewer than
+    ``min_common`` co-raters are dropped (similarity estimated from
+    one shared user is noise). ``max_user_items`` is the whale-user
+    cap: pair work is sum over users of C(#items, 2), bounded by the
+    per-user item count, never item popularity — a crawler/bot user
+    rating everything would otherwise dominate the join (same hygiene
+    filter as item_affinity's basket cap).
+
+    Returns (item, neighbor, n_common BIGINT, cosine, rank BIGINT),
+    both directions of each pair, rank 1..k per item by
+    (cosine desc, neighbor asc) — deterministic cross-engine because
+    cosine rounds to 6 first and the sums under it are rounded per
+    the repo convention before the divide.
+
+    Plan: one (user, item) groupBy, per-user self-join on the user
+    key (id-pair shuffle), one map-side-combined pair aggregate,
+    item-keyed norm joins (AQE-broadcastable), then a per-item rank
+    window — candidates only, never an item x item product.
+    """
+    if k < 1:
+        raise ValueError("itemitem_topk needs k >= 1")
+    if min_common < 1:
+        raise ValueError("itemitem_topk needs min_common >= 1")
+    rt = (
+        F.lit(1.0)
+        if rating_col is None
+        else F.col(rating_col).cast("double")
+    )
+    r = (
+        ratings.select(
+            F.col(user_col).alias("__u"),
+            F.col(item_col).alias("__i"),
+            rt.alias("__r"),
+        )
+        .groupBy("__u", "__i")
+        .agg(F.round(F.sum("__r"), 6).alias("__rt"))
+    )
+    if max_user_items is not None:
+        sizes = r.groupBy("__u").agg(F.count("*").alias("__sz"))
+        r = r.join(sizes, "__u").filter(
+            F.col("__sz") <= max_user_items
+        ).drop("__sz")
+    norms = r.groupBy("__i").agg(
+        F.round(F.sum(F.col("__rt") * F.col("__rt")), 6).alias("__ss")
+    )
+    a = r.select("__u", F.col("__i").alias("__ia"), F.col("__rt").alias("__ra"))
+    b = r.select("__u", F.col("__i").alias("__ib"), F.col("__rt").alias("__rb"))
+    pairs = (
+        a.join(b, "__u")
+        .filter(F.col("__ia") < F.col("__ib"))
+        .groupBy("__ia", "__ib")
+        .agg(
+            F.count("*").alias("__nc"),
+            F.round(F.sum(F.col("__ra") * F.col("__rb")), 6).alias("__dot"),
+        )
+        .filter(F.col("__nc") >= min_common)
+    )
+    sym = pairs.select(
+        F.col("__ia").alias("item"), F.col("__ib").alias("neighbor"),
+        "__nc", "__dot",
+    ).unionByName(
+        pairs.select(
+            F.col("__ib").alias("item"), F.col("__ia").alias("neighbor"),
+            "__nc", "__dot",
+        )
+    )
+    na = norms.select(F.col("__i").alias("item"), F.col("__ss").alias("__sa"))
+    nb = norms.select(
+        F.col("__i").alias("neighbor"), F.col("__ss").alias("__sb")
+    )
+    scored = (
+        sym.join(na, "item")
+        .join(nb, "neighbor")
+        .select(
+            "item",
+            "neighbor",
+            F.col("__nc").cast("long").alias("n_common"),
+            F.round(
+                F.col("__dot")
+                / (F.sqrt(F.col("__sa")) * F.sqrt(F.col("__sb"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("cosine").desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1193,3 +1193,75 @@ def test_segment_dedup_separator_is_literal_not_regex(spark):
     # "." must split into exactly two segments, not per-character
     assert got[1] == ("alpha beta.gamma delta", 2)
     assert got[2] == ("", 2)
+
+
+class TestItemItemTopk:
+    def _run(self, spark, rows, **kw):
+        from reddit_etl_spark.operators.relational import itemitem_topk
+
+        df = spark.createDataFrame(rows, ["u", "i", "r"])
+        return itemitem_topk(df, "u", "i", "r", **kw)
+
+    def test_hand_computed_cosine(self, spark):
+        import math
+
+        # items A and B co-rated by users 1,2; C rated once with A
+        rows = [
+            (1, "A", 2.0), (1, "B", 1.0),
+            (2, "A", 1.0), (2, "B", 2.0),
+            (3, "A", 1.0), (3, "C", 5.0),
+        ]
+        out = {
+            (r["item"], r["neighbor"]): r
+            for r in self._run(spark, rows, k=5, min_common=2).collect()
+        }
+        # C pairs have n_common=1 -> dropped
+        assert set(out) == {("A", "B"), ("B", "A")}
+        # cosine = (2*1 + 1*2) / (sqrt(4+1+1) * sqrt(1+4))
+        want = round(4 / (math.sqrt(6) * math.sqrt(5)), 6)
+        assert out[("A", "B")]["cosine"] == want
+        assert out[("A", "B")]["n_common"] == 2
+
+    def test_implicit_feedback_counts_cooccurrence(self, spark):
+        import math
+
+        from reddit_etl_spark.operators.relational import itemitem_topk
+
+        rows = [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A")]
+        df = spark.createDataFrame(rows, ["u", "i"])
+        out = {
+            (r["item"], r["neighbor"]): r["cosine"]
+            for r in itemitem_topk(df, "u", "i", None, min_common=2).collect()
+        }
+        # |A∩B|=2, |A|=3, |B|=2 -> 2/sqrt(6)
+        assert out[("A", "B")] == round(2 / math.sqrt(6), 6)
+
+    def test_k_cut_and_rank_determinism(self, spark):
+        # B and C tie in cosine w.r.t. A -> neighbor order breaks tie
+        rows = [
+            (1, "A", 1.0), (1, "B", 1.0), (1, "C", 1.0),
+            (2, "A", 1.0), (2, "B", 1.0), (2, "C", 1.0),
+            (3, "A", 1.0), (3, "D", 1.0),
+            (4, "A", 1.0), (4, "D", 1.0),
+        ]
+        out = [
+            (r["neighbor"], r["rank"])
+            for r in self._run(spark, rows, k=2, min_common=2)
+            .filter("item = 'A'").orderBy("rank").collect()
+        ]
+        assert len(out) == 2
+        assert out[0][0] == "B" and out[1][0] == "C"  # ties: id order
+
+    def test_whale_user_cap_drops_user(self, spark):
+        rows = [(1, c, 1.0) for c in "ABCDEFGH"] + [
+            (2, "A", 1.0), (2, "B", 1.0),
+            (3, "A", 1.0), (3, "B", 1.0),
+        ]
+        capped = self._run(
+            spark, rows, k=5, min_common=2, max_user_items=4
+        ).collect()
+        # user 1's 28 pairs gone; only A-B (from users 2,3) survives
+        assert {(r["item"], r["neighbor"]) for r in capped} == {
+            ("A", "B"), ("B", "A")
+        }
+        assert all(r["n_common"] == 2 for r in capped)
