@@ -242,7 +242,13 @@ _PROMOTED = [
     # straight into the recorded head (same rationale as above). Each
     # displaces a long-attested entry with a recorded capability twin
     # (see the round-5 third-batch block in _DEFERRED).
-    "similarity_topk_pq",
+    # round-6 second wave: 2D Pareto skyline (new capability — the
+    # multi-objective top-k with a bucketed no-self-join plan, proved
+    # against the oracle's quadratic NOT EXISTS; displaces
+    # similarity_topk_pq, whose product-quantization recall audit
+    # stays oracle-checked in the tail while the ANN family keeps
+    # similarity_topk recorded; green row r05)
+    "skyline_parts",
     # (heavy_hitters_mg held this slot through round 6's first half —
     # recorded row r05; rotated to the tail mid-round-6 for
     # acf_daily_values — see the round-6 second-wave blocks)
@@ -643,6 +649,10 @@ _DEFERRED = [
     # stays oracle-checked here each round, wedge-bound asserted in
     # tests/test_graph.py. Green rows r05.
     "user_clustering",
+    # round-6 second-wave rotation OUT: PQ recall audit making room
+    # for skyline_parts; stays oracle-checked here each round beside
+    # its int8/ivf/lsh audit siblings. Green row r05.
+    "similarity_topk_pq",
 ]
 
 
@@ -6588,3 +6598,39 @@ def itemitem_part_recs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratings, "o_custkey", "l_partkey", "l_quantity",
         k=5, min_common=2,
     )
+
+
+@_q(
+    "skyline_parts",
+    """
+    SELECT p.p_partkey, p.p_size, p.p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice
+             OR q.p_size > p.p_size))
+      AND p.p_size IS NOT NULL AND p.p_retailprice IS NOT NULL
+    """,
+    doc="2D Pareto skyline (operators/relational.py:skyline_2d): the "
+    "parts no other part beats on BOTH price (min) and size (max) — "
+    "the multi-objective answer set a single sort key cannot "
+    "express. Spark plans it with NO dominance self-join and NO "
+    "single-partition window: monotone range-bucketing on the x "
+    "axis, per-bucket max-y partials, an exclusive suffix-max over "
+    "the <= buckets-row frame (higher bucket implies strictly better "
+    "x, so hmax >= y kills outright), and within-bucket dense-rank + "
+    "RANGE-frame windows riding ONE bucket-keyed shuffle. The DuckDB "
+    "oracle is the quadratic NOT EXISTS dominance test — every green "
+    "row proves the bucketed plan against brute force. Exact double "
+    "comparisons end to end; no rounding anywhere",
+)
+def skyline_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import skyline_2d
+
+    part = load(spark, sf_dir, "part")
+    return skyline_2d(
+        part.select("p_partkey", "p_size", "p_retailprice"),
+        "p_retailprice", "p_size", x_dir="min", y_dir="max",
+    ).select("p_partkey", "p_size", "p_retailprice")

@@ -615,3 +615,97 @@ def itemitem_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_dir: str = "max",
+    y_dir: str = "max",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Pareto frontier over two numeric criteria: keep every row NOT
+    dominated by another (dominated = the other is at least as good
+    on both axes and strictly better on one). The multi-objective
+    top-k cousin — "cheapest AND biggest" has no single sort key, the
+    skyline is the whole answer set. Ties that are EQUAL on both axes
+    all stay (neither dominates).
+
+    ``x_dir``/``y_dir`` in {'max','min'} pick each axis's better
+    direction (internally normalized by negation — exact in IEEE).
+    Rows with a NULL on either axis are excluded (no defined
+    dominance position).
+
+    Plan — no single-partition window and no n^2 dominance join:
+    range-bucket on x (monotone bucketing, same shape as
+    running_total), then
+    1. per-bucket max y (map-side combine, <= ``buckets`` rows),
+    2. exclusive suffix-max over HIGHER buckets (window over the
+       bucket frame, bounded by construction; broadcast back):
+       bucket(q) > bucket(p) implies q.x > p.x, so hmax >= y is
+       domination outright,
+    3. within each bucket, dense_rank on x desc + a RANGE frame over
+       strictly-better x ranks gives max y among x' > x, and a
+       (bucket, x) partition max catches same-x strictly-better y —
+       all three windows ride ONE bucket-keyed shuffle.
+    Correctness needs only MONOTONICITY of the bucketing, not
+    boundary precision, so double-valued axes are fine. A heavily
+    x-clustered distribution degrades toward fewer effective buckets
+    (more within-bucket work), never to incorrectness.
+
+    Returns the input rows (original columns) on the frontier.
+    """
+    for d in (x_dir, y_dir):
+        if d not in ("max", "min"):
+            raise ValueError("x_dir/y_dir must be 'max' or 'min'")
+    xe = F.col(x_col).cast("double")
+    ye = F.col(y_col).cast("double")
+    if x_dir == "min":
+        xe = -xe
+    if y_dir == "min":
+        ye = -ye
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).withColumn("__x", xe).withColumn("__y", ye)
+    span = base.agg(
+        F.min("__x").alias("__mn"), F.max("__x").alias("__mx")
+    )
+    width = F.greatest(
+        (F.col("__mx") - F.col("__mn")) / F.lit(buckets), F.lit(1e-300)
+    )
+    bucketed = base.crossJoin(F.broadcast(span)).withColumn(
+        "__bucket",
+        F.least(
+            F.floor((F.col("__x") - F.col("__mn")) / width),
+            F.lit(buckets - 1),
+        ).cast("int"),
+    ).drop("__mn", "__mx")
+    bmax = bucketed.groupBy("__bucket").agg(F.max("__y").alias("__bm"))
+    w_above = Window.orderBy(F.col("__bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    hmax = bmax.select(
+        "__bucket", F.max("__bm").over(w_above).alias("__hm")
+    )
+    w_rank = Window.partitionBy("__bucket").orderBy(F.col("__x").desc())
+    w_strict = (
+        Window.partitionBy("__bucket")
+        .orderBy("__xr")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_samex = Window.partitionBy("__bucket", "__x")
+    ranked = (
+        bucketed.join(F.broadcast(hmax), "__bucket")
+        .withColumn("__xr", F.dense_rank().over(w_rank))
+        .withColumn("__ms", F.max("__y").over(w_strict))
+        .withColumn("__me", F.max("__y").over(w_samex))
+    )
+    dominated = (
+        (F.col("__hm").isNotNull() & (F.col("__hm") >= F.col("__y")))
+        | (F.col("__ms").isNotNull() & (F.col("__ms") >= F.col("__y")))
+        | (F.col("__me") > F.col("__y"))
+    )
+    return ranked.filter(~dominated).drop(
+        "__x", "__y", "__bucket", "__hm", "__xr", "__ms", "__me"
+    )

@@ -1265,3 +1265,79 @@ class TestItemItemTopk:
             ("A", "B"), ("B", "A")
         }
         assert all(r["n_common"] == 2 for r in capped)
+
+
+class TestSkyline2d:
+    def _brute(self, rows, better):
+        out = []
+        for p in rows:
+            dom = any(
+                better(q, p) for q in rows if q is not p
+            )
+            if not dom:
+                out.append(p)
+        return sorted(out)
+
+    def test_matches_brute_force_max_max(self, spark):
+        import random
+
+        from reddit_etl_spark.operators.relational import skyline_2d
+
+        rng = random.Random(5)
+        rows = [
+            (i, rng.uniform(0, 100), rng.uniform(0, 100))
+            for i in range(300)
+        ]
+        # inject exact ties on both axes
+        rows += [(900, rows[0][1], rows[0][2]), (901, 50.0, 50.0),
+                 (902, 50.0, 50.0)]
+        df = spark.createDataFrame(rows, ["id", "x", "y"])
+        got = sorted(
+            (r["id"], r["x"], r["y"])
+            for r in skyline_2d(df, "x", "y", buckets=8).collect()
+        )
+        want = self._brute(
+            rows,
+            lambda q, p: q[1] >= p[1] and q[2] >= p[2]
+            and (q[1] > p[1] or q[2] > p[2]),
+        )
+        assert got == want
+        assert 0 < len(got) < len(rows)
+
+    def test_min_max_directions(self, spark):
+        from reddit_etl_spark.operators.relational import skyline_2d
+
+        # minimize price, maximize size
+        rows = [
+            (1, 10.0, 5), (2, 10.0, 7), (3, 8.0, 5),
+            (4, 12.0, 9), (5, 8.0, 7),
+        ]
+        df = spark.createDataFrame(rows, ["id", "price", "size"])
+        got = {
+            r["id"]
+            for r in skyline_2d(
+                df, "price", "size", x_dir="min", y_dir="max", buckets=4
+            ).collect()
+        }
+        # 5 dominates 1,2,3 (price<=, size>=, strict somewhere);
+        # 4 survives on size; duplicates of the frontier none
+        assert got == {4, 5}
+
+    def test_equal_points_all_kept(self, spark):
+        from reddit_etl_spark.operators.relational import skyline_2d
+
+        rows = [(1, 1.0, 1.0), (2, 1.0, 1.0)]
+        df = spark.createDataFrame(rows, ["id", "x", "y"])
+        assert {
+            r["id"] for r in skyline_2d(df, "x", "y").collect()
+        } == {1, 2}
+
+    def test_nulls_excluded_and_single_bucket_degenerate(self, spark):
+        from reddit_etl_spark.operators.relational import skyline_2d
+
+        rows = [(1, 1.0, 1.0), (2, None, 9.0), (3, 2.0, 0.5)]
+        df = spark.createDataFrame(rows, ["id", "x", "y"])
+        got = {
+            r["id"] for r in skyline_2d(df, "x", "y", buckets=1).collect()
+        }
+        assert got == {1, 3}
