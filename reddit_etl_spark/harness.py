@@ -337,11 +337,16 @@ _PROMOTED = [
     # stays recorded via asof_next_purchase + the asof_split row and
     # oracle-checked in this tail)
     "incremental_rollup_refresh",
-    # join pre-flight diagnostics (new capability; displaces
-    # q06_flag_breakdown, whose conditional-aggregate shape stays
-    # recorded via q01_overview and oracle-checked via q11/q14 in the
-    # tail)
-    "join_profile_orders_lineitem",
+    # (join_profile_orders_lineitem held this slot through round 6's
+    # first half — recorded rows r05; rotated to the tail mid-round-6
+    # for lpa_communities — see the round-6 second-wave blocks)
+    # round-6 second wave: label-propagation communities (new
+    # capability — locally dense neighborhoods where CC merges
+    # everything reachable; displaces join_profile_orders_lineitem,
+    # whose exact-cardinality preflight stays oracle-checked in the
+    # tail with its exactness asserted against the real join in
+    # tests/test_skew_stress.py)
+    "lpa_communities",
     # personalized weighted PageRank (new capability; displaces
     # asof_next_purchase, whose as-of join family keeps TWO recorded
     # rows via asof_split — same operator, skew mode — while the base
@@ -653,6 +658,11 @@ _DEFERRED = [
     # for skyline_parts; stays oracle-checked here each round beside
     # its int8/ivf/lsh audit siblings. Green row r05.
     "similarity_topk_pq",
+    # round-6 second-wave rotation OUT: join preflight diagnostics
+    # making room for lpa_communities; stays oracle-checked here each
+    # round, exactness asserted vs the real join in tests. Green row
+    # r05.
+    "join_profile_orders_lineitem",
 ]
 
 
@@ -6634,3 +6644,71 @@ def skyline_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.select("p_partkey", "p_size", "p_retailprice"),
         "p_retailprice", "p_size", x_dir="min", y_dir="max",
     ).select("p_partkey", "p_size", "p_retailprice")
+
+
+_LPA_ITER = """
+    l{k} AS MATERIALIZED (
+      SELECT a AS node, label FROM (
+        SELECT u.a, l.label, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY u.a
+                                  ORDER BY COUNT(*) DESC, l.label)
+                 AS rn
+        FROM und u JOIN l{p} l ON u.b = l.node
+        GROUP BY u.a, l.label)
+      WHERE rn = 1)"""
+
+_LPA_ORACLE = (
+    """
+    WITH pairs AS (
+      SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+                      's:' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    und0 AS (
+      SELECT src AS a, dst AS b FROM pairs
+      UNION
+      SELECT dst AS a, src AS b FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM und0),
+    und AS (
+      SELECT a, b FROM und0
+      UNION
+      SELECT node AS a, node AS b FROM nodes),
+    l0 AS (SELECT node, node AS label FROM nodes),"""
+    + ",".join(_LPA_ITER.format(k=k, p=k - 1) for k in range(1, 5))
+    + """
+    SELECT node, label FROM l4
+    """
+)
+
+
+@_q(
+    "lpa_communities",
+    _LPA_ORACLE,
+    doc="synchronous label propagation, 4 fixed rounds with self-loop "
+    "damping (operators/graph.py:label_propagation): locally dense "
+    "communities on the customer<->supplier purchase graph — "
+    "connected components merges everything reachable, LPA finds the "
+    "neighborhoods inside one component. Most-frequent-neighbor-label "
+    "votes, ties to the MINIMUM label (a total order: "
+    "bit-deterministic, fixed-round oracle-replayable; the self vote "
+    "damps sync-LPA's period-2 bipartite oscillation). Per round one "
+    "edge x label join + one map-side (node, label) count + one "
+    "per-node argmax window; labels checkpointed per round",
+)
+def lpa_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import label_propagation
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    return label_propagation(edges, "src", "dst", rounds=4)

@@ -32,7 +32,7 @@ part of the training-data extension surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -835,3 +835,70 @@ def bfs_distances(
         # not re-expanded by both the union and the next round's join
         frontier = dist.filter(F.col("dist") == h).select("node")
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 4,
+    include_self: bool = True,
+) -> DataFrame:
+    """Synchronous label propagation (community detection): every node
+    starts as its own label; each round every node adopts the most
+    frequent label among its neighbors, ties broken by MINIMUM label —
+    a total order, so the computation is bit-deterministic under any
+    partitioning and replayable by a fixed-round oracle (the same
+    fixed-``rounds`` discipline as pagerank/kcore; convergence is not
+    asserted, the round count is the contract).
+
+    ``include_self=True`` (default) adds a self-loop to every node —
+    the standard stabilizer: pure synchronous LPA oscillates with
+    period 2 on bipartite structure (labels swap sides forever); the
+    self vote damps the swap. Communities differ from connected
+    components (graph.py:connected_components): CC merges everything
+    reachable, LPA finds locally dense neighborhoods inside one
+    component.
+
+    Returns (node, label): label = the propagated community
+    representative.
+
+    Plan per round: one labels x edges equi-join (shuffle = directed
+    edge list with 1 label each), one map-side-combined
+    (node, label) count, one per-node argmax window (the count frame,
+    <= degree rows per node) — the window's partition key is the
+    node, so no hot label can hot-spot it. Labels frame lazily
+    checkpointed per round (referenced by the next round's join).
+    """
+    if rounds < 1:
+        raise ValueError("label_propagation needs rounds >= 1")
+    E = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    und = E.union(E.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    und = und.filter(F.col("a") != F.col("b")).distinct()
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    if include_self:
+        und = und.union(
+            nodes.select(F.col("node").alias("a"), F.col("node").alias("b"))
+        )
+    labels = nodes.withColumn("label", F.col("node"))
+    w = Window.partitionBy("a").orderBy(
+        F.desc("__c"), F.asc("label")
+    )
+    for _ in range(rounds):
+        votes = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("label")
+                ),
+                "b",
+            )
+            .groupBy("a", "label")
+            .agg(F.count("*").alias("__c"))
+        )
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("a").alias("node"), "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels

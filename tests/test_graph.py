@@ -574,3 +574,73 @@ class TestBfsDistances:
         edges = [("a", "b"), ("b", "c"), ("c", "a")]
         got = self._run(spark, edges, ["a"], max_hops=5)
         assert got == {"a": 0, "b": 1, "c": 1}
+
+
+class TestLabelPropagation:
+    def _run(self, spark, edges, **kw):
+        from reddit_etl_spark.operators.graph import label_propagation
+
+        E = spark.createDataFrame(edges, ["src", "dst"])
+        return {
+            r["node"]: r["label"]
+            for r in label_propagation(E, **kw).collect()
+        }
+
+    @staticmethod
+    def _clique(prefix, n):
+        nodes = [f"{prefix}{i}" for i in range(n)]
+        return [
+            (a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]
+        ]
+
+    def test_two_cliques_with_bridge_split(self, spark):
+        edges = (
+            self._clique("a", 5)
+            + self._clique("b", 5)
+            + [("a0", "b0")]  # one bridge edge
+        )
+        got = self._run(spark, edges, rounds=4)
+        a_labels = {got[f"a{i}"] for i in range(5)}
+        b_labels = {got[f"b{i}"] for i in range(5)}
+        # each clique agrees internally, and the two differ
+        assert len(a_labels) == 1 and len(b_labels) == 1
+        assert a_labels != b_labels
+
+    def test_deterministic_across_partitionings(self, spark):
+        import random
+
+        from reddit_etl_spark.operators.graph import label_propagation
+
+        rng = random.Random(13)
+        edges = [
+            (f"n{rng.randrange(30)}", f"n{rng.randrange(30)}")
+            for _ in range(80)
+        ]
+        E1 = spark.createDataFrame(edges, ["src", "dst"])
+        E2 = spark.createDataFrame(edges, ["src", "dst"]).repartition(7)
+        r1 = sorted(
+            map(tuple, label_propagation(E1, rounds=3).collect())
+        )
+        r2 = sorted(
+            map(tuple, label_propagation(E2, rounds=3).collect())
+        )
+        assert r1 == r2
+
+    def test_min_label_tie_break_on_star(self, spark):
+        # star: center c with leaves l1..l3; round 1: every leaf sees
+        # {c, own}; tie -> min(label) wins
+        edges = [("c", "l1"), ("c", "l2"), ("c", "l3")]
+        got = self._run(spark, edges, rounds=1)
+        # center sees {c, l1, l2, l3} all count 1 -> min = 'c'
+        assert got["c"] == "c"
+        # each leaf sees {c:1, own:1} -> min('c', 'lX') = 'c'
+        assert got["l1"] == got["l2"] == got["l3"] == "c"
+
+    def test_rounds_validation(self, spark):
+        import pytest as _pytest
+
+        from reddit_etl_spark.operators.graph import label_propagation
+
+        E = spark.createDataFrame([("a", "b")], ["src", "dst"])
+        with _pytest.raises(ValueError, match="rounds"):
+            label_propagation(E, rounds=0)
