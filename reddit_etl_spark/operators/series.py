@@ -654,3 +654,99 @@ def acf_by_key(
         )
         out = one if out is None else out.unionByName(one)
     return out.orderBy(*keys, "lag")
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    h: float,
+    k: float = 0.0,
+    target_col: str | None = None,
+    relative: bool = False,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Two-sided CUSUM drift monitor per key over an ordered series —
+    the changepoint detector that catches a SUSTAINED small shift in
+    a metric long before any single point trips a z-score gate
+    (Page 1954; the anomaly_zscore operator flags spikes, this flags
+    creep).
+
+    The textbook recursion S+_t = max(0, S+_{t-1} + (x_t - mu - k))
+    looks window-inexpressible, but max(0, .) running recursions have
+    a closed form over prefix sums:
+
+        S_t = P_t - min(0, min_{j<=t} P_j),   P = running sum of the
+                                              drift-adjusted deltas
+
+    so the whole detector is one running SUM window plus one running
+    MIN window over the SAME (key, order) sort — Catalyst plans both
+    in a single exchange, and the second window reuses the first's
+    sort. No UDF, no recursion, no single-partition window (keys
+    partition the work; feed a bounded per-key ROLLUP, not raw
+    events, per the acf/seasonal convention). ``order_col`` must be
+    unique within each key (a rollup day/bucket) — duplicate order
+    values would make the within-tie prefix order, and therefore the
+    running sums, nondeterministic.
+
+    Cross-engine determinism: deltas quantize to ``scale``-ths
+    (micros by default) via FLOOR and all running arithmetic happens
+    on exact BIGINTs — Spark's incremental running sum and DuckDB's
+    segment-tree window accumulate in different orders, which is
+    unobservable on integers (the concurrency_peaks discipline).
+    FLOOR (not round/cast) because double->BIGINT casts round in
+    DuckDB but truncate in Spark, and ROUND halfway ties differ.
+
+    ``target_col`` names the per-row reference level mu; when None,
+    the per-key stable mean (ROUND(SUM,6)/COUNT) is used. ``k`` is
+    the one-sided allowance and ``h`` the alarm threshold, both in
+    value units — or, with ``relative=True``, in units of the
+    per-key sample stddev (the classic k=0.5sigma / h=4-5sigma
+    parameterization), so the same thresholds stay meaningful when
+    the series level and noise scale with the data volume. Sigma is
+    rounded to 6 before scaling (the repo float-aggregate rule —
+    engines accumulate variance in different orders).
+
+    Returns (key..., order, value, s_hi, s_lo, alarm_hi BOOLEAN,
+    alarm_lo BOOLEAN) with s_* rounded back to value units (6 dp).
+    """
+    keys = list(key_cols)
+    kw = Window.partitionBy(*keys)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if target_col is None:
+        mu = F.round(F.sum(value_col).over(kw), 6) / F.count("*").over(kw)
+    else:
+        mu = F.col(target_col)
+    d_int = F.floor((F.col(value_col) - mu) * F.lit(float(scale))).cast(
+        "long"
+    )
+    if relative:
+        sigma = F.round(F.stddev_samp(value_col).over(kw), 6)
+        k_int = F.floor(sigma * F.lit(float(k * scale))).cast("long")
+        h_int = F.floor(sigma * F.lit(float(h * scale))).cast("long")
+    else:
+        k_int = F.lit(int(k * scale))
+        h_int = F.lit(int(h * scale))
+    base = df.withColumn("__d", d_int).withColumn("__k", k_int).withColumn(
+        "__h", h_int
+    )
+    p_hi = F.sum(F.col("__d") - F.col("__k")).over(w)
+    p_lo = F.sum(-F.col("__d") - F.col("__k")).over(w)
+    base = base.withColumn("__ph", p_hi).withColumn("__pl", p_lo)
+    s_hi = F.col("__ph") - F.least(F.lit(0).cast("long"), F.min("__ph").over(w))
+    s_lo = F.col("__pl") - F.least(F.lit(0).cast("long"), F.min("__pl").over(w))
+    h_int = F.col("__h")
+    return base.select(
+        *keys,
+        F.col(order_col),
+        F.col(value_col),
+        F.round(s_hi / F.lit(float(scale)), 6).alias("s_hi"),
+        F.round(s_lo / F.lit(float(scale)), 6).alias("s_lo"),
+        (s_hi > h_int).alias("alarm_hi"),
+        (s_lo > h_int).alias("alarm_lo"),
+    )

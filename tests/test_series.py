@@ -494,3 +494,85 @@ class TestAcfByKey:
         df = spark.createDataFrame(rows, ["key", "day", "v"])
         out = acf_by_key(df, ["key"], "day", "v", max_lag=2).collect()
         assert all(r["acf"] is None for r in out)
+
+
+def _cusum_serial(vals, mu, k):
+    """Textbook Page recursion: S+_t = max(0, S+_{t-1} + (x - mu - k)),
+    S-_t = max(0, S-_{t-1} + (mu - x - k)), on micros-quantized deltas
+    (the operator's exact-integer discipline)."""
+    import math
+
+    shi = slo = 0
+    out = []
+    for v in vals:
+        d = math.floor((v - mu) * 1_000_000)
+        ki = int(k * 1_000_000)
+        shi = max(0, shi + d - ki)
+        slo = max(0, slo - d - ki)
+        out.append((round(shi / 1e6, 6), round(slo / 1e6, 6)))
+    return out
+
+
+def test_cusum_matches_textbook_recursion(spark):
+    from reddit_etl_spark.operators.series import cusum_changepoints
+
+    vals = [5.0, 5.2, 4.9, 5.1, 7.0, 7.2, 6.9, 7.1, 5.0, 4.8]
+    rows = [("a", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = (
+        cusum_changepoints(df, ["k"], "t", "v", h=1.0, k=0.1,
+                           target_col=None)
+        .orderBy("t")
+        .collect()
+    )
+    mu = round(sum(vals), 6) / len(vals)
+    want = _cusum_serial(vals, mu, 0.1)
+    assert [(r["s_hi"], r["s_lo"]) for r in got] == want
+    assert [r["alarm_hi"] for r in got] == [w[0] > 1.0 for w in want]
+    assert [r["alarm_lo"] for r in got] == [w[1] > 1.0 for w in want]
+
+
+def test_cusum_flags_sustained_shift_not_noise(spark):
+    from reddit_etl_spark.operators.series import cusum_changepoints
+
+    # Steady around 10 with a +1 shift from t=20 on: each point is
+    # within the z-score comfort zone, but the CUSUM accumulates.
+    steady = [10.0 + (0.2 if i % 2 else -0.2) for i in range(20)]
+    shifted = [11.0 + (0.2 if i % 2 else -0.2) for i in range(20)]
+    vals = steady + shifted
+    df = spark.createDataFrame(
+        [("a", i, v, 10.0) for i, v in enumerate(vals)],
+        "k string, t long, v double, mu double",
+    )
+    out = (
+        cusum_changepoints(df, ["k"], "t", "v", h=3.0, k=0.25,
+                           target_col="mu")
+        .orderBy("t")
+        .collect()
+    )
+    alarms = [r["t"] for r in out if r["alarm_hi"]]
+    assert alarms, "sustained shift must eventually alarm"
+    assert min(alarms) >= 20, "no alarm during the steady prefix"
+    assert not any(r["alarm_lo"] for r in out[:20])
+
+
+def test_cusum_explicit_target_and_relative_sigma(spark):
+    from reddit_etl_spark.operators.series import cusum_changepoints
+
+    rows = [("a", i, 10.0 + i % 2, 10.0) for i in range(6)]
+    df = spark.createDataFrame(rows, "k string, t long, v double, mu double")
+    out = (
+        cusum_changepoints(df, ["k"], "t", "v", h=0.9, k=0.0,
+                           target_col="mu")
+        .orderBy("t")
+        .collect()
+    )
+    # v - mu alternates 0, +1 -> S+ ratchets by 1 every other step.
+    assert [r["s_hi"] for r in out] == [0.0, 1.0, 1.0, 2.0, 2.0, 3.0]
+    assert [r["alarm_hi"] for r in out] == [False, True, True, True, True, True]
+
+    # relative=True: same data, thresholds in sigma units run green.
+    rel = cusum_changepoints(
+        df, ["k"], "t", "v", h=2.0, k=0.25, relative=True
+    ).collect()
+    assert len(rel) == 6 and all(r["s_hi"] is not None for r in rel)
