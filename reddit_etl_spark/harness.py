@@ -223,9 +223,29 @@ _PROMOTED = [
     "bm25_rank",
     "hybrid_search_rrf",
     "quantile_rollup_kll",
-    "segment_overlap_theta",
+    # (segment_overlap_theta held this slot in rounds 5-6 — recorded
+    # row r05; rotated to the tail late-round-6 for cusum_daily_drift
+    # — see the round-6 third-wave blocks)
     "asof_split",
-    "sessionization_split",
+    # (sessionization_split held this slot in rounds 5-6 — recorded
+    # row r05; rotated to the tail late-round-6 for
+    # benford_price_digits — see the round-6 third-wave blocks)
+    # round-6 third wave: Benford first-digit audit (new capability —
+    # the distributional-DQ readout next to dq_report's rule checks
+    # and psi's binned drift; displaces sessionization_split, whose
+    # skew-split discipline keeps asof_split's recorded row — same
+    # split='auto' machinery — while base sessionization stays
+    # oracle-checked in the tail with path-equality tests at 50%
+    # skew)
+    "benford_price_digits",
+    # round-6 third wave: CUSUM drift monitor (new capability — the
+    # sustained-small-shift changepoint detector next to
+    # anomaly_zscore's spike gate, window-expressible via the
+    # prefix-sum closed form; displaces segment_overlap_theta, whose
+    # Theta set-algebra surface stays oracle-checked in the tail with
+    # exact-audit booleans while the sketch family keeps
+    # quantile_rollup_kll's recorded row)
+    "cusum_daily_drift",
     # round-5 second batch: the four NEW capabilities built this round
     # (bigram LM, SemDeDup, exact span dedup, Naive Bayes) go straight
     # into the recorded head so no capability waits a round for its
@@ -663,6 +683,17 @@ _DEFERRED = [
     # round, exactness asserted vs the real join in tests. Green row
     # r05.
     "join_profile_orders_lineitem",
+    # round-6 third-wave rotation OUT: Theta set algebra making room
+    # for cusum_daily_drift; stays oracle-checked here each round with
+    # its exact-audit booleans baked into the hash, and the sketch
+    # family keeps quantile_rollup_kll's recorded row. Green row r05.
+    "segment_overlap_theta",
+    # round-6 third-wave rotation OUT: skew-split sessionization
+    # making room for benford_price_digits; the split='auto'
+    # machinery keeps asof_split's recorded row, base sessionization
+    # stays oracle-checked here each round, and the 50%-skew
+    # path-equality tests stand. Green row r05.
+    "sessionization_split",
 ]
 
 
@@ -6712,3 +6743,121 @@ def lpa_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return label_propagation(edges, "src", "dst", rounds=4)
+
+
+@_q(
+    "cusum_daily_drift",
+    f"""
+    WITH r AS MATERIALIZED ({_DAILY_ROLLUP_SQL}),
+    st AS (
+      SELECT event_type, day, v,
+             ROUND(SUM(v) OVER (PARTITION BY event_type), 6)
+               / COUNT(*) OVER (PARTITION BY event_type) AS mu,
+             ROUND(STDDEV_SAMP(v) OVER (PARTITION BY event_type), 6)
+               AS sigma
+      FROM r),
+    d AS (
+      SELECT event_type, day, v,
+             CAST(FLOOR((v - mu) * 1000000.0) AS BIGINT) AS dd,
+             CAST(FLOOR(sigma * 250000.0) AS BIGINT) AS kk,
+             CAST(FLOOR(sigma * 2000000.0) AS BIGINT) AS hh
+      FROM st),
+    p AS (
+      SELECT event_type, day, v, hh,
+             SUM(dd - kk) OVER w AS ph,
+             SUM(-dd - kk) OVER w AS pl
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    s AS (
+      SELECT event_type, day, v, hh,
+             ph - LEAST(CAST(0 AS BIGINT), MIN(ph) OVER w) AS shi,
+             pl - LEAST(CAST(0 AS BIGINT), MIN(pl) OVER w) AS slo
+      FROM p
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_type, day, v,
+           ROUND(shi / 1000000.0, 6) AS s_hi,
+           ROUND(slo / 1000000.0, 6) AS s_lo,
+           shi > hh AS alarm_hi,
+           slo > hh AS alarm_lo
+    FROM s ORDER BY event_type, day
+    """,
+    doc="two-sided CUSUM drift monitor per event type "
+    "(operators/series.py:cusum_changepoints): Page's cumulative-sum "
+    "detector over the daily value rollup with the classic "
+    "k=0.25sigma allowance / h=2sigma alarm — catches a sustained "
+    "small level shift that the per-point z-score gate "
+    "(anomaly_zscore_daily) never trips. The max(0, .) recursion is "
+    "window-expressible via its prefix-sum closed form S_t = P_t - "
+    "min(0, min_prefix P), so the whole detector is one running SUM "
+    "+ one running MIN on a single (key, day) sort — no UDF, no "
+    "iteration. Deltas quantize to exact micros BIGINTs before any "
+    "running arithmetic (the concurrency_peaks discipline), so "
+    "Spark's incremental and DuckDB's segment-tree window "
+    "accumulation orders are unobservable",
+)
+def cusum_daily_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import cusum_changepoints
+
+    ev = load_events(spark, sf_dir)
+    rollup = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    return cusum_changepoints(
+        rollup, ["event_type"], "day", "v", h=2.0, k=0.25, relative=True
+    )
+
+
+@_q(
+    "benford_price_digits",
+    """
+    WITH d AS (
+      SELECT CAST(regexp_extract(
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+               '[1-9]', 0) AS BIGINT) AS digit
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+        AND regexp_extract(
+              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+              '[1-9]', 0) <> ''),
+    obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM d GROUP BY digit),
+    exp AS (
+      SELECT d.digit, ROUND(LOG10(1.0 + 1.0 / d.digit), 6) AS exp_freq
+      FROM (SELECT UNNEST(GENERATE_SERIES(1, 9)) AS digit) d),
+    j AS (
+      SELECT e.digit, COALESCE(o.n_obs, 0) AS n_obs, e.exp_freq,
+             SUM(COALESCE(o.n_obs, 0)) OVER () AS n_total
+      FROM exp e LEFT JOIN obs o ON o.digit = e.digit)
+    SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(n_total AS BIGINT) AS n_total,
+           ROUND(n_obs / n_total, 6) AS obs_freq,
+           exp_freq,
+           ROUND((n_obs - n_total * exp_freq)
+                 * (n_obs - n_total * exp_freq)
+                 / (n_total * exp_freq), 6) AS chi2_part
+    FROM j ORDER BY digit
+    """,
+    doc="Benford first-digit audit of line-item prices "
+    "(operators/dq.py:benford_digit_test): observed leading-digit "
+    "frequencies vs log10(1+1/d) with per-digit chi-square "
+    "contributions — the fabricated/truncated-data smell test for "
+    "financial columns. Digits come from the DECIMAL string "
+    "rendering, not FLOOR(LOG10()) (ulp cliff at powers of ten; "
+    "doubles render differently across engines, decimals exactly); "
+    "the chi2 expectation uses the 6dp-rounded Benford constant so "
+    "both engines square the same double. One column-pruned "
+    "aggregate pass to 9 rows + a broadcast 9-row expected table",
+)
+def benford_price_digits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dq import benford_digit_test
+
+    li = load(spark, sf_dir, "lineitem")
+    return benford_digit_test(
+        li.select(
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("price")
+        ),
+        "price",
+    )

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -197,3 +197,68 @@ def dq_report(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def benford_digit_test(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution of a positive numeric
+    column against Benford's law P(d) = log10(1 + 1/d) — the classic
+    fabricated-or-truncated-data smell test for financial columns
+    (Benford 1938; auditors' digit analysis). A synthetic column
+    (uniform, sequential ids, capped values) diverges loudly; organic
+    multiplicative data hugs the curve.
+
+    The leading digit comes from the DECIMAL/STRING rendering
+    (first [1-9] in the string form), NOT from FLOOR(LOG10(v)) —
+    log10 at exact powers of ten sits on a ulp cliff and double
+    renderings differ across engines, while decimal text is exact
+    everywhere. Rows with no nonzero digit (zero/NULL) are excluded
+    (their count is the table count minus n_total); negatives
+    contribute their absolute value's leading digit.
+
+    One aggregate pass -> 9 rows: (digit, n_obs BIGINT, n_total
+    BIGINT, obs_freq, exp_freq, chi2_part), chi2_part the (O-E)^2/E
+    contribution so SUM(chi2_part) is the test statistic (8 dof).
+    Floats round to 6 (repo rule). Scale: map-side-combined groupBy
+    on a 9-value key; the scan prunes to one column.
+    """
+    import math
+
+    digit = F.regexp_extract(F.col(value_col).cast("string"), "[1-9]", 0)
+    base = (
+        df.where(F.col(value_col).isNotNull())
+        .select(digit.alias("__d"))
+        .where(F.col("__d") != "")
+        .groupBy(F.col("__d").cast("long").alias("digit"))
+        .agg(F.count("*").alias("n_obs"))
+    )
+    # Broadcast the 9-row expected table built driver-side (exact
+    # constants, no data dependence) and left-join so absent digits
+    # still report a row with n_obs = 0.
+    spark = df.sparkSession
+    expected = spark.createDataFrame(
+        [(d, math.log10(1.0 + 1.0 / d)) for d in range(1, 10)],
+        "digit long, exp_freq double",
+    )
+    joined = F.broadcast(expected).join(base, "digit", "left").select(
+        "digit",
+        F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+        "exp_freq",
+    )
+    w_tot = F.sum("n_obs").over(Window.partitionBy())
+    joined = joined.withColumn("n_total", w_tot.cast("long"))
+    # chi2 uses the 6dp-rounded expectation so E is the SAME double
+    # in Spark and any SQL replica (libm log10 ulps never reach the
+    # statistic); the 9-row unpartitioned window above is
+    # bounded-by-construction (repo top-20 discipline).
+    exp6 = F.round(F.col("exp_freq"), 6)
+    exp_n = F.col("n_total") * exp6
+    return joined.select(
+        "digit",
+        "n_obs",
+        "n_total",
+        F.round(F.col("n_obs") / F.col("n_total"), 6).alias("obs_freq"),
+        exp6.alias("exp_freq"),
+        F.round(
+            (F.col("n_obs") - exp_n) * (F.col("n_obs") - exp_n) / exp_n, 6
+        ).alias("chi2_part"),
+    )

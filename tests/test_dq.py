@@ -121,3 +121,33 @@ def test_accepted_values_name_includes_value_set(spark):
     )
     assert got["accepted_values(status, [A])"] == (1, 2)
     assert got["accepted_values(status, [A, B, C, D, E, ...])"] == (0, 2)
+
+
+def test_benford_digit_counts_and_chi2(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from reddit_etl_spark.operators.dq import benford_digit_test
+
+    # 4x leading-1, 2x leading-2 (one negative), 1x leading-9; zeros
+    # and NULLs drop out of n_total.
+    vals = ["1.00", "12.50", "199.99", "0.10", "2.00", "-25.00",
+            "9.99", "0.00", None]
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "v string"
+    ).select(F.col("v").cast("decimal(18,2)").alias("v"))
+    rows = {r["digit"]: r for r in benford_digit_test(df, "v").collect()}
+    assert sorted(rows) == list(range(1, 10))
+    assert rows[1]["n_obs"] == 4 and rows[2]["n_obs"] == 2
+    assert rows[9]["n_obs"] == 1
+    assert all(rows[d]["n_obs"] == 0 for d in (3, 4, 5, 6, 7, 8))
+    assert all(rows[d]["n_total"] == 7 for d in rows)
+    assert rows[1]["obs_freq"] == round(4 / 7, 6)
+    exp1 = round(math.log10(2.0), 6)
+    assert rows[1]["exp_freq"] == exp1
+    e = 7 * exp1
+    assert rows[1]["chi2_part"] == round((4 - e) ** 2 / e, 6)
+    # absent digit still contributes its full expectation to chi2
+    e3 = 7 * round(math.log10(1 + 1 / 3), 6)
+    assert rows[3]["chi2_part"] == round(e3, 6)
