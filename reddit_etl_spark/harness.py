@@ -374,11 +374,15 @@ _PROMOTED = [
     "ppr_supplier_recs",
     # (mad_outliers_daily held this slot in round 5; rotated to the
     # tail in round 6 for kcore_cust_supp — see the round-6 blocks)
-    # integer-exact HITS (new capability; displaces
-    # q08_left_join_rollup, whose join surface stays recorded via
-    # q09_join_having and whose LEFT-JOIN rollup stays oracle-checked
-    # in the tail + pinned by test_queries.py)
-    "hits_cust_supp",
+    # (hits_cust_supp held this slot in rounds 5-6 — recorded row
+    # r05; rotated to the tail late-round-6 for sssp_purchase_paths —
+    # see the round-6 third-wave blocks)
+    # round-6 third wave: weighted shortest paths (new capability —
+    # bounded Bellman-Ford, the cost-aware generalization of BFS;
+    # displaces hits_cust_supp, whose hub/authority surface stays
+    # oracle-checked in the tail while the iterative-graph family
+    # keeps pagerank + kcore + bfs + lpa + ppr recorded rows)
+    "sssp_purchase_paths",
     # (ab_experiment_readout held this slot through round 6's first
     # half — recorded row r05; rotated to the tail mid-round-6 for
     # seasonal_backtest_events — see the round-6 second-wave blocks)
@@ -694,6 +698,12 @@ _DEFERRED = [
     # stays oracle-checked here each round, and the 50%-skew
     # path-equality tests stand. Green row r05.
     "sessionization_split",
+    # round-6 third-wave rotation OUT: HITS hub/authority making room
+    # for sssp_purchase_paths; stays oracle-checked here each round
+    # (exact DECIMAL normalization audit) while the iterative-graph
+    # family keeps pagerank + kcore + bfs + lpa + ppr recorded rows.
+    # Green row r05.
+    "hits_cust_supp",
 ]
 
 
@@ -6861,3 +6871,81 @@ def benford_price_digits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "price",
     )
+
+
+_SSSP_ITER = """
+    d{k} AS MATERIALIZED (
+      SELECT node, MIN(d) AS d FROM (
+        SELECT node, d FROM d{p}
+        UNION ALL
+        SELECT e.b AS node, x.d + e.w AS d
+        FROM e JOIN d{p} x ON e.a = x.node)
+      GROUP BY node)"""
+
+_SSSP_ORACLE = (
+    """
+    WITH pe AS (
+      SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+             's:' || CAST(l_suppkey AS VARCHAR) AS dst,
+             CAST(MIN(l_quantity) AS BIGINT) AS w
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    und AS (
+      SELECT src AS a, dst AS b, w FROM pe
+      UNION ALL
+      SELECT dst AS a, src AS b, w FROM pe),
+    e AS (
+      SELECT a, b, MIN(w) AS w FROM und WHERE a <> b GROUP BY a, b),
+    d0 AS (
+      SELECT DISTINCT 's:' || CAST(s_suppkey AS VARCHAR) AS node,
+             CAST(0 AS BIGINT) AS d
+      FROM supplier WHERE s_suppkey <= 5),"""
+    + ",".join(_SSSP_ITER.format(k=k, p=k - 1) for k in range(1, 5))
+    + """
+    SELECT node, CAST(d AS BIGINT) AS dist FROM d4
+    """
+)
+
+
+@_q(
+    "sssp_purchase_paths",
+    _SSSP_ORACLE,
+    doc="multi-source weighted shortest paths, bounded Bellman-Ford "
+    "(operators/graph.py:shortest_paths): cheapest quantity-weighted "
+    "path from the seed supplier cohort over the undirected "
+    "customer<->supplier purchase graph within 4 edges — the "
+    "cost-aware generalization of bfs_purchase_rings (hops become "
+    "weights). Per round one frontier x edges equi-join (relaxation "
+    "candidates come only from nodes whose distance improved — "
+    "identical result to full relaxation, a fraction of the "
+    "shuffle), one map-side MIN, one key-sized full join; state "
+    "lazily checkpointed per round. Integer weights -> exact BIGINT "
+    "distances, bit-deterministic, replayed by a fixed-depth "
+    "unrolled-CTE oracle",
+)
+def sssp_purchase_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import shortest_paths
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .agg(F.min("l_quantity").cast("long").alias("w"))
+    )
+    seeds = supplier.where(F.col("s_suppkey") <= 5).select(
+        F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias(
+            "node"
+        )
+    )
+    return shortest_paths(
+        edges, seeds, "node", "src", "dst", "w", rounds=4
+    ).select("node", "dist")

@@ -902,3 +902,105 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    seed_col: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    rounds: int = 5,
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths, bounded Bellman-Ford:
+    minimum total edge weight from any seed using at most ``rounds``
+    edges — the cost-aware generalization of ``bfs_distances`` (hops
+    become weights: latency, toll, 1/strength). Like every iterative
+    operator here the round count is the contract, not convergence —
+    after k rounds the answer is EXACTLY "cheapest path with <= k
+    edges", which a fixed-depth oracle can replay.
+
+    Weights must be nonneg integers (cast to BIGINT; quantize floats
+    to fixed-point first, the CUSUM/concurrency discipline) so every
+    distance is an exact BIGINT and MIN is bit-deterministic under
+    any partitioning/accumulation order. Parallel edges collapse to
+    their min weight up front.
+
+    Returns (node, dist BIGINT) for every node reachable within
+    ``rounds`` edges (seeds at 0). Unreached nodes are absent — at
+    100 TB the reached set is the output, the complement is the
+    corpus.
+
+    Plan per round: one frontier x edges equi-join (shuffle = the
+    frontier's incident edges only — relaxation candidates come
+    exclusively from nodes whose distance IMPROVED last round, the
+    classic frontier pruning, which leaves the result identical to
+    full relaxation because unimproved nodes re-emit already-beaten
+    candidates), one map-side-combined MIN groupBy, one key-sized
+    full join to merge with the running distances. Distances lazily
+    checkpointed per round against 2^rounds plan growth.
+    """
+    if rounds < 1:
+        raise ValueError("shortest_paths needs rounds >= 1")
+    E = edges.select(
+        F.col(src_col).alias("a"),
+        F.col(dst_col).alias("b"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    if not directed:
+        E = E.union(
+            E.select(
+                F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
+            )
+        )
+    E = (
+        E.filter(F.col("a") != F.col("b"))
+        .filter(F.col("w").isNotNull() & (F.col("w") >= 0))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+    )
+
+    state = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .withColumn("__imp", F.lit(True))
+    )
+    for _ in range(rounds):
+        # relax only from nodes improved last round; derive the
+        # frontier FROM the single checkpointed state (a filter on
+        # it) so each round's lineage is evaluated once — the
+        # bfs_distances discipline
+        frontier = state.filter(F.col("__imp"))
+        cand = (
+            E.join(
+                frontier.select(
+                    F.col("node").alias("a"), F.col("dist").alias("__d")
+                ),
+                "a",
+            )
+            .select(
+                F.col("b").alias("node"),
+                (F.col("__d") + F.col("w")).alias("__cd"),
+            )
+            .groupBy("node")
+            .agg(F.min("__cd").alias("__cd"))
+        )
+        merged = state.select("node", "dist").join(cand, "node", "full")
+        state = merged.select(
+            "node",
+            F.least(
+                F.coalesce(F.col("dist"), F.col("__cd")),
+                F.coalesce(F.col("__cd"), F.col("dist")),
+            ).alias("dist"),
+            (
+                F.col("dist").isNull()
+                | (
+                    F.col("__cd").isNotNull()
+                    & (F.col("__cd") < F.col("dist"))
+                )
+            ).alias("__imp"),
+        ).localCheckpoint(eager=False)
+    return state.select("node", "dist")

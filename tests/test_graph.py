@@ -644,3 +644,61 @@ class TestLabelPropagation:
         E = spark.createDataFrame([("a", "b")], ["src", "dst"])
         with _pytest.raises(ValueError, match="rounds"):
             label_propagation(E, rounds=0)
+
+
+class TestShortestPaths:
+    def _run(self, spark, edges, seeds, **kw):
+        from reddit_etl_spark.operators.graph import shortest_paths
+
+        E = spark.createDataFrame(edges, ["src", "dst", "w"])
+        S = spark.createDataFrame([(s,) for s in seeds], ["node"])
+        out = shortest_paths(E, S, "node", **kw)
+        return {r["node"]: r["dist"] for r in out.collect()}
+
+    def test_cheapest_beats_fewest_hops(self, spark):
+        # a->d direct costs 10; a->b->c->d costs 3. BFS would say d is
+        # 1 hop away; weighted SSSP must find 3.
+        edges = [("a", "d", 10), ("a", "b", 1), ("b", "c", 1),
+                 ("c", "d", 1)]
+        got = self._run(spark, edges, ["a"], rounds=4)
+        assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+    def test_round_bound_is_the_contract(self, spark):
+        # With only 2 rounds the 3-edge path is out of reach: the
+        # answer is exactly "cheapest path with <= 2 edges".
+        edges = [("a", "d", 10), ("a", "b", 1), ("b", "c", 1),
+                 ("c", "d", 1)]
+        got = self._run(spark, edges, ["a"], rounds=2)
+        assert got["d"] == 10
+
+    def test_multi_source_and_parallel_edges(self, spark):
+        edges = [("a", "b", 5), ("a", "b", 2), ("z", "b", 1)]
+        got = self._run(spark, edges, ["a", "z"], rounds=3)
+        assert got["b"] == 1  # via z; parallel a->b collapsed to 2
+        assert got["a"] == 0 and got["z"] == 0
+
+    def test_directed_mode(self, spark):
+        edges = [("a", "b", 1), ("c", "b", 1)]
+        got = self._run(spark, edges, ["a"], rounds=3, directed=True)
+        assert got == {"a": 0, "b": 1}
+        und = self._run(spark, edges, ["a"], rounds=3, directed=False)
+        assert und == {"a": 0, "b": 1, "c": 2}
+
+    def test_improvement_propagates_after_saturation(self, spark):
+        # b is reached expensively first (via the direct edge), then
+        # improved later; the improvement must re-open b's frontier
+        # and propagate to e.
+        edges = [("a", "b", 10), ("a", "c", 1), ("c", "d", 1),
+                 ("d", "b", 1), ("b", "e", 1)]
+        got = self._run(spark, edges, ["a"], rounds=5)
+        assert got["b"] == 3 and got["e"] == 4
+
+    def test_rejects_bad_rounds(self, spark):
+        import pytest as _p
+
+        from reddit_etl_spark.operators.graph import shortest_paths
+
+        E = spark.createDataFrame([("a", "b", 1)], ["src", "dst", "w"])
+        S = spark.createDataFrame([("a",)], ["node"])
+        with _p.raises(ValueError, match="rounds"):
+            shortest_paths(E, S, "node", rounds=0)
