@@ -281,7 +281,16 @@ _PROMOTED = [
     # (scd2_order_status_dim held a slot here in round 5; rotated to
     # the tail in round 6 for pit_order_status, which contains it as
     # its first stage — see the round-6 blocks)
-    "dsir_importance_weights",
+    # (dsir_importance_weights held this slot in rounds 5-6 —
+    # recorded row r05; rotated to the tail late-round-6 for
+    # ols_order_value — see the round-6 third-wave blocks)
+    # round-6 third wave: one-pass multiple regression (new
+    # capability — the normal-equation/Cramer closed form next to
+    # linear_trend's single-regressor slope; displaces
+    # dsir_importance_weights, whose n-gram importance-weighting
+    # readout stays oracle-checked in the tail while the curation
+    # family keeps curation_pipeline_full's recorded row)
+    "ols_order_value",
     # (anomaly_zscore_daily held this slot in round 5; rotated to the
     # tail in round 6 for event_value_bars — see the round-6 blocks)
     # (concurrency_peaks held this slot in round 5; rotated to the
@@ -704,6 +713,11 @@ _DEFERRED = [
     # family keeps pagerank + kcore + bfs + lpa + ppr recorded rows.
     # Green row r05.
     "hits_cust_supp",
+    # round-6 third-wave rotation OUT: DSIR importance weights making
+    # room for ols_order_value; stays oracle-checked here each round
+    # (hashed-ngram KL readout) while the curation family keeps
+    # curation_pipeline_full's recorded row. Green row r05.
+    "dsir_importance_weights",
 ]
 
 
@@ -6949,3 +6963,92 @@ def sssp_purchase_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shortest_paths(
         edges, seeds, "node", "src", "dst", "w", rounds=4
     ).select("node", "dist")
+
+
+@_q(
+    "ols_order_value",
+    """
+    WITH per_order AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS y,
+             CAST(COUNT(*) AS DECIMAL(18,2)) AS x1,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS x2
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1, 2, 3),
+    m AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x1) AS DOUBLE) AS s1,
+             CAST(SUM(x2) AS DOUBLE) AS s2,
+             CAST(SUM(y)  AS DOUBLE) AS sy,
+             CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+             CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+             CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+             CAST(SUM(x1 * y)  AS DOUBLE) AS s1y,
+             CAST(SUM(x2 * y)  AS DOUBLE) AS s2y,
+             CAST(SUM(y * y)   AS DOUBLE) AS syy
+      FROM per_order GROUP BY 1),
+    c AS (
+      SELECT *, CAST(n AS DOUBLE) AS nd,
+             (CAST(n AS DOUBLE) * (s11*s22 - s12*s12)
+              - s1 * (s1*s22 - s12*s2)
+              + s2 * (s1*s12 - s11*s2)) AS det,
+             (sy * (s11*s22 - s12*s12)
+              - s1 * (s1y*s22 - s12*s2y)
+              + s2 * (s1y*s12 - s11*s2y)) AS det0,
+             (CAST(n AS DOUBLE) * (s1y*s22 - s12*s2y)
+              - sy * (s1*s22 - s12*s2)
+              + s2 * (s1*s2y - s1y*s2)) AS det1,
+             (CAST(n AS DOUBLE) * (s11*s2y - s1y*s12)
+              - s1 * (s1*s2y - s1y*s2)
+              + sy * (s1*s12 - s11*s2)) AS det2
+      FROM m)
+    SELECT o_orderpriority, n,
+           CASE WHEN n >= 3 AND det <> 0
+                THEN ROUND(det0 / det, 6) END AS b0,
+           CASE WHEN n >= 3 AND det <> 0
+                THEN ROUND(det1 / det, 6) END AS b1,
+           CASE WHEN n >= 3 AND det <> 0
+                THEN ROUND(det2 / det, 6) END AS b2,
+           CASE WHEN n >= 3 AND det <> 0
+                     AND (syy - sy*sy/nd) > 0
+                THEN ROUND(1 - (syy - ((det0/det)*sy
+                                       + (det1/det)*s1y
+                                       + (det2/det)*s2y))
+                             / (syy - sy*sy/nd), 6) END AS r2
+    FROM c ORDER BY o_orderpriority
+    """,
+    doc="one-pass multiple linear regression per order priority "
+    "(operators/relational.py:ols_two_features): o_totalprice ~ "
+    "line_count + total_quantity solved from the nine "
+    "normal-equation moments by Cramer's rule — how a linear model "
+    "fits at 100 TB, the shuffle carrying nine numbers per group. "
+    "Moments are EXACT DECIMAL(18,2) sums (y*y reaches 1e15 where "
+    "double ulps beat any round-6 fix), cast to double only for the "
+    "fixed-operation-order closed form, so both engines produce "
+    "bit-identical coefficients; the oracle spells Cramer in the "
+    "same expansion order — that order is part of the contract",
+)
+def ols_order_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import ols_two_features
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    per_order = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("decimal(18,2)").alias("x1"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("x2"),
+        )
+    )
+    return ols_two_features(
+        per_order, ["o_orderpriority"], "y", "x1", "x2"
+    )

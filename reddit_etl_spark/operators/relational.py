@@ -709,3 +709,90 @@ def skyline_2d(
     return ranked.filter(~dominated).drop(
         "__x", "__y", "__bucket", "__hm", "__xr", "__ms", "__me"
     )
+
+
+def ols_two_features(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+) -> DataFrame:
+    """Per-group multiple linear regression y ~ b0 + b1*x1 + b2*x2 in
+    ONE distributed pass: accumulate the nine normal-equation moments
+    (n, Sx1, Sx2, Sy, Sx1x1, Sx1x2, Sx2x2, Sx1y, Sx2y, Syy), then
+    solve the 3x3 system by Cramer's rule as a fixed closed-form
+    expression — no iteration, no ML library, no second scan. This is
+    how a linear model fits over 100 TB: the shuffle carries nine
+    numbers per group.
+
+    Exactness discipline (one rung STRONGER than linear_trend's
+    round-6): inputs are cast to DECIMAL(18,2) and every moment is an
+    EXACT decimal sum — y*y sums reach 1e15+ where double ulps exceed
+    any rounding fix, and engines accumulate in different orders.
+    The exact moments then cast to double (same value -> same IEEE
+    double everywhere) and Cramer evaluates in one fixed operation
+    order, so two engines produce bit-identical coefficients.
+
+    Groups with n < 3 or a singular normal matrix (collinear or
+    constant regressors) yield NULL coefficients — no line to fit is
+    not a zero line. r2 is NULL when y has zero variance.
+
+    Output: group_cols + (n BIGINT, b0, b1, b2, r2 — rounded to 6).
+    """
+    keys = list(group_cols)
+    y = F.col(y_col).cast("decimal(18,2)")
+    x1 = F.col(x1_col).cast("decimal(18,2)")
+    x2 = F.col(x2_col).cast("decimal(18,2)")
+    df = df.filter(y.isNotNull() & x1.isNotNull() & x2.isNotNull())
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x1 * x1).cast("double").alias("s11"),
+        F.sum(x1 * x2).cast("double").alias("s12"),
+        F.sum(x2 * x2).cast("double").alias("s22"),
+        F.sum(x1 * y).cast("double").alias("s1y"),
+        F.sum(x2 * y).cast("double").alias("s2y"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    s1, s2, sy = F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    s1y, s2y, syy = F.col("s1y"), F.col("s2y"), F.col("syy")
+    # Cramer's rule on A = [[n,S1,S2],[S1,S11,S12],[S2,S12,S22]],
+    # c = [Sy,S1y,S2y]; expansion order is part of the cross-engine
+    # contract — any SQL replica must spell these EXACTLY like this.
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    ok = (F.col("n") >= 3) & (det != 0)
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    sse = syy - (b0 * sy + b1 * s1y + b2 * s2y)
+    sst = syy - sy * sy / n
+    return agg.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.when(ok, F.round(b0, 6)).alias("b0"),
+        F.when(ok, F.round(b1, 6)).alias("b1"),
+        F.when(ok, F.round(b2, 6)).alias("b2"),
+        F.when(ok & (sst > 0), F.round(1 - sse / sst, 6)).alias("r2"),
+    )

@@ -1341,3 +1341,61 @@ class TestSkyline2d:
             r["id"] for r in skyline_2d(df, "x", "y", buckets=1).collect()
         }
         assert got == {1, 3}
+
+
+class TestOlsTwoFeatures:
+    def _fit(self, spark, rows, **kw):
+        from reddit_etl_spark.operators.relational import ols_two_features
+
+        df = spark.createDataFrame(
+            rows, "g string, y double, x1 double, x2 double"
+        )
+        return {
+            r["g"]: r
+            for r in ols_two_features(df, ["g"], "y", "x1", "x2").collect()
+        }
+
+    def test_recovers_known_plane_exactly(self, spark):
+        # y = 2 + 3*x1 - 0.5*x2, exact 2dp data -> exact fit, r2 = 1
+        pts = [(1.0, 1.0), (2.0, 1.0), (1.0, 4.0), (3.0, 2.0), (5.0, 0.0)]
+        rows = [("a", 2 + 3 * x1 - 0.5 * x2, x1, x2) for x1, x2 in pts]
+        got = self._fit(spark, rows)["a"]
+        assert (got["b0"], got["b1"], got["b2"]) == (2.0, 3.0, -0.5)
+        assert got["r2"] == 1.0 and got["n"] == 5
+
+    def test_matches_numpy_lstsq_on_noisy_data(self, spark):
+        import numpy as np
+
+        rng = [(i % 7 + 1, (i * 3) % 5 + 1, ((i * 7) % 11) - 5)
+               for i in range(40)]
+        rows = [
+            ("a", round(1.5 + 0.25 * x1 + 2.0 * x2 + 0.01 * e, 2),
+             float(x1), float(x2))
+            for x1, x2, e in rng
+        ]
+        got = self._fit(spark, rows)["a"]
+        X = np.array([[1.0, r[2], r[3]] for r in rows])
+        yv = np.array([r[1] for r in rows])
+        beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+        assert abs(got["b0"] - beta[0]) < 1e-6
+        assert abs(got["b1"] - beta[1]) < 1e-6
+        assert abs(got["b2"] - beta[2]) < 1e-6
+
+    def test_collinear_and_tiny_groups_yield_nulls(self, spark):
+        rows = (
+            # x2 = 2*x1 exactly -> singular normal matrix
+            [("col", float(7 + i), float(i), float(2 * i)) for i in range(6)]
+            # two points: under-determined
+            + [("tiny", 1.0, 1.0, 2.0), ("tiny", 2.0, 2.0, 3.0)]
+        )
+        got = self._fit(spark, rows)
+        for g in ("col", "tiny"):
+            assert got[g]["b0"] is None and got[g]["b1"] is None
+            assert got[g]["b2"] is None and got[g]["r2"] is None
+
+    def test_null_rows_excluded_from_n(self, spark):
+        rows = [("a", 1.0, 1.0, 1.0), ("a", 2.0, 2.0, 1.0),
+                ("a", 3.0, 1.0, 2.0), ("a", 4.0, 3.0, 2.0),
+                ("a", None, 9.0, 9.0), ("a", 5.0, None, 9.0)]
+        got = self._fit(spark, rows)["a"]
+        assert got["n"] == 4
