@@ -125,3 +125,90 @@ def topk_id_recall(exact: DataFrame, approx: DataFrame, min_hits: int) -> DataFr
         approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
     )
     return hits.agg((F.count("*") >= min_hits).alias("recall_ok"))
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    qrels: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """Offline search-quality evaluation: NDCG@k, MRR@k, precision@k
+    and recall@k per query, from a ranked result list and a graded
+    relevance-judgment table — the readout that says whether a
+    retrieval change (BM25 tuning, a new ANN leg, fusion weights)
+    actually helped before anything ships.
+
+    Definitions (Jarvelin & Kekalainen 2002, linear gain):
+    DCG@k = sum rel_i / log2(rank_i + 1) over the top k;
+    IDCG@k = the same over the judged relevants ranked by rel desc
+    (ties contribute identically, so IDCG is order-ambiguity-free);
+    MRR@k = 1/rank of the first relevant hit (0 if none);
+    recall@k's denominator is ALL judged relevants, so a perfect
+    top-k still scores < 1 when more than k docs are relevant.
+
+    Queries with no judged relevant doc return NULL ndcg/recall (an
+    eval gap, not a zero-quality system). Unjudged ranked docs count
+    rel=0 — the standard pessimistic convention.
+
+    Scale: the metrics join is (queries x k)-sized — corpus-scale
+    cost lives upstream in the ranker. IDCG needs one window over
+    each query's JUDGED set (judgment pools are thousands of rows,
+    not the corpus). Floats round to 6 after the log2 sums (engines'
+    libm ulps die at 6dp).
+
+    Returns (query, n_ranked BIGINT, n_rel BIGINT, ndcg, mrr,
+    precision, recall).
+    """
+    if k < 1:
+        raise ValueError("ranking_metrics needs k >= 1")
+    q, d = query_col, doc_col
+    topk = ranked.filter(F.col(rank_col) <= k)
+    j = topk.join(
+        qrels.select(q, d, F.col(rel_col).alias("__rel")), [q, d], "left"
+    ).withColumn("__rel", F.coalesce(F.col("__rel"), F.lit(0)))
+    got = j.groupBy(q).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranked"),
+        F.round(
+            F.sum(
+                F.col("__rel") / F.log2(F.col(rank_col).cast("double") + 1)
+            ),
+            6,
+        ).alias("__dcg"),
+        F.max(
+            F.when(F.col("__rel") > 0, 1.0 / F.col(rank_col))
+        ).alias("__mrr"),
+        F.sum((F.col("__rel") > 0).cast("long")).alias("__hits"),
+    )
+    iw = Window.partitionBy(q).orderBy(F.desc(rel_col), F.asc(d))
+    ideal = (
+        qrels.filter(F.col(rel_col) > 0)
+        .withColumn("__rn", F.row_number().over(iw))
+        .groupBy(q)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rel"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("__rn") <= k,
+                        F.col(rel_col)
+                        / F.log2(F.col("__rn").cast("double") + 1),
+                    )
+                ),
+                6,
+            ).alias("__idcg"),
+        )
+    )
+    out = got.join(ideal, q, "left")
+    return out.select(
+        q,
+        "n_ranked",
+        F.coalesce(F.col("n_rel"), F.lit(0)).cast("long").alias("n_rel"),
+        F.round(F.col("__dcg") / F.col("__idcg"), 6).alias("ndcg"),
+        F.round(F.coalesce(F.col("__mrr"), F.lit(0.0)), 6).alias("mrr"),
+        F.round(F.col("__hits") / F.lit(float(k)), 6).alias("precision"),
+        F.round(F.col("__hits") / F.col("n_rel"), 6).alias("recall"),
+    )

@@ -501,3 +501,65 @@ def test_rake_phrase_length_cap(spark):
     )
     got = rake_keyphrases(df, "doc_id", "text", max_phrase_words=4).collect()
     assert got == []  # the 6-word run exceeds the cap and is dropped
+
+
+class TestRankingMetrics:
+    def _run(self, spark, ranked, qrels, k):
+        from reddit_etl_spark.operators.retrieval import ranking_metrics
+
+        r = spark.createDataFrame(
+            ranked, "query_id string, doc_id long, rank long"
+        )
+        q = spark.createDataFrame(
+            qrels, "query_id string, doc_id long, rel long"
+        )
+        return {
+            row["query_id"]: row
+            for row in ranking_metrics(r, q, k=k).collect()
+        }
+
+    def test_hand_computed_ndcg_mrr_precision_recall(self, spark):
+        import math
+
+        ranked = [("a", 1, 1), ("a", 2, 2), ("a", 3, 3)]
+        qrels = [("a", 2, 2), ("a", 9, 1), ("a", 3, 1)]
+        got = self._run(spark, ranked, qrels, k=3)["a"]
+        dcg = round(2 / math.log2(3) + 1 / math.log2(4), 6)
+        idcg = round(2 / 1 + 1 / math.log2(3) + 1 / math.log2(4), 6)
+        assert got["ndcg"] == round(dcg / idcg, 6)
+        assert got["mrr"] == 0.5            # first hit at rank 2
+        assert got["precision"] == round(2 / 3, 6)
+        assert got["recall"] == round(2 / 3, 6)
+        assert got["n_ranked"] == 3 and got["n_rel"] == 3
+
+    def test_no_judged_relevants_yields_null_ndcg(self, spark):
+        ranked = [("b", 1, 1), ("b", 2, 2)]
+        qrels = [("a", 1, 1)]  # nothing judged for b
+        got = self._run(spark, ranked, qrels, k=5)["b"]
+        assert got["ndcg"] is None and got["recall"] is None
+        assert got["mrr"] == 0.0 and got["precision"] == 0.0
+        assert got["n_rel"] == 0
+
+    def test_rank_cut_and_perfect_ordering(self, spark):
+        # relevant doc sits at rank 11 -> outside k=10, not counted;
+        # a perfectly ordered top-k scores ndcg exactly 1.
+        ranked = [("c", i, i) for i in range(1, 12)]
+        qrels = [("c", 1, 3), ("c", 2, 2), ("c", 11, 2)]
+        got = self._run(spark, ranked, qrels, k=10)["c"]
+        assert got["n_ranked"] == 10 and got["n_rel"] == 3
+        assert got["recall"] == round(2 / 3, 6)
+        perfect = [("d", 1, 1), ("d", 2, 2)]
+        pq = [("d", 1, 2), ("d", 2, 1)]
+        pgot = self._run(spark, perfect, pq, k=2)["d"]
+        assert pgot["ndcg"] == 1.0 and pgot["mrr"] == 1.0
+
+    def test_rejects_bad_k(self, spark):
+        import pytest as _p
+
+        from reddit_etl_spark.operators.retrieval import ranking_metrics
+
+        df = spark.createDataFrame(
+            [("a", 1, 1)], "query_id string, doc_id long, rank long"
+        )
+        with _p.raises(ValueError, match="k >= 1"):
+            ranking_metrics(df, df, k=0)
