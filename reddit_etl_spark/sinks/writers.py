@@ -56,6 +56,28 @@ def upsert_partitioned(
     )
 
 
+def write_orc(
+    df: DataFrame, path: str, partition_by: Sequence[str] = ()
+) -> None:
+    """Columnar ORC sink (Spark-native, zlib by default) — format
+    breadth for warehouses standardized on ORC/Hive. Same partition-
+    pruning contract as append_parquet: partition columns choose the
+    directory axis, so a partition filter prunes subtrees before any
+    IO. Predicate pushdown and column pruning work through Spark's
+    native ORC reader exactly as for parquet (PushedFilters /
+    ReadSchema visible in .explain)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    """Read an ORC table written by write_orc (schema travels in the
+    files; partition columns come back from directory names)."""
+    return spark.read.orc(path)
+
+
 def path_has_data(spark, path: str) -> bool:
     """True if ``path`` exists and contains at least one non-hidden
     entry — via the Hadoop FileSystem API, so it works on any scheme

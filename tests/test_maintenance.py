@@ -372,3 +372,39 @@ def test_merge_parquet_noop_touches_nothing(spark, tmp_path):
     import glob as g
 
     assert sorted(g.glob(f"{path}/*.parquet")) == before
+
+
+def test_orc_roundtrip_with_partition_pruning(spark, tmp_path):
+    import os
+
+    from reddit_etl_spark.sinks.writers import read_orc, write_orc
+
+    rows = [("click", 1, 10.0), ("click", 2, 20.0), ("view", 3, 30.0)]
+    df = spark.createDataFrame(rows, "event_type string, id long, v double")
+    path = str(tmp_path / "orc_tbl")
+    write_orc(df, path, partition_by=["event_type"])
+    # partition columns become directory names
+    assert os.path.isdir(os.path.join(path, "event_type=click"))
+
+    back = read_orc(spark, path)
+    got = sorted((r["event_type"], r["id"], r["v"]) for r in back.collect())
+    assert got == sorted(rows)
+
+    # a partition filter prunes to one subtree: only 'click' files read
+    pruned = back.filter(F.col("event_type") == "click")
+    assert pruned.count() == 2
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "click" in plan  # partition filter reached the scan
+
+
+def test_orc_unpartitioned_schema_survives(spark, tmp_path):
+    from reddit_etl_spark.sinks.writers import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5, True)], "i long, s string, d double, b boolean"
+    )
+    path = str(tmp_path / "orc_flat")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert dict(back.dtypes) == dict(df.dtypes)
+    assert back.collect() == df.collect()
