@@ -263,7 +263,15 @@ _PROMOTED = [
     # round-5 second-batch block in _DEFERRED).
     # (bigram_perplexity held a slot here in round 5; rotated to the
     # tail in round 6 for session_journeys — see the round-6 blocks)
-    "semantic_dedup",
+    # (semantic_dedup held this slot in rounds 5-6 — recorded row
+    # r05; rotated to the tail late-round-6 for
+    # weighted_price_quartiles — see the round-6 third-wave blocks)
+    # round-6 third wave: exact weighted percentiles (new capability
+    # — the volume-weighted quantile approx_percentile cannot weight;
+    # displaces semantic_dedup, whose embedding-cluster dedup stays
+    # oracle-checked in the tail while the dedup family keeps THREE
+    # recorded rows: ngram, minhash, segment)
+    "weighted_price_quartiles",
     # (duplicate_spans held a slot here in round 5; rotated to the
     # tail in round 6 for cdc_supplier_apply — see the round-6 blocks)
     "nb_language_selftrain",
@@ -733,6 +741,11 @@ _DEFERRED = [
     # family keeps dedup_minhash_lsh's recorded row. Green rows
     # r04+r05.
     "incremental_minhash",
+    # round-6 third-wave rotation OUT: SemDeDup embedding-cluster
+    # dedup making room for weighted_price_quartiles; stays
+    # oracle-checked here each round while the dedup family keeps
+    # ngram + minhash + segment recorded rows. Green row r05.
+    "semantic_dedup",
 ]
 
 
@@ -7200,3 +7213,65 @@ def search_eval_bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked = r10 if ranked is None else ranked.unionByName(r10)
         rels = qr if rels is None else rels.unionByName(qr)
     return ranking_metrics(ranked, rels, k=10)
+
+
+_WQ_PS = (0.25, 0.5, 0.75)
+
+_WQ_ORACLE = (
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS pri,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE l_extendedprice IS NOT NULL AND l_quantity > 0),
+    g AS (SELECT pri, v, SUM(w) AS w FROM base GROUP BY pri, v),
+    c AS (
+      SELECT pri, v,
+             CAST(SUM(w) OVER (PARTITION BY pri ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS cw,
+             CAST(SUM(w) OVER (PARTITION BY pri) AS BIGINT) AS tw
+      FROM g)
+    """
+    + "\n    UNION ALL".join(
+        f"""
+    SELECT pri AS o_orderpriority, CAST({p} AS DOUBLE) AS p,
+           MIN(CASE WHEN cw >= {p} * tw THEN v END) AS wq,
+           CAST(MAX(tw) AS BIGINT) AS total_w
+    FROM c GROUP BY pri"""
+        for p in _WQ_PS
+    )
+    + "\n    ORDER BY o_orderpriority, p"
+)
+
+
+@_q(
+    "weighted_price_quartiles",
+    _WQ_ORACLE,
+    doc="exact quantity-weighted price quartiles per order priority "
+    "(operators/relational.py:weighted_percentiles): the smallest "
+    "price whose cumulative UNIT volume reaches p of the total — the "
+    "per-unit distribution approx_percentile cannot weight and "
+    "explode-by-weight cannot afford. Weight pre-aggregated per "
+    "distinct value before the cumulative window, so tie order is "
+    "unobservable and every running weight is an exact BIGINT; one "
+    "map-side-combined groupBy + one window over the REDUCED "
+    "distinct-value frame + one conditional-min pass for all three "
+    "quartiles",
+)
+def weighted_price_quartiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import weighted_percentiles
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    j = orders.join(
+        lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+    ).select(
+        F.col("o_orderpriority"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
+        F.col("l_quantity").alias("w"),
+    )
+    return weighted_percentiles(
+        j, ["o_orderpriority"], "v", "w", ps=_WQ_PS
+    )

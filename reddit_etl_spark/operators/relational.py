@@ -796,3 +796,79 @@ def ols_two_features(
         F.when(ok, F.round(b2, 6)).alias("b2"),
         F.when(ok & (sst > 0), F.round(1 - sse / sst, 6)).alias("r2"),
     )
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    ps: Sequence[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """EXACT weighted percentiles per group: the smallest value whose
+    cumulative weight reaches p of the total (weighted type-1 /
+    lower quantile) — "the median price paid per UNIT, not per line
+    item" and every other volume-weighted readout approx_percentile
+    cannot answer (it has no weight argument) and row-replication
+    (explode weight copies of each row) cannot afford at scale.
+
+    Determinism discipline: weights cast to BIGINT (quantize
+    fractional weights upstream), and weight is pre-aggregated PER
+    DISTINCT VALUE before the cumulative window — so tied values
+    carry one combined weight and the running sum is independent of
+    any within-tie row order; every cumulative weight is an exact
+    integer. The p*total threshold is the same double in any engine
+    (same p literal x same exact total).
+
+    Plan: one groupBy (group, value) with map-side combine collapses
+    the data to distinct values, one per-group cumulative window over
+    that REDUCED frame, one conditional-min aggregate emitting all
+    requested ps in a single pass. Rows with NULL value or
+    non-positive/NULL weight are excluded.
+
+    Output: group_cols + (p DOUBLE, wq <value type>, total_w BIGINT),
+    one row per (group, p).
+    """
+    if not ps or any(not 0 < p <= 1 for p in ps):
+        raise ValueError("ps must be fractions in (0, 1]")
+    keys = list(group_cols)
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+    ).select(
+        *keys,
+        F.col(value_col).alias("__v"),
+        F.col(weight_col).cast("long").alias("__w"),
+    )
+    per_value = base.groupBy(*keys, "__v").agg(F.sum("__w").alias("__w"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tw = Window.partitionBy(*keys)
+    c = per_value.withColumn(
+        "__cw", F.sum("__w").over(w).cast("double")
+    ).withColumn("__tw", F.sum("__w").over(tw).cast("long"))
+    aggs = []
+    for p in ps:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("__cw") >= F.lit(float(p)) * F.col("__tw"),
+                    F.col("__v"),
+                )
+            ).alias(f"__q{int(p * 10000)}")
+        )
+    agg = c.groupBy(*keys).agg(F.max("__tw").alias("total_w"), *aggs)
+    out = None
+    for p in ps:
+        one = agg.select(
+            *keys,
+            F.lit(float(p)).alias("p"),
+            F.col(f"__q{int(p * 10000)}").alias("wq"),
+            F.col("total_w"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

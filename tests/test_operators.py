@@ -1399,3 +1399,49 @@ class TestOlsTwoFeatures:
                 ("a", None, 9.0, 9.0), ("a", 5.0, None, 9.0)]
         got = self._fit(spark, rows)["a"]
         assert got["n"] == 4
+
+
+class TestWeightedPercentiles:
+    def _run(self, spark, rows, ps):
+        from reddit_etl_spark.operators.relational import (
+            weighted_percentiles,
+        )
+
+        df = spark.createDataFrame(rows, "g string, v double, w long")
+        out = weighted_percentiles(df, ["g"], "v", "w", ps=ps)
+        return {(r["g"], r["p"]): (r["wq"], r["total_w"])
+                for r in out.collect()}
+
+    def test_matches_explode_by_weight_median(self, spark):
+        # weights [3,1,1] over values [1,5,9]: the exploded series is
+        # [1,1,1,5,9] -> median 1, p75 -> 5th-smallest-ish boundary
+        rows = [("a", 1.0, 3), ("a", 5.0, 1), ("a", 9.0, 1)]
+        got = self._run(spark, rows, ps=(0.5, 0.75, 1.0))
+        assert got[("a", 0.5)] == (1.0, 5)
+        assert got[("a", 0.75)] == (5.0, 5)   # cum 4/5 >= 0.75 at v=5
+        assert got[("a", 1.0)] == (9.0, 5)
+
+    def test_tied_values_combine_weights(self, spark):
+        # two rows of v=2 (w=1 each) behave exactly like one row w=2
+        a = [("a", 2.0, 1), ("a", 2.0, 1), ("a", 7.0, 1)]
+        b = [("b", 2.0, 2), ("b", 7.0, 1)]
+        got = self._run(spark, a + b, ps=(0.5,))
+        assert got[("a", 0.5)] == got[("b", 0.5)] == (2.0, 3)
+
+    def test_excludes_null_and_nonpositive_weights(self, spark):
+        rows = [("a", 1.0, 0), ("a", 2.0, -5), ("a", 3.0, None),
+                ("a", None, 4), ("a", 4.0, 2)]
+        got = self._run(spark, rows, ps=(0.5,))
+        assert got[("a", 0.5)] == (4.0, 2)
+
+    def test_rejects_bad_ps(self, spark):
+        import pytest as _p
+
+        from reddit_etl_spark.operators.relational import (
+            weighted_percentiles,
+        )
+
+        df = spark.createDataFrame([("a", 1.0, 1)], "g string, v double, w long")
+        for bad in ((), (0.0,), (1.5,)):
+            with _p.raises(ValueError, match="fractions"):
+                weighted_percentiles(df, ["g"], "v", "w", ps=bad)
