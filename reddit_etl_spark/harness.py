@@ -274,7 +274,15 @@ _PROMOTED = [
     "weighted_price_quartiles",
     # (duplicate_spans held a slot here in round 5; rotated to the
     # tail in round 6 for cdc_supplier_apply — see the round-6 blocks)
-    "nb_language_selftrain",
+    # (nb_language_selftrain held this slot in rounds 5-6 — recorded
+    # row r05; rotated to the tail late-round-6 for zipf_vocab_fit —
+    # see the round-6 third-wave blocks)
+    # round-6 third wave: Zipf's-law corpus gauge (new capability —
+    # the vocabulary-distribution health readout next to
+    # text_profile's per-doc scores; displaces nb_language_selftrain,
+    # whose self-training classifier stays oracle-checked in the tail
+    # while lang-ID keeps text_profile's recorded heuristic row)
+    "zipf_vocab_fit",
     # round-5 third batch: capabilities built later in the round go
     # straight into the recorded head (same rationale as above). Each
     # displaces a long-attested entry with a recorded capability twin
@@ -746,6 +754,11 @@ _DEFERRED = [
     # oracle-checked here each round while the dedup family keeps
     # ngram + minhash + segment recorded rows. Green row r05.
     "semantic_dedup",
+    # round-6 third-wave rotation OUT: Naive-Bayes self-training
+    # making room for zipf_vocab_fit; stays oracle-checked here each
+    # round (integer-count EM replay) while lang-ID keeps
+    # text_profile's recorded heuristic row. Green row r05.
+    "nb_language_selftrain",
 ]
 
 
@@ -7275,3 +7288,59 @@ def weighted_price_quartiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_percentiles(
         j, ["o_orderpriority"], "v", "w", ps=_WQ_PS
     )
+
+
+@_q(
+    "zipf_vocab_fit",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+               AS term
+      FROM documents),
+    ts AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term <> ''
+      GROUP BY term ORDER BY tf DESC, term LIMIT 500),
+    r AS (
+      SELECT tf, row_number() OVER (ORDER BY tf DESC, term) AS rank
+      FROM ts),
+    pts AS (SELECT log2(rank) AS x, log2(tf) AS y FROM r),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(x), 6) AS sx, ROUND(SUM(y), 6) AS sy,
+             ROUND(SUM(x * y), 6) AS sxy,
+             ROUND(SUM(x * x), 6) AS sxx,
+             ROUND(SUM(y * y), 6) AS syy
+      FROM pts),
+    s AS (
+      SELECT n, sx, sy, sxy, sxx, syy,
+             CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+                  THEN ROUND((n * sxy - sx * sy)
+                             / (n * sxx - sx * sx), 6) END AS slope
+      FROM m)
+    SELECT n, slope,
+           CASE WHEN slope IS NOT NULL
+                THEN ROUND((sy - slope * sx) / n, 6) END AS intercept,
+           CASE WHEN slope IS NOT NULL AND (n * syy - sy * sy) > 0
+                THEN ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                           / ((n * sxx - sx * sx)
+                              * (n * syy - sy * sy)), 6) END AS r2
+    FROM s
+    """,
+    doc="Zipf's-law corpus health gauge (operators/text.py:zipf_fit): "
+    "log-log OLS of term frequency vs rank over the top-500 "
+    "vocabulary — organic language sits near slope -1, template "
+    "floods bend the curve. Vocabulary aggregate with map-side "
+    "combine, distributed TakeOrderedAndProject cut, rank window "
+    "over the reduced 500-row frame only, then linear_trend's "
+    "rounded-moment closed form (sufficient statistics round 6 "
+    "before the shared formula; the oracle mirrors intercept from "
+    "the ROUNDED slope)",
+)
+def zipf_vocab_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import zipf_fit
+
+    docs = load(spark, sf_dir, "documents")
+    return zipf_fit(docs, "doc_id", "text", top_n=500)

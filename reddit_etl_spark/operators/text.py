@@ -992,3 +992,41 @@ def rake_keyphrases(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame, id_col: str, text_col: str, top_n: int = 500
+) -> DataFrame:
+    """Zipf's-law diagnostic for a corpus: fit log2(frequency) ~
+    log2(rank) over the ``top_n`` vocabulary terms and report
+    (n, slope, intercept, r2). Organic language sits near slope -1
+    with high r2; template spam, boilerplate floods, and synthetic
+    filler bend the curve — a one-row corpus health gauge next to
+    text_profile's per-doc scores.
+
+    Plan: term_stats' map-side-combined vocabulary aggregate, a
+    distributed TakeOrderedAndProject top-``top_n`` cut (ties broken
+    by term), then a rank window over the REDUCED top-n frame only
+    (bounded-by-construction, the repo's top-k window discipline) and
+    linear_trend's rounded-moment closed form — so both the cut and
+    the fit are engine-deterministic.
+    """
+    from .relational import linear_trend
+
+    top = (
+        term_stats(df, id_col, text_col)
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("tf"), F.asc("term"))
+    pts = (
+        top.withColumn("__rank", F.row_number().over(w))
+        .select(
+            F.lit("corpus").alias("__g"),
+            F.log2("__rank").alias("__x"),
+            F.log2("tf").alias("__y"),
+        )
+    )
+    return linear_trend(pts, ["__g"], "__x", "__y").select(
+        "n", "slope", "intercept", "r2"
+    )

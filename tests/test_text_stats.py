@@ -563,3 +563,35 @@ class TestRankingMetrics:
         )
         with _p.raises(ValueError, match="k >= 1"):
             ranking_metrics(df, df, k=0)
+
+
+def test_zipf_fit_recovers_exact_power_law(spark):
+    import math
+
+    from reddit_etl_spark.operators.text import zipf_fit
+
+    # Frequencies follow f = 48/rank exactly, so log2(f) =
+    # log2(48) - log2(rank): a perfect slope -1 line (up to the
+    # rounded-moment quantization, which perturbs at the 1e-6 scale).
+    freqs = {"aa": 48, "bb": 24, "cc": 16, "dd": 12}
+    text = " ".join(t for t, n in freqs.items() for _ in range(n))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = zipf_fit(df, "doc_id", "text", top_n=4).collect()[0]
+    assert row["n"] == 4
+    assert abs(row["slope"] - (-1.0)) <= 5e-6
+    assert abs(row["intercept"] - math.log2(48)) <= 1e-5
+    assert row["r2"] is not None and row["r2"] >= 0.999999
+
+
+def test_zipf_fit_top_n_cut_is_deterministic(spark):
+    from reddit_etl_spark.operators.text import zipf_fit
+
+    # ties at the cut boundary resolve by term asc: with top_n=2 and
+    # three terms at tf=2, the kept set is stable -> zero x-variance
+    # is impossible here, but the fit must be reproducible run-to-run
+    df = spark.createDataFrame(
+        [(1, "x x y y z z w")], "doc_id long, text string"
+    )
+    a = zipf_fit(df, "doc_id", "text", top_n=2).collect()[0]
+    b = zipf_fit(df, "doc_id", "text", top_n=2).collect()[0]
+    assert a == b and a["n"] == 2
