@@ -138,7 +138,14 @@ _PROMOTED = [
     # in the tail)
     "tpch_q1_pricing",
     "tpch_q3_priority",
-    "tpch_q5_region",
+    # (tpch_q5_region held this slot in round 6 — recorded row r05;
+    # rotated to the tail late-round-6 for embedding_silhouette; the
+    # TPC-H classics keep Q1 + Q3 recorded and Q5's 6-table
+    # join-reorder shape stays oracle-checked in the tail)
+    # round-6 third wave: simplified silhouette (new capability — the
+    # clustering family's evaluation rung, as ranking_metrics is for
+    # search; displaces tpch_q5_region per the comment above)
+    "embedding_silhouette",
     # round-6 rotation: CCNet-style segment dedup with document
     # reassembly (new capability; displaces boilerplate_fraction, its
     # natural predecessor — duplicated-segment MEASUREMENT stays
@@ -759,6 +766,11 @@ _DEFERRED = [
     # round (integer-count EM replay) while lang-ID keeps
     # text_profile's recorded heuristic row. Green row r05.
     "nb_language_selftrain",
+    # round-6 third-wave rotation OUT: TPC-H Q5 making room for
+    # embedding_silhouette; the TPC-H classics keep Q1 + Q3 recorded
+    # rows and Q5's 6-table join-reorder shape stays oracle-checked
+    # here each round. Green row r05.
+    "tpch_q5_region",
 ]
 
 
@@ -7344,3 +7356,56 @@ def zipf_vocab_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return zipf_fit(docs, "doc_id", "text", top_n=500)
+
+
+@_q(
+    "embedding_silhouette",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (
+      SELECT vec_id AS cid, v AS cv,
+             row_number() OVER (ORDER BY vec_id) AS ci
+      FROM e ORDER BY vec_id LIMIT 8),
+    sc AS (
+      SELECT e.vec_id, c.cid, c.ci,
+             ROUND(list_cosine_similarity(e.v, c.cv), 6) AS s
+      FROM e CROSS JOIN c),
+    rk AS (
+      SELECT vec_id, cid, s,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY s DESC, ci) AS rn
+      FROM sc),
+    tb AS (
+      SELECT a.vec_id, a.cid AS cluster,
+             (1 - a.s) AS da, (1 - b.s) AS db
+      FROM rk a JOIN rk b ON a.vec_id = b.vec_id
+      WHERE a.rn = 1 AND b.rn = 2),
+    sil AS (
+      SELECT cluster, da, db,
+             CASE WHEN GREATEST(da, db) > 0
+                  THEN ROUND((db - da) / GREATEST(da, db), 6)
+                  ELSE 0.0 END AS s
+      FROM tb)
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(ROUND(SUM(s), 6) / COUNT(*), 6) AS mean_silhouette,
+           ROUND(ROUND(SUM(da), 6) / COUNT(*), 6) AS mean_dist_own,
+           ROUND(ROUND(SUM(db), 6) / COUNT(*), 6) AS mean_dist_next
+    FROM sil GROUP BY cluster ORDER BY cluster
+    """,
+    doc="simplified silhouette per cluster "
+    "(operators/similarity.py:cluster_silhouette): mean "
+    "(b-a)/max(a,b) with a = cosine distance to own (nearest) "
+    "centroid, b = to the second-nearest — the clustering family's "
+    "evaluation rung, as ranking_metrics is for search. One k-row "
+    "broadcast cross join, one groupBy whose payload is the "
+    "k-element struct list (k bounded, vectors never shuffle), one "
+    "map-side-combined per-cluster mean with the stable_avg "
+    "round-sum-then-divide rule; sims round 6 before best/second "
+    "ordering so the assignment boundary is engine-deterministic",
+)
+def embedding_silhouette_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cluster_silhouette
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cluster_silhouette(emb, "vec_id", "embedding", n_clusters=8)

@@ -888,3 +888,97 @@ def semantic_dedup(
         .distinct()
     )
     return assigned.join(dropped, id_col, "left_anti").select(id_col, "cluster")
+
+
+def cluster_silhouette(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame | None = None,
+    n_clusters: int = 8,
+) -> DataFrame:
+    """Simplified silhouette per cluster (Hruschka et al.): for each
+    vector, a = cosine distance to its NEAREST centroid (= its own
+    under nearest-centroid assignment), b = distance to the
+    second-nearest; s = (b - a) / max(a, b). Mean s per cluster is
+    the separation readout that says whether a clustering (IVF
+    centroids, SemDeDup partitions, k-means) actually found
+    structure — the evaluation rung of the clustering family, like
+    ranking_metrics for search. Simplified (vs full silhouette's
+    all-pairs a/b): centroid distances make it one pass and keep
+    s >= 0; low mean s still exposes mush, near-1 means tight,
+    well-separated clusters.
+
+    Same centroid contract as assign_clusters: pass real k-means
+    centroids in production; omitted, the n_clusters lowest-id
+    vectors serve as deterministic probes (what the cross-engine
+    oracle replays).
+
+    Plan: k-row broadcast cross join; per vector the k (sim, id)
+    pairs reduce through ONE groupBy whose payload is the k-element
+    struct list (k is tens-to-thousands, never corpus-sized) sorted
+    for best/second-best; then a map-side-combined per-cluster
+    aggregate. Vectors never shuffle. Sims round 6 before ordering
+    and s rounds 6 before the stable_avg (round-sum-then-divide)
+    per-cluster mean.
+
+    Returns (cluster, n BIGINT, mean_silhouette, mean_dist_own,
+    mean_dist_next), ordered by cluster.
+    """
+    vecs = df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    if centroids is None:
+        cent = (
+            df.orderBy(F.asc(id_col))
+            .limit(n_clusters)
+            .select(
+                F.col(id_col).alias("__cid"),
+                _as_double(vec_col).alias("__cv"),
+            )
+        )
+    else:
+        cid, cvec = centroids.columns[:2]
+        cent = centroids.select(
+            F.col(cid).alias("__cid"), _as_double(cvec).alias("__cv")
+        )
+    wc = Window.orderBy("__cid")
+    cent = cent.withColumn("__ci", F.row_number().over(wc))
+    scored = vecs.crossJoin(F.broadcast(cent)).select(
+        id_col,
+        F.struct(
+            F.round(cosine_col(F.col("__v"), F.col("__cv")), 6).alias("s"),
+            (-F.col("__ci")).alias("negci"),
+            F.col("__cid").alias("cid"),
+        ).alias("__sc"),
+    )
+    top2 = scored.groupBy(id_col).agg(
+        F.slice(
+            F.sort_array(F.collect_list("__sc"), asc=False), 1, 2
+        ).alias("__t")
+    )
+    a = 1 - F.col("__t")[0]["s"]
+    b = 1 - F.col("__t")[1]["s"]
+    per_vec = top2.select(
+        F.col("__t")[0]["cid"].alias("cluster"),
+        a.alias("__a"),
+        b.alias("__b"),
+        F.when(F.greatest(a, b) > 0, F.round((b - a) / F.greatest(a, b), 6))
+        .otherwise(F.lit(0.0))
+        .alias("__s"),
+    )
+    return (
+        per_vec.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.round(F.sum("__s"), 6) / F.count(F.lit(1))).alias("__ms"),
+            (F.round(F.sum("__a"), 6) / F.count(F.lit(1))).alias("__ma"),
+            (F.round(F.sum("__b"), 6) / F.count(F.lit(1))).alias("__mb"),
+        )
+        .select(
+            "cluster",
+            "n",
+            F.round("__ms", 6).alias("mean_silhouette"),
+            F.round("__ma", 6).alias("mean_dist_own"),
+            F.round("__mb", 6).alias("mean_dist_next"),
+        )
+        .orderBy("cluster")
+    )

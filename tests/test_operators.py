@@ -1445,3 +1445,54 @@ class TestWeightedPercentiles:
         for bad in ((), (0.0,), (1.5,)):
             with _p.raises(ValueError, match="fractions"):
                 weighted_percentiles(df, ["g"], "v", "w", ps=bad)
+
+
+class TestClusterSilhouette:
+    def _run(self, spark, vecs, cents=None, **kw):
+        from reddit_etl_spark.operators.similarity import cluster_silhouette
+
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        c = None
+        if cents is not None:
+            c = spark.createDataFrame(cents, "cid string, vec array<double>")
+        out = cluster_silhouette(df, "vec_id", "embedding", centroids=c, **kw)
+        return {r["cluster"]: r for r in out.collect()}
+
+    def test_tight_separated_clusters_score_near_one(self, spark):
+        import math
+
+        eps = 0.05
+        vecs = [
+            (1, [1.0, 0.0]), (2, [1.0, eps]), (3, [1.0, -eps]),
+            (4, [0.0, 1.0]), (5, [eps, 1.0]), (6, [-eps, 1.0]),
+        ]
+        cents = [("a", [1.0, 0.0]), ("b", [0.0, 1.0])]
+        got = self._run(spark, vecs, cents)
+        assert set(got) == {"a", "b"}
+        for r in got.values():
+            assert r["n"] == 3
+            assert r["mean_silhouette"] > 0.9
+            assert r["mean_dist_own"] < 0.01
+        # hand-check one member: cos((1,eps),(1,0)) = 1/sqrt(1+eps^2)
+        own = 1 - round(1 / math.sqrt(1 + eps * eps), 6)
+        assert got["a"]["mean_dist_own"] == round(
+            round(0.0 + own + own, 6) / 3, 6
+        )
+
+    def test_blurred_clusters_score_low(self, spark):
+        # every vector equidistant-ish from both centroids -> s small
+        vecs = [(i, [1.0, 1.0 + 0.001 * i]) for i in range(4)]
+        cents = [("a", [1.0, 0.0]), ("b", [0.0, 1.0])]
+        got = self._run(spark, vecs, cents)
+        total = sum(r["n"] for r in got.values())
+        assert total == 4
+        for r in got.values():
+            assert r["mean_silhouette"] < 0.1
+
+    def test_default_probe_centroids_are_lowest_ids(self, spark):
+        vecs = [(1, [1.0, 0.0]), (2, [0.0, 1.0]),
+                (3, [1.0, 0.1]), (4, [0.1, 1.0])]
+        got = self._run(spark, vecs, n_clusters=2)
+        # probes = vectors 1 and 2; members assign to the near probe
+        assert set(got) == {1, 2}
+        assert got[1]["n"] == 2 and got[2]["n"] == 2
