@@ -592,3 +592,115 @@ def stream_heavy_hitters(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_cusum(
+    rollup: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    target: float,
+    h: float,
+    k: float = 0.0,
+    scale: int = 1_000_000,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stateful streaming twin of ``series.cusum_changepoints`` with a
+    FIXED reference level: Page's recursion S+ = max(0, S+ + (x - mu
+    - k)) IS the incremental form, so per-key state is two exact
+    BIGINTs — the O(1)-state drift monitor that runs forever on a
+    live metric stream (the batch twin's global-mean target needs the
+    whole series; a stream pins mu to a known baseline, which is also
+    the textbook deployment).
+
+    Same integer discipline as the batch operator (deltas FLOOR-
+    quantized to ``scale``-ths before any arithmetic), so a key fed
+    in period order produces bit-identical s_hi/s_lo to
+    ``cusum_changepoints(..., target_col=<mu>)`` — proven in tests.
+    Rows out of period order WITHIN a micro-batch are sorted before
+    folding (the trailing-stream contract); NULL readings get an
+    unscored row and do not move the state.
+
+    Output rows: (key, period, value, s_hi, s_lo, alarm_hi,
+    alarm_lo), one per input row, append mode.
+    """
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("period", TimestampType()),
+            StructField("value", DoubleType()),
+            StructField("s_hi", DoubleType()),
+            StructField("s_lo", DoubleType()),
+            StructField("alarm_hi", BooleanType()),
+            StructField("alarm_lo", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("shi", LongType()), StructField("slo", LongType())]
+    )
+    k_int = int(k * scale)
+    h_int = int(h * scale)
+
+    def fold(
+        key: tuple,
+        pdfs: _Iter[pd.DataFrame],
+        state: GroupState,
+    ) -> _Iter[pd.DataFrame]:
+        import math
+
+        (kname,) = key
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            return
+        rows = pd.concat(chunks).sort_values(ts_col)
+        shi, slo = state.get if state.exists else (0, 0)
+        out = {c: [] for c in ("period", "value", "s_hi", "s_lo",
+                               "alarm_hi", "alarm_lo")}
+        for t, v in zip(
+            (rows[ts_col].astype("int64") // 1_000_000).tolist(),
+            rows[value_col].astype("float64").tolist(),
+        ):
+            out["period"].append(pd.Timestamp(t, unit="ms"))
+            if math.isnan(v):
+                out["value"].append(None)
+                out["s_hi"].append(None)
+                out["s_lo"].append(None)
+                out["alarm_hi"].append(False)
+                out["alarm_lo"].append(False)
+                continue
+            d = math.floor((v - target) * scale)
+            shi = max(0, shi + d - k_int)
+            slo = max(0, slo - d - k_int)
+            out["value"].append(v)
+            out["s_hi"].append(round(shi / scale, 6))
+            out["s_lo"].append(round(slo / scale, 6))
+            out["alarm_hi"].append(shi > h_int)
+            out["alarm_lo"].append(slo > h_int)
+        state.update((int(shi), int(slo)))
+        yield pd.DataFrame({"key": [kname] * len(out["period"]), **out})
+
+    return (
+        rollup.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -636,3 +636,98 @@ def test_stream_click_attribution_left_outer_emits_unconverted(
 
     with _pytest.raises(ValueError, match="how"):
         stream_click_attribution(imps, clicks, how="full")
+
+
+def test_streaming_cusum_matches_batch(spark, tmp_path):
+    """Replay a daily rollup through the streaming CUSUM across
+    multiple micro-batches; every (key, period) row must carry the
+    identical s_hi/s_lo/alarms the batch operator computes with the
+    same fixed target."""
+    import datetime as dt
+
+    from reddit_etl_spark.operators.series import cusum_changepoints
+    from reddit_etl_spark.streaming.stats_stream import streaming_cusum
+
+    base = dt.datetime(2025, 3, 1)
+    rows = []
+    for key in ("click", "view"):
+        for d in range(20):
+            v = 10.0 + (d % 3) * 0.4 + (1.5 if key == "click" and d >= 12 else 0.0)
+            rows.append((key, base + dt.timedelta(days=d), v))
+    daily = spark.createDataFrame(
+        rows, "key string, day timestamp, value double"
+    )
+    src = str(tmp_path / "cusum_in")
+    daily.filter(F.col("day") < base + dt.timedelta(days=10)).coalesce(
+        1
+    ).write.parquet(src)
+    daily.filter(F.col("day") >= base + dt.timedelta(days=10)).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(daily.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming_cusum(
+        stream, "key", "day", "value", target=10.4, h=2.0, k=0.3
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.key, r.period): (r.s_hi, r.s_lo, r.alarm_hi, r.alarm_lo)
+        for r in spark.sql("SELECT * FROM cusum_out").collect()
+    }
+
+    batch = cusum_changepoints(
+        daily.withColumn("mu", F.lit(10.4)),
+        ["key"], "day", "value", h=2.0, k=0.3, target_col="mu",
+    )
+    want = {
+        (r["key"], r["day"]): (r["s_hi"], r["s_lo"],
+                               r["alarm_hi"], r["alarm_lo"])
+        for r in batch.collect()
+    }
+    assert len(got) == len(want) == 40
+    assert got == want
+    # the planted sustained shift eventually alarms on click only
+    assert any(f for (key, _), (_, _, f, _) in got.items() if key == "click")
+    assert not any(f for (key, _), (_, _, f, _) in got.items() if key == "view")
+
+
+def test_streaming_cusum_null_reading_skips_state(spark, tmp_path):
+    import datetime as dt
+
+    from reddit_etl_spark.streaming.stats_stream import streaming_cusum
+
+    base = dt.datetime(2025, 4, 1)
+    rows = [("k", base, 11.0), ("k", base + dt.timedelta(days=1), None),
+            ("k", base + dt.timedelta(days=2), 11.0)]
+    daily = spark.createDataFrame(
+        rows, "key string, day timestamp, value double"
+    )
+    src = str(tmp_path / "cusum_null_in")
+    daily.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(daily.schema).parquet(src)
+    out = streaming_cusum(stream, "key", "day", "value", target=10.0,
+                          h=5.0, k=0.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum_null_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows_out = sorted(
+        spark.sql("SELECT * FROM cusum_null_out").collect(),
+        key=lambda r: r.period,
+    )
+    # day 0: +1; day 1: unscored NULL; day 2: +1 more -> 2.0 total
+    assert [r.s_hi for r in rows_out] == [1.0, None, 2.0]
+    assert rows_out[1].value is None and rows_out[1].alarm_hi is False
