@@ -137,7 +137,14 @@ _PROMOTED = [
     # runs the same JW pair generator; all three stay oracle-checked
     # in the tail)
     "tpch_q1_pricing",
-    "tpch_q3_priority",
+    # (tpch_q3_priority held this slot in round 6 — recorded row r05;
+    # rotated to the tail late-round-6 for ks_value_drift; the TPC-H
+    # classics keep Q1 recorded and the shipped-top-10 join/agg shape
+    # stays attested by q09's recorded row + the tail oracle)
+    # round-6 third wave: exact two-sample KS drift (new capability —
+    # the binning-free complement to PSI's binned drift; displaces
+    # tpch_q3_priority per the comment above)
+    "ks_value_drift",
     # (tpch_q5_region held this slot in round 6 — recorded row r05;
     # rotated to the tail late-round-6 for embedding_silhouette; the
     # TPC-H classics keep Q1 + Q3 recorded and Q5's 6-table
@@ -771,6 +778,11 @@ _DEFERRED = [
     # rows and Q5's 6-table join-reorder shape stays oracle-checked
     # here each round. Green row r05.
     "tpch_q5_region",
+    # round-6 third-wave rotation OUT: TPC-H Q3 making room for
+    # ks_value_drift; Q1 keeps the TPC-H recorded row and the
+    # shipped-top-10 join/agg shape stays attested by q09's recorded
+    # row + this oracle tail. Green row r05.
+    "tpch_q3_priority",
 ]
 
 
@@ -7409,3 +7421,60 @@ def embedding_silhouette_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return cluster_silhouette(emb, "vec_id", "embedding", n_clusters=8)
+
+
+@_q(
+    "ks_value_drift",
+    """
+    WITH base AS (
+      SELECT CAST(isodow(ts) - 1 AS BIGINT) AS wd, value AS v,
+             (event_type = 'click') AS isa
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+    per_v AS (
+      SELECT wd, v,
+             SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS cb
+      FROM base GROUP BY wd, v),
+    c AS (
+      SELECT wd, v,
+             SUM(ca) OVER w AS cca, SUM(cb) OVER w AS ccb,
+             SUM(ca) OVER g AS na, SUM(cb) OVER g AS nb
+      FROM per_v
+      WINDOW w AS (PARTITION BY wd ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             g AS (PARTITION BY wd)),
+    d AS (
+      SELECT wd, v, na, nb,
+             ROUND(ABS(CAST(cca AS DOUBLE) / na
+                       - CAST(ccb AS DOUBLE) / nb), 6) AS dd
+      FROM c),
+    m AS (SELECT *, MAX(dd) OVER (PARTITION BY wd) AS dmax FROM d)
+    SELECT wd AS weekday, CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b,
+           MAX(dmax) AS ks_stat, MIN(v) AS ks_at
+    FROM m WHERE dd = dmax GROUP BY wd ORDER BY wd
+    """,
+    doc="exact two-sample Kolmogorov-Smirnov drift per weekday "
+    "(operators/relational.py:ks_two_sample): D = max |ECDF_click - "
+    "ECDF_view| over the pooled distinct values — the binning-free "
+    "complement to psi_value_drift (PSI misses within-bin shifts and "
+    "needs edges). ECDFs are cumulative INTEGER counts over the "
+    "distinct-value frame divided by integer totals, so both engines "
+    "divide the same numbers; D rounds 6 before the argmax and the "
+    "location reports the smallest attaining value. One "
+    "map-side-combined groupBy to distinct values + cumulative "
+    "windows over the reduced frame",
+)
+def ks_value_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import ks_two_sample
+
+    ev = load_events(spark, sf_dir)
+    base = ev.select(
+        F.weekday("ts").cast("long").alias("weekday"),
+        "value",
+        "event_type",
+    )
+    return ks_two_sample(
+        base, ["weekday"], "value", "event_type", "click", "view"
+    )

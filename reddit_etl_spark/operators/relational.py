@@ -872,3 +872,80 @@ def weighted_percentiles(
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    side_col: str,
+    side_a,
+    side_b,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic per group:
+    D = max over x of |ECDF_a(x) - ECDF_b(x)| — the unbinned
+    complement to psi_value_drift (PSI needs bin edges and misses
+    within-bin shifts; KS is binning-free and distribution-free).
+    "Did this source's value distribution drift from that one's" with
+    no tuning knob.
+
+    Exactness: both ECDFs are cumulative INTEGER counts over the
+    distinct pooled values divided by integer totals — the same
+    doubles in any engine — and the running sums live on the
+    distinct-value frame, whose order is unique by construction (no
+    tie-order dependence). D rounds to 6 before the argmax; the
+    reported location is the SMALLEST value attaining D.
+
+    Plan: one map-side-combined groupBy collapsing to distinct
+    (group, value) rows with per-side counts, cumulative windows over
+    that REDUCED frame, one per-group max + one equality filter for
+    the argmax location. Rows whose side is neither ``side_a`` nor
+    ``side_b`` and NULL values are ignored.
+
+    Returns (group..., n_a BIGINT, n_b BIGINT, ks_stat, ks_at).
+    """
+    keys = list(group_cols)
+    s = F.col(side_col)
+    base = df.filter(
+        F.col(value_col).isNotNull() & s.isin([side_a, side_b])
+    ).select(
+        *keys,
+        F.col(value_col).alias("__v"),
+        (s == F.lit(side_a)).alias("__isa"),
+    )
+    per_v = base.groupBy(*keys, "__v").agg(
+        F.sum(F.col("__isa").cast("long")).alias("__ca"),
+        F.sum((~F.col("__isa")).cast("long")).alias("__cb"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kw = Window.partitionBy(*keys)
+    c = (
+        per_v.withColumn("__cca", F.sum("__ca").over(w))
+        .withColumn("__ccb", F.sum("__cb").over(w))
+        .withColumn("__na", F.sum("__ca").over(kw))
+        .withColumn("__nb", F.sum("__cb").over(kw))
+    )
+    c = c.withColumn(
+        "__d",
+        F.round(
+            F.abs(
+                F.col("__cca") / F.col("__na")
+                - F.col("__ccb") / F.col("__nb")
+            ),
+            6,
+        ),
+    ).withColumn("__dmax", F.max("__d").over(kw))
+    return (
+        c.filter(F.col("__d") == F.col("__dmax"))
+        .groupBy(*keys)
+        .agg(
+            F.max("__na").cast("long").alias("n_a"),
+            F.max("__nb").cast("long").alias("n_b"),
+            F.max("__dmax").alias("ks_stat"),
+            F.min("__v").alias("ks_at"),
+        )
+    )

@@ -1496,3 +1496,43 @@ class TestClusterSilhouette:
         # probes = vectors 1 and 2; members assign to the near probe
         assert set(got) == {1, 2}
         assert got[1]["n"] == 2 and got[2]["n"] == 2
+
+
+class TestKsTwoSample:
+    def _run(self, spark, rows):
+        from reddit_etl_spark.operators.relational import ks_two_sample
+
+        df = spark.createDataFrame(rows, "g string, v double, side string")
+        out = ks_two_sample(df, ["g"], "v", "side", "a", "b")
+        return {r["g"]: r for r in out.collect()}
+
+    def test_matches_scipy_style_hand_computation(self, spark):
+        # a: [1,2,3,4]; b: [3,4,5,6].
+        # Pooled x: ECDF_a = [.25,.5,.75,1,1,1], ECDF_b =
+        # [0,0,.25,.5,.75,1] -> D = 0.5 first attained at x=2.
+        rows = [("g", float(v), "a") for v in (1, 2, 3, 4)] + [
+            ("g", float(v), "b") for v in (3, 4, 5, 6)
+        ]
+        got = self._run(spark, rows)["g"]
+        assert got["ks_stat"] == 0.5
+        assert got["ks_at"] == 2.0
+        assert got["n_a"] == 4 and got["n_b"] == 4
+
+    def test_identical_distributions_score_zero(self, spark):
+        rows = [("g", float(v), s) for v in (1, 2, 2, 7)
+                for s in ("a", "b")]
+        got = self._run(spark, rows)["g"]
+        assert got["ks_stat"] == 0.0
+
+    def test_disjoint_distributions_score_one(self, spark):
+        rows = [("g", 1.0, "a"), ("g", 2.0, "a"),
+                ("g", 10.0, "b"), ("g", 11.0, "b")]
+        got = self._run(spark, rows)["g"]
+        assert got["ks_stat"] == 1.0
+        assert got["ks_at"] == 2.0   # smallest value attaining D
+
+    def test_ignores_other_sides_and_nulls(self, spark):
+        rows = [("g", 1.0, "a"), ("g", 2.0, "b"),
+                ("g", 99.0, "c"), ("g", None, "a")]
+        got = self._run(spark, rows)["g"]
+        assert got["n_a"] == 1 and got["n_b"] == 1
