@@ -293,6 +293,26 @@ class Corpus:
             vec_id_col, vec_col, query_vec_id, k=k, ann=ann, **ann_kwargs,
         )
 
+    def search_eval(self, queries: dict, k: int = 10) -> DataFrame:
+        """NDCG/MRR/precision/recall@k of this corpus's BM25 rankings
+        for several term-bag queries, judged by term-coverage
+        relevance — the regression gauge to run before and after any
+        chain change that touches what the ranker sees (dedup,
+        quality filters, chunking)."""
+        from .operators.retrieval import bm25_search_eval
+
+        return bm25_search_eval(
+            self._df, self.id_col, self.text_col, queries, k=k
+        )
+
+    def zipf(self, top_n: int = 500) -> DataFrame:
+        """One-row Zipf's-law fit (n, slope, intercept, r2) over the
+        surviving corpus — slope near -1 is organic language; watch it
+        drift as filters/dedup reshape the vocabulary."""
+        from .operators.text import zipf_fit
+
+        return zipf_fit(self._df, self.id_col, self.text_col, top_n=top_n)
+
     # -- terminal actions ---------------------------------------------
 
     def perplexity_filter(

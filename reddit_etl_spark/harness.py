@@ -7213,43 +7213,10 @@ _SEARCH_EVAL_ORACLE = (
     "before the cross-engine-shared ratio",
 )
 def search_eval_bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.retrieval import ranking_metrics
-    from .operators.text import bm25_scores
+    from .operators.retrieval import bm25_search_eval
 
     docs = load(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
-    ranked = None
-    rels = None
-    for qid, terms in _EVAL_QSETS.items():
-        sc = bm25_scores(docs, "doc_id", "text", terms)
-        w10 = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-        r10 = (
-            sc.orderBy(F.desc("bm25"), F.asc("doc_id"))
-            .limit(10)
-            .withColumn("rank", F.row_number().over(w10))
-            .select(
-                F.lit(qid).alias("query_id"),
-                "doc_id",
-                F.col("rank").cast("long").alias("rank"),
-            )
-        )
-        qr = (
-            docs.select(
-                F.lit(qid).alias("query_id"),
-                "doc_id",
-                F.size(
-                    F.array_intersect(
-                        toks, F.array(*[F.lit(t) for t in terms])
-                    )
-                )
-                .cast("long")
-                .alias("rel"),
-            )
-            .filter(F.col("rel") > 0)
-        )
-        ranked = r10 if ranked is None else ranked.unionByName(r10)
-        rels = qr if rels is None else rels.unionByName(qr)
-    return ranking_metrics(ranked, rels, k=10)
+    return bm25_search_eval(docs, "doc_id", "text", _EVAL_QSETS, k=10)
 
 
 _WQ_PS = (0.25, 0.5, 0.75)

@@ -212,3 +212,59 @@ def ranking_metrics(
         F.round(F.col("__hits") / F.lit(float(k)), 6).alias("precision"),
         F.round(F.col("__hits") / F.col("n_rel"), 6).alias("recall"),
     )
+
+
+def bm25_search_eval(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: dict,
+    k: int = 10,
+) -> DataFrame:
+    """Rank-and-measure composition: BM25 top-``k`` per term-bag query
+    over ``df``, judged by graded TERM-COVERAGE relevance (rel = how
+    many of the query's distinct terms the document contains) through
+    :func:`ranking_metrics`. Self-contained evaluation without human
+    qrels — coverage is a crude judge, but a STABLE one, which is
+    what regression-testing a ranker change needs.
+
+    Each query's top-k is cut by orderBy().limit(k)
+    (TakeOrderedAndProject) before the k-row rank window; qrels come
+    from one tokenize-and-intersect pass per query. Returns one
+    metrics row per query id.
+    """
+    from .text import bm25_scores
+
+    toks = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+    ranked = None
+    rels = None
+    for qid, terms in queries.items():
+        sc = bm25_scores(df, id_col, text_col, list(terms))
+        w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+        r = (
+            sc.orderBy(F.desc("bm25"), F.asc(id_col))
+            .limit(k)
+            .withColumn("rank", F.row_number().over(w))
+            .select(
+                F.lit(qid).alias("query_id"),
+                F.col(id_col).alias("doc_id"),
+                F.col("rank").cast("long").alias("rank"),
+            )
+        )
+        qr = (
+            df.select(
+                F.lit(qid).alias("query_id"),
+                F.col(id_col).alias("doc_id"),
+                F.size(
+                    F.array_intersect(
+                        toks, F.array(*[F.lit(t) for t in terms])
+                    )
+                )
+                .cast("long")
+                .alias("rel"),
+            )
+            .filter(F.col("rel") > 0)
+        )
+        ranked = r if ranked is None else ranked.unionByName(r)
+        rels = qr if rels is None else rels.unionByName(qr)
+    return ranking_metrics(ranked, rels, k=k)

@@ -289,3 +289,31 @@ def test_corpus_tokenize_unigram_chain(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = Corpus(df).tokenize_unigram(vocab_size=40).df.first()
     assert "".join(out["unigram_pieces"]) == "unigrampiecessegmentunigramtext"
+
+
+def test_corpus_search_eval_and_zipf_compose(spark):
+    from reddit_etl_spark.corpus import Corpus
+
+    rows = [
+        (1, "spark join hash join"),
+        (2, "hash table scan"),
+        (3, "window stream batch"),
+        (4, "join hash spark spark"),
+        (5, "unrelated words only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    c = Corpus(df, id_col="doc_id", text_col="text")
+    ev = {r["query_id"]: r for r in
+          c.search_eval({"q": ["join", "hash"]}, k=3).collect()}
+    assert set(ev) == {"q"}
+    assert ev["q"]["n_rel"] == 3          # docs 1, 2, 4 contain terms
+    assert ev["q"]["precision"] == 1.0    # top-3 are exactly those
+    assert ev["q"]["ndcg"] is not None
+
+    z = c.zipf(top_n=3).collect()[0]
+    assert z["n"] == 3 and z["slope"] is not None
+
+    # the gauge runs on the SURVIVING chain: dedup drops doc 4's twin
+    # vocabulary weight and the fit changes deterministically
+    z2 = c.dedup_exact().zipf(top_n=3).collect()[0]
+    assert z2["n"] == 3
