@@ -862,16 +862,21 @@ def weighted_percentiles(
             ).alias(f"__q{int(p * 10000)}")
         )
     agg = c.groupBy(*keys).agg(F.max("__tw").alias("total_w"), *aggs)
-    out = None
-    for p in ps:
-        one = agg.select(
-            *keys,
-            F.lit(float(p)).alias("p"),
-            F.col(f"__q{int(p * 10000)}").alias("wq"),
-            F.col("total_w"),
-        )
-        out = one if out is None else out.unionByName(one)
-    return out
+    # ONE evaluation for all ps: inline an array of (p, wq) structs
+    # instead of a union of per-p selects — a union would re-evaluate
+    # the whole upstream (scan + join + window) once per requested p
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(p)).alias("p"),
+                F.col(f"__q{int(p * 10000)}").alias("wq"),
+            )
+            for p in ps
+        ]
+    )
+    return agg.select(*keys, F.col("total_w"), F.inline(pairs)).select(
+        *keys, "p", "wq", "total_w"
+    )
 
 
 def ks_two_sample(
