@@ -6841,7 +6841,7 @@ def lpa_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     st AS (
       SELECT event_type, day, v,
              ROUND(SUM(v) OVER (PARTITION BY event_type), 6)
-               / COUNT(*) OVER (PARTITION BY event_type) AS mu,
+               / COUNT(v) OVER (PARTITION BY event_type) AS mu,
              ROUND(STDDEV_SAMP(v) OVER (PARTITION BY event_type), 6)
                AS sigma
       FROM r),
@@ -6868,8 +6868,8 @@ def lpa_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, day, v,
            ROUND(shi / 1000000.0, 6) AS s_hi,
            ROUND(slo / 1000000.0, 6) AS s_lo,
-           shi > hh AS alarm_hi,
-           slo > hh AS alarm_lo
+           COALESCE(shi > hh, FALSE) AS alarm_hi,
+           COALESCE(slo > hh, FALSE) AS alarm_lo
     FROM s ORDER BY event_type, day
     """,
     doc="two-sided CUSUM drift monitor per event type "
@@ -7178,7 +7178,8 @@ _EVAL_FINAL = """
            ROUND(dcg / idcg, 6) AS ndcg,
            ROUND(COALESCE(mrr, 0), 6) AS mrr,
            ROUND(hits / 10.0, 6) AS precision,
-           ROUND(hits / n_rel, 6) AS recall
+           CASE WHEN n_rel > 0
+                THEN ROUND(hits / n_rel, 6) END AS recall
     FROM got_{qid} CROSS JOIN ideal_{qid}"""
 
 _SEARCH_EVAL_ORACLE = (
@@ -7416,7 +7417,8 @@ def embedding_silhouette_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(ABS(CAST(cca AS DOUBLE) / na
                        - CAST(ccb AS DOUBLE) / nb), 6) AS dd
       FROM c),
-    m AS (SELECT *, MAX(dd) OVER (PARTITION BY wd) AS dmax FROM d)
+    m AS (SELECT *, MAX(dd) OVER (PARTITION BY wd) AS dmax
+          FROM d WHERE na > 0 AND nb > 0)
     SELECT wd AS weekday, CAST(MAX(na) AS BIGINT) AS n_a,
            CAST(MAX(nb) AS BIGINT) AS n_b,
            MAX(dmax) AS ks_stat, MIN(v) AS ks_at

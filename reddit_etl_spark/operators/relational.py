@@ -831,6 +831,10 @@ def weighted_percentiles(
     """
     if not ps or any(not 0 < p <= 1 for p in ps):
         raise ValueError("ps must be fractions in (0, 1]")
+    if len({int(p * 10000) for p in ps}) != len(ps):
+        # the internal per-p aliases quantize at 1e-4; closer ps
+        # would collide into one ambiguous column
+        raise ValueError("ps must be distinct at 1e-4 resolution")
     keys = list(group_cols)
     base = df.filter(
         F.col(value_col).isNotNull()
@@ -905,7 +909,10 @@ def ks_two_sample(
     (group, value) rows with per-side counts, cumulative windows over
     that REDUCED frame, one per-group max + one equality filter for
     the argmax location. Rows whose side is neither ``side_a`` nor
-    ``side_b`` and NULL values are ignored.
+    ``side_b`` and NULL values are ignored. Groups where EITHER side
+    has zero rows are excluded from the output — a one-sided sample
+    has no defined KS statistic (check presence upstream if absence
+    itself is the signal).
 
     Returns (group..., n_a BIGINT, n_b BIGINT, ks_stat, ks_at).
     """
@@ -934,6 +941,10 @@ def ks_two_sample(
         .withColumn("__na", F.sum("__ca").over(kw))
         .withColumn("__nb", F.sum("__cb").over(kw))
     )
+    # one-sided groups (a side with zero rows) have no defined KS —
+    # drop them HERE, before the division turns into NULL (Spark) or
+    # inf (an ANSI SQL replica) and the group vanishes inconsistently
+    c = c.filter((F.col("__na") > 0) & (F.col("__nb") > 0))
     c = c.withColumn(
         "__d",
         F.round(

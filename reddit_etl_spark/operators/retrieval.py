@@ -152,7 +152,12 @@ def ranking_metrics(
 
     Queries with no judged relevant doc return NULL ndcg/recall (an
     eval gap, not a zero-quality system). Unjudged ranked docs count
-    rel=0 — the standard pessimistic convention.
+    rel=0 — the standard pessimistic convention. A query present only
+    in ``qrels`` (its ranked list is empty) still emits a row —
+    n_ranked 0, mrr/precision/recall 0, ndcg NULL — retrieving
+    NOTHING is a zero-quality result, not a missing one. (A query
+    absent from BOTH inputs cannot materialize here; seed it upstream
+    — bm25_search_eval does.)
 
     Scale: the metrics join is (queries x k)-sized — corpus-scale
     cost lives upstream in the ranker. IDCG needs one window over
@@ -202,15 +207,19 @@ def ranking_metrics(
             ).alias("__idcg"),
         )
     )
-    out = got.join(ideal, q, "left")
+    out = got.join(ideal, q, "full")
+    n_rel = F.coalesce(F.col("n_rel"), F.lit(0)).cast("long")
+    hits = F.coalesce(F.col("__hits"), F.lit(0))
     return out.select(
         q,
-        "n_ranked",
-        F.coalesce(F.col("n_rel"), F.lit(0)).cast("long").alias("n_rel"),
+        F.coalesce(F.col("n_ranked"), F.lit(0)).cast("long").alias(
+            "n_ranked"
+        ),
+        n_rel.alias("n_rel"),
         F.round(F.col("__dcg") / F.col("__idcg"), 6).alias("ndcg"),
         F.round(F.coalesce(F.col("__mrr"), F.lit(0.0)), 6).alias("mrr"),
-        F.round(F.col("__hits") / F.lit(float(k)), 6).alias("precision"),
-        F.round(F.col("__hits") / F.col("n_rel"), 6).alias("recall"),
+        F.round(hits / F.lit(float(k)), 6).alias("precision"),
+        F.when(n_rel > 0, F.round(hits / n_rel, 6)).alias("recall"),
     )
 
 
@@ -228,18 +237,29 @@ def bm25_search_eval(
     qrels — coverage is a crude judge, but a STABLE one, which is
     what regression-testing a ranker change needs.
 
-    Each query's top-k is cut by orderBy().limit(k)
-    (TakeOrderedAndProject) before the k-row rank window; qrels come
-    from one tokenize-and-intersect pass per query. Returns one
-    metrics row per query id.
+    The corpus is tokenized ONCE: a build_bm25_index postings/stats
+    pass (lazily checkpointed so the Q query branches share the
+    materialization instead of re-scanning text ~3x per query), BM25
+    scored per query via bm25_from_index, and qrels derived from the
+    same postings (rel = count of the query's terms with a posting
+    for the doc). Each query's top-k is cut by orderBy().limit(k)
+    (TakeOrderedAndProject) before the k-row rank window. Every query
+    id emits a metrics row, even when its terms match nothing (zeroed
+    metrics, NULL ndcg/recall) — the seeded-query contract the
+    evaluation report needs.
     """
-    from .text import bm25_scores
+    from .text import bm25_from_index, build_bm25_index
 
-    toks = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+    if not queries:
+        raise ValueError("bm25_search_eval needs at least one query")
+    postings, stats = build_bm25_index(df, id_col, text_col)
+    postings = postings.localCheckpoint(eager=False)
+    stats = stats.localCheckpoint(eager=False)
     ranked = None
     rels = None
     for qid, terms in queries.items():
-        sc = bm25_scores(df, id_col, text_col, list(terms))
+        tset = sorted({t.lower() for t in terms})
+        sc = bm25_from_index(postings, stats, id_col, tset)
         w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
         r = (
             sc.orderBy(F.desc("bm25"), F.asc(id_col))
@@ -252,19 +272,29 @@ def bm25_search_eval(
             )
         )
         qr = (
-            df.select(
+            postings.filter(F.col("term").isin(tset))
+            .groupBy(id_col)
+            .agg(F.count_distinct("term").cast("long").alias("rel"))
+            .select(
                 F.lit(qid).alias("query_id"),
                 F.col(id_col).alias("doc_id"),
-                F.size(
-                    F.array_intersect(
-                        toks, F.array(*[F.lit(t) for t in terms])
-                    )
-                )
-                .cast("long")
-                .alias("rel"),
+                "rel",
             )
-            .filter(F.col("rel") > 0)
         )
         ranked = r if ranked is None else ranked.unionByName(r)
         rels = qr if rels is None else rels.unionByName(qr)
-    return ranking_metrics(ranked, rels, k=k)
+    metrics = ranking_metrics(ranked, rels, k=k)
+    seed = df.sparkSession.createDataFrame(
+        [(q,) for q in queries], ["query_id"]
+    )
+    return seed.join(metrics, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_ranked"), F.lit(0)).cast("long").alias(
+            "n_ranked"
+        ),
+        F.coalesce(F.col("n_rel"), F.lit(0)).cast("long").alias("n_rel"),
+        "ndcg",
+        F.coalesce(F.col("mrr"), F.lit(0.0)).alias("mrr"),
+        F.coalesce(F.col("precision"), F.lit(0.0)).alias("precision"),
+        "recall",
+    )

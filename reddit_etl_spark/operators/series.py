@@ -710,6 +710,11 @@ def cusum_changepoints(
 
     Returns (key..., order, value, s_hi, s_lo, alarm_hi BOOLEAN,
     alarm_lo BOOLEAN) with s_* rounded back to value units (6 dp).
+    NULL readings leave the running sums untouched (their row carries
+    the previous S, like the streaming twin's unscored rows); keys
+    whose sigma is undefined under ``relative=True`` (a single
+    reading) emit NULL scores and FALSE alarms — never NULL alarms,
+    which both sides of an alarm-triage filter would drop.
     """
     keys = list(key_cols)
     kw = Window.partitionBy(*keys)
@@ -719,7 +724,12 @@ def cusum_changepoints(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     if target_col is None:
-        mu = F.round(F.sum(value_col).over(kw), 6) / F.count("*").over(kw)
+        # divide by the NON-NULL count: COUNT(*) would count NULL
+        # readings that the SUM skips, deflating mu (and diverging
+        # from stddev_samp's population, which also skips NULLs)
+        mu = F.round(F.sum(value_col).over(kw), 6) / F.count(
+            F.col(value_col)
+        ).over(kw)
     else:
         mu = F.col(target_col)
     d_int = F.floor((F.col(value_col) - mu) * F.lit(float(scale))).cast(
@@ -747,6 +757,6 @@ def cusum_changepoints(
         F.col(value_col),
         F.round(s_hi / F.lit(float(scale)), 6).alias("s_hi"),
         F.round(s_lo / F.lit(float(scale)), 6).alias("s_lo"),
-        (s_hi > h_int).alias("alarm_hi"),
-        (s_lo > h_int).alias("alarm_lo"),
+        F.coalesce(s_hi > h_int, F.lit(False)).alias("alarm_hi"),
+        F.coalesce(s_lo > h_int, F.lit(False)).alias("alarm_lo"),
     )

@@ -252,7 +252,7 @@ def streaming_session_stats(
 
         chunks = list(pdfs)
         rows = (
-            pd.concat(chunks).sort_values(ts_col)
+            pd.concat(chunks).sort_values(ts_col, kind="mergesort")
             if chunks
             else pd.DataFrame(columns=[ts_col, value_col])
         )

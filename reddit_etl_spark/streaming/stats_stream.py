@@ -352,7 +352,7 @@ def streaming_zscore_anomalies(
         chunks = [c for c in pdfs if len(c)]
         if not chunks:
             return
-        rows = pd.concat(chunks).sort_values(ts_col)
+        rows = pd.concat(chunks).sort_values(ts_col, kind="mergesort")
         if state.exists:
             periods, values = state.get
             periods, values = list(periods), list(values)
@@ -666,7 +666,7 @@ def streaming_cusum(
         chunks = [c for c in pdfs if len(c)]
         if not chunks:
             return
-        rows = pd.concat(chunks).sort_values(ts_col)
+        rows = pd.concat(chunks).sort_values(ts_col, kind="mergesort")
         shi, slo = state.get if state.exists else (0, 0)
         out = {c: [] for c in ("period", "value", "s_hi", "s_lo",
                                "alarm_hi", "alarm_lo")}

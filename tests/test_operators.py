@@ -1536,3 +1536,46 @@ class TestKsTwoSample:
                 ("g", 99.0, "c"), ("g", None, "a")]
         got = self._run(spark, rows)["g"]
         assert got["n_a"] == 1 and got["n_b"] == 1
+
+
+def test_ks_one_sided_group_is_excluded(spark):
+    from reddit_etl_spark.operators.relational import ks_two_sample
+
+    rows = [("both", 1.0, "a"), ("both", 2.0, "b"),
+            ("only_a", 1.0, "a"), ("only_a", 2.0, "a")]
+    df = spark.createDataFrame(rows, "g string, v double, side string")
+    got = {r["g"] for r in ks_two_sample(df, ["g"], "v", "side",
+                                         "a", "b").collect()}
+    assert got == {"both"}
+
+
+def test_weighted_percentiles_rejects_colliding_ps(spark):
+    import pytest as _p
+
+    from reddit_etl_spark.operators.relational import weighted_percentiles
+
+    df = spark.createDataFrame([("a", 1.0, 1)], "g string, v double, w long")
+    with _p.raises(ValueError, match="distinct"):
+        weighted_percentiles(df, ["g"], "v", "w", ps=(0.12341, 0.12349))
+
+
+def test_cusum_null_reading_and_single_row_sigma(spark):
+    from reddit_etl_spark.operators.series import cusum_changepoints
+
+    rows = [("k", 0, 10.0, 9.0), ("k", 1, None, 9.0), ("k", 2, 10.0, 9.0)]
+    df = spark.createDataFrame(rows, "k string, t long, v double, mu double")
+    out = {r["t"]: r for r in cusum_changepoints(
+        df, ["k"], "t", "v", h=10.0, k=0.0, target_col="mu").collect()}
+    # NULL reading carries the previous S and never alarms
+    assert out[0]["s_hi"] == 1.0 and out[1]["s_hi"] == 1.0
+    assert out[2]["s_hi"] == 2.0
+    assert out[1]["alarm_hi"] is False
+    # default mu divides by the NON-NULL count: values [10, 10] -> 10
+    d2 = cusum_changepoints(
+        df, ["k"], "t", "v", h=10.0, k=0.0).collect()
+    assert all(r["s_hi"] == 0.0 for r in d2 if r["s_hi"] is not None)
+    # single-row key under relative=True: NULL scores, FALSE alarms
+    one = spark.createDataFrame([("x", 0, 5.0)], "k string, t long, v double")
+    r = cusum_changepoints(one, ["k"], "t", "v", h=2.0, k=0.25,
+                           relative=True).collect()[0]
+    assert r["s_hi"] is None and r["alarm_hi"] is False

@@ -595,3 +595,47 @@ def test_zipf_fit_top_n_cut_is_deterministic(spark):
     a = zipf_fit(df, "doc_id", "text", top_n=2).collect()[0]
     b = zipf_fit(df, "doc_id", "text", top_n=2).collect()[0]
     assert a == b and a["n"] == 2
+
+
+def test_ranking_metrics_empty_ranked_list_emits_zero_row(spark):
+    from reddit_etl_spark.operators.retrieval import ranking_metrics
+
+    ranked = spark.createDataFrame(
+        [], "query_id string, doc_id long, rank long"
+    )
+    qrels = spark.createDataFrame(
+        [("q", 1, 2), ("q", 2, 1)], "query_id string, doc_id long, rel long"
+    )
+    rows = ranking_metrics(ranked, qrels, k=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_ranked"] == 0 and r["n_rel"] == 2
+    assert r["mrr"] == 0.0 and r["precision"] == 0.0 and r["recall"] == 0.0
+    assert r["ndcg"] is None
+
+
+def test_bm25_search_eval_seeds_no_match_queries_and_rejects_empty(spark):
+    import pytest as _p
+
+    from reddit_etl_spark.operators.retrieval import bm25_search_eval
+
+    docs = spark.createDataFrame(
+        [(1, "spark join hash"), (2, "hash scan")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["query_id"]: r
+        for r in bm25_search_eval(
+            docs, "doc_id", "text",
+            {"hit": ["hash"], "miss": ["xyzzy"]}, k=3
+        ).collect()
+    }
+    assert set(got) == {"hit", "miss"}
+    assert got["hit"]["n_ranked"] == 2 and got["hit"]["precision"] > 0
+    m = got["miss"]
+    assert m["n_ranked"] == 0 and m["n_rel"] == 0
+    assert m["mrr"] == 0.0 and m["precision"] == 0.0
+    assert m["ndcg"] is None and m["recall"] is None
+
+    with _p.raises(ValueError, match="at least one query"):
+        bm25_search_eval(docs, "doc_id", "text", {}, k=3)
