@@ -435,6 +435,43 @@ def main() -> int:
         "aggregate only the surviving core",
     )
 
+    # -- weighted SSSP (SCALING.md "weighted SSSP" row) --------------------
+    # Hub + chain seeded at the hub, 3 Bellman-Ford rounds. Under the
+    # forced-shuffle plan the per-round relaxation join's E side IS
+    # the dominant exchange: 2|E| (a, b, w) rows (both directions).
+    # Frontier pruning shows up as the CANDIDATE stages staying
+    # incident-edge-sized; with broadcast enabled (production default
+    # for small frontiers) the E side never shuffles at all.
+    from reddit_etl_spark.operators.graph import shortest_paths
+
+    sssp_hub = spark.range(1, 50_001).select(
+        F.lit(0).alias("src"), F.col("id").alias("dst"),
+        (F.col("id") % 9 + 1).alias("w"),
+    )
+    sssp_chain = spark.range(100_000, 110_000).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst"),
+        F.lit(1).alias("w"),
+    )
+    sssp_edges = sssp_hub.unionByName(sssp_chain).localCheckpoint(
+        eager=True
+    )
+    n_sssp_edges = sssp_edges.count()
+    sssp_seeds = spark.range(1).select(F.lit(0).alias("node"))
+    record(
+        "sssp_relax_rounds",
+        predicted=2 * n_sssp_edges,
+        fn=lambda: shortest_paths(
+            sssp_edges, sssp_seeds, "node", rounds=3
+        )
+        .agg(F.sum("dist"))
+        .collect(),
+        note=f"dominant = one relaxation round's E-side exchange: "
+        f"2 x |E| ({n_sssp_edges} pairs, both directions) under the "
+        "forced-shuffle audit plan; candidate stages stay "
+        "incident-edge-sized (frontier pruning), and production "
+        "broadcast-able frontiers skip the E shuffle entirely",
+    )
+
     out = {
         "sf_dir": sf_dir,
         "times": times,
