@@ -249,7 +249,17 @@ _PROMOTED = [
     # (segment_overlap_theta held this slot in rounds 5-6 — recorded
     # row r05; rotated to the tail late-round-6 for cusum_daily_drift
     # — see the round-6 third-wave blocks)
-    "asof_split",
+    # (asof_split held this slot in rounds 5-6 — recorded row r05;
+    # rotated to the tail late-round-6 for theilsen_daily_trend; the
+    # skew-split machinery keeps its r05 rows for BOTH windowed
+    # operators and stays path-equality-tested at 50% skew, while the
+    # as-of family's base path rides asof_nearest_alignment's
+    # recorded row)
+    # round-6 third wave: Theil-Sen robust trend (new capability —
+    # the median-of-pairwise-slopes estimator next to OLS's
+    # daily_trend_slope, as MAD is to stddev; displaces asof_split
+    # per the comment above)
+    "theilsen_daily_trend",
     # (sessionization_split held this slot in rounds 5-6 — recorded
     # row r05; rotated to the tail late-round-6 for
     # benford_price_digits — see the round-6 third-wave blocks)
@@ -783,6 +793,12 @@ _DEFERRED = [
     # shipped-top-10 join/agg shape stays attested by q09's recorded
     # row + this oracle tail. Green row r05.
     "tpch_q3_priority",
+    # round-6 third-wave rotation OUT: skew-split as-of making room
+    # for theilsen_daily_trend; the split='auto' machinery keeps its
+    # r05 recorded rows (this and sessionization_split) and the
+    # 50%-skew path-equality tests stand; the as-of base path rides
+    # asof_nearest_alignment's recorded row. Green row r05.
+    "asof_split",
 ]
 
 
@@ -7447,3 +7463,73 @@ def ks_value_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_two_sample(
         base, ["weekday"], "value", "event_type", "click", "view"
     )
+
+
+@_q(
+    "theilsen_daily_trend",
+    f"""
+    WITH r AS MATERIALIZED ({_DAILY_ROLLUP_SQL}),
+    base AS (
+      SELECT event_type,
+             CAST(day - DATE '1970-01-01' AS DOUBLE) AS x, v AS y
+      FROM r),
+    pairs AS (
+      SELECT a.event_type,
+             ROUND((b.y - a.y) / (b.x - a.x), 6) AS m
+      FROM base a JOIN base b
+        ON a.event_type = b.event_type AND a.x < b.x),
+    ms AS (
+      SELECT event_type, m,
+             row_number() OVER (PARTITION BY event_type ORDER BY m)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM pairs),
+    slope AS (
+      SELECT event_type, m AS slope, CAST(cnt AS BIGINT) AS n_pairs
+      FROM ms WHERE rn = FLOOR((cnt + 1) / 2)),
+    resid AS (
+      SELECT b.event_type, s.slope, s.n_pairs,
+             ROUND(b.y - s.slope * b.x, 6) AS bb
+      FROM base b JOIN slope s USING (event_type)),
+    ri AS (
+      SELECT event_type, slope, n_pairs, bb,
+             row_number() OVER (PARTITION BY event_type ORDER BY bb)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS nn
+      FROM resid),
+    sel AS (
+      SELECT event_type, n_pairs, slope, bb AS intercept
+      FROM ri WHERE rn = FLOOR((nn + 1) / 2)),
+    counts AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM base GROUP BY 1)
+    SELECT c.event_type, c.n, s.n_pairs, s.slope, s.intercept
+    FROM counts c LEFT JOIN sel s USING (event_type)
+    ORDER BY c.event_type
+    """,
+    doc="Theil-Sen robust trend per event type "
+    "(operators/relational.py:theil_sen): slope = median of all "
+    "pairwise daily slopes, intercept = median residual — shrugs off "
+    "~29% outliers where daily_trend_slope's OLS chases them; the "
+    "robust rung of the regression family, as MAD is to stddev. "
+    "EXACT (no sampling) because the input is the per-key DAILY "
+    "ROLLUP: the pair join is O(days^2) per key on the reduced "
+    "frame, the acf/seasonal contract. Lower-median (type-1) "
+    "selection by row position over round-6 values — no middle-pair "
+    "averaging, engine-deterministic under slope ties",
+)
+def theilsen_daily_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import theil_sen
+
+    ev = load_events(spark, sf_dir)
+    rollup = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    pts = rollup.select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("1970-01-01"))
+        .cast("double")
+        .alias("x"),
+        F.col("v").alias("y"),
+    )
+    return theil_sen(pts, ["event_type"], "x", "y")

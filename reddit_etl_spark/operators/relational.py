@@ -965,3 +965,93 @@ def ks_two_sample(
             F.min("__v").alias("ks_at"),
         )
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Theil-Sen robust trend: slope = MEDIAN of all
+    pairwise slopes (y_j - y_i)/(x_j - x_i), intercept = median of
+    (y_i - slope * x_i) — the estimator that shrugs off up to ~29%
+    outliers where OLS (linear_trend) chases them. The robust rung of
+    the regression family, as MAD is to stddev.
+
+    EXACT, not sampled — which is affordable because the input
+    contract is a per-key ROLLUP (a year of daily points = ~67k pairs
+    per key), not raw events: the pair join is per-group O(n^2) ON
+    THE REDUCED FRAME, the same contract acf/seasonal carry. Medians
+    are the LOWER median (type-1) of values rounded to 6, selected by
+    position — engine-deterministic with no averaging of two middle
+    doubles.
+
+    Plan: one per-group self-join (x_i < x_j), one rank window per
+    median (slope, then intercept after a broadcast-scale join of the
+    per-group slope back onto the points). Groups with fewer than 2
+    distinct x yield NULLs.
+
+    Returns group_cols + (n BIGINT, n_pairs BIGINT, slope,
+    intercept).
+    """
+    keys = list(group_cols)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        *keys, x.alias("__x"), y.alias("__y")
+    )
+    a = base.select(*keys, F.col("__x").alias("__xa"), F.col("__y").alias("__ya"))
+    b = base.select(*keys, F.col("__x").alias("__xb"), F.col("__y").alias("__yb"))
+    pairs = a.join(b, keys).filter(F.col("__xa") < F.col("__xb"))
+    slopes = pairs.select(
+        *keys,
+        F.round(
+            (F.col("__yb") - F.col("__ya"))
+            / (F.col("__xb") - F.col("__xa")),
+            6,
+        ).alias("__m"),
+    )
+    kw = Window.partitionBy(*keys)
+    mw = Window.partitionBy(*keys).orderBy("__m")
+    med_slope = (
+        slopes.withColumn("__rn", F.row_number().over(mw))
+        .withColumn("__cnt", F.count("*").over(kw))
+        .filter(F.col("__rn") == F.floor((F.col("__cnt") + 1) / 2))
+        .select(
+            *keys,
+            F.col("__m").alias("slope"),
+            F.col("__cnt").cast("long").alias("n_pairs"),
+        )
+    )
+    resid = base.join(med_slope, keys).select(
+        *keys,
+        "slope",
+        "n_pairs",
+        F.round(F.col("__y") - F.col("slope") * F.col("__x"), 6).alias(
+            "__b"
+        ),
+    )
+    bw = Window.partitionBy(*keys).orderBy("__b")
+    med_int = (
+        resid.withColumn("__rn", F.row_number().over(bw))
+        .withColumn("__n", F.count("*").over(kw))
+        .filter(F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+        .select(
+            *keys,
+            F.col("__n").cast("long").alias("n"),
+            "n_pairs",
+            "slope",
+            F.col("__b").alias("intercept"),
+        )
+    )
+    counts = base.groupBy(*keys).agg(F.count("*").cast("long").alias("n"))
+    return counts.join(
+        med_int.drop("n"), keys, "left"
+    ).select(
+        *keys,
+        "n",
+        F.col("n_pairs"),
+        "slope",
+        "intercept",
+    )

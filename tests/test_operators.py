@@ -1579,3 +1579,48 @@ def test_cusum_null_reading_and_single_row_sigma(spark):
     r = cusum_changepoints(one, ["k"], "t", "v", h=2.0, k=0.25,
                            relative=True).collect()[0]
     assert r["s_hi"] is None and r["alarm_hi"] is False
+
+
+class TestTheilSen:
+    def _run(self, spark, rows):
+        from reddit_etl_spark.operators.relational import theil_sen
+
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        return {r["g"]: r for r in theil_sen(df, ["g"], "x", "y").collect()}
+
+    def test_matches_textbook_median_of_slopes(self, spark):
+        import statistics
+
+        pts = [(1.0, 2.0), (2.0, 4.1), (3.0, 5.9), (4.0, 8.2), (5.0, 9.8)]
+        got = self._run(spark, [("g", x, y) for x, y in pts])["g"]
+        slopes = sorted(
+            round((y2 - y1) / (x2 - x1), 6)
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1:]
+        )
+        lower_median = slopes[(len(slopes) + 1) // 2 - 1]
+        assert got["slope"] == lower_median
+        resid = sorted(round(y - got["slope"] * x, 6) for x, y in pts)
+        assert got["intercept"] == resid[(len(resid) + 1) // 2 - 1]
+        assert got["n"] == 5 and got["n_pairs"] == 10
+        # sanity vs the standard library's low median
+        assert lower_median == statistics.median_low(slopes)
+
+    def test_shrugs_off_outlier_where_ols_chases_it(self, spark):
+        from reddit_etl_spark.operators.relational import linear_trend
+
+        # perfect slope-1 line with one wild outlier
+        pts = [(float(i), float(i)) for i in range(10)] + [(10.0, 1000.0)]
+        rows = [("g", x, y) for x, y in pts]
+        ts = self._run(spark, rows)["g"]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        ols = linear_trend(df, ["g"], "x", "y").collect()[0]
+        assert abs(ts["slope"] - 1.0) < 0.2
+        assert ols["slope"] > 10          # OLS dragged far off
+        assert abs(ts["intercept"]) < 1.0
+
+    def test_single_point_group_yields_nulls(self, spark):
+        got = self._run(spark, [("g", 1.0, 5.0)])["g"]
+        assert got["n"] == 1
+        assert got["slope"] is None and got["intercept"] is None
+        assert got["n_pairs"] is None
