@@ -172,3 +172,52 @@ def test_weighted_sample_global_is_take_ordered(spark):
     )
     out = weighted_sample(df, "id", "w", k=5)
     assert uses_take_ordered(out)  # no global sort for the top-k
+
+
+def test_weighted_percentiles_single_pass_for_all_ps(spark):
+    """All requested ps must ride ONE evaluation — the union-of-selects
+    spelling re-scanned and re-shuffled the upstream once per p
+    (review r6: 6 FileScans/9 exchanges for three quartiles)."""
+    from reddit_etl_spark.operators.relational import weighted_percentiles
+
+    df = spark.range(1000).select(
+        (F.col("id") % 5).alias("g"),
+        (F.col("id") % 97).cast("double").alias("v"),
+        (F.col("id") % 3 + 1).alias("w"),
+    )
+    out = weighted_percentiles(df, ["g"], "v", "w", ps=(0.25, 0.5, 0.75))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 0          # in-memory range source
+    assert count_exchanges(out) <= 3
+    # and on a real file source: one scan total, not one per p
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.lit("g").alias("g"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").alias("w"),
+    )
+    out2 = weighted_percentiles(li, ["g"], "v", "w", ps=(0.25, 0.5, 0.75))
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("FileScan") == 1
+
+
+def test_ks_two_sample_two_exchanges(spark):
+    from reddit_etl_spark.operators.relational import ks_two_sample
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 41).cast("double").alias("v"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("side"),
+    )
+    out = ks_two_sample(df, ["g"], "v", "side", "a", "b")
+    assert count_exchanges(out) <= 2
+
+
+def test_benford_scan_prunes_to_value_column(spark):
+    from reddit_etl_spark.operators.dq import benford_digit_test
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price")
+    )
+    out = benford_digit_test(li, "price")
+    cols = scan_columns(out)
+    assert cols == [["l_extendedprice"]]
