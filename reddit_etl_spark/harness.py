@@ -244,7 +244,17 @@ _PROMOTED = [
     # driver rows in r01-r04 and a recorded capability twin; see the
     # round-5 block in _DEFERRED).
     "bm25_rank",
-    "hybrid_search_rrf",
+    # (hybrid_search_rrf held this slot in rounds 5-6 — recorded row
+    # r05; rotated to the tail late-round-6 for
+    # value_histogram_events; the retrieval family keeps bm25_rank's
+    # recorded row plus search_eval_bm25 in this head, and the RRF
+    # fusion stays oracle-checked in the tail alongside its bucketed
+    # LSH audit twin)
+    # round-6 third wave: equal-width histogram (new capability — the
+    # distribution-shape readout next to group_percentiles'
+    # equal-mass cuts; displaces hybrid_search_rrf per the comment
+    # above)
+    "value_histogram_events",
     "quantile_rollup_kll",
     # (segment_overlap_theta held this slot in rounds 5-6 — recorded
     # row r05; rotated to the tail late-round-6 for cusum_daily_drift
@@ -799,6 +809,12 @@ _DEFERRED = [
     # 50%-skew path-equality tests stand; the as-of base path rides
     # asof_nearest_alignment's recorded row. Green row r05.
     "asof_split",
+    # round-6 third-wave rotation OUT: hybrid RRF fusion making room
+    # for value_histogram_events; stays oracle-checked here each
+    # round beside its bucketed-LSH audit twin while the retrieval
+    # family keeps bm25_rank + search_eval_bm25 recorded rows. Green
+    # row r05.
+    "hybrid_search_rrf",
 ]
 
 
@@ -7533,3 +7549,57 @@ def theilsen_daily_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("y"),
     )
     return theil_sen(pts, ["event_type"], "x", "y")
+
+
+@_q(
+    "value_histogram_events",
+    """
+    WITH base AS (
+      SELECT event_type AS g, value AS v FROM events
+      WHERE value IS NOT NULL),
+    stats AS (
+      SELECT g, CAST(MIN(v) AS DOUBLE) AS lo,
+             CAST(MAX(v) AS DOUBLE) AS hi
+      FROM base GROUP BY g),
+    counts AS (
+      SELECT b.g,
+             CASE WHEN (s.hi - s.lo) / 10.0 > 0
+                  THEN LEAST(9, CAST(FLOOR((b.v - s.lo)
+                        / ((s.hi - s.lo) / 10.0)) AS BIGINT))
+                  ELSE 0 END AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM base b JOIN stats s USING (g)
+      GROUP BY 1, 2),
+    grid AS (
+      SELECT s.g, s.lo, s.hi, CAST(t.b AS BIGINT) AS bucket
+      FROM stats s CROSS JOIN
+           (SELECT UNNEST(GENERATE_SERIES(0, 9)) AS b) t)
+    SELECT grid.g AS event_type, grid.bucket AS bucket,
+           ROUND(grid.lo + grid.bucket * ((grid.hi - grid.lo) / 10.0),
+                 6) AS lo,
+           ROUND(grid.lo + (grid.bucket + 1)
+                 * ((grid.hi - grid.lo) / 10.0), 6) AS hi,
+           CAST(COALESCE(counts.n, 0) AS BIGINT) AS n
+    FROM grid LEFT JOIN counts
+      ON counts.g = grid.g AND counts.bucket = grid.bucket
+    ORDER BY event_type, bucket
+    """,
+    doc="per-event-type equal-width value histogram, empty buckets "
+    "included (operators/relational.py:value_histogram): the shape "
+    "readout next to group_percentiles' equal-mass cuts. One "
+    "map-side-combined min/max aggregate, broadcast of group stats "
+    "back onto the rows, one (group, bucket) count, and a "
+    "broadcast-scale groups x bins grid left join; bucket boundaries "
+    "derive from exact extremes so both engines cut identically, "
+    "max lands in the last bucket by the LEAST(bins-1) clamp",
+)
+def value_histogram_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import value_histogram
+
+    ev = load_events(spark, sf_dir)
+    return value_histogram(
+        ev.select(F.col("event_type"), F.col("value")),
+        ["event_type"],
+        "value",
+        bins=10,
+    )

@@ -1055,3 +1055,70 @@ def theil_sen(
         "slope",
         "intercept",
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Per-group equal-WIDTH histogram: ``bins`` buckets spanning
+    [min, max], empty buckets included — the profiling/dashboard
+    readout next to group_percentiles' equal-MASS cuts (percentiles
+    say where the mass sits; the histogram shows the shape, gaps and
+    all).
+
+    Bucketing: width = (max-min)/bins from the group's exact min/max,
+    bucket = min(bins-1, floor((v-min)/width)) so max lands in the
+    last bucket; a constant group (zero width) piles into bucket 0.
+    Both engines compute the same doubles from the same exact
+    extremes, so bucket boundaries are engine-deterministic. Bounds
+    round to 6 for display.
+
+    Plan: one map-side-combined min/max/count aggregate, broadcast of
+    the group-level stats back onto the rows, one (group, bucket)
+    count, and a broadcast-scale (groups x bins) grid left-joined so
+    empty buckets report n = 0. NULL values are excluded.
+
+    Returns group_cols + (bucket BIGINT, lo, hi, n BIGINT).
+    """
+    if bins < 1:
+        raise ValueError("value_histogram needs bins >= 1")
+    keys = list(group_cols)
+    v = F.col(value_col)
+    base = df.filter(v.isNotNull()).select(*keys, v.alias("__v"))
+    stats = base.groupBy(*keys).agg(
+        F.min("__v").cast("double").alias("__lo"),
+        F.max("__v").cast("double").alias("__hi"),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    joined = base.join(F.broadcast(stats), keys).withColumn(
+        "__w", width
+    )
+    bucket = F.when(
+        F.col("__w") > 0,
+        F.least(
+            F.lit(bins - 1),
+            F.floor((F.col("__v") - F.col("__lo")) / F.col("__w")),
+        ),
+    ).otherwise(F.lit(0))
+    counts = (
+        joined.withColumn("__b", bucket.cast("long"))
+        .groupBy(*keys, "__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    grid = stats.crossJoin(
+        stats.sparkSession.range(bins).select(F.col("id").alias("__b"))
+    )
+    w = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    return (
+        grid.join(counts, [*keys, "__b"], "left")
+        .select(
+            *keys,
+            F.col("__b").cast("long").alias("bucket"),
+            F.round(F.col("__lo") + F.col("__b") * w, 6).alias("lo"),
+            F.round(F.col("__lo") + (F.col("__b") + 1) * w, 6).alias("hi"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )

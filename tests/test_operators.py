@@ -1624,3 +1624,42 @@ class TestTheilSen:
         assert got["n"] == 1
         assert got["slope"] is None and got["intercept"] is None
         assert got["n_pairs"] is None
+
+
+class TestValueHistogram:
+    def _run(self, spark, rows, bins):
+        from reddit_etl_spark.operators.relational import value_histogram
+
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = value_histogram(df, ["g"], "v", bins=bins)
+        return {(r["g"], r["bucket"]): r for r in out.collect()}
+
+    def test_counts_bounds_and_max_in_last_bucket(self, spark):
+        rows = [("a", float(v)) for v in (0, 1, 2, 5, 9, 10)]
+        got = self._run(spark, rows, bins=5)
+        # width = 2: buckets [0,2),[2,4),[4,6),[6,8),[8,10] (max clamps)
+        assert {k[1]: r["n"] for k, r in got.items()} == {
+            0: 2, 1: 1, 2: 1, 3: 0, 4: 2,
+        }
+        assert got[("a", 0)]["lo"] == 0.0 and got[("a", 0)]["hi"] == 2.0
+        assert got[("a", 4)]["hi"] == 10.0
+        assert sum(r["n"] for r in got.values()) == 6  # every row binned
+
+    def test_empty_buckets_present_and_constant_group(self, spark):
+        rows = [("flat", 7.0), ("flat", 7.0)]
+        got = self._run(spark, rows, bins=4)
+        assert len(got) == 4                       # full grid emitted
+        assert got[("flat", 0)]["n"] == 2          # zero width -> bucket 0
+        assert all(got[("flat", b)]["n"] == 0 for b in (1, 2, 3))
+
+    def test_nulls_excluded_and_bad_bins_rejected(self, spark):
+        import pytest as _p
+
+        from reddit_etl_spark.operators.relational import value_histogram
+
+        rows = [("a", 1.0), ("a", None), ("a", 3.0)]
+        got = self._run(spark, rows, bins=2)
+        assert sum(r["n"] for r in got.values()) == 2
+        df = spark.createDataFrame(rows, "g string, v double")
+        with _p.raises(ValueError, match="bins"):
+            value_histogram(df, ["g"], "v", bins=0)
