@@ -121,7 +121,16 @@ def _q(name: str, oracle: str | None, doc: str = "", headline: bool = False):
 # each round via tools/check_oracle.py (which runs ALL entries).
 _DRIVER_RECORD_CAP = 50
 _PROMOTED = [
-    "neardup_survivors",
+    # (neardup_survivors held this slot in rounds 1-6 — recorded rows
+    # r01..r05, the longest-attested entry in the registry; rotated
+    # to the tail late-round-6 for readability_docs. Its
+    # survivor-selection capability stays oracle-checked in the tail
+    # next to neardup_components, and the near-dup-cluster family
+    # keeps dedup_minhash_lsh + dedup_ngram_jaccard recorded rows)
+    # round-6 third wave: readability indices (new capability — ARI +
+    # Coleman-Liau grade-level bands for curation filters; displaces
+    # neardup_survivors per the comment above)
+    "readability_docs",
     # table_profile and packed_shards moved to the tail in round 5
     # (recorded rows r02..r04; profiling stays oracle-checked in the
     # tail, packing stays recorded inside curation_pipeline_full) to
@@ -815,6 +824,12 @@ _DEFERRED = [
     # family keeps bm25_rank + search_eval_bm25 recorded rows. Green
     # row r05.
     "hybrid_search_rrf",
+    # round-6 third-wave rotation OUT: near-dup survivor selection
+    # making room for readability_docs; recorded rows r01..r05 (the
+    # registry's longest attestation), stays oracle-checked here each
+    # round next to neardup_components while the cluster family keeps
+    # minhash + ngram recorded rows. Green rows r01-r05.
+    "neardup_survivors",
 ]
 
 
@@ -7603,3 +7618,51 @@ def value_histogram_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         bins=10,
     )
+
+
+@_q(
+    "readability_docs",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(COALESCE(length(
+               regexp_replace(text, '[^A-Za-z0-9]', '', 'g')), 0)
+                  AS BIGINT) AS n_chars,
+             CAST(COALESCE(len(list_filter(
+               string_split_regex(trim(text), '\\s+'),
+               x -> length(x) > 0)), 0) AS BIGINT) AS n_words,
+             CAST(COALESCE(len(regexp_extract_all(text, '[.!?]+')), 0)
+                  AS BIGINT) AS n_raw_sents
+      FROM documents),
+    counted AS (
+      SELECT doc_id, n_chars, n_words,
+             CASE WHEN n_words > 0
+                  THEN GREATEST(CAST(1 AS BIGINT), n_raw_sents)
+                  ELSE CAST(0 AS BIGINT) END AS n_sentences
+      FROM base)
+    SELECT doc_id, n_chars, n_words, n_sentences,
+           CASE WHEN n_words > 0
+                THEN (471 * n_chars * n_sentences
+                      + 50 * n_words * n_words
+                      - 2143 * n_words * n_sentences)
+                     / (100.0 * n_words * n_sentences) END AS ari,
+           CASE WHEN n_words > 0
+                THEN (588 * n_chars - 2960 * n_sentences
+                      - 1580 * n_words)
+                     / (100.0 * n_words) END AS coleman_liau
+    FROM counted ORDER BY doc_id
+    """,
+    doc="per-document readability indices "
+    "(operators/text.py:readability_scores): ARI and Coleman-Liau "
+    "from pure character/word/sentence counts — grade-level bands "
+    "for curation filters on an interpretable scale, no syllable "
+    "dictionary. Pure column expressions in codegen, zero shuffles "
+    "beyond the scan; integer counts make both engines' ratio "
+    "doubles identical; sentence count floors at 1 for non-empty "
+    "text (a fragment is one sentence)",
+)
+def readability_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import readability_scores
+
+    docs = load(spark, sf_dir, "documents")
+    return readability_scores(docs, "doc_id", "text")

@@ -639,3 +639,30 @@ def test_bm25_search_eval_seeds_no_match_queries_and_rejects_empty(spark):
 
     with _p.raises(ValueError, match="at least one query"):
         bm25_search_eval(docs, "doc_id", "text", {}, k=3)
+
+
+def test_readability_hand_computed_and_edge_docs(spark):
+    from reddit_etl_spark.operators.text import readability_scores
+
+    rows = [
+        (1, "The cat sat. The dog ran!"),   # 6 words, 18 chars, 2 sents
+        (2, "word"),                        # fragment: 1 sentence floor
+        (3, ""),                            # wordless
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           readability_scores(df, "doc_id", "text").collect()}
+
+    r1 = got[1]
+    assert (r1["n_chars"], r1["n_words"], r1["n_sentences"]) == (18, 6, 2)
+    c, w, s = 18, 6, 2
+    assert r1["ari"] == (471 * c * s + 50 * w * w - 2143 * w * s) / (100.0 * w * s)
+    assert r1["coleman_liau"] == (588 * c - 2960 * s - 1580 * w) / (100.0 * w)
+    # cross-check the exact-integer form against the textbook formula
+    assert abs(r1["ari"] - (4.71 * c / w + 0.5 * w / s - 21.43)) < 1e-9
+
+    assert got[2]["n_sentences"] == 1 and got[2]["ari"] is not None
+    for d in (3, 4):
+        assert got[d]["n_words"] == 0 and got[d]["n_sentences"] == 0
+        assert got[d]["ari"] is None and got[d]["coleman_liau"] is None
