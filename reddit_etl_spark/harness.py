@@ -502,6 +502,12 @@ _DEFERRED = [
     "curation_pipeline",          # superseded by curation_pipeline_full (recorded)
     "distinct_parts_skewfree",    # recorded r01/r02
     "rollup_hierarchy",           # recorded r01/r02
+    # CUBE lattice — shape variant of the grouping-sets family whose
+    # ROLLUP sibling holds recorded rows r01/r02 (same shared
+    # partial-agg machinery, lattice instead of hierarchy); stays
+    # oracle-checked here each round with the grouping-ID bitmask in
+    # the compared hash
+    "cube_status_priority",
     "pivot_status_by_priority",   # recorded r01/r02
     "topk_global",                # recorded r01/r02; plan-asserted in tests
     "group_percentiles",          # recorded r01/r02
@@ -7666,3 +7672,47 @@ def readability_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return readability_scores(docs, "doc_id", "text")
+
+
+@_q(
+    "cube_status_priority",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2
+                + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 6) AS total_value
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE lattice over (status, priority): every subtotal "
+    "combination — both one-dimension margins, the full cross, and "
+    "the grand total — in ONE shared partial-aggregation pass "
+    "(completing the grouping-sets family next to rollup_hierarchy's "
+    "linear hierarchy and the explicit pivot). The grouping-ID "
+    "bitmask disambiguates a genuine NULL group from a subtotal row "
+    "— COALESCE('ALL') alone cannot",
+)
+def cube_status_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    df = (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_totalprice").alias("total_value"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias(
+                "o_orderstatus"
+            ),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias(
+                "o_orderpriority"
+            ),
+            "gid",
+            "n_orders",
+            "total_value",
+        )
+    )
+    return round6(df, "total_value")
