@@ -7230,7 +7230,7 @@ _EVAL_FINAL = """
     SELECT '{qid}' AS query_id, n_ranked, n_rel,
            ROUND(dcg / idcg, 6) AS ndcg,
            ROUND(COALESCE(mrr, 0), 6) AS mrr,
-           ROUND(hits / 10.0, 6) AS precision,
+           ROUND(COALESCE(hits, 0) / 10.0, 6) AS precision,
            CASE WHEN n_rel > 0
                 THEN ROUND(hits / n_rel, 6) END AS recall
     FROM got_{qid} CROSS JOIN ideal_{qid}"""
@@ -7509,7 +7509,7 @@ def ks_value_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base AS (
       SELECT event_type,
              CAST(day - DATE '1970-01-01' AS DOUBLE) AS x, v AS y
-      FROM r),
+      FROM r WHERE v IS NOT NULL),
     pairs AS (
       SELECT a.event_type,
              ROUND((b.y - a.y) / (b.x - a.x), 6) AS m

@@ -831,9 +831,10 @@ def weighted_percentiles(
     """
     if not ps or any(not 0 < p <= 1 for p in ps):
         raise ValueError("ps must be fractions in (0, 1]")
-    if len({int(p * 10000) for p in ps}) != len(ps):
+    if len({int(round(p * 10000)) for p in ps}) != len(ps):
         # the internal per-p aliases quantize at 1e-4; closer ps
-        # would collide into one ambiguous column
+        # would collide into one ambiguous column (round, not
+        # truncate: 0.3 * 10000 is 2999.999... in binary)
         raise ValueError("ps must be distinct at 1e-4 resolution")
     keys = list(group_cols)
     base = df.filter(
@@ -863,7 +864,7 @@ def weighted_percentiles(
                     F.col("__cw") >= F.lit(float(p)) * F.col("__tw"),
                     F.col("__v"),
                 )
-            ).alias(f"__q{int(p * 10000)}")
+            ).alias(f"__q{int(round(p * 10000))}")
         )
     agg = c.groupBy(*keys).agg(F.max("__tw").alias("total_w"), *aggs)
     # ONE evaluation for all ps: inline an array of (p, wq) structs
@@ -873,7 +874,7 @@ def weighted_percentiles(
         *[
             F.struct(
                 F.lit(float(p)).alias("p"),
-                F.col(f"__q{int(p * 10000)}").alias("wq"),
+                F.col(f"__q{int(round(p * 10000))}").alias("wq"),
             )
             for p in ps
         ]
@@ -1111,14 +1112,15 @@ def value_histogram(
     grid = stats.crossJoin(
         stats.sparkSession.range(bins).select(F.col("id").alias("__b"))
     )
-    w = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
     return (
         grid.join(counts, [*keys, "__b"], "left")
         .select(
             *keys,
             F.col("__b").cast("long").alias("bucket"),
-            F.round(F.col("__lo") + F.col("__b") * w, 6).alias("lo"),
-            F.round(F.col("__lo") + (F.col("__b") + 1) * w, 6).alias("hi"),
+            F.round(F.col("__lo") + F.col("__b") * width, 6).alias("lo"),
+            F.round(
+                F.col("__lo") + (F.col("__b") + 1) * width, 6
+            ).alias("hi"),
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         )
     )

@@ -1080,10 +1080,12 @@ def readability_scores(
     base = df.select(
         F.col(id_col),
         F.coalesce(chars, F.lit(0)).alias("n_chars"),
-        F.coalesce(words, F.lit(0)).alias("n_words"),
+        # words is NULL-proof by construction (the when/otherwise
+        # above), so no coalesce here
+        words.alias("n_words"),
         # wordless docs (empty/NULL text) have zero sentences, not the
         # fragment floor — the floor only applies to real text
-        F.when(F.coalesce(words, F.lit(0)) > 0, sents)
+        F.when(words > 0, sents)
         .otherwise(F.lit(0).cast("long"))
         .alias("n_sentences"),
     )
