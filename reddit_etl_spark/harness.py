@@ -290,6 +290,11 @@ _PROMOTED = [
     # oracle-checked in the tail with path-equality tests at 50%
     # skew)
     "benford_price_digits",
+    # round-6 third wave: classical seasonal decomposition (new
+    # capability — the trend/seasonal/remainder separator upstream of
+    # the backtest and drift monitors; displaces text_profile, whose
+    # rotation block sits in _DEFERRED with its five recorded rows)
+    "seasonal_decompose_events",
     # round-6 third wave: CUSUM drift monitor (new capability — the
     # sustained-small-shift changepoint detector next to
     # anomaly_zscore's spike gate, window-expressible via the
@@ -836,6 +841,13 @@ _DEFERRED = [
     # round next to neardup_components while the cluster family keeps
     # minhash + ngram recorded rows. Green rows r01-r05.
     "neardup_survivors",
+    # round-6 third-wave rotation OUT: one-pass text profile making
+    # room for seasonal_decompose_events; recorded rows r01-r05, its
+    # profile kernel also rides curation_pipeline_full's recorded row
+    # and the text family keeps bm25_rank + search_eval_bm25 +
+    # readability_docs + zipf_vocab_fit in the head. Stays
+    # oracle-checked here each round. Green rows r01-r05.
+    "text_profile",
 ]
 
 
@@ -7716,3 +7728,53 @@ def cube_status_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return round6(df, "total_value")
+
+
+@_q(
+    "seasonal_decompose_events",
+    f"""
+    WITH r AS MATERIALIZED ({_DAILY_ROLLUP_SQL}),
+    base AS (
+      SELECT event_type, day, v,
+             CASE WHEN COUNT(v) OVER w = 7
+                  THEN ROUND(AVG(v) OVER w, 6) END AS trend,
+             CAST((day - DATE '1970-01-01') % 7 AS BIGINT) AS phase
+      FROM r
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS (SELECT *, v - trend AS dt FROM base),
+    sr AS (
+      SELECT event_type, phase,
+             ROUND(ROUND(SUM(dt), 6) / COUNT(dt), 6) AS s_raw
+      FROM det GROUP BY 1, 2),
+    sa AS (
+      SELECT event_type, phase,
+             ROUND(s_raw
+                   - ROUND(SUM(s_raw) OVER (PARTITION BY event_type), 6)
+                     / COUNT(s_raw) OVER (PARTITION BY event_type),
+                   6) AS s
+      FROM sr)
+    SELECT d.event_type, d.day, d.v AS v, d.trend, sa.s AS seasonal,
+           ROUND(d.v - d.trend - sa.s, 6) AS remainder
+    FROM det d LEFT JOIN sa
+      ON sa.event_type = d.event_type AND sa.phase = d.phase
+    ORDER BY 1, 2
+    """,
+    doc="classical additive seasonal decomposition per event type "
+    "(operators/series.py:classical_decompose): value = trend "
+    "(centered 7-point MA, honestly NULL at edges) + seasonal "
+    "(re-centered per-phase mean of the detrended series) + "
+    "remainder — the 'is Monday always like this' separator that the "
+    "drift monitors should watch the REMAINDER of. One key window + "
+    "one (key, phase) map-side aggregate + a broadcast-scale "
+    "re-centering of <= 7 indices; exact integer phase arithmetic, "
+    "stable_avg means",
+)
+def seasonal_decompose_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import classical_decompose
+
+    ev = load_events(spark, sf_dir)
+    rollup = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    return classical_decompose(rollup, ["event_type"], "day", "v", period=7)

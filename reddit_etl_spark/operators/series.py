@@ -760,3 +760,93 @@ def cusum_changepoints(
         F.coalesce(s_hi > h_int, F.lit(False)).alias("alarm_hi"),
         F.coalesce(s_lo > h_int, F.lit(False)).alias("alarm_lo"),
     )
+
+
+def classical_decompose(
+    rollup: DataFrame,
+    key_cols: Sequence[str],
+    day_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition per key (the
+    moving-average method STL descends from): value = trend +
+    seasonal + remainder. Trend = centered ``period``-point moving
+    average (NULL at the edges where the window is short — an honest
+    edge, not a padded one); seasonal = per-phase mean of the
+    detrended series, re-centered so the indices sum to ~0;
+    remainder = what neither explains. The decomposition that turns
+    "is Monday always like this, or is something wrong" into three
+    inspectable columns — upstream of the seasonal-naive backtest and
+    the CUSUM/z-score monitors, which should usually watch the
+    REMAINDER, not the raw series.
+
+    Input contract: a DENSE per-key daily rollup (compose with
+    gap_fill first when days can be absent) — the centered ROWS frame
+    assumes consecutive rows are consecutive days. Odd ``period``
+    required (centered window needs a middle).
+
+    Determinism: trend/means follow the stable_avg discipline (round
+    6 before reuse); phase = (day - epoch) mod period is exact
+    integer arithmetic, so phase assignment can never drift between
+    engines.
+
+    Plan: one key-partitioned window (the trend MA), one map-side
+    (key, phase) aggregate over the detrended ROLLUP, one broadcast-
+    scale window re-centering the <= period seasonal indices, one
+    join back on (key, phase). Everything after the trend window is
+    rollup- or indices-sized.
+
+    Returns (key..., day, value, trend, seasonal, remainder).
+    """
+    if period < 3 or period % 2 == 0:
+        raise ValueError("classical_decompose needs an odd period >= 3")
+    keys = list(key_cols)
+    half = period // 2
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__day")
+        .rowsBetween(-half, half)
+    )
+    base = rollup.select(
+        *keys,
+        F.col(day_col).alias("__day"),
+        F.col(value_col).alias("__v"),
+    ).withColumn(
+        "__trend",
+        F.when(
+            F.count("__v").over(w) == period,
+            F.round(F.avg("__v").over(w), 6),
+        ),
+    ).withColumn(
+        "__phase",
+        F.pmod(
+            F.datediff(F.col("__day"), F.lit("1970-01-01")), F.lit(period)
+        ).cast("long"),
+    ).withColumn("__det", F.col("__v") - F.col("__trend"))
+    s_raw = base.groupBy(*keys, "__phase").agg(
+        F.round(
+            F.round(F.sum("__det"), 6) / F.count("__det"), 6
+        ).alias("__s_raw")
+    )
+    kw = Window.partitionBy(*keys)
+    s_adj = s_raw.withColumn(
+        "__s",
+        F.round(
+            F.col("__s_raw")
+            - F.round(F.sum("__s_raw").over(kw), 6)
+            / F.count("__s_raw").over(kw),
+            6,
+        ),
+    ).select(*keys, "__phase", "__s")
+    out = base.join(F.broadcast(s_adj), [*keys, "__phase"], "left")
+    return out.select(
+        *keys,
+        F.col("__day").alias(day_col),
+        F.col("__v").alias(value_col),
+        F.col("__trend").alias("trend"),
+        F.col("__s").alias("seasonal"),
+        F.round(
+            F.col("__v") - F.col("__trend") - F.col("__s"), 6
+        ).alias("remainder"),
+    )

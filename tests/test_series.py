@@ -576,3 +576,51 @@ def test_cusum_explicit_target_and_relative_sigma(spark):
         df, ["k"], "t", "v", h=2.0, k=0.25, relative=True
     ).collect()
     assert len(rel) == 6 and all(r["s_hi"] is not None for r in rel)
+
+
+def test_classical_decompose_identity_and_seasonal_recovery(spark):
+    import datetime as dt
+
+    from reddit_etl_spark.operators.series import classical_decompose
+
+    # Pure weekly signal on a flat level: level 100, phase bumps
+    # [0,7,0,0,-7,0,0] -> trend ~= 100, seasonal ~= the bumps
+    # (re-centered; they already sum to 0), remainder ~= 0.
+    base = dt.date(2024, 1, 1)
+    bumps = [0.0, 7.0, 0.0, 0.0, -7.0, 0.0, 0.0]
+    rows = [
+        ("k", base + dt.timedelta(days=i), 100.0 + bumps[i % 7])
+        for i in range(28)
+    ]
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    out = {r["day"]: r for r in
+           classical_decompose(df, ["k"], "day", "v").collect()}
+    assert len(out) == 28
+    # value = trend + seasonal + remainder wherever trend exists
+    for r in out.values():
+        if r["trend"] is not None and r["seasonal"] is not None:
+            assert abs(r["v"] - (r["trend"] + r["seasonal"]
+                                 + r["remainder"])) < 1e-6
+    mid = out[base + dt.timedelta(days=10)]
+    assert abs(mid["trend"] - 100.0) < 1e-6
+    assert abs(mid["remainder"]) < 1e-6
+    # edges are honestly NULL (centered window short)
+    for i in (0, 1, 2, 25, 26, 27):
+        assert out[base + dt.timedelta(days=i)]["trend"] is None
+        assert out[base + dt.timedelta(days=i)]["remainder"] is None
+    # the recovered seasonal index matches the planted bump
+    phase_of = lambda d: (d - dt.date(1970, 1, 1)).days % 7  # noqa: E731
+    day10 = base + dt.timedelta(days=10)
+    assert abs(out[day10]["seasonal"] - bumps[phase_of(day10)
+                                             - phase_of(base)]) < 1e-6
+
+
+def test_classical_decompose_rejects_even_period(spark):
+    import pytest as _p
+
+    from reddit_etl_spark.operators.series import classical_decompose
+
+    df = spark.createDataFrame([("k", 1, 1.0)], "k string, day int, v double")
+    for bad in (2, 4, 1):
+        with _p.raises(ValueError, match="odd period"):
+            classical_decompose(df, ["k"], "day", "v", period=bad)
