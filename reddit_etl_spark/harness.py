@@ -264,7 +264,16 @@ _PROMOTED = [
     # equal-mass cuts; displaces hybrid_search_rrf per the comment
     # above)
     "value_histogram_events",
-    "quantile_rollup_kll",
+    # (quantile_rollup_kll held this slot in rounds 5-6 — recorded
+    # row r05; rotated to the tail late-round-6 for
+    # phrase_search_docs; the mergeable-sketch family is historically
+    # well-attested — HLL rows r01-r04, KLL + Theta rows r05 — and
+    # all three stay oracle-checked in the tail with exact-rank /
+    # tolerance audits)
+    # round-6 third wave: positional phrase retrieval (new capability
+    # — the exact-phrase rung next to bm25's bag-of-words ranking;
+    # displaces quantile_rollup_kll per the comment above)
+    "phrase_search_docs",
     # (segment_overlap_theta held this slot in rounds 5-6 — recorded
     # row r05; rotated to the tail late-round-6 for cusum_daily_drift
     # — see the round-6 third-wave blocks)
@@ -848,6 +857,11 @@ _DEFERRED = [
     # readability_docs + zipf_vocab_fit in the head. Stays
     # oracle-checked here each round. Green rows r01-r05.
     "text_profile",
+    # round-6 third-wave rotation OUT: KLL quantile rollup making
+    # room for phrase_search_docs; stays oracle-checked here each
+    # round (exact-rank/5%-tolerance audit) beside its HLL and Theta
+    # siblings. Green row r05.
+    "quantile_rollup_kll",
 ]
 
 
@@ -7778,3 +7792,38 @@ def seasonal_decompose_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.round(F.sum("value"), 6).alias("v"))
     return classical_decompose(rollup, ["event_type"], "day", "v", period=7)
+
+
+@_q(
+    "phrase_search_docs",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents),
+    p AS (
+      SELECT doc_id, unnest(toks) AS t,
+             unnest(range(len(toks))) AS pos
+      FROM d),
+    m AS (
+      SELECT a.doc_id, a.pos AS start
+      FROM p a JOIN p b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      WHERE a.t = 'table' AND b.t = 'hash')
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(start) AS BIGINT) AS first_pos
+    FROM m GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="exact token-phrase retrieval ('table hash') over positional "
+    "postings (operators/text.py:phrase_search): the positional rung "
+    "of the retrieval family — bm25 ranks bags, this answers THE "
+    "phrase, overlaps counted correctly where substring counting "
+    "fails. Postings filtered to the phrase's terms before any "
+    "shuffle (the BM25 discipline), one (doc, pos+offset) equi-join "
+    "per additional term; match set is the output",
+)
+def phrase_search_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import phrase_search
+
+    docs = load(spark, sf_dir, "documents")
+    return phrase_search(docs, "doc_id", "text", ["table", "hash"])

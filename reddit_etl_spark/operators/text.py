@@ -1100,3 +1100,52 @@ def readability_scores(
         F.when(w > 0, ari).alias("ari"),
         F.when(w > 0, cli).alias("coleman_liau"),
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: list[str],
+) -> DataFrame:
+    """Exact token-phrase retrieval over POSITIONAL postings: find
+    every document containing ``phrase`` as consecutive whitespace
+    tokens, with the match count (overlaps included — 'a a' matches
+    twice in 'a a a', which substring counting gets wrong) and the
+    first match position. The positional rung of the retrieval
+    family: bm25 ranks bags of words, this answers "the exact phrase"
+    — and the same (term, doc, pos) postings persist for both.
+
+    Plan: the posexplode postings are filtered to the phrase's terms
+    BEFORE any shuffle (the BM25 discipline — |phrase| postings
+    partitions, never the corpus), then one equi-join per additional
+    term on (doc, pos + offset): each join's build side is one
+    term's postings. Tokenization: lower + split on whitespace,
+    matching bm25_scores/term_stats.
+
+    Returns (id, n_matches BIGINT, first_pos BIGINT) for documents
+    with at least one match; non-matching docs are absent (at 100 TB
+    the match set is the output, the complement is the corpus).
+    """
+    if not phrase:
+        raise ValueError("phrase_search needs at least one term")
+    terms = [t.lower() for t in phrase]
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+            "__pos", "__term"
+        ),
+    ).filter(F.col("__term").isin(sorted(set(terms))))
+    cur = (
+        toks.filter(F.col("__term") == terms[0])
+        .select(F.col(id_col), F.col("__pos").alias("__start"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = toks.filter(F.col("__term") == t).select(
+            F.col(id_col), (F.col("__pos") - i).alias("__start")
+        )
+        cur = cur.join(nxt, [id_col, "__start"])
+    return cur.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("__start").cast("long").alias("first_pos"),
+    )

@@ -666,3 +666,30 @@ def test_readability_hand_computed_and_edge_docs(spark):
     for d in (3, 4):
         assert got[d]["n_words"] == 0 and got[d]["n_sentences"] == 0
         assert got[d]["ari"] is None and got[d]["coleman_liau"] is None
+
+
+def test_phrase_search_overlaps_positions_and_case(spark):
+    import pytest as _p
+
+    from reddit_etl_spark.operators.text import phrase_search
+
+    rows = [
+        (1, "a a a b"),            # 'a a' overlaps: positions 0 and 1
+        (2, "x A a y"),            # case-folded match at 1
+        (3, "a b a"),              # no consecutive 'a a'
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_matches"], r["first_pos"])
+           for r in phrase_search(df, "doc_id", "text", ["a", "a"]).collect()}
+    assert got == {1: (2, 0), 2: (1, 1)}
+
+    # three-token phrase and single-token degenerate form
+    tri = phrase_search(df, "doc_id", "text", ["a", "a", "a"]).collect()
+    assert {(r["doc_id"], r["n_matches"]) for r in tri} == {(1, 1)}
+    one = {r["doc_id"]: r["n_matches"]
+           for r in phrase_search(df, "doc_id", "text", ["a"]).collect()}
+    assert one == {1: 3, 2: 2, 3: 2}
+
+    with _p.raises(ValueError, match="at least one term"):
+        phrase_search(df, "doc_id", "text", [])
