@@ -299,6 +299,12 @@ _PROMOTED = [
     # oracle-checked in the tail with path-equality tests at 50%
     # skew)
     "benford_price_digits",
+    # round-6 third wave: Kaplan-Meier survival (new capability — the
+    # censoring-correct churn/lifetime estimator retention_cohorts'
+    # raw comeback counts cannot express; displaces
+    # dedup_ngram_jaccard, whose rotation block sits in _DEFERRED
+    # with its five recorded rows)
+    "km_survival_segments",
     # round-6 third wave: classical seasonal decomposition (new
     # capability — the trend/seasonal/remainder separator upstream of
     # the backtest and drift monitors; displaces text_profile, whose
@@ -862,6 +868,12 @@ _DEFERRED = [
     # round (exact-rank/5%-tolerance audit) beside its HLL and Theta
     # siblings. Green row r05.
     "quantile_rollup_kll",
+    # round-6 third-wave rotation OUT: n-gram Jaccard near-dup making
+    # room for km_survival_segments; recorded rows r01-r05, stays a
+    # BENCH headline and oracle-checked here each round while the
+    # near-dup family keeps dedup_minhash_lsh + segment_dedup_docs in
+    # the head. Green rows r01-r05.
+    "dedup_ngram_jaccard",
 ]
 
 
@@ -7827,3 +7839,76 @@ def phrase_search_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return phrase_search(docs, "doc_id", "text", ["table", "hash"])
+
+
+@_q(
+    "km_survival_segments",
+    """
+    WITH span AS (
+      SELECT o_custkey, MIN(o_orderdate) AS f, MAX(o_orderdate) AS l
+      FROM orders GROUP BY 1),
+    g AS (SELECT MAX(o_orderdate) AS m FROM orders),
+    subj AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(CAST(span.l AS DATE) - CAST(span.f AS DATE)
+                  AS BIGINT) AS t,
+             (CAST(g.m AS DATE) - CAST(span.l AS DATE)) > 90 AS obs
+      FROM span JOIN customer c ON c.c_custkey = span.o_custkey
+      CROSS JOIN g),
+    counts AS (
+      SELECT seg, t,
+             SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS d,
+             SUM(CASE WHEN obs THEN 0 ELSE 1 END) AS cc
+      FROM subj GROUP BY 1, 2),
+    c2 AS (
+      SELECT seg, t, d, cc,
+             SUM(d + cc) OVER (PARTITION BY seg)
+               - COALESCE(SUM(d + cc) OVER (PARTITION BY seg ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS n
+      FROM counts),
+    c3 AS (SELECT *, 1 - CAST(d AS DOUBLE) / n AS f FROM c2),
+    c4 AS (
+      SELECT *,
+             SUM(CASE WHEN f <= 0 THEN 1 ELSE 0 END) OVER w AS zeros,
+             SUM(CASE WHEN f > 0 THEN ln(f) END) OVER w AS slnf
+      FROM c3
+      WINDOW w AS (PARTITION BY seg ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT seg AS c_mktsegment, t, CAST(n AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(cc AS BIGINT) AS n_censored,
+           CASE WHEN zeros > 0 THEN 0.0
+                ELSE ROUND(EXP(slnf), 6) END AS survival
+    FROM c4 ORDER BY 1, 2
+    """,
+    doc="Kaplan-Meier customer-lifetime curves per market segment "
+    "(operators/relational.py:km_survival): lifetime = first-to-last "
+    "order span, churn observed when inactivity exceeds 90 days "
+    "before the dataset horizon, otherwise right-CENSORED — still "
+    "at-risk subjects count for as long as they were observed "
+    "instead of biasing the curve. One (group, duration) aggregate "
+    "to distinct times, then at-risk series and the survival product "
+    "(exp-sum-ln; exact integer ratio factors; explicit zero-factor "
+    "flag because ln(0) is NULL in Spark but -inf elsewhere) on ONE "
+    "ordered window over the reduced frame",
+)
+def km_survival_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import km_survival
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    span = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("f"), F.max("o_orderdate").alias("l")
+    )
+    gmax = orders.agg(F.max("o_orderdate").alias("m"))
+    subj = (
+        span.join(customer, span["o_custkey"] == customer["c_custkey"])
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.col("c_mktsegment"),
+            F.datediff("l", "f").cast("long").alias("t"),
+            (F.datediff("m", "l") > 90).alias("obs"),
+        )
+    )
+    return km_survival(subj, ["c_mktsegment"], "t", "obs")

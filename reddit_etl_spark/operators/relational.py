@@ -1124,3 +1124,84 @@ def value_histogram(
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         )
     )
+
+
+def km_survival(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    duration_col: str,
+    observed_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival curve per group WITH right-censoring —
+    the estimator behind every honest churn/retention/lifetime
+    readout. retention_cohorts counts who came back; KM answers "what
+    fraction SURVIVES past t" while correctly using subjects still
+    alive at the horizon (censored) for as long as they were at risk,
+    instead of dropping or mislabeling them (both of which bias the
+    curve down or up).
+
+        S(t) = prod over event times u <= t of (1 - d_u / n_u)
+
+    d_u = events at u, n_u = subjects still at risk entering u.
+
+    Distributed shape: one (group, duration) aggregate collapses
+    subjects to distinct times with event/censor counts; the at-risk
+    series and the product both ride ONE per-group ordered window
+    over that REDUCED frame (the product via exp-sum-ln; ratio
+    factors are exact integer divisions, the ln-sum's ulps die at the
+    round-6 output). A group's curve hits exact 0 when its last
+    at-risk subject events — tracked by a zero-factor flag rather
+    than ln(0), which is NULL in Spark but -inf in other engines.
+
+    Returns (group..., t, n_risk BIGINT, n_events BIGINT,
+    n_censored BIGINT, survival) — one row per distinct duration,
+    survival = S(t) rounded 6.
+    """
+    keys = list(group_cols)
+    base = df.filter(
+        F.col(duration_col).isNotNull() & F.col(observed_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(duration_col).alias("__t"),
+        F.col(observed_col).cast("boolean").alias("__obs"),
+    )
+    counts = base.groupBy(*keys, "__t").agg(
+        F.sum(F.col("__obs").cast("long")).alias("__d"),
+        F.sum((~F.col("__obs")).cast("long")).alias("__c"),
+    )
+    kw = Window.partitionBy(*keys)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wprev = (
+        Window.partitionBy(*keys)
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = counts.withColumn(
+        "__n",
+        F.sum(F.col("__d") + F.col("__c")).over(kw)
+        - F.coalesce(
+            F.sum(F.col("__d") + F.col("__c")).over(wprev), F.lit(0)
+        ),
+    )
+    factor = 1 - F.col("__d") / F.col("__n")
+    c = c.withColumn("__f", factor).withColumn(
+        "__lnf", F.when(F.col("__f") > 0, F.log(F.col("__f")))
+    ).withColumn(
+        "__zeros",
+        F.sum((F.col("__f") <= 0).cast("long")).over(w),
+    )
+    surv = F.when(F.col("__zeros") > 0, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum("__lnf").over(w)), 6)
+    )
+    return c.select(
+        *keys,
+        F.col("__t").alias("t"),
+        F.col("__n").cast("long").alias("n_risk"),
+        F.col("__d").cast("long").alias("n_events"),
+        F.col("__c").cast("long").alias("n_censored"),
+        surv.alias("survival"),
+    )

@@ -1663,3 +1663,50 @@ class TestValueHistogram:
         df = spark.createDataFrame(rows, "g string, v double")
         with _p.raises(ValueError, match="bins"):
             value_histogram(df, ["g"], "v", bins=0)
+
+
+class TestKmSurvival:
+    def _run(self, spark, rows):
+        from reddit_etl_spark.operators.relational import km_survival
+
+        df = spark.createDataFrame(rows, "g string, t long, obs boolean")
+        out = km_survival(df, ["g"], "t", "obs")
+        return {(r["g"], r["t"]): r for r in out.collect()}
+
+    def test_textbook_km_with_censoring(self, spark):
+        # classic worked example: events at 1, 3; censored at 2, 4.
+        # S(1) = 1 - 1/4 = .75; at t=2 censoring only: S stays .75 and
+        # the censored subject STILL counted at risk at t=1;
+        # S(3) = .75 * (1 - 1/2) = .375; t=4 censored: S stays .375.
+        rows = [("a", 1, True), ("a", 2, False),
+                ("a", 3, True), ("a", 4, False)]
+        got = self._run(spark, rows)
+        assert got[("a", 1)]["survival"] == 0.75
+        assert got[("a", 1)]["n_risk"] == 4
+        assert got[("a", 2)]["survival"] == 0.75
+        assert got[("a", 2)]["n_censored"] == 1
+        assert got[("a", 3)]["survival"] == 0.375
+        assert got[("a", 3)]["n_risk"] == 2
+        assert got[("a", 4)]["survival"] == 0.375
+
+    def test_dropping_censored_subjects_would_bias(self, spark):
+        # with the censored subject removed, S(3) would be
+        # (1-1/3)*(1-1/2) = 1/3 != .375 — censoring handling matters
+        rows = [("b", 1, True), ("b", 3, True), ("b", 4, False)]
+        got = self._run(spark, rows)
+        assert got[("b", 3)]["survival"] == round((1 - 1 / 3) * (1 - 1 / 2), 6)
+
+    def test_curve_reaches_exact_zero_when_last_at_risk_events(self, spark):
+        rows = [("c", 1, True), ("c", 2, True)]
+        got = self._run(spark, rows)
+        assert got[("c", 1)]["survival"] == 0.5
+        assert got[("c", 2)]["survival"] == 0.0   # ln(0) path guarded
+
+    def test_tied_times_and_null_rows(self, spark):
+        rows = [("d", 5, True), ("d", 5, True), ("d", 5, False),
+                ("d", None, True), ("d", 7, None)]
+        got = self._run(spark, rows)
+        assert got[("d", 5)]["n_events"] == 2
+        assert got[("d", 5)]["n_censored"] == 1
+        assert got[("d", 5)]["survival"] == round(1 - 2 / 3, 6)
+        assert len(got) == 1  # NULL duration/flag rows excluded
