@@ -299,6 +299,11 @@ _PROMOTED = [
     # oracle-checked in the tail with path-equality tests at 50%
     # skew)
     "benford_price_digits",
+    # round-6 third wave: Gini concentration (new capability — the
+    # mass-concentration readout next to join_profile's hot-key
+    # diagnostics; displaces q12_correlations, whose rotation block
+    # sits in _DEFERRED with its five recorded rows)
+    "gini_customer_revenue",
     # round-6 third wave: Kaplan-Meier survival (new capability — the
     # censoring-correct churn/lifetime estimator retention_cohorts'
     # raw comeback counts cannot express; displaces
@@ -874,6 +879,13 @@ _DEFERRED = [
     # near-dup family keeps dedup_minhash_lsh + segment_dedup_docs in
     # the head. Green rows r01-r05.
     "dedup_ngram_jaccard",
+    # round-6 third-wave rotation OUT: q12 Pearson correlations making
+    # room for gini_customer_revenue; recorded rows r01-r05, stays
+    # oracle-checked here each round (and SQL<->DataFrame equivalence
+    # tested), while the CORR surface keeps acf_daily_values' recorded
+    # row and the moment-closed-form family keeps ols_order_value +
+    # theilsen_daily_trend in the head. Green rows r01-r05.
+    "q12_correlations",
 ]
 
 
@@ -7912,3 +7924,56 @@ def km_survival_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return km_survival(subj, ["c_mktsegment"], "t", "obs")
+
+
+@_q(
+    "gini_customer_revenue",
+    """
+    WITH rev AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(18,2)) * 100
+                  AS DECIMAL(18,0)) AS vc
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY seg, o.o_custkey),
+    r AS (
+      SELECT seg, vc,
+             row_number() OVER (PARTITION BY seg ORDER BY vc) AS i
+      FROM rev),
+    a AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(vc) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(i AS DECIMAL(38,0))
+                      * CAST(vc AS DECIMAL(38,0))) AS DOUBLE) AS siv
+      FROM r GROUP BY seg)
+    SELECT seg AS c_mktsegment, n, ROUND(sv / 100.0, 6) AS total,
+           CASE WHEN sv > 0
+                THEN ROUND((2 * siv - (CAST(n AS DOUBLE) + 1) * sv)
+                           / (CAST(n AS DOUBLE) * sv), 6) END AS gini
+    FROM a ORDER BY seg
+    """,
+    doc="Gini concentration of per-customer revenue by market segment "
+    "(operators/relational.py:gini_coefficient): 'does 1% of the "
+    "customers carry 60% of the revenue' — the mass-concentration "
+    "readout next to join_profile's hot-key diagnostics. Rank "
+    "formula over ascending values (tie order unobservable: tied "
+    "values contribute v*(i1+i2) either way); cents quantization via "
+    "DECIMAL and DECIMAL(38,0) rank-weighted moments (n^2*max_v "
+    "passes int64 at warehouse scale), one fixed double expression "
+    "at the end",
+)
+def gini_customer_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import gini_coefficient
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    rev = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("revenue")
+        )
+    )
+    return gini_coefficient(rev, ["c_mktsegment"], "revenue")

@@ -1205,3 +1205,55 @@ def km_survival(
         F.col("__c").cast("long").alias("n_censored"),
         surv.alias("survival"),
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group Gini concentration of a nonnegative value — "do 1%
+    of the customers carry 60% of the revenue": the inequality
+    readout behind whale analysis, mixture balancing, and the skew
+    diagnostics (join_profile finds hot KEYS; Gini quantifies how
+    concentrated the MASS is). 0 = perfectly even, ->1 = one row
+    holds everything.
+
+    Rank formula over ascending values: G = (2*sum(i*v_i) -
+    (n+1)*sum(v)) / (n*sum(v)). Tied values at swapped ranks
+    contribute identically (v*(i1+i2)), so the arbitrary tie order is
+    unobservable. Exactness: values quantize to cents via
+    DECIMAL(18,2) (double*100-and-truncate differs across engines;
+    decimal doesn't) and both moments accumulate in DECIMAL(38,0) —
+    rank-weighted sums reach n^2*max_v, past int64 at warehouse
+    scale. The final G is one fixed double expression over exact
+    moments. NULL and negative values are excluded (Gini is defined
+    on nonnegative mass); all-zero groups yield NULL.
+
+    Plan: one rank window per group + one map-side-combined
+    aggregate; returns (group..., n BIGINT, total, gini).
+    """
+    keys = list(group_cols)
+    cents = (
+        F.col(value_col).cast("decimal(18,2)") * 100
+    ).cast("decimal(18,0)")
+    base = df.filter(
+        F.col(value_col).isNotNull() & (F.col(value_col) >= 0)
+    ).select(*keys, cents.cast("decimal(38,0)").alias("__v"))
+    w = Window.partitionBy(*keys).orderBy("__v")
+    ranked = base.withColumn(
+        "__i", F.row_number().over(w).cast("decimal(38,0)")
+    )
+    agg = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__v").cast("double").alias("__sv"),
+        F.sum(F.col("__i") * F.col("__v")).cast("double").alias("__siv"),
+    )
+    n = F.col("n").cast("double")
+    g = (2 * F.col("__siv") - (n + 1) * F.col("__sv")) / (n * F.col("__sv"))
+    return agg.select(
+        *keys,
+        "n",
+        F.round(F.col("__sv") / 100.0, 6).alias("total"),
+        F.when(F.col("__sv") > 0, F.round(g, 6)).alias("gini"),
+    )

@@ -1710,3 +1710,39 @@ class TestKmSurvival:
         assert got[("d", 5)]["n_censored"] == 1
         assert got[("d", 5)]["survival"] == round(1 - 2 / 3, 6)
         assert len(got) == 1  # NULL duration/flag rows excluded
+
+
+class TestGiniCoefficient:
+    def _run(self, spark, rows):
+        from reddit_etl_spark.operators.relational import gini_coefficient
+
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = gini_coefficient(df, ["g"], "v")
+        return {r["g"]: r for r in out.collect()}
+
+    def test_uniform_zero_and_total_concentration(self, spark):
+        rows = [("even", 10.0)] * 4 + [
+            ("whale", 0.0), ("whale", 0.0), ("whale", 0.0),
+            ("whale", 100.0),
+        ]
+        got = self._run(spark, rows)
+        assert got["even"]["gini"] == 0.0
+        # one of n holds everything: G = (n-1)/n = 0.75
+        assert got["whale"]["gini"] == 0.75
+        assert got["whale"]["total"] == 100.0
+
+    def test_matches_textbook_mean_difference_form(self, spark):
+        vals = [1.0, 2.0, 4.0, 8.0, 15.0]
+        got = self._run(spark, [("g", v) for v in vals])["g"]
+        n, s = len(vals), sum(vals)
+        # Gini = mean absolute difference / (2 * mean)
+        mad = sum(abs(a - b) for a in vals for b in vals) / (n * n)
+        assert abs(got["gini"] - mad / (2 * (s / n))) < 1e-6
+
+    def test_ties_excluded_rows_and_zero_total(self, spark):
+        rows = [("t", 5.0), ("t", 5.0), ("t", 5.0),
+                ("t", None), ("t", -3.0),
+                ("z", 0.0), ("z", 0.0)]
+        got = self._run(spark, rows)
+        assert got["t"]["n"] == 3 and got["t"]["gini"] == 0.0
+        assert got["z"]["gini"] is None   # zero mass: undefined
