@@ -299,6 +299,11 @@ _PROMOTED = [
     # oracle-checked in the tail with path-equality tests at 50%
     # skew)
     "benford_price_digits",
+    # round-6 third wave: trimmed mean (new capability — the robust
+    # center next to MAD's spread and Theil-Sen's trend; displaces
+    # similarity_topk, whose rotation block sits in _DEFERRED with
+    # its five recorded rows)
+    "trimmed_mean_order_value",
     # round-6 third wave: Gini concentration (new capability — the
     # mass-concentration readout next to join_profile's hot-key
     # diagnostics; displaces q12_correlations, whose rotation block
@@ -886,6 +891,12 @@ _DEFERRED = [
     # row and the moment-closed-form family keeps ols_order_value +
     # theilsen_daily_trend in the head. Green rows r01-r05.
     "q12_correlations",
+    # round-6 third-wave rotation OUT: exact-cosine top-k baseline
+    # making room for trimmed_mean_order_value; recorded rows
+    # r01-r05, stays a BENCH headline and oracle-checked here each
+    # round, its kernel consumed inside embedding_silhouette's
+    # recorded row and all four ANN audit twins. Green rows r01-r05.
+    "similarity_topk",
 ]
 
 
@@ -7977,3 +7988,52 @@ def gini_customer_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return gini_coefficient(rev, ["c_mktsegment"], "revenue")
+
+
+@_q(
+    "trimmed_mean_order_value",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS pri,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS v
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    r AS (
+      SELECT pri, v,
+             row_number() OVER (PARTITION BY pri ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY pri) AS n
+      FROM base),
+    a AS (
+      SELECT pri, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(SUM(CAST(v AS DECIMAL(38,2))) AS DOUBLE) AS s_all,
+             CAST(SUM(CASE WHEN rn > FLOOR(n * 0.1)
+                            AND rn <= n - FLOOR(n * 0.1)
+                           THEN CAST(v AS DECIMAL(38,2)) END)
+                  AS DOUBLE) AS s_kept,
+             CAST(SUM(CASE WHEN rn > FLOOR(n * 0.1)
+                            AND rn <= n - FLOOR(n * 0.1)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM r GROUP BY pri)
+    SELECT pri AS o_orderpriority, n, n_kept,
+           s_all / n AS mean,
+           CASE WHEN n_kept > 0 THEN s_kept / n_kept END AS trimmed
+    FROM a ORDER BY pri
+    """,
+    doc="10%-trimmed mean of order value per priority "
+    "(operators/relational.py:trimmed_mean): drop each tail's "
+    "floor(n*0.1) values, average the rest — the robust center that "
+    "survives fat tails where the plain mean follows them (emitted "
+    "side by side for the contrast); third robust rung next to MAD "
+    "and Theil-Sen. Cut-boundary ties are order-invariant (cut rows "
+    "are interchangeable with kept rows of equal value); "
+    "DECIMAL-exact sums, one exact division each, no rounding",
+)
+def trimmed_mean_order_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import trimmed_mean
+
+    orders = load(spark, sf_dir, "orders")
+    return trimmed_mean(
+        orders.select("o_orderpriority", "o_totalprice"),
+        ["o_orderpriority"],
+        "o_totalprice",
+        trim=0.1,
+    )

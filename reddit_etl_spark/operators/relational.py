@@ -1257,3 +1257,74 @@ def gini_coefficient(
         F.round(F.col("__sv") / 100.0, 6).alias("total"),
         F.when(F.col("__sv") > 0, F.round(g, 6)).alias("gini"),
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    trim: float = 0.1,
+) -> DataFrame:
+    """Per-group trimmed mean: drop the lowest and highest
+    floor(n*trim) values, average the rest — the robust center that
+    survives fat tails and entry errors where the plain mean follows
+    them, cheaper than a full median when the middle is all you need
+    to stabilize. The third rung of the robust family next to MAD
+    (spread) and Theil-Sen (trend).
+
+    Tie handling needs no tiebreak column: rows cut at a value
+    boundary are interchangeable with kept rows of the same value, so
+    the kept MULTISET — and the mean — is order-invariant. Exactness:
+    values sum as DECIMAL(18,2) (the OLS discipline — double sums at
+    warehouse magnitudes carry ulps past any rounding fix) and each
+    mean is ONE exact-integer division, emitted unrounded.
+
+    Plan: one rank + count window per group, one filter, one
+    map-side-combined aggregate. NULLs excluded. Groups where the
+    trim would consume everything (tiny n with large trim) yield a
+    NULL trimmed mean, not an empty-set 0.
+
+    Returns (group..., n BIGINT, n_kept BIGINT, mean, trimmed).
+    """
+    if not 0 <= trim < 0.5:
+        raise ValueError("trim must be in [0, 0.5)")
+    keys = list(group_cols)
+    v = F.col(value_col).cast("decimal(18,2)")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *keys, v.alias("__v")
+    )
+    w = Window.partitionBy(*keys).orderBy("__v")
+    kw = Window.partitionBy(*keys)
+    ranked = base.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count("*").over(kw)
+    )
+    cut = F.floor(F.col("__n") * F.lit(float(trim))).cast("long")
+    agg = ranked.groupBy(*keys).agg(
+        F.max("__n").cast("long").alias("n"),
+        F.sum(F.col("__v").cast("decimal(38,2)"))
+        .cast("double")
+        .alias("__s_all"),
+        F.sum(
+            F.when(
+                (F.col("__rn") > cut) & (F.col("__rn") <= F.col("__n") - cut),
+                F.col("__v").cast("decimal(38,2)"),
+            )
+        )
+        .cast("double")
+        .alias("__s_kept"),
+        F.sum(
+            (
+                (F.col("__rn") > cut)
+                & (F.col("__rn") <= F.col("__n") - cut)
+            ).cast("long")
+        ).alias("n_kept"),
+    )
+    return agg.select(
+        *keys,
+        "n",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        (F.col("__s_all") / F.col("n")).alias("mean"),
+        F.when(
+            F.col("n_kept") > 0, F.col("__s_kept") / F.col("n_kept")
+        ).alias("trimmed"),
+    )

@@ -1746,3 +1746,44 @@ class TestGiniCoefficient:
         got = self._run(spark, rows)
         assert got["t"]["n"] == 3 and got["t"]["gini"] == 0.0
         assert got["z"]["gini"] is None   # zero mass: undefined
+
+
+class TestTrimmedMean:
+    def _run(self, spark, rows, trim=0.2):
+        from reddit_etl_spark.operators.relational import trimmed_mean
+
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = trimmed_mean(df, ["g"], "v", trim=trim)
+        return {r["g"]: r for r in out.collect()}
+
+    def test_outlier_resistant_center(self, spark):
+        # 10 values: 8x ~10 plus two wild tails; trim=0.2 cuts 2 each
+        # side -> kept = the middle 6 tens
+        vals = [-1000.0, 9.0, 10.0, 10.0, 10.0, 10.0, 10.0, 10.0,
+                11.0, 5000.0]
+        got = self._run(spark, [("g", v) for v in vals])["g"]
+        assert got["n"] == 10 and got["n_kept"] == 6
+        assert got["trimmed"] == 10.0
+        assert got["mean"] == sum(vals) / 10  # follows the tails
+
+    def test_zero_trim_equals_mean_and_overtrim_is_null(self, spark):
+        rows = [("g", 1.0), ("g", 2.0), ("g", 6.0)]
+        got = self._run(spark, rows, trim=0.0)["g"]
+        assert got["trimmed"] == got["mean"] == 3.0
+        tiny = self._run(spark, [("t", 1.0), ("t", 9.0)], trim=0.49)
+        # floor(2*0.49)=0 -> keeps both; now force full consumption
+        got2 = self._run(spark, [("t", 1.0), ("t", 9.0), ("t", 5.0)],
+                         trim=0.4)
+        # floor(3*0.4)=1 each side -> keeps the median only
+        assert got2["t"]["n_kept"] == 1 and got2["t"]["trimmed"] == 5.0
+        assert tiny["t"]["n_kept"] == 2
+
+    def test_rejects_bad_trim(self, spark):
+        import pytest as _p
+
+        from reddit_etl_spark.operators.relational import trimmed_mean
+
+        df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+        for bad in (0.5, -0.1, 1.0):
+            with _p.raises(ValueError, match="trim"):
+                trimmed_mean(df, ["g"], "v", trim=bad)
