@@ -146,21 +146,15 @@ _PROMOTED = [
     # runs the same JW pair generator; all three stay oracle-checked
     # in the tail)
     "tpch_q1_pricing",
-    # (tpch_q3_priority held this slot in round 6 — recorded row r05;
-    # rotated to the tail late-round-6 for ks_value_drift; the TPC-H
-    # classics keep Q1 recorded and the shipped-top-10 join/agg shape
-    # stays attested by q09's recorded row + the tail oracle)
     # round-6 third wave: exact two-sample KS drift (new capability —
-    # the binning-free complement to PSI's binned drift; displaces
-    # tpch_q3_priority per the comment above)
+    # the binning-free complement to PSI's binned drift; its slot
+    # comes from the dq_report_orders rotation, see the corrected
+    # TPC-H blocks above)
     "ks_value_drift",
-    # (tpch_q5_region held this slot in round 6 — recorded row r05;
-    # rotated to the tail late-round-6 for embedding_silhouette; the
-    # TPC-H classics keep Q1 + Q3 recorded and Q5's 6-table
-    # join-reorder shape stays oracle-checked in the tail)
     # round-6 third wave: simplified silhouette (new capability — the
     # clustering family's evaluation rung, as ranking_metrics is for
-    # search; displaces tpch_q5_region per the comment above)
+    # search; its slot comes from the incremental_rollup_refresh
+    # rotation, see the corrected TPC-H blocks above)
     "embedding_silhouette",
     # round-6 rotation: CCNet-style segment dedup with document
     # reassembly (new capability; displaces boilerplate_fraction, its
@@ -454,16 +448,23 @@ _PROMOTED = [
     # bfs_purchase_rings — see the round-6 second-wave blocks)
     # (event_pattern_counts held this slot in round 5; rotated to the
     # tail in round 6 for events_daily_melt — see the round-6 blocks)
-    # data-quality expectations (new capability; displaces
-    # pii_redaction, whose regex-scrub kernel stays pinned by
-    # tests/test_curation.py and this oracle tail — redaction output
-    # is also consumed inside curation_pipeline_full's recorded row)
-    "dq_report_orders",
-    # incremental rollup maintenance (new capability; displaces
-    # interval_session_join, whose bucket-equality range-join shape
-    # stays recorded via asof_next_purchase + the asof_split row and
-    # oracle-checked in this tail)
-    "incremental_rollup_refresh",
+    # (dq_report_orders held this slot in rounds 5-6 — recorded row
+    # r05; rotated to the tail late-round-6 so TPC-H Q3 gets its
+    # FIRST driver row — the DQ family keeps benford_price_digits in
+    # the head and the fused-check kernel its plan-asserted tests)
+    # round-6 correction: tpch_q3_priority is round-6-NEW (no
+    # recorded row exists); an earlier third-wave rotation moved it
+    # to the tail on a mistaken r05 attribution — restored here so
+    # every new capability gets a first recording
+    "tpch_q3_priority",
+    # (incremental_rollup_refresh held this slot in rounds 5-6 —
+    # recorded row r05; rotated to the tail late-round-6 so TPC-H Q5
+    # gets its FIRST driver row — rollup maintenance keeps its r05
+    # attestation + cdc_supplier_apply's head slot for the
+    # apply-changes surface)
+    # round-6 correction: tpch_q5_region restored to the head for the
+    # same reason as Q3 above
+    "tpch_q5_region",
     # (join_profile_orders_lineitem held this slot through round 6's
     # first half — recorded rows r05; rotated to the tail mid-round-6
     # for lpa_communities — see the round-6 second-wave blocks)
@@ -838,16 +839,15 @@ _DEFERRED = [
     # round (integer-count EM replay) while lang-ID keeps
     # text_profile's recorded heuristic row. Green row r05.
     "nb_language_selftrain",
-    # round-6 third-wave rotation OUT: TPC-H Q5 making room for
-    # embedding_silhouette; the TPC-H classics keep Q1 + Q3 recorded
-    # rows and Q5's 6-table join-reorder shape stays oracle-checked
-    # here each round. Green row r05.
-    "tpch_q5_region",
-    # round-6 third-wave rotation OUT: TPC-H Q3 making room for
-    # ks_value_drift; Q1 keeps the TPC-H recorded row and the
-    # shipped-top-10 join/agg shape stays attested by q09's recorded
-    # row + this oracle tail. Green row r05.
-    "tpch_q3_priority",
+    # round-6 third-wave rotation OUT (corrected): dq_report_orders
+    # and incremental_rollup_refresh (both recorded r05) moved here
+    # so the round-6-NEW TPC-H Q3/Q5 — which an earlier rotation had
+    # misfiled as r05-recorded — get their FIRST driver rows. The DQ
+    # family keeps benford_price_digits in the head + the fused-check
+    # plan-asserted tests; rollup maintenance keeps its r05 row and
+    # cdc_supplier_apply's head slot. Both stay oracle-checked here.
+    "dq_report_orders",
+    "incremental_rollup_refresh",
     # round-6 third-wave rotation OUT: skew-split as-of making room
     # for theilsen_daily_trend; the split='auto' machinery keeps its
     # r05 recorded rows (this and sessionization_split) and the
