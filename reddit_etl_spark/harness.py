@@ -7787,10 +7787,12 @@ def cube_status_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, day, v,
              CASE WHEN COUNT(v) OVER w = 7
                   THEN ROUND(AVG(v) OVER w, 6) END AS trend,
-             CAST((day - DATE '1970-01-01') % 7 AS BIGINT) AS phase
+             CAST((((day - DATE '1970-01-01') % 7) + 7) % 7
+                  AS BIGINT) AS phase
       FROM r
-      WINDOW w AS (PARTITION BY event_type ORDER BY day
-                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      WINDOW w AS (PARTITION BY event_type
+                   ORDER BY (day - DATE '1970-01-01')
+                   RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
     det AS (SELECT *, v - trend AS dt FROM base),
     sr AS (
       SELECT event_type, phase,
@@ -7834,7 +7836,7 @@ def seasonal_decompose_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (
       SELECT doc_id,
-             string_split_regex(lower(text), '\\s+') AS toks
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
       FROM documents),
     p AS (
       SELECT doc_id, unnest(toks) AS t,

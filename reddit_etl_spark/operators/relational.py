@@ -1276,13 +1276,15 @@ def trimmed_mean(
     boundary are interchangeable with kept rows of the same value, so
     the kept MULTISET — and the mean — is order-invariant. Exactness:
     values sum as DECIMAL(18,2) (the OLS discipline — double sums at
-    warehouse magnitudes carry ulps past any rounding fix) and each
-    mean is ONE exact-integer division, emitted unrounded.
+    warehouse magnitudes carry ulps past any rounding fix), each
+    mean is ONE exact-integer division emitted unrounded, and the
+    cut is integer arithmetic on a ppm-quantized trim (double
+    multiplication drops a row at e.g. trim=0.35, n=180).
 
     Plan: one rank + count window per group, one filter, one
-    map-side-combined aggregate. NULLs excluded. Groups where the
-    trim would consume everything (tiny n with large trim) yield a
-    NULL trimmed mean, not an empty-set 0.
+    map-side-combined aggregate. NULLs excluded. trim < 0.5
+    guarantees at least one kept row per group (cut <= floor(n*trim)
+    < n/2), so the trimmed mean is always defined.
 
     Returns (group..., n BIGINT, n_kept BIGINT, mean, trimmed).
     """
@@ -1298,7 +1300,15 @@ def trimmed_mean(
     ranked = base.withColumn("__rn", F.row_number().over(w)).withColumn(
         "__n", F.count("*").over(kw)
     )
-    cut = F.floor(F.col("__n") * F.lit(float(trim))).cast("long")
+    # exact integer cut: floor(n * ppm / 1e6) via the subtract-mod
+    # floor-division identity on longs — floor(n * double(trim))
+    # loses a row where the double sits below the rational (e.g.
+    # trim=0.35, n=180), and a DECIMAL-literal SQL replica would
+    # disagree; n*ppm stays exact well past any group size and the
+    # final division is of an exact multiple
+    ppm = int(round(trim * 1_000_000))
+    a = F.col("__n") * F.lit(ppm)
+    cut = ((a - F.pmod(a, F.lit(1_000_000))) / 1_000_000).cast("long")
     agg = ranked.groupBy(*keys).agg(
         F.max("__n").cast("long").alias("n"),
         F.sum(F.col("__v").cast("decimal(38,2)"))
@@ -1324,7 +1334,5 @@ def trimmed_mean(
         "n",
         F.col("n_kept").cast("long").alias("n_kept"),
         (F.col("__s_all") / F.col("n")).alias("mean"),
-        F.when(
-            F.col("n_kept") > 0, F.col("__s_kept") / F.col("n_kept")
-        ).alias("trimmed"),
+        (F.col("__s_kept") / F.col("n_kept")).alias("trimmed"),
     )

@@ -781,9 +781,11 @@ def classical_decompose(
     the CUSUM/z-score monitors, which should usually watch the
     REMAINDER, not the raw series.
 
-    Input contract: a DENSE per-key daily rollup (compose with
-    gap_fill first when days can be absent) — the centered ROWS frame
-    assumes consecutive rows are consecutive days. Odd ``period``
+    Gappy input is handled honestly: the trend window RANGES over the
+    day index (not row positions), so a missing neighbor day yields a
+    NULL trend for the rows around the gap rather than silently
+    averaging non-consecutive days — compose with gap_fill upstream
+    when absent-means-zero is the intended reading. Odd ``period``
     required (centered window needs a middle).
 
     Determinism: trend/means follow the stable_avg discipline (round
@@ -803,15 +805,22 @@ def classical_decompose(
         raise ValueError("classical_decompose needs an odd period >= 3")
     keys = list(key_cols)
     half = period // 2
+    # RANGE frame on a day INDEX, not a ROWS frame: on a gappy series
+    # a ROWS frame would silently average `period` NON-consecutive
+    # days into a wrong "centered MA"; the day-range frame plus the
+    # completeness check makes missing neighbors surface as an honest
+    # NULL trend instead
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__day")
-        .rowsBetween(-half, half)
+        .orderBy("__di")
+        .rangeBetween(-half, half)
     )
     base = rollup.select(
         *keys,
         F.col(day_col).alias("__day"),
         F.col(value_col).alias("__v"),
+    ).withColumn(
+        "__di", F.datediff(F.col("__day"), F.lit("1970-01-01"))
     ).withColumn(
         "__trend",
         F.when(
@@ -819,10 +828,11 @@ def classical_decompose(
             F.round(F.avg("__v").over(w), 6),
         ),
     ).withColumn(
+        # pmod, NOT %: pre-1970 days have a negative index, and SQL
+        # '%' follows the dividend's sign in most engines — any SQL
+        # replica must use a non-negative mod (((x % p) + p) % p)
         "__phase",
-        F.pmod(
-            F.datediff(F.col("__day"), F.lit("1970-01-01")), F.lit(period)
-        ).cast("long"),
+        F.pmod(F.col("__di"), F.lit(period)).cast("long"),
     ).withColumn("__det", F.col("__v") - F.col("__trend"))
     s_raw = base.groupBy(*keys, "__phase").agg(
         F.round(

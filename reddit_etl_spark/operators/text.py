@@ -1130,11 +1130,15 @@ def phrase_search(
     if not phrase:
         raise ValueError("phrase_search needs at least one term")
     terms = [t.lower() for t in phrase]
+    # trim BEFORE splitting: a whitespace-led document would otherwise
+    # emit an empty token at position 0 and shift every reported
+    # position off the trimmed tokenization the rest of the text
+    # family (chunking, word counts) indexes against
     toks = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
-            "__pos", "__term"
-        ),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("__pos", "__term"),
     ).filter(F.col("__term").isin(sorted(set(terms))))
     cur = (
         toks.filter(F.col("__term") == terms[0])

@@ -1556,7 +1556,7 @@ def test_weighted_percentiles_rejects_colliding_ps(spark):
 
     df = spark.createDataFrame([("a", 1.0, 1)], "g string, v double, w long")
     with _p.raises(ValueError, match="distinct"):
-        weighted_percentiles(df, ["g"], "v", "w", ps=(0.12341, 0.12349))
+        weighted_percentiles(df, ["g"], "v", "w", ps=(0.12341, 0.12344))
 
 
 def test_cusum_null_reading_and_single_row_sigma(spark):
@@ -1787,3 +1787,15 @@ class TestTrimmedMean:
         for bad in (0.5, -0.1, 1.0):
             with _p.raises(ValueError, match="trim"):
                 trimmed_mean(df, ["g"], "v", trim=bad)
+
+
+def test_trimmed_mean_exact_cut_at_double_boundary(spark):
+    """floor(180 * double(0.35)) is 62 (the double sits below the
+    rational); the exact ppm cut must take 63 per tail."""
+    from reddit_etl_spark.operators.relational import trimmed_mean
+
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(180)], "g string, v double"
+    )
+    got = trimmed_mean(df, ["g"], "v", trim=0.35).collect()[0]
+    assert got["n_kept"] == 180 - 2 * 63

@@ -624,3 +624,22 @@ def test_classical_decompose_rejects_even_period(spark):
     for bad in (2, 4, 1):
         with _p.raises(ValueError, match="odd period"):
             classical_decompose(df, ["k"], "day", "v", period=bad)
+
+
+def test_classical_decompose_gap_yields_null_trend_not_wrong_ma(spark):
+    import datetime as dt
+
+    from reddit_etl_spark.operators.series import classical_decompose
+
+    base = dt.date(2024, 1, 1)
+    # 15 consecutive days with day 7 MISSING: every row whose centered
+    # 7-day span covers the gap must report NULL trend — a ROWS frame
+    # would have silently averaged non-consecutive days instead
+    days = [i for i in range(15) if i != 7]
+    rows = [("k", base + dt.timedelta(days=i), 10.0 + i) for i in days]
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    out = {(r["day"] - base).days: r["trend"]
+           for r in classical_decompose(df, ["k"], "day", "v").collect()}
+    for i in (4, 5, 6, 8, 9, 10):          # windows spanning the gap
+        assert out[i] is None, i
+    assert out[11] is not None             # full window past the gap

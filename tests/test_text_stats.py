@@ -693,3 +693,18 @@ def test_phrase_search_overlaps_positions_and_case(spark):
 
     with _p.raises(ValueError, match="at least one term"):
         phrase_search(df, "doc_id", "text", [])
+
+
+def test_phrase_search_positions_index_trimmed_tokens(spark):
+    from reddit_etl_spark.operators.text import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "   table hash x"), (2, "table hash")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["first_pos"]
+           for r in phrase_search(df, "doc_id", "text",
+                                  ["table", "hash"]).collect()}
+    # leading whitespace must not shift positions off the trimmed
+    # tokenization the rest of the text family uses
+    assert got == {1: 0, 2: 0}
