@@ -313,6 +313,27 @@ class Corpus:
 
         return zipf_fit(self._df, self.id_col, self.text_col, top_n=top_n)
 
+    def leakage_safe_splits(
+        self,
+        threshold: float = 0.5,
+        n: int = 3,
+        train_fraction: float = 0.9,
+    ) -> DataFrame:
+        """Train/test tags where every near-dup cluster (n-gram
+        Jaccard >= threshold components) lands wholly on one side —
+        the split-time complement of decontaminate(): one prevents
+        eval rows leaking INTO training data, this prevents the split
+        itself from manufacturing the overlap."""
+        from .operators.curation import leakage_safe_splits
+        from .operators.dedup import ngram_jaccard_pairs
+
+        pairs = ngram_jaccard_pairs(
+            self._df, self.id_col, self.text_col, n=n, threshold=threshold
+        )
+        return leakage_safe_splits(
+            self._df, self.id_col, pairs, train_fraction=train_fraction
+        )
+
     # -- terminal actions ---------------------------------------------
 
     def perplexity_filter(

@@ -479,7 +479,15 @@ _PROMOTED = [
     # asof_next_purchase, whose as-of join family keeps TWO recorded
     # rows via asof_split — same operator, skew mode — while the base
     # path stays oracle-checked via asof_attribution in the tail)
-    "ppr_supplier_recs",
+    # (ppr_supplier_recs held this slot in rounds 5-6 — recorded row
+    # r05; rotated to the tail late-round-6 for
+    # leakage_safe_splits_docs; base pagerank keeps its head slot and
+    # the weighted-share DECIMAL machinery its overflow tests)
+    # round-6 third wave: leakage-safe splits (new capability —
+    # near-dup clusters land wholly on one side of train/test, the
+    # split-time complement of decontamination; displaces
+    # ppr_supplier_recs per the comment above)
+    "leakage_safe_splits_docs",
     # (mad_outliers_daily held this slot in round 5; rotated to the
     # tail in round 6 for kcore_cust_supp — see the round-6 blocks)
     # (hits_cust_supp held this slot in rounds 5-6 — recorded row
@@ -897,6 +905,11 @@ _DEFERRED = [
     # round, its kernel consumed inside embedding_silhouette's
     # recorded row and all four ANN audit twins. Green rows r01-r05.
     "similarity_topk",
+    # round-6 third-wave rotation OUT: weighted personalized PageRank
+    # making room for leakage_safe_splits_docs; stays oracle-checked
+    # here each round (unrolled weighted-CTE replay) while base
+    # pagerank keeps its head slot. Green row r05.
+    "ppr_supplier_recs",
 ]
 
 
@@ -8039,3 +8052,60 @@ def trimmed_mean_order_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         trim=0.1,
     )
+
+
+@_q(
+    "leakage_safe_splits_docs",
+    """
+    WITH RECURSIVE norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      FROM documents),
+    toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(t[i:i+2], ' ')))) AS s FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5),
+    reach(n, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT reach.n, e.b FROM reach JOIN edges e ON reach.r = e.a),
+    comp AS (SELECT n AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+             FROM reach GROUP BY n)
+    SELECT d.doc_id,
+           CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS cluster,
+           CASE WHEN substring(md5(CAST(COALESCE(c.component, d.doc_id)
+                                        AS VARCHAR)), 1, 4) < 'e666'
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="leakage-safe train/test split "
+    "(operators/curation.py:leakage_safe_splits): every near-dup "
+    "CLUSTER (exact Jaccard>=0.5 components) lands wholly on one "
+    "side — a per-document split puts 95%-identical twins on "
+    "opposite sides and manufactures eval contamination at split "
+    "time. Cluster representative hashed with the split_col md5 "
+    "discipline (singletons hash their own id); components shuffle "
+    "(node, label) longs only, the corpus joins the component map "
+    "once",
+)
+def leakage_safe_splits_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import leakage_safe_splits
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return leakage_safe_splits(
+        docs, "doc_id", pairs, train_fraction=0.9
+    ).select("doc_id", "cluster", "split")

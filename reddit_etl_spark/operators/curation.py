@@ -856,3 +856,49 @@ def woe_iv_bins(
     return out.withColumn(
         "iv_total", F.round(F.sum("iv_term").over(Window.partitionBy()), 6)
     ).orderBy("bin")
+
+
+def leakage_safe_splits(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+    train_fraction: float = 0.9,
+) -> DataFrame:
+    """Train/test split that CANNOT leak near-duplicates across the
+    boundary: split by near-dup CLUSTER, not by document. A plain
+    split_col() puts two 95%-identical documents on opposite sides
+    and the eval set silently overlaps training — the leakage every
+    contamination audit exists to catch, created at split time.
+    Here every connected component of the ``pairs`` graph (from any
+    near-dup detector: ngram Jaccard, MinHash, SemDeDup) lands WHOLLY
+    in one split: the split hash reads the cluster representative,
+    singletons hash their own id.
+
+    Same md5-prefix determinism as split_col — reproducible across
+    runs, engines, and cluster sizes; adding new singleton documents
+    never reshuffles existing assignments (the stratified-sampling
+    stability contract), though growing a CLUSTER can move that
+    cluster as a unit (by design: its representative may change).
+
+    Plan: min-label connected components over the pair graph
+    ((node, label) longs only), one left join of the corpus against
+    the component map (near-dup members are the small side), and a
+    shuffle-free hash filter. Returns df + (cluster, split).
+    """
+    from .graph import connected_components  # noqa: PLC0415
+
+    comps = connected_components(pairs, pair_a, pair_b)
+    out = df.join(
+        comps.select(
+            F.col("node").alias(id_col), F.col("component").alias("__comp")
+        ),
+        id_col,
+        "left",
+    ).withColumn(
+        "cluster", F.coalesce(F.col("__comp"), F.col(id_col))
+    )
+    return out.withColumn(
+        "split", split_col(F.col("cluster"), train_fraction)
+    ).drop("__comp")

@@ -317,3 +317,19 @@ def test_corpus_search_eval_and_zipf_compose(spark):
     # vocabulary weight and the fit changes deterministically
     z2 = c.dedup_exact().zipf(top_n=3).collect()[0]
     assert z2["n"] == 3
+
+
+def test_corpus_leakage_safe_splits_chain(spark):
+    from reddit_etl_spark.corpus import Corpus
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),      # exact twin of 1
+        (3, "totally different words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["cluster"], r["split"]) for r in
+           Corpus(df, id_col="doc_id", text_col="text")
+           .leakage_safe_splits(threshold=0.5).collect()}
+    assert got[1] == got[2]          # the twin pair stays together
+    assert got[3][0] == 3            # singleton keeps its own id

@@ -593,3 +593,65 @@ class TestWoeIvBins:
         df = spark.createDataFrame([(1.0, True)], ["v", "y"])
         with _pytest.raises(ValueError, match="bins"):
             woe_iv_bins(df, "v", "y", bins=1)
+
+
+def test_leakage_safe_splits_cluster_atomicity(spark):
+    from reddit_etl_spark.operators.curation import leakage_safe_splits
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 11)], "doc_id long, text string"
+    )
+    # near-dup graph: {1,2,3} and {7,8} are clusters; rest singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    out = leakage_safe_splits(docs, "doc_id", pairs, train_fraction=0.5)
+    rows = {r["doc_id"]: (r["cluster"], r["split"]) for r in out.collect()}
+    assert len(rows) == 10
+    # every cluster lands WHOLLY on one side
+    assert rows[1] == rows[2] == rows[3]
+    assert rows[7] == rows[8]
+    assert rows[1][0] == 1 and rows[7][0] == 7   # min-label reps
+    # singletons keep their own id as the cluster
+    assert rows[5][0] == 5
+    # assignments agree with split_col on the representative
+    from pyspark.sql import functions as F
+
+    from reddit_etl_spark.operators.curation import split_col
+
+    want = {
+        r["c"]: r["s"]
+        for r in spark.createDataFrame(
+            [(c,) for c in {v[0] for v in rows.values()}], "c long"
+        ).select("c", split_col(F.col("c"), 0.5).alias("s")).collect()
+    }
+    for doc, (c, s) in rows.items():
+        assert s == want[c], doc
+
+
+def test_leakage_safe_splits_vs_naive_split_leaks(spark):
+    """The motivating property: with enough near-dup pairs, a naive
+    per-doc split separates at least one pair; the cluster split
+    never does."""
+    from pyspark.sql import functions as F
+
+    from reddit_etl_spark.operators.curation import (
+        leakage_safe_splits,
+        split_col,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(200)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 100) for i in range(100)], "id_a long, id_b long"
+    )
+    naive = {r["doc_id"]: r["s"] for r in docs.select(
+        "doc_id", split_col(F.col("doc_id"), 0.5).alias("s")).collect()}
+    assert any(naive[a] != naive[b] for a, b in ((i, i + 100)
+                                                 for i in range(100)))
+    safe = {r["doc_id"]: r["split"] for r in
+            leakage_safe_splits(docs, "doc_id", pairs,
+                                train_fraction=0.5).collect()}
+    assert all(safe[a] == safe[b] for a, b in ((i, i + 100)
+                                               for i in range(100)))
