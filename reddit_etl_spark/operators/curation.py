@@ -890,9 +890,15 @@ def leakage_safe_splits(
     from .graph import connected_components  # noqa: PLC0415
 
     comps = connected_components(pairs, pair_a, pair_b)
+    # explicit broadcast: the component map holds only near-dup
+    # MEMBERS (a sliver of the corpus); without the hint this can
+    # plan as a sort-merge join shuffling every corpus row on id
     out = df.join(
-        comps.select(
-            F.col("node").alias(id_col), F.col("component").alias("__comp")
+        F.broadcast(
+            comps.select(
+                F.col("node").alias(id_col),
+                F.col("component").alias("__comp"),
+            )
         ),
         id_col,
         "left",

@@ -81,6 +81,7 @@ def _cc_min_prop(
     und = und.persist()
     labels = labels.persist()
     rounds = 0
+    converged = False
     for i in range(max_iter):
         rounds = i + 1
         # candidate label for b: current label of each neighbor a
@@ -106,8 +107,21 @@ def _cc_min_prop(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     und.unpersist()
+    if not converged:
+        # stale labels silently split one true component into several
+        # — downstream consumers (survivor selection, leakage-safe
+        # splits) would treat fragments of one near-dup chain as
+        # independent clusters, the exact corruption they exist to
+        # prevent. Refuse loudly, like the two-phase variant does.
+        labels.unpersist()
+        raise ValueError(
+            f"min-label CC did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter or use "
+            "algorithm='star' (O(log^2 n) rounds on any graph)"
+        )
     return labels, rounds
 
 

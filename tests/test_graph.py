@@ -702,3 +702,23 @@ class TestShortestPaths:
         S = spark.createDataFrame([("a",)], ["node"])
         with _p.raises(ValueError, match="rounds"):
             shortest_paths(E, S, "node", rounds=0)
+
+
+def test_cc_min_prop_raises_on_nonconvergence_instead_of_stale_labels(spark):
+    """A 30-node chain has diameter 29: with max_iter=5 min-label CC
+    must refuse loudly — stale labels would silently split one true
+    component into several (the leakage-safe-split corruption)."""
+    import pytest as _p
+
+    from reddit_etl_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src long, dst long"
+    )
+    with _p.raises(ValueError, match="did not converge"):
+        connected_components(chain, "src", "dst", max_iter=5).collect()
+    # the star algorithm handles the same chain in O(log^2 n) rounds
+    comps = connected_components(
+        chain, "src", "dst", max_iter=10, algorithm="star"
+    )
+    assert {r["component"] for r in comps.collect()} == {0}
