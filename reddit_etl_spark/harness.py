@@ -388,11 +388,11 @@ _PROMOTED = [
     # (concurrency_peaks held this slot in round 5; rotated to the
     # tail in round 6 for asof_nearest_alignment — see the round-6
     # blocks)
-    # integer-exact iterative PageRank (new capability; displaces
-    # tfidf_top_terms, whose corpus-term-statistics shape stays
-    # recorded via bm25_rank and oracle-checked via vocab_topk /
-    # bm25_rank_indexed in the tail)
-    "pagerank_cust_supp",
+    # (pagerank_cust_supp held this slot in rounds 5-6 — recorded row
+    # r05; rotated to the tail late-round-6 for
+    # pareto_customer_revenue — see the round-6 third-wave blocks;
+    # the iterative-graph family keeps kcore + bfs + lpa + sssp head
+    # slots)
     # (part_name_linkage held this slot in round 5; rotated to the
     # tail in round 6 for entity_golden_parts, which contains it as
     # its first stage — see the round-6 blocks)
@@ -483,6 +483,12 @@ _PROMOTED = [
     # r05; rotated to the tail late-round-6 for
     # leakage_safe_splits_docs; base pagerank keeps its head slot and
     # the weighted-share DECIMAL machinery its overflow tests)
+    # round-6 third wave: Pareto 80% readout (new capability — the
+    # actionable companion to Gini's index; displaces
+    # pagerank_cust_supp, whose rotation block sits in _DEFERRED with
+    # its r05 row while the iterative-graph family keeps kcore + bfs
+    # + lpa + sssp head slots)
+    "pareto_customer_revenue",
     # round-6 third wave: leakage-safe splits (new capability —
     # near-dup clusters land wholly on one side of train/test, the
     # split-time complement of decontamination; displaces
@@ -910,6 +916,12 @@ _DEFERRED = [
     # here each round (unrolled weighted-CTE replay) while base
     # pagerank keeps its head slot. Green row r05.
     "ppr_supplier_recs",
+    # round-6 third-wave rotation OUT: integer-exact PageRank making
+    # room for pareto_customer_revenue; stays oracle-checked here
+    # each round (BIGINT 1e-12 rank units, partitioning-invariance
+    # tested) while the iterative-graph family keeps kcore + bfs +
+    # lpa + sssp head slots. Green row r05.
+    "pagerank_cust_supp",
 ]
 
 
@@ -8109,3 +8121,64 @@ def leakage_safe_splits_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_splits(
         docs, "doc_id", pairs, train_fraction=0.9
     ).select("doc_id", "cluster", "split")
+
+
+@_q(
+    "pareto_customer_revenue",
+    """
+    WITH rev AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(18,2)) * 100
+                  AS DECIMAL(38,0)) AS vc
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY seg, o.o_custkey),
+    r AS (
+      SELECT seg, vc,
+             row_number() OVER (PARTITION BY seg ORDER BY vc DESC)
+               AS rn,
+             CAST(SUM(vc) OVER (PARTITION BY seg ORDER BY vc DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS cum,
+             CAST(SUM(vc) OVER (PARTITION BY seg) AS DOUBLE) AS tot
+      FROM rev),
+    a AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MIN(CASE WHEN cum >= 0.8 * tot THEN rn END)
+                  AS BIGINT) AS n_top,
+             MAX(tot) AS tot,
+             MIN(CASE WHEN cum >= 0.8 * tot THEN cum END) AS cum_at
+      FROM r GROUP BY seg)
+    SELECT seg AS c_mktsegment, n,
+           CASE WHEN tot > 0 THEN n_top END AS n_top,
+           CASE WHEN tot > 0 THEN ROUND(n_top / n, 6) END AS frac_rows,
+           CASE WHEN tot > 0 THEN ROUND(cum_at / tot, 6) END
+             AS top_share
+    FROM a ORDER BY seg
+    """,
+    doc="Pareto 80% readout per market segment "
+    "(operators/relational.py:pareto_fraction): the smallest number "
+    "and fraction of top customers covering 80% of revenue — the "
+    "actionable companion to gini_customer_revenue's single index. "
+    "Same exactness plumbing: cents DECIMAL quantization, exact "
+    "integer descending cumulative (tie order unobservable — equal "
+    "values contribute equally), one threshold multiply of the "
+    "exact total; one rank window + one conditional-min aggregate",
+)
+def pareto_customer_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import pareto_fraction
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    rev = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("revenue")
+        )
+    )
+    return pareto_fraction(
+        rev, ["c_mktsegment"], "revenue", share=0.8
+    )

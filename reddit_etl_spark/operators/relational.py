@@ -1336,3 +1336,76 @@ def trimmed_mean(
         (F.col("__s_all") / F.col("n")).alias("mean"),
         (F.col("__s_kept") / F.col("n_kept")).alias("trimmed"),
     )
+
+
+def pareto_fraction(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    share: float = 0.8,
+) -> DataFrame:
+    """Per-group Pareto readout: the smallest number (and fraction) of
+    top rows whose values cover ``share`` of the group's total — the
+    actionable companion to gini_coefficient's single index ("0.62
+    concentration" becomes "4% of customers carry 80% of revenue").
+
+    Same exactness plumbing as Gini: values quantize to cents via
+    DECIMAL, the descending cumulative sum runs on exact integers
+    (tied values contribute equally in any order, so the crossing
+    rank is tie-proof), and the share threshold multiplies the exact
+    total once. NULL/negative values are excluded; all-zero groups
+    yield NULLs.
+
+    Plan: one rank window per group over the value column + one
+    conditional-min aggregate. Returns (group..., n BIGINT, n_top
+    BIGINT, frac_rows, top_share).
+    """
+    if not 0 < share <= 1:
+        raise ValueError("share must be in (0, 1]")
+    keys = list(group_cols)
+    cents = (
+        F.col(value_col).cast("decimal(18,2)") * 100
+    ).cast("decimal(38,0)")
+    base = df.filter(
+        F.col(value_col).isNotNull() & (F.col(value_col) >= 0)
+    ).select(*keys, cents.alias("__v"))
+    w = Window.partitionBy(*keys).orderBy(F.desc("__v"))
+    cw = (
+        Window.partitionBy(*keys)
+        .orderBy(F.desc("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kw = Window.partitionBy(*keys)
+    c = (
+        base.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__cum", F.sum("__v").over(cw).cast("double"))
+        .withColumn("__tot", F.sum("__v").over(kw).cast("double"))
+    )
+    hit = F.when(
+        F.col("__cum") >= F.lit(float(share)) * F.col("__tot"),
+        F.col("__rn"),
+    )
+    agg = c.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(hit).cast("long").alias("n_top"),
+        F.max("__tot").alias("__tot"),
+        F.min(
+            F.when(
+                F.col("__cum") >= F.lit(float(share)) * F.col("__tot"),
+                F.col("__cum"),
+            )
+        ).alias("__cum_at"),
+    )
+    return agg.select(
+        *keys,
+        "n",
+        F.when(F.col("__tot") > 0, F.col("n_top")).alias("n_top"),
+        F.when(
+            F.col("__tot") > 0,
+            F.round(F.col("n_top") / F.col("n"), 6),
+        ).alias("frac_rows"),
+        F.when(
+            F.col("__tot") > 0,
+            F.round(F.col("__cum_at") / F.col("__tot"), 6),
+        ).alias("top_share"),
+    )

@@ -1799,3 +1799,44 @@ def test_trimmed_mean_exact_cut_at_double_boundary(spark):
     )
     got = trimmed_mean(df, ["g"], "v", trim=0.35).collect()[0]
     assert got["n_kept"] == 180 - 2 * 63
+
+
+class TestParetoFraction:
+    def _run(self, spark, rows, share=0.8):
+        from reddit_etl_spark.operators.relational import pareto_fraction
+
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = pareto_fraction(df, ["g"], "v", share=share)
+        return {r["g"]: r for r in out.collect()}
+
+    def test_whale_covers_share_alone(self, spark):
+        rows = [("g", 80.0)] + [("g", 2.0)] * 10
+        got = self._run(spark, rows)["g"]
+        # top 1 of 11 rows covers exactly 80/100
+        assert got["n_top"] == 1
+        assert got["frac_rows"] == round(1 / 11, 6)
+        assert got["top_share"] == 0.8
+
+    def test_uniform_needs_share_of_rows(self, spark):
+        rows = [("u", 10.0)] * 10
+        got = self._run(spark, rows)["u"]
+        assert got["n_top"] == 8           # 8 of 10 equal rows = 80%
+        assert got["top_share"] == 0.8
+
+    def test_crossing_row_included_and_zero_total(self, spark):
+        rows = [("c", 50.0), ("c", 30.0), ("c", 20.0)]
+        got = self._run(spark, rows)["c"]
+        # 50 < 80% of 100; 50+30 = 80 -> crossing at row 2
+        assert got["n_top"] == 2 and got["top_share"] == 0.8
+        z = self._run(spark, [("z", 0.0), ("z", 0.0)])["z"]
+        assert z["n_top"] is None and z["top_share"] is None
+
+    def test_rejects_bad_share(self, spark):
+        import pytest as _p
+
+        from reddit_etl_spark.operators.relational import pareto_fraction
+
+        df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+        for bad in (0.0, 1.5):
+            with _p.raises(ValueError, match="share"):
+                pareto_fraction(df, ["g"], "v", share=bad)
