@@ -59,7 +59,14 @@ def main() -> int:
     except ValueError:
         sf = -1.0
     spark = get_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
+    # OFF, not ERROR: the benign end-of-rep churn (DAGScheduler
+    # "Failed to update accumulator" when a GC'd localCheckpoint's
+    # accumulators vanish mid-cleanup) logs at ERROR level, and r6's
+    # captured stdout tail opened mid-stack-trace — burning the
+    # driver's bounded capture window (VERDICT r6 finding #5). The
+    # bench's own per-query lines + the one JSON line are the only
+    # output that matters here; real failures still raise.
+    spark.sparkContext.setLogLevel("OFF")
 
     # warmup: exercise scan + shuffle + codegen + the Python worker
     # pool once so the first measured query doesn't absorb session,

@@ -64,17 +64,29 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stable_avg(c) -> "F.Column":
-    """Order-independent average for 2-decimal-valued columns:
-    round(round(sum, 6) / count, 6). Raw AVG is summation-order
-    dependent by ulps, and sums of 2-decimal values divided by
-    power-of-two counts land EXACTLY on 6-decimal rounding boundaries
-    (sum/32 ends in ...5 at the 7th digit whenever the cent total is
-    odd) — so Spark and an oracle can legitimately round opposite
-    ways. Rounding the sum first snaps both engines to the same
-    double before the division. Integer-summed averages don't need
-    this (integer sums are exact in double below 2^53)."""
+    """Order-independent average for <=6-decimal-valued columns:
+    round(cast(sum(decimal) as double) / count, 6). Raw AVG is
+    summation-order dependent by ulps, and sums of 2-decimal values
+    divided by power-of-two counts land EXACTLY on 6-decimal rounding
+    boundaries (sum/32 ends in ...5 at the 7th digit whenever the
+    cent total is odd) — so Spark and an oracle can legitimately
+    round opposite ways. The r1-r5 discipline rounded the DOUBLE sum
+    to 6 first, which snaps both engines together only while the
+    sum's ulp stays below 1e-6 — full-table o_totalprice sums reach
+    3.75e10 at sf0.1 (ulp 4e-6, ~1e-4 summation random-walk), where
+    the 6th decimal of a double sum is NOT order-stable (the r6
+    pit_order_status driver failure class). Accumulating in
+    DECIMAL(18,6) is exact for any <=6dp input at any group size
+    (32 integer digits of headroom), both engines cast the identical
+    exact value to the identical double, and the division + final
+    round never see engine-dependent ulps in the numerator. Oracle
+    twin: ROUND(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+    / COUNT(x), 6). Integer-summed averages don't need this (integer
+    sums are exact in double below 2^53)."""
     col = F.col(c) if isinstance(c, str) else c
-    return F.round(F.round(F.sum(col), 6) / F.count(col), 6)
+    return F.round(
+        F.sum(col.cast("decimal(18,6)")).cast("double") / F.count(col), 6
+    )
 
 
 def round6(df: DataFrame, *cols: str) -> DataFrame:
@@ -246,7 +258,18 @@ _PROMOTED = [
     # dedup_exact, daily_delta, distinct_users_hll — each with green
     # driver rows in r01-r04 and a recorded capability twin; see the
     # round-5 block in _DEFERRED).
-    "bm25_rank",
+    # (bm25_rank held this slot in rounds 5-6 — recorded rows r05+r06;
+    # rotated to the tail round-7 for cube_status_priority, the one
+    # round-6-new capability with no driver row ever — judge r6
+    # finding #1: the "shape variant of rollup_hierarchy" deferral
+    # argument loses to the repo's own "every NEW capability goes
+    # straight into the head" rule. The search family keeps
+    # search_eval_bm25 + phrase_search_docs recorded head slots, and
+    # bm25's scoring stays path-equality-pinned by its
+    # bm25_rank_indexed twin + the oracle tail)
+    # round-7: CUBE lattice over (status, priority) with GROUPING ids
+    # — first driver recording (capability was round-6-new)
+    "cube_status_priority",
     # (hybrid_search_rrf held this slot in rounds 5-6 — recorded row
     # r05; rotated to the tail late-round-6 for
     # value_histogram_events; the retrieval family keeps bm25_rank's
@@ -547,12 +570,13 @@ _DEFERRED = [
     "curation_pipeline",          # superseded by curation_pipeline_full (recorded)
     "distinct_parts_skewfree",    # recorded r01/r02
     "rollup_hierarchy",           # recorded r01/r02
-    # CUBE lattice — shape variant of the grouping-sets family whose
-    # ROLLUP sibling holds recorded rows r01/r02 (same shared
-    # partial-agg machinery, lattice instead of hierarchy); stays
-    # oracle-checked here each round with the grouping-ID bitmask in
-    # the compared hash
-    "cube_status_priority",
+    # round-7 rotation OUT: bm25_rank's term-statistics scoring stays
+    # recorded via its r05+r06 rows, the search family keeps
+    # search_eval_bm25 + phrase_search_docs in the head, and the
+    # scoring path stays equality-pinned by bm25_rank_indexed; its
+    # slot goes to cube_status_priority (round-6-new, never recorded
+    # — judge r6 finding #1)
+    "bm25_rank",
     "pivot_status_by_priority",   # recorded r01/r02
     "topk_global",                # recorded r01/r02; plan-asserted in tests
     "group_percentiles",          # recorded r01/r02
@@ -993,7 +1017,7 @@ def registry() -> dict[str, HarnessQuery]:
     """
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS total_orders,
-           ROUND(ROUND(SUM(o_totalprice), 6) / COUNT(o_totalprice), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(o_totalprice), 6) AS avg_price,
            AVG(o_custkey)           AS avg_custkey,
            MAX(o_totalprice)        AS max_price,
            MIN(o_totalprice)        AS min_price
@@ -1070,7 +1094,7 @@ def q03_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN 4 THEN 'Friday' WHEN 5 THEN 'Saturday'
                 WHEN 6 THEN 'Sunday' END AS day_name,
            CAST(COUNT(*) AS BIGINT) AS order_count,
-           ROUND(ROUND(SUM(o_totalprice), 6) / COUNT(o_totalprice), 6) AS avg_price
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(o_totalprice), 6) AS avg_price
     FROM orders GROUP BY 1, 2
     """,
     doc="q04 shape: weekday groupBy + CASE name decode, Monday=0 "
@@ -1097,7 +1121,7 @@ def q04_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_name,
            CAST(COUNT(*) AS BIGINT) AS order_count,
-           ROUND(ROUND(SUM(o_totalprice), 6) / COUNT(o_totalprice), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(o_totalprice), 6) AS avg_price,
            ROUND(SUM(o_totalprice), 6) AS total_spent
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY c_name
@@ -1162,8 +1186,8 @@ def q06_flag_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            CAST(COUNT(*) AS BIGINT) AS item_count,
-           ROUND(ROUND(SUM(l_discount), 6) / COUNT(l_discount), 6) AS avg_discount,
-           ROUND(ROUND(SUM(l_tax), 6) / COUNT(l_tax), 6) AS avg_tax
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount), 6) AS avg_discount,
+           ROUND(CAST(SUM(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_tax), 6) AS avg_tax
     FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
     doc="q07 shape: 2-key groupBy + avgs (analysis.sql:86-95)",
@@ -1184,7 +1208,7 @@ def q07_two_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment,
            CAST(COUNT(o_orderkey) AS BIGINT)           AS total_orders,
-           ROUND(ROUND(SUM(o_totalprice), 6) / COUNT(o_totalprice), 6) AS avg_order_value,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(o_totalprice), 6) AS avg_order_value,
            CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS unique_priorities
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_mktsegment
@@ -1213,7 +1237,7 @@ def q08_left_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment, c_name,
            CAST(COUNT(o_orderkey) AS BIGINT) AS order_count,
-           ROUND(ROUND(SUM(o_totalprice), 6) / COUNT(o_totalprice), 6) AS avg_spend
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(o_totalprice), 6) AS avg_spend
     FROM customer JOIN orders ON c_custkey = o_custkey
     WHERE o_orderstatus <> 'O'
     GROUP BY c_mktsegment, c_name
@@ -1245,7 +1269,7 @@ def q09_join_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(o_orderdate AS DATE) AS order_date,
            o_orderpriority,
            CAST(COUNT(*) AS BIGINT)  AS daily_orders,
-           ROUND(ROUND(SUM(o_totalprice), 6) / COUNT(o_totalprice), 6) AS avg_daily_value,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(o_totalprice), 6) AS avg_daily_value,
            MAX(o_totalprice)         AS max_daily_value
     FROM orders GROUP BY 1, 2
     """,
@@ -1323,7 +1347,7 @@ def q12_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT)               AS orders_this_week,
-           ROUND(ROUND(SUM(o_totalprice), 6) / COUNT(o_totalprice), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(o_totalprice), 6) AS avg_price,
            ROUND(stddev_samp(o_totalprice), 6)    AS price_std_dev,
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS unique_customers
     FROM orders
@@ -1356,8 +1380,8 @@ def q13_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_conditional_quality",
     """
     SELECT l_linestatus,
-           ROUND(ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END), 6) / COUNT(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END), 6) AS avg_returned_price,
-           ROUND(ROUND(SUM(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice END), 6) / COUNT(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice END), 6) AS avg_kept_price,
+           ROUND(CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END AS DECIMAL(18,6))) AS DOUBLE) / COUNT(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END), 6) AS avg_returned_price,
+           ROUND(CAST(SUM(CAST(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice END AS DECIMAL(18,6))) AS DOUBLE) / COUNT(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice END), 6) AS avg_kept_price,
            SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 100.0 / COUNT(*) AS returned_pct
     FROM lineitem GROUP BY l_linestatus
     """,
@@ -2661,7 +2685,7 @@ def rake_keyphrases_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH u AS (
       SELECT event_type, user_id,
-             ROUND(ROUND(SUM(value), 6) / COUNT(*), 6) AS unit_value,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS unit_value,
              CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
                        IN ('0','1','2','3','4','5','6','7')
                   THEN 'A' ELSE 'B' END AS arm
@@ -2876,13 +2900,25 @@ def event_pattern_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
              SUM(value) AS y
       FROM events GROUP BY 1, 2),
+    dr AS (
+      SELECT event_type,
+             -- DECIMAL(19,6), not (18,6): DuckDB multiplies width-18
+             -- decimals in int64 and y's scale-6 internal (~4e9 at
+             -- sf0.01) overflows when squared; width 19 forces the
+             -- exact HUGEINT path. Spark keeps (18,6) — its product
+             -- type (37,12) is already exact. Same exact values.
+             CAST(ROUND(x, 6) AS DECIMAL(19,6)) AS xd,
+             CAST(ROUND(y, 6) AS DECIMAL(19,6)) AS yd
+      FROM d),
     s AS (
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n,
-             ROUND(SUM(x), 6) AS sx, ROUND(SUM(y), 6) AS sy,
-             ROUND(SUM(x * y), 6) AS sxy, ROUND(SUM(x * x), 6) AS sxx,
-             ROUND(SUM(y * y), 6) AS syy
-      FROM d GROUP BY 1)
+             CAST(SUM(xd) AS DOUBLE) AS sx,
+             CAST(SUM(yd) AS DOUBLE) AS sy,
+             CAST(SUM(xd * yd) AS DOUBLE) AS sxy,
+             CAST(SUM(xd * xd) AS DOUBLE) AS sxx,
+             CAST(SUM(yd * yd) AS DOUBLE) AS syy
+      FROM dr GROUP BY 1)
     SELECT event_type, n,
            CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
                 THEN ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
@@ -4916,7 +4952,8 @@ def distinct_parts_skewfree_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
            COALESCE(l_linestatus, 'ALL') AS l_linestatus,
            CAST(COUNT(*) AS BIGINT) AS item_count,
-           ROUND(SUM(l_extendedprice), 6) AS total_price
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -4930,7 +4967,11 @@ def rollup_hierarchy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("item_count"),
-            F.sum("l_extendedprice").alias("total_price"),
+            # exact decimal: the grand-total row sums all lineitem
+            # (3.2e10 at sf0.1)
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
@@ -4939,7 +4980,9 @@ def rollup_hierarchy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
-    return round6(df, "total_price")
+    # no round6: the decimal sum casts to the exact value's nearest
+    # double on both engines — quantization has nothing left to do
+    return df
 
 
 @_q(
@@ -5760,7 +5803,7 @@ def events_sliding_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cluster,
            CAST(COUNT(DISTINCT p_name) AS BIGINT) AS n_variants,
            CAST(COUNT(*) AS BIGINT) AS n_parts,
-           ROUND(ROUND(SUM(p_retailprice), 6) / COUNT(*), 6)
+           ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
              AS avg_price,
            CAST(MAX(p_size) AS BIGINT) AS max_size
     FROM labeled GROUP BY cluster
@@ -5917,15 +5960,20 @@ def events_daily_melt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE)
              AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)),
-                 6) AS sum_charge,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(3,2))
+                    * CAST(1 + l_tax AS DECIMAL(3,2))) AS DOUBLE)
+             AS sum_charge,
            ROUND(ROUND(SUM(l_quantity), 6) / COUNT(*), 6) AS avg_qty,
-           ROUND(ROUND(SUM(l_extendedprice), 6) / COUNT(*), 6)
-             AS avg_price,
-           ROUND(ROUND(SUM(l_discount), 6) / COUNT(*), 6) AS avg_disc,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                      AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_disc,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-01'
@@ -5934,28 +5982,35 @@ def events_daily_melt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q1 pricing summary over lineitem: the canonical "
     "wide-aggregate scan — one map-side-combined groupBy on two "
     "low-cardinality keys, the ship-date filter pushed to the scan. "
-    "Money sums are exact in double (2-dp x 2-dp products stay "
-    "integer-scaled below 2^53), averages follow the stable_avg "
-    "round-sum-then-divide rule",
+    "Money sums accumulate as EXACT decimals (a double sum of the "
+    "3-factor charge reaches ~2.3e10 at sf0.1, where ulp ~5e-6 makes "
+    "the 6th decimal order-dependent; DECIMAL(12,2) x DECIMAL(3,2) "
+    "products stay within 38-digit exact arithmetic on both engines) "
+    "and only the final identical value casts to double; averages "
+    "divide the exact sum in double (round-sum-then-divide rule)",
 )
 def tpch_q1_pricing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").cast("date") <= F.lit("2001-09-01").cast("date")
     )
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    dfac = (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)")
+    tfac = (F.lit(1) + F.col("l_tax")).cast("decimal(3,2)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum("l_quantity").cast("long").alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-        F.round(F.sum(disc), 6).alias("sum_disc_price"),
-        F.round(F.sum(disc * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+        F.sum(ep).cast("double").alias("sum_base_price"),
+        F.sum(ep * dfac).cast("double").alias("sum_disc_price"),
+        F.sum(ep * dfac * tfac).cast("double").alias("sum_charge"),
         F.round(
             F.round(F.sum("l_quantity"), 6) / F.count("*"), 6
         ).alias("avg_qty"),
         F.round(
-            F.round(F.sum("l_extendedprice"), 6) / F.count("*"), 6
+            F.sum(ep).cast("double") / F.count("*"), 6
         ).alias("avg_price"),
         F.round(
-            F.round(F.sum("l_discount"), 6) / F.count("*"), 6
+            F.sum(F.col("l_discount").cast("decimal(3,2)")).cast("double")
+            / F.count("*"),
+            6,
         ).alias("avg_disc"),
         F.count("*").cast("long").alias("count_order"),
     )
@@ -6017,7 +6072,8 @@ def tpch_q3_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_region",
     """
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6)
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(3,2))) AS DOUBLE)
              AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -6059,10 +6115,15 @@ def tpch_q5_region_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                6,
-            ).alias("revenue")
+            # exact decimal product sum: nation-level revenue reaches
+            # ~1e9 at sf0.1 where a double sum's 6th decimal is
+            # order-dependent (the tpch_q1 discipline)
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)")
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -6206,7 +6267,8 @@ def asof_nearest_alignment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM collapsed)
     SELECT d.status AS status_at_order,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o.o_totalprice), 6) AS total_price
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
     FROM orders o JOIN dim d
       ON o.o_custkey = d.c_custkey
      AND o.o_orderdate >= d.valid_from
@@ -6249,7 +6311,14 @@ def pit_order_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pit.groupBy(F.col("status").alias("status_at_order")).agg(
         F.count("*").cast("long").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 6).alias("total_price"),
+        # exact DECIMAL accumulation: group sums reach ~1.25e9 where
+        # a double sum's 6th decimal is order-dependent (ulp 2.4e-7,
+        # ~1e-5 random-walk over 5e5 addends) — the r6 driver-env
+        # hash FAIL. Both engines sum the same exact decimal, then
+        # cast the identical value to double.
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
     )
 
 
@@ -7438,13 +7507,20 @@ def weighted_price_quartiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT tf, row_number() OVER (ORDER BY tf DESC, term) AS rank
       FROM ts),
     pts AS (SELECT log2(rank) AS x, log2(tf) AS y FROM r),
+    ptsr AS (
+      SELECT -- DECIMAL(19,6): see daily_trend_slope's oracle — width
+             -- 19 forces DuckDB's exact HUGEINT multiply path
+             CAST(ROUND(x, 6) AS DECIMAL(19,6)) AS xd,
+             CAST(ROUND(y, 6) AS DECIMAL(19,6)) AS yd
+      FROM pts),
     m AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             ROUND(SUM(x), 6) AS sx, ROUND(SUM(y), 6) AS sy,
-             ROUND(SUM(x * y), 6) AS sxy,
-             ROUND(SUM(x * x), 6) AS sxx,
-             ROUND(SUM(y * y), 6) AS syy
-      FROM pts),
+             CAST(SUM(xd) AS DOUBLE) AS sx,
+             CAST(SUM(yd) AS DOUBLE) AS sy,
+             CAST(SUM(xd * yd) AS DOUBLE) AS sxy,
+             CAST(SUM(xd * xd) AS DOUBLE) AS sxx,
+             CAST(SUM(yd * yd) AS DOUBLE) AS syy
+      FROM ptsr),
     s AS (
       SELECT n, sx, sy, sxy, sxx, syy,
              CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
@@ -7768,7 +7844,8 @@ def readability_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GROUPING(o_orderstatus) * 2
                 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 6) AS total_value
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -7787,7 +7864,11 @@ def cube_status_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("long").alias("gid"),
             F.count("*").cast("long").alias("n_orders"),
-            F.sum("o_totalprice").alias("total_value"),
+            # exact decimal: the grand-total cell sums ALL orders
+            # (3.75e10 at sf0.1 — double's 6th decimal is luck there)
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias(
@@ -7801,7 +7882,8 @@ def cube_status_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return round6(df, "total_value")
+    # no round6: exact decimal sum -> identical double on both engines
+    return df
 
 
 @_q(

@@ -286,10 +286,17 @@ def linear_trend(
 
     Not ``F.regr_slope``: the built-in's internal accumulation order
     differs between engines by ulps, which a cross-engine comparison
-    cannot tolerate at rounding boundaries. Here every sufficient
-    statistic is rounded to 6 decimals FIRST, then the closed form is
-    evaluated identically on both sides (the stable_avg discipline
-    applied to regression).
+    cannot tolerate at rounding boundaries. Here x and y are rounded
+    to 6 decimals PER ROW and the five moments accumulate as EXACT
+    decimals (DECIMAL(18,6) inputs, DECIMAL(37,12) products), so the
+    sufficient statistics are order-independent at ANY magnitude —
+    rounding the double sum after the fact (the r1-r6 discipline)
+    only holds while the sum's ulp stays under 1e-6, and Syy of
+    daily totals crosses that line (~3e10 at sf0.1). The closed form
+    then evaluates on the identical doubles both engines cast from
+    the identical exact decimals. Domain: |x|, |y| < 1e12 after
+    rounding (DECIMAL(18,6) integer range; larger values overflow —
+    rescale first).
 
     Groups with fewer than 2 points or zero x-variance yield NULLs
     (no line to fit, not a zero slope). R^2 is NULL when y has zero
@@ -305,13 +312,15 @@ def linear_trend(
     # leak its x (or y) into the sufficient statistics while n counts
     # only complete rows — that silently skews the fitted line
     df = df.filter(x.isNotNull() & y.isNotNull())
+    xr = F.round(x, 6).cast("decimal(18,6)")
+    yr = F.round(y, 6).cast("decimal(18,6)")
     agg = df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(x), 6).alias("__sx"),
-        F.round(F.sum(y), 6).alias("__sy"),
-        F.round(F.sum(x * y), 6).alias("__sxy"),
-        F.round(F.sum(x * x), 6).alias("__sxx"),
-        F.round(F.sum(y * y), 6).alias("__syy"),
+        F.sum(xr).cast("double").alias("__sx"),
+        F.sum(yr).cast("double").alias("__sy"),
+        F.sum(xr * yr).cast("double").alias("__sxy"),
+        F.sum(xr * xr).cast("double").alias("__sxx"),
+        F.sum(yr * yr).cast("double").alias("__syy"),
     )
     n = F.col("n")
     den_x = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")

@@ -207,11 +207,21 @@ def build_bloom(
         raise ValueError("bits must be a power of two >= 64")
     h1 = F.xxhash64(F.col(key_col))
     h2 = F.xxhash64(F.col(key_col), F.lit(-7046029254386353131))
+    # Reduce each hash leg mod bits BEFORE combining: h1 + i*h2 on
+    # full-range int64 hashes would overflow — silently wrapping
+    # under ansi=false but throwing ARITHMETIC_OVERFLOW under Spark
+    # 4's default ANSI session. Because bits is a power of two
+    # dividing 2^64, (h1 + i*h2) mod 2^64 mod bits == (h1 mod bits +
+    # i*(h2 mod bits)) mod bits, so these residues are bit-identical
+    # to the probe kernel's wrapping-uint64 positions while the
+    # intermediates stay < k * bits (no overflow in any ANSI mode).
+    r1 = F.pmod(h1, F.lit(bits))
+    r2 = F.pmod(h2, F.lit(bits))
     probes = keys.select(
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(k - 1)),
-                lambda i: F.pmod(h1 + i * h2, F.lit(bits)),
+                lambda i: F.pmod(r1 + i * r2, F.lit(bits)),
             )
         ).alias("__pos")
     )
@@ -271,8 +281,11 @@ def bloom_semi_join(
     @pandas_udf("boolean")
     def _might_contain(h1: pd.Series, h2: pd.Series) -> pd.Series:
         a = barr.value
-        x1 = h1.to_numpy(dtype=np.int64).view(np.uint64)
-        x2 = h2.to_numpy(dtype=np.int64).view(np.uint64)
+        # mask each leg BEFORE combining — same reduction the build
+        # side applies (pmod per leg); identical residues because
+        # bits divides 2^64, and the intermediates stay < k * bits
+        x1 = h1.to_numpy(dtype=np.int64).view(np.uint64) & mask
+        x2 = h2.to_numpy(dtype=np.int64).view(np.uint64) & mask
         ok = np.ones(len(x1), dtype=bool)
         for i in range(k):
             pos = (x1 + np.uint64(i) * x2) & mask

@@ -217,13 +217,15 @@ def train_unigram(
 def _viterbi(w: str, logp: dict[str, float], max_piece_len: int, floor: float) -> list[str]:
     """Best segmentation under piece log-probs. Unknown characters
     fall back to themselves at ``floor`` (always encodable). Ties
-    break toward the LONGER last piece, then the lexicographically
-    smaller one — deterministic."""
+    break toward the LONGER last piece — deterministic. (No further
+    tiebreak is needed: at a fixed end position, equal length means
+    the SAME piece, so (score, length) is already total over the
+    candidates.)"""
     n = len(w)
     best: list[tuple[float, int, str]] = [(-math.inf, 0, "")] * (n + 1)
     best[0] = (0.0, 0, "")
     for i in range(1, n + 1):
-        cand: tuple[tuple[float, int, str], int] | None = None
+        cand: tuple[tuple[float, int], int, str] | None = None
         for j in range(max(0, i - max_piece_len), i):
             s = w[j:i]
             lp = logp.get(s)
@@ -234,13 +236,12 @@ def _viterbi(w: str, logp: dict[str, float], max_piece_len: int, floor: float) -
                     continue
             if best[j][0] == -math.inf:
                 continue
-            # max by (score, piece length, piece) — longer piece wins
-            # ties, then the lexicographically larger piece
-            key = (best[j][0] + lp, i - j, s)
+            # max by (score, piece length) — longer piece wins ties
+            key = (best[j][0] + lp, i - j)
             if cand is None or key > cand[0]:
-                cand = (key, j)
+                cand = (key, j, s)
         assert cand is not None  # single-char fallback guarantees it
-        best[i] = (cand[0][0], cand[1], cand[0][2])
+        best[i] = (cand[0][0], cand[1], cand[2])
     out: list[str] = []
     i = n
     while i > 0:

@@ -72,7 +72,18 @@ def ensure_utc(spark: SparkSession) -> None:
     mutates session conf itself (judge r2 finding #3) — and set-once:
     a no-op when already UTC, so repeated calls can't perturb a
     running session."""
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    # Spark 4.1 VALIDATES the fallback default: conf.get(key, "")
+    # raises INVALID_CONF_VALUE.TIME_ZONE on sessions that never set
+    # timeZone explicitly. Probe with NO fallback instead — the conf
+    # has a built-in default (the JVM timezone id), so this returns
+    # the EFFECTIVE timezone on any session; a defensive try/except
+    # falls through to pinning UTC if some future Spark makes the
+    # unset probe itself throw.
+    try:
+        current = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        current = None
+    if current != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 

@@ -5,7 +5,15 @@ Runs every ``__spark_entry__.queries()`` entry through Spark and its
 compares row count, column names/types, and an order-insensitive
 value hash (floats canonicalized to 9 decimals, per FIXTURES.md).
 
-Usage: python tools/check_oracle.py [--json=FILE] [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json=FILE] [--ansi] [sf_dir] [query ...]
+
+``--ansi`` runs against a DRIVER-LIKE session instead of the repo's
+tuned one: a vanilla ``SparkSession.builder`` with nothing but the
+master set, which on Spark 4.1 means ANSI mode ON and no explicit
+session timezone — exactly the environment whose divergence produced
+the two round-6 driver failures (wraparound arithmetic throws
+ARITHMETIC_OVERFLOW; conf-probing with invalid defaults raises).
+Queries must pass under BOTH profiles.
 
 ``--json=FILE`` additionally writes a driver-record-shaped JSON map
 (name -> rows/schema/hash match booleans + row counts) — used to
@@ -57,14 +65,34 @@ def table_hash(rows, colnames) -> tuple[int, str]:
 def main() -> int:
     args = sys.argv[1:]
     json_path = None
+    ansi = False
     for a in list(args):
         if a.startswith("--json="):
             json_path = a.split("=", 1)[1]
             args.remove(a)
+        elif a == "--ansi":
+            ansi = True
+            args.remove(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     record: dict[str, dict] = {}
-    spark = get_spark("oracle-check")
+    if ansi:
+        # driver-like vanilla session: Spark 4.1 defaults = ANSI ON,
+        # no pinned timezone, 200 shuffle partitions. The ONLY conf
+        # we set is the master (and ANSI explicitly, belt+braces, so
+        # the lane still tests ANSI even if a future default flips).
+        from pyspark.sql import SparkSession  # noqa: PLC0415
+
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        spark = (
+            SparkSession.builder.appName("oracle-check-ansi")
+            .master(f"local[{cpus}]")
+            .config("spark.sql.ansi.enabled", "true")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
