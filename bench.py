@@ -24,6 +24,12 @@ first query position absorbing residual costs the generic warmup
 misses (q01 medians swung 0.35->0.52 s with identical plans,
 VERDICT r4 finding #2), so position is neutralized explicitly.
 
+Round-7 set change: ``tpch_q21_waiting_supplier`` (the round's
+heaviest relational shape — SEMI+ANTI self-join chain over distinct
+pairs) joins the headline mix — totals are NOT comparable to r6's
+19-query total without subtracting its median; per-query medians
+remain directly comparable.
+
 Round-6 set change: ``segment_dedup_docs`` (the round's flagship
 corpus-rewrite operator) joins the headline mix — totals are NOT
 comparable to r5's 18-query total without subtracting its median;

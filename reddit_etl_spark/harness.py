@@ -201,23 +201,34 @@ _PROMOTED = [
     # stays oracle-checked in the tail and plan-asserted in
     # tests/test_series.py; green rows r05)
     "asof_nearest_alignment",
-    # round-6: OHLC time-bar resampling (new capability; displaces
-    # anomaly_zscore_daily, whose daily-rollup + trailing-window
-    # z-score stays oracle-checked in the tail and whose streaming
-    # twin stays pinned by batch-stream bit-equivalence tests; green
-    # rows r05)
-    "event_value_bars",
+    # (event_value_bars held this slot in round 6 — recorded row r06;
+    # rotated to the tail round-7 for tpch_q4_priority_exists; the
+    # ordered-series family keeps decayed_engagement +
+    # asof_nearest_alignment + seasonal_backtest_events head slots)
+    # round-7: TPC-H Q4 shape — correlated EXISTS compiled to LEFT
+    # SEMI (new relational capability: the subquery-form gap next to
+    # the Bloom approximation; goes straight into the head per the
+    # new-capability rule)
+    "tpch_q4_priority_exists",
     # round-6: half-life decay + closed-form EWMA (new capability;
     # displaces psi_value_drift, whose binned-distribution drift
     # readout stays oracle-checked in the tail — its histogram-compare
     # family shares anomaly_zscore_daily's recorded daily-rollup
     # surface; green row r05)
     "decayed_engagement",
-    # round-6: wide-to-long melt/unpivot (new capability; displaces
-    # event_pattern_counts, whose regex-CEP surface stays
-    # oracle-checked in the tail and pinned by tests/test_sessions.py;
-    # green row r05)
-    "events_daily_melt",
+    # (events_daily_melt held this slot in round 6 — recorded row
+    # r06; rotated to the tail round-7 for tpch_q18_large_orders; the
+    # unpivot shape keeps pivot_status_by_priority's r01/r02 rows as
+    # its inverse twin and stays oracle-checked in the tail)
+    # round-7: TPC-H Q18 shape — IN-subquery over grouped HAVING as a
+    # pre-reduced join (new capability)
+    "tpch_q18_large_orders",
+    # round-7: TPC-H Q21 shape — SEMI + ANTI self-join chain on
+    # deduplicated pairs (new capability; slot from
+    # theilsen_daily_trend, recorded r06, whose robust-trend family
+    # keeps ols_order_value in the head and mad/trimmed tails
+    # oracle-checked)
+    "tpch_q21_waiting_supplier",
     # round-6: Bloom-pruned semi-join (new capability; displaces
     # item_affinity, whose market-basket co-occurrence readout stays
     # oracle-checked in the tail and whose pair-join family keeps a
@@ -276,11 +287,15 @@ _PROMOTED = [
     # recorded row plus search_eval_bm25 in this head, and the RRF
     # fusion stays oracle-checked in the tail alongside its bucketed
     # LSH audit twin)
-    # round-6 third wave: equal-width histogram (new capability — the
-    # distribution-shape readout next to group_percentiles'
-    # equal-mass cuts; displaces hybrid_search_rrf per the comment
-    # above)
-    "value_histogram_events",
+    # (value_histogram_events held this slot in round 6 — recorded
+    # row r06; rotated to the tail round-7 for
+    # kmeans_parts_price_size; the distribution-shape readout keeps
+    # weighted_price_quartiles' head slot and group_percentiles'
+    # r01/r02 rows)
+    # round-7: integer-exact Lloyd k-means (new capability — the
+    # clustering TRAINING rung next to embedding_silhouette's
+    # evaluation; bit-identical iterations on any engine)
+    "kmeans_parts_price_size",
     # (quantile_rollup_kll held this slot in rounds 5-6 — recorded
     # row r05; rotated to the tail late-round-6 for
     # phrase_search_docs; the mergeable-sketch family is historically
@@ -300,51 +315,76 @@ _PROMOTED = [
     # operators and stays path-equality-tested at 50% skew, while the
     # as-of family's base path rides asof_nearest_alignment's
     # recorded row)
-    # round-6 third wave: Theil-Sen robust trend (new capability —
-    # the median-of-pairwise-slopes estimator next to OLS's
-    # daily_trend_slope, as MAD is to stddev; displaces asof_split
-    # per the comment above)
-    "theilsen_daily_trend",
+    # (theilsen_daily_trend held this slot in round 6 — recorded row
+    # r06; rotated to the tail round-7 for tpch_q21_waiting_supplier,
+    # whose slot comment sits with the Q18 block above)
+    # round-7: Pearson chi-square independence + Cramér's V (new
+    # capability — the categorical two-sample rung next to KS's
+    # numeric CDFs and Welch's means; slot from gini_customer_revenue,
+    # recorded r06, whose Lorenz machinery keeps
+    # pareto_customer_revenue's head slot)
+    "chi2_status_priority",
     # (sessionization_split held this slot in rounds 5-6 — recorded
     # row r05; rotated to the tail late-round-6 for
     # benford_price_digits — see the round-6 third-wave blocks)
-    # round-6 third wave: Benford first-digit audit (new capability —
-    # the distributional-DQ readout next to dq_report's rule checks
-    # and psi's binned drift; displaces sessionization_split, whose
-    # skew-split discipline keeps asof_split's recorded row — same
-    # split='auto' machinery — while base sessionization stays
-    # oracle-checked in the tail with path-equality tests at 50%
-    # skew)
-    "benford_price_digits",
-    # round-6 third wave: trimmed mean (new capability — the robust
-    # center next to MAD's spread and Theil-Sen's trend; displaces
-    # similarity_topk, whose rotation block sits in _DEFERRED with
-    # its five recorded rows)
-    "trimmed_mean_order_value",
-    # round-6 third wave: Gini concentration (new capability — the
-    # mass-concentration readout next to join_profile's hot-key
-    # diagnostics; displaces q12_correlations, whose rotation block
-    # sits in _DEFERRED with its five recorded rows)
-    "gini_customer_revenue",
+    # (benford_price_digits held this slot in round 6 — recorded row
+    # r06; rotated to the tail round-7 for entropy_event_hours; the
+    # distributional-DQ family gains entropy + FD audits in this head
+    # while Benford stays oracle-checked in the tail)
+    # round-7: Mann-Whitney U rank-sum test (new capability — the
+    # rank-based two-sample rung next to KS and Welch, integer-exact
+    # midranks over the value domain; slot from acf_daily_values,
+    # recorded r06, whose seasonality family keeps
+    # seasonal_decompose_events + seasonal_backtest_events head slots)
+    "mannwhitney_click_error",
+    # round-7: Shannon entropy + KL-vs-global drift readout (new
+    # capability; slot from benford_price_digits per the comment
+    # above)
+    "entropy_event_hours",
+    # (trimmed_mean_order_value held this slot in round 6 — recorded
+    # row r06; rotated to the tail round-7 for fd_audit_catalog; the
+    # robust-center family keeps weighted_price_quartiles in the head
+    # and mad/theilsen oracle-checked in the tail)
+    # round-7: functional-dependency audit (new capability — the
+    # schema-discovery rung of the DQ family: MEASURES lhs->rhs
+    # violations where dq_report's `unique` asserts a key)
+    "fd_audit_catalog",
+    # (gini_customer_revenue held this slot in round 6 — recorded row
+    # r06; rotated to the tail round-7 for chi2_status_priority, see
+    # that block above; pareto_customer_revenue keeps the Lorenz
+    # machinery's head slot)
+    # round-7: Z-order layout pruning audit (new capability — the
+    # data-layout rung: Morton-interleaved multi-dimensional
+    # clustering measured by simulated file-footer min/max pruning,
+    # the Delta/Iceberg OPTIMIZE ZORDER capability as an operator;
+    # slot from zipf_vocab_fit, recorded r06, whose corpus-gauge
+    # family keeps readability_docs + phrase_search_docs head slots)
+    "zorder_pruning_parts",
     # round-6 third wave: Kaplan-Meier survival (new capability — the
     # censoring-correct churn/lifetime estimator retention_cohorts'
     # raw comeback counts cannot express; displaces
     # dedup_ngram_jaccard, whose rotation block sits in _DEFERRED
     # with its five recorded rows)
     "km_survival_segments",
-    # round-6 third wave: classical seasonal decomposition (new
-    # capability — the trend/seasonal/remainder separator upstream of
-    # the backtest and drift monitors; displaces text_profile, whose
-    # rotation block sits in _DEFERRED with its five recorded rows)
-    "seasonal_decompose_events",
-    # round-6 third wave: CUSUM drift monitor (new capability — the
-    # sustained-small-shift changepoint detector next to
-    # anomaly_zscore's spike gate, window-expressible via the
-    # prefix-sum closed form; displaces segment_overlap_theta, whose
-    # Theta set-algebra surface stays oracle-checked in the tail with
-    # exact-audit booleans while the sketch family keeps
-    # quantile_rollup_kll's recorded row)
-    "cusum_daily_drift",
+    # (seasonal_decompose_events held this slot in round 6 — recorded
+    # row r06; rotated to the tail round-7 for snapshot_diff_supplier;
+    # the seasonality family keeps seasonal_backtest_events' head
+    # slot)
+    # round-7 second wave: snapshot diff -> CDC batch derivation (new
+    # capability — the inverse of cdc_supplier_apply: replication
+    # validation/repair without re-shipping the table; roundtrip
+    # apply(diff(old,new)) == new pytest-pinned)
+    "snapshot_diff_supplier",
+    # (cusum_daily_drift held this slot in round 6 — recorded row
+    # r06; rotated to the tail round-7 for fingerprint_orders; the
+    # drift/changepoint family keeps ks_value_drift +
+    # entropy_event_hours head slots and its streaming twin's
+    # bit-equivalence tests)
+    # round-7 second wave: order-insensitive table fingerprint (new
+    # capability — the mergeable DECIMAL(38,0) md5_60 multiset
+    # checksum replication validates with; the green oracle row IS a
+    # cross-engine replication check by construction)
+    "fingerprint_orders",
     # round-5 second batch: the four NEW capabilities built this round
     # (bigram LM, SemDeDup, exact span dedup, Naive Bayes) go straight
     # into the recorded head so no capability waits a round for its
@@ -356,43 +396,44 @@ _PROMOTED = [
     # (semantic_dedup held this slot in rounds 5-6 — recorded row
     # r05; rotated to the tail late-round-6 for
     # weighted_price_quartiles — see the round-6 third-wave blocks)
-    # round-6 third wave: exact weighted percentiles (new capability
-    # — the volume-weighted quantile approx_percentile cannot weight;
-    # displaces semantic_dedup, whose embedding-cluster dedup stays
-    # oracle-checked in the tail while the dedup family keeps THREE
-    # recorded rows: ngram, minhash, segment)
-    "weighted_price_quartiles",
+    # (weighted_price_quartiles held this slot in round 6 — recorded
+    # row r06; rotated to the tail round-7 for cuped_user_value; the
+    # percentile family keeps group_percentiles' r01/r02 rows and the
+    # KLL sketch rung oracle-checked in the tail)
+    # round-7 second wave: CUPED variance-reduced experiment readout
+    # (new capability — covariate adjustment with exact DECIMAL
+    # moments, the workhorse rung above ab_experiment_readout's raw
+    # Welch readout)
+    "cuped_user_value",
     # (duplicate_spans held a slot here in round 5; rotated to the
     # tail in round 6 for cdc_supplier_apply — see the round-6 blocks)
     # (nb_language_selftrain held this slot in rounds 5-6 — recorded
     # row r05; rotated to the tail late-round-6 for zipf_vocab_fit —
     # see the round-6 third-wave blocks)
-    # round-6 third wave: Zipf's-law corpus gauge (new capability —
-    # the vocabulary-distribution health readout next to
-    # text_profile's per-doc scores; displaces nb_language_selftrain,
-    # whose self-training classifier stays oracle-checked in the tail
-    # while lang-ID keeps text_profile's recorded heuristic row)
-    "zipf_vocab_fit",
+    # (zipf_vocab_fit held this slot in round 6 — recorded row r06;
+    # rotated to the tail round-7 for zorder_pruning_parts, see that
+    # block above)
     # round-5 third batch: capabilities built later in the round go
     # straight into the recorded head (same rationale as above). Each
     # displaces a long-attested entry with a recorded capability twin
     # (see the round-5 third-batch block in _DEFERRED).
-    # round-6 second wave: 2D Pareto skyline (new capability — the
-    # multi-objective top-k with a bucketed no-self-join plan, proved
-    # against the oracle's quadratic NOT EXISTS; displaces
-    # similarity_topk_pq, whose product-quantization recall audit
-    # stays oracle-checked in the tail while the ANN family keeps
-    # similarity_topk recorded; green row r05)
-    "skyline_parts",
+    # (skyline_parts held this slot in rounds 5-6 — recorded rows
+    # r05+r06; rotated to the tail round-7 for cms_token_freq; the
+    # skyline stays oracle-checked in the tail against its quadratic
+    # NOT EXISTS oracle)
+    # round-7 second wave: Count-Min sketch (new capability — the
+    # frequency-ESTIMATE rung of the sketch family next to
+    # Misra-Gries' top-k; md5_60-salted grid fully value-checked
+    # cross-engine, mergeable like its HLL/KLL/Theta siblings)
+    "cms_token_freq",
     # (heavy_hitters_mg held this slot through round 6's first half —
     # recorded row r05; rotated to the tail mid-round-6 for
     # acf_daily_values — see the round-6 second-wave blocks)
-    # round-6 second wave: autocorrelation function (new capability —
-    # the seasonality diagnostic next to the backtest; displaces
-    # heavy_hitters_mg, whose Misra-Gries surface keeps its
-    # streaming-twin tests and stays oracle-checked in the tail; the
-    # sketch family keeps KLL + Theta recorded rows)
-    "acf_daily_values",
+    # (acf_daily_values held this slot in round 6 — recorded row r06;
+    # rotated to the tail round-7 for mannwhitney_click_error, see
+    # that block above; the seasonality family keeps
+    # seasonal_decompose_events + seasonal_backtest_events head
+    # slots)
     # (scd2_order_status_dim held a slot here in round 5; rotated to
     # the tail in round 6 for pit_order_status, which contains it as
     # its first stage — see the round-6 blocks)
@@ -422,13 +463,14 @@ _PROMOTED = [
     # (user_clustering held this slot through round 6's first half —
     # recorded rows r05; rotated to the tail mid-round-6 for
     # itemitem_part_recs — see the round-6 second-wave blocks)
-    # round-6 second wave: item-item neighborhood CF (new capability —
-    # the rating-cosine 'bought X also bought' model table next to
-    # affinity's lift and ppr's random-walk recs; displaces
-    # user_clustering, whose triangle/clustering-coefficient readout
-    # stays oracle-checked in the tail while the graph family keeps
-    # pagerank + kcore + hits + bfs recorded rows)
-    "itemitem_part_recs",
+    # (itemitem_part_recs held this slot in round 6 — recorded row
+    # r06; rotated to the tail round-7 for anova_event_values; the
+    # recommendation family keeps its r06 row plus the ppr/affinity
+    # tails oracle-checked)
+    # round-7 third wave: one-way ANOVA (new capability — the k-group
+    # generalization completing the two-sample family: Welch means,
+    # MWU ranks, KS CDFs, chi-square categories, now k-level means)
+    "anova_event_values",
     # round-6 second wave: multi-source BFS reachability rings (new
     # capability — min-hop distance joins the iterative-graph family's
     # rank/centrality/core primitives; displaces daily_trend_slope,
@@ -475,29 +517,34 @@ _PROMOTED = [
     # r05; rotated to the tail late-round-6 so TPC-H Q3 gets its
     # FIRST driver row — the DQ family keeps benford_price_digits in
     # the head and the fused-check kernel its plan-asserted tests)
-    # round-6 correction: tpch_q3_priority is round-6-NEW (no
-    # recorded row exists); an earlier third-wave rotation moved it
-    # to the tail on a mistaken r05 attribution — restored here so
-    # every new capability gets a first recording
-    "tpch_q3_priority",
+    # (tpch_q3_priority held this slot in round 6 — recorded row r06;
+    # rotated to the tail round-7 for tpch_q2_min_cost_supp; the
+    # relational-classics family keeps Q1/Q4/Q18/Q21 head slots)
+    # round-7 second wave: TPC-H Q2 shape — correlated scalar-MIN
+    # subquery as aggregate-then-rejoin (new capability: the third
+    # argmin form next to the window argmax and row_number cut)
+    "tpch_q2_min_cost_supp",
     # (incremental_rollup_refresh held this slot in rounds 5-6 —
     # recorded row r05; rotated to the tail late-round-6 so TPC-H Q5
     # gets its FIRST driver row — rollup maintenance keeps its r05
     # attestation + cdc_supplier_apply's head slot for the
     # apply-changes surface)
-    # round-6 correction: tpch_q5_region restored to the head for the
-    # same reason as Q3 above
-    "tpch_q5_region",
+    # (tpch_q5_region held this slot in round 6 — recorded row r06;
+    # rotated to the tail round-7 for tpch_q13_custdist; same family
+    # coverage as the Q3 rotation above)
+    # round-7 second wave: TPC-H Q13 shape — LEFT JOIN + COUNT(col)
+    # double grouping with zero-order customers kept (new capability)
+    "tpch_q13_custdist",
     # (join_profile_orders_lineitem held this slot through round 6's
     # first half — recorded rows r05; rotated to the tail mid-round-6
     # for lpa_communities — see the round-6 second-wave blocks)
-    # round-6 second wave: label-propagation communities (new
-    # capability — locally dense neighborhoods where CC merges
-    # everything reachable; displaces join_profile_orders_lineitem,
-    # whose exact-cardinality preflight stays oracle-checked in the
-    # tail with its exactness asserted against the real join in
-    # tests/test_skew_stress.py)
-    "lpa_communities",
+    # (lpa_communities held this slot in round 6 — recorded row r06;
+    # rotated to the tail round-7 for assortativity_cust_supp; the
+    # iterative-graph family keeps kcore + bfs + sssp head slots)
+    # round-7 third wave: degree assortativity (new capability — the
+    # one-number structural summary of who-attaches-to-whom, exact
+    # BIGINT/DECIMAL moments over the doubled edge list)
+    "assortativity_cust_supp",
     # personalized weighted PageRank (new capability; displaces
     # asof_next_purchase, whose as-of join family keeps TWO recorded
     # rows via asof_split — same operator, skew mode — while the base
@@ -531,18 +578,24 @@ _PROMOTED = [
     # (ab_experiment_readout held this slot through round 6's first
     # half — recorded row r05; rotated to the tail mid-round-6 for
     # seasonal_backtest_events — see the round-6 second-wave blocks)
-    # round-6 second wave: seasonal-naive forecast backtest (new
-    # capability — the forecasting-baseline monitor; displaces
-    # ab_experiment_readout, whose Welch statistics stay
-    # oracle-checked in the tail and hand-computed-parity tested)
-    "seasonal_backtest_events",
-    # round-6 second wave: WOE/IV supervised feature binning (new
-    # capability — the scorecard feature-selection readout one rung
-    # above psi_value_drift's unsupervised drift; displaces
-    # rake_keyphrases_docs, whose keyphrase extraction stays
-    # oracle-checked in the tail and whose text family keeps
-    # text_profile + bm25_rank recorded rows; green row r05)
-    "woe_price_vs_urgent",
+    # (seasonal_backtest_events held this slot in rounds 5-6 —
+    # recorded rows r05+r06; rotated to the tail round-7 for
+    # conformal_event_forecast, which SCORES THE SAME FORECAST and
+    # adds the calibration layer — the strictly stronger form, the
+    # segment-dedup-displaces-boilerplate pattern)
+    # round-7 second wave: split-conformal prediction intervals (new
+    # capability — finite-sample-valid qhat rank + measured coverage)
+    "conformal_event_forecast",
+    # (woe_price_vs_urgent held this slot in rounds 5-6 — recorded
+    # rows r05+r06; rotated to the tail round-7 for
+    # neyman_alloc_doc_sources; the supervised-binning readout keeps
+    # its two recorded rows and the PSI/quantile-edge machinery stays
+    # oracle-checked in the tail)
+    # round-7 second wave: Neyman-optimal sample allocation (new
+    # capability — the variance-minimizing stratified design in
+    # front of the sampling executors; integer-exact
+    # largest-remainder arithmetic)
+    "neyman_alloc_doc_sources",
     # (rake_keyphrases_docs held this slot through round 6's first
     # half — recorded row r05; rotated to the tail mid-round-6 for
     # woe_price_vs_urgent — see the round-6 second-wave blocks)
@@ -946,6 +999,35 @@ _DEFERRED = [
     # tested) while the iterative-graph family keeps kcore + bfs +
     # lpa + sssp head slots. Green row r05.
     "pagerank_cust_supp",
+    # round-7 rotation OUT: the nine slots for the round-7-new
+    # capabilities (TPC-H Q4/Q18/Q21 subquery shapes, chi-square,
+    # Mann-Whitney, entropy/KL, k-means, FD audit, z-order layout).
+    # Every entry below earned its first recorded row in r06 (green
+    # in CORRECTNESS_r06.json), so rotating it out loses no
+    # attestation; each keeps a named head twin (see the _PROMOTED
+    # blocks) and stays oracle-checked here each round.
+    "event_value_bars",
+    "events_daily_melt",
+    "theilsen_daily_trend",
+    "gini_customer_revenue",
+    "acf_daily_values",
+    "benford_price_digits",
+    "value_histogram_events",
+    "trimmed_mean_order_value",
+    "zipf_vocab_fit",
+    # round-7 second-wave rotation OUT (same contract as above —
+    # every entry recorded green in r06, each with a named head twin
+    # in its _PROMOTED block):
+    "seasonal_decompose_events",
+    "cusum_daily_drift",
+    "weighted_price_quartiles",
+    "tpch_q3_priority",
+    "tpch_q5_region",
+    "seasonal_backtest_events",
+    "woe_price_vs_urgent",
+    "skyline_parts",
+    "itemitem_part_recs",
+    "lpa_communities",
 ]
 
 
@@ -6129,6 +6211,168 @@ def tpch_q5_region_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "tpch_q4_priority_exists",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: correlated EXISTS -> LEFT SEMI join "
+    "(ref analysis.sql has no subquery forms; this closes the "
+    "semi-join gap the Bloom variant approximates). The testdata "
+    "lacks l_commitdate/l_receiptdate, so 'late' is adapted to "
+    "l_returnflag='R' — the relational shape (date-filtered fact, "
+    "dedup-free EXISTS via semi join, priority rollup) is the "
+    "capability. Plan: the date filter pushes to the orders scan, "
+    "the semi join shuffles only (orderkey) pairs and short-circuits "
+    "per match — no DISTINCT materialization of the inner side",
+)
+def tpch_q4_priority_exists_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+    )
+
+
+@_q(
+    "tpch_q18_large_orders",
+    """
+    SELECT c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_totalprice,
+           CAST(q.total_qty AS BIGINT) AS total_qty
+    FROM orders o
+    JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(l_quantity) > 300) q
+      ON q.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY q.total_qty DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 shape: large-volume orders — IN-subquery over a "
+    "grouped HAVING, rewritten as a join against the aggregated "
+    "keys (Catalyst's own rewrite of IN (SELECT..GROUP BY..HAVING)). "
+    "Quantity sums are integers (exact in double); top-100 ordered "
+    "desc with the unique orderkey tiebreak compiles to "
+    "TakeOrderedAndProject — no global sort materializes. The "
+    "having filter reduces the build side to ~1% of orders BEFORE "
+    "either join; customer attaches last so only winners join it",
+)
+def tpch_q18_large_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    q = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        o.join(q, o["o_orderkey"] == q["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@_q(
+    "tpch_q21_waiting_supplier",
+    """
+    WITH l1 AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem WHERE l_returnflag = 'R'),
+    lall AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+    SELECT s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lall l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l1 l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape: suppliers who kept orders waiting — the "
+    "hardest classic relational pattern, a SEMI + ANTI self-join "
+    "chain on the same fact ('another supplier contributed to this "
+    "order' EXISTS, 'no other supplier was late on it' NOT EXISTS). "
+    "Adapted to the testdata: 'late' = l_returnflag='R' (no "
+    "commit/receipt dates). Both correlated subqueries compile to "
+    "LEFT SEMI / LEFT ANTI joins on (orderkey, suppkey) pairs "
+    "deduplicated FIRST — the shuffled payload is distinct pairs, "
+    "never raw lineitem; the 100-row supplier dim broadcasts; the "
+    "self-join inequality rides the orderkey equi-key. Top-20 with "
+    "name tiebreak -> TakeOrderedAndProject",
+    headline=True,
+)
+def tpch_q21_waiting_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    # ONE flagged pair aggregation expresses both subquery branches
+    # (lall and its R-filtered subset)
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("__has_r")
+    )
+    lall = pairs.select("l_orderkey", "l_suppkey")
+    l1 = pairs.filter(F.col("__has_r") == 1).select(
+        "l_orderkey", "l_suppkey"
+    )
+    # SHUFFLE_HASH on the inner sides: broadcasting a fact-derived
+    # pair set is the local-mode default here but impossible at
+    # 100 TB; hashed shuffle joins co-partition all three branches on
+    # l_orderkey — measured ~35% faster than the broadcast plan at
+    # sf0.1 AND the only shape that survives scale
+    l2 = lall.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    ).hint("shuffle_hash")
+    l3 = l1.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    ).hint("shuffle_hash")
+    cand = l1.join(
+        l2,
+        (l1["l_orderkey"] == l2["o2"]) & (l1["l_suppkey"] != l2["s2"]),
+        "left_semi",
+    ).join(
+        l3,
+        (l1["l_orderkey"] == l3["o3"]) & (l1["l_suppkey"] != l3["s3"]),
+        "left_anti",
+    )
+    return (
+        cand.join(F.broadcast(s), cand["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@_q(
     "event_value_bars",
     """
     WITH ev AS (
@@ -8264,3 +8508,1130 @@ def pareto_customer_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_fraction(
         rev, ["c_mktsegment"], "revenue", share=0.8
     )
+
+
+@_q(
+    "chi2_status_priority",
+    """
+    WITH base AS (
+      SELECT o_orderstatus AS a, o_orderpriority AS b
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL),
+    obs AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o
+            FROM base GROUP BY 1, 2),
+    ma AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS ra
+           FROM base GROUP BY 1),
+    mb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rb
+           FROM base GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    grid AS (
+      SELECT ma.ra, mb.rb, nn.n, COALESCE(obs.o, 0) AS o
+      FROM ma CROSS JOIN mb CROSS JOIN nn
+      LEFT JOIN obs ON obs.a = ma.a AND obs.b = mb.b),
+    s AS (
+      SELECT MAX(n) AS n,
+             SUM((o - (ra * rb) / n) * (o - (ra * rb) / n)
+                 / ((ra * rb) / n)) AS chi2
+      FROM grid),
+    lv AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ma) AS la,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM mb) AS lb)
+    SELECT s.n,
+           lv.la AS levels_a, lv.lb AS levels_b,
+           CAST((lv.la - 1) * (lv.lb - 1) AS BIGINT) AS dof,
+           ROUND(s.chi2, 6) AS chi2,
+           CASE WHEN (lv.la - 1) * (lv.lb - 1) > 0
+                THEN ROUND(SQRT(s.chi2 / (s.n * LEAST(lv.la - 1,
+                                                      lv.lb - 1))), 6)
+           END AS cramers_v
+    FROM s CROSS JOIN lv
+    """,
+    doc="Pearson chi-square independence test + Cramér's V over the "
+    "(o_orderstatus x o_orderpriority) contingency table "
+    "(operators/relational.py:chi2_independence) — the categorical "
+    "complement to ks_two_sample (numeric CDFs) and "
+    "two_sample_report (Welch means). Observed counts exact; every "
+    "expected count is one double division of exact integers; the "
+    "cell sum spans |A|x|B| tiny terms. Two marginal groupBys + one "
+    "pair groupBy over the fact; the grid is built from broadcast "
+    "MARGINALS, never the fact",
+)
+def chi2_status_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import chi2_independence
+
+    orders = load(spark, sf_dir, "orders")
+    return chi2_independence(orders, "o_orderstatus", "o_orderpriority")
+
+
+@_q(
+    "mannwhitney_click_error",
+    """
+    WITH base AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+      FROM events
+      WHERE event_type IN ('click', 'error') AND value IS NOT NULL),
+    pv AS (SELECT v, CAST(SUM(ia) AS BIGINT) AS ta,
+                  CAST(SUM(1 - ia) AS BIGINT) AS tb
+           FROM base GROUP BY v),
+    r AS (
+      SELECT ta, tb, ta + tb AS t,
+             CAST(COALESCE(SUM(ta + tb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS c
+      FROM pv),
+    agg AS (
+      SELECT CAST(SUM(ta) AS BIGINT) AS na,
+             CAST(SUM(tb) AS BIGINT) AS nb,
+             CAST(SUM(ta * (2 * c + ta + tb + 1)) AS BIGINT) AS r2a,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+      FROM r)
+    SELECT na AS n_a, nb AS n_b,
+           CAST(r2a - na * (na + 1) AS DOUBLE) / 2 AS u_a,
+           CASE WHEN na > 0 AND nb > 0 AND
+                     CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                     * (CAST(na + nb + 1 AS DOUBLE)
+                        - CAST(ties AS DOUBLE)
+                          / (CAST(na + nb AS DOUBLE)
+                             * CAST(na + nb - 1 AS DOUBLE))) > 0
+                THEN ROUND(CAST(r2a - na * (na + 1) - na * nb AS DOUBLE)
+                  / (2.0 * SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                     / 12.0
+                     * (CAST(na + nb + 1 AS DOUBLE)
+                        - CAST(ties AS DOUBLE)
+                          / (CAST(na + nb AS DOUBLE)
+                             * CAST(na + nb - 1 AS DOUBLE))))), 6)
+           END AS z,
+           CASE WHEN na > 0 AND nb > 0 AND
+                     CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                     * (CAST(na + nb + 1 AS DOUBLE)
+                        - CAST(ties AS DOUBLE)
+                          / (CAST(na + nb AS DOUBLE)
+                             * CAST(na + nb - 1 AS DOUBLE))) > 0
+                THEN ROUND(CAST(r2a - na * (na + 1) - na * nb AS DOUBLE)
+                  / (2.0 * SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                     / 12.0
+                     * (CAST(na + nb + 1 AS DOUBLE)
+                        - CAST(ties AS DOUBLE)
+                          / (CAST(na + nb AS DOUBLE)
+                             * CAST(na + nb - 1 AS DOUBLE)))))
+                  / SQRT(CAST(na + nb AS DOUBLE)), 6)
+           END AS r_effect
+    FROM agg
+    """,
+    doc="Mann-Whitney U (rank-sum) test between 'click' and 'error' "
+    "event values (operators/relational.py:mann_whitney_u) — the "
+    "rank-based two-sample rung next to KS and Welch. Cent-quantized "
+    "values make tie groups exact; midranks accumulate as exact "
+    "BIGINT 2x-scaled sums via the (2c+t+1) closed form over "
+    "DISTINCT values, so U, the tie term and the z variance are "
+    "integer-exact before one final double evaluation. The ordered "
+    "prefix window runs over the value DOMAIN (~49k cents), not the "
+    "fact — constant-bounded at any scale factor",
+)
+def mannwhitney_click_error_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.relational import mann_whitney_u
+
+    ev = load_events(spark, sf_dir)
+    return mann_whitney_u(
+        ev, "value", "event_type", "click", "error", scale=100
+    )
+
+
+@_q(
+    "entropy_event_hours",
+    """
+    WITH base AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS c
+      FROM events WHERE ts IS NOT NULL),
+    pair AS (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS o
+             FROM base GROUP BY 1, 2),
+    g AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS gt FROM base GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    t AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS tt
+          FROM pair GROUP BY 1)
+    SELECT p.event_type,
+           MAX(t.tt) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_cats,
+           ROUND(-SUM((o * 1.0 / tt) * log2(o * 1.0 / tt)), 6)
+             AS entropy_bits,
+           ROUND(SUM((o * 1.0 / tt)
+                     * log2((o * 1.0 / tt) / (gt * 1.0 / n))), 6)
+             AS kl_vs_global_bits
+    FROM pair p
+    JOIN t ON t.event_type = p.event_type
+    JOIN g ON g.c = p.c
+    CROSS JOIN nn
+    GROUP BY p.event_type
+    """,
+    doc="Shannon entropy of each event type's hour-of-day "
+    "distribution + KL divergence from the global hour distribution "
+    "(operators/dq.py:categorical_entropy) — the information-"
+    "theoretic drift readout next to PSI's binned score. Exact "
+    "integer counts feed identical closed-form doubles (libm log2 "
+    "ulps sit far below the 6dp grain; <=24 terms per sum). One "
+    "pair groupBy + one broadcast category marginal; the fact never "
+    "joins itself",
+)
+def entropy_event_hours_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dq import categorical_entropy
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "hour_of_day", F.hour("ts").cast("long")
+    )
+    return categorical_entropy(ev, ["event_type"], "hour_of_day")
+
+
+@_q(
+    "kmeans_parts_price_size",
+    """
+    WITH pts AS MATERIALIZED (
+      SELECT p_partkey AS id,
+             CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100
+                  AS BIGINT) AS x0,
+             CAST(p_size AS BIGINT) * 2000 AS x1
+      FROM part),
+    c0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY id) - 1 AS cid,
+             x0 AS cx, x1 AS cy
+      FROM (SELECT id, x0, x1 FROM pts ORDER BY id LIMIT 4)),
+    a1 AS MATERIALIZED (
+      SELECT id, x0, x1, cid FROM (
+        SELECT p.id, p.x0, p.x1, c.cid,
+               (p.x0 - c.cx) * (p.x0 - c.cx)
+               + (p.x1 - c.cy) * (p.x1 - c.cy) AS d
+        FROM pts p CROSS JOIN c0 c)
+      QUALIFY row_number() OVER (PARTITION BY id ORDER BY d, cid) = 1),
+    c1 AS MATERIALIZED (
+      SELECT c.cid,
+             CAST(COALESCE(s.sx // s.n, c.cx) AS BIGINT) AS cx,
+             CAST(COALESCE(s.sy // s.n, c.cy) AS BIGINT) AS cy
+      FROM c0 c LEFT JOIN (
+        SELECT cid, COUNT(*) AS n, SUM(x0) AS sx, SUM(x1) AS sy
+        FROM a1 GROUP BY cid) s ON s.cid = c.cid),
+    a2 AS MATERIALIZED (
+      SELECT id, x0, x1, cid FROM (
+        SELECT p.id, p.x0, p.x1, c.cid,
+               (p.x0 - c.cx) * (p.x0 - c.cx)
+               + (p.x1 - c.cy) * (p.x1 - c.cy) AS d
+        FROM pts p CROSS JOIN c1 c)
+      QUALIFY row_number() OVER (PARTITION BY id ORDER BY d, cid) = 1),
+    c2 AS MATERIALIZED (
+      SELECT c.cid,
+             CAST(COALESCE(s.sx // s.n, c.cx) AS BIGINT) AS cx,
+             CAST(COALESCE(s.sy // s.n, c.cy) AS BIGINT) AS cy
+      FROM c1 c LEFT JOIN (
+        SELECT cid, COUNT(*) AS n, SUM(x0) AS sx, SUM(x1) AS sy
+        FROM a2 GROUP BY cid) s ON s.cid = c.cid),
+    a3 AS MATERIALIZED (
+      SELECT id, x0, x1, cid FROM (
+        SELECT p.id, p.x0, p.x1, c.cid,
+               (p.x0 - c.cx) * (p.x0 - c.cx)
+               + (p.x1 - c.cy) * (p.x1 - c.cy) AS d
+        FROM pts p CROSS JOIN c2 c)
+      QUALIFY row_number() OVER (PARTITION BY id ORDER BY d, cid) = 1),
+    c3 AS MATERIALIZED (
+      SELECT c.cid,
+             CAST(COALESCE(s.sx // s.n, c.cx) AS BIGINT) AS cx,
+             CAST(COALESCE(s.sy // s.n, c.cy) AS BIGINT) AS cy
+      FROM c2 c LEFT JOIN (
+        SELECT cid, COUNT(*) AS n, SUM(x0) AS sx, SUM(x1) AS sy
+        FROM a3 GROUP BY cid) s ON s.cid = c.cid),
+    af AS (
+      SELECT id, cid FROM (
+        SELECT p.id, c.cid,
+               (p.x0 - c.cx) * (p.x0 - c.cx)
+               + (p.x1 - c.cy) * (p.x1 - c.cy) AS d
+        FROM pts p CROSS JOIN c3 c)
+      QUALIFY row_number() OVER (PARTITION BY id ORDER BY d, cid) = 1)
+    SELECT CAST(c.cid AS BIGINT) AS cluster,
+           CAST(g.n AS BIGINT) AS n_points,
+           c.cx AS centroid_price_cents,
+           c.cy AS centroid_size_units
+    FROM (SELECT cid, COUNT(*) AS n FROM af GROUP BY cid) g
+    JOIN c3 c ON c.cid = g.cid
+    """,
+    doc="Integer-exact Lloyd k-means (k=4, 3 fixed iterations) over "
+    "parts in (price-cents, size*2000) feature space "
+    "(operators/clustering.py:kmeans_lloyd) — the clustering "
+    "TRAINING rung next to embedding_silhouette's evaluation and "
+    "the ANN family's sampled coarse quantizers. Deterministic "
+    "smallest-key init, exact BIGINT squared distances with "
+    "centroid-id tiebreaks, exact floor-division centroid updates: "
+    "every iteration is bit-identical on any engine or partitioning "
+    "(the pagerank discipline applied to ML). Per iteration the "
+    "fact only flows through one broadcast k-way argmin + one "
+    "map-side-combined groupBy; driver state is k centroid rows",
+)
+def kmeans_parts_price_size_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.clustering import kmeans_lloyd
+
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        (F.col("p_size").cast("long") * 2000).alias("size_units"),
+    )
+    return kmeans_lloyd(
+        part,
+        "p_partkey",
+        ["price_cents", "size_units"],
+        k=4,
+        iterations=3,
+    )
+
+
+@_q(
+    "fd_audit_catalog",
+    """
+    WITH f1 AS (
+      SELECT 'part: p_brand->p_type' AS fd, nr
+      FROM (SELECT COUNT(DISTINCT p_type)
+                   + CASE WHEN COUNT(*) > COUNT(p_type)
+                          THEN 1 ELSE 0 END AS nr
+            FROM part WHERE p_brand IS NOT NULL GROUP BY p_brand)),
+    f2 AS (
+      SELECT 'part: p_type->p_size' AS fd, nr
+      FROM (SELECT COUNT(DISTINCT p_size)
+                   + CASE WHEN COUNT(*) > COUNT(p_size)
+                          THEN 1 ELSE 0 END AS nr
+            FROM part WHERE p_type IS NOT NULL GROUP BY p_type)),
+    f3 AS (
+      SELECT 'supplier: s_nationkey->n_name' AS fd, nr
+      FROM (SELECT COUNT(DISTINCT n_name)
+                   + CASE WHEN COUNT(*) > COUNT(n_name)
+                          THEN 1 ELSE 0 END AS nr
+            FROM supplier JOIN nation ON n_nationkey = s_nationkey
+            WHERE s_nationkey IS NOT NULL GROUP BY s_nationkey)),
+    f4 AS (
+      SELECT 'orders: o_orderkey->o_orderstatus' AS fd, nr
+      FROM (SELECT COUNT(DISTINCT o_orderstatus)
+                   + CASE WHEN COUNT(*) > COUNT(o_orderstatus)
+                          THEN 1 ELSE 0 END AS nr
+            FROM orders WHERE o_orderkey IS NOT NULL
+            GROUP BY o_orderkey)),
+    u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+          UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4)
+    SELECT fd,
+           CAST(COUNT(*) AS BIGINT) AS lhs_keys,
+           CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_keys,
+           ROUND(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS violation_rate,
+           CAST(MAX(nr) AS BIGINT) AS max_rhs_values,
+           MAX(nr) <= 1 AS holds
+    FROM u GROUP BY fd
+    """,
+    doc="Functional-dependency audit across four candidate "
+    "dependencies (operators/dq.py:fd_violations): two catalog FDs "
+    "that FAIL on this data (brand->type, type->size), one that "
+    "HOLDS via the dimension join (nationkey->name), and one "
+    "primary-key FD (orderkey->status). The schema-discovery rung "
+    "of the DQ family: each FD is one two-level distinct rollup "
+    "(pair groupBy then key groupBy — pair cardinality shuffles, "
+    "never the fact) reduced to a single row; NULL rhs values are "
+    "counted as values via a NULL-flagged struct",
+)
+def fd_audit_catalog_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dq import fd_violations
+
+    part = load(spark, sf_dir, "part")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    sn = sup.join(
+        F.broadcast(nat),
+        sup["s_nationkey"] == nat["n_nationkey"],
+    )
+    frames = [
+        fd_violations(part, ["p_brand"], "p_type", "part: p_brand->p_type"),
+        fd_violations(part, ["p_type"], "p_size", "part: p_type->p_size"),
+        fd_violations(
+            sn, ["s_nationkey"], "n_name", "supplier: s_nationkey->n_name"
+        ),
+        fd_violations(
+            orders,
+            ["o_orderkey"],
+            "o_orderstatus",
+            "orders: o_orderkey->o_orderstatus",
+        ),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+@_q(
+    "zorder_pruning_parts",
+    """
+    WITH pts AS (
+      SELECT p_partkey,
+             CAST(p_size AS BIGINT) AS size,
+             (CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100
+                   AS BIGINT) - 90000) // 400 AS pb
+      FROM part),
+    zk AS (
+      SELECT p_partkey, size, pb,
+             ( ((pb >> 0) & 1) << 0 ) | ( ((size >> 0) & 1) << 1 )
+           | ( ((pb >> 1) & 1) << 2 ) | ( ((size >> 1) & 1) << 3 )
+           | ( ((pb >> 2) & 1) << 4 ) | ( ((size >> 2) & 1) << 5 )
+           | ( ((pb >> 3) & 1) << 6 ) | ( ((size >> 3) & 1) << 7 )
+           | ( ((pb >> 4) & 1) << 8 ) | ( ((size >> 4) & 1) << 9 )
+           | ( ((pb >> 5) & 1) << 10 ) | ( ((size >> 5) & 1) << 11 )
+           | ( ((pb >> 6) & 1) << 12 ) | ( ((size >> 6) & 1) << 13 )
+           | ( ((pb >> 7) & 1) << 14 ) | ( ((size >> 7) & 1) << 15 )
+             AS zkey
+      FROM pts),
+    gz AS (
+      SELECT ntile(16) OVER (ORDER BY zkey, p_partkey) AS fg,
+             size, pb
+      FROM zk),
+    gl AS (
+      SELECT ntile(16) OVER (ORDER BY pb, size, p_partkey) AS fg,
+             size, pb
+      FROM pts),
+    sz AS (
+      SELECT 'zorder' AS layout, CAST(fg AS BIGINT) AS file_group,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MIN(pb) AS BIGINT) AS min_pb,
+             CAST(MAX(pb) AS BIGINT) AS max_pb,
+             CAST(MIN(size) AS BIGINT) AS min_size,
+             CAST(MAX(size) AS BIGINT) AS max_size
+      FROM gz GROUP BY fg),
+    sl AS (
+      SELECT 'linear' AS layout, CAST(fg AS BIGINT) AS file_group,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MIN(pb) AS BIGINT) AS min_pb,
+             CAST(MAX(pb) AS BIGINT) AS max_pb,
+             CAST(MIN(size) AS BIGINT) AS min_size,
+             CAST(MAX(size) AS BIGINT) AS max_size
+      FROM gl GROUP BY fg),
+    u AS (SELECT * FROM sz UNION ALL SELECT * FROM sl)
+    SELECT layout, file_group, n_rows, min_pb, max_pb,
+           min_size, max_size,
+           (max_pb < 50 OR min_pb > 100
+            OR max_size < 10 OR min_size > 20) AS prunable
+    FROM u
+    """,
+    doc="Z-order vs linear layout pruning audit over part "
+    "(operators/layout.py:zorder_key + layout_pruning_stats): "
+    "interleave (price-bucket, size) bits into a Morton key, split "
+    "the sorted table into 16 simulated files, and report each "
+    "file's min/max footer stats plus whether the box predicate "
+    "(size 10-20, bucket 50-100) could SKIP it — the Delta/Iceberg "
+    "OPTIMIZE ZORDER capability as a measurable operator. The "
+    "z-ordered layout keeps every file narrow in BOTH dimensions "
+    "(more prunable files than the price-sorted linear layout, "
+    "whose files span all sizes). Pure bit-arithmetic column "
+    "expressions (codegen, no UDF); at scale the ntile stands in "
+    "for repartitionByRange on the same key and the stats frame IS "
+    "per-file metadata (n_groups rows)",
+)
+def zorder_pruning_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.layout import layout_pruning_stats, zorder_key
+
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("size"),
+        F.expr(
+            "(CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            " - 90000) div 400"
+        ).alias("pb"),
+    )
+    box = {"pb": (50, 100), "size": (10, 20)}
+    z = layout_pruning_stats(
+        part.withColumn("__z", zorder_key(["pb", "size"], bits=8)),
+        ["pb", "size"],
+        F.col("__z"),
+        "p_partkey",
+        16,
+        box,
+        "zorder",
+    )
+    lin = layout_pruning_stats(
+        part.withColumn(
+            "__lin",
+            F.col("pb") * F.lit(1 << 16) + F.col("size"),
+        ),
+        ["pb", "size"],
+        F.col("__lin"),
+        "p_partkey",
+        16,
+        box,
+        "linear",
+    )
+    return z.unionByName(lin)
+
+
+@_q(
+    "snapshot_diff_supplier",
+    """
+    WITH old AS (
+      SELECT s_suppkey, s_name, s_nationkey,
+             ROUND(s_acctbal, 6) AS s_acctbal
+      FROM supplier),
+    new AS (
+      -- deterministic synthetic replica drift: drop keys %17=3,
+      -- rebalance keys %11=0, append shifted copies of keys %23=0
+      SELECT s_suppkey, s_name, s_nationkey,
+             CASE WHEN s_suppkey % 11 = 0
+                  THEN ROUND(s_acctbal + 100, 6) ELSE s_acctbal END
+               AS s_acctbal
+      FROM old WHERE s_suppkey % 17 <> 3
+      UNION ALL
+      SELECT s_suppkey + 100000, s_name, s_nationkey, s_acctbal
+      FROM old WHERE s_suppkey % 23 = 0),
+    j AS (
+      SELECT COALESCE(n.s_suppkey, o.s_suppkey) AS s_suppkey,
+             COALESCE(n.s_name, o.s_name) AS s_name,
+             COALESCE(n.s_nationkey, o.s_nationkey) AS s_nationkey,
+             CASE WHEN n.s_suppkey IS NOT NULL THEN n.s_acctbal
+                  ELSE o.s_acctbal END AS s_acctbal,
+             CASE
+               WHEN o.s_suppkey IS NOT NULL AND n.s_suppkey IS NOT NULL
+                    AND (o.s_name IS DISTINCT FROM n.s_name
+                         OR o.s_nationkey IS DISTINCT FROM n.s_nationkey
+                         OR o.s_acctbal IS DISTINCT FROM n.s_acctbal)
+                 THEN 'U'
+               WHEN o.s_suppkey IS NULL THEN 'I'
+               WHEN n.s_suppkey IS NULL THEN 'D'
+             END AS op
+      FROM old o FULL OUTER JOIN new n ON o.s_suppkey = n.s_suppkey)
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal, op
+    FROM j WHERE op IS NOT NULL
+    """,
+    doc="snapshot diff -> CDC batch (operators/scd.py:snapshot_diff),"
+    " the INVERSE of cdc_supplier_apply: derive the I/U/D change "
+    "batch that turns the supplier snapshot into a drifted replica — "
+    "how replication validates and repairs without re-shipping the "
+    "table. NULL-safe per-column comparison via struct eqNullSafe "
+    "(no rendering, no hash false-negatives); identical rows emit "
+    "nothing. ONE full outer join on the key both sides are already "
+    "clustered by (bucketed warehouse layouts skip the exchange); "
+    "roundtrip apply_cdc(old, diff) == new is pytest-pinned",
+)
+def snapshot_diff_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.scd import snapshot_diff
+
+    old = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey",
+        F.round("s_acctbal", 6).alias("s_acctbal"),
+    )
+    new = (
+        old.filter(F.col("s_suppkey") % 17 != 3)
+        .withColumn(
+            "s_acctbal",
+            F.when(
+                F.col("s_suppkey") % 11 == 0,
+                F.round(F.col("s_acctbal") + 100, 6),
+            ).otherwise(F.col("s_acctbal")),
+        )
+        .unionByName(
+            old.filter(F.col("s_suppkey") % 23 == 0).withColumn(
+                "s_suppkey", F.col("s_suppkey") + 100000
+            )
+        )
+    )
+    return snapshot_diff(old, new, ["s_suppkey"])
+
+
+@_q(
+    "fingerprint_orders",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(('0x' || substring(md5(
+                 chr(0) || 'V' || CAST(o_orderkey AS VARCHAR)
+              || chr(31) || chr(0) || 'V' || CAST(o_custkey AS VARCHAR)
+              || chr(31) || chr(0) || 'V'
+                 || CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+              || chr(31) || chr(0) || 'V' || CAST(CAST(o_orderdate AS DATE)
+                                             AS VARCHAR)), 1, 15))::BIGINT
+             AS HUGEINT)) AS DECIMAL(38,0)) AS fingerprint
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="order-insensitive table fingerprint "
+    "(operators/dq.py:table_fingerprint): per-status replication "
+    "checksum — two copies of orders agree iff these DECIMAL(38,0) "
+    "sums of engine-portable md5_60 row hashes agree, under ANY row "
+    "order, partitioning, or engine (the oracle recomputes the "
+    "identical arithmetic; THIS GREEN ROW IS ITSELF the cross-engine "
+    "replication check). Mergeable: fp(A∪B) = fp(A)+fp(B), so "
+    "per-partition fingerprints roll up to any grain. NULLs carry an "
+    "impersonation-proof \\x00N tag; floats quantize to DECIMAL "
+    "first (the round-6 compare rule). One map-side-combined groupBy",
+)
+def fingerprint_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dq import table_fingerprint
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_price"),
+        F.col("o_orderdate").cast("date").alias("o_date"),
+    )
+    return table_fingerprint(
+        orders,
+        ["o_orderstatus"],
+        ["o_orderkey", "o_custkey", "o_price", "o_date"],
+    )
+
+
+@_q(
+    "cuped_user_value",
+    """
+    WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events
+               WHERE value IS NOT NULL),
+    pre AS (
+      SELECT user_id,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS x
+      FROM e WHERE ts < TIMESTAMP '2024-01-16' GROUP BY user_id),
+    post AS (
+      SELECT user_id,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS y
+      FROM e WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY user_id),
+    u AS (
+      SELECT post.user_id, pre.x, post.y,
+             CASE WHEN substring(md5(CAST(post.user_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7')
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM post JOIN pre ON pre.user_id = post.user_id),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(x AS DECIMAL(18,6))
+                           * CAST(y AS DECIMAL(18,6))
+                           AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(CAST(x AS DECIMAL(18,6))
+                           * CAST(x AS DECIMAL(18,6))
+                           AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(CAST(y AS DECIMAL(18,6))
+                           * CAST(y AS DECIMAL(18,6))
+                           AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+             CAST(SUM(CASE WHEN arm = 'A'
+                           THEN CAST(y AS DECIMAL(38,6)) END) AS DOUBLE)
+               AS sya,
+             CAST(SUM(CASE WHEN arm <> 'A'
+                           THEN CAST(y AS DECIMAL(38,6)) END) AS DOUBLE)
+               AS syb,
+             CAST(SUM(CASE WHEN arm = 'A'
+                           THEN CAST(x AS DECIMAL(38,6)) END) AS DOUBLE)
+               AS sxa,
+             CAST(SUM(CASE WHEN arm <> 'A'
+                           THEN CAST(x AS DECIMAL(38,6)) END) AS DOUBLE)
+               AS sxb
+      FROM u)
+    SELECT n_a,
+           CAST(n - n_a AS BIGINT) AS n_b,
+           ROUND(sya / n_a, 6) AS mean_a,
+           ROUND(syb / (n - n_a), 6) AS mean_b,
+           ROUND(syb / (n - n_a) - sya / n_a, 6) AS diff_raw,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta,
+           ROUND(sya / n_a - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 * (sxa / n_a - sx / n), 6) AS adj_mean_a,
+           ROUND(syb / (n - n_a) - (n * sxy - sx * sy)
+                 / (n * sxx - sx * sx)
+                 * (sxb / (n - n_a) - sx / n), 6) AS adj_mean_b,
+           ROUND((syb / (n - n_a) - (n * sxy - sx * sy)
+                  / (n * sxx - sx * sx) * (sxb / (n - n_a) - sx / n))
+                 - (sya / n_a - (n * sxy - sx * sy)
+                    / (n * sxx - sx * sx) * (sxa / n_a - sx / n)), 6)
+             AS diff_adj,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS var_reduction
+    FROM m
+    """,
+    doc="CUPED variance-reduced A/B readout "
+    "(operators/relational.py:cuped_readout): each user's "
+    "second-half value metric adjusted by their PRE-period covariate "
+    "(first-half mean, stable_avg discipline), theta = cov/var from "
+    "EXACT DECIMAL moments (ols_order_value discipline — summation "
+    "order unobservable), arms by the md5 parity both engines "
+    "compute identically. One unit-frame aggregate -> 1 row; "
+    "var_reduction = corr(x,y)^2 is the variance the covariate "
+    "removes. The workhorse rung above ab_experiment_readout's raw "
+    "Welch readout",
+)
+def cuped_user_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import cuped_readout
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    split = F.lit("2024-01-16").cast("timestamp")
+    pre = (
+        ev.filter(F.col("ts") < split)
+        .groupBy("user_id")
+        .agg(stable_avg("value").alias("x"))
+    )
+    post = (
+        ev.filter(F.col("ts") >= split)
+        .groupBy("user_id")
+        .agg(stable_avg("value").alias("y"))
+    )
+    units = post.join(pre, "user_id").withColumn(
+        "arm",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+                list("01234567")
+            ),
+            "A",
+        ).otherwise("B"),
+    )
+    return cuped_readout(units, "arm", "y", "x", "A", "B")
+
+
+@_q(
+    "tpch_q2_min_cost_supp",
+    """
+    WITH cand AS (
+      SELECT l.l_partkey, l.l_suppkey, l.l_extendedprice
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE')
+    SELECT c.l_partkey AS p_partkey,
+           p.p_brand,
+           s.s_name,
+           n.n_name,
+           ROUND(c.l_extendedprice, 6) AS min_price
+    FROM cand c
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE c.l_extendedprice = (SELECT MIN(c2.l_extendedprice)
+                               FROM cand c2
+                               WHERE c2.l_partkey = c.l_partkey)
+    ORDER BY min_price DESC, p_partkey, s_name LIMIT 100
+    """,
+    doc="TPC-H Q2 shape: cheapest in-region supplier per part — the "
+    "CORRELATED SCALAR-MIN subquery, compiled as aggregate-then-"
+    "rejoin (groupBy min on the candidate frame + equi-join back), "
+    "the third argmin form next to q02's window argmax and "
+    "topk_per_group's row_number cut: no per-group window state, "
+    "partial-aggregable, ties kept — the shape to prefer when groups "
+    "are huge and only the extreme row survives. Adapted to the "
+    "testdata (no partsupp table): candidates are EUROPE lineitems. "
+    "Region/nation/supplier dims broadcast; the candidate frame "
+    "shuffles once on partkey for the min and reuses that exchange "
+    "for the rejoin. Top-100 -> TakeOrderedAndProject",
+)
+def tpch_q2_min_cost_supp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load(spark, sf_dir, "part")
+    # the candidate frame carries the dim attributes through, so the
+    # argmin rejoin never touches the dims again (no self-join)
+    cand = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("l_partkey", "l_extendedprice", "s_name", "n_name")
+    )
+    mins = cand.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("__min_price")
+    )
+    winners = cand.join(mins, "l_partkey").filter(
+        F.col("l_extendedprice") == F.col("__min_price")
+    )
+    return (
+        winners.join(F.broadcast(p), winners["l_partkey"] == p["p_partkey"])
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_brand",
+            "s_name",
+            "n_name",
+            F.round("l_extendedprice", 6).alias("min_price"),
+        )
+        .orderBy(F.col("min_price").desc(), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@_q(
+    "tpch_q13_custdist",
+    """
+    WITH co AS (
+      SELECT c.c_custkey,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape: distribution of orders per customer "
+    "INCLUDING zero-order customers — the LEFT JOIN + COUNT(col) + "
+    "re-aggregate double grouping; the join predicate carries the "
+    "non-key filter (pushed to the orders scan under the LEFT join "
+    "rewrite), so excluded orders count as absent, not as dropped "
+    "customers. First groupBy shuffles (custkey) pairs; the second "
+    "aggregates the per-customer counts — output is the tiny count "
+    "histogram. Adapted filter: non-URGENT orders (testdata has no "
+    "o_comment)",
+)
+def tpch_q13_custdist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    co = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(c["c_custkey"])
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        co.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@_q(
+    "conformal_event_forecast",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+               AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)),
+    scored AS (
+      SELECT a.event_type, a.day,
+             ROUND(ABS(a.v - f.v), 6) AS r
+      FROM d a JOIN d f ON f.event_type = a.event_type
+                       AND a.day = f.day + INTERVAL 7 DAY),
+    marked AS (
+      SELECT event_type, day, r,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM scored),
+    m2 AS (SELECT *, CAST(FLOOR(n * 0.6) AS BIGINT) AS ncal FROM marked),
+    q AS (
+      SELECT event_type, r AS qhat FROM (
+        SELECT event_type, r, ncal,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY r, day) AS rr
+        FROM m2 WHERE rn <= ncal)
+      WHERE rr = CAST(CEIL((ncal + 1) * 0.8) AS BIGINT)
+        AND CAST(CEIL((ncal + 1) * 0.8) AS BIGINT) <= ncal),
+    ev AS (SELECT * FROM m2 WHERE rn > ncal)
+    SELECT ev.event_type,
+           CAST(MAX(ev.ncal) AS BIGINT) AS n_cal,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           MAX(q.qhat) AS qhat,
+           CASE WHEN MAX(q.qhat) IS NOT NULL
+                THEN ROUND(SUM(CASE WHEN ev.r <= q.qhat
+                                    THEN 1 ELSE 0 END) * 1.0
+                           / COUNT(*), 6) END AS coverage,
+           ROUND(0.8, 6) AS target
+    FROM ev LEFT JOIN q ON q.event_type = ev.event_type
+    GROUP BY ev.event_type
+    ORDER BY ev.event_type
+    """,
+    doc="split-conformal prediction intervals "
+    "(operators/series.py:conformal_backtest_intervals) calibrating "
+    "the seasonal-naive forecast on per-type daily value sums: qhat "
+    "= the ceil((1-alpha)(n_cal+1))-th smallest calibration "
+    "|residual| (the finite-sample conformal rank, not the naive "
+    "empirical quantile), eval coverage measured against +/-qhat — "
+    "the distribution-free calibration layer the backtest's point "
+    "errors lack. Residuals round-6 BEFORE ranking with day "
+    "tie-breaks (selection bit-identical cross-engine); everything "
+    "runs on the already-reduced daily rollup",
+)
+def conformal_event_forecast_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.series import conformal_backtest_intervals
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("v")
+    )
+    return conformal_backtest_intervals(
+        daily, ["event_type"], "day", "v",
+        period_days=7, cal_frac=0.6, alpha=0.2,
+    )
+
+
+@_q(
+    "neyman_alloc_doc_sources",
+    """
+    WITH per AS (
+      SELECT source AS stratum,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(n_chars AS HUGEINT)
+                      * CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sxx
+      FROM documents
+      WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      GROUP BY source),
+    sig AS (
+      SELECT stratum, n_rows,
+             ROUND(SQRT(GREATEST(CASE WHEN n_rows >= 2
+               THEN CAST(n_rows * sxx - sx * sx AS DOUBLE)
+                    / (n_rows * (n_rows - 1)) ELSE 0 END, 0)), 6)
+               AS sigma
+      FROM per),
+    wtd AS (
+      SELECT stratum, n_rows, sigma,
+             n_rows * CAST(ROUND(sigma * 1000000, 0) AS BIGINT) AS weight
+      FROM sig),
+    tot AS (SELECT SUM(CAST(weight AS HUGEINT)) AS wt FROM wtd),
+    staged AS (
+      SELECT stratum, n_rows, sigma, weight,
+             CASE WHEN tot.wt > 0
+                  THEN CAST(CAST(weight AS HUGEINT) * 1000 // tot.wt
+                            AS BIGINT) ELSE 0 END AS base,
+             CASE WHEN tot.wt > 0
+                  THEN CAST(CAST(weight AS HUGEINT) * 1000 % tot.wt
+                            AS HUGEINT) ELSE 0 END AS rem
+      FROM wtd CROSS JOIN tot)
+    SELECT stratum, n_rows, sigma,
+           CAST(weight AS BIGINT) AS weight,
+           CAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC,
+                                                    stratum ASC)
+                                 <= 1000 - SUM(base) OVER ()
+                            THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM staged ORDER BY stratum
+    """,
+    doc="Neyman-optimal sample allocation "
+    "(operators/curation.py:neyman_allocation): a 1000-probe "
+    "inspection budget split across document sources by n_h ∝ "
+    "N_h·σ_h (σ from exact DECIMAL moments of n_chars) — the "
+    "variance-minimizing stratified design, sized where strata are "
+    "big AND variable; the design-time rung in front of "
+    "sample_exact_k_per_group's executors. Integer-exact "
+    "largest-remainder arithmetic ((budget·w) div/mod W on "
+    "DECIMAL(38,0)), so Σ alloc == budget bit-identically on any "
+    "engine. One stratum aggregate + one strata-frame window",
+)
+def neyman_alloc_doc_sources_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.curation import neyman_allocation
+
+    docs = load(spark, sf_dir, "documents")
+    return neyman_allocation(docs, "source", "n_chars", budget=1000)
+
+
+@_q(
+    "cms_token_freq",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+               AS term
+      FROM documents),
+    tk AS (SELECT term FROM toks WHERE term <> ''),
+    counts AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tk GROUP BY term),
+    top20 AS (
+      SELECT term, tf FROM counts ORDER BY tf DESC, term LIMIT 20),
+    rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    cells AS (
+      SELECT rr.r,
+             ('0x' || substring(md5('cms' || chr(31)
+                || CAST(rr.r AS VARCHAR) || chr(31) || tk.term), 1, 15))
+               ::BIGINT % 512 AS b,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tk CROSS JOIN rr GROUP BY 1, 2),
+    est AS (
+      SELECT q.term, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+      FROM (SELECT t.term, rr.r,
+                   ('0x' || substring(md5('cms' || chr(31)
+                      || CAST(rr.r AS VARCHAR) || chr(31) || t.term),
+                      1, 15))::BIGINT % 512 AS b
+            FROM top20 t CROSS JOIN rr) q
+      LEFT JOIN cells c ON c.r = q.r AND c.b = q.b
+      GROUP BY q.term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM tk)
+    SELECT t.term, t.tf, e.est,
+           CAST(e.est - t.tf AS BIGINT) AS overshoot,
+           (e.est - t.tf) <= (3 * n.n_tok) // 512 AS within_bound
+    FROM top20 t JOIN est e ON e.term = t.term CROSS JOIN n
+    """,
+    doc="Count-Min frequency estimates "
+    "(operators/sketch.py:count_min_sketch/count_min_lookup): a "
+    "4x512 counter grid over document tokens point-queried for the "
+    "top-20 true-frequency terms, with the exact counts joined back "
+    "as the audit — overshoot >= 0 by construction (CMS never "
+    "undercounts) and the (3/width)·N bound baked into the compared "
+    "hash. The frequency-ESTIMATE rung next to Misra-Gries' top-k: "
+    "arbitrary point queries from O(d·w) mergeable state "
+    "(grids add cell-wise — the HLL/KLL/Theta rollup contract). "
+    "md5_60 row-salted hashes make the sketch AND every estimate "
+    "bit-identical cross-engine: fully value-checked, not rows-only. "
+    "Shuffle payload = counter cells (<= partitions·d·w), never "
+    "tokens",
+)
+def cms_token_freq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketch import count_min_lookup, count_min_sketch
+    from .operators.text import normalize_text_col
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(normalize_text_col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    top20 = counts.orderBy(F.col("tf").desc(), "term").limit(20)
+    sketch = count_min_sketch(toks, "term", depth=4, width=512)
+    est = count_min_lookup(sketch, top20.select("term"), "term",
+                           depth=4, width=512)
+    n_tok = toks.agg(F.count("*").cast("long").alias("n_tok"))
+    return (
+        top20.join(est, "term")
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "term",
+            "tf",
+            "est",
+            (F.col("est") - F.col("tf")).cast("long").alias("overshoot"),
+            (
+                (F.col("est") - F.col("tf"))
+                <= F.expr("(3 * n_tok) div 512")
+            ).alias("within_bound"),
+        )
+    )
+
+
+@_q(
+    "anova_event_values",
+    """
+    WITH base AS (
+      SELECT event_type AS g, CAST(value AS DECIMAL(18,6)) AS v
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    per AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS gn,
+             SUM(CAST(v AS DECIMAL(38,6))) AS s,
+             SUM(CAST(v * v AS DECIMAL(38,12))) AS ss
+      FROM base GROUP BY g),
+    agg AS (
+      SELECT CAST(SUM(gn) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(CAST(s AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ss AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(gn AS DOUBLE)) AS sb
+      FROM per)
+    SELECT n, k,
+           CAST(k - 1 AS BIGINT) AS df1,
+           CAST(n - k AS BIGINT) AS df2,
+           CASE WHEN k >= 2 AND n - k > 0
+                     AND (sxx - sx * sx / n) - (sb - sx * sx / n) > 0
+                THEN ROUND(((sb - sx * sx / n) / (k - 1))
+                           / (((sxx - sx * sx / n) - (sb - sx * sx / n))
+                              / (n - k)), 6) END AS f_stat,
+           CASE WHEN k >= 2 AND sxx - sx * sx / n > 0
+                THEN ROUND((sb - sx * sx / n) / (sxx - sx * sx / n), 6)
+           END AS eta_sq
+    FROM agg
+    """,
+    doc="one-way ANOVA across event types "
+    "(operators/relational.py:anova_oneway): F and eta-squared from "
+    "per-group EXACT DECIMAL moments — the k-group generalization "
+    "completing the two-sample family (Welch means, Mann-Whitney "
+    "ranks, KS CDFs, chi-square categories). One map-side-combined "
+    "groupBy to k moment rows + a k-row reduce; the only double "
+    "summation is the k-term between-group sum (k tiny). No p-value "
+    "by design — the F CDF has no deterministic cross-engine builtin",
+)
+def anova_event_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import anova_oneway
+
+    ev = load_events(spark, sf_dir)
+    return anova_oneway(ev, "event_type", "value")
+
+
+@_q(
+    "assortativity_cust_supp",
+    """
+    WITH e AS (
+      SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS a,
+             's:' || CAST(l.l_suppkey AS VARCHAR) AS b
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    doubled AS (
+      SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+    deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d
+            FROM doubled GROUP BY a),
+    paired AS (
+      SELECT dx.d AS x, dy.d AS y
+      FROM doubled j
+      JOIN deg dx ON dx.a = j.a
+      JOIN deg dy ON dy.a = j.b),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+                  AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+                  AS DOUBLE) AS syy
+      FROM paired),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+    SELECT nn.n_nodes, m.n_pairs,
+           CASE WHEN m.n_pairs * sxx - sx * sx > 0
+                     AND m.n_pairs * syy - sy * sy > 0
+                THEN ROUND((m.n_pairs * sxy - sx * sy)
+                           / SQRT((m.n_pairs * sxx - sx * sx)
+                                  * (m.n_pairs * syy - sy * sy)), 6)
+           END AS r
+    FROM m CROSS JOIN nn
+    """,
+    doc="degree assortativity of the customer-supplier purchase "
+    "graph (operators/graph.py:degree_assortativity): Pearson r of "
+    "endpoint degrees over the doubled edge list — bipartite "
+    "purchase graphs skew NEGATIVE (big buyers meet many small "
+    "suppliers); the one-number structural summary next to the "
+    "degree stats the iterative family conditions on. Exact BIGINT "
+    "degrees and DECIMAL(38,0) moments -> one identical double "
+    "closed form; one node-sized degree agg + two edge shuffles "
+    "(the CC/pagerank exchange shape) + a 1-row reduce",
+)
+def assortativity_cust_supp_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.graph import degree_assortativity
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    return degree_assortativity(edges, "src", "dst")

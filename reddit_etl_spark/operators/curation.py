@@ -908,3 +908,127 @@ def leakage_safe_splits(
     return out.withColumn(
         "split", split_col(F.col("cluster"), train_fraction)
     ).drop("__comp")
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    budget: int,
+) -> DataFrame:
+    """Optimal (Neyman) sample-size allocation across strata: given a
+    total labeling/inspection ``budget``, allocate n_h ∝ N_h·σ_h —
+    more samples where the stratum is BIG and VARIABLE — the design
+    that minimizes the variance of the stratified estimator
+    (Neyman 1934). The design-time complement of the engine's
+    sampling executors (``sample_exact_k_per_group`` draws what this
+    decides); proportional allocation is the σ-blind special case.
+
+    Integer-exact end to end, so the allocation is bit-identical on
+    any engine: σ_h comes from exact DECIMAL moments (n·Σx² − (Σx)²
+    on integer-quantized values — summation order unobservable),
+    weights are BIGINTs w_h = N_h·round(σ_h·1e6), each stratum's base
+    share is the exact integer division (budget·w_h) div W, and the
+    leftover (budget − Σ base) goes to the largest exact remainders
+    (budget·w_h) mod W, ties broken on the stratum name — the
+    largest-remainder method, so Σ alloc == budget exactly whenever
+    any stratum varies. Zero-variance strata weigh 0 (one probe
+    proves them; cap/floor policy is the caller's).
+
+    ``value_col`` must be integer-valued (quantize first — the
+    operator casts to DECIMAL(38,0) for the moment sums). n_h may
+    exceed N_h for extreme σ skew (Neyman's formula is unconstrained;
+    callers clamp and re-run on the remainder if sampling without
+    replacement).
+
+    Plan: one map-side-combined stratum aggregate (strata-sized
+    output), one broadcast total, one ordered window over the
+    strata frame. Nothing row-scale shuffles twice.
+
+    Returns per stratum: (stratum, n_rows BIGINT, sigma, weight
+    BIGINT, alloc BIGINT), ordered by stratum.
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    x = F.col(value_col).cast("decimal(38,0)")
+    per = (
+        df.filter(
+            F.col(stratum_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(x).alias("__sx"),
+            F.sum((x * x).cast("decimal(38,0)")).alias("__sxx"),
+        )
+    )
+    n = F.col("n_rows")
+    # sample variance from exact moments; one double division at the end
+    var = F.when(
+        n >= 2,
+        (
+            (n.cast("decimal(38,0)") * F.col("__sxx"))
+            - (F.col("__sx") * F.col("__sx")).cast("decimal(38,0)")
+        ).cast("double")
+        / (n * (n - 1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    sigma = F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6)
+    weighted = per.select(
+        "stratum",
+        "n_rows",
+        sigma.alias("sigma"),
+        (n * F.round(sigma * 1_000_000, 0).cast("long")).alias("weight"),
+    )
+    tot = weighted.agg(F.sum("weight").alias("__w_total"))
+    j = weighted.crossJoin(F.broadcast(tot))
+    # (budget*w) div W / mod W on non-negative DECIMAL(38,0)s — `div`
+    # truncates, which equals floor here, matching DuckDB's `//`
+    wt = (
+        F.col("weight").cast("decimal(38,0)")
+        * F.lit(budget).cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
+    wtot = F.col("__w_total").cast("decimal(38,0)")
+    base = F.when(
+        F.col("__w_total") > 0,
+        F.expr(
+            f"CAST(CAST(weight AS DECIMAL(38,0)) * CAST({budget} AS"
+            " DECIMAL(38,0)) AS DECIMAL(38,0))"
+            " div CAST(__w_total AS DECIMAL(38,0))"
+        ),
+    ).otherwise(F.lit(0))
+    rem = F.when(
+        F.col("__w_total") > 0, F.pmod(wt, wtot)
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    staged = j.select(
+        "stratum",
+        "n_rows",
+        "sigma",
+        "weight",
+        base.alias("__base"),
+        rem.alias("__rem"),
+    )
+    w_left = Window.orderBy(F.desc("__rem"), F.asc("stratum"))
+    w_all = Window.partitionBy()
+    out = staged.select(
+        "stratum",
+        "n_rows",
+        "sigma",
+        "weight",
+        (
+            F.col("__base")
+            + F.when(
+                # leftover only exists when some stratum varies; the
+                # all-zero-weight table allocates nothing (Neyman has
+                # no preference — the caller picks a fallback design)
+                (F.max("weight").over(w_all) > 0)
+                & (
+                    F.row_number().over(w_left)
+                    <= F.lit(budget) - F.sum("__base").over(w_all)
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )
+    return out.orderBy("stratum")

@@ -262,3 +262,170 @@ def benford_digit_test(df: DataFrame, value_col: str) -> DataFrame:
             (F.col("n_obs") - exp_n) * (F.col("n_obs") - exp_n) / exp_n, 6
         ).alias("chi2_part"),
     )
+
+
+def categorical_entropy(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    cat_col: str,
+) -> DataFrame:
+    """Per-group Shannon entropy (bits) of a categorical distribution,
+    plus each group's KL divergence from the GLOBAL distribution of
+    the same category — the information-theoretic drift readout next
+    to PSI's binned score: entropy says how concentrated a group's
+    usage is, KL says how far it sits from the corpus norm (and,
+    unlike PSI's symmetrized sum, it is the true expected
+    log-likelihood ratio).
+
+    Exactness: all probabilities derive from exact integer counts;
+    p*log2(p/q) is the identical closed-form double on both engines
+    (log2 libm ulps sit ~9 orders below the round-6 grain), and the
+    per-group sums run over at most |categories| terms. Categories
+    the group never uses contribute 0 to both sums (lim p->0), and
+    because every group's support is a subset of the global support,
+    q > 0 wherever p > 0 — KL is always finite.
+
+    Plan at scale: one (group, category) groupBy over the fact + one
+    category marginal, joined on category (the |categories|-sized
+    side broadcasts); per-group totals ride a second map-side-combined
+    groupBy of the pair counts, never the fact. NULL categories are
+    excluded.
+
+    Returns (group..., n BIGINT, n_cats BIGINT, entropy_bits,
+    kl_vs_global_bits).
+    """
+    keys = list(group_cols)
+    base = df.filter(F.col(cat_col).isNotNull()).select(
+        *keys, F.col(cat_col).alias("__c")
+    )
+    pair = base.groupBy(*keys, "__c").agg(F.count("*").alias("__o"))
+    gtot = base.groupBy("__c").agg(F.count("*").alias("__g"))
+    n_all = base.agg(F.count("*").alias("__n"))
+    gw = Window.partitionBy(*keys)
+    c = (
+        pair.join(F.broadcast(gtot), "__c")
+        .crossJoin(F.broadcast(n_all))
+        .withColumn("__t", F.sum("__o").over(gw))
+    )
+    p = F.col("__o") / F.col("__t")
+    q = F.col("__g") / F.col("__n")
+    return (
+        c.groupBy(*keys)
+        .agg(
+            F.max("__t").cast("long").alias("n"),
+            F.count("*").cast("long").alias("n_cats"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+            F.round(F.sum(p * F.log2(p / q)), 6).alias(
+                "kl_vs_global_bits"
+            ),
+        )
+    )
+
+
+def fd_violations(
+    df: DataFrame,
+    lhs_cols: Sequence[str],
+    rhs_col: str,
+    fd_name: str | None = None,
+) -> DataFrame:
+    """Functional-dependency audit: does ``lhs -> rhs`` hold — i.e.
+    does every distinct LHS key map to exactly one RHS value? The
+    schema-discovery rung of the DQ family: ``unique`` asserts a key,
+    this MEASURES a dependency (how many keys violate, how badly), so
+    candidate keys, denormalization errors, and silently drifting
+    dimension attributes show up as numbers instead of beliefs.
+
+    Per-key violation = COUNT(DISTINCT rhs) > 1. Rows with NULL in
+    any LHS column are excluded (no key); a NULL rhs counts as a
+    value (two keys mapping to NULL and 'x' DO disagree) — tracked
+    via a distinct count over a NULL-flagged struct.
+
+    Exactness: all outputs are exact integer counts plus one 6dp
+    ratio of them. Plan at scale: ONE map-side-combined groupBy on
+    (lhs, rhs) then a groupBy on lhs — the classic two-level distinct
+    rollup, shuffling pair cardinality, never the fact; the final
+    reduce is 1 row.
+
+    Returns one row: (fd VARCHAR, lhs_keys BIGINT, violating_keys
+    BIGINT, violation_rate, max_rhs_values BIGINT, holds BOOLEAN).
+    """
+    keys = list(lhs_cols)
+    name = fd_name or f"{','.join(keys)}->{rhs_col}"
+    notnull = F.lit(True)
+    for k in keys:
+        notnull = notnull & F.col(k).isNotNull()
+    base = df.filter(notnull).select(
+        F.struct(*[F.col(k) for k in keys]).alias("__k"),
+        # NULL-discriminating rhs: struct(is_null, value) makes NULL a
+        # first-class distinct value instead of vanishing from the
+        # count
+        F.struct(
+            F.col(rhs_col).isNull().alias("__isn"),
+            F.col(rhs_col).alias("__v"),
+        ).alias("__r"),
+    )
+    per_pair = base.groupBy("__k", "__r").agg(F.count("*").alias("__c"))
+    per_key = per_pair.groupBy("__k").agg(
+        F.count("*").alias("__nrhs")
+    )
+    return per_key.agg(
+        F.lit(name).alias("fd"),
+        F.count("*").cast("long").alias("lhs_keys"),
+        F.sum(F.when(F.col("__nrhs") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("violating_keys"),
+        F.round(
+            F.sum(F.when(F.col("__nrhs") > 1, 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("violation_rate"),
+        F.max("__nrhs").cast("long").alias("max_rhs_values"),
+        (F.max("__nrhs") <= 1).alias("holds"),
+    )
+
+
+def table_fingerprint(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Order-insensitive multiset checksum per group — the replication
+    validator: two copies of a table (different engines, different
+    partitionings, different row orders) agree iff their fingerprints
+    agree, without shipping a single row. snapshot_diff then localizes
+    any disagreement; this is the cheap always-on gate in front of it.
+
+    Per row: the engine-portable md5_60 hash (``dedup.token_hash_col``
+    — replicable in any engine with md5) of the value columns joined
+    on 0x1f with NULLs rendered as an impersonation-proof tag
+    (\\x00N vs \\x00V<value> — the dedup v2 discipline: no string can
+    spoof a NULL). The group fingerprint is the exact DECIMAL(38,0)
+    SUM of row hashes — commutative/associative, so any summation
+    order, partitioning, or merge tree yields the SAME value
+    (mergeable-summaries rule: fingerprint(A ∪ B) = fp(A) + fp(B),
+    enabling per-partition fingerprints rolled up to any grain).
+
+    Values hash via their STRING rendering, so cross-engine use is
+    exact for ints/strings/decimals/dates/booleans; floats must be
+    quantized to DECIMAL first (caller's job — same rule as every
+    round-6 oracle compare).
+
+    Plan: one map-side-combined groupBy; output rows = groups.
+    Returns (group..., n_rows BIGINT, fingerprint DECIMAL(38,0)).
+    """
+    from .dedup import token_hash_col
+
+    keys = list(group_cols)
+    parts = []
+    for c in value_cols:
+        parts.append(
+            F.when(
+                F.col(c).isNull(), F.lit("\x00N")
+            ).otherwise(F.concat(F.lit("\x00V"), F.col(c).cast("string")))
+        )
+    row_hash = token_hash_col(F.concat_ws("\x1f", *parts), "md5_60")
+    base = df.select(*keys, row_hash.alias("__h"))
+    return base.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("__h").cast("decimal(38,0)")).alias("fingerprint"),
+    )

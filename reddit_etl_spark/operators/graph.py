@@ -1018,3 +1018,73 @@ def shortest_paths(
             ).alias("__imp"),
         ).localCheckpoint(eager=False)
     return state.select("node", "dist")
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+) -> DataFrame:
+    """Newman's degree assortativity coefficient: the Pearson
+    correlation of (degree(u), degree(v)) over every edge-endpoint
+    pair of the undirected graph — positive when hubs attach to hubs
+    (social networks), negative when hubs attach to leaves
+    (hub-and-spoke infrastructure; bipartite purchase graphs skew
+    negative). The one-number structural summary next to the degree
+    histogram the iterative family (pagerank/k-core/triangles)
+    conditions on.
+
+    Exactness: degrees are exact BIGINT counts over the DOUBLED edge
+    list (each undirected edge contributes both orientations, the
+    standard symmetrization — self-loops contribute both endpoints);
+    all five correlation moments (Σx, Σy, Σxy, Σx², Σy²) accumulate
+    as exact DECIMAL(38,0)s, so both engines evaluate the identical
+    one-shot double closed form. NULL endpoints are excluded. r is
+    NULL when either marginal variance is 0 (e.g. regular graphs).
+
+    Plan: one degree aggregate (node-sized), two joins of the
+    doubled edge list against it (each shuffles edges on one
+    endpoint — the CC/pagerank exchange shape), one 1-row reduce.
+
+    Returns one row: (n_nodes BIGINT, n_pairs BIGINT, r).
+    """
+    e = edges.filter(
+        F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+    ).select(F.col(src_col).alias("__a"), F.col(dst_col).alias("__b"))
+    doubled = e.unionByName(
+        e.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
+    )
+    deg = doubled.groupBy("__a").agg(F.count("*").cast("long").alias("__d"))
+    nn = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    paired = (
+        doubled.join(deg, "__a")
+        .withColumnRenamed("__d", "__dx")
+        .join(
+            deg.select(
+                F.col("__a").alias("__b"), F.col("__d").alias("__dy")
+            ),
+            "__b",
+        )
+    )
+    dx = F.col("__dx").cast("decimal(38,0)")
+    dy = F.col("__dy").cast("decimal(38,0)")
+    agg = paired.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(dx).alias("__sx"),
+        F.sum(dy).alias("__sy"),
+        F.sum((dx * dy).cast("decimal(38,0)")).alias("__sxy"),
+        F.sum((dx * dx).cast("decimal(38,0)")).alias("__sxx"),
+        F.sum((dy * dy).cast("decimal(38,0)")).alias("__syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    cov = n * F.col("__sxy").cast("double") - sx * sy
+    vx = n * F.col("__sxx").cast("double") - sx * sx
+    vy = n * F.col("__syy").cast("double") - sy * sy
+    return agg.crossJoin(F.broadcast(nn)).select(
+        "n_nodes",
+        "n_pairs",
+        F.when((vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6)).alias(
+            "r"
+        ),
+    )

@@ -1418,3 +1418,368 @@ def pareto_fraction(
             F.round(F.col("__cum_at") / F.col("__tot"), 6),
         ).alias("top_share"),
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramér's V effect size — the contingency-table
+    companion to ks_two_sample (numeric distributions) and
+    two_sample_report (Welch means). No p-value: that needs the
+    regularized incomplete gamma, which neither engine exposes as a
+    deterministic builtin — report (chi2, dof) and let the caller
+    look up the critical value.
+
+    Exactness: observed counts are exact integers; every expected
+    count row_total*col_total/N is ONE double division of exact
+    integers (identical on any engine); each cell's (obs-exp)^2/exp
+    is the identical double expression. The final sum runs over
+    |A|x|B| cells — a handful of small doubles whose summation-order
+    ulps sit ~9 orders below the round-6 grain. Zero-observed cells
+    still contribute exp (the (0-e)^2/e term), so the full marginal
+    cross grid is materialized, not just observed pairs.
+
+    Plan at scale: two map-side-combined marginal groupBys + one
+    observed-pair groupBy over the fact (three scans of two columns);
+    the grid itself is |A|x|B| rows built from a broadcast cross join
+    of the MARGINALS — never the fact. NULLs in either column are
+    excluded (they form no category).
+
+    Returns one row: (n BIGINT, levels_a BIGINT, levels_b BIGINT,
+    dof BIGINT, chi2, cramers_v).
+    """
+    base = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+    obs = base.groupBy("__a", "__b").agg(F.count("*").alias("__o"))
+    ma = base.groupBy("__a").agg(F.count("*").alias("__ra"))
+    mb = base.groupBy("__b").agg(F.count("*").alias("__rb"))
+    n = base.agg(F.count("*").alias("__n"))
+    grid = (
+        ma.crossJoin(F.broadcast(mb))
+        .crossJoin(F.broadcast(n))
+        .join(F.broadcast(obs), ["__a", "__b"], "left")
+        .select(
+            "__ra",
+            "__rb",
+            "__n",
+            F.coalesce("__o", F.lit(0)).alias("__o"),
+        )
+    )
+    exp = F.col("__ra") * F.col("__rb") / F.col("__n")
+    cell = (F.col("__o") - exp) * (F.col("__o") - exp) / exp
+    agg = grid.agg(
+        F.max("__n").cast("long").alias("n"),
+        F.sum(cell).alias("__chi2"),
+    )
+    la = ma.agg(F.count("*").alias("__la"))
+    lb = mb.agg(F.count("*").alias("__lb"))
+    out = agg.crossJoin(F.broadcast(la)).crossJoin(F.broadcast(lb))
+    dof = (F.col("__la") - 1) * (F.col("__lb") - 1)
+    return out.select(
+        "n",
+        F.col("__la").cast("long").alias("levels_a"),
+        F.col("__lb").cast("long").alias("levels_b"),
+        dof.cast("long").alias("dof"),
+        F.round("__chi2", 6).alias("chi2"),
+        F.when(
+            dof > 0,
+            F.round(
+                F.sqrt(
+                    F.col("__chi2")
+                    / (
+                        F.col("n")
+                        * F.least(F.col("__la") - 1, F.col("__lb") - 1)
+                    )
+                ),
+                6,
+            ),
+        ).alias("cramers_v"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    scale: int = 100,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) two-sample test with the
+    normal approximation and tie correction — the rank-based
+    complement to ks_two_sample's max-CDF-gap and two_sample_report's
+    Welch t: sensitive to stochastic dominance, robust to outliers,
+    and exact under ties.
+
+    Exactness: values quantize to ``1/scale`` units (exact BIGINT for
+    inputs with that many decimals), so tie groups are exact. Ranks
+    never materialize per row: per DISTINCT value the midrank is
+    determined by the count of smaller values (c) and the tie size
+    (t) — each tied row's 2x-midrank is (2c + t + 1), an exact
+    integer, so the 2x-scaled rank sum per group accumulates in exact
+    BIGINT arithmetic and U, the tie term sum(t^3 - t), and the
+    z-score's variance are all closed forms over exact integers.
+    Both engines evaluate the identical final doubles.
+
+    Plan at scale: one groupBy (value, side) over the fact, then ONE
+    ordered prefix-sum window over DISTINCT values — bounded by the
+    value DOMAIN (e.g. ~49k cent values for a 2dp metric), not the
+    row count, so the single-partition window is a constant-size
+    tail regardless of fact size; the final reduce is 1 row.
+
+    Returns one row: (n_a, n_b BIGINT, u_a, z, r_effect) where u_a
+    is group_a's U statistic (an exact multiple of 0.5) and r_effect
+    = z/sqrt(n) is the rank-biserial-adjacent effect size. z is NULL
+    when the tie-corrected variance is zero (all values identical).
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([group_a, group_b])
+    ).select(
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+        F.when(F.col(group_col) == group_a, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("__is_a"),
+    )
+    per_v = base.groupBy("__v").agg(
+        F.sum("__is_a").alias("__ta"),
+        F.sum(F.lit(1) - F.col("__is_a")).alias("__tb"),
+    )
+    w = (
+        Window.orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_v.select(
+        "__ta",
+        "__tb",
+        F.coalesce(F.sum(F.col("__ta") + F.col("__tb")).over(w), F.lit(0))
+        .alias("__c"),
+    ).select(
+        "__ta",
+        "__tb",
+        (F.col("__ta") + F.col("__tb")).alias("__t"),
+        # each row at this value has midrank (2c + t + 1)/2; group_a's
+        # 2x rank sum gains ta * (2c + t + 1) — exact BIGINT
+        (
+            F.col("__ta")
+            * (F.lit(2) * F.col("__c") + F.col("__ta") + F.col("__tb") + 1)
+        ).alias("__r2a"),
+    )
+    agg = ranked.agg(
+        F.sum("__ta").cast("long").alias("n_a"),
+        F.sum("__tb").cast("long").alias("n_b"),
+        F.sum("__r2a").cast("long").alias("__r2a"),
+        F.sum(
+            F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+        )
+        .cast("long")
+        .alias("__ties"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    nn = na + nb
+    # U_a = R_a - n_a(n_a+1)/2, in exact 2x units then halved
+    u2 = F.col("__r2a") - na * (na + 1)
+    mu2 = na * nb  # 2x the mean n_a*n_b/2
+    var = (
+        na.cast("double")
+        * nb.cast("double")
+        / 12.0
+        * (
+            (nn + 1).cast("double")
+            - F.col("__ties").cast("double")
+            / (nn.cast("double") * (nn - 1).cast("double"))
+        )
+    )
+    z = (u2 - mu2).cast("double") / (F.lit(2.0) * F.sqrt(var))
+    return agg.select(
+        "n_a",
+        "n_b",
+        (u2.cast("double") / 2.0).alias("u_a"),
+        F.when((na > 0) & (nb > 0) & (var > 0), F.round(z, 6)).alias("z"),
+        F.when(
+            (na > 0) & (nb > 0) & (var > 0),
+            F.round(z / F.sqrt(nn.cast("double")), 6),
+        ).alias("r_effect"),
+    )
+
+
+def cuped_readout(
+    df: DataFrame,
+    arm_col: str,
+    metric_col: str,
+    covariate_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013):
+    adjust each unit's metric by its PRE-EXPERIMENT covariate,
+    y' = y − θ·(x − mean(x)) with θ = cov(x,y)/var(x), shrinking the
+    arm-difference error by exactly corr(x,y)² without biasing the
+    estimate (the covariate predates assignment, so E[x|arm] is
+    equal across arms). The workhorse rung of the experimentation
+    family above two_sample_report's raw Welch readout.
+
+    ``df`` is the per-unit frame (one row per experimental unit):
+    arm label + metric + covariate. Rows with a NULL metric or
+    covariate, or an arm outside {group_a, group_b}, are excluded.
+
+    Exactness: inputs are quantized to DECIMAL(18,6) units, all five
+    sufficient moments (Σx, Σy, Σxy, Σx², Σy²) accumulate as EXACT
+    DECIMALs (the ols_order_value discipline — summation order
+    unobservable), and each engine performs the identical
+    double-precision closed form on the same exact inputs. θ is NULL
+    (and adjusted values fall back to raw) when var(x) is 0.
+
+    Plan: ONE map-side-combined aggregate over the unit frame (arm
+    indicator folded into conditional sums) — a single 1-row reduce
+    regardless of unit count.
+
+    Returns one row: (n_a, n_b BIGINT, mean_a, mean_b, diff_raw,
+    theta, adj_mean_a, adj_mean_b, diff_adj, var_reduction) — all
+    6dp doubles; var_reduction = corr(x,y)² is the fraction of
+    metric variance the covariate removes.
+    """
+    base = df.filter(
+        F.col(metric_col).isNotNull()
+        & F.col(covariate_col).isNotNull()
+        & F.col(arm_col).isin([group_a, group_b])
+    ).select(
+        F.when(F.col(arm_col) == group_a, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("__ia"),
+        F.col(metric_col).cast("decimal(18,6)").alias("__y"),
+        F.col(covariate_col).cast("decimal(18,6)").alias("__x"),
+    )
+    y, x, ia = F.col("__y"), F.col("__x"), F.col("__ia")
+    agg = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(ia).cast("long").alias("n_a"),
+        F.sum(x.cast("decimal(38,6)")).alias("sx"),
+        F.sum(y.cast("decimal(38,6)")).alias("sy"),
+        F.sum((x * y).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,12)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,12)")).alias("syy"),
+        F.sum(F.when(ia == 1, y.cast("decimal(38,6)"))).alias("sya"),
+        F.sum(F.when(ia == 0, y.cast("decimal(38,6)"))).alias("syb"),
+        F.sum(F.when(ia == 1, x.cast("decimal(38,6)"))).alias("sxa"),
+        F.sum(F.when(ia == 0, x.cast("decimal(38,6)"))).alias("sxb"),
+    )
+    n = F.col("n").cast("double")
+    na = F.col("n_a").cast("double")
+    nb = (F.col("n") - F.col("n_a")).cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n2 = n * sxy - sx * sy          # n² · cov
+    varx_n2 = n * sxx - sx * sx         # n² · var(x)
+    vary_n2 = n * syy - sy * sy         # n² · var(y)
+    theta = cov_n2 / varx_n2
+    mean_x = sx / n
+    mean_a = F.col("sya").cast("double") / na
+    mean_b = F.col("syb").cast("double") / nb
+    mxa = F.col("sxa").cast("double") / na
+    mxb = F.col("sxb").cast("double") / nb
+    has_theta = (na > 0) & (nb > 0) & (varx_n2 > 0)
+    adj_a = F.when(has_theta, mean_a - theta * (mxa - mean_x)).otherwise(
+        mean_a
+    )
+    adj_b = F.when(has_theta, mean_b - theta * (mxb - mean_x)).otherwise(
+        mean_b
+    )
+    vr = F.when(
+        has_theta & (vary_n2 > 0), (cov_n2 * cov_n2) / (varx_n2 * vary_n2)
+    )
+    both = (na > 0) & (nb > 0)
+    return agg.select(
+        "n_a",
+        (F.col("n") - F.col("n_a")).cast("long").alias("n_b"),
+        F.when(na > 0, F.round(mean_a, 6)).alias("mean_a"),
+        F.when(nb > 0, F.round(mean_b, 6)).alias("mean_b"),
+        F.when(both, F.round(mean_b - mean_a, 6)).alias("diff_raw"),
+        F.when(has_theta, F.round(theta, 6)).alias("theta"),
+        F.when(na > 0, F.round(adj_a, 6)).alias("adj_mean_a"),
+        F.when(nb > 0, F.round(adj_b, 6)).alias("adj_mean_b"),
+        F.when(both, F.round(adj_b - adj_a, 6)).alias("diff_adj"),
+        F.round(vr, 6).alias("var_reduction"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way fixed-effects ANOVA: does the mean of ``value_col``
+    differ across the levels of ``group_col``? The k-group
+    generalization completing the two-sample family (Welch means,
+    Mann-Whitney ranks, KS CDFs, chi-square categories): F =
+    (SSB/(k-1)) / (SSW/(n-k)) with eta² = SSB/SST as the effect
+    size. No p-value by design (the F CDF has no deterministic
+    cross-engine builtin) — report (F, df1, df2) for the lookup.
+
+    Exactness: values quantize to DECIMAL(18,6); per-group n, Σx,
+    Σx² accumulate as EXACT DECIMALs (summation order unobservable),
+    and the sums of squares assemble from those exact per-group
+    moments in one identical double pass: SST = Σx² − (Σx)²/n,
+    SSB = Σ_g (S_g²/n_g) − (Σx)²/n, SSW = SST − SSB. NULL values
+    and NULL groups are excluded; F is NULL when k < 2, n ≤ k, or
+    SSW is 0 (all within-group values identical).
+
+    Plan: ONE map-side-combined groupBy to k per-group moment rows,
+    then a k-row reduce — the fact never shuffles twice; group
+    cardinality bounds everything downstream.
+
+    Returns one row: (n BIGINT, k BIGINT, df1 BIGINT, df2 BIGINT,
+    f_stat, eta_sq) — 6dp doubles.
+    """
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("decimal(18,6)").alias("__v"),
+    )
+    per = base.groupBy("__g").agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum(F.col("__v").cast("decimal(38,6)")).alias("__s"),
+        F.sum((F.col("__v") * F.col("__v")).cast("decimal(38,12)")).alias(
+            "__ss"
+        ),
+    )
+    # per-group S²/n is ONE double division of exact decimals —
+    # identical on both engines; the k-term sums ride tiny frames
+    agg = per.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.col("__s").cast("decimal(38,6)")).alias("__sx"),
+        F.sum(F.col("__ss").cast("decimal(38,12)")).alias("__sxx"),
+        F.sum(
+            F.col("__s").cast("double")
+            * F.col("__s").cast("double")
+            / F.col("__n").cast("double")
+        ).alias("__sb"),
+    )
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    sx = F.col("__sx").cast("double")
+    sst = F.col("__sxx").cast("double") - sx * sx / n
+    ssb = F.col("__sb") - sx * sx / n
+    ssw = sst - ssb
+    df1 = F.col("k") - 1
+    df2 = F.col("n") - F.col("k")
+    ok = (F.col("k") >= 2) & (df2 > 0) & (ssw > 0)
+    f_stat = (ssb / df1.cast("double")) / (ssw / df2.cast("double"))
+    return agg.select(
+        "n",
+        "k",
+        df1.cast("long").alias("df1"),
+        df2.cast("long").alias("df2"),
+        F.when(ok, F.round(f_stat, 6)).alias("f_stat"),
+        F.when((F.col("k") >= 2) & (sst > 0), F.round(ssb / sst, 6)).alias(
+            "eta_sq"
+        ),
+    )

@@ -860,3 +860,104 @@ def classical_decompose(
             F.col("__v") - F.col("__trend") - F.col("__s"), 6
         ).alias("remainder"),
     )
+
+
+def conformal_backtest_intervals(
+    rollup: DataFrame,
+    key_cols: Sequence[str],
+    day_col: str,
+    value_col: str,
+    period_days: int = 7,
+    cal_frac: float = 0.6,
+    alpha: float = 0.2,
+) -> DataFrame:
+    """Split-conformal prediction intervals for the seasonal-naive
+    forecaster (Vovk et al.; the distribution-free calibration layer
+    every point forecast needs before anyone acts on it): score the
+    forecast as in :func:`seasonal_naive_backtest`, split each key's
+    scored days chronologically into calibration (first ``cal_frac``)
+    and evaluation, take qhat = the ceil((1-alpha)(n_cal+1))-th
+    smallest calibration |residual| (the finite-sample-valid
+    conformal rank — NOT the naive (1-alpha) empirical quantile), and
+    report how often the eval residuals actually landed within ±qhat.
+    Marginal coverage >= 1-alpha is guaranteed in expectation under
+    exchangeability; the measured ``coverage`` column is the audit.
+
+    Exactness: residuals are rounded to 6dp BEFORE ranking and BEFORE
+    the coverage comparison, with the day as the rank tie-break, so
+    the selected qhat and every covered/not verdict are identical on
+    any engine or partitioning. qhat (and coverage) are NULL when the
+    conformal rank exceeds n_cal (too few calibration points for the
+    requested alpha) or when either split is empty.
+
+    Plan: everything runs on the ALREADY-REDUCED rollup frame — one
+    self-join on (key, day - period) to score, two per-key windows
+    (day order for the chronological split, residual order for the
+    rank selection), one final aggregate. Nothing event-scale moves.
+
+    Returns per key: (key..., n_cal BIGINT, n_eval BIGINT, qhat,
+    coverage, target) where target = 1 - alpha.
+    """
+    if not (0 < cal_frac < 1):
+        raise ValueError("cal_frac must be in (0, 1)")
+    if not (0 < alpha < 1):
+        raise ValueError("alpha must be in (0, 1)")
+    if period_days < 1:
+        raise ValueError("period_days must be >= 1")
+    keys = list(key_cols)
+    a = rollup.select(
+        *keys, F.col(day_col).alias("__d"), F.col(value_col).alias("__a")
+    )
+    f = rollup.select(
+        *keys,
+        F.date_add(F.col(day_col), period_days).alias("__d"),
+        F.col(value_col).alias("__f"),
+    )
+    scored = a.join(f, [*keys, "__d"]).select(
+        *keys,
+        "__d",
+        F.round(F.abs(F.col("__a") - F.col("__f")), 6).alias("__r"),
+    )
+    w_day = Window.partitionBy(*keys).orderBy("__d")
+    w_all = Window.partitionBy(*keys)
+    marked = scored.select(
+        *keys,
+        "__d",
+        "__r",
+        F.row_number().over(w_day).alias("__rn"),
+        F.count("*").over(w_all).alias("__n"),
+    ).withColumn(
+        "__ncal", F.floor(F.col("__n") * F.lit(float(cal_frac))).cast("long")
+    )
+    cal = marked.filter(F.col("__rn") <= F.col("__ncal"))
+    w_res = Window.partitionBy(*keys).orderBy("__r", "__d")
+    # conformal rank: ceil((1-alpha) * (n_cal + 1)), valid iff <= n_cal
+    ridx = F.ceil((F.col("__ncal") + 1) * F.lit(1.0 - alpha)).cast("long")
+    qhat = (
+        cal.withColumn("__rr", F.row_number().over(w_res))
+        .filter((F.col("__rr") == ridx) & (ridx <= F.col("__ncal")))
+        .select(*keys, F.col("__r").alias("__qhat"))
+    )
+    ev = marked.filter(F.col("__rn") > F.col("__ncal"))
+    joined = ev.join(qhat, keys, "left")
+    return (
+        joined.groupBy(*keys)
+        .agg(
+            F.max("__ncal").cast("long").alias("n_cal"),
+            F.count("*").cast("long").alias("n_eval"),
+            F.max("__qhat").alias("qhat"),
+            F.round(
+                F.sum(
+                    F.when(F.col("__r") <= F.col("__qhat"), 1).otherwise(0)
+                )
+                / F.count("*"),
+                6,
+            ).alias("coverage"),
+        )
+        .withColumn(
+            "coverage",
+            F.when(F.col("qhat").isNotNull(), F.col("coverage")),
+        )
+        .withColumn("target", F.round(F.lit(1.0 - alpha), 6))
+        .orderBy(*keys)
+    )

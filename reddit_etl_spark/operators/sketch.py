@@ -288,3 +288,102 @@ def theta_overlap(
             ).alias("a_minus_b_est"),
         )
     )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan): a depth x width
+    counter grid answering "how often did item x occur" in
+    O(depth·width) space with one-sided error — estimates NEVER
+    undercount, and overshoot ≤ (e/width)·N with probability
+    1 - e^(-depth) per query. The frequency-ESTIMATE rung of the
+    sketch family: Misra-Gries keeps only the top-k heavy hitters,
+    CMS answers arbitrary point queries; like the HLL/KLL/Theta
+    siblings it is MERGEABLE (grids add cell-wise), so per-partition
+    or per-day sketches roll up to any grain.
+
+    Hashes are the engine-portable md5_60 of (row-salted item), so
+    the sketch — and every estimate — is bit-identical in any engine
+    with md5 (fully oracle-checkable, not rows-only). NULL items are
+    excluded.
+
+    Plan: one map-side-combined groupBy; the shuffle payload is
+    counter CELLS (≤ partitions·depth·width combiner rows), never
+    items. Returns (r BIGINT, b BIGINT, cnt BIGINT) — only touched
+    cells; absent cells are zero.
+    """
+    from .dedup import token_hash_col
+
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    rows = F.explode(
+        F.array(*[F.lit(r) for r in range(depth)])
+    ).alias("r")
+    base = df.filter(F.col(item_col).isNotNull()).select(
+        F.col(item_col).cast("string").alias("__it"), rows
+    )
+    b = F.pmod(
+        token_hash_col(
+            F.concat_ws(
+                "\x1f", F.lit("cms"), F.col("r").cast("string"),
+                F.col("__it"),
+            ),
+            "md5_60",
+        ),
+        F.lit(width),
+    )
+    return (
+        base.select(F.col("r").cast("long").alias("r"), b.alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def count_min_lookup(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-query a :func:`count_min_sketch`: each item's estimate is
+    the MIN over the ``depth`` counters its salted hashes land on
+    (absent cell = 0). ``depth``/``width`` must match the build.
+    Plan: items replicate ``depth`` ways and join the (≤ depth·width)-
+    row sketch — broadcast-sized by construction. Returns
+    (item, est BIGINT).
+    """
+    from .dedup import token_hash_col
+
+    rows = F.explode(
+        F.array(*[F.lit(r) for r in range(depth)])
+    ).alias("r")
+    q = items.filter(F.col(item_col).isNotNull()).select(
+        F.col(item_col).alias("__item"), rows
+    )
+    b = F.pmod(
+        token_hash_col(
+            F.concat_ws(
+                "\x1f", F.lit("cms"), F.col("r").cast("string"),
+                F.col("__item").cast("string"),
+            ),
+            "md5_60",
+        ),
+        F.lit(width),
+    )
+    joined = q.select(
+        "__item", F.col("r").cast("long").alias("r"), b.alias("b")
+    ).join(F.broadcast(sketch), ["r", "b"], "left")
+    return (
+        joined.groupBy("__item")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("est")
+        )
+        .withColumnRenamed("__item", item_col)
+    )

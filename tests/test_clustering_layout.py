@@ -1,0 +1,128 @@
+"""Integer-exact Lloyd k-means (operators/clustering.py) and z-order
+layout operators (operators/layout.py): determinism, exact-arithmetic
+invariants, and pruning semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from reddit_etl_spark.operators.clustering import kmeans_lloyd
+from reddit_etl_spark.operators.layout import layout_pruning_stats, zorder_key
+
+
+def _zref(vals, bits):
+    """Python reference Morton interleave (round-robin, bit j of
+    column i at position j*ncols+i)."""
+    n = len(vals)
+    key = 0
+    for i, v in enumerate(vals):
+        v &= (1 << bits) - 1
+        for j in range(bits):
+            key |= ((v >> j) & 1) << (j * n + i)
+    return key
+
+
+class TestKmeansLloyd:
+    def test_separated_clusters_and_floor_centroids(self, spark):
+        # ids ordered so the k=2 seeds are the first two points (0, 1)
+        rows = [(1, 0), (2, 1), (3, 2), (4, 100), (5, 101), (6, 102)]
+        df = spark.createDataFrame(rows, "id long, x long")
+        got = {
+            r["cluster"]: r
+            for r in kmeans_lloyd(df, "id", ["x"], k=2, iterations=3).collect()
+        }
+        assert set(got) == {0, 1}
+        # floor-division means: (0+1+2)//3 = 1, (100+101+102)//3 = 101
+        assert got[0]["n_points"] == 3 and got[0]["centroid_x"] == 1
+        assert got[1]["n_points"] == 3 and got[1]["centroid_x"] == 101
+
+    def test_partitioning_invariance(self, spark):
+        rows = [(i, (i * 37) % 50 + (1000 if i % 3 == 0 else 0)) for i in range(40)]
+        df1 = spark.createDataFrame(rows, "id long, x long")
+        df8 = df1.repartition(8)
+        a = sorted(map(tuple, kmeans_lloyd(df1, "id", ["x"], k=3, iterations=4).collect()))
+        b = sorted(map(tuple, kmeans_lloyd(df8, "id", ["x"], k=3, iterations=4).collect()))
+        assert a == b
+
+    def test_empty_cluster_keep_alive(self, spark):
+        # two far seeds, but every point sits near seed 0 after the
+        # first update -> cluster 1 keeps its previous centroid and
+        # ends with no members (absent from the assignment output)
+        rows = [(1, 0), (2, 1), (3, 1), (4, 2)]
+        df = spark.createDataFrame(rows, "id long, x long")
+        got = kmeans_lloyd(df, "id", ["x"], k=2, iterations=3).collect()
+        total = sum(r["n_points"] for r in got)
+        assert total == 4
+        # all four points are within distance 1 of centroid 1; the
+        # argmin tie-break keeps ids stable across iterations
+        assert all(r["n_points"] >= 1 for r in got)
+
+    def test_null_features_excluded_and_bad_params_rejected(self, spark):
+        rows = [(1, 0), (2, None), (3, 10)]
+        df = spark.createDataFrame(rows, "id long, x long")
+        got = kmeans_lloyd(df, "id", ["x"], k=1, iterations=1).collect()
+        assert sum(r["n_points"] for r in got) == 2
+        with pytest.raises(ValueError):
+            kmeans_lloyd(df, "id", ["x"], k=0)
+        with pytest.raises(ValueError):
+            kmeans_lloyd(df, "id", ["x"], iterations=0)
+
+
+class TestZorderKey:
+    def test_matches_python_reference(self, spark):
+        rows = [(a, b) for a in (0, 1, 5, 130, 255) for b in (0, 3, 77, 255)]
+        df = spark.createDataFrame(rows, "a long, b long")
+        got = df.select("a", "b", zorder_key(["a", "b"], bits=8).alias("z")).collect()
+        for r in got:
+            assert r["z"] == _zref([r["a"], r["b"]], 8), (r["a"], r["b"])
+
+    def test_masks_overflow_and_three_columns(self, spark):
+        df = spark.createDataFrame([(256 + 5, 2, 1)], "a long, b long, c long")
+        z = df.select(zorder_key(["a", "b", "c"], bits=4).alias("z")).collect()[0]["z"]
+        # 261 masked to 4 bits = 5
+        assert z == _zref([5, 2, 1], 4)
+
+    def test_rejects_too_wide(self):
+        with pytest.raises(ValueError):
+            zorder_key(["a", "b"], bits=32)
+        with pytest.raises(ValueError):
+            zorder_key([])
+
+
+class TestLayoutPruningStats:
+    def test_zorder_prunes_better_than_linear_on_box(self, spark):
+        # 32x32 grid of (x, y); box predicate selects a small square.
+        rows = [(x * 32 + y, x, y) for x in range(32) for y in range(32)]
+        df = spark.createDataFrame(rows, "id long, x long, y long")
+        box = {"x": (4, 7), "y": (4, 7)}
+        z = layout_pruning_stats(
+            df.withColumn("__z", zorder_key(["x", "y"], bits=5)),
+            ["x", "y"], F.col("__z"), "id", 16, box, "zorder",
+        ).collect()
+        lin = layout_pruning_stats(
+            df.withColumn("__l", F.col("x") * 32 + F.col("y")),
+            ["x", "y"], F.col("__l"), "id", 16, box, "linear",
+        ).collect()
+        zp = sum(1 for r in z if r["prunable"])
+        lp = sum(1 for r in lin if r["prunable"])
+        # a 4x4 box in a 32x32 z-ordered grid lives in few z-runs; the
+        # x-major linear layout keeps 12/16 files prunable on x alone
+        # but the z-layout must be at least as good and both must
+        # prune SOMETHING
+        assert zp >= lp >= 1
+        # every file group carries exact stats over all rows
+        assert sum(r["n_rows"] for r in z) == 1024
+        assert sum(r["n_rows"] for r in lin) == 1024
+
+    def test_prunable_is_footer_rule_exactly(self, spark):
+        rows = [(1, 0), (2, 5), (3, 10), (4, 20)]
+        df = spark.createDataFrame(rows, "id long, v long")
+        out = layout_pruning_stats(
+            df, ["v"], F.col("v"), "id", 2, {"v": (6, 9)}, "t"
+        ).collect()
+        got = {r["file_group"]: r for r in out}
+        # group 1 = {0,5}: max 5 < 6 -> prunable; group 2 = {10,20}:
+        # min 10 > 9 -> prunable
+        assert got[1]["prunable"] and got[2]["prunable"]

@@ -655,3 +655,38 @@ def test_leakage_safe_splits_vs_naive_split_leaks(spark):
                                 train_fraction=0.5).collect()}
     assert all(safe[a] == safe[b] for a, b in ((i, i + 100)
                                                for i in range(100)))
+
+
+class TestNeymanAllocation:
+    def test_allocates_by_size_times_sigma(self, spark):
+        from reddit_etl_spark.operators.curation import neyman_allocation
+
+        # A: N=2, sigma = sqrt(50); B: constant -> sigma 0, weight 0
+        rows = [("A", 0), ("A", 10), ("B", 5), ("B", 5), ("B", 5)]
+        df = spark.createDataFrame(rows, "s string, v long")
+        got = {r["stratum"]: r for r in neyman_allocation(df, "s", "v", 10).collect()}
+        assert got["A"]["sigma"] == round(50 ** 0.5, 6)
+        assert got["B"]["sigma"] == 0.0 and got["B"]["weight"] == 0
+        assert got["A"]["alloc"] == 10 and got["B"]["alloc"] == 0
+
+    def test_largest_remainder_sums_to_budget(self, spark):
+        from reddit_etl_spark.operators.curation import neyman_allocation
+
+        # three identical strata, budget 10 -> 3/3/3 + 1 to 'A'
+        rows = [(s, v) for s in ("A", "B", "C") for v in (0, 10)]
+        df = spark.createDataFrame(rows, "s string, v long")
+        got = {r["stratum"]: r["alloc"] for r in neyman_allocation(df, "s", "v", 10).collect()}
+        assert got == {"A": 4, "B": 3, "C": 3}
+        assert sum(got.values()) == 10
+
+    def test_degenerate_inputs(self, spark):
+        import pytest as _pytest
+
+        from reddit_etl_spark.operators.curation import neyman_allocation
+
+        # all strata constant -> all weights 0 -> all allocs 0
+        df = spark.createDataFrame([("A", 1), ("A", 1)], "s string, v long")
+        got = neyman_allocation(df, "s", "v", 5).collect()
+        assert got[0]["alloc"] == 0
+        with _pytest.raises(ValueError):
+            neyman_allocation(df, "s", "v", -1)

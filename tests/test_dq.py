@@ -3,6 +3,8 @@ semantics, single-scan fusion of row-level checks, and empty inputs."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
 
 from reddit_etl_spark.operators import dq
@@ -151,3 +153,83 @@ def test_benford_digit_counts_and_chi2(spark):
     # absent digit still contributes its full expectation to chi2
     e3 = 7 * round(math.log10(1 + 1 / 3), 6)
     assert rows[3]["chi2_part"] == round(e3, 6)
+
+
+def test_categorical_entropy_known_distributions(spark):
+    # g1 uses a:2, b:2 (entropy exactly 1 bit); g2 uses a:4 (entropy
+    # 0). Global: a:6, b:2 -> q = (0.75, 0.25).
+    rows = [("g1", "a")] * 2 + [("g1", "b")] * 2 + [("g2", "a")] * 4
+    df = spark.createDataFrame(rows, "g string, c string")
+    got = {r["g"]: r for r in dq.categorical_entropy(df, ["g"], "c").collect()}
+    assert got["g1"]["n"] == 4 and got["g1"]["n_cats"] == 2
+    assert got["g1"]["entropy_bits"] == 1.0
+    kl1 = 0.5 * math.log2(0.5 / 0.75) + 0.5 * math.log2(0.5 / 0.25)
+    assert got["g1"]["kl_vs_global_bits"] == round(kl1, 6)
+    assert got["g2"]["entropy_bits"] == 0.0
+    assert got["g2"]["kl_vs_global_bits"] == round(math.log2(1 / 0.75), 6)
+
+
+def test_categorical_entropy_excludes_null_categories(spark):
+    rows = [("g", "a"), ("g", None), ("g", "a")]
+    df = spark.createDataFrame(rows, "g string, c string")
+    got = dq.categorical_entropy(df, ["g"], "c").collect()
+    assert len(got) == 1 and got[0]["n"] == 2 and got[0]["entropy_bits"] == 0.0
+
+
+def test_fd_violations_held_violated_and_null_rhs(spark):
+    rows = [
+        ("k1", "x"), ("k1", "x"),          # holds
+        ("k2", "x"), ("k2", "y"),          # violated: 2 values
+        ("k3", None), ("k3", "z"),         # NULL rhs IS a distinct value
+        ("k4", None), ("k4", None),        # single NULL value: holds
+        (None, "q"),                       # NULL lhs excluded
+    ]
+    df = spark.createDataFrame(rows, "k string, v string")
+    r = dq.fd_violations(df, ["k"], "v", "k->v").collect()[0]
+    assert r["fd"] == "k->v"
+    assert r["lhs_keys"] == 4
+    assert r["violating_keys"] == 2          # k2 and k3
+    assert r["violation_rate"] == 0.5
+    assert r["max_rhs_values"] == 2
+    assert r["holds"] is False
+
+
+def test_fd_violations_holding_dependency_and_default_name(spark):
+    rows = [(1, "a"), (1, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, "k long, v string")
+    r = dq.fd_violations(df, ["k"], "v").collect()[0]
+    assert r["fd"] == "k->v"
+    assert r["holds"] is True and r["violating_keys"] == 0
+
+
+def test_table_fingerprint_order_and_partitioning_invariant(spark):
+    rows = [("g", i, f"v{i}") for i in range(50)]
+    a = spark.createDataFrame(rows, "g string, k long, v string")
+    b = spark.createDataFrame(list(reversed(rows)), "g string, k long, v string").repartition(7)
+    fa = dq.table_fingerprint(a, ["g"], ["k", "v"]).collect()[0]
+    fb = dq.table_fingerprint(b, ["g"], ["k", "v"]).collect()[0]
+    assert fa["fingerprint"] == fb["fingerprint"] and fa["n_rows"] == 50
+    # mergeable: fp(A ∪ B) = fp(A) + fp(B)
+    half1, half2 = rows[:25], rows[25:]
+    f1 = dq.table_fingerprint(
+        spark.createDataFrame(half1, "g string, k long, v string"), ["g"], ["k", "v"]
+    ).collect()[0]["fingerprint"]
+    f2 = dq.table_fingerprint(
+        spark.createDataFrame(half2, "g string, k long, v string"), ["g"], ["k", "v"]
+    ).collect()[0]["fingerprint"]
+    assert f1 + f2 == fa["fingerprint"]
+
+
+def test_table_fingerprint_detects_single_cell_change_and_null_tag(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+    b = spark.createDataFrame([(1, "x"), (2, "z")], "k long, v string")
+    fa = dq.table_fingerprint(a, [], ["k", "v"]).collect()[0]["fingerprint"]
+    fb = dq.table_fingerprint(b, [], ["k", "v"]).collect()[0]["fingerprint"]
+    assert fa != fb
+    # a NULL cannot be impersonated by any string
+    c = spark.createDataFrame([(1, None)], "k long, v string")
+    for spoof in ("", "\x00N", "N", "None", "null"):
+        d = spark.createDataFrame([(1, spoof)], "k long, v string")
+        fc = dq.table_fingerprint(c, [], ["k", "v"]).collect()[0]["fingerprint"]
+        fd = dq.table_fingerprint(d, [], ["k", "v"]).collect()[0]["fingerprint"]
+        assert fc != fd, spoof

@@ -1840,3 +1840,212 @@ class TestParetoFraction:
         for bad in (0.0, 1.5):
             with _p.raises(ValueError, match="share"):
                 pareto_fraction(df, ["g"], "v", share=bad)
+
+
+class TestChi2Independence:
+    def test_hand_computed_2x2(self, spark):
+        # obs: (x,1)=20 (x,2)=10 (y,1)=10 (y,2)=20; N=60, all
+        # marginals 30 -> every expected cell 15; chi2 = 4*(25/15)
+        rows = (
+            [("x", "1")] * 20 + [("x", "2")] * 10
+            + [("y", "1")] * 10 + [("y", "2")] * 20
+        )
+        from reddit_etl_spark.operators.relational import chi2_independence
+
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = chi2_independence(df, "a", "b").collect()[0]
+        assert (r["n"], r["levels_a"], r["levels_b"], r["dof"]) == (60, 2, 2, 1)
+        assert r["chi2"] == round(4 * 25 / 15, 6)
+        assert r["cramers_v"] == round((4 * 25 / 15 / 60) ** 0.5, 6)
+
+    def test_zero_observed_cell_contributes_expected(self, spark):
+        # (y,2) never observed: its cell still adds exp = ra*rb/n
+        rows = [("x", "1"), ("x", "2"), ("y", "1")]
+        from reddit_etl_spark.operators.relational import chi2_independence
+
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = chi2_independence(df, "a", "b").collect()[0]
+        # grid: e(x,1)=4/3, e(x,2)=2/3, e(y,1)=2/3, e(y,2)=1/3
+        want = (
+            (1 - 4 / 3) ** 2 / (4 / 3)
+            + (1 - 2 / 3) ** 2 / (2 / 3)
+            + (1 - 2 / 3) ** 2 / (2 / 3)
+            + (0 - 1 / 3) ** 2 / (1 / 3)
+        )
+        assert r["chi2"] == round(want, 6)
+
+    def test_single_level_dof_zero_null_v(self, spark):
+        from reddit_etl_spark.operators.relational import chi2_independence
+
+        df = spark.createDataFrame(
+            [("x", "1"), ("x", "2"), (None, "3")], "a string, b string"
+        )
+        r = chi2_independence(df, "a", "b").collect()[0]
+        assert r["n"] == 2 and r["dof"] == 0  # NULL row excluded
+        assert r["cramers_v"] is None
+
+
+class TestMannWhitneyU:
+    def test_hand_computed_with_ties(self, spark):
+        # A=[1,2,3], B=[2,3,4]: midranks 1, 2.5, 2.5, 4.5, 4.5, 6
+        # R_a = 8 -> U_a = 2; ties sum(t^3-t) = 12;
+        # var = 9/12*(7 - 12/30) = 4.95; z = (4-9)/(2*sqrt(4.95))
+        from reddit_etl_spark.operators.relational import mann_whitney_u
+
+        rows = [("A", 1.0), ("A", 2.0), ("A", 3.0),
+                ("B", 2.0), ("B", 3.0), ("B", 4.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = mann_whitney_u(df, "v", "g", "A", "B", scale=1).collect()[0]
+        assert (r["n_a"], r["n_b"]) == (3, 3)
+        assert r["u_a"] == 2.0
+        z = -5 / (2 * 4.95 ** 0.5)
+        assert r["z"] == round(z, 6)
+        assert r["r_effect"] == round(z / 6 ** 0.5, 6)
+
+    def test_all_tied_zero_variance_null_z(self, spark):
+        from reddit_etl_spark.operators.relational import mann_whitney_u
+
+        rows = [("A", 5.0), ("A", 5.0), ("B", 5.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = mann_whitney_u(df, "v", "g", "A", "B", scale=1).collect()[0]
+        assert r["z"] is None and r["r_effect"] is None
+        # U is still defined: R_a = 2+2 = 4 -> U_a = 4 - 3 = 1
+        assert r["u_a"] == 1.0
+
+    def test_other_groups_and_nulls_excluded(self, spark):
+        from reddit_etl_spark.operators.relational import mann_whitney_u
+
+        rows = [("A", 1.0), ("B", 2.0), ("C", 99.0), ("A", None)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = mann_whitney_u(df, "v", "g", "A", "B", scale=1).collect()[0]
+        assert (r["n_a"], r["n_b"]) == (1, 1)
+
+
+class TestCupedReadout:
+    @staticmethod
+    def _hand(units):
+        n = len(units)
+        sx = sum(u[2] for u in units)
+        sy = sum(u[1] for u in units)
+        sxy = sum(u[1] * u[2] for u in units)
+        sxx = sum(u[2] * u[2] for u in units)
+        theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        mean_x = sx / n
+        a = [u for u in units if u[0] == "A"]
+        b = [u for u in units if u[0] == "B"]
+        ma = sum(u[1] for u in a) / len(a)
+        mb = sum(u[1] for u in b) / len(b)
+        mxa = sum(u[2] for u in a) / len(a)
+        mxb = sum(u[2] for u in b) / len(b)
+        adj_a = ma - theta * (mxa - mean_x)
+        adj_b = mb - theta * (mxb - mean_x)
+        return theta, adj_a, adj_b
+
+    def test_matches_hand_computation_and_reduces_variance(self, spark):
+        from reddit_etl_spark.operators.relational import cuped_readout
+
+        # strong covariate: y = x + arm effect + small wiggle
+        units = []
+        for i in range(20):
+            x = float(i)
+            arm = "A" if i % 2 == 0 else "B"
+            y = x + (2.0 if arm == "B" else 0.0) + (0.25 if i % 3 == 0 else 0.0)
+            units.append((arm, y, x))
+        df = spark.createDataFrame(units, "arm string, y double, x double")
+        r = cuped_readout(df, "arm", "y", "x", "A", "B").collect()[0]
+        theta, adj_a, adj_b = self._hand(units)
+        assert r["theta"] == round(theta, 6)
+        assert r["adj_mean_a"] == round(adj_a, 6)
+        assert r["adj_mean_b"] == round(adj_b, 6)
+        assert r["diff_adj"] == round(adj_b - adj_a, 6)
+        # the covariate explains most of the variance
+        assert r["var_reduction"] > 0.8
+        # CUPED is unbiased here: adjusted diff stays near the true +2
+        assert abs(r["diff_adj"] - 2.0) < 0.3
+
+    def test_zero_covariate_variance_falls_back_to_raw(self, spark):
+        from reddit_etl_spark.operators.relational import cuped_readout
+
+        rows = [("A", 1.0, 5.0), ("A", 3.0, 5.0), ("B", 4.0, 5.0)]
+        df = spark.createDataFrame(rows, "arm string, y double, x double")
+        r = cuped_readout(df, "arm", "y", "x", "A", "B").collect()[0]
+        assert r["theta"] is None
+        assert r["adj_mean_a"] == r["mean_a"]
+        assert r["diff_adj"] == r["diff_raw"]
+
+    def test_null_rows_and_foreign_arms_excluded(self, spark):
+        from reddit_etl_spark.operators.relational import cuped_readout
+
+        rows = [("A", 1.0, 2.0), ("B", 2.0, 3.0), ("C", 9.0, 9.0),
+                ("A", None, 1.0), ("B", 1.0, None)]
+        df = spark.createDataFrame(rows, "arm string, y double, x double")
+        r = cuped_readout(df, "arm", "y", "x", "A", "B").collect()[0]
+        assert (r["n_a"], r["n_b"]) == (1, 1)
+
+
+class TestAnovaOneway:
+    def test_matches_textbook_f(self, spark):
+        from reddit_etl_spark.operators.relational import anova_oneway
+
+        # three groups with clearly different means
+        rows = (
+            [("a", v) for v in (1.0, 2.0, 3.0)]
+            + [("b", v) for v in (4.0, 5.0, 6.0)]
+            + [("c", v) for v in (8.0, 9.0, 10.0)]
+        )
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = anova_oneway(df, "g", "v").collect()[0]
+        assert (r["n"], r["k"], r["df1"], r["df2"]) == (9, 3, 2, 6)
+        # hand: means 2,5,9 grand 16/3; SSB=3*((2-16/3)^2+(5-16/3)^2
+        # +(9-16/3)^2)=74/3*... compute numerically
+        import statistics
+
+        groups = [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0], [8.0, 9.0, 10.0]]
+        allv = [v for g in groups for v in g]
+        gm = statistics.mean(allv)
+        ssb = sum(len(g) * (statistics.mean(g) - gm) ** 2 for g in groups)
+        ssw = sum((v - statistics.mean(g)) ** 2 for g in groups for v in g)
+        sst = ssb + ssw
+        want_f = (ssb / 2) / (ssw / 6)
+        assert r["f_stat"] == round(want_f, 6)
+        assert r["eta_sq"] == round(ssb / sst, 6)
+
+    def test_degenerate_cases(self, spark):
+        from reddit_etl_spark.operators.relational import anova_oneway
+
+        # one group -> k < 2; identical values -> SSW 0
+        one = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+        r1 = anova_oneway(one, "g", "v").collect()[0]
+        assert r1["f_stat"] is None and r1["k"] == 1
+        flat = spark.createDataFrame(
+            [("a", 5.0), ("a", 5.0), ("b", 7.0), ("b", 7.0)], "g string, v double"
+        )
+        r2 = anova_oneway(flat, "g", "v").collect()[0]
+        assert r2["f_stat"] is None  # SSW == 0
+        assert r2["eta_sq"] == 1.0   # all variance is between-group
+
+
+class TestDegreeAssortativity:
+    def test_star_graph_is_disassortative(self, spark):
+        from reddit_etl_spark.operators.graph import degree_assortativity
+
+        # star: hub 0 to leaves 1..5 plus one leaf-leaf edge so the
+        # marginals have variance
+        edges = [(0, i) for i in range(1, 6)] + [(1, 2)]
+        df = spark.createDataFrame(edges, "s long, d long")
+        r = degree_assortativity(df, "s", "d").collect()[0]
+        assert r["n_nodes"] == 6 and r["n_pairs"] == 12
+        assert r["r"] < 0  # hubs attach to leaves
+
+    def test_regular_graph_r_null_and_matches_hand_pearson(self, spark):
+        from reddit_etl_spark.operators.graph import degree_assortativity
+
+        # 4-cycle: every degree 2 -> zero variance -> NULL
+        cyc = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 0)], "s long, d long"
+        )
+        assert degree_assortativity(cyc, "s", "d").collect()[0]["r"] is None
+        # path 0-1-2: pairs (1,2),(2,1),(2,1),(1,2) -> r = -1
+        path = spark.createDataFrame([(0, 1), (1, 2)], "s long, d long")
+        r = degree_assortativity(path, "s", "d").collect()[0]
+        assert r["r"] == -1.0

@@ -193,3 +193,82 @@ def test_apply_cdc_rejects_null_or_unknown_op(spark):
     )
     with _pytest.raises(Exception, match="apply_cdc"):
         apply_cdc(base, worse, ["k"], "seq").collect()
+
+
+def test_snapshot_diff_classifies_and_skips_identical(spark):
+    from reddit_etl_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, name string, bal double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0),       # identical -> no row
+            (2, "b", 25.0),       # changed -> U
+            (3, "c", None),       # identical incl. NULL -> no row
+            (5, "e", 50.0),       # new -> I
+        ],                        # 4 missing -> D
+        "k long, name string, bal double",
+    )
+    got = {r["k"]: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert set(got) == {2, 4, 5}
+    assert got[2]["op"] == "U" and got[2]["bal"] == 25.0
+    assert got[4]["op"] == "D" and got[4]["bal"] == 40.0
+    assert got[5]["op"] == "I" and got[5]["name"] == "e"
+
+
+def test_snapshot_diff_null_transitions_are_changes(spark):
+    from reddit_etl_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "x")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "x"), (2, None)], "k long, v string"
+    )
+    got = {r["k"]: r["op"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "U", 2: "U"}
+
+
+def test_snapshot_diff_apply_cdc_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from reddit_etl_spark.operators.scd import apply_cdc, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(i, f"n{i}", float(i * 10)) for i in range(1, 30)],
+        "k long, name string, bal double",
+    )
+    new = (
+        old.filter(F.col("k") % 5 != 0)
+        .withColumn(
+            "bal",
+            F.when(F.col("k") % 3 == 0, F.col("bal") + 1).otherwise(
+                F.col("bal")
+            ),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(100, "new", 1.0)], "k long, name string, bal double"
+            )
+        )
+    )
+    diff = snapshot_diff(old, new, ["k"]).withColumn("seq", F.lit(1))
+    rebuilt = apply_cdc(old, diff, ["k"], "seq")
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+    # diff of identical snapshots is empty
+    assert snapshot_diff(new, new, ["k"]).count() == 0
+
+
+def test_snapshot_diff_rejects_schema_mismatch(spark):
+    import pytest as _pytest
+
+    from reddit_etl_spark.operators.scd import snapshot_diff
+
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    b = spark.createDataFrame([(1, 2.0)], "k long, w double")
+    with _pytest.raises(ValueError, match="schemas differ"):
+        snapshot_diff(a, b, ["k"])

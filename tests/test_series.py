@@ -643,3 +643,55 @@ def test_classical_decompose_gap_yields_null_trend_not_wrong_ma(spark):
     for i in (4, 5, 6, 8, 9, 10):          # windows spanning the gap
         assert out[i] is None, i
     assert out[11] is not None             # full window past the gap
+
+
+class TestConformalBacktestIntervals:
+    def test_hand_computed_qhat_and_coverage(self, spark):
+        from reddit_etl_spark.operators.series import (
+            conformal_backtest_intervals,
+        )
+
+        # plain-naive residuals by construction: 1,2,3,4,5 | 6,7,2,1
+        vals = [0, 1, 3, 6, 10, 15, 21, 28, 26, 25]
+        rows = [("k", f"2024-01-{d+1:02d}", float(v)) for d, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "g string, day string, v double").selectExpr(
+            "g", "CAST(day AS DATE) AS day", "v"
+        )
+        r = conformal_backtest_intervals(
+            df, ["g"], "day", "v", period_days=1, cal_frac=0.6, alpha=0.2
+        ).collect()[0]
+        # 9 scored days -> n_cal = floor(9*0.6) = 5, conformal rank =
+        # ceil(0.8*6) = 5 -> qhat = 5; eval residuals 6,7,2,1 -> 2 in
+        assert (r["n_cal"], r["n_eval"]) == (5, 4)
+        assert r["qhat"] == 5.0
+        assert r["coverage"] == 0.5
+        assert r["target"] == 0.8
+
+    def test_insufficient_calibration_yields_null(self, spark):
+        from reddit_etl_spark.operators.series import (
+            conformal_backtest_intervals,
+        )
+
+        # 4 scored days -> n_cal = 2, rank = ceil(0.8*3) = 3 > 2
+        vals = [0.0, 1.0, 2.0, 3.0, 4.0]
+        rows = [("k", f"2024-02-{d+1:02d}", v) for d, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "g string, day string, v double").selectExpr(
+            "g", "CAST(day AS DATE) AS day", "v"
+        )
+        r = conformal_backtest_intervals(
+            df, ["g"], "day", "v", period_days=1, cal_frac=0.6, alpha=0.2
+        ).collect()[0]
+        assert r["qhat"] is None and r["coverage"] is None
+
+    def test_rejects_bad_params(self, spark):
+        import pytest as _pytest
+
+        from reddit_etl_spark.operators.series import (
+            conformal_backtest_intervals,
+        )
+
+        df = spark.createDataFrame([("k", "2024-01-01", 1.0)], "g string, day string, v double")
+        for kw in ({"cal_frac": 0.0}, {"cal_frac": 1.0}, {"alpha": 0.0},
+                   {"alpha": 1.0}, {"period_days": 0}):
+            with _pytest.raises(ValueError):
+                conformal_backtest_intervals(df, ["g"], "day", "v", **kw)

@@ -199,3 +199,66 @@ def test_mg_exact_when_under_capacity(spark):
     df = spark.createDataFrame(rows, "v string").repartition(4)
     out = {r.v: r.est_count for r in freq_items_mg(df, "v", 8).collect()}
     assert out == {"x": 30, "y": 20, "z": 10}
+
+
+class TestCountMinSketch:
+    def test_never_undercounts_and_exact_when_wide(self, spark):
+        from reddit_etl_spark.operators.sketch import (
+            count_min_lookup,
+            count_min_sketch,
+        )
+
+        items = [(f"w{i % 7}",) for i in range(70)]
+        df = spark.createDataFrame(items, "t string")
+        # width >> distinct items: no collisions possible per row,
+        # estimates are exact
+        sk = count_min_sketch(df, "t", depth=4, width=4096)
+        q = spark.createDataFrame([(f"w{i}",) for i in range(7)], "t string")
+        got = {r["t"]: r["est"] for r in count_min_lookup(sk, q, "t", 4, 4096).collect()}
+        assert got == {f"w{i}": 10 for i in range(7)}
+        # narrow width may collide but NEVER undercounts
+        sk2 = count_min_sketch(df, "t", depth=2, width=4)
+        got2 = {r["t"]: r["est"] for r in count_min_lookup(sk2, q, "t", 2, 4).collect()}
+        assert all(v >= 10 for v in got2.values())
+
+    def test_mergeable_grids_add_cellwise(self, spark):
+        from pyspark.sql import functions as F
+
+        from reddit_etl_spark.operators.sketch import count_min_sketch
+
+        a = spark.createDataFrame([("x",)] * 3 + [("y",)] * 2, "t string")
+        b = spark.createDataFrame([("x",)] * 4 + [("z",)] * 1, "t string")
+        whole = a.unionByName(b)
+        merged = (
+            count_min_sketch(a, "t", 3, 64)
+            .unionByName(count_min_sketch(b, "t", 3, 64))
+            .groupBy("r", "b")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+        direct = count_min_sketch(whole, "t", 3, 64)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+    def test_absent_item_estimates_zero_and_nulls_excluded(self, spark):
+        from reddit_etl_spark.operators.sketch import (
+            count_min_lookup,
+            count_min_sketch,
+        )
+
+        df = spark.createDataFrame([("x",), (None,)], "t string")
+        sk = count_min_sketch(df, "t", depth=4, width=4096)
+        q = spark.createDataFrame([("nope",)], "t string")
+        got = count_min_lookup(sk, q, "t", 4, 4096).collect()
+        assert got[0]["est"] == 0
+
+    def test_rejects_bad_params(self, spark):
+        import pytest as _pytest
+
+        from reddit_etl_spark.operators.sketch import count_min_sketch
+
+        df = spark.createDataFrame([("x",)], "t string")
+        with _pytest.raises(ValueError):
+            count_min_sketch(df, "t", depth=0)
+        with _pytest.raises(ValueError):
+            count_min_sketch(df, "t", width=0)

@@ -472,6 +472,56 @@ def main() -> int:
         "broadcast-able frontiers skip the E shuffle entirely",
     )
 
+    # -- Lloyd k-means (SCALING.md "k-means (Lloyd)" row) -------------------
+    # The claim under audit: the FACT never shuffles — per iteration
+    # the only exchange is the map-side-combined partial-sum groupBy,
+    # bounded by partitions x k rows, regardless of fact size. 3
+    # iterations + final assignment = 4 such aggregates (plus the
+    # k-row seed sort, also partition-bounded).
+    from reddit_etl_spark.operators.clustering import kmeans_lloyd
+
+    km_pts = spark.range(1_000_000).select(
+        F.col("id"),
+        ((F.col("id") * 37) % 1000 + (F.col("id") % 4) * 100_000).alias(
+            "x"
+        ),
+    ).localCheckpoint(eager=True)
+    n_km = km_pts.count()
+    km_parts = km_pts.rdd.getNumPartitions()
+    record(
+        "kmeans_partial_sums",
+        predicted=km_parts * 4,
+        fn=lambda: kmeans_lloyd(km_pts, "id", ["x"], k=4, iterations=3)
+        .agg(F.sum("n_points"))
+        .collect(),
+        note=f"dominant = one iteration's partial-sum exchange: "
+        f"<= partitions x k ({km_parts} x 4) combiner rows for "
+        f"{n_km} points — the fact itself never shuffles; iteration "
+        "count multiplies jobs, not exchange width",
+    )
+
+    # -- TPC-H Q21 semi+anti chain (SCALING.md "TPC-H Q21" row) ------------
+    # The claim: the shuffled payload is DISTINCT (orderkey, suppkey)
+    # pairs, never raw lineitem. Dominant exchange = the lall
+    # distinct's map-side-combined first phase, bounded by the
+    # distinct pair count (combiners cut it below; raw lineitem rows
+    # would be ~4x larger here, 10x+ in production).
+    li_probe = load(spark, sf_dir, "lineitem")
+    n_pairs = (
+        li_probe.select("l_orderkey", "l_suppkey").distinct().count()
+    )
+    from reddit_etl_spark.harness import registry as _registry
+
+    q21 = _registry()["tpch_q21_waiting_supplier"]
+    record(
+        "tpch_q21_distinct_pairs",
+        predicted=n_pairs,
+        fn=lambda: q21.builder(spark, sf_dir).collect(),
+        note=f"dominant = the all-pairs DISTINCT exchange, bounded "
+        f"by the {n_pairs} distinct (orderkey, suppkey) pairs (map-"
+        "side combine lands below it); raw lineitem would be ~4x",
+    )
+
     out = {
         "sf_dir": sf_dir,
         "times": times,
