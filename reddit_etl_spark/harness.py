@@ -77,10 +77,16 @@ def stable_avg(c) -> "F.Column":
     the 6th decimal of a double sum is NOT order-stable (the r6
     pit_order_status driver failure class). Accumulating in
     DECIMAL(18,6) is exact for any <=6dp input at any group size
-    (32 integer digits of headroom), both engines cast the identical
-    exact value to the identical double, and the division + final
-    round never see engine-dependent ulps in the numerator. Oracle
-    twin: ROUND(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+    (32 integer digits of headroom). One caveat on the final cast:
+    once the sum's UNSCALED value passes 2^53, DuckDB's direct
+    decimal->double (double(hugeint)/10^scale — two roundings) can
+    land 1 ulp off Spark's correctly-rounded BigDecimal cast. An
+    AVERAGE is insulated — a 1-ulp numerator error is ~1e-16
+    relative, invisible at the 6dp grain after /count — but a BARE
+    decimal sum output is not; those oracle sites use the
+    correctly-rounded VARCHAR roundtrip CAST(CAST(sum AS VARCHAR)
+    AS DOUBLE) instead (see tpch_q1_pricing). Oracle twin here:
+    ROUND(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
     / COUNT(x), 6). Integer-summed averages don't need this (integer
     sums are exact in double below 2^53)."""
     col = F.col(c) if isinstance(c, str) else c
@@ -5034,7 +5040,12 @@ def distinct_parts_skewfree_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
            COALESCE(l_linestatus, 'ALL') AS l_linestatus,
            CAST(COUNT(*) AS BIGINT) AS item_count,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           -- VARCHAR roundtrip: DuckDB's direct decimal->double is
+           -- double(hugeint)/10^scale (two roundings, off by 1 ulp
+           -- once the unscaled value passes 2^53); string->double is
+           -- correctly rounded and matches Spark's BigDecimal cast
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                     AS VARCHAR) AS DOUBLE)
              AS total_price
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -6042,14 +6053,22 @@ def events_daily_melt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           -- VARCHAR roundtrips: the scale-6 sum_charge's UNSCALED
+           -- value passes 2^53 around sf0.2, where DuckDB's direct
+           -- decimal->double (double(hugeint)/10^scale, two
+           -- roundings) drifts 1 ulp from Spark's correctly-rounded
+           -- BigDecimal cast; string->double is correctly rounded
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                     AS VARCHAR) AS DOUBLE)
              AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(3,2)))
+                     AS VARCHAR) AS DOUBLE)
              AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                     * CAST(1 - l_discount AS DECIMAL(3,2))
-                    * CAST(1 + l_tax AS DECIMAL(3,2))) AS DOUBLE)
+                    * CAST(1 + l_tax AS DECIMAL(3,2)))
+                     AS VARCHAR) AS DOUBLE)
              AS sum_charge,
            ROUND(ROUND(SUM(l_quantity), 6) / COUNT(*), 6) AS avg_qty,
            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
@@ -6154,8 +6173,12 @@ def tpch_q3_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_region",
     """
     SELECT n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                    * CAST(1 - l.l_discount AS DECIMAL(3,2))) AS DOUBLE)
+           -- VARCHAR roundtrip = correctly-rounded decimal->double
+           -- (matches Spark; DuckDB's direct cast drifts 1 ulp past
+           -- an unscaled 2^53)
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(3,2)))
+                     AS VARCHAR) AS DOUBLE)
              AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -6511,7 +6534,11 @@ def asof_nearest_alignment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM collapsed)
     SELECT d.status AS status_at_order,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           -- VARCHAR roundtrip = correctly-rounded decimal->double
+           -- (matches Spark; DuckDB's direct cast drifts 1 ulp past
+           -- an unscaled 2^53)
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                     AS VARCHAR) AS DOUBLE)
              AS total_price
     FROM orders o JOIN dim d
       ON o.o_custkey = d.c_custkey
@@ -8088,7 +8115,11 @@ def readability_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GROUPING(o_orderstatus) * 2
                 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           -- VARCHAR roundtrip = correctly-rounded decimal->double
+           -- (matches Spark; DuckDB's direct cast drifts 1 ulp past
+           -- an unscaled 2^53)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS VARCHAR) AS DOUBLE)
              AS total_value
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -8580,20 +8611,28 @@ def chi2_status_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS BIGINT) AS c
       FROM pv),
     agg AS (
+      -- HUGEINT accumulation mirrors the operator's DECIMAL(38,0):
+      -- the 2x rank sum totals ~N(N+1) and t^3 passes 2^63 at a
+      -- ~2.1M-row tie group, so BIGINT would overflow at scale
       SELECT CAST(SUM(ta) AS BIGINT) AS na,
              CAST(SUM(tb) AS BIGINT) AS nb,
-             CAST(SUM(ta * (2 * c + ta + tb + 1)) AS BIGINT) AS r2a,
-             CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+             CAST(SUM(CAST(ta AS HUGEINT)
+                      * (2 * CAST(c AS HUGEINT) + ta + tb + 1))
+                  AS HUGEINT) AS r2a,
+             CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT)
+               AS ties
       FROM r)
     SELECT na AS n_a, nb AS n_b,
-           CAST(r2a - na * (na + 1) AS DOUBLE) / 2 AS u_a,
+           CAST(r2a - CAST(na AS HUGEINT) * (na + 1) AS DOUBLE) / 2
+             AS u_a,
            CASE WHEN na > 0 AND nb > 0 AND
                      CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
                      * (CAST(na + nb + 1 AS DOUBLE)
                         - CAST(ties AS DOUBLE)
                           / (CAST(na + nb AS DOUBLE)
                              * CAST(na + nb - 1 AS DOUBLE))) > 0
-                THEN ROUND(CAST(r2a - na * (na + 1) - na * nb AS DOUBLE)
+                THEN ROUND(CAST(r2a - CAST(na AS HUGEINT) * (na + 1)
+                                - CAST(na AS HUGEINT) * nb AS DOUBLE)
                   / (2.0 * SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
                      / 12.0
                      * (CAST(na + nb + 1 AS DOUBLE)
@@ -8607,7 +8646,8 @@ def chi2_status_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                         - CAST(ties AS DOUBLE)
                           / (CAST(na + nb AS DOUBLE)
                              * CAST(na + nb - 1 AS DOUBLE))) > 0
-                THEN ROUND(CAST(r2a - na * (na + 1) - na * nb AS DOUBLE)
+                THEN ROUND(CAST(r2a - CAST(na AS HUGEINT) * (na + 1)
+                                - CAST(na AS HUGEINT) * nb AS DOUBLE)
                   / (2.0 * SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
                      / 12.0
                      * (CAST(na + nb + 1 AS DOUBLE)
@@ -8622,7 +8662,8 @@ def chi2_status_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event values (operators/relational.py:mann_whitney_u) — the "
     "rank-based two-sample rung next to KS and Welch. Cent-quantized "
     "values make tie groups exact; midranks accumulate as exact "
-    "BIGINT 2x-scaled sums via the (2c+t+1) closed form over "
+    "DECIMAL(38,0) (oracle: HUGEINT) 2x-scaled sums via the "
+    "(2c+t+1) closed form over "
     "DISTINCT values, so U, the tie term and the z variance are "
     "integer-exact before one final double evaluation. The ordered "
     "prefix window runs over the value DOMAIN (~49k cents), not the "
@@ -8914,23 +8955,25 @@ def fd_audit_catalog_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     u AS (SELECT * FROM sz UNION ALL SELECT * FROM sl)
     SELECT layout, file_group, n_rows, min_pb, max_pb,
            min_size, max_size,
-           (max_pb < 50 OR min_pb > 100
-            OR max_size < 10 OR min_size > 20) AS prunable
+           (max_size < 10 OR min_size > 20) AS prunable
     FROM u
     """,
     doc="Z-order vs linear layout pruning audit over part "
     "(operators/layout.py:zorder_key + layout_pruning_stats): "
     "interleave (price-bucket, size) bits into a Morton key, split "
     "the sorted table into 16 simulated files, and report each "
-    "file's min/max footer stats plus whether the box predicate "
-    "(size 10-20, bucket 50-100) could SKIP it — the Delta/Iceberg "
-    "OPTIMIZE ZORDER capability as a measurable operator. The "
-    "z-ordered layout keeps every file narrow in BOTH dimensions "
-    "(more prunable files than the price-sorted linear layout, "
-    "whose files span all sizes). Pure bit-arithmetic column "
-    "expressions (codegen, no UDF); at scale the ntile stands in "
-    "for repartitionByRange on the same key and the stats frame IS "
-    "per-file metadata (n_groups rows)",
+    "file's min/max footer stats plus whether a predicate on the "
+    "SECONDARY dimension (size 10-20; domain is 1-50, so pruning is "
+    "earned per-group, never vacuous) could SKIP it — the "
+    "Delta/Iceberg OPTIMIZE ZORDER capability as a measurable "
+    "operator, posed the way it matters: the linear layout is "
+    "sorted by price-bucket first, so its files span all sizes and "
+    "prune NOTHING on a size predicate (0/16 at sf0.01+), while the "
+    "z-ordered layout stays narrow in both dimensions and skips "
+    "8-11 of 16 (measured at sf0.001/0.01/0.1). Pure bit-arithmetic "
+    "column expressions (codegen, no UDF); at scale the ntile "
+    "stands in for repartitionByRange on the same key and the stats "
+    "frame IS per-file metadata (n_groups rows)",
 )
 def zorder_pruning_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.layout import layout_pruning_stats, zorder_key
@@ -8943,7 +8986,7 @@ def zorder_pruning_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - 90000) div 400"
         ).alias("pb"),
     )
-    box = {"pb": (50, 100), "size": (10, 20)}
+    box = {"size": (10, 20)}
     z = layout_pruning_stats(
         part.withColumn("__z", zorder_key(["pb", "size"], bits=8)),
         ["pb", "size"],
@@ -9410,7 +9453,11 @@ def conformal_event_forecast_q(
       FROM wtd CROSS JOIN tot)
     SELECT stratum, n_rows, sigma,
            CAST(weight AS BIGINT) AS weight,
-           CAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC,
+           -- MAX(weight) OVER () > 0 mirrors the operator's
+           -- all-zero-weight guard: a table where every stratum is
+           -- constant allocates NOTHING (no remainder top-up)
+           CAST(base + CASE WHEN MAX(weight) OVER () > 0
+                             AND ROW_NUMBER() OVER (ORDER BY rem DESC,
                                                     stratum ASC)
                                  <= 1000 - SUM(base) OVER ()
                             THEN 1 ELSE 0 END AS BIGINT) AS alloc

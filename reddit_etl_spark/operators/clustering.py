@@ -66,19 +66,31 @@ def kmeans_lloyd(
     if k < 1 or iterations < 1:
         raise ValueError("k and iterations must be >= 1")
     feats = list(feature_cols)
+    if not feats:
+        # no features -> no distance; fail loudly instead of building
+        # an unparseable plan (empty argmin array / trailing-comma
+        # centroid schema)
+        raise ValueError("feature_cols must be non-empty")
     pts = df.select(
         F.col(id_col).alias("__id"),
         *[F.col(f).cast("long").alias(f"__x{i}") for i, f in enumerate(feats)],
     ).filter(
-        F.lit(True)
-        if not feats
-        else F.expr(
+        F.expr(
             " AND ".join(f"__x{i} IS NOT NULL" for i in range(len(feats)))
         )
     )
     seed_rows = (
         pts.orderBy("__id").limit(k).collect()
     )  # k rows — driver-bounded by parameter
+    if not seed_rows:
+        # zero usable rows: the empty clustering, with the output
+        # schema intact (no centroids to seed from)
+        spark = SparkSession.getActiveSession() or df.sparkSession
+        return spark.createDataFrame(
+            [],
+            schema="cluster long, n_points long, "
+            + ", ".join(f"centroid_{f} long" for f in feats),
+        )
     cents: list[tuple[int, list[int]]] = [
         (ci, [int(r[f"__x{i}"]) for i in range(len(feats))])
         for ci, r in enumerate(seed_rows)

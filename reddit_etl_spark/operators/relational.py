@@ -1457,7 +1457,8 @@ def chi2_independence(
     obs = base.groupBy("__a", "__b").agg(F.count("*").alias("__o"))
     ma = base.groupBy("__a").agg(F.count("*").alias("__ra"))
     mb = base.groupBy("__b").agg(F.count("*").alias("__rb"))
-    n = base.agg(F.count("*").alias("__n"))
+    # N rides the |A|-row marginal — no fourth scan of the fact
+    n = ma.agg(F.sum("__ra").alias("__n"))
     grid = (
         ma.crossJoin(F.broadcast(mb))
         .crossJoin(F.broadcast(n))
@@ -1478,7 +1479,12 @@ def chi2_independence(
     la = ma.agg(F.count("*").alias("__la"))
     lb = mb.agg(F.count("*").alias("__lb"))
     out = agg.crossJoin(F.broadcast(la)).crossJoin(F.broadcast(lb))
-    dof = (F.col("__la") - 1) * (F.col("__lb") - 1)
+    # clamp: an empty (or all-NULL) input has la=lb=0 and must report
+    # dof 0, not (0-1)*(0-1)=1
+    dof = F.when(
+        (F.col("__la") > 0) & (F.col("__lb") > 0),
+        (F.col("__la") - 1) * (F.col("__lb") - 1),
+    ).otherwise(F.lit(0))
     return out.select(
         "n",
         F.col("__la").cast("long").alias("levels_a"),
@@ -1521,9 +1527,11 @@ def mann_whitney_u(
     determined by the count of smaller values (c) and the tie size
     (t) — each tied row's 2x-midrank is (2c + t + 1), an exact
     integer, so the 2x-scaled rank sum per group accumulates in exact
-    BIGINT arithmetic and U, the tie term sum(t^3 - t), and the
-    z-score's variance are all closed forms over exact integers.
-    Both engines evaluate the identical final doubles.
+    DECIMAL(38,0) arithmetic (the rank-sum total is ~N², and t³
+    passes 2^63 at a ~2.1M-row tie group — BIGINT would overflow)
+    and U, the tie term sum(t^3 - t), and the z-score's variance are
+    all closed forms over exact integers. Both engines evaluate the
+    identical final doubles.
 
     Plan at scale: one groupBy (value, side) over the fact, then ONE
     ordered prefix-sum window over DISTINCT values — bounded by the
@@ -1553,6 +1561,13 @@ def mann_whitney_u(
         Window.orderBy("__v")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # rank sums and the tie term accumulate in DECIMAL(38,0): the 2x
+    # rank sum totals ~N(N+1) and the tie cube t^3 passes 2^63 at a
+    # tie group of just ~2.1M rows — BIGINT would wrap (ansi=false)
+    # or throw ARITHMETIC_OVERFLOW (ANSI-on driver sessions), the
+    # same failure class build_bloom's pmod-before-multiply fix
+    # closed; DECIMAL(38,0) keeps every intermediate exact to 1e38
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     ranked = per_v.select(
         "__ta",
         "__tb",
@@ -1563,27 +1578,33 @@ def mann_whitney_u(
         "__tb",
         (F.col("__ta") + F.col("__tb")).alias("__t"),
         # each row at this value has midrank (2c + t + 1)/2; group_a's
-        # 2x rank sum gains ta * (2c + t + 1) — exact BIGINT
+        # 2x rank sum gains ta * (2c + t + 1) — exact
         (
-            F.col("__ta")
-            * (F.lit(2) * F.col("__c") + F.col("__ta") + F.col("__tb") + 1)
-        ).alias("__r2a"),
+            dec(F.col("__ta"))
+            * dec(
+                F.lit(2) * F.col("__c") + F.col("__ta") + F.col("__tb") + 1
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("__r2a"),
     )
     agg = ranked.agg(
         F.sum("__ta").cast("long").alias("n_a"),
         F.sum("__tb").cast("long").alias("n_b"),
-        F.sum("__r2a").cast("long").alias("__r2a"),
+        F.sum("__r2a").cast("decimal(38,0)").alias("__r2a"),
         F.sum(
-            F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+            (dec(F.col("__t")) * dec(F.col("__t")) * dec(F.col("__t")))
+            .cast("decimal(38,0)")
+            - dec(F.col("__t"))
         )
-        .cast("long")
+        .cast("decimal(38,0)")
         .alias("__ties"),
     )
     na, nb = F.col("n_a"), F.col("n_b")
     nn = na + nb
     # U_a = R_a - n_a(n_a+1)/2, in exact 2x units then halved
-    u2 = F.col("__r2a") - na * (na + 1)
-    mu2 = na * nb  # 2x the mean n_a*n_b/2
+    u2 = (F.col("__r2a") - dec(na) * dec(na + 1)).cast("decimal(38,0)")
+    mu2 = dec(na) * dec(nb)  # 2x the mean n_a*n_b/2
     var = (
         na.cast("double")
         * nb.cast("double")

@@ -888,7 +888,10 @@ def conformal_backtest_intervals(
     the selected qhat and every covered/not verdict are identical on
     any engine or partitioning. qhat (and coverage) are NULL when the
     conformal rank exceeds n_cal (too few calibration points for the
-    requested alpha) or when either split is empty.
+    requested alpha — including an empty calibration split); every
+    key with at least one scored day appears in the output (the eval
+    split is never empty: floor(n*cal_frac) < n for any IEEE754
+    cal_frac < 1).
 
     Plan: everything runs on the ALREADY-REDUCED rollup frame — one
     self-join on (key, day - period) to score, two per-key windows
@@ -938,6 +941,14 @@ def conformal_backtest_intervals(
         .filter((F.col("__rr") == ridx) & (ridx <= F.col("__ncal")))
         .select(*keys, F.col("__r").alias("__qhat"))
     )
+    # grouping on the eval rows is key-complete: the eval split is
+    # provably non-empty for every scored key — for IEEE754 doubles
+    # and any cal_frac < 1, n*cal_frac either rounds down or (at
+    # powers of two with the largest sub-1 cal_frac) lands exactly
+    # on the largest double BELOW n, so floor(n*cal_frac) < n always
+    # (pinned by test_cal_frac_floor_never_reaches_n). A key with
+    # too few calibration days still surfaces: the left join leaves
+    # qhat NULL and coverage follows it.
     ev = marked.filter(F.col("__rn") > F.col("__ncal"))
     joined = ev.join(qhat, keys, "left")
     return (

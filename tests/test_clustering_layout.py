@@ -69,6 +69,19 @@ class TestKmeansLloyd:
         with pytest.raises(ValueError):
             kmeans_lloyd(df, "id", ["x"], iterations=0)
 
+    def test_degenerate_inputs(self, spark):
+        # zero usable rows -> the empty clustering with the output
+        # schema intact, not an AnalysisException from an empty
+        # argmin array
+        df = spark.createDataFrame([(1, None)], "id long, x long")
+        out = kmeans_lloyd(df, "id", ["x"], k=2, iterations=2)
+        assert out.columns == ["cluster", "n_points", "centroid_x"]
+        assert out.collect() == []
+        # no features -> no distance: loud ValueError, not a broken
+        # plan
+        with pytest.raises(ValueError, match="feature_cols"):
+            kmeans_lloyd(df, "id", [], k=2)
+
 
 class TestZorderKey:
     def test_matches_python_reference(self, spark):

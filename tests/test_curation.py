@@ -690,3 +690,35 @@ class TestNeymanAllocation:
         assert got[0]["alloc"] == 0
         with _pytest.raises(ValueError):
             neyman_allocation(df, "s", "v", -1)
+
+    def test_oracle_twin_matches_on_all_constant_strata(self, spark):
+        # regression: the DuckDB oracle's largest-remainder top-up
+        # must carry the operator's all-zero-weight guard — on a
+        # table where EVERY stratum is constant both sides allocate
+        # 0 everywhere (the unguarded oracle handed +1 to up to
+        # `budget` strata)
+        import duckdb
+
+        from reddit_etl_spark.harness import _REGISTRY
+        from reddit_etl_spark.operators.curation import neyman_allocation
+
+        rows = [(f"s{i}", 7) for i in range(4) for _ in range(3)]
+        df = spark.createDataFrame(rows, "source string, n_chars long")
+        got = {
+            r["stratum"]: r["alloc"]
+            for r in neyman_allocation(df, "source", "n_chars", 1000).collect()
+        }
+        assert got == {f"s{i}": 0 for i in range(4)}
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM (VALUES "
+            + ", ".join(f"('s{i}', 7)" for i in range(4) for _ in range(3))
+            + ") t(source, n_chars)"
+        )
+        oracle = {
+            r[0]: r[4]
+            for r in con.execute(
+                _REGISTRY["neyman_alloc_doc_sources"].oracle
+            ).fetchall()
+        }
+        assert oracle == got

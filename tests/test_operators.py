@@ -1884,6 +1884,19 @@ class TestChi2Independence:
         assert r["n"] == 2 and r["dof"] == 0  # NULL row excluded
         assert r["cramers_v"] is None
 
+    def test_empty_input_reports_dof_zero(self, spark):
+        # (la-1)*(lb-1) would be (0-1)*(0-1)=1 on an empty table —
+        # the clamp must report dof 0, never a phantom 1-dof test
+        from reddit_etl_spark.operators.relational import chi2_independence
+
+        df = spark.createDataFrame(
+            [(None, "1"), ("x", None)], "a string, b string"
+        )
+        r = chi2_independence(df, "a", "b").collect()[0]
+        assert r["dof"] == 0
+        assert (r["levels_a"], r["levels_b"]) == (0, 0)
+        assert r["cramers_v"] is None and r["chi2"] is None
+
 
 class TestMannWhitneyU:
     def test_hand_computed_with_ties(self, spark):
@@ -1919,6 +1932,30 @@ class TestMannWhitneyU:
         df = spark.createDataFrame(rows, "g string, v double")
         r = mann_whitney_u(df, "v", "g", "A", "B", scale=1).collect()[0]
         assert (r["n_a"], r["n_b"]) == (1, 1)
+
+    def test_multi_million_row_tie_group_no_overflow(self, spark):
+        # a single tie group of t=2.2M rows puts t^3 ~ 1.06e19 past
+        # 2^63 (~9.2e18): BIGINT accumulation would wrap (ansi=false)
+        # or throw ARITHMETIC_OVERFLOW (ANSI-on driver sessions) —
+        # the DECIMAL(38,0) path must stay exact. All values tied:
+        # U_a = n_a*n_b/2 exactly and the tie-corrected variance is
+        # 0, so z is NULL.
+        from pyspark.sql import functions as F
+
+        from reddit_etl_spark.operators.relational import mann_whitney_u
+
+        n = 2_200_000
+        df = spark.range(n).select(
+            F.lit(0.0).alias("v"),
+            F.when(F.col("id") % 2 == 0, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("g"),
+        )
+        r = mann_whitney_u(df, "v", "g", "A", "B", scale=1).collect()[0]
+        na, nb = n // 2, n - n // 2
+        assert (r["n_a"], r["n_b"]) == (na, nb)
+        assert r["u_a"] == na * nb / 2
+        assert r["z"] is None and r["r_effect"] is None
 
 
 class TestCupedReadout:

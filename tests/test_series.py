@@ -695,3 +695,43 @@ class TestConformalBacktestIntervals:
                    {"alpha": 1.0}, {"period_days": 0}):
             with _pytest.raises(ValueError):
                 conformal_backtest_intervals(df, ["g"], "day", "v", **kw)
+
+    def test_cal_frac_floor_never_reaches_n(self):
+        # the operator's key-completeness rests on floor(n*cal_frac)
+        # < n for every IEEE754 cal_frac < 1 (series.py comment): the
+        # product either rounds down or, at powers of two with the
+        # largest sub-1 cal_frac, lands exactly on the largest double
+        # BELOW n — never on n. Pin it at the adversarial corner
+        # (cal_frac = nextafter(1, 0)) across sizes incl. powers of 2.
+        import math
+
+        cf = math.nextafter(1.0, 0.0)
+        for n in [1, 2, 3, 7, 8, 9, 63, 64, 65, 1023, 1024,
+                  2**20, 2**20 + 1, 10**6, 2**52, 2**53]:
+            assert math.floor(n * cf) < n, n
+
+    def test_one_scored_day_key_stays_in_output(self, spark):
+        # a key whose calibration split is EMPTY (1 scored day ->
+        # n_cal=0) must still surface, with NULL qhat/coverage —
+        # alongside a healthy key
+        from reddit_etl_spark.operators.series import (
+            conformal_backtest_intervals,
+        )
+
+        rows = [("tiny", "2024-03-01", 1.0), ("tiny", "2024-03-02", 3.0)]
+        rows += [
+            ("big", f"2024-03-{d+1:02d}", float(d * d)) for d in range(10)
+        ]
+        df = spark.createDataFrame(rows, "g string, day string, v double").selectExpr(
+            "g", "CAST(day AS DATE) AS day", "v"
+        )
+        out = {
+            r["g"]: r
+            for r in conformal_backtest_intervals(
+                df, ["g"], "day", "v", period_days=1, cal_frac=0.6, alpha=0.2
+            ).collect()
+        }
+        assert set(out) == {"tiny", "big"}
+        t = out["tiny"]
+        assert (t["n_cal"], t["n_eval"]) == (0, 1)
+        assert t["qhat"] is None and t["coverage"] is None
