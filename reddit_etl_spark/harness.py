@@ -148,7 +148,15 @@ _PROMOTED = [
     # round-6 third wave: readability indices (new capability — ARI +
     # Coleman-Liau grade-level bands for curation filters; displaces
     # neardup_survivors per the comment above)
-    "readability_docs",
+    # (readability_docs held this slot in round 6 — recorded row r06;
+    # rotated to the tail round-7 for tpch_q6_forecast_revenue; the
+    # text-gauge family keeps text_profile's r01-r05 rows and stays
+    # oracle-checked in the tail)
+    # round-7 fourth wave: TPC-H Q6 — the scan-dominated filter+sum
+    # classic; completes the 22-query TPC-H shape suite together
+    # with the Q7-Q22 blocks below (Q1-Q5/Q13/Q18/Q21 recorded
+    # r06/r07 earlier)
+    "tpch_q6_forecast_revenue",
     # table_profile and packed_shards moved to the tail in round 5
     # (recorded rows r02..r04; profiling stays oracle-checked in the
     # tail, packing stays recorded inside curation_pipeline_full) to
@@ -168,34 +176,70 @@ _PROMOTED = [
     # the binning-free complement to PSI's binned drift; its slot
     # comes from the dq_report_orders rotation, see the corrected
     # TPC-H blocks above)
-    "ks_value_drift",
+    # (ks_value_drift held this slot in rounds 5-6 — recorded rows
+    # r05+r06; rotated to the tail round-7 for
+    # tpch_q7_volume_shipping; the two-sample family keeps
+    # mannwhitney_click_error + chi2_status_priority +
+    # anova_event_values head slots)
+    # round-7 fourth wave: TPC-H Q7 — the two-role dimension join
+    # (nation twice) with a cross-leg disjunctive filter
+    "tpch_q7_volume_shipping",
     # round-6 third wave: simplified silhouette (new capability — the
     # clustering family's evaluation rung, as ranking_metrics is for
     # search; its slot comes from the incremental_rollup_refresh
     # rotation, see the corrected TPC-H blocks above)
-    "embedding_silhouette",
+    # (embedding_silhouette held this slot in round 6 — recorded row
+    # r06; rotated to the tail round-7 for tpch_q8_market_share; the
+    # clustering family keeps kmeans_parts_price_size's head slot)
+    # round-7 fourth wave: TPC-H Q8 — conditional share-of-total over
+    # a six-dimension snowflake, exact decimal numerator/denominator
+    "tpch_q8_market_share",
     # round-6 rotation: CCNet-style segment dedup with document
     # reassembly (new capability; displaces boilerplate_fraction, its
     # natural predecessor — duplicated-segment MEASUREMENT stays
     # recorded via text_profile's family rows r01..r05 and
     # oracle-checked in the tail, while this row pins the stronger
     # REMOVAL+reassembly form)
-    "segment_dedup_docs",
+    # (segment_dedup_docs held this slot in round 6 — recorded row
+    # r06 + a headline bench slot every round since; rotated to the
+    # tail round-7 for tpch_q9_product_profit; the dedup family keeps
+    # dedup_minhash_lsh's head slot and this query's bench medians)
+    # round-7 fourth wave: TPC-H Q9 — profit = revenue minus cost
+    # over a LIKE-filtered part dim (cost proxy documented in the
+    # query doc; no partsupp in the testdata)
+    "tpch_q9_product_profit",
     # round-6: k-core peeling (new capability; displaces
     # mad_outliers_daily, whose robust-outlier readout stays
     # oracle-checked in the tail and whose daily-rollup shape keeps a
     # recorded row via anomaly_zscore_daily; green rows r05)
-    "kcore_cust_supp",
+    # (kcore_cust_supp held this slot in round 6 — recorded row r06;
+    # rotated to the tail round-7 for tpch_q10_returned_items; the
+    # iterative-graph family keeps bfs + sssp + assortativity head
+    # slots)
+    # round-7 fourth wave: TPC-H Q10 — quarter-filtered returned-item
+    # revenue top-20 with deterministic cut
+    "tpch_q10_returned_items",
     # round-6: session journey mining (new capability; displaces
     # bigram_perplexity, whose LM-gate family keeps the recorded
     # nb_language_selftrain row and stays oracle-checked in the tail;
     # green row r05)
-    "session_journeys",
+    # (session_journeys held this slot in round 6 — recorded row r06;
+    # rotated to the tail round-7 for tpch_q11_important_parts; the
+    # session family keeps session_transition_matrix's head slot)
+    # round-7 fourth wave: TPC-H Q11 — share-of-global-scalar HAVING
+    # with an exact-decimal membership cut
+    "tpch_q11_important_parts",
     # round-6: CDC apply (new capability; displaces duplicate_spans,
     # whose repeated-span detection stays oracle-checked in the tail
     # and whose span family keeps partial_copy_pairs + the winnowing
     # tests; green rows r05)
-    "cdc_supplier_apply",
+    # (cdc_supplier_apply held this slot in round 6 — recorded row
+    # r06; rotated to the tail round-7 for tpch_q12_late_shipments;
+    # the CDC family keeps snapshot_diff_supplier — its inverse —
+    # plus pit_order_status in the head)
+    # round-7 fourth wave: TPC-H Q12 — cross-table date-arithmetic
+    # predicate with dual conditional counts
+    "tpch_q12_late_shipments",
     # round-6: point-in-time SCD2 lookup (new capability; displaces
     # scd2_order_status_dim, whose full versioned snapshot is the
     # FIRST STAGE of this very query — the SCD2 surface stays recorded
@@ -206,7 +250,13 @@ _PROMOTED = [
     # displaces concurrency_peaks, whose distributed-prefix-sum sweep
     # stays oracle-checked in the tail and plan-asserted in
     # tests/test_series.py; green rows r05)
-    "asof_nearest_alignment",
+    # (asof_nearest_alignment held this slot in round 6 — recorded
+    # row r06; rotated to the tail round-7 for tpch_q14_promo_revenue;
+    # the as-of family keeps multitouch_channels' head slot and the
+    # skew-split r05 rows)
+    # round-7 fourth wave: TPC-H Q14 — single-row conditional share
+    # readout over a month-pruned scan
+    "tpch_q14_promo_revenue",
     # (event_value_bars held this slot in round 6 — recorded row r06;
     # rotated to the tail round-7 for tpch_q4_priority_exists; the
     # ordered-series family keeps decayed_engagement +
@@ -221,7 +271,12 @@ _PROMOTED = [
     # readout stays oracle-checked in the tail — its histogram-compare
     # family shares anomaly_zscore_daily's recorded daily-rollup
     # surface; green row r05)
-    "decayed_engagement",
+    # (decayed_engagement held this slot in round 6 — recorded row
+    # r06; rotated to the tail round-7 for tpch_q15_top_supplier; the
+    # ordered-series family keeps seasonal/conformal head slots)
+    # round-7 fourth wave: TPC-H Q15 — revenue view + scalar-MAX
+    # subquery, ties kept on exact decimals
+    "tpch_q15_top_supplier",
     # (events_daily_melt held this slot in round 6 — recorded row
     # r06; rotated to the tail round-7 for tpch_q18_large_orders; the
     # unpivot shape keeps pivot_status_by_priority's r01/r02 rows as
@@ -246,14 +301,27 @@ _PROMOTED = [
     # the FIRST STAGE of this very query — the pair surface stays
     # recorded inside entity_golden_parts and oracle-checked in the
     # tail; green row r05)
-    "entity_golden_parts",
+    # (entity_golden_parts held this slot in round 6 — recorded row
+    # r06; rotated to the tail round-7 for tpch_q16_supplier_cnt; the
+    # linkage family keeps its r06 row and the JW machinery its
+    # tests)
+    # round-7 fourth wave: TPC-H Q16 — distinct-supplier counts per
+    # bucket with an excluded-supplier semi join
+    "tpch_q16_supplier_cnt",
     # round-6: hopping-window rollup with exact distincts (new
     # capability; displaces customer_sample_per_nation, whose exact-k
     # deterministic group sampling stays oracle-checked in the tail
     # and whose hash-order sampling family keeps recorded rows via
     # stratified_sample r01..r04 + curation_pipeline_full; green row
     # r05)
-    "events_sliding_distinct",
+    # (events_sliding_distinct held this slot in round 6 — recorded
+    # row r06; rotated to the tail round-7 for
+    # tpch_q17_small_qty_revenue; the windowed-rollup family keeps
+    # its r06 row and the streaming twins their bit-equivalence
+    # tests)
+    # round-7 fourth wave: TPC-H Q17 — correlated per-group AVG
+    # threshold as aggregate-then-rejoin
+    "tpch_q17_small_qty_revenue",
     # round-4 rotation: the one capability never attested by a driver
     # row in rounds 1-3 (judge r3 finding #1). Swapped in against
     # dedup_simhash, whose near-dup-text capability stays attested by
@@ -268,7 +336,14 @@ _PROMOTED = [
     # incremental_minhash, whose append-only band-index increment
     # stays oracle-checked in the tail while the minhash family keeps
     # dedup_minhash_lsh's recorded row)
-    "search_eval_bm25",
+    # (search_eval_bm25 held this slot in rounds 6 — recorded rows
+    # r05(as family)+r06; rotated to the tail round-7 for
+    # tpch_q19_disjunctive_revenue; the search family's scoring keeps
+    # bm25_rank's r05+r06 rows and the indexed/path-equality twins
+    # stay oracle-checked in the tail)
+    # round-7 fourth wave: TPC-H Q19 — disjunction-of-conjunctions
+    # predicate spanning both join sides
+    "tpch_q19_disjunctive_revenue",
     # round-5 rotation (judge r4 next-round #2): the eight round-4
     # capabilities that had never had a driver-recorded row. Swapped in
     # against eight long-attested head entries (q03/q04/q10/q11/q14,
@@ -311,7 +386,13 @@ _PROMOTED = [
     # round-6 third wave: positional phrase retrieval (new capability
     # — the exact-phrase rung next to bm25's bag-of-words ranking;
     # displaces quantile_rollup_kll per the comment above)
-    "phrase_search_docs",
+    # (phrase_search_docs held this slot in round 6 — recorded row
+    # r06; rotated to the tail round-7 for tpch_q20_dominant_supplier;
+    # the search family's recorded coverage continues via bm25_rank's
+    # r05+r06 rows; phrase positions stay oracle-checked in the tail)
+    # round-7 fourth wave: TPC-H Q20 — nested IN over a correlated
+    # aggregate threshold, cross-multiplied to exact BIGINT
+    "tpch_q20_dominant_supplier",
     # (segment_overlap_theta held this slot in rounds 5-6 — recorded
     # row r05; rotated to the tail late-round-6 for cusum_daily_drift
     # — see the round-6 third-wave blocks)
@@ -371,7 +452,14 @@ _PROMOTED = [
     # raw comeback counts cannot express; displaces
     # dedup_ngram_jaccard, whose rotation block sits in _DEFERRED
     # with its five recorded rows)
-    "km_survival_segments",
+    # (km_survival_segments held this slot in round 6 — recorded row
+    # r06; rotated to the tail round-7 for
+    # tpch_q22_global_sales_opportunity; the lifetime family keeps
+    # its r06 row and retention_cohorts' earlier rows)
+    # round-7 fourth wave: TPC-H Q22 — scalar-average threshold
+    # (cross-multiplied exact) + NOT EXISTS anti join rollup;
+    # completes the 22/22 TPC-H shape suite
+    "tpch_q22_global_sales_opportunity",
     # (seasonal_decompose_events held this slot in round 6 — recorded
     # row r06; rotated to the tail round-7 for snapshot_diff_supplier;
     # the seasonality family keeps seasonal_backtest_events' head
@@ -612,6 +700,25 @@ _PROMOTED = [
     # round-6 blocks)
 ]
 _DEFERRED = [
+    # round-7 fourth-wave rotation OUT: fourteen entries whose first
+    # (or latest) driver row landed in r06, displaced so the TPC-H
+    # Q6-Q22 completion gets first driver rows — each family keeps a
+    # head slot or recorded twin (see the matching _PROMOTED block
+    # comments); all fourteen stay oracle-checked here every round
+    "readability_docs",
+    "ks_value_drift",
+    "embedding_silhouette",
+    "segment_dedup_docs",
+    "kcore_cust_supp",
+    "session_journeys",
+    "cdc_supplier_apply",
+    "asof_nearest_alignment",
+    "decayed_engagement",
+    "entity_golden_parts",
+    "events_sliding_distinct",
+    "search_eval_bm25",
+    "phrase_search_docs",
+    "km_survival_segments",
     # audit twins / shape variants whose capability is attested by a
     # recorded sibling (see module comment above)
     "similarity_topk_int8",
@@ -9342,6 +9449,870 @@ def tpch_q13_custdist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         co.groupBy("c_count")
         .agg(F.count("*").cast("long").alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@_q(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * CAST(l_discount AS DECIMAL(3,2)))
+                     AS VARCHAR) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '2000-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '2001-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 forecasting revenue change: the purest "
+    "scan-dominated classic — three conjunctive filters all pushed "
+    "to the parquet scan (date range, discount band, quantity cap), "
+    "one exact DECIMAL(12,2)x(3,2) product sum, map-side partial "
+    "aggregation into a single-row reduce: ZERO join, ZERO groupBy "
+    "shuffle; at 100 TB the plan is min/max-pruned row groups + one "
+    "all-reduce. Discount literals compare against the same parquet "
+    "doubles on both engines; the sum leaves decimal via the "
+    "correctly-rounded VARCHAR roundtrip",
+)
+def tpch_q6_forecast_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("2000-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("2001-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_discount").cast("decimal(3,2)")
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@_q(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                         * CAST(1 - l.l_discount AS DECIMAL(3,2)))
+                     AS VARCHAR) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND CAST(l.l_shipdate AS DATE) >= DATE '2000-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 volume shipping: bilateral trade between two "
+    "nations by year — the two-role dimension pattern (nation joins "
+    "TWICE, once through the supplier leg, once through the "
+    "customer leg) plus a disjunctive cross-leg predicate. Plan: "
+    "nation/supplier/customer broadcast; the nation-pair filter "
+    "cannot push below the joins (it correlates both legs) but the "
+    "date filter pushes to the lineitem scan; one groupBy shuffle "
+    "on the tiny (nation, nation, year) key. Exact decimal volume, "
+    "VARCHAR-roundtrip output, fully-ordered deterministic result",
+)
+def tpch_q7_volume_shipping_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") >= F.lit("2000-01-01").cast("date")
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("__n1key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("__n2key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(s), s["s_suppkey"] == li["l_suppkey"])
+        .join(F.broadcast(n1), F.col("__n1key") == s["s_nationkey"])
+        .join(F.broadcast(n2), F.col("__n2key") == c["c_nationkey"])
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@_q(
+    "tpch_q8_market_share",
+    """
+    WITH vol AS (
+      SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l.l_discount AS DECIMAL(3,2)) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n2.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY')
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                               THEN volume
+                               ELSE CAST(0 AS DECIMAL(16,4)) END)
+                      AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+    doc="TPC-H Q8 national market share: NATION_3 suppliers' slice "
+    "of AMERICA customers' ECONOMY-part revenue by order year — the "
+    "conditional-share-of-total pattern over a six-dim snowflake "
+    "(nation joins twice again). Both numerator and denominator "
+    "accumulate as exact DECIMAL(16,4) before ONE double division "
+    "(a ratio is ulp-insulated: 1e-16 relative error sits 10 "
+    "orders below the 6dp grain). All dims broadcast; region/type "
+    "filters cut the fact before the groupBy; one tiny (year) "
+    "shuffle",
+)
+def tpch_q8_market_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n2 = n.select(
+        F.col("n_nationkey").alias("__n2key"),
+        F.col("n_regionkey").alias("__n2region"),
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("__n1key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n2), F.col("__n2key") == c["c_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == F.col("__n2region"))
+        .join(F.broadcast(s), s["s_suppkey"] == li["l_suppkey"])
+        .join(F.broadcast(n1), F.col("__n1key") == s["s_nationkey"])
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)")
+            ).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == "NATION_3", F.col("volume")
+                    ).otherwise(F.lit(0).cast("decimal(16,4)"))
+                ).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@_q(
+    "tpch_q9_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                           * CAST(1 - l.l_discount AS DECIMAL(3,2))
+                         - CAST(l.l_quantity AS DECIMAL(12,0))
+                           * (CAST(p.p_retailprice AS DECIMAL(12,2))
+                              * CAST(0.6 AS DECIMAL(2,1))))
+                     AS VARCHAR) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 product-type profit: per supplier-nation per year, "
+    "profit = revenue minus cost over name-matched parts. Adapted "
+    "to the testdata (no partsupp.ps_supplycost): unit cost is the "
+    "documented proxy 0.6 * p_retailprice, keeping the shape — a "
+    "LIKE-filtered part dim, a four-join fact expansion, and a "
+    "subtraction of two money products — intact. Every term is "
+    "exact decimal (2dp x 2dp, integer qty x 3dp cost), so the "
+    "group sums are order-exact; output via the correctly-rounded "
+    "VARCHAR roundtrip. Part/supplier/nation broadcast; the LIKE "
+    "filter cuts part BEFORE its join (predicate pushdown into the "
+    "dim scan); one (nation, year) groupBy shuffle",
+)
+def tpch_q9_product_profit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(3,2)") - F.col("l_quantity").cast("decimal(12,0)") * (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.lit("0.6").cast("decimal(2,1)")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), s["s_suppkey"] == li["l_suppkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
+        .join(o, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@_q(
+    "tpch_q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * CAST(1 - l.l_discount AS DECIMAL(3,2)))
+                      AS DOUBLE), 6) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '2001-01-01'
+      AND o.o_orderdate < TIMESTAMP '2001-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 returned-item reporting: top-20 customers by "
+    "revenue lost to returns in a quarter. The quarter filter "
+    "pushes to the orders scan and the returnflag filter to the "
+    "lineitem scan BEFORE the join, so the joined fact is ~1/12 x "
+    "~1/3 of lineitem; nation broadcasts; per-customer groups are "
+    "a handful of rows (exact decimal sums; the 6dp-rounded value "
+    "plus the unique custkey tiebreak makes the top-20 cut "
+    "deterministic) and the LIMIT compiles to "
+    "TakeOrderedAndProject — no global sort",
+)
+def tpch_q10_returned_items_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2001-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)")
+                ).cast("double"),
+                6,
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@_q(
+    "tpch_q11_important_parts",
+    """
+    WITH cand AS (
+      SELECT l.l_partkey,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l.l_discount AS DECIMAL(3,2)) AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'),
+    per AS (
+      SELECT l_partkey, SUM(val) AS value FROM cand GROUP BY l_partkey),
+    tot AS (SELECT SUM(value) AS total FROM per)
+    SELECT per.l_partkey AS p_partkey,
+           ROUND(CAST(per.value AS DOUBLE), 6) AS part_value
+    FROM per CROSS JOIN tot
+    WHERE per.value > tot.total * CAST(0.001 AS DECIMAL(6,4))
+    ORDER BY part_value DESC, p_partkey
+    """,
+    doc="TPC-H Q11 important stock: parts whose in-region revenue "
+    "exceeds a FRACTION of the region total — the "
+    "share-of-global-scalar HAVING pattern. Adapted to the testdata "
+    "(no partsupp): value is ASIA-supplier lineitem revenue. The "
+    "cut compares exact decimals on BOTH sides (group sum vs total "
+    "x exact decimal 0.001), so membership is engine- and "
+    "partitioning-exact — only the displayed value rounds to 6dp. "
+    "Plan: region/nation/supplier broadcast, one partkey groupBy, "
+    "a 1-row broadcast total joined back; nothing row-scale moves "
+    "twice",
+)
+def tpch_q11_important_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cand = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+        .select(
+            "l_partkey",
+            (
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)")
+            ).alias("__val"),
+        )
+    )
+    per = cand.groupBy("l_partkey").agg(F.sum("__val").alias("__value"))
+    tot = per.agg(F.sum("__value").alias("__total"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("__value")
+            > F.col("__total") * F.lit("0.001").cast("decimal(6,4)")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("__value").cast("double"), 6).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+@_q(
+    "tpch_q12_late_shipments",
+    """
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE CAST(l.l_shipdate AS DATE)
+            > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+      AND CAST(l.l_shipdate AS DATE) >= DATE '2000-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '2001-01-01'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+    doc="TPC-H Q12 shipping modes / late lines: conditional priority "
+    "counts over lines that shipped late. Adapted to the testdata "
+    "(no l_shipmode/commitdate/receiptdate): 'late' is shipdate "
+    "more than 60 days after the order date, grouped by linestatus "
+    "— the cross-table date-arithmetic predicate (it references "
+    "BOTH sides, so it evaluates post-join while the year filter "
+    "still pushes to the lineitem scan) and the dual conditional "
+    "count are the capability. One equi-join shuffle on orderkey, "
+    "one 2-row groupBy",
+)
+def tpch_q12_late_shipments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("2000-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("2001-01-01").cast("date"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, li["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"), 60)
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@_q(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT ROUND(100.0
+                 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                 THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                                      * CAST(1 - l.l_discount AS DECIMAL(3,2))
+                                 ELSE CAST(0 AS DECIMAL(16,4)) END)
+                        AS DOUBLE)
+                 / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                            * CAST(1 - l.l_discount AS DECIMAL(3,2)))
+                        AS DOUBLE), 6) AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '2000-09-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '2000-10-01'
+    """,
+    doc="TPC-H Q14 promotion effect: promo-typed parts' percentage "
+    "of one month's revenue. The testdata's p_type is already the "
+    "category ('PROMO'), so the LIKE 'PROMO%%' prefix becomes "
+    "equality. Month filter pushes to the lineitem scan, part "
+    "broadcasts, single-row conditional-share readout; both sums "
+    "exact decimal with ONE final double division (ratio is "
+    "ulp-insulated)",
+)
+def tpch_q14_promo_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("2000-09-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("2000-10-01").cast("date"))
+    )
+    p = load(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(3,2)")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", vol).otherwise(
+                        F.lit(0).cast("decimal(16,4)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@_q(
+    "tpch_q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l_discount AS DECIMAL(3,2))) AS total_rev
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '2000-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '2000-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           ROUND(CAST(rev.total_rev AS DOUBLE), 6) AS total_revenue
+    FROM rev
+    JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q15 top supplier: the revenue VIEW + scalar-MAX "
+    "subquery classic — per-supplier quarter revenue, then exactly "
+    "the supplier(s) hitting the maximum (ties kept, per the spec). "
+    "The max comparison happens on exact DECIMAL revenue, so the "
+    "winner set is engine- and partitioning-exact; only the display "
+    "value rounds. Plan: one suppkey groupBy (map-side combined), a "
+    "1-row broadcast max joined back — the aggregate-then-rejoin "
+    "argmax, third use of the q2/q15 pattern; supplier dim "
+    "broadcasts",
+)
+def tpch_q15_top_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("2000-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("2000-04-01").cast("date"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)")
+        ).alias("__total_rev")
+    )
+    mx = rev.agg(F.max("__total_rev").alias("__max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("__total_rev") == F.col("__max_rev"))
+        .join(F.broadcast(s), s["s_suppkey"] == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("__total_rev").cast("double"), 6).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@_q(
+    "tpch_q16_supplier_cnt",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    ok_supp AS (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT pr.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM pairs pr
+    JOIN part p ON p.p_partkey = pr.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_size IN (1, 5, 9, 15, 20)
+      AND pr.l_suppkey IN (SELECT s_suppkey FROM ok_supp)
+    GROUP BY p.p_brand, p.p_type, CAST(p.p_size AS BIGINT)
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p_size
+    """,
+    doc="TPC-H Q16 parts/supplier relationship: distinct supplier "
+    "counts per (brand, type, size) bucket with a NOT-this-brand "
+    "filter and an excluded-supplier subquery. Adapted to the "
+    "testdata (no partsupp, no s_comment): the part-supplier "
+    "relation is DISTINCT lineitem pairs and the 'complaints' "
+    "exclusion is suppliers with negative account balance, kept as "
+    "a semi-join (the spec's NOT IN has no NULLs here). Pairs "
+    "dedup first — the COUNT DISTINCT shuffles (brand,type,size, "
+    "suppkey) pairs, never raw lineitem; part and the supplier "
+    "filter broadcast. Fully-ordered deterministic output",
+)
+def tpch_q16_supplier_cnt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5") & F.col("p_size").isin(1, 5, 9, 15, 20)
+    )
+    ok = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") >= 0)
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(p), pairs["l_partkey"] == p["p_partkey"])
+        .join(
+            F.broadcast(ok.select("s_suppkey")),
+            pairs["l_suppkey"] == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy(
+            "p_brand", "p_type", F.col("p_size").cast("long").alias("p_size")
+        )
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@_q(
+    "tpch_q17_small_qty_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey, AVG(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)))
+                      AS DOUBLE) / 7.0, 6) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa    ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#7'
+      AND l.l_quantity < 0.2 * pa.avg_qty
+    """,
+    doc="TPC-H Q17 small-quantity-order revenue: lines whose "
+    "quantity is under 20%% of their part's average — the "
+    "correlated per-group AVG subquery, compiled as "
+    "aggregate-then-rejoin on partkey. Quantities are "
+    "integer-valued doubles, so each part's sum/count average and "
+    "the 0.2x threshold are bit-identical on both engines; the "
+    "kept-line price sum is exact decimal with one final /7 "
+    "division. The brand filter cuts part to ~4%% before its "
+    "broadcast join; the per-part average is a partkey-keyed "
+    "aggregate whose exchange co-partitions with the rejoin",
+)
+def tpch_q17_small_qty_revenue_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#7")
+    pa = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.avg("l_quantity").alias("__avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(pa, li["l_partkey"] == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("__avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast(
+                    "double"
+                )
+                / F.lit(7.0),
+                6,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@_q(
+    "tpch_q19_disjunctive_revenue",
+    """
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                         * CAST(1 - l.l_discount AS DECIMAL(3,2)))
+                     AS VARCHAR) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 discounted revenue: the disjunction-of-"
+    "conjunctions predicate (three brand/size/quantity bands "
+    "OR-ed) spanning BOTH join sides — the shape that tests an "
+    "optimizer's ability to split a cross-side OR: the "
+    "part-only disjuncts (brand+size) reduce the broadcast side, "
+    "the quantity bounds (1..30 overall) derive a scan-level "
+    "filter, and the full predicate evaluates post-join. Exact "
+    "decimal sum, VARCHAR-roundtrip output, single-row reduce "
+    "(a bare aggregate keeps the row even when nothing matches)",
+)
+def tpch_q19_disjunctive_revenue_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@_q(
+    "tpch_q20_dominant_supplier",
+    """
+    WITH sp AS (
+      SELECT l.l_suppkey, l.l_partkey,
+             CAST(SUM(l.l_quantity) AS BIGINT) AS qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'ECONOMY'
+        AND CAST(l.l_shipdate AS DATE) >= DATE '2000-01-01'
+        AND CAST(l.l_shipdate AS DATE) < DATE '2001-01-01'
+      GROUP BY l.l_suppkey, l.l_partkey),
+    pt AS (
+      SELECT l_partkey,
+             CAST(SUM(qty) AS BIGINT) AS total_qty,
+             CAST(COUNT(*) AS BIGINT) AS n_supp
+      FROM sp GROUP BY l_partkey),
+    dominant AS (
+      SELECT DISTINCT sp.l_suppkey
+      FROM sp JOIN pt ON pt.l_partkey = sp.l_partkey
+      WHERE 2 * sp.qty * pt.n_supp > 3 * pt.total_qty
+        AND pt.n_supp >= 2)
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+    ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q20 potential part promotion: suppliers holding a "
+    "dominant share of a part's flow — the nested "
+    "IN(SELECT..WHERE correlated-aggregate-threshold) shape. "
+    "Adapted to the testdata (no partsupp.ps_availqty): a supplier "
+    "qualifies on a part if its year-2000 shipped quantity exceeds "
+    "1.5x the part's per-supplier mean, written CROSS-MULTIPLIED "
+    "(2*qty*n_supp > 3*total) so the comparison is exact BIGINT — "
+    "no division, engine-exact membership at any scale. Plan: one "
+    "(supp, part) groupBy, one part rollup, an equi-join back on "
+    "partkey (the threshold is scale-free, so the dominant set "
+    "stays non-degenerate at every SF), then a semi join into the "
+    "region-filtered supplier dim (broadcast)",
+)
+def tpch_q20_dominant_supplier_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("2000-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("2001-01-01").cast("date"))
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    sp = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").cast("long").alias("__qty"))
+    )
+    pt = sp.groupBy(F.col("l_partkey").alias("__ptk")).agg(
+        F.sum("__qty").cast("long").alias("__total_qty"),
+        F.count("*").cast("long").alias("__n_supp"),
+    )
+    dominant = (
+        sp.join(pt, sp["l_partkey"] == F.col("__ptk"))
+        .filter(
+            (F.col("__n_supp") >= 2)
+            & (
+                F.lit(2) * F.col("__qty") * F.col("__n_supp")
+                > F.lit(3) * F.col("__total_qty")
+            )
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+        .join(dominant, s["s_suppkey"] == dominant["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@_q(
+    "tpch_q22_global_sales_opportunity",
+    """
+    WITH rich AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             CAST(c.c_acctbal AS DECIMAL(12,2)) AS bal
+      FROM customer c),
+    thr AS (
+      SELECT SUM(bal) AS pos_sum,
+             CAST(COUNT(*) AS BIGINT) AS pos_cnt
+      FROM rich WHERE bal > 0),
+    elig AS (
+      -- cross-multiplied threshold: bal > avg(positive bal), written
+      -- bal * cnt > sum so both sides stay exact DECIMAL (no
+      -- engine-dependent decimal division)
+      SELECT r.c_custkey, r.c_nationkey, r.bal
+      FROM rich r CROSS JOIN thr
+      WHERE r.bal * thr.pos_cnt > thr.pos_sum
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = r.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(CAST(SUM(e.bal) AS DOUBLE), 6) AS totacctbal
+    FROM elig e
+    JOIN nation n ON n.n_nationkey = e.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    doc="TPC-H Q22 global sales opportunity: customers richer than "
+    "the average positive balance with NO RECENT ORDERS (none since "
+    "2000-01-01; every testdata customer has SOME order, so the "
+    "spec's dormancy window keeps the anti join non-vacuous) — "
+    "scalar AVG subquery + NOT EXISTS anti join + rollup. Adapted "
+    "to the testdata (no c_phone): grouped by nation instead of "
+    "phone prefix. The above-average cut is CROSS-MULTIPLIED (bal "
+    "> sum) so membership compares exact decimals — decimal "
+    "division rounds differently per engine and a double average "
+    "is summation-order dependent; neither can flip a customer "
+    "here. Plan: 1-row broadcast threshold, anti join shuffles "
+    "only custkeys, nation broadcasts into the tiny rollup",
+)
+def tpch_q22_global_sales_opportunity_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("__bal"),
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    n = load(spark, sf_dir, "nation")
+    thr = c.filter(F.col("__bal") > 0).agg(
+        F.sum("__bal").alias("__pos_sum"),
+        F.count("*").cast("long").alias("__pos_cnt"),
+    )
+    elig = (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("__bal") * F.col("__pos_cnt") > F.col("__pos_sum"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+    )
+    return (
+        elig.join(F.broadcast(n), n["n_nationkey"] == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.round(F.sum("__bal").cast("double"), 6).alias("totacctbal"),
+        )
+        .orderBy("n_name")
     )
 
 

@@ -24,13 +24,24 @@ def test_recorded_head_exactly_cap_and_contains_rotation():
     # rotation contract (judge r3 finding #1, applied every round):
     # never-yet-recorded capabilities ride the recorded head, and
     # swap-out partners stay registered + oracle-checked in the tail.
-    # Round-6 third wave: retrieval eval displaced the r4/r5-recorded
-    # incremental_minhash, which itself displaced dedup_simhash in r4.
-    assert "search_eval_bm25" in head
+    # Round-7 fourth wave: the TPC-H Q6-Q22 completion displaced
+    # fourteen r06-recorded entries (e.g. search_eval_bm25, which
+    # itself displaced incremental_minhash in r6, which displaced
+    # dedup_simhash in r4).
+    assert "tpch_q6_forecast_revenue" in head
+    assert "tpch_q22_global_sales_opportunity" in head
+    assert "search_eval_bm25" not in head
+    assert "search_eval_bm25" in order      # still oracle-checked
     assert "incremental_minhash" not in head
-    assert "incremental_minhash" in order   # still oracle-checked
+    assert "incremental_minhash" in order
     assert "dedup_simhash" not in head
     assert "dedup_simhash" in order
+    # the full 22-query TPC-H shape suite is registered; never-
+    # recorded members all ride the head
+    tpch = [n for n in order if n.startswith("tpch_")]
+    assert len(tpch) == 22
+    recorded_elsewhere = {"tpch_q3_priority", "tpch_q5_region"}  # r06 rows
+    assert {n for n in tpch if n not in recorded_elsewhere} <= set(head)
 
 
 def test_tail_is_fully_curated():
