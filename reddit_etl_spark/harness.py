@@ -570,7 +570,14 @@ _PROMOTED = [
     # rank/centrality/core primitives; displaces daily_trend_slope,
     # whose OLS readout stays oracle-checked in the tail and whose
     # numpy.polyfit parity tests stand; green row r05)
-    "bfs_purchase_rings",
+    # (bfs_purchase_rings held this slot in round 6 — recorded row
+    # r06; rotated to the tail round-7 for bootstrap_ci_order_value;
+    # the iterative-graph family keeps sssp_purchase_paths +
+    # assortativity_cust_supp head slots)
+    # round-7 fifth wave: deterministic Poisson-bootstrap CI (new
+    # capability — the distribution-free inference rung; hash-seeded
+    # resamples make the whole CI value-checkable cross-engine)
+    "bootstrap_ci_order_value",
     # (twa_user_value held this slot through round 6's first half —
     # recorded rows r05; rotated to the tail mid-round-6 for
     # geo_nearest_supplier — see the round-6 second-wave blocks)
@@ -579,7 +586,14 @@ _PROMOTED = [
     # whose time-weighted-average readout stays oracle-checked in the
     # tail and whose ordered-series family keeps recorded rows via
     # event_value_bars + decayed_engagement + asof_nearest_alignment)
-    "geo_nearest_supplier",
+    # (geo_nearest_supplier held this slot in round 6 — recorded row
+    # r06; rotated to the tail round-7 for geo_fence_customers — the
+    # spatial family's CONTAINMENT rung takes the head slot its
+    # proximity rung held, and the KNN path stays oracle-checked in
+    # the tail against its exhaustive cross-join oracle)
+    # round-7 fifth wave: exact-BIGINT ray-casting geofence join (new
+    # capability)
+    "geo_fence_customers",
     # round-6 second wave: multi-touch attribution (new capability —
     # generalizes the as-of family's last-touch special case to
     # linear/time-decay/position credit models over the bucketed
@@ -587,7 +601,14 @@ _PROMOTED = [
     # readout stays oracle-checked in the tail and whose ordered-series
     # family keeps recorded rows via event_value_bars +
     # decayed_engagement)
-    "multitouch_channels",
+    # (multitouch_channels held this slot in round 6 — recorded row
+    # r06; rotated to the tail round-7 for compaction_plan_orders;
+    # the attribution family keeps its r06 row and the as-of family
+    # its r05/r06 rows)
+    # round-7 fifth wave: small-file compaction planner (new
+    # capability — the layout family's maintenance rung next to
+    # zorder_pruning_parts' placement rung)
+    "compaction_plan_orders",
     # (gap_fill_hourly held this slot through round 6's first half —
     # recorded rows r05; rotated to the tail mid-round-6 for
     # multitouch_channels — see the round-6 second-wave blocks)
@@ -719,6 +740,12 @@ _DEFERRED = [
     "search_eval_bm25",
     "phrase_search_docs",
     "km_survival_segments",
+    # round-7 fifth-wave rotation OUT (same contract as above): three
+    # more r06-recorded entries displaced for the bootstrap /
+    # geofence / compaction capabilities
+    "bfs_purchase_rings",
+    "geo_nearest_supplier",
+    "multitouch_channels",
     # audit twins / shape variants whose capability is attested by a
     # recorded sibling (see module comment above)
     "similarity_topk_int8",
@@ -10313,6 +10340,275 @@ def tpch_q22_global_sales_opportunity_q(
             F.round(F.sum("__bal").cast("double"), 6).alias("totacctbal"),
         )
         .orderBy("n_name")
+    )
+
+
+#: Poisson(1) inverse-CDF thresholds on a uniform in [0, 1e9) — the
+#: SQL mirror of operators/resample.py:_POISSON1_THRESHOLDS.
+_POIS_SQL_W = (
+    "CASE WHEN {u} < 367879441 THEN 0 WHEN {u} < 735758882 THEN 1 "
+    "WHEN {u} < 919698602 THEN 2 WHEN {u} < 981011843 THEN 3 "
+    "WHEN {u} < 996340153 THEN 4 ELSE 5 END"
+)
+
+
+@_q(
+    "bootstrap_ci_order_value",
+    """
+    WITH reps AS (SELECT unnest(range(64)) AS b),
+    cells AS (
+      SELECT o.o_orderstatus, reps.b,
+             SUM(({w}) * CAST(o.o_totalprice AS DECIMAL(18,6))) AS num,
+             CAST(SUM({w}) AS BIGINT) AS den
+      FROM orders o CROSS JOIN reps
+      GROUP BY o.o_orderstatus, reps.b),
+    means AS (
+      SELECT o_orderstatus, b,
+             ROUND(CAST(num AS DOUBLE) / den, 6) AS mean_b
+      FROM cells WHERE den > 0),
+    ranked AS (
+      SELECT o_orderstatus, b, mean_b,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY mean_b, b) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS m
+      FROM means),
+    ci AS (
+      SELECT o_orderstatus,
+             CAST(MAX(m) AS BIGINT) AS n_replicates,
+             MAX(CASE WHEN rn = FLOOR(m * 0.05) + 1
+                      THEN mean_b END) AS ci_lo,
+             MAX(CASE WHEN rn = m - FLOOR(m * 0.05)
+                      THEN mean_b END) AS ci_hi
+      FROM ranked GROUP BY o_orderstatus),
+    pt AS (
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                        AS DOUBLE) / COUNT(*), 6) AS point_mean
+      FROM orders GROUP BY o_orderstatus)
+    SELECT pt.o_orderstatus, pt.n_rows, pt.point_mean,
+           ci.n_replicates, ci.ci_lo, ci.ci_hi
+    FROM pt LEFT JOIN ci ON ci.o_orderstatus = pt.o_orderstatus
+    ORDER BY pt.o_orderstatus
+    """.format(
+        w=_POIS_SQL_W.format(
+            u="(('0x' || substring(md5(CAST(o.o_orderkey AS VARCHAR)"
+            " || ':' || CAST(reps.b AS VARCHAR) || ':boot'), 1, 15))"
+            "::BIGINT % 1000000000)"
+        )
+    ),
+    doc="deterministic Poisson-bootstrap 90%% CI for mean order value "
+    "per status (operators/resample.py:poisson_bootstrap_ci) — the "
+    "distribution-free inference rung the closed-form tests can't "
+    "cover (Chamandy et al. 2012's one-pass massive-data bootstrap). "
+    "Each row's weight in replicate b is the inverse-CDF Poisson(1) "
+    "bucket of md5_60(id:b:salt), so BOTH engines draw identical "
+    "resamples and the full CI is value-checked, not rows-only. "
+    "Exact DECIMAL weighted sums per replicate, one double division, "
+    "integer rank selection at floor(m*alpha/2). Plan: explode x64 "
+    "BEFORE a map-side combined groupBy — the exchange carries "
+    "(status, b) cells, never the exploded fact",
+)
+def bootstrap_ci_order_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.resample import poisson_bootstrap_ci
+
+    o = load(spark, sf_dir, "orders")
+    return poisson_bootstrap_ci(
+        o,
+        ["o_orderstatus"],
+        "o_totalprice",
+        "o_orderkey",
+        replicates=64,
+        alpha=0.1,
+    )
+
+
+#: geofence polygons in integer micro-degrees (x = lon, y = lat) —
+#: shared by the Spark builder and (via _fence_edges_sql) the DuckDB
+#: oracle so there is exactly one source of truth for the geometry.
+_FENCE_POLYGONS = [
+    (
+        "atlantic_box",
+        [
+            (-40_000_000, 10_000_000),
+            (-10_000_000, 10_000_000),
+            (-10_000_000, 40_000_000),
+            (-40_000_000, 40_000_000),
+        ],
+    ),
+    (
+        "pacific_tri",
+        [
+            (110_000_000, -20_000_000),
+            (170_000_000, 5_000_000),
+            (125_000_000, 35_000_000),
+        ],
+    ),
+    (
+        "indian_pent",
+        [
+            (55_000_000, -25_000_000),
+            (85_000_000, -20_000_000),
+            (90_000_000, 5_000_000),
+            (70_000_000, 15_000_000),
+            (50_000_000, 0),
+        ],
+    ),
+]
+
+
+def _fence_edges_sql() -> str:
+    rows = []
+    for pid, verts in _FENCE_POLYGONS:
+        n = len(verts)
+        for i in range(n):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % n]
+            rows.append(f"('{pid}', {x1}, {y1}, {x2}, {y2})")
+    return ", ".join(rows)
+
+
+@_q(
+    "geo_fence_customers",
+    """
+    WITH pts AS (
+      SELECT c_custkey,
+             (('0x' || substring(md5(CAST(c_custkey AS VARCHAR)
+                || ':lon'), 1, 15))::BIGINT %% 360000000) - 180000000
+               AS px,
+             (('0x' || substring(md5(CAST(c_custkey AS VARCHAR)
+                || ':lat'), 1, 15))::BIGINT %% 120000000) - 60000000
+               AS py
+      FROM customer),
+    edges(poly_id, x1, y1, x2, y2) AS (VALUES %s),
+    crossings AS (
+      SELECT p.c_custkey, e.poly_id,
+             SUM(CASE WHEN ((e.y1 > p.py) <> (e.y2 > p.py))
+                       AND (((e.y2 > e.y1) AND
+                             ((p.py - e.y1) * (e.x2 - e.x1)
+                              - (p.px - e.x1) * (e.y2 - e.y1)) > 0)
+                         OR ((e.y2 < e.y1) AND
+                             ((p.py - e.y1) * (e.x2 - e.x1)
+                              - (p.px - e.x1) * (e.y2 - e.y1)) < 0))
+                      THEN 1 ELSE 0 END) AS k
+      FROM pts p CROSS JOIN edges e
+      GROUP BY p.c_custkey, e.poly_id)
+    SELECT c_custkey, poly_id
+    FROM crossings WHERE k %% 2 = 1
+    ORDER BY c_custkey, poly_id
+    """
+    % _fence_edges_sql(),
+    doc="geofencing join (operators/geo.py:point_in_polygon_join): "
+    "which customers' md5-synthesized micro-degree coordinates fall "
+    "inside three literal fence polygons, by EXACT-BIGINT ray "
+    "casting (half-open straddle rule + division-free "
+    "cross-multiplied intersection test — no epsilon, no float "
+    "slope, bit-identical verdicts on any engine). The containment "
+    "rung of the spatial family next to grid_knn_join's proximity "
+    "rung. Spark prunes candidates by per-polygon bounding box "
+    "before any edge row is emitted; the DuckDB oracle is the "
+    "EXHAUSTIVE points x edges product, so every green row also "
+    "proves the bbox rejection drops no true member",
+)
+def geo_fence_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.geo import point_in_polygon_join
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("c_custkey").cast("string"),
+                                F.lit(":lon"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(360_000_000),
+            )
+            - F.lit(180_000_000)
+        ).alias("px"),
+        (
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("c_custkey").cast("string"),
+                                F.lit(":lat"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(120_000_000),
+            )
+            - F.lit(60_000_000)
+        ).alias("py"),
+    )
+    return point_in_polygon_join(
+        cust, "c_custkey", "px", "py", _FENCE_POLYGONS
+    ).orderBy("c_custkey", "poly_id")
+
+
+@_q(
+    "compaction_plan_orders",
+    """
+    WITH files AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS sz
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+    binned AS (
+      SELECT d, sz,
+             CAST(COALESCE(SUM(sz) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) // 500 AS grp
+      FROM files),
+    grouped AS (
+      SELECT CAST(grp AS BIGINT) AS group_id,
+             CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(sz) AS BIGINT) AS total_size,
+             MIN(d) AS first_key,
+             MAX(d) AS last_key
+      FROM binned GROUP BY grp)
+    SELECT 'daily_orders' AS plan, group_id, n_files, total_size,
+           first_key, last_key,
+           (group_id = (SELECT MAX(group_id) FROM grouped)
+            AND total_size < 500) AS undersized
+    FROM grouped ORDER BY group_id
+    """,
+    doc="small-file compaction planner "
+    "(operators/layout.py:compaction_plan): daily order partitions "
+    "(the classic too-many-small-files shape) coalesced into "
+    "~500-row output groups by cumulative-sum binning in date order "
+    "— the ADJACENT-merge strategy Delta/Iceberg OPTIMIZE uses, "
+    "preserving clustering where global bin packing would destroy "
+    "it. Exact BIGINT `div` on the running total (a double quotient "
+    "truncates wrong past 2^53); the planner's input is per-file "
+    "METADATA (n_files rows), so the single-partition ordered "
+    "window is listing-sized at any data scale. The layout family's "
+    "maintenance rung next to zorder_pruning_parts' placement rung",
+)
+def compaction_plan_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.layout import compaction_plan
+
+    files = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count("*").cast("long").alias("sz"))
+    )
+    return compaction_plan(
+        files, "sz", "d", target_size=500, plan_name="daily_orders"
     )
 
 

@@ -117,3 +117,79 @@ def layout_pruning_stats(
         *[c for d in dim_cols for c in (f"min_{d}", f"max_{d}")],
         prunable.alias("prunable"),
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    size_col: str,
+    order_col: str,
+    target_size: int,
+    plan_name: str = "compaction",
+) -> DataFrame:
+    """Plan small-file compaction: assign files (metadata rows — id,
+    size) to output groups of ~``target_size`` by cumulative-sum
+    binning in ``order_col`` order — the strategy Delta/Iceberg
+    OPTIMIZE and Hive concatenation actually use (coalesce ADJACENT
+    files so each rewrite group lands near the target and ordering/
+    clustering is preserved; never global bin packing, which would
+    destroy data locality).
+
+    bin(file) = floor(running_total_before_file / target_size) —
+    exact BIGINT arithmetic over integer sizes, so the plan is
+    engine- and partitioning-exact. A file larger than the target
+    gets its own group (it closes the bin it starts). The LAST group
+    may be undersized; ``undersized`` flags it for the caller's
+    leave-or-merge policy.
+
+    Scale: the input is per-file METADATA (a listing, n_files rows),
+    not data — the ordered cumulative window is the planner's whole
+    cost, and n_files is bounded by the table's file count (what the
+    plan exists to shrink). Output: one row per planned group
+    (plan, group_id, n_files, total_size, first/last ``order_col``,
+    undersized).
+    """
+    if target_size < 1:
+        raise ValueError("target_size must be >= 1")
+    w = Window.orderBy("__ord").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    binned = (
+        files.select(
+            F.col(order_col).alias("__ord"),
+            F.col(size_col).cast("long").alias("__size"),
+        )
+        .withColumn(
+            "__cum", F.coalesce(F.sum("__size").over(w), F.lit(0).cast("long"))
+        )
+        # integer `div`, not double `/`: cumulative totals can pass
+        # 2^53 where a double quotient truncates wrong
+        .withColumn("__grp", F.expr(f"__cum div {int(target_size)}"))
+    )
+    total = F.sum("__size").cast("long")
+    out = (
+        binned.groupBy(F.col("__grp").cast("long").alias("group_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            total.alias("total_size"),
+            F.min("__ord").alias("first_key"),
+            F.max("__ord").alias("last_key"),
+        )
+        .withColumn("plan", F.lit(plan_name))
+    )
+    max_grp = out.agg(F.max("group_id").alias("__max_grp"))
+    return (
+        out.crossJoin(F.broadcast(max_grp))
+        .select(
+            "plan",
+            "group_id",
+            "n_files",
+            "total_size",
+            "first_key",
+            "last_key",
+            (
+                (F.col("group_id") == F.col("__max_grp"))
+                & (F.col("total_size") < F.lit(int(target_size)))
+            ).alias("undersized"),
+        )
+        .orderBy("group_id")
+    )

@@ -139,3 +139,45 @@ class TestLayoutPruningStats:
         # group 1 = {0,5}: max 5 < 6 -> prunable; group 2 = {10,20}:
         # min 10 > 9 -> prunable
         assert got[1]["prunable"] and got[2]["prunable"]
+
+
+class TestCompactionPlan:
+    def test_bins_by_running_total_and_flags_tail(self, spark):
+        from reddit_etl_spark.operators.layout import compaction_plan
+
+        files = spark.createDataFrame(
+            [(1, 300), (2, 300), (3, 300), (4, 300), (5, 100)],
+            "fid long, sz long",
+        )
+        got = {
+            r["group_id"]: r
+            for r in compaction_plan(files, "sz", "fid", 500).collect()
+        }
+        # cum-before: 0,300,600,900,1200 -> groups 0,0,1,1,2
+        assert set(got) == {0, 1, 2}
+        assert (got[0]["n_files"], got[0]["total_size"]) == (2, 600)
+        assert (got[1]["n_files"], got[1]["total_size"]) == (2, 600)
+        assert (got[2]["n_files"], got[2]["total_size"]) == (1, 100)
+        assert not got[0]["undersized"] and not got[1]["undersized"]
+        assert got[2]["undersized"]
+        assert (got[0]["first_key"], got[0]["last_key"]) == (1, 2)
+
+    def test_oversized_file_closes_its_own_group(self, spark):
+        from reddit_etl_spark.operators.layout import compaction_plan
+
+        files = spark.createDataFrame(
+            [(1, 50), (2, 2000), (3, 50)], "fid long, sz long"
+        )
+        got = {
+            r["group_id"]: r
+            for r in compaction_plan(files, "sz", "fid", 500).collect()
+        }
+        # cum-before: 0, 50, 2050 -> groups 0, 0, 4: the giant file
+        # lands with its predecessor (it STARTS under target), and the
+        # next file starts a fresh group
+        assert got[0]["n_files"] == 2 and got[0]["total_size"] == 2050
+        assert got[4]["n_files"] == 1 and got[4]["total_size"] == 50
+        import pytest as _p
+
+        with _p.raises(ValueError):
+            compaction_plan(files, "sz", "fid", 0)

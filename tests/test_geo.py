@@ -130,3 +130,68 @@ def test_haversine_known_value(spark):
     )
     want = math.pi * EARTH_RADIUS_KM / 2
     assert df.collect()[0]["d"] == pytest.approx(want, rel=1e-12)
+
+
+class TestPointInPolygonJoin:
+    def _pts(self, spark, rows):
+        return spark.createDataFrame(rows, "pid long, x long, y long")
+
+    def test_square_inside_outside_boundary(self, spark):
+        from reddit_etl_spark.operators.geo import point_in_polygon_join
+
+        square = [("sq", [(0, 0), (10, 0), (10, 10), (0, 10)])]
+        pts = self._pts(
+            spark,
+            [
+                (1, 5, 5),     # inside
+                (2, 15, 5),    # outside (right)
+                (3, -1, 5),    # outside (left)
+                (4, 10, 5),    # ON the right edge -> outside under the
+                               # half-open crossing rule (deterministic)
+                (5, 0, 5),     # ON the left edge -> inside (ray crosses
+                               # the right edge only)
+            ],
+        )
+        got = {
+            r["pid"]
+            for r in point_in_polygon_join(pts, "pid", "x", "y", square).collect()
+        }
+        assert got == {1, 5}
+
+    def test_concave_polygon_notch(self, spark):
+        from reddit_etl_spark.operators.geo import point_in_polygon_join
+
+        # L-shape: the full 20x10 base plus the right 10x10 tower;
+        # the (0..10)x(10..20) notch is OUTSIDE
+        ell = [
+            (
+                "ell",
+                [(0, 0), (20, 0), (20, 20), (10, 20), (10, 10), (0, 10)],
+            )
+        ]
+        pts = self._pts(spark, [(1, 15, 15), (2, 5, 15), (3, 5, 5)])
+        got = {
+            r["pid"]
+            for r in point_in_polygon_join(pts, "pid", "x", "y", ell).collect()
+        }
+        assert got == {1, 3}
+
+    def test_multiple_polygons_and_validation(self, spark):
+        import pytest as _p
+
+        from reddit_etl_spark.operators.geo import point_in_polygon_join
+
+        polys = [
+            ("a", [(0, 0), (10, 0), (10, 10), (0, 10)]),
+            ("b", [(5, 5), (15, 5), (15, 15), (5, 15)]),
+        ]
+        pts = self._pts(spark, [(1, 7, 7)])  # inside BOTH
+        got = {
+            (r["pid"], r["poly_id"])
+            for r in point_in_polygon_join(pts, "pid", "x", "y", polys).collect()
+        }
+        assert got == {(1, "a"), (1, "b")}
+        with _p.raises(ValueError):
+            point_in_polygon_join(pts, "pid", "x", "y", [])
+        with _p.raises(ValueError):
+            point_in_polygon_join(pts, "pid", "x", "y", [("bad", [(0, 0)])])
