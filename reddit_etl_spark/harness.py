@@ -617,7 +617,15 @@ _PROMOTED = [
     # journey mining ranks; displaces term_collocations, whose
     # recorded r05 row stands and whose PMI/co-occurrence family
     # stays oracle-checked in the tail via item_affinity)
-    "session_transition_matrix",
+    # (session_transition_matrix held this slot in round 6 — recorded
+    # row r06; rotated to the tail round-7 for
+    # funnel_view_click_purchase; the session family's recorded
+    # coverage continues via this funnel head slot + the r06 journey/
+    # transition rows)
+    # round-7 fifth wave: windowed funnel conversion (new capability
+    # — the chosen-path attrition readout next to journeys'
+    # path ranking and the transition matrix's hop factorization)
+    "funnel_view_click_purchase",
     # (item_affinity held this slot in round 5; rotated to the tail
     # in round 6 for bloom_semi_lineitem — see the round-6 blocks)
     # (term_collocations held this slot through round 6's first half —
@@ -673,7 +681,14 @@ _PROMOTED = [
     # pagerank_cust_supp, whose rotation block sits in _DEFERRED with
     # its r05 row while the iterative-graph family keeps kcore + bfs
     # + lpa + sssp head slots)
-    "pareto_customer_revenue",
+    # (pareto_customer_revenue held this slot in round 6 — recorded
+    # row r06; rotated to the tail round-7 for
+    # kanon_customer_release; the Lorenz family keeps its gini +
+    # pareto r06 rows and both stay oracle-checked in the tail)
+    # round-7 fifth wave: k-anonymity / l-diversity release audit
+    # (new FAMILY — privacy measurement next to curation's PII
+    # redaction)
+    "kanon_customer_release",
     # round-6 third wave: leakage-safe splits (new capability —
     # near-dup clusters land wholly on one side of train/test, the
     # split-time complement of decontamination; displaces
@@ -746,6 +761,8 @@ _DEFERRED = [
     "bfs_purchase_rings",
     "geo_nearest_supplier",
     "multitouch_channels",
+    "session_transition_matrix",
+    "pareto_customer_revenue",
     # audit twins / shape variants whose capability is attested by a
     # recorded sibling (see module comment above)
     "similarity_topk_int8",
@@ -10559,6 +10576,132 @@ def geo_fence_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point_in_polygon_join(
         cust, "c_custkey", "px", "py", _FENCE_POLYGONS
     ).orderBy("c_custkey", "poly_id")
+
+
+@_q(
+    "funnel_view_click_purchase",
+    """
+    WITH e AS (SELECT user_id AS u, ts, event_type AS ty FROM events),
+    s1 AS (SELECT u, MIN(ts) AS t FROM e WHERE ty = 'view' GROUP BY u),
+    s2 AS (
+      SELECT e.u, MIN(e.ts) AS t
+      FROM e JOIN s1 ON s1.u = e.u
+      WHERE e.ty = 'click' AND e.ts > s1.t
+        AND e.ts <= s1.t + INTERVAL 1 DAY
+      GROUP BY e.u),
+    s3 AS (
+      SELECT e.u, MIN(e.ts) AS t
+      FROM e JOIN s2 ON s2.u = e.u
+      WHERE e.ty = 'purchase' AND e.ts > s2.t
+        AND e.ts <= s2.t + INTERVAL 1 DAY
+      GROUP BY e.u),
+    c AS (
+      SELECT 1 AS step_idx, 'view' AS step,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_users
+      UNION ALL
+      SELECT 2, 'click', (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+      UNION ALL
+      SELECT 3, 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM s3))
+    SELECT CAST(step_idx AS BIGINT) AS step_idx, step, n_users,
+           CASE WHEN LAG(n_users) OVER (ORDER BY step_idx) > 0
+                THEN ROUND(CAST(n_users AS DOUBLE)
+                           / LAG(n_users) OVER (ORDER BY step_idx), 6)
+           END AS conv_from_prev,
+           CASE WHEN FIRST_VALUE(n_users) OVER (ORDER BY step_idx) > 0
+                THEN ROUND(CAST(n_users AS DOUBLE)
+                           / FIRST_VALUE(n_users)
+                             OVER (ORDER BY step_idx), 6)
+           END AS conv_from_first
+    FROM c ORDER BY step_idx
+    """,
+    doc="windowed funnel analysis "
+    "(operators/sessions.py:funnel_conversion): users completing "
+    "view -> click (within 1 day, strictly after) -> purchase "
+    "(within 1 day of the click) — the attrition readout that "
+    "factors the session family's raw sequences (journeys rank "
+    "paths, transitions factor hops, the funnel measures a CHOSEN "
+    "path). Per-user MIN timestamps make the definition order-free "
+    "and engine-exact; each step is a user-keyed aggregate whose "
+    "joins all co-partition on the same key; the conversion readout "
+    "is a 3-row lag window",
+)
+def funnel_view_click_purchase_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.sessions import funnel_conversion
+
+    ev = load_events(spark, sf_dir)
+    return funnel_conversion(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+        within="1 day",
+    )
+
+
+@_q(
+    "kanon_customer_release",
+    """
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT o_orderpriority)
+                  + MAX(CASE WHEN o_orderpriority IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS l
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c_mktsegment, c_nationkey, bal_band),
+    thr(k_threshold) AS (VALUES (2), (5), (10))
+    SELECT CAST(thr.k_threshold AS BIGINT) AS k_threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN g.n < thr.k_threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS violating_groups,
+           CAST(SUM(CASE WHEN g.n < thr.k_threshold THEN g.n ELSE 0 END)
+                AS BIGINT) AS violating_rows,
+           ROUND(CAST(SUM(CASE WHEN g.n < thr.k_threshold
+                               THEN g.n ELSE 0 END) AS DOUBLE)
+                 / SUM(g.n), 6) AS pct_rows_at_risk,
+           CAST(SUM(CASE WHEN g.l <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS homogeneous_groups,
+           CAST(MIN(g.n) AS BIGINT) AS min_group_size,
+           CAST(MIN(g.l) AS BIGINT) AS min_l
+    FROM g CROSS JOIN thr
+    GROUP BY thr.k_threshold
+    ORDER BY k_threshold
+    """,
+    doc="k-anonymity / l-diversity release audit "
+    "(operators/privacy.py:k_anonymity_report): re-identification "
+    "risk of publishing the customer-order join keyed by the "
+    "(segment, nation, balance-band) quasi-identifiers with order "
+    "priority as the sensitive attribute — per threshold k, the "
+    "groups/rows/share below k plus sensitive-constant (l=1) group "
+    "counts, the homogeneity attack l-diversity exists to catch. "
+    "The measurement rung next to curation's PII REDACTION: redact "
+    "removes direct identifiers, this audits the indirect ones left "
+    "behind. One QI groupBy (map-side combined) to a "
+    "|combinations|-sized frame; thresholds broadcast; exact counts "
+    "with one final double division",
+)
+def kanon_customer_release_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.privacy import k_anonymity_report
+
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    rel = c.join(o, o["o_custkey"] == c["c_custkey"], "left").select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+        "o_orderpriority",
+    )
+    return k_anonymity_report(
+        rel,
+        ["c_mktsegment", "c_nationkey", "bal_band"],
+        "o_orderpriority",
+        thresholds=(2, 5, 10),
+    )
 
 
 @_q(

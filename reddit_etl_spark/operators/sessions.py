@@ -550,3 +550,94 @@ def session_transitions(
         )
         .orderBy("from_type", "to_type")
     )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    within: str | None = None,
+) -> DataFrame:
+    """Ordered funnel analysis: how many users complete step 1, then
+    step 2 STRICTLY AFTER their step-1 time, then step 3 after that —
+    the product-analytics readout that factors the session family's
+    raw sequences (journeys rank paths, transitions factor hops; the
+    funnel measures a CHOSEN path's attrition). ``within`` optionally
+    bounds each hop (e.g. ``'1 day'``: step k+1 must land in
+    (t_k, t_k + interval]) — the windowed funnel every growth
+    dashboard actually uses.
+
+    Semantics: per user, t_1 = MIN ts of step 1; t_{k+1} = MIN ts of
+    step k+1 with ts > t_k (and <= t_k + within). MIN makes the
+    definition order-free and engine-exact (micro-second timestamps
+    compare identically); a user counts toward step k iff t_k exists.
+
+    Plan at scale: one user-keyed aggregate per step over the
+    type-filtered fact — k-1 joins all keyed on the SAME user column,
+    so every exchange co-partitions (one real shuffle's worth of
+    movement, reused); the conversion readout is a k-row frame with
+    a lag window. Steps are a bounded parameter.
+
+    Returns per step: (step_idx BIGINT, step, n_users BIGINT,
+    conv_from_prev, conv_from_first) — conversions round-6, NULL for
+    the first step's conv_from_prev; steps with zero users still
+    appear (n_users = 0).
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs >= 2 steps")
+    base = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__ty"),
+    )
+    frames = []
+    cur = (
+        base.filter(F.col("__ty") == steps[0])
+        .groupBy("__u")
+        .agg(F.min("__ts").alias("__t"))
+    )
+    frames.append(cur)
+    for step in steps[1:]:
+        nxt = base.filter(F.col("__ty") == step).join(
+            cur.select("__u", F.col("__t").alias("__prev")), "__u"
+        )
+        cond = F.col("__ts") > F.col("__prev")
+        if within is not None:
+            cond = cond & (
+                F.col("__ts") <= F.expr(f"__prev + INTERVAL {within}")
+            )
+        cur = (
+            nxt.filter(cond).groupBy("__u").agg(F.min("__ts").alias("__t"))
+        )
+        frames.append(cur)
+    counts = None
+    for i, fr in enumerate(frames):
+        c = fr.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(i + 1).cast("long").alias("step_idx"),
+            F.lit(steps[i]).alias("step"),
+            "n_users",
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    w = Window.orderBy("step_idx")
+    return (
+        counts.select(
+            "step_idx",
+            "step",
+            "n_users",
+            F.when(
+                F.lag("n_users").over(w) > 0,
+                F.round(
+                    F.col("n_users") / F.lag("n_users").over(w), 6
+                ),
+            ).alias("conv_from_prev"),
+            F.when(
+                F.first("n_users").over(w) > 0,
+                F.round(
+                    F.col("n_users") / F.first("n_users").over(w), 6
+                ),
+            ).alias("conv_from_first"),
+        )
+        .orderBy("step_idx")
+    )

@@ -636,3 +636,73 @@ class TestSessionTransitions:
         got = self._run(spark, rows)
         assert ("a", "b") in got and ("b", "c") in got
         assert ("a", "c") not in got
+
+
+class TestFunnelConversion:
+    def _ev(self, spark, rows):
+        df = spark.createDataFrame(rows, "u long, ts string, ty string")
+        return df.selectExpr("u", "CAST(ts AS TIMESTAMP) AS ts", "ty")
+
+    def test_ordered_windowed_attrition(self, spark):
+        from reddit_etl_spark.operators.sessions import funnel_conversion
+
+        rows = [
+            # u1 completes all three in order, within window
+            (1, "2024-01-01 00:00:00", "view"),
+            (1, "2024-01-01 05:00:00", "click"),
+            (1, "2024-01-01 06:00:00", "purchase"),
+            # u2 clicks BEFORE viewing -> stops at view
+            (2, "2024-01-01 02:00:00", "click"),
+            (2, "2024-01-01 03:00:00", "view"),
+            # u3 clicks a day+ after viewing -> window excludes it
+            (3, "2024-01-01 00:00:00", "view"),
+            (3, "2024-01-02 00:00:01", "click"),
+            # u4 never views -> not even step 1
+            (4, "2024-01-01 00:00:00", "purchase"),
+        ]
+        got = {
+            r["step"]: r
+            for r in funnel_conversion(
+                self._ev(spark, rows), "u", "ts", "ty",
+                ["view", "click", "purchase"], within="1 day",
+            ).collect()
+        }
+        assert got["view"]["n_users"] == 3
+        assert got["click"]["n_users"] == 1
+        assert got["purchase"]["n_users"] == 1
+        assert got["view"]["conv_from_prev"] is None
+        assert got["click"]["conv_from_prev"] == round(1 / 3, 6)
+        assert got["purchase"]["conv_from_first"] == round(1 / 3, 6)
+
+    def test_min_timestamp_defines_each_step(self, spark):
+        from reddit_etl_spark.operators.sessions import funnel_conversion
+
+        # the FIRST view is what the click must follow: a click
+        # between two views still converts
+        rows = [
+            (1, "2024-01-01 00:00:00", "view"),
+            (1, "2024-01-01 01:00:00", "click"),
+            (1, "2024-01-01 02:00:00", "view"),
+        ]
+        got = {
+            r["step"]: r["n_users"]
+            for r in funnel_conversion(
+                self._ev(spark, rows), "u", "ts", "ty", ["view", "click"]
+            ).collect()
+        }
+        assert got == {"view": 1, "click": 1}
+
+    def test_zero_user_steps_stay_in_output(self, spark):
+        import pytest as _p
+
+        from reddit_etl_spark.operators.sessions import funnel_conversion
+
+        rows = [(1, "2024-01-01 00:00:00", "view")]
+        out = funnel_conversion(
+            self._ev(spark, rows), "u", "ts", "ty", ["view", "click"]
+        ).collect()
+        assert [(r["step"], r["n_users"]) for r in out] == [
+            ("view", 1), ("click", 0),
+        ]
+        with _p.raises(ValueError):
+            funnel_conversion(self._ev(spark, rows), "u", "ts", "ty", ["view"])
