@@ -10378,6 +10378,7 @@ _POIS_SQL_W = (
              SUM(({w}) * CAST(o.o_totalprice AS DECIMAL(18,6))) AS num,
              CAST(SUM({w}) AS BIGINT) AS den
       FROM orders o CROSS JOIN reps
+      WHERE o.o_totalprice IS NOT NULL
       GROUP BY o.o_orderstatus, reps.b),
     means AS (
       SELECT o_orderstatus, b,
@@ -10398,11 +10399,14 @@ _POIS_SQL_W = (
                       THEN mean_b END) AS ci_hi
       FROM ranked GROUP BY o_orderstatus),
     pt AS (
+      -- NULL values are excluded exactly as the operator excludes
+      -- them (resample.py filters value IS NOT NULL)
       SELECT o_orderstatus,
              CAST(COUNT(*) AS BIGINT) AS n_rows,
              ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
                         AS DOUBLE) / COUNT(*), 6) AS point_mean
-      FROM orders GROUP BY o_orderstatus)
+      FROM orders WHERE o_totalprice IS NOT NULL
+      GROUP BY o_orderstatus)
     SELECT pt.o_orderstatus, pt.n_rows, pt.point_mean,
            ci.n_replicates, ci.ci_lo, ci.ci_hi
     FROM pt LEFT JOIN ci ON ci.o_orderstatus = pt.o_orderstatus
@@ -10528,50 +10532,22 @@ def _fence_edges_sql() -> str:
     "proves the bbox rejection drops no true member",
 )
 def geo_fence_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import token_hash_col
     from .operators.geo import point_in_polygon_join
+
+    # the canonical md5_60 hash (dedup.token_hash_col) keyed by
+    # custkey+salt, reduced to integer micro-degrees
+    def _coord(salt: str, span: int, off: int):
+        h = token_hash_col(
+            F.concat(F.col("c_custkey").cast("string"), F.lit(salt)),
+            "md5_60",
+        )
+        return F.pmod(h, F.lit(span)) - F.lit(off)
 
     cust = load(spark, sf_dir, "customer").select(
         "c_custkey",
-        (
-            F.pmod(
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.col("c_custkey").cast("string"),
-                                F.lit(":lon"),
-                            )
-                        ),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("long"),
-                F.lit(360_000_000),
-            )
-            - F.lit(180_000_000)
-        ).alias("px"),
-        (
-            F.pmod(
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.col("c_custkey").cast("string"),
-                                F.lit(":lat"),
-                            )
-                        ),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("long"),
-                F.lit(120_000_000),
-            )
-            - F.lit(60_000_000)
-        ).alias("py"),
+        _coord(":lon", 360_000_000, 180_000_000).alias("px"),
+        _coord(":lat", 120_000_000, 60_000_000).alias("py"),
     )
     return point_in_polygon_join(
         cust, "c_custkey", "px", "py", _FENCE_POLYGONS
@@ -10726,8 +10702,7 @@ def kanon_customer_release_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM binned GROUP BY grp)
     SELECT 'daily_orders' AS plan, group_id, n_files, total_size,
            first_key, last_key,
-           (group_id = (SELECT MAX(group_id) FROM grouped)
-            AND total_size < 500) AS undersized
+           (total_size < 500) AS undersized
     FROM grouped ORDER BY group_id
     """,
     doc="small-file compaction planner "

@@ -209,10 +209,12 @@ def point_in_polygon_join(
     family next to ``grid_knn_join``'s proximity rung.
 
     ``points`` carries integer coordinates (``x_col``, ``y_col`` —
-    e.g. micro-degrees); ``polygons`` is a bounded list of
-    ``(poly_id, [(x, y), ...])`` simple polygons (closed implicitly,
-    vertices in integer units, any winding). Returns one row per
-    (point, containing polygon): (point_id, poly_id).
+    e.g. micro-degrees) keyed by a UNIQUE ``point_id`` (duplicate
+    ids with different coordinates would merge into one parity sum);
+    ``polygons`` is a bounded list of ``(poly_id, [(x, y), ...])``
+    simple polygons with unique ids (closed implicitly, vertices in
+    integer units, any winding). Returns one row per (point,
+    containing polygon): (point_id, poly_id).
 
     Exactness: the crossing-number test is pure BIGINT arithmetic —
     an edge (x1,y1)-(x2,y2) crosses the +x ray from (px,py) iff the
@@ -235,6 +237,12 @@ def point_in_polygon_join(
     """
     if not polygons:
         raise ValueError("polygons must be non-empty")
+    ids = [pid for pid, _ in polygons]
+    if len(set(ids)) != len(ids):
+        # a duplicated id would MERGE two edge sets into one parity
+        # sum — crossings add, parity XORs, containment silently
+        # corrupts (inside both -> even -> reported outside)
+        raise ValueError("polygon ids must be unique")
     spark = points.sparkSession
     edge_rows = []
     for pid, verts in polygons:

@@ -125,6 +125,7 @@ def compaction_plan(
     order_col: str,
     target_size: int,
     plan_name: str = "compaction",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Plan small-file compaction: assign files (metadata rows — id,
     size) to output groups of ~``target_size`` by cumulative-sum
@@ -136,10 +137,14 @@ def compaction_plan(
 
     bin(file) = floor(running_total_before_file / target_size) —
     exact BIGINT arithmetic over integer sizes, so the plan is
-    engine- and partitioning-exact. A file larger than the target
-    gets its own group (it closes the bin it starts). The LAST group
-    may be undersized; ``undersized`` flags it for the caller's
-    leave-or-merge policy.
+    engine- and partitioning-exact PROVIDED the window's order is
+    total: ``order_col`` must be unique, or pass ``tiebreak_col``
+    (the z-order audit's rule) — duplicate keys with no tiebreak
+    would make the running total partition-dependent. A file larger
+    than the target gets its own group (it closes the bin it
+    starts). Any group can come out under target (the tail always;
+    mid-plan right after an oversized file); ``undersized`` flags
+    every such group for the caller's leave-or-merge policy.
 
     Scale: the input is per-file METADATA (a listing, n_files rows),
     not data — the ordered cumulative window is the planner's whole
@@ -150,14 +155,18 @@ def compaction_plan(
     """
     if target_size < 1:
         raise ValueError("target_size must be >= 1")
-    w = Window.orderBy("__ord").rowsBetween(
+    order = ["__ord"] + (["__tie"] if tiebreak_col else [])
+    w = Window.orderBy(*order).rowsBetween(
         Window.unboundedPreceding, -1
     )
+    cols = [
+        F.col(order_col).alias("__ord"),
+        F.col(size_col).cast("long").alias("__size"),
+    ]
+    if tiebreak_col:
+        cols.append(F.col(tiebreak_col).alias("__tie"))
     binned = (
-        files.select(
-            F.col(order_col).alias("__ord"),
-            F.col(size_col).cast("long").alias("__size"),
-        )
+        files.select(*cols)
         .withColumn(
             "__cum", F.coalesce(F.sum("__size").over(w), F.lit(0).cast("long"))
         )
@@ -176,20 +185,15 @@ def compaction_plan(
         )
         .withColumn("plan", F.lit(plan_name))
     )
-    max_grp = out.agg(F.max("group_id").alias("__max_grp"))
-    return (
-        out.crossJoin(F.broadcast(max_grp))
-        .select(
-            "plan",
-            "group_id",
-            "n_files",
-            "total_size",
-            "first_key",
-            "last_key",
-            (
-                (F.col("group_id") == F.col("__max_grp"))
-                & (F.col("total_size") < F.lit(int(target_size)))
-            ).alias("undersized"),
-        )
-        .orderBy("group_id")
-    )
+    return out.select(
+        "plan",
+        "group_id",
+        "n_files",
+        "total_size",
+        "first_key",
+        "last_key",
+        # ANY under-target group is flagged, not just the tail — a
+        # tiny fragment group also forms right after an oversized
+        # file closes its bin
+        (F.col("total_size") < F.lit(int(target_size))).alias("undersized"),
+    ).orderBy("group_id")

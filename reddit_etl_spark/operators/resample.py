@@ -60,22 +60,20 @@ def poisson_weight_col(id_col, b_col, salt: str = "boot"):
     inverse-CDF bucket against the hard-coded thresholds. Pure
     column expression (codegen); DuckDB twin uses the identical
     md5-substring/threshold arithmetic."""
+    from .dedup import token_hash_col
+
     idc = id_col if not isinstance(id_col, str) else F.col(id_col)
     bc = b_col if not isinstance(b_col, str) else F.col(b_col)
+    # token_hash_col('md5_60') is THE canonical engine-portable hash
+    # (curation.py:182) — one definition shared with SimHash /
+    # winnowing / CMS so oracle parity cannot drift
     u = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":", idc.cast("string"), bc.cast("string"), F.lit(salt)
-                    )
-                ),
-                1,
-                15,
+        token_hash_col(
+            F.concat_ws(
+                ":", idc.cast("string"), bc.cast("string"), F.lit(salt)
             ),
-            16,
-            10,
-        ).cast("long"),
+            "md5_60",
+        ),
         F.lit(_UNIFORM_SPAN),
     )
     w = F.lit(5)

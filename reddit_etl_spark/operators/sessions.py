@@ -576,9 +576,13 @@ def funnel_conversion(
 
     Plan at scale: one user-keyed aggregate per step over the
     type-filtered fact — k-1 joins all keyed on the SAME user column,
-    so every exchange co-partitions (one real shuffle's worth of
-    movement, reused); the conversion readout is a k-row frame with
-    a lag window. Steps are a bounded parameter.
+    so every exchange co-partitions; each step frame is
+    localCheckpoint'd (lazily) before fanning into both the next hop
+    and the counts union, so the union's k branches reuse each
+    step's computed aggregate instead of re-running the whole chain
+    per branch (Spark does not deduplicate common subplans across
+    union legs). The conversion readout is a k-row frame with a lag
+    window. Steps are a bounded parameter.
 
     Returns per step: (step_idx BIGINT, step, n_users BIGINT,
     conv_from_prev, conv_from_first) — conversions round-6, NULL for
@@ -597,6 +601,7 @@ def funnel_conversion(
         base.filter(F.col("__ty") == steps[0])
         .groupBy("__u")
         .agg(F.min("__ts").alias("__t"))
+        .localCheckpoint(eager=False)
     )
     frames.append(cur)
     for step in steps[1:]:
@@ -609,7 +614,10 @@ def funnel_conversion(
                 F.col("__ts") <= F.expr(f"__prev + INTERVAL {within}")
             )
         cur = (
-            nxt.filter(cond).groupBy("__u").agg(F.min("__ts").alias("__t"))
+            nxt.filter(cond)
+            .groupBy("__u")
+            .agg(F.min("__ts").alias("__t"))
+            .localCheckpoint(eager=False)
         )
         frames.append(cur)
     counts = None

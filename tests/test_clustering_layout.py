@@ -177,7 +177,29 @@ class TestCompactionPlan:
         # next file starts a fresh group
         assert got[0]["n_files"] == 2 and got[0]["total_size"] == 2050
         assert got[4]["n_files"] == 1 and got[4]["total_size"] == 50
+        # the fragment group after the oversized file IS flagged —
+        # undersized is per-group, not last-group-only
+        assert not got[0]["undersized"] and got[4]["undersized"]
         import pytest as _p
 
         with _p.raises(ValueError):
             compaction_plan(files, "sz", "fid", 0)
+
+    def test_duplicate_order_keys_need_tiebreak(self, spark):
+        from reddit_etl_spark.operators.layout import compaction_plan
+
+        # two files share an order key: the tiebreak column makes the
+        # running total (and therefore the plan) deterministic
+        files = spark.createDataFrame(
+            [(5, 1, 600), (5, 2, 100), (6, 3, 100)],
+            "ord long, fid long, sz long",
+        )
+        got = {
+            r["group_id"]: r
+            for r in compaction_plan(
+                files, "sz", "ord", 500, tiebreak_col="fid"
+            ).collect()
+        }
+        # fid order: cum-before 0, 600, 700 -> groups 0, 1, 1
+        assert got[0]["total_size"] == 600
+        assert got[1]["total_size"] == 200 and got[1]["n_files"] == 2
