@@ -522,6 +522,82 @@ def main() -> int:
         "side combine lands below it); raw lineitem would be ~4x",
     )
 
+    # -- Poisson bootstrap (SCALING.md "Poisson bootstrap CI" row) ---------
+    # The claim: the x64 explode feeds a MAP-SIDE-COMBINED groupBy, so
+    # the exchange carries (group, b) combiner cells — bounded by
+    # partitions x |groups| x B — never the exploded fact (which is
+    # 64x the input here).
+    from reddit_etl_spark.operators.resample import poisson_bootstrap_ci
+
+    boot_orders = load(spark, sf_dir, "orders").localCheckpoint(eager=True)
+    n_boot = boot_orders.count()
+    boot_parts = boot_orders.rdd.getNumPartitions()
+    n_status = boot_orders.select("o_orderstatus").distinct().count()
+    record(
+        "bootstrap_cells",
+        predicted=boot_parts * n_status * 64,
+        fn=lambda: poisson_bootstrap_ci(
+            boot_orders, ["o_orderstatus"], "o_totalprice", "o_orderkey"
+        ).collect(),
+        note=f"dominant = the replicate-cell exchange: <= partitions "
+        f"x groups x B ({boot_parts} x {n_status} x 64) combiner rows "
+        f"for {n_boot} orders exploded x64 ({n_boot * 64} rows that "
+        "NEVER shuffle); the point/CI frames are group-sized",
+    )
+
+    # -- geofence join (SCALING.md "geofence join" row) --------------------
+    # The claim: the parity exchange is bounded by bbox HITS (point,
+    # candidate-polygon pairs), never points x edges. The bbox-hit
+    # count is computed exactly before the measurement window.
+    from reddit_etl_spark.harness import (
+        _FENCE_POLYGONS,
+        registry as _reg2,
+    )
+
+    fence_q = _reg2()["geo_fence_customers"]
+
+    # exact bbox-hit prediction on the same synthesized coordinates
+    def _bbox_hits() -> int:
+        from reddit_etl_spark.operators.dedup import token_hash_col
+
+        cust = load(spark, sf_dir, "customer")
+        px = F.pmod(
+            token_hash_col(
+                F.concat(F.col("c_custkey").cast("string"), F.lit(":lon")),
+                "md5_60",
+            ),
+            F.lit(360_000_000),
+        ) - F.lit(180_000_000)
+        py = F.pmod(
+            token_hash_col(
+                F.concat(F.col("c_custkey").cast("string"), F.lit(":lat")),
+                "md5_60",
+            ),
+            F.lit(120_000_000),
+        ) - F.lit(60_000_000)
+        hits = F.lit(0)
+        for _pid, verts in _FENCE_POLYGONS:
+            xs = [v[0] for v in verts]
+            ys = [v[1] for v in verts]
+            inb = (
+                (px >= min(xs)) & (px <= max(xs))
+                & (py >= min(ys)) & (py <= max(ys))
+            )
+            hits = hits + F.when(inb, 1).otherwise(0)
+        return int(
+            cust.select(hits.alias("h")).agg(F.sum("h")).first()[0]
+        )
+
+    pred_hits = _bbox_hits()
+    record(
+        "geofence_bbox_hits",
+        predicted=max(pred_hits, 1),
+        fn=lambda: fence_q.builder(spark, sf_dir).collect(),
+        note=f"dominant = the parity-cell exchange, bounded by the "
+        f"{pred_hits} exact bbox hits (point, candidate-polygon "
+        "pairs) — never |points| x |edges|; edges broadcast",
+    )
+
     out = {
         "sf_dir": sf_dir,
         "times": times,
