@@ -221,3 +221,86 @@ def test_benford_scan_prunes_to_value_column(spark):
     out = benford_digit_test(li, "price")
     cols = scan_columns(out)
     assert cols == [["l_extendedprice"]]
+
+
+def test_tpch_q6_single_exchange_all_filters_pushed(spark):
+    # Q6 is the pure scan-dominated classic: 3 conjunctive filters
+    # must reach the parquet scan and the only exchange is the
+    # single-row final reduce
+    from reddit_etl_spark.harness import _REGISTRY
+
+    df = _REGISTRY["tpch_q6_forecast_revenue"].builder(spark, SF_DIR)
+    assert count_exchanges(df) == 1
+    pf = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pf, (col, pf)
+
+
+def test_tpch_q19_disjunction_splits_to_both_scans(spark):
+    # the OR-of-conjunctions must derive scan-level filters on BOTH
+    # sides: quantity bounds on lineitem, brand/size disjuncts on the
+    # broadcast part side
+    from reddit_etl_spark.harness import _REGISTRY
+
+    df = _REGISTRY["tpch_q19_disjunctive_revenue"].builder(spark, SF_DIR)
+    assert has_broadcast_join(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "l_quantity" in plan.split("FileScan")[1], "lineitem scan filter"
+    assert "p_brand" in plan, "part-side disjunct"
+
+
+def test_geofence_edges_broadcast_zero_fact_side_join_shuffle(spark):
+    # the polygon edge literal must broadcast; the only exchange is
+    # the partial-aggregated parity groupBy
+    from reddit_etl_spark.operators.geo import point_in_polygon_join
+
+    pts = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 100).alias("x"),
+        (F.col("id") % 50).alias("y"),
+    )
+    out = point_in_polygon_join(
+        pts, "id", "x", "y", [("sq", [(0, 0), (30, 0), (30, 30), (0, 30)])]
+    )
+    assert has_broadcast_join(out)
+    assert count_exchanges(out) <= 1
+
+
+def test_bootstrap_explode_never_shuffles_fact(spark):
+    # the x64 explode must be map-side: the exchanges carry (group,
+    # b) cells and group-frame joins, never the exploded fact. Bound:
+    # point agg (1) + cell agg (1) + rank window (1) + ci agg (1) +
+    # final join sides — all on frames <= groups x B rows.
+    from reddit_etl_spark.operators.resample import poisson_bootstrap_ci
+
+    df = spark.range(5000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").alias("rid"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    out = poisson_bootstrap_ci(df, ["g"], "v", "rid", replicates=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the explode (Generate) runs BELOW the first aggregate's partial
+    # phase — no Exchange between Generate and the partial HashAggregate
+    gen_idx = plan.find("Generate explode")
+    assert gen_idx != -1
+    upstream = plan[:gen_idx]
+    # everything above the explode in the plan string is the
+    # post-shuffle side; the explode's own subtree must start with
+    # a partial aggregate, not an exchange
+    assert "partial" in plan[max(0, gen_idx - 2000):gen_idx].lower() or (
+        "Exchange" not in plan[gen_idx - 400 : gen_idx]
+    )
+
+
+def test_compaction_plan_input_is_metadata_sized(spark):
+    # the planner runs on a per-file metadata frame: one ordered
+    # window + one group aggregate; the single-partition window is
+    # the documented listing-sized cost
+    from reddit_etl_spark.operators.layout import compaction_plan
+
+    files = spark.range(200).select(
+        F.col("id").alias("fid"), (F.col("id") % 7 * 100 + 50).alias("sz")
+    )
+    out = compaction_plan(files, "sz", "fid", 500)
+    assert count_exchanges(out) <= 3  # window sort + agg + final order
