@@ -540,7 +540,14 @@ _PROMOTED = [
     # dsir_importance_weights, whose n-gram importance-weighting
     # readout stays oracle-checked in the tail while the curation
     # family keeps curation_pipeline_full's recorded row)
-    "ols_order_value",
+    # (ols_order_value held this slot in round 6 — recorded row r06;
+    # rotated to the tail round-7 for forecast_scorecard_events; the
+    # regression family keeps cuped_user_value's exact-moment head
+    # slot and the theilsen/linear_trend tails oracle-checked)
+    # round-7 sixth wave: MASE/SMAPE/bias forecast scorecard (new
+    # capability — the evaluation rung closing the forecasting loop:
+    # backtest scores, conformal calibrates, this grades)
+    "forecast_scorecard_events",
     # (anomaly_zscore_daily held this slot in round 5; rotated to the
     # tail in round 6 for event_value_bars — see the round-6 blocks)
     # (concurrency_peaks held this slot in round 5; rotated to the
@@ -693,7 +700,14 @@ _PROMOTED = [
     # near-dup clusters land wholly on one side of train/test, the
     # split-time complement of decontamination; displaces
     # ppr_supplier_recs per the comment above)
-    "leakage_safe_splits_docs",
+    # (leakage_safe_splits_docs held this slot in round 6 — recorded
+    # row r06; rotated to the tail round-7 for mi_status_priority;
+    # the split/decontamination family keeps
+    # curation_pipeline_full's recorded rows)
+    # round-7 sixth wave: mutual information in bits (new capability
+    # — the information-theoretic dependence readout next to
+    # chi-square's significance and entropy/KL's drift)
+    "mi_status_priority",
     # (mad_outliers_daily held this slot in round 5; rotated to the
     # tail in round 6 for kcore_cust_supp — see the round-6 blocks)
     # (hits_cust_supp held this slot in rounds 5-6 — recorded row
@@ -763,6 +777,11 @@ _DEFERRED = [
     "multitouch_channels",
     "session_transition_matrix",
     "pareto_customer_revenue",
+    # round-7 sixth-wave rotation OUT (same contract): two more
+    # r06-recorded entries displaced for mutual information and the
+    # forecast scorecard
+    "leakage_safe_splits_docs",
+    "ols_order_value",
     # audit twins / shape variants whose capability is attested by a
     # recorded sibling (see module comment above)
     "similarity_topk_int8",
@@ -10552,6 +10571,135 @@ def geo_fence_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point_in_polygon_join(
         cust, "c_custkey", "px", "py", _FENCE_POLYGONS
     ).orderBy("c_custkey", "poly_id")
+
+
+@_q(
+    "mi_status_priority",
+    """
+    WITH base AS (
+      SELECT o_orderstatus AS a, o_orderpriority AS b
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL),
+    obs AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o
+            FROM base GROUP BY a, b),
+    ma AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS ra
+           FROM base GROUP BY a),
+    mb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rb
+           FROM base GROUP BY b),
+    nn AS (SELECT CAST(SUM(ra) AS BIGINT) AS n FROM ma),
+    mi AS (
+      SELECT SUM((CAST(o AS DOUBLE) / n)
+                 * LN((CAST(o AS DOUBLE) * n)
+                      / (CAST(ra AS DOUBLE) * rb))
+                 / 0.6931471805599453) AS v
+      FROM obs JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nn),
+    ha AS (
+      SELECT -SUM((CAST(ra AS DOUBLE) / n)
+                  * LN(CAST(ra AS DOUBLE) / n)
+                  / 0.6931471805599453) AS v,
+             CAST(MAX(n) AS BIGINT) AS n
+      FROM ma CROSS JOIN nn),
+    hb AS (
+      SELECT -SUM((CAST(rb AS DOUBLE) / n)
+                  * LN(CAST(rb AS DOUBLE) / n)
+                  / 0.6931471805599453) AS v
+      FROM mb CROSS JOIN nn)
+    SELECT ha.n,
+           ROUND(mi.v, 6) AS mi_bits,
+           ROUND(ha.v, 6) AS h_a,
+           ROUND(hb.v, 6) AS h_b,
+           ROUND(ha.v - mi.v, 6) AS h_a_given_b,
+           CASE WHEN LEAST(ha.v, hb.v) > 0
+                THEN ROUND(mi.v / LEAST(ha.v, hb.v), 6) END AS redundancy
+    FROM mi CROSS JOIN ha CROSS JOIN hb
+    """,
+    doc="mutual information I(status; priority) in bits "
+    "(operators/relational.py:mutual_information) — the "
+    "information-theoretic dependence readout next to chi-square's "
+    "significance test: how many bits of one column the other "
+    "carries, plus marginal entropies, conditional entropy and "
+    "normalized redundancy (the feature-selection / leakage-screen "
+    "number). Only OBSERVED pairs materialize (x log x -> 0); the "
+    "same three map-side-combined aggregates as chi2 with broadcast "
+    "marginals; per-cell log terms differ across libm in last ulps "
+    "only — the round-6 sum over a handful of cells is 10 orders "
+    "above that floor",
+)
+def mi_status_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import mutual_information
+
+    o = load(spark, sf_dir, "orders")
+    return mutual_information(o, "o_orderstatus", "o_orderpriority")
+
+
+@_q(
+    "forecast_scorecard_events",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+               AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)),
+    scored AS (
+      SELECT a.event_type,
+             a.v - f.v AS e,
+             ABS(a.v - f.v) AS ae,
+             CASE WHEN ABS(a.v) + ABS(f.v) > 0
+                  THEN 2.0 * ABS(a.v - f.v) / (ABS(a.v) + ABS(f.v))
+                  ELSE 0.0 END AS sm
+      FROM d a JOIN d f ON f.event_type = a.event_type
+                       AND a.day = f.day + INTERVAL 7 DAY),
+    naive AS (
+      SELECT a.event_type, AVG(ABS(a.v - p.v)) AS nmae
+      FROM d a JOIN d p ON p.event_type = a.event_type
+                       AND a.day = p.day + INTERVAL 1 DAY
+      GROUP BY a.event_type),
+    per AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_scored,
+             ROUND(AVG(ae), 6) AS mae,
+             ROUND(AVG(sm), 6) AS smape,
+             ROUND(AVG(e), 6) AS bias,
+             AVG(ae) AS mae_raw
+      FROM scored GROUP BY event_type)
+    SELECT per.event_type, per.n_scored, per.mae, per.smape, per.bias,
+           CASE WHEN naive.nmae > 0
+                THEN ROUND(per.mae_raw / naive.nmae, 6) END AS mase
+    FROM per LEFT JOIN naive ON naive.event_type = per.event_type
+    ORDER BY per.event_type
+    """,
+    doc="forecast-accuracy scorecard "
+    "(operators/series.py:forecast_scorecard): MAE / SMAPE / signed "
+    "bias / MASE per event type for the seasonal-naive daily-value "
+    "forecast — the evaluation rung closing the forecasting loop "
+    "(backtest scores, conformal calibrates, this GRADES on the "
+    "standard scale-free yardsticks; MASE's denominator is the "
+    "in-sample naive-1 MAE per Hyndman-Koehler 2006, NULL on "
+    "constant series). Two self-joins of the already-reduced daily "
+    "rollup + one per-key aggregate — nothing event-scale moves",
+)
+def forecast_scorecard_events_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.series import forecast_scorecard
+
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"),
+                6,
+            ).alias("v")
+        )
+    )
+    return forecast_scorecard(
+        daily, ["event_type"], "day", "v", period_days=7
+    )
 
 
 @_q(

@@ -1804,3 +1804,76 @@ def anova_oneway(
             "eta_sq"
         ),
     )
+
+
+def mutual_information(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Mutual information I(A;B) between two categorical columns, in
+    bits, with the marginal entropies and the normalized redundancy —
+    the information-theoretic dependence readout next to
+    ``chi2_independence``'s significance test: chi-square asks "is
+    there dependence", MI answers "how many bits of one column the
+    other carries" (the feature-selection / leakage-screening
+    number).
+
+    I = sum over observed cells of p(a,b) * log2(p(a,b)/(p(a)p(b))).
+    Zero-observed cells contribute exactly 0 (lim x->0 x log x = 0),
+    so — unlike the chi-square grid — only OBSERVED pairs
+    materialize. Also reports H(A), H(B), H(A|B) = H(A) - I, and
+    redundancy = I / min(H(A), H(B)) (NULL when either entropy is 0:
+    a constant column carries no information to share).
+
+    Exactness: all counts are exact BIGINTs; each cell's double term
+    is the identical expression on any engine and the final sum runs
+    over |observed pairs| small doubles (round-6, far above the
+    summation-order ulp floor). NULLs in either column are excluded.
+
+    Plan at scale: the same three map-side-combined aggregates as
+    chi2 (pair counts + two marginals, N derived from a marginal);
+    the cell sum joins the pair frame to the BROADCAST marginals —
+    nothing bigger than the observed-pair frame ever shuffles.
+
+    Returns one row: (n BIGINT, mi_bits, h_a, h_b, h_a_given_b,
+    redundancy).
+    """
+    base = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+    obs = base.groupBy("__a", "__b").agg(F.count("*").alias("__o"))
+    ma = base.groupBy("__a").agg(F.count("*").alias("__ra"))
+    mb = base.groupBy("__b").agg(F.count("*").alias("__rb"))
+    n = ma.agg(F.sum("__ra").alias("__n"))
+    cells = (
+        obs.join(F.broadcast(ma), "__a")
+        .join(F.broadcast(mb), "__b")
+        .crossJoin(F.broadcast(n))
+    )
+    ln2 = 0.6931471805599453
+    p = F.col("__o") / F.col("__n")
+    lift = (F.col("__o") * F.col("__n")) / (
+        F.col("__ra") * F.col("__rb")
+    )
+    mi = F.sum(p * F.log(lift) / F.lit(ln2))
+    pa = F.col("__ra") / F.col("__n")
+    pb = F.col("__rb") / F.col("__n")
+    h_a = ma.crossJoin(F.broadcast(n)).agg(
+        (-F.sum(pa * F.log(pa) / F.lit(ln2))).alias("__ha"),
+        F.max("__n").cast("long").alias("n"),
+    )
+    h_b = mb.crossJoin(F.broadcast(n)).agg(
+        (-F.sum(pb * F.log(pb) / F.lit(ln2))).alias("__hb")
+    )
+    agg = cells.agg(mi.alias("__mi"))
+    out = agg.crossJoin(F.broadcast(h_a)).crossJoin(F.broadcast(h_b))
+    minh = F.least(F.col("__ha"), F.col("__hb"))
+    return out.select(
+        "n",
+        F.round("__mi", 6).alias("mi_bits"),
+        F.round("__ha", 6).alias("h_a"),
+        F.round("__hb", 6).alias("h_b"),
+        F.round(F.col("__ha") - F.col("__mi"), 6).alias("h_a_given_b"),
+        F.when(minh > 0, F.round(F.col("__mi") / minh, 6)).alias(
+            "redundancy"
+        ),
+    )

@@ -972,3 +972,99 @@ def conformal_backtest_intervals(
         .withColumn("target", F.round(F.lit(1.0 - alpha), 6))
         .orderBy(*keys)
     )
+
+
+def forecast_scorecard(
+    rollup: DataFrame,
+    key_cols: Sequence[str],
+    day_col: str,
+    value_col: str,
+    period_days: int = 7,
+) -> DataFrame:
+    """Forecast-accuracy scorecard for the seasonal-naive forecaster:
+    MAE, SMAPE, signed bias, and MASE per key — the evaluation rung
+    that closes the forecasting loop (seasonal_naive_backtest scores,
+    conformal_backtest_intervals calibrates, this GRADES against the
+    standard scale-free yardsticks).
+
+    Definitions over the scored days (those with a day-period
+    predecessor): e_t = actual_t - forecast_t where forecast is the
+    period-lagged value. MAE = mean|e|; SMAPE = mean of
+    2|e|/(|a|+|f|) (0 when both are 0 — the 0/0 convention); bias =
+    mean e (negative = over-forecasting); MASE = MAE / MAE_naive1
+    where the denominator is the in-sample mean |a_t - a_{t-1}| over
+    CONSECUTIVE-day pairs (Hyndman & Koehler 2006) — NULL when the
+    series has no consecutive pairs or a zero naive MAE (a constant
+    series makes every scale-free score degenerate).
+
+    Exactness: values arrive round-6 from the rollup; every ratio is
+    a per-row double expression identical on both engines, and the
+    final means sum bounded per-key day counts (ulps far below the
+    round-6 output grain).
+
+    Plan: two self-joins of the ALREADY-REDUCED rollup on (key,
+    day - lag) — the as-of-free alignment trick seasonal_naive uses —
+    then one per-key aggregate. Nothing event-scale moves.
+
+    Returns per key: (key..., n_scored BIGINT, mae, smape, bias,
+    mase), ordered by key.
+    """
+    if period_days < 1:
+        raise ValueError("period_days must be >= 1")
+    keys = list(key_cols)
+    a = rollup.select(
+        *keys, F.col(day_col).alias("__d"), F.col(value_col).alias("__a")
+    )
+    f = rollup.select(
+        *keys,
+        F.date_add(F.col(day_col), period_days).alias("__d"),
+        F.col(value_col).alias("__f"),
+    )
+    prev1 = rollup.select(
+        *keys,
+        F.date_add(F.col(day_col), 1).alias("__d"),
+        F.col(value_col).alias("__p1"),
+    )
+    scored = a.join(f, [*keys, "__d"]).select(
+        *keys,
+        "__d",
+        (F.col("__a") - F.col("__f")).alias("__e"),
+        F.abs(F.col("__a") - F.col("__f")).alias("__ae"),
+        F.when(
+            (F.abs("__a") + F.abs("__f")) > 0,
+            F.lit(2.0)
+            * F.abs(F.col("__a") - F.col("__f"))
+            / (F.abs("__a") + F.abs("__f")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__sm"),
+    )
+    naive = (
+        a.join(prev1, [*keys, "__d"])
+        .groupBy(*keys)
+        .agg(
+            F.avg(F.abs(F.col("__a") - F.col("__p1"))).alias("__nmae")
+        )
+    )
+    per = scored.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_scored"),
+        F.round(F.avg("__ae"), 6).alias("mae"),
+        F.round(F.avg("__sm"), 6).alias("smape"),
+        F.round(F.avg("__e"), 6).alias("bias"),
+        F.avg("__ae").alias("__mae_raw"),
+    )
+    return (
+        per.join(naive, keys, "left")
+        .select(
+            *keys,
+            "n_scored",
+            "mae",
+            "smape",
+            "bias",
+            F.when(
+                F.col("__nmae") > 0,
+                F.round(F.col("__mae_raw") / F.col("__nmae"), 6),
+            ).alias("mase"),
+        )
+        .orderBy(*keys)
+    )

@@ -2086,3 +2086,77 @@ class TestDegreeAssortativity:
         path = spark.createDataFrame([(0, 1), (1, 2)], "s long, d long")
         r = degree_assortativity(path, "s", "d").collect()[0]
         assert r["r"] == -1.0
+
+
+class TestMutualInformation:
+    def test_perfect_dependence_and_independence(self, spark):
+        from reddit_etl_spark.operators.relational import mutual_information
+
+        # perfect dependence: A determines B -> I = H(A) = 1 bit
+        dep = spark.createDataFrame(
+            [("x", "1"), ("x", "1"), ("y", "2"), ("y", "2")],
+            "a string, b string",
+        )
+        r = mutual_information(dep, "a", "b").collect()[0]
+        assert r["n"] == 4
+        assert r["mi_bits"] == 1.0 and r["h_a"] == 1.0 and r["h_b"] == 1.0
+        assert r["h_a_given_b"] == 0.0 and r["redundancy"] == 1.0
+        # independence: uniform product distribution -> I = 0
+        ind = spark.createDataFrame(
+            [("x", "1"), ("x", "2"), ("y", "1"), ("y", "2")],
+            "a string, b string",
+        )
+        r = mutual_information(ind, "a", "b").collect()[0]
+        assert r["mi_bits"] == 0.0
+        assert r["h_a"] == 1.0 and r["h_b"] == 1.0
+        assert r["redundancy"] == 0.0
+
+    def test_constant_column_null_redundancy_and_null_rows_excluded(
+        self, spark
+    ):
+        from reddit_etl_spark.operators.relational import mutual_information
+
+        df = spark.createDataFrame(
+            [("x", "1"), ("x", "2"), (None, "3"), ("x", None)],
+            "a string, b string",
+        )
+        r = mutual_information(df, "a", "b").collect()[0]
+        assert r["n"] == 2  # NULL rows excluded
+        assert r["h_a"] == 0.0  # constant A
+        assert r["mi_bits"] == 0.0
+        assert r["redundancy"] is None  # min entropy is 0
+
+
+class TestForecastScorecard:
+    def test_hand_computed_scores(self, spark):
+        from reddit_etl_spark.operators.series import forecast_scorecard
+
+        # period=1: forecast = yesterday; values 10, 12, 9, 9
+        # scored days: e = 2, -3, 0; ae = 2, 3, 0
+        # naive-1 denominators are the SAME diffs here -> MASE = 1
+        rows = [("k", f"2024-01-0{d}", float(v))
+                for d, v in zip((1, 2, 3, 4), (10, 12, 9, 9))]
+        df = spark.createDataFrame(
+            rows, "g string, day string, v double"
+        ).selectExpr("g", "CAST(day AS DATE) AS day", "v")
+        r = forecast_scorecard(df, ["g"], "day", "v", period_days=1).collect()[0]
+        assert r["n_scored"] == 3
+        assert r["mae"] == round(5 / 3, 6)
+        assert r["bias"] == round(-1 / 3, 6)
+        sm = (2 * 2 / 22 + 2 * 3 / 21 + 0) / 3
+        assert r["smape"] == round(sm, 6)
+        assert r["mase"] == 1.0
+
+    def test_constant_series_null_mase(self, spark):
+        import pytest as _p
+
+        from reddit_etl_spark.operators.series import forecast_scorecard
+
+        rows = [("k", f"2024-02-0{d}", 5.0) for d in range(1, 6)]
+        df = spark.createDataFrame(
+            rows, "g string, day string, v double"
+        ).selectExpr("g", "CAST(day AS DATE) AS day", "v")
+        r = forecast_scorecard(df, ["g"], "day", "v", period_days=2).collect()[0]
+        assert r["mae"] == 0.0 and r["mase"] is None
+        with _p.raises(ValueError):
+            forecast_scorecard(df, ["g"], "day", "v", period_days=0)
