@@ -1851,8 +1851,12 @@ def mutual_information(
     )
     ln2 = 0.6931471805599453
     p = F.col("__o") / F.col("__n")
-    lift = (F.col("__o") * F.col("__n")) / (
-        F.col("__ra") * F.col("__rb")
+    # double multiplication BEFORE the products, mirroring the oracle
+    # twin exactly: o*n as raw BIGINT would pass 2^63 around n ~ 4e9
+    # (ANSI throw / silent wrap) and differ from DuckDB's
+    # double-multiply rounding past 2^53
+    lift = (F.col("__o").cast("double") * F.col("__n")) / (
+        F.col("__ra").cast("double") * F.col("__rb")
     )
     mi = F.sum(p * F.log(lift) / F.lit(ln2))
     pa = F.col("__ra") / F.col("__n")

@@ -237,16 +237,17 @@ def test_tpch_q6_single_exchange_all_filters_pushed(spark):
 
 
 def test_tpch_q19_disjunction_splits_to_both_scans(spark):
-    # the OR-of-conjunctions must derive scan-level filters on BOTH
+    # the OR-of-conjunctions must derive PUSHED scan filters on BOTH
     # sides: quantity bounds on lineitem, brand/size disjuncts on the
-    # broadcast part side
+    # broadcast part side — asserted against PushedFilters, not scan
+    # column lists (which would match even with no pushdown at all)
     from reddit_etl_spark.harness import _REGISTRY
 
     df = _REGISTRY["tpch_q19_disjunctive_revenue"].builder(spark, SF_DIR)
     assert has_broadcast_join(df)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "l_quantity" in plan.split("FileScan")[1], "lineitem scan filter"
-    assert "p_brand" in plan, "part-side disjunct"
+    pf = pushed_filters(df)
+    assert any("l_quantity" in f for f in pf), ("lineitem quantity", pf)
+    assert any("p_brand" in f for f in pf), ("part brand disjunct", pf)
 
 
 def test_geofence_edges_broadcast_zero_fact_side_join_shuffle(spark):
@@ -280,17 +281,19 @@ def test_bootstrap_explode_never_shuffles_fact(spark):
     )
     out = poisson_bootstrap_ci(df, ["g"], "v", "rid", replicates=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # the explode (Generate) runs BELOW the first aggregate's partial
-    # phase — no Exchange between Generate and the partial HashAggregate
-    gen_idx = plan.find("Generate explode")
-    assert gen_idx != -1
-    upstream = plan[:gen_idx]
-    # everything above the explode in the plan string is the
-    # post-shuffle side; the explode's own subtree must start with
-    # a partial aggregate, not an exchange
-    assert "partial" in plan[max(0, gen_idx - 2000):gen_idx].lower() or (
-        "Exchange" not in plan[gen_idx - 400 : gen_idx]
-    )
+    # the explode (Generate) must feed a map-side aggregate DIRECTLY:
+    # the plan node immediately ABOVE the Generate line (its parent)
+    # is a HashAggregate, never an Exchange — an Exchange there would
+    # mean the raw exploded fact shuffles
+    lines = plan.splitlines()
+    gen_lines = [i for i, ln in enumerate(lines) if "Generate explode" in ln]
+    assert gen_lines, plan
+    for i in gen_lines:
+        parent = next(
+            ln for ln in reversed(lines[:i]) if ln.strip()
+        )
+        assert "Exchange" not in parent, (parent, lines[i])
+        assert "HashAggregate" in parent or "Project" in parent, parent
 
 
 def test_compaction_plan_input_is_metadata_sized(spark):
