@@ -704,3 +704,205 @@ def streaming_cusum(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_bootstrap_ci(
+    stream: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    replicates: int = 64,
+    alpha: float = 0.1,
+    salt: str = "boot",
+) -> DataFrame:
+    """Stateful streaming twin of
+    ``resample.poisson_bootstrap_ci``: the deterministic Poisson
+    bootstrap is STREAMING-NATIVE because its replicate cells are
+    additive — each row contributes hash-derived weights that never
+    depend on other rows — so per-group state is exactly the B
+    (numerator, denominator) cells plus the point-estimate moments:
+    O(groups x B), independent of stream volume, mergeable across
+    micro-batches by plain addition (the property the batch
+    operator's partitioning-invariance test already pins).
+
+    Each micro-batch folds its rows into the cells and emits a
+    SNAPSHOT row per touched group with the same columns the batch
+    operator returns — feed the full history through and the final
+    snapshot is bit-identical to ``poisson_bootstrap_ci`` on the
+    batch table (arrival order is unobservable: addition commutes).
+    The latest snapshot per group is the one with the max n_rows.
+
+    Exactness plumbing mirrors the batch/JVM path digit for digit:
+    values quantize through ``Decimal(str(v)).quantize(1e-6,
+    HALF_UP)`` (= Spark's double->DECIMAL(18,6) cast), weights come
+    from the same md5_60 'id:b:salt' derivation, numerators
+    accumulate as exact Python ints (no 2^63 ceiling — the state
+    serializes them as strings), and every mean performs the same
+    single correctly-rounded decimal->double conversion before one
+    double division. Group keys must render identically to Spark's
+    CAST(x AS STRING) (ints/strings do).
+
+    Throughput note: the per-row Python md5 x B loop makes this the
+    MONITOR path (dashboards over rollup-grade streams); bulk
+    recomputation belongs to the batch operator's JVM/codegen path.
+
+    Output rows (append, one per touched group per micro-batch):
+    (group, n_rows, point_mean, n_replicates, ci_lo, ci_hi).
+    """
+    import hashlib
+    import math
+    from collections.abc import Iterator as _Iter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.resample import (
+        _POISSON1_THRESHOLDS,
+        _UNIFORM_SPAN,
+    )
+
+    if replicates < 4:
+        raise ValueError("replicates must be >= 4")
+    if not (0 < alpha < 1):
+        raise ValueError("alpha must be in (0, 1)")
+    B = int(replicates)
+
+    out_schema = StructType(
+        [
+            StructField("group", StringType()),
+            StructField("n_rows", LongType()),
+            StructField("point_mean", DoubleType()),
+            StructField("n_replicates", LongType()),
+            StructField("ci_lo", DoubleType()),
+            StructField("ci_hi", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("count", LongType()),
+            StructField("sum_units", StringType()),
+            StructField("nums", ArrayType(StringType())),
+            StructField("dens", ArrayType(LongType())),
+        ]
+    )
+    Q6 = Decimal("0.000001")
+
+    def _weight(rid: str, b: int) -> int:
+        h = hashlib.md5(f"{rid}:{b}:{salt}".encode()).hexdigest()
+        u = int(h[:15], 16) % _UNIFORM_SPAN
+        for k, t in enumerate(_POISSON1_THRESHOLDS):
+            if u < t:
+                return k
+        return 5
+
+    def _units(v: float) -> int:
+        # Spark's double -> DECIMAL(18,6) cast: shortest-repr decimal
+        # of the double, HALF_UP at 6 places
+        return int(
+            (Decimal(str(v)) * 1_000_000).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    def _mean6(units: int, den: int) -> float:
+        # one correctly-rounded decimal->double conversion, one double
+        # division, one HALF_UP round6 — the JVM path digit for digit
+        x = float(Decimal(units).scaleb(-6)) / float(den)
+        return float(
+            Decimal(repr(x)).quantize(Q6, rounding=ROUND_HALF_UP)
+        )
+
+    def fold(
+        key: tuple,
+        pdfs: _Iter[pd.DataFrame],
+        state: GroupState,
+    ) -> _Iter[pd.DataFrame]:
+        (g,) = key
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            return
+        rows = pd.concat(chunks)
+        if state.exists:
+            count, sum_s, nums_s, dens = state.get
+            total_units = int(sum_s)
+            nums = [int(s) for s in nums_s]
+            dens = list(dens)
+        else:
+            count, total_units = 0, 0
+            nums, dens = [0] * B, [0] * B
+        for rid, v in zip(
+            rows[id_col].tolist(), rows[value_col].tolist()
+        ):
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                continue
+            xu = _units(float(v))
+            count += 1
+            total_units += xu
+            srid = str(rid)
+            for b in range(B):
+                w = _weight(srid, b)
+                if w:
+                    nums[b] += w * xu
+                    dens[b] += w
+        state.update(
+            (
+                int(count),
+                str(total_units),
+                [str(n) for n in nums],
+                [int(d) for d in dens],
+            )
+        )
+        if count == 0:
+            return
+        means = sorted(
+            (_mean6(nums[b], dens[b]), b)
+            for b in range(B)
+            if dens[b] > 0
+        )
+        m = len(means)
+        point = _mean6(total_units, count)
+        lo = hi = None
+        if m:
+            lo_rank = int(math.floor(m * (alpha / 2.0))) + 1
+            hi_rank = m - int(math.floor(m * (alpha / 2.0)))
+            lo = means[lo_rank - 1][0]
+            hi = means[hi_rank - 1][0]
+        yield pd.DataFrame(
+            {
+                "group": [g],
+                "n_rows": [count],
+                "point_mean": [point],
+                "n_replicates": [m],
+                "ci_lo": [lo],
+                "ci_hi": [hi],
+            }
+        )
+
+    return (
+        stream.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias("__g"),
+            F.col(id_col).alias(id_col),
+            F.col(value_col).alias(value_col),
+        )
+        .groupBy("__g")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

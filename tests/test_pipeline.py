@@ -731,3 +731,92 @@ def test_streaming_cusum_null_reading_skips_state(spark, tmp_path):
     # day 0: +1; day 1: unscored NULL; day 2: +1 more -> 2.0 total
     assert [r.s_hi for r in rows_out] == [1.0, None, 2.0]
     assert rows_out[1].value is None and rows_out[1].alarm_hi is False
+
+
+def test_streaming_bootstrap_matches_batch(spark, tmp_path):
+    """Replay rows through the streaming bootstrap in two
+    micro-batches; the FINAL snapshot per group must be bit-identical
+    to poisson_bootstrap_ci over the whole batch table (the cells are
+    additive, so arrival order is unobservable)."""
+    from reddit_etl_spark.operators.resample import poisson_bootstrap_ci
+    from reddit_etl_spark.streaming.stats_stream import (
+        streaming_bootstrap_ci,
+    )
+
+    rows = [
+        ("a" if i % 3 else "b", i, float((i * 37) % 97) + 0.25)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, rid long, v double")
+    src = str(tmp_path / "boot_in")
+    df.filter(F.col("rid") < 150).coalesce(1).write.parquet(src)
+    df.filter(F.col("rid") >= 150).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_bootstrap_ci(stream, "g", "rid", "v", replicates=16)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("boot_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    snaps = spark.sql("SELECT * FROM boot_out").collect()
+    # final snapshot per group = the one with max n_rows
+    final = {}
+    for r in snaps:
+        if r.group not in final or r.n_rows > final[r.group].n_rows:
+            final[r.group] = r
+
+    batch = {
+        r["g"]: r
+        for r in poisson_bootstrap_ci(
+            df, ["g"], "v", "rid", replicates=16
+        ).collect()
+    }
+    assert set(final) == set(batch) == {"a", "b"}
+    for g in ("a", "b"):
+        s, b = final[g], batch[g]
+        assert (s.n_rows, s.n_replicates) == (
+            b["n_rows"], b["n_replicates"]
+        ), g
+        assert (s.point_mean, s.ci_lo, s.ci_hi) == (
+            b["point_mean"], b["ci_lo"], b["ci_hi"]
+        ), g
+
+
+def test_streaming_bootstrap_skips_nulls_and_validates(spark, tmp_path):
+    from reddit_etl_spark.streaming.stats_stream import (
+        streaming_bootstrap_ci,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1, 2.0), ("g", 2, None)], "g string, rid long, v double"
+    )
+    src = str(tmp_path / "boot_nulls")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = streaming_bootstrap_ci(stream, "g", "rid", "v", replicates=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("boot_nulls_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM boot_nulls_out").collect()
+    assert len(rows) == 1 and rows[0].n_rows == 1  # NULL skipped
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        streaming_bootstrap_ci(stream, "g", "rid", "v", replicates=2)
+    with _pytest.raises(ValueError):
+        streaming_bootstrap_ci(stream, "g", "rid", "v", alpha=2.0)
