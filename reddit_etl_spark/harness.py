@@ -10397,7 +10397,8 @@ _POIS_SQL_W = (
              SUM(({w}) * CAST(o.o_totalprice AS DECIMAL(18,6))) AS num,
              CAST(SUM({w}) AS BIGINT) AS den
       FROM orders o CROSS JOIN reps
-      WHERE o.o_totalprice IS NOT NULL
+      WHERE o.o_orderkey IS NOT NULL
+        AND TRY_CAST(o.o_totalprice AS DECIMAL(18,6)) IS NOT NULL
       GROUP BY o.o_orderstatus, reps.b),
     means AS (
       SELECT o_orderstatus, b,
@@ -10418,13 +10419,16 @@ _POIS_SQL_W = (
                       THEN mean_b END) AS ci_hi
       FROM ranked GROUP BY o_orderstatus),
     pt AS (
-      -- NULL values are excluded exactly as the operator excludes
-      -- them (resample.py filters value IS NOT NULL)
+      -- the operator's admission rule verbatim (resample.py): NULL
+      -- ids and values that do not TRY_CAST into DECIMAL(18,6) are
+      -- excluded identically on both engines
       SELECT o_orderstatus,
              CAST(COUNT(*) AS BIGINT) AS n_rows,
              ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
                         AS DOUBLE) / COUNT(*), 6) AS point_mean
-      FROM orders WHERE o_totalprice IS NOT NULL
+      FROM orders
+      WHERE o_orderkey IS NOT NULL
+        AND TRY_CAST(o_totalprice AS DECIMAL(18,6)) IS NOT NULL
       GROUP BY o_orderstatus)
     SELECT pt.o_orderstatus, pt.n_rows, pt.point_mean,
            ci.n_replicates, ci.ci_lo, ci.ci_hi

@@ -105,18 +105,34 @@ def poisson_bootstrap_ci(
     valid replicate means, ordered (mean, b) — integer rank math,
     no interpolation, engine-exact.
 
+    Admission rule (shared with the streaming twin): rows with a
+    NULL id or a value that does not TRY_CAST into DECIMAL(18,6)
+    (NULL, NaN, +/-Inf, |value| >= 1e12) are excluded from counts,
+    means, and resamples — identically under ANSI-on and ANSI-off.
+
     Returns per group: (group..., n_rows BIGINT, point_mean,
-    n_replicates BIGINT, ci_lo, ci_hi).
+    n_replicates BIGINT, ci_lo, ci_hi); n_replicates is NULL when
+    every replicate drew total weight 0 (possible only for tiny
+    groups).
     """
     if replicates < 4:
         raise ValueError("replicates must be >= 4")
     if not (0 < alpha < 1):
         raise ValueError("alpha must be in (0, 1)")
     keys = list(group_cols)
-    base = df.filter(F.col(value_col).isNotNull()).select(
+    # admission rule, shared verbatim with the streaming twin: a row
+    # participates iff its id is non-NULL (a hash-resample needs a
+    # key) and its value TRY_CASTs into DECIMAL(18,6) — NULL, NaN,
+    # +/-Inf and out-of-range values are excluded IDENTICALLY under
+    # ANSI-on and ANSI-off sessions (a plain cast would throw on one
+    # and NULL-poison counts on the other)
+    xd = F.expr(f"try_cast({value_col} AS DECIMAL(18,6))")
+    base = df.filter(
+        F.col(id_col).isNotNull() & xd.isNotNull()
+    ).select(
         *keys,
         F.col(id_col).alias("__id"),
-        F.col(value_col).cast("decimal(18,6)").alias("__x"),
+        xd.alias("__x"),
     )
     point = base.groupBy(*keys).agg(
         F.count("*").cast("long").alias("n_rows"),
@@ -166,4 +182,22 @@ def poisson_bootstrap_ci(
             "ci_hi"
         ),
     )
-    return point.join(ci, keys, "left").orderBy(*keys)
+    # null-safe join: a NULL group key is a real category (groupBy
+    # keeps it) and must carry its CI — plain key-list joins would
+    # strand it with NULL n_replicates
+    cond = None
+    for k in keys:
+        c = point[k].eqNullSafe(ci[k])
+        cond = c if cond is None else cond & c
+    return (
+        point.join(ci, cond, "left")
+        .select(
+            *[point[k] for k in keys],
+            "n_rows",
+            "point_mean",
+            "n_replicates",
+            "ci_lo",
+            "ci_hi",
+        )
+        .orderBy(*keys)
+    )

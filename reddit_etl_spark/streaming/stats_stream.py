@@ -733,14 +733,20 @@ def streaming_bootstrap_ci(
     The latest snapshot per group is the one with the max n_rows.
 
     Exactness plumbing mirrors the batch/JVM path digit for digit:
-    values quantize through ``Decimal(str(v)).quantize(1e-6,
-    HALF_UP)`` (= Spark's double->DECIMAL(18,6) cast), weights come
-    from the same md5_60 'id:b:salt' derivation, numerators
-    accumulate as exact Python ints (no 2^63 ceiling — the state
-    serializes them as strings), and every mean performs the same
-    single correctly-rounded decimal->double conversion before one
-    double division. Group keys must render identically to Spark's
-    CAST(x AS STRING) (ints/strings do).
+    the ADMISSION RULE is the batch operator's verbatim (rows with a
+    NULL id or a value that does not TRY_CAST into DECIMAL(18,6) —
+    NULL/NaN/Inf/out-of-range — are excluded BEFORE the stateful
+    fold, which also re-guards defensively so a stray non-finite
+    value can never crash the long-running query), values quantize
+    through ``Decimal(str(v)).quantize(1e-6, HALF_UP)`` (= Spark's
+    double->DECIMAL(18,6) cast), weights come from the same md5_60
+    'id:b:salt' derivation, numerators accumulate as exact Python
+    ints (no 2^63 ceiling — the state serializes them as strings),
+    and every mean performs the same single correctly-rounded
+    decimal->double conversion before one double division. Group
+    keys AND ids must render identically to Spark's CAST(x AS
+    STRING) — ints and strings do (filtering NULL ids upstream also
+    keeps Arrow from floating an integer id column).
 
     Throughput note: the per-row Python md5 x B loop makes this the
     MONITOR path (dashboards over rollup-grade streams); bulk
@@ -845,7 +851,16 @@ def streaming_bootstrap_ci(
         for rid, v in zip(
             rows[id_col].tolist(), rows[value_col].tolist()
         ):
-            if v is None or (isinstance(v, float) and math.isnan(v)):
+            # defensive re-guard of the upstream admission filter: a
+            # non-finite or out-of-DECIMAL(18,6)-range value must
+            # never raise inside the stateful fold (it would kill
+            # the whole long-running query)
+            if (
+                v is None
+                or rid is None
+                or (isinstance(v, float) and not math.isfinite(v))
+                or abs(float(v)) >= 1e12
+            ):
                 continue
             xu = _units(float(v))
             count += 1
@@ -884,14 +899,21 @@ def streaming_bootstrap_ci(
                 "group": [g],
                 "n_rows": [count],
                 "point_mean": [point],
-                "n_replicates": [m],
+                # batch emits NULL (left-join miss), not 0, when every
+                # replicate drew total weight 0
+                "n_replicates": [m if m else None],
                 "ci_lo": [lo],
                 "ci_hi": [hi],
             }
         )
 
     return (
-        stream.filter(F.col(value_col).isNotNull())
+        stream.filter(
+            F.col(id_col).isNotNull()
+            & F.expr(
+                f"try_cast({value_col} AS DECIMAL(18,6)) IS NOT NULL"
+            )
+        )
         .select(
             F.col(group_col).cast("string").alias("__g"),
             F.col(id_col).alias(id_col),

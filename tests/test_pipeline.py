@@ -820,3 +820,43 @@ def test_streaming_bootstrap_skips_nulls_and_validates(spark, tmp_path):
         streaming_bootstrap_ci(stream, "g", "rid", "v", replicates=2)
     with _pytest.raises(ValueError):
         streaming_bootstrap_ci(stream, "g", "rid", "v", alpha=2.0)
+
+
+def test_streaming_bootstrap_hostile_values_match_batch(spark, tmp_path):
+    """NaN / Inf / out-of-decimal-range values and NULL ids follow the
+    shared admission rule on BOTH paths: excluded from counts, means,
+    and resamples — the stream must neither crash nor drift from the
+    batch operator."""
+    from reddit_etl_spark.operators.resample import poisson_bootstrap_ci
+    from reddit_etl_spark.streaming.stats_stream import (
+        streaming_bootstrap_ci,
+    )
+
+    rows = [("g", i, float(i % 11) + 0.5) for i in range(40)]
+    rows += [
+        ("g", 100, float("nan")),
+        ("g", 101, float("inf")),
+        ("g", 102, -float("inf")),
+        ("g", 103, 2.0e12),   # outside DECIMAL(18,6)
+        ("g", None, 5.0),     # NULL id
+        ("g", 104, None),     # NULL value
+    ]
+    df = spark.createDataFrame(rows, "g string, rid long, v double")
+    src = str(tmp_path / "boot_hostile")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = streaming_bootstrap_ci(stream, "g", "rid", "v", replicates=16)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("boot_hostile_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    s = spark.sql("SELECT * FROM boot_hostile_out").collect()[0]
+    b = poisson_bootstrap_ci(df, ["g"], "v", "rid", replicates=16).collect()[0]
+    assert s.n_rows == b["n_rows"] == 40  # all six hostile rows excluded
+    assert (s.point_mean, s.n_replicates, s.ci_lo, s.ci_hi) == (
+        b["point_mean"], b["n_replicates"], b["ci_lo"], b["ci_hi"]
+    )
