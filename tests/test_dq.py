@@ -209,7 +209,8 @@ def test_table_fingerprint_order_and_partitioning_invariant(spark):
     fa = dq.table_fingerprint(a, ["g"], ["k", "v"]).collect()[0]
     fb = dq.table_fingerprint(b, ["g"], ["k", "v"]).collect()[0]
     assert fa["fingerprint"] == fb["fingerprint"] and fa["n_rows"] == 50
-    # mergeable: fp(A ∪ B) = fp(A) + fp(B)
+    assert 0 <= fa["fingerprint"] < (1 << 60)
+    # mergeable under modular addition: fp(A ∪ B) = (fp(A) + fp(B)) mod 2^60
     half1, half2 = rows[:25], rows[25:]
     f1 = dq.table_fingerprint(
         spark.createDataFrame(half1, "g string, k long, v string"), ["g"], ["k", "v"]
@@ -217,7 +218,7 @@ def test_table_fingerprint_order_and_partitioning_invariant(spark):
     f2 = dq.table_fingerprint(
         spark.createDataFrame(half2, "g string, k long, v string"), ["g"], ["k", "v"]
     ).collect()[0]["fingerprint"]
-    assert f1 + f2 == fa["fingerprint"]
+    assert (f1 + f2) % (1 << 60) == fa["fingerprint"]
 
 
 def test_table_fingerprint_detects_single_cell_change_and_null_tag(spark):

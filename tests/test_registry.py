@@ -36,12 +36,28 @@ def test_recorded_head_exactly_cap_and_contains_rotation():
     assert "incremental_minhash" in order
     assert "dedup_simhash" not in head
     assert "dedup_simhash" in order
-    # the full 22-query TPC-H shape suite is registered; never-
-    # recorded members all ride the head
+    # the full 22-query TPC-H shape suite is registered; all 22 were
+    # driver-recorded by r07, so round-8 rotated Q14/Q16/Q17/Q19 to
+    # the tail to promote the four never-recorded queries (judge r7
+    # finding: bm25_rank_indexed, hybrid_search_rrf_lsh,
+    # similarity_topk_ivf_indexed, image_phash_neardup)
     tpch = [n for n in order if n.startswith("tpch_")]
     assert len(tpch) == 22
-    recorded_elsewhere = {"tpch_q3_priority", "tpch_q5_region"}  # r06 rows
+    recorded_elsewhere = {
+        "tpch_q3_priority", "tpch_q5_region",  # r06 rows
+        # r07 rows; rotated out round-8 for the four promotions below
+        "tpch_q14_promo_revenue", "tpch_q16_supplier_cnt",
+        "tpch_q17_small_qty_revenue", "tpch_q19_disjunctive_revenue",
+    }
     assert {n for n in tpch if n not in recorded_elsewhere} <= set(head)
+    for q in (
+        "bm25_rank_indexed",
+        "hybrid_search_rrf_lsh",
+        "similarity_topk_ivf_indexed",
+        "image_phash_neardup",
+        "fingerprint_orders",  # the r07 red row, fixed + re-attested r08
+    ):
+        assert q in head, q
 
 
 def test_tail_is_fully_curated():
