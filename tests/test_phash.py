@@ -143,3 +143,27 @@ def test_phash_end_to_end_duplicate_texts_pair_at_zero(spark):
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [
         ("d1", "d2", 0)
     ]
+
+
+def test_committed_hash_artifact_matches_live_kernel(spark):
+    """The oracle for image_phash_neardup verifies the band join +
+    Hamming cut in DuckDB over the COMMITTED hash artifact
+    (tools/gen_phash_artifact.py). This pins the artifact against the
+    live kernel at the two cheap scale factors, so a kernel change
+    without regeneration fails here before it reddens the oracle row."""
+    import pyarrow.parquet as pq
+
+    import tools.gen_phash_artifact as gen
+
+    committed = pq.read_table(gen.ARTIFACT).to_pydict()
+    by_fp: dict[int, set] = {}
+    for fp, aid, ph in zip(
+        committed["corpus_fp"], committed["asset_id"], committed["phash"]
+    ):
+        by_fp.setdefault(fp, set()).add((aid, ph))
+    assert len(by_fp) >= 3  # one block per committed scale factor
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        live = gen.hash_block(spark, sf_dir)
+        fp = live[0][0]
+        assert fp in by_fp, f"no committed block for {sf_dir}"
+        assert {(a, p) for _, a, p in live} == by_fp[fp], sf_dir
