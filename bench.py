@@ -24,6 +24,17 @@ first query position absorbing residual costs the generic warmup
 misses (q01 medians swung 0.35->0.52 s with identical plans,
 VERDICT r4 finding #2), so position is neutralized explicitly.
 
+Round-8 methodology changes (VERDICT r7 #6 — q01/q09 medians drifted
++26%/+30% over two rounds with unchanged plans): (a) the run order is
+now pinned ALPHABETICALLY instead of following ``registry()`` order —
+registry order changes with every round's head rotation, so each
+query's position (and its page-cache/GC neighborhood) silently moved
+between rounds; (b) queries whose 5-rep median lands under
+``_EXTRA_REP_CUTOFF`` get 4 extra reps (median of 9) — the sub-second
+queries are exactly where a single scheduler stall moves the median,
+and exactly where extra reps are cheap. Medians stay comparable
+round-over-round; only their stability improves.
+
 Round-7 set change: ``tpch_q21_waiting_supplier`` (the round's
 heaviest relational shape — SEMI+ANTI self-join chain over distinct
 pairs) joins the headline mix — totals are NOT comparable to r6's
@@ -99,10 +110,23 @@ def main() -> int:
     # median ~2× [minhash runs 2.18/2.74/5.96]; with n=5 a single
     # outlier can no longer touch the median).
     n_reps = 5
+    # sub-second queries get 4 extra reps (median of 9): a single
+    # scheduler stall is a ~50-100 ms quantum, invisible in a 1 s
+    # median but a 20-30% swing in a 0.3 s one (the r6->r7 q01/q09
+    # "drift" class); extra reps are cheapest exactly there
+    _EXTRA_REP_CUTOFF = 0.6
+    _EXTRA_REPS = 4
     timings: dict[str, float] = {}
     bests: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
-    headline = [(n, hq) for n, hq in registry().items() if hq.headline]
+    # ALPHABETICAL run order, NOT registry order: the registry head
+    # rotates every round, so registry order silently moved each
+    # query's bench position (and its cache/GC neighborhood) between
+    # rounds — one named cause of the r6->r7 sub-second drift
+    headline = sorted(
+        ((n, hq) for n, hq in registry().items() if hq.headline),
+        key=lambda p: p[0],
+    )
     if headline:
         # untimed throwaway rep of the first measured query: neutralize
         # the first-query position effect (see module docstring)
@@ -128,8 +152,15 @@ def main() -> int:
             rows = df.count()
             runs.append(time.perf_counter() - t0)
             jvm_gc()
+        if sorted(runs)[len(runs) // 2] < _EXTRA_REP_CUTOFF:
+            for _rep in range(_EXTRA_REPS):
+                t0 = time.perf_counter()
+                df = hq.builder(spark, sf_dir)
+                rows = df.count()
+                runs.append(time.perf_counter() - t0)
+                jvm_gc()
         runs.sort()
-        timings[name] = round(runs[n_reps // 2], 3)
+        timings[name] = round(runs[len(runs) // 2], 3)
         bests[name] = round(runs[0], 3)
         spreads[name] = [round(t, 3) for t in runs]
         print(

@@ -126,10 +126,14 @@ def test_ngram_jaccard_known_pair(spark):
 
 
 def test_prefix_filter_path_equality(docs):
-    # PPJoin prefix filtering is lossless: both plans, same pairs
+    # PPJoin prefix filtering is lossless: all three plan selections
+    # (forced inverted-index, forced prefix, the auto default) return
+    # the identical pair set
     base = {
         (r.id_a, r.id_b, r.jaccard)
-        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, prefix_filter=False
+        ).collect()
     }
     pf = {
         (r.id_a, r.id_b, r.jaccard)
@@ -137,7 +141,44 @@ def test_prefix_filter_path_equality(docs):
             docs, "doc_id", "text", threshold=0.5, prefix_filter=True
         ).collect()
     }
-    assert base == pf and base
+    auto = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert base == pf == auto and base
+
+
+def test_ngram_auto_selects_prefix_on_hot_shingles(spark):
+    """A corpus whose shingles are all shared (every doc repeats one
+    hot phrase) must flip the auto default to the PPJoin path —
+    sum(df^2) blows past the factor — and still return the exact pair
+    set the forced inverted-index plan computes."""
+    hot = " ".join(f"w{i}" for i in range(12))
+    rows = [(i, f"{hot} tail{i} tail{i+1} tail{i+2}") for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from reddit_etl_spark.operators import dedup as _d
+
+    posting = _d._posting_from_arrays(
+        _d.shingle_arrays(df, "doc_id", "text", 3), "doc_id"
+    )
+    blow = (
+        posting.groupBy("__sh")
+        .agg(F.count("*").cast("double").alias("d"))
+        .agg(F.sum("d"), F.sum(F.col("d") * F.col("d")))
+        .first()
+    )
+    assert blow[1] > _d._NGRAM_AUTO_BLOWUP * blow[0]  # hot by construction
+    auto = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    forced = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.5, prefix_filter=False
+        ).collect()
+    }
+    assert auto == forced and auto
 
 
 def test_minhash_recall_vs_exact(docs):
