@@ -438,7 +438,15 @@ _PROMOTED = [
     # numeric CDFs and Welch's means; slot from gini_customer_revenue,
     # recorded r06, whose Lorenz machinery keeps
     # pareto_customer_revenue's head slot)
-    "chi2_status_priority",
+    # (chi2_status_priority held this slot in round 7 — recorded row
+    # r07; rotated to the tail round-8 for dedup_containment; the
+    # categorical two-sample family keeps mannwhitney_click_error +
+    # anova_event_values head slots)
+    # round-8 wave: directed n-gram containment pairs (new capability
+    # — the ASYMMETRIC near-dup detector for quote/excerpt leakage
+    # that Jaccard structurally cannot see; auto plan selection like
+    # the round-8 Jaccard default)
+    "dedup_containment",
     # (sessionization_split held this slot in rounds 5-6 — recorded
     # row r05; rotated to the tail late-round-6 for
     # benford_price_digits — see the round-6 third-wave blocks)
@@ -463,7 +471,13 @@ _PROMOTED = [
     # round-7: functional-dependency audit (new capability — the
     # schema-discovery rung of the DQ family: MEASURES lhs->rhs
     # violations where dq_report's `unique` asserts a key)
-    "fd_audit_catalog",
+    # (fd_audit_catalog held this slot in round 7 — recorded row r07;
+    # rotated to the tail round-8 for target_encoding_priority; the
+    # dq family keeps fingerprint_orders in the head)
+    # round-8 wave: leave-one-out target encoding (new capability —
+    # the leak-free high-cardinality categorical feature; one window
+    # shuffle, exact-decimal numerators)
+    "target_encoding_priority",
     # (gini_customer_revenue held this slot in round 6 — recorded row
     # r06; rotated to the tail round-7 for chi2_status_priority, see
     # that block above; pareto_customer_revenue keeps the Lorenz
@@ -474,7 +488,13 @@ _PROMOTED = [
     # the Delta/Iceberg OPTIMIZE ZORDER capability as an operator;
     # slot from zipf_vocab_fit, recorded r06, whose corpus-gauge
     # family keeps readability_docs + phrase_search_docs head slots)
-    "zorder_pruning_parts",
+    # (zorder_pruning_parts held this slot in round 7 — recorded row
+    # r07; rotated to the tail round-8 for pca_parts_features; the
+    # layout family keeps compaction_plan_orders' head slot)
+    # round-8 wave: exact-integer PCA power iteration (new capability
+    # — bit-identical linear algebra on any engine; the pagerank
+    # integer discipline applied to the scatter matrix)
+    "pca_parts_features",
     # round-6 third wave: Kaplan-Meier survival (new capability — the
     # censoring-correct churn/lifetime estimator retention_cohorts'
     # raw comeback counts cannot express; displaces
@@ -496,7 +516,15 @@ _PROMOTED = [
     # capability — the inverse of cdc_supplier_apply: replication
     # validation/repair without re-shipping the table; roundtrip
     # apply(diff(old,new)) == new pytest-pinned)
-    "snapshot_diff_supplier",
+    # (snapshot_diff_supplier held this slot in round 7 — recorded
+    # row r07; rotated to the tail round-8 for rfm_customer_segments;
+    # the replication/CDC family keeps fingerprint_orders +
+    # pit_order_status head slots and cdc_supplier_apply stays
+    # oracle-checked in the tail as its inverse)
+    # round-8 wave: RFM quintile segmentation (new capability — the
+    # classic customer-value readout with engine-exact ntile
+    # tie-breaking)
+    "rfm_customer_segments",
     # (cusum_daily_drift held this slot in round 6 — recorded row
     # r06; rotated to the tail round-7 for fingerprint_orders; the
     # drift/changepoint family keeps ks_value_drift +
@@ -702,7 +730,15 @@ _PROMOTED = [
     # round-7 third wave: degree assortativity (new capability — the
     # one-number structural summary of who-attaches-to-whom, exact
     # BIGINT/DECIMAL moments over the doubled edge list)
-    "assortativity_cust_supp",
+    # (assortativity_cust_supp held this slot in round 7 — recorded
+    # row r07; rotated to the tail round-8 for
+    # grouping_sets_status_priority; the graph-topology family keeps
+    # sssp_purchase_paths' head slot and the degree machinery its
+    # tests)
+    # round-8 wave: explicit GROUPING SETS (new capability — margins
+    # + grand total without CUBE's cross cells; completes the
+    # grouping-sets family)
+    "grouping_sets_status_priority",
     # personalized weighted PageRank (new capability; displaces
     # asof_next_purchase, whose as-of join family keeps TWO recorded
     # rows via asof_split — same operator, skew mode — while the base
@@ -735,7 +771,14 @@ _PROMOTED = [
     # round-7 sixth wave: mutual information in bits (new capability
     # — the information-theoretic dependence readout next to
     # chi-square's significance and entropy/KL's drift)
-    "mi_status_priority",
+    # (mi_status_priority held this slot in round 7 — recorded row
+    # r07; rotated to the tail round-8 for quantile_normalize_doclen;
+    # the information-theory family keeps entropy_event_hours' head
+    # slot)
+    # round-8 wave: quantile normalization onto the pooled
+    # distribution (new capability — exact-integer interpolation
+    # positions, the cross-source feature-alignment transform)
+    "quantile_normalize_doclen",
     # (mad_outliers_daily held this slot in round 5; rotated to the
     # tail in round 6 for kcore_cust_supp — see the round-6 blocks)
     # (hits_cust_supp held this slot in rounds 5-6 — recorded row
@@ -757,7 +800,14 @@ _PROMOTED = [
     # segment-dedup-displaces-boilerplate pattern)
     # round-7 second wave: split-conformal prediction intervals (new
     # capability — finite-sample-valid qhat rank + measured coverage)
-    "conformal_event_forecast",
+    # (conformal_event_forecast held this slot in round 7 — recorded
+    # row r07; rotated to the tail round-8 for feature_hash_vocab;
+    # the forecasting family keeps forecast_scorecard_events' head
+    # slot)
+    # round-8 wave: hashing-trick feature audit (new capability —
+    # fixed-width hashed bag-of-words with per-slot collision load;
+    # no vocabulary state anywhere)
+    "feature_hash_vocab",
     # (woe_price_vs_urgent held this slot in rounds 5-6 — recorded
     # rows r05+r06; rotated to the tail round-7 for
     # neyman_alloc_doc_sources; the supervised-binning readout keeps
@@ -767,7 +817,14 @@ _PROMOTED = [
     # capability — the variance-minimizing stratified design in
     # front of the sampling executors; integer-exact
     # largest-remainder arithmetic)
-    "neyman_alloc_doc_sources",
+    # (neyman_alloc_doc_sources held this slot in round 7 — recorded
+    # row r07; rotated to the tail round-8 for ht_total_by_priority —
+    # its natural successor: Neyman PICKS the stratum rates, HT
+    # EXECUTES a design and estimates with a variance; the
+    # sampling-design family keeps this new head slot)
+    # round-8 wave: stratified Poisson sampling + Horvitz-Thompson
+    # total with exact design variance (new capability)
+    "ht_total_by_priority",
     # (rake_keyphrases_docs held this slot through round 6's first
     # half — recorded row r05; rotated to the tail mid-round-6 for
     # woe_price_vs_urgent — see the round-6 second-wave blocks)
@@ -1236,6 +1293,21 @@ _DEFERRED = [
     "skyline_parts",
     "itemitem_part_recs",
     "lpa_communities",
+    # round-8 rotation OUT: eight slots for the round-8 wave
+    # (containment dedup, LOO target encoding, RFM, Horvitz-Thompson,
+    # quantile normalization, feature hashing, integer PCA, GROUPING
+    # SETS). Every entry below earned its first recorded row in r07
+    # (green in CORRECTNESS_r07.json); each keeps a named head twin
+    # (see the _PROMOTED blocks) and stays oracle-checked here each
+    # round.
+    "chi2_status_priority",
+    "mi_status_priority",
+    "fd_audit_catalog",
+    "zorder_pruning_parts",
+    "conformal_event_forecast",
+    "neyman_alloc_doc_sources",
+    "snapshot_diff_supplier",
+    "assortativity_cust_supp",
 ]
 
 
@@ -11303,3 +11375,488 @@ def assortativity_cust_supp_q(
         .distinct()
     )
     return degree_assortativity(edges, "src", "dst")
+
+
+# --------------------------------------------------------------------
+# round-8 wave: containment dedup, feature-pipeline transforms
+# (LOO target encoding, quantile normalization, feature hashing,
+# integer PCA), survey estimation (Horvitz-Thompson), RFM
+# segmentation, and the explicit GROUPING SETS shape
+# --------------------------------------------------------------------
+
+
+@_q(
+    "dedup_containment",
+    """
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      FROM documents),
+    toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(t[i:i+2], ' ')))) AS s FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    directed AS (
+      SELECT id_a, id_b, common FROM pairs
+      UNION ALL
+      SELECT id_b AS id_a, id_a AS id_b, common FROM pairs)
+    SELECT d.id_a, d.id_b,
+           ROUND(d.common * 1.0 / sa.sz, 6) AS containment
+    FROM directed d JOIN sizes sa ON sa.doc_id = d.id_a
+    WHERE d.common * 1.0 / sa.sz >= 0.6
+    """,
+    doc="directed n-gram containment pairs C(A->B) = |A∩B|/|A| >= 0.6 "
+    "(operators/dedup.py:ngram_containment_pairs) — the ASYMMETRIC "
+    "near-dup detector Jaccard cannot express: a short document "
+    "quoted inside a long one scores J ~ |A|/|B| (invisible) but "
+    "containment 1.0. Most training-set leakage is "
+    "containment-shaped. Auto plan selection like the Jaccard "
+    "sibling: the inverted-index 3-shuffle plan on tame shingle "
+    "frequencies, the asymmetric prefix-probe plan (only A's "
+    "rarest-first prefix probes the FULL index — pigeonhole-complete "
+    "since |A∩B| >= ceil(t|A|)) once sum(df^2) blows past 32x "
+    "sum(df). Both directions of each undirected pair emit from ONE "
+    "aggregate via F.inline, never a union",
+)
+def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_containment_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+
+
+@_q(
+    "target_encoding_priority",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS x
+      FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'),
+    g AS (
+      SELECT o_orderpriority,
+             SUM(x) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM base GROUP BY o_orderpriority)
+    SELECT b.o_orderkey, b.o_orderpriority,
+           CAST(CAST(b.x AS VARCHAR) AS DOUBLE) AS o_totalprice,
+           CASE WHEN g.n > 1
+                THEN ROUND(CAST(CAST(g.s - b.x AS VARCHAR) AS DOUBLE)
+                           / (g.n - 1), 6) END AS loo_encoding
+    FROM base b JOIN g USING (o_orderpriority)
+    """,
+    doc="leave-one-out target encoding of order priority on the "
+    "cents-exact order value "
+    "(operators/relational.py:target_encode_loo): enc_i = "
+    "(S_g - x_i)/(n_g - 1) — the high-cardinality categorical "
+    "feature that never leaks the row's own label (singletons emit "
+    "NULL, no synthetic prior). ONE window shuffle on the category "
+    "key — no aggregate re-join; numerator stays exact DECIMAL "
+    "(unscaled ~1e10 at sf0.1, three orders under 2^53), one double "
+    "division per row, round-6. 2001 slice bounds the compare frame",
+)
+def target_encoding_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import target_encode_loo
+
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return target_encode_loo(
+        orders, "o_orderpriority", "o_totalprice", ["o_orderkey"]
+    )
+
+
+@_q(
+    "rfm_customer_segments",
+    """
+    WITH per AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                       DATE '2001-09-01') AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey, recency_days, frequency,
+             CAST(CAST(m AS VARCHAR) AS DOUBLE) AS monetary,
+             6 - ntile(5) OVER (ORDER BY recency_days, o_custkey)
+               AS r_score,
+             ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY m, o_custkey) AS m_score
+      FROM per)
+    SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           frequency, monetary,
+           CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS rfm,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                THEN 'champion'
+                WHEN r_score >= 4 AND f_score >= 3 THEN 'loyal'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+    doc="RFM quintile segmentation "
+    "(operators/relational.py:rfm_scores): per-customer recency/"
+    "frequency/cents-exact monetary, each scored 1-5 by ntile(5) "
+    "over a TOTAL order (metric, custkey) — both engines implement "
+    "standard SQL ntile, so tie handling is identical — plus the "
+    "concatenated code and a coarse label ladder. One customer-key "
+    "groupBy shuffle; the three ntile windows run over the "
+    "AGGREGATED per-customer frame (3-4 orders smaller than the "
+    "fact table; past ~1e8 customers swap exact ntile for boundary "
+    "joins off group_percentiles — the exact rank form is what the "
+    "oracle pins)",
+)
+def rfm_customer_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import rfm_scores
+
+    orders = load(spark, sf_dir, "orders")
+    return rfm_scores(
+        orders, "o_custkey", "o_orderdate", "o_totalprice", "2001-09-01"
+    )
+
+
+@_q(
+    "ht_total_by_priority",
+    """
+    WITH marked AS (
+      SELECT o_orderpriority AS stratum,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+             100 + 50 * (('0x' || substring(md5(o_orderpriority), 1, 15))
+                         ::BIGINT % 8) AS rate,
+             ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+               ::BIGINT % 1000 AS h
+      FROM orders),
+    per AS (
+      SELECT stratum,
+             CAST(COUNT(*) AS BIGINT) AS n_pop,
+             CAST(SUM(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+             CAST(MAX(rate) AS BIGINT) AS rate_permille,
+             SUM(CASE WHEN h < rate THEN x END) AS s,
+             SUM(CASE WHEN h < rate
+                      THEN CAST(x * x AS DECIMAL(38,4)) END) AS q,
+             SUM(x) AS tt
+      FROM marked GROUP BY stratum)
+    SELECT stratum, n_pop, n_sampled, rate_permille,
+           ROUND(CAST(CAST(s AS VARCHAR) AS DOUBLE) * 1000.0
+                 / rate_permille, 6) AS ht_total,
+           ROUND(sqrt(CAST(CAST(q AS VARCHAR) AS DOUBLE)
+                      * (1000.0 - rate_permille) * 1000.0
+                      / (rate_permille * rate_permille)), 6) AS ht_se,
+           ROUND(CAST(CAST(tt AS VARCHAR) AS DOUBLE), 6) AS true_total,
+           ROUND((CAST(CAST(s AS VARCHAR) AS DOUBLE) * 1000.0
+                  / rate_permille
+                  - CAST(CAST(tt AS VARCHAR) AS DOUBLE))
+                 / CAST(CAST(tt AS VARCHAR) AS DOUBLE), 6) AS rel_err
+    FROM per ORDER BY stratum
+    """,
+    doc="stratified Poisson sampling + Horvitz-Thompson estimation "
+    "(operators/relational.py:horvitz_thompson_total): "
+    "deterministic-by-hash membership (md5_60 per-mille — replayable "
+    "on any engine), per-stratum rates 100-450‰ derived from the "
+    "stratum name hash, HT total = S·1000/rate with its exact "
+    "Poisson-design variance, the TRUE total as audit column. The "
+    "'scan 0.x%, estimate the total, KNOW the error bar' primitive a "
+    "100 TB pipeline audits itself with; x² sums pass 2^53 unscaled "
+    "at sf0.1, so the oracle routes every decimal sum through the "
+    "VARCHAR roundtrip. One groupBy, map-side combined",
+)
+def ht_total_by_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import token_hash_col
+    from .operators.relational import horvitz_thompson_total
+
+    orders = load(spark, sf_dir, "orders")
+    rate = (
+        F.lit(100)
+        + F.lit(50)
+        * F.pmod(token_hash_col(F.col("o_orderpriority"), "md5_60"), F.lit(8))
+    )
+    return horvitz_thompson_total(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey", rate
+    )
+
+
+@_q(
+    "quantile_normalize_doclen",
+    """
+    WITH vals AS (
+      SELECT doc_id, source AS grp, CAST(n_chars AS DOUBLE) AS v
+      FROM documents WHERE n_chars IS NOT NULL),
+    n AS (SELECT COUNT(*) AS nt FROM vals),
+    pooled AS (
+      SELECT row_number() OVER (ORDER BY v, doc_id) AS pr, v AS pv
+      FROM vals),
+    ranked AS (
+      SELECT doc_id, grp, v,
+             row_number() OVER (PARTITION BY grp ORDER BY v, doc_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS ng
+      FROM vals),
+    pos AS (
+      SELECT doc_id, grp, v,
+             CASE WHEN ng > 1
+                  THEN CAST(rn - 1 AS BIGINT)
+                       * (SELECT nt - 1 FROM n)
+                  ELSE (SELECT nt - 1 FROM n) END AS num,
+             CASE WHEN ng > 1 THEN CAST(ng - 1 AS BIGINT)
+                  ELSE 2 END AS den
+      FROM ranked)
+    SELECT p.doc_id, p.grp AS source, p.v AS n_chars,
+           ROUND(lo.pv + ((p.num % p.den) * 1.0 / p.den)
+                         * (COALESCE(hi.pv, lo.pv) - lo.pv), 6)
+             AS normalized
+    FROM pos p
+    JOIN pooled lo ON lo.pr - 1 = p.num // p.den
+    LEFT JOIN pooled hi ON hi.pr - 2 = p.num // p.den
+    """,
+    doc="quantile normalization of per-source document-length "
+    "distributions onto the pooled distribution "
+    "(operators/relational.py:quantile_normalize) — the "
+    "feature-alignment transform that makes 'p90 length' mean the "
+    "same thing across corpus sources before mixing/thresholding. "
+    "Interpolation is EXACT-integer: pooled position num/den = "
+    "(rn-1)(N-1)/(ng-1) kept rational (integer div/mod — never a "
+    "double multiply whose floor could straddle an ulp differently "
+    "per engine), one double interpolation at the end, round-6. "
+    "Singletons map to the pooled median by the same arithmetic. One "
+    "group window + one pooled rank (single-task over the value "
+    "frame; at 100 TB the pooled reference becomes a merged KLL "
+    "sketch — the exact form is what the oracle pins) + two "
+    "rank-equi joins",
+)
+def quantile_normalize_doclen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import quantile_normalize
+
+    docs = load(spark, sf_dir, "documents")
+    return quantile_normalize(docs, "source", "n_chars", "doc_id").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "normalized",
+    )
+
+
+@_q(
+    "feature_hash_vocab",
+    """
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      FROM documents),
+    toks AS (
+      SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM norm),
+    b AS (
+      SELECT doc_id, tok,
+             ('0x' || substring(md5(tok), 1, 15))::BIGINT % 256 AS bucket
+      FROM toks WHERE tok <> '')
+    SELECT bucket,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS collision_tokens,
+           CAST(COUNT(*) AS BIGINT) AS tf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    doc="hashing-trick feature audit "
+    "(operators/text.py:feature_hash_stats): bag-of-words tokens "
+    "hash into 256 fixed slots (pmod(md5_60, 256) — the "
+    "engine-portable hash, so the bucketing replays identically in "
+    "the oracle) and the table reports each slot's collision load "
+    "(distinct vocabulary), tf, and df. The feature-engineering rung "
+    "of the text stack: downstream models train on hashed counts "
+    "with NO vocabulary broadcast — key cardinality is fixed at 256 "
+    "at plan time, the point of feature hashing at 100 TB. One "
+    "bucket-keyed groupBy",
+)
+def feature_hash_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import feature_hash_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return feature_hash_stats(docs, "doc_id", "text", n_buckets=256)
+
+
+def _pca_oracle_sql() -> str:
+    """Unrolled HUGEINT power iteration replaying
+    operators/relational.py:pca_top_component verbatim: scatter
+    matrix M = n·Σxx − Σx·Σxᵀ from exact moments, 12 iterations of
+    v ← trunc(M·v · 10^6 / max|M·v|) (DuckDB ``//`` truncates toward
+    zero — ``_trunc_div`` mirrors that, NOT Python floor), sign
+    pinned by the largest-|component|, loadings and the ppm-exact
+    explained ratio emitted after one double division each."""
+    it = """
+    ,u{k} AS MATERIALIZED (
+      SELECT m11*v1 + m12*v2 + m13*v3 AS u1,
+             m12*v1 + m22*v2 + m23*v3 AS u2,
+             m13*v1 + m23*v2 + m33*v3 AS u3, m11, m12, m13, m22, m23, m33
+      FROM v{p}),
+    v{k} AS MATERIALIZED (
+      SELECT CASE WHEN greatest(abs(u1), abs(u2), abs(u3)) = 0 THEN u1
+                  ELSE (u1 * 1000000::HUGEINT)
+                       // greatest(abs(u1), abs(u2), abs(u3)) END AS v1,
+             CASE WHEN greatest(abs(u1), abs(u2), abs(u3)) = 0 THEN u2
+                  ELSE (u2 * 1000000::HUGEINT)
+                       // greatest(abs(u1), abs(u2), abs(u3)) END AS v2,
+             CASE WHEN greatest(abs(u1), abs(u2), abs(u3)) = 0 THEN u3
+                  ELSE (u3 * 1000000::HUGEINT)
+                       // greatest(abs(u1), abs(u2), abs(u3)) END AS v3,
+             m11, m12, m13, m22, m23, m33
+      FROM u{k})"""
+    chain = "".join(it.format(k=k, p=k - 1) for k in range(1, 13))
+    return (
+        """
+    WITH f AS (
+      SELECT CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS x1,
+             CAST(p_size AS BIGINT) AS x2,
+             CAST(length(p_name) AS BIGINT) AS x3
+      FROM part),
+    mo AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x1::HUGEINT) AS s1, SUM(x2::HUGEINT) AS s2,
+             SUM(x3::HUGEINT) AS s3,
+             SUM(x1::HUGEINT * x1) AS p11, SUM(x1::HUGEINT * x2) AS p12,
+             SUM(x1::HUGEINT * x3) AS p13, SUM(x2::HUGEINT * x2) AS p22,
+             SUM(x2::HUGEINT * x3) AS p23, SUM(x3::HUGEINT * x3) AS p33
+      FROM f),
+    m AS (
+      SELECT n*p11 - s1*s1 AS m11, n*p12 - s1*s2 AS m12,
+             n*p13 - s1*s3 AS m13, n*p22 - s2*s2 AS m22,
+             n*p23 - s2*s3 AS m23, n*p33 - s3*s3 AS m33, n
+      FROM mo),
+    v0 AS (
+      SELECT 1000000::HUGEINT AS v1, 1000000::HUGEINT AS v2,
+             1000000::HUGEINT AS v3, m11, m12, m13, m22, m23, m33
+      FROM m)"""
+        + chain
+        + """
+    ,signed AS (
+      SELECT CASE WHEN (CASE
+                WHEN abs(v1) >= abs(v2) AND abs(v1) >= abs(v3) THEN v1
+                WHEN abs(v2) >= abs(v3) THEN v2 ELSE v3 END) < 0
+             THEN -v1 ELSE v1 END AS v1,
+             CASE WHEN (CASE
+                WHEN abs(v1) >= abs(v2) AND abs(v1) >= abs(v3) THEN v1
+                WHEN abs(v2) >= abs(v3) THEN v2 ELSE v3 END) < 0
+             THEN -v2 ELSE v2 END AS v2,
+             CASE WHEN (CASE
+                WHEN abs(v1) >= abs(v2) AND abs(v1) >= abs(v3) THEN v1
+                WHEN abs(v2) >= abs(v3) THEN v2 ELSE v3 END) < 0
+             THEN -v3 ELSE v3 END AS v3,
+             m11, m12, m13, m22, m23, m33
+      FROM v12),
+    fin AS (
+      SELECT v1, v2, v3,
+             greatest(abs(v1), abs(v2), abs(v3)) AS vmax,
+             v1*(m11*v1 + m12*v2 + m13*v3)
+             + v2*(m12*v1 + m22*v2 + m23*v3)
+             + v3*(m13*v1 + m23*v2 + m33*v3) AS num,
+             v1*v1 + v2*v2 + v3*v3 AS den,
+             m11 + m22 + m33 AS tr
+      FROM signed),
+    ppm AS (
+      SELECT v1, v2, v3, vmax,
+             CASE WHEN den * tr > 0
+                  THEN num // ((den * tr) // 1000000::HUGEINT)
+                  ELSE 0 END AS ppm
+      FROM fin),
+    n1 AS (SELECT n FROM m)
+    SELECT f.feature,
+           ROUND(CAST(CASE f.feature
+                   WHEN 'price_cents' THEN p.v1
+                   WHEN 'size' THEN p.v2
+                   ELSE p.v3 END AS DOUBLE) / CAST(p.vmax AS DOUBLE), 6)
+             AS loading,
+           ROUND(CAST(p.ppm AS DOUBLE) / 1000000.0, 6)
+             AS explained_ratio,
+           CAST((SELECT n FROM n1) AS BIGINT) AS n
+    FROM (VALUES ('price_cents'), ('size'), ('name_len')) AS f(feature)
+    CROSS JOIN ppm p
+    """
+    )
+
+
+@_q(
+    "pca_parts_features",
+    _pca_oracle_sql(),
+    doc="dominant principal component of (price-cents, size, "
+    "name-length) over part via EXACT-INTEGER power iteration "
+    "(operators/relational.py:pca_top_component — the pagerank "
+    "discipline applied to linear algebra): one map-side-combined "
+    "moment aggregate (n, Σx, Σxx — 9 numbers), the k×k scatter "
+    "matrix and 12 renormalized iterations run on plain ints "
+    "(driver-side, k=3-bounded, like kmeans' k-row collect), "
+    "truncating division matching DuckDB HUGEINT ``//`` (which "
+    "truncates toward zero, NOT floor — measured), sign pinned "
+    "positive on the largest loading. The oracle replays every "
+    "iteration verbatim in an unrolled MATERIALIZED HUGEINT CTE "
+    "chain — bit-identical linear algebra across engines, no float "
+    "accumulation anywhere",
+)
+def pca_parts_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import pca_top_component
+
+    part = load(spark, sf_dir, "part")
+    return pca_top_component(
+        part,
+        {
+            "price_cents": (
+                F.col("p_retailprice").cast("decimal(12,2)") * 100
+            ).cast("long"),
+            "size": F.col("p_size"),
+            "name_len": F.length("p_name"),
+        },
+    )
+
+
+@_q(
+    "grouping_sets_status_priority",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2
+                + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS VARCHAR) AS DOUBLE) AS total_value
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="explicit GROUPING SETS — the two one-dimension margins plus "
+    "the grand total WITHOUT the cross cells (the report shape CUBE "
+    "overproduces and ROLLUP cannot express; completes the "
+    "grouping-sets family: pivot / rollup_hierarchy / "
+    "cube_status_priority / this). Same single shared "
+    "partial-aggregation pass and grouping-ID bitmask discipline as "
+    "the CUBE sibling; exact decimal totals via the VARCHAR "
+    "roundtrip on the oracle side",
+)
+def grouping_sets_status_priority_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias(
+                "o_orderpriority"
+            ),
+            "gid",
+            "n_orders",
+            "total_value",
+        )
+    )

@@ -1881,3 +1881,382 @@ def mutual_information(
             "redundancy"
         ),
     )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    id_cols: Sequence[str],
+) -> DataFrame:
+    """Leave-one-out target encoding: each row's category is replaced
+    by the mean target of the OTHER rows in its category —
+    enc_i = (S_g − x_i) / (n_g − 1) — the standard high-cardinality
+    categorical feature for tree/linear models that plain mean
+    encoding cannot provide without leaking the row's own label.
+
+    Exactness: the target quantizes to cents (DECIMAL(18,2)) and the
+    per-category sum S_g is an exact DECIMAL(38,2) window aggregate,
+    so (S_g − x_i) is exact; ONE double division per row (numerator
+    unscaled ~1e11 at sf0.1 — three orders under 2^53, so the direct
+    decimal→double cast is exact-rounded on both engines) then
+    round-6. Singleton categories (n_g = 1) emit NULL — no synthetic
+    prior sneaks the label back in.
+
+    Plan: one window shuffle on the category key (no self-join — the
+    naive SQL rewrite joins the aggregate back, two shuffles). At
+    100 TB the category key is the only exchange; skewed hot
+    categories AQE-split fine because the window is a plain
+    sum/count, not a rank.
+    """
+    w = Window.partitionBy(cat_col)
+    cents = F.col(target_col).cast("decimal(18,2)")
+    return (
+        df.select(*id_cols, cat_col, cents.alias("__x"))
+        .withColumn("__s", F.sum("__x").over(w))
+        .withColumn("__n", F.count("*").over(w))
+        .select(
+            *id_cols,
+            cat_col,
+            F.col("__x").cast("double").alias(target_col),
+            F.when(
+                F.col("__n") > 1,
+                F.round(
+                    (F.col("__s") - F.col("__x")).cast("double")
+                    / (F.col("__n") - 1),
+                    6,
+                ),
+            ).alias("loo_encoding"),
+        )
+    )
+
+
+def rfm_scores(
+    orders: DataFrame,
+    cust_col: str,
+    date_col: str,
+    amount_col: str,
+    as_of: str,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile scoring — the
+    classic customer-value segmentation: per customer, days since the
+    last order, order count, and cents-exact revenue, each scored 1-5
+    by quintile (5 = best), plus the concatenated segment code and a
+    coarse label ladder.
+
+    Determinism: every quintile assignment is an ``ntile(5)`` over a
+    TOTAL order — (metric, customer key) — so ties break identically
+    on any engine (both implement standard SQL ntile: equal buckets,
+    remainder to the leading buckets). Recency orders ASCENDING (most
+    recent first) then flips (6 − ntile) so 5 is best on all three
+    axes.
+
+    Plan: one groupBy shuffle on the customer key to the per-customer
+    frame, then three ntile windows over that AGGREGATED frame —
+    3-4 orders of magnitude smaller than the fact table. The
+    unpartitioned ntile is a single-task window bounded by
+    |customers|; past ~1e8 customers swap it for value-boundary
+    joins off a percentile sketch (group_percentiles) — the exact
+    rank form here is what the cross-engine oracle can pin.
+    """
+    per_cust = (
+        orders.groupBy(cust_col)
+        .agg(
+            F.datediff(
+                F.lit(as_of).cast("date"), F.max(F.col(date_col).cast("date"))
+            ).alias("recency_days"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(F.col(amount_col).cast("decimal(18,2)")).alias("__m"),
+        )
+        .withColumn("monetary", F.col("__m").cast("double"))
+    )
+    w_r = Window.orderBy("recency_days", cust_col)
+    w_f = Window.orderBy("frequency", cust_col)
+    w_m = Window.orderBy("__m", cust_col)
+    scored = (
+        per_cust.withColumn("r_score", (F.lit(6) - F.ntile(5).over(w_r)))
+        .withColumn("f_score", F.ntile(5).over(w_f))
+        .withColumn("m_score", F.ntile(5).over(w_m))
+    )
+    return scored.select(
+        cust_col,
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.col("r_score").cast("long").alias("r_score"),
+        F.col("f_score").cast("long").alias("f_score"),
+        F.col("m_score").cast("long").alias("m_score"),
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ).alias("rfm"),
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 3), "loyal")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating")
+        .otherwise("regular")
+        .alias("segment"),
+    )
+
+
+def horvitz_thompson_total(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    key_col: str,
+    rate_permille: Column,
+) -> DataFrame:
+    """Stratified Poisson (Bernoulli-per-row) sampling with the
+    Horvitz-Thompson estimator — the design-unbiased answer to "scan
+    0.x% of the fact table, estimate the total, and KNOW the error
+    bar", which is how a 100 TB pipeline audits itself without full
+    passes. Companion to neyman_allocation (which picks the rates;
+    this executes a design and estimates).
+
+    Sampling is deterministic-by-hash (the repo's md5_60 discipline —
+    replayable on any engine): row k enters iff
+    pmod(md5_60(key), 1000) < rate_permille(stratum). Inclusion
+    probability π_g = rate/1000 exactly, so:
+
+      HT total  = Σ_sample x/π_g  = S_g · 1000/rate   (exact decimal
+                  sum, ONE division per stratum)
+      V̂[HT]     = Σ_sample x²(1−π)/π² (Poisson-design variance) =
+                  Q_g · (1000−rate) · 1000 / rate², Q_g exact decimal
+
+    Output per stratum: population/sample counts, the estimate,
+    SE = sqrt(V̂) (IEEE sqrt is correctly rounded — engine-safe), the
+    TRUE total as the audit column, and the relative error. Plan: one
+    groupBy over the (filter-pruned) sample plus one over the full
+    table for the audit columns; both map-side combined.
+    """
+    from .dedup import token_hash_col
+
+    cents = F.col(value_col).cast("decimal(18,2)")
+    rate = rate_permille
+    marked = df.select(
+        F.col(stratum_col).alias("stratum"),
+        cents.alias("__x"),
+        (F.pmod(token_hash_col(F.col(key_col).cast("string"), "md5_60"), F.lit(1000))
+         < rate).alias("__in"),
+        rate.cast("long").alias("__rate"),
+    )
+    per = marked.groupBy("stratum").agg(
+        F.count("*").cast("long").alias("n_pop"),
+        F.sum(F.when(F.col("__in"), 1).otherwise(0)).cast("long").alias("n_sampled"),
+        F.max("__rate").alias("rate_permille"),
+        F.sum(F.when(F.col("__in"), F.col("__x"))).alias("__s"),
+        F.sum(
+            F.when(
+                F.col("__in"),
+                (F.col("__x") * F.col("__x")).cast("decimal(38,4)"),
+            )
+        ).alias("__q"),
+        F.sum("__x").alias("__true"),
+    )
+    est = F.col("__s").cast("double") * 1000.0 / F.col("rate_permille")
+    var = (
+        F.col("__q").cast("double")
+        * (1000.0 - F.col("rate_permille"))
+        * 1000.0
+        / (F.col("rate_permille") * F.col("rate_permille"))
+    )
+    return per.select(
+        "stratum",
+        "n_pop",
+        "n_sampled",
+        F.col("rate_permille").cast("long").alias("rate_permille"),
+        F.round(est, 6).alias("ht_total"),
+        F.round(F.sqrt(var), 6).alias("ht_se"),
+        F.round(F.col("__true").cast("double"), 6).alias("true_total"),
+        F.round(
+            (est - F.col("__true").cast("double"))
+            / F.col("__true").cast("double"),
+            6,
+        ).alias("rel_err"),
+    ).orderBy("stratum")
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Quantile normalization of per-group value distributions onto
+    the POOLED distribution — the feature-alignment transform (rank
+    -> reference quantile) that makes lengths/scores comparable
+    across corpora sources before mixing or thresholding them
+    (microarray-normalization lineage; here: 'source A's p90 doc
+    length means the same as source B's p90').
+
+    Exact cross-engine interpolation: each row's in-group quantile is
+    the RATIONAL (rn−1)/(n_g−1) (rank by (value, id) — total order),
+    mapped to pooled position pos = (rn−1)·(N−1) / (n_g−1) kept as
+    an exact INTEGER division: lo = num div den, frac = (num mod
+    den)/den — never a double multiply whose floor could straddle an
+    ulp boundary differently per engine. The normalized value is the
+    linear interpolation v_lo + frac·(v_hi − v_lo) between the pooled
+    order statistics at ranks lo+1, lo+2 — one double expression,
+    round-6. Groups of size 1 map to the pooled median position by
+    the same arithmetic (num = (N−1), den = 2 — documented choice).
+
+    Plan: one window per group (shuffle on group key), one GLOBAL
+    rank of the pooled values (single-task window bounded by the
+    value-frame; at 100 TB replace the pooled exact ranks with a
+    merged KLL sketch — the exact form is what the oracle pins), two
+    broadcast-joins against the pooled order statistics (lo, lo+1).
+    """
+    vals = df.select(
+        F.col(id_col), F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    w_g = Window.partitionBy("grp").orderBy("v", id_col)
+    w_all = Window.orderBy("v", id_col)
+    pooled = vals.select(
+        F.row_number().over(w_all).alias("__pr"), F.col("v").alias("__pv")
+    )
+    n_total = vals.count()
+    ranked = (
+        vals.withColumn("__rn", F.row_number().over(w_g))
+        .withColumn("__ng", F.count("*").over(Window.partitionBy("grp")))
+        .withColumn(
+            "__num",
+            F.when(
+                F.col("__ng") > 1,
+                (F.col("__rn") - 1).cast("long") * F.lit(n_total - 1),
+            ).otherwise(F.lit(int(n_total - 1))),
+        )
+        .withColumn(
+            "__den",
+            F.when(F.col("__ng") > 1, (F.col("__ng") - 1).cast("long"))
+            .otherwise(F.lit(2)),
+        )
+        .withColumn("__lo", F.expr("__num div __den"))
+        .withColumn(
+            "__frac",
+            (F.col("__num") % F.col("__den")).cast("double") / F.col("__den"),
+        )
+    )
+    lo = pooled.select(
+        (F.col("__pr") - 1).alias("__lo"), F.col("__pv").alias("__vlo")
+    )
+    hi = pooled.select(
+        (F.col("__pr") - 2).alias("__lo"), F.col("__pv").alias("__vhi")
+    )
+    return (
+        ranked.join(lo, "__lo")
+        .join(hi, "__lo", "left")  # lo = N-1 has no hi neighbor; frac = 0
+        .select(
+            id_col,
+            F.col("grp").alias(group_col),
+            F.col("v").alias(value_col),
+            F.round(
+                F.col("__vlo")
+                + F.col("__frac")
+                * (F.coalesce("__vhi", "__vlo") - F.col("__vlo")),
+                6,
+            ).alias("normalized"),
+        )
+    )
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncating integer division — matches DuckDB's HUGEINT ``//``
+    (which truncates toward zero for negative numerators, UNLIKE
+    Python's floor ``//``; measured: (-7)::HUGEINT // 2 = -3)."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
+def pca_top_component(
+    df: DataFrame,
+    features: "dict[str, Column]",
+    n_iter: int = 12,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Dominant principal component of k integer-valued features via
+    power iteration in EXACT integer arithmetic — the pagerank
+    discipline applied to linear algebra, so the loadings are
+    bit-identical on any engine (no float accumulation anywhere).
+
+    The distributed part is one map-side-combined aggregate of the
+    exact moments (n, Σx_i as BIGINT, Σx_i·x_j as DECIMAL(38,0) —
+    k(k+3)/2 numbers); the k×k scatter matrix M = n·Σxx − Σx·Σxᵀ
+    (covariance × n², no division) and the fixed ``n_iter`` power
+    iterations run driver-side on plain Python ints — bounded k×k
+    work, same rationale as kmeans' k-row collect. Each iteration
+    renormalizes by the max-|component| with TRUNCATING division
+    (``_trunc_div`` — DuckDB ``//`` semantics, which the oracle's
+    unrolled HUGEINT CTE chain replays verbatim). Sign convention:
+    the largest-|loading| component is made positive.
+
+    Output (one row per feature): loading = v_i / max|v| (one double
+    division of exact ints, round-6), explained_ratio =
+    (vᵀMv)/(vᵀv·tr M) computed as an exact parts-per-million integer
+    then divided once, and n. Features must be INTEGER-valued columns
+    (quantize money to cents first); covariance is over raw units —
+    standardization needs irrational sqrt weights, which no
+    cross-engine-exact form survives, so callers wanting correlation
+    PCA pre-scale to comparable integer units.
+    """
+    names = list(features)
+    k = len(names)
+    cols = [features[n].cast("long").alias(f"__f{i}") for i, n in enumerate(names)]
+    base = df.select(*cols)
+    aggs = [F.count("*").cast("long").alias("__n")]
+    for i in range(k):
+        aggs.append(
+            F.sum(F.col(f"__f{i}").cast("decimal(38,0)")).alias(f"__s{i}")
+        )
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(
+                F.sum(
+                    (
+                        F.col(f"__f{i}").cast("decimal(38,0)")
+                        * F.col(f"__f{j}")
+                    ).cast("decimal(38,0)")
+                ).alias(f"__p{i}{j}")
+            )
+    row = base.agg(*aggs).collect()[0]
+    n = int(row["__n"])
+    s = [int(row[f"__s{i}"]) for i in range(k)]
+    m = [[0] * k for _ in range(k)]
+    for i in range(k):
+        for j in range(i, k):
+            mij = n * int(row[f"__p{i}{j}"]) - s[i] * s[j]
+            m[i][j] = mij
+            m[j][i] = mij
+    v = [scale] * k
+    for _ in range(n_iter):
+        u = [sum(m[i][j] * v[j] for j in range(k)) for i in range(k)]
+        mx = max(abs(x) for x in u)
+        if mx == 0:
+            break
+        v = [_trunc_div(x * scale, mx) for x in u]
+    # sign: the largest-|v| component positive (ties: first index wins)
+    pivot = max(range(k), key=lambda i: (abs(v[i]), -i))
+    if v[pivot] < 0:
+        v = [-x for x in v]
+    vmax = max(abs(x) for x in v) or 1
+    num = sum(v[i] * m[i][j] * v[j] for i in range(k) for j in range(k))
+    den = sum(x * x for x in v)
+    trace = sum(m[i][i] for i in range(k))
+    dentrace = den * trace
+    ppm = _trunc_div(num, _trunc_div(dentrace, scale)) if dentrace > 0 else 0
+    spark = df.sparkSession
+    out = [
+        (
+            names[i],
+            round(v[i] / vmax, 6),
+            round(ppm / scale, 6),
+            n,
+        )
+        for i in range(k)
+    ]
+    return spark.createDataFrame(
+        out, "feature string, loading double, explained_ratio double, n long"
+    )

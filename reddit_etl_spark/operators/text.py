@@ -1153,3 +1153,57 @@ def phrase_search(
         F.count(F.lit(1)).cast("long").alias("n_matches"),
         F.min("__start").cast("long").alias("first_pos"),
     )
+
+
+def feature_hash_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """The hashing trick, audited: bag-of-words tokens hash into
+    ``n_buckets`` fixed feature slots (bucket = pmod(md5_60(token),
+    n_buckets) — the repo's engine-portable hash discipline, NOT
+    xxhash, so the bucketing replays identically in any engine), and
+    the output reports what each slot absorbed: distinct vocabulary
+    (collision load), total term frequency, and document frequency.
+
+    This is the feature-engineering rung of the text stack: a
+    downstream model trains on the 256-dim hashed counts without a
+    vocabulary broadcast, and THIS table is the audit that says
+    which slots are overloaded (collision_tokens >> mean) before
+    anyone trusts those features. Dimensionality is fixed at plan
+    time — the whole point of hashing features at 100 TB: no
+    vocab-sized state anywhere, one (bucket-keyed) groupBy whose
+    key cardinality is n_buckets.
+
+    Output: (bucket, collision_tokens, tf, df) — one row per
+    NON-EMPTY bucket, ordered by bucket.
+    """
+    from .dedup import token_hash_col
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.filter(
+                F.split(normalize_text_col(text_col), " "),
+                lambda t: t != "",
+            )
+        ).alias("__tok"),
+    )
+    bucketed = toks.select(
+        "__id",
+        "__tok",
+        F.pmod(token_hash_col(F.col("__tok"), "md5_60"), F.lit(n_buckets))
+        .cast("long")
+        .alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count_distinct("__tok").cast("long").alias("collision_tokens"),
+            F.count("*").cast("long").alias("tf"),
+            F.count_distinct("__id").cast("long").alias("df"),
+        )
+        .orderBy("bucket")
+    )

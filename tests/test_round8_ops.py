@@ -1,0 +1,288 @@
+"""Round-8 operator wave: leave-one-out target encoding, RFM quintile
+scoring, Horvitz-Thompson stratified estimation, quantile
+normalization, exact-integer PCA power iteration, the hashing-trick
+audit, and directed n-gram containment pairs."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_etl_spark.operators.dedup import ngram_containment_pairs
+from reddit_etl_spark.operators.relational import (
+    _trunc_div,
+    horvitz_thompson_total,
+    pca_top_component,
+    quantile_normalize,
+    rfm_scores,
+    target_encode_loo,
+)
+from reddit_etl_spark.operators.text import feature_hash_stats
+
+
+# ---------------------------------------------------------------- LOO
+
+
+def test_target_encode_loo_hand_case_and_singleton_null(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0), (4, "b", 7.0)],
+        "id long, cat string, y double",
+    )
+    got = {
+        r["id"]: r["loo_encoding"]
+        for r in target_encode_loo(df, "cat", "y", ["id"]).collect()
+    }
+    assert got[1] == 25.0 and got[2] == 20.0 and got[3] == 15.0
+    assert got[4] is None  # singleton: no synthetic prior
+
+
+def test_target_encode_loo_no_self_leak(spark):
+    # encoding never depends on the row's own target: change row 1's
+    # target and only OTHER rows' encodings move
+    a = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0)], "id long, cat string, y double"
+    )
+    b = spark.createDataFrame(
+        [(1, "a", 99.0), (2, "a", 20.0)], "id long, cat string, y double"
+    )
+    ea = {r["id"]: r["loo_encoding"] for r in target_encode_loo(a, "cat", "y", ["id"]).collect()}
+    eb = {r["id"]: r["loo_encoding"] for r in target_encode_loo(b, "cat", "y", ["id"]).collect()}
+    assert ea[1] == eb[1] == 20.0
+    assert ea[2] == 10.0 and eb[2] == 99.0
+
+
+# ---------------------------------------------------------------- RFM
+
+
+def test_rfm_scores_ordering_and_segments(spark):
+    rows = []
+    # 10 customers: customer i places i orders of 100*i, last one
+    # i days before as_of -> frequency/monetary increase with i,
+    # recency worsens as i decreases... construct monotone: customer i
+    # has last order (11-i) days back so bigger i = more recent
+    for c in range(1, 11):
+        for k in range(c):
+            rows.append((c, f"2024-02-{10 + c - 11 + 10:02d}", 100.0 * c))
+    df = spark.createDataFrame(rows, "cust long, d string, amt double")
+    out = {r["cust"]: r for r in rfm_scores(df, "cust", "d", "amt", "2024-03-01").collect()}
+    # customer 10: most orders, biggest spend, most recent
+    assert out[10]["f_score"] == 5 and out[10]["m_score"] == 5
+    assert out[10]["segment"] in ("champion", "loyal")
+    # customer 1: single cheapest oldest order
+    assert out[1]["f_score"] == 1 and out[1]["m_score"] == 1
+    assert out[1]["rfm"] == f"{out[1]['r_score']}{out[1]['f_score']}{out[1]['m_score']}"
+    # ntile(5) over 10 customers: exactly 2 per bucket on each axis
+    from collections import Counter
+
+    assert Counter(r["f_score"] for r in out.values()) == {s: 2 for s in (1, 2, 3, 4, 5)}
+
+
+# ----------------------------------------------------------------- HT
+
+
+def _md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_horvitz_thompson_exact_formulas(spark):
+    rows = [(i, "s", 10.0 + i) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, st string, v double")
+    rate = F.lit(500)  # 50% deterministic sample
+    out = horvitz_thompson_total(df, "st", "v", "k", rate).collect()[0]
+    sampled = [(i, 10.0 + i) for i in range(200) if _md5_60(str(i)) % 1000 < 500]
+    s = sum(v for _, v in sampled)
+    q = sum(v * v for _, v in sampled)
+    assert out["n_pop"] == 200 and out["n_sampled"] == len(sampled)
+    assert out["ht_total"] == round(s * 1000.0 / 500, 6)
+    assert out["ht_se"] == round((q * 500 * 1000 / 500**2) ** 0.5, 6)
+    assert out["true_total"] == round(sum(10.0 + i for i in range(200)), 6)
+
+
+def test_horvitz_thompson_estimate_near_truth(spark):
+    rows = [(i, "a" if i % 2 else "b", 50.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, st string, v double")
+    for r in horvitz_thompson_total(df, "st", "v", "k", F.lit(300)).collect():
+        # constant values: HT is unbiased and tight; hash sampling
+        # lands near the nominal rate
+        assert abs(r["rel_err"]) < 0.1
+
+
+# ------------------------------------------------------ quantile norm
+
+
+def test_quantile_normalize_identical_groups_fixed_point(spark):
+    # two groups with the SAME values: normalization is (close to) the
+    # identity mapping onto the pooled distribution
+    rows = [(i, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 5])]
+    rows += [(10 + i, "b", float(v)) for i, v in enumerate([1, 2, 3, 4, 5])]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = quantile_normalize(df, "g", "v", "id").collect()
+    for r in out:
+        # pooled has each value twice; in-group q in {0,.25,.5,.75,1}
+        # maps near the same value (within one pooled step)
+        assert abs(r["normalized"] - r["v"]) <= 1.0
+
+
+def test_quantile_normalize_maps_group_extremes_to_pooled_extremes(spark):
+    rows = [(1, "a", 100.0), (2, "a", 200.0), (3, "b", 1.0), (4, "b", 2.0)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = {r["id"]: r["normalized"] for r in quantile_normalize(df, "g", "v", "id").collect()}
+    # pooled sorted: [1, 2, 100, 200]; group min -> pooled min, group
+    # max -> pooled max for BOTH groups
+    assert got[1] == 1.0 and got[3] == 1.0
+    assert got[2] == 200.0 and got[4] == 200.0
+
+
+def test_quantile_normalize_singleton_maps_to_pooled_median(spark):
+    rows = [(1, "a", 5.0), (2, "b", 1.0), (3, "b", 2.0), (4, "b", 3.0)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = {r["id"]: r["normalized"] for r in quantile_normalize(df, "g", "v", "id").collect()}
+    # pooled sorted [1,2,3,5], N-1=3: singleton position num=3, den=2
+    # -> lo=1, frac=0.5 -> 2 + 0.5*(3-2) = 2.5
+    assert got[1] == 2.5
+
+
+# ---------------------------------------------------------------- PCA
+
+
+def test_trunc_div_matches_duckdb_semantics():
+    import duckdb
+
+    con = duckdb.connect()
+    for a, b in [(-7, 2), (7, 2), (-9, 3), (-10, 3), (1, 7), (-1, 7)]:
+        dd = con.execute(f"SELECT ({a})::HUGEINT // ({b})::HUGEINT").fetchone()[0]
+        assert _trunc_div(a, b) == dd, (a, b)
+
+
+def test_pca_top_component_correlated_features(spark):
+    # y = 2x exactly: dominant component loads on both with ratio 1:2,
+    # explained ratio = 1 (rank-1 scatter)
+    rows = [(i, i, 2 * i) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    out = {r["feature"]: r for r in pca_top_component(
+        df, {"x": F.col("x"), "y": F.col("y")}
+    ).collect()}
+    assert out["y"]["loading"] == 1.0
+    assert abs(out["x"]["loading"] - 0.5) < 1e-5
+    assert abs(out["x"]["explained_ratio"] - 1.0) < 1e-5
+    assert out["x"]["n"] == 50
+
+
+def test_pca_sign_convention_positive_pivot(spark):
+    # anti-correlated: loadings have opposite signs, the larger one
+    # is positive by convention
+    rows = [(i, i, -3 * i) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    out = {r["feature"]: r["loading"] for r in pca_top_component(
+        df, {"x": F.col("x"), "y": F.col("y")}
+    ).collect()}
+    assert out["y"] == 1.0 and out["x"] < 0
+
+
+def test_pca_dominant_axis_wins(spark):
+    # x spans 1000x the range of z: first PC is ~pure x
+    rows = [(i, 1000 * i, i % 3) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, x long, z long")
+    out = {r["feature"]: r["loading"] for r in pca_top_component(
+        df, {"x": F.col("x"), "z": F.col("z")}
+    ).collect()}
+    assert out["x"] == 1.0 and abs(out["z"]) < 0.01
+
+
+# ------------------------------------------------------- feature hash
+
+
+def test_feature_hash_stats_manual_buckets(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "alpha gamma")],
+        "doc_id long, text string",
+    )
+    out = {r["bucket"]: r for r in feature_hash_stats(df, "doc_id", "text").collect()}
+    buckets = {t: _md5_60(t) % 256 for t in ("alpha", "beta", "gamma")}
+    b_alpha = out[buckets["alpha"]]
+    assert b_alpha["tf"] >= 2 and b_alpha["df"] == 2
+    assert sum(r["tf"] for r in out.values()) == 5
+    total_distinct = sum(r["collision_tokens"] for r in out.values())
+    assert total_distinct == len(set(buckets.values())) + (
+        3 - len(set(buckets.values()))
+    )  # == 3 tokens spread over their buckets
+
+
+# -------------------------------------------------------- containment
+
+
+@pytest.fixture()
+def cdocs(spark):
+    quote = "the five boxing wizards jump quickly over the lazy dog tonight"
+    return spark.createDataFrame(
+        [
+            (1, quote),  # fully contained in 2
+            (2, f"long preamble text here first. {quote}. and a trailing section of unrelated words"),
+            (3, "totally different content about query engines and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_containment_detects_quote_asymmetrically(cdocs):
+    rows = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(
+            cdocs, "doc_id", "text", threshold=0.8, prefix_filter=False
+        ).collect()
+    }
+    # A sits inside B (the trailing '.' perturbs one boundary
+    # shingle: 8 of 9 trigrams shared)
+    assert rows.get((1, 2)) == pytest.approx(8 / 9, abs=1e-6)
+    assert (2, 1) not in rows  # B is NOT inside A
+    assert not any(3 in p for p in rows)
+
+
+def test_containment_paths_equal(cdocs):
+    for df in (cdocs,):
+        a = {
+            (r["id_a"], r["id_b"], r["containment"])
+            for r in ngram_containment_pairs(
+                df, "doc_id", "text", threshold=0.5, prefix_filter=False
+            ).collect()
+        }
+        b = {
+            (r["id_a"], r["id_b"], r["containment"])
+            for r in ngram_containment_pairs(
+                df, "doc_id", "text", threshold=0.5, prefix_filter=True
+            ).collect()
+        }
+        c = {
+            (r["id_a"], r["id_b"], r["containment"])
+            for r in ngram_containment_pairs(
+                df, "doc_id", "text", threshold=0.5
+            ).collect()
+        }
+        assert a == b == c and a
+
+
+def test_containment_prefix_path_complete_on_hot_corpus(spark):
+    # shared boilerplate in every doc (hot shingles) + one true
+    # containment pair: the prefix path must still find it
+    boiler = " ".join(f"b{i}" for i in range(10))
+    core = "unique payload sentence with several distinctive tokens inside"
+    rows = [(1, f"{core}")]
+    rows.append((2, f"{core} plus extra trailing words beyond the original"))
+    rows += [(i, f"doc {i} specific words number{i} other{i} {boiler}") for i in range(3, 40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    forced = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_containment_pairs(
+            df, "doc_id", "text", threshold=0.8, prefix_filter=False
+        ).collect()
+    }
+    prefix = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_containment_pairs(
+            df, "doc_id", "text", threshold=0.8, prefix_filter=True
+        ).collect()
+    }
+    assert (1, 2) in forced
+    assert forced == prefix
