@@ -603,7 +603,16 @@ _PROMOTED = [
     # round-7 sixth wave: MASE/SMAPE/bias forecast scorecard (new
     # capability — the evaluation rung closing the forecasting loop:
     # backtest scores, conformal calibrates, this grades)
-    "forecast_scorecard_events",
+    # (forecast_scorecard_events held this slot in round 7 — recorded
+    # row r07; rotated to the tail round-8 for sse_changepoint_daily;
+    # the forecast-eval capability stays oracle-checked via the
+    # seasonal_backtest/conformal tails and the ordered-series family
+    # keeps this new head slot)
+    # round-8 second wave: SSE-optimal changepoint localization (new
+    # capability — the offline level-shift localizer next to CUSUM's
+    # sequential alarm: binary segmentation's exact argmin split via
+    # prefix sums, integer-exact argmax score cross-engine)
+    "sse_changepoint_daily",
     # (anomaly_zscore_daily held this slot in round 5; rotated to the
     # tail in round 6 for event_value_bars — see the round-6 blocks)
     # (concurrency_peaks held this slot in round 5; rotated to the
@@ -1308,6 +1317,9 @@ _DEFERRED = [
     "neyman_alloc_doc_sources",
     "snapshot_diff_supplier",
     "assortativity_cust_supp",
+    # round-8 second-wave rotation OUT (same contract — recorded
+    # green in r07, named head twin in the _PROMOTED block):
+    "forecast_scorecard_events",
 ]
 
 
@@ -11860,3 +11872,74 @@ def grouping_sets_status_priority_q(
             "total_value",
         )
     )
+
+
+@_q(
+    "sse_changepoint_daily",
+    f"""
+    WITH r AS MATERIALIZED ({_DAILY_ROLLUP_SQL}),
+    q AS (
+      SELECT event_type, day,
+             CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT) AS x
+      FROM r),
+    b AS (
+      SELECT event_type, day, x,
+             SUM(x) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS sl,
+             row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS nl,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(x) OVER (PARTITION BY event_type) AS s
+      FROM q),
+    cand AS (
+      SELECT event_type, day AS split_at, sl, nl,
+             s - sl AS sr, n - nl AS nr
+      FROM b WHERE nl < n AND n >= 2),
+    scored AS (
+      SELECT event_type, split_at, sl, nl, sr, nr,
+             ((sl::HUGEINT * sl * nr + sr::HUGEINT * sr * nl)
+              * 1000000) // (nl::HUGEINT * nr) AS score
+      FROM cand),
+    pick AS (
+      SELECT event_type, split_at, sl, nl, sr, nr, score,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY score DESC, split_at) AS rn
+      FROM scored)
+    SELECT event_type, split_at,
+           CAST(nl AS BIGINT) AS n_before,
+           CAST(nr AS BIGINT) AS n_after,
+           ROUND(sl / 1000000.0 / nl, 6) AS mean_before,
+           ROUND(sr / 1000000.0 / nr, 6) AS mean_after,
+           ROUND(sr / 1000000.0 / nr - sl / 1000000.0 / nl, 6) AS shift,
+           CAST(score AS VARCHAR) AS score
+    FROM pick WHERE rn = 1 ORDER BY event_type
+    """,
+    doc="exact single-changepoint localization per event type "
+    "(operators/series.py:sse_changepoint): the split of the daily "
+    "value series minimizing SSE_left + SSE_right — the binary-"
+    "segmentation step behind PELT-style detectors, and the offline "
+    "LEVEL-SHIFT localizer next to CUSUM's sequential alarm "
+    "(cusum_daily_drift says 'drifting since about here'; this names "
+    "THE split under an optimality criterion). Minimizing SSE is "
+    "maximizing S_L^2/n_L + S_R^2/n_R (prefix sums; the sum-of-"
+    "squares term cancels across candidates), so the whole detector "
+    "is one (key, day) sort window + a per-key argmax — no "
+    "iteration, no UDF. Cross-engine exactness: values quantize to "
+    "micros BIGINTs, the argmax score is the DETERMINISTIC integer "
+    "floor((S_L^2 n_R + S_R^2 n_L) * 1e6 / (n_L n_R)) in "
+    "DECIMAL(38,0) via the subtract-pmod floor-quotient form (plain "
+    "decimal `div` RETURNS BIGINT and wraps past 2^63 — measured; "
+    "all terms positive so the floor equals DuckDB HUGEINT `//` "
+    "truncation), ties broken on the earliest split, and the score "
+    "emits as a STRING (the fingerprint_orders bare-decimal lesson). "
+    "Floats appear only in the reported means, rounded round-6",
+)
+def sse_changepoint_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import sse_changepoint
+
+    ev = load_events(spark, sf_dir)
+    rollup = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    return sse_changepoint(rollup, ["event_type"], "day", "v")

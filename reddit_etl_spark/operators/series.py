@@ -1068,3 +1068,101 @@ def forecast_scorecard(
         )
         .orderBy(*keys)
     )
+
+
+def sse_changepoint(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact single changepoint per key: the split of an ordered
+    series into two segments that maximally reduces total squared
+    error — the binary-segmentation step behind PELT-style detectors,
+    and the LEVEL-SHIFT localizer next to CUSUM's sequential alarm
+    (CUSUM says "drifting since about here"; this names THE split
+    with an offline optimality criterion).
+
+    Minimizing SSE_left + SSE_right is maximizing
+    g(t) = S_L²/n_L + S_R²/n_R (S from prefix sums — Σx² cancels
+    across candidates). Cross-engine exactness: values quantize to
+    ``scale``-ths (FLOOR(v·scale + 0.5) — exact on round-6 inputs),
+    prefix sums are BIGINT, and the winning split maximizes the
+    DETERMINISTIC integer score
+        floor((S_L²·n_R + S_R²·n_L) · scale / (n_L·n_R))
+    computed in DECIMAL(38,0) (HUGEINT in the oracle; all positive,
+    so Spark's ``div`` truncation == DuckDB's ``//``), ties broken on
+    the earliest split. No float enters until the reported means.
+
+    Plan: one (key, order) sort window for prefix sums (reused by
+    the count window), a per-key aggregate for totals, and an
+    argmax window over the ~per-key-cardinality candidate frame —
+    keys partition everything; feed a bounded rollup per the
+    series-family convention. Output one row per key with >= 2
+    points: split point (last point of the left segment), segment
+    means, delta, and the scaled score.
+    """
+    x = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long")
+    w = Window.partitionBy(*key_cols).orderBy("__o")
+    wk = Window.partitionBy(*key_cols)
+    base = (
+        df.select(*key_cols, F.col(order_col).alias("__o"), x.alias("__x"))
+        .withColumn("__sl", F.sum("__x").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+        .withColumn("__nl", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(wk))
+        .withColumn("__s", F.sum("__x").over(wk))
+    )
+    cand = base.filter(
+        (F.col("__nl") < F.col("__n")) & (F.col("__n") >= 2)
+    ).select(
+        *key_cols,
+        F.col("__o").alias("split_at"),
+        "__sl",
+        "__nl",
+        (F.col("__s") - F.col("__sl")).alias("__sr"),
+        (F.col("__n") - F.col("__nl")).alias("__nr"),
+    )
+    # floor quotient via (num - num % den) / den: Spark's `div`
+    # operator RETURNS BIGINT and silently wraps past 2^63 (measured:
+    # a 2.8e34 quotient came back negative); subtracting the pmod
+    # first makes the decimal division exact-integral, which survives
+    # the DECIMAL(38,0) cast untouched. All terms positive, so this
+    # floor == DuckDB HUGEINT `//` truncation.
+    score = F.expr(
+        f"CAST(((CAST(__sl AS DECIMAL(38,0)) * __sl * __nr"
+        f" + CAST(__sr AS DECIMAL(38,0)) * __sr * __nl) * {scale}"
+        f" - pmod((CAST(__sl AS DECIMAL(38,0)) * __sl * __nr"
+        f" + CAST(__sr AS DECIMAL(38,0)) * __sr * __nl) * {scale},"
+        f" CAST(__nl AS DECIMAL(38,0)) * __nr))"
+        f" / (CAST(__nl AS DECIMAL(38,0)) * __nr) AS DECIMAL(38,0))"
+    )
+    scored = cand.withColumn("__score", score)
+    w_pick = Window.partitionBy(*key_cols).orderBy(
+        F.desc("__score"), F.asc("split_at")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w_pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *key_cols,
+            "split_at",
+            F.col("__nl").cast("long").alias("n_before"),
+            F.col("__nr").cast("long").alias("n_after"),
+            F.round(F.col("__sl").cast("double") / scale / F.col("__nl"), 6)
+            .alias("mean_before"),
+            F.round(F.col("__sr").cast("double") / scale / F.col("__nr"), 6)
+            .alias("mean_after"),
+            F.round(
+                F.col("__sr").cast("double") / scale / F.col("__nr")
+                - F.col("__sl").cast("double") / scale / F.col("__nl"),
+                6,
+            ).alias("shift"),
+            F.col("__score").cast("decimal(38,0)").cast("string").alias(
+                "score"
+            ),
+        )
+        .orderBy(*key_cols)
+    )

@@ -56,8 +56,12 @@ def test_recorded_head_exactly_cap_and_contains_rotation():
         "similarity_topk_ivf_indexed",
         "image_phash_neardup",
         "fingerprint_orders",  # the r07 red row, fixed + re-attested r08
+        "sse_changepoint_daily",  # round-8 second wave
     ):
         assert q in head, q
+    # round-8 second-wave swap-out partners: recorded r07, tail twins
+    assert "forecast_scorecard_events" not in head
+    assert "forecast_scorecard_events" in order
 
 
 def test_tail_is_fully_curated():

@@ -286,3 +286,54 @@ def test_containment_prefix_path_complete_on_hot_corpus(spark):
     }
     assert (1, 2) in forced
     assert forced == prefix
+
+
+# ------------------------------------------------------ sse changepoint
+
+
+def test_sse_changepoint_obvious_level_shift(spark):
+    from reddit_etl_spark.operators.series import sse_changepoint
+
+    rows = [("k", i, 10.0 if i <= 4 else 50.0) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "key string, t int, v double")
+    got = sse_changepoint(df, ["key"], "t", "v").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["split_at"] == 4 and r["n_before"] == 4 and r["n_after"] == 6
+    assert r["mean_before"] == 10.0 and r["mean_after"] == 50.0
+    assert r["shift"] == 40.0
+
+
+def test_sse_changepoint_matches_brute_force_sse(spark):
+    import random
+
+    from reddit_etl_spark.operators.series import sse_changepoint
+
+    rng = random.Random(8)
+    xs = [round(rng.uniform(0, 100), 3) for _ in range(40)]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(xs)], "key string, t int, v double"
+    )
+    got = sse_changepoint(df, ["key"], "t", "v").collect()[0]
+
+    def sse(seg):
+        m = sum(seg) / len(seg)
+        return sum((v - m) ** 2 for v in seg)
+
+    best = min(
+        range(1, len(xs)),
+        key=lambda t: (round(sse(xs[:t]) + sse(xs[t:]), 9), t),
+    )
+    assert got["split_at"] == best - 1  # t of the left segment's last point
+    assert got["n_before"] == best
+
+
+def test_sse_changepoint_tie_breaks_earliest_and_skips_singletons(spark):
+    from reddit_etl_spark.operators.series import sse_changepoint
+
+    # constant series: every split scores identically -> earliest wins
+    rows = [("c", i, 5.0) for i in range(1, 6)] + [("s", 1, 3.0)]
+    df = spark.createDataFrame(rows, "key string, t int, v double")
+    out = {r["key"]: r for r in sse_changepoint(df, ["key"], "t", "v").collect()}
+    assert out["c"]["split_at"] == 1 and out["c"]["shift"] == 0.0
+    assert "s" not in out  # single-point keys emit nothing
