@@ -463,7 +463,15 @@ _PROMOTED = [
     # round-7: Shannon entropy + KL-vs-global drift readout (new
     # capability; slot from benford_price_digits per the comment
     # above)
-    "entropy_event_hours",
+    # (entropy_event_hours held this slot in round 7 — recorded row
+    # r07; rotated to the tail round-8 for freq_triples_brands; the
+    # information-theory family's entropy/KL and MI readouts both
+    # hold r07 rows and stay oracle-checked in the tail)
+    # round-8 second wave: Apriori frequent 3-itemsets (new
+    # capability — the first combinatorial Apriori level above
+    # item_affinity's pairs, downward-closure pruned before the
+    # count shuffle)
+    "freq_triples_brands",
     # (trimmed_mean_order_value held this slot in round 6 — recorded
     # row r06; rotated to the tail round-7 for fd_audit_catalog; the
     # robust-center family keeps weighted_price_quartiles in the head
@@ -575,7 +583,14 @@ _PROMOTED = [
     # frequency-ESTIMATE rung of the sketch family next to
     # Misra-Gries' top-k; md5_60-salted grid fully value-checked
     # cross-engine, mergeable like its HLL/KLL/Theta siblings)
-    "cms_token_freq",
+    # (cms_token_freq held this slot in round 7 — recorded row r07;
+    # rotated to the tail round-8 for augment_dropout_docs; the
+    # sketch family keeps bloom_semi_lineitem's head slot and the
+    # HLL/MG/KLL/Theta tails oracle-checked)
+    # round-8 second wave: deterministic token-dropout augmentation
+    # (new FAMILY — replayable data augmentation for LLM training
+    # epochs; position-keyed md5_60, zero shuffles)
+    "augment_dropout_docs",
     # (heavy_hitters_mg held this slot through round 6's first half —
     # recorded row r05; rotated to the tail mid-round-6 for
     # acf_daily_values — see the round-6 second-wave blocks)
@@ -663,9 +678,14 @@ _PROMOTED = [
     # spatial family's CONTAINMENT rung takes the head slot its
     # proximity rung held, and the KNN path stays oracle-checked in
     # the tail against its exhaustive cross-join oracle)
-    # round-7 fifth wave: exact-BIGINT ray-casting geofence join (new
-    # capability)
-    "geo_fence_customers",
+    # (geo_fence_customers held this slot in round 7 — recorded row
+    # r07; rotated to the tail round-8 for spearman_value_items; the
+    # spatial family's containment + KNN rungs both hold recorded
+    # rows and stay oracle-checked in the tail)
+    # round-8 second wave: Spearman rank correlation with exact tie
+    # handling (new capability — the monotone-association companion
+    # to q12's Pearson; doubled-rank integers, HUGEINT moments)
+    "spearman_value_items",
     # round-6 second wave: multi-touch attribution (new capability —
     # generalizes the as-of family's last-touch special case to
     # linear/time-decay/position credit models over the bucketed
@@ -1320,6 +1340,9 @@ _DEFERRED = [
     # round-8 second-wave rotation OUT (same contract — recorded
     # green in r07, named head twin in the _PROMOTED block):
     "forecast_scorecard_events",
+    "entropy_event_hours",
+    "cms_token_freq",
+    "geo_fence_customers",
 ]
 
 
@@ -11943,3 +11966,179 @@ def sse_changepoint_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.round(F.sum("value"), 6).alias("v"))
     return sse_changepoint(rollup, ["event_type"], "day", "v")
+
+
+@_q(
+    "freq_triples_brands",
+    """
+    WITH b AS MATERIALIZED (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS i
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    nb AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM b),
+    f1 AS MATERIALIZED (
+      SELECT i, CAST(COUNT(*) AS BIGINT) AS supp
+      FROM b GROUP BY i
+      HAVING CAST(COUNT(*) AS BIGINT) * 10000 >= 20 * (SELECT n FROM nb)),
+    bf AS MATERIALIZED (SELECT b.o, b.i FROM b JOIN f1 USING (i)),
+    pib AS MATERIALIZED (
+      SELECT a.o, a.i AS ia, c.i AS ib
+      FROM bf a JOIN bf c ON a.o = c.o AND a.i < c.i),
+    f2 AS MATERIALIZED (
+      SELECT ia, ib FROM pib GROUP BY ia, ib
+      HAVING CAST(COUNT(*) AS BIGINT) * 10000 >= 20 * (SELECT n FROM nb)),
+    cand AS (
+      SELECT fp.o, fp.ia, fp.ib, e.i AS ic
+      FROM (SELECT pib.o, pib.ia, pib.ib
+            FROM pib JOIN f2 USING (ia, ib)) fp
+      JOIN bf e ON e.o = fp.o AND e.i > fp.ib
+      JOIN f2 p2 ON p2.ia = fp.ia AND p2.ib = e.i
+      JOIN f2 p3 ON p3.ia = fp.ib AND p3.ib = e.i),
+    tri AS (
+      SELECT ia, ib, ic, CAST(COUNT(*) AS BIGINT) AS support
+      FROM cand GROUP BY ia, ib, ic
+      HAVING CAST(COUNT(*) AS BIGINT) * 10000 >= 20 * (SELECT n FROM nb))
+    SELECT t.ia AS item_a, t.ib AS item_b, t.ic AS item_c, t.support,
+           ROUND(CAST(t.support AS DOUBLE) / (SELECT n FROM nb), 6)
+             AS support_frac,
+           ROUND(CAST((SELECT n FROM nb)::HUGEINT * (SELECT n FROM nb)
+                      * t.support AS DOUBLE)
+                 / CAST(sa.supp::HUGEINT * sb.supp * sc.supp AS DOUBLE), 6)
+             AS lift
+    FROM tri t JOIN f1 sa ON sa.i = t.ia JOIN f1 sb ON sb.i = t.ib
+    JOIN f1 sc ON sc.i = t.ic
+    ORDER BY item_a, item_b, item_c
+    """,
+    doc="Apriori frequent 3-itemsets over per-order brand baskets "
+    "(operators/relational.py:frequent_triples): every brand triple "
+    "co-bought in >= 0.2% of orders, with support and lift vs full "
+    "independence — extends item_affinity's pairs to the first "
+    "combinatorial Apriori level, with the downward-closure prune "
+    "applied BEFORE the count shuffle (both new sub-pairs of each "
+    "candidate extension must be in the threshold-bounded frequent-"
+    "pair set, which broadcasts). Relative support thresholds are "
+    "cross-multiplied (supp * 10000 >= permyriad * N) so no engine "
+    "divides; work is sum_baskets C(|b|,3)-bounded by basket size, "
+    "never item popularity, and a max_basket_size hygiene filter "
+    "guards the whale-basket blowup at 100 TB. Fractions/lift emit "
+    "as round-6 doubles (all products < 2^53 — exact in double)",
+)
+def freq_triples_brands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import frequent_triples
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    b = li.join(part, li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "p_brand"
+    )
+    return frequent_triples(
+        b, "l_orderkey", "p_brand", min_support_permyriad=20
+    )
+
+
+@_q(
+    "spearman_value_items",
+    """
+    WITH j AS (
+      SELECT o.o_orderpriority, o.o_totalprice AS x, c.n_items AS y
+      FROM orders o JOIN (
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem GROUP BY l_orderkey) c
+      ON o.o_orderkey = c.l_orderkey),
+    r AS (
+      SELECT o_orderpriority,
+             2 * rank() OVER (PARTITION BY o_orderpriority ORDER BY x)
+               + COUNT(*) OVER (PARTITION BY o_orderpriority, x) - 1
+               AS rx,
+             2 * rank() OVER (PARTITION BY o_orderpriority ORDER BY y)
+               + COUNT(*) OVER (PARTITION BY o_orderpriority, y) - 1
+               AS ry
+      FROM j),
+    m AS (
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(rx::HUGEINT) AS sx, SUM(ry::HUGEINT) AS sy,
+             SUM(rx::HUGEINT * ry) AS sxy,
+             SUM(rx::HUGEINT * rx) AS sxx,
+             SUM(ry::HUGEINT * ry) AS syy
+      FROM r GROUP BY o_orderpriority)
+    SELECT o_orderpriority, n,
+           CASE WHEN n::HUGEINT * sxx - sx * sx > 0
+                 AND n::HUGEINT * syy - sy * sy > 0
+                THEN ROUND(
+                  CAST(CAST(n::HUGEINT * sxy - sx * sy AS VARCHAR)
+                       AS DOUBLE)
+                  / (sqrt(CAST(CAST(n::HUGEINT * sxx - sx * sx AS VARCHAR)
+                               AS DOUBLE))
+                     * sqrt(CAST(CAST(n::HUGEINT * syy - sy * sy
+                                      AS VARCHAR) AS DOUBLE))), 6)
+           END AS spearman_rho
+    FROM m ORDER BY o_orderpriority
+    """,
+    doc="per-priority Spearman rank correlation between order value "
+    "and line-item count (operators/relational.py:spearman_corr): "
+    "Pearson on AVERAGE ranks with exact tie handling (the d^2 "
+    "shortcut is wrong under ties) — the monotone-association "
+    "companion to q12's Pearson corr. Doubled ranks are exact "
+    "BIGINTs (tie-run average rank is always a half-integer; the "
+    "factor 2 cancels), moments accumulate in DECIMAL(38,0)/HUGEINT "
+    "(n * Sxy passes int64 at 60k-row groups), the numerator crosses "
+    "to double through the VARCHAR roundtrip (playbook: bare "
+    "decimal-magnitude outputs past 2^53), and sqrt splits the "
+    "denominator BEFORE multiplication (dx * dy would pass "
+    "DECIMAL(38)). Two rank windows + one tie-count window per "
+    "variable, one map-side-combined moment aggregate",
+)
+def spearman_value_items_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import spearman_corr
+
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n_items")
+    )
+    j = orders.join(cnt, orders.o_orderkey == cnt.l_orderkey).select(
+        "o_orderpriority", "o_totalprice", "n_items"
+    )
+    return spearman_corr(j, ["o_orderpriority"], "o_totalprice", "n_items")
+
+
+@_q(
+    "augment_dropout_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+      FROM documents WHERE text IS NOT NULL),
+    pos AS (
+      SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i,
+             len(l) AS nt
+      FROM toks),
+    mark AS (
+      SELECT doc_id, tok, i, nt,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'
+                                    || CAST(i AS VARCHAR) || ':aug1'),
+                                1, 15))::BIGINT % 1000 AS h
+      FROM pos)
+    SELECT doc_id, CAST(MAX(nt) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN h >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           COALESCE(string_agg(CASE WHEN h >= 100 THEN tok END,
+                               ' ' ORDER BY i), '') AS text_aug
+    FROM mark GROUP BY doc_id
+    """,
+    doc="deterministic token-dropout augmentation over documents "
+    "(operators/text.py:augment_token_dropout): drop each whitespace "
+    "token with p = 100/1000 decided by the canonical md5_60 hash of "
+    "id:position:seed — the denoising augmentation for LLM training "
+    "data made replayable (same id/pos/seed -> same decision on any "
+    "engine/partitioning/rerun; vary the seed for independent "
+    "epochs). Position-keyed, not token-keyed, so repeated tokens "
+    "drop independently and adversarial content cannot bias its own "
+    "survival. ZERO shuffles — split/HOF-filter/array_join are "
+    "row-local column expressions in whole-stage codegen; runs at "
+    "scan speed as one narrow map. The oracle replays the hash via "
+    "unnest WITH ordinality + ordered string_agg",
+)
+def augment_dropout_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import augment_token_dropout
+
+    docs = load(spark, sf_dir, "documents")
+    return augment_token_dropout(docs, "doc_id", "text", 100, "aug1")

@@ -273,6 +273,208 @@ def item_affinity(
     )
 
 
+def frequent_triples(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support_permyriad: int = 20,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Apriori frequent 3-itemsets: every unordered item triple that
+    co-occurs in at least ``min_support_permyriad``/10000 of baskets,
+    with joint support and the triple's lift against full independence
+    (N^2 * supp_abc / (supp_a * supp_b * supp_c)). Extends
+    ``item_affinity``'s pairs to the first genuinely combinatorial
+    Apriori level — the downward-closure prune (every sub-pair of a
+    frequent triple must itself be frequent) is what separates this
+    from a blind 3-way self-join.
+
+    Plan, in Apriori order:
+    1. distinct (basket, item) — one shuffle; optional whale-basket
+       drop (``max_basket_size``, the Apriori hygiene filter).
+    2. frequent items: one map-side-combined count; the relative
+       threshold is cross-multiplied (supp * 10000 >= permyriad * N)
+       so no engine ever divides.
+    3. frequent pairs from the basket-key self-join (work is
+       sum_baskets C(|b|,2), bounded by basket size, never by item
+       popularity — item_affinity's argument).
+    4. candidate triples: extend each in-basket frequent pair by a
+       third in-basket item, pruning BOTH new sub-pairs (a,c),(b,c)
+       against the frequent-pair set BEFORE the count shuffle — at
+       100 TB the pair set is threshold-bounded (<= C(k,2) survivors),
+       broadcast on both prune joins, so the only large shuffle is
+       the final (a,b,c) count, already sub-pair-filtered.
+    Support fractions/lift emit as round-6 doubles; all thresholds
+    and counts stay exact BIGINT.
+    """
+    b = (
+        df.select(F.col(basket_col).alias("__o"), F.col(item_col).alias("__i"))
+        .distinct()
+    )
+    if max_basket_size is not None:
+        sizes = b.groupBy("__o").agg(F.count("*").alias("__sz"))
+        b = (
+            b.join(sizes, "__o")
+            .filter(F.col("__sz") <= max_basket_size)
+            .drop("__sz")
+        )
+    b = b.localCheckpoint(eager=False)
+    n_baskets = b.select("__o").distinct().agg(
+        F.count("*").cast("long").alias("__n")
+    )
+    marg = (
+        b.groupBy("__i")
+        .agg(F.count("*").cast("long").alias("__supp"))
+        .crossJoin(F.broadcast(n_baskets))
+        .filter(
+            F.col("__supp") * 10000 >= F.lit(min_support_permyriad) * F.col("__n")
+        )
+    )
+    f1 = marg.select("__i", "__supp")
+    bf = b.join(F.broadcast(f1.select("__i")), "__i").select("__o", "__i")
+    pairs_in_basket = (
+        bf.select("__o", F.col("__i").alias("item_a"))
+        .join(bf.select("__o", F.col("__i").alias("item_b")), "__o")
+        .filter(F.col("item_a") < F.col("item_b"))
+    )
+    f2 = (
+        pairs_in_basket.groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("long").alias("__supp2"))
+        .crossJoin(F.broadcast(n_baskets))
+        .filter(
+            F.col("__supp2") * 10000
+            >= F.lit(min_support_permyriad) * F.col("__n")
+        )
+        .select("item_a", "item_b")
+        .localCheckpoint(eager=False)
+    )
+    fp = pairs_in_basket.join(F.broadcast(f2), ["item_a", "item_b"])
+    cand = (
+        fp.join(bf.select("__o", F.col("__i").alias("item_c")), "__o")
+        .filter(F.col("item_c") > F.col("item_b"))
+        .join(
+            F.broadcast(
+                f2.select(
+                    F.col("item_a"), F.col("item_b").alias("item_c")
+                )
+            ),
+            ["item_a", "item_c"],
+        )
+        .join(
+            F.broadcast(
+                f2.select(
+                    F.col("item_a").alias("item_b"),
+                    F.col("item_b").alias("item_c"),
+                )
+            ),
+            ["item_b", "item_c"],
+        )
+    )
+    triples = (
+        cand.groupBy("item_a", "item_b", "item_c")
+        .agg(F.count("*").cast("long").alias("support"))
+        .crossJoin(F.broadcast(n_baskets))
+        .filter(
+            F.col("support") * 10000
+            >= F.lit(min_support_permyriad) * F.col("__n")
+        )
+    )
+    ma = f1.select(F.col("__i").alias("item_a"), F.col("__supp").alias("__sa"))
+    mb = f1.select(F.col("__i").alias("item_b"), F.col("__supp").alias("__sb"))
+    mc = f1.select(F.col("__i").alias("item_c"), F.col("__supp").alias("__sc"))
+    return (
+        triples.join(F.broadcast(ma), "item_a")
+        .join(F.broadcast(mb), "item_b")
+        .join(F.broadcast(mc), "item_c")
+        .select(
+            "item_a",
+            "item_b",
+            "item_c",
+            "support",
+            F.round(F.col("support").cast("double") / F.col("__n"), 6).alias(
+                "support_frac"
+            ),
+            F.round(
+                (
+                    F.col("__n").cast("decimal(38,0)")
+                    * F.col("__n")
+                    * F.col("support")
+                ).cast("double")
+                / (
+                    F.col("__sa").cast("decimal(38,0)")
+                    * F.col("__sb")
+                    * F.col("__sc")
+                ).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("item_a", "item_b", "item_c")
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Spearman rank correlation with exact tie handling:
+    Pearson's rho computed on AVERAGE ranks (the textbook tied-rank
+    definition — the d^2 shortcut formula is wrong under ties), the
+    monotone-association companion to the linear ``grouped_corr``:
+    rho_s = 1 when y is ANY increasing function of x, not just affine.
+
+    Exactness: the average rank of a tie run is (2*min_rank + cnt - 1)
+    / 2 — always a half-integer — so DOUBLED ranks are exact BIGINTs
+    (the factor 2 cancels in Pearson's normalization). All five moment
+    sums accumulate in DECIMAL(38,0) (n * S_xy reaches ~5e19 at one
+    group of 60k rows — past int64), the numerator n*Sxy - Sx*Sy stays
+    an exact integer on both engines, and floats appear only in the
+    final num / (sqrt(dx) * sqrt(dy)) division (dx*dy would pass
+    DECIMAL(38) — the square roots must split first). Degenerate
+    groups (n < 2 or zero variance in either variable) emit NULL.
+
+    Plan: two rank windows + one tie-count window per variable on the
+    (group, value) sort, then ONE map-side-combined moment aggregate
+    — the group key partitions everything, no driver-side state.
+    """
+    keys = list(group_cols)
+    wx = Window.partitionBy(*keys).orderBy(x_col)
+    wy = Window.partitionBy(*keys).orderBy(y_col)
+    cx = Window.partitionBy(*keys, x_col)
+    cy = Window.partitionBy(*keys, y_col)
+    ranked = df.select(
+        *keys,
+        (
+            2 * F.rank().over(wx) + F.count("*").over(cx) - 1
+        ).cast("long").alias("__rx"),
+        (
+            2 * F.rank().over(wy) + F.count("*").over(cy) - 1
+        ).cast("long").alias("__ry"),
+    )
+    d = "decimal(38,0)"
+    m = ranked.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("__rx").cast(d)).cast(d).alias("__sx"),
+        F.sum(F.col("__ry").cast(d)).cast(d).alias("__sy"),
+        F.sum((F.col("__rx") * F.col("__ry")).cast(d)).cast(d).alias("__sxy"),
+        F.sum((F.col("__rx") * F.col("__rx")).cast(d)).cast(d).alias("__sxx"),
+        F.sum((F.col("__ry") * F.col("__ry")).cast(d)).cast(d).alias("__syy"),
+    )
+    num = F.col("n").cast(d) * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    dx = F.col("n").cast(d) * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    dy = F.col("n").cast(d) * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    rho = F.when(
+        (dx > 0) & (dy > 0),
+        F.round(
+            num.cast("double")
+            / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+            6,
+        ),
+    )
+    return m.select(*keys, "n", rho.alias("spearman_rho")).orderBy(*keys)
+
+
 def linear_trend(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -1207,3 +1207,58 @@ def feature_hash_stats(
         )
         .orderBy("bucket")
     )
+
+
+def augment_token_dropout(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rate_permille: int = 100,
+    seed: str = "aug1",
+) -> DataFrame:
+    """Deterministic token-dropout augmentation: drop each whitespace
+    token with probability ``rate_permille``/1000, decided by a
+    position-keyed hash — the standard denoising/regularization
+    augmentation for LLM training data, made REPLAYABLE: the same
+    (id, position, seed) always keeps or drops the same token, on any
+    engine, any partitioning, any rerun. Vary ``seed`` to draw
+    independent augmented epochs; the original text is never shuffled
+    or re-tokenized, so the output is a pure row-local map.
+
+    The keep/drop decision routes through the repo's one canonical
+    portable hash (``dedup.token_hash_col`` md5_60, per-mille residue
+    — DuckDB twin ``('0x'||substring(md5(s),1,15))::BIGINT % 1000``),
+    keyed on id:position:seed (1-based positions, matching DuckDB
+    ``generate_subscripts``) and NOT on the token text, so repeated
+    tokens drop independently and adversarial token content cannot
+    bias its own survival.
+
+    Plan: zero shuffles — split / higher-order-function filter /
+    array_join are all row-local column expressions inside
+    whole-stage codegen; at 100 TB this runs at scan speed as one
+    narrow map over the documents table. No UDF.
+
+    Output: id, n_tokens, n_kept, text_aug.
+    """
+    from .dedup import token_hash_col  # noqa: PLC0415
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def _keep(t: Column, i: Column) -> Column:
+        key = F.concat_ws(
+            ":",
+            F.col(id_col).cast("string"),
+            (i + 1).cast("string"),
+            F.lit(seed),
+        )
+        return F.pmod(token_hash_col(key, "md5_60"), F.lit(1000)) >= F.lit(
+            rate_permille
+        )
+
+    kept = F.filter(toks, _keep)
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, " ").alias("text_aug"),
+    )

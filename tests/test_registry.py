@@ -57,11 +57,20 @@ def test_recorded_head_exactly_cap_and_contains_rotation():
         "image_phash_neardup",
         "fingerprint_orders",  # the r07 red row, fixed + re-attested r08
         "sse_changepoint_daily",  # round-8 second wave
+        "freq_triples_brands",
+        "augment_dropout_docs",
+        "spearman_value_items",
     ):
         assert q in head, q
     # round-8 second-wave swap-out partners: recorded r07, tail twins
-    assert "forecast_scorecard_events" not in head
-    assert "forecast_scorecard_events" in order
+    for q in (
+        "forecast_scorecard_events",
+        "entropy_event_hours",
+        "cms_token_freq",
+        "geo_fence_customers",
+    ):
+        assert q not in head, q
+        assert q in order, q  # still oracle-checked
 
 
 def test_tail_is_fully_curated():

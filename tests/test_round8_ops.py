@@ -1,7 +1,9 @@
-"""Round-8 operator wave: leave-one-out target encoding, RFM quintile
+"""Round-8 operator waves: leave-one-out target encoding, RFM quintile
 scoring, Horvitz-Thompson stratified estimation, quantile
 normalization, exact-integer PCA power iteration, the hashing-trick
-audit, and directed n-gram containment pairs."""
+audit, directed n-gram containment pairs; second wave: SSE-optimal
+changepoint localization, Apriori frequent triples, Spearman rank
+correlation, deterministic token-dropout augmentation."""
 
 from __future__ import annotations
 
@@ -337,3 +339,178 @@ def test_sse_changepoint_tie_breaks_earliest_and_skips_singletons(spark):
     out = {r["key"]: r for r in sse_changepoint(df, ["key"], "t", "v").collect()}
     assert out["c"]["split_at"] == 1 and out["c"]["shift"] == 0.0
     assert "s" not in out  # single-point keys emit nothing
+
+
+# ---------------------------------------------------- frequent triples
+
+
+def _baskets(spark, rows):
+    return spark.createDataFrame(rows, "o long, i string")
+
+
+def test_frequent_triples_hand_case(spark):
+    from reddit_etl_spark.operators.relational import frequent_triples
+
+    # {a,b,c} in 3 of 4 baskets; {a,b,d} in only 1
+    rows = []
+    for o, items in enumerate(
+        [["a", "b", "c"], ["a", "b", "c"], ["a", "b", "c", "d"], ["a", "d"]]
+    ):
+        rows += [(o, i) for i in items]
+    got = frequent_triples(
+        _baskets(spark, rows), "o", "i", min_support_permyriad=5000
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["item_a"], r["item_b"], r["item_c"]) == ("a", "b", "c")
+    assert r["support"] == 3 and r["support_frac"] == 0.75
+    # lift = N^2 * 3 / (sa * sb * sc) = 16*3 / (4*3*3) = 4/3
+    assert r["lift"] == round(16 * 3 / (4 * 3 * 3), 6)
+
+
+def test_frequent_triples_downward_closure_and_whale_filter(spark):
+    from reddit_etl_spark.operators.relational import frequent_triples
+
+    # triple appears twice but one sub-pair is globally infrequent
+    # relative to a high threshold -> pruned
+    rows = []
+    for o, items in enumerate(
+        [["a", "b", "c"], ["a", "b", "c"], ["a", "b"], ["a", "b"],
+         ["a", "b"], ["a", "b"]]
+    ):
+        rows += [(o, i) for i in items]
+    # threshold 50%: pair (a,b) support 6/6, (a,c)/(b,c) 2/6 -> no triple
+    got = frequent_triples(
+        _baskets(spark, rows), "o", "i", min_support_permyriad=5000
+    ).collect()
+    assert got == []
+    # whale basket dropped entirely
+    whale = [(99, f"i{k}") for k in range(30)]
+    got2 = frequent_triples(
+        _baskets(spark, rows + whale), "o", "i",
+        min_support_permyriad=5000, max_basket_size=10,
+    ).collect()
+    assert got2 == []
+
+
+def test_frequent_triples_duplicate_rows_collapse(spark):
+    from reddit_etl_spark.operators.relational import frequent_triples
+
+    rows = [(1, "a"), (1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"),
+            (2, "c")]
+    got = frequent_triples(
+        _baskets(spark, rows), "o", "i", min_support_permyriad=5000
+    ).collect()
+    assert len(got) == 1 and got[0]["support"] == 2
+
+
+# ------------------------------------------------------------ spearman
+
+
+def test_spearman_perfect_monotone_nonlinear(spark):
+    from reddit_etl_spark.operators.relational import spearman_corr
+
+    rows = [("g", float(x), float(x**3)) for x in range(1, 9)]
+    got = spearman_corr(
+        spark.createDataFrame(rows, "g string, x double, y double"),
+        ["g"], "x", "y",
+    ).collect()
+    assert got[0]["spearman_rho"] == 1.0  # cubic is monotone: rho_s = 1
+
+
+def test_spearman_ties_match_scipy_definition(spark):
+    from reddit_etl_spark.operators.relational import spearman_corr
+
+    xs = [1.0, 2.0, 2.0, 2.0, 3.0, 4.0, 4.0, 5.0]
+    ys = [2.0, 1.0, 3.0, 3.0, 5.0, 4.0, 6.0, 6.0]
+
+    def avg_ranks(vs):
+        out = []
+        for v in vs:
+            less = sum(1 for u in vs if u < v)
+            eq = sum(1 for u in vs if u == v)
+            out.append(less + (eq + 1) / 2)
+        return out
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    expect = round(
+        (n * sxy - sx * sy)
+        / ((n * sxx - sx * sx) ** 0.5 * (n * syy - sy * sy) ** 0.5),
+        6,
+    )
+    rows = [("g", x, y) for x, y in zip(xs, ys)]
+    got = spearman_corr(
+        spark.createDataFrame(rows, "g string, x double, y double"),
+        ["g"], "x", "y",
+    ).collect()
+    assert got[0]["spearman_rho"] == expect
+
+
+def test_spearman_degenerate_groups_null(spark):
+    from reddit_etl_spark.operators.relational import spearman_corr
+
+    rows = [("const", 1.0, float(i)) for i in range(5)] + [("one", 2.0, 3.0)]
+    got = {
+        r["g"]: r["spearman_rho"]
+        for r in spearman_corr(
+            spark.createDataFrame(rows, "g string, x double, y double"),
+            ["g"], "x", "y",
+        ).collect()
+    }
+    assert got["const"] is None and got["one"] is None
+
+
+# ------------------------------------------------------- token dropout
+
+
+def test_token_dropout_deterministic_and_seed_sensitive(spark):
+    from reddit_etl_spark.operators.text import augment_token_dropout
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(50))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    a1 = augment_token_dropout(docs, "doc_id", "text", 200, "s1").collect()
+    a2 = augment_token_dropout(docs, "doc_id", "text", 200, "s1").collect()
+    b = augment_token_dropout(docs, "doc_id", "text", 200, "s2").collect()
+    assert sorted(map(tuple, a1)) == sorted(map(tuple, a2))  # replayable
+    assert sorted(map(tuple, a1)) != sorted(map(tuple, b))  # epoch varies
+    kept = sum(r["n_kept"] for r in a1)
+    total = sum(r["n_tokens"] for r in a1)
+    assert total == 1000
+    assert 0.72 <= kept / total <= 0.88  # ~20% dropout
+
+
+def test_token_dropout_position_keyed_not_token_keyed(spark):
+    from reddit_etl_spark.operators.text import augment_token_dropout
+
+    # identical repeated token must NOT live or die as a block
+    docs = spark.createDataFrame(
+        [(1, " ".join(["same"] * 200))], "doc_id long, text string"
+    )
+    r = augment_token_dropout(docs, "doc_id", "text", 300, "s").collect()[0]
+    assert 0 < r["n_kept"] < 200
+
+
+def test_token_dropout_subset_order_preserved_and_empty_text(spark):
+    from reddit_etl_spark.operators.text import augment_token_dropout
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "   ")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in augment_token_dropout(
+            docs, "doc_id", "text", 400, "s3"
+        ).collect()
+    }
+    words = out[1]["text_aug"].split()
+    src = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    assert words == [w for w in src if w in words]  # order preserved
+    assert out[2]["n_tokens"] == 1  # whitespace-only -> [''] both engines
