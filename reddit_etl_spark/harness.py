@@ -664,7 +664,15 @@ _PROMOTED = [
     # round-7 fifth wave: deterministic Poisson-bootstrap CI (new
     # capability — the distribution-free inference rung; hash-seeded
     # resamples make the whole CI value-checkable cross-engine)
-    "bootstrap_ci_order_value",
+    # (bootstrap_ci_order_value held this slot in round 7 — recorded
+    # row r07; rotated to the tail round-8 for burstiness_event_types;
+    # the inference/sampling-design family keeps ht_total_by_priority's
+    # new head slot and the bootstrap/CUPED/conformal tails stay
+    # oracle-checked, the streaming bootstrap twin pytest-pinned)
+    # round-8 third wave: point-process burstiness (new capability —
+    # inter-arrival timing analysis the value-based drift family
+    # cannot see; Goh-Barabasi index from exact integer moments)
+    "burstiness_event_types",
     # (twa_user_value held this slot through round 6's first half —
     # recorded rows r05; rotated to the tail mid-round-6 for
     # geo_nearest_supplier — see the round-6 second-wave blocks)
@@ -717,7 +725,16 @@ _PROMOTED = [
     # round-7 fifth wave: windowed funnel conversion (new capability
     # — the chosen-path attrition readout next to journeys'
     # path ranking and the transition matrix's hop factorization)
-    "funnel_view_click_purchase",
+    # (funnel_view_click_purchase held this slot in round 7 —
+    # recorded row r07; rotated to the tail round-8 for
+    # seq_trigrams_users; the journey/attribution family keeps
+    # multitouch_channels' head slot with the funnel/journeys/
+    # transition tails oracle-checked)
+    # round-8 third wave: ordered event-type trigram mining (new
+    # capability — second-order sequence structure between the
+    # Markov pair matrix and whole-path ranking; array-free lead
+    # windows, whale-user safe)
+    "seq_trigrams_users",
     # (item_affinity held this slot in round 5; rotated to the tail
     # in round 6 for bloom_semi_lineitem — see the round-6 blocks)
     # (term_collocations held this slot through round 6's first half —
@@ -1343,6 +1360,9 @@ _DEFERRED = [
     "entropy_event_hours",
     "cms_token_freq",
     "geo_fence_customers",
+    # round-8 third-wave rotation OUT (same contract):
+    "funnel_view_click_purchase",
+    "bootstrap_ci_order_value",
 ]
 
 
@@ -12142,3 +12162,104 @@ def augment_dropout_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return augment_token_dropout(docs, "doc_id", "text", 100, "aug1")
+
+
+@_q(
+    "seq_trigrams_users",
+    """
+    WITH e AS (
+      SELECT user_id, event_type AS t1,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT t1, t2, t3,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
+    FROM e WHERE t3 IS NOT NULL
+    GROUP BY t1, t2, t3 ORDER BY t1, t2, t3
+    """,
+    doc="frequent ordered event-type trigrams per user "
+    "(operators/sessions.py:sequence_ngrams): every contiguous "
+    "3-step type sequence in each user's time-ordered history, with "
+    "total occurrences and distinct users — the order-sensitive "
+    "mining rung between session_transition_matrix (first-order "
+    "Markov pairs) and session_journeys (whole paths): trigrams see "
+    "second-order structure the pair matrix factorizes away. ONE "
+    "sort shuffle: lead windows emit the n-gram rows directly — no "
+    "collect_list array, so a whale user with 10^7 events costs "
+    "10^7 ROWS, never a 10^7-element in-memory array (the "
+    "100 TB-safe shape); then one map-side-combined count over at "
+    "most |types|^3 groups. event_id tie-breaks equal timestamps on "
+    "both engines",
+)
+def seq_trigrams_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sessions import sequence_ngrams
+
+    ev = load_events(spark, sf_dir)
+    return sequence_ngrams(
+        ev, ["user_id"], "ts", "event_type", n=3, tie_col="event_id"
+    )
+
+
+@_q(
+    "burstiness_event_types",
+    """
+    WITH s AS (
+      SELECT event_type, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+      FROM events),
+    g AS (
+      SELECT event_type,
+             sec - lag(sec) OVER (PARTITION BY event_type
+                                  ORDER BY sec, event_id) AS d
+      FROM s),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             SUM(d::HUGEINT) AS sd, SUM(d::HUGEINT * d) AS qd
+      FROM g WHERE d IS NOT NULL GROUP BY event_type)
+    SELECT event_type, n_gaps,
+           ROUND(CAST(CAST(sd AS VARCHAR) AS DOUBLE) / n_gaps, 6)
+             AS mean_gap_s,
+           ROUND(sqrt(CAST(CAST(n_gaps::HUGEINT * qd - sd * sd
+                                AS VARCHAR) AS DOUBLE)
+                      / (CAST(n_gaps AS DOUBLE) * (n_gaps - 1))), 6)
+             AS std_gap_s,
+           CASE WHEN sd > 0 THEN
+             ROUND(sqrt(CAST(CAST(n_gaps::HUGEINT * qd - sd * sd
+                                  AS VARCHAR) AS DOUBLE)
+                        / (CAST(n_gaps AS DOUBLE) * (n_gaps - 1)))
+                   / (CAST(CAST(sd AS VARCHAR) AS DOUBLE) / n_gaps), 6)
+           END AS cv,
+           CASE WHEN sd > 0 THEN
+             ROUND((sqrt(CAST(CAST(n_gaps::HUGEINT * qd - sd * sd
+                                   AS VARCHAR) AS DOUBLE)
+                         / (CAST(n_gaps AS DOUBLE) * (n_gaps - 1)))
+                    - CAST(CAST(sd AS VARCHAR) AS DOUBLE) / n_gaps)
+                   / (sqrt(CAST(CAST(n_gaps::HUGEINT * qd - sd * sd
+                                     AS VARCHAR) AS DOUBLE)
+                           / (CAST(n_gaps AS DOUBLE) * (n_gaps - 1)))
+                      + CAST(CAST(sd AS VARCHAR) AS DOUBLE) / n_gaps), 6)
+           END AS burstiness
+    FROM m ORDER BY event_type
+    """,
+    doc="point-process inter-arrival analysis per event type "
+    "(operators/series.py:burstiness): gap count, mean/sample-std of "
+    "the inter-event gap, CV, and the Goh-Barabasi burstiness index "
+    "B = (sigma - mu)/(sigma + mu) — regular traffic B < 0, Poisson "
+    "B ~ 0, heavy bursts B -> 1; the arrival-TIMING readout the "
+    "value-based drift family (z-score/CUSUM/changepoint) has no "
+    "view of. Exactness: timestamps floor to whole-second BIGINTs "
+    "(the epoch discipline — DuckDB epoch() is fractional and "
+    "::BIGINT rounds), the lag ORDER is the floored integers + "
+    "event_id (engine-independent even for sub-second inputs), "
+    "moments accumulate DECIMAL(38,0)/HUGEINT (sum d^2 is the "
+    "t^2-overflow class), and every float derives from (n, S, Q) "
+    "via identical double expressions with the VARCHAR-roundtrip "
+    "crossing. One sort window + one map-side-combined aggregate",
+)
+def burstiness_event_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import burstiness
+
+    ev = load_events(spark, sf_dir)
+    return burstiness(ev, ["event_type"], "ts", tie_col="event_id")

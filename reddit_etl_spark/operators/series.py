@@ -1166,3 +1166,76 @@ def sse_changepoint(
         )
         .orderBy(*key_cols)
     )
+
+
+def burstiness(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Point-process inter-arrival analysis per key: gap count, mean
+    and sample-std of the inter-event gap in seconds, coefficient of
+    variation, and the Goh-Barabasi burstiness index
+    B = (sigma - mu) / (sigma + mu) in [-1, 1] — B < 0 is
+    metronome-regular traffic, B ~ 0 Poisson, B -> 1 heavy bursts.
+    The arrival-TIMING readout the value-based series family
+    (z-score/CUSUM/changepoint) has no view of.
+
+    Exactness: timestamps floor to whole-second BIGINTs (the
+    playbook's epoch discipline — DuckDB ``epoch()`` is fractional
+    and ``::BIGINT`` rounds, so the oracle floors too), gaps and
+    their squares accumulate in DECIMAL(38,0) (sum of d^2 is the
+    t^2-class overflow under ANSI), and every float emerges from the
+    same exact integer moments (n, S, Q) via identical double
+    expressions: sigma^2 = (n*Q - S^2) / (n * (n-1)). One sort
+    window for ``lag`` + one map-side-combined moment aggregate.
+    """
+    keys = list(key_cols)
+    sec = F.floor(F.unix_timestamp(F.col(ts_col))).cast("long")
+    sel = [*keys, sec.alias("__s")]
+    order_cols = ["__s"]
+    if tie_col is not None:
+        sel.append(F.col(tie_col).alias("__tb"))
+        order_cols.append("__tb")
+    # order on the FLOORED seconds (+ tie) — the same integers both
+    # engines sort, so the gap sequence is engine-independent even
+    # for sub-second timestamps
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    d38 = "decimal(38,0)"
+    gaps = (
+        df.select(*sel)
+        .withColumn("__d", F.col("__s") - F.lag("__s").over(w))
+        .filter(F.col("__d").isNotNull())
+    )
+    m = gaps.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum(F.col("__d").cast(d38)).cast(d38).alias("__S"),
+        F.sum((F.col("__d") * F.col("__d")).cast(d38)).cast(d38).alias("__Q"),
+    )
+    mu = F.col("__S").cast("double") / F.col("n_gaps")
+    var = F.when(
+        F.col("n_gaps") > 1,
+        (
+            F.col("n_gaps").cast(d38) * F.col("__Q")
+            - F.col("__S") * F.col("__S")
+        ).cast("double")
+        / (F.col("n_gaps").cast("double") * (F.col("n_gaps") - 1)),
+    )
+    sigma = F.sqrt(var)
+    return m.select(
+        *keys,
+        "n_gaps",
+        F.round(mu, 6).alias("mean_gap_s"),
+        F.round(sigma, 6).alias("std_gap_s"),
+        F.round(
+            F.when(F.col("__S") > 0, sigma / mu), 6
+        ).alias("cv"),
+        F.round(
+            F.when(
+                (F.col("__S") > 0) & sigma.isNotNull(),
+                (sigma - mu) / (sigma + mu),
+            ),
+            6,
+        ).alias("burstiness"),
+    ).orderBy(*keys)

@@ -649,3 +649,54 @@ def funnel_conversion(
         )
         .orderBy("step_idx")
     )
+
+
+def sequence_ngrams(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    type_col: str,
+    n: int = 3,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Frequent ordered event-type n-grams across each key's full
+    event history: every contiguous length-``n`` type sequence, with
+    total occurrences and the number of distinct keys exhibiting it —
+    the order-sensitive mining rung between
+    :func:`session_transitions` (first-order Markov pairs) and
+    :func:`session_journeys` (whole paths): trigrams catch second-
+    order structure ("view->click->purchase") that the pair matrix
+    factorizes away and full paths drown in sparsity.
+
+    Plan: ONE sort shuffle — ``lead`` windows over the (key, ts[,
+    tie]) order produce the n-gram rows directly, with no
+    collect_list array, so a whale key with 10^7 events costs 10^7
+    ROWS, never a 10^7-element in-memory array (the journeys/
+    transitions fold would OOM there; this is the 100 TB-safe shape).
+    Then one map-side-combined count over (t1..tn) — output
+    cardinality is |types|^n, broadcast-scale for any real type
+    vocabulary. Pass ``tie_col`` (a unique id) whenever timestamps
+    can collide, or the order is engine-dependent.
+    """
+    keys = list(key_cols)
+    order_cols = [F.col(ts_col)]
+    if tie_col is not None:
+        order_cols.append(F.col(tie_col))
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    grams = df.select(
+        *keys,
+        F.col(type_col).alias("t1"),
+        *[
+            F.lead(type_col, k).over(w).alias(f"t{k + 1}")
+            for k in range(1, n)
+        ],
+    ).filter(F.col(f"t{n}").isNotNull())
+    gram_cols = [f"t{k + 1}" for k in range(n)]
+    return (
+        grams.groupBy(*gram_cols)
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.count_distinct(*keys).cast("long").alias("n_keys"),
+        )
+        .orderBy(*gram_cols)
+    )

@@ -60,14 +60,19 @@ def test_recorded_head_exactly_cap_and_contains_rotation():
         "freq_triples_brands",
         "augment_dropout_docs",
         "spearman_value_items",
+        "seq_trigrams_users",  # round-8 third wave
+        "burstiness_event_types",
     ):
         assert q in head, q
-    # round-8 second-wave swap-out partners: recorded r07, tail twins
+    # round-8 second/third-wave swap-out partners: recorded r07,
+    # tail twins
     for q in (
         "forecast_scorecard_events",
         "entropy_event_hours",
         "cms_token_freq",
         "geo_fence_customers",
+        "funnel_view_click_purchase",
+        "bootstrap_ci_order_value",
     ):
         assert q not in head, q
         assert q in order, q  # still oracle-checked

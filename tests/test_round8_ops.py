@@ -3,7 +3,8 @@ scoring, Horvitz-Thompson stratified estimation, quantile
 normalization, exact-integer PCA power iteration, the hashing-trick
 audit, directed n-gram containment pairs; second wave: SSE-optimal
 changepoint localization, Apriori frequent triples, Spearman rank
-correlation, deterministic token-dropout augmentation."""
+correlation, deterministic token-dropout augmentation; third wave:
+ordered event-type trigram mining, point-process burstiness."""
 
 from __future__ import annotations
 
@@ -514,3 +515,108 @@ def test_token_dropout_subset_order_preserved_and_empty_text(spark):
     src = ["alpha", "beta", "gamma", "delta", "epsilon"]
     assert words == [w for w in src if w in words]  # order preserved
     assert out[2]["n_tokens"] == 1  # whitespace-only -> [''] both engines
+
+
+# --------------------------------------------------- sequence n-grams
+
+
+def test_sequence_ngrams_hand_case(spark):
+    from reddit_etl_spark.operators.sessions import sequence_ngrams
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "a"),
+        (2, 1, "a"), (2, 2, "b"), (2, 3, "c"),
+        (3, 1, "x"), (3, 2, "y"),  # too short: no trigram
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, et string")
+    got = {
+        (r["t1"], r["t2"], r["t3"]): (r["n_occurrences"], r["n_keys"])
+        for r in sequence_ngrams(df, ["u"], "t", "et", n=3).collect()
+    }
+    assert got[("a", "b", "c")] == (2, 2)
+    assert got[("b", "c", "a")] == (1, 1)
+    assert len(got) == 2  # user 3 contributes nothing
+
+
+def test_sequence_ngrams_crosses_no_key_boundary(spark):
+    from reddit_etl_spark.operators.sessions import sequence_ngrams
+
+    # last events of user 1 + first of user 2 must NOT form a gram
+    rows = [(1, 1, "a"), (1, 2, "b"), (2, 3, "c"), (2, 4, "d")]
+    df = spark.createDataFrame(rows, "u long, t long, et string")
+    assert sequence_ngrams(df, ["u"], "t", "et", n=2).count() == 2
+    assert sequence_ngrams(df, ["u"], "t", "et", n=3).count() == 0
+
+
+def test_sequence_ngrams_tie_break_is_deterministic(spark):
+    from reddit_etl_spark.operators.sessions import sequence_ngrams
+
+    # equal timestamps: tie column fixes the order
+    rows = [(1, 5, 2, "b"), (1, 5, 1, "a"), (1, 6, 3, "c")]
+    df = spark.createDataFrame(rows, "u long, t long, id long, et string")
+    got = sequence_ngrams(df, ["u"], "t", "et", n=3, tie_col="id").collect()
+    assert [(r["t1"], r["t2"], r["t3"]) for r in got] == [("a", "b", "c")]
+
+
+# -------------------------------------------------------- burstiness
+
+
+def test_burstiness_regular_vs_bursty(spark):
+    import datetime as dt
+
+    from reddit_etl_spark.operators.series import burstiness
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # metronome: every 60 s -> sigma = 0, B = -1
+    for i in range(50):
+        rows.append(("regular", i, base + dt.timedelta(seconds=60 * i)))
+    # bursty: tight clusters separated by long silences
+    t = 0
+    for i in range(50):
+        t += 1 if i % 10 else 3600
+        rows.append(("bursty", 100 + i, base + dt.timedelta(seconds=t)))
+    df = spark.createDataFrame(rows, "k string, id long, ts timestamp")
+    got = {r["k"]: r for r in burstiness(df, ["k"], "ts", "id").collect()}
+    assert got["regular"]["std_gap_s"] == 0.0
+    assert got["regular"]["burstiness"] == -1.0
+    assert got["regular"]["mean_gap_s"] == 60.0
+    assert got["bursty"]["burstiness"] > 0.5
+    assert got["regular"]["n_gaps"] == 49 and got["bursty"]["n_gaps"] == 49
+
+
+def test_burstiness_exact_moments_match_python(spark):
+    import datetime as dt
+    import random
+
+    from reddit_etl_spark.operators.series import burstiness
+
+    rng = random.Random(88)
+    gaps = [rng.randint(1, 5000) for _ in range(100)]
+    base, t, rows = dt.datetime(2024, 1, 1), 0, []
+    rows.append(("k", 0, base))
+    for i, g in enumerate(gaps):
+        t += g
+        rows.append(("k", i + 1, base + dt.timedelta(seconds=t)))
+    df = spark.createDataFrame(rows, "k string, id long, ts timestamp")
+    r = burstiness(df, ["k"], "ts", "id").collect()[0]
+    n = len(gaps)
+    s, q = sum(gaps), sum(g * g for g in gaps)
+    mu = s / n
+    sigma = ((n * q - s * s) / (n * (n - 1))) ** 0.5
+    assert r["n_gaps"] == n
+    assert r["mean_gap_s"] == round(mu, 6)
+    assert r["std_gap_s"] == round(sigma, 6)
+    assert r["cv"] == round(sigma / mu, 6)
+    assert r["burstiness"] == round((sigma - mu) / (sigma + mu), 6)
+
+
+def test_burstiness_degenerate_single_event(spark):
+    import datetime as dt
+
+    from reddit_etl_spark.operators.series import burstiness
+
+    df = spark.createDataFrame(
+        [("k", 1, dt.datetime(2024, 1, 1))], "k string, id long, ts timestamp"
+    )
+    assert burstiness(df, ["k"], "ts", "id").count() == 0  # no gaps
