@@ -245,7 +245,16 @@ _PROMOTED = [
     # FIRST STAGE of this very query — the SCD2 surface stays recorded
     # inside pit_order_status and oracle-checked in the tail; green
     # row r05)
-    "pit_order_status",
+    # (pit_order_status held this slot in rounds 6-7 — recorded rows
+    # r06/r07 incl. the r6-failure fix re-attestation; rotated to the
+    # tail round-8 for sprt_event_quality; the PIT/SCD2/as-of family
+    # keeps multitouch_channels' head slot with pit/scd2/cdc/asof
+    # tails oracle-checked)
+    # round-8 fourth wave: Wald SPRT sequential decision (new
+    # capability — WHEN the evidence sufficed, vs the batch tests'
+    # after-the-fact verdicts; injected-constant IEEE determinism,
+    # micros-BIGINT running LLR)
+    "sprt_event_quality",
     # round-6: nearest-direction as-of alignment (new capability;
     # displaces concurrency_peaks, whose distributed-prefix-sum sweep
     # stays oracle-checked in the tail and plan-asserted in
@@ -805,7 +814,15 @@ _PROMOTED = [
     # round-7 fifth wave: k-anonymity / l-diversity release audit
     # (new FAMILY — privacy measurement next to curation's PII
     # redaction)
-    "kanon_customer_release",
+    # (kanon_customer_release held this slot in round 7 — recorded
+    # row r07; rotated to the tail round-8 for its own stronger rung:
+    # t-closeness audits the same release frame, so the privacy
+    # family keeps a head slot while k-anon/l-div stay oracle-checked
+    # in the tail)
+    # round-8 fourth wave: t-closeness release audit (new capability
+    # — distributional leakage k/l cannot see; exact-integer EMD,
+    # cross-multiplied thresholds)
+    "tcloseness_customer_release",
     # round-6 third wave: leakage-safe splits (new capability —
     # near-dup clusters land wholly on one side of train/test, the
     # split-time complement of decontamination; displaces
@@ -1363,6 +1380,9 @@ _DEFERRED = [
     # round-8 third-wave rotation OUT (same contract):
     "funnel_view_click_purchase",
     "bootstrap_ci_order_value",
+    # round-8 fourth-wave rotation OUT (same contract):
+    "kanon_customer_release",
+    "pit_order_status",
 ]
 
 
@@ -12263,3 +12283,179 @@ def burstiness_event_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir)
     return burstiness(ev, ["event_type"], "ts", tie_col="event_id")
+
+
+@_q(
+    "tcloseness_customer_release",
+    """
+    WITH rel AS MATERIALIZED (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band,
+             o_orderpriority AS s
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE o_orderpriority IS NOT NULL),
+    gv AS MATERIALIZED (
+      SELECT c_mktsegment, c_nationkey, bal_band, s,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM rel GROUP BY 1, 2, 3, 4),
+    grp AS (SELECT c_mktsegment, c_nationkey, bal_band,
+                   CAST(SUM(c) AS BIGINT) AS ng
+            FROM gv GROUP BY 1, 2, 3),
+    gdist AS MATERIALIZED (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS gc,
+             row_number() OVER (ORDER BY s) AS j
+      FROM rel GROUP BY s),
+    tot AS (SELECT CAST(SUM(gc) AS BIGINT) AS nn,
+                   CAST(COUNT(*) AS BIGINT) AS m FROM gdist),
+    dense AS (
+      SELECT g.c_mktsegment, g.c_nationkey, g.bal_band, gl.j,
+             g.ng, t.nn, t.m,
+             COALESCE(v.c, 0)::HUGEINT * t.nn
+               - gl.gc::HUGEINT * g.ng AS d
+      FROM grp g CROSS JOIN gdist gl CROSS JOIN tot t
+      LEFT JOIN gv v ON v.c_mktsegment = g.c_mktsegment
+        AND v.c_nationkey = g.c_nationkey
+        AND v.bal_band = g.bal_band AND v.s = gl.s),
+    cum AS (
+      SELECT *, SUM(d) OVER (
+        PARTITION BY c_mktsegment, c_nationkey, bal_band
+        ORDER BY j ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS r
+      FROM dense),
+    per AS (
+      SELECT c_mktsegment, c_nationkey, bal_band,
+             MAX(ng) AS ng, MAX(nn) AS nn, MAX(m) AS m,
+             SUM(abs(r)) AS emd
+      FROM cum WHERE j < m GROUP BY 1, 2, 3),
+    pt AS (
+      SELECT per.*, th.t_permille,
+             ROUND(CAST(CAST(emd AS VARCHAR) AS DOUBLE)
+                   / (CAST(ng AS DOUBLE) * nn * (m - 1)), 6) AS t_g,
+             CASE WHEN emd * 1000
+                       > th.t_permille::HUGEINT * ng * nn * (m - 1)
+                  THEN 1 ELSE 0 END AS viol
+      FROM per CROSS JOIN (VALUES (150), (200), (300))
+        AS th(t_permille))
+    SELECT t_permille / 1000.0 AS t_threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(viol) AS BIGINT) AS violating_groups,
+           CAST(SUM(ng * viol) AS BIGINT) AS violating_rows,
+           ROUND(SUM(ng * viol) / SUM(ng), 6) AS pct_rows_at_risk,
+           ROUND(MAX(t_g), 6) AS max_t
+    FROM pt GROUP BY t_permille ORDER BY t_threshold
+    """,
+    doc="t-closeness release audit over the same (segment, nation, "
+    "balance-band) quasi-identifier frame as kanon_customer_release "
+    "(operators/privacy.py:t_closeness_report) — the rung ABOVE "
+    "k-anonymity/l-diversity: a group can be large AND diverse yet "
+    "leak because its sensitive DISTRIBUTION skews from the "
+    "table's; t-closeness bounds the Earth Mover's Distance between "
+    "them. Ordered-domain EMD = mean |cumulative difference|, "
+    "scaled to the exact integer c_i*N - C_i*n_g in DECIMAL(38,0)/"
+    "HUGEINT (n*N passes int64 at 100 TB), threshold tests "
+    "cross-multiplied — floats only in the reported max_t/pct. One "
+    "(QI, s) groupBy, then a |groups| x m dense frame off a "
+    "broadcast m-row global distribution + one cumulative window",
+)
+def tcloseness_customer_release_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.privacy import t_closeness_report
+
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    rel = c.join(o, o["o_custkey"] == c["c_custkey"], "left").select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+        "o_orderpriority",
+    )
+    return t_closeness_report(
+        rel,
+        ["c_mktsegment", "c_nationkey", "bal_band"],
+        "o_orderpriority",
+        thresholds_permille=(150, 200, 300),
+    )
+
+
+@_q(
+    "sprt_event_quality",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(SUM(CASE WHEN value > 500 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s
+      FROM events GROUP BY 1, 2),
+    st AS (
+      SELECT event_type, day,
+             CAST(FLOOR((s * 0.09531017980432493
+                         + (t - s) * -0.10536051565782628) * 1000000)
+                  AS BIGINT) AS stp
+      FROM d),
+    run AS (
+      SELECT event_type, day,
+             SUM(stp) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS llr
+      FROM st),
+    crossed AS (
+      SELECT event_type, day, llr,
+             CASE WHEN llr >= 2772588 THEN 'accept_h1'
+                  WHEN llr <= -1558145 THEN 'accept_h0' END AS cr
+      FROM run),
+    fc AS (
+      SELECT event_type, day AS decided_at, cr AS decision,
+             llr AS llr_dec
+      FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                         ORDER BY day) AS rn
+            FROM crossed WHERE cr IS NOT NULL) WHERE rn = 1),
+    tails AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_periods,
+             arg_max(llr, day) AS llr_end
+      FROM crossed GROUP BY event_type)
+    SELECT t.event_type,
+           COALESCE(f.decision, 'continue') AS decision,
+           f.decided_at, t.n_periods,
+           ROUND(COALESCE(f.llr_dec, t.llr_end) / 1000000.0, 6)
+             AS llr
+    FROM tails t LEFT JOIN fc f ON f.event_type = t.event_type
+    ORDER BY t.event_type
+    """,
+    doc="Wald SPRT per event type on the daily share of high-value "
+    "events (operators/series.py:sprt_decisions): sequential test of "
+    "H1 p=0.55 vs H0 p=0.5 (alpha=0.05, beta=0.2) on the Bernoulli "
+    "stream success := value > 500 — the sequential-decision rung "
+    "next to the batch tests (chi2/MWU/ANOVA decide after seeing "
+    "everything; SPRT reports WHEN the evidence sufficed, at ~half "
+    "the fixed-n sample size). The two per-observation log terms and "
+    "both Wald boundaries are computed ONCE in Python and injected "
+    "as identical double literals into BOTH engines, each day\'s LLR "
+    "is the identical IEEE expression on identical integers, and it "
+    "quantizes to micros BIGINTs BEFORE the running sum (the CUSUM "
+    "discipline) — so the crossing day is engine-exact. One sort "
+    "window + one argmin window + one per-key tail aggregate",
+)
+def sprt_event_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import sprt_decisions
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("trials"),
+        F.sum(F.when(F.col("value") > 500, 1).otherwise(0))
+        .cast("long")
+        .alias("successes"),
+    )
+    return sprt_decisions(
+        daily,
+        ["event_type"],
+        "day",
+        "successes",
+        "trials",
+        p0=0.5,
+        p1=0.55,
+        alpha=0.05,
+        beta=0.2,
+    )

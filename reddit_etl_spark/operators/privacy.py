@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -107,4 +107,143 @@ def k_anonymity_report(
             F.min("__l").cast("long").alias("min_l"),
         )
         .orderBy("k_threshold")
+    )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    sensitive_col: str,
+    thresholds_permille: Sequence[int] = (150, 200, 300),
+) -> DataFrame:
+    """t-closeness audit (Li/Li/Venkatasubramanian 2007) — the rung
+    ABOVE k-anonymity/l-diversity: a QI group can be large (k ok) and
+    diverse (l ok) yet still leak because its sensitive DISTRIBUTION
+    differs from the table's (a group that is 90% '1-URGENT' tells an
+    attacker plenty even with all 5 values present). A group is
+    t-close when the Earth Mover's Distance between its sensitive
+    distribution and the global one is <= t.
+
+    EMD over the ORDERED sensitive domain has the closed form
+    t = (1/(m-1)) * sum_{i<m} |r_i| with r_i the cumulative
+    difference of the two distributions at the i-th ordered value.
+    Exactness: r_i scales to the integer c_i*N - C_i*n_g (group count
+    x global total minus global count x group total) accumulated in
+    DECIMAL(38,0) — n*N passes int64 at 100 TB — so the threshold
+    test cross-multiplies to exact integers
+    (sum|r| * 1000 > thr_permille * n_g * N * (m-1)); floats appear
+    only in the reported max_t / pct columns. Rows with a NULL
+    sensitive value are EXCLUDED (an ordered axis has no place for
+    them — and Spark sorts NULL first where DuckDB sorts it last).
+
+    Plan: one (QI, s) groupBy (map-side combined) -> a
+    |groups| x m dense frame via a broadcast of the m-row global
+    distribution -> one cumulative window per group ordered by the
+    sensitive rank. Cost is the textbook |groups| * m, with m the
+    (categorical) sensitive cardinality. Output one row per
+    threshold, k_anonymity_report-shaped.
+    """
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    ths = sorted(set(int(t) for t in thresholds_permille))
+    if not ths or ths[0] <= 0:
+        raise ValueError("thresholds_permille must be positive")
+    d38 = "decimal(38,0)"
+    base = df.filter(F.col(sensitive_col).isNotNull())
+    gv = base.groupBy(*qi_cols, sensitive_col).agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    groups = gv.groupBy(*qi_cols).agg(
+        F.sum("__c").cast("long").alias("__ng")
+    )
+    glob = (
+        base.groupBy(sensitive_col)
+        .agg(F.count("*").cast("long").alias("__gc"))
+        .withColumn(
+            "__j",
+            F.row_number().over(Window.orderBy(sensitive_col)),
+        )
+    )
+    tot = glob.agg(
+        F.sum("__gc").cast("long").alias("__N"),
+        F.count("*").cast("long").alias("__m"),
+    )
+    dense = (
+        groups.crossJoin(F.broadcast(glob))
+        .join(gv, [*qi_cols, sensitive_col], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            *qi_cols,
+            "__j",
+            "__ng",
+            "__N",
+            "__m",
+            (
+                F.coalesce(F.col("__c"), F.lit(0)).cast(d38) * F.col("__N")
+                - F.col("__gc").cast(d38) * F.col("__ng")
+            ).alias("__d"),
+        )
+    )
+    wcum = (
+        Window.partitionBy(*qi_cols)
+        .orderBy("__j")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dense.withColumn("__r", F.sum("__d").over(wcum))
+    per_group = (
+        cum.filter(F.col("__j") < F.col("__m"))
+        .groupBy(*qi_cols)
+        .agg(
+            F.first("__ng").alias("__ng"),
+            F.first("__N").alias("__N"),
+            F.first("__m").alias("__m"),
+            F.sum(F.abs(F.col("__r"))).cast(d38).alias("__emd"),
+        )
+        .withColumn(
+            "__t",
+            F.round(
+                F.col("__emd").cast("double")
+                / (
+                    F.col("__ng").cast("double")
+                    * F.col("__N")
+                    * (F.col("__m") - 1)
+                ),
+                6,
+            ),
+        )
+    )
+    spark = df.sparkSession
+    thr = spark.createDataFrame(
+        [(int(t),) for t in ths], schema="t_permille long"
+    )
+    joined = per_group.crossJoin(F.broadcast(thr))
+    viol = (
+        F.col("__emd") * 1000
+        > F.col("t_permille").cast(d38)
+        * F.col("__ng")
+        * F.col("__N")
+        * (F.col("__m") - 1)
+    ).cast("int")
+    return (
+        joined.groupBy("t_permille")
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum(viol).cast("long").alias("violating_groups"),
+            F.sum(F.col("__ng") * viol).cast("long").alias("violating_rows"),
+            F.round(
+                F.sum(F.col("__ng") * viol)
+                / F.sum("__ng"),
+                6,
+            ).alias("pct_rows_at_risk"),
+            F.round(F.max("__t"), 6).alias("max_t"),
+        )
+        .select(
+            (F.col("t_permille") / F.lit(1000.0)).alias("t_threshold"),
+            "n_groups",
+            "violating_groups",
+            "violating_rows",
+            "pct_rows_at_risk",
+            "max_t",
+        )
+        .orderBy("t_threshold")
     )

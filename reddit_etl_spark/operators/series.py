@@ -1239,3 +1239,106 @@ def burstiness(
             6,
         ).alias("burstiness"),
     ).orderBy(*keys)
+
+
+def sprt_decisions(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    success_col: str,
+    trial_col: str,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test per key over an
+    ordered (successes, trials) stream: the running log-likelihood
+    ratio of H1: p=p1 vs H0: p=p0 is monitored against the classic
+    boundaries ln((1-beta)/alpha) / ln(beta/(1-alpha)), and each key
+    reports its FIRST crossing — the sequential-decision rung next to
+    the batch tests (chi2/MWU/ANOVA decide after seeing everything;
+    SPRT says WHEN the evidence sufficed, with guaranteed error
+    rates at ~half the average sample size of the fixed-n test).
+
+    Cross-engine exactness: the two per-observation log terms and
+    both boundaries are computed ONCE in Python floats and injected
+    as double literals into both engines' plans, so each step's LLR
+    is the identical IEEE expression s*l1 + (t-s)*l0 on identical
+    integers; it quantizes to micros BIGINTs BEFORE the running sum
+    (the CUSUM discipline — no float accumulation), making the
+    crossing day engine-independent.
+
+    One (key, order) sort window for the prefix sum, one argmin
+    window for the first crossing, one per-key tail aggregate.
+    Output per key: decision ('accept_h1' / 'accept_h0' /
+    'continue'), decision point (NULL while continuing), periods
+    observed, and the LLR at the decision point or end.
+    """
+    import math  # noqa: PLC0415
+
+    if not (0 < p0 < 1 and 0 < p1 < 1 and p0 != p1):
+        raise ValueError("need 0 < p0, p1 < 1 and p0 != p1")
+    l1 = math.log(p1 / p0)
+    l0 = math.log((1 - p1) / (1 - p0))
+    up = int(math.floor(math.log((1 - beta) / alpha) * 1_000_000))
+    lo = int(math.floor(math.log(beta / (1 - alpha)) * 1_000_000))
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    step = F.floor(
+        (
+            F.col(success_col) * F.lit(l1)
+            + (F.col(trial_col) - F.col(success_col)) * F.lit(l0)
+        )
+        * 1_000_000
+    ).cast("long")
+    run = (
+        df.select(*keys, F.col(order_col).alias("__o"), step.alias("__st"))
+        .withColumn(
+            "__llr",
+            F.sum("__st").over(
+                Window.partitionBy(*keys)
+                .orderBy("__o")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "__cross",
+            F.when(F.col("__llr") >= up, F.lit("accept_h1")).when(
+                F.col("__llr") <= lo, F.lit("accept_h0")
+            ),
+        )
+    )
+    w_first = Window.partitionBy(*keys).orderBy("__o")
+    first_cross = (
+        run.filter(F.col("__cross").isNotNull())
+        .withColumn("__rn", F.row_number().over(w_first))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *keys,
+            F.col("__cross").alias("decision"),
+            F.col("__o").alias("decided_at"),
+            F.col("__llr").alias("__llr_dec"),
+        )
+    )
+    tails = run.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_periods"),
+        F.max_by("__llr", "__o").alias("__llr_end"),
+    )
+    return (
+        tails.join(first_cross, keys, "left")
+        .select(
+            *keys,
+            F.coalesce(F.col("decision"), F.lit("continue")).alias(
+                "decision"
+            ),
+            "decided_at",
+            "n_periods",
+            F.round(
+                F.coalesce(F.col("__llr_dec"), F.col("__llr_end"))
+                / 1_000_000.0,
+                6,
+            ).alias("llr"),
+        )
+        .orderBy(*keys)
+    )

@@ -62,6 +62,8 @@ def test_recorded_head_exactly_cap_and_contains_rotation():
         "spearman_value_items",
         "seq_trigrams_users",  # round-8 third wave
         "burstiness_event_types",
+        "tcloseness_customer_release",  # round-8 fourth wave
+        "sprt_event_quality",
     ):
         assert q in head, q
     # round-8 second/third-wave swap-out partners: recorded r07,
@@ -73,6 +75,8 @@ def test_recorded_head_exactly_cap_and_contains_rotation():
         "geo_fence_customers",
         "funnel_view_click_purchase",
         "bootstrap_ci_order_value",
+        "kanon_customer_release",
+        "pit_order_status",
     ):
         assert q not in head, q
         assert q in order, q  # still oracle-checked

@@ -668,6 +668,54 @@ def main() -> int:
         "pairs) — never |points| x |edges|; edges broadcast",
     )
 
+    # -- Apriori triples: downward-closure keeps candidates basket-bounded
+    # Baskets = 10x-replicated per-order brand sets. With the 0.2%
+    # relative threshold every brand/pair stays frequent on this
+    # replica (proportions are replication-invariant), so candidate
+    # generation emits exactly sum_b C(d_b, 3) rows (d_b = distinct
+    # brands in basket b) — computable BEFORE the window. Dominant
+    # exchange = max(that, the distinct-(basket, item) exchange); a
+    # popularity-driven blowup (the classic Apriori failure: join on
+    # ITEM instead of basket) would explode past it times^2-fold.
+    from reddit_etl_spark.operators.relational import frequent_triples
+
+    li10 = replicate(
+        load(spark, sf_dir, "lineitem"), "l_orderkey", times, 100_000_000
+    )
+    part_dim = load(spark, sf_dir, "part")
+    baskets = (
+        li10.join(part_dim, li10.l_partkey == part_dim.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .localCheckpoint(eager=True)
+    )
+    base_rows = baskets.count()
+    d = baskets.distinct()
+    tri_cand = int(
+        d.groupBy("l_orderkey")
+        .agg(F.count("*").alias("k"))
+        .select(
+            F.sum(
+                F.col("k") * (F.col("k") - 1) * (F.col("k") - 2) / 6
+            ).alias("c3")
+        )
+        .first()[0]
+    )
+    n_distinct = d.count()
+    record(
+        "apriori_triples_closure",
+        predicted=max(base_rows, tri_cand),
+        fn=lambda: frequent_triples(
+            baskets, "l_orderkey", "p_brand", min_support_permyriad=20
+        )
+        .agg(F.sum("support"), F.sum("lift"))
+        .first(),
+        note=f"dominant = max(distinct exchange {base_rows} -> "
+        f"{n_distinct} rows, candidate triples sum_b C(d_b,3) = "
+        f"{tri_cand}); work bounded by BASKET size, never brand "
+        "popularity — the 25-brand vocabulary caps output at 2300 "
+        "groups regardless of corpus size",
+    )
+
     out = {
         "sf_dir": sf_dir,
         "times": times,
