@@ -20,6 +20,8 @@ passes):
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -28,6 +30,14 @@ from pyspark.sql import functions as F
 
 from .operators.relational import argmax_per_group, rank_in_group, tier_col
 from .session import ensure_nanos_as_long, ensure_utc
+
+# pre-materialized pHash artifact (tools/gen_phash_artifact.py) — path
+# derived from the package location so any checkout/CI clone resolves it
+_PHASH_ARTIFACT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "resources",
+    "phash_hashes.parquet",
+)
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -3672,8 +3682,7 @@ def part_name_linkage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              + CASE WHEN phash < 0
                     THEN 18446744073709551616::HUGEINT
                     ELSE 0::HUGEINT END AS uh
-      FROM read_parquet(
-        '/root/repo/reddit_etl_spark/resources/phash_hashes.parquet')
+      FROM read_parquet('{phash_artifact}')
       WHERE corpus_fp = (SELECT v FROM fp)),
     b AS (
       SELECT h.asset_id, h.phash, d.bi,
@@ -3690,7 +3699,7 @@ def part_name_linkage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_a, id_b,
            CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
     FROM cand WHERE bit_count(xor(ha, hb)) <= 3
-    """,
+    """.format(phash_artifact=_PHASH_ARTIFACT),
     doc="perceptual-hash image near-dup pairs: deterministic PNG "
     "rasters from document text (images_from_text) -> 64-bit DCT "
     "pHash via one narrow mapInPandas pass (payloads never shuffle) "
@@ -12326,11 +12335,13 @@ def burstiness_event_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_mktsegment, c_nationkey, bal_band,
              MAX(ng) AS ng, MAX(nn) AS nn, MAX(m) AS m,
              SUM(abs(r)) AS emd
-      FROM cum WHERE j < m GROUP BY 1, 2, 3),
+      FROM cum WHERE j < m OR m = 1 GROUP BY 1, 2, 3),
     pt AS (
       SELECT per.*, th.t_permille,
-             ROUND(CAST(CAST(emd AS VARCHAR) AS DOUBLE)
-                   / (CAST(ng AS DOUBLE) * nn * (m - 1)), 6) AS t_g,
+             CASE WHEN m > 1 THEN
+               ROUND(CAST(CAST(emd AS VARCHAR) AS DOUBLE)
+                     / (CAST(ng AS DOUBLE) * nn * (m - 1)), 6)
+             ELSE 0.0 END AS t_g,
              CASE WHEN emd * 1000
                        > th.t_permille::HUGEINT * ng * nn * (m - 1)
                   THEN 1 ELSE 0 END AS viol

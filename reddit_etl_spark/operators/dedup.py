@@ -238,6 +238,32 @@ def _verify_candidates_by_arrays(
 _NGRAM_AUTO_BLOWUP = 32.0
 
 
+def _auto_prefix_choice(posting: DataFrame) -> "tuple[bool, DataFrame]":
+    """One shared plan-selection probe for the Jaccard/containment
+    siblings: the co-occurrence join emits ~sum(df^2)/2 rows against
+    the posting's sum(df); past ``_NGRAM_AUTO_BLOWUP`` the quadratic
+    path loses to the prefix plan's two extra linear shuffles.
+    Doubles suffice — this is a plan heuristic, not a result.
+
+    Returns (use_prefix, per-shingle df frame). The df frame is
+    lazily checkpointed and handed back so the prefix path RANKS off
+    it instead of re-aggregating the posting — the posting is the
+    dominant byte volume on exactly the corpora where the prefix
+    path wins, and the probe already paid for this aggregate.
+    """
+    freq = (
+        posting.groupBy("__sh")
+        .agg(F.count("*").alias("__df"))
+        .localCheckpoint(eager=False)
+    )
+    blow = freq.agg(
+        F.sum(F.col("__df").cast("double")).alias("__s1"),
+        F.sum(F.col("__df").cast("double") * F.col("__df")).alias("__s2"),
+    ).first()
+    s1, s2 = blow["__s1"] or 0.0, blow["__s2"] or 0.0
+    return bool(s2 > _NGRAM_AUTO_BLOWUP * s1), freq
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -298,23 +324,9 @@ def ngram_jaccard_pairs(
             .select("__sh")
         )
         posting = posting.join(F.broadcast(hot), "__sh", "left_anti")
+    freq = None
     if prefix_filter == "auto":
-        # One map-side-combined aggregate over the (capped) posting:
-        # the co-occurrence join emits ~sum(df^2)/2 rows against the
-        # posting's sum(df); past the blowup factor the quadratic
-        # path loses to PPJoin's two extra linear shuffles. Doubles
-        # suffice — this is a plan heuristic, not a result.
-        blow = (
-            posting.groupBy("__sh")
-            .agg(F.count("*").cast("double").alias("__df"))
-            .agg(
-                F.sum("__df").alias("__s1"),
-                F.sum(F.col("__df") * F.col("__df")).alias("__s2"),
-            )
-            .first()
-        )
-        s1, s2 = blow["__s1"] or 0.0, blow["__s2"] or 0.0
-        prefix_filter = s2 > _NGRAM_AUTO_BLOWUP * s1
+        prefix_filter, freq = _auto_prefix_choice(posting)
     if not prefix_filter:
         if max_df is None:
             # Carry |doc| through the posting (one extra long per
@@ -361,7 +373,8 @@ def ngram_jaccard_pairs(
         # is why it defaults to None.
         return _verify_pairs_by_counts(posting, id_col, threshold, sizes=None)
 
-    freq = posting.groupBy("__sh").agg(F.count("*").alias("__df"))
+    if freq is None:  # explicit prefix_filter=True: probe never ran
+        freq = posting.groupBy("__sh").agg(F.count("*").alias("__df"))
     w = Window.partitionBy(id_col).orderBy("__df", "__sh")
     ranked = (
         posting.join(freq, "__sh")
@@ -431,18 +444,9 @@ def ngram_containment_pairs(
     """
     arrays = shingle_arrays(df, id_col, text_col, n)
     posting = _posting_from_arrays(arrays, id_col)
+    freq = None
     if prefix_filter == "auto":
-        blow = (
-            posting.groupBy("__sh")
-            .agg(F.count("*").cast("double").alias("__df"))
-            .agg(
-                F.sum("__df").alias("__s1"),
-                F.sum(F.col("__df") * F.col("__df")).alias("__s2"),
-            )
-            .first()
-        )
-        s1, s2 = blow["__s1"] or 0.0, blow["__s2"] or 0.0
-        prefix_filter = s2 > _NGRAM_AUTO_BLOWUP * s1
+        prefix_filter, freq = _auto_prefix_choice(posting)
     if not prefix_filter:
         sized = arrays.select(
             F.col(id_col),
@@ -485,7 +489,8 @@ def ngram_containment_pairs(
             "id_a", "id_b", F.round("containment", 6).alias("containment")
         )
 
-    freq = posting.groupBy("__sh").agg(F.count("*").alias("__df"))
+    if freq is None:  # explicit prefix_filter=True: probe never ran
+        freq = posting.groupBy("__sh").agg(F.count("*").alias("__df"))
     w = Window.partitionBy(id_col).orderBy("__df", "__sh")
     ranked = (
         posting.join(freq, "__sh")

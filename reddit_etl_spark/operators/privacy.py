@@ -191,7 +191,10 @@ def t_closeness_report(
     )
     cum = dense.withColumn("__r", F.sum("__d").over(wcum))
     per_group = (
-        cum.filter(F.col("__j") < F.col("__m"))
+        # m == 1 keeps its single (zero-difference) row so every
+        # group still reports: a point-mass sensitive domain is
+        # trivially t-close (t = 0), not "audit never ran"
+        cum.filter((F.col("__j") < F.col("__m")) | (F.col("__m") == 1))
         .groupBy(*qi_cols)
         .agg(
             F.first("__ng").alias("__ng"),
@@ -201,7 +204,7 @@ def t_closeness_report(
         )
         .withColumn(
             "__t",
-            F.round(
+            F.when(F.col("__m") > 1, F.round(
                 F.col("__emd").cast("double")
                 / (
                     F.col("__ng").cast("double")
@@ -209,7 +212,7 @@ def t_closeness_report(
                     * (F.col("__m") - 1)
                 ),
                 6,
-            ),
+            )).otherwise(F.lit(0.0)),
         )
     )
     spark = df.sparkSession

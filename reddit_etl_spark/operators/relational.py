@@ -433,12 +433,17 @@ def spearman_corr(
     final num / (sqrt(dx) * sqrt(dy)) division (dx*dy would pass
     DECIMAL(38) — the square roots must split first). Degenerate
     groups (n < 2 or zero variance in either variable) emit NULL.
+    Rows with a NULL in EITHER variable are excluded — a rank for an
+    undefined observation is meaningless, and the engines would not
+    even agree on one (Spark sorts NULL first, DuckDB last — the same
+    pitfall t_closeness_report documents).
 
     Plan: two rank windows + one tie-count window per variable on the
     (group, value) sort, then ONE map-side-combined moment aggregate
     — the group key partitions everything, no driver-side state.
     """
     keys = list(group_cols)
+    df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     wx = Window.partitionBy(*keys).orderBy(x_col)
     wy = Window.partitionBy(*keys).orderBy(y_col)
     cx = Window.partitionBy(*keys, x_col)
@@ -2320,16 +2325,20 @@ def quantile_normalize(
     pooled = vals.select(
         F.row_number().over(w_all).alias("__pr"), F.col("v").alias("__pv")
     )
-    n_total = vals.count()
+    # N rides the plan as a broadcast 1-row aggregate (the repo's
+    # lazy-build rule: constructing an operator runs no Spark job,
+    # and re-executing the returned frame never reads a stale N)
+    n_total = vals.agg(F.count("*").cast("long").alias("__nt"))
     ranked = (
-        vals.withColumn("__rn", F.row_number().over(w_g))
+        vals.crossJoin(F.broadcast(n_total))
+        .withColumn("__rn", F.row_number().over(w_g))
         .withColumn("__ng", F.count("*").over(Window.partitionBy("grp")))
         .withColumn(
             "__num",
             F.when(
                 F.col("__ng") > 1,
-                (F.col("__rn") - 1).cast("long") * F.lit(n_total - 1),
-            ).otherwise(F.lit(int(n_total - 1))),
+                (F.col("__rn") - 1).cast("long") * (F.col("__nt") - 1),
+            ).otherwise(F.col("__nt") - 1),
         )
         .withColumn(
             "__den",
@@ -2425,6 +2434,14 @@ def pca_top_component(
             )
     row = base.agg(*aggs).collect()[0]
     n = int(row["__n"])
+    spark = df.sparkSession
+    out_schema = (
+        "feature string, loading double, explained_ratio double, n long"
+    )
+    if n == 0:
+        # empty input: degrade to an empty frame like the rest of the
+        # wave (the SUM aggregates are all NULL here)
+        return spark.createDataFrame([], out_schema)
     s = [int(row[f"__s{i}"]) for i in range(k)]
     m = [[0] * k for _ in range(k)]
     for i in range(k):
@@ -2437,28 +2454,31 @@ def pca_top_component(
         u = [sum(m[i][j] * v[j] for j in range(k)) for i in range(k)]
         mx = max(abs(x) for x in u)
         if mx == 0:
+            # M.v landed exactly on the zero vector (constructible:
+            # perfectly anti-correlated features with the all-ones
+            # start). Mirror the oracle's CASE, which KEEPS u and
+            # propagates zeros — loadings go NULL, explained 0 —
+            # instead of silently reporting the previous iterate.
+            v = u
             break
         v = [_trunc_div(x * scale, mx) for x in u]
     # sign: the largest-|v| component positive (ties: first index wins)
     pivot = max(range(k), key=lambda i: (abs(v[i]), -i))
     if v[pivot] < 0:
         v = [-x for x in v]
-    vmax = max(abs(x) for x in v) or 1
+    vmax = max(abs(x) for x in v)
     num = sum(v[i] * m[i][j] * v[j] for i in range(k) for j in range(k))
     den = sum(x * x for x in v)
     trace = sum(m[i][i] for i in range(k))
     dentrace = den * trace
     ppm = _trunc_div(num, _trunc_div(dentrace, scale)) if dentrace > 0 else 0
-    spark = df.sparkSession
     out = [
         (
             names[i],
-            round(v[i] / vmax, 6),
+            round(v[i] / vmax, 6) if vmax else None,
             round(ppm / scale, 6),
             n,
         )
         for i in range(k)
     ]
-    return spark.createDataFrame(
-        out, "feature string, loading double, explained_ratio double, n long"
-    )
+    return spark.createDataFrame(out, out_schema)

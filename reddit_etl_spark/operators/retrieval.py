@@ -298,3 +298,71 @@ def bm25_search_eval(
         F.coalesce(F.col("precision"), F.lit(0.0)).alias("precision"),
         "recall",
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: dict,
+    k: int = 20,
+) -> DataFrame:
+    """Training-pair construction for retrieval/embedding models: per
+    query, the BM25 top-``k`` labeled into positives (documents
+    containing EVERY query term) and HARD negatives (high-scoring
+    documents missing at least one term) — the pairs that actually
+    teach a ranker; random negatives are trivially separable and
+    carry no gradient signal, which is why every dense-retriever
+    recipe (DPR onward) mines negatives from a lexical ranker
+    exactly like this.
+
+    Labels derive from term coverage — the same deterministic
+    pseudo-qrel :func:`bm25_search_eval` judges with, so the pair
+    generator and the evaluator agree on what "relevant" means.
+
+    Plan: corpus tokenized ONCE into the shared lazily-checkpointed
+    build_bm25_index postings/stats (query branches reuse the
+    materialization, never re-scan text); per query one |terms|-
+    partition score + a TakeOrderedAndProject top-k cut, coverage
+    from the same postings, everything after the cut is k-row-sized.
+
+    Returns (query_id, doc_id, rank, bm25, n_covered, role), role in
+    ('positive', 'hard_negative'), ordered (query_id, rank).
+    """
+    from .text import bm25_from_index, build_bm25_index  # noqa: PLC0415
+
+    if not queries:
+        raise ValueError("hard_negatives needs at least one query")
+    postings, stats = build_bm25_index(df, id_col, text_col)
+    postings = postings.localCheckpoint(eager=False)
+    stats = stats.localCheckpoint(eager=False)
+    out = None
+    for qid, terms in queries.items():
+        tset = sorted({t.lower() for t in terms})
+        sc = bm25_from_index(postings, stats, id_col, tset)
+        cov = (
+            postings.filter(F.col("term").isin(tset))
+            .groupBy(id_col)
+            .agg(F.count_distinct("term").cast("long").alias("n_covered"))
+        )
+        w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+        r = (
+            sc.orderBy(F.desc("bm25"), F.asc(id_col))
+            .limit(k)
+            .withColumn("rank", F.row_number().over(w))
+            .join(cov, id_col)  # every scored doc holds >= 1 term
+            .select(
+                F.lit(qid).alias("query_id"),
+                F.col(id_col).alias("doc_id"),
+                F.col("rank").cast("long").alias("rank"),
+                "bm25",
+                "n_covered",
+                F.when(
+                    F.col("n_covered") == len(tset), F.lit("positive")
+                )
+                .otherwise(F.lit("hard_negative"))
+                .alias("role"),
+            )
+        )
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("query_id", "rank")

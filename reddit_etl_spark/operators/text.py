@@ -1262,3 +1262,83 @@ def augment_token_dropout(
         F.size(kept).cast("long").alias("n_kept"),
         F.array_join(kept, " ").alias("text_aug"),
     )
+
+
+def proximity_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: "list[str]",
+    window: int = 10,
+) -> DataFrame:
+    """Proximity retrieval over positional postings: documents where
+    ALL ``terms`` co-occur within some ``window``-token span, in any
+    order — the middle rung of the positional family between
+    :func:`bm25_scores` (bag of words, no positions) and
+    :func:`phrase_search` (exact consecutive order). "near each
+    other" is what a concept query usually means; exact phrases
+    overfit word order and bags lose locality entirely.
+
+    Exact minimum-window semantics: every occurrence of any query
+    term is an ANCHOR (candidate left end); for each anchor p the
+    tightest window starting at p spans to max_j nn_j(p), the nearest
+    occurrence of each term at-or-after p — the true per-document
+    minimum window's left end is always some term occurrence, so the
+    anchor sweep is exhaustive (no heuristic). All positions are
+    exact BIGINTs; no floats anywhere.
+
+    Plan: posexplode postings filtered to the query terms BEFORE any
+    shuffle (the BM25/phrase discipline — |terms| postings
+    partitions, never the corpus), then per term one (doc)-keyed
+    join + min aggregate against the anchor frame. Per-document cost
+    is tf_total x tf_j — quadratic in PER-DOCUMENT query-term
+    frequency, which is small for discriminative query terms; a
+    boilerplate-flooded term belongs behind a df cap upstream, same
+    as the dedup family's max_df.
+
+    Returns (id, min_span BIGINT, span_start BIGINT, n_windows
+    BIGINT): the tightest qualifying span's width and start, and how
+    many anchors open a qualifying window. Documents missing any
+    term, or whose tightest span exceeds ``window``, are absent.
+    """
+    if not terms:
+        raise ValueError("proximity_search needs at least one term")
+    tset = sorted({t.lower() for t in terms})
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("__pos", "__term"),
+    ).filter(F.col("__term").isin(tset))
+    anchors = toks.select(F.col(id_col), F.col("__pos").alias("__p"))
+    cur = anchors
+    for j, t in enumerate(tset):
+        pj = toks.filter(F.col("__term") == t).select(
+            F.col(id_col), F.col("__pos").alias("__q")
+        )
+        nn = (
+            anchors.join(pj, id_col)
+            .filter(F.col("__q") >= F.col("__p"))
+            .groupBy(id_col, "__p")
+            .agg(F.min("__q").alias(f"__nn{j}"))
+        )
+        cur = cur.join(nn, [id_col, "__p"])
+    width = (
+        F.greatest(*[F.col(f"__nn{j}") for j in range(len(tset))])
+        - F.col("__p")
+        + 1
+    )
+    spans = cur.withColumn("__w", width).filter(F.col("__w") <= window)
+    return (
+        spans.groupBy(id_col)
+        .agg(
+            F.min(F.struct(F.col("__w"), F.col("__p"))).alias("__best"),
+            F.count("*").cast("long").alias("n_windows"),
+        )
+        .select(
+            id_col,
+            F.col("__best.__w").cast("long").alias("min_span"),
+            F.col("__best.__p").cast("long").alias("span_start"),
+            "n_windows",
+        )
+    )

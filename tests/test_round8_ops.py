@@ -766,3 +766,61 @@ def test_sprt_random_streams_match_python_replay(spark):
         assert r["decision"] == dec, r["k"]
         assert r["decided_at"] == day, r["k"]
         assert r["llr"] == round(llr / 1_000_000.0, 6), r["k"]
+
+
+# --------------------------------------------- review-fix regressions
+
+
+def test_spearman_null_observations_excluded(spark):
+    from reddit_etl_spark.operators.relational import spearman_corr
+
+    base = [("g", 1.0, 3.0), ("g", 2.0, 1.0), ("g", 3.0, 2.0)]
+    with_null = base + [("g", None, 9.0), ("g", 4.0, None)]
+    a = spearman_corr(
+        spark.createDataFrame(base, "g string, x double, y double"),
+        ["g"], "x", "y",
+    ).collect()[0]
+    b = spearman_corr(
+        spark.createDataFrame(with_null, "g string, x double, y double"),
+        ["g"], "x", "y",
+    ).collect()[0]
+    assert a["spearman_rho"] == b["spearman_rho"]
+    assert b["n"] == 3  # NULL rows are not observations
+
+
+def test_pca_zero_vector_collapse_matches_oracle_semantics(spark):
+    from reddit_etl_spark.operators.relational import pca_top_component
+
+    # perfectly anti-correlated: M.v0 = 0 on iteration 1; the oracle's
+    # CASE propagates zeros -> loadings NULL, explained 0
+    rows = [(i, i, -i) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    out = {r["feature"]: r for r in pca_top_component(
+        df, {"x": F.col("x"), "y": F.col("y")}
+    ).collect()}
+    assert out["x"]["loading"] is None and out["y"]["loading"] is None
+    assert out["x"]["explained_ratio"] == 0.0
+    assert out["x"]["n"] == 30
+
+
+def test_pca_empty_input_returns_empty(spark):
+    from reddit_etl_spark.operators.relational import pca_top_component
+
+    df = spark.createDataFrame([], "id long, x long, y long")
+    out = pca_top_component(df, {"x": F.col("x"), "y": F.col("y")})
+    assert out.count() == 0
+    assert out.columns == ["feature", "loading", "explained_ratio", "n"]
+
+
+def test_t_closeness_single_sensitive_value_trivially_close(spark):
+    from reddit_etl_spark.operators.privacy import t_closeness_report
+
+    rows = [("g1", "only"), ("g1", "only"), ("g2", "only")]
+    df = spark.createDataFrame(rows, "q string, s string")
+    out = t_closeness_report(
+        df, ["q"], "s", thresholds_permille=(150,)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_groups"] == 2
+    assert r["violating_groups"] == 0 and r["max_t"] == 0.0
