@@ -322,7 +322,16 @@ _PROMOTED = [
     # oracle-checked in the tail and whose pair-join family keeps a
     # recorded row via term_collocations — the same PMI/co-occurrence
     # shape; green row r05)
-    "bloom_semi_lineitem",
+    # (bloom_semi_lineitem held this slot in rounds 6-7 — recorded
+    # rows incl. the r6 ANSI-failure fix re-attested green r07;
+    # rotated to the tail round-8 for hard_negatives_bm25; the Bloom
+    # capability stays oracle-checked via decontaminate_bloom and
+    # this tail row each round)
+    # round-8 fifth wave: hard-negative mining for retrieval-model
+    # training (new capability — the DPR-style training-pair
+    # generator; labels share search_eval_bm25's deterministic
+    # coverage pseudo-qrel)
+    "hard_negatives_bm25",
     # round-6: entity resolution to golden records (new capability;
     # displaces part_name_linkage, whose JW blocked-pair generation is
     # the FIRST STAGE of this very query — the pair surface stays
@@ -408,7 +417,16 @@ _PROMOTED = [
     # bm25_rank_indexed twin + the oracle tail)
     # round-7: CUBE lattice over (status, priority) with GROUPING ids
     # — first driver recording (capability was round-6-new)
-    "cube_status_priority",
+    # (cube_status_priority held this slot in round 7 — recorded row
+    # r07; rotated to the tail round-8 for proximity_search_docs;
+    # the grouping-sets family keeps grouping_sets_status_priority's
+    # new round-8 head slot with the cube/rollup/pivot tails
+    # oracle-checked)
+    # round-8 fifth wave: proximity retrieval (new capability — the
+    # positional rung between BM25's bag of words and phrase_search's
+    # exact order: all terms within a k-token window, exact
+    # minimum-window semantics via the anchor sweep)
+    "proximity_search_docs",
     # (hybrid_search_rrf held this slot in rounds 5-6 — recorded row
     # r05; rotated to the tail late-round-6 for
     # value_histogram_events; the retrieval family keeps bm25_rank's
@@ -1393,6 +1411,9 @@ _DEFERRED = [
     # round-8 fourth-wave rotation OUT (same contract):
     "kanon_customer_release",
     "pit_order_status",
+    # round-8 fifth-wave rotation OUT (same contract):
+    "cube_status_priority",
+    "bloom_semi_lineitem",
 ]
 
 
@@ -12470,3 +12491,159 @@ def sprt_event_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=0.05,
         beta=0.2,
     )
+
+
+@_q(
+    "proximity_search_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w,
+             generate_subscripts(
+               string_split_regex(lower(trim(text)), '\\s+'), 1) - 1
+               AS pos
+      FROM documents),
+    q AS (SELECT doc_id, w, pos FROM toks
+          WHERE w IN ('hash', 'scan', 'table')),
+    anchors AS (SELECT doc_id, pos AS p FROM q),
+    nn0 AS (SELECT a.doc_id, a.p, MIN(j.pos) AS nn FROM anchors a
+            JOIN q j ON j.doc_id = a.doc_id AND j.w = 'hash'
+              AND j.pos >= a.p GROUP BY 1, 2),
+    nn1 AS (SELECT a.doc_id, a.p, MIN(j.pos) AS nn FROM anchors a
+            JOIN q j ON j.doc_id = a.doc_id AND j.w = 'scan'
+              AND j.pos >= a.p GROUP BY 1, 2),
+    nn2 AS (SELECT a.doc_id, a.p, MIN(j.pos) AS nn FROM anchors a
+            JOIN q j ON j.doc_id = a.doc_id AND j.w = 'table'
+              AND j.pos >= a.p GROUP BY 1, 2),
+    spans AS (
+      SELECT a.doc_id, a.p,
+             greatest(n0.nn, n1.nn, n2.nn) - a.p + 1 AS w
+      FROM anchors a
+      JOIN nn0 n0 ON n0.doc_id = a.doc_id AND n0.p = a.p
+      JOIN nn1 n1 ON n1.doc_id = a.doc_id AND n1.p = a.p
+      JOIN nn2 n2 ON n2.doc_id = a.doc_id AND n2.p = a.p
+      WHERE greatest(n0.nn, n1.nn, n2.nn) - a.p + 1 <= 12),
+    pick AS (
+      SELECT doc_id, w, p,
+             row_number() OVER (PARTITION BY doc_id ORDER BY w, p)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY doc_id) AS nw
+      FROM spans)
+    SELECT doc_id, CAST(w AS BIGINT) AS min_span,
+           CAST(p AS BIGINT) AS span_start,
+           CAST(nw AS BIGINT) AS n_windows
+    FROM pick WHERE rn = 1
+    """,
+    doc="proximity retrieval: documents where 'hash', 'scan', and "
+    "'table' all co-occur within a 12-token span, any order "
+    "(operators/text.py:proximity_search) — the middle rung of the "
+    "positional family between bm25_rank (bag of words) and "
+    "phrase_search_docs (exact consecutive order). Exact "
+    "minimum-window semantics: every query-term occurrence anchors "
+    "a candidate left end; the span to the nearest at-or-after "
+    "occurrence of each term is the tightest window there, and the "
+    "true minimum's left end is always such an occurrence — the "
+    "sweep is exhaustive, no heuristic. Postings filtered to the "
+    "query terms BEFORE any shuffle (the BM25/phrase discipline); "
+    "per-doc cost quadratic only in per-document QUERY-TERM "
+    "frequency. All positions exact BIGINTs; ties break (width, "
+    "start) on both engines via the struct-min",
+)
+def proximity_search_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import proximity_search
+
+    docs = load(spark, sf_dir, "documents")
+    return proximity_search(
+        docs, "doc_id", "text", ["hash", "scan", "table"], window=12
+    )
+
+
+_HARDNEG_QSETS = {
+    # mixed: 'dup' is the one genuinely rare term (df ~5% of docs) —
+    # its 25x idf puts covering docs on top, and the tail of the
+    # top-40 is high-tf partial matches = the hard negatives
+    "hq1": ["dup", "key", "fast"],
+    # easy: two ubiquitous terms — coverage saturates, all positives
+    "hq2": ["join", "hash"],
+    # impossible: 'model' has no postings, so full coverage cannot
+    # happen — every top-40 doc is a hard negative (the generator
+    # still yields training signal on an unanswerable query)
+    "hq3": ["dup", "model", "scan"],
+}
+
+
+def _hardneg_block(qid: str, terms: list[str], k: int) -> str:
+    tset = sorted({t.lower() for t in terms})
+    tl = ", ".join(f"'{t}'" for t in tset)
+    m = len(tset)
+    return f"""
+    sc_{qid} AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(
+               ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+             ), 6) AS bm25,
+             CAST(COUNT(DISTINCT tf.t) AS BIGINT) AS n_covered
+      FROM (SELECT doc_id, dl, t, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM toks WHERE t IN ({tl}) GROUP BY doc_id, dl, t) tf
+      JOIN (SELECT t, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+            FROM toks WHERE t IN ({tl}) GROUP BY t) dfreq
+        ON dfreq.t = tf.t
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id),
+    top_{qid} AS (
+      SELECT '{qid}' AS query_id, doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                  AS BIGINT) AS rank,
+             bm25, n_covered,
+             CASE WHEN n_covered = {m} THEN 'positive'
+                  ELSE 'hard_negative' END AS role
+      FROM sc_{qid} ORDER BY bm25 DESC, doc_id LIMIT {k})"""
+
+
+def _hardneg_oracle() -> str:
+    blocks = ",".join(
+        _hardneg_block(qid, ts, 40) for qid, ts in _HARDNEG_QSETS.items()
+    )
+    selects = " UNION ALL ".join(
+        f"SELECT * FROM top_{qid}" for qid in _HARDNEG_QSETS
+    )
+    return f"""
+    WITH docs AS MATERIALIZED (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tok,
+             len(string_split_regex(trim(text), '\\s+')) AS dl
+      FROM documents),
+    toks AS MATERIALIZED (
+      SELECT doc_id, dl, UNNEST(tok) AS t FROM docs),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl
+              FROM docs),
+    {blocks}
+    {selects} ORDER BY query_id, rank
+    """
+
+
+@_q(
+    "hard_negatives_bm25",
+    _hardneg_oracle(),
+    doc="hard-negative mining for retrieval-model training "
+    "(operators/retrieval.py:hard_negatives): per query the BM25 "
+    "top-40 labeled positive (covers every query term) or HARD "
+    "negative (high score, missing a term) — the pairs that teach a "
+    "ranker; random negatives are trivially separable and carry no "
+    "gradient (the DPR recipe). Labels are the same deterministic "
+    "term-coverage pseudo-qrel search_eval_bm25 judges with, so the "
+    "generator and the evaluator agree on relevance. Three query "
+    "profiles pinned: mixed (rare 'dup' anchors positives, high-tf "
+    "partial matches trail as negatives), saturated (all positive), "
+    "unanswerable (zero-df term: all negatives). Corpus tokenized "
+    "ONCE into the shared checkpointed index; per query a "
+    "|terms|-partition score + TakeOrderedAndProject cut; ranked "
+    "ties break on round-6 bm25 then doc_id — both engines order "
+    "the same rounded doubles",
+)
+def hard_negatives_bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.retrieval import hard_negatives
+
+    docs = load(spark, sf_dir, "documents")
+    return hard_negatives(docs, "doc_id", "text", _HARDNEG_QSETS, k=40)

@@ -1323,11 +1323,9 @@ def proximity_search(
             .agg(F.min("__q").alias(f"__nn{j}"))
         )
         cur = cur.join(nn, [id_col, "__p"])
-    width = (
-        F.greatest(*[F.col(f"__nn{j}") for j in range(len(tset))])
-        - F.col("__p")
-        + 1
-    )
+    nns = [F.col(f"__nn{j}") for j in range(len(tset))]
+    far = nns[0] if len(nns) == 1 else F.greatest(*nns)
+    width = far - F.col("__p") + 1
     spans = cur.withColumn("__w", width).filter(F.col("__w") <= window)
     return (
         spans.groupBy(id_col)

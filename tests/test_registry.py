@@ -64,6 +64,8 @@ def test_recorded_head_exactly_cap_and_contains_rotation():
         "burstiness_event_types",
         "tcloseness_customer_release",  # round-8 fourth wave
         "sprt_event_quality",
+        "proximity_search_docs",  # round-8 fifth wave
+        "hard_negatives_bm25",
     ):
         assert q in head, q
     # round-8 second/third-wave swap-out partners: recorded r07,
@@ -77,6 +79,8 @@ def test_recorded_head_exactly_cap_and_contains_rotation():
         "bootstrap_ci_order_value",
         "kanon_customer_release",
         "pit_order_status",
+        "cube_status_priority",
+        "bloom_semi_lineitem",
     ):
         assert q not in head, q
         assert q in order, q  # still oracle-checked

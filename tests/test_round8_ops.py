@@ -5,7 +5,8 @@ audit, directed n-gram containment pairs; second wave: SSE-optimal
 changepoint localization, Apriori frequent triples, Spearman rank
 correlation, deterministic token-dropout augmentation; third wave:
 ordered event-type trigram mining, point-process burstiness;
-fourth wave: t-closeness release audit, Wald SPRT."""
+fourth wave: t-closeness release audit, Wald SPRT; fifth wave:
+proximity search, BM25 hard-negative mining."""
 
 from __future__ import annotations
 
@@ -824,3 +825,109 @@ def test_t_closeness_single_sensitive_value_trivially_close(spark):
     r = out[0]
     assert r["n_groups"] == 2
     assert r["violating_groups"] == 0 and r["max_t"] == 0.0
+
+
+# ------------------------------------------------------ proximity
+
+
+def test_proximity_hand_case_min_window(spark):
+    from reddit_etl_spark.operators.text import proximity_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a x x b c y a b"),      # best window a..b = [6,7]? terms a,b
+            (2, "b x x x x x x x a"),    # span 9: a..b across whole doc
+            (3, "a only here"),          # missing b -> absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in proximity_search(
+            docs, "doc_id", "text", ["a", "b"], window=4
+        ).collect()
+    }
+    # doc 1: anchors at a(0): nn_b=3 -> span 4; b(3): needs a>=3 -> a(6),
+    # span 4; a(6): b(7) span 2 <- best
+    assert out[1]["min_span"] == 2 and out[1]["span_start"] == 6
+    assert out[1]["n_windows"] == 3
+    assert 2 not in out  # span 9 > window 4
+    assert 3 not in out  # term missing
+
+
+def test_proximity_order_free_vs_phrase(spark):
+    from reddit_etl_spark.operators.text import phrase_search, proximity_search
+
+    docs = spark.createDataFrame(
+        [(1, "beta gap alpha")], "doc_id long, text string"
+    )
+    assert (
+        phrase_search(docs, "doc_id", "text", ["alpha", "beta"]).count() == 0
+    )
+    got = proximity_search(
+        docs, "doc_id", "text", ["alpha", "beta"], window=3
+    ).collect()
+    assert len(got) == 1 and got[0]["min_span"] == 3
+
+
+def test_proximity_single_term_degenerates_to_presence(spark):
+    from reddit_etl_spark.operators.text import proximity_search
+
+    docs = spark.createDataFrame(
+        [(1, "x a x a"), (2, "x y z")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in proximity_search(
+        docs, "doc_id", "text", ["a"], window=1
+    ).collect()}
+    assert out[1]["min_span"] == 1 and out[1]["n_windows"] == 2
+    assert 2 not in out
+
+
+# -------------------------------------------------- hard negatives
+
+
+def test_hard_negatives_roles_and_ranks(spark):
+    from reddit_etl_spark.operators.retrieval import hard_negatives
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common common common"),     # covers both -> positive
+            (2, "common common common common"),   # misses 'rare' -> negative
+            (3, "rare other other other"),        # covers... misses 'common'
+            (4, "unrelated words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = hard_negatives(
+        docs, "doc_id", "text", {"q": ["rare", "common"]}, k=3
+    ).collect()
+    roles = {r["doc_id"]: r["role"] for r in out}
+    assert roles[1] == "positive"
+    assert roles[2] == "hard_negative" and roles[3] == "hard_negative"
+    assert 4 not in roles  # scores nothing, never ranked
+    ranks = [r["rank"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranks == [1, 2, 3]
+    bm = sorted(out, key=lambda r: r["rank"])
+    assert bm[0]["bm25"] >= bm[1]["bm25"] >= bm[2]["bm25"]
+
+
+def test_hard_negatives_coverage_counts_distinct_terms(spark):
+    from reddit_etl_spark.operators.retrieval import hard_negatives
+
+    docs = spark.createDataFrame(
+        [(1, "t t t t t")], "doc_id long, text string"
+    )
+    r = hard_negatives(
+        docs, "doc_id", "text", {"q": ["t", "u"]}, k=5
+    ).collect()[0]
+    assert r["n_covered"] == 1 and r["role"] == "hard_negative"
+
+
+def test_hard_negatives_empty_queries_raises(spark):
+    import pytest as _pytest
+
+    from reddit_etl_spark.operators.retrieval import hard_negatives
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        hard_negatives(docs, "doc_id", "text", {}, k=5)
