@@ -688,7 +688,14 @@ _PROMOTED = [
     # round-7 third wave: one-way ANOVA (new capability — the k-group
     # generalization completing the two-sample family: Welch means,
     # MWU ranks, KS CDFs, chi-square categories, now k-level means)
-    "anova_event_values",
+    # (anova_event_values held this slot in round 7 — recorded row
+    # r07; rotated to the tail round-8 for profile_drift_orders; the
+    # k-group family keeps mannwhitney_click_error's head slot with
+    # the anova/chi2/mi/ks tails oracle-checked)
+    # round-8 sixth wave: column-profile drift detector (new
+    # capability — the data-contract monitor between dq_report's
+    # point-in-time expectations and fd_audit's structure discovery)
+    "profile_drift_orders",
     # round-6 second wave: multi-source BFS reachability rings (new
     # capability — min-hop distance joins the iterative-graph family's
     # rank/centrality/core primitives; displaces daily_trend_slope,
@@ -880,7 +887,15 @@ _PROMOTED = [
     # displaces hits_cust_supp, whose hub/authority surface stays
     # oracle-checked in the tail while the iterative-graph family
     # keeps pagerank + kcore + bfs + lpa + ppr recorded rows)
-    "sssp_purchase_paths",
+    # (sssp_purchase_paths held this slot in rounds 6-7 — recorded
+    # row r06; rotated to the tail round-8 for
+    # link_prediction_suppliers, which keeps the graph family's head
+    # presence; sssp/kcore/bfs/lpa/pagerank/ppr/hits all stay
+    # oracle-checked in the tail)
+    # round-8 sixth wave: bipartite link prediction (new capability —
+    # CN/Jaccard/Resource-Allocation scoring, integer-exact RA nanos,
+    # the candidate-generation rung under the recommender rankers)
+    "link_prediction_suppliers",
     # (ab_experiment_readout held this slot through round 6's first
     # half — recorded row r05; rotated to the tail mid-round-6 for
     # seasonal_backtest_events — see the round-6 second-wave blocks)
@@ -1414,6 +1429,9 @@ _DEFERRED = [
     # round-8 fifth-wave rotation OUT (same contract):
     "cube_status_priority",
     "bloom_semi_lineitem",
+    # round-8 sixth-wave rotation OUT (same contract):
+    "sssp_purchase_paths",
+    "anova_event_values",
 ]
 
 
@@ -12647,3 +12665,152 @@ def hard_negatives_bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return hard_negatives(docs, "doc_id", "text", _HARDNEG_QSETS, k=40)
+
+
+@_q(
+    "link_prediction_suppliers",
+    """
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    degl AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS dl FROM e GROUP BY s),
+    degr AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS dr FROM e GROUP BY c),
+    ew AS (SELECT e.s, e.c, 1000000000 // dr AS w
+           FROM e JOIN degr USING (c)),
+    pairs AS (
+      SELECT a.s AS node_a, b.s AS node_b,
+             CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+             CAST(SUM(a.w) AS BIGINT) AS ra_nanos
+      FROM ew a JOIN ew b ON a.c = b.c AND a.s < b.s
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    scored AS (
+      SELECT p.node_a, p.node_b, p.common_neighbors,
+             ROUND(p.common_neighbors * 1.0
+                   / (da.dl + db.dl - p.common_neighbors), 6) AS jaccard,
+             ROUND(p.ra_nanos / 1000000000.0, 6)
+               AS resource_allocation,
+             p.ra_nanos
+      FROM pairs p JOIN degl da ON da.s = p.node_a
+      JOIN degl db ON db.s = p.node_b)
+    SELECT node_a, node_b, common_neighbors, jaccard,
+           resource_allocation
+    FROM scored
+    ORDER BY ra_nanos DESC, common_neighbors DESC, node_a, node_b
+    LIMIT 50
+    """,
+    doc="bipartite link prediction over the supplier-customer graph "
+    "(operators/graph.py:link_prediction): top-50 supplier pairs by "
+    "shared customer neighborhoods under the three classic indices — "
+    "common neighbors, Jaccard, and Resource Allocation "
+    "sum 1/deg(z) (Zhou/Lu/Zhang 2009 — down-weights promiscuous "
+    "hubs where CN cannot; 'suppliers sharing many LOW-degree "
+    "customers are likely substitutes'). The candidate-generation "
+    "rung under the recommendation family's rankers. Exactness: RA "
+    "terms are floor(1e9/deg) BIGINT nanos via true INTEGER "
+    "division — deliberately NOT Adamic-Adar, whose 1/ln(deg) puts "
+    "a transcendental inside a per-term floor where libm-vs-JVM "
+    "last-ulps could straddle. Pair work = sum_z C(deg_z, 2), "
+    "bounded by right-side degree (item_affinity's argument); "
+    "weights attach BEFORE the pair shuffle; degree frames "
+    "broadcast; TakeOrderedAndProject cut on (RA, CN, pair)",
+)
+def link_prediction_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import link_prediction
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_suppkey", "o_custkey"
+    )
+    return link_prediction(
+        edges, "l_suppkey", "o_custkey", min_common=2, top_k=50
+    )
+
+
+@_q(
+    "profile_drift_orders",
+    """
+    WITH po AS (
+      SELECT 'o_custkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_old,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nulls_old,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv_old
+      FROM orders WHERE o_orderdate < TIMESTAMP '2001-01-01' UNION ALL 
+      SELECT 'o_orderpriority' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_old,
+             CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nulls_old,
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS ndv_old
+      FROM orders WHERE o_orderdate < TIMESTAMP '2001-01-01' UNION ALL 
+      SELECT 'o_orderstatus' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_old,
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nulls_old,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS ndv_old
+      FROM orders WHERE o_orderdate < TIMESTAMP '2001-01-01' UNION ALL 
+      SELECT 'o_totalprice' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_old,
+             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nulls_old,
+             CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS ndv_old
+      FROM orders WHERE o_orderdate < TIMESTAMP '2001-01-01'),
+    pn AS (
+      SELECT 'o_custkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_new,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nulls_new,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv_new
+      FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01' UNION ALL 
+      SELECT 'o_orderpriority' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_new,
+             CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nulls_new,
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS ndv_new
+      FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01' UNION ALL 
+      SELECT 'o_orderstatus' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_new,
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nulls_new,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS ndv_new
+      FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01' UNION ALL 
+      SELECT 'o_totalprice' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_new,
+             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nulls_new,
+             CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS ndv_new
+      FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+    SELECT po.col_name AS "column", n_old, n_new,
+           CASE WHEN n_old > 0
+                THEN ROUND(nulls_old * 1.0 / n_old, 6) END
+             AS null_rate_old,
+           CASE WHEN n_new > 0
+                THEN ROUND(nulls_new * 1.0 / n_new, 6) END
+             AS null_rate_new,
+           CASE WHEN n_old > 0 AND n_new > 0
+                THEN ROUND(nulls_new * 1.0 / n_new
+                           - nulls_old * 1.0 / n_old, 6) END
+             AS null_rate_delta,
+           ndv_old, ndv_new,
+           CASE WHEN ndv_old > 0
+                THEN ROUND(ndv_new * 1.0 / ndv_old, 6) END AS ndv_ratio
+    FROM po JOIN pn ON pn.col_name = po.col_name
+    ORDER BY po.col_name
+    """,
+    doc="column-profile drift between the pre- and post-2001 order "
+    "snapshots (operators/dq.py:profile_drift): per column exact row "
+    "counts, null rates, distinct counts, the null-rate delta and "
+    "NDV ratio — the data-contract monitor that catches what schema "
+    "checks cannot (the column still exists and types, but its null "
+    "rate tripled or its enum collapsed). The drift rung of the DQ "
+    "family: dq_report asserts point-in-time expectations, fd_audit "
+    "discovers structure, this compares two points in time. ONE "
+    "fused aggregate pass per snapshot (null counts ride the same "
+    "map-side combine; exact per-column COUNT DISTINCTs expand — "
+    "swap in the HLL sketch ops when profiling 100s of columns at "
+    "100 TB); the long form is an F.inline over the aggregate row "
+    "and the join is |columns|-sized. Guarded divisions: an empty "
+    "side reports NULL rates, never an ANSI division error",
+)
+def profile_drift_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dq import profile_drift
+
+    orders = load(spark, sf_dir, "orders")
+    cut = F.lit("2001-01-01").cast("timestamp")
+    return profile_drift(
+        orders.filter(F.col("o_orderdate") < cut),
+        orders.filter(F.col("o_orderdate") >= cut),
+        ["o_custkey", "o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )

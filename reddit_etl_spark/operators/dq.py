@@ -442,3 +442,87 @@ def table_fingerprint(
         .cast("long")
         .alias("fingerprint"),
     )
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    columns: Sequence[str],
+) -> DataFrame:
+    """Column-profile drift between two snapshots of a table — the
+    data-contract monitor that catches what schema checks cannot: the
+    column still EXISTS and still types, but its null rate tripled or
+    its distinct-value count collapsed (an upstream join started
+    dropping, an enum gained a value, a default started leaking).
+    The drift rung of the DQ family: ``dq_report`` asserts point-in-
+    time expectations, ``fd_audit`` discovers structure, this
+    compares two points in time.
+
+    Per column: row counts, exact null rates, exact distinct counts,
+    the null-rate delta and the NDV ratio. All counts exact BIGINTs;
+    rates/ratios are single guarded double divisions, round-6 (NULL
+    on an empty side rather than an ANSI division error).
+
+    Plan: ONE aggregate pass per snapshot — null counts are
+    conditional sums fused into the same map-side-combined aggregate;
+    the exact per-column COUNT DISTINCTs expand to one shuffle per
+    column (the price of exactness — swap in approx_count_distinct
+    or the HLL sketch operators when profiling 100s of columns at
+    100 TB). The per-column long form is an F.inline over the one
+    aggregate row; the join is |columns|-sized.
+    """
+    cols = list(columns)
+    if not cols:
+        raise ValueError("profile_drift needs at least one column")
+
+    def prof(df: DataFrame, side: str) -> DataFrame:
+        aggs = [F.count("*").cast("long").alias("__n")]
+        for i, c in enumerate(cols):
+            aggs.append(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"__nu{i}")
+            )
+            aggs.append(
+                F.count_distinct(F.col(c)).cast("long").alias(f"__nd{i}")
+            )
+        r = df.agg(*aggs)
+        structs = [
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias(f"n_{side}"),
+                F.col(f"__nu{i}").alias(f"nulls_{side}"),
+                F.col(f"__nd{i}").alias(f"ndv_{side}"),
+            )
+            for i, c in enumerate(cols)
+        ]
+        return r.select(F.inline(F.array(*structs)))
+
+    po, pn = prof(old, "old"), prof(new, "new")
+    rate_old = F.when(
+        F.col("n_old") > 0, F.col("nulls_old") / F.col("n_old")
+    )
+    rate_new = F.when(
+        F.col("n_new") > 0, F.col("nulls_new") / F.col("n_new")
+    )
+    return (
+        po.join(pn, "column")
+        .select(
+            "column",
+            "n_old",
+            "n_new",
+            F.round(rate_old, 6).alias("null_rate_old"),
+            F.round(rate_new, 6).alias("null_rate_new"),
+            F.round(rate_new - rate_old, 6).alias("null_rate_delta"),
+            "ndv_old",
+            "ndv_new",
+            F.round(
+                F.when(
+                    F.col("ndv_old") > 0,
+                    F.col("ndv_new") / F.col("ndv_old"),
+                ),
+                6,
+            ).alias("ndv_ratio"),
+        )
+        .orderBy("column")
+    )

@@ -1088,3 +1088,96 @@ def degree_assortativity(
             "r"
         ),
     )
+
+
+def link_prediction(
+    edges: DataFrame,
+    left_col: str,
+    right_col: str,
+    min_common: int = 2,
+    top_k: int = 50,
+) -> DataFrame:
+    """Bipartite link prediction over (left, right) edges: score every
+    LEFT-side pair by their shared right-side neighborhoods with the
+    three classic indices — common neighbors CN, Jaccard
+    CN/(d_a + d_b - CN), and Resource Allocation RA = sum over shared
+    neighbors z of 1/deg(z) (Zhou/Lu/Zhang 2009 — the index that
+    wins most link-prediction benchmarks, and the one that
+    down-weights promiscuous hubs where CN cannot). "Suppliers that
+    share many low-degree customers are likely substitutes" — the
+    candidate-generation rung the recommendation family
+    (itemitem/ppr) ranks on top of.
+
+    Cross-engine exactness: RA's only division is 1/deg(z) with
+    integer deg — each term quantizes to floor(1e9 / deg) BIGINT
+    nanos via INTEGER division (exact on any engine; no ln(), whose
+    last-ulp can differ between libm and the JVM and straddle a
+    floor), summed exactly, divided once for display. Jaccard is one
+    double division of exact BIGINTs, round-6. Deliberately NOT
+    Adamic-Adar: AA's 1/ln(deg) puts a transcendental inside a
+    per-term floor.
+
+    Plan: distinct edges -> per-z pair generation (work =
+    sum_z C(deg_z, 2), bounded by right-side degree exactly like
+    item_affinity's basket argument — cap whale hubs upstream) with
+    the 1/deg weight attached BEFORE the pair shuffle, one
+    map-side-combined pair aggregate, degree frames broadcast back,
+    TakeOrderedAndProject top-k on (RA, CN, pair). ``min_common``
+    prunes noise pairs before the join-back.
+    """
+    e = edges.select(
+        F.col(left_col).alias("__l"), F.col(right_col).alias("__r")
+    ).distinct()
+    degl = e.groupBy("__l").agg(F.count("*").cast("long").alias("__dl"))
+    degr = e.groupBy("__r").agg(F.count("*").cast("long").alias("__dr"))
+    ew = e.join(degr, "__r").withColumn(
+        # true INTEGER division (`div`), not double-divide-then-cast:
+        # exact floor for any degree, same as DuckDB's `//`
+        "__w", F.expr("CAST(1000000000 AS BIGINT) div __dr")
+    )
+    pairs = (
+        ew.select("__r", F.col("__l").alias("node_a"), "__w")
+        .join(
+            ew.select("__r", F.col("__l").alias("node_b")),
+            "__r",
+        )
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(
+            F.count("*").cast("long").alias("common_neighbors"),
+            F.sum("__w").cast("long").alias("__ra_nanos"),
+        )
+        .filter(F.col("common_neighbors") >= min_common)
+    )
+    da = degl.select(F.col("__l").alias("node_a"), F.col("__dl").alias("__da"))
+    db = degl.select(F.col("__l").alias("node_b"), F.col("__dl").alias("__db"))
+    scored = (
+        pairs.join(F.broadcast(da), "node_a")
+        .join(F.broadcast(db), "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (
+                    F.col("__da") + F.col("__db") - F.col("common_neighbors")
+                ),
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("__ra_nanos") / 1_000_000_000.0, 6).alias(
+                "resource_allocation"
+            ),
+            F.col("__ra_nanos"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.desc("__ra_nanos"),
+            F.desc("common_neighbors"),
+            "node_a",
+            "node_b",
+        )
+        .limit(top_k)
+        .drop("__ra_nanos")
+    )

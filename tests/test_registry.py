@@ -66,6 +66,8 @@ def test_recorded_head_exactly_cap_and_contains_rotation():
         "sprt_event_quality",
         "proximity_search_docs",  # round-8 fifth wave
         "hard_negatives_bm25",
+        "link_prediction_suppliers",  # round-8 sixth wave
+        "profile_drift_orders",
     ):
         assert q in head, q
     # round-8 second/third-wave swap-out partners: recorded r07,
@@ -81,6 +83,8 @@ def test_recorded_head_exactly_cap_and_contains_rotation():
         "pit_order_status",
         "cube_status_priority",
         "bloom_semi_lineitem",
+        "sssp_purchase_paths",
+        "anova_event_values",
     ):
         assert q not in head, q
         assert q in order, q  # still oracle-checked

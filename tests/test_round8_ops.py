@@ -6,7 +6,8 @@ changepoint localization, Apriori frequent triples, Spearman rank
 correlation, deterministic token-dropout augmentation; third wave:
 ordered event-type trigram mining, point-process burstiness;
 fourth wave: t-closeness release audit, Wald SPRT; fifth wave:
-proximity search, BM25 hard-negative mining."""
+proximity search, BM25 hard-negative mining; sixth wave: bipartite
+link prediction, column-profile drift."""
 
 from __future__ import annotations
 
@@ -931,3 +932,73 @@ def test_hard_negatives_empty_queries_raises(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         hard_negatives(docs, "doc_id", "text", {}, k=5)
+
+
+# -------------------------------------------------- link prediction
+
+
+def test_link_prediction_ra_downweights_hubs(spark):
+    from reddit_etl_spark.operators.graph import link_prediction
+
+    # (a, b) share two exclusive neighbors z1, z2 (deg 2 each);
+    # (c, d) share two hub neighbors h1, h2 (deg 4 each).
+    # CN ties at 2; RA prefers the exclusive pair.
+    edges = []
+    for n in ("a", "b"):
+        edges += [(n, "z1"), (n, "z2")]
+    for n in ("c", "d", "e", "f"):
+        edges += [(n, "h1"), (n, "h2")]
+    df = spark.createDataFrame(edges, "l string, r string")
+    got = link_prediction(df, "l", "r", min_common=2, top_k=100).collect()
+    by_pair = {(r["node_a"], r["node_b"]): r for r in got}
+    ab, cd = by_pair[("a", "b")], by_pair[("c", "d")]
+    assert ab["common_neighbors"] == cd["common_neighbors"] == 2
+    assert ab["resource_allocation"] == 1.0      # 1/2 + 1/2
+    assert cd["resource_allocation"] == 0.5      # 1/4 + 1/4
+    assert got[0]["node_a"] == "a"               # RA ordering on top
+    assert ab["jaccard"] == 1.0                  # identical neighborhoods
+
+
+def test_link_prediction_min_common_and_determinism(spark):
+    from reddit_etl_spark.operators.graph import link_prediction
+
+    edges = [("a", "z"), ("b", "z"), ("c", "z")]
+    df = spark.createDataFrame(edges, "l string, r string")
+    assert link_prediction(df, "l", "r", min_common=2).count() == 0
+    one = link_prediction(df, "l", "r", min_common=1).collect()
+    two = link_prediction(df, "l", "r", min_common=1).collect()
+    assert [tuple(r) for r in one] == [tuple(r) for r in two]
+    assert len(one) == 3  # C(3,2) pairs through z
+
+
+# ----------------------------------------------------- profile drift
+
+
+def test_profile_drift_detects_null_and_ndv_shift(spark):
+    from reddit_etl_spark.operators.dq import profile_drift
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "a")], "k long, v string"
+    )
+    got = {r["column"]: r for r in profile_drift(old, new, ["k", "v"]).collect()}
+    v = got["v"]
+    assert v["null_rate_old"] == 0.0 and v["null_rate_new"] == 0.5
+    assert v["null_rate_delta"] == 0.5
+    assert v["ndv_old"] == 4 and v["ndv_new"] == 1
+    assert v["ndv_ratio"] == 0.25
+    assert got["k"]["null_rate_delta"] == 0.0 and got["k"]["ndv_ratio"] == 1.0
+
+
+def test_profile_drift_empty_side_guarded(spark):
+    from reddit_etl_spark.operators.dq import profile_drift
+
+    old = spark.createDataFrame([], "k long, v string")
+    new = spark.createDataFrame([(1, "a")], "k long, v string")
+    got = {r["column"]: r for r in profile_drift(old, new, ["v"]).collect()}
+    r = got["v"]
+    assert r["n_old"] == 0 and r["null_rate_old"] is None
+    assert r["null_rate_delta"] is None and r["ndv_ratio"] is None
+    assert r["null_rate_new"] == 0.0
