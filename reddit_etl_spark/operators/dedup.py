@@ -238,30 +238,31 @@ def _verify_candidates_by_arrays(
 _NGRAM_AUTO_BLOWUP = 32.0
 
 
-def _auto_prefix_choice(posting: DataFrame) -> "tuple[bool, DataFrame]":
+def _auto_prefix_choice(posting: DataFrame) -> bool:
     """One shared plan-selection probe for the Jaccard/containment
     siblings: the co-occurrence join emits ~sum(df^2)/2 rows against
     the posting's sum(df); past ``_NGRAM_AUTO_BLOWUP`` the quadratic
     path loses to the prefix plan's two extra linear shuffles.
     Doubles suffice — this is a plan heuristic, not a result.
 
-    Returns (use_prefix, per-shingle df frame). The df frame is
-    lazily checkpointed and handed back so the prefix path RANKS off
-    it instead of re-aggregating the posting — the posting is the
-    dominant byte volume on exactly the corpora where the prefix
-    path wins, and the probe already paid for this aggregate.
+    Deliberately persists NOTHING: a checkpointed df frame handed to
+    the caller would stay pinned in executor storage for the
+    application lifetime on the common (non-prefix) path, where it is
+    never used again. The prefix path re-aggregates the posting once
+    for its ranking — an extra map-side-combined pass the candidate
+    join dominates by the very >32x blowup that selected the path.
     """
-    freq = (
+    blow = (
         posting.groupBy("__sh")
-        .agg(F.count("*").alias("__df"))
-        .localCheckpoint(eager=False)
+        .agg(F.count("*").cast("double").alias("__df"))
+        .agg(
+            F.sum("__df").alias("__s1"),
+            F.sum(F.col("__df") * F.col("__df")).alias("__s2"),
+        )
+        .first()
     )
-    blow = freq.agg(
-        F.sum(F.col("__df").cast("double")).alias("__s1"),
-        F.sum(F.col("__df").cast("double") * F.col("__df")).alias("__s2"),
-    ).first()
     s1, s2 = blow["__s1"] or 0.0, blow["__s2"] or 0.0
-    return bool(s2 > _NGRAM_AUTO_BLOWUP * s1), freq
+    return bool(s2 > _NGRAM_AUTO_BLOWUP * s1)
 
 
 def ngram_jaccard_pairs(
@@ -324,9 +325,8 @@ def ngram_jaccard_pairs(
             .select("__sh")
         )
         posting = posting.join(F.broadcast(hot), "__sh", "left_anti")
-    freq = None
     if prefix_filter == "auto":
-        prefix_filter, freq = _auto_prefix_choice(posting)
+        prefix_filter = _auto_prefix_choice(posting)
     if not prefix_filter:
         if max_df is None:
             # Carry |doc| through the posting (one extra long per
@@ -373,8 +373,7 @@ def ngram_jaccard_pairs(
         # is why it defaults to None.
         return _verify_pairs_by_counts(posting, id_col, threshold, sizes=None)
 
-    if freq is None:  # explicit prefix_filter=True: probe never ran
-        freq = posting.groupBy("__sh").agg(F.count("*").alias("__df"))
+    freq = posting.groupBy("__sh").agg(F.count("*").alias("__df"))
     w = Window.partitionBy(id_col).orderBy("__df", "__sh")
     ranked = (
         posting.join(freq, "__sh")
@@ -444,9 +443,8 @@ def ngram_containment_pairs(
     """
     arrays = shingle_arrays(df, id_col, text_col, n)
     posting = _posting_from_arrays(arrays, id_col)
-    freq = None
     if prefix_filter == "auto":
-        prefix_filter, freq = _auto_prefix_choice(posting)
+        prefix_filter = _auto_prefix_choice(posting)
     if not prefix_filter:
         sized = arrays.select(
             F.col(id_col),
@@ -489,8 +487,7 @@ def ngram_containment_pairs(
             "id_a", "id_b", F.round("containment", 6).alias("containment")
         )
 
-    if freq is None:  # explicit prefix_filter=True: probe never ran
-        freq = posting.groupBy("__sh").agg(F.count("*").alias("__df"))
+    freq = posting.groupBy("__sh").agg(F.count("*").alias("__df"))
     w = Window.partitionBy(id_col).orderBy("__df", "__sh")
     ranked = (
         posting.join(freq, "__sh")

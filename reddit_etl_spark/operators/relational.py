@@ -2442,6 +2442,14 @@ def pca_top_component(
         # empty input: degrade to an empty frame like the rest of the
         # wave (the SUM aggregates are all NULL here)
         return spark.createDataFrame([], out_schema)
+    if any(row[f"__s{i}"] is None for i in range(k)):
+        # n > 0 but a feature is NULL on every row (or its cast
+        # nulled every value): no moments exist for that axis.
+        # Degrade like the zero-vector collapse — loadings NULL,
+        # explained 0 — instead of a TypeError off the None sums.
+        return spark.createDataFrame(
+            [(nm, None, 0.0, n) for nm in names], out_schema
+        )
     s = [int(row[f"__s{i}"]) for i in range(k)]
     m = [[0] * k for _ in range(k)]
     for i in range(k):
@@ -2482,3 +2490,168 @@ def pca_top_component(
         for i in range(k)
     ]
     return spark.createDataFrame(out, out_schema)
+
+
+def business_days_col(start: Column, end: Column) -> Column:
+    """Weekend-excluding day count between two dates (half-open
+    [start, end)) — the business-calendar arithmetic every SLA/
+    fulfillment readout needs and naive datediff gets wrong by ~2/7.
+
+    Closed form, no calendar table and no per-day explode: with
+    m(d) = days since the Monday anchor 1970-01-05,
+    bd(d) = 5 * (m div 7) + least(m mod 7, 5) counts business days
+    from the anchor to d, and the answer is bd(end) - bd(start).
+    Pure integer div/mod on positive BIGINTs — identical on any
+    engine (DuckDB twin: date_diff + // and %) — and O(1) per row
+    inside whole-stage codegen; an interval spanning a decade costs
+    the same as one spanning a day.
+    """
+    def bd(d: Column) -> Column:
+        m = F.datediff(d.cast("date"), F.lit("1970-01-05").cast("date"))
+        # (m - m%7)/7 is exactly integral, so the division is exact
+        # and the final long cast never truncates a fraction
+        weeks = (m - F.pmod(m, 7)) / 7
+        return 5 * weeks + F.least(F.pmod(m, 7), F.lit(5))
+
+    return (bd(end) - bd(start)).cast("long")
+
+
+def business_day_sla(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+    sla_days: int,
+    percentiles: Sequence[int] = (50, 90),
+) -> DataFrame:
+    """Per-group SLA readout on the business-day duration between two
+    date columns: count, exact mean, exact type-1 percentiles (the
+    smallest duration whose cumulative count reaches ceil(p*n/100) —
+    rank selection on integers, no interpolation, no engine-dependent
+    rounding), and the breach rate against ``sla_days``.
+
+    Durations are exact BIGINTs from :func:`business_days_col`;
+    percentile selection runs over the (group, duration) DISTINCT
+    frame with cumulative counts (the weighted-percentiles
+    discipline: tie order is unobservable), the threshold compare is
+    cross-multiplied (cum * 100 >= p * n), and the only divisions
+    are the final reported mean/rate.
+    """
+    keys = list(group_cols)
+    ps = sorted(set(int(p) for p in percentiles))
+    bd = business_days_col(F.col(start_col), F.col(end_col))
+    base = df.select(*keys, bd.alias("__bd")).filter(
+        F.col("__bd").isNotNull()
+    )
+    per_val = base.groupBy(*keys, "__bd").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__bd")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wk = Window.partitionBy(*keys)
+    cum = (
+        per_val.withColumn("__cum", F.sum("__c").over(w))
+        .withColumn("__n", F.sum("__c").over(wk))
+    )
+    agg_cols = [
+        F.max("__n").alias("n"),
+        F.round(
+            F.sum(F.col("__bd") * F.col("__c")).cast("double")
+            / F.max("__n"),
+            6,
+        ).alias("mean_bd"),
+        F.round(
+            F.sum(
+                F.when(F.col("__bd") > sla_days, F.col("__c")).otherwise(0)
+            ).cast("double")
+            / F.max("__n"),
+            6,
+        ).alias("breach_rate"),
+    ]
+    for p in ps:
+        agg_cols.append(
+            F.min(
+                F.when(
+                    F.col("__cum") * 100 >= F.lit(p) * F.col("__n"),
+                    F.col("__bd"),
+                )
+            )
+            .cast("long")
+            .alias(f"p{p}_bd")
+        )
+    return cum.groupBy(*keys).agg(*agg_cols).orderBy(*keys)
+
+
+def cohort_ltv_curve(
+    df: DataFrame,
+    entity_col: str,
+    date_col: str,
+    amount_col: str,
+) -> DataFrame:
+    """Cohort lifetime-value curve: entities cohort by their FIRST
+    activity month, and each (cohort, age-in-months) cell reports
+    period revenue, cumulative revenue, and cumulative LTV per cohort
+    member — the monetary companion to comeback-counting retention
+    (retention says WHO returns; this says what returning is WORTH,
+    which is what acquisition spend is actually priced against).
+
+    Exactness: cohort/age are pure integer month arithmetic
+    (year*12 + month differences — no months_between float), revenue
+    accumulates as exact DECIMAL(18,2) sums with the cumulative
+    window running over the (cohort, age) AGGREGATE frame (at most
+    months^2/2 rows — broadcast-scale), and LTV divides once per
+    cell, round-6. One entity-keyed aggregate for cohorts + one
+    (cohort, age) aggregate; nothing fact-sized shuffles twice.
+    """
+    ym = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    first = df.groupBy(entity_col).agg(
+        F.min(F.col(date_col).cast("date")).alias("__fd")
+    )
+    cohorts = first.select(
+        entity_col,
+        F.trunc("__fd", "month").alias("cohort_month"),
+        ym(F.col("__fd")).alias("__cym"),
+    )
+    sizes = cohorts.groupBy("cohort_month").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    cells = (
+        df.join(cohorts, entity_col)
+        .select(
+            "cohort_month",
+            "__cym",
+            (ym(F.col(date_col).cast("date")) - F.col("__cym")).alias(
+                "age_months"
+            ),
+            F.col(amount_col).cast("decimal(18,2)").alias("__amt"),
+        )
+        .groupBy("cohort_month", "age_months")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("__amt").alias("__rev"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.withColumn("__cum", F.sum("__rev").over(w))
+        .join(F.broadcast(sizes), "cohort_month")
+        .select(
+            "cohort_month",
+            F.col("age_months").cast("long").alias("age_months"),
+            "n_orders",
+            F.round(F.col("__rev").cast("double"), 2).alias("revenue"),
+            F.round(F.col("__cum").cast("double"), 2).alias("cum_revenue"),
+            "cohort_size",
+            F.round(
+                F.col("__cum").cast("double") / F.col("cohort_size"), 6
+            ).alias("ltv_per_member"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )

@@ -68,6 +68,8 @@ def test_recorded_head_exactly_cap_and_contains_rotation():
         "hard_negatives_bm25",
         "link_prediction_suppliers",  # round-8 sixth wave
         "profile_drift_orders",
+        "sla_business_days",  # round-8 seventh wave
+        "cohort_ltv_curve",
     ):
         assert q in head, q
     # round-8 second/third-wave swap-out partners: recorded r07,
@@ -85,6 +87,8 @@ def test_recorded_head_exactly_cap_and_contains_rotation():
         "bloom_semi_lineitem",
         "sssp_purchase_paths",
         "anova_event_values",
+        "mannwhitney_click_error",
+        "cuped_user_value",
     ):
         assert q not in head, q
         assert q in order, q  # still oracle-checked

@@ -7,7 +7,8 @@ correlation, deterministic token-dropout augmentation; third wave:
 ordered event-type trigram mining, point-process burstiness;
 fourth wave: t-closeness release audit, Wald SPRT; fifth wave:
 proximity search, BM25 hard-negative mining; sixth wave: bipartite
-link prediction, column-profile drift."""
+link prediction, column-profile drift; seventh wave: business-day
+SLA arithmetic, cohort LTV curve."""
 
 from __future__ import annotations
 
@@ -1002,3 +1003,99 @@ def test_profile_drift_empty_side_guarded(spark):
     assert r["n_old"] == 0 and r["null_rate_old"] is None
     assert r["null_rate_delta"] is None and r["ndv_ratio"] is None
     assert r["null_rate_new"] == 0.0
+
+
+def test_pca_all_null_feature_degrades(spark):
+    from reddit_etl_spark.operators.relational import pca_top_component
+
+    df = spark.createDataFrame(
+        [(1, None, 5), (2, None, 7)], "id long, x long, y long"
+    )
+    out = {r["feature"]: r for r in pca_top_component(
+        df, {"x": F.col("x"), "y": F.col("y")}
+    ).collect()}
+    assert out["x"]["loading"] is None and out["y"]["loading"] is None
+    assert out["x"]["explained_ratio"] == 0.0 and out["x"]["n"] == 2
+
+
+# ------------------------------------------------- business days SLA
+
+
+def test_business_days_closed_form_matches_python(spark):
+    import datetime as dt
+
+    from reddit_etl_spark.operators.relational import business_days_col
+
+    start = dt.date(2023, 12, 25)
+    pairs = []
+    for a in range(30):
+        for b in range(a, a + 15):
+            pairs.append(
+                (
+                    str(start + dt.timedelta(days=a)),
+                    str(start + dt.timedelta(days=b)),
+                )
+            )
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = [
+        r["bd"]
+        for r in df.select(
+            business_days_col(F.col("a"), F.col("b")).alias("bd")
+        ).collect()
+    ]
+
+    def py_bd(a, b):
+        d, n = dt.date.fromisoformat(a), 0
+        while d < dt.date.fromisoformat(b):
+            if d.weekday() < 5:
+                n += 1
+            d += dt.timedelta(days=1)
+        return n
+
+    assert got == [py_bd(a, b) for a, b in pairs]
+
+
+def test_business_day_sla_percentiles_and_breach(spark):
+    from reddit_etl_spark.operators.relational import business_day_sla
+
+    # 10 orders in one group: durations 1..10 business days via
+    # consecutive Mondays + offsets (2024-01-01 is a Monday)
+    rows = []
+    for i in range(1, 11):
+        # start Monday, end = start + i business days => i bd
+        end_days = i + 2 * (i // 5)  # skip weekends for i >= 5
+        rows.append(("g", "2024-01-01", f"2024-01-{1 + end_days:02d}"))
+    df = spark.createDataFrame(rows, "g string, a string, b string")
+    out = business_day_sla(df, ["g"], "a", "b", sla_days=7).collect()[0]
+    assert out["n"] == 10
+    assert out["p50_bd"] == 5 and out["p90_bd"] == 9
+    assert out["mean_bd"] == 5.5
+    assert out["breach_rate"] == 0.3  # 8, 9, 10 exceed 7
+
+
+# ----------------------------------------------------- cohort LTV
+
+
+def test_cohort_ltv_cumulative_and_per_member(spark):
+    from reddit_etl_spark.operators.relational import cohort_ltv_curve
+
+    rows = [
+        (1, "2024-01-05", 100.0),   # cohort Jan, age 0
+        (1, "2024-03-10", 50.0),    # age 2
+        (2, "2024-01-20", 30.0),    # cohort Jan, age 0
+        (3, "2024-02-02", 70.0),    # cohort Feb, age 0
+    ]
+    df = spark.createDataFrame(rows, "cust long, d string, amt double")
+    out = {
+        (str(r["cohort_month"]), r["age_months"]): r
+        for r in cohort_ltv_curve(df, "cust", "d", "amt").collect()
+    }
+    jan0 = out[("2024-01-01", 0)]
+    assert jan0["revenue"] == 130.0 and jan0["cohort_size"] == 2
+    assert jan0["ltv_per_member"] == 65.0
+    jan2 = out[("2024-01-01", 2)]
+    assert jan2["cum_revenue"] == 180.0 and jan2["ltv_per_member"] == 90.0
+    feb0 = out[("2024-02-01", 0)]
+    assert feb0["cohort_size"] == 1 and feb0["ltv_per_member"] == 70.0
+    # ages with no orders are absent (sparse cells), cumulative still right
+    assert ("2024-01-01", 1) not in out
