@@ -12844,10 +12844,11 @@ def profile_drift_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_orderkey),
     j AS (
       SELECT o.o_orderpriority,
-             date_diff('day', DATE '1970-01-05',
+             date_diff('day', DATE '1900-01-01',
                        CAST(o.o_orderdate AS DATE)) AS ma,
-             date_diff('day', DATE '1970-01-05', s.first_ship) AS mb
-      FROM orders o JOIN ship s ON s.l_orderkey = o.o_orderkey),
+             date_diff('day', DATE '1900-01-01', s.first_ship) AS mb
+      FROM orders o JOIN ship s ON s.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate IS NOT NULL AND s.first_ship IS NOT NULL),
     bdv AS (
       SELECT o_orderpriority,
              (5 * ((mb - mb % 7) // 7) + least(mb % 7, 5))

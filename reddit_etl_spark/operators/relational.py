@@ -2442,11 +2442,15 @@ def pca_top_component(
         # empty input: degrade to an empty frame like the rest of the
         # wave (the SUM aggregates are all NULL here)
         return spark.createDataFrame([], out_schema)
-    if any(row[f"__s{i}"] is None for i in range(k)):
-        # n > 0 but a feature is NULL on every row (or its cast
-        # nulled every value): no moments exist for that axis.
-        # Degrade like the zero-vector collapse — loadings NULL,
-        # explained 0 — instead of a TypeError off the None sums.
+    moment_keys = [f"__s{i}" for i in range(k)] + [
+        f"__p{i}{j}" for i in range(k) for j in range(i, k)
+    ]
+    if any(row[key] is None for key in moment_keys):
+        # n > 0 but some moment is NULL: a feature NULL on every row
+        # nulls its sums, and two features never simultaneously
+        # non-null (disjoint sparsity) null their CROSS-moment even
+        # when both first moments exist. Degrade like the zero-vector
+        # collapse — loadings NULL, explained 0 — never a TypeError.
         return spark.createDataFrame(
             [(nm, None, 0.0, n) for nm in names], out_schema
         )
@@ -2498,16 +2502,19 @@ def business_days_col(start: Column, end: Column) -> Column:
     fulfillment readout needs and naive datediff gets wrong by ~2/7.
 
     Closed form, no calendar table and no per-day explode: with
-    m(d) = days since the Monday anchor 1970-01-05,
+    m(d) = days since the Monday anchor 1900-01-01,
     bd(d) = 5 * (m div 7) + least(m mod 7, 5) counts business days
     from the anchor to d, and the answer is bd(end) - bd(start).
-    Pure integer div/mod on positive BIGINTs — identical on any
-    engine (DuckDB twin: date_diff + // and %) — and O(1) per row
-    inside whole-stage codegen; an interval spanning a decade costs
-    the same as one spanning a day.
+    Pure integer div/mod — O(1) per row inside whole-stage codegen;
+    an interval spanning a decade costs the same as one spanning a
+    day. VALID FOR DATES >= 1900-01-01 ONLY: m must be non-negative,
+    because Spark's pmod and DuckDB's sign-of-dividend % agree only
+    there (measured: a pre-anchor Friday start diverged by 2 under a
+    1970 anchor, which is why the anchor sits at 1900 — the DuckDB
+    twin is date_diff('day', DATE '1900-01-01', d) with // and %).
     """
     def bd(d: Column) -> Column:
-        m = F.datediff(d.cast("date"), F.lit("1970-01-05").cast("date"))
+        m = F.datediff(d.cast("date"), F.lit("1900-01-01").cast("date"))
         # (m - m%7)/7 is exactly integral, so the division is exact
         # and the final long cast never truncates a fraction
         weeks = (m - F.pmod(m, 7)) / 7
@@ -2531,11 +2538,16 @@ def business_day_sla(
     rounding), and the breach rate against ``sla_days``.
 
     Durations are exact BIGINTs from :func:`business_days_col`;
-    percentile selection runs over the (group, duration) DISTINCT
-    frame with cumulative counts (the weighted-percentiles
-    discipline: tie order is unobservable), the threshold compare is
-    cross-multiplied (cum * 100 >= p * n), and the only divisions
-    are the final reported mean/rate.
+    rows where either date is NULL are dropped (n, mean, breach
+    denominators all exclude them — the paired oracle filters the
+    same rows); percentile selection runs over the (group, duration)
+    DISTINCT frame with cumulative counts (the weighted-percentiles
+    discipline: tie order is unobservable — a sibling of
+    ``weighted_percentiles``' double-threshold core, kept separate
+    because that operator's edge-rank semantics are already
+    oracle-pinned), the threshold compare is cross-multiplied
+    (cum * 100 >= p * n), and the only divisions are the final
+    reported mean/rate.
     """
     keys = list(group_cols)
     ps = sorted(set(int(p) for p in percentiles))
@@ -2607,6 +2619,11 @@ def cohort_ltv_curve(
     (cohort, age) aggregate; nothing fact-sized shuffles twice.
     """
     ym = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    # a NULL activity date has no cohort or age — and Spark's window
+    # would sort its NULL age cell FIRST where DuckDB sorts it LAST,
+    # silently front-loading the cumulative revenue. Drop it here,
+    # like business_day_sla drops NULL durations.
+    df = df.filter(F.col(date_col).isNotNull())
     first = df.groupBy(entity_col).agg(
         F.min(F.col(date_col).cast("date")).alias("__fd")
     )

@@ -1099,3 +1099,74 @@ def test_cohort_ltv_cumulative_and_per_member(spark):
     assert feb0["cohort_size"] == 1 and feb0["ltv_per_member"] == 70.0
     # ages with no orders are absent (sparse cells), cumulative still right
     assert ("2024-01-01", 1) not in out
+
+
+def test_pca_disjoint_sparsity_degrades(spark):
+    from reddit_etl_spark.operators.relational import pca_top_component
+
+    # x and y are never simultaneously non-null: the CROSS-moment is
+    # NULL even though both first moments exist
+    df = spark.createDataFrame(
+        [(1, 1, None), (2, None, 2)], "id long, x long, y long"
+    )
+    out = {r["feature"]: r for r in pca_top_component(
+        df, {"x": F.col("x"), "y": F.col("y")}
+    ).collect()}
+    assert out["x"]["loading"] is None and out["y"]["loading"] is None
+
+
+def test_cohort_ltv_null_dates_excluded(spark):
+    from reddit_etl_spark.operators.relational import cohort_ltv_curve
+
+    rows = [
+        (1, "2024-01-05", 100.0),
+        (1, None, 999.0),  # must not front-load the cumulative sum
+        (2, "2024-01-20", 30.0),
+    ]
+    df = spark.createDataFrame(rows, "cust long, d string, amt double")
+    out = {
+        (str(r["cohort_month"]), r["age_months"]): r
+        for r in cohort_ltv_curve(df, "cust", "d", "amt").collect()
+    }
+    jan0 = out[("2024-01-01", 0)]
+    assert jan0["cum_revenue"] == 130.0 and jan0["ltv_per_member"] == 65.0
+    assert all(k[1] is not None for k in out)
+
+
+def test_business_days_valid_from_1900_anchor(spark):
+    import datetime as dt
+
+    from reddit_etl_spark.operators.relational import business_days_col
+
+    # pre-1970 but post-1900 dates: the 1900 Monday anchor keeps m
+    # non-negative, where a 1970 anchor diverged from the DuckDB twin
+    import duckdb
+
+    pairs = [("1955-03-01", "1955-03-15"), ("1901-01-04", "1901-01-07")]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = [
+        r["bd"]
+        for r in df.select(
+            business_days_col(F.col("a"), F.col("b")).alias("bd")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    for (a, b), g in zip(pairs, got):
+        twin = con.execute(
+            f"""SELECT (5 * ((mb - mb % 7) // 7) + least(mb % 7, 5))
+                - (5 * ((ma - ma % 7) // 7) + least(ma % 7, 5))
+            FROM (SELECT date_diff('day', DATE '1900-01-01', DATE '{a}')
+                    AS ma,
+                  date_diff('day', DATE '1900-01-01', DATE '{b}') AS mb)"""
+        ).fetchone()[0]
+        assert g == twin, (a, b)
+
+        def py_bd(x, y):
+            d, n = dt.date.fromisoformat(x), 0
+            while d < dt.date.fromisoformat(y):
+                if d.weekday() < 5:
+                    n += 1
+                d += dt.timedelta(days=1)
+            return n
+
+        assert g == py_bd(a, b), (a, b)
