@@ -1125,21 +1125,54 @@ def sse_changepoint(
         (F.col("__s") - F.col("__sl")).alias("__sr"),
         (F.col("__n") - F.col("__nl")).alias("__nr"),
     )
-    # floor quotient via (num - num % den) / den: Spark's `div`
-    # operator RETURNS BIGINT and silently wraps past 2^63 (measured:
-    # a 2.8e34 quotient came back negative); subtracting the pmod
-    # first makes the decimal division exact-integral, which survives
-    # the DECIMAL(38,0) cast untouched. All terms positive, so this
-    # floor == DuckDB HUGEINT `//` truncation.
-    score = F.expr(
-        f"CAST(((CAST(__sl AS DECIMAL(38,0)) * __sl * __nr"
-        f" + CAST(__sr AS DECIMAL(38,0)) * __sr * __nl) * {scale}"
-        f" - pmod((CAST(__sl AS DECIMAL(38,0)) * __sl * __nr"
-        f" + CAST(__sr AS DECIMAL(38,0)) * __sr * __nl) * {scale},"
-        f" CAST(__nl AS DECIMAL(38,0)) * __nr))"
-        f" / (CAST(__nl AS DECIMAL(38,0)) * __nr) AS DECIMAL(38,0))"
+    # floor quotient WITHOUT ever forming a DECIMAL(38,6) whose
+    # integer part exceeds 1e32: Spark's `div` RETURNS BIGINT and
+    # silently wraps past 2^63 (measured: a 2.8e34 quotient came back
+    # negative), and the earlier single-division form
+    # (num - num%den)/den types as DECIMAL(38,6) — exact only while
+    # the quotient stays under ~1e32, silently NULL above (measured:
+    # a 5e33 quotient came back NULL under default config; the ANSI
+    # lane errors). Advisor r8 (medium). Fix: split the quotient at
+    # B = 1e18 —
+    #     q_hi = floor(A / (den·B)),  q_lo = floor((A mod den·B)/den)
+    #     floor(A/den) = q_hi·B + q_lo        (exact identity)
+    # Each partial quotient is < 1e20 — far inside DECIMAL(38,6)'s
+    # exact-integer range — and the recombination q_hi·B + q_lo fits
+    # DECIMAL(38,0) because floor(A/den) <= A < 1e38. All terms
+    # positive, so this floor == DuckDB HUGEINT `//` truncation over
+    # the FULL 38-digit range (property-pinned past 1e32 in
+    # tests/test_series.py::test_sse_changepoint_huge_magnitudes).
+    # Remaining ceiling: A itself must fit DECIMAL(38,0) and
+    # den·B <= 1e38 (i.e. n_l·n_r <= 1e20) — both error loudly under
+    # ANSI instead of mislocalizing.
+    _a = (
+        f"((CAST(__sl AS DECIMAL(38,0)) * __sl * __nr"
+        f" + CAST(__sr AS DECIMAL(38,0)) * __sr * __nl) * {scale})"
     )
-    scored = cand.withColumn("__score", score)
+    _den = "(CAST(__nl AS DECIMAL(38,0)) * __nr)"
+    _b = 10**18
+    scored = (
+        cand.withColumn("__A", F.expr(_a))
+        .withColumn("__den", F.expr(_den))
+        .withColumn(
+            "__dB", F.expr(f"CAST(__den * {_b} AS DECIMAL(38,0))")
+        )
+        .withColumn(
+            "__qhi",
+            F.expr("CAST((__A - pmod(__A, __dB)) / __dB AS DECIMAL(38,0))"),
+        )
+        .withColumn("__rem", F.expr("pmod(__A, __dB)"))
+        .withColumn(
+            "__qlo",
+            F.expr(
+                "CAST((__rem - pmod(__rem, __den)) / __den AS DECIMAL(38,0))"
+            ),
+        )
+        .withColumn(
+            "__score",
+            F.expr(f"CAST(__qhi * {_b} + __qlo AS DECIMAL(38,0))"),
+        )
+    )
     w_pick = Window.partitionBy(*key_cols).orderBy(
         F.desc("__score"), F.asc("split_at")
     )

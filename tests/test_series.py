@@ -735,3 +735,34 @@ class TestConformalBacktestIntervals:
         t = out["tiny"]
         assert (t["n_cal"], t["n_eval"]) == (0, 1)
         assert t["qhat"] is None and t["coverage"] is None
+
+
+def test_sse_changepoint_huge_magnitudes(spark):
+    # Advisor r8 (medium): the earlier single-division score typed
+    # DECIMAL(38,6) — exact only below a ~1e32 quotient, silently NULL
+    # above, which desc-sorts the TRUE best split last and
+    # mislocalizes. This key's both candidate scores are ~2.5e33 and
+    # ~4.9e33 (quotient class measured in the advisory): under the
+    # old form both went NULL and the earliest split won by tiebreak
+    # (WRONG answer = split_at 1). The hi/lo-split quotient must pick
+    # the true SSE-optimal split and report the exact integer score.
+    from reddit_etl_spark.operators.series import sse_changepoint
+
+    vals = [10.0, 10.0, 7e7]
+    df = spark.createDataFrame(
+        [("k", i + 1, v) for i, v in enumerate(vals)],
+        "key string, t int, v double",
+    )
+    r = sse_changepoint(df, ["key"], "t", "v").collect()
+    assert len(r) == 1
+    got = r[0]
+    assert got["split_at"] == 2 and got["n_before"] == 2
+    # exact integer oracle, computed in unbounded Python ints
+    scale = 1_000_000
+    xs = [round(v * scale) for v in vals]
+    sl, nl = sum(xs[:2]), 2
+    sr, nr = xs[2], 1
+    expect = (sl * sl * nr + sr * sr * nl) * scale // (nl * nr)
+    assert expect > 10**32  # the magnitude class the fix targets
+    assert got["score"] == str(expect)
+    assert got["mean_after"] == 7e7
