@@ -127,10 +127,17 @@ def main() -> int:
         ((n, hq) for n, hq in registry().items() if hq.headline),
         key=lambda p: p[0],
     )
-    if headline:
-        # untimed throwaway rep of the first measured query: neutralize
-        # the first-query position effect (see module docstring)
-        headline[0][1].builder(spark, sf_dir).count()
+    # untimed throwaway reps of the first THREE measured queries:
+    # round 8 showed the single-query throwaway merely RELOCATED the
+    # position penalty — the alphabetical head trio
+    # (asof_attribution/curation_pipeline/dedup_exact) inherited the
+    # +40-70% median inflation q01 used to pay under registry order
+    # (VERDICT r8 #3; BENCH_DETAIL corroborated cold-start tails in
+    # exactly those three). Three sacrificial reps absorb the
+    # residual session costs across the whole cold window; later
+    # slots are warm by construction.
+    for _name, _hq in headline[:3]:
+        _hq.builder(spark, sf_dir).count()
     # Between reps, nudge the JVM GC: operators that pin a shared
     # projection with localCheckpoint (ngram/minhash dedup) leave their
     # checkpoint RDD blocks in the block manager until the driver GC

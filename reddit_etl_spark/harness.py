@@ -398,7 +398,10 @@ _PROMOTED = [
     # value-hash-checked): pHash near-dup pairs — the banding + exact
     # Hamming cut over Arrow-computed 64-bit DCT hashes, verified
     # end-to-end in DuckDB via bit_count on the same materialized
-    # hashes
+    # hashes. NOTE (advisor r8): the r08 driver row matched on an
+    # EMPTY result (sf0.01 has no pairs within the Hamming cut) — the
+    # non-trivial value-hash attestation lives in ORACLE_sf0.1.json
+    # (8 real pairs) and tests/test_phash.py's regeneration pin.
     "image_phash_neardup",
     # round-5 rotation (judge r4 next-round #2): the eight round-4
     # capabilities that had never had a driver-recorded row. Swapped in
@@ -12309,17 +12312,21 @@ def seq_trigrams_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, n_gaps,
            ROUND(CAST(CAST(sd AS VARCHAR) AS DOUBLE) / n_gaps, 6)
              AS mean_gap_s,
-           ROUND(sqrt(CAST(CAST(n_gaps::HUGEINT * qd - sd * sd
-                                AS VARCHAR) AS DOUBLE)
-                      / (CAST(n_gaps AS DOUBLE) * (n_gaps - 1))), 6)
-             AS std_gap_s,
-           CASE WHEN sd > 0 THEN
+           -- every sample-std term guards n_gaps > 1 (advisor r8: a
+           -- key with exactly 2 events has one gap -> the unguarded
+           -- form divides by zero where the operator emits NULL)
+           CASE WHEN n_gaps > 1 THEN
+             ROUND(sqrt(CAST(CAST(n_gaps::HUGEINT * qd - sd * sd
+                                  AS VARCHAR) AS DOUBLE)
+                        / (CAST(n_gaps AS DOUBLE) * (n_gaps - 1))), 6)
+           END AS std_gap_s,
+           CASE WHEN n_gaps > 1 AND sd > 0 THEN
              ROUND(sqrt(CAST(CAST(n_gaps::HUGEINT * qd - sd * sd
                                   AS VARCHAR) AS DOUBLE)
                         / (CAST(n_gaps AS DOUBLE) * (n_gaps - 1)))
                    / (CAST(CAST(sd AS VARCHAR) AS DOUBLE) / n_gaps), 6)
            END AS cv,
-           CASE WHEN sd > 0 THEN
+           CASE WHEN n_gaps > 1 AND sd > 0 THEN
              ROUND((sqrt(CAST(CAST(n_gaps::HUGEINT * qd - sd * sd
                                    AS VARCHAR) AS DOUBLE)
                          / (CAST(n_gaps AS DOUBLE) * (n_gaps - 1)))

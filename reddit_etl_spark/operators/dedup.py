@@ -152,7 +152,20 @@ def shingle_arrays(
 
     The checkpoint is LAZY (eager=False): building an operator or a
     Corpus chain must not run Spark jobs; the arrays materialize on
-    the first action and are reused by every later reference."""
+    the first action and are reused by every later reference.
+
+    DOCUMENTED exceptions to the lazy-build rule (advisor r8): the
+    ``'auto'`` plan-selection modes — ``ngram_jaccard_pairs`` /
+    ``ngram_containment_pairs`` (``prefix_filter='auto'``, one
+    posting-blowup aggregate) and ``quantile_normalize``
+    (``pooled='auto'``, one COUNT) — run ONE eager probe job at
+    DataFrame-construction time, because the probe's answer picks the
+    plan SHAPE, which cannot be deferred into the plan itself. The
+    choice is frozen at build time: re-executing the returned frame
+    after the source data changes replays the original plan decision
+    (both branches stay lossless/result-identical — only the probe
+    cost and plan optimality are at stake). Pass an explicit mode to
+    keep construction job-free."""
     arrays = fan_out(df).select(
         F.col(id_col), hashed_shingles_col(text_col, n).alias("__arr")
     )
@@ -301,10 +314,16 @@ def ngram_jaccard_pairs(
     sum(df^2) vs sum(df), i.e. candidate-join rows per posting row —
     and take the prefix path once the join would emit more than
     ``_NGRAM_AUTO_BLOWUP``x the posting (double-precision, it's a
-    heuristic). The probe costs one small job over the posting;
-    both branches return identical pairs, so the choice is purely a
+    heuristic). The probe costs one small EAGER job over the posting
+    AT CONSTRUCTION TIME — a documented exception to the lazy-build
+    rule (see ``shingle_arrays``; advisor r8): the probe picks the
+    plan SHAPE, so it cannot ride inside the plan, and the choice is
+    frozen when this function returns (re-executing the frame after
+    source changes replays the original — still lossless — decision).
+    Both branches return identical pairs, so the choice is purely a
     plan decision, invisible to results (pinned by the auto-path
-    equality test).
+    equality test). Pass ``True``/``False`` explicitly to keep
+    construction job-free.
 
     ``max_df`` additionally drops shingles occurring in more than that
     many documents (hard stop-shingle cap). Similarity is then over
@@ -440,6 +459,10 @@ def ngram_containment_pairs(
       which is why the symmetric prefix path cannot be reused).
       |B| >= ceil(t*|A|) prunes before the exact verify on shingle
       arrays (array_intersect over candidate ids only).
+
+    ``prefix_filter='auto'`` runs one EAGER posting-blowup probe job
+    at construction time — the documented lazy-build-rule exception
+    (see ``shingle_arrays`` and the Jaccard sibling's docstring).
     """
     arrays = shingle_arrays(df, id_col, text_col, n)
     posting = _posting_from_arrays(arrays, id_col)
