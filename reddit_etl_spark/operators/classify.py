@@ -179,3 +179,92 @@ def nb_self_train_language(
         alpha=alpha,
         keep_cols=["label"],
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Reliability diagram + Brier score for a probabilistic score
+    against a binary outcome — the score-QUALITY audit the classifier
+    family lacks: nb_predict says WHICH class, ranking_metrics says
+    whether the ORDER is right; this says whether "0.8" actually
+    means 80% ("is the quality-filter score a probability or just a
+    monotone gadget"). Fixed-WIDTH bins, not quantile bins — so no
+    global rank anywhere and the diagram's x-axis is stable across
+    runs/engines/datasets (the lift/decile form needs the
+    sketch-boundary machinery; the reliability form deliberately
+    doesn't).
+
+    Per bin [i/n, (i+1)/n): count, mean predicted score, observed
+    positive rate, and the gap (observed - predicted, the calibration
+    error with sign). Every row also carries the GLOBAL Brier score
+    mean((p - y)^2) — the proper scoring rule the diagram
+    decomposes — via a 1-row broadcast.
+
+    Exactness: scores quantize to micros BIGINTs (floor(p*1e6 + 0.5)
+    — exact on round-6 inputs); bin ids derive from the micros
+    integer (micros * n_bins div 1e6, clamped — never a double
+    multiply whose floor could straddle an ulp); sums of micros and
+    of squared-micros errors accumulate BIGINT / DECIMAL(38,0); every
+    reported double is one division over exact integers, round-6.
+    Rows with NULL score or label are excluded.
+
+    Plan: one map-side-combined bin aggregate + one 1-row global
+    aggregate broadcast back. Scan-bound at any scale.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    d38 = "decimal(38,0)"
+    p_mic = F.floor(F.col(score_col) * 1_000_000 + F.lit(0.5)).cast("long")
+    y = F.col(label_col).cast("boolean").cast("long")
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        p_mic.alias("__p"),
+        y.alias("__y"),
+    ).withColumn(
+        "__bin",
+        F.least(
+            F.expr(f"(__p * {n_bins}) div 1000000"), F.lit(n_bins - 1)
+        ).cast("long"),
+    ).withColumn(
+        "__e2",
+        F.expr("CAST((__p - __y * 1000000) AS DECIMAL(38,0))")
+        * (F.col("__p") - F.col("__y") * 1_000_000),
+    )
+    bins = base.groupBy("__bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__p").cast(d38).alias("__sp"),
+        F.sum("__y").cast("long").alias("__sy"),
+    )
+    glob = base.agg(
+        (
+            F.sum("__e2").cast("double")
+            / F.count("*")
+            / F.lit(1_000_000_000_000.0)
+        ).alias("__brier")
+    ).select(F.round("__brier", 6).alias("brier"))
+    return (
+        bins.crossJoin(F.broadcast(glob))
+        .select(
+            F.col("__bin").alias("bin"),
+            F.round(F.col("__bin") / F.lit(float(n_bins)), 6).alias(
+                "bin_lo"
+            ),
+            "n",
+            F.round(
+                F.col("__sp").cast("double") / F.col("n") / 1e6, 6
+            ).alias("mean_predicted"),
+            F.round(F.col("__sy") / F.col("n"), 6).alias("observed_rate"),
+            F.round(
+                F.col("__sy") / F.col("n")
+                - F.col("__sp").cast("double") / F.col("n") / 1e6,
+                6,
+            ).alias("gap"),
+            "brier",
+        )
+        .orderBy("bin")
+    )

@@ -1210,3 +1210,51 @@ def link_prediction(
         .limit(top_k)
         .drop("__ra_nanos")
     )
+
+
+def clustering_profile(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Per-node clustering profile WITH the graph-level transitivity
+    riding every row — the one-readout summary of "how clique-ish is
+    this graph": :func:`triangle_counts` supplies each node's degree,
+    triangle count, and local coefficient 2T/(d(d-1)); this adds the
+    GLOBAL transitivity
+
+        C = 3 * triangles / wedges = sum_v T_v / sum_v C(d_v, 2)
+
+    (each triangle is counted at its 3 corners, so the per-node sums
+    give exactly the textbook 3T/wedges without re-counting), which
+    is the number that distinguishes "a few dense pockets" (high avg
+    local, low global) from uniformly transitive graphs.
+
+    Exactness: T_v and d_v are exact BIGINTs from the oriented-wedge
+    count; both rollup sums accumulate DECIMAL(38,0) (sum of C(d,2)
+    is degree-squared-class — past int64 on hub graphs); transitivity
+    is one double division, round-6 (NULL on a wedgeless graph).
+
+    Plan: triangle_counts' O(m^1.5)-bounded pipeline + ONE extra
+    map-side-combined rollup broadcast back (a 1-row frame). Scales
+    exactly as far as triangle_counts does.
+    """
+    per_node = triangle_counts(edges, a_col, b_col)
+    d38 = "decimal(38,0)"
+    glob = per_node.agg(
+        F.sum(F.col("triangles").cast(d38)).alias("__t3"),
+        F.sum(
+            (
+                F.col("degree").cast(d38) * (F.col("degree") - 1) / 2
+            ).cast(d38)
+        ).alias("__w"),
+    ).select(
+        F.round(
+            F.when(
+                F.col("__w") > 0,
+                F.col("__t3").cast("double") / F.col("__w").cast("double"),
+            ),
+            6,
+        ).alias("transitivity")
+    )
+    return per_node.crossJoin(F.broadcast(glob)).orderBy("node")

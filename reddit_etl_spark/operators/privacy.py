@@ -250,3 +250,99 @@ def t_closeness_report(
         )
         .orderBy("t_threshold")
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    sensitive_col: str,
+    l_values: Sequence[int] = (2, 3, 5),
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the rung
+    BETWEEN k-anonymity and t-closeness that this family lacked:
+    k-anonymity counts group SIZE (a group of 50 that all share one
+    diagnosis is k-safe and fully leaked), distinct l-diversity
+    demands >= l DISTINCT sensitive values per QI group, and
+    entropy l-diversity demands the stronger exp(H(group)) >= l (50
+    values where one holds 96% of the mass barely beats distinct-l;
+    entropy-l catches it).
+
+    Per threshold l: groups passing distinct-l, groups passing
+    entropy-l, their percentages, the worst (minimum) distinct count
+    and minimum entropy-l over the table, and the size of the largest
+    VIOLATING group under distinct-l (the headline risk number — how
+    many people share the most-exposed equivalence class).
+
+    Exactness: distinct counts are exact BIGINTs (one (QI, s)
+    aggregate, never count_distinct over raw rows); the distinct-l
+    verdict is pure integer compare. Entropy uses the same
+    exact-count -> double ln discipline as entropy_event_hours
+    (H = ln(n) - sum(c*ln(c))/n over exact integers; the ulps die at
+    the round-6 report columns, and the entropy-l THRESHOLD compare
+    uses exp-free cross-form H >= ln(l) with ln(l) injected as one
+    Python literal per threshold — identical in both engines). NULL
+    sensitive values are excluded (same rule and reason as
+    t_closeness_report).
+
+    Plan: one (QI, s) groupBy -> one QI rollup -> threshold rows via
+    a tiny literal frame; k_anonymity_report-shaped output, one row
+    per l.
+    """
+    import math  # noqa: PLC0415
+
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    ls = sorted(set(int(v) for v in l_values))
+    if not ls or ls[0] < 2:
+        raise ValueError("l_values must all be >= 2")
+    base = df.filter(F.col(sensitive_col).isNotNull())
+    gv = base.groupBy(*qi_cols, sensitive_col).agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    groups = gv.groupBy(*qi_cols).agg(
+        F.sum("__c").cast("long").alias("__ng"),
+        F.count("*").cast("long").alias("__distinct"),
+        # H = ln(n) - sum(c ln c)/n, over exact integers
+        F.sum(F.col("__c").cast("double") * F.log(F.col("__c"))).alias(
+            "__clnc"
+        ),
+    ).withColumn(
+        "__H",
+        F.log(F.col("__ng")) - F.col("__clnc") / F.col("__ng"),
+    )
+    rows = []
+    for lv in ls:
+        ln_l = math.log(lv)
+        agg = groups.agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum((F.col("__distinct") >= lv).cast("long")).alias(
+                "groups_distinct_l"
+            ),
+            F.sum((F.col("__H") >= F.lit(ln_l)).cast("long")).alias(
+                "groups_entropy_l"
+            ),
+            F.min("__distinct").alias("min_distinct"),
+            F.round(F.exp(F.min("__H")), 6).alias("min_entropy_l"),
+            F.max(
+                F.when(F.col("__distinct") < lv, F.col("__ng"))
+            ).alias("largest_violating_group"),
+        ).withColumn("l", F.lit(lv).cast("long"))
+        rows.append(agg)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "l",
+        "n_groups",
+        "groups_distinct_l",
+        "groups_entropy_l",
+        F.round(
+            F.col("groups_distinct_l") / F.col("n_groups"), 6
+        ).alias("pct_distinct_l"),
+        F.round(
+            F.col("groups_entropy_l") / F.col("n_groups"), 6
+        ).alias("pct_entropy_l"),
+        "min_distinct",
+        "min_entropy_l",
+        "largest_violating_group",
+    ).orderBy("l")

@@ -366,3 +366,108 @@ def hard_negatives(
         )
         out = r if out is None else out.unionByName(r)
     return out.orderBy("query_id", "rank")
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: "list[float]",
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) over an embedding column — the diversity rung the top-k
+    family lacks: cosine top-k returns k near-copies of the best hit;
+    MMR greedily picks
+
+        argmax_i  lam * rel(i) - (1 - lam) * max_{s in selected} sim(i, s)
+
+    trading relevance against redundancy — the standard re-rank
+    between ANN candidate generation and a training-batch / RAG
+    context that should not waste slots on duplicates.
+
+    Distributed shape (the retrieval-family discipline): the
+    corpus-sized work — cosine of every vector against the query and
+    the top-``pool`` cut — runs as one scan + TakeOrderedAndProject;
+    the candidate-PAIR similarities are one self-join of the
+    ``pool``-row frame (<= C(pool,2) rows). Only those two bounded
+    frames are collected (pool + pool^2/2 rows — the same k-bounded
+    collect contract as rrf_fuse's limit(k) windows), and the O(k *
+    pool) greedy runs driver-side on them. The greedy is inherently
+    sequential (selection i depends on 1..i-1) — at any scale the
+    right plan is "distribute the scan, not the 50-row loop".
+
+    Cross-engine determinism: relevance and pair similarities are
+    ROUNDED to 6 BEFORE any comparison (the similarity_topk
+    convention — Spark's fold and another engine's dot can differ in
+    final ulps); every argmax tie-breaks on ascending id; the
+    combined score is the identical IEEE expression on identical
+    round-6 inputs. Output: (rank, id, relevance, mmr_score) — rank
+    1..k in selection order.
+    """
+    from .similarity import cosine_col
+
+    if k > pool:
+        raise ValueError(f"k ({k}) must be <= pool ({pool})")
+    qv = F.lit(query_vec).cast("array<double>")
+    cand = (
+        emb.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .withColumn("__rel", F.round(cosine_col(F.col("__v"), qv), 6))
+        .orderBy(F.desc("__rel"), "__id")
+        .limit(pool)
+        .localCheckpoint(eager=False)
+    )
+    pool_rows = cand.select("__id", "__rel").collect()
+    sa = cand.select(F.col("__id").alias("__ia"), F.col("__v").alias("__va"))
+    sb = cand.select(F.col("__id").alias("__ib"), F.col("__v").alias("__vb"))
+    sim_rows = (
+        sa.crossJoin(sb)
+        .filter(F.col("__ia") < F.col("__ib"))
+        .select(
+            "__ia",
+            "__ib",
+            F.round(
+                cosine_col(F.col("__va"), F.col("__vb")), 6
+            ).alias("__s"),
+        )
+        .collect()
+    )
+    rel = {r["__id"]: r["__rel"] for r in pool_rows}
+    sim: dict[tuple, float] = {}
+    for r in sim_rows:
+        sim[(r["__ia"], r["__ib"])] = r["__s"]
+        sim[(r["__ib"], r["__ia"])] = r["__s"]
+    selected: list = []
+    remaining = sorted(rel)  # ascending id = the tie order
+    out_rows = []
+    for rank in range(1, k + 1):
+        best = None
+        for i in remaining:
+            if selected:
+                red = max(sim[(i, s)] for s in selected)
+                score = lam * rel[i] - (1.0 - lam) * red
+            else:
+                score = lam * rel[i]
+            # strict > keeps the smallest id on ties (remaining is
+            # id-ascending)
+            if best is None or score > best[1]:
+                best = (i, score)
+        sel_id, sel_score = best
+        selected.append(sel_id)
+        remaining.remove(sel_id)
+        out_rows.append((rank, sel_id, rel[sel_id], round(sel_score, 6)))
+    spark = emb.sparkSession
+    res = spark.createDataFrame(
+        out_rows, ["rank", id_col, "relevance", "mmr_score"]
+    )
+    return res.select(
+        F.col("rank").cast("long"),
+        F.col(id_col),
+        F.col("relevance").cast("double"),
+        F.col("mmr_score").cast("double"),
+    ).orderBy("rank")

@@ -1375,3 +1375,196 @@ def sprt_decisions(
         )
         .orderBy(*keys)
     )
+
+
+def kendall_tau(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Kendall tau-b rank correlation with full tie
+    correction — the pair-concordance companion to the moment-based
+    Spearman (operators/relational.py:spearman_corr): tau counts HOW
+    OFTEN the ordering agrees instead of correlating rank values, is
+    less sensitive to a few wild ranks, and its tau-b form stays
+    calibrated under heavy ties:
+
+        tau_b = (C - D) / sqrt((n0 - n1) * (n0 - n2))
+
+    C/D = concordant/discordant pairs, n0 = C(n,2), n1/n2 = sum of
+    C(t,2) over tie groups of x / y.
+
+    Exactness: everything in the formula except the final division is
+    an exact integer — pair signs come from the DECIMAL product
+    (x_i - x_j)(y_i - y_j) (exact; a double product's sign can flip
+    on catastrophic cancellation), counted as BIGINTs; the two
+    sqrt factors split before multiplying (their decimal product
+    would pass DECIMAL(38)); round-6 output. Degenerate groups
+    (n < 2, or all-tied in either variable) emit NULL.
+
+    Plan: one self-join WITHIN each group over a strict total order
+    (the per-key pair frame — work is sum over groups of C(n_g, 2),
+    the series-family convention: feed a bounded rollup, e.g. daily
+    aggregates, not raw facts) plus two tie-group aggregates. The
+    group key partitions everything; no driver-side state.
+    """
+    keys = list(group_cols)
+    d18 = "decimal(18,6)"
+    base = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(
+            *keys,
+            F.col(x_col).cast(d18).alias("__x"),
+            F.col(y_col).cast(d18).alias("__y"),
+        )
+        .withColumn(
+            "__i",
+            F.row_number().over(
+                Window.partitionBy(*keys).orderBy("__x", "__y")
+            ),
+        )
+    )
+    a = base.select(*keys, "__i", "__x", "__y")
+    b = base.select(
+        *keys,
+        F.col("__i").alias("__j"),
+        F.col("__x").alias("__x2"),
+        F.col("__y").alias("__y2"),
+    )
+    prod = (F.col("__x") - F.col("__x2")) * (F.col("__y") - F.col("__y2"))
+    pairs = (
+        a.join(b, keys)
+        .filter(F.col("__i") < F.col("__j"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(F.when(prod > 0, 1).otherwise(0)).cast("long").alias("__C"),
+            F.sum(F.when(prod < 0, 1).otherwise(0)).cast("long").alias("__D"),
+        )
+    )
+
+    def _tie_pairs(col, alias):
+        return (
+            base.groupBy(*keys, col)
+            .agg(F.count("*").cast("long").alias("__t"))
+            .groupBy(*keys)
+            .agg(
+                F.sum(
+                    (F.col("__t") * (F.col("__t") - 1) / 2).cast("long")
+                ).alias(alias),
+                F.sum("__t").cast("long").alias(f"{alias}_n"),
+            )
+        )
+
+    tx = _tie_pairs("__x", "__n1")
+    ty = _tie_pairs("__y", "__n2").drop("__n2_n")
+    n = F.col("__n1_n")
+    n0 = (n * (n - 1) / 2).cast("long")
+    tau = F.when(
+        (n0 > F.col("__n1")) & (n0 > F.col("__n2")),
+        F.round(
+            (F.col("__C") - F.col("__D"))
+            / (
+                F.sqrt((n0 - F.col("__n1")).cast("double"))
+                * F.sqrt((n0 - F.col("__n2")).cast("double"))
+            ),
+            6,
+        ),
+    )
+    return (
+        tx.join(ty, keys)
+        .join(pairs, keys, "left")
+        .filter(n >= 2)
+        .select(
+            *keys,
+            n.alias("n"),
+            F.coalesce(F.col("__C"), F.lit(0)).alias("concordant"),
+            F.coalesce(F.col("__D"), F.lit(0)).alias("discordant"),
+            tau.alias("tau_b"),
+        )
+        .orderBy(*keys)
+    )
+
+
+#: Standard-normal quantiles for the power/MDE readout (published
+#: constants, e.g. Abramowitz & Stegun table 26.1 at double precision;
+#: keyed by the CDF probability). Injected as identical double
+#: literals into both engines — no erf/ppf at query time.
+NORMAL_QUANTILES = {
+    0.8: 0.8416212335729143,
+    0.9: 1.2815515655446004,
+    0.95: 1.6448536269514722,
+    0.975: 1.959963984540054,
+    0.99: 2.3263478740408408,
+    0.995: 2.5758293035489004,
+}
+
+
+def power_mde(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.05,
+    power: float = 0.8,
+) -> DataFrame:
+    """Minimal detectable effect per group for a two-sample test at
+    the group's CURRENT sample size — the experiment-PLANNING rung of
+    the A/B family (cuped/ab_readout/conformal judge a finished
+    experiment; this answers "if we split this segment 50/50
+    tomorrow, how small a lift could we even see?"):
+
+        MDE_abs = (z_{1-alpha/2} + z_{power}) * sqrt(2 * s^2 / n)
+
+    (equal-split normal approximation, per-arm n = n/2 and variance
+    2s^2/(n/2) folded into the constant — the classic Lehr form.)
+
+    The z quantiles come from the NORMAL_QUANTILES table (published
+    double-precision constants — this container has no scipy, and a
+    runtime ppf would put a transcendental in the plan anyway);
+    unsupported alpha/power raise. Variance follows the burstiness
+    discipline: values quantize to micros BIGINTs, moments accumulate
+    DECIMAL(38,0), s^2 = (nQ - S^2)/(n(n-1)) is one double
+    expression over exact integers. One map-side-combined aggregate.
+    """
+    a_key = round(1 - alpha / 2, 6)
+    if a_key not in NORMAL_QUANTILES or power not in NORMAL_QUANTILES:
+        raise ValueError(
+            f"alpha/power must map to NORMAL_QUANTILES keys "
+            f"{sorted(NORMAL_QUANTILES)}; got alpha={alpha}, power={power}"
+        )
+    z = NORMAL_QUANTILES[a_key] + NORMAL_QUANTILES[power]
+    keys = list(group_cols)
+    d38 = "decimal(38,0)"
+    x = F.floor(F.col(value_col) * 1_000_000 + F.lit(0.5)).cast("long")
+    m = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, x.alias("__x"))
+        .groupBy(*keys)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("__x").cast(d38)).cast(d38).alias("__S"),
+            F.sum((F.col("__x").cast(d38) * F.col("__x")).cast(d38))
+            .cast(d38)
+            .alias("__Q"),
+        )
+    )
+    nn = F.col("n").cast("double")
+    mean = F.col("__S").cast("double") / nn / 1e6
+    var = F.when(
+        F.col("n") > 1,
+        (F.col("n").cast(d38) * F.col("__Q") - F.col("__S") * F.col("__S"))
+        .cast("double")
+        / (nn * (nn - 1))
+        / 1e12,
+    )
+    mde = F.lit(z) * F.sqrt(2.0 * var / nn)
+    return m.select(
+        *keys,
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(F.sqrt(var), 6).alias("std"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(
+            F.when(mean != 0, mde / mean), 6
+        ).alias("mde_rel"),
+    ).orderBy(*keys)

@@ -1340,3 +1340,117 @@ def proximity_search(
             "n_windows",
         )
     )
+
+
+def jsd_source_divergence(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Jensen-Shannon divergence between every PAIR of sources' token
+    distributions — the symmetric, bounded ([0, ln 2]) companion to
+    the one-vs-rest KL readouts: "which two corpus sources actually
+    speak the same language" is a pairwise question, and KL's
+    asymmetry + infinities on disjoint vocab make it the wrong tool
+    for it. JSD(P,Q) = 0.5 KL(P||M) + 0.5 KL(Q||M), M = (P+Q)/2 —
+    the mixture-design distance for corpus weighting and the standard
+    drift score between dataset versions.
+
+    Shuffle-light identity: tokens present in only ONE distribution
+    contribute exactly p·ln2 each, so their total is
+    ln2·(1 − Σ_shared p) — the pairwise join only needs the SHARED
+    vocabulary (an INNER join on token), never a dense or full-outer
+    frame:
+
+        JSD = 0.5·[ Σ_sh (p·ln(2p/(p+q)) + q·ln(2q/(p+q)))
+                    + ln2·(2 − Σ_sh p − Σ_sh q) ]
+
+    Exactness: token counts are exact BIGINTs from one (group, token)
+    aggregate; p/q and the ln terms follow the entropy-family
+    discipline (doubles from exact integers, identical expressions
+    both engines, ulps die at round-6). Output per unordered pair:
+    vocab sizes, shared-vocab size, jsd_nats and jsd_norm = jsd/ln2
+    in [0, 1], both round-6.
+
+    Plan: one token aggregate, one group-total rollup (broadcast — m
+    groups), one inner self-join on token (shared vocab only), one
+    map-side-combined pair aggregate. Pair count is C(m, 2) with m =
+    |sources| — the frame that matters stays vocabulary-sized.
+    """
+    import math  # noqa: PLC0415
+
+    toks = F.explode(F.split(normalize_text_col(text_col), " ")).alias(
+        "__tok"
+    )
+    counts = (
+        df.select(F.col(group_col).alias("__g"), toks)
+        .filter(F.length("__tok") > 0)
+        .groupBy("__g", "__tok")
+        .agg(F.count("*").cast("long").alias("__c"))
+    )
+    totals = counts.groupBy("__g").agg(
+        F.sum("__c").cast("long").alias("__N"),
+        F.count("*").cast("long").alias("__vocab"),
+    )
+    a = (
+        counts.join(totals, "__g")
+        .select(
+            F.col("__g").alias("source_a"),
+            F.col("__tok"),
+            F.col("__c").alias("__ca"),
+            F.col("__N").alias("__na"),
+            F.col("__vocab").alias("__va"),
+        )
+    )
+    b = (
+        counts.join(totals, "__g")
+        .select(
+            F.col("__g").alias("source_b"),
+            F.col("__tok"),
+            F.col("__c").alias("__cb"),
+            F.col("__N").alias("__nb"),
+            F.col("__vocab").alias("__vb"),
+        )
+    )
+    ln2 = math.log(2.0)
+    p = F.col("__ca").cast("double") / F.col("__na")
+    q = F.col("__cb").cast("double") / F.col("__nb")
+    shared_term = p * F.log(2.0 * p / (p + q)) + q * F.log(
+        2.0 * q / (p + q)
+    )
+    # the only-in-one-source mass rides EXACT integer count sums
+    # (sum_shared p = sum_shared c / N) — only the log terms are
+    # inherently float
+    pairs = (
+        a.join(b, "__tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("shared_vocab"),
+            F.first("__va").alias("vocab_a"),
+            F.first("__vb").alias("vocab_b"),
+            F.sum(shared_term).alias("__sh"),
+            F.sum("__ca").cast("long").alias("__sca"),
+            F.sum("__cb").cast("long").alias("__scb"),
+            F.first("__na").alias("__Na"),
+            F.first("__nb").alias("__Nb"),
+        )
+    )
+    jsd = 0.5 * (
+        F.col("__sh")
+        + F.lit(ln2)
+        * (
+            2.0
+            - F.col("__sca").cast("double") / F.col("__Na")
+            - F.col("__scb").cast("double") / F.col("__Nb")
+        )
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "vocab_a",
+        "vocab_b",
+        "shared_vocab",
+        F.round(jsd, 6).alias("jsd_nats"),
+        F.round(jsd / ln2, 6).alias("jsd_norm"),
+    ).orderBy("source_a", "source_b")

@@ -293,3 +293,62 @@ def test_ht_total_raises_on_varying_rate_within_stratum(spark):
     )
     with pytest.raises(Exception, match="constant per stratum"):
         bad.collect()
+
+
+# ----------------------------------- injected-literal drift guards
+
+
+def test_sprt_injected_literals_identical_in_both_plans(spark):
+    # VERDICT r8 stretch #7: sprt_decisions injects Python-float log
+    # terms and integer boundaries into BOTH engines. Pin (a) the
+    # exact repr strings (guards a future repr/locale drift moving
+    # the literals), (b) their presence in the committed oracle SQL,
+    # and (c) their presence in the Spark optimized plan.
+    import math
+
+    from reddit_etl_spark.harness import registry
+
+    hq = registry()["sprt_event_quality"]
+    l1, l0 = math.log(0.55 / 0.5), math.log(0.45 / 0.5)
+    up = int(math.floor(math.log((1 - 0.2) / 0.05) * 1_000_000))
+    lo = int(math.floor(math.log(0.2 / (1 - 0.05)) * 1_000_000))
+    assert repr(l1) == "0.09531017980432493"
+    assert repr(l0) == "-0.10536051565782628"
+    assert (up, lo) == (2772588, -1558145)
+    for lit in (repr(l1), repr(l0), str(up), str(lo)):
+        assert lit in hq.oracle, lit
+    plan = (
+        hq.builder(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # integer boundaries render exactly in the plan; the DOUBLE
+    # literals do NOT (Catalyst's plan formatter prints 16 significant
+    # digits — measured: l0 shows as -0.1053605156578264, a string
+    # that parses to a double 9 ulps away) — so pin the doubles by
+    # ROUND-TRIPPING the value through the engine instead: py4j
+    # carries IEEE bits, and the collect must return the bit-identical
+    # double. The plan string is display-lossy; the execution is not.
+    assert str(up) in plan and str(lo) in plan
+    assert repr(l1) in plan  # 17 significant digits, prints exactly
+    got1, got0 = (
+        spark.range(1)
+        .select(F.lit(l1).alias("a"), F.lit(l0).alias("b"))
+        .collect()[0]
+    )
+    assert got1.hex() == l1.hex() and got0.hex() == l0.hex()
+
+
+def test_sse_changepoint_scale_constant_identical_in_both_plans(spark):
+    from reddit_etl_spark.harness import registry
+
+    hq = registry()["sse_changepoint_daily"]
+    # the micros quantization and the score's scale multiplier must
+    # ride both engines as the same integer literal
+    assert "FLOOR(v * 1000000 + 0.5)" in hq.oracle
+    assert "* 1000000" in hq.oracle
+    plan = (
+        hq.builder(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "1000000" in plan  # the scale literal
+    assert "1000000000000000000" in plan  # the hi/lo split base B=1e18

@@ -716,6 +716,105 @@ def main() -> int:
         "groups regardless of corpus size",
     )
 
+    # -- quantile_normalize pooled sketch lane (VERDICT r8 #1) -------------
+    # The round-8 verdict's one named 100x scale-killer: the exact
+    # pooled rank is a partitionless window — ALL rows sort in ONE
+    # task. The sketch lane must (a) carry no partitionless window in
+    # its plan and (b) keep the dominant exchange at the group-window
+    # shuffle (= N rows, spread over hash partitions). Both lanes run
+    # on the same 10x frame; the exact lane's extra SinglePartition
+    # exchange is reported in the note as the eliminated stage.
+    from reddit_etl_spark.operators.relational import quantile_normalize
+
+    qn_vals = events.select(
+        F.col("event_id").alias("vid"),
+        F.col("event_type").alias("src"),
+        F.col("value").alias("x"),
+    ).localCheckpoint(eager=True)
+    n_qn = qn_vals.count()
+    import re as _re
+
+    # the operator aliases its value column to __v internally -> the
+    # partitionless pooled-rank window spec starts at v#N (same regex
+    # as tests/test_round9_ops.py)
+    _global_rank = _re.compile(r"windowspecdefinition\(v#\d+ ASC")
+
+    def _qn_run(mode):
+        frame = quantile_normalize(qn_vals, "src", "x", "vid", pooled=mode)
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        return frame, bool(_global_rank.search(plan))
+
+    ex_frame, ex_single = _qn_run("exact")
+    _, ex_total, ex_max = meter.measure(
+        lambda: ex_frame.agg(F.sum("normalized")).collect()
+    )
+    sk_frame, sk_single = _qn_run("sketch")
+    record(
+        "qnorm_pooled_sketch",
+        predicted=n_qn,
+        fn=lambda: sk_frame.agg(F.sum("normalized")).collect(),
+        note=f"sketch lane dominant = the group-window hash exchange "
+        f"({n_qn} value rows over 32 partitions); partitionless pooled-"
+        f"rank window in plan: sketch={sk_single} (MUST be False), "
+        f"exact={ex_single} — the exact lane shuffled {ex_total} total "
+        f"rows (dominant stage {ex_max}) incl. the full frame into ONE "
+        "task via its SinglePartition exchange, which the sketch lane "
+        "replaces with a mergeable percentile_approx aggregate",
+    )
+    assert not sk_single and ex_single, "qnorm plan-shape probe violated"
+
+    # -- link_prediction hub cap (VERDICT r8 #2) ---------------------------
+    # Hot right-node stress: one hub connected to EVERY left node.
+    # Uncapped pair work would be C(n_left, 2) ~ 5e9 via the hub
+    # alone; max_degree drops it outright, so the pair exchange is
+    # sum over surviving z of C(deg_z, 2) — computed exactly before
+    # the window. Dominant = max(distinct-edge exchange, pair rows).
+    from reddit_etl_spark.operators.graph import link_prediction
+
+    n_left = 100_000
+    # 500k distinct normal edges over 100k right nodes at degree ~5:
+    # id -> id*250007 mod 500000 is a bijection (250007 coprime to
+    # 500000), div 5 buckets exactly 5 distinct ids per right node.
+    # (A multiplier that only permutes id mod 100000 would collapse
+    # to degree-1 right nodes under distinct — measured first try.)
+    lp_normal = spark.range(n_left * 5).select(
+        (F.col("id") % n_left).alias("l"),
+        F.concat(
+            F.lit("z"), F.expr("((id * 250007) % 500000) div 5")
+        ).alias("r"),
+    )
+    lp_hub = spark.range(n_left).select(
+        F.col("id").alias("l"), F.lit("HUB").alias("r")
+    )
+    lp_edges = lp_normal.unionByName(lp_hub).localCheckpoint(eager=True)
+    LP_CAP = 64
+    n_lp_raw = lp_edges.count()
+    lp_e = lp_edges.distinct()
+    n_lp_edges = lp_e.count()
+    lp_deg = lp_e.groupBy("r").agg(F.count("*").alias("d"))
+    pred_lp_pairs = int(
+        lp_deg.filter(F.col("d") <= LP_CAP)
+        .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2))
+        .first()[0]
+    )
+    pred_lp_uncapped = int(
+        lp_deg.agg(F.sum(F.col("d") * (F.col("d") - 1) / 2)).first()[0]
+    )
+    record(
+        "link_prediction_hub",
+        predicted=max(n_lp_raw, pred_lp_pairs),
+        fn=lambda: link_prediction(
+            lp_edges, "l", "r", min_common=2, max_degree=LP_CAP
+        ).count(),
+        note=f"dominant = max(the pre-distinct exchange over the raw "
+        f"{n_lp_raw} input rows, capped pair rows sum C(deg<=cap, 2) "
+        f"= {pred_lp_pairs} over the {n_lp_edges} distinct edges); "
+        f"the {n_left}-degree hub alone would emit C({n_left},2) "
+        f"pairs — uncapped total sum C(deg,2) = {pred_lp_uncapped} "
+        f"({round(pred_lp_uncapped / max(pred_lp_pairs, 1), 1)}x the "
+        "capped model); degree join-backs are un-hinted (AQE sizes)",
+    )
+
     out = {
         "sf_dir": sf_dir,
         "times": times,
