@@ -149,1312 +149,244 @@ def _q(name: str, oracle: str | None, doc: str = "", headline: bool = False):
 # each round via tools/check_oracle.py (which runs ALL entries).
 _DRIVER_RECORD_CAP = 50
 _PROMOTED = [
-    # (neardup_survivors held this slot in rounds 1-6 — recorded rows
-    # r01..r05, the longest-attested entry in the registry; rotated
-    # to the tail late-round-6 for readability_docs. Its
-    # survivor-selection capability stays oracle-checked in the tail
-    # next to neardup_components, and the near-dup-cluster family
-    # keeps dedup_minhash_lsh + dedup_ngram_jaccard recorded rows)
-    # round-6 third wave: readability indices (new capability — ARI +
-    # Coleman-Liau grade-level bands for curation filters; displaces
-    # neardup_survivors per the comment above)
-    # (readability_docs held this slot in round 6 — recorded row r06;
-    # rotated to the tail round-7 for tpch_q6_forecast_revenue; the
-    # text-gauge family keeps text_profile's r01-r05 rows and stays
-    # oracle-checked in the tail)
-    # round-7 fourth wave: TPC-H Q6 — the scan-dominated filter+sum
-    # classic; completes the 22-query TPC-H shape suite together
-    # with the Q7-Q22 blocks below (Q1-Q5/Q13/Q18/Q21 recorded
-    # r06/r07 earlier)
-    "tpch_q6_forecast_revenue",
-    # table_profile and packed_shards moved to the tail in round 5
-    # (recorded rows r02..r04; profiling stays oracle-checked in the
-    # tail, packing stays recorded inside curation_pipeline_full) to
-    # make room for psi_value_drift / customer_sample_per_nation;
-    # repetition_profile likewise (family recorded via text_profile)
-    # for rake_keyphrases_docs
-    # round-6: TPC-H Q1/Q3/Q5 classics (new relational breadth;
-    # displace mixture_weights, document_chunks, fuzzy_name_pairs —
-    # each long-attested with recorded family twins: curation's
-    # recorded surface stays via curation_pipeline_full, chunking
-    # stays pinned by the Corpus chunk-chain tests + bm25 rows, and
-    # name similarity keeps entity_golden_parts' recorded row, which
-    # runs the same JW pair generator; all three stay oracle-checked
-    # in the tail)
-    "tpch_q1_pricing",
-    # round-6 third wave: exact two-sample KS drift (new capability —
-    # the binning-free complement to PSI's binned drift; its slot
-    # comes from the dq_report_orders rotation, see the corrected
-    # TPC-H blocks above)
-    # (ks_value_drift held this slot in rounds 5-6 — recorded rows
-    # r05+r06; rotated to the tail round-7 for
-    # tpch_q7_volume_shipping; the two-sample family keeps
-    # mannwhitney_click_error + chi2_status_priority +
-    # anova_event_values head slots)
-    # round-7 fourth wave: TPC-H Q7 — the two-role dimension join
-    # (nation twice) with a cross-leg disjunctive filter
-    "tpch_q7_volume_shipping",
-    # round-6 third wave: simplified silhouette (new capability — the
-    # clustering family's evaluation rung, as ranking_metrics is for
-    # search; its slot comes from the incremental_rollup_refresh
-    # rotation, see the corrected TPC-H blocks above)
-    # (embedding_silhouette held this slot in round 6 — recorded row
-    # r06; rotated to the tail round-7 for tpch_q8_market_share; the
-    # clustering family keeps kmeans_parts_price_size's head slot)
-    # round-7 fourth wave: TPC-H Q8 — conditional share-of-total over
-    # a six-dimension snowflake, exact decimal numerator/denominator
-    "tpch_q8_market_share",
-    # round-6 rotation: CCNet-style segment dedup with document
-    # reassembly (new capability; displaces boilerplate_fraction, its
-    # natural predecessor — duplicated-segment MEASUREMENT stays
-    # recorded via text_profile's family rows r01..r05 and
-    # oracle-checked in the tail, while this row pins the stronger
-    # REMOVAL+reassembly form)
-    # (segment_dedup_docs held this slot in round 6 — recorded row
-    # r06 + a headline bench slot every round since; rotated to the
-    # tail round-7 for tpch_q9_product_profit; the dedup family keeps
-    # dedup_minhash_lsh's head slot and this query's bench medians)
-    # round-7 fourth wave: TPC-H Q9 — profit = revenue minus cost
-    # over a LIKE-filtered part dim (cost proxy documented in the
-    # query doc; no partsupp in the testdata)
-    "tpch_q9_product_profit",
-    # round-6: k-core peeling (new capability; displaces
-    # mad_outliers_daily, whose robust-outlier readout stays
-    # oracle-checked in the tail and whose daily-rollup shape keeps a
-    # recorded row via anomaly_zscore_daily; green rows r05)
-    # (kcore_cust_supp held this slot in round 6 — recorded row r06;
-    # rotated to the tail round-7 for tpch_q10_returned_items; the
-    # iterative-graph family keeps bfs + sssp + assortativity head
-    # slots)
-    # round-7 fourth wave: TPC-H Q10 — quarter-filtered returned-item
-    # revenue top-20 with deterministic cut
-    "tpch_q10_returned_items",
-    # round-6: session journey mining (new capability; displaces
-    # bigram_perplexity, whose LM-gate family keeps the recorded
-    # nb_language_selftrain row and stays oracle-checked in the tail;
-    # green row r05)
-    # (session_journeys held this slot in round 6 — recorded row r06;
-    # rotated to the tail round-7 for tpch_q11_important_parts; the
-    # session family keeps session_transition_matrix's head slot)
-    # round-7 fourth wave: TPC-H Q11 — share-of-global-scalar HAVING
-    # with an exact-decimal membership cut
-    "tpch_q11_important_parts",
-    # round-6: CDC apply (new capability; displaces duplicate_spans,
-    # whose repeated-span detection stays oracle-checked in the tail
-    # and whose span family keeps partial_copy_pairs + the winnowing
-    # tests; green rows r05)
-    # (cdc_supplier_apply held this slot in round 6 — recorded row
-    # r06; rotated to the tail round-7 for tpch_q12_late_shipments;
-    # the CDC family keeps snapshot_diff_supplier — its inverse —
-    # plus pit_order_status in the head)
-    # round-7 fourth wave: TPC-H Q12 — cross-table date-arithmetic
-    # predicate with dual conditional counts
-    "tpch_q12_late_shipments",
-    # round-6: point-in-time SCD2 lookup (new capability; displaces
-    # scd2_order_status_dim, whose full versioned snapshot is the
-    # FIRST STAGE of this very query — the SCD2 surface stays recorded
-    # inside pit_order_status and oracle-checked in the tail; green
-    # row r05)
-    # (pit_order_status held this slot in rounds 6-7 — recorded rows
-    # r06/r07 incl. the r6-failure fix re-attestation; rotated to the
-    # tail round-8 for sprt_event_quality; the PIT/SCD2/as-of family
-    # keeps multitouch_channels' head slot with pit/scd2/cdc/asof
-    # tails oracle-checked)
-    # round-8 fourth wave: Wald SPRT sequential decision (new
-    # capability — WHEN the evidence sufficed, vs the batch tests'
-    # after-the-fact verdicts; injected-constant IEEE determinism,
-    # micros-BIGINT running LLR)
-    "sprt_event_quality",
-    # round-6: nearest-direction as-of alignment (new capability;
-    # displaces concurrency_peaks, whose distributed-prefix-sum sweep
-    # stays oracle-checked in the tail and plan-asserted in
-    # tests/test_series.py; green rows r05)
-    # (asof_nearest_alignment held this slot in round 6 — recorded
-    # row r06; rotated to the tail round-7 for tpch_q14_promo_revenue;
-    # the as-of family keeps multitouch_channels' head slot and the
-    # skew-split r05 rows)
-    # round-7 fourth wave: TPC-H Q14 — single-row conditional share
-    # readout over a month-pruned scan
-    # (tpch_q14_promo_revenue held this slot in round 7 — recorded row
-    # r07; rotated to the tail round-8 for bm25_rank_indexed; the
-    # TPC-H suite keeps 18 recorded head slots and all 22 stay
-    # oracle-checked at three SFs)
-    # round-8 rotation IN (judge r7 finding: "new capability ⇒
-    # recorded head" — this entry had never held a driver row):
-    # postings-index BM25 serving path, path-equality twin of
-    # bm25_rank's term-statistics scoring
-    "bm25_rank_indexed",
-    # (event_value_bars held this slot in round 6 — recorded row r06;
-    # rotated to the tail round-7 for tpch_q4_priority_exists; the
-    # ordered-series family keeps decayed_engagement +
-    # asof_nearest_alignment + seasonal_backtest_events head slots)
-    # round-7: TPC-H Q4 shape — correlated EXISTS compiled to LEFT
-    # SEMI (new relational capability: the subquery-form gap next to
-    # the Bloom approximation; goes straight into the head per the
-    # new-capability rule)
-    "tpch_q4_priority_exists",
-    # round-6: half-life decay + closed-form EWMA (new capability;
-    # displaces psi_value_drift, whose binned-distribution drift
-    # readout stays oracle-checked in the tail — its histogram-compare
-    # family shares anomaly_zscore_daily's recorded daily-rollup
-    # surface; green row r05)
-    # (decayed_engagement held this slot in round 6 — recorded row
-    # r06; rotated to the tail round-7 for tpch_q15_top_supplier; the
-    # ordered-series family keeps seasonal/conformal head slots)
-    # round-7 fourth wave: TPC-H Q15 — revenue view + scalar-MAX
-    # subquery, ties kept on exact decimals
-    "tpch_q15_top_supplier",
-    # (events_daily_melt held this slot in round 6 — recorded row
-    # r06; rotated to the tail round-7 for tpch_q18_large_orders; the
-    # unpivot shape keeps pivot_status_by_priority's r01/r02 rows as
-    # its inverse twin and stays oracle-checked in the tail)
-    # round-7: TPC-H Q18 shape — IN-subquery over grouped HAVING as a
-    # pre-reduced join (new capability)
-    "tpch_q18_large_orders",
-    # round-7: TPC-H Q21 shape — SEMI + ANTI self-join chain on
-    # deduplicated pairs (new capability; slot from
-    # theilsen_daily_trend, recorded r06, whose robust-trend family
-    # keeps ols_order_value in the head and mad/trimmed tails
-    # oracle-checked)
-    "tpch_q21_waiting_supplier",
-    # round-6: Bloom-pruned semi-join (new capability; displaces
-    # item_affinity, whose market-basket co-occurrence readout stays
-    # oracle-checked in the tail and whose pair-join family keeps a
-    # recorded row via term_collocations — the same PMI/co-occurrence
-    # shape; green row r05)
-    # (bloom_semi_lineitem held this slot in rounds 6-7 — recorded
-    # rows incl. the r6 ANSI-failure fix re-attested green r07;
-    # rotated to the tail round-8 for hard_negatives_bm25; the Bloom
-    # capability stays oracle-checked via decontaminate_bloom and
-    # this tail row each round)
-    # round-8 fifth wave: hard-negative mining for retrieval-model
-    # training (new capability — the DPR-style training-pair
-    # generator; labels share search_eval_bm25's deterministic
-    # coverage pseudo-qrel)
-    "hard_negatives_bm25",
-    # round-6: entity resolution to golden records (new capability;
-    # displaces part_name_linkage, whose JW blocked-pair generation is
-    # the FIRST STAGE of this very query — the pair surface stays
-    # recorded inside entity_golden_parts and oracle-checked in the
-    # tail; green row r05)
-    # (entity_golden_parts held this slot in round 6 — recorded row
-    # r06; rotated to the tail round-7 for tpch_q16_supplier_cnt; the
-    # linkage family keeps its r06 row and the JW machinery its
-    # tests)
-    # round-7 fourth wave: TPC-H Q16 — distinct-supplier counts per
-    # bucket with an excluded-supplier semi join
-    # (tpch_q16_supplier_cnt held this slot in round 7 — recorded row
-    # r07; rotated to the tail round-8 for hybrid_search_rrf_lsh; see
-    # the tpch_q14 block above for the TPC-H family's head coverage)
-    # round-8 rotation IN (never driver-recorded): hybrid RRF search
-    # with the bucketed LSH ANN leg — the scale path of
-    # hybrid_search_rrf's exact-cosine leg
-    "hybrid_search_rrf_lsh",
-    # round-6: hopping-window rollup with exact distincts (new
-    # capability; displaces customer_sample_per_nation, whose exact-k
-    # deterministic group sampling stays oracle-checked in the tail
-    # and whose hash-order sampling family keeps recorded rows via
-    # stratified_sample r01..r04 + curation_pipeline_full; green row
-    # r05)
-    # (events_sliding_distinct held this slot in round 6 — recorded
-    # row r06; rotated to the tail round-7 for
-    # tpch_q17_small_qty_revenue; the windowed-rollup family keeps
-    # its r06 row and the streaming twins their bit-equivalence
-    # tests)
-    # round-7 fourth wave: TPC-H Q17 — correlated per-group AVG
-    # threshold as aggregate-then-rejoin
-    # (tpch_q17_small_qty_revenue held this slot in round 7 — recorded
-    # row r07; rotated to the tail round-8 for
-    # similarity_topk_ivf_indexed; see the tpch_q14 block above)
-    # round-8 rotation IN (never driver-recorded): ANN serving off the
-    # PERSISTED partition-pruned IVF index — the deploy form of
-    # similarity_topk_ivf's in-session clustering
-    "similarity_topk_ivf_indexed",
-    # round-4 rotation: the one capability never attested by a driver
-    # row in rounds 1-3 (judge r3 finding #1). Swapped in against
-    # dedup_simhash, whose near-dup-text capability stays attested by
-    # the recorded dedup_minhash_lsh + dedup_ngram_jaccard rows and by
-    # tools/check_oracle.py each round.
-    # (incremental_minhash held this slot in rounds 4-6 — recorded
-    # rows r04+r05; rotated to the tail late-round-6 for
-    # search_eval_bm25 — see the round-6 third-wave blocks)
-    # round-6 third wave: retrieval evaluation metrics (new capability
-    # — NDCG/MRR/precision/recall close the search stack's loop:
-    # build (bm25), serve (hybrid), now MEASURE; displaces
-    # incremental_minhash, whose append-only band-index increment
-    # stays oracle-checked in the tail while the minhash family keeps
-    # dedup_minhash_lsh's recorded row)
-    # (search_eval_bm25 held this slot in rounds 6 — recorded rows
-    # r05(as family)+r06; rotated to the tail round-7 for
-    # tpch_q19_disjunctive_revenue; the search family's scoring keeps
-    # bm25_rank's r05+r06 rows and the indexed/path-equality twins
-    # stay oracle-checked in the tail)
-    # round-7 fourth wave: TPC-H Q19 — disjunction-of-conjunctions
-    # predicate spanning both join sides
-    # (tpch_q19_disjunctive_revenue held this slot in round 7 —
-    # recorded row r07; rotated to the tail round-8 for
-    # image_phash_neardup; see the tpch_q14 block above)
-    # round-8 rotation IN (never driver-recorded; was rows-only, now
-    # value-hash-checked): pHash near-dup pairs — the banding + exact
-    # Hamming cut over Arrow-computed 64-bit DCT hashes, verified
-    # end-to-end in DuckDB via bit_count on the same materialized
-    # hashes. NOTE (advisor r8): the r08 driver row matched on an
-    # EMPTY result (sf0.01 has no pairs within the Hamming cut) — the
-    # non-trivial value-hash attestation lives in ORACLE_sf0.1.json
-    # (8 real pairs) and tests/test_phash.py's regeneration pin.
-    "image_phash_neardup",
-    # round-5 rotation (judge r4 next-round #2): the eight round-4
-    # capabilities that had never had a driver-recorded row. Swapped in
-    # against eight long-attested head entries (q03/q04/q10/q11/q14,
-    # dedup_exact, daily_delta, distinct_users_hll — each with green
-    # driver rows in r01-r04 and a recorded capability twin; see the
-    # round-5 block in _DEFERRED).
-    # (bm25_rank held this slot in rounds 5-6 — recorded rows r05+r06;
-    # rotated to the tail round-7 for cube_status_priority, the one
-    # round-6-new capability with no driver row ever — judge r6
-    # finding #1: the "shape variant of rollup_hierarchy" deferral
-    # argument loses to the repo's own "every NEW capability goes
-    # straight into the head" rule. The search family keeps
-    # search_eval_bm25 + phrase_search_docs recorded head slots, and
-    # bm25's scoring stays path-equality-pinned by its
-    # bm25_rank_indexed twin + the oracle tail)
-    # round-7: CUBE lattice over (status, priority) with GROUPING ids
-    # — first driver recording (capability was round-6-new)
-    # (cube_status_priority held this slot in round 7 — recorded row
-    # r07; rotated to the tail round-8 for proximity_search_docs;
-    # the grouping-sets family keeps grouping_sets_status_priority's
-    # new round-8 head slot with the cube/rollup/pivot tails
-    # oracle-checked)
-    # round-8 fifth wave: proximity retrieval (new capability — the
-    # positional rung between BM25's bag of words and phrase_search's
-    # exact order: all terms within a k-token window, exact
-    # minimum-window semantics via the anchor sweep)
-    "proximity_search_docs",
-    # (hybrid_search_rrf held this slot in rounds 5-6 — recorded row
-    # r05; rotated to the tail late-round-6 for
-    # value_histogram_events; the retrieval family keeps bm25_rank's
-    # recorded row plus search_eval_bm25 in this head, and the RRF
-    # fusion stays oracle-checked in the tail alongside its bucketed
-    # LSH audit twin)
-    # (value_histogram_events held this slot in round 6 — recorded
-    # row r06; rotated to the tail round-7 for
-    # kmeans_parts_price_size; the distribution-shape readout keeps
-    # weighted_price_quartiles' head slot and group_percentiles'
-    # r01/r02 rows)
-    # round-7: integer-exact Lloyd k-means (new capability — the
-    # clustering TRAINING rung next to embedding_silhouette's
-    # evaluation; bit-identical iterations on any engine)
-    "kmeans_parts_price_size",
-    # (quantile_rollup_kll held this slot in rounds 5-6 — recorded
-    # row r05; rotated to the tail late-round-6 for
-    # phrase_search_docs; the mergeable-sketch family is historically
-    # well-attested — HLL rows r01-r04, KLL + Theta rows r05 — and
-    # all three stay oracle-checked in the tail with exact-rank /
-    # tolerance audits)
-    # round-6 third wave: positional phrase retrieval (new capability
-    # — the exact-phrase rung next to bm25's bag-of-words ranking;
-    # displaces quantile_rollup_kll per the comment above)
-    # (phrase_search_docs held this slot in round 6 — recorded row
-    # r06; rotated to the tail round-7 for tpch_q20_dominant_supplier;
-    # the search family's recorded coverage continues via bm25_rank's
-    # r05+r06 rows; phrase positions stay oracle-checked in the tail)
-    # round-7 fourth wave: TPC-H Q20 — nested IN over a correlated
-    # aggregate threshold, cross-multiplied to exact BIGINT
-    "tpch_q20_dominant_supplier",
-    # (segment_overlap_theta held this slot in rounds 5-6 — recorded
-    # row r05; rotated to the tail late-round-6 for cusum_daily_drift
-    # — see the round-6 third-wave blocks)
-    # (asof_split held this slot in rounds 5-6 — recorded row r05;
-    # rotated to the tail late-round-6 for theilsen_daily_trend; the
-    # skew-split machinery keeps its r05 rows for BOTH windowed
-    # operators and stays path-equality-tested at 50% skew, while the
-    # as-of family's base path rides asof_nearest_alignment's
-    # recorded row)
-    # (theilsen_daily_trend held this slot in round 6 — recorded row
-    # r06; rotated to the tail round-7 for tpch_q21_waiting_supplier,
-    # whose slot comment sits with the Q18 block above)
-    # round-7: Pearson chi-square independence + Cramér's V (new
-    # capability — the categorical two-sample rung next to KS's
-    # numeric CDFs and Welch's means; slot from gini_customer_revenue,
-    # recorded r06, whose Lorenz machinery keeps
-    # pareto_customer_revenue's head slot)
-    # (chi2_status_priority held this slot in round 7 — recorded row
-    # r07; rotated to the tail round-8 for dedup_containment; the
-    # categorical two-sample family keeps mannwhitney_click_error +
-    # anova_event_values head slots)
-    # round-8 wave: directed n-gram containment pairs (new capability
-    # — the ASYMMETRIC near-dup detector for quote/excerpt leakage
-    # that Jaccard structurally cannot see; auto plan selection like
-    # the round-8 Jaccard default)
-    "dedup_containment",
-    # (sessionization_split held this slot in rounds 5-6 — recorded
-    # row r05; rotated to the tail late-round-6 for
-    # benford_price_digits — see the round-6 third-wave blocks)
-    # (benford_price_digits held this slot in round 6 — recorded row
-    # r06; rotated to the tail round-7 for entropy_event_hours; the
-    # distributional-DQ family gains entropy + FD audits in this head
-    # while Benford stays oracle-checked in the tail)
-    # round-7: Mann-Whitney U rank-sum test (new capability — the
-    # rank-based two-sample rung next to KS and Welch, integer-exact
-    # midranks over the value domain; slot from acf_daily_values,
-    # recorded r06, whose seasonality family keeps
-    # seasonal_decompose_events + seasonal_backtest_events head slots)
-    # (mannwhitney_click_error held this slot in round 7 — recorded
-    # row r07; rotated to the tail round-8 for sla_business_days; the
-    # hypothesis-test family is the repo's most-attested — MWU, chi2,
-    # MI, KS, ANOVA, and Welch ALL hold recorded rows and stay
-    # oracle-checked in the tail, with SPRT's sequential rung holding
-    # the family's round-8 head slot)
-    # round-8 seventh wave: business-calendar SLA readout (new
-    # capability — closed-form weekend-excluding day arithmetic +
-    # exact rank percentiles; no calendar table, no per-day explode)
-    "sla_business_days",
-    # round-7: Shannon entropy + KL-vs-global drift readout (new
-    # capability; slot from benford_price_digits per the comment
-    # above)
-    # (entropy_event_hours held this slot in round 7 — recorded row
-    # r07; rotated to the tail round-8 for freq_triples_brands; the
-    # information-theory family's entropy/KL and MI readouts both
-    # hold r07 rows and stay oracle-checked in the tail)
-    # round-8 second wave: Apriori frequent 3-itemsets (new
-    # capability — the first combinatorial Apriori level above
-    # item_affinity's pairs, downward-closure pruned before the
-    # count shuffle)
-    "freq_triples_brands",
-    # (trimmed_mean_order_value held this slot in round 6 — recorded
-    # row r06; rotated to the tail round-7 for fd_audit_catalog; the
-    # robust-center family keeps weighted_price_quartiles in the head
-    # and mad/theilsen oracle-checked in the tail)
-    # round-7: functional-dependency audit (new capability — the
-    # schema-discovery rung of the DQ family: MEASURES lhs->rhs
-    # violations where dq_report's `unique` asserts a key)
-    # (fd_audit_catalog held this slot in round 7 — recorded row r07;
-    # rotated to the tail round-8 for target_encoding_priority; the
-    # dq family keeps fingerprint_orders in the head)
-    # round-8 wave: leave-one-out target encoding (new capability —
-    # the leak-free high-cardinality categorical feature; one window
-    # shuffle, exact-decimal numerators)
-    "target_encoding_priority",
-    # (gini_customer_revenue held this slot in round 6 — recorded row
-    # r06; rotated to the tail round-7 for chi2_status_priority, see
-    # that block above; pareto_customer_revenue keeps the Lorenz
-    # machinery's head slot)
-    # round-7: Z-order layout pruning audit (new capability — the
-    # data-layout rung: Morton-interleaved multi-dimensional
-    # clustering measured by simulated file-footer min/max pruning,
-    # the Delta/Iceberg OPTIMIZE ZORDER capability as an operator;
-    # slot from zipf_vocab_fit, recorded r06, whose corpus-gauge
-    # family keeps readability_docs + phrase_search_docs head slots)
-    # (zorder_pruning_parts held this slot in round 7 — recorded row
-    # r07; rotated to the tail round-8 for pca_parts_features; the
-    # layout family keeps compaction_plan_orders' head slot)
-    # round-8 wave: exact-integer PCA power iteration (new capability
-    # — bit-identical linear algebra on any engine; the pagerank
-    # integer discipline applied to the scatter matrix)
-    "pca_parts_features",
-    # round-6 third wave: Kaplan-Meier survival (new capability — the
-    # censoring-correct churn/lifetime estimator retention_cohorts'
-    # raw comeback counts cannot express; displaces
-    # dedup_ngram_jaccard, whose rotation block sits in _DEFERRED
-    # with its five recorded rows)
-    # (km_survival_segments held this slot in round 6 — recorded row
-    # r06; rotated to the tail round-7 for
-    # tpch_q22_global_sales_opportunity; the lifetime family keeps
-    # its r06 row and retention_cohorts' earlier rows)
-    # round-7 fourth wave: TPC-H Q22 — scalar-average threshold
-    # (cross-multiplied exact) + NOT EXISTS anti join rollup;
-    # completes the 22/22 TPC-H shape suite
-    "tpch_q22_global_sales_opportunity",
-    # (seasonal_decompose_events held this slot in round 6 — recorded
-    # row r06; rotated to the tail round-7 for snapshot_diff_supplier;
-    # the seasonality family keeps seasonal_backtest_events' head
-    # slot)
-    # round-7 second wave: snapshot diff -> CDC batch derivation (new
-    # capability — the inverse of cdc_supplier_apply: replication
-    # validation/repair without re-shipping the table; roundtrip
-    # apply(diff(old,new)) == new pytest-pinned)
-    # (snapshot_diff_supplier held this slot in round 7 — recorded
-    # row r07; rotated to the tail round-8 for rfm_customer_segments;
-    # the replication/CDC family keeps fingerprint_orders +
-    # pit_order_status head slots and cdc_supplier_apply stays
-    # oracle-checked in the tail as its inverse)
-    # round-8 wave: RFM quintile segmentation (new capability — the
-    # classic customer-value readout with engine-exact ntile
-    # tie-breaking)
-    "rfm_customer_segments",
-    # (cusum_daily_drift held this slot in round 6 — recorded row
-    # r06; rotated to the tail round-7 for fingerprint_orders; the
-    # drift/changepoint family keeps ks_value_drift +
-    # entropy_event_hours head slots and its streaming twin's
-    # bit-equivalence tests)
-    # round-7 second wave: order-insensitive table fingerprint (new
-    # capability — the mergeable DECIMAL(38,0) md5_60 multiset
-    # checksum replication validates with; the green oracle row IS a
-    # cross-engine replication check by construction)
-    "fingerprint_orders",
-    # round-5 second batch: the four NEW capabilities built this round
-    # (bigram LM, SemDeDup, exact span dedup, Naive Bayes) go straight
-    # into the recorded head so no capability waits a round for its
-    # first driver row (the r3/r4 pattern). Swapped in against four
-    # long-attested entries with recorded capability twins (see the
-    # round-5 second-batch block in _DEFERRED).
-    # (bigram_perplexity held a slot here in round 5; rotated to the
-    # tail in round 6 for session_journeys — see the round-6 blocks)
-    # (semantic_dedup held this slot in rounds 5-6 — recorded row
-    # r05; rotated to the tail late-round-6 for
-    # weighted_price_quartiles — see the round-6 third-wave blocks)
-    # (weighted_price_quartiles held this slot in round 6 — recorded
-    # row r06; rotated to the tail round-7 for cuped_user_value; the
-    # percentile family keeps group_percentiles' r01/r02 rows and the
-    # KLL sketch rung oracle-checked in the tail)
-    # round-7 second wave: CUPED variance-reduced experiment readout
-    # (new capability — covariate adjustment with exact DECIMAL
-    # moments, the workhorse rung above ab_experiment_readout's raw
-    # Welch readout)
-    # (cuped_user_value held this slot in round 7 — recorded row r07;
-    # rotated to the tail round-8 for cohort_ltv_curve; the
-    # regression/experimentation family keeps ols_order_value,
-    # theilsen, and ab_experiment recorded rows oracle-checked in the
-    # tail and SPRT's head slot)
-    # round-8 seventh wave: cohort LTV curve (new capability — the
-    # monetary companion to retention's comeback counting; integer
-    # month arithmetic, exact decimal cumulative revenue)
-    "cohort_ltv_curve",
-    # (duplicate_spans held a slot here in round 5; rotated to the
-    # tail in round 6 for cdc_supplier_apply — see the round-6 blocks)
-    # (nb_language_selftrain held this slot in rounds 5-6 — recorded
-    # row r05; rotated to the tail late-round-6 for zipf_vocab_fit —
-    # see the round-6 third-wave blocks)
-    # (zipf_vocab_fit held this slot in round 6 — recorded row r06;
-    # rotated to the tail round-7 for zorder_pruning_parts, see that
-    # block above)
-    # round-5 third batch: capabilities built later in the round go
-    # straight into the recorded head (same rationale as above). Each
-    # displaces a long-attested entry with a recorded capability twin
-    # (see the round-5 third-batch block in _DEFERRED).
-    # (skyline_parts held this slot in rounds 5-6 — recorded rows
-    # r05+r06; rotated to the tail round-7 for cms_token_freq; the
-    # skyline stays oracle-checked in the tail against its quadratic
-    # NOT EXISTS oracle)
-    # round-7 second wave: Count-Min sketch (new capability — the
-    # frequency-ESTIMATE rung of the sketch family next to
-    # Misra-Gries' top-k; md5_60-salted grid fully value-checked
-    # cross-engine, mergeable like its HLL/KLL/Theta siblings)
-    # (cms_token_freq held this slot in round 7 — recorded row r07;
-    # rotated to the tail round-8 for augment_dropout_docs; the
-    # sketch family keeps bloom_semi_lineitem's head slot and the
-    # HLL/MG/KLL/Theta tails oracle-checked)
-    # round-8 second wave: deterministic token-dropout augmentation
-    # (new FAMILY — replayable data augmentation for LLM training
-    # epochs; position-keyed md5_60, zero shuffles)
-    "augment_dropout_docs",
-    # (heavy_hitters_mg held this slot through round 6's first half —
-    # recorded row r05; rotated to the tail mid-round-6 for
-    # acf_daily_values — see the round-6 second-wave blocks)
-    # (acf_daily_values held this slot in round 6 — recorded row r06;
-    # rotated to the tail round-7 for mannwhitney_click_error, see
-    # that block above; the seasonality family keeps
-    # seasonal_decompose_events + seasonal_backtest_events head
-    # slots)
-    # (scd2_order_status_dim held a slot here in round 5; rotated to
-    # the tail in round 6 for pit_order_status, which contains it as
-    # its first stage — see the round-6 blocks)
-    # (dsir_importance_weights held this slot in rounds 5-6 —
-    # recorded row r05; rotated to the tail late-round-6 for
-    # ols_order_value — see the round-6 third-wave blocks)
-    # round-6 third wave: one-pass multiple regression (new
-    # capability — the normal-equation/Cramer closed form next to
-    # linear_trend's single-regressor slope; displaces
-    # dsir_importance_weights, whose n-gram importance-weighting
-    # readout stays oracle-checked in the tail while the curation
-    # family keeps curation_pipeline_full's recorded row)
-    # (ols_order_value held this slot in round 6 — recorded row r06;
-    # rotated to the tail round-7 for forecast_scorecard_events; the
-    # regression family keeps cuped_user_value's exact-moment head
-    # slot and the theilsen/linear_trend tails oracle-checked)
-    # round-7 sixth wave: MASE/SMAPE/bias forecast scorecard (new
-    # capability — the evaluation rung closing the forecasting loop:
-    # backtest scores, conformal calibrates, this grades)
-    # (forecast_scorecard_events held this slot in round 7 — recorded
-    # row r07; rotated to the tail round-8 for sse_changepoint_daily;
-    # the forecast-eval capability stays oracle-checked via the
-    # seasonal_backtest/conformal tails and the ordered-series family
-    # keeps this new head slot)
-    # round-8 second wave: SSE-optimal changepoint localization (new
-    # capability — the offline level-shift localizer next to CUSUM's
-    # sequential alarm: binary segmentation's exact argmin split via
-    # prefix sums, integer-exact argmax score cross-engine)
-    "sse_changepoint_daily",
-    # (anomaly_zscore_daily held this slot in round 5; rotated to the
-    # tail in round 6 for event_value_bars — see the round-6 blocks)
-    # (concurrency_peaks held this slot in round 5; rotated to the
-    # tail in round 6 for asof_nearest_alignment — see the round-6
-    # blocks)
-    # (pagerank_cust_supp held this slot in rounds 5-6 — recorded row
-    # r05; rotated to the tail late-round-6 for
-    # pareto_customer_revenue — see the round-6 third-wave blocks;
-    # the iterative-graph family keeps kcore + bfs + lpa + sssp head
-    # slots)
-    # (part_name_linkage held this slot in round 5; rotated to the
-    # tail in round 6 for entity_golden_parts, which contains it as
-    # its first stage — see the round-6 blocks)
-    # (user_clustering held this slot through round 6's first half —
-    # recorded rows r05; rotated to the tail mid-round-6 for
-    # itemitem_part_recs — see the round-6 second-wave blocks)
-    # (itemitem_part_recs held this slot in round 6 — recorded row
-    # r06; rotated to the tail round-7 for anova_event_values; the
-    # recommendation family keeps its r06 row plus the ppr/affinity
-    # tails oracle-checked)
-    # round-7 third wave: one-way ANOVA (new capability — the k-group
-    # generalization completing the two-sample family: Welch means,
-    # MWU ranks, KS CDFs, chi-square categories, now k-level means)
-    # (anova_event_values held this slot in round 7 — recorded row
-    # r07; rotated to the tail round-8 for profile_drift_orders; the
-    # k-group family keeps mannwhitney_click_error's head slot with
-    # the anova/chi2/mi/ks tails oracle-checked)
-    # round-8 sixth wave: column-profile drift detector (new
-    # capability — the data-contract monitor between dq_report's
-    # point-in-time expectations and fd_audit's structure discovery)
-    "profile_drift_orders",
-    # round-6 second wave: multi-source BFS reachability rings (new
-    # capability — min-hop distance joins the iterative-graph family's
-    # rank/centrality/core primitives; displaces daily_trend_slope,
-    # whose OLS readout stays oracle-checked in the tail and whose
-    # numpy.polyfit parity tests stand; green row r05)
-    # (bfs_purchase_rings held this slot in round 6 — recorded row
-    # r06; rotated to the tail round-7 for bootstrap_ci_order_value;
-    # the iterative-graph family keeps sssp_purchase_paths +
-    # assortativity_cust_supp head slots)
-    # round-7 fifth wave: deterministic Poisson-bootstrap CI (new
-    # capability — the distribution-free inference rung; hash-seeded
-    # resamples make the whole CI value-checkable cross-engine)
-    # (bootstrap_ci_order_value held this slot in round 7 — recorded
-    # row r07; rotated to the tail round-8 for burstiness_event_types;
-    # the inference/sampling-design family keeps ht_total_by_priority's
-    # new head slot and the bootstrap/CUPED/conformal tails stay
-    # oracle-checked, the streaming bootstrap twin pytest-pinned)
-    # round-8 third wave: point-process burstiness (new capability —
-    # inter-arrival timing analysis the value-based drift family
-    # cannot see; Goh-Barabasi index from exact integer moments)
-    "burstiness_event_types",
-    # (twa_user_value held this slot through round 6's first half —
-    # recorded rows r05; rotated to the tail mid-round-6 for
-    # geo_nearest_supplier — see the round-6 second-wave blocks)
-    # round-6 second wave: grid-pruned spatial KNN join (new FAMILY —
-    # the engine had no spatial surface; displaces twa_user_value,
-    # whose time-weighted-average readout stays oracle-checked in the
-    # tail and whose ordered-series family keeps recorded rows via
-    # event_value_bars + decayed_engagement + asof_nearest_alignment)
-    # (geo_nearest_supplier held this slot in round 6 — recorded row
-    # r06; rotated to the tail round-7 for geo_fence_customers — the
-    # spatial family's CONTAINMENT rung takes the head slot its
-    # proximity rung held, and the KNN path stays oracle-checked in
-    # the tail against its exhaustive cross-join oracle)
-    # (geo_fence_customers held this slot in round 7 — recorded row
-    # r07; rotated to the tail round-8 for spearman_value_items; the
-    # spatial family's containment + KNN rungs both hold recorded
-    # rows and stay oracle-checked in the tail)
-    # round-8 second wave: Spearman rank correlation with exact tie
-    # handling (new capability — the monotone-association companion
-    # to q12's Pearson; doubled-rank integers, HUGEINT moments)
-    "spearman_value_items",
-    # round-6 second wave: multi-touch attribution (new capability —
-    # generalizes the as-of family's last-touch special case to
-    # linear/time-decay/position credit models over the bucketed
-    # interval join; displaces gap_fill_hourly, whose dense-grid LOCF
-    # readout stays oracle-checked in the tail and whose ordered-series
-    # family keeps recorded rows via event_value_bars +
-    # decayed_engagement)
-    # (multitouch_channels held this slot in round 6 — recorded row
-    # r06; rotated to the tail round-7 for compaction_plan_orders;
-    # the attribution family keeps its r06 row and the as-of family
-    # its r05/r06 rows)
-    # round-7 fifth wave: small-file compaction planner (new
-    # capability — the layout family's maintenance rung next to
-    # zorder_pruning_parts' placement rung)
-    "compaction_plan_orders",
-    # (gap_fill_hourly held this slot through round 6's first half —
-    # recorded rows r05; rotated to the tail mid-round-6 for
-    # multitouch_channels — see the round-6 second-wave blocks)
-    # round-6 second wave: Markov session transition matrix with
-    # virtual START/END states (new capability — factorizes the paths
-    # journey mining ranks; displaces term_collocations, whose
-    # recorded r05 row stands and whose PMI/co-occurrence family
-    # stays oracle-checked in the tail via item_affinity)
-    # (session_transition_matrix held this slot in round 6 — recorded
-    # row r06; rotated to the tail round-7 for
-    # funnel_view_click_purchase; the session family's recorded
-    # coverage continues via this funnel head slot + the r06 journey/
-    # transition rows)
-    # round-7 fifth wave: windowed funnel conversion (new capability
-    # — the chosen-path attrition readout next to journeys'
-    # path ranking and the transition matrix's hop factorization)
-    # (funnel_view_click_purchase held this slot in round 7 —
-    # recorded row r07; rotated to the tail round-8 for
-    # seq_trigrams_users; the journey/attribution family keeps
-    # multitouch_channels' head slot with the funnel/journeys/
-    # transition tails oracle-checked)
-    # round-8 third wave: ordered event-type trigram mining (new
-    # capability — second-order sequence structure between the
-    # Markov pair matrix and whole-path ranking; array-free lead
-    # windows, whale-user safe)
-    "seq_trigrams_users",
-    # (item_affinity held this slot in round 5; rotated to the tail
-    # in round 6 for bloom_semi_lineitem — see the round-6 blocks)
-    # (term_collocations held this slot through round 6's first half —
-    # recorded rows r05; rotated to the tail mid-round-6 for
-    # session_transition_matrix — see the round-6 second-wave blocks)
-    # (daily_trend_slope held this slot through round 6's first half —
-    # recorded rows r05; rotated to the tail mid-round-6 for
-    # bfs_purchase_rings — see the round-6 second-wave blocks)
-    # (event_pattern_counts held this slot in round 5; rotated to the
-    # tail in round 6 for events_daily_melt — see the round-6 blocks)
-    # (dq_report_orders held this slot in rounds 5-6 — recorded row
-    # r05; rotated to the tail late-round-6 so TPC-H Q3 gets its
-    # FIRST driver row — the DQ family keeps benford_price_digits in
-    # the head and the fused-check kernel its plan-asserted tests)
-    # (tpch_q3_priority held this slot in round 6 — recorded row r06;
-    # rotated to the tail round-7 for tpch_q2_min_cost_supp; the
-    # relational-classics family keeps Q1/Q4/Q18/Q21 head slots)
-    # round-7 second wave: TPC-H Q2 shape — correlated scalar-MIN
-    # subquery as aggregate-then-rejoin (new capability: the third
-    # argmin form next to the window argmax and row_number cut)
-    "tpch_q2_min_cost_supp",
-    # (incremental_rollup_refresh held this slot in rounds 5-6 —
-    # recorded row r05; rotated to the tail late-round-6 so TPC-H Q5
-    # gets its FIRST driver row — rollup maintenance keeps its r05
-    # attestation + cdc_supplier_apply's head slot for the
-    # apply-changes surface)
-    # (tpch_q5_region held this slot in round 6 — recorded row r06;
-    # rotated to the tail round-7 for tpch_q13_custdist; same family
-    # coverage as the Q3 rotation above)
-    # round-7 second wave: TPC-H Q13 shape — LEFT JOIN + COUNT(col)
-    # double grouping with zero-order customers kept (new capability)
-    "tpch_q13_custdist",
-    # (join_profile_orders_lineitem held this slot through round 6's
-    # first half — recorded rows r05; rotated to the tail mid-round-6
-    # for lpa_communities — see the round-6 second-wave blocks)
-    # (lpa_communities held this slot in round 6 — recorded row r06;
-    # rotated to the tail round-7 for assortativity_cust_supp; the
-    # iterative-graph family keeps kcore + bfs + sssp head slots)
-    # round-7 third wave: degree assortativity (new capability — the
-    # one-number structural summary of who-attaches-to-whom, exact
-    # BIGINT/DECIMAL moments over the doubled edge list)
-    # (assortativity_cust_supp held this slot in round 7 — recorded
-    # row r07; rotated to the tail round-8 for
-    # grouping_sets_status_priority; the graph-topology family keeps
-    # sssp_purchase_paths' head slot and the degree machinery its
-    # tests)
-    # round-8 wave: explicit GROUPING SETS (new capability — margins
-    # + grand total without CUBE's cross cells; completes the
-    # grouping-sets family)
-    "grouping_sets_status_priority",
-    # personalized weighted PageRank (new capability; displaces
-    # asof_next_purchase, whose as-of join family keeps TWO recorded
-    # rows via asof_split — same operator, skew mode — while the base
-    # path stays oracle-checked via asof_attribution in the tail)
-    # (ppr_supplier_recs held this slot in rounds 5-6 — recorded row
-    # r05; rotated to the tail late-round-6 for
-    # leakage_safe_splits_docs; base pagerank keeps its head slot and
-    # the weighted-share DECIMAL machinery its overflow tests)
-    # round-6 third wave: Pareto 80% readout (new capability — the
-    # actionable companion to Gini's index; displaces
-    # pagerank_cust_supp, whose rotation block sits in _DEFERRED with
-    # its r05 row while the iterative-graph family keeps kcore + bfs
-    # + lpa + sssp head slots)
-    # (pareto_customer_revenue held this slot in round 6 — recorded
-    # row r06; rotated to the tail round-7 for
-    # kanon_customer_release; the Lorenz family keeps its gini +
-    # pareto r06 rows and both stay oracle-checked in the tail)
-    # round-7 fifth wave: k-anonymity / l-diversity release audit
-    # (new FAMILY — privacy measurement next to curation's PII
-    # redaction)
-    # (kanon_customer_release held this slot in round 7 — recorded
-    # row r07; rotated to the tail round-8 for its own stronger rung:
-    # t-closeness audits the same release frame, so the privacy
-    # family keeps a head slot while k-anon/l-div stay oracle-checked
-    # in the tail)
-    # round-8 fourth wave: t-closeness release audit (new capability
-    # — distributional leakage k/l cannot see; exact-integer EMD,
-    # cross-multiplied thresholds)
-    "tcloseness_customer_release",
-    # round-6 third wave: leakage-safe splits (new capability —
-    # near-dup clusters land wholly on one side of train/test, the
-    # split-time complement of decontamination; displaces
-    # ppr_supplier_recs per the comment above)
-    # (leakage_safe_splits_docs held this slot in round 6 — recorded
-    # row r06; rotated to the tail round-7 for mi_status_priority;
-    # the split/decontamination family keeps
-    # curation_pipeline_full's recorded rows)
-    # round-7 sixth wave: mutual information in bits (new capability
-    # — the information-theoretic dependence readout next to
-    # chi-square's significance and entropy/KL's drift)
-    # (mi_status_priority held this slot in round 7 — recorded row
-    # r07; rotated to the tail round-8 for quantile_normalize_doclen;
-    # the information-theory family keeps entropy_event_hours' head
-    # slot)
-    # round-8 wave: quantile normalization onto the pooled
-    # distribution (new capability — exact-integer interpolation
-    # positions, the cross-source feature-alignment transform)
+    # ROUND-9 REWRITE (judge r8 next-round #4: "rotate the r09 head
+    # toward the stalest attestations — oldest-first so no query's
+    # most-recent driver row predates r04"). The per-slot rotation
+    # history through round 8 that used to live as interleaved
+    # comments here is preserved in git (blame this block at tag
+    # round-8 / commit cc3a691); every entry rotated OUT this round
+    # carried a green r08 driver row, so no attestation is lost.
+    # Head composition (cap 50): 12 new round-9 registrations ride
+    # the base; this list = 18 stalest (last driver row r01-r03)
+    # + 4 re-attestations for operators/oracles touched this round
+    # + the 16 alphabetically-first r04-attested entries.
+    # -- 18 stalest (last recorded r01-r03) --------------------------
+    "asof_attribution",
+    "curation_pipeline",
+    "decontaminate_bloom",
+    "dedup_simhash",
+    "distinct_parts_skewfree",
+    "embedding_neardup_lsh",
+    "events_json",
+    "funnel_conversion",
+    "group_percentiles",
+    "neardup_components",
+    "ntile_quartiles",
+    "pack_sequences",
+    "pivot_status_by_priority",
+    "retention_cohorts",
+    "rollup_hierarchy",
+    "similarity_topk_int8",
+    "similarity_topk_ivf",
+    "topk_global",
+    # -- 4 touched this round (sketch lanes / hub cap / decimal
+    # overflow fix / oracle guard) need fresh green rows ------------
     "quantile_normalize_doclen",
-    # (mad_outliers_daily held this slot in round 5; rotated to the
-    # tail in round 6 for kcore_cust_supp — see the round-6 blocks)
-    # (hits_cust_supp held this slot in rounds 5-6 — recorded row
-    # r05; rotated to the tail late-round-6 for sssp_purchase_paths —
-    # see the round-6 third-wave blocks)
-    # round-6 third wave: weighted shortest paths (new capability —
-    # bounded Bellman-Ford, the cost-aware generalization of BFS;
-    # displaces hits_cust_supp, whose hub/authority surface stays
-    # oracle-checked in the tail while the iterative-graph family
-    # keeps pagerank + kcore + bfs + lpa + ppr recorded rows)
-    # (sssp_purchase_paths held this slot in rounds 6-7 — recorded
-    # row r06; rotated to the tail round-8 for
-    # link_prediction_suppliers, which keeps the graph family's head
-    # presence; sssp/kcore/bfs/lpa/pagerank/ppr/hits all stay
-    # oracle-checked in the tail)
-    # round-8 sixth wave: bipartite link prediction (new capability —
-    # CN/Jaccard/Resource-Allocation scoring, integer-exact RA nanos,
-    # the candidate-generation rung under the recommender rankers)
     "link_prediction_suppliers",
-    # (ab_experiment_readout held this slot through round 6's first
-    # half — recorded row r05; rotated to the tail mid-round-6 for
-    # seasonal_backtest_events — see the round-6 second-wave blocks)
-    # (seasonal_backtest_events held this slot in rounds 5-6 —
-    # recorded rows r05+r06; rotated to the tail round-7 for
-    # conformal_event_forecast, which SCORES THE SAME FORECAST and
-    # adds the calibration layer — the strictly stronger form, the
-    # segment-dedup-displaces-boilerplate pattern)
-    # round-7 second wave: split-conformal prediction intervals (new
-    # capability — finite-sample-valid qhat rank + measured coverage)
-    # (conformal_event_forecast held this slot in round 7 — recorded
-    # row r07; rotated to the tail round-8 for feature_hash_vocab;
-    # the forecasting family keeps forecast_scorecard_events' head
-    # slot)
-    # round-8 wave: hashing-trick feature audit (new capability —
-    # fixed-width hashed bag-of-words with per-slot collision load;
-    # no vocabulary state anywhere)
-    "feature_hash_vocab",
-    # (woe_price_vs_urgent held this slot in rounds 5-6 — recorded
-    # rows r05+r06; rotated to the tail round-7 for
-    # neyman_alloc_doc_sources; the supervised-binning readout keeps
-    # its two recorded rows and the PSI/quantile-edge machinery stays
-    # oracle-checked in the tail)
-    # round-7 second wave: Neyman-optimal sample allocation (new
-    # capability — the variance-minimizing stratified design in
-    # front of the sampling executors; integer-exact
-    # largest-remainder arithmetic)
-    # (neyman_alloc_doc_sources held this slot in round 7 — recorded
-    # row r07; rotated to the tail round-8 for ht_total_by_priority —
-    # its natural successor: Neyman PICKS the stratum rates, HT
-    # EXECUTES a design and estimates with a variance; the
-    # sampling-design family keeps this new head slot)
-    # round-8 wave: stratified Poisson sampling + Horvitz-Thompson
-    # total with exact design variance (new capability)
-    "ht_total_by_priority",
-    # (rake_keyphrases_docs held this slot through round 6's first
-    # half — recorded row r05; rotated to the tail mid-round-6 for
-    # woe_price_vs_urgent — see the round-6 second-wave blocks)
-    # (psi_value_drift held this slot in round 5; rotated to the tail
-    # in round 6 for decayed_engagement — see the round-6 blocks)
-    # (customer_sample_per_nation held this slot in round 5; rotated
-    # to the tail in round 6 for events_sliding_distinct — see the
-    # round-6 blocks)
+    "sse_changepoint_daily",
+    "burstiness_event_types",
+    # -- 16 oldest remaining (last recorded r04) ---------------------
+    "asof_next_purchase",
+    "cross_source_dups",
+    "daily_delta",
+    "decontaminate",
+    "dedup_exact",
+    "distinct_users_hll",
+    "embedding_neardup",
+    "events_windowed",
+    "incremental_dedup",
+    "interval_session_join",
+    "multimodal_features",
+    "nfc_fingerprints",
+    "packed_shards",
+    "partial_copy_pairs",
+    "pii_redaction",
+    "q02_top_per_group",
 ]
 _DEFERRED = [
-    # round-7 fourth-wave rotation OUT: fourteen entries whose first
-    # (or latest) driver row landed in r06, displaced so the TPC-H
-    # Q6-Q22 completion gets first driver rows — each family keeps a
-    # head slot or recorded twin (see the matching _PROMOTED block
-    # comments); all fourteen stay oracle-checked here every round
-    "readability_docs",
-    "ks_value_drift",
-    "embedding_silhouette",
+    # Everything below stays oracle-checked by tools/check_oracle.py
+    # (and the committed ORACLE_sf*.json artifacts) every round; each
+    # entry's most recent driver-recorded row is r04-r08 (oldest
+    # r04 entries not fitting the 50-cap head this round roll into
+    # the r10 head next). Pre-round-9 per-slot history: git blame.
+    "q01_overview",
+    "q03_by_hour",
+    "q04_by_weekday",
+    "q05_top_customers",
+    "q06_flag_breakdown",
+    "q07_two_key_agg",
+    "q08_left_join_rollup",
+    "q09_join_having",
+    "q10_daily_trends",
+    "q11_text_insights",
+    "q12_correlations",
+    "q13_trailing_window",
+    "q14_conditional_quality",
+    "q15_ranked_view",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf_indexed",
+    "similarity_topk_pq",
+    "semantic_dedup",
+    "text_profile",
+    "vocab_topk",
+    "tfidf_top_terms",
+    "stratified_sample",
+    "anomaly_zscore_daily",
+    "concurrency_peaks",
+    "pagerank_cust_supp",
+    "item_affinity",
+    "join_profile_orders_lineitem",
+    "incremental_rollup_refresh",
+    "psi_value_drift",
+    "customer_sample_per_nation",
+    "rake_keyphrases_docs",
+    "ab_experiment_readout",
+    "mad_outliers_daily",
+    "dq_report_orders",
+    "event_pattern_counts",
+    "daily_trend_slope",
+    "term_collocations",
+    "twa_user_value",
+    "gap_fill_hourly",
+    "user_clustering",
+    "part_name_linkage",
+    "image_phash_neardup",
+    "hits_cust_supp",
+    "ppr_supplier_recs",
+    "sentence_decontaminate",
+    "unigram_quality_score",
+    "bigram_perplexity",
+    "nb_language_selftrain",
+    "duplicate_spans",
+    "incremental_minhash",
+    "weighted_sample_sources",
+    "sessionization",
+    "sessionization_split",
+    "bm25_rank",
+    "bm25_rank_indexed",
+    "hybrid_search_rrf",
+    "hybrid_search_rrf_lsh",
+    "document_chunks",
+    "fuzzy_name_pairs",
+    "quantile_rollup_kll",
+    "segment_overlap_theta",
+    "dsir_importance_weights",
+    "scd2_order_status_dim",
+    "heavy_hitters_mg",
+    "asof_split",
+    "topk_per_group",
+    "curation_pipeline_full",
+    "neardup_survivors",
+    "table_profile",
+    "repetition_profile",
+    "boilerplate_fraction",
+    "mixture_weights",
     "segment_dedup_docs",
     "kcore_cust_supp",
-    "session_journeys",
-    "cdc_supplier_apply",
-    "asof_nearest_alignment",
     "decayed_engagement",
-    "entity_golden_parts",
     "events_sliding_distinct",
-    "search_eval_bm25",
-    "phrase_search_docs",
-    "km_survival_segments",
-    # round-7 fifth-wave rotation OUT (same contract as above): three
-    # more r06-recorded entries displaced for the bootstrap /
-    # geofence / compaction capabilities
-    "bfs_purchase_rings",
+    "entity_golden_parts",
+    "bloom_semi_lineitem",
+    "events_daily_melt",
+    "tpch_q1_pricing",
+    "tpch_q3_priority",
+    "tpch_q5_region",
+    "tpch_q4_priority_exists",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_supplier",
+    "event_value_bars",
+    "asof_nearest_alignment",
+    "pit_order_status",
+    "cdc_supplier_apply",
+    "session_journeys",
     "geo_nearest_supplier",
     "multitouch_channels",
     "session_transition_matrix",
-    "pareto_customer_revenue",
-    # round-7 sixth-wave rotation OUT (same contract): two more
-    # r06-recorded entries displaced for mutual information and the
-    # forecast scorecard
-    "leakage_safe_splits_docs",
+    "bfs_purchase_rings",
+    "woe_price_vs_urgent",
+    "seasonal_backtest_events",
+    "acf_daily_values",
+    "itemitem_part_recs",
+    "skyline_parts",
+    "lpa_communities",
+    "cusum_daily_drift",
+    "benford_price_digits",
+    "sssp_purchase_paths",
     "ols_order_value",
-    # audit twins / shape variants whose capability is attested by a
-    # recorded sibling (see module comment above)
-    "similarity_topk_int8",
-    "similarity_topk_ivf",
-    "embedding_neardup_lsh",
-    "decontaminate_bloom",
-    "asof_attribution",
-    "events_json",
-    # rotated out round 4 (see _PROMOTED); driver rows exist for it in
-    # CORRECTNESS_r01..r03, so rotating it out loses no attestation
-    "dedup_simhash",
-    # previously-implicit tail, now explicit (advisor r3): each has had
-    # a driver-recorded row in r01/r02 or is a shape variant of a
-    # recorded sibling; all stay oracle-checked by tools/check_oracle.py
-    "curation_pipeline",          # superseded by curation_pipeline_full (recorded)
-    "distinct_parts_skewfree",    # recorded r01/r02
-    "rollup_hierarchy",           # recorded r01/r02
-    # round-7 rotation OUT: bm25_rank's term-statistics scoring stays
-    # recorded via its r05+r06 rows, the search family keeps
-    # search_eval_bm25 + phrase_search_docs in the head, and the
-    # scoring path stays equality-pinned by bm25_rank_indexed; its
-    # slot goes to cube_status_priority (round-6-new, never recorded
-    # — judge r6 finding #1)
-    "bm25_rank",
-    "pivot_status_by_priority",   # recorded r01/r02
-    "topk_global",                # recorded r01/r02; plan-asserted in tests
-    "group_percentiles",          # recorded r01/r02
-    "ntile_quartiles",            # recorded r01/r02
-    "neardup_components",         # survivor selection recorded via neardup_survivors
-    "funnel_conversion",          # recorded r01/r02
-    "retention_cohorts",          # recorded r01/r02
-    "pack_sequences",             # packed_shards (recorded) covers packing
-    # round-5 rotation OUT (judge r4 next-round #2): long-attested head
-    # entries making room for the eight round-4 promotions above. Each
-    # has green driver rows in CORRECTNESS_r01..r04 and a capability
-    # twin that keeps a recorded row (q03/q04 hour-weekday derivations
-    # twin q01's agg surface and stay pinned by transform tests;
-    # q10/q11/q14 shapes stay via q09/q12/q06; dedup_exact via
-    # incremental_dedup; daily_delta via events_windowed;
-    # distinct_users_hll via the KLL/Theta sketch rows now recorded).
-    # All stay oracle-checked every round via tools/check_oracle.py.
-    "q03_by_hour",
-    "q04_by_weekday",
-    "q10_daily_trends",
-    "q11_text_insights",
-    "q14_conditional_quality",
-    "dedup_exact",
-    "daily_delta",
-    "distinct_users_hll",
-    # (hybrid_search_rrf_lsh / bm25_rank_indexed /
-    # similarity_topk_ivf_indexed sat here rounds 5-7 as audit twins;
-    # promoted to the head round-8 per the judge-r7 "new capability ⇒
-    # recorded head" finding — they had never held a driver row)
-    # round-8 rotation OUT: four TPC-H entries recorded r07 make room
-    # for the promotions above. The TPC-H family keeps 18 recorded
-    # head slots (Q1-Q13, Q15, Q18, Q20-Q22) and all 22 stay
-    # oracle-checked at sf0.001/0.01/0.1 every round.
+    "search_eval_bm25",
+    "weighted_price_quartiles",
+    "zipf_vocab_fit",
+    "embedding_silhouette",
+    "ks_value_drift",
+    "theilsen_daily_trend",
+    "value_histogram_events",
+    "readability_docs",
+    "cube_status_priority",
+    "seasonal_decompose_events",
+    "phrase_search_docs",
+    "km_survival_segments",
+    "gini_customer_revenue",
+    "trimmed_mean_order_value",
+    "leakage_safe_splits_docs",
+    "pareto_customer_revenue",
+    "chi2_status_priority",
+    "mannwhitney_click_error",
+    "entropy_event_hours",
+    "kmeans_parts_price_size",
+    "fd_audit_catalog",
+    "zorder_pruning_parts",
+    "snapshot_diff_supplier",
+    "fingerprint_orders",
+    "cuped_user_value",
+    "tpch_q2_min_cost_supp",
+    "tpch_q13_custdist",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_shipments",
     "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
     "tpch_q16_supplier_cnt",
     "tpch_q17_small_qty_revenue",
     "tpch_q19_disjunctive_revenue",
-    # round-5 second-batch rotation OUT: long-attested head entries
-    # making room for the four new round-5 capabilities. Green driver
-    # rows in CORRECTNESS_r01..r04 and a recorded capability twin each:
-    # q05 (LIMIT/ordered-sort shape) via q09 + the plan-asserted
-    # topk_global; q07 (2-key agg) via q01/q06; vocab_topk (term-stats
-    # shuffle shape) via tfidf_top_terms + bm25_rank; stratified_sample
-    # (deterministic hash sampling) via weighted_sample_sources +
-    # curation_pipeline_full, which both keep recorded rows. All stay
-    # oracle-checked every round via tools/check_oracle.py.
-    "q05_top_customers",
-    "q07_two_key_agg",
-    "vocab_topk",
-    "stratified_sample",
-    # round-5 third-batch rotation OUT: long-attested entries making
-    # room for the third-batch promotions. Green driver rows in
-    # CORRECTNESS_r01..r04 and a recorded capability twin each:
-    # similarity_topk_lsh's bucketed-ANN-audit shape stays recorded via
-    # similarity_topk (exact baseline, recorded) + the new
-    # similarity_topk_pq audit row built on the identical recall-audit
-    # frame (ivf/int8 siblings stay oracle-checked in this tail).
-    "similarity_topk_lsh",
-    # embedding_neardup's exact brute-pair capability stays recorded via
-    # semantic_dedup + neardup_survivors (both consume embedding-cosine
-    # pair semantics); its LSH scale twin stays oracle-checked above.
-    "embedding_neardup",
-    # sentence_decontaminate's span-level decontamination stays recorded
-    # via decontaminate (gram-probe, recorded) + duplicate_spans
-    # (exact repeated-span detection, recorded).
-    "sentence_decontaminate",
-    # partial_copy_pairs' (winnowing) partial-overlap detection stays
-    # recorded via duplicate_spans (exact repeated-span core, recorded)
-    # + the dedup_ngram_jaccard/minhash rows; winnowing kernel stays
-    # pinned by tests/test_winnowing.py and this oracle tail.
-    "partial_copy_pairs",
-    # nfc_fingerprints' normalization capability stays recorded via
-    # text_profile + unigram_quality_score (same zero-UDF text-kernel
-    # family); the unicodedata Arrow kernel stays pinned by its
-    # DuckDB nfc_normalize oracle here and the pytest suite.
-    "nfc_fingerprints",
-    # round-5 fourth-batch rotation OUT: per-group-head shape stays
-    # recorded via q02_top_per_group (argmax window, recorded) and the
-    # plan-asserted topk_global in this tail; green driver rows in
-    # CORRECTNESS_r01..r04.
-    "topk_per_group",
-    # corpus term statistics (tf/df shuffle shape) stay recorded via
-    # bm25_rank; green driver rows in CORRECTNESS_r01..r04.
-    "tfidf_top_terms",
-    # (image_phash_neardup sat here rounds 5-7 as the one rows-only
-    # entry; round-8 it gained a value-hash oracle — banding + exact
-    # Hamming over the materialized 64-bit hashes verified in DuckDB
-    # via bit_count — and moved to the head per the judge-r7 finding)
-    # round-5 fifth-batch rotation OUT: broadcast-gram decontamination
-    # stays recorded via curation_pipeline_full's 5-gram benchmark
-    # probe; green driver rows in CORRECTNESS_r01..r04; scale twin
-    # decontaminate_bloom and span variant sentence_decontaminate stay
-    # oracle-checked in this tail.
-    "decontaminate",
-    # one-pass text-quality kernel family stays recorded via
-    # text_profile (same zero-UDF column-expression family); green
-    # driver rows in CORRECTNESS_r02..r04.
-    "unigram_quality_score",
-    # trailing-window stddev/mean shape stays recorded via
-    # anomaly_zscore_daily; green driver rows in CORRECTNESS_r01..r04.
-    "q13_trailing_window",
-    # tumbling-window rollup shape stays recorded via
-    # anomaly_zscore_daily's daily rollup + the streaming equivalence
-    # tests; still a bench headline. Green rows in r01..r04.
-    "events_windowed",
-    # persisted-index increment shape stays recorded via
-    # incremental_minhash (the near-dup variant of the same contract);
-    # green rows in CORRECTNESS_r01..r04 + extension_sql equivalence.
-    "incremental_dedup",
-    # cross-source duplicate QA: sf0.01 truth is 0 rows (weakest
-    # possible recorded row); the non-trivial 8-row truth is pinned by
-    # the committed ORACLE_sf0.1.json artifact + this oracle tail.
-    "cross_source_dups",
-    # binary-column plumbing stays pinned by tests (Arrow batch shape,
-    # codecs, dead-letter) + the phash family; green rows r01..r04.
-    "multimodal_features",
-    # Efraimidis-Spirakis weighted sampling stays recorded via
-    # curation_pipeline_full (packed-bin budget consumes the same
-    # sampling keys) + extension_sql equivalence; green rows r01..r04.
-    "weighted_sample_sources",
-    # PII regex scrubbing stays pinned by tests/test_curation.py and
-    # this oracle tail; green rows in CORRECTNESS_r01..r04.
-    "pii_redaction",
-    # bucket-equality interval join stays recorded via the asof rows
-    # (same windowed-join family) and tests/test_rangejoin.py; green
-    # rows in CORRECTNESS_r01..r04.
-    "interval_session_join",
-    # conditional-aggregate (flag breakdown) shape stays recorded via
-    # q01_overview and oracle-checked via q11/q14 here; green driver
-    # rows in CORRECTNESS_r01..r04.
-    "q06_flag_breakdown",
-    # forward as-of join stays recorded via asof_split (same operator,
-    # skew mode, promoted this round) and oracle-checked here; green
-    # rows in CORRECTNESS_r01..r04.
-    "asof_next_purchase",
-    # gap sessionization stays recorded via sessionization_split (same
-    # operator, skew mode, promoted this round); still a bench
-    # headline. Green rows in CORRECTNESS_r01..r04.
-    "sessionization",
-    # LEFT-JOIN 1:N rollup stays oracle-checked here and pinned by
-    # test_queries.py; join surface recorded via q09_join_having.
-    # Green rows in CORRECTNESS_r01..r04.
-    "q08_left_join_rollup",
-    # per-group argmax window stays recorded via q15_ranked_view (same
-    # rank-window family) and the analysis_sql equivalence tests;
-    # green rows in CORRECTNESS_r01..r04.
-    "q02_top_per_group",
-    # Gopher-style repetition kernels stay in text_profile's recorded
-    # zero-UDF family; oracle-checked here with boilerplate_fraction.
-    # Green rows in CORRECTNESS_r02..r04.
-    "repetition_profile",
-    # one-pass column profiling stays oracle-checked here; green rows
-    # in CORRECTNESS_r02..r04.
-    "table_profile",
-    # shard packing stays recorded via curation_pipeline_full's
-    # packed-bin budget + pack_sequences here; green rows r02..r04.
-    "packed_shards",
-    # round-6 rotation OUT: duplicated-segment measurement superseded
-    # in the head by segment_dedup_docs (removal + reassembly, the
-    # strictly stronger form); stays oracle-checked here each round.
-    # Green rows in CORRECTNESS_r01..r05.
-    "boilerplate_fraction",
-    # round-6 rotation OUT: robust MAD outlier readout making room for
-    # kcore_cust_supp; its daily-rollup + robust-scoring family keeps
-    # a recorded row via anomaly_zscore_daily, and it stays
-    # oracle-checked here each round. Green row in CORRECTNESS_r05.
-    "mad_outliers_daily",
-    # round-6 rotation OUT: PSI drift readout making room for
-    # decayed_engagement; stays oracle-checked here each round and its
-    # daily-rollup family keeps a recorded row via
-    # anomaly_zscore_daily. Green row in CORRECTNESS_r05.
-    "psi_value_drift",
-    # round-6 rotation OUT: exact-k group sampling making room for
-    # events_sliding_distinct; stays oracle-checked here each round,
-    # hash-order sampling family recorded via stratified_sample
-    # r01..r04 + curation_pipeline_full. Green row in CORRECTNESS_r05.
-    "customer_sample_per_nation",
-    # round-6 rotation OUT: JW blocked pairs making room for
-    # entity_golden_parts, which runs the same pair generator as its
-    # first stage; stays oracle-checked here each round. Green row in
-    # CORRECTNESS_r05.
-    "part_name_linkage",
-    # round-6 rotation OUT: market-basket affinity making room for
-    # bloom_semi_lineitem; stays oracle-checked here each round and
-    # its co-occurrence pair family keeps a recorded row via
-    # term_collocations. Green row in CORRECTNESS_r05.
-    "item_affinity",
-    # round-6 rotation OUT: regex CEP pattern counts making room for
-    # events_daily_melt; stays oracle-checked here each round and
-    # pinned by tests/test_sessions.py. Green row in CORRECTNESS_r05.
-    "event_pattern_counts",
-    # round-6 rotation OUT: bigram-LM perplexity making room for
-    # session_journeys; stays oracle-checked here each round, LM
-    # family keeps nb_language_selftrain recorded. Green row r05.
-    "bigram_perplexity",
-    # round-6 rotation OUT: repeated-span detection making room for
-    # cdc_supplier_apply; stays oracle-checked here each round, span
-    # family also pinned by partial_copy_pairs + winnowing tests.
-    # Green row r05.
-    "duplicate_spans",
-    # round-6 rotation OUT: SCD2 snapshot making room for
-    # pit_order_status, which builds the same dimension as its first
-    # stage; stays oracle-checked here each round. Green row r05.
-    "scd2_order_status_dim",
-    # round-6 rotation OUT: sweep-line concurrency peaks making room
-    # for asof_nearest_alignment; stays oracle-checked here each round
-    # and plan-asserted (no single-partition window) in
-    # tests/test_series.py. Green rows r05.
-    "concurrency_peaks",
-    # round-6 rotation OUT: daily z-score anomalies making room for
-    # event_value_bars; stays oracle-checked here each round, its
-    # streaming twin stays bit-equivalence tested. Green rows r05.
-    "anomaly_zscore_daily",
-    # round-6 rotation OUT (for the TPC-H trio): each stays
-    # oracle-checked here each round with a recorded family twin —
-    # mixture_weights (curation_pipeline_full), document_chunks
-    # (Corpus chunk-chain tests + bm25 rows), fuzzy_name_pairs
-    # (entity_golden_parts runs the same similarity family). Green
-    # rows r01..r05 / r05 / r05.
-    "mixture_weights",
-    "document_chunks",
-    "fuzzy_name_pairs",
-    # round-6 second-wave rotation OUT: time-weighted average making
-    # room for geo_nearest_supplier; stays oracle-checked here each
-    # round, step-interpolation semantics pinned by
-    # tests/test_series.py. Green row r05.
-    "twa_user_value",
-    # round-6 second-wave rotation OUT: dense-grid gap-fill + LOCF
-    # making room for multitouch_channels; stays oracle-checked here
-    # each round, tie-break semantics pinned by tests/test_series.py.
-    # Green row r05.
-    "gap_fill_hourly",
-    # round-6 second-wave rotation OUT: PMI collocations making room
-    # for session_transition_matrix; stays oracle-checked here each
-    # round next to its item_affinity sibling. Green row r05.
-    "term_collocations",
-    # round-6 second-wave rotation OUT: per-group OLS trend making
-    # room for bfs_purchase_rings; stays oracle-checked here each
-    # round with numpy.polyfit parity tests. Green row r05.
-    "daily_trend_slope",
-    # round-6 second-wave rotation OUT: RAKE keyphrases making room
-    # for woe_price_vs_urgent; stays oracle-checked here each round
-    # vs its full DuckDB pipeline replica. Green row r05.
-    "rake_keyphrases_docs",
-    # round-6 second-wave rotation OUT: Welch A/B readout making room
-    # for seasonal_backtest_events; stays oracle-checked here each
-    # round with hand-computed Welch parity tests. Green row r05.
-    "ab_experiment_readout",
-    # round-6 second-wave rotation OUT: Misra-Gries heavy hitters
-    # making room for acf_daily_values; stays oracle-checked here
-    # each round, error bound audited in tests. Green row r05.
-    "heavy_hitters_mg",
-    # round-6 second-wave rotation OUT: triangle counting /
-    # clustering coefficients making room for itemitem_part_recs;
-    # stays oracle-checked here each round, wedge-bound asserted in
-    # tests/test_graph.py. Green rows r05.
-    "user_clustering",
-    # round-6 second-wave rotation OUT: PQ recall audit making room
-    # for skyline_parts; stays oracle-checked here each round beside
-    # its int8/ivf/lsh audit siblings. Green row r05.
-    "similarity_topk_pq",
-    # round-6 second-wave rotation OUT: join preflight diagnostics
-    # making room for lpa_communities; stays oracle-checked here each
-    # round, exactness asserted vs the real join in tests. Green row
-    # r05.
-    "join_profile_orders_lineitem",
-    # round-6 third-wave rotation OUT: Theta set algebra making room
-    # for cusum_daily_drift; stays oracle-checked here each round with
-    # its exact-audit booleans baked into the hash, and the sketch
-    # family keeps quantile_rollup_kll's recorded row. Green row r05.
-    "segment_overlap_theta",
-    # round-6 third-wave rotation OUT: skew-split sessionization
-    # making room for benford_price_digits; the split='auto'
-    # machinery keeps asof_split's recorded row, base sessionization
-    # stays oracle-checked here each round, and the 50%-skew
-    # path-equality tests stand. Green row r05.
-    "sessionization_split",
-    # round-6 third-wave rotation OUT: HITS hub/authority making room
-    # for sssp_purchase_paths; stays oracle-checked here each round
-    # (exact DECIMAL normalization audit) while the iterative-graph
-    # family keeps pagerank + kcore + bfs + lpa + ppr recorded rows.
-    # Green row r05.
-    "hits_cust_supp",
-    # round-6 third-wave rotation OUT: DSIR importance weights making
-    # room for ols_order_value; stays oracle-checked here each round
-    # (hashed-ngram KL readout) while the curation family keeps
-    # curation_pipeline_full's recorded row. Green row r05.
-    "dsir_importance_weights",
-    # round-6 third-wave rotation OUT: incremental MinHash band-index
-    # making room for search_eval_bm25; stays oracle-checked here
-    # each round (append-only delta contract) while the minhash
-    # family keeps dedup_minhash_lsh's recorded row. Green rows
-    # r04+r05.
-    "incremental_minhash",
-    # round-6 third-wave rotation OUT: SemDeDup embedding-cluster
-    # dedup making room for weighted_price_quartiles; stays
-    # oracle-checked here each round while the dedup family keeps
-    # ngram + minhash + segment recorded rows. Green row r05.
-    "semantic_dedup",
-    # round-6 third-wave rotation OUT: Naive-Bayes self-training
-    # making room for zipf_vocab_fit; stays oracle-checked here each
-    # round (integer-count EM replay) while lang-ID keeps
-    # text_profile's recorded heuristic row. Green row r05.
-    "nb_language_selftrain",
-    # round-6 third-wave rotation OUT (corrected): dq_report_orders
-    # and incremental_rollup_refresh (both recorded r05) moved here
-    # so the round-6-NEW TPC-H Q3/Q5 — which an earlier rotation had
-    # misfiled as r05-recorded — get their FIRST driver rows. The DQ
-    # family keeps benford_price_digits in the head + the fused-check
-    # plan-asserted tests; rollup maintenance keeps its r05 row and
-    # cdc_supplier_apply's head slot. Both stay oracle-checked here.
-    "dq_report_orders",
-    "incremental_rollup_refresh",
-    # round-6 third-wave rotation OUT: skew-split as-of making room
-    # for theilsen_daily_trend; the split='auto' machinery keeps its
-    # r05 recorded rows (this and sessionization_split) and the
-    # 50%-skew path-equality tests stand; the as-of base path rides
-    # asof_nearest_alignment's recorded row. Green row r05.
-    "asof_split",
-    # round-6 third-wave rotation OUT: hybrid RRF fusion making room
-    # for value_histogram_events; stays oracle-checked here each
-    # round beside its bucketed-LSH audit twin while the retrieval
-    # family keeps bm25_rank + search_eval_bm25 recorded rows. Green
-    # row r05.
-    "hybrid_search_rrf",
-    # round-6 third-wave rotation OUT: near-dup survivor selection
-    # making room for readability_docs; recorded rows r01..r05 (the
-    # registry's longest attestation), stays oracle-checked here each
-    # round next to neardup_components while the cluster family keeps
-    # minhash + ngram recorded rows. Green rows r01-r05.
-    "neardup_survivors",
-    # round-6 third-wave rotation OUT: one-pass text profile making
-    # room for seasonal_decompose_events; recorded rows r01-r05, its
-    # profile kernel also rides curation_pipeline_full's recorded row
-    # and the text family keeps bm25_rank + search_eval_bm25 +
-    # readability_docs + zipf_vocab_fit in the head. Stays
-    # oracle-checked here each round. Green rows r01-r05.
-    "text_profile",
-    # round-6 third-wave rotation OUT: KLL quantile rollup making
-    # room for phrase_search_docs; stays oracle-checked here each
-    # round (exact-rank/5%-tolerance audit) beside its HLL and Theta
-    # siblings. Green row r05.
-    "quantile_rollup_kll",
-    # round-6 third-wave rotation OUT: n-gram Jaccard near-dup making
-    # room for km_survival_segments; recorded rows r01-r05, stays a
-    # BENCH headline and oracle-checked here each round while the
-    # near-dup family keeps dedup_minhash_lsh + segment_dedup_docs in
-    # the head. Green rows r01-r05.
-    "dedup_ngram_jaccard",
-    # round-6 third-wave rotation OUT: q12 Pearson correlations making
-    # room for gini_customer_revenue; recorded rows r01-r05, stays
-    # oracle-checked here each round (and SQL<->DataFrame equivalence
-    # tested), while the CORR surface keeps acf_daily_values' recorded
-    # row and the moment-closed-form family keeps ols_order_value +
-    # theilsen_daily_trend in the head. Green rows r01-r05.
-    "q12_correlations",
-    # round-6 third-wave rotation OUT: exact-cosine top-k baseline
-    # making room for trimmed_mean_order_value; recorded rows
-    # r01-r05, stays a BENCH headline and oracle-checked here each
-    # round, its kernel consumed inside embedding_silhouette's
-    # recorded row and all four ANN audit twins. Green rows r01-r05.
-    "similarity_topk",
-    # round-6 third-wave rotation OUT: weighted personalized PageRank
-    # making room for leakage_safe_splits_docs; stays oracle-checked
-    # here each round (unrolled weighted-CTE replay) while base
-    # pagerank keeps its head slot. Green row r05.
-    "ppr_supplier_recs",
-    # round-6 third-wave rotation OUT: integer-exact PageRank making
-    # room for pareto_customer_revenue; stays oracle-checked here
-    # each round (BIGINT 1e-12 rank units, partitioning-invariance
-    # tested) while the iterative-graph family keeps kcore + bfs +
-    # lpa + sssp head slots. Green row r05.
-    "pagerank_cust_supp",
-    # round-7 rotation OUT: the nine slots for the round-7-new
-    # capabilities (TPC-H Q4/Q18/Q21 subquery shapes, chi-square,
-    # Mann-Whitney, entropy/KL, k-means, FD audit, z-order layout).
-    # Every entry below earned its first recorded row in r06 (green
-    # in CORRECTNESS_r06.json), so rotating it out loses no
-    # attestation; each keeps a named head twin (see the _PROMOTED
-    # blocks) and stays oracle-checked here each round.
-    "event_value_bars",
-    "events_daily_melt",
-    "theilsen_daily_trend",
-    "gini_customer_revenue",
-    "acf_daily_values",
-    "benford_price_digits",
-    "value_histogram_events",
-    "trimmed_mean_order_value",
-    "zipf_vocab_fit",
-    # round-7 second-wave rotation OUT (same contract as above —
-    # every entry recorded green in r06, each with a named head twin
-    # in its _PROMOTED block):
-    "seasonal_decompose_events",
-    "cusum_daily_drift",
-    "weighted_price_quartiles",
-    "tpch_q3_priority",
-    "tpch_q5_region",
-    "seasonal_backtest_events",
-    "woe_price_vs_urgent",
-    "skyline_parts",
-    "itemitem_part_recs",
-    "lpa_communities",
-    # round-8 rotation OUT: eight slots for the round-8 wave
-    # (containment dedup, LOO target encoding, RFM, Horvitz-Thompson,
-    # quantile normalization, feature hashing, integer PCA, GROUPING
-    # SETS). Every entry below earned its first recorded row in r07
-    # (green in CORRECTNESS_r07.json); each keeps a named head twin
-    # (see the _PROMOTED blocks) and stays oracle-checked here each
-    # round.
-    "chi2_status_priority",
+    "tpch_q20_dominant_supplier",
+    "tpch_q22_global_sales_opportunity",
+    "bootstrap_ci_order_value",
+    "geo_fence_customers",
     "mi_status_priority",
-    "fd_audit_catalog",
-    "zorder_pruning_parts",
+    "forecast_scorecard_events",
+    "funnel_view_click_purchase",
+    "kanon_customer_release",
+    "compaction_plan_orders",
     "conformal_event_forecast",
     "neyman_alloc_doc_sources",
-    "snapshot_diff_supplier",
-    "assortativity_cust_supp",
-    # round-8 second-wave rotation OUT (same contract — recorded
-    # green in r07, named head twin in the _PROMOTED block):
-    "forecast_scorecard_events",
-    "entropy_event_hours",
     "cms_token_freq",
-    "geo_fence_customers",
-    # round-8 third-wave rotation OUT (same contract):
-    "funnel_view_click_purchase",
-    "bootstrap_ci_order_value",
-    # round-8 fourth-wave rotation OUT (same contract):
-    "kanon_customer_release",
-    "pit_order_status",
-    # round-8 fifth-wave rotation OUT (same contract):
-    "cube_status_priority",
-    "bloom_semi_lineitem",
-    # round-8 sixth-wave rotation OUT (same contract):
-    "sssp_purchase_paths",
     "anova_event_values",
-    # round-8 seventh-wave rotation OUT (same contract):
-    "mannwhitney_click_error",
-    "cuped_user_value",
+    "assortativity_cust_supp",
+    "dedup_containment",
+    "target_encoding_priority",
+    "rfm_customer_segments",
+    "ht_total_by_priority",
+    "feature_hash_vocab",
+    "pca_parts_features",
+    "grouping_sets_status_priority",
+    "freq_triples_brands",
+    "spearman_value_items",
+    "augment_dropout_docs",
+    "seq_trigrams_users",
+    "tcloseness_customer_release",
+    "sprt_event_quality",
+    "proximity_search_docs",
+    "hard_negatives_bm25",
+    "profile_drift_orders",
+    "sla_business_days",
+    "cohort_ltv_curve",
 ]
 
 
@@ -12975,3 +11907,796 @@ def cohort_ltv_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load(spark, sf_dir, "orders")
     return cohort_ltv_curve(orders, "o_custkey", "o_orderdate", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# round-9 wave: market concentration, survival hazard, experiment planning,
+# calendar parity, graph transitivity, survey ratio estimation, l-diversity,
+# Kendall tau-b, score calibration, corpus JSD, MMR re-ranking, winsorized
+# moments
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "hhi_supplier_nations",
+    """
+    WITH per_firm AS (
+      SELECT n.n_name, l.l_suppkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS v
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT n_name, v,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY v DESC, l_suppkey) AS rn
+      FROM per_firm),
+    m AS (
+      SELECT n_name,
+             CAST(COUNT(*) AS BIGINT) AS n_firms,
+             SUM(v) AS s,
+             SUM(CAST(v * v AS DECIMAL(38,4))) AS q,
+             SUM(CASE WHEN rn <= 4 THEN v END) AS top
+      FROM ranked GROUP BY 1)
+    SELECT n_name, n_firms,
+           ROUND(CAST(CAST(s AS VARCHAR) AS DOUBLE), 2) AS total_value,
+           ROUND(10000.0 * CAST(CAST(q AS VARCHAR) AS DOUBLE)
+                 / (CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(s AS VARCHAR) AS DOUBLE)), 6) AS hhi,
+           ROUND(CAST(CAST(top AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(s AS VARCHAR) AS DOUBLE), 6) AS cr4
+    FROM m ORDER BY n_name
+    """,
+    doc="Herfindahl-Hirschman concentration of supplier revenue per "
+    "nation (operators/relational.py:hhi_concentration): HHI on the "
+    "0-10000 antitrust scale + CR4 top-firm share — the "
+    "market-structure scalar next to gini_customer_revenue's "
+    "inequality curve. Firm revenue rides DECIMAL(18,2) cents, the "
+    "squared-share moment DECIMAL(38,4) (the t^2 overflow class), "
+    "CR4 ranks on the exact decimal with a suppkey tiebreak, and "
+    "every decimal crosses to double via the VARCHAR bridge. One "
+    "firm aggregate + one per-market rank window over the "
+    "firm-cardinality frame + one map-side-combined rollup",
+)
+def hhi_supplier_nations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import hhi_concentration
+
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    joined = li.join(
+        supp, li["l_suppkey"] == supp["s_suppkey"]
+    ).join(nat, supp["s_nationkey"] == nat["n_nationkey"])
+    return hhi_concentration(
+        joined, ["n_name"], "l_suppkey", "l_extendedprice"
+    )
+
+
+@_q(
+    "nelson_aalen_segments",
+    """
+    WITH span AS (
+      SELECT o_custkey, MIN(o_orderdate) AS f, MAX(o_orderdate) AS l
+      FROM orders GROUP BY 1),
+    g AS (SELECT MAX(o_orderdate) AS m FROM orders),
+    subj AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(CAST(span.l AS DATE) - CAST(span.f AS DATE)
+                  AS BIGINT) AS t,
+             (CAST(g.m AS DATE) - CAST(span.l AS DATE)) > 90 AS obs
+      FROM span JOIN customer c ON c.c_custkey = span.o_custkey
+      CROSS JOIN g),
+    counts AS (
+      SELECT seg, t,
+             CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) AS c
+      FROM subj GROUP BY 1, 2),
+    atrisk AS (
+      SELECT seg, t, d, c,
+             SUM(d + c) OVER (PARTITION BY seg)
+             - COALESCE(SUM(d + c) OVER (PARTITION BY seg ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS n,
+             (1000000000 * d) // (
+               SUM(d + c) OVER (PARTITION BY seg)
+               - COALESCE(SUM(d + c) OVER (PARTITION BY seg ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0)) AS h
+      FROM counts)
+    SELECT seg AS c_mktsegment, t,
+           CAST(n AS BIGINT) AS n_risk, d AS n_events, c AS n_censored,
+           -- half-up at the nano->micro boundary IN INTEGERS, then an
+           -- exact micros/1e6 double (ROUND(cum/1e9, 6) diverges on a
+           -- ..500-nanos cumulative: measured 1e-6 flip at sf0.1)
+           ((SUM(h) OVER (PARTITION BY seg ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             + 500) // 1000) / 1000000.0 AS na_hazard
+    FROM atrisk
+    """,
+    doc="Nelson-Aalen cumulative hazard per market segment "
+    "(operators/relational.py:nelson_aalen_hazard) on the SAME "
+    "censored-duration frame as km_survival_segments (first->last "
+    "order span, censored within 90 days of the horizon) — the "
+    "additive companion curve: each d/n term quantizes to "
+    "floor(1e9*d/n) BIGINT nanos via integer division and the curve "
+    "is a cumulative BIGINT sum (the CUSUM discipline), so it is "
+    "bit-exact cross-engine where KM's exp-sum-ln needed a "
+    "zero-factor flag. Same reduced-frame plan as KM: one "
+    "(segment, duration) aggregate + per-segment ordered windows",
+)
+def nelson_aalen_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import nelson_aalen_hazard
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    span = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("f"), F.max("o_orderdate").alias("l")
+    )
+    gmax = orders.agg(F.max("o_orderdate").alias("m"))
+    subj = (
+        span.join(customer, span["o_custkey"] == customer["c_custkey"])
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.col("c_mktsegment"),
+            F.datediff("l", "f").cast("long").alias("t"),
+            (F.datediff("m", "l") > 90).alias("obs"),
+        )
+    )
+    return nelson_aalen_hazard(subj, ["c_mktsegment"], "t", "obs")
+
+
+from .operators.series import NORMAL_QUANTILES as _NQ  # noqa: E402
+
+_MDE_Z = _NQ[0.975] + _NQ[0.8]
+
+
+@_q(
+    "power_mde_events",
+    f"""
+    WITH x AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS xq
+      FROM events WHERE value IS NOT NULL),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(xq::HUGEINT) AS s, SUM(xq::HUGEINT * xq) AS q
+      FROM x GROUP BY 1),
+    v AS (
+      SELECT event_type, n,
+             CAST(s AS DOUBLE) / n / 1000000.0 AS mean,
+             CASE WHEN n > 1 THEN
+               CAST(CAST(n::HUGEINT * q - s * s AS VARCHAR) AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (n - 1)) / 1000000000000.0
+             END AS vr
+      FROM m)
+    SELECT event_type, n,
+           ROUND(mean, 6) AS mean,
+           ROUND(SQRT(vr), 6) AS std,
+           ROUND({_MDE_Z!r} * SQRT(2.0 * vr / n), 6) AS mde_abs,
+           ROUND(CASE WHEN mean <> 0 THEN
+                   {_MDE_Z!r} * SQRT(2.0 * vr / n) / mean END, 6)
+             AS mde_rel
+    FROM v ORDER BY event_type
+    """,
+    doc="minimal detectable effect per event type at the current "
+    "sample size (operators/series.py:power_mde): the "
+    "experiment-PLANNING rung of the A/B family — Lehr-form "
+    "MDE = (z_0.975 + z_0.8) * sqrt(2 s^2 / n) with the z quantiles "
+    "injected as ONE published double literal into both engines "
+    "(NORMAL_QUANTILES — no erf/ppf in any plan). Variance follows "
+    "the burstiness discipline: micros BIGINT quantization, "
+    "DECIMAL(38,0)/HUGEINT moments, the VARCHAR-bridge decimal->"
+    "double crossing, identical double expressions. One "
+    "map-side-combined aggregate",
+)
+def power_mde_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import power_mde
+
+    ev = load_events(spark, sf_dir)
+    return power_mde(ev, ["event_type"], "value")
+
+
+@_q(
+    "isoweek_rollup_orders",
+    """
+    SELECT CAST(isoyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_year,
+           CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS VARCHAR) AS DOUBLE), 2) AS revenue
+    FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="ISO-8601 week rollup of orders (calendar parity next to "
+    "sla_business_days' weekday arithmetic): the year-boundary trap "
+    "the naive YEAR()+WEEK() rollup gets wrong — Dec 30 1996 is ISO "
+    "week 1 of 1997, so grouping by calendar year splits that week "
+    "across two rows. Spark extract(YEAROFWEEK)/weekofyear == DuckDB "
+    "isoyear()/weekofyear() (both ISO), verified at the boundary "
+    "dates. Revenue rides DECIMAL(18,2) with the VARCHAR bridge; one "
+    "map-side-combined aggregate",
+)
+def isoweek_rollup_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.expr("extract(YEAROFWEEK FROM o_orderdate)")
+            .cast("long")
+            .alias("iso_year"),
+            F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("iso_year", "iso_week")
+    )
+
+
+@_q(
+    "clustering_coeff_nations",
+    """
+    WITH raw AS MATERIALIZED (
+      -- MATERIALIZED: E/und are referenced ~5x downstream (und twice,
+      -- the wedge-closing join once more) — inlined, each reference
+      -- re-runs the 4-way fact join (measured: 300s -> ~2s at sf0.1)
+      SELECT DISTINCT c.c_nationkey AS x, s.s_nationkey AS y
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey),
+    E AS MATERIALIZED (
+      SELECT DISTINCT LEAST(x, y) AS u, GREATEST(x, y) AS v
+      FROM raw WHERE x <> y),
+    und AS (
+      SELECT u AS a, v AS b FROM E
+      UNION ALL SELECT v AS a, u AS b FROM E),
+    deg AS (
+      SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM und GROUP BY 1),
+    tri AS (
+      SELECT w.node, CAST(COUNT(*) AS BIGINT) AS triangles
+      FROM (
+        SELECT u1.a AS node, u1.b AS x, u2.b AS y
+        FROM und u1 JOIN und u2 ON u1.a = u2.a AND u1.b < u2.b) w
+      JOIN E ON E.u = LEAST(w.x, w.y) AND E.v = GREATEST(w.x, w.y)
+      GROUP BY 1),
+    pern AS (
+      SELECT d.node, d.degree, COALESCE(t.triangles, 0) AS triangles
+      FROM deg d LEFT JOIN tri t ON t.node = d.node),
+    gstats AS (
+      SELECT ROUND(CAST(SUM(triangles) AS DOUBLE)
+                   / CAST(SUM(degree * (degree - 1) // 2) AS DOUBLE), 6)
+               AS transitivity
+      FROM pern)
+    SELECT node, degree, triangles,
+           CASE WHEN degree >= 2 THEN
+             ROUND(2.0 * triangles / (degree * (degree - 1)), 6)
+           END AS clustering,
+           transitivity
+    FROM pern CROSS JOIN gstats ORDER BY node
+    """,
+    doc="local clustering coefficients + global transitivity of the "
+    "nation trade graph (operators/graph.py:clustering_profile over "
+    "triangle_counts): nations are linked when any customer bought "
+    "from any supplier across the pair; per-node C = 2T/(d(d-1)) and "
+    "the graph-level C = sum T_v / sum C(d_v,2) (== 3*triangles/"
+    "wedges since each triangle counts at 3 corners). Spark runs the "
+    "degree-ordered-orientation O(m^1.5) pipeline (hub-proof — "
+    "SCALE_PROBE:triangle_hub_guard); the oracle re-derives the same "
+    "counts by direct wedge self-join on the 25-node graph. Integer "
+    "counts throughout; two double divisions, round-6",
+)
+def clustering_coeff_nations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import clustering_profile
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    edges = (
+        o.join(c, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, s["s_suppkey"] == li["l_suppkey"])
+        .select(
+            F.col("c_nationkey").alias("x"), F.col("s_nationkey").alias("y")
+        )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    return clustering_profile(edges, "x", "y")
+
+
+@_q(
+    "ratio_estimator_lineitem",
+    """
+    WITH marked AS (
+      SELECT l_returnflag AS stratum,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS y,
+             CAST(l_quantity AS DECIMAL(18,2)) AS x,
+             ('0x' || substring(md5(l_orderkey || ':' || l_linenumber),
+                                1, 15))::BIGINT % 1000 < 200 AS inc
+      FROM lineitem),
+    per AS (
+      SELECT stratum,
+             CAST(COUNT(*) AS BIGINT) AS n_pop,
+             CAST(SUM(CASE WHEN inc THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+             SUM(CASE WHEN inc THEN y END) AS sy,
+             SUM(CASE WHEN inc THEN x END) AS sx,
+             SUM(x) AS tx, SUM(y) AS ty
+      FROM marked GROUP BY stratum),
+    est AS (
+      SELECT stratum, n_pop, n_sampled,
+             CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS rhat,
+             CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+               * CAST(CAST(tx AS VARCHAR) AS DOUBLE) AS ratio_est,
+             CAST(CAST(sy AS VARCHAR) AS DOUBLE) * 1000.0 / 200
+               AS expand_est,
+             CAST(CAST(ty AS VARCHAR) AS DOUBLE) AS true_y
+      FROM per)
+    SELECT stratum, n_pop, n_sampled,
+           ROUND(rhat, 6) AS r_hat,
+           ROUND(ratio_est, 6) AS ratio_total,
+           ROUND(expand_est, 6) AS expansion_total,
+           ROUND(true_y, 6) AS true_total,
+           ROUND((ratio_est - true_y) / true_y, 6) AS ratio_rel_err,
+           ROUND((expand_est - true_y) / true_y, 6) AS expansion_rel_err
+    FROM est ORDER BY stratum
+    """,
+    doc="stratified ratio estimator of lineitem revenue from a 20% "
+    "deterministic md5 sample with exact quantity totals as the "
+    "auxiliary (operators/relational.py:ratio_estimator_total) — the "
+    "survey-sampling companion to ht_total_by_priority: when sum(x) "
+    "is known exactly (catalog metadata), expanding the sample RATIO "
+    "y/x by the true X beats plain 1/pi expansion wherever y "
+    "correlates with x; both estimates + both relative errors ride "
+    "the output so the win is auditable. Same md5_60 replayable "
+    "sampling, exact decimal sums, VARCHAR-bridge crossings, one "
+    "map-side-combined aggregate",
+)
+def ratio_estimator_lineitem_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import ratio_estimator_total
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "__k",
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+        ),
+    )
+    return ratio_estimator_total(
+        li, "l_returnflag", "l_extendedprice", F.col("l_quantity"), "__k", 200
+    )
+
+
+@_q(
+    "ldiversity_customer_release",
+    f"""
+    WITH rel AS (
+      SELECT c.c_mktsegment,
+             CAST(FLOOR(c.c_acctbal / 2000) AS BIGINT) AS bal_band,
+             o.o_orderpriority AS s
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderpriority IS NOT NULL),
+    gv AS (
+      SELECT c_mktsegment, bal_band, s, CAST(COUNT(*) AS BIGINT) AS c
+      FROM rel GROUP BY 1, 2, 3),
+    grp AS (
+      SELECT c_mktsegment, bal_band,
+             CAST(SUM(c) AS BIGINT) AS ng,
+             CAST(COUNT(*) AS BIGINT) AS dst,
+             ln(CAST(SUM(c) AS BIGINT))
+               - SUM(CAST(c AS DOUBLE) * ln(c)) / CAST(SUM(c) AS BIGINT)
+               AS H
+      FROM gv GROUP BY 1, 2),
+    th(l, lnl) AS (VALUES (2, {__import__('math').log(2)!r}),
+                          (3, {__import__('math').log(3)!r}),
+                          (5, {__import__('math').log(5)!r}))
+    SELECT CAST(l AS BIGINT) AS l,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN dst >= l THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_distinct_l,
+           CAST(SUM(CASE WHEN H >= lnl THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_entropy_l,
+           ROUND(SUM(CASE WHEN dst >= l THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS pct_distinct_l,
+           ROUND(SUM(CASE WHEN H >= lnl THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS pct_entropy_l,
+           MIN(dst) AS min_distinct,
+           ROUND(EXP(MIN(H)), 6) AS min_entropy_l,
+           MAX(CASE WHEN dst < l THEN ng END) AS largest_violating_group
+    FROM grp CROSS JOIN th
+    GROUP BY l ORDER BY l
+    """,
+    doc="l-diversity audit of the (mktsegment, balance-band) release "
+    "against order priority (operators/privacy.py:l_diversity_report) "
+    "— the missing rung between kanon_customer_release (group SIZE) "
+    "and tcloseness_customer_release (distribution distance): "
+    "distinct-l demands >= l sensitive values per QI class, "
+    "entropy-l the stronger exp(H) >= l, compared exp-free as "
+    "H >= ln(l) with ln(l) injected as identical Python double "
+    "literals into both engines. Distinct counts are exact BIGINTs "
+    "from one (QI, s) aggregate; entropy follows the entropy-family "
+    "double discipline. One aggregate chain, one row per threshold",
+)
+def ldiversity_customer_release_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.privacy import l_diversity_report
+
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    rel = c.join(o, o["o_custkey"] == c["c_custkey"], "left").select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+        "o_orderpriority",
+    )
+    return l_diversity_report(
+        rel, ["c_mktsegment", "bal_band"], "o_orderpriority", (2, 3, 5)
+    )
+
+
+@_q(
+    "kendall_tau_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS yv
+      FROM events GROUP BY 1, 2),
+    q AS (
+      SELECT event_type,
+             CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT) AS xq,
+             CAST(FLOOR(yv * 1000000 + 0.5) AS BIGINT) AS yq,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY CAST(FLOOR(x * 1000000 + 0.5)
+                                              AS BIGINT),
+                                         CAST(FLOOR(yv * 1000000 + 0.5)
+                                              AS BIGINT)) AS i
+      FROM daily),
+    cd AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN (a.xq - b.xq)::HUGEINT * (a.yq - b.yq) > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS C,
+             CAST(SUM(CASE WHEN (a.xq - b.xq)::HUGEINT * (a.yq - b.yq) < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS D
+      FROM q a JOIN q b ON a.event_type = b.event_type AND a.i < b.i
+      GROUP BY 1),
+    t1 AS (
+      SELECT event_type,
+             CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n1,
+             CAST(SUM(t) AS BIGINT) AS n
+      FROM (SELECT event_type, xq, CAST(COUNT(*) AS BIGINT) AS t
+            FROM q GROUP BY 1, 2) GROUP BY 1),
+    t2 AS (
+      SELECT event_type, CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n2
+      FROM (SELECT event_type, yq, CAST(COUNT(*) AS BIGINT) AS t
+            FROM q GROUP BY 1, 2) GROUP BY 1)
+    SELECT t1.event_type, t1.n,
+           COALESCE(cd.C, 0) AS concordant,
+           COALESCE(cd.D, 0) AS discordant,
+           CASE WHEN (n * (n - 1) // 2) > n1
+                 AND (n * (n - 1) // 2) > n2 THEN
+             ROUND((cd.C - cd.D)
+                   / (SQRT(CAST((n * (n - 1) // 2) - n1 AS DOUBLE))
+                      * SQRT(CAST((n * (n - 1) // 2) - n2 AS DOUBLE))), 6)
+           END AS tau_b
+    FROM t1 JOIN t2 USING (event_type)
+    LEFT JOIN cd USING (event_type)
+    WHERE t1.n >= 2
+    ORDER BY t1.event_type
+    """,
+    doc="Kendall tau-b between daily event count and daily value mass "
+    "per event type (operators/series.py:kendall_tau) — the "
+    "pair-concordance companion to spearman_value_items: counts HOW "
+    "OFTEN busier days are higher-value days, with exact tie "
+    "correction. Daily value mass is an exact micros BIGINT sum, "
+    "both variables quantize through the micros discipline, pair "
+    "signs are DECIMAL(38,0)/HUGEINT products of BIGINT differences "
+    "(a double product's sign can flip on cancellation), and the "
+    "sqrt factors split before multiplying. The pair self-join runs "
+    "over the per-type DAILY rollup (the series-family bounded-frame "
+    "convention)",
+)
+def kendall_tau_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import kendall_tau
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("x"),
+        F.sum(
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("yv"),
+    )
+    return kendall_tau(daily, ["event_type"], "x", "yv")
+
+
+@_q(
+    "calibration_brier_events",
+    """
+    WITH base AS (
+      SELECT CAST(FLOOR(LEAST(value / 500.0, 1.0) * 1000000 + 0.5)
+                  AS BIGINT) AS p,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL),
+    binned AS (
+      SELECT LEAST((p * 20) // 1000000, 19) AS bin, p, y,
+             (p - y * 1000000)::HUGEINT * (p - y * 1000000) AS e2
+      FROM base),
+    g AS (
+      SELECT ROUND(CAST(CAST(SUM(e2) AS VARCHAR) AS DOUBLE)
+                   / COUNT(*) / 1000000000000.0, 6) AS brier
+      FROM binned),
+    b AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(p::HUGEINT) AS sp, CAST(SUM(y) AS BIGINT) AS sy
+      FROM binned GROUP BY 1)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           ROUND(bin / 20.0, 6) AS bin_lo, n,
+           ROUND(CAST(sp AS DOUBLE) / n / 1000000.0, 6) AS mean_predicted,
+           ROUND(sy / CAST(n AS DOUBLE), 6) AS observed_rate,
+           ROUND(sy / CAST(n AS DOUBLE)
+                 - CAST(sp AS DOUBLE) / n / 1000000.0, 6) AS gap,
+           brier
+    FROM b CROSS JOIN g ORDER BY bin
+    """,
+    doc="reliability diagram + Brier score for the 'value predicts a "
+    "purchase' score (operators/classify.py:calibration_report): "
+    "p = min(value/500, 1) against the binary purchase outcome, 20 "
+    "FIXED-WIDTH bins (no global rank anywhere — deliberately not "
+    "the decile form), per-bin predicted-vs-observed gap, and the "
+    "global Brier proper score on every row via a 1-row broadcast. "
+    "Scores quantize to micros BIGINTs, bin ids come from integer "
+    "division of the micros (never a double floor), squared errors "
+    "accumulate DECIMAL(38,0)/HUGEINT with the VARCHAR bridge. Two "
+    "map-side-combined aggregates",
+)
+def calibration_brier_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.classify import calibration_report
+
+    ev = load_events(spark, sf_dir)
+    scored = ev.select(
+        F.least(F.col("value") / 500.0, F.lit(1.0)).alias("p"),
+        (F.col("event_type") == "purchase").alias("y"),
+    )
+    return calibration_report(scored, "p", "y", n_bins=20)
+
+
+@_q(
+    "jsd_source_docs",
+    """
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               ' ')) AS tok
+      FROM documents),
+    counts AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks WHERE tok <> '' GROUP BY 1, 2),
+    totals AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS N,
+             CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM counts GROUP BY 1),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_vocab,
+             MIN(ta.vocab) AS vocab_a, MIN(tb.vocab) AS vocab_b,
+             SUM(CAST(a.c AS DOUBLE) / ta.N
+                 * ln(2.0 * (CAST(a.c AS DOUBLE) / ta.N)
+                      / (CAST(a.c AS DOUBLE) / ta.N
+                         + CAST(b.c AS DOUBLE) / tb.N))
+                 + CAST(b.c AS DOUBLE) / tb.N
+                 * ln(2.0 * (CAST(b.c AS DOUBLE) / tb.N)
+                      / (CAST(a.c AS DOUBLE) / ta.N
+                         + CAST(b.c AS DOUBLE) / tb.N))) AS sh,
+             CAST(SUM(a.c) AS BIGINT) AS sca,
+             CAST(SUM(b.c) AS BIGINT) AS scb,
+             MIN(ta.N) AS na, MIN(tb.N) AS nb
+      FROM counts a
+      JOIN counts b ON a.tok = b.tok AND a.source < b.source
+      JOIN totals ta ON ta.source = a.source
+      JOIN totals tb ON tb.source = b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b, vocab_a, vocab_b, shared_vocab,
+           ROUND(0.5 * (sh + 0.6931471805599453
+                 * (2.0 - CAST(sca AS DOUBLE) / na
+                        - CAST(scb AS DOUBLE) / nb)), 6) AS jsd_nats,
+           ROUND(0.5 * (sh + 0.6931471805599453
+                 * (2.0 - CAST(sca AS DOUBLE) / na
+                        - CAST(scb AS DOUBLE) / nb))
+                 / 0.6931471805599453, 6) AS jsd_norm
+    FROM pairs ORDER BY source_a, source_b
+    """,
+    doc="pairwise Jensen-Shannon divergence between sources' token "
+    "distributions (operators/text.py:jsd_source_divergence) — the "
+    "symmetric bounded corpus-mixture distance next to the "
+    "one-vs-rest KL readouts. Shuffle-light identity: "
+    "disjoint-vocabulary mass contributes exactly ln2*(1 - "
+    "sum_shared p), and sum_shared p rides EXACT integer count sums, "
+    "so the pair join is an INNER join on the shared vocabulary only "
+    "(never full-outer/dense); only the log terms are float "
+    "(entropy-family discipline, ulps die at round-6; ln2 injected "
+    "as the same literal into both engines). One token aggregate + "
+    "one vocab self-join + one map-side-combined pair rollup",
+)
+def jsd_source_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import jsd_source_divergence
+
+    docs = load(spark, sf_dir, "documents")
+    return jsd_source_divergence(docs, "source", "text")
+
+
+def _mmr_oracle(k: int = 10, pool: int = 50) -> str:
+    """Unrolled greedy-MMR replay in DuckDB SQL (the ppr/pagerank
+    unrolled-CTE discipline: a sequential algorithm becomes k chained
+    CTEs). Step 1 is pure relevance; step i scores every remaining
+    pool row as 0.7*rel - (1.0 - 0.7)*max(sim to selected) — the
+    literals written EXACTLY as the operator computes them — and
+    picks the (score DESC, id) argmax."""
+    parts = [
+        # MATERIALIZED: the unrolled steps reference pool/sims ~2k
+        # times; without it DuckDB inlines the parquet scan per
+        # reference and exhausts file descriptors (measured: "Too
+        # many open files" at k=10)
+        "WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v"
+        " FROM embeddings),",
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0),",
+        "scored AS (SELECT e.vec_id AS id, e.v,"
+        " ROUND(list_cosine_similarity(e.v, q.qv), 6) AS rel"
+        " FROM e CROSS JOIN q WHERE e.vec_id <> 0),",
+        f"pool AS MATERIALIZED (SELECT id, v, rel FROM scored"
+        f" ORDER BY rel DESC, id LIMIT {pool}),",
+        "sims AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib,"
+        " ROUND(list_cosine_similarity(a.v, b.v), 6) AS s"
+        " FROM pool a JOIN pool b ON a.id < b.id),",
+        "simsym AS MATERIALIZED (SELECT ia AS i, ib AS j, s FROM sims"
+        " UNION ALL SELECT ib AS i, ia AS j, s FROM sims),",
+        "s1 AS MATERIALIZED (SELECT id, rel, 0.7 * rel AS score"
+        " FROM pool ORDER BY 0.7 * rel DESC, id LIMIT 1),",
+        "sel1 AS MATERIALIZED (SELECT id, rel, score, 1 AS rank"
+        " FROM s1),",
+    ]
+    for i in range(2, k + 1):
+        prev = f"sel{i - 1}"
+        # every step MATERIALIZED (sel_i references sel_(i-1) twice,
+        # so inlined CTEs expand the tree ~3^k-fold — measured k=10
+        # planner hang), and the max-sim term is a plain join +
+        # GROUP BY over the symmetric sims frame (a correlated scalar
+        # MAX subquery was measured minutes-slow even materialized)
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT p.id, p.rel,"
+            f" 0.7 * p.rel - (1.0 - 0.7) * MAX(ss.s) AS score"
+            f" FROM pool p JOIN simsym ss ON ss.i = p.id"
+            f" JOIN {prev} t ON t.id = ss.j"
+            f" WHERE p.id NOT IN (SELECT id FROM {prev})"
+            f" GROUP BY p.id, p.rel"
+            f" ORDER BY score DESC, p.id LIMIT 1),"
+        )
+        parts.append(
+            f"sel{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL"
+            f" SELECT id, rel, score, {i} AS rank FROM s{i}),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT CAST(rank AS BIGINT) AS rank, id AS vec_id,"
+        f" rel AS relevance, ROUND(score, 6) AS mmr_score"
+        f" FROM sel{k} ORDER BY rank"
+    )
+    return "\n".join(parts)
+
+
+@_q(
+    "mmr_rerank_embeddings",
+    _mmr_oracle(k=10, pool=50),
+    doc="Maximal Marginal Relevance re-ranking of the vec_id=0 query "
+    "over the embedding corpus (operators/retrieval.py:mmr_rerank, "
+    "Carbonell & Goldstein 1998): cosine top-50 candidate pool cut "
+    "by TakeOrderedAndProject (the corpus-sized stage), then the "
+    "greedy lam*rel - (1-lam)*max-sim-to-selected selection of k=10 "
+    "— relevance/pair sims ROUND to 6 before any comparison "
+    "(similarity_topk's convention) with ascending-id tiebreaks, so "
+    "the inherently sequential greedy is engine-exact: the oracle "
+    "replays it as 10 unrolled argmax CTEs (the ppr unrolled-replay "
+    "discipline). Spark collects only the pool + its C(50,2) sims "
+    "(the retrieval-family bounded-collect contract)",
+)
+def mmr_rerank_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.retrieval import mmr_rerank
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()[0]
+    ]
+    return mmr_rerank(
+        emb.filter(F.col("vec_id") != 0),
+        "vec_id",
+        "embedding",
+        qv,
+        k=10,
+        pool=50,
+        lam=0.7,
+    )
+
+
+@_q(
+    "winsorized_orders",
+    """
+    WITH vals AS (
+      SELECT o_orderpriority AS g,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS v
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    dist AS (
+      SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM vals GROUP BY 1, 2),
+    run AS (
+      SELECT g, v,
+             SUM(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY g) AS n
+      FROM dist),
+    lo AS (
+      SELECT g, MIN(v) AS blo FROM run
+      WHERE cum >= CEIL(n * 10 / 100.0) GROUP BY g),
+    hi AS (
+      SELECT g, MIN(v) AS bhi FROM run
+      WHERE cum >= CEIL(n * 90 / 100.0) GROUP BY g),
+    clamped AS (
+      SELECT vals.g, GREATEST(LEAST(v, bhi), blo) AS w, blo, bhi
+      FROM vals JOIN lo ON lo.g = vals.g JOIN hi ON hi.g = vals.g),
+    m AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(blo) AS blo, MIN(bhi) AS bhi,
+             SUM(CAST(w AS DECIMAL(38,2))) AS s,
+             SUM(CAST(w * w AS DECIMAL(38,4))) AS q
+      FROM clamped GROUP BY g)
+    SELECT g AS o_orderpriority, n,
+           ROUND(CAST(blo AS DOUBLE), 2) AS lower_bound,
+           ROUND(CAST(bhi AS DOUBLE), 2) AS upper_bound,
+           ROUND(CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS winsorized_mean,
+           CASE WHEN n > 1 THEN
+             ROUND(SQRT((CAST(n AS DOUBLE)
+                         * CAST(CAST(q AS VARCHAR) AS DOUBLE)
+                         - CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                           * CAST(CAST(s AS VARCHAR) AS DOUBLE))
+                        / (CAST(n AS DOUBLE)
+                           * (CAST(n AS DOUBLE) - 1))), 6)
+           END AS winsorized_std
+    FROM m ORDER BY o_orderpriority
+    """,
+    doc="winsorized mean/std of order value per priority "
+    "(operators/relational.py:winsorized_stats): p10/p90 clamping — "
+    "the robust-moments companion to trimmed_mean_order_value "
+    "(trimming drops the tails and shrinks n; winsorizing caps their "
+    "leverage and keeps every vote). Nearest-rank boundaries come "
+    "from a running-count crossing over the (group, DISTINCT value) "
+    "frame — the weighted_price_quartiles discipline, value-"
+    "cardinality-sized windows, never a group sort; cents-exact "
+    "DECIMAL moments with VARCHAR-bridge crossings; sample std from "
+    "one double expression",
+)
+def winsorized_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import winsorized_stats
+
+    orders = load(spark, sf_dir, "orders")
+    return winsorized_stats(
+        orders, ["o_orderpriority"], "o_totalprice", 10, 90
+    )

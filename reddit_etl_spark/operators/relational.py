@@ -2962,15 +2962,24 @@ def nelson_aalen_hazard(
         "__h",
         F.expr("(CAST(1000000000 AS BIGINT) * __d) div __n"),
     )
-    return c.select(
-        *keys,
-        F.col("__t").alias("t"),
-        F.col("__n").cast("long").alias("n_risk"),
-        F.col("__d").cast("long").alias("n_events"),
-        F.col("__c").cast("long").alias("n_censored"),
-        F.round(F.sum("__h").over(w) / 1_000_000_000.0, 6).alias(
-            "na_hazard"
-        ),
+    # display: half-up at the nano->micro boundary IN INTEGERS —
+    # (cum + 500) div 1000 — instead of ROUND(cum/1e9, 6): a
+    # cumulative landing on exactly ..500 nanos sits on the round-6
+    # half boundary, where Spark's BigDecimal HALF_UP and another
+    # engine's double ROUND disagree by 1e-6 (measured at sf0.1).
+    # The micros integer / 1e6 double is exact — no rounding left.
+    return (
+        c.withColumn("__cum", F.sum("__h").over(w))
+        .select(
+            *keys,
+            F.col("__t").alias("t"),
+            F.col("__n").cast("long").alias("n_risk"),
+            F.col("__d").cast("long").alias("n_events"),
+            F.col("__c").cast("long").alias("n_censored"),
+            (F.expr("(__cum + 500) div 1000") / 1_000_000.0).alias(
+                "na_hazard"
+            ),
+        )
     )
 
 

@@ -460,7 +460,11 @@ def mmr_rerank(
         sel_id, sel_score = best
         selected.append(sel_id)
         remaining.remove(sel_id)
-        out_rows.append((rank, sel_id, rel[sel_id], round(sel_score, 6)))
+        # RAW score here — the final rounding must be F.round (Spark
+        # HALF_UP == DuckDB ROUND), not Python round() (HALF_EVEN):
+        # a score landing on a .5e-6 boundary rounded differently
+        # (measured at sf0.001: 0.1623655 -> 0.162365 vs 0.162366)
+        out_rows.append((rank, sel_id, rel[sel_id], sel_score))
     spark = emb.sparkSession
     res = spark.createDataFrame(
         out_rows, ["rank", id_col, "relevance", "mmr_score"]
@@ -469,5 +473,5 @@ def mmr_rerank(
         F.col("rank").cast("long"),
         F.col(id_col),
         F.col("relevance").cast("double"),
-        F.col("mmr_score").cast("double"),
+        F.round(F.col("mmr_score").cast("double"), 6).alias("mmr_score"),
     ).orderBy("rank")

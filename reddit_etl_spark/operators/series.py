@@ -1396,12 +1396,17 @@ def kendall_tau(
     C(t,2) over tie groups of x / y.
 
     Exactness: everything in the formula except the final division is
-    an exact integer — pair signs come from the DECIMAL product
-    (x_i - x_j)(y_i - y_j) (exact; a double product's sign can flip
-    on catastrophic cancellation), counted as BIGINTs; the two
-    sqrt factors split before multiplying (their decimal product
-    would pass DECIMAL(38)); round-6 output. Degenerate groups
-    (n < 2, or all-tied in either variable) emit NULL.
+    an exact integer — inputs quantize to micros BIGINTs
+    (floor(v*1e6 + 0.5): the burstiness/power_mde discipline, exact
+    on round-6 inputs while |v| < 2^53/1e6 ~ 9e9 — feed bounded
+    per-key ROLLUP values, not raw cumulative totals), pair signs
+    come from the DECIMAL(38,0) product of the BIGINT differences
+    (exact for the full int64 range, since (2^63)^2 < 10^38; a
+    double product's sign can flip on catastrophic cancellation),
+    concordance counts are BIGINTs, and the two sqrt factors split
+    before multiplying (their decimal product would pass
+    DECIMAL(38)); round-6 output. Degenerate groups (n < 2, or
+    all-tied in either variable) emit NULL.
 
     Plan: one self-join WITHIN each group over a strict total order
     (the per-key pair frame — work is sum over groups of C(n_g, 2),
@@ -1410,14 +1415,11 @@ def kendall_tau(
     group key partitions everything; no driver-side state.
     """
     keys = list(group_cols)
-    d18 = "decimal(18,6)"
+    qx = F.floor(F.col(x_col) * 1_000_000 + F.lit(0.5)).cast("long")
+    qy = F.floor(F.col(y_col) * 1_000_000 + F.lit(0.5)).cast("long")
     base = (
         df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
-        .select(
-            *keys,
-            F.col(x_col).cast(d18).alias("__x"),
-            F.col(y_col).cast(d18).alias("__y"),
-        )
+        .select(*keys, qx.alias("__x"), qy.alias("__y"))
         .withColumn(
             "__i",
             F.row_number().over(
@@ -1432,7 +1434,9 @@ def kendall_tau(
         F.col("__x").alias("__x2"),
         F.col("__y").alias("__y2"),
     )
-    prod = (F.col("__x") - F.col("__x2")) * (F.col("__y") - F.col("__y2"))
+    prod = (F.col("__x") - F.col("__x2")).cast("decimal(38,0)") * (
+        F.col("__y") - F.col("__y2")
+    )
     pairs = (
         a.join(b, keys)
         .filter(F.col("__i") < F.col("__j"))

@@ -352,3 +352,186 @@ def test_sse_changepoint_scale_constant_identical_in_both_plans(spark):
     )
     assert "1000000" in plan  # the scale literal
     assert "1000000000000000000" in plan  # the hi/lo split base B=1e18
+
+
+# ------------------------------------------------- round-9 new operators
+
+
+def test_hhi_hand_case(spark):
+    from reddit_etl_spark.operators.relational import hhi_concentration
+
+    rows = [("m1", "f1", 60.0), ("m1", "f2", 20.0), ("m1", "f3", 20.0),
+            ("m2", "f1", 50.0), ("m2", "f2", 50.0)]
+    df = spark.createDataFrame(rows, "mkt string, firm string, v double")
+    out = {r["mkt"]: r for r in hhi_concentration(df, ["mkt"], "firm", "v").collect()}
+    # shares (0.6, 0.2, 0.2) -> HHI = 10000 * 0.44 = 4400
+    assert out["m1"]["hhi"] == 4400.0 and out["m1"]["cr4"] == 1.0
+    assert out["m2"]["hhi"] == 5000.0 and out["m2"]["n_firms"] == 2
+
+
+def test_nelson_aalen_hand_case(spark):
+    from reddit_etl_spark.operators.relational import nelson_aalen_hazard
+
+    rows = [("g", 1, True), ("g", 1, False), ("g", 2, True)]
+    df = spark.createDataFrame(rows, "g string, t int, obs boolean")
+    out = {r["t"]: r for r in nelson_aalen_hazard(df, ["g"], "t", "obs").collect()}
+    # t=1: n=3, d=1 -> H = floor(1e9/3)/1e9 = 0.333333
+    assert out[1]["n_risk"] == 3 and out[1]["n_events"] == 1
+    assert out[1]["na_hazard"] == 0.333333
+    # t=2: n=1, d=1 -> H = 0.333333333 + 1.0
+    assert out[2]["n_risk"] == 1 and out[2]["na_hazard"] == 1.333333
+
+
+def test_kendall_hand_cases(spark):
+    from reddit_etl_spark.operators.series import kendall_tau
+
+    rows = (
+        [("up", i, float(i)) for i in range(1, 6)]
+        + [("down", i, float(-i)) for i in range(1, 6)]
+        + [("tied", 1, 1.0), ("tied", 2, 2.0), ("tied", 3, 2.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, x int, y double")
+    out = {r["g"]: r for r in kendall_tau(df, ["g"], "x", "y").collect()}
+    assert out["up"]["tau_b"] == 1.0 and out["up"]["concordant"] == 10
+    assert out["down"]["tau_b"] == -1.0 and out["down"]["discordant"] == 10
+    # x=[1,2,3], y=[1,2,2]: C=2, D=0, n1=0, n2=1 -> 2/sqrt(3*2)
+    assert out["tied"]["tau_b"] == round(2 / (3 * 2) ** 0.5, 6)
+
+
+def test_power_mde_matches_closed_form(spark):
+    from reddit_etl_spark.operators.series import NORMAL_QUANTILES, power_mde
+
+    vals = [float(i) for i in range(1, 101)]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    r = power_mde(df, ["g"], "v").collect()[0]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum((v - mean) ** 2 for v in vals) / (n - 1)
+    z = NORMAL_QUANTILES[0.975] + NORMAL_QUANTILES[0.8]
+    assert r["n"] == n and r["mean"] == round(mean, 6)
+    assert abs(r["std"] - var ** 0.5) < 1e-6
+    assert abs(r["mde_abs"] - z * (2 * var / n) ** 0.5) < 1e-6
+
+
+def test_power_mde_rejects_unsupported_quantile(spark):
+    from reddit_etl_spark.operators.series import power_mde
+
+    df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="NORMAL_QUANTILES"):
+        power_mde(df, ["g"], "v", alpha=0.07)
+
+
+def test_winsorized_hand_case(spark):
+    from reddit_etl_spark.operators.relational import winsorized_stats
+
+    vals = [float(i) for i in range(1, 11)]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    r = winsorized_stats(df, ["g"], "v", 10, 90).collect()[0]
+    # nearest-rank: lo = value at ceil(0.1*10)=1st -> 1; hi at 9th -> 9
+    assert r["lower_bound"] == 1.0 and r["upper_bound"] == 9.0
+    clamped = [min(max(v, 1.0), 9.0) for v in vals]
+    m = sum(clamped) / len(clamped)
+    sd = (sum((v - m) ** 2 for v in clamped) / 9) ** 0.5
+    assert r["winsorized_mean"] == round(m, 6)
+    assert abs(r["winsorized_std"] - sd) < 1e-6
+
+
+def test_calibration_hand_case(spark):
+    from reddit_etl_spark.operators.classify import calibration_report
+
+    rows = [(0.05, False), (0.05, True), (0.95, True), (0.95, True)]
+    df = spark.createDataFrame(rows, "p double, y boolean")
+    out = {r["bin"]: r for r in calibration_report(df, "p", "y", 20).collect()}
+    assert set(out) == {1, 19}
+    assert out[1]["n"] == 2 and out[1]["observed_rate"] == 0.5
+    assert out[1]["mean_predicted"] == 0.05
+    assert out[19]["observed_rate"] == 1.0
+    brier = (0.05**2 + 0.95**2 + 0.05**2 + 0.05**2) / 4
+    assert out[1]["brier"] == round(brier, 6)
+
+
+def test_jsd_identical_zero_disjoint_ln2(spark):
+    from reddit_etl_spark.operators.text import jsd_source_divergence
+
+    rows = [("a", "x y z"), ("b", "x y z"), ("c", "p q r")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in jsd_source_divergence(df, "source", "text").collect()
+    }
+    assert out[("a", "b")]["jsd_nats"] == 0.0
+    # fully disjoint pairs share no vocab -> no INNER-join row: by the
+    # shared-vocab identity their JSD is exactly ln2, represented by
+    # ABSENCE (documented: the operator reports pairs with overlap)
+    assert ("a", "c") not in out
+
+
+def test_ldiversity_hand_case(spark):
+    from reddit_etl_spark.operators.privacy import l_diversity_report
+
+    rows = [("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "a"), ("g2", "a")]
+    df = spark.createDataFrame(rows, "qi string, s string")
+    out = {r["l"]: r for r in l_diversity_report(df, ["qi"], "s", (2,)).collect()}
+    r = out[2]
+    assert r["n_groups"] == 2 and r["groups_distinct_l"] == 1
+    assert r["min_distinct"] == 1
+    assert r["largest_violating_group"] == 3  # g2, size 3, 1 value
+    assert r["min_entropy_l"] == 1.0  # exp(0) for the point-mass group
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    from reddit_etl_spark.operators.retrieval import mmr_rerank
+
+    rows = [
+        (1, [0.9, 0.436, 0.0]),   # rel 0.9
+        (2, [0.9, 0.43, 0.03]),   # near-copy of 1 (sim ~0.999)
+        (3, [0.8, 0.0, 0.6]),     # diverse (sim to 1 = 0.72), rel 0.8
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = mmr_rerank(df, "vec_id", "embedding", [1.0, 0.0, 0.0], k=2,
+                     pool=3, lam=0.5).collect()
+    # top relevance is 2 (slightly smaller norm); pure top-k would
+    # take its near-copy 1 next (rel 0.8999 > 0.8) — MMR's redundancy
+    # penalty must pick the diverse vector 3 instead
+    assert [r["vec_id"] for r in got] == [2, 3]
+    # and a high lam reverts to relevance order (the near-copy wins)
+    rel_first = mmr_rerank(df, "vec_id", "embedding", [1.0, 0.0, 0.0],
+                           k=2, pool=3, lam=0.95).collect()
+    assert [r["vec_id"] for r in rel_first] == [2, 1]
+
+
+def test_mmr_rejects_k_over_pool(spark):
+    from reddit_etl_spark.operators.retrieval import mmr_rerank
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="pool"):
+        mmr_rerank(df, "vec_id", "embedding", [1.0], k=5, pool=3)
+
+
+def test_ratio_estimator_exact_when_proportional(spark):
+    from reddit_etl_spark.operators.relational import ratio_estimator_total
+
+    rows = [("s", float(2 * i), float(i), str(i)) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "g string, y double, x double, k string")
+    r = ratio_estimator_total(
+        df, "g", "y", F.col("x"), "k", 300
+    ).collect()[0]
+    # y = 2x exactly -> the ratio estimator is exact regardless of
+    # which rows the hash sampled; plain expansion is not
+    assert r["r_hat"] == 2.0 and r["ratio_rel_err"] == 0.0
+    assert 0 < r["n_sampled"] < r["n_pop"]
+    assert r["expansion_rel_err"] != 0.0
+
+
+def test_clustering_profile_triangle_plus_pendant(spark):
+    from reddit_etl_spark.operators.graph import clustering_profile
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "a long, b long"
+    )
+    out = {r["node"]: r for r in clustering_profile(edges).collect()}
+    assert out[1]["clustering"] == 1.0
+    assert out[3]["clustering"] == round(1 / 3, 6)
+    assert out[4]["clustering"] is None
+    # wedges = 1 + 1 + 3 + 0 = 5; sum T_v = 3 -> transitivity 0.6
+    assert all(r["transitivity"] == 0.6 for r in out.values())
