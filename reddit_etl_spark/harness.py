@@ -12355,14 +12355,13 @@ def ldiversity_customer_release_q(
                   AS BIGINT) AS yv
       FROM events GROUP BY 1, 2),
     q AS (
-      SELECT event_type,
-             CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT) AS xq,
-             CAST(FLOOR(yv * 1000000 + 0.5) AS BIGINT) AS yq,
+      -- x/yv are already BIGINTs: tau depends only on orderings, so
+      -- the operator's integral lane (advisor r9 #4) skips the *1e6
+      -- re-quantization — a no-op on C/D/ties that would otherwise
+      -- overflow BIGINT on large daily value masses
+      SELECT event_type, x AS xq, yv AS yq,
              row_number() OVER (PARTITION BY event_type
-                                ORDER BY CAST(FLOOR(x * 1000000 + 0.5)
-                                              AS BIGINT),
-                                         CAST(FLOOR(yv * 1000000 + 0.5)
-                                              AS BIGINT)) AS i
+                                ORDER BY x, yv) AS i
       FROM daily),
     cd AS (
       SELECT a.event_type,
@@ -12400,13 +12399,16 @@ def ldiversity_customer_release_q(
     "per event type (operators/series.py:kendall_tau) — the "
     "pair-concordance companion to spearman_value_items: counts HOW "
     "OFTEN busier days are higher-value days, with exact tie "
-    "correction. Daily value mass is an exact micros BIGINT sum, "
-    "both variables quantize through the micros discipline, pair "
+    "correction. Daily value mass is an exact micros BIGINT sum; "
+    "both inputs are integral so the operator's integral lane uses "
+    "them as-is (tau is ordering-only — re-quantization was the "
+    "advisor-r9 overflow hazard), pair "
     "signs are DECIMAL(38,0)/HUGEINT products of BIGINT differences "
     "(a double product's sign can flip on cancellation), and the "
-    "sqrt factors split before multiplying. The pair self-join runs "
-    "over the per-type DAILY rollup (the series-family bounded-frame "
-    "convention)",
+    "sqrt factors split before multiplying. pairs='auto' rides the "
+    "join lane here (groups = days-per-type, far under the "
+    "scale_lanes.PAIR_LANE_MAX_GROUP_ROWS cut); the Knight "
+    "O(n log n) inversion lane takes over on oversized groups",
 )
 def kendall_tau_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.series import kendall_tau
@@ -12492,10 +12494,9 @@ def calibration_brier_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, CAST(SUM(c) AS BIGINT) AS N,
              CAST(COUNT(*) AS BIGINT) AS vocab
       FROM counts GROUP BY 1),
-    pairs AS (
+    shared AS (
       SELECT a.source AS source_a, b.source AS source_b,
              CAST(COUNT(*) AS BIGINT) AS shared_vocab,
-             MIN(ta.vocab) AS vocab_a, MIN(tb.vocab) AS vocab_b,
              SUM(CAST(a.c AS DOUBLE) / ta.N
                  * ln(2.0 * (CAST(a.c AS DOUBLE) / ta.N)
                       / (CAST(a.c AS DOUBLE) / ta.N
@@ -12505,14 +12506,28 @@ def calibration_brier_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       / (CAST(a.c AS DOUBLE) / ta.N
                          + CAST(b.c AS DOUBLE) / tb.N))) AS sh,
              CAST(SUM(a.c) AS BIGINT) AS sca,
-             CAST(SUM(b.c) AS BIGINT) AS scb,
-             MIN(ta.N) AS na, MIN(tb.N) AS nb
+             CAST(SUM(b.c) AS BIGINT) AS scb
       FROM counts a
       JOIN counts b ON a.tok = b.tok AND a.source < b.source
       JOIN totals ta ON ta.source = a.source
       JOIN totals tb ON tb.source = b.source
-      GROUP BY 1, 2)
-    SELECT source_a, source_b, vocab_a, vocab_b, shared_vocab,
+      GROUP BY 1, 2),
+    pairs AS (
+      -- every unordered pair seated from totals; zero-shared-vocab
+      -- pairs get empty sums and the identity collapses to jsd = ln 2
+      -- exactly (the operator's absence contract, advisor r9 #5)
+      SELECT ta.source AS source_a, tb.source AS source_b,
+             ta.vocab AS vocab_a, tb.vocab AS vocab_b,
+             COALESCE(s.shared_vocab, 0) AS shared_vocab,
+             COALESCE(s.sh, 0.0) AS sh,
+             COALESCE(s.sca, 0) AS sca, COALESCE(s.scb, 0) AS scb,
+             ta.N AS na, tb.N AS nb
+      FROM totals ta
+      JOIN totals tb ON ta.source < tb.source
+      LEFT JOIN shared s
+        ON s.source_a = ta.source AND s.source_b = tb.source)
+    SELECT source_a, source_b, vocab_a, vocab_b,
+           CAST(shared_vocab AS BIGINT) AS shared_vocab,
            ROUND(0.5 * (sh + 0.6931471805599453
                  * (2.0 - CAST(sca AS DOUBLE) / na
                         - CAST(scb AS DOUBLE) / nb)), 6) AS jsd_nats,

@@ -205,12 +205,19 @@ def calibration_report(
     decomposes — via a 1-row broadcast.
 
     Exactness: scores quantize to micros BIGINTs (floor(p*1e6 + 0.5)
-    — exact on round-6 inputs); bin ids derive from the micros
-    integer (micros * n_bins div 1e6, clamped — never a double
-    multiply whose floor could straddle an ulp); sums of micros and
-    of squared-micros errors accumulate BIGINT / DECIMAL(38,0); every
-    reported double is one division over exact integers, round-6.
-    Rows with NULL score or label are excluded.
+    — exact on round-6 inputs) and are CLAMPED to [0, 1e6] on BOTH
+    sides before anything reads them (a probability outside [0,1] is
+    treated as saturated) — the lower clamp matters for engine
+    parity, not just hygiene: a negative micros value would bin via
+    Spark's ``div`` (truncates toward zero → bin 0) but via another
+    engine's floor division (→ bin -1), a silent cross-engine
+    divergence (advisor r9 #2). Bin ids derive from the clamped
+    micros integer (micros * n_bins div 1e6, upper-clamped to
+    n_bins-1 — never a double multiply whose floor could straddle an
+    ulp); sums of micros and of squared-micros errors accumulate
+    BIGINT / DECIMAL(38,0); every reported double is one division
+    over exact integers, round-6. Rows with NULL score or label are
+    excluded.
 
     Plan: one map-side-combined bin aggregate + one 1-row global
     aggregate broadcast back. Scan-bound at any scale.
@@ -218,7 +225,13 @@ def calibration_report(
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
     d38 = "decimal(38,0)"
-    p_mic = F.floor(F.col(score_col) * 1_000_000 + F.lit(0.5)).cast("long")
+    p_mic = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.floor(F.col(score_col) * 1_000_000 + F.lit(0.5)).cast("long"),
+        ),
+    )
     y = F.col(label_col).cast("boolean").cast("long")
     base = df.filter(
         F.col(score_col).isNotNull() & F.col(label_col).isNotNull()

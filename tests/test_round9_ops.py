@@ -291,7 +291,7 @@ def test_ht_total_raises_on_varying_rate_within_stratum(spark):
     bad = horvitz_thompson_total(
         df, "s", "x", "k", (F.col("k") % 7 * 100 + 100).cast("long")
     )
-    with pytest.raises(Exception, match="constant per stratum"):
+    with pytest.raises(Exception, match="constant non-NULL integer"):
         bad.collect()
 
 
@@ -460,10 +460,18 @@ def test_jsd_identical_zero_disjoint_ln2(spark):
         for r in jsd_source_divergence(df, "source", "text").collect()
     }
     assert out[("a", "b")]["jsd_nats"] == 0.0
-    # fully disjoint pairs share no vocab -> no INNER-join row: by the
-    # shared-vocab identity their JSD is exactly ln2, represented by
-    # ABSENCE (documented: the operator reports pairs with overlap)
-    assert ("a", "c") not in out
+    # fully disjoint pairs share no vocab: the shared-vocab INNER join
+    # never sees them, but the operator re-seats every unordered pair
+    # from the totals frame (advisor r9 #5) — they must APPEAR with
+    # shared_vocab 0 and the exact maximum jsd = ln 2
+    import math
+
+    for pair in (("a", "c"), ("b", "c")):
+        r = out[pair]
+        assert r["shared_vocab"] == 0
+        assert r["jsd_nats"] == round(math.log(2.0), 6)
+        assert r["jsd_norm"] == 1.0
+    assert len(out) == 3  # C(3,2): all pairs present
 
 
 def test_ldiversity_hand_case(spark):
