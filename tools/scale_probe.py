@@ -815,6 +815,42 @@ def main() -> int:
         "capped model); degree join-backs are un-hinted (AQE sizes)",
     )
 
+    # -- kendall_tau Knight lane (VERDICT r9 #2) ---------------------------
+    # Oversized single group: 200k rows in ONE key. The join lane's
+    # per-group pair stage would emit C(200k, 2) ~ 2e10 rows — the
+    # same silent quadratic link_prediction was weak-marked for in r8.
+    # pairs='auto' must cut over to the Knight O(n log n) kernel
+    # (max group 200k > scale_lanes.PAIR_LANE_MAX_GROUP_ROWS = 10k),
+    # whose ONLY data-sized exchange is the hash partition into
+    # applyInPandas: exactly n rows. The max-group-size decision
+    # aggregate is map-side combined (combiner rows ~ partitions).
+    from reddit_etl_spark.operators.scale_lanes import (
+        PAIR_LANE_MAX_GROUP_ROWS,
+    )
+    from reddit_etl_spark.operators.series import kendall_tau
+
+    kt_n = 200_000
+    kt = spark.range(kt_n).select(
+        F.lit("g").alias("grp"),
+        (F.col("id") % 977).cast("double").alias("x"),
+        ((F.col("id") * 31) % 1009).cast("double").alias("y"),
+    ).localCheckpoint(eager=True)
+    kt_rows = kt.count()
+    pred_kt_pairs = kt_n * (kt_n - 1) // 2
+    assert kt_n > PAIR_LANE_MAX_GROUP_ROWS
+    record(
+        "kendall_knight_lane",
+        predicted=kt_rows,
+        fn=lambda: kendall_tau(kt, ["grp"], "x", "y").collect(),
+        note=f"dominant = the applyInPandas hash exchange: exactly "
+        f"{kt_rows} quantized (key, x, y) rows; the join lane's pair "
+        f"stage would emit C({kt_n}, 2) = {pred_kt_pairs} rows "
+        f"({round(pred_kt_pairs / kt_rows)}x) — auto cut over at "
+        f"max-group > {PAIR_LANE_MAX_GROUP_ROWS}; tie counts and the "
+        "Knight inversion count run inside the kernel, touching the "
+        "group's rows once",
+    )
+
     out = {
         "sf_dir": sf_dir,
         "times": times,
