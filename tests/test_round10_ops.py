@@ -216,3 +216,48 @@ def test_scale_lane_constants_are_shared():
 
     sig = inspect.signature(profile_drift)
     assert sig.parameters["ndv_rsd"].default == scale_lanes.NDV_SKETCH_RSD
+
+
+# --------------------------------------------------- pair-stage max_df
+
+
+def test_partial_copy_max_df_masks_boilerplate(spark):
+    from reddit_etl_spark.operators.text import partial_copy_pairs
+
+    excerpt = "the quick brown fox jumps over the lazy dog repeatedly"
+    boiler = "all rights reserved subscribe to our newsletter today ok"
+    rows = [
+        (1, "unique alpha text one two three four five " + excerpt + boiler),
+        (2, "different beta prose six seven eight nine " + excerpt + boiler),
+        (3, "gamma words ten eleven twelve thirteen fourteen " + boiler),
+        (4, "delta prose fifteen sixteen seventeen eighteen " + boiler),
+        (5, "epsilon chatter nineteen twenty twentyone twentytwo " + boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(k=10, window=4, min_shared=2)
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in partial_copy_pairs(df, "doc_id", "text", **kw).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in partial_copy_pairs(
+            df, "doc_id", "text", **kw, max_df=2
+        ).collect()
+    }
+    # boilerplate fingerprints (df=5 > 2) drop: boilerplate-only pairs
+    # vanish, the true excerpt pair (1,2) survives
+    assert (1, 2) in uncapped and len(uncapped) == 10  # C(5,2): all pairs
+    assert capped == {(1, 2)}
+
+
+def test_edit_distance_max_df_drops_mass_duplicates(spark):
+    from reddit_etl_spark.operators.dedup import edit_distance_pairs
+
+    rows = [(i, "aaaa") for i in range(5)] + [(9, "aaab")]
+    df = spark.createDataFrame(rows, "id long, s string")
+    uncapped = edit_distance_pairs(df, "id", "s").count()
+    assert uncapped == 10 + 5  # C(5,2) ed=0 copies + 5 ed=1 pairs
+    # the mass-duplicated buckets (df > 3) drop out of candidate
+    # generation entirely — run dedup_exact first for those
+    assert edit_distance_pairs(df, "id", "s", max_df=3).count() == 0
