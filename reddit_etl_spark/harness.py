@@ -149,105 +149,91 @@ def _q(name: str, oracle: str | None, doc: str = "", headline: bool = False):
 # each round via tools/check_oracle.py (which runs ALL entries).
 _DRIVER_RECORD_CAP = 50
 _PROMOTED = [
-    # ROUND-9 REWRITE (judge r8 next-round #4: "rotate the r09 head
-    # toward the stalest attestations — oldest-first so no query's
-    # most-recent driver row predates r04"). The per-slot rotation
-    # history through round 8 that used to live as interleaved
-    # comments here is preserved in git (blame this block at tag
-    # round-8 / commit cc3a691); every entry rotated OUT this round
-    # carried a green r08 driver row, so no attestation is lost.
-    # Head composition (cap 50): 12 new round-9 registrations ride
-    # the base; this list = 18 stalest (last driver row r01-r03)
-    # + 4 re-attestations for operators/oracles touched this round
-    # + the 16 alphabetically-first r04-attested entries.
-    # -- 18 stalest (last recorded r01-r03) --------------------------
-    "asof_attribution",
-    "curation_pipeline",
-    "decontaminate_bloom",
-    "dedup_simhash",
-    "distinct_parts_skewfree",
-    "embedding_neardup_lsh",
-    "events_json",
-    "funnel_conversion",
-    "group_percentiles",
-    "neardup_components",
-    "ntile_quartiles",
-    "pack_sequences",
-    "pivot_status_by_priority",
-    "retention_cohorts",
-    "rollup_hierarchy",
-    "similarity_topk_int8",
-    "similarity_topk_ivf",
-    "topk_global",
-    # -- 4 touched this round (sketch lanes / hub cap / decimal
-    # overflow fix / oracle guard) need fresh green rows ------------
-    "quantile_normalize_doclen",
-    "link_prediction_suppliers",
-    "sse_changepoint_daily",
-    "burstiness_event_types",
-    # -- 16 oldest remaining (last recorded r04) ---------------------
-    "asof_next_purchase",
-    "cross_source_dups",
-    "daily_delta",
-    "decontaminate",
-    "dedup_exact",
-    "distinct_users_hll",
-    "embedding_neardup",
-    "events_windowed",
-    "incremental_dedup",
-    "interval_session_join",
-    "multimodal_features",
-    "nfc_fingerprints",
-    "packed_shards",
-    "partial_copy_pairs",
-    "pii_redaction",
-    "q02_top_per_group",
-]
-_DEFERRED = [
-    # Everything below stays oracle-checked by tools/check_oracle.py
-    # (and the committed ORACLE_sf*.json artifacts) every round; each
-    # entry's most recent driver-recorded row is r04-r08 (oldest
-    # r04 entries not fitting the 50-cap head this round roll into
-    # the r10 head next). Pre-round-9 per-slot history: git blame.
-    "q01_overview",
+    # ROUND-10 REWRITE (judge r9 next-round #5: oldest-first again —
+    # after this round no query's most-recent driver row predates
+    # r05). Pre-round-10 per-slot history: git blame (tag round-9).
+    # Head composition (cap 50): the 12 new round-10 registrations
+    # ride as base; this list = 21 stalest (last driver row r04)
+    # + 5 re-attestations for operators/oracles touched this round
+    # (kendall integral lane + oracle rewrite, jsd absence seating,
+    # calibration clamp, mmr short-pool guard, HT raw-rate guard)
+    # + the 12 alphabetically-first r05-attested entries.
+    # -- 21 stalest (last recorded r04) ------------------------------
     "q03_by_hour",
     "q04_by_weekday",
     "q05_top_customers",
     "q06_flag_breakdown",
     "q07_two_key_agg",
     "q08_left_join_rollup",
-    "q09_join_having",
     "q10_daily_trends",
     "q11_text_insights",
-    "q12_correlations",
     "q13_trailing_window",
     "q14_conditional_quality",
-    "q15_ranked_view",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "similarity_topk",
+    "repetition_profile",
+    "sentence_decontaminate",
+    "sessionization",
     "similarity_topk_lsh",
+    "stratified_sample",
+    "table_profile",
+    "tfidf_top_terms",
+    "topk_per_group",
+    "unigram_quality_score",
+    "vocab_topk",
+    "weighted_sample_sources",
+    # -- 5 touched this round: need fresh green rows ------------------
+    "kendall_tau_daily",
+    "jsd_source_docs",
+    "calibration_brier_events",
+    "mmr_rerank_embeddings",
+    "ht_total_by_priority",
+    # -- 12 oldest remaining (last recorded r05, alphabetical) --------
+    "ab_experiment_readout",
+    "anomaly_zscore_daily",
+    "asof_split",
+    "bigram_perplexity",
+    "boilerplate_fraction",
+    "concurrency_peaks",
+    "customer_sample_per_nation",
+    "daily_trend_slope",
+    "dedup_ngram_jaccard",
+    "document_chunks",
+    "dq_report_orders",
+    "dsir_importance_weights",
+]
+_DEFERRED = [
+    # Everything below stays oracle-checked by tools/check_oracle.py
+    # (and the committed ORACLE_sf*.json artifacts) every round; each
+    # entry's most recent driver-recorded row is r05-r09 (the oldest
+    # r05 entries not fitting the 50-cap head roll into the r11 head
+    # next). Pre-round-10 per-slot history: git blame.
+    "q01_overview",
+    "q02_top_per_group",
+    "q09_join_having",
+    "q12_correlations",
+    "q15_ranked_view",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk",
+    "similarity_topk_int8",
+    "similarity_topk_ivf",
     "similarity_topk_ivf_indexed",
     "similarity_topk_pq",
     "semantic_dedup",
+    "embedding_neardup",
+    "embedding_neardup_lsh",
     "text_profile",
-    "vocab_topk",
-    "tfidf_top_terms",
-    "stratified_sample",
-    "anomaly_zscore_daily",
-    "concurrency_peaks",
+    "pii_redaction",
+    "decontaminate",
+    "daily_delta",
     "pagerank_cust_supp",
     "item_affinity",
     "join_profile_orders_lineitem",
     "incremental_rollup_refresh",
     "psi_value_drift",
-    "customer_sample_per_nation",
     "rake_keyphrases_docs",
-    "ab_experiment_readout",
     "mad_outliers_daily",
-    "dq_report_orders",
     "event_pattern_counts",
-    "daily_trend_slope",
     "term_collocations",
     "twa_user_value",
     "gap_fill_hourly",
@@ -256,33 +242,45 @@ _DEFERRED = [
     "image_phash_neardup",
     "hits_cust_supp",
     "ppr_supplier_recs",
-    "sentence_decontaminate",
-    "unigram_quality_score",
-    "bigram_perplexity",
+    "cross_source_dups",
+    "nfc_fingerprints",
     "nb_language_selftrain",
     "duplicate_spans",
+    "incremental_dedup",
     "incremental_minhash",
-    "weighted_sample_sources",
-    "sessionization",
+    "decontaminate_bloom",
+    "partial_copy_pairs",
+    "multimodal_features",
+    "events_windowed",
     "sessionization_split",
+    "distinct_users_hll",
     "bm25_rank",
     "bm25_rank_indexed",
     "hybrid_search_rrf",
     "hybrid_search_rrf_lsh",
-    "document_chunks",
     "fuzzy_name_pairs",
     "quantile_rollup_kll",
     "segment_overlap_theta",
-    "dsir_importance_weights",
     "scd2_order_status_dim",
     "heavy_hitters_mg",
-    "asof_split",
-    "topk_per_group",
+    "interval_session_join",
+    "asof_next_purchase",
+    "asof_attribution",
+    "events_json",
     "curation_pipeline_full",
+    "curation_pipeline",
+    "distinct_parts_skewfree",
+    "rollup_hierarchy",
+    "pivot_status_by_priority",
+    "topk_global",
+    "group_percentiles",
+    "ntile_quartiles",
+    "neardup_components",
     "neardup_survivors",
-    "table_profile",
-    "repetition_profile",
-    "boilerplate_fraction",
+    "funnel_conversion",
+    "retention_cohorts",
+    "packed_shards",
+    "pack_sequences",
     "mixture_weights",
     "segment_dedup_docs",
     "kcore_cust_supp",
@@ -372,21 +370,32 @@ _DEFERRED = [
     "dedup_containment",
     "target_encoding_priority",
     "rfm_customer_segments",
-    "ht_total_by_priority",
+    "quantile_normalize_doclen",
     "feature_hash_vocab",
     "pca_parts_features",
     "grouping_sets_status_priority",
+    "sse_changepoint_daily",
     "freq_triples_brands",
     "spearman_value_items",
     "augment_dropout_docs",
     "seq_trigrams_users",
+    "burstiness_event_types",
     "tcloseness_customer_release",
     "sprt_event_quality",
     "proximity_search_docs",
     "hard_negatives_bm25",
+    "link_prediction_suppliers",
     "profile_drift_orders",
     "sla_business_days",
     "cohort_ltv_curve",
+    "hhi_supplier_nations",
+    "nelson_aalen_segments",
+    "power_mde_events",
+    "isoweek_rollup_orders",
+    "clustering_coeff_nations",
+    "ratio_estimator_lineitem",
+    "ldiversity_customer_release",
+    "winsorized_orders",
 ]
 
 
@@ -12715,3 +12724,819 @@ def winsorized_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_stats(
         orders, ["o_orderpriority"], "o_totalprice", 10, 90
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave: trend/survival/quasi-experimental inference (Mann-Kendall,
+# log-rank, diff-in-diff), agreement & ranking eval (Cohen's kappa, RBO,
+# pinball loss), distribution drift (Hellinger/Bhattacharyya, Cramér-von
+# Mises), structural DQ (format masks, cent-digit uniformity), and corpus
+# growth/diversity (Heaps' law, MATTR).
+
+
+@_q(
+    "mann_kendall_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2),
+    q AS (SELECT event_type,
+                 CAST(day - DATE '1970-01-01' AS BIGINT) AS t, v
+          FROM daily),
+    cd AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN (a.t - b.t)::HUGEINT * (a.v - b.v) > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN (a.t - b.t)::HUGEINT * (a.v - b.v) < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM q a JOIN q b ON a.event_type = b.event_type AND a.t < b.t
+      GROUP BY 1),
+    vt AS (
+      SELECT event_type,
+             SUM(tc::HUGEINT * (tc - 1) * (2 * tc + 5)) AS tv,
+             CAST(SUM(tc) AS BIGINT) AS n
+      FROM (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS tc
+            FROM q GROUP BY 1, 2) GROUP BY 1),
+    m AS (
+      SELECT vt.event_type, n,
+             CAST(COALESCE(c, 0) - COALESCE(d, 0) AS BIGINT) AS s_stat,
+             ROUND(CAST(CAST(n::HUGEINT * (n - 1) * (2 * n + 5) - tv
+                             AS VARCHAR) AS DOUBLE) / 18.0, 6) AS var_s
+      FROM vt LEFT JOIN cd USING (event_type) WHERE n >= 2),
+    z AS (
+      SELECT *, CASE WHEN var_s > 0 THEN
+          ROUND(CASE WHEN s_stat > 0 THEN (s_stat - 1) / SQRT(var_s)
+                     WHEN s_stat < 0 THEN (s_stat + 1) / SQRT(var_s)
+                     ELSE 0.0 END, 6) END AS z
+      FROM m)
+    SELECT event_type, n, s_stat, var_s, z,
+           CASE WHEN z IS NULL THEN NULL
+                WHEN z > 1.959963984540054 THEN 'increasing'
+                WHEN z < -1.959963984540054 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM z ORDER BY event_type
+    """,
+    doc="Mann-Kendall monotonic-trend test on daily event counts per "
+    "type (operators/series.py:mann_kendall_trend): S = sum of pair "
+    "signs over time (= kendall's C - D with x = time, so the "
+    "operator REUSES the kendall pair machinery and inherits both the "
+    "join lane and the Knight O(n log n) lane + the shared "
+    "PAIR_LANE_MAX_GROUP_ROWS guard), tie-corrected Var(S) in "
+    "DECIMAL(38,0)/HUGEINT, continuity-corrected z from the ROUNDED "
+    "variance, and the 5% two-sided trend call against the injected "
+    "NORMAL_QUANTILES literal",
+)
+def mann_kendall_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import mann_kendall_trend
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("v"))
+    daily = daily.select(
+        "event_type",
+        F.datediff("day", F.lit("1970-01-01")).cast("long").alias("t"),
+        "v",
+    )
+    return mann_kendall_trend(daily, ["event_type"], "t", "v")
+
+
+@_q(
+    "logrank_segments",
+    """
+    WITH span AS (
+      SELECT o_custkey, MIN(o_orderdate) AS f, MAX(o_orderdate) AS l
+      FROM orders GROUP BY 1),
+    g AS (SELECT MAX(o_orderdate) AS m FROM orders),
+    subj AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(CAST(span.l AS DATE) - CAST(span.f AS DATE)
+                  AS BIGINT) AS t,
+             (CAST(g.m AS DATE) - CAST(span.l AS DATE)) > 90 AS obs
+      FROM span JOIN customer c ON c.c_custkey = span.o_custkey
+      CROSS JOIN g
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+    per_t AS (
+      SELECT t,
+             CAST(SUM(CASE WHEN seg = 'BUILDING' AND obs
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN seg <> 'BUILDING' AND obs
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+             CAST(SUM(CASE WHEN seg = 'BUILDING'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS l1,
+             CAST(SUM(CASE WHEN seg <> 'BUILDING'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS l2
+      FROM subj GROUP BY 1),
+    c2 AS (
+      SELECT *, SUM(l1) OVER () AS na, SUM(l2) OVER () AS nb,
+             SUM(l1) OVER ()
+               - COALESCE(SUM(l1) OVER (ORDER BY t ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+             SUM(l2) OVER ()
+               - COALESCE(SUM(l2) OVER (ORDER BY t ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n2
+      FROM per_t),
+    terms AS (
+      SELECT na, nb, d1, d2,
+             (d1 + d2) * (n1 / (n1 + n2)) AS e1,
+             CASE WHEN n1 + n2 > 1 THEN
+               (d1 + d2) * (n1 / (n1 + n2)) * (1 - n1 / (n1 + n2))
+               * ((n1 + n2) - (d1 + d2)) / ((n1 + n2) - 1)
+             ELSE 0.0 END AS v
+      FROM c2)
+    SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+           CAST(SUM(d1) AS BIGINT) AS events_a,
+           CAST(SUM(d2) AS BIGINT) AS events_b,
+           ROUND(SUM(e1), 6) AS expected_a,
+           ROUND(CASE WHEN SUM(v) > 0 THEN
+             SUM(d1 - e1) * SUM(d1 - e1) / SUM(v) END, 6) AS chi2
+    FROM terms
+    """,
+    doc="two-sample log-rank test between the BUILDING and MACHINERY "
+    "customer-lifetime curves (operators/relational.py:logrank_test) "
+    "— the inference rung over the same subjects km_survival_segments "
+    "draws: hypergeometric expected events and variance at each "
+    "distinct pooled event time, censored subjects at risk exactly as "
+    "long as observed, chi2 = (O-E)^2/V with 1 df. At-risk series "
+    "ride cumulative windows over the REDUCED distinct-duration "
+    "frame; every count is an exact BIGINT off one (side, duration) "
+    "aggregate",
+)
+def logrank_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import logrank_test
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    span = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("f"), F.max("o_orderdate").alias("l")
+    )
+    gmax = orders.agg(F.max("o_orderdate").alias("m"))
+    subj = (
+        span.join(customer, span["o_custkey"] == customer["c_custkey"])
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.col("c_mktsegment"),
+            F.datediff("l", "f").cast("long").alias("t"),
+            (F.datediff("m", "l") > 90).alias("obs"),
+        )
+    )
+    return logrank_test(
+        subj, [], "t", "obs", "c_mktsegment", "BUILDING", "MACHINERY"
+    )
+
+
+@_q(
+    "kappa_rule_events",
+    """
+    WITH rated AS (
+      SELECT event_type,
+             CASE WHEN value < 25 THEN 'low'
+                  WHEN value < 75 THEN 'mid' ELSE 'high' END AS a,
+             CASE WHEN hour(ts) < 8 THEN 'low'
+                  WHEN hour(ts) < 16 THEN 'mid' ELSE 'high' END AS b
+      FROM events WHERE value IS NOT NULL),
+    cells AS (SELECT event_type, a, b, CAST(COUNT(*) AS BIGINT) AS c
+              FROM rated GROUP BY 1, 2, 3),
+    rws AS (SELECT event_type, a, CAST(SUM(c) AS BIGINT) AS r
+            FROM cells GROUP BY 1, 2),
+    cls AS (SELECT event_type, b AS a, CAST(SUM(c) AS BIGINT) AS cl
+            FROM cells GROUP BY 1, 2),
+    crs AS (SELECT rws.event_type,
+                   SUM(r::HUGEINT * cl) AS rc
+            FROM rws JOIN cls USING (event_type, a) GROUP BY 1),
+    dg AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS diag
+           FROM cells WHERE a = b GROUP BY 1),
+    tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+            FROM cells GROUP BY 1),
+    j AS (
+      SELECT tot.event_type, n,
+             COALESCE(diag, 0) AS diag,
+             COALESCE(rc, 0) AS rc
+      FROM tot LEFT JOIN dg USING (event_type)
+      LEFT JOIN crs USING (event_type)),
+    k AS (
+      SELECT event_type, n,
+             diag / CAST(n AS DOUBLE) AS po,
+             CAST(CAST(rc AS VARCHAR) AS DOUBLE)
+               / (CAST(n AS DOUBLE) * n) AS pe
+      FROM j)
+    SELECT event_type, n,
+           ROUND(po, 6) AS observed_agreement,
+           ROUND(pe, 6) AS expected_agreement,
+           ROUND(CASE WHEN pe < 1 THEN (po - pe) / (1 - pe) END, 6)
+             AS kappa
+    FROM k ORDER BY event_type
+    """,
+    doc="Cohen's kappa between the value band (fixed 25/75 cuts) and "
+    "the time-of-day band per event type "
+    "(operators/classify.py:cohens_kappa): chance-corrected agreement "
+    "— raw accuracy is inflated by whatever both labelings predict "
+    "most, kappa subtracts the marginal-product luck. One (group, a, "
+    "b) cell aggregate; marginals re-aggregate the label-cardinality "
+    "cell frame; the p_e cross-moment rides DECIMAL(38,0)/HUGEINT "
+    "(row*col reaches n^2)",
+)
+def kappa_rule_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.classify import cohens_kappa
+
+    ev = load_events(spark, sf_dir)
+    rated = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.when(F.col("value") < 25, "low")
+        .when(F.col("value") < 75, "mid")
+        .otherwise("high")
+        .alias("value_band"),
+        F.when(F.hour("ts") < 8, "low")
+        .when(F.hour("ts") < 16, "mid")
+        .otherwise("high")
+        .alias("time_band"),
+    )
+    return cohens_kappa(rated, ["event_type"], "value_band", "time_band")
+
+
+def _rbo_day_rankings_oracle() -> str:
+    """RBO oracle with the SAME suffix-weight literals the operator
+    injects (rbo_suffix_weights — no pow() in either plan)."""
+    from .operators.retrieval import rbo_suffix_weights
+
+    w = rbo_suffix_weights(0.9, 20)
+    weights = "[" + ", ".join(repr(x) for x in w) + "]"
+    one_minus_p = repr(1.0 - 0.9)
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS mass
+      FROM events GROUP BY 1, 2),
+    ra AS (
+      SELECT event_type, day, rk FROM (
+        SELECT event_type, day,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY n DESC, day) AS rk
+        FROM daily) WHERE rk <= 20),
+    rb AS (
+      SELECT event_type, day, rk FROM (
+        SELECT event_type, day,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY mass DESC, day) AS rk
+        FROM daily) WHERE rk <= 20),
+    shared AS (
+      SELECT ra.event_type,
+             CAST(COUNT(*) AS BIGINT) AS overlap_k,
+             SUM(list_extract({weights},
+                 CAST(GREATEST(ra.rk, rb.rk) AS INTEGER))) AS s
+      FROM ra JOIN rb ON ra.event_type = rb.event_type
+                     AND ra.day = rb.day
+      GROUP BY 1),
+    ta AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_a
+           FROM ra GROUP BY 1),
+    tb AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_b
+           FROM rb GROUP BY 1)
+    SELECT ta.event_type, n_a, n_b,
+           COALESCE(overlap_k, 0) AS overlap_k,
+           ROUND({one_minus_p} * COALESCE(s, 0.0), 6) AS rbo
+    FROM ta JOIN tb USING (event_type)
+    LEFT JOIN shared USING (event_type)
+    ORDER BY event_type
+    """
+
+
+@_q(
+    "rbo_day_rankings",
+    _rbo_day_rankings_oracle(),
+    doc="Rank-Biased Overlap (Webber/Moffat/Zobel, p=0.9, depth 20) "
+    "between each event type's busiest-days ranking (by count) and "
+    "its highest-value-days ranking (by micros mass) — "
+    "operators/retrieval.py:rbo_overlap. Per shared item the "
+    "contribution is the suffix weight W[max(ra, rb)], computed "
+    "driver-side and injected as IDENTICAL double literals into both "
+    "engines (the NORMAL_QUANTILES discipline — no pow() in any "
+    "plan); truncated lower-bound form, zero-overlap groups seated "
+    "with rbo = 0 from the per-side totals (the jsd absence "
+    "contract)",
+)
+def rbo_day_rankings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.retrieval import rbo_overlap
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+        ).cast("long").alias("mass"),
+    )
+    wa = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("day"))
+    wb = Window.partitionBy("event_type").orderBy(
+        F.desc("mass"), F.asc("day")
+    )
+    a = (
+        daily.withColumn("rank", F.row_number().over(wa))
+        .filter(F.col("rank") <= 20)
+        .select("event_type", "day", "rank")
+    )
+    b = (
+        daily.withColumn("rank", F.row_number().over(wb))
+        .filter(F.col("rank") <= 20)
+        .select("event_type", "day", "rank")
+    )
+    return rbo_overlap(a, b, ["event_type"], "day", "rank", p=0.9, k=20)
+
+
+@_q(
+    "hellinger_value_drift",
+    """
+    WITH ref AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)
+               // 25000000 AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cr
+      FROM events
+      WHERE value IS NOT NULL AND value >= 0
+        AND ts < TIMESTAMP '2024-01-16'
+      GROUP BY 1, 2),
+    cur AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)
+               // 25000000 AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cc
+      FROM events
+      WHERE value IS NOT NULL AND value >= 0
+        AND ts >= TIMESTAMP '2024-01-16'
+      GROUP BY 1, 2),
+    tr AS (SELECT event_type, CAST(SUM(cr) AS BIGINT) AS n_ref
+           FROM ref GROUP BY 1),
+    tc AS (SELECT event_type, CAST(SUM(cc) AS BIGINT) AS n_cur
+           FROM cur GROUP BY 1),
+    sh AS (
+      SELECT ref.event_type,
+             SUM(SQRT(CAST(cr AS DOUBLE) * cc)) AS s
+      FROM ref JOIN cur USING (event_type, bin) GROUP BY 1),
+    j AS (
+      SELECT tr.event_type, n_ref, n_cur,
+             COALESCE(s / SQRT(CAST(n_ref AS DOUBLE) * n_cur), 0.0)
+               AS bc
+      FROM tr JOIN tc USING (event_type)
+      LEFT JOIN sh USING (event_type))
+    SELECT event_type, n_ref, n_cur,
+           ROUND(bc, 6) AS bc,
+           ROUND(SQRT(GREATEST(0.0, 1 - bc)), 6) AS hellinger,
+           ROUND(CASE WHEN bc > 0 THEN -LN(bc) END, 6) AS bhattacharyya
+    FROM j ORDER BY event_type
+    """,
+    doc="Hellinger/Bhattacharyya drift of the event-value distribution "
+    "across the mid-month cutover, per event type "
+    "(operators/curation.py:hellinger_drift) — the bounded METRIC "
+    "companion to psi_value_drift: true distance in [0,1], no epsilon "
+    "floor (disjoint support scores exactly 1). Fixed-width 25-unit "
+    "bins on the micros integers (the calibration grid discipline); "
+    "BC rides the shared-support INNER join only (zero-count terms "
+    "vanish — the jsd identity); counts exact BIGINTs, sqrt terms "
+    "summed then round-6",
+)
+def hellinger_value_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import hellinger_drift
+
+    ev = load_events(spark, sf_dir)
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    return hellinger_drift(
+        ev.filter(F.col("ts") < cutoff),
+        ev.filter(F.col("ts") >= cutoff),
+        "value",
+        ["event_type"],
+        bin_width=25.0,
+    )
+
+
+@_q(
+    "cvm_value_drift",
+    """
+    WITH base AS (
+      SELECT CAST(isodow(ts) - 1 AS BIGINT) AS wd, value AS v,
+             (event_type = 'click') AS isa
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+    per_v AS (
+      SELECT wd, v,
+             SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS cb
+      FROM base GROUP BY wd, v),
+    c AS (
+      SELECT wd, v, ca, cb,
+             SUM(ca) OVER w AS cca, SUM(cb) OVER w AS ccb,
+             SUM(ca) OVER g AS na, SUM(cb) OVER g AS nb
+      FROM per_v
+      WINDOW w AS (PARTITION BY wd ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             g AS (PARTITION BY wd)),
+    t AS (
+      SELECT wd, na, nb,
+             CAST(ca + cb AS DOUBLE)
+               * (CAST(cca AS DOUBLE) / na - CAST(ccb AS DOUBLE) / nb)
+               * (CAST(cca AS DOUBLE) / na - CAST(ccb AS DOUBLE) / nb)
+               AS term
+      FROM c WHERE na > 0 AND nb > 0)
+    SELECT wd AS weekday, CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b,
+           ROUND(SUM(term)
+                 * (CAST(MAX(na) AS DOUBLE) * MAX(nb)
+                    / ((MAX(na) + MAX(nb)) * (MAX(na) + MAX(nb)))),
+                 6) AS cvm
+    FROM t GROUP BY wd ORDER BY wd
+    """,
+    doc="exact two-sample Cramér-von Mises drift per weekday, click "
+    "vs view values (operators/relational.py:cvm_two_sample) — the "
+    "whole-distribution companion to ks_value_drift over the SAME "
+    "framing: KS reads the single worst ECDF gap, CvM integrates the "
+    "squared gap over every pooled observation, so many-small-shifts "
+    "drift scores where KS barely moves. Identical machinery: "
+    "cumulative INTEGER counts over the distinct pooled values, "
+    "windows value-cardinality-sized, gap^2 terms summed then round-6",
+)
+def cvm_value_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import cvm_two_sample
+
+    ev = load_events(spark, sf_dir)
+    base = ev.select(
+        F.weekday("ts").cast("long").alias("weekday"),
+        "value",
+        "event_type",
+    )
+    return cvm_two_sample(
+        base, ["weekday"], "value", "event_type", "click", "view"
+    )
+
+
+@_q(
+    "heaps_law_docs",
+    """
+    WITH tp AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                 ' ')) AS tok
+        FROM documents)
+      WHERE tok <> ''),
+    b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM tp),
+    firsts AS (SELECT tok, MIN(doc_id) AS fd FROM tp GROUP BY 1),
+    vcp AS (
+      SELECT CASE WHEN hi = lo THEN 10
+                  ELSE GREATEST(1, LEAST(10,
+                    CAST(CEIL(((fd - lo) * 10) / (hi - lo))
+                         AS BIGINT))) END AS cp,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM firsts CROSS JOIN b GROUP BY 1),
+    ncp AS (
+      SELECT CASE WHEN hi = lo THEN 10
+                  ELSE GREATEST(1, LEAST(10,
+                    CAST(CEIL(((doc_id - lo) * 10) / (hi - lo))
+                         AS BIGINT))) END AS cp,
+             CAST(SUM(nt) AS BIGINT) AS n
+      FROM (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt
+            FROM tp GROUP BY 1) CROSS JOIN b
+      GROUP BY 1),
+    grid AS (
+      SELECT gs.cp,
+             CASE WHEN hi = lo THEN hi
+                  ELSE lo + CAST(FLOOR((gs.cp * (hi - lo)) / 10)
+                                 AS BIGINT) END AS id_hi
+      FROM (SELECT unnest(range(1, 11)) AS cp) gs CROSS JOIN b),
+    curve AS (
+      SELECT g.cp, g.id_hi,
+             SUM(COALESCE(v, 0)) OVER (ORDER BY g.cp) AS vocab_cum,
+             SUM(COALESCE(n, 0)) OVER (ORDER BY g.cp) AS n_tokens_cum
+      FROM grid g LEFT JOIN vcp USING (cp) LEFT JOIN ncp USING (cp)),
+    cnz AS (SELECT * FROM curve WHERE n_tokens_cum > 0),
+    fit AS (
+      SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM (SELECT LN(CAST(n_tokens_cum AS DOUBLE)) AS x,
+                   LN(CAST(vocab_cum AS DOUBLE)) AS y FROM cnz)),
+    f2 AS (
+      SELECT CASE WHEN k * sxx - sx * sx > 0
+                  THEN (k * sxy - sx * sy) / (k * sxx - sx * sx)
+             END AS beta, k, sx, sy
+      FROM fit)
+    SELECT CAST(cp AS BIGINT) AS checkpoint,
+           CAST(id_hi AS BIGINT) AS id_hi,
+           CAST(n_tokens_cum AS BIGINT) AS n_tokens_cum,
+           CAST(vocab_cum AS BIGINT) AS vocab_cum,
+           ROUND(beta, 6) AS heaps_beta,
+           ROUND(EXP((sy - beta * sx) / k), 6) AS heaps_k
+    FROM cnz CROSS JOIN f2 ORDER BY 1
+    """,
+    doc="Heaps'-law vocabulary-growth curve over the documents corpus "
+    "(operators/text.py:heaps_law, 10 checkpoints): V = k*N^beta "
+    "fitted in ln-space by OLS over the checkpoint frame. NO global "
+    "ordered scan — the doc-id range splits into equal-width cuts by "
+    "exact integer arithmetic off one min/max aggregate, each token's "
+    "FIRST-occurrence doc and each doc's token count bucket by pure "
+    "column arithmetic (ceil/floor spelled identically both engines — "
+    "a bare long cast would round in one engine and truncate in the "
+    "other), cumulative sums ride the K-row grid. The tokenizer-"
+    "sizing / synthetic-text readout next to zipf_vocab_fit",
+)
+def heaps_law_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import heaps_law
+
+    docs = load(spark, sf_dir, "documents")
+    return heaps_law(docs, "doc_id", "text", checkpoints=10)
+
+
+@_q(
+    "mask_profile_customers",
+    """
+    WITH m AS (
+      SELECT c_mktsegment,
+             CASE WHEN c_name IS NULL THEN '∅'
+                  ELSE regexp_replace(regexp_replace(regexp_replace(
+                         c_name, '[0-9]', '9', 'g'),
+                         '[a-z]', 'a', 'g'),
+                         '[A-Z]', 'A', 'g') END AS mask
+      FROM customer),
+    c AS (SELECT c_mktsegment, mask, CAST(COUNT(*) AS BIGINT) AS n
+          FROM m GROUP BY 1, 2),
+    r AS (
+      SELECT *, SUM(n) OVER (PARTITION BY c_mktsegment) AS tot,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY n DESC, mask) AS rk
+      FROM c)
+    SELECT c_mktsegment, mask, n,
+           ROUND(CAST(n AS DOUBLE) / tot, 6) AS share,
+           CAST(rk AS BIGINT) AS rank
+    FROM r WHERE rk <= 3 ORDER BY c_mktsegment, rank
+    """,
+    doc="format-mask frequency profile of customer names per segment "
+    "(operators/dq.py:mask_profile, Potter's-Wheel masks: digits->9, "
+    "lower->a, upper->A): the STRUCTURE rung of the DQ family — "
+    "catches a second format/ID scheme before any explicit rule "
+    "exists for it. One narrow regexp projection in the scan, one "
+    "(group, mask) aggregate, top-3 per group by count with the "
+    "mask-ascending deterministic tie-break",
+)
+def mask_profile_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dq import mask_profile
+
+    cust = load(spark, sf_dir, "customer")
+    return mask_profile(cust, ["c_mktsegment"], "c_name", top_n=3)
+
+
+@_q(
+    "digit_uniformity_prices",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority,
+             CAST(ABS(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS DECIMAL(18,0))) % 100 AS BIGINT) AS c,
+             CAST(COUNT(*) AS BIGINT) AS cn
+      FROM orders WHERE o_totalprice IS NOT NULL
+      GROUP BY 1, 2),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY cn DESC, c) AS r
+      FROM cells),
+    a AS (
+      SELECT o_orderpriority,
+             CAST(SUM(cn) AS BIGINT) AS n,
+             SUM(cn::HUGEINT * cn) AS q,
+             CAST(SUM(CASE WHEN c = 0 THEN cn ELSE 0 END)
+                  AS BIGINT) AS n00,
+             MAX(CASE WHEN r = 1 THEN c END) AS top_cell,
+             MAX(CASE WHEN r = 1 THEN cn END) AS topn
+      FROM rk GROUP BY 1)
+    SELECT o_orderpriority, n,
+           ROUND(CAST(CAST(q AS VARCHAR) AS DOUBLE) * 100.0 / n - n, 6)
+             AS chi2,
+           ROUND(n00 / CAST(n AS DOUBLE), 6) AS share_00,
+           CAST(top_cell AS BIGINT) AS top_cell,
+           ROUND(topn * 100.0 / n, 6) AS top_cell_lift
+    FROM a ORDER BY o_orderpriority
+    """,
+    doc="last-two-cent-digit uniformity chi2 per order priority "
+    "(operators/dq.py:digit_uniformity) — Benford's OTHER end: the "
+    "mantissa signature that catches hand-entered amounts (.00/.99 "
+    "spikes), single-seed synthetic data, and rounded re-imports, "
+    "none of which move the leading digit benford_price_digits "
+    "watches. Cents via the DECIMAL(18,2) cast (gini discipline), "
+    "chi2 = sum(obs^2)*100/n - n over exact DECIMAL(38,0)/HUGEINT "
+    "moments, plus the round-cents share and the top cell's lift vs "
+    "the uniform 1%",
+)
+def digit_uniformity_prices_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dq import digit_uniformity
+
+    orders = load(spark, sf_dir, "orders")
+    return digit_uniformity(orders, ["o_orderpriority"], "o_totalprice")
+
+
+@_q(
+    "did_event_value",
+    """
+    WITH base AS (
+      SELECT event_type, (user_id % 2 = 1) AS t,
+             (ts >= TIMESTAMP '2024-01-16') AS p,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    g AS (
+      SELECT event_type,
+        CAST(SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS ntp0,
+        SUM(CASE WHEN t AND NOT p THEN v::HUGEINT END) AS stp0,
+        SUM(CASE WHEN t AND NOT p THEN v::HUGEINT * v END) AS qtp0,
+        CAST(SUM(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT) AS ntp1,
+        SUM(CASE WHEN t AND p THEN v::HUGEINT END) AS stp1,
+        SUM(CASE WHEN t AND p THEN v::HUGEINT * v END) AS qtp1,
+        CAST(SUM(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END)
+             AS BIGINT) AS ncp0,
+        SUM(CASE WHEN NOT t AND NOT p THEN v::HUGEINT END) AS scp0,
+        SUM(CASE WHEN NOT t AND NOT p THEN v::HUGEINT * v END) AS qcp0,
+        CAST(SUM(CASE WHEN NOT t AND p THEN 1 ELSE 0 END)
+             AS BIGINT) AS ncp1,
+        SUM(CASE WHEN NOT t AND p THEN v::HUGEINT END) AS scp1,
+        SUM(CASE WHEN NOT t AND p THEN v::HUGEINT * v END) AS qcp1
+      FROM base GROUP BY 1),
+    m AS (
+      SELECT event_type, ntp0, ntp1, ncp0, ncp1,
+        (CASE WHEN ntp1 > 0 THEN
+           CAST(CAST(stp1 AS VARCHAR) AS DOUBLE) / ntp1 / 1000000.0 END
+         - CASE WHEN ntp0 > 0 THEN
+           CAST(CAST(stp0 AS VARCHAR) AS DOUBLE) / ntp0 / 1000000.0 END)
+        - (CASE WHEN ncp1 > 0 THEN
+           CAST(CAST(scp1 AS VARCHAR) AS DOUBLE) / ncp1 / 1000000.0 END
+         - CASE WHEN ncp0 > 0 THEN
+           CAST(CAST(scp0 AS VARCHAR) AS DOUBLE) / ncp0 / 1000000.0 END)
+          AS did,
+        SQRT(
+          CASE WHEN ntp1 > 1 THEN
+            CAST(CAST(ntp1::HUGEINT * qtp1 - stp1 * stp1 AS VARCHAR)
+                 AS DOUBLE)
+            / (CAST(ntp1 AS DOUBLE) * ntp1 * (ntp1 - 1))
+            / 1000000000000.0 END
+          + CASE WHEN ntp0 > 1 THEN
+            CAST(CAST(ntp0::HUGEINT * qtp0 - stp0 * stp0 AS VARCHAR)
+                 AS DOUBLE)
+            / (CAST(ntp0 AS DOUBLE) * ntp0 * (ntp0 - 1))
+            / 1000000000000.0 END
+          + CASE WHEN ncp1 > 1 THEN
+            CAST(CAST(ncp1::HUGEINT * qcp1 - scp1 * scp1 AS VARCHAR)
+                 AS DOUBLE)
+            / (CAST(ncp1 AS DOUBLE) * ncp1 * (ncp1 - 1))
+            / 1000000000000.0 END
+          + CASE WHEN ncp0 > 1 THEN
+            CAST(CAST(ncp0::HUGEINT * qcp0 - scp0 * scp0 AS VARCHAR)
+                 AS DOUBLE)
+            / (CAST(ncp0 AS DOUBLE) * ncp0 * (ncp0 - 1))
+            / 1000000000000.0 END) AS se
+      FROM g)
+    SELECT event_type,
+           ntp0 AS n_treat_pre, ntp1 AS n_treat_post,
+           ncp0 AS n_ctrl_pre, ncp1 AS n_ctrl_post,
+           ROUND(did, 6) AS did, ROUND(se, 6) AS se,
+           ROUND(CASE WHEN se > 0 THEN did / se END, 6) AS t_stat
+    FROM m ORDER BY event_type
+    """,
+    doc="difference-in-differences of event value per type across the "
+    "mid-month cutover, treatment = odd user ids "
+    "(operators/relational.py:diff_in_diff): (treat_post - treat_pre) "
+    "- (ctrl_post - ctrl_pre) with the 4-cell pooled SE — the "
+    "quasi-experimental rung next to cuped/ab_readout for when the "
+    "split is observed, not randomized. All 4 cells ride ONE "
+    "map-side-combined aggregate (conditional sums); micros BIGINTs, "
+    "DECIMAL(38,0)/HUGEINT moments, single double expressions",
+)
+def did_event_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import diff_in_diff
+
+    ev = load_events(spark, sf_dir)
+    frame = ev.select(
+        "event_type",
+        (F.col("user_id") % 2 == 1).alias("treat"),
+        (F.col("ts") >= F.lit("2024-01-16").cast("timestamp")).alias(
+            "post"
+        ),
+        "value",
+    )
+    return diff_in_diff(frame, ["event_type"], "treat", "post", "value")
+
+
+@_q(
+    "pinball_naive_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS mic
+      FROM events GROUP BY 1, 2),
+    lagd AS (
+      SELECT event_type, mic,
+             lag(mic) OVER (PARTITION BY event_type ORDER BY day)
+               AS fmic
+      FROM daily),
+    q AS (
+      SELECT event_type,
+             CAST(FLOOR((mic / 1000000.0) * 1000000 + 0.5) AS BIGINT)
+               AS a,
+             CAST(FLOOR((fmic / 1000000.0) * 1000000 + 0.5) AS BIGINT)
+               AS f
+      FROM lagd WHERE fmic IS NOT NULL),
+    fanned AS (
+      SELECT q.*, tau.tau, tau.pct
+      FROM q CROSS JOIN (VALUES (0.5, 50), (0.9, 90)) tau(tau, pct)),
+    l AS (
+      SELECT event_type, tau,
+             CASE WHEN a - f >= 0 THEN pct::HUGEINT * (a - f)
+                  ELSE (100 - pct)::HUGEINT * (f - a) END AS loss
+      FROM fanned)
+    SELECT event_type, tau, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(CAST(SUM(loss) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*) / 100.0 / 1000000.0, 6) AS pinball
+    FROM l GROUP BY 1, 2 ORDER BY event_type, tau
+    """,
+    doc="mean pinball (quantile) loss of the naive persistence "
+    "forecast (yesterday's daily value mass) at tau = 0.5 and 0.9 per "
+    "event type (operators/series.py:pinball_loss) — the scoring rule "
+    "for QUANTILE forecasts that forecast_scorecard's MAE/bias cannot "
+    "judge. Daily masses are exact micros BIGINTs; tau*100 is an "
+    "exact integer factor so every loss term is an exact BIGINT, "
+    "summed DECIMAL(38,0)/HUGEINT, ONE double division at the end; "
+    "the double round-trip micros -> dollars -> micros is replayed "
+    "IDENTICALLY in both engines",
+)
+def pinball_naive_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import pinball_loss
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+        ).cast("long").alias("mic")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = (
+        daily.withColumn("actual", F.col("mic") / 1e6)
+        .withColumn("forecast", F.lag("mic").over(w) / 1e6)
+        .filter(F.col("forecast").isNotNull())
+    )
+    return pinball_loss(
+        scored, ["event_type"], "actual", "forecast", (0.5, 0.9)
+    )
+
+
+@_q(
+    "mattr_docs",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               ' '), x -> len(x) > 0) AS l
+      FROM documents),
+    dn AS (SELECT doc_id, l, CAST(len(l) AS BIGINT) AS n
+           FROM docs WHERE len(l) > 0),
+    toks AS (
+      SELECT doc_id, unnest(l) AS tok,
+             unnest(range(1, len(l) + 1)) AS pos
+      FROM dn),
+    spans AS (
+      SELECT doc_id, unnest(range(1, CAST(n - 25 + 2 AS BIGINT))) AS s
+      FROM dn WHERE n > 25),
+    wins AS (
+      SELECT t.doc_id, s.s,
+             CAST(COUNT(DISTINCT t.tok) AS BIGINT) AS dcnt
+      FROM toks t JOIN spans s
+        ON s.doc_id = t.doc_id AND t.pos >= s.s AND t.pos < s.s + 25
+      GROUP BY 1, 2),
+    mv AS (SELECT doc_id, CAST(SUM(dcnt) AS BIGINT) AS sd
+           FROM wins GROUP BY 1),
+    ttr AS (
+      SELECT doc_id, n,
+             ROUND(CAST(len(list_distinct(l)) AS BIGINT)
+                   / CAST(n AS DOUBLE), 6) AS ttr
+      FROM dn)
+    SELECT ttr.doc_id, n AS n_tokens, ttr,
+           CASE WHEN n <= 25 THEN ttr
+                ELSE ROUND(sd / (CAST(n - 24 AS DOUBLE) * 25), 6)
+           END AS mattr
+    FROM ttr LEFT JOIN mv USING (doc_id)
+    """,
+    doc="Moving-Average Type-Token Ratio per document, window 25 "
+    "(operators/text.py:mattr, Covington & McFall 2010) — the "
+    "length-independent lexical-diversity feature next to "
+    "repetition_profile: raw TTR inevitably falls with length "
+    "(Heaps' law), MATTR averages every sliding 25-token span's TTR. "
+    "Spark side is ENTIRELY row-local higher-order array expressions "
+    "fused into the scan (zero shuffles, zero UDFs); the oracle "
+    "replays it as a position-range join + COUNT DISTINCT — a "
+    "genuinely different evaluation strategy, which is what makes "
+    "the cross-engine hash meaningful",
+)
+def mattr_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import mattr
+
+    docs = load(spark, sf_dir, "documents")
+    return mattr(docs, "doc_id", "text", window=25)

@@ -281,3 +281,86 @@ def calibration_report(
         )
         .orderBy("bin")
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    group_cols,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Cohen's kappa per group between two categorical labelings —
+    the chance-corrected agreement readout the classifier family
+    lacks: raw accuracy between a heuristic rule and the ground truth
+    (or two annotators, or two model versions) is inflated by
+    whatever both sides predict most; kappa subtracts the agreement
+    their marginals would produce by luck:
+
+        kappa = (p_o - p_e) / (1 - p_e)
+        p_o   = Σ_k n_kk / n
+        p_e   = Σ_k row_k · col_k / n²
+
+    The standard gate for "is this cheap label worth training on"
+    (kappa ≥ 0.6 ~ substantial, Landis & Koch).
+
+    Exactness: every count is a BIGINT off ONE (group, a, b) cell
+    aggregate; row/col marginals re-aggregate the CELL frame (label-
+    cardinality-sized, never fact-sized); the p_e cross-moment
+    accumulates DECIMAL(38,0) (row·col reaches n² — past int64 at
+    warehouse scale); p_o/p_e/kappa are single double expressions
+    over exact integers, round-6. Degenerate groups where p_e = 1
+    (both raters constant) emit NULL kappa. NULL labels on either
+    side are excluded.
+
+    Returns (group..., n BIGINT, observed_agreement, expected_agreement,
+    kappa).
+    """
+    keys = list(group_cols)
+    d38 = "decimal(38,0)"
+    base = df.filter(
+        F.col(rater_a_col).isNotNull() & F.col(rater_b_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(rater_a_col).cast("string").alias("__a"),
+        F.col(rater_b_col).cast("string").alias("__b"),
+    )
+    cells = base.groupBy(*keys, "__a", "__b").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    rows = cells.groupBy(*keys, "__a").agg(
+        F.sum("__c").cast("long").alias("__row")
+    )
+    cols = cells.groupBy(*keys, "__b").agg(
+        F.sum("__c").cast("long").alias("__col")
+    ).withColumnRenamed("__b", "__a")
+    cross = (
+        rows.join(cols, [*keys, "__a"], "inner")
+        .groupBy(*keys)
+        .agg(
+            F.sum(F.col("__row").cast(d38) * F.col("__col"))
+            .cast(d38)
+            .alias("__rc")
+        )
+    )
+    diag = cells.filter(F.col("__a") == F.col("__b")).groupBy(*keys).agg(
+        F.sum("__c").cast("long").alias("__diag")
+    )
+    tot = cells.groupBy(*keys).agg(F.sum("__c").cast("long").alias("n"))
+    g = (
+        tot.join(diag, keys, "left")
+        .join(cross, keys, "left")
+        .withColumn("__diag", F.coalesce(F.col("__diag"), F.lit(0)))
+        .withColumn("__rc", F.coalesce(F.col("__rc"), F.lit(0).cast(d38)))
+    )
+    po = F.col("__diag") / F.col("n")
+    pe = F.col("__rc").cast("double") / (
+        F.col("n").cast("double") * F.col("n")
+    )
+    kappa = F.when(pe < 1, (po - pe) / (1 - pe))
+    return g.select(
+        *keys,
+        "n",
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("expected_agreement"),
+        F.round(kappa, 6).alias("kappa"),
+    ).orderBy(*keys)

@@ -1032,3 +1032,104 @@ def neyman_allocation(
         .alias("alloc"),
     )
     return out.orderBy("stratum")
+
+
+def hellinger_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    group_cols: "Sequence[str] | None" = None,
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Hellinger / Bhattacharyya drift between a reference window and
+    the current one — the METRIC companion to psi_drift: PSI is the
+    monitoring convention (unbounded, epsilon-floored, reference-
+    quantile bins), Hellinger is a true bounded distance
+    (0 <= H <= 1, symmetric, triangle inequality) that needs NO
+    epsilon — disjoint support simply scores H = 1 — so it composes
+    into downstream math (mixture reweighting, drift budgets) where
+    PSI's floor distorts:
+
+        BC = Σ_bins sqrt(p_bin · q_bin)      (Bhattacharyya coefficient)
+        H  = sqrt(1 - BC)                     D_B = -ln(BC)
+
+    Bins are FIXED-WIDTH (the calibration_report discipline, not
+    PSI's reference quantiles): bin = floor(value / bin_width) on the
+    micros integers, so the bin grid is identical across runs,
+    engines, and windows — and only bins PRESENT IN BOTH windows
+    contribute to BC (terms with p or q = 0 vanish), so the pair join
+    is an INNER join on (group, bin), never a dense grid (the jsd
+    shared-support identity).
+
+    Exactness: counts are exact BIGINTs off one (group, bin)
+    aggregate per window; values quantize to micros and bin on
+    integer division (negative values are excluded — Hellinger here
+    is a distribution distance over a nonnegative measure; shift
+    upstream if needed); sqrt terms sum then round-6. Groups present
+    in both windows but sharing no bin emit BC = 0, H = 1, NULL
+    Bhattacharyya (-ln 0).
+
+    Plan: two map-side-combined (group, bin) aggregates + bin-
+    cardinality-sized joins. Nothing data-sized shuffles twice.
+
+    Returns (group..., n_ref BIGINT, n_cur BIGINT, bc, hellinger,
+    bhattacharyya).
+    """
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be > 0; got {bin_width}")
+    keys = list(group_cols or [])
+    wm = int(round(bin_width * 1_000_000))
+    if wm <= 0:
+        raise ValueError("bin_width must be >= 1e-6")
+    mic = F.floor(F.col(value_col) * 1_000_000 + F.lit(0.5)).cast("long")
+
+    def _cells(df: DataFrame, side: str) -> DataFrame:
+        binned = df.filter(
+            F.col(value_col).isNotNull() & (F.col(value_col) >= 0)
+        ).select(*keys, (mic / F.lit(wm)).cast("long").alias("__bin"))
+        return binned.groupBy(*keys, "__bin").agg(
+            F.count("*").cast("long").alias(f"__c_{side}")
+        )
+
+    ref = _cells(reference, "ref")
+    cur = _cells(current, "cur")
+    tot_r = ref.groupBy(*keys).agg(
+        F.sum("__c_ref").cast("long").alias("n_ref")
+    )
+    tot_c = cur.groupBy(*keys).agg(
+        F.sum("__c_cur").cast("long").alias("n_cur")
+    )
+    shared = (
+        ref.join(cur, [*keys, "__bin"])
+        .groupBy(*keys)
+        .agg(
+            F.sum(
+                F.sqrt(
+                    F.col("__c_ref").cast("double") * F.col("__c_cur")
+                )
+            ).alias("__s")
+        )
+    )
+    if keys:
+        joined = tot_r.join(tot_c, keys).join(shared, keys, "left")
+    else:
+        # global form: totals are 1-row frames; the shared frame can be
+        # EMPTY (no shared bin anywhere), so seat via an always-true
+        # LEFT join, not a crossJoin that would erase the row
+        joined = tot_r.crossJoin(tot_c).join(shared, F.lit(True), "left")
+    bc = F.coalesce(
+        F.col("__s") / F.sqrt(F.col("n_ref").cast("double") * F.col("n_cur")),
+        F.lit(0.0),
+    )
+    out = joined.select(
+        *keys,
+        "n_ref",
+        "n_cur",
+        F.round(bc, 6).alias("bc"),
+        F.round(F.sqrt(F.greatest(F.lit(0.0), 1.0 - bc)), 6).alias(
+            "hellinger"
+        ),
+        F.round(F.when(bc > 0, -F.log(bc)), 6).alias("bhattacharyya"),
+    )
+    # global (group_cols=None) form is a single row — nothing to order
+    return out.orderBy(*keys) if keys else out

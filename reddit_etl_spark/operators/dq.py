@@ -542,3 +542,142 @@ def profile_drift(
         )
         .orderBy("column")
     )
+
+
+def mask_profile(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    col: str,
+    top_n: int = 5,
+) -> DataFrame:
+    """Format-mask frequency profile of a string column — the
+    STRUCTURE rung of the DQ family: dq_report asserts explicit
+    expectations and profile_drift watches aggregates, but neither
+    answers "what SHAPES does this column actually contain" — the
+    question that catches a second date format, a stray scientific-
+    notation batch, or an ID scheme change before any rule exists for
+    it. Classic data-profiling masks (e.g. Potter's Wheel, Raman &
+    Hellerstein 2001):
+
+        digits -> 9,  lowercase -> a,  uppercase -> A
+        (everything else — punctuation, spaces — kept verbatim)
+
+    so 'Customer#000000001' profiles as 'Aaaaaaaa#999999999'. Top-N
+    masks per group by count (mask-ascending tie-break, the repo's
+    deterministic-rank convention), with exact share of the group's
+    non-NULL rows. NULL values profile as the sentinel mask '∅'.
+
+    Plan: one narrow regexp projection fused into the scan, one
+    (group, mask) map-side-combined aggregate, one per-group rank
+    window over the REDUCED mask frame (mask cardinality per group is
+    small by the nature of formatted columns — that's what makes the
+    profile readable). Returns (group..., mask, n BIGINT, share,
+    rank BIGINT).
+    """
+    if top_n < 1:
+        raise ValueError("mask_profile needs top_n >= 1")
+    keys = list(group_cols)
+    mask = F.when(
+        F.col(col).isNull(), F.lit("∅")
+    ).otherwise(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col(col).cast("string"), "[0-9]", "9"),
+                "[a-z]",
+                "a",
+            ),
+            "[A-Z]",
+            "A",
+        )
+    )
+    cells = df.select(*keys, mask.alias("mask")).groupBy(
+        *keys, "mask"
+    ).agg(F.count("*").cast("long").alias("n"))
+    kw = Window.partitionBy(*keys)
+    rw = Window.partitionBy(*keys).orderBy(F.desc("n"), F.asc("mask"))
+    return (
+        cells.withColumn("__tot", F.sum("n").over(kw))
+        .withColumn("rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            *keys,
+            "mask",
+            "n",
+            F.round(F.col("n") / F.col("__tot"), 6).alias("share"),
+            "rank",
+        )
+        .orderBy(*keys, "rank")
+    )
+
+
+def digit_uniformity(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Last-two-cent-digit uniformity test per group — Benford's
+    OTHER end: benford_digits checks the leading digit's logarithmic
+    law (scale-spanning natural data), this checks that the final
+    cents are UNIFORM over 00..99 — the mantissa signature that
+    catches hand-entered amounts (.00/.99 spikes), synthetic data
+    (one RNG seed), and rounded re-imports, none of which move the
+    leading digit:
+
+        chi2 = Σ_{c=0..99} (obs_c - n/100)^2 / (n/100)    (99 df)
+
+    plus the round-cents share (cents ending 00) and the single most
+    over-represented cell with its lift vs the uniform 1% — the
+    actionable readout ("42% of refunds end .99").
+
+    Exactness: cents come from the DECIMAL(18,2) cast (the gini
+    discipline — double*100 truncation differs across engines), cell
+    counts are BIGINTs off one (group, cell) aggregate, chi2 is one
+    double expression over exact integers (algebraically
+    Σ obs²·100/n - n, computed in DECIMAL(38,0) before ONE division),
+    round-6. NULL values are excluded; negatives take their absolute
+    cents (sign carries no mantissa information).
+
+    Plan: one map-side-combined (group, cents%100) aggregate — at
+    most 100 cells per group — then a 100-cell rollup. Scan-bound.
+
+    Returns (group..., n BIGINT, chi2, share_00, top_cell BIGINT,
+    top_cell_lift).
+    """
+    keys = list(group_cols)
+    d38 = "decimal(38,0)"
+    cents = F.pmod(
+        F.abs(
+            (F.col(value_col).cast("decimal(18,2)") * 100).cast(
+                "decimal(18,0)"
+            )
+        ),
+        F.lit(100).cast("decimal(18,0)"),
+    ).cast("long")
+    cells = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, cents.alias("__c"))
+        .groupBy(*keys, "__c")
+        .agg(F.count("*").cast("long").alias("__n"))
+    )
+    rw = Window.partitionBy(*keys).orderBy(F.desc("__n"), F.asc("__c"))
+    ranked = cells.withColumn("__rk", F.row_number().over(rw))
+    agg = ranked.groupBy(*keys).agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.sum(F.col("__n").cast(d38) * F.col("__n")).cast(d38).alias("__q"),
+        F.sum(F.when(F.col("__c") == 0, F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("__n00"),
+        F.max(F.when(F.col("__rk") == 1, F.col("__c"))).alias("top_cell"),
+        F.max(F.when(F.col("__rk") == 1, F.col("__n"))).alias("__topn"),
+    )
+    chi2 = (F.col("__q").cast("double") * 100.0 / F.col("n")) - F.col("n")
+    return agg.select(
+        *keys,
+        "n",
+        F.round(chi2, 6).alias("chi2"),
+        F.round(F.col("__n00") / F.col("n"), 6).alias("share_00"),
+        F.col("top_cell").cast("long").alias("top_cell"),
+        F.round(F.col("__topn") * 100.0 / F.col("n"), 6).alias(
+            "top_cell_lift"
+        ),
+    ).orderBy(*keys)

@@ -1186,11 +1186,94 @@ def ks_two_sample(
     )
 
 
+def cvm_two_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    side_col: str,
+    side_a,
+    side_b,
+) -> DataFrame:
+    """EXACT two-sample Cramér-von Mises statistic per group — the
+    whole-distribution companion to ks_two_sample: KS reads the single
+    WORST ECDF gap (sensitive to one sharp local shift, blind to many
+    small ones); CvM integrates the SQUARED gap over every pooled
+    observation, so a distribution that drifts a little everywhere —
+    the typical upstream-rescaling bug — scores where KS barely moves:
+
+        T = n·m/(n+m)^2 · Σ_z (F_a(z) - F_b(z))^2
+
+    summed over ALL pooled observations z WITH multiplicity (the
+    discrete two-sample form; on the reduced frame each distinct
+    value contributes count · gap^2). Tie-safe by construction: both
+    ECDFs step on the same distinct-value grid.
+
+    Exactness: the ks_two_sample discipline verbatim — cumulative
+    INTEGER counts over the distinct pooled values, one double
+    division per side per value, gap^2 terms summed then rounded 6.
+    One-sided groups are excluded (no defined statistic). Plan: one
+    map-side-combined (group, value) aggregate, cumulative windows
+    over that REDUCED frame, one final rollup — windows are
+    value-cardinality-sized, never fact-sized.
+
+    Returns (group..., n_a BIGINT, n_b BIGINT, cvm).
+    """
+    keys = list(group_cols)
+    s = F.col(side_col)
+    base = df.filter(
+        F.col(value_col).isNotNull() & s.isin([side_a, side_b])
+    ).select(
+        *keys,
+        F.col(value_col).alias("__v"),
+        (s == F.lit(side_a)).alias("__isa"),
+    )
+    per_v = base.groupBy(*keys, "__v").agg(
+        F.sum(F.col("__isa").cast("long")).alias("__ca"),
+        F.sum((~F.col("__isa")).cast("long")).alias("__cb"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kw = Window.partitionBy(*keys)
+    c = (
+        per_v.withColumn("__cca", F.sum("__ca").over(w))
+        .withColumn("__ccb", F.sum("__cb").over(w))
+        .withColumn("__na", F.sum("__ca").over(kw))
+        .withColumn("__nb", F.sum("__cb").over(kw))
+        .filter((F.col("__na") > 0) & (F.col("__nb") > 0))
+    )
+    gap = F.col("__cca") / F.col("__na") - F.col("__ccb") / F.col("__nb")
+    term = (F.col("__ca") + F.col("__cb")).cast("double") * gap * gap
+    return (
+        c.groupBy(*keys)
+        .agg(
+            F.max("__na").cast("long").alias("n_a"),
+            F.max("__nb").cast("long").alias("n_b"),
+            F.round(
+                F.sum(term)
+                * (
+                    F.max("__na").cast("double")
+                    * F.max("__nb")
+                    / (
+                        (F.max("__na") + F.max("__nb"))
+                        * (F.max("__na") + F.max("__nb"))
+                    )
+                ),
+                6,
+            ).alias("cvm"),
+        )
+        .orderBy(*keys)
+    )
+
+
 def theil_sen(
     df: DataFrame,
     group_cols: Sequence[str],
     x_col: str,
     y_col: str,
+    max_group_rows: int | None = None,
 ) -> DataFrame:
     """Per-group Theil-Sen robust trend: slope = MEDIAN of all
     pairwise slopes (y_j - y_i)/(x_j - x_i), intercept = median of
@@ -1213,6 +1296,15 @@ def theil_sen(
 
     Returns group_cols + (n BIGINT, n_pairs BIGINT, slope,
     intercept).
+
+    ``max_group_rows`` (round 10, the kendall_tau pair-stage audit):
+    exact Theil-Sen is irreducibly a median over C(n, 2) pair slopes
+    — no subquadratic exact lane exists — so the operator-owned guard
+    here is FAIL-FAST: a group larger than the cap raises (naming the
+    group size) instead of silently emitting its quadratic pair
+    frame. The check rides a count window on the same key partition
+    the pair join shuffles on. Default None preserves the bounded-
+    rollup contract the oracle pins.
     """
     keys = list(group_cols)
     x = F.col(x_col).cast("double")
@@ -1220,6 +1312,29 @@ def theil_sen(
     base = df.filter(x.isNotNull() & y.isNotNull()).select(
         *keys, x.alias("__x"), y.alias("__y")
     )
+    if max_group_rows is not None:
+        gw = Window.partitionBy(*keys)
+        base = (
+            base.withColumn("__gn", F.count("*").over(gw))
+            .withColumn(
+                "__x",
+                F.when(
+                    F.col("__gn") <= max_group_rows, F.col("__x")
+                ).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "theil_sen: group exceeds max_group_rows "
+                                f"({max_group_rows}); feed a bounded "
+                                "rollup — size "
+                            ),
+                            F.col("__gn").cast("string"),
+                        )
+                    )
+                ),
+            )
+            .drop("__gn")
+        )
     a = base.select(*keys, F.col("__x").alias("__xa"), F.col("__y").alias("__ya"))
     b = base.select(*keys, F.col("__x").alias("__xb"), F.col("__y").alias("__yb"))
     pairs = a.join(b, keys).filter(F.col("__xa") < F.col("__xb"))
@@ -1423,6 +1538,115 @@ def km_survival(
         F.col("__c").cast("long").alias("n_censored"),
         surv.alias("survival"),
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    duration_col: str,
+    observed_col: str,
+    side_col: str,
+    side_a,
+    side_b,
+) -> DataFrame:
+    """Two-sample log-rank test per group — the INFERENCE rung of the
+    survival family: km_survival/nelson_aalen DRAW the two curves;
+    this says whether they differ beyond chance, correctly using
+    right-censored subjects for as long as they were at risk (a
+    t-test on durations would treat censored lifetimes as deaths).
+
+    At each distinct pooled event time t (hypergeometric under H0):
+
+        E1_t = d_t · n1_t / n_t
+        V_t  = d_t · (n1_t/n_t) · (1 - n1_t/n_t) · (n_t - d_t)/(n_t - 1)
+        chi2 = (Σ_t (d1_t - E1_t))^2 / Σ_t V_t      (1 df)
+
+    d = events at t, n = at risk entering t, side-1 = ``side_a``;
+    V_t contributes 0 where n_t <= 1 (the standard convention).
+
+    Exactness: every d/n is an exact BIGINT off ONE (group, side,
+    duration) aggregate; the at-risk series ride cumulative windows
+    over the REDUCED distinct-duration frame (the km/nelson-aalen
+    shape — value-cardinality-sized, never subject-sized); E/V are
+    single double expressions over exact integers, summed then
+    rounded 6. Groups where either side has no subjects are excluded.
+
+    Returns (group..., n_a BIGINT, n_b BIGINT, events_a BIGINT,
+    events_b BIGINT, expected_a, chi2) — compare chi2 against the
+    1-df quantile (3.841 at alpha 0.05).
+    """
+    keys = list(group_cols)
+    s = F.col(side_col)
+    base = df.filter(
+        F.col(duration_col).isNotNull()
+        & F.col(observed_col).isNotNull()
+        & s.isin([side_a, side_b])
+    ).select(
+        *keys,
+        F.col(duration_col).alias("__t"),
+        F.col(observed_col).cast("boolean").alias("__obs"),
+        (s == F.lit(side_a)).alias("__isa"),
+    )
+    per_t = base.groupBy(*keys, "__t").agg(
+        F.sum((F.col("__isa") & F.col("__obs")).cast("long")).alias("__d1"),
+        F.sum((~F.col("__isa") & F.col("__obs")).cast("long")).alias("__d2"),
+        F.sum(F.col("__isa").cast("long")).alias("__l1"),
+        F.sum((~F.col("__isa")).cast("long")).alias("__l2"),
+    )
+    kw = Window.partitionBy(*keys)
+    wprev = (
+        Window.partitionBy(*keys)
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = (
+        per_t.withColumn("__Na", F.sum("__l1").over(kw))
+        .withColumn("__Nb", F.sum("__l2").over(kw))
+        .withColumn(
+            "__n1",
+            F.col("__Na")
+            - F.coalesce(F.sum("__l1").over(wprev), F.lit(0)),
+        )
+        .withColumn(
+            "__n2",
+            F.col("__Nb")
+            - F.coalesce(F.sum("__l2").over(wprev), F.lit(0)),
+        )
+        .filter((F.col("__Na") > 0) & (F.col("__Nb") > 0))
+    )
+    d = F.col("__d1") + F.col("__d2")
+    n = F.col("__n1") + F.col("__n2")
+    p1 = F.col("__n1") / n
+    e1 = d * p1
+    v = F.when(
+        n > 1,
+        d * p1 * (1 - p1) * (n - d) / (n - 1),
+    ).otherwise(F.lit(0.0))
+    agg = c.groupBy(*keys).agg(
+        F.max("__Na").cast("long").alias("n_a"),
+        F.max("__Nb").cast("long").alias("n_b"),
+        F.sum("__d1").cast("long").alias("events_a"),
+        F.sum("__d2").cast("long").alias("events_b"),
+        F.sum(e1).alias("__e1"),
+        F.sum(F.col("__d1") - e1).alias("__ome"),
+        F.sum(v).alias("__v"),
+    )
+    chi2 = F.when(
+        F.col("__v") > 0,
+        F.col("__ome") * F.col("__ome") / F.col("__v"),
+    )
+    out = agg.select(
+        *keys,
+        "n_a",
+        "n_b",
+        "events_a",
+        "events_b",
+        F.round(F.col("__e1"), 6).alias("expected_a"),
+        F.round(chi2, 6).alias("chi2"),
+    )
+    # keys may be empty (one global two-curve test) — orderBy() with
+    # zero columns is an error, and a 1-row frame needs no order
+    return out.orderBy(*keys) if keys else out
 
 
 def gini_coefficient(
@@ -1937,6 +2161,109 @@ def cuped_readout(
         F.when(both, F.round(adj_b - adj_a, 6)).alias("diff_adj"),
         F.round(vr, 6).alias("var_reduction"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    treat_col: str,
+    post_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Difference-in-differences estimator per group — the
+    quasi-experimental rung of the A/B family: cuped/ab_readout need
+    a RANDOMIZED split; DiD estimates a treatment effect when the
+    split is merely OBSERVED (a feature shipped to one cohort, a
+    policy hit one region), by differencing out both the stable
+    cohort gap and the common time trend:
+
+        DiD = (ȳ_t,post - ȳ_t,pre) - (ȳ_c,post - ȳ_c,pre)
+        SE  = sqrt( Σ_cells s²_cell / n_cell )     (4 independent cells)
+
+    (the classic 2x2 form; the parallel-trends assumption is the
+    caller's to defend — this computes the estimate and its error.)
+
+    Exactness: the burstiness/power_mde discipline — values quantize
+    to micros BIGINTs (floor(v·1e6 + 0.5)), per-cell n/Σ/Σ² accumulate
+    BIGINT/DECIMAL(38,0) inside ONE map-side-combined aggregate
+    (cells are conditional sums, not separate jobs), means and
+    variances are single double expressions over exact integers,
+    round-6 output. Groups missing any of the 4 cells (or with any
+    single-row cell, which has no variance) emit NULL se/t_stat but
+    keep the point estimate when all 4 means exist.
+
+    Returns (group..., n_treat_pre, n_treat_post, n_ctrl_pre,
+    n_ctrl_post, did, se, t_stat).
+    """
+    keys = list(group_cols)
+    mic = F.floor(F.col(value_col) * 1_000_000 + F.lit(0.5)).cast("long")
+    t = F.col(treat_col).cast("boolean")
+    p = F.col(post_col).cast("boolean")
+    base = df.filter(
+        F.col(value_col).isNotNull() & t.isNotNull() & p.isNotNull()
+    ).select(*keys, t.alias("__t"), p.alias("__p"), mic.alias("__v"))
+    d38 = "decimal(38,0)"
+
+    def cell(tv: bool, pv: bool, tag: str):
+        inn = F.col("__t").eqNullSafe(F.lit(tv)) & F.col("__p").eqNullSafe(
+            F.lit(pv)
+        )
+        return [
+            F.sum(F.when(inn, 1).otherwise(0)).cast("long").alias(f"__n{tag}"),
+            F.sum(F.when(inn, F.col("__v"))).cast(d38).alias(f"__s{tag}"),
+            F.sum(
+                F.when(
+                    inn,
+                    F.col("__v").cast(d38) * F.col("__v"),
+                )
+            ).cast(d38).alias(f"__q{tag}"),
+        ]
+
+    aggs = (
+        cell(True, False, "tp0")
+        + cell(True, True, "tp1")
+        + cell(False, False, "cp0")
+        + cell(False, True, "cp1")
+    )
+    g = base.groupBy(*keys).agg(*aggs)
+
+    def mean(tag):
+        return F.when(
+            F.col(f"__n{tag}") > 0,
+            F.col(f"__s{tag}").cast("double")
+            / F.col(f"__n{tag}")
+            / 1e6,
+        )
+
+    def var_over_n(tag):
+        n = F.col(f"__n{tag}")
+        # s^2/n = (nQ - S^2) / (n^2 (n-1)) in micros^2 -> /1e12
+        return F.when(
+            n > 1,
+            (
+                n.cast(d38) * F.col(f"__q{tag}")
+                - F.col(f"__s{tag}") * F.col(f"__s{tag}")
+            ).cast("double")
+            / (n.cast("double") * n * (n - 1))
+            / 1e12,
+        )
+    did = (mean("tp1") - mean("tp0")) - (mean("cp1") - mean("cp0"))
+    se = F.sqrt(
+        var_over_n("tp1")
+        + var_over_n("tp0")
+        + var_over_n("cp1")
+        + var_over_n("cp0")
+    )
+    return g.select(
+        *keys,
+        F.col("__ntp0").alias("n_treat_pre"),
+        F.col("__ntp1").alias("n_treat_post"),
+        F.col("__ncp0").alias("n_ctrl_pre"),
+        F.col("__ncp1").alias("n_ctrl_post"),
+        F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(F.when(se > 0, did / se), 6).alias("t_stat"),
+    ).orderBy(*keys)
 
 
 def anova_oneway(

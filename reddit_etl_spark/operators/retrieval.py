@@ -490,3 +490,95 @@ def mmr_rerank(
         F.col("relevance").cast("double"),
         F.round(F.col("mmr_score").cast("double"), 6).alias("mmr_score"),
     ).orderBy("rank")
+
+
+def rbo_suffix_weights(p: float, k: int) -> list[float]:
+    """Suffix sums W[m] = sum_{d=m..k} p^(d-1)/d of the truncated RBO
+    weight series, computed once driver-side and injected as literals
+    into BOTH engines (the NORMAL_QUANTILES discipline — no pow() in
+    either plan, so cross-engine pow ulps can't exist)."""
+    w = [p ** (d - 1) / d for d in range(1, k + 1)]
+    out = [0.0] * (k + 1)
+    for m in range(k - 1, -1, -1):
+        out[m] = out[m + 1] + w[m]
+    return out[:k]  # out[m-1] = W[m] 1-indexed via element_at
+
+
+def rbo_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: "Sequence[str]",
+    id_col: str,
+    rank_col: str,
+    p: float = 0.9,
+    k: int = 20,
+) -> DataFrame:
+    """Rank-Biased Overlap (Webber, Moffat & Zobel 2010) between two
+    top-k rankings per group — the rank-similarity readout the
+    retrieval-eval family lacks: search_eval's nDCG/recall judge a
+    ranking against RELEVANCE labels; RBO compares two RANKINGS
+    against each other (BM25 vs embedding retrieval, yesterday's vs
+    today's index, two model versions) with top-weighted emphasis.
+
+    Truncated (depth-k) base form:
+
+        RBO = (1 - p) · Σ_{d=1..k} p^(d-1) · |A_d ∩ B_d| / d
+
+    rewritten per SHARED item: an id at ranks (ra, rb) enters every
+    prefix d >= m = max(ra, rb), so its total contribution is the
+    suffix weight W[m] = Σ_{d=m..k} p^(d-1)/d — computed driver-side
+    and injected as ≤k double literals into both engines (no pow in
+    any plan; see ``rbo_suffix_weights``). This is the lower-bound
+    (RBO_min-style) truncation: unseen tails contribute 0, so scores
+    are conservative and engine-exact.
+
+    Distributed shape: both inputs filter to rank <= k (k-row frames
+    per group — the caller's rankings are top-k by construction), one
+    equi-join on (group, id) finds shared items, one element_at
+    against the literal weight array prices each, one rollup. Groups
+    present in BOTH inputs but sharing nothing emit rbo = 0.0 (seated
+    from the per-side totals, the jsd absence discipline). Exactness:
+    ranks are integers; the only floats are the injected literals,
+    summed then round-6.
+
+    Returns (group..., n_a BIGINT, n_b BIGINT, overlap_k BIGINT, rbo).
+    """
+    if not (0.0 < p < 1.0):
+        raise ValueError(f"p must be in (0,1); got {p}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    keys = list(group_cols)
+    weights = F.array(*[F.lit(w) for w in rbo_suffix_weights(p, k)])
+    fa = a.filter(F.col(rank_col) <= k).select(
+        *keys, F.col(id_col).alias("__id"), F.col(rank_col).alias("__ra")
+    )
+    fb = b.filter(F.col(rank_col) <= k).select(
+        *keys, F.col(id_col).alias("__id"), F.col(rank_col).alias("__rb")
+    )
+    shared = (
+        fa.join(fb, [*keys, "__id"])
+        .withColumn("__m", F.greatest("__ra", "__rb").cast("int"))
+        .groupBy(*keys)
+        .agg(
+            F.count("*").cast("long").alias("overlap_k"),
+            F.sum(F.element_at(weights, F.col("__m"))).alias("__s"),
+        )
+    )
+    ta = fa.groupBy(*keys).agg(F.count("*").cast("long").alias("n_a"))
+    tb = fb.groupBy(*keys).agg(F.count("*").cast("long").alias("n_b"))
+    return (
+        ta.join(tb, keys)
+        .join(shared, keys, "left")
+        .select(
+            *keys,
+            "n_a",
+            "n_b",
+            F.coalesce(F.col("overlap_k"), F.lit(0).cast("long")).alias(
+                "overlap_k"
+            ),
+            F.round(
+                F.lit(1.0 - p) * F.coalesce(F.col("__s"), F.lit(0.0)), 6
+            ).alias("rbo"),
+        )
+        .orderBy(*keys)
+    )

@@ -1726,3 +1726,191 @@ def power_mde(
             F.when(mean != 0, mde / mean), 6
         ).alias("mde_rel"),
     ).orderBy(*keys)
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    t_col: str,
+    v_col: str,
+    pairs: str = "auto",
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per group — the
+    DIRECTION-inference rung of the trend family: theil_sen/
+    daily_trend_slope estimate HOW STEEP, this says whether a
+    monotonic trend EXISTS at all, distribution-free and robust to
+    any monotone transform of the values:
+
+        S      = Σ_{i<j, by time} sgn(v_j - v_i)   (= C - D)
+        Var(S) = [n(n-1)(2n+5) - Σ_ties t(t-1)(2t+5)] / 18
+        z      = (S∓1)/sqrt(Var)  (continuity-corrected; 0 at S=0)
+
+    with the standard tie correction over the VALUE tie groups.
+
+    Reuses the kendall_tau pair machinery outright (S is kendall's
+    C - D with x = time), so it inherits BOTH lanes and the shared
+    guard for free: ``pairs='auto'`` rides the within-group pair join
+    below scale_lanes.PAIR_LANE_MAX_GROUP_ROWS and the Knight
+    O(n log n) inversion kernel above it — no new quadratic enters
+    the repo with this operator.
+
+    Contract: ``t_col``/``v_col`` must be INTEGRAL columns (feed a
+    rollup key and an integer measure; cast dates via datediff) — the
+    tie-correction aggregate must count ties on exactly the values
+    the pair stage compared, and the integral lane makes that
+    identity trivial instead of duplicating the micros quantization.
+    Timestamps must be UNIQUE within each group (it is a TIME series)
+    — duplicate times raise rather than silently miscounting S.
+    Exactness: S and both tie sums are exact integers (cubic terms in
+    DECIMAL(38,0) — n^3 passes int64 at n ~ 2e6); Var/z are single
+    double expressions over them, round-6. ``trend`` is the 5%
+    two-sided readout (|z| > 1.959963984540054, the injected
+    NORMAL_QUANTILES constant).
+
+    Returns (group..., n BIGINT, s_stat BIGINT, var_s, z, trend).
+    """
+    keys = list(group_cols)
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    for c in (t_col, v_col):
+        if not isinstance(df.schema[c].dataType, integral):
+            raise ValueError(
+                f"mann_kendall_trend needs integral columns; {c} is "
+                f"{df.schema[c].dataType.simpleString()} — feed a rollup "
+                "(cast dates with datediff, quantize measures upstream)"
+            )
+    d38 = "decimal(38,0)"
+    kt = kendall_tau(df, keys, t_col, v_col, pairs=pairs)
+    base = df.filter(
+        F.col(t_col).isNotNull() & F.col(v_col).isNotNull()
+    ).select(*keys, F.col(t_col).alias("__t"), F.col(v_col).alias("__v"))
+
+    def _tie_cubic(col, alias):
+        t = F.col("__c").cast(d38)
+        return (
+            base.groupBy(*keys, col)
+            .agg(F.count("*").cast("long").alias("__c"))
+            .groupBy(*keys)
+            .agg(
+                F.sum(t * (t - 1) * (2 * t + 5)).cast(d38).alias(alias),
+                F.sum(
+                    (F.col("__c") * (F.col("__c") - 1) / 2).cast("long")
+                ).alias(f"{alias}_pairs"),
+            )
+        )
+
+    vt = _tie_cubic("__v", "__tv").drop("__tv_pairs")
+    tt = _tie_cubic("__t", "__tt")
+    n = F.col("n").cast(d38)
+    var_s = (
+        (n * (n - 1) * (2 * n + 5) - F.col("__tv")).cast("double") / 18.0
+    )
+    s = F.col("concordant") - F.col("discordant")
+    z = F.when(
+        F.col("var_s") > 0,
+        F.when(s > 0, (s - 1) / F.sqrt(F.col("var_s")))
+        .when(s < 0, (s + 1) / F.sqrt(F.col("var_s")))
+        .otherwise(F.lit(0.0)),
+    )
+    zcrit = NORMAL_QUANTILES[0.975]
+    # the duplicate-time guard rides the var_s output column itself —
+    # a standalone guard column would be PRUNED by the optimizer and
+    # raise_error would never evaluate (the HT rate-guard pattern)
+    guarded_var = F.when(F.col("__tt_pairs") == 0, F.round(var_s, 6)).otherwise(
+        F.raise_error(
+            F.lit(
+                "mann_kendall_trend: duplicate timestamps within "
+                "a group — aggregate to one row per time first"
+            )
+        )
+    )
+    joined = (
+        kt.join(vt, keys)
+        .join(tt, keys)
+        .withColumn("var_s", guarded_var)
+        .withColumn("__z", F.round(z, 6))
+    )
+    trend = F.when(
+        F.col("__z").isNull(), F.lit(None).cast("string")
+    ).when(F.col("__z") > zcrit, F.lit("increasing")).when(
+        F.col("__z") < -zcrit, F.lit("decreasing")
+    ).otherwise(F.lit("no_trend"))
+    return joined.select(
+        *keys,
+        "n",
+        s.cast("long").alias("s_stat"),
+        "var_s",
+        F.col("__z").alias("z"),
+        trend.alias("trend"),
+    ).orderBy(*keys)
+
+
+def pinball_loss(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    actual_col: str,
+    forecast_col: str,
+    quantiles: Sequence[float] = (0.5, 0.9),
+) -> DataFrame:
+    """Mean pinball (quantile) loss per group and quantile level — the
+    scoring rule for QUANTILE forecasts, which forecast_scorecard's
+    MAE/MAPE/bias cannot judge (a P90 capacity forecast SHOULD
+    over-predict; pinball charges tau·under vs (1-tau)·over so the
+    optimal forecast IS the tau-quantile):
+
+        L_tau = mean( tau·(a - f)        if a >= f
+                      (1 - tau)·(f - a)  otherwise )
+
+    Exactness: actual/forecast quantize to micros BIGINTs; tau must
+    have at most 2 decimals (raised otherwise) so tau·100 is an exact
+    integer factor — each loss term is then an exact BIGINT
+    (tau_pct · diff_micros), summed in DECIMAL(38,0), and the mean is
+    ONE double division (/(n·100·1e6)), round-6. One map-side-combined
+    aggregate; rows fan x|quantiles| before the combine (bounded
+    literal factor, like the bootstrap's B).
+
+    Returns (group..., tau, n BIGINT, pinball).
+    """
+    keys = list(group_cols)
+    qs = list(quantiles)
+    if not qs:
+        raise ValueError("pinball_loss needs at least one quantile")
+    for q in qs:
+        if not (0 < q < 1) or round(q * 100) != q * 100:
+            raise ValueError(
+                f"quantiles must be 2-decimal values in (0,1); got {q}"
+            )
+    a = F.floor(F.col(actual_col) * 1_000_000 + F.lit(0.5)).cast("long")
+    fc = F.floor(F.col(forecast_col) * 1_000_000 + F.lit(0.5)).cast("long")
+    tau_structs = F.array(
+        *[
+            F.struct(
+                F.lit(float(q)).alias("tau"),
+                F.lit(int(round(q * 100))).alias("pct"),
+            )
+            for q in qs
+        ]
+    )
+    base = (
+        df.filter(
+            F.col(actual_col).isNotNull() & F.col(forecast_col).isNotNull()
+        )
+        .select(*keys, a.alias("__a"), fc.alias("__f"))
+        .withColumn("__q", F.explode(tau_structs))
+    )
+    diff = F.col("__a") - F.col("__f")
+    pct = F.col("__q.pct")
+    loss = F.when(diff >= 0, pct * diff).otherwise((100 - pct) * (-diff))
+    return (
+        base.groupBy(*keys, F.col("__q.tau").alias("tau"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(
+                F.sum(loss.cast("decimal(38,0)")).cast("double")
+                / F.count("*")
+                / 100.0
+                / 1e6,
+                6,
+            ).alias("pinball"),
+        )
+        .orderBy(*keys, "tau")
+    )

@@ -1509,3 +1509,219 @@ def jsd_source_divergence(
         F.round(jsd, 6).alias("jsd_nats"),
         F.round(jsd / ln2, 6).alias("jsd_norm"),
     ).orderBy("source_a", "source_b")
+
+
+def heaps_law(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    checkpoints: int = 10,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve + fitted exponent over a
+    corpus — the GROWTH companion to zipf_fit's static rank law: Zipf
+    says how mass concentrates in the vocabulary you have; Heaps
+    (V = k·N^beta, beta ~ 0.4-0.6 for natural language) says how fast
+    NEW vocabulary keeps arriving — the readout behind tokenizer
+    sizing ("how big must the BPE vocab be at 10x the corpus") and
+    synthetic-data detection (template text flattens beta).
+
+    Distributed shape — NO global ordered scan: the doc-id range
+    [min, max] splits into ``checkpoints`` equal-width cuts (exact
+    integer arithmetic off one min/max aggregate); each token's
+    FIRST-occurrence doc (one min per token) and each doc's token
+    count bucket to their checkpoint index by pure column arithmetic;
+    V(c)/N(c) are then cumulative sums over the checkpoint-count
+    frame (a K-row window, bounded by construction). The beta/k fit
+    is one OLS in ln-space over the K checkpoint rows, broadcast back
+    (the zipf_fit discipline).
+
+    Exactness: every count is an exact BIGINT; ln sums are K-sized;
+    fit and curve values round to 6. Checkpoints with zero cumulative
+    tokens (empty id-range prefix) are excluded from both the output
+    and the fit (ln 0). A degenerate id range (min = max) puts
+    everything in checkpoint ``checkpoints``.
+
+    Returns (checkpoint BIGINT, id_hi BIGINT, n_tokens_cum BIGINT,
+    vocab_cum BIGINT, heaps_beta, heaps_k) — one row per non-empty
+    checkpoint, the fitted constants repeated on each (1-row
+    broadcast).
+    """
+    if checkpoints < 2:
+        raise ValueError("heaps_law needs checkpoints >= 2")
+    k_cp = checkpoints
+    toks = F.explode(F.split(normalize_text_col(text_col), " ")).alias(
+        "__tok"
+    )
+    pairs = (
+        df.select(F.col(id_col).alias("__id"), toks)
+        .filter(F.length("__tok") > 0)
+    )
+    bounds = pairs.agg(
+        F.min("__id").alias("__lo"), F.max("__id").alias("__hi")
+    )
+
+    def _cp(idcol):
+        # smallest i in 1..K with lo + (i*(hi-lo)) div K >= id ==
+        # ceil((id-lo)*K / (hi-lo)), clamped to [1, K]
+        span = F.col("__hi") - F.col("__lo")
+        return F.when(span == 0, F.lit(k_cp)).otherwise(
+            F.greatest(
+                F.lit(1),
+                F.least(
+                    F.lit(k_cp),
+                    F.ceil((idcol - F.col("__lo")) * k_cp / span),
+                ),
+            )
+        ).cast("long")
+
+    first = pairs.groupBy("__tok").agg(F.min("__id").alias("__fd"))
+    v_per = (
+        first.crossJoin(F.broadcast(bounds))
+        .select(_cp(F.col("__fd")).alias("__cp"))
+        .groupBy("__cp")
+        .agg(F.count("*").cast("long").alias("__v"))
+    )
+    n_per = (
+        pairs.groupBy("__id")
+        .agg(F.count("*").cast("long").alias("__nt"))
+        .crossJoin(F.broadcast(bounds))
+        .select(_cp(F.col("__id")).alias("__cp"), "__nt")
+        .groupBy("__cp")
+        .agg(F.sum("__nt").cast("long").alias("__n"))
+    )
+    grid = bounds.crossJoin(
+        bounds.sparkSession.range(1, k_cp + 1).select(
+            F.col("id").alias("__cp")
+        )
+    ).select(
+        "__cp",
+        F.when(
+            F.col("__hi") == F.col("__lo"), F.col("__hi")
+        ).otherwise(
+            # FLOOR, not a bare long cast: Spark's double->long cast
+            # truncates but another engine's CAST rounds — floor is
+            # the one spelling both agree on
+            F.col("__lo")
+            + F.floor(
+                (F.col("__cp") * (F.col("__hi") - F.col("__lo"))) / k_cp
+            ).cast("long")
+        ).alias("id_hi"),
+    )
+    w = Window.orderBy("__cp").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        grid.join(v_per, "__cp", "left")
+        .join(n_per, "__cp", "left")
+        .withColumn(
+            "vocab_cum",
+            F.sum(F.coalesce(F.col("__v"), F.lit(0))).over(w).cast("long"),
+        )
+        .withColumn(
+            "n_tokens_cum",
+            F.sum(F.coalesce(F.col("__n"), F.lit(0))).over(w).cast("long"),
+        )
+        .filter(F.col("n_tokens_cum") > 0)
+    )
+    pts = curve.select(
+        F.log(F.col("n_tokens_cum").cast("double")).alias("__x"),
+        F.log(F.col("vocab_cum").cast("double")).alias("__y"),
+    )
+    fit = pts.agg(
+        F.count("*").alias("__k"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    ).select(
+        F.when(
+            F.col("__k") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+            > 0,
+            (F.col("__k") * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+            / (
+                F.col("__k") * F.col("__sxx")
+                - F.col("__sx") * F.col("__sx")
+            ),
+        ).alias("__beta"),
+        F.col("__k"),
+        F.col("__sx"),
+        F.col("__sy"),
+    ).select(
+        F.round(F.col("__beta"), 6).alias("heaps_beta"),
+        F.round(
+            F.exp(
+                (F.col("__sy") - F.col("__beta") * F.col("__sx"))
+                / F.col("__k")
+            ),
+            6,
+        ).alias("heaps_k"),
+    )
+    return (
+        curve.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("__cp").alias("checkpoint"),
+            F.col("id_hi").cast("long").alias("id_hi"),
+            "n_tokens_cum",
+            "vocab_cum",
+            "heaps_beta",
+            "heaps_k",
+        )
+        .orderBy("checkpoint")
+    )
+
+
+def mattr(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 25,
+) -> DataFrame:
+    """Moving-Average Type-Token Ratio per document (Covington &
+    McFall 2010) — the length-INDEPENDENT lexical-diversity score the
+    quality family lacks: the raw TTR (distinct/total) inevitably
+    falls with document length (Heaps' law), so it can't compare a
+    tweet to a chapter; MATTR averages the TTR of every sliding
+    ``window``-token span, which is what makes it a usable quality /
+    synthetic-text feature next to repetition_profile (which counts
+    REPEATS of specific grams; MATTR measures overall diversity).
+
+    Documents shorter than the window fall back to their plain TTR
+    (the standard convention). Zero-token documents are absent (the
+    token-stream contract).
+
+    Scale shape: ENTIRELY row-local — tokens, the n-W+1 sliding
+    spans, their distinct counts, and the mean are higher-order array
+    expressions fused into the scan; zero shuffles, zero UDFs. Cost
+    per doc is (n-W+1)·W comparisons — bounded by the window knob,
+    the same budget class as repetition_profile's gram arrays.
+    Exactness: distinct counts are integers; mattr is ONE division
+    Σ distinct / ((n-W+1)·W), round-6; ttr likewise.
+
+    Returns (id, n_tokens BIGINT, ttr, mattr).
+    """
+    if window < 2:
+        raise ValueError("mattr needs window >= 2")
+    toks = F.split(normalize_text_col(text_col), " ")
+    toks = F.filter(toks, lambda t: F.length(t) > 0)
+    n = F.size("__toks")
+    spans = F.transform(
+        F.sequence(F.lit(1), n - (window - 1)),
+        lambda i: F.size(F.array_distinct(F.slice("__toks", i, window))),
+    )
+    base = df.select(F.col(id_col), toks.alias("__toks")).filter(n > 0)
+    ttr = F.round(F.size(F.array_distinct("__toks")) / n, 6)
+    mattr_col = F.when(
+        n <= window, ttr
+    ).otherwise(
+        F.round(
+            F.aggregate(
+                spans, F.lit(0).cast("long"), lambda acc, x: acc + x
+            )
+            / ((n - (window - 1)).cast("double") * window),
+            6,
+        )
+    )
+    return base.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        ttr.alias("ttr"),
+        mattr_col.alias("mattr"),
+    )

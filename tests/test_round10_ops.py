@@ -261,3 +261,219 @@ def test_edit_distance_max_df_drops_mass_duplicates(spark):
     # the mass-duplicated buckets (df > 3) drop out of candidate
     # generation entirely — run dedup_exact first for those
     assert edit_distance_pairs(df, "id", "s", max_df=3).count() == 0
+
+
+# ------------------------------------------------------- round-10 wave
+
+
+def test_mann_kendall_increasing_and_guards(spark):
+    from reddit_etl_spark.operators.series import mann_kendall_trend
+
+    rows = [("g", t, t * 2) for t in range(1, 13)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    r = mann_kendall_trend(df, ["g"], "t", "v").collect()[0]
+    n = 12
+    s = n * (n - 1) // 2  # strictly increasing: every pair concordant
+    var = n * (n - 1) * (2 * n + 5) / 18.0
+    assert r["s_stat"] == s and r["var_s"] == round(var, 6)
+    assert r["z"] == round((s - 1) / math.sqrt(round(var, 6)), 6)
+    assert r["trend"] == "increasing"
+
+    # duplicate timestamps raise
+    dup = spark.createDataFrame(
+        [("g", 1, 1), ("g", 1, 2), ("g", 2, 3)], "g string, t long, v long"
+    )
+    with pytest.raises(Exception, match="duplicate timestamps"):
+        mann_kendall_trend(dup, ["g"], "t", "v").collect()
+    # non-integral input raises
+    fr = spark.createDataFrame([("g", 1.0, 1)], "g string, t double, v long")
+    with pytest.raises(ValueError, match="integral"):
+        mann_kendall_trend(fr, ["g"], "t", "v")
+
+
+def test_logrank_hand_case(spark):
+    from reddit_etl_spark.operators.relational import logrank_test
+
+    # A: 2 subjects event at t=1; B: 2 subjects event at t=2
+    rows = [("A", 1, True), ("A", 1, True), ("B", 2, True), ("B", 2, True)]
+    df = spark.createDataFrame(rows, "side string, t long, obs boolean")
+    r = logrank_test(df, [], "t", "obs", "side", "A", "B").collect()[0]
+    # t=1: n=4, d=2, E1 = 2*2/4 = 1, V = 2*.5*.5*2/3 = 1/3
+    # t=2: n1=0 -> E1 = 0, V = 0 (n-d = 0); chi2 = 1^2/(1/3) = 3
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert (r["events_a"], r["events_b"]) == (2, 2)
+    assert r["expected_a"] == 1.0
+    assert r["chi2"] == 3.0
+
+
+def test_cohens_kappa_hand_case(spark):
+    from reddit_etl_spark.operators.classify import cohens_kappa
+
+    rows = (
+        [("g", "y", "y")] * 20
+        + [("g", "y", "n")] * 5
+        + [("g", "n", "y")] * 10
+        + [("g", "n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, "g string, a string, b string")
+    r = cohens_kappa(df, ["g"], "a", "b").collect()[0]
+    # po = 35/50 = .7; pe = (25*30 + 25*20)/2500 = .5; kappa = .4
+    assert r["n"] == 50
+    assert r["observed_agreement"] == 0.7
+    assert r["expected_agreement"] == 0.5
+    assert r["kappa"] == 0.4
+
+
+def test_rbo_identical_and_disjoint(spark):
+    from reddit_etl_spark.operators.retrieval import rbo_overlap
+
+    a = spark.createDataFrame(
+        [("q", i, i) for i in range(1, 6)], "g string, id long, rank long"
+    )
+    got = rbo_overlap(a, a, ["g"], "id", "rank", p=0.9, k=5).collect()[0]
+    # identical top-k: rbo = (1-p) sum p^(d-1) * d/d = 1 - p^k
+    assert got["rbo"] == round(1 - 0.9**5, 6)
+    assert got["overlap_k"] == 5
+    b = spark.createDataFrame(
+        [("q", i + 100, i) for i in range(1, 6)],
+        "g string, id long, rank long",
+    )
+    dis = rbo_overlap(a, b, ["g"], "id", "rank", p=0.9, k=5).collect()[0]
+    assert dis["rbo"] == 0.0 and dis["overlap_k"] == 0  # seated, not absent
+
+
+def test_hellinger_identical_and_disjoint(spark):
+    from reddit_etl_spark.operators.curation import hellinger_drift
+
+    ref = spark.createDataFrame(
+        [("g", float(v)) for v in (1, 1, 2, 3)], "g string, v double"
+    )
+    same = hellinger_drift(ref, ref, "v", ["g"], bin_width=1.0).collect()[0]
+    assert same["bc"] == 1.0 and same["hellinger"] == 0.0
+    assert same["bhattacharyya"] == 0.0
+    far = spark.createDataFrame(
+        [("g", float(v)) for v in (100, 101)], "g string, v double"
+    )
+    d = hellinger_drift(ref, far, "v", ["g"], bin_width=1.0).collect()[0]
+    assert d["bc"] == 0.0 and d["hellinger"] == 1.0
+    assert d["bhattacharyya"] is None
+
+
+def test_cvm_matches_bruteforce(spark):
+    from reddit_etl_spark.operators.relational import cvm_two_sample
+
+    va = [1.0, 2.0, 2.0, 4.0]
+    vb = [2.0, 3.0, 5.0]
+    rows = [("g", v, "a") for v in va] + [("g", v, "b") for v in vb]
+    df = spark.createDataFrame(rows, "g string, v double, s string")
+    r = cvm_two_sample(df, ["g"], "v", "s", "a", "b").collect()[0]
+    n, m = len(va), len(vb)
+    pooled = sorted(set(va + vb))
+    t = 0.0
+    for x in pooled:
+        fa = sum(1 for v in va if v <= x) / n
+        fb = sum(1 for v in vb if v <= x) / m
+        cnt = sum(1 for v in va + vb if v == x)
+        t += cnt * (fa - fb) ** 2
+    t *= n * m / (n + m) ** 2
+    assert (r["n_a"], r["n_b"]) == (n, m)
+    assert r["cvm"] == round(t, 6)
+
+
+def test_heaps_law_curve_shape(spark):
+    from reddit_etl_spark.operators.text import heaps_law
+
+    rows = [(i, " ".join(f"w{j}" for j in range(i))) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = heaps_law(df, "doc_id", "text", checkpoints=5).collect()
+    assert [r["checkpoint"] for r in out] == [1, 2, 3, 4, 5]
+    toks = [r["n_tokens_cum"] for r in out]
+    voc = [r["vocab_cum"] for r in out]
+    assert toks == sorted(toks) and voc == sorted(voc)
+    assert toks[-1] == sum(range(1, 41))  # every token instance counted
+    assert voc[-1] == 40  # w0..w39 (doc 40 holds all of them)
+    assert 0 < out[0]["heaps_beta"] <= 1.001
+
+
+def test_mask_profile_hand_case(spark):
+    from reddit_etl_spark.operators.dq import mask_profile
+
+    rows = [
+        ("s", "AB-12"), ("s", "CD-34"), ("s", "xy99"), ("s", None),
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {r["mask"]: r for r in mask_profile(df, ["g"], "v", 5).collect()}
+    assert out["AA-99"]["n"] == 2 and out["AA-99"]["rank"] == 1
+    assert out["AA-99"]["share"] == 0.5
+    assert out["aa99"]["n"] == 1
+    assert out["∅"]["n"] == 1  # NULL sentinel
+
+
+def test_digit_uniformity_all_round(spark):
+    from reddit_etl_spark.operators.dq import digit_uniformity
+
+    df = spark.createDataFrame(
+        [("g", float(d)) for d in (1, 2, 3, 4)], "g string, v double"
+    )
+    r = digit_uniformity(df, ["g"], "v").collect()[0]
+    # all .00 cents: one cell holds n=4 -> chi2 = 16*100/4 - 4 = 396
+    assert r["n"] == 4 and r["chi2"] == 396.0
+    assert r["share_00"] == 1.0 and r["top_cell"] == 0
+    assert r["top_cell_lift"] == 100.0
+
+
+def test_did_hand_case(spark):
+    from reddit_etl_spark.operators.relational import diff_in_diff
+
+    rows = (
+        [("g", True, False, 1.0)] * 3
+        + [("g", True, True, 3.0)] * 3
+        + [("g", False, False, 2.0)] * 3
+        + [("g", False, True, 2.5)] * 3
+    )
+    df = spark.createDataFrame(rows, "g string, t boolean, p boolean, v double")
+    r = diff_in_diff(df, ["g"], "t", "p", "v").collect()[0]
+    assert r["did"] == 1.5  # (3-1) - (2.5-2)
+    assert r["se"] == 0.0  # zero within-cell variance
+    assert r["t_stat"] is None  # se == 0 -> undefined
+
+
+def test_pinball_hand_case(spark):
+    from reddit_etl_spark.operators.series import pinball_loss
+
+    df = spark.createDataFrame(
+        [("g", 10.0, 8.0)], "g string, a double, f double"
+    )
+    out = {
+        r["tau"]: r["pinball"]
+        for r in pinball_loss(df, ["g"], "a", "f", (0.5, 0.9)).collect()
+    }
+    assert out[0.5] == 1.0  # .5 * (10-8)
+    assert out[0.9] == 1.8
+    with pytest.raises(ValueError, match="2-decimal"):
+        pinball_loss(df, ["g"], "a", "f", (0.333,))
+
+
+def test_mattr_hand_cases(spark):
+    from reddit_etl_spark.operators.text import mattr
+
+    rows = [(1, " ".join(["a"] * 30)), (2, "x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in mattr(df, "doc_id", "text", 25).collect()}
+    # doc 1: 30 tokens, every 25-window has 1 distinct -> mattr = 1/25
+    assert out[1]["n_tokens"] == 30
+    assert out[1]["mattr"] == 0.04
+    assert out[1]["ttr"] == round(1 / 30, 6)
+    # doc 2 shorter than the window: mattr falls back to ttr = 1.0
+    assert out[2]["mattr"] == 1.0 and out[2]["ttr"] == 1.0
+
+
+def test_theil_sen_max_group_rows_guard(spark):
+    from reddit_etl_spark.operators.relational import theil_sen
+
+    rows = [("g", float(i), float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    ok = theil_sen(df, ["g"], "x", "y", max_group_rows=100).collect()
+    assert ok[0]["slope"] == 1.0
+    with pytest.raises(Exception, match="max_group_rows"):
+        theil_sen(df, ["g"], "x", "y", max_group_rows=10).collect()
