@@ -186,11 +186,14 @@ _PROMOTED = [
     "calibration_brier_events",
     "mmr_rerank_embeddings",
     "ht_total_by_priority",
-    # -- 12 oldest remaining (last recorded r05, alphabetical) --------
+    # -- 4 oldest remaining (last recorded r05, alphabetical; the wave-2
+    # registrations took the other 8 head slots) ----------------------
     "ab_experiment_readout",
     "anomaly_zscore_daily",
     "asof_split",
     "bigram_perplexity",
+]
+_DEFERRED = [
     "boilerplate_fraction",
     "concurrency_peaks",
     "customer_sample_per_nation",
@@ -199,8 +202,6 @@ _PROMOTED = [
     "document_chunks",
     "dq_report_orders",
     "dsir_importance_weights",
-]
-_DEFERRED = [
     # Everything below stays oracle-checked by tools/check_oracle.py
     # (and the committed ORACLE_sf*.json artifacts) every round; each
     # entry's most recent driver-recorded row is r05-r09 (the oldest
@@ -13540,3 +13541,449 @@ def mattr_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return mattr(docs, "doc_id", "text", window=25)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 2: model-operating-point eval (gains table, PR curve, ECE),
+# corpus coverage (char entropy, Good-Turing/Chao1), rate de-noising
+# (empirical-Bayes shrinkage), scale-free forecast scoring (MASE), and
+# behavioral predictability (transition entropy).
+
+
+@_q(
+    "gains_by_status",
+    """
+    WITH base AS (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+    tiled AS (
+      SELECT o_orderstatus, y,
+             ntile(10) OVER (PARTITION BY o_orderstatus
+                             ORDER BY o_totalprice DESC, o_orderkey)
+               AS b
+      FROM base),
+    per AS (
+      SELECT o_orderstatus, b, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS positives
+      FROM tiled GROUP BY 1, 2),
+    c AS (
+      SELECT *,
+             SUM(n) OVER (PARTITION BY o_orderstatus ORDER BY b
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND
+                          CURRENT ROW) AS cn,
+             SUM(positives) OVER (PARTITION BY o_orderstatus ORDER BY b
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND
+                          CURRENT ROW) AS cp,
+             SUM(n) OVER (PARTITION BY o_orderstatus) AS tn,
+             SUM(positives) OVER (PARTITION BY o_orderstatus) AS tp
+      FROM per)
+    SELECT o_orderstatus, CAST(b AS BIGINT) AS bucket, n, positives,
+           ROUND(positives / CAST(n AS DOUBLE), 6) AS response_rate,
+           ROUND(CASE WHEN tp > 0 THEN cp / CAST(tp AS DOUBLE) END, 6)
+             AS cum_capture,
+           ROUND(CASE WHEN tp > 0 THEN
+             (cp / CAST(cn AS DOUBLE)) / (tp / CAST(tn AS DOUBLE))
+           END, 6) AS cum_lift
+    FROM c ORDER BY o_orderstatus, bucket
+    """,
+    doc="gains/lift table: order-value deciles per order status "
+    "against the urgent/high-priority outcome "
+    "(operators/classify.py:gains_table) — the campaign-targeting "
+    "readout calibration deliberately is not: how much of the outcome "
+    "does the top of the ranking CAPTURE, robust to any monotone "
+    "miscalibration. Tile window ordered (score DESC, id ASC) — a "
+    "bare score order would make tile boundaries tie-ambiguous "
+    "across engines; counts exact BIGINTs, rates/capture/lift single "
+    "double expressions",
+)
+def gains_by_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.classify import gains_table
+
+    orders = load(spark, sf_dir, "orders")
+    frame = orders.select(
+        "o_orderstatus",
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("y"),
+    )
+    return gains_table(
+        frame, ["o_orderstatus"], "o_orderkey", "o_totalprice", "y", 10
+    )
+
+
+@_q(
+    "pr_curve_events",
+    """
+    WITH scored AS (
+      SELECT LEAST(value / 500.0, 1.0) AS s,
+             (event_type = 'purchase') AS y
+      FROM events WHERE value IS NOT NULL),
+    fanned AS (
+      SELECT s, y, t.t AS threshold
+      FROM scored CROSS JOIN (
+        VALUES (0.1), (0.2), (0.3), (0.4), (0.5), (0.6), (0.7),
+               (0.8), (0.9)) t(t)),
+    agg AS (
+      SELECT threshold,
+             CAST(SUM(CASE WHEN s >= threshold THEN 1 ELSE 0 END)
+                  AS BIGINT) AS predicted_pos,
+             CAST(SUM(CASE WHEN s >= threshold AND y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN s < threshold AND y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn
+      FROM fanned GROUP BY 1),
+    m AS (
+      SELECT *,
+             CASE WHEN predicted_pos > 0
+                  THEN tp / CAST(predicted_pos AS DOUBLE) END AS prec,
+             CASE WHEN tp + fn > 0
+                  THEN tp / CAST(tp + fn AS DOUBLE) END AS rec
+      FROM agg)
+    SELECT threshold, predicted_pos, tp, fn,
+           ROUND(prec, 6) AS precision,
+           ROUND(rec, 6) AS recall,
+           ROUND(CASE WHEN predicted_pos > 0 AND tp + fn > 0 AND tp > 0
+                 THEN 2.0 * (prec * rec) / (prec + rec) END, 6) AS f1
+    FROM m ORDER BY threshold
+    """,
+    doc="precision/recall/F1 at a fixed threshold grid for the "
+    "'value predicts a purchase' score "
+    "(operators/classify.py:pr_curve) — the operating-point table a "
+    "deployed filter's cutoff is picked from, between "
+    "calibration_report (is the score a probability) and gains_table "
+    "(what does the top capture). Thresholds injected as literals; "
+    "rows fan x9 into ONE map-side-combined aggregate (the "
+    "pinball/bootstrap bounded-literal-factor shape); empty "
+    "denominators NULL, never zero",
+)
+def pr_curve_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.classify import pr_curve
+
+    ev = load_events(spark, sf_dir)
+    scored = ev.filter(F.col("value").isNotNull()).select(
+        F.least(F.col("value") / 500.0, F.lit(1.0)).alias("p"),
+        (F.col("event_type") == "purchase").alias("y"),
+    )
+    return pr_curve(scored, [], "p", "y")
+
+
+@_q(
+    "ece_events",
+    """
+    WITH base AS (
+      SELECT CAST(FLOOR(LEAST(value / 500.0, 1.0) * 1000000 + 0.5)
+                  AS BIGINT) AS p,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL),
+    binned AS (
+      SELECT LEAST((p * 20) // 1000000, 19) AS bin, p, y,
+             (p - y * 1000000)::HUGEINT * (p - y * 1000000) AS e2
+      FROM base),
+    b AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(p::HUGEINT) AS sp, CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(e2) AS q
+      FROM binned GROUP BY 1),
+    g AS (
+      SELECT bin, n, sy, sp, q,
+             ABS(sy / CAST(n AS DOUBLE)
+                 - CAST(CAST(sp AS VARCHAR) AS DOUBLE) / n / 1000000.0)
+               AS gap
+      FROM b)
+    SELECT CAST(SUM(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           ROUND(SUM(gap * n) / SUM(n), 6) AS ece,
+           ROUND(MAX(gap), 6) AS mce,
+           ROUND(CAST(CAST(SUM(q) AS VARCHAR) AS DOUBLE) / SUM(n)
+                 / 1000000000000.0, 6) AS brier
+    FROM g
+    """,
+    doc="Expected/Maximum Calibration Error one-row scorecard for the "
+    "same score calibration_brier_events diagrams "
+    "(operators/classify.py:expected_calibration_error): ECE = "
+    "n-weighted mean |observed - predicted| per bin, MCE = the worst "
+    "bin, Brier alongside — the number a model gate thresholds on. "
+    "Same clamped-micros binning as the report; gaps computed from "
+    "the EXACT integer sums, not the rounded display columns",
+)
+def ece_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.classify import expected_calibration_error
+
+    ev = load_events(spark, sf_dir)
+    scored = ev.filter(F.col("value").isNotNull()).select(
+        F.least(F.col("value") / 500.0, F.lit(1.0)).alias("p"),
+        (F.col("event_type") == "purchase").alias("y"),
+    )
+    return expected_calibration_error(scored, "p", "y", n_bins=20)
+
+
+@_q(
+    "char_entropy_docs",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+      FROM documents),
+    chars AS (
+      SELECT doc_id, unnest(string_split(s, '')) AS ch
+      FROM norm WHERE len(s) > 0),
+    cells AS (
+      SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+      FROM chars GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+           ROUND(LN(CAST(SUM(c) AS DOUBLE))
+                 - SUM(c * LN(CAST(c AS DOUBLE))) / SUM(c), 6)
+             AS entropy_nats
+    FROM cells GROUP BY doc_id
+    """,
+    doc="per-document character-level Shannon entropy over the "
+    "normalized text (operators/text.py:char_entropy) — the lowest-"
+    "level synthetic-text/encoding-damage detector: base64 blobs, "
+    "minified code and keyboard mashing show up FIRST in the char "
+    "distribution (English prose ~2.8-3.1 nats, uniform base64 ~4.1). "
+    "Count-form identity H = ln n - sum(c ln c)/n — one log per "
+    "DISTINCT char; the shuffle carries at most |alphabet| rows per "
+    "doc",
+)
+def char_entropy_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import char_entropy
+
+    docs = load(spark, sf_dir, "documents")
+    return char_entropy(docs, "doc_id", "text")
+
+
+@_q(
+    "vocab_coverage_sources",
+    """
+    WITH toks AS (
+      SELECT source, tok FROM (
+        SELECT source,
+               unnest(string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                 ' ')) AS tok
+        FROM documents)
+      WHERE tok <> ''),
+    counts AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2)
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS singletons,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS doubletons,
+           ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                 / CAST(SUM(c) AS DOUBLE), 6) AS gt_unseen_mass,
+           ROUND(COUNT(*)
+                 + SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                   * (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)
+                   / (2.0 * (SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                             + 1)), 6) AS chao1_vocab
+    FROM counts GROUP BY source ORDER BY source
+    """,
+    doc="Good-Turing unseen-vocabulary mass + bias-corrected Chao1 "
+    "vocabulary estimate per source "
+    "(operators/text.py:vocab_coverage) — 'how much vocabulary "
+    "HAVEN'T we seen': Heaps extrapolates from the growth "
+    "trajectory, Good-Turing/Chao1 read it off the "
+    "singleton/doubleton counts — the corpus-coverage gate before "
+    "freezing a tokenizer. Five exact BIGINT moments off one (group, "
+    "token) aggregate re-aggregated; the (n2+1) bias-corrected Chao1 "
+    "form is defined even with zero doubletons",
+)
+def vocab_coverage_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import vocab_coverage
+
+    docs = load(spark, sf_dir, "documents")
+    return vocab_coverage(docs, ["source"], "text")
+
+
+@_q(
+    "eb_urgent_rates",
+    """
+    WITH per_cust AS (
+      SELECT c.c_mktsegment, c.c_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS k
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    pool AS (
+      SELECT c_mktsegment,
+             SUM(k) / CAST(SUM(n) AS DOUBLE) AS pool
+      FROM per_cust GROUP BY 1)
+    SELECT p.c_mktsegment, p.c_custkey, n, k,
+           ROUND(CASE WHEN n > 0 THEN k / CAST(n AS DOUBLE) END, 6)
+             AS raw_rate,
+           ROUND(pool, 6) AS pooled_rate,
+           ROUND((k + 20 * pool) / (n + 20), 6) AS shrunk_rate
+    FROM per_cust p JOIN pool USING (c_mktsegment)
+    ORDER BY p.c_mktsegment, p.c_custkey
+    """,
+    doc="empirical-Bayes shrunk per-customer urgent-order rates "
+    "within market segments (operators/relational.py:shrunk_rates, "
+    "prior strength 20): (k + s*pooled)/(n + s) pulls 1-of-1 "
+    "customers toward their segment's pooled rate and lets "
+    "high-volume customers keep their data — the variance-control "
+    "companion to target_encode_loo's leakage control, and the "
+    "standard de-noising before anything RANKS on a per-entity rate. "
+    "Pooled rates ride exact BIGINT sums, broadcast back",
+)
+def eb_urgent_rates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import shrunk_rates
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    per = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                (F.col("o_orderpriority") == "1-URGENT").cast("long")
+            ).cast("long").alias("k"),
+        )
+    )
+    return shrunk_rates(
+        per, ["c_mktsegment"], ["c_custkey"], "k", "n", prior_strength=20
+    )
+
+
+@_q(
+    "mase_persistence_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS mic
+      FROM events GROUP BY 1, 2),
+    lagd AS (
+      SELECT event_type, day, mic,
+             lag(mic) OVER (PARTITION BY event_type ORDER BY day)
+               AS fmic
+      FROM daily),
+    q AS (
+      SELECT event_type, day,
+             CAST(FLOOR((mic / 1000000.0) * 1000000 + 0.5) AS BIGINT)
+               AS a,
+             CAST(FLOOR((fmic / 1000000.0) * 1000000 + 0.5) AS BIGINT)
+               AS f
+      FROM lagd),
+    withnaive AS (
+      SELECT event_type, a, f,
+             lag(a, 7) OVER (PARTITION BY event_type ORDER BY day)
+               AS nv
+      FROM q),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN f IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_scored,
+             SUM(CASE WHEN f IS NOT NULL
+                      THEN ABS(a - f)::HUGEINT END) AS se,
+             CAST(SUM(CASE WHEN nv IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_naive,
+             SUM(CASE WHEN nv IS NOT NULL
+                      THEN ABS(a - nv)::HUGEINT END) AS sn
+      FROM withnaive GROUP BY 1),
+    m AS (
+      SELECT event_type, n_scored, n_naive,
+             CASE WHEN n_scored > 0 THEN
+               CAST(CAST(se AS VARCHAR) AS DOUBLE) / n_scored
+               / 1000000.0 END AS mae,
+             CASE WHEN n_naive > 0 THEN
+               CAST(CAST(sn AS VARCHAR) AS DOUBLE) / n_naive
+               / 1000000.0 END AS mae_naive
+      FROM agg)
+    SELECT event_type, n_scored, n_naive,
+           ROUND(mae, 6) AS mae,
+           ROUND(mae_naive, 6) AS mae_naive,
+           ROUND(CASE WHEN mae_naive > 0 THEN mae / mae_naive END, 6)
+             AS mase
+    FROM m ORDER BY event_type
+    """,
+    doc="Mean Absolute Scaled Error of the persistence forecast "
+    "(yesterday's daily value mass) against the weekly seasonal "
+    "naive, per event type (operators/series.py:mase, Hyndman-"
+    "Koehler) — the SCALE-FREE forecast score the MAE/RMSE/MAPE "
+    "scorecard lacks: MASE < 1 uniformly means 'beats repeating last "
+    "week' on every series. Both MAE numerators are exact BIGINT "
+    "|diff| sums over micros; one division of two single-division "
+    "doubles",
+)
+def mase_persistence_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import mase
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+        ).cast("long").alias("mic")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = daily.withColumn("actual", F.col("mic") / 1e6).withColumn(
+        "forecast", F.lag("mic").over(w) / 1e6
+    )
+    return mase(
+        scored, ["event_type"], "day", "actual", "forecast", season=7
+    )
+
+
+@_q(
+    "transition_entropy_events",
+    """
+    WITH seq AS (
+      SELECT event_type AS s,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nx
+      FROM events),
+    cells AS (
+      SELECT s, nx, CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE nx IS NOT NULL GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY s
+                                   ORDER BY c DESC, nx) AS rk
+      FROM cells),
+    agg AS (
+      SELECT s, CAST(SUM(c) AS BIGINT) AS n_transitions,
+             CAST(COUNT(*) AS BIGINT) AS distinct_next,
+             SUM(c * LN(CAST(c AS DOUBLE))) AS clnc,
+             MAX(CASE WHEN rk = 1 THEN nx END) AS top_next,
+             MAX(CASE WHEN rk = 1 THEN c END) AS topc
+      FROM ranked GROUP BY 1),
+    h AS (
+      SELECT *, LN(CAST(n_transitions AS DOUBLE))
+                - clnc / n_transitions AS hh
+      FROM agg)
+    SELECT s AS state, n_transitions, distinct_next,
+           ROUND(hh, 6) AS entropy_nats,
+           ROUND(CASE WHEN distinct_next > 1 THEN
+             hh / LN(CAST(distinct_next AS DOUBLE)) END, 6)
+             AS entropy_norm,
+           top_next,
+           ROUND(topc / CAST(n_transitions AS DOUBLE), 6) AS top_share
+    FROM h ORDER BY state
+    """,
+    doc="next-event predictability per event type "
+    "(operators/series.py:transition_entropy): Shannon entropy of "
+    "the successor distribution off each user's (ts, event_id)-"
+    "ordered stream — the entropy rollup OVER "
+    "session_transition_matrix ('from THIS state, how predictable is "
+    "what happens next'), plus the dominant successor and its share. "
+    "Count-form identity, one log per DISTINCT successor; the pair "
+    "stream rides one (user, order) sort window",
+)
+def transition_entropy_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import transition_entropy
+
+    ev = load_events(spark, sf_dir)
+    return transition_entropy(
+        ev, "user_id", ["ts", "event_id"], "event_type"
+    )

@@ -364,3 +364,226 @@ def cohens_kappa(
         F.round(pe, 6).alias("expected_agreement"),
         F.round(kappa, 6).alias("kappa"),
     ).orderBy(*keys)
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Expected / Maximum Calibration Error — the ONE-NUMBER rollup of
+    calibration_report's reliability diagram (the number a model gate
+    thresholds on, where the diagram is what a human reads):
+
+        ECE = Σ_bins (n_b / N) · |observed_b - predicted_b|
+        MCE = max_bins |observed_b - predicted_b|
+
+    Same fixed-width binning, same clamped-micros exactness contract
+    as calibration_report (identical bin ids by construction); the
+    per-bin gap here is computed from the EXACT integer sums, not the
+    report's rounded display columns, so ECE is one double expression
+    over exact integers, round-6. Brier rides along for the complete
+    one-row scorecard.
+
+    Plan: one map-side-combined bin aggregate + one |bins|-row rollup.
+    Returns ONE row: (n BIGINT, n_bins BIGINT, ece, mce, brier).
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    d38 = "decimal(38,0)"
+    p_mic = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.floor(F.col(score_col) * 1_000_000 + F.lit(0.5)).cast("long"),
+        ),
+    )
+    y = F.col(label_col).cast("boolean").cast("long")
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(p_mic.alias("__p"), y.alias("__y")).withColumn(
+        "__bin",
+        F.least(
+            F.expr(f"(__p * {n_bins}) div 1000000"), F.lit(n_bins - 1)
+        ).cast("long"),
+    ).withColumn(
+        "__e2",
+        F.expr("CAST((__p - __y * 1000000) AS DECIMAL(38,0))")
+        * (F.col("__p") - F.col("__y") * 1_000_000),
+    )
+    bins = base.groupBy("__bin").agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("__p").cast(d38).alias("__sp"),
+        F.sum("__y").cast("long").alias("__sy"),
+        F.sum("__e2").cast(d38).alias("__q"),
+    )
+    gap = F.abs(
+        F.col("__sy") / F.col("__n")
+        - F.col("__sp").cast("double") / F.col("__n") / 1e6
+    )
+    return bins.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_bins"),
+        F.round(
+            F.sum(gap * F.col("__n")) / F.sum("__n"), 6
+        ).alias("ece"),
+        F.round(F.max(gap), 6).alias("mce"),
+        F.round(
+            F.sum("__q").cast("double")
+            / F.sum("__n")
+            / F.lit(1_000_000_000_000.0),
+            6,
+        ).alias("brier"),
+    )
+
+
+def gains_table(
+    df: DataFrame,
+    group_cols,
+    id_col: str,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Gains / lift table per group: rank entities by score
+    descending, cut into ``n_buckets`` equal-size tiles, and report
+    each tile's response rate, cumulative capture and cumulative lift
+    — the campaign-targeting readout ("mail decile 1 and reach 38% of
+    responders at 3.8x random") that the reliability diagram
+    deliberately is NOT (calibration asks whether 0.8 MEANS 80%;
+    gains asks how much of the outcome the top of the ranking
+    captures, which survives any monotone miscalibration).
+
+    Determinism: the tile window orders by (score DESC, id ASC) — a
+    bare score order would make tile boundaries tie-ambiguous across
+    engines. Counts are exact BIGINTs; rates/capture/lift are single
+    double expressions over them, round-6. NULL scores/labels are
+    excluded.
+
+    Scale: the ntile window partitions by the GROUP key — per-group
+    frames are per-entity AGGREGATES (feed rollups, the rfm_scores
+    contract); for a single global gains table past
+    scale_lanes.EXACT_RANK_MAX_ROWS entities, use rfm_scores' sketch
+    boundary lane as the template (documented trade, not silently
+    planned).
+
+    Returns (group..., bucket BIGINT, n BIGINT, positives BIGINT,
+    response_rate, cum_capture, cum_lift).
+    """
+    if n_buckets < 2:
+        raise ValueError("gains_table needs n_buckets >= 2")
+    keys = list(group_cols)
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(id_col).alias("__id"),
+        F.col(score_col).alias("__s"),
+        F.col(label_col).cast("boolean").cast("long").alias("__y"),
+    )
+    w = Window.partitionBy(*keys).orderBy(F.desc("__s"), F.asc("__id"))
+    tiled = base.withColumn("__b", F.ntile(n_buckets).over(w))
+    per = tiled.groupBy(*keys, "__b").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("positives"),
+    )
+    kw = Window.partitionBy(*keys)
+    cw = (
+        Window.partitionBy(*keys)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    enriched = (
+        per.withColumn("__cn", F.sum("n").over(cw))
+        .withColumn("__cp", F.sum("positives").over(cw))
+        .withColumn("__tn", F.sum("n").over(kw))
+        .withColumn("__tp", F.sum("positives").over(kw))
+    )
+    lift = F.when(
+        F.col("__tp") > 0,
+        (F.col("__cp") / F.col("__cn"))
+        / (F.col("__tp") / F.col("__tn")),
+    )
+    return enriched.select(
+        *keys,
+        F.col("__b").cast("long").alias("bucket"),
+        "n",
+        "positives",
+        F.round(F.col("positives") / F.col("n"), 6).alias("response_rate"),
+        F.round(
+            F.when(F.col("__tp") > 0, F.col("__cp") / F.col("__tp")), 6
+        ).alias("cum_capture"),
+        F.round(lift, 6).alias("cum_lift"),
+    ).orderBy(*keys, "bucket")
+
+
+def pr_curve(
+    df: DataFrame,
+    group_cols,
+    score_col: str,
+    label_col: str,
+    thresholds=(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """Precision / recall / F1 at a fixed threshold grid per group —
+    the operating-point readout between calibration_report (is the
+    score a probability) and gains_table (how much does the top
+    capture): a deployed filter runs at ONE cutoff, and this is the
+    table that cutoff is picked from.
+
+    The grid is injected as literals (prediction = score >= t, the
+    same double comparison in both engines); rows fan x|thresholds|
+    into ONE map-side-combined aggregate (the pinball/bootstrap
+    bounded-literal-factor shape). Counts are exact BIGINTs;
+    precision/recall/F1 are single divisions, round-6; empty
+    denominators yield NULL (no predictions / no positives is an
+    undefined point, not zero).
+
+    Returns (group..., threshold, predicted_pos BIGINT, tp BIGINT,
+    fn BIGINT, precision, recall, f1).
+    """
+    keys = list(group_cols)
+    ts = list(thresholds)
+    if not ts:
+        raise ValueError("pr_curve needs at least one threshold")
+    grid = F.array(*[F.lit(float(t)) for t in ts])
+    base = (
+        df.filter(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .select(
+            *keys,
+            F.col(score_col).alias("__s"),
+            F.col(label_col).cast("boolean").alias("__y"),
+        )
+        .withColumn("__t", F.explode(grid))
+    )
+    pred = F.col("__s") >= F.col("__t")
+    agg = base.groupBy(*keys, F.col("__t").alias("threshold")).agg(
+        F.sum(pred.cast("long")).alias("predicted_pos"),
+        F.sum((pred & F.col("__y")).cast("long")).alias("tp"),
+        F.sum(((~pred) & F.col("__y")).cast("long")).alias("fn"),
+    )
+    prec = F.when(
+        F.col("predicted_pos") > 0, F.col("tp") / F.col("predicted_pos")
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fn")),
+    )
+    f1 = F.when(
+        (F.col("predicted_pos") > 0)
+        & (F.col("tp") + F.col("fn") > 0)
+        & (F.col("tp") > 0),
+        2.0 * (prec * rec) / (prec + rec),
+    )
+    return agg.select(
+        *keys,
+        "threshold",
+        F.col("predicted_pos").cast("long").alias("predicted_pos"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    ).orderBy(*keys, "threshold")

@@ -1914,3 +1914,164 @@ def pinball_loss(
         )
         .orderBy(*keys, "tau")
     )
+
+
+def mase(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    actual_col: str,
+    forecast_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """Mean Absolute Scaled Error per group (Hyndman & Koehler 2006) —
+    the SCALE-FREE forecast score forecast_scorecard lacks: MAE/RMSE
+    can't compare series of different magnitudes and MAPE explodes
+    near zero; MASE normalizes by the in-sample seasonal-naive MAE,
+    so "MASE < 1" uniformly means "beats the naive seasonal repeat"
+    on every series:
+
+        MASE = MAE(forecast) / MAE(seasonal naive)
+        naive(t) = actual(t - season)     (by ROW on the ordered series)
+
+    Exactness: actuals/forecasts quantize to micros BIGINTs, both
+    MAE numerators are exact BIGINT sums of |diffs| with exact
+    BIGINT counts, and MASE is one division of two single-division
+    doubles, round-6. Groups whose naive MAE is 0 (a perfectly
+    seasonal series) emit NULL mase with both MAEs reported.
+
+    Plan: one (group, order) sort window for the seasonal lag + one
+    map-side-combined aggregate — the series-family bounded-rollup
+    contract (feed daily aggregates, not raw facts).
+
+    Returns (group..., n_scored BIGINT, n_naive BIGINT, mae,
+    mae_naive, mase).
+    """
+    if season < 1:
+        raise ValueError(f"season must be >= 1; got {season}")
+    keys = list(group_cols)
+    a = F.floor(F.col(actual_col) * 1_000_000 + F.lit(0.5)).cast("long")
+    fc = F.floor(F.col(forecast_col) * 1_000_000 + F.lit(0.5)).cast("long")
+    base = df.select(
+        *keys,
+        F.col(order_col).alias("__o"),
+        a.alias("__a"),
+        fc.alias("__f"),
+    )
+    w = Window.partitionBy(*keys).orderBy("__o")
+    lagged = base.withColumn("__nv", F.lag("__a", season).over(w))
+    agg = lagged.groupBy(*keys).agg(
+        F.sum(
+            F.when(F.col("__f").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_scored"),
+        F.sum(
+            F.when(
+                F.col("__f").isNotNull(),
+                F.abs(F.col("__a") - F.col("__f")),
+            )
+        ).cast("decimal(38,0)").alias("__se"),
+        F.sum(
+            F.when(F.col("__nv").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_naive"),
+        F.sum(
+            F.when(
+                F.col("__nv").isNotNull(),
+                F.abs(F.col("__a") - F.col("__nv")),
+            )
+        ).cast("decimal(38,0)").alias("__sn"),
+    )
+    mae = F.when(
+        F.col("n_scored") > 0,
+        F.col("__se").cast("double") / F.col("n_scored") / 1e6,
+    )
+    mae_naive = F.when(
+        F.col("n_naive") > 0,
+        F.col("__sn").cast("double") / F.col("n_naive") / 1e6,
+    )
+    return agg.select(
+        *keys,
+        "n_scored",
+        "n_naive",
+        F.round(mae, 6).alias("mae"),
+        F.round(mae_naive, 6).alias("mae_naive"),
+        F.round(F.when(mae_naive > 0, mae / mae_naive), 6).alias("mase"),
+    ).orderBy(*keys)
+
+
+def transition_entropy(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    state_col: str,
+) -> DataFrame:
+    """Next-state predictability per state — the entropy rollup OVER
+    the session transition matrix: session_transition_matrix reports
+    every P(next | current); this answers the behavioral question
+    "from THIS state, how predictable is what happens next" (low
+    entropy = funnel rail, high = browsing), plus the dominant next
+    state and its share — the prioritization readout for journey
+    optimization and for order-k language-model feature design.
+
+        H(next | s) = ln(n_s) - (Σ_t cnt_{s,t} · ln cnt_{s,t}) / n_s
+
+    (count-form identity, one log per DISTINCT successor). Also
+    reported: normalized entropy H / ln(distinct successors) in
+    [0, 1] (NULL for single-successor states).
+
+    Determinism: successor pairs come from a lead window over
+    (``order_cols``) within each key — pass a TOTAL order (e.g. ts +
+    event id) or ties make pairing engine-ambiguous. Counts are exact
+    BIGINTs; entropies are double expressions over exact integers,
+    round-6; the top successor tie-breaks on state ascending.
+
+    Plan: one (key, order) sort window + one map-side-combined
+    (state, next) aggregate + a successor-cardinality rollup.
+
+    Returns (state, n_transitions BIGINT, distinct_next BIGINT,
+    entropy_nats, entropy_norm, top_next, top_share).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    pairs = (
+        df.select(
+            F.col(key_col), *[F.col(c) for c in order_cols],
+            F.col(state_col).alias("__s"),
+        )
+        .withColumn("__nx", F.lead("__s").over(w))
+        .filter(F.col("__nx").isNotNull())
+    )
+    cells = pairs.groupBy("__s", "__nx").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    rw = Window.partitionBy("__s").orderBy(F.desc("__c"), F.asc("__nx"))
+    ranked = cells.withColumn("__rk", F.row_number().over(rw))
+    agg = ranked.groupBy("__s").agg(
+        F.sum("__c").cast("long").alias("n_transitions"),
+        F.count("*").cast("long").alias("distinct_next"),
+        F.sum(F.col("__c") * F.log(F.col("__c").cast("double"))).alias(
+            "__clnc"
+        ),
+        F.max(F.when(F.col("__rk") == 1, F.col("__nx"))).alias("top_next"),
+        F.max(F.when(F.col("__rk") == 1, F.col("__c"))).alias("__topc"),
+    )
+    h = F.log(F.col("n_transitions").cast("double")) - F.col(
+        "__clnc"
+    ) / F.col("n_transitions")
+    return agg.select(
+        F.col("__s").alias("state"),
+        "n_transitions",
+        "distinct_next",
+        F.round(h, 6).alias("entropy_nats"),
+        F.round(
+            F.when(
+                F.col("distinct_next") > 1,
+                h / F.log(F.col("distinct_next").cast("double")),
+            ),
+            6,
+        ).alias("entropy_norm"),
+        "top_next",
+        F.round(F.col("__topc") / F.col("n_transitions"), 6).alias(
+            "top_share"
+        ),
+    ).orderBy("state")

@@ -1725,3 +1725,132 @@ def mattr(
         ttr.alias("ttr"),
         mattr_col.alias("mattr"),
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) — the
+    lowest-level synthetic-text / encoding-damage detector in the
+    quality family: MATTR and repetition_profile read TOKEN structure,
+    but base64 blobs, minified code, single-byte-corruption and
+    copy-paste keyboard mashing show up FIRST in the character
+    distribution (English prose sits ~2.8-3.1 nats; uniform base64
+    ~4.1; 'aaaa...' -> 0).
+
+        H = ln(n) - (Σ_c cnt_c · ln cnt_c) / n
+
+    (the count-form identity — one log per DISTINCT character, never
+    a per-instance probability).
+
+    Exactness: character counts are exact BIGINTs off one (doc, char)
+    aggregate over the normalized text (NFC-free lower/whitespace
+    normalization, the token-stream convention — so entropy is not
+    dominated by case or run-length whitespace); H is one double
+    expression over exact integers, round-6. Zero-length documents
+    are absent (token-stream contract).
+
+    Plan: one explode + map-side-combined (doc, char) aggregate +
+    per-doc rollup — the shuffle carries at most |alphabet| rows per
+    doc, not the characters.
+
+    Returns (id, n_chars BIGINT, distinct_chars BIGINT, entropy_nats).
+    """
+    t = normalize_text_col(text_col)
+    chars = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length(t)),
+            lambda i: t.substr(i, F.lit(1)),
+        )
+    )
+    cells = (
+        df.filter(F.length(t) > 0)
+        .select(F.col(id_col), chars.alias("__ch"))
+        .groupBy(id_col, "__ch")
+        .agg(F.count("*").cast("long").alias("__c"))
+    )
+    return (
+        cells.groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_chars"),
+            F.count("*").cast("long").alias("distinct_chars"),
+            F.round(
+                F.log(F.sum("__c").cast("double"))
+                - F.sum(F.col("__c") * F.log(F.col("__c").cast("double")))
+                / F.sum("__c"),
+                6,
+            ).alias("entropy_nats"),
+        )
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    text_col: str,
+) -> DataFrame:
+    """Good-Turing unseen-mass + Chao1 vocabulary-size estimate per
+    group — the "how much vocabulary HAVEN'T we seen" companion to
+    heaps_law's growth curve (Heaps extrapolates from the trajectory;
+    Good-Turing/Chao1 read it off the singleton/doubleton counts of
+    the sample you have — the corpus-coverage gate before freezing a
+    tokenizer or judging a source exhausted):
+
+        GT unseen mass  = n1 / N          (Good 1953)
+        Chao1 vocab     = V + n1·(n1-1) / (2·(n2+1))   (bias-corrected
+                          form — defined even when n2 = 0)
+
+    n1/n2 = tokens seen exactly once/twice, V = distinct tokens, N =
+    token instances.
+
+    Exactness: all five moments are exact BIGINTs off one (group,
+    token) aggregate re-aggregated (vocabulary-sized, never
+    corpus-sized); the two estimates are single double expressions
+    over them, round-6.
+
+    Returns (group..., n_tokens BIGINT, vocab BIGINT, singletons
+    BIGINT, doubletons BIGINT, gt_unseen_mass, chao1_vocab).
+    """
+    keys = list(group_cols)
+    toks = F.explode(F.split(normalize_text_col(text_col), " ")).alias(
+        "__tok"
+    )
+    counts = (
+        df.select(*keys, toks)
+        .filter(F.length("__tok") > 0)
+        .groupBy(*keys, "__tok")
+        .agg(F.count("*").cast("long").alias("__c"))
+    )
+    return (
+        counts.groupBy(*keys)
+        .agg(
+            F.sum("__c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("vocab"),
+            F.sum((F.col("__c") == 1).cast("long"))
+            .cast("long")
+            .alias("singletons"),
+            F.sum((F.col("__c") == 2).cast("long"))
+            .cast("long")
+            .alias("doubletons"),
+        )
+        .select(
+            *keys,
+            "n_tokens",
+            "vocab",
+            "singletons",
+            "doubletons",
+            F.round(F.col("singletons") / F.col("n_tokens"), 6).alias(
+                "gt_unseen_mass"
+            ),
+            F.round(
+                F.col("vocab")
+                + F.col("singletons")
+                * (F.col("singletons") - 1)
+                / (2.0 * (F.col("doubletons") + 1)),
+                6,
+            ).alias("chao1_vocab"),
+        )
+        .orderBy(*keys)
+    )

@@ -23,16 +23,22 @@ def test_recorded_head_exactly_cap_and_contains_rotation():
     assert len(head) == harness._DRIVER_RECORD_CAP
     # ROUND-10 rotation contract (judge r9 next-round #5: oldest-first
     # again — after r10 no query's most-recent driver row predates
-    # r05). Head = 12 new round-10 registrations + 21 stalest (r04
-    # attestations) + 5 operators/oracles touched this round + the 12
-    # alphabetically-first r05 entries. Every rotated-out entry
-    # carried a green r09 row and stays oracle-checked in the tail.
+    # r05). Head = 20 new round-10 registrations (both waves) + 21
+    # stalest (r04 attestations) + 5 operators/oracles touched this
+    # round + the 4 alphabetically-first r05 entries. Every
+    # rotated-out entry carried a green r09 row and stays
+    # oracle-checked in the tail.
     new_r10 = {
         "mann_kendall_daily", "logrank_segments", "kappa_rule_events",
         "rbo_day_rankings", "hellinger_value_drift", "cvm_value_drift",
         "heaps_law_docs", "mask_profile_customers",
         "digit_uniformity_prices", "did_event_value",
         "pinball_naive_events", "mattr_docs",
+        # wave 2
+        "gains_by_status", "pr_curve_events", "ece_events",
+        "char_entropy_docs", "vocab_coverage_sources",
+        "eb_urgent_rates", "mase_persistence_events",
+        "transition_entropy_events",
     }
     stale_r04 = {
         "q03_by_hour", "q04_by_weekday", "q05_top_customers",

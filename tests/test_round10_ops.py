@@ -477,3 +477,121 @@ def test_theil_sen_max_group_rows_guard(spark):
     assert ok[0]["slope"] == 1.0
     with pytest.raises(Exception, match="max_group_rows"):
         theil_sen(df, ["g"], "x", "y", max_group_rows=10).collect()
+
+
+# ------------------------------------------------------------- wave 2
+
+
+def test_gains_table_hand_case(spark):
+    from reddit_etl_spark.operators.classify import gains_table
+
+    # 10 entities, scores 10..1, positives exactly the top 3 scorers
+    rows = [("g", i, float(11 - i), i <= 3) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "g string, id long, s double, y boolean")
+    out = {r["bucket"]: r for r in
+           gains_table(df, ["g"], "id", "s", "y", 5).collect()}
+    assert out[1]["positives"] == 2 and out[1]["response_rate"] == 1.0
+    assert out[1]["cum_capture"] == round(2 / 3, 6)
+    # bucket 1 rate 1.0 vs base rate .3 -> lift 10/3
+    assert out[1]["cum_lift"] == round(1.0 / 0.3, 6)
+    assert out[5]["cum_capture"] == 1.0 and out[5]["cum_lift"] == 1.0
+
+
+def test_pr_curve_hand_case(spark):
+    from reddit_etl_spark.operators.classify import pr_curve
+
+    rows = [(0.9, True), (0.8, False), (0.4, True), (0.1, False)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    out = {r["threshold"]: r for r in
+           pr_curve(df, [], "s", "y", (0.5,)).collect()}
+    r = out[0.5]
+    assert (r["predicted_pos"], r["tp"], r["fn"]) == (2, 1, 1)
+    assert r["precision"] == 0.5 and r["recall"] == 0.5
+    assert r["f1"] == 0.5
+
+
+def test_ece_perfect_and_miscalibrated(spark):
+    from reddit_etl_spark.operators.classify import (
+        expected_calibration_error,
+    )
+
+    # p=0.5 with a 50% positive rate in one bin: gap 0 -> ece 0
+    rows = [(0.5, True), (0.5, False)] * 5
+    df = spark.createDataFrame(rows, "p double, y boolean")
+    r = expected_calibration_error(df, "p", "y", 10).collect()[0]
+    assert r["ece"] == 0.0 and r["mce"] == 0.0
+    # constant p=0.9 but nothing positive: gap 0.9 everywhere
+    bad = spark.createDataFrame([(0.9, False)] * 4, "p double, y boolean")
+    rb = expected_calibration_error(bad, "p", "y", 10).collect()[0]
+    assert rb["ece"] == 0.9 and rb["mce"] == 0.9
+
+
+def test_char_entropy_closed_forms(spark):
+    from reddit_etl_spark.operators.text import char_entropy
+
+    rows = [(1, "aaaa"), (2, "abab")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           char_entropy(df, "doc_id", "text").collect()}
+    assert out[1]["entropy_nats"] == 0.0
+    assert out[2]["entropy_nats"] == round(math.log(2.0), 6)
+    assert out[2]["distinct_chars"] == 2 and out[2]["n_chars"] == 4
+
+
+def test_vocab_coverage_hand_case(spark):
+    from reddit_etl_spark.operators.text import vocab_coverage
+
+    # tokens: a x3, b x2, c x1, d x1 -> V=4 N=7 n1=2 n2=1
+    df = spark.createDataFrame(
+        [("s", "a a a b b c d")], "src string, text string"
+    )
+    r = vocab_coverage(df, ["src"], "text").collect()[0]
+    assert (r["vocab"], r["n_tokens"]) == (4, 7)
+    assert (r["singletons"], r["doubletons"]) == (2, 1)
+    assert r["gt_unseen_mass"] == round(2 / 7, 6)
+    assert r["chao1_vocab"] == round(4 + 2 * 1 / (2 * 2), 6)
+
+
+def test_shrunk_rates_pulls_toward_pool(spark):
+    from reddit_etl_spark.operators.relational import shrunk_rates
+
+    rows = [("g", "lowvol", 1, 1), ("g", "highvol", 50, 100)]
+    df = spark.createDataFrame(rows, "g string, e string, k long, n long")
+    out = {r["e"]: r for r in
+           shrunk_rates(df, ["g"], ["e"], "k", "n", 20).collect()}
+    pool = 51 / 101
+    assert out["lowvol"]["raw_rate"] == 1.0
+    assert out["lowvol"]["shrunk_rate"] == round((1 + 20 * pool) / 21, 6)
+    # high-evidence entity barely moves
+    assert abs(out["highvol"]["shrunk_rate"] - 0.5) < 0.02
+    with pytest.raises(ValueError, match="nonnegative integer"):
+        shrunk_rates(df, ["g"], ["e"], "k", "n", 2.5)
+
+
+def test_mase_hand_case(spark):
+    from reddit_etl_spark.operators.series import mase
+
+    # actual 1..10; forecast = actual - 1 (|diff| = 1 everywhere);
+    # season 2 naive: |a(t) - a(t-2)| = 2 -> mase = 0.5
+    rows = [("g", t, float(t), float(t - 1)) for t in range(1, 11)]
+    df = spark.createDataFrame(rows, "g string, o long, a double, f double")
+    r = mase(df, ["g"], "o", "a", "f", season=2).collect()[0]
+    assert r["mae"] == 1.0 and r["mae_naive"] == 2.0
+    assert r["mase"] == 0.5
+    assert (r["n_scored"], r["n_naive"]) == (10, 8)
+
+
+def test_transition_entropy_deterministic_chain(spark):
+    from reddit_etl_spark.operators.series import transition_entropy
+
+    # user 1: a->b->a->b...  (a always goes to b, b always to a)
+    rows = [(1, t, 0, "a" if t % 2 else "b") for t in range(10)]
+    # user 2: c goes to a and b equally
+    rows += [(2, t, 0, s) for t, s in enumerate(["c", "a", "c", "b"])]
+    df = spark.createDataFrame(rows, "u long, ts long, eid long, s string")
+    out = {r["state"]: r for r in
+           transition_entropy(df, "u", ["ts", "eid"], "s").collect()}
+    assert out["c"]["entropy_nats"] == round(math.log(2.0), 6)
+    assert out["c"]["entropy_norm"] == 1.0
+    # 'b' transitions: 5x b->a in user1, 1x b->c? no: user2 has a->c, b absent tail
+    assert out["b"]["top_next"] == "a"
