@@ -186,14 +186,12 @@ _PROMOTED = [
     "calibration_brier_events",
     "mmr_rerank_embeddings",
     "ht_total_by_priority",
-    # -- 4 oldest remaining (last recorded r05, alphabetical; the wave-2
-    # registrations took the other 8 head slots) ----------------------
+]
+_DEFERRED = [
     "ab_experiment_readout",
     "anomaly_zscore_daily",
     "asof_split",
     "bigram_perplexity",
-]
-_DEFERRED = [
     "boilerplate_fraction",
     "concurrency_peaks",
     "customer_sample_per_nation",
@@ -13987,3 +13985,225 @@ def transition_entropy_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_entropy(
         ev, "user_id", ["ts", "event_id"], "event_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 3: source-set geometry (vocabulary overlap), tokenizer
+# budget (fertility), effect-size inference (odds ratio / relative risk),
+# and k-sample rank inference (Kruskal-Wallis).
+
+
+@_q(
+    "vocab_overlap_pairs",
+    """
+    WITH vocab AS (
+      SELECT DISTINCT source, tok FROM (
+        SELECT source,
+               unnest(string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                 ' ')) AS tok
+        FROM documents)
+      WHERE tok <> ''),
+    totals AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v
+               FROM vocab GROUP BY 1),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM vocab a JOIN vocab b
+        ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT ta.source AS source_a, tb.source AS source_b,
+             ta.v AS vocab_a, tb.v AS vocab_b,
+             COALESCE(s.shared, 0) AS shared
+      FROM totals ta JOIN totals tb ON ta.source < tb.source
+      LEFT JOIN shared s
+        ON s.source_a = ta.source AND s.source_b = tb.source)
+    SELECT source_a, source_b, vocab_a, vocab_b, shared,
+           ROUND(shared / CAST(vocab_a + vocab_b - shared AS DOUBLE), 6)
+             AS jaccard,
+           ROUND(shared / CAST(vocab_a AS DOUBLE), 6) AS containment_a,
+           ROUND(shared / CAST(vocab_b AS DOUBLE), 6) AS containment_b
+    FROM pairs ORDER BY source_a, source_b
+    """,
+    doc="pairwise source-vocabulary overlap "
+    "(operators/text.py:vocab_overlap) — the SET-level companion to "
+    "jsd_source_docs' distributional distance: Jaccard plus BOTH "
+    "directed containments, which catch the subset relationships "
+    "Jaccard hides ('src_b is 95% contained in src_a' = remove it "
+    "from the mixture). One (source, token) DISTINCT aggregate, one "
+    "inner self-join on token, every unordered pair seated from the "
+    "m-row totals (the jsd absence discipline)",
+)
+def vocab_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import vocab_overlap
+
+    docs = load(spark, sf_dir, "documents")
+    return vocab_overlap(docs, "source", "text")
+
+
+@_q(
+    "tokenizer_fertility_sources",
+    """
+    WITH base AS (
+      SELECT source,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                  AS BIGINT) AS w,
+             CAST(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS BIGINT) AS s,
+             CAST(length(regexp_replace(text, '\\s', '', 'g'))
+                  AS BIGINT) AS c
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS words,
+           CAST(SUM(s) AS BIGINT) AS subword_tokens,
+           ROUND(SUM(s) / CAST(SUM(w) AS DOUBLE), 6) AS fertility,
+           ROUND(SUM(c) / CAST(SUM(s) AS DOUBLE), 6)
+             AS chars_per_subword
+    FROM base GROUP BY source ORDER BY source
+    """,
+    doc="tokenizer fertility per source "
+    "(operators/text.py:tokenizer_fertility): subword tokens per "
+    "whitespace word off the repo's deterministic BPE-ish proxy "
+    "(letter runs / digit runs / single symbols — text_profile's "
+    "counter) — the tokens-per-word budget number every LLM cost "
+    "model runs on; a fertility SHIFT between snapshots flags an "
+    "upstream encoding regression. One map-side-combined aggregate, "
+    "exact BIGINT sums",
+)
+def tokenizer_fertility_sources_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.text import tokenizer_fertility
+
+    docs = load(spark, sf_dir, "documents")
+    return tokenizer_fertility(docs, ["source"], "text")
+
+
+@_q(
+    "odds_ratio_events",
+    """
+    WITH g AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 AND value >= 100
+                           THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 AND value < 100
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 AND value >= 100
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 AND value < 100
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    m AS (
+      SELECT event_type, a, b, c, d,
+             CASE WHEN b * c > 0 THEN
+               CAST(CAST(a::HUGEINT * d AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(b::HUGEINT * c AS VARCHAR) AS DOUBLE)
+             END AS orr,
+             CASE WHEN a + b > 0 AND c + d > 0 AND c > 0 THEN
+               (a / CAST(a + b AS DOUBLE))
+               / (c / CAST(c + d AS DOUBLE))
+             END AS rr,
+             CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+               SQRT(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+             END AS se
+      FROM g)
+    SELECT event_type,
+           a + b AS n_exposed, c + d AS n_unexposed, a, c,
+           ROUND(orr, 6) AS odds_ratio,
+           ROUND(rr, 6) AS relative_risk,
+           ROUND(EXP(CASE WHEN orr > 0 THEN LN(orr) END
+                     - 1.959963984540054 * se), 6) AS ci_lo,
+           ROUND(EXP(CASE WHEN orr > 0 THEN LN(orr) END
+                     + 1.959963984540054 * se), 6) AS ci_hi
+    FROM m ORDER BY event_type
+    """,
+    doc="2x2 odds ratio + relative risk with the Woolf log-CI per "
+    "event type, exposure = odd user ids, outcome = value >= 100 "
+    "(operators/relational.py:odds_ratio) — the effect-SIZE rung "
+    "next to chi2/woe ('2.4x the odds, CI [1.8, 3.2]' is the number "
+    "a decision uses). Four cells in ONE conditional aggregate; "
+    "cross products in DECIMAL(38,0)/HUGEINT (a*d reaches n^2); z "
+    "injected as the NORMAL_QUANTILES literal; zero cells -> NULL "
+    "CI, not a silent Haldane correction",
+)
+def odds_ratio_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import odds_ratio
+
+    ev = load_events(spark, sf_dir)
+    frame = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        (F.col("user_id") % 2 == 1).alias("exposed"),
+        (F.col("value") >= 100).alias("outcome"),
+    )
+    return odds_ratio(frame, ["event_type"], "exposed", "outcome")
+
+
+@_q(
+    "kruskal_event_values",
+    """
+    WITH base AS (
+      SELECT CAST(isodow(ts) - 1 AS BIGINT) AS wd, value AS v,
+             event_type AS cls
+      FROM events WHERE value IS NOT NULL),
+    cells AS (
+      SELECT wd, v, cls, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2, 3),
+    per_v AS (
+      SELECT wd, v, CAST(SUM(c) AS BIGINT) AS tv
+      FROM cells GROUP BY 1, 2),
+    rv AS (
+      SELECT wd, v, tv,
+             COALESCE(SUM(tv) OVER (PARTITION BY wd ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS cum
+      FROM per_v),
+    rv2 AS (SELECT wd, v, cum + (tv + 1) / 2.0 AS avgrank FROM rv),
+    pc AS (
+      SELECT c.wd, c.cls, CAST(SUM(c.c) AS BIGINT) AS n_c,
+             SUM(c.c * r.avgrank) AS r
+      FROM cells c JOIN rv2 r ON r.wd = c.wd AND r.v = c.v
+      GROUP BY 1, 2),
+    ties AS (
+      SELECT wd, SUM(tv::HUGEINT * tv * tv - tv) AS t3t,
+             CAST(SUM(tv) AS BIGINT) AS n
+      FROM per_v GROUP BY 1),
+    ag AS (
+      SELECT wd, CAST(COUNT(*) AS BIGINT) AS k_classes,
+             SUM(r * r / n_c) AS rr
+      FROM pc GROUP BY 1),
+    m AS (
+      SELECT t.wd, n, k_classes,
+             12.0 / (CAST(n AS DOUBLE) * (n + 1)) * rr - 3.0 * (n + 1)
+               AS h,
+             1.0 - CAST(CAST(t3t AS VARCHAR) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * n * n - n) AS corr
+      FROM ties t JOIN ag USING (wd))
+    SELECT wd AS weekday, n, k_classes,
+           ROUND(h, 6) AS h_stat,
+           ROUND(CASE WHEN corr > 0 THEN h / corr END, 6)
+             AS h_corrected
+    FROM m ORDER BY weekday
+    """,
+    doc="Kruskal-Wallis H across the five event types per weekday "
+    "(operators/relational.py:kruskal_wallis) — the k-sample "
+    "extension of mannwhitney_click_error: rank-based k-way 'same "
+    "distribution?' with average ranks + the standard tie "
+    "correction. Mann-Whitney reduced-frame discipline verbatim: "
+    "average ranks derived as cum_before + (tv+1)/2 on the "
+    "DISTINCT-value frame (exact .0/.5 rationals off integer "
+    "cumulative windows — no row-level rank window anywhere); cubic "
+    "tie terms in DECIMAL(38,0)/HUGEINT",
+)
+def kruskal_event_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import kruskal_wallis
+
+    ev = load_events(spark, sf_dir)
+    base = ev.filter(F.col("value").isNotNull()).select(
+        F.weekday("ts").cast("long").alias("weekday"),
+        "value",
+        "event_type",
+    )
+    return kruskal_wallis(base, ["weekday"], "value", "event_type")

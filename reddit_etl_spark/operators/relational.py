@@ -3573,3 +3573,166 @@ def shrunk_rates(
         )
         .orderBy(*keys, *ents)
     )
+
+
+def odds_ratio(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    exposure_col: str,
+    outcome_col: str,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """2x2 odds ratio + relative risk with the Woolf log-CI per group
+    — the effect-SIZE readout the association family lacks:
+    chi2_independence says WHETHER exposure and outcome associate,
+    woe_iv_bins scores predictive strength, but "exposed rows have
+    2.4x the odds, CI [1.8, 3.2]" is the number a decision actually
+    uses (and the standard epidemiology/churn-analysis form):
+
+        OR = (a·d)/(b·c)      RR = (a/(a+b)) / (c/(c+d))
+        CI = exp(ln OR ± z · sqrt(1/a + 1/b + 1/c + 1/d))
+
+    a/b/c/d = exposed-outcome / exposed-clean / unexposed-outcome /
+    unexposed-clean counts.
+
+    Exactness: the four cells ride ONE map-side-combined conditional
+    aggregate (exact BIGINTs); OR's cross products run in
+    DECIMAL(38,0) (a·d reaches n² — past int64 at warehouse scale)
+    before ONE double division; ln/exp/sqrt are double expressions
+    over exact integers with ``z`` injected as a literal
+    (NORMAL_QUANTILES discipline), round-6. Any zero cell makes the
+    CI undefined -> NULL ci bounds (the Haldane +0.5 correction is a
+    CONTRACT change, not a default); zero b·c -> NULL odds_ratio.
+
+    Returns (group..., n_exposed BIGINT, n_unexposed BIGINT, a BIGINT,
+    c BIGINT, odds_ratio, relative_risk, ci_lo, ci_hi).
+    """
+    keys = list(group_cols)
+    d38 = "decimal(38,0)"
+    e = F.col(exposure_col).cast("boolean")
+    y = F.col(outcome_col).cast("boolean")
+    base = df.filter(e.isNotNull() & y.isNotNull()).select(
+        *keys, e.alias("__e"), y.alias("__y")
+    )
+    g = base.groupBy(*keys).agg(
+        F.sum((F.col("__e") & F.col("__y")).cast("long")).alias("__a"),
+        F.sum((F.col("__e") & ~F.col("__y")).cast("long")).alias("__b"),
+        F.sum((~F.col("__e") & F.col("__y")).cast("long")).alias("__c"),
+        F.sum((~F.col("__e") & ~F.col("__y")).cast("long")).alias("__d"),
+    )
+    a, b, c, d = (F.col(x) for x in ("__a", "__b", "__c", "__d"))
+    orr = F.when(
+        b * c > 0,
+        (a.cast(d38) * d).cast("double") / (b.cast(d38) * c).cast("double"),
+    )
+    rr = F.when(
+        (a + b > 0) & (c + d > 0) & (c > 0),
+        (a / (a + b)) / (c / (c + d)),
+    )
+    se = F.when(
+        (a > 0) & (b > 0) & (c > 0) & (d > 0),
+        F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d),
+    )
+    lnor = F.when(orr > 0, F.log(orr))
+    return g.select(
+        *keys,
+        (a + b).cast("long").alias("n_exposed"),
+        (c + d).cast("long").alias("n_unexposed"),
+        a.cast("long").alias("a"),
+        c.cast("long").alias("c"),
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(rr, 6).alias("relative_risk"),
+        F.round(F.exp(lnor - F.lit(z) * se), 6).alias("ci_lo"),
+        F.round(F.exp(lnor + F.lit(z) * se), 6).alias("ci_hi"),
+    ).orderBy(*keys)
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    class_col: str,
+) -> DataFrame:
+    """Kruskal-Wallis H test per group — the k-sample extension of
+    Mann-Whitney U: "do these k segments draw from the same value
+    distribution", rank-based so it needs no normality and shrugs at
+    outliers where anova_oneway chases them. With average ranks over
+    the POOLED sample and the standard tie correction:
+
+        H  = 12/(N(N+1)) · Σ_cls R_cls²/n_cls − 3(N+1)
+        H' = H / (1 − Σ_ties (t³−t)/(N³−N))
+
+    Exactness: the Mann-Whitney reduced-frame discipline — one
+    (group, value, class) cell aggregate, average ranks derived on
+    the DISTINCT-value frame as cum_before + (tv+1)/2 (an exact
+    .0/.5 rational from integer cumulative windows — no row-level
+    rank window anywhere), rank sums as doubles over exact integers,
+    cubic tie terms in DECIMAL(38,0). H/H' are single double
+    expressions, round-6; all-tied groups (denominator 0) emit NULL
+    h_corrected. Compare H' against the chi2 (k-1 df) quantile.
+
+    Plan: one cell aggregate + cumulative windows over the REDUCED
+    distinct-value frame + a class rollup. Value-cardinality-sized
+    windows, never fact-sized.
+
+    Returns (group..., n BIGINT, k_classes BIGINT, h_stat,
+    h_corrected).
+    """
+    keys = list(group_cols)
+    d38 = "decimal(38,0)"
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(class_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(value_col).alias("__v"),
+        F.col(class_col).alias("__cls"),
+    )
+    cells = base.groupBy(*keys, "__v", "__cls").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    per_v = cells.groupBy(*keys, "__v").agg(
+        F.sum("__c").cast("long").alias("__tv")
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked_v = per_v.withColumn(
+        "__cum", F.coalesce(F.sum("__tv").over(w), F.lit(0))
+    ).withColumn(
+        "__avgrank",
+        F.col("__cum") + (F.col("__tv") + 1) / 2.0,
+    )
+    joined = cells.join(ranked_v, [*keys, "__v"])
+    per_cls = joined.groupBy(*keys, "__cls").agg(
+        F.sum("__c").cast("long").alias("__n"),
+        F.sum(F.col("__c") * F.col("__avgrank")).alias("__r"),
+    )
+    ties = per_v.groupBy(*keys).agg(
+        F.sum(
+            F.col("__tv").cast(d38) * F.col("__tv") * F.col("__tv")
+            - F.col("__tv")
+        )
+        .cast(d38)
+        .alias("__t3t"),
+        F.sum("__tv").cast("long").alias("n"),
+    )
+    agg = per_cls.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("k_classes"),
+        F.sum(F.col("__r") * F.col("__r") / F.col("__n")).alias("__rr"),
+    )
+    nn = F.col("n").cast("double")
+    h = 12.0 / (nn * (nn + 1)) * F.col("__rr") - 3.0 * (nn + 1)
+    corr = 1.0 - F.col("__t3t").cast("double") / (
+        nn * nn * nn - nn
+    )
+    joined_out = ties.join(agg, keys) if keys else ties.crossJoin(agg)
+    out = joined_out.select(
+        *keys,
+        "n",
+        "k_classes",
+        F.round(h, 6).alias("h_stat"),
+        F.round(F.when(corr > 0, h / corr), 6).alias("h_corrected"),
+    )
+    return out.orderBy(*keys) if keys else out

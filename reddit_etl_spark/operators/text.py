@@ -1854,3 +1854,135 @@ def vocab_coverage(
         )
         .orderBy(*keys)
     )
+
+
+def vocab_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Pairwise vocabulary overlap between sources — the SET-level
+    companion to jsd_source_divergence's distributional distance: JSD
+    weighs shared tokens by probability mass; this reports the raw
+    set geometry (Jaccard + both directed containments), which is the
+    readout mixture design actually branches on ("is src_b a subset
+    of src_a, a sibling, or new material"), and the asymmetric
+    containments catch subset relationships Jaccard hides.
+
+    Exactness: every count is an exact BIGINT — per-source vocab off
+    one (source, token) DISTINCT aggregate, intersections off ONE
+    inner self-join on token; Jaccard/containments are single
+    divisions, round-6. Every unordered pair is seated from the
+    m-row totals frame (zero-overlap pairs report 0s, not absence —
+    the jsd discipline).
+
+    Plan: the self-join is the inverted-index shape — work = sum over
+    tokens of C(sources_with_token, 2), bounded by C(m, 2)·V_shared
+    with m = |sources| (the frame that matters stays
+    vocabulary-sized; at thousands of sources the hot-token cap
+    argument of the dedup family applies).
+
+    Returns (source_a, source_b, vocab_a BIGINT, vocab_b BIGINT,
+    shared BIGINT, jaccard, containment_a, containment_b).
+    """
+    toks = F.explode(F.split(normalize_text_col(text_col), " ")).alias(
+        "__tok"
+    )
+    vocab = (
+        df.select(F.col(group_col).alias("__g"), toks)
+        .filter(F.length("__tok") > 0)
+        .distinct()
+    )
+    totals = vocab.groupBy("__g").agg(
+        F.count("*").cast("long").alias("__v")
+    )
+    a = vocab.select(F.col("__g").alias("source_a"), "__tok")
+    b = vocab.select(F.col("__g").alias("source_b"), "__tok")
+    shared = (
+        a.join(b, "__tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    ta = totals.select(
+        F.col("__g").alias("source_a"), F.col("__v").alias("vocab_a")
+    )
+    tb = totals.select(
+        F.col("__g").alias("source_b"), F.col("__v").alias("vocab_b")
+    )
+    out = (
+        ta.join(tb, F.col("source_a") < F.col("source_b"))
+        .join(shared, ["source_a", "source_b"], "left")
+        .withColumn(
+            "shared", F.coalesce(F.col("shared"), F.lit(0).cast("long"))
+        )
+    )
+    return out.select(
+        "source_a",
+        "source_b",
+        "vocab_a",
+        "vocab_b",
+        "shared",
+        F.round(
+            F.col("shared")
+            / (F.col("vocab_a") + F.col("vocab_b") - F.col("shared")),
+            6,
+        ).alias("jaccard"),
+        F.round(F.col("shared") / F.col("vocab_a"), 6).alias(
+            "containment_a"
+        ),
+        F.round(F.col("shared") / F.col("vocab_b"), 6).alias(
+            "containment_b"
+        ),
+    ).orderBy("source_a", "source_b")
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    text_col: str,
+) -> DataFrame:
+    """Tokenizer fertility per group — subword tokens per whitespace
+    word, the budget number every LLM-pipeline cost model runs on
+    ("this source costs 1.4 tokens/word, that OCR dump costs 3.1"):
+    high fertility flags sources that will eat context windows and
+    training budget, and a fertility SHIFT between snapshots flags an
+    encoding regression upstream. Uses the repo's deterministic
+    BPE-ish proxy (bpe_ish_token_count_col — letter runs, digit runs,
+    single symbols) so the sweep costs column expressions, not a real
+    tokenizer pass.
+
+    Exactness: all sums are exact BIGINTs off ONE map-side-combined
+    aggregate (word counts, subword counts, non-whitespace chars);
+    fertility and chars-per-subword are single divisions, round-6.
+    Empty/NULL texts are excluded.
+
+    Returns (group..., n_docs BIGINT, words BIGINT, subword_tokens
+    BIGINT, fertility, chars_per_subword).
+    """
+    keys = list(group_cols)
+    t = F.col(text_col)
+    base = df.filter(t.isNotNull() & (F.length(F.trim(t)) > 0)).select(
+        *keys,
+        token_count_col(t).alias("__w"),
+        bpe_ish_token_count_col(t).alias("__s"),
+        F.length(F.regexp_replace(t, r"\s", "")).cast("long").alias("__c"),
+    )
+    agg = base.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__w").cast("long").alias("words"),
+        F.sum("__s").cast("long").alias("subword_tokens"),
+        F.sum("__c").cast("long").alias("__chars"),
+    )
+    return agg.select(
+        *keys,
+        "n_docs",
+        "words",
+        "subword_tokens",
+        F.round(F.col("subword_tokens") / F.col("words"), 6).alias(
+            "fertility"
+        ),
+        F.round(F.col("__chars") / F.col("subword_tokens"), 6).alias(
+            "chars_per_subword"
+        ),
+    ).orderBy(*keys)

@@ -23,11 +23,10 @@ def test_recorded_head_exactly_cap_and_contains_rotation():
     assert len(head) == harness._DRIVER_RECORD_CAP
     # ROUND-10 rotation contract (judge r9 next-round #5: oldest-first
     # again — after r10 no query's most-recent driver row predates
-    # r05). Head = 20 new round-10 registrations (both waves) + 21
+    # r05). Head = 24 new round-10 registrations (three waves) + 21
     # stalest (r04 attestations) + 5 operators/oracles touched this
-    # round + the 4 alphabetically-first r05 entries. Every
-    # rotated-out entry carried a green r09 row and stays
-    # oracle-checked in the tail.
+    # round. Every rotated-out entry carried a green r09 row and
+    # stays oracle-checked in the tail.
     new_r10 = {
         "mann_kendall_daily", "logrank_segments", "kappa_rule_events",
         "rbo_day_rankings", "hellinger_value_drift", "cvm_value_drift",
@@ -39,6 +38,9 @@ def test_recorded_head_exactly_cap_and_contains_rotation():
         "char_entropy_docs", "vocab_coverage_sources",
         "eb_urgent_rates", "mase_persistence_events",
         "transition_entropy_events",
+        # wave 3
+        "vocab_overlap_pairs", "tokenizer_fertility_sources",
+        "odds_ratio_events", "kruskal_event_values",
     }
     stale_r04 = {
         "q03_by_hour", "q04_by_weekday", "q05_top_customers",

@@ -595,3 +595,101 @@ def test_transition_entropy_deterministic_chain(spark):
     assert out["c"]["entropy_norm"] == 1.0
     # 'b' transitions: 5x b->a in user1, 1x b->c? no: user2 has a->c, b absent tail
     assert out["b"]["top_next"] == "a"
+
+
+# ------------------------------------------------------------- wave 3
+
+
+def test_vocab_overlap_hand_case(spark):
+    from reddit_etl_spark.operators.text import vocab_overlap
+
+    rows = [("a", "x y z"), ("b", "x y"), ("c", "p q")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in vocab_overlap(df, "source", "text").collect()
+    }
+    ab = out[("a", "b")]
+    assert ab["shared"] == 2 and ab["jaccard"] == round(2 / 3, 6)
+    assert ab["containment_a"] == round(2 / 3, 6)
+    assert ab["containment_b"] == 1.0  # b fully contained in a
+    assert out[("a", "c")]["shared"] == 0  # seated, zero overlap
+    assert len(out) == 3
+
+
+def test_tokenizer_fertility_hand_case(spark):
+    from reddit_etl_spark.operators.text import tokenizer_fertility
+
+    # "don't stop" -> words 2; subwords: don,',t,stop = 4; chars 9
+    df = spark.createDataFrame(
+        [("s", "don't stop")], "src string, text string"
+    )
+    r = tokenizer_fertility(df, ["src"], "text").collect()[0]
+    assert (r["words"], r["subword_tokens"]) == (2, 4)
+    assert r["fertility"] == 2.0
+    assert r["chars_per_subword"] == 2.25
+
+
+def test_odds_ratio_hand_case(spark):
+    from reddit_etl_spark.operators.relational import odds_ratio
+
+    # a=20 b=10 c=10 d=20 -> OR = 400/100 = 4; RR = (2/3)/(1/3) = 2
+    rows = (
+        [("g", True, True)] * 20
+        + [("g", True, False)] * 10
+        + [("g", False, True)] * 10
+        + [("g", False, False)] * 20
+    )
+    df = spark.createDataFrame(rows, "g string, e boolean, y boolean")
+    r = odds_ratio(df, ["g"], "e", "y").collect()[0]
+    assert r["odds_ratio"] == 4.0 and r["relative_risk"] == 2.0
+    se = math.sqrt(1 / 20 + 1 / 10 + 1 / 10 + 1 / 20)
+    z = 1.959963984540054
+    assert r["ci_lo"] == round(math.exp(math.log(4.0) - z * se), 6)
+    assert r["ci_hi"] == round(math.exp(math.log(4.0) + z * se), 6)
+    # zero cell -> NULL CI
+    zero = spark.createDataFrame(
+        [("g", True, True), ("g", False, False)],
+        "g string, e boolean, y boolean",
+    )
+    rz = odds_ratio(zero, ["g"], "e", "y").collect()[0]
+    assert rz["ci_lo"] is None and rz["odds_ratio"] is None
+
+
+def _py_kruskal(values_by_class):
+    pooled = sorted(v for vs in values_by_class.values() for v in vs)
+    n = len(pooled)
+    # average ranks with ties
+    from collections import Counter
+
+    cnt = Counter(pooled)
+    rank = {}
+    cum = 0
+    for v in sorted(cnt):
+        rank[v] = cum + (cnt[v] + 1) / 2
+        cum += cnt[v]
+    rr = sum(
+        (sum(rank[v] for v in vs)) ** 2 / len(vs)
+        for vs in values_by_class.values()
+    )
+    h = 12.0 / (n * (n + 1)) * rr - 3.0 * (n + 1)
+    t3t = sum(t**3 - t for t in cnt.values())
+    corr = 1.0 - t3t / (n**3 - n)
+    return h, (h / corr if corr > 0 else None)
+
+
+def test_kruskal_matches_bruteforce(spark):
+    from reddit_etl_spark.operators.relational import kruskal_wallis
+
+    data = {
+        "a": [1.0, 2.0, 2.0, 5.0],
+        "b": [2.0, 3.0, 6.0],
+        "c": [4.0, 4.0, 7.0, 8.0, 1.0],
+    }
+    rows = [("g", v, c) for c, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double, cls string")
+    r = kruskal_wallis(df, ["g"], "v", "cls").collect()[0]
+    h, hc = _py_kruskal(data)
+    assert r["n"] == 12 and r["k_classes"] == 3
+    assert r["h_stat"] == round(h, 6)
+    assert r["h_corrected"] == round(hc, 6)
