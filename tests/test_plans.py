@@ -307,3 +307,67 @@ def test_compaction_plan_input_is_metadata_sized(spark):
     )
     out = compaction_plan(files, "sz", "fid", 500)
     assert count_exchanges(out) <= 3  # window sort + agg + final order
+
+
+# ------------------------------------------------------ round-10 wave
+
+
+def test_mattr_is_scan_fused(spark):
+    """MATTR's contract is ZERO shuffles — tokens, sliding spans,
+    distinct counts and the mean are array expressions fused into the
+    scan; an Exchange appearing here means someone rewrote it through
+    an explode+groupBy."""
+    from reddit_etl_spark.operators.text import mattr
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert count_exchanges(mattr(docs, "doc_id", "text")) == 0
+
+
+def test_diff_in_diff_is_one_aggregate(spark):
+    """All four DiD cells ride ONE map-side-combined aggregate —
+    exactly one shuffle (the group-key exchange), never four jobs."""
+    from reddit_etl_spark.operators.relational import diff_in_diff
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type",
+        (F.col("user_id") % 2 == 1).alias("t"),
+        (F.col("user_id") % 3 == 0).alias("p"),
+        "value",
+    )
+    df = diff_in_diff(ev, ["event_type"], "t", "p", "value")
+    # the group-key aggregate exchange + the display orderBy's range
+    # exchange over the group-cardinality result — nothing else
+    assert count_exchanges(df) <= 2
+
+
+def test_kendall_knight_lane_single_data_exchange(spark):
+    """The Knight lane's only data-sized exchange is the hash
+    partition into applyInPandas — the pair join's exchanges (and its
+    quadratic output) must be absent from the plan."""
+    from reddit_etl_spark.operators.series import kendall_tau
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type", "value", (F.col("user_id") % 100).alias("y")
+    )
+    knight = kendall_tau(ev, ["event_type"], "value", "y", pairs="knight")
+    join_lane = kendall_tau(ev, ["event_type"], "value", "y", pairs="join")
+    k_plan = knight._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in k_plan
+    assert "SortMergeJoin" not in k_plan
+    # and the join lane genuinely is the pair-join shape it claims
+    j_plan = join_lane._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in j_plan
+
+
+def test_pr_curve_single_aggregate_after_fan(spark):
+    """The threshold fan-out is a literal-array explode feeding ONE
+    map-side-combined aggregate — one exchange total."""
+    from reddit_etl_spark.operators.classify import pr_curve
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        (F.col("value") / 500.0).alias("s"),
+        (F.col("event_type") == "purchase").alias("y"),
+    )
+    df = pr_curve(ev, [], "s", "y")
+    # one exchange for the aggregate + the final sort's range exchange
+    assert count_exchanges(df) <= 2
