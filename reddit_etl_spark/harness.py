@@ -12956,12 +12956,21 @@ def kappa_rule_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _rbo_day_rankings_oracle() -> str:
     """RBO oracle with the SAME suffix-weight literals the operator
-    injects (rbo_suffix_weights — no pow() in either plan)."""
+    injects (rbo_suffix_weights — no pow() in either plan). The
+    literals are CAST to DOUBLE explicitly: DuckDB parses a bare
+    decimal literal as DECIMAL, whose exact-decimal sum can differ
+    from Spark's double sum in the 6th decimal AND whose str() canon
+    keeps trailing zeros ('0.493280' vs the float's '0.49328') —
+    measured as the one sf0.1 hash mismatch of round 10."""
     from .operators.retrieval import rbo_suffix_weights
 
     w = rbo_suffix_weights(0.9, 20)
-    weights = "[" + ", ".join(repr(x) for x in w) + "]"
-    one_minus_p = repr(1.0 - 0.9)
+    weights = (
+        "CAST(["
+        + ", ".join(repr(x) for x in w)
+        + "] AS DOUBLE[])"
+    )
+    one_minus_p = f"CAST({1.0 - 0.9!r} AS DOUBLE)"
     return f"""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
