@@ -103,9 +103,28 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
     failures = []
     sweep_t0 = time.time()
+
+    def drop_leaked_blocks() -> None:
+        # Between queries NOTHING from the previous one is live, so
+        # every still-registered persistent RDD is a leaked
+        # localCheckpoint (ngram/minhash/curation's shared shingle
+        # frames). Across a 252-query sweep those blocks accumulate
+        # until the heap dies — measured: the r10 ANSI sweep (vanilla
+        # session, default 1g driver heap) OOMed at query ~123 without
+        # this, exactly the async-ContextCleaner race bench.py fixed
+        # the same way. unpersist(blocking) + gc makes the cleanup
+        # synchronous.
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        leaked = list(jmap.values())
+        for rdd in leaked:
+            rdd.unpersist(True)
+        if leaked:
+            spark.sparkContext._jvm.System.gc()
+
     for name, builder in qs.items():
         if only and name not in only:
             continue
+        drop_leaked_blocks()
         t0 = time.time()
         try:
             sdf = builder(spark, sf_dir)
