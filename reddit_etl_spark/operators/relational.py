@@ -1643,6 +1643,11 @@ def logrank_test(
         "events_b",
         F.round(F.col("__e1"), 6).alias("expected_a"),
         F.round(chi2, 6).alias("chi2"),
+    ).filter(
+        # the GLOBAL form (keys = []) is a groupBy-less aggregate, which
+        # emits one all-NULL row on EMPTY input — an empty test must be
+        # an empty frame, not a phantom row (empty-input contract)
+        F.col("n_a").isNotNull() & F.col("n_b").isNotNull()
     )
     # keys may be empty (one global two-curve test) — orderBy() with
     # zero columns is an error, and a 1-row frame needs no order

@@ -223,3 +223,95 @@ def test_round5_session_operators_empty_inputs(spark):
     xy = spark.createDataFrame([], "k string, x double, y double")
     t = linear_trend(xy, ["k"], "x", "y")
     assert t.count() == 0 and t.columns == ["k", "n", "slope", "intercept", "r2"]
+
+
+# ------------------------------------------------------- round-10 wave
+
+
+def test_round10_stats_ops_empty(spark):
+    from reddit_etl_spark.operators.relational import (
+        cvm_two_sample,
+        diff_in_diff,
+        kruskal_wallis,
+        logrank_test,
+        odds_ratio,
+        shrunk_rates,
+    )
+
+    e1 = spark.createDataFrame([], "g string, v double, s string")
+    assert cvm_two_sample(e1, ["g"], "v", "s", "a", "b").count() == 0
+    assert kruskal_wallis(e1, ["g"], "v", "s").count() == 0
+    e2 = spark.createDataFrame([], "g string, t long, obs boolean, s string")
+    assert logrank_test(e2, [], "t", "obs", "s", "a", "b").count() == 0
+    e3 = spark.createDataFrame(
+        [], "g string, t boolean, p boolean, v double"
+    )
+    assert diff_in_diff(e3, ["g"], "t", "p", "v").count() == 0
+    e4 = spark.createDataFrame([], "g string, e boolean, y boolean")
+    assert odds_ratio(e4, ["g"], "e", "y").count() == 0
+    e5 = spark.createDataFrame([], "g string, ent string, k long, n long")
+    assert shrunk_rates(e5, ["g"], ["ent"], "k", "n").count() == 0
+
+
+def test_round10_series_ops_empty(spark):
+    from reddit_etl_spark.operators.series import (
+        kendall_tau,
+        mann_kendall_trend,
+        mase,
+        pinball_loss,
+        transition_entropy,
+    )
+
+    e = spark.createDataFrame([], "g string, t long, v long")
+    assert mann_kendall_trend(e, ["g"], "t", "v").count() == 0
+    # both kendall lanes
+    ed = spark.createDataFrame([], "g string, x double, y double")
+    assert kendall_tau(ed, ["g"], "x", "y", pairs="join").count() == 0
+    assert kendall_tau(ed, ["g"], "x", "y", pairs="knight").count() == 0
+    assert kendall_tau(ed, ["g"], "x", "y", pairs="auto").count() == 0
+    e2 = spark.createDataFrame([], "g string, o long, a double, f double")
+    assert mase(e2, ["g"], "o", "a", "f").count() == 0
+    assert pinball_loss(e2, ["g"], "a", "f").count() == 0
+    e3 = spark.createDataFrame([], "u long, ts long, eid long, s string")
+    assert transition_entropy(e3, "u", ["ts", "eid"], "s").count() == 0
+
+
+def test_round10_text_classify_ops_empty(spark, empty_docs):
+    from reddit_etl_spark.operators.classify import (
+        cohens_kappa,
+        expected_calibration_error,
+        gains_table,
+        pr_curve,
+    )
+    from reddit_etl_spark.operators.curation import hellinger_drift
+    from reddit_etl_spark.operators.dq import digit_uniformity, mask_profile
+    from reddit_etl_spark.operators.retrieval import rbo_overlap
+    from reddit_etl_spark.operators.text import (
+        char_entropy,
+        heaps_law,
+        mattr,
+        tokenizer_fertility,
+        vocab_coverage,
+        vocab_overlap,
+    )
+
+    assert char_entropy(empty_docs, "doc_id", "text").count() == 0
+    assert mattr(empty_docs, "doc_id", "text").count() == 0
+    assert heaps_law(empty_docs, "doc_id", "text").count() == 0
+    d2 = empty_docs.withColumn("source", F.lit("s"))
+    assert vocab_coverage(d2, ["source"], "text").count() == 0
+    assert vocab_overlap(d2, "source", "text").count() == 0
+    assert tokenizer_fertility(d2, ["source"], "text").count() == 0
+    ek = spark.createDataFrame([], "g string, a string, b string")
+    assert cohens_kappa(ek, ["g"], "a", "b").count() == 0
+    es = spark.createDataFrame([], "p double, y boolean")
+    assert expected_calibration_error(es, "p", "y").count() == 1  # 0-row rollup
+    assert pr_curve(es, [], "p", "y").count() == 0
+    eg = spark.createDataFrame([], "g string, id long, s double, y boolean")
+    assert gains_table(eg, ["g"], "id", "s", "y").count() == 0
+    er = spark.createDataFrame([], "g string, id long, rank long")
+    assert rbo_overlap(er, er, ["g"], "id", "rank").count() == 0
+    ev = spark.createDataFrame([], "g string, v double")
+    assert hellinger_drift(ev, ev, "v", ["g"]).count() == 0
+    assert digit_uniformity(ev, ["g"], "v").count() == 0
+    assert mask_profile(ev.withColumn("m", F.lit("x")), ["g"], "m").count() == 0
