@@ -1875,7 +1875,11 @@ def pinball_loss(
     if not qs:
         raise ValueError("pinball_loss needs at least one quantile")
     for q in qs:
-        if not (0 < q < 1) or round(q * 100) != q * 100:
+        # tolerance, not float equality: a genuine 2-decimal tau can
+        # still carry representation error (0.07 * 100 ==
+        # 7.000000000000001), while the nearest NON-2-decimal value
+        # (x.x5) lands 0.5 away — 1e-6 separates them by 5 orders
+        if not (0 < q < 1) or abs(q * 100 - round(q * 100)) > 1e-6:
             raise ValueError(
                 f"quantiles must be 2-decimal values in (0,1); got {q}"
             )
@@ -1960,23 +1964,27 @@ def mase(
     )
     w = Window.partitionBy(*keys).orderBy("__o")
     lagged = base.withColumn("__nv", F.lag("__a", season).over(w))
+    # each |diff| term casts to DECIMAL(38,0) BEFORE the sum — a long
+    # sum of micros |diffs| wraps int64 near 1e9 rows x 1e12-micros
+    # diffs (non-ANSI Spark wraps silently); and both denominators
+    # count exactly the rows whose numerator term is non-NULL (a NULL
+    # actual must not deflate either MAE), which also keeps the
+    # by-row seasonal-lag positions intact
+    scored = F.col("__a").isNotNull() & F.col("__f").isNotNull()
+    naive = F.col("__a").isNotNull() & F.col("__nv").isNotNull()
     agg = lagged.groupBy(*keys).agg(
-        F.sum(
-            F.when(F.col("__f").isNotNull(), 1).otherwise(0)
-        ).cast("long").alias("n_scored"),
+        F.sum(scored.cast("long")).cast("long").alias("n_scored"),
         F.sum(
             F.when(
-                F.col("__f").isNotNull(),
-                F.abs(F.col("__a") - F.col("__f")),
+                scored,
+                F.abs(F.col("__a") - F.col("__f")).cast("decimal(38,0)"),
             )
         ).cast("decimal(38,0)").alias("__se"),
-        F.sum(
-            F.when(F.col("__nv").isNotNull(), 1).otherwise(0)
-        ).cast("long").alias("n_naive"),
+        F.sum(naive.cast("long")).cast("long").alias("n_naive"),
         F.sum(
             F.when(
-                F.col("__nv").isNotNull(),
-                F.abs(F.col("__a") - F.col("__nv")),
+                naive,
+                F.abs(F.col("__a") - F.col("__nv")).cast("decimal(38,0)"),
             )
         ).cast("decimal(38,0)").alias("__sn"),
     )

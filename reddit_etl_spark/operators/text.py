@@ -1860,6 +1860,7 @@ def vocab_overlap(
     df: DataFrame,
     group_col: str,
     text_col: str,
+    max_sources: int | None = None,
 ) -> DataFrame:
     """Pairwise vocabulary overlap between sources — the SET-level
     companion to jsd_source_divergence's distributional distance: JSD
@@ -1878,9 +1879,24 @@ def vocab_overlap(
 
     Plan: the self-join is the inverted-index shape — work = sum over
     tokens of C(sources_with_token, 2), bounded by C(m, 2)·V_shared
-    with m = |sources| (the frame that matters stays
-    vocabulary-sized; at thousands of sources the hot-token cap
-    argument of the dedup family applies).
+    with m = |sources| — and unlike the dedup family's hot-token
+    masks, a hot token here CANNOT be dropped without changing the
+    exact shared counts, so the quadratic in m is irreducible (the
+    output itself is C(m, 2) rows).
+
+    ``max_sources`` is therefore the operator-owned FAIL-FAST guard
+    (the theil_sen.max_group_rows convention for irreducibly-
+    quadratic contracts): when set, ONE distinct-count of the group
+    column runs BEFORE the pair join's job is submitted, and m above
+    the cap raises naming the cardinality — driver-side rather than a
+    plan-riding raise_error, because Spark may schedule the self-join
+    stages concurrently with a guard column's stage, letting the
+    explosion finish before an in-plan raise surfaces. Default None
+    preserves the low-cardinality-dimension contract the oracle pins
+    (sources are a curated mixture axis, ~tens). Past the cap, the
+    scalable estimate of the same geometry is per-source MinHash
+    (m sketches, C(m,2)·sketch_size work, no V factor) via the dedup
+    family.
 
     Returns (source_a, source_b, vocab_a BIGINT, vocab_b BIGINT,
     shared BIGINT, jaccard, containment_a, containment_b).
@@ -1893,6 +1909,15 @@ def vocab_overlap(
         .filter(F.length("__tok") > 0)
         .distinct()
     )
+    if max_sources is not None:
+        m = df.select(group_col).distinct().count()
+        if m > max_sources:
+            raise ValueError(
+                f"vocab_overlap: {m} distinct sources exceeds "
+                f"max_sources ({max_sources}); the pairwise-overlap "
+                "contract is irreducibly C(m, 2) — aggregate the "
+                "grouping column or use MinHash sketches per source"
+            )
     totals = vocab.groupBy("__g").agg(
         F.count("*").cast("long").alias("__v")
     )

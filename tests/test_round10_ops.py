@@ -452,6 +452,15 @@ def test_pinball_hand_case(spark):
     assert out[0.9] == 1.8
     with pytest.raises(ValueError, match="2-decimal"):
         pinball_loss(df, ["g"], "a", "f", (0.333,))
+    # representation error on a GENUINE 2-decimal tau must not raise:
+    # 0.07 * 100 == 7.000000000000001 under IEEE, and the old exact-
+    # equality check rejected it
+    out7 = {
+        r["tau"]: r["pinball"]
+        for r in pinball_loss(df, ["g"], "a", "f", (0.07, 0.14, 0.29, 0.58)).collect()
+    }
+    assert out7[0.07] == round(0.07 * 2, 6)
+    assert out7[0.58] == round(0.58 * 2, 6)
 
 
 def test_mattr_hand_cases(spark):
@@ -581,6 +590,27 @@ def test_mase_hand_case(spark):
     assert (r["n_scored"], r["n_naive"]) == (10, 8)
 
 
+def test_mase_null_actual_not_counted(spark):
+    """A NULL actual must drop out of BOTH denominators (its |diff|
+    term is NULL either way) — it used to inflate n_scored and
+    silently deflate the MAE — while keeping its ROW position for
+    the by-row seasonal lag."""
+    from reddit_etl_spark.operators.series import mase
+
+    rows = [
+        ("g", 1, 10.0, 8.0),
+        ("g", 2, None, 9.0),  # NULL actual, forecast present
+        ("g", 3, 20.0, 16.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, o long, a double, f double")
+    r = mase(df, ["g"], "o", "a", "f", season=2).collect()[0]
+    # scored rows: t=1 (|2|), t=3 (|4|) -> mae = 3, n_scored = 2
+    assert (r["n_scored"], r["mae"]) == (2, 3.0)
+    # naive pairs by ROW: t=3 vs t=1 -> |20-10| = 10; t=2's NULL kept
+    # its slot so t=3 lags to t=1, not to a shifted neighbor
+    assert (r["n_naive"], r["mae_naive"]) == (1, 10.0)
+
+
 def test_transition_entropy_deterministic_chain(spark):
     from reddit_etl_spark.operators.series import transition_entropy
 
@@ -615,6 +645,25 @@ def test_vocab_overlap_hand_case(spark):
     assert ab["containment_b"] == 1.0  # b fully contained in a
     assert out[("a", "c")]["shared"] == 0  # seated, zero overlap
     assert len(out) == 3
+
+
+def test_vocab_overlap_max_sources(spark):
+    """The fail-fast guard: m above the cap raises BEFORE the pair
+    join runs (ValueError, not a job failure); at/below the cap the
+    output is identical to the unguarded contract."""
+    import pytest
+
+    from reddit_etl_spark.operators.text import vocab_overlap
+
+    rows = [("a", "x y z"), ("b", "x y"), ("c", "p q")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    with pytest.raises(ValueError, match="3 distinct sources"):
+        vocab_overlap(df, "source", "text", max_sources=2)
+    guarded = sorted(
+        map(tuple, vocab_overlap(df, "source", "text", max_sources=3).collect())
+    )
+    bare = sorted(map(tuple, vocab_overlap(df, "source", "text").collect()))
+    assert guarded == bare
 
 
 def test_tokenizer_fertility_hand_case(spark):
