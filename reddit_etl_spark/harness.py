@@ -152,12 +152,23 @@ _PROMOTED = [
     # ROUND-10 REWRITE (judge r9 next-round #5: oldest-first again —
     # after this round no query's most-recent driver row predates
     # r05). Pre-round-10 per-slot history: git blame (tag round-9).
-    # Head composition (cap 50): the 12 new round-10 registrations
-    # ride as base; this list = 21 stalest (last driver row r04)
-    # + 5 re-attestations for operators/oracles touched this round
-    # (kendall integral lane + oracle rewrite, jsd absence seating,
-    # calibration clamp, mmr short-pool guard, HT raw-rate guard)
-    # + the 12 alphabetically-first r05-attested entries.
+    # Head composition (cap 50): 29 of the 34 new round-10
+    # registrations ride as base (the five lowest-risk new oracles —
+    # jarque_bera/mcnemar/jackknife/theil/durbin_watson, all plain
+    # aggregates or bounded windows — roll to the r11 head; the five
+    # new entries with the most novel engine surface — roc_auc's
+    # rank machinery, page_hinkley's stacked prefix windows,
+    # brown_forsythe's median frame, decision_stump's guarded
+    # distinct window, vocab_chapman's pair geometry — stay for the
+    # independent driver check this round) + the 21 stalest (last
+    # driver row r04). The 5 re-attestations for round-10-touched
+    # operators (kendall integral lane + oracle rewrite, jsd absence
+    # seating, calibration clamp, mmr short-pool guard, HT raw-rate
+    # guard) moved to the tail: each holds a green r09 row and the
+    # post-change behavior is attested by the committed 252-query
+    # three-profile oracle artifacts (f1f29f7) + the local full ANSI
+    # sweep this round — the head budget goes to never-recorded
+    # registrations first.
     # -- 21 stalest (last recorded r04) ------------------------------
     "q03_by_hour",
     "q04_by_weekday",
@@ -180,14 +191,37 @@ _PROMOTED = [
     "unigram_quality_score",
     "vocab_topk",
     "weighted_sample_sources",
-    # -- 5 touched this round: need fresh green rows ------------------
+]
+_DEFERRED = [
+    # round-10-touched re-attestations (green r09 rows + post-change
+    # coverage via the committed 252-query artifacts; see head note)
     "kendall_tau_daily",
     "jsd_source_docs",
     "calibration_brier_events",
     "mmr_rerank_embeddings",
     "ht_total_by_priority",
-]
-_DEFERRED = [
+    # round-10 wave-4 entries rolling to the r11 head (plain
+    # aggregates / bounded windows; locally green at all three
+    # profiles this round)
+    "jarque_bera_values",
+    "mcnemar_doc_rules",
+    "jackknife_nation_value",
+    "theil_customer_revenue",
+    "durbin_watson_daily",
+    # round-10 wave-5 entries rolling to the r11 head (same local
+    # three-profile attestation; the 50-cap head was already fully
+    # budgeted: 29 never-recorded wave-1..4 entries + the 21
+    # r04-stale rotations)
+    "cohens_d_purchase_click",
+    "friedman_daily_types",
+    "hill_tail_orders",
+    "lorenz_customer_revenue",
+    "runs_test_daily",
+    "grubbs_values",
+    "gumbel_weekly_max",
+    "imr_chart_daily",
+    "cochran_doc_rules",
+    "fightin_words_sources",
     "ab_experiment_readout",
     "anomaly_zscore_daily",
     "asof_split",
@@ -14216,3 +14250,1356 @@ def kruskal_event_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     )
     return kruskal_wallis(base, ["weekday"], "value", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# round-10 wave 4: classifier eval, robust stats, design-based estimation
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "roc_auc_events",
+    """
+    WITH base AS (
+      SELECT CAST(isodow(ts) - 1 AS BIGINT) AS wd,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL),
+    per_v AS (
+      SELECT wd, v, CAST(SUM(y) AS BIGINT) AS tp,
+             CAST(SUM(1 - y) AS BIGINT) AS tn
+      FROM base GROUP BY 1, 2),
+    r AS (
+      SELECT wd, tp, tn,
+             COALESCE(SUM(tp + tn) OVER (PARTITION BY wd ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS c
+      FROM per_v),
+    r2 AS (
+      SELECT wd, tp, tn,
+             tp::HUGEINT * (2 * c + tp + tn + 1) AS r2p
+      FROM r),
+    ag AS (
+      SELECT wd, CAST(SUM(tp) AS BIGINT) AS n_pos,
+             CAST(SUM(tn) AS BIGINT) AS n_neg,
+             SUM(r2p) AS r2p
+      FROM r2 GROUP BY 1),
+    m AS (
+      SELECT wd, n_pos, n_neg,
+             CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+               CAST(r2p - n_pos::HUGEINT * (n_pos + 1) AS DOUBLE)
+               / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+             END AS auc
+      FROM ag)
+    SELECT wd AS weekday, n_pos, n_neg,
+           ROUND(auc, 6) AS auc,
+           ROUND(2.0 * auc - 1.0, 6) AS gini
+    FROM m ORDER BY weekday
+    """,
+    doc="exact tie-aware ROC AUC of value as a purchase score per "
+    "weekday (operators/classify.py:roc_auc) — the threshold-free "
+    "rung of the classifier-eval ladder next to pr_curve (fixed "
+    "thresholds), calibration_brier (probability quality) and "
+    "gains_by_status (lift): AUC = the Mann-Whitney U normalized by "
+    "n_pos*n_neg, so it rides that operator's reduced-frame "
+    "discipline verbatim — midranks as (2c+t+1)/2 exact integers on "
+    "the DISTINCT-score frame, 2x rank sums in DECIMAL(38,0)/"
+    "HUGEINT, no row-level rank window",
+)
+def roc_auc_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.classify import roc_auc
+
+    ev = load_events(spark, sf_dir)
+    frame = ev.filter(F.col("value").isNotNull()).select(
+        F.weekday("ts").cast("long").alias("weekday"),
+        "value",
+        (F.col("event_type") == "purchase").alias("y"),
+    )
+    return roc_auc(frame, ["weekday"], "value", "y")
+
+
+@_q(
+    "jarque_bera_values",
+    """
+    WITH base AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    ag AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(v::HUGEINT) AS s1,
+             SUM(v::HUGEINT * v) AS s2,
+             SUM(v::HUGEINT * v * v) AS s3,
+             SUM((v::HUGEINT * v) * (v::HUGEINT * v)) AS s4
+      FROM base GROUP BY 1),
+    m AS (
+      SELECT event_type, n,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS d1,
+             CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS d2,
+             CAST(CAST(s3 AS VARCHAR) AS DOUBLE) AS d3,
+             CAST(CAST(s4 AS VARCHAR) AS DOUBLE) AS d4
+      FROM ag),
+    mm AS (
+      SELECT event_type, n, nd,
+             d1 / nd AS m1,
+             d2 / nd - (d1 / nd) * (d1 / nd) AS m2,
+             d3 / nd - 3.0 * (d1 / nd) * (d2 / nd)
+               + 2.0 * (d1 / nd) * (d1 / nd) * (d1 / nd) AS m3,
+             d4 / nd - 4.0 * (d1 / nd) * (d3 / nd)
+               + 6.0 * (d1 / nd) * (d1 / nd) * (d2 / nd)
+               - 3.0 * (d1 / nd) * (d1 / nd) * (d1 / nd) * (d1 / nd)
+               AS m4
+      FROM m),
+    st AS (
+      SELECT event_type, n, nd, m1, m2,
+             CASE WHEN n >= 2 AND m2 > 0
+                  THEN m3 / POWER(m2, 1.5) END AS skew,
+             CASE WHEN n >= 2 AND m2 > 0
+                  THEN m4 / (m2 * m2) END AS kurt
+      FROM mm)
+    SELECT event_type, n,
+           ROUND(m1 / 100.0, 6) AS mean,
+           ROUND(skew, 6) AS skewness,
+           ROUND(kurt, 6) AS kurtosis,
+           ROUND(nd / 6.0 * (skew * skew
+                 + (kurt - 3.0) * (kurt - 3.0) / 4.0), 6) AS jb_stat
+    FROM st ORDER BY event_type
+    """,
+    doc="Jarque-Bera normality statistic of value per event type "
+    "(operators/series.py:jarque_bera) — JB = n/6*(S^2 + (K-3)^2/4) "
+    "off sample skewness and kurtosis: the one-pass moment test "
+    "that flags heavy tails before anything assumes Gaussian "
+    "(z-score fences, CUPED, power_mde all do). Values quantized to "
+    "cents; all four raw power sums exact in DECIMAL(38,0)/HUGEINT "
+    "(x^4 crosses 2^63 LONG overflow at ~6e4 rows of 1e5-cent "
+    "values); S and K are identical double expressions of exact "
+    "integers via the raw-moment identities, scale cancelling. ONE "
+    "map-side-combined aggregate — no window, no join",
+)
+def jarque_bera_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import jarque_bera
+
+    ev = load_events(spark, sf_dir)
+    return jarque_bera(ev, ["event_type"], "value")
+
+
+_DAILY_MEAN_SQL = """
+      SELECT event_type,
+             CAST(ts AS DATE) AS day,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(value), 6) AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+"""
+
+
+def _daily_mean_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared bounded rollup for the serial-correlation family: daily
+    mean value per event type, the stable_avg discipline + round-6 so
+    the downstream DECIMAL(18,6) re-cast is exact on both engines."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("value"),
+                6,
+            ).alias("v")
+        )
+    )
+
+
+@_q(
+    "durbin_watson_daily",
+    f"""
+    WITH daily AS ({_DAILY_MEAN_SQL}),
+    mu AS (
+      SELECT event_type,
+             CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS mu
+      FROM daily GROUP BY 1),
+    e AS (
+      SELECT d.event_type, d.v - mu AS e,
+             d.v - mu - LAG(d.v - mu) OVER (
+               PARTITION BY d.event_type ORDER BY d.day) AS dd
+      FROM daily d JOIN mu USING (event_type)),
+    ag AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(e * e) AS sse, SUM(dd * dd) AS ssd
+      FROM e GROUP BY 1),
+    m AS (
+      SELECT event_type, n,
+             CASE WHEN n >= 2 AND sse > 0 THEN ssd / sse END AS dw
+      FROM ag)
+    SELECT event_type, n, ROUND(dw, 6) AS dw,
+           ROUND(1.0 - dw / 2.0, 6) AS rho1
+    FROM m ORDER BY event_type
+    """,
+    doc="Durbin-Watson serial-correlation statistic per event type "
+    "over the daily mean-value series "
+    "(operators/series.py:durbin_watson) — DW = sum((e_t-e_t-1)^2)/"
+    "sum(e_t^2) with mean-centered residuals: the residual-"
+    "autocorrelation check that says whether acf_daily_values' "
+    "lag-1 story survives centering (DW ~ 2(1-rho1)). Fed the "
+    "bounded daily rollup (acf contract); means off DECIMAL(18,6) "
+    "sums; one lag window over the days-sized frame",
+)
+def durbin_watson_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import durbin_watson
+
+    daily = _daily_mean_frame(spark, sf_dir)
+    return durbin_watson(daily, ["event_type"], "day", "v")
+
+
+@_q(
+    "page_hinkley_daily",
+    f"""
+    WITH daily AS ({_DAILY_MEAN_SQL}),
+    pref AS (
+      SELECT event_type, day, v,
+             CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS m
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    u AS (
+      SELECT event_type, day,
+             SUM(v - m - 0.0) OVER w AS u
+      FROM pref
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    g AS (
+      SELECT event_type, day,
+             u - MIN(u) OVER w AS ph
+      FROM u
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(ph), 6) AS ph_max,
+           MIN(CASE WHEN ph > 25.0 THEN day END) AS alarm_at,
+           CAST(SUM(CASE WHEN ph > 25.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarms
+    FROM g GROUP BY 1 ORDER BY event_type
+    """,
+    doc="Page-Hinkley mean-shift detector per event type over the "
+    "daily mean series (operators/series.py:page_hinkley) — the "
+    "sequential cousin of cusum_daily_drift: U_t = prefix sum of "
+    "(x - running prefix mean - delta), alarm when U_t - min U "
+    "exceeds lambda. delta=0.0 / lambda=25.0 injected into both "
+    "plans (NORMAL_QUANTILES discipline); prefix means ride exact "
+    "DECIMAL(18,6) prefix sums over the round-6 daily frame, so "
+    "both engines fold the identical doubles in the identical ASC "
+    "order. Three ordered windows over the days-sized rollup",
+)
+def page_hinkley_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import page_hinkley
+
+    daily = _daily_mean_frame(spark, sf_dir)
+    return page_hinkley(
+        daily, ["event_type"], "day", "v", delta=0.0, lam=25.0
+    )
+
+
+@_q(
+    "theil_customer_revenue",
+    """
+    WITH rev AS (
+      SELECT c_nationkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS r
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey, o_custkey),
+    q AS (
+      SELECT c_nationkey AS g,
+             CAST(ROUND(r * 100, 0) AS BIGINT) AS v
+      FROM rev),
+    ag AS (
+      SELECT g,
+             CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n,
+             CAST(SUM(CASE WHEN v > 0 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dropped,
+             SUM(CASE WHEN v > 0 THEN v::HUGEINT END) AS s1,
+             SUM(CASE WHEN v > 0
+                 THEN CAST(v AS DOUBLE) * LN(CAST(v AS DOUBLE)) END)
+               AS sxlx,
+             SUM(CASE WHEN v > 0 THEN LN(CAST(v AS DOUBLE)) END)
+               AS slx
+      FROM q GROUP BY 1),
+    m AS (
+      SELECT g, n, n_dropped,
+             CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+               AS vbar,
+             sxlx, slx, CAST(n AS DOUBLE) AS nd
+      FROM ag)
+    SELECT g AS c_nationkey, n, n_dropped,
+           ROUND(CASE WHEN n > 0 THEN vbar / 100.0 END, 6) AS mean,
+           ROUND(CASE WHEN n > 0
+                 THEN sxlx / (nd * vbar) - LN(vbar) END, 6) AS theil_t,
+           ROUND(CASE WHEN n > 0
+                 THEN LN(vbar) - slx / nd END, 6) AS theil_l
+    FROM m ORDER BY c_nationkey
+    """,
+    doc="Theil T and L inequality of per-customer revenue within "
+    "each nation (operators/relational.py:theil_index) — the "
+    "decomposable-entropy rungs next to gini_customer_revenue "
+    "(rank-based) and pareto/HHI (concentration): unlike Gini, "
+    "Theil decomposes exactly into between+within, which is what "
+    "mixture audits report. ONE map-side-combined aggregate (the "
+    "identities fold the mean out — no second pass); cents exact in "
+    "DECIMAL(38,0)/HUGEINT; the x*ln(x) double folds renormalize by "
+    "n*mu so summation-order ulps land ~1e-13 RELATIVE, invisible "
+    "at round-6",
+)
+def theil_customer_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import theil_index
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("r")
+        )
+    )
+    return theil_index(rev, ["c_nationkey"], "r")
+
+
+@_q(
+    "brown_forsythe_values",
+    """
+    WITH base AS (
+      SELECT event_type AS c,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    per_v AS (
+      SELECT c, v, CAST(COUNT(*) AS BIGINT) AS t
+      FROM base GROUP BY 1, 2),
+    cum AS (
+      SELECT c, v, t,
+             SUM(t) OVER (PARTITION BY c ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumt,
+             SUM(t) OVER (PARTITION BY c) AS nc
+      FROM per_v),
+    med AS (
+      SELECT c, MIN(v) AS med
+      FROM cum WHERE cumt * 2 >= nc GROUP BY 1),
+    z AS (
+      SELECT p.c, p.t, ABS(p.v - med.med) AS z
+      FROM per_v p JOIN med ON p.c = med.c),
+    zc AS (
+      SELECT c, CAST(SUM(t) AS BIGINT) AS ni,
+             SUM(z::HUGEINT * t) AS sz,
+             SUM((z::HUGEINT * z) * t) AS szz
+      FROM z GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(ni) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k_classes,
+             SUM(sz) AS sza,
+             SUM(CAST(CAST(sz AS VARCHAR) AS DOUBLE)
+                 * CAST(CAST(sz AS VARCHAR) AS DOUBLE)
+                 / CAST(ni AS DOUBLE)) AS szin,
+             SUM(CAST(CAST(szz AS VARCHAR) AS DOUBLE)
+                 - CAST(CAST(sz AS VARCHAR) AS DOUBLE)
+                 * CAST(CAST(sz AS VARCHAR) AS DOUBLE)
+                 / CAST(ni AS DOUBLE)) AS ssw
+      FROM zc),
+    m AS (
+      SELECT n, k_classes,
+             CAST(n AS DOUBLE) AS nd, CAST(k_classes AS DOUBLE) AS kd,
+             szin - CAST(CAST(sza AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(sza AS VARCHAR) AS DOUBLE)
+                    / CAST(n AS DOUBLE) AS ssb,
+             ssw
+      FROM tot)
+    SELECT n, k_classes,
+           ROUND(CASE WHEN k_classes >= 2 AND ssw > 0
+                 THEN (nd - kd) / (kd - 1.0) * ssb / ssw END, 6)
+             AS w_stat,
+           CAST(k_classes - 1 AS BIGINT) AS dof1,
+           CAST(n - k_classes AS BIGINT) AS dof2
+    FROM m
+    """,
+    doc="Brown-Forsythe variance-homogeneity test across the five "
+    "event types (operators/relational.py:brown_forsythe) — the "
+    "robust Levene variant (median centers): the missing rung "
+    "between anova_event_values (means, assumes equal variance) and "
+    "kruskal (distribution shifts): 'did the SPREAD change'. LOWER "
+    "median per class off ONE prefix window on the DISTINCT-value "
+    "frame (exact + engine-agnostic where interpolated medians "
+    "differ by ulps); |x-med| then exact cent integers, both "
+    "quadratic forms in DECIMAL(38,0)/HUGEINT via raw-moment "
+    "identities; W one double expression of exact integers",
+)
+def brown_forsythe_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import brown_forsythe
+
+    ev = load_events(spark, sf_dir)
+    return brown_forsythe(
+        ev.select("value", "event_type"), "value", "event_type"
+    )
+
+
+@_q(
+    "jackknife_nation_value",
+    """
+    WITH base AS (
+      SELECT c_nationkey AS g,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    per_g AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS ni,
+             SUM(v::HUGEINT) AS si,
+             SUM(v::HUGEINT * v) AS sqi
+      FROM base GROUP BY 1),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS g,
+             CAST(SUM(ni) AS BIGINT) AS n,
+             SUM(si) AS s,
+             SUM(sqi) AS sq
+      FROM per_g),
+    loo AS (
+      SELECT t.g, t.n, t.s, t.sq,
+             CAST(CAST(t.s - p.si AS VARCHAR) AS DOUBLE)
+               / CAST(t.n - p.ni AS DOUBLE)
+             - CAST(CAST(t.s AS VARCHAR) AS DOUBLE)
+               / CAST(t.n AS DOUBLE) AS d
+      FROM per_g p CROSS JOIN tot t),
+    st AS (
+      SELECT g, n, s, sq,
+             SUM(d) AS dsum, SUM(d * d) AS dsq
+      FROM loo GROUP BY 1, 2, 3, 4),
+    m AS (
+      SELECT g, n,
+             CAST(g AS DOUBLE) AS gd, CAST(n AS DOUBLE) AS nd,
+             CAST(CAST(s AS VARCHAR) AS DOUBLE)
+               / CAST(n AS DOUBLE) AS mean_q,
+             dsum, dsq,
+             CAST(CAST(sq AS VARCHAR) AS DOUBLE) AS sqd
+      FROM st)
+    SELECT g, n, ROUND(mean_q / 100.0, 6) AS mean,
+           ROUND(CASE WHEN g >= 2 THEN
+             SQRT(GREATEST((gd - 1.0) / gd
+               * (dsq - dsum * dsum / gd), 0.0)) END
+             / 100.0, 6) AS se_jack,
+           ROUND(CASE WHEN n >= 2 THEN
+             SQRT(GREATEST((sqd / nd - mean_q * mean_q) / nd, 0.0)) END
+             / 100.0, 6) AS se_naive
+    FROM m
+    """,
+    doc="delete-one-NATION jackknife standard error for the mean "
+    "order value (operators/relational.py:jackknife_groups) — the "
+    "design-based variance answer when rows arrive in clusters and "
+    "the iid bootstrap understates the error: theta_(i) = mean "
+    "excluding nation i, SE^2 = (g-1)/g * sum((theta_(i) - "
+    "theta_bar)^2); reports the iid se_naive from the same pass for "
+    "the design-effect comparison. ONE map-side-combined groupBy "
+    "over the fact + arithmetic on the 25-row nation frame "
+    "(broadcast totals); leave-one-out means are single double "
+    "divisions of exact DECIMAL/BIGINT sums",
+)
+def jackknife_nation_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import jackknife_groups
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    base = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("c_nationkey").alias("g"), F.col("o_totalprice").alias("x")
+    )
+    return jackknife_groups(base, "g", "x")
+
+
+@_q(
+    "mcnemar_doc_rules",
+    """
+    WITH base AS (
+      SELECT lang,
+             n_chars >= 250 AS a,
+             len(string_split(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g')), ' ')) >= 45 AS b
+      FROM documents),
+    ag AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+               AS both_fire,
+             CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+               AS BIGINT) AS only_a,
+             CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+               AS BIGINT) AS only_b,
+             CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+               AS BIGINT) AS neither
+      FROM base GROUP BY 1)
+    SELECT lang, n, both_fire, only_a, only_b, neither,
+           ROUND(CASE WHEN only_a + only_b > 0 THEN
+             POWER(ABS(CAST(only_a - only_b AS DOUBLE)) - 1.0, 2)
+             / CAST(only_a + only_b AS DOUBLE) END, 6)
+             AS mcnemar_chi2,
+           ROUND(CAST(only_a + only_b AS DOUBLE) / n, 6)
+             AS disagree_rate
+    FROM ag ORDER BY lang
+    """,
+    doc="McNemar's paired test of two document-quality rules "
+    "(n_chars >= 250 vs >= 45 whitespace words) per language "
+    "(operators/classify.py:mcnemar_test) — 'do two filters "
+    "disagree SYSTEMATICALLY', the question chi2 (unpaired) can't "
+    "answer: both rules fire on the same rows, so only the "
+    "discordant cells b, c carry information; continuity-corrected "
+    "(|b-c|-1)^2/(b+c), chi-square(1) under H0. All four cells off "
+    "ONE conditional aggregate — no join, no window",
+)
+def mcnemar_doc_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.classify import mcnemar_test
+    from .operators.text import normalize_text_col
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        (F.col("n_chars") >= 250).alias("ra"),
+        (
+            F.size(F.split(normalize_text_col("text"), " ")) >= 45
+        ).alias("rb"),
+    )
+    out = mcnemar_test(base, ["lang"], "ra", "rb")
+    return out.withColumnRenamed("both", "both_fire")
+
+
+@_q(
+    "decision_stump_docs",
+    """
+    WITH base AS (
+      SELECT CAST(n_chars AS DOUBLE) AS x,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+    per_v AS (
+      SELECT x, CAST(SUM(y) AS BIGINT) AS p,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS q
+      FROM base GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(p) AS BIGINT) AS tp,
+             CAST(SUM(q) AS BIGINT) AS tq
+      FROM per_v),
+    cum AS (
+      SELECT x,
+             CAST(SUM(p) OVER w AS BIGINT) AS lp,
+             CAST(SUM(q) OVER w AS BIGINT) AS lq
+      FROM per_v
+      WINDOW w AS (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    j AS (SELECT * FROM cum CROSS JOIN tot),
+    m AS (
+      SELECT x, lp, lq, tp, tq,
+             tp - lp AS rp, tq - lq AS rq,
+             lp + lq AS nl, (tp - lp) + (tq - lq) AS nr,
+             tp + tq AS n
+      FROM j),
+    e AS (
+      SELECT x, n, nl, nr, lp, rp,
+             -(CASE WHEN tp > 0 THEN CAST(tp AS DOUBLE) / CAST(n AS DOUBLE)
+                    * LN(CAST(tp AS DOUBLE) / CAST(n AS DOUBLE))
+                    ELSE 0.0 END
+               + CASE WHEN tq > 0 THEN CAST(tq AS DOUBLE) / CAST(n AS DOUBLE)
+                      * LN(CAST(tq AS DOUBLE) / CAST(n AS DOUBLE))
+                      ELSE 0.0 END) AS hp,
+             -(CASE WHEN lp > 0
+                    THEN CAST(lp AS DOUBLE) / CAST(nl AS DOUBLE)
+                    * LN(CAST(lp AS DOUBLE) / CAST(nl AS DOUBLE))
+                    ELSE 0.0 END
+               + CASE WHEN lq > 0
+                      THEN CAST(lq AS DOUBLE) / CAST(nl AS DOUBLE)
+                      * LN(CAST(lq AS DOUBLE) / CAST(nl AS DOUBLE))
+                      ELSE 0.0 END) AS hl,
+             -(CASE WHEN rp > 0
+                    THEN CAST(rp AS DOUBLE) / CAST(nr AS DOUBLE)
+                    * LN(CAST(rp AS DOUBLE) / CAST(nr AS DOUBLE))
+                    ELSE 0.0 END
+               + CASE WHEN rq > 0
+                      THEN CAST(rq AS DOUBLE) / CAST(nr AS DOUBLE)
+                      * LN(CAST(rq AS DOUBLE) / CAST(nr AS DOUBLE))
+                      ELSE 0.0 END) AS hr
+      FROM m WHERE nr > 0)
+    SELECT x AS threshold,
+           CAST(n AS BIGINT) AS n,
+           CAST(nl AS BIGINT) AS n_left,
+           CAST(nr AS BIGINT) AS n_right,
+           lp AS pos_left, rp AS pos_right,
+           ROUND(hp, 6) AS entropy_parent,
+           ROUND(hp - (CAST(nl AS DOUBLE) / CAST(n AS DOUBLE) * hl
+                 + CAST(nr AS DOUBLE) / CAST(n AS DOUBLE) * hr), 6)
+             AS gain_nats
+    FROM e
+    ORDER BY gain_nats DESC, threshold
+    LIMIT 1
+    """,
+    doc="best single-threshold split of n_chars against lang='en' "
+    "by information gain (operators/classify.py:decision_stump) — "
+    "the 1-node decision tree every learned quality classifier is "
+    "compared to: 'is there ONE cutoff on this signal, and how much "
+    "does it buy'. Candidates = DISTINCT feature values (HLL "
+    "fail-fast above max_distinct — silent binning would change "
+    "the answer); exact left/right class counts off ONE prefix "
+    "window on the distinct frame; entropies identical double "
+    "expressions of exact integers; smallest-threshold tiebreak; "
+    "global top-1 via TakeOrderedAndProject",
+)
+def decision_stump_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.classify import decision_stump
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("n_chars", (F.col("lang") == "en").alias("y"))
+    return decision_stump(base, "n_chars", "y")
+
+
+@_q(
+    "vocab_chapman_sources",
+    """
+    WITH raw AS (
+      SELECT source,
+             string_split(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g')), ' ') AS arr
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT source,
+             arr[u.i] || ' ' || arr[u.i + 1] AS gram
+      FROM raw, unnest(range(1, len(arr))) AS u(i)
+      WHERE length(arr[u.i]) > 0 AND length(arr[u.i + 1]) > 0),
+    totals AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS v
+      FROM grams GROUP BY 1),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM grams a JOIN grams b
+        ON a.gram = b.gram AND a.source < b.source
+      GROUP BY 1, 2),
+    geo AS (
+      SELECT ta.source AS source_a, tb.source AS source_b,
+             ta.v AS vocab_a, tb.v AS vocab_b,
+             COALESCE(s.shared, 0) AS m
+      FROM totals ta JOIN totals tb ON ta.source < tb.source
+      LEFT JOIN shared s
+        ON s.source_a = ta.source AND s.source_b = tb.source),
+    est AS (
+      SELECT source_a, source_b, vocab_a, vocab_b, m,
+             CAST((vocab_a + 1)::HUGEINT * (vocab_b + 1) AS DOUBLE)
+               / CAST(m + 1 AS DOUBLE) - 1.0 AS n_hat,
+             CAST((vocab_a + 1)::HUGEINT * (vocab_b + 1) AS DOUBLE)
+               * CAST(vocab_a - m AS DOUBLE)
+               * CAST(vocab_b - m AS DOUBLE)
+               / (CAST(m + 1 AS DOUBLE) * CAST(m + 1 AS DOUBLE)
+                  * CAST(m + 2 AS DOUBLE)) AS var,
+             vocab_a + vocab_b - m AS uo
+      FROM geo)
+    SELECT source_a, source_b, vocab_a, vocab_b, m AS shared,
+           CAST(uo AS BIGINT) AS union_observed,
+           ROUND(CASE WHEN vocab_a > 0 AND vocab_b > 0
+                 THEN n_hat END, 6) AS chapman_total,
+           ROUND(CASE WHEN vocab_a > 0 AND vocab_b > 0
+                 THEN GREATEST(n_hat - CAST(uo AS DOUBLE), 0.0) END, 6)
+             AS unseen,
+           ROUND(CASE WHEN vocab_a > 0 AND vocab_b > 0
+                 THEN SQRT(var) END, 6) AS se_chapman
+    FROM est ORDER BY source_a, source_b
+    """,
+    doc="Chapman capture-recapture estimate of the total BIGRAM "
+    "vocabulary from each source pair's overlap "
+    "(operators/text.py:vocab_capture_recapture) — the 'how much "
+    "more is out there' rung above vocab_overlap_pairs: source A's "
+    "bigram vocab = first capture, B's = marked recapture, N_hat = "
+    "(n_a+1)(n_b+1)/(m+1)-1 with Seber's SE; N_hat - |union "
+    "observed| = the unseen mass a coverage plan still owes "
+    "(heaps_law's other angle). Bigrams because the saturated "
+    "unigram vocab degenerates. vocab_overlap's inverted-index "
+    "geometry verbatim: one DISTINCT aggregate, one gram self-join, "
+    "pairs seated from totals; max_sources fail-fast forwarded",
+)
+def vocab_chapman_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import vocab_capture_recapture
+
+    docs = load(spark, sf_dir, "documents")
+    return vocab_capture_recapture(
+        docs, "source", "text", ngram=2, max_sources=64
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-10 wave 5: effect sizes, extremes, SPC, paired k-sample, enrichment
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "cohens_d_purchase_click",
+    """
+    WITH base AS (
+      SELECT CAST(isodow(ts) - 1 AS BIGINT) AS wd,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+             event_type = 'purchase' AS a
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+    ag AS (
+      SELECT wd,
+             CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+             SUM(CASE WHEN a THEN v::HUGEINT END) AS sa,
+             SUM(CASE WHEN NOT a THEN v::HUGEINT END) AS sb,
+             SUM(CASE WHEN a THEN v::HUGEINT * v END) AS qa,
+             SUM(CASE WHEN NOT a THEN v::HUGEINT * v END) AS qb
+      FROM base GROUP BY 1),
+    m AS (
+      SELECT wd, n_a, n_b,
+             CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             CAST(CAST(sa AS VARCHAR) AS DOUBLE) AS da,
+             CAST(CAST(sb AS VARCHAR) AS DOUBLE) AS db,
+             CAST(CAST(qa AS VARCHAR) AS DOUBLE) AS dqa,
+             CAST(CAST(qb AS VARCHAR) AS DOUBLE) AS dqb
+      FROM ag),
+    mm AS (
+      SELECT wd, n_a, n_b, na, nb,
+             da / na AS ma, db / nb AS mb,
+             dqa - da * da / na AS ssa,
+             dqb - db * db / nb AS ssb
+      FROM m),
+    st AS (
+      SELECT wd, n_a, n_b, na, nb, ma, mb,
+             (ssa + ssb) / (na + nb - 2.0) AS sp2,
+             n_a >= 2 AND n_b >= 2 AND ssa + ssb > 0 AS ok
+      FROM mm),
+    dd AS (
+      SELECT wd, n_a, n_b, ma, mb, sp2, ok, na, nb,
+             CASE WHEN ok THEN (ma - mb) / SQRT(sp2) END AS d
+      FROM st)
+    SELECT wd AS weekday, n_a, n_b,
+           ROUND(ma / 100.0, 6) AS mean_a,
+           ROUND(mb / 100.0, 6) AS mean_b,
+           ROUND(CASE WHEN ok THEN SQRT(sp2) END / 100.0, 6)
+             AS sd_pooled,
+           ROUND(d, 6) AS cohens_d,
+           ROUND(d * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0)), 6)
+             AS hedges_g
+    FROM dd ORDER BY weekday
+    """,
+    doc="Cohen's d + Hedges' g standardized purchase-vs-click value "
+    "difference per weekday (operators/relational.py:cohens_d) — "
+    "the effect-SIZE rung power_mde CONSUMES to size an experiment "
+    "and mann_whitney's rank shift can't give in value units. "
+    "Per-class Σv/Σv² exact in DECIMAL(38,0)/HUGEINT off ONE "
+    "conditional aggregate; scale cancels in d and g; the Γ-ratio "
+    "small-sample correction is the closed 1−3/(4n−9) form",
+)
+def cohens_d_purchase_click_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import cohens_d
+
+    ev = load_events(spark, sf_dir)
+    frame = ev.select(
+        F.weekday("ts").cast("long").alias("weekday"),
+        "value",
+        "event_type",
+    )
+    return cohens_d(
+        frame, ["weekday"], "value", "event_type", "purchase", "click"
+    )
+
+
+@_q(
+    "friedman_daily_types",
+    f"""
+    WITH daily AS ({_DAILY_MEAN_SQL}),
+    q AS (
+      SELECT day AS b, event_type AS t,
+             CAST(ROUND(v * 1000000, 0) AS BIGINT) AS v
+      FROM daily),
+    kt AS (SELECT COUNT(DISTINCT t) AS k FROM q),
+    cb AS (
+      SELECT b FROM q GROUP BY b
+      HAVING COUNT(*) = (SELECT k FROM kt)),
+    base AS (SELECT q.* FROM q JOIN cb USING (b)),
+    cells AS (
+      SELECT b, v, CAST(COUNT(*) AS BIGINT) AS tv
+      FROM base GROUP BY 1, 2),
+    rk AS (
+      SELECT b, v,
+             2 * COALESCE(SUM(tv) OVER (PARTITION BY b ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + tv + 1 AS r2
+      FROM cells),
+    per_t AS (
+      SELECT base.t, SUM(rk.r2::HUGEINT) AS r2sum,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM base JOIN rk ON base.b = rk.b AND base.v = rk.v
+      GROUP BY 1),
+    ties AS (
+      SELECT SUM(tv::HUGEINT * tv * tv - tv) AS t3t FROM cells),
+    ag AS (
+      SELECT MAX(n) AS n_blocks,
+             CAST(COUNT(*) AS BIGINT) AS k_treatments,
+             SUM(CAST(CAST(r2sum * r2sum AS VARCHAR) AS DOUBLE)) AS rr4
+      FROM per_t),
+    m AS (
+      SELECT n_blocks, k_treatments,
+             CAST(n_blocks AS DOUBLE) AS n,
+             CAST(k_treatments AS DOUBLE) AS k,
+             rr4, CAST(CAST(t3t AS VARCHAR) AS DOUBLE) AS t3td
+      FROM ag CROSS JOIN ties),
+    st AS (
+      SELECT n_blocks, k_treatments, n, k,
+             12.0 / (n * k * (k + 1.0)) * (rr4 / 4.0)
+               - 3.0 * n * (k + 1.0) AS chi2,
+             1.0 - t3td / (n * k * (k * k - 1.0)) AS corr,
+             n_blocks >= 1 AND k_treatments >= 2 AS ok
+      FROM m)
+    SELECT CAST(n_blocks AS BIGINT) AS n_blocks, k_treatments,
+           ROUND(CASE WHEN ok THEN chi2 END, 6) AS chi2_f,
+           ROUND(CASE WHEN ok AND corr > 0 THEN chi2 / corr END, 6)
+             AS chi2_f_corrected
+    FROM st
+    """,
+    doc="Friedman rank test of the five event types across matched "
+    "day blocks (operators/relational.py:friedman_test) — the "
+    "PAIRED k-sample rung next to kruskal (unpaired) and mcnemar "
+    "(paired binary): within each day the k daily means are ranked; "
+    "chi2_F asks whether any type consistently out-ranks. "
+    "Mann-Whitney midrank identity applied BLOCKWISE ((2c+tv+1) "
+    "exact 2x integers on (block, value) cells — the within-block "
+    "window is k-bounded, millions of blocks parallelize); "
+    "incomplete blocks dropped whole; tie correction in "
+    "DECIMAL(38,0)/HUGEINT",
+)
+def friedman_daily_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import friedman_test
+
+    daily = _daily_mean_frame(spark, sf_dir)
+    return friedman_test(daily, "day", "event_type", "v")
+
+
+@_q(
+    "hill_tail_orders",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS g,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    pos AS (SELECT g, v FROM base WHERE v > 0),
+    per_v AS (
+      SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t
+      FROM pos GROUP BY 1, 2),
+    cum AS (
+      SELECT g, v, t,
+             COALESCE(SUM(t) OVER (PARTITION BY g ORDER BY v DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS above,
+             SUM(t) OVER (PARTITION BY g) AS n
+      FROM per_v),
+    cut AS (
+      SELECT g, v, n,
+             LEAST(t, 200 - above) AS taken
+      FROM cum WHERE above < 200),
+    ag AS (
+      SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(SUM(taken) AS BIGINT) AS n_taken,
+             SUM(CAST(taken AS DOUBLE) * LN(CAST(v AS DOUBLE)))
+               AS slnv,
+             MIN(v) AS xk
+      FROM cut GROUP BY 1),
+    m AS (
+      SELECT g, n, n_taken,
+             CAST(xk AS DOUBLE) AS xkd,
+             slnv / CAST(n_taken AS DOUBLE)
+               - LN(CAST(xk AS DOUBLE)) AS excess
+      FROM ag)
+    SELECT g AS o_orderpriority, n, n_taken,
+           ROUND(xkd / 100.0, 6) AS x_k,
+           ROUND(CASE WHEN n_taken >= 2 AND excess > 0
+                 THEN 1.0 / excess END, 6) AS hill_alpha,
+           ROUND(excess, 6) AS log_mean_excess
+    FROM m ORDER BY o_orderpriority
+    """,
+    doc="Hill power-law tail index over the 200 largest order values "
+    "per priority (operators/relational.py:hill_tail_index) — the "
+    "TAIL companion to zipf_vocab_fit's rank-frequency body and "
+    "gumbel's block maxima: small alpha = heavy tail = a handful of "
+    "orders dominate. The top-k cut rides the DISTINCT-value frame "
+    "with deterministic tie SPLITTING (taken = min(t, k-above) — "
+    "never row identity); n_taken, sum(taken*ln v) and x_k exact; "
+    "no row-level top-k sort of the fact",
+)
+def hill_tail_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import hill_tail_index
+
+    orders = load(spark, sf_dir, "orders")
+    return hill_tail_index(
+        orders.select(
+            F.col("o_orderpriority").alias("o_orderpriority"),
+            "o_totalprice",
+        ),
+        ["o_orderpriority"],
+        "o_totalprice",
+        k=200,
+    )
+
+
+@_q(
+    "lorenz_customer_revenue",
+    """
+    WITH rev AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS r
+      FROM orders GROUP BY o_custkey),
+    q AS (SELECT CAST(ROUND(r * 100, 0) AS BIGINT) AS v FROM rev),
+    per_v AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM q GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS n,
+             SUM(v::HUGEINT * t) AS total
+      FROM per_v),
+    cum AS (
+      SELECT v, t,
+             COALESCE(SUM(t) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS c
+      FROM per_v),
+    d10 AS (
+      SELECT cum.*, tot.n, tot.total, dd.decile
+      FROM cum CROSS JOIN tot
+      CROSS JOIN (SELECT UNNEST(range(1, 11)) AS decile) dd),
+    sl AS (
+      SELECT decile, n, total,
+             GREATEST(0, LEAST(c + t,
+                 FLOOR(decile * n / 10.0))
+               - GREATEST(c, FLOOR((decile - 1) * n / 10.0)))
+               AS taken,
+             v
+      FROM d10),
+    sliced AS (
+      SELECT decile, n, total,
+             CAST(SUM(taken) AS BIGINT) AS n_units,
+             SUM(CAST(taken AS HUGEINT) * v) AS dsum
+      FROM sl WHERE taken > 0 GROUP BY 1, 2, 3),
+    sh AS (
+      SELECT decile, n_units,
+             CAST(CAST(dsum AS VARCHAR) AS DOUBLE) AS dsumd,
+             CAST(CAST(total AS VARCHAR) AS DOUBLE) AS totald
+      FROM sliced),
+    fin AS (
+      SELECT decile, n_units,
+             ROUND(dsumd / 100.0, 6) AS total,
+             ROUND(dsumd / totald, 6) AS share,
+             SUM(dsumd / totald) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cs
+      FROM sh)
+    SELECT CAST(decile AS BIGINT) AS decile, n_units, total, share,
+           ROUND(cs, 6) AS cum_share
+    FROM fin ORDER BY decile
+    """,
+    doc="exact Lorenz curve of per-customer revenue at decile "
+    "resolution (operators/relational.py:lorenz_deciles) — the "
+    "CURVE behind gini_customer_revenue's scalar ('the bottom half "
+    "holds 25%'). Equal-count deciles with integer boundaries "
+    "floor(d*n/10); a tie block straddling a boundary SPLITS BY "
+    "COUNT, never by row identity; per-decile sums exact in "
+    "DECIMAL(38,0)/HUGEINT off the distinct-value frame (the "
+    "gini/mann_whitney reduced-frame discipline); the 10-way "
+    "explode touches the REDUCED frame only",
+)
+def lorenz_customer_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import lorenz_deciles
+
+    orders = load(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("r")
+    )
+    return lorenz_deciles(rev, "r")
+
+
+@_q(
+    "runs_test_daily",
+    f"""
+    WITH daily AS ({_DAILY_MEAN_SQL}),
+    q AS (
+      SELECT event_type AS g, day AS o,
+             CAST(ROUND(v * 1000000, 0) AS BIGINT) AS v
+      FROM daily),
+    per_v AS (
+      SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t
+      FROM q GROUP BY 1, 2),
+    med AS (
+      SELECT g, MIN(v) AS med FROM (
+        SELECT g, v,
+               SUM(t) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum,
+               SUM(t) OVER (PARTITION BY g) AS n
+        FROM per_v) WHERE cum * 2 >= n GROUP BY 1),
+    signed AS (
+      SELECT q.g, q.o,
+             CASE WHEN q.v > med.med THEN 1 ELSE 0 END AS s
+      FROM q JOIN med ON q.g = med.g
+      WHERE q.v <> med.med),
+    flips AS (
+      SELECT g, s,
+             CASE WHEN LAG(s) OVER (PARTITION BY g ORDER BY o)
+                  IS DISTINCT FROM s THEN 1 ELSE 0 END AS newrun
+      FROM signed),
+    ag AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(s) AS BIGINT) AS n_above,
+             CAST(COUNT(*) - SUM(s) AS BIGINT) AS n_below,
+             CAST(SUM(newrun) AS BIGINT) AS runs
+      FROM flips GROUP BY 1),
+    m AS (
+      SELECT g, n, n_above, n_below, runs,
+             2.0 * n_above * n_below / CAST(n AS DOUBLE) + 1.0 AS mu
+      FROM ag),
+    mm AS (
+      SELECT g, n, n_above, n_below, runs, mu,
+             (mu - 1.0) * (mu - 2.0) / (CAST(n AS DOUBLE) - 1.0)
+               AS var
+      FROM m)
+    SELECT g AS event_type, n, n_above, n_below, runs,
+           ROUND(CASE WHEN n_above > 0 AND n_below > 0 AND var > 0
+                 THEN (CAST(runs AS DOUBLE) - mu) / SQRT(var) END, 6)
+             AS z
+    FROM mm ORDER BY event_type
+    """,
+    doc="Wald-Wolfowitz runs test of the daily mean series per event "
+    "type (operators/series.py:runs_test) — 'do the above/below-"
+    "median signs cluster': too few runs = sticky regimes, too many "
+    "= oscillation; the non-parametric cousin of durbin_watson "
+    "needing no residual model. LOWER-median contract "
+    "(brown_forsythe precedent), ties-with-median dropped "
+    "(standard); signs exact off micro-quantized dailies; one lag "
+    "window over the bounded rollup",
+)
+def runs_test_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import runs_test
+
+    daily = _daily_mean_frame(spark, sf_dir)
+    return runs_test(daily, ["event_type"], "day", "v")
+
+
+@_q(
+    "grubbs_values",
+    """
+    WITH base AS (
+      SELECT event_type AS g,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    per_v AS (
+      SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t
+      FROM base GROUP BY 1, 2),
+    mom AS (
+      SELECT g, CAST(SUM(t) AS BIGINT) AS n,
+             SUM(v::HUGEINT * t) AS s1,
+             SUM((v::HUGEINT * v) * t) AS s2
+      FROM per_v GROUP BY 1),
+    m AS (
+      SELECT g, n,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS d1,
+             CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS d2
+      FROM mom),
+    mm AS (
+      SELECT g, n, nd, d1 / nd AS mean_q,
+             (d2 - d1 * d1 / nd) / (nd - 1.0) AS var_q
+      FROM m),
+    dev AS (
+      SELECT p.g, p.v,
+             ABS(CAST(p.v AS DOUBLE) - mm.mean_q) AS dv,
+             mm.n, mm.mean_q, mm.var_q,
+             ROW_NUMBER() OVER (PARTITION BY p.g
+               ORDER BY ABS(CAST(p.v AS DOUBLE) - mm.mean_q) DESC,
+                        p.v ASC) AS rn
+      FROM per_v p JOIN mm ON p.g = mm.g),
+    top AS (SELECT * FROM dev WHERE rn = 1),
+    st AS (
+      SELECT g, n, mean_q, var_q, v, dv,
+             SQRT(GREATEST(var_q, 0.0)) AS sd_q,
+             n >= 3 AND var_q > 0 AS ok
+      FROM top)
+    SELECT g AS event_type, n,
+           ROUND(mean_q / 100.0, 6) AS mean,
+           ROUND(CASE WHEN ok THEN sd_q END / 100.0, 6) AS sd,
+           CAST(v AS DOUBLE) / 100.0 AS outlier_value,
+           ROUND(CASE WHEN ok THEN dv / sd_q END, 6) AS g_stat
+    FROM st ORDER BY event_type
+    """,
+    doc="Grubbs' single-outlier statistic per event type "
+    "(operators/series.py:grubbs_statistic) — G = max|x-mean|/sd, "
+    "'how many sample sd does the single worst value sit out': the "
+    "parametric screen next to mad_outliers' robust fences, "
+    "reporting the offending value. Moments exact off the "
+    "(group, value) frame in DECIMAL(38,0)/HUGEINT; argmax on the "
+    "DISTINCT-value frame with a smaller-value tiebreak; the fact "
+    "is scanned once, no window over it",
+)
+def grubbs_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import grubbs_statistic
+
+    ev = load_events(spark, sf_dir)
+    return grubbs_statistic(ev, ["event_type"], "value")
+
+
+@_q(
+    "gumbel_weekly_max",
+    f"""
+    WITH daily AS ({_DAILY_MEAN_SQL}),
+    q AS (
+      SELECT event_type AS g,
+             CAST(weekofyear(day) AS BIGINT) AS blk,
+             CAST(ROUND(v * 1000000, 0) AS BIGINT) AS v
+      FROM daily),
+    bmax AS (
+      SELECT g, blk, MAX(v) AS m FROM q GROUP BY 1, 2),
+    ag AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             SUM(m::HUGEINT) AS s1,
+             SUM(m::HUGEINT * m) AS s2
+      FROM bmax GROUP BY 1),
+    m AS (
+      SELECT g, n_blocks,
+             CAST(n_blocks AS DOUBLE) AS nd,
+             CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS d1,
+             CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS d2
+      FROM ag),
+    mm AS (
+      SELECT g, n_blocks, nd, d1 / nd AS mean_q,
+             (d2 - d1 * d1 / nd) / (nd - 1.0) AS var_q
+      FROM m),
+    fit AS (
+      SELECT g, n_blocks, mean_q,
+             SQRT(GREATEST(var_q, 0.0)) * 0.7796968012336793 AS beta,
+             n_blocks >= 2 AND var_q > 0 AS ok
+      FROM mm),
+    fit2 AS (
+      SELECT g, n_blocks, mean_q, beta, ok,
+             mean_q - 0.5772156649015329 * beta AS loc
+      FROM fit)
+    SELECT g AS event_type, n_blocks,
+           ROUND(mean_q / 1000000.0, 6) AS block_max_mean,
+           ROUND(CASE WHEN ok THEN loc END / 1000000.0, 6)
+             AS gumbel_loc,
+           ROUND(CASE WHEN ok THEN beta END / 1000000.0, 6)
+             AS gumbel_scale,
+           ROUND(CASE WHEN ok THEN
+             loc - beta * LN(-LN(1.0 - 1.0 / 52.0)) END / 1000000.0,
+             6) AS return_level
+    FROM fit2 ORDER BY event_type
+    """,
+    doc="Gumbel extreme-value fit on weekly maxima of the daily mean "
+    "per event type (operators/series.py:gumbel_block_maxima) — "
+    "method of moments (loc = mean − γ·β, β = s·√6/π, γ and √6/π "
+    "injected literals) + the 52-week return level ('the weekly max "
+    "you exceed about once a year') — the tail-risk rung next to "
+    "hill_tail_orders. Block maxima exact (max of quantized "
+    "micros); moments in DECIMAL(38,0)/HUGEINT; ONE block-max "
+    "aggregate + one reduce, no window",
+)
+def gumbel_weekly_max_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import gumbel_block_maxima
+
+    daily = _daily_mean_frame(spark, sf_dir)
+    return gumbel_block_maxima(
+        daily.withColumn("wk", F.weekofyear("day").cast("long")),
+        ["event_type"],
+        "wk",
+        "v",
+        return_period=52,
+        scale=1_000_000,
+    )
+
+
+@_q(
+    "imr_chart_daily",
+    f"""
+    WITH daily AS ({_DAILY_MEAN_SQL}),
+    lagd AS (
+      SELECT event_type AS g, day AS o, v AS x,
+             ABS(v - LAG(v) OVER (PARTITION BY event_type
+                 ORDER BY day)) AS mr
+      FROM daily),
+    st AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(x) AS xbar,
+             CAST(SUM(CAST(mr AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(mr) AS mrbar
+      FROM lagd GROUP BY 1),
+    j AS (
+      SELECT l.g, l.o, l.x, st.n, st.xbar, st.mrbar,
+             st.xbar - 2.66 * st.mrbar AS lcl,
+             st.xbar + 2.66 * st.mrbar AS ucl
+      FROM lagd l JOIN st ON l.g = st.g)
+    SELECT g AS event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           ROUND(MAX(xbar), 6) AS center,
+           ROUND(MAX(mrbar), 6) AS mr_mean,
+           ROUND(MAX(lcl), 6) AS lcl,
+           ROUND(MAX(ucl), 6) AS ucl,
+           ROUND(MAX(3.267 * mrbar), 6) AS mr_ucl,
+           CAST(SUM(CASE WHEN x < lcl OR x > ucl THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_breaches,
+           MIN(CASE WHEN x < lcl OR x > ucl THEN o END)
+             AS first_breach_at
+    FROM j GROUP BY 1 ORDER BY event_type
+    """,
+    doc="individuals / moving-range (I-MR) Shewhart control chart of "
+    "the daily mean per event type "
+    "(operators/series.py:imr_control_chart) — center ± 2.66·MRbar "
+    "natural process limits (2.66 = 3/d2 at subgroup 2; constants "
+    "injected), MR upper limit 3.267·MRbar, breach count + first "
+    "breach day: the SPC rung next to page_hinkley (sequential) and "
+    "cusum (cumulative). xbar/MRbar ride exact DECIMAL(18,6) sums "
+    "of the round-6 rollup; one lag window + one reduce + one "
+    "breach pass, all rollup-sized",
+)
+def imr_chart_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import imr_control_chart
+
+    daily = _daily_mean_frame(spark, sf_dir)
+    return imr_control_chart(daily, ["event_type"], "day", "v")
+
+
+@_q(
+    "cochran_doc_rules",
+    """
+    WITH base AS (
+      SELECT lang,
+             CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS r1,
+             CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS r2,
+             CASE WHEN len(string_split(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g')), ' ')) >= 45 THEN 1 ELSE 0 END
+               AS r3
+      FROM documents),
+    ag AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r1) AS BIGINT) AS fires_len150,
+             CAST(SUM(r2) AS BIGINT) AS fires_len250,
+             CAST(SUM(r3) AS BIGINT) AS fires_words45,
+             CAST(SUM(r1 + r2 + r3) AS BIGINT) AS t,
+             CAST(SUM((r1 + r2 + r3) * (r1 + r2 + r3)) AS BIGINT)
+               AS r2sum
+      FROM base GROUP BY 1),
+    m AS (
+      SELECT lang, n, fires_len150, fires_len250, fires_words45,
+             CAST(t AS DOUBLE) AS td, CAST(r2sum AS DOUBLE) AS r2d,
+             CAST(fires_len150 AS DOUBLE) AS c1,
+             CAST(fires_len250 AS DOUBLE) AS c2,
+             CAST(fires_words45 AS DOUBLE) AS c3
+      FROM ag),
+    st AS (
+      SELECT lang, n, fires_len150, fires_len250, fires_words45,
+             (c1 - td / 3.0) * (c1 - td / 3.0)
+             + (c2 - td / 3.0) * (c2 - td / 3.0)
+             + (c3 - td / 3.0) * (c3 - td / 3.0) AS num,
+             3.0 * td - r2d AS den
+      FROM m)
+    SELECT lang, n, CAST(3 AS BIGINT) AS k_rules,
+           fires_len150, fires_len250, fires_words45,
+           ROUND(CASE WHEN den > 0 THEN 6.0 * num / den END, 6)
+             AS cochran_q
+    FROM st ORDER BY lang
+    """,
+    doc="Cochran's Q across three paired document-quality rules "
+    "(n_chars>=150, n_chars>=250, words>=45) per language "
+    "(operators/classify.py:cochran_q) — the k-rule extension of "
+    "mcnemar_doc_rules (k=2 reduces to McNemar uncorrected): 'do "
+    "these k filters fire at genuinely different rates on the SAME "
+    "rows'. All cells exact off ONE conditional aggregate; rows "
+    "where every rule agrees drop out of the denominator naturally; "
+    "k(k-1)=6 injected",
+)
+def cochran_doc_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.classify import cochran_q
+    from .operators.text import normalize_text_col
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        (F.col("n_chars") >= 150).alias("len150"),
+        (F.col("n_chars") >= 250).alias("len250"),
+        (
+            F.size(F.split(normalize_text_col("text"), " ")) >= 45
+        ).alias("words45"),
+    )
+    return cochran_q(base, ["lang"], ["len150", "len250", "words45"])
+
+
+@_q(
+    "fightin_words_sources",
+    """
+    WITH toks AS (
+      SELECT source AS g,
+             unnest(string_split(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents),
+    counts AS (
+      SELECT g, tok, CAST(COUNT(*) AS BIGINT) AS y
+      FROM toks WHERE length(tok) > 0 GROUP BY 1, 2),
+    tok_tot AS (
+      SELECT tok, CAST(SUM(y) AS BIGINT) AS yw FROM counts GROUP BY 1),
+    grp_tot AS (
+      SELECT g, CAST(SUM(y) AS BIGINT) AS ns FROM counts GROUP BY 1),
+    n_tot AS (SELECT CAST(SUM(yw) AS BIGINT) AS n FROM tok_tot),
+    j AS (
+      SELECT c.g, c.tok, c.y, t.yw, s.ns, n.n,
+             100.0 * CAST(t.yw AS DOUBLE) / CAST(n.n AS DOUBLE) AS aw
+      FROM counts c
+      JOIN tok_tot t ON c.tok = t.tok
+      JOIN grp_tot s ON c.g = s.g
+      CROSS JOIN n_tot n),
+    sc AS (
+      SELECT g, tok, y, yw - y AS yr, ns, n, aw,
+             LN((CAST(y AS DOUBLE) + aw)
+                / (CAST(ns AS DOUBLE) + 100.0
+                   - CAST(y AS DOUBLE) - aw))
+             - LN((CAST(yw - y AS DOUBLE) + aw)
+                  / (CAST(n - ns AS DOUBLE) + 100.0
+                     - CAST(yw - y AS DOUBLE) - aw)) AS delta,
+             1.0 / (CAST(y AS DOUBLE) + aw)
+             + 1.0 / (CAST(yw - y AS DOUBLE) + aw) AS var
+      FROM j),
+    zr AS (
+      SELECT g AS source, tok AS token,
+             y AS count_in, CAST(yr AS BIGINT) AS count_rest,
+             ROUND(delta, 6) AS delta_logodds,
+             ROUND(delta / SQRT(var), 6) AS zscore
+      FROM sc),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY zscore DESC, token ASC) AS rn
+      FROM zr)
+    SELECT source, token, count_in, count_rest, delta_logodds,
+           zscore
+    FROM rk WHERE rn <= 3
+    ORDER BY source, zscore DESC, token
+    """,
+    doc="Monroe-Colaresi-Quinn 'Fightin' Words' token enrichment — "
+    "top-3 tokens per source by the informative-Dirichlet log-odds "
+    "z (operators/text.py:fightin_words; Political Analysis 16(4) "
+    "2008 §3.5.2) — the statistically-grounded replacement for "
+    "tfidf_top_terms when comparing SOURCES: the corpus-rate prior "
+    "(alpha0=100 injected) shrinks low-count noise so z means the "
+    "same thing at 10 counts and 10k. Counts exact off one "
+    "(source, token) aggregate; rest = totals − own (no self-join); "
+    "per-source top-k on round-6 z with a token tiebreak",
+)
+def fightin_words_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import fightin_words
+
+    docs = load(spark, sf_dir, "documents")
+    return fightin_words(
+        docs, "source", "text", prior_strength=100.0, top_k=3
+    )

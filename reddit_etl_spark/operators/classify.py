@@ -587,3 +587,329 @@ def pr_curve(
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     ).orderBy(*keys, "threshold")
+
+
+def roc_auc(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Exact ROC AUC (with tie handling) per group — the
+    threshold-free rung of the classifier-eval ladder next to
+    pr_curve (fixed thresholds), calibration_report (probability
+    quality) and gains_table (business lift): AUC = P(score_pos >
+    score_neg) + 0.5·P(tie), i.e. the Mann-Whitney U statistic
+    normalized by n_pos·n_neg, so it inherits mann_whitney_u's
+    reduced-frame exactness discipline verbatim.
+
+    Exactness: scores quantize to ``1/scale`` units (exact BIGINT
+    for inputs with that many decimals); per DISTINCT score the
+    midrank is (2c + t + 1)/2 off the prefix count c and tie size t,
+    so the positives' 2x rank sum accumulates as exact
+    DECIMAL(38,0) integers (~N² — BIGINT wraps past ~3e9 rows) and
+    AUC = (2R_pos − n_pos(n_pos+1)) / (2·n_pos·n_neg) is one double
+    division of exact integers, identical on any engine. No
+    row-level rank window anywhere.
+
+    Plan at scale: one groupBy (group, score) over the fact, then
+    ONE ordered prefix-sum window per group over DISTINCT scores —
+    bounded by the score DOMAIN (e.g. ~`scale`·range values), not
+    the row count — then a 1-row-per-group reduce. Groups with no
+    positives or no negatives return NULL auc (undefined, not 0).
+
+    Returns (group_cols..., n_pos BIGINT, n_neg BIGINT, auc,
+    gini) where gini = 2·auc − 1 (the accuracy ratio).
+    """
+    keys = [F.col(c) for c in group_cols]
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        *keys,
+        F.round(F.col(score_col) * scale, 0).cast("long").alias("__s"),
+        F.col(label_col).cast("boolean").cast("int").alias("__y"),
+    )
+    per_v = base.groupBy(*group_cols, "__s").agg(
+        F.sum("__y").alias("__tp"),
+        F.sum(F.lit(1) - F.col("__y")).alias("__tn"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ranked = per_v.select(
+        *group_cols,
+        "__tp",
+        "__tn",
+        F.coalesce(F.sum(F.col("__tp") + F.col("__tn")).over(w), F.lit(0))
+        .alias("__c"),
+    ).select(
+        *group_cols,
+        "__tp",
+        "__tn",
+        # positives at this score contribute tp * (2c + t + 1) to the
+        # 2x rank sum — exact integers end to end
+        (
+            dec(F.col("__tp"))
+            * dec(
+                F.lit(2) * F.col("__c") + F.col("__tp") + F.col("__tn") + 1
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("__r2p"),
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.sum("__tp").cast("long").alias("n_pos"),
+        F.sum("__tn").cast("long").alias("n_neg"),
+        F.sum("__r2p").cast("decimal(38,0)").alias("__r2p"),
+    )
+    np_, nn_ = F.col("n_pos"), F.col("n_neg")
+    # AUC = U_pos / (n_pos*n_neg), U_pos = R_pos - n_pos(n_pos+1)/2,
+    # all in exact 2x units: (2R - np(np+1)) / (2 np nn)
+    u2 = (F.col("__r2p") - dec(np_) * dec(np_ + 1)).cast("decimal(38,0)")
+    auc = F.when(
+        (np_ > 0) & (nn_ > 0),
+        u2.cast("double") / (2.0 * np_.cast("double") * nn_.cast("double")),
+    )
+    return agg.select(
+        *group_cols,
+        "n_pos",
+        "n_neg",
+        F.round(auc, 6).alias("auc"),
+        F.round(2.0 * auc - 1.0, 6).alias("gini"),
+    ).orderBy(*group_cols)
+
+
+def mcnemar_test(
+    df: DataFrame,
+    group_cols: list[str],
+    rule_a_col: str,
+    rule_b_col: str,
+) -> DataFrame:
+    """McNemar's test for PAIRED binary rules per group — "do two
+    filters disagree systematically?", the question chi2_independence
+    (unpaired) cannot answer: both rules fire on the SAME rows, so
+    only the discordant cells carry information. b = rows where only
+    rule A fires, c = only rule B; the continuity-corrected statistic
+    is (|b−c|−1)²/(b+c), chi-square with 1 dof under H0 (the classic
+    Edwards correction). No p-value — same (stat, dof) contract as
+    chi2_independence.
+
+    Exactness: all four cells are exact integers off ONE conditional
+    aggregate; the statistic is one double expression of exact
+    integers, identical on any engine. b+c = 0 (the rules never
+    disagree) returns NULL stat — undefined, not 0.
+
+    Plan at scale: a single map-side-combined groupBy over the fact —
+    no join, no window, no shuffle beyond the group keys.
+
+    Returns (group_cols..., n BIGINT, both BIGINT, only_a BIGINT,
+    only_b BIGINT, neither BIGINT, mcnemar_chi2, disagree_rate).
+    """
+    a = F.col(rule_a_col).cast("boolean")
+    b = F.col(rule_b_col).cast("boolean")
+    base = df.filter(a.isNotNull() & b.isNotNull())
+    agg = base.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((a & b).cast("long")).cast("long").alias("both"),
+        F.sum((a & ~b).cast("long")).cast("long").alias("only_a"),
+        F.sum((~a & b).cast("long")).cast("long").alias("only_b"),
+        F.sum((~a & ~b).cast("long")).cast("long").alias("neither"),
+    )
+    bb, cc = F.col("only_a"), F.col("only_b")
+    disc = bb + cc
+    stat = F.when(
+        disc > 0,
+        F.pow(F.abs((bb - cc).cast("double")) - 1.0, 2)
+        / disc.cast("double"),
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        "both",
+        "only_a",
+        "only_b",
+        "neither",
+        F.round(stat, 6).alias("mcnemar_chi2"),
+        F.round(disc.cast("double") / F.col("n"), 6).alias("disagree_rate"),
+    ).orderBy(*group_cols)
+
+
+def decision_stump(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    max_distinct: int = 100_000,
+) -> DataFrame:
+    """Best single-threshold split of a numeric feature against a
+    binary label by information gain — the 1-node decision tree that
+    answers "is there ONE cutoff on this quality signal that
+    separates the classes, and how much does it buy?" (the
+    interpretable baseline every learned quality classifier gets
+    compared to). Split form: feature <= t goes left; the chosen t
+    maximizes gain with a smallest-t tiebreak, so the answer is
+    engine-deterministic.
+
+    Exactness: candidate thresholds are the DISTINCT feature values;
+    per value the (pos, neg) counts are exact integers and ONE
+    ordered prefix-sum window turns them into exact left/right class
+    counts per candidate. Entropies are then identical double
+    expressions of exact integers (x·ln x terms over 4 cells), and
+    the argmax ranks on the round-6 gain with the threshold
+    tiebreak. The all-one-side candidate (t = max value) is excluded
+    — a split must leave both children non-empty.
+
+    Plan at scale: one groupBy (feature) over the fact, one ordered
+    prefix window over the DISTINCT-value frame, one global top-1
+    (TakeOrderedAndProject). The window is single-partition, bounded
+    by the value DOMAIN, not the row count — but a genuinely
+    continuous feature makes the domain the row count, so the
+    operator HLL-counts distinct values first (NDV_SKETCH_RSD
+    accuracy — a blow-up detector, not a census) and FAILS FAST
+    above ``max_distinct`` (theil_sen convention: silent
+    quantization would change the answer — the caller opts in by
+    binning upstream, e.g. F.round(feature, 2)).
+
+    Returns one row: (threshold, n BIGINT, n_left BIGINT, n_right
+    BIGINT, pos_left BIGINT, pos_right BIGINT, entropy_parent,
+    gain_nats).
+    """
+    base = df.filter(
+        F.col(feature_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(feature_col).cast("double").alias("__x"),
+        F.col(label_col).cast("boolean").cast("long").alias("__y"),
+    )
+    per_v = base.groupBy("__x").agg(
+        F.sum("__y").alias("__p"),
+        (F.count("*") - F.sum("__y")).alias("__q"),
+    )
+    # fail-fast guard (scale_lanes count-then-branch convention): one
+    # approx NDV aggregate over two fact columns — the same scan the
+    # per_v groupBy pays — before committing to the single-partition
+    # candidate window. Silent quantization would change the chosen
+    # threshold, so above the bound the caller must bin explicitly.
+    from .scale_lanes import NDV_SKETCH_RSD
+
+    n_distinct = base.agg(
+        F.approx_count_distinct("__x", rsd=NDV_SKETCH_RSD).alias("d")
+    ).collect()[0]["d"]
+    if n_distinct > max_distinct:
+        raise ValueError(
+            f"decision_stump: ~{n_distinct} distinct feature values "
+            f"exceed max_distinct={max_distinct}; bin the feature "
+            f"upstream (e.g. F.round(col, 2)) — silent quantization "
+            f"would change the chosen threshold"
+        )
+    w = Window.orderBy("__x").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per_v.agg(
+        F.sum("__p").cast("long").alias("__tp"),
+        F.sum("__q").cast("long").alias("__tq"),
+    )
+    cum = per_v.select(
+        "__x",
+        F.sum("__p").over(w).cast("long").alias("__lp"),
+        F.sum("__q").over(w).cast("long").alias("__lq"),
+    ).crossJoin(F.broadcast(tot))
+    # plogp(k, n): k/n * ln(k/n) with the 0 ln 0 = 0 convention, as
+    # the identical expression both engines evaluate over exact ints
+    def ent(p, q):
+        n = (p + q).cast("double")
+        return -(
+            F.when(p > 0, p.cast("double") / n * F.log(p.cast("double") / n))
+            .otherwise(F.lit(0.0))
+            + F.when(
+                q > 0, q.cast("double") / n * F.log(q.cast("double") / n)
+            ).otherwise(F.lit(0.0))
+        )
+
+    lp, lq = F.col("__lp"), F.col("__lq")
+    tp, tq = F.col("__tp"), F.col("__tq")
+    rp, rq = tp - lp, tq - lq
+    nl, nr = lp + lq, rp + rq
+    n = tp + tq
+    h_parent = ent(tp, tq)
+    gain = h_parent - (
+        nl.cast("double") / n.cast("double") * ent(lp, lq)
+        + nr.cast("double") / n.cast("double") * ent(rp, rq)
+    )
+    cand = cum.filter(nr > 0).select(
+        F.col("__x").alias("threshold"),
+        n.cast("long").alias("n"),
+        nl.cast("long").alias("n_left"),
+        nr.cast("long").alias("n_right"),
+        lp.cast("long").alias("pos_left"),
+        rp.cast("long").alias("pos_right"),
+        F.round(h_parent, 6).alias("entropy_parent"),
+        F.round(gain, 6).alias("gain_nats"),
+    )
+    return cand.orderBy(F.col("gain_nats").desc(), F.col("threshold")).limit(
+        1
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    group_cols: list[str],
+    rule_cols: list[str],
+) -> DataFrame:
+    """Cochran's Q test for k PAIRED binary rules per group — the
+    k-rule extension of mcnemar_test (k = 2 reduces to McNemar's
+    uncorrected chi-square): "do these k filters fire at genuinely
+    different rates on the same rows?" Q = k(k−1)·Σⱼ(Cⱼ − T/k)² /
+    (k·T − ΣᵢRᵢ²), Cⱼ = per-rule fire counts, Rᵢ = per-row fire
+    count, T = ΣRᵢ; chi-square with k−1 dof under H0. Rows where
+    every rule agrees (Rᵢ = 0 or k) carry no information and drop
+    out of the denominator naturally.
+
+    Exactness: Cⱼ, T, ΣRᵢ² are exact integers off ONE conditional
+    aggregate (Rᵢ and Rᵢ² are row-local byte arithmetic over the k
+    columns); Q is one double expression of exact integers; the Σⱼ
+    numerator is an at-most-k-term double fold of exact values.
+    Degenerate groups (denominator 0) return NULL q.
+
+    Plan at scale: one map-side-combined aggregate over the fact —
+    no join, no window; k widens the projection, not the shuffle.
+
+    Returns (group_cols..., n BIGINT, k_rules BIGINT, then one
+    fires_<rule> BIGINT per rule, cochran_q).
+    """
+    k = len(rule_cols)
+    if k < 2:
+        raise ValueError("cochran_q: need at least 2 rule columns")
+    bools = [F.col(c).cast("boolean") for c in rule_cols]
+    cond = bools[0].isNotNull()
+    for b in bools[1:]:
+        cond = cond & b.isNotNull()
+    base = df.filter(cond)
+    ri = sum((b.cast("long") for b in bools[1:]), bools[0].cast("long"))
+    aggs = [F.count("*").cast("long").alias("n")]
+    for c, b in zip(rule_cols, bools):
+        aggs.append(
+            F.sum(b.cast("long")).cast("long").alias(f"fires_{c}")
+        )
+    aggs.append(F.sum(ri).cast("long").alias("__t"))
+    aggs.append(F.sum(ri * ri).cast("long").alias("__r2"))
+    agg = base.groupBy(*group_cols).agg(*aggs)
+    t = F.col("__t").cast("double")
+    r2 = F.col("__r2").cast("double")
+    kd = float(k)
+    num = None
+    for c in rule_cols:
+        term = (
+            F.col(f"fires_{c}").cast("double") - t / F.lit(kd)
+        )
+        term = term * term
+        num = term if num is None else num + term
+    den = F.lit(kd) * t - r2
+    q = F.when(den > 0, F.lit(kd * (kd - 1.0)) * num / den)
+    return agg.select(
+        *group_cols,
+        "n",
+        F.lit(k).cast("long").alias("k_rules"),
+        *[F.col(f"fires_{c}") for c in rule_cols],
+        F.round(q, 6).alias("cochran_q"),
+    ).orderBy(*group_cols)

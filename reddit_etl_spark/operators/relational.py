@@ -3741,3 +3741,659 @@ def kruskal_wallis(
         F.round(F.when(corr > 0, h / corr), 6).alias("h_corrected"),
     )
     return out.orderBy(*keys) if keys else out
+
+
+def theil_index(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Theil T and L inequality indices per group — the
+    decomposable-entropy rungs of the inequality ladder next to
+    gini_customer_revenue (rank-based) and pareto/HHI
+    (concentration): T = (1/n)Σ(x/μ)ln(x/μ), L = (1/n)Σln(μ/x)
+    (mean log deviation). Unlike Gini, Theil decomposes exactly into
+    between-group + within-group terms, which is why mixture audits
+    use it; this operator reports the within-group indices (run it
+    again on the group means for the between term). Non-positive
+    values are excluded (ln undefined) and reported in n_dropped.
+
+    Exactness: values quantize to ``1/scale`` units (exact BIGINT);
+    Σx rides DECIMAL(38,0). The log sums Σx·ln(x) and Σln(x) are
+    double folds — order-dependent by ulps — but both are
+    renormalized by n·μ (and ln μ subtracted), so the absolute
+    summation random-walk (~1e-5 at 1e9 rows) lands ~1e-14 RELATIVE
+    in the final index: invisible at the round-6 grain. (The
+    identities used: T = Σx·ln(x)/(nμ·u) − ln(μ/u)... evaluated in
+    quantized units u, where T and L are unit-invariant:
+    T = Σv·ln v/(n·v̄) − ln v̄, L = ln v̄ − Σln v/n with v = x·scale.)
+
+    Plan at scale: ONE map-side-combined aggregate over the fact —
+    no window, no join, no second pass (the mean never needs
+    pre-materializing because the identities fold it out).
+
+    Returns (group_cols..., n BIGINT, n_dropped BIGINT, mean,
+    theil_t, theil_l).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.select(
+        *group_cols,
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+    )
+    pos = F.col("__v") > 0
+    v = F.col("__v").cast("double")
+    agg = base.groupBy(*group_cols).agg(
+        F.sum(pos.cast("long")).cast("long").alias("n"),
+        F.sum((~F.coalesce(pos, F.lit(False))).cast("long"))
+        .cast("long")
+        .alias("n_dropped"),
+        F.sum(F.when(pos, dec(F.col("__v"))))
+        .cast("decimal(38,0)")
+        .alias("__s1"),
+        F.sum(F.when(pos, v * F.log(v))).alias("__sxlx"),
+        F.sum(F.when(pos, F.log(v))).alias("__slx"),
+    )
+    n = F.col("n").cast("double")
+    vbar = F.col("__s1").cast("string").cast("double") / n
+    t = F.col("__sxlx") / (n * vbar) - F.log(vbar)
+    l_ = F.log(vbar) - F.col("__slx") / n
+    ok = F.col("n") > 0
+    return agg.select(
+        *group_cols,
+        "n",
+        "n_dropped",
+        F.round(F.when(ok, vbar / F.lit(float(scale))), 6).alias("mean"),
+        F.round(F.when(ok, t), 6).alias("theil_t"),
+        F.round(F.when(ok, l_), 6).alias("theil_l"),
+    ).orderBy(*group_cols)
+
+
+def brown_forsythe(
+    df: DataFrame,
+    value_col: str,
+    class_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Brown-Forsythe test of variance homogeneity across k classes —
+    the robust Levene variant (median centers): W = ((N−k)/(k−1)) ·
+    Σnᵢ(z̄ᵢ−z̄)² / ΣΣ(zᵢⱼ−z̄ᵢ)² with z = |x − medᵢ|. The missing rung
+    between anova (equal-means, assumes equal variance) and
+    kruskal/mannwhitney (distribution shifts): "did the SPREAD
+    change", which is what fee/latency regressions look like when
+    means hold.
+
+    Median contract: the LOWER median (the sorted element at position
+    ⌈n/2⌉) — exact and engine-agnostic where interpolated medians of
+    doubles can differ by ulps across engines. Values quantize to
+    ``1/scale`` units (exact BIGINT), so every z is an exact integer
+    in quantized units and BOTH quadratic forms accumulate exactly in
+    DECIMAL(38,0) via the raw-moment identities (Σz, Σz² per class —
+    z² ≤ 1e14 · 1e9 rows inside 38 digits); W is then one double
+    expression of exact integers (scale cancels).
+
+    Plan at scale: one groupBy (class, value) over the fact, ONE
+    ordered prefix window per class over DISTINCT values to find the
+    lower median (bounded by the value DOMAIN — the mann_whitney
+    discipline), a broadcast of the k-row median frame back onto the
+    per-value counts (never the fact), and one final reduce. NULL
+    values excluded.
+
+    Returns one row: (n BIGINT, k_classes BIGINT, w_stat, dof1
+    BIGINT, dof2 BIGINT).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(class_col).isNotNull()
+    ).select(
+        F.col(class_col).alias("__c"),
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+    )
+    per_v = base.groupBy("__c", "__v").agg(
+        F.count("*").cast("long").alias("__t")
+    )
+    wcum = (
+        Window.partitionBy("__c")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("__c")
+    med = (
+        per_v.select(
+            "__c",
+            "__v",
+            F.sum("__t").over(wcum).alias("__cum"),
+            F.sum("__t").over(wall).alias("__n"),
+        )
+        # lower median = first value whose cumulative count reaches
+        # ceil(n/2); min() picks it without a second window
+        .filter(F.col("__cum") * 2 >= F.col("__n"))
+        .groupBy("__c")
+        .agg(F.min("__v").alias("__med"))
+    )
+    z = per_v.join(F.broadcast(med), "__c").select(
+        "__c",
+        "__t",
+        F.abs(F.col("__v") - F.col("__med")).alias("__z"),
+    )
+    zc = z.groupBy("__c").agg(
+        F.sum("__t").cast("long").alias("__ni"),
+        F.sum(dec(F.col("__z")) * dec(F.col("__t")))
+        .cast("decimal(38,0)")
+        .alias("__sz"),
+        F.sum(
+            (dec(F.col("__z")) * dec(F.col("__z"))).cast("decimal(38,0)")
+            * dec(F.col("__t"))
+        )
+        .cast("decimal(38,0)")
+        .alias("__szz"),
+    )
+    # within-class SS via the identity Σ(z−z̄ᵢ)² = Σz² − (Σz)²/nᵢ,
+    # between via Σnᵢ(z̄ᵢ−z̄)² = Σ(Σzᵢ)²/nᵢ − (Σz)²/N — exact decimal
+    # numerators, double divisions at the end (k-row frame)
+    def dbl(c):
+        return c.cast("string").cast("double")
+
+    tot = zc.agg(
+        F.sum("__ni").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k_classes"),
+        F.sum(F.col("__sz")).cast("decimal(38,0)").alias("__sza"),
+        F.sum(
+            dbl(F.col("__sz")) * dbl(F.col("__sz"))
+            / F.col("__ni").cast("double")
+        ).alias("__szin"),
+        F.sum(
+            dbl(F.col("__szz"))
+            - dbl(F.col("__sz")) * dbl(F.col("__sz"))
+            / F.col("__ni").cast("double")
+        ).alias("__ssw"),
+    )
+    n, k = F.col("n").cast("double"), F.col("k_classes").cast("double")
+    ssb = F.col("__szin") - dbl(F.col("__sza")) * dbl(F.col("__sza")) / n
+    w_stat = F.when(
+        (F.col("k_classes") >= 2) & (F.col("__ssw") > 0),
+        (n - k) / (k - 1.0) * ssb / F.col("__ssw"),
+    )
+    return tot.select(
+        "n",
+        "k_classes",
+        F.round(w_stat, 6).alias("w_stat"),
+        (F.col("k_classes") - 1).cast("long").alias("dof1"),
+        (F.col("n") - F.col("k_classes")).cast("long").alias("dof2"),
+    )
+
+
+def jackknife_groups(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Delete-one-GROUP jackknife standard error for the overall mean
+    — the design-based variance answer when rows arrive in clusters
+    (nations, shards, days) and the iid bootstrap understates the
+    error: θ₍ᵢ₎ = mean excluding group i, SE² = (g−1)/g ·
+    Σ(θ₍ᵢ₎ − θ̄₍·₎)². The cluster-aware companion to
+    bootstrap_ci_order_value (iid resample) and the variance half of
+    ratio_estimator's design-based story.
+
+    Exactness: values quantize to ``1/scale`` units (exact BIGINT for
+    inputs with that many decimals) and BOTH power sums ride
+    DECIMAL(38,0) — the first cut of this operator summed x² as a
+    double fold, whose partial-aggregation order put se_naive one ulp
+    across a round-6 boundary between 8- and 32-partition sessions;
+    quantized integer sums make every leave-one-out mean (S−sᵢ)/
+    (n−nᵢ) and the naive variance single double expressions of exact
+    integers, identical on any engine at any parallelism; the
+    jackknife variance additionally centers every θ₍ᵢ₎ at the overall
+    mean BEFORE squaring (the raw Σθ² − g·θ̄² form cancels ~7 orders,
+    amplifying the g-row double fold's summation-order ulp across a
+    round-6 boundary — on deviations the same ulp is ~1e-12
+    relative). g < 2 returns NULL se_jack.
+
+    Plan at scale: ONE map-side-combined groupBy over the fact, then
+    driver-scale arithmetic on the g-row frame (a broadcast of the
+    1-row totals) — no window, no second fact scan.
+
+    Returns one row: (g BIGINT, n BIGINT, mean, se_jack,
+    se_naive — the iid SE for comparison, from the same pass).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+    )
+    v = dec(F.col("__v"))
+    per_g = base.groupBy("__g").agg(
+        F.count("*").cast("long").alias("__ni"),
+        F.sum(v).cast("decimal(38,0)").alias("__si"),
+        F.sum((v * v).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__sqi"),
+    )
+    tot = per_g.agg(
+        F.count("*").cast("long").alias("g"),
+        F.sum("__ni").cast("long").alias("n"),
+        F.sum("__si").cast("decimal(38,0)").alias("__s"),
+        F.sum("__sqi").cast("decimal(38,0)").alias("__sq"),
+    )
+    j = per_g.crossJoin(F.broadcast(tot))
+    # leave-one-out means in quantized units (exact integers in, one
+    # double division out), CENTERED at the overall mean before
+    # squaring: the raw Σθ² − g·θ̄² form cancels ~7 orders of
+    # magnitude, so the 25-element double fold's summation-order ulp
+    # crossed a round-6 boundary between engines; on deviations the
+    # same ulp lands ~1e-12 relative
+    mu_q = (
+        F.col("__s").cast("string").cast("double")
+        / F.col("n").cast("double")
+    )
+    loo_dev = (
+        (F.col("__s") - F.col("__si")).cast("string").cast("double")
+        / (F.col("n") - F.col("__ni")).cast("double")
+        - mu_q
+    )
+    stats = j.groupBy("g", "n", "__s", "__sq").agg(
+        F.sum(loo_dev).alias("__dsum"),
+        F.sum(loo_dev * loo_dev).alias("__dsq"),
+    )
+    g = F.col("g").cast("double")
+    n = F.col("n").cast("double")
+    sc = F.lit(float(scale))
+    mean_q = F.col("__s").cast("string").cast("double") / n
+    var_j = (g - 1.0) / g * (
+        F.col("__dsq") - F.col("__dsum") * F.col("__dsum") / g
+    )
+    se_j = F.when(F.col("g") >= 2, F.sqrt(F.greatest(var_j, F.lit(0.0))))
+    var_n = (
+        F.col("__sq").cast("string").cast("double") / n - mean_q * mean_q
+    ) / n
+    return stats.select(
+        "g",
+        "n",
+        F.round(mean_q / sc, 6).alias("mean"),
+        F.round(se_j / sc, 6).alias("se_jack"),
+        F.round(
+            F.when(
+                F.col("n") >= 2,
+                F.sqrt(F.greatest(var_n, F.lit(0.0))) / sc,
+            ),
+            6,
+        ).alias("se_naive"),
+    )
+
+
+def cohens_d(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    class_col: str,
+    class_a,
+    class_b,
+    scale: int = 100,
+) -> DataFrame:
+    """Cohen's d standardized mean difference between two classes per
+    group, with the Hedges' g small-sample correction — the effect-
+    SIZE rung next to mann_whitney_u (rank shift) and power_mde
+    (which CONSUMES a d to size an experiment): d = (x̄_a − x̄_b) /
+    s_pooled, s_pooled² the df-weighted variance pool; g = d·(1 −
+    3/(4(n_a+n_b)−9)), the closed-form Γ-ratio approximation.
+
+    Exactness: values quantize to ``1/scale`` units; per-class Σv and
+    Σv² ride DECIMAL(38,0), so means, the pooled variance and d are
+    identical double expressions of exact integers (scale cancels in
+    d and g; means are reported in input units). Degenerate cells
+    (either class n < 2, or zero pooled variance) return NULL d/g.
+
+    Plan at scale: ONE conditional map-side-combined aggregate over
+    the fact — no join, no window.
+
+    Returns (group_cols..., n_a BIGINT, n_b BIGINT, mean_a, mean_b,
+    sd_pooled, cohens_d, hedges_g).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    is_a = F.col(class_col) == class_a
+    is_b = F.col(class_col) == class_b
+    base = df.filter(
+        F.col(value_col).isNotNull() & (is_a | is_b)
+    ).select(
+        *group_cols,
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+        is_a.alias("__a"),
+    )
+    v = dec(F.col("__v"))
+    agg = base.groupBy(*group_cols).agg(
+        F.sum(F.col("__a").cast("long")).cast("long").alias("n_a"),
+        F.sum((~F.col("__a")).cast("long")).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("__a"), v)).cast("decimal(38,0)").alias("__sa"),
+        F.sum(F.when(~F.col("__a"), v)).cast("decimal(38,0)").alias("__sb"),
+        F.sum(F.when(F.col("__a"), (v * v).cast("decimal(38,0)")))
+        .cast("decimal(38,0)")
+        .alias("__qa"),
+        F.sum(F.when(~F.col("__a"), (v * v).cast("decimal(38,0)")))
+        .cast("decimal(38,0)")
+        .alias("__qb"),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma, mb = dbl("__sa") / na, dbl("__sb") / nb
+    # unbiased per-class SS via the raw-moment identity
+    ssa = dbl("__qa") - dbl("__sa") * dbl("__sa") / na
+    ssb = dbl("__qb") - dbl("__sb") * dbl("__sb") / nb
+    sp2 = (ssa + ssb) / (na + nb - 2.0)
+    ok = (
+        (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (ssa + ssb > 0)
+    )
+    d = F.when(ok, (ma - mb) / F.sqrt(sp2))
+    g = d * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0))
+    sc = F.lit(float(scale))
+    return agg.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        F.round(ma / sc, 6).alias("mean_a"),
+        F.round(mb / sc, 6).alias("mean_b"),
+        F.round(F.when(ok, F.sqrt(sp2) / sc), 6).alias("sd_pooled"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(g, 6).alias("hedges_g"),
+    ).orderBy(*group_cols)
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Friedman rank test across k treatments over n matched blocks —
+    the PAIRED k-sample rung next to kruskal_wallis (unpaired) and
+    mcnemar (paired binary): within each block the k treatment values
+    are ranked, and chi2_F = 12/(nk(k+1))·ΣR_j² − 3n(k+1) asks
+    whether any treatment consistently out-ranks the others; the
+    standard tie correction divides by 1 − Σ(t³−t)/(nk(k²−1)).
+    Feed one value per (block, treatment) cell (a rollup, e.g. daily
+    means per event type); blocks missing any treatment are dropped
+    whole (the complete-block design Friedman assumes).
+
+    Exactness: values quantize to ``1/scale`` units, so within-block
+    tie groups are exact; average ranks derive per (block, value)
+    from the within-block count-of-smaller + tie size ((2c+t+1)/2 —
+    the mann_whitney midrank identity applied blockwise), kept in
+    exact 2x integer units; rank sums and the cubic tie term ride
+    DECIMAL(38,0); the statistic is one double expression of exact
+    integers.
+
+    Plan at scale: the within-block midrank window is partitioned BY
+    BLOCK and bounded by k (treatments per block) — millions of
+    blocks parallelize; nothing is fact-sized beyond the input
+    rollup itself. One (block,value) aggregate + one k-bounded
+    window + two reduces.
+
+    Returns one row: (n_blocks BIGINT, k_treatments BIGINT, chi2_f,
+    chi2_f_corrected — NULL when the tie correction denominator is
+    0, i.e. every block entirely tied).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(block_col).isNotNull()
+        & F.col(treatment_col).isNotNull()
+    ).select(
+        F.col(block_col).alias("__b"),
+        F.col(treatment_col).alias("__t"),
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+    )
+    # complete-block filter: keep blocks holding ALL k treatments
+    k_total = base.select("__t").distinct().count()
+    wb = Window.partitionBy("__b")
+    base = (
+        base.withColumn("__kb", F.count("*").over(wb))
+        .filter(F.col("__kb") == k_total)
+        .drop("__kb")
+    )
+    # within-block midranks off (block, value) tie cells
+    cells = base.groupBy("__b", "__v").agg(
+        F.count("*").alias("__tv")
+    )
+    wcum = (
+        Window.partitionBy("__b")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = cells.select(
+        "__b",
+        "__v",
+        "__tv",
+        F.coalesce(F.sum("__tv").over(wcum), F.lit(0)).alias("__c"),
+    ).select(
+        "__b",
+        "__v",
+        "__tv",
+        # 2x midrank, an exact integer
+        (F.lit(2) * F.col("__c") + F.col("__tv") + 1).alias("__r2"),
+    )
+    j = base.join(ranked, ["__b", "__v"])
+    per_t = j.groupBy("__t").agg(
+        F.sum(dec(F.col("__r2"))).cast("decimal(38,0)").alias("__r2sum"),
+        F.count("*").cast("long").alias("__n"),
+    )
+    ties = cells.agg(
+        F.sum(
+            (dec(F.col("__tv")) * dec(F.col("__tv")) * dec(F.col("__tv")))
+            .cast("decimal(38,0)")
+            - dec(F.col("__tv"))
+        )
+        .cast("decimal(38,0)")
+        .alias("__t3t")
+    )
+
+    def dbl(c):
+        return c.cast("string").cast("double")
+
+    agg = per_t.agg(
+        F.max("__n").cast("long").alias("n_blocks"),
+        F.count("*").cast("long").alias("k_treatments"),
+        F.sum(
+            (
+                (F.col("__r2sum") * F.col("__r2sum")).cast("decimal(38,0)")
+            )
+            .cast("string")
+            .cast("double")
+        ).alias("__rr4"),  # 4x^2 units: sum of (2R_j)^2
+    ).crossJoin(F.broadcast(ties))
+    n = F.col("n_blocks").cast("double")
+    k = F.col("k_treatments").cast("double")
+    # ΣR_j² = __rr4 / 4
+    chi2 = (
+        12.0 / (n * k * (k + 1.0)) * (F.col("__rr4") / 4.0)
+        - 3.0 * n * (k + 1.0)
+    )
+    corr = 1.0 - dbl(F.col("__t3t")) / (n * k * (k * k - 1.0))
+    ok = (F.col("n_blocks") >= 1) & (F.col("k_treatments") >= 2)
+    return agg.select(
+        "n_blocks",
+        "k_treatments",
+        F.round(F.when(ok, chi2), 6).alias("chi2_f"),
+        F.round(
+            F.when(ok & (corr > 0), chi2 / corr), 6
+        ).alias("chi2_f_corrected"),
+    )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 200,
+    scale: int = 100,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index over the k largest
+    values per group — the TAIL companion to zipf_vocab_fit (rank-
+    frequency body) and gumbel/extremes: α̂ = [ (1/k)·Σᵢ ln(x₍ᵢ₎/x₍ₖ₎) ]⁻¹
+    over the top-k order statistics; small α̂ = heavy tail = a
+    handful of rows dominate (revenue concentration, doc-length
+    blowups). k is part of the contract (the estimator is k-
+    sensitive; report it, don't hide it).
+
+    Exactness: values quantize to ``1/scale`` units and the top-k cut
+    rides the DISTINCT-value frame — per distinct value the count
+    taken is min(t, k − cum_above) (ties at the k-th value split
+    deterministically by count, never by row identity), so n_taken,
+    Σ taken·ln(v) and x_k are exact; α̂ is one double expression.
+    Groups with fewer than k positive rows use all rows above the
+    minimum taken (n_taken < k is reported). Non-positive values are
+    excluded (ln).
+
+    Plan at scale: one (group, value) aggregate, ONE descending
+    prefix window per group over distinct values (value-DOMAIN
+    bounded), a filter to the ≤k-taking rows, and a 1-row-per-group
+    reduce. No row-level top-k sort of the fact.
+
+    Returns (group_cols..., n BIGINT, n_taken BIGINT, x_k,
+    hill_alpha, log_mean_excess).
+    """
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+    ).filter(F.col("__v") > 0)
+    per_v = base.groupBy(*group_cols, "__v").agg(
+        F.count("*").alias("__t")
+    )
+    wdesc = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("__v").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy(*group_cols)
+    cut = per_v.select(
+        *group_cols,
+        "__v",
+        "__t",
+        F.coalesce(F.sum("__t").over(wdesc), F.lit(0)).alias("__above"),
+        F.sum("__t").over(wall).alias("__n"),
+    ).filter(F.col("__above") < k)
+    taken = F.least(F.col("__t"), F.lit(k) - F.col("__above"))
+    vd = F.col("__v").cast("double")
+    agg = cut.groupBy(*group_cols).agg(
+        F.max("__n").cast("long").alias("n"),
+        F.sum(taken).cast("long").alias("n_taken"),
+        F.sum(taken.cast("double") * F.log(vd)).alias("__slnv"),
+        F.min("__v").alias("__xk"),
+    )
+    xk = F.col("__xk").cast("double")
+    nt = F.col("n_taken").cast("double")
+    excess = F.col("__slnv") / nt - F.log(xk)
+    ok = (F.col("n_taken") >= 2) & (excess > 0)
+    return agg.select(
+        *group_cols,
+        "n",
+        "n_taken",
+        F.round(xk / F.lit(float(scale)), 6).alias("x_k"),
+        F.round(F.when(ok, 1.0 / excess), 6).alias("hill_alpha"),
+        F.round(excess, 6).alias("log_mean_excess"),
+    ).orderBy(*group_cols)
+
+
+def lorenz_deciles(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Exact Lorenz curve at decile resolution — the CURVE behind
+    gini_customer_revenue's scalar: units sorted ascending by value,
+    split into 10 equal-count bins (positions (d−1)·n/10 .. d·n/10,
+    integer boundaries b_d = ⌊d·n/10⌋), each decile reporting its
+    value share and the cumulative share ("bottom 50% hold 9%"). A
+    distinct value whose tie block straddles a boundary SPLITS by
+    count — deterministic, never by row identity.
+
+    Exactness: values quantize to ``1/scale`` units; the distinct-
+    value frame carries exact cumulative counts and the per-decile
+    taken counts/value sums stay exact integers in DECIMAL(38,0);
+    shares are single double divisions, round-6.
+
+    Plan at scale: one (value) aggregate, ONE ascending prefix window
+    over distinct values (value-DOMAIN bounded, the gini/mann_whitney
+    discipline), a 10-way explode of the REDUCED frame (each distinct
+    value lands in ≤10 decile overlaps — output bounded by 10·|V|,
+    still domain-sized), and a 10-row reduce.
+
+    Returns 10 rows: (decile BIGINT 1..10, n_units BIGINT, total,
+    share, cum_share).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+    )
+    per_v = base.groupBy("__v").agg(F.count("*").alias("__t"))
+    wcum = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = per_v.agg(
+        F.sum("__t").cast("long").alias("__n"),
+        F.sum(dec(F.col("__v")) * dec(F.col("__t")))
+        .cast("decimal(38,0)")
+        .alias("__total"),
+    )
+    cum = per_v.select(
+        "__v",
+        "__t",
+        F.coalesce(F.sum("__t").over(wcum), F.lit(0)).alias("__c"),
+    ).crossJoin(F.broadcast(tot))
+    d10 = cum.select(
+        "__v",
+        "__t",
+        "__c",
+        "__n",
+        "__total",
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"),
+    )
+    # decile d covers positions (b_{d-1}, b_d], b_d = (d*n) div 10
+    b_lo = F.floor((F.col("decile") - 1) * F.col("__n") / 10)
+    b_hi = F.floor(F.col("decile") * F.col("__n") / 10)
+    taken = F.greatest(
+        F.lit(0),
+        F.least(F.col("__c") + F.col("__t"), b_hi)
+        - F.greatest(F.col("__c"), b_lo),
+    )
+    sliced = d10.filter(taken > 0).select(
+        "decile",
+        "__n",
+        "__total",
+        taken.alias("__taken"),
+        (dec(taken) * dec(F.col("__v"))).cast("decimal(38,0)").alias("__sv"),
+    )
+    agg = sliced.groupBy("decile", "__n", "__total").agg(
+        F.sum("__taken").cast("long").alias("n_units"),
+        F.sum("__sv").cast("decimal(38,0)").alias("__dsum"),
+    )
+    wcs = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+
+    def dbl(c):
+        return c.cast("string").cast("double")
+
+    share = dbl(F.col("__dsum")) / dbl(F.col("__total"))
+    out = agg.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_units",
+        F.round(dbl(F.col("__dsum")) / F.lit(float(scale)), 6).alias(
+            "total"
+        ),
+        F.round(share, 6).alias("share"),
+        F.sum(share).over(wcs).alias("__cs"),
+    )
+    return out.select(
+        "decile",
+        "n_units",
+        "total",
+        "share",
+        F.round(F.col("__cs"), 6).alias("cum_share"),
+    ).orderBy("decile")

@@ -2083,3 +2083,554 @@ def transition_entropy(
             "top_share"
         ),
     ).orderBy("state")
+
+
+def jarque_bera(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Jarque-Bera normality statistic per group — JB = n/6·(S² +
+    (K−3)²/4) off sample skewness S and kurtosis K: the one-pass
+    moment test that flags heavy tails / asymmetry before anything
+    downstream assumes Gaussian (z-score outlier fences, CUPED,
+    power_mde's normal approximation all do). No p-value — JB is
+    asymptotically chi-square(2); report the statistic and let the
+    caller compare to the critical value (5.99 at alpha=.05), the
+    chi2_independence contract.
+
+    Exactness: values quantize to ``1/scale`` units (exact BIGINT
+    for inputs with that many decimals) and the four raw power sums
+    Σx..Σx⁴ accumulate in DECIMAL(38,0) — x⁴ for a 7-digit
+    quantized value is 1e28, times 1e9 rows still inside 38 digits —
+    so S and K are identical double expressions of exact integers on
+    any engine (central moments via the raw-moment identities,
+    evaluated in the quantized unit; S and K are scale-invariant, so
+    the unit cancels).
+
+    Plan at scale: ONE map-side-combined aggregate over the fact —
+    no window, no join. Groups with n < 2 or zero variance return
+    NULL skewness/kurtosis/jb.
+
+    Returns (group_cols..., n BIGINT, mean, skewness, kurtosis
+    (non-excess), jb_stat).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+    )
+    v = dec(F.col("__v"))
+    agg = base.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(v).cast("decimal(38,0)").alias("__s1"),
+        F.sum((v * v).cast("decimal(38,0)")).cast("decimal(38,0)").alias("__s2"),
+        F.sum((v * v * v).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__s3"),
+        F.sum(
+            ((v * v).cast("decimal(38,0)") * (v * v).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("__s4"),
+    )
+    n = F.col("n").cast("double")
+    # exact-integer sums -> the identical double raw moments; the
+    # VARCHAR roundtrip keeps the decimal->double cast correctly
+    # rounded on both engines (stable_avg caveat)
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    m1 = dbl("__s1") / n
+    m2 = dbl("__s2") / n - m1 * m1
+    m3 = dbl("__s3") / n - 3.0 * m1 * (dbl("__s2") / n) + 2.0 * m1 * m1 * m1
+    m4 = (
+        dbl("__s4") / n
+        - 4.0 * m1 * (dbl("__s3") / n)
+        + 6.0 * m1 * m1 * (dbl("__s2") / n)
+        - 3.0 * m1 * m1 * m1 * m1
+    )
+    skew = F.when((F.col("n") >= 2) & (m2 > 0), m3 / F.pow(m2, 1.5))
+    kurt = F.when((F.col("n") >= 2) & (m2 > 0), m4 / (m2 * m2))
+    jb = n / 6.0 * (
+        skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round(m1 / F.lit(float(scale)), 6).alias("mean"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("kurtosis"),
+        F.round(jb, 6).alias("jb_stat"),
+    ).orderBy(*group_cols)
+
+
+def durbin_watson(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Durbin-Watson serial-correlation statistic per group over an
+    ordered series — DW = Σ(e_t − e_{t−1})² / Σe_t² with e = value −
+    group mean: the residual-autocorrelation check that says whether
+    acf_by_key's lag-1 story survives mean-centering (DW ≈ 2 none,
+    → 0 positive, → 4 negative; DW ≈ 2(1−ρ₁)). Feed a bounded
+    per-key rollup (e.g. the daily frame), the acf_by_key contract.
+
+    Exactness: the mean is computed as one double off DECIMAL(18,6)
+    sums (stable_avg discipline — exact for ≤6dp inputs); residuals,
+    the lag join and both quadratic sums are then identical double
+    expressions evaluated in the SAME prefix order on both engines
+    (ordered window over the bounded per-group frame), so the
+    round-6 outputs agree.
+
+    Plan at scale: one aggregate for the means (broadcast back), one
+    lag window partitioned by group — work bounded by the ROLLUP
+    size, not the fact. Groups with n < 2 or zero residual variance
+    return NULL dw.
+
+    Returns (group_cols..., n BIGINT, dw, rho1 = 1 − dw/2).
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.col(order_col).alias("__t"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    means = base.groupBy(*group_cols).agg(
+        (
+            F.sum(F.col("__x").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("__mu"),
+    )
+    j = base.join(F.broadcast(means), group_cols)
+    wl = Window.partitionBy(*group_cols).orderBy("__t")
+    e = F.col("__x") - F.col("__mu")
+    r = j.select(
+        *group_cols,
+        e.alias("__e"),
+        (e - F.lag(e).over(wl)).alias("__d"),
+    )
+    agg = r.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("__e") * F.col("__e")).alias("__sse"),
+        F.sum(F.col("__d") * F.col("__d")).alias("__ssd"),
+    )
+    dw = F.when(
+        (F.col("n") >= 2) & (F.col("__sse") > 0),
+        F.col("__ssd") / F.col("__sse"),
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round(dw, 6).alias("dw"),
+        F.round(1.0 - dw / 2.0, 6).alias("rho1"),
+    ).orderBy(*group_cols)
+
+
+def page_hinkley(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    delta: float = 0.0,
+    lam: float = 50.0,
+) -> DataFrame:
+    """Page-Hinkley mean-shift detector per group over an ordered
+    series — the sequential cousin of cusum_changepoints: U_t =
+    Σ_{s≤t}(x_s − m̄_s − delta) with m̄_s the running prefix mean,
+    alarm when U_t − min_{s≤t} U_s > lambda (an upward mean shift;
+    PH is one-sided by construction). Feed a bounded per-key rollup
+    (daily means), the acf_by_key contract.
+
+    Exactness: prefix means ride exact DECIMAL(18,6) prefix sums
+    over the ordered window (≤6dp inputs), so every m̄_s is one
+    double division of exact numbers; U_t, the running min and the
+    gap are then the identical prefix-ordered double expressions on
+    both engines (both accumulate in ASC order), and the round-6
+    outputs agree. delta/lambda are injected literals shared with
+    the oracle, the NORMAL_QUANTILES discipline.
+
+    Plan at scale: three ordered windows (prefix sum, prefix min,
+    row number) partitioned by group over the ROLLUP frame — work
+    bounded by days·groups, not the fact.
+
+    Returns (group_cols..., n BIGINT, ph_max, alarm_at (order_col
+    value of the first alarm, NULL when none), n_alarms BIGINT).
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.col(order_col).alias("__t"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    wl = Window.partitionBy(*group_cols).orderBy("__t")
+    wp = wl.rowsBetween(Window.unboundedPreceding, 0)
+    pref = base.select(
+        *group_cols,
+        "__t",
+        "__x",
+        (
+            F.sum(F.col("__x").cast("decimal(18,6)")).over(wp).cast("double")
+            / F.count("*").over(wp)
+        ).alias("__m"),
+    )
+    u = pref.select(
+        *group_cols,
+        "__t",
+        F.sum(F.col("__x") - F.col("__m") - F.lit(delta))
+        .over(wp)
+        .alias("__u"),
+    )
+    g = u.select(
+        *group_cols,
+        "__t",
+        (F.col("__u") - F.min("__u").over(wp)).alias("__ph"),
+    )
+    alarm = F.when(F.col("__ph") > F.lit(lam), F.col("__t"))
+    agg = g.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.max("__ph"), 6).alias("ph_max"),
+        F.min(alarm).alias("alarm_at"),
+        F.sum((F.col("__ph") > F.lit(lam)).cast("long"))
+        .cast("long")
+        .alias("n_alarms"),
+    )
+    return agg.orderBy(*group_cols)
+
+
+def runs_test(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness per group over an
+    ordered series — "does the sequence of above/below-median signs
+    cluster?": too FEW runs = trending/sticky regimes, too MANY =
+    oscillation; the non-parametric cousin of durbin_watson that
+    needs no residual model. Signs are taken against the group's
+    LOWER median (the brown_forsythe contract — exact and engine-
+    agnostic); values equal to the median are dropped (the standard
+    treatment). z = (R − μ_R)/σ_R with μ_R = 2n₁n₀/n + 1,
+    σ_R² = (μ_R−1)(μ_R−2)/(n−1). Feed a bounded per-key rollup
+    (daily means), the acf_by_key contract.
+
+    Exactness: values quantize to ``1/scale`` units so the median and
+    every sign are exact; R, n₁, n₀ are exact integers off one lag
+    window; z is one double expression of exact integers.
+
+    Plan at scale: one (group, value) aggregate + prefix window on
+    the DISTINCT-value frame for the median, broadcast back, one lag
+    window over the bounded rollup. Groups with n₁ = 0 or n₀ = 0
+    (constant series) return NULL z.
+
+    Returns (group_cols..., n BIGINT, n_above BIGINT, n_below
+    BIGINT, runs BIGINT, z).
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.col(order_col).alias("__o"),
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+    )
+    per_v = base.groupBy(*group_cols, "__v").agg(
+        F.count("*").alias("__t")
+    )
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(*group_cols)
+    med = (
+        per_v.select(
+            *group_cols,
+            "__v",
+            F.sum("__t").over(wcum).alias("__cum"),
+            F.sum("__t").over(wall).alias("__n"),
+        )
+        .filter(F.col("__cum") * 2 >= F.col("__n"))
+        .groupBy(*group_cols)
+        .agg(F.min("__v").alias("__med"))
+    )
+    signed = (
+        base.join(F.broadcast(med), group_cols)
+        .filter(F.col("__v") != F.col("__med"))
+        .select(
+            *group_cols,
+            "__o",
+            (F.col("__v") > F.col("__med")).cast("int").alias("__s"),
+        )
+    )
+    wl = Window.partitionBy(*group_cols).orderBy("__o")
+    flips = signed.select(
+        *group_cols,
+        "__s",
+        F.when(
+            F.lag("__s").over(wl).isNull()
+            | (F.lag("__s").over(wl) != F.col("__s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("__newrun"),
+    )
+    agg = flips.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__s").cast("long").alias("n_above"),
+        (F.count("*") - F.sum("__s")).cast("long").alias("n_below"),
+        F.sum("__newrun").cast("long").alias("runs"),
+    )
+    n1, n0 = F.col("n_above").cast("double"), F.col("n_below").cast("double")
+    n = F.col("n").cast("double")
+    mu = 2.0 * n1 * n0 / n + 1.0
+    var = (mu - 1.0) * (mu - 2.0) / (n - 1.0)
+    z = F.when(
+        (F.col("n_above") > 0) & (F.col("n_below") > 0) & (var > 0),
+        (F.col("runs").cast("double") - mu) / F.sqrt(var),
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        "n_above",
+        "n_below",
+        "runs",
+        F.round(z, 6).alias("z"),
+    ).orderBy(*group_cols)
+
+
+def grubbs_statistic(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Grubbs' outlier statistic per group — G = max|x − x̄|/s, "how
+    many sample standard deviations does the single worst point sit
+    from the mean": the parametric single-outlier screen next to
+    mad_outliers' robust fences (MAD flags MANY; Grubbs scores THE
+    most extreme one for a reject/keep decision on a controlled
+    measurement). Reports the offending value; no critical value —
+    the t-quantile lookup is the caller's, the chi2 contract.
+
+    Exactness: values quantize to ``1/scale`` units; Σv and Σv² ride
+    DECIMAL(38,0) so x̄ and the sample s are identical doubles of
+    exact integers; |v − x̄| is evaluated per DISTINCT value and the
+    argmax breaks ties toward the SMALLER value — deterministic on
+    any engine. n < 3 or zero variance returns NULL g.
+
+    Plan at scale: ONE (group, value) aggregate feeding both the
+    moment reduce and the distinct-frame argmax (group-cardinality
+    join back, broadcast) — the fact is scanned once, no window at
+    all.
+
+    Returns (group_cols..., n BIGINT, mean, sd, outlier_value,
+    g_stat).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+    )
+    per_v = base.groupBy(*group_cols, "__v").agg(
+        F.count("*").alias("__t")
+    )
+    v = dec(F.col("__v"))
+    mom = per_v.groupBy(*group_cols).agg(
+        F.sum("__t").cast("long").alias("n"),
+        F.sum(v * dec(F.col("__t"))).cast("decimal(38,0)").alias("__s1"),
+        F.sum(
+            (v * v).cast("decimal(38,0)") * dec(F.col("__t"))
+        )
+        .cast("decimal(38,0)")
+        .alias("__s2"),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    n = F.col("n").cast("double")
+    mean_q = dbl("__s1") / n
+    # sample variance via the raw-moment identity, df = n-1
+    var_q = (dbl("__s2") - dbl("__s1") * dbl("__s1") / n) / (n - 1.0)
+    withm = per_v.join(F.broadcast(mom), group_cols).select(
+        *group_cols,
+        "__v",
+        "n",
+        "__s1",
+        "__s2",
+        F.abs(F.col("__v").cast("double") - dbl("__s1") / n).alias(
+            "__dev"
+        ),
+    )
+    # argmax by (dev desc, value asc) — one row per group
+    wr = Window.partitionBy(*group_cols).orderBy(
+        F.col("__dev").desc(), F.col("__v").asc()
+    )
+    top = withm.withColumn("__rn", F.row_number().over(wr)).filter(
+        F.col("__rn") == 1
+    )
+    sc = F.lit(float(scale))
+    sd_q = F.sqrt(F.greatest(var_q, F.lit(0.0)))
+    ok = (F.col("n") >= 3) & (var_q > 0)
+    return top.select(
+        *group_cols,
+        "n",
+        F.round(mean_q / sc, 6).alias("mean"),
+        F.round(F.when(ok, sd_q / sc), 6).alias("sd"),
+        (F.col("__v").cast("double") / sc).alias("outlier_value"),
+        F.round(F.when(ok, F.col("__dev") / sd_q), 6).alias("g_stat"),
+    ).orderBy(*group_cols)
+
+
+#: Euler-Mascheroni constant, injected identically into both engines'
+#: plans (the NORMAL_QUANTILES discipline) for Gumbel method-of-moments.
+EULER_GAMMA = 0.5772156649015329
+
+
+def gumbel_block_maxima(
+    df: DataFrame,
+    group_cols: list[str],
+    block_col: str,
+    value_col: str,
+    return_period: int = 52,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Gumbel extreme-value fit on block maxima per group, method of
+    moments — the TAIL-RISK rung next to hill_tail_index (power-law
+    heaviness) and anomaly_zscore (point outliers): take the max per
+    block (week), fit location/scale μ̂ = x̄ − γβ̂, β̂ = s·√6/π, and
+    report the T-block return level μ̂ − β̂·ln(−ln(1 − 1/T)) — "the
+    weekly-max value you'll exceed about once a year" at T=52. γ and
+    π enter as injected literals (NORMAL_QUANTILES discipline).
+
+    Exactness: block maxima are exact (max of quantized values); the
+    maxima frame's Σv and Σv² ride DECIMAL(38,0) so x̄ and the sample
+    s are identical doubles of exact integers; the fit is closed
+    form. Fewer than 2 blocks (or zero variance) returns NULL fit.
+
+    Plan at scale: one (group, block) max aggregate over the fact +
+    one group reduce over the BLOCKS frame — no window, no join.
+
+    Returns (group_cols..., n_blocks BIGINT, block_max_mean,
+    gumbel_loc, gumbel_scale, return_level).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(block_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.col(block_col).alias("__blk"),
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+    )
+    bmax = base.groupBy(*group_cols, "__blk").agg(
+        F.max("__v").alias("__m")
+    )
+    m = dec(F.col("__m"))
+    agg = bmax.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum(m).cast("decimal(38,0)").alias("__s1"),
+        F.sum((m * m).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__s2"),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    n = F.col("n_blocks").cast("double")
+    mean_q = dbl("__s1") / n
+    var_q = (dbl("__s2") - dbl("__s1") * dbl("__s1") / n) / (n - 1.0)
+    sd_q = F.sqrt(F.greatest(var_q, F.lit(0.0)))
+    beta = sd_q * F.lit(0.7796968012336793)  # sqrt(6)/pi, one literal
+    loc = mean_q - F.lit(EULER_GAMMA) * beta
+    t = float(return_period)
+    rl = loc - beta * F.log(-F.log(F.lit(1.0 - 1.0 / t)))
+    ok = (F.col("n_blocks") >= 2) & (var_q > 0)
+    sc = F.lit(float(scale))
+    return agg.select(
+        *group_cols,
+        "n_blocks",
+        F.round(mean_q / sc, 6).alias("block_max_mean"),
+        F.round(F.when(ok, loc / sc), 6).alias("gumbel_loc"),
+        F.round(F.when(ok, beta / sc), 6).alias("gumbel_scale"),
+        F.round(F.when(ok, rl / sc), 6).alias("return_level"),
+    ).orderBy(*group_cols)
+
+
+def imr_control_chart(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Individuals / moving-range (I-MR) Shewhart control chart
+    summary per group — the SPC rung next to page_hinkley (sequential
+    shift) and cusum (cumulative drift): center = x̄, natural process
+    limits x̄ ± 2.66·M̄R (2.66 = 3/d₂ at subgroup 2), MR upper limit
+    3.267·M̄R; reports how many points breach the I-chart limits and
+    the first breach position. The constants are injected literals
+    shared with the oracle (NORMAL_QUANTILES discipline). Feed a
+    bounded per-key rollup (daily means), the acf_by_key contract.
+
+    Exactness: the series is ≤6dp (round-6 rollup contract), so x̄
+    and M̄R ride exact DECIMAL(18,6) sums (|xₜ − xₜ₋₁| of 6dp values
+    is 6dp); limits and breach flags are identical double
+    expressions of exact decimals.
+
+    Plan at scale: one lag window over the rollup + one reduce + one
+    breach-count pass over the same frame (self-contained second
+    aggregate on the lagged frame — still rollup-sized).
+
+    Returns (group_cols..., n BIGINT, center, mr_mean, lcl, ucl,
+    mr_ucl, n_breaches BIGINT, first_breach_at).
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.col(order_col).alias("__o"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    wl = Window.partitionBy(*group_cols).orderBy("__o")
+    lagd = base.select(
+        *group_cols,
+        "__o",
+        "__x",
+        F.abs(F.col("__x") - F.lag("__x").over(wl)).alias("__mr"),
+    )
+    stats = lagd.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n"),
+        (
+            F.sum(F.col("__x").cast("decimal(18,6)")).cast("double")
+            / F.count("__x")
+        ).alias("__xbar"),
+        (
+            F.sum(F.col("__mr").cast("decimal(18,6)")).cast("double")
+            / F.count("__mr")
+        ).alias("__mrbar"),
+    )
+    j = lagd.join(F.broadcast(stats), group_cols)
+    lcl = F.col("__xbar") - F.lit(2.66) * F.col("__mrbar")
+    ucl = F.col("__xbar") + F.lit(2.66) * F.col("__mrbar")
+    breach = (F.col("__x") < lcl) | (F.col("__x") > ucl)
+    out = j.groupBy(*group_cols).agg(
+        F.max("n").cast("long").alias("n"),
+        F.round(F.max("__xbar"), 6).alias("center"),
+        F.round(F.max("__mrbar"), 6).alias("mr_mean"),
+        F.round(F.max(lcl), 6).alias("lcl"),
+        F.round(F.max(ucl), 6).alias("ucl"),
+        F.round(F.max(F.lit(3.267) * F.col("__mrbar")), 6).alias(
+            "mr_ucl"
+        ),
+        F.sum(breach.cast("long")).cast("long").alias("n_breaches"),
+        F.min(F.when(breach, F.col("__o"))).alias("first_breach_at"),
+    )
+    return out.orderBy(*group_cols)

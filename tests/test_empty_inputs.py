@@ -315,3 +315,90 @@ def test_round10_text_classify_ops_empty(spark, empty_docs):
     assert hellinger_drift(ev, ev, "v", ["g"]).count() == 0
     assert digit_uniformity(ev, ["g"], "v").count() == 0
     assert mask_profile(ev.withColumn("m", F.lit("x")), ["g"], "m").count() == 0
+
+
+# ------------------------------------------------------- round-10 wave 4
+
+
+def test_roc_auc_empty(spark):
+    from reddit_etl_spark.operators.classify import roc_auc
+
+    empty = spark.createDataFrame([], "g string, s double, y boolean")
+    out = roc_auc(empty, ["g"], "s", "y")
+    assert out.columns == ["g", "n_pos", "n_neg", "auc", "gini"]
+    assert out.count() == 0
+
+
+def test_mcnemar_empty(spark):
+    from reddit_etl_spark.operators.classify import mcnemar_test
+
+    empty = spark.createDataFrame([], "g string, a boolean, b boolean")
+    assert mcnemar_test(empty, ["g"], "a", "b").count() == 0
+
+
+def test_decision_stump_empty(spark):
+    from reddit_etl_spark.operators.classify import decision_stump
+
+    empty = spark.createDataFrame([], "x double, y boolean")
+    out = decision_stump(empty, "x", "y")
+    assert out.count() == 0
+    assert "gain_nats" in out.columns
+
+
+def test_jarque_bera_empty(spark):
+    from reddit_etl_spark.operators.series import jarque_bera
+
+    empty = spark.createDataFrame([], "g string, v double")
+    assert jarque_bera(empty, ["g"], "v").count() == 0
+
+
+def test_durbin_watson_empty(spark):
+    from reddit_etl_spark.operators.series import durbin_watson
+
+    empty = spark.createDataFrame([], "g string, t long, v double")
+    assert durbin_watson(empty, ["g"], "t", "v").count() == 0
+
+
+def test_page_hinkley_empty(spark):
+    from reddit_etl_spark.operators.series import page_hinkley
+
+    empty = spark.createDataFrame([], "g string, t long, v double")
+    assert page_hinkley(empty, ["g"], "t", "v").count() == 0
+
+
+def test_theil_index_empty(spark):
+    from reddit_etl_spark.operators.relational import theil_index
+
+    empty = spark.createDataFrame([], "g string, v double")
+    assert theil_index(empty, ["g"], "v").count() == 0
+
+
+def test_brown_forsythe_empty(spark):
+    from reddit_etl_spark.operators.relational import brown_forsythe
+
+    empty = spark.createDataFrame([], "c string, v double")
+    out = brown_forsythe(empty, "v", "c")
+    # groupBy-less aggregate: one row with n=0, NULL stat is the
+    # documented shape for global-form reducers (logrank precedent
+    # is filtered; here n=0 row is explicit and k_classes=0)
+    rows = out.collect()
+    assert len(rows) <= 1
+    if rows:
+        assert rows[0]["w_stat"] is None
+
+
+def test_jackknife_empty(spark):
+    from reddit_etl_spark.operators.relational import jackknife_groups
+
+    empty = spark.createDataFrame([], "g string, v double")
+    rows = jackknife_groups(empty, "g", "v").collect()
+    assert len(rows) <= 1
+    if rows:
+        assert rows[0]["se_jack"] is None
+
+
+def test_chapman_empty(spark):
+    from reddit_etl_spark.operators.text import vocab_capture_recapture
+
+    empty = spark.createDataFrame([], "source string, text string")
+    assert vocab_capture_recapture(empty, "source", "text").count() == 0

@@ -371,3 +371,86 @@ def test_pr_curve_single_aggregate_after_fan(spark):
     df = pr_curve(ev, [], "s", "y")
     # one exchange for the aggregate + the final sort's range exchange
     assert count_exchanges(df) <= 2
+
+
+def test_roc_auc_no_row_level_rank(spark):
+    """roc_auc's prefix window runs over the DISTINCT-score frame
+    (post-aggregate), never a row-level rank over the fact — the
+    mann_whitney reduced-frame discipline."""
+    from reddit_etl_spark.operators.classify import roc_auc
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type",
+        "value",
+        (F.col("user_id") % 2 == 1).alias("y"),
+    )
+    df = roc_auc(ev, ["event_type"], "value", "y")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the window's child must be an Aggregate (the distinct-value
+    # reduce), i.e. the plan reads ...Window <- Aggregate... not
+    # Window directly over the scan
+    i_win = plan.index("Window")
+    assert "Aggregate" in plan[i_win:]
+
+
+def test_decision_stump_top1_is_take_ordered(spark):
+    """The argmax over candidates is a TakeOrderedAndProject — never
+    a global sort materializing the full candidate frame."""
+    from reddit_etl_spark.operators.classify import decision_stump
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "n_chars", (F.col("lang") == "en").alias("y")
+    )
+    df = decision_stump(docs, "n_chars", "y")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_jarque_bera_single_aggregate(spark):
+    """All four power sums ride ONE map-side-combined aggregate —
+    one group exchange plus the display sort, nothing else."""
+    from reddit_etl_spark.operators.series import jarque_bera
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    df = jarque_bera(ev, ["event_type"], "value")
+    assert count_exchanges(df) <= 2
+
+
+def test_theil_single_aggregate(spark):
+    """The identities fold the mean out — ONE aggregate over the
+    fact, no second scan / no join back."""
+    from reddit_etl_spark.operators.relational import theil_index
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        (F.col("o_orderkey") % 7).alias("g"), "o_totalprice"
+    )
+    df = theil_index(orders, ["g"], "o_totalprice")
+    assert count_exchanges(df) <= 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_jackknife_totals_broadcast(spark):
+    """The 1-row totals frame joins back by broadcast — the fact is
+    scanned once, and no shuffle join appears."""
+    from reddit_etl_spark.operators.relational import jackknife_groups
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        (F.col("o_orderkey") % 7).alias("g"), "o_totalprice"
+    )
+    df = jackknife_groups(orders, "g", "o_totalprice")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_brown_forsythe_median_join_is_broadcast(spark):
+    """The k-row median frame broadcasts back onto the per-value
+    counts — never a shuffle join against the distinct frame."""
+    from reddit_etl_spark.operators.relational import brown_forsythe
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    df = brown_forsythe(ev.select("value", "event_type"), "value", "event_type")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
