@@ -402,3 +402,79 @@ def test_chapman_empty(spark):
 
     empty = spark.createDataFrame([], "source string, text string")
     assert vocab_capture_recapture(empty, "source", "text").count() == 0
+
+
+# ------------------------------------------------------- round-10 wave 5
+
+
+def test_cohens_d_empty(spark):
+    from reddit_etl_spark.operators.relational import cohens_d
+
+    empty = spark.createDataFrame([], "g string, v double, c string")
+    assert cohens_d(empty, ["g"], "v", "c", "a", "b").count() == 0
+
+
+def test_friedman_empty(spark):
+    from reddit_etl_spark.operators.relational import friedman_test
+
+    empty = spark.createDataFrame([], "b long, t string, v double")
+    rows = friedman_test(empty, "b", "t", "v").collect()
+    assert len(rows) <= 1
+    if rows:
+        assert rows[0]["chi2_f"] is None
+
+
+def test_hill_empty(spark):
+    from reddit_etl_spark.operators.relational import hill_tail_index
+
+    empty = spark.createDataFrame([], "g string, v double")
+    assert hill_tail_index(empty, ["g"], "v").count() == 0
+
+
+def test_lorenz_empty(spark):
+    from reddit_etl_spark.operators.relational import lorenz_deciles
+
+    empty = spark.createDataFrame([], "v double")
+    assert lorenz_deciles(empty, "v").count() == 0
+
+
+def test_runs_test_empty(spark):
+    from reddit_etl_spark.operators.series import runs_test
+
+    empty = spark.createDataFrame([], "g string, o long, v double")
+    assert runs_test(empty, ["g"], "o", "v").count() == 0
+
+
+def test_grubbs_empty(spark):
+    from reddit_etl_spark.operators.series import grubbs_statistic
+
+    empty = spark.createDataFrame([], "g string, v double")
+    assert grubbs_statistic(empty, ["g"], "v").count() == 0
+
+
+def test_gumbel_empty(spark):
+    from reddit_etl_spark.operators.series import gumbel_block_maxima
+
+    empty = spark.createDataFrame([], "g string, b long, v double")
+    assert gumbel_block_maxima(empty, ["g"], "b", "v").count() == 0
+
+
+def test_imr_empty(spark):
+    from reddit_etl_spark.operators.series import imr_control_chart
+
+    empty = spark.createDataFrame([], "g string, o long, v double")
+    assert imr_control_chart(empty, ["g"], "o", "v").count() == 0
+
+
+def test_cochran_q_empty(spark):
+    from reddit_etl_spark.operators.classify import cochran_q
+
+    empty = spark.createDataFrame([], "g string, a boolean, b boolean")
+    assert cochran_q(empty, ["g"], ["a", "b"]).count() == 0
+
+
+def test_fightin_words_empty(spark):
+    from reddit_etl_spark.operators.text import fightin_words
+
+    empty = spark.createDataFrame([], "source string, text string")
+    assert fightin_words(empty, "source", "text").count() == 0

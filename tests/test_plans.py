@@ -454,3 +454,68 @@ def test_brown_forsythe_median_join_is_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hill_no_fact_sort(spark):
+    """The top-k cut rides the distinct-value frame — no global sort
+    or row-level rank of the fact; the only window input is the
+    (group, value) aggregate."""
+    from reddit_etl_spark.operators.relational import hill_tail_index
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    df = hill_tail_index(
+        orders, ["o_orderpriority"], "o_totalprice", k=200
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    i_win = plan.index("Window")
+    assert "Aggregate" in plan[i_win:]
+
+
+def test_friedman_midrank_window_is_block_partitioned(spark):
+    """The within-block midrank window partitions BY BLOCK (k-bounded
+    per partition) — never an unpartitioned window."""
+    from reddit_etl_spark.operators.relational import friedman_test
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        F.to_date("ts").alias("b"), F.col("event_type").alias("t"),
+        F.col("value").alias("v"),
+    ).filter(F.col("v").isNotNull()).groupBy("b", "t").agg(
+        F.round(F.avg("v"), 6).alias("v")
+    )
+    df = friedman_test(ev, "b", "t", "v")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window nodes in the friedman plan"
+    # every window spec partitions by the block column __b — an
+    # unpartitioned spec would start with the frame definition instead
+    assert all(s.lstrip().startswith("__b") for s in specs), specs
+
+
+def test_cochran_q_single_aggregate(spark):
+    """All Q inputs (per-rule counts, T, sum R^2) ride ONE
+    map-side-combined aggregate."""
+    from reddit_etl_spark.operators.classify import cochran_q
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "lang",
+        (F.col("n_chars") >= 150).alias("r1"),
+        (F.col("n_chars") >= 250).alias("r2"),
+    )
+    df = cochran_q(docs, ["lang"], ["r1", "r2"])
+    assert count_exchanges(df) <= 2
+
+
+def test_fightin_words_totals_broadcast(spark):
+    """Token/group totals join back broadcast; the only shuffle-sized
+    frame is the (source, token) aggregate."""
+    from reddit_etl_spark.operators.text import fightin_words
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = fightin_words(docs, "source", "text", top_k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
