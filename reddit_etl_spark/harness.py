@@ -222,6 +222,16 @@ _DEFERRED = [
     "imr_chart_daily",
     "cochran_doc_rules",
     "fightin_words_sources",
+    # round-10 wave-6 entries rolling to the r11 head (same local
+    # three-profile attestation)
+    "ad2_click_error",
+    "dunn_posthoc_values",
+    "srm_user_arms",
+    "poisson_rate_halves",
+    "cem_urgent_orders",
+    "pettitt_daily",
+    "ols_influence_daily",
+    "seasonal_strength_events",
     "ab_experiment_readout",
     "anomaly_zscore_daily",
     "asof_split",
@@ -15602,4 +15612,551 @@ def fightin_words_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return fightin_words(
         docs, "source", "text", prior_strength=100.0, top_k=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-10 wave 6: distribution tests, experiment audits, matched designs
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "ad2_click_error",
+    """
+    WITH base AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'error')),
+    per_v AS (
+      SELECT v, CAST(SUM(a) AS BIGINT) AS fa,
+             CAST(COUNT(*) AS BIGINT) AS l
+      FROM base GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(fa) AS BIGINT) AS na,
+             CAST(SUM(l) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_values
+      FROM per_v),
+    cum AS (
+      SELECT v, fa, l,
+             COALESCE(SUM(fa) OVER w, 0) AS cfa,
+             COALESCE(SUM(l) OVER w, 0) AS cl
+      FROM per_v
+      WINDOW w AS (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    terms AS (
+      SELECT t.na, t.n - t.na AS nb, t.n, t.n_values,
+             c.l,
+             2 * c.cfa + c.fa AS m2a,
+             2 * c.cl + c.l AS b2
+      FROM cum c CROSS JOIN tot t),
+    terms2 AS (
+      SELECT na, nb, n, n_values, l, b2,
+             n::HUGEINT * m2a - na::HUGEINT * b2 AS num_a,
+             n::HUGEINT * (b2 - m2a) - nb::HUGEINT * b2 AS num_b,
+             b2::HUGEINT * (2 * n - b2) - n::HUGEINT * l AS den
+      FROM terms),
+    summed AS (
+      SELECT MAX(na) AS n_a, MAX(nb) AS n_b,
+             MAX(n_values) AS n_values, MAX(n) AS n,
+             SUM(CASE WHEN den > 0 THEN
+               CAST(l AS DOUBLE)
+               * (CAST(CAST(num_a * num_a AS VARCHAR) AS DOUBLE)
+                    / CAST(na AS DOUBLE)
+                  + CAST(CAST(num_b * num_b AS VARCHAR) AS DOUBLE)
+                    / CAST(nb AS DOUBLE))
+               / (CAST(n AS DOUBLE)
+                  * CAST(CAST(den AS VARCHAR) AS DOUBLE))
+             ELSE 0.0 END) AS s
+      FROM terms2)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_values AS BIGINT) AS n_values,
+           ROUND(CASE WHEN n_a > 0 AND n_b > 0 AND n_values >= 2
+                 THEN (CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE)
+                      * s END, 6) AS a2
+    FROM summed
+    """,
+    doc="tie-adjusted two-sample Anderson-Darling (Scholz-Stephens "
+    "A2_akN, k=2) between click and error values "
+    "(operators/relational.py:anderson_darling_two_sample) — the "
+    "distribution-equality rung that weights the TAILS where "
+    "ks_value_drift's max-gap is tail-blind and cvm integrates "
+    "uniformly. Midrank quantities in 2x integer units on the "
+    "DISTINCT pooled frame; every numerator/denominator an exact "
+    "DECIMAL(38,0)/HUGEINT ((N·M2)^2 ~ 4N^4 inside 38 digits to "
+    "N~1e9); one prefix window + one reduce",
+)
+def ad2_click_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import anderson_darling_two_sample
+
+    ev = load_events(spark, sf_dir)
+    return anderson_darling_two_sample(
+        ev.filter(F.col("event_type").isin("click", "error")).select(
+            "value", "event_type"
+        ),
+        "value",
+        "event_type",
+        "click",
+    )
+
+
+@_q(
+    "dunn_posthoc_values",
+    """
+    WITH base AS (
+      SELECT event_type AS c,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    cells AS (
+      SELECT c, v, CAST(COUNT(*) AS BIGINT) AS f
+      FROM base GROUP BY 1, 2),
+    per_v AS (
+      SELECT v, CAST(SUM(f) AS BIGINT) AS tv FROM cells GROUP BY 1),
+    rv AS (
+      SELECT v,
+             2 * COALESCE(SUM(tv) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + tv + 1 AS r2
+      FROM per_v),
+    per_c AS (
+      SELECT cells.c, CAST(SUM(cells.f) AS BIGINT) AS n,
+             SUM(cells.f::HUGEINT * rv.r2) AS r2sum
+      FROM cells JOIN rv ON cells.v = rv.v GROUP BY 1),
+    gstats AS (
+      SELECT CAST(SUM(tv) AS BIGINT) AS nn,
+             SUM(tv::HUGEINT * tv * tv - tv) AS t3t
+      FROM per_v),
+    pairs AS (
+      SELECT a.c AS class_a, b.c AS class_b,
+             a.n AS n_a, b.n AS n_b,
+             a.r2sum AS ra, b.r2sum AS rb, g.nn, g.t3t
+      FROM per_c a JOIN per_c b ON a.c < b.c CROSS JOIN gstats g),
+    m AS (
+      SELECT class_a, class_b, n_a, n_b,
+             CAST(CAST(ra AS VARCHAR) AS DOUBLE)
+               / (2.0 * CAST(n_a AS DOUBLE)) AS ra_bar,
+             CAST(CAST(rb AS VARCHAR) AS DOUBLE)
+               / (2.0 * CAST(n_b AS DOUBLE)) AS rb_bar,
+             (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)
+              - CAST(CAST(t3t AS VARCHAR) AS DOUBLE)
+                / (CAST(nn AS DOUBLE) - 1.0)) / 12.0 AS sigma2
+      FROM pairs)
+    SELECT class_a, class_b, n_a, n_b,
+           ROUND(ra_bar, 6) AS mean_rank_a,
+           ROUND(rb_bar, 6) AS mean_rank_b,
+           ROUND(CASE WHEN sigma2 > 0 THEN (ra_bar - rb_bar)
+                 / SQRT(sigma2 * (1.0 / n_a + 1.0 / n_b)) END, 6)
+             AS z
+    FROM m ORDER BY class_a, class_b
+    """,
+    doc="Dunn's post-hoc pairwise rank z for all C(5,2) event-type "
+    "pairs (operators/relational.py:dunn_test) — WHICH classes "
+    "differ once kruskal_event_values says 'some class differs'; "
+    "tie-corrected Dunn variance, raw z (no multiplicity correction "
+    "baked in — k is visible for Bonferroni/Holm). Mann-Whitney "
+    "midrank discipline: 2x rank sums exact DECIMAL(38,0)/HUGEINT "
+    "on the DISTINCT-value frame; the pair join touches the k-row "
+    "class frame only",
+)
+def dunn_posthoc_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import dunn_test
+
+    ev = load_events(spark, sf_dir)
+    return dunn_test(
+        ev.select("value", "event_type"), "value", "event_type"
+    )
+
+
+@_q(
+    "srm_user_arms",
+    """
+    WITH obs AS (
+      SELECT CAST(user_id % 4 AS VARCHAR) AS arm,
+             CAST(COUNT(*) AS BIGINT) AS n_observed
+      FROM events GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_observed) AS BIGINT) AS n FROM obs),
+    ex AS (
+      SELECT * FROM (VALUES ('0', 0.25), ('1', 0.25), ('2', 0.25),
+                            ('3', 0.25)) AS t(arm, expected_share)),
+    j AS (
+      SELECT obs.arm, obs.n_observed, ex.expected_share, tot.n
+      FROM obs JOIN ex USING (arm) CROSS JOIN tot)
+    SELECT arm, n_observed,
+           ROUND(expected_share, 6) AS expected_share,
+           ROUND(CAST(n_observed AS DOUBLE) / n, 6) AS observed_share,
+           ROUND((n_observed - n * expected_share)
+                 / (n * expected_share), 6) AS rel_dev,
+           ROUND((n_observed - n * expected_share)
+                 * (n_observed - n * expected_share)
+                 / (n * expected_share), 6) AS chi2_term
+    FROM j ORDER BY arm
+    """,
+    doc="sample-ratio-mismatch audit of a 4-arm user_id%4 assignment "
+    "against the designed 25% shares "
+    "(operators/relational.py:srm_check) — the FIRST thing an "
+    "experiment readout checks before ab_experiment_readout's "
+    "effect math means anything: per-arm chi2 terms (sum = the SRM "
+    "statistic, dof k-1) plus relative deviations showing WHICH arm "
+    "leaks. Designed shares are injected literals; an arm present "
+    "in data but absent from the design raises in-plan rather than "
+    "vanishing. ONE count aggregate",
+)
+def srm_user_arms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import srm_check
+
+    ev = load_events(spark, sf_dir)
+    return srm_check(
+        ev.select((F.col("user_id") % 4).cast("string").alias("arm")),
+        "arm",
+        {"0": 0.25, "1": 0.25, "2": 0.25, "3": 0.25},
+    )
+
+
+@_q(
+    "poisson_rate_halves",
+    """
+    WITH base AS (
+      SELECT event_type,
+             day(ts) <= 15 AS w1,
+             CAST(ts AS DATE) AS d
+      FROM events),
+    ag AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN w1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN w1 THEN 0 ELSE 1 END) AS BIGINT) AS c2,
+             CAST(COUNT(DISTINCT CASE WHEN w1 THEN d END) AS BIGINT)
+               AS t1,
+             CAST(COUNT(DISTINCT CASE WHEN NOT w1 THEN d END)
+                  AS BIGINT) AS t2
+      FROM base GROUP BY 1)
+    SELECT event_type, c1, c2, t1, t2,
+           ROUND(CASE WHEN t1 > 0 THEN CAST(c1 AS DOUBLE) / t1 END, 6)
+             AS rate1,
+           ROUND(CASE WHEN t2 > 0 THEN CAST(c2 AS DOUBLE) / t2 END, 6)
+             AS rate2,
+           ROUND(CASE WHEN c2 > 0 AND t1 > 0 AND t2 > 0 THEN
+             (CAST(c1 AS DOUBLE) / t1) / (CAST(c2 AS DOUBLE) / t2)
+             END, 6) AS rate_ratio,
+           ROUND(CASE WHEN c1 > 0 AND c2 > 0 AND t1 > 0 AND t2 > 0
+             THEN LN((CAST(c1 AS DOUBLE) / t1)
+                     / (CAST(c2 AS DOUBLE) / t2))
+                  / SQRT(1.0 / c1 + 1.0 / c2) END, 6) AS z
+    FROM ag ORDER BY event_type
+    """,
+    doc="two-window Poisson rate comparison per event type (first "
+    "vs second half of the month, exposure = distinct active days) "
+    "(operators/relational.py:poisson_two_rate) — 'did the event "
+    "RATE change', the count-process companion to "
+    "cohens_d_purchase_click's mean shift: rate ratio + Wald z on "
+    "the log ratio (1/c1 + 1/c2 variance); zero counts -> NULL z "
+    "(the caller falls back to an exact binomial). ONE aggregate "
+    "with conditional counts + conditional COUNT DISTINCTs",
+)
+def poisson_rate_halves_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import poisson_two_rate
+
+    ev = load_events(spark, sf_dir)
+    return poisson_two_rate(
+        ev.select(
+            "event_type",
+            (F.dayofmonth("ts") <= 15).alias("w1"),
+            F.to_date("ts").alias("d"),
+        ),
+        ["event_type"],
+        "w1",
+        "d",
+    )
+
+
+@_q(
+    "cem_urgent_orders",
+    """
+    WITH base AS (
+      SELECT o_orderpriority = '1-URGENT' AS t,
+             CAST(FLOOR(o_totalprice / 100000) AS BIGINT) AS pb,
+             CAST(isodow(o_orderdate) - 1 AS BIGINT) AS wd
+      FROM orders),
+    per_s AS (
+      SELECT pb, wd,
+             CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_treated,
+             CAST(SUM(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_control
+      FROM base GROUP BY 1, 2),
+    matched AS (
+      SELECT * FROM per_s WHERE n_treated > 0 AND n_control > 0),
+    tot AS (
+      SELECT CAST(SUM(n_treated) AS BIGINT) AS ta,
+             CAST(SUM(n_control) AS BIGINT) AS ca
+      FROM per_s),
+    ktot AS (
+      SELECT CAST(SUM(n_treated) AS BIGINT) AS tk,
+             CAST(SUM(n_control) AS BIGINT) AS ck
+      FROM matched)
+    SELECT m.pb, m.wd, m.n_treated, m.n_control,
+           ROUND(CAST(m.n_treated AS DOUBLE) / m.n_control
+                 * (CAST(k.ck AS DOUBLE) / k.tk), 6)
+             AS control_weight,
+           CAST(t.ta - k.tk AS BIGINT) AS pruned_treated,
+           CAST(t.ca - k.ck AS BIGINT) AS pruned_control
+    FROM matched m CROSS JOIN tot t CROSS JOIN ktot k
+    ORDER BY pb, wd
+    """,
+    doc="Coarsened Exact Matching strata + control weights for "
+    "urgent-vs-rest orders over (100k-price-bin, weekday) strata "
+    "(operators/relational.py:cem_match; Iacus-King-Porro) — the "
+    "design-based selection-bias control upstream of any "
+    "treated-vs-control readout: strata lacking either group are "
+    "pruned (visibly — pruned_* columns), surviving controls "
+    "weighted (n_t/n_c)·(C_kept/T_kept) so the weighted control "
+    "covariate distribution matches the treated exactly at the "
+    "stratum grain. ONE (strata, treatment) aggregate; weights "
+    "single divisions of exact integers",
+)
+def cem_urgent_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import cem_match
+
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        (F.col("o_orderpriority") == "1-URGENT").alias("t"),
+        F.floor(F.col("o_totalprice") / 100000).cast("long").alias("pb"),
+        F.weekday("o_orderdate").cast("long").alias("wd"),
+    )
+    return cem_match(base, "t", ["pb", "wd"])
+
+
+@_q(
+    "pettitt_daily",
+    f"""
+    WITH daily AS ({_DAILY_MEAN_SQL}),
+    q AS (
+      SELECT event_type AS g, day AS o,
+             CAST(ROUND(v * 1000000, 0) AS BIGINT) AS v
+      FROM daily),
+    per_v AS (
+      SELECT g, v, CAST(COUNT(*) AS BIGINT) AS tv
+      FROM q GROUP BY 1, 2),
+    rv AS (
+      SELECT g, v,
+             2 * COALESCE(SUM(tv) OVER (PARTITION BY g ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + tv + 1 AS r2
+      FROM per_v),
+    u AS (
+      SELECT q.g, q.o,
+             SUM(rv.r2::HUGEINT) OVER (PARTITION BY q.g ORDER BY q.o
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - ROW_NUMBER() OVER (PARTITION BY q.g ORDER BY q.o)
+               ::HUGEINT
+               * (COUNT(*) OVER (PARTITION BY q.g) + 1) AS uu,
+             COUNT(*) OVER (PARTITION BY q.g) AS n
+      FROM q JOIN rv ON q.g = rv.g AND q.v = rv.v),
+    top AS (
+      SELECT g, o, uu, n,
+             ROW_NUMBER() OVER (PARTITION BY g
+               ORDER BY ABS(uu) DESC, o ASC) AS rn
+      FROM u)
+    SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+           ROUND(CASE WHEN n >= 2 THEN
+             ABS(CAST(CAST(uu AS VARCHAR) AS DOUBLE)) END, 6)
+             AS k_stat,
+           o AS change_at,
+           ROUND(CASE WHEN n >= 2 THEN
+             CAST(CAST(uu AS VARCHAR) AS DOUBLE) END, 6)
+             AS u_at_change
+    FROM top WHERE rn = 1 ORDER BY event_type
+    """,
+    doc="Pettitt rank change-point test on the daily mean series per "
+    "event type (operators/series.py:pettitt_test) — the RANK-based "
+    "single change-point locator next to sse_changepoint_daily "
+    "(mean/SSE split, outlier-sensitive) and cusum: U_t = 2·sum "
+    "prefix midranks − t(N+1) (exact under ties via midranks — "
+    "tied pairs contribute 0 to the sgn double sum), K = max|U_t|, "
+    "earliest-t tiebreak. 2x midranks exact integers off the "
+    "distinct frame; one time-prefix window over the bounded rollup",
+)
+def pettitt_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import pettitt_test
+
+    daily = _daily_mean_frame(spark, sf_dir)
+    return pettitt_test(daily, ["event_type"], "day", "v")
+
+
+@_q(
+    "ols_influence_daily",
+    f"""
+    WITH daily AS ({_DAILY_MEAN_SQL}),
+    pts AS (
+      SELECT event_type AS g,
+             CAST(day(day) AS BIGINT) AS x, v AS y
+      FROM daily),
+    mom AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS DECIMAL(18,0))) AS sx,
+             SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0)))
+               AS sxx,
+             SUM(CAST(y AS DECIMAL(18,6))) AS sy,
+             SUM(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,6)))
+               AS sxy,
+             SUM(CAST(CAST(y AS DECIMAL(18,6))
+                 * CAST(y AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS syy
+      FROM pts GROUP BY 1),
+    m AS (
+      SELECT g, n, CAST(n AS DOUBLE) AS nd,
+             CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dx,
+             CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dxx,
+             CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dy,
+             CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dxy,
+             CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dyy
+      FROM mom),
+    fit AS (
+      SELECT g, n, nd, dx / nd AS xbar,
+             dxx - dx * dx / nd AS ssx,
+             dyy - dy * dy / nd AS ssy,
+             dxy - dx * dy / nd AS spxy, dx, dy
+      FROM m),
+    fit2 AS (
+      SELECT g, n, nd, xbar, ssx,
+             spxy / ssx AS beta,
+             dy / nd - spxy / ssx * xbar AS alpha,
+             (ssy - spxy / ssx * spxy) / (nd - 2.0) AS s2
+      FROM fit),
+    pt AS (
+      SELECT p.g, p.x, p.y,
+             p.y - (f.alpha + f.beta * p.x) AS e,
+             1.0 / f.nd + (p.x - f.xbar) * (p.x - f.xbar) / f.ssx
+               AS h,
+             f.s2, f.n
+      FROM pts p JOIN fit2 f ON p.g = f.g
+      WHERE f.n > 2),
+    scored AS (
+      SELECT g, x, y,
+             ROUND(e, 6) AS residual,
+             ROUND(h, 6) AS leverage,
+             ROUND(CASE WHEN s2 > 0 THEN
+               e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)) END, 6)
+               AS cooks_d
+      FROM pt),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+               ORDER BY cooks_d DESC NULLS LAST, x ASC) AS rn
+      FROM scored)
+    SELECT g AS event_type, x, y, residual, leverage, cooks_d
+    FROM rk WHERE rn <= 3
+    ORDER BY event_type, cooks_d DESC, x
+    """,
+    doc="OLS influence diagnostics on the daily trend fit per event "
+    "type — top-3 days by Cook's distance with leverage and "
+    "residual (operators/series.py:ols_influence) — 'which single "
+    "day is dragging the slope', the diagnostic rung behind "
+    "ols_order_value: h = 1/n + (x−x̄)²/Sxx, D = e²h/(2s²(1−h)²). "
+    "Integer x + round-6 y make every moment an exact DECIMAL sum; "
+    "per-point terms identical doubles; round-6 D rank with an x "
+    "tiebreak",
+)
+def ols_influence_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import ols_influence
+
+    daily = _daily_mean_frame(spark, sf_dir)
+    return ols_influence(
+        daily.withColumn("x", F.dayofmonth("day").cast("long")),
+        ["event_type"],
+        "x",
+        "v",
+        top_k=3,
+    )
+
+
+@_q(
+    "seasonal_strength_events",
+    f"""
+    WITH r AS MATERIALIZED ({_DAILY_ROLLUP_SQL}),
+    base AS (
+      SELECT event_type, day, v,
+             CASE WHEN COUNT(v) OVER w = 7
+                  THEN ROUND(AVG(v) OVER w, 6) END AS trend,
+             CAST((((day - DATE '1970-01-01') % 7) + 7) % 7
+                  AS BIGINT) AS phase
+      FROM r
+      WINDOW w AS (PARTITION BY event_type
+                   ORDER BY (day - DATE '1970-01-01')
+                   RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS (SELECT *, v - trend AS dt FROM base),
+    sr AS (
+      SELECT event_type, phase,
+             ROUND(ROUND(SUM(dt), 6) / COUNT(dt), 6) AS s_raw
+      FROM det GROUP BY 1, 2),
+    sa AS (
+      SELECT event_type, phase,
+             ROUND(s_raw
+                   - ROUND(SUM(s_raw) OVER (PARTITION BY event_type), 6)
+                     / COUNT(s_raw) OVER (PARTITION BY event_type),
+                   6) AS s
+      FROM sr),
+    comp AS (
+      SELECT d.event_type, d.trend AS trend, sa.s AS seasonal,
+             ROUND(d.v - d.trend - sa.s, 6) AS remainder
+      FROM det d LEFT JOIN sa
+        ON sa.event_type = d.event_type AND sa.phase = d.phase
+      WHERE d.trend IS NOT NULL),
+    ag AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_interior,
+             SUM(CAST(remainder AS DECIMAL(18,6))) AS s_r,
+             SUM(CAST(remainder * remainder AS DECIMAL(28,12)))
+               AS q_r,
+             SUM(CAST(seasonal + remainder AS DECIMAL(18,6))) AS s_sr,
+             SUM(CAST((seasonal + remainder) * (seasonal + remainder)
+                 AS DECIMAL(28,12))) AS q_sr,
+             SUM(CAST(trend + remainder AS DECIMAL(18,6))) AS s_tr,
+             SUM(CAST((trend + remainder) * (trend + remainder)
+                 AS DECIMAL(28,12))) AS q_tr
+      FROM comp GROUP BY 1),
+    m AS (
+      SELECT event_type, n_interior,
+             CAST(n_interior AS DOUBLE) AS nd,
+             (CAST(CAST(q_r AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(s_r AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(s_r AS VARCHAR) AS DOUBLE)
+                / CAST(n_interior AS DOUBLE))
+               / CAST(n_interior AS DOUBLE) AS vr,
+             (CAST(CAST(q_sr AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(s_sr AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(s_sr AS VARCHAR) AS DOUBLE)
+                / CAST(n_interior AS DOUBLE))
+               / CAST(n_interior AS DOUBLE) AS vsr,
+             (CAST(CAST(q_tr AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(s_tr AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(s_tr AS VARCHAR) AS DOUBLE)
+                / CAST(n_interior AS DOUBLE))
+               / CAST(n_interior AS DOUBLE) AS vtr
+      FROM ag)
+    SELECT event_type, n_interior,
+           ROUND(CASE WHEN n_interior >= 2 AND vsr > 0
+                 THEN GREATEST(0.0, 1.0 - vr / vsr) END, 6)
+             AS seasonal_strength,
+           ROUND(CASE WHEN n_interior >= 2 AND vtr > 0
+                 THEN GREATEST(0.0, 1.0 - vr / vtr) END, 6)
+             AS trend_strength
+    FROM m ORDER BY event_type
+    """,
+    doc="Hyndman seasonal/trend strength per event type off the "
+    "classical decomposition "
+    "(operators/series.py:decomposition_strength) — F_s = max(0, 1 "
+    "− Var(R)/Var(S+R)), F_t likewise with trend: 'how much of this "
+    "series is actually seasonal vs noise', the scalar that decides "
+    "whether seasonal_naive_backtest is even the right baseline. "
+    "Rides seasonal_decompose_events' oracle decomposition verbatim "
+    "(honest NULL-trend edges excluded); variances off exact "
+    "DECIMAL(18,6)/(28,12) sums over the bounded interior",
+)
+def seasonal_strength_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import decomposition_strength
+
+    ev = load_events(spark, sf_dir)
+    rollup = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    return decomposition_strength(
+        rollup, ["event_type"], "day", "v", period=7
     )

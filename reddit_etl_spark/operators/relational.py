@@ -4397,3 +4397,422 @@ def lorenz_deciles(
         "share",
         F.round(F.col("__cs"), 6).alias("cum_share"),
     ).orderBy("decile")
+
+
+def anderson_darling_two_sample(
+    df: DataFrame,
+    value_col: str,
+    class_col: str,
+    class_a,
+    scale: int = 100,
+) -> DataFrame:
+    """Tie-adjusted two-sample Anderson-Darling statistic (Scholz &
+    Stephens 1987, the k=2 case of A²_akN) — the DISTRIBUTION-equality
+    rung that weights the TAILS where ks_two_sample's max-CDF-gap is
+    tail-blind and cvm integrates uniformly: AD is the test that
+    notices "same median, fatter tail". No p-value (the null
+    distribution needs lookup tables) — report A² and the sample
+    sizes, the chi2 contract.
+
+    Exactness: values quantize to ``1/scale`` units; per DISTINCT
+    pooled value the midrank-style quantities ride 2x-integer units
+    (M2 = 2·cum_f + f, B2 = 2·cum_l + l), so every term's numerator
+    (N·M2 − n_a·B2)² and denominator B2(2N−B2) − N·l are exact
+    DECIMAL(38,0) integers ((N·M2)² ≈ 4N⁴ stays inside 38 digits to
+    N ≈ 1e9); the per-value terms are single double divisions summed
+    over the DOMAIN-bounded distinct frame.
+
+    Plan at scale: one (value, class) aggregate, ONE ordered prefix
+    window over distinct pooled values (mann_whitney discipline),
+    one reduce. Degenerate inputs (either sample empty, or all
+    values tied) return NULL a2.
+
+    Returns one row: (n_a BIGINT, n_b BIGINT, n_values BIGINT, a2).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    is_a = F.col(class_col) == class_a
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(class_col).isNotNull()
+    ).select(
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+        is_a.cast("long").alias("__a"),
+    )
+    per_v = base.groupBy("__v").agg(
+        F.sum("__a").alias("__fa"),
+        F.count("*").alias("__l"),
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    tot = per_v.agg(
+        F.sum("__fa").cast("long").alias("__na"),
+        F.sum("__l").cast("long").alias("__n"),
+        F.count("*").cast("long").alias("n_values"),
+    )
+    cum = per_v.select(
+        "__v",
+        "__fa",
+        "__l",
+        F.coalesce(F.sum("__fa").over(w), F.lit(0)).alias("__cfa"),
+        F.coalesce(F.sum("__l").over(w), F.lit(0)).alias("__cl"),
+    ).crossJoin(F.broadcast(tot))
+    n = F.col("__n")
+    na = F.col("__na")
+    nb = n - na
+    l_ = F.col("__l")
+    m2a = F.lit(2) * F.col("__cfa") + F.col("__fa")  # 2x M_aj
+    b2 = F.lit(2) * F.col("__cl") + l_  # 2x B_j
+    m2b = b2 - m2a
+    num_a = dec(n) * dec(m2a) - dec(na) * dec(b2)
+    num_b = dec(n) * dec(m2b) - dec(nb) * dec(b2)
+    den = (
+        dec(b2) * (F.lit(2) * dec(n) - dec(b2)).cast("decimal(38,0)")
+        - dec(n) * dec(l_)
+    ).cast("decimal(38,0)")
+
+    def dbl(c):
+        return c.cast("string").cast("double")
+
+    # per-value term of Σ_a (1/n_a) Σ_j l_j·num_a²/(N·den)
+    term = F.when(
+        den > 0,
+        l_.cast("double")
+        * (
+            dbl((num_a * num_a).cast("decimal(38,0)"))
+            / na.cast("double")
+            + dbl((num_b * num_b).cast("decimal(38,0)"))
+            / nb.cast("double")
+        )
+        / (n.cast("double") * dbl(den)),
+    ).otherwise(F.lit(0.0))
+    agg = cum.agg(
+        F.max("__na").cast("long").alias("n_a"),
+        F.max(nb).cast("long").alias("n_b"),
+        F.max("n_values").cast("long").alias("n_values"),
+        F.sum(term).alias("__s"),
+    )
+    ok = (
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("n_values") >= 2)
+    )
+    nn = (F.col("n_a") + F.col("n_b")).cast("double")
+    a2 = (nn - 1.0) / nn * F.col("__s")
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_values",
+        F.round(F.when(ok, a2), 6).alias("a2"),
+    )
+
+
+def dunn_test(
+    df: DataFrame,
+    value_col: str,
+    class_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Dunn's post-hoc pairwise rank comparisons after Kruskal-Wallis
+    — WHICH classes differ once kruskal_wallis says "some class
+    differs": z_ij = (R̄_i − R̄_j) / √(σ²(1/n_i + 1/n_j)), σ² =
+    [N(N+1) − Σ(t³−t)/(N−1)]/12 (the tie-corrected Dunn variance).
+    No multiplicity correction baked in — report the C(k,2) raw z's
+    and let the caller pick Bonferroni/Holm (k is visible).
+
+    Exactness: the mann_whitney midrank discipline verbatim — 2x
+    rank sums per class as exact DECIMAL(38,0) integers off the
+    DISTINCT-value frame, cubic tie term likewise; each z is a
+    double expression of exact integers evaluated on the k-row class
+    frame (self-joined, C(k,2) rows — class cardinality, not data).
+
+    Plan at scale: one (value, class) aggregate, ONE prefix window
+    over distinct values, a k-row reduce, and a broadcast k×k pair
+    join. Pairs where either class is empty cannot occur (classes
+    come from the data); z is NULL if σ² degenerates (all values
+    tied).
+
+    Returns (class_a, class_b, n_a BIGINT, n_b BIGINT, mean_rank_a,
+    mean_rank_b, z) ordered by (class_a, class_b) with class_a <
+    class_b.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(class_col).isNotNull()
+    ).select(
+        F.col(class_col).alias("__c"),
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+    )
+    cells = base.groupBy("__c", "__v").agg(F.count("*").alias("__f"))
+    per_v = cells.groupBy("__v").agg(F.sum("__f").alias("__tv"))
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    rv = per_v.select(
+        "__v",
+        "__tv",
+        F.coalesce(F.sum("__tv").over(w), F.lit(0)).alias("__cum"),
+    ).select(
+        "__v",
+        "__tv",
+        (F.lit(2) * F.col("__cum") + F.col("__tv") + 1).alias("__r2"),
+    )
+    per_c = (
+        cells.join(rv, "__v")
+        .groupBy("__c")
+        .agg(
+            F.sum("__f").cast("long").alias("__n"),
+            F.sum(dec(F.col("__f")) * dec(F.col("__r2")))
+            .cast("decimal(38,0)")
+            .alias("__r2sum"),
+        )
+    )
+    glob = per_v.agg(
+        F.sum("__tv").cast("long").alias("__nn"),
+        F.sum(
+            (dec(F.col("__tv")) * dec(F.col("__tv")) * dec(F.col("__tv")))
+            .cast("decimal(38,0)")
+            - dec(F.col("__tv"))
+        )
+        .cast("decimal(38,0)")
+        .alias("__t3t"),
+    )
+
+    def dbl(c):
+        return c.cast("string").cast("double")
+
+    a = per_c.select(
+        F.col("__c").alias("class_a"),
+        F.col("__n").alias("n_a"),
+        F.col("__r2sum").alias("__ra"),
+    )
+    b = per_c.select(
+        F.col("__c").alias("class_b"),
+        F.col("__n").alias("n_b"),
+        F.col("__r2sum").alias("__rb"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("class_a") < F.col("class_b"))
+        .crossJoin(F.broadcast(glob))
+    )
+    nn = F.col("__nn").cast("double")
+    ra_bar = dbl(F.col("__ra")) / (2.0 * F.col("n_a").cast("double"))
+    rb_bar = dbl(F.col("__rb")) / (2.0 * F.col("n_b").cast("double"))
+    sigma2 = (
+        nn * (nn + 1.0) - dbl(F.col("__t3t")) / (nn - 1.0)
+    ) / 12.0
+    se = F.sqrt(
+        sigma2
+        * (
+            1.0 / F.col("n_a").cast("double")
+            + 1.0 / F.col("n_b").cast("double")
+        )
+    )
+    z = F.when(sigma2 > 0, (ra_bar - rb_bar) / se)
+    return pairs.select(
+        "class_a",
+        "class_b",
+        "n_a",
+        "n_b",
+        F.round(ra_bar, 6).alias("mean_rank_a"),
+        F.round(rb_bar, 6).alias("mean_rank_b"),
+        F.round(z, 6).alias("z"),
+    ).orderBy("class_a", "class_b")
+
+
+def srm_check(
+    df: DataFrame,
+    arm_col: str,
+    expected: dict,
+) -> DataFrame:
+    """Sample-ratio-mismatch check for an experiment assignment — the
+    first thing a readout audits before ab_experiment_readout's
+    effect math means anything: chi2 = Σ(oᵢ − n·wᵢ)²/(n·wᵢ) against
+    the DESIGNED allocation ``expected`` (arm -> weight; weights are
+    injected literals shared with the oracle). A big chi2 says the
+    assignment itself is broken (bot filtering, logging loss,
+    triggered exposure bias) and every downstream metric is suspect.
+    dof = k−1, no p-value (chi2 contract). Arms present in the data
+    but absent from ``expected`` raise — a silent extra arm IS an
+    SRM.
+
+    Exactness: observed counts are exact; each term is one double
+    expression of exact integers and injected weights; the k-term
+    fold is class-cardinality-sized.
+
+    Plan at scale: ONE map-side-combined count aggregate; the
+    expected map joins in as a broadcast literal frame.
+
+    Returns one row per arm: (arm, n_observed BIGINT,
+    expected_share, observed_share, rel_dev, chi2_term) — the SRM
+    statistic is SUM(chi2_term) with dof = k−1 (kept per-arm so the
+    readout shows WHICH arm leaks).
+    """
+    obs = df.filter(F.col(arm_col).isNotNull()).groupBy(
+        F.col(arm_col).alias("arm")
+    ).agg(F.count("*").cast("long").alias("n_observed"))
+    total = obs.agg(F.sum("n_observed").cast("long").alias("__n"))
+    exp_rows = [(str(k), float(v)) for k, v in sorted(expected.items())]
+    spark = df.sparkSession
+    exp_df = spark.createDataFrame(
+        exp_rows, "arm string, expected_share double"
+    )
+    j = (
+        obs.join(F.broadcast(exp_df), "arm", "full")
+        .crossJoin(F.broadcast(total))
+    )
+    # an arm in the data but not the design (or vice versa) must
+    # surface, not vanish: NULL side -> raise via the plan
+    bad = F.col("n_observed").isNull() | F.col("expected_share").isNull()
+    j = j.withColumn(
+        "n_observed",
+        F.when(
+            ~bad, F.col("n_observed")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("srm_check: arm mismatch between data and "
+                          "design at arm="),
+                    F.col("arm"),
+                )
+            )
+        ),
+    )
+    n = F.col("__n").cast("double")
+    e = n * F.col("expected_share")
+    o = F.col("n_observed").cast("double")
+    return j.select(
+        "arm",
+        "n_observed",
+        F.round(F.col("expected_share"), 6).alias("expected_share"),
+        F.round(o / n, 6).alias("observed_share"),
+        F.round((o - e) / e, 6).alias("rel_dev"),
+        F.round((o - e) * (o - e) / e, 6).alias("chi2_term"),
+    ).orderBy("arm")
+
+
+def poisson_two_rate(
+    df: DataFrame,
+    group_cols: list[str],
+    window_col: str,
+    exposure_col: str,
+) -> DataFrame:
+    """Two-window Poisson rate comparison per group — "did the event
+    RATE change between exposure windows": rate ratio (c₁/t₁)/(c₂/t₂)
+    with the Wald z on the log ratio, z = ln(RR)/√(1/c₁ + 1/c₂) —
+    the COUNT-process companion to cohens_d (means) and
+    poisson-naive funnels. ``window_col`` must be boolean (True =
+    window 1); ``exposure_col`` is the per-row exposure unit key
+    (e.g. the day) — exposures are COUNT DISTINCT per window, so
+    unequal window lengths are handled by construction.
+
+    Exactness: counts and distinct-exposure counts are exact; RR and
+    z are single double expressions of exact integers. Either count
+    of 0 returns NULL z (the log diverges — report the counts and
+    let the caller fall back to an exact binomial).
+
+    Plan at scale: ONE aggregate with two conditional counts + two
+    conditional COUNT DISTINCTs (expand-based, still one pass).
+
+    Returns (group_cols..., c1 BIGINT, c2 BIGINT, t1 BIGINT, t2
+    BIGINT, rate1, rate2, rate_ratio, z).
+    """
+    w1 = F.col(window_col).cast("boolean")
+    base = df.filter(w1.isNotNull())
+    agg = base.groupBy(*group_cols).agg(
+        F.sum(w1.cast("long")).cast("long").alias("c1"),
+        F.sum((~w1).cast("long")).cast("long").alias("c2"),
+        F.countDistinct(F.when(w1, F.col(exposure_col)))
+        .cast("long")
+        .alias("t1"),
+        F.countDistinct(F.when(~w1, F.col(exposure_col)))
+        .cast("long")
+        .alias("t2"),
+    )
+    c1, c2 = F.col("c1").cast("double"), F.col("c2").cast("double")
+    t1, t2 = F.col("t1").cast("double"), F.col("t2").cast("double")
+    r1 = F.when(F.col("t1") > 0, c1 / t1)
+    r2 = F.when(F.col("t2") > 0, c2 / t2)
+    rr = F.when((F.col("c2") > 0) & (F.col("t1") > 0) & (F.col("t2") > 0),
+                (c1 / t1) / (c2 / t2))
+    z = F.when(
+        (F.col("c1") > 0) & (F.col("c2") > 0)
+        & (F.col("t1") > 0) & (F.col("t2") > 0),
+        F.log((c1 / t1) / (c2 / t2)) / F.sqrt(1.0 / c1 + 1.0 / c2),
+    )
+    return agg.select(
+        *group_cols,
+        "c1",
+        "c2",
+        "t1",
+        "t2",
+        F.round(r1, 6).alias("rate1"),
+        F.round(r2, 6).alias("rate2"),
+        F.round(rr, 6).alias("rate_ratio"),
+        F.round(z, 6).alias("z"),
+    ).orderBy(*group_cols)
+
+
+def cem_match(
+    df: DataFrame,
+    treatment_col: str,
+    strata_cols: list[str],
+) -> DataFrame:
+    """Coarsened Exact Matching strata and weights (Iacus, King &
+    Porro) — the design-based selection-bias control upstream of any
+    treated-vs-control readout: coarsen covariates (the caller bins
+    them — the repo's explicit-binning contract), keep only strata
+    containing BOTH groups, and weight each control stratum by
+    (n_t^s / n_c^s) · (C_kept / T_kept) so the weighted controls
+    match the treated covariate distribution exactly at the stratum
+    grain. Treated weight ≡ 1. Downstream: a weighted mean
+    difference over the matched frame is the ATT estimate.
+
+    Exactness: all stratum counts are exact integers; weights are
+    single double divisions of exact integers (the global kept
+    totals ride a broadcast 1-row frame).
+
+    Plan at scale: ONE (strata, treatment) aggregate over the fact +
+    a stratum-cardinality filter/join — nothing fact-sized past the
+    first shuffle; the weight join back to rows (if the caller wants
+    row weights) is a broadcast of the strata frame.
+
+    Returns (strata_cols..., n_treated BIGINT, n_control BIGINT,
+    control_weight) — matched strata only, plus pruning visibility
+    via the summary columns (pruned_treated BIGINT, pruned_control
+    BIGINT — identical on every row, the gini-style denormalized
+    audit trail).
+    """
+    t = F.col(treatment_col).cast("boolean")
+    base = df.filter(t.isNotNull())
+    per_s = base.groupBy(*strata_cols).agg(
+        F.sum(t.cast("long")).cast("long").alias("n_treated"),
+        F.sum((~t).cast("long")).cast("long").alias("n_control"),
+    )
+    matched = per_s.filter(
+        (F.col("n_treated") > 0) & (F.col("n_control") > 0)
+    )
+    tot = per_s.agg(
+        F.sum("n_treated").cast("long").alias("__ta"),
+        F.sum("n_control").cast("long").alias("__ca"),
+    )
+    ktot = matched.agg(
+        F.sum("n_treated").cast("long").alias("__tk"),
+        F.sum("n_control").cast("long").alias("__ck"),
+    )
+    j = matched.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(ktot))
+    wgt = (
+        F.col("n_treated").cast("double")
+        / F.col("n_control").cast("double")
+        * (
+            F.col("__ck").cast("double")
+            / F.col("__tk").cast("double")
+        )
+    )
+    return j.select(
+        *strata_cols,
+        "n_treated",
+        "n_control",
+        F.round(wgt, 6).alias("control_weight"),
+        (F.col("__ta") - F.col("__tk")).cast("long").alias(
+            "pruned_treated"
+        ),
+        (F.col("__ca") - F.col("__ck")).cast("long").alias(
+            "pruned_control"
+        ),
+    ).orderBy(*strata_cols)

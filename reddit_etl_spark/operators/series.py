@@ -2634,3 +2634,272 @@ def imr_control_chart(
         F.min(F.when(breach, F.col("__o"))).alias("first_breach_at"),
     )
     return out.orderBy(*group_cols)
+
+
+def pettitt_test(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Pettitt change-point test per group over an ordered series —
+    the RANK-based single change-point locator next to
+    sse_changepoint (mean/SSE split) and cusum (drift): U_t =
+    2·Σ_{i≤t} R_i − t(N+1) with midranks R (the standard rank form
+    of Pettitt's Mann-Whitney-type statistic; exactly Pettitt 1979
+    when values are untied, the conventional midrank extension under
+    ties), K = max|U_t|, and the change point is the FIRST t
+    attaining K. Robust to outliers where the SSE split is not. No
+    p-value — K's null approximation is the caller's (chi2
+    contract).
+
+    Exactness: values quantize to ``1/scale``; midranks ride the 2x
+    integer identity (2c + t + 1) off the DISTINCT-value frame, so
+    every 2·U_t is an exact DECIMAL integer off one prefix window;
+    the argmax breaks ties toward the EARLIEST order value. Feed a
+    bounded per-key rollup (daily means), the acf_by_key contract.
+
+    Plan at scale: one (group, value) aggregate + ONE distinct-frame
+    prefix window (midranks) + one time-ordered prefix window over
+    the rollup + a 1-row-per-group argmax. Groups with n < 2 return
+    NULL.
+
+    Returns (group_cols..., n BIGINT, k_stat, change_at, u_at_change
+    — K = max|U_t| (an exact integer), the order value of the first
+    maximizing t, and the signed U there).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.col(order_col).alias("__o"),
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+    )
+    per_v = base.groupBy(*group_cols, "__v").agg(
+        F.count("*").alias("__tv")
+    )
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rv = per_v.select(
+        *group_cols,
+        "__v",
+        (
+            F.lit(2) * F.coalesce(F.sum("__tv").over(wcum), F.lit(0))
+            + F.col("__tv")
+            + 1
+        ).alias("__r2"),
+    )
+    j = base.join(rv, [*group_cols, "__v"])
+    wt = Window.partitionBy(*group_cols).orderBy("__o")
+    wtp = wt.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(*group_cols)
+    u = j.select(
+        *group_cols,
+        "__o",
+        # U_t = 2·Σ_{i≤t}R_i − t(N+1) exactly, because __r2 = 2R
+        # (midranks make tied pairs contribute 0 to the sgn double
+        # sum, so the rank identity holds under ties) — exact
+        # DECIMAL integers throughout
+        (
+            F.sum(dec(F.col("__r2"))).over(wtp)
+            - dec(F.row_number().over(wt))
+            * dec(F.count("*").over(wall) + 1)
+        ).alias("__u"),
+        F.count("*").over(wall).alias("__n"),
+    )
+    # K = max|U|; first order value attaining it
+    ranked = u.select(
+        *group_cols,
+        "__o",
+        "__u",
+        "__n",
+        F.row_number()
+        .over(
+            Window.partitionBy(*group_cols).orderBy(
+                F.abs(F.col("__u")).desc(), F.col("__o").asc()
+            )
+        )
+        .alias("__rn"),
+    ).filter(F.col("__rn") == 1)
+
+    def dbl(c):
+        return c.cast("string").cast("double")
+
+    ok = F.col("__n") >= 2
+    return ranked.select(
+        *group_cols,
+        F.col("__n").cast("long").alias("n"),
+        F.round(F.when(ok, F.abs(dbl(F.col("__u")))), 6).alias(
+            "k_stat"
+        ),
+        F.col("__o").alias("change_at"),
+        F.round(F.when(ok, dbl(F.col("__u"))), 6).alias("u_at_change"),
+    ).orderBy(*group_cols)
+
+
+def ols_influence(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    top_k: int = 3,
+) -> DataFrame:
+    """Leverage, studentized-scale residual and Cook's distance for
+    simple OLS per group, reporting the top-k most influential points
+    — the DIAGNOSTIC rung behind ols_order_value's fit: "which single
+    day is dragging the slope". hᵢ = 1/n + (xᵢ−x̄)²/Sxx, Cook's Dᵢ =
+    eᵢ²·hᵢ / (p·s²·(1−hᵢ)²) with p = 2 and s² = SSE/(n−2). Feed a
+    bounded per-key rollup (daily frame), the acf contract.
+
+    Exactness: x must be integer-valued (day index) and y ≤6dp
+    (round-6 rollup contract), so Σx, Σx², Σy, Σxy, Σy² ride exact
+    DECIMALs and slope/intercept/SSE are identical doubles of exact
+    sums (SSE via the closed form Syy − β̂·Sxy); per-point e and h
+    are then identical double expressions. Ranks on round-6 D with
+    an x tiebreak. n ≤ 2 groups return no rows (no residual dof).
+
+    Plan at scale: ONE moment aggregate + a broadcast join back +
+    one per-group top-k window over the rollup frame.
+
+    Returns (group_cols..., x, y, residual, leverage, cooks_d) —
+    top_k rows per group by D desc.
+    """
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+    dx = F.col("__x").cast("decimal(18,0)")
+    dy = F.col("__y").cast("decimal(18,6)")
+    mom = base.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum(dx).cast("decimal(28,0)").alias("__sx"),
+        F.sum((dx * dx).cast("decimal(28,0)")).cast("decimal(28,0)")
+        .alias("__sxx"),
+        F.sum(dy).cast("decimal(28,6)").alias("__sy"),
+        F.sum((dx * dy).cast("decimal(28,6)")).cast("decimal(28,6)")
+        .alias("__sxy"),
+        F.sum((dy * dy).cast("decimal(28,12)")).cast("decimal(28,12)")
+        .alias("__syy"),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    n = F.col("__n").cast("double")
+    sx, sxx = dbl("__sx"), dbl("__sxx")
+    sy, sxy, syy = dbl("__sy"), dbl("__sxy"), dbl("__syy")
+    xbar = sx / n
+    ssx = sxx - sx * sx / n
+    ssy = syy - sy * sy / n
+    spxy = sxy - sx * sy / n
+    beta = spxy / ssx
+    alpha = sy / n - beta * xbar
+    sse = ssy - beta * spxy
+    s2 = sse / (n - 2.0)
+    j = base.join(F.broadcast(mom), group_cols).filter(
+        (F.col("__n") > 2)
+    )
+    e = F.col("__y") - (alpha + beta * F.col("__x").cast("double"))
+    h = 1.0 / n + (F.col("__x").cast("double") - xbar) * (
+        F.col("__x").cast("double") - xbar
+    ) / ssx
+    d = F.when(
+        s2 > 0, e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h))
+    )
+    scored = j.select(
+        *group_cols,
+        F.col("__x").alias("x"),
+        F.col("__y").alias("y"),
+        F.round(e, 6).alias("residual"),
+        F.round(h, 6).alias("leverage"),
+        F.round(d, 6).alias("cooks_d"),
+    )
+    wr = Window.partitionBy(*group_cols).orderBy(
+        F.col("cooks_d").desc_nulls_last(), F.col("x").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") <= top_k)
+        .drop("__rn")
+        .orderBy(*group_cols, F.col("cooks_d").desc(), "x")
+    )
+
+
+def decomposition_strength(
+    rollup: DataFrame,
+    key_cols: Sequence[str],
+    day_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Seasonal and trend STRENGTH per key off the classical
+    decomposition (Hyndman's F_s/F_t, the STL-features standard):
+    F_s = max(0, 1 − Var(R)/Var(S+R)), F_t = max(0, 1 −
+    Var(R)/Var(T+R)) over the rows where the trend is defined —
+    "how much of this series is actually seasonal vs noise", the
+    scalar that decides whether seasonal_naive_backtest is even the
+    right baseline. Rides classical_decompose verbatim (same period,
+    same honest NULL-trend edges).
+
+    Exactness: the component columns are round-6 by the
+    decomposition's stable_avg discipline; variances are computed
+    from exact DECIMAL(18,6)/(28,12) sums over the bounded rollup
+    frame, so F_s/F_t are identical doubles of exact sums. Groups
+    whose interior (trend non-NULL) is < 2 rows or with zero
+    component variance return NULL strengths.
+
+    Plan at scale: classical_decompose's windows (rollup-sized) +
+    ONE moment aggregate.
+
+    Returns (key..., n_interior BIGINT, seasonal_strength,
+    trend_strength).
+    """
+    dec6 = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    dec12 = lambda c: (c * c).cast("decimal(28,12)")  # noqa: E731
+    comp = classical_decompose(
+        rollup, key_cols, day_col, value_col, period=period
+    ).filter(F.col("trend").isNotNull())
+    keys = list(key_cols)
+    sr = (F.col("seasonal") + F.col("remainder")).alias("__sr")
+    tr = (F.col("trend") + F.col("remainder")).alias("__tr")
+    base = comp.select(
+        *keys, F.col("remainder").alias("__r"), sr, tr
+    )
+    agg = base.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_interior"),
+        F.sum(dec6(F.col("__r"))).cast("decimal(28,6)").alias("__s_r"),
+        F.sum(dec12(F.col("__r"))).cast("decimal(38,12)").alias("__q_r"),
+        F.sum(dec6(F.col("__sr"))).cast("decimal(28,6)").alias("__s_sr"),
+        F.sum(dec12(F.col("__sr"))).cast("decimal(38,12)").alias("__q_sr"),
+        F.sum(dec6(F.col("__tr"))).cast("decimal(28,6)").alias("__s_tr"),
+        F.sum(dec12(F.col("__tr"))).cast("decimal(38,12)").alias("__q_tr"),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    n = F.col("n_interior").cast("double")
+
+    def var(s, q):
+        return (dbl(q) - dbl(s) * dbl(s) / n) / n
+
+    vr = var("__s_r", "__q_r")
+    vsr = var("__s_sr", "__q_sr")
+    vtr = var("__s_tr", "__q_tr")
+    ok = F.col("n_interior") >= 2
+    fs = F.when(ok & (vsr > 0), F.greatest(F.lit(0.0), 1.0 - vr / vsr))
+    ft = F.when(ok & (vtr > 0), F.greatest(F.lit(0.0), 1.0 - vr / vtr))
+    return agg.select(
+        *keys,
+        "n_interior",
+        F.round(fs, 6).alias("seasonal_strength"),
+        F.round(ft, 6).alias("trend_strength"),
+    ).orderBy(*keys)

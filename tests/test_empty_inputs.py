@@ -478,3 +478,71 @@ def test_fightin_words_empty(spark):
 
     empty = spark.createDataFrame([], "source string, text string")
     assert fightin_words(empty, "source", "text").count() == 0
+
+
+# ------------------------------------------------------- round-10 wave 6
+
+
+def test_ad2_empty(spark):
+    from reddit_etl_spark.operators.relational import (
+        anderson_darling_two_sample,
+    )
+
+    empty = spark.createDataFrame([], "v double, c string")
+    rows = anderson_darling_two_sample(empty, "v", "c", "a").collect()
+    assert len(rows) <= 1
+    if rows:
+        assert rows[0]["a2"] is None
+
+
+def test_dunn_empty(spark):
+    from reddit_etl_spark.operators.relational import dunn_test
+
+    empty = spark.createDataFrame([], "c string, v double")
+    assert dunn_test(empty, "v", "c").count() == 0
+
+
+def test_srm_empty(spark):
+    from reddit_etl_spark.operators.relational import srm_check
+
+    empty = spark.createDataFrame([], "arm string")
+    # empty data vs a non-empty design IS a mismatch -> in-plan raise
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="arm mismatch"):
+        srm_check(empty, "arm", {"0": 1.0}).collect()
+
+
+def test_poisson_two_rate_empty(spark):
+    from reddit_etl_spark.operators.relational import poisson_two_rate
+
+    empty = spark.createDataFrame([], "g string, w boolean, d long")
+    assert poisson_two_rate(empty, ["g"], "w", "d").count() == 0
+
+
+def test_cem_empty(spark):
+    from reddit_etl_spark.operators.relational import cem_match
+
+    empty = spark.createDataFrame([], "t boolean, s string")
+    assert cem_match(empty, "t", ["s"]).count() == 0
+
+
+def test_pettitt_empty(spark):
+    from reddit_etl_spark.operators.series import pettitt_test
+
+    empty = spark.createDataFrame([], "g string, o long, v double")
+    assert pettitt_test(empty, ["g"], "o", "v").count() == 0
+
+
+def test_ols_influence_empty(spark):
+    from reddit_etl_spark.operators.series import ols_influence
+
+    empty = spark.createDataFrame([], "g string, x long, y double")
+    assert ols_influence(empty, ["g"], "x", "y").count() == 0
+
+
+def test_decomposition_strength_empty(spark):
+    from reddit_etl_spark.operators.series import decomposition_strength
+
+    empty = spark.createDataFrame([], "g string, day date, v double")
+    assert decomposition_strength(empty, ["g"], "day", "v").count() == 0

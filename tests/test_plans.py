@@ -519,3 +519,51 @@ def test_fightin_words_totals_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ad2_single_distinct_frame_window(spark):
+    """AD's prefix window runs over the DISTINCT pooled-value frame
+    (post-aggregate) — the mann_whitney discipline."""
+    from reddit_etl_spark.operators.relational import (
+        anderson_darling_two_sample,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "value", "event_type"
+    )
+    df = anderson_darling_two_sample(ev, "value", "event_type", "click")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    i_win = plan.index("Window")
+    assert "Aggregate" in plan[i_win:]
+
+
+def test_cem_single_fact_aggregate(spark):
+    """CEM is ONE (strata, treatment) aggregate over the fact plus
+    broadcast totals — no fact-sized second pass."""
+    from reddit_etl_spark.operators.relational import cem_match
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        (F.col("o_orderpriority") == "1-URGENT").alias("t"),
+        F.floor(F.col("o_totalprice") / 100000).alias("pb"),
+    )
+    df = cem_match(orders, "t", ["pb"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("FileScan") <= 1 or "InMemory" in plan
+
+
+def test_pettitt_midrank_window_group_partitioned(spark):
+    """Both pettitt windows partition by group — never an
+    unpartitioned fact-sized window."""
+    from reddit_etl_spark.operators.series import pettitt_test
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type", F.to_date("ts").alias("d"), "value"
+    ).groupBy("event_type", "d").agg(F.round(F.avg("value"), 6).alias("v"))
+    df = pettitt_test(ev, ["event_type"], "d", "v")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    assert all(s.lstrip().startswith("event_type") for s in specs), specs

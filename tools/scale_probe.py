@@ -851,6 +851,83 @@ def main() -> int:
         "group's rows once",
     )
 
+    # -- roc_auc reduced frame (round-10 wave 4) ---------------------------
+    # The Mann-Whitney discipline's empirical backstop: on the 10x
+    # events stream the AUC plan's dominant exchange must be the
+    # (group, score) partial-aggregate output — bounded by the score
+    # DOMAIN x partitions, NOT the 10x fact — because a row-level
+    # rank window would shuffle all n_events rows into the window
+    # stage. Replication does NOT grow the distinct frame (copies
+    # carry identical values), so the cells count is measured once.
+    from reddit_etl_spark.operators.classify import roc_auc
+
+    auc_in = events.select(
+        (F.col("event_id") % 7).alias("grp"),
+        (F.col("value")).alias("s"),
+        (F.col("k") == 0).alias("y"),
+    ).filter(F.col("s").isNotNull()).localCheckpoint(eager=True)
+    n_auc_rows = auc_in.count()
+    n_auc_cells = (
+        auc_in.select(
+            "grp", F.round(F.col("s") * 100, 0).cast("long").alias("v")
+        )
+        .distinct()
+        .count()
+    )
+    # the map-side-combine model, evaluated exactly on base stats
+    # (the link_prediction-probe convention): partial aggregation
+    # writes one record per distinct cell PER INPUT PARTITION
+    pred_auc = (
+        auc_in.select(
+            F.spark_partition_id().alias("p"),
+            "grp",
+            F.round(F.col("s") * 100, 0).cast("long").alias("v"),
+        )
+        .distinct()
+        .count()
+    )
+    record(
+        "roc_auc_reduced_frame",
+        predicted=pred_auc,
+        fn=lambda: roc_auc(auc_in, ["grp"], "s", "y").collect(),
+        note=f"dominant = the (group, score) partial-aggregate "
+        f"exchange: {pred_auc} distinct (partition, cell) records "
+        f"over {n_auc_cells} cells — a row-level rank window would "
+        f"instead shuffle the full {n_auc_rows} fact rows into one "
+        "window stage; the reduced-frame discipline keeps the window "
+        "input DOMAIN-sized",
+    )
+
+    # -- hill top-k cut (round-10 wave 5) ----------------------------------
+    # The top-k order statistics never sort the fact: the dominant
+    # exchange is the same (group, value) cell aggregate; the k-cut
+    # filter runs on the window output (domain-sized), so replication
+    # leaves every post-aggregate stage unchanged.
+    from reddit_etl_spark.operators.relational import hill_tail_index
+
+    hill_in = auc_in.select("grp", F.col("s").alias("v"))
+    pred_hill = (
+        hill_in.select(
+            F.spark_partition_id().alias("p"),
+            "grp",
+            F.round(F.col("v") * 100, 0).cast("long").alias("q"),
+        )
+        .filter(F.col("q") > 0)
+        .distinct()
+        .count()
+    )
+    record(
+        "hill_topk_cut",
+        predicted=pred_hill,
+        fn=lambda: hill_tail_index(
+            hill_in, ["grp"], "v", k=200
+        ).collect(),
+        note=f"dominant = the (group, value) cell aggregate "
+        f"({pred_hill} partition-cell records); a naive per-group "
+        f"top-k sort would shuffle all {n_auc_rows} rows; ties at "
+        "the k-th value split by COUNT on the reduced frame",
+    )
+
     out = {
         "sf_dir": sf_dir,
         "times": times,
