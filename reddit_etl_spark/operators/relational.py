@@ -4311,7 +4311,10 @@ def lorenz_deciles(
     integer boundaries b_d = ⌊d·n/10⌋), each decile reporting its
     value share and the cumulative share ("bottom 50% hold 9%"). A
     distinct value whose tie block straddles a boundary SPLITS by
-    count — deterministic, never by row identity.
+    count — deterministic, never by row identity. Negative values
+    RAISE (an in-plan guard on the reduced frame): Lorenz shares are
+    undefined under negative mass, and a curve whose cum_share
+    leaves [0, 1] silently lies — shift or filter upstream.
 
     Exactness: values quantize to ``1/scale`` units; the distinct-
     value frame carries exact cumulative counts and the per-decile
@@ -4332,6 +4335,25 @@ def lorenz_deciles(
         F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
     )
     per_v = base.groupBy("__v").agg(F.count("*").alias("__t"))
+    # Lorenz shares are undefined under negative mass (cum_share
+    # would leave [0, 1]) — fail fast ON THE REDUCED FRAME (one
+    # distinct row per value, so the guard costs nothing) instead of
+    # emitting a curve that silently lies
+    per_v = per_v.withColumn(
+        "__v",
+        F.when(F.col("__v") >= 0, F.col("__v")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "lorenz_deciles: negative value breaks the "
+                        "Lorenz-share definition — filter or shift "
+                        "upstream; got "
+                    ),
+                    F.col("__v").cast("string"),
+                )
+            )
+        ),
+    )
     wcum = Window.orderBy("__v").rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -372,3 +372,11 @@ def test_fightin_words_counts_exact(spark):
     assert out[("A", "x")]["count_in"] == 2
     assert out[("A", "x")]["count_rest"] == 1
     assert out[("B", "y")]["count_in"] == 2
+
+
+def test_lorenz_negative_raises(spark):
+    from reddit_etl_spark.operators.relational import lorenz_deciles
+
+    df = spark.createDataFrame([(1.0,), (-2.0,), (3.0,)], "v double")
+    with pytest.raises(Exception, match="negative value"):
+        lorenz_deciles(df, "v").collect()
