@@ -23,10 +23,14 @@ def test_recorded_head_exactly_cap_and_contains_rotation():
     assert len(head) == harness._DRIVER_RECORD_CAP
     # ROUND-10 rotation contract (judge r9 next-round #5: oldest-first
     # again — after r10 no query's most-recent driver row predates
-    # r05). Head = 24 new round-10 registrations (three waves) + 21
-    # stalest (r04 attestations) + 5 operators/oracles touched this
-    # round. Every rotated-out entry carried a green r09 row and
-    # stays oracle-checked in the tail.
+    # r05). Head = 29 never-recorded round-10 registrations (waves
+    # 1-3 + the five highest-novelty wave-4 entries) + 21 stalest
+    # (r04 attestations). The 5 round-10-touched re-attestations
+    # moved to the tail (each holds a green r09 row; post-change
+    # behavior attested by the committed 280-query three-profile
+    # artifacts), budgeting the 50-cap to never-recorded entries
+    # first. Every rotated-out entry stays oracle-checked in the
+    # tail.
     new_r10 = {
         "mann_kendall_daily", "logrank_segments", "kappa_rule_events",
         "rbo_day_rankings", "hellinger_value_drift", "cvm_value_drift",
@@ -52,12 +56,11 @@ def test_recorded_head_exactly_cap_and_contains_rotation():
         "tfidf_top_terms", "topk_per_group", "unigram_quality_score",
         "vocab_topk", "weighted_sample_sources",
     }
-    touched_r10 = {
-        "kendall_tau_daily", "jsd_source_docs",
-        "calibration_brier_events", "mmr_rerank_embeddings",
-        "ht_total_by_priority",
+    new_wave4_head = {
+        "roc_auc_events", "page_hinkley_daily", "brown_forsythe_values",
+        "decision_stump_docs", "vocab_chapman_sources",
     }
-    for q in new_r10 | stale_r04 | touched_r10:
+    for q in new_r10 | stale_r04 | new_wave4_head:
         assert q in head, q
     # r09-attested entries rotated out — still registered + oracle-
     # checked (spot sample across the r09 waves)
@@ -69,6 +72,15 @@ def test_recorded_head_exactly_cap_and_contains_rotation():
         "cohort_ltv_curve", "sla_business_days",
         "hhi_supplier_nations", "nelson_aalen_segments",
         "winsorized_orders", "quantile_normalize_doclen",
+        # r10-touched re-attestations rotated to the tail
+        "kendall_tau_daily", "jsd_source_docs",
+        "calibration_brier_events", "mmr_rerank_embeddings",
+        "ht_total_by_priority",
+        # wave-4/5/6 entries rolling to the r11 head
+        "jarque_bera_values", "theil_customer_revenue",
+        "friedman_daily_types", "lorenz_customer_revenue",
+        "ad2_click_error", "pettitt_daily",
+        "seasonal_strength_events",
     ):
         assert q not in head, q
         assert q in order, q
