@@ -232,6 +232,14 @@ _DEFERRED = [
     "pettitt_daily",
     "ols_influence_daily",
     "seasonal_strength_events",
+    # round-10 wave-7 entries rolling to the r11 head (same local
+    # three-profile attestation)
+    "gopher_quality_docs",
+    "ess_doclen_weights",
+    "ngram_novelty_split",
+    "fleiss_doc_rules",
+    "qte_purchase_click",
+    "shapley_channels",
     "ab_experiment_readout",
     "anomaly_zscore_daily",
     "asof_split",
@@ -16159,4 +16167,430 @@ def seasonal_strength_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.round(F.sum("value"), 6).alias("v"))
     return decomposition_strength(
         rollup, ["event_type"], "day", "v", period=7
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-10 wave 7: LLM-curation audits, agreement, distributional effects
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "gopher_quality_docs",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents),
+    feat AS (
+      SELECT doc_id, t,
+             CAST(len(list_filter(string_split(t, ' '),
+                  w -> length(w) > 0)) AS BIGINT) AS n_words,
+             CAST(len(list_filter(string_split(t, ' '),
+                  w -> regexp_matches(w, '[a-z]'))) AS BIGINT)
+               AS n_alpha,
+             CAST(len(string_split(t, '#')) - 1
+                  + len(string_split(t, '...')) - 1 AS BIGINT)
+               AS n_sym
+      FROM norm),
+    m AS (
+      SELECT doc_id, n_words,
+             CASE WHEN n_words > 0 THEN
+               CAST(length(t) - (n_words - 1) AS DOUBLE) / n_words
+             END AS mwl,
+             CASE WHEN n_words > 0 THEN
+               CAST(n_sym AS DOUBLE) / n_words END AS symr,
+             CASE WHEN n_words > 0 THEN
+               CAST(n_alpha AS DOUBLE) / n_words END AS alphar
+      FROM feat),
+    flags AS (
+      SELECT doc_id, n_words,
+             ROUND(mwl, 6) AS mean_word_len,
+             ROUND(symr, 6) AS symbol_word_ratio,
+             ROUND(alphar, 6) AS alpha_word_ratio,
+             n_words >= 50 AND n_words <= 100000 AS pass_min_words,
+             COALESCE(mwl >= 3.0 AND mwl <= 10.0, FALSE)
+               AS pass_word_len,
+             COALESCE(symr <= 0.1, FALSE) AS pass_symbol_ratio,
+             COALESCE(alphar >= 0.8, FALSE) AS pass_alpha_ratio
+      FROM m)
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           alpha_word_ratio, pass_min_words, pass_word_len,
+           pass_symbol_ratio, pass_alpha_ratio,
+           pass_min_words AND pass_word_len AND pass_symbol_ratio
+             AND pass_alpha_ratio AS pass_all
+    FROM flags ORDER BY doc_id
+    """,
+    doc="Gopher-style rule-based document quality flags (Rae et al. "
+    "2021 Table A1, the repeatable subset) "
+    "(operators/curation.py:gopher_quality_flags) — the classic "
+    "pre-filter every LLM pipeline runs before any learned scorer: "
+    "word-count window, mean-word-length window, symbol/word ratio, "
+    "alphabetic-word ratio, composite pass. Thresholds injected "
+    "(GOPHER_RULES literals); empty docs FAIL min_words rather than "
+    "NULL (a filter must decide). Pure column expressions over one "
+    "scan — zero shuffles, codegen-friendly",
+)
+def gopher_quality_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import gopher_quality_flags
+
+    docs = load(spark, sf_dir, "documents")
+    out = gopher_quality_flags(docs, "doc_id", "text")
+    return out.orderBy("doc_id")
+
+
+@_q(
+    "ess_doclen_weights",
+    """
+    WITH w AS (
+      SELECT source,
+             CAST(ROUND(n_chars * 1000000, 0) AS BIGINT) AS v
+      FROM documents),
+    ag AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n,
+             CAST(SUM(CASE WHEN v > 0 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dropped,
+             SUM(CASE WHEN v > 0 THEN v::HUGEINT END) AS s1,
+             SUM(CASE WHEN v > 0 THEN v::HUGEINT * v END) AS s2,
+             MAX(CASE WHEN v > 0 THEN v END) AS wmax
+      FROM w GROUP BY 1),
+    m AS (
+      SELECT source, n, n_dropped,
+             CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS d1,
+             CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS d2,
+             CAST(wmax AS DOUBLE) AS wm
+      FROM ag)
+    SELECT source, n, n_dropped,
+           ROUND(CASE WHEN n > 0 THEN d1 / 1000000.0 END, 6)
+             AS sum_weight,
+           ROUND(CASE WHEN n > 0 THEN d1 * d1 / d2 END, 6) AS ess,
+           ROUND(CASE WHEN n > 0 THEN d1 * d1 / d2 / n END, 6)
+             AS ess_ratio,
+           ROUND(CASE WHEN n > 0 THEN wm / d1 END, 6)
+             AS max_weight_share
+    FROM m ORDER BY source
+    """,
+    doc="Kish effective sample size of document-length sampling "
+    "weights per source "
+    "(operators/curation.py:effective_sample_size) — the audit "
+    "between computing weights (DSIR, CEM, mixture epochs) and "
+    "trusting anything weighted by them: ESS = (Σw)²/Σw², "
+    "ess_ratio = ESS/n ('your 1M weighted rows carry 50k rows of "
+    "information'), plus the largest single weight's share (the "
+    "one-row-dominates tell). Σw/Σw² exact in "
+    "DECIMAL(38,0)/HUGEINT off ONE aggregate; unit cancels",
+)
+def ess_doclen_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import effective_sample_size
+
+    docs = load(spark, sf_dir, "documents")
+    return effective_sample_size(
+        docs.select("source", F.col("n_chars").alias("w")),
+        ["source"],
+        "w",
+    )
+
+
+@_q(
+    "ngram_novelty_split",
+    """
+    WITH grams AS (
+      SELECT doc_id % 2 = 1 AS is_test, g.gram
+      FROM (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')), ' ') AS arr
+        FROM documents) d,
+      LATERAL (
+        SELECT arr[u.i] || ' ' || arr[u.i + 1] || ' ' || arr[u.i + 2]
+                 AS gram
+        FROM unnest(range(1, len(arr) - 1)) AS u(i)
+        WHERE length(arr[u.i]) > 0 AND length(arr[u.i + 1]) > 0
+          AND length(arr[u.i + 2]) > 0) g),
+    train_g AS (
+      SELECT DISTINCT gram FROM grams WHERE NOT is_test),
+    test_counts AS (
+      SELECT gram, CAST(COUNT(*) AS BIGINT) AS c
+      FROM grams WHERE is_test GROUP BY 1),
+    unseen AS (
+      SELECT t.gram, t.c FROM test_counts t
+      LEFT JOIN train_g tr ON t.gram = tr.gram
+      WHERE tr.gram IS NULL),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS test_grams,
+             CAST(SUM(c) AS BIGINT) AS test_occurrences
+      FROM test_counts),
+    un AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS unseen_grams,
+             CAST(COALESCE(SUM(c), 0) AS BIGINT)
+               AS unseen_occurrences
+      FROM unseen)
+    SELECT test_grams, unseen_grams,
+           ROUND(CASE WHEN test_grams > 0 THEN
+             CAST(unseen_grams AS DOUBLE) / test_grams END, 6)
+             AS novelty,
+           test_occurrences, unseen_occurrences,
+           ROUND(CASE WHEN test_occurrences > 0 THEN
+             CAST(unseen_occurrences AS DOUBLE) / test_occurrences
+             END, 6) AS novelty_weighted
+    FROM tot CROSS JOIN un
+    """,
+    doc="trigram novelty of the odd-doc_id half against the even "
+    "half (operators/curation.py:ngram_novelty) — the memorization/"
+    "coverage audit decontaminate's boolean hit-test doesn't give: "
+    "what FRACTION of held-out n-grams never appear in training "
+    "(near 0 = the eval quotes the train set; near 1 = "
+    "out-of-domain), distinct-gram and occurrence-weighted rates. "
+    "Spark joins on xxhash64 of the gram (vocabulary-sized frames, "
+    "one LEFT ANTI join); the oracle joins the gram strings — "
+    "identical counts absent a 64-bit collision",
+)
+def ngram_novelty_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import ngram_novelty
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_novelty(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "text",
+        n=3,
+    )
+
+
+@_q(
+    "fleiss_doc_rules",
+    """
+    WITH ratings AS (
+      SELECT doc_id AS i,
+             CASE WHEN n_chars >= 150 THEN 'pass' ELSE 'fail' END AS c
+      FROM documents
+      UNION ALL
+      SELECT doc_id,
+             CASE WHEN n_chars >= 250 THEN 'pass' ELSE 'fail' END
+      FROM documents
+      UNION ALL
+      SELECT doc_id,
+             CASE WHEN len(string_split(trim(regexp_replace(
+                 lower(text), '\\s+', ' ', 'g')), ' ')) >= 45
+               THEN 'pass' ELSE 'fail' END
+      FROM documents),
+    nij AS (
+      SELECT i, c, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ratings GROUP BY 1, 2),
+    per_i AS (
+      SELECT i, CAST(SUM(n) AS BIGINT) AS r,
+             CAST(SUM(n * n) AS BIGINT) AS sq
+      FROM nij GROUP BY 1),
+    items AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(MAX(r) AS BIGINT) AS n_raters,
+             SUM(CAST(sq - r AS DOUBLE)
+                 / (CAST(r AS DOUBLE) * (r - 1))) AS psum
+      FROM per_i),
+    cats AS (
+      SELECT c, CAST(SUM(n) AS BIGINT) AS cn FROM nij GROUP BY 1),
+    cat_stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k_categories,
+             CAST(SUM(cn) AS BIGINT) AS total,
+             SUM(CAST(cn AS DOUBLE) * CAST(cn AS DOUBLE)) AS csq
+      FROM cats),
+    m AS (
+      SELECT n_items, n_raters, k_categories,
+             psum / n_items AS p_bar,
+             csq / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+               AS p_e
+      FROM items CROSS JOIN cat_stats)
+    SELECT n_items, n_raters, k_categories,
+           ROUND(p_bar, 6) AS p_bar,
+           ROUND(p_e, 6) AS p_e,
+           ROUND(CASE WHEN p_e < 1.0 THEN (p_bar - p_e) / (1.0 - p_e)
+                 END, 6) AS fleiss_kappa
+    FROM m
+    """,
+    doc="Fleiss' kappa across three document-quality 'raters' (the "
+    "cochran rules as votes) (operators/classify.py:fleiss_kappa) — "
+    "the k-rater agreement rung above cohens_kappa (2 raters): the "
+    "audit for 3+ annotator or model-as-judge labeling runs. "
+    "Constant-r design enforced in-plan (unequal rater counts "
+    "RAISE, not bias); all n_ij exact off two aggregates; the "
+    "N-sized P̄ fold is a mean (order ulps ~1e-16·√N relative)",
+)
+def fleiss_doc_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.classify import fleiss_kappa
+    from .operators.text import normalize_text_col
+
+    docs = load(spark, sf_dir, "documents")
+    p = F.when
+    r1 = docs.select(
+        F.col("doc_id").alias("i"),
+        p(F.col("n_chars") >= 150, "pass").otherwise("fail").alias("c"),
+    )
+    r2 = docs.select(
+        F.col("doc_id").alias("i"),
+        p(F.col("n_chars") >= 250, "pass").otherwise("fail").alias("c"),
+    )
+    r3 = docs.select(
+        F.col("doc_id").alias("i"),
+        p(
+            F.size(F.split(normalize_text_col("text"), " ")) >= 45,
+            "pass",
+        )
+        .otherwise("fail")
+        .alias("c"),
+    )
+    return fleiss_kappa(r1.union(r2).union(r3), "i", "c")
+
+
+@_q(
+    "qte_purchase_click",
+    """
+    WITH base AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1
+                  WHEN event_type = 'click' THEN 0 END AS t,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+      FROM events
+      WHERE value IS NOT NULL
+        AND event_type IN ('purchase', 'click')),
+    per_v AS (
+      SELECT t, v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2),
+    cum AS (
+      SELECT t, v,
+             SUM(c) OVER (PARTITION BY t ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cm,
+             SUM(c) OVER (PARTITION BY t) AS n
+      FROM per_v),
+    ps AS (SELECT UNNEST([0.25, 0.5, 0.75]) AS p),
+    q AS (
+      SELECT t, p, MIN(v) AS q, MAX(n) AS n
+      FROM cum CROSS JOIN ps
+      WHERE cm >= CEIL(p * n)
+      GROUP BY 1, 2)
+    SELECT ROUND(CAST(tq.p AS DOUBLE), 6) AS p,
+           CAST(tq.n AS BIGINT) AS n_t,
+           CAST(cq.n AS BIGINT) AS n_c,
+           ROUND(CAST(tq.q AS DOUBLE) / 100.0, 6) AS q_treated,
+           ROUND(CAST(cq.q AS DOUBLE) / 100.0, 6) AS q_control,
+           ROUND(CAST(tq.q AS DOUBLE) / 100.0
+                 - CAST(cq.q AS DOUBLE) / 100.0, 6) AS qte
+    FROM (SELECT * FROM q WHERE t = 1) tq
+    FULL JOIN (SELECT * FROM q WHERE t = 0) cq ON tq.p = cq.p
+    ORDER BY p
+    """,
+    doc="quantile treatment effect of purchase vs click values at "
+    "p = .25/.5/.75 "
+    "(operators/relational.py:quantile_treatment_effect) — the "
+    "DISTRIBUTIONAL effect readout where cohens_d only moves the "
+    "mean ('the median gained nothing, the p75 lost 4.30'). LOWER-"
+    "quantile contract (sorted element at ceil(p·n) — exact and "
+    "engine-agnostic, brown_forsythe's median generalized); ps "
+    "injected; quantiles off exact cumulative counts on the "
+    "DISTINCT-value frame",
+)
+def qte_purchase_click_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import quantile_treatment_effect
+
+    ev = load_events(spark, sf_dir)
+    return quantile_treatment_effect(
+        ev.select("value", "event_type"),
+        "value",
+        "event_type",
+        "purchase",
+        "click",
+    )
+
+
+@_q(
+    "shapley_channels",
+    """
+    WITH conv AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY 1),
+    touches AS (
+      SELECT DISTINCT e.user_id, e.event_type AS ch
+      FROM events e WHERE e.event_type <> 'purchase'),
+    journeys AS (
+      SELECT t.user_id,
+             BIT_OR(CASE t.ch WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                    WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END)
+               AS mask,
+             MAX(c.converted) AS conv
+      FROM touches t JOIN conv c ON t.user_id = c.user_id
+      GROUP BY 1),
+    sets AS (
+      SELECT mask, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(conv) AS BIGINT) AS nc
+      FROM journeys GROUP BY 1),
+    coal AS (SELECT UNNEST(range(0, 16)) AS s),
+    ch AS (
+      SELECT * FROM (VALUES ('click', 1), ('error', 2),
+                            ('signup', 4), ('view', 8))
+             AS t(channel, b)),
+    pairs AS (
+      SELECT coal.s, ch.channel, ch.b,
+             ((coal.s >> 0) & 1) + ((coal.s >> 1) & 1)
+             + ((coal.s >> 2) & 1) + ((coal.s >> 3) & 1) AS pc
+      FROM coal CROSS JOIN ch WHERE (coal.s & ch.b) = 0),
+    terms AS (
+      SELECT p.channel,
+             CASE p.pc WHEN 0 THEN 0.25 WHEN 1 THEN 1.0 / 12.0
+                       WHEN 2 THEN 1.0 / 12.0 WHEN 3 THEN 0.25 END
+             * (COALESCE(CAST(vsc.nc AS DOUBLE) / vsc.n, 0.0)
+                - COALESCE(CAST(vs.nc AS DOUBLE) / vs.n, 0.0))
+               AS term
+      FROM pairs p
+      LEFT JOIN sets vs ON vs.mask = p.s
+      LEFT JOIN sets vsc ON vsc.mask = p.s + p.b),
+    phi AS (
+      SELECT channel, SUM(term) AS phi FROM terms GROUP BY 1),
+    touched AS (
+      SELECT ch.channel, CAST(COUNT(*) AS BIGINT) AS touched_journeys
+      FROM journeys j JOIN ch ON (j.mask & ch.b) <> 0
+      GROUP BY 1),
+    pt AS (
+      SELECT SUM(CASE WHEN phi > 0 THEN phi END) AS ptot FROM phi)
+    SELECT p.channel,
+           COALESCE(t.touched_journeys, 0) AS touched_journeys,
+           ROUND(p.phi, 6) AS shapley_value,
+           ROUND(CASE WHEN pt.ptot > 0 THEN
+             GREATEST(p.phi, 0.0) / pt.ptot END, 6) AS shapley_share
+    FROM phi p LEFT JOIN touched t ON p.channel = t.channel
+    CROSS JOIN pt
+    ORDER BY p.channel
+    """,
+    doc="exact Shapley-value channel attribution over per-user touch "
+    "sets, conversion = purchase "
+    "(operators/attribution.py:shapley_attribution; Zhao-Mahboobi-"
+    "Moeini 2018) — the game-theoretic rung above multitouch's "
+    "rule-based credits: v(S) = conversion rate of journeys whose "
+    "touched set is exactly S (unobserved sets v=0, standard), "
+    "phi from the factorial-weighted coalition sweep. ONE journey "
+    "aggregate + a 2^k·k broadcast coalition frame (k=4 here; "
+    "max_channels fail-fast guards the 2^k blowup). The four "
+    "factorial weights and the channel->bit map are injected "
+    "identically into both plans",
+)
+def shapley_channels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.attribution import shapley_attribution
+
+    ev = load_events(spark, sf_dir)
+    conv = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "__cv"
+        )
+    )
+    touches = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select("user_id", F.col("event_type").alias("channel"))
+        .distinct()
+        .join(conv, "user_id")
+        .withColumn("converted", F.col("__cv") == 1)
+    )
+    return shapley_attribution(
+        touches, "user_id", "channel", "converted"
     )

@@ -128,3 +128,154 @@ def multitouch_attribution(
         .withColumn("n_touches", F.col("n_touches").cast("long"))
         .drop("__w", "__bk")
     )
+
+
+def shapley_attribution(
+    df: DataFrame,
+    journey_col: str,
+    channel_col: str,
+    converted_col: str,
+    max_channels: int = 8,
+) -> DataFrame:
+    """Exact Shapley-value channel attribution over journey touch
+    SETS (Zhao, Mahboobi & Moeini 2018; the simplified-Shapley
+    standard in marketing analytics) — the game-theoretic rung above
+    this module's rule-based credits: the characteristic function is
+    v(S) = conversion rate of journeys whose touched-channel set is
+    EXACTLY S (unobserved sets contribute v = 0, the standard
+    convention), and each channel's value is φ_c = Σ_{S ∌ c}
+    |S|!·(k−1−|S|)!/k! · (v(S∪{c}) − v(S)).
+
+    Exactness: per-set journey and conversion counts are exact
+    integers off one (set-bitmask) aggregate; v is one double
+    division; the coalition sweep runs over the 2^k mask frame with
+    factorial weights injected as a literal array — every term is an
+    identical double expression. Channel order (bit assignment) is
+    the sorted channel list, engine-deterministic.
+
+    Plan at scale: one (journey) aggregate collecting the distinct
+    channel set + conversion flag, one bitmask aggregate down to
+    ≤2^k rows, then a (2^k × k) broadcast coalition expansion —
+    NOTHING past the first aggregate is data-sized. k is guarded:
+    distinct channels above ``max_channels`` RAISE before the 2^k
+    frame is built (the vocab_overlap fail-fast convention; at k=20
+    the coalition frame alone is a million rows and Shapley wants a
+    sampling estimator instead).
+
+    Returns one row per channel: (channel, touched_journeys BIGINT,
+    shapley_value, shapley_share — φ normalized over positive φ
+    total, NULL when no journey converts).
+    """
+    spark = df.sparkSession
+    base = df.filter(
+        F.col(journey_col).isNotNull() & F.col(channel_col).isNotNull()
+    )
+    channels = [
+        r[0]
+        for r in base.select(F.col(channel_col)).distinct().collect()
+    ]
+    channels.sort()
+    k = len(channels)
+    if k == 0:
+        return spark.createDataFrame(
+            [],
+            "channel string, touched_journeys long, "
+            "shapley_value double, shapley_share double",
+        )
+    if k > max_channels:
+        raise ValueError(
+            f"shapley_attribution: {k} distinct channels exceeds "
+            f"max_channels ({max_channels}); exact Shapley is 2^k — "
+            "collapse channels upstream or sample coalitions"
+        )
+    bit = {c: 1 << i for i, c in enumerate(channels)}
+    bit_expr = F.create_map(
+        *[x for c in channels for x in (F.lit(c), F.lit(bit[c]))]
+    )
+    journeys = base.groupBy(journey_col).agg(
+        F.bit_or(bit_expr[F.col(channel_col)]).alias("__mask"),
+        F.max(F.col(converted_col).cast("long")).alias("__conv"),
+    )
+    sets = journeys.groupBy("__mask").agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("__conv").cast("long").alias("__nc"),
+    )
+    # v(S) over the observed exact sets; unobserved S -> 0 via the
+    # left join below
+    fact = [1] * (k + 1)
+    for i in range(2, k + 1):
+        fact[i] = fact[i - 1] * i
+    # coalition frame: every mask 0..2^k-1 × every channel not in it
+    coal = spark.range(1 << k).select(
+        F.col("id").cast("long").alias("__s")
+    )
+    ch_df = spark.createDataFrame(
+        [(c, bit[c]) for c in channels], "channel string, __b long"
+    )
+    pairs = coal.crossJoin(F.broadcast(ch_df)).filter(
+        F.col("__s").bitwiseAND(F.col("__b")) == 0
+    )
+    v_s = sets.select(
+        F.col("__mask").alias("__s"),
+        (F.col("__nc").cast("double") / F.col("__n").cast("double"))
+        .alias("__v_s"),
+    )
+    v_sc = sets.select(
+        F.col("__mask").alias("__sc"),
+        (F.col("__nc").cast("double") / F.col("__n").cast("double"))
+        .alias("__v_sc"),
+    )
+    fact_arr = F.array(*[F.lit(float(f)) for f in fact])
+    kf = float(fact[k])
+    terms = (
+        pairs.join(F.broadcast(v_s), "__s", "left")
+        .withColumn("__sc", F.col("__s") + F.col("__b"))
+        .join(F.broadcast(v_sc), "__sc", "left")
+        .select(
+            "channel",
+            (
+                F.element_at(fact_arr, F.bit_count("__s") + 1)
+                * F.element_at(
+                    fact_arr, F.lit(k) - F.bit_count("__s")
+                )
+                / F.lit(kf)
+                * (
+                    F.coalesce(F.col("__v_sc"), F.lit(0.0))
+                    - F.coalesce(F.col("__v_s"), F.lit(0.0))
+                )
+            ).alias("__term"),
+        )
+    )
+    phi = terms.groupBy("channel").agg(
+        F.sum("__term").alias("__phi")
+    )
+    touched = (
+        journeys.crossJoin(F.broadcast(ch_df))
+        .filter(F.col("__mask").bitwiseAND(F.col("__b")) != 0)
+        .groupBy("channel")
+        .agg(F.count("*").cast("long").alias("touched_journeys"))
+    )
+    pos_tot = phi.agg(
+        F.sum(F.when(F.col("__phi") > 0, F.col("__phi"))).alias("__pt")
+    )
+    out = (
+        phi.join(F.broadcast(touched), "channel", "left")
+        .crossJoin(F.broadcast(pos_tot))
+        .select(
+            "channel",
+            F.coalesce(F.col("touched_journeys"), F.lit(0)).alias(
+                "touched_journeys"
+            ),
+            F.round(F.col("__phi"), 6).alias("shapley_value"),
+            F.round(
+                F.when(
+                    F.col("__pt") > 0,
+                    F.greatest(F.col("__phi"), F.lit(0.0))
+                    / F.col("__pt"),
+                ),
+                6,
+            ).alias("shapley_share"),
+        )
+        .orderBy("channel")
+    )
+    return out

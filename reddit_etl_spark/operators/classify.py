@@ -913,3 +913,100 @@ def cochran_q(
         *[F.col(f"fires_{c}") for c in rule_cols],
         F.round(q, 6).alias("cochran_q"),
     ).orderBy(*group_cols)
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Fleiss' kappa for inter-rater agreement with r raters per item
+    — the k-rater extension of cohens_kappa (2 raters): each row is
+    one rating (item, category); κ = (P̄ − P_e)/(1 − P_e) with P_i =
+    (Σⱼn_ij² − r)/(r(r−1)) and P_e = Σⱼp_j². The agreement audit for
+    LLM labeling runs with 3+ annotators (or 3+ model-as-judge
+    votes): "is the label noise random or systematic". The design
+    requires a CONSTANT rater count per item — unequal counts RAISE
+    (an in-plan guard) rather than silently biasing P̄.
+
+    Exactness: all n_ij, r, N, category totals are exact integers
+    off two aggregates; P̄ and P_e are double folds over the item and
+    category frames (each term a double of exact integers; the item
+    fold is N-sized — its summation-order ulp is ~1e-16·√N relative
+    on a mean, invisible at round-6). κ is one double expression.
+
+    Plan at scale: one (item, category) aggregate, one item rollup,
+    one category rollup — all map-side-combined; no window, no join
+    beyond two broadcast 1-row totals.
+
+    Returns one row: (n_items BIGINT, n_raters BIGINT, k_categories
+    BIGINT, p_bar, p_e, fleiss_kappa).
+    """
+    base = df.filter(
+        F.col(item_col).isNotNull() & F.col(category_col).isNotNull()
+    ).select(
+        F.col(item_col).alias("__i"), F.col(category_col).alias("__c")
+    )
+    nij = base.groupBy("__i", "__c").agg(F.count("*").alias("__n"))
+    per_i = nij.groupBy("__i").agg(
+        F.sum("__n").cast("long").alias("__r"),
+        F.sum(F.col("__n") * F.col("__n")).cast("long").alias("__sq"),
+    )
+    rstats = per_i.agg(
+        F.min("__r").alias("__rmin"), F.max("__r").alias("__rmax")
+    )
+    per_i = per_i.crossJoin(F.broadcast(rstats)).withColumn(
+        "__r",
+        F.when(
+            F.col("__rmin") == F.col("__rmax"), F.col("__r")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "fleiss_kappa: unequal rater counts per item "
+                        "(min "
+                    ),
+                    F.col("__rmin").cast("string"),
+                    F.lit(", max "),
+                    F.col("__rmax").cast("string"),
+                    F.lit(") — the design requires constant r"),
+                )
+            )
+        ),
+    )
+    items = per_i.agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.max("__r").cast("long").alias("n_raters"),
+        F.sum(
+            (F.col("__sq") - F.col("__r")).cast("double")
+            / (
+                F.col("__r").cast("double")
+                * (F.col("__r") - 1).cast("double")
+            )
+        ).alias("__psum"),
+    )
+    cats = nij.groupBy("__c").agg(
+        F.sum("__n").cast("long").alias("__cn")
+    )
+    cat_stats = cats.agg(
+        F.count("*").cast("long").alias("k_categories"),
+        F.sum("__cn").cast("long").alias("__total"),
+        F.sum(
+            F.col("__cn").cast("double") * F.col("__cn").cast("double")
+        ).alias("__csq"),
+    )
+    j = items.crossJoin(F.broadcast(cat_stats))
+    p_bar = F.col("__psum") / F.col("n_items").cast("double")
+    p_e = F.col("__csq") / (
+        F.col("__total").cast("double") * F.col("__total").cast("double")
+    )
+    ok = (F.col("n_items") > 0) & (F.col("n_raters") >= 2)
+    kappa = F.when(ok & (p_e < 1.0), (p_bar - p_e) / (1.0 - p_e))
+    return j.select(
+        "n_items",
+        "n_raters",
+        "k_categories",
+        F.round(F.when(ok, p_bar), 6).alias("p_bar"),
+        F.round(F.when(ok, p_e), 6).alias("p_e"),
+        F.round(kappa, 6).alias("fleiss_kappa"),
+    )

@@ -1133,3 +1133,261 @@ def hellinger_drift(
     )
     # global (group_cols=None) form is a single row — nothing to order
     return out.orderBy(*keys) if keys else out
+
+
+#: Gopher-style document-quality rule thresholds (Rae et al. 2021,
+#: "Scaling Language Models: ... Gopher", Table A1 — the repeatable
+#: subset expressible over whitespace tokens). Injected identically
+#: into both engines' plans; a rule change is a CONTRACT change.
+GOPHER_RULES = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,  # '#' or '...' per word
+    "min_alpha_word_ratio": 0.8,  # words containing >= 1 alphabetic
+}
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rules: dict | None = None,
+) -> DataFrame:
+    """Gopher-style rule-based document quality flags — the classic
+    pre-filter every LLM data pipeline runs before any learned
+    scorer (unigram_quality_score, nb filters): per document, one
+    boolean per rule (word-count window, mean-word-length window,
+    symbol-to-word ratio, alphabetic-word ratio) plus the composite
+    pass. Rule thresholds are injected literals (GOPHER_RULES);
+    citing Rae et al. 2021 Table A1's repeatable subset — the
+    stopword rule needs a wordlist and lives with nb_language's
+    marker machinery instead.
+
+    Exactness: every counter is an exact integer off the normalized
+    whitespace tokenization (text.normalize_text_col), ratios are
+    single double divisions, flags are engine-identical comparisons
+    against the injected thresholds. Empty/whitespace documents get
+    n_words = 0 and fail min_words (not NULL — a filter must decide).
+
+    Plan at scale: pure column expressions over one scan — zero
+    shuffles, zero joins; whole-stage-codegen friendly (the
+    text_profile discipline).
+
+    Returns (id, n_words BIGINT, mean_word_len, symbol_word_ratio,
+    alpha_word_ratio, pass_min_words, pass_word_len,
+    pass_symbol_ratio, pass_alpha_ratio, pass_all — all BOOLEAN).
+    """
+    from .text import normalize_text_col
+
+    r = dict(GOPHER_RULES)
+    if rules:
+        r.update(rules)
+    norm = normalize_text_col(text_col)
+    words = F.filter(F.split(norm, " "), lambda w: F.length(w) > 0)
+    n_words = F.size(words).cast("long")
+    # chars across words (normalized text has single spaces)
+    n_chars = (F.length(norm) - (n_words - 1)).cast("double")
+    mean_wl = F.when(n_words > 0, n_chars / n_words.cast("double"))
+    n_symbols = (
+        F.size(F.split(norm, r"#", -1))
+        - 1
+        + F.size(F.split(norm, r"\.\.\.", -1))
+        - 1
+    ).cast("long")
+    sym_ratio = F.when(
+        n_words > 0, n_symbols.cast("double") / n_words.cast("double")
+    )
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[a-z]"))
+    ).cast("long")
+    alpha_ratio = F.when(
+        n_words > 0, n_alpha.cast("double") / n_words.cast("double")
+    )
+    p_minw = n_words >= F.lit(int(r["min_words"]))
+    p_maxw = n_words <= F.lit(int(r["max_words"]))
+    p_wl = (
+        (mean_wl >= F.lit(float(r["min_mean_word_len"])))
+        & (mean_wl <= F.lit(float(r["max_mean_word_len"])))
+    )
+    p_sym = sym_ratio <= F.lit(float(r["max_symbol_word_ratio"]))
+    p_alpha = alpha_ratio >= F.lit(float(r["min_alpha_word_ratio"]))
+    false_when_empty = lambda c: F.coalesce(c, F.lit(False))  # noqa: E731
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_word_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        (p_minw & p_maxw).alias("pass_min_words"),
+        false_when_empty(p_wl).alias("pass_word_len"),
+        false_when_empty(p_sym).alias("pass_symbol_ratio"),
+        false_when_empty(p_alpha).alias("pass_alpha_ratio"),
+        (
+            p_minw
+            & p_maxw
+            & false_when_empty(p_wl)
+            & false_when_empty(p_sym)
+            & false_when_empty(p_alpha)
+        ).alias("pass_all"),
+    )
+
+
+def effective_sample_size(
+    df: DataFrame,
+    group_cols: list[str],
+    weight_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Kish effective sample size of a weight column per group — the
+    ONE number that says whether a weighting scheme (DSIR importance
+    weights, CEM control weights, mixture epochs) silently collapsed
+    the data: ESS = (Σw)²/Σw², and ess_ratio = ESS/n ("0.05 means
+    your 1M weighted rows carry the information of 50k"). The audit
+    that belongs between computing weights and trusting anything
+    weighted by them.
+
+    Exactness: weights quantize to ``1/scale`` units (exact BIGINT
+    for ≤6dp weights); Σw and Σw² ride DECIMAL(38,0), so ESS is one
+    double expression of exact integers (the quantization unit
+    cancels in both ESS and the ratio). Non-positive weights are
+    excluded and counted in n_dropped (a zero weight carries no
+    information; a negative one is a caller bug worth seeing).
+
+    Plan at scale: ONE map-side-combined aggregate — no window, no
+    join.
+
+    Returns (group_cols..., n BIGINT, n_dropped BIGINT, sum_weight,
+    ess, ess_ratio, max_weight_share — the largest single weight's
+    fraction of the total, the 'one row dominates' tell).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.select(
+        *group_cols,
+        F.round(F.col(weight_col) * scale, 0).cast("long").alias("__w"),
+    )
+    pos = F.col("__w") > 0
+    v = dec(F.col("__w"))
+    agg = base.groupBy(*group_cols).agg(
+        F.sum(pos.cast("long")).cast("long").alias("n"),
+        F.sum((~F.coalesce(pos, F.lit(False))).cast("long"))
+        .cast("long")
+        .alias("n_dropped"),
+        F.sum(F.when(pos, v)).cast("decimal(38,0)").alias("__s1"),
+        F.sum(F.when(pos, (v * v).cast("decimal(38,0)")))
+        .cast("decimal(38,0)")
+        .alias("__s2"),
+        F.max(F.when(pos, F.col("__w"))).alias("__wmax"),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    ok = F.col("n") > 0
+    ess = dbl("__s1") * dbl("__s1") / dbl("__s2")
+    return agg.select(
+        *group_cols,
+        "n",
+        "n_dropped",
+        F.round(
+            F.when(ok, dbl("__s1") / F.lit(float(scale))), 6
+        ).alias("sum_weight"),
+        F.round(F.when(ok, ess), 6).alias("ess"),
+        F.round(
+            F.when(ok, ess / F.col("n").cast("double")), 6
+        ).alias("ess_ratio"),
+        F.round(
+            F.when(ok, F.col("__wmax").cast("double") / dbl("__s1")), 6
+        ).alias("max_weight_share"),
+    ).orderBy(*group_cols)
+
+
+def ngram_novelty(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """N-gram novelty of a held-out set against a training corpus —
+    the MEMORIZATION/coverage audit decontaminate's boolean hit-test
+    doesn't give: what FRACTION of the test set's distinct n-grams
+    never appear in training ("novelty 0.02 means your eval is
+    quoting the train set"; novelty ~1 means the eval is
+    out-of-domain). One row: distinct test n-grams, how many are
+    unseen in train, the novelty rate, plus the token-weighted rate
+    (occurrence-weighted — a single novel rare gram can't mask a
+    memorized head).
+
+    Exactness: n-grams hash via the engine-portable normalized-text
+    pipeline (xxhash64 over the joined token window, the dedup
+    family's construction); all counts exact BIGINTs; rates single
+    divisions.
+
+    Plan at scale: two (gram) DISTINCT/count aggregates + ONE
+    LEFT ANTI join from the test gram frame against the train gram
+    frame (both vocabulary-sized, never corpus-sized); the train
+    side can persist across eval rounds (the incremental_dedup
+    pattern).
+
+    Returns one row: (test_grams BIGINT, unseen_grams BIGINT,
+    novelty, test_occurrences BIGINT, unseen_occurrences BIGINT,
+    novelty_weighted).
+    """
+    from .text import normalize_text_col
+
+    def grams(df_):
+        toks = F.split(normalize_text_col(text_col), " ")
+        g = F.filter(
+            F.transform(
+                toks,
+                lambda _, i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+            lambda _, i: i < F.size(toks) - (n - 1),
+        )
+        return (
+            df_.select(F.explode(g).alias("__g"))
+            .filter(F.length("__g") > 0)
+            .select(F.xxhash64("__g").alias("__h"))
+        )
+
+    train_g = grams(train).distinct()
+    test_counts = grams(test).groupBy("__h").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    unseen = test_counts.join(train_g, "__h", "left_anti")
+    tot = test_counts.agg(
+        F.count("*").cast("long").alias("test_grams"),
+        F.sum("__c").cast("long").alias("test_occurrences"),
+    )
+    un = unseen.agg(
+        F.count("*").cast("long").alias("unseen_grams"),
+        F.sum("__c").cast("long").alias("unseen_occurrences"),
+    )
+    j = tot.crossJoin(F.broadcast(un))
+    return j.select(
+        "test_grams",
+        F.coalesce(F.col("unseen_grams"), F.lit(0)).alias("unseen_grams"),
+        F.round(
+            F.when(
+                F.col("test_grams") > 0,
+                F.coalesce(F.col("unseen_grams"), F.lit(0)).cast("double")
+                / F.col("test_grams").cast("double"),
+            ),
+            6,
+        ).alias("novelty"),
+        "test_occurrences",
+        F.coalesce(F.col("unseen_occurrences"), F.lit(0)).alias(
+            "unseen_occurrences"
+        ),
+        F.round(
+            F.when(
+                F.col("test_occurrences") > 0,
+                F.coalesce(F.col("unseen_occurrences"), F.lit(0)).cast(
+                    "double"
+                )
+                / F.col("test_occurrences").cast("double"),
+            ),
+            6,
+        ).alias("novelty_weighted"),
+    )

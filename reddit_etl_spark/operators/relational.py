@@ -4838,3 +4838,97 @@ def cem_match(
             "pruned_control"
         ),
     ).orderBy(*strata_cols)
+
+
+def quantile_treatment_effect(
+    df: DataFrame,
+    value_col: str,
+    class_col: str,
+    class_t,
+    class_c,
+    ps: tuple = (0.25, 0.5, 0.75),
+    scale: int = 100,
+) -> DataFrame:
+    """Quantile treatment effect between two classes — the
+    DISTRIBUTIONAL effect readout where cohens_d only moves the
+    mean: QTE(p) = q_t(p) − q_c(p) per requested quantile ("the
+    median user gained nothing; the p90 gained 40%" is invisible to
+    a mean difference). Quantile contract: the LOWER quantile — the
+    sorted element at position ⌈p·n⌉ — exact and engine-agnostic
+    where interpolated quantiles of doubles differ by ulps
+    (brown_forsythe's median contract generalized to arbitrary p);
+    ps are injected literals.
+
+    Exactness: values quantize to ``1/scale`` units; per class the
+    quantile is selected by exact cumulative counts on the
+    DISTINCT-value frame; QTE is one double subtraction of exact
+    quantized values.
+
+    Plan at scale: one (class, value) aggregate, ONE prefix window
+    per class over distinct values, a |ps|-way explode of the
+    REDUCED frame, and a |ps|-row reduce. Classes other than the two
+    named are ignored.
+
+    Returns |ps| rows: (p, n_t BIGINT, n_c BIGINT, q_treated,
+    q_control, qte).
+    """
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.when(F.col(class_col) == class_t, F.lit(1))
+        .when(F.col(class_col) == class_c, F.lit(0))
+        .alias("__t"),
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+    ).filter(F.col("__t").isNotNull())
+    per_v = base.groupBy("__t", "__v").agg(F.count("*").alias("__c"))
+    wcum = (
+        Window.partitionBy("__t")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("__t")
+    cum = per_v.select(
+        "__t",
+        "__v",
+        F.sum("__c").over(wcum).alias("__cum"),
+        F.sum("__c").over(wall).alias("__n"),
+    )
+    p_lits = F.array(*[F.lit(float(p)) for p in ps])
+    exploded = cum.select(
+        "__t", "__v", "__cum", "__n", F.explode(p_lits).alias("p")
+    )
+    # lower quantile: first value whose cumulative count reaches
+    # ceil(p*n); min() picks it (the brown_forsythe median shape)
+    q = (
+        exploded.filter(
+            F.col("__cum") >= F.ceil(F.col("p") * F.col("__n"))
+        )
+        .groupBy("__t", "p")
+        .agg(
+            F.min("__v").alias("__q"),
+            F.max("__n").cast("long").alias("__n"),
+        )
+    )
+    sc = F.lit(float(scale))
+    t = q.filter(F.col("__t") == 1).select(
+        "p",
+        (F.col("__q").cast("double") / sc).alias("q_treated"),
+        F.col("__n").alias("n_t"),
+    )
+    c = q.filter(F.col("__t") == 0).select(
+        "p",
+        (F.col("__q").cast("double") / sc).alias("q_control"),
+        F.col("__n").alias("n_c"),
+    )
+    return (
+        t.join(c, "p", "full")
+        .select(
+            F.round(F.col("p"), 6).alias("p"),
+            "n_t",
+            "n_c",
+            F.round(F.col("q_treated"), 6).alias("q_treated"),
+            F.round(F.col("q_control"), 6).alias("q_control"),
+            F.round(
+                F.col("q_treated") - F.col("q_control"), 6
+            ).alias("qte"),
+        )
+        .orderBy("p")
+    )

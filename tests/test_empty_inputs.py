@@ -546,3 +546,60 @@ def test_decomposition_strength_empty(spark):
 
     empty = spark.createDataFrame([], "g string, day date, v double")
     assert decomposition_strength(empty, ["g"], "day", "v").count() == 0
+
+
+# ------------------------------------------------------- round-10 wave 7
+
+
+def test_gopher_flags_empty(spark):
+    from reddit_etl_spark.operators.curation import gopher_quality_flags
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = gopher_quality_flags(empty, "doc_id", "text")
+    assert out.count() == 0 and "pass_all" in out.columns
+
+
+def test_ess_empty(spark):
+    from reddit_etl_spark.operators.curation import effective_sample_size
+
+    empty = spark.createDataFrame([], "g string, w double")
+    assert effective_sample_size(empty, ["g"], "w").count() == 0
+
+
+def test_ngram_novelty_empty_test(spark):
+    from reddit_etl_spark.operators.curation import ngram_novelty
+
+    train = spark.createDataFrame([("a b c d",)], "text string")
+    empty = spark.createDataFrame([], "text string")
+    r = ngram_novelty(train, empty, "text").collect()[0]
+    assert r["test_grams"] == 0 and r["novelty"] is None
+
+
+def test_fleiss_empty(spark):
+    from reddit_etl_spark.operators.classify import fleiss_kappa
+
+    empty = spark.createDataFrame([], "i long, c string")
+    rows = fleiss_kappa(empty, "i", "c").collect()
+    assert len(rows) <= 1
+    if rows:
+        assert rows[0]["fleiss_kappa"] is None
+
+
+def test_qte_empty(spark):
+    from reddit_etl_spark.operators.relational import (
+        quantile_treatment_effect,
+    )
+
+    empty = spark.createDataFrame([], "v double, cls string")
+    assert quantile_treatment_effect(
+        empty, "v", "cls", "t", "c"
+    ).count() == 0
+
+
+def test_shapley_empty(spark):
+    from reddit_etl_spark.operators.attribution import shapley_attribution
+
+    empty = spark.createDataFrame([], "j long, ch string, cv boolean")
+    out = shapley_attribution(empty, "j", "ch", "cv")
+    assert out.count() == 0
+    assert "shapley_value" in out.columns

@@ -567,3 +567,42 @@ def test_pettitt_midrank_window_group_partitioned(spark):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs
     assert all(s.lstrip().startswith("event_type") for s in specs), specs
+
+
+def test_gopher_flags_zero_shuffles(spark):
+    """Pure column expressions over one scan — the text_profile
+    discipline."""
+    from reddit_etl_spark.operators.curation import gopher_quality_flags
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert count_exchanges(
+        gopher_quality_flags(docs, "doc_id", "text")
+    ) == 0
+
+
+def test_ess_single_aggregate(spark):
+    from reddit_etl_spark.operators.curation import effective_sample_size
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "source", F.col("n_chars").alias("w")
+    )
+    assert count_exchanges(
+        effective_sample_size(docs, ["source"], "w")
+    ) <= 2
+
+
+def test_shapley_nothing_datasized_past_journeys(spark):
+    """Past the journey aggregate everything is 2^k-sized and joins
+    broadcast — no shuffle join appears downstream."""
+    from reddit_etl_spark.operators.attribution import shapley_attribution
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    touches = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select("user_id", F.col("event_type").alias("channel"))
+        .distinct()
+        .withColumn("converted", F.col("user_id") % 3 == 0)
+    )
+    df = shapley_attribution(touches, "user_id", "channel", "converted")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
