@@ -240,6 +240,12 @@ _DEFERRED = [
     "fleiss_doc_rules",
     "qte_purchase_click",
     "shapley_channels",
+    # round-10 wave-8 entries rolling to the r11 head (same local
+    # three-profile attestation)
+    "tukey_hsd_values",
+    "games_howell_values",
+    "welch_anova_values",
+    "bartlett_values",
     "ab_experiment_readout",
     "anomaly_zscore_daily",
     "asof_split",
@@ -16593,4 +16599,257 @@ def shapley_channels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return shapley_attribution(
         touches, "user_id", "channel", "converted"
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-10 wave 8: the parametric k-sample family (post-hoc + omnibus)
+# ---------------------------------------------------------------------------
+
+_CLASS_MOMENTS_SQL = """
+      SELECT event_type AS c,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)::HUGEINT) AS s1,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)::HUGEINT
+                 * CAST(ROUND(value * 100, 0) AS BIGINT)) AS s2
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1
+"""
+
+
+@_q(
+    "tukey_hsd_values",
+    f"""
+    WITH mom AS ({_CLASS_MOMENTS_SQL}),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                 - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                   * CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                   / CAST(n AS DOUBLE)) AS ssw
+      FROM mom),
+    pairs AS (
+      SELECT a.c AS class_a, b.c AS class_b,
+             a.n AS n_a, b.n AS n_b,
+             CAST(CAST(a.s1 AS VARCHAR) AS DOUBLE)
+               / CAST(a.n AS DOUBLE) AS ma,
+             CAST(CAST(b.s1 AS VARCHAR) AS DOUBLE)
+               / CAST(b.n AS DOUBLE) AS mb,
+             t.nn, t.k, t.ssw
+      FROM mom a JOIN mom b ON a.c < b.c CROSS JOIN tot t),
+    m AS (
+      SELECT class_a, class_b, n_a, n_b, ma, mb,
+             ssw / (CAST(nn AS DOUBLE) - k) AS mse,
+             CAST(nn - k AS DOUBLE) AS dfree,
+             n_a >= 2 AND n_b >= 2
+               AND ssw / (CAST(nn AS DOUBLE) - k) > 0 AS ok
+      FROM pairs),
+    mm AS (
+      SELECT class_a, class_b, n_a, n_b, ma, mb, dfree, ok,
+             SQRT(mse / 2.0 * (1.0 / n_a + 1.0 / n_b)) AS se
+      FROM m)
+    SELECT class_a, class_b, n_a, n_b,
+           ROUND(ma / 100.0, 6) AS mean_a,
+           ROUND(mb / 100.0, 6) AS mean_b,
+           ROUND((ma - mb) / 100.0, 6) AS diff,
+           ROUND(CASE WHEN ok THEN se END / 100.0, 6) AS se,
+           ROUND(CASE WHEN ok THEN ABS(ma - mb) / se END, 6)
+             AS q_stat,
+           ROUND(CASE WHEN ok THEN dfree END, 6) AS df
+    FROM mm ORDER BY class_a, class_b
+    """,
+    doc="Tukey HSD studentized-range q for all C(5,2) event-type "
+    "pairs (operators/relational.py:pairwise_mean_tests, "
+    "method='tukey') — the MEAN-based post-hoc next to "
+    "dunn_posthoc_values' rank z: pooled within-class MSE, q = "
+    "|diff|/sqrt(MSE/2·(1/ni+1/nj)), df = N−k; no critical value "
+    "(the range-distribution lookup is the caller's). Per-class "
+    "moments exact DECIMAL(38,0)/HUGEINT off ONE aggregate; the "
+    "pair join touches the k-row class frame",
+)
+def tukey_hsd_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import pairwise_mean_tests
+
+    ev = load_events(spark, sf_dir)
+    return pairwise_mean_tests(
+        ev.select("value", "event_type"), "value", "event_type", "tukey"
+    )
+
+
+@_q(
+    "games_howell_values",
+    f"""
+    WITH mom AS ({_CLASS_MOMENTS_SQL}),
+    pairs AS (
+      SELECT a.c AS class_a, b.c AS class_b,
+             a.n AS n_a, b.n AS n_b,
+             CAST(CAST(a.s1 AS VARCHAR) AS DOUBLE)
+               / CAST(a.n AS DOUBLE) AS ma,
+             CAST(CAST(b.s1 AS VARCHAR) AS DOUBLE)
+               / CAST(b.n AS DOUBLE) AS mb,
+             (CAST(CAST(a.s2 AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(a.s1 AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(a.s1 AS VARCHAR) AS DOUBLE)
+                / CAST(a.n AS DOUBLE)) / (CAST(a.n AS DOUBLE) - 1.0)
+               AS va,
+             (CAST(CAST(b.s2 AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(b.s1 AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(b.s1 AS VARCHAR) AS DOUBLE)
+                / CAST(b.n AS DOUBLE)) / (CAST(b.n AS DOUBLE) - 1.0)
+               AS vb
+      FROM mom a JOIN mom b ON a.c < b.c),
+    m AS (
+      SELECT class_a, class_b, n_a, n_b, ma, mb, va, vb,
+             (va / n_a + vb / n_b) / 2.0 AS se2,
+             (va / n_a + vb / n_b) * (va / n_a + vb / n_b)
+             / (va * va / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1.0))
+                + vb * vb / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1.0)))
+               AS dfree,
+             n_a >= 2 AND n_b >= 2
+               AND (va / n_a + vb / n_b) / 2.0 > 0 AS ok
+      FROM pairs)
+    SELECT class_a, class_b, n_a, n_b,
+           ROUND(ma / 100.0, 6) AS mean_a,
+           ROUND(mb / 100.0, 6) AS mean_b,
+           ROUND((ma - mb) / 100.0, 6) AS diff,
+           ROUND(CASE WHEN ok THEN SQRT(se2) END / 100.0, 6) AS se,
+           ROUND(CASE WHEN ok THEN ABS(ma - mb) / SQRT(se2) END, 6)
+             AS q_stat,
+           ROUND(CASE WHEN ok THEN dfree END, 6) AS df
+    FROM m ORDER BY class_a, class_b
+    """,
+    doc="Games-Howell pairwise q with per-pair Welch-Satterthwaite "
+    "df (operators/relational.py:pairwise_mean_tests, "
+    "method='games_howell') — the unequal-variance standard where "
+    "tukey_hsd_values' pooled MSE assumes homoscedasticity "
+    "(bartlett/brown_forsythe decide which applies). Same exact "
+    "moment machinery; q = |diff|/sqrt((vi/ni+vj/nj)/2)",
+)
+def games_howell_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import pairwise_mean_tests
+
+    ev = load_events(spark, sf_dir)
+    return pairwise_mean_tests(
+        ev.select("value", "event_type"),
+        "value",
+        "event_type",
+        "games_howell",
+    )
+
+
+@_q(
+    "welch_anova_values",
+    f"""
+    WITH mom AS ({_CLASS_MOMENTS_SQL}),
+    good AS (
+      SELECT c, n,
+             CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+               / CAST(n AS DOUBLE) AS m,
+             (CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+               AS var,
+             n >= 2 AND
+             (CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                / CAST(n AS DOUBLE)) > 0 AS ok
+      FROM mom),
+    st AS (
+      SELECT CAST(SUM(CASE WHEN ok THEN n END) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS k_classes,
+             CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+               AS k_dropped,
+             SUM(CASE WHEN ok THEN n / var END) AS sw,
+             SUM(CASE WHEN ok THEN n / var * m END) AS swm
+      FROM good),
+    terms AS (
+      SELECT st.n, st.k_classes, st.k_dropped,
+             SUM(g.n / g.var * (g.m - st.swm / st.sw)
+                 * (g.m - st.swm / st.sw)) AS num,
+             SUM((1.0 - (g.n / g.var) / st.sw)
+                 * (1.0 - (g.n / g.var) / st.sw)
+                 / (CAST(g.n AS DOUBLE) - 1.0)) AS lam
+      FROM good g CROSS JOIN st
+      WHERE g.ok GROUP BY 1, 2, 3),
+    m AS (
+      SELECT n, k_classes, k_dropped, num, lam,
+             CAST(k_classes AS DOUBLE) AS k
+      FROM terms)
+    SELECT n, k_classes, k_dropped,
+           ROUND(CASE WHEN k_classes >= 2 THEN
+             (num / (k - 1.0))
+             / (1.0 + 2.0 * (k - 2.0) / (k * k - 1.0) * lam) END, 6)
+             AS w_stat,
+           CAST(k_classes - 1 AS BIGINT) AS df1,
+           ROUND(CASE WHEN k_classes >= 2 AND lam > 0 THEN
+             (k * k - 1.0) / (3.0 * lam) END, 6) AS df2
+    FROM m
+    """,
+    doc="Welch's heteroscedastic one-way ANOVA across the five event "
+    "types (operators/relational.py:welch_anova) — the omnibus "
+    "equal-means test WITHOUT the equal-variance assumption "
+    "anova_event_values makes (and brown_forsythe tests): "
+    "variance-weighted means, Satterthwaite df2. Degenerate classes "
+    "(n<2 or zero variance) are excluded VISIBLY (k_dropped) — an "
+    "Inf weight would silently poison the statistic. Exact moment "
+    "machinery; k-row arithmetic",
+)
+def welch_anova_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import welch_anova
+
+    ev = load_events(spark, sf_dir)
+    return welch_anova(ev.select("value", "event_type"), "value", "event_type")
+
+
+@_q(
+    "bartlett_values",
+    f"""
+    WITH mom AS ({_CLASS_MOMENTS_SQL}),
+    ssf AS (
+      SELECT c, n,
+             CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+             - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+               * CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+               / CAST(n AS DOUBLE) AS ss
+      FROM mom),
+    ag AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k_classes,
+             SUM(ss) AS ssw,
+             SUM((CAST(n AS DOUBLE) - 1.0)
+                 * LN(ss / (CAST(n AS DOUBLE) - 1.0))) AS slnv,
+             SUM(1.0 / (CAST(n AS DOUBLE) - 1.0)) AS sinv
+      FROM ssf),
+    m AS (
+      SELECT n, k_classes,
+             CAST(n AS DOUBLE) AS nd, CAST(k_classes AS DOUBLE) AS k,
+             ssw, slnv, sinv
+      FROM ag)
+    SELECT n, k_classes,
+           ROUND(CASE WHEN k_classes >= 2 THEN
+             ((nd - k) * LN(ssw / (nd - k)) - slnv)
+             / (1.0 + (sinv - 1.0 / (nd - k)) / (3.0 * (k - 1.0)))
+             END, 6) AS chi2_stat,
+           CAST(k_classes - 1 AS BIGINT) AS dof
+    FROM m
+    """,
+    doc="Bartlett's equal-variance test across the five event types "
+    "(operators/relational.py:bartlett_test) — the parametric, "
+    "more-powerful counterpart to brown_forsythe_values (use "
+    "Bartlett when jarque_bera says the tails are sane): chi2 = "
+    "[(N−k)ln s_p² − Σ(ni−1)ln si²]/C, dof k−1. Zero-variance or "
+    "n<2 classes RAISE in-plan (ln diverges; silently dropping one "
+    "changes the hypothesis). Exact moment machinery; scale cancels "
+    "inside the log differences",
+)
+def bartlett_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import bartlett_test
+
+    ev = load_events(spark, sf_dir)
+    return bartlett_test(
+        ev.select("value", "event_type"), "value", "event_type"
     )

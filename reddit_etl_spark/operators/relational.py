@@ -4932,3 +4932,299 @@ def quantile_treatment_effect(
         )
         .orderBy("p")
     )
+
+
+def _class_moments(df, value_col, class_col, scale):
+    """Shared exact per-class moment frame for the parametric
+    k-sample family: (class, n, Σv, Σv² in DECIMAL(38,0)) off ONE
+    aggregate over quantized values."""
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(class_col).isNotNull()
+    ).select(
+        F.col(class_col).alias("__c"),
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+    )
+    v = dec(F.col("__v"))
+    return base.groupBy("__c").agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum(v).cast("decimal(38,0)").alias("__s1"),
+        F.sum((v * v).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__s2"),
+    )
+
+
+def _dbl(c):
+    return c.cast("string").cast("double")
+
+
+def pairwise_mean_tests(
+    df: DataFrame,
+    value_col: str,
+    class_col: str,
+    method: str = "tukey",
+    scale: int = 100,
+) -> DataFrame:
+    """Parametric post-hoc pairwise mean comparisons — the
+    mean-based counterpart to dunn_test's rank z after an omnibus
+    result: ``method='tukey'`` gives the studentized-range q
+    (pooled within-class variance, the equal-variance HSD),
+    ``'games_howell'`` the Welch-corrected q with per-pair
+    Welch-Satterthwaite df (the unequal-variance standard). No
+    critical values — q and df are reported, the lookup is the
+    caller's (chi2 contract).
+
+    q_ij = |x̄_i − x̄_j| / √((σ̂²_i/n_i + σ̂²_j/n_j)/2), with σ̂²
+    either the POOLED MSE (tukey — both terms collapse to
+    s_p²·(1/nᵢ+1/nⱼ)/2) or the per-class sample variances
+    (games_howell); df_welch via Satterthwaite.
+
+    Exactness: per-class Σv/Σv² exact in DECIMAL(38,0) off ONE
+    aggregate (_class_moments); means, variances, q and df are
+    identical double expressions of exact integers on the k-row
+    class frame; the pair join is a broadcast k×k. Degenerate pairs
+    (either n < 2, or zero variance where the method divides by it)
+    return NULL q.
+
+    Returns C(k,2) rows: (class_a, class_b, n_a BIGINT, n_b BIGINT,
+    mean_a, mean_b, diff, se, q_stat, df — df is the pooled N−k for
+    tukey, per-pair Welch for games_howell), class_a < class_b.
+    """
+    if method not in ("tukey", "games_howell"):
+        raise ValueError(
+            f"pairwise_mean_tests: unknown method {method!r}; "
+            "use 'tukey' or 'games_howell'"
+        )
+    mom = _class_moments(df, value_col, class_col, scale)
+    tot = mom.agg(
+        F.sum("__n").cast("long").alias("__nn"),
+        F.count("*").cast("long").alias("__k"),
+        # pooled within-class SS = Σ(Σv² − (Σv)²/n) — each class term
+        # a double of exact decimals, folded over k rows
+        F.sum(
+            _dbl(F.col("__s2"))
+            - _dbl(F.col("__s1")) * _dbl(F.col("__s1"))
+            / F.col("__n").cast("double")
+        ).alias("__ssw"),
+    )
+    a = mom.select(
+        F.col("__c").alias("class_a"),
+        F.col("__n").alias("n_a"),
+        F.col("__s1").alias("__s1a"),
+        F.col("__s2").alias("__s2a"),
+    )
+    b = mom.select(
+        F.col("__c").alias("class_b"),
+        F.col("__n").alias("n_b"),
+        F.col("__s1").alias("__s1b"),
+        F.col("__s2").alias("__s2b"),
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("class_a") < F.col("class_b")
+    ).crossJoin(F.broadcast(tot))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma = _dbl(F.col("__s1a")) / na
+    mb = _dbl(F.col("__s1b")) / nb
+    va = (
+        _dbl(F.col("__s2a")) - _dbl(F.col("__s1a")) * _dbl(F.col("__s1a")) / na
+    ) / (na - 1.0)
+    vb = (
+        _dbl(F.col("__s2b")) - _dbl(F.col("__s1b")) * _dbl(F.col("__s1b")) / nb
+    ) / (nb - 1.0)
+    nn = F.col("__nn").cast("double")
+    k = F.col("__k").cast("double")
+    sc = F.lit(float(scale))
+    diff = ma - mb
+    if method == "tukey":
+        mse = F.col("__ssw") / (nn - k)
+        se2 = mse / 2.0 * (1.0 / na + 1.0 / nb)
+        dfree = (F.col("__nn") - F.col("__k")).cast("double")
+        ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (mse > 0)
+    else:
+        se2 = (va / na + vb / nb) / 2.0
+        dfree = (
+            (va / na + vb / nb) * (va / na + vb / nb)
+            / (
+                va * va / (na * na * (na - 1.0))
+                + vb * vb / (nb * nb * (nb - 1.0))
+            )
+        )
+        ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0)
+    se = F.sqrt(se2)
+    return pairs.select(
+        "class_a",
+        "class_b",
+        "n_a",
+        "n_b",
+        F.round(ma / sc, 6).alias("mean_a"),
+        F.round(mb / sc, 6).alias("mean_b"),
+        F.round(diff / sc, 6).alias("diff"),
+        F.round(F.when(ok, se / sc), 6).alias("se"),
+        F.round(F.when(ok, F.abs(diff) / se), 6).alias("q_stat"),
+        F.round(F.when(ok, dfree), 6).alias("df"),
+    ).orderBy("class_a", "class_b")
+
+
+def welch_anova(
+    df: DataFrame,
+    value_col: str,
+    class_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA — the omnibus equal-
+    means test that does NOT assume equal variances (anova_event_
+    values does; brown_forsythe tests the variances themselves):
+    W = Σwᵢ(x̄ᵢ − x̄_w)²/(k−1) / (1 + 2(k−2)/(k²−1)·Λ), wᵢ = nᵢ/σ̂ᵢ²,
+    Λ = Σ(1 − wᵢ/Σw)²/(nᵢ−1), df₂ = (k²−1)/(3Λ). Report (w_stat,
+    df1, df2), no p-value (chi2 contract).
+
+    Exactness: per-class moments exact (_class_moments discipline);
+    every downstream term is a double fold over the k-row class
+    frame. Classes with n < 2 or zero variance make wᵢ undefined —
+    such classes are EXCLUDED and counted (k_dropped), because a
+    silent Inf weight would poison the whole statistic.
+
+    Plan at scale: ONE fact aggregate + k-row arithmetic (two tiny
+    reduces). Returns one row: (n BIGINT, k_classes BIGINT,
+    k_dropped BIGINT, w_stat, df1 BIGINT, df2).
+    """
+    mom = _class_moments(df, value_col, class_col, scale)
+    na = F.col("__n").cast("double")
+    var = (
+        _dbl(F.col("__s2"))
+        - _dbl(F.col("__s1")) * _dbl(F.col("__s1")) / na
+    ) / (na - 1.0)
+    good = mom.select(
+        "__c",
+        "__n",
+        (_dbl(F.col("__s1")) / na).alias("__m"),
+        var.alias("__var"),
+    ).withColumn(
+        "__ok", (F.col("__n") >= 2) & (F.col("__var") > 0)
+    )
+    stats = good.agg(
+        F.sum(F.when(F.col("__ok"), F.col("__n"))).cast("long").alias("n"),
+        F.sum(F.col("__ok").cast("long")).cast("long").alias("k_classes"),
+        F.sum((~F.col("__ok")).cast("long")).cast("long").alias(
+            "k_dropped"
+        ),
+        F.sum(
+            F.when(
+                F.col("__ok"),
+                F.col("__n").cast("double") / F.col("__var"),
+            )
+        ).alias("__sw"),
+        F.sum(
+            F.when(
+                F.col("__ok"),
+                F.col("__n").cast("double") / F.col("__var")
+                * F.col("__m"),
+            )
+        ).alias("__swm"),
+    )
+    j = good.filter(F.col("__ok")).crossJoin(F.broadcast(stats))
+    w = F.col("__n").cast("double") / F.col("__var")
+    mw = F.col("__swm") / F.col("__sw")
+    terms = j.agg(
+        F.max("n").alias("n"),
+        F.max("k_classes").alias("k_classes"),
+        F.max("k_dropped").alias("k_dropped"),
+        F.sum(w * (F.col("__m") - mw) * (F.col("__m") - mw)).alias(
+            "__num"
+        ),
+        F.sum(
+            (1.0 - w / F.col("__sw"))
+            * (1.0 - w / F.col("__sw"))
+            / (F.col("__n").cast("double") - 1.0)
+        ).alias("__lam"),
+    )
+    k = F.col("k_classes").cast("double")
+    lam = F.col("__lam")
+    w_stat = F.when(
+        (F.col("k_classes") >= 2),
+        (F.col("__num") / (k - 1.0))
+        / (1.0 + 2.0 * (k - 2.0) / (k * k - 1.0) * lam),
+    )
+    df2 = F.when(
+        (F.col("k_classes") >= 2) & (lam > 0),
+        (k * k - 1.0) / (3.0 * lam),
+    )
+    return terms.select(
+        "n",
+        "k_classes",
+        "k_dropped",
+        F.round(w_stat, 6).alias("w_stat"),
+        (F.col("k_classes") - 1).cast("long").alias("df1"),
+        F.round(df2, 6).alias("df2"),
+    )
+
+
+def bartlett_test(
+    df: DataFrame,
+    value_col: str,
+    class_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Bartlett's test of equal variances across k classes — the
+    PARAMETRIC (normality-assuming, more powerful) counterpart to
+    brown_forsythe's robust median-centered test: χ² = [(N−k)·ln s_p²
+    − Σ(nᵢ−1)·ln sᵢ²] / C, C = 1 + (Σ1/(nᵢ−1) − 1/(N−k))/(3(k−1)),
+    chi-square with k−1 dof under H0. Run brown_forsythe when the
+    data is heavy-tailed (jarque_bera says so); Bartlett when it
+    isn't and power matters.
+
+    Exactness: per-class moments exact (_class_moments); sᵢ² are
+    doubles of exact integers, the ln folds run over the k-row class
+    frame; scale cancels inside the log DIFFERENCES (ln s_p² and
+    each ln sᵢ² shift by the same 2·ln scale). Classes with n < 2 or
+    zero variance RAISE — a zero variance makes ln diverge and
+    silently dropping a class changes the hypothesis (unlike
+    welch_anova's weights, Bartlett's pooled s_p² must cover every
+    class).
+
+    Plan at scale: ONE fact aggregate + k-row arithmetic. Returns
+    one row: (n BIGINT, k_classes BIGINT, chi2_stat, dof BIGINT).
+    """
+    mom = _class_moments(df, value_col, class_col, scale)
+    na = F.col("__n").cast("double")
+    ss = (
+        _dbl(F.col("__s2"))
+        - _dbl(F.col("__s1")) * _dbl(F.col("__s1")) / na
+    )
+    checked = mom.withColumn(
+        "__ss",
+        F.when((F.col("__n") >= 2) & (ss > 0), ss).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "bartlett_test: class with n < 2 or zero "
+                        "variance at class="
+                    ),
+                    F.col("__c").cast("string"),
+                    F.lit(" — ln s² diverges; drop it explicitly"),
+                )
+            )
+        ),
+    )
+    agg = checked.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k_classes"),
+        F.sum("__ss").alias("__ssw"),
+        F.sum(
+            (na - 1.0) * F.log(F.col("__ss") / (na - 1.0))
+        ).alias("__slnv"),
+        F.sum(1.0 / (na - 1.0)).alias("__sinv"),
+    )
+    n = F.col("n").cast("double")
+    k = F.col("k_classes").cast("double")
+    sp2 = F.col("__ssw") / (n - k)
+    num = (n - k) * F.log(sp2) - F.col("__slnv")
+    cc = 1.0 + (F.col("__sinv") - 1.0 / (n - k)) / (3.0 * (k - 1.0))
+    chi2 = F.when(F.col("k_classes") >= 2, num / cc)
+    return agg.select(
+        "n",
+        "k_classes",
+        F.round(chi2, 6).alias("chi2_stat"),
+        (F.col("k_classes") - 1).cast("long").alias("dof"),
+    )

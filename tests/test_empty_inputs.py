@@ -603,3 +603,36 @@ def test_shapley_empty(spark):
     out = shapley_attribution(empty, "j", "ch", "cv")
     assert out.count() == 0
     assert "shapley_value" in out.columns
+
+
+# ------------------------------------------------------- round-10 wave 8
+
+
+def test_pairwise_mean_tests_empty(spark):
+    from reddit_etl_spark.operators.relational import pairwise_mean_tests
+
+    empty = spark.createDataFrame([], "c string, v double")
+    assert pairwise_mean_tests(empty, "v", "c", "tukey").count() == 0
+    assert pairwise_mean_tests(
+        empty, "v", "c", "games_howell"
+    ).count() == 0
+
+
+def test_welch_anova_empty(spark):
+    from reddit_etl_spark.operators.relational import welch_anova
+
+    empty = spark.createDataFrame([], "c string, v double")
+    rows = welch_anova(empty, "v", "c").collect()
+    assert len(rows) <= 1
+    if rows:
+        assert rows[0]["w_stat"] is None
+
+
+def test_bartlett_empty(spark):
+    from reddit_etl_spark.operators.relational import bartlett_test
+
+    empty = spark.createDataFrame([], "c string, v double")
+    rows = bartlett_test(empty, "v", "c").collect()
+    assert len(rows) <= 1
+    if rows:
+        assert rows[0]["chi2_stat"] is None
