@@ -246,6 +246,12 @@ _DEFERRED = [
     "games_howell_values",
     "welch_anova_values",
     "bartlett_values",
+    # round-10 wave-9 entries rolling to the r11 head (same local
+    # three-profile attestation)
+    "delta_ratio_segment",
+    "yuen_purchase_click",
+    "km_summary_segments",
+    "fs_linkage_parts",
     "ab_experiment_readout",
     "anomaly_zscore_daily",
     "asof_split",
@@ -16852,4 +16858,381 @@ def bartlett_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     return bartlett_test(
         ev.select("value", "event_type"), "value", "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-10 wave 9: ratio-metric inference, robust two-sample, survival
+# summaries, probabilistic linkage
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "delta_ratio_segment",
+    """
+    WITH per_c AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(ROUND(SUM(o_totalprice) * 1000000, 0) AS BIGINT)
+               AS x,
+             CAST(ROUND(COUNT(*) * 1000000, 0) AS BIGINT) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY seg, o.o_custkey),
+    ag AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x::HUGEINT) AS sx, SUM(y::HUGEINT) AS sy,
+             SUM(x::HUGEINT * x) AS sxx, SUM(y::HUGEINT * y) AS syy,
+             SUM(x::HUGEINT * y) AS sxy
+      FROM per_c GROUP BY 1),
+    m AS (
+      SELECT seg, n, CAST(n AS DOUBLE) AS nd,
+             CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dx,
+             CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dy,
+             CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dxx,
+             CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dyy,
+             CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dxy,
+             sy <> 0 AND n >= 2 AS ok
+      FROM ag),
+    mm AS (
+      SELECT seg, n, ok, dx / dy AS r, dy / nd AS my,
+             (dxx - dx * dx / nd) / (nd - 1.0) AS vx,
+             (dyy - dy * dy / nd) / (nd - 1.0) AS vy,
+             (dxy - dx * dy / nd) / (nd - 1.0) AS cxy, nd
+      FROM m),
+    st AS (
+      SELECT seg, n, ok, r,
+             SQRT(GREATEST((vx + r * r * vy - 2.0 * r * cxy)
+                           / (nd * my * my), 0.0)) AS se
+      FROM mm)
+    SELECT seg AS c_mktsegment, n,
+           ROUND(CASE WHEN ok THEN r END, 6) AS ratio,
+           ROUND(CASE WHEN ok THEN se END, 6) AS se,
+           ROUND(CASE WHEN ok THEN r - 1.959963984540054 * se END, 6)
+             AS ci_lo,
+           ROUND(CASE WHEN ok THEN r + 1.959963984540054 * se END, 6)
+             AS ci_hi
+    FROM st ORDER BY c_mktsegment
+    """,
+    doc="delta-method CI for revenue-per-order per market segment "
+    "with CUSTOMER-level clustering "
+    "(operators/relational.py:delta_method_ratio) — the variance a "
+    "ratio-of-sums metric actually has: r = Σx/Σy over per-customer "
+    "(revenue, order-count) pairs, Var(r) ≈ (σx² + r²σy² − "
+    "2r·σxy)/(nȳ²) — the covariance term per-unit correlation makes "
+    "mandatory and a naive per-row average silently drops. All five "
+    "sums exact DECIMAL(38,0)/HUGEINT off ONE aggregate; z "
+    "injected (NORMAL_QUANTILES)",
+)
+def delta_ratio_segment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import delta_method_ratio
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    per_c = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum("o_totalprice").alias("x"),
+            F.count("*").cast("double").alias("y"),
+        )
+    )
+    return delta_method_ratio(per_c, ["c_mktsegment"], "x", "y")
+
+
+@_q(
+    "yuen_purchase_click",
+    """
+    WITH base AS (
+      SELECT event_type = 'purchase' AS a,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+    per_v AS (
+      SELECT a, v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2),
+    run AS (
+      SELECT a, v, c,
+             SUM(c) OVER (PARTITION BY a ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(c) OVER (PARTITION BY a) AS n
+      FROM per_v),
+    run2 AS (
+      SELECT *, CAST(FLOOR(n * 0.2) AS BIGINT) AS g FROM run),
+    lo AS (
+      SELECT a, MIN(v) AS lo FROM run2 WHERE cum >= g + 1 GROUP BY 1),
+    hi AS (
+      SELECT a, MIN(v) AS hi FROM run2 WHERE cum >= n - g GROUP BY 1),
+    j AS (
+      SELECT r.*, lo.lo, hi.hi,
+             GREATEST(LEAST(r.v, hi.hi), lo.lo) AS wv
+      FROM run2 r JOIN lo ON r.a = lo.a JOIN hi ON r.a = hi.a),
+    ag AS (
+      SELECT a, MAX(n) AS nn, MAX(g) AS gg,
+             MAX(lo) AS blo, MAX(hi) AS bhi,
+             SUM(c::HUGEINT * wv) AS sw,
+             SUM(c::HUGEINT * (wv::HUGEINT * wv)) AS sww,
+             SUM(CASE WHEN v < lo THEN c::HUGEINT * v END)
+               AS sum_below,
+             SUM(CASE WHEN v < lo THEN c END) AS cnt_below,
+             SUM(CASE WHEN v > hi THEN c::HUGEINT * v END)
+               AS sum_above,
+             SUM(CASE WHEN v > hi THEN c END) AS cnt_above,
+             SUM(c::HUGEINT * v) AS stot
+      FROM j GROUP BY 1),
+    m AS (
+      SELECT a, nn, gg,
+             CAST(nn AS DOUBLE) AS nd, CAST(gg AS DOUBLE) AS gd,
+             CAST(nn AS DOUBLE) - 2.0 * gg AS h,
+             (COALESCE(CAST(CAST(sum_below AS VARCHAR) AS DOUBLE), 0.0)
+              + (gg - COALESCE(cnt_below, 0)) * CAST(blo AS DOUBLE))
+               AS low_g,
+             (COALESCE(CAST(CAST(sum_above AS VARCHAR) AS DOUBLE), 0.0)
+              + (gg - COALESCE(cnt_above, 0)) * CAST(bhi AS DOUBLE))
+               AS high_g,
+             CAST(CAST(stot AS VARCHAR) AS DOUBLE) AS stotd,
+             (CAST(CAST(sww AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(sw AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(sw AS VARCHAR) AS DOUBLE)
+                / CAST(nn AS DOUBLE)) / (CAST(nn AS DOUBLE) - 1.0)
+               AS sw2
+      FROM ag),
+    sides AS (
+      SELECT a, nn, gg, h,
+             (stotd - low_g - high_g) / h AS tm,
+             (nd - 1.0) * sw2 / (h * (h - 1.0)) AS d
+      FROM m),
+    pair AS (
+      SELECT ta.nn AS n_a, tb.nn AS n_b, ta.gg AS g_a, tb.gg AS g_b,
+             ta.tm AS tma, tb.tm AS tmb,
+             ta.d AS da, tb.d AS db, ta.h AS ha, tb.h AS hb
+      FROM (SELECT * FROM sides WHERE a) ta
+      CROSS JOIN (SELECT * FROM sides WHERE NOT a) tb)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(g_a AS BIGINT) AS g_a, CAST(g_b AS BIGINT) AS g_b,
+           ROUND(tma / 100.0, 6) AS trimmed_mean_a,
+           ROUND(tmb / 100.0, 6) AS trimmed_mean_b,
+           ROUND((tma - tmb) / 100.0, 6) AS diff,
+           ROUND(CASE WHEN ha >= 2 AND hb >= 2 AND da + db > 0 THEN
+             (tma - tmb) / SQRT(da + db) END, 6) AS t_stat,
+           ROUND(CASE WHEN ha >= 2 AND hb >= 2 AND da + db > 0 THEN
+             (da + db) * (da + db)
+             / (da * da / (ha - 1.0) + db * db / (hb - 1.0)) END, 6)
+             AS df
+    FROM pair
+    """,
+    doc="Yuen's 20%-trimmed two-sample test, purchase vs click "
+    "values (operators/relational.py:yuen_trimmed_test) — the "
+    "ROBUST Welch t for the heavy tails jarque_bera_values flags: "
+    "trimmed means + winsorized variances, Satterthwaite df. "
+    "Positional trim rides the DISTINCT-value frame (boundary = "
+    "running-count crossing; value-clamping equals positional "
+    "winsorization exactly; boundary tie mass splits BY COUNT — the "
+    "hill/lorenz discipline); all sums DECIMAL(38,0)/HUGEINT",
+)
+def yuen_purchase_click_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import yuen_trimmed_test
+
+    ev = load_events(spark, sf_dir)
+    return yuen_trimmed_test(
+        ev.select("value", "event_type"),
+        "value",
+        "event_type",
+        "purchase",
+        "click",
+        trim=0.2,
+    )
+
+
+@_q(
+    "km_summary_segments",
+    """
+    WITH span AS (
+      SELECT o_custkey, MIN(o_orderdate) AS f, MAX(o_orderdate) AS l
+      FROM orders GROUP BY 1),
+    g AS (SELECT MAX(o_orderdate) AS m FROM orders),
+    subj AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(CAST(span.l AS DATE) - CAST(span.f AS DATE)
+                  AS BIGINT) AS t,
+             (CAST(g.m AS DATE) - CAST(span.l AS DATE)) > 90 AS obs
+      FROM span JOIN customer c ON c.c_custkey = span.o_custkey
+      CROSS JOIN g),
+    counts AS (
+      SELECT seg, t,
+             SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS d,
+             SUM(CASE WHEN obs THEN 0 ELSE 1 END) AS cc
+      FROM subj GROUP BY 1, 2),
+    c2 AS (
+      SELECT seg, t, d, cc,
+             SUM(d + cc) OVER (PARTITION BY seg)
+               - COALESCE(SUM(d + cc) OVER (PARTITION BY seg ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS n
+      FROM counts),
+    c3 AS (SELECT *, 1 - CAST(d AS DOUBLE) / n AS f FROM c2),
+    c4 AS (
+      SELECT *,
+             SUM(CASE WHEN f <= 0 THEN 1 ELSE 0 END) OVER w AS zeros,
+             SUM(CASE WHEN f > 0 THEN ln(f) END) OVER w AS slnf
+      FROM c3
+      WINDOW w AS (PARTITION BY seg ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    curve AS (
+      SELECT seg, t, d, cc,
+             CASE WHEN zeros > 0 THEN 0.0
+                  ELSE ROUND(EXP(slnf), 6) END AS survival
+      FROM c4),
+    seg2 AS (
+      SELECT seg, t, d, d + cc AS subj, survival,
+             LEAD(t) OVER (PARTITION BY seg ORDER BY t) AS tnext,
+             FIRST_VALUE(t) OVER (PARTITION BY seg ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS tfirst,
+             MAX(t) OVER (PARTITION BY seg) AS tmax
+      FROM curve),
+    ag AS (
+      SELECT seg,
+             CAST(SUM(subj) AS BIGINT) AS n_subjects,
+             CAST(SUM(d) AS BIGINT) AS n_events,
+             MIN(CASE WHEN survival <= 0.5 THEN t END) AS median_t,
+             SUM(CAST(survival AS DECIMAL(18,6))
+                 * CAST(tnext - t AS DECIMAL(18,0))) AS area,
+             MAX(tfirst) AS t0,
+             CAST(MAX(tmax) AS BIGINT) AS horizon_t
+      FROM seg2 GROUP BY 1)
+    SELECT seg AS c_mktsegment, n_subjects, n_events,
+           CAST(median_t AS BIGINT) AS median_t,
+           ROUND(COALESCE(CAST(CAST(area AS VARCHAR) AS DOUBLE), 0.0)
+                 + CAST(t0 AS DOUBLE), 6) AS rmst,
+           horizon_t
+    FROM ag ORDER BY c_mktsegment
+    """,
+    doc="median survival + restricted mean survival time per market "
+    "segment off the Kaplan-Meier curve "
+    "(operators/relational.py:km_summary) — the two SCALARS a "
+    "lifetime readout reports where km_survival_segments gives the "
+    "curve: median = first t with S(t) <= 0.5 (NULL when most "
+    "survive the horizon — a fact, not imputed), RMST = area under "
+    "the step curve to the last observed time (the horizon-honest "
+    "expected lifetime). Rides the round-6 curve verbatim; "
+    "rectangles = round-6 S x integer days in exact DECIMAL(28,6)",
+)
+def km_summary_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import km_summary
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    span = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("f"), F.max("o_orderdate").alias("l")
+    )
+    gmax = orders.agg(F.max("o_orderdate").alias("m"))
+    subj = (
+        span.join(customer, span.o_custkey == customer.c_custkey)
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.datediff(F.col("l"), F.col("f")).cast("long").alias("t"),
+            (F.datediff(F.col("m"), F.col("l")) > 90).alias("obs"),
+        )
+    )
+    return km_summary(subj, ["seg"], "t", "obs").withColumnRenamed(
+        "seg", "c_mktsegment"
+    )
+
+
+@_q(
+    "fs_linkage_parts",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_brand, p_type, p_size,
+             CAST(FLOOR(p_retailprice / 10) AS BIGINT) AS pb,
+             string_split(p_type, ' ')[1] AS tw
+      FROM part),
+    pairs AS (
+      SELECT a.p_type = b.p_type AS is_match,
+             a.p_size = b.p_size AS agree_size,
+             a.pb = b.pb AS agree_price10,
+             a.tw = b.tw AS agree_typeword
+      FROM p a JOIN p b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey),
+    wide AS (
+      SELECT CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+               AS nm,
+             CAST(SUM(CASE WHEN is_match THEN 0 ELSE 1 END) AS BIGINT)
+               AS nu,
+             CAST(SUM(CASE WHEN is_match AND agree_size THEN 1
+                      ELSE 0 END) AS BIGINT) AS am_size,
+             CAST(SUM(CASE WHEN NOT is_match AND agree_size THEN 1
+                      ELSE 0 END) AS BIGINT) AS au_size,
+             CAST(SUM(CASE WHEN is_match AND agree_price10 THEN 1
+                      ELSE 0 END) AS BIGINT) AS am_pb,
+             CAST(SUM(CASE WHEN NOT is_match AND agree_price10 THEN 1
+                      ELSE 0 END) AS BIGINT) AS au_pb,
+             CAST(SUM(CASE WHEN is_match AND agree_typeword THEN 1
+                      ELSE 0 END) AS BIGINT) AS am_tw,
+             CAST(SUM(CASE WHEN NOT is_match AND agree_typeword THEN 1
+                      ELSE 0 END) AS BIGINT) AS au_tw
+      FROM pairs),
+    melted AS (
+      SELECT 'agree_price10' AS field, nm, nu, am_pb AS am,
+             au_pb AS au FROM wide
+      UNION ALL
+      SELECT 'agree_size', nm, nu, am_size, au_size FROM wide
+      UNION ALL
+      SELECT 'agree_typeword', nm, nu, am_tw, au_tw FROM wide),
+    m AS (
+      SELECT field, nm, nu, am, au,
+             CAST(am AS DOUBLE) / nm AS mr,
+             CAST(au AS DOUBLE) / nu AS ur
+      FROM melted)
+    SELECT field, nm AS n_match, nu AS n_unmatch,
+           am AS agree_match, au AS agree_unmatch,
+           ROUND(CASE WHEN nm > 0 AND nu > 0 THEN mr END, 6) AS m,
+           ROUND(CASE WHEN nm > 0 AND nu > 0 THEN ur END, 6) AS u,
+           ROUND(CASE WHEN am > 0 AND au > 0 THEN
+             (LN(mr) - LN(ur)) / 0.6931471805599453 END, 6)
+             AS w_agree,
+           ROUND(CASE WHEN nm > am AND nu > au THEN
+             (LN(1.0 - mr) - LN(1.0 - ur)) / 0.6931471805599453
+             END, 6) AS w_disagree
+    FROM m ORDER BY field
+    """,
+    doc="Fellegi-Sunter linkage weights over brand-blocked part "
+    "pairs, truth = same p_type, fields = size / price-decade / "
+    "first type-word agreement "
+    "(operators/dedup.py:fellegi_sunter_weights; Fellegi-Sunter "
+    "1969) — the probabilistic-linkage rung above the module's "
+    "threshold rules: per field m = P(agree|match), u = "
+    "P(agree|non-match), log2 agreement/disagreement weights. The "
+    "readout DEMONSTRATES field selection: the type-word field "
+    "carries m = 1 and a strong positive weight while size/price "
+    "agree at their random rates (m ≈ u, weights ≈ 0) — exactly "
+    "what F-S is for. Blocked pair frame (the module discipline) + "
+    "ONE conditional aggregate + a |fields|-row melt",
+)
+def fs_linkage_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import fellegi_sunter_weights
+
+    part = load(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        "p_size",
+        F.floor(F.col("p_retailprice") / 10).cast("long").alias("pb"),
+        F.split(F.col("p_type"), " ")[0].alias("tw"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        (F.col("a.p_type") == F.col("b.p_type")).alias("is_match"),
+        (F.col("a.p_size") == F.col("b.p_size")).alias("agree_size"),
+        (F.col("a.pb") == F.col("b.pb")).alias("agree_price10"),
+        (F.col("a.tw") == F.col("b.tw")).alias("agree_typeword"),
+    )
+    return fellegi_sunter_weights(
+        pairs, "is_match", ["agree_price10", "agree_size", "agree_typeword"]
     )

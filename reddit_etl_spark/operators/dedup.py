@@ -1367,3 +1367,94 @@ def segment_dedup(
             .alias("n_removed"),
         )
     )
+
+
+def fellegi_sunter_weights(
+    pairs: DataFrame,
+    match_col: str,
+    agreement_cols: list[str],
+) -> DataFrame:
+    """Fellegi-Sunter record-linkage field weights from labeled
+    candidate pairs — the probabilistic-linkage rung above this
+    module's threshold rules (jw_blocked_pairs scores ONE string;
+    F-S says how much each FIELD's agreement should move the match
+    log-odds): per field k, m_k = P(agree | match), u_k = P(agree |
+    non-match), agreement weight w⁺ = log2(m/u), disagreement
+    weight w⁻ = log2((1−m)/(1−u)). A pair's total score is the sum
+    of its fields' weights — the classic Fellegi-Sunter (1969)
+    decision rule; u_k near the field's random-agreement rate is
+    the sanity check ("a field that agrees by chance carries no
+    weight").
+
+    Exactness: all four cells per field are exact integers off ONE
+    conditional aggregate over the pair frame; m, u and the log2
+    weights are single double expressions. Zero cells (a field that
+    never agrees/disagrees in a class) yield NULL weights rather
+    than ±inf.
+
+    Plan at scale: the caller supplies BLOCKED candidate pairs (the
+    module's blocking discipline keeps the pair frame subquadratic);
+    this operator is ONE map-side-combined aggregate over it plus a
+    |fields|-row melt — nothing pair-frame-sized is shuffled twice.
+
+    Returns one row per field: (field, n_match BIGINT, n_unmatch
+    BIGINT, agree_match BIGINT, agree_unmatch BIGINT, m, u,
+    w_agree, w_disagree).
+    """
+    mt = F.col(match_col).cast("boolean")
+    base = pairs.filter(mt.isNotNull())
+    aggs = [
+        F.sum(mt.cast("long")).cast("long").alias("__nm"),
+        F.sum((~mt).cast("long")).cast("long").alias("__nu"),
+    ]
+    for c in agreement_cols:
+        a = F.col(c).cast("boolean")
+        aggs.append(
+            F.sum((mt & a).cast("long")).cast("long").alias(f"__am_{c}")
+        )
+        aggs.append(
+            F.sum(((~mt) & a).cast("long")).cast("long").alias(f"__au_{c}")
+        )
+    wide = base.agg(*aggs)
+    melted = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("field"),
+                        F.col("__nm").alias("n_match"),
+                        F.col("__nu").alias("n_unmatch"),
+                        F.col(f"__am_{c}").alias("agree_match"),
+                        F.col(f"__au_{c}").alias("agree_unmatch"),
+                    )
+                    for c in agreement_cols
+                ]
+            )
+        ).alias("__s")
+    ).select("__s.*")
+    nm = F.col("n_match").cast("double")
+    nu = F.col("n_unmatch").cast("double")
+    m = F.col("agree_match").cast("double") / nm
+    u = F.col("agree_unmatch").cast("double") / nu
+    ln2 = F.lit(0.6931471805599453)
+    w_a = F.when(
+        (F.col("agree_match") > 0) & (F.col("agree_unmatch") > 0),
+        (F.log(m) - F.log(u)) / ln2,
+    )
+    w_d = F.when(
+        (F.col("n_match") > F.col("agree_match"))
+        & (F.col("n_unmatch") > F.col("agree_unmatch")),
+        (F.log(1.0 - m) - F.log(1.0 - u)) / ln2,
+    )
+    ok = (F.col("n_match") > 0) & (F.col("n_unmatch") > 0)
+    return melted.select(
+        "field",
+        "n_match",
+        "n_unmatch",
+        "agree_match",
+        "agree_unmatch",
+        F.round(F.when(ok, m), 6).alias("m"),
+        F.round(F.when(ok, u), 6).alias("u"),
+        F.round(F.when(ok, w_a), 6).alias("w_agree"),
+        F.round(F.when(ok, w_d), 6).alias("w_disagree"),
+    ).orderBy("field")

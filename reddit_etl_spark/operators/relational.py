@@ -5228,3 +5228,316 @@ def bartlett_test(
         F.round(chi2, 6).alias("chi2_stat"),
         (F.col("k_classes") - 1).cast("long").alias("dof"),
     )
+
+
+def delta_method_ratio(
+    df: DataFrame,
+    group_cols: list[str],
+    num_col: str,
+    den_col: str,
+    z: float = 1.959963984540054,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Delta-method confidence interval for a RATIO-of-sums metric
+    per group (CTR, revenue-per-session, cost-per-click) — the
+    variance answer bootstrap_ci gets by resampling and naive
+    per-row averaging gets WRONG (a ratio of sums is not a mean of
+    ratios): r = Σx/Σy, Var(r) ≈ (σ²_x + r²σ²_y − 2r·σ_xy)/(n·ȳ²),
+    the first-order Taylor expansion with the covariance term that
+    per-unit correlation makes mandatory. z is an injected literal
+    (NORMAL_QUANTILES discipline).
+
+    Exactness: per-unit (x, y) quantize to ``1/scale`` units; all
+    five sums (Σx, Σy, Σx², Σy², Σxy) ride DECIMAL(38,0) off ONE
+    aggregate, so r, the variance and the CI are identical double
+    expressions of exact integers (the unit cancels in r; se scales
+    out). Groups with Σy = 0 or n < 2 return NULL everything but
+    counts.
+
+    Plan at scale: ONE map-side-combined aggregate — no window, no
+    join, no resampling.
+
+    Returns (group_cols..., n BIGINT, ratio, se, ci_lo, ci_hi).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(
+        F.col(num_col).isNotNull() & F.col(den_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.round(F.col(num_col) * scale, 0).cast("long").alias("__x"),
+        F.round(F.col(den_col) * scale, 0).cast("long").alias("__y"),
+    )
+    x, y = dec(F.col("__x")), dec(F.col("__y"))
+    agg = base.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast("decimal(38,0)").alias("__sx"),
+        F.sum(y).cast("decimal(38,0)").alias("__sy"),
+        F.sum((x * x).cast("decimal(38,0)")).cast("decimal(38,0)").alias("__sxx"),
+        F.sum((y * y).cast("decimal(38,0)")).cast("decimal(38,0)").alias("__syy"),
+        F.sum((x * y).cast("decimal(38,0)")).cast("decimal(38,0)").alias("__sxy"),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    n = F.col("n").cast("double")
+    sx, sy = dbl("__sx"), dbl("__sy")
+    mx, my = sx / n, sy / n
+    vx = (dbl("__sxx") - sx * sx / n) / (n - 1.0)
+    vy = (dbl("__syy") - sy * sy / n) / (n - 1.0)
+    cxy = (dbl("__sxy") - sx * sy / n) / (n - 1.0)
+    r = sx / sy
+    ok = (F.col("n") >= 2) & (F.col("__sy") != 0)
+    var_r = (vx + r * r * vy - 2.0 * r * cxy) / (n * my * my)
+    se = F.sqrt(F.greatest(var_r, F.lit(0.0)))
+    zl = F.lit(float(z))
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round(F.when(ok, r), 6).alias("ratio"),
+        F.round(F.when(ok, se), 6).alias("se"),
+        F.round(F.when(ok, r - zl * se), 6).alias("ci_lo"),
+        F.round(F.when(ok, r + zl * se), 6).alias("ci_hi"),
+    ).orderBy(*group_cols)
+
+
+def yuen_trimmed_test(
+    df: DataFrame,
+    value_col: str,
+    class_col: str,
+    class_a,
+    class_b,
+    trim: float = 0.2,
+    scale: int = 100,
+) -> DataFrame:
+    """Yuen's two-sample trimmed-mean test — the ROBUST version of
+    the Welch t (games_howell's engine) for heavy-tailed metrics
+    (jarque_bera flags them): trim g = ⌊trim·n⌋ observations from
+    EACH end, compare trimmed means with the winsorized variance,
+    t = (x̄_t1 − x̄_t2)/√(d₁+d₂), dᵢ = (nᵢ−1)·s²_wᵢ/(hᵢ(hᵢ−1)),
+    hᵢ = nᵢ−2gᵢ, Satterthwaite df.
+
+    Exactness: values quantize to ``1/scale``; the positional trim
+    rides the DISTINCT-value frame — boundary values are exact
+    running-count crossings (lo = value at position g+1, hi at
+    n−g), and because positions AT a boundary value already hold
+    it, value-clamping equals positional winsorization exactly; tie
+    mass at the boundaries splits BY COUNT for the trimmed sum
+    (lowest-g sum = Σ_{{v<lo}} + (g − count_below)·lo — the
+    hill/lorenz discipline). All sums DECIMAL(38,0); t and df are
+    identical doubles of exact integers. Degenerate sides (h < 2 or
+    zero winsorized variance) return NULL t.
+
+    Plan at scale: one (class, value) aggregate, ONE prefix window
+    per class over distinct values, two broadcast boundary rows per
+    class, one moment reduce — the fact is scanned once.
+
+    Returns one row: (n_a BIGINT, n_b BIGINT, g_a BIGINT, g_b
+    BIGINT, trimmed_mean_a, trimmed_mean_b, diff, t_stat, df).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(class_col).isin([class_a, class_b])
+    ).select(
+        (F.col(class_col) == class_a).alias("__a"),
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+    )
+    per_v = base.groupBy("__a", "__v").agg(F.count("*").alias("__c"))
+    wcum = (
+        Window.partitionBy("__a")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("__a")
+    run = per_v.select(
+        "__a",
+        "__v",
+        "__c",
+        F.sum("__c").over(wcum).alias("__cum"),
+        F.sum("__c").over(wall).alias("__n"),
+    )
+    g = F.floor(F.col("__n") * F.lit(float(trim))).cast("long")
+    run = run.withColumn("__g", g)
+    lo = (
+        run.filter(F.col("__cum") >= F.col("__g") + 1)
+        .groupBy("__a")
+        .agg(F.min("__v").alias("__lo"))
+    )
+    hi = (
+        run.filter(F.col("__cum") >= F.col("__n") - F.col("__g"))
+        .groupBy("__a")
+        .agg(F.min("__v").alias("__hi"))
+    )
+    j = run.join(F.broadcast(lo), "__a").join(F.broadcast(hi), "__a")
+    wv = F.greatest(F.least(F.col("__v"), F.col("__hi")), F.col("__lo"))
+    agg = j.groupBy("__a").agg(
+        F.max("__n").cast("long").alias("__nn"),
+        F.max("__g").cast("long").alias("__gg"),
+        F.max("__lo").alias("__blo"),
+        F.max("__hi").alias("__bhi"),
+        F.sum(dec(F.col("__c")) * dec(wv))
+        .cast("decimal(38,0)")
+        .alias("__sw"),
+        F.sum(
+            dec(F.col("__c")) * (dec(wv) * dec(wv)).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("__sww"),
+        F.sum(F.when(F.col("__v") < F.col("__lo"), dec(F.col("__c")) * dec(F.col("__v"))))
+        .cast("decimal(38,0)")
+        .alias("__sum_below"),
+        F.sum(
+            F.when(F.col("__v") < F.col("__lo"), F.col("__c"))
+        ).cast("long").alias("__cnt_below"),
+        F.sum(F.when(F.col("__v") > F.col("__hi"), dec(F.col("__c")) * dec(F.col("__v"))))
+        .cast("decimal(38,0)")
+        .alias("__sum_above"),
+        F.sum(
+            F.when(F.col("__v") > F.col("__hi"), F.col("__c"))
+        ).cast("long").alias("__cnt_above"),
+        F.sum(dec(F.col("__c")) * dec(F.col("__v")))
+        .cast("decimal(38,0)")
+        .alias("__stot"),
+    )
+
+    def dbl(c):
+        return c.cast("string").cast("double")
+
+    nn = F.col("__nn").cast("double")
+    gg = F.col("__gg").cast("double")
+    h = nn - 2.0 * gg
+    low_g_sum = (
+        F.coalesce(dbl(F.col("__sum_below")), F.lit(0.0))
+        + (gg - F.coalesce(F.col("__cnt_below"), F.lit(0)).cast("double"))
+        * F.col("__blo").cast("double")
+    )
+    high_g_sum = (
+        F.coalesce(dbl(F.col("__sum_above")), F.lit(0.0))
+        + (gg - F.coalesce(F.col("__cnt_above"), F.lit(0)).cast("double"))
+        * F.col("__bhi").cast("double")
+    )
+    tmean = (dbl(F.col("__stot")) - low_g_sum - high_g_sum) / h
+    sw2 = (
+        dbl(F.col("__sww"))
+        - dbl(F.col("__sw")) * dbl(F.col("__sw")) / nn
+    ) / (nn - 1.0)
+    d = (nn - 1.0) * sw2 / (h * (h - 1.0))
+    sides = agg.select(
+        "__a",
+        F.col("__nn"),
+        F.col("__gg"),
+        tmean.alias("__tm"),
+        d.alias("__d"),
+        h.alias("__h"),
+    )
+    a = sides.filter(F.col("__a")).select(
+        F.col("__nn").alias("n_a"),
+        F.col("__gg").alias("g_a"),
+        F.col("__tm").alias("__tma"),
+        F.col("__d").alias("__da"),
+        F.col("__h").alias("__ha"),
+    )
+    b = sides.filter(~F.col("__a")).select(
+        F.col("__nn").alias("n_b"),
+        F.col("__gg").alias("g_b"),
+        F.col("__tm").alias("__tmb"),
+        F.col("__d").alias("__db"),
+        F.col("__h").alias("__hb"),
+    )
+    out = a.crossJoin(F.broadcast(b))
+    sc = F.lit(float(scale))
+    dd = F.col("__da") + F.col("__db")
+    ok = (
+        (F.col("__ha") >= 2.0) & (F.col("__hb") >= 2.0) & (dd > 0)
+    )
+    t = (F.col("__tma") - F.col("__tmb")) / F.sqrt(dd)
+    dfree = dd * dd / (
+        F.col("__da") * F.col("__da") / (F.col("__ha") - 1.0)
+        + F.col("__db") * F.col("__db") / (F.col("__hb") - 1.0)
+    )
+    return out.select(
+        "n_a",
+        "n_b",
+        "g_a",
+        "g_b",
+        F.round(F.col("__tma") / sc, 6).alias("trimmed_mean_a"),
+        F.round(F.col("__tmb") / sc, 6).alias("trimmed_mean_b"),
+        F.round((F.col("__tma") - F.col("__tmb")) / sc, 6).alias("diff"),
+        F.round(F.when(ok, t), 6).alias("t_stat"),
+        F.round(F.when(ok, dfree), 6).alias("df"),
+    )
+
+
+def km_summary(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    duration_col: str,
+    observed_col: str,
+) -> DataFrame:
+    """Median survival time + restricted mean survival time per group
+    off the Kaplan-Meier curve — the two SCALARS a lifetime readout
+    actually reports where km_survival gives the whole curve: median
+    = the first time S(t) drops to ≤ 0.5 (NULL when the curve never
+    does — more than half survive the horizon, a fact worth seeing,
+    not imputing), and RMST = the area under the step curve up to
+    the group's last observed time ("expected lifetime within the
+    window", the standard horizon-honest summary when the median is
+    undefined).
+
+    Exactness: rides km_survival's round-6 survival values verbatim
+    (the curve is the pinned contract), so the median crossing is a
+    comparison of round-6 doubles and the RMST rectangles are
+    round-6·integer-duration products accumulated in DECIMAL(28,6)
+    — exact given the curve. S before the first event time is 1 (the
+    leading rectangle).
+
+    Plan at scale: km_survival's reduced-frame windows + one lead
+    window and one reduce over the same distinct-duration frame.
+
+    Returns (group..., n_subjects BIGINT, n_events BIGINT,
+    median_t, rmst, horizon_t — the last observed duration the RMST
+    integrates to).
+    """
+    keys = list(group_cols)
+    curve = km_survival(df, keys, duration_col, observed_col)
+    wlead = Window.partitionBy(*keys).orderBy("t")
+    wall = Window.partitionBy(*keys)
+    seg = curve.select(
+        *keys,
+        "t",
+        "n_events",
+        (F.col("n_events") + F.col("n_censored")).alias("__subj"),
+        "survival",
+        F.lead("t").over(wlead).alias("__tnext"),
+        F.first("t").over(wlead).alias("__tfirst"),
+        F.max("t").over(wall).alias("__tmax"),
+    )
+    # rectangles: S(t_i)·(t_{i+1}−t_i) for interior rows; the leading
+    # 1·(t_first − 0) rectangle is added at the reduce
+    rect = (
+        F.col("survival").cast("decimal(18,6)")
+        * (F.col("__tnext") - F.col("t")).cast("decimal(18,0)")
+    ).cast("decimal(28,6)")
+    agg = seg.groupBy(*keys).agg(
+        F.sum("__subj").cast("long").alias("n_subjects"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.min(
+            F.when(F.col("survival") <= 0.5, F.col("t"))
+        ).alias("median_t"),
+        F.sum(rect).cast("decimal(28,6)").alias("__area"),
+        F.max("__tfirst").alias("__t0"),
+        F.max("__tmax").cast("long").alias("horizon_t"),
+    )
+    rmst = (
+        F.coalesce(F.col("__area").cast("string").cast("double"), F.lit(0.0))
+        + F.col("__t0").cast("double")
+    )
+    return agg.select(
+        *keys,
+        "n_subjects",
+        "n_events",
+        "median_t",
+        F.round(rmst, 6).alias("rmst"),
+        "horizon_t",
+    ).orderBy(*keys)

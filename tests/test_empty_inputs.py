@@ -636,3 +636,37 @@ def test_bartlett_empty(spark):
     assert len(rows) <= 1
     if rows:
         assert rows[0]["chi2_stat"] is None
+
+
+# ------------------------------------------------------- round-10 wave 9
+
+
+def test_delta_ratio_empty(spark):
+    from reddit_etl_spark.operators.relational import delta_method_ratio
+
+    empty = spark.createDataFrame([], "g string, x double, y double")
+    assert delta_method_ratio(empty, ["g"], "x", "y").count() == 0
+
+
+def test_yuen_empty(spark):
+    from reddit_etl_spark.operators.relational import yuen_trimmed_test
+
+    empty = spark.createDataFrame([], "v double, c string")
+    assert yuen_trimmed_test(empty, "v", "c", "a", "b").count() == 0
+
+
+def test_km_summary_empty(spark):
+    from reddit_etl_spark.operators.relational import km_summary
+
+    empty = spark.createDataFrame([], "g string, t long, obs boolean")
+    assert km_summary(empty, ["g"], "t", "obs").count() == 0
+
+
+def test_fs_weights_empty(spark):
+    from reddit_etl_spark.operators.dedup import fellegi_sunter_weights
+
+    empty = spark.createDataFrame([], "is_match boolean, f boolean")
+    rows = fellegi_sunter_weights(empty, "is_match", ["f"]).collect()
+    # the melt always emits one row per field; all stats NULL-guarded
+    assert len(rows) == 1
+    assert rows[0]["m"] is None and rows[0]["w_agree"] is None
