@@ -14547,7 +14547,7 @@ def page_hinkley_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (
       SELECT c_nationkey AS g,
              CAST(ROUND(r * 100, 0) AS BIGINT) AS v
-      FROM rev),
+      FROM rev WHERE r IS NOT NULL),
     ag AS (
       SELECT g,
              CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -16257,7 +16257,7 @@ def gopher_quality_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (
       SELECT source,
              CAST(ROUND(n_chars * 1000000, 0) AS BIGINT) AS v
-      FROM documents),
+      FROM documents WHERE n_chars IS NOT NULL),
     ag AS (
       SELECT source,
              CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT)

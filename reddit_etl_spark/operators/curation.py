@@ -1253,7 +1253,9 @@ def effective_sample_size(
     double expression of exact integers (the quantization unit
     cancels in both ESS and the ratio). Non-positive weights are
     excluded and counted in n_dropped (a zero weight carries no
-    information; a negative one is a caller bug worth seeing).
+    information; a negative one is a caller bug worth seeing); NULL
+    weights are filtered out BEFORE counting (the isNotNull
+    discipline — n_dropped reports one cause, advisor r10).
 
     Plan at scale: ONE map-side-combined aggregate — no window, no
     join.
@@ -1263,7 +1265,10 @@ def effective_sample_size(
     fraction of the total, the 'one row dominates' tell).
     """
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    base = df.select(
+    # NULL weights are excluded BEFORE counting (the package-wide
+    # isNotNull discipline — advisor r10: n_dropped reports excluded
+    # NON-POSITIVE weights only, not a conflation of two causes)
+    base = df.filter(F.col(weight_col).isNotNull()).select(
         *group_cols,
         F.round(F.col(weight_col) * scale, 0).cast("long").alias("__w"),
     )
@@ -1271,9 +1276,7 @@ def effective_sample_size(
     v = dec(F.col("__w"))
     agg = base.groupBy(*group_cols).agg(
         F.sum(pos.cast("long")).cast("long").alias("n"),
-        F.sum((~F.coalesce(pos, F.lit(False))).cast("long"))
-        .cast("long")
-        .alias("n_dropped"),
+        F.sum((~pos).cast("long")).cast("long").alias("n_dropped"),
         F.sum(F.when(pos, v)).cast("decimal(38,0)").alias("__s1"),
         F.sum(F.when(pos, (v * v).cast("decimal(38,0)")))
         .cast("decimal(38,0)")

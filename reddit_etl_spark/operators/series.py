@@ -2590,7 +2590,11 @@ def imr_control_chart(
     aggregate on the lagged frame — still rollup-sized).
 
     Returns (group_cols..., n BIGINT, center, mr_mean, lcl, ucl,
-    mr_ucl, n_breaches BIGINT, first_breach_at).
+    mr_ucl, n_breaches BIGINT, first_breach_at). Degenerate groups
+    (n < 2: no moving range exists) report NULL mr_mean/limits with
+    n_breaches = 0 — explicitly 0, not NULL (advisor r10), so
+    downstream breach counters never misread a single-point series
+    as unknown.
     """
     base = df.filter(
         F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
@@ -2630,7 +2634,13 @@ def imr_control_chart(
         F.round(F.max(F.lit(3.267) * F.col("__mrbar")), 6).alias(
             "mr_ucl"
         ),
-        F.sum(breach.cast("long")).cast("long").alias("n_breaches"),
+        # single-point groups have no moving range: __mrbar is NULL,
+        # so breach is NULL everywhere — report 0 breaches, not NULL
+        # (advisor r10; the limit columns stay NULL, the documented
+        # n >= 2 degenerate contract)
+        F.coalesce(F.sum(breach.cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_breaches"),
         F.min(F.when(breach, F.col("__o"))).alias("first_breach_at"),
     )
     return out.orderBy(*group_cols)

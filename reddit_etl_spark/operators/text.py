@@ -1856,11 +1856,47 @@ def vocab_coverage(
     )
 
 
+def _pair_source_guard(frame, totals, max_sources, op):
+    """Plan-embedded fail-fast for the irreducibly-C(m,2) source-pair
+    operators (vocab_overlap / vocab_capture_recapture — advisor
+    r10): the distinct-source count (one row off ``totals``) rides a
+    broadcast crossJoin into ``frame``, and a filter whose FALSE
+    branch is raise_error fires map-side while projecting the pair
+    join's shuffle input — the join cannot execute unguarded. Wrap
+    EVERY input of every quadratic join (both the token/gram inverted
+    index and the m-row totals frame) so no concurrently-scheduled
+    stage can emit pair rows before the raise surfaces. Construction
+    stays job-free (the lazy-build rule)."""
+    m_cnt = totals.agg(F.count("*").alias("__m_src"))
+    return (
+        frame.crossJoin(F.broadcast(m_cnt))
+        .filter(
+            F.when(
+                F.col("__m_src") <= F.lit(max_sources), F.lit(True)
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"{op}: "),
+                        F.col("__m_src").cast("string"),
+                        F.lit(
+                            " distinct sources exceeds max_sources "
+                            f"({max_sources}); the pairwise contract is "
+                            "irreducibly C(m, 2) — aggregate the "
+                            "grouping column or sketch per source"
+                        ),
+                    )
+                )
+            )
+        )
+        .drop("__m_src")
+    )
+
+
 def vocab_overlap(
     df: DataFrame,
     group_col: str,
     text_col: str,
-    max_sources: int | None = None,
+    max_sources: int | None = 100,
 ) -> DataFrame:
     """Pairwise vocabulary overlap between sources — the SET-level
     companion to jsd_source_divergence's distributional distance: JSD
@@ -1886,17 +1922,18 @@ def vocab_overlap(
 
     ``max_sources`` is therefore the operator-owned FAIL-FAST guard
     (the theil_sen.max_group_rows convention for irreducibly-
-    quadratic contracts): when set, ONE distinct-count of the group
-    column runs BEFORE the pair join's job is submitted, and m above
-    the cap raises naming the cardinality — driver-side rather than a
-    plan-riding raise_error, because Spark may schedule the self-join
-    stages concurrently with a guard column's stage, letting the
-    explosion finish before an in-plan raise surfaces. Default None
-    preserves the low-cardinality-dimension contract the oracle pins
-    (sources are a curated mixture axis, ~tens). Past the cap, the
-    scalable estimate of the same geometry is per-source MinHash
-    (m sketches, C(m,2)·sketch_size work, no V factor) via the dedup
-    family.
+    quadratic contracts), default ON at 100 (advisor r10: a guard
+    that is part of the contract must not default off; C(100,2) ≈ 5k
+    output pairs is the comfortable ceiling — pass a larger cap, or
+    ``None``, explicitly). PLAN-EMBEDDED, not an eager driver count:
+    the distinct-source count rides a broadcast 1-row aggregate
+    wrapped around EVERY quadratic join input (both the inverted
+    index and the m-row totals frame), so the raise fires map-side
+    while projecting each join's shuffle input and no concurrently
+    scheduled stage can emit pair rows unguarded — and construction
+    stays job-free (the lazy-build rule). Past the cap, the scalable
+    estimate of the same geometry is per-source MinHash (m sketches,
+    C(m,2)·sketch_size work, no V factor) via the dedup family.
 
     Returns (source_a, source_b, vocab_a BIGINT, vocab_b BIGINT,
     shared BIGINT, jaccard, containment_a, containment_b).
@@ -1909,18 +1946,16 @@ def vocab_overlap(
         .filter(F.length("__tok") > 0)
         .distinct()
     )
-    if max_sources is not None:
-        m = df.select(group_col).distinct().count()
-        if m > max_sources:
-            raise ValueError(
-                f"vocab_overlap: {m} distinct sources exceeds "
-                f"max_sources ({max_sources}); the pairwise-overlap "
-                "contract is irreducibly C(m, 2) — aggregate the "
-                "grouping column or use MinHash sketches per source"
-            )
     totals = vocab.groupBy("__g").agg(
         F.count("*").cast("long").alias("__v")
     )
+    if max_sources is not None:
+        vocab = _pair_source_guard(
+            vocab, totals, max_sources, "vocab_overlap"
+        )
+        totals = _pair_source_guard(
+            totals, totals, max_sources, "vocab_overlap"
+        )
     a = vocab.select(F.col("__g").alias("source_a"), "__tok")
     b = vocab.select(F.col("__g").alias("source_b"), "__tok")
     shared = (
@@ -2018,7 +2053,7 @@ def vocab_capture_recapture(
     group_col: str,
     text_col: str,
     ngram: int = 2,
-    max_sources: int | None = None,
+    max_sources: int | None = 100,
 ) -> DataFrame:
     """Chapman capture-recapture estimate of the TOTAL n-gram
     vocabulary from each source pair's overlap — the "how much more
@@ -2046,8 +2081,14 @@ def vocab_capture_recapture(
     Plan at scale: vocab_overlap's inverted-index shape verbatim —
     one DISTINCT aggregate, one gram self-join with C(m,2)·V_shared
     work, every unordered pair seated from the totals frame — plus
-    closed-form columns; ``max_sources`` is the same driver-side
-    fail-fast guard for the irreducibly-quadratic pair contract.
+    closed-form columns; ``max_sources`` is a PLAN-EMBEDDED
+    fail-fast guard for the irreducibly-quadratic pair contract,
+    default ON at 100 (advisor r10: the guard is part of the
+    contract, so it must not default off — C(100,2) ≈ 5k pairs is
+    the comfortable ceiling; pass a larger cap, or ``None`` to
+    disable, explicitly). The distinct-source count rides a
+    broadcast 1-row aggregate with a raise_error filter, so
+    construction stays job-free (the lazy-build rule).
 
     Returns (source_a, source_b, vocab_a BIGINT, vocab_b BIGINT,
     shared BIGINT, union_observed BIGINT, chapman_total, unseen,
@@ -2074,18 +2115,26 @@ def vocab_capture_recapture(
         .filter(F.length("__gram") > 0)
         .distinct()
     )
-    if max_sources is not None:
-        m_src = df.select(group_col).distinct().count()
-        if m_src > max_sources:
-            raise ValueError(
-                f"vocab_capture_recapture: {m_src} distinct sources "
-                f"exceeds max_sources ({max_sources}); the pairwise "
-                "contract is irreducibly C(m, 2) — aggregate the "
-                "grouping column or sketch per source"
-            )
     totals = vocab.groupBy("__g").agg(
         F.count("*").cast("long").alias("__v")
     )
+    if max_sources is not None:
+        # plan-embedded fail-fast (advisor r10: the guard is part of
+        # the contract, so it defaults ON): the distinct-source count
+        # rides a broadcast 1-row aggregate, and EVERY input of BOTH
+        # quadratic joins (the gram self-join off `vocab`, the m×m
+        # totals pair join) is wrapped — the raise fires MAP-SIDE
+        # while projecting each join's shuffle input, so no stage can
+        # emit pair rows unguarded (the concurrency hole a guard on a
+        # SEPARATE frame would leave — see vocab_overlap). Construction
+        # stays job-free (the lazy-build rule), unlike an eager
+        # driver-side count.
+        vocab = _pair_source_guard(
+            vocab, totals, max_sources, "vocab_capture_recapture"
+        )
+        totals = _pair_source_guard(
+            totals, totals, max_sources, "vocab_capture_recapture"
+        )
     a = vocab.select(F.col("__g").alias("source_a"), "__gram")
     b = vocab.select(F.col("__g").alias("source_b"), "__gram")
     shared_df = (

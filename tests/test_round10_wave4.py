@@ -236,7 +236,9 @@ def test_theil_drops_nonpositive(spark):
         "g string, v double",
     )
     r = theil_index(df, ["g"], "v").collect()[0]
-    assert r["n"] == 2 and r["n_dropped"] == 3
+    # r11 (advisor r10): NULLs are filtered BEFORE counting — only
+    # the two excluded non-positive values land in n_dropped
+    assert r["n"] == 2 and r["n_dropped"] == 2
 
 
 # --------------------------------------------------------- brown_forsythe
@@ -491,10 +493,14 @@ def test_chapman_zero_overlap(spark):
 
 
 def test_chapman_guard_raises(spark):
+    """r11: the guard is PLAN-EMBEDDED (construction stays job-free,
+    the lazy-build rule) — it raises at EXECUTION, map-side, before
+    the C(m,2) pair join can emit rows."""
     from reddit_etl_spark.operators.text import vocab_capture_recapture
 
     df = spark.createDataFrame(
         [(f"s{i}", "a b c") for i in range(5)], "source string, text string"
     )
-    with pytest.raises(ValueError, match="max_sources"):
-        vocab_capture_recapture(df, "source", "text", max_sources=3)
+    out = vocab_capture_recapture(df, "source", "text", max_sources=3)
+    with pytest.raises(Exception, match="max_sources"):
+        out.collect()
