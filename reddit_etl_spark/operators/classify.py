@@ -1010,3 +1010,91 @@ def fleiss_kappa(
         F.round(F.when(ok, p_e), 6).alias("p_e"),
         F.round(kappa, 6).alias("fleiss_kappa"),
     )
+
+
+def bowker_test(
+    df: DataFrame,
+    rating_a_col: str,
+    rating_b_col: str,
+) -> DataFrame:
+    """Bowker's test of symmetry / marginal homogeneity over a k×k
+    paired-ratings table — mcnemar_test's generalization from binary
+    to k categories (Bowker 1948; k = 2 reduces exactly to McNemar):
+    each unit is categorized twice (two raters, two model versions,
+    two time halves) and B = Σ_{i<j} (n_ij − n_ji)²/(n_ij + n_ji)
+    asks whether the DISAGREEMENTS are directionally balanced —
+    "when users change their dominant behavior, do the flows run
+    both ways or drift one way". Pairs with n_ij + n_ji = 0 drop
+    from both B and dof (the standard treatment); dof = the number
+    of contributing off-diagonal pairs. chi2 contract — no p-value.
+
+    Exactness: cell counts are exact BIGINTs off ONE (a, b)
+    aggregate; each pair term is one double division of exact
+    integers and the fold runs over the k²-bounded cell frame.
+
+    Plan at scale: one count aggregate over the fact, one
+    k²-bounded self-join of the cell frame on the mirrored key
+    (broadcast — cells are category-cardinality-sized), one 1-row
+    reduce.
+
+    Returns one row: (k BIGINT, n BIGINT, n_disagree BIGINT, dof
+    BIGINT, chi2_bowker) — k counts distinct categories seen in
+    either column; chi2 NULL when no off-diagonal pair contributes.
+    """
+    base = df.filter(
+        F.col(rating_a_col).isNotNull() & F.col(rating_b_col).isNotNull()
+    ).select(
+        F.col(rating_a_col).cast("string").alias("__ra"),
+        F.col(rating_b_col).cast("string").alias("__rb"),
+    )
+    cells = base.groupBy("__ra", "__rb").agg(
+        F.count("*").cast("long").alias("__n")
+    )
+    upper = cells.filter(F.col("__ra") < F.col("__rb")).select(
+        F.col("__ra").alias("__i"),
+        F.col("__rb").alias("__j"),
+        F.col("__n").alias("__nij"),
+    )
+    lower = cells.filter(F.col("__ra") > F.col("__rb")).select(
+        F.col("__rb").alias("__i"),
+        F.col("__ra").alias("__j"),
+        F.col("__n").alias("__nji"),
+    )
+    # Spark cannot broadcast a FULL OUTER join (the srm_check lesson,
+    # advisor r10) — seat both one-sided pairs via a broadcast left
+    # join plus a broadcast left-anti re-injection instead
+    both = upper.join(F.broadcast(lower), ["__i", "__j"], "left").select(
+        F.col("__nij"),
+        F.coalesce(F.col("__nji"), F.lit(0)).alias("__nji"),
+    )
+    only_lower = lower.join(
+        F.broadcast(upper), ["__i", "__j"], "left_anti"
+    ).select(F.lit(0).cast("long").alias("__nij"), F.col("__nji"))
+    pairs = both.unionByName(only_lower)
+    d = (F.col("__nij") - F.col("__nji")).cast("double")
+    s = (F.col("__nij") + F.col("__nji")).cast("double")
+    pair_agg = pairs.agg(
+        F.count("*").cast("long").alias("dof"),
+        F.sum(F.col("__nij") + F.col("__nji")).cast("long").alias(
+            "n_disagree"
+        ),
+        F.sum(F.when(s > 0, d * d / s)).alias("__b"),
+    )
+    kcats = (
+        base.select(F.col("__ra").alias("__c"))
+        .unionByName(base.select(F.col("__rb").alias("__c")))
+        .agg(F.count_distinct("__c").cast("long").alias("k"))
+    )
+    tot = base.agg(F.count("*").cast("long").alias("n"))
+    agg = (
+        pair_agg.crossJoin(F.broadcast(kcats)).crossJoin(F.broadcast(tot))
+    )
+    return agg.select(
+        F.coalesce(F.col("k"), F.lit(0)).cast("long").alias("k"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.col("n_disagree"), F.lit(0)).cast("long").alias(
+            "n_disagree"
+        ),
+        F.coalesce(F.col("dof"), F.lit(0)).cast("long").alias("dof"),
+        F.round(F.col("__b"), 6).alias("chi2_bowker"),
+    )

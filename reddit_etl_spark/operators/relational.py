@@ -4123,6 +4123,73 @@ def cohens_d(
     ).orderBy(*group_cols)
 
 
+def _complete_block_midranks(base: DataFrame, k_total: int, op: str):
+    """Shared machinery of the matched-block rank family (friedman /
+    pages_trend / kendalls_w): enforce one row per (block, treatment)
+    cell (a duplicated cell RAISES — advisor r10: it would silently
+    bias the within-block midranks), drop blocks missing any of the
+    ``k_total`` treatments (the complete-block design all three
+    assume), and compute exact 2x within-block midranks off the
+    (block, value) tie cells — the mann_whitney identity (2c + t + 1)
+    applied blockwise. ``base`` must carry columns __b / __t / __v
+    (block, treatment, quantized value).
+
+    Returns (j, cells): ``j`` = the filtered base joined with its 2x
+    midrank column __r2; ``cells`` = the (block, value) tie-cell
+    frame with per-cell size __tv (for cubic tie terms). Both windows
+    are k-bounded per block — millions of blocks parallelize.
+    """
+    wcell = Window.partitionBy("__b", "__t")
+    wb = Window.partitionBy("__b")
+    base = (
+        base.withColumn("__ct", F.count("*").over(wcell))
+        .withColumn(
+            "__t",
+            F.when(F.col("__ct") == 1, F.col("__t")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"{op}: duplicated (block, treatment) "
+                            "cell — feed one value per cell (a "
+                            "rollup); block "
+                        ),
+                        F.col("__b").cast("string"),
+                        F.lit(" treatment "),
+                        F.col("__t").cast("string"),
+                        F.lit(" has "),
+                        F.col("__ct").cast("string"),
+                        F.lit(" rows"),
+                    )
+                )
+            ),
+        )
+        .drop("__ct")
+        .withColumn("__kb", F.count("*").over(wb))
+        .filter(F.col("__kb") == k_total)
+        .drop("__kb")
+    )
+    cells = base.groupBy("__b", "__v").agg(F.count("*").alias("__tv"))
+    wcum = (
+        Window.partitionBy("__b")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = cells.select(
+        "__b",
+        "__v",
+        "__tv",
+        F.coalesce(F.sum("__tv").over(wcum), F.lit(0)).alias("__c"),
+    ).select(
+        "__b",
+        "__v",
+        "__tv",
+        # 2x midrank, an exact integer
+        (F.lit(2) * F.col("__c") + F.col("__tv") + 1).alias("__r2"),
+    )
+    j = base.join(ranked.drop("__tv"), ["__b", "__v"])
+    return j, cells
+
+
 def friedman_test(
     df: DataFrame,
     block_col: str,
@@ -4170,65 +4237,10 @@ def friedman_test(
         F.col(treatment_col).alias("__t"),
         F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
     )
-    # complete-block filter: keep blocks holding ALL k treatments.
-    # A duplicated (block, treatment) cell RAISES first (advisor r10:
-    # a block with a duplicate and a missing treatment would pass a
-    # bare row-count == k check and silently corrupt the within-block
-    # midranks) — with one-row-per-cell enforced, row count per block
-    # == distinct treatments per block, so the completeness filter
-    # below is sound. Both windows are k-bounded per block.
+    # complete-block filter + dup-cell raise + 2x midranks: the
+    # shared matched-block machinery (see _complete_block_midranks)
     k_total = base.select("__t").distinct().count()
-    wcell = Window.partitionBy("__b", "__t")
-    wb = Window.partitionBy("__b")
-    base = (
-        base.withColumn("__ct", F.count("*").over(wcell))
-        .withColumn(
-            "__t",
-            F.when(F.col("__ct") == 1, F.col("__t")).otherwise(
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            "friedman_test: duplicated (block, treatment) "
-                            "cell — feed one value per cell (a rollup); "
-                            "block "
-                        ),
-                        F.col("__b").cast("string"),
-                        F.lit(" treatment "),
-                        F.col("__t").cast("string"),
-                        F.lit(" has "),
-                        F.col("__ct").cast("string"),
-                        F.lit(" rows"),
-                    )
-                )
-            ),
-        )
-        .drop("__ct")
-        .withColumn("__kb", F.count("*").over(wb))
-        .filter(F.col("__kb") == k_total)
-        .drop("__kb")
-    )
-    # within-block midranks off (block, value) tie cells
-    cells = base.groupBy("__b", "__v").agg(
-        F.count("*").alias("__tv")
-    )
-    wcum = (
-        Window.partitionBy("__b")
-        .orderBy("__v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ranked = cells.select(
-        "__b",
-        "__v",
-        "__tv",
-        F.coalesce(F.sum("__tv").over(wcum), F.lit(0)).alias("__c"),
-    ).select(
-        "__b",
-        "__v",
-        "__tv",
-        # 2x midrank, an exact integer
-        (F.lit(2) * F.col("__c") + F.col("__tv") + 1).alias("__r2"),
-    )
-    j = base.join(ranked, ["__b", "__v"])
+    j, cells = _complete_block_midranks(base, k_total, "friedman_test")
     per_t = j.groupBy("__t").agg(
         F.sum(dec(F.col("__r2"))).cast("decimal(38,0)").alias("__r2sum"),
         F.count("*").cast("long").alias("__n"),
@@ -5628,3 +5640,900 @@ def km_summary(
         F.round(rmst, 6).alias("rmst"),
         "horizon_t",
     ).orderBy(*keys)
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Wilcoxon signed-rank test over paired values — the PAIRED
+    companion to mann_whitney_u's unpaired rank-sum (as yuen is to
+    games_howell): each row is one unit measured twice (pre/post,
+    half1/half2), d = y − x, zero differences are dropped (reported
+    in n_zero, the standard practice), |d| midranks are signed by
+    the difference and W+ = Σ ranks of positive d, with the normal
+    approximation z = (W+ − n(n+1)/4)/√(n(n+1)(2n+1)/24 − Σ(t³−t)/48)
+    (the tie-corrected variance).
+
+    Exactness: differences quantize to ``1/scale`` units (exact
+    BIGINT), so tie groups on |d| are exact; midranks ride the 2x
+    integer identity (2c + t + 1) off the DISTINCT-|d| frame and the
+    2x rank sum, n(n+1)/2 and the cubic tie term all accumulate in
+    DECIMAL(38,0); z is one double expression of exact integers.
+
+    Plan at scale: one (|d|, sign) aggregate over the pair frame,
+    ONE guarded prefix window over distinct |d| values (the
+    EXACT_RANK_MAX_ROWS convention), one 1-row reduce. Degenerate
+    inputs (no nonzero differences, or zero variance) return NULL z.
+
+    Returns one row: (n BIGINT, n_zero BIGINT, w_plus, z, r_effect)
+    — n counts the nonzero pairs; w_plus is an exact multiple of
+    0.5; r_effect = z/√n.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    d = F.round(
+        (F.col(y_col) - F.col(x_col)) * scale, 0
+    ).cast("long")
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(d.alias("__d"))
+    zeros = base.filter(F.col("__d") == 0).agg(
+        F.count("*").cast("long").alias("n_zero")
+    )
+    nz = base.filter(F.col("__d") != 0).select(
+        F.abs(F.col("__d")).alias("__v"),
+        (F.col("__d") > 0).cast("long").alias("__p"),
+    )
+    per_v = nz.groupBy("__v").agg(
+        F.count("*").alias("__t"),
+        F.sum("__p").alias("__tp"),
+    )
+    # fail-fast before the single-task distinct-frame sort (the
+    # EXACT_RANK_MAX_ROWS convention, scale_lanes.py)
+    per_v = guard_distinct_frame(per_v, "wilcoxon_signed_rank")
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "__t",
+        "__tp",
+        F.coalesce(F.sum("__t").over(w), F.lit(0)).alias("__c"),
+    ).select(
+        "__t",
+        "__tp",
+        (F.lit(2) * F.col("__c") + F.col("__t") + 1).alias("__r2"),
+    )
+    agg = ranked.agg(
+        F.sum("__t").cast("long").alias("n"),
+        F.sum(dec(F.col("__tp")) * dec(F.col("__r2")))
+        .cast("decimal(38,0)")
+        .alias("__w2p"),
+        F.sum(
+            (dec(F.col("__t")) * dec(F.col("__t")) * dec(F.col("__t")))
+            .cast("decimal(38,0)")
+            - dec(F.col("__t"))
+        )
+        .cast("decimal(38,0)")
+        .alias("__ties"),
+    ).crossJoin(F.broadcast(zeros))
+
+    def dbl(c):
+        return c.cast("string").cast("double")
+
+    n = F.col("n")
+    nd = n.cast("double")
+    # z numerator in exact 4x units: W+ − n(n+1)/4 = (2·W2p − n(n+1))/4
+    # with W2p = 2·W+ — both terms exact DECIMAL integers
+    num4 = (
+        F.col("__w2p") * 2 - (dec(n) * dec(n + 1)).cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
+    var = (
+        nd * (nd + 1.0) * (2.0 * nd + 1.0) / 24.0
+        - dbl(F.col("__ties")) / 48.0
+    )
+    z = dbl(num4) / (F.lit(4.0) * F.sqrt(var))
+    ok = (n > 0) & (var > 0)
+    return agg.select(
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.col("n_zero"), F.lit(0)).cast("long").alias("n_zero"),
+        F.when(n > 0, dbl(F.col("__w2p")) / 2.0).alias("w_plus"),
+        F.round(F.when(ok, z), 6).alias("z"),
+        F.round(F.when(ok, z / F.sqrt(nd)), 6).alias("r_effect"),
+    )
+
+
+def moods_median(
+    df: DataFrame,
+    value_col: str,
+    class_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Mood's median test across k classes — the bluntest, most
+    outlier-proof k-sample location rung (below kruskal_wallis in
+    power, above it in robustness): count each class's rows above
+    the POOLED grand median and chi2 the 2×k contingency against
+    the class sizes. The test a fee/latency audit reaches for when
+    whales make even rank sums shaky.
+
+    Median contract: the LOWER median (sorted element at position
+    ⌊(N+1)/2⌋) — exact and engine-agnostic (the brown_forsythe
+    discipline); "above" means strictly greater than the median
+    (ties at the median count below, the conservative convention —
+    documented, shared with the oracle).
+
+    Exactness: values quantize to ``1/scale`` units; the median is a
+    running-count crossing over the DISTINCT-value frame; observed
+    and total counts are exact BIGINTs and each chi2 term is one
+    double expression of exact integers.
+
+    Plan at scale: one (class, value) aggregate, ONE guarded prefix
+    window over distinct pooled values (EXACT_RANK_MAX_ROWS
+    convention), a broadcast 1-row median frame, one per-class
+    reduce. dof = k − 1 (caller-side; chi2 contract — no p-value).
+
+    Returns one row per class: (class, n BIGINT, n_above BIGINT,
+    expected_above, chi2_term), ordered by class; chi2_term is NULL
+    when an expected cell is 0 (A = 0 or A = N).
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(class_col).isNotNull()
+    ).select(
+        F.col(class_col).alias("__cl"),
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+    )
+    cells = base.groupBy("__cl", "__v").agg(F.count("*").alias("__f"))
+    per_v = cells.groupBy("__v").agg(F.sum("__f").alias("__t"))
+    per_v = guard_distinct_frame(per_v, "moods_median")
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per_v.agg(F.sum("__t").cast("long").alias("__n"))
+    run = per_v.select(
+        "__v", F.sum("__t").over(w).alias("__cum")
+    ).crossJoin(F.broadcast(tot))
+    med = run.filter(
+        F.col("__cum") >= F.floor((F.col("__n") + 1) / 2)
+    ).agg(F.min("__v").alias("__med"))
+    per_c = (
+        cells.crossJoin(F.broadcast(med))
+        .groupBy("__cl")
+        .agg(
+            F.sum("__f").cast("long").alias("n"),
+            F.sum(F.when(F.col("__v") > F.col("__med"), F.col("__f")))
+            .cast("long")
+            .alias("__a"),
+        )
+        .withColumn("__a", F.coalesce(F.col("__a"), F.lit(0)))
+    )
+    glob = per_c.agg(
+        F.sum("n").cast("long").alias("__nn"),
+        F.sum("__a").cast("long").alias("__aa"),
+    )
+    j = per_c.crossJoin(F.broadcast(glob))
+    nn = F.col("__nn").cast("double")
+    aa = F.col("__aa").cast("double")
+    ni = F.col("n").cast("double")
+    oi = F.col("__a").cast("double")
+    ea = ni * aa / nn
+    eb = ni * (nn - aa) / nn
+    term = F.when(
+        (ea > 0) & (eb > 0),
+        (oi - ea) * (oi - ea) / ea
+        + ((ni - oi) - eb) * ((ni - oi) - eb) / eb,
+    )
+    return j.select(
+        F.col("__cl").alias(class_col),
+        "n",
+        F.col("__a").alias("n_above"),
+        F.round(ea, 6).alias("expected_above"),
+        F.round(term, 6).alias("chi2_term"),
+    ).orderBy(class_col)
+
+
+def wasserstein_distance(
+    df: DataFrame,
+    value_col: str,
+    class_col: str,
+    class_a,
+    scale: int = 100,
+) -> DataFrame:
+    """1-Wasserstein (earth mover's) distance between two classes'
+    value distributions — the MAGNITUDE rung of the drift ladder:
+    ks_value_drift reports the largest CDF gap (unitless), psi/JSD
+    report mass re-allocation; W₁ = ∫|F_a − F_b| dv reports how far
+    the mass MOVED in the metric's own units ("the spend
+    distribution shifted $3.40 per order"), which is what makes a
+    drift alert actionable.
+
+    Exactness: values quantize to ``1/scale`` units; per distinct
+    pooled value the integrand |F_a − F_b| cross-multiplies into the
+    exact integer |cum_a·n_b − cum_b·n_a| and each step contributes
+    that integer times the exact value gap to the next distinct
+    value — the whole sum is one DECIMAL(38,0) fold divided once by
+    n_a·n_b·scale. Engine-identical to the last bit before the
+    final double division.
+
+    Plan at scale: one (value, class) aggregate, ONE guarded prefix
+    window over distinct pooled values (EXACT_RANK_MAX_ROWS
+    convention; lead(v) rides the same sort), one 1-row reduce.
+
+    Returns one row: (n_a BIGINT, n_b BIGINT, wasserstein) — NULL
+    when either class is empty.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    is_a = F.col(class_col) == class_a
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(class_col).isNotNull()
+    ).select(
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+        is_a.cast("long").alias("__a"),
+    )
+    per_v = base.groupBy("__v").agg(
+        F.sum("__a").alias("__fa"),
+        F.sum(F.lit(1) - F.col("__a")).alias("__fb"),
+    )
+    per_v = guard_distinct_frame(per_v, "wasserstein_distance")
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("__v")
+    tot = per_v.agg(
+        F.sum("__fa").cast("long").alias("__na"),
+        F.sum("__fb").cast("long").alias("__nb"),
+    )
+    run = per_v.select(
+        "__v",
+        F.sum("__fa").over(w).alias("__ca"),
+        F.sum("__fb").over(w).alias("__cb"),
+        F.lead("__v").over(wl).alias("__vn"),
+    ).crossJoin(F.broadcast(tot))
+    num = F.abs(
+        dec(F.col("__ca")) * dec(F.col("__nb"))
+        - dec(F.col("__cb")) * dec(F.col("__na"))
+    ).cast("decimal(38,0)")
+    contrib = F.when(
+        F.col("__vn").isNotNull(),
+        (num * dec(F.col("__vn") - F.col("__v"))).cast("decimal(38,0)"),
+    )
+    agg = run.agg(
+        F.max("__na").cast("long").alias("n_a"),
+        F.max("__nb").cast("long").alias("n_b"),
+        F.sum(contrib).cast("decimal(38,0)").alias("__s"),
+    )
+
+    def dbl(c):
+        return c.cast("string").cast("double")
+
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    w1 = F.coalesce(dbl(F.col("__s")), F.lit(0.0)) / (
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        * F.lit(float(scale))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(F.when(ok, w1), 6).alias("wasserstein"),
+    )
+
+
+def ansari_bradley(
+    df: DataFrame,
+    value_col: str,
+    class_col: str,
+    class_a,
+    scale: int = 100,
+) -> DataFrame:
+    """Ansari-Bradley two-sample DISPERSION test — the scale-shift
+    companion to mann_whitney_u's location shift and
+    brown_forsythe's k-sample spread: rank the pooled sample from
+    BOTH ends (score aᵢ = min(rᵢ, N+1−rᵢ), small scores at the
+    extremes), and a class holding more of the extreme scores has
+    the wider distribution. AB = Σ_a scores; z via the exact
+    finite-population moments E = n_a·ā and Var = n_a·n_b·(N·Σa² −
+    (Σa)²)/(N²(N−1)) — the general linear-rank form, which under
+    ties (scores averaged within tied cells) IS the tie-corrected
+    variance.
+
+    Exactness: values quantize to ``1/scale``; per distinct pooled
+    value the tied rows occupy positions c+1..c+t and 2·Σ min(p,
+    N+1−p) over that range has a closed form of two arithmetic
+    series split at ⌊(N+1)/2⌋ — an exact DECIMAL(38,0) integer per
+    cell, so AB, Σa and Σa² are exact (Σa² in doubles of exact
+    integers divided by per-cell t). z is one double expression.
+
+    Plan at scale: one (value, class) aggregate, ONE guarded prefix
+    window over distinct pooled values (EXACT_RANK_MAX_ROWS
+    convention), one 1-row reduce.
+
+    Returns one row: (n_a BIGINT, n_b BIGINT, ab_stat, z) — z NULL
+    when either class is empty or the score variance degenerates
+    (all values tied).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    is_a = F.col(class_col) == class_a
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(class_col).isNotNull()
+    ).select(
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+        is_a.cast("long").alias("__ia"),
+    )
+    per_v = base.groupBy("__v").agg(
+        F.count("*").alias("__t"),
+        F.sum("__ia").alias("__fa"),
+    )
+    per_v = guard_distinct_frame(per_v, "ansari_bradley")
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    tot = per_v.agg(
+        F.sum("__t").cast("long").alias("__n"),
+        F.sum("__fa").cast("long").alias("__na"),
+    )
+    run = per_v.select(
+        "__v",
+        "__t",
+        "__fa",
+        F.coalesce(F.sum("__t").over(w), F.lit(0)).alias("__c"),
+    ).crossJoin(F.broadcast(tot))
+    lo = F.col("__c") + 1
+    hi = F.col("__c") + F.col("__t")
+    m = F.col("__n") + 1
+    h = F.floor(m / 2)
+    hi1 = F.least(hi, h)
+    lo2 = F.greatest(lo, h + 1)
+    s2_1 = F.when(
+        hi1 >= lo,
+        (dec(lo + hi1) * dec(hi1 - lo + 1)).cast("decimal(38,0)"),
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    s2_2 = F.when(
+        hi >= lo2,
+        (dec(2 * m - lo2 - hi) * dec(hi - lo2 + 1)).cast("decimal(38,0)"),
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    cellrows = run.select(
+        "__t",
+        "__fa",
+        "__n",
+        "__na",
+        (s2_1 + s2_2).cast("decimal(38,0)").alias("__s2"),
+    )
+
+    def dbl(c):
+        return c.cast("string").cast("double")
+
+    agg = cellrows.agg(
+        F.max("__n").cast("long").alias("__nn"),
+        F.max("__na").cast("long").alias("n_a"),
+        F.sum("__s2").cast("decimal(38,0)").alias("__sa2"),
+        F.sum(
+            F.col("__fa").cast("double")
+            * dbl(F.col("__s2"))
+            / (F.lit(2.0) * F.col("__t").cast("double"))
+        ).alias("__ab"),
+        F.sum(
+            dbl((F.col("__s2") * F.col("__s2")).cast("decimal(38,0)"))
+            / (F.lit(4.0) * F.col("__t").cast("double"))
+        ).alias("__saa"),
+    )
+    nn = F.col("__nn").cast("double")
+    na = F.col("n_a").cast("double")
+    nb = (F.col("__nn") - F.col("n_a")).cast("double")
+    suma = dbl(F.col("__sa2")) / 2.0
+    e = na * suma / nn
+    var = (
+        na
+        * nb
+        * (nn * F.col("__saa") - suma * suma)
+        / (nn * nn * (nn - 1.0))
+    )
+    z = (F.col("__ab") - e) / F.sqrt(var)
+    ok = (na > 0) & (nb > 0) & (var > 0)
+    return agg.select(
+        "n_a",
+        (F.col("__nn") - F.col("n_a")).cast("long").alias("n_b"),
+        F.round(F.when(na > 0, F.col("__ab")), 6).alias("ab_stat"),
+        F.round(F.when(ok, z), 6).alias("z"),
+    )
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio + Cochran-MH chi2 across
+    stratified 2×2 tables — the CONFOUNDER-adjusted rung above
+    odds_ratio's crude 2×2: per stratum the table (a,b,c,d) is
+    exact, OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ) pools without breaking
+    down on zero cells, the CMH statistic (Σaᵢ − ΣE[aᵢ])²/ΣV[aᵢ]
+    tests conditional association (no continuity correction — the
+    chi2 contract), and the Robins-Breslow-Greenland variance gives
+    se(ln OR_MH) honestly in both sparse-strata and few-big-strata
+    regimes.
+
+    Exactness: the four cell counts per stratum are exact BIGINTs;
+    the per-stratum R/S/P/Q/E/V terms are single double expressions
+    of exact integers; the cross-strata folds are double sums whose
+    summation-order ulps (~1e-15 relative) vanish at round-6 (the
+    theil_index renormalization argument). Strata with n < 2
+    contribute 0 to ΣV (the hypergeometric variance needs n ≥ 2).
+
+    Plan at scale: ONE (strata) count aggregate over the fact + one
+    1-row reduce — no window, no join.
+
+    Returns one row: (n_strata BIGINT, n BIGINT, or_mh, se_log_or,
+    chi2_cmh) — or_mh NULL when ΣS = 0, se when either pooled sum
+    is 0, chi2 when ΣV = 0.
+    """
+    e = F.col(exposure_col).cast("boolean")
+    o = F.col(outcome_col).cast("boolean")
+    base = df.filter(e.isNotNull() & o.isNotNull()).select(
+        *strata_cols, e.alias("__e"), o.alias("__o")
+    )
+    per_s = base.groupBy(*strata_cols).agg(
+        F.sum((F.col("__e") & F.col("__o")).cast("long")).alias("__a"),
+        F.sum((F.col("__e") & ~F.col("__o")).cast("long")).alias("__b"),
+        F.sum((~F.col("__e") & F.col("__o")).cast("long")).alias("__c"),
+        F.sum((~F.col("__e") & ~F.col("__o")).cast("long")).alias("__d"),
+    )
+    a = F.col("__a").cast("double")
+    b = F.col("__b").cast("double")
+    c = F.col("__c").cast("double")
+    d = F.col("__d").cast("double")
+    n = a + b + c + d
+    r = a * d / n
+    s = b * c / n
+    p = (a + d) / n
+    q = (b + c) / n
+    e_a = (a + b) * (a + c) / n
+    v = F.when(
+        n >= 2.0,
+        (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1.0)),
+    ).otherwise(F.lit(0.0))
+    terms = per_s.filter(n > 0).select(
+        F.col("__a").cast("long").alias("__al"),
+        n.alias("__n"),
+        r.alias("__r"),
+        s.alias("__s"),
+        e_a.alias("__ea"),
+        v.alias("__v"),
+        (p * r).alias("__pr"),
+        (p * s + q * r).alias("__psqr"),
+        (q * s).alias("__qs"),
+    )
+    agg = terms.agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum("__n").cast("long").alias("n"),
+        F.sum("__al").cast("long").alias("__suma"),
+        F.sum("__r").alias("__sr"),
+        F.sum("__s").alias("__ss"),
+        F.sum("__ea").alias("__se"),
+        F.sum("__v").alias("__sv"),
+        F.sum("__pr").alias("__spr"),
+        F.sum("__psqr").alias("__spsqr"),
+        F.sum("__qs").alias("__sqs"),
+    )
+    sr, ss = F.col("__sr"), F.col("__ss")
+    or_mh = F.when(ss > 0, sr / ss)
+    diff = F.col("__suma").cast("double") - F.col("__se")
+    chi2 = F.when(F.col("__sv") > 0, diff * diff / F.col("__sv"))
+    se = F.when(
+        (sr > 0) & (ss > 0),
+        F.sqrt(
+            F.col("__spr") / (2.0 * sr * sr)
+            + F.col("__spsqr") / (2.0 * sr * ss)
+            + F.col("__sqs") / (2.0 * ss * ss)
+        ),
+    )
+    return agg.select(
+        "n_strata",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.round(or_mh, 6).alias("or_mh"),
+        F.round(se, 6).alias("se_log_or"),
+        F.round(chi2, 6).alias("chi2_cmh"),
+    )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    dose_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran-Armitage trend test — "does the success RATE rise
+    with an ORDERED exposure": z² partitions the k-class chi2 into
+    one trend degree of freedom, which is the question a dose/tier/
+    bucket readout actually asks (chi2_independence answers "any
+    difference somewhere", this answers "monotone in the score").
+    T = Σdᵢrᵢ − R·Σdᵢnᵢ/N over dose scores d (the NUMERIC dose
+    column itself — scores are part of the contract), z = T/√(p̄(1−p̄)
+    (Σdᵢ²nᵢ − (Σdᵢnᵢ)²/N)), chi2_trend = z² with 1 dof.
+
+    Exactness: doses quantize to DECIMAL(18,6) and all five
+    sufficient sums (N, R, Σd, Σd·y, Σd²) accumulate as exact
+    DECIMALs in one aggregate (the cuped moment discipline); z is a
+    single double expression of exact decimals.
+
+    Plan at scale: ONE map-side-combined aggregate over the fact —
+    no window, no join, no per-dose frame (the dose cells fold
+    directly into the moments).
+
+    Returns one row: (k BIGINT, n BIGINT, n_pos BIGINT, z_trend,
+    chi2_trend) — z NULL when the variance degenerates (one dose
+    level, or p̄ ∈ {0, 1}).
+    """
+    dd = F.col(dose_col).cast("decimal(18,6)")
+    y = F.col(outcome_col).cast("boolean")
+    base = df.filter(dd.isNotNull() & y.isNotNull()).select(
+        dd.alias("__d"), y.cast("long").alias("__y")
+    )
+    agg = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("n_pos"),
+        F.count_distinct("__d").cast("long").alias("k"),
+        F.sum(F.col("__d").cast("decimal(38,6)")).alias("__sd"),
+        F.sum(
+            F.when(F.col("__y") == 1, F.col("__d").cast("decimal(38,6)"))
+        ).alias("__sdr"),
+        F.sum((F.col("__d") * F.col("__d")).cast("decimal(38,12)")).alias(
+            "__sdd"
+        ),
+    )
+
+    def dbl(c):
+        return c.cast("string").cast("double")
+
+    n = F.col("n").cast("double")
+    rr = F.col("n_pos").cast("double")
+    sd = dbl(F.col("__sd"))
+    sdr = F.coalesce(dbl(F.col("__sdr")), F.lit(0.0))
+    sdd = dbl(F.col("__sdd"))
+    t = sdr - rr * sd / n
+    pbar = rr / n
+    denom = pbar * (1.0 - pbar) * (sdd - sd * sd / n)
+    z = t / F.sqrt(denom)
+    ok = (F.col("n") > 0) & (denom > 0)
+    return agg.select(
+        F.coalesce(F.col("k"), F.lit(0)).cast("long").alias("k"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.col("n_pos"), F.lit(0)).cast("long").alias("n_pos"),
+        F.round(F.when(ok, z), 6).alias("z_trend"),
+        F.round(F.when(ok, z * z), 6).alias("chi2_trend"),
+    )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    value_col: str,
+    class_col: str,
+    class_order: Sequence,
+    scale: int = 100,
+) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED k-sample alternative
+    — the trend rung between mann_whitney_u (k=2 shift) and
+    kruskal_wallis (any-difference): U = Σ_{i<j} U_ij sums the
+    Mann-Whitney counts over every ordered class pair, powerful
+    exactly when the suspected ordering (``class_order``, a caller
+    literal shared with the oracle) is monotone — "does spend rise
+    with priority tier". Ties count ½; the normal approximation uses
+    the tie-corrected null variance (Hollander-Wolfe three-term
+    form). Classes outside ``class_order`` RAISE (a silent extra
+    class would bias U).
+
+    Exactness: values quantize to ``1/scale``; on the pooled
+    distinct-value × class GRID (every pooled value seated per
+    class with zero fills) the pair counts reduce to 2U = Σ over
+    grid cells of f_j(v)·(2·G(v,j) + F_<j(v)) where G is the
+    two-dimensional prefix (classes below j, values below v) — all
+    exact DECIMAL(38,0) integers off two windows; the variance's
+    class terms (Σnᵢ(nᵢ−1)(2nᵢ+5), …) and tie terms (Σt(t−1)(2t+5),
+    …) are exact DECIMAL folds, combined in doubles.
+
+    Plan at scale: one (class, value) aggregate; the grid is the
+    guarded distinct-value frame (EXACT_RANK_MAX_ROWS convention)
+    broadcast-crossed with the k-row literal class frame; one
+    prefix window per class over values (k parallel partitions of
+    the guarded frame) + one k-bounded window per value over
+    classes; two 1-row reduces.
+
+    Returns one row: (n BIGINT, k BIGINT, u_stat, z) — u_stat is an
+    exact multiple of 0.5; z NULL when the variance degenerates.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    k = len(class_order)
+    if k < 2:
+        raise ValueError("jonckheere_terpstra needs >= 2 ordered classes")
+    ordx = F.lit(None).cast("int")
+    for i, cname in enumerate(class_order):
+        ordx = F.when(F.col(class_col) == cname, F.lit(i)).otherwise(ordx)
+    ordx = F.coalesce(
+        ordx,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "jonckheere_terpstra: class outside class_order: "
+                ),
+                F.col(class_col).cast("string"),
+            )
+        ).cast("int"),
+    )
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(class_col).isNotNull()
+    ).select(
+        ordx.alias("__o"),
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+    )
+    cells = base.groupBy("__o", "__v").agg(F.count("*").alias("__f"))
+    per_v = cells.groupBy("__v").agg(F.sum("__f").alias("__t"))
+    per_v = guard_distinct_frame(per_v, "jonckheere_terpstra")
+    spark = df.sparkSession
+    ords = spark.range(k).select(F.col("id").cast("int").alias("__o"))
+    grid = (
+        per_v.select("__v")
+        .crossJoin(F.broadcast(ords))
+        .join(cells, ["__o", "__v"], "left")
+        .withColumn("__f", F.coalesce(F.col("__f"), F.lit(0)))
+    )
+    wv = (
+        Window.partitionBy("__o")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wo = (
+        Window.partitionBy("__v")
+        .orderBy("__o")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g1 = grid.select(
+        "__o",
+        "__v",
+        "__f",
+        F.coalesce(F.sum("__f").over(wv), F.lit(0)).alias("__lt"),
+    )
+    g2 = g1.select(
+        "__f",
+        F.coalesce(F.sum("__lt").over(wo), F.lit(0)).alias("__g"),
+        F.coalesce(F.sum("__f").over(wo), F.lit(0)).alias("__fb"),
+    )
+    u_agg = g2.agg(
+        F.sum(
+            dec(F.col("__f"))
+            * (F.lit(2) * dec(F.col("__g")) + dec(F.col("__fb"))).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("__u2")
+    )
+    per_c = cells.groupBy("__o").agg(F.sum("__f").alias("__ni"))
+    ni = dec(F.col("__ni"))
+    cls = per_c.agg(
+        F.sum("__ni").cast("long").alias("__nn"),
+        F.sum((ni * ni).cast("decimal(38,0)")).cast("decimal(38,0)").alias("__s2"),
+        F.sum((ni * (ni - 1)).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__e1"),
+        F.sum((ni * (ni - 1) * (ni - 2)).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__e2"),
+        F.sum((ni * (ni - 1) * (2 * ni + 5)).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__e3"),
+    )
+    tt = dec(F.col("__t"))
+    tie = per_v.agg(
+        F.sum((tt * (tt - 1)).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__u1t"),
+        F.sum((tt * (tt - 1) * (tt - 2)).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__u2t"),
+        F.sum((tt * (tt - 1) * (2 * tt + 5)).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__u3t"),
+    )
+    agg = u_agg.crossJoin(F.broadcast(cls)).crossJoin(F.broadcast(tie))
+
+    def dbl(c):
+        return c.cast("string").cast("double")
+
+    nn = F.col("__nn").cast("double")
+    u = F.coalesce(dbl(F.col("__u2")), F.lit(0.0)) / 2.0
+    mean = (nn * nn - dbl(F.col("__s2"))) / 4.0
+    va = (
+        nn * (nn - 1.0) * (2.0 * nn + 5.0)
+        - dbl(F.col("__e3"))
+        - dbl(F.col("__u3t"))
+    ) / 72.0
+    vb = F.when(
+        nn >= 3.0,
+        dbl(F.col("__e2"))
+        * dbl(F.col("__u2t"))
+        / (36.0 * nn * (nn - 1.0) * (nn - 2.0)),
+    ).otherwise(F.lit(0.0))
+    vc = F.when(
+        nn >= 2.0,
+        dbl(F.col("__e1")) * dbl(F.col("__u1t")) / (8.0 * nn * (nn - 1.0)),
+    ).otherwise(F.lit(0.0))
+    var = va + vb + vc
+    z = (u - mean) / F.sqrt(var)
+    ok = (F.col("__nn") > 0) & (var > 0)
+    return agg.select(
+        F.coalesce(F.col("__nn"), F.lit(0)).cast("long").alias("n"),
+        F.lit(k).cast("long").alias("k"),
+        F.when(F.col("__nn") > 0, u).alias("u_stat"),
+        F.round(F.when(ok, z), 6).alias("z"),
+    )
+
+
+def pages_trend(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    treatment_order: Sequence,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Page's L trend test — friedman_test's ORDERED-alternative
+    sibling (as jonckheere is to kruskal_wallis): within each
+    complete block the k treatments are ranked and L = Σ_j j·R_j
+    weights the rank sums by the HYPOTHESIZED order
+    (``treatment_order``, a caller literal shared with the oracle);
+    monotone block-consistent orderings push L to its extreme.
+    z = (L − nk(k+1)²/4)/√(nk²(k+1)(k²−1)/144). Ties ride midranks
+    (exact), the variance keeps the standard no-tie null form — the
+    conventional practical treatment, documented. Treatments
+    outside ``treatment_order`` RAISE; duplicated cells RAISE;
+    incomplete blocks drop whole (the friedman machinery verbatim).
+
+    Exactness: values quantize to ``1/scale``; 2x midranks are
+    exact integers off the shared matched-block machinery
+    (_complete_block_midranks) and 2L = Σ j·R2_j rides
+    DECIMAL(38,0); z is one double expression of exact integers.
+
+    Plan at scale: the friedman plan — k-bounded per-block windows,
+    one per-treatment reduce, one k-row fold. Millions of blocks
+    parallelize.
+
+    Returns one row: (n_blocks BIGINT, k BIGINT, l_stat, z) —
+    l_stat an exact multiple of 0.5; NULL z when no complete block
+    survives or k < 2.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    k = len(treatment_order)
+    if k < 2:
+        raise ValueError("pages_trend needs >= 2 ordered treatments")
+    ordx = F.lit(None).cast("int")
+    for i, tname in enumerate(treatment_order):
+        ordx = F.when(F.col(treatment_col) == tname, F.lit(i + 1)).otherwise(
+            ordx
+        )
+    ordx = F.coalesce(
+        ordx,
+        F.raise_error(
+            F.concat(
+                F.lit("pages_trend: treatment outside treatment_order: "),
+                F.col(treatment_col).cast("string"),
+            )
+        ).cast("int"),
+    )
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(block_col).isNotNull()
+        & F.col(treatment_col).isNotNull()
+    ).select(
+        F.col(block_col).alias("__b"),
+        ordx.alias("__t"),
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+    )
+    j, _cells = _complete_block_midranks(base, k, "pages_trend")
+    per_t = j.groupBy("__t").agg(
+        F.sum(dec(F.col("__r2"))).cast("decimal(38,0)").alias("__r2sum"),
+        F.count("*").cast("long").alias("__nb"),
+    )
+    agg = per_t.agg(
+        F.max("__nb").cast("long").alias("n_blocks"),
+        F.sum(
+            (dec(F.col("__t")) * F.col("__r2sum")).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("__l2"),
+    )
+
+    def dbl(c):
+        return c.cast("string").cast("double")
+
+    n = F.col("n_blocks").cast("double")
+    kk = F.lit(float(k))
+    l_ = dbl(F.col("__l2")) / 2.0
+    mean = n * kk * (kk + 1.0) * (kk + 1.0) / 4.0
+    var = n * kk * kk * (kk + 1.0) * (kk * kk - 1.0) / 144.0
+    z = (l_ - mean) / F.sqrt(var)
+    ok = (F.col("n_blocks") >= 1) & (var > 0)
+    return agg.select(
+        F.coalesce(F.col("n_blocks"), F.lit(0)).cast("long").alias(
+            "n_blocks"
+        ),
+        F.lit(k).cast("long").alias("k"),
+        F.when(F.col("n_blocks") >= 1, l_).alias("l_stat"),
+        F.round(F.when(ok, z), 6).alias("z"),
+    )
+
+
+def kendalls_w(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Kendall's W coefficient of concordance over matched blocks —
+    the EFFECT SIZE to friedman_test's significance: W ∈ [0, 1]
+    ("the n blocks agree this much about the k treatments'
+    ordering"), tie-corrected: W = (12ΣR_j² − 3n²k(k+1)²) /
+    (n²k(k²−1) − n·Σ_b Σ(t³−t)). chi2_F = n(k−1)·W reproduces the
+    tie-corrected Friedman statistic — pinned by construction.
+    Duplicated cells RAISE; incomplete blocks drop whole (the
+    shared matched-block machinery).
+
+    Exactness: 2x midranks and rank sums exact DECIMAL(38,0) off
+    _complete_block_midranks; the cubic tie term likewise; W is one
+    double expression of exact integers.
+
+    Plan at scale: the friedman plan verbatim — k-bounded per-block
+    windows, one per-treatment reduce, one k-row fold.
+
+    Returns one row: (n_blocks BIGINT, k_treatments BIGINT, w,
+    chi2_f) — NULL when every block is entirely tied (denominator
+    0) or k < 2.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(block_col).isNotNull()
+        & F.col(treatment_col).isNotNull()
+    ).select(
+        F.col(block_col).alias("__b"),
+        F.col(treatment_col).alias("__t"),
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+    )
+    k_total = base.select("__t").distinct().count()
+    j, cells = _complete_block_midranks(base, k_total, "kendalls_w")
+    per_t = j.groupBy("__t").agg(
+        F.sum(dec(F.col("__r2"))).cast("decimal(38,0)").alias("__r2sum"),
+        F.count("*").cast("long").alias("__nb"),
+    )
+    ties = cells.agg(
+        F.sum(
+            (dec(F.col("__tv")) * dec(F.col("__tv")) * dec(F.col("__tv")))
+            .cast("decimal(38,0)")
+            - dec(F.col("__tv"))
+        )
+        .cast("decimal(38,0)")
+        .alias("__t3t")
+    )
+
+    def dbl(c):
+        return c.cast("string").cast("double")
+
+    agg = per_t.agg(
+        F.max("__nb").cast("long").alias("n_blocks"),
+        F.count("*").cast("long").alias("k_treatments"),
+        F.sum(
+            dbl((F.col("__r2sum") * F.col("__r2sum")).cast("decimal(38,0)"))
+        ).alias("__rr4"),
+    ).crossJoin(F.broadcast(ties))
+    n = F.col("n_blocks").cast("double")
+    kk = F.col("k_treatments").cast("double")
+    num = 12.0 * (F.col("__rr4") / 4.0) - 3.0 * n * n * kk * (
+        kk + 1.0
+    ) * (kk + 1.0)
+    den = n * n * kk * (kk * kk - 1.0) - n * F.coalesce(
+        dbl(F.col("__t3t")), F.lit(0.0)
+    )
+    w_ = num / den
+    ok = (F.col("n_blocks") >= 1) & (F.col("k_treatments") >= 2) & (den > 0)
+    return agg.select(
+        F.coalesce(F.col("n_blocks"), F.lit(0)).cast("long").alias(
+            "n_blocks"
+        ),
+        F.coalesce(F.col("k_treatments"), F.lit(0)).cast("long").alias(
+            "k_treatments"
+        ),
+        F.round(F.when(ok, w_), 6).alias("w"),
+        F.round(F.when(ok, n * (kk - 1.0) * w_), 6).alias("chi2_f"),
+    )

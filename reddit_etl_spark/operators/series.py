@@ -2913,3 +2913,241 @@ def decomposition_strength(
         F.round(fs, 6).alias("seasonal_strength"),
         F.round(ft, 6).alias("trend_strength"),
     ).orderBy(*keys)
+
+
+def ljung_box(
+    rollup: DataFrame,
+    key_cols: Sequence[str],
+    day_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Ljung-Box portmanteau test per key — "is this series white
+    noise at all" in ONE number, where acf_by_key reports the
+    per-lag picture: Q = n(n+2)·Σ_{h=1..m} r_h²/(n−h) against
+    chi2(m). The gate a forecasting readout (seasonal_backtest,
+    conformal) runs FIRST — if Q is small, there is no structure to
+    forecast. Feed a bounded per-key daily rollup, the acf contract.
+
+    Convention (shared with acf_by_key and the oracle): r_h is the
+    PAIRWISE-COMPLETE Pearson correlation between (value at d, value
+    at d − h) — only days present on both sides pair, the honest
+    treatment of a gappy series (the textbook fixed-denominator ACF
+    assumes contiguity); r_h rounds to 6 BEFORE entering Q (the q12
+    convention), so both engines fold identical quantized inputs and
+    Q is engine-deterministic. Lags with < 2 pairs or zero variance
+    contribute 0 (documented; their r is undefined).
+
+    Plan at scale: one per-lag self-join on (key, day − h) over the
+    ROLLUP (m bounded branches, rollup-sized each), one per-key
+    count, one k×m-row fold. Never touches raw events.
+
+    Returns (key..., n BIGINT, lags BIGINT, q_stat) ordered by key —
+    q_stat NULL when n ≤ max_lag (a denominator n−h hits 0).
+    """
+    if max_lag < 1:
+        raise ValueError("ljung_box needs max_lag >= 1")
+    keys = list(key_cols)
+    base = rollup.filter(
+        F.col(day_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    counts = base.groupBy(*keys).agg(F.count("*").cast("long").alias("n"))
+    per_lag = None
+    for lag in range(1, max_lag + 1):
+        a = base.select(
+            *keys, F.col(day_col).alias("__d"), F.col(value_col).alias("__a")
+        )
+        b = base.select(
+            *keys,
+            F.date_add(F.col(day_col), lag).alias("__d"),
+            F.col(value_col).alias("__b"),
+        )
+        one = (
+            a.join(b, [*keys, "__d"])
+            .groupBy(*keys)
+            .agg(
+                F.lit(lag).cast("long").alias("__h"),
+                F.round(F.corr("__a", "__b"), 6).alias("__r"),
+            )
+        )
+        per_lag = one if per_lag is None else per_lag.unionByName(one)
+    j = counts.join(per_lag, keys, "left")
+    n = F.col("n").cast("double")
+    term = F.when(
+        F.col("__r").isNotNull() & (n > F.col("__h").cast("double")),
+        F.col("__r")
+        * F.col("__r")
+        / (n - F.col("__h").cast("double")),
+    ).otherwise(F.lit(0.0))
+    agg = j.groupBy(*keys).agg(
+        F.max("n").cast("long").alias("n"),
+        F.lit(max_lag).cast("long").alias("lags"),
+        F.sum(term).alias("__s"),
+    )
+    nn = F.col("n").cast("double")
+    q = nn * (nn + 2.0) * F.col("__s")
+    return agg.select(
+        *keys,
+        "n",
+        "lags",
+        F.round(F.when(F.col("n") > max_lag, q), 6).alias("q_stat"),
+    ).orderBy(*keys)
+
+
+def breusch_pagan(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Breusch-Pagan LM test for heteroscedasticity of a simple OLS
+    per group — the assumption audit behind ols_order_value /
+    ols_influence: regress the squared residuals on x; LM =
+    S_xg²/(2·σ̂⁴·S_xx) against chi2(1) (the original BP form;
+    assumes normal errors — the Koenker studentization needs Σe⁴,
+    out of the moment budget and documented as out of scope). A
+    significant LM says the OLS se's (and every CI built on them)
+    are lying, and the caller should move to the robust ladder
+    (theil_sen).
+
+    Exactness: the ols_influence contract — x integer-valued (day
+    index), y ≤6dp — so the six sufficient moments (Σx, Σx², Σx³,
+    Σy, Σxy, Σy², Σx²y, Σxy²) accumulate as exact DECIMALs in ONE
+    aggregate and β̂, SSE, Σx·e² expand into closed forms of exact
+    moments (e² = (y − a − βx)² distributes over the moment list —
+    no residual pass, no second scan); LM is one double expression.
+
+    Plan at scale: ONE map-side-combined moment aggregate — no
+    window, no join, no per-point residual frame.
+
+    Returns (group_cols..., n BIGINT, slope, sse, bp_lm) — NULL
+    slope/LM when n < 3 or S_xx = 0 or σ̂² = 0.
+    """
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+    dx = F.col("__x").cast("decimal(18,0)")
+    dy = F.col("__y").cast("decimal(18,6)")
+    mom = base.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dx).cast("decimal(38,0)").alias("__sx"),
+        F.sum((dx * dx).cast("decimal(38,0)")).cast("decimal(38,0)").alias("__sxx"),
+        F.sum((dx * dx * dx).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__sxxx"),
+        F.sum(dy).cast("decimal(38,6)").alias("__sy"),
+        F.sum((dx * dy).cast("decimal(38,6)")).cast("decimal(38,6)").alias("__sxy"),
+        F.sum((dy * dy).cast("decimal(38,12)"))
+        .cast("decimal(38,12)")
+        .alias("__syy"),
+        F.sum((dx * dx * dy).cast("decimal(38,6)"))
+        .cast("decimal(38,6)")
+        .alias("__sxxy"),
+        F.sum((dx * (dy * dy).cast("decimal(38,12)")).cast("decimal(38,12)"))
+        .cast("decimal(38,12)")
+        .alias("__sxyy"),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    n = F.col("n").cast("double")
+    sx, sxx, sxxx = dbl("__sx"), dbl("__sxx"), dbl("__sxxx")
+    sy, sxy, syy = dbl("__sy"), dbl("__sxy"), dbl("__syy")
+    sxxy, sxyy = dbl("__sxxy"), dbl("__sxyy")
+    ssx = sxx - sx * sx / n
+    ssy = syy - sy * sy / n
+    sxy_c = sxy - sx * sy / n
+    beta = sxy_c / ssx
+    a = (sy - beta * sx) / n
+    sse = ssy - beta * sxy_c
+    # Σx·e² with e = y − a − βx distributed over raw moments
+    sxe2 = (
+        sxyy
+        - 2.0 * a * sxy
+        - 2.0 * beta * sxxy
+        + a * a * sx
+        + 2.0 * a * beta * sxx
+        + beta * beta * sxxx
+    )
+    sigma2 = sse / n
+    sxg = sxe2 - sx * sse / n  # Σ(x−x̄)(e²−ē²); ē² = SSE/n
+    lm = sxg * sxg / (2.0 * sigma2 * sigma2 * ssx)
+    ok = (F.col("n") >= 3) & (ssx > 0) & (sigma2 > 0)
+    return mom.select(
+        *group_cols,
+        "n",
+        F.round(F.when((F.col("n") >= 2) & (ssx > 0), beta), 6).alias(
+            "slope"
+        ),
+        F.round(F.when((F.col("n") >= 2) & (ssx > 0), sse), 6).alias(
+            "sse"
+        ),
+        F.round(F.when(ok, lm), 6).alias("bp_lm"),
+    ).orderBy(*group_cols)
+
+
+def gpd_tail_fit(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Generalized-Pareto peaks-over-threshold fit per group — the
+    EXCEEDANCE rung of the extreme-value family next to
+    gumbel_weekly_max's block maxima and hill_tail_index's order
+    statistics: excesses e = x − u above the caller's threshold u (a
+    literal shared with the oracle, e.g. a known SLA bound) are
+    GPD-distributed for any heavy-tailed parent (Pickands 1975), and
+    the method-of-moments estimates ξ̂ = (1 − ē²/s²)/2, σ̂ =
+    ē(ē²/s² + 1)/2 summarize HOW the tail decays — ξ̂ > 0 heavy,
+    ξ̂ ≈ 0 exponential, ξ̂ < 0 bounded. MOM needs ξ < 1/4 for a
+    finite 4th moment — the standard caveat, the caller's to honor
+    (mean_excess and n_exceed stay honest regardless).
+
+    Exactness: excesses are ≤6dp and Σe/Σe² ride exact
+    DECIMAL(38,6)/(38,12) in ONE aggregate; ξ̂/σ̂ are single double
+    expressions of exact decimals.
+
+    Plan at scale: ONE filtered map-side-combined aggregate — the
+    threshold predicate pushes to the scan; no window, no join.
+
+    Returns (group_cols..., threshold, n_exceed BIGINT, mean_excess,
+    xi_mom, sigma_mom) — fit NULL when n_exceed < 2 or the excess
+    variance is 0.
+    """
+    e = (F.col(value_col) - F.lit(float(threshold))).cast("decimal(18,6)")
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & (F.col(value_col) > F.lit(float(threshold)))
+    ).select(*group_cols, e.alias("__e"))
+    agg = base.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_exceed"),
+        F.sum(F.col("__e").cast("decimal(38,6)")).alias("__s1"),
+        F.sum((F.col("__e") * F.col("__e")).cast("decimal(38,12)")).alias(
+            "__s2"
+        ),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    n = F.col("n_exceed").cast("double")
+    ebar = dbl("__s1") / n
+    s2 = (dbl("__s2") - dbl("__s1") * dbl("__s1") / n) / (n - 1.0)
+    ratio = ebar * ebar / s2
+    xi = 0.5 * (1.0 - ratio)
+    sigma = 0.5 * ebar * (ratio + 1.0)
+    ok = (F.col("n_exceed") >= 2) & (s2 > 0)
+    return agg.select(
+        *group_cols,
+        F.lit(float(threshold)).alias("threshold"),
+        "n_exceed",
+        F.round(ebar, 6).alias("mean_excess"),
+        F.round(F.when(ok, xi), 6).alias("xi_mom"),
+        F.round(F.when(ok, sigma), 6).alias("sigma_mom"),
+    ).orderBy(*group_cols)
