@@ -200,6 +200,22 @@ _PROMOTED = [
 ]
 
 _DEFERRED = [
+    # ROUND-11 WAVE-2 registrations (10): the r11 head's 50 slots are
+    # fully budgeted by the 37-query attestation backlog + the 13
+    # wave-1 registrations (judge r10 #3: backlog first), so these
+    # park in the tail with THREE-PROFILE + ANSI local attestation
+    # committed in the ORACLE_*.json artifacts; they are the named
+    # candidates for the r12 head.
+    "ks_expfit_values",
+    "atkinson_customer_revenue",
+    "cliffs_delta_click_error",
+    "hodges_lehmann_click_error",
+    "uncertainty_status_priority",
+    "ordinal_assoc_lines",
+    "agreement_user_halves",
+    "seasonal_mk_daily",
+    "cox_stuart_daily",
+    "dispersion_daily_counts",
     # Everything below stays oracle-checked by tools/check_oracle.py
     # (and the committed ORACLE_sf*.json artifacts) every round.
     # Ordering: the 29 round-10 wave-1..3 registrations (driver rows
@@ -18156,3 +18172,650 @@ def bowker_user_shift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = r1.join(r2, "user_id").select("ra", "rb")
     return bowker_test(pairs, "ra", "rb")
+
+
+# ---------------------------------------------------------------------------
+# Round-11 wave 2: effect sizes, distribution fit, agreement, seasonal trend
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "ks_expfit_values",
+    """
+    WITH base AS (
+      SELECT event_type AS g,
+             CAST(ROUND(value * 1000000, 0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    nd AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_dropped
+           FROM base WHERE v <= 0 GROUP BY 1),
+    pos AS (SELECT g, v FROM base WHERE v > 0),
+    per_v AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t
+              FROM pos GROUP BY 1, 2),
+    tot AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(v::HUGEINT) AS s
+            FROM pos GROUP BY 1),
+    run AS (SELECT g, v, t,
+                   SUM(t) OVER (PARTITION BY g ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum
+            FROM per_v),
+    j AS (SELECT run.g, run.v, run.t, run.cum, tot.n,
+                 CAST(tot.n AS DOUBLE)
+                   / (CAST(CAST(tot.s AS VARCHAR) AS DOUBLE) / 1e6)
+                   AS lam
+          FROM run JOIN tot USING (g)),
+    gaps AS (
+      SELECT g, n, lam,
+             GREATEST(
+               ABS(CAST(cum AS DOUBLE) / n
+                   - (1 - EXP(-lam * v / 1e6))),
+               ABS(CAST(cum - t AS DOUBLE) / n
+                   - (1 - EXP(-lam * v / 1e6)))) AS gap
+      FROM j),
+    ag AS (SELECT g, MAX(n) AS n, ROUND(MAX(lam), 6) AS lambda_hat,
+                  ROUND(MAX(gap), 6) AS d_stat
+           FROM gaps GROUP BY 1)
+    SELECT ag.g AS event_type,
+           COALESCE(ag.n, 0) AS n,
+           COALESCE(nd.n_dropped, 0) AS n_dropped,
+           ag.lambda_hat, ag.d_stat
+    FROM ag FULL OUTER JOIN nd USING (g) ORDER BY event_type
+    """,
+    doc="One-sample KS distance of event values against a FITTED "
+    "exponential per type (operators/relational.py:"
+    "ks_exponential_fit) — the distribution-FIT rung next to "
+    "ks_value_drift's two-sample gap: 'are these values memoryless', "
+    "the Poisson-process sanity check behind poisson_rate_halves. "
+    "Descriptive D (Lilliefors caveat documented — lambda fitted "
+    "from the same data); F_emp exact rationals off the guarded "
+    "distinct micro-value frame, sup checks both step sides",
+)
+def ks_expfit_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import ks_exponential_fit
+
+    ev = load_events(spark, sf_dir)
+    return ks_exponential_fit(
+        ev.select(F.col("event_type").alias("g"), "value"),
+        ["g"],
+        "value",
+        scale=1_000_000,
+    ).withColumnRenamed("g", "event_type")
+
+
+@_q(
+    "atkinson_customer_revenue",
+    """
+    WITH rev AS (
+      SELECT c_nationkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS r
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey, o_custkey),
+    q AS (SELECT c_nationkey AS g,
+                 CAST(ROUND(r * 100, 0) AS BIGINT) AS v
+          FROM rev WHERE r IS NOT NULL),
+    ag AS (
+      SELECT g,
+             CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN v > 0 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dropped,
+             SUM(CASE WHEN v > 0 THEN v::HUGEINT END) AS s1,
+             SUM(CASE WHEN v > 0 THEN POW(CAST(v AS DOUBLE), 0.5) END)
+               AS sp
+      FROM q GROUP BY 1),
+    m AS (SELECT g, n, n_dropped,
+                 CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS vbar,
+                 POW(sp / CAST(n AS DOUBLE), 2.0) AS ede
+          FROM ag)
+    SELECT g AS c_nationkey, n, n_dropped,
+           ROUND(CASE WHEN n > 0 THEN vbar / 100.0 END, 6) AS mean,
+           ROUND(CASE WHEN n > 0 THEN 1.0 - ede / vbar END, 6)
+             AS atkinson
+    FROM m ORDER BY c_nationkey
+    """,
+    doc="Atkinson inequality index (epsilon = 0.5) of per-customer "
+    "revenue within each nation "
+    "(operators/relational.py:atkinson_index) — the NORMATIVE rung "
+    "next to theil_customer_revenue and gini_customer_revenue: 'the "
+    "nation would give up A of total revenue to equalize'. ONE "
+    "aggregate (the mean folds out by homogeneity); power fold "
+    "renormalized by n*mu^(1-eps) keeps order ulps invisible at "
+    "round-6",
+)
+def atkinson_customer_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import atkinson_index
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("r")
+        )
+    )
+    return atkinson_index(rev, ["c_nationkey"], "r")
+
+
+@_q(
+    "cliffs_delta_click_error",
+    """
+    WITH base AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'error')),
+    per_v AS (SELECT v, CAST(SUM(ia) AS BIGINT) AS ta,
+                     CAST(SUM(1 - ia) AS BIGINT) AS tb
+              FROM base GROUP BY 1),
+    run AS (SELECT ta, tb,
+                   COALESCE(SUM(ta + tb) OVER (ORDER BY v ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+            FROM per_v),
+    ag AS (SELECT CAST(SUM(ta) AS BIGINT) AS n_a,
+                  CAST(SUM(tb) AS BIGINT) AS n_b,
+                  SUM(ta::HUGEINT * (2 * c + ta + tb + 1)) AS r2a
+           FROM run),
+    m AS (SELECT n_a, n_b,
+                 CAST(CAST((r2a - n_a::HUGEINT * (n_a + 1)) AS VARCHAR)
+                      AS DOUBLE) / 2.0 AS u_a
+          FROM ag),
+    fin AS (SELECT n_a, n_b, u_a,
+                   2.0 * u_a / (CAST(n_a AS DOUBLE) * n_b) - 1.0
+                     AS delta
+            FROM m)
+    SELECT n_a, n_b,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN u_a END AS u_a,
+           ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN delta END, 6)
+             AS delta,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             CASE WHEN ABS(delta) < 0.147 THEN 'negligible'
+                  WHEN ABS(delta) < 0.33 THEN 'small'
+                  WHEN ABS(delta) < 0.474 THEN 'medium'
+                  ELSE 'large' END END AS magnitude
+    FROM fin
+    """,
+    doc="Cliff's delta ordinal effect size between click and error "
+    "values (operators/relational.py:cliffs_delta) — "
+    "mannwhitney_click_error's EFFECT-SIZE companion: delta = "
+    "2U/(n_a n_b) - 1 in [-1,1], robust to any monotone transform, "
+    "with the standard Romano magnitude banding as injected "
+    "literals. Exact U off the guarded distinct cent-value frame "
+    "(the mann_whitney midrank discipline verbatim)",
+)
+def cliffs_delta_click_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import cliffs_delta
+
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "error")
+    )
+    return cliffs_delta(
+        ev.select("value", "event_type"), "value", "event_type", "click"
+    )
+
+
+@_q(
+    "hodges_lehmann_click_error",
+    """
+    WITH base AS (
+      SELECT CAST(ROUND(value * 1, 0) AS BIGINT) AS v,
+             event_type = 'click' AS a
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'error')),
+    va AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS ta
+           FROM base WHERE a GROUP BY 1),
+    vb AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS tb
+           FROM base WHERE NOT a GROUP BY 1),
+    diffs AS (
+      SELECT va.v - vb.v AS d, SUM(va.ta::HUGEINT * vb.tb) AS w
+      FROM va CROSS JOIN vb GROUP BY 1),
+    tot AS (SELECT SUM(w) AS n FROM diffs),
+    run AS (SELECT d,
+                   SUM(w) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS cum
+            FROM diffs),
+    med AS (SELECT MIN(d) AS med FROM run CROSS JOIN tot
+            WHERE cum >= FLOOR((n + 1) / 2)),
+    sides AS (
+      SELECT CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      FROM base),
+    cells AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_diff_cells
+              FROM diffs)
+    SELECT n_a, n_b, n_diff_cells,
+           ROUND(CASE WHEN n_a > 0 AND n_b > 0
+                 THEN CAST(med AS DOUBLE) / 1.0 END, 6) AS hl_shift
+    FROM sides CROSS JOIN cells CROSS JOIN med
+    """,
+    doc="Hodges-Lehmann shift estimate between click and error "
+    "values (operators/relational.py:hodges_lehmann_shift) — the "
+    "robust 'how much bigger' next to cliffs_delta's 'how "
+    "dominantly': weighted LOWER median of all pairwise differences, "
+    "collapsed onto the V_a x V_b distinct-value grid with exact "
+    "t_a*t_b weights (never the n_a*n_b row pairs); the grid is "
+    "plan-guarded at EXACT_RANK_MAX_ROWS. QUERY quantization is "
+    "whole units (scale=1, part of the contract): a value domain of "
+    "~500 keeps the grid ~2.5e5 cells at ANY scale factor, where "
+    "cents at sf0.1 already hit 9.6e7 and the guard (correctly) "
+    "raised — the documented remedy applied",
+)
+def hodges_lehmann_click_error_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.relational import hodges_lehmann_shift
+
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "error")
+    )
+    return hodges_lehmann_shift(
+        ev.select("value", "event_type"),
+        "value",
+        "event_type",
+        "click",
+        scale=1,
+    )
+
+
+@_q(
+    "uncertainty_status_priority",
+    """
+    WITH base AS (
+      SELECT CAST(o_orderstatus AS VARCHAR) AS r,
+             CAST(o_orderpriority AS VARCHAR) AS c
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL),
+    cells AS (SELECT r, c, CAST(COUNT(*) AS BIGINT) AS f
+              FROM base GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(f) AS BIGINT) AS n FROM cells),
+    hr AS (SELECT -SUM(p * LN(p)) AS h FROM (
+             SELECT CAST(SUM(f) AS DOUBLE) / (SELECT n FROM tot) AS p
+             FROM cells GROUP BY r)),
+    hc AS (SELECT -SUM(p * LN(p)) AS h FROM (
+             SELECT CAST(SUM(f) AS DOUBLE) / (SELECT n FROM tot) AS p
+             FROM cells GROUP BY c)),
+    hrc AS (SELECT -SUM(p * LN(p)) AS h FROM (
+              SELECT CAST(f AS DOUBLE) / (SELECT n FROM tot) AS p
+              FROM cells)),
+    m AS (SELECT (SELECT n FROM tot) AS n,
+                 (SELECT h FROM hr) AS h_row,
+                 (SELECT h FROM hc) AS h_col,
+                 (SELECT h FROM hr) + (SELECT h FROM hc)
+                   - (SELECT h FROM hrc) AS mi)
+    SELECT COALESCE(n, 0) AS n,
+           ROUND(h_row, 6) AS h_row,
+           ROUND(h_col, 6) AS h_col,
+           ROUND(mi, 6) AS mutual_info,
+           ROUND(CASE WHEN h_col > 0 THEN mi / h_col END, 6)
+             AS u_col_given_row,
+           ROUND(CASE WHEN h_row > 0 THEN mi / h_row END, 6)
+             AS u_row_given_col,
+           ROUND(CASE WHEN h_row + h_col > 0
+                 THEN 2.0 * mi / (h_row + h_col) END, 6) AS u_symmetric
+    FROM m
+    """,
+    doc="Theil's uncertainty coefficient between order status and "
+    "priority (operators/relational.py:uncertainty_coefficient) — "
+    "the DIRECTED association rung next to chi2_status_priority's "
+    "cramers_v and mi_status_priority's raw MI: 'knowing status "
+    "removes this fraction of priority's entropy', asymmetric by "
+    "design (catches many-to-one mappings). One cell aggregate + "
+    "category-bounded entropy folds",
+)
+def uncertainty_status_priority_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.relational import uncertainty_coefficient
+
+    orders = load(spark, sf_dir, "orders")
+    return uncertainty_coefficient(
+        orders, "o_orderstatus", "o_orderpriority"
+    )
+
+
+@_q(
+    "ordinal_assoc_lines",
+    """
+    WITH base AS (
+      SELECT CAST(l_linenumber AS BIGINT) AS x,
+             CAST(l_quantity AS BIGINT) AS y
+      FROM lineitem
+      WHERE l_linenumber IS NOT NULL AND l_quantity IS NOT NULL),
+    cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS f
+              FROM base GROUP BY 1, 2),
+    pa AS (
+      SELECT
+        SUM(CASE WHEN a.x < b.x AND a.y < b.y
+            THEN a.f::HUGEINT * b.f END) AS c,
+        SUM(CASE WHEN a.x < b.x AND a.y > b.y
+            THEN a.f::HUGEINT * b.f END) AS d,
+        SUM(CASE WHEN a.x = b.x AND a.y < b.y
+            THEN a.f::HUGEINT * b.f END) AS tx,
+        SUM(CASE WHEN a.y = b.y AND a.x < b.x
+            THEN a.f::HUGEINT * b.f END) AS ty
+      FROM cells a CROSS JOIN cells b),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells),
+    m AS (SELECT
+            COALESCE(CAST(CAST(c AS VARCHAR) AS DOUBLE), 0) AS cd,
+            COALESCE(CAST(CAST(d AS VARCHAR) AS DOUBLE), 0) AS dd,
+            COALESCE(CAST(CAST(tx AS VARCHAR) AS DOUBLE), 0) AS txd,
+            COALESCE(CAST(CAST(ty AS VARCHAR) AS DOUBLE), 0) AS tyd
+          FROM pa)
+    SELECT COALESCE(tot.n, 0) AS n, nc.n_cells,
+           m.cd AS c_pairs, m.dd AS d_pairs,
+           ROUND(CASE WHEN m.cd + m.dd > 0
+                 THEN (m.cd - m.dd) / (m.cd + m.dd) END, 6) AS gamma,
+           ROUND(CASE WHEN m.cd + m.dd + m.tyd > 0
+                 THEN (m.cd - m.dd) / (m.cd + m.dd + m.tyd) END, 6)
+             AS somers_d_yx,
+           ROUND(CASE WHEN (m.cd + m.dd + m.txd)
+                      * (m.cd + m.dd + m.tyd) > 0
+                 THEN (m.cd - m.dd)
+                      / SQRT((m.cd + m.dd + m.txd)
+                             * (m.cd + m.dd + m.tyd)) END, 6) AS tau_b
+    FROM m CROSS JOIN tot CROSS JOIN nc
+    """,
+    doc="Goodman-Kruskal gamma / Somers' D / Kendall tau-b between "
+    "line number and quantity "
+    "(operators/relational.py:ordinal_association) — the ORDERED "
+    "association chi2/cramers_v throws away: concordant/discordant "
+    "pair counts fold over the (x, y) CELL GRID with exact integer "
+    "f1*f2 weights (7x50 cells here — never the C(n,2) row pairs); "
+    "grid guarded at max_cells",
+)
+def ordinal_assoc_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import ordinal_association
+
+    li = load(spark, sf_dir, "lineitem")
+    return ordinal_association(
+        li.select(
+            F.col("l_linenumber").alias("x"),
+            F.col("l_quantity").alias("y"),
+        ),
+        "x",
+        "y",
+    )
+
+
+@_q(
+    "agreement_user_halves",
+    """
+    WITH pu AS (
+      SELECT user_id,
+        ROUND(CAST(SUM(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                   THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+              / COUNT(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                      THEN value END), 6) AS x,
+        ROUND(CAST(SUM(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+                   THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+              / COUNT(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+                      THEN value END), 6) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    pairs AS (SELECT CAST(x AS DECIMAL(18,6)) AS x,
+                     CAST(y AS DECIMAL(18,6)) AS y
+              FROM pu WHERE x IS NOT NULL AND y IS NOT NULL),
+    ag AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS DECIMAL(38,6))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,6))) AS sy,
+             SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+             SUM(CAST(y * y AS DECIMAL(38,12))) AS syy,
+             SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy
+      FROM pairs),
+    d AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+                 CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx,
+                 CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy,
+                 CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx,
+                 CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syy,
+                 CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy
+          FROM ag),
+    m AS (SELECT n, nd,
+                 (sy - sx) / nd AS bias,
+                 ((syy - 2 * sxy + sxx)
+                  - (sy - sx) * (sy - sx) / nd) / (nd - 1) AS sdd,
+                 sxx / nd - (sx / nd) * (sx / nd) AS vx,
+                 syy / nd - (sy / nd) * (sy / nd) AS vy,
+                 sxy / nd - (sx / nd) * (sy / nd) AS cxy,
+                 (sx - sy) / nd AS md
+          FROM d)
+    SELECT COALESCE(n, 0) AS n,
+           ROUND(CASE WHEN n >= 1 THEN bias END, 6) AS bias,
+           ROUND(CASE WHEN n >= 2 AND sdd > 0 THEN SQRT(sdd) END, 6)
+             AS sd_diff,
+           ROUND(CASE WHEN n >= 2 AND sdd > 0
+                 THEN bias - 1.959963984540054 * SQRT(sdd) END, 6)
+             AS loa_lo,
+           ROUND(CASE WHEN n >= 2 AND sdd > 0
+                 THEN bias + 1.959963984540054 * SQRT(sdd) END, 6)
+             AS loa_hi,
+           ROUND(CASE WHEN vx > 0 AND vy > 0
+                 THEN cxy / SQRT(vx * vy) END, 6) AS pearson_r,
+           ROUND(CASE WHEN vx + vy > 0
+                 THEN 2.0 * cxy / (vx + vy + md * md) END, 6) AS ccc
+    FROM m
+    """,
+    doc="Bland-Altman bias/limits-of-agreement + Lin's concordance "
+    "of per-user mean value, first half vs second half "
+    "(operators/relational.py:agreement_summary) — the CONTINUOUS "
+    "agreement rung next to kappa (nominal) and bowker_user_shift "
+    "(categorical drift): 'how far apart and in which direction' "
+    "plus 'how close to y = x', which Pearson r alone overstates "
+    "(CCC <= |r| by construction, pytest-pinned). ONE cuped-style "
+    "exact moment aggregate",
+)
+def agreement_user_halves_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import agreement_summary
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    half = F.to_date("ts") <= F.lit("2024-01-15").cast("date")
+    per_u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(half, F.col("value").cast("decimal(18,6)"))
+                ).cast("double")
+                / F.count(F.when(half, F.col("value"))),
+                6,
+            ).alias("x"),
+            F.round(
+                F.sum(
+                    F.when(~half, F.col("value").cast("decimal(18,6)"))
+                ).cast("double")
+                / F.count(F.when(~half, F.col("value"))),
+                6,
+            ).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    return agreement_summary(per_u, "x", "y")
+
+
+@_q(
+    "seasonal_mk_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2),
+    q AS (SELECT event_type,
+                 CAST(EXTRACT(ISODOW FROM day) AS BIGINT) - 1 AS season,
+                 CAST(day - DATE '1970-01-01' AS BIGINT) AS t, v
+          FROM daily),
+    cd AS (
+      SELECT a.event_type, a.season,
+             CAST(SUM(CASE WHEN (a.t - b.t)::HUGEINT * (a.v - b.v) > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN (a.t - b.t)::HUGEINT * (a.v - b.v) < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM q a JOIN q b
+        ON a.event_type = b.event_type AND a.season = b.season
+        AND a.t < b.t
+      GROUP BY 1, 2),
+    vt AS (
+      SELECT event_type, season,
+             SUM(tc::HUGEINT * (tc - 1) * (2 * tc + 5)) AS tv,
+             CAST(SUM(tc) AS BIGINT) AS n
+      FROM (SELECT event_type, season, v,
+                   CAST(COUNT(*) AS BIGINT) AS tc
+            FROM q GROUP BY 1, 2, 3) GROUP BY 1, 2),
+    per_season AS (
+      SELECT vt.event_type, vt.season, vt.n,
+             CAST(COALESCE(c, 0) - COALESCE(d, 0) AS BIGINT) AS s,
+             ROUND(CAST(CAST(n::HUGEINT * (n - 1) * (2 * n + 5) - tv
+                             AS VARCHAR) AS DOUBLE) / 18.0, 6) AS vs
+      FROM vt LEFT JOIN cd USING (event_type, season) WHERE n >= 2),
+    ag AS (
+      SELECT event_type,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_seasons,
+             CAST(SUM(s) AS BIGINT) AS s_stat,
+             ROUND(SUM(vs), 6) AS var_s
+      FROM per_season GROUP BY 1),
+    z AS (
+      SELECT *, CASE WHEN var_s > 0 THEN
+          ROUND(CASE WHEN s_stat > 0
+                     THEN (s_stat - 1) / SQRT(var_s)
+                     WHEN s_stat < 0
+                     THEN (s_stat + 1) / SQRT(var_s)
+                     ELSE 0.0 END, 6) END AS z
+      FROM ag)
+    SELECT event_type, n, n_seasons, s_stat, var_s, z,
+           CASE WHEN z IS NULL THEN NULL
+                WHEN z > 1.959963984540054 THEN 'increasing'
+                WHEN z < -1.959963984540054 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM z ORDER BY event_type
+    """,
+    doc="Seasonal Mann-Kendall trend test on daily event counts per "
+    "type, seasons = weekday "
+    "(operators/series.py:seasonal_mann_kendall; Hirsch-Slack) — "
+    "mann_kendall_daily with the weekly cycle CONTROLLED FOR: S and "
+    "Var(S) within each weekday, summed (independence additivity, "
+    "documented), continuity-corrected z on the totals. Pure "
+    "composition over mann_kendall_trend — inherits both kendall "
+    "lanes and the shared pair guard",
+)
+def seasonal_mk_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import seasonal_mann_kendall
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("v"))
+    daily = daily.select(
+        "event_type",
+        # ISO dow − 1 (Mon=0): Spark dayofweek is 1=Sunday
+        ((F.dayofweek("day") + 5) % 7).cast("long").alias("season"),
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+        "v",
+    )
+    return seasonal_mann_kendall(
+        daily, ["event_type"], "t", "v", "season"
+    )
+
+
+@_q(
+    "cox_stuart_daily",
+    f"""
+    WITH daily AS ({_DAILY_MEAN_SQL}),
+    q AS (SELECT event_type AS g, day AS o,
+                 CAST(ROUND(v * 1000000, 0) AS BIGINT) AS v
+          FROM daily),
+    rn AS (SELECT g, v,
+                  ROW_NUMBER() OVER (PARTITION BY g ORDER BY o) AS rn,
+                  COUNT(*) OVER (PARTITION BY g) AS n
+           FROM q),
+    first AS (SELECT g, rn AS i, v AS v1, n FROM rn
+              WHERE rn <= CAST(FLOOR(n / 2) AS BIGINT)),
+    second AS (SELECT g, rn - (n - CAST(FLOOR(n / 2) AS BIGINT)) AS i,
+                      v AS v2
+               FROM rn WHERE rn > n - CAST(FLOOR(n / 2) AS BIGINT)),
+    pairs AS (SELECT first.g, first.n, v1, v2
+              FROM first JOIN second USING (g, i)),
+    ag AS (SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+                  CAST(COUNT(*) AS BIGINT) AS m_pairs,
+                  CAST(SUM(CASE WHEN v2 > v1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_pos,
+                  CAST(SUM(CASE WHEN v2 < v1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_neg
+           FROM pairs GROUP BY 1)
+    SELECT g AS event_type, n, m_pairs, n_pos, n_neg,
+           ROUND(CASE WHEN n_pos + n_neg > 0 THEN
+                 CAST(n_pos - n_neg AS DOUBLE)
+                 / SQRT(CAST(n_pos + n_neg AS DOUBLE)) END, 6) AS z
+    FROM ag ORDER BY event_type
+    """,
+    doc="Cox-Stuart sign test for trend on each event type's daily "
+    "mean-value series (operators/series.py:cox_stuart_trend) — the "
+    "bluntest trend rung (below mann_kendall in power, above in "
+    "simplicity): pair the first half with the second half "
+    "positionally, sign-test the differences. One row_number window "
+    "over the bounded daily rollup + one positional self-join",
+)
+def cox_stuart_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import cox_stuart_trend
+
+    daily = _daily_mean_frame(spark, sf_dir)
+    return cox_stuart_trend(
+        daily.select(
+            F.col("event_type").alias("g"), F.col("day").alias("o"), "v"
+        ),
+        ["g"],
+        "o",
+        "v",
+    ).withColumnRenamed("g", "event_type")
+
+
+@_q(
+    "dispersion_daily_counts",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    ag AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x::HUGEINT) AS s1,
+             SUM(x::HUGEINT * x) AS s2
+      FROM daily GROUP BY 1),
+    m AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+                 CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1d,
+                 CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2d
+          FROM ag),
+    fin AS (SELECT event_type, n,
+                   s1d / nd AS mean,
+                   CASE WHEN n >= 2 THEN
+                     (s2d - s1d * s1d / nd) / (nd - 1) END AS variance,
+                   nd
+            FROM m)
+    SELECT event_type, n,
+           ROUND(CASE WHEN n >= 1 THEN mean END, 6) AS mean,
+           ROUND(variance, 6) AS variance,
+           ROUND(CASE WHEN n >= 2 AND mean > 0
+                 THEN variance / mean END, 6) AS dispersion,
+           ROUND(CASE WHEN n >= 2 AND mean > 0
+                 THEN (nd - 1) * variance / mean END, 6) AS chi2
+    FROM fin ORDER BY event_type
+    """,
+    doc="Index of dispersion (variance-to-mean) of daily event "
+    "counts per type (operators/series.py:dispersion_index) — the "
+    "Poissonness gate BEFORE poisson_rate_halves' rate-ratio z "
+    "means anything: D >> 1 = bursts (burstiness_event_types' "
+    "distributional cousin), D << 1 = rate limiting. ONE aggregate "
+    "over the daily rollup; exact DECIMAL(38,0)/HUGEINT moments",
+)
+def dispersion_daily_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import dispersion_index
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("x"))
+    return dispersion_index(daily, ["event_type"], "x")

@@ -6537,3 +6537,637 @@ def kendalls_w(
         F.round(F.when(ok, w_), 6).alias("w"),
         F.round(F.when(ok, n * (kk - 1.0) * w_), 6).alias("chi2_f"),
     )
+
+
+def ks_exponential_fit(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """One-sample Kolmogorov-Smirnov distance against a FITTED
+    exponential per group — the distribution-FIT rung next to
+    ks_two_sample's two-sample drift: λ̂ = 1/mean (the exponential
+    MLE), D = sup|F_emp − (1 − e^{−λ̂v})| — "are these waits/values
+    memoryless", the Poisson-process sanity check behind
+    poisson_rate_halves and dispersion_index. D is a DESCRIPTIVE
+    distance here (fitting λ̂ from the same data invalidates the
+    textbook KS null — the Lilliefors caveat, documented; chi2
+    contract: no p-value).
+
+    Exactness: values quantize to ``1/scale``; non-positive values
+    are excluded (exponential support) and counted in n_dropped;
+    F_emp steps are exact rationals cum/n off the guarded distinct
+    frame, the sup checks BOTH step sides (F at v and the
+    left-limit), and the fitted CDF is one exp() of exact-decimal
+    λ̂·v — the only cross-engine double-fold exposure is exp/LN's
+    final-ulp, invisible at round-6 (the theil_index argument).
+
+    Plan at scale: one (group, value) aggregate, ONE guarded prefix
+    window per group over distinct values (EXACT_RANK_MAX_ROWS
+    convention), one 1-row-per-group reduce.
+
+    Returns (group_cols..., n BIGINT, n_dropped BIGINT, lambda_hat,
+    d_stat) — NULL fit when n = 0.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    keys = list(group_cols)
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *keys,
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+    )
+    dropped = base.filter(F.col("__v") <= 0)
+    nd = dropped.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_dropped")
+    )
+    pos = base.filter(F.col("__v") > 0)
+    per_v = pos.groupBy(*keys, "__v").agg(F.count("*").alias("__t"))
+    per_v = guard_distinct_frame(
+        per_v, "ks_exponential_fit", partition_cols=tuple(keys)
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kw = Window.partitionBy(*keys)
+    tot = pos.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum(dec(F.col("__v"))).cast("decimal(38,0)").alias("__s"),
+    )
+    run = per_v.select(
+        *keys,
+        "__v",
+        "__t",
+        F.sum("__t").over(w).alias("__cum"),
+    ).join(F.broadcast(tot), keys)
+    n = F.col("__n").cast("double")
+    lam = n / (F.col("__s").cast("string").cast("double") / F.lit(float(scale)))
+    f_fit = 1.0 - F.exp(-lam * F.col("__v").cast("double") / F.lit(float(scale)))
+    f_hi = F.col("__cum").cast("double") / n
+    f_lo = (F.col("__cum") - F.col("__t")).cast("double") / n
+    gap = F.greatest(F.abs(f_hi - f_fit), F.abs(f_lo - f_fit))
+    agg = run.groupBy(*keys).agg(
+        F.max("__n").cast("long").alias("n"),
+        F.round(F.max(lam), 6).alias("lambda_hat"),
+        F.round(F.max(gap), 6).alias("d_stat"),
+    )
+    if keys:
+        # full join seats all-dropped groups (no positive rows) with
+        # n = 0 alongside their n_dropped
+        out = agg.join(nd, keys, "full")
+    else:
+        out = agg.crossJoin(
+            F.broadcast(
+                dropped.agg(F.count("*").cast("long").alias("n_dropped"))
+            )
+        )
+    return out.select(
+        *keys,
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias(
+            "n_dropped"
+        ),
+        "lambda_hat",
+        "d_stat",
+    ).orderBy(*keys)
+
+
+def atkinson_index(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    epsilon: float = 0.5,
+    scale: int = 100,
+) -> DataFrame:
+    """Atkinson inequality index per group — the NORMATIVE rung of
+    the inequality ladder next to theil_index (decomposable entropy)
+    and gini (rank geometry): A_ε = 1 − (Σ(x/μ)^{1−ε}/n)^{1/(1−ε)},
+    parameterized by inequality aversion ε ("A = 0.2 means society
+    would give up 20% of total income to equalize"). ε ≠ 1 (the
+    ε → 1 limit is the geometric-mean form — out of contract,
+    raise). Non-positive values are excluded (fractional powers)
+    and counted in n_dropped; NULLs are filtered BEFORE counting
+    (the theil_index r11 discipline).
+
+    Exactness: values quantize to ``1/scale``; Σx rides
+    DECIMAL(38,0); the power fold Σx^{1−ε} is a double sum
+    renormalized by n·μ^{1−ε}, so summation-order ulps land ~1e-14
+    relative (the theil_index argument); A is round-6.
+
+    Plan at scale: ONE map-side-combined aggregate — no window, no
+    join (the mean folds out via the homogeneity of A).
+
+    Returns (group_cols..., n BIGINT, n_dropped BIGINT, mean,
+    atkinson).
+    """
+    if epsilon == 1.0:
+        raise ValueError(
+            "atkinson_index: epsilon = 1 (geometric-mean limit) is out "
+            "of contract; pass epsilon != 1"
+        )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+    )
+    pos = F.col("__v") > 0
+    one_m_e = 1.0 - epsilon
+    v = F.col("__v").cast("double")
+    agg = base.groupBy(*group_cols).agg(
+        F.sum(pos.cast("long")).cast("long").alias("n"),
+        F.sum((~pos).cast("long")).cast("long").alias("n_dropped"),
+        F.sum(F.when(pos, dec(F.col("__v"))))
+        .cast("decimal(38,0)")
+        .alias("__s1"),
+        F.sum(F.when(pos, F.pow(v, F.lit(one_m_e)))).alias("__sp"),
+    )
+    n = F.col("n").cast("double")
+    vbar = F.col("__s1").cast("string").cast("double") / n
+    ede = F.pow(F.col("__sp") / n, F.lit(1.0 / one_m_e))
+    a = 1.0 - ede / vbar
+    ok = F.col("n") > 0
+    return agg.select(
+        *group_cols,
+        "n",
+        "n_dropped",
+        F.round(F.when(ok, vbar / F.lit(float(scale))), 6).alias("mean"),
+        F.round(F.when(ok, a), 6).alias("atkinson"),
+    ).orderBy(*group_cols)
+
+
+def cliffs_delta(
+    df: DataFrame,
+    value_col: str,
+    class_col: str,
+    class_a,
+    scale: int = 100,
+) -> DataFrame:
+    """Cliff's delta ordinal effect size between two classes —
+    mann_whitney_u's EFFECT-SIZE companion on the dominance scale:
+    δ = P(x_a > x_b) − P(x_a < x_b) = 2U_a/(n_a·n_b) − 1 (ties
+    counted half in U), in [−1, 1] and robust to any monotone
+    transform — the number a readout reports NEXT TO the
+    mann-whitney z ("significant, but δ = 0.06 — who cares").
+    ``magnitude`` is the standard Romano banding (|δ| < 0.147
+    negligible / < 0.33 small / < 0.474 medium / else large) with
+    the thresholds as injected literals shared with the oracle.
+
+    Exactness: the mann_whitney midrank discipline verbatim — U_a
+    derives from the exact 2x rank sum off the guarded DISTINCT
+    pooled-value frame (DECIMAL(38,0)); δ is one double division.
+
+    Plan at scale: one (value, class) aggregate, ONE guarded prefix
+    window, one 1-row reduce — identical to mann_whitney_u's plan.
+
+    Returns one row: (n_a BIGINT, n_b BIGINT, u_a, delta,
+    magnitude) — NULL delta when either class is empty.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    is_a = F.col(class_col) == class_a
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(class_col).isNotNull()
+    ).select(
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+        is_a.cast("long").alias("__ia"),
+    )
+    per_v = base.groupBy("__v").agg(
+        F.sum("__ia").alias("__ta"),
+        F.sum(F.lit(1) - F.col("__ia")).alias("__tb"),
+    )
+    per_v = guard_distinct_frame(per_v, "cliffs_delta")
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "__ta",
+        "__tb",
+        F.coalesce(F.sum(F.col("__ta") + F.col("__tb")).over(w), F.lit(0))
+        .alias("__c"),
+    ).select(
+        "__ta",
+        "__tb",
+        (
+            dec(F.col("__ta"))
+            * dec(
+                F.lit(2) * F.col("__c") + F.col("__ta") + F.col("__tb") + 1
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("__r2a"),
+    )
+    agg = ranked.agg(
+        F.sum("__ta").cast("long").alias("n_a"),
+        F.sum("__tb").cast("long").alias("n_b"),
+        F.sum("__r2a").cast("decimal(38,0)").alias("__r2a"),
+    )
+
+    def dbl(c):
+        return c.cast("string").cast("double")
+
+    na, nb = F.col("n_a"), F.col("n_b")
+    u2 = (F.col("__r2a") - dec(na) * dec(na + 1)).cast("decimal(38,0)")
+    u_a = dbl(u2) / 2.0
+    delta = 2.0 * u_a / (na.cast("double") * nb.cast("double")) - 1.0
+    ok = (na > 0) & (nb > 0)
+    absd = F.abs(delta)
+    mag = (
+        F.when(absd < 0.147, F.lit("negligible"))
+        .when(absd < 0.33, F.lit("small"))
+        .when(absd < 0.474, F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(ok, u_a).alias("u_a"),
+        F.round(F.when(ok, delta), 6).alias("delta"),
+        F.when(ok, mag).alias("magnitude"),
+    )
+
+
+def hodges_lehmann_shift(
+    df: DataFrame,
+    value_col: str,
+    class_col: str,
+    class_a,
+    scale: int = 100,
+) -> DataFrame:
+    """Hodges-Lehmann shift estimator between two classes — the
+    ROBUST "how much bigger" to mann_whitney's "is it bigger" and
+    cliffs_delta's "how dominantly": HL = median of all n_a·n_b
+    pairwise differences (x_a − x_b), the location estimator whose
+    breakdown point and efficiency sit between median-of-diffs and
+    the mean — in the metric's own units, which is what a fee/spend
+    readout quotes.
+
+    Exactness: the pairwise-difference DISTRIBUTION collapses onto
+    the (V_a × V_b) distinct-value grid with exact integer weights
+    t_a·t_b — never the n_a·n_b row pairs — and HL is the weighted
+    LOWER median (type-1, the brown_forsythe discipline) selected by
+    one running-weight crossing over the distinct-difference frame.
+    All counts DECIMAL(38,0)-exact.
+
+    Plan at scale: one (value, class) aggregate; the V_a × V_b grid
+    join is guarded PLAN-EMBEDDED (raise_error when the grid exceeds
+    EXACT_RANK_MAX_ROWS — cents-quantized metrics keep V domain-
+    bounded, a 1e-6 quantization does not); one prefix window over
+    distinct differences + a broadcast 1-row total.
+
+    Returns one row: (n_a BIGINT, n_b BIGINT, n_diff_cells BIGINT,
+    hl_shift) — NULL when either class is empty.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    is_a = F.col(class_col) == class_a
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(class_col).isNotNull()
+    ).select(
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+        is_a.alias("__a"),
+    )
+    va = base.filter(F.col("__a")).groupBy("__v").agg(
+        F.count("*").alias("__ta")
+    )
+    vb = base.filter(~F.col("__a")).groupBy("__v").agg(
+        F.count("*").alias("__tb")
+    )
+    cnts = va.agg(F.count("*").alias("__ca")).crossJoin(
+        vb.agg(F.count("*").alias("__cb"))
+    )
+    # plan-embedded grid guard: the pair grid is V_a x V_b rows —
+    # refuse past EXACT_RANK_MAX_ROWS (the guard_distinct_frame
+    # convention, product form)
+    from .scale_lanes import EXACT_RANK_MAX_ROWS as _LIM
+
+    va_g = (
+        va.crossJoin(F.broadcast(cnts))
+        .filter(
+            F.when(
+                F.col("__ca") * F.col("__cb") <= F.lit(_LIM), F.lit(True)
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "hodges_lehmann_shift: distinct-value grid "
+                        ),
+                        (F.col("__ca") * F.col("__cb")).cast("string"),
+                        F.lit(
+                            f" rows > EXACT_RANK_MAX_ROWS={_LIM} "
+                            "(operators/scale_lanes.py) — coarsen "
+                            "`scale` or pre-aggregate"
+                        ),
+                    )
+                )
+            )
+        )
+        .drop("__ca", "__cb")
+    )
+    diffs = (
+        va_g.withColumnRenamed("__v", "__va")
+        .crossJoin(vb.withColumnRenamed("__v", "__vb"))
+        .select(
+            (F.col("__va") - F.col("__vb")).alias("__d"),
+            (dec(F.col("__ta")) * dec(F.col("__tb")))
+            .cast("decimal(38,0)")
+            .alias("__w"),
+        )
+        .groupBy("__d")
+        .agg(F.sum("__w").cast("decimal(38,0)").alias("__w"))
+    )
+    wd = Window.orderBy("__d").rowsBetween(Window.unboundedPreceding, 0)
+    tot = diffs.agg(F.sum("__w").cast("decimal(38,0)").alias("__n"))
+    run = diffs.select(
+        "__d", F.sum("__w").over(wd).alias("__cum")
+    ).crossJoin(F.broadcast(tot))
+    # weighted LOWER median: first difference whose running weight
+    # reaches floor((N+1)/2)
+    med = run.filter(
+        F.col("__cum")
+        >= F.floor(
+            (F.col("__n") + 1).cast("decimal(38,0)") / 2
+        ).cast("decimal(38,0)")
+    ).agg(F.min("__d").alias("__med"))
+    sides = base.agg(
+        F.sum(F.col("__a").cast("long")).cast("long").alias("n_a"),
+        F.sum((~F.col("__a")).cast("long")).cast("long").alias("n_b"),
+    )
+    cells = diffs.agg(F.count("*").cast("long").alias("n_diff_cells"))
+    out = (
+        sides.crossJoin(F.broadcast(cells)).crossJoin(F.broadcast(med))
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return out.select(
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
+        "n_diff_cells",
+        F.round(
+            F.when(ok, F.col("__med").cast("double") / F.lit(float(scale))),
+            6,
+        ).alias("hl_shift"),
+    )
+
+
+def uncertainty_coefficient(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Theil's uncertainty coefficient between two categoricals —
+    the DIRECTED association rung next to chi2_independence's
+    cramers_v (symmetric, magnitude-only) and mi_status_priority's
+    raw mutual information: U(c|r) = (H(c) − H(c|r))/H(c) = I/H(c)
+    reads as "knowing the row category removes this fraction of the
+    column's entropy" — asymmetric by design (a perfect many-to-one
+    mapping scores 1 one way, < 1 the other), which is what schema
+    discovery and feature triage actually want. ``u_symmetric`` is
+    the entropy-weighted harmonic combination 2I/(H(r) + H(c)).
+
+    Exactness: cell/marginal counts are exact BIGINTs off ONE (r, c)
+    aggregate; the entropy folds are double sums of p·ln p over the
+    category-cardinality cell frame — summation-order ulps invisible
+    at round-6 (the theil_index argument). Natural log (nats) on
+    both engines; the ratios are unit-free.
+
+    Plan at scale: one cell aggregate; marginals re-aggregate the
+    |r|·|c|-bounded cell frame; one 1-row fold. Nothing fact-sized
+    past the first shuffle.
+
+    Returns one row: (n BIGINT, h_row, h_col, mutual_info,
+    u_col_given_row, u_row_given_col, u_symmetric) — NULLs when the
+    relevant entropy is 0 (a constant column).
+    """
+    base = df.filter(
+        F.col(row_col).isNotNull() & F.col(col_col).isNotNull()
+    ).select(
+        F.col(row_col).cast("string").alias("__r"),
+        F.col(col_col).cast("string").alias("__c"),
+    )
+    cells = base.groupBy("__r", "__c").agg(
+        F.count("*").cast("long").alias("__f")
+    )
+    tot = cells.agg(F.sum("__f").cast("long").alias("__n"))
+    mr = cells.groupBy("__r").agg(F.sum("__f").alias("__fr"))
+    mc = cells.groupBy("__c").agg(F.sum("__f").alias("__fc"))
+
+    def _ent(frame, cnt_col):
+        j = frame.crossJoin(F.broadcast(tot))
+        p = F.col(cnt_col).cast("double") / F.col("__n").cast("double")
+        return j.agg((-F.sum(p * F.log(p))).alias("__h"))
+
+    h_r = _ent(mr, "__fr").withColumnRenamed("__h", "__hr")
+    h_c = _ent(mc, "__fc").withColumnRenamed("__h", "__hc")
+    h_rc = _ent(cells, "__f").withColumnRenamed("__h", "__hrc")
+    agg = (
+        tot.crossJoin(F.broadcast(h_r))
+        .crossJoin(F.broadcast(h_c))
+        .crossJoin(F.broadcast(h_rc))
+    )
+    mi = F.col("__hr") + F.col("__hc") - F.col("__hrc")
+    return agg.select(
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n"),
+        F.round(F.col("__hr"), 6).alias("h_row"),
+        F.round(F.col("__hc"), 6).alias("h_col"),
+        F.round(mi, 6).alias("mutual_info"),
+        F.round(
+            F.when(F.col("__hc") > 0, mi / F.col("__hc")), 6
+        ).alias("u_col_given_row"),
+        F.round(
+            F.when(F.col("__hr") > 0, mi / F.col("__hr")), 6
+        ).alias("u_row_given_col"),
+        F.round(
+            F.when(
+                F.col("__hr") + F.col("__hc") > 0,
+                2.0 * mi / (F.col("__hr") + F.col("__hc")),
+            ),
+            6,
+        ).alias("u_symmetric"),
+    )
+
+
+def ordinal_association(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_cells: int = 10_000,
+) -> DataFrame:
+    """Goodman-Kruskal gamma, Somers' D and Kendall tau-b between
+    two ORDINAL-coded columns — the ordered-association family
+    chi2/cramers_v throws away ("is there an association" vs "do
+    higher x go with higher y"): concordant/discordant pair counts
+    fold over the (x, y) CELL GRID with exact integer weights
+    f₁·f₂ — never the C(n,2) row pairs. gamma = (C−D)/(C+D) (ties
+    dropped), Somers' D_y|x = (C−D)/(C+D+T_y) (penalizes y-ties —
+    the predictive-direction form), tau-b = (C−D)/√((C+D+T_x)
+    (C+D+T_y)) (both-ways symmetric).
+
+    Exactness: cell counts exact; C/D/T fold as DECIMAL(38,0)
+    products over the grid self-join; the three ratios are single
+    double expressions. The caller supplies ordinal CODES (numeric
+    columns) — category order is the contract, not inferred.
+
+    Plan at scale: one (x, y) cell aggregate; the grid self-join is
+    |cells|² ≤ ``max_cells``², guarded PLAN-EMBEDDED (raise past
+    ``max_cells`` distinct cells — ordinal codings are small by
+    definition; a continuous column must be binned explicitly).
+
+    Returns one row: (n BIGINT, n_cells BIGINT, c_pairs, d_pairs,
+    gamma, somers_d_yx, tau_b) — NULLs when the denominators
+    degenerate (a constant column).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+    )
+    cells = base.groupBy("__x", "__y").agg(
+        F.count("*").cast("long").alias("__f")
+    )
+    ncells = cells.agg(F.count("*").alias("__nc"))
+    cells_g = (
+        cells.crossJoin(F.broadcast(ncells))
+        .filter(
+            F.when(
+                F.col("__nc") <= F.lit(max_cells), F.lit(True)
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("ordinal_association: "),
+                        F.col("__nc").cast("string"),
+                        F.lit(
+                            f" distinct (x, y) cells exceeds max_cells "
+                            f"({max_cells}) — the grid self-join is "
+                            "cells²; bin the continuous column "
+                            "explicitly"
+                        ),
+                    )
+                )
+            )
+        )
+        .drop("__nc")
+    )
+    a = cells_g.select(
+        F.col("__x").alias("__x1"),
+        F.col("__y").alias("__y1"),
+        F.col("__f").alias("__f1"),
+    )
+    b = cells_g.select(
+        F.col("__x").alias("__x2"),
+        F.col("__y").alias("__y2"),
+        F.col("__f").alias("__f2"),
+    )
+    pairs = a.crossJoin(b)
+    wprod = (dec(F.col("__f1")) * dec(F.col("__f2"))).cast("decimal(38,0)")
+    conc = (F.col("__x1") < F.col("__x2")) & (F.col("__y1") < F.col("__y2"))
+    disc = (F.col("__x1") < F.col("__x2")) & (F.col("__y1") > F.col("__y2"))
+    tx = (F.col("__x1") == F.col("__x2")) & (F.col("__y1") < F.col("__y2"))
+    ty = (F.col("__y1") == F.col("__y2")) & (F.col("__x1") < F.col("__x2"))
+    pair_agg = pairs.agg(
+        F.sum(F.when(conc, wprod)).cast("decimal(38,0)").alias("__c"),
+        F.sum(F.when(disc, wprod)).cast("decimal(38,0)").alias("__d"),
+        F.sum(F.when(tx, wprod)).cast("decimal(38,0)").alias("__tx"),
+        F.sum(F.when(ty, wprod)).cast("decimal(38,0)").alias("__ty"),
+    )
+    tot = base.agg(F.count("*").cast("long").alias("n"))
+    nc2 = cells.agg(F.count("*").cast("long").alias("n_cells"))
+    agg = (
+        pair_agg.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(nc2))
+    )
+
+    def dbl(c):
+        return F.coalesce(
+            F.col(c).cast("string").cast("double"), F.lit(0.0)
+        )
+
+    c_, d_ = dbl("__c"), dbl("__d")
+    tx_, ty_ = dbl("__tx"), dbl("__ty")
+    gamma = F.when(c_ + d_ > 0, (c_ - d_) / (c_ + d_))
+    somers = F.when(c_ + d_ + ty_ > 0, (c_ - d_) / (c_ + d_ + ty_))
+    taub_den = F.sqrt((c_ + d_ + tx_) * (c_ + d_ + ty_))
+    taub = F.when(taub_den > 0, (c_ - d_) / taub_den)
+    return agg.select(
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        "n_cells",
+        c_.alias("c_pairs"),
+        d_.alias("d_pairs"),
+        F.round(gamma, 6).alias("gamma"),
+        F.round(somers, 6).alias("somers_d_yx"),
+        F.round(taub, 6).alias("tau_b"),
+    )
+
+
+def agreement_summary(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Paired-measurement agreement readout: Bland-Altman bias +
+    limits of agreement AND Lin's concordance correlation — the
+    CONTINUOUS agreement rung next to kappa (nominal raters) and
+    bowker (categorical drift): two pipelines measuring the same
+    quantity (a refactored metric vs its legacy twin, a cheap model
+    vs an expensive one) need "how far apart and in which direction"
+    (bias, LoA = bias ± 1.96·sd_diff; the z is an injected literal)
+    and "how close to the y = x line" (CCC = 2s_xy/(s_x² + s_y² +
+    (x̄−ȳ)²), POPULATION moments — the standard Lin form,
+    documented), which Pearson r alone overstates (r ignores scale
+    and location shifts; CCC ≤ |r| always).
+
+    Exactness: the cuped moment discipline — both columns quantize
+    to DECIMAL(18,6), all five cross-moments accumulate as exact
+    DECIMALs in ONE aggregate; every output is a single double
+    expression, round-6.
+
+    Plan at scale: ONE map-side-combined aggregate — no window, no
+    join, no residual pass.
+
+    Returns one row: (n BIGINT, bias, sd_diff, loa_lo, loa_hi,
+    pearson_r, ccc) — NULLs where the variances degenerate.
+    """
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(x_col).cast("decimal(18,6)").alias("__x"),
+        F.col(y_col).cast("decimal(18,6)").alias("__y"),
+    )
+    x, y = F.col("__x"), F.col("__y")
+    agg = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x.cast("decimal(38,6)")).alias("__sx"),
+        F.sum(y.cast("decimal(38,6)")).alias("__sy"),
+        F.sum((x * x).cast("decimal(38,12)")).alias("__sxx"),
+        F.sum((y * y).cast("decimal(38,12)")).alias("__syy"),
+        F.sum((x * y).cast("decimal(38,12)")).alias("__sxy"),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    n = F.col("n").cast("double")
+    sx, sy = dbl("__sx"), dbl("__sy")
+    sxx, syy, sxy = dbl("__sxx"), dbl("__syy"), dbl("__sxy")
+    bias = (sy - sx) / n
+    # sample variance of d = y − x from the cross moments
+    sdd = (
+        (syy - 2.0 * sxy + sxx)
+        - (sy - sx) * (sy - sx) / n
+    ) / (n - 1.0)
+    sd_diff = F.sqrt(sdd)
+    # population (1/n) moments for the Lin form
+    vx = sxx / n - (sx / n) * (sx / n)
+    vy = syy / n - (sy / n) * (sy / n)
+    cxy = sxy / n - (sx / n) * (sy / n)
+    ccc = 2.0 * cxy / (vx + vy + ((sx - sy) / n) * ((sx - sy) / n))
+    r = cxy / F.sqrt(vx * vy)
+    z = F.lit(1.959963984540054)
+    has_sd = (F.col("n") >= 2) & (sdd > 0)
+    return agg.select(
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.round(F.when(F.col("n") >= 1, bias), 6).alias("bias"),
+        F.round(F.when(has_sd, sd_diff), 6).alias("sd_diff"),
+        F.round(F.when(has_sd, bias - z * sd_diff), 6).alias("loa_lo"),
+        F.round(F.when(has_sd, bias + z * sd_diff), 6).alias("loa_hi"),
+        F.round(F.when((vx > 0) & (vy > 0), r), 6).alias("pearson_r"),
+        F.round(
+            F.when(vx + vy > 0, ccc), 6
+        ).alias("ccc"),
+    )

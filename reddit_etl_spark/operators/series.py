@@ -3158,3 +3158,202 @@ def gpd_tail_fit(
         F.round(F.when(ok, xi), 6).alias("xi_mom"),
         F.round(F.when(ok, sigma), 6).alias("sigma_mom"),
     ).orderBy(*group_cols)
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    group_cols: list[str],
+    t_col: str,
+    v_col: str,
+    season_col: str,
+    pairs: str = "auto",
+) -> DataFrame:
+    """Seasonal Mann-Kendall trend test per group (Hirsch & Slack
+    1984) — mann_kendall_trend with the seasonality CONTROLLED FOR:
+    S and Var(S) are computed WITHIN each season (each weekday, each
+    month-of-year) and summed, so a strong weekly cycle can no
+    longer masquerade as (or mask) a monotone trend. The trend rung
+    a seasonal series should reach for before the plain MK — the
+    plain test's variance is wrong under seasonality.
+
+    Composition, not reimplementation: runs mann_kendall_trend with
+    ``season_col`` appended to the keys (inheriting BOTH kendall
+    lanes and the shared PAIR_LANE_MAX_GROUP_ROWS guard), then one
+    k-seasons-bounded fold: S_total = ΣS_season, Var_total =
+    ΣVar_season (seasons are independent under H0 — the standard
+    additivity; cross-season covariance terms are the documented
+    omission, exact only for serially independent data), z
+    continuity-corrected on the totals.
+
+    Exactness: per-season S exact BIGINT; per-season Var is the
+    round-6 double mann_kendall emits; the fold is seasons-bounded.
+    Same integral t/v contract as mann_kendall_trend.
+
+    Returns (group_cols..., n BIGINT, n_seasons BIGINT, s_stat
+    BIGINT, var_s, z, trend).
+    """
+    inner = mann_kendall_trend(
+        df, [*group_cols, season_col], t_col, v_col, pairs=pairs
+    )
+    agg = inner.groupBy(*group_cols).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_seasons"),
+        F.sum("s_stat").cast("long").alias("s_stat"),
+        F.round(F.sum("var_s"), 6).alias("var_s"),
+    )
+    s = F.col("s_stat").cast("double")
+    v = F.col("var_s")
+    z = F.when(v > 0, F.when(s > 0, (s - 1) / F.sqrt(v))
+               .when(s < 0, (s + 1) / F.sqrt(v))
+               .otherwise(F.lit(0.0)))
+    zr = F.round(z, 6)
+    zq = F.lit(1.959963984540054)
+    return agg.select(
+        *group_cols,
+        "n",
+        "n_seasons",
+        "s_stat",
+        "var_s",
+        zr.alias("z"),
+        F.when(zr.isNull(), F.lit(None).cast("string"))
+        .when(zr > zq, F.lit("increasing"))
+        .when(zr < -zq, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    ).orderBy(*group_cols)
+
+
+def cox_stuart_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Cox-Stuart sign test for trend per group — the bluntest rung
+    of the trend ladder (below mann_kendall in power, above it in
+    simplicity and in robustness to autocorrelation-from-pairing):
+    split the ordered series in half (odd middle point dropped),
+    pair x_i with x_{i+m}, and sign-test the differences: a
+    monotone trend makes one sign dominate. z = (n_pos − n_neg)/
+    √(n_pos + n_neg) (tied pairs dropped — the standard sign-test
+    treatment; no continuity correction, documented).
+
+    Exactness: values quantize to ``1/scale``; pair signs are exact
+    integer comparisons; z is one double expression of two exact
+    counts. ``order_col`` must be unique per group (a rollup day) —
+    the half-split is positional.
+
+    Plan at scale: one row_number window over the bounded per-key
+    ROLLUP (the acf contract) + ONE self-join on (key, rn − m) + a
+    1-row-per-group reduce. Never touches raw events.
+
+    Returns (group_cols..., n BIGINT, m_pairs BIGINT, n_pos BIGINT,
+    n_neg BIGINT, z) — NULL z when every pair ties or m = 0.
+    """
+    keys = list(group_cols)
+    base = df.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(order_col).alias("__o"),
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+    )
+    wk = Window.partitionBy(*keys).orderBy("__o")
+    wall = Window.partitionBy(*keys)
+    rn = base.select(
+        *keys,
+        "__v",
+        F.row_number().over(wk).alias("__rn"),
+        F.count("*").over(wall).alias("__n"),
+    )
+    m = F.floor(F.col("__n") / 2).cast("long")
+    first = rn.filter(F.col("__rn") <= m).select(
+        *keys,
+        F.col("__rn").alias("__i"),
+        F.col("__v").alias("__v1"),
+        F.col("__n"),
+    )
+    second = rn.filter(
+        F.col("__rn") > (F.col("__n") - m)
+    ).select(
+        *keys,
+        (F.col("__rn") - (F.col("__n") - m)).alias("__i"),
+        F.col("__v").alias("__v2"),
+    )
+    pairs = first.join(second, [*keys, "__i"])
+    agg = pairs.groupBy(*keys).agg(
+        F.max("__n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("m_pairs"),
+        F.sum((F.col("__v2") > F.col("__v1")).cast("long"))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum((F.col("__v2") < F.col("__v1")).cast("long"))
+        .cast("long")
+        .alias("n_neg"),
+    )
+    eff = (F.col("n_pos") + F.col("n_neg")).cast("double")
+    z = (F.col("n_pos") - F.col("n_neg")).cast("double") / F.sqrt(eff)
+    return agg.select(
+        *keys,
+        "n",
+        "m_pairs",
+        "n_pos",
+        "n_neg",
+        F.round(F.when(eff > 0, z), 6).alias("z"),
+    ).orderBy(*keys)
+
+
+def dispersion_index(
+    df: DataFrame,
+    group_cols: list[str],
+    count_col: str,
+) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio) test per group
+    over COUNT data — the Poissonness gate: a Poisson process has
+    D = s²/x̄ = 1; D ≫ 1 is overdispersion (bursts, contagion —
+    burstiness_event_types' distributional cousin), D ≪ 1 is
+    regularity (rate limiting, scheduling). chi2 = (n−1)·D against
+    chi2(n−1) (chi2 contract — no p-value). The check that belongs
+    BEFORE poisson_two_rate's rate-ratio z means anything (that z
+    assumes D ≈ 1).
+
+    Exactness: counts are exact integers; Σx and Σx² ride
+    DECIMAL(38,0) in ONE aggregate; D and chi2 are single double
+    expressions of exact integers.
+
+    Plan at scale: ONE map-side-combined aggregate over the rollup —
+    no window, no join.
+
+    Returns (group_cols..., n BIGINT, mean, variance, dispersion,
+    chi2) — NULLs when n < 2 or x̄ = 0.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(F.col(count_col).isNotNull()).select(
+        *group_cols, F.col(count_col).cast("long").alias("__x")
+    )
+    x = dec(F.col("__x"))
+    agg = base.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast("decimal(38,0)").alias("__s1"),
+        F.sum((x * x).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__s2"),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    n = F.col("n").cast("double")
+    mean = dbl("__s1") / n
+    var = (dbl("__s2") - dbl("__s1") * dbl("__s1") / n) / (n - 1.0)
+    d = var / mean
+    ok = (F.col("n") >= 2) & (mean > 0)
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round(F.when(F.col("n") >= 1, mean), 6).alias("mean"),
+        F.round(F.when(F.col("n") >= 2, var), 6).alias("variance"),
+        F.round(F.when(ok, d), 6).alias("dispersion"),
+        F.round(F.when(ok, (n - 1.0) * d), 6).alias("chi2"),
+    ).orderBy(*group_cols)

@@ -86,7 +86,9 @@ def test_ess_drops_nonpositive(spark):
     rows = [("g", 1.0), ("g", 0.0), ("g", -3.0), ("g", None)]
     df = spark.createDataFrame(rows, "g string, w double")
     r = effective_sample_size(df, ["g"], "w").collect()[0]
-    assert r["n"] == 1 and r["n_dropped"] == 3
+    # r11 (advisor r10): NULLs are filtered BEFORE counting — only
+    # the two excluded non-positive weights land in n_dropped
+    assert r["n"] == 1 and r["n_dropped"] == 2
 
 
 # ----------------------------------------------------------------- novelty
