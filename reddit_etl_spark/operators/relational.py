@@ -6586,11 +6586,10 @@ def ks_exponential_fit(
         per_v, "ks_exponential_fit", partition_cols=tuple(keys)
     )
     w = (
-        Window.partitionBy(*keys)
+        (Window.partitionBy(*keys) if keys else Window)
         .orderBy("__v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    kw = Window.partitionBy(*keys)
     tot = pos.groupBy(*keys).agg(
         F.count("*").cast("long").alias("__n"),
         F.sum(dec(F.col("__v"))).cast("decimal(38,0)").alias("__s"),
@@ -6600,7 +6599,12 @@ def ks_exponential_fit(
         "__v",
         "__t",
         F.sum("__t").over(w).alias("__cum"),
-    ).join(F.broadcast(tot), keys)
+    )
+    run = (
+        run.join(F.broadcast(tot), keys)
+        if keys
+        else run.crossJoin(F.broadcast(tot))
+    )
     n = F.col("__n").cast("double")
     lam = n / (F.col("__s").cast("string").cast("double") / F.lit(float(scale)))
     f_fit = 1.0 - F.exp(-lam * F.col("__v").cast("double") / F.lit(float(scale)))
@@ -6622,7 +6626,7 @@ def ks_exponential_fit(
                 dropped.agg(F.count("*").cast("long").alias("n_dropped"))
             )
         )
-    return out.select(
+    out = out.select(
         *keys,
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias(
@@ -6630,7 +6634,8 @@ def ks_exponential_fit(
         ),
         "lambda_hat",
         "d_stat",
-    ).orderBy(*keys)
+    )
+    return out.orderBy(*keys) if keys else out
 
 
 def atkinson_index(

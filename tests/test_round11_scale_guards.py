@@ -65,10 +65,17 @@ def test_distinct_window_sites_fail_fast(spark, monkeypatch):
     constant the same inputs pass (their oracle rows stay green)."""
     from reddit_etl_spark.operators.relational import (
         anderson_darling_two_sample,
+        ansari_bradley,
+        cliffs_delta,
         dunn_test,
         hill_tail_index,
+        jonckheere_terpstra,
+        ks_exponential_fit,
         lorenz_deciles,
         mann_whitney_u,
+        moods_median,
+        wasserstein_distance,
+        wilcoxon_signed_rank,
         winsorized_stats,
         yuen_trimmed_test,
     )
@@ -78,6 +85,10 @@ def test_distinct_window_sites_fail_fast(spark, monkeypatch):
         [(float(i), "a" if i % 2 else "b") for i in range(40)],
         "v double, c string",
     )
+    pairs = spark.createDataFrame(
+        [(float(i), float(i) * 1.5 + 1) for i in range(40)],
+        "x double, y double",
+    )
     for build in (
         lambda: mann_whitney_u(vals, "v", "c", "a", "b"),
         lambda: lorenz_deciles(vals, "v"),
@@ -86,6 +97,14 @@ def test_distinct_window_sites_fail_fast(spark, monkeypatch):
         lambda: yuen_trimmed_test(vals, "v", "c", "a", "b"),
         lambda: hill_tail_index(vals, ["c"], "v"),
         lambda: winsorized_stats(vals, ["c"], "v"),
+        # round-11 wave sites ride the same shared guard
+        lambda: wilcoxon_signed_rank(pairs, "x", "y"),
+        lambda: moods_median(vals, "v", "c"),
+        lambda: wasserstein_distance(vals, "v", "c", "a"),
+        lambda: ansari_bradley(vals, "v", "c", "a"),
+        lambda: cliffs_delta(vals, "v", "c", "a"),
+        lambda: jonckheere_terpstra(vals, "v", "c", ["a", "b"]),
+        lambda: ks_exponential_fit(vals.filter("v > 0"), [], "v"),
     ):
         with pytest.raises(Exception, match="EXACT_RANK_MAX_ROWS"):
             build().collect()
