@@ -216,6 +216,15 @@ _DEFERRED = [
     "seasonal_mk_daily",
     "cox_stuart_daily",
     "dispersion_daily_counts",
+    # round-11 wave 3 (same three-profile + ANSI local attestation;
+    # r12-head candidates with the wave-2 block above)
+    "brier_decomp_events",
+    "youden_purchase_value",
+    "weighted_kappa_user_value",
+    "cohens_h_click_error",
+    "biweight_value_types",
+    "vocab_richness_sources",
+    "source_cross_entropy_docs",
     # Everything below stays oracle-checked by tools/check_oracle.py
     # (and the committed ORACLE_sf*.json artifacts) every round.
     # Ordering: the 29 round-10 wave-1..3 registrations (driver rows
@@ -18819,3 +18828,447 @@ def dispersion_daily_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.count("*").cast("long").alias("x"))
     return dispersion_index(daily, ["event_type"], "x")
+
+
+# ---------------------------------------------------------------------------
+# Round-11 wave 3: score quality, ordinal agreement, robust location,
+# vocabulary economics
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "brier_decomp_events",
+    """
+    WITH base AS (
+      SELECT GREATEST(0, LEAST(1000000,
+               CAST(FLOOR(LEAST(value / 500.0, 1.0) * 1000000 + 0.5)
+                    AS BIGINT))) AS p,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    binned AS (
+      SELECT LEAST(19, CAST(FLOOR(p * 20 / 1000000.0) AS BIGINT)) AS b,
+             p, y
+      FROM base),
+    per_bin AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS nk,
+             CAST(SUM(p) AS BIGINT) AS sp,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             SUM((p - y * 1000000)::HUGEINT * (p - y * 1000000)) AS se
+      FROM binned GROUP BY 1),
+    gl AS (
+      SELECT CAST(SUM(nk) AS BIGINT) AS n,
+             CAST(SUM(sy) AS BIGINT) AS ty,
+             SUM(se) AS tse
+      FROM per_bin),
+    terms AS (
+      SELECT MAX(g.n) AS n, MAX(g.ty) AS ty,
+             MAX(CAST(CAST(g.tse AS VARCHAR) AS DOUBLE)) AS tse,
+             SUM(pb.nk * POW(CAST(pb.sp AS DOUBLE) / pb.nk / 1e6
+                             - CAST(pb.sy AS DOUBLE) / pb.nk, 2))
+               AS rel_n,
+             SUM(pb.nk * POW(CAST(pb.sy AS DOUBLE) / pb.nk
+                             - CAST(g.ty AS DOUBLE) / g.n, 2)) AS res_n
+      FROM per_bin pb CROSS JOIN gl g),
+    m AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+                 CAST(ty AS DOUBLE) / n AS ob,
+                 tse, rel_n, res_n
+          FROM terms)
+    SELECT COALESCE(n, 0) AS n, CAST(20 AS BIGINT) AS n_bins,
+           ROUND(CASE WHEN n > 0 THEN ob END, 6) AS base_rate,
+           ROUND(CASE WHEN n > 0 THEN tse / nd / 1e12 END, 6) AS brier,
+           ROUND(CASE WHEN n > 0 THEN rel_n / nd - res_n / nd
+                 + ob * (1 - ob) END, 6) AS brier_binned,
+           ROUND(CASE WHEN n > 0 THEN rel_n / nd END, 6) AS reliability,
+           ROUND(CASE WHEN n > 0 THEN res_n / nd END, 6) AS resolution,
+           ROUND(CASE WHEN n > 0 THEN ob * (1 - ob) END, 6)
+             AS uncertainty
+    FROM m
+    """,
+    doc="Murphy decomposition of the Brier score for the synthetic "
+    "value->purchase probability "
+    "(operators/classify.py:brier_decomposition) — WHY "
+    "calibration_brier_events' score is bad: reliability (fixable "
+    "by recalibration) vs resolution (needs a better score) vs the "
+    "base-rate uncertainty floor; brier - brier_binned = within-bin "
+    "forecast variance. The calibration_report micros/bin "
+    "discipline verbatim; all bin sums exact",
+)
+def brier_decomp_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.classify import brier_decomposition
+
+    ev = load_events(spark, sf_dir)
+    scored = ev.select(
+        F.least(F.col("value") / 500.0, F.lit(1.0)).alias("p"),
+        (F.col("event_type") == "purchase").alias("y"),
+    )
+    return brier_decomposition(scored, "p", "y", n_bins=20)
+
+
+@_q(
+    "youden_purchase_value",
+    """
+    WITH base AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    per_v AS (SELECT v, CAST(SUM(y) AS BIGINT) AS tp,
+                     CAST(SUM(1 - y) AS BIGINT) AS tn
+              FROM base GROUP BY 1),
+    tot AS (SELECT CAST(SUM(tp) AS BIGINT) AS np,
+                   CAST(SUM(tn) AS BIGINT) AS nn
+            FROM per_v),
+    run AS (SELECT v,
+                   SUM(tp) OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS cp,
+                   SUM(tn) OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS cn
+            FROM per_v),
+    j AS (SELECT run.v, run.cp, run.cn, tot.np, tot.nn,
+                 run.cp::HUGEINT * tot.nn - run.cn::HUGEINT * tot.np
+                   AS jn
+          FROM run CROSS JOIN tot),
+    best AS (SELECT * FROM j ORDER BY jn DESC, v ASC LIMIT 1)
+    SELECT CAST(np + nn AS BIGINT) AS n,
+           np AS n_pos, nn AS n_neg,
+           ROUND(CASE WHEN np > 0 AND nn > 0
+                 THEN CAST(v AS DOUBLE) / 100.0 END, 6) AS threshold,
+           ROUND(CASE WHEN np > 0 AND nn > 0
+                 THEN CAST(cp AS DOUBLE) / np END, 6) AS tpr,
+           ROUND(CASE WHEN np > 0 AND nn > 0
+                 THEN CAST(cn AS DOUBLE) / nn END, 6) AS fpr,
+           ROUND(CASE WHEN np > 0 AND nn > 0
+                 THEN CAST(cp AS DOUBLE) / np
+                      - CAST(cn AS DOUBLE) / nn END, 6) AS youden_j
+    FROM best
+    """,
+    doc="Youden-J-optimal value threshold for flagging purchases "
+    "(operators/classify.py:youden_threshold) — the OPERATING POINT "
+    "roc_auc_events' area doesn't pick: argmax TPR(t) - FPR(t) over "
+    "'predict purchase when value >= t', ties toward the lowest "
+    "threshold. Exact integer J numerator cp*Nn - cn*Np off ONE "
+    "guarded descending prefix window over distinct cent values; "
+    "argmax is a TakeOrdered(1)",
+)
+def youden_purchase_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.classify import youden_threshold
+
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type").isNotNull()
+    )
+    return youden_threshold(
+        ev.select(
+            F.col("value").alias("s"),
+            (F.col("event_type") == "purchase").alias("y"),
+        ),
+        "s",
+        "y",
+        scale=100,
+    )
+
+
+@_q(
+    "weighted_kappa_user_value",
+    """
+    WITH pu AS (
+      SELECT user_id,
+        ROUND(CAST(SUM(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                   THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+              / COUNT(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                      THEN value END), 6) AS x,
+        ROUND(CAST(SUM(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+                   THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+              / COUNT(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+                      THEN value END), 6) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    tiers AS (
+      SELECT CASE WHEN x < 50 THEN 0 WHEN x < 150 THEN 1 ELSE 2 END
+               AS i,
+             CASE WHEN y < 50 THEN 0 WHEN y < 150 THEN 1 ELSE 2 END
+               AS j
+      FROM pu WHERE x IS NOT NULL AND y IS NOT NULL),
+    cells AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS f
+              FROM tiers GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(f) AS BIGINT) AS n FROM cells),
+    ma AS (SELECT i, CAST(SUM(f) AS BIGINT) AS fa FROM cells GROUP BY 1),
+    mb AS (SELECT j, CAST(SUM(f) AS BIGINT) AS fb FROM cells GROUP BY 1),
+    po AS (SELECT SUM(ABS(i - j) / 2.0 * f
+                      / (SELECT n FROM tot)) AS po
+           FROM cells),
+    pe AS (SELECT SUM(ABS(ma.i - mb.j) / 2.0
+                      * ma.fa * mb.fb
+                      / ((SELECT n FROM tot)::DOUBLE
+                         * (SELECT n FROM tot))) AS pe
+           FROM ma CROSS JOIN mb)
+    SELECT COALESCE((SELECT n FROM tot), 0) AS n,
+           CAST(3 AS BIGINT) AS k,
+           ROUND((SELECT po FROM po), 6) AS po_w,
+           ROUND((SELECT pe FROM pe), 6) AS pe_w,
+           ROUND(CASE WHEN (SELECT pe FROM pe) > 0
+                 THEN 1.0 - (SELECT po FROM po) / (SELECT pe FROM pe)
+                 END, 6) AS kappa_w
+    """,
+    doc="Linear weighted kappa of each user's value TIER (lo/mid/hi "
+    "at the 50/150 literal cuts), first half vs second half "
+    "(operators/classify.py:weighted_kappa) — kappa_rule_events' "
+    "ordinal upgrade and bowker_user_shift's agreement-strength "
+    "complement: disagreeing by one tier is not disagreeing by two. "
+    "Exact cells/marginals, k x k expected grid, injected rational "
+    "weights",
+)
+def weighted_kappa_user_value_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.classify import weighted_kappa
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    half = F.to_date("ts") <= F.lit("2024-01-15").cast("date")
+    per_u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(half, F.col("value").cast("decimal(18,6)"))
+                ).cast("double")
+                / F.count(F.when(half, F.col("value"))),
+                6,
+            ).alias("x"),
+            F.round(
+                F.sum(
+                    F.when(~half, F.col("value").cast("decimal(18,6)"))
+                ).cast("double")
+                / F.count(F.when(~half, F.col("value"))),
+                6,
+            ).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+
+    def tier(c):
+        return (
+            F.when(F.col(c) < 50, F.lit("lo"))
+            .when(F.col(c) < 150, F.lit("mid"))
+            .otherwise(F.lit("hi"))
+        )
+
+    tiers = per_u.select(tier("x").alias("a"), tier("y").alias("b"))
+    return weighted_kappa(tiers, "a", "b", ["lo", "mid", "hi"])
+
+
+@_q(
+    "cohens_h_click_error",
+    """
+    WITH base AS (
+      SELECT event_type = 'click' AS a,
+             CASE WHEN value > 100 THEN 1 ELSE 0 END AS y
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'error')),
+    ag AS (
+      SELECT CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN a THEN y END) AS BIGINT) AS ra,
+             CAST(SUM(CASE WHEN NOT a THEN y END) AS BIGINT) AS rb
+      FROM base),
+    m AS (SELECT n_a, n_b,
+                 COALESCE(ra, 0) / CAST(n_a AS DOUBLE) AS pa,
+                 COALESCE(rb, 0) / CAST(n_b AS DOUBLE) AS pb
+          FROM ag)
+    SELECT n_a, n_b,
+           ROUND(CASE WHEN n_a > 0 THEN pa END, 6) AS p_a,
+           ROUND(CASE WHEN n_b > 0 THEN pb END, 6) AS p_b,
+           ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN pa - pb END, 6)
+             AS risk_diff,
+           ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN
+                 2 * ASIN(SQRT(pa)) - 2 * ASIN(SQRT(pb)) END, 6)
+             AS cohens_h
+    FROM m
+    """,
+    doc="Cohen's h effect size for P(value > 100) between click and "
+    "error events (operators/classify.py:cohens_h) — the "
+    "proportion-scale companion to cohens_d_purchase_click (means) "
+    "and cliffs_delta_click_error (dominance): arcsine-stabilized "
+    "difference, constant detectability across the base-rate range. "
+    "ONE conditional aggregate",
+)
+def cohens_h_click_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.classify import cohens_h
+
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "error")
+        & F.col("value").isNotNull()
+    )
+    return cohens_h(
+        ev.select("event_type", (F.col("value") > 100).alias("y")),
+        "event_type",
+        "click",
+        "y",
+    )
+
+
+@_q(
+    "biweight_value_types",
+    """
+    WITH base AS (
+      SELECT event_type AS g,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    dist AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t
+             FROM base GROUP BY 1, 2),
+    run AS (SELECT g, v, t,
+                   SUM(t) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   SUM(t) OVER (PARTITION BY g) AS n
+            FROM dist),
+    med AS (SELECT g, MIN(v) AS med FROM run
+            WHERE cum * 2 >= n GROUP BY 1),
+    dev AS (SELECT d.g, ABS(d.v - med.med) AS ad,
+                   CAST(SUM(d.t) AS BIGINT) AS t
+            FROM dist d JOIN med USING (g) GROUP BY 1, 2),
+    rund AS (SELECT g, ad, t,
+                    SUM(t) OVER (PARTITION BY g ORDER BY ad ROWS BETWEEN
+                      UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                    SUM(t) OVER (PARTITION BY g) AS n
+             FROM dev),
+    mad AS (SELECT g, MIN(ad) AS mad FROM rund
+            WHERE cum * 2 >= n GROUP BY 1),
+    jm AS (SELECT d.g, d.v, d.t, med.med, mad.mad,
+                  CASE WHEN mad.mad > 0 THEN
+                    (d.v - med.med) / (6.0 * mad.mad) END AS u
+           FROM dist d JOIN med USING (g) JOIN mad USING (g)),
+    ag AS (
+      SELECT g, CAST(SUM(t) AS BIGINT) AS n,
+             MAX(med) AS med, MAX(mad) AS mad,
+             SUM(CASE WHEN mad > 0 AND ABS(u) < 1 THEN
+                 (v - med) * POW(1 - u * u, 2) * t END) AS num,
+             SUM(CASE WHEN mad > 0 AND ABS(u) < 1 THEN
+                 POW(1 - u * u, 2) * t END) AS den
+      FROM jm GROUP BY 1)
+    SELECT g AS event_type, n,
+           ROUND(CAST(med AS DOUBLE) / 100.0, 6) AS median,
+           ROUND(CAST(mad AS DOUBLE) / 100.0, 6) AS mad,
+           ROUND(CASE WHEN mad > 0 AND den > 0
+                 THEN (med + num / den) / 100.0
+                 ELSE CAST(med AS DOUBLE) / 100.0 END, 6)
+             AS biweight_loc
+    FROM ag ORDER BY event_type
+    """,
+    doc="Tukey biweight one-step robust location of event value per "
+    "type (operators/relational.py:biweight_location) — the "
+    "robust-location rung above the median (trimmed_mean drops a "
+    "fixed fraction; the biweight down-weights smoothly, c = 6): "
+    "median and MAD are running-count crossings over GUARDED "
+    "distinct-cent frames, the weighted fold rides the same reduced "
+    "frame — the fact is scanned once",
+)
+def biweight_value_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import biweight_location
+
+    ev = load_events(spark, sf_dir)
+    return biweight_location(
+        ev.select(F.col("event_type").alias("g"), "value"), ["g"], "value"
+    ).withColumnRenamed("g", "event_type")
+
+
+@_q(
+    "vocab_richness_sources",
+    """
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               ' ')) AS tok
+      FROM documents),
+    counts AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks WHERE tok <> '' GROUP BY 1, 2),
+    ag AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dis
+      FROM counts GROUP BY 1)
+    SELECT source, n_tokens, vocab, hapax, dis,
+           ROUND(CASE WHEN n_tokens > 0 THEN
+                 CAST(hapax AS DOUBLE) / n_tokens END, 6)
+             AS gt_unseen_mass,
+           ROUND(CASE WHEN vocab > 0 THEN
+                 vocab + CAST(hapax AS DOUBLE) * (hapax - 1)
+                 / (2.0 * (dis + 1)) END, 6) AS chao1
+    FROM ag ORDER BY source
+    """,
+    doc="Vocabulary richness + unseen-mass estimators per document "
+    "source (operators/text.py:vocab_richness) — the 'how much "
+    "vocabulary is OUT there' readout next to heaps_law_docs' "
+    "growth fit: Good-Turing unseen mass n1/N (keep crawling if "
+    "high) and bias-corrected Chao1 total-vocabulary floor "
+    "(exhausted if ~V). One (source, token) aggregate + a "
+    "frequency-of-frequencies rollup — vocabulary-sized, never "
+    "corpus-sized",
+)
+def vocab_richness_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import vocab_richness
+
+    docs = load(spark, sf_dir, "documents")
+    return vocab_richness(docs, "source", "text")
+
+
+@_q(
+    "source_cross_entropy_docs",
+    """
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               ' ')) AS tok
+      FROM documents),
+    counts AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks WHERE tok <> '' GROUP BY 1, 2),
+    pool AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cp
+             FROM counts GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS np,
+                   CAST(COUNT(*) AS BIGINT) AS vp
+            FROM pool),
+    j AS (SELECT counts.source, counts.c, pool.cp, tot.np, tot.vp
+          FROM counts JOIN pool USING (tok) CROSS JOIN tot),
+    ag AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             SUM(c * LN((cp + 0.5) / (np + 0.5 * vp)) / LN(2))
+               AS sxp,
+             SUM(c * LN(CAST(c AS DOUBLE)) / LN(2)) AS sxs
+      FROM j GROUP BY 1),
+    m AS (SELECT source, n_tokens, vocab,
+                 CAST(n_tokens AS DOUBLE) AS nd, sxp, sxs
+          FROM ag),
+    fin AS (SELECT source, n_tokens, vocab,
+                   -sxp / nd AS h_cross,
+                   LN(nd) / LN(2) - sxs / nd AS h_source
+            FROM m WHERE n_tokens > 0)
+    SELECT source, n_tokens, vocab,
+           ROUND(h_source, 6) AS h_source,
+           ROUND(h_cross, 6) AS h_cross,
+           ROUND(h_cross - h_source, 6) AS kl_vs_pool,
+           ROUND(POW(2.0, h_cross), 6) AS ppl_vs_pool
+    FROM fin ORDER BY source
+    """,
+    doc="Per-source cross-entropy (bits/token) against the pooled "
+    "add-0.5-smoothed unigram LM "
+    "(operators/text.py:source_cross_entropy) — the mixture-audit "
+    "number jsd_source_docs' symmetric distance doesn't give: "
+    "'this source costs H bits/token under the corpus model', "
+    "kl_vs_pool isolates divergence from own entropy, ppl = 2^H is "
+    "what a tokenizer/LM budget planner quotes. One (source, token) "
+    "aggregate + a pooled rollup reusing it; log folds renormalized "
+    "by N_src",
+)
+def source_cross_entropy_docs_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.text import source_cross_entropy
+
+    docs = load(spark, sf_dir, "documents")
+    return source_cross_entropy(docs, "source", "text")

@@ -1098,3 +1098,347 @@ def bowker_test(
         F.coalesce(F.col("dof"), F.lit(0)).cast("long").alias("dof"),
         F.round(F.col("__b"), 6).alias("chi2_bowker"),
     )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score — WHY a probabilistic
+    score is bad, where calibration_report's brier says only HOW bad:
+    over fixed-width bins, brier_binned = RELIABILITY − RESOLUTION +
+    UNCERTAINTY, where reliability Σn_k(p̄_k − ō_k)²/N is the
+    calibration penalty (fixable by recalibrating), resolution
+    Σn_k(ō_k − ō)²/N is the discrimination reward (not fixable
+    without a better score), and uncertainty ō(1 − ō) is the
+    irreducible base-rate floor. The decomposition is EXACT for the
+    bin-averaged forecast; the raw per-row brier differs by the
+    within-bin forecast variance (reported alongside — the gap IS
+    that variance, a binning-fineness diagnostic).
+
+    Exactness: the calibration_report micros discipline verbatim —
+    scores clamp to [0, 1e6] micros, bin ids by integer division,
+    all bin sums exact BIGINT/DECIMAL(38,0); every output is a
+    double expression of exact integers, round-6.
+
+    Plan at scale: one map-side-combined bin aggregate (≤ n_bins
+    rows) + one 1-row fold. Scan-bound.
+
+    Returns one row: (n BIGINT, n_bins BIGINT, base_rate, brier,
+    brier_binned, reliability, resolution, uncertainty).
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    d38 = "decimal(38,0)"
+    p_mic = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.floor(F.col(score_col) * 1_000_000 + F.lit(0.5)).cast("long"),
+        ),
+    )
+    y = F.col(label_col).cast("boolean").cast("long")
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(p_mic.alias("__p"), y.alias("__y"))
+    # integer-exact bin id: __p*n_bins <= 2e7 is exact in double and
+    # the quotient can only sit >= 1e-6 below an integer boundary, so
+    # floor is ulp-stable (the calibration_report div discipline)
+    bin_id = F.least(
+        F.lit(n_bins - 1).cast("long"),
+        F.floor(F.col("__p") * n_bins / 1_000_000).cast("long"),
+    ).cast("long")
+    per_bin = base.groupBy(bin_id.alias("__b")).agg(
+        F.count("*").cast("long").alias("__nk"),
+        F.sum("__p").cast("long").alias("__sp"),
+        F.sum("__y").cast("long").alias("__sy"),
+        F.sum(
+            (
+                (F.col("__p") - F.col("__y") * 1_000_000).cast(d38)
+                * (F.col("__p") - F.col("__y") * 1_000_000).cast(d38)
+            ).cast(d38)
+        )
+        .cast(d38)
+        .alias("__se"),
+    )
+    glob = per_bin.agg(
+        F.sum("__nk").cast("long").alias("n"),
+        F.sum("__sy").cast("long").alias("__ty"),
+        F.sum("__se").cast(d38).alias("__tse"),
+    )
+    j = per_bin.crossJoin(F.broadcast(glob))
+    nk = F.col("__nk").cast("double")
+    nn = F.col("n").cast("double")
+    pbar = F.col("__sp").cast("double") / nk / 1e6
+    obar_k = F.col("__sy").cast("double") / nk
+    obar = F.col("__ty").cast("double") / nn
+    terms = j.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(F.col("__ty")).cast("long").alias("__ty"),
+        F.max(
+            F.col("__tse").cast("string").cast("double")
+        ).alias("__tse"),
+        F.sum(nk * (pbar - obar_k) * (pbar - obar_k)).alias("__rel_n"),
+        F.sum(nk * (obar_k - obar) * (obar_k - obar)).alias("__res_n"),
+    )
+    nn2 = F.col("n").cast("double")
+    ob = F.col("__ty").cast("double") / nn2
+    rel = F.col("__rel_n") / nn2
+    res = F.col("__res_n") / nn2
+    unc = ob * (1.0 - ob)
+    brier = F.col("__tse") / nn2 / 1e12
+    ok = F.col("n") > 0
+    return terms.select(
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.lit(n_bins).cast("long").alias("n_bins"),
+        F.round(F.when(ok, ob), 6).alias("base_rate"),
+        F.round(F.when(ok, brier), 6).alias("brier"),
+        F.round(F.when(ok, rel - res + unc), 6).alias("brier_binned"),
+        F.round(F.when(ok, rel), 6).alias("reliability"),
+        F.round(F.when(ok, res), 6).alias("resolution"),
+        F.round(F.when(ok, unc), 6).alias("uncertainty"),
+    )
+
+
+def youden_threshold(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Youden-J-optimal decision threshold from the ROC — the
+    OPERATING POINT roc_auc's area deliberately doesn't pick:
+    J(t) = TPR(t) − FPR(t) over thresholds "predict positive when
+    score ≥ t", maximized; the standard threshold choice when false
+    positives and false negatives cost the same. Ties on J break
+    toward the LOWEST threshold (more recall at equal J) —
+    deterministic, shared with the oracle.
+
+    Exactness: scores quantize to ``1/scale``; at each distinct
+    score the cumulative positive/negative counts from above are
+    exact integers off ONE guarded descending prefix window
+    (roc_auc's reduced-frame discipline), and the argmax runs on the
+    exact integer J numerator cpos·N_neg − cneg·N_pos — never a
+    double comparison.
+
+    Plan at scale: one (score) aggregate, ONE guarded descending
+    prefix window over distinct scores, one 1-row argmax reduce.
+
+    Returns one row: (n BIGINT, n_pos BIGINT, n_neg BIGINT,
+    threshold, tpr, fpr, youden_j) — NULL when either class is
+    empty.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    from .scale_lanes import guard_distinct_frame
+
+    y = F.col(label_col).cast("boolean").cast("long")
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.round(F.col(score_col) * scale, 0).cast("long").alias("__v"),
+        y.alias("__y"),
+    )
+    per_v = base.groupBy("__v").agg(
+        F.sum("__y").alias("__tp"),
+        F.sum(F.lit(1) - F.col("__y")).alias("__tn"),
+    )
+    per_v = guard_distinct_frame(per_v, "youden_threshold")
+    w = (
+        Window.orderBy(F.col("__v").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = per_v.agg(
+        F.sum("__tp").cast("long").alias("__np"),
+        F.sum("__tn").cast("long").alias("__nn"),
+    )
+    run = per_v.select(
+        "__v",
+        F.sum("__tp").over(w).alias("__cp"),
+        F.sum("__tn").over(w).alias("__cn"),
+    ).crossJoin(F.broadcast(tot))
+    # exact integer J numerator: cpos*N_neg - cneg*N_pos
+    jnum = (
+        dec(F.col("__cp")) * dec(F.col("__nn"))
+        - dec(F.col("__cn")) * dec(F.col("__np"))
+    ).cast("decimal(38,0)")
+    ranked = run.select(
+        "__v", "__cp", "__cn", "__np", "__nn", jnum.alias("__j")
+    )
+    best = ranked.orderBy(F.col("__j").desc(), F.col("__v").asc()).limit(1)
+
+    def dbl(c):
+        return c.cast("string").cast("double")
+
+    np_, nn_ = F.col("__np"), F.col("__nn")
+    ok = (np_ > 0) & (nn_ > 0)
+    tpr = F.col("__cp").cast("double") / np_.cast("double")
+    fpr = F.col("__cn").cast("double") / nn_.cast("double")
+    return best.select(
+        (np_ + nn_).cast("long").alias("n"),
+        np_.cast("long").alias("n_pos"),
+        nn_.cast("long").alias("n_neg"),
+        F.round(
+            F.when(ok, F.col("__v").cast("double") / F.lit(float(scale))),
+            6,
+        ).alias("threshold"),
+        F.round(F.when(ok, tpr), 6).alias("tpr"),
+        F.round(F.when(ok, fpr), 6).alias("fpr"),
+        F.round(F.when(ok, tpr - fpr), 6).alias("youden_j"),
+    )
+
+
+def weighted_kappa(
+    df: DataFrame,
+    rating_a_col: str,
+    rating_b_col: str,
+    categories: list,
+    weights: str = "linear",
+) -> DataFrame:
+    """Cohen's weighted kappa over ORDINAL paired ratings —
+    kappa_rule_events' ordinal upgrade (and bowker_test's
+    agreement-strength complement): disagreeing by one tier is not
+    the same as disagreeing by four, so disagreement weights
+    w_ij = |i−j|/(k−1) (``weights='linear'``) or ((i−j)/(k−1))²
+    (``'quadratic'`` — the ICC-equivalent form) scale each cell's
+    penalty; κ_w = 1 − Σw·p_obs / Σw·p_exp with the usual
+    independence expectation. ``categories`` is the ordered literal
+    (shared with the oracle); ratings outside it RAISE.
+
+    Exactness: observed cells and both marginals are exact BIGINTs
+    off ONE (a, b) aggregate; the k×k expected grid is a broadcast
+    marginal cross join; both weighted sums fold over ≤k² rows as
+    doubles of exact integers with injected rational weights.
+
+    Plan at scale: one cell aggregate + k-bounded marginal frames +
+    one k²-row fold. Nothing fact-sized past the first shuffle.
+
+    Returns one row: (n BIGINT, k BIGINT, po_w, pe_w, kappa_w) —
+    NULL kappa when the expected disagreement is 0 (a constant
+    rating pair).
+    """
+    if weights not in ("linear", "quadratic"):
+        raise ValueError(
+            f"weights must be linear|quadratic, got {weights!r}"
+        )
+    k = len(categories)
+    if k < 2:
+        raise ValueError("weighted_kappa needs >= 2 ordered categories")
+
+    def ordx(col):
+        e = F.lit(None).cast("int")
+        for i, cname in enumerate(categories):
+            e = F.when(F.col(col) == cname, F.lit(i)).otherwise(e)
+        return F.coalesce(
+            e,
+            F.raise_error(
+                F.concat(
+                    F.lit("weighted_kappa: rating outside categories: "),
+                    F.col(col).cast("string"),
+                )
+            ).cast("int"),
+        )
+
+    base = df.filter(
+        F.col(rating_a_col).isNotNull() & F.col(rating_b_col).isNotNull()
+    ).select(ordx(rating_a_col).alias("__i"), ordx(rating_b_col).alias("__j"))
+    cells = base.groupBy("__i", "__j").agg(
+        F.count("*").cast("long").alias("__f")
+    )
+    tot = cells.agg(F.sum("__f").cast("long").alias("__n"))
+    ma = cells.groupBy("__i").agg(F.sum("__f").cast("long").alias("__fa"))
+    mb = cells.groupBy("__j").agg(F.sum("__f").cast("long").alias("__fb"))
+
+    def wexpr(i, j):
+        d = F.abs(i - j).cast("double") / F.lit(float(k - 1))
+        return d * d if weights == "quadratic" else d
+
+    po = (
+        cells.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                wexpr(F.col("__i"), F.col("__j"))
+                * F.col("__f").cast("double")
+                / F.col("__n").cast("double")
+            ).alias("__po")
+        )
+    )
+    pe = (
+        ma.crossJoin(F.broadcast(mb))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                wexpr(F.col("__i"), F.col("__j"))
+                * F.col("__fa").cast("double")
+                * F.col("__fb").cast("double")
+                / (
+                    F.col("__n").cast("double")
+                    * F.col("__n").cast("double")
+                )
+            ).alias("__pe")
+        )
+    )
+    agg = tot.crossJoin(F.broadcast(po)).crossJoin(F.broadcast(pe))
+    ok = (F.col("__n") > 0) & (F.col("__pe") > 0)
+    return agg.select(
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n"),
+        F.lit(k).cast("long").alias("k"),
+        F.round(F.col("__po"), 6).alias("po_w"),
+        F.round(F.col("__pe"), 6).alias("pe_w"),
+        F.round(
+            F.when(ok, 1.0 - F.col("__po") / F.col("__pe")), 6
+        ).alias("kappa_w"),
+    )
+
+
+def cohens_h(
+    df: DataFrame,
+    class_col: str,
+    class_a,
+    outcome_col: str,
+) -> DataFrame:
+    """Cohen's h effect size between two proportions — the
+    proportion-scale companion to cohens_d (means) and cliffs_delta
+    (dominance): h = 2·asin√p_a − 2·asin√p_b, the arcsine-stabilized
+    difference whose detectability is constant across the base-rate
+    range (a 1pp lift at p=0.5 and at p=0.01 are wildly different
+    effects; h says so where the raw risk difference lies). Rows
+    with a class outside {class_a, anything-else} split as a vs b —
+    feed a two-class frame for a crisp contrast.
+
+    Exactness: the four counts are exact off ONE conditional
+    aggregate; h is a single double expression (asin is IEEE-pinned
+    on both engines to the final ulp — invisible at round-6).
+
+    Plan at scale: ONE map-side-combined aggregate — no window, no
+    join.
+
+    Returns one row: (n_a BIGINT, n_b BIGINT, p_a, p_b, risk_diff,
+    cohens_h) — NULLs when either class is empty.
+    """
+    is_a = F.col(class_col) == class_a
+    y = F.col(outcome_col).cast("boolean").cast("long")
+    base = df.filter(
+        F.col(class_col).isNotNull() & F.col(outcome_col).isNotNull()
+    ).select(is_a.alias("__a"), y.alias("__y"))
+    agg = base.agg(
+        F.sum(F.col("__a").cast("long")).cast("long").alias("n_a"),
+        F.sum((~F.col("__a")).cast("long")).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("__a"), F.col("__y"))).cast("long").alias("__ra"),
+        F.sum(F.when(~F.col("__a"), F.col("__y"))).cast("long").alias("__rb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    pa = F.coalesce(F.col("__ra"), F.lit(0)).cast("double") / na
+    pb = F.coalesce(F.col("__rb"), F.lit(0)).cast("double") / nb
+    h = 2.0 * F.asin(F.sqrt(pa)) - 2.0 * F.asin(F.sqrt(pb))
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
+        F.round(F.when(F.col("n_a") > 0, pa), 6).alias("p_a"),
+        F.round(F.when(F.col("n_b") > 0, pb), 6).alias("p_b"),
+        F.round(F.when(ok, pa - pb), 6).alias("risk_diff"),
+        F.round(F.when(ok, h), 6).alias("cohens_h"),
+    )

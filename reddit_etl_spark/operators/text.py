@@ -2273,3 +2273,149 @@ def fightin_words(
         .drop("__rn")
         .orderBy("source", F.col("zscore").desc(), "token")
     )
+
+
+def vocab_richness(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Vocabulary richness + unseen-mass estimators per source — the
+    "how much vocabulary is OUT there" readout next to
+    heaps_law_docs' growth-curve fit and vocab_capture_recapture's
+    pairwise Chapman: from the frequency-of-frequencies alone,
+    Good-Turing says the probability mass of UNSEEN tokens is
+    n₁/N (hapax share — Gale-Sampson), and bias-corrected Chao1
+    says the total vocabulary is ≥ V + n₁(n₁−1)/(2(n₂+1)). The
+    curation angle: a source whose unseen mass stays high under
+    sampling is nowhere near covered — keep crawling; one whose
+    Chao1 ≈ V is exhausted.
+
+    Exactness: token counts, V, n₁, n₂ are exact BIGINTs off one
+    (source, token) aggregate + one frequency rollup; both
+    estimators are single double expressions of exact integers.
+
+    Plan at scale: one (source, token) aggregate (vocabulary-sized,
+    never corpus-sized), one (source, freq-class) rollup, one
+    per-source fold.
+
+    Returns (source, n_tokens BIGINT, vocab BIGINT, hapax BIGINT,
+    dis BIGINT, gt_unseen_mass, chao1) ordered by source.
+    """
+    toks = F.explode(F.split(normalize_text_col(text_col), " ")).alias(
+        "__tok"
+    )
+    counts = (
+        df.select(F.col(group_col).alias("source"), toks)
+        .filter(F.length("__tok") > 0)
+        .groupBy("source", "__tok")
+        .agg(F.count("*").cast("long").alias("__c"))
+    )
+    agg = counts.groupBy("source").agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+        F.sum((F.col("__c") == 1).cast("long")).cast("long").alias("hapax"),
+        F.sum((F.col("__c") == 2).cast("long")).cast("long").alias("dis"),
+    )
+    n = F.col("n_tokens").cast("double")
+    n1 = F.col("hapax").cast("double")
+    n2 = F.col("dis").cast("double")
+    v = F.col("vocab").cast("double")
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "hapax",
+        "dis",
+        F.round(F.when(F.col("n_tokens") > 0, n1 / n), 6).alias(
+            "gt_unseen_mass"
+        ),
+        F.round(
+            F.when(
+                F.col("vocab") > 0, v + n1 * (n1 - 1.0) / (2.0 * (n2 + 1.0))
+            ),
+            6,
+        ).alias("chao1"),
+    ).orderBy("source")
+
+
+def source_cross_entropy(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-source cross-entropy against the POOLED unigram LM — the
+    mixture-audit number jsd_source_divergence's symmetric distance
+    doesn't give: H(src, pool) = −Σ_w p_src(w)·log₂ p_pool(w) reads
+    as "bits/token this source costs under the corpus-wide model";
+    kl_vs_pool = H(src, pool) − H(src) isolates the DIVERGENCE from
+    the source's own entropy, and ppl_vs_pool = 2^H is the
+    perplexity a corpus-level tokenizer/LM budget planner quotes.
+    Pool probabilities are add-α smoothed over the pooled vocabulary
+    (α an injected literal shared with the oracle); every source
+    token exists in the pool by construction, smoothing just keeps
+    head sources from zeroing tail ones.
+
+    Exactness: all counts exact BIGINTs off one (source, token)
+    aggregate (+ a token-level pooled rollup joined back,
+    vocabulary-sized); the log folds are doubles renormalized by
+    N_src (the theil_index argument), round-6.
+
+    Plan at scale: one (source, token) aggregate, one pooled token
+    rollup REUSING that aggregate's output, one vocabulary-sized
+    join, one per-source fold. The fact is scanned once.
+
+    Returns (source, n_tokens BIGINT, vocab BIGINT, h_source,
+    h_cross, kl_vs_pool, ppl_vs_pool) ordered by source.
+    """
+    toks = F.explode(F.split(normalize_text_col(text_col), " ")).alias(
+        "__tok"
+    )
+    counts = (
+        df.select(F.col(group_col).alias("source"), toks)
+        .filter(F.length("__tok") > 0)
+        .groupBy("source", "__tok")
+        .agg(F.count("*").cast("long").alias("__c"))
+    )
+    pool = counts.groupBy("__tok").agg(
+        F.sum("__c").cast("long").alias("__cp")
+    )
+    tot = pool.agg(
+        F.sum("__cp").cast("long").alias("__np"),
+        F.count("*").cast("long").alias("__vp"),
+    )
+    a = F.lit(float(alpha))
+    j = counts.join(pool, "__tok").crossJoin(F.broadcast(tot))
+    p_pool = (F.col("__cp").cast("double") + a) / (
+        F.col("__np").cast("double") + a * F.col("__vp").cast("double")
+    )
+    lg2 = F.log(F.lit(2.0))
+    agg = j.groupBy("source").agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+        F.sum(
+            F.col("__c").cast("double") * F.log(p_pool) / lg2
+        ).alias("__sxp"),
+        F.sum(
+            F.col("__c").cast("double")
+            * F.log(F.col("__c").cast("double"))
+            / lg2
+        ).alias("__sxs"),
+    )
+    n = F.col("n_tokens").cast("double")
+    h_cross = -F.col("__sxp") / n
+    # H(src) = log2 N − (1/N)Σ c·log2 c  (renormalized fold)
+    h_src = F.log(n) / lg2 - F.col("__sxs") / n
+    ok = F.col("n_tokens") > 0
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        F.round(F.when(ok, h_src), 6).alias("h_source"),
+        F.round(F.when(ok, h_cross), 6).alias("h_cross"),
+        F.round(F.when(ok, h_cross - h_src), 6).alias("kl_vs_pool"),
+        F.round(F.when(ok, F.pow(F.lit(2.0), h_cross)), 6).alias(
+            "ppl_vs_pool"
+        ),
+    ).orderBy("source")
