@@ -6947,7 +6947,10 @@ def uncertainty_coefficient(
     )
     cells = base.groupBy("__r", "__c").agg(
         F.count("*").cast("long").alias("__f")
-    )
+    # four consumers (total, two marginals, the joint entropy) would
+    # each re-scan the fact — pin the category-bounded cell frame
+    # once (the shingle_arrays lazy-checkpoint discipline)
+    ).localCheckpoint(eager=False)
     tot = cells.agg(F.sum("__f").cast("long").alias("__n"))
     mr = cells.groupBy("__r").agg(F.sum("__f").alias("__fr"))
     mc = cells.groupBy("__c").agg(F.sum("__f").alias("__fc"))

@@ -2377,6 +2377,12 @@ def source_cross_entropy(
         .filter(F.length("__tok") > 0)
         .groupBy("source", "__tok")
         .agg(F.count("*").cast("long").alias("__c"))
+        # three consumers (the per-source fold, the pooled rollup and
+        # its total) would otherwise each re-run the tokenize+explode
+        # corpus scan — pin the vocabulary-sized aggregate once (the
+        # shingle_arrays lazy-checkpoint discipline; eager=False keeps
+        # construction job-free)
+        .localCheckpoint(eager=False)
     )
     pool = counts.groupBy("__tok").agg(
         F.sum("__c").cast("long").alias("__cp")

@@ -606,3 +606,129 @@ def test_shapley_nothing_datasized_past_journeys(spark):
     df = shapley_attribution(touches, "user_id", "channel", "converted")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------------- round-11 wave
+
+
+def test_youden_argmax_is_take_ordered(spark):
+    """The J argmax is a TakeOrderedAndProject(1) over the reduced
+    distinct-score frame — never a global sort materialization."""
+    from reddit_etl_spark.operators.classify import youden_threshold
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "value", (F.col("event_type") == "purchase").alias("y")
+    )
+    df = youden_threshold(ev, "value", "y")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mantel_haenszel_single_aggregate(spark, orders):
+    """ONE stratum aggregate + a 1-row fold — no join, no window."""
+    from reddit_etl_spark.operators.relational import mantel_haenszel
+
+    df = mantel_haenszel(
+        orders.select(
+            F.year("o_orderdate").alias("yr"),
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("e"),
+            (F.col("o_totalprice") > 250000).alias("o"),
+        ),
+        ["yr"],
+        "e",
+        "o",
+    )
+    assert count_exchanges(df) <= 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_cochran_armitage_single_aggregate(spark):
+    from reddit_etl_spark.operators.relational import cochran_armitage
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.col("l_linenumber").alias("d"),
+        (F.col("l_returnflag") == "R").alias("y"),
+    )
+    df = cochran_armitage(li, "d", "y")
+    assert count_exchanges(df) <= 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_agreement_dispersion_brier_single_aggregate(spark):
+    """The one-moment-aggregate family: no join, <= 2 exchanges."""
+    from reddit_etl_spark.operators.relational import agreement_summary
+    from reddit_etl_spark.operators.series import dispersion_index
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    pair = ev.select(
+        F.col("value").alias("x"), (F.col("value") * 1.1).alias("y")
+    )
+    assert count_exchanges(agreement_summary(pair, "x", "y")) <= 2
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("long").alias("x")
+    ).select(F.lit("g").alias("g"), "x")
+    assert count_exchanges(dispersion_index(daily, ["g"], "x")) <= 3
+
+
+def test_wilcoxon_window_over_aggregate(spark):
+    """The signed-rank prefix window reads the DISTINCT-|d| aggregate
+    (the mann_whitney reduced-frame discipline), never fact rows."""
+    from reddit_etl_spark.operators.relational import wilcoxon_signed_rank
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        F.col("value").alias("x"), (F.col("value") * 1.01 + 1).alias("y")
+    )
+    df = wilcoxon_signed_rank(ev, "x", "y")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    i_win = plan.index("Window")
+    assert "Aggregate" in plan[i_win:]
+
+
+def test_jonckheere_grid_windows_partitioned(spark, orders):
+    """Both grid windows are PARTITIONED (per class over values,
+    per value over classes) — no unpartitioned spec anywhere."""
+    import re
+
+    from reddit_etl_spark.operators.relational import jonckheere_terpstra
+
+    df = jonckheere_terpstra(
+        orders.select("o_totalprice", "o_orderpriority"),
+        "o_totalprice",
+        "o_orderpriority",
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    assert all(s.lstrip().startswith("__") for s in specs), specs
+
+
+def test_bowker_no_full_outer(spark):
+    """One-sided pairs seat via broadcastable left + left-anti —
+    never an unbroadcastable FullOuter (the srm_check lesson)."""
+    from reddit_etl_spark.operators.classify import bowker_test
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        F.col("event_type").alias("ra"),
+        F.concat(F.lit("x_"), "event_type").alias("rb"),
+    )
+    df = bowker_test(ev, "ra", "rb")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" not in plan
+
+
+def test_source_cross_entropy_single_fact_scan_shape(spark):
+    """The pooled rollup re-aggregates the (source, token) frame —
+    the plan never joins two independent corpus scans."""
+    from reddit_etl_spark.operators.text import source_cross_entropy
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = source_cross_entropy(docs, "source", "text")
+    df.count()  # materialize the lazy checkpoint
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the (source, token) aggregate is checkpoint-pinned: all three
+    # consumers read the pinned blocks, so the corpus scan appears
+    # at most once in the executed plan
+    assert plan.count("Scan parquet") <= 1, plan.count("Scan parquet")
