@@ -225,6 +225,8 @@ _DEFERRED = [
     "biweight_value_types",
     "vocab_richness_sources",
     "source_cross_entropy_docs",
+    "partial_corr_lineitem",
+    "covariate_balance_arms",
     # Everything below stays oracle-checked by tools/check_oracle.py
     # (and the committed ORACLE_sf*.json artifacts) every round.
     # Ordering: the 29 round-10 wave-1..3 registrations (driver rows
@@ -18570,9 +18572,9 @@ def ordinal_assoc_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
              SUM(CAST(x AS DECIMAL(38,6))) AS sx,
              SUM(CAST(y AS DECIMAL(38,6))) AS sy,
-             SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
-             SUM(CAST(y * y AS DECIMAL(38,12))) AS syy,
-             SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy
+             SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS sxx,
+             SUM(CAST(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS syy,
+             SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS sxy
       FROM pairs),
     d AS (SELECT n, CAST(n AS DOUBLE) AS nd,
                  CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx,
@@ -19272,3 +19274,159 @@ def source_cross_entropy_docs_q(
 
     docs = load(spark, sf_dir, "documents")
     return source_cross_entropy(docs, "source", "text")
+
+
+@_q(
+    "partial_corr_lineitem",
+    """
+    WITH base AS (
+      SELECT CAST(l_quantity AS DECIMAL(18,6)) AS x,
+             CAST(l_extendedprice AS DECIMAL(18,6)) AS y,
+             CAST(l_discount AS DECIMAL(18,6)) AS z
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL),
+    ag AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS DECIMAL(38,6))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,6))) AS sy,
+             SUM(CAST(z AS DECIMAL(38,6))) AS sz,
+             SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS sxx,
+             SUM(CAST(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS syy,
+             SUM(CAST(CAST(z AS DECIMAL(19,6)) * CAST(z AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS szz,
+             SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS sxy,
+             SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(z AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS sxz,
+             SUM(CAST(CAST(y AS DECIMAL(19,6)) * CAST(z AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS syz
+      FROM base),
+    d AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+                 CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx,
+                 CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy,
+                 CAST(CAST(sz AS VARCHAR) AS DOUBLE) AS sz,
+                 CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx,
+                 CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syy,
+                 CAST(CAST(szz AS VARCHAR) AS DOUBLE) AS szz,
+                 CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy,
+                 CAST(CAST(sxz AS VARCHAR) AS DOUBLE) AS sxz,
+                 CAST(CAST(syz AS VARCHAR) AS DOUBLE) AS syz
+          FROM ag),
+    rs AS (
+      SELECT n,
+        ROUND((nd*sxy - sx*sy)
+              / SQRT((nd*sxx - sx*sx) * (nd*syy - sy*sy)), 6) AS r_xy,
+        ROUND((nd*sxz - sx*sz)
+              / SQRT((nd*sxx - sx*sx) * (nd*szz - sz*sz)), 6) AS r_xz,
+        ROUND((nd*syz - sy*sz)
+              / SQRT((nd*syy - sy*sy) * (nd*szz - sz*sz)), 6) AS r_yz
+      FROM d),
+    fin AS (
+      SELECT *, SQRT((1 - r_xz*r_xz) * (1 - r_yz*r_yz)) AS den
+      FROM rs)
+    SELECT n, r_xy, r_xz, r_yz,
+           ROUND(CASE WHEN den > 0
+                 THEN (r_xy - r_xz*r_yz) / den END, 6) AS partial_r
+    FROM fin
+    """,
+    doc="Partial correlation of quantity and extended price "
+    "controlling for discount (operators/relational.py:partial_corr) "
+    "— the 3-variable confounder check next to q12_correlations' raw "
+    "Pearson grid: a raw correlation that collapses when z is "
+    "partialled out was z all along. Nine exact DECIMAL moments in "
+    "ONE aggregate; each pairwise r rounds to 6 BEFORE composing "
+    "(the ljung_box quantize-then-compose convention)",
+)
+def partial_corr_lineitem_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import partial_corr
+
+    li = load(spark, sf_dir, "lineitem")
+    return partial_corr(li, "l_quantity", "l_extendedprice", "l_discount")
+
+
+@_q(
+    "covariate_balance_arms",
+    """
+    WITH base AS (
+      SELECT user_id % 2 = 0 AS a,
+             CAST(value AS DECIMAL(18,6)) AS v_value,
+             CAST(EXTRACT(DAY FROM CAST(ts AS DATE)) AS DECIMAL(18,6))
+               AS v_day
+      FROM events WHERE value IS NOT NULL),
+    mom AS (
+      SELECT
+        CAST(COUNT(CASE WHEN a THEN v_value END) AS BIGINT) AS n_a_value,
+        SUM(CASE WHEN a THEN CAST(v_value AS DECIMAL(38,6)) END)
+          AS s_a_value,
+        SUM(CASE WHEN a THEN CAST(v_value * v_value AS DECIMAL(38,12))
+            END) AS q_a_value,
+        CAST(COUNT(CASE WHEN NOT a THEN v_value END) AS BIGINT)
+          AS n_b_value,
+        SUM(CASE WHEN NOT a THEN CAST(v_value AS DECIMAL(38,6)) END)
+          AS s_b_value,
+        SUM(CASE WHEN NOT a THEN
+            CAST(v_value * v_value AS DECIMAL(38,12)) END) AS q_b_value,
+        CAST(COUNT(CASE WHEN a THEN v_day END) AS BIGINT) AS n_a_day,
+        SUM(CASE WHEN a THEN CAST(v_day AS DECIMAL(38,6)) END)
+          AS s_a_day,
+        SUM(CASE WHEN a THEN CAST(v_day * v_day AS DECIMAL(38,12)) END)
+          AS q_a_day,
+        CAST(COUNT(CASE WHEN NOT a THEN v_day END) AS BIGINT)
+          AS n_b_day,
+        SUM(CASE WHEN NOT a THEN CAST(v_day AS DECIMAL(38,6)) END)
+          AS s_b_day,
+        SUM(CASE WHEN NOT a THEN
+            CAST(v_day * v_day AS DECIMAL(38,12)) END) AS q_b_day
+      FROM base),
+    melted AS (
+      SELECT 'day' AS covariate, n_a_day AS n_a, n_b_day AS n_b,
+             CAST(CAST(s_a_day AS VARCHAR) AS DOUBLE) AS sa,
+             CAST(CAST(q_a_day AS VARCHAR) AS DOUBLE) AS qa,
+             CAST(CAST(s_b_day AS VARCHAR) AS DOUBLE) AS sb,
+             CAST(CAST(q_b_day AS VARCHAR) AS DOUBLE) AS qb
+      FROM mom
+      UNION ALL
+      SELECT 'value', n_a_value, n_b_value,
+             CAST(CAST(s_a_value AS VARCHAR) AS DOUBLE),
+             CAST(CAST(q_a_value AS VARCHAR) AS DOUBLE),
+             CAST(CAST(s_b_value AS VARCHAR) AS DOUBLE),
+             CAST(CAST(q_b_value AS VARCHAR) AS DOUBLE)
+      FROM mom),
+    m AS (
+      SELECT covariate, n_a, n_b,
+             CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+             sa / n_a AS ma, sb / n_b AS mb,
+             (qa - sa * sa / n_a) / (n_a - 1) AS va,
+             (qb - sb * sb / n_b) / (n_b - 1) AS vb
+      FROM melted),
+    fin AS (
+      SELECT covariate, n_a, n_b, ma, mb,
+             (va + vb) / 2.0 AS pooled,
+             n_a >= 2 AND n_b >= 2 AND (va + vb) / 2.0 > 0 AS ok
+      FROM m)
+    SELECT covariate, n_a, n_b,
+           ROUND(CASE WHEN n_a > 0 THEN ma END, 6) AS mean_a,
+           ROUND(CASE WHEN n_b > 0 THEN mb END, 6) AS mean_b,
+           ROUND(CASE WHEN ok THEN (ma - mb) / SQRT(pooled) END, 6)
+             AS smd,
+           CASE WHEN ok THEN
+             ABS(ROUND((ma - mb) / SQRT(pooled), 6)) < 0.1 END
+             AS balanced
+    FROM fin ORDER BY covariate
+    """,
+    doc="Standardized-mean-difference balance table between the two "
+    "user-parity arms over event value and day-of-month "
+    "(operators/relational.py:covariate_balance) — the FIRST table "
+    "an experiment readout shows (srm_user_arms checks the counts; "
+    "this checks the covariates): |SMD| < 0.1 is the conventional "
+    "balance line (injected literal). ONE conditional moment "
+    "aggregate — covariates widen the projection, not the shuffle — "
+    "plus a k-row literal melt",
+)
+def covariate_balance_arms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import covariate_balance
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    df = ev.select(
+        (F.col("user_id") % 2 == 0).alias("arm"),
+        F.col("value").alias("value"),
+        F.dayofmonth(F.to_date("ts")).alias("day"),
+    )
+    return covariate_balance(df, "arm", True, False, ["day", "value"])

@@ -7297,3 +7297,172 @@ def biweight_location(
         F.round(t_loc / sc, 6).alias("biweight_loc"),
     )
     return out.orderBy(*keys) if keys else out
+
+
+def partial_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+) -> DataFrame:
+    """First-order partial correlation r_xy·z — "does x still track y
+    once z is held fixed", the 3-variable confounder check next to
+    q12_correlations' raw Pearson grid and mantel_haenszel's
+    categorical stratification: r_xy·z = (r_xy − r_xz·r_yz) /
+    √((1−r_xz²)(1−r_yz²)). A raw correlation that collapses when z
+    is partialled out was z all along.
+
+    Exactness: the cuped moment discipline — all three columns
+    quantize to DECIMAL(18,6) and the nine sufficient sums
+    accumulate exactly in ONE aggregate; each pairwise r rounds to 6
+    FIRST (the ljung_box quantize-then-compose convention), so the
+    partial composes identical inputs on both engines.
+
+    Plan at scale: ONE map-side-combined aggregate — no window, no
+    join.
+
+    Returns one row: (n BIGINT, r_xy, r_xz, r_yz, partial_r) —
+    NULLs where a variance (or a 1−r² denominator) degenerates.
+    """
+    base = df.filter(
+        F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & F.col(z_col).isNotNull()
+    ).select(
+        F.col(x_col).cast("decimal(18,6)").alias("__x"),
+        F.col(y_col).cast("decimal(18,6)").alias("__y"),
+        F.col(z_col).cast("decimal(18,6)").alias("__z"),
+    )
+    x, y, z = F.col("__x"), F.col("__y"), F.col("__z")
+    agg = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x.cast("decimal(38,6)")).alias("__sx"),
+        F.sum(y.cast("decimal(38,6)")).alias("__sy"),
+        F.sum(z.cast("decimal(38,6)")).alias("__sz"),
+        F.sum((x * x).cast("decimal(38,12)")).alias("__sxx"),
+        F.sum((y * y).cast("decimal(38,12)")).alias("__syy"),
+        F.sum((z * z).cast("decimal(38,12)")).alias("__szz"),
+        F.sum((x * y).cast("decimal(38,12)")).alias("__sxy"),
+        F.sum((x * z).cast("decimal(38,12)")).alias("__sxz"),
+        F.sum((y * z).cast("decimal(38,12)")).alias("__syz"),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    n = F.col("n").cast("double")
+
+    def r_of(sab, sa, sb, saa, sbb):
+        num = n * dbl(sab) - dbl(sa) * dbl(sb)
+        da = n * dbl(saa) - dbl(sa) * dbl(sa)
+        db = n * dbl(sbb) - dbl(sb) * dbl(sb)
+        return F.round(
+            F.when((da > 0) & (db > 0), num / F.sqrt(da * db)), 6
+        )
+
+    r_xy = r_of("__sxy", "__sx", "__sy", "__sxx", "__syy")
+    r_xz = r_of("__sxz", "__sx", "__sz", "__sxx", "__szz")
+    r_yz = r_of("__syz", "__sy", "__sz", "__syy", "__szz")
+    step = agg.select("n", r_xy.alias("r_xy"), r_xz.alias("r_xz"), r_yz.alias("r_yz"))
+    den = F.sqrt(
+        (1.0 - F.col("r_xz") * F.col("r_xz"))
+        * (1.0 - F.col("r_yz") * F.col("r_yz"))
+    )
+    pr = (F.col("r_xy") - F.col("r_xz") * F.col("r_yz")) / den
+    return step.select(
+        "n",
+        "r_xy",
+        "r_xz",
+        "r_yz",
+        F.round(F.when(den > 0, pr), 6).alias("partial_r"),
+    )
+
+
+def covariate_balance(
+    df: DataFrame,
+    arm_col: str,
+    group_a,
+    group_b,
+    covariate_cols: Sequence[str],
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Standardized-mean-difference balance table between two arms —
+    the FIRST table an experiment/matching readout shows (and what
+    cem_match promises to improve): per covariate, SMD = (x̄_a −
+    x̄_b)/√((s²_a + s²_b)/2); |SMD| < 0.1 is the conventional
+    "balanced" line (the injected ``threshold`` literal). An
+    imbalanced pre-treatment covariate means the arms differ BEFORE
+    the treatment and every downstream effect estimate needs
+    adjustment (cuped, cem, stratification).
+
+    Exactness: per-covariate conditional moments (n, Σx, Σx² per
+    arm) accumulate as exact DECIMALs in ONE aggregate — covariates
+    widen the projection, not the shuffle (the cochran_q
+    discipline); the k-row readout melts via a literal stack.
+
+    Plan at scale: ONE map-side-combined aggregate + a k-row melt.
+
+    Returns one row per covariate: (covariate, n_a BIGINT, n_b
+    BIGINT, mean_a, mean_b, smd, balanced BOOLEAN) ordered by
+    covariate — NULL smd (and balanced) where a pooled variance
+    degenerates.
+    """
+    covs = list(covariate_cols)
+    if not covs:
+        raise ValueError("covariate_cols must be non-empty")
+    is_a = F.col(arm_col) == group_a
+    is_b = F.col(arm_col) == group_b
+    base = df.filter(is_a | is_b).select(
+        is_a.alias("__a"),
+        *[F.col(c).cast("decimal(18,6)").alias(f"__v_{c}") for c in covs],
+    )
+    aggs = []
+    for c in covs:
+        v = F.col(f"__v_{c}")
+        for side, flag in (("a", F.col("__a")), ("b", ~F.col("__a"))):
+            aggs += [
+                F.count(F.when(flag, v)).cast("long").alias(f"__n_{side}_{c}"),
+                F.sum(F.when(flag, v.cast("decimal(38,6)"))).alias(
+                    f"__s_{side}_{c}"
+                ),
+                F.sum(
+                    F.when(flag, (v * v).cast("decimal(38,12)"))
+                ).alias(f"__q_{side}_{c}"),
+            ]
+    mom = base.agg(*aggs)
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    rows = []
+    for c in covs:
+        na = F.col(f"__n_a_{c}").cast("double")
+        nb = F.col(f"__n_b_{c}").cast("double")
+        ma = dbl(f"__s_a_{c}") / na
+        mb = dbl(f"__s_b_{c}") / nb
+        va = (dbl(f"__q_a_{c}") - dbl(f"__s_a_{c}") * dbl(f"__s_a_{c}") / na) / (
+            na - 1.0
+        )
+        vb = (dbl(f"__q_b_{c}") - dbl(f"__s_b_{c}") * dbl(f"__s_b_{c}") / nb) / (
+            nb - 1.0
+        )
+        pooled = (va + vb) / 2.0
+        ok = (na >= 2) & (nb >= 2) & (pooled > 0)
+        smd = F.round(F.when(ok, (ma - mb) / F.sqrt(pooled)), 6)
+        rows.append(
+            F.struct(
+                F.lit(c).alias("covariate"),
+                F.col(f"__n_a_{c}").alias("n_a"),
+                F.col(f"__n_b_{c}").alias("n_b"),
+                F.round(F.when(na > 0, ma), 6).alias("mean_a"),
+                F.round(F.when(nb > 0, mb), 6).alias("mean_b"),
+                smd.alias("smd"),
+                F.when(ok, F.abs(smd) < F.lit(float(threshold))).alias(
+                    "balanced"
+                ),
+            )
+        )
+    melted = mom.select(
+        F.explode(F.array(*rows)).alias("__row")
+    ).select("__row.*")
+    return melted.orderBy("covariate")

@@ -42,8 +42,27 @@ distinct-value windows    guard_distinct_frame  EXACT_RANK_MAX_ROWS
   dunn_test,                exceeds the single-task sort bound, instead
   yuen_trimmed_test,        of silently sorting it in one task; no
   hill_tail_index,          statistically honest sketch lane exists for
-  winsorized_stats          these exact rank statistics
-  (relational.py)
+  winsorized_stats,         these exact rank statistics. The round-11
+  wilcoxon_signed_rank,     wave rides the same helper: signed-rank |d|
+  moods_median,             frames, pooled medians, CDF integrals, AB
+  wasserstein_distance,     scores, dominance U, the JT value grid, the
+  ansari_bradley,           KS-fit frame, biweight median/MAD crossings
+  cliffs_delta,             and the Youden ROC frame
+  jonckheere_terpstra,
+  ks_exponential_fit,
+  biweight_location
+  (relational.py);
+  youden_threshold
+  (classify.py)
+hodges_lehmann_shift      (inline product      EXACT_RANK_MAX_ROWS
+  (relational.py)           guard): the V_a x V_b distinct-difference
+                            GRID is the pair stage — plan-embedded
+                            raise when the PRODUCT of the two distinct
+                            counts exceeds the constant
+ordinal_association       max_cells=10_000      (operator-owned)
+  (relational.py)           the cells^2 grid fold raises past the cap —
+                            ordinal codings are small by contract; a
+                            continuous column must be binned explicitly
 ==========================================================================
 
 Why count-then-branch is sound here: the decision aggregate is a

@@ -255,3 +255,66 @@ def test_source_cross_entropy_bruteforce(spark):
         assert abs(r["h_source"] - hs) < 1e-5
         assert abs(r["kl_vs_pool"] - (hx - hs)) < 1e-5
         assert abs(r["ppl_vs_pool"] - 2**hx) < 1e-4
+
+
+# ------------------------------------------------------- partial_corr
+
+
+def test_partial_corr_bruteforce(spark):
+    import numpy as np
+
+    from reddit_etl_spark.operators.relational import partial_corr
+
+    rng = np.random.default_rng(67)
+    z = np.round(rng.normal(0, 1, 120), 4)
+    x = np.round(z * 2 + rng.normal(0, 1, 120), 4)
+    y = np.round(z * 3 + rng.normal(0, 1, 120), 4)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        "x double, y double, z double",
+    )
+    r = partial_corr(df, "x", "y", "z").collect()[0]
+    rxy = round(float(np.corrcoef(x, y)[0, 1]), 6)
+    rxz = round(float(np.corrcoef(x, z)[0, 1]), 6)
+    ryz = round(float(np.corrcoef(y, z)[0, 1]), 6)
+    want = (rxy - rxz * ryz) / math.sqrt((1 - rxz**2) * (1 - ryz**2))
+    assert r["r_xy"] == rxy and r["r_xz"] == rxz and r["r_yz"] == ryz
+    assert abs(r["partial_r"] - want) < 1e-6
+    # x and y only correlate through z: partialled r collapses
+    assert abs(r["partial_r"]) < abs(r["r_xy"]) / 2
+
+
+# -------------------------------------------------- covariate_balance
+
+
+def test_covariate_balance_bruteforce(spark):
+    import numpy as np
+
+    from reddit_etl_spark.operators.relational import covariate_balance
+
+    rng = np.random.default_rng(71)
+    rows = []
+    for i in range(200):
+        arm = "t" if i % 2 == 0 else "c"
+        shift = 0.8 if arm == "t" else 0.0  # v1 imbalanced
+        rows.append(
+            (arm, round(float(rng.normal(shift, 1)), 4),
+             round(float(rng.normal(5, 2)), 4))
+        )
+    df = spark.createDataFrame(rows, "arm string, v1 double, v2 double")
+    out = {
+        r["covariate"]: r
+        for r in covariate_balance(
+            df, "arm", "t", "c", ["v1", "v2"]
+        ).collect()
+    }
+    for idx, cov in ((1, "v1"), (2, "v2")):
+        av = np.array([r[idx] for r in rows if r[0] == "t"])
+        bv = np.array([r[idx] for r in rows if r[0] == "c"])
+        smd = (av.mean() - bv.mean()) / math.sqrt(
+            (av.var(ddof=1) + bv.var(ddof=1)) / 2
+        )
+        assert abs(out[cov]["smd"] - smd) < 1e-6
+        assert out[cov]["balanced"] == (abs(round(smd, 6)) < 0.1)
+    assert out["v1"]["balanced"] is False  # planted 0.8-sigma shift
+    assert out["v1"]["n_a"] == 100 and out["v1"]["n_b"] == 100
