@@ -200,12 +200,13 @@ _PROMOTED = [
 ]
 
 _DEFERRED = [
-    # ROUND-11 WAVE-2 registrations (10): the r11 head's 50 slots are
-    # fully budgeted by the 37-query attestation backlog + the 13
+    # ROUND-11 WAVE-2/3/4 registrations (19): the r11 head's 50 slots
+    # are fully budgeted by the 37-query attestation backlog + the 13
     # wave-1 registrations (judge r10 #3: backlog first), so these
     # park in the tail with THREE-PROFILE + ANSI local attestation
     # committed in the ORACLE_*.json artifacts; they are the named
-    # candidates for the r12 head.
+    # candidates for the r12 head (tools/attestation_backlog.py
+    # derives the list).
     "ks_expfit_values",
     "atkinson_customer_revenue",
     "cliffs_delta_click_error",
@@ -216,8 +217,8 @@ _DEFERRED = [
     "seasonal_mk_daily",
     "cox_stuart_daily",
     "dispersion_daily_counts",
-    # round-11 wave 3 (same three-profile + ANSI local attestation;
-    # r12-head candidates with the wave-2 block above)
+    # round-11 waves 3-4 (same three-profile + ANSI local
+    # attestation; r12-head candidates with the wave-2 block above)
     "brier_decomp_events",
     "youden_purchase_value",
     "weighted_kappa_user_value",
