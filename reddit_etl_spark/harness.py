@@ -17828,6 +17828,12 @@ _EVENT_ORD_SQL = (
     "values, one k-bounded per value over classes); tie-corrected "
     "Hollander-Wolfe variance from exact class/tie folds. The class "
     "order literal is the contract, shared with the oracle",
+    # round-11 headline set change (the r6 segment_dedup / r7 tpch_q21
+    # convention): the round's heaviest new shape — guarded V x k grid,
+    # two windows, three exact folds — joins the bench mix; totals are
+    # NOT comparable to r10's 20-query total without subtracting its
+    # median; per-query medians remain directly comparable
+    headline=True,
 )
 def jonckheere_priority_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.relational import jonckheere_terpstra

@@ -6257,7 +6257,13 @@ def jonckheere_terpstra(
         ordx.alias("__o"),
         F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
     )
-    cells = base.groupBy("__o", "__v").agg(F.count("*").alias("__f"))
+    # four consumers (the grid join, per-class totals, the pooled tie
+    # frame and its guard count) would each re-run the fact scan —
+    # pin the domain × k cell aggregate once (the shingle_arrays
+    # lazy-checkpoint discipline)
+    cells = base.groupBy("__o", "__v").agg(
+        F.count("*").alias("__f")
+    ).localCheckpoint(eager=False)
     per_v = cells.groupBy("__v").agg(F.sum("__f").alias("__t"))
     per_v = guard_distinct_frame(per_v, "jonckheere_terpstra")
     spark = df.sparkSession
