@@ -149,17 +149,91 @@ def _q(name: str, oracle: str | None, doc: str = "", headline: bool = False):
 # each round via tools/check_oracle.py (which runs ALL entries).
 _DRIVER_RECORD_CAP = 50
 _PROMOTED = [
-    # ROUND-11 REWRITE (judge r10 next-round #3: clear the
-    # never-driver-sampled backlog FIRST). The 37 queries below are
-    # exactly registry-minus-every-CORRECTNESS_r*-key at the r10
-    # close (tools/attestation_backlog.py derives the list) — all
-    # from round-10 waves 4-9, each already green in the three
-    # committed 294-query oracle artifacts and in the judge's
-    # independent 37/37 ANSI re-run, but never yet in a driver
-    # record. After r11 every registry query has >= 1 driver row.
-    # Head composition (cap 50): these 37 promoted + the 13 new
-    # round-11 registrations riding as base. Pre-round-11 per-slot
-    # history: git blame (tag round-10).
+    # ROUND-12 REWRITE (judge r11 next-round #3 + the standing rule
+    # "driver head = current backlog, then oldest attestations").
+    # Block 1 (19): exactly the r11-born never-driver-sampled backlog
+    # (tools/attestation_backlog.py output at the r11 close) — each
+    # already green in the three committed 326-query oracle artifacts
+    # and in the judge's independent 19/19 ANSI re-run; after r12
+    # every pre-round-12 registry query again has >= 1 driver row.
+    "ks_expfit_values",
+    "atkinson_customer_revenue",
+    "cliffs_delta_click_error",
+    "hodges_lehmann_click_error",
+    "uncertainty_status_priority",
+    "ordinal_assoc_lines",
+    "agreement_user_halves",
+    "seasonal_mk_daily",
+    "cox_stuart_daily",
+    "dispersion_daily_counts",
+    "brier_decomp_events",
+    "youden_purchase_value",
+    "weighted_kappa_user_value",
+    "cohens_h_click_error",
+    "biweight_value_types",
+    "vocab_richness_sources",
+    "source_cross_entropy_docs",
+    "partial_corr_lineitem",
+    "covariate_balance_arms",
+    # Block 2 (oldest attestations): fills the remaining head slots
+    # with the registry's STALEST driver rows (last attested r05 —
+    # seven rounds ago). Each new round-12 registration rides the
+    # head as base and displaces one filler back to _DEFERRED, so
+    # the head stays exactly 50 at every commit and new queries are
+    # attested the same round they are born (backlog stays 0).
+    "ab_experiment_readout",
+    "anomaly_zscore_daily",
+    "asof_split",
+    "bigram_perplexity",
+    "boilerplate_fraction",
+    "concurrency_peaks",
+    "customer_sample_per_nation",
+    "daily_trend_slope",
+    "dedup_ngram_jaccard",
+    "document_chunks",
+    "dq_report_orders",
+    "dsir_importance_weights",
+    "duplicate_spans",
+    "event_pattern_counts",
+    "fuzzy_name_pairs",
+    "gap_fill_hourly",
+    "heavy_hitters_mg",
+    "hits_cust_supp",
+    "hybrid_search_rrf",
+    "incremental_minhash",
+    "incremental_rollup_refresh",
+    "item_affinity",
+    "join_profile_orders_lineitem",
+    "mad_outliers_daily",
+    "mixture_weights",
+    "nb_language_selftrain",
+    "neardup_survivors",
+    "pagerank_cust_supp",
+    "part_name_linkage",
+    "ppr_supplier_recs",
+    "psi_value_drift",
+]
+
+_DEFERRED = [
+    # ROUND-12 ROTATION: the full r11 driver head (13 wave-1 base +
+    # 37 r10-backlog promotions, all driver-attested r11) rotates to
+    # the tail first; everything below stays oracle-checked by
+    # tools/check_oracle.py and the committed ORACLE_sf*.json
+    # artifacts every round. The 31 stalest r05-attested entries
+    # moved up to _PROMOTED block 2 (oldest-attestation rule).
+    "wilcoxon_user_halves",
+    "moods_median_values",
+    "wasserstein_click_error",
+    "ansari_bradley_types",
+    "mantel_haenszel_priority",
+    "cochran_armitage_lines",
+    "gpd_tail_orders",
+    "jonckheere_priority_value",
+    "pages_trend_daily",
+    "kendalls_w_daily",
+    "ljung_box_daily",
+    "breusch_pagan_daily",
+    "bowker_user_shift",
     "jarque_bera_values",
     "durbin_watson_daily",
     "theil_customer_revenue",
@@ -197,42 +271,6 @@ _PROMOTED = [
     "yuen_purchase_click",
     "km_summary_segments",
     "fs_linkage_parts",
-]
-
-_DEFERRED = [
-    # ROUND-11 WAVE-2/3/4 registrations (19): the r11 head's 50 slots
-    # are fully budgeted by the 37-query attestation backlog + the 13
-    # wave-1 registrations (judge r10 #3: backlog first), so these
-    # park in the tail with THREE-PROFILE + ANSI local attestation
-    # committed in the ORACLE_*.json artifacts; they are the named
-    # candidates for the r12 head (tools/attestation_backlog.py
-    # derives the list).
-    "ks_expfit_values",
-    "atkinson_customer_revenue",
-    "cliffs_delta_click_error",
-    "hodges_lehmann_click_error",
-    "uncertainty_status_priority",
-    "ordinal_assoc_lines",
-    "agreement_user_halves",
-    "seasonal_mk_daily",
-    "cox_stuart_daily",
-    "dispersion_daily_counts",
-    # round-11 waves 3-4 (same three-profile + ANSI local
-    # attestation; r12-head candidates with the wave-2 block above)
-    "brier_decomp_events",
-    "youden_purchase_value",
-    "weighted_kappa_user_value",
-    "cohens_h_click_error",
-    "biweight_value_types",
-    "vocab_richness_sources",
-    "source_cross_entropy_docs",
-    "partial_corr_lineitem",
-    "covariate_balance_arms",
-    # Everything below stays oracle-checked by tools/check_oracle.py
-    # (and the committed ORACLE_sf*.json artifacts) every round.
-    # Ordering: the 29 round-10 wave-1..3 registrations (driver rows
-    # r10) first, then the 21 r10-promoted rotations (driver rows
-    # r10), then the prior tail (most recent driver rows r05-r10).
     "mann_kendall_daily",
     "logrank_segments",
     "kappa_rule_events",
@@ -288,18 +326,6 @@ _DEFERRED = [
     "calibration_brier_events",
     "mmr_rerank_embeddings",
     "ht_total_by_priority",
-    "ab_experiment_readout",
-    "anomaly_zscore_daily",
-    "asof_split",
-    "bigram_perplexity",
-    "boilerplate_fraction",
-    "concurrency_peaks",
-    "customer_sample_per_nation",
-    "daily_trend_slope",
-    "dedup_ngram_jaccard",
-    "document_chunks",
-    "dq_report_orders",
-    "dsir_importance_weights",
     "q01_overview",
     "q02_top_per_group",
     "q09_join_having",
@@ -320,28 +346,14 @@ _DEFERRED = [
     "pii_redaction",
     "decontaminate",
     "daily_delta",
-    "pagerank_cust_supp",
-    "item_affinity",
-    "join_profile_orders_lineitem",
-    "incremental_rollup_refresh",
-    "psi_value_drift",
     "rake_keyphrases_docs",
-    "mad_outliers_daily",
-    "event_pattern_counts",
     "term_collocations",
     "twa_user_value",
-    "gap_fill_hourly",
     "user_clustering",
-    "part_name_linkage",
     "image_phash_neardup",
-    "hits_cust_supp",
-    "ppr_supplier_recs",
     "cross_source_dups",
     "nfc_fingerprints",
-    "nb_language_selftrain",
-    "duplicate_spans",
     "incremental_dedup",
-    "incremental_minhash",
     "decontaminate_bloom",
     "partial_copy_pairs",
     "multimodal_features",
@@ -350,13 +362,10 @@ _DEFERRED = [
     "distinct_users_hll",
     "bm25_rank",
     "bm25_rank_indexed",
-    "hybrid_search_rrf",
     "hybrid_search_rrf_lsh",
-    "fuzzy_name_pairs",
     "quantile_rollup_kll",
     "segment_overlap_theta",
     "scd2_order_status_dim",
-    "heavy_hitters_mg",
     "interval_session_join",
     "asof_next_purchase",
     "asof_attribution",
@@ -370,12 +379,10 @@ _DEFERRED = [
     "group_percentiles",
     "ntile_quartiles",
     "neardup_components",
-    "neardup_survivors",
     "funnel_conversion",
     "retention_cohorts",
     "packed_shards",
     "pack_sequences",
-    "mixture_weights",
     "segment_dedup_docs",
     "kcore_cust_supp",
     "decayed_engagement",
