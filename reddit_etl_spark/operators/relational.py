@@ -23,7 +23,9 @@ from pyspark.sql import functions as F
 from .scale_lanes import (
     EXACT_RANK_MAX_ROWS,
     PAIR_LANE_MAX_GROUP_ROWS,
+    TWO_PASS_MIN_ROWS,
     guard_distinct_frame,
+    two_pass_prefix,
 )
 
 
@@ -5834,6 +5836,7 @@ def wasserstein_distance(
     class_col: str,
     class_a,
     scale: int = 100,
+    lane: str = "single",
 ) -> DataFrame:
     """1-Wasserstein (earth mover's) distance between two classes'
     value distributions — the MAGNITUDE rung of the drift ladder:
@@ -5851,9 +5854,22 @@ def wasserstein_distance(
     n_a·n_b·scale. Engine-identical to the last bit before the
     final double division.
 
-    Plan at scale: one (value, class) aggregate, ONE guarded prefix
-    window over distinct pooled values (EXACT_RANK_MAX_ROWS
-    convention; lead(v) rides the same sort), one 1-row reduce.
+    Plan at scale: one (value, class) aggregate, then one of THREE
+    lanes over the distinct-value frame (``lane``):
+
+    - ``"single"`` (default): ONE guarded prefix window
+      (EXACT_RANK_MAX_ROWS convention; lead(v) rides the same sort).
+      Exact and minimal below ~1e6 distinct values; the one window
+      task measures 1.7 s at 1e6, 9.1 s at 1e7, 51 s at 5e7 rows on
+      this container (SCALING.md, round 12).
+    - ``"two_pass"``: the partitioned scan
+      (``scale_lanes.two_pass_prefix`` — range partition, local
+      prefixes, P-row offset merge, broadcast back). Two shuffles of
+      the reduced frame + P parallel sorts; same exact integers, so
+      identical output (parity pytest-pinned).
+    - ``"auto"``: count-then-branch at ``TWO_PASS_MIN_ROWS`` — the
+      blessed one-action decision aggregate; what a 100 TB caller
+      should use.
 
     Returns one row: (n_a BIGINT, n_b BIGINT, wasserstein) — NULL
     when either class is empty.
@@ -5870,19 +5886,31 @@ def wasserstein_distance(
         F.sum("__a").alias("__fa"),
         F.sum(F.lit(1) - F.col("__a")).alias("__fb"),
     )
-    per_v = guard_distinct_frame(per_v, "wasserstein_distance")
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
-    wl = Window.orderBy("__v")
+    if lane == "auto":
+        n_distinct = per_v.count()
+        lane = "two_pass" if n_distinct > TWO_PASS_MIN_ROWS else "single"
     tot = per_v.agg(
         F.sum("__fa").cast("long").alias("__na"),
         F.sum("__fb").cast("long").alias("__nb"),
     )
-    run = per_v.select(
-        "__v",
-        F.sum("__fa").over(w).alias("__ca"),
-        F.sum("__fb").over(w).alias("__cb"),
-        F.lead("__v").over(wl).alias("__vn"),
-    ).crossJoin(F.broadcast(tot))
+    if lane == "two_pass":
+        pre = two_pass_prefix(per_v, "__v", ["__fa", "__fb"])
+        run = pre.select(
+            "__v",
+            F.col("__cum___fa").alias("__ca"),
+            F.col("__cum___fb").alias("__cb"),
+            F.col("__next").alias("__vn"),
+        ).crossJoin(F.broadcast(tot))
+    else:
+        per_v = guard_distinct_frame(per_v, "wasserstein_distance")
+        w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+        wl = Window.orderBy("__v")
+        run = per_v.select(
+            "__v",
+            F.sum("__fa").over(w).alias("__ca"),
+            F.sum("__fb").over(w).alias("__cb"),
+            F.lead("__v").over(wl).alias("__vn"),
+        ).crossJoin(F.broadcast(tot))
     num = F.abs(
         dec(F.col("__ca")) * dec(F.col("__nb"))
         - dec(F.col("__cb")) * dec(F.col("__na"))
