@@ -1,0 +1,564 @@
+"""Harness queries (part 7): round-12 registrations.
+
+Wave 1 — association/effect/agreement completion: Cramér's V (+ the
+adjusted-residuals drill-down), rank-biserial/CLES, Glass's Δ, η²/ω²,
+Krippendorff's alpha, Gwet's AC1 and Stuart-Maxwell marginal
+homogeneity. Each pairs a Spark builder with an independent DuckDB
+oracle per the package conventions (see __init__ docstring).
+"""
+
+from __future__ import annotations
+
+from ._common import (  # noqa: F401
+    DataFrame,
+    F,
+    SparkSession,
+    _q,
+    load,
+    load_events,
+)
+
+
+@_q(
+    "cramers_v_status_priority",
+    """
+    WITH cells AS (
+      SELECT o_orderstatus AS x, o_orderpriority AS y,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1, 2),
+    rm AS (SELECT x, CAST(SUM(o) AS BIGINT) AS rm FROM cells GROUP BY 1),
+    cm AS (SELECT y, CAST(SUM(o) AS BIGINT) AS cm FROM cells GROUP BY 1),
+    s AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT cells.x) AS BIGINT) AS r,
+             CAST(COUNT(DISTINCT cells.y) AS BIGINT) AS c,
+             SUM(CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+                 / (CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE))) AS sm
+      FROM cells JOIN rm USING (x) JOIN cm USING (y)),
+    m AS (
+      SELECT n, r, c,
+             CAST(n AS DOUBLE) * (sm - 1.0) AS chi2,
+             CAST(n AS DOUBLE) * (sm - 1.0) / CAST(n AS DOUBLE) AS phi2,
+             CAST(r AS DOUBLE) AS rd, CAST(c AS DOUBLE) AS cd,
+             CAST(n AS DOUBLE) AS nd
+      FROM s),
+    m2 AS (
+      SELECT n, r, c, chi2,
+             SQRT(phi2 / LEAST(rd - 1.0, cd - 1.0)) AS v,
+             GREATEST(phi2 - (rd - 1.0) * (cd - 1.0) / (nd - 1.0), 0.0)
+               AS phi2p,
+             rd - (rd - 1.0) * (rd - 1.0) / (nd - 1.0) AS rp,
+             cd - (cd - 1.0) * (cd - 1.0) / (nd - 1.0) AS cp,
+             r >= 2 AND c >= 2 AND n >= 2 AS ok
+      FROM m)
+    SELECT n, r, c,
+           ROUND(CASE WHEN ok THEN chi2 END, 6) AS chi2,
+           ROUND(CASE WHEN ok THEN v END, 6) AS cramers_v,
+           ROUND(CASE WHEN ok THEN
+             SQRT(phi2p / LEAST(rp - 1.0, cp - 1.0)) END, 6)
+             AS cramers_v_corrected
+    FROM m2
+    """,
+    doc="Bias-corrected Cramér's V between order status and priority "
+    "(operators/relational.py:cramers_v) — the symmetric 0..1 "
+    "effect-size rung next to chi2_status_priority (significance) "
+    "and mi_status_priority (information). χ² via the observed-"
+    "cells-only n·(Σo²/(rm·cm) − 1) identity off ONE cell "
+    "aggregate + two broadcast margin rollups; Bergsma correction "
+    "closed-form",
+)
+def cramers_v_status_priority_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.relational import cramers_v
+
+    return cramers_v(
+        load(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
+    )
+
+
+@_q(
+    "chi2_residuals_status_priority",
+    """
+    WITH cells AS (
+      SELECT o_orderstatus AS x, o_orderpriority AS y,
+             CAST(COUNT(*) AS BIGINT) AS observed
+      FROM orders GROUP BY 1, 2),
+    rm AS (SELECT x, CAST(SUM(observed) AS BIGINT) AS rm
+           FROM cells GROUP BY 1),
+    cm AS (SELECT y, CAST(SUM(observed) AS BIGINT) AS cm
+           FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cells),
+    j AS (
+      SELECT x, y, observed,
+             CAST(rm AS DOUBLE) AS rmd, CAST(cm AS DOUBLE) AS cmd,
+             CAST(n AS DOUBLE) AS nd
+      FROM cells JOIN rm USING (x) JOIN cm USING (y) CROSS JOIN tot),
+    e AS (
+      SELECT x, y, observed, rmd * cmd / nd AS ex,
+             SQRT(rmd * cmd / nd * (1.0 - rmd / nd) * (1.0 - cmd / nd))
+               AS den
+      FROM j)
+    SELECT x, y, observed,
+           ROUND(ex, 6) AS expected,
+           ROUND(CASE WHEN den > 0 THEN
+             (CAST(observed AS DOUBLE) - ex) / den END, 6)
+             AS adj_residual
+    FROM e ORDER BY x, y
+    """,
+    doc="Haberman adjusted standardized residuals per (status, "
+    "priority) cell (operators/relational.py:chi2_residuals) — the "
+    "WHERE to cramers_v's HOW MUCH: |r| > 2 names the cells driving "
+    "the association. Observed cells + margins exact off one "
+    "aggregate + two broadcast rollups; zero cells omitted by "
+    "documented contract on both engines",
+)
+def chi2_residuals_status_priority_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.relational import chi2_residuals
+
+    return chi2_residuals(
+        load(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
+    )
+
+
+@_q(
+    "rank_biserial_click_error",
+    """
+    WITH base AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+      FROM events
+      WHERE event_type IN ('click', 'error') AND value IS NOT NULL),
+    pv AS (SELECT v, CAST(SUM(ia) AS BIGINT) AS ta,
+                  CAST(SUM(1 - ia) AS BIGINT) AS tb
+           FROM base GROUP BY v),
+    r AS (
+      SELECT ta, tb,
+             CAST(COALESCE(SUM(ta + tb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS c
+      FROM pv),
+    agg AS (
+      SELECT CAST(SUM(ta) AS BIGINT) AS na,
+             CAST(SUM(tb) AS BIGINT) AS nb,
+             CAST(SUM(CAST(ta AS HUGEINT)
+                      * (2 * CAST(c AS HUGEINT) + ta + tb + 1))
+                  AS HUGEINT) AS r2a
+      FROM r),
+    u AS (
+      SELECT na, nb,
+             CAST(r2a - CAST(na AS HUGEINT) * (na + 1) AS DOUBLE) AS u2
+      FROM agg)
+    SELECT na AS n_a, nb AS n_b,
+           CASE WHEN na > 0 AND nb > 0 THEN u2 / 2 END AS u_a,
+           ROUND(CASE WHEN na > 0 AND nb > 0 THEN
+             u2 / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) END, 6)
+             AS cles,
+           ROUND(CASE WHEN na > 0 AND nb > 0 THEN
+             2.0 * (u2 / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+             - 1.0 END, 6) AS rank_biserial
+    FROM u
+    """,
+    doc="Rank-biserial correlation + common-language effect size for "
+    "click-vs-error values (operators/relational.py:rank_biserial) "
+    "— the directly-interpretable effect rung: CLES = P(random "
+    "click > random error, ties half); rank-biserial = 2·CLES − 1 "
+    "equals cliffs_delta_click_error computed via the midrank "
+    "prefix lane instead of the cell grid — the cross-lane "
+    "agreement is itself an audit. 2×U exact DECIMAL(38,0)/HUGEINT "
+    "off the guarded distinct-value window",
+)
+def rank_biserial_click_error_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.relational import rank_biserial
+
+    ev = load_events(spark, sf_dir)
+    return rank_biserial(ev, "value", "event_type", "click", "error")
+
+
+@_q(
+    "glass_delta_purchase_click",
+    """
+    WITH base AS (
+      SELECT CAST(value AS DECIMAL(18,6)) AS x,
+             event_type = 'purchase' AS a
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+    ag AS (
+      SELECT CAST(COUNT(CASE WHEN a THEN 1 END) AS BIGINT) AS n_a,
+             CAST(COUNT(CASE WHEN NOT a THEN 1 END) AS BIGINT) AS n_b,
+             SUM(CASE WHEN a THEN CAST(x AS DECIMAL(38,6)) END) AS sa,
+             SUM(CASE WHEN NOT a THEN CAST(x AS DECIMAL(38,6)) END) AS sb,
+             SUM(CASE WHEN a THEN CAST(x * x AS DECIMAL(38,12)) END)
+               AS qa,
+             SUM(CASE WHEN NOT a THEN CAST(x * x AS DECIMAL(38,12)) END)
+               AS qb
+      FROM base),
+    m AS (
+      SELECT n_a, n_b,
+             CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             CAST(CAST(sa AS VARCHAR) AS DOUBLE) AS da,
+             CAST(CAST(sb AS VARCHAR) AS DOUBLE) AS db,
+             CAST(CAST(qa AS VARCHAR) AS DOUBLE) AS dqa,
+             CAST(CAST(qb AS VARCHAR) AS DOUBLE) AS dqb
+      FROM ag),
+    mm AS (
+      SELECT n_a, n_b, na, nb,
+             da / na AS ma, db / nb AS mb,
+             (dqa - da * da / na) / (na - 1.0) AS va,
+             (dqb - db * db / nb) / (nb - 1.0) AS vb
+      FROM m),
+    st AS (
+      SELECT n_a, n_b, na, nb, ma, mb, va, vb,
+             SQRT(((na - 1.0) * va + (nb - 1.0) * vb)
+                  / (na + nb - 2.0)) AS sp,
+             n_a >= 2 AND n_b >= 2 AS ok
+      FROM mm)
+    SELECT n_a, n_b,
+           ROUND(CASE WHEN ok AND sp > 0 THEN (ma - mb) / sp END, 6)
+             AS cohens_d,
+           ROUND(CASE WHEN ok AND sp > 0 THEN
+             (1.0 - 3.0 / (4.0 * (na + nb) - 9.0)) * ((ma - mb) / sp)
+             END, 6) AS hedges_g,
+           ROUND(CASE WHEN ok AND vb > 0 THEN (ma - mb) / SQRT(vb)
+             END, 6) AS glass_delta
+    FROM st
+    """,
+    doc="Glass's Δ (control-sd standardization) with pooled d and "
+    "Hedges' g, purchase vs click values, UNGROUPED "
+    "(operators/relational.py:standardized_effects) — Δ = (x̄_a − "
+    "x̄_b)/s_b is the right denominator when treatment changes "
+    "spread as well as location; the pooled d/g here also cross-"
+    "audit cohens_d_purchase_click's per-weekday lane (different "
+    "grouping, same moment discipline). ONE conditional DECIMAL "
+    "moment aggregate",
+)
+def glass_delta_purchase_click_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.relational import standardized_effects
+
+    ev = load_events(spark, sf_dir)
+    return standardized_effects(
+        ev, "value", "event_type", "purchase", "click"
+    )
+
+
+@_q(
+    "eta_squared_event_values",
+    """
+    WITH base AS (
+      SELECT event_type AS g, CAST(value AS DECIMAL(18,6)) AS x
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    pg AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+             SUM(CAST(x AS DECIMAL(38,6))) AS sg,
+             SUM(CAST(x * x AS DECIMAL(38,12))) AS qg
+      FROM base GROUP BY 1),
+    ag AS (
+      SELECT CAST(SUM(ng) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(CAST(SUM(CAST(sg AS DECIMAL(38,6))) AS VARCHAR)
+                  AS DOUBLE) AS s,
+             CAST(CAST(SUM(CAST(qg AS DECIMAL(38,12))) AS VARCHAR)
+                  AS DOUBLE) AS q,
+             SUM(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                 / CAST(ng AS DOUBLE)) AS sb
+      FROM pg),
+    m AS (
+      SELECT n, k,
+             CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
+             q - s * s / CAST(n AS DOUBLE) AS sst,
+             sb - s * s / CAST(n AS DOUBLE) AS ssb
+      FROM ag),
+    m2 AS (
+      SELECT n, k, nd, kd, sst, ssb,
+             (sst - ssb) / (nd - kd) AS msw,
+             ssb / sst AS eta2,
+             n > k AND k >= 2 AND sst > 0 AS ok
+      FROM m)
+    SELECT n, k,
+           ROUND(CASE WHEN ok THEN eta2 END, 6) AS eta_squared,
+           ROUND(CASE WHEN ok THEN
+             (ssb - (kd - 1.0) * msw) / (sst + msw) END, 6)
+             AS omega_squared,
+           ROUND(CASE WHEN ok AND eta2 < 1.0 THEN
+             SQRT(eta2 / (1.0 - eta2)) END, 6) AS cohens_f
+    FROM m2
+    """,
+    doc="η², ω² and Cohen's f for value-by-event-type "
+    "(operators/relational.py:variance_explained) — the effect-size "
+    "readout next to anova_event_values' F: how much variance the "
+    "grouping explains, bias-corrected (ω²), plus the f that "
+    "power_mde planning consumes. Per-group exact DECIMAL moments "
+    "off one aggregate + one k-row fold",
+)
+def eta_squared_event_values_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.relational import variance_explained
+
+    ev = load_events(spark, sf_dir)
+    return variance_explained(ev, "value", "event_type")
+
+
+@_q(
+    "krippendorff_alpha_doc_rules",
+    """
+    WITH ratings AS (
+      SELECT doc_id AS u,
+             CASE WHEN n_chars >= 150 THEN 'pass' ELSE 'fail' END AS c
+      FROM documents
+      UNION ALL
+      SELECT doc_id,
+             CASE WHEN n_chars >= 250 THEN 'pass' ELSE 'fail' END
+      FROM documents
+      UNION ALL
+      SELECT doc_id,
+             CASE WHEN len(string_split(trim(regexp_replace(
+                 lower(text), '\\s+', ' ', 'g')), ' ')) >= 45
+               THEN 'pass' ELSE 'fail' END
+      FROM documents),
+    nuc AS (
+      SELECT u, c, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ratings GROUP BY 1, 2),
+    per_u AS (
+      SELECT u, CAST(SUM(n) AS BIGINT) AS m,
+             SUM(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS sq
+      FROM nuc GROUP BY 1 HAVING SUM(n) >= 2),
+    units AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+             CAST(SUM(m) AS BIGINT) AS nn,
+             SUM((CAST(m AS DOUBLE) * CAST(m AS DOUBLE) - sq)
+                 / (CAST(m AS DOUBLE) - 1.0)) AS do_sum
+      FROM per_u),
+    ncs AS (
+      SELECT c, CAST(SUM(n) AS BIGINT) AS nc
+      FROM nuc JOIN per_u USING (u) GROUP BY 1),
+    cats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k_categories,
+             SUM(CAST(nc AS DOUBLE) * CAST(nc AS DOUBLE)) AS csq
+      FROM ncs),
+    m AS (
+      SELECT n_units, nn, k_categories,
+             do_sum / CAST(nn AS DOUBLE) AS d_o,
+             (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - csq)
+               / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)) AS d_e
+      FROM units CROSS JOIN cats)
+    SELECT n_units,
+           COALESCE(nn, 0) AS n_ratings,
+           COALESCE(k_categories, 0) AS k_categories,
+           ROUND(CASE WHEN nn >= 2 THEN d_o END, 6) AS d_o,
+           ROUND(CASE WHEN nn >= 2 AND d_e > 0 THEN d_e END, 6) AS d_e,
+           ROUND(CASE WHEN nn >= 2 AND d_e > 0 THEN 1.0 - d_o / d_e
+             END, 6) AS alpha
+    FROM m
+    """,
+    doc="Krippendorff's alpha (nominal) across the three document-"
+    "quality raters (operators/classify.py:krippendorff_alpha) — "
+    "the missing-tolerant agreement rung above fleiss_doc_rules' "
+    "constant-r design: units contribute with ANY number of "
+    "ratings. D_o via the within-unit closed form m² − Σn_uc² "
+    "(no pair join); all counts exact off one (unit, value) "
+    "aggregate + two rollups",
+)
+def krippendorff_alpha_doc_rules_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.classify import krippendorff_alpha
+    from ..operators.text import normalize_text_col
+
+    docs = load(spark, sf_dir, "documents")
+    pf = F.lit("pass")
+    ff = F.lit("fail")
+    r1 = docs.select(
+        F.col("doc_id").alias("u"),
+        F.when(F.col("n_chars") >= 150, pf).otherwise(ff).alias("c"),
+    )
+    r2 = docs.select(
+        F.col("doc_id").alias("u"),
+        F.when(F.col("n_chars") >= 250, pf).otherwise(ff).alias("c"),
+    )
+    r3 = docs.select(
+        F.col("doc_id").alias("u"),
+        F.when(
+            F.size(F.split(normalize_text_col("text"), " ")) >= 45, pf
+        )
+        .otherwise(ff)
+        .alias("c"),
+    )
+    return krippendorff_alpha(r1.unionAll(r2).unionAll(r3), "u", "c")
+
+
+@_q(
+    "gwets_ac1_doc_rules",
+    """
+    WITH base AS (
+      SELECT CASE WHEN n_chars >= 150 THEN 'pass' ELSE 'fail' END AS a,
+             CASE WHEN len(string_split(trim(regexp_replace(
+                 lower(text), '\\s+', ' ', 'g')), ' ')) >= 45
+               THEN 'pass' ELSE 'fail' END AS b
+      FROM documents),
+    cells AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1, 2),
+    ma AS (SELECT a AS c, CAST(SUM(n) AS BIGINT) AS na
+           FROM cells GROUP BY 1),
+    mb AS (SELECT b AS c, CAST(SUM(n) AS BIGINT) AS nb
+           FROM cells GROUP BY 1),
+    marg AS (
+      SELECT COALESCE(ma.c, mb.c) AS c,
+             COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+      FROM ma FULL OUTER JOIN mb ON ma.c = mb.c),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n,
+             SUM(CASE WHEN a = b THEN n END) AS agree
+      FROM cells),
+    mf AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS q,
+             SUM(((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                  / (2.0 * CAST(tot.n AS DOUBLE)))
+                 * (1.0 - (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                    / (2.0 * CAST(tot.n AS DOUBLE)))) AS pisum
+      FROM marg CROSS JOIN tot),
+    m AS (
+      SELECT n, q,
+             COALESCE(CAST(agree AS DOUBLE), 0.0) / CAST(n AS DOUBLE)
+               AS po,
+             pisum / (CAST(q AS DOUBLE) - 1.0) AS pe
+      FROM tot CROSS JOIN mf)
+    SELECT n, q,
+           ROUND(CASE WHEN n > 0 THEN po END, 6) AS po,
+           ROUND(CASE WHEN n > 0 AND q >= 2 AND pe < 1.0 THEN pe END, 6)
+             AS pe,
+           ROUND(CASE WHEN n > 0 AND q >= 2 AND pe < 1.0 THEN
+             (po - pe) / (1.0 - pe) END, 6) AS ac1
+    FROM m
+    """,
+    doc="Gwet's AC1 between the two mcnemar_doc_rules raters "
+    "(operators/classify.py:gwets_ac1) — the prevalence-robust "
+    "companion to cohens_kappa: under the skewed marginals quality "
+    "rules produce (most docs pass), kappa's squared-marginal "
+    "chance term collapses (the kappa paradox) while AC1's "
+    "π(1−π)/(q−1) stays calibrated. One cell aggregate + margin "
+    "rollups, all exact",
+)
+def gwets_ac1_doc_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classify import gwets_ac1
+    from ..operators.text import normalize_text_col
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        F.when(F.col("n_chars") >= 150, F.lit("pass"))
+        .otherwise(F.lit("fail"))
+        .alias("ra"),
+        F.when(
+            F.size(F.split(normalize_text_col("text"), " ")) >= 45,
+            F.lit("pass"),
+        )
+        .otherwise(F.lit("fail"))
+        .alias("rb"),
+    )
+    return gwets_ac1(base, "ra", "rb")
+
+
+@_q(
+    "stuart_maxwell_user_shift",
+    """
+    WITH per AS (
+      SELECT user_id,
+             CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                  THEN 1 ELSE 2 END AS half,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s,
+             CAST(COUNT(value) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2),
+    tiers AS (
+      SELECT user_id, half,
+             CASE WHEN s < 30 * c THEN 'lo'
+                  WHEN s < 60 * c THEN 'mid'
+                  ELSE 'hi' END AS tier
+      FROM per),
+    pairs AS (
+      SELECT t1.tier AS x, t2.tier AS y
+      FROM tiers t1 JOIN tiers t2 USING (user_id)
+      WHERE t1.half = 1 AND t2.half = 2),
+    ag AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN x='lo'  AND y='lo'  THEN 1 ELSE 0 END) AS DOUBLE) AS n11,
+             CAST(SUM(CASE WHEN x='lo'  AND y='mid' THEN 1 ELSE 0 END) AS DOUBLE) AS n12,
+             CAST(SUM(CASE WHEN x='lo'  AND y='hi'  THEN 1 ELSE 0 END) AS DOUBLE) AS n13,
+             CAST(SUM(CASE WHEN x='mid' AND y='lo'  THEN 1 ELSE 0 END) AS DOUBLE) AS n21,
+             CAST(SUM(CASE WHEN x='mid' AND y='mid' THEN 1 ELSE 0 END) AS DOUBLE) AS n22,
+             CAST(SUM(CASE WHEN x='mid' AND y='hi'  THEN 1 ELSE 0 END) AS DOUBLE) AS n23,
+             CAST(SUM(CASE WHEN x='hi'  AND y='lo'  THEN 1 ELSE 0 END) AS DOUBLE) AS n31,
+             CAST(SUM(CASE WHEN x='hi'  AND y='mid' THEN 1 ELSE 0 END) AS DOUBLE) AS n32,
+             CAST(SUM(CASE WHEN x='hi'  AND y='hi'  THEN 1 ELSE 0 END) AS DOUBLE) AS n33
+      FROM pairs),
+    d AS (
+      SELECT n,
+             (n11 + n12 + n13) - (n11 + n21 + n31) AS d1,
+             (n21 + n22 + n23) - (n12 + n22 + n32) AS d2,
+             (n31 + n32 + n33) - (n13 + n23 + n33) AS d3,
+             (n12 + n21) / 2.0 AS nb12,
+             (n13 + n31) / 2.0 AS nb13,
+             (n23 + n32) / 2.0 AS nb23
+      FROM ag),
+    f AS (
+      SELECT n, d1, d2, d3,
+             2.0 * (nb12 * nb23 + nb12 * nb13 + nb13 * nb23) AS den,
+             nb23 * d1 * d1 + nb13 * d2 * d2 + nb12 * d3 * d3 AS num
+      FROM d)
+    SELECT n,
+           CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+           CAST(d3 AS BIGINT) AS d3,
+           ROUND(CASE WHEN den > 0 THEN num / den END, 6) AS chi2_sm
+    FROM f
+    """,
+    doc="Stuart-Maxwell marginal-homogeneity test of each user's "
+    "value TIER (lo/mid/hi by exact decimal thresholds), first half "
+    "vs second half (operators/classify.py:stuart_maxwell_test) — "
+    "bowker_user_shift's complement: Bowker asks if disagreement is "
+    "symmetric cell-by-cell; Stuart-Maxwell asks if the MARGINS "
+    "moved (did the tier mix drift). k=3 closed form, dof=2; tier "
+    "decision compares the exact DECIMAL sum against "
+    "threshold×count so no engine's division order can flip a "
+    "boundary row; nine cells off ONE conditional aggregate",
+)
+def stuart_maxwell_user_shift_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.classify import stuart_maxwell_test
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    per = ev.groupBy(
+        "user_id",
+        F.when(
+            F.to_date("ts") <= F.lit("2024-01-15").cast("date"), F.lit(1)
+        )
+        .otherwise(F.lit(2))
+        .alias("half"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        F.count("value").alias("c"),
+    )
+    tier = (
+        F.when(F.col("s") < 30 * F.col("c"), F.lit("lo"))
+        .when(F.col("s") < 60 * F.col("c"), F.lit("mid"))
+        .otherwise(F.lit("hi"))
+    )
+    tiers = per.select("user_id", "half", tier.alias("tier"))
+    pairs = (
+        tiers.filter(F.col("half") == 1)
+        .select("user_id", F.col("tier").alias("x"))
+        .join(
+            tiers.filter(F.col("half") == 2).select(
+                "user_id", F.col("tier").alias("y")
+            ),
+            "user_id",
+        )
+    )
+    return stuart_maxwell_test(pairs, "x", "y", ("lo", "mid", "hi"))

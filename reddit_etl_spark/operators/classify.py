@@ -1442,3 +1442,235 @@ def cohens_h(
         F.round(F.when(ok, pa - pb), 6).alias("risk_diff"),
         F.round(F.when(ok, h), 6).alias("cohens_h"),
     )
+
+
+def krippendorff_alpha(
+    df: DataFrame, unit_col: str, value_col: str
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric) from long-format ratings
+    (one row per (unit, rating)) — the agreement coefficient that,
+    unlike fleiss_kappa's constant-r design, tolerates MISSING
+    ratings: units with any number of raters contribute, units with
+    fewer than two pairable ratings drop out. The labeling-ops rung
+    for "k annotators, incomplete coverage" — exactly what a
+    model-as-judge run over a sampled corpus produces.
+
+    Computational form (Krippendorff 2004, nominal): with n_uc the
+    count of category c in unit u, m_u = Σ_c n_uc (pairable units
+    m_u ≥ 2 only), N = Σ_u m_u and n_c = Σ_u n_uc:
+    D_o = (1/N)·Σ_u Σ_c n_uc(m_u − n_uc)/(m_u − 1),
+    D_e = Σ_c n_c(N − n_c) / (N(N−1)), α = 1 − D_o/D_e.
+
+    Exactness: all counts exact BIGINTs off one (unit, value)
+    aggregate; one unit-level rollup + one category rollup; the fold
+    is double expressions of exact integers.
+
+    Plan at scale: one (unit, value) aggregate, one (unit) rollup,
+    one (value) rollup, two 1-row reduces crossed via broadcast. No
+    window, no pair join (the within-unit pair sums collapse into
+    the n_uc(m_u − n_uc) closed form).
+
+    Returns one row: (n_units BIGINT, n_ratings BIGINT, k_categories
+    BIGINT, d_o, d_e, alpha) — alpha NULL when D_e degenerates.
+    """
+    nuc = (
+        df.filter(
+            F.col(unit_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(unit_col).alias("__u"), F.col(value_col).alias("__c")
+        )
+        .agg(F.count("*").alias("__n"))
+    )
+    per_u = nuc.groupBy("__u").agg(
+        F.sum("__n").alias("__m"),
+        F.sum(F.col("__n").cast("double") * F.col("__n").cast("double"))
+        .alias("__sq"),
+    ).filter(F.col("__m") >= 2)
+    # Σ_c n_uc(m_u − n_uc) = m_u² − Σ_c n_uc²
+    units = per_u.agg(
+        F.count("*").cast("long").alias("n_units"),
+        F.sum("__m").cast("long").alias("__nn"),
+        F.sum(
+            (
+                F.col("__m").cast("double") * F.col("__m").cast("double")
+                - F.col("__sq")
+            )
+            / (F.col("__m").cast("double") - 1.0)
+        ).alias("__do_sum"),
+    )
+    # category margins over PAIRABLE units only
+    ncs = (
+        nuc.join(F.broadcast(per_u.select("__u")), "__u")
+        .groupBy("__c")
+        .agg(F.sum("__n").alias("__nc"))
+    )
+    cats = ncs.agg(
+        F.count("*").cast("long").alias("k_categories"),
+        F.sum(
+            F.col("__nc").cast("double") * F.col("__nc").cast("double")
+        ).alias("__csq"),
+    )
+    agg = units.crossJoin(F.broadcast(cats))
+    nn = F.col("__nn").cast("double")
+    d_o = F.col("__do_sum") / nn
+    d_e = (nn * nn - F.col("__csq")) / (nn * (nn - 1.0))
+    ok = (F.col("__nn") >= 2) & (d_e > 0)
+    return agg.select(
+        "n_units",
+        F.coalesce(F.col("__nn"), F.lit(0)).cast("long").alias("n_ratings"),
+        F.coalesce(F.col("k_categories"), F.lit(0))
+        .cast("long")
+        .alias("k_categories"),
+        F.round(F.when(F.col("__nn") >= 2, d_o), 6).alias("d_o"),
+        F.round(F.when(ok, d_e), 6).alias("d_e"),
+        F.round(F.when(ok, 1.0 - d_o / d_e), 6).alias("alpha"),
+    )
+
+
+def gwets_ac1(df: DataFrame, ra_col: str, rb_col: str) -> DataFrame:
+    """Gwet's AC1 for two raters — the prevalence-robust companion to
+    cohens_kappa: kappa collapses toward 0 when one category
+    dominates (the "kappa paradox" — 95% raw agreement, kappa 0.2),
+    because its chance term squares the marginals; AC1's chance term
+    pe = (1/(q−1))·Σ_c π_c(1−π_c) with π_c = (p_Ac + p_Bc)/2 stays
+    calibrated under skew, which is the normal condition for quality
+    rules (most documents pass).
+
+    Exactness: one (ra, rb) cell aggregate with exact counts; the
+    marginal shares and the fold are double expressions.
+
+    Plan at scale: one cell aggregate (category²-bounded), two
+    margin rollups of it, one 1-row reduce. No window, no re-scan.
+
+    Returns one row: (n BIGINT, q BIGINT, po, pe, ac1) — NULLs when
+    pe degenerates.
+    """
+    cells = (
+        df.filter(F.col(ra_col).isNotNull() & F.col(rb_col).isNotNull())
+        .groupBy(F.col(ra_col).alias("__a"), F.col(rb_col).alias("__b"))
+        .agg(F.count("*").alias("__n"))
+    )
+    ma = cells.groupBy(F.col("__a").alias("__c")).agg(
+        F.sum("__n").alias("__na")
+    )
+    mb = cells.groupBy(F.col("__b").alias("__c")).agg(
+        F.sum("__n").alias("__nb")
+    )
+    marg = ma.join(mb, "__c", "full").select(
+        "__c",
+        F.coalesce(F.col("__na"), F.lit(0)).alias("__na"),
+        F.coalesce(F.col("__nb"), F.lit(0)).alias("__nb"),
+    )
+    tot = cells.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__n"))).alias(
+            "__agree"
+        ),
+    )
+    mfold = marg.crossJoin(F.broadcast(tot)).agg(
+        F.count("*").cast("long").alias("q"),
+        F.sum(
+            (
+                (
+                    F.col("__na").cast("double")
+                    + F.col("__nb").cast("double")
+                )
+                / (2.0 * F.col("n").cast("double"))
+            )
+            * (
+                1.0
+                - (
+                    F.col("__na").cast("double")
+                    + F.col("__nb").cast("double")
+                )
+                / (2.0 * F.col("n").cast("double"))
+            )
+        ).alias("__pisum"),
+    )
+    agg = tot.crossJoin(F.broadcast(mfold))
+    n = F.col("n").cast("double")
+    q = F.col("q").cast("double")
+    po = F.coalesce(F.col("__agree").cast("double"), F.lit(0.0)) / n
+    pe = F.col("__pisum") / (q - 1.0)
+    ok = (F.col("n") > 0) & (F.col("q") >= 2) & (pe < 1.0)
+    return agg.select(
+        "n",
+        "q",
+        F.round(F.when(F.col("n") > 0, po), 6).alias("po"),
+        F.round(F.when(ok, pe), 6).alias("pe"),
+        F.round(F.when(ok, (po - pe) / (1.0 - pe)), 6).alias("ac1"),
+    )
+
+
+def stuart_maxwell_test(
+    df: DataFrame, x_col: str, y_col: str, categories
+) -> DataFrame:
+    """Stuart-Maxwell marginal-homogeneity test for a PAIRED 3-class
+    labeling — bowker_test's complement: Bowker asks "is the
+    disagreement SYMMETRIC cell by cell"; Stuart-Maxwell asks "did
+    the MARGINS move" (did the overall class mix shift between the
+    two measurements), which is the readout that matters when a
+    re-labeling run or model upgrade is suspected of drifting the
+    class distribution. ``categories`` is the caller's 3-element
+    class order literal (shared with the oracle); other counts
+    RAISE — the k=3 closed form below is exact, higher k needs a
+    matrix inverse this operator intentionally doesn't hide.
+
+    Closed form (k=3, dof=2): with d_i = n_i· − n_·i and n̄_ij =
+    (n_ij + n_ji)/2, χ² = (n̄_23·d_1² + n̄_13·d_2² + n̄_12·d_3²) /
+    (2·(n̄_12·n̄_23 + n̄_12·n̄_13 + n̄_13·n̄_23)).
+
+    Exactness: one (x, y) cell aggregate; the nine cells pivot into
+    one row via conditional sums (exact BIGINTs); χ² is one double
+    expression.
+
+    Plan at scale: one cell aggregate + one 1-row conditional-sum
+    fold. No window, no join.
+
+    Returns one row: (n BIGINT, d1 BIGINT, d2 BIGINT, d3 BIGINT,
+    chi2_sm) — chi2 NULL when the off-diagonal mass degenerates.
+    """
+    if len(categories) != 3:
+        raise ValueError(
+            "stuart_maxwell_test: exactly 3 categories required, got "
+            f"{len(categories)}"
+        )
+    c1, c2, c3 = categories
+    base = df.filter(
+        F.col(x_col).isin(list(categories))
+        & F.col(y_col).isin(list(categories))
+    ).select(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+
+    def cell(i, j):
+        return F.sum(
+            F.when((F.col("__x") == i) & (F.col("__y") == j), 1).otherwise(0)
+        ).cast("double")
+
+    agg = base.agg(
+        F.count("*").cast("long").alias("n"),
+        *[
+            cell(i, j).alias(f"__n{a}{b}")
+            for a, i in enumerate((c1, c2, c3), 1)
+            for b, j in enumerate((c1, c2, c3), 1)
+        ],
+    )
+
+    def nn(a, b):
+        return F.col(f"__n{a}{b}")
+
+    d1 = (nn(1, 1) + nn(1, 2) + nn(1, 3)) - (nn(1, 1) + nn(2, 1) + nn(3, 1))
+    d2 = (nn(2, 1) + nn(2, 2) + nn(2, 3)) - (nn(1, 2) + nn(2, 2) + nn(3, 2))
+    d3 = (nn(3, 1) + nn(3, 2) + nn(3, 3)) - (nn(1, 3) + nn(2, 3) + nn(3, 3))
+    nb12 = (nn(1, 2) + nn(2, 1)) / 2.0
+    nb13 = (nn(1, 3) + nn(3, 1)) / 2.0
+    nb23 = (nn(2, 3) + nn(3, 2)) / 2.0
+    den = 2.0 * (nb12 * nb23 + nb12 * nb13 + nb13 * nb23)
+    chi2 = (nb23 * d1 * d1 + nb13 * d2 * d2 + nb12 * d3 * d3) / den
+    return agg.select(
+        "n",
+        d1.cast("long").alias("d1"),
+        d2.cast("long").alias("d2"),
+        d3.cast("long").alias("d3"),
+        F.round(F.when(den > 0, chi2), 6).alias("chi2_sm"),
+    )

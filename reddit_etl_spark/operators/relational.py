@@ -7543,3 +7543,345 @@ def covariate_balance(
         F.explode(F.array(*rows)).alias("__row")
     ).select("__row.*")
     return melted.orderBy("covariate")
+
+
+def cramers_v(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Cramér's V association between two categoricals, with the
+    Bergsma bias correction — the symmetric EFFECT-SIZE rung next to
+    chi2_status_priority (significance), mi_status_priority
+    (information) and uncertainty_coefficient (directional): "how
+    strongly are the two labelings associated, 0..1, comparable
+    across table sizes". The corrected form subtracts the positive
+    bias E[φ²] ≈ (r−1)(c−1)/(n−1) that makes raw V of independent
+    columns nonzero at finite n.
+
+    Exactness: χ² = n·(Σ_cells o²/(rm·cm) − 1) needs only OBSERVED
+    cells (zero cells drop out of the sum) — one (x, y) aggregate
+    with exact counts; row/col margins are two category-bounded
+    rollups broadcast back; the fold is one double expression.
+
+    Plan at scale: one (x, y) cell aggregate (category-product-
+    bounded, never row-bounded), two margin rollups OF the cells
+    frame, two broadcast joins, one 1-row reduce. No window, no
+    fact re-scan.
+
+    Returns one row: (n BIGINT, r BIGINT, c BIGINT, chi2, cramers_v,
+    cramers_v_corrected) — NULLs when the table degenerates (r or c
+    < 2).
+    """
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(
+            F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+        )
+        .agg(F.count("*").alias("__o"))
+    )
+    rm = cells.groupBy("__x").agg(F.sum("__o").alias("__rm"))
+    cm = cells.groupBy("__y").agg(F.sum("__o").alias("__cm"))
+    joined = cells.join(F.broadcast(rm), "__x").join(
+        F.broadcast(cm), "__y"
+    )
+    agg = joined.agg(
+        F.sum("__o").cast("long").alias("n"),
+        F.count_distinct(F.col("__x")).cast("long").alias("r"),
+        F.count_distinct(F.col("__y")).cast("long").alias("c"),
+        F.sum(
+            F.col("__o").cast("double")
+            * F.col("__o").cast("double")
+            / (F.col("__rm").cast("double") * F.col("__cm").cast("double"))
+        ).alias("__s"),
+    )
+    n = F.col("n").cast("double")
+    r = F.col("r").cast("double")
+    c = F.col("c").cast("double")
+    chi2 = n * (F.col("__s") - 1.0)
+    phi2 = chi2 / n
+    v = F.sqrt(phi2 / F.least(r - 1.0, c - 1.0))
+    # Bergsma correction: φ²+ = max(0, φ² − (r−1)(c−1)/(n−1)),
+    # r+ = r − (r−1)²/(n−1), c+ analogous
+    phi2p = F.greatest(
+        phi2 - (r - 1.0) * (c - 1.0) / (n - 1.0), F.lit(0.0)
+    )
+    rp = r - (r - 1.0) * (r - 1.0) / (n - 1.0)
+    cp = c - (c - 1.0) * (c - 1.0) / (n - 1.0)
+    vp = F.sqrt(phi2p / F.least(rp - 1.0, cp - 1.0))
+    ok = (F.col("r") >= 2) & (F.col("c") >= 2) & (F.col("n") >= 2)
+    return agg.select(
+        "n",
+        "r",
+        "c",
+        F.round(F.when(ok, chi2), 6).alias("chi2"),
+        F.round(F.when(ok, v), 6).alias("cramers_v"),
+        F.round(F.when(ok, vp), 6).alias("cramers_v_corrected"),
+    )
+
+
+def rank_biserial(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    scale: int = 100,
+) -> DataFrame:
+    """Rank-biserial correlation + common-language effect size from
+    the Mann-Whitney U — the DIRECTLY-INTERPRETABLE effect rung next
+    to mann_whitney_u's z/√n (r_effect) and cliffs_delta: CLES =
+    U_a/(n_a·n_b) is "the probability a random a-row exceeds a
+    random b-row (ties half)", and rank-biserial = 2·CLES − 1 is
+    Cliff's delta computed from ranks (identical statistic, rank
+    derivation). Kept separate from cliffs_delta: same number, a
+    DIFFERENT evaluation path (midrank prefix window vs the cell
+    grid fold) — the cross-lane agreement is itself an audit.
+
+    Exactness: the mann_whitney midrank discipline — 2×U in exact
+    DECIMAL(38,0) off one guarded distinct-value prefix window; the
+    two ratios are single double divisions.
+
+    Plan at scale: one (value) aggregate with two conditional
+    counts, the guarded prefix window, one 1-row reduce.
+
+    Returns one row: (n_a BIGINT, n_b BIGINT, u_a, cles,
+    rank_biserial) — NULLs when either group is empty.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([group_a, group_b])
+    ).select(
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+        F.when(F.col(group_col) == group_a, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("__is_a"),
+    )
+    per_v = base.groupBy("__v").agg(
+        F.sum("__is_a").alias("__ta"),
+        F.sum(F.lit(1) - F.col("__is_a")).alias("__tb"),
+    )
+    per_v = guard_distinct_frame(per_v, "rank_biserial")
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "__ta",
+        "__tb",
+        F.coalesce(F.sum(F.col("__ta") + F.col("__tb")).over(w), F.lit(0))
+        .alias("__c"),
+    ).select(
+        "__ta",
+        "__tb",
+        (
+            dec(F.col("__ta"))
+            * dec(F.lit(2) * F.col("__c") + F.col("__ta") + F.col("__tb") + 1)
+        )
+        .cast("decimal(38,0)")
+        .alias("__r2a"),
+    )
+    agg = ranked.agg(
+        F.sum("__ta").cast("long").alias("n_a"),
+        F.sum("__tb").cast("long").alias("n_b"),
+        F.sum("__r2a").cast("decimal(38,0)").alias("__r2a"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    u2 = (F.col("__r2a") - dec(na) * dec(na + 1)).cast("decimal(38,0)")
+    ok = (na > 0) & (nb > 0)
+    cles = u2.cast("double") / (
+        F.lit(2.0) * na.cast("double") * nb.cast("double")
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(ok, u2.cast("double") / 2.0).alias("u_a"),
+        F.round(F.when(ok, cles), 6).alias("cles"),
+        F.round(F.when(ok, 2.0 * cles - 1.0), 6).alias("rank_biserial"),
+    )
+
+
+def standardized_effects(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Hedges' g and Glass's Δ alongside Cohen's d — the small-sample
+    and unequal-variance corrections the bare d (cohens_d_purchase_
+    click) doesn't carry: g = J·d with J = 1 − 3/(4(n_a+n_b)−9)
+    (Hedges-Olkin) removes d's positive small-sample bias; Glass's
+    Δ = (x̄_a − x̄_b)/s_b standardizes by the CONTROL group's sd
+    alone, the right denominator when the treatment changes spread
+    as well as location.
+
+    Exactness: the cuped moment discipline — values quantize to
+    DECIMAL(18,6); n/Σx/Σx² per group ride ONE aggregate as exact
+    conditional DECIMAL sums; every output is a single double
+    expression of exact moments, round-6.
+
+    Plan at scale: ONE map-side-combined aggregate. No window, no
+    join, no second pass.
+
+    Returns one row: (n_a, n_b BIGINT, cohens_d, hedges_g,
+    glass_delta) — NULLs where a variance degenerates.
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([group_a, group_b])
+    ).select(
+        F.col(value_col).cast("decimal(18,6)").alias("__x"),
+        (F.col(group_col) == group_a).alias("__a"),
+    )
+    x = F.col("__x")
+    agg = base.agg(
+        F.count(F.when(F.col("__a"), 1)).cast("long").alias("n_a"),
+        F.count(F.when(~F.col("__a"), 1)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("__a"), x.cast("decimal(38,6)"))).alias("__sa"),
+        F.sum(F.when(~F.col("__a"), x.cast("decimal(38,6)"))).alias("__sb"),
+        F.sum(F.when(F.col("__a"), (x * x).cast("decimal(38,12)"))).alias(
+            "__saa"
+        ),
+        F.sum(F.when(~F.col("__a"), (x * x).cast("decimal(38,12)"))).alias(
+            "__sbb"
+        ),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = dbl("__sa") / na
+    mb = dbl("__sb") / nb
+    va = (dbl("__saa") - dbl("__sa") * dbl("__sa") / na) / (na - 1.0)
+    vb = (dbl("__sbb") - dbl("__sb") * dbl("__sb") / nb) / (nb - 1.0)
+    sp = F.sqrt(
+        ((na - 1.0) * va + (nb - 1.0) * vb) / (na + nb - 2.0)
+    )
+    d = (ma - mb) / sp
+    j = 1.0 - 3.0 / (4.0 * (na + nb) - 9.0)
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(F.when(ok & (sp > 0), d), 6).alias("cohens_d"),
+        F.round(F.when(ok & (sp > 0), F.lit(j) * d), 6).alias("hedges_g"),
+        F.round(
+            F.when(ok & (vb > 0), (ma - mb) / F.sqrt(vb)), 6
+        ).alias("glass_delta"),
+    )
+
+
+def variance_explained(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """η², ω² and Cohen's f for a one-way layout — the EFFECT-SIZE
+    readout next to anova_event_values' F (significance) and
+    welch_anova_values (unequal variances): how much of the value
+    variance the grouping explains. ω² subtracts the positive bias
+    of raw η² ((SSB − (k−1)·MSW)/(SST + MSW)); Cohen's f =
+    √(η²/(1−η²)) feeds power planning (power_mde_events).
+
+    Exactness: per-group n/Σx (exact DECIMAL conditional sums) +
+    pooled Σx² ride one (group) aggregate + one k-row fold; SSB/SSW
+    are double expressions of exact moments.
+
+    Plan at scale: one map-side-combined (group) aggregate, one
+    k-row reduce. No window, no join.
+
+    Returns one row: (n BIGINT, k BIGINT, eta_squared, omega_squared,
+    cohens_f) — NULLs when the layout degenerates.
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("decimal(18,6)").alias("__x"),
+    )
+    x = F.col("__x")
+    per_g = base.groupBy("__g").agg(
+        F.count("*").cast("long").alias("__ng"),
+        F.sum(x.cast("decimal(38,6)")).alias("__sg"),
+        F.sum((x * x).cast("decimal(38,12)")).alias("__qg"),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    agg = per_g.agg(
+        F.sum("__ng").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.col("__sg").cast("decimal(38,6)")).alias("__s"),
+        F.sum(F.col("__qg").cast("decimal(38,12)")).alias("__q"),
+        F.sum(
+            F.col("__sg").cast("double")
+            * F.col("__sg").cast("double")
+            / F.col("__ng").cast("double")
+        ).alias("__sb"),
+    )
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    sst = dbl("__q") - dbl("__s") * dbl("__s") / n
+    ssb = F.col("__sb") - dbl("__s") * dbl("__s") / n
+    ssw = sst - ssb
+    msw = ssw / (n - k)
+    eta2 = ssb / sst
+    omega2 = (ssb - (k - 1.0) * msw) / (sst + msw)
+    ok = (F.col("n") > F.col("k")) & (F.col("k") >= 2) & (sst > 0)
+    return agg.select(
+        "n",
+        "k",
+        F.round(F.when(ok, eta2), 6).alias("eta_squared"),
+        F.round(F.when(ok, omega2), 6).alias("omega_squared"),
+        F.round(
+            F.when(ok & (eta2 < 1.0), F.sqrt(eta2 / (1.0 - eta2))), 6
+        ).alias("cohens_f"),
+    )
+
+
+def chi2_residuals(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Per-cell adjusted standardized residuals for a two-way
+    contingency table — the WHERE to cramers_v's HOW MUCH and
+    chi2_status_priority's WHETHER: r_ij = (o_ij − e_ij) /
+    √(e_ij·(1 − rm_i/n)·(1 − cm_j/n)) (Haberman), asymptotically
+    N(0,1) under independence, so |r| > 2 names the cells that
+    drive the association — the drill-down a drift alert needs
+    before anyone acts on it.
+
+    Exactness: observed cells and margins are exact BIGINTs off one
+    (x, y) aggregate + two rollups of it; e_ij and the residual are
+    double expressions. ZERO cells are omitted by design (their
+    residuals are −√(e·…) of unobserved combinations; the observed
+    table is what a drill-down reads) — documented contract shared
+    with the oracle.
+
+    Plan at scale: one cell aggregate (category-product-bounded),
+    two margin rollups broadcast back, no window, no fact re-scan.
+
+    Returns (x, y, observed BIGINT, expected, adj_residual) ordered
+    by (x, y).
+    """
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .agg(F.count("*").cast("long").alias("observed"))
+    )
+    rm = cells.groupBy("x").agg(F.sum("observed").alias("__rm"))
+    cm = cells.groupBy("y").agg(F.sum("observed").alias("__cm"))
+    tot = cells.agg(F.sum("observed").alias("__n"))
+    j = (
+        cells.join(F.broadcast(rm), "x")
+        .join(F.broadcast(cm), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    n = F.col("__n").cast("double")
+    rmd = F.col("__rm").cast("double")
+    cmd = F.col("__cm").cast("double")
+    e = rmd * cmd / n
+    den = F.sqrt(e * (1.0 - rmd / n) * (1.0 - cmd / n))
+    return j.select(
+        "x",
+        "y",
+        "observed",
+        F.round(e, 6).alias("expected"),
+        F.round(
+            F.when(den > 0, (F.col("observed").cast("double") - e) / den),
+            6,
+        ).alias("adj_residual"),
+    ).orderBy("x", "y")

@@ -1,0 +1,231 @@
+"""Round-12 wave-1 operator tests: association/effect/agreement.
+
+Each statistic is checked against an independent pure-Python
+computation on a small fixture (not against the operator's own
+algebra), plus contract edges (degenerate tables, perfect agreement).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from reddit_etl_spark.operators.classify import (
+    gwets_ac1,
+    krippendorff_alpha,
+    stuart_maxwell_test,
+)
+from reddit_etl_spark.operators.relational import (
+    chi2_residuals,
+    cramers_v,
+    rank_biserial,
+    standardized_effects,
+    variance_explained,
+)
+
+
+def test_cramers_v_known_table(spark):
+    # 2x2 table [[10, 20], [30, 5]] — chi2 and V by hand
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20
+        + [("b", "x")] * 30 + [("b", "y")] * 5
+    )
+    df = spark.createDataFrame(rows, "g string, h string")
+    got = cramers_v(df, "g", "h").collect()[0]
+    n = 65.0
+    exp = [[30 * 40 / n, 30 * 25 / n], [35 * 40 / n, 35 * 25 / n]]
+    obs = [[10, 20], [30, 5]]
+    chi2 = sum(
+        (obs[i][j] - exp[i][j]) ** 2 / exp[i][j]
+        for i in range(2)
+        for j in range(2)
+    )
+    assert got["n"] == 65 and got["r"] == 2 and got["c"] == 2
+    assert got["chi2"] == pytest.approx(chi2, abs=1e-6)
+    assert got["cramers_v"] == pytest.approx(math.sqrt(chi2 / n), abs=1e-6)
+    phi2p = max(0.0, chi2 / n - 1.0 / (n - 1))
+    kp = 2 - 1.0 / (n - 1)
+    assert got["cramers_v_corrected"] == pytest.approx(
+        math.sqrt(phi2p / (kp - 1.0)), abs=1e-6
+    )
+
+
+def test_cramers_v_degenerate_single_column(spark):
+    df = spark.createDataFrame([("a", "x"), ("a", "y")], "g string, h string")
+    row = cramers_v(df, "g", "h").collect()[0]
+    assert row["r"] == 1 and row["cramers_v"] is None
+
+
+def test_chi2_residuals_sum_structure(spark):
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20
+        + [("b", "x")] * 30 + [("b", "y")] * 5
+    )
+    df = spark.createDataFrame(rows, "g string, h string")
+    out = {(r["x"], r["y"]): r for r in chi2_residuals(df, "g", "h").collect()}
+    assert len(out) == 4
+    # adjusted residuals of a 2x2 table are +/- the same magnitude
+    mags = {abs(round(r["adj_residual"], 4)) for r in out.values()}
+    assert len(mags) == 1
+    assert out[("a", "x")]["adj_residual"] < 0  # fewer than expected
+    assert out[("a", "y")]["adj_residual"] > 0
+    # expected counts reproduce margins
+    assert out[("a", "x")]["expected"] == pytest.approx(30 * 40 / 65, abs=1e-6)
+
+
+def test_rank_biserial_matches_python(spark):
+    a = [1.0, 2.0, 3.0, 5.0, 5.0]
+    b = [2.0, 4.0, 4.0, 6.0]
+    rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+    df = spark.createDataFrame(rows, "value double, g string")
+    got = rank_biserial(df, "value", "g", "a", "b").collect()[0]
+    # U_a by direct pair count (ties 0.5)
+    u = sum(
+        1.0 if x > y else (0.5 if x == y else 0.0) for x in a for y in b
+    )
+    assert got["u_a"] == pytest.approx(u)
+    assert got["cles"] == pytest.approx(u / (len(a) * len(b)), abs=1e-6)
+    assert got["rank_biserial"] == pytest.approx(
+        2 * u / (len(a) * len(b)) - 1, abs=1e-6
+    )
+
+
+def test_standardized_effects_matches_python(spark):
+    a = [10.0, 12.0, 14.0, 16.0]
+    b = [9.0, 11.0, 13.0]
+    rows = [(v, "t") for v in a] + [(v, "c") for v in b]
+    df = spark.createDataFrame(rows, "value double, g string")
+    got = standardized_effects(df, "value", "g", "t", "c").collect()[0]
+    ma = sum(a) / len(a)
+    mb = sum(b) / len(b)
+    va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+    sp = math.sqrt(((len(a) - 1) * va + (len(b) - 1) * vb) / (len(a) + len(b) - 2))
+    d = (ma - mb) / sp
+    j = 1 - 3 / (4 * (len(a) + len(b)) - 9)
+    assert got["cohens_d"] == pytest.approx(d, abs=1e-6)
+    assert got["hedges_g"] == pytest.approx(j * d, abs=1e-6)
+    assert got["glass_delta"] == pytest.approx((ma - mb) / math.sqrt(vb), abs=1e-6)
+
+
+def test_variance_explained_matches_python(spark):
+    groups = {"a": [1.0, 2.0, 3.0], "b": [4.0, 5.0, 6.0], "c": [2.0, 3.0]}
+    rows = [(v, g) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "value double, g string")
+    got = variance_explained(df, "value", "g").collect()[0]
+    allv = [v for vs in groups.values() for v in vs]
+    n, k = len(allv), len(groups)
+    m = sum(allv) / n
+    sst = sum((v - m) ** 2 for v in allv)
+    ssb = sum(
+        len(vs) * (sum(vs) / len(vs) - m) ** 2 for vs in groups.values()
+    )
+    msw = (sst - ssb) / (n - k)
+    eta2 = ssb / sst
+    omega2 = (ssb - (k - 1) * msw) / (sst + msw)
+    assert got["n"] == n and got["k"] == k
+    assert got["eta_squared"] == pytest.approx(eta2, abs=1e-6)
+    assert got["omega_squared"] == pytest.approx(omega2, abs=1e-6)
+    assert got["cohens_f"] == pytest.approx(
+        math.sqrt(eta2 / (1 - eta2)), abs=1e-6
+    )
+
+
+def _kripp_python(ratings):
+    """Independent nominal-alpha computation from (unit, value) rows."""
+    from collections import Counter, defaultdict
+
+    by_unit = defaultdict(Counter)
+    for u, c in ratings:
+        by_unit[u][c] += 1
+    by_unit = {u: cs for u, cs in by_unit.items() if sum(cs.values()) >= 2}
+    nn = sum(sum(cs.values()) for cs in by_unit.values())
+    do = sum(
+        (sum(cs.values()) ** 2 - sum(v * v for v in cs.values()))
+        / (sum(cs.values()) - 1)
+        for cs in by_unit.values()
+    ) / nn
+    marg = Counter()
+    for cs in by_unit.values():
+        marg.update(cs)
+    de = (nn * nn - sum(v * v for v in marg.values())) / (nn * (nn - 1))
+    return 1 - do / de
+
+
+def test_krippendorff_alpha_matches_python(spark):
+    # 5 units, variable rater counts (one unpairable unit dropped)
+    ratings = [
+        (1, "a"), (1, "a"), (1, "b"),
+        (2, "b"), (2, "b"),
+        (3, "a"), (3, "a"), (3, "a"),
+        (4, "b"), (4, "a"),
+        (5, "a"),  # single rating -> not pairable
+    ]
+    df = spark.createDataFrame(ratings, "u long, c string")
+    got = krippendorff_alpha(df, "u", "c").collect()[0]
+    want = _kripp_python(ratings)
+    assert got["n_units"] == 4 and got["n_ratings"] == 10
+    assert got["alpha"] == pytest.approx(want, abs=1e-6)
+
+
+def test_krippendorff_perfect_agreement(spark):
+    ratings = [(u, "x") for u in range(10) for _ in range(3)]
+    df = spark.createDataFrame(ratings, "u long, c string")
+    row = krippendorff_alpha(df, "u", "c").collect()[0]
+    # single category -> D_e = 0 -> alpha undefined (NULL), d_o = 0
+    assert row["d_o"] == 0.0 and row["alpha"] is None
+    ratings2 = [(u, "x" if u % 2 else "y") for u in range(10) for _ in range(3)]
+    row2 = krippendorff_alpha(
+        spark.createDataFrame(ratings2, "u long, c string"), "u", "c"
+    ).collect()[0]
+    assert row2["alpha"] == 1.0
+
+
+def test_gwets_ac1_matches_python(spark):
+    # skewed binary raters: 90 pass/pass, 5 pass/fail, 3 fail/pass, 2 both fail
+    rows = (
+        [("p", "p")] * 90 + [("p", "f")] * 5
+        + [("f", "p")] * 3 + [("f", "f")] * 2
+    )
+    df = spark.createDataFrame(rows, "ra string, rb string")
+    got = gwets_ac1(df, "ra", "rb").collect()[0]
+    n = 100.0
+    po = 92 / n
+    pi_p = ((95 / n) + (93 / n)) / 2
+    pi_f = ((5 / n) + (7 / n)) / 2
+    pe = (pi_p * (1 - pi_p) + pi_f * (1 - pi_f)) / (2 - 1)
+    assert got["po"] == pytest.approx(po, abs=1e-6)
+    assert got["pe"] == pytest.approx(pe, abs=1e-6)
+    assert got["ac1"] == pytest.approx((po - pe) / (1 - pe), abs=1e-6)
+
+
+def test_stuart_maxwell_matches_python(spark):
+    # classic 3x3 paired table
+    table = {
+        ("a", "a"): 20, ("a", "b"): 10, ("a", "c"): 5,
+        ("b", "a"): 3, ("b", "b"): 30, ("b", "c"): 6,
+        ("c", "a"): 2, ("c", "b"): 4, ("c", "c"): 25,
+    }
+    rows = [(x, y) for (x, y), c in table.items() for _ in range(c)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    got = stuart_maxwell_test(df, "x", "y", ("a", "b", "c")).collect()[0]
+    rm = {k: sum(v for (x, _), v in table.items() if x == k) for k in "abc"}
+    cm = {k: sum(v for (_, y), v in table.items() if y == k) for k in "abc"}
+    d1, d2, d3 = (rm[k] - cm[k] for k in "abc")
+    nb12 = (table[("a", "b")] + table[("b", "a")]) / 2
+    nb13 = (table[("a", "c")] + table[("c", "a")]) / 2
+    nb23 = (table[("b", "c")] + table[("c", "b")]) / 2
+    chi2 = (nb23 * d1**2 + nb13 * d2**2 + nb12 * d3**2) / (
+        2 * (nb12 * nb23 + nb12 * nb13 + nb13 * nb23)
+    )
+    assert (got["d1"], got["d2"], got["d3"]) == (d1, d2, d3)
+    assert got["chi2_sm"] == pytest.approx(chi2, abs=1e-6)
+    assert got["n"] == sum(table.values())
+
+
+def test_stuart_maxwell_wrong_k_raises(spark):
+    df = spark.createDataFrame([("a", "b")], "x string, y string")
+    with pytest.raises(ValueError, match="exactly 3"):
+        stuart_maxwell_test(df, "x", "y", ("a", "b"))
