@@ -99,10 +99,6 @@ _PROMOTED = [
     # head as base and displaces one filler back to _DEFERRED, so
     # the head stays exactly 50 at every commit and new queries are
     # attested the same round they are born (backlog stays 0).
-    "dedup_ngram_jaccard",
-    "document_chunks",
-    "dq_report_orders",
-    "dsir_importance_weights",
     "duplicate_spans",
     "event_pattern_counts",
     "fuzzy_name_pairs",
@@ -132,6 +128,10 @@ _DEFERRED = [
     # artifacts every round. The 31 stalest r05-attested entries
     # moved up to _PROMOTED block 2 (oldest-attestation rule).
     # (r05 fillers displaced back by round-12 wave-1 registrations)
+    "dedup_ngram_jaccard",
+    "document_chunks",
+    "dq_report_orders",
+    "dsir_importance_weights",
     "ab_experiment_readout",
     "anomaly_zscore_daily",
     "asof_split",

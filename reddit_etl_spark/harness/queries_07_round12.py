@@ -17,6 +17,10 @@ from ._common import (  # noqa: F401
     load,
     load_events,
 )
+from .queries_04_series_tpch import (  # noqa: F401
+    _DAILY_MEAN_SQL,
+    _daily_mean_frame,
+)
 
 
 @_q(
@@ -562,3 +566,297 @@ def stuart_maxwell_user_shift_q(
         )
     )
     return stuart_maxwell_test(pairs, "x", "y", ("lo", "mid", "hi"))
+
+
+# ---- wave 2: nonparametric completion + calibration significance ----
+
+
+@_q(
+    "brunner_munzel_click_error",
+    """
+    WITH base AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+      FROM events
+      WHERE event_type IN ('click', 'error') AND value IS NOT NULL),
+    pv AS (SELECT v, CAST(SUM(ia) AS BIGINT) AS ta,
+                  CAST(SUM(1 - ia) AS BIGINT) AS tb
+           FROM base GROUP BY v),
+    r AS (
+      SELECT ta, tb,
+             CAST(COALESCE(SUM(ta + tb) OVER wp, 0) AS BIGINT) AS c,
+             CAST(COALESCE(SUM(ta) OVER wp, 0) AS BIGINT) AS ca,
+             CAST(COALESCE(SUM(tb) OVER wp, 0) AS BIGINT) AS cb
+      FROM pv
+      WINDOW wp AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING)),
+    agg AS (
+      SELECT CAST(SUM(ta) AS BIGINT) AS n_a,
+             CAST(SUM(tb) AS BIGINT) AS n_b,
+             SUM(ta::HUGEINT * (2 * c + ta + tb + 1)) AS ra2,
+             SUM(tb::HUGEINT * (2 * c + ta + tb + 1)) AS rb2,
+             SUM(ta::HUGEINT * (2 * cb + tb)) AS da2,
+             SUM(tb::HUGEINT * (2 * ca + ta)) AS db2,
+             SUM(ta::HUGEINT * (2 * cb + tb) * (2 * cb + tb)) AS daa4,
+             SUM(tb::HUGEINT * (2 * ca + ta) * (2 * ca + ta)) AS dbb4
+      FROM r),
+    m AS (
+      SELECT n_a, n_b,
+             CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             CAST(CAST(ra2 AS VARCHAR) AS DOUBLE) / 2.0 AS ra,
+             CAST(CAST(rb2 AS VARCHAR) AS DOUBLE) / 2.0 AS rb,
+             CAST(CAST(da2 AS VARCHAR) AS DOUBLE) AS dda2,
+             CAST(CAST(db2 AS VARCHAR) AS DOUBLE) AS ddb2,
+             CAST(CAST(daa4 AS VARCHAR) AS DOUBLE) AS ddaa4,
+             CAST(CAST(dbb4 AS VARCHAR) AS DOUBLE) AS ddbb4
+      FROM agg),
+    k AS (
+      SELECT n_a, n_b, na, nb, ra / na AS rba, rb / nb AS rbb,
+             ra / na - (na + 1.0) / 2.0 AS ka,
+             rb / nb - (nb + 1.0) / 2.0 AS kb,
+             dda2, ddb2, ddaa4, ddbb4
+      FROM m),
+    s AS (
+      SELECT n_a, n_b, na, nb, rba, rbb,
+             (ddaa4 / 4.0 - 2.0 * ka * (dda2 / 2.0) + ka * ka * na)
+               / (na - 1.0) AS s2a,
+             (ddbb4 / 4.0 - 2.0 * kb * (ddb2 / 2.0) + kb * kb * nb)
+               / (nb - 1.0) AS s2b
+      FROM k),
+    f AS (
+      SELECT n_a, n_b, na, nb, rba, rbb, s2a, s2b,
+             na * s2a + nb * s2b AS pooled
+      FROM s)
+    SELECT n_a, n_b,
+           ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN
+             (rbb - (nb + 1.0) / 2.0) / na END, 6) AS p_hat,
+           ROUND(CASE WHEN n_a >= 2 AND n_b >= 2 AND pooled > 0 THEN
+             na * nb * (rbb - rba) / ((na + nb) * SQRT(pooled)) END, 6)
+             AS w_bm,
+           ROUND(CASE WHEN n_a >= 2 AND n_b >= 2 AND pooled > 0 THEN
+             pooled * pooled
+             / ((na * s2a) * (na * s2a) / (na - 1.0)
+                + (nb * s2b) * (nb * s2b) / (nb - 1.0)) END, 6)
+             AS df_bm
+    FROM f
+    """,
+    doc="Brunner-Munzel generalized Wilcoxon, click vs error values "
+    "(operators/relational.py:brunner_munzel) — the rank test that "
+    "stays valid when the treatment changes SPREAD as well as "
+    "location (rank Behrens-Fisher), where mann_whitney's variance "
+    "assumes a pure shift. Rank sums + ΣtD + ΣtD² exact "
+    "DECIMAL(38,0)/HUGEINT in 2x/4x units off ONE guarded prefix "
+    "window via 2D_a = 2c_b+t_b; S_i² by algebraic expansion — no "
+    "second pass",
+)
+def brunner_munzel_click_error_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.relational import brunner_munzel
+
+    ev = load_events(spark, sf_dir)
+    return brunner_munzel(ev, "value", "event_type", "click", "error")
+
+
+@_q(
+    "cucconi_click_error",
+    """
+    WITH base AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+      FROM events
+      WHERE event_type IN ('click', 'error') AND value IS NOT NULL),
+    pv AS (SELECT v, CAST(SUM(ia) AS BIGINT) AS ta,
+                  CAST(SUM(1 - ia) AS BIGINT) AS tb
+           FROM base GROUP BY v),
+    r AS (
+      SELECT ta, tb,
+             CAST(COALESCE(SUM(ta + tb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS c
+      FROM pv),
+    agg AS (
+      SELECT CAST(SUM(ta) AS BIGINT) AS n_a,
+             CAST(SUM(tb) AS BIGINT) AS n_b,
+             SUM(tb::HUGEINT * (2 * c + ta + tb + 1)
+                 * (2 * c + ta + tb + 1)) AS r4,
+             SUM(tb::HUGEINT * (2 * c + ta + tb + 1)) AS r2
+      FROM r),
+    m AS (
+      SELECT n_a, n_b,
+             CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nn,
+             CAST(CAST(r4 AS VARCHAR) AS DOUBLE) / 4.0 AS sr2,
+             CAST(CAST(r2 AS VARCHAR) AS DOUBLE) / 2.0 AS sr
+      FROM agg),
+    uv AS (
+      SELECT n_a, n_b, na, nb, nn, sr2,
+             nb * (nn + 1.0) * (nn + 1.0) - 2.0 * (nn + 1.0) * sr + sr2
+               AS ss2,
+             SQRT(na * nb * (nn + 1.0) * (2.0 * nn + 1.0)
+                  * (8.0 * nn + 11.0) / 5.0) AS den
+      FROM m),
+    f AS (
+      SELECT n_a, n_b, nn,
+             (6.0 * sr2 - nb * (nn + 1.0) * (2.0 * nn + 1.0)) / den AS u,
+             (6.0 * ss2 - nb * (nn + 1.0) * (2.0 * nn + 1.0)) / den AS v,
+             2.0 * (nn * nn - 4.0)
+               / ((2.0 * nn + 1.0) * (8.0 * nn + 11.0)) - 1.0 AS rho
+      FROM uv)
+    SELECT n_a, n_b,
+           ROUND(CASE WHEN n_a > 0 AND n_b > 0 AND nn >= 3 THEN u END, 6)
+             AS u_stat,
+           ROUND(CASE WHEN n_a > 0 AND n_b > 0 AND nn >= 3 THEN v END, 6)
+             AS v_stat,
+           ROUND(CASE WHEN n_a > 0 AND n_b > 0 AND nn >= 3 THEN rho
+             END, 6) AS rho,
+           ROUND(CASE WHEN n_a > 0 AND n_b > 0 AND nn >= 3 THEN
+             (u * u + v * v - 2.0 * rho * u * v)
+             / (2.0 * (1.0 - rho * rho)) END, 6) AS c_stat
+    FROM f
+    """,
+    doc="Cucconi joint location-scale test, click vs error values "
+    "(operators/relational.py:cucconi_test) — ONE statistic where "
+    "mann_whitney (shift) + ansari_bradley (spread) need a "
+    "Bonferroni pair: squared pooled ranks and squared contrary "
+    "ranks of the error sample, combined with their exact null "
+    "correlation. 4ΣR² exact DECIMAL(38,0)/HUGEINT off the guarded "
+    "prefix window; midranks under ties (documented convention)",
+)
+def cucconi_click_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import cucconi_test
+
+    ev = load_events(spark, sf_dir)
+    return cucconi_test(ev, "value", "event_type", "click", "error")
+
+
+@_q(
+    "quade_daily_types",
+    f"""
+    WITH daily AS ({_DAILY_MEAN_SQL}),
+    kt AS (SELECT COUNT(DISTINCT event_type) AS k FROM daily),
+    cb AS (SELECT day FROM daily GROUP BY day
+           HAVING COUNT(*) = (SELECT k FROM kt)),
+    base AS (SELECT daily.day AS b, daily.event_type AS t, daily.v AS x
+             FROM daily JOIN cb ON daily.day = cb.day),
+    cells AS (SELECT b, x, CAST(COUNT(*) AS BIGINT) AS tc
+              FROM base GROUP BY 1, 2),
+    rk AS (
+      SELECT b, x,
+             CAST(COALESCE(SUM(tc) OVER (PARTITION BY b ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS DOUBLE)
+             + (CAST(tc AS DOUBLE) + 1.0) / 2.0 AS r
+      FROM cells),
+    ranked AS (
+      SELECT base.b, base.t, rk.r
+      FROM base JOIN rk ON base.b = rk.b AND base.x = rk.x),
+    rng AS (SELECT b, ROUND(MAX(x) - MIN(x), 6) AS rg
+            FROM base GROUP BY 1),
+    rv AS (SELECT rg, CAST(COUNT(*) AS BIGINT) AS tc FROM rng GROUP BY 1),
+    rvr AS (
+      SELECT rg,
+             CAST(COALESCE(SUM(tc) OVER (ORDER BY rg
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS DOUBLE)
+             + (CAST(tc AS DOUBLE) + 1.0) / 2.0 AS q
+      FROM rv),
+    blocks AS (SELECT b, q FROM rng JOIN rvr USING (rg)),
+    s AS (
+      SELECT ranked.t,
+             blocks.q * (ranked.r
+               - (CAST((SELECT k FROM kt) AS DOUBLE) + 1.0) / 2.0) AS s
+      FROM ranked JOIN blocks USING (b)),
+    per_t AS (
+      SELECT t, SUM(s) AS sj, SUM(s * s) AS a,
+             CAST(COUNT(*) AS BIGINT) AS nb
+      FROM s GROUP BY 1),
+    ag AS (
+      SELECT CAST(MAX(nb) AS BIGINT) AS n_blocks,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(MIN(nb) AS BIGINT) AS nbmin,
+             SUM(a) AS aa, SUM(sj * sj) AS bsum
+      FROM per_t),
+    f AS (
+      SELECT n_blocks, k,
+             bsum / CAST(n_blocks AS DOUBLE) AS b, aa,
+             n_blocks >= 2 AND k >= 2 AND nbmin = n_blocks
+               AND aa - bsum / CAST(n_blocks AS DOUBLE) > 0 AS ok
+      FROM ag)
+    SELECT n_blocks, k,
+           ROUND(CASE WHEN ok THEN
+             (CAST(n_blocks AS DOUBLE) - 1.0) * b / (aa - b) END, 6)
+             AS f_quade,
+           CASE WHEN ok THEN k - 1 END AS dof1,
+           CASE WHEN ok THEN (n_blocks - 1) * (k - 1) END AS dof2
+    FROM f
+    """,
+    doc="Quade test over daily mean values by event type "
+    "(operators/relational.py:quade_test) — friedman_daily_types' "
+    "range-weighted upgrade: blocks (days) where the treatments "
+    "actually differ carry the signal, uniformly more powerful at "
+    "small k. Complete blocks only (the friedman convention); "
+    "midranks over the 6-dp-rounded cell means so rank decisions "
+    "are engine-identical; S terms are exact multiples of 0.25 in "
+    "double, so the folds are order-exact without DECIMAL",
+)
+def quade_daily_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import quade_test
+
+    daily = _daily_mean_frame(spark, sf_dir)
+    return quade_test(daily, "day", "event_type", "v")
+
+
+@_q(
+    "hosmer_lemeshow_events",
+    """
+    WITH base AS (
+      SELECT CAST(FLOOR(LEAST(value / 500.0, 1.0) * 1000000 + 0.5)
+                  AS BIGINT) AS p,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL),
+    binned AS (
+      SELECT LEAST((p * 10) // 1000000, 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(p::HUGEINT) AS sp
+      FROM base GROUP BY 1),
+    t AS (
+      SELECT bin, n, sy,
+             CAST(CAST(sp AS VARCHAR) AS DOUBLE) / 1000000.0 AS e
+      FROM binned),
+    u AS (
+      SELECT n, sy, e,
+             e > 0 AND e < CAST(n AS DOUBLE) AS usable
+      FROM t),
+    ag AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_bins,
+             SUM(CASE WHEN usable THEN
+                 (CAST(sy AS DOUBLE) - e) * (CAST(sy AS DOUBLE) - e)
+                 / (e * (1.0 - e / CAST(n AS DOUBLE))) END) AS chi2,
+             CAST(SUM(CASE WHEN usable THEN 1 ELSE 0 END) AS BIGINT)
+               AS ub
+      FROM u)
+    SELECT n, n_bins,
+           ROUND(CASE WHEN ub >= 3 THEN chi2 END, 6) AS chi2_hl,
+           CASE WHEN ub >= 3 THEN ub - 2 END AS dof
+    FROM ag
+    """,
+    doc="Hosmer-Lemeshow goodness-of-fit χ² for the ece_events score "
+    "(operators/classify.py:hosmer_lemeshow) — the significance "
+    "rung of the calibration family: ece reports the SIZE of "
+    "miscalibration, this one whether it exceeds sampling noise "
+    "(χ²(bins−2)). Fixed-width clamped-micros bins (deterministic "
+    "everywhere) instead of engine-divergent deciles-of-risk; "
+    "degenerate bins excluded from fold AND dof on both engines",
+)
+def hosmer_lemeshow_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classify import hosmer_lemeshow
+
+    ev = load_events(spark, sf_dir)
+    scored = ev.filter(F.col("value").isNotNull()).select(
+        (F.col("value") / 500.0).alias("p"),
+        (F.col("event_type") == "purchase").alias("y"),
+    )
+    return hosmer_lemeshow(scored, "p", "y", bins=10)

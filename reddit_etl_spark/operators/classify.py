@@ -1674,3 +1674,74 @@ def stuart_maxwell_test(
         d3.cast("long").alias("d3"),
         F.round(F.when(den > 0, chi2), 6).alias("chi2_sm"),
     )
+
+
+def hosmer_lemeshow(
+    df: DataFrame, p_col: str, y_col: str, bins: int = 10
+) -> DataFrame:
+    """Hosmer-Lemeshow goodness-of-fit χ² for a probability score —
+    the SIGNIFICANCE rung of the calibration family: ece_events
+    reports the size of the miscalibration, brier_decomposition its
+    decomposition, this one whether it exceeds sampling noise
+    (χ²(bins−2) under good calibration). Fixed-width bins on the
+    clamped-micros score (the ece binning convention) rather than
+    the textbook deciles-of-risk: equal-count deciles need a global
+    quantile whose tie-handling differs across engines, while fixed
+    bins are deterministic everywhere and keep the test's χ²
+    distribution under H0.
+
+    Exactness: per-bin n, Σy, Σp(micros) exact off one aggregate;
+    χ² = Σ (Σy − E)²/(E(1−E/n)) in doubles of exact integers.
+    Bins where the denominator degenerates (E = 0 or E = n) are
+    excluded from the fold and the dof (documented, both engines).
+
+    Plan at scale: one map-side-combined (bin) aggregate + one
+    bins-row reduce. No window, no join.
+
+    Returns one row: (n BIGINT, n_bins BIGINT, chi2_hl, dof BIGINT)
+    — chi2 NULL when fewer than 3 usable bins.
+    """
+    base = df.filter(F.col(p_col).isNotNull()).select(
+        F.floor(
+            F.least(F.col(p_col), F.lit(1.0)) * 1000000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("__p"),
+        F.col(y_col).cast("int").alias("__y"),
+    )
+    binned = base.groupBy(
+        # exact integer bin key (`div`), mirroring the oracle's `//`
+        F.least(
+            F.expr(f"(__p * {int(bins)}) div 1000000"),
+            F.lit(bins - 1),
+        )
+        .cast("long")
+        .alias("__bin")
+    ).agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("__y").cast("long").alias("__sy"),
+        F.sum(F.col("__p").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__sp"),
+    )
+    nd = F.col("__n").cast("double")
+    e = F.col("__sp").cast("string").cast("double") / 1000000.0
+    usable = (e > 0) & (e < nd)
+    term = (
+        (F.col("__sy").cast("double") - e)
+        * (F.col("__sy").cast("double") - e)
+        / (e * (1.0 - e / nd))
+    )
+    agg = binned.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum(F.when(usable, term)).alias("__chi2"),
+        F.sum(F.when(usable, 1).otherwise(0)).cast("long").alias("__ub"),
+    )
+    ok = F.col("__ub") >= 3
+    return agg.select(
+        "n",
+        "n_bins",
+        F.round(F.when(ok, F.col("__chi2")), 6).alias("chi2_hl"),
+        F.when(ok, F.col("__ub") - 2).cast("long").alias("dof"),
+    )

@@ -7885,3 +7885,342 @@ def chi2_residuals(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             6,
         ).alias("adj_residual"),
     ).orderBy("x", "y")
+
+
+def brunner_munzel(
+    df: DataFrame,
+    value_col: str,
+    class_col: str,
+    class_a,
+    class_b,
+    scale: int = 100,
+) -> DataFrame:
+    """Brunner-Munzel generalized Wilcoxon test — the two-sample rung
+    to reach for when mann_whitney_u's exchangeability assumption is
+    wrong: MWU's variance is only valid when the two distributions
+    can differ by a shift; BM studentizes the same relative effect
+    p = P(A < B) + ½P(A = B) with per-group rank variances, staying
+    valid under unequal shapes/variances (the Behrens-Fisher
+    situation of rank tests). The readout an A/B gate should use
+    when the treatment changes the spread, not just the location.
+
+    Exactness: per distinct pooled value the identities 2m = 2c+t+1
+    (pooled midrank), 2D_a = 2c_b+t_b (pooled-minus-within midrank
+    difference = the OTHER group's placement) make the rank sums,
+    Σ t·D and Σ t·D² exact DECIMAL(38,0) integers in 2x/4x units
+    off ONE guarded prefix window; the S_i² expand algebraically
+    (Σ tD² − 2K·Σ tD + K²n)/(n−1) so no second pass over the frame
+    is needed. One final double expression.
+
+    Plan at scale: one (value) aggregate with two conditional
+    counts, the guarded prefix window, ONE 1-row reduce.
+
+    Returns one row: (n_a, n_b BIGINT, p_hat, w_bm, df_bm) — p_hat
+    is the relative effect P(a < b) + ½P(a = b); w/df NULL when a
+    variance degenerates.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(class_col).isin([class_a, class_b])
+    ).select(
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+        F.when(F.col(class_col) == class_a, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("__is_a"),
+    )
+    per_v = base.groupBy("__v").agg(
+        F.sum("__is_a").alias("__ta"),
+        F.sum(F.lit(1) - F.col("__is_a")).alias("__tb"),
+    )
+    per_v = guard_distinct_frame(per_v, "brunner_munzel")
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    cells = per_v.select(
+        "__ta",
+        "__tb",
+        F.coalesce(F.sum(F.col("__ta") + F.col("__tb")).over(w), F.lit(0))
+        .alias("__c"),
+        F.coalesce(F.sum("__ta").over(w), F.lit(0)).alias("__ca"),
+        F.coalesce(F.sum("__tb").over(w), F.lit(0)).alias("__cb"),
+    )
+    # 2x/4x exact integer units: 2m = 2c+t+1, 2D_a = 2cb+tb,
+    # 2D_b = 2ca+ta
+    m2 = F.lit(2) * F.col("__c") + F.col("__ta") + F.col("__tb") + 1
+    da2 = F.lit(2) * F.col("__cb") + F.col("__tb")
+    db2 = F.lit(2) * F.col("__ca") + F.col("__ta")
+    agg = cells.agg(
+        F.sum("__ta").cast("long").alias("n_a"),
+        F.sum("__tb").cast("long").alias("n_b"),
+        F.sum(dec(F.col("__ta")) * dec(m2)).cast("decimal(38,0)").alias("__ra2"),
+        F.sum(dec(F.col("__tb")) * dec(m2)).cast("decimal(38,0)").alias("__rb2"),
+        F.sum(dec(F.col("__ta")) * dec(da2)).cast("decimal(38,0)").alias("__da2"),
+        F.sum(dec(F.col("__tb")) * dec(db2)).cast("decimal(38,0)").alias("__db2"),
+        F.sum(dec(F.col("__ta")) * dec(da2) * dec(da2))
+        .cast("decimal(38,0)")
+        .alias("__daa4"),
+        F.sum(dec(F.col("__tb")) * dec(db2) * dec(db2))
+        .cast("decimal(38,0)")
+        .alias("__dbb4"),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ra = dbl("__ra2") / 2.0
+    rb = dbl("__rb2") / 2.0
+    rba = ra / na  # mean pooled midrank, group a
+    rbb = rb / nb
+    # K_i = R̄_i − (n_i+1)/2; S_i² = (ΣtD² − 2K·ΣtD + K²n)/(n−1)
+    ka = rba - (na + 1.0) / 2.0
+    kb = rbb - (nb + 1.0) / 2.0
+    s2a = (
+        dbl("__daa4") / 4.0 - 2.0 * ka * (dbl("__da2") / 2.0) + ka * ka * na
+    ) / (na - 1.0)
+    s2b = (
+        dbl("__dbb4") / 4.0 - 2.0 * kb * (dbl("__db2") / 2.0) + kb * kb * nb
+    ) / (nb - 1.0)
+    p_hat = (rbb - (nb + 1.0) / 2.0) / na
+    pooled = na * s2a + nb * s2b
+    w_bm = na * nb * (rbb - rba) / ((na + nb) * F.sqrt(pooled))
+    df_bm = (pooled * pooled) / (
+        (na * s2a) * (na * s2a) / (na - 1.0)
+        + (nb * s2b) * (nb * s2b) / (nb - 1.0)
+    )
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (pooled > 0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), p_hat), 6
+        ).alias("p_hat"),
+        F.round(F.when(ok, w_bm), 6).alias("w_bm"),
+        F.round(F.when(ok, df_bm), 6).alias("df_bm"),
+    )
+
+
+def cucconi_test(
+    df: DataFrame,
+    value_col: str,
+    class_col: str,
+    class_a,
+    class_b,
+    scale: int = 100,
+) -> DataFrame:
+    """Cucconi location-scale test — the JOINT rung next to
+    mann_whitney_u (location only) and ansari_bradley (scale only):
+    U standardizes the sum of SQUARED pooled ranks of sample b
+    (sensitive to both shift and spread), V the same on contrary
+    ranks N+1−R; C = (U² + V² − 2ρUV)/(2(1−ρ²)) combines them with
+    their exact null correlation ρ = 2(N²−4)/((2N+1)(8N+11)) − 1.
+    Predates and often beats Lepage; one statistic instead of a
+    Bonferroni pair when either kind of drift matters. Midranks
+    under ties (documented convention shared with the oracle).
+
+    Exactness: per distinct pooled value 2m = 2c+t+1 and
+    2(N+1−m) = 2(N+1)−(2c+t+1) are exact integers, so 4ΣR² =
+    Σ t_b(2c+t+1)² and the contrary sum are exact DECIMAL(38,0)
+    folds off ONE guarded prefix window (N via the same aggregate);
+    U, V, ρ, C are one double expression.
+
+    Plan at scale: one (value) aggregate, the guarded prefix
+    window, one 1-row reduce.
+
+    Returns one row: (n_a, n_b BIGINT, u_stat, v_stat, rho, c_stat)
+    — NULLs when N < 3 or a group is empty.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(class_col).isin([class_a, class_b])
+    ).select(
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+        F.when(F.col(class_col) == class_a, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("__is_a"),
+    )
+    per_v = base.groupBy("__v").agg(
+        F.sum("__is_a").alias("__ta"),
+        F.sum(F.lit(1) - F.col("__is_a")).alias("__tb"),
+    )
+    per_v = guard_distinct_frame(per_v, "cucconi_test")
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    cells = per_v.select(
+        "__ta",
+        "__tb",
+        F.coalesce(F.sum(F.col("__ta") + F.col("__tb")).over(w), F.lit(0))
+        .alias("__c"),
+    )
+    m2 = F.lit(2) * F.col("__c") + F.col("__ta") + F.col("__tb") + 1
+    agg = cells.agg(
+        F.sum("__ta").cast("long").alias("n_a"),
+        F.sum("__tb").cast("long").alias("n_b"),
+        F.sum(dec(F.col("__tb")) * dec(m2) * dec(m2))
+        .cast("decimal(38,0)")
+        .alias("__r4"),
+        F.sum(dec(F.col("__tb")) * dec(m2)).cast("decimal(38,0)").alias("__r2"),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    # ΣR² = __r4/4; Σ(N+1−R)² = Σ(N+1)² − 2(N+1)ΣR + ΣR²
+    sr2 = dbl("__r4") / 4.0
+    sr = dbl("__r2") / 2.0
+    ss2 = nb * (nn + 1.0) * (nn + 1.0) - 2.0 * (nn + 1.0) * sr + sr2
+    den = F.sqrt(
+        na * nb * (nn + 1.0) * (2.0 * nn + 1.0) * (8.0 * nn + 11.0) / 5.0
+    )
+    u = (6.0 * sr2 - nb * (nn + 1.0) * (2.0 * nn + 1.0)) / den
+    v = (6.0 * ss2 - nb * (nn + 1.0) * (2.0 * nn + 1.0)) / den
+    rho = 2.0 * (nn * nn - 4.0) / ((2.0 * nn + 1.0) * (8.0 * nn + 11.0)) - 1.0
+    c_stat = (u * u + v * v - 2.0 * rho * u * v) / (2.0 * (1.0 - rho * rho))
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (nn >= 3.0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(F.when(ok, u), 6).alias("u_stat"),
+        F.round(F.when(ok, v), 6).alias("v_stat"),
+        F.round(F.when(ok, rho), 6).alias("rho"),
+        F.round(F.when(ok, c_stat), 6).alias("c_stat"),
+    )
+
+
+def quade_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Quade test for k related samples — friedman's range-weighted
+    upgrade: Friedman ranks within blocks and weights every block
+    equally; Quade multiplies each block's centered within-block
+    ranks by the rank of the block's RANGE, so blocks where the
+    treatments actually differ carry the signal — uniformly more
+    powerful at small k (Conover). Input contract (shared with
+    friedman): ONE value per (block, treatment) cell, pre-aggregated
+    by the caller.
+
+    Determinism: both within-block ranks and block-range ranks are
+    midranks over the 6-dp-ROUNDED cell values (the repo's round6
+    discipline) — rounding first makes the rank decision identical
+    in any engine that agrees to 6 decimals, where raw-double
+    ranking could split a 1-ulp pair differently.
+
+    Plan at scale: within-block midranks via one (block, value)
+    aggregate + a per-block prefix window (k-bounded partitions);
+    block ranges via one per-block rollup; range midranks via one
+    prefix window over the BLOCK-count-bounded range frame; two
+    broadcast joins back; one 1-row reduce. The block frame, not
+    the fact table, is what sorts.
+
+    Returns one row: (n_blocks BIGINT, k BIGINT, f_quade, dof1
+    BIGINT, dof2 BIGINT) — f NULL when the layout degenerates or
+    agreement is perfect (A = B).
+    """
+    cells = (
+        df.filter(
+            F.col(block_col).isNotNull()
+            & F.col(treatment_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(block_col).alias("__b"),
+            F.col(treatment_col).alias("__t"),
+            F.round(F.col(value_col).cast("double"), 6).alias("__x"),
+        )
+    )
+    # within-block midranks over distinct rounded values
+    bv = cells.groupBy("__b", "__x").agg(F.count("*").alias("__tc"))
+    wv = (
+        Window.partitionBy("__b")
+        .orderBy("__x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bvr = bv.select(
+        "__b",
+        "__x",
+        (
+            F.coalesce(F.sum("__tc").over(wv), F.lit(0)).cast("double")
+            + (F.col("__tc").cast("double") + 1.0) / 2.0
+        ).alias("__r"),
+    )
+    ranked = cells.join(bvr, ["__b", "__x"])
+    # complete blocks only (the friedman convention): a block missing
+    # a treatment would bias the centered ranks
+    kglob = cells.agg(
+        F.count_distinct(F.col("__t")).alias("__kglob")
+    )
+    rng = (
+        cells.groupBy("__b")
+        .agg(
+            F.round(F.max("__x") - F.min("__x"), 6).alias("__rg"),
+            F.count("*").alias("__kb"),
+        )
+        .crossJoin(F.broadcast(kglob))
+        .filter(F.col("__kb") == F.col("__kglob"))
+    )
+    rv = rng.groupBy("__rg").agg(F.count("*").alias("__tc"))
+    wr = Window.orderBy("__rg").rowsBetween(Window.unboundedPreceding, -1)
+    rvr = rv.select(
+        "__rg",
+        (
+            F.coalesce(F.sum("__tc").over(wr), F.lit(0)).cast("double")
+            + (F.col("__tc").cast("double") + 1.0) / 2.0
+        ).alias("__q"),
+    )
+    blocks = rng.join(F.broadcast(rvr), "__rg").select("__b", "__q", "__kb")
+    full = ranked.join(F.broadcast(blocks), "__b")
+    kf = full.agg(F.max("__kb").alias("__kmax"), F.min("__kb").alias("__kmin"))
+    # S_ij = Q_i·(r_ij − (k+1)/2); fold A = ΣS², per-treatment S_j
+    per_t = (
+        full.crossJoin(F.broadcast(kf))
+        .select(
+            "__t",
+            "__kmax",
+            "__kmin",
+            (
+                F.col("__q")
+                * (F.col("__r") - (F.col("__kmax").cast("double") + 1.0) / 2.0)
+            ).alias("__s"),
+        )
+        .groupBy("__t", "__kmax", "__kmin")
+        .agg(
+            F.sum("__s").alias("__sj"),
+            F.sum(F.col("__s") * F.col("__s")).alias("__a"),
+            F.count("*").alias("__nb"),
+        )
+    )
+    agg = per_t.agg(
+        F.max("__nb").cast("long").alias("n_blocks"),
+        F.count("*").cast("long").alias("k"),
+        F.max("__kmax").alias("__kmax"),
+        F.min("__kmin").alias("__kmin"),
+        F.min("__nb").cast("long").alias("__nbmin"),
+        F.sum("__a").alias("__aa"),
+        F.sum(F.col("__sj") * F.col("__sj")).alias("__bsum"),
+    )
+    n = F.col("n_blocks").cast("double")
+    k = F.col("k").cast("double")
+    b = F.col("__bsum") / n
+    a = F.col("__aa")
+    ok = (
+        (F.col("n_blocks") >= 2)
+        & (F.col("k") >= 2)
+        & (F.col("__kmax") == F.col("k"))
+        & (F.col("__kmin") == F.col("k"))
+        & (F.col("__nbmin") == F.col("n_blocks"))
+        & (a - b > 0)
+    )
+    f_quade = (n - 1.0) * b / (a - b)
+    return agg.select(
+        "n_blocks",
+        "k",
+        F.round(F.when(ok, f_quade), 6).alias("f_quade"),
+        F.when(ok, (k - 1.0).cast("long")).alias("dof1"),
+        F.when(ok, ((n - 1.0) * (k - 1.0)).cast("long")).alias("dof2"),
+    )

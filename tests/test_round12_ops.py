@@ -229,3 +229,162 @@ def test_stuart_maxwell_wrong_k_raises(spark):
     df = spark.createDataFrame([("a", "b")], "x string, y string")
     with pytest.raises(ValueError, match="exactly 3"):
         stuart_maxwell_test(df, "x", "y", ("a", "b"))
+
+
+# ---- wave 2 ----
+
+
+def _midranks(pooled):
+    """value -> midrank over the pooled list."""
+    s = sorted(pooled)
+    out = {}
+    i = 0
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        out[s[i]] = (i + 1 + j) / 2.0
+        i = j
+    return out
+
+
+def test_brunner_munzel_matches_python(spark):
+    from reddit_etl_spark.operators.relational import brunner_munzel
+
+    a = [1.0, 2.0, 2.0, 4.0, 7.0, 9.0]
+    b = [3.0, 4.0, 5.0, 6.0, 6.0, 8.0, 10.0]
+    rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+    df = spark.createDataFrame(rows, "value double, g string")
+    got = brunner_munzel(df, "value", "g", "a", "b").collect()[0]
+    mr = _midranks(a + b)
+    ra = [mr[v] for v in a]
+    rb = [mr[v] for v in b]
+    mra = {}
+    mrb = {}
+    for d, src in ((mra, a), (mrb, b)):
+        d.update(_midranks(src))
+    na, nb = len(a), len(b)
+    rbar_a = sum(ra) / na
+    rbar_b = sum(rb) / nb
+    s2a = sum(
+        (mr[v] - mra[v] - rbar_a + (na + 1) / 2.0) ** 2 for v in a
+    ) / (na - 1)
+    s2b = sum(
+        (mr[v] - mrb[v] - rbar_b + (nb + 1) / 2.0) ** 2 for v in b
+    ) / (nb - 1)
+    p_hat = (rbar_b - (nb + 1) / 2.0) / na
+    pooled = na * s2a + nb * s2b
+    w = na * nb * (rbar_b - rbar_a) / ((na + nb) * math.sqrt(pooled))
+    dfree = pooled**2 / (
+        (na * s2a) ** 2 / (na - 1) + (nb * s2b) ** 2 / (nb - 1)
+    )
+    assert got["n_a"] == na and got["n_b"] == nb
+    assert got["p_hat"] == pytest.approx(p_hat, abs=1e-6)
+    assert got["w_bm"] == pytest.approx(w, abs=1e-6)
+    assert got["df_bm"] == pytest.approx(dfree, abs=1e-5)
+
+
+def test_cucconi_matches_python(spark):
+    from reddit_etl_spark.operators.relational import cucconi_test
+
+    a = [1.0, 3.0, 5.0, 7.0, 9.0, 11.0]
+    b = [4.0, 5.0, 6.0, 6.5, 7.0]
+    rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+    df = spark.createDataFrame(rows, "value double, g string")
+    got = cucconi_test(df, "value", "g", "a", "b").collect()[0]
+    mr = _midranks(a + b)
+    rb = [mr[v] for v in b]
+    na, nb = len(a), len(b)
+    nn = na + nb
+    sr2 = sum(r * r for r in rb)
+    ss2 = sum((nn + 1 - r) ** 2 for r in rb)
+    den = math.sqrt(na * nb * (nn + 1) * (2 * nn + 1) * (8 * nn + 11) / 5.0)
+    u = (6 * sr2 - nb * (nn + 1) * (2 * nn + 1)) / den
+    v = (6 * ss2 - nb * (nn + 1) * (2 * nn + 1)) / den
+    rho = 2.0 * (nn * nn - 4) / ((2 * nn + 1) * (8 * nn + 11)) - 1.0
+    c = (u * u + v * v - 2 * rho * u * v) / (2 * (1 - rho * rho))
+    assert got["u_stat"] == pytest.approx(u, abs=1e-6)
+    assert got["v_stat"] == pytest.approx(v, abs=1e-6)
+    assert got["rho"] == pytest.approx(rho, abs=1e-6)
+    assert got["c_stat"] == pytest.approx(c, abs=1e-6)
+
+
+def test_quade_matches_python(spark):
+    from reddit_etl_spark.operators.relational import quade_test
+
+    # Conover's classic layout shape: 5 blocks x 3 treatments
+    data = {
+        ("b1", "t1"): 2.0, ("b1", "t2"): 5.0, ("b1", "t3"): 7.0,
+        ("b2", "t1"): 1.0, ("b2", "t2"): 1.5, ("b2", "t3"): 2.0,
+        ("b3", "t1"): 3.0, ("b3", "t2"): 3.0, ("b3", "t3"): 9.0,
+        ("b4", "t1"): 4.0, ("b4", "t2"): 6.0, ("b4", "t3"): 5.0,
+        ("b5", "t1"): 1.0, ("b5", "t2"): 8.0, ("b5", "t3"): 8.5,
+    }
+    rows = [(b, t, v) for (b, t), v in data.items()]
+    df = spark.createDataFrame(rows, "b string, t string, v double")
+    got = quade_test(df, "b", "t", "v").collect()[0]
+    blocks = sorted({b for b, _ in data})
+    treats = sorted({t for _, t in data})
+    k, n = len(treats), len(blocks)
+    # within-block midranks
+    r = {}
+    for b in blocks:
+        vals = [data[(b, t)] for t in treats]
+        mr = _midranks(vals)
+        for t in treats:
+            r[(b, t)] = mr[data[(b, t)]]
+    rng = {b: max(data[(b, t)] for t in treats) - min(data[(b, t)] for t in treats) for b in blocks}
+    qmr = _midranks(list(rng.values()))
+    q = {b: qmr[rng[b]] for b in blocks}
+    s = {(b, t): q[b] * (r[(b, t)] - (k + 1) / 2.0) for b in blocks for t in treats}
+    a_stat = sum(v * v for v in s.values())
+    sj = {t: sum(s[(b, t)] for b in blocks) for t in treats}
+    b_stat = sum(v * v for v in sj.values()) / n
+    f = (n - 1) * b_stat / (a_stat - b_stat)
+    assert got["n_blocks"] == n and got["k"] == k
+    assert got["f_quade"] == pytest.approx(f, abs=1e-6)
+    assert got["dof1"] == k - 1 and got["dof2"] == (n - 1) * (k - 1)
+
+
+def test_quade_drops_incomplete_blocks(spark):
+    from reddit_etl_spark.operators.relational import quade_test
+
+    rows = [
+        ("b1", "t1", 1.0), ("b1", "t2", 2.0),
+        ("b2", "t1", 3.0), ("b2", "t2", 1.0),
+        ("b3", "t1", 5.0),  # incomplete -> dropped
+    ]
+    df = spark.createDataFrame(rows, "b string, t string, v double")
+    got = quade_test(df, "b", "t", "v").collect()[0]
+    assert got["n_blocks"] == 2 and got["k"] == 2
+
+
+def test_hosmer_lemeshow_matches_python(spark):
+    from reddit_etl_spark.operators.classify import hosmer_lemeshow
+
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for _ in range(500):
+        p = round(rnd.random(), 3)
+        y = 1 if rnd.random() < p else 0
+        rows.append((p, y))
+    df = spark.createDataFrame(rows, "p double, y int")
+    got = hosmer_lemeshow(df, "p", "y", bins=10).collect()[0]
+    # python mirror with the same clamped-micros binning
+    binned = {}
+    for p, y in rows:
+        pm = math.floor(min(p, 1.0) * 1000000 + 0.5)
+        b = min((pm * 10) // 1000000, 9)
+        n, sy, sp = binned.get(b, (0, 0, 0))
+        binned[b] = (n + 1, sy + y, sp + pm)
+    chi2, ub = 0.0, 0
+    for n, sy, sp in binned.values():
+        e = sp / 1000000.0
+        if 0 < e < n:
+            chi2 += (sy - e) ** 2 / (e * (1 - e / n))
+            ub += 1
+    assert got["n"] == 500
+    assert got["chi2_hl"] == pytest.approx(chi2, abs=1e-6)
+    assert got["dof"] == ub - 2
