@@ -99,11 +99,6 @@ _PROMOTED = [
     # head as base and displaces one filler back to _DEFERRED, so
     # the head stays exactly 50 at every commit and new queries are
     # attested the same round they are born (backlog stays 0).
-    "duplicate_spans",
-    "event_pattern_counts",
-    "fuzzy_name_pairs",
-    "gap_fill_hourly",
-    "heavy_hitters_mg",
     "hits_cust_supp",
     "hybrid_search_rrf",
     "incremental_minhash",
@@ -128,6 +123,11 @@ _DEFERRED = [
     # artifacts every round. The 31 stalest r05-attested entries
     # moved up to _PROMOTED block 2 (oldest-attestation rule).
     # (r05 fillers displaced back by round-12 wave-1 registrations)
+    "duplicate_spans",
+    "event_pattern_counts",
+    "fuzzy_name_pairs",
+    "gap_fill_hourly",
+    "heavy_hitters_mg",
     "dedup_ngram_jaccard",
     "document_chunks",
     "dq_report_orders",

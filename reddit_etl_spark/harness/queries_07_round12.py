@@ -860,3 +860,403 @@ def hosmer_lemeshow_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").alias("y"),
     )
     return hosmer_lemeshow(scored, "p", "y", bins=10)
+
+
+# ---- wave 3: closed-form regression + causal designs ----
+
+
+@_q(
+    "ols2_lineitem_price",
+    """
+    WITH base AS (
+      SELECT CAST(ROUND(l_extendedprice * 1000000, 0) AS BIGINT) AS y,
+             CAST(ROUND(l_quantity * 1000000, 0) AS BIGINT) AS x1,
+             CAST(ROUND(l_discount * 1000000, 0) AS BIGINT) AS x2
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        AND l_discount IS NOT NULL),
+    ag AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x1::HUGEINT) AS s1,
+             SUM(x2::HUGEINT) AS s2,
+             SUM(y::HUGEINT) AS sy,
+             SUM(x1::HUGEINT * x1) AS s11,
+             SUM(x2::HUGEINT * x2) AS s22,
+             SUM(x1::HUGEINT * x2) AS s12,
+             SUM(x1::HUGEINT * y) AS s1y,
+             SUM(x2::HUGEINT * y) AS s2y,
+             SUM(y::HUGEINT * y) AS syy
+      FROM base),
+    d AS (
+      SELECT n, CAST(n AS DOUBLE) AS nd,
+             CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / 1e6 AS d1,
+             CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / 1e6 AS d2,
+             CAST(CAST(sy AS VARCHAR) AS DOUBLE) / 1e6 AS dy,
+             CAST(CAST(s11 AS VARCHAR) AS DOUBLE) / 1e12 AS d11,
+             CAST(CAST(s22 AS VARCHAR) AS DOUBLE) / 1e12 AS d22,
+             CAST(CAST(s12 AS VARCHAR) AS DOUBLE) / 1e12 AS d12,
+             CAST(CAST(s1y AS VARCHAR) AS DOUBLE) / 1e12 AS d1y,
+             CAST(CAST(s2y AS VARCHAR) AS DOUBLE) / 1e12 AS d2y,
+             CAST(CAST(syy AS VARCHAR) AS DOUBLE) / 1e12 AS dyy
+      FROM ag),
+    c AS (
+      SELECT n, nd, d1, d2, dy,
+             d11 - d1 * d1 / nd AS c11,
+             d22 - d2 * d2 / nd AS c22,
+             d12 - d1 * d2 / nd AS c12,
+             d1y - d1 * dy / nd AS c1y,
+             d2y - d2 * dy / nd AS c2y,
+             dyy - dy * dy / nd AS cyy
+      FROM d),
+    b AS (
+      SELECT n, nd, d1, d2, dy, c1y, c2y, cyy,
+             c11 * c22 - c12 * c12 AS det,
+             (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+             (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2
+      FROM c),
+    f AS (
+      SELECT n, nd,
+             (dy - b1 * d1 - b2 * d2) / nd AS b0, b1, b2,
+             (b1 * c1y + b2 * c2y) / cyy AS r2,
+             n >= 4 AND det > 0 AND cyy > 0 AS ok
+      FROM b)
+    SELECT n,
+           ROUND(CASE WHEN ok THEN b0 END, 6) AS b0,
+           ROUND(CASE WHEN ok THEN b1 END, 6) AS b1,
+           ROUND(CASE WHEN ok THEN b2 END, 6) AS b2,
+           ROUND(CASE WHEN ok THEN r2 END, 6) AS r2,
+           ROUND(CASE WHEN ok THEN
+             1.0 - (1.0 - r2) * (nd - 1.0) / (nd - 3.0) END, 6) AS adj_r2
+    FROM f
+    """,
+    doc="Two-regressor closed-form OLS: extendedprice ~ quantity + "
+    "discount (operators/relational.py:ols2) — the rung above "
+    "ols_order_value's simple regression: Cramer-rule solve of the "
+    "centered normal equations from NINE exact DECIMAL moments in "
+    "ONE map-side aggregate; the honest ceiling of closed-form "
+    "regression before an iterative solver",
+)
+def ols2_lineitem_price_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import ols2
+
+    li = load(spark, sf_dir, "lineitem")
+    return ols2(li, "l_extendedprice", "l_quantity", "l_discount")
+
+
+@_q(
+    "deming_part_price",
+    """
+    WITH unit AS (
+      SELECT l_partkey,
+             ROUND(CAST(SUM(CAST(l_extendedprice / l_quantity
+                   AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS y
+      FROM lineitem WHERE l_quantity > 0 GROUP BY 1),
+    base AS (
+      SELECT CAST(ROUND(p.p_retailprice * 1000000, 0) AS BIGINT) AS x,
+             CAST(ROUND(u.y * 1000000, 0) AS BIGINT) AS y
+      FROM unit u JOIN part p ON u.l_partkey = p.p_partkey
+      WHERE p.p_retailprice IS NOT NULL),
+    ag AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x::HUGEINT) AS sx,
+             SUM(y::HUGEINT) AS sy,
+             SUM(x::HUGEINT * x) AS sxx,
+             SUM(y::HUGEINT * y) AS syy,
+             SUM(x::HUGEINT * y) AS sxy
+      FROM base),
+    d AS (
+      SELECT n, CAST(n AS DOUBLE) AS nd,
+             CAST(CAST(sx AS VARCHAR) AS DOUBLE) / 1e6 AS dx,
+             CAST(CAST(sy AS VARCHAR) AS DOUBLE) / 1e6 AS dy,
+             CAST(CAST(sxx AS VARCHAR) AS DOUBLE) / 1e12 AS dxx,
+             CAST(CAST(syy AS VARCHAR) AS DOUBLE) / 1e12 AS dyy,
+             CAST(CAST(sxy AS VARCHAR) AS DOUBLE) / 1e12 AS dxy
+      FROM ag),
+    c AS (
+      SELECT n, nd, dx, dy,
+             dxx / nd - (dx / nd) * (dx / nd) AS sxx,
+             dyy / nd - (dy / nd) * (dy / nd) AS syy,
+             dxy / nd - (dx / nd) * (dy / nd) AS sxy
+      FROM d),
+    b AS (
+      SELECT n, nd, dx, dy, sxx, syy, sxy,
+             (syy - 1.0 * sxx
+              + SQRT((syy - 1.0 * sxx) * (syy - 1.0 * sxx)
+                     + 4.0 * 1.0 * sxy * sxy)) / (2.0 * sxy) AS beta,
+             n >= 3 AND sxy <> 0 AND sxx > 0 AND syy > 0 AS ok
+      FROM c)
+    SELECT n,
+           ROUND(CASE WHEN ok THEN beta END, 6) AS slope,
+           ROUND(CASE WHEN ok THEN dy / nd - beta * (dx / nd) END, 6)
+             AS intercept,
+           ROUND(CASE WHEN ok THEN sxy / SQRT(sxx * syy) END, 6)
+             AS pearson_r
+    FROM b
+    """,
+    doc="Deming errors-in-variables line between catalog retail price "
+    "and observed mean unit sell price per part "
+    "(operators/relational.py:deming_regression, λ=1) — the method-"
+    "comparison regression for two NOISY measurements of the same "
+    "quantity, where OLS attenuates the slope. Per-part mean unit "
+    "price via the stable_avg discipline; five exact DECIMAL "
+    "moments, closed-form β",
+)
+def deming_part_price_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import deming_regression
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    unit = li.groupBy("l_partkey").agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") / F.col("l_quantity")).cast(
+                    "decimal(18,6)"
+                )
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("y")
+    )
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_retailprice").isNotNull()
+    )
+    base = unit.join(
+        part.select(
+            F.col("p_partkey").alias("l_partkey"), "p_retailprice"
+        ),
+        "l_partkey",
+    )
+    return deming_regression(base, "p_retailprice", "y")
+
+
+@_q(
+    "ipw_ate_urgent_value",
+    """
+    WITH base AS (
+      SELECT o_orderstatus AS s1,
+             CAST(year(o_orderdate) AS BIGINT) AS s2,
+             o_orderpriority = '1-URGENT' AS t,
+             CAST(o_totalprice AS DECIMAL(18,6)) AS y
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+    per_s AS (
+      SELECT s1, s2,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(CASE WHEN t THEN 1 END) AS BIGINT) AS nt,
+             SUM(CASE WHEN t THEN CAST(y AS DECIMAL(38,6)) END) AS syt,
+             SUM(CASE WHEN NOT t THEN CAST(y AS DECIMAL(38,6)) END) AS syc
+      FROM base GROUP BY 1, 2),
+    m AS (
+      SELECT n, nt,
+             nt > 0 AND nt < n AS used,
+             CAST(n AS DOUBLE) AS ns, CAST(nt AS DOUBLE) AS ntd,
+             COALESCE(CAST(CAST(syt AS VARCHAR) AS DOUBLE), 0.0) AS dyt,
+             COALESCE(CAST(CAST(syc AS VARCHAR) AS DOUBLE), 0.0) AS dyc,
+             syt, syc
+      FROM per_s),
+    ag AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_strata,
+             CAST(SUM(CASE WHEN used THEN n END) AS BIGINT) AS n_used,
+             SUM(CASE WHEN used THEN
+                 dyt / (ntd / ns) - dyc / (1.0 - ntd / ns) END) AS ipw,
+             SUM(CASE WHEN used THEN
+                 ns * (dyt / ntd - dyc / (ns - ntd)) END) AS strat,
+             CAST(SUM(CASE WHEN used THEN nt END) AS BIGINT) AS tt,
+             SUM(CASE WHEN used THEN CAST(syt AS DECIMAL(38,6)) END)
+               AS syt,
+             SUM(CASE WHEN used THEN CAST(syc AS DECIMAL(38,6)) END)
+               AS syc
+      FROM m),
+    f AS (
+      SELECT n, n_strata, COALESCE(n_used, 0) AS n_used, ipw, strat,
+             CAST(COALESCE(n_used, 0) AS DOUBLE) AS nu,
+             CAST(tt AS DOUBLE) AS ttd,
+             CAST(CAST(syt AS VARCHAR) AS DOUBLE) AS dyt,
+             CAST(CAST(syc AS VARCHAR) AS DOUBLE) AS dyc
+      FROM ag)
+    SELECT n, n_strata, n_used,
+           ROUND(CASE WHEN n_used > 0 THEN
+             dyt / ttd - dyc / (nu - ttd) END, 6) AS naive_diff,
+           ROUND(CASE WHEN n_used > 0 THEN ipw / nu END, 6) AS ate_ipw,
+           ROUND(CASE WHEN n_used > 0 THEN strat / nu END, 6)
+             AS ate_strat
+    FROM f
+    """,
+    doc="Stratified IPW average treatment effect of URGENT priority "
+    "on order value, strata = (status, order year) "
+    "(operators/relational.py:ipw_ate) — the observed-confounder "
+    "causal rung between cem_urgent_orders (drops unmatched "
+    "strata) and cuped_user_value (randomized): within-stratum "
+    "treatment share IS the propensity; Horvitz-Thompson and the "
+    "blocking estimator ride the same aggregate so their gap is a "
+    "one-subtraction audit. No-overlap strata drop from both "
+    "(documented, mirrored)",
+)
+def ipw_ate_urgent_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import ipw_ate
+
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull()
+    )
+    base = orders.select(
+        F.col("o_orderstatus").alias("s1"),
+        F.year("o_orderdate").cast("long").alias("s2"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("t"),
+        F.col("o_totalprice").alias("y"),
+    )
+    return ipw_ate(base, "t", "y", ["s1", "s2"])
+
+
+@_q(
+    "rdd_urgent_rate_price",
+    """
+    WITH base AS (
+      SELECT CAST(ROUND((o_totalprice - 250000.0) * 1000000, 0)
+                  AS BIGINT) AS x,
+             CAST(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1000000 ELSE 0 END AS BIGINT) AS y
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+        AND o_totalprice >= 150000.0 AND o_totalprice < 350000.0),
+    ag AS (
+      SELECT
+        CAST(COUNT(CASE WHEN x < 0 THEN 1 END) AS BIGINT) AS nl,
+        SUM(CASE WHEN x < 0 THEN x::HUGEINT END) AS sxl,
+        SUM(CASE WHEN x < 0 THEN y::HUGEINT END) AS syl,
+        SUM(CASE WHEN x < 0 THEN x::HUGEINT * x END) AS sxxl,
+        SUM(CASE WHEN x < 0 THEN x::HUGEINT * y END) AS sxyl,
+        CAST(COUNT(CASE WHEN x >= 0 THEN 1 END) AS BIGINT) AS nr,
+        SUM(CASE WHEN x >= 0 THEN x::HUGEINT END) AS sxr,
+        SUM(CASE WHEN x >= 0 THEN y::HUGEINT END) AS syr,
+        SUM(CASE WHEN x >= 0 THEN x::HUGEINT * x END) AS sxxr,
+        SUM(CASE WHEN x >= 0 THEN x::HUGEINT * y END) AS sxyr
+      FROM base),
+    d AS (
+      SELECT nl, nr,
+             CAST(nl AS DOUBLE) AS nld, CAST(nr AS DOUBLE) AS nrd,
+             CAST(CAST(sxl AS VARCHAR) AS DOUBLE) / 1e6 AS dxl,
+             CAST(CAST(syl AS VARCHAR) AS DOUBLE) / 1e6 AS dyl,
+             CAST(CAST(sxxl AS VARCHAR) AS DOUBLE) / 1e12 AS dxxl,
+             CAST(CAST(sxyl AS VARCHAR) AS DOUBLE) / 1e12 AS dxyl,
+             CAST(CAST(sxr AS VARCHAR) AS DOUBLE) / 1e6 AS dxr,
+             CAST(CAST(syr AS VARCHAR) AS DOUBLE) / 1e6 AS dyr,
+             CAST(CAST(sxxr AS VARCHAR) AS DOUBLE) / 1e12 AS dxxr,
+             CAST(CAST(sxyr AS VARCHAR) AS DOUBLE) / 1e12 AS dxyr
+      FROM ag),
+    c AS (
+      SELECT nl, nr, nld, nrd, dxl, dyl, dxr, dyr,
+             dxxl - dxl * dxl / nld AS cxxl,
+             dxyl - dxl * dyl / nld AS cxyl,
+             dxxr - dxr * dxr / nrd AS cxxr,
+             dxyr - dxr * dyr / nrd AS cxyr
+      FROM d),
+    s AS (
+      SELECT nl, nr,
+             cxyl / cxxl AS sl,
+             (dyl - (cxyl / cxxl) * dxl) / nld AS il,
+             cxyr / cxxr AS sr,
+             (dyr - (cxyr / cxxr) * dxr) / nrd AS ir,
+             nl >= 3 AND cxxl > 0 AS okl,
+             nr >= 3 AND cxxr > 0 AS okr
+      FROM c)
+    SELECT nl AS n_left, nr AS n_right,
+           ROUND(CASE WHEN okl AND okr THEN ir - il END, 6) + 0.0 AS jump,
+           ROUND(CASE WHEN okl THEN il END, 6) + 0.0 AS intercept_left,
+           ROUND(CASE WHEN okr THEN ir END, 6) + 0.0
+             AS intercept_right,
+           ROUND(CASE WHEN okl THEN sl END, 6) + 0.0 AS slope_left,
+           ROUND(CASE WHEN okr THEN sr END, 6) + 0.0 AS slope_right
+    FROM s
+    """,
+    doc="Sharp regression discontinuity: jump in the urgent-or-high "
+    "priority RATE at the 250k order-value cutoff, bandwidth 100k "
+    "(operators/relational.py:rdd_sharp) — the threshold-assignment "
+    "causal design did/ipw can't cover: local LINEAR fit each side "
+    "from exact DECIMAL moments of the centered running variable, "
+    "ONE conditional aggregate, rectangular kernel (deterministic)",
+)
+def rdd_urgent_rate_price_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import rdd_sharp
+
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull()
+    )
+    base = orders.select(
+        "o_totalprice",
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("int")
+        .alias("y"),
+    )
+    return rdd_sharp(base, "o_totalprice", "y", 250000.0, 100000.0)
+
+
+@_q(
+    "weighted_corr_lineitem",
+    """
+    WITH base AS (
+      SELECT CAST(ROUND(l_discount * 1000000, 0) AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 1000000, 0) AS BIGINT) AS y,
+             CAST(ROUND(l_quantity * 1000000, 0) AS BIGINT) AS w
+      FROM lineitem
+      WHERE l_discount IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_quantity IS NOT NULL AND l_quantity > 0),
+    ag AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(w::HUGEINT) AS sw,
+             SUM(w::HUGEINT * x) AS swx,
+             SUM(w::HUGEINT * y) AS swy,
+             SUM(w::HUGEINT * x * x) AS swxx,
+             SUM(w::HUGEINT * y * y) AS swyy,
+             SUM(w::HUGEINT * x * y) AS swxy,
+             SUM(x::HUGEINT) AS sx,
+             SUM(y::HUGEINT) AS sy,
+             SUM(x::HUGEINT * x) AS sxx,
+             SUM(y::HUGEINT * y) AS syy,
+             SUM(x::HUGEINT * y) AS sxy
+      FROM base),
+    d AS (
+      SELECT n,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(CAST(sw AS VARCHAR) AS DOUBLE) / 1e6 AS dw,
+             CAST(CAST(swx AS VARCHAR) AS DOUBLE) / 1e12 AS dwx,
+             CAST(CAST(swy AS VARCHAR) AS DOUBLE) / 1e12 AS dwy,
+             CAST(CAST(swxx AS VARCHAR) AS DOUBLE) / 1e18 AS dwxx,
+             CAST(CAST(swyy AS VARCHAR) AS DOUBLE) / 1e18 AS dwyy,
+             CAST(CAST(swxy AS VARCHAR) AS DOUBLE) / 1e18 AS dwxy,
+             CAST(CAST(sx AS VARCHAR) AS DOUBLE) / 1e6 AS dx,
+             CAST(CAST(sy AS VARCHAR) AS DOUBLE) / 1e6 AS dy,
+             CAST(CAST(sxx AS VARCHAR) AS DOUBLE) / 1e12 AS dxx,
+             CAST(CAST(syy AS VARCHAR) AS DOUBLE) / 1e12 AS dyy,
+             CAST(CAST(sxy AS VARCHAR) AS DOUBLE) / 1e12 AS dxy
+      FROM ag),
+    c AS (
+      SELECT n, dw,
+             dwxx - dwx * dwx / dw AS cxx,
+             dwyy - dwy * dwy / dw AS cyy,
+             dwxy - dwx * dwy / dw AS cxy,
+             dxx - dx * dx / nd AS uxx,
+             dyy - dy * dy / nd AS uyy,
+             dxy - dx * dy / nd AS uxy
+      FROM d)
+    SELECT n,
+           ROUND(dw, 6) AS sum_w,
+           ROUND(CASE WHEN n >= 2 AND cxx > 0 AND cyy > 0 THEN
+             cxy / SQRT(cxx * cyy) END, 6) AS r_weighted,
+           ROUND(CASE WHEN n >= 2 AND uxx > 0 AND uyy > 0 THEN
+             uxy / SQRT(uxx * uyy) END, 6) AS r_unweighted
+    FROM c
+    """,
+    doc="Quantity-weighted Pearson correlation between discount and "
+    "extended price (operators/relational.py:weighted_corr) — "
+    "q12_correlations' CORR counts a 50-unit lineitem as one row of "
+    "evidence; the weighted moments count it as fifty. Six weighted "
+    "+ five unweighted exact DECIMAL moments off ONE aggregate; the "
+    "unweighted r rides along so the weighting's effect is one "
+    "subtraction",
+)
+def weighted_corr_lineitem_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import weighted_corr
+
+    li = load(spark, sf_dir, "lineitem")
+    return weighted_corr(li, "l_discount", "l_extendedprice", "l_quantity")

@@ -8224,3 +8224,406 @@ def quade_test(
         F.when(ok, (k - 1.0).cast("long")).alias("dof1"),
         F.when(ok, ((n - 1.0) * (k - 1.0)).cast("long")).alias("dof2"),
     )
+
+
+def ols2(
+    df: DataFrame, y_col: str, x1_col: str, x2_col: str
+) -> DataFrame:
+    """Two-regressor OLS with intercept, CLOSED FORM — the rung above
+    ols_order_value's simple regression and beside partial_corr
+    (which reports the same conditional relationship as a
+    correlation): ŷ = b0 + b1·x1 + b2·x2, solved from centered
+    moments by Cramer's rule, so the whole fit is ONE map-side-
+    combined aggregate — no gradient loop, no matrix library, no
+    second pass. The honest ceiling of closed-form regression on a
+    100 TB table before you need an iterative solver.
+
+    Exactness: the micro-integer moment discipline (the cohens_d
+    cents pattern, 1e6 grain): inputs quantize to BIGINT micros, so
+    every raw moment (Σx, Σx², Σxy, …) is an exact DECIMAL(38,0)/
+    HUGEINT integer in one aggregate; both engines then run the
+    IDENTICAL integer→string→double→descale conversion, so the
+    centered moments, the 2×2 Cramer solve and R²/adj-R² are
+    bit-identical doubles.
+
+    Plan at scale: ONE aggregate, one 1-row projection.
+
+    Returns one row: (n BIGINT, b0, b1, b2, r2, adj_r2) — NULLs
+    when the design degenerates (collinear regressors or n < 4).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(
+        F.col(y_col).isNotNull()
+        & F.col(x1_col).isNotNull()
+        & F.col(x2_col).isNotNull()
+    ).select(
+        F.round(F.col(y_col) * 1000000, 0).cast("long").alias("__y"),
+        F.round(F.col(x1_col) * 1000000, 0).cast("long").alias("__x1"),
+        F.round(F.col(x2_col) * 1000000, 0).cast("long").alias("__x2"),
+    )
+    y, x1, x2 = dec(F.col("__y")), dec(F.col("__x1")), dec(F.col("__x2"))
+    agg = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x1).cast("decimal(38,0)").alias("__s1"),
+        F.sum(x2).cast("decimal(38,0)").alias("__s2"),
+        F.sum(y).cast("decimal(38,0)").alias("__sy"),
+        F.sum((x1 * x1).cast("decimal(38,0)")).cast("decimal(38,0)").alias("__s11"),
+        F.sum((x2 * x2).cast("decimal(38,0)")).cast("decimal(38,0)").alias("__s22"),
+        F.sum((x1 * x2).cast("decimal(38,0)")).cast("decimal(38,0)").alias("__s12"),
+        F.sum((x1 * y).cast("decimal(38,0)")).cast("decimal(38,0)").alias("__s1y"),
+        F.sum((x2 * y).cast("decimal(38,0)")).cast("decimal(38,0)").alias("__s2y"),
+        F.sum((y * y).cast("decimal(38,0)")).cast("decimal(38,0)").alias("__syy"),
+    )
+
+    def dbl1(c):
+        return F.col(c).cast("string").cast("double") / 1e6
+
+    def dbl2(c):
+        return F.col(c).cast("string").cast("double") / 1e12
+
+    n = F.col("n").cast("double")
+    c11 = dbl2("__s11") - dbl1("__s1") * dbl1("__s1") / n
+    c22 = dbl2("__s22") - dbl1("__s2") * dbl1("__s2") / n
+    c12 = dbl2("__s12") - dbl1("__s1") * dbl1("__s2") / n
+    c1y = dbl2("__s1y") - dbl1("__s1") * dbl1("__sy") / n
+    c2y = dbl2("__s2y") - dbl1("__s2") * dbl1("__sy") / n
+    cyy = dbl2("__syy") - dbl1("__sy") * dbl1("__sy") / n
+    det = c11 * c22 - c12 * c12
+    b1 = (c1y * c22 - c2y * c12) / det
+    b2 = (c2y * c11 - c1y * c12) / det
+    b0 = (dbl1("__sy") - b1 * dbl1("__s1") - b2 * dbl1("__s2")) / n
+    r2 = (b1 * c1y + b2 * c2y) / cyy
+    adj = 1.0 - (1.0 - r2) * (n - 1.0) / (n - 3.0)
+    ok = (F.col("n") >= 4) & (det > 0) & (cyy > 0)
+    return agg.select(
+        "n",
+        F.round(F.when(ok, b0), 6).alias("b0"),
+        F.round(F.when(ok, b1), 6).alias("b1"),
+        F.round(F.when(ok, b2), 6).alias("b2"),
+        F.round(F.when(ok, r2), 6).alias("r2"),
+        F.round(F.when(ok, adj), 6).alias("adj_r2"),
+    )
+
+
+def deming_regression(
+    df: DataFrame, x_col: str, y_col: str, lam: float = 1.0
+) -> DataFrame:
+    """Deming (errors-in-variables) regression — OLS assumes x is
+    measured without error and attenuates the slope toward zero when
+    it isn't; when BOTH axes are noisy measurements of the same
+    latent quantity (catalog price vs observed sell price, two
+    sensors, two pipelines), Deming fits the perpendicular-ish
+    distance with error-variance ratio λ and is the standard
+    method-comparison line (clinical chemistry's workhorse).
+    Closed form: β = (s_yy − λ·s_xx + √((s_yy − λ·s_xx)² +
+    4λ·s_xy²)) / (2·s_xy), α = ȳ − β·x̄.
+
+    Exactness: the micro-integer moment discipline — BIGINT-micros
+    inputs, five exact DECIMAL(38,0)/HUGEINT moments in ONE
+    aggregate, identical integer→string→double→descale conversion
+    on both engines, one double expression (population 1/n moments
+    — the scale cancels in β).
+
+    Plan at scale: ONE map-side-combined aggregate.
+
+    Returns one row: (n BIGINT, slope, intercept, pearson_r) — the
+    OLS-attenuation audit rides along as r; NULLs when s_xy
+    degenerates.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.round(F.col(x_col) * 1000000, 0).cast("long").alias("__x"),
+        F.round(F.col(y_col) * 1000000, 0).cast("long").alias("__y"),
+    )
+    x, y = dec(F.col("__x")), dec(F.col("__y"))
+    agg = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast("decimal(38,0)").alias("__sx"),
+        F.sum(y).cast("decimal(38,0)").alias("__sy"),
+        F.sum((x * x).cast("decimal(38,0)")).cast("decimal(38,0)").alias("__sxx"),
+        F.sum((y * y).cast("decimal(38,0)")).cast("decimal(38,0)").alias("__syy"),
+        F.sum((x * y).cast("decimal(38,0)")).cast("decimal(38,0)").alias("__sxy"),
+    )
+
+    def dbl1(c):
+        return F.col(c).cast("string").cast("double") / 1e6
+
+    def dbl2(c):
+        return F.col(c).cast("string").cast("double") / 1e12
+
+    n = F.col("n").cast("double")
+    sxx = dbl2("__sxx") / n - (dbl1("__sx") / n) * (dbl1("__sx") / n)
+    syy = dbl2("__syy") / n - (dbl1("__sy") / n) * (dbl1("__sy") / n)
+    sxy = dbl2("__sxy") / n - (dbl1("__sx") / n) * (dbl1("__sy") / n)
+    lamf = F.lit(float(lam))
+    beta = (
+        syy
+        - lamf * sxx
+        + F.sqrt(
+            (syy - lamf * sxx) * (syy - lamf * sxx)
+            + 4.0 * lamf * sxy * sxy
+        )
+    ) / (2.0 * sxy)
+    alpha = dbl1("__sy") / n - beta * (dbl1("__sx") / n)
+    r = sxy / F.sqrt(sxx * syy)
+    ok = (F.col("n") >= 3) & (sxy != 0) & (sxx > 0) & (syy > 0)
+    return agg.select(
+        "n",
+        F.round(F.when(ok, beta), 6).alias("slope"),
+        F.round(F.when(ok, alpha), 6).alias("intercept"),
+        F.round(F.when(ok, r), 6).alias("pearson_r"),
+    )
+
+
+def ipw_ate(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    strata_cols,
+) -> DataFrame:
+    """Stratified inverse-propensity-weighted ATE — the causal rung
+    between cem_match (drops unmatched strata entirely) and
+    cuped_readout (variance reduction for randomized data): when
+    treatment assignment is confounded by OBSERVED strata, the
+    within-stratum treatment share IS the propensity e(s), and the
+    Horvitz-Thompson estimator Σ[T·y/e − (1−T)·y/(1−e)]/N debiases
+    the naive difference. The stratification (blocking) estimator
+    Σ (n_s/N)·(ȳ_t,s − ȳ_c,s) rides along — the two agree under
+    exact within-stratum propensities, so a GAP between them is a
+    weighting bug; emitting both makes the audit one subtraction.
+    Strata with e ∈ {0, 1} carry no overlap and drop from BOTH
+    estimators (documented, mirrored in the oracle; n_used reports
+    the surviving mass).
+
+    Exactness: per-stratum n/n_t/Σy_t/Σy_c exact (DECIMAL) off one
+    (strata) aggregate; the folds are double expressions.
+
+    Plan at scale: one map-side-combined (strata) aggregate + one
+    1-row reduce. No window, no join.
+
+    Returns one row: (n BIGINT, n_strata BIGINT, n_used BIGINT,
+    naive_diff, ate_ipw, ate_strat).
+    """
+    strata_cols = list(strata_cols)
+    base = df.filter(
+        F.col(outcome_col).isNotNull() & F.col(treat_col).isNotNull()
+    ).select(
+        *[F.col(c) for c in strata_cols],
+        F.col(treat_col).cast("boolean").alias("__t"),
+        F.col(outcome_col).cast("decimal(18,6)").alias("__y"),
+    )
+    y = F.col("__y")
+    per_s = base.groupBy(*strata_cols).agg(
+        F.count("*").cast("long").alias("__n"),
+        F.count(F.when(F.col("__t"), 1)).cast("long").alias("__nt"),
+        F.sum(F.when(F.col("__t"), y.cast("decimal(38,6)"))).alias("__syt"),
+        F.sum(F.when(~F.col("__t"), y.cast("decimal(38,6)"))).alias("__syc"),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    ns = F.col("__n").cast("double")
+    nt = F.col("__nt").cast("double")
+    nc = ns - nt
+    used = (F.col("__nt") > 0) & (F.col("__nt") < F.col("__n"))
+    e = nt / ns
+    ipw_term = F.coalesce(dbl("__syt"), F.lit(0.0)) / e - F.coalesce(
+        dbl("__syc"), F.lit(0.0)
+    ) / (1.0 - e)
+    strat_term = ns * (
+        F.coalesce(dbl("__syt"), F.lit(0.0)) / nt
+        - F.coalesce(dbl("__syc"), F.lit(0.0)) / nc
+    )
+    agg = per_s.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum(F.when(used, F.col("__n"))).cast("long").alias("n_used"),
+        F.sum(F.when(used, ipw_term)).alias("__ipw"),
+        F.sum(F.when(used, strat_term)).alias("__strat"),
+        F.sum(F.when(used, F.col("__nt"))).cast("long").alias("__tt"),
+        F.sum(F.when(used, F.col("__syt").cast("decimal(38,6)"))).alias(
+            "__syt"
+        ),
+        F.sum(F.when(used, F.col("__syc").cast("decimal(38,6)"))).alias(
+            "__syc"
+        ),
+    )
+    nu = F.col("n_used").cast("double")
+    tt = F.col("__tt").cast("double")
+    naive = dbl("__syt") / tt - dbl("__syc") / (nu - tt)
+    ok = F.col("n_used") > 0
+    return agg.select(
+        "n",
+        "n_strata",
+        F.coalesce(F.col("n_used"), F.lit(0)).cast("long").alias("n_used"),
+        F.round(F.when(ok, naive), 6).alias("naive_diff"),
+        F.round(F.when(ok, F.col("__ipw") / nu), 6).alias("ate_ipw"),
+        F.round(F.when(ok, F.col("__strat") / nu), 6).alias("ate_strat"),
+    )
+
+
+def rdd_sharp(
+    df: DataFrame,
+    running_col: str,
+    outcome_col: str,
+    cutoff: float,
+    bandwidth: float,
+) -> DataFrame:
+    """Sharp regression-discontinuity estimate — the causal design
+    did_event_value (parallel trends) and ipw_ate (observed
+    confounders) can't cover: when treatment flips deterministically
+    at a threshold of a running variable, the JUMP in the outcome at
+    the cutoff is the local treatment effect. Local LINEAR fit on
+    each side within ``bandwidth`` (rectangular kernel — the
+    deterministic choice; triangular weights are a caller-side
+    multiply), jump = intercept_right − intercept_left evaluated AT
+    the cutoff.
+
+    Exactness: per-side OLS via the micro-integer moment discipline
+    on the CENTERED running variable (round((x − cutoff)·1e6) —
+    exact for 6-dp inputs and cutoff), one conditional aggregate
+    for both sides, identical integer→string→double→descale on
+    both engines; slopes, intercepts and the jump are one double
+    expression.
+
+    Plan at scale: ONE map-side-combined aggregate over the
+    bandwidth-filtered scan (filter pushed to the source).
+
+    Returns one row: (n_left BIGINT, n_right BIGINT, jump,
+    intercept_left, intercept_right, slope_left, slope_right) —
+    NULLs when either side degenerates.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(
+        F.col(running_col).isNotNull()
+        & F.col(outcome_col).isNotNull()
+        & (F.col(running_col) >= cutoff - bandwidth)
+        & (F.col(running_col) < cutoff + bandwidth)
+    ).select(
+        F.round((F.col(running_col) - F.lit(cutoff)) * 1000000, 0)
+        .cast("long")
+        .alias("__x"),
+        F.round(F.col(outcome_col) * 1000000, 0).cast("long").alias("__y"),
+    )
+    x, y = dec(F.col("__x")), dec(F.col("__y"))
+    right = F.col("__x") >= 0
+
+    def side(cond, tag):
+        return [
+            F.count(F.when(cond, 1)).cast("long").alias(f"__n{tag}"),
+            F.sum(F.when(cond, x)).cast("decimal(38,0)").alias(f"__sx{tag}"),
+            F.sum(F.when(cond, y)).cast("decimal(38,0)").alias(f"__sy{tag}"),
+            F.sum(F.when(cond, (x * x).cast("decimal(38,0)")))
+            .cast("decimal(38,0)")
+            .alias(f"__sxx{tag}"),
+            F.sum(F.when(cond, (x * y).cast("decimal(38,0)")))
+            .cast("decimal(38,0)")
+            .alias(f"__sxy{tag}"),
+        ]
+
+    agg = base.agg(*side(~right, "l"), *side(right, "r"))
+
+    def dbl1(c):
+        return F.col(c).cast("string").cast("double") / 1e6
+
+    def dbl2(c):
+        return F.col(c).cast("string").cast("double") / 1e12
+
+    out_cols = {}
+    for tag in ("l", "r"):
+        n = F.col(f"__n{tag}").cast("double")
+        cxx = dbl2(f"__sxx{tag}") - dbl1(f"__sx{tag}") * dbl1(f"__sx{tag}") / n
+        cxy = dbl2(f"__sxy{tag}") - dbl1(f"__sx{tag}") * dbl1(f"__sy{tag}") / n
+        slope = cxy / cxx
+        icept = (dbl1(f"__sy{tag}") - slope * dbl1(f"__sx{tag}")) / n
+        ok = (F.col(f"__n{tag}") >= 3) & (cxx > 0)
+        out_cols[tag] = (slope, icept, ok)
+    sl, il, okl = out_cols["l"]
+    sr, ir, okr = out_cols["r"]
+    # + 0.0 folds IEEE negative zero: round(-4e-9, 6) is -0.0 in one
+    # engine and 0.0 in the other, which breaks the value hash
+    return agg.select(
+        F.col("__nl").alias("n_left"),
+        F.col("__nr").alias("n_right"),
+        (F.round(F.when(okl & okr, ir - il), 6) + 0.0).alias("jump"),
+        (F.round(F.when(okl, il), 6) + 0.0).alias("intercept_left"),
+        (F.round(F.when(okr, ir), 6) + 0.0).alias("intercept_right"),
+        (F.round(F.when(okl, sl), 6) + 0.0).alias("slope_left"),
+        (F.round(F.when(okr, sr), 6) + 0.0).alias("slope_right"),
+    )
+
+
+def weighted_corr(
+    df: DataFrame, x_col: str, y_col: str, w_col: str
+) -> DataFrame:
+    """Weighted Pearson correlation — q12_correlations' CORR treats
+    every row equally; when rows carry different mass (a lineitem
+    of quantity 50 is 50 units of evidence about the
+    discount-price relationship, not one), the weighted moments
+    r_w = Σw(x−x̄_w)(y−ȳ_w) / √(Σw(x−x̄_w)²·Σw(y−ȳ_w)²) are the
+    right estimator.
+
+    Exactness: the micro-integer moment discipline — x/y in BIGINT
+    micros, the weight in exact micros too; all weighted and
+    unweighted moments accumulate as exact DECIMAL(38,0)/HUGEINT
+    integers off ONE aggregate; identical integer→string→double→
+    descale conversion on both engines; r is one double expression.
+
+    Plan at scale: ONE map-side-combined aggregate.
+
+    Returns one row: (n BIGINT, sum_w, r_weighted, r_unweighted) —
+    the unweighted r rides along so the weighting's effect is one
+    subtraction.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(
+        F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & F.col(w_col).isNotNull()
+        & (F.col(w_col) > 0)
+    ).select(
+        F.round(F.col(x_col) * 1000000, 0).cast("long").alias("__x"),
+        F.round(F.col(y_col) * 1000000, 0).cast("long").alias("__y"),
+        F.round(F.col(w_col) * 1000000, 0).cast("long").alias("__w"),
+    )
+    x, y, w = dec(F.col("__x")), dec(F.col("__y")), dec(F.col("__w"))
+    agg = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(w).cast("decimal(38,0)").alias("__sw"),
+        F.sum((w * x).cast("decimal(38,0)")).cast("decimal(38,0)").alias("__swx"),
+        F.sum((w * y).cast("decimal(38,0)")).cast("decimal(38,0)").alias("__swy"),
+        F.sum((w * x * x).cast("decimal(38,0)")).cast("decimal(38,0)").alias("__swxx"),
+        F.sum((w * y * y).cast("decimal(38,0)")).cast("decimal(38,0)").alias("__swyy"),
+        F.sum((w * x * y).cast("decimal(38,0)")).cast("decimal(38,0)").alias("__swxy"),
+        F.sum(x).cast("decimal(38,0)").alias("__sx"),
+        F.sum(y).cast("decimal(38,0)").alias("__sy"),
+        F.sum((x * x).cast("decimal(38,0)")).cast("decimal(38,0)").alias("__sxx"),
+        F.sum((y * y).cast("decimal(38,0)")).cast("decimal(38,0)").alias("__syy"),
+        F.sum((x * y).cast("decimal(38,0)")).cast("decimal(38,0)").alias("__sxy"),
+    )
+
+    def raw(c):
+        return F.col(c).cast("string").cast("double")
+
+    # descales: w 1e6; w·x 1e12; w·x·x 1e18; x 1e6; x·x 1e12
+    sw = raw("__sw") / 1e6
+    cxx = raw("__swxx") / 1e18 - (raw("__swx") / 1e12) * (raw("__swx") / 1e12) / sw
+    cyy = raw("__swyy") / 1e18 - (raw("__swy") / 1e12) * (raw("__swy") / 1e12) / sw
+    cxy = raw("__swxy") / 1e18 - (raw("__swx") / 1e12) * (raw("__swy") / 1e12) / sw
+    n = F.col("n").cast("double")
+    uxx = raw("__sxx") / 1e12 - (raw("__sx") / 1e6) * (raw("__sx") / 1e6) / n
+    uyy = raw("__syy") / 1e12 - (raw("__sy") / 1e6) * (raw("__sy") / 1e6) / n
+    uxy = raw("__sxy") / 1e12 - (raw("__sx") / 1e6) * (raw("__sy") / 1e6) / n
+    ok = (F.col("n") >= 2) & (cxx > 0) & (cyy > 0)
+    oku = (F.col("n") >= 2) & (uxx > 0) & (uyy > 0)
+    return agg.select(
+        "n",
+        F.round(sw, 6).alias("sum_w"),
+        F.round(F.when(ok, cxy / F.sqrt(cxx * cyy)), 6).alias("r_weighted"),
+        F.round(F.when(oku, uxy / F.sqrt(uxx * uyy)), 6).alias(
+            "r_unweighted"
+        ),
+    )

@@ -388,3 +388,108 @@ def test_hosmer_lemeshow_matches_python(spark):
     assert got["n"] == 500
     assert got["chi2_hl"] == pytest.approx(chi2, abs=1e-6)
     assert got["dof"] == ub - 2
+
+
+# ---- wave 3 ----
+
+
+def test_ols2_matches_numpy(spark):
+    import numpy as np
+
+    from reddit_etl_spark.operators.relational import ols2
+
+    rng = np.random.RandomState(3)
+    x1 = np.round(rng.uniform(0, 10, 200), 3)
+    x2 = np.round(rng.uniform(-5, 5, 200), 3)
+    y = np.round(2.5 + 1.2 * x1 - 0.7 * x2 + rng.normal(0, 1, 200), 3)
+    rows = [(float(a), float(b), float(c)) for a, b, c in zip(y, x1, x2)]
+    df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
+    got = ols2(df, "y", "x1", "x2").collect()[0]
+    a = np.column_stack([np.ones(200), x1, x2])
+    beta, *_ = np.linalg.lstsq(a, y, rcond=None)
+    resid = y - a @ beta
+    r2 = 1 - (resid**2).sum() / ((y - y.mean()) ** 2).sum()
+    assert got["b0"] == pytest.approx(beta[0], abs=1e-4)
+    assert got["b1"] == pytest.approx(beta[1], abs=1e-4)
+    assert got["b2"] == pytest.approx(beta[2], abs=1e-4)
+    assert got["r2"] == pytest.approx(r2, abs=1e-5)
+
+
+def test_ols2_collinear_null(spark):
+    from reddit_etl_spark.operators.relational import ols2
+
+    rows = [(float(i), float(i), float(2 * i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
+    row = ols2(df, "y", "x1", "x2").collect()[0]
+    assert row["b1"] is None and row["r2"] is None
+
+
+def test_deming_recovers_line_and_symmetry(spark):
+    from reddit_etl_spark.operators.relational import deming_regression
+
+    # exact line -> slope/intercept recovered exactly
+    rows = [(float(i), float(3 + 2 * i)) for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = deming_regression(df, "x", "y").collect()[0]
+    assert got["slope"] == pytest.approx(2.0, abs=1e-6)
+    assert got["intercept"] == pytest.approx(3.0, abs=1e-6)
+    assert got["pearson_r"] == pytest.approx(1.0, abs=1e-6)
+    # deming with lambda=1 is symmetric: slope(y~x) = 1/slope(x~y)
+    noisy = [
+        (float(i) + (0.3 if i % 2 else -0.3), float(2 * i) + (0.4 if i % 3 else -0.2))
+        for i in range(1, 40)
+    ]
+    nf = spark.createDataFrame(noisy, "x double, y double")
+    s_xy = deming_regression(nf, "x", "y").collect()[0]["slope"]
+    s_yx = deming_regression(nf, "y", "x").collect()[0]["slope"]
+    assert s_xy == pytest.approx(1.0 / s_yx, rel=1e-4)
+
+
+def test_ipw_ate_recovers_stratified_effect(spark):
+    from reddit_etl_spark.operators.relational import ipw_ate
+
+    # stratum s1: treated mean 10 vs control 8 (effect 2)
+    # stratum s2: treated mean 20 vs control 17 (effect 3)
+    rows = (
+        [("s1", True, 10.0)] * 8 + [("s1", False, 8.0)] * 2
+        + [("s2", True, 20.0)] * 3 + [("s2", False, 17.0)] * 7
+        + [("s3", True, 99.0)] * 4  # no overlap -> dropped
+    )
+    df = spark.createDataFrame(rows, "s string, t boolean, y double")
+    got = ipw_ate(df, "t", "y", ["s"]).collect()[0]
+    # both estimators = (10*2 + 10*3)/20 = 2.5 on the overlapping mass
+    assert got["n_used"] == 20 and got["n_strata"] == 3
+    assert got["ate_ipw"] == pytest.approx(2.5, abs=1e-6)
+    assert got["ate_strat"] == pytest.approx(2.5, abs=1e-6)
+    # naive difference is confounded away from 2.5
+    assert abs(got["naive_diff"] - 2.5) > 0.5
+
+
+def test_rdd_sharp_detects_jump(spark):
+    from reddit_etl_spark.operators.relational import rdd_sharp
+
+    # y = 1 + 0.01x below 50; y = 4 + 0.01x at/above 50
+    rows = []
+    for i in range(200):
+        x = i / 2.0
+        y = (1.0 if x < 50 else 4.0) + 0.01 * x
+        rows.append((x, y))
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = rdd_sharp(df, "x", "y", 50.0, 30.0).collect()[0]
+    assert got["jump"] == pytest.approx(3.0, abs=1e-6)
+    assert got["slope_left"] == pytest.approx(0.01, abs=1e-6)
+    assert got["slope_right"] == pytest.approx(0.01, abs=1e-6)
+
+
+def test_weighted_corr_equals_replication(spark):
+    from reddit_etl_spark.operators.relational import weighted_corr
+
+    # integer weights: weighted corr == unweighted corr on replicated rows
+    base = [(1.0, 2.0, 3), (2.0, 3.5, 1), (3.0, 3.0, 2), (4.0, 6.0, 4)]
+    df = spark.createDataFrame(base, "x double, y double, w int")
+    got = weighted_corr(df, "x", "y", "w").collect()[0]
+    rep = [(x, y) for x, y, w in base for _ in range(w)]
+    rf = spark.createDataFrame(rep, "x double, y double")
+    want = rf.select(F.corr("x", "y")).collect()[0][0]
+    assert got["r_weighted"] == pytest.approx(want, abs=1e-6)
+    assert got["sum_w"] == pytest.approx(10.0)
