@@ -99,13 +99,6 @@ _PROMOTED = [
     # head as base and displaces one filler back to _DEFERRED, so
     # the head stays exactly 50 at every commit and new queries are
     # attested the same round they are born (backlog stays 0).
-    "hits_cust_supp",
-    "hybrid_search_rrf",
-    "incremental_minhash",
-    "incremental_rollup_refresh",
-    "item_affinity",
-    "join_profile_orders_lineitem",
-    "mad_outliers_daily",
     "mixture_weights",
     "nb_language_selftrain",
     "neardup_survivors",
@@ -123,6 +116,13 @@ _DEFERRED = [
     # artifacts every round. The 31 stalest r05-attested entries
     # moved up to _PROMOTED block 2 (oldest-attestation rule).
     # (r05 fillers displaced back by round-12 wave-1 registrations)
+    "hits_cust_supp",
+    "hybrid_search_rrf",
+    "incremental_minhash",
+    "incremental_rollup_refresh",
+    "item_affinity",
+    "join_profile_orders_lineitem",
+    "mad_outliers_daily",
     "duplicate_spans",
     "event_pattern_counts",
     "fuzzy_name_pairs",

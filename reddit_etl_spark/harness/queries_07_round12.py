@@ -1260,3 +1260,439 @@ def weighted_corr_lineitem_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     return weighted_corr(li, "l_discount", "l_extendedprice", "l_quantity")
+
+
+# ---- wave 4: time-series completion (SPC, stationarity, memory) ----
+
+_POOLED_DAILY_SQL = """
+      SELECT CAST(ts AS DATE) AS day,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(value), 6) AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1
+"""
+
+
+def _pooled_daily_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled (all-types) daily mean value — the wave-4 shared
+    bounded series; same stable_avg + round-6 discipline as
+    _daily_mean_frame."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("value"),
+                6,
+            ).alias("v")
+        )
+    )
+
+
+@_q(
+    "ewma_chart_daily",
+    f"""
+    WITH daily AS ({_POOLED_DAILY_SQL}),
+    idx AS (
+      SELECT day AS ord, v AS value,
+             ROW_NUMBER() OVER (ORDER BY day) AS t
+      FROM daily),
+    mom AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(38,6))) AS s,
+             SUM(CAST(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))
+                      AS DECIMAL(38,12))) AS q
+      FROM idx),
+    zs AS (
+      SELECT i.ord, i.value, i.t,
+             SUM(POWER(0.5, i.t - j.t) * j.value) AS zsum
+      FROM idx i JOIN idx j ON j.t <= i.t
+      GROUP BY 1, 2, 3),
+    m AS (
+      SELECT ord, value, t, zsum,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(CAST(s AS VARCHAR) AS DOUBLE) AS ds,
+             CAST(CAST(q AS VARCHAR) AS DOUBLE) AS dq
+      FROM zs CROSS JOIN mom),
+    e AS (
+      SELECT ord, value,
+             0.5 * zsum + POWER(0.5, CAST(t AS DOUBLE)) * (ds / nd)
+               AS z,
+             ds / nd AS mu,
+             3.0 * SQRT((dq - ds * ds / nd) / (nd - 1.0))
+             * SQRT(0.5 / 1.5
+                    * (1.0 - POWER(0.5, 2.0 * CAST(t AS DOUBLE))))
+               AS half
+      FROM m)
+    SELECT ord, value,
+           ROUND(z, 6) AS ewma,
+           ROUND(mu + half, 6) AS ucl,
+           ROUND(mu - half, 6) AS lcl,
+           z > mu + half OR z < mu - half AS signal
+    FROM e ORDER BY ord
+    """,
+    doc="EWMA control chart over the pooled daily mean value, λ=0.5 "
+    "L=3 (operators/series.py:ewma_chart) — the SPC rung between "
+    "imr_chart_daily (memoryless individuals) and cusum_daily_drift "
+    "(cumulative): small sustained shifts trip the tightening "
+    "time-varying limits. λ=0.5 is the DYADIC choice — (1−λ)^k = "
+    "2^−k is exact in binary floating point, keeping both engines' "
+    "weights identical; bounded triangular self-join on the 30-row "
+    "daily frame",
+)
+def ewma_chart_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.series import ewma_chart
+
+    daily = _pooled_daily_frame(spark, sf_dir)
+    return ewma_chart(daily, "day", "v")
+
+
+@_q(
+    "kpss_level_daily",
+    f"""
+    WITH daily AS ({_POOLED_DAILY_SQL}),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(v AS DECIMAL(38,6))) AS s
+      FROM daily),
+    dm AS (
+      SELECT day,
+             v - CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+               AS e,
+             ROW_NUMBER() OVER (ORDER BY day) AS t
+      FROM daily CROSS JOIN mom),
+    st AS (
+      SELECT t, e,
+             SUM(e) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_t
+      FROM dm),
+    g0 AS (
+      SELECT SUM(s_t * s_t) AS ss, SUM(e * e) AS g0 FROM st),
+    bart AS (
+      SELECT SUM(2.0 * (1.0 - j / 6.0) * g) AS bart
+      FROM (
+        SELECT j.j, SUM(a.e * b.e) AS g
+        FROM (VALUES (1), (2), (3), (4), (5)) AS j(j)
+        JOIN st a ON TRUE
+        JOIN st b ON b.t = a.t - j.j
+        GROUP BY 1)),
+    f AS (
+      SELECT n, ss, g0, COALESCE(bart, 0.0) AS bart
+      FROM mom CROSS JOIN g0 CROSS JOIN bart),
+    f2 AS (
+      SELECT n,
+             ss / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+               / ((g0 + bart) / CAST(n AS DOUBLE)) AS eta,
+             (g0 + bart) / CAST(n AS DOUBLE) AS s2lr
+      FROM f)
+    SELECT n,
+           ROUND(CASE WHEN n >= 7 AND s2lr > 0 THEN eta END, 6)
+             AS eta_kpss,
+           ROUND(CASE WHEN n >= 7 AND s2lr > 0 THEN s2lr END, 6)
+             AS sigma2_lr
+    FROM f2
+    """,
+    doc="KPSS level-stationarity statistic over the pooled daily "
+    "mean, Bartlett lags=5 (operators/series.py:kpss_level) — the "
+    "null-REVERSED companion to mann_kendall_daily: significance "
+    "here means the series WANDERS from its level. Demeaned partial "
+    "sums off one ordered prefix window over the bounded frame; "
+    "long-run variance from 5 bounded lag self-joins",
+)
+def kpss_level_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.series import kpss_level
+
+    daily = _pooled_daily_frame(spark, sf_dir)
+    return kpss_level(daily, "day", "v", lags=5)
+
+
+@_q(
+    "pacf_daily",
+    f"""
+    WITH daily AS ({_POOLED_DAILY_SQL}),
+    lagd AS (
+      SELECT l.lag,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             ROUND(CORR(a.v, b.v), 6) AS acf
+      FROM (VALUES (1), (2), (3)) AS l(lag)
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.day + CAST(l.lag AS INTEGER) = a.day
+      GROUP BY 1),
+    piv AS (
+      SELECT SUM(CASE WHEN lag = 1 THEN acf END) AS r1,
+             SUM(CASE WHEN lag = 2 THEN acf END) AS r2,
+             SUM(CASE WHEN lag = 3 THEN acf END) AS r3
+      FROM lagd),
+    dl AS (
+      SELECT r1, r2, r3,
+             r1 AS p1,
+             CASE WHEN 1.0 - r1 * r1 <> 0 THEN
+               (r2 - r1 * r1) / (1.0 - r1 * r1) END AS p2
+      FROM piv),
+    dl2 AS (
+      SELECT r1, r2, r3, p1, p2,
+             r1 * (1.0 - p2) AS phi21
+      FROM dl),
+    dl3 AS (
+      SELECT p1, p2,
+             CASE WHEN 1.0 - phi21 * r1 - p2 * r2 <> 0 THEN
+               (r3 - phi21 * r2 - p2 * r1)
+               / (1.0 - phi21 * r1 - p2 * r2) END AS p3
+      FROM dl2),
+    pac AS (
+      SELECT 1 AS lag, ROUND(p1, 6) AS pacf FROM dl3
+      UNION ALL SELECT 2, ROUND(p2, 6) FROM dl3
+      UNION ALL SELECT 3, ROUND(p3, 6) FROM dl3)
+    SELECT CAST(lagd.lag AS BIGINT) AS lag, n_pairs, acf, pacf
+    FROM lagd JOIN pac ON lagd.lag = pac.lag
+    ORDER BY lag
+    """,
+    doc="Partial autocorrelation at lags 1-3 of the pooled daily "
+    "mean via Durbin-Levinson closed forms "
+    "(operators/series.py:pacf_lags) — acf_daily_values says WHICH "
+    "lags carry memory; pacf says whether lag-j memory is DIRECT "
+    "or lag-1 propagated (the AR-order readout). D-L algebra runs "
+    "on the round-6 pairwise-complete lag correlations, so both "
+    "engines compute from identical inputs",
+)
+def pacf_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.series import pacf_lags
+
+    daily = _pooled_daily_frame(spark, sf_dir)
+    return pacf_lags(daily, "day", "v")
+
+
+@_q(
+    "ccf_click_error_daily",
+    """
+    WITH clickd AS (
+      SELECT CAST(ts AS DATE) AS day,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(value), 6) AS v
+      FROM events WHERE value IS NOT NULL AND event_type = 'click'
+      GROUP BY 1),
+    errd AS (
+      SELECT CAST(ts AS DATE) AS day,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(value), 6) AS v
+      FROM events WHERE value IS NOT NULL AND event_type = 'error'
+      GROUP BY 1)
+    SELECT CAST(l.lag AS BIGINT) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CORR(a.v, b.v), 6) AS ccf
+    FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) AS l(lag)
+    JOIN clickd a ON TRUE
+    JOIN errd b ON b.day - CAST(l.lag AS INTEGER) = a.day
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Cross-correlation between click and error daily mean values "
+    "at lags -3..+3 (operators/series.py:ccf_lagged) — the LEAD/LAG "
+    "diagnostic acf can't give: a peak at lag k > 0 says clicks "
+    "lead errors by k days. Pairwise-complete Pearson per lag over "
+    "two day-grain rollups; 7 bounded joins",
+)
+def ccf_click_error_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.series import ccf_lagged
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+
+    def daily(t):
+        return (
+            ev.filter(F.col("event_type") == t)
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,6)")).cast(
+                        "double"
+                    )
+                    / F.count("value"),
+                    6,
+                ).alias("v")
+            )
+        )
+
+    return ccf_lagged(daily("click"), daily("error"), "day", "v", max_lag=3)
+
+
+@_q(
+    "diebold_mariano_events",
+    f"""
+    WITH daily AS ({_POOLED_DAILY_SQL}),
+    d AS (
+      SELECT s.day,
+             (s.v - fa.v) * (s.v - fa.v)
+             - (s.v - fb.v) * (s.v - fb.v) AS dt
+      FROM daily s
+      JOIN daily fa ON fa.day + 1 = s.day
+      JOIN daily fb ON fb.day + 7 = s.day),
+    idx AS (
+      SELECT dt, ROW_NUMBER() OVER (ORDER BY day) AS t FROM d),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(dt) AS sd FROM idx),
+    cent AS (
+      SELECT t, dt - sd / CAST(n AS DOUBLE) AS e
+      FROM idx CROSS JOIN mom),
+    g0 AS (SELECT SUM(e * e) AS g0 FROM cent),
+    bart AS (
+      SELECT SUM(2.0 * (1.0 - j / 7.0) * g) AS bart
+      FROM (
+        SELECT j.j, SUM(a.e * b.e) AS g
+        FROM (VALUES (1), (2), (3), (4), (5), (6)) AS j(j)
+        JOIN cent a ON TRUE
+        JOIN cent b ON b.t = a.t - j.j
+        GROUP BY 1)),
+    f AS (
+      SELECT n, sd, g0, COALESCE(bart, 0.0) AS bart
+      FROM mom CROSS JOIN g0 CROSS JOIN bart),
+    f2 AS (
+      SELECT n,
+             sd / CAST(n AS DOUBLE) AS mean_d,
+             (g0 + bart) / CAST(n AS DOUBLE) AS s2lr
+      FROM f)
+    SELECT n,
+           ROUND(mean_d, 6) AS mean_d,
+           ROUND(CASE WHEN n >= 8 AND s2lr > 0 THEN
+             mean_d / SQRT(s2lr / CAST(n AS DOUBLE)) END, 6) AS dm_stat
+    FROM f2
+    """,
+    doc="Diebold-Mariano test: lag-1 persistence vs lag-7 seasonal-"
+    "naive forecasts of the pooled daily mean, squared-error loss, "
+    "Bartlett lags=6 (operators/series.py:diebold_mariano) — "
+    "forecast_scorecard_events reports each model's error; DM says "
+    "whether the DIFFERENCE beats sampling noise given the "
+    "autocorrelated loss differentials a plain t-test ignores",
+)
+def diebold_mariano_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.series import diebold_mariano
+
+    daily = _pooled_daily_frame(spark, sf_dir)
+    return diebold_mariano(daily, "day", "v", lag_a=1, lag_b=7, lags=6)
+
+
+@_q(
+    "turning_points_daily",
+    f"""
+    WITH daily AS ({_POOLED_DAILY_SQL}),
+    tri AS (
+      SELECT LAG(v) OVER (ORDER BY day) AS p, v,
+             LEAD(v) OVER (ORDER BY day) AS nx
+      FROM daily),
+    ag AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN p IS NOT NULL AND nx IS NOT NULL
+                  AND ((v > p AND v > nx) OR (v < p AND v < nx))
+                  THEN 1 ELSE 0 END) AS BIGINT) AS turning_pts
+      FROM tri)
+    SELECT n, turning_pts,
+           ROUND(CASE WHEN n >= 3 THEN
+             2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0 END, 6) AS expected,
+           ROUND(CASE WHEN n >= 4
+                  AND (16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0 > 0 THEN
+             (CAST(turning_pts AS DOUBLE)
+              - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
+             / SQRT((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0) END, 6)
+             AS z
+    FROM ag
+    """,
+    doc="Turning-point randomness test on the pooled daily mean "
+    "(operators/series.py:turning_points) — the smallest randomness "
+    "rung next to runs_test_daily (median signs) and ljung_box "
+    "(autocorrelation): strict local extrema count vs E = 2(n−2)/3, "
+    "Var = (16n−29)/90; too few turns = trend, too many = "
+    "alternation. One lag/lead window over the bounded frame",
+)
+def turning_points_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.series import turning_points
+
+    daily = _pooled_daily_frame(spark, sf_dir)
+    return turning_points(daily, "day", "v")
+
+
+@_q(
+    "hurst_rs_hourly",
+    """
+    WITH hourly AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(hour(ts) AS BIGINT) AS hr,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(value), 6) AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2),
+    idx AS (
+      SELECT v AS x,
+             ROW_NUMBER() OVER (ORDER BY day, hr) - 1 AS t
+      FROM hourly),
+    sized AS (
+      SELECT s.ws, t // s.ws AS b, x, t
+      FROM (VALUES (8), (16), (32)) AS s(ws) JOIN idx ON TRUE),
+    complete AS (
+      SELECT ws, b FROM sized GROUP BY 1, 2
+      HAVING COUNT(*) = MAX(ws)),
+    blk AS (
+      SELECT sized.ws, sized.b, sized.x, sized.t
+      FROM sized JOIN complete USING (ws, b)),
+    bstat AS (
+      SELECT ws, b, AVG(x) AS m, STDDEV_POP(x) AS sd
+      FROM blk GROUP BY 1, 2),
+    dev AS (
+      SELECT blk.ws, blk.b,
+             SUM(blk.x - bstat.m)
+               OVER (PARTITION BY blk.ws, blk.b ORDER BY blk.t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             bstat.sd AS sd
+      FROM blk JOIN bstat USING (ws, b)),
+    rs AS (
+      SELECT ws, b,
+             (MAX(cum) - MIN(cum)) / MAX(sd) AS rs, MAX(sd) AS sd
+      FROM dev GROUP BY 1, 2),
+    per AS (
+      SELECT ws,
+             CAST(COUNT(*) AS BIGINT) AS nb,
+             ROUND(AVG(rs), 6) AS mrs
+      FROM rs WHERE sd > 0 GROUP BY 1),
+    pts AS (
+      SELECT LOG2(CAST(ws AS DOUBLE)) AS lx, LOG2(mrs) AS ly
+      FROM per WHERE mrs IS NOT NULL AND nb > 0 AND mrs > 0),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sizes,
+             SUM(lx) AS sx, SUM(ly) AS sy,
+             SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy
+      FROM pts),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM hourly)
+    SELECT n,
+           ROUND(CASE WHEN n_sizes >= 2
+                  AND sxx - sx * sx / CAST(n_sizes AS DOUBLE) > 0 THEN
+             (sxy - sx * sy / CAST(n_sizes AS DOUBLE))
+             / (sxx - sx * sx / CAST(n_sizes AS DOUBLE)) END, 6)
+             AS hurst,
+           n_sizes
+    FROM tot CROSS JOIN fit
+    """,
+    doc="Hurst exponent by rescaled-range analysis over the hourly "
+    "mean value series, window sizes 8/16/32 "
+    "(operators/series.py:hurst_rs) — the long-memory readout next "
+    "to acf (short memory) and kpss (wandering): H≈0.5 random, "
+    ">0.5 persistent, <0.5 mean-reverting. Complete blocks only; "
+    "within-block prefix sums run in identical order on both "
+    "engines; closed-form log-log fit on round-6 per-size means",
+)
+def hurst_rs_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.series import hurst_rs
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    hourly = ev.groupBy(
+        F.to_date("ts").alias("day"), F.hour("ts").cast("long").alias("hr")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("value"),
+            6,
+        ).alias("v")
+    ).select(
+        F.struct("day", "hr").alias("ord"), "v"
+    )
+    return hurst_rs(hourly, "ord", "v", window_sizes=(8, 16, 32))

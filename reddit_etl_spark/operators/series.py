@@ -3357,3 +3357,582 @@ def dispersion_index(
         F.round(F.when(ok, d), 6).alias("dispersion"),
         F.round(F.when(ok, (n - 1.0) * d), 6).alias("chi2"),
     ).orderBy(*group_cols)
+
+
+def ewma_chart(
+    rollup: DataFrame,
+    order_col: str,
+    value_col: str,
+    lam: float = 0.5,
+    l_sigma: float = 3.0,
+    max_points: int = 10_000,
+) -> DataFrame:
+    """EWMA control chart over a bounded ordered series — the SPC
+    rung between imr_chart (individuals, memoryless) and
+    cusum_changepoints (cumulative, threshold-tuned): the
+    exponentially weighted mean z_t = λ·x_t + (1−λ)·z_{t−1} reacts
+    to small sustained shifts a Shewhart chart misses, with
+    time-varying limits μ ± L·σ·√(λ/(2−λ)·(1−(1−λ)^{2t})) that
+    tighten as the weight accumulates (Montgomery's standard form;
+    z_0 = μ, σ from the series' sample sd).
+
+    Input contract: a PRE-AGGREGATED bounded series (a daily/hourly
+    rollup), one row per order value — max_points raises past the
+    bound because the closed form below materializes the t×s weight
+    pairs (t ≥ s), which is exactly right for a readout frame and
+    exactly wrong for a fact table. Default λ = 0.5 is the DYADIC
+    choice: (1−λ)^k = 2^−k is exact in binary floating point, so
+    both engines weight identically and the cross-engine hash is
+    stable at round-6 (documented; other λ work but put pow() ulps
+    in play).
+
+    Plan at scale: the series aggregates to ≤ max_points rows
+    upstream; one triangular self-join on the bounded frame (pair
+    count ≤ max_points²/2, distributed), one (t) aggregate, one
+    broadcast of the 1-row moments frame.
+
+    Returns (ord, value, ewma, ucl, lcl, signal BOOLEAN) ordered by
+    ord.
+    """
+    base = rollup.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(order_col).alias("ord"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    w = Window.orderBy("ord")
+    idx = base.select(
+        "ord", "value", F.row_number().over(w).alias("__t")
+    )
+    cnt = idx.agg(
+        F.count("*").alias("__n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("__s"),
+        F.sum(
+            (
+                F.col("value").cast("decimal(18,6)")
+                * F.col("value").cast("decimal(18,6)")
+            ).cast("decimal(38,12)")
+        ).alias("__q"),
+    ).select(
+        F.when(
+            F.col("__n") <= max_points, F.col("__n")
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("ewma_chart: bounded-series contract: "),
+                    F.col("__n").cast("string"),
+                    F.lit(f" rows > max_points={max_points}"),
+                )
+            )
+        )
+        .alias("__n"),
+        "__s",
+        "__q",
+    )
+    lamf = float(lam)
+    s = idx.select(
+        F.col("__t").alias("__ts"), F.col("value").alias("__xs")
+    )
+    pairs = idx.join(s, F.col("__ts") <= F.col("__t"))
+    zsum = pairs.groupBy("ord", "value", "__t").agg(
+        F.sum(
+            F.pow(F.lit(1.0 - lamf), F.col("__t") - F.col("__ts"))
+            * F.col("__xs")
+        ).alias("__zs")
+    )
+    out = zsum.crossJoin(F.broadcast(cnt))
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    n = F.col("__n").cast("double")
+    mu = dbl("__s") / n
+    var = (dbl("__q") - dbl("__s") * dbl("__s") / n) / (n - 1.0)
+    sd = F.sqrt(var)
+    t = F.col("__t").cast("double")
+    z = F.lit(lamf) * F.col("__zs") + F.pow(F.lit(1.0 - lamf), t) * mu
+    half = (
+        F.lit(float(l_sigma))
+        * sd
+        * F.sqrt(
+            F.lit(lamf)
+            / (2.0 - lamf)
+            * (1.0 - F.pow(F.lit(1.0 - lamf), 2.0 * t))
+        )
+    )
+    ucl = mu + half
+    lcl = mu - half
+    return out.select(
+        "ord",
+        "value",
+        F.round(z, 6).alias("ewma"),
+        F.round(ucl, 6).alias("ucl"),
+        F.round(lcl, 6).alias("lcl"),
+        ((z > ucl) | (z < lcl)).alias("signal"),
+    ).orderBy("ord")
+
+
+def kpss_level(
+    rollup: DataFrame,
+    order_col: str,
+    value_col: str,
+    lags: int = 5,
+) -> DataFrame:
+    """KPSS level-stationarity statistic over a bounded ordered
+    series — the NULL-reversed companion to the trend family
+    (mann_kendall/cox_stuart test FOR a trend; KPSS tests for
+    stationarity AROUND a level, so "significant" here means the
+    series wanders): η = n⁻²·ΣS_t² / σ̂²_lr with S_t the partial
+    sums of demeaned values and σ̂²_lr the Bartlett-kernel long-run
+    variance with ``lags`` autocovariance terms (KPSS 1992).
+
+    Determinism: the mean comes off an exact DECIMAL sum (identical
+    double in both engines); the partial-sum prefix runs over the
+    ordered bounded frame in both engines in the same order, so
+    rounding histories match; autocovariances are bounded lag
+    self-joins of the demeaned frame.
+
+    Plan at scale: the series is a pre-aggregated rollup; one
+    1-row moment broadcast, one prefix window over the bounded
+    frame, ``lags`` bounded self-joins, one 1-row reduce.
+
+    Returns one row: (n BIGINT, eta_kpss, sigma2_lr) — NULL when
+    the long-run variance degenerates.
+    """
+    base = rollup.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(order_col).alias("__o"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    mom = base.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum(F.col("__x").cast("decimal(38,6)")).alias("__s"),
+    )
+    demeaned = base.crossJoin(F.broadcast(mom)).select(
+        "__o",
+        "__n",
+        (
+            F.col("__x")
+            - F.col("__s").cast("string").cast("double")
+            / F.col("__n").cast("double")
+        ).alias("__e"),
+        F.row_number().over(Window.orderBy("__o")).alias("__t"),
+    )
+    w = Window.orderBy("__o").rowsBetween(Window.unboundedPreceding, 0)
+    st = demeaned.select(
+        "__n", "__e", "__t", F.sum("__e").over(w).alias("__st")
+    )
+    g0 = st.agg(
+        F.max("__n").alias("n"),
+        F.sum(F.col("__st") * F.col("__st")).alias("__ss"),
+        F.sum(F.col("__e") * F.col("__e")).alias("__g0"),
+    )
+    lagged = st.select(
+        F.col("__t").alias("__tl"), F.col("__e").alias("__el")
+    )
+    gsum = None
+    for j in range(1, lags + 1):
+        gj = (
+            st.join(lagged, F.col("__tl") == F.col("__t") - j)
+            .agg(
+                F.sum(F.col("__e") * F.col("__el")).alias("__g"),
+            )
+            .select(
+                (
+                    F.lit(2.0 * (1.0 - j / (lags + 1.0)))
+                    * F.coalesce(F.col("__g"), F.lit(0.0))
+                ).alias("__term")
+            )
+        )
+        gsum = gj if gsum is None else gsum.unionByName(gj)
+    bart = gsum.agg(F.sum("__term").alias("__bart"))
+    agg = g0.crossJoin(F.broadcast(bart))
+    n = F.col("n").cast("double")
+    s2lr = (F.col("__g0") + F.coalesce(F.col("__bart"), F.lit(0.0))) / n
+    eta = F.col("__ss") / (n * n) / s2lr
+    ok = (F.col("n") >= lags + 2) & (s2lr > 0)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.when(ok, eta), 6).alias("eta_kpss"),
+        F.round(F.when(ok, s2lr), 6).alias("sigma2_lr"),
+    )
+
+
+def pacf_lags(
+    rollup: DataFrame,
+    day_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Partial autocorrelation at lags 1–3 via the Durbin-Levinson
+    closed forms — acf_daily_values answers "is there memory at lag
+    j"; PACF answers "is the lag-j memory DIRECT or just lag-1
+    propagated", which is the AR-order readout (an AR(1) series has
+    acf at every lag but pacf only at lag 1): φ₁₁ = r₁, φ₂₂ =
+    (r₂−r₁²)/(1−r₁²), φ₃₃ from one more D-L step.
+
+    Determinism: the r_j are the pairwise-complete lag correlations
+    (the acf_by_key convention) ROUNDED to 6 first; the D-L algebra
+    runs on the rounded values, so both engines compute identical
+    pacf from identical inputs.
+
+    Plan at scale: three bounded lag self-joins of the rollup, one
+    3-row fold (collected into one row via conditional sums on a
+    3-row frame — no driver loop).
+
+    Returns (lag BIGINT, n_pairs BIGINT, acf, pacf) for lags 1..3
+    ordered by lag — pacf NULL where a denominator degenerates.
+    """
+    a = rollup.select(
+        F.col(day_col).alias("__d"), F.col(value_col).alias("__a")
+    )
+    rs = None
+    for lag in (1, 2, 3):
+        b = rollup.select(
+            F.date_add(F.col(day_col), lag).alias("__d"),
+            F.col(value_col).alias("__b"),
+        )
+        one = a.join(b, "__d").agg(
+            F.lit(lag).cast("long").alias("lag"),
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.corr("__a", "__b"), 6).alias("acf"),
+        )
+        rs = one if rs is None else rs.unionByName(one)
+    # pivot the 3 acf rows onto one row, run D-L, melt back
+    piv = rs.agg(
+        F.sum(F.when(F.col("lag") == 1, F.col("acf"))).alias("__r1"),
+        F.sum(F.when(F.col("lag") == 2, F.col("acf"))).alias("__r2"),
+        F.sum(F.when(F.col("lag") == 3, F.col("acf"))).alias("__r3"),
+    )
+    r1, r2, r3 = F.col("__r1"), F.col("__r2"), F.col("__r3")
+    p1 = r1
+    d2 = 1.0 - r1 * r1
+    p2 = F.when(d2 != 0, (r2 - r1 * r1) / d2)
+    # D-L step 3: φ21 = r1·(1−φ22), then
+    # φ33 = (r3 − φ21·r2 − φ22·r1)/(1 − φ21·r1 − φ22·r2)
+    phi21 = r1 * (1.0 - p2)
+    d3 = 1.0 - phi21 * r1 - p2 * r2
+    p3 = F.when(d3 != 0, (r3 - phi21 * r2 - p2 * r1) / d3)
+    pacfs = piv.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).cast("long").alias("lag"),
+                    F.round(p1, 6).alias("pacf"),
+                ),
+                F.struct(
+                    F.lit(2).cast("long").alias("lag"),
+                    F.round(p2, 6).alias("pacf"),
+                ),
+                F.struct(
+                    F.lit(3).cast("long").alias("lag"),
+                    F.round(p3, 6).alias("pacf"),
+                ),
+            )
+        ).alias("__row")
+    ).select("__row.*")
+    return rs.join(F.broadcast(pacfs), "lag").select(
+        "lag", "n_pairs", "acf", "pacf"
+    ).orderBy("lag")
+
+
+def ccf_lagged(
+    rollup_a: DataFrame,
+    rollup_b: DataFrame,
+    day_col: str,
+    value_col: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Cross-correlation function between two daily series at lags
+    −max_lag..+max_lag — the LEAD/LAG diagnostic acf can't give:
+    ccf(k) = corr(a_t, b_{t+k}), so a peak at k > 0 says series a
+    LEADS series b by k days (errors today predict clicks in two
+    days), the readout that turns two monitoring curves into a
+    causal-ordering hypothesis.
+
+    Determinism: pairwise-complete Pearson per lag (the acf_by_key
+    convention), round-6.
+
+    Plan at scale: 2·max_lag+1 bounded self-joins of two rollup
+    frames (day-grain, never fact-grain), one union.
+
+    Returns (lag BIGINT, n_pairs BIGINT, ccf) ordered by lag.
+    """
+    a = rollup_a.select(
+        F.col(day_col).alias("__d"), F.col(value_col).alias("__a")
+    )
+    out = None
+    for lag in range(-max_lag, max_lag + 1):
+        b = rollup_b.select(
+            F.date_add(F.col(day_col), -lag).alias("__d"),
+            F.col(value_col).alias("__b"),
+        )
+        one = a.join(b, "__d").agg(
+            F.lit(lag).cast("long").alias("lag"),
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.corr("__a", "__b"), 6).alias("ccf"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("lag")
+
+
+def diebold_mariano(
+    rollup: DataFrame,
+    day_col: str,
+    value_col: str,
+    lag_a: int = 1,
+    lag_b: int = 7,
+    lags: int = 6,
+) -> DataFrame:
+    """Diebold-Mariano test comparing two naive forecasters on one
+    series — forecast_scorecard_events reports each model's error;
+    DM answers whether the DIFFERENCE is significant: with squared-
+    error losses of the lag_a-persistence vs lag_b-(seasonal-)naive
+    forecasts, d_t = e²_{a,t} − e²_{b,t}, DM = d̄ / √(σ̂²_lr/n)
+    where σ̂²_lr is the Bartlett long-run variance of d (loss
+    differentials are autocorrelated by construction — the whole
+    reason the plain t-test is invalid here).
+
+    Determinism: forecasts are exact lag joins on the day key;
+    losses and the Bartlett fold are double expressions evaluated
+    identically; autocovariances use the global d̄ from an exact
+    count-anchored mean.
+
+    Plan at scale: two bounded lag joins to build d_t, one 1-row
+    moment broadcast, ``lags`` bounded self-joins, one reduce.
+
+    Returns one row: (n BIGINT, mean_d, dm_stat) — positive DM means
+    forecaster b (the longer lag) wins; NULL when σ̂²_lr
+    degenerates.
+    """
+    s = rollup.select(
+        F.col(day_col).alias("__d"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    fa = s.select(
+        F.date_add(F.col("__d"), lag_a).alias("__d"),
+        F.col("__x").alias("__fa"),
+    )
+    fb = s.select(
+        F.date_add(F.col("__d"), lag_b).alias("__d"),
+        F.col("__x").alias("__fb"),
+    )
+    d = (
+        s.join(fa, "__d")
+        .join(fb, "__d")
+        .select(
+            "__d",
+            (
+                (F.col("__x") - F.col("__fa"))
+                * (F.col("__x") - F.col("__fa"))
+                - (F.col("__x") - F.col("__fb"))
+                * (F.col("__x") - F.col("__fb"))
+            ).alias("__dt"),
+        )
+    )
+    w = Window.orderBy("__d")
+    idx = d.select("__dt", F.row_number().over(w).alias("__t"))
+    mom = idx.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__dt").alias("__sd"),
+    )
+    cent = idx.crossJoin(F.broadcast(mom)).select(
+        "n",
+        "__t",
+        (F.col("__dt") - F.col("__sd") / F.col("n").cast("double")).alias(
+            "__e"
+        ),
+    )
+    g0 = cent.agg(
+        F.sum(F.col("__e") * F.col("__e")).alias("__g0"),
+    )
+    lagged = cent.select(
+        F.col("__t").alias("__tl"), F.col("__e").alias("__el")
+    )
+    gsum = None
+    for j in range(1, lags + 1):
+        gj = (
+            cent.join(lagged, F.col("__tl") == F.col("__t") - j)
+            .agg(F.sum(F.col("__e") * F.col("__el")).alias("__g"))
+            .select(
+                (
+                    F.lit(2.0 * (1.0 - j / (lags + 1.0)))
+                    * F.coalesce(F.col("__g"), F.lit(0.0))
+                ).alias("__term")
+            )
+        )
+        gsum = gj if gsum is None else gsum.unionByName(gj)
+    bart = gsum.agg(F.sum("__term").alias("__bart"))
+    agg = mom.crossJoin(F.broadcast(g0.select("__g0"))).crossJoin(
+        F.broadcast(bart)
+    )
+    n = F.col("n").cast("double")
+    mean_d = F.col("__sd") / n
+    s2lr = (F.col("__g0") + F.coalesce(F.col("__bart"), F.lit(0.0))) / n
+    dm = mean_d / F.sqrt(s2lr / n)
+    ok = (F.col("n") >= lags + 2) & (s2lr > 0)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(mean_d, 6).alias("mean_d"),
+        F.round(F.when(ok, dm), 6).alias("dm_stat"),
+    )
+
+
+def turning_points(
+    rollup: DataFrame, order_col: str, value_col: str
+) -> DataFrame:
+    """Turning-point randomness test over an ordered series — the
+    smallest member of the randomness family next to runs_test_daily
+    (signs vs a median) and ljung_box_daily (autocorrelation): an
+    interior point is a turning point when it is a STRICT local max
+    or min of its neighbors; an i.i.d. series has E[T] = 2(n−2)/3
+    and Var[T] = (16n−29)/90, so too few turns means trend/
+    persistence and too many means alternation. Ties with a
+    neighbor are not turning points (documented; both engines).
+
+    Plan at scale: one lag/lead window over the bounded rollup
+    frame, one 1-row reduce.
+
+    Returns one row: (n BIGINT, turning_pts BIGINT, expected, z).
+    """
+    base = rollup.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(order_col).alias("__o"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    w = Window.orderBy("__o")
+    tri = base.select(
+        F.lag("__x").over(w).alias("__p"),
+        "__x",
+        F.lead("__x").over(w).alias("__n"),
+    )
+    is_turn = (
+        F.col("__p").isNotNull()
+        & F.col("__n").isNotNull()
+        & (
+            ((F.col("__x") > F.col("__p")) & (F.col("__x") > F.col("__n")))
+            | ((F.col("__x") < F.col("__p")) & (F.col("__x") < F.col("__n")))
+        )
+    )
+    agg = tri.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(is_turn.cast("long")).cast("long").alias("turning_pts"),
+    )
+    n = F.col("n").cast("double")
+    e = 2.0 * (n - 2.0) / 3.0
+    var = (16.0 * n - 29.0) / 90.0
+    ok = (F.col("n") >= 4) & (var > 0)
+    return agg.select(
+        "n",
+        "turning_pts",
+        F.round(F.when(F.col("n") >= 3, e), 6).alias("expected"),
+        F.round(
+            F.when(ok, (F.col("turning_pts").cast("double") - e) / F.sqrt(var)),
+            6,
+        ).alias("z"),
+    )
+
+
+def hurst_rs(
+    rollup: DataFrame,
+    order_col: str,
+    value_col: str,
+    window_sizes=(8, 16, 32),
+) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis — the
+    long-memory readout next to acf (short-range memory) and KPSS
+    (level wandering): split the series into blocks of w consecutive
+    points, per block compute R = range of the demeaned prefix sums
+    and S = population sd, and the slope of log₂(mean R/S) against
+    log₂(w) estimates H — 0.5 random walk increments, > 0.5
+    persistent/trending, < 0.5 mean-reverting. Complete blocks only.
+
+    Determinism: block membership is exact integer arithmetic on
+    row_number; within-block prefix sums run in the same order in
+    both engines; the closed-form log-log OLS runs on the round-6
+    per-size means.
+
+    Plan at scale: one row_number window over the bounded rollup,
+    per (size, block) windows (block-bounded partitions), one
+    (size) rollup, one |sizes|-row fold.
+
+    Returns one row: (n BIGINT, hurst, n_sizes BIGINT) — NULL when
+    fewer than 2 window sizes produce blocks.
+    """
+    sizes = sorted(set(int(s) for s in window_sizes))
+    base = rollup.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(order_col).alias("__o"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    idx = base.select(
+        "__x",
+        "__o",
+        (F.row_number().over(Window.orderBy("__o")) - 1).alias("__t"),
+    )
+    per_size = None
+    for ws in sizes:
+        blk = idx.select(
+            "__x",
+            "__o",
+            (F.col("__t") / ws).cast("long").alias("__b"),
+        )
+        # complete blocks only
+        sizes_ok = blk.groupBy("__b").agg(F.count("*").alias("__c"))
+        blk = blk.join(
+            F.broadcast(sizes_ok.filter(F.col("__c") == ws).select("__b")),
+            "__b",
+        )
+        wb = Window.partitionBy("__b")
+        wp = (
+            Window.partitionBy("__b")
+            .orderBy("__o")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        dev = blk.select(
+            "__b",
+            "__o",
+            (F.col("__x") - F.avg("__x").over(wb)).alias("__e"),
+            F.stddev_pop("__x").over(wb).alias("__s"),
+        ).select(
+            "__b", "__s", F.sum("__e").over(wp).alias("__cum")
+        )
+        rs = dev.groupBy("__b").agg(
+            ((F.max("__cum") - F.min("__cum")) / F.max("__s")).alias(
+                "__rs"
+            ),
+            F.max("__s").alias("__sd"),
+        )
+        one = rs.filter(F.col("__sd") > 0).agg(
+            F.lit(ws).cast("long").alias("__ws"),
+            F.count("*").cast("long").alias("__nb"),
+            F.round(F.avg("__rs"), 6).alias("__mrs"),
+        )
+        per_size = one if per_size is None else per_size.unionByName(one)
+    pts = per_size.filter(
+        F.col("__mrs").isNotNull() & (F.col("__nb") > 0) & (F.col("__mrs") > 0)
+    ).select(
+        (F.log2(F.col("__ws").cast("double"))).alias("__lx"),
+        (F.log2("__mrs")).alias("__ly"),
+    )
+    fit = pts.agg(
+        F.count("*").cast("long").alias("n_sizes"),
+        F.sum("__lx").alias("__sx"),
+        F.sum("__ly").alias("__sy"),
+        F.sum(F.col("__lx") * F.col("__lx")).alias("__sxx"),
+        F.sum(F.col("__lx") * F.col("__ly")).alias("__sxy"),
+    )
+    tot = base.agg(F.count("*").cast("long").alias("n"))
+    agg = tot.crossJoin(F.broadcast(fit))
+    k = F.col("n_sizes").cast("double")
+    cxx = F.col("__sxx") - F.col("__sx") * F.col("__sx") / k
+    cxy = F.col("__sxy") - F.col("__sx") * F.col("__sy") / k
+    ok = (F.col("n_sizes") >= 2) & (cxx > 0)
+    return agg.select(
+        "n",
+        F.round(F.when(ok, cxy / cxx), 6).alias("hurst"),
+        "n_sizes",
+    )

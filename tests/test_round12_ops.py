@@ -493,3 +493,176 @@ def test_weighted_corr_equals_replication(spark):
     want = rf.select(F.corr("x", "y")).collect()[0][0]
     assert got["r_weighted"] == pytest.approx(want, abs=1e-6)
     assert got["sum_w"] == pytest.approx(10.0)
+
+
+# ---- wave 4 ----
+
+
+def _series_df(spark, vals, start=0):
+    rows = [(i + start, float(v)) for i, v in enumerate(vals)]
+    return spark.createDataFrame(rows, "ord long, v double")
+
+
+def test_ewma_chart_matches_recursion(spark):
+    from reddit_etl_spark.operators.series import ewma_chart
+
+    vals = [10.0, 12.0, 9.0, 15.0, 11.0, 14.0, 8.0, 13.0]
+    df = _series_df(spark, vals)
+    out = {r["ord"]: r for r in ewma_chart(df, "ord", "v").collect()}
+    lam, big_l = 0.5, 3.0
+    mu = sum(vals) / len(vals)
+    sd = math.sqrt(sum((v - mu) ** 2 for v in vals) / (len(vals) - 1))
+    z = mu
+    for t, v in enumerate(vals, start=1):
+        z = lam * v + (1 - lam) * z
+        half = big_l * sd * math.sqrt(lam / (2 - lam) * (1 - (1 - lam) ** (2 * t)))
+        r = out[t - 1]
+        assert r["ewma"] == pytest.approx(z, abs=1e-6), t
+        assert r["ucl"] == pytest.approx(mu + half, abs=1e-6)
+        assert r["lcl"] == pytest.approx(mu - half, abs=1e-6)
+        assert r["signal"] == (z > mu + half or z < mu - half)
+
+
+def test_ewma_chart_bounded_contract_raises(spark):
+    from reddit_etl_spark.operators.series import ewma_chart
+
+    df = spark.range(0, 50).select(
+        F.col("id").alias("ord"), F.col("id").cast("double").alias("v")
+    )
+    with pytest.raises(Exception, match="max_points"):
+        ewma_chart(df, "ord", "v", max_points=10).collect()
+
+
+def _kpss_python(vals, lags=5):
+    n = len(vals)
+    mu = sum(vals) / n
+    e = [v - mu for v in vals]
+    s = 0.0
+    ss = 0.0
+    for x in e:
+        s += x
+        ss += s * s
+    g0 = sum(x * x for x in e)
+    bart = 0.0
+    for j in range(1, lags + 1):
+        gj = sum(e[t] * e[t - j] for t in range(j, n))
+        bart += 2.0 * (1.0 - j / (lags + 1.0)) * gj
+    s2lr = (g0 + bart) / n
+    return ss / (n * n) / s2lr, s2lr
+
+
+def test_kpss_level_matches_python(spark):
+    from reddit_etl_spark.operators.series import kpss_level
+
+    vals = [10.0, 12.0, 9.5, 15.0, 11.0, 14.0, 8.0, 13.0, 12.5, 9.0,
+            11.5, 10.5, 13.5, 12.0, 10.0]
+    df = _series_df(spark, vals)
+    got = kpss_level(df, "ord", "v", lags=5).collect()[0]
+    eta, s2lr = _kpss_python(vals)
+    assert got["n"] == len(vals)
+    assert got["eta_kpss"] == pytest.approx(eta, abs=1e-6)
+    assert got["sigma2_lr"] == pytest.approx(s2lr, abs=1e-6)
+
+
+def test_pacf_ar1_decays(spark):
+    from reddit_etl_spark.operators.series import pacf_lags
+
+    import datetime
+
+    # AR(1)-ish deterministic series: x_t = 0.8 x_{t-1} + bounded drive
+    vals = [1.0]
+    for t in range(1, 60):
+        vals.append(0.8 * vals[-1] + ((t * 37) % 11 - 5) / 10.0)
+    rows = [
+        (datetime.date(2024, 1, 1) + datetime.timedelta(days=i), float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "day date, v double")
+    out = {r["lag"]: r for r in pacf_lags(df, "day", "v").collect()}
+    # pacf(1) == acf(1); higher-order pacf collapse vs acf for AR(1)
+    assert out[1]["pacf"] == out[1]["acf"]
+    assert abs(out[2]["pacf"]) < abs(out[2]["acf"])
+    r1, r2 = out[1]["acf"], out[2]["acf"]
+    assert out[2]["pacf"] == pytest.approx(
+        (r2 - r1 * r1) / (1 - r1 * r1), abs=1e-5
+    )
+
+
+def test_ccf_detects_known_lead(spark):
+    from reddit_etl_spark.operators.series import ccf_lagged
+
+    import datetime
+
+    base = [((t * 13) % 17 - 8) / 4.0 for t in range(40)]
+    d0 = datetime.date(2024, 1, 1)
+    a_rows = [(d0 + datetime.timedelta(days=i), float(v)) for i, v in enumerate(base)]
+    # b is a shifted copy of a: b_t = a_{t-2}  -> a leads b by 2
+    b_rows = [
+        (d0 + datetime.timedelta(days=i + 2), float(v))
+        for i, v in enumerate(base)
+    ]
+    a = spark.createDataFrame(a_rows, "day date, v double")
+    b = spark.createDataFrame(b_rows, "day date, v double")
+    out = {r["lag"]: r["ccf"] for r in ccf_lagged(a, b, "day", "v").collect()}
+    assert out[2] == pytest.approx(1.0, abs=1e-6)
+    assert all(abs(out[k]) < 0.9 for k in out if k != 2)
+
+
+def test_diebold_mariano_prefers_better_model(spark):
+    from reddit_etl_spark.operators.series import diebold_mariano
+
+    import datetime
+
+    # period-7 series: the lag-7 forecast is perfect, lag-1 is bad
+    d0 = datetime.date(2024, 1, 1)
+    rows = [
+        (d0 + datetime.timedelta(days=t), float([5, 9, 2, 7, 1, 8, 4][t % 7]))
+        for t in range(49)
+    ]
+    df = spark.createDataFrame(rows, "day date, v double")
+    got = diebold_mariano(df, "day", "v").collect()[0]
+    # d_t = e1^2 - e2^2 > 0 everywhere -> mean_d > 0, DM positive
+    assert got["mean_d"] > 0
+    assert got["dm_stat"] is not None and got["dm_stat"] > 0
+
+
+def test_turning_points_counts(spark):
+    from reddit_etl_spark.operators.series import turning_points
+
+    # 1 3 2 5 4 4 6 : turns at 3 (max), 2 (min), 5 (max); the 4,4 tie
+    # breaks strictness, 4->6 tail has no interior extremum
+    vals = [1.0, 3.0, 2.0, 5.0, 4.0, 4.0, 6.0]
+    df = _series_df(spark, vals)
+    got = turning_points(df, "ord", "v").collect()[0]
+    assert got["n"] == 7 and got["turning_pts"] == 3
+    assert got["expected"] == pytest.approx(2 * 5 / 3, abs=1e-6)
+
+
+def test_hurst_rs_separates_persistence(spark):
+    from reddit_etl_spark.operators.series import hurst_rs
+
+    import random
+
+    rnd = random.Random(11)
+    # persistent: cumulative sum of positively-autocorrelated steps
+    steps = []
+    s = 0.0
+    for _ in range(256):
+        s = 0.8 * s + rnd.gauss(0, 1)
+        steps.append(s)
+    walk = []
+    acc = 0.0
+    for st in steps:
+        acc += st
+        walk.append(acc)
+    persistent = hurst_rs(
+        _series_df(spark, walk), "ord", "v", window_sizes=(8, 16, 32)
+    ).collect()[0]
+    # alternating mean-reverting series
+    anti = [(1.0 if i % 2 else -1.0) + rnd.gauss(0, 0.1) for i in range(256)]
+    revert = hurst_rs(
+        _series_df(spark, anti), "ord", "v", window_sizes=(8, 16, 32)
+    ).collect()[0]
+    assert persistent["hurst"] > 0.7
+    assert revert["hurst"] < 0.4
+    assert persistent["n_sizes"] == 3
