@@ -99,13 +99,6 @@ _PROMOTED = [
     # head as base and displaces one filler back to _DEFERRED, so
     # the head stays exactly 50 at every commit and new queries are
     # attested the same round they are born (backlog stays 0).
-    "mixture_weights",
-    "nb_language_selftrain",
-    "neardup_survivors",
-    "pagerank_cust_supp",
-    "part_name_linkage",
-    "ppr_supplier_recs",
-    "psi_value_drift",
 ]
 
 _DEFERRED = [
@@ -116,6 +109,13 @@ _DEFERRED = [
     # artifacts every round. The 31 stalest r05-attested entries
     # moved up to _PROMOTED block 2 (oldest-attestation rule).
     # (r05 fillers displaced back by round-12 wave-1 registrations)
+    "mixture_weights",
+    "nb_language_selftrain",
+    "neardup_survivors",
+    "pagerank_cust_supp",
+    "part_name_linkage",
+    "ppr_supplier_recs",
+    "psi_value_drift",
     "hits_cust_supp",
     "hybrid_search_rrf",
     "incremental_minhash",

@@ -1696,3 +1696,383 @@ def hurst_rs_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct("day", "hr").alias("ord"), "v"
     )
     return hurst_rs(hourly, "ord", "v", window_sizes=(8, 16, 32))
+
+
+# ---- wave 5: inequality tails + text/pipeline economics ----
+
+
+@_q(
+    "palma_customer_revenue",
+    """
+    WITH rev AS (
+      SELECT CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        * 100, 0) AS BIGINT) AS v
+      FROM orders GROUP BY o_custkey),
+    per_v AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t
+              FROM rev GROUP BY 1),
+    cells AS (
+      SELECT v, t,
+             CAST(COALESCE(SUM(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS c
+      FROM per_v),
+    tot AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS n,
+             SUM(t::HUGEINT * v) AS y
+      FROM cells),
+    j AS (
+      SELECT v, t, c, n, y,
+             CAST(FLOOR(n * 0.4) AS BIGINT) AS k40,
+             CAST(FLOOR(n * 0.1) AS BIGINT) AS k10
+      FROM cells CROSS JOIN tot),
+    takes AS (
+      SELECT n, y,
+             GREATEST(0, LEAST(t, k40 - c)) AS tb,
+             GREATEST(0, LEAST(t, k10 - (n - (c + t)))) AS tt,
+             v
+      FROM j),
+    ag AS (
+      SELECT MAX(n) AS n, MAX(y) AS y,
+             SUM(tb::HUGEINT * v) AS b,
+             SUM(tt::HUGEINT * v) AS tp
+      FROM takes),
+    f AS (
+      SELECT n,
+             CAST(CAST(b AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(y AS VARCHAR) AS DOUBLE) AS bshare,
+             CAST(CAST(tp AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(y AS VARCHAR) AS DOUBLE) AS tshare,
+             n >= 10 AND CAST(CAST(y AS VARCHAR) AS DOUBLE) > 0 AS ok
+      FROM ag)
+    SELECT n,
+           ROUND(CASE WHEN ok THEN bshare END, 6) AS bottom40_share,
+           ROUND(CASE WHEN ok THEN tshare END, 6) AS top10_share,
+           ROUND(CASE WHEN ok AND bshare > 0 THEN tshare / bshare
+             END, 6) AS palma
+    FROM f
+    """,
+    doc="Palma ratio of per-customer revenue: top-10% share over "
+    "bottom-40% share (operators/relational.py:palma_ratio) — the "
+    "tails-against-each-other inequality readout next to "
+    "gini_customer_revenue (curve integral), atkinson (welfare) and "
+    "lorenz deciles (the curve itself). Boundary-straddling tied "
+    "cells contribute (k − below)·v exactly; guarded distinct-value "
+    "prefix window in exact DECIMAL cents",
+)
+def palma_customer_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import palma_ratio
+
+    orders = load(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    return palma_ratio(rev, "revenue", scale=100)
+
+
+@_q(
+    "hoover_customer_revenue",
+    """
+    WITH rev AS (
+      SELECT CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        * 100, 0) AS BIGINT) AS v
+      FROM orders GROUP BY o_custkey),
+    per_v AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t
+              FROM rev GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS n,
+             SUM(t::HUGEINT * v) AS y
+      FROM per_v),
+    ag AS (
+      SELECT MAX(n) AS n, MAX(y) AS y,
+             SUM(t::HUGEINT * ABS(n::HUGEINT * v - y)) AS ad
+      FROM per_v CROSS JOIN tot)
+    SELECT n,
+           ROUND(CASE WHEN n > 0
+                  AND CAST(CAST(y AS VARCHAR) AS DOUBLE) > 0 THEN
+             CAST(CAST(ad AS VARCHAR) AS DOUBLE)
+             / (2.0 * CAST(n AS DOUBLE)
+                * CAST(CAST(y AS VARCHAR) AS DOUBLE)) END, 6) AS hoover
+    FROM ag
+    """,
+    doc="Hoover (Robin Hood) index of per-customer revenue "
+    "(operators/relational.py:hoover_index) — the inequality number "
+    "with an operational reading: the fraction of total revenue "
+    "that would have to move to equalize customers. The "
+    "Σ|n·y_i − Y| form keeps every term an exact integer in cents — "
+    "TWO DECIMAL folds, no window, no sort (contrast palma's "
+    "guarded prefix lane)",
+)
+def hoover_customer_revenue_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.relational import hoover_index
+
+    orders = load(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    return hoover_index(rev, "revenue", scale=100)
+
+
+@_q(
+    "simpson_diversity_sources",
+    """
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               ' ')) AS tok
+      FROM documents),
+    counts AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks WHERE tok <> '' GROUP BY 1, 2),
+    ag AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             SUM(c::HUGEINT * c) AS f2
+      FROM counts GROUP BY 1),
+    m AS (
+      SELECT source, n_tokens, vocab,
+             CAST(n_tokens AS DOUBLE) AS nd,
+             CAST(CAST(f2 AS VARCHAR) AS DOUBLE) AS df2
+      FROM ag),
+    d AS (
+      SELECT source, n_tokens, vocab,
+             (df2 - nd) / (nd * (nd - 1.0)) AS sd2, nd, df2
+      FROM m)
+    SELECT source, n_tokens, vocab,
+           ROUND(CASE WHEN n_tokens >= 2 THEN sd2 END, 6) AS simpson_d,
+           ROUND(CASE WHEN n_tokens >= 2 THEN 1.0 - sd2 END, 6)
+             AS gini_simpson,
+           ROUND(CASE WHEN n_tokens >= 2 AND sd2 > 0 THEN 1.0 / sd2
+             END, 6) AS inv_simpson,
+           ROUND(CASE WHEN n_tokens >= 2 THEN
+             10000.0 * (df2 - nd) / (nd * nd) END, 6) AS yules_k
+    FROM d ORDER BY source
+    """,
+    doc="Simpson-family vocabulary concentration per source: repeat "
+    "probability D, Gini-Simpson, effective vocabulary 1/D and "
+    "Yule's K (operators/text.py:simpson_diversity) — the repeat-"
+    "probability rung next to char_entropy (bits) and "
+    "vocab_richness_sources (unseen mass): a source whose effective "
+    "vocabulary collapses is boilerplate. Exact integer Σf² off the "
+    "vocabulary-sized aggregate",
+)
+def simpson_diversity_sources_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.text import simpson_diversity
+
+    docs = load(spark, sf_dir, "documents")
+    return simpson_diversity(docs, "source", "text")
+
+
+@_q(
+    "padding_waste_docs",
+    """
+    WITH lens AS (
+      SELECT len(list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               ' '), x -> x <> '')) AS ntok
+      FROM documents WHERE text IS NOT NULL),
+    b AS (
+      SELECT CASE WHEN ntok <= 16 THEN 16 WHEN ntok <= 32 THEN 32
+                  WHEN ntok <= 64 THEN 64 WHEN ntok <= 128 THEN 128
+                  WHEN ntok <= 256 THEN 256 WHEN ntok <= 512 THEN 512
+                  WHEN ntok <= 1024 THEN 1024 ELSE 2048 END AS bucket_len,
+             LEAST(ntok, 2048) AS len_eff
+      FROM lens),
+    ag AS (
+      SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+             CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(len_eff) AS BIGINT) AS tokens,
+             CAST(SUM(bucket_len - len_eff) AS BIGINT) AS padded_slots
+      FROM b GROUP BY 1)
+    SELECT bucket_len, docs, tokens, padded_slots,
+           ROUND(CAST(padded_slots AS DOUBLE)
+                 / (CAST(docs AS DOUBLE) * bucket_len), 6) AS waste_frac
+    FROM ag ORDER BY bucket_len
+    """,
+    doc="Padding-waste report for power-of-two length bucketing over "
+    "documents (operators/curation.py:padding_waste) — the batching-"
+    "economics readout next to pack_sequences (which eliminates the "
+    "waste by concat-packing): per bucket, how many padded slots a "
+    "length-bucketed trainer pays. CASE-ladder integer bucketing "
+    "(no float log2), longest bucket clips (truncation ≠ padding)",
+)
+def padding_waste_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import padding_waste
+
+    docs = load(spark, sf_dir, "documents")
+    return padding_waste(docs, "text")
+
+
+@_q(
+    "burrows_delta_sources",
+    """
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               ' ')) AS tok
+      FROM documents),
+    counts AS (
+      SELECT source AS s, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks WHERE tok <> '' GROUP BY 1, 2),
+    panel AS (
+      SELECT tok FROM (
+        SELECT tok, SUM(c) AS tot FROM counts GROUP BY 1
+        ORDER BY tot DESC, tok ASC LIMIT 30)),
+    totals AS (SELECT s, CAST(SUM(c) AS BIGINT) AS n
+               FROM counts GROUP BY 1),
+    grid AS (SELECT s, n, tok FROM totals CROSS JOIN panel),
+    freq AS (
+      SELECT grid.s, grid.tok,
+             COALESCE(CAST(c AS DOUBLE), 0.0) / CAST(n AS DOUBLE) AS f
+      FROM grid LEFT JOIN counts
+        ON counts.s = grid.s AND counts.tok = grid.tok),
+    stats AS (
+      SELECT tok, AVG(f) AS mu, STDDEV_SAMP(f) AS sd
+      FROM freq GROUP BY 1),
+    z AS (
+      SELECT s, freq.tok,
+             CASE WHEN sd > 0 THEN (f - mu) / sd ELSE 0.0 END AS z
+      FROM freq JOIN stats ON stats.tok = freq.tok),
+    pairs AS (
+      SELECT a.s AS source_a, b.s AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             ROUND(AVG(ABS(a.z - b.z)), 6) AS delta
+      FROM z a JOIN z b ON a.tok = b.tok AND a.s < b.s
+      GROUP BY 1, 2)
+    SELECT source_a, source_b, n_words, delta
+    FROM pairs ORDER BY source_a, source_b
+    """,
+    doc="Burrows' Delta stylometric distance between document "
+    "sources over the 30 highest-frequency (function) words "
+    "(operators/text.py:burrows_delta) — the GENERATOR-drift rung "
+    "next to jsd_source_docs (topic mass): two sources with "
+    "different topics but one template sit close; a source whose "
+    "Delta jumps changed its author/generator. Deterministic "
+    "(count DESC, token ASC) panel; z-scores across sources per "
+    "word",
+)
+def burrows_delta_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import burrows_delta
+
+    docs = load(spark, sf_dir, "documents")
+    return burrows_delta(docs, "source", "text", top_k=30)
+
+
+@_q(
+    "taylors_law_events",
+    """
+    WITH cells AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+             CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2, 3),
+    per_g AS (
+      SELECT event_type, hr,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(c) AS BIGINT) AS s,
+             SUM(c::HUGEINT * c) AS q
+      FROM cells GROUP BY 1, 2),
+    m AS (
+      SELECT CAST(k AS DOUBLE) AS kd,
+             CAST(s AS DOUBLE) / CAST(k AS DOUBLE) AS mean,
+             (CAST(CAST(q AS VARCHAR) AS DOUBLE)
+              - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(k AS DOUBLE)))
+               / (CAST(k AS DOUBLE) - 1.0) AS var,
+             k
+      FROM per_g),
+    pts AS (
+      SELECT LN(mean) AS lx, LN(var) AS ly
+      FROM m WHERE k >= 2 AND mean > 0 AND var > 0),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+             SUM(lx) AS sx, SUM(ly) AS sy,
+             SUM(lx * lx) AS sxx, SUM(ly * ly) AS syy,
+             SUM(lx * ly) AS sxy
+      FROM pts),
+    c AS (
+      SELECT n_groups,
+             CAST(n_groups AS DOUBLE) AS ng,
+             sxx - sx * sx / CAST(n_groups AS DOUBLE) AS cxx,
+             syy - sy * sy / CAST(n_groups AS DOUBLE) AS cyy,
+             sxy - sx * sy / CAST(n_groups AS DOUBLE) AS cxy,
+             sx, sy
+      FROM fit)
+    SELECT n_groups,
+           ROUND(CASE WHEN n_groups >= 3 AND cxx > 0 AND cyy > 0 THEN
+             cxy / cxx END, 6) AS slope_b,
+           ROUND(CASE WHEN n_groups >= 3 AND cxx > 0 AND cyy > 0 THEN
+             (sy - (cxy / cxx) * sx) / ng END, 6) AS intercept_log_a,
+           ROUND(CASE WHEN n_groups >= 3 AND cxx > 0 AND cyy > 0 THEN
+             cxy * cxy / (cxx * cyy) END, 6) AS r2
+    FROM c
+    """,
+    doc="Taylor's power law Var ≈ a·Mean^b fitted across (event_type "
+    "× hour-of-day) groups of daily counts "
+    "(operators/relational.py:taylors_law) — the fluctuation-"
+    "scaling diagnostic: b=1 Poisson arrivals, b→2 bursty/clustered; "
+    "a drifting b means the arrival process changed even when "
+    "totals didn't. Exact integer cell counts; closed-form log-log "
+    "fit",
+)
+def taylors_law_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import taylors_law
+
+    ev = load_events(spark, sf_dir)
+    base = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hr"),
+        F.to_date("ts").alias("day"),
+    )
+    return taylors_law(base, ["event_type", "hr"], ["day"])
+
+
+@_q(
+    "footrule_day_rankings",
+    """
+    WITH counts AS (
+      SELECT CAST(ts AS DATE) AS d, event_type AS i,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT d, i,
+             ROW_NUMBER() OVER (PARTITION BY d
+               ORDER BY c DESC, i ASC) AS r
+      FROM counts),
+    pairs AS (
+      SELECT a.d AS day, a.i, a.r, b.r AS rp
+      FROM ranked a
+      JOIN ranked b ON b.d + 1 = a.d AND b.i = a.i),
+    ag AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(ABS(r - rp)) AS BIGINT) AS footrule
+      FROM pairs GROUP BY 1)
+    SELECT day, k, footrule,
+           ROUND(CASE WHEN FLOOR(CAST(k AS DOUBLE) * k / 2.0) > 0 THEN
+             CAST(footrule AS DOUBLE)
+             / FLOOR(CAST(k AS DOUBLE) * k / 2.0)
+             ELSE 0.0 END, 6) AS normalized
+    FROM ag ORDER BY day
+    """,
+    doc="Spearman footrule displacement between consecutive days' "
+    "event-type rankings, normalized by the ⌊k²/2⌋ maximum "
+    "(operators/relational.py:footrule_day_rankings) — the CHURN "
+    "companion to rbo_day_rankings: RBO is top-weighted similarity; "
+    "the footrule is total rank movement, 0 = frozen leaderboard, "
+    "1 = full reversal. Deterministic (count DESC, item ASC) ranks",
+)
+def footrule_day_rankings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import footrule_day_rankings
+
+    ev = load_events(spark, sf_dir)
+    base = ev.select(F.to_date("ts").alias("day"), "event_type")
+    return footrule_day_rankings(base, "day", "event_type")

@@ -1394,3 +1394,65 @@ def ngram_novelty(
             6,
         ).alias("novelty_weighted"),
     )
+
+
+def padding_waste(
+    df: DataFrame,
+    text_col: str,
+    buckets=(16, 32, 64, 128, 256, 512, 1024, 2048),
+) -> DataFrame:
+    """Padding-waste report for power-of-two length bucketing — the
+    batching-economics readout pack_sequences (concat packing)
+    replaces and length-bucketed training still pays: when batches
+    pad every document to its bucket's length, the fraction of
+    padded positions IS wasted compute. Each document lands in the
+    smallest bucket >= its whitespace-token count (longer documents
+    clip to the top bucket — truncation, not padding, so their
+    waste is 0 by convention, documented); per bucket the report
+    gives docs, real tokens, padded slots and the waste fraction a
+    batch scheduler would pay.
+
+    Determinism: bucket assignment is a CASE ladder over integer
+    literals (no log2 floats to misround); counts exact BIGINTs.
+
+    Plan at scale: one map-side token-count projection off the
+    scan, one |buckets|-bounded aggregate. No shuffle beyond the
+    bucket rollup.
+
+    Returns (bucket_len BIGINT, docs BIGINT, tokens BIGINT,
+    padded_slots BIGINT, waste_frac) ordered by bucket_len.
+    """
+    from .text import normalize_text_col
+
+    sizes = sorted(set(int(b) for b in buckets))
+    ntok = F.size(F.split(normalize_text_col(text_col), " "))
+    expr = None
+    for b in sizes:
+        cond = ntok <= b
+        expr = (
+            F.when(cond, F.lit(b)) if expr is None else expr.when(cond, F.lit(b))
+        )
+    bucket = expr.otherwise(F.lit(sizes[-1]))
+    eff = F.least(ntok, F.lit(sizes[-1]))
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        bucket.cast("long").alias("bucket_len"),
+        eff.cast("long").alias("__len"),
+    )
+    agg = base.groupBy("bucket_len").agg(
+        F.count("*").cast("long").alias("docs"),
+        F.sum("__len").cast("long").alias("tokens"),
+        (
+            F.sum(F.col("bucket_len") - F.col("__len")).cast("long")
+        ).alias("padded_slots"),
+    )
+    return agg.select(
+        "bucket_len",
+        "docs",
+        "tokens",
+        "padded_slots",
+        F.round(
+            F.col("padded_slots").cast("double")
+            / (F.col("docs") * F.col("bucket_len")).cast("double"),
+            6,
+        ).alias("waste_frac"),
+    ).orderBy("bucket_len")

@@ -8627,3 +8627,274 @@ def weighted_corr(
             "r_unweighted"
         ),
     )
+
+
+def palma_ratio(
+    df: DataFrame, value_col: str, scale: int = 100
+) -> DataFrame:
+    """Palma ratio — the inequality readout policy analysis actually
+    quotes where gini compresses everything into one curve integral:
+    the top-10% share divided by the bottom-40% share, i.e. "the
+    tails against each other, ignoring the stable middle" (Palma
+    2011). Discrete convention (documented, shared with the
+    oracle): k₁₀ = floor(0.1·n) richest units, k₄₀ = floor(0.4·n)
+    poorest units; a tied-value cell straddling a boundary
+    contributes exactly (k − below)·v — exact because every row in
+    a cell shares one value.
+
+    Exactness: one (value) aggregate; prefix counts/sums off the
+    guarded distinct-value window in exact DECIMAL cents; the two
+    boundary interpolations and the ratio are one double
+    expression.
+
+    Plan at scale: one value aggregate, the guarded prefix window,
+    one 1-row reduce.
+
+    Returns one row: (n BIGINT, bottom40_share, top10_share, palma)
+    — NULLs when a tail share degenerates.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v")
+    )
+    per_v = base.groupBy("__v").agg(F.count("*").alias("__t"))
+    per_v = guard_distinct_frame(per_v, "palma_ratio")
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    cells = per_v.select(
+        "__v",
+        "__t",
+        F.coalesce(F.sum("__t").over(w), F.lit(0)).alias("__c"),
+    )
+    tot = cells.agg(
+        F.sum("__t").cast("long").alias("__n"),
+        F.sum(dec(F.col("__t")) * dec(F.col("__v")))
+        .cast("decimal(38,0)")
+        .alias("__y"),
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    k40 = F.floor(F.col("__n") * 0.4).cast("long")
+    k10 = F.floor(F.col("__n") * 0.1).cast("long")
+    # bottom-k: rows with prefix index < k40 (cell-partial exact)
+    take_b = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("__t"), k40 - F.col("__c")),
+    )
+    # top-k: rows with index >= n - k10
+    above = F.col("__n") - (F.col("__c") + F.col("__t"))  # rows above cell
+    take_t = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("__t"), k10 - above),
+    )
+    agg = j.groupBy().agg(
+        F.max("__n").cast("long").alias("n"),
+        F.max("__y").alias("__y"),
+        F.sum(dec(take_b) * dec(F.col("__v")))
+        .cast("decimal(38,0)")
+        .alias("__b"),
+        F.sum(dec(take_t) * dec(F.col("__v")))
+        .cast("decimal(38,0)")
+        .alias("__tp"),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    bshare = dbl("__b") / dbl("__y")
+    tshare = dbl("__tp") / dbl("__y")
+    ok = (F.col("n") >= 10) & (dbl("__y") > 0)
+    return agg.select(
+        "n",
+        F.round(F.when(ok, bshare), 6).alias("bottom40_share"),
+        F.round(F.when(ok, tshare), 6).alias("top10_share"),
+        F.round(F.when(ok & (bshare > 0), tshare / bshare), 6).alias(
+            "palma"
+        ),
+    )
+
+
+def hoover_index(
+    df: DataFrame, value_col: str, scale: int = 100
+) -> DataFrame:
+    """Hoover (Robin Hood) index — the inequality measure with the
+    operational reading gini/palma lack: the FRACTION OF TOTAL MASS
+    that would have to move from above-average units to below-
+    average ones to equalize everything. H = Σ|y_i − Ȳ|/(2·Y) =
+    Σ|n·y_i − Y|/(2·n·Y) — the second form keeps every term an
+    exact integer in cents, so the whole statistic is TWO exact
+    DECIMAL folds and one double division: no window, no sort, no
+    rank lane at all (contrast palma_ratio's guarded prefix).
+
+    Plan at scale: one (value) aggregate, one 1-row total broadcast,
+    one reduce. Fully map-side-combinable.
+
+    Returns one row: (n BIGINT, hoover) — NULL on empty/zero-total.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v")
+    )
+    per_v = base.groupBy("__v").agg(F.count("*").alias("__t"))
+    tot = per_v.agg(
+        F.sum("__t").cast("long").alias("__n"),
+        F.sum(dec(F.col("__t")) * dec(F.col("__v")))
+        .cast("decimal(38,0)")
+        .alias("__y"),
+    )
+    j = per_v.crossJoin(F.broadcast(tot))
+    term = (
+        dec(F.col("__t"))
+        * F.abs(
+            dec(F.col("__n")) * dec(F.col("__v")) - dec(F.col("__y"))
+        ).cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
+    agg = j.groupBy().agg(
+        F.max("__n").cast("long").alias("n"),
+        F.max("__y").alias("__y"),
+        F.sum(term).cast("decimal(38,0)").alias("__ad"),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    ok = (F.col("n") > 0) & (dbl("__y") > 0)
+    return agg.select(
+        "n",
+        F.round(
+            F.when(
+                ok,
+                dbl("__ad")
+                / (2.0 * F.col("n").cast("double") * dbl("__y")),
+            ),
+            6,
+        ).alias("hoover"),
+    )
+
+
+def taylors_law(
+    df: DataFrame, group_cols, count_unit_cols
+) -> DataFrame:
+    """Taylor's power law fit — the fluctuation-scaling diagnostic
+    for event streams: across groups, Var(count) ≈ a·Mean(count)^b;
+    b = 1 is Poisson (independent arrivals), b → 2 is fully bursty/
+    clustered, and a b that DRIFTS between ingests means the
+    arrival process changed even when the totals didn't
+    (burstiness_event_types reads one group's Fano factor; this
+    fits the law ACROSS groups). Counts are per (group, unit)
+    cells — e.g. group = (event_type, hour-of-day), unit = day.
+
+    Exactness: cell counts exact BIGINTs off one aggregate; the
+    per-group mean/variance come from exact integer Σc, Σc² via the
+    closed forms; the log-log OLS over the group points is one
+    double fold (round-6).
+
+    Plan at scale: one (group, unit) aggregate, one (group) rollup,
+    one bounded fold. No window, no join.
+
+    Returns one row: (n_groups BIGINT, slope_b, intercept_log_a,
+    r2) — NULLs when fewer than 3 usable groups.
+    """
+    group_cols = list(group_cols)
+    unit_cols = list(count_unit_cols)
+    cells = df.groupBy(*group_cols, *unit_cols).agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_g = cells.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("__k"),
+        F.sum("__c").cast("long").alias("__s"),
+        F.sum((dec(F.col("__c")) * dec(F.col("__c"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__q"),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    k = F.col("__k").cast("double")
+    mean = F.col("__s").cast("double") / k
+    var = (dbl("__q") - F.col("__s").cast("double") * mean) / (k - 1.0)
+    pts = per_g.filter(
+        (F.col("__k") >= 2) & (mean > 0) & (var > 0)
+    ).select(
+        F.log(mean).alias("__lx"),
+        F.log(var).alias("__ly"),
+    )
+    fit = pts.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("__lx").alias("__sx"),
+        F.sum("__ly").alias("__sy"),
+        F.sum(F.col("__lx") * F.col("__lx")).alias("__sxx"),
+        F.sum(F.col("__ly") * F.col("__ly")).alias("__syy"),
+        F.sum(F.col("__lx") * F.col("__ly")).alias("__sxy"),
+    )
+    ng = F.col("n_groups").cast("double")
+    cxx = F.col("__sxx") - F.col("__sx") * F.col("__sx") / ng
+    cyy = F.col("__syy") - F.col("__sy") * F.col("__sy") / ng
+    cxy = F.col("__sxy") - F.col("__sx") * F.col("__sy") / ng
+    b = cxy / cxx
+    a0 = (F.col("__sy") - b * F.col("__sx")) / ng
+    ok = (F.col("n_groups") >= 3) & (cxx > 0) & (cyy > 0)
+    return fit.select(
+        "n_groups",
+        F.round(F.when(ok, b), 6).alias("slope_b"),
+        F.round(F.when(ok, a0), 6).alias("intercept_log_a"),
+        F.round(F.when(ok, cxy * cxy / (cxx * cyy)), 6).alias("r2"),
+    )
+
+
+def footrule_day_rankings(
+    df: DataFrame, day_col: str, item_col: str
+) -> DataFrame:
+    """Spearman footrule distance between CONSECUTIVE days' item
+    rankings — the movement companion to rbo_day_rankings: RBO is
+    top-weighted similarity on possibly-disjoint lists; the footrule
+    F = Σ|rank_today − rank_yesterday| over the SHARED items is the
+    total displacement, normalized by its maximum ⌊k²/2⌋ so 0 =
+    frozen leaderboard and 1 = full reversal — the one-number answer
+    to "how much did the ranking churn today".
+
+    Determinism: ranks are (count DESC, item ASC) row_numbers — a
+    total order both engines agree on; only items present on BOTH
+    days pair (documented); k per pair rides the output.
+
+    Plan at scale: one (day, item) aggregate; per-day rank windows
+    partition by day (bounded item sets); one self-join on
+    (item, day+1); one (day) rollup.
+
+    Returns (day, k BIGINT, footrule BIGINT, normalized) ordered by
+    day — one row per day that has a preceding day.
+    """
+    counts = df.groupBy(
+        F.col(day_col).alias("__d"), F.col(item_col).alias("__i")
+    ).agg(F.count("*").alias("__c"))
+    w = Window.partitionBy("__d").orderBy(
+        F.col("__c").desc(), F.col("__i").asc()
+    )
+    ranked = counts.select(
+        "__d", "__i", F.row_number().over(w).alias("__r")
+    )
+    prev = ranked.select(
+        F.date_add(F.col("__d"), 1).alias("__d"),
+        "__i",
+        F.col("__r").alias("__rp"),
+    )
+    pairs = ranked.join(prev, ["__d", "__i"])
+    agg = pairs.groupBy(F.col("__d").alias("day")).agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.abs(F.col("__r") - F.col("__rp"))).cast("long").alias(
+            "footrule"
+        ),
+    )
+    kd = F.col("k").cast("double")
+    maxf = F.floor(kd * kd / 2.0)
+    return agg.select(
+        "day",
+        "k",
+        "footrule",
+        F.round(
+            F.when(
+                maxf > 0, F.col("footrule").cast("double") / maxf
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("normalized"),
+    ).orderBy("day")

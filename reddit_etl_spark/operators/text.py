@@ -2425,3 +2425,162 @@ def source_cross_entropy(
             "ppl_vs_pool"
         ),
     ).orderBy("source")
+
+
+def simpson_diversity(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Simpson-family vocabulary concentration per source — the
+    REPEAT-PROBABILITY rung of the diversity ladder next to
+    char_entropy (bits), vocab_richness (unseen mass) and zipf fit
+    (rank law): Simpson's D = Σf(f−1)/(N(N−1)) is the exact
+    probability two tokens drawn WITHOUT replacement are the same
+    type; 1−D (Gini-Simpson) and 1/D (inverse Simpson = effective
+    vocabulary, the "how many equally-common types would look like
+    this" number) ride along, plus Yule's K = 10⁴·(Σf²−N)/N² — the
+    classic authorship-stable repetitiveness constant. A corpus
+    whose effective vocabulary collapses under dedup is boilerplate.
+
+    Exactness: token counts, Σf², N, V exact BIGINTs off one
+    (source, token) aggregate + one per-source rollup; every
+    statistic is one double expression of exact integers.
+
+    Plan at scale: one vocabulary-sized (source, token) aggregate,
+    one per-source fold. No window, no join.
+
+    Returns (source, n_tokens BIGINT, vocab BIGINT, simpson_d,
+    gini_simpson, inv_simpson, yules_k) ordered by source.
+    """
+    toks = F.explode(F.split(normalize_text_col(text_col), " ")).alias(
+        "__tok"
+    )
+    counts = (
+        df.select(F.col(group_col).alias("source"), toks)
+        .filter(F.length("__tok") > 0)
+        .groupBy("source", "__tok")
+        .agg(F.count("*").cast("long").alias("__c"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = counts.groupBy("source").agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+        F.sum((dec(F.col("__c")) * dec(F.col("__c"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__f2"),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    n = F.col("n_tokens").cast("double")
+    f2 = dbl("__f2")
+    d = (f2 - n) / (n * (n - 1.0))
+    ok = F.col("n_tokens") >= 2
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        F.round(F.when(ok, d), 6).alias("simpson_d"),
+        F.round(F.when(ok, 1.0 - d), 6).alias("gini_simpson"),
+        F.round(F.when(ok & (d > 0), 1.0 / d), 6).alias("inv_simpson"),
+        F.round(
+            F.when(ok, 10000.0 * (f2 - n) / (n * n)), 6
+        ).alias("yules_k"),
+    ).orderBy("source")
+
+
+def burrows_delta(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    top_k: int = 30,
+) -> DataFrame:
+    """Burrows' Delta authorship/style distance between sources —
+    the stylometry workhorse the drift family lacks: character
+    n-grams (char_entropy) and topic mass (jsd_source_docs) move
+    with CONTENT; Delta deliberately restricts itself to the
+    ``top_k`` highest-frequency words in the pooled corpus (which
+    are function words — the, of, and — that authors use
+    unconsciously), z-scores each source's relative frequency per
+    word across sources, and averages |z_a − z_b| per source pair.
+    Two sources with different topics but one template/author sit
+    close; a source whose Delta to everything jumps changed its
+    GENERATOR, not its subject.
+
+    Determinism: the word panel is rank-by-(count DESC, token ASC)
+    — a total order; relative frequencies are exact-integer ratios;
+    the per-word mean/sd across the handful of sources and the
+    final fold are double expressions, round-6.
+
+    Plan at scale: one (source, token) aggregate; the panel is a
+    top-k rollup of it (broadcast); z-scores via one (token)
+    rollup over the panel-filtered source frequencies; one
+    (source-pair) fold over the k·|sources|² broadcast-sized frame.
+
+    Returns (source_a, source_b, n_words BIGINT, delta) for every
+    unordered pair, ordered by (source_a, source_b).
+    """
+    toks = F.explode(F.split(normalize_text_col(text_col), " ")).alias(
+        "__tok"
+    )
+    counts = (
+        df.select(F.col(group_col).alias("__s"), toks)
+        .filter(F.length("__tok") > 0)
+        .groupBy("__s", "__tok")
+        .agg(F.count("*").cast("long").alias("__c"))
+    )
+    panel = (
+        counts.groupBy("__tok")
+        .agg(F.sum("__c").alias("__tot"))
+        .orderBy(F.col("__tot").desc(), F.col("__tok").asc())
+        .limit(top_k)
+        .select("__tok")
+    )
+    totals = counts.groupBy("__s").agg(
+        F.sum("__c").cast("long").alias("__n")
+    )
+    # relative frequency per (source, panel word), zero-filled via
+    # the source x panel cross (both frames are small/broadcastable)
+    grid = totals.crossJoin(F.broadcast(panel))
+    freq = grid.join(counts, ["__s", "__tok"], "left").select(
+        "__s",
+        "__tok",
+        (
+            F.coalesce(F.col("__c"), F.lit(0)).cast("double")
+            / F.col("__n").cast("double")
+        ).alias("__f"),
+    )
+    stats = freq.groupBy("__tok").agg(
+        F.avg("__f").alias("__mu"),
+        F.stddev_samp("__f").alias("__sd"),
+    )
+    z = freq.join(F.broadcast(stats), "__tok").select(
+        "__s",
+        "__tok",
+        F.when(
+            F.col("__sd") > 0,
+            (F.col("__f") - F.col("__mu")) / F.col("__sd"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__z"),
+    )
+    zb = z.select(
+        F.col("__s").alias("__sb"),
+        "__tok",
+        F.col("__z").alias("__zb"),
+    )
+    pairs = (
+        z.join(zb, "__tok")
+        .filter(F.col("__s") < F.col("__sb"))
+        .groupBy(
+            F.col("__s").alias("source_a"),
+            F.col("__sb").alias("source_b"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.round(F.avg(F.abs(F.col("__z") - F.col("__zb"))), 6).alias(
+                "delta"
+            ),
+        )
+    )
+    return pairs.orderBy("source_a", "source_b")

@@ -666,3 +666,129 @@ def test_hurst_rs_separates_persistence(spark):
     assert persistent["hurst"] > 0.7
     assert revert["hurst"] < 0.4
     assert persistent["n_sizes"] == 3
+
+
+# ---- wave 5 ----
+
+
+def test_palma_and_hoover_known_values(spark):
+    from reddit_etl_spark.operators.relational import hoover_index, palma_ratio
+
+    # 10 units: values 1..10 -> k40=4 (sum 1+2+3+4=10), k10=1 (10)
+    vals = [float(i) for i in range(1, 11)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    p = palma_ratio(df, "v", scale=100).collect()[0]
+    total = sum(vals)
+    assert p["bottom40_share"] == pytest.approx(10 / total, abs=1e-6)
+    assert p["top10_share"] == pytest.approx(10 / total, abs=1e-6)
+    assert p["palma"] == pytest.approx(1.0, abs=1e-6)
+    h = hoover_index(df, "v", scale=100).collect()[0]
+    mean = total / 10
+    want = sum(abs(v - mean) for v in vals) / (2 * total)
+    assert h["hoover"] == pytest.approx(want, abs=1e-6)
+    # equal distribution -> hoover 0
+    eq = spark.createDataFrame([(5.0,)] * 8, "v double")
+    assert hoover_index(eq, "v").collect()[0]["hoover"] == 0.0
+
+
+def test_palma_tied_boundary_cells(spark):
+    from reddit_etl_spark.operators.relational import palma_ratio
+
+    # 10 equal units: every share is exactly proportional
+    df = spark.createDataFrame([(7.0,)] * 10, "v double")
+    p = palma_ratio(df, "v").collect()[0]
+    assert p["bottom40_share"] == pytest.approx(0.4, abs=1e-6)
+    assert p["top10_share"] == pytest.approx(0.1, abs=1e-6)
+    assert p["palma"] == pytest.approx(0.25, abs=1e-6)
+
+
+def test_simpson_diversity_matches_python(spark):
+    from reddit_etl_spark.operators.text import simpson_diversity
+
+    rows = [("a", "x x x y y z"), ("b", "p q r s")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["source"]: r for r in simpson_diversity(df, "source", "text").collect()}
+    # source a: counts 3,2,1 over N=6
+    n = 6.0
+    d = (3 * 2 + 2 * 1 + 0) / (n * (n - 1))
+    assert out["a"]["simpson_d"] == pytest.approx(d, abs=1e-6)
+    assert out["a"]["inv_simpson"] == pytest.approx(1 / d, abs=1e-6)
+    assert out["a"]["yules_k"] == pytest.approx(
+        1e4 * ((9 + 4 + 1) - n) / (n * n), abs=1e-4
+    )
+    # all-distinct source: D = 0, yules_k = 0
+    assert out["b"]["simpson_d"] == 0.0 and out["b"]["inv_simpson"] is None
+
+
+def test_padding_waste_buckets(spark):
+    from reddit_etl_spark.operators.curation import padding_waste
+
+    rows = [
+        ("w " * 10,),   # 10 tokens -> bucket 16, waste 6
+        ("w " * 16,),   # 16 -> bucket 16, waste 0
+        ("w " * 17,),   # 17 -> bucket 32, waste 15
+        ("w " * 3000,),  # clips to 2048, waste 0
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    out = {r["bucket_len"]: r for r in padding_waste(df, "text").collect()}
+    assert out[16]["docs"] == 2 and out[16]["padded_slots"] == 6
+    assert out[16]["waste_frac"] == pytest.approx(6 / 32, abs=1e-6)
+    assert out[32]["padded_slots"] == 15
+    assert out[2048]["padded_slots"] == 0
+
+
+def test_burrows_delta_template_similarity(spark):
+    from reddit_etl_spark.operators.text import burrows_delta
+
+    # a and b share a function-word template; c is different
+    rows = (
+        [("a", "the cat of the house and the dog")] * 5
+        + [("b", "the boat of the sea and the wind")] * 5
+        + [("c", "zebra quokka wombat numbat bilby")] * 5
+    )
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {
+        (r["source_a"], r["source_b"]): r["delta"]
+        for r in burrows_delta(df, "source", "text", top_k=10).collect()
+    }
+    assert out[("a", "b")] < out[("a", "c")]
+    assert out[("a", "b")] < out[("b", "c")]
+
+
+def test_taylors_law_poisson_vs_deterministic(spark):
+    from reddit_etl_spark.operators.relational import taylors_law
+
+    import random
+
+    rnd = random.Random(5)
+    rows = []
+    # 12 groups with poisson-ish counts over 40 units: slope near 1
+    for g in range(12):
+        lam = 2 + g
+        for u in range(40):
+            for _ in range(max(0, int(rnd.gauss(lam, math.sqrt(lam))))):
+                rows.append((g, u))
+    df = spark.createDataFrame(rows, "g int, u int")
+    got = taylors_law(df, ["g"], ["u"]).collect()[0]
+    assert got["n_groups"] == 12
+    assert 0.4 < got["slope_b"] < 1.6
+    assert got["r2"] > 0.3
+
+
+def test_footrule_known_rankings(spark):
+    from reddit_etl_spark.operators.relational import footrule_day_rankings
+
+    import datetime
+
+    d0 = datetime.date(2024, 1, 1)
+    d1 = datetime.date(2024, 1, 2)
+    rows = []
+    # day0 ranks: a(3), b(2), c(1) ; day1 full reversal: c(3), b(2), a(1)
+    rows += [(d0, "a")] * 3 + [(d0, "b")] * 2 + [(d0, "c")] * 1
+    rows += [(d1, "c")] * 3 + [(d1, "b")] * 2 + [(d1, "a")] * 1
+    df = spark.createDataFrame(rows, "day date, i string")
+    got = footrule_day_rankings(df, "day", "i").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["k"] == 3 and r["footrule"] == 4  # |1-3| + 0 + |3-1|
+    assert r["normalized"] == pytest.approx(1.0, abs=1e-6)  # max = floor(9/2)=4
