@@ -93,12 +93,12 @@ _PROMOTED = [
     "source_cross_entropy_docs",
     "partial_corr_lineitem",
     "covariate_balance_arms",
-    # Block 2 (oldest attestations): fills the remaining head slots
-    # with the registry's STALEST driver rows (last attested r05 —
-    # seven rounds ago). Each new round-12 registration rides the
-    # head as base and displaces one filler back to _DEFERRED, so
-    # the head stays exactly 50 at every commit and new queries are
-    # attested the same round they are born (backlog stays 0).
+    # Block 2 (oldest-attestation fillers) is now EMPTY: it opened
+    # the round holding the 31 stalest r05-attested entries, and the
+    # 31 round-12 registrations (waves 1-5) displaced them back to
+    # _DEFERRED one-for-one — the head stayed exactly 50 at every
+    # commit and every new query is attested the round it was born
+    # (backlog stays 0).
 ]
 
 _DEFERRED = [
@@ -107,8 +107,10 @@ _DEFERRED = [
     # the tail first; everything below stays oracle-checked by
     # tools/check_oracle.py and the committed ORACLE_sf*.json
     # artifacts every round. The 31 stalest r05-attested entries
-    # moved up to _PROMOTED block 2 (oldest-attestation rule).
-    # (r05 fillers displaced back by round-12 wave-1 registrations)
+    # started the round promoted as oldest-attestation fillers and
+    # were displaced back one-for-one by the 31 round-12
+    # registrations (waves 1-5), which now ride the head as base —
+    # so the r12 head is exactly {19-query r11 backlog} + {31 new}.
     "mixture_weights",
     "nb_language_selftrain",
     "neardup_survivors",
