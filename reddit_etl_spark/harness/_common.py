@@ -37,7 +37,9 @@ from ..session import ensure_nanos_as_long, ensure_utc
 # pre-materialized pHash artifact (tools/gen_phash_artifact.py) — path
 # derived from the package location so any checkout/CI clone resolves it
 _PHASH_ARTIFACT = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)),
+    # package root (one level up from harness/) — the round-12 split
+    # moved this file into the harness subpackage
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "resources",
     "phash_hashes.parquet",
 )
