@@ -102,6 +102,18 @@ _PROMOTED = [
 ]
 
 _DEFERRED = [
+    # ROUND-12 WAVE-6 registrations (6): the r12 head's 50 slots are
+    # fully budgeted by the 19-query r11 backlog + the 31 wave-1..5
+    # registrations, so these park in the tail with THREE-PROFILE +
+    # ANSI local attestation committed in the ORACLE_*.json
+    # artifacts; they are the named candidates for the r13 head
+    # (tools/attestation_backlog.py derives the list).
+    "lepage_click_error",
+    "van_elteren_click_weekday",
+    "cv_qcd_event_types",
+    "robust_shape_values",
+    "longest_run_daily",
+    "record_highs_daily",
     # ROUND-12 ROTATION: the full r11 driver head (13 wave-1 base +
     # 37 r10-backlog promotions, all driver-attested r11) rotates to
     # the tail first; everything below stays oracle-checked by

@@ -2076,3 +2076,366 @@ def footrule_day_rankings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     base = ev.select(F.to_date("ts").alias("day"), "event_type")
     return footrule_day_rankings(base, "day", "event_type")
+
+
+# ---- wave 6 (tail-parked: the r12 head is full at backlog+31, so
+# these carry three-profile + ANSI local attestation in the committed
+# ORACLE_*.json artifacts and are the named r13 head candidates) ----
+
+
+@_q(
+    "lepage_click_error",
+    """
+    WITH base AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+      FROM events
+      WHERE event_type IN ('click', 'error') AND value IS NOT NULL),
+    pv AS (SELECT v, CAST(SUM(ia) AS BIGINT) AS ta,
+                  CAST(SUM(1 - ia) AS BIGINT) AS tb
+           FROM base GROUP BY v),
+    r AS (
+      SELECT v, ta, tb, ta + tb AS t,
+             CAST(COALESCE(SUM(ta + tb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS c
+      FROM pv),
+    mw AS (
+      SELECT CAST(SUM(ta) AS BIGINT) AS na,
+             CAST(SUM(tb) AS BIGINT) AS nb,
+             CAST(SUM(CAST(ta AS HUGEINT)
+                      * (2 * CAST(c AS HUGEINT) + ta + tb + 1))
+                  AS HUGEINT) AS r2a,
+             CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS ties
+      FROM r),
+    zw AS (
+      SELECT na, nb,
+             CASE WHEN na > 0 AND nb > 0 AND
+                  CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                  * (CAST(na + nb + 1 AS DOUBLE)
+                     - CAST(ties AS DOUBLE)
+                       / (CAST(na + nb AS DOUBLE)
+                          * CAST(na + nb - 1 AS DOUBLE))) > 0
+             THEN ROUND(CAST(r2a - CAST(na AS HUGEINT) * (na + 1)
+                             - CAST(na AS HUGEINT) * nb AS DOUBLE)
+               / (2.0 * SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                  / 12.0
+                  * (CAST(na + nb + 1 AS DOUBLE)
+                     - CAST(ties AS DOUBLE)
+                       / (CAST(na + nb AS DOUBLE)
+                          * CAST(na + nb - 1 AS DOUBLE))))), 6)
+             END AS z_location
+      FROM mw),
+    cell AS (
+      SELECT r.t, r.ta AS fa, tot.n, tot.na2,
+             CAST(FLOOR((tot.n + 1) / 2) AS BIGINT) AS h,
+             r.c + 1 AS lo, r.c + r.t AS hi
+      FROM r CROSS JOIN (
+        SELECT CAST(SUM(ta + tb) AS BIGINT) AS n,
+               CAST(SUM(ta) AS BIGINT) AS na2 FROM pv) tot),
+    s2c AS (
+      SELECT t, fa, n, na2,
+             (CASE WHEN LEAST(hi, h) >= lo
+                   THEN (lo + LEAST(hi, h))::HUGEINT
+                        * (LEAST(hi, h) - lo + 1)
+                   ELSE 0 END
+              + CASE WHEN hi >= GREATEST(lo, h + 1)
+                     THEN (2 * (n + 1) - GREATEST(lo, h + 1) - hi)::HUGEINT
+                          * (hi - GREATEST(lo, h + 1) + 1)
+                     ELSE 0 END) AS s2
+      FROM cell),
+    abg AS (
+      SELECT MAX(n) AS nn, MAX(na2) AS n_a,
+             SUM(s2) AS sa2,
+             SUM(CAST(fa AS DOUBLE) * CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                 / (2.0 * t)) AS ab,
+             SUM(CAST(CAST(s2 * s2 AS VARCHAR) AS DOUBLE) / (4.0 * t))
+               AS saa
+      FROM s2c),
+    zab AS (
+      SELECT ROUND(CASE WHEN CAST(n_a AS DOUBLE) > 0
+                    AND CAST(nn - n_a AS DOUBLE) > 0
+                    AND CAST(n_a AS DOUBLE) * CAST(nn - n_a AS DOUBLE)
+                        * (CAST(nn AS DOUBLE) * saa
+                           - (CAST(CAST(sa2 AS VARCHAR) AS DOUBLE) / 2.0)
+                             * (CAST(CAST(sa2 AS VARCHAR) AS DOUBLE) / 2.0))
+                        / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                           * (CAST(nn AS DOUBLE) - 1.0)) > 0
+              THEN (ab - CAST(n_a AS DOUBLE)
+                         * (CAST(CAST(sa2 AS VARCHAR) AS DOUBLE) / 2.0)
+                         / CAST(nn AS DOUBLE))
+                   / SQRT(CAST(n_a AS DOUBLE) * CAST(nn - n_a AS DOUBLE)
+                          * (CAST(nn AS DOUBLE) * saa
+                             - (CAST(CAST(sa2 AS VARCHAR) AS DOUBLE) / 2.0)
+                               * (CAST(CAST(sa2 AS VARCHAR) AS DOUBLE) / 2.0))
+                          / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                             * (CAST(nn AS DOUBLE) - 1.0))) END, 6)
+               AS z_scale
+      FROM abg)
+    SELECT na AS n_a, nb AS n_b, z_location, z_scale,
+           ROUND(z_location * z_location + z_scale * z_scale, 6)
+             AS lepage_l
+    FROM zw CROSS JOIN zab
+    """,
+    doc="Lepage combined location-scale test, click vs error values "
+    "(operators/relational.py:lepage_test) — χ²(2) combination of "
+    "the tie-corrected Mann-Whitney z and Ansari-Bradley z; the "
+    "deliberate cross-check against cucconi_click_error (two "
+    "different combinations of the same rank information must tell "
+    "one story). L computed from the ROUND-6 component z's so the "
+    "composition is engine-identical by construction",
+)
+def lepage_click_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import lepage_test
+
+    ev = load_events(spark, sf_dir)
+    return lepage_test(ev, "value", "event_type", "click", "error")
+
+
+@_q(
+    "van_elteren_click_weekday",
+    """
+    WITH base AS (
+      SELECT CAST(isodow(ts) - 1 AS BIGINT) AS s,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+      FROM events
+      WHERE event_type IN ('click', 'error') AND value IS NOT NULL),
+    cells AS (
+      SELECT s, v, CAST(SUM(ia) AS BIGINT) AS ta,
+             CAST(SUM(1 - ia) AS BIGINT) AS tb
+      FROM base GROUP BY 1, 2),
+    r AS (
+      SELECT s, ta, tb, ta + tb AS t,
+             CAST(COALESCE(SUM(ta + tb) OVER (PARTITION BY s ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS c
+      FROM cells),
+    per_s AS (
+      SELECT s,
+             CAST(SUM(ta) AS BIGINT) AS m,
+             CAST(SUM(tb) AS BIGINT) AS nb,
+             SUM(ta::HUGEINT * (2 * c + ta + tb + 1)) AS r2a,
+             SUM(t::HUGEINT * (2 * c + ta + tb + 1)
+                 * (2 * c + ta + tb + 1)) AS q4
+      FROM r GROUP BY 1),
+    mm AS (
+      SELECT m, nb,
+             CAST(m AS DOUBLE) AS md, CAST(nb AS DOUBLE) AS nbd,
+             CAST(m + nb AS DOUBLE) AS ns,
+             CAST(CAST(r2a AS VARCHAR) AS DOUBLE) / 2.0 AS ra,
+             CAST(CAST(q4 AS VARCHAR) AS DOUBLE) / 4.0 AS sr2
+      FROM per_s),
+    terms AS (
+      SELECT m, nb, md, nbd, ns, ra,
+             1.0 / (ns + 1.0) AS wgt,
+             (sr2 - ns * (ns + 1.0) * (ns + 1.0) / 4.0) / (ns - 1.0)
+               AS rvar,
+             m > 0 AND nb > 0 AND ns >= 2 AS usable
+      FROM mm),
+    fold AS (
+      SELECT CAST(SUM(m + nb) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_strata,
+             SUM(CASE WHEN usable THEN wgt * ra END) AS w,
+             SUM(CASE WHEN usable THEN wgt * md * (ns + 1.0) / 2.0 END)
+               AS e,
+             SUM(CASE WHEN usable THEN
+                 wgt * wgt * md * nbd * rvar / ns END) AS var
+      FROM terms)
+    SELECT n, n_strata,
+           ROUND(w, 6) AS w_stat,
+           ROUND(CASE WHEN var > 0 THEN (w - e) / SQRT(var) END, 6) AS z
+    FROM fold
+    """,
+    doc="Van Elteren stratified rank test of click vs error values, "
+    "strata = weekday (operators/relational.py:van_elteren) — "
+    "mantel_haenszel's continuous-outcome sibling: a within-stratum "
+    "Wilcoxon combined with locally-most-powerful 1/(N_s+1) "
+    "weights, so weekday level shifts can't masquerade as a "
+    "click/error difference. Per-stratum midrank sums and Σr² "
+    "exact 2x/4x DECIMAL off stratum-partitioned prefix windows "
+    "(parallel partitions, no global sort)",
+)
+def van_elteren_click_weekday_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.relational import van_elteren
+
+    ev = load_events(spark, sf_dir)
+    base = ev.select(
+        F.weekday("ts").cast("long").alias("s"), "value", "event_type"
+    )
+    return van_elteren(
+        base, "value", "event_type", "click", "error", ["s"]
+    )
+
+
+@_q(
+    "cv_qcd_event_types",
+    """
+    WITH base AS (
+      SELECT event_type AS grp, CAST(value AS DOUBLE) AS x,
+             CAST(value AS DECIMAL(18,6)) AS xd
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    ag AS (
+      SELECT grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(xd AS DECIMAL(38,6))) AS s,
+             SUM(CAST(xd * xd AS DECIMAL(38,12))) AS q,
+             quantile_cont(x, 0.25) AS q1,
+             quantile_cont(x, 0.75) AS q3
+      FROM base GROUP BY 1),
+    m AS (
+      SELECT grp, n, q1, q3,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(CAST(s AS VARCHAR) AS DOUBLE) AS ds,
+             CAST(CAST(q AS VARCHAR) AS DOUBLE) AS dq
+      FROM ag),
+    f AS (
+      SELECT grp, n, q1, q3, ds / nd AS mean,
+             (dq - ds * ds / nd) / (nd - 1.0) AS var, nd
+      FROM m)
+    SELECT grp, n,
+           ROUND(mean, 6) AS mean,
+           ROUND(CASE WHEN n >= 2 AND mean <> 0 AND var >= 0 THEN
+             SQRT(var) / mean END, 6) AS cv,
+           ROUND(CASE WHEN q3 + q1 <> 0 THEN (q3 - q1) / (q3 + q1)
+             END, 6) AS qcd
+    FROM f ORDER BY grp
+    """,
+    doc="Coefficient of variation + quartile coefficient of "
+    "dispersion per event type "
+    "(operators/relational.py:cv_qcd_by_group) — the two RELATIVE-"
+    "spread readouts (moment vs robust); CV >> QCD = tail outliers, "
+    "not broad spread — one-line triage before the EVT family. "
+    "Exact DECIMAL moments + exact linear-interpolated quartiles "
+    "(percentile ≡ quantile_cont) in one aggregate",
+)
+def cv_qcd_event_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import cv_qcd_by_group
+
+    ev = load_events(spark, sf_dir)
+    return cv_qcd_by_group(ev, "event_type", "value")
+
+
+@_q(
+    "robust_shape_values",
+    """
+    WITH base AS (
+      SELECT CAST(value AS DOUBLE) AS x FROM events
+      WHERE value IS NOT NULL),
+    ag AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             quantile_cont(x, 0.125) AS e1, quantile_cont(x, 0.25) AS e2,
+             quantile_cont(x, 0.375) AS e3, quantile_cont(x, 0.5) AS e4,
+             quantile_cont(x, 0.625) AS e5, quantile_cont(x, 0.75) AS e6,
+             quantile_cont(x, 0.875) AS e7
+      FROM base)
+    SELECT n,
+           ROUND(CASE WHEN n >= 4 AND e6 - e2 > 0 THEN
+             (e6 + e2 - 2.0 * e4) / (e6 - e2) END, 6) AS bowley_skew,
+           ROUND(CASE WHEN n >= 8 AND e6 - e2 > 0 THEN
+             ((e7 - e5) + (e3 - e1)) / (e6 - e2) END, 6)
+             AS moors_kurtosis
+    FROM ag
+    """,
+    doc="Bowley skewness + Moors kurtosis of event values from exact "
+    "octiles (operators/relational.py:robust_shape) — the heavy-"
+    "tail-proof shape numbers next to jarque_bera_values' moment "
+    "versions: one wild row moves third/fourth moments arbitrarily "
+    "but no quantile at all, so moment-vs-quantile divergence IS "
+    "the outlier alarm. Moors' normal reference ≈ 1.233",
+)
+def robust_shape_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import robust_shape
+
+    ev = load_events(spark, sf_dir)
+    return robust_shape(ev, "value")
+
+
+@_q(
+    "longest_run_daily",
+    f"""
+    WITH daily AS ({_POOLED_DAILY_SQL}),
+    med AS (SELECT quantile_cont(v, 0.5) AS med FROM daily),
+    signed AS (
+      SELECT day, v > med AS up
+      FROM daily CROSS JOIN med WHERE v <> med),
+    isl AS (
+      SELECT up,
+             ROW_NUMBER() OVER (ORDER BY day)
+             - ROW_NUMBER() OVER (PARTITION BY up ORDER BY day) AS isl
+      FROM signed),
+    runs AS (
+      SELECT up, isl, CAST(COUNT(*) AS BIGINT) AS len
+      FROM isl GROUP BY 1, 2),
+    ag AS (
+      SELECT CAST(SUM(len) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_runs,
+             MAX(CASE WHEN up THEN len END) AS la,
+             MAX(CASE WHEN NOT up THEN len END) AS lb
+      FROM runs)
+    SELECT COALESCE(n, 0) AS n, COALESCE(n_runs, 0) AS n_runs,
+           CAST(COALESCE(la, 0) AS BIGINT) AS longest_above,
+           CAST(COALESCE(lb, 0) AS BIGINT) AS longest_below
+    FROM ag
+    """,
+    doc="Longest above/below-median runs of the pooled daily mean "
+    "(operators/series.py:longest_run) — the extreme-run companion "
+    "to runs_test_daily: a series can pass the run COUNT while "
+    "hiding one pathological stretch. Gaps-and-islands rewrite "
+    "(row_number difference) — pure windows, no recursion; exact "
+    "median, equal-to-median days drop (runs_test convention)",
+)
+def longest_run_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.series import longest_run
+
+    daily = _pooled_daily_frame(spark, sf_dir)
+    return longest_run(daily, "day", "v")
+
+
+@_q(
+    "record_highs_daily",
+    f"""
+    WITH daily AS ({_POOLED_DAILY_SQL}),
+    marked AS (
+      SELECT v > COALESCE(MAX(v) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -1e308) AS rec
+      FROM daily),
+    ag AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN rec THEN 1 ELSE 0 END) AS BIGINT)
+               AS records
+      FROM marked),
+    idx AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily),
+    hsum AS (
+      SELECT SUM(1.0 / t) AS hn,
+             SUM(1.0 / (CAST(t AS DOUBLE) * t)) AS hn2
+      FROM idx),
+    h AS (
+      SELECT ag.n, ag.records, hsum.hn, hsum.hn2
+      FROM ag CROSS JOIN hsum)
+    SELECT n, records,
+           ROUND(CASE WHEN n >= 1 THEN hn END, 6) AS expected,
+           ROUND(CASE WHEN n >= 2 AND hn - hn2 > 0 THEN
+             (CAST(records AS DOUBLE) - hn) / SQRT(hn - hn2) END, 6)
+             AS z
+    FROM h
+    """,
+    doc="Record-high count of the pooled daily mean vs the "
+    "distribution-free i.i.d. expectation H_n "
+    "(operators/series.py:record_highs) — the t-th point is a "
+    "running max with probability exactly 1/t under "
+    "exchangeability, so E = H_n and Var = H_n − H_n^(2) with NO "
+    "distributional assumptions or tie corrections (strict "
+    "records): ratcheting levels show up before mann_kendall sees "
+    "a mean trend. One prefix-max window + a bounded harmonic fold",
+)
+def record_highs_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.series import record_highs
+
+    daily = _pooled_daily_frame(spark, sf_dir)
+    return record_highs(daily, "day", "v")

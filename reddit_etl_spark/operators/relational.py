@@ -8898,3 +8898,279 @@ def footrule_day_rankings(
             6,
         ).alias("normalized"),
     ).orderBy("day")
+
+
+def lepage_test(
+    df: DataFrame,
+    value_col: str,
+    class_col: str,
+    class_a,
+    class_b,
+    scale: int = 100,
+) -> DataFrame:
+    """Lepage combined location-scale test — the χ²(2) ALTERNATIVE
+    to cucconi_test built from the two classics this repo already
+    carries: L = z_W² + z_AB² where z_W is the tie-corrected
+    Mann-Whitney (location) z and z_AB the Ansari-Bradley (scale)
+    z; under H₀ the two are asymptotically independent, so L is
+    χ²(2). Running BOTH lepage and cucconi on the same pair is a
+    deliberate cross-check — two different combinations of the same
+    rank information should tell the same story, and a gap between
+    them is a tie-handling bug.
+
+    Composition contract: L is computed from the ROUND-6 component
+    z's (the two components are themselves engine-exact), so the
+    combination is bit-identical across engines by construction.
+
+    Plan at scale: the two component plans (each one value
+    aggregate + the guarded prefix window + a 1-row reduce) joined
+    by a 1×1 crossJoin. Two passes over the filtered input — the
+    price of composing two audited lanes instead of hand-fusing a
+    third.
+
+    Returns one row: (n_a, n_b BIGINT, z_location, z_scale,
+    lepage_l) — NULL where a component degenerates.
+    """
+    two = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(class_col).isin([class_a, class_b])
+    )
+    mw = mann_whitney_u(
+        two, value_col, class_col, class_a, class_b, scale=scale
+    ).select("n_a", "n_b", F.col("z").alias("z_location"))
+    ab = ansari_bradley(two, value_col, class_col, class_a, scale=scale).select(
+        F.col("z").alias("z_scale")
+    )
+    out = mw.crossJoin(F.broadcast(ab))
+    return out.select(
+        "n_a",
+        "n_b",
+        "z_location",
+        "z_scale",
+        F.round(
+            F.col("z_location") * F.col("z_location")
+            + F.col("z_scale") * F.col("z_scale"),
+            6,
+        ).alias("lepage_l"),
+    )
+
+
+def van_elteren(
+    df: DataFrame,
+    value_col: str,
+    class_col: str,
+    class_a,
+    class_b,
+    strata_cols,
+    scale: int = 100,
+) -> DataFrame:
+    """Van Elteren stratified rank test — mantel_haenszel's
+    CONTINUOUS-outcome sibling: when a location comparison must
+    respect strata (weekday, site, cohort), pooling the ranks mixes
+    stratum effects into the comparison; van Elteren runs a
+    Wilcoxon INSIDE each stratum and combines with the locally-
+    most-powerful weights w_s = 1/(N_s+1): W = Σ w_s·R_{a,s},
+    E = Σ w_s·m_s(N_s+1)/2, Var = Σ w_s²·m_s·n_s·σ²_{r,s} with the
+    general linear-rank (tie-robust) per-stratum rank variance
+    σ²_{r,s} = (Σr² − N_s·r̄²)/(N_s−1) · ... folded exactly.
+
+    Exactness: per (stratum, value) cells off ONE aggregate;
+    per-stratum midrank sums and Σr² in exact 2x/4x DECIMAL units
+    off stratum-partitioned prefix windows (parallel partitions —
+    no global sort); the stratum fold and z are double expressions.
+
+    Plan at scale: one (strata, value) aggregate, one stratum-
+    partitioned window, one (strata) rollup, one 1-row reduce.
+
+    Returns one row: (n BIGINT, n_strata BIGINT, w_stat, z) — z
+    NULL when the variance degenerates; empty-side strata
+    contribute zero variance and drop out naturally.
+    """
+    strata_cols = list(strata_cols)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(class_col).isin([class_a, class_b])
+    ).select(
+        *[F.col(c) for c in strata_cols],
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+        F.when(F.col(class_col) == class_a, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("__ia"),
+    )
+    cells = base.groupBy(*strata_cols, "__v").agg(
+        F.sum("__ia").alias("__ta"),
+        F.sum(F.lit(1) - F.col("__ia")).alias("__tb"),
+    )
+    w = (
+        Window.partitionBy(*strata_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = cells.select(
+        *strata_cols,
+        "__ta",
+        "__tb",
+        F.coalesce(F.sum(F.col("__ta") + F.col("__tb")).over(w), F.lit(0))
+        .alias("__c"),
+    )
+    m2 = F.lit(2) * F.col("__c") + F.col("__ta") + F.col("__tb") + 1
+    t = F.col("__ta") + F.col("__tb")
+    per_s = ranked.groupBy(*strata_cols).agg(
+        F.sum("__ta").cast("long").alias("__m"),
+        F.sum("__tb").cast("long").alias("__nb"),
+        F.sum(dec(F.col("__ta")) * dec(m2)).cast("decimal(38,0)").alias("__r2a"),
+        # Σ over rows of (2r)²: per tied cell t·(2c+t+1)² minus the
+        # within-cell spread correction t(t²−1)/3 (midranks collapse
+        # the cell to one value, so the exact Σ(2r)² over MIDRANKS is
+        # t·(2c+t+1)²)
+        F.sum(dec(t) * dec(m2) * dec(m2)).cast("decimal(38,0)").alias("__q4"),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    m = F.col("__m").cast("double")
+    nb = F.col("__nb").cast("double")
+    ns = m + nb
+    wgt = 1.0 / (ns + 1.0)
+    ra = dbl("__r2a") / 2.0  # midrank sum of group a
+    # per-stratum rank variance of the midranks:
+    # σ² = (Σr² − N·r̄²)/(N−1), r̄ = (N+1)/2, Σr² = __q4/4
+    rvar = (dbl("__q4") / 4.0 - ns * (ns + 1.0) * (ns + 1.0) / 4.0) / (
+        ns - 1.0
+    )
+    usable = (F.col("__m") > 0) & (F.col("__nb") > 0) & (ns >= 2)
+    fold = per_s.agg(
+        F.sum(F.col("__m") + F.col("__nb")).cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum(F.when(usable, wgt * ra)).alias("__w"),
+        F.sum(F.when(usable, wgt * m * (ns + 1.0) / 2.0)).alias("__e"),
+        F.sum(
+            F.when(usable, wgt * wgt * m * nb * rvar / ns)
+        ).alias("__var"),
+    )
+    z = (F.col("__w") - F.col("__e")) / F.sqrt(F.col("__var"))
+    ok = F.col("__var") > 0
+    return fold.select(
+        "n",
+        "n_strata",
+        F.round(F.col("__w"), 6).alias("w_stat"),
+        F.round(F.when(ok, z), 6).alias("z"),
+    )
+
+
+def cv_qcd_by_group(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Coefficient of variation + quartile coefficient of dispersion
+    per group — the two RELATIVE-spread readouts a per-group spread
+    comparison actually wants (raw stddev is incomparable across
+    groups with different means): CV = s/x̄ (moment-based, outlier-
+    sensitive) and QCD = (Q3−Q1)/(Q3+Q1) (quantile-based, robust);
+    a group where CV ≫ QCD has tail outliers, not broad spread —
+    the one-line triage before reaching for the EVT family.
+
+    Exactness: moments in exact DECIMAL; quartiles via the linear-
+    interpolated exact percentile (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont`` — the weighted_price_quartiles convention).
+
+    Plan at scale: one (group) aggregate (percentile is a mergeable
+    exact aggregate; for corpus-scale cardinalities switch the
+    caller to approx_percentile). No window, no join.
+
+    Returns (group, n BIGINT, mean, cv, qcd) ordered by group.
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("__x"),
+        F.col(value_col).cast("decimal(18,6)").alias("__xd"),
+    )
+    agg = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("__xd").cast("decimal(38,6)")).alias("__s"),
+        F.sum(
+            (F.col("__xd") * F.col("__xd")).cast("decimal(38,12)")
+        ).alias("__q"),
+        F.percentile(F.col("__x"), F.lit(0.25)).alias("__q1"),
+        F.percentile(F.col("__x"), F.lit(0.75)).alias("__q3"),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    n = F.col("n").cast("double")
+    mean = dbl("__s") / n
+    var = (dbl("__q") - dbl("__s") * dbl("__s") / n) / (n - 1.0)
+    cv = F.sqrt(var) / mean
+    qcd = (F.col("__q3") - F.col("__q1")) / (F.col("__q3") + F.col("__q1"))
+    return agg.select(
+        "grp",
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(
+            F.when((F.col("n") >= 2) & (mean != 0) & (var >= 0), cv), 6
+        ).alias("cv"),
+        F.round(
+            F.when(F.col("__q3") + F.col("__q1") != 0, qcd), 6
+        ).alias("qcd"),
+    ).orderBy("grp")
+
+
+def robust_shape(df: DataFrame, value_col: str) -> DataFrame:
+    """Quantile-based robust shape readout — Bowley skewness
+    (Q₃+Q₁−2·Q₂)/(Q₃−Q₁) and Moors kurtosis ((E₇−E₅)+(E₃−E₁))/
+    (E₆−E₂) from octiles — the heavy-tail-proof siblings of the
+    moment skewness/kurtosis jarque_bera_values consumes: one wild
+    row moves the third/fourth moments arbitrarily but no quantile
+    at all, so a DIVERGENCE between the moment and quantile shape
+    numbers is itself the outlier alarm (triage before grubbs/EVT).
+
+    Exactness: octiles via the linear-interpolated exact percentile
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``); the ratios
+    are one double expression, round-6.
+
+    Plan at scale: ONE mergeable percentile aggregate; callers at
+    corpus cardinality switch to approx_percentile (documented
+    trade).
+
+    Returns one row: (n BIGINT, bowley_skew, moors_kurtosis) —
+    NULLs where an IQR/octile spread degenerates. Moors' normal
+    reference value is ≈ 1.233 (not 0 — documented).
+    """
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("__x")
+    )
+    pct = [i / 8.0 for i in range(1, 8)]
+    agg = base.agg(
+        F.count("*").cast("long").alias("n"),
+        *[
+            F.percentile(F.col("__x"), F.lit(p)).alias(f"__e{i}")
+            for i, p in enumerate(pct, start=1)
+        ],
+    )
+    q1, q2, q3 = F.col("__e2"), F.col("__e4"), F.col("__e6")
+    e1, e3, e5, e7 = (
+        F.col("__e1"),
+        F.col("__e3"),
+        F.col("__e5"),
+        F.col("__e7"),
+    )
+    iqr = q3 - q1
+    spread = F.col("__e6") - F.col("__e2")
+    return agg.select(
+        "n",
+        F.round(
+            F.when((F.col("n") >= 4) & (iqr > 0), (q3 + q1 - 2.0 * q2) / iqr),
+            6,
+        ).alias("bowley_skew"),
+        F.round(
+            F.when(
+                (F.col("n") >= 8) & (spread > 0),
+                ((e7 - e5) + (e3 - e1)) / spread,
+            ),
+            6,
+        ).alias("moors_kurtosis"),
+    )

@@ -3936,3 +3936,128 @@ def hurst_rs(
         F.round(F.when(ok, cxy / cxx), 6).alias("hurst"),
         "n_sizes",
     )
+
+
+def longest_run(
+    rollup: DataFrame, order_col: str, value_col: str
+) -> DataFrame:
+    """Longest run above/below the series median — the EXTREME-run
+    companion to runs_test_daily (which counts runs; a series can
+    pass the runs COUNT while hiding one pathological 12-day
+    stretch): the gaps-and-islands rewrite (row_number minus
+    per-sign row_number — pure windows, no recursion) labels each
+    maximal same-sign run, and the readout is the longest wet and
+    dry spells plus the total run count. Values equal to the median
+    drop (the runs_test convention, documented).
+
+    Determinism: the median is the exact linear-interpolated
+    percentile; island ids are integer arithmetic over deterministic
+    (order) row_numbers.
+
+    Plan at scale: one 1-row median broadcast, two ordered windows
+    over the bounded rollup, one (sign, island) rollup, one reduce.
+
+    Returns one row: (n BIGINT, n_runs BIGINT, longest_above
+    BIGINT, longest_below BIGINT).
+    """
+    base = rollup.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(order_col).alias("__o"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    med = base.agg(
+        F.percentile(F.col("__x"), F.lit(0.5)).alias("__med")
+    )
+    signed = (
+        base.crossJoin(F.broadcast(med))
+        .filter(F.col("__x") != F.col("__med"))
+        .select(
+            "__o", (F.col("__x") > F.col("__med")).alias("__up")
+        )
+    )
+    w = Window.orderBy("__o")
+    wu = Window.partitionBy("__up").orderBy("__o")
+    isl = signed.select(
+        "__up",
+        (F.row_number().over(w) - F.row_number().over(wu)).alias("__isl"),
+    )
+    runs = isl.groupBy("__up", "__isl").agg(
+        F.count("*").cast("long").alias("__len")
+    )
+    agg = runs.agg(
+        F.sum("__len").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_runs"),
+        F.max(F.when(F.col("__up"), F.col("__len"))).alias("__la"),
+        F.max(F.when(~F.col("__up"), F.col("__len"))).alias("__lb"),
+    )
+    return agg.select(
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.col("n_runs"), F.lit(0)).cast("long").alias("n_runs"),
+        F.coalesce(F.col("__la"), F.lit(0)).cast("long").alias(
+            "longest_above"
+        ),
+        F.coalesce(F.col("__lb"), F.lit(0)).cast("long").alias(
+            "longest_below"
+        ),
+    )
+
+
+def record_highs(
+    rollup: DataFrame, order_col: str, value_col: str
+) -> DataFrame:
+    """Record-high count vs the i.i.d. expectation — the trend test
+    with the prettiest null: in an exchangeable series the t-th
+    point is a running maximum with probability exactly 1/t, so
+    E[records] = H_n (the harmonic number) and Var = H_n − H_n⁽²⁾,
+    REGARDLESS of the distribution — no quantization, no tie
+    corrections (strict records; ties are not records, documented).
+    More records than H_n says the level is ratcheting up even when
+    the mean trend is too noisy for mann_kendall to see.
+
+    Plan at scale: one ordered prefix-max window over the bounded
+    rollup, one reduce; H_n folds driver-side from n (a closed
+    bounded sum over the ROLLUP size, not the data).
+
+    Returns one row: (n BIGINT, records BIGINT, expected, z).
+    """
+    base = rollup.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(order_col).alias("__o"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    w = Window.orderBy("__o").rowsBetween(Window.unboundedPreceding, -1)
+    marked = base.select(
+        "__x",
+        (
+            F.col("__x") > F.coalesce(F.max("__x").over(w), F.lit(float("-inf")))
+        ).alias("__rec"),
+    )
+    agg = marked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("__rec").cast("long")).cast("long").alias("records"),
+    )
+    # harmonic folds as an exact bounded sum over 1..n via a
+    # sequence expression — no driver collect, no data dependence
+    hn = F.aggregate(
+        F.sequence(F.lit(1), F.col("n")),
+        F.lit(0.0),
+        lambda acc, t: acc + 1.0 / t.cast("double"),
+    )
+    hn2 = F.aggregate(
+        F.sequence(F.lit(1), F.col("n")),
+        F.lit(0.0),
+        lambda acc, t: acc + 1.0 / (t.cast("double") * t.cast("double")),
+    )
+    var = hn - hn2
+    ok = (F.col("n") >= 2) & (var > 0)
+    return agg.select(
+        "n",
+        "records",
+        F.round(F.when(F.col("n") >= 1, hn), 6).alias("expected"),
+        F.round(
+            F.when(ok, (F.col("records").cast("double") - hn) / F.sqrt(var)),
+            6,
+        ).alias("z"),
+    )

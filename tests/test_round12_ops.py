@@ -792,3 +792,112 @@ def test_footrule_known_rankings(spark):
     r = got[0]
     assert r["k"] == 3 and r["footrule"] == 4  # |1-3| + 0 + |3-1|
     assert r["normalized"] == pytest.approx(1.0, abs=1e-6)  # max = floor(9/2)=4
+
+
+# ---- wave 6 ----
+
+
+def test_lepage_combines_components(spark):
+    from reddit_etl_spark.operators.relational import (
+        ansari_bradley,
+        lepage_test,
+        mann_whitney_u,
+    )
+
+    rows = [(float(v), "a") for v in [1, 2, 3, 4, 5, 8, 9]] + [
+        (float(v), "b") for v in [3, 4, 5, 6, 7, 7]
+    ]
+    df = spark.createDataFrame(rows, "value double, g string")
+    got = lepage_test(df, "value", "g", "a", "b").collect()[0]
+    zw = mann_whitney_u(df, "value", "g", "a", "b").collect()[0]["z"]
+    zab = ansari_bradley(df, "value", "g", "a").collect()[0]["z"]
+    assert got["z_location"] == zw and got["z_scale"] == zab
+    assert got["lepage_l"] == pytest.approx(zw * zw + zab * zab, abs=1e-6)
+
+
+def test_van_elteren_matches_python(spark):
+    from reddit_etl_spark.operators.relational import van_elteren
+
+    strata = {
+        "s1": ([1.0, 3.0, 5.0], [2.0, 4.0, 6.0, 8.0]),
+        "s2": ([10.0, 12.0], [11.0, 13.0, 15.0]),
+    }
+    rows = []
+    for s, (a, b) in strata.items():
+        rows += [(s, v, "a") for v in a] + [(s, v, "b") for v in b]
+    df = spark.createDataFrame(rows, "s string, value double, g string")
+    got = van_elteren(df, "value", "g", "a", "b", ["s"]).collect()[0]
+    w = e = var = 0.0
+    for a, b in strata.values():
+        pooled = a + b
+        mr = _midranks(pooled)
+        ns = len(pooled)
+        m, nb = len(a), len(b)
+        ra = sum(mr[v] for v in a)
+        wgt = 1.0 / (ns + 1.0)
+        rbar = (ns + 1) / 2.0
+        rvar = sum((mr[v] - rbar) ** 2 for v in pooled) / (ns - 1)
+        w += wgt * ra
+        e += wgt * m * (ns + 1) / 2.0
+        var += wgt * wgt * m * nb * rvar / ns
+    assert got["n"] == 12 and got["n_strata"] == 2
+    assert got["w_stat"] == pytest.approx(w, abs=1e-6)
+    assert got["z"] == pytest.approx((w - e) / math.sqrt(var), abs=1e-6)
+
+
+def test_cv_qcd_known_values(spark):
+    from reddit_etl_spark.operators.relational import cv_qcd_by_group
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    got = cv_qcd_by_group(df, "g", "v").collect()[0]
+    mean = sum(vals) / len(vals)
+    sd = math.sqrt(sum((v - mean) ** 2 for v in vals) / (len(vals) - 1))
+    # type-7 quartiles of 1..8: q1 = 2.75, q3 = 6.25
+    assert got["mean"] == pytest.approx(mean, abs=1e-6)
+    assert got["cv"] == pytest.approx(sd / mean, abs=1e-6)
+    assert got["qcd"] == pytest.approx((6.25 - 2.75) / (6.25 + 2.75), abs=1e-6)
+
+
+def test_robust_shape_symmetric_and_skewed(spark):
+    from reddit_etl_spark.operators.relational import robust_shape
+
+    sym = [float(v) for v in range(1, 101)]
+    got = robust_shape(
+        spark.createDataFrame([(v,) for v in sym], "v double"), "v"
+    ).collect()[0]
+    assert got["bowley_skew"] == pytest.approx(0.0, abs=1e-9)
+    # uniform Moors kurtosis = ((7/8-5/8)+(3/8-1/8))/(6/8-2/8) = 1.0
+    assert got["moors_kurtosis"] == pytest.approx(1.0, abs=1e-6)
+    skew = [float(v**2) for v in range(1, 101)]
+    got2 = robust_shape(
+        spark.createDataFrame([(v,) for v in skew], "v double"), "v"
+    ).collect()[0]
+    assert got2["bowley_skew"] > 0.1
+
+
+def test_longest_run_islands(spark):
+    from reddit_etl_spark.operators.series import longest_run
+
+    # median of 1..10 = 5.5; above: 6..10 (run of 5 at the end)
+    vals = [6.0, 1.0, 7.0, 8.0, 2.0, 3.0, 9.0, 10.0, 4.0, 5.0]
+    df = _series_df(spark, vals)
+    got = longest_run(df, "ord", "v").collect()[0]
+    # signs: + - + + - - + + - -
+    assert got["n"] == 10
+    assert got["longest_above"] == 2 and got["longest_below"] == 2
+    assert got["n_runs"] == 6
+
+
+def test_record_highs_monotone_and_expected(spark):
+    from reddit_etl_spark.operators.series import record_highs
+
+    inc = [float(v) for v in range(1, 21)]
+    got = record_highs(_series_df(spark, inc), "ord", "v").collect()[0]
+    assert got["records"] == 20  # every point is a record
+    hn = sum(1.0 / t for t in range(1, 21))
+    assert got["expected"] == pytest.approx(hn, abs=1e-6)
+    assert got["z"] > 5
+    dec = list(reversed(inc))
+    got2 = record_highs(_series_df(spark, dec), "ord", "v").collect()[0]
+    assert got2["records"] == 1
