@@ -45,6 +45,14 @@ stays per-rep because it is what kills the leaked-localCheckpoint
 accumulation (r10 evidence below); the gc adds nothing the sweep
 doesn't already do synchronously.
 
+Round-12 set change: ``wasserstein_click_error`` joins the headline
+mix (judge r11 #7 — the guarded distinct-value single-partition
+window lane gets a continuously-watched wall-time) — totals are NOT
+comparable to r11's 21-query total without subtracting its median;
+per-query medians remain directly comparable, EXCEPT
+``jonckheere_priority_value`` whose plan was rewritten 12 → 4
+exchanges this round (the -35% there is the plan, not the machine).
+
 Round-12 self-check (VERDICT r11 #8): after the run, any query whose
 max/best spread exceeds 2x or whose median moved >25% vs the committed
 previous BENCH_r*.json emits a ``# WARN`` line in the tail, so spread/

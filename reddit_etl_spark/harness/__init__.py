@@ -20,10 +20,12 @@ passes):
 
 Round-12 layout (judge r11 #6 — the single file reached 19.4k
 lines): the package splits by content era into `_common.py`
-(helpers + the @_q registry) and six `queries_*` modules whose
-import order below PRESERVES the original registration order, so
-`registry()` output — names, order, driver-recorded head — is
-byte-identical to the single-file module it replaces.
+(helpers + the @_q registry) and seven `queries_*` modules (six
+mechanical splits of the r11 file + `queries_07_round12` for this
+round's registrations) whose import order below PRESERVES the
+original registration order, so `registry()` output — names, order,
+driver-recorded head — matches the single-file module it replaces
+with only the round-12 registrations appended.
 """
 
 from __future__ import annotations
