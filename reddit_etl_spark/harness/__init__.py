@@ -51,6 +51,7 @@ from ._common import (  # noqa: F401
 from .queries_01_core import *  # noqa: F401,F403,E402
 from .queries_02_pipeline import *  # noqa: F401,F403,E402
 from .queries_03_graph_text import *  # noqa: F401,F403,E402
+from .queries_03_graph_text import _FENCE_POLYGONS  # noqa: F401,E402  (tools/scale_probe.py)
 from .queries_04_series_tpch import *  # noqa: F401,F403,E402
 from .queries_05_stats import *  # noqa: F401,F403,E402
 from .queries_06_stats2 import *  # noqa: F401,F403,E402

@@ -1009,14 +1009,17 @@ def main() -> int:
         tp, "v", "c", "a", scale=1_000_000, lane="two_pass"
     )
     _tp_plan = _tp_frame._jdf.queryExecution().executedPlan().toString()
-    _tp_single = bool(_global_rank.search(_tp_plan)) or (
-        "SinglePartition" in _tp_plan
-    )
     _sg_frame = wasserstein_distance(
         tp, "v", "c", "a", scale=1_000_000, lane="single"
     )
     _sg_plan = _sg_frame._jdf.queryExecution().executedPlan().toString()
-    _sg_single = "SinglePartition" in _sg_plan
+    # lane discriminator: only the two-pass lane carries the __pid
+    # partition column through its windows; the single lane's prefix
+    # window is partitionless. (A bare "SinglePartition" substring
+    # can't discriminate — BOTH lanes end in a 1-row global agg whose
+    # exchange is SinglePartition by definition.)
+    _tp_single = "__pid#" not in _tp_plan
+    _sg_single = "__pid#" not in _sg_plan
     record(
         "wasserstein_two_pass_lane",
         predicted=tp_n_distinct,
@@ -1024,7 +1027,7 @@ def main() -> int:
         note=f"partitioned two-pass prefix lane over a {tp_n_distinct}-"
         f"distinct-value frame: dominant = one full pass of the reduced "
         f"frame (range exchange / pid-window exchange, ~equal); "
-        f"partitionless-or-single-partition sort in plan: "
+        f"partitionless window (no __pid lane marker) in plan: "
         f"two_pass={_tp_single} (MUST be False), single={_sg_single} "
         "(the guarded one-task lane this replaces in the 1e6..5e7 "
         "band — SCALING.md round-12 measurements: 9.1 s vs 3.2 s at "
