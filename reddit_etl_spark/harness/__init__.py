@@ -117,6 +117,8 @@ _DEFERRED = [
     "robust_shape_values",
     "longest_run_daily",
     "record_highs_daily",
+    "bh_fdr_daily",
+    "ad_normal_values",
     # ROUND-12 ROTATION: the full r11 driver head (13 wave-1 base +
     # 37 r10-backlog promotions, all driver-attested r11) rotates to
     # the tail first; everything below stays oracle-checked by

@@ -2439,3 +2439,223 @@ def record_highs_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily = _pooled_daily_frame(spark, sf_dir)
     return record_highs(daily, "day", "v")
+
+
+# ---- wave 7: p-value infrastructure (shared A-S normal CDF) ----
+
+
+@_q(
+    "bh_fdr_daily",
+    f"""
+    WITH daily AS ({_POOLED_DAILY_SQL}),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             SUM(CAST(v AS DECIMAL(38,6))) AS s,
+             SUM(CAST(CAST(v AS DECIMAL(18,6))
+                      * CAST(v AS DECIMAL(18,6))
+                      AS DECIMAL(38,12))) AS q
+      FROM daily),
+    zz AS (
+      SELECT day, m,
+             (v - CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(m AS DOUBLE))
+             / SQRT((CAST(CAST(q AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                       * CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                       / CAST(m AS DOUBLE))
+                    / (CAST(m AS DOUBLE) - 1.0)) AS z
+      FROM daily CROSS JOIN mom),
+    ps AS (
+      SELECT day, m,
+             2.0 * (1.0 - 
+    (CASE WHEN (ABS(zz.z)) >= 0 THEN
+       1.0 - EXP(-(ABS(ABS(zz.z)) * ABS(ABS(zz.z))) / 2.0) / 2.5066282746310002
+             * ((1.0 / (1.0 + 0.2316419 * ABS(ABS(zz.z))))
+                * (0.319381530
+                   + (1.0 / (1.0 + 0.2316419 * ABS(ABS(zz.z))))
+                   * (-0.356563782
+                      + (1.0 / (1.0 + 0.2316419 * ABS(ABS(zz.z))))
+                      * (1.781477937
+                         + (1.0 / (1.0 + 0.2316419 * ABS(ABS(zz.z))))
+                         * (-1.821255978
+                            + (1.0 / (1.0 + 0.2316419 * ABS(ABS(zz.z))))
+                            * 1.330274429)))))
+     ELSE
+       EXP(-(ABS(ABS(zz.z)) * ABS(ABS(zz.z))) / 2.0) / 2.5066282746310002
+       * ((1.0 / (1.0 + 0.2316419 * ABS(ABS(zz.z))))
+          * (0.319381530
+             + (1.0 / (1.0 + 0.2316419 * ABS(ABS(zz.z))))
+             * (-0.356563782
+                + (1.0 / (1.0 + 0.2316419 * ABS(ABS(zz.z))))
+                * (1.781477937
+                   + (1.0 / (1.0 + 0.2316419 * ABS(ABS(zz.z))))
+                   * (-1.821255978
+                      + (1.0 / (1.0 + 0.2316419 * ABS(ABS(zz.z))))
+                      * 1.330274429)))))
+     END)
+) AS p
+      FROM zz),
+    ranked AS (
+      SELECT m, p, ROW_NUMBER() OVER (ORDER BY p, day) AS i
+      FROM ps),
+    flagged AS (
+      SELECT m, p, i,
+             p <= CAST(i AS DOUBLE) * 0.05 / CAST(m AS DOUBLE) AS le
+      FROM ranked),
+    kmax AS (SELECT MAX(CASE WHEN le THEN i END) AS k FROM flagged),
+    ag AS (
+      SELECT CAST(MAX(m) AS BIGINT) AS m,
+             CAST(COALESCE(MAX(k), 0) AS BIGINT) AS n_rejected,
+             MAX(CASE WHEN i = k THEN p END) AS thr,
+             CAST(SUM(CASE WHEN p > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS over,
+             MIN(p) AS minp
+      FROM flagged CROSS JOIN kmax)
+    SELECT m, n_rejected,
+           ROUND(thr, 6) AS bh_threshold,
+           ROUND(CASE WHEN m > 0 THEN
+             LEAST(CAST(over AS DOUBLE) / (0.5 * CAST(m AS DOUBLE)), 1.0)
+             END, 6) AS pi0_storey,
+           ROUND(minp, 6) AS min_p
+    FROM ag
+    """,
+    doc="Benjamini-Hochberg FDR + Storey pi0 over the pooled daily "
+    "mean's two-sided normal anomaly p-values, q=0.05 "
+    "(operators/series.py:bh_fdr) — the multiple-testing rung the "
+    "anomaly family lacks: 30 days at alpha=0.05 expect 1.5 false "
+    "alarms; BH bounds the false-discovery RATE across the panel "
+    "and pi0 estimates the null fraction. Phi via the shared "
+    "Abramowitz-Stegun closed form (operators/util.py:norm_cdf) — "
+    "identical algebra on both engines, cross-engine diff ~1 ulp",
+)
+def bh_fdr_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.series import bh_fdr
+
+    daily = _pooled_daily_frame(spark, sf_dir)
+    return bh_fdr(daily, "day", "v", q=0.05, lam=0.5)
+
+
+@_q(
+    "ad_normal_values",
+    """
+    WITH base AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    per_v AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t
+              FROM base GROUP BY 1),
+    mom AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS n,
+             SUM(t::HUGEINT * v) AS s,
+             SUM(t::HUGEINT * v * v) AS q
+      FROM per_v),
+    cells AS (
+      SELECT v, t,
+             CAST(COALESCE(SUM(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS c,
+             n, s, q
+      FROM per_v CROSS JOIN mom),
+    zc AS (
+      SELECT t, c, n,
+             (CAST(v AS DOUBLE)
+              - CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+             / SQRT((CAST(CAST(q AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                       * CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1.0)) AS z,
+             SQRT((CAST(CAST(q AS VARCHAR) AS DOUBLE)
+                   - CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                     * CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 1.0)) AS sd
+      FROM cells),
+    terms AS (
+      SELECT n, sd,
+             CAST((c + t) * (c + t) - c * c AS DOUBLE)
+               * LN(GREATEST(
+    (CASE WHEN (zc.z) >= 0 THEN
+       1.0 - EXP(-(ABS(zc.z) * ABS(zc.z)) / 2.0) / 2.5066282746310002
+             * ((1.0 / (1.0 + 0.2316419 * ABS(zc.z)))
+                * (0.319381530
+                   + (1.0 / (1.0 + 0.2316419 * ABS(zc.z)))
+                   * (-0.356563782
+                      + (1.0 / (1.0 + 0.2316419 * ABS(zc.z)))
+                      * (1.781477937
+                         + (1.0 / (1.0 + 0.2316419 * ABS(zc.z)))
+                         * (-1.821255978
+                            + (1.0 / (1.0 + 0.2316419 * ABS(zc.z)))
+                            * 1.330274429)))))
+     ELSE
+       EXP(-(ABS(zc.z) * ABS(zc.z)) / 2.0) / 2.5066282746310002
+       * ((1.0 / (1.0 + 0.2316419 * ABS(zc.z)))
+          * (0.319381530
+             + (1.0 / (1.0 + 0.2316419 * ABS(zc.z)))
+             * (-0.356563782
+                + (1.0 / (1.0 + 0.2316419 * ABS(zc.z)))
+                * (1.781477937
+                   + (1.0 / (1.0 + 0.2316419 * ABS(zc.z)))
+                   * (-1.821255978
+                      + (1.0 / (1.0 + 0.2316419 * ABS(zc.z)))
+                      * 1.330274429)))))
+     END)
+, 1e-300)) AS t1,
+             CAST(t * (2 * n + 1)
+                  - ((c + t) * (c + t + 1) - c * (c + 1)) AS DOUBLE)
+               * LN(GREATEST(1.0 - 
+    (CASE WHEN (zc.z) >= 0 THEN
+       1.0 - EXP(-(ABS(zc.z) * ABS(zc.z)) / 2.0) / 2.5066282746310002
+             * ((1.0 / (1.0 + 0.2316419 * ABS(zc.z)))
+                * (0.319381530
+                   + (1.0 / (1.0 + 0.2316419 * ABS(zc.z)))
+                   * (-0.356563782
+                      + (1.0 / (1.0 + 0.2316419 * ABS(zc.z)))
+                      * (1.781477937
+                         + (1.0 / (1.0 + 0.2316419 * ABS(zc.z)))
+                         * (-1.821255978
+                            + (1.0 / (1.0 + 0.2316419 * ABS(zc.z)))
+                            * 1.330274429)))))
+     ELSE
+       EXP(-(ABS(zc.z) * ABS(zc.z)) / 2.0) / 2.5066282746310002
+       * ((1.0 / (1.0 + 0.2316419 * ABS(zc.z)))
+          * (0.319381530
+             + (1.0 / (1.0 + 0.2316419 * ABS(zc.z)))
+             * (-0.356563782
+                + (1.0 / (1.0 + 0.2316419 * ABS(zc.z)))
+                * (1.781477937
+                   + (1.0 / (1.0 + 0.2316419 * ABS(zc.z)))
+                   * (-1.821255978
+                      + (1.0 / (1.0 + 0.2316419 * ABS(zc.z)))
+                      * 1.330274429)))))
+     END)
+, 1e-300)) AS t2
+      FROM zc),
+    ag AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n, MAX(sd) AS sd,
+             SUM(t1 + t2) AS fold
+      FROM terms),
+    f AS (
+      SELECT n, sd,
+             -CAST(n AS DOUBLE) - fold / CAST(n AS DOUBLE) AS ad2
+      FROM ag)
+    SELECT n,
+           ROUND(CASE WHEN n >= 8 AND sd > 0 THEN ad2 END, 6) AS ad_stat,
+           ROUND(CASE WHEN n >= 8 AND sd > 0 THEN
+             ad2 * (1.0 + 0.75 / CAST(n AS DOUBLE)
+                    + 2.25 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             END, 6) AS ad_star
+    FROM f
+    """,
+    doc="One-sample Anderson-Darling test of event values against a "
+    "FITTED normal (operators/relational.py:ad_normal) — the "
+    "tail-weighted distribution-fit rung next to jarque_bera "
+    "(moments) and ks_expfit (exponential): decides whether "
+    "z-score alerting is legitimate on this metric. Reversed-index "
+    "term folded onto the same cell via j=n+1-i; exact integer "
+    "index sums off the guarded prefix window; A*2 small-sample "
+    "adjustment rides along",
+)
+def ad_normal_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import ad_normal
+
+    ev = load_events(spark, sf_dir)
+    return ad_normal(ev, "value", scale=100)

@@ -9174,3 +9174,85 @@ def robust_shape(df: DataFrame, value_col: str) -> DataFrame:
             6,
         ).alias("moors_kurtosis"),
     )
+
+
+def ad_normal(
+    df: DataFrame, value_col: str, scale: int = 100
+) -> DataFrame:
+    """One-sample Anderson-Darling test against a FITTED normal —
+    the tail-sensitive rung of the distribution-fit ladder next to
+    jarque_bera_values (moment shape) and ks_expfit_values
+    (exponential CDF gap): AD weights the CDF discrepancy by
+    1/(F(1−F)), so it catches exactly the tail misfit that decides
+    whether z-score alerting is even legitimate on this metric.
+    AD² = −n − (1/n)·Σ(2i−1)[ln Φ(z_(i)) + ln(1−Φ(z_(n+1−i)))]
+    with μ̂/σ̂ fitted (case 3); A*² = AD²·(1 + 0.75/n + 2.25/n²)
+    (D'Agostino-Stephens) rides along for the usual 0.787/0.752
+    critical lines.
+
+    Exactness: per distinct quantized value the index sums
+    Σ(2i−1) = hi² − (lo−1)² and Σ(2n+1−2i) fold the reversed-index
+    term onto the SAME cell (j = n+1−i substitution) — exact
+    integers off the guarded prefix window; Φ is the shared
+    Abramowitz-Stegun closed form (operators/util.py:norm_cdf),
+    identical on both engines; log arguments clamp at 1e-300.
+
+    Plan at scale: one (value) aggregate, one 1-row moment
+    broadcast, the guarded prefix window, one reduce.
+
+    Returns one row: (n BIGINT, ad_stat, ad_star) — NULL when the
+    variance degenerates.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    from .util import norm_cdf
+
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v")
+    )
+    per_v = base.groupBy("__v").agg(F.count("*").alias("__t"))
+    per_v = guard_distinct_frame(per_v, "ad_normal")
+    mom = base.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum(dec(F.col("__v"))).cast("decimal(38,0)").alias("__s"),
+        F.sum((dec(F.col("__v")) * dec(F.col("__v"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__q"),
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    cells = per_v.select(
+        "__v",
+        "__t",
+        F.coalesce(F.sum("__t").over(w), F.lit(0)).alias("__c"),
+    ).crossJoin(F.broadcast(mom))
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    n = F.col("__n").cast("double")
+    mean = dbl("__s") / n
+    sd = F.sqrt((dbl("__q") - dbl("__s") * dbl("__s") / n) / (n - 1.0))
+    z = (F.col("__v").cast("double") - mean) / sd
+    phi = norm_cdf(z)
+    lnp = F.log(F.greatest(phi, F.lit(1e-300)))
+    lnq = F.log(F.greatest(1.0 - phi, F.lit(1e-300)))
+    lo = F.col("__c") + 1
+    hi = F.col("__c") + F.col("__t")
+    # Σ_{i in cell}(2i−1) and Σ_{i in cell}(2n+1−2i), exact longs
+    s1 = (hi * hi - (lo - 1) * (lo - 1)).cast("double")
+    s2 = (
+        F.col("__t") * (2 * F.col("__n") + 1) - (hi * (hi + 1) - (lo - 1) * lo)
+    ).cast("double")
+    agg = cells.agg(
+        F.max("__n").cast("long").alias("n"),
+        F.max(sd).alias("__sd"),
+        F.sum(s1 * lnp + s2 * lnq).alias("__fold"),
+    )
+    nn = F.col("n").cast("double")
+    ad2 = -nn - F.col("__fold") / nn
+    star = ad2 * (1.0 + 0.75 / nn + 2.25 / (nn * nn))
+    ok = (F.col("n") >= 8) & (F.col("__sd") > 0)
+    return agg.select(
+        "n",
+        F.round(F.when(ok, ad2), 6).alias("ad_stat"),
+        F.round(F.when(ok, star), 6).alias("ad_star"),
+    )

@@ -4061,3 +4061,106 @@ def record_highs(
             6,
         ).alias("z"),
     )
+
+
+def bh_fdr(
+    rollup: DataFrame,
+    order_col: str,
+    value_col: str,
+    q: float = 0.05,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR readout over a bounded series' anomaly
+    p-values — the MULTIPLE-TESTING rung the anomaly family lacks:
+    anomaly_zscore_daily flags each day at a fixed z as if it were
+    the only test, so 30 days at α=0.05 expect 1.5 false alarms; BH
+    controls the false-discovery RATE across the whole panel
+    (reject the k largest-p prefix with p_(i) ≤ i·q/m), and
+    Storey's π̂₀ = #{p > λ}/((1−λ)·m) estimates how much of the
+    panel is actually null — the two numbers an alerting pipeline
+    needs before paging anyone.
+
+    p-values are two-sided normal via the shared Abramowitz-Stegun
+    Φ (operators/util.py:norm_cdf — identical closed formula on
+    both engines; |err| < 7.5e-8, far below round-6). Ranking ties
+    break by the order column (deterministic).
+
+    Plan at scale: one 1-row moment broadcast, one ordered window
+    over the bounded frame, one reduce.
+
+    Returns one row: (m BIGINT, n_rejected BIGINT, bh_threshold,
+    pi0_storey, min_p) — bh_threshold NULL when nothing rejects.
+    """
+    from .util import norm_cdf
+
+    base = rollup.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(order_col).alias("__o"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    mom = base.agg(
+        F.count("*").cast("long").alias("__m"),
+        F.sum(F.col("__x").cast("decimal(38,6)")).alias("__s"),
+        F.sum(
+            (
+                F.col("__x").cast("decimal(18,6)")
+                * F.col("__x").cast("decimal(18,6)")
+            ).cast("decimal(38,12)")
+        ).alias("__q"),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    withp = base.crossJoin(F.broadcast(mom))
+    md = F.col("__m").cast("double")
+    mean = dbl("__s") / md
+    sd = F.sqrt((dbl("__q") - dbl("__s") * dbl("__s") / md) / (md - 1.0))
+    z = (F.col("__x") - mean) / sd
+    p = 2.0 * (1.0 - norm_cdf(F.abs(z)))
+    scored = withp.select("__o", "__m", p.alias("__p"))
+    w = Window.orderBy("__p", "__o")
+    ranked = scored.select(
+        "__m",
+        "__p",
+        F.row_number().over(w).alias("__i"),
+    )
+    flagged = ranked.select(
+        "__m",
+        "__p",
+        (
+            F.col("__p")
+            <= F.col("__i").cast("double")
+            * F.lit(float(q))
+            / F.col("__m").cast("double")
+        ).alias("__le"),
+        "__i",
+    )
+    # BH rejects the prefix up to the LARGEST i with p_(i) <= iq/m
+    kmax = flagged.agg(
+        F.max(F.when(F.col("__le"), F.col("__i"))).alias("__k")
+    )
+    agg = flagged.crossJoin(F.broadcast(kmax)).agg(
+        F.max("__m").cast("long").alias("m"),
+        F.coalesce(F.max("__k"), F.lit(0)).cast("long").alias("n_rejected"),
+        F.max(
+            F.when(F.col("__i") == F.col("__k"), F.col("__p"))
+        ).alias("__thr"),
+        F.sum(
+            (F.col("__p") > F.lit(float(lam))).cast("long")
+        ).alias("__over"),
+        F.min("__p").alias("__minp"),
+    )
+    pi0 = F.least(
+        F.col("__over").cast("double")
+        / ((1.0 - float(lam)) * F.col("m").cast("double")),
+        F.lit(1.0),
+    )
+    return agg.select(
+        "m",
+        "n_rejected",
+        F.round(F.col("__thr"), 6).alias("bh_threshold"),
+        F.round(F.when(F.col("m") > 0, pi0), 6).alias("pi0_storey"),
+        F.round(F.col("__minp"), 6).alias("min_p"),
+    )

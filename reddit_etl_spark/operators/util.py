@@ -18,3 +18,66 @@ def fan_out(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def norm_cdf(z):
+    """Standard normal CDF Φ(z) as a Column expression, via the
+    Abramowitz-Stegun 7.1.26 rational approximation (|error| <
+    7.5e-8 absolute — far below the repo's round-6 grain).
+
+    Why not a native function: neither Spark SQL nor DuckDB exposes
+    erf/Φ, and the p-value family (BH-FDR, one-sample AD) needs the
+    SAME Φ on both engines — a shared CLOSED FORMULA evaluates to
+    bit-near-identical doubles everywhere (the only engine-variant
+    term is exp(), whose ≤1-ulp libm differences sit ~9 orders of
+    magnitude below the approximation's own error), where linking
+    two different erf implementations would not. The oracle twin is
+    ``NORM_CDF_SQL``; keep the two in lockstep.
+    """
+    from pyspark.sql import functions as F
+
+    az = F.abs(z)
+    t = 1.0 / (1.0 + 0.2316419 * az)
+    poly = t * (
+        0.319381530
+        + t
+        * (
+            -0.356563782
+            + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429))
+        )
+    )
+    upper = (
+        F.exp(-az * az / 2.0) / F.lit(2.5066282746310002) * poly
+    )  # φ(z)·poly; 2.50662... = √(2π)
+    return F.when(z >= 0, 1.0 - upper).otherwise(upper)
+
+
+#: DuckDB twin of ``norm_cdf`` — same A-S 7.1.26 algebra, same
+#: constants, applied to a column expression {z}.
+NORM_CDF_SQL = """
+    (CASE WHEN ({z}) >= 0 THEN
+       1.0 - EXP(-(ABS({z}) * ABS({z})) / 2.0) / 2.5066282746310002
+             * ((1.0 / (1.0 + 0.2316419 * ABS({z})))
+                * (0.319381530
+                   + (1.0 / (1.0 + 0.2316419 * ABS({z})))
+                   * (-0.356563782
+                      + (1.0 / (1.0 + 0.2316419 * ABS({z})))
+                      * (1.781477937
+                         + (1.0 / (1.0 + 0.2316419 * ABS({z})))
+                         * (-1.821255978
+                            + (1.0 / (1.0 + 0.2316419 * ABS({z})))
+                            * 1.330274429)))))
+     ELSE
+       EXP(-(ABS({z}) * ABS({z})) / 2.0) / 2.5066282746310002
+       * ((1.0 / (1.0 + 0.2316419 * ABS({z})))
+          * (0.319381530
+             + (1.0 / (1.0 + 0.2316419 * ABS({z})))
+             * (-0.356563782
+                + (1.0 / (1.0 + 0.2316419 * ABS({z})))
+                * (1.781477937
+                   + (1.0 / (1.0 + 0.2316419 * ABS({z})))
+                   * (-1.821255978
+                      + (1.0 / (1.0 + 0.2316419 * ABS({z})))
+                      * 1.330274429)))))
+     END)
+"""

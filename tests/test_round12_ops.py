@@ -901,3 +901,112 @@ def test_record_highs_monotone_and_expected(spark):
     dec = list(reversed(inc))
     got2 = record_highs(_series_df(spark, dec), "ord", "v").collect()[0]
     assert got2["records"] == 1
+
+
+# ---- wave 7: p-value infrastructure ----
+
+
+def test_norm_cdf_accuracy(spark):
+    from reddit_etl_spark.operators.util import norm_cdf
+
+    zs = [z / 4.0 for z in range(-20, 21)]
+    df = spark.createDataFrame([(z,) for z in zs], "z double")
+    rows = df.select("z", norm_cdf(F.col("z")).alias("p")).collect()
+    for r in rows:
+        want = 0.5 * (1 + math.erf(r["z"] / math.sqrt(2)))
+        assert r["p"] == pytest.approx(want, abs=1e-7), r["z"]
+
+
+def test_bh_fdr_known_panel(spark):
+    from reddit_etl_spark.operators.series import bh_fdr
+
+    # one wild outlier among flat values -> exactly one rejection
+    vals = [10.0, 10.1, 9.9, 10.05, 9.95, 10.0, 10.1, 9.9, 10.0, 50.0]
+    df = _series_df(spark, vals)
+    got = bh_fdr(df, "ord", "v", q=0.05).collect()[0]
+    assert got["m"] == 10
+    assert got["n_rejected"] >= 1
+    assert got["min_p"] < 0.01
+    # flat panel -> nothing rejects, pi0 caps at 1
+    flat = _series_df(spark, [10.0 + (i % 3) * 0.01 for i in range(12)])
+    got2 = bh_fdr(flat, "ord", "v", q=0.05).collect()[0]
+    assert got2["n_rejected"] == 0 and got2["bh_threshold"] is None
+    assert got2["pi0_storey"] <= 1.0
+
+
+def test_bh_fdr_matches_python(spark):
+    from reddit_etl_spark.operators.series import bh_fdr
+
+    import random
+
+    rnd = random.Random(3)
+    vals = [rnd.gauss(0, 1) for _ in range(40)] + [8.0, 9.0, -7.5]
+    df = _series_df(spark, vals)
+    got = bh_fdr(df, "ord", "v", q=0.1).collect()[0]
+    m = len(vals)
+    mean = sum(vals) / m
+    sd = math.sqrt(sum((v - mean) ** 2 for v in vals) / (m - 1))
+    ps = sorted(
+        2 * (1 - 0.5 * (1 + math.erf(abs((v - mean) / sd) / math.sqrt(2))))
+        for v in vals
+    )
+    k = max((i for i in range(1, m + 1) if ps[i - 1] <= i * 0.1 / m), default=0)
+    assert got["n_rejected"] == k
+    over = sum(1 for p in ps if p > 0.5)
+    assert got["pi0_storey"] == pytest.approx(
+        min(over / (0.5 * m), 1.0), abs=1e-4
+    )
+
+
+def test_ad_normal_separates_shapes(spark):
+    from reddit_etl_spark.operators.relational import ad_normal
+
+    import random
+
+    rnd = random.Random(9)
+    normal = [rnd.gauss(100, 10) for _ in range(800)]
+    dfn = spark.createDataFrame([(v,) for v in normal], "v double")
+    gn = ad_normal(dfn, "v", scale=100).collect()[0]
+    # heavy-tailed: exponential
+    expo = [rnd.expovariate(0.05) for _ in range(800)]
+    dfe = spark.createDataFrame([(v,) for v in expo], "v double")
+    ge = ad_normal(dfe, "v", scale=100).collect()[0]
+    # normal sample should sit well under the 1.0 line, exponential far above
+    assert gn["ad_star"] < 1.5
+    assert ge["ad_star"] > 5.0
+    assert gn["n"] == 800 and ge["n"] == 800
+
+
+def test_ad_normal_matches_python(spark):
+    from reddit_etl_spark.operators.relational import ad_normal
+
+    vals = [12.31, 10.02, 9.57, 11.48, 10.99, 8.73, 10.11, 11.02,
+            9.44, 10.67, 10.05, 9.88]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = ad_normal(df, "v", scale=100).collect()[0]
+    # direct python AD on the cent-quantized values with A-S Phi
+    q = sorted(round(v * 100) for v in vals)
+    n = len(q)
+    mean = sum(q) / n
+    sd = math.sqrt(sum((v - mean) ** 2 for v in q) / (n - 1))
+
+    def phi(z):
+        t = 1.0 / (1.0 + 0.2316419 * abs(z))
+        poly = t * (0.319381530 + t * (-0.356563782 + t * (1.781477937
+               + t * (-1.821255978 + t * 1.330274429))))
+        up = math.exp(-z * z / 2) / 2.5066282746310002 * poly
+        return 1 - up if z >= 0 else up
+
+    s = 0.0
+    for i in range(1, n + 1):
+        zi = (q[i - 1] - mean) / sd
+        zrev = (q[n - i] - mean) / sd
+        s += (2 * i - 1) * (
+            math.log(max(phi(zi), 1e-300))
+            + math.log(max(1 - phi(zrev), 1e-300))
+        )
+    ad2 = -n - s / n
+    assert got["ad_stat"] == pytest.approx(ad2, abs=1e-5)
+    assert got["ad_star"] == pytest.approx(
+        ad2 * (1 + 0.75 / n + 2.25 / n**2), abs=1e-5
+    )
