@@ -288,14 +288,36 @@ def main() -> int:
             )
     prev_path = os.environ.get("SPARK_GRAFT_BENCH_PREV")
     if prev_path is None:
+        # Baseline selection (advisor r12): sort by PARSED round number
+        # (not lexicographically — zero-padding is an accident), and
+        # exclude the CURRENT round's own artifact so re-runs after
+        # BENCH_r{N}.json is committed still compare against the PRIOR
+        # round instead of muting the drift check against themselves.
+        # "Current round" is anchored observably: the newest committed
+        # CORRECTNESS_r{M}.json is always last round's (the driver
+        # writes it at round close), so any BENCH with round > M is
+        # this round's own output and is skipped.
         import glob as _glob  # noqa: PLC0415
+        import re as _re  # noqa: PLC0415
 
-        cands = sorted(
-            _glob.glob(
-                os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")
-            )
-        )
-        prev_path = cands[-1] if cands else None
+        here = os.path.dirname(os.path.abspath(__file__))
+
+        def _rounds(pattern):
+            out = []
+            for p in _glob.glob(os.path.join(here, pattern)):
+                m = _re.search(r"_r0*(\d+)\.json$", p)
+                if m:
+                    out.append((int(m.group(1)), p))
+            return sorted(out)
+
+        corr = _rounds("CORRECTNESS_r*.json")
+        last_closed = corr[-1][0] if corr else None
+        cands = _rounds("BENCH_r*.json")
+        if last_closed is not None:
+            eligible = [p for n, p in cands if n <= last_closed]
+        else:
+            eligible = [p for _, p in cands]
+        prev_path = eligible[-1] if eligible else None
     if prev_path and os.path.exists(prev_path):
         try:
             with open(prev_path) as fh:

@@ -70,47 +70,19 @@ from .queries_07_round12 import *  # noqa: F401,F403,E402
 # each round via tools/check_oracle.py (which runs ALL entries).
 _DRIVER_RECORD_CAP = 50
 _PROMOTED = [
-    # ROUND-12 REWRITE (judge r11 next-round #3 + the standing rule
-    # "driver head = current backlog, then oldest attestations").
-    # Block 1 (19): exactly the r11-born never-driver-sampled backlog
-    # (tools/attestation_backlog.py output at the r11 close) — each
-    # already green in the three committed 326-query oracle artifacts
-    # and in the judge's independent 19/19 ANSI re-run; after r12
-    # every pre-round-12 registry query again has >= 1 driver row.
-    "ks_expfit_values",
-    "atkinson_customer_revenue",
-    "cliffs_delta_click_error",
-    "hodges_lehmann_click_error",
-    "uncertainty_status_priority",
-    "ordinal_assoc_lines",
-    "agreement_user_halves",
-    "seasonal_mk_daily",
-    "cox_stuart_daily",
-    "dispersion_daily_counts",
-    "brier_decomp_events",
-    "youden_purchase_value",
-    "weighted_kappa_user_value",
-    "cohens_h_click_error",
-    "biweight_value_types",
-    "vocab_richness_sources",
-    "source_cross_entropy_docs",
-    "partial_corr_lineitem",
-    "covariate_balance_arms",
-    # Block 2 (oldest-attestation fillers) is now EMPTY: it opened
-    # the round holding the 31 stalest r05-attested entries, and the
-    # 31 round-12 registrations (waves 1-5) displaced them back to
-    # _DEFERRED one-for-one — the head stayed exactly 50 at every
-    # commit and every new query is attested the round it was born
-    # (backlog stays 0).
-]
-
-_DEFERRED = [
-    # ROUND-12 WAVE-6 registrations (6): the r12 head's 50 slots are
-    # fully budgeted by the 19-query r11 backlog + the 31 wave-1..5
-    # registrations, so these park in the tail with THREE-PROFILE +
-    # ANSI local attestation committed in the ORACLE_*.json
-    # artifacts; they are the named candidates for the r13 head
-    # (tools/attestation_backlog.py derives the list).
+    # ROUND-13 REWRITE (judge r12 next-round #1-#3 + the standing
+    # rule "driver head = current backlog, then oldest
+    # attestations").
+    # First: deming_part_price — the lone red r12 driver row
+    # (hash-only mismatch, judge-unreproducible); re-attested here on
+    # the hardened IEEE-only round6_floor output
+    # (operators/util.py:round6_floor, tools/boundary_audit.py).
+    "deming_part_price",
+    # Block 2 (8): exactly the round-12-wave-6/7-born queries that
+    # have never held a driver CORRECTNESS row
+    # (tools/attestation_backlog.py at the r12 close) — each already
+    # green in the three committed 365-query oracle artifacts and in
+    # the judge's independent 9/9 ANSI re-run.
     "lepage_click_error",
     "van_elteren_click_weekday",
     "cv_qcd_event_types",
@@ -119,15 +91,13 @@ _DEFERRED = [
     "record_highs_daily",
     "bh_fdr_daily",
     "ad_normal_values",
-    # ROUND-12 ROTATION: the full r11 driver head (13 wave-1 base +
-    # 37 r10-backlog promotions, all driver-attested r11) rotates to
-    # the tail first; everything below stays oracle-checked by
-    # tools/check_oracle.py and the committed ORACLE_sf*.json
-    # artifacts every round. The 31 stalest r05-attested entries
-    # started the round promoted as oldest-attestation fillers and
-    # were displaced back one-for-one by the 31 round-12
-    # registrations (waves 1-5), which now ride the head as base —
-    # so the r12 head is exactly {19-query r11 backlog} + {31 new}.
+    # Block 3 (oldest-attestation fillers): the stalest r05-attested
+    # entries, in registry order. New r13 registrations displace
+    # these one-for-one FROM THE END (pop the last filler back to
+    # _DEFERRED per registration) so the head stays exactly 50 at
+    # every commit and every new query is attested the round it is
+    # born (judge r12 #3: spend head slack on stale re-attestation,
+    # cap net-new registrations at the remaining slack).
     "mixture_weights",
     "nb_language_selftrain",
     "neardup_survivors",
@@ -159,6 +129,27 @@ _DEFERRED = [
     "concurrency_peaks",
     "customer_sample_per_nation",
     "daily_trend_slope",
+    "q12_correlations",
+    "similarity_topk",
+    "similarity_topk_pq",
+    "semantic_dedup",
+    "text_profile",
+    "rake_keyphrases_docs",
+    "term_collocations",
+    "twa_user_value",
+    "user_clustering",
+    "sessionization_split",
+]
+
+_DEFERRED = [
+    # ROUND-13 ROTATION: everything outside the 50-slot head —
+    # the full r12 driver head (31 wave-1..5 registrations minus
+    # deming_part_price, plus the 19-query r11 backlog block, all
+    # driver-attested green in CORRECTNESS_r12) rotates to the tail;
+    # the 8 wave-6/7 queries and the 41 stalest r05 attestations
+    # move UP to the head. Every deferred entry stays oracle-checked
+    # each round via tools/check_oracle.py and the committed
+    # ORACLE_*.json artifacts.
     "wilcoxon_user_halves",
     "moods_median_values",
     "wasserstein_click_error",
@@ -267,27 +258,18 @@ _DEFERRED = [
     "q01_overview",
     "q02_top_per_group",
     "q09_join_having",
-    "q12_correlations",
     "q15_ranked_view",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "similarity_topk",
     "similarity_topk_int8",
     "similarity_topk_ivf",
     "similarity_topk_ivf_indexed",
-    "similarity_topk_pq",
-    "semantic_dedup",
     "embedding_neardup",
     "embedding_neardup_lsh",
-    "text_profile",
     "pii_redaction",
     "decontaminate",
     "daily_delta",
-    "rake_keyphrases_docs",
-    "term_collocations",
-    "twa_user_value",
-    "user_clustering",
     "image_phash_neardup",
     "cross_source_dups",
     "nfc_fingerprints",
@@ -296,7 +278,6 @@ _DEFERRED = [
     "partial_copy_pairs",
     "multimodal_features",
     "events_windowed",
-    "sessionization_split",
     "distinct_users_hll",
     "bm25_rank",
     "bm25_rank_indexed",
@@ -435,6 +416,55 @@ _DEFERRED = [
     "ratio_estimator_lineitem",
     "ldiversity_customer_release",
     "winsorized_orders",
+    "ks_expfit_values",
+    "atkinson_customer_revenue",
+    "cliffs_delta_click_error",
+    "hodges_lehmann_click_error",
+    "uncertainty_status_priority",
+    "ordinal_assoc_lines",
+    "agreement_user_halves",
+    "seasonal_mk_daily",
+    "cox_stuart_daily",
+    "dispersion_daily_counts",
+    "brier_decomp_events",
+    "youden_purchase_value",
+    "weighted_kappa_user_value",
+    "cohens_h_click_error",
+    "biweight_value_types",
+    "vocab_richness_sources",
+    "source_cross_entropy_docs",
+    "partial_corr_lineitem",
+    "covariate_balance_arms",
+    "cramers_v_status_priority",
+    "chi2_residuals_status_priority",
+    "rank_biserial_click_error",
+    "glass_delta_purchase_click",
+    "eta_squared_event_values",
+    "krippendorff_alpha_doc_rules",
+    "gwets_ac1_doc_rules",
+    "stuart_maxwell_user_shift",
+    "brunner_munzel_click_error",
+    "cucconi_click_error",
+    "quade_daily_types",
+    "hosmer_lemeshow_events",
+    "ols2_lineitem_price",
+    "ipw_ate_urgent_value",
+    "rdd_urgent_rate_price",
+    "weighted_corr_lineitem",
+    "ewma_chart_daily",
+    "kpss_level_daily",
+    "pacf_daily",
+    "ccf_click_error_daily",
+    "diebold_mariano_events",
+    "turning_points_daily",
+    "hurst_rs_hourly",
+    "palma_customer_revenue",
+    "hoover_customer_revenue",
+    "simpson_diversity_sources",
+    "padding_waste_docs",
+    "burrows_delta_sources",
+    "taylors_law_events",
+    "footrule_day_rankings",
 ]
 
 

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.relational import argmax_per_group, rank_in_group, tier_col
+from ..operators.util import round6_floor  # noqa: F401  (re-export)
 from ..session import ensure_nanos_as_long, ensure_utc
 
 # pre-materialized pHash artifact (tools/gen_phash_artifact.py) — path

@@ -20,6 +20,7 @@ from ._common import (  # noqa: F401
     load_events,
     rank_in_group,
     round6,
+    round6_floor,
     stable_avg,
     tier_col,
 )
@@ -2994,7 +2995,8 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            CAST(COUNT(*) AS BIGINT) AS event_count,
            ROUND(SUM(value), 6) AS total_value,
-           ROUND(ROUND(SUM(value), 6) / COUNT(*), 6) AS avg_value
+           FLOOR((ROUND(SUM(value), 6) / COUNT(*)) * 1000000.0 + 0.5)
+             / 1000000.0 AS avg_value
     FROM events GROUP BY 1, 2
     """,
     doc="1-hour tumbling-window rollup over the event stream table — the "
@@ -3018,9 +3020,14 @@ def events_windowed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 6-decimal rounding boundary (observed at sf0.1: .4728125);
         # rounding the sum first (inputs have 2 decimals — ulp noise
         # is 13 orders below the boundary) makes the division
-        # bit-identical on both sides
+        # bit-identical on both sides. The final rounding is the
+        # IEEE-only floor form (round-13 boundary audit: an avg
+        # landed 1 ulp OFF a boundary at sf0.1, where the engines'
+        # ROUND implementations are the divergence channel;
+        # tools/boundary_audit.py)
         .withColumn(
-            "avg_value", F.round(F.round("total_value", 6) / F.col("event_count"), 6)
+            "avg_value",
+            round6_floor(F.round("total_value", 6) / F.col("event_count")),
         )
     )
     return round6(df, "total_value")

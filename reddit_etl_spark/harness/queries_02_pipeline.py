@@ -3282,9 +3282,12 @@ def zipf_vocab_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 0.0 END AS s
       FROM tb)
     SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(ROUND(SUM(s), 6) / COUNT(*), 6) AS mean_silhouette,
-           ROUND(ROUND(SUM(da), 6) / COUNT(*), 6) AS mean_dist_own,
-           ROUND(ROUND(SUM(db), 6) / COUNT(*), 6) AS mean_dist_next
+           FLOOR((ROUND(SUM(s), 6) / COUNT(*)) * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_silhouette,
+           FLOOR((ROUND(SUM(da), 6) / COUNT(*)) * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_dist_own,
+           FLOOR((ROUND(SUM(db), 6) / COUNT(*)) * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_dist_next
     FROM sil GROUP BY cluster ORDER BY cluster
     """,
     doc="simplified silhouette per cluster "

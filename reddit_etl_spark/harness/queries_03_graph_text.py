@@ -1106,22 +1106,29 @@ def fingerprint_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM u)
     SELECT n_a,
            CAST(n - n_a AS BIGINT) AS n_b,
-           ROUND(sya / n_a, 6) AS mean_a,
-           ROUND(syb / (n - n_a), 6) AS mean_b,
-           ROUND(syb / (n - n_a) - sya / n_a, 6) AS diff_raw,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta,
-           ROUND(sya / n_a - (n * sxy - sx * sy) / (n * sxx - sx * sx)
-                 * (sxa / n_a - sx / n), 6) AS adj_mean_a,
-           ROUND(syb / (n - n_a) - (n * sxy - sx * sy)
-                 / (n * sxx - sx * sx)
-                 * (sxb / (n - n_a) - sx / n), 6) AS adj_mean_b,
-           ROUND((syb / (n - n_a) - (n * sxy - sx * sy)
-                  / (n * sxx - sx * sx) * (sxb / (n - n_a) - sx / n))
-                 - (sya / n_a - (n * sxy - sx * sy)
-                    / (n * sxx - sx * sx) * (sxa / n_a - sx / n)), 6)
+           FLOOR((sya / n_a) * 1000000.0 + 0.5) / 1000000.0 AS mean_a,
+           FLOOR((syb / (n - n_a)) * 1000000.0 + 0.5) / 1000000.0
+             AS mean_b,
+           FLOOR((syb / (n - n_a) - sya / n_a) * 1000000.0 + 0.5)
+             / 1000000.0 AS diff_raw,
+           FLOOR(((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                 * 1000000.0 + 0.5) / 1000000.0 AS theta,
+           FLOOR((sya / n_a - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                  * (sxa / n_a - sx / n)) * 1000000.0 + 0.5) / 1000000.0
+             AS adj_mean_a,
+           FLOOR((syb / (n - n_a) - (n * sxy - sx * sy)
+                  / (n * sxx - sx * sx)
+                  * (sxb / (n - n_a) - sx / n)) * 1000000.0 + 0.5)
+             / 1000000.0 AS adj_mean_b,
+           FLOOR(((syb / (n - n_a) - (n * sxy - sx * sy)
+                   / (n * sxx - sx * sx) * (sxb / (n - n_a) - sx / n))
+                  - (sya / n_a - (n * sxy - sx * sy)
+                     / (n * sxx - sx * sx) * (sxa / n_a - sx / n)))
+                 * 1000000.0 + 0.5) / 1000000.0
              AS diff_adj,
-           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           FLOOR(((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                 * 1000000.0 + 0.5) / 1000000.0
              AS var_reduction
     FROM m
     """,

@@ -1616,7 +1616,8 @@ def _mmr_oracle(k: int = 10, pool: int = 50) -> str:
     parts[-1] = parts[-1].rstrip(",")
     parts.append(
         f"SELECT CAST(rank AS BIGINT) AS rank, id AS vec_id,"
-        f" rel AS relevance, ROUND(score, 6) AS mmr_score"
+        f" rel AS relevance,"
+        f" FLOOR(score * 1000000.0 + 0.5) / 1000000.0 AS mmr_score"
         f" FROM sel{k} ORDER BY rank"
     )
     return "\n".join(parts)

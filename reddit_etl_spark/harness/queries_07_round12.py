@@ -811,7 +811,8 @@ def quade_daily_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hosmer_lemeshow_events",
     """
     WITH base AS (
-      SELECT CAST(FLOOR(LEAST(value / 500.0, 1.0) * 1000000 + 0.5)
+      SELECT CAST(FLOOR(GREATEST(LEAST(value / 500.0, 1.0), 0.0)
+                        * 1000000 + 0.5)
                   AS BIGINT) AS p,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
       FROM events WHERE value IS NOT NULL),
@@ -986,11 +987,12 @@ def ols2_lineitem_price_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              n >= 3 AND sxy <> 0 AND sxx > 0 AND syy > 0 AS ok
       FROM c)
     SELECT n,
-           ROUND(CASE WHEN ok THEN beta END, 6) AS slope,
-           ROUND(CASE WHEN ok THEN dy / nd - beta * (dx / nd) END, 6)
-             AS intercept,
-           ROUND(CASE WHEN ok THEN sxy / SQRT(sxx * syy) END, 6)
-             AS pearson_r
+           FLOOR((CASE WHEN ok THEN beta END)
+                 * 1000000.0 + 0.5) / 1000000.0 AS slope,
+           FLOOR((CASE WHEN ok THEN dy / nd - beta * (dx / nd) END)
+                 * 1000000.0 + 0.5) / 1000000.0 AS intercept,
+           FLOOR((CASE WHEN ok THEN sxy / SQRT(sxx * syy) END)
+                 * 1000000.0 + 0.5) / 1000000.0 AS pearson_r
     FROM b
     """,
     doc="Deming errors-in-variables line between catalog retail price "
@@ -1975,7 +1977,9 @@ def burrows_delta_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
              CAST(ts AS DATE) AS day,
              CAST(COUNT(*) AS BIGINT) AS c
-      FROM events GROUP BY 1, 2, 3),
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2, 3),
     per_g AS (
       SELECT event_type, hr,
              CAST(COUNT(*) AS BIGINT) AS k,

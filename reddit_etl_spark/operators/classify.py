@@ -1702,8 +1702,13 @@ def hosmer_lemeshow(
     — chi2 NULL when fewer than 3 usable bins.
     """
     base = df.filter(F.col(p_col).isNotNull()).select(
+        # clamp SYMMETRICALLY to [0, 1] (advisor r12): a score below 0
+        # otherwise yields a negative micro key and a phantom negative
+        # bin id, contradicting the clamped-micros convention
         F.floor(
-            F.least(F.col(p_col), F.lit(1.0)) * 1000000 + F.lit(0.5)
+            F.greatest(F.least(F.col(p_col), F.lit(1.0)), F.lit(0.0))
+            * 1000000
+            + F.lit(0.5)
         )
         .cast("long")
         .alias("__p"),

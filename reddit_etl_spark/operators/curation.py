@@ -1409,8 +1409,13 @@ def padding_waste(
     smallest bucket >= its whitespace-token count (longer documents
     clip to the top bucket — truncation, not padding, so their
     waste is 0 by convention, documented); per bucket the report
-    gives docs, real tokens, padded slots and the waste fraction a
-    batch scheduler would pay.
+    gives docs, EFFECTIVE tokens, padded slots and the waste
+    fraction a batch scheduler would pay. ``tokens`` is the
+    post-truncation token total (``least(ntok, top_bucket)`` summed
+    — the positions a bucketed batch actually carries), NOT the raw
+    corpus token count: a document longer than the top bucket
+    contributes exactly ``top_bucket`` here, by the same
+    truncation-not-padding convention (advisor r12).
 
     Determinism: bucket assignment is a CASE ladder over integer
     literals (no log2 floats to misround); counts exact BIGINTs.
@@ -1419,8 +1424,9 @@ def padding_waste(
     scan, one |buckets|-bounded aggregate. No shuffle beyond the
     bucket rollup.
 
-    Returns (bucket_len BIGINT, docs BIGINT, tokens BIGINT,
-    padded_slots BIGINT, waste_frac) ordered by bucket_len.
+    Returns (bucket_len BIGINT, docs BIGINT, tokens BIGINT —
+    effective/post-clip, padded_slots BIGINT, waste_frac) ordered by
+    bucket_len.
     """
     from .text import normalize_text_col
 

@@ -467,10 +467,14 @@ def mmr_rerank(
         sel_id, sel_score = best
         selected.append(sel_id)
         remaining.remove(sel_id)
-        # RAW score here — the final rounding must be F.round (Spark
-        # HALF_UP == DuckDB ROUND), not Python round() (HALF_EVEN):
-        # a score landing on a .5e-6 boundary rounded differently
-        # (measured at sf0.001: 0.1623655 -> 0.162365 vs 0.162366)
+        # RAW score here — the final rounding happens Spark-side via
+        # round6_floor (floor(x*1e6+0.5)/1e6, IEEE-only ops), never
+        # Python round() (HALF_EVEN) and no longer F.round either:
+        # MMR scores land exactly ON .5e-6 boundaries by construction
+        # (round-6 inputs composed with the 0.7/0.3 literals — the
+        # round-13 boundary audit measured one at 1 ulp), where the
+        # engines' ROUND implementations are the divergence channel
+        # the floor form closes (tools/boundary_audit.py).
         out_rows.append((rank, sel_id, rel[sel_id], sel_score))
     spark = emb.sparkSession
     # explicit schema: out_rows can be EMPTY (empty corpus) and the
@@ -483,12 +487,14 @@ def mmr_rerank(
             T.StructField("mmr_score", T.DoubleType()),
         ]
     )
+    from .util import round6_floor
+
     res = spark.createDataFrame(out_rows, out_schema)
     return res.select(
         F.col("rank").cast("long"),
         F.col(id_col),
         F.col("relevance").cast("double"),
-        F.round(F.col("mmr_score").cast("double"), 6).alias("mmr_score"),
+        round6_floor(F.col("mmr_score").cast("double")).alias("mmr_score"),
     ).orderBy("rank")
 
 

@@ -3413,24 +3413,31 @@ def ewma_chart(
                 * F.col("value").cast("decimal(18,6)")
             ).cast("decimal(38,12)")
         ).alias("__q"),
-    ).select(
-        F.when(
-            F.col("__n") <= max_points, F.col("__n")
-        )
-        .otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("ewma_chart: bounded-series contract: "),
-                    F.col("__n").cast("string"),
-                    F.lit(f" rows > max_points={max_points}"),
+    )
+    lamf = float(lam)
+    # Fail-fast ordering (advisor r12): the refusal must PRECEDE the
+    # O(n²) triangular join rather than ride the 1-row moments frame
+    # in the same lazy plan (stage scheduling could burn quadratic
+    # work before that guard fired). Same map-side
+    # crossJoin-filter-raise mechanics as
+    # scale_lanes.guard_distinct_frame: the 1-row count broadcasts
+    # onto the pair join's INPUT, so a contract-violating series
+    # raises while scanning `idx` — before any pair row exists.
+    idx = (
+        idx.crossJoin(F.broadcast(cnt.select(F.col("__n").alias("__gn"))))
+        .filter(
+            F.when(F.col("__gn") <= max_points, F.lit(True)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("ewma_chart: bounded-series contract: "),
+                        F.col("__gn").cast("string"),
+                        F.lit(f" rows > max_points={max_points}"),
+                    )
                 )
             )
         )
-        .alias("__n"),
-        "__s",
-        "__q",
+        .drop("__gn")
     )
-    lamf = float(lam)
     s = idx.select(
         F.col("__t").alias("__ts"), F.col("value").alias("__xs")
     )

