@@ -9,7 +9,11 @@ with a count-collect, and prints ONE COMPACT JSON line:
      "queries": {"q01_overview": sec, ...}, "n": 5, "stat": "median",
      "sf": 0.1}
 
-The full per-rep detail (sorted ``runs`` arrays + ``best`` per query)
+The full per-rep detail (sorted ``runs`` arrays + ``best`` per query +
+round-13's ``rep_stages`` — per-rep dominant-stage executor-run ms /
+shuffle-read MB / task count from the AppStatusStore, in rep order
+with wall times, so a slow rep is attributable to a stage vs host
+phase without another round of archaeology)
 is written to ``BENCH_DETAIL.json`` next to this file (override with
 $SPARK_GRAFT_BENCH_DETAIL), NOT printed: the driver captures a bounded
 tail of stdout, and round 4's detail-laden single line outgrew that
@@ -217,6 +221,64 @@ def main() -> int:
     # durable mitigation.
     jvm_gc = spark.sparkContext._jvm.System.gc
 
+    # ---- per-rep stage-metric capture (judge r12 stretch #7): the
+    # r11/r12 variance archaeology (gc A/B, minhash bimodality) each
+    # cost a round because only WALL times were recorded — a slow rep
+    # could not be attributed to a stage vs the host phase. Each timed
+    # rep now records its dominant stage (by executor run time) from
+    # the JVM AppStatusStore: stage count, dominant-stage executor-run
+    # ms, shuffle-read MB and task count ride BENCH_DETAIL next to the
+    # rep's wall time. Cheap by construction: stageList returns
+    # newest-first, so the scan stops at the previous rep's max stage
+    # id and only THIS rep's handful of stages pays py4j round-trips.
+    # Telemetry only — any failure of this private-API path degrades
+    # to rep_stages=null, never to a bench failure.
+    _jvm = spark.sparkContext._jvm
+    _store = spark.sparkContext._jsc.sc().statusStore()
+    _darr = spark.sparkContext._gateway.new_array(_jvm.double, 0)
+
+    def _stage_head_id() -> int:
+        try:
+            lst = _store.stageList(
+                _jvm.java.util.ArrayList(), False, False, _darr,
+                _jvm.java.util.ArrayList(),
+            )
+            it = lst.iterator()
+            return it.next().stageId() if it.hasNext() else -1
+        except Exception:  # noqa: BLE001
+            return -1
+
+    def _rep_stage_record(last_max_id: int, wall: float):
+        """Dominant-stage record for stages newer than last_max_id.
+        Returns (new_max_id, record | None)."""
+        try:
+            lst = _store.stageList(
+                _jvm.java.util.ArrayList(), False, False, _darr,
+                _jvm.java.util.ArrayList(),
+            )
+            it = lst.iterator()
+            stages = []
+            new_max = last_max_id
+            while it.hasNext():
+                s = it.next()
+                sid = s.stageId()
+                if sid <= last_max_id:
+                    break  # newest-first: the rest predate this rep
+                new_max = max(new_max, sid)
+                stages.append((int(s.executorRunTime()), s))
+            if not stages:
+                return new_max, {"wall": round(wall, 3)}
+            dom_ms, dom = max(stages, key=lambda p: p[0])
+            return new_max, {
+                "wall": round(wall, 3),
+                "stages": len(stages),
+                "dom_ms": dom_ms,
+                "dom_shuffle_mb": round(dom.shuffleReadBytes() / 1e6, 3),
+                "dom_tasks": int(dom.numCompleteTasks()),
+            }
+        except Exception:  # noqa: BLE001
+            return last_max_id, None
+
     def drop_leaked_blocks() -> None:
         """Blocking unpersist of every leaked localCheckpoint RDD —
         synchronous block cleanup WITHOUT a GC cycle (r12: the per-rep
@@ -228,18 +290,23 @@ def main() -> int:
 
     drop_leaked_blocks()  # the warmup pass's own leaks
     jvm_gc()
+    rep_stages: dict[str, list] = {}
     for name, hq in headline:
         # per-query untimed throwaway (judge r10 #5) — absorbs this
         # plan's codegen + first-touch I/O before any timed rep, plus
         # (r12) the heap churn of the previous query's closing gc
         hq.builder(spark, sf_dir).count()
         drop_leaked_blocks()
+        _last_sid = _stage_head_id()
         runs, rows = [], 0
+        q_stages: list = []
         for _rep in range(n_reps):
             t0 = time.perf_counter()
             df = hq.builder(spark, sf_dir)
             rows = df.count()
             runs.append(time.perf_counter() - t0)
+            _last_sid, _rec = _rep_stage_record(_last_sid, runs[-1])
+            q_stages.append(_rec)
             drop_leaked_blocks()
         # extra reps for (a) sub-second queries — a scheduler stall is
         # a 20-30% median swing exactly there — and (b) queries whose
@@ -261,7 +328,10 @@ def main() -> int:
                 df = hq.builder(spark, sf_dir)
                 rows = df.count()
                 runs.append(time.perf_counter() - t0)
+                _last_sid, _rec = _rep_stage_record(_last_sid, runs[-1])
+                q_stages.append(_rec)
                 drop_leaked_blocks()
+        rep_stages[name] = q_stages  # rep order (runs below re-sorts)
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)
         bests[name] = round(runs[0], 3)
@@ -375,6 +445,11 @@ def main() -> int:
                 "queries": timings,
                 "best": bests,
                 "runs": spreads,
+                # per-rep dominant-stage telemetry (judge r12 stretch
+                # #7), in REP ORDER with each rep's wall time — `runs`
+                # above is sorted, so use rep_stages[*]["wall"] to
+                # align a slow rep with its stage metrics
+                "rep_stages": rep_stages,
                 "n": n_reps,
                 "stat": "median",
                 "sf": sf,
