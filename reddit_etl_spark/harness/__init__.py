@@ -56,6 +56,7 @@ from .queries_04_series_tpch import *  # noqa: F401,F403,E402
 from .queries_05_stats import *  # noqa: F401,F403,E402
 from .queries_06_stats2 import *  # noqa: F401,F403,E402
 from .queries_07_round12 import *  # noqa: F401,F403,E402
+from .queries_08_round13 import *  # noqa: F401,F403,E402
 
 # The driver records correctness rows for only the first
 # _DRIVER_RECORD_CAP registry entries per round, so WHICH queries ride
@@ -131,6 +132,13 @@ _PROMOTED = [
     "daily_trend_slope",
     "q12_correlations",
     "similarity_topk",
+]
+
+_DEFERRED = [
+    # ROUND-13 registrations displaced these 8 fillers one-for-one
+    # (the standing rule: new queries are attested the round they
+    # are born; the displaced fillers return to the oldest-
+    # attestation queue for the r14 head).
     "similarity_topk_pq",
     "semantic_dedup",
     "text_profile",
@@ -139,9 +147,6 @@ _PROMOTED = [
     "twa_user_value",
     "user_clustering",
     "sessionization_split",
-]
-
-_DEFERRED = [
     # ROUND-13 ROTATION: everything outside the 50-slot head —
     # the full r12 driver head (31 wave-1..5 registrations minus
     # deming_part_price, plus the 19-query r11 backlog block, all

@@ -1750,3 +1750,83 @@ def hosmer_lemeshow(
         F.round(F.when(ok, F.col("__chi2")), 6).alias("chi2_hl"),
         F.when(ok, F.col("__ub") - 2).cast("long").alias("dof"),
     )
+
+
+def feature_screening(
+    df: DataFrame,
+    feature_cols,
+    label_col: str,
+) -> DataFrame:
+    """Categorical-feature screening against a boolean label — the
+    one-pass triage BEFORE any model: for each candidate feature,
+    the information gain H(y) − Σ_v (n_v/n)·H(y|v) and the Gini
+    impurity drop G(y) − Σ_v (n_v/n)·G(y|v) rank which columns are
+    worth a deeper look (decision_stump then fits the best split of
+    ONE feature; woe_iv scores binned continuous ones — this ranks
+    the whole candidate list in one job).
+
+    Exactness: the melt is a literal stack projection (no shuffle
+    added — features widen the aggregate key, not the scan); all
+    (feature, value) counts are exact BIGINTs off ONE cell
+    aggregate; entropies are double folds of exact integers with
+    the entropy-family ln/ln2 discipline (0·log 0 ≡ 0), round-6.
+
+    Plan at scale: one stacked (feature, value) aggregate + one
+    (feature) rollup. The fact is scanned once for ALL features.
+
+    Returns (feature, n BIGINT, n_values BIGINT, h_label,
+    info_gain, gini_drop) ordered by feature — NULL gains when the
+    label is constant.
+    """
+    feats = list(feature_cols)
+    stack_expr = "stack({k}, {args}) as (feature, value)".format(
+        k=len(feats),
+        args=", ".join(
+            f"'{c}', cast(`{c}` as string)" for c in feats
+        ),
+    )
+    base = df.filter(F.col(label_col).isNotNull()).select(
+        F.expr(stack_expr),
+        F.col(label_col).cast("boolean").cast("long").alias("__y"),
+    ).filter(F.col("value").isNotNull())
+    cells = base.groupBy("feature", "value").agg(
+        F.count("*").cast("long").alias("__nv"),
+        F.sum("__y").cast("long").alias("__pv"),
+    )
+    LN2 = 0.6931471805599453
+
+    def h(p):
+        # binary entropy in bits with the 0·log0 = 0 convention
+        return -(
+            F.when((p > 0) & (p < 1), p * F.log(p) / LN2).otherwise(0.0)
+            + F.when(
+                (p > 0) & (p < 1), (1.0 - p) * F.log(1.0 - p) / LN2
+            ).otherwise(0.0)
+        )
+
+    nv = F.col("__nv").cast("double")
+    pv = F.col("__pv").cast("double") / nv
+    agg = cells.groupBy("feature").agg(
+        F.sum("__nv").cast("long").alias("n"),
+        F.sum("__pv").cast("long").alias("__pos"),
+        F.count("*").cast("long").alias("n_values"),
+        F.sum(nv * h(pv)).alias("__hc"),
+        F.sum(nv * 2.0 * pv * (1.0 - pv)).alias("__gc"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("__pos").cast("double") / n
+    h_label = h(p)
+    g_label = 2.0 * p * (1.0 - p)
+    ok = (F.col("__pos") > 0) & (F.col("__pos") < F.col("n"))
+    return agg.select(
+        "feature",
+        "n",
+        "n_values",
+        F.round(h_label, 6).alias("h_label"),
+        F.round(F.when(ok, h_label - F.col("__hc") / n), 6).alias(
+            "info_gain"
+        ),
+        F.round(F.when(ok, g_label - F.col("__gc") / n), 6).alias(
+            "gini_drop"
+        ),
+    ).orderBy("feature")

@@ -9352,3 +9352,597 @@ def ad_normal(
         F.round(F.when(ok, ad2), 6).alias("ad_stat"),
         F.round(F.when(ok, star), 6).alias("ad_star"),
     )
+
+
+def lilliefors_normal(
+    df: DataFrame, value_col: str, scale: int = 100
+) -> DataFrame:
+    """Lilliefors (one-sample KS vs a FITTED normal) — the
+    max-single-gap companion to ad_normal's tail-weighted integral
+    over the same question ("is z-score alerting legitimate on this
+    metric"): D = sup|F_n − Φ((x−μ̂)/σ̂)| reads where the worst CDF
+    departure sits, while AD² reads how much total tail misfit there
+    is; a metric that passes AD but fails Lilliefors has one
+    localized distortion (a spike), the reverse has diffuse tail
+    thickness. Critical lines (Lilliefors small-sample tables /
+    ~0.886/√n at 5%) are the caller's; the statistic is the output.
+
+    Exactness: values quantize to 1/scale units; μ̂/σ̂ from exact
+    DECIMAL moments; per DISTINCT value the empirical CDF brackets
+    [c/n, (c+t)/n] come from the guarded prefix window (exact
+    integers), and D = max(max((c+t)/n − Φ), max(Φ − c/n)) — Φ is
+    the shared Abramowitz-Stegun closed form (util.py:norm_cdf),
+    identical on both engines; the max over a frame of doubles
+    differing by ≤1 ulp cross-engine moves the output by ≤1 ulp,
+    dead at round-6.
+
+    Plan at scale: one (value) aggregate, one 1-row moment
+    broadcast, ONE guarded prefix window over distinct values
+    (EXACT_RANK_MAX_ROWS convention), one reduce.
+
+    Returns one row: (n BIGINT, mean, sd, d_stat) — NULL d when the
+    variance degenerates or n < 4.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    from .util import norm_cdf
+
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v")
+    )
+    per_v = base.groupBy("__v").agg(F.count("*").alias("__t"))
+    per_v = guard_distinct_frame(per_v, "lilliefors_normal")
+    mom = base.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum(dec(F.col("__v"))).cast("decimal(38,0)").alias("__s"),
+        F.sum((dec(F.col("__v")) * dec(F.col("__v"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__q"),
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    cells = per_v.select(
+        "__v",
+        "__t",
+        F.coalesce(F.sum("__t").over(w), F.lit(0)).alias("__c"),
+    ).crossJoin(F.broadcast(mom))
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    n = F.col("__n").cast("double")
+    mean = dbl("__s") / n
+    sd = F.sqrt((dbl("__q") - dbl("__s") * dbl("__s") / n) / (n - 1.0))
+    phi = norm_cdf((F.col("__v").cast("double") - mean) / sd)
+    f_hi = (F.col("__c") + F.col("__t")).cast("double") / n
+    f_lo = F.col("__c").cast("double") / n
+    agg = cells.agg(
+        F.max("__n").cast("long").alias("n"),
+        F.max(mean).alias("__mu"),
+        F.max(sd).alias("__sd"),
+        F.max(f_hi - phi).alias("__dp"),
+        F.max(phi - f_lo).alias("__dm"),
+    )
+    ok = (F.col("n") >= 4) & (F.col("__sd") > 0)
+    return agg.select(
+        "n",
+        F.round(F.col("__mu") / scale, 6).alias("mean"),
+        F.round(
+            F.when(F.col("__sd") > 0, F.col("__sd") / scale), 6
+        ).alias("sd"),
+        F.round(
+            F.when(ok, F.greatest(F.col("__dp"), F.col("__dm"))), 6
+        ).alias("d_stat"),
+    )
+
+
+def kuiper_two_sample(
+    df: DataFrame,
+    value_col: str,
+    class_col: str,
+    class_a,
+    class_b,
+) -> DataFrame:
+    """Kuiper two-sample test — the CYCLIC-safe variant of
+    ks_two_sample: V = D⁺ + D⁻ (max ECDF excess in EACH direction)
+    is invariant to rotating the value origin, which makes it the
+    correct statistic for circular domains (hour-of-day,
+    day-of-week, phase) where KS quietly loses power for shifts
+    that straddle the wrap point; it is also uniformly sensitive in
+    the tails where KS concentrates at the median.
+
+    Exactness: per distinct value the cumulative class counts are
+    exact integers off one prefix window; D⁺/D⁻ maximize the exact
+    cross-product numerators c_a·n_b − c_b·n_a in DECIMAL(38,0)
+    before ONE double division each. Both engines agree bit-exactly
+    through the max.
+
+    Plan at scale: one (value) cell aggregate, one guarded prefix
+    window over distinct values, one reduce.
+
+    Returns one row: (n_a BIGINT, n_b BIGINT, d_plus, d_minus,
+    kuiper_v) — NULL when either class is empty.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    is_a = F.col(class_col) == class_a
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(class_col).isin([class_a, class_b])
+    ).select(
+        F.col(value_col).cast("long").alias("__v"),
+        is_a.cast("long").alias("__a"),
+    )
+    per_v = base.groupBy("__v").agg(
+        F.sum("__a").alias("__ca"),
+        F.sum(F.lit(1) - F.col("__a")).alias("__cb"),
+    )
+    per_v = guard_distinct_frame(per_v, "kuiper_two_sample")
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per_v.agg(
+        F.sum("__ca").cast("long").alias("__na"),
+        F.sum("__cb").cast("long").alias("__nb"),
+    )
+    run = per_v.select(
+        F.sum("__ca").over(w).alias("__cca"),
+        F.sum("__cb").over(w).alias("__ccb"),
+    ).crossJoin(F.broadcast(tot))
+    dpn = (
+        dec(F.col("__cca")) * dec(F.col("__nb"))
+        - dec(F.col("__ccb")) * dec(F.col("__na"))
+    ).cast("decimal(38,0)")
+    agg = run.agg(
+        F.max("__na").cast("long").alias("n_a"),
+        F.max("__nb").cast("long").alias("n_b"),
+        F.max(dpn).cast("decimal(38,0)").alias("__dp"),
+        F.max(-dpn).cast("decimal(38,0)").alias("__dm"),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    den = F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(F.when(ok, dbl("__dp") / den), 6).alias("d_plus"),
+        F.round(F.when(ok, dbl("__dm") / den), 6).alias("d_minus"),
+        F.round(
+            F.when(ok, (dbl("__dp") + dbl("__dm")) / den), 6
+        ).alias("kuiper_v"),
+    )
+
+
+def hoeffding_d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_cells: int = 10_000,
+) -> DataFrame:
+    """Hoeffding's D test of GENERAL dependence between two ordinal/
+    discrete columns — the rung above the monotone family
+    (kendall/spearman/ordinal_association score ORDERED
+    co-movement; a U-shaped or checkerboard relation scores ~0 on
+    all of them but is real dependence): D estimates ∫(F_xy −
+    F_x·F_y)²dF, nonnegative-in-expectation under any dependence,
+    ~0 under independence. Hmisc-compatible tie handling: Q_i = 1 +
+    #{both smaller} + ½#{one equal, one smaller} + ¼#{both equal,
+    j≠i}, midranks R_i, S_i; D = 30·((n−2)(n−3)D₁ + D₂ −
+    2(n−2)D₃)/(n(n−1)(n−2)(n−3)(n−4)) with D₁ = Σ(Qᵢ−1)(Qᵢ−2),
+    D₂ = Σ(Rᵢ−1)(Rᵢ−2)(Sᵢ−1)(Sᵢ−2), D₃ = Σ(Rᵢ−2)(Sᵢ−2)(Qᵢ−1).
+
+    Exactness: everything folds over the (x, y) CELL grid — 4Q, 2R,
+    2S are exact integers per cell (scaled to clear the ½/¼ tie
+    weights), the three D-sums accumulate ×16 in DECIMAL(38,0)
+    (D₂ ~ n⁵ — inside 1e38 to n ≈ 4e6; a warehouse-scale caller
+    bins first, which max_cells forces anyway), and D is one double
+    expression, round-6.
+
+    Plan at scale: one (x, y) cell aggregate; the dominance counts
+    are ONE cells×cells join aggregated per left cell — |cells|² ≤
+    max_cells², guarded PLAN-EMBEDDED (ordinal_association's
+    convention: a continuous column must be binned explicitly).
+
+    Returns one row: (n BIGINT, n_cells BIGINT, hoeffding_d) —
+    NULL when n < 5.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+    )
+    cells = base.groupBy("__x", "__y").agg(
+        F.count("*").cast("long").alias("__f")
+    )
+    ncells = cells.agg(F.count("*").alias("__nc"))
+    cells_g = (
+        cells.crossJoin(F.broadcast(ncells))
+        .filter(
+            F.when(
+                F.col("__nc") <= F.lit(max_cells), F.lit(True)
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("hoeffding_d: "),
+                        F.col("__nc").cast("string"),
+                        F.lit(
+                            f" distinct (x, y) cells exceeds max_cells "
+                            f"({max_cells}) — the dominance join is "
+                            "cells²; bin the continuous column "
+                            "explicitly"
+                        ),
+                    )
+                )
+            )
+        )
+        .drop("__nc")
+    )
+    a = cells_g.select(
+        F.col("__x").alias("__x1"),
+        F.col("__y").alias("__y1"),
+        F.col("__f").alias("__f1"),
+    )
+    b = cells_g.select(
+        F.col("__x").alias("__x2"),
+        F.col("__y").alias("__y2"),
+        F.col("__f").alias("__f2"),
+    )
+    f2 = F.col("__f2")
+    per_cell = (
+        a.crossJoin(b)
+        .groupBy("__x1", "__y1", "__f1")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("__x2") < F.col("__x1"))
+                    & (F.col("__y2") < F.col("__y1")),
+                    f2,
+                )
+            ).alias("__ltlt"),
+            F.sum(
+                F.when(
+                    (F.col("__x2") == F.col("__x1"))
+                    & (F.col("__y2") < F.col("__y1")),
+                    f2,
+                )
+            ).alias("__eqlt"),
+            F.sum(
+                F.when(
+                    (F.col("__x2") < F.col("__x1"))
+                    & (F.col("__y2") == F.col("__y1")),
+                    f2,
+                )
+            ).alias("__lteq"),
+            F.sum(F.when(F.col("__x2") < F.col("__x1"), f2)).alias("__ltx"),
+            F.sum(F.when(F.col("__x2") == F.col("__x1"), f2)).alias("__eqx"),
+            F.sum(F.when(F.col("__y2") < F.col("__y1"), f2)).alias("__lty"),
+            F.sum(F.when(F.col("__y2") == F.col("__y1"), f2)).alias("__eqy"),
+        )
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    f1 = F.col("__f1")
+    # scaled exact integers: 4Q = 4 + 4·ltlt + 2·(eqlt+lteq) + (f−1);
+    # 2R = 2·ltx + eqx + 1 (eqx includes the cell itself); 2S likewise
+    q4 = 4 + 4 * z("__ltlt") + 2 * (z("__eqlt") + z("__lteq")) + (f1 - 1)
+    r2 = 2 * z("__ltx") + z("__eqx") + 1
+    s2 = 2 * z("__lty") + z("__eqy") + 1
+    # 16·D-terms per cell (the ×16 clears (…)/2 and (…)/4 exactly)
+    d1_16 = dec(f1) * dec(q4 - 4) * dec(q4 - 8)
+    d2_16 = dec(f1) * dec(r2 - 2) * dec(r2 - 4) * dec(s2 - 2) * dec(s2 - 4)
+    d3_16 = dec(f1) * dec(r2 - 4) * dec(s2 - 4) * dec(q4 - 4)
+    agg = per_cell.agg(
+        F.sum(dec(f1)).cast("decimal(38,0)").alias("__n"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum(d1_16.cast("decimal(38,0)")).cast("decimal(38,0)").alias("__d1"),
+        F.sum(d2_16.cast("decimal(38,0)")).cast("decimal(38,0)").alias("__d2"),
+        F.sum(d3_16.cast("decimal(38,0)")).cast("decimal(38,0)").alias("__d3"),
+    )
+
+    def dbl(c):
+        return F.coalesce(F.col(c).cast("string").cast("double"), F.lit(0.0))
+
+    n = dbl("__n")
+    d1, d2, d3 = dbl("__d1") / 16.0, dbl("__d2") / 16.0, dbl("__d3") / 16.0
+    num = (n - 2.0) * (n - 3.0) * d1 + d2 - 2.0 * (n - 2.0) * d3
+    den = n * (n - 1.0) * (n - 2.0) * (n - 3.0) * (n - 4.0)
+    return agg.select(
+        F.col("__n").cast("long").alias("n"),
+        "n_cells",
+        F.round(F.when(n >= 5, 30.0 * num / den), 6).alias("hoeffding_d"),
+    )
+
+
+def blomqvist_beta(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Blomqvist's β (medial correlation) — the quadrant-count
+    dependence coefficient: split the plane at the two medians and
+    score (concordant − discordant)/(concordant + discordant)
+    quadrant counts. The cheapest robust dependence number there is
+    (one percentile aggregate + one conditional fold), insensitive
+    to any monotone transform of either axis and to arbitrary tail
+    outliers — the triage rung before kendall/spearman/hoeffding.
+    Points ON either median carry no quadrant sign and are excluded
+    (reported via n − n_used; the standard convention).
+
+    Determinism: medians via the linear-interpolated exact
+    percentile (Spark ``percentile`` ≡ DuckDB ``quantile_cont`` —
+    the weighted_price_quartiles convention); the quadrant
+    comparisons and β are exact-integer arithmetic; z = β·√n_used
+    rides along for the N(0,1) reference.
+
+    Plan at scale: ONE mergeable percentile aggregate broadcast
+    back, one conditional count aggregate. No window, no join.
+
+    Returns one row: (n BIGINT, n_used BIGINT, beta, z) — NULL when
+    no off-median points exist.
+    """
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+    med = base.agg(
+        F.percentile(F.col("__x"), F.lit(0.5)).alias("__mx"),
+        F.percentile(F.col("__y"), F.lit(0.5)).alias("__my"),
+    )
+    j = base.crossJoin(F.broadcast(med))
+    conc = ((F.col("__x") > F.col("__mx")) & (F.col("__y") > F.col("__my"))) | (
+        (F.col("__x") < F.col("__mx")) & (F.col("__y") < F.col("__my"))
+    )
+    disc = ((F.col("__x") > F.col("__mx")) & (F.col("__y") < F.col("__my"))) | (
+        (F.col("__x") < F.col("__mx")) & (F.col("__y") > F.col("__my"))
+    )
+    agg = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(conc.cast("long")).cast("long").alias("__nc"),
+        F.sum(disc.cast("long")).cast("long").alias("__nd"),
+    )
+    used = F.col("__nc") + F.col("__nd")
+    beta = (F.col("__nc") - F.col("__nd")).cast("double") / used.cast(
+        "double"
+    )
+    return agg.select(
+        "n",
+        used.cast("long").alias("n_used"),
+        F.round(F.when(used > 0, beta), 6).alias("beta"),
+        F.round(
+            F.when(used > 0, beta * F.sqrt(used.cast("double"))), 6
+        ).alias("z"),
+    )
+
+
+def sign_test_paired(
+    df: DataFrame, x_col: str, y_col: str, scale: int = 100
+) -> DataFrame:
+    """Paired sign test — the assumption-free floor of the paired
+    family under wilcoxon_signed_rank: it uses only the SIGN of each
+    within-pair difference (no symmetry assumption, no rank
+    arithmetic), so it is the right readout when the difference
+    distribution is skewed enough to invalidate Wilcoxon's symmetry
+    premise — at the price of power. S⁺ ~ Binomial(n, ½) under H₀;
+    z uses the normal approximation with the ±0.5 continuity
+    correction, p = 2(1 − Φ(|z|)) via the shared A-S norm_cdf.
+
+    Exactness: differences quantize to 1/scale units (exact BIGINT
+    — zero-difference pairs drop, reported in n_zero, the standard
+    practice shared with wilcoxon); S⁺/S⁻/n are exact integers off
+    ONE conditional aggregate; z and p are single double
+    expressions.
+
+    Plan at scale: one map-side-combined aggregate. No window, no
+    join.
+
+    Returns one row: (n BIGINT, n_zero BIGINT, s_plus BIGINT, z,
+    p_value) — NULL z/p when n = 0.
+    """
+    from .util import norm_cdf
+
+    d = F.round((F.col(y_col) - F.col(x_col)) * scale, 0).cast("long")
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(d.alias("__d"))
+    agg = base.agg(
+        F.sum((F.col("__d") != 0).cast("long")).cast("long").alias("n"),
+        F.sum((F.col("__d") == 0).cast("long")).cast("long").alias("n_zero"),
+        F.sum((F.col("__d") > 0).cast("long")).cast("long").alias("s_plus"),
+    )
+    n = F.col("n").cast("double")
+    dev = F.col("s_plus").cast("double") - n / 2.0
+    # the ±0.5 continuity correction shrinks |deviation| TOWARD zero,
+    # never past it (a dead-balanced split is z = 0, p = 1 — not an
+    # overshot negative z)
+    z = (
+        F.signum(dev)
+        * F.greatest(F.abs(dev) - 0.5, F.lit(0.0))
+        / (0.5 * F.sqrt(n))
+    )
+    p = F.least(F.lit(1.0), 2.0 * (1.0 - norm_cdf(F.abs(z))))
+    ok = F.col("n") > 0
+    return agg.select(
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.col("n_zero"), F.lit(0)).cast("long").alias("n_zero"),
+        F.coalesce(F.col("s_plus"), F.lit(0)).cast("long").alias("s_plus"),
+        # + 0.0 folds the signum(-dev)·0 = -0.0 case to +0.0 on both
+        # engines (the rdd_sharp -0.0 hash rule; oracle mirrors it)
+        (F.round(F.when(ok, z), 6) + 0.0).alias("z"),
+        F.round(F.when(ok, p), 6).alias("p_value"),
+    )
+
+
+def breslow_day(
+    df: DataFrame,
+    strata_cols,
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Breslow-Day homogeneity test — mantel_haenszel's mandatory
+    companion: MH pools per-stratum odds ratios into one number,
+    which is only MEANINGFUL if the stratum ORs are homogeneous; BD
+    tests exactly that (χ², strata−1 df) by comparing each
+    stratum's observed a-cell against its expectation under the
+    COMMON MH odds ratio — the positive root of the quadratic
+    (OR−1)E² − [OR(m1+n1) + (m0−n1)]E + OR·m1·n1 = 0 — with the
+    exact conditional variance 1/(1/E + 1/(m1−E) + 1/(n1−E) +
+    1/(m0−n1+E)). A significant BD means "don't quote or_mh, quote
+    per-stratum ORs" (effect modification).
+
+    Exactness: the four cells per stratum are exact BIGINTs off ONE
+    conditional aggregate (mantel_haenszel's discipline); OR_mh and
+    the per-stratum quadratic/variance are double expressions of
+    exact integers (√ only — libm-free). Strata missing any margin
+    (a degenerate 2×2) drop from the fold AND the df on both
+    engines (documented).
+
+    Plan at scale: one (strata) aggregate + one 1-row reduce. No
+    window, no join.
+
+    Returns one row: (n BIGINT, n_strata BIGINT, n_used BIGINT,
+    or_mh, bd_stat, dof BIGINT) — NULLs when fewer than 2 usable
+    strata or the MH ratio degenerates.
+    """
+    keys = list(strata_cols)
+    e = F.col(exposure_col).cast("boolean")
+    y = F.col(outcome_col).cast("boolean")
+    base = df.filter(e.isNotNull() & y.isNotNull()).select(
+        *keys, e.alias("__e"), y.alias("__y")
+    )
+    per_s = base.groupBy(*keys).agg(
+        F.sum((F.col("__e") & F.col("__y")).cast("long")).alias("__a"),
+        F.sum((F.col("__e") & ~F.col("__y")).cast("long")).alias("__b"),
+        F.sum((~F.col("__e") & F.col("__y")).cast("long")).alias("__c"),
+        F.sum((~F.col("__e") & ~F.col("__y")).cast("long")).alias("__d"),
+    )
+    a, b, c, d = (F.col(k).cast("double") for k in ("__a", "__b", "__c", "__d"))
+    nt = a + b + c + d
+    # MH common OR: Σ(ad/n) / Σ(bc/n) — mantel_haenszel's fold
+    mh = per_s.agg(
+        F.sum(F.col("__a") + F.col("__b") + F.col("__c") + F.col("__d"))
+        .cast("long")
+        .alias("n"),
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum(F.when(nt > 0, a * d / nt)).alias("__r"),
+        F.sum(F.when(nt > 0, b * c / nt)).alias("__s"),
+    )
+    j = per_s.crossJoin(F.broadcast(mh))
+    orm = F.col("__r") / F.col("__s")
+    m1, m0 = a + b, c + d
+    n1 = a + c
+    # E(a | OR_mh): the root of (OR−1)E² − BE + C = 0 inside
+    # (max(0, n1−m0), min(m1, n1)); the minus root is the valid one
+    bq = orm * (m1 + n1) + (m0 - n1)
+    cq = orm * m1 * n1
+    disc = F.sqrt(bq * bq - 4.0 * (orm - 1.0) * cq)
+    e_quad = (bq - disc) / (2.0 * (orm - 1.0))
+    e_null = m1 * n1 / nt
+    ev = F.when(F.abs(orm - 1.0) < 1e-12, e_null).otherwise(e_quad)
+    var = 1.0 / (
+        1.0 / ev
+        + 1.0 / (m1 - ev)
+        + 1.0 / (n1 - ev)
+        + 1.0 / (m0 - n1 + ev)
+    )
+    usable = (
+        (F.col("__a") + F.col("__b") > 0)
+        & (F.col("__c") + F.col("__d") > 0)
+        & (F.col("__a") + F.col("__c") > 0)
+        & (F.col("__b") + F.col("__d") > 0)
+        & (F.col("__s") > 0)
+        & (F.col("__r") > 0)
+    )
+    term = (a - ev) * (a - ev) / var
+    agg = j.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("n_strata").cast("long").alias("n_strata"),
+        F.sum(F.when(usable, 1).otherwise(0)).cast("long").alias("n_used"),
+        F.max(F.when(F.col("__s") > 0, orm)).alias("__orm"),
+        F.sum(F.when(usable, term)).alias("__bd"),
+    )
+    ok = F.col("n_used") >= 2
+    return agg.select(
+        "n",
+        "n_strata",
+        "n_used",
+        F.round(F.col("__orm"), 6).alias("or_mh"),
+        F.round(F.when(ok, F.col("__bd")), 6).alias("bd_stat"),
+        F.when(ok, F.col("n_used") - 1).cast("long").alias("dof"),
+    )
+
+
+def tvd_two_sample(
+    df: DataFrame,
+    group_cols,
+    value_col: str,
+    class_col: str,
+    class_a,
+    class_b,
+) -> DataFrame:
+    """Total variation distance between two classes' value
+    distributions per group — the bluntest, most interpretable
+    member of the drift family (hellinger/cvm/ks/wasserstein over
+    the same framing): TVD = ½·Σ_v|p_a(v) − p_b(v)| IS "the largest
+    probability mass any event can disagree on", the number a drift
+    SLO can be written against directly (TVD ≤ ε ⇔ no downstream
+    consumer's acceptance rate moves more than ε).
+
+    Exactness: per (group, value) cell the class counts are exact
+    integers; each |·| term maximizes the exact cross-product
+    |c_a·n_b − c_b·n_a| in DECIMAL(38,0) and the per-group fold
+    divides ONCE by 2·n_a·n_b — a single double division per group.
+
+    Plan at scale: one (group, value) cell aggregate + one (group)
+    rollup. No window, no join.
+
+    Returns (group..., n_a BIGINT, n_b BIGINT, n_values BIGINT,
+    tvd) ordered by group — NULL when either class is empty in the
+    group.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    keys = list(group_cols)
+    is_a = F.col(class_col) == class_a
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(class_col).isin([class_a, class_b])
+    ).select(
+        *keys,
+        F.col(value_col).alias("__v"),
+        is_a.cast("long").alias("__a"),
+    )
+    cells = base.groupBy(*keys, "__v").agg(
+        F.sum("__a").alias("__ca"),
+        F.sum(F.lit(1) - F.col("__a")).alias("__cb"),
+    )
+    wg = Window.partitionBy(*[F.col(k) for k in keys])
+    withtot = cells.select(
+        *keys,
+        "__ca",
+        "__cb",
+        F.sum("__ca").over(wg).alias("__na"),
+        F.sum("__cb").over(wg).alias("__nb"),
+    )
+    num = F.abs(
+        dec(F.col("__ca")) * dec(F.col("__nb"))
+        - dec(F.col("__cb")) * dec(F.col("__na"))
+    ).cast("decimal(38,0)")
+    agg = withtot.groupBy(*keys).agg(
+        F.max("__na").cast("long").alias("n_a"),
+        F.max("__nb").cast("long").alias("n_b"),
+        F.count("*").cast("long").alias("n_values"),
+        F.sum(num).cast("decimal(38,0)").alias("__s"),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("string").cast("double")
+
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    tvd = dbl("__s") / (
+        2.0 * F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    return agg.select(
+        *keys,
+        "n_a",
+        "n_b",
+        "n_values",
+        F.round(F.when(ok, tvd), 6).alias("tvd"),
+    ).orderBy(*keys)

@@ -23,13 +23,22 @@ def test_recorded_head_exactly_cap_and_contains_rotation():
     assert len(head) == harness._DRIVER_RECORD_CAP
     # ROUND-13 rotation contract (judge r12 #1-#3 + the standing rule
     # "driver head = current backlog, then oldest attestations").
-    # deming_part_price — the lone red r12 driver row — leads the
-    # head for re-attestation on the hardened round6_floor output;
-    # the 8 round-12-wave-6/7-born queries that had never held a
-    # driver CORRECTNESS row through r12 ride with it; the remaining
-    # slots carry the stalest (r05) attestations, displaced
-    # one-for-one from the END by any r13 registrations.
-    assert head[0] == "deming_part_price"
+    # The 8 round-13 registrations ride as base (attested the round
+    # they are born); deming_part_price — the lone red r12 driver
+    # row — leads the PROMOTED block for re-attestation on the
+    # hardened round6_floor output; the 8 round-12-wave-6/7-born
+    # queries that had never held a driver CORRECTNESS row through
+    # r12 ride with it; the remaining slots carry the stalest (r05)
+    # attestations, displaced one-for-one from the END by the r13
+    # registrations.
+    new_r13 = [
+        "lilliefors_values", "kuiper_click_error_hours",
+        "hoeffding_d_lineitem", "blomqvist_beta_lineitem",
+        "sign_test_user_halves", "breslow_day_priority",
+        "tvd_value_drift", "feature_screen_orders",
+    ]
+    assert head[: len(new_r13)] == new_r13
+    assert head[len(new_r13)] == "deming_part_price"
     backlog_r12 = {
         "lepage_click_error", "van_elteren_click_weekday",
         "cv_qcd_event_types", "robust_shape_values",
