@@ -49,6 +49,12 @@ stays per-rep because it is what kills the leaked-localCheckpoint
 accumulation (r10 evidence below); the gc adds nothing the sweep
 doesn't already do synchronously.
 
+Round-13 set change: ``hoeffding_d_lineitem`` joins the headline mix
+(the guarded cells² dominance-join shape gets a continuously-watched
+wall-time, as round 12 did for wasserstein) — 23 queries; totals are
+NOT comparable to r12's 22-query total without subtracting its
+median.
+
 Round-12 set change: ``wasserstein_click_error`` joins the headline
 mix (judge r11 #7 — the guarded distinct-value single-partition
 window lane gets a continuously-watched wall-time) — totals are NOT

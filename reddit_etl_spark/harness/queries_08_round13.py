@@ -217,6 +217,10 @@ def kuiper_click_error_hours_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "50x11 cell grid with Hmisc-compatible tie weights as exact "
     "scaled integers (4Q/2R/2S), D-sums x16 in DECIMAL(38,0), one "
     "guarded cells^2 dominance join",
+    headline=True,  # round-13 headline add (the guarded cells² shape
+    # gets a continuously-watched wall time, as r12 did wasserstein);
+    # totals NOT comparable to r12's 22-query total without
+    # subtracting its median
 )
 def hoeffding_d_lineitem_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import hoeffding_d

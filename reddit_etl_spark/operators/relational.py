@@ -7188,7 +7188,10 @@ def ordinal_association(
     )
     cells = base.groupBy("__x", "__y").agg(
         F.count("*").cast("long").alias("__f")
-    )
+    # pin the tiny cell frame (round 13, hoeffding_d's fix shared
+    # back): the guard count and both grid-join sides would otherwise
+    # each re-scan the fact — one lazy localCheckpoint = ONE fact pass
+    ).localCheckpoint(eager=False)
     ncells = cells.agg(F.count("*").alias("__nc"))
     cells_g = (
         cells.crossJoin(F.broadcast(ncells))
@@ -9553,7 +9556,10 @@ def hoeffding_d(
     )
     cells = base.groupBy("__x", "__y").agg(
         F.count("*").cast("long").alias("__f")
-    )
+    # pin the tiny cell frame: THREE consumers (guard count, both
+    # dominance-join sides) would otherwise each re-scan the fact —
+    # one lazy localCheckpoint collapses them to ONE fact pass
+    ).localCheckpoint(eager=False)
     ncells = cells.agg(F.count("*").alias("__nc"))
     cells_g = (
         cells.crossJoin(F.broadcast(ncells))
