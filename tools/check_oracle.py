@@ -66,12 +66,22 @@ def main() -> int:
     args = sys.argv[1:]
     json_path = None
     ansi = False
+    mem = None
     for a in list(args):
         if a.startswith("--json="):
             json_path = a.split("=", 1)[1]
             args.remove(a)
         elif a == "--ansi":
             ansi = True
+            args.remove(a)
+        elif a.startswith("--mem="):
+            # CAPACITY only, never semantics: the ANSI lane's point is
+            # the driver-like ANSI-on / no-pinned-TZ defaults, and the
+            # vanilla 1g driver heap OOMs a full-registry sweep at
+            # sf0.1 (round 13: died at ppr_supplier_recs). A bigger
+            # heap changes no query result — it just lets the
+            # driver-parity artifact exist at the larger SF.
+            mem = a.split("=", 1)[1]
             args.remove(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
@@ -80,17 +90,20 @@ def main() -> int:
         # driver-like vanilla session: Spark 4.1 defaults = ANSI ON,
         # no pinned timezone, 200 shuffle partitions. The ONLY conf
         # we set is the master (and ANSI explicitly, belt+braces, so
-        # the lane still tests ANSI even if a future default flips).
+        # the lane still tests ANSI even if a future default flips),
+        # plus an optional --mem capacity override (above).
         from pyspark.sql import SparkSession  # noqa: PLC0415
 
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-        spark = (
+        b = (
             SparkSession.builder.appName("oracle-check-ansi")
             .master(f"local[{cpus}]")
             .config("spark.sql.ansi.enabled", "true")
             .config("spark.ui.enabled", "false")
-            .getOrCreate()
         )
+        if mem:
+            b = b.config("spark.driver.memory", mem)
+        spark = b.getOrCreate()
     else:
         spark = get_spark("oracle-check")
     con = duckdb.connect()

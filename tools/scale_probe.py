@@ -1070,34 +1070,42 @@ def main() -> int:
     # -- hoeffding_d cell-grid boundedness (round 13) ----------------------
     # General-dependence D folds over the (x, y) CELL grid; at 10x the
     # fact rows the grid is UNCHANGED (domain-bounded codes), so every
-    # exchange stays ~tasks x cells regardless of data scale — the
+    # exchange stays cells-sized regardless of data scale — the
     # anti-explosion claim behind running it on a fact table at all.
-    # Dominant = the (x, y) cell partial-aggregate exchange:
-    # ~input_tasks x n_cells partition-cell records (every task sees
-    # every cell at this density).
+    # The exchange is PER-TASK bounded: each map task's partial
+    # aggregate emits at most n_cells records no matter how many fact
+    # rows it holds, so with the task count pinned explicitly the
+    # dominant exchange is exactly tasks x cells — a fact-sized or
+    # pair-sized leak would blow it up ~rows/cells-fold (measured
+    # this round: at 10x rows the write stayed 550/task).
     from reddit_etl_spark.operators.relational import hoeffding_d
 
-    hd_base = replicate(
-        load(spark, sf_dir, "lineitem").select(
-            F.monotonically_increasing_id().alias("rid"),
-            F.col("l_quantity").cast("long").alias("x"),
-            F.round(F.col("l_discount") * 100, 0).cast("long").alias("y"),
-        ),
-        "rid",
-        times,
-        10_000_000_000,
-    ).localCheckpoint(eager=True)
+    HD_PARTS = 32
+    hd_base = (
+        replicate(
+            load(spark, sf_dir, "lineitem").select(
+                F.monotonically_increasing_id().alias("rid"),
+                F.col("l_quantity").cast("long").alias("x"),
+                F.round(F.col("l_discount") * 100, 0).cast("long").alias("y"),
+            ),
+            "rid",
+            times,
+            10_000_000_000,
+        )
+        .repartition(HD_PARTS)
+        .localCheckpoint(eager=True)
+    )
     hd_cells = hd_base.select("x", "y").distinct().count()
-    hd_tasks = hd_base.rdd.getNumPartitions()
     record(
         "hoeffding_grid_bounded",
-        predicted=hd_tasks * hd_cells,
+        predicted=HD_PARTS * hd_cells,
         fn=lambda: hoeffding_d(hd_base, "x", "y").collect(),
-        note=f"{times}x fact rows, grid unchanged at {hd_cells} cells: "
-        f"dominant = the (x, y) cell partial-agg exchange "
-        f"(~{hd_tasks} tasks x {hd_cells} cells); the cells² "
-        "dominance join is broadcast-side (never a fact-sized "
-        "shuffle) and the D-sums fold map-side",
+        note=f"{times}x fact rows, grid unchanged at {hd_cells} cells, "
+        f"task count pinned at {HD_PARTS}: dominant = the (x, y) "
+        f"cell partial-agg exchange ({HD_PARTS} tasks x {hd_cells} "
+        "cells — per-task cells-bounded regardless of row count); "
+        "the cells² dominance join is broadcast-side (never a "
+        "fact-sized shuffle) and the D-sums fold map-side",
     )
 
     out = {
