@@ -5803,6 +5803,7 @@ def moods_median(
     value_col: str,
     class_col: str,
     scale: int = 100,
+    lane: str = "single",
 ) -> DataFrame:
     """Mood's median test across k classes — the bluntest, most
     outlier-proof k-sample location rung (below kruskal_wallis in
@@ -5826,6 +5827,11 @@ def moods_median(
     window over distinct pooled values (EXACT_RANK_MAX_ROWS
     convention), a broadcast 1-row median frame, one per-class
     reduce. dof = k − 1 (caller-side; chi2 contract — no p-value).
+    ``lane`` (round 13, the mann_whitney conversion shared across
+    the pooled-rank family): ``"single"`` (default) /
+    ``"two_pass"`` (``scale_lanes.two_pass_prefix``; identical
+    output, parity pytest-pinned) / ``"auto"`` (count-then-branch
+    at ``TWO_PASS_MIN_ROWS``).
 
     Returns one row per class: (class, n BIGINT, n_above BIGINT,
     expected_above, chi2_term), ordered by class; chi2_term is NULL
@@ -5839,12 +5845,24 @@ def moods_median(
     )
     cells = base.groupBy("__cl", "__v").agg(F.count("*").alias("__f"))
     per_v = cells.groupBy("__v").agg(F.sum("__f").alias("__t"))
-    per_v = guard_distinct_frame(per_v, "moods_median")
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    if lane == "auto":
+        n_distinct = per_v.count()
+        lane = "two_pass" if n_distinct > TWO_PASS_MIN_ROWS else "single"
     tot = per_v.agg(F.sum("__t").cast("long").alias("__n"))
-    run = per_v.select(
-        "__v", F.sum("__t").over(w).alias("__cum")
-    ).crossJoin(F.broadcast(tot))
+    if lane == "two_pass":
+        run = (
+            two_pass_prefix(per_v, "__v", ["__t"])
+            .select("__v", F.col("__cum___t").alias("__cum"))
+            .crossJoin(F.broadcast(tot))
+        )
+    else:
+        per_v = guard_distinct_frame(per_v, "moods_median")
+        w = Window.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        run = per_v.select(
+            "__v", F.sum("__t").over(w).alias("__cum")
+        ).crossJoin(F.broadcast(tot))
     med = run.filter(
         F.col("__cum") >= F.floor((F.col("__n") + 1) / 2)
     ).agg(F.min("__v").alias("__med"))
@@ -6838,6 +6856,7 @@ def cliffs_delta(
     class_col: str,
     class_a,
     scale: int = 100,
+    lane: str = "single",
 ) -> DataFrame:
     """Cliff's delta ordinal effect size between two classes —
     mann_whitney_u's EFFECT-SIZE companion on the dominance scale:
@@ -6855,6 +6874,9 @@ def cliffs_delta(
 
     Plan at scale: one (value, class) aggregate, ONE guarded prefix
     window, one 1-row reduce — identical to mann_whitney_u's plan.
+    ``lane`` (round 13): ``"single"`` / ``"two_pass"`` / ``"auto"``,
+    mann_whitney_u's conversion verbatim (exclusive prefix =
+    inclusive global cum − own tallies; parity pytest-pinned).
 
     Returns one row: (n_a BIGINT, n_b BIGINT, u_a, delta,
     magnitude) — NULL delta when either class is empty.
@@ -6871,14 +6893,32 @@ def cliffs_delta(
         F.sum("__ia").alias("__ta"),
         F.sum(F.lit(1) - F.col("__ia")).alias("__tb"),
     )
-    per_v = guard_distinct_frame(per_v, "cliffs_delta")
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = per_v.select(
-        "__ta",
-        "__tb",
-        F.coalesce(F.sum(F.col("__ta") + F.col("__tb")).over(w), F.lit(0))
-        .alias("__c"),
-    ).select(
+    if lane == "auto":
+        n_distinct = per_v.count()
+        lane = "two_pass" if n_distinct > TWO_PASS_MIN_ROWS else "single"
+    if lane == "two_pass":
+        pre = two_pass_prefix(per_v, "__v", ["__ta", "__tb"])
+        counted = pre.select(
+            "__ta",
+            "__tb",
+            (
+                (F.col("__cum___ta") - F.col("__ta"))
+                + (F.col("__cum___tb") - F.col("__tb"))
+            ).alias("__c"),
+        )
+    else:
+        per_v = guard_distinct_frame(per_v, "cliffs_delta")
+        w = Window.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        counted = per_v.select(
+            "__ta",
+            "__tb",
+            F.coalesce(
+                F.sum(F.col("__ta") + F.col("__tb")).over(w), F.lit(0)
+            ).alias("__c"),
+        )
+    ranked = counted.select(
         "__ta",
         "__tb",
         (

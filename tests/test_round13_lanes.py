@@ -99,3 +99,38 @@ def test_hodges_lehmann_two_pass_empty_class(spark):
         df, "value", "cls", "click", lane="two_pass"
     ).collect()[0]
     assert row["n_b"] == 0 and row["hl_shift"] is None
+
+
+def test_cliffs_delta_lane_parity(spark, two_class):
+    from reddit_etl_spark.operators.relational import cliffs_delta
+
+    single = cliffs_delta(
+        two_class, "value", "cls", "click", lane="single"
+    ).collect()[0]
+    two = cliffs_delta(
+        two_class, "value", "cls", "click", lane="two_pass"
+    ).collect()[0]
+    auto = cliffs_delta(
+        two_class, "value", "cls", "click", lane="auto"
+    ).collect()[0]
+    _rows_equal(single, two)
+    _rows_equal(single, auto)
+    assert single["delta"] is not None
+
+
+def test_moods_median_lane_parity(spark, two_class):
+    from reddit_etl_spark.operators.relational import moods_median
+
+    def rows(lane):
+        return sorted(
+            (r.asDict() for r in moods_median(
+                two_class, "value", "cls", lane=lane
+            ).collect()),
+            key=lambda d: d["__cl"] if "__cl" in d else str(sorted(d.items())),
+        )
+
+    single = rows("single")
+    two = rows("two_pass")
+    auto = rows("auto")
+    assert single == two == auto
+    assert len(single) == 2
