@@ -7748,6 +7748,7 @@ def rank_biserial(
     group_a,
     group_b,
     scale: int = 100,
+    lane: str = "single",
 ) -> DataFrame:
     """Rank-biserial correlation + common-language effect size from
     the Mann-Whitney U — the DIRECTLY-INTERPRETABLE effect rung next
@@ -7764,7 +7765,9 @@ def rank_biserial(
     two ratios are single double divisions.
 
     Plan at scale: one (value) aggregate with two conditional
-    counts, the guarded prefix window, one 1-row reduce.
+    counts, the guarded prefix window, one 1-row reduce. ``lane``
+    (round 13): ``"single"`` / ``"two_pass"`` / ``"auto"`` —
+    mann_whitney_u's conversion verbatim (parity pytest-pinned).
 
     Returns one row: (n_a BIGINT, n_b BIGINT, u_a, cles,
     rank_biserial) — NULLs when either group is empty.
@@ -7783,14 +7786,32 @@ def rank_biserial(
         F.sum("__is_a").alias("__ta"),
         F.sum(F.lit(1) - F.col("__is_a")).alias("__tb"),
     )
-    per_v = guard_distinct_frame(per_v, "rank_biserial")
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = per_v.select(
-        "__ta",
-        "__tb",
-        F.coalesce(F.sum(F.col("__ta") + F.col("__tb")).over(w), F.lit(0))
-        .alias("__c"),
-    ).select(
+    if lane == "auto":
+        n_distinct = per_v.count()
+        lane = "two_pass" if n_distinct > TWO_PASS_MIN_ROWS else "single"
+    if lane == "two_pass":
+        pre = two_pass_prefix(per_v, "__v", ["__ta", "__tb"])
+        counted = pre.select(
+            "__ta",
+            "__tb",
+            (
+                (F.col("__cum___ta") - F.col("__ta"))
+                + (F.col("__cum___tb") - F.col("__tb"))
+            ).alias("__c"),
+        )
+    else:
+        per_v = guard_distinct_frame(per_v, "rank_biserial")
+        w = Window.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        counted = per_v.select(
+            "__ta",
+            "__tb",
+            F.coalesce(
+                F.sum(F.col("__ta") + F.col("__tb")).over(w), F.lit(0)
+            ).alias("__c"),
+        )
+    ranked = counted.select(
         "__ta",
         "__tb",
         (

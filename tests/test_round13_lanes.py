@@ -134,3 +134,20 @@ def test_moods_median_lane_parity(spark, two_class):
     auto = rows("auto")
     assert single == two == auto
     assert len(single) == 2
+
+
+def test_rank_biserial_lane_parity(spark, two_class):
+    from reddit_etl_spark.operators.relational import rank_biserial
+
+    single = rank_biserial(
+        two_class, "value", "cls", "click", "error", lane="single"
+    ).collect()[0]
+    two = rank_biserial(
+        two_class, "value", "cls", "click", "error", lane="two_pass"
+    ).collect()[0]
+    auto = rank_biserial(
+        two_class, "value", "cls", "click", "error", lane="auto"
+    ).collect()[0]
+    _rows_equal(single, two)
+    _rows_equal(single, auto)
+    assert single["rank_biserial"] is not None
