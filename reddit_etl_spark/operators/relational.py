@@ -6019,6 +6019,7 @@ def ansari_bradley(
     class_col: str,
     class_a,
     scale: int = 100,
+    lane: str = "single",
 ) -> DataFrame:
     """Ansari-Bradley two-sample DISPERSION test — the scale-shift
     companion to mann_whitney_u's location shift and
@@ -6058,18 +6059,35 @@ def ansari_bradley(
         F.count("*").alias("__t"),
         F.sum("__ia").alias("__fa"),
     )
-    per_v = guard_distinct_frame(per_v, "ansari_bradley")
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    if lane == "auto":
+        n_distinct = per_v.count()
+        lane = "two_pass" if n_distinct > TWO_PASS_MIN_ROWS else "single"
     tot = per_v.agg(
         F.sum("__t").cast("long").alias("__n"),
         F.sum("__fa").cast("long").alias("__na"),
     )
-    run = per_v.select(
-        "__v",
-        "__t",
-        "__fa",
-        F.coalesce(F.sum("__t").over(w), F.lit(0)).alias("__c"),
-    ).crossJoin(F.broadcast(tot))
+    if lane == "two_pass":
+        run = (
+            two_pass_prefix(per_v, "__v", ["__t"])
+            .select(
+                "__v",
+                "__t",
+                "__fa",
+                (F.col("__cum___t") - F.col("__t")).alias("__c"),
+            )
+            .crossJoin(F.broadcast(tot))
+        )
+    else:
+        per_v = guard_distinct_frame(per_v, "ansari_bradley")
+        w = Window.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        run = per_v.select(
+            "__v",
+            "__t",
+            "__fa",
+            F.coalesce(F.sum("__t").over(w), F.lit(0)).alias("__c"),
+        ).crossJoin(F.broadcast(tot))
     lo = F.col("__c") + 1
     hi = F.col("__c") + F.col("__t")
     m = F.col("__n") + 1
@@ -8040,6 +8058,7 @@ def brunner_munzel(
     class_a,
     class_b,
     scale: int = 100,
+    lane: str = "single",
 ) -> DataFrame:
     """Brunner-Munzel generalized Wilcoxon test — the two-sample rung
     to reach for when mann_whitney_u's exchangeability assumption is
@@ -8079,16 +8098,37 @@ def brunner_munzel(
         F.sum("__is_a").alias("__ta"),
         F.sum(F.lit(1) - F.col("__is_a")).alias("__tb"),
     )
-    per_v = guard_distinct_frame(per_v, "brunner_munzel")
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
-    cells = per_v.select(
-        "__ta",
-        "__tb",
-        F.coalesce(F.sum(F.col("__ta") + F.col("__tb")).over(w), F.lit(0))
-        .alias("__c"),
-        F.coalesce(F.sum("__ta").over(w), F.lit(0)).alias("__ca"),
-        F.coalesce(F.sum("__tb").over(w), F.lit(0)).alias("__cb"),
-    )
+    if lane == "auto":
+        n_distinct = per_v.count()
+        lane = "two_pass" if n_distinct > TWO_PASS_MIN_ROWS else "single"
+    if lane == "two_pass":
+        pre = two_pass_prefix(per_v, "__v", ["__ta", "__tb"])
+        ca = (F.col("__cum___ta") - F.col("__ta")).alias("__ca")
+        cb = (F.col("__cum___tb") - F.col("__tb")).alias("__cb")
+        cells = pre.select(
+            "__ta",
+            "__tb",
+            (
+                (F.col("__cum___ta") - F.col("__ta"))
+                + (F.col("__cum___tb") - F.col("__tb"))
+            ).alias("__c"),
+            ca,
+            cb,
+        )
+    else:
+        per_v = guard_distinct_frame(per_v, "brunner_munzel")
+        w = Window.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        cells = per_v.select(
+            "__ta",
+            "__tb",
+            F.coalesce(
+                F.sum(F.col("__ta") + F.col("__tb")).over(w), F.lit(0)
+            ).alias("__c"),
+            F.coalesce(F.sum("__ta").over(w), F.lit(0)).alias("__ca"),
+            F.coalesce(F.sum("__tb").over(w), F.lit(0)).alias("__cb"),
+        )
     # 2x/4x exact integer units: 2m = 2c+t+1, 2D_a = 2cb+tb,
     # 2D_b = 2ca+ta
     m2 = F.lit(2) * F.col("__c") + F.col("__ta") + F.col("__tb") + 1
@@ -8153,6 +8193,7 @@ def cucconi_test(
     class_a,
     class_b,
     scale: int = 100,
+    lane: str = "single",
 ) -> DataFrame:
     """Cucconi location-scale test — the JOINT rung next to
     mann_whitney_u (location only) and ansari_bradley (scale only):
@@ -8190,14 +8231,30 @@ def cucconi_test(
         F.sum("__is_a").alias("__ta"),
         F.sum(F.lit(1) - F.col("__is_a")).alias("__tb"),
     )
-    per_v = guard_distinct_frame(per_v, "cucconi_test")
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
-    cells = per_v.select(
-        "__ta",
-        "__tb",
-        F.coalesce(F.sum(F.col("__ta") + F.col("__tb")).over(w), F.lit(0))
-        .alias("__c"),
-    )
+    if lane == "auto":
+        n_distinct = per_v.count()
+        lane = "two_pass" if n_distinct > TWO_PASS_MIN_ROWS else "single"
+    if lane == "two_pass":
+        cells = two_pass_prefix(per_v, "__v", ["__ta", "__tb"]).select(
+            "__ta",
+            "__tb",
+            (
+                (F.col("__cum___ta") - F.col("__ta"))
+                + (F.col("__cum___tb") - F.col("__tb"))
+            ).alias("__c"),
+        )
+    else:
+        per_v = guard_distinct_frame(per_v, "cucconi_test")
+        w = Window.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        cells = per_v.select(
+            "__ta",
+            "__tb",
+            F.coalesce(
+                F.sum(F.col("__ta") + F.col("__tb")).over(w), F.lit(0)
+            ).alias("__c"),
+        )
     m2 = F.lit(2) * F.col("__c") + F.col("__ta") + F.col("__tb") + 1
     agg = cells.agg(
         F.sum("__ta").cast("long").alias("n_a"),

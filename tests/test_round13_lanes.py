@@ -151,3 +151,20 @@ def test_rank_biserial_lane_parity(spark, two_class):
     _rows_equal(single, two)
     _rows_equal(single, auto)
     assert single["rank_biserial"] is not None
+
+
+@pytest.mark.parametrize("op,kwargs", [
+    ("ansari_bradley", {"class_a": "click"}),
+    ("cucconi_test", {"class_a": "click", "class_b": "error"}),
+    ("brunner_munzel", {"class_a": "click", "class_b": "error"}),
+])
+def test_dispersion_family_lane_parity(spark, two_class, op, kwargs):
+    from reddit_etl_spark.operators import relational
+
+    fn = getattr(relational, op)
+    rows = {
+        lane: fn(two_class, "value", "cls", lane=lane, **kwargs).collect()[0]
+        for lane in ("single", "two_pass", "auto")
+    }
+    _rows_equal(rows["single"], rows["two_pass"])
+    _rows_equal(rows["single"], rows["auto"])
