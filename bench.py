@@ -55,6 +55,15 @@ wall-time, as round 12 did for wasserstein) — 23 queries; totals are
 NOT comparable to r12's 22-query total without subtracting its
 median.
 
+Round-13 telemetry payoff, first use: the committed r13 detail's
+``dedup_minhash_lsh`` WARN (median 1.29x of r12) adjudicates in one
+read — runs tight (spread 1.10x, no bimodality), dominant-stage
+shuffle CONSTANT at 0.851 MB / 32 tasks, but dominant-stage executor
+CPU swinging 9.6 -> 18.2 s across reps: the host's multi-core compute
+phase on the Arrow kernel, not a plan or leak (the single-thread numpy
+calib, 52.5 ms, was FAST the same session — the phase hits threaded
+compute, which is why wall-only records kept misattributing it).
+
 Round-12 set change: ``wasserstein_click_error`` joins the headline
 mix (judge r11 #7 — the guarded distinct-value single-partition
 window lane gets a continuously-watched wall-time) — totals are NOT
