@@ -4532,6 +4532,7 @@ def anderson_darling_two_sample(
     class_col: str,
     class_a,
     scale: int = 100,
+    lane: str = "single",
 ) -> DataFrame:
     """Tie-adjusted two-sample Anderson-Darling statistic (Scholz &
     Stephens 1987, the k=2 case of A²_akN) — the DISTRIBUTION-equality
@@ -4568,22 +4569,40 @@ def anderson_darling_two_sample(
         F.sum("__a").alias("__fa"),
         F.count("*").alias("__l"),
     )
-    # fail-fast before the single-task distinct-frame sort (judge r10
-    # #1 — the EXACT_RANK_MAX_ROWS convention, scale_lanes.py)
-    per_v = guard_distinct_frame(per_v, "anderson_darling_two_sample")
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    if lane == "auto":
+        n_distinct = per_v.count()
+        lane = "two_pass" if n_distinct > TWO_PASS_MIN_ROWS else "single"
     tot = per_v.agg(
         F.sum("__fa").cast("long").alias("__na"),
         F.sum("__l").cast("long").alias("__n"),
         F.count("*").cast("long").alias("n_values"),
     )
-    cum = per_v.select(
-        "__v",
-        "__fa",
-        "__l",
-        F.coalesce(F.sum("__fa").over(w), F.lit(0)).alias("__cfa"),
-        F.coalesce(F.sum("__l").over(w), F.lit(0)).alias("__cl"),
-    ).crossJoin(F.broadcast(tot))
+    if lane == "two_pass":
+        cum = (
+            two_pass_prefix(per_v, "__v", ["__fa", "__l"])
+            .select(
+                "__v",
+                "__fa",
+                "__l",
+                (F.col("__cum___fa") - F.col("__fa")).alias("__cfa"),
+                (F.col("__cum___l") - F.col("__l")).alias("__cl"),
+            )
+            .crossJoin(F.broadcast(tot))
+        )
+    else:
+        # fail-fast before the single-task distinct-frame sort (judge
+        # r10 #1 — the EXACT_RANK_MAX_ROWS convention, scale_lanes.py)
+        per_v = guard_distinct_frame(per_v, "anderson_darling_two_sample")
+        w = Window.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        cum = per_v.select(
+            "__v",
+            "__fa",
+            "__l",
+            F.coalesce(F.sum("__fa").over(w), F.lit(0)).alias("__cfa"),
+            F.coalesce(F.sum("__l").over(w), F.lit(0)).alias("__cl"),
+        ).crossJoin(F.broadcast(tot))
     n = F.col("__n")
     na = F.col("__na")
     nb = n - na
@@ -4639,6 +4658,7 @@ def dunn_test(
     value_col: str,
     class_col: str,
     scale: int = 100,
+    lane: str = "single",
 ) -> DataFrame:
     """Dunn's post-hoc pairwise rank comparisons after Kruskal-Wallis
     — WHICH classes differ once kruskal_wallis says "some class
@@ -4674,13 +4694,26 @@ def dunn_test(
     per_v = cells.groupBy("__v").agg(F.sum("__f").alias("__tv"))
     # fail-fast before the single-task distinct-frame sort (judge r10
     # #1 — the EXACT_RANK_MAX_ROWS convention, scale_lanes.py)
-    per_v = guard_distinct_frame(per_v, "dunn_test")
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
-    rv = per_v.select(
-        "__v",
-        "__tv",
-        F.coalesce(F.sum("__tv").over(w), F.lit(0)).alias("__cum"),
-    ).select(
+    if lane == "auto":
+        n_distinct = per_v.count()
+        lane = "two_pass" if n_distinct > TWO_PASS_MIN_ROWS else "single"
+    if lane == "two_pass":
+        rv = two_pass_prefix(per_v, "__v", ["__tv"]).select(
+            "__v",
+            "__tv",
+            (F.col("__cum___tv") - F.col("__tv")).alias("__cum"),
+        )
+    else:
+        per_v = guard_distinct_frame(per_v, "dunn_test")
+        w = Window.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        rv = per_v.select(
+            "__v",
+            "__tv",
+            F.coalesce(F.sum("__tv").over(w), F.lit(0)).alias("__cum"),
+        )
+    rv = rv.select(
         "__v",
         "__tv",
         (F.lit(2) * F.col("__cum") + F.col("__tv") + 1).alias("__r2"),

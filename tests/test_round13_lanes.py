@@ -168,3 +168,28 @@ def test_dispersion_family_lane_parity(spark, two_class, op, kwargs):
     }
     _rows_equal(rows["single"], rows["two_pass"])
     _rows_equal(rows["single"], rows["auto"])
+
+
+def test_ad2_lane_parity(spark, two_class):
+    from reddit_etl_spark.operators.relational import (
+        anderson_darling_two_sample,
+    )
+
+    rows = {
+        lane: anderson_darling_two_sample(
+            two_class, "value", "cls", "click", lane=lane
+        ).collect()[0]
+        for lane in ("single", "two_pass", "auto")
+    }
+    _rows_equal(rows["single"], rows["two_pass"])
+    _rows_equal(rows["single"], rows["auto"])
+
+
+def test_dunn_lane_parity(spark, two_class):
+    from reddit_etl_spark.operators.relational import dunn_test
+
+    def rows(lane):
+        out = dunn_test(two_class, "value", "cls", lane=lane).collect()
+        return sorted(str(sorted(r.asDict().items())) for r in out)
+
+    assert rows("single") == rows("two_pass") == rows("auto")
