@@ -125,6 +125,15 @@ _PROMOTED = [
     "ab_experiment_readout",
     "anomaly_zscore_daily",
     "asof_split",
+]
+
+_DEFERRED = [
+    # ROUND-13 registrations displaced these fillers one-for-one
+    # (the standing rule: new queries are attested the round they
+    # are born; the displaced fillers return to the oldest-
+    # attestation queue for the r14 head). Wave 1 displaced the
+    # first 8; wave 2 (wilson/dagostino/granger/chow/ww_runs/bws/
+    # embedding_centroid) displaced the next 7.
     "bigram_perplexity",
     "boilerplate_fraction",
     "concurrency_peaks",
@@ -132,13 +141,6 @@ _PROMOTED = [
     "daily_trend_slope",
     "q12_correlations",
     "similarity_topk",
-]
-
-_DEFERRED = [
-    # ROUND-13 registrations displaced these 8 fillers one-for-one
-    # (the standing rule: new queries are attested the round they
-    # are born; the displaced fillers return to the oldest-
-    # attestation queue for the r14 head).
     "similarity_topk_pq",
     "semantic_dedup",
     "text_profile",

@@ -1,12 +1,22 @@
 """Harness queries (part 8): round-13 registrations.
 
-One capped wave (judge r12 #3: head slack goes to stale
+Two capped waves (judge r12 #3: head slack goes to stale
 re-attestations, so net-new registrations stay ≤ the slack after the
-backlog + deming re-attestation are seated): Lilliefors normality
-(max-gap companion to ad_normal), Kuiper cyclic two-sample, Hoeffding's
-D general dependence, Blomqvist's medial correlation, the paired sign
-test, Breslow-Day OR homogeneity (mantel_haenszel's mandatory
-companion), total-variation drift, and categorical feature screening.
+backlog + deming re-attestation are seated; each registration
+displaces one stale-attestation filler from the head).
+
+Wave 1: Lilliefors normality (max-gap companion to ad_normal), Kuiper
+cyclic two-sample, Hoeffding's D general dependence, Blomqvist's
+medial correlation, the paired sign test, Breslow-Day OR homogeneity
+(mantel_haenszel's mandatory companion), total-variation drift, and
+categorical feature screening.
+
+Wave 2: the Wilson proportion interval, D'Agostino-Pearson K² omnibus
+normality, lag-1 Granger causality, the Chow known-split structural
+break, the Wald-Wolfowitz two-sample runs test, the
+Baumgartner-Weiß-Schindler two-sample B, and the per-label embedding
+centroid profile.
+
 Each pairs a Spark builder with an independent DuckDB oracle per the
 package conventions (see __init__ docstring).
 """
@@ -21,7 +31,7 @@ from ._common import (  # noqa: F401
     load,
     load_events,
 )
-from ..operators.util import NORM_CDF_SQL
+from ..operators.util import NORM_CDF_SQL, ROUND6_FLOOR_SQL
 
 _PHI_Z = NORM_CDF_SQL.format(z="zc.z")
 _PHI_ABS_Z = NORM_CDF_SQL.format(z="ABS(zc.z)")
@@ -578,3 +588,607 @@ def feature_screen_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderpriority", "o_orderstatus", "order_year"],
         "high_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# round-13 wave 2: two-sample mechanisms (BWS, runs), predictive/structural
+# regression readouts (Granger lag-1, Chow), omnibus normality (D'Agostino),
+# the Wilson proportion interval, and the per-label embedding centroid
+# profile. Each new registration displaces one stale-attestation filler
+# from the head (judge r12 #3 discipline).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "wilson_ci_events",
+    """
+    WITH ag AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value >= 30.0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1),
+    m AS (
+      SELECT event_type, n, k,
+             CAST(k AS DOUBLE) / n AS p,
+             1.959963984540054 * 1.959963984540054 AS z2,
+             CAST(n AS DOUBLE) AS nd
+      FROM ag),
+    w AS (
+      SELECT event_type, n, k, p,
+             (p + z2 / (2.0 * nd)) / (1.0 + z2 / nd) AS center,
+             1.959963984540054 / (1.0 + z2 / nd)
+               * SQRT(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd))
+               AS half
+      FROM m)
+    SELECT event_type, n, k,
+           ROUND(p, 6) AS p_hat,
+           ROUND(GREATEST(0.0, center - half), 6) AS lo,
+           ROUND(LEAST(1.0, center + half), 6) AS hi
+    FROM w ORDER BY event_type
+    """,
+    doc="Wilson score interval for each event type's share of "
+    "value >= 30 (operators/relational.py:wilson_ci) — the INTERVAL "
+    "rung of the proportion family next to odds_ratio "
+    "(association), cohens_h (effect size) and eb_urgent_rates "
+    "(shrinkage): never escapes [0,1], calibrated at small n and "
+    "extreme p. ONE conditional aggregate, no window, no join",
+)
+def wilson_ci_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import wilson_ci
+
+    ev = load_events(spark, sf_dir)
+    df = ev.select(
+        "event_type", (F.col("value") >= 30.0).alias("hit")
+    ).filter(F.col("value").isNotNull())
+    return wilson_ci(df, ["event_type"], "hit")
+
+
+@_q(
+    "dagostino_k2_values",
+    """
+    WITH base AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(c::HUGEINT) AS s1,
+             SUM(c::HUGEINT * c) AS s2,
+             SUM(c::HUGEINT * c * c) AS s3,
+             SUM(c::HUGEINT * c * c * c) AS s4
+      FROM base),
+    d AS (
+      SELECT n, CAST(n AS DOUBLE) AS nd,
+             CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2,
+             CAST(CAST(s3 AS VARCHAR) AS DOUBLE) AS s3,
+             CAST(CAST(s4 AS VARCHAR) AS DOUBLE) AS s4
+      FROM mom),
+    m AS (
+      SELECT n, nd, s1 / nd AS mu, s2, s3, s4 FROM d),
+    cm AS (
+      SELECT n, nd, mu,
+             s2 / nd - mu * mu AS m2,
+             s3 / nd - 3.0 * mu * s2 / nd + 2.0 * mu * mu * mu AS m3,
+             s4 / nd - 4.0 * mu * s3 / nd
+               + 6.0 * mu * mu * s2 / nd
+               - 3.0 * mu * mu * mu * mu AS m4
+      FROM m),
+    gb AS (
+      SELECT n, nd, m2,
+             m3 / SQRT(m2 * m2 * m2) AS g1,
+             m4 / (m2 * m2) AS b2
+      FROM cm),
+    sk AS (
+      SELECT n, nd, m2, g1, b2,
+             g1 * SQRT((nd + 1.0) * (nd + 3.0) / (6.0 * (nd - 2.0)))
+               AS y,
+             3.0 * (nd * nd + 27.0 * nd - 70.0) * (nd + 1.0)
+               * (nd + 3.0)
+               / ((nd - 2.0) * (nd + 5.0) * (nd + 7.0) * (nd + 9.0))
+               AS beta2
+      FROM gb),
+    sk2 AS (
+      SELECT n, nd, m2, g1, b2, y,
+             SQRT(2.0 * (beta2 - 1.0)) - 1.0 AS w2
+      FROM sk),
+    sk3 AS (
+      SELECT n, nd, m2, g1, b2,
+             1.0 / SQRT(LN(SQRT(w2))) AS delta,
+             y / SQRT(2.0 / (w2 - 1.0)) AS ya
+      FROM sk2),
+    z1c AS (
+      SELECT n, nd, m2, g1, b2,
+             delta * LN(ya + SQRT(ya * ya + 1.0)) AS z1
+      FROM sk3),
+    kt AS (
+      SELECT n, nd, m2, g1, b2, z1,
+             3.0 * (nd - 1.0) / (nd + 1.0) AS eb2,
+             24.0 * nd * (nd - 2.0) * (nd - 3.0)
+               / ((nd + 1.0) * (nd + 1.0) * (nd + 3.0) * (nd + 5.0))
+               AS vb2,
+             6.0 * (nd * nd - 5.0 * nd + 2.0)
+               / ((nd + 7.0) * (nd + 9.0))
+               * SQRT(6.0 * (nd + 3.0) * (nd + 5.0)
+                      / (nd * (nd - 2.0) * (nd - 3.0))) AS sb1
+      FROM z1c),
+    kt2 AS (
+      SELECT n, nd, m2, g1, b2, z1,
+             (b2 - eb2) / SQRT(vb2) AS x,
+             6.0 + 8.0 / sb1
+               * (2.0 / sb1 + SQRT(1.0 + 4.0 / (sb1 * sb1))) AS a
+      FROM kt),
+    kt3 AS (
+      SELECT n, nd, m2, g1, b2, z1, a,
+             1.0 + x * SQRT(2.0 / (a - 4.0)) AS innr
+      FROM kt2),
+    z2c AS (
+      SELECT n, m2, g1, b2, z1, innr,
+             ((1.0 - 2.0 / (9.0 * a))
+              - CBRT((1.0 - 2.0 / a) / innr))
+             / SQRT(2.0 / (9.0 * a)) AS z2
+      FROM kt3),
+    fin AS (
+      SELECT n, g1, b2, z1, z2, z1 * z1 + z2 * z2 AS k2,
+             n >= 20 AND m2 > 0.0 AS ok,
+             n >= 20 AND m2 > 0.0 AND innr <> 0.0 AS ok2
+      FROM z2c)
+    SELECT n,
+           ROUND(CASE WHEN ok THEN g1 END, 6) AS skew,
+           ROUND(CASE WHEN ok THEN b2 - 3.0 END, 6) AS kurt_excess,
+           ROUND(CASE WHEN ok THEN z1 END, 6) AS z_skew,
+           ROUND(CASE WHEN ok2 THEN z2 END, 6) AS z_kurt,
+           ROUND(CASE WHEN ok2 THEN k2 END, 6) AS k2,
+           ROUND(CASE WHEN ok2 THEN EXP(-k2 / 2.0) END, 6) AS p_k2
+    FROM fin
+    """,
+    doc="D'Agostino-Pearson K² omnibus normality of event values "
+    "(operators/relational.py:dagostino_k2) — the TRANSFORMED-"
+    "moment rung next to jarque_bera (raw g1/g2, needs n in the "
+    "thousands), ad_normal (CDF integral) and lilliefors (max gap): "
+    "Johnson-SU skewness z + Anscombe-Glynn kurtosis z, each "
+    "~N(0,1) at moderate n, K² ~ χ²(2) with exact closed-form "
+    "p = exp(−K²/2). ONE exact DECIMAL(38,0) S1..S4 power-sum "
+    "aggregate; scale-invariant ratios — cents never descale",
+)
+def dagostino_k2_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import dagostino_k2
+
+    ev = load_events(spark, sf_dir)
+    return dagostino_k2(ev, "value", scale=100)
+
+
+@_q(
+    "granger_lag1_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                  END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                  END) AS BIGINT) AS y
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IN ('click', 'error')
+      GROUP BY 1),
+    idx AS (
+      SELECT date_diff('day', DATE '2024-01-01', d) AS t, x, y
+      FROM daily),
+    pairs AS (
+      SELECT c.y AS y, p.y AS u, p.x AS w
+      FROM idx c JOIN idx p ON c.t = p.t + 1),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             SUM(y::HUGEINT) AS sy, SUM(u::HUGEINT) AS su,
+             SUM(w::HUGEINT) AS sw,
+             SUM(y::HUGEINT * y) AS syy, SUM(u::HUGEINT * u) AS suu,
+             SUM(w::HUGEINT * w) AS sww, SUM(y::HUGEINT * u) AS syu,
+             SUM(y::HUGEINT * w) AS syw, SUM(u::HUGEINT * w) AS suw
+      FROM pairs),
+    d AS (
+      SELECT n_pairs, CAST(n_pairs AS DOUBLE) AS nd,
+             CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(su AS VARCHAR) AS DOUBLE) AS su,
+             CAST(CAST(sw AS VARCHAR) AS DOUBLE) AS sw,
+             CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(suu AS VARCHAR) AS DOUBLE) AS suu,
+             CAST(CAST(sww AS VARCHAR) AS DOUBLE) AS sww,
+             CAST(CAST(syu AS VARCHAR) AS DOUBLE) AS syu,
+             CAST(CAST(syw AS VARCHAR) AS DOUBLE) AS syw,
+             CAST(CAST(suw AS VARCHAR) AS DOUBLE) AS suw
+      FROM mom),
+    c AS (
+      SELECT n_pairs, nd,
+             syy - sy * sy / nd AS cyy,
+             suu - su * su / nd AS cuu,
+             sww - sw * sw / nd AS cww,
+             syu - sy * su / nd AS cyu,
+             syw - sy * sw / nd AS cyw,
+             suw - su * sw / nd AS cuw
+      FROM d),
+    s AS (
+      SELECT n_pairs, nd, cyy, cuu, cyu, cyw,
+             cuu * cww - cuw * cuw AS det,
+             (cyu * cww - cyw * cuw) / (cuu * cww - cuw * cuw) AS b,
+             (cyw * cuu - cyu * cuw) / (cuu * cww - cuw * cuw) AS cc
+      FROM c),
+    f AS (
+      SELECT n_pairs, nd, det, cuu, b, cc,
+             cyy - b * cyu - cc * cyw AS ssr_f,
+             cyy - cyu * cyu / cuu AS ssr_r
+      FROM s),
+    fin AS (
+      SELECT n_pairs, b, cc, ssr_r, ssr_f,
+             (ssr_r - ssr_f) * (nd - 3.0) / ssr_f AS f_stat,
+             n_pairs >= 4 AND det > 0.0 AND cuu > 0.0 AS ok,
+             n_pairs >= 4 AND det > 0.0 AND cuu > 0.0
+               AND ssr_f > 0.0 AS okf
+      FROM f)
+    SELECT n_pairs,
+           ROUND(CASE WHEN ok THEN b END, 6) AS beta_lag_y,
+           ROUND(CASE WHEN ok THEN cc END, 6) AS beta_lag_x,
+           ROUND(CASE WHEN ok THEN ssr_r END, 6) AS ssr_r,
+           ROUND(CASE WHEN ok THEN ssr_f END, 6) AS ssr_f,
+           ROUND(CASE WHEN okf THEN f_stat END, 6) AS f_stat
+    FROM fin
+    """,
+    doc="Lag-1 Granger causality: do yesterday's CLICK counts "
+    "improve today's ERROR-count forecast beyond yesterday's errors "
+    "(operators/series.py:granger_lag1) — the PREDICTIVE rung next "
+    "to ccf_click_error_daily (symmetric lagged correlation) and "
+    "diebold_mariano (forecast comparison); restricted-vs-full "
+    "closed-form OLS F on the calendar-bounded daily frame, all ten "
+    "moments exact DECIMAL(38,0)",
+)
+def granger_lag1_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.series import granger_lag1
+
+    ev = load_events(spark, sf_dir).filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isin("click", "error")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("x"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("y"),
+    )
+    daily = daily.select(
+        F.datediff(F.col("d"), F.lit("2024-01-01").cast("date")).alias(
+            "t"
+        ),
+        "x",
+        "y",
+    )
+    return granger_lag1(daily, "t", "y", "x")
+
+
+@_q(
+    "chow_break_daily",
+    """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2023-12-31', CAST(ts AS DATE))
+               AS t,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1),
+    mom AS (
+      SELECT
+        CAST(SUM(CASE WHEN t <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_1,
+        SUM(CASE WHEN t <= 15 THEN t::HUGEINT END) AS st1,
+        SUM(CASE WHEN t <= 15 THEN t::HUGEINT * t END) AS stt1,
+        SUM(CASE WHEN t <= 15 THEN y::HUGEINT END) AS sy1,
+        SUM(CASE WHEN t <= 15 THEN t::HUGEINT * y END) AS sty1,
+        SUM(CASE WHEN t <= 15 THEN y::HUGEINT * y END) AS syy1,
+        CAST(SUM(CASE WHEN t > 15 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_2,
+        SUM(CASE WHEN t > 15 THEN t::HUGEINT END) AS st2,
+        SUM(CASE WHEN t > 15 THEN t::HUGEINT * t END) AS stt2,
+        SUM(CASE WHEN t > 15 THEN y::HUGEINT END) AS sy2,
+        SUM(CASE WHEN t > 15 THEN t::HUGEINT * y END) AS sty2,
+        SUM(CASE WHEN t > 15 THEN y::HUGEINT * y END) AS syy2
+      FROM daily),
+    d AS (
+      SELECT n_1, n_2,
+             CAST(n_1 AS DOUBLE) AS nd1, CAST(n_2 AS DOUBLE) AS nd2,
+             COALESCE(CAST(CAST(st1 AS VARCHAR) AS DOUBLE), 0.0) AS st1,
+             COALESCE(CAST(CAST(stt1 AS VARCHAR) AS DOUBLE), 0.0) AS stt1,
+             COALESCE(CAST(CAST(sy1 AS VARCHAR) AS DOUBLE), 0.0) AS sy1,
+             COALESCE(CAST(CAST(sty1 AS VARCHAR) AS DOUBLE), 0.0) AS sty1,
+             COALESCE(CAST(CAST(syy1 AS VARCHAR) AS DOUBLE), 0.0) AS syy1,
+             COALESCE(CAST(CAST(st2 AS VARCHAR) AS DOUBLE), 0.0) AS st2,
+             COALESCE(CAST(CAST(stt2 AS VARCHAR) AS DOUBLE), 0.0) AS stt2,
+             COALESCE(CAST(CAST(sy2 AS VARCHAR) AS DOUBLE), 0.0) AS sy2,
+             COALESCE(CAST(CAST(sty2 AS VARCHAR) AS DOUBLE), 0.0) AS sty2,
+             COALESCE(CAST(CAST(syy2 AS VARCHAR) AS DOUBLE), 0.0) AS syy2
+      FROM mom),
+    seg AS (
+      SELECT n_1, n_2, nd1, nd2,
+             st1, stt1, sy1, sty1, syy1, st2, stt2, sy2, sty2, syy2,
+             stt1 - st1 * st1 / nd1 AS ctt1,
+             sty1 - st1 * sy1 / nd1 AS cty1,
+             syy1 - sy1 * sy1 / nd1 AS cyy1,
+             stt2 - st2 * st2 / nd2 AS ctt2,
+             sty2 - st2 * sy2 / nd2 AS cty2,
+             syy2 - sy2 * sy2 / nd2 AS cyy2,
+             nd1 + nd2 AS nd
+      FROM d),
+    pool AS (
+      SELECT n_1, n_2, nd, ctt1, cty1, ctt2, cty2,
+             cty1 / ctt1 AS slope_1,
+             cty2 / ctt2 AS slope_2,
+             cyy1 - cty1 * cty1 / ctt1 AS ssr1,
+             cyy2 - cty2 * cty2 / ctt2 AS ssr2,
+             (stt1 + stt2) - (st1 + st2) * (st1 + st2) / nd AS cttp,
+             (sty1 + sty2) - (st1 + st2) * (sy1 + sy2) / nd AS ctyp,
+             (syy1 + syy2) - (sy1 + sy2) * (sy1 + sy2) / nd AS cyyp
+      FROM seg),
+    fin AS (
+      SELECT n_1, n_2, slope_1, slope_2, ssr1, ssr2,
+             ctyp / cttp AS slope_pooled,
+             cyyp - ctyp * ctyp / cttp AS ssr_p,
+             n_1 >= 3 AND n_2 >= 3 AND ctt1 > 0.0 AND ctt2 > 0.0
+               AND cttp > 0.0 AS ok,
+             nd
+      FROM pool)
+    SELECT n_1, n_2,
+           ROUND(CASE WHEN ok THEN slope_1 END, 6) AS slope_1,
+           ROUND(CASE WHEN ok THEN slope_2 END, 6) AS slope_2,
+           ROUND(CASE WHEN ok THEN slope_pooled END, 6)
+             AS slope_pooled,
+           ROUND(CASE WHEN ok AND ssr1 + ssr2 > 0.0 THEN
+             (ssr_p - ssr1 - ssr2) / 2.0
+             / ((ssr1 + ssr2) / (nd - 4.0)) END, 6) AS f_stat
+    FROM fin
+    """,
+    doc="Chow structural-break F at the KNOWN mid-month split (day "
+    "15) of the daily cent-sum value trend "
+    "(operators/series.py:chow_test) — the parametric rung of the "
+    "change-point family next to pettitt (rank, unknown point), "
+    "sse_changepoint (SSE scan) and cusum/page_hinkley (sequential): "
+    "per-segment OLS vs pooled, ONE conditional exact-moment "
+    "aggregate over the calendar-bounded daily frame",
+)
+def chow_break_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.series import chow_test
+
+    ev = load_events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    daily = daily.select(
+        F.datediff(F.col("d"), F.lit("2023-12-31").cast("date")).alias(
+            "t"
+        ),
+        "y",
+    )
+    return chow_test(daily, "t", "y", 15)
+
+
+_PHI_NEG_ABS_Z = NORM_CDF_SQL.format(z="-ABS(zz)")
+
+
+@_q(
+    "ww_runs_click_error",
+    f"""
+    WITH base AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'error')),
+    per_v AS (
+      SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+             CAST(SUM(1 - a) AS BIGINT) AS cb
+      FROM base GROUP BY 1),
+    blocks AS (
+      SELECT ca, cb,
+             (CASE WHEN ca > 0 THEN 1 ELSE 0 END
+              + CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS r_in,
+             CASE WHEN ca > 0 THEN 1 ELSE 0 END AS firstc,
+             LAG(CASE WHEN cb > 0 THEN 0 ELSE 1 END)
+               OVER (ORDER BY v) AS prev_last
+      FROM per_v),
+    ag AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(cb) AS BIGINT) AS n_b,
+             CAST(COUNT(*) AS BIGINT) AS n_values,
+             CAST(SUM(r_in)
+                  - SUM(CASE WHEN prev_last = firstc THEN 1 ELSE 0
+                        END) AS BIGINT) AS runs
+      FROM blocks),
+    m AS (
+      SELECT n_a, n_b, n_values, runs,
+             CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nn
+      FROM ag),
+    s AS (
+      SELECT n_a, n_b, n_values, runs, na, nb, nn,
+             1.0 + 2.0 * na * nb / nn AS mu,
+             2.0 * na * nb * (2.0 * na * nb - nn)
+               / (nn * nn * (nn - 1.0)) AS var
+      FROM m),
+    zc AS (
+      SELECT n_a, n_b, n_values, runs, mu, var,
+             (CAST(runs AS DOUBLE) - mu) / SQRT(var) AS zz
+      FROM s)
+    SELECT n_a, n_b, n_values,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN runs END AS runs,
+           ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN mu END, 6) AS mu,
+           ROUND(CASE WHEN n_a > 0 AND n_b > 0 AND var > 0.0
+                 THEN zz END, 6) AS z,
+           ROUND(CASE WHEN n_a > 0 AND n_b > 0 AND var > 0.0
+                 THEN 2.0 * {_PHI_NEG_ABS_Z} END, 6) AS p
+    FROM zc
+    """,
+    doc="Wald-Wolfowitz two-sample runs test between click and "
+    "error values (operators/relational.py:runs_two_sample) — the "
+    "RUNS-mechanism rung next to mann_whitney (rank location), "
+    "ansari_bradley (rank scale) and ks/cvm/ad2/bws (CDF "
+    "distance): counts maximal same-class runs in the pooled "
+    "(value, click-first) order — ties pinned by that documented "
+    "convention. Exact integer run count off the distinct pooled "
+    "frame, one guarded lag window, shared A-S Φ p-value",
+)
+def ww_runs_click_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import runs_two_sample
+
+    ev = load_events(spark, sf_dir)
+    return runs_two_sample(
+        ev.filter(F.col("event_type").isin("click", "error")).select(
+            "value", "event_type"
+        ),
+        "value",
+        "event_type",
+        "click",
+    )
+
+
+@_q(
+    "bws_click_error",
+    """
+    WITH base AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'error')),
+    per_v AS (
+      SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+             CAST(COUNT(*) AS BIGINT) AS l
+      FROM base GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(l) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_values
+      FROM per_v),
+    cum AS (
+      SELECT v, ca, l,
+             COALESCE(SUM(ca) OVER w, 0) AS cfa,
+             COALESCE(SUM(l) OVER w, 0) AS cfl
+      FROM per_v
+      WINDOW w AS (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    melt AS (
+      SELECT 'a' AS side, ca AS cnt, cfa AS cum_own,
+             2 * cfl + l + 1 AS two_r,
+             t.na AS n_own, t.n - t.na AS n_other,
+             t.n AS nn, t.n_values, t.na
+      FROM cum CROSS JOIN tot t WHERE ca > 0
+      UNION ALL
+      SELECT 'b', l - ca, cfl - cfa, 2 * cfl + l + 1,
+             t.n - t.na, t.na, t.n, t.n_values, t.na
+      FROM cum CROSS JOIN tot t WHERE l - ca > 0),
+    ks AS (
+      SELECT side, two_r, n_own, n_other, nn, n_values, na,
+             unnest(generate_series(CAST(cum_own + 1 AS BIGINT),
+                    CAST(cum_own + cnt AS BIGINT))) AS k
+      FROM melt),
+    terms AS (
+      SELECT side, n_values, na, nn,
+             (n_own::HUGEINT * two_r - 2::HUGEINT * nn * k) AS d,
+             (k::HUGEINT * (n_own + 1 - k)) AS kt,
+             CAST(n_own AS DOUBLE) AS nod,
+             CAST(n_other AS DOUBLE) AS notd,
+             CAST(nn AS DOUBLE) AS nnd
+      FROM ks),
+    summed AS (
+      SELECT MAX(na) AS n_a, MAX(nn - na) AS n_b,
+             MAX(n_values) AS n_values,
+             SUM(CASE WHEN side = 'a' THEN
+               CAST(CAST(d * d AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(kt AS VARCHAR) AS DOUBLE)
+               * ((nod + 1.0) * (nod + 1.0)
+                  / (4.0 * nod * nod * notd * nnd)) END) AS bx,
+             SUM(CASE WHEN side = 'b' THEN
+               CAST(CAST(d * d AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(kt AS VARCHAR) AS DOUBLE)
+               * ((nod + 1.0) * (nod + 1.0)
+                  / (4.0 * nod * nod * notd * nnd)) END) AS byy
+      FROM terms)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_values AS BIGINT) AS n_values,
+           ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN bx END, 6)
+             AS b_x,
+           ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN byy END, 6)
+             AS b_y,
+           ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN (bx + byy) / 2.0
+                 END, 6) AS b
+    FROM summed
+    """,
+    doc="Baumgartner-Weiß-Schindler two-sample B between click and "
+    "error values (operators/relational.py:bws_two_sample) — the "
+    "VARIANCE-NORMALIZED rung of the two-sample CDF family next to "
+    "ks (max gap), cvm (uniform integral) and ad2 (tail-weighted "
+    "integral): each rank discrepancy divided by its own null "
+    "variance, midrank ties. Exact DECIMAL(38,0) term integers off "
+    "the distinct pooled frame; chunked sequence explode back to "
+    "one row per order statistic (n rows, the scan's own "
+    "cardinality) into one map-side-combined sum",
+)
+def bws_click_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import bws_two_sample
+
+    ev = load_events(spark, sf_dir)
+    return bws_two_sample(
+        ev.filter(F.col("event_type").isin("click", "error")).select(
+            "value", "event_type"
+        ),
+        "value",
+        "event_type",
+        "click",
+    )
+
+
+_R6F_NORM = ROUND6_FLOOR_SQL.format(
+    x="SQRT(q) / CAST(n AS DOUBLE)"
+)
+_R6F_COS = ROUND6_FLOOR_SQL.format(
+    x="CASE WHEN q > 0.0 AND qq > 0.0 THEN"
+    " d / (SQRT(q) * SQRT(qq)) END"
+)
+
+
+@_q(
+    "embedding_centroid_labels",
+    f"""
+    WITH e AS (
+      SELECT label, embedding::DOUBLE[] AS v
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL),
+    ex AS (
+      SELECT label, unnest(v) AS val,
+             unnest(generate_series(1, len(v))) AS pos
+      FROM e),
+    pl AS (
+      SELECT label, pos, SUM(val) AS s FROM ex GROUP BY 1, 2),
+    nl AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1),
+    g AS (SELECT pos, SUM(s) AS sg FROM pl GROUP BY 1),
+    dots AS (
+      SELECT pl.label, SUM(pl.s * g.sg) AS d, SUM(pl.s * pl.s) AS q
+      FROM pl JOIN g USING (pos) GROUP BY 1),
+    qg AS (SELECT SUM(sg * sg) AS qq FROM g)
+    SELECT d0.label, nl.n,
+           {_R6F_NORM} AS centroid_norm,
+           {_R6F_COS} AS cos_global
+    FROM dots d0 JOIN nl USING (label) CROSS JOIN qg
+    ORDER BY label
+    """,
+    doc="Per-label embedding centroid coherence and corpus-centroid "
+    "cosine (operators/similarity.py:label_centroids) — the "
+    "GROUP-level embedding readout next to embedding_silhouette "
+    "(per-point cohesion) and semantic_dedup (pairwise collapse): "
+    "near-zero centroid norm = internally incoherent label, low "
+    "cosine to the global centroid = outlier domain — the "
+    "per-source drift signal of an embedding-space curation "
+    "monitor. Σ-form cosine (1/n factors cancel); payload vectors "
+    "never shuffle, only labels×64 partial sums do",
+)
+def embedding_centroid_labels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import label_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    return label_centroids(emb, "embedding", "label")

@@ -10103,3 +10103,498 @@ def tvd_two_sample(
         "n_values",
         F.round(F.when(ok, tvd), 6).alias("tvd"),
     ).orderBy(*keys)
+
+
+def wilson_ci(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    success_col: str,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Wilson score confidence interval for a per-group proportion
+    (Wilson 1927) — the INTERVAL rung of the proportion family next
+    to odds_ratio (association), cohens_h (effect size) and
+    eb_urgent_rates (shrinkage point estimate): unlike the Wald
+    interval p̂ ± z√(p̂(1−p̂)/n) it never escapes [0, 1], stays
+    calibrated at small n and p̂ near 0/1, and equals the score-test
+    inversion. center = (p̂ + z²/2n)/(1 + z²/n), half-width =
+    (z/(1+z²/n))·√(p̂(1−p̂)/n + z²/4n²).
+
+    Exactness: k and n are exact integer counts off ONE conditional
+    aggregate; the interval composes in doubles on the group-count-
+    bounded result frame and rounds to the repo's 6-dp grain.
+
+    Plan at scale: one map-side-combined (group) aggregate. No
+    window, no join — scan-bound at any scale.
+
+    Returns (group..., n BIGINT, k BIGINT, p_hat, lo, hi) ordered
+    by group.
+    """
+    keys = list(group_cols)
+    base = df.filter(F.col(success_col).isNotNull())
+    for k in keys:
+        base = base.filter(F.col(k).isNotNull())
+    agg = base.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col(success_col).cast("long")).cast("long").alias("k"),
+    )
+    n = F.col("n").cast("double")
+    kk = F.col("k").cast("double")
+    p = kk / n
+    z2 = F.lit(z * z)
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = (
+        F.lit(z)
+        / denom
+        * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+    )
+    return agg.select(
+        *keys,
+        "n",
+        "k",
+        F.round(p, 6).alias("p_hat"),
+        F.round(F.greatest(F.lit(0.0), center - half), 6).alias("lo"),
+        F.round(F.least(F.lit(1.0), center + half), 6).alias("hi"),
+    ).orderBy(*keys)
+
+
+def dagostino_k2(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """D'Agostino-Pearson K² omnibus normality test — the
+    TRANSFORMED-moment rung of the normality family next to
+    jarque_bera (raw g1/g2 quadratic, asymptotic-only), ad_normal
+    (CDF integral) and lilliefors_values (max CDF gap): the skewness
+    z (D'Agostino 1970, Johnson SU transform) and kurtosis z
+    (Anscombe & Glynn 1983, Wilson-Hilferty cube root) are each
+    approximately N(0,1) at moderate n where Jarque-Bera's χ² needs
+    n in the thousands, and K² = z₁² + z₂² is χ²(2) with the exact
+    closed-form survival p = exp(−K²/2).
+
+    Exactness: values quantize to ``1/scale`` units; S₁..S₄ power
+    sums are exact DECIMAL(38,0) folds (c⁴ ≈ 1e16 per element at
+    cents scale — the sum holds to n ≈ 1e22); g1 and b2 are
+    scale-invariant ratios composed in doubles on the 1-row frame,
+    so no descaling enters the statistic. The ln/sqrt/cbrt/exp
+    compositions are identical source formulas on both engines
+    (norm_cdf discipline); the boundary audit covers the residual
+    ulp risk.
+
+    Plan at scale: ONE map-side-combined moment aggregate. No
+    window, no join — scan-bound at any scale. Contract: NULL z's
+    below n = 20 (the approximations' documented floor) or when the
+    variance degenerates.
+
+    Returns one row: (n BIGINT, skew, kurt_excess, z_skew, z_kurt,
+    k2, p_k2).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    c = F.round(F.col(value_col) * scale, 0).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(c.alias("__c"))
+    cd = dec(F.col("__c"))
+    agg = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(cd).cast("decimal(38,0)").alias("__s1"),
+        F.sum((cd * cd).cast("decimal(38,0)")).cast("decimal(38,0)").alias("__s2"),
+        F.sum(((cd * cd).cast("decimal(38,0)") * cd).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__s3"),
+        F.sum(
+            (
+                ((cd * cd).cast("decimal(38,0)") * cd).cast("decimal(38,0)")
+                * cd
+            ).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("__s4"),
+    )
+
+    def dbl(name):
+        return F.col(name).cast("string").cast("double")
+
+    n = F.col("n").cast("double")
+    s1, s2, s3, s4 = dbl("__s1"), dbl("__s2"), dbl("__s3"), dbl("__s4")
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3.0 * mu * s2 / n + 2.0 * mu * mu * mu
+    m4 = (
+        s4 / n
+        - 4.0 * mu * s3 / n
+        + 6.0 * mu * mu * s2 / n
+        - 3.0 * mu * mu * mu * mu
+    )
+    g1 = m3 / F.sqrt(m2 * m2 * m2)
+    b2 = m4 / (m2 * m2)
+    # --- skewness z (D'Agostino 1970) ---
+    y = g1 * F.sqrt((n + 1.0) * (n + 3.0) / (6.0 * (n - 2.0)))
+    beta2 = (
+        3.0
+        * (n * n + 27.0 * n - 70.0)
+        * (n + 1.0)
+        * (n + 3.0)
+        / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0))
+    )
+    w2 = F.sqrt(2.0 * (beta2 - 1.0)) - 1.0
+    delta = 1.0 / F.sqrt(F.log(F.sqrt(w2)))
+    alpha = F.sqrt(2.0 / (w2 - 1.0))
+    ya = y / alpha
+    z1 = delta * F.log(ya + F.sqrt(ya * ya + 1.0))
+    # --- kurtosis z (Anscombe & Glynn 1983) ---
+    eb2 = 3.0 * (n - 1.0) / (n + 1.0)
+    vb2 = (
+        24.0
+        * n
+        * (n - 2.0)
+        * (n - 3.0)
+        / ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0))
+    )
+    x = (b2 - eb2) / F.sqrt(vb2)
+    sb1 = (
+        6.0
+        * (n * n - 5.0 * n + 2.0)
+        / ((n + 7.0) * (n + 9.0))
+        * F.sqrt(
+            6.0 * (n + 3.0) * (n + 5.0) / (n * (n - 2.0) * (n - 3.0))
+        )
+    )
+    a = 6.0 + 8.0 / sb1 * (2.0 / sb1 + F.sqrt(1.0 + 4.0 / (sb1 * sb1)))
+    inner = 1.0 + x * F.sqrt(2.0 / (a - 4.0))
+    z2 = (
+        (1.0 - 2.0 / (9.0 * a))
+        - F.cbrt((1.0 - 2.0 / a) / inner)
+    ) / F.sqrt(2.0 / (9.0 * a))
+    k2 = z1 * z1 + z2 * z2
+    ok = (F.col("n") >= 20) & (m2 > 0.0)
+    ok2 = ok & (inner != 0.0)
+    return agg.select(
+        "n",
+        F.round(F.when(ok, g1), 6).alias("skew"),
+        F.round(F.when(ok, b2 - 3.0), 6).alias("kurt_excess"),
+        F.round(F.when(ok, z1), 6).alias("z_skew"),
+        F.round(F.when(ok2, z2), 6).alias("z_kurt"),
+        F.round(F.when(ok2, k2), 6).alias("k2"),
+        F.round(F.when(ok2, F.exp(-k2 / 2.0)), 6).alias("p_k2"),
+    )
+
+
+def runs_two_sample(
+    df: DataFrame,
+    value_col: str,
+    class_col: str,
+    class_a,
+    scale: int = 100,
+) -> DataFrame:
+    """Wald-Wolfowitz two-sample runs test — the RUNS-mechanism rung
+    of the two-sample family next to mann_whitney (rank location),
+    ansari_bradley (rank scale) and ks/cvm/ad2/bws (CDF distance):
+    pool both samples, sort, and count maximal same-class runs; too
+    FEW runs means the classes separate somewhere along the value
+    axis (any difference — location, scale, or shape), too many
+    means systematic interleaving. z = (R − μ)/σ with
+    μ = 1 + 2·n_a·n_b/N and σ² = 2n_a·n_b(2n_a·n_b − N)/(N²(N−1));
+    two-sided p via the shared A-S Φ.
+
+    Tie policy (the classical test assumes a continuous metric): a
+    cents-quantized metric HAS ties, so the pooled order is pinned
+    to (value, class_a-first) — within a tied value every class-a
+    row precedes every class-b row. That makes R deterministic and
+    engine-identical; it is the operator's documented contract, not
+    a statistical claim about tie-broken exactness (ties make the
+    test conservative — cite Wald & Wolfowitz 1940 §4).
+
+    Exactness: runs count from exact integer per-block counts on the
+    DISTINCT pooled frame — a block (ca, cb) contributes
+    (ca>0)+(cb>0) runs minus a merge when the previous block's last
+    class equals this block's first; μ, σ compose in doubles on the
+    1-row frame.
+
+    Plan at scale: one (value) cell aggregate, ONE ordered lag
+    window over distinct pooled values (guarded — the lag needs
+    neighbor blocks, so the two_pass_prefix cum-sum lane does not
+    apply; the frame is the same domain-bounded distinct frame every
+    sibling rank test sorts), one reduce.
+
+    Returns one row: (n_a BIGINT, n_b BIGINT, n_values BIGINT,
+    runs BIGINT, mu, z, p).
+    """
+    from .util import norm_cdf
+
+    is_a = F.col(class_col) == class_a
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(class_col).isNotNull()
+    ).select(
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+        is_a.cast("long").alias("__a"),
+    )
+    per_v = base.groupBy("__v").agg(
+        F.sum("__a").alias("__ca"),
+        F.sum(F.lit(1) - F.col("__a")).alias("__cb"),
+    )
+    per_v = guard_distinct_frame(per_v, "runs_two_sample")
+    w = Window.orderBy("__v")
+    # first/last class of the block under the (value, a-first) order:
+    # 1 = class_a, 0 = class_b. A block always has ca+cb >= 1.
+    first_c = F.when(F.col("__ca") > 0, F.lit(1)).otherwise(F.lit(0))
+    last_c = F.when(F.col("__cb") > 0, F.lit(0)).otherwise(F.lit(1))
+    blocks = per_v.select(
+        "__ca",
+        "__cb",
+        (
+            (F.col("__ca") > 0).cast("long")
+            + (F.col("__cb") > 0).cast("long")
+        ).alias("__r_in"),
+        first_c.alias("__first"),
+        F.lag(last_c).over(w).alias("__prev_last"),
+    )
+    merge = (F.col("__prev_last") == F.col("__first")).cast("long")
+    agg = blocks.agg(
+        F.sum("__ca").cast("long").alias("n_a"),
+        F.sum("__cb").cast("long").alias("n_b"),
+        F.count("*").cast("long").alias("n_values"),
+        (F.sum("__r_in") - F.sum(F.coalesce(merge, F.lit(0))))
+        .cast("long")
+        .alias("runs"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    mu = 1.0 + 2.0 * na * nb / nn
+    var = (
+        2.0
+        * na
+        * nb
+        * (2.0 * na * nb - nn)
+        / (nn * nn * (nn - 1.0))
+    )
+    z = (F.col("runs").cast("double") - mu) / F.sqrt(var)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    okv = ok & (var > 0.0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_values",
+        F.when(ok, F.col("runs")).alias("runs"),
+        F.round(F.when(ok, mu), 6).alias("mu"),
+        F.round(F.when(okv, z), 6).alias("z"),
+        F.round(
+            F.when(okv, 2.0 * norm_cdf(-F.abs(z))), 6
+        ).alias("p"),
+    )
+
+
+#: Chunk length for the per-order-statistic k-range explode in
+#: ``bws_two_sample``: ``sequence()`` materializes one in-memory array
+#: per row, so a hot quantized value with 1e8 copies in one sample
+#: would otherwise build one 800 MB array in one task. Two-level
+#: chunking bounds every array at 64 Ki entries (~512 KB) while the
+#: exploded row count stays exactly n either way.
+BWS_EXPLODE_CHUNK = 65_536
+
+
+def bws_two_sample(
+    df: DataFrame,
+    value_col: str,
+    class_col: str,
+    class_a,
+    scale: int = 100,
+    lane: str = "single",
+) -> DataFrame:
+    """Baumgartner-Weiß-Schindler two-sample statistic (BWS 1998) —
+    the VARIANCE-NORMALIZED rung of the two-sample CDF family next
+    to ks (max gap, tail-blind), cvm (uniform integral) and ad2
+    (tail-weighted integral): BWS divides each rank discrepancy by
+    its own null variance k/(n+1)·(1−k/(n+1)), which weights BOTH
+    tails like AD but through the rank (not probability) scale;
+    Baumgartner et al. report higher power than KS/CvM/Wilcoxon
+    across shift and scale alternatives. B = (B_X + B_Y)/2 with
+
+        B_X = (1/n_a) Σ_k (R_k − (N/n_a)k)² /
+              [ (k/(n_a+1))(1 − k/(n_a+1)) · n_b·N/n_a ]
+
+    over the ordered sample-a pooled midranks R_k (k = 1..n_a), and
+    B_Y symmetrically. Ties take midranks (Neuhäuser's discussion of
+    the tied case): every member of a tied block shares one R while
+    k advances, so the statistic is deterministic on a quantized
+    metric.
+
+    Exactness: per DISTINCT pooled value the doubled midrank
+    2R = 2·cum + t + 1 is an exact integer; each term's numerator
+    D² = (n_own·2R − 2Nk)² and denominator k(n_own+1−k) are exact
+    DECIMAL(38,0) (D² ≈ 1.6e37 at N ≈ 1e9 — inside 38 digits); the
+    per-k terms are single double divisions summed into a 1-row
+    aggregate.
+
+    Plan at scale: one (value) cell aggregate, one prefix pass over
+    distinct pooled values (``lane='single'`` guarded window /
+    ``'two_pass'`` partitioned lane / ``'auto'`` count-then-branch
+    at TWO_PASS_MIN_ROWS), then a MAP-SIDE two-level chunked
+    ``sequence`` explode back to one row per order statistic (n rows
+    total — the same cardinality the scan already paid, never a
+    pair blowup; ``BWS_EXPLODE_CHUNK`` bounds every in-memory
+    array) feeding a map-side-combined 1-row sum. No extra shuffle
+    beyond the sibling rank tests.
+
+    Returns one row: (n_a BIGINT, n_b BIGINT, n_values BIGINT, b_x,
+    b_y, b) — NULLs when either sample is empty.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    is_a = F.col(class_col) == class_a
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(class_col).isNotNull()
+    ).select(
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+        is_a.cast("long").alias("__a"),
+    )
+    per_v = base.groupBy("__v").agg(
+        F.sum("__a").alias("__ca"),
+        F.count("*").alias("__l"),
+    )
+    if lane == "auto":
+        n_distinct = per_v.count()
+        lane = "two_pass" if n_distinct > TWO_PASS_MIN_ROWS else "single"
+    tot = per_v.agg(
+        F.sum("__ca").cast("long").alias("__na"),
+        F.sum("__l").cast("long").alias("__n"),
+        F.count("*").cast("long").alias("n_values"),
+    )
+    if lane == "two_pass":
+        cum = (
+            two_pass_prefix(per_v, "__v", ["__ca", "__l"])
+            .select(
+                "__v",
+                "__ca",
+                "__l",
+                (F.col("__cum___ca") - F.col("__ca")).alias("__cfa"),
+                (F.col("__cum___l") - F.col("__l")).alias("__cfl"),
+            )
+            .crossJoin(F.broadcast(tot))
+        )
+    else:
+        per_v = guard_distinct_frame(per_v, "bws_two_sample")
+        w = Window.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        cum = per_v.select(
+            "__v",
+            "__ca",
+            "__l",
+            F.coalesce(F.sum("__ca").over(w), F.lit(0)).alias("__cfa"),
+            F.coalesce(F.sum("__l").over(w), F.lit(0)).alias("__cfl"),
+        ).crossJoin(F.broadcast(tot))
+    # melt each value block into its (side, cnt, cum_own, n_own,
+    # n_other) pair; 2R = 2·cfl + t + 1 is side-independent
+    two_r = (F.lit(2) * F.col("__cfl") + F.col("__l") + F.lit(1)).alias(
+        "__two_r"
+    )
+    melted = (
+        cum.select(
+            two_r,
+            F.col("__n").alias("__nn"),
+            F.col("n_values"),
+            F.col("__na"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("a").alias("side"),
+                        F.col("__ca").alias("cnt"),
+                        F.col("__cfa").alias("cum_own"),
+                        F.col("__na").cast("long").alias("n_own"),
+                        (F.col("__n") - F.col("__na"))
+                        .cast("long")
+                        .alias("n_other"),
+                    ),
+                    F.struct(
+                        F.lit("b").alias("side"),
+                        (F.col("__l") - F.col("__ca")).alias("cnt"),
+                        (F.col("__cfl") - F.col("__cfa")).alias(
+                            "cum_own"
+                        ),
+                        (F.col("__n") - F.col("__na"))
+                        .cast("long")
+                        .alias("n_own"),
+                        F.col("__na").cast("long").alias("n_other"),
+                    ),
+                )
+            ).alias("__s"),
+        )
+        .select(
+            "__two_r",
+            "__nn",
+            "n_values",
+            "__na",
+            F.col("__s.side").alias("__side"),
+            F.col("__s.cnt").alias("__cnt"),
+            F.col("__s.cum_own").alias("__cum_own"),
+            F.col("__s.n_own").alias("__n_own"),
+            F.col("__s.n_other").alias("__n_other"),
+        )
+        .filter(F.col("__cnt") > 0)
+    )
+    chunk = F.lit(BWS_EXPLODE_CHUNK)
+    chunked = melted.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                ((F.col("__cnt") - 1) / chunk).cast("long"),
+            )
+        ).alias("__ch"),
+    )
+    lo = F.col("__cum_own") + 1 + F.col("__ch") * chunk
+    hi = F.least(
+        F.col("__cum_own") + F.col("__cnt"), lo + chunk - 1
+    )
+    ks = chunked.select(
+        "*",
+        F.explode(F.sequence(lo.cast("long"), hi.cast("long"))).alias(
+            "__k"
+        ),
+    )
+    d_ = (
+        dec(F.col("__n_own")) * dec(F.col("__two_r"))
+        - F.lit(2) * dec(F.col("__nn")) * dec(F.col("__k"))
+    ).cast("decimal(38,0)")
+    kterm = (
+        dec(F.col("__k"))
+        * (dec(F.col("__n_own")) + 1 - dec(F.col("__k"))).cast(
+            "decimal(38,0)"
+        )
+    ).cast("decimal(38,0)")
+
+    def dbl(c):
+        return c.cast("string").cast("double")
+
+    n_own_d = F.col("__n_own").cast("double")
+    pref = (
+        (n_own_d + 1.0)
+        * (n_own_d + 1.0)
+        / (
+            4.0
+            * n_own_d
+            * n_own_d
+            * F.col("__n_other").cast("double")
+            * F.col("__nn").cast("double")
+        )
+    )
+    term = dbl((d_ * d_).cast("decimal(38,0)")) / dbl(kterm) * pref
+    agg = ks.agg(
+        F.max("__na").cast("long").alias("n_a"),
+        F.max(F.col("__nn") - F.col("__na")).cast("long").alias("n_b"),
+        F.max("n_values").cast("long").alias("n_values"),
+        F.sum(F.when(F.col("__side") == "a", term)).alias("__bx"),
+        F.sum(F.when(F.col("__side") == "b", term)).alias("__by"),
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_values",
+        F.round(F.when(ok, F.col("__bx")), 6).alias("b_x"),
+        F.round(F.when(ok, F.col("__by")), 6).alias("b_y"),
+        F.round(
+            F.when(ok, (F.col("__bx") + F.col("__by")) / 2.0), 6
+        ).alias("b"),
+    )

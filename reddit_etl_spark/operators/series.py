@@ -4171,3 +4171,225 @@ def bh_fdr(
         F.round(F.when(F.col("m") > 0, pi0), 6).alias("pi0_storey"),
         F.round(F.col("__minp"), 6).alias("min_p"),
     )
+
+
+def granger_lag1(
+    daily: DataFrame,
+    t_col: str,
+    y_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Lag-1 Granger causality F-test — the PREDICTIVE rung of the
+    series-dependence family next to ccf_lagged (symmetric lagged
+    correlation) and diebold_mariano (forecast comparison): "does
+    yesterday's x improve today's y forecast BEYOND what yesterday's
+    y already gives?" Restricted model y_t = a + b·y_{t−1} vs full
+    y_t = a + b·y_{t−1} + c·x_{t−1};
+    F = (SSR_r − SSR_f) · (T − 3) / SSR_f with 1 and T−3 df. The
+    closed form stops at one lag by design — the same honest ceiling
+    as the 2-regressor OLS family (past that you want an iterative
+    solver, which this engine deliberately does not hide behind
+    SQL).
+
+    Inputs are an already-aggregated series frame (calendar-bounded,
+    the ewma/kpss/pacf discipline): integer-valued ``t_col`` and
+    exact integer series columns (counts or cent-sums). Adjacent
+    pairs come from a self-join on t = t_prev + 1 — gaps simply
+    contribute no pair, the standard listwise treatment.
+
+    Exactness: all ten sufficient moments (Σy, Σu, Σw, Σy², Σu²,
+    Σw², Σyu, Σyw, Σuw over the T−1 pairs; u = y_{t−1}, w =
+    x_{t−1}) are exact DECIMAL(38,0) folds of integer products; the
+    2×2 normal-equation solve and SSRs compose in doubles on the
+    1-row frame.
+
+    Plan at scale: the series frame is day/hour-grain — a broadcast
+    self-join plus ONE moment aggregate, all on a calendar-sized
+    frame. Degenerate inputs (T < 4 pairs, singular design) return
+    NULL f_stat.
+
+    Returns one row: (n_pairs BIGINT, beta_lag_y, beta_lag_x,
+    ssr_r, ssr_f, f_stat).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cur = daily.select(
+        F.col(t_col).cast("long").alias("__t"),
+        F.col(y_col).cast("long").alias("__y"),
+    )
+    prev = daily.select(
+        (F.col(t_col).cast("long") + 1).alias("__t"),
+        F.col(y_col).cast("long").alias("__u"),
+        F.col(x_col).cast("long").alias("__w"),
+    )
+    pairs = cur.join(prev, "__t")
+    y, u, w = F.col("__y"), F.col("__u"), F.col("__w")
+    agg = pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(dec(y)).cast("decimal(38,0)").alias("__sy"),
+        F.sum(dec(u)).cast("decimal(38,0)").alias("__su"),
+        F.sum(dec(w)).cast("decimal(38,0)").alias("__sw"),
+        F.sum((dec(y) * dec(y)).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__syy"),
+        F.sum((dec(u) * dec(u)).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__suu"),
+        F.sum((dec(w) * dec(w)).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__sww"),
+        F.sum((dec(y) * dec(u)).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__syu"),
+        F.sum((dec(y) * dec(w)).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__syw"),
+        F.sum((dec(u) * dec(w)).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__suw"),
+    )
+
+    def dbl(name):
+        return F.col(name).cast("string").cast("double")
+
+    n = F.col("n_pairs").cast("double")
+    syy = dbl("__syy") - dbl("__sy") * dbl("__sy") / n
+    suu = dbl("__suu") - dbl("__su") * dbl("__su") / n
+    sww = dbl("__sww") - dbl("__sw") * dbl("__sw") / n
+    syu = dbl("__syu") - dbl("__sy") * dbl("__su") / n
+    syw = dbl("__syw") - dbl("__sy") * dbl("__sw") / n
+    suw = dbl("__suw") - dbl("__su") * dbl("__sw") / n
+    det = suu * sww - suw * suw
+    b = (syu * sww - syw * suw) / det
+    c = (syw * suu - syu * suw) / det
+    ssr_f = syy - b * syu - c * syw
+    ssr_r = syy - syu * syu / suu
+    f_ = (ssr_r - ssr_f) * (n - 3.0) / ssr_f
+    ok = (F.col("n_pairs") >= 4) & (det > 0.0) & (suu > 0.0)
+    okf = ok & (ssr_f > 0.0)
+    return agg.select(
+        "n_pairs",
+        F.round(F.when(ok, b), 6).alias("beta_lag_y"),
+        F.round(F.when(ok, c), 6).alias("beta_lag_x"),
+        F.round(F.when(ok, ssr_r), 6).alias("ssr_r"),
+        F.round(F.when(ok, ssr_f), 6).alias("ssr_f"),
+        F.round(F.when(okf, f_), 6).alias("f_stat"),
+    )
+
+
+def chow_test(
+    daily: DataFrame,
+    t_col: str,
+    y_col: str,
+    split_t: int,
+) -> DataFrame:
+    """Chow structural-break F-test at a KNOWN split point — the
+    parametric rung of the change-point family next to pettitt
+    (rank-based, unknown point), sse_changepoint (SSE scan, unknown
+    point) and cusum/page_hinkley (sequential drift): when the
+    candidate break is known a priori (a deploy date, a policy
+    change), fitting y = a + b·t separately on each side and
+    comparing against the pooled fit is the textbook test.
+    F = ((SSR_p − SSR_1 − SSR_2)/k) / ((SSR_1 + SSR_2)/(n − 2k)),
+    k = 2 parameters per segment. Segment 1 is t ≤ split_t.
+
+    Inputs are an already-aggregated series frame (calendar-bounded):
+    integer ``t_col`` and an exact integer series column (count or
+    cent-sum).
+
+    Exactness: per-segment sufficient moments (n, Σt, Σt², Σy, Σty,
+    Σy²) ride ONE conditional aggregate as exact DECIMAL(38,0)
+    folds; the three SSRs and F compose in doubles on the 1-row
+    frame.
+
+    Plan at scale: ONE map-side-combined aggregate over a
+    calendar-sized frame. Degenerate segments (fewer than 3 points,
+    zero time variance) return NULL f_stat.
+
+    Returns one row: (n_1 BIGINT, n_2 BIGINT, slope_1, slope_2,
+    slope_pooled, f_stat).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    t = F.col(t_col).cast("long")
+    y = F.col(y_col).cast("long")
+    in1 = t <= F.lit(split_t)
+    base = daily.select(
+        t.alias("__t"), y.alias("__y"), in1.alias("__s1")
+    )
+    tt, yy = F.col("__t"), F.col("__y")
+
+    def seg_moments(flag, tag):
+        cond = F.col("__s1") == flag
+        return [
+            F.sum(F.when(cond, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{tag}"),
+            F.sum(F.when(cond, dec(tt)))
+            .cast("decimal(38,0)")
+            .alias(f"__st_{tag}"),
+            F.sum(F.when(cond, (dec(tt) * dec(tt)).cast("decimal(38,0)")))
+            .cast("decimal(38,0)")
+            .alias(f"__stt_{tag}"),
+            F.sum(F.when(cond, dec(yy)))
+            .cast("decimal(38,0)")
+            .alias(f"__sy_{tag}"),
+            F.sum(F.when(cond, (dec(tt) * dec(yy)).cast("decimal(38,0)")))
+            .cast("decimal(38,0)")
+            .alias(f"__sty_{tag}"),
+            F.sum(F.when(cond, (dec(yy) * dec(yy)).cast("decimal(38,0)")))
+            .cast("decimal(38,0)")
+            .alias(f"__syy_{tag}"),
+        ]
+
+    agg = base.agg(*seg_moments(True, "1"), *seg_moments(False, "2"))
+
+    def dbl(name):
+        return F.coalesce(
+            F.col(name).cast("string").cast("double"), F.lit(0.0)
+        )
+
+    def seg(tag):
+        n = F.col(f"n_{tag}").cast("double")
+        st, stt = dbl(f"__st_{tag}"), dbl(f"__stt_{tag}")
+        sy, sty = dbl(f"__sy_{tag}"), dbl(f"__sty_{tag}")
+        syy = dbl(f"__syy_{tag}")
+        ctt = stt - st * st / n
+        cty = sty - st * sy / n
+        cyy = syy - sy * sy / n
+        slope = cty / ctt
+        ssr = cyy - cty * cty / ctt
+        return n, ctt, slope, ssr
+
+    n1, ctt1, slope1, ssr1 = seg("1")
+    n2, ctt2, slope2, ssr2 = seg("2")
+    n = n1 + n2
+    stp = dbl("__st_1") + dbl("__st_2")
+    sttp = dbl("__stt_1") + dbl("__stt_2")
+    syp = dbl("__sy_1") + dbl("__sy_2")
+    styp = dbl("__sty_1") + dbl("__sty_2")
+    syyp = dbl("__syy_1") + dbl("__syy_2")
+    cttp = sttp - stp * stp / n
+    ctyp = styp - stp * syp / n
+    cyyp = syyp - syp * syp / n
+    slope_p = ctyp / cttp
+    ssr_p = cyyp - ctyp * ctyp / cttp
+    ok = (
+        (F.col("n_1") >= 3)
+        & (F.col("n_2") >= 3)
+        & (ctt1 > 0.0)
+        & (ctt2 > 0.0)
+        & (cttp > 0.0)
+    )
+    f_ = (
+        (ssr_p - ssr1 - ssr2)
+        / 2.0
+        / ((ssr1 + ssr2) / (n - 4.0))
+    )
+    okf = ok & (ssr1 + ssr2 > 0.0)
+    return agg.select(
+        "n_1",
+        "n_2",
+        F.round(F.when(ok, slope1), 6).alias("slope_1"),
+        F.round(F.when(ok, slope2), 6).alias("slope_2"),
+        F.round(F.when(ok, slope_p), 6).alias("slope_pooled"),
+        F.round(F.when(okf, f_), 6).alias("f_stat"),
+    )

@@ -988,3 +988,76 @@ def cluster_silhouette(
         )
         .orderBy("cluster")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-label embedding centroid profile: how coherent is each
+    labeled group in embedding space, and how far does it sit from
+    the corpus centroid — the GROUP-level readout next to
+    cluster_silhouette (per-point cohesion/separation) and
+    semantic_dedup (pairwise collapse): a label whose centroid norm
+    is near zero is internally incoherent (vectors cancel), one
+    whose cosine to the global centroid is low is the outlier
+    domain — the drift/mixture signal a 100 TB curation pipeline
+    monitors per source or per cluster.
+
+    cos(label) is computed on the SUM vectors (Σ-form): the 1/n and
+    1/N factors cancel in the cosine, so only the per-(label, dim)
+    float sums enter — fewer divisions, fewer ulps. centroid_norm
+    descales by n once at the end.
+
+    Plan at scale: one posexplode to (label, dim, value) rows — n×d
+    map-side rows feeding a map-side-combined (label, dim)
+    aggregate (labels×d result frame); the global vector is a d-row
+    rollup OF that frame (no second scan); dots are a labels×d
+    broadcast join + fold. Payload vectors never shuffle — only
+    their per-dim partial sums do.
+
+    Returns (label, n BIGINT, centroid_norm, cos_global) ordered by
+    label — cos NULL when either norm degenerates to zero.
+    """
+    base = df.filter(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(label_col).alias("__lab"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    )
+    ex = base.select(
+        "__lab", F.posexplode("__v").alias("__pos", "__val")
+    )
+    pl = ex.groupBy("__lab", "__pos").agg(F.sum("__val").alias("__s"))
+    nl = base.groupBy("__lab").agg(F.count("*").cast("long").alias("n"))
+    g = pl.groupBy("__pos").agg(F.sum("__s").alias("__sg"))
+    dots = (
+        pl.join(F.broadcast(g), "__pos")
+        .groupBy("__lab")
+        .agg(
+            F.sum(F.col("__s") * F.col("__sg")).alias("__d"),
+            F.sum(F.col("__s") * F.col("__s")).alias("__q"),
+        )
+    )
+    qg = g.agg(F.sum(F.col("__sg") * F.col("__sg")).alias("__qq"))
+    out = (
+        dots.join(nl, "__lab")
+        .crossJoin(F.broadcast(qg))
+        .select(
+            F.col("__lab").alias(label_col),
+            "n",
+            round6_floor(
+                F.sqrt(F.col("__q")) / F.col("n").cast("double")
+            ).alias("centroid_norm"),
+            round6_floor(
+                F.when(
+                    (F.col("__q") > 0.0) & (F.col("__qq") > 0.0),
+                    F.col("__d")
+                    / (F.sqrt(F.col("__q")) * F.sqrt(F.col("__qq"))),
+                )
+            ).alias("cos_global"),
+        )
+        .orderBy(label_col)
+    )
+    return out
