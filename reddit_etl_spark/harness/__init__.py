@@ -119,12 +119,6 @@ _PROMOTED = [
     "gap_fill_hourly",
     "heavy_hitters_mg",
     "dedup_ngram_jaccard",
-    "document_chunks",
-    "dq_report_orders",
-    "dsir_importance_weights",
-    "ab_experiment_readout",
-    "anomaly_zscore_daily",
-    "asof_split",
 ]
 
 _DEFERRED = [
@@ -133,7 +127,14 @@ _DEFERRED = [
     # are born; the displaced fillers return to the oldest-
     # attestation queue for the r14 head). Wave 1 displaced the
     # first 8; wave 2 (wilson/dagostino/granger/chow/ww_runs/bws/
-    # embedding_centroid) displaced the next 7.
+    # embedding_centroid) the next 7; wave 3 (g_test/icc/
+    # cusum_squares/spiegelhalter/cronbach/group_kfold) the next 6.
+    "document_chunks",
+    "dq_report_orders",
+    "dsir_importance_weights",
+    "ab_experiment_readout",
+    "anomaly_zscore_daily",
+    "asof_split",
     "bigram_perplexity",
     "boilerplate_fraction",
     "concurrency_peaks",

@@ -1192,3 +1192,403 @@ def embedding_centroid_labels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return label_centroids(emb, "embedding", "label")
+
+
+# ---------------------------------------------------------------------------
+# round-13 wave 3: the likelihood-ratio G-test, ICC(1,1) agreement,
+# CUSUM-of-squares variance drift, Spiegelhalter calibration z,
+# Cronbach's alpha reliability, and group-aware k-fold assignment.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "g_test_status_priority",
+    """
+    WITH base AS (
+      SELECT o_orderstatus AS a, o_orderpriority AS b
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL),
+    obs AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o
+      FROM base GROUP BY 1, 2),
+    ma AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS ra
+           FROM base GROUP BY 1),
+    mb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rb
+           FROM base GROUP BY 1),
+    tot AS (SELECT CAST(SUM(ra) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS la FROM ma),
+    lb AS (SELECT CAST(COUNT(*) AS BIGINT) AS lb FROM mb),
+    cells AS (
+      SELECT o, ra, rb, n, la, lb
+      FROM obs JOIN ma USING (a) JOIN mb USING (b)
+      CROSS JOIN tot CROSS JOIN lb),
+    ag AS (
+      SELECT MAX(n) AS n, MAX(la) AS la, MAX(lb) AS lb,
+             SUM(CAST(o AS DOUBLE)
+                 * LN(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                      / (CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE))))
+               AS g_half
+      FROM cells)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(la AS BIGINT) AS levels_a,
+           CAST(lb AS BIGINT) AS levels_b,
+           CAST(CASE WHEN la > 0 AND lb > 0
+                THEN (la - 1) * (lb - 1) ELSE 0 END AS BIGINT) AS dof,
+           ROUND(CASE WHEN la > 1 AND lb > 1
+                 THEN 2.0 * g_half END, 6) AS g_stat
+    FROM ag
+    """,
+    doc="Likelihood-ratio G-test of status x priority independence "
+    "on orders (operators/relational.py:g_test_independence) — the "
+    "information-theoretic twin of chi2_status_priority's Pearson "
+    "X²: G = 2N·I(A;B) in nats (mi_status_priority rescaled), "
+    "additive under table partitioning where X² is not. Observed "
+    "cells only (zero cells contribute exactly 0); same "
+    "(r−1)(c−1) dof contract, no p (chi2's incomplete-gamma rule)",
+)
+def g_test_status_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import g_test_independence
+
+    orders = load(spark, sf_dir, "orders")
+    return g_test_independence(orders, "o_orderstatus", "o_orderpriority")
+
+
+@_q(
+    "icc_user_halves",
+    """
+    WITH pu AS (
+      SELECT user_id,
+        ROUND(CAST(SUM(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                   THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+              / COUNT(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                      THEN value END), 6) AS x,
+        ROUND(CAST(SUM(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+                   THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+              / COUNT(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+                      THEN value END), 6) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    pairs AS (SELECT CAST(x AS DECIMAL(18,6)) AS x,
+                     CAST(y AS DECIMAL(18,6)) AS y
+              FROM pu WHERE x IS NOT NULL AND y IS NOT NULL),
+    ag AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS DECIMAL(38,6))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,6))) AS sy,
+             SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS sxx,
+             SUM(CAST(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS syy,
+             SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS sxy
+      FROM pairs),
+    d AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+                 CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx,
+                 CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy,
+                 CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx,
+                 CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syy,
+                 CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy
+          FROM ag),
+    m AS (
+      SELECT n, nd,
+             (sxx + 2.0 * sxy + syy) / 4.0
+               - ((sx + sy) / 2.0) * ((sx + sy) / 2.0) / nd AS css_m,
+             (sxx - 2.0 * sxy + syy) / 2.0 AS ssw
+      FROM d),
+    ms AS (
+      SELECT n, nd,
+             2.0 * css_m / (nd - 1.0) AS msb,
+             ssw / nd AS msw
+      FROM m)
+    SELECT n,
+           ROUND(CASE WHEN n >= 2 THEN msb END, 6) AS msb,
+           ROUND(CASE WHEN n >= 1 THEN msw END, 6) AS msw,
+           ROUND(CASE WHEN n >= 2 AND msb + msw > 0.0
+                 THEN (msb - msw) / (msb + msw) END, 6) AS icc
+    FROM ms
+    """,
+    doc="ICC(1,1) one-way intraclass correlation of per-user mean "
+    "value, first half vs second half "
+    "(operators/relational.py:icc_oneway_paired) — the VARIANCE-"
+    "DECOMPOSITION rung of the agreement family next to "
+    "agreement_user_halves' Bland-Altman/CCC (pairwise) and "
+    "weighted_kappa (ordinal): what share of variance is BETWEEN "
+    "users vs within a user's two halves. Same per-user frame as "
+    "agreement_user_halves, ONE exact DECIMAL moment aggregate",
+)
+def icc_user_halves_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import icc_oneway_paired
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    half = F.to_date("ts") <= F.lit("2024-01-15").cast("date")
+    per_u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(half, F.col("value").cast("decimal(18,6)"))
+                ).cast("double")
+                / F.count(F.when(half, F.col("value"))),
+                6,
+            ).alias("x"),
+            F.round(
+                F.sum(
+                    F.when(~half, F.col("value").cast("decimal(18,6)"))
+                ).cast("double")
+                / F.count(F.when(~half, F.col("value"))),
+                6,
+            ).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    return icc_oneway_paired(per_u, "x", "y")
+
+
+@_q(
+    "cusum_squares_daily",
+    """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2023-12-31', CAST(ts AS DATE))
+               AS t,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1),
+    pre AS (
+      SELECT t,
+             SUM(y::HUGEINT) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+             SUM(y::HUGEINT * y) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q,
+             ROW_NUMBER() OVER (ORDER BY t) AS k
+      FROM daily),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(y::HUGEINT) AS sp, SUM(y::HUGEINT * y) AS sq
+      FROM daily),
+    scored AS (
+      SELECT pre.t, pre.k, tot.n,
+             CAST(CAST(tot.sq AS VARCHAR) AS DOUBLE)
+               - CAST(CAST(tot.sp AS VARCHAR) AS DOUBLE)
+                 * CAST(CAST(tot.sp AS VARCHAR) AS DOUBLE)
+                 / CAST(tot.n AS DOUBLE) AS cn,
+             ABS((CAST(CAST(pre.q AS VARCHAR) AS DOUBLE)
+                  - 2.0 * (CAST(CAST(tot.sp AS VARCHAR) AS DOUBLE)
+                           / CAST(tot.n AS DOUBLE))
+                    * CAST(CAST(pre.p AS VARCHAR) AS DOUBLE)
+                  + CAST(pre.k AS DOUBLE)
+                    * (CAST(CAST(tot.sp AS VARCHAR) AS DOUBLE)
+                       / CAST(tot.n AS DOUBLE))
+                    * (CAST(CAST(tot.sp AS VARCHAR) AS DOUBLE)
+                       / CAST(tot.n AS DOUBLE)))
+                 / (CAST(CAST(tot.sq AS VARCHAR) AS DOUBLE)
+                    - CAST(CAST(tot.sp AS VARCHAR) AS DOUBLE)
+                      * CAST(CAST(tot.sp AS VARCHAR) AS DOUBLE)
+                      / CAST(tot.n AS DOUBLE))
+                 - CAST(pre.k AS DOUBLE) / CAST(tot.n AS DOUBLE))
+               AS dev
+      FROM pre CROSS JOIN tot),
+    mx AS (
+      SELECT MAX(n) AS n,
+             MAX(CASE WHEN cn > 0.0 THEN dev END) AS d
+      FROM scored),
+    best AS (
+      SELECT MIN(scored.t) AS at_t
+      FROM scored CROSS JOIN mx
+      WHERE scored.cn > 0.0 AND scored.dev = mx.d)
+    SELECT CAST(mx.n AS BIGINT) AS n,
+           ROUND(CASE WHEN mx.n >= 2 THEN mx.d END, 6) AS d_stat,
+           CAST(CASE WHEN mx.n >= 2 AND mx.d IS NOT NULL
+                THEN best.at_t END AS BIGINT) AS at_t
+    FROM mx CROSS JOIN best
+    """,
+    doc="CUSUM-of-squares variance-drift statistic over the daily "
+    "cent-sum value series (operators/series.py:cusum_squares) — "
+    "the SECOND-moment rung of the change-point family next to "
+    "cusum_daily_drift (mean), pettitt (rank shift) and "
+    "chow_break_daily (known-split mean model): max_k |S_k − k/n| "
+    "of centered-square prefix shares localizes a volatility "
+    "regime change even when the mean never moves. Exact "
+    "DECIMAL(38,0) prefix sums on the calendar frame, argmax ties "
+    "to the earliest day",
+)
+def cusum_squares_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.series import cusum_squares
+
+    ev = load_events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    daily = daily.select(
+        F.datediff(F.col("d"), F.lit("2023-12-31").cast("date")).alias(
+            "t"
+        ),
+        "y",
+    )
+    return cusum_squares(daily, "t", "y")
+
+
+_PHI_NEG_ABS_SZ = NORM_CDF_SQL.format(z="-ABS(zz)")
+
+
+@_q(
+    "spiegelhalter_z_events",
+    f"""
+    WITH base AS (
+      SELECT CAST(ROUND(
+               GREATEST(0.0, LEAST(CAST(value AS DOUBLE) / 500.0,
+                                   1.0)) * 1000000.0, 0) AS BIGINT)
+               AS p,
+             CASE WHEN event_type = 'purchase'
+                  THEN 1000000 ELSE 0 END AS o
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    ag AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM((o - p)::HUGEINT * (1000000 - 2 * p)) AS num,
+             SUM(((1000000 - 2 * p)::HUGEINT * (1000000 - 2 * p))
+                 * (p::HUGEINT * (1000000 - p))) AS den,
+             SUM((o - p)::HUGEINT * (o - p)) AS sq
+      FROM base),
+    d AS (
+      SELECT n, CAST(n AS DOUBLE) AS nd,
+             CAST(CAST(num AS VARCHAR) AS DOUBLE) AS num,
+             CAST(CAST(den AS VARCHAR) AS DOUBLE) AS den,
+             CAST(CAST(sq AS VARCHAR) AS DOUBLE) AS sq
+      FROM ag),
+    zc AS (
+      SELECT n, nd, den,
+             sq / (nd * 1.0e12) AS brier,
+             num / SQRT(den) AS zz
+      FROM d)
+    SELECT n,
+           ROUND(CASE WHEN n > 0 THEN brier END, 6) AS brier,
+           ROUND(CASE WHEN n > 0 AND den > 0.0 THEN zz END, 6) AS z,
+           ROUND(CASE WHEN n > 0 AND den > 0.0
+                 THEN 2.0 * {_PHI_NEG_ABS_SZ} END, 6) AS p
+    FROM zc
+    """,
+    doc="Spiegelhalter's binning-free calibration z on the "
+    "value/500 pseudo-probability vs the purchase label — the "
+    "ece_events framing (operators/classify.py:spiegelhalter_z) — "
+    "the HYPOTHESIS-TEST rung of the calibration family next to ece "
+    "(binned gaps), brier_decomp and hosmer_lemeshow (binned χ²): "
+    "cannot be gamed by bin-edge choice. Clamped-micros discipline, "
+    "exact DECIMAL(38,0) numerator/denominator folds, shared A-S Φ",
+)
+def spiegelhalter_z_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classify import spiegelhalter_z
+
+    ev = load_events(spark, sf_dir)
+    scored = ev.filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        F.least(F.col("value") / 500.0, F.lit(1.0)).alias("p"),
+        (F.col("event_type") == "purchase").alias("y"),
+    )
+    return spiegelhalter_z(scored, "p", "y")
+
+
+@_q(
+    "cronbach_doc_rules",
+    """
+    WITH base AS (
+      SELECT CASE WHEN n_chars >= 150 THEN 1000000 ELSE 0 END AS m0,
+             CASE WHEN n_chars >= 250 THEN 1000000 ELSE 0 END AS m1,
+             CASE WHEN len(string_split(trim(regexp_replace(lower(text),
+                    '\\s+', ' ', 'g')), ' ')) >= 45
+                  THEN 1000000 ELSE 0 END AS m2
+      FROM documents
+      WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+    wt AS (
+      SELECT m0, m1, m2, m0 + m1 + m2 AS t FROM base),
+    ag AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(m0::HUGEINT) AS s0, SUM(m0::HUGEINT * m0) AS q0,
+             SUM(m1::HUGEINT) AS s1, SUM(m1::HUGEINT * m1) AS q1,
+             SUM(m2::HUGEINT) AS s2, SUM(m2::HUGEINT * m2) AS q2,
+             SUM(t::HUGEINT) AS st, SUM(t::HUGEINT * t) AS qt
+      FROM wt),
+    d AS (
+      SELECT n, CAST(n AS DOUBLE) AS nd,
+             CAST(CAST(s0 AS VARCHAR) AS DOUBLE) AS s0,
+             CAST(CAST(q0 AS VARCHAR) AS DOUBLE) AS q0,
+             CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(q1 AS VARCHAR) AS DOUBLE) AS q1,
+             CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2,
+             CAST(CAST(q2 AS VARCHAR) AS DOUBLE) AS q2,
+             CAST(CAST(st AS VARCHAR) AS DOUBLE) AS st,
+             CAST(CAST(qt AS VARCHAR) AS DOUBLE) AS qt
+      FROM ag),
+    v AS (
+      SELECT n, nd,
+             (qt - st * st / nd) / ((nd - 1.0) * 1.0e12) AS var_t,
+             (q0 - s0 * s0 / nd) / ((nd - 1.0) * 1.0e12)
+               + (q1 - s1 * s1 / nd) / ((nd - 1.0) * 1.0e12)
+               + (q2 - s2 * s2 / nd) / ((nd - 1.0) * 1.0e12)
+               AS iv
+      FROM d)
+    SELECT n, CAST(3 AS BIGINT) AS k,
+           ROUND(CASE WHEN n >= 2 THEN var_t END, 6) AS var_total,
+           ROUND(CASE WHEN n >= 2 THEN iv END, 6) AS sum_item_vars,
+           ROUND(CASE WHEN n >= 2 AND var_t > 0.0
+                 THEN 1.5 * (1.0 - iv / var_t) END, 6) AS alpha
+    FROM v
+    """,
+    doc="Cronbach's alpha (KR-20) over the three cochran_doc_rules "
+    "quality filters (operators/classify.py:cronbach_alpha) — the "
+    "RELIABILITY rung of the rule family next to cochran_doc_rules "
+    "(do rates differ), fleiss_doc_rules (chance-corrected "
+    "agreement): do the k filters move together enough to act as "
+    "one scale. ONE exact DECIMAL(38,0) micro-moment aggregate; "
+    "k/(k−1) = 1.5 injected for k = 3",
+)
+def cronbach_doc_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classify import cronbach_alpha
+    from ..operators.text import normalize_text_col
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    )
+    base = docs.select(
+        (F.col("n_chars") >= 150).alias("len150"),
+        (F.col("n_chars") >= 250).alias("len250"),
+        (
+            F.size(F.split(normalize_text_col("text"), " ")) >= 45
+        ).alias("words45"),
+    )
+    return cronbach_alpha(base, ["len150", "len250", "words45"])
+
+
+@_q(
+    "group_kfold_users",
+    """
+    WITH assign AS (
+      SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR)
+                 || chr(31) || '42'), 1, 15))::BIGINT % 5 AS fold,
+             user_id
+      FROM events WHERE user_id IS NOT NULL),
+    per_fold AS (
+      SELECT fold,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_groups,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM assign GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS t FROM per_fold)
+    SELECT CAST(fold AS BIGINT) AS fold, n_groups, n_rows,
+           ROUND(CAST(n_rows AS DOUBLE) / CAST(t AS DOUBLE), 6)
+             AS share
+    FROM per_fold CROSS JOIN tot ORDER BY fold
+    """,
+    doc="Group-aware 5-fold assignment of events by user "
+    "(operators/curation.py:group_kfold_assign) — every row of a "
+    "user lands in the SAME fold (the per-group leakage mode a "
+    "row-wise split invites, leakage_safe_splits' sibling for "
+    "cross-validation): fold = md5_60(user ⊕ seed) mod 5, the "
+    "engine-portable hash every split/sample operator shares — "
+    "stable residency, reproducible across engines and sessions. "
+    "Output is the per-fold balance audit a pipeline asserts on",
+)
+def group_kfold_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import group_kfold_assign
+
+    ev = load_events(spark, sf_dir)
+    return group_kfold_assign(ev, "user_id", k=5, seed=42)

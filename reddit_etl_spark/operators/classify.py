@@ -1830,3 +1830,188 @@ def feature_screening(
             "gini_drop"
         ),
     ).orderBy("feature")
+
+
+def spiegelhalter_z(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Spiegelhalter's z-test of calibration (Spiegelhalter 1986) —
+    the HYPOTHESIS-TEST rung of the calibration family next to
+    ece (binned gap magnitude), brier_decomp (score decomposition)
+    and hosmer_lemeshow (binned χ²): under perfect calibration the
+    Brier score's excess over its minimum has mean zero, giving
+    z = Σ(o−p)(1−2p) / √(Σ(1−2p)²·p(1−p)) ~ N(0,1) — binning-free,
+    so it cannot be gamed by bin-edge choice. Two-sided p via the
+    shared A-S Φ.
+
+    Exactness: the hosmer_lemeshow clamped-micros discipline —
+    scores clamp to [0,1] and quantize to exact micro integers
+    p_mic ∈ [0, 1e6]; the numerator Σ(o·1e6 − p_mic)(1e6 − 2p_mic)
+    and denominator Σ(1e6 − 2p_mic)²·p_mic·(1e6 − p_mic) are exact
+    DECIMAL(38,0) folds (term ≤ 1e24 — inside 38 digits to n≈1e14);
+    z composes in doubles on the 1-row frame with the micro scales
+    cancelling: z = (num/1e12)/√(den/1e24) = num/√den.
+
+    Plan at scale: ONE map-side-combined aggregate. Degenerate
+    inputs (n = 0 or every score exactly 0/1 → zero variance)
+    return NULL z.
+
+    Returns one row: (n BIGINT, brier, z, p).
+    """
+    from .util import norm_cdf
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    p_mic = F.round(
+        F.greatest(
+            F.lit(0.0), F.least(F.col(score_col).cast("double"), F.lit(1.0))
+        )
+        * 1000000.0,
+        0,
+    ).cast("long")
+    o_mic = F.col(label_col).cast("boolean").cast("long") * F.lit(1000000)
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(p_mic.alias("__p"), o_mic.alias("__o"))
+    one = F.lit(1000000)
+    num_t = dec(F.col("__o") - F.col("__p")) * dec(
+        one - 2 * F.col("__p")
+    )
+    den_t = (
+        (dec(one - 2 * F.col("__p")) * dec(one - 2 * F.col("__p"))).cast(
+            "decimal(38,0)"
+        )
+        * (dec(F.col("__p")) * dec(one - F.col("__p"))).cast(
+            "decimal(38,0)"
+        )
+    ).cast("decimal(38,0)")
+    sq_t = (
+        dec(F.col("__o") - F.col("__p")) * dec(F.col("__o") - F.col("__p"))
+    ).cast("decimal(38,0)")
+    agg = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(num_t.cast("decimal(38,0)")).cast("decimal(38,0)").alias(
+            "__num"
+        ),
+        F.sum(den_t).cast("decimal(38,0)").alias("__den"),
+        F.sum(sq_t).cast("decimal(38,0)").alias("__sq"),
+    )
+
+    def dbl(name):
+        return F.col(name).cast("string").cast("double")
+
+    n = F.col("n").cast("double")
+    brier = dbl("__sq") / (n * 1.0e12)
+    z = dbl("__num") / F.sqrt(dbl("__den"))
+    ok = F.col("n") > 0
+    okz = ok & (dbl("__den") > 0.0)
+    return agg.select(
+        "n",
+        F.round(F.when(ok, brier), 6).alias("brier"),
+        F.round(F.when(okz, z), 6).alias("z"),
+        F.round(F.when(okz, 2.0 * norm_cdf(-F.abs(z))), 6).alias("p"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    item_cols,
+) -> DataFrame:
+    """Cronbach's alpha internal-consistency coefficient over k item
+    columns — the RELIABILITY rung of the rater/rule family next to
+    cochran_q (do the items' marginal rates differ), fleiss_kappa
+    (chance-corrected agreement) and icc (variance decomposition):
+    α = k/(k−1)·(1 − Σᵢσᵢ²/σ_T²) asks whether the k items move
+    together enough to be summed into one scale score. Items here
+    are numeric (booleans cast to 0/1 — the KR-20 special case).
+
+    Exactness: all sufficient moments (per-item Σxᵢ, Σxᵢ², plus the
+    TOTAL score's ΣT, ΣT² with T = Σᵢxᵢ computed row-local) are
+    exact DECIMAL(38,0) folds of micro-scaled integers; variances
+    (sample, n−1) compose in doubles on the 1-row frame.
+
+    Plan at scale: ONE map-side-combined aggregate; k widens the
+    projection, not the shuffle. Rows with any NULL item are
+    excluded (listwise, the classical convention). NULL alpha when
+    n < 2 or σ_T² = 0.
+
+    Returns one row: (n BIGINT, k BIGINT, var_total, sum_item_vars,
+    alpha).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    items = list(item_cols)
+    k = len(items)
+    if k < 2:
+        raise ValueError("cronbach_alpha: need at least 2 item columns")
+    base = df
+    for c in items:
+        base = base.filter(F.col(c).isNotNull())
+    mics = [
+        F.round(F.col(c).cast("double") * 1000000.0, 0)
+        .cast("long")
+        .alias(f"__m{i}")
+        for i, c in enumerate(items)
+    ]
+    base = base.select(*mics)
+    total = sum(
+        [F.col(f"__m{i}") for i in range(1, k)], F.col("__m0")
+    ).alias("__tot")
+    base = base.select("*", total)
+    aggs = [F.count("*").cast("long").alias("n")]
+    for i in range(k):
+        aggs.append(
+            F.sum(dec(F.col(f"__m{i}")))
+            .cast("decimal(38,0)")
+            .alias(f"__s{i}")
+        )
+        aggs.append(
+            F.sum(
+                (dec(F.col(f"__m{i}")) * dec(F.col(f"__m{i}"))).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias(f"__q{i}")
+        )
+    aggs.append(
+        F.sum(dec(F.col("__tot"))).cast("decimal(38,0)").alias("__st")
+    )
+    aggs.append(
+        F.sum(
+            (dec(F.col("__tot")) * dec(F.col("__tot"))).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("__qt")
+    )
+    agg = base.agg(*aggs)
+
+    def dbl(name):
+        return F.col(name).cast("string").cast("double")
+
+    n = F.col("n").cast("double")
+    scale2 = 1.0e12
+    var_t = (dbl("__qt") - dbl("__st") * dbl("__st") / n) / (
+        (n - 1.0) * scale2
+    )
+    item_vars = None
+    for i in range(k):
+        v = (dbl(f"__q{i}") - dbl(f"__s{i}") * dbl(f"__s{i}") / n) / (
+            (n - 1.0) * scale2
+        )
+        item_vars = v if item_vars is None else item_vars + v
+    alpha = (
+        F.lit(float(k) / (k - 1.0)) * (1.0 - item_vars / var_t)
+    )
+    ok = (F.col("n") >= 2) & (var_t > 0.0)
+    return agg.select(
+        "n",
+        F.lit(k).cast("long").alias("k"),
+        F.round(F.when(F.col("n") >= 2, var_t), 6).alias("var_total"),
+        F.round(F.when(F.col("n") >= 2, item_vars), 6).alias(
+            "sum_item_vars"
+        ),
+        F.round(F.when(ok, alpha), 6).alias("alpha"),
+    )

@@ -1462,3 +1462,68 @@ def padding_waste(
             6,
         ).alias("waste_frac"),
     ).orderBy("bucket_len")
+
+
+def group_kfold_assign(
+    df: DataFrame,
+    group_col: str,
+    k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Group-aware k-fold assignment: every row of a group lands in
+    the SAME fold — the cross-validation rung of the split family
+    next to deterministic train/val/test hashing and
+    leakage_safe_splits (no group straddles a fold boundary, the
+    per-user leakage mode a row-wise split invites). Fold =
+    md5_60(group ⊕ seed) mod k — the engine-portable content hash
+    every sampling/split operator here shares, so assignment is
+    reproducible across engines, sessions and partitionings, and a
+    NEW group joins a fold without reshuffling old ones (stable
+    residency, the incremental-dedup property).
+
+    Returns the per-fold audit frame (fold BIGINT, n_groups BIGINT,
+    n_rows BIGINT, share), ordered by fold — the balance readout a
+    pipeline asserts on before training (md5 folds are binomial-
+    balanced, not exactly equal; the audit is the point). Join the
+    assignment expression (``kfold_col``) onto the data frame for
+    the actual split.
+    """
+    fold = kfold_col(group_col, k, seed)
+    base = df.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("__g"), fold.alias("fold")
+    )
+    per_fold = base.groupBy("fold").agg(
+        F.count_distinct("__g").cast("long").alias("n_groups"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    tot = per_fold.agg(F.sum("n_rows").alias("__tot"))
+    return (
+        per_fold.crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            "n_groups",
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double")
+                / F.col("__tot").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("fold")
+    )
+
+
+def kfold_col(group_col: str, k: int = 5, seed: int = 42) -> Column:
+    """The fold-assignment expression behind ``group_kfold_assign``:
+    pmod(md5_60(group ⊕ seed), k) — DuckDB twin:
+    ``('0x' || substring(md5(g || chr(31) || seed), 1, 15))::BIGINT
+    % k`` (non-negative because md5_60 keeps only 60 bits)."""
+    from .dedup import token_hash_col
+
+    h = token_hash_col(
+        F.concat_ws(
+            "\x1f", F.col(group_col).cast("string"), F.lit(str(seed))
+        ),
+        "md5_60",
+    )
+    return F.pmod(h, F.lit(k)).cast("long")

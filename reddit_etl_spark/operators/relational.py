@@ -10598,3 +10598,138 @@ def bws_two_sample(
             F.when(ok, (F.col("__bx") + F.col("__by")) / 2.0), 6
         ).alias("b"),
     )
+
+
+def g_test_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Likelihood-ratio G-test of independence between two categorical
+    columns — the INFORMATION-theoretic twin of chi2_independence's
+    Pearson statistic: G = 2·Σ O·ln(O/E) is exactly 2N·I(A;B) in
+    nats (mi_status_priority's mutual information, rescaled), it is
+    additive under table partitioning where X² is not, and it is the
+    deviance a log-linear model would report. Same asymptotic χ²
+    null with (r−1)(c−1) dof; no p-value (the regularized incomplete
+    gamma is not a deterministic builtin — chi2's contract).
+
+    Exactness: observed cells and marginals are exact integers;
+    each term O·ln(O·N/(ra·rb)) is an identical double expression of
+    exact integers, summed over the |A|×|B|-bounded cell frame
+    (zero-observed cells contribute exactly 0 — only observed pairs
+    enter, unlike Pearson's (0−e)²/e).
+
+    Plan at scale: one observed-pair groupBy + two map-side marginal
+    groupBys; the cell frame joins the broadcast marginals — the
+    fact never re-shuffles. NULLs form no category.
+
+    Returns one row: (n BIGINT, levels_a BIGINT, levels_b BIGINT,
+    dof BIGINT, g_stat).
+    """
+    base = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+    obs = base.groupBy("__a", "__b").agg(F.count("*").alias("__o"))
+    ma = base.groupBy("__a").agg(F.count("*").alias("__ra"))
+    mb = base.groupBy("__b").agg(F.count("*").alias("__rb"))
+    n = ma.agg(F.sum("__ra").alias("__n"))
+    cells = (
+        obs.join(F.broadcast(ma), "__a")
+        .join(F.broadcast(mb), "__b")
+        .crossJoin(F.broadcast(n))
+    )
+    term = F.col("__o").cast("double") * F.log(
+        F.col("__o").cast("double")
+        * F.col("__n").cast("double")
+        / (F.col("__ra").cast("double") * F.col("__rb").cast("double"))
+    )
+    agg = cells.agg(
+        F.max("__n").cast("long").alias("n"),
+        F.sum(term).alias("__g_half"),
+    )
+    la = ma.agg(F.count("*").alias("__la"))
+    lb = mb.agg(F.count("*").alias("__lb"))
+    out = agg.crossJoin(F.broadcast(la)).crossJoin(F.broadcast(lb))
+    dof = F.when(
+        (F.col("__la") > 0) & (F.col("__lb") > 0),
+        (F.col("__la") - 1) * (F.col("__lb") - 1),
+    ).otherwise(F.lit(0))
+    return out.select(
+        "n",
+        F.col("__la").cast("long").alias("levels_a"),
+        F.col("__lb").cast("long").alias("levels_b"),
+        dof.cast("long").alias("dof"),
+        F.round(
+            F.when(dof > 0, 2.0 * F.col("__g_half")), 6
+        ).alias("g_stat"),
+    )
+
+
+def icc_oneway_paired(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """One-way random-effects intraclass correlation ICC(1,1) for
+    k = 2 measurements per subject — the VARIANCE-DECOMPOSITION rung
+    of the agreement family next to kappa (nominal),
+    agreement_summary's Bland-Altman/CCC (pairwise continuous) and
+    weighted_kappa (ordinal): ICC asks what share of total variance
+    is BETWEEN subjects, i.e. "do repeated measurements of the same
+    subject resemble each other more than measurements of different
+    subjects". With k = 2: MSB = 2·Σ(m_u − m̄)²/(n−1) over subject
+    means m_u = (x+y)/2, MSW = Σ(x−y)²/(2n), and
+    ICC = (MSB − MSW)/(MSB + MSW).
+
+    Exactness: inputs are ≤6-dp measurements accumulated as exact
+    DECIMAL moments (Σx, Σy, Σx², Σy², Σxy — the cuped/agreement
+    discipline); every mean square composes in doubles on the 1-row
+    frame: Σ(x+y)² = Σx² + 2Σxy + Σy², Σ(x−y)² = Σx² − 2Σxy + Σy².
+
+    Plan at scale: ONE moment aggregate over the paired frame. NULL
+    pairs are excluded. Degenerate inputs (n < 2, zero total
+    variance) return NULL icc.
+
+    Returns one row: (n BIGINT, msb, msw, icc).
+    """
+    d6 = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    d19 = lambda c: F.col(c).cast("decimal(19,6)")  # noqa: E731
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+    agg = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(d6("__x").cast("decimal(38,6)")).alias("__sx"),
+        F.sum(d6("__y").cast("decimal(38,6)")).alias("__sy"),
+        F.sum((d19("__x") * d19("__x")).cast("decimal(38,12)")).alias(
+            "__sxx"
+        ),
+        F.sum((d19("__y") * d19("__y")).cast("decimal(38,12)")).alias(
+            "__syy"
+        ),
+        F.sum((d19("__x") * d19("__y")).cast("decimal(38,12)")).alias(
+            "__sxy"
+        ),
+    )
+
+    def dbl(name):
+        return F.col(name).cast("string").cast("double")
+
+    n = F.col("n").cast("double")
+    sx, sy = dbl("__sx"), dbl("__sy")
+    sxx, syy, sxy = dbl("__sxx"), dbl("__syy"), dbl("__sxy")
+    # Σm = (Σx+Σy)/2 ; Σm² = (Σx² + 2Σxy + Σy²)/4
+    sm = (sx + sy) / 2.0
+    smm = (sxx + 2.0 * sxy + syy) / 4.0
+    css_m = smm - sm * sm / n  # Σ(m_u − m̄)²
+    ssw = (sxx - 2.0 * sxy + syy) / 2.0  # Σ(x−y)²/2
+    msb = 2.0 * css_m / (n - 1.0)
+    msw = ssw / n
+    ok = (F.col("n") >= 2) & (msb + msw > 0.0)
+    return agg.select(
+        "n",
+        F.round(F.when(F.col("n") >= 2, msb), 6).alias("msb"),
+        F.round(F.when(F.col("n") >= 1, msw), 6).alias("msw"),
+        F.round(F.when(ok, (msb - msw) / (msb + msw)), 6).alias("icc"),
+    )

@@ -4393,3 +4393,102 @@ def chow_test(
         F.round(F.when(ok, slope_p), 6).alias("slope_pooled"),
         F.round(F.when(okf, f_), 6).alias("f_stat"),
     )
+
+
+def cusum_squares(
+    daily: DataFrame,
+    t_col: str,
+    y_col: str,
+) -> DataFrame:
+    """CUSUM-of-squares variance-drift statistic (Brown, Durbin &
+    Evans 1975's S_k, centered-observation form) — the SECOND-moment
+    rung of the change-point family next to cusum_daily_drift (mean
+    drift), pettitt (rank location shift) and chow_test (known-split
+    mean model): S_k = Σ_{t≤k}(y_t − ȳ)² / Σ_t(y_t − ȳ)² should
+    climb the diagonal k/n under variance homogeneity; the maximal
+    departure D = max_k |S_k − k/n| localizes WHERE the volatility
+    regime changes even when the mean never moves.
+
+    Exactness: the series is integer-valued (count or cent-sum), so
+    the prefix sums P_k = Σ_{t≤k} y and Q_k = Σ_{t≤k} y² are exact
+    DECIMAL(38,0); the centered prefix C_k = Q_k − 2ȳP_k + kȳ²
+    composes in doubles from exact integers. Argmax ties break to
+    the smallest t (deterministic on both engines).
+
+    Plan at scale: the input is an already-aggregated calendar-grain
+    frame (the ewma/kpss/granger discipline) — one bounded prefix
+    window + a 1-row reduce, then a broadcast-back argmax join.
+
+    Returns one row: (n BIGINT, d_stat, at_t BIGINT) — the maximal
+    |S_k − k/n| and the first index attaining it; NULL d_stat when
+    the total centered sum degenerates (constant series or n < 2).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = daily.select(
+        F.col(t_col).cast("long").alias("__t"),
+        F.col(y_col).cast("long").alias("__y"),
+    ).filter(F.col("__y").isNotNull())
+    w = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, 0)
+    wk = Window.orderBy("__t")
+    pre = base.select(
+        "__t",
+        F.sum(dec(F.col("__y"))).over(w).alias("__p"),
+        F.sum((dec(F.col("__y")) * dec(F.col("__y"))).cast("decimal(38,0)"))
+        .over(w)
+        .alias("__q"),
+        F.row_number().over(wk).alias("__k"),
+    )
+    # totals come from their own aggregate of the base frame —
+    # max(prefix) would only equal the total for a non-negative series
+    tot = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec(F.col("__y"))).alias("__sp"),
+        F.sum(
+            (dec(F.col("__y")) * dec(F.col("__y"))).cast("decimal(38,0)")
+        ).alias("__sq"),
+    )
+
+    def dbl(c):
+        return c.cast("string").cast("double")
+
+    joined = pre.crossJoin(F.broadcast(tot))
+    n = F.col("n").cast("double")
+    mu = dbl(F.col("__sp")) / n
+    ck = (
+        dbl(F.col("__q"))
+        - 2.0 * mu * dbl(F.col("__p"))
+        + F.col("__k").cast("double") * mu * mu
+    )
+    cn = dbl(F.col("__sq")) - dbl(F.col("__sp")) * dbl(F.col("__sp")) / n
+    dev = F.abs(ck / cn - F.col("__k").cast("double") / n)
+    scored = joined.select(
+        "__t", "__k", "n", cn.alias("__cn"), dev.alias("__dev")
+    )
+    agg = scored.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(F.when(F.col("__cn") > 0.0, F.col("__dev"))).alias(
+            "__d"
+        ),
+    )
+    best = (
+        scored.crossJoin(
+            F.broadcast(agg.select(F.col("__d").alias("__dmax")))
+        )
+        .filter(
+            (F.col("__cn") > 0.0) & (F.col("__dev") == F.col("__dmax"))
+        )
+        .agg(F.min("__t").cast("long").alias("at_t"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(best))
+        .select(
+            "n",
+            F.round(F.when(F.col("n") >= 2, F.col("__d")), 6).alias(
+                "d_stat"
+            ),
+            F.when(
+                (F.col("n") >= 2) & F.col("__d").isNotNull(),
+                F.col("at_t"),
+            ).alias("at_t"),
+        )
+    )
