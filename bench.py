@@ -51,9 +51,10 @@ doesn't already do synchronously.
 
 Round-13 set change: ``hoeffding_d_lineitem`` joins the headline mix
 (the guarded cells² dominance-join shape gets a continuously-watched
-wall-time, as round 12 did for wasserstein) — 23 queries; totals are
-NOT comparable to r12's 22-query total without subtracting its
-median.
+wall-time, as round 12 did for wasserstein), and ``bws_click_error``
+joins with wave 2 (the prefix-lane + chunked map-side k-explode shape
+is new this round) — 24 queries; totals are NOT comparable to r12's
+22-query total without subtracting the two medians.
 
 Round-13 telemetry payoff, first use: the committed r13 detail's
 ``dedup_minhash_lsh`` WARN (median 1.29x of r12) adjudicates in one

@@ -114,11 +114,6 @@ _PROMOTED = [
     "join_profile_orders_lineitem",
     "mad_outliers_daily",
     "duplicate_spans",
-    "event_pattern_counts",
-    "fuzzy_name_pairs",
-    "gap_fill_hourly",
-    "heavy_hitters_mg",
-    "dedup_ngram_jaccard",
 ]
 
 _DEFERRED = [
@@ -128,7 +123,14 @@ _DEFERRED = [
     # attestation queue for the r14 head). Wave 1 displaced the
     # first 8; wave 2 (wilson/dagostino/granger/chow/ww_runs/bws/
     # embedding_centroid) the next 7; wave 3 (g_test/icc/
-    # cusum_squares/spiegelhalter/cronbach/group_kfold) the next 6.
+    # cusum_squares/spiegelhalter/cronbach/group_kfold) the next 6;
+    # wave 4 (vdw/fligner_killeen/shapiro_francia/bartels/
+    # newey_west — the norm_ppf normal-scores family) the next 5.
+    "event_pattern_counts",
+    "fuzzy_name_pairs",
+    "gap_fill_hourly",
+    "heavy_hitters_mg",
+    "dedup_ngram_jaccard",
     "document_chunks",
     "dq_report_orders",
     "dsir_importance_weights",

@@ -1127,6 +1127,8 @@ def ww_runs_click_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the distinct pooled frame; chunked sequence explode back to "
     "one row per order statistic (n rows, the scan's own "
     "cardinality) into one map-side-combined sum",
+    headline=True,  # round-13 wave-2 headline add: the prefix-lane +
+    # chunked-explode shape is new this round — track its wall time
 )
 def bws_click_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import bws_two_sample
@@ -1592,3 +1594,456 @@ def group_kfold_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir)
     return group_kfold_assign(ev, "user_id", k=5, seed=42)
+
+
+# ---------------------------------------------------------------------------
+# round-13 wave 4: the normal-scores family unlocked by the shared Acklam
+# Φ⁻¹ (operators/util.py:norm_ppf / norm_ppf_sql) — van der Waerden,
+# Fligner-Killeen, Shapiro-Francia — plus Bartels' rank von Neumann and
+# Newey-West HAC mean inference on the daily frame.
+# ---------------------------------------------------------------------------
+
+from ..operators.util import norm_ppf_sql
+
+_PPF_PV = norm_ppf_sql("pv")
+_PPF_PA = norm_ppf_sql("pa")
+_PPF_PM = norm_ppf_sql("pm")
+
+
+@_q(
+    "vdw_event_values",
+    f"""
+    WITH base AS (
+      SELECT event_type AS c,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    cells AS (
+      SELECT c, v, CAST(COUNT(*) AS BIGINT) AS f
+      FROM base GROUP BY 1, 2),
+    per_v AS (
+      SELECT v, CAST(SUM(f) AS BIGINT) AS tv FROM cells GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(tv) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_values
+      FROM per_v),
+    rv AS (
+      SELECT v, tv,
+             COALESCE(SUM(tv) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum
+      FROM per_v),
+    pv_t AS (
+      SELECT v, tv, n, n_values,
+             (CAST(cum AS DOUBLE) + (CAST(tv AS DOUBLE) + 1.0) / 2.0)
+               / (CAST(n AS DOUBLE) + 1.0) AS pv
+      FROM rv CROSS JOIN tot),
+    scored AS (
+      SELECT v, tv, n, n_values, {_PPF_PV} AS s
+      FROM pv_t),
+    svar AS (
+      SELECT MAX(n) AS n, MAX(n_values) AS n_values,
+             SUM(CAST(tv AS DOUBLE) * s * s) AS ss2
+      FROM scored),
+    per_class AS (
+      SELECT cells.c,
+             CAST(SUM(cells.f) AS BIGINT) AS nj,
+             SUM(CAST(cells.f AS DOUBLE) * scored.s) AS aj
+      FROM cells JOIN scored ON cells.v = scored.v
+      GROUP BY 1),
+    kagg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(aj * aj / CAST(nj AS DOUBLE)) AS num
+      FROM per_class)
+    SELECT CAST(svar.n AS BIGINT) AS n, kagg.k,
+           CAST(CASE WHEN kagg.k >= 1 THEN kagg.k - 1 ELSE 0 END
+                AS BIGINT) AS dof,
+           ROUND(CASE WHEN svar.n >= 2 AND kagg.k >= 2
+                      AND svar.ss2 / (CAST(svar.n AS DOUBLE) - 1.0)
+                          > 0.0
+                 THEN kagg.num
+                      / (svar.ss2 / (CAST(svar.n AS DOUBLE) - 1.0))
+                 END, 6) AS t_stat
+    FROM svar CROSS JOIN kagg
+    """,
+    doc="Van der Waerden k-sample normal-scores test of event "
+    "values across event types "
+    "(operators/relational.py:van_der_waerden) — the NORMAL-SCORES "
+    "rung next to kruskal_event_values (raw ranks) and "
+    "welch_anova_values (raw means): Φ⁻¹(r/(N+1)) restores full "
+    "Pitman efficiency vs normal alternatives (ARE 1 where KW pays "
+    "0.955) while keeping rank robustness. Midranks on the exact "
+    "2x-integer prefix discipline; scores via the shared Acklam "
+    "Φ⁻¹ (norm_ppf — both engines, same closed formula)",
+)
+def vdw_event_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import van_der_waerden
+
+    ev = load_events(spark, sf_dir)
+    return van_der_waerden(ev, "value", "event_type", scale=100)
+
+
+@_q(
+    "fligner_killeen_types",
+    f"""
+    WITH base AS (
+      SELECT event_type AS c,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    cells AS (
+      SELECT c, v, CAST(COUNT(*) AS BIGINT) AS f
+      FROM base GROUP BY 1, 2),
+    cum AS (
+      SELECT c, v, f,
+             SUM(f) OVER (PARTITION BY c ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ci,
+             SUM(f) OVER (PARTITION BY c) AS nj
+      FROM cells),
+    med AS (
+      SELECT c, MIN(v) AS med
+      FROM cum WHERE 2 * ci >= nj GROUP BY 1),
+    dev AS (
+      SELECT cells.c, ABS(cells.v - med.med) AS d, cells.f
+      FROM cells JOIN med ON cells.c = med.c),
+    per_d AS (
+      SELECT d, CAST(SUM(f) AS BIGINT) AS td FROM dev GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(td) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_values
+      FROM per_d),
+    rd AS (
+      SELECT d, td,
+             COALESCE(SUM(td) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum
+      FROM per_d),
+    pa_t AS (
+      SELECT d, td, n, n_values,
+             0.5 + (CAST(cum AS DOUBLE)
+                    + (CAST(td AS DOUBLE) + 1.0) / 2.0)
+                   / (2.0 * (CAST(n AS DOUBLE) + 1.0)) AS pa
+      FROM rd CROSS JOIN tot),
+    scored AS (
+      SELECT d, td, n, n_values, {_PPF_PA} AS a
+      FROM pa_t),
+    gtot AS (
+      SELECT MAX(n) AS n, MAX(n_values) AS n_values,
+             SUM(CAST(td AS DOUBLE) * a) AS sa,
+             SUM(CAST(td AS DOUBLE) * a * a) AS sa2
+      FROM scored),
+    per_class AS (
+      SELECT dev.c,
+             CAST(SUM(dev.f) AS BIGINT) AS nj,
+             SUM(CAST(dev.f AS DOUBLE) * scored.a) AS aj
+      FROM dev JOIN scored ON dev.d = scored.d
+      GROUP BY 1),
+    kagg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(CAST(pc.nj AS DOUBLE)
+                 * (pc.aj / CAST(pc.nj AS DOUBLE)
+                    - g.sa / CAST(g.n AS DOUBLE))
+                 * (pc.aj / CAST(pc.nj AS DOUBLE)
+                    - g.sa / CAST(g.n AS DOUBLE))) AS num
+      FROM per_class pc CROSS JOIN gtot g),
+    fin AS (
+      SELECT g.n, g.n_values, kagg.k, kagg.num,
+             (g.sa2 - CAST(g.n AS DOUBLE)
+                      * (g.sa / CAST(g.n AS DOUBLE))
+                      * (g.sa / CAST(g.n AS DOUBLE)))
+             / (CAST(g.n AS DOUBLE) - 1.0) AS v
+      FROM gtot g CROSS JOIN kagg)
+    SELECT CAST(n AS BIGINT) AS n, k,
+           CAST(CASE WHEN k >= 1 THEN k - 1 ELSE 0 END AS BIGINT)
+             AS dof,
+           ROUND(CASE WHEN n >= 2 AND k >= 2 AND v > 0.0
+                 THEN num / v END, 6) AS x2
+    FROM fin
+    """,
+    doc="Fligner-Killeen scale-homogeneity test of event values "
+    "across event types (operators/relational.py:fligner_killeen) "
+    "— the ROBUST-STANDARD scale rung next to bartlett_values "
+    "(normal-theory, outlier-fragile), brown_forsythe_values "
+    "(median-centered F) and ansari_bradley_types (two-sample "
+    "ranks): group-median centering + Φ⁻¹(1/2 + r/(2(N+1))) "
+    "normal scores keep the level under heavy tails. LOWER-median "
+    "convention pinned on both engines; per-class PARTITIONED "
+    "median windows (parallel, never one global sort)",
+)
+def fligner_killeen_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import fligner_killeen
+
+    ev = load_events(spark, sf_dir)
+    return fligner_killeen(ev, "value", "event_type", scale=100)
+
+
+@_q(
+    "shapiro_francia_values",
+    f"""
+    WITH base AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    per_v AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS t
+      FROM base GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_values
+      FROM per_v),
+    cum AS (
+      SELECT v, t,
+             COALESCE(SUM(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS c
+      FROM per_v),
+    ks AS (
+      SELECT v, n, n_values,
+             unnest(generate_series(CAST(c + 1 AS BIGINT),
+                    CAST(c + t AS BIGINT))) AS k
+      FROM cum CROSS JOIN tot),
+    pm_t AS (
+      SELECT v, n, n_values,
+             (CAST(k AS DOUBLE) - 0.375)
+               / (CAST(n AS DOUBLE) + 0.25) AS pm
+      FROM ks),
+    terms AS (
+      SELECT v, n, n_values, {_PPF_PM} AS m
+      FROM pm_t),
+    ag AS (
+      SELECT MAX(n) AS n, MAX(n_values) AS n_values,
+             SUM(v::HUGEINT) AS sx,
+             SUM(v::HUGEINT * v) AS sxx,
+             SUM(m) AS sm, SUM(m * m) AS smm,
+             SUM(CAST(v AS DOUBLE) * m) AS sxm
+      FROM terms),
+    d AS (
+      SELECT n, n_values, CAST(n AS DOUBLE) AS nd,
+             CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx,
+             sm, smm, sxm
+      FROM ag),
+    c AS (
+      SELECT n, n_values,
+             sxm - sx * sm / nd AS cxm,
+             sxx - sx * sx / nd AS cxx,
+             smm - sm * sm / nd AS cmm
+      FROM d)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n_values AS BIGINT) AS n_values,
+           ROUND(CASE WHEN n >= 5 AND cxx > 0.0 AND cmm > 0.0
+                 THEN cxm * cxm / (cxx * cmm) END, 6) AS w_stat
+    FROM c
+    """,
+    doc="Shapiro-Francia W′ normality of event values "
+    "(operators/relational.py:shapiro_francia) — the ORDER-"
+    "STATISTIC CORRELATION rung next to jarque_bera/dagostino_k2 "
+    "(moments), ad_normal (integral) and lilliefors (max gap): "
+    "corr²(sorted sample, Blom scores Φ⁻¹((k−3/8)/(n+¼))) — 'how "
+    "straight is the QQ plot', Royston's recommended large-n "
+    "simplification of Shapiro-Wilk. The bws chunked map-side "
+    "k-explode (one row per order statistic, the scan's own "
+    "cardinality); exact cent moments, shared Acklam Φ⁻¹",
+)
+def shapiro_francia_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import shapiro_francia
+
+    ev = load_events(spark, sf_dir)
+    return shapiro_francia(ev, "value", scale=100)
+
+
+_PHI_NEG_ABS_BZ = NORM_CDF_SQL.format(z="-ABS(zz)")
+
+
+@_q(
+    "bartels_rank_daily",
+    f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2023-12-31', CAST(ts AS DATE))
+               AS t,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1),
+    ranked AS (
+      SELECT t,
+             2 * RANK() OVER (ORDER BY y)
+               + COUNT(*) OVER (PARTITION BY y) - 1 AS r2
+      FROM daily),
+    seq AS (
+      SELECT r2, LEAD(r2) OVER (ORDER BY t) AS r2n FROM ranked),
+    ag AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CASE WHEN r2n IS NOT NULL THEN
+               (r2 - r2n)::HUGEINT * (r2 - r2n) END) AS num4,
+             SUM(r2::HUGEINT * r2) AS sq4
+      FROM seq),
+    d AS (
+      SELECT n, CAST(n AS DOUBLE) AS nd,
+             CAST(CAST(num4 AS VARCHAR) AS DOUBLE) AS num4,
+             CAST(CAST(sq4 AS VARCHAR) AS DOUBLE) AS sq4
+      FROM ag),
+    m AS (
+      SELECT n, nd, num4,
+             sq4 - nd * (nd + 1.0) * (nd + 1.0) AS den4
+      FROM d),
+    r AS (
+      SELECT n, nd, den4, num4 / den4 AS rvn,
+             4.0 * (nd - 2.0) * (5.0 * nd * nd - 2.0 * nd - 9.0)
+               / (5.0 * nd * (nd + 1.0) * (nd - 1.0) * (nd - 1.0))
+               AS var
+      FROM m),
+    zc AS (
+      SELECT n, den4, rvn, var,
+             (rvn - 2.0) / SQRT(var) AS zz
+      FROM r)
+    SELECT n,
+           ROUND(CASE WHEN n >= 3 AND den4 > 0.0 THEN rvn END, 6)
+             AS rvn,
+           ROUND(CASE WHEN n >= 3 AND den4 > 0.0 AND var > 0.0
+                 THEN zz END, 6) AS z,
+           ROUND(CASE WHEN n >= 3 AND den4 > 0.0 AND var > 0.0
+                 THEN 2.0 * {_PHI_NEG_ABS_BZ} END, 6) AS p
+    FROM zc
+    """,
+    doc="Bartels' rank von Neumann ratio on the daily cent-sum "
+    "value series (operators/series.py:bartels_rank) — the RANK-"
+    "SERIAL-CORRELATION randomness rung next to runs_test_daily "
+    "(signs), turning_points_daily (local extrema) and "
+    "ljung_box_daily (parametric ACF): robust to any monotone "
+    "transform. Doubled midranks make BOTH sums exact integers "
+    "(Σ2r = n(n+1) identically, so the denominator collapses "
+    "algebraically); exact Bartels variance; shared A-S Φ",
+)
+def bartels_rank_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.series import bartels_rank
+
+    ev = load_events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    daily = daily.select(
+        F.datediff(F.col("d"), F.lit("2023-12-31").cast("date")).alias(
+            "t"
+        ),
+        "y",
+    )
+    return bartels_rank(daily, "t", "y")
+
+
+@_q(
+    "newey_west_daily",
+    """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2023-12-31', CAST(ts AS DATE))
+               AS t,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1),
+    leads AS (
+      SELECT y,
+             LEAD(y, 1) OVER (ORDER BY t) AS y1,
+             LEAD(y, 2) OVER (ORDER BY t) AS y2,
+             LEAD(y, 3) OVER (ORDER BY t) AS y3
+      FROM daily),
+    ag AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(y::HUGEINT) AS s, SUM(y::HUGEINT * y) AS q,
+             CAST(SUM(CASE WHEN y1 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS m1,
+             SUM(CASE WHEN y1 IS NOT NULL THEN y::HUGEINT * y1 END)
+               AS xy1,
+             SUM(CASE WHEN y1 IS NOT NULL THEN y::HUGEINT END) AS sa1,
+             SUM(CASE WHEN y1 IS NOT NULL THEN y1::HUGEINT END) AS sb1,
+             CAST(SUM(CASE WHEN y2 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS m2,
+             SUM(CASE WHEN y2 IS NOT NULL THEN y::HUGEINT * y2 END)
+               AS xy2,
+             SUM(CASE WHEN y2 IS NOT NULL THEN y::HUGEINT END) AS sa2,
+             SUM(CASE WHEN y2 IS NOT NULL THEN y2::HUGEINT END) AS sb2,
+             CAST(SUM(CASE WHEN y3 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS m3,
+             SUM(CASE WHEN y3 IS NOT NULL THEN y::HUGEINT * y3 END)
+               AS xy3,
+             SUM(CASE WHEN y3 IS NOT NULL THEN y::HUGEINT END) AS sa3,
+             SUM(CASE WHEN y3 IS NOT NULL THEN y3::HUGEINT END) AS sb3
+      FROM leads),
+    d AS (
+      SELECT n, CAST(n AS DOUBLE) AS nd,
+             CAST(CAST(s AS VARCHAR) AS DOUBLE) AS s,
+             CAST(CAST(q AS VARCHAR) AS DOUBLE) AS q,
+             CAST(m1 AS DOUBLE) AS m1,
+             COALESCE(CAST(CAST(xy1 AS VARCHAR) AS DOUBLE), 0.0) AS xy1,
+             COALESCE(CAST(CAST(sa1 AS VARCHAR) AS DOUBLE), 0.0) AS sa1,
+             COALESCE(CAST(CAST(sb1 AS VARCHAR) AS DOUBLE), 0.0) AS sb1,
+             CAST(m2 AS DOUBLE) AS m2,
+             COALESCE(CAST(CAST(xy2 AS VARCHAR) AS DOUBLE), 0.0) AS xy2,
+             COALESCE(CAST(CAST(sa2 AS VARCHAR) AS DOUBLE), 0.0) AS sa2,
+             COALESCE(CAST(CAST(sb2 AS VARCHAR) AS DOUBLE), 0.0) AS sb2,
+             CAST(m3 AS DOUBLE) AS m3,
+             COALESCE(CAST(CAST(xy3 AS VARCHAR) AS DOUBLE), 0.0) AS xy3,
+             COALESCE(CAST(CAST(sa3 AS VARCHAR) AS DOUBLE), 0.0) AS sa3,
+             COALESCE(CAST(CAST(sb3 AS VARCHAR) AS DOUBLE), 0.0) AS sb3
+      FROM ag),
+    g AS (
+      SELECT n, nd, s / nd AS mu, q, s,
+             (q - nd * (s / nd) * (s / nd)) / nd AS g0,
+             m1, xy1, sa1, sb1, m2, xy2, sa2, sb2, m3, xy3, sa3, sb3
+      FROM d),
+    lrv_t AS (
+      SELECT n, nd, mu, g0,
+             g0
+             + 2.0 * 0.75 * ((xy1 - mu * (sa1 + sb1) + m1 * mu * mu)
+                             / nd)
+             + 2.0 * 0.5 * ((xy2 - mu * (sa2 + sb2) + m2 * mu * mu)
+                            / nd)
+             + 2.0 * 0.25 * ((xy3 - mu * (sa3 + sb3) + m3 * mu * mu)
+                             / nd) AS lrv
+      FROM g),
+    se AS (
+      SELECT n, mu, g0, lrv,
+             SQRT(g0 * nd / (nd - 1.0) / nd) AS se_iid,
+             SQRT(lrv / nd) AS se_nw
+      FROM lrv_t)
+    SELECT n,
+           ROUND(CASE WHEN n >= 1 THEN mu / 100.0 END, 6) AS mean,
+           ROUND(CASE WHEN n >= 5 AND g0 > 0.0 THEN se_iid / 100.0
+                 END, 6) AS se_iid,
+           ROUND(CASE WHEN n >= 5 AND g0 > 0.0 AND lrv > 0.0
+                 THEN se_nw / 100.0 END, 6) AS se_nw,
+           ROUND(CASE WHEN n >= 5 AND g0 > 0.0 AND lrv > 0.0
+                 THEN se_nw / se_iid END, 6) AS inflation
+    FROM se
+    """,
+    doc="Newey-West (Bartlett, L=3) HAC standard error of the "
+    "daily mean value (operators/series.py:newey_west_mean) — the "
+    "AUTOCORRELATION-ROBUST inference rung next to "
+    "durbin_watson_daily / ljung_box_daily (which DETECT serial "
+    "correlation but don't repair the overconfident iid s/√n): "
+    "inflation = se_nw/se_iid is 'how many times too tight your "
+    "confidence interval was'. ONE window (leads 1..3) + ONE exact "
+    "DECIMAL(38,0) moment aggregate on the calendar frame",
+)
+def newey_west_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.series import newey_west_mean
+
+    ev = load_events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    daily = daily.select(
+        F.datediff(F.col("d"), F.lit("2023-12-31").cast("date")).alias(
+            "t"
+        ),
+        "y",
+    )
+    return newey_west_mean(daily, "t", "y", max_lag=3, scale=100)

@@ -10733,3 +10733,383 @@ def icc_oneway_paired(
         F.round(F.when(F.col("n") >= 1, msw), 6).alias("msw"),
         F.round(F.when(ok, (msb - msw) / (msb + msw)), 6).alias("icc"),
     )
+
+
+def van_der_waerden(
+    df: DataFrame,
+    value_col: str,
+    class_col: str,
+    scale: int = 100,
+    lane: str = "single",
+) -> DataFrame:
+    """Van der Waerden k-sample normal-scores test — the
+    NORMAL-SCORES rung of the k-sample family next to
+    kruskal_wallis (raw ranks) and welch_anova (raw means): ranks
+    map through Φ⁻¹(r/(N+1)) before the ANOVA fold, which restores
+    full Pitman efficiency against normal alternatives (ARE = 1
+    where Kruskal-Wallis pays ~0.955) while keeping rank
+    robustness. T = Σ_j A_j²/n_j / s² with A_j the per-class score
+    sums and s² = Σ t_v·s_v²/(N−1); T ~ χ²(k−1) (no p — the
+    incomplete-gamma contract). Ties take midranks (every member of
+    a tied block shares one score).
+
+    Exactness: midranks ride the exact 2x-integer prefix discipline
+    on the DISTINCT pooled frame; scores are the shared Acklam Φ⁻¹
+    (operators/util.py:norm_ppf — same closed formula both engines);
+    per-class folds are double sums over the cell-bounded frame.
+
+    Plan at scale: one (class, value) cell aggregate, one prefix
+    pass over distinct pooled values (``lane='single'`` guarded /
+    ``'two_pass'`` partitioned / ``'auto'``), a broadcast join of
+    the value-score frame back onto cells, one k-row reduce.
+
+    Returns one row: (n BIGINT, k BIGINT, dof BIGINT, t_stat).
+    """
+    from .util import norm_ppf
+
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(class_col).isNotNull()
+    ).select(
+        F.col(class_col).alias("__c"),
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+    )
+    cells = base.groupBy("__c", "__v").agg(F.count("*").alias("__f"))
+    per_v = cells.groupBy("__v").agg(F.sum("__f").alias("__tv"))
+    if lane == "auto":
+        n_distinct = per_v.count()
+        lane = "two_pass" if n_distinct > TWO_PASS_MIN_ROWS else "single"
+    tot = per_v.agg(
+        F.sum("__tv").cast("long").alias("__n"),
+        F.count("*").cast("long").alias("n_values"),
+    )
+    if lane == "two_pass":
+        rv = two_pass_prefix(per_v, "__v", ["__tv"]).select(
+            "__v",
+            "__tv",
+            (F.col("__cum___tv") - F.col("__tv")).alias("__cum"),
+        )
+    else:
+        per_v = guard_distinct_frame(per_v, "van_der_waerden")
+        w = Window.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        rv = per_v.select(
+            "__v",
+            "__tv",
+            F.coalesce(F.sum("__tv").over(w), F.lit(0)).alias("__cum"),
+        )
+    scored = rv.crossJoin(F.broadcast(tot)).select(
+        "__v",
+        "__tv",
+        "n_values",
+        "__n",
+        norm_ppf(
+            (
+                F.col("__cum").cast("double")
+                + (F.col("__tv").cast("double") + 1.0) / 2.0
+            )
+            / (F.col("__n").cast("double") + 1.0)
+        ).alias("__s"),
+    )
+    svar = scored.agg(
+        F.max("__n").cast("long").alias("n"),
+        F.max("n_values").cast("long").alias("n_values"),
+        F.sum(F.col("__tv").cast("double") * F.col("__s") * F.col("__s"))
+        .alias("__ss2"),
+    )
+    per_class = (
+        cells.join(
+            F.broadcast(scored.select("__v", "__s")), "__v"
+        )
+        .groupBy("__c")
+        .agg(
+            F.sum("__f").cast("long").alias("__nj"),
+            F.sum(F.col("__f").cast("double") * F.col("__s")).alias(
+                "__aj"
+            ),
+        )
+    )
+    kagg = per_class.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(
+            F.col("__aj")
+            * F.col("__aj")
+            / F.col("__nj").cast("double")
+        ).alias("__num"),
+    )
+    out = svar.crossJoin(F.broadcast(kagg))
+    n = F.col("n").cast("double")
+    s2 = F.col("__ss2") / (n - 1.0)
+    ok = (F.col("n") >= 2) & (F.col("k") >= 2) & (s2 > 0.0)
+    return out.select(
+        "n",
+        "k",
+        F.when(F.col("k") >= 1, F.col("k") - 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dof"),
+        F.round(F.when(ok, F.col("__num") / s2), 6).alias("t_stat"),
+    )
+
+
+def fligner_killeen(
+    df: DataFrame,
+    value_col: str,
+    class_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Fligner-Killeen scale-homogeneity test (median-centered
+    normal scores) — the ROBUST-STANDARD rung of the k-sample scale
+    family next to bartlett (normal-theory, outlier-fragile),
+    brown_forsythe (median-centered F) and ansari_bradley
+    (two-sample ranks): each observation centers on ITS GROUP's
+    median, pooled |deviations| rank, and the ranks map through
+    a = Φ⁻¹(1/2 + r/(2(N+1))); X² = Σ n_j(Ā_j − ā)²/V ~ χ²(k−1).
+    The median-centering is what keeps the test level under heavy
+    tails where Bartlett collapses.
+
+    Conventions: group median = the LOWER median (smallest v with
+    2·cum_incl ≥ n_j) — an actual sample value, exact in integer
+    cents, mirrored verbatim in the oracle; ties in |d| take
+    midranks.
+
+    Exactness: medians and |v − med| are exact integers off the
+    (class, value) cell frame; midranks ride the 2x-integer prefix
+    discipline; scores are the shared Acklam Φ⁻¹.
+
+    Plan at scale: one (class, value) cell aggregate, per-class
+    PARTITIONED prefix windows for the medians (parallel, never a
+    global sort), one pooled distinct-|d| aggregate + guarded
+    prefix, a broadcast score join, one k-row reduce.
+
+    Returns one row: (n BIGINT, k BIGINT, dof BIGINT, x2).
+    """
+    from .util import norm_ppf
+
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(class_col).isNotNull()
+    ).select(
+        F.col(class_col).alias("__c"),
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+    )
+    cells = base.groupBy("__c", "__v").agg(F.count("*").alias("__f"))
+    wc = (
+        Window.partitionBy("__c")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("__c")
+    cum = cells.select(
+        "__c",
+        "__v",
+        "__f",
+        F.sum("__f").over(wc).alias("__ci"),
+        F.sum("__f").over(wn).alias("__nj"),
+    )
+    med = (
+        cum.filter(2 * F.col("__ci") >= F.col("__nj"))
+        .groupBy("__c")
+        .agg(F.min("__v").alias("__med"))
+    )
+    dev = (
+        cells.join(F.broadcast(med), "__c")
+        .select(
+            "__c",
+            F.abs(F.col("__v") - F.col("__med")).alias("__d"),
+            "__f",
+        )
+    )
+    per_d = dev.groupBy("__d").agg(F.sum("__f").alias("__td"))
+    tot = per_d.agg(
+        F.sum("__td").cast("long").alias("__n"),
+        F.count("*").cast("long").alias("n_values"),
+    )
+    per_d = guard_distinct_frame(per_d, "fligner_killeen")
+    wd = Window.orderBy("__d").rowsBetween(Window.unboundedPreceding, -1)
+    rd = per_d.select(
+        "__d",
+        "__td",
+        F.coalesce(F.sum("__td").over(wd), F.lit(0)).alias("__cum"),
+    )
+    scored = rd.crossJoin(F.broadcast(tot)).select(
+        "__d",
+        "__td",
+        "__n",
+        "n_values",
+        norm_ppf(
+            0.5
+            + (
+                F.col("__cum").cast("double")
+                + (F.col("__td").cast("double") + 1.0) / 2.0
+            )
+            / (2.0 * (F.col("__n").cast("double") + 1.0))
+        ).alias("__a"),
+    )
+    glob = scored.agg(
+        F.max("__n").cast("long").alias("n"),
+        F.max("n_values").cast("long").alias("n_values"),
+        F.sum(F.col("__td").cast("double") * F.col("__a")).alias("__sa"),
+        F.sum(
+            F.col("__td").cast("double") * F.col("__a") * F.col("__a")
+        ).alias("__sa2"),
+    )
+    per_class = (
+        dev.join(F.broadcast(scored.select("__d", "__a")), "__d")
+        .groupBy("__c")
+        .agg(
+            F.sum("__f").cast("long").alias("__nj"),
+            F.sum(F.col("__f").cast("double") * F.col("__a")).alias(
+                "__aj"
+            ),
+        )
+    )
+    kagg = per_class.crossJoin(
+        F.broadcast(glob.select(F.col("n").alias("__nn"), "__sa"))
+    ).agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(
+            F.col("__nj").cast("double")
+            * (
+                F.col("__aj") / F.col("__nj").cast("double")
+                - F.col("__sa") / F.col("__nn").cast("double")
+            )
+            * (
+                F.col("__aj") / F.col("__nj").cast("double")
+                - F.col("__sa") / F.col("__nn").cast("double")
+            )
+        ).alias("__num"),
+    )
+    out = glob.crossJoin(F.broadcast(kagg))
+    n = F.col("n").cast("double")
+    abar = F.col("__sa") / n
+    v_ = (F.col("__sa2") - n * abar * abar) / (n - 1.0)
+    ok = (F.col("n") >= 2) & (F.col("k") >= 2) & (v_ > 0.0)
+    return out.select(
+        "n",
+        "k",
+        F.when(F.col("k") >= 1, F.col("k") - 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dof"),
+        F.round(F.when(ok, F.col("__num") / v_), 6).alias("x2"),
+    )
+
+
+def shapiro_francia(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 100,
+    lane: str = "single",
+) -> DataFrame:
+    """Shapiro-Francia normality statistic W′ — the ORDER-STATISTIC
+    CORRELATION rung of the normality family next to jarque_bera /
+    dagostino_k2 (moment-based), ad_normal (CDF integral) and
+    lilliefors (max gap): W′ = corr²(x_(k), m_k) between the sorted
+    sample and the Blom normal scores m_k = Φ⁻¹((k − 3/8)/(n + ¼)) —
+    "how straight is the QQ plot", the statistic whose departures
+    directly picture as QQ curvature, and the large-n-consistent
+    simplification of Shapiro-Wilk (Royston 1993 recommends W′ for
+    n > 5000 where W's coefficients are impractical anyway).
+
+    Exactness: x-moments (Σx, Σx²) are exact DECIMAL(38,0) cents off
+    the distinct frame; per-order-statistic scores ride the shared
+    Acklam Φ⁻¹ and the same chunked map-side k-explode as
+    bws_two_sample (one row per order statistic — the scan's own
+    cardinality, never a pair blowup); the x·m cross-moment is a
+    double fold of exact-integer × closed-form-score products.
+
+    Plan at scale: one (value) cell aggregate, one prefix pass
+    (``lane`` = single guarded / two_pass / auto), the chunked
+    explode, ONE map-side-combined moment aggregate. Ties share the
+    distinct value across consecutive k — W′ is then computed on
+    the tied data as-is (the QQ plot with flat steps), the
+    documented convention.
+
+    Returns one row: (n BIGINT, n_values BIGINT, w_stat).
+    """
+    from .util import norm_ppf
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v")
+    )
+    per_v = base.groupBy("__v").agg(F.count("*").alias("__t"))
+    if lane == "auto":
+        n_distinct = per_v.count()
+        lane = "two_pass" if n_distinct > TWO_PASS_MIN_ROWS else "single"
+    tot = per_v.agg(
+        F.sum("__t").cast("long").alias("__n"),
+        F.count("*").cast("long").alias("n_values"),
+    )
+    if lane == "two_pass":
+        cum = (
+            two_pass_prefix(per_v, "__v", ["__t"])
+            .select(
+                "__v",
+                "__t",
+                (F.col("__cum___t") - F.col("__t")).alias("__c"),
+            )
+            .crossJoin(F.broadcast(tot))
+        )
+    else:
+        per_v = guard_distinct_frame(per_v, "shapiro_francia")
+        w = Window.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        cum = per_v.select(
+            "__v",
+            "__t",
+            F.coalesce(F.sum("__t").over(w), F.lit(0)).alias("__c"),
+        ).crossJoin(F.broadcast(tot))
+    chunk = F.lit(BWS_EXPLODE_CHUNK)
+    chunked = cum.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                ((F.col("__t") - 1) / chunk).cast("long"),
+            )
+        ).alias("__ch"),
+    )
+    lo = F.col("__c") + 1 + F.col("__ch") * chunk
+    hi = F.least(F.col("__c") + F.col("__t"), lo + chunk - 1)
+    ks = chunked.select(
+        "__v",
+        "__n",
+        "n_values",
+        F.explode(F.sequence(lo.cast("long"), hi.cast("long"))).alias(
+            "__k"
+        ),
+    )
+    m = norm_ppf(
+        (F.col("__k").cast("double") - 0.375)
+        / (F.col("__n").cast("double") + 0.25)
+    )
+    x = F.col("__v").cast("double")
+    agg = ks.agg(
+        F.max("__n").cast("long").alias("n"),
+        F.max("n_values").cast("long").alias("n_values"),
+        F.sum(dec(F.col("__v"))).cast("decimal(38,0)").alias("__sx"),
+        F.sum((dec(F.col("__v")) * dec(F.col("__v"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__sxx"),
+        F.sum(m).alias("__sm"),
+        F.sum(m * m).alias("__smm"),
+        F.sum(x * m).alias("__sxm"),
+    )
+
+    def dbl(name):
+        return F.col(name).cast("string").cast("double")
+
+    n = F.col("n").cast("double")
+    cxm = F.col("__sxm") - dbl("__sx") * F.col("__sm") / n
+    cxx = dbl("__sxx") - dbl("__sx") * dbl("__sx") / n
+    cmm = F.col("__smm") - F.col("__sm") * F.col("__sm") / n
+    ok = (F.col("n") >= 5) & (cxx > 0.0) & (cmm > 0.0)
+    return agg.select(
+        "n",
+        "n_values",
+        F.round(F.when(ok, cxm * cxm / (cxx * cmm)), 6).alias(
+            "w_stat"
+        ),
+    )

@@ -4492,3 +4492,186 @@ def cusum_squares(
             ).alias("at_t"),
         )
     )
+
+
+def bartels_rank(
+    daily: DataFrame,
+    t_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Bartels' rank version of von Neumann's ratio (Bartels 1982) —
+    the RANK-SERIAL-CORRELATION rung of the randomness family next
+    to runs_test_daily (signs vs median), turning_points (local
+    extrema) and ljung_box (parametric autocorrelation): RVN =
+    Σ(r_t − r_{t+1})² / Σ(r_t − r̄)² over the series' midranks; ≈ 2
+    under randomness, small under trend/positive serial dependence,
+    large under alternation — with full robustness to any monotone
+    transform of the values. z = (RVN − 2)/σ with the exact
+    Var(RVN) = 4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²); two-sided p via
+    the shared A-S Φ.
+
+    Exactness: doubled midranks 2r = 2·cnt_less + cnt_eq + 1 are
+    exact integers; Σ2r = n(n+1) identically, so the centered
+    denominator collapses to Σ(2r)² − n(n+1)² — BOTH sums are exact
+    integer folds (the common factor 4 cancels in the ratio) and
+    RVN is ONE double division.
+
+    Plan at scale: the input is an already-aggregated calendar-grain
+    frame (the ewma/granger discipline) — two bounded windows (rank
+    over value order, lead over time order) + one reduce.
+
+    Returns one row: (n BIGINT, rvn, z, p).
+    """
+    from ..operators.util import norm_cdf
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = daily.select(
+        F.col(t_col).cast("long").alias("__t"),
+        F.col(y_col).cast("long").alias("__y"),
+    ).filter(F.col("__y").isNotNull())
+    wv = Window.orderBy("__y")
+    we = Window.partitionBy("__y")
+    ranked = base.select(
+        "__t",
+        # 2x midrank: rank() = cnt_less + 1, so
+        # 2r = 2·cnt_less + cnt_eq + 1 = 2·rank + cnt_eq − 1
+        (2 * F.rank().over(wv) + F.count("*").over(we) - 1).alias(
+            "__r2"
+        ),
+    )
+    wt = Window.orderBy("__t")
+    seq = ranked.select(
+        "__r2", F.lead("__r2").over(wt).alias("__r2n")
+    )
+    diff = F.col("__r2") - F.col("__r2n")
+    agg = seq.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("__r2n").isNotNull(), dec(diff) * dec(diff)))
+        .cast("decimal(38,0)")
+        .alias("__num4"),
+        F.sum((dec(F.col("__r2")) * dec(F.col("__r2"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__sq4"),
+    )
+
+    def dbl(name):
+        return F.col(name).cast("string").cast("double")
+
+    n = F.col("n").cast("double")
+    den4 = dbl("__sq4") - n * (n + 1.0) * (n + 1.0)
+    rvn = dbl("__num4") / den4
+    var = (
+        4.0
+        * (n - 2.0)
+        * (5.0 * n * n - 2.0 * n - 9.0)
+        / (5.0 * n * (n + 1.0) * (n - 1.0) * (n - 1.0))
+    )
+    z = (rvn - 2.0) / F.sqrt(var)
+    ok = (F.col("n") >= 3) & (den4 > 0.0)
+    okv = ok & (var > 0.0)
+    return agg.select(
+        "n",
+        F.round(F.when(ok, rvn), 6).alias("rvn"),
+        F.round(F.when(okv, z), 6).alias("z"),
+        F.round(F.when(okv, 2.0 * norm_cdf(-F.abs(z))), 6).alias("p"),
+    )
+
+
+def newey_west_mean(
+    daily: DataFrame,
+    t_col: str,
+    y_col: str,
+    max_lag: int = 3,
+    scale: int = 100,
+) -> DataFrame:
+    """HAC (Newey-West, Bartlett kernel) standard error of a series
+    mean — the AUTOCORRELATION-ROBUST inference rung next to
+    durbin_watson / ljung_box (which DETECT serial correlation but
+    don't fix the resulting overconfidence): with positive
+    autocorrelation the iid s/√n understates the mean's true
+    sampling error; the long-run variance γ₀ + 2Σ_{l≤L}(1 − l/(L+1))γ_l
+    repairs it. The reported inflation = se_nw/se_iid is "how many
+    times too tight your iid confidence interval was".
+
+    Exactness: the series is integer cents; every lagged cross
+    moment Σ y_t·y_{t+l} and the lag-pair marginal sums ride exact
+    DECIMAL(38,0) folds off ONE window projection (leads 1..L);
+    γ_l = (S_xy,l − ȳ(S_a,l + S_b,l) + m_l·ȳ²)/n composes in doubles
+    on the 1-row frame (population 1/n normalization, the standard
+    HAC convention; ȳ is the FULL-sample mean).
+
+    Plan at scale: calendar-grain input frame, one bounded window
+    producing L lead columns, ONE moment aggregate.
+
+    Returns one row: (n BIGINT, mean, se_iid, se_nw, inflation) in
+    value units (descaled once at the end).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = daily.select(
+        F.col(t_col).cast("long").alias("__t"),
+        F.col(y_col).cast("long").alias("__y"),
+    ).filter(F.col("__y").isNotNull())
+    wt = Window.orderBy("__t")
+    leads = base.select(
+        "__y",
+        *[
+            F.lead("__y", lag).over(wt).alias(f"__y{lag}")
+            for lag in range(1, max_lag + 1)
+        ],
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec(F.col("__y"))).cast("decimal(38,0)").alias("__s"),
+        F.sum((dec(F.col("__y")) * dec(F.col("__y"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__q"),
+    ]
+    for lag in range(1, max_lag + 1):
+        yl = F.col(f"__y{lag}")
+        ok = yl.isNotNull()
+        aggs += [
+            F.sum(F.when(ok, 1).otherwise(0))
+            .cast("long")
+            .alias(f"__m{lag}"),
+            F.sum(F.when(ok, (dec(F.col("__y")) * dec(yl)).cast("decimal(38,0)")))
+            .cast("decimal(38,0)")
+            .alias(f"__xy{lag}"),
+            F.sum(F.when(ok, dec(F.col("__y"))))
+            .cast("decimal(38,0)")
+            .alias(f"__sa{lag}"),
+            F.sum(F.when(ok, dec(yl)))
+            .cast("decimal(38,0)")
+            .alias(f"__sb{lag}"),
+        ]
+    agg = leads.agg(*aggs)
+
+    def dbl(name):
+        return F.coalesce(
+            F.col(name).cast("string").cast("double"), F.lit(0.0)
+        )
+
+    n = F.col("n").cast("double")
+    mu = dbl("__s") / n
+    g0 = (dbl("__q") - n * mu * mu) / n
+    lrv = g0
+    for lag in range(1, max_lag + 1):
+        ml = F.col(f"__m{lag}").cast("double")
+        gl = (
+            dbl(f"__xy{lag}")
+            - mu * (dbl(f"__sa{lag}") + dbl(f"__sb{lag}"))
+            + ml * mu * mu
+        ) / n
+        w_l = 1.0 - float(lag) / (max_lag + 1.0)
+        lrv = lrv + 2.0 * w_l * gl
+    se_iid = F.sqrt(g0 * n / (n - 1.0) / n)
+    se_nw = F.sqrt(lrv / n)
+    ok = (F.col("n") >= max_lag + 2) & (g0 > 0.0)
+    oknw = ok & (lrv > 0.0)
+    sc = float(scale)
+    return agg.select(
+        "n",
+        F.round(F.when(F.col("n") >= 1, mu / sc), 6).alias("mean"),
+        F.round(F.when(ok, se_iid / sc), 6).alias("se_iid"),
+        F.round(F.when(oknw, se_nw / sc), 6).alias("se_nw"),
+        F.round(F.when(oknw, se_nw / se_iid), 6).alias("inflation"),
+    )

@@ -117,3 +117,142 @@ NORM_CDF_SQL = """
                       * 1.330274429)))))
      END)
 """
+
+
+def norm_ppf(p):
+    """Inverse standard normal CDF Φ⁻¹(p) as a Column expression, via
+    Peter Acklam's piecewise rational approximation (|relative error|
+    < 1.15e-9 over (0, 1) — far below the repo's round-6 grain).
+
+    Same rationale as ``norm_cdf``: neither engine exposes a
+    deterministic probit builtin, and the normal-scores family (van
+    der Waerden, Fligner-Killeen, Shapiro-Francia's Blom scores)
+    needs the SAME Φ⁻¹ on both engines — a shared closed formula
+    evaluates to bit-near-identical doubles everywhere (the only
+    engine-variant terms are ln/sqrt, ≤ 1 ulp each, ~7 orders below
+    the approximation's own error). The oracle twin is
+    ``NORM_PPF_SQL``; keep the two in lockstep. Callers guarantee
+    p ∈ (0, 1) — rank-derived arguments r/(N+1) are by construction.
+    """
+    from pyspark.sql import functions as F
+
+    def central(pp):
+        q = pp - 0.5
+        r = q * q
+        num = (
+            (
+                (
+                    (
+                        (-3.969683028665376e01 * r + 2.209460984245205e02)
+                        * r
+                        - 2.759285104469687e02
+                    )
+                    * r
+                    + 1.383577518672690e02
+                )
+                * r
+                - 3.066479806614716e01
+            )
+            * r
+            + 2.506628277459239e00
+        ) * q
+        den = (
+            (
+                (
+                    (
+                        (-5.447609879822406e01 * r + 1.615858368580409e02)
+                        * r
+                        - 1.556989798598866e02
+                    )
+                    * r
+                    + 6.680131188771972e01
+                )
+                * r
+                - 1.328068155288572e01
+            )
+            * r
+            + 1.0
+        )
+        return num / den
+
+    def tail(q):
+        num = (
+            (
+                (
+                    (
+                        (-7.784894002430293e-03 * q - 3.223964580411365e-01)
+                        * q
+                        - 2.400758277161838e00
+                    )
+                    * q
+                    - 2.549732539343734e00
+                )
+                * q
+                + 4.374664141464968e00
+            )
+            * q
+            + 2.938163982698783e00
+        )
+        den = (
+            (
+                (
+                    (7.784695709041462e-03 * q + 3.224671290700398e-01) * q
+                    + 2.445134137142996e00
+                )
+                * q
+                + 3.754408661907416e00
+            )
+            * q
+            + 1.0
+        )
+        return num / den
+
+    lo = tail(F.sqrt(-2.0 * F.log(p)))
+    hi = -tail(F.sqrt(-2.0 * F.log(1.0 - p)))
+    # branch literals match the SQL twin verbatim (0.97575 as a
+    # LITERAL, not 1 − 0.02425 — the two differ by an ulp, and branch
+    # parity beats algebraic elegance; outputs at the seam agree to
+    # ~1e-9 either way)
+    return (
+        F.when(p < 0.02425, lo)
+        .when(p > 0.97575, hi)
+        .otherwise(central(p))
+    )
+
+
+def _ppf_tail_sql(q: str) -> str:
+    return (
+        f"((((((-0.007784894002430293 * ({q}) - 0.3223964580411365)"
+        f" * ({q}) - 2.400758277161838) * ({q}) - 2.549732539343734)"
+        f" * ({q}) + 4.374664141464968) * ({q}) + 2.938163982698783)"
+        f" / ((((0.007784695709041462 * ({q}) + 0.3224671290700398)"
+        f" * ({q}) + 2.445134137142996) * ({q}) + 3.754408661907416)"
+        f" * ({q}) + 1.0))"
+    )
+
+
+def _ppf_central_sql(p: str) -> str:
+    q = f"(({p}) - 0.5)"
+    r = f"({q} * {q})"
+    return (
+        f"(((((((-39.69683028665376 * {r} + 220.9460984245205)"
+        f" * {r} - 275.9285104469687) * {r} + 138.357751867269)"
+        f" * {r} - 30.66479806614716) * {r} + 2.506628277459239)"
+        f" * {q})"
+        f" / (((((-54.47609879822406 * {r} + 161.5858368580409)"
+        f" * {r} - 155.6989798598866) * {r} + 66.80131188771972)"
+        f" * {r} - 13.28068155288572) * {r} + 1.0))"
+    )
+
+
+def norm_ppf_sql(p: str) -> str:
+    """DuckDB twin of ``norm_ppf`` — same Acklam algebra, same
+    constants, applied to a column expression ``p`` (pass a simple
+    column name; the expression is substituted many times)."""
+    lo_q = f"SQRT(-2.0 * LN({p}))"
+    hi_q = f"SQRT(-2.0 * LN(1.0 - ({p})))"
+    return (
+        f"(CASE WHEN ({p}) < 0.02425 THEN {_ppf_tail_sql(lo_q)}"
+        f" WHEN ({p}) > 0.97575 THEN -{_ppf_tail_sql(hi_q)}"
+        f" ELSE {_ppf_central_sql(p)} END)"
+    )

@@ -1108,6 +1108,49 @@ def main() -> int:
         "fact-sized shuffle) and the D-sums fold map-side",
     )
 
+    # -- bws k-explode boundedness (round-13 wave 2) -----------------------
+    # BWS explodes the reduced distinct frame back to ONE row per order
+    # statistic — n rows, the scan's own cardinality, produced MAP-SIDE
+    # straight into a partial 1-row sum. The dominant exchange must
+    # therefore stay the (value) cell partial-agg exchange (partition-
+    # cells records, like mann_whitney), NOT the exploded n rows: a
+    # shuffled explode (or a pair-style blowup) would push the dominant
+    # stage ~rows/cells-fold past the prediction.
+    from reddit_etl_spark.operators.relational import bws_two_sample
+
+    BWS_PARTS = 32
+    bws_rows = 2_000_000
+    bws_frame = (
+        spark.range(bws_rows)
+        .select(
+            ((F.xxhash64("id") % 10_000) / 100.0).alias("v"),
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("c"),
+        )
+        .repartition(BWS_PARTS)
+        .localCheckpoint(eager=True)
+    )
+    pred_bws = (
+        bws_frame.select(
+            F.spark_partition_id().alias("p"),
+            F.round(F.col("v") * 100, 0).cast("long").alias("q"),
+        )
+        .distinct()
+        .count()
+    )
+    record(
+        "bws_explode_bounded",
+        predicted=pred_bws,
+        fn=lambda: bws_two_sample(
+            bws_frame, "v", "c", "a", scale=100
+        ).collect(),
+        note=f"{bws_rows} rows over ~10k distinct cents: the chunked "
+        f"two-level sequence explode emits all {bws_rows} order "
+        f"statistics map-side into a partial sum, so the dominant "
+        f"exchange stays the (value) cell partial-agg "
+        f"({pred_bws} partition-cell records) — an exploded-rows "
+        "shuffle would be ~200x the prediction",
+    )
+
     out = {
         "sf_dir": sf_dir,
         "times": times,
