@@ -32,10 +32,24 @@ def test_recorded_head_exactly_cap_and_contains_rotation():
     # attestations, displaced one-for-one from the END by the r13
     # registrations.
     new_r13 = [
+        # wave 1
         "lilliefors_values", "kuiper_click_error_hours",
         "hoeffding_d_lineitem", "blomqvist_beta_lineitem",
         "sign_test_user_halves", "breslow_day_priority",
         "tvd_value_drift", "feature_screen_orders",
+        # wave 2
+        "wilson_ci_events", "dagostino_k2_values",
+        "granger_lag1_daily", "chow_break_daily",
+        "ww_runs_click_error", "bws_click_error",
+        "embedding_centroid_labels",
+        # wave 3
+        "g_test_status_priority", "icc_user_halves",
+        "cusum_squares_daily", "spiegelhalter_z_events",
+        "cronbach_doc_rules", "group_kfold_users",
+        # wave 4 (the norm_ppf normal-scores family)
+        "vdw_event_values", "fligner_killeen_types",
+        "shapiro_francia_values", "bartels_rank_daily",
+        "newey_west_daily",
     ]
     assert head[: len(new_r13)] == new_r13
     assert head[len(new_r13)] == "deming_part_price"
