@@ -10773,7 +10773,12 @@ def van_der_waerden(
         F.col(class_col).alias("__c"),
         F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
     )
-    cells = base.groupBy("__c", "__v").agg(F.count("*").alias("__f"))
+    # two consumers (the pooled per-value rollup and the per-class
+    # fold) would each re-scan the fact — pin the cell-bounded frame
+    # once (the shingle_arrays lazy-checkpoint discipline)
+    cells = base.groupBy("__c", "__v").agg(
+        F.count("*").alias("__f")
+    ).localCheckpoint(eager=False)
     per_v = cells.groupBy("__v").agg(F.sum("__f").alias("__tv"))
     if lane == "auto":
         n_distinct = per_v.count()
@@ -10810,7 +10815,10 @@ def van_der_waerden(
             )
             / (F.col("__n").cast("double") + 1.0)
         ).alias("__s"),
-    )
+    # two consumers (the variance fold and the per-class score join)
+    # would each re-run the guarded prefix window — pin the
+    # distinct-value score frame once
+    ).localCheckpoint(eager=False)
     svar = scored.agg(
         F.max("__n").cast("long").alias("n"),
         F.max("n_values").cast("long").alias("n_values"),
@@ -10892,7 +10900,12 @@ def fligner_killeen(
         F.col(class_col).alias("__c"),
         F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
     )
-    cells = base.groupBy("__c", "__v").agg(F.count("*").alias("__f"))
+    # three consumers (the median windows, the deviation melt and the
+    # per-class fold) would each re-scan the fact — pin the
+    # cell-bounded frame once
+    cells = base.groupBy("__c", "__v").agg(
+        F.count("*").alias("__f")
+    ).localCheckpoint(eager=False)
     wc = (
         Window.partitionBy("__c")
         .orderBy("__v")
@@ -10944,7 +10957,11 @@ def fligner_killeen(
             )
             / (2.0 * (F.col("__n").cast("double") + 1.0))
         ).alias("__a"),
-    )
+    # two consumers (the global score moments and the per-class score
+    # join) would each re-run the guarded prefix window AND the
+    # per-class median windows upstream — pin the deviation-score
+    # frame once
+    ).localCheckpoint(eager=False)
     glob = scored.agg(
         F.max("__n").cast("long").alias("n"),
         F.max("n_values").cast("long").alias("n_values"),
