@@ -1231,7 +1231,7 @@ def youden_threshold(
     empty.
     """
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    from .scale_lanes import guard_distinct_frame
+    from .scale_lanes import guard_rows_or_raise
 
     y = F.col(label_col).cast("boolean").cast("long")
     base = df.filter(
@@ -1244,7 +1244,9 @@ def youden_threshold(
         F.sum("__y").alias("__tp"),
         F.sum(F.lit(1) - F.col("__y")).alias("__tn"),
     )
-    per_v = guard_distinct_frame(per_v, "youden_threshold")
+    # merged guard (round-13 opt): the totals crossJoin doubles as the
+    # fail-fast — one pass over the distinct score frame instead of
+    # guard_distinct_frame's second count aggregate + second broadcast
     w = (
         Window.orderBy(F.col("__v").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -1252,12 +1254,19 @@ def youden_threshold(
     tot = per_v.agg(
         F.sum("__tp").cast("long").alias("__np"),
         F.sum("__tn").cast("long").alias("__nn"),
+        F.count(F.lit(1)).alias("__fr"),
     )
-    run = per_v.select(
-        "__v",
-        F.sum("__tp").over(w).alias("__cp"),
-        F.sum("__tn").over(w).alias("__cn"),
-    ).crossJoin(F.broadcast(tot))
+    run = (
+        per_v.crossJoin(F.broadcast(tot))
+        .filter(guard_rows_or_raise(F.col("__fr"), "youden_threshold"))
+        .select(
+            "__v",
+            F.sum("__tp").over(w).alias("__cp"),
+            F.sum("__tn").over(w).alias("__cn"),
+            "__np",
+            "__nn",
+        )
+    )
     # exact integer J numerator: cpos*N_neg - cneg*N_pos
     jnum = (
         dec(F.col("__cp")) * dec(F.col("__nn"))

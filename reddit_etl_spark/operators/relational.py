@@ -25,6 +25,7 @@ from .scale_lanes import (
     PAIR_LANE_MAX_GROUP_ROWS,
     TWO_PASS_MIN_ROWS,
     guard_distinct_frame,
+    guard_rows_or_raise,
     two_pass_prefix,
 )
 
@@ -4456,9 +4457,10 @@ def lorenz_deciles(
             )
         ),
     )
-    # fail-fast before the single-task distinct-frame sort (judge r10
-    # #1 — the EXACT_RANK_MAX_ROWS convention, scale_lanes.py)
-    per_v = guard_distinct_frame(per_v, "lorenz_deciles")
+    # merged guard (round-13 opt): the totals aggregate counts the
+    # distinct frame too, and ONE broadcast crossJoin below the window
+    # serves both the shares and the fail-fast (replaces
+    # guard_distinct_frame's second count pass + second broadcast)
     wcum = Window.orderBy("__v").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -4467,12 +4469,19 @@ def lorenz_deciles(
         F.sum(dec(F.col("__v")) * dec(F.col("__t")))
         .cast("decimal(38,0)")
         .alias("__total"),
+        F.count(F.lit(1)).alias("__fr"),
     )
-    cum = per_v.select(
-        "__v",
-        "__t",
-        F.coalesce(F.sum("__t").over(wcum), F.lit(0)).alias("__c"),
-    ).crossJoin(F.broadcast(tot))
+    cum = (
+        per_v.crossJoin(F.broadcast(tot))
+        .filter(guard_rows_or_raise(F.col("__fr"), "lorenz_deciles"))
+        .select(
+            "__v",
+            "__t",
+            F.coalesce(F.sum("__t").over(wcum), F.lit(0)).alias("__c"),
+            "__n",
+            "__total",
+        )
+    )
     d10 = cum.select(
         "__v",
         "__t",
@@ -4590,19 +4599,30 @@ def anderson_darling_two_sample(
             .crossJoin(F.broadcast(tot))
         )
     else:
-        # fail-fast before the single-task distinct-frame sort (judge
-        # r10 #1 — the EXACT_RANK_MAX_ROWS convention, scale_lanes.py)
-        per_v = guard_distinct_frame(per_v, "anderson_darling_two_sample")
+        # merged guard (round-13 opt): tot already counts the distinct
+        # frame (n_values) — one totals crossJoin below the window
+        # serves both the moments and the fail-fast
         w = Window.orderBy("__v").rowsBetween(
             Window.unboundedPreceding, -1
         )
-        cum = per_v.select(
-            "__v",
-            "__fa",
-            "__l",
-            F.coalesce(F.sum("__fa").over(w), F.lit(0)).alias("__cfa"),
-            F.coalesce(F.sum("__l").over(w), F.lit(0)).alias("__cl"),
-        ).crossJoin(F.broadcast(tot))
+        cum = (
+            per_v.crossJoin(F.broadcast(tot))
+            .filter(
+                guard_rows_or_raise(
+                    F.col("n_values"), "anderson_darling_two_sample"
+                )
+            )
+            .select(
+                "__v",
+                "__fa",
+                "__l",
+                F.coalesce(F.sum("__fa").over(w), F.lit(0)).alias("__cfa"),
+                F.coalesce(F.sum("__l").over(w), F.lit(0)).alias("__cl"),
+                "__na",
+                "__n",
+                "n_values",
+            )
+        )
     n = F.col("__n")
     na = F.col("__na")
     nb = n - na
@@ -4697,6 +4717,18 @@ def dunn_test(
     if lane == "auto":
         n_distinct = per_v.count()
         lane = "two_pass" if n_distinct > TWO_PASS_MIN_ROWS else "single"
+    glob = per_v.agg(
+        F.sum("__tv").cast("long").alias("__nn"),
+        F.sum(
+            (dec(F.col("__tv")) * dec(F.col("__tv")) * dec(F.col("__tv")))
+            .cast("decimal(38,0)")
+            - dec(F.col("__tv"))
+        )
+        .cast("decimal(38,0)")
+        .alias("__t3t"),
+        # distinct-frame row count for the merged guard (round-13 opt)
+        F.count(F.lit(1)).alias("__fr"),
+    )
     if lane == "two_pass":
         rv = two_pass_prefix(per_v, "__v", ["__tv"]).select(
             "__v",
@@ -4704,14 +4736,19 @@ def dunn_test(
             (F.col("__cum___tv") - F.col("__tv")).alias("__cum"),
         )
     else:
-        per_v = guard_distinct_frame(per_v, "dunn_test")
+        # merged guard: the glob totals crossJoin doubles as the
+        # fail-fast — one pass over the distinct frame instead of two
         w = Window.orderBy("__v").rowsBetween(
             Window.unboundedPreceding, -1
         )
-        rv = per_v.select(
-            "__v",
-            "__tv",
-            F.coalesce(F.sum("__tv").over(w), F.lit(0)).alias("__cum"),
+        rv = (
+            per_v.crossJoin(F.broadcast(glob))
+            .filter(guard_rows_or_raise(F.col("__fr"), "dunn_test"))
+            .select(
+                "__v",
+                "__tv",
+                F.coalesce(F.sum("__tv").over(w), F.lit(0)).alias("__cum"),
+            )
         )
     rv = rv.select(
         "__v",
@@ -4727,16 +4764,6 @@ def dunn_test(
             .cast("decimal(38,0)")
             .alias("__r2sum"),
         )
-    )
-    glob = per_v.agg(
-        F.sum("__tv").cast("long").alias("__nn"),
-        F.sum(
-            (dec(F.col("__tv")) * dec(F.col("__tv")) * dec(F.col("__tv")))
-            .cast("decimal(38,0)")
-            - dec(F.col("__tv"))
-        )
-        .cast("decimal(38,0)")
-        .alias("__t3t"),
     )
 
     def dbl(c):
@@ -5881,7 +5908,11 @@ def moods_median(
     if lane == "auto":
         n_distinct = per_v.count()
         lane = "two_pass" if n_distinct > TWO_PASS_MIN_ROWS else "single"
-    tot = per_v.agg(F.sum("__t").cast("long").alias("__n"))
+    tot = per_v.agg(
+        F.sum("__t").cast("long").alias("__n"),
+        # distinct-frame row count for the merged guard (round-13 opt)
+        F.count(F.lit(1)).alias("__fr"),
+    )
     if lane == "two_pass":
         run = (
             two_pass_prefix(per_v, "__v", ["__t"])
@@ -5889,13 +5920,18 @@ def moods_median(
             .crossJoin(F.broadcast(tot))
         )
     else:
-        per_v = guard_distinct_frame(per_v, "moods_median")
+        # merged guard: the totals crossJoin doubles as the fail-fast
+        # (one pass over the distinct frame instead of two)
         w = Window.orderBy("__v").rowsBetween(
             Window.unboundedPreceding, 0
         )
-        run = per_v.select(
-            "__v", F.sum("__t").over(w).alias("__cum")
-        ).crossJoin(F.broadcast(tot))
+        run = (
+            per_v.crossJoin(F.broadcast(tot))
+            .filter(guard_rows_or_raise(F.col("__fr"), "moods_median"))
+            .select(
+                "__v", F.sum("__t").over(w).alias("__cum"), "__n"
+            )
+        )
     med = run.filter(
         F.col("__cum") >= F.floor((F.col("__n") + 1) / 2)
     ).agg(F.min("__v").alias("__med"))
@@ -5997,6 +6033,11 @@ def wasserstein_distance(
     tot = per_v.agg(
         F.sum("__fa").cast("long").alias("__na"),
         F.sum("__fb").cast("long").alias("__nb"),
+        # distinct-frame row count for the merged guard (round-13
+        # opt): one totals pass serves both the moments and the
+        # fail-fast, replacing guard_distinct_frame's second count
+        # aggregate + second broadcast
+        F.count(F.lit(1)).alias("__fr"),
     )
     if lane == "two_pass":
         pre = two_pass_prefix(per_v, "__v", ["__fa", "__fb"])
@@ -6007,15 +6048,22 @@ def wasserstein_distance(
             F.col("__next").alias("__vn"),
         ).crossJoin(F.broadcast(tot))
     else:
-        per_v = guard_distinct_frame(per_v, "wasserstein_distance")
         w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
         wl = Window.orderBy("__v")
-        run = per_v.select(
-            "__v",
-            F.sum("__fa").over(w).alias("__ca"),
-            F.sum("__fb").over(w).alias("__cb"),
-            F.lead("__v").over(wl).alias("__vn"),
-        ).crossJoin(F.broadcast(tot))
+        run = (
+            per_v.crossJoin(F.broadcast(tot))
+            .filter(
+                guard_rows_or_raise(F.col("__fr"), "wasserstein_distance")
+            )
+            .select(
+                "__v",
+                F.sum("__fa").over(w).alias("__ca"),
+                F.sum("__fb").over(w).alias("__cb"),
+                F.lead("__v").over(wl).alias("__vn"),
+                "__na",
+                "__nb",
+            )
+        )
     num = F.abs(
         dec(F.col("__ca")) * dec(F.col("__nb"))
         - dec(F.col("__cb")) * dec(F.col("__na"))
@@ -6098,6 +6146,8 @@ def ansari_bradley(
     tot = per_v.agg(
         F.sum("__t").cast("long").alias("__n"),
         F.sum("__fa").cast("long").alias("__na"),
+        # distinct-frame row count for the merged guard (round-13 opt)
+        F.count(F.lit(1)).alias("__fr"),
     )
     if lane == "two_pass":
         run = (
@@ -6111,16 +6161,27 @@ def ansari_bradley(
             .crossJoin(F.broadcast(tot))
         )
     else:
-        per_v = guard_distinct_frame(per_v, "ansari_bradley")
+        # merged guard: one totals crossJoin serves both the moments
+        # and the fail-fast (replaces guard_distinct_frame's second
+        # count pass + second broadcast); the raise still fires
+        # map-side before the single-partition window sort
         w = Window.orderBy("__v").rowsBetween(
             Window.unboundedPreceding, -1
         )
-        run = per_v.select(
-            "__v",
-            "__t",
-            "__fa",
-            F.coalesce(F.sum("__t").over(w), F.lit(0)).alias("__c"),
-        ).crossJoin(F.broadcast(tot))
+        run = (
+            per_v.crossJoin(F.broadcast(tot))
+            .filter(
+                guard_rows_or_raise(F.col("__fr"), "ansari_bradley")
+            )
+            .select(
+                "__v",
+                "__t",
+                "__fa",
+                F.coalesce(F.sum("__t").over(w), F.lit(0)).alias("__c"),
+                "__n",
+                "__na",
+            )
+        )
     lo = F.col("__c") + 1
     hi = F.col("__c") + F.col("__t")
     m = F.col("__n") + 1
@@ -6782,28 +6843,44 @@ def ks_exponential_fit(
     )
     pos = base.filter(F.col("__v") > 0)
     per_v = pos.groupBy(*keys, "__v").agg(F.count("*").alias("__t"))
-    per_v = guard_distinct_frame(
-        per_v, "ks_exponential_fit", partition_cols=tuple(keys)
+    # round-13 opt: the totals used to re-aggregate POS — a second
+    # full fact pass; they fold over the reduced per_v frame instead
+    # (Σv = Σ v·t, exact DECIMAL either way), and the per-group
+    # count(*) doubles as the merged guard, so guard_distinct_frame's
+    # separate count aggregate + broadcast go too. The broadcast join
+    # + guard filter sit BELOW the window, so the per-group sort
+    # still never executes on a contract-violating frame.
+    tot = per_v.groupBy(*keys).agg(
+        F.sum("__t").cast("long").alias("__n"),
+        F.sum((dec(F.col("__v")) * dec(F.col("__t"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__s"),
+        F.count(F.lit(1)).alias("__fr"),
     )
     w = (
         (Window.partitionBy(*keys) if keys else Window)
         .orderBy("__v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    tot = pos.groupBy(*keys).agg(
-        F.count("*").cast("long").alias("__n"),
-        F.sum(dec(F.col("__v"))).cast("decimal(38,0)").alias("__s"),
+    joined = (
+        per_v.join(F.broadcast(tot), keys)
+        if keys
+        else per_v.crossJoin(F.broadcast(tot))
     )
-    run = per_v.select(
+    what = (
+        f"largest {tuple(keys)} group of the distinct-value frame"
+        if keys
+        else "distinct-value frame"
+    )
+    run = joined.filter(
+        guard_rows_or_raise(F.col("__fr"), "ks_exponential_fit", what=what)
+    ).select(
         *keys,
         "__v",
         "__t",
         F.sum("__t").over(w).alias("__cum"),
-    )
-    run = (
-        run.join(F.broadcast(tot), keys)
-        if keys
-        else run.crossJoin(F.broadcast(tot))
+        "__n",
+        "__s",
     )
     n = F.col("__n").cast("double")
     lam = n / (F.col("__s").cast("string").cast("double") / F.lit(float(scale)))
@@ -8903,20 +8980,29 @@ def palma_ratio(
         F.round(F.col(value_col) * scale, 0).cast("long").alias("__v")
     )
     per_v = base.groupBy("__v").agg(F.count("*").alias("__t"))
-    per_v = guard_distinct_frame(per_v, "palma_ratio")
+    # round-13 opt: tot used to aggregate the POST-window frame, so
+    # the broadcast build re-ran the single-task window; it only needs
+    # per_v columns — fold it over per_v, count the frame for the
+    # merged guard, and ride ONE crossJoin below the window.
     w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
-    cells = per_v.select(
-        "__v",
-        "__t",
-        F.coalesce(F.sum("__t").over(w), F.lit(0)).alias("__c"),
-    )
-    tot = cells.agg(
+    tot = per_v.agg(
         F.sum("__t").cast("long").alias("__n"),
         F.sum(dec(F.col("__t")) * dec(F.col("__v")))
         .cast("decimal(38,0)")
         .alias("__y"),
+        F.count(F.lit(1)).alias("__fr"),
     )
-    j = cells.crossJoin(F.broadcast(tot))
+    j = (
+        per_v.crossJoin(F.broadcast(tot))
+        .filter(guard_rows_or_raise(F.col("__fr"), "palma_ratio"))
+        .select(
+            "__v",
+            "__t",
+            F.coalesce(F.sum("__t").over(w), F.lit(0)).alias("__c"),
+            "__n",
+            "__y",
+        )
+    )
     k40 = F.floor(F.col("__n") * 0.4).cast("long")
     k10 = F.floor(F.col("__n") * 0.1).cast("long")
     # bottom-k: rows with prefix index < k40 (cell-partial exact)
@@ -9460,20 +9546,38 @@ def ad_normal(
         F.round(F.col(value_col) * scale, 0).cast("long").alias("__v")
     )
     per_v = base.groupBy("__v").agg(F.count("*").alias("__t"))
-    per_v = guard_distinct_frame(per_v, "ad_normal")
-    mom = base.agg(
-        F.count("*").cast("long").alias("__n"),
-        F.sum(dec(F.col("__v"))).cast("decimal(38,0)").alias("__s"),
-        F.sum((dec(F.col("__v")) * dec(F.col("__v"))).cast("decimal(38,0)"))
+    # round-13 opt: the moments used to re-aggregate BASE — a second
+    # full fact pass. Folding them over the reduced per_v frame
+    # (Σv = Σ v·t, Σv² = Σ v²·t — exact DECIMAL(38,0) either way)
+    # removes that pass, and count(*) doubles as the merged guard so
+    # guard_distinct_frame's own count aggregate + broadcast go too.
+    mom = per_v.agg(
+        F.sum("__t").cast("long").alias("__n"),
+        F.sum((dec(F.col("__v")) * dec(F.col("__t"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__s"),
+        F.sum(
+            (
+                dec(F.col("__v")) * dec(F.col("__v")) * dec(F.col("__t"))
+            ).cast("decimal(38,0)")
+        )
         .cast("decimal(38,0)")
         .alias("__q"),
+        F.count(F.lit(1)).alias("__fr"),
     )
     w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
-    cells = per_v.select(
-        "__v",
-        "__t",
-        F.coalesce(F.sum("__t").over(w), F.lit(0)).alias("__c"),
-    ).crossJoin(F.broadcast(mom))
+    cells = (
+        per_v.crossJoin(F.broadcast(mom))
+        .filter(guard_rows_or_raise(F.col("__fr"), "ad_normal"))
+        .select(
+            "__v",
+            "__t",
+            F.coalesce(F.sum("__t").over(w), F.lit(0)).alias("__c"),
+            "__n",
+            "__s",
+            "__q",
+        )
+    )
 
     def dbl(c):
         return F.col(c).cast("string").cast("double")
@@ -9544,20 +9648,36 @@ def lilliefors_normal(
         F.round(F.col(value_col) * scale, 0).cast("long").alias("__v")
     )
     per_v = base.groupBy("__v").agg(F.count("*").alias("__t"))
-    per_v = guard_distinct_frame(per_v, "lilliefors_normal")
-    mom = base.agg(
-        F.count("*").cast("long").alias("__n"),
-        F.sum(dec(F.col("__v"))).cast("decimal(38,0)").alias("__s"),
-        F.sum((dec(F.col("__v")) * dec(F.col("__v"))).cast("decimal(38,0)"))
+    # round-13 opt (the ad_normal treatment): moments fold over the
+    # reduced per_v frame instead of a second full fact pass (exact
+    # DECIMAL either way); count(*) doubles as the merged guard.
+    mom = per_v.agg(
+        F.sum("__t").cast("long").alias("__n"),
+        F.sum((dec(F.col("__v")) * dec(F.col("__t"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__s"),
+        F.sum(
+            (
+                dec(F.col("__v")) * dec(F.col("__v")) * dec(F.col("__t"))
+            ).cast("decimal(38,0)")
+        )
         .cast("decimal(38,0)")
         .alias("__q"),
+        F.count(F.lit(1)).alias("__fr"),
     )
     w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
-    cells = per_v.select(
-        "__v",
-        "__t",
-        F.coalesce(F.sum("__t").over(w), F.lit(0)).alias("__c"),
-    ).crossJoin(F.broadcast(mom))
+    cells = (
+        per_v.crossJoin(F.broadcast(mom))
+        .filter(guard_rows_or_raise(F.col("__fr"), "lilliefors_normal"))
+        .select(
+            "__v",
+            "__t",
+            F.coalesce(F.sum("__t").over(w), F.lit(0)).alias("__c"),
+            "__n",
+            "__s",
+            "__q",
+        )
+    )
 
     def dbl(c):
         return F.col(c).cast("string").cast("double")
@@ -9628,16 +9748,25 @@ def kuiper_two_sample(
         F.sum("__a").alias("__ca"),
         F.sum(F.lit(1) - F.col("__a")).alias("__cb"),
     )
-    per_v = guard_distinct_frame(per_v, "kuiper_two_sample")
     w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
     tot = per_v.agg(
         F.sum("__ca").cast("long").alias("__na"),
         F.sum("__cb").cast("long").alias("__nb"),
+        # distinct-frame row count for the merged guard (round-13 opt)
+        F.count(F.lit(1)).alias("__fr"),
     )
-    run = per_v.select(
-        F.sum("__ca").over(w).alias("__cca"),
-        F.sum("__cb").over(w).alias("__ccb"),
-    ).crossJoin(F.broadcast(tot))
+    # merged guard: one totals crossJoin serves both the moments and
+    # the fail-fast (one pass over the distinct frame instead of two)
+    run = (
+        per_v.crossJoin(F.broadcast(tot))
+        .filter(guard_rows_or_raise(F.col("__fr"), "kuiper_two_sample"))
+        .select(
+            F.sum("__ca").over(w).alias("__cca"),
+            F.sum("__cb").over(w).alias("__ccb"),
+            "__na",
+            "__nb",
+        )
+    )
     dpn = (
         dec(F.col("__cca")) * dec(F.col("__nb"))
         - dec(F.col("__ccb")) * dec(F.col("__na"))
@@ -10473,17 +10602,30 @@ def bws_two_sample(
             .crossJoin(F.broadcast(tot))
         )
     else:
-        per_v = guard_distinct_frame(per_v, "bws_two_sample")
+        # merged guard (round-13 opt): tot already counts the distinct
+        # frame (n_values) — ride ONE broadcast crossJoin below the
+        # window instead of guard_distinct_frame's second count pass +
+        # second broadcast; the raise still fires map-side before the
+        # single-partition window sort
         w = Window.orderBy("__v").rowsBetween(
             Window.unboundedPreceding, -1
         )
-        cum = per_v.select(
-            "__v",
-            "__ca",
-            "__l",
-            F.coalesce(F.sum("__ca").over(w), F.lit(0)).alias("__cfa"),
-            F.coalesce(F.sum("__l").over(w), F.lit(0)).alias("__cfl"),
-        ).crossJoin(F.broadcast(tot))
+        cum = (
+            per_v.crossJoin(F.broadcast(tot))
+            .filter(
+                guard_rows_or_raise(F.col("n_values"), "bws_two_sample")
+            )
+            .select(
+                "__v",
+                "__ca",
+                "__l",
+                F.coalesce(F.sum("__ca").over(w), F.lit(0)).alias("__cfa"),
+                F.coalesce(F.sum("__l").over(w), F.lit(0)).alias("__cfl"),
+                "__na",
+                "__n",
+                "n_values",
+            )
+        )
     # melt each value block into its (side, cnt, cum_own, n_own,
     # n_other) pair; 2R = 2·cfl + t + 1 is side-independent
     two_r = (F.lit(2) * F.col("__cfl") + F.col("__l") + F.lit(1)).alias(
@@ -10788,22 +10930,36 @@ def van_der_waerden(
         F.count("*").cast("long").alias("n_values"),
     )
     if lane == "two_pass":
-        rv = two_pass_prefix(per_v, "__v", ["__tv"]).select(
-            "__v",
-            "__tv",
-            (F.col("__cum___tv") - F.col("__tv")).alias("__cum"),
+        rv = (
+            two_pass_prefix(per_v, "__v", ["__tv"])
+            .select(
+                "__v",
+                "__tv",
+                (F.col("__cum___tv") - F.col("__tv")).alias("__cum"),
+            )
+            .crossJoin(F.broadcast(tot))
         )
     else:
-        per_v = guard_distinct_frame(per_v, "van_der_waerden")
+        # merged guard (round-13 opt): tot already counts the distinct
+        # frame (n_values) — one totals crossJoin below the window
+        # serves both the scores and the fail-fast
         w = Window.orderBy("__v").rowsBetween(
             Window.unboundedPreceding, -1
         )
-        rv = per_v.select(
-            "__v",
-            "__tv",
-            F.coalesce(F.sum("__tv").over(w), F.lit(0)).alias("__cum"),
+        rv = (
+            per_v.crossJoin(F.broadcast(tot))
+            .filter(
+                guard_rows_or_raise(F.col("n_values"), "van_der_waerden")
+            )
+            .select(
+                "__v",
+                "__tv",
+                F.coalesce(F.sum("__tv").over(w), F.lit(0)).alias("__cum"),
+                "__n",
+                "n_values",
+            )
         )
-    scored = rv.crossJoin(F.broadcast(tot)).select(
+    scored = rv.select(
         "__v",
         "__tv",
         "n_values",
@@ -10937,14 +11093,22 @@ def fligner_killeen(
         F.sum("__td").cast("long").alias("__n"),
         F.count("*").cast("long").alias("n_values"),
     )
-    per_d = guard_distinct_frame(per_d, "fligner_killeen")
+    # merged guard (round-13 opt): tot already counts the distinct
+    # deviation frame (n_values) — one totals crossJoin below the
+    # window serves both the scores and the fail-fast
     wd = Window.orderBy("__d").rowsBetween(Window.unboundedPreceding, -1)
-    rd = per_d.select(
-        "__d",
-        "__td",
-        F.coalesce(F.sum("__td").over(wd), F.lit(0)).alias("__cum"),
+    rd = (
+        per_d.crossJoin(F.broadcast(tot))
+        .filter(guard_rows_or_raise(F.col("n_values"), "fligner_killeen"))
+        .select(
+            "__d",
+            "__td",
+            F.coalesce(F.sum("__td").over(wd), F.lit(0)).alias("__cum"),
+            "__n",
+            "n_values",
+        )
     )
-    scored = rd.crossJoin(F.broadcast(tot)).select(
+    scored = rd.select(
         "__d",
         "__td",
         "__n",
@@ -11069,15 +11233,25 @@ def shapiro_francia(
             .crossJoin(F.broadcast(tot))
         )
     else:
-        per_v = guard_distinct_frame(per_v, "shapiro_francia")
+        # merged guard (round-13 opt): tot already counts the distinct
+        # frame (n_values) — one totals crossJoin serves both the
+        # moments and the fail-fast
         w = Window.orderBy("__v").rowsBetween(
             Window.unboundedPreceding, -1
         )
-        cum = per_v.select(
-            "__v",
-            "__t",
-            F.coalesce(F.sum("__t").over(w), F.lit(0)).alias("__c"),
-        ).crossJoin(F.broadcast(tot))
+        cum = (
+            per_v.crossJoin(F.broadcast(tot))
+            .filter(
+                guard_rows_or_raise(F.col("n_values"), "shapiro_francia")
+            )
+            .select(
+                "__v",
+                "__t",
+                F.coalesce(F.sum("__t").over(w), F.lit(0)).alias("__c"),
+                "__n",
+                "n_values",
+            )
+        )
     chunk = F.lit(BWS_EXPLODE_CHUNK)
     chunked = cum.select(
         "*",

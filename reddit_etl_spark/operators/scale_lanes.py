@@ -96,6 +96,48 @@ PAIR_LANE_MAX_GROUP_ROWS = 10_000
 NDV_SKETCH_RSD = 0.02
 
 
+def guard_rows_or_raise(rows_col, op, what="distinct-value frame", limit=None):
+    """Filter-CONDITION form of ``guard_distinct_frame`` for operators
+    that already carry the frame's row count on every row — i.e. whose
+    own 1-row totals aggregate (crossJoined broadcast) includes a
+    ``count(*)`` over the distinct frame. Returns a Column that is
+    TRUE below the limit and ``raise_error``s past it, with the same
+    message/remedies as ``guard_distinct_frame``.
+
+    Round-13 optimization: the separate guard count aggregate +
+    broadcast was a SECOND pass over the reduced frame (and 2-3 extra
+    AQE stages per query on the bench) duplicating a count the
+    operator's totals frame already computes. Merging the guard into
+    the existing totals crossJoin keeps the fail-fast property — the
+    filter still evaluates map-side, below the single-partition window
+    exchange, so the pathological sort never executes — at zero extra
+    passes. The limit is read at call time so tests can shrink
+    ``EXACT_RANK_MAX_ROWS`` to exercise the refusal."""
+    from pyspark.sql import functions as F
+
+    if limit is None:
+        limit = EXACT_RANK_MAX_ROWS
+    return F.when(
+        F.coalesce(rows_col, F.lit(0)) <= F.lit(limit), F.lit(True)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{op}: exact rank lane sorts the {what} in one "
+                    f"window task; got "
+                ),
+                rows_col.cast("string"),
+                F.lit(
+                    f" rows > EXACT_RANK_MAX_ROWS={limit} "
+                    "(operators/scale_lanes.py) — coarsen `scale`, "
+                    "pre-aggregate the value column, or use the "
+                    "partitioned two_pass_prefix lane"
+                ),
+            )
+        )
+    )
+
+
 def guard_distinct_frame(frame, op, partition_cols=(), limit=None):
     """Fail-fast guard for the exact DISTINCT-VALUE prefix-window lane
     (mann_whitney / lorenz / AD2 / dunn / yuen / hill / winsorized —
