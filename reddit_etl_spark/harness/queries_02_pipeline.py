@@ -433,8 +433,13 @@ def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pr", punct_count_col("text") / F.length("text"))
         .filter((F.col("tc") >= 20) & (F.col("pr") <= 0.1))
     )
-    survivors = exact_dedup(kept, "doc_id", ["text"]).join(
-        kept.select("doc_id", "tc"), "doc_id"
+    # round-13 opt (guide §2.3/§2.4): tc is constant within a content
+    # group (whitespace-insensitive token count of identical
+    # normalized text — the oracle itself takes MIN(tc) per group), so
+    # it rides the dedup aggregate instead of a second corpus scan
+    # (the quality regexes ran twice) + an id-keyed join back.
+    survivors = exact_dedup(
+        kept, "doc_id", ["text"], extra_aggs=[F.min("tc").alias("tc")]
     )
     return survivors.agg(
         F.count("*").alias("docs_kept"),
@@ -1783,36 +1788,46 @@ def tpch_q18_large_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q21_waiting_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
-    # ONE flagged pair aggregation expresses both subquery branches
-    # (lall and its R-filtered subset)
-    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(
-            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-        ).alias("__has_r")
+    # Round-13 optimization (guide §2.4/§3): the SEMI + ANTI self-join
+    # chain re-keyed the dedup'd pair set on l_orderkey three times —
+    # 4 fact-derived shuffles total. The EXISTS/NOT-EXISTS pair is a
+    # per-order aggregate in disguise: 'another supplier touched this
+    # order' == n_supp(order) >= 2, 'no OTHER supplier was late on
+    # it' == n_r_supp(order) == 1 (the candidate row itself is the
+    # one). Repartition the 3-column fact projection by l_orderkey
+    # ONCE; the pair dedup (subset-key clustering), the per-order
+    # window counts, and the qualifying filter all ride that single
+    # exchange — zero further fact shuffles. Prior shape measured
+    # 23 AQE stages / ~11 MB dominant-stage shuffle at sf0.1; the
+    # rewrite shuffles the raw projection once (TPC-H pairs are
+    # ~distinct per lineitem row, so the lost map-side pair dedup
+    # costs ~nothing; a heavily pair-duplicated fact would want the
+    # groupBy-first shape back).
+    w = Window.partitionBy("l_orderkey")
+    pairs = (
+        li.select("l_orderkey", "l_suppkey", "l_returnflag")
+        .repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("__has_r")
+        )
     )
-    lall = pairs.select("l_orderkey", "l_suppkey")
-    l1 = pairs.filter(F.col("__has_r") == 1).select(
-        "l_orderkey", "l_suppkey"
-    )
-    # SHUFFLE_HASH on the inner sides: broadcasting a fact-derived
-    # pair set is the local-mode default here but impossible at
-    # 100 TB; hashed shuffle joins co-partition all three branches on
-    # l_orderkey — measured ~35% faster than the broadcast plan at
-    # sf0.1 AND the only shape that survives scale
-    l2 = lall.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
-    ).hint("shuffle_hash")
-    l3 = l1.select(
-        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
-    ).hint("shuffle_hash")
-    cand = l1.join(
-        l2,
-        (l1["l_orderkey"] == l2["o2"]) & (l1["l_suppkey"] != l2["s2"]),
-        "left_semi",
-    ).join(
-        l3,
-        (l1["l_orderkey"] == l3["o3"]) & (l1["l_suppkey"] != l3["s3"]),
-        "left_anti",
+    cand = (
+        pairs.select(
+            "l_orderkey",
+            "l_suppkey",
+            "__has_r",
+            F.count("*").over(w).alias("__n_supp"),
+            F.sum("__has_r").over(w).alias("__n_r"),
+        )
+        .filter(
+            (F.col("__has_r") == 1)
+            & (F.col("__n_supp") >= 2)
+            & (F.col("__n_r") == 1)
+        )
+        .select("l_orderkey", "l_suppkey")
     )
     return (
         cand.join(F.broadcast(s), cand["l_suppkey"] == s["s_suppkey"])

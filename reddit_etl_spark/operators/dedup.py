@@ -76,7 +76,14 @@ def shingles_col(text: Column | str, n: int = 3) -> Column:
     shingle (so they can still match exact copies of themselves).
     """
     t = F.col(text) if isinstance(text, str) else text
-    toks = F.split(normalize_text_col(t), " ")
+    # tokenize with ONE regex split instead of normalize_text_col's
+    # regexp_replace(\s+->" ") + split(" ") (round-13 opt, guide §1.2
+    # per-task work): identical token lists — split(\s+) on the
+    # trimmed lowercase text yields exactly the tokens of the
+    # collapsed form — without materializing a second copy of the
+    # corpus for the replace pass. normalize_text_col itself is
+    # untouched (fingerprints/content keys depend on its string).
+    toks = F.split(F.trim(F.lower(t)), r"\s+")
     k = F.size(toks)
     windows = F.transform(
         F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
@@ -90,6 +97,7 @@ def exact_dedup(
     id_col: str,
     content_cols: list[str],
     normalize: bool = True,
+    extra_aggs: "list | None" = None,
 ) -> DataFrame:
     """Exact dedup: one survivor (min id) per distinct content.
 
@@ -103,21 +111,35 @@ def exact_dedup(
     agree on what counts as the same content.
 
     Returns (id_col, dup_count) — survivors with their group size.
+    ``extra_aggs`` (round-13 opt): additional ALIASED aggregate
+    Columns evaluated per content group and appended to the output —
+    lets a caller carry group-constant attributes (e.g. a token count
+    computed from the deduped content) through the dedup in the SAME
+    pass instead of re-scanning the corpus and joining back by id.
     """
     key = content_key_col(content_cols, normalize)
-    keyed = df.select(
-        F.col(id_col),
-        key.getField("h64").alias("__h64"),
-        key.getField("h128").alias("__h128"),
-    )
-    return (
-        keyed.groupBy("__h64", "__h128")
-        .agg(
-            F.min(id_col).alias(id_col),
-            F.count("*").alias("dup_count"),
+    extra_aggs = list(extra_aggs or [])
+    if extra_aggs:
+        # keep the caller's columns visible to the extra aggregates;
+        # Catalyst prunes the unreferenced ones below the aggregate,
+        # so the shuffle still carries only id + hashes + agg inputs
+        keyed = df.select(
+            "*",
+            key.getField("h64").alias("__h64"),
+            key.getField("h128").alias("__h128"),
         )
-        .select(id_col, "dup_count")
+    else:
+        keyed = df.select(
+            F.col(id_col),
+            key.getField("h64").alias("__h64"),
+            key.getField("h128").alias("__h128"),
+        )
+    out = keyed.groupBy("__h64", "__h128").agg(
+        F.min(id_col).alias(id_col),
+        F.count("*").alias("dup_count"),
+        *extra_aggs,
     )
+    return out.drop("__h64", "__h128")
 
 
 def hashed_shingles_col(text_col: Column | str, n: int) -> Column:
@@ -630,46 +652,60 @@ def _banded_signatures(
     )
 
     def _sign_and_band(batches):
-        # One kernel per Arrow batch: concatenate every doc's shingle
-        # hashes, compute the full (total_shingles x num_hashes)
-        # Carter-Wegman matrix once, segment-min back to per-doc
-        # signatures with reduceat, then fold bands. Only (id, band,
-        # bh) rows go back over Arrow: the shuffle payload is
-        # independent of document size.
-        for pdf in batches:
-            # NULL text reaches here as a None array (normalize/split
-            # of NULL is NULL): treat as zero shingles and drop via the
-            # existing empty-doc filter — one NULL row must not kill a
-            # 100 TB signature job (matches exact_dedup's tolerance)
-            arrs = [
-                np.asarray(hs if hs is not None else [], dtype=np.int64)
-                for hs in pdf["__th"]
-            ]
-            lens = np.array([len(x) for x in arrs])
+        # One kernel per Arrow batch (round-13 optimization, guide
+        # §4.2): the shingle lists arrive as ONE contiguous Arrow
+        # values buffer + offsets, so flattening is zero-copy —
+        # replacing the old mapInPandas path's per-document
+        # list->ndarray Python loop (a per-row conversion that
+        # dominated small-doc batches). The permutation matrix is
+        # then mixed PER BAND (total_shingles x r) instead of all
+        # num_hashes columns at once: identical values, but the
+        # working set drops num_hashes/r-fold (128->4 columns), so
+        # the six in-place SplitMix64 passes run out of cache
+        # instead of DRAM. Only (id, band, bh) rows go back over
+        # Arrow: the shuffle payload stays independent of document
+        # size. NULL text reaches here as a NULL list (normalize/
+        # split of NULL is NULL): zero shingles, dropped — one NULL
+        # row must not kill a 100 TB signature job.
+        import pyarrow as pa  # noqa: PLC0415
+        import pyarrow.compute as pc  # noqa: PLC0415
+
+        band_ids = np.arange(bands, dtype=np.int64)
+        for batch in batches:
+            col = batch.column(1)  # __th list<long>
+            lens = pc.list_value_length(col).to_numpy(
+                zero_copy_only=False
+            )
+            lens = np.nan_to_num(lens, copy=False).astype(np.int64)
             keep = lens > 0
-            arrs = [x for x, k in zip(arrs, keep) if k]
-            if not arrs:
+            if not keep.any():
                 continue
-            ids = np.asarray(pdf["__mid"])[keep]
-            lens = lens[keep]
-            h = np.concatenate(arrs).view(np.uint64)
-            m = _splitmix64(h[:, None] ^ seeds[None, :])
-            offsets = np.zeros(len(lens), dtype=np.int64)
-            np.cumsum(lens[:-1], out=offsets[1:])
-            sig = np.minimum.reduceat(m, offsets, axis=0)  # (docs, H)
-            folded = sig.reshape(len(lens), bands, r)
-            bh = np.zeros((len(lens), bands), dtype=np.uint64)
-            for j in range(r):
-                bh = bh * band_mult + folded[:, :, j]  # wrapping ok
-            yield pd.DataFrame(
-                {
-                    "__mid": np.repeat(ids, bands),
-                    "band": np.tile(np.arange(bands, dtype=np.int64), len(lens)),
-                    "bh": bh.ravel().view(np.int64),
-                }
+            flat = pc.list_flatten(col)  # skips NULL slots
+            h = flat.to_numpy(zero_copy_only=False).view(np.uint64)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            offsets = starts[keep]
+            ids = batch.column(0).to_numpy(zero_copy_only=False)[keep]
+            n_docs = int(keep.sum())
+            bh = np.zeros((n_docs, bands), dtype=np.uint64)
+            for b_idx in range(bands):
+                ss = seeds[b_idx * r : (b_idx + 1) * r]
+                m = _splitmix64(h[:, None] ^ ss[None, :])  # (S, r)
+                sig = np.minimum.reduceat(m, offsets, axis=0)
+                acc = bh[:, b_idx]
+                for j in range(r):
+                    acc *= band_mult
+                    acc += sig[:, j]  # wrapping ok
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids, bands)),
+                    pa.array(np.tile(band_ids, n_docs)),
+                    pa.array(bh.ravel().view(np.int64)),
+                ],
+                names=["__mid", "band", "bh"],
             )
 
-    return hashed.mapInPandas(_sign_and_band, schema=band_schema)
+    return hashed.mapInArrow(_sign_and_band, schema=band_schema)
 
 
 _SIMHASH_SCHEMA = StructType(

@@ -119,19 +119,26 @@ def _empty_pairs(df: DataFrame, id_col: str, a: str, b: str, sim: str) -> DataFr
     )
 
 
-def sign_buckets_udf(planes: np.ndarray):
+def sign_buckets_udf(bits: int, tables: int, seed: int):
     """Arrow-batched bucket assignment: one array<long> of per-table
     bucket ids per vector. The sign pattern of (batch x dim) @
     (dim x tables*bits) computed as a single NumPy matmul — collapsing
     what would otherwise be tables*bits expression-tree dot products
     per row (plan blow-up + no vectorization) into one kernel. Only
-    the packed bucket ids cross back over Arrow."""
+    the packed bucket ids cross back over Arrow.
+
+    Round-13 optimization (guide §1.2): the hyperplanes are generated
+    LAZILY inside the kernel from the first vector's length —
+    ``_hyperplanes(dim, bits, tables, seed)`` is deterministic given
+    (dim, seed), so every task materializes identical planes and the
+    caller no longer needs a driver-side ``first()`` dim probe (one
+    whole Spark job per DataFrame build). Construction happens once
+    per task (guide §4.5) and is reused across batches."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
-    tables, bits, dim = planes.shape
-    flat = planes.reshape(tables * bits, dim).T.copy()  # (dim, T*B)
     weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.int64)
+    state: dict = {}
 
     @pandas_udf(ArrayType(LongType()))
     def assign(vs: pd.Series) -> pd.Series:
@@ -143,7 +150,16 @@ def sign_buckets_udf(planes: np.ndarray):
         if not any(mask):
             return pd.Series([None] * len(rows))
         m = np.array([r for r in rows if r is not None], dtype=np.float64)
-        signs = (m @ flat >= 0).astype(np.int64).reshape(len(m), tables, bits)
+        if "flat" not in state:
+            planes = _hyperplanes(m.shape[1], bits, tables, seed)
+            state["flat"] = (
+                planes.reshape(tables * bits, m.shape[1]).T.copy()
+            )  # (dim, T*B)
+        signs = (
+            (m @ state["flat"] >= 0)
+            .astype(np.int64)
+            .reshape(len(m), tables, bits)
+        )
         ids = (signs * weights).sum(axis=2)  # (n_valid, tables)
         out: list = []
         it = iter(ids)
@@ -177,13 +193,11 @@ def lsh_topk(
     while recall rises steeply for moderate-cosine neighbors. Defaults
     (6 bits x 8 tables x 1-probe) target ~0.85+ recall at cosine ~0.3;
     raise ``bits`` at larger corpus sizes to keep buckets small."""
-    dim = _probe_dim(corpus, vec_col)
-    if dim is None:
-        return _empty_pairs(
-            corpus, id_col, "query_id", "neighbor_id", "cosine_sim"
-        )
-    planes = _hyperplanes(dim, bits, tables, seed)
-    assign = sign_buckets_udf(planes)
+    # no driver-side dim probe (round-13 opt): the kernel derives the
+    # hyperplanes from the batch itself; an empty / all-NULL corpus
+    # yields NULL buckets -> zero candidates -> the same empty result
+    # the probe's early-return produced, without the extra job.
+    assign = sign_buckets_udf(bits, tables, seed)
 
     def bucketize(df: DataFrame, idc: str, alias: str, probe: int) -> DataFrame:
         # ids only past this point: the explode would otherwise replicate
@@ -662,11 +676,10 @@ def cosine_neardup_pairs(
     exact re-score. Recall rises with ``tables``; precision is exact
     (threshold applied to true cosine). Emits (id_a, id_b, cosine_sim)
     with id_a < id_b."""
-    dim = _probe_dim(df, vec_col)
-    if dim is None:
-        return _empty_pairs(df, id_col, "id_a", "id_b", "cosine_sim")
-    planes = _hyperplanes(dim, bits, tables, seed)
-    assign = sign_buckets_udf(planes)
+    # no driver-side dim probe (round-13 opt, see lsh_topk): lazy
+    # in-kernel hyperplanes; empty input degenerates to empty output
+    # through the same NULL-bucket path.
+    assign = sign_buckets_udf(bits, tables, seed)
     # ids only through the banded self-join and distinct (see lsh_topk):
     # the explode would replicate vectors x tables and the candidate
     # distinct would shuffle arrays; instead dedup (id_a, id_b) longs
