@@ -51,12 +51,35 @@ TABLES = [
 ]
 
 
+#: parquet-schema memo, keyed per (Spark application, file path) —
+#: round-13 optimization (guide §1.2): schema inference costs one
+#: driver-side footer-read JOB (~100-180 ms here) on EVERY
+#: ``spark.read.parquet`` call, and every query builder re-reads its
+#: tables on every bench rep. The first read per (app, path) infers;
+#: later reads pass the inferred schema explicitly (jobs=0). Metadata
+#: only — never rows or results — and keyed by applicationId like the
+#: _EXACT_TOPK_CACHE so a new session re-infers from the files.
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_memo(spark: SparkSession, path: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, path)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        for stale in [k for k in _SCHEMA_CACHE if k[0] != key[0]]:
+            _SCHEMA_CACHE.pop(stale)
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # UTC pin lives in session.py (set-once, no-op on UTC sessions) so
     # hour()/weekday()/to_date() match the timezone-naive oracle even
     # on an externally-owned (driver) session.
     ensure_utc(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_memo(spark, f"{sf_dir}/{name}.parquet")
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,7 +95,9 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the NTZ->session-TZ cast (identity on wall-clock under UTC)."""
     ensure_utc(spark)
     ensure_nanos_as_long(spark)
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # schema memo is safe here: nanosAsLong is pinned BEFORE the first
+    # inference, so the cached schema reflects the same read semantics
+    df = _read_memo(spark, f"{sf_dir}/events.parquet")
     ts_type = dict(df.dtypes)["ts"]
     if ts_type == "bigint":
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
