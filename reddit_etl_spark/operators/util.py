@@ -5,6 +5,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+#: scan-partition-count memo keyed by (applicationId, input file set)
+#: — round-13 optimization: the ``df.rdd.getNumPartitions()`` probe
+#: forces full analysis + physical planning + RDD conversion of a
+#: FRESH DataFrame (~50-125 ms driver-side) on every operator build;
+#: the answer depends only on the scanned files and the session's
+#: split size, so it is stable per application. In-memory frames
+#: (``inputFiles() == ()``) are never memoized — their partitioning
+#: is not file-derived.
+_FANOUT_MEMO: dict = {}
+
+
 def fan_out(df: DataFrame) -> DataFrame:
     """Ensure CPU-heavy per-row stages use the full executor pool.
 
@@ -15,7 +26,25 @@ def fan_out(df: DataFrame) -> DataFrame:
     tiny shuffle of the raw rows that unlocks every core."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    key = None
+    try:
+        files = df.inputFiles()
+        if files:
+            key = (sc.applicationId, tuple(sorted(files)))
+    except Exception:  # noqa: BLE001 - probe fallback below
+        key = None
+    n = _FANOUT_MEMO.get(key) if key else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        # memoize only the under-parallel direction: a stale entry can
+        # then only ADD a redundant tiny repartition for an
+        # already-wide frame over the same files, never silently skip
+        # the fan-out a narrow frame needs
+        if key and n < target:
+            for stale in [k for k in _FANOUT_MEMO if k[0] != key[0]]:
+                _FANOUT_MEMO.pop(stale)
+            _FANOUT_MEMO[key] = n
+    if n < target:
         return df.repartition(target)
     return df
 
