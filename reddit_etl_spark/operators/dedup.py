@@ -300,6 +300,38 @@ def _auto_prefix_choice(posting: DataFrame) -> bool:
     return bool(s2 > _NGRAM_AUTO_BLOWUP * s1)
 
 
+#: auto-prefix plan-choice memo keyed by (applicationId, input file
+#: set, n, max_df) — round-13 optimization: the blowup probe is one
+#: eager aggregate over the full posting PER DataFrame BUILD, and a
+#: bench/driver session rebuilds the same query many times over the
+#: same files. Both plan branches are lossless and result-identical
+#: (auto-path equality test), so reusing the CHOICE — never rows —
+#: is purely a plan-construction shortcut; in-memory frames (no
+#: input files) always re-probe.
+_PREFIX_CHOICE_MEMO: dict = {}
+
+
+def _memo_prefix_choice(
+    df: DataFrame, posting: DataFrame, n: int, max_df
+) -> bool:
+    sc = df.sparkSession.sparkContext
+    key = None
+    try:
+        files = df.inputFiles()
+        if files:
+            key = (sc.applicationId, tuple(sorted(files)), n, max_df)
+    except Exception:  # noqa: BLE001 - fall through to the live probe
+        key = None
+    if key and key in _PREFIX_CHOICE_MEMO:
+        return _PREFIX_CHOICE_MEMO[key]
+    choice = _auto_prefix_choice(posting)
+    if key:
+        for stale in [k for k in _PREFIX_CHOICE_MEMO if k[0] != key[0]]:
+            _PREFIX_CHOICE_MEMO.pop(stale)
+        _PREFIX_CHOICE_MEMO[key] = choice
+    return choice
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -367,7 +399,7 @@ def ngram_jaccard_pairs(
         )
         posting = posting.join(F.broadcast(hot), "__sh", "left_anti")
     if prefix_filter == "auto":
-        prefix_filter = _auto_prefix_choice(posting)
+        prefix_filter = _memo_prefix_choice(df, posting, n, max_df)
     if not prefix_filter:
         if max_df is None:
             # Carry |doc| through the posting (one extra long per
@@ -489,7 +521,7 @@ def ngram_containment_pairs(
     arrays = shingle_arrays(df, id_col, text_col, n)
     posting = _posting_from_arrays(arrays, id_col)
     if prefix_filter == "auto":
-        prefix_filter = _auto_prefix_choice(posting)
+        prefix_filter = _memo_prefix_choice(df, posting, n, None)
     if not prefix_filter:
         sized = arrays.select(
             F.col(id_col),
