@@ -82,6 +82,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _read_memo(spark, f"{sf_dir}/{name}.parquet")
 
 
+#: table row-count memo, same keying/eviction as _SCHEMA_CACHE — for
+#: builders whose PLAN SHAPE derives from the table size (IVF centroid
+#: count = sqrt(N)). The count is deterministic for a fixed file set,
+#: so reusing it within an application changes no result; it is a
+#: plan-shape scalar (the blessed auto-lane probe class), never rows.
+_COUNT_CACHE: dict = {}
+
+
+def table_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
+    key = (spark.sparkContext.applicationId, f"{sf_dir}/{name}")
+    n = _COUNT_CACHE.get(key)
+    if n is None:
+        for stale in [k for k in _COUNT_CACHE if k[0] != key[0]]:
+            _COUNT_CACHE.pop(stale)
+        n = load(spark, sf_dir, name).count()
+        _COUNT_CACHE[key] = n
+    return n
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load events with ``ts`` normalized to a session-TZ TIMESTAMP.
 

