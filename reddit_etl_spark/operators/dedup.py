@@ -307,7 +307,11 @@ def _auto_prefix_choice(posting: DataFrame) -> bool:
 #: same files. Both plan branches are lossless and result-identical
 #: (auto-path equality test), so reusing the CHOICE — never rows —
 #: is purely a plan-construction shortcut; in-memory frames (no
-#: input files) always re-probe.
+#: input files) always re-probe. A path OVERWRITTEN within one
+#: application reuses the prior choice — the same build-time-frozen
+#: 'auto' contract the operator already documents (re-executing a
+#: built frame after source changes replays the original, still
+#: lossless, decision).
 _PREFIX_CHOICE_MEMO: dict = {}
 
 
