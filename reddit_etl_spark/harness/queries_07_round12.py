@@ -949,12 +949,14 @@ def ols2_lineitem_price_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH unit AS (
       SELECT l_partkey,
-             ROUND(CAST(SUM(CAST(l_extendedprice / l_quantity
-                   AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS y
+             FLOOR((CAST(CAST(SUM(CAST(FLOOR((l_extendedprice / l_quantity)
+                   * 1000000.0 + 0.5) AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+                   / 1000000.0 / COUNT(*)) * 1000000.0 + 0.5)
+                   / 1000000.0 AS y
       FROM lineitem WHERE l_quantity > 0 GROUP BY 1),
     base AS (
-      SELECT CAST(ROUND(p.p_retailprice * 1000000, 0) AS BIGINT) AS x,
-             CAST(ROUND(u.y * 1000000, 0) AS BIGINT) AS y
+      SELECT CAST(FLOOR(p.p_retailprice * 1000000.0 + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(u.y * 1000000.0 + 0.5) AS BIGINT) AS y
       FROM unit u JOIN part p ON u.l_partkey = p.p_partkey
       WHERE p.p_retailprice IS NOT NULL),
     ag AS (
@@ -1000,22 +1002,28 @@ def ols2_lineitem_price_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/relational.py:deming_regression, λ=1) — the method-"
     "comparison regression for two NOISY measurements of the same "
     "quantity, where OLS attenuates the slope. Per-part mean unit "
-    "price via the stable_avg discipline; five exact DECIMAL "
-    "moments, closed-form β",
+    "price from IEEE-only floor-micros snaps (the r12/r13 driver "
+    "record's red row: thousands of l_extendedprice/l_quantity "
+    "quotients sit EXACTLY on .5e-6 boundaries, where "
+    "CAST(double AS DECIMAL(18,6)) / ROUND(double, 6) tie-breaking "
+    "is engine- and version-variant; floor(x*1e6+0.5) is "
+    "bit-identical everywhere); five exact DECIMAL moments, "
+    "closed-form β",
 )
 def deming_part_price_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import deming_regression
+    from ..operators.util import round6_floor
 
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    uq_micros = F.floor(
+        (F.col("l_extendedprice") / F.col("l_quantity")) * 1000000.0
+        + F.lit(0.5)
+    ).cast("decimal(38,0)")
     unit = li.groupBy("l_partkey").agg(
-        F.round(
-            F.sum(
-                (F.col("l_extendedprice") / F.col("l_quantity")).cast(
-                    "decimal(18,6)"
-                )
-            ).cast("double")
-            / F.count("*"),
-            6,
+        round6_floor(
+            F.sum(uq_micros).cast("string").cast("double")
+            / 1000000.0
+            / F.count("*")
         ).alias("y")
     )
     part = load(spark, sf_dir, "part").filter(

@@ -78,12 +78,21 @@ def shingles_col(text: Column | str, n: int = 3) -> Column:
     t = F.col(text) if isinstance(text, str) else text
     # tokenize with ONE regex split instead of normalize_text_col's
     # regexp_replace(\s+->" ") + split(" ") (round-13 opt, guide §1.2
-    # per-task work): identical token lists — split(\s+) on the
-    # trimmed lowercase text yields exactly the tokens of the
-    # collapsed form — without materializing a second copy of the
-    # corpus for the replace pass. normalize_text_col itself is
-    # untouched (fingerprints/content keys depend on its string).
-    toks = F.split(F.trim(F.lower(t)), r"\s+")
+    # per-task work), without materializing a second copy of the
+    # corpus for the replace pass. split(\s+) emits empty edge tokens
+    # when the text starts/ends with whitespace; array_remove drops
+    # them on the (small) token ARRAY rather than edge-trimming the
+    # corpus string (F.trim strips only 0x20, so the r13 trim+split
+    # form leaked '' tokens for '\t'/'\n'-padded text — advisor r13
+    # high finding; a maximal-\s+ split can produce '' ONLY at the
+    # edges, so array_remove(toks, '') is exactly edge-stripping
+    # with all-whitespace semantics). Token lists are identical to
+    # the original normalize_text_col path for every input, including
+    # all-whitespace and empty docs (both degenerate to one ''
+    # shingle via the short-doc branch below). normalize_text_col
+    # itself is untouched (fingerprints/content keys depend on its
+    # string).
+    toks = F.array_remove(F.split(F.lower(t), r"\s+"), "")
     k = F.size(toks)
     windows = F.transform(
         F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),

@@ -8644,11 +8644,22 @@ def deming_regression(
     degenerates.
     """
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # floor(x*1e6 + 0.5) micros, NOT ROUND(x*1e6, 0): ROUND(double)
+    # tie-breaking is engine/version-variant (Spark HALF_UP over the
+    # shortest decimal repr vs double-arithmetic rounding in the
+    # oracle twin, whose half-tie rule changed across DuckDB
+    # releases) and this operator's inputs land EXACTLY on .5 micro
+    # boundaries by construction (finite-binary price quotients) —
+    # the r12/r13 deming_part_price driver red row. The floor form
+    # is IEEE-only (mul/add/floor each correctly rounded): both
+    # engines emit bit-identical micros for any input. Ties round
+    # toward +inf (inputs here are positive prices, so identical to
+    # half-away); mirrored in the oracle twin's FLOOR(...) CTE.
     base = df.filter(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     ).select(
-        F.round(F.col(x_col) * 1000000, 0).cast("long").alias("__x"),
-        F.round(F.col(y_col) * 1000000, 0).cast("long").alias("__y"),
+        F.floor(F.col(x_col) * 1000000.0 + F.lit(0.5)).alias("__x"),
+        F.floor(F.col(y_col) * 1000000.0 + F.lit(0.5)).alias("__y"),
     )
     x, y = dec(F.col("__x")), dec(F.col("__y"))
     agg = base.agg(
