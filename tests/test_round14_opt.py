@@ -82,6 +82,168 @@ def test_shingles_trailing_newline_shares_shingles(spark):
     assert "" not in rows[0]["s"][0].split(" ")
 
 
+def _brute_jaccard_pairs(docs, n=3, threshold=0.5):
+    sets = {d: frozenset(_ref_shingles(t, n)) for d, t in docs}
+    out = []
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            c = len(sets[a] & sets[b])
+            u = len(sets[a]) + len(sets[b]) - c
+            j = c / u if u else 0.0
+            if j >= threshold:
+                out.append((a, b, round(j, 6)))
+    return sorted(out)
+
+
+def test_ngram_jaccard_size_filter_and_kernel_parity(spark):
+    """The round-14 size-compatibility join prefilter is lossless, and
+    the Arrow shingle kernel (SHINGLE_KERNEL=True) produces identical
+    final pairs to the expression path — both checked against a
+    brute-force Python reference."""
+    import reddit_etl_spark.operators.dedup as dd
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta\n"),  # exact dup + edge ws
+        (3, "alpha beta gamma delta epsilon eta"),     # near dup
+        (4, "one two"),                                # short doc
+        (5, "one two"),                                # short dup
+        (6, "completely different words here now ok"),
+        (7, ""),                                       # empty
+        (8, "x " * 30 + "alpha beta gamma"),           # size-incompatible overlap
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    expect = _brute_jaccard_pairs(docs)
+    saved = dd.SHINGLE_KERNEL
+    try:
+        for kernel in (False, True):
+            dd.SHINGLE_KERNEL = kernel
+            got = sorted(
+                (r["id_a"], r["id_b"], r["jaccard"])
+                for r in dd.ngram_jaccard_pairs(
+                    df, "doc_id", "text", n=3, threshold=0.5
+                ).collect()
+            )
+            assert got == expect, f"kernel={kernel}"
+    finally:
+        dd.SHINGLE_KERNEL = saved
+
+
+def test_shingle_kernel_set_structure_matches_expressions(spark):
+    """Kernel and expression shingle arrays use different 64-bit hash
+    families; what every consumer depends on is per-doc set SIZE and
+    pairwise INTERSECTION structure — assert those are identical."""
+    import itertools
+
+    import reddit_etl_spark.operators.dedup as dd
+
+    docs = [
+        (1, "hello world foo bar\n"),
+        (2, "\thello world foo bar"),
+        (3, "hello   world\tfoo bar"),
+        (4, "one"),
+        (5, "one two"),
+        (6, ""),
+        (7, None),
+        (8, "  \n "),
+        (9, "a b c d e f g a b c d e f g"),
+        (10, "x y z"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def sets(kernel):
+        saved = dd.SHINGLE_KERNEL
+        dd.SHINGLE_KERNEL = kernel
+        try:
+            rows = dd.shingle_arrays(
+                df, "doc_id", "text", 3, materialize=False
+            ).collect()
+        finally:
+            dd.SHINGLE_KERNEL = saved
+        return {r["doc_id"]: frozenset(r["__arr"]) for r in rows}
+
+    k, e = sets(True), sets(False)
+    assert set(k) == set(e)
+    for d in k:
+        assert len(k[d]) == len(e[d]), d
+    for a, b in itertools.combinations(sorted(k), 2):
+        assert len(k[a] & k[b]) == len(e[a] & e[b]), (a, b)
+
+
+def test_hoeffding_lane_parity(spark):
+    """The round-14 sweep lane (single-task Fenwick dominance sweep)
+    must return bit-identical results to the original cells² join
+    lane — forced by dropping the cut-over to 0."""
+    import random
+
+    import reddit_etl_spark.operators.relational as rel
+
+    random.seed(3)
+    rows = [(random.randint(0, 40), random.randint(0, 15)) for _ in range(5000)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    join_out = rel.hoeffding_d(df, "x", "y").collect()
+    saved = rel._HOEFFDING_SWEEP_MIN_CELLS
+    rel._HOEFFDING_LANE_MEMO.clear()
+    try:
+        rel._HOEFFDING_SWEEP_MIN_CELLS = 0
+        sweep_out = rel.hoeffding_d(df, "x", "y").collect()
+    finally:
+        rel._HOEFFDING_SWEEP_MIN_CELLS = saved
+        rel._HOEFFDING_LANE_MEMO.clear()
+    assert join_out == sweep_out
+    assert join_out[0]["n"] == 5000
+
+
+def test_hoeffding_sweep_kernel_brute_force():
+    """All seven dominance/marginal stats from the Fenwick sweep match
+    a brute-force O(C²) reference on a random weighted grid."""
+    import numpy as np
+    import pyarrow as pa
+
+    from reddit_etl_spark.operators.relational import (
+        _hoeffding_dominance_sweep,
+    )
+
+    rng = np.random.RandomState(11)
+    x = rng.randint(0, 30, 600).astype("int64")
+    y = rng.randint(0, 30, 600).astype("int64")
+    xy = np.unique(np.stack([x, y], 1), axis=0)
+    x, y = xy[:, 0].copy(), xy[:, 1].copy()
+    f = rng.randint(1, 50, len(x)).astype("int64")
+    b = pa.RecordBatch.from_arrays(
+        [pa.array(x), pa.array(y), pa.array(f)], names=["__x", "__y", "__f"]
+    )
+    out = list(_hoeffding_dominance_sweep(iter([b])))[0]
+    cols = {n: out.column(i).to_numpy() for i, n in enumerate(out.schema.names)}
+    for i in range(len(x)):
+        exp = (
+            int(f[(x < x[i]) & (y < y[i])].sum()),
+            int(f[(x == x[i]) & (y < y[i])].sum()),
+            int(f[(x < x[i]) & (y == y[i])].sum()),
+            int(f[x < x[i]].sum()),
+            int(f[x == x[i]].sum()),
+            int(f[y < y[i]].sum()),
+            int(f[y == y[i]].sum()),
+        )
+        got = tuple(
+            int(cols[k][i])
+            for k in (
+                "__ltlt", "__eqlt", "__lteq", "__ltx", "__eqx", "__lty",
+                "__eqy",
+            )
+        )
+        assert got == exp, i
+
+
+def test_hoeffding_sweep_kernel_empty():
+    from reddit_etl_spark.operators.relational import (
+        _hoeffding_dominance_sweep,
+    )
+
+    assert list(_hoeffding_dominance_sweep(iter([]))) == []
+
+
 def test_deming_floor_micros_on_exact_boundary(spark):
     """Inputs exactly on a .5-micro boundary must snap half-up (the
     IEEE floor(x*1e6+0.5) form) — bit-identical in any engine, unlike
