@@ -6064,33 +6064,32 @@ def wasserstein_distance(
                 "__nb",
             )
         )
-    num = F.abs(
-        dec(F.col("__ca")) * dec(F.col("__nb"))
-        - dec(F.col("__cb")) * dec(F.col("__na"))
-    ).cast("decimal(38,0)")
-    contrib = F.when(
-        F.col("__vn").isNotNull(),
-        (num * dec(F.col("__vn") - F.col("__v"))).cast("decimal(38,0)"),
+    # Round-14: fold/final blocks as single F.expr strings (the py4j
+    # reduction — jonckheere's note applies; optimized plan verified
+    # equal to the Column form, oracle hash unchanged)
+    _D = "DECIMAL(38,0)"
+    _NUM = (
+        f"CAST(ABS(CAST(__ca AS {_D}) * CAST(__nb AS {_D}) "
+        f"- CAST(__cb AS {_D}) * CAST(__na AS {_D})) AS {_D})"
     )
     agg = run.agg(
-        F.max("__na").cast("long").alias("n_a"),
-        F.max("__nb").cast("long").alias("n_b"),
-        F.sum(contrib).cast("decimal(38,0)").alias("__s"),
-    )
-
-    def dbl(c):
-        return c.cast("string").cast("double")
-
-    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
-    w1 = F.coalesce(dbl(F.col("__s")), F.lit(0.0)) / (
-        F.col("n_a").cast("double")
-        * F.col("n_b").cast("double")
-        * F.lit(float(scale))
+        F.expr("CAST(MAX(__na) AS BIGINT) AS n_a"),
+        F.expr("CAST(MAX(__nb) AS BIGINT) AS n_b"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN __vn IS NOT NULL THEN "
+            f"CAST({_NUM} * CAST(__vn - __v AS {_D}) AS {_D}) END) "
+            f"AS {_D}) AS __s"
+        ),
     )
     return agg.select(
         "n_a",
         "n_b",
-        F.round(F.when(ok, w1), 6).alias("wasserstein"),
+        F.expr(
+            "ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN "
+            "COALESCE(CAST(CAST(__s AS STRING) AS DOUBLE), 0.0D) "
+            "/ (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) "
+            f"* {float(scale)!r}D) END, 6) AS wasserstein"
+        ),
     )
 
 
@@ -10824,40 +10823,33 @@ def bws_two_sample(
             )
         )
     # melt each value block into its (side, cnt, cum_own, n_own,
-    # n_other) pair; 2R = 2·cfl + t + 1 is side-independent
-    two_r = (F.lit(2) * F.col("__cfl") + F.col("__l") + F.lit(1)).alias(
-        "__two_r"
-    )
+    # n_other) pair; 2R = 2·cfl + t + 1 is side-independent.
+    # Round-14: the melt/chunk/term/aggregate blocks are single
+    # F.expr SQL strings instead of Column-API chains (the Column
+    # form cost ~1,000 py4j round-trips of per-build driver wall —
+    # jonckheere's note applies verbatim); optimized plan verified
+    # equal to the Column form modulo struct-vs-named_struct display
+    # and plan_id counters, oracle hash unchanged. Double literals
+    # carry the D suffix; literal multiplications keep the column on
+    # the left (Column __rmul__ order).
     melted = (
         cum.select(
-            two_r,
+            F.expr("2 * __cfl + __l + 1 AS __two_r"),
             F.col("__n").alias("__nn"),
             F.col("n_values"),
             F.col("__na"),
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit("a").alias("side"),
-                        F.col("__ca").alias("cnt"),
-                        F.col("__cfa").alias("cum_own"),
-                        F.col("__na").cast("long").alias("n_own"),
-                        (F.col("__n") - F.col("__na"))
-                        .cast("long")
-                        .alias("n_other"),
-                    ),
-                    F.struct(
-                        F.lit("b").alias("side"),
-                        (F.col("__l") - F.col("__ca")).alias("cnt"),
-                        (F.col("__cfl") - F.col("__cfa")).alias(
-                            "cum_own"
-                        ),
-                        (F.col("__n") - F.col("__na"))
-                        .cast("long")
-                        .alias("n_own"),
-                        F.col("__na").cast("long").alias("n_other"),
-                    ),
-                )
-            ).alias("__s"),
+            F.expr(
+                "explode(array("
+                "named_struct("
+                "'side', 'a', 'cnt', __ca, 'cum_own', __cfa, "
+                "'n_own', CAST(__na AS BIGINT), "
+                "'n_other', CAST(__n - __na AS BIGINT)), "
+                "named_struct("
+                "'side', 'b', 'cnt', __l - __ca, "
+                "'cum_own', __cfl - __cfa, "
+                "'n_own', CAST(__n - __na AS BIGINT), "
+                "'n_other', CAST(__na AS BIGINT)))) AS __s"
+            ),
         )
         .select(
             "__two_r",
@@ -10872,70 +10864,63 @@ def bws_two_sample(
         )
         .filter(F.col("__cnt") > 0)
     )
-    chunk = F.lit(BWS_EXPLODE_CHUNK)
+    _CH = BWS_EXPLODE_CHUNK
     chunked = melted.select(
         "*",
-        F.explode(
-            F.sequence(
-                F.lit(0).cast("long"),
-                ((F.col("__cnt") - 1) / chunk).cast("long"),
-            )
-        ).alias("__ch"),
-    )
-    lo = F.col("__cum_own") + 1 + F.col("__ch") * chunk
-    hi = F.least(
-        F.col("__cum_own") + F.col("__cnt"), lo + chunk - 1
-    )
-    ks = chunked.select(
-        "*",
-        F.explode(F.sequence(lo.cast("long"), hi.cast("long"))).alias(
-            "__k"
+        F.expr(
+            f"explode(sequence(CAST(0 AS BIGINT), "
+            f"CAST((__cnt - 1) / {_CH} AS BIGINT))) AS __ch"
         ),
     )
-    d_ = (
-        dec(F.col("__n_own")) * dec(F.col("__two_r"))
-        - F.lit(2) * dec(F.col("__nn")) * dec(F.col("__k"))
-    ).cast("decimal(38,0)")
-    kterm = (
-        dec(F.col("__k"))
-        * (dec(F.col("__n_own")) + 1 - dec(F.col("__k"))).cast(
-            "decimal(38,0)"
-        )
-    ).cast("decimal(38,0)")
-
-    def dbl(c):
-        return c.cast("string").cast("double")
-
-    n_own_d = F.col("__n_own").cast("double")
-    pref = (
-        (n_own_d + 1.0)
-        * (n_own_d + 1.0)
-        / (
-            4.0
-            * n_own_d
-            * n_own_d
-            * F.col("__n_other").cast("double")
-            * F.col("__nn").cast("double")
-        )
+    _LO = f"(__cum_own + 1 + __ch * {_CH})"
+    _HI = f"least(__cum_own + __cnt, {_LO} + {_CH} - 1)"
+    ks = chunked.select(
+        "*",
+        F.expr(
+            f"explode(sequence(CAST({_LO} AS BIGINT), "
+            f"CAST({_HI} AS BIGINT))) AS __k"
+        ),
     )
-    term = dbl((d_ * d_).cast("decimal(38,0)")) / dbl(kterm) * pref
+    _D = "DECIMAL(38,0)"
+    _DD = (
+        f"CAST(CAST(__n_own AS {_D}) * CAST(__two_r AS {_D}) "
+        f"- 2 * CAST(__nn AS {_D}) * CAST(__k AS {_D}) AS {_D})"
+    )
+    _KT = (
+        f"CAST(CAST(__k AS {_D}) * CAST(CAST(__n_own AS {_D}) + 1 "
+        f"- CAST(__k AS {_D}) AS {_D}) AS {_D})"
+    )
+    _NOWN = "CAST(__n_own AS DOUBLE)"
+    _PREF = (
+        f"(({_NOWN} + 1.0D) * ({_NOWN} + 1.0D) "
+        f"/ ({_NOWN} * 4.0D * {_NOWN} * CAST(__n_other AS DOUBLE) "
+        "* CAST(__nn AS DOUBLE)))"
+    )
+    _TERM = (
+        f"CAST(CAST(CAST({_DD} * {_DD} AS {_D}) AS STRING) AS DOUBLE) "
+        f"/ CAST(CAST({_KT} AS STRING) AS DOUBLE) * {_PREF}"
+    )
     agg = ks.agg(
-        F.max("__na").cast("long").alias("n_a"),
-        F.max(F.col("__nn") - F.col("__na")).cast("long").alias("n_b"),
-        F.max("n_values").cast("long").alias("n_values"),
-        F.sum(F.when(F.col("__side") == "a", term)).alias("__bx"),
-        F.sum(F.when(F.col("__side") == "b", term)).alias("__by"),
+        F.expr("CAST(MAX(__na) AS BIGINT) AS n_a"),
+        F.expr("CAST(MAX(__nn - __na) AS BIGINT) AS n_b"),
+        F.expr("CAST(MAX(n_values) AS BIGINT) AS n_values"),
+        F.expr(f"SUM(CASE WHEN __side = 'a' THEN {_TERM} END) AS __bx"),
+        F.expr(f"SUM(CASE WHEN __side = 'b' THEN {_TERM} END) AS __by"),
     )
-    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
     return agg.select(
         "n_a",
         "n_b",
         "n_values",
-        F.round(F.when(ok, F.col("__bx")), 6).alias("b_x"),
-        F.round(F.when(ok, F.col("__by")), 6).alias("b_y"),
-        F.round(
-            F.when(ok, (F.col("__bx") + F.col("__by")) / 2.0), 6
-        ).alias("b"),
+        F.expr(
+            "ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN __bx END, 6) AS b_x"
+        ),
+        F.expr(
+            "ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN __by END, 6) AS b_y"
+        ),
+        F.expr(
+            "ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN "
+            "(__bx + __by) / 2.0D END, 6) AS b"
+        ),
     )
 
 

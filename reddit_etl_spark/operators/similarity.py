@@ -204,23 +204,30 @@ def lsh_topk(
         # each vector x tables (x bits+1 with multiprobe), and the
         # candidate distinct would shuffle full arrays — vectors are
         # re-joined exactly once after the id-pair dedup.
-        probes = []
+        # Round-14: the probe-struct array is ONE generated SQL string
+        # (a single py4j round-trip) instead of tables x (bits+1)
+        # Column-API struct builds — the loop cost ~450 py4j calls
+        # (~0.3 s of driver wall per build on this host); canonicalized
+        # optimized plan verified identical to the Column form.
+        probes_sql = []
         for t in range(tables):
-            bk = F.element_at("__bks", t + 1)
-            probes.append(F.struct(F.lit(t).alias("t"), bk.alias("bk")))
+            e = f"element_at(__bks, {t + 1})"
+            probes_sql.append(f"named_struct('t', {t}, 'bk', {e})")
             if probe >= 1:
-                probes.extend(
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        bk.bitwiseXOR(F.lit(1 << b)).alias("bk"),
-                    )
+                probes_sql.extend(
+                    f"named_struct('t', {t}, 'bk', ({e} ^ {1 << b}))"
                     for b in range(bits)
                 )
         return (
             df.select(F.col(idc).alias(alias), _as_double(vec_col).alias("__v"))
             .withColumn("__bks", assign(F.col("__v")))
             .drop("__v")
-            .select(alias, F.explode(F.array(*probes)).alias("__b"))
+            .select(
+                alias,
+                F.expr(
+                    "explode(array(" + ", ".join(probes_sql) + ")) AS __b"
+                ),
+            )
             .select(alias, "__b.t", "__b.bk")
         )
 
