@@ -26,6 +26,7 @@ from .scale_lanes import (
     TWO_PASS_MIN_ROWS,
     guard_distinct_frame,
     guard_rows_or_raise,
+    resolve_lane,
     two_pass_prefix,
 )
 
@@ -1963,7 +1964,7 @@ def mann_whitney_u(
     group_a,
     group_b,
     scale: int = 100,
-    lane: str = "single",
+    lane: str = "auto",
 ) -> DataFrame:
     """Mann-Whitney U (Wilcoxon rank-sum) two-sample test with the
     normal approximation and tie correction — the rank-based
@@ -2016,9 +2017,7 @@ def mann_whitney_u(
         F.sum("__is_a").alias("__ta"),
         F.sum(F.lit(1) - F.col("__is_a")).alias("__tb"),
     )
-    if lane == "auto":
-        n_distinct = per_v.count()
-        lane = "two_pass" if n_distinct > TWO_PASS_MIN_ROWS else "single"
+    lane = resolve_lane(lane, per_v)
     # rank sums and the tie term accumulate in DECIMAL(38,0): the 2x
     # rank sum totals ~N(N+1) and the tie cube t^3 passes 2^63 at a
     # tie group of just ~2.1M rows — BIGINT would wrap (ansi=false)
@@ -4541,7 +4540,7 @@ def anderson_darling_two_sample(
     class_col: str,
     class_a,
     scale: int = 100,
-    lane: str = "single",
+    lane: str = "auto",
 ) -> DataFrame:
     """Tie-adjusted two-sample Anderson-Darling statistic (Scholz &
     Stephens 1987, the k=2 case of A²_akN) — the DISTRIBUTION-equality
@@ -4578,9 +4577,7 @@ def anderson_darling_two_sample(
         F.sum("__a").alias("__fa"),
         F.count("*").alias("__l"),
     )
-    if lane == "auto":
-        n_distinct = per_v.count()
-        lane = "two_pass" if n_distinct > TWO_PASS_MIN_ROWS else "single"
+    lane = resolve_lane(lane, per_v)
     tot = per_v.agg(
         F.sum("__fa").cast("long").alias("__na"),
         F.sum("__l").cast("long").alias("__n"),
@@ -4678,7 +4675,7 @@ def dunn_test(
     value_col: str,
     class_col: str,
     scale: int = 100,
-    lane: str = "single",
+    lane: str = "auto",
 ) -> DataFrame:
     """Dunn's post-hoc pairwise rank comparisons after Kruskal-Wallis
     — WHICH classes differ once kruskal_wallis says "some class
@@ -4714,9 +4711,7 @@ def dunn_test(
     per_v = cells.groupBy("__v").agg(F.sum("__f").alias("__tv"))
     # fail-fast before the single-task distinct-frame sort (judge r10
     # #1 — the EXACT_RANK_MAX_ROWS convention, scale_lanes.py)
-    if lane == "auto":
-        n_distinct = per_v.count()
-        lane = "two_pass" if n_distinct > TWO_PASS_MIN_ROWS else "single"
+    lane = resolve_lane(lane, per_v)
     glob = per_v.agg(
         F.sum("__tv").cast("long").alias("__nn"),
         F.sum(
@@ -5742,7 +5737,7 @@ def wilcoxon_signed_rank(
     x_col: str,
     y_col: str,
     scale: int = 100,
-    lane: str = "single",
+    lane: str = "auto",
 ) -> DataFrame:
     """Wilcoxon signed-rank test over paired values — the PAIRED
     companion to mann_whitney_u's unpaired rank-sum (as yuen is to
@@ -5792,9 +5787,7 @@ def wilcoxon_signed_rank(
         F.count("*").alias("__t"),
         F.sum("__p").alias("__tp"),
     )
-    if lane == "auto":
-        n_distinct = per_v.count()
-        lane = "two_pass" if n_distinct > TWO_PASS_MIN_ROWS else "single"
+    lane = resolve_lane(lane, per_v)
     if lane == "two_pass":
         pre = two_pass_prefix(per_v, "__v", ["__t"])
         counted = pre.select(
@@ -5863,7 +5856,7 @@ def moods_median(
     value_col: str,
     class_col: str,
     scale: int = 100,
-    lane: str = "single",
+    lane: str = "auto",
 ) -> DataFrame:
     """Mood's median test across k classes — the bluntest, most
     outlier-proof k-sample location rung (below kruskal_wallis in
@@ -5905,9 +5898,7 @@ def moods_median(
     )
     cells = base.groupBy("__cl", "__v").agg(F.count("*").alias("__f"))
     per_v = cells.groupBy("__v").agg(F.sum("__f").alias("__t"))
-    if lane == "auto":
-        n_distinct = per_v.count()
-        lane = "two_pass" if n_distinct > TWO_PASS_MIN_ROWS else "single"
+    lane = resolve_lane(lane, per_v)
     tot = per_v.agg(
         F.sum("__t").cast("long").alias("__n"),
         # distinct-frame row count for the merged guard (round-13 opt)
@@ -5977,7 +5968,7 @@ def wasserstein_distance(
     class_col: str,
     class_a,
     scale: int = 100,
-    lane: str = "single",
+    lane: str = "auto",
 ) -> DataFrame:
     """1-Wasserstein (earth mover's) distance between two classes'
     value distributions — the MAGNITUDE rung of the drift ladder:
@@ -6027,9 +6018,7 @@ def wasserstein_distance(
         F.sum("__a").alias("__fa"),
         F.sum(F.lit(1) - F.col("__a")).alias("__fb"),
     )
-    if lane == "auto":
-        n_distinct = per_v.count()
-        lane = "two_pass" if n_distinct > TWO_PASS_MIN_ROWS else "single"
+    lane = resolve_lane(lane, per_v)
     tot = per_v.agg(
         F.sum("__fa").cast("long").alias("__na"),
         F.sum("__fb").cast("long").alias("__nb"),
@@ -6099,7 +6088,7 @@ def ansari_bradley(
     class_col: str,
     class_a,
     scale: int = 100,
-    lane: str = "single",
+    lane: str = "auto",
 ) -> DataFrame:
     """Ansari-Bradley two-sample DISPERSION test — the scale-shift
     companion to mann_whitney_u's location shift and
@@ -6139,9 +6128,7 @@ def ansari_bradley(
         F.count("*").alias("__t"),
         F.sum("__ia").alias("__fa"),
     )
-    if lane == "auto":
-        n_distinct = per_v.count()
-        lane = "two_pass" if n_distinct > TWO_PASS_MIN_ROWS else "single"
+    lane = resolve_lane(lane, per_v)
     tot = per_v.agg(
         F.sum("__t").cast("long").alias("__n"),
         F.sum("__fa").cast("long").alias("__na"),
@@ -6996,7 +6983,7 @@ def cliffs_delta(
     class_col: str,
     class_a,
     scale: int = 100,
-    lane: str = "single",
+    lane: str = "auto",
 ) -> DataFrame:
     """Cliff's delta ordinal effect size between two classes —
     mann_whitney_u's EFFECT-SIZE companion on the dominance scale:
@@ -7033,9 +7020,7 @@ def cliffs_delta(
         F.sum("__ia").alias("__ta"),
         F.sum(F.lit(1) - F.col("__ia")).alias("__tb"),
     )
-    if lane == "auto":
-        n_distinct = per_v.count()
-        lane = "two_pass" if n_distinct > TWO_PASS_MIN_ROWS else "single"
+    lane = resolve_lane(lane, per_v)
     if lane == "two_pass":
         pre = two_pass_prefix(per_v, "__v", ["__ta", "__tb"])
         counted = pre.select(
@@ -7107,6 +7092,11 @@ def hodges_lehmann_shift(
     class_a,
     scale: int = 100,
     lane: str = "single",
+    # ^ stays 'single' (round 14): this is the PRODUCT-form site —
+    # its auto probe counts BOTH sides eagerly (cnts.first()) and its
+    # cut-over is ca*cb, not TWO_PASS_MIN_ROWS, so the shared
+    # memoized resolve_lane does not apply; callers at scale pass
+    # lane explicitly (SCALING.md)
 ) -> DataFrame:
     """Hodges-Lehmann shift estimator between two classes — the
     ROBUST "how much bigger" to mann_whitney's "is it bigger" and
@@ -7888,7 +7878,7 @@ def rank_biserial(
     group_a,
     group_b,
     scale: int = 100,
-    lane: str = "single",
+    lane: str = "auto",
 ) -> DataFrame:
     """Rank-biserial correlation + common-language effect size from
     the Mann-Whitney U — the DIRECTLY-INTERPRETABLE effect rung next
@@ -7926,9 +7916,7 @@ def rank_biserial(
         F.sum("__is_a").alias("__ta"),
         F.sum(F.lit(1) - F.col("__is_a")).alias("__tb"),
     )
-    if lane == "auto":
-        n_distinct = per_v.count()
-        lane = "two_pass" if n_distinct > TWO_PASS_MIN_ROWS else "single"
+    lane = resolve_lane(lane, per_v)
     if lane == "two_pass":
         pre = two_pass_prefix(per_v, "__v", ["__ta", "__tb"])
         counted = pre.select(
@@ -8180,7 +8168,7 @@ def brunner_munzel(
     class_a,
     class_b,
     scale: int = 100,
-    lane: str = "single",
+    lane: str = "auto",
 ) -> DataFrame:
     """Brunner-Munzel generalized Wilcoxon test — the two-sample rung
     to reach for when mann_whitney_u's exchangeability assumption is
@@ -8220,9 +8208,7 @@ def brunner_munzel(
         F.sum("__is_a").alias("__ta"),
         F.sum(F.lit(1) - F.col("__is_a")).alias("__tb"),
     )
-    if lane == "auto":
-        n_distinct = per_v.count()
-        lane = "two_pass" if n_distinct > TWO_PASS_MIN_ROWS else "single"
+    lane = resolve_lane(lane, per_v)
     if lane == "two_pass":
         pre = two_pass_prefix(per_v, "__v", ["__ta", "__tb"])
         ca = (F.col("__cum___ta") - F.col("__ta")).alias("__ca")
@@ -8315,7 +8301,7 @@ def cucconi_test(
     class_a,
     class_b,
     scale: int = 100,
-    lane: str = "single",
+    lane: str = "auto",
 ) -> DataFrame:
     """Cucconi location-scale test — the JOINT rung next to
     mann_whitney_u (location only) and ansari_bradley (scale only):
@@ -8353,9 +8339,7 @@ def cucconi_test(
         F.sum("__is_a").alias("__ta"),
         F.sum(F.lit(1) - F.col("__is_a")).alias("__tb"),
     )
-    if lane == "auto":
-        n_distinct = per_v.count()
-        lane = "two_pass" if n_distinct > TWO_PASS_MIN_ROWS else "single"
+    lane = resolve_lane(lane, per_v)
     if lane == "two_pass":
         cells = two_pass_prefix(per_v, "__v", ["__ta", "__tb"]).select(
             "__ta",
@@ -10725,7 +10709,7 @@ def bws_two_sample(
     class_col: str,
     class_a,
     scale: int = 100,
-    lane: str = "single",
+    lane: str = "auto",
 ) -> DataFrame:
     """Baumgartner-Weiß-Schindler two-sample statistic (BWS 1998) —
     the VARIANCE-NORMALIZED rung of the two-sample CDF family next
@@ -10777,9 +10761,7 @@ def bws_two_sample(
         F.sum("__a").alias("__ca"),
         F.count("*").alias("__l"),
     )
-    if lane == "auto":
-        n_distinct = per_v.count()
-        lane = "two_pass" if n_distinct > TWO_PASS_MIN_ROWS else "single"
+    lane = resolve_lane(lane, per_v)
     tot = per_v.agg(
         F.sum("__ca").cast("long").alias("__na"),
         F.sum("__l").cast("long").alias("__n"),
@@ -11064,7 +11046,7 @@ def van_der_waerden(
     value_col: str,
     class_col: str,
     scale: int = 100,
-    lane: str = "single",
+    lane: str = "auto",
 ) -> DataFrame:
     """Van der Waerden k-sample normal-scores test — the
     NORMAL-SCORES rung of the k-sample family next to
@@ -11104,9 +11086,7 @@ def van_der_waerden(
         F.count("*").alias("__f")
     ).localCheckpoint(eager=False)
     per_v = cells.groupBy("__v").agg(F.sum("__f").alias("__tv"))
-    if lane == "auto":
-        n_distinct = per_v.count()
-        lane = "two_pass" if n_distinct > TWO_PASS_MIN_ROWS else "single"
+    lane = resolve_lane(lane, per_v)
     tot = per_v.agg(
         F.sum("__tv").cast("long").alias("__n"),
         F.count("*").cast("long").alias("n_values"),
@@ -11362,7 +11342,7 @@ def shapiro_francia(
     df: DataFrame,
     value_col: str,
     scale: int = 100,
-    lane: str = "single",
+    lane: str = "auto",
 ) -> DataFrame:
     """Shapiro-Francia normality statistic W′ — the ORDER-STATISTIC
     CORRELATION rung of the normality family next to jarque_bera /
@@ -11397,9 +11377,7 @@ def shapiro_francia(
         F.round(F.col(value_col) * scale, 0).cast("long").alias("__v")
     )
     per_v = base.groupBy("__v").agg(F.count("*").alias("__t"))
-    if lane == "auto":
-        n_distinct = per_v.count()
-        lane = "two_pass" if n_distinct > TWO_PASS_MIN_ROWS else "single"
+    lane = resolve_lane(lane, per_v)
     tot = per_v.agg(
         F.sum("__t").cast("long").alias("__n"),
         F.count("*").cast("long").alias("n_values"),

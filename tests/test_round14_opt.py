@@ -244,6 +244,56 @@ def test_hoeffding_sweep_kernel_empty():
     assert list(_hoeffding_dominance_sweep(iter([]))) == []
 
 
+def test_resolve_lane_memo_and_choice(spark):
+    """resolve_lane: explicit lanes pass through, 'auto' probes once
+    and memoizes per (app, plan-hash), and the cut-over constant is
+    honored."""
+    import reddit_etl_spark.operators.scale_lanes as sl
+
+    df = spark.range(0, 100).selectExpr("id AS __v")
+    sl._AUTO_LANE_MEMO.clear()
+    assert sl.resolve_lane("single", df) == "single"
+    assert sl.resolve_lane("two_pass", df) == "two_pass"
+    assert sl.resolve_lane("auto", df) == "single"  # 100 < 1e6
+    assert len(sl._AUTO_LANE_MEMO) == 1
+    # identical rebuild hits the memo (same key, no new entry)
+    df2 = spark.range(0, 100).selectExpr("id AS __v")
+    assert sl.resolve_lane("auto", df2) == "single"
+    assert len(sl._AUTO_LANE_MEMO) == 1
+    # a different frame probes separately
+    df3 = spark.range(0, 50).selectExpr("id AS __v")
+    assert sl.resolve_lane("auto", df3) == "single"
+    assert len(sl._AUTO_LANE_MEMO) == 2
+    # cut-over honored (patched constant, no giant frame needed)
+    saved = sl.TWO_PASS_MIN_ROWS
+    try:
+        sl.TWO_PASS_MIN_ROWS = 10
+        sl._AUTO_LANE_MEMO.clear()
+        assert sl.resolve_lane("auto", df) == "two_pass"  # 100 > 10
+    finally:
+        sl.TWO_PASS_MIN_ROWS = saved
+        sl._AUTO_LANE_MEMO.clear()
+
+
+def test_auto_default_matches_explicit_single(spark):
+    """The promoted lane='auto' default must produce bit-identical
+    results to the old 'single' default at sub-cut-over sizes (it
+    resolves to the same plan)."""
+    from reddit_etl_spark.operators.relational import (
+        mann_whitney_u,
+        wasserstein_distance,
+    )
+
+    rows = [(float(i % 37) / 3.0, "a" if i % 3 else "b") for i in range(500)]
+    df = spark.createDataFrame(rows, "v double, c string")
+    auto = mann_whitney_u(df, "v", "c", "a", "b").collect()
+    single = mann_whitney_u(df, "v", "c", "a", "b", lane="single").collect()
+    assert auto == single
+    auto = wasserstein_distance(df, "v", "c", "a").collect()
+    single = wasserstein_distance(df, "v", "c", "a", lane="single").collect()
+    assert auto == single
+
+
 def test_deming_floor_micros_on_exact_boundary(spark):
     """Inputs exactly on a .5-micro boundary must snap half-up (the
     IEEE floor(x*1e6+0.5) form) — bit-identical in any engine, unlike
