@@ -5989,7 +5989,7 @@ def wasserstein_distance(
     Plan at scale: one (value, class) aggregate, then one of THREE
     lanes over the distinct-value frame (``lane``):
 
-    - ``"single"`` (default): ONE guarded prefix window
+    - ``"single"``: ONE guarded prefix window
       (EXACT_RANK_MAX_ROWS convention; lead(v) rides the same sort).
       Exact and minimal below ~1e6 distinct values; the one window
       task measures 1.7 s at 1e6, 9.1 s at 1e7, 51 s at 5e7 rows on
@@ -5999,9 +5999,10 @@ def wasserstein_distance(
       prefixes, P-row offset merge, broadcast back). Two shuffles of
       the reduced frame + P parallel sorts; same exact integers, so
       identical output (parity pytest-pinned).
-    - ``"auto"``: count-then-branch at ``TWO_PASS_MIN_ROWS`` — the
-      blessed one-action decision aggregate; what a 100 TB caller
-      should use.
+    - ``"auto"`` (default since round 14): count-then-branch at
+      ``TWO_PASS_MIN_ROWS``, memoized per (application, plan hash) —
+      ``scale_lanes.resolve_lane`` — so a session that rebuilds the
+      same query pays the probe once, not per action.
 
     Returns one row: (n_a BIGINT, n_b BIGINT, wasserstein) — NULL
     when either class is empty.
@@ -10737,9 +10738,9 @@ def bws_two_sample(
     aggregate.
 
     Plan at scale: one (value) cell aggregate, one prefix pass over
-    distinct pooled values (``lane='single'`` guarded window /
-    ``'two_pass'`` partitioned lane / ``'auto'`` count-then-branch
-    at TWO_PASS_MIN_ROWS), then a MAP-SIDE two-level chunked
+    distinct pooled values (``lane='auto'`` memoized count-then-branch
+    at TWO_PASS_MIN_ROWS — the round-14 default — / ``'single'``
+    guarded window / ``'two_pass'`` partitioned lane), then a MAP-SIDE two-level chunked
     ``sequence`` explode back to one row per order statistic (n rows
     total — the same cardinality the scan already paid, never a
     pair blowup; ``BWS_EXPLODE_CHUNK`` bounds every in-memory
