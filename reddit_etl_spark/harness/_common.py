@@ -59,6 +59,17 @@ TABLES = [
 #: later reads pass the inferred schema explicitly (jobs=0). Metadata
 #: only — never rows or results — and keyed by applicationId like the
 #: _EXACT_TOPK_CACHE so a new session re-infers from the files.
+#:
+#: STATIC-INPUT ASSUMPTION (advisor r13): a path OVERWRITTEN within
+#: one application with a DIFFERENT schema would have the cached
+#: schema force-applied (misread or analysis error), and table_rows
+#: below would return the old count. That is the declared contract of
+#: every per-application memo in this repo (prefix-choice, fan-out,
+#: lane, hoeffding probes): testdata inputs are immutable for the
+#: life of an application; a new session always re-derives from the
+#: files. Unlike the plan-shape memos this one affects a READ, so the
+#: assumption is stated here at the single load() chokepoint rather
+#: than per call site.
 _SCHEMA_CACHE: dict = {}
 
 

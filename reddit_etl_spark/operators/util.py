@@ -28,7 +28,23 @@ def fan_out(df: DataFrame) -> DataFrame:
     target = sc.defaultParallelism
     key = None
     try:
-        files = df.inputFiles()
+        # the memo applies ONLY to scan-narrow plans (advisor r13:
+        # the file-set key alone also matched post-shuffle frames
+        # over the same files, where a memoized under-parallel count
+        # would coalesce a WIDE frame down to defaultParallelism —
+        # a full extra shuffle, not a redundant tiny one). One py4j
+        # round-trip reads the unanalyzed plan text; any
+        # shuffle-inducing node disqualifies both memo store and
+        # memo hit, falling through to the live probe.
+        plan = df._jdf.queryExecution().logical().toString()
+        scan_narrow = not any(
+            t in plan
+            for t in (
+                "Repartition", "Join", "Aggregate", "Window", "Sort",
+                "Deduplicate", "Distinct", "GlobalLimit",
+            )
+        )
+        files = df.inputFiles() if scan_narrow else ()
         if files:
             key = (sc.applicationId, tuple(sorted(files)))
     except Exception:  # noqa: BLE001 - probe fallback below
@@ -37,9 +53,9 @@ def fan_out(df: DataFrame) -> DataFrame:
     if n is None:
         n = df.rdd.getNumPartitions()
         # memoize only the under-parallel direction: a stale entry can
-        # then only ADD a redundant tiny repartition for an
-        # already-wide frame over the same files, never silently skip
-        # the fan-out a narrow frame needs
+        # then only ADD a redundant tiny repartition for a scan that
+        # (post-rewrite of the same files) became wide, never silently
+        # skip the fan-out a narrow frame needs
         if key and n < target:
             for stale in [k for k in _FANOUT_MEMO if k[0] != key[0]]:
                 _FANOUT_MEMO.pop(stale)

@@ -294,6 +294,28 @@ def test_auto_default_matches_explicit_single(spark):
     assert auto == single
 
 
+def test_fan_out_memo_scan_narrow_only(spark, tmp_path):
+    """advisor r13: a memoized under-parallel scan count must never
+    apply to a post-shuffle WIDE frame over the same files (that
+    memo hit coalesced the frame to defaultParallelism — a full
+    extra shuffle). The memo now gates on a scan-narrow plan."""
+    import reddit_etl_spark.operators.util as u
+
+    p = str(tmp_path / "one.parquet")
+    spark.range(0, 100).coalesce(1).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    u._FANOUT_MEMO.clear()
+    out = u.fan_out(df)
+    assert len(u._FANOUT_MEMO) == 1  # narrow scan memoized
+    assert out.rdd.getNumPartitions() >= df.rdd.getNumPartitions()
+    wide = df.repartition(64)
+    assert u.fan_out(wide).rdd.getNumPartitions() == 64  # untouched
+    agg = df.groupBy(F.col("id") % 3).count()
+    u.fan_out(agg)
+    assert len(u._FANOUT_MEMO) == 1  # post-agg frame never keyed
+    u._FANOUT_MEMO.clear()
+
+
 def test_deming_floor_micros_on_exact_boundary(spark):
     """Inputs exactly on a .5-micro boundary must snap half-up (the
     IEEE floor(x*1e6+0.5) form) — bit-identical in any engine, unlike
