@@ -57,8 +57,9 @@ so core count cannot show in their walls): the one-line JSON now
 carries ``master`` and ``default_parallelism`` (proof of which session
 the numbers came from) and a third calib entry ``par256_ms`` — a fixed
 CPU-bound 256-task aggregate whose wall IS core-sensitive (measured
-~2x between local[8] and local[32] on this host), so the driver can
-separate "env ignored" from "workload too small". No existing query,
+~1.3-2x between local[8] and local[32] on this host, vs ≈1.0 for the
+scheduling-bound query walls), so the driver can separate "env
+ignored" from "workload too small". No existing query,
 field, or methodology changed; the timed action and medians remain
 directly comparable to r13.
 
@@ -464,9 +465,11 @@ def main() -> int:
     # is invisible in THEIR walls either way). A fixed CPU-bound
     # 256-task aggregate (xxhash64 over 3M generated rows per task,
     # ~45 ms of pure JVM compute each, no I/O, one 256-row exchange)
-    # IS core-sensitive: measured local[32] ≈ 0.37-0.56 s vs
-    # local[8] ≈ 0.69-1.03 s on this host (the 4x core ratio shows as
-    # ~2x wall — the virtualized host saturates before 32 threads).
+    # IS core-sensitive: measured local[32] ≈ 0.37-0.59 s vs
+    # local[8] ≈ 0.69-1.03 s on this host across several same-phase
+    # A/Bs (the 4x core ratio shows as ~1.3-2x wall — the virtualized
+    # host saturates well before 32 threads) — unambiguous against
+    # the ≈1.0 ratios of the scheduling-bound query walls.
     # min of 2 reps damps the host phase; the first rep's codegen is
     # absorbed by a tiny same-shape warm pass.
     spark.range(0, 8, 1, 8).select(F.xxhash64("id").alias("h")).agg(
