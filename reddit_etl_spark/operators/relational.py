@@ -10046,76 +10046,80 @@ def hoeffding_d(
             F.col("__y").alias("__y2"),
             F.col("__f").alias("__f2"),
         )
-        f2 = F.col("__f2")
         per_cell = (
             a.crossJoin(b)
             .groupBy("__x1", "__y1", "__f1")
             .agg(
-                F.sum(
-                    F.when(
-                        (F.col("__x2") < F.col("__x1"))
-                        & (F.col("__y2") < F.col("__y1")),
-                        f2,
-                    )
-                ).alias("__ltlt"),
-                F.sum(
-                    F.when(
-                        (F.col("__x2") == F.col("__x1"))
-                        & (F.col("__y2") < F.col("__y1")),
-                        f2,
-                    )
-                ).alias("__eqlt"),
-                F.sum(
-                    F.when(
-                        (F.col("__x2") < F.col("__x1"))
-                        & (F.col("__y2") == F.col("__y1")),
-                        f2,
-                    )
-                ).alias("__lteq"),
-                F.sum(F.when(F.col("__x2") < F.col("__x1"), f2)).alias(
-                    "__ltx"
+                F.expr(
+                    "SUM(CASE WHEN __x2 < __x1 AND __y2 < __y1 "
+                    "THEN __f2 END) AS __ltlt"
                 ),
-                F.sum(F.when(F.col("__x2") == F.col("__x1"), f2)).alias(
-                    "__eqx"
+                F.expr(
+                    "SUM(CASE WHEN __x2 = __x1 AND __y2 < __y1 "
+                    "THEN __f2 END) AS __eqlt"
                 ),
-                F.sum(F.when(F.col("__y2") < F.col("__y1"), f2)).alias(
-                    "__lty"
+                F.expr(
+                    "SUM(CASE WHEN __x2 < __x1 AND __y2 = __y1 "
+                    "THEN __f2 END) AS __lteq"
                 ),
-                F.sum(F.when(F.col("__y2") == F.col("__y1"), f2)).alias(
-                    "__eqy"
-                ),
+                F.expr("SUM(CASE WHEN __x2 < __x1 THEN __f2 END) AS __ltx"),
+                F.expr("SUM(CASE WHEN __x2 = __x1 THEN __f2 END) AS __eqx"),
+                F.expr("SUM(CASE WHEN __y2 < __y1 THEN __f2 END) AS __lty"),
+                F.expr("SUM(CASE WHEN __y2 = __y1 THEN __f2 END) AS __eqy"),
             )
         )
-    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
-    f1 = F.col("__f1")
     # scaled exact integers: 4Q = 4 + 4·ltlt + 2·(eqlt+lteq) + (f−1);
-    # 2R = 2·ltx + eqx + 1 (eqx includes the cell itself); 2S likewise
-    q4 = 4 + 4 * z("__ltlt") + 2 * (z("__eqlt") + z("__lteq")) + (f1 - 1)
-    r2 = 2 * z("__ltx") + z("__eqx") + 1
-    s2 = 2 * z("__lty") + z("__eqy") + 1
-    # 16·D-terms per cell (the ×16 clears (…)/2 and (…)/4 exactly)
-    d1_16 = dec(f1) * dec(q4 - 4) * dec(q4 - 8)
-    d2_16 = dec(f1) * dec(r2 - 2) * dec(r2 - 4) * dec(s2 - 2) * dec(s2 - 4)
-    d3_16 = dec(f1) * dec(r2 - 4) * dec(s2 - 4) * dec(q4 - 4)
-    agg = per_cell.agg(
-        F.sum(dec(f1)).cast("decimal(38,0)").alias("__n"),
-        F.count("*").cast("long").alias("n_cells"),
-        F.sum(d1_16.cast("decimal(38,0)")).cast("decimal(38,0)").alias("__d1"),
-        F.sum(d2_16.cast("decimal(38,0)")).cast("decimal(38,0)").alias("__d2"),
-        F.sum(d3_16.cast("decimal(38,0)")).cast("decimal(38,0)").alias("__d3"),
+    # 2R = 2·ltx + eqx + 1 (eqx includes the cell itself); 2S likewise.
+    # Round-14: the fold/final blocks are single F.expr SQL strings
+    # (jonckheere's py4j-reduction note applies; optimized plan
+    # verified byte-identical to the Column form, exprIds normalized).
+    _D = "DECIMAL(38,0)"
+    _Q4 = (
+        "(COALESCE(__ltlt, 0) * 4 + 4"
+        " + (COALESCE(__eqlt, 0) + COALESCE(__lteq, 0)) * 2"
+        " + (__f1 - 1))"
     )
-
-    def dbl(c):
-        return F.coalesce(F.col(c).cast("string").cast("double"), F.lit(0.0))
-
-    n = dbl("__n")
-    d1, d2, d3 = dbl("__d1") / 16.0, dbl("__d2") / 16.0, dbl("__d3") / 16.0
-    num = (n - 2.0) * (n - 3.0) * d1 + d2 - 2.0 * (n - 2.0) * d3
-    den = n * (n - 1.0) * (n - 2.0) * (n - 3.0) * (n - 4.0)
+    _R2 = "(COALESCE(__ltx, 0) * 2 + COALESCE(__eqx, 0) + 1)"
+    _S2 = "(COALESCE(__lty, 0) * 2 + COALESCE(__eqy, 0) + 1)"
+    _F1D = f"CAST(__f1 AS {_D})"
+    # 16·D-terms per cell (the ×16 clears (…)/2 and (…)/4 exactly)
+    _D1 = (
+        f"{_F1D} * CAST({_Q4} - 4 AS {_D}) * CAST({_Q4} - 8 AS {_D})"
+    )
+    _D2 = (
+        f"{_F1D} * CAST({_R2} - 2 AS {_D}) * CAST({_R2} - 4 AS {_D})"
+        f" * CAST({_S2} - 2 AS {_D}) * CAST({_S2} - 4 AS {_D})"
+    )
+    _D3 = (
+        f"{_F1D} * CAST({_R2} - 4 AS {_D}) * CAST({_S2} - 4 AS {_D})"
+        f" * CAST({_Q4} - 4 AS {_D})"
+    )
+    agg = per_cell.agg(
+        F.expr(f"CAST(SUM({_F1D}) AS {_D}) AS __n"),
+        F.expr("CAST(COUNT(*) AS BIGINT) AS n_cells"),
+        F.expr(f"CAST(SUM(CAST({_D1} AS {_D})) AS {_D}) AS __d1"),
+        F.expr(f"CAST(SUM(CAST({_D2} AS {_D})) AS {_D}) AS __d2"),
+        F.expr(f"CAST(SUM(CAST({_D3} AS {_D})) AS {_D}) AS __d3"),
+    )
+    _N = "COALESCE(CAST(CAST(__n AS STRING) AS DOUBLE), 0.0D)"
+    _DD1 = "(COALESCE(CAST(CAST(__d1 AS STRING) AS DOUBLE), 0.0D) / 16.0D)"
+    _DD2 = "(COALESCE(CAST(CAST(__d2 AS STRING) AS DOUBLE), 0.0D) / 16.0D)"
+    _DD3 = "(COALESCE(CAST(CAST(__d3 AS STRING) AS DOUBLE), 0.0D) / 16.0D)"
+    _NUM = (
+        f"({_N} - 2.0D) * ({_N} - 3.0D) * {_DD1} + {_DD2}"
+        f" - ({_N} - 2.0D) * 2.0D * {_DD3}"
+    )
+    _DEN = (
+        f"{_N} * ({_N} - 1.0D) * ({_N} - 2.0D) * ({_N} - 3.0D)"
+        f" * ({_N} - 4.0D)"
+    )
     return agg.select(
-        F.col("__n").cast("long").alias("n"),
+        F.expr("CAST(__n AS BIGINT) AS n"),
         "n_cells",
-        F.round(F.when(n >= 5, 30.0 * num / den), 6).alias("hoeffding_d"),
+        F.expr(
+            f"ROUND(CASE WHEN {_N} >= 5 THEN ({_NUM}) * 30.0D"
+            f" / ({_DEN}) END, 6) AS hoeffding_d"
+        ),
     )
 
 
